@@ -1,0 +1,394 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDefs._
+
+/** Core relational surface (SURVEY.md §2.2–§2.7): the capabilities the
+  * reference's SQL compiler provides (SELECT/WHERE/JOIN/GROUP BY/ORDER
+  * BY/CASE/nested queries — sql4pandas compiles these to pandas ops)
+  * plus the standard-SQL surface Spark provides natively.
+  *
+  * Judged-output typing policy (SURVEY.md §5.4):
+  *  - exact aggregates computed in DECIMAL (exact in both engines),
+  *    rounded, then CAST to DOUBLE so parquet schemas match;
+  *  - window/ranking outputs CAST to BIGINT (DuckDB's native width);
+  *  - integer SUMs CAST to BIGINT in the oracle (DuckDB yields HUGEINT);
+  *  - every query totally ordered.
+  *
+  * Most queries are dialect-portable: the same text runs on Spark and
+  * DuckDB, held once in `sqlTexts` and overridden per-dialect only
+  * where the engines genuinely diverge.
+  */
+object Core {
+
+  /** Dialect-portable SQL: same text is the Spark query AND the oracle. */
+  val sqlTexts: Map[String, String] = Map(
+
+    // TPC-H Q1 shape: scan + filter + hash agg + sort. Partial agg
+    // map-side; 6-row group key => negligible shuffle at any scale.
+    "q_agg_tpch1" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+             COUNT(*) AS cnt
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    // TPC-H Q5 shape: 5-table star join. nation/region broadcast; the
+    // big fact joins shuffle on their keys; AQE broadcasts small sides.
+    "q_join_star" -> """
+      SELECT n_name,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    // Global top-k => TakeOrderedAndProject: per-partition heap of k,
+    // driver merge — no global sort materialization.
+    "q_sort_limit" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 100""",
+
+    // P1+P2: projection/alias/arithmetic; ReadSchema prunes to 5 of 11
+    // lineitem columns at the parquet scan.
+    "q_scan_project" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)), 4) AS DOUBLE) AS charge
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+      LIMIT 1000""",
+
+    // P3+P4+P5: predicates pushed to the scan (PushedFilters).
+    "q_filter_cmp" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_totalprice BETWEEN 1000.0 AND 50000.0
+        AND o_orderstatus IN ('F', 'O')
+        AND o_orderpriority LIKE '1-%'
+        AND NOT (o_custkey = 0)
+      ORDER BY o_orderkey""",
+
+    // P6: CASE WHEN — reference compiles to np.where chains; Catalyst
+    // codegens inline.
+    "q_case_when" -> """
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity < 10 THEN 'small'
+                  WHEN l_quantity < 30 THEN 'medium'
+                  ELSE 'large' END AS qty_band,
+             CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS flag_code
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+      LIMIT 1000""",
+
+    // P7: NULL semantics — testdata has zero nulls; manufacture them.
+    "q_null_handling" -> """
+      SELECT l_returnflag,
+             COUNT(*) AS n_rows,
+             COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+             CAST(SUM(CASE WHEN NULLIF(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+             CAST(ROUND(SUM(CAST(COALESCE(NULLIF(l_discount, 0.0), 0.0) AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_nonzero_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // P8: DISTINCT — hash dedup, shuffle on the full row.
+    "q_distinct" -> """
+      SELECT DISTINCT c_mktsegment, c_nationkey
+      FROM customer
+      ORDER BY c_mktsegment, c_nationkey""",
+
+    // J1: inner equi-join; AQE broadcasts customer when small.
+    "q_join_inner" -> """
+      SELECT o_orderkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > 100000.0
+      ORDER BY o_orderkey""",
+
+    // J2: left outer with a join-side predicate => NULL order columns.
+    "q_join_left" -> """
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 200000.0
+      WHERE c_nationkey < 5
+      ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    // J3: full outer — sort-merge only (no broadcast full-outer);
+    // anti-correlated halves synthesize nulls on both sides.
+    "q_join_full" -> """
+      SELECT a.k AS k_small, a.n_small, b.k AS k_large, b.n_large
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n_small FROM orders WHERE o_totalprice < 5000.0 GROUP BY o_custkey) a
+      FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n_large FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_custkey) b
+        ON a.k = b.k
+      ORDER BY k_small NULLS FIRST, k_large NULLS FIRST""",
+
+    // J4: EXISTS => Catalyst RewritePredicateSubquery => LeftSemi.
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      ORDER BY c_custkey""",
+
+    // J5: NOT EXISTS => LeftAnti.
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    // J6: explicit cartesian (25×5) — broadcast nested loop.
+    "q_join_cross" -> """
+      SELECT n_name, r_name
+      FROM nation CROSS JOIN region
+      ORDER BY n_name, r_name""",
+
+    // J7: non-equi range join against a tiny inline dim =>
+    // BroadcastNestedLoopJoin; at 100 TB the band table stays
+    // broadcast-size so this never shuffles the fact side.
+    "q_join_range" -> """
+      SELECT b.band_name, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      FROM orders o
+      JOIN (SELECT 'low' AS band_name, 0.0 AS lo, 50000.0 AS hi
+            UNION ALL SELECT 'mid', 50000.0, 150000.0
+            UNION ALL SELECT 'high', 150000.0, 1000000000.0) b
+        ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+      GROUP BY b.band_name
+      ORDER BY b.band_name""",
+
+    // A2: global (ungrouped) aggregate.
+    "q_agg_global" -> """
+      SELECT COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+             CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS min_price,
+             CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price
+      FROM lineitem""",
+
+    // A3: HAVING.
+    "q_agg_having" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 15
+      ORDER BY o_custkey""",
+
+    // A7: ROLLUP via Expand.
+    "q_agg_rollup" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    // A8: CUBE + GROUPING() to disambiguate generated nulls.
+    "q_agg_cube" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_status, CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             COUNT(*) AS cnt
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    // A10: conditional agg (portable pivot).
+    "q_pivot_conditional" -> """
+      SELECT c_mktsegment,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    // W1+W5: ranking — orderBy carries a unique tiebreaker so ranks are
+    // total and oracle-stable.
+    "q_win_rank" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+             CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS drnk,
+             CAST(NTILE(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+      FROM orders
+      WHERE o_custkey < 100
+      ORDER BY o_custkey, rn""",
+
+    // W2+W3: running aggregates, ROWS and RANGE frames.
+    "q_win_running" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+             COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_to_date
+      FROM orders
+      WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderkey""",
+
+    // W4: lag/lead.
+    "q_win_lag_lead" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(LAG(o_orderdate, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS prev_d,
+             CAST(LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS next_d
+      FROM orders
+      WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderkey""",
+
+    // O3: UNION ALL (Spark `union` == SQL UNION ALL).
+    "q_union_all" -> """
+      SELECT c_custkey AS k, 'customer' AS src FROM customer WHERE c_custkey <= 100
+      UNION ALL
+      SELECT o_custkey AS k, 'orders' AS src FROM orders WHERE o_custkey <= 100
+      ORDER BY k, src""",
+
+    // O4: UNION (distinct). Key widths differ (int32 vs int64) — cast.
+    "q_union_distinct" -> """
+      SELECT CAST(c_nationkey AS BIGINT) AS k FROM customer
+      UNION
+      SELECT CAST(s_nationkey AS BIGINT) AS k FROM supplier
+      ORDER BY k""",
+
+    // O5: INTERSECT.
+    "q_intersect" -> """
+      SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000.0
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY k""",
+
+    // O6: EXCEPT.
+    "q_except" -> """
+      SELECT c_custkey AS k FROM customer
+      EXCEPT
+      SELECT o_custkey AS k FROM orders
+      ORDER BY k""",
+
+    // Q1: derived table in FROM — the reference's "nested queries"
+    // (inner statement executed first, registered as a table).
+    "q_subquery_from" -> """
+      SELECT t.o_custkey, t.n_orders
+      FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) t
+      WHERE t.n_orders >= 15
+      ORDER BY t.o_custkey""",
+
+    // Q2: scalar subquery, decorrelated by Catalyst. Threshold computed
+    // in decimal then rounded so both engines compare the same constant.
+    "q_subquery_scalar" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 1.5 * (SELECT CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) FROM orders)
+      ORDER BY o_orderkey""",
+  )
+
+  /** Spark-side text where the dialects diverge. */
+  val sparkOnlySql: Map[String, String] = Map(
+    // A5+A6: Spark PERCENTILE() vs DuckDB quantile_cont().
+    "q_agg_stats" -> """
+      SELECT l_returnflag,
+             CAST(ROUND(STDDEV_SAMP(l_quantity), 6) AS DOUBLE) AS sd_qty,
+             CAST(ROUND(VAR_SAMP(l_quantity), 6) AS DOUBLE) AS var_qty,
+             CAST(ROUND(PERCENTILE(l_quantity, 0.5), 6) AS DOUBLE) AS median_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // A4: Spark reads the shimmed `events` view (ts already µs).
+    "q_agg_count_distinct" -> """
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS u
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+      ORDER BY event_type, d""",
+  )
+
+  /** Oracle overrides paired with `sparkOnlySql` + oracles for queries
+    * defined via the DataFrame API below.
+    */
+  val oracleOverrides: Map[String, String] = Map(
+    "q_agg_stats" -> """
+      SELECT l_returnflag,
+             CAST(ROUND(STDDEV_SAMP(l_quantity), 6) AS DOUBLE) AS sd_qty,
+             CAST(ROUND(VAR_SAMP(l_quantity), 6) AS DOUBLE) AS var_qty,
+             CAST(ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS DOUBLE) AS median_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // DuckDB reads raw parquet: ts is TIMESTAMP_NS, cast truncates to µs
+    // identically to the Spark shim (verified, SURVEY.md §1.3).
+    "q_agg_count_distinct" -> """
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(DISTINCT user_id) AS u
+      FROM events
+      GROUP BY event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+      ORDER BY event_type, d""",
+
+    // J9 broadcast-hint query — same semantics, plan-only difference.
+    "q_join_broadcast" -> """
+      SELECT n_name, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    // W6 top-k per group.
+    "q_topk_pergroup" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+  )
+
+  /** J9: explicit broadcast hint via the DataFrame API — pins
+    * broadcast-hash regardless of size estimates (at 100 TB, dims like
+    * nation/customer-sample stay broadcast-able; the fact side never
+    * shuffles for the join).
+    */
+  val qJoinBroadcast: QueryFn = withTables { spark =>
+    spark.table("orders")
+      .join(broadcast(spark.table("customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(spark.table("nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("total"))
+      .orderBy(col("n_name"))
+  }
+
+  /** W6: top-k per group via the DataFrame API — the canonical
+    * row_number + filter pattern (shuffles once on the partition key).
+    */
+  val qTopkPergroup: QueryFn = withTables { spark =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    spark.table("orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** All §2.2–§2.7 judged queries. */
+  val queries: Map[String, QueryFn] =
+    (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
+      "q_join_broadcast" -> qJoinBroadcast,
+      "q_topk_pergroup" -> qTopkPergroup,
+    )
+
+  /** All §2.2–§2.7 oracle SQL. */
+  val oracles: Map[String, String] = sqlTexts ++ oracleOverrides
+}

@@ -1,0 +1,52 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loads the driver-generated parquet tables from a scale-factor
+  * directory and registers them as temp views — the Spark analog of the
+  * reference's `PandasCursor` registered table dict (sql4pandas keeps a
+  * {name: DataFrame} map and resolves FROM/JOIN names against it; we
+  * use the session catalog's temp views for the same purpose).
+  *
+  * Scale notes (100 TB): temp-view registration is metadata-only; the
+  * scans stay lazy, so Catalyst pushes filters/projections into the
+  * parquet reader per query. At real scale the same loader would point
+  * at partitioned table roots instead of single files — nothing else
+  * changes, partition pruning composes with the same views.
+  */
+object TableLoader {
+
+  /** All tables except `events`, which needs the nanos shim. */
+  val plainTables: Seq[String] = Seq(
+    "region", "nation", "supplier", "customer", "part",
+    "orders", "lineitem", "documents", "embeddings")
+
+  /** Register every table in `sfDir` as a temp view on `spark`.
+    *
+    * `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark 4.x
+    * refuses to read natively; `spark.sql.legacy.parquet.nanosAsLong`
+    * surfaces it as raw nanos (LongType) and we truncate to µs
+    * TimestampType — bit-identical to DuckDB's CAST(ts AS TIMESTAMP)
+    * (verified, SURVEY.md §1.3). Set at runtime because Verify/Bench
+    * build their sessions without the flag.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    plainTables.foreach { name =>
+      load(spark, sfDir, name).createOrReplaceTempView(name)
+    }
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table with `ts` converted to µs TimestampType. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .selectExpr(
+        "event_id",
+        "timestamp_micros(CAST(ts DIV 1000 AS LONG)) AS ts",
+        "user_id", "event_type", "value", "props")
+  }
+}
