@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row with
+  * `rightTime <= leftTime` within the same key (the classic
+  * "latest click before each purchase" / trades-quotes shape).
+  *
+  * Spark has no built-in; rather than a custom SparkStrategy this is
+  * the union + running-`last(ignoreNulls)` window rewrite:
+  *
+  *   1. tag right rows 0, left rows 1, union them;
+  *   2. one window over (key ORDER BY time, tag): carry the latest
+  *      non-null right payload forward;
+  *   3. keep only left rows.
+  *
+  * Ties (right.time == left.time) match, mirroring DuckDB's inclusive
+  * ASOF JOIN: at equal time the right row sorts first (tag 0 < 1).
+  *
+  * Scale: exactly ONE shuffle (hash by key, sort by time within
+  * partitions) regardless of per-key row counts — strictly better than
+  * the range-join alternative, which explodes candidate pairs before
+  * re-aggregating. Skewed keys degrade to a single partition's sort,
+  * handled by AQE skew splitting on the exchange.
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich (kept, one output row each)
+    * @param right      rows providing the as-of payload
+    * @param key        equi-join key column (same name both sides)
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param payload    right columns to carry (renamed as given)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // common layout: key, time, tag, left payload (nulls on right rows),
+    // right payload (nulls on left rows)
+    val taggedLeft = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_tag", lit(1))
+      .select(
+        Seq(col(key), col("_t"), col("_tag")) ++
+          leftCols.filterNot(_ == key).map(c => col(c)) ++
+          payload.values.toSeq.map(a => lit(null).as(a)): _*)
+    val taggedRight = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_tag", lit(0))
+      .select(
+        Seq(col(key), col("_t"), col("_tag")) ++
+          leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map { case (src, alias) => col(src).as(alias) }.toSeq: _*)
+
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.values.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, a) => df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_tag") === 1).drop("_t", "_tag")
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDefs._
+import graft.functions.Udfs
+import graft.operators.AsOfJoin
+
+/** Scalar-function + UDF/UDAF + as-of-join surface (SURVEY.md §2.8,
+  * §2.9, J10). All built-ins stay inside whole-stage codegen; the UDF
+  * queries demonstrate the user-extension surface the reference exposes
+  * as "any Python function over frames".
+  */
+object Functions {
+
+  /** Dialect-portable SQL (same text both engines). */
+  val sqlTexts: Map[String, String] = Map(
+
+    // F1: string functions — 1-based SUBSTR in both dialects; LENGTH
+    // cast to BIGINT (Spark INT vs DuckDB BIGINT).
+    "q_str_funcs" -> """
+      SELECT c_custkey,
+             UPPER(c_mktsegment) AS seg_u,
+             LOWER(c_name) AS name_l,
+             SUBSTR(c_name, 10, 9) AS id_str,
+             CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+             CONCAT(c_mktsegment, ':', c_custkey) AS seg_key,
+             LPAD(TRIM(c_mktsegment), 12, '.') AS seg_pad
+      FROM customer
+      ORDER BY c_custkey
+      LIMIT 1000""",
+
+    // F2: regex — [0-9] instead of \d (portable across literal-escape
+    // rules), group-1 extraction on the Brand#N fixture.
+    "q_regex" -> """
+      SELECT p_partkey,
+             CAST(REGEXP_EXTRACT(p_brand, '#([0-9]+)', 1) AS INT) AS brand_num,
+             REGEXP_REPLACE(p_name, ' ', '_') AS name_u
+      FROM part
+      ORDER BY p_partkey
+      LIMIT 1000""",
+
+    // F5: math functions — floating results rounded (§5.4 rule 3).
+    "q_math_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(SQRT(l_quantity), 6) AS DOUBLE) AS sqrt_qty,
+             CAST(ROUND(LN(l_extendedprice), 6) AS DOUBLE) AS ln_price,
+             CAST(ROUND(EXP(l_discount), 6) AS DOUBLE) AS exp_disc,
+             CAST(ROUND(POW(l_tax, 2), 6) AS DOUBLE) AS tax_sq,
+             ABS(l_quantity - 25.0) AS qty_dev,
+             CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+             CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+             MOD(l_orderkey, 7) AS key_mod
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+      LIMIT 1000""",
+  )
+
+  /** Spark-side text where dialects diverge. */
+  val sparkOnlySql: Map[String, String] = Map(
+
+    // F4: date/time functions.
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+             YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d,
+             CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+             CAST(DATEDIFF(DATE'1998-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_to_98,
+             CAST(DATE_ADD(CAST(o_orderdate AS DATE), 30) AS DATE) AS plus30
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 1000""",
+
+    // F6: array ops over embeddings (dim 64). Float->double widening is
+    // exact in both engines, so no rounding needed.
+    "q_array_funcs" -> """
+      SELECT vec_id,
+             CAST(SIZE(embedding) AS BIGINT) AS dim,
+             CAST(ELEMENT_AT(embedding, 1) AS DOUBLE) AS first_val,
+             CAST(ELEMENT_AT(embedding, 64) AS DOUBLE) AS last_val,
+             CAST(SIZE(SLICE(embedding, 1, 8)) AS BIGINT) AS slice_len
+      FROM embeddings
+      ORDER BY vec_id
+      LIMIT 1000""",
+
+    // F9: JSON extraction from the events props column.
+    "q_json_extract" -> """
+      SELECT event_id, event_type,
+             CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+      ORDER BY event_id
+      LIMIT 1000""",
+  )
+
+  /** DuckDB oracle SQL for everything not portable. */
+  val oracleOverrides: Map[String, String] = Map(
+
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+             CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m, CAST(DAY(o_orderdate) AS INT) AS d,
+             CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+             CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 1000""",
+
+    "q_array_funcs" -> """
+      SELECT vec_id,
+             CAST(LEN(embedding) AS BIGINT) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first_val,
+             CAST(embedding[64] AS DOUBLE) AS last_val,
+             CAST(LEN(embedding[1:8]) AS BIGINT) AS slice_len
+      FROM embeddings
+      ORDER BY vec_id
+      LIMIT 1000""",
+
+    "q_json_extract" -> """
+      SELECT event_id, event_type,
+             CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+      ORDER BY event_id
+      LIMIT 1000""",
+
+    // U1: the UDF's semantics expressed as portable CASE.
+    "q_udf_band" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice < 50000.0 THEN 'low'
+                  WHEN o_totalprice < 150000.0 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 1000""",
+
+    // U2: geometric mean == exp(avg(ln(x))).
+    "q_udaf_geomean" -> """
+      SELECT o_orderpriority,
+             CAST(ROUND(EXP(AVG(LN(o_totalprice))), 4) AS DOUBLE) AS gm
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // J10: DuckDB's native ASOF JOIN (inclusive >=), with ns->µs
+    // truncation applied BEFORE the comparison to mirror Spark's view.
+    "q_join_asof" -> """
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.event_id""",
+  )
+
+  /** U1: scalar UDF through the registered-function surface. */
+  val qUdfBand: QueryFn = withTables { spark =>
+    Udfs.register(spark)
+    spark.sql("""
+      SELECT o_orderkey, price_band(o_totalprice) AS band
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 1000""")
+  }
+
+  /** U2: typed Aggregator UDAF (partial-aggregating, map-side combine). */
+  val qUdafGeomean: QueryFn = withTables { spark =>
+    Udfs.register(spark)
+    spark.sql("""
+      SELECT o_orderpriority,
+             CAST(ROUND(geo_mean(o_totalprice), 4) AS DOUBLE) AS gm
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** J10: as-of join — latest click at-or-before each purchase per user. */
+  val qJoinAsof: QueryFn = withTables { spark =>
+    val events = spark.table("events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    AsOfJoin.asof(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "click_ts"))
+      .select("event_id", "user_id", "ts", "click_ts")
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, QueryFn] =
+    (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
+      "q_udf_band" -> qUdfBand,
+      "q_udaf_geomean" -> qUdafGeomean,
+      "q_join_asof" -> qJoinAsof,
+    )
+
+  val oracles: Map[String, String] = sqlTexts ++ oracleOverrides
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AsOfJoin
+
+/** Hand-computed fixtures for the as-of join's edge semantics. */
+class AsOfJoinSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof picks latest right row at-or-before each left row, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3"), // before any right row
+    ).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00")),
+      (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 09:30:00")),
+    ).toDF("user_id", "ts")
+
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts",
+      Map("ts" -> "m_ts")).collect().map(r =>
+        (r.getAs[String]("name"), Option(r.getAs[Timestamp]("m_ts")))).toMap
+
+    assert(out("p1").contains(ts("2024-01-01 09:30:00")))
+    assert(out("p2").contains(ts("2024-01-01 11:00:00")))
+    assert(out("p3").isEmpty, "left row before all right rows gets null")
+  }
+
+  test("asof tie: right row at exactly left time matches (inclusive)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("user_id", "ts", "name")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val got = AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("ts" -> "m_ts"))
+      .collect()(0).getAs[Timestamp]("m_ts")
+    assert(got == ts("2024-01-01 10:00:00"))
+  }
+
+  test("asof preserves left row count (left-outer semantics)") {
+    import spark.implicits._
+    val left = (1 to 100).map(i => ((i % 7).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"), s"r$i"))
+      .toDF("user_id", "ts", "name")
+    val right = (1 to 30).map(i => ((i % 5).toLong, ts(f"2024-01-01 ${i % 24}%02d:30:00")))
+      .toDF("user_id", "ts")
+    assert(AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("ts" -> "m_ts")).count() == 100)
+  }
+
+  test("geo_mean UDAF matches exp(avg(ln)) on a known fixture") {
+    import spark.implicits._
+    graft.functions.Udfs.register(spark)
+    Seq(2.0, 8.0).toDF("x").createOrReplaceTempView("gm_fixture")
+    val gm = spark.sql("SELECT geo_mean(x) AS gm FROM gm_fixture").collect()(0).getDouble(0)
+    assert(math.abs(gm - 4.0) < 1e-9) // sqrt(2*8) = 4
+  }
+}
