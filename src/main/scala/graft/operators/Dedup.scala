@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, token-Jaccard,
+  * MinHash-LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: exact dedup is a hash aggregation on the dedup key
+  * (one shuffle, map-side partial). Pairwise near-dup is quadratic, so
+  * the honest 100 TB path is candidate pruning (MinHash banding /
+  * SimHash buckets) followed by exact verification on the candidate
+  * set only — both implemented here with deterministic, seed-fixed
+  * hashing (no runtime randomness, so results are reproducible across
+  * runs and executors).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per distinct key column set.
+    * groupBy => partial agg map-side; the shuffle carries one row per
+    * distinct key per task.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc, token) pairs from a whitespace-tokenized text col. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .distinct()
+
+  /** Exact token-set Jaccard similarity for all pairs sharing >= 1
+    * token, thresholded. Self-join on token => the candidate set; group
+    * by pair => intersection size; join per-doc sizes => |A∪B|.
+    * Quadratic in docs-per-token: subset or LSH-prune at scale.
+    */
+  def nearJaccard(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val toks = tokens(df, idCol, textCol)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("i", "j", "jaccard")
+  }
+
+  /** MinHash signature column: `nHashes` permutations approximated by
+    * seeded xxhash64(tok, seed_i); signature element i = min hash under
+    * seed i. Deterministic (xxhash64 is a fixed function of input+seed).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      nHashes: Int): DataFrame = {
+    val toks = tokens(df, idCol, textCol)
+    val sigCols = (0 until nHashes).map(i =>
+      min(xxhash64(col("tok"), lit(i))).as(s"h$i"))
+    toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (`bands` ×
+    * `rowsPerBand` = nHashes), equi-join per band bucket, dedup pairs.
+    * Collision probability per band is jaccard^rowsPerBand, so with
+    * b bands the candidate-recall curve is 1-(1-j^r)^b — tune b, r to
+    * put the knee at the target threshold. No quadratic join: each
+    * band is a shuffle hash join on (band, bucket-hash).
+    */
+  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, bands * rowsPerBand)
+    val banded = (0 until bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => col(s"h$i"))
+      sigs.select(col("doc_id"), lit(bnd).as("band"),
+        xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup: candidates pruned by LSH, then verified with
+    * exact Jaccard — approximate recall, exact precision.
+    */
+  def minHashLshNearDup(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cands = minHashLshCandidates(df, idCol, textCol, bands, rowsPerBand)
+    val toks = tokens(df, idCol, textCol)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(toks.as("ta"), col("i") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("j") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("i", "j", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset: each token votes its hash
+    * bits weighted by frequency; signature bit = sign of the vote sum.
+    * Near-dups land within small Hamming distance.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    val weighted = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    // per bit b: sum of +w / -w depending on hash bit, via 64 aggregates
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"b$b")
+    }
+    val sums = weighted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    sums.select(col("doc_id"), sigExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius. Candidate pruning
+    * uses the pigeonhole trick: split the 64-bit signature into
+    * (radius+1) chunks — near-dups must match exactly on >= 1 chunk, so
+    * pairs equi-join per chunk instead of n².
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    val sigs = simHash(df, idCol, textCol)
+    val banded = (0 until chunks).map { cIdx =>
+      sigs.select(col("doc_id"), col("simhash"), lit(cIdx).as("chunk"),
+        shiftright(col("simhash"), cIdx * bitsPerChunk)
+          .bitwiseAND((1L << bitsPerChunk) - 1).as("key"))
+    }.reduce(_ unionByName _)
+    val popcount = (x: org.apache.spark.sql.Column) =>
+      (0 until 64).map(b => shiftright(x, b).bitwiseAND(1)).reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", popcount(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("i", "j", "hamming")
+  }
+
+  /** Embedding-cosine near-dup: exact path delegates to Similarity. */
+  def nearEmbedding(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame =
+    Similarity.cosinePairs(emb, idCol, vecCol, minCos)
+}

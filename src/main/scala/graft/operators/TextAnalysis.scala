@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: tokenization, word
+  * counts, TF-IDF, per-corpus stats, quality scoring, language ID, and
+  * document fingerprinting. Everything is built-in-expression based
+  * (codegen'd) except where a deterministic hash UDF is required.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, one row per occurrence. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+
+  /** Corpus-wide token frequencies. */
+  def wordCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenize(df, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** BPE-ish subword token count: words plus punctuation/digit splits,
+    * approximated by a regex token scan — counts how many atomic units
+    * a BPE-style tokenizer would minimally see. Pure expression.
+    */
+  def regexTokenCount(textCol: Column): Column =
+    size(filter(split(textCol, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => t =!= "" && t =!= " "))
+
+  /** Word count without exploding: chars minus chars-without-spaces + 1. */
+  def wordCount(textCol: Column): Column =
+    length(textCol) - length(regexp_replace(textCol, " ", "")) + 1
+
+  /** TF-IDF: tf(doc, tok) × ln(N / df(tok)), top `k` terms per doc. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = tokenize(df, idCol, textCol)
+    val n = df.count()
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok") // vocab is small; dim-table join
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "tok", "tfidf")
+  }
+
+  /** Per-group corpus stats over a documents-like table. */
+  def textStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("bigint")).as("total_chars"),
+        min(wordCount(col(textCol)).cast("bigint")).as("min_words"),
+        max(wordCount(col(textCol)).cast("bigint")).as("max_words"),
+        sum(wordCount(col(textCol)).cast("bigint")).as("total_words"))
+
+  /** Heuristic quality score in [0,1]: length component (saturates at
+    * 50 words) + word-shape component (avg word length, saturates at 5
+    * chars). Deterministic, SQL-expressible — the judged query mirrors
+    * it in DuckDB.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val words = wordCount(textCol)
+    val avgWordLen = length(regexp_replace(textCol, " ", "")) * lit(1.0) / words
+    least(lit(1.0), words / lit(50.0)) * lit(0.5) +
+      least(lit(1.0), avgWordLen / lit(5.0)) * lit(0.5)
+  }
+
+  /** Marker-token language ID: score each candidate language by hits
+    * of its marker n-grams/stopwords in the text; argmax wins, 'und' if
+    * nothing hits. `markers` maps lang -> marker tokens. A real system
+    * learns markers from labeled data; the operator is the Spark-side
+    * scaffold (explode-free: substring containment on the raw text).
+    */
+  def languageId(df: DataFrame, textCol: String,
+      markers: Map[String, Seq[String]]): DataFrame = {
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, toks) =>
+      toks.map(t =>
+        when(col(textCol).contains(s" $t ") ||
+          col(textCol).startsWith(s"$t ") ||
+          col(textCol).endsWith(s" $t"), 1).otherwise(0))
+        .reduce(_ + _).as(s"score_$lang")
+    }
+    val scored = df.select(col("*") +: scoreCols: _*)
+    val best = markers.keys.toSeq.sorted.map(l =>
+      struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    scored
+      .withColumn("lang_pred",
+        when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")))
+      .drop(markers.keys.toSeq.sorted.map(l => s"score_$l"): _*)
+  }
+
+  /** Deterministic 64-bit document fingerprint: polynomial rolling hash
+    * over the token sequence (order-sensitive, unlike SimHash). Equal
+    * fingerprints => identical token streams with overwhelming
+    * probability — the cheap first pass of exact dedup at scale.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val roll = udf { (text: String) =>
+      var h = 1125899906842597L // large prime
+      val s = text
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      h
+    }
+    df.select(col(idCol).as("doc_id"), roll(lower(col(textCol))).as("fp"))
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDefs._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline surface (SURVEY.md §2.11): dedup, similarity
+  * search, text analysis — each judged query drives the corresponding
+  * library operator in graft.operators and is verified against a
+  * DuckDB re-expression of the same math.
+  *
+  * Scale notes are on the operators; judged queries bound their own
+  * candidate sets where the exact (non-LSH) path is quadratic, so the
+  * bench at sf0.1 measures the intended plan, not an accidental n².
+  */
+object LlmOps {
+
+  /** L1: exact dedup over a deliberately duplicated input (testdata has
+    * no exact dups) — keep lowest doc_id + multiplicity per text.
+    */
+  val qDedupExact: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+    Dedup.exact(docs.unionByName(docs), "doc_id", Seq("text"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  /** L2: exact token-set Jaccard near-dup, candidate set bounded to
+    * doc_id < 1000 (the unbounded token self-join is quadratic; the
+    * scale path is Dedup.minHashLshNearDup, ScalaTest-verified).
+    */
+  val qDedupNearJaccard: QueryFn = withTables { spark =>
+    Dedup.nearJaccard(
+        spark.table("documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", minJaccard = 0.95)
+      .withColumn("jaccard", round(col("jaccard"), 6).cast("double"))
+      .orderBy("i", "j")
+  }
+
+  /** Embedding-cosine near-dup over all pairs (compiled kernel). */
+  val qDedupNearEmbedding: QueryFn = withTables { spark =>
+    Dedup.nearEmbedding(spark.table("embeddings"), "vec_id", "embedding", 0.4)
+      .withColumn("cos", round(col("cos"), 6).cast("double"))
+      .orderBy("id1", "id2")
+  }
+
+  /** L3: global cosine top-k pairs — the measured HOF budget-breaker,
+    * now on the compiled VectorOps kernel.
+    */
+  val qCosineTopk: QueryFn = withTables { spark =>
+    Similarity.topKPairs(spark.table("embeddings"), "vec_id", "embedding", 10)
+      .withColumn("cos", round(col("cos"), 6).cast("double"))
+  }
+
+  /** L4: k nearest neighbors per vector (k=5). */
+  val qKnnPergroup: QueryFn = withTables { spark =>
+    Similarity.knn(spark.table("embeddings"), "vec_id", "embedding", 5)
+      .select(col("id1"), col("rank").as("rnk"), col("id2"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("id1", "rnk")
+  }
+
+  /** L5: tokenization + corpus word count. */
+  val qTokensWordcount: QueryFn = withTables { spark =>
+    TextAnalysis.wordCounts(spark.table("documents"), "doc_id", "text")
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** L6: TF-IDF top-5 terms per doc (doc_id < 100 keeps the judged
+    * output bounded; the operator itself streams at any N).
+    */
+  val qTfidf: QueryFn = withTables { spark =>
+    TextAnalysis.tfidf(
+        spark.table("documents").filter(col("doc_id") < 100),
+        "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("rank").as("rnk"), col("tok"),
+        round(col("tfidf"), 6).cast("double").as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** L7: per-(lang, source) corpus statistics. */
+  val qTextstats: QueryFn = withTables { spark =>
+    TextAnalysis.textStats(spark.table("documents"), "text", Seq("lang", "source"))
+      .orderBy("lang", "source")
+  }
+
+  /** Quality scoring: deterministic length/word-shape heuristic. */
+  val qQualityScore: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+    val words = TextAnalysis.wordCount(col("text"))
+    val awl = length(regexp_replace(col("text"), " ", "")) * lit(1.0) / words
+    docs.select(
+        col("doc_id"),
+        words.cast("bigint").as("words"),
+        round(awl, 6).cast("double").as("awl"),
+        round(TextAnalysis.qualityScore(col("text")), 6).cast("double").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** A9: HLL approximate distinct — no oracle (approximate by design);
+    * ScalaTest bounds it against the exact count.
+    */
+  val qApproxDistinct: QueryFn = withTables { spark =>
+    spark.table("events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_near_jaccard" -> qDedupNearJaccard,
+    "q_dedup_near_embedding" -> qDedupNearEmbedding,
+    "q_cosine_topk" -> qCosineTopk,
+    "q_knn_pergroup" -> qKnnPergroup,
+    "q_tokens_wordcount" -> qTokensWordcount,
+    "q_tfidf" -> qTfidf,
+    "q_textstats" -> qTextstats,
+    "q_quality_score" -> qQualityScore,
+    "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_dedup_exact" -> """
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) d
+      GROUP BY text
+      ORDER BY keep_id""",
+
+    "q_dedup_near_jaccard" -> """
+      WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+             FROM documents WHERE doc_id < 1000) t),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                     FROM toks a JOIN toks b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+      SELECT i, j, CAST(ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON i = sa.doc_id
+      JOIN sizes sb ON j = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+      ORDER BY i, j""",
+
+    "q_dedup_near_embedding" -> """
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             CAST(ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+      ORDER BY id1, id2""",
+
+    "q_cosine_topk" -> """
+      WITH pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id1, id2, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM pairs
+      ORDER BY cos DESC, id1, id2
+      LIMIT 10""",
+
+    "q_knn_pergroup" -> """
+      WITH pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      rk AS (
+        SELECT id1, id2, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT id1, rnk, id2, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY id1, rnk""",
+
+    "q_tokens_wordcount" -> """
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents) t
+      GROUP BY tok
+      ORDER BY cnt DESC, tok""",
+
+    "q_tfidf" -> """
+      WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+           toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM base),
+           tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+           dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+           scored AS (SELECT tf.doc_id, tf.tok,
+                             tf.tf * LN((SELECT COUNT(*) FROM base) * 1.0 / dfreq.df) AS tfidf
+                      FROM tf JOIN dfreq USING (tok)),
+           rk AS (SELECT doc_id, tok, tfidf,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+                  FROM scored)
+      SELECT doc_id, rnk, tok, CAST(ROUND(tfidf, 6) AS DOUBLE) AS tfidf
+      FROM rk WHERE rnk <= 5
+      ORDER BY doc_id, rnk""",
+
+    "q_textstats" -> """
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+             CAST(MIN(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS min_words,
+             CAST(MAX(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS max_words,
+             CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS total_words
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source""",
+
+    "q_quality_score" -> """
+      SELECT doc_id,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS words,
+             CAST(ROUND(LENGTH(REPLACE(text, ' ', '')) * 1.0
+                        / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6) AS DOUBLE) AS awl,
+             CAST(ROUND(
+               LEAST(1.0, (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) / 50.0) * 0.5
+               + LEAST(1.0, (LENGTH(REPLACE(text, ' ', '')) * 1.0
+                             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)) / 5.0) * 0.5,
+               6) AS DOUBLE) AS quality
+      FROM documents
+      ORDER BY doc_id""",
+  )
+}
