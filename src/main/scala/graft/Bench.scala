@@ -10,15 +10,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // (name, seconds, error-or-null): a broken query must surface as an
+    // "errors" entry, never as a fast timing (VERDICT r01 "What's wrong").
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

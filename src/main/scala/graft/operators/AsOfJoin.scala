@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *
   * Ties (right.time == left.time) match, mirroring DuckDB's inclusive
   * ASOF JOIN: at equal time the right row sorts first (tag 0 < 1).
+  * Ties among RIGHT rows (equal key AND time, different payload) are
+  * broken deterministically: the window order carries the payload
+  * columns, so the greatest payload tuple wins — never
+  * partition-order-dependent.
   *
   * Scale: exactly ONE shuffle (hash by key, sort by time within
   * partitions) regardless of per-key row counts — strictly better than
@@ -60,7 +64,13 @@ object AsOfJoin {
           leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
           payload.map { case (src, alias) => col(src).as(alias) }.toSeq: _*)
 
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
+    // Order ties among right rows by the payload columns (nulls-first,
+    // so left rows' null payloads never outrank a real right row at the
+    // same timestamp); `last()` then deterministically picks the
+    // greatest payload tuple among tied right rows.
+    val tieBreak = payload.values.toSeq.sorted.map(a => col(a).asc_nulls_first)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_t").asc +: col("_tag").asc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.values.foldLeft(taggedLeft.unionByName(taggedRight)) {
       (df, a) => df.withColumn(a, last(col(a), ignoreNulls = true).over(w))

