@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-window aggregations over an event table (SURVEY.md §2.10
+  * T1–T3). The reference has no streaming surface; this is the
+  * contract's Spark-native extension.
+  *
+  * Each transform is defined once over a generic DataFrame with a
+  * TimestampType `ts` column and runs UNCHANGED in both batch mode
+  * (the judged, DuckDB-verified path — `window`/`session_window` are
+  * ordinary expressions there) and Structured Streaming (StreamingSpec
+  * drives the identical plans through MemoryStream with watermarks).
+  * That one-definition-two-modes property is the point: at 100 TB the
+  * same code backfills historically (batch over partitioned parquet)
+  * and serves the live feed (streaming with state in RocksDB).
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations —
+  * the window struct is just a derived group key, so partial (map-side)
+  * aggregation applies and the shuffle carries one row per
+  * (window × type) per task. Session windows shuffle by the session
+  * key (user) and merge in-partition — one shuffle, no n² anywhere.
+  */
+object EventWindows {
+
+  /** Exact decimal sum of the double `value` column, emitted as DOUBLE:
+    * double-summation order varies across partitions/engines, decimal
+    * does not (determinism rule, SURVEY.md §5.4).
+    */
+  private def sumValue: Column =
+    round(sum(col("value").cast("decimal(14,2)")), 2).cast("double").as("sum_value")
+
+  /** T1: tumbling windows of `size` per event_type. */
+  def tumbling(events: DataFrame, size: String): DataFrame =
+    events.groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** T2: sliding windows (`size` every `slide`) per event_type; each
+    * event lands in size/slide overlapping windows.
+    */
+  def sliding(events: DataFrame, size: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+      .select(
+        col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** T3: per-user session windows with inactivity gap `gap`; a session
+    * ends (exclusive) at last-event-ts + gap.
+    */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sumValue)
+      .select(
+        col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+}

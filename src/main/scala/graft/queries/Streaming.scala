@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventWindows
+import QueryDefs._
+
+/** Judged batch-mode runs of the streaming window operators
+  * (SURVEY.md §2.10 T1–T3). The SAME EventWindows transforms run under
+  * Structured Streaming in StreamingSpec (MemoryStream + watermark);
+  * here they run in batch over the events table so DuckDB can verify
+  * the window semantics row-for-row.
+  *
+  * Oracle notes: DuckDB reads events.ts as TIMESTAMP_NS; CAST AS
+  * TIMESTAMP truncates to µs identically to the Spark-side nanos shim
+  * (SURVEY.md §1.3, verified round 1). Window boundaries are
+  * epoch-aligned in both engines (Spark `window()` aligns to the epoch;
+  * the oracle reproduces that with epoch_us arithmetic / date_trunc).
+  */
+object Streaming {
+
+  /** T1: daily tumbling windows per event_type. */
+  val qStreamTumbling: QueryFn = withTables { spark =>
+    EventWindows.tumbling(spark.table("events"), "1 day")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** T2: 1-hour windows sliding every 30 minutes, per event_type; each
+    * event contributes to exactly 2 windows.
+    */
+  val qStreamSliding: QueryFn = withTables { spark =>
+    EventWindows.sliding(spark.table("events"), "1 hour", "30 minutes")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** T3: per-user sessions with a 30-minute inactivity gap. */
+  val qStreamSession: QueryFn = withTables { spark =>
+    EventWindows.sessions(spark.table("events"), "30 minutes")
+      .orderBy("user_id", "s_start")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_sliding" -> qStreamSliding,
+    "q_stream_session" -> qStreamSession,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Tumbling day = date_trunc; epoch-aligned like Spark's window().
+    "q_stream_tumbling" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+      SELECT date_trunc('day', ts) AS w_start,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS w_end,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
+      FROM e
+      GROUP BY 1, 2, 3
+      ORDER BY w_start, event_type""",
+
+    // Sliding 1h/30m: every event belongs to the two 30-min-aligned
+    // windows [floor30(ts)-i*30m, +1h) for i in {0,1} — exactly
+    // Spark's assignment. Reproduced via epoch-µs floor division.
+    "q_stream_sliding" -> """
+      WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      w AS (
+        SELECT make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000) AS w_start,
+               event_type, value
+        FROM e, (SELECT UNNEST([0, 1]) AS i) shifts)
+      SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
+      FROM w
+      GROUP BY 1, 2, 3
+      ORDER BY w_start, event_type""",
+
+    // Sessions: gaps-and-islands. A new session starts when the gap to
+    // the previous event is >= 30 min (Spark sessions are [start,
+    // last+gap) EXCLUSIVE of the end, so an event exactly gap-after
+    // opens a new session). Session end = last event + gap.
+    "q_stream_session" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      m AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      i AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM m)
+      SELECT user_id,
+             MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             COUNT(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
+      FROM i
+      GROUP BY user_id, sess
+      ORDER BY user_id, s_start""",
+  )
+}

@@ -1,0 +1,196 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.EventWindows
+
+/** Event rows shaped like the events table (subset of columns).
+  * Top-level: Spark can't encode inner classes of a test suite.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming semantics (SURVEY.md §2.10 T1–T8).
+  *
+  * T1–T3 run in batch as judged queries (queries/Streaming.scala); here
+  * the IDENTICAL EventWindows transforms run through MemoryStream to
+  * prove they are streaming-legal, plus watermark/late-data (T4),
+  * streaming dedup (T5), stateful per-key processing (T6),
+  * stream–static join (T7), and output modes / foreachBatch sink (T8).
+  *
+  * Scale: MemoryStream is test scaffolding only — in production the
+  * same plans read `spark.readStream.format("parquet"|"kafka")`; state
+  * (windows, dedup keys, GroupState) shards by key across executors
+  * and watermarks bound state size, so nothing here is driver-bound.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private implicit def sqlCtx: SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val baseEvents = Seq(
+    Ev(0L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+    Ev(1L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0),
+    Ev(2L, ts("2024-01-01 00:35:00"), 2L, "view", 3.0),
+    Ev(3L, ts("2024-01-01 01:10:00"), 1L, "click", 4.0),
+    Ev(4L, ts("2024-01-02 00:00:30"), 2L, "view", 5.0),
+  )
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * sink contents as a DataFrame.
+    */
+  private def runToMemory(sdf: DataFrame, mode: OutputMode,
+      name: String): DataFrame = {
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("T1/T3 streaming == batch for tumbling and session windows") {
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    input.addData(baseEvents: _*)
+
+    val streamed = runToMemory(
+      EventWindows.tumbling(input.toDF(), "1 day"),
+      OutputMode.Complete(), "t1_stream")
+    val batch = EventWindows.tumbling(baseEvents.toDF(), "1 day")
+    assert(streamed.collect().toSet === batch.collect().toSet)
+
+    val input3 = MemoryStream[Ev]
+    input3.addData(baseEvents: _*)
+    val streamedSess = runToMemory(
+      EventWindows.sessions(input3.toDF(), "30 minutes"),
+      OutputMode.Complete(), "t3_stream")
+    val batchSess = EventWindows.sessions(baseEvents.toDF(), "30 minutes")
+    assert(streamedSess.collect().toSet === batchSess.collect().toSet)
+    // fixture sanity: user 1 has sessions {00:05,00:20} and {01:10}
+    assert(batchSess.filter($"user_id" === 1L).count() === 2)
+  }
+
+  test("T4: watermark drops late data in append mode") {
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val windowed = EventWindows.tumbling(
+      input.toDF().withWatermark("ts", "1 hour"), "1 hour")
+
+    val q = windowed.writeStream.format("memory").queryName("t4_stream")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: events up to 03:00 => watermark advances to 02:00.
+    input.addData(
+      Ev(0L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      Ev(1L, ts("2024-01-01 01:10:00"), 1L, "click", 2.0),
+      Ev(2L, ts("2024-01-01 03:00:00"), 1L, "click", 4.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the already-closed 00:00 window — must
+    // be dropped, not re-emitted, not merged; closed windows emit.
+    input.addData(Ev(3L, ts("2024-01-01 00:20:00"), 1L, "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t4_stream")
+      .select($"w_start", $"n_events", $"sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains((ts("2024-01-01 00:00:00"), 1L, 1.0)),
+      "window closed with ONLY the on-time event")
+    assert(!rows.exists(_._3 == 100.0), "late event dropped by watermark")
+  }
+
+  test("T5: streaming dedup within watermark keeps first occurrence") {
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val deduped = input.toDF().withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+    val q = deduped.writeStream.format("memory").queryName("t5_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Ev(10L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      Ev(10L, ts("2024-01-01 00:05:00"), 1L, "click", 99.0), // dup id
+      Ev(11L, ts("2024-01-01 00:10:00"), 2L, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("t5_stream").select($"event_id", $"value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === Set((10L, 1.0), (11L, 2.0)))
+  }
+
+  test("T6: stateful per-key running count via flatMapGroupsWithState") {
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+
+    val counted = input.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator((user, n))
+      }
+
+    val q = counted.toDF("user_id", "n").writeStream.format("memory")
+      .queryName("t6_stream").outputMode(OutputMode.Update()).start()
+    input.addData(baseEvents.take(3): _*) // users 1,1,2
+    q.processAllAvailable()
+    input.addData(baseEvents.drop(3): _*) // users 1,2 → totals 3 and 2
+    q.processAllAvailable()
+    q.stop()
+
+    val latest = spark.table("t6_stream").groupBy($"user_id")
+      .agg(max($"n").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(latest === Map(1L -> 3L, 2L -> 2L),
+      "state accumulates across micro-batches per key")
+  }
+
+  test("T7: stream-static join enriches events with a dim table") {
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val static = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+
+    // stream side drives; static side re-resolves per micro-batch
+    val joined = input.toDF().join(static, Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("t7_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(baseEvents: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val names = spark.table("t7_stream").select($"event_id", $"name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(names(0L) === "alice" && names(2L) === "bob")
+    assert(names.size === baseEvents.size)
+  }
+
+  test("T8: foreachBatch writes micro-batches to a parquet sink") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t8sink").toString
+    val input = MemoryStream[Ev]
+
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(dir)
+      }
+      .outputMode(OutputMode.Append()).start()
+    input.addData(baseEvents.take(2): _*)
+    q.processAllAvailable()
+    input.addData(baseEvents.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val sunk = spark.read.parquet(dir)
+    assert(sunk.count() === baseEvents.size)
+    assert(sunk.select($"batch_id").distinct().count() >= 2,
+      "two micro-batches produced two distinct batch ids")
+  }
+}
