@@ -88,6 +88,18 @@ object Functions {
       FROM events
       ORDER BY event_id
       LIMIT 1000""",
+
+    // F8: higher-order functions — transform/aggregate/zip_with over
+    // the embedding arrays. Both engines left-fold in array order after
+    // exact float->double widening, so sums agree bit-for-bit (rounded
+    // to 6 dp as a guard).
+    "q_hof_vector" -> """
+      SELECT vec_id,
+             CAST(ROUND(SQRT(AGGREGATE(TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, x) -> a + x)), 6) AS DOUBLE) AS l2_norm,
+             CAST(ROUND(AGGREGATE(ZIP_WITH(embedding, REVERSE(embedding), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x), 6) AS DOUBLE) AS rev_dot,
+             CAST(ROUND(AGGREGATE(TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE))), 0D, (a, x) -> a + x), 6) AS DOUBLE) AS l1_norm
+      FROM embeddings
+      ORDER BY vec_id""",
   )
 
   /** DuckDB oracle SQL for everything not portable. */
@@ -119,6 +131,25 @@ object Functions {
       FROM events
       ORDER BY event_id
       LIMIT 1000""",
+
+    // F8 oracle: DuckDB list HOFs; list_reduce seeds with the first
+    // element, giving the same left-to-right summation sequence.
+    "q_hof_vector" -> """
+      SELECT vec_id,
+             CAST(ROUND(SQRT(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b)), 6) AS DOUBLE) AS l2_norm,
+             CAST(ROUND(list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), list_reverse(CAST(embedding AS DOUBLE[]))), p -> p[1] * p[2]), (a, b) -> a + b), 6) AS DOUBLE) AS rev_dot,
+             CAST(ROUND(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> ABS(x)), (a, b) -> a + b), 6) AS DOUBLE) AS l1_norm
+      FROM embeddings
+      ORDER BY vec_id""",
+
+    // U3 oracle: bigrams via 1-based inclusive list slicing.
+    "q_udtf_ngrams" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             ARRAY_TO_STRING(toks[i:i+1], ' ') AS ngram
+      FROM t, UNNEST(RANGE(1, LEN(toks))) r(i)
+      ORDER BY doc_id, pos""",
 
     // U1: the UDF's semantics expressed as portable CASE.
     "q_udf_band" -> """
@@ -171,6 +202,16 @@ object Functions {
       ORDER BY o_orderpriority""")
   }
 
+  /** U3: custom Catalyst Generator (UDTF) — bigrams with positions. */
+  val qUdtfNgrams: QueryFn = withTables { spark =>
+    graft.functions.NGramsGenerator.register(spark)
+    spark.sql("""
+      SELECT doc_id, pos, ngram
+      FROM documents
+      LATERAL VIEW ngrams(split(lower(text), ' '), 2) t AS pos, ngram
+      ORDER BY doc_id, pos""")
+  }
+
   /** J10: as-of join — latest click at-or-before each purchase per user. */
   val qJoinAsof: QueryFn = withTables { spark =>
     val events = spark.table("events")
@@ -189,6 +230,7 @@ object Functions {
     (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
       "q_udf_band" -> qUdfBand,
       "q_udaf_geomean" -> qUdafGeomean,
+      "q_udtf_ngrams" -> qUdtfNgrams,
       "q_join_asof" -> qJoinAsof,
     )
 

@@ -48,8 +48,8 @@ object Streaming {
     // Tumbling day = date_trunc; epoch-aligned like Spark's window().
     "q_stream_tumbling" -> """
       WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
-      SELECT date_trunc('day', ts) AS w_start,
-             date_trunc('day', ts) + INTERVAL 1 DAY AS w_end,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS w_end,
              event_type,
              COUNT(*) AS n_events,
              CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value

@@ -40,6 +40,24 @@ object TableLoader {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** CSV scan (S5): header + explicit-or-inferred schema. At scale,
+    * ALWAYS pass a schema — inference reads the whole input once
+    * before the real job.
+    */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema.fold(base.option("inferSchema", "true"))(base.schema)
+      .csv(path)
+  }
+
+  /** JSON-lines scan (S5). Same schema caveat as CSV. */
+  def loadJson(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val base = spark.read
+    schema.fold(base)(base.schema).json(path)
+  }
+
   /** The events table with `ts` converted to µs TimestampType. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

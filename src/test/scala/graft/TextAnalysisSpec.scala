@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Unit coverage for the text operators without a DuckDB oracle:
+  * marker-based language ID and the regex (BPE-ish) token counter.
+  * (tokenize/wordCounts/tfidf/textStats/quality are oracle-verified
+  * via their judged queries.)
+  */
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("languageId picks the language with most marker hits, 'und' if none") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog walk over the bridge"),
+      (1L, "der hund und die katze gehen los"),
+      (2L, "xyzzy plugh qwerty"),
+      (3L, "the und"), // tie at 1 hit each -> deterministic (sorted langs, strict >)
+    ).toDF("doc_id", "text")
+    val markers = Map(
+      "en" -> Seq("the", "and", "over"),
+      "de" -> Seq("der", "und", "die"))
+    val out = TextAnalysis.languageId(docs, "text", markers)
+      .select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "en")
+    assert(out(1L) === "de")
+    assert(out(2L) === "und", "no marker hits => undetermined")
+    assert(out(3L) === "de", "ties break toward the first language in sort order")
+    // score columns must not leak into the output
+    val cols = TextAnalysis.languageId(docs, "text", markers).columns
+    assert(!cols.exists(_.startsWith("score_")))
+  }
+
+  test("regexTokenCount counts word + punctuation atoms, BPE-ish") {
+    import spark.implicits._
+    val df = Seq(
+      ("hello world", 2),
+      ("don't stop", 4),        // don ' t stop
+      ("a,b", 3),               // a , b
+      ("x", 1),
+    ).toDF("text", "expected")
+    val got = df.select(
+      TextAnalysis.regexTokenCount(col("text")).as("n"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1),
+      s"token count mismatch: got ${r.getInt(0)}, want ${r.getInt(1)}"))
+  }
+}
