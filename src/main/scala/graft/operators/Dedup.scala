@@ -75,12 +75,15 @@ object Dedup {
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, bands * rowsPerBand)
-    val banded = (0 until bands).map { bnd =>
-      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-        .map(i => col(s"h$i"))
-      sigs.select(col("doc_id"), lit(bnd).as("band"),
-        xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+    // One row per (doc, band) via posexplode over an array of band
+    // bucket hashes — a single pass over the signature aggregate, NOT a
+    // bands-way union (which would recompute the minhash agg per band).
+    val bucketByBand = array((0 until bands).map { bnd =>
+      xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => col(s"h$i")): _*)
+    }: _*)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bucketByBand).as(Seq("band", "bucket")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -143,11 +146,14 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
     val sigs = simHash(df, idCol, textCol)
-    val banded = (0 until chunks).map { cIdx =>
-      sigs.select(col("doc_id"), col("simhash"), lit(cIdx).as("chunk"),
-        shiftright(col("simhash"), cIdx * bitsPerChunk)
-          .bitwiseAND((1L << bitsPerChunk) - 1).as("key"))
-    }.reduce(_ unionByName _)
+    // Single-pass chunk expansion (posexplode), not a chunks-way union
+    // that would recompute the 64-bit-vote aggregation per chunk.
+    val keyByChunk = array((0 until chunks).map { cIdx =>
+      shiftright(col("simhash"), cIdx * bitsPerChunk)
+        .bitwiseAND((1L << bitsPerChunk) - 1)
+    }: _*)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(keyByChunk).as(Seq("chunk", "key")))
     val popcount = (x: org.apache.spark.sql.Column) =>
       (0 until 64).map(b => shiftright(x, b).bitwiseAND(1)).reduce(_ + _)
     banded.as("a")

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Verifies the dedup SCALE paths against the exact operators they
+  * approximate (VERDICT r01 item 3). All hashing is seed-fixed
+  * xxhash64, so these outcomes are deterministic — a green run pins the
+  * behavior, not a lucky draw.
+  */
+class DedupSpec extends SparkTestBase {
+
+  /** 40-token base docs; neighbors differ by k tokens:
+    * J(base, k-changed) = (40-k)/(40+k).
+    */
+  private val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+    "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+    "tango", "uniform", "victor", "whiskey", "xray", "yankee", "zulu",
+    "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen")
+
+  private def doc(changed: Int, marker: String): String =
+    (vocab.drop(changed) ++ (0 until changed).map(i => s"$marker$i"))
+      .mkString(" ")
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (0L, doc(0, "x")),          // base
+      (1L, doc(1, "a")),          // J(0,1) = 39/41 ≈ 0.951
+      (2L, doc(1, "a")),          // exact dup of 1
+      (3L, doc(8, "b")),          // J(0,3) = 32/48 ≈ 0.667
+      (4L, (0 until 40).map(i => s"other$i").mkString(" ")), // disjoint
+    ).toDF("doc_id", "text")
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH candidates cover all high-Jaccard pairs") {
+    val exact = pairs(Dedup.nearJaccard(fixture, "doc_id", "text", 0.9))
+    assert(exact === Set((0L, 1L), (0L, 2L), (1L, 2L)), "fixture sanity")
+    val cands = Dedup.minHashLshCandidates(fixture, "doc_id", "text",
+      bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands),
+      s"LSH candidates $cands must cover exact pairs $exact")
+  }
+
+  test("MinHash-LSH near-dup == exact Jaccard at the same threshold") {
+    for (tau <- Seq(0.9, 0.6)) {
+      val exact = Dedup.nearJaccard(fixture, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+      val lsh = Dedup.minHashLshNearDup(fixture, "doc_id", "text", tau,
+        bands = 16, rowsPerBand = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(lsh === exact, s"tau=$tau: LSH-verified pairs must match exact")
+    }
+  }
+
+  test("MinHash-LSH on real documents matches exact Jaccard") {
+    // tau=0.95 with b=16,r=4 puts per-pair miss probability at ~5e-12
+    // (1-(1-0.95^4)^16) — and the seeded hashes make the outcome
+    // deterministic. 2 043 true pairs exist in sf0.001 documents.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = pairs(Dedup.nearJaccard(docs, "doc_id", "text", 0.95))
+    val lsh = pairs(Dedup.minHashLshNearDup(docs, "doc_id", "text", 0.95,
+      bands = 16, rowsPerBand = 4))
+    assert(lsh.subsetOf(exact), "exact re-verification => perfect precision")
+    assert(lsh === exact,
+      s"sf0.001 documents: LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
+  }
+
+  test("SimHash: identical docs collide, near docs are close, disjoint far") {
+    val sigs = Dedup.simHash(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) === 0, "exact dup => same simhash")
+    assert(hamming(sigs(0L), sigs(1L)) < hamming(sigs(0L), sigs(4L)),
+      "1-token change is closer than a disjoint doc")
+
+    val nd = Dedup.simHashNearDup(fixture, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)), "pigeonhole banding finds the exact dup")
+    assert(!nd.contains((0L, 4L)) && !nd.contains((1L, 4L)),
+      "disjoint doc is not a near-dup")
+  }
+
+  test("fingerprint is an exact-dup detector (order-sensitive)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "spark shuffles the hash join"),
+      (1L, "spark shuffles the hash join"),  // exact dup
+      (2L, "SPARK SHUFFLES THE HASH JOIN"),  // case-insensitive dup
+      (3L, "join hash the shuffles spark"),  // same tokens, other order
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) === fps(2L), "fingerprint lowercases first")
+    assert(fps(0L) !== fps(3L), "rolling hash is order-sensitive")
+  }
+
+  test("exact dedup groups duplicate rows and keeps the lowest id") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", Seq("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(("a", 1L, 2L), ("b", 3L, 1L)))
+  }
+}
