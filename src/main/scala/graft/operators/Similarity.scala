@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
+import graft.functions.{VectorExpressions, VectorOps}
 
 /** Similarity search over an embedding column (ArrayType(FloatType)).
   *
@@ -43,7 +43,7 @@ object Similarity {
       .repartition(parallelism(emb))
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(broadcast(b), col("id1") < col("id2"))
-      .withColumn("cos", VectorOps.cosineUdf(col("v1"), col("v2")))
+      .withColumn("cos", VectorExpressions.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= minCos)
       .select("id1", "id2", "cos")
   }
@@ -63,7 +63,7 @@ object Similarity {
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     val w = Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))
     a.join(broadcast(b), col("id1") =!= col("id2"))
-      .withColumn("cos", VectorOps.cosineUdf(col("v1"), col("v2")))
+      .withColumn("cos", VectorExpressions.cosine(col("v1"), col("v2")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("id1", "rank", "id2", "cos")
@@ -81,7 +81,7 @@ object Similarity {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("corpus_id"))
     c.join(broadcast(p), col("probe_id") =!= col("corpus_id"))
-      .withColumn("cos", VectorOps.cosineUdf(col("pv"), col("cv")))
+      .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "corpus_id", "cos")
@@ -116,24 +116,53 @@ object Similarity {
     }
   }
 
+  /** All band signatures in ONE kernel call: element b = the
+    * `planesPerBand`-bit signature under the band-b hyperplanes (seeded
+    * seed+b, identical to signatureUdf band by band). One pass over the
+    * vector column instead of `bands` scans.
+    */
+  def bandSignaturesUdf(bands: Int, planesPerBand: Int, dim: Int, seed: Long) = {
+    val planes = Array.tabulate(bands)(b =>
+      hyperplanes(planesPerBand, dim, seed + b))
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      Array.tabulate(bands) { b =>
+        val bp = planes(b)
+        var sig = 0L
+        var p = 0
+        while (p < bp.length) {
+          var s = 0.0
+          val plane = bp(p)
+          var i = 0
+          while (i < plane.length) { s += arr(i) * plane(i); i += 1 }
+          if (s >= 0) sig |= (1L << p)
+          p += 1
+        }
+        sig
+      }
+    }
+  }
+
   /** ANN candidate pairs via banded hyperplane LSH: `bands` signatures
     * of `planesPerBand` bits each; vectors sharing ANY band bucket
     * become a candidate pair, then exact cosine re-scores. Each band is
     * an equi-join key => shuffle hash joins, no quadratic blow-up.
     *
-    * The band expansion carries only (id, band, sig); vectors join back
-    * AFTER the candidate pairs are deduped, so the wide embedding
-    * arrays never flow through the bands×n union or the distinct.
+    * Plan shape: ONE scan computes every band signature (array UDF),
+    * posexplode fans out to (id, band, sig) — not a bands-way union of
+    * scans. The band expansion carries only (id, band, sig); vectors
+    * join back AFTER the candidate pairs are deduped, so the wide
+    * embedding arrays never flow through the bands×n explode or the
+    * distinct.
     */
   def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       bands: Int = 8, planesPerBand: Int = 8, seed: Long = 42L,
       dim: Int = 64, minCos: Double = 0.0): DataFrame = {
     val ids = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(parallelism(emb))
-    val banded = (0 until bands).map { bandIdx =>
-      val sig = signatureUdf(planesPerBand, dim, seed + bandIdx)
-      ids.select(col("id"), lit(bandIdx).as("band"), sig(col("v")).as("sig"))
-    }.reduce(_ unionByName _)
+    val sigs = bandSignaturesUdf(bands, planesPerBand, dim, seed)
+    val banded = ids
+      .select(col("id"), posexplode(sigs(col("v"))).as(Seq("band", "sig")))
     val a = banded.select(col("band"), col("sig"), col("id").as("id1"))
     val b = banded.select(col("band"), col("sig"), col("id").as("id2"))
     val candidates = a.join(b, Seq("band", "sig"))
@@ -145,7 +174,7 @@ object Similarity {
     candidates
       .join(ids.select(col("id").as("id1"), col("v").as("v1")), "id1")
       .join(ids.select(col("id").as("id2"), col("v").as("v2")), "id2")
-      .withColumn("cos", VectorOps.cosineUdf(col("v1"), col("v2")))
+      .withColumn("cos", VectorExpressions.cosine(col("v1"), col("v2")))
       .filter(col("cos") >= minCos)
       .select("id1", "id2", "cos")
   }

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression converters.
+  *
+  * Spark 4 hides these behind `private[sql]` (`classic.ExpressionUtils`
+  * backs the public Column API itself); a one-object bridge inside the
+  * sql package tree is the standard extension-library technique for
+  * exposing custom native expressions as Columns — no Spark internals
+  * are modified or copied.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
