@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarityExpr, NGramsGenerator}
+
+/** The library's SparkSessionExtensions entry point: lets any Spark
+  * deployment pick up graft's native expressions with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`),
+  * no imperative registration calls needed — the cluster-wide,
+  * config-driven wiring a shared platform wants, vs. the per-session
+  * `register(spark)` helpers which remain for notebook use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine_native"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName,
+        "vec_cosine_native"),
+      (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGramsGenerator].getName, "ngrams"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, IntegerType) => NGramsGenerator(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"ngrams(tokens, n): n must be an INT literal, got $other")
+      }))
+  }
+}

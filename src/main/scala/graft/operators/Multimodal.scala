@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (SURVEY.md §2.11 L8): image/audio/video payloads
+  * modeled as an opaque binary column plus typed metadata —
+  * `struct<uri:string, bytes:binary, meta:map<string,string>>`.
+  *
+  * The DECODE step is a stub by design: no codec libraries exist in
+  * this container (and none may be added), so `StubDecoder` derives
+  * deterministic pseudo-features from the raw bytes. Everything around
+  * it — the schema, the typed Dataset plumbing, per-partition decoder
+  * lifecycle, batch shape, and partition sizing — is the real 100 TB
+  * pipeline shape: swap `StubDecoder` for a JNI/codec-backed
+  * implementation and nothing else changes.
+  *
+  * Scale notes: media rows are large (MBs of bytes each), so
+  * `maxPartitionBytes`-driven splits keep partitions bounded; decode is
+  * mapPartitions (one decoder init per partition, not per row — codec
+  * contexts are expensive); features detach from bytes immediately so
+  * downstream plans never shuffle the binary payload.
+  */
+object Multimodal {
+
+  /** The canonical media column type. */
+  val mediaType: StructType = StructType(Seq(
+    StructField("uri", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", MapType(StringType, StringType), nullable = false)))
+
+  /** Extracted per-media features (decode output). */
+  case class MediaFeatures(width: Int, height: Int, format: String,
+      n_bytes: Long, checksum: Long)
+
+  /** Decoder contract: `open()` once per partition (codec contexts are
+    * expensive to create), then `decode` per row.
+    */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(uri: String, bytes: Array[Byte],
+        meta: Map[String, String]): MediaFeatures
+  }
+
+  /** Deterministic fake decode: features are pure functions of the
+    * payload bytes. Stands in for the real codec call (unavailable
+    * here); keeps tests and downstream plumbing fully exercisable.
+    */
+  class StubDecoder extends MediaDecoder {
+    override def decode(uri: String, bytes: Array[Byte],
+        meta: Map[String, String]): MediaFeatures = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val fmt = meta.getOrElse("format",
+        uri.split('.').lastOption.getOrElse("bin"))
+      MediaFeatures(
+        width = 16 + math.floorMod(h, 1024L).toInt,
+        height = 16 + math.floorMod(h >> 10, 1024L).toInt,
+        format = fmt, n_bytes = bytes.length.toLong, checksum = h)
+    }
+  }
+
+  /** Attach a synthetic media struct derived from an id column —
+    * fixture builder (no binary testdata exists); deterministic bytes
+    * from the id so tests can assert exact checksums.
+    */
+  def withSyntheticMedia(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("media", struct(
+      concat(lit("mem://doc/"), col(idCol), lit(".img")).as("uri"),
+      // 32 deterministic bytes per row: sha2 of the id, unhexed
+      unhex(sha2(col(idCol).cast("string").cast("binary"), 256)).as("bytes"),
+      map(lit("format"), lit("img"),
+        lit("origin"), lit("synthetic")).as("meta")))
+
+  /** Decode/feature-extract: streams each partition through one decoder
+    * instance and drops the heavy bytes from the output. Input must
+    * have (idCol: bigint, mediaCol: mediaType).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
+      decoder: MediaDecoder): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +:
+      Encoders.product[MediaFeatures].schema.fields.toIndexedSeq)
+    val input = df.select(
+      col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.uri").as("uri"),
+      col(s"$mediaCol.bytes").as("bytes"),
+      col(s"$mediaCol.meta").as("meta"))
+    input.mapPartitions { rows =>
+      decoder.open() // once per partition: codec context init
+      rows.map { r =>
+        val meta = r.getMap[String, String](3).toMap
+        val f = decoder.decode(r.getString(1), r.getAs[Array[Byte]](2), meta)
+        Row(r.getLong(0), f.width, f.height, f.format, f.n_bytes, f.checksum)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame sampling stub for video payloads: emits every `stride`-th
+    * frame offset with a deterministic pseudo-frame checksum. The real
+    * implementation seeks the container index; the Spark shape (one
+    * input row -> many frame rows, no shuffle) is what's tested.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      nFrames: Int, stride: Int): DataFrame =
+    df.select(
+        col(idCol).cast("long").as("id"),
+        col(s"$mediaCol.bytes").as("bytes"))
+      .withColumn("frame_no",
+        explode(sequence(lit(0), lit((nFrames - 1) * stride), lit(stride))))
+      .withColumn("frame_checksum",
+        xxhash64(col("bytes"), col("frame_no")))
+      .select("id", "frame_no", "frame_checksum")
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Config-driven wiring: a session built with
+  * spark.sql.extensions=graft.GraftExtensions resolves the native
+  * functions with no imperative registration.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("extensions inject vec_cosine_native and ngrams into SQL") {
+    spark // force the shared session first so we can restore it after
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // new session over the SAME SparkContext; extensions apply only
+      // at session construction, hence the clear/rebuild dance. The
+      // spark.sql.extensions conf is STATIC (read from the SparkContext
+      // at first-session build), so tests must use the programmatic
+      // withExtensions route; config-driven wiring behaves identically
+      // on a fresh cluster.
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(!(s2 eq spark), "must be a fresh session, not the cached one")
+
+      val cos = s2.sql(
+        """SELECT vec_cosine_native(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+          |                         array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c
+          |""".stripMargin).head.getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+
+      val grams = s2.sql(
+        """SELECT pos, ngram
+          |FROM (SELECT 'a b c' AS text)
+          |LATERAL VIEW ngrams(split(text, ' '), 2) t AS pos, ngram
+          |""".stripMargin).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(grams.toSeq === Seq((1L, "a b"), (2L, "b c")))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

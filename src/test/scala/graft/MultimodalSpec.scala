@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.operators.Multimodal
+
+/** L8 multimodal columns: typed media struct, per-partition decode,
+  * frame sampling. The decode itself is a deterministic stub (no codec
+  * libs in this container); the Spark plumbing under test is real.
+  */
+class MultimodalSpec extends SparkTestBase {
+
+  private def mediaDf = {
+    import spark.implicits._
+    Multimodal.withSyntheticMedia(
+      (0L until 20L).toDF("doc_id"), "doc_id")
+  }
+
+  test("media column has the canonical struct<uri,bytes,meta> type") {
+    val mt = mediaDf.schema("media").dataType.asInstanceOf[StructType]
+    assert(mt("uri").dataType === StringType)
+    assert(mt("bytes").dataType === BinaryType)
+    assert(mt("meta").dataType.asInstanceOf[MapType].keyType === StringType)
+    assert(mt("meta").dataType.asInstanceOf[MapType].valueType === StringType)
+  }
+
+  test("extractFeatures decodes every row, deterministically, in parallel") {
+    val df = mediaDf.repartition(4) // decode must not depend on layout
+    val feats = Multimodal.extractFeatures(
+      df, "doc_id", "media", new Multimodal.StubDecoder)
+    assert(feats.columns.toSeq ===
+      Seq("id", "width", "height", "format", "n_bytes", "checksum"))
+    val rows = feats.collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getLong(4) === 32L), "sha256-derived payload is 32 bytes")
+    assert(rows.forall(_.getString(3) === "img"), "format from meta map")
+
+    // deterministic: same input, different partitioning => same features
+    val again = Multimodal.extractFeatures(
+      mediaDf.repartition(7), "doc_id", "media", new Multimodal.StubDecoder)
+    assert(again.collect().toSet === rows.toSet)
+
+    // bytes column must NOT survive into the feature output (never
+    // shuffle the payload downstream)
+    assert(!feats.columns.contains("bytes"))
+  }
+
+  test("sampleFrames fans out n frame rows per video, no shuffle") {
+    val frames = Multimodal.sampleFrames(mediaDf, "doc_id", "media",
+      nFrames = 5, stride = 10)
+    assert(frames.count() === 20 * 5)
+    val byDoc = frames.groupBy("id").count().collect()
+    assert(byDoc.forall(_.getLong(1) === 5L))
+    val offsets = frames.filter(frames("id") === 3L)
+      .select("frame_no").collect().map(_.getInt(0)).sorted
+    assert(offsets.toSeq === Seq(0, 10, 20, 30, 40))
+    // plan has no exchange: pure per-row fan-out
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkEntry
+
+/** Plan-shape audits: the properties that make these plans survive a
+  * 100× scale-up are asserted here so a refactor can't silently lose
+  * them (filter pushdown, column pruning, broadcast joins, top-k
+  * without global sort, whole-stage codegen).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("filters reach the parquet scan (pushdown)") {
+    val p = plan("q_filter_cmp")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan[^\\]]*.*")
+      || p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan[^\\]]*.*"),
+      s"no comparison filter pushed to the scan:\n$p")
+  }
+
+  test("projection prunes the scan schema (column pruning)") {
+    val p = plan("q_scan_project")
+    // lineitem has 11+ columns; the query touches 5. The scan must not
+    // read l_comment (never referenced).
+    assert(!p.contains("l_comment"), s"scan reads unreferenced columns:\n$p")
+  }
+
+  test("dimension joins broadcast; the fact table never shuffles for them") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dim join fell back to sort-merge:\n$p")
+  }
+
+  test("global top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan regressed:\n$p")
+  }
+
+  test("TPC-H Q1 aggregation is partial (map-side) + final, codegen'd") {
+    val df = SparkEntry.queries("q_agg_tpch1")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // partial + final pair: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side partial aggregation:\n$p")
+    // codegen spans only materialize in the executed plan under AQE
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), // codegen stage markers, e.g. *(1) HashAggregate
+      s"agg fell out of whole-stage codegen:\n$executed")
+  }
+
+  test("as-of join plans exactly one hash shuffle of the unioned stream") {
+    val p = plan("q_join_asof")
+    // one hashpartitioning exchange feeds the window; the only other
+    // exchange is the final presentation ORDER BY (rangepartitioning)
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"as-of join should hash-shuffle once by key, found $hashExchanges:\n$p")
+  }
+
+  test("LSH candidate generation contains no nested-loop join") {
+    val p = plan("q_ann_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH path must stay equi-join shaped:\n$p")
+  }
+
+  test("no judged query collects to the driver mid-plan") {
+    // structural guarantee: every queries() entry returns a DataFrame
+    // whose plan tree Spark owns end-to-end; a driver-side collect in
+    // an operator would have already materialized here. Spot-check the
+    // tfidf plan (the r01 offender) for a single job's worth of plan.
+    val p = plan("q_tfidf")
+    assert(p.contains("HashAggregate"), p)
+    // the in-plan corpus count appears as a broadcast exchange, not as
+    // a pre-computed literal
+    assert(p.contains("BroadcastExchange") || p.contains("Subquery"),
+      s"corpus N must be computed in-plan:\n$p")
+  }
+}
