@@ -22,6 +22,9 @@ import graft.functions.{CosineSimilarityExpr, NGramsGenerator}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteSelfCosine)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+
     ext.injectFunction((
       FunctionIdentifier("vec_cosine_native"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName,

@@ -81,6 +81,58 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Specialization of CosineSimilarityExpr for cosine(x, x): one
+  * accumulator instead of three. The result is BITWISE identical to
+  * the general form with both sides equal — including the NaN cases
+  * (zero vector, NaN/Inf elements) — because d == na == nb holds
+  * exactly, and `s / (sqrt(s) * sqrt(s))` reproduces the general
+  * division (sqrt(s)*sqrt(s) != s in fp, so folding to 1.0 would NOT
+  * be exact). Produced by the RewriteSelfCosine optimizer rule.
+  */
+case class SelfCosineExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got $other")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_self_cosine"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val xv = x.getFloat(i).toDouble; s += xv * xv; i += 1 }
+    s / (math.sqrt(s) * math.sqrt(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val xv = ctx.freshName("xv")
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xv = (double) $a.getFloat($i);
+         |  $s += $xv * $xv;
+         |}
+         |${ev.value} = $s / (java.lang.Math.sqrt($s) * java.lang.Math.sqrt($s));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-level cosine similarity backed by the codegen expression. */

@@ -27,12 +27,27 @@ object LlmOps {
 
   /** L2: exact token-set Jaccard near-dup, candidate set bounded to
     * doc_id < 1000 (the unbounded token self-join is quadratic; the
-    * scale path is Dedup.minHashLshNearDup, ScalaTest-verified).
+    * scale path is q_dedup_lsh_jaccard below, also DedupSpec-pinned).
     */
   val qDedupNearJaccard: QueryFn = withTables { spark =>
     Dedup.nearJaccard(
         spark.table("documents").filter(col("doc_id") < 1000),
         "doc_id", "text", minJaccard = 0.95)
+      .withColumn("jaccard", round(col("jaccard"), 6).cast("double"))
+      .orderBy("i", "j")
+  }
+
+  /** L2 scale path, judged: MinHash-LSH banding prunes candidates,
+    * exact Jaccard re-verifies — judged against the SAME exact-Jaccard
+    * oracle as q_dedup_near_jaccard. At tau=0.95 with 16 bands x 4
+    * rows the per-pair miss probability is ~5e-12 and the seeded
+    * hashes make the outcome deterministic (DedupSpec pins equality on
+    * this very table), so the banded path hash-matches the exact one.
+    */
+  val qDedupLshJaccard: QueryFn = withTables { spark =>
+    Dedup.minHashLshNearDup(
+        spark.table("documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", minJaccard = 0.95, bands = 16, rowsPerBand = 4)
       .withColumn("jaccard", round(col("jaccard"), 6).cast("double"))
       .orderBy("i", "j")
   }
@@ -141,6 +156,7 @@ object LlmOps {
   val queries: Map[String, QueryFn] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near_jaccard" -> qDedupNearJaccard,
+    "q_dedup_lsh_jaccard" -> qDedupLshJaccard,
     "q_dedup_near_embedding" -> qDedupNearEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_pergroup" -> qKnnPergroup,
@@ -162,6 +178,23 @@ object LlmOps {
       ORDER BY keep_id""",
 
     "q_dedup_near_jaccard" -> """
+      WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+             FROM documents WHERE doc_id < 1000) t),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                     FROM toks a JOIN toks b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+      SELECT i, j, CAST(ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON i = sa.doc_id
+      JOIN sizes sb ON j = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+      ORDER BY i, j""",
+
+    // LSH path is judged against the SAME exact math (recall-1 regime).
+"q_dedup_lsh_jaccard" -> """
       WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
              SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
              FROM documents WHERE doc_id < 1000) t),

@@ -39,6 +39,23 @@ class GraftExtensionsSpec extends SparkTestBase {
           |LATERAL VIEW ngrams(split(text, ' '), 2) t AS pos, ngram
           |""".stripMargin).collect().map(r => (r.getLong(0), r.getString(1)))
       assert(grams.toSeq === Seq((1L, "a b"), (2L, "b c")))
+
+      // injected optimizer rule: self-cosine strength-reduces, and the
+      // rewrite is value-exact incl. the zero-vector NaN case
+      // non-foldable input: literal arrays would be constant-folded
+      // right through the rewritten expression (which itself proves the
+      // rewrite composes with ConstantFolding)
+      val selfQ = s2.sql(
+        """SELECT vec_cosine_native(v, v) AS c FROM (
+          |  SELECT CASE WHEN id = 0
+          |              THEN array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))
+          |              ELSE array(CAST(id AS FLOAT), CAST(1.0 AS FLOAT)) END AS v
+          |  FROM range(2)) t""".stripMargin)
+      assert(selfQ.queryExecution.optimizedPlan.toString.contains("vec_self_cosine"),
+        s"RewriteSelfCosine did not fire:\n${selfQ.queryExecution.optimizedPlan}")
+      val vals = selfQ.collect().map(_.getDouble(0)).sortBy(!_.isNaN)
+      assert(vals(0).isNaN, "zero vector keeps its NaN cosine")
+      assert(math.abs(vals(1) - 1.0) < 1e-12)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

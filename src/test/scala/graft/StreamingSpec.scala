@@ -171,6 +171,29 @@ class StreamingSpec extends SparkTestBase {
     assert(names.size === baseEvents.size)
   }
 
+  test("S6: parquet directory as a streaming source (file discovery)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s6src").toString
+    baseEvents.take(3).toDF().write.mode("append").parquet(dir)
+
+    val sdf = spark.readStream
+      .schema(baseEvents.take(1).toDF().schema) // streaming scans need an explicit schema
+      .parquet(dir)
+    val counted = EventWindows.tumbling(sdf, "1 day")
+    val q = counted.writeStream.format("memory").queryName("s6_stream")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    // late-arriving FILE (not row): a second parquet drop is discovered
+    // by the next micro-batch
+    baseEvents.drop(3).toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val total = spark.table("s6_stream")
+      .agg(sum($"n_events")).head.getLong(0)
+    assert(total === baseEvents.size, "both file drops were ingested")
+  }
+
   test("T8: foreachBatch writes micro-batches to a parquet sink") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t8sink").toString
