@@ -28,7 +28,7 @@ import org.apache.spark.sql.graft.Bridge
   * requiredChildOrdering declare what WindowExec would have declared,
   * and Catalyst inserts (or reuses!) the exact same Exchange + Sort.
   */
-case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder, k: Int,
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child: LogicalPlan,
     // constructor param (not a val): optimizer copies of this node must
     // keep the SAME exprId or upstream references to `rn` dangle
@@ -42,7 +42,7 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder, k: Int,
     copy(child = newChild)
 }
 
-case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -53,10 +53,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
     Seq(ClusteredDistribution(keys))
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(keys.map(SortOrder(_, Ascending)) :+ order)
+    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
 
   override def outputOrdering: Seq[SortOrder] =
-    keys.map(SortOrder(_, Ascending)) :+ order
+    keys.map(SortOrder(_, Ascending)) ++ order
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -126,11 +126,11 @@ object TopKPerKeyStrategy extends SparkStrategy {
 object TopK {
   /** Top `k` rows per distinct value of `keyCols`, ranked by
     * `orderCol` (descending when `desc`), with a `rn` rank column
-    * appended. Ties get arbitrary-but-deterministic ranks within the
-    * sort; add more sort dimensions by pre-sorting semantics if needed.
+    * appended. `tieBreakCols` (ascending) make ranks deterministic
+    * under ties — required when the output feeds an exact comparison.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int,
-      desc: Boolean = true): DataFrame = {
+      desc: Boolean = true, tieBreakCols: Seq[String] = Nil): DataFrame = {
     // sessions wired via GraftExtensions already have the strategy;
     // for any other session, the public experimental hook adds it
     val spark = df.sparkSession
@@ -142,7 +142,8 @@ object TopK {
     // resolve against the df so the node is born fully resolved
     val keyExprs = keyCols.map(c => Bridge.expression(df(c)))
     val sortOrder = SortOrder(Bridge.expression(df(orderCol)),
-      if (desc) Descending else Ascending)
+      if (desc) Descending else Ascending) +:
+      tieBreakCols.map(c => SortOrder(Bridge.expression(df(c)), Ascending))
     Bridge.ofRows(df.sparkSession,
       TopKPerKeyNode(keyExprs, sortOrder, k, plan))
   }

@@ -338,6 +338,16 @@ object Core {
       GROUP BY n_name
       ORDER BY n_name""",
 
+    // W6 top-k per group (same oracle judges the custom operator).
+    "q_topk_custom" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+
     // W6 top-k per group.
     "q_topk_pergroup" -> """
       SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -379,11 +389,26 @@ object Core {
       .orderBy("o_custkey", "rn")
   }
 
+  /** W6 via the custom TopKPerKey physical operator (plans/TopKPerKey
+    * .scala): same clustering+sort as the window formulation but
+    * streams each sorted run in O(k) memory instead of buffering the
+    * group — judged against the same row_number oracle (o_orderkey
+    * tie-break makes ranks deterministic).
+    */
+  val qTopkCustom: QueryFn = withTables { spark =>
+    graft.plans.TopK.perKey(spark.table("orders"),
+        Seq("o_custkey"), "o_totalprice", k = 3,
+        desc = true, tieBreakCols = Seq("o_orderkey"))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
   /** All §2.2–§2.7 judged queries. */
   val queries: Map[String, QueryFn] =
     (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
       "q_join_broadcast" -> qJoinBroadcast,
       "q_topk_pergroup" -> qTopkPergroup,
+      "q_topk_custom" -> qTopkCustom,
     )
 
   /** All §2.2–§2.7 oracle SQL. */
