@@ -18,6 +18,10 @@ import graft.functions.{CosineSimilarityExpr, NGramsGenerator}
   * no imperative registration calls needed — the cluster-wide,
   * config-driven wiring a shared platform wants, vs. the per-session
   * `register(spark)` helpers which remain for notebook use.
+  *
+  * Injects: the vec_cosine_native / ngrams SQL functions, the
+  * RewriteSelfCosine optimizer rule, and the TopKPerKey planner
+  * strategy.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

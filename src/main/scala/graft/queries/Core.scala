@@ -166,6 +166,30 @@ object Core {
       GROUP BY b.band_name
       ORDER BY b.band_name""",
 
+    // W-extras: navigation + distribution window functions
+    // (first/last/nth value, percent_rank, cume_dist), named WINDOW
+    // clause. Same engine-default frames on both sides; LAST_VALUE
+    // gets an explicit full frame (the default current-row frame would
+    // be a trivial self-reference).
+    "q_win_navigation" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_p,
+             CAST(LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_p,
+             CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE) AS second_p,
+             CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DOUBLE) AS pr,
+             CAST(ROUND(CUME_DIST() OVER w, 6) AS DOUBLE) AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+
+    // A-extras: explicit GROUPING SETS (beyond ROLLUP/CUBE).
+    "q_grouping_sets" -> """
+      SELECT COALESCE(c_mktsegment, 'ALL') AS seg, c_nationkey, COUNT(*) AS n
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      ORDER BY seg, c_nationkey NULLS FIRST""",
+
     // A2: global (ungrouped) aggregate.
     "q_agg_global" -> """
       SELECT COUNT(*) AS n,
