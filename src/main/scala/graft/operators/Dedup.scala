@@ -56,12 +56,18 @@ object Dedup {
   /** MinHash signature column: `nHashes` permutations approximated by
     * seeded xxhash64(tok, seed_i); signature element i = min hash under
     * seed i. Deterministic (xxhash64 is a fixed function of input+seed).
+    *
+    * Also emits `n` = the doc's distinct-token count: the input rows
+    * are exactly the distinct (doc, token) pairs, so the set size rides
+    * the SAME aggregation for free — callers needing |A|,|B| for
+    * Jaccard must not re-tokenize the corpus to get it.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int): DataFrame = {
     val toks = tokens(df, idCol, textCol)
     val sigCols = (0 until nHashes).map(i =>
-      min(xxhash64(col("tok"), lit(i))).as(s"h$i"))
+      min(xxhash64(col("tok"), lit(i))).as(s"h$i")) :+
+      count(lit(1)).as("n")
     toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -72,8 +78,13 @@ object Dedup {
     * put the knee at the target threshold. No quadratic join: each
     * band is a shuffle hash join on (band, bucket-hash).
     */
-  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+  /** Candidate pairs plus both docs' set sizes (ni, nj) — the sizes
+    * ride the banded join for free (they were aggregated with the
+    * signatures), sparing the verifier a separate size join over a
+    * THIRD tokenization of the corpus.
+    */
+  private def lshCandidatesWithSizes(df: DataFrame, idCol: String,
+      textCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, bands * rowsPerBand)
     // One row per (doc, band) via posexplode over an array of band
     // bucket hashes — a single pass over the signature aggregate, NOT a
@@ -82,34 +93,36 @@ object Dedup {
       xxhash64((bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
         .map(i => col(s"h$i")): _*)
     }: _*)
-    val banded = sigs.select(col("doc_id"),
+    val banded = sigs.select(col("doc_id"), col("n"),
       posexplode(bucketByBand).as(Seq("band", "bucket")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.n").as("ni"), col("b.n").as("nj"))
+      .distinct() // (ni, nj) are functions of (i, j): same pair set
   }
+
+  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    lshCandidatesWithSizes(df, idCol, textCol, bands, rowsPerBand)
+      .select("i", "j")
 
   /** MinHash-LSH near-dup: candidates pruned by LSH, then verified with
     * exact Jaccard — approximate recall, exact precision.
     */
   def minHashLshNearDup(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minHashLshCandidates(df, idCol, textCol, bands, rowsPerBand)
+    val cands = lshCandidatesWithSizes(df, idCol, textCol, bands, rowsPerBand)
     val toks = tokens(df, idCol, textCol)
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
+    cands
       .join(toks.as("ta"), col("i") === col("ta.doc_id"))
       .join(toks.as("tb"),
         col("j") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .groupBy("i", "j", "ni", "nj").agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
-        col("c") * lit(1.0) / (col("sa.n") + col("sb.n") - col("c")))
+        col("c") * lit(1.0) / (col("ni") + col("nj") - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select("i", "j", "jaccard")
   }
