@@ -73,6 +73,25 @@ class DedupSpec extends SparkTestBase {
       s"sf0.001 documents: LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
   }
 
+  test("prefix-filtered exact Jaccard == brute-force, fixture and real docs") {
+    // fixture at two thresholds (exercises different prefix lengths)
+    for (tau <- Seq(0.9, 0.6)) {
+      val brute = Dedup.nearJaccard(fixture, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      val pref = Dedup.nearJaccardPrefix(fixture, "doc_id", "text", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(pref === brute, s"tau=$tau")
+    }
+    // real documents at tau=0.8: 32k+ qualifying pairs stress recall
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val brute = pairs(Dedup.nearJaccard(docs, "doc_id", "text", 0.8))
+    val pref = pairs(Dedup.nearJaccardPrefix(docs, "doc_id", "text", 0.8))
+    assert(pref === brute,
+      s"prefix filter dropped ${(brute -- pref).size} / added ${(pref -- brute).size}")
+  }
+
   test("SimHash: identical docs collide, near docs are close, disjoint far") {
     val sigs = Dedup.simHash(fixture, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
