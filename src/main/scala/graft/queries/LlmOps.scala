@@ -56,6 +56,19 @@ object LlmOps {
       .orderBy("i", "j")
   }
 
+  /** L2 n-gram variant: 3-token-shingle Jaccard — order-aware near-dup
+    * (same-vocabulary-different-phrasing pairs drop out). Threshold is
+    * lower than the unigram query's because shingle overlap decays
+    * faster than token overlap on the word-salad fixture.
+    */
+  val qDedupNgramJaccard: QueryFn = withTables { spark =>
+    Dedup.nearNgramJaccard(
+        spark.table("documents").filter(col("doc_id") < 500),
+        "doc_id", "text", n = 3, minJaccard = 0.2)
+      .withColumn("jaccard", round(col("jaccard"), 6).cast("double"))
+      .orderBy("i", "j")
+  }
+
   /** Embedding-cosine near-dup over all pairs (compiled kernel). */
   val qDedupNearEmbedding: QueryFn = withTables { spark =>
     Dedup.nearEmbedding(spark.table("embeddings"), "vec_id", "embedding", 0.4)
@@ -161,6 +174,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near_jaccard" -> qDedupNearJaccard,
     "q_dedup_lsh_jaccard" -> qDedupLshJaccard,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_near_embedding" -> qDedupNearEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_pergroup" -> qKnnPergroup,
@@ -212,6 +226,25 @@ object LlmOps {
       JOIN sizes sa ON i = sa.doc_id
       JOIN sizes sb ON j = sb.doc_id
       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+      ORDER BY i, j""",
+
+    // n-gram (3-shingle) Jaccard: shingles via 1-based inclusive list
+    // slicing; RANGE is empty for docs shorter than 3 tokens.
+    "q_dedup_ngram_jaccard" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 500),
+           sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS tok
+                  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) r(i)),
+           sizes AS (SELECT doc_id, COUNT(*) AS nn FROM sh GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                     FROM sh a JOIN sh b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+      SELECT i, j, CAST(ROUND(c * 1.0 / (sa.nn + sb.nn - c), 6) AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON i = sa.doc_id
+      JOIN sizes sb ON j = sb.doc_id
+      WHERE c * 1.0 / (sa.nn + sb.nn - c) >= 0.2
       ORDER BY i, j""",
 
     "q_dedup_near_embedding" -> """

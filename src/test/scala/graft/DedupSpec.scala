@@ -92,6 +92,24 @@ class DedupSpec extends SparkTestBase {
       s"prefix filter dropped ${(brute -- pref).size} / added ${(pref -- brute).size}")
   }
 
+  test("n-gram Jaccard is order-aware; short docs produce no shingles") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e f"),   // identical => shingle J = 1
+      (2L, "f e d c b a"),   // same vocabulary, reversed => unigram J = 1
+      (3L, "a b"),           // shorter than n => no 3-shingles
+    ).toDF("doc_id", "text")
+    assert(Dedup.shingles(df, "doc_id", "text", 3)
+      .filter($"doc_id" === 3L).count() === 0)
+    val uni = pairs(Dedup.nearJaccard(df.filter($"doc_id" < 3), "doc_id", "text", 0.99))
+    assert(uni === Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      "unigram Jaccard cannot tell reordered docs apart")
+    val tri = Dedup.nearNgramJaccard(df, "doc_id", "text", n = 3, minJaccard = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tri === Set((0L, 1L)), "3-gram Jaccard separates reordered docs")
+  }
+
   test("SimHash: identical docs collide, near docs are close, disjoint far") {
     val sigs = Dedup.simHash(fixture, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

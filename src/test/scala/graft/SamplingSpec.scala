@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic sampling: stable across runs and partitionings, with
+  * realized fractions tracking the requested ones.
+  */
+class SamplingSpec extends SparkTestBase {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hash sample is deterministic and fraction-accurate") {
+    val s1 = Sampling.sample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "same rows in-sample regardless of layout/run")
+    val frac = s1.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.3) < 0.08, s"realized fraction $frac")
+    // different seed => different (but still deterministic) sample
+    val s3 = Sampling.sample(docs, "doc_id", 0.3, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3 !== s1)
+  }
+
+  test("stratified sampling honors per-stratum fractions, drops unlisted") {
+    val out = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.0))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === totals("en"), "fraction 1.0 keeps everything")
+    assert(!byLang.contains("fr"), "fraction 0.0 drops the stratum")
+    assert(!byLang.keySet.exists(l => !Set("en", "de").contains(l)),
+      "unlisted strata are dropped")
+    val deFrac = byLang("de").toDouble / totals("de")
+    assert(math.abs(deFrac - 0.5) < 0.15, s"de realized fraction $deFrac")
+  }
+
+  test("train/valid/test split is disjoint, exhaustive, and stable") {
+    val split = Sampling.split(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    assert(split.count() === docs.count(), "every row gets exactly one split")
+    val sizes = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === Set("train", "valid", "test"))
+    assert(sizes("train") > sizes("valid") && sizes("train") > sizes("test"))
+    // stability: the same doc lands in the same split on a second run
+    val again = Sampling.split(docs.repartition(5), "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val a = split.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = again.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
+}
