@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling with forward fill — the Spark re-expression
+  * of pandas' `resample().last().ffill()` (the reference engine's host
+  * library makes this a one-liner, so a migrating user will ask for
+  * it).
+  *
+  * Shape: build each key's regular timestamp grid with `sequence()`
+  * (one row explodes into its own grid — no driver loop, no cross
+  * join), then carry the latest observation at-or-before each grid
+  * point via the same union+window kernel as AsOfJoin: ONE hash
+  * shuffle by key, sort within partitions, `last(ignoreNulls)` over
+  * the interleaved stream. Scale: cost is O(events + grid points) per
+  * key with no join blow-up; grids of different keys never meet.
+  */
+object Resample {
+
+  /** Per-`keyCol` grid from floor(min(ts)) to max(ts) every
+    * `intervalSeconds`, with `valueCol` = the last observed value
+    * at-or-before each grid instant (null before the first
+    * observation). Output: (key, grid_ts, value).
+    */
+  def lastFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, intervalSeconds: Long): DataFrame = {
+    val step = lit(intervalSeconds)
+    // per-key grid, aligned DOWN to the interval so grid instants are
+    // stable regardless of when the first event lands
+    val grid = df.groupBy(col(keyCol).as("_k"))
+      .agg(min(unix_timestamp(col(tsCol))).as("_lo"),
+        max(unix_timestamp(col(tsCol))).as("_hi"))
+      .select(col("_k"),
+        explode(sequence(
+          (col("_lo") / step).cast("long") * step,
+          col("_hi"), step)).as("_sec"))
+      .select(col("_k"), timestamp_seconds(col("_sec")).as("grid_ts"))
+
+    // interleave observations (tag 0) and grid instants (tag 1): at
+    // equal timestamps the observation sorts first, so a grid point
+    // ON an event picks that event (inclusive as-of semantics)
+    val obs = df.select(col(keyCol).as("_k"),
+      unix_timestamp(col(tsCol)).as("_sec"), lit(0).as("_tag"),
+      col(valueCol).cast("double").as("_v"))
+    val probes = grid.select(col("_k"),
+      unix_timestamp(col("grid_ts")).as("_sec"), lit(1).as("_tag"),
+      lit(null).cast("double").as("_v"))
+
+    val w = Window.partitionBy("_k").orderBy(col("_sec"), col("_tag"), col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(probes)
+      .withColumn("_filled", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col("_k").as(keyCol),
+        timestamp_seconds(col("_sec")).as("grid_ts"),
+        col("_filled").as(valueCol))
+  }
+}

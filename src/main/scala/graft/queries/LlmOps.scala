@@ -160,6 +160,18 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Time-series resample: per-user daily grid over the events span,
+    * value forward-filled from the latest observation at-or-before
+    * each grid instant (pandas `resample('1D').last().ffill()`
+    * parity; ties at equal seconds break by greatest value — the
+    * deterministic rule both engines reproduce).
+    */
+  val qResampleFfill: QueryFn = withTables { spark =>
+    graft.operators.Resample.lastFill(
+        spark.table("events"), "user_id", "ts", "value", 86400L)
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -184,6 +196,7 @@ object LlmOps {
     "q_tfidf" -> qTfidf,
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
+    "q_resample_ffill" -> qResampleFfill,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -298,6 +311,23 @@ object LlmOps {
       WHERE a.vec_id < 300 AND b.vec_id < 300
         AND LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
       ORDER BY id1, id2""",
+
+    // resample: same union+ignore-nulls-window kernel re-expressed in
+    // DuckDB; epoch_us//1e6 truncation mirrors Spark's unix_timestamp.
+    "q_resample_ffill" -> """
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, value FROM events),
+      bounds AS (SELECT user_id, MIN(sec) AS lo, MAX(sec) AS hi FROM e GROUP BY user_id),
+      grid AS (SELECT user_id, UNNEST(RANGE(lo // 86400 * 86400, hi + 1, 86400)) AS sec FROM bounds),
+      u AS (SELECT user_id, sec, 0 AS tag, value FROM e
+            UNION ALL SELECT user_id, sec, 1, NULL FROM grid),
+      f AS (SELECT user_id, sec, tag,
+                   LAST_VALUE(value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY sec, tag, value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+            FROM u)
+      SELECT user_id, make_timestamp(sec * 1000000) AS grid_ts, filled AS value
+      FROM f WHERE tag = 1
+      ORDER BY user_id, grid_ts""",
 
     "q_tokens_wordcount" -> """
       SELECT tok, COUNT(*) AS cnt
