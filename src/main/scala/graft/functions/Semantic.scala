@@ -2,19 +2,20 @@ package graft.functions
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
-/** Semantic/LLM operators (SURVEY.md §2.11 L9): llm_map / llm_filter
-  * over an injectable model client, following the batching + caching
-  * design of the "SQL over LLMs" line of work (PAPERS.md).
+/** Semantic/LLM operators (SURVEY.md §2.11 L9): llm_map / llm_filter /
+  * llm_join over an injectable model client, following the batching +
+  * caching design of the "SQL over LLMs" line of work (PAPERS.md).
   *
   * No network exists in this environment, so the client is a trait:
   * production wires an HTTP-backed implementation, tests wire a
   * deterministic mock. The operator owns what the engine CAN own:
   *  - batching: prompts go to the client `batchSize` at a time (LLM
   *    APIs amortize per-call overhead across a batch);
-  *  - per-partition caching: duplicate inputs within a partition hit
+  *  - per-partition caching: duplicate prompts within a partition hit
   *    the cache, not the model (dedup-before-inference — at 100 TB
   *    input texts repeat heavily);
   *  - distribution: mapPartitions keeps inference on executors; one
@@ -31,6 +32,50 @@ object Semantic {
     def complete(prompts: Seq[String]): Seq[String]
   }
 
+  /** Template like "classify: {input}" compiled to a concat Column over
+    * the given substitutions — prompt construction stays a codegen'd
+    * expression; only the model call itself is opaque.
+    */
+  private def templateCol(template: String, subs: Seq[(String, Column)]): Column = {
+    val marked = subs.foldLeft(template) { case (t, (name, _)) =>
+      t.replace(s"{$name}", "\u0000" + name + "\u0000")
+    }
+    val pieces = marked.split("\u0000", -1).zipWithIndex.map { case (piece, idx) =>
+      if (idx % 2 == 0) lit(piece)
+      else subs.collectFirst { case (n, c) if n == piece => c }.getOrElse(
+        throw new IllegalArgumentException(s"unknown placeholder {$piece}"))
+    }
+    concat(pieces.toIndexedSeq: _*)
+  }
+
+  /** Core executor loop: append `outCol` = completion of `promptCol`,
+    * batched and cached per partition.
+    */
+  private def completeColumn(df: DataFrame, promptCol: Column,
+      outCol: String, client: LlmClient, batchSize: Int): DataFrame = {
+    require(batchSize > 0)
+    val withPrompt = df.withColumn("_prompt", promptCol)
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, StringType, nullable = true))
+    val promptIdx = withPrompt.schema.fieldIndex("_prompt")
+    withPrompt.mapPartitions { rows =>
+      val cache = mutable.HashMap.empty[String, String]
+      rows.grouped(batchSize).flatMap { batch =>
+        val pending = batch.map(_.getString(promptIdx))
+          .distinct.filterNot(cache.contains)
+        if (pending.nonEmpty) {
+          val replies = client.complete(pending)
+          require(replies.length == pending.length,
+            s"client returned ${replies.length} replies for ${pending.length} prompts")
+          cache ++= pending.zip(replies)
+        }
+        batch.map { r =>
+          Row.fromSeq(r.toSeq.dropRight(1) :+ cache(r.getString(promptIdx)))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** llm_map: append `outCol` = client's completion of
     * `promptTemplate` with `{input}` replaced by the row's `textCol`.
     */
@@ -39,24 +84,9 @@ object Semantic {
       batchSize: Int = 16): DataFrame = {
     require(promptTemplate.contains("{input}"),
       "promptTemplate must contain {input}")
-    val schema = StructType(df.schema.fields :+
-      StructField(outCol, StringType, nullable = true))
-    val textIdx = df.schema.fieldIndex(textCol)
-    df.mapPartitions { rows =>
-      val cache = mutable.HashMap.empty[String, String]
-      rows.grouped(batchSize).flatMap { batch =>
-        val pending = batch.map(_.getString(textIdx))
-          .distinct.filterNot(cache.contains)
-        if (pending.nonEmpty) {
-          val replies = client.complete(
-            pending.map(t => promptTemplate.replace("{input}", t)))
-          require(replies.length == pending.length,
-            s"client returned ${replies.length} replies for ${pending.length} prompts")
-          cache ++= pending.zip(replies)
-        }
-        batch.map(r => Row.fromSeq(r.toSeq :+ cache(r.getString(textIdx))))
-      }
-    }(Encoders.row(schema))
+    completeColumn(df,
+      templateCol(promptTemplate, Seq("input" -> col(textCol))),
+      outCol, client, batchSize)
   }
 
   /** llm_filter: keep rows where the client's answer to
@@ -67,7 +97,28 @@ object Semantic {
       client: LlmClient, batchSize: Int = 16): DataFrame = {
     val out = llmMap(df, textCol, questionTemplate, client,
       outCol = "_llm_verdict", batchSize = batchSize)
-    import org.apache.spark.sql.functions._
+    out.filter(lower(col("_llm_verdict")).startsWith("yes"))
+      .drop("_llm_verdict")
+  }
+
+  /** llm_join: semantic theta-join — keep (left, right) pairs the
+    * model affirms for `questionTemplate` with `{left}`/`{right}`
+    * placeholders. The candidate set is the cross product, so callers
+    * MUST bound one side (blocking keys, LSH buckets, top-k retrieval)
+    * exactly as they would for any theta join at scale; this operator
+    * owns only the verdict pass (batched, cached, executor-side).
+    */
+  def llmJoin(left: DataFrame, right: DataFrame,
+      leftTextCol: String, rightTextCol: String, questionTemplate: String,
+      client: LlmClient, batchSize: Int = 16): DataFrame = {
+    require(questionTemplate.contains("{left}") &&
+      questionTemplate.contains("{right}"),
+      "questionTemplate must contain {left} and {right}")
+    val pairs = left.crossJoin(right)
+    val out = completeColumn(pairs,
+      templateCol(questionTemplate,
+        Seq("left" -> col(leftTextCol), "right" -> col(rightTextCol))),
+      "_llm_verdict", client, batchSize)
     out.filter(lower(col("_llm_verdict")).startsWith("yes"))
       .drop("_llm_verdict")
   }

@@ -72,6 +72,24 @@ class SemanticSpec extends SparkTestBase {
     assert(sizes.length === 3, "40 rows / 16 per batch => 3 calls, not 40")
   }
 
+  test("llm_join keeps pairs the model affirms, batching the verdicts") {
+    import spark.implicits._
+    MockLlmStats.reset()
+    val left = Seq((1L, "alpha beta"), (2L, "x")).toDF("lid", "ltext")
+    val right = Seq((10L, "gamma delta"), (20L, "y")).toDF("rid", "rtext")
+    // mock says yes iff the combined text after ':' is > 10 chars
+    val joined = Semantic.llmJoin(left, right, "ltext", "rtext",
+      "related?: {left} ~ {right}", new MockLlm, batchSize = 16)
+    val pairs = joined.select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "alpha beta ~ gamma delta" (>10) yes; "x ~ y" (5 chars) no;
+    // mixed pairs: "alpha beta ~ y" (14) yes, "x ~ gamma delta" (15) yes
+    assert(pairs === Set((1L, 10L), (1L, 20L), (2L, 10L)))
+    assert(joined.columns.toSeq === Seq("lid", "ltext", "rid", "rtext"))
+    val sizes = MockLlmStats.sizes
+    assert(sizes.sum <= 4, "4 candidate pairs => at most 4 prompts, batched")
+  }
+
   test("llm_filter keeps only yes-verdict rows and drops the scratch column") {
     val kept = Semantic.llmFilter(docs, "text", "is long?: {input}", new MockLlm)
     assert(kept.columns.toSeq === Seq("doc_id", "text"))
