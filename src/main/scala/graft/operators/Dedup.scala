@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -146,9 +146,19 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int): DataFrame = {
+    // double hashing: permutation i's hash mixes TWO xxhash64 values
+    // (h1 XOR rotl(h2, i)) instead of evaluating nHashes full hashes
+    // per token. Bitwise mixing sidesteps ANSI overflow on +/* while
+    // keeping the minhash banding statistics; rotations 0..63 give
+    // distinct permutation approximations.
     val toks = tokens(df, idCol, textCol)
+      .withColumn("_h1", xxhash64(col("tok"), lit(1)))
+      .withColumn("_h2", xxhash64(col("tok"), lit(2)))
+    def rotl(c: Column, i: Int): Column =
+      if (i % 64 == 0) c
+      else shiftleft(c, i % 64).bitwiseOR(shiftrightunsigned(c, 64 - (i % 64)))
     val sigCols = (0 until nHashes).map(i =>
-      min(xxhash64(col("tok"), lit(i))).as(s"h$i")) :+
+      min(col("_h1").bitwiseXOR(rotl(col("_h2"), i))).as(s"h$i")) :+
       count(lit(1)).as("n")
     toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
