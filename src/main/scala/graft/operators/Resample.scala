@@ -19,6 +19,60 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** Per-key grid with LINEAR interpolation between the neighboring
+    * observations (pandas `resample().interpolate()` parity): value at
+    * grid instant g = prev + (next - prev)·(g - t_prev)/(t_next -
+    * t_prev); exactly-on-event instants return the event value, grid
+    * points after the last observation forward-fill, points before the
+    * first are null. Same single-shuffle interleaved-window kernel as
+    * lastFill, run in both directions (one ascending pass for the
+    * previous observation, one descending for the next).
+    */
+  def linearInterp(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, intervalSeconds: Long): DataFrame = {
+    val step = lit(intervalSeconds)
+    val grid = df.groupBy(col(keyCol).as("_k"))
+      .agg(min(unix_timestamp(col(tsCol))).as("_lo"),
+        max(unix_timestamp(col(tsCol))).as("_hi"))
+      .select(col("_k"),
+        explode(sequence(
+          (col("_lo") / step).cast("long") * step,
+          col("_hi"), step)).as("_sec"))
+
+    val obs = df.select(col(keyCol).as("_k"),
+      unix_timestamp(col(tsCol)).as("_sec"), lit(0).as("_tag"),
+      col(valueCol).cast("double").as("_v"))
+    val probes = grid.select(col("_k"), col("_sec"), lit(1).as("_tag"),
+      lit(null).cast("double").as("_v"))
+
+    // ascending: previous observation's (value, sec); descending
+    // (via the reversed sort key): next observation's (value, sec).
+    // Tie rule at equal seconds matches lastFill: greatest value wins.
+    val asc = Window.partitionBy("_k")
+      .orderBy(col("_sec").asc, col("_tag").asc, col("_v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy("_k")
+      // _v ascending so `last` picks the GREATEST value among equal-sec
+      // observations — the same tie rule as the ascending pass
+      .orderBy(col("_sec").desc, col("_tag").desc, col("_v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val obsSec = when(col("_tag") === 0, col("_sec").cast("double"))
+    obs.unionByName(probes)
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(asc))
+      .withColumn("_pt", last(obsSec, ignoreNulls = true).over(asc))
+      .withColumn("_nv", last(col("_v"), ignoreNulls = true).over(desc))
+      .withColumn("_nt", last(obsSec, ignoreNulls = true).over(desc))
+      .filter(col("_tag") === 1)
+      .withColumn(valueCol,
+        when(col("_pt").isNull, lit(null).cast("double"))
+          .when(col("_nt").isNull || col("_nt") === col("_pt"), col("_pv"))
+          .otherwise(col("_pv") + (col("_nv") - col("_pv")) *
+            (col("_sec") - col("_pt")) / (col("_nt") - col("_pt"))))
+      .select(col("_k").as(keyCol),
+        timestamp_seconds(col("_sec")).as("grid_ts"), col(valueCol))
+  }
+
   /** Per-`keyCol` grid from floor(min(ts)) to max(ts) every
     * `intervalSeconds`, with `valueCol` = the last observed value
     * at-or-before each grid instant (null before the first

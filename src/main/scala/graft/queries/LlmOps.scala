@@ -172,6 +172,19 @@ object LlmOps {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** Linear-interpolation resample (pandas `interpolate()` parity):
+    * judged against a DuckDB re-expression of the same two-directional
+    * window kernel, rounded to 6 dp (division order differs from
+    * decimal-exact aggregation).
+    */
+  val qResampleInterp: QueryFn = withTables { spark =>
+    import org.apache.spark.sql.functions.{col, round}
+    graft.operators.Resample.linearInterp(
+        spark.table("events"), "user_id", "ts", "value", 86400L)
+      .withColumn("value", round(col("value"), 6).cast("double"))
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -197,6 +210,7 @@ object LlmOps {
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
     "q_resample_ffill" -> qResampleFfill,
+    "q_resample_interp" -> qResampleInterp,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -326,6 +340,29 @@ object LlmOps {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
             FROM u)
       SELECT user_id, make_timestamp(sec * 1000000) AS grid_ts, filled AS value
+      FROM f WHERE tag = 1
+      ORDER BY user_id, grid_ts""",
+
+    "q_resample_interp" -> """
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, value FROM events),
+      bounds AS (SELECT user_id, MIN(sec) AS lo, MAX(sec) AS hi FROM e GROUP BY user_id),
+      grid AS (SELECT user_id, UNNEST(RANGE(lo // 86400 * 86400, hi + 1, 86400)) AS sec FROM bounds),
+      u AS (SELECT user_id, sec, 0 AS tag, value FROM e
+            UNION ALL SELECT user_id, sec, 1, NULL FROM grid),
+      f AS (SELECT user_id, sec, tag,
+                   LAST_VALUE(value IGNORE NULLS) OVER aw AS pv,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN CAST(sec AS DOUBLE) END IGNORE NULLS) OVER aw AS pt,
+                   LAST_VALUE(value IGNORE NULLS) OVER dw AS nv,
+                   LAST_VALUE(CASE WHEN tag = 0 THEN CAST(sec AS DOUBLE) END IGNORE NULLS) OVER dw AS nt
+            FROM u
+            WINDOW aw AS (PARTITION BY user_id ORDER BY sec ASC, tag ASC, value ASC NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   dw AS (PARTITION BY user_id ORDER BY sec DESC, tag DESC, value ASC NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT user_id, make_timestamp(sec * 1000000) AS grid_ts,
+             CAST(ROUND(CASE WHEN pt IS NULL THEN NULL
+                             WHEN nt IS NULL OR nt = pt THEN pv
+                             ELSE pv + (nv - pv) * (sec - pt) / (nt - pt) END, 6) AS DOUBLE) AS value
       FROM f WHERE tag = 1
       ORDER BY user_id, grid_ts""",
 
