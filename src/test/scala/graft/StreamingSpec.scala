@@ -194,6 +194,40 @@ class StreamingSpec extends SparkTestBase {
     assert(total === baseEvents.size, "both file drops were ingested")
   }
 
+  test("stream-stream join: watermarked time-range join across two streams") {
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+
+    // purchases join the clicks of the SAME user within the preceding
+    // hour — both sides watermarked so the join state is bounded
+    // (unbounded stream-stream joins are rejected in append mode)
+    val c = clicks.toDF().select($"user_id", $"ts".as("click_ts"),
+      $"value".as("click_v")).withWatermark("click_ts", "1 hour")
+    val p = purchases.toDF().select($"user_id".as("p_user"),
+      $"ts".as("p_ts"), $"event_id").withWatermark("p_ts", "1 hour")
+    val joined = p.join(c,
+      $"p_user" === $"user_id" &&
+        $"click_ts" <= $"p_ts" && $"click_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+
+    val q = joined.writeStream.format("memory").queryName("ss_stream")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      Ev(0L, ts("2024-01-01 09:30:00"), 1L, "click", 1.0),
+      Ev(1L, ts("2024-01-01 07:00:00"), 1L, "click", 2.0), // > 1h before
+      Ev(2L, ts("2024-01-01 09:45:00"), 2L, "click", 3.0)) // other user
+    purchases.addData(
+      Ev(10L, ts("2024-01-01 10:00:00"), 1L, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ss_stream")
+      .select($"event_id", $"click_v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((10L, 1.0)),
+      "only the same-user click within the hour joins")
+  }
+
   test("T8: foreachBatch writes micro-batches to a parquet sink") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t8sink").toString
