@@ -1,0 +1,97 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash sketch as a native TypedImperativeAggregate: the
+  * buffer is the running Array[Long] of per-permutation minima,
+  * updated in place per input token and merged elementwise — ONE
+  * aggregate function evaluating TWO xxhash64 kernels per token,
+  * versus `nHashes` separate `min(...)` aggregate columns in the
+  * expression formulation (Dedup.minHashSignatures). Map-side partial
+  * aggregation applies like any algebraic agg: each task ships one
+  * `8*nHashes`-byte sketch per doc, not its tokens.
+  *
+  * Hash family matches minHashSignatures EXACTLY (h1 XOR rotl(h2, i)
+  * over the same seeded xxhash64 chain), so the two formulations are
+  * interchangeable — MinHashAggSpec pins elementwise equality.
+  */
+case class MinHashAgg(child: Expression, nHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(nHashes >= 1 && nHashes <= 64, "1..64 rotations available")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(nHashes)(Long.MaxValue)
+
+  /** Replicates expression-level `xxhash64(tok, lit(seedTag))`: Spark's
+    * variadic xxhash64 chains child hashes from the fixed 42L seed.
+    */
+  private def chainedHash(tok: UTF8String, seedTag: Int): Long =
+    XxHash64Function.hash(seedTag, IntegerType,
+      XxHash64Function.hash(tok, StringType, 42L))
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val tok = v.asInstanceOf[UTF8String]
+      val h1 = chainedHash(tok, 1)
+      val h2 = chainedHash(tok, 2)
+      var i = 0
+      while (i < nHashes) {
+        val hi = h1 ^ java.lang.Long.rotateLeft(h2, i)
+        if (hi < buf(i)) buf(i) = hi
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < nHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * nHashes)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(nHashes)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object MinHashAgg {
+  /** Column API: `minhash(col, n)` aggregate producing array<bigint>. */
+  def minhash(c: Column, nHashes: Int): Column =
+    Bridge.column(MinHashAgg(Bridge.expression(c), nHashes)
+      .toAggregateExpression())
+}

@@ -146,21 +146,18 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int): DataFrame = {
-    // double hashing: permutation i's hash mixes TWO xxhash64 values
-    // (h1 XOR rotl(h2, i)) instead of evaluating nHashes full hashes
-    // per token. Bitwise mixing sidesteps ANSI overflow on +/* while
-    // keeping the minhash banding statistics; rotations 0..63 give
-    // distinct permutation approximations.
+    // ONE native TypedImperativeAggregate computes the whole sketch
+    // (functions/MinHashAgg.scala: double hashing h1 XOR rotl(h2, i),
+    // two xxhash64 kernels per token, in-place Array[Long] buffer)
+    // instead of nHashes separate min() aggregate columns; the sketch
+    // explodes back to h0..h{n-1} so downstream banding is unchanged.
     val toks = tokens(df, idCol, textCol)
-      .withColumn("_h1", xxhash64(col("tok"), lit(1)))
-      .withColumn("_h2", xxhash64(col("tok"), lit(2)))
-    def rotl(c: Column, i: Int): Column =
-      if (i % 64 == 0) c
-      else shiftleft(c, i % 64).bitwiseOR(shiftrightunsigned(c, 64 - (i % 64)))
-    val sigCols = (0 until nHashes).map(i =>
-      min(col("_h1").bitwiseXOR(rotl(col("_h2"), i))).as(s"h$i")) :+
-      count(lit(1)).as("n")
-    toks.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val agged = toks.groupBy("doc_id").agg(
+      graft.functions.MinHashAgg.minhash(col("tok"), nHashes).as("_sig"),
+      count(lit(1)).as("n"))
+    agged.select(col("doc_id") +:
+      (0 until nHashes).map(i => element_at(col("_sig"), i + 1).as(s"h$i")) :+
+      col("n"): _*)
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` ×
