@@ -216,27 +216,18 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
-  /** 64-bit SimHash of the token multiset: each token votes its hash
-    * bits weighted by frequency; signature bit = sign of the vote sum.
-    * Near-dups land within small Hamming distance.
+  /** 64-bit SimHash of the token multiset: each token occurrence votes
+    * its hash bits ±1 (== frequency weighting); signature bit = sign
+    * of the vote sum. Near-dups land within small Hamming distance.
+    * ONE native aggregate (functions/SimHashAgg.scala) over the raw
+    * token stream — no intermediate (doc, tok) shuffle, no 64
+    * aggregate columns.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("tok"))
-    val weighted = toks.groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    // per bit b: sum of +w / -w depending on hash bit, via 64 aggregates
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).as(s"b$b")
-    }
-    val sums = weighted.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sigExpr = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    sums.select(col("doc_id"), sigExpr.as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash(col("tok")).as("simhash"))
 
   /** SimHash near-dup pairs within a Hamming radius. Candidate pruning
     * uses the pigeonhole trick: split the 64-bit signature into

@@ -185,6 +185,19 @@ object LlmOps {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** Marker-based language ID over the documents table (judged): two
+    * marker sets, argmax with ties toward the lexically-first language,
+    * 'und' when nothing hits — the oracle replicates the same LIKE
+    * conditions and tie rule.
+    */
+  val qLangId: QueryFn = withTables { spark =>
+    TextAnalysis.languageId(spark.table("documents"), "text", Map(
+        "en" -> Seq("the", "fast", "join"),
+        "zz" -> Seq("batch", "stream", "merge")))
+      .select("doc_id", "lang_pred")
+      .orderBy("doc_id")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -211,6 +224,7 @@ object LlmOps {
     "q_quality_score" -> qQualityScore,
     "q_resample_ffill" -> qResampleFfill,
     "q_resample_interp" -> qResampleInterp,
+    "q_lang_id" -> qLangId,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -365,6 +379,23 @@ object LlmOps {
                              ELSE pv + (nv - pv) * (sec - pt) / (nt - pt) END, 6) AS DOUBLE) AS value
       FROM f WHERE tag = 1
       ORDER BY user_id, grid_ts""",
+
+    "q_lang_id" -> """
+      WITH s AS (
+        SELECT doc_id,
+          (CASE WHEN text LIKE '% the %' OR text LIKE 'the %' OR text LIKE '% the' THEN 1 ELSE 0 END
+         + CASE WHEN text LIKE '% fast %' OR text LIKE 'fast %' OR text LIKE '% fast' THEN 1 ELSE 0 END
+         + CASE WHEN text LIKE '% join %' OR text LIKE 'join %' OR text LIKE '% join' THEN 1 ELSE 0 END) AS s_en,
+          (CASE WHEN text LIKE '% batch %' OR text LIKE 'batch %' OR text LIKE '% batch' THEN 1 ELSE 0 END
+         + CASE WHEN text LIKE '% stream %' OR text LIKE 'stream %' OR text LIKE '% stream' THEN 1 ELSE 0 END
+         + CASE WHEN text LIKE '% merge %' OR text LIKE 'merge %' OR text LIKE '% merge' THEN 1 ELSE 0 END) AS s_zz
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN s_zz > s_en THEN 'zz'
+                  WHEN s_en > 0 THEN 'en'
+                  ELSE 'und' END AS lang_pred
+      FROM s
+      ORDER BY doc_id""",
 
     "q_tokens_wordcount" -> """
       SELECT tok, COUNT(*) AS cnt
