@@ -313,6 +313,16 @@ object Core {
 
   /** Spark-side text where the dialects diverge. */
   val sparkOnlySql: Map[String, String] = Map(
+    // A-extras: array aggregation, sorted so both engines'
+    // nondeterministic accumulation orders compare equal.
+    "q_array_agg" -> """
+      SELECT l_orderkey,
+             ARRAY_SORT(COLLECT_LIST(l_linenumber)) AS lines,
+             CAST(SIZE(COLLECT_LIST(l_linenumber)) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""",
+
     // A5+A6: Spark PERCENTILE() vs DuckDB quantile_cont().
     "q_agg_stats" -> """
       SELECT l_returnflag,
@@ -335,6 +345,14 @@ object Core {
     * defined via the DataFrame API below.
     */
   val oracleOverrides: Map[String, String] = Map(
+    "q_array_agg" -> """
+      SELECT l_orderkey,
+             LIST_SORT(LIST(l_linenumber)) AS lines,
+             CAST(LEN(LIST(l_linenumber)) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""",
+
     "q_agg_stats" -> """
       SELECT l_returnflag,
              CAST(ROUND(STDDEV_SAMP(l_quantity), 6) AS DOUBLE) AS sd_qty,
