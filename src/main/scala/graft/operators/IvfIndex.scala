@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorExpressions, VectorOps}
+
+/** IVF (inverted-file) approximate nearest neighbor: the second scale
+  * path next to hyperplane LSH (Similarity.lshCosinePairs).
+  *
+  *  1. Train `k` coarse centroids with seeded deterministic k-means
+  *     (Lloyd iterations as DataFrame jobs; only the k×dim centroid
+  *     table ever reaches the driver — the corpus does not).
+  *  2. Assign every corpus vector to its nearest centroid (one
+  *     broadcast-kernel pass; the assignment is the "inverted file").
+  *  3. Serve probes by scanning only the `nprobe` nearest centroid
+  *     cells instead of the whole corpus — recall/cost dial, exact
+  *     cosine inside the probed cells.
+  *
+  * At 100 TB: centroids are KBs (broadcast), assignment is a linear
+  * map-only pass, and a probe touches nprobe/k of the data. All
+  * randomness is seed-derived (centroid init = smallest seeded hash),
+  * so train/assign/search reproduce bit-for-bit across runs/retries.
+  */
+object IvfIndex {
+
+  /** Deterministic k-means over the embedding column; returns the
+    * local centroid table as (clusterId -> unit-normalized vector).
+    * Init picks the k vectors with smallest xxhash64(id, seed) —
+    * seeded, data-independent spread.
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5, seed: Long = 42L): Array[(Int, Array[Double])] = {
+    require(k >= 1 && iters >= 0)
+    val spark = emb.sparkSession
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    def normalize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .withColumn("_h", xxhash64(col("id"), lit(seed)))
+      .orderBy("_h").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        i -> normalize(r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+
+    for (_ <- 0 until iters) {
+      val assignUdf = assigner(centroids)
+      // per-cluster per-dimension means: posexplode keeps this a plain
+      // (cluster, dim) hash aggregation — no vectors collect
+      val means = vecs.withColumn("cl", assignUdf(col("v")))
+        .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cl", "dim").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        means.get(cid) match {
+          case Some(rows) =>
+            val m = new Array[Double](old.length)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            cid -> normalize(m)
+          case None => cid -> old // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Best-cluster UDF over broadcast centroids (cosine; ties to the
+    * lowest cluster id). Centroids are unit vectors, so the dot
+    * product ranks identically to cosine.
+    */
+  private def assigner(centroids: Array[(Int, Array[Double])]) = udf {
+    (v: Seq[Float]) =>
+      var best = -1; var bestDot = Double.NegativeInfinity
+      centroids.foreach { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+        if (d > bestDot || (d == bestDot && cid < best)) { best = cid; bestDot = d }
+      }
+      best
+  }
+
+  /** Top-`nprobe` cluster ids for a probe vector, nearest first. */
+  private def prober(centroids: Array[(Int, Array[Double])], nprobe: Int) = udf {
+    (v: Seq[Float]) =>
+      centroids.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+        (cid, d)
+      }.sortBy { case (cid, d) => (-d, cid) }.take(nprobe).map(_._1)
+  }
+
+  /** The inverted file: corpus rows tagged with their cell. */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])]): DataFrame =
+    emb.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+      .withColumn("cluster", assigner(centroids)(col("cv")))
+
+  /** Top-`topK` corpus neighbors per probe, scanning only the
+    * `nprobe` nearest cells per probe: probes explode to (probe,
+    * cluster) pairs and equi-join the inverted file — the pruned
+    * replacement for probeSearch's full corpus pass.
+    */
+  def search(assigned: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[(Int, Array[Double])],
+      nprobe: Int, topK: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+      .withColumn("cluster", explode(prober(centroids, nprobe)(col("pv"))))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("corpus_id"))
+    broadcast(p).join(assigned, Seq("cluster"))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select("probe_id", "rank", "corpus_id", "cos")
+  }
+}
