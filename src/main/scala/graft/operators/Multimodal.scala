@@ -98,6 +98,24 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize stub: the real implementation hands bytes to a codec and
+    * re-encodes at (w, h); here the transform deterministically derives
+    * the resized payload (truncated checksum-stamped bytes) and updates
+    * the meta map — the Spark-side shape (per-row binary transform, new
+    * meta, NO shuffle, bytes never leave the row) is the tested part.
+    */
+  def resize(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
+    val resizeUdf = udf { (bytes: Array[Byte]) =>
+      val n = math.max(4, bytes.length / 4) // "smaller" payload
+      bytes.take(n)
+    }
+    df.withColumn(mediaCol, struct(
+      col(s"$mediaCol.uri").as("uri"),
+      resizeUdf(col(s"$mediaCol.bytes")).as("bytes"),
+      map_concat(col(s"$mediaCol.meta"),
+        map(lit("resized"), concat_ws("x", lit(w), lit(h)))).as("meta")))
+  }
+
   /** Frame sampling stub for video payloads: emits every `stride`-th
     * frame offset with a deterministic pseudo-frame checksum. The real
     * implementation seeks the container index; the Spark shape (one

@@ -45,6 +45,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(!feats.columns.contains("bytes"))
   }
 
+  test("resize shrinks the payload, stamps meta, keeps the struct shape") {
+    val resized = Multimodal.resize(mediaDf, "media", 224, 224)
+    assert(resized.schema("media").dataType === mediaDf.schema("media").dataType)
+    val r = resized.selectExpr("media.bytes", "media.meta['resized']").head()
+    assert(r.getAs[Array[Byte]](0).length === 8, "32-byte payload quarters")
+    assert(r.getString(1) === "224x224")
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "per-row transform must not shuffle")
+  }
+
   test("sampleFrames fans out n frame rows per video, no shuffle") {
     val frames = Multimodal.sampleFrames(mediaDf, "doc_id", "media",
       nFrames = 5, stride = 10)
