@@ -313,6 +313,19 @@ object Core {
 
   /** Spark-side text where the dialects diverge. */
   val sparkOnlySql: Map[String, String] = Map(
+    // A10-extra: the explicit PIVOT clause (vs q_pivot_conditional's
+    // conditional aggregation); oracle re-expresses as FILTERed counts.
+    "q_pivot_clause" -> """
+      SELECT user_id,
+             COALESCE(n_click, 0) AS n_click,
+             COALESCE(n_view, 0) AS n_view,
+             COALESCE(n_purchase, 0) AS n_purchase
+      FROM (
+        SELECT * FROM (SELECT user_id, event_type FROM events)
+        PIVOT (COUNT(*) FOR event_type IN ('click' AS n_click, 'view' AS n_view, 'purchase' AS n_purchase))
+      )
+      ORDER BY user_id""",
+
     // A-extras: array aggregation, sorted so both engines'
     // nondeterministic accumulation orders compare equal.
     "q_array_agg" -> """
@@ -345,6 +358,15 @@ object Core {
     * defined via the DataFrame API below.
     */
   val oracleOverrides: Map[String, String] = Map(
+    "q_pivot_clause" -> """
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
     "q_array_agg" -> """
       SELECT l_orderkey,
              LIST_SORT(LIST(l_linenumber)) AS lines,

@@ -72,6 +72,17 @@ class PlanSpec extends SparkTestBase {
       s"LSH path must stay equi-join shaped:\n$p")
   }
 
+  test("resample plans one hash shuffle; both window passes share it") {
+    val p = plan("q_resample_interp")
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    // one shuffle keys the per-user windows; the grid aggregation adds
+    // its own partial+final pair, so allow <= 2 hash exchanges — but
+    // the two directional window passes must NOT each shuffle
+    assert(hashExchanges <= 2,
+      s"resample re-shuffles between window passes ($hashExchanges):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no judged query collects to the driver mid-plan") {
     // structural guarantee: every queries() entry returns a DataFrame
     // whose plan tree Spark owns end-to-end; a driver-side collect in
