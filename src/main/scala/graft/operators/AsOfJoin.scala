@@ -77,4 +77,51 @@ object AsOfJoin {
     }
     carried.filter(col("_tag") === 1).drop("_t", "_tag")
   }
+
+  /** FORWARD as-of: earliest right row at-or-after each left row per
+    * key (pandas merge_asof direction='forward'). The same one-shuffle
+    * union+window kernel run under the reversed time ordering: at
+    * equal (key, time) the right row still sorts before the left (tag
+    * 0 first under descending tag? no — tag order flips with the
+    * direction so ties stay INCLUSIVE), and ties among right rows
+    * break toward the SMALLEST payload tuple — the mirror of asof's
+    * greatest-tuple rule.
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_tag", lit(1))
+      .select(
+        Seq(col(key), col("_t"), col("_tag")) ++
+          leftCols.filterNot(_ == key).map(c => col(c)) ++
+          payload.values.toSeq.map(a => lit(null).as(a)): _*)
+    val taggedRight = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_tag", lit(0))
+      .select(
+        Seq(col(key), col("_t"), col("_tag")) ++
+          leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          payload.map { case (src, alias) => col(src).as(alias) }.toSeq: _*)
+
+    // descending time: "last non-null so far" == earliest right row
+    // at-or-after. Right rows (tag 0) sort before left at equal time
+    // under ascending tag, keeping equality inclusive; payload
+    // descending-nulls-first mirrors asof's deterministic tie rule.
+    val tieBreak = payload.values.toSeq.sorted.map(a => col(a).desc_nulls_first)
+    val w = Window.partitionBy(key)
+      .orderBy(col("_t").desc +: col("_tag").asc +: tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.values.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, a) => df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_tag") === 1).drop("_t", "_tag")
+  }
 }

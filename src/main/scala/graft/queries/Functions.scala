@@ -169,6 +169,17 @@ object Functions {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
+    // J10-forward: ASOF with the reversed inequality = earliest right
+    // row at-or-after each left row.
+    "q_join_asof_forward" -> """
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+      ORDER BY p.event_id""",
+
     // J10: DuckDB's native ASOF JOIN (inclusive >=), with ns->µs
     // truncation applied BEFORE the comparison to mirror Spark's view.
     "q_join_asof" -> """
@@ -212,6 +223,23 @@ object Functions {
       ORDER BY doc_id, pos""")
   }
 
+  /** J10-forward: EARLIEST click at-or-after each purchase per user
+    * (pandas merge_asof direction='forward'); DuckDB's ASOF with a
+    * reversed inequality is the oracle.
+    */
+  val qJoinAsofForward: QueryFn = withTables { spark =>
+    val events = spark.table("events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    AsOfJoin.asofForward(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "next_click_ts"))
+      .select("event_id", "user_id", "ts", "next_click_ts")
+      .orderBy("event_id")
+  }
+
   /** J10: as-of join — latest click at-or-before each purchase per user. */
   val qJoinAsof: QueryFn = withTables { spark =>
     val events = spark.table("events")
@@ -232,6 +260,7 @@ object Functions {
       "q_udaf_geomean" -> qUdafGeomean,
       "q_udtf_ngrams" -> qUdtfNgrams,
       "q_join_asof" -> qJoinAsof,
+      "q_join_asof_forward" -> qJoinAsofForward,
     )
 
   val oracles: Map[String, String] = sqlTexts ++ oracleOverrides

@@ -48,6 +48,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("ts" -> "m_ts")).count() == 100)
   }
 
+  test("forward asof picks earliest right row at-or-after, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"), // after the last right row
+      (2L, ts("2024-01-01 09:30:00"), "p3"), // exactly on a right row
+    ).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00")), // before p1: must not match
+      (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 09:30:00")),
+    ).toDF("user_id", "ts")
+
+    val out = AsOfJoin.asofForward(left, right, "user_id", "ts", "ts",
+      Map("ts" -> "n_ts")).collect().map(r =>
+        (r.getAs[String]("name"), Option(r.getAs[java.sql.Timestamp]("n_ts")))).toMap
+
+    assert(out("p1").contains(ts("2024-01-01 11:00:00")))
+    assert(out("p2").isEmpty, "no right row after the last left row")
+    assert(out("p3").contains(ts("2024-01-01 09:30:00")), "equal time is inclusive")
+  }
+
   test("geo_mean UDAF matches exp(avg(ln)) on a known fixture") {
     import spark.implicits._
     graft.functions.Udfs.register(spark)
