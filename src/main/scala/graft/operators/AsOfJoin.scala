@@ -124,4 +124,33 @@ object AsOfJoin {
     }
     carried.filter(col("_tag") === 1).drop("_t", "_tag")
   }
+
+  /** NEAREST as-of (pandas merge_asof direction='nearest'): the closer
+    * of the backward and forward matches by absolute time distance;
+    * ties (equidistant) go backward, matching pandas. Cost = both
+    * directional kernels (two shuffles total) plus a column-wise pick —
+    * still linear, still no join blow-up. Only sensible for a single
+    * time-typed payload column (the distance is measured on it).
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payloadAlias: String): DataFrame = {
+    val back = asof(left, right, key, leftTime, rightTime,
+      Map(rightTime -> "_back"))
+    val fwd = asofForward(back, right, key, leftTime, rightTime,
+      Map(rightTime -> "_fwd"))
+    val lt = col(leftTime).cast("double")
+    val db = abs(lt - col("_back").cast("double"))
+    val df_ = abs(lt - col("_fwd").cast("double"))
+    fwd.withColumn(payloadAlias,
+        when(col("_back").isNull, col("_fwd"))
+          .when(col("_fwd").isNull, col("_back"))
+          .when(db <= df_, col("_back")) // tie -> backward, like pandas
+          .otherwise(col("_fwd")))
+      .drop("_back", "_fwd")
+  }
 }

@@ -169,6 +169,27 @@ object Functions {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
+    // J10-nearest: closer of the two directional ASOF matches, ties
+    // backward (pandas rule).
+    "q_join_asof_nearest" -> """
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click'),
+           b AS (SELECT p.event_id, c.ts AS back_ts
+                 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+           f AS (SELECT p.event_id, c.ts AS fwd_ts
+                 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN back_ts IS NULL THEN fwd_ts
+                  WHEN fwd_ts IS NULL THEN back_ts
+                  WHEN ABS(EPOCH(p.ts) - EPOCH(back_ts)) <= ABS(EPOCH(p.ts) - EPOCH(fwd_ts)) THEN back_ts
+                  ELSE fwd_ts END AS near_click_ts
+      FROM p
+      JOIN b ON p.event_id = b.event_id
+      JOIN f ON p.event_id = f.event_id
+      ORDER BY p.event_id""",
+
     // J10-forward: ASOF with the reversed inequality = earliest right
     // row at-or-after each left row.
     "q_join_asof_forward" -> """
@@ -240,6 +261,22 @@ object Functions {
       .orderBy("event_id")
   }
 
+  /** J10-nearest: the closer click (either direction, ties backward)
+    * per purchase — merge_asof direction='nearest' parity.
+    */
+  val qJoinAsofNearest: QueryFn = withTables { spark =>
+    val events = spark.table("events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    AsOfJoin.asofNearest(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payloadAlias = "near_click_ts")
+      .select("event_id", "user_id", "ts", "near_click_ts")
+      .orderBy("event_id")
+  }
+
   /** J10: as-of join — latest click at-or-before each purchase per user. */
   val qJoinAsof: QueryFn = withTables { spark =>
     val events = spark.table("events")
@@ -261,6 +298,7 @@ object Functions {
       "q_udtf_ngrams" -> qUdtfNgrams,
       "q_join_asof" -> qJoinAsof,
       "q_join_asof_forward" -> qJoinAsofForward,
+      "q_join_asof_nearest" -> qJoinAsofNearest,
     )
 
   val oracles: Map[String, String] = sqlTexts ++ oracleOverrides

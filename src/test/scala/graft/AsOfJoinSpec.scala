@@ -70,6 +70,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("p3").contains(ts("2024-01-01 09:30:00")), "equal time is inclusive")
   }
 
+  test("nearest asof picks the closer side; ties go backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "pA"), // back 09:00 (1h) vs fwd 10:30 (30m) -> fwd
+      (1L, ts("2024-01-01 11:00:00"), "pB"), // back 10:30 (30m) vs fwd 11:30 (30m) -> tie -> back
+      (2L, ts("2024-01-01 08:00:00"), "pC"), // only fwd exists
+    ).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00")),
+      (1L, ts("2024-01-01 10:30:00")),
+      (1L, ts("2024-01-01 11:30:00")),
+      (2L, ts("2024-01-01 09:00:00")),
+    ).toDF("user_id", "ts")
+
+    val out = AsOfJoin.asofNearest(left, right, "user_id", "ts", "ts", "near_ts")
+      .collect().map(r =>
+        (r.getAs[String]("name"), Option(r.getAs[java.sql.Timestamp]("near_ts")))).toMap
+    assert(out("pA").contains(ts("2024-01-01 10:30:00")))
+    assert(out("pB").contains(ts("2024-01-01 10:30:00")), "equidistant -> backward")
+    assert(out("pC").contains(ts("2024-01-01 09:00:00")))
+  }
+
   test("geo_mean UDAF matches exp(avg(ln)) on a known fixture") {
     import spark.implicits._
     graft.functions.Udfs.register(spark)
