@@ -83,6 +83,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("probe search streams the corpus once; probes broadcast") {
+    val p = plan("q_simsearch_probe")
+    assert(p.contains("BroadcastExchange"), s"probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"probe search must not go cartesian:\n$p")
+    // one corpus scan + one probe scan feed the join (formatted mode
+    // prints each scan node twice: tree + details => 2 scans = 4 hits);
+    // a corpus self-join would double this
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"more than two scans in probe search:\n$p")
+  }
+
   test("no judged query collects to the driver mid-plan") {
     // structural guarantee: every queries() entry returns a DataFrame
     // whose plan tree Spark owns end-to-end; a driver-side collect in
