@@ -14,21 +14,24 @@ import org.apache.spark.unsafe.types.UTF8String
 /** One-pass MinHash sketch as a native TypedImperativeAggregate: the
   * buffer is the running Array[Long] of per-permutation minima,
   * updated in place per input token and merged elementwise — ONE
-  * aggregate function evaluating TWO xxhash64 kernels per token,
-  * versus `nHashes` separate `min(...)` aggregate columns in the
-  * expression formulation (Dedup.minHashSignatures). Map-side partial
+  * aggregate function evaluating TWO xxhash64 kernels per token per
+  * 64-permutation block, versus `nHashes` separate `min(...)`
+  * aggregate columns in an expression formulation. Map-side partial
   * aggregation applies like any algebraic agg: each task ships one
   * `8*nHashes`-byte sketch per doc, not its tokens.
   *
-  * Hash family matches minHashSignatures EXACTLY (h1 XOR rotl(h2, i)
-  * over the same seeded xxhash64 chain), so the two formulations are
-  * interchangeable — MinHashAggSpec pins elementwise equality.
+  * Hash family: permutation i (block b = i/64, rotation r = i%64) is
+  * h1_b XOR rotl(h2_b, r), where (h1_b, h2_b) are the seeded xxhash64
+  * chain at tags (2b+1, 2b+2). Block 0 is byte-identical to the
+  * original <=64-permutation family (tags 1 and 2), so persisted
+  * signatures with nHashes <= 64 remain compatible; blocks re-seed so
+  * any nHashes is supported without rotation reuse.
   */
 case class MinHashAgg(child: Expression, nHashes: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]] {
 
-  require(nHashes >= 1 && nHashes <= 64, "1..64 rotations available")
+  require(nHashes >= 1, "nHashes must be positive")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -49,13 +52,19 @@ case class MinHashAgg(child: Expression, nHashes: Int,
     val v = child.eval(row)
     if (v != null) {
       val tok = v.asInstanceOf[UTF8String]
-      val h1 = chainedHash(tok, 1)
-      val h2 = chainedHash(tok, 2)
-      var i = 0
-      while (i < nHashes) {
-        val hi = h1 ^ java.lang.Long.rotateLeft(h2, i)
-        if (hi < buf(i)) buf(i) = hi
-        i += 1
+      var b = 0
+      while (b * 64 < nHashes) {
+        val h1 = chainedHash(tok, 2 * b + 1)
+        val h2 = chainedHash(tok, 2 * b + 2)
+        val end = math.min(64, nHashes - b * 64)
+        var r = 0
+        while (r < end) {
+          val i = b * 64 + r
+          val hi = h1 ^ java.lang.Long.rotateLeft(h2, r)
+          if (hi < buf(i)) buf(i) = hi
+          r += 1
+        }
+        b += 1
       }
     }
     buf

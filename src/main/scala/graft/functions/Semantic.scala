@@ -49,20 +49,28 @@ object Semantic {
   }
 
   /** Core executor loop: append `outCol` = completion of `promptCol`,
-    * batched and cached per partition.
+    * batched and cached per partition. Null prompts (e.g. a null text
+    * column nulling the concat) never reach the client — they map to a
+    * null completion, which llmFilter then drops.
     */
   private def completeColumn(df: DataFrame, promptCol: Column,
       outCol: String, client: LlmClient, batchSize: Int): DataFrame = {
     require(batchSize > 0)
-    val withPrompt = df.withColumn("_prompt", promptCol)
+    // collision-free temp name: if the input already had "_prompt",
+    // withColumn would replace it in place and the positional
+    // dropRight(1) below would strip a USER column instead
+    val tmpCol = Iterator.iterate("_prompt")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val withPrompt = df.withColumn(tmpCol, promptCol)
     val schema = StructType(df.schema.fields :+
       StructField(outCol, StringType, nullable = true))
-    val promptIdx = withPrompt.schema.fieldIndex("_prompt")
+    val promptIdx = withPrompt.schema.fieldIndex(tmpCol)
     withPrompt.mapPartitions { rows =>
       val cache = mutable.HashMap.empty[String, String]
       rows.grouped(batchSize).flatMap { batch =>
-        val pending = batch.map(_.getString(promptIdx))
-          .distinct.filterNot(cache.contains)
+        val pending = batch.iterator
+          .filterNot(_.isNullAt(promptIdx)).map(_.getString(promptIdx))
+          .toSeq.distinct.filterNot(cache.contains)
         if (pending.nonEmpty) {
           val replies = client.complete(pending)
           require(replies.length == pending.length,
@@ -70,7 +78,9 @@ object Semantic {
           cache ++= pending.zip(replies)
         }
         batch.map { r =>
-          Row.fromSeq(r.toSeq.dropRight(1) :+ cache(r.getString(promptIdx)))
+          val out =
+            if (r.isNullAt(promptIdx)) null else cache(r.getString(promptIdx))
+          Row.fromSeq(r.toSeq.dropRight(1) :+ out)
         }
       }
     }(Encoders.row(schema))
@@ -103,18 +113,44 @@ object Semantic {
 
   /** llm_join: semantic theta-join — keep (left, right) pairs the
     * model affirms for `questionTemplate` with `{left}`/`{right}`
-    * placeholders. The candidate set is the cross product, so callers
-    * MUST bound one side (blocking keys, LSH buckets, top-k retrieval)
-    * exactly as they would for any theta join at scale; this operator
-    * owns only the verdict pass (batched, cached, executor-side).
+    * placeholders.
+    *
+    * The candidate set is bounded IN the API: `blockingKeys` equi-joins
+    * the sides on (leftKey, rightKey) pairs before any prompt is built,
+    * so only co-blocked pairs ever reach the model — the standard
+    * blocking step of entity resolution, and the only shape that
+    * survives 100 TB (the verdict pass costs one model call per
+    * CANDIDATE, so candidate generation is the scale knob, not the
+    * join). An empty `blockingKeys` falls back to the cross product
+    * for small bounded inputs. Pre-computed candidate sets (LSH
+    * buckets, top-k retrieval) go through `llmJoinCandidates`.
     */
   def llmJoin(left: DataFrame, right: DataFrame,
       leftTextCol: String, rightTextCol: String, questionTemplate: String,
+      client: LlmClient, blockingKeys: Seq[(String, String)] = Nil,
+      batchSize: Int = 16): DataFrame = {
+    val pairs =
+      if (blockingKeys.nonEmpty)
+        left.join(right,
+          blockingKeys.map { case (lk, rk) => left(lk) === right(rk) }
+            .reduce(_ && _))
+      else left.crossJoin(right)
+    llmJoinCandidates(pairs, leftTextCol, rightTextCol, questionTemplate,
+      client, batchSize)
+  }
+
+  /** Verdict pass over a caller-built candidate-pair DataFrame (each
+    * row already carries both sides' text columns — from blocking, LSH
+    * bucketing, ANN top-k, or any other candidate generator). Owns
+    * only what the engine can own: batched, per-partition-cached,
+    * executor-side model calls.
+    */
+  def llmJoinCandidates(pairs: DataFrame, leftTextCol: String,
+      rightTextCol: String, questionTemplate: String,
       client: LlmClient, batchSize: Int = 16): DataFrame = {
     require(questionTemplate.contains("{left}") &&
       questionTemplate.contains("{right}"),
       "questionTemplate must contain {left} and {right}")
-    val pairs = left.crossJoin(right)
     val out = completeColumn(pairs,
       templateCol(questionTemplate,
         Seq("left" -> col(leftTextCol), "right" -> col(rightTextCol))),

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter pre-join pruning: before shuffling a huge probe table
   * into a join, broadcast a Bloom filter of the (much smaller) build
@@ -17,6 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
+  /** Membership predicate dispatched on the probe key's dtype: integral
+    * keys test via mightContainLong, strings via mightContainString;
+    * anything else fails loudly. (A single Long-typed UDF would let
+    * Spark cast a string key to bigint — yielding null for every row
+    * and silently emptying the join.) Null keys test false, matching
+    * equi-join semantics (null never matches).
+    */
+  private def mightContainCol(df: DataFrame, key: String,
+      bloom: BloomFilter): Column = {
+    val bloomBc = df.sparkSession.sparkContext.broadcast(bloom)
+    df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val f = udf((k: Long) => bloomBc.value.mightContainLong(k))
+        f(col(key).cast("long"))
+      case StringType =>
+        val f = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+        f(col(key))
+      case dt => throw new IllegalArgumentException(
+        s"BloomJoin key '$key' has unsupported type $dt: " +
+          "expected an integral or string column")
+    }
+  }
+
   /** `big` semi-joined/inner-joined to `small` on big.bigKey ==
     * small.smallKey, with a Bloom pre-filter on the big side.
     * `expectedItems`/`fpp` size the filter (bits ≈ -n·ln(fpp)/ln²2 —
@@ -26,10 +51,7 @@ object BloomJoin {
       smallKey: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val spark = big.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey)))
+    big.filter(mightContainCol(big, bigKey, bloom))
       .join(small, col(bigKey) === col(smallKey))
   }
 
@@ -40,8 +62,6 @@ object BloomJoin {
       smallKey: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
-    big.filter(mightContain(col(bigKey)))
+    big.filter(mightContainCol(big, bigKey, bloom))
   }
 }

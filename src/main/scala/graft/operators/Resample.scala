@@ -36,7 +36,11 @@ object Resample {
         max(unix_timestamp(col(tsCol))).as("_hi"))
       .select(col("_k"),
         explode(sequence(
-          (col("_lo") / step).cast("long") * step,
+          // floor(), not a truncating cast: long/long division in Spark
+          // is double division and cast("long") truncates toward zero,
+          // which mis-aligns pre-1970 (negative-epoch) grids vs the
+          // floor semantics of integer `//` alignment
+          floor(col("_lo") / step).cast("long") * step,
           col("_hi"), step)).as("_sec"))
 
     val obs = df.select(col(keyCol).as("_k"),
@@ -88,7 +92,8 @@ object Resample {
         max(unix_timestamp(col(tsCol))).as("_hi"))
       .select(col("_k"),
         explode(sequence(
-          (col("_lo") / step).cast("long") * step,
+          // floor-division alignment (see linearInterp note)
+          floor(col("_lo") / step).cast("long") * step,
           col("_hi"), step)).as("_sec"))
       .select(col("_k"), timestamp_seconds(col("_sec")).as("grid_ts"))
 

@@ -26,14 +26,29 @@ object Salting {
   private def rowSalt(df: DataFrame, numSalts: Int): Column =
     pmod(xxhash64(struct(df.columns.map(col): _*)), lit(numSalts)).cast("int")
 
+  /** Join types for which replicate-the-small-side salting is
+    * result-identical to the unsalted join. Right/full outer are NOT:
+    * an unmatched small-side row exists once per salt replica, so it
+    * would surface `numSalts` times in the output.
+    */
+  private val saltableJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   /** Equi-join a skew-keyed large table against a small-enough-to-
     * replicate table: large side gets a salt column, small side is
     * exploded once per salt, join key becomes (keys..., salt). The hot
     * key's probe rows now hash to `numSalts` distinct reducers.
+    *
+    * `how` is restricted to inner/left/left_semi/left_anti — the types
+    * where the replicated small side never contributes unmatched rows,
+    * keeping the result-identical contract honest.
     */
   def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
       numSalts: Int, how: String = "inner"): DataFrame = {
     require(numSalts > 0)
+    require(saltableJoinTypes.contains(how.toLowerCase.replace("_", "")),
+      s"saltedJoin is result-identical only for inner/left/semi/anti joins; " +
+        s"'$how' would replicate unmatched small-side rows numSalts times")
     val s = skewed.withColumn("_salt", rowSalt(skewed, numSalts))
     val d = small.withColumn("_salt",
       explode(sequence(lit(0), lit(numSalts - 1))))

@@ -31,14 +31,39 @@ object Similarity {
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
+  /** Session conf key bounding the exact all-pairs paths (rows). */
+  val MaxExactRowsKey = "graft.similarity.maxExactRows"
+  val MaxExactRowsDefault = 100000L
+
+  /** Fail-fast guard for the exact O(n²) paths: they broadcast one full
+    * side and compare every pair, which is a bounded-scope tool, not a
+    * corpus-scale one — unbounded, the broadcast no longer fits and the
+    * pair count explodes quadratically long before 100 TB. The guard
+    * counts at most maxRows+1 input rows (limit short-circuits the
+    * scan) and names the scale paths in the error. Raise
+    * `graft.similarity.maxExactRows` to opt a larger bounded scope in.
+    */
+  private def requireBounded(emb: DataFrame, op: String): Unit = {
+    val maxRows = emb.sparkSession.conf
+      .get(MaxExactRowsKey, MaxExactRowsDefault.toString).toLong
+    val n = emb.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= maxRows,
+      s"Similarity.$op is an exact all-pairs (O(n²), broadcast) path " +
+        s"bounded to $maxRows rows; input has >= $n. At scale use " +
+        s"lshCosinePairs, IvfIndex.search, or probeSearch — or raise " +
+        s"$MaxExactRowsKey for a deliberately larger bounded scope.")
+  }
+
   /** Undirected exact cosine pairs (id1 < id2) with cos >= minCos.
     *
     * The right side is explicitly broadcast (it must fit per-executor —
-    * all-pairs is for bounded scopes by construction) and the streamed
-    * left side is repartitioned so every core owns a slice of the loop.
+    * all-pairs is for bounded scopes by construction, enforced by
+    * requireBounded) and the streamed left side is repartitioned so
+    * every core owns a slice of the loop.
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       minCos: Double = -1.0): DataFrame = {
+    requireBounded(emb, "cosinePairs")
     val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
       .repartition(parallelism(emb))
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
@@ -56,8 +81,12 @@ object Similarity {
       .orderBy(col("cos").desc, col("id1"), col("id2"))
       .limit(k)
 
-  /** k nearest neighbors per vector (directed pairs, self excluded). */
+  /** k nearest neighbors per vector (directed pairs, self excluded).
+    * Exact all-pairs — size-guarded like cosinePairs; the unbounded
+    * equivalents are probeSearch (linear) and IvfIndex.search (pruned).
+    */
   def knn(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    requireBounded(emb, "knn")
     val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
       .repartition(parallelism(emb))
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))

@@ -327,10 +327,13 @@ object Core {
       ORDER BY user_id""",
 
     // A-extras: array aggregation, sorted so both engines'
-    // nondeterministic accumulation orders compare equal.
+    // nondeterministic accumulation orders compare equal, then
+    // serialized to a CSV string — the judged output carries only
+    // scalar columns (SURVEY.md §5.4 rule 6: the driver's pandas-based
+    // hash diff cannot hash array cells).
     "q_array_agg" -> """
       SELECT l_orderkey,
-             ARRAY_SORT(COLLECT_LIST(l_linenumber)) AS lines,
+             ARRAY_JOIN(TRANSFORM(ARRAY_SORT(COLLECT_LIST(l_linenumber)), x -> CAST(x AS STRING)), ',') AS lines,
              CAST(SIZE(COLLECT_LIST(l_linenumber)) AS BIGINT) AS n
       FROM lineitem
       GROUP BY l_orderkey
@@ -369,7 +372,7 @@ object Core {
 
     "q_array_agg" -> """
       SELECT l_orderkey,
-             LIST_SORT(LIST(l_linenumber)) AS lines,
+             ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS lines,
              CAST(LEN(LIST(l_linenumber)) AS BIGINT) AS n
       FROM lineitem
       GROUP BY l_orderkey

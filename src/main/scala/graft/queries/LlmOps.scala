@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import QueryDefs._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline surface (SURVEY.md §2.11): dedup, similarity
   * search, text analysis — each judged query drives the corresponding
@@ -43,15 +43,19 @@ object LlmOps {
 
   /** L2 scale path, judged: MinHash-LSH banding prunes candidates,
     * exact Jaccard re-verifies — judged against the SAME exact-Jaccard
-    * oracle as q_dedup_near_jaccard. At tau=0.95 with 16 bands x 4
-    * rows the per-pair miss probability is ~5e-12 and the seeded
-    * hashes make the outcome deterministic (DedupSpec pins equality on
-    * this very table), so the banded path hash-matches the exact one.
+    * oracle as q_dedup_near_jaccard. At tau=0.95 with 8 bands x 4 rows
+    * the per-pair miss probability is (1-0.95^4)^8 ~ 1.4e-6 and the
+    * seeded hashes make the outcome deterministic (DedupSpec pins
+    * equality at these very parameters), so the banded path
+    * hash-matches the exact one. 8x4 (32 hashes) halves the r2 sketch:
+    * at the recall-1 regime the wider 16x4 sketch bought ~nothing but
+    * doubled the per-token agg work and the banded join fan-out
+    * (VERDICT r2 item 2).
     */
   val qDedupLshJaccard: QueryFn = withTables { spark =>
     Dedup.minHashLshNearDup(
         spark.table("documents").filter(col("doc_id") < 1000),
-        "doc_id", "text", minJaccard = 0.95, bands = 16, rowsPerBand = 4)
+        "doc_id", "text", minJaccard = 0.95, bands = 8, rowsPerBand = 4)
       .withColumn("jaccard", round(col("jaccard"), 6).cast("double"))
       .orderBy("i", "j")
   }
@@ -121,6 +125,26 @@ object LlmOps {
         bands = 64, planesPerBand = 2, seed = 42L, dim = 64, minCos = 0.4)
       .withColumn("cos", round(col("cos"), 6).cast("double"))
       .orderBy("id1", "id2")
+  }
+
+  /** ANN via IVF (the 100 TB similarity-search user's path): seeded
+    * k-means coarse quantizer, inverted-file assignment, per-probe cell
+    * scan. Judged at recall 1: nprobe == k probes EVERY cell, so the
+    * result is exactly the probe-search top-k and the DuckDB oracle is
+    * the exact search math — the same honesty pattern as q_ann_lsh.
+    * Actual pruning (nprobe < k scanning nprobe/k of the corpus) is
+    * pinned by IvfIndexSpec against the exact oracle on clustered data.
+    */
+  val qAnnIvf: QueryFn = withTables { spark =>
+    val emb = spark.table("embeddings")
+    val centroids = IvfIndex.train(emb, "vec_id", "embedding",
+      k = 8, iters = 3, seed = 42L)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    IvfIndex.search(assigned, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", centroids, nprobe = 8, topK = 5)
+      .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("probe_id", "rnk")
   }
 
   /** L5: tokenization + corpus word count. */
@@ -218,6 +242,7 @@ object LlmOps {
     "q_knn_pergroup" -> qKnnPergroup,
     "q_simsearch_probe" -> qSimsearchProbe,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_ivf" -> qAnnIvf,
     "q_tokens_wordcount" -> qTokensWordcount,
     "q_tfidf" -> qTfidf,
     "q_textstats" -> qTextstats,
@@ -339,6 +364,22 @@ object LlmOps {
       WHERE a.vec_id < 300 AND b.vec_id < 300
         AND LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
       ORDER BY id1, id2""",
+
+    // IVF at nprobe == k is the exact probe search (recall 1), so the
+    // oracle is the same exact top-k math as q_simsearch_probe.
+    "q_ann_ivf" -> """
+      WITH pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+               LIST_COSINE_SIMILARITY(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 20),
+      rk AS (
+        SELECT probe_id, corpus_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
 
     // resample: same union+ignore-nulls-window kernel re-expressed in
     // DuckDB; epoch_us//1e6 truncation mirrors Spark's unix_timestamp.

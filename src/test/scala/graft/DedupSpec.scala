@@ -61,16 +61,35 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("MinHash-LSH on real documents matches exact Jaccard") {
-    // tau=0.95 with b=16,r=4 puts per-pair miss probability at ~5e-12
-    // (1-(1-0.95^4)^16) — and the seeded hashes make the outcome
-    // deterministic. 2 043 true pairs exist in sf0.001 documents.
+    // JUDGED parameters (q_dedup_lsh_jaccard): tau=0.95 with b=8,r=4
+    // puts per-pair miss probability at ~1.4e-6 ((1-0.95^4)^8) — and
+    // the seeded hashes make the outcome deterministic. 2 043 true
+    // pairs exist in sf0.001 documents.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = pairs(Dedup.nearJaccard(docs, "doc_id", "text", 0.95))
     val lsh = pairs(Dedup.minHashLshNearDup(docs, "doc_id", "text", 0.95,
-      bands = 16, rowsPerBand = 4))
+      bands = 8, rowsPerBand = 4))
     assert(lsh.subsetOf(exact), "exact re-verification => perfect precision")
     assert(lsh === exact,
       s"sf0.001 documents: LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
+  }
+
+  test("MinHashAgg supports >64 permutations via per-64-block reseeding") {
+    // 80 hashes exercises the second block; the first 64 elements must
+    // be byte-identical to the 64-hash sketch (block 0 is the original
+    // family), so persisted <=64 signatures stay compatible.
+    val s64 = Dedup.minHashSignatures(fixture, "doc_id", "text", 64)
+      .orderBy("doc_id").collect()
+    val s80 = Dedup.minHashSignatures(fixture, "doc_id", "text", 80)
+      .orderBy("doc_id").collect()
+    s64.zip(s80).foreach { case (a, b) =>
+      for (i <- 0 until 64)
+        assert(a.getLong(i + 1) === b.getLong(i + 1), s"h$i differs")
+    }
+    // second block is a genuinely different permutation family:
+    // disjoint docs (0 vs 4) must disagree there too
+    def tail(r: org.apache.spark.sql.Row) = (64 until 80).map(i => r.getLong(i + 1))
+    assert(tail(s80(0)) !== tail(s80(4)))
   }
 
   test("prefix-filtered exact Jaccard == brute-force, fixture and real docs") {

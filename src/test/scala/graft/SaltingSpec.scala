@@ -43,6 +43,28 @@ class SaltingSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("saltedJoin works for left/semi/anti, rejects right/full outer") {
+    // left join against a dim missing keys 40..50: unmatched LEFT rows
+    // survive exactly once (small-side replication cannot duplicate them)
+    val partialDim = dim.filter(col("k") <= 40)
+    val plain = skewed.join(partialDim, Seq("k"), "left")
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val salted = Salting.saltedJoin(skewed, partialDim, Seq("k"), 8, "left")
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(salted.sortBy(t => (t._1, t._2)).toSeq ===
+      plain.sortBy(t => (t._1, t._2)).toSeq)
+    // right/full would replicate unmatched small-side rows per salt:
+    // the API refuses instead of silently breaking the identity
+    for (how <- Seq("right", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Salting.saltedJoin(skewed, dim, Seq("k"), 8, how)
+      }
+      assert(e.getMessage.contains("result-identical"), how)
+    }
+  }
+
   test("the hot key actually spreads across salts") {
     import spark.implicits._
     // reproduce the internal salting: hot key rows must not collapse

@@ -80,6 +80,28 @@ class ScaleOpsSpec extends SparkTestBase {
       "pre-filter must actually prune non-matching probe rows")
   }
 
+  test("Bloom pre-join dispatches on key dtype: strings work, dates fail loudly") {
+    // string keys route to mightContainString (a Long-typed UDF would
+    // cast the string to bigint => null => every probe row dropped)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val prio = orders.select("o_orderpriority").distinct()
+      .filter(col("o_orderpriority") <= "3") // selective string build side
+    val plain = orders.join(prio, Seq("o_orderpriority")).count()
+    assert(plain > 0, "fixture sanity: string join matches rows")
+    val bloomed = BloomJoin.inner(
+        orders.withColumnRenamed("o_orderpriority", "prio"), prio,
+        "prio", "o_orderpriority", 100L, 0.01).count()
+    assert(bloomed === plain, "string-keyed Bloom join is exact")
+    // unsupported probe dtype is an error, not an empty result
+    // (bloom builds from the supported long key; the timestamp probe
+    // column is what must fail loudly)
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.probeFilter(orders, orders.limit(10),
+        "o_orderdate", "o_custkey", 100L, 0.01).count()
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("A6 scale path: approx percentile within 5% rank error of exact") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val rows = li.agg(

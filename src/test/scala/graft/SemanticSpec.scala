@@ -95,4 +95,49 @@ class SemanticSpec extends SparkTestBase {
     assert(kept.columns.toSeq === Seq("doc_id", "text"))
     assert(kept.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
+
+  test("llm_join with blocking keys: only co-blocked pairs reach the model") {
+    import spark.implicits._
+    MockLlmStats.reset()
+    val left = Seq((1L, "cat", "alpha beta payload"), (2L, "dog", "gamma delta payload"))
+      .toDF("lid", "lcat", "ltext")
+    val right = Seq((10L, "cat", "epsilon zeta payload"), (20L, "dog", "eta theta payload"),
+        (30L, "cat", "iota kappa payload"))
+      .toDF("rid", "rcat", "rtext")
+    val joined = Semantic.llmJoin(left, right, "ltext", "rtext",
+      "related?: {left} ~ {right}", new MockLlm,
+      blockingKeys = Seq("lcat" -> "rcat"), batchSize = 16)
+    val pairs = joined.select("lid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross product is 6 pairs; blocking admits only same-category: 3
+    assert(pairs === Set((1L, 10L), (1L, 30L), (2L, 20L)))
+    assert(MockLlmStats.sizes.sum === 3,
+      s"blocked join must prompt 3 candidates, not 6: ${MockLlmStats.sizes}")
+  }
+
+  test("input with an existing _prompt column is not clobbered") {
+    import spark.implicits._
+    val df = Seq((1L, "long enough document", "user data"))
+      .toDF("doc_id", "text", "_prompt")
+    val out = Semantic.llmMap(df, "text", "q: {input}", new MockLlm)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "_prompt", "llm_out"))
+    val r = out.collect().head
+    assert(r.getString(2) === "user data", "user's _prompt column survives")
+    assert(r.getString(3) === "yes: long enough document")
+  }
+
+  test("null text => null completion, never sent to the client") {
+    import spark.implicits._
+    MockLlmStats.reset()
+    val df = Seq((1L, "a sufficiently long text"), (2L, null))
+      .toDF("doc_id", "text")
+    val out = Semantic.llmMap(df.repartition(1), "text", "q: {input}", new MockLlm)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(1L) === "yes: a sufficiently long text")
+    assert(byId(2L) === null, "null prompt maps to null output")
+    assert(MockLlmStats.sizes.sum === 1, "the null prompt never hit the model")
+    // and llm_filter drops the null-verdict row instead of crashing
+    val kept = Semantic.llmFilter(df, "text", "q: {input}", new MockLlm)
+    assert(kept.collect().map(_.getLong(0)).toSet === Set(1L))
+  }
 }

@@ -66,6 +66,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("size guard: exact all-pairs paths fail fast above maxExactRows") {
+    try {
+      spark.conf.set(Similarity.MaxExactRowsKey, "50")
+      // clustered has 120 rows > 50: both exact paths must refuse
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.cosinePairs(clustered, "vec_id", "embedding", 0.9)
+      }
+      assert(e1.getMessage.contains("lshCosinePairs"),
+        "the error must name the scale alternatives")
+      intercept[IllegalArgumentException] {
+        Similarity.knn(clustered, "vec_id", "embedding", 3)
+      }
+      // the routed (guard-exempt) LSH path still returns the identical
+      // high-cos pair set on the same fixture — the scale alternative
+      // is a drop-in, not a downgrade
+      val lsh = pairSet(Similarity.lshCosinePairs(clustered, "vec_id", "embedding",
+        bands = 8, planesPerBand = 8, seed = 42L, dim = 64, minCos = 0.9))
+      spark.conf.set(Similarity.MaxExactRowsKey, "100000")
+      val exact = pairSet(Similarity.cosinePairs(clustered, "vec_id", "embedding", 0.9))
+      assert(lsh === exact)
+    } finally {
+      spark.conf.unset(Similarity.MaxExactRowsKey)
+    }
+  }
+
   test("A9: approx_count_distinct within 5% of exact per event_type") {
     import org.apache.spark.sql.functions._
     val events = graft.tables.TableLoader.events(spark, sfDir)
