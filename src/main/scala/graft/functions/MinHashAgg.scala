@@ -4,8 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -41,32 +43,9 @@ case class MinHashAgg(child: Expression, nHashes: Int,
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(nHashes)(Long.MaxValue)
 
-  /** Replicates expression-level `xxhash64(tok, lit(seedTag))`: Spark's
-    * variadic xxhash64 chains child hashes from the fixed 42L seed.
-    */
-  private def chainedHash(tok: UTF8String, seedTag: Int): Long =
-    XxHash64Function.hash(seedTag, IntegerType,
-      XxHash64Function.hash(tok, StringType, 42L))
-
   override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
     val v = child.eval(row)
-    if (v != null) {
-      val tok = v.asInstanceOf[UTF8String]
-      var b = 0
-      while (b * 64 < nHashes) {
-        val h1 = chainedHash(tok, 2 * b + 1)
-        val h2 = chainedHash(tok, 2 * b + 2)
-        val end = math.min(64, nHashes - b * 64)
-        var r = 0
-        while (r < end) {
-          val i = b * 64 + r
-          val hi = h1 ^ java.lang.Long.rotateLeft(h2, r)
-          if (hi < buf(i)) buf(i) = hi
-          r += 1
-        }
-        b += 1
-      }
-    }
+    if (v != null) MinHashAgg.sketchToken(v.asInstanceOf[UTF8String], buf, nHashes)
     buf
   }
 
@@ -103,4 +82,116 @@ object MinHashAgg {
   def minhash(c: Column, nHashes: Int): Column =
     Bridge.column(MinHashAgg(Bridge.expression(c), nHashes)
       .toAggregateExpression())
+
+  /** Folds one token into a running sketch — the single definition of
+    * the hash family, shared by the aggregate (per-token-row) and the
+    * scalar array expression (per-doc-row) so both produce identical
+    * signatures.
+    */
+  private[functions] def sketchToken(tok: UTF8String, buf: Array[Long],
+      nHashes: Int): Unit = {
+    val seedHash = XxHash64Function.hash(tok, StringType, 42L)
+    var b = 0
+    while (b * 64 < nHashes) {
+      val h1 = XxHash64Function.hash(2 * b + 1, IntegerType, seedHash)
+      val h2 = XxHash64Function.hash(2 * b + 2, IntegerType, seedHash)
+      val end = math.min(64, nHashes - b * 64)
+      var r = 0
+      while (r < end) {
+        val i = b * 64 + r
+        val hi = h1 ^ java.lang.Long.rotateLeft(h2, r)
+        if (hi < buf(i)) buf(i) = hi
+        r += 1
+      }
+      b += 1
+    }
+  }
+}
+
+/** Scalar MinHash over a pre-tokenized `array<string>` column: the same
+  * sketch as [[MinHashAgg]] (hash family shared via
+  * `MinHashAgg.sketchToken`) but computed per ROW instead of per
+  * group — no explode, no distinct, no aggregation shuffle. When the
+  * token set of a document is a per-row function of the document (the
+  * common case: `array_distinct(split(lower(text), ' '))`), the entire
+  * signature stage becomes a narrow codegen'd projection; the first
+  * shuffle in an LSH dedup plan is then the banded candidate join
+  * itself, which is the minimum the algorithm requires.
+  */
+case class MinHashArrayExpr(child: Expression, nHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nHashes >= 1, "nHashes must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_array"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = Array.fill(nHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t))
+        MinHashAgg.sketchToken(arr.getUTF8String(t), buf, nHashes)
+      t += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val buf = ctx.freshName("buf")
+      val nt = ctx.freshName("nt")
+      val t = ctx.freshName("t")
+      val tok = ctx.freshName("tok")
+      val seedHash = ctx.freshName("seedHash")
+      val b = ctx.freshName("b")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val end = ctx.freshName("end")
+      val r = ctx.freshName("r")
+      val hi = ctx.freshName("hi")
+      // XXH64.hashInt/hashUnsafeBytesBlock are the same kernels
+      // XxHash64Function dispatches to in the interpreted path, so
+      // codegen and eval agree bit-for-bit.
+      s"""
+         |final long[] $buf = new long[$nHashes];
+         |java.util.Arrays.fill($buf, Long.MAX_VALUE);
+         |final int $nt = $a.numElements();
+         |for (int $t = 0; $t < $nt; $t++) {
+         |  if (!$a.isNullAt($t)) {
+         |    final UTF8String $tok = $a.getUTF8String($t);
+         |    final long $seedHash = $xxh.hashUnsafeBytesBlock($tok.getMemoryBlock(), 42L);
+         |    for (int $b = 0; $b * 64 < $nHashes; $b++) {
+         |      final long $h1 = $xxh.hashInt(2 * $b + 1, $seedHash);
+         |      final long $h2 = $xxh.hashInt(2 * $b + 2, $seedHash);
+         |      final int $end = java.lang.Math.min(64, $nHashes - $b * 64);
+         |      for (int $r = 0; $r < $end; $r++) {
+         |        final long $hi = $h1 ^ Long.rotateLeft($h2, $r);
+         |        if ($hi < $buf[$b * 64 + $r]) $buf[$b * 64 + $r] = $hi;
+         |      }
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buf);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashArrayExpr {
+  /** Column API: scalar `minhashArray(tokens, n)` => array<bigint>. */
+  def minhashArray(c: Column, nHashes: Int): Column =
+    Bridge.column(MinHashArrayExpr(Bridge.expression(c), nHashes))
 }
