@@ -170,7 +170,7 @@ case class MinHashArrayExpr(child: Expression, nHashes: Int)
          |for (int $t = 0; $t < $nt; $t++) {
          |  if (!$a.isNullAt($t)) {
          |    final UTF8String $tok = $a.getUTF8String($t);
-         |    final long $seedHash = $xxh.hashUnsafeBytesBlock($tok.getMemoryBlock(), 42L);
+         |    final long $seedHash = $xxh.hashUTF8String($tok, 42L);
          |    for (int $b = 0; $b * 64 < $nHashes; $b++) {
          |      final long $h1 = $xxh.hashInt(2 * $b + 1, $seedHash);
          |      final long $h2 = $xxh.hashInt(2 * $b + 2, $seedHash);

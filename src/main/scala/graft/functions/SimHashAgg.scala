@@ -4,10 +4,12 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass 64-bit SimHash as a native TypedImperativeAggregate: the
@@ -81,4 +83,88 @@ object SimHashAgg {
   /** Column API: 64-bit SimHash signature of the grouped token column. */
   def simhash(c: Column): Column =
     Bridge.column(SimHashAgg(Bridge.expression(c)).toAggregateExpression())
+}
+
+/** Scalar SimHash over a pre-tokenized `array<string>` column: the same
+  * signature as [[SimHashAgg]] (votes are a commutative sum, so folding
+  * the array in row order equals aggregating exploded occurrence rows)
+  * but computed per ROW — when tokens come from `split(lower(text))`
+  * the whole SimHash stage is a narrow codegen'd projection with zero
+  * shuffles, mirroring MinHashArrayExpr's treatment of MinHash.
+  * Occurrence voting means the input array must NOT be deduplicated
+  * (frequency weighting is the point).
+  */
+case class SimHashArrayExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $other")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_array"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val votes = new Array[Long](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val votes = ctx.freshName("votes")
+      val nt = ctx.freshName("nt")
+      val t = ctx.freshName("t")
+      val tok = ctx.freshName("tok")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final long[] $votes = new long[64];
+         |final int $nt = $a.numElements();
+         |for (int $t = 0; $t < $nt; $t++) {
+         |  if (!$a.isNullAt($t)) {
+         |    final UTF8String $tok = $a.getUTF8String($t);
+         |    final long $h = $xxh.hashUTF8String($tok, 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1L : -1L;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashArrayExpr {
+  /** Column API: scalar `simhashArray(tokens)` => bigint signature. */
+  def simhashArray(c: Column): Column =
+    Bridge.column(SimHashArrayExpr(Bridge.expression(c)))
 }

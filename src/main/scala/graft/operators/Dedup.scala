@@ -170,7 +170,8 @@ object Dedup {
     val arrs = tokenArrays(df, idCol, textCol)
     arrs.select(col("doc_id"),
       graft.functions.MinHashArrayExpr.minhashArray(col("toks"), nHashes).as("_sig"),
-      size(col("toks")).as("n"))
+      // long to match the previous count()-based schema exactly
+      size(col("toks")).cast("long").as("n"))
   }
 
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
@@ -266,15 +267,17 @@ object Dedup {
   /** 64-bit SimHash of the token multiset: each token occurrence votes
     * its hash bits ±1 (== frequency weighting); signature bit = sign
     * of the vote sum. Near-dups land within small Hamming distance.
-    * ONE native aggregate (functions/SimHashAgg.scala) over the raw
-    * token stream — no intermediate (doc, tok) shuffle, no 64
-    * aggregate columns.
+    * ONE native scalar expression (functions/SimHashAgg.scala
+    * SimHashArrayExpr) over the per-row split array — no explode, no
+    * aggregation, ZERO shuffles: the signature stage is a narrow
+    * codegen'd projection (the aggregate variant remains for
+    * already-exploded token streams).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .groupBy("doc_id")
-      .agg(graft.functions.SimHashAgg.simhash(col("tok")).as("simhash"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.SimHashArrayExpr.simhashArray(
+          split(lower(col(textCol)), " ")).as("simhash"))
 
   /** SimHash near-dup pairs within a Hamming radius. Candidate pruning
     * uses the pigeonhole trick: split the 64-bit signature into

@@ -470,14 +470,51 @@ object Core {
       .orderBy("o_custkey", "rn")
   }
 
+  /** The user-facing facade exercised as a judged query: Graft.sql()
+    * over DataFrames passed as a Map — the reference's
+    * `sql4pandas(query, {name: frame})` call shape, with its README
+    * demo surface (nested query + CASE + join + aggregate). The view
+    * names are facade-local (fcust/fnat), proving the query runs
+    * against the frames the CALLER handed in, not the pre-registered
+    * catalog.
+    */
+  val qSqlFacade: QueryFn = (spark, sfDir) => {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+    graft.Graft.sql(spark, """
+      SELECT n.n_name, seg.bucket, COUNT(*) AS n_cust
+      FROM (SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'mid'
+                        ELSE 'high' END AS bucket
+            FROM fcust) seg
+      JOIN fnat n ON seg.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, seg.bucket
+      ORDER BY n.n_name, seg.bucket""",
+      Map("fcust" -> cust, "fnat" -> nat))
+  }
+
   /** All §2.2–§2.7 judged queries. */
   val queries: Map[String, QueryFn] =
     (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
       "q_join_broadcast" -> qJoinBroadcast,
       "q_topk_pergroup" -> qTopkPergroup,
       "q_topk_custom" -> qTopkCustom,
+      "q_sql_facade" -> qSqlFacade,
     )
 
   /** All §2.2–§2.7 oracle SQL. */
-  val oracles: Map[String, String] = sqlTexts ++ oracleOverrides
+  val oracles: Map[String, String] = sqlTexts ++ oracleOverrides ++ Map(
+    // same query over the canonical table names
+    "q_sql_facade" -> """
+      SELECT n.n_name, seg.bucket, COUNT(*) AS n_cust
+      FROM (SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'mid'
+                        ELSE 'high' END AS bucket
+            FROM customer) seg
+      JOIN nation n ON seg.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, seg.bucket
+      ORDER BY n.n_name, seg.bucket""",
+  )
 }

@@ -37,6 +37,44 @@ class MinHashAggSpec extends SparkTestBase {
     assert(sketch.count() === docs.count())
   }
 
+  test("scalar array sketch == aggregate sketch, elementwise, on documents") {
+    // minHashSignatures now computes per-row (MinHashArrayExpr); the
+    // aggregate path must stay bit-identical so persisted signatures
+    // and exploded-stream pipelines remain compatible.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val viaAgg = Dedup.tokens(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(MinHashAgg.minhash(col("tok"), 80).as("sig"))
+    val viaArr = Dedup.minHashSignatures(docs, "doc_id", "text", 80)
+    val joined = viaArr.join(viaAgg, "doc_id")
+    val mismatches = (0 until 80).map(i =>
+      joined.filter(col(s"h$i") =!= element_at(col("sig"), i + 1)).count()).sum
+    assert(mismatches === 0, "scalar and aggregate sketches must agree")
+  }
+
+  test("scalar SimHash == aggregate SimHash on documents") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val viaAgg = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash(col("tok")).as("agg_sig"))
+    val viaArr = Dedup.simHash(docs, "doc_id", "text")
+    val diff = viaArr.join(viaAgg, "doc_id")
+      .filter(col("simhash") =!= col("agg_sig")).count()
+    assert(diff === 0, "scalar and aggregate SimHash must agree")
+  }
+
+  test("scalar sketch expressions compile under codegen (no silent fallback)") {
+    // Spark falls back to interpreted eval when generated Java fails to
+    // compile — results stay right but the hot path silently slows.
+    // Forcing fallback OFF makes any codegen bug a hard failure here.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      assert(Dedup.minHashSignatures(docs, "doc_id", "text", 24).count() > 0)
+      assert(Dedup.simHash(docs, "doc_id", "text").count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("sketch handles empty-ish and single-token docs") {
     import spark.implicits._
     val df = Seq((1L, "solo"), (2L, "a b a")).toDF("doc_id", "text")

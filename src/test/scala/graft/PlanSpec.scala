@@ -72,6 +72,34 @@ class PlanSpec extends SparkTestBase {
       s"LSH path must stay equi-join shaped:\n$p")
   }
 
+  test("MinHash signature and SimHash stages plan ZERO exchanges") {
+    // tokenization, per-doc dedup, and sketching are per-row functions,
+    // so the signature stage must be a narrow projection — any Exchange
+    // here means a token-granularity shuffle crept back in (the r2
+    // shape this repo deliberately deleted).
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sigPlan = graft.operators.Dedup
+      .minHashSignatures(docs, "doc_id", "text", 24)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!sigPlan.contains("Exchange"),
+      s"MinHash signatures must not shuffle:\n$sigPlan")
+    val simPlan = graft.operators.Dedup.simHash(docs, "doc_id", "text")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!simPlan.contains("Exchange"),
+      s"SimHash signatures must not shuffle:\n$simPlan")
+  }
+
+  test("LSH near-dup's first shuffle is the banded join itself") {
+    val p = plan("q_dedup_lsh_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH dedup must stay equi-join shaped:\n$p")
+    // signature + banding are projections; exchanges exist only for the
+    // candidate join, distinct, verify joins, and final ORDER BY
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 6,
+      s"unexpected extra shuffles in LSH dedup ($hashExchanges):\n$p")
+  }
+
   test("resample plans one hash shuffle; both window passes share it") {
     val p = plan("q_resample_interp")
     val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size

@@ -124,6 +124,37 @@ class StreamingSpec extends SparkTestBase {
     assert(out === Set((10L, 1.0), (11L, 2.0)))
   }
 
+  test("T5b: streaming NEAR-dup dedup via scalar SimHash signature") {
+    // The sketch expressions are stateless per-row projections, so they
+    // are streaming-legal as-is: near-dup dedup = project the signature,
+    // dropDuplicates on it within the watermark. SimHash votes are a
+    // commutative sum, so reordered/differently-cased docs (the classic
+    // scrape-noise dup) collapse to one survivor.
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val toks = (1 to 30).map(i => s"tok$i")
+    val sigs = input.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("simhash",
+        graft.functions.SimHashArrayExpr.simhashArray(
+          split(lower(col("text")), " ")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+
+    val q = sigs.writeStream.format("memory").queryName("t5b_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), toks.mkString(" ")),
+      (2L, ts("2024-01-01 00:01:00"), toks.reverse.map(_.toUpperCase).mkString(" ")), // reordered + recased
+      (3L, ts("2024-01-01 00:02:00"), (1 to 30).map(i => s"other$i").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("t5b_stream").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(3L), s"kept=$kept")
+    assert(!kept.contains(2L), "near-dup must collapse onto doc 1's signature")
+  }
+
   test("T6: stateful per-key running count via flatMapGroupsWithState") {
     import spark.implicits._
     val input = MemoryStream[Ev]
