@@ -36,6 +36,15 @@ object Dedup {
     * two docs with the same vocabulary but different phrasing stop
     * looking like near-dups (the unigram failure mode). Built from a
     * transform over the token array: one pass, no self-join.
+    *
+    * Deliberately explode + global DISTINCT rather than a per-row
+    * `array_distinct` (the tokenArrays treatment): the shingle chain is
+    * an interpreted HOF (transform/slice/concat_ws — no codegen), and
+    * every consumer joins shingles against themselves or aggregates
+    * them twice. The DISTINCT's exchange is what lets Catalyst REUSE
+    * the computed shingle set across those branches (ReusedExchange);
+    * removing it re-evaluates the HOF chain per branch and measured
+    * 2-4x slower at sf0.1.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = split(lower(col(textCol)), " ")

@@ -102,6 +102,41 @@ object TextAnalysis {
       .drop(markers.keys.toSeq.sorted.map(l => s"score_$l"): _*)
   }
 
+  /** PII redaction for training corpora: URLs, emails, and long digit
+    * runs (ids, phone-ish numbers) replaced with typed placeholder
+    * tokens. Pure codegen'd regexp_replace chain — order matters: URLs
+    * first (they can embed '@' and digits), then emails, then digit
+    * runs. Patterns are restricted to syntax that behaves identically
+    * under Java regex (Spark) and RE2 (the DuckDB oracle), so the
+    * operator is judged value-exact cross-engine.
+    */
+  def redactPii(textCol: Column): Column = {
+    val noUrl = regexp_replace(textCol, "https?://[^ ]+", "<URL>")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\b\\d{7,}\\b", "<NUM>")
+  }
+
+  /** Benchmark decontamination (the GPT-3-style n-gram collision
+    * check): count, per training doc, the distinct `n`-gram shingles it
+    * shares with an evaluation set. A doc with n_shared > 0 is
+    * contaminated and should be dropped before training.
+    *
+    * Scale shape: eval sets are tiny by definition (benchmarks), so
+    * their distinct shingles BROADCAST; the training corpus streams
+    * through one equi-join + one hash agg — never an all-pairs
+    * comparison, never a shuffle of the eval side.
+    */
+  def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val trainGrams = Dedup.shingles(train, idCol, textCol, n)
+    val evalGrams = Dedup.shingles(evalSet, idCol, textCol, n)
+      .select(col("tok")).distinct()
+    trainGrams.join(broadcast(evalGrams), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+  }
+
   /** Deterministic 64-bit document fingerprint: polynomial rolling hash
     * over the token sequence (order-sensitive, unlike SimHash). Equal
     * fingerprints => identical token streams with overwhelming

@@ -223,6 +223,37 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** PII redaction, judged value-exact: the synthetic docs carry no
+    * PII, so the query splices a deterministic email + URL + long id
+    * into each text (same splice in the oracle) and redacts — all three
+    * patterns fire on every row.
+    */
+  val qRedactPii: QueryFn = withTables { spark =>
+    val spliced = spark.table("documents")
+      .withColumn("raw", concat(col("text"),
+        lit(" reach user"), col("doc_id"),
+        lit("@mail.example.com or https://ex"), col("doc_id"),
+        lit(".org/page ref 9876543210")))
+    spliced.select(col("doc_id"),
+        TextAnalysis.redactPii(col("raw")).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination, judged: every 10th doc plays the
+    * "benchmark" set (interleaved split — the corpus's near-dup pairs
+    * are id-adjacent, so a contiguous split would never cross one); a
+    * training doc sharing any 3-gram with the benchmark is
+    * contaminated. The eval side broadcasts; the oracle regenerates the
+    * same shingles with DuckDB list slicing.
+    */
+  val qDecontaminate: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+    TextAnalysis.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -251,6 +282,8 @@ object LlmOps {
     "q_resample_ffill" -> qResampleFfill,
     "q_resample_interp" -> qResampleInterp,
     "q_lang_id" -> qLangId,
+    "q_redact_pii" -> qRedactPii,
+    "q_decontaminate" -> qDecontaminate,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -421,6 +454,37 @@ object LlmOps {
                              ELSE pv + (nv - pv) * (sec - pt) / (nt - pt) END, 6) AS DOUBLE) AS value
       FROM f WHERE tag = 1
       ORDER BY user_id, grid_ts""",
+
+    // redaction chain order matches the Spark operator: URL, email,
+    // digit-run; 'g' = replace all occurrences (Spark's default).
+    "q_redact_pii" -> """
+      SELECT doc_id,
+             REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+               text || ' reach user' || doc_id || '@mail.example.com or https://ex' || doc_id || '.org/page ref 9876543210',
+               'https?://[^ ]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{7,}\b', '<NUM>', 'g') AS clean
+      FROM documents
+      ORDER BY doc_id""",
+
+    // 3-gram shingles via list slicing (same pattern as q_udtf_ngrams);
+    // shingles are DISTINCT per doc on both sides, so COUNT(*) after
+    // the gram join == COUNT(DISTINCT shared grams).
+    "q_decontaminate" -> """
+      WITH tg AS (
+        SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+              FROM documents WHERE doc_id % 10 <> 0) t,
+             UNNEST(RANGE(1, LEN(toks) - 1)) r(i)),
+      eg AS (
+        SELECT DISTINCT ARRAY_TO_STRING(toks[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+              FROM documents WHERE doc_id % 10 = 0) t,
+             UNNEST(RANGE(1, LEN(toks) - 1)) r(i))
+      SELECT tg.doc_id, COUNT(*) AS n_shared
+      FROM tg JOIN eg ON tg.g = eg.g
+      GROUP BY tg.doc_id
+      ORDER BY tg.doc_id""",
 
     "q_lang_id" -> """
       WITH s AS (

@@ -34,6 +34,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!cols.exists(_.startsWith("score_")))
   }
 
+  test("redactPii scrubs urls, emails, and long digit runs — in that order") {
+    import spark.implicits._
+    val df = Seq(
+      ("mail me at bob.smith+x@corp.example.org today",
+       "mail me at <EMAIL> today"),
+      ("see https://a.example.com/path?q=1 for details",
+       "see <URL> for details"),
+      ("card 4111111111111 expires 12 25",
+       "card <NUM> expires 12 25"), // short digit runs survive
+      ("go to http://e.com/u@x.com now", "go to <URL> now"), // url wins over email
+      ("clean text stays clean", "clean text stays clean"),
+    ).toDF("text", "expected")
+    val got = df.select(TextAnalysis.redactPii(col("text")).as("clean"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("contamination flags docs sharing n-grams with the eval set") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares 'the quick brown' + 'quick brown fox'
+      (2L, "completely unrelated training text"),
+      (3L, "fox jumps high over fences"),       // shares no 3-gram with eval
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(train, eval_, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L), s"got $out")
+  }
+
   test("regexTokenCount counts word + punctuation atoms, BPE-ish") {
     import spark.implicits._
     val df = Seq(
