@@ -47,14 +47,16 @@ object Dedup {
     * 2-4x slower at sf0.1.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
-    // guard: sequence(a, b) DESCENDS when b < a, so short docs need an
-    // explicit empty (they have no n-shingles and must vanish on explode)
-    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    df.select(col(idCol).as("doc_id"),
-        explode(transform(idxs,
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("tok"))
+    // gram generation via the native NGramsGenerator (direct UTF8String
+    // loop in the Generate operator) — measured ~2x the interpreted
+    // transform/slice/concat_ws HOF chain it replaces; short docs
+    // produce no rows by the generator's own bounds
+    val gen = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.NGramsGenerator(
+        org.apache.spark.sql.graft.Bridge.expression(
+          split(lower(col(textCol)), " ")), n))
+    df.select(col(idCol).as("doc_id"), gen.as(Seq("pos", "tok")))
+      .select("doc_id", "tok")
       .distinct()
   }
 
