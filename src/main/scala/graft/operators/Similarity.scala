@@ -116,6 +116,48 @@ object Similarity {
       .select("probe_id", "rank", "corpus_id", "cos")
   }
 
+  /** Two-stage quantized probe search: the corpus pass runs on int8
+    * codes (4x smaller than float32 — the column you'd actually store
+    * and scan at 100 TB), keeps an `oversample`-widened per-probe
+    * shortlist by approximate cosine, then re-ranks ONLY the shortlist
+    * with exact float cosine via an id-keyed join back to the float
+    * column. Same linear one-pass shape as probeSearch; the float
+    * vectors never ride the scan.
+    *
+    * Recall: scalar quantization perturbs cosine by ~1e-2, so any true
+    * top-k member displaced below rank k in the approximate order is
+    * recovered as long as it stays within rank k*oversample —
+    * SimilaritySpec pins recall on the judged corpus.
+    */
+  def probeSearchQuantized(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, oversample: Int = 4): DataFrame = {
+    val cq = corpus.select(col(idCol).as("corpus_id"),
+        VectorExpressions.quantize(col(vecCol)).as("cq"))
+      .repartition(parallelism(corpus))
+    val pq = probes.select(col(idCol).as("probe_id"),
+      VectorExpressions.quantize(col(vecCol)).as("pq"))
+    val wApprox = Window.partitionBy("probe_id")
+      .orderBy(col("acos").desc, col("corpus_id"))
+    val shortlist = cq.join(broadcast(pq), col("probe_id") =!= col("corpus_id"))
+      .withColumn("acos", VectorExpressions.cosineInt8(col("pq"), col("cq")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * oversample)
+      .select("probe_id", "corpus_id")
+    // exact re-rank: id-keyed joins fetch float vectors for the
+    // shortlist only (shortlist is k*oversample per probe — tiny)
+    val cf = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val pf = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val wExact = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("corpus_id"))
+    shortlist
+      .join(cf, "corpus_id")
+      .join(broadcast(pf), "probe_id")
+      .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "corpus_id", "cos")
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` from a fixed
     * seed, so signatures are stable across runs/executors.
     */

@@ -91,6 +91,45 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantized cosine tracks float cosine within 2e-2") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions
+    spark.conf.set("spark.sql.codegen.fallback", "false") // codegen must compile
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val pairs = emb.as("a").join(emb.as("b"),
+          col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 40)
+        .select(
+          VectorExpressions.cosine(col("a.embedding"), col("b.embedding")).as("c"),
+          VectorExpressions.cosineInt8(
+            VectorExpressions.quantize(col("a.embedding")),
+            VectorExpressions.quantize(col("b.embedding"))).as("cq"))
+      val maxErr = pairs.agg(max(abs(col("c") - col("cq")))).head().getDouble(0)
+      assert(maxErr < 0.02, s"quantization error $maxErr exceeds 2e-2")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("quantized probe search: exact top-k recovered by shortlist re-rank") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val probes = emb.filter(col("vec_id") < 10)
+    def key(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select("probe_id", "rank", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val exact = key(Similarity.probeSearch(emb, probes, "vec_id", "embedding", 5))
+    val quant = key(Similarity.probeSearchQuantized(
+      emb, probes, "vec_id", "embedding", 5, oversample = 4))
+    val hit = exact.toSet.intersect(quant.toSet).size.toDouble / exact.size
+    assert(hit >= 0.95,
+      s"quantized recall $hit < 0.95 (${exact.size} exact rows)")
+    // sanity: with oversample covering the whole corpus the result is
+    // EXACTLY the float top-k (re-rank is exact cosine)
+    val full = key(Similarity.probeSearchQuantized(
+      emb, probes, "vec_id", "embedding", 5,
+      oversample = emb.count().toInt / 5 + 1))
+    assert(full === exact, "full-oversample quantized search must equal exact")
+  }
+
   test("A9: approx_count_distinct within 5% of exact per event_type") {
     import org.apache.spark.sql.functions._
     val events = graft.tables.TableLoader.events(spark, sfDir)
