@@ -29,44 +29,58 @@ object IvfIndex {
     * local centroid table as (clusterId -> unit-normalized vector).
     * Init picks the k vectors with smallest xxhash64(id, seed) —
     * seeded, data-independent spread.
+    *
+    * Training runs on a bounded deterministic sample (the
+    * `maxTrainRows` smallest seeded hashes — a per-task k-heap via
+    * TakeOrderedAndProject, never a full sort), the standard IVF
+    * recipe: coarse codebooks need a representative sample, not the
+    * corpus, so training cost is CONSTANT in corpus size while
+    * assign/search stay full-corpus. The sample persists across Lloyd
+    * iterations — one parquet scan total instead of one per iteration.
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 5, seed: Long = 42L): Array[(Int, Array[Double])] = {
-    require(k >= 1 && iters >= 0)
-    val spark = emb.sparkSession
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      iters: Int = 5, seed: Long = 42L,
+      maxTrainRows: Int = 10000): Array[(Int, Array[Double])] = {
+    require(k >= 1 && iters >= 0 && maxTrainRows >= k)
+    val sample = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_h", xxhash64(col("id"), lit(seed)))
+      .orderBy("_h").limit(maxTrainRows)
+      .persist()
 
     def normalize(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0) a else a.map(_ / n)
     }
-    var centroids: Array[(Int, Array[Double])] = vecs
-      .withColumn("_h", xxhash64(col("id"), lit(seed)))
-      .orderBy("_h").limit(k)
-      .collect().zipWithIndex
-      .map { case (r, i) =>
-        i -> normalize(r.getSeq[Float](1).map(_.toDouble).toArray)
-      }
+    try {
+      // init = the k smallest hashes: the head of the SAME sample, so
+      // no separate job beyond the sample's own materialization
+      var centroids: Array[(Int, Array[Double])] = sample
+        .orderBy("_h").limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) =>
+          i -> normalize(r.getSeq[Float](1).map(_.toDouble).toArray)
+        }
 
-    for (_ <- 0 until iters) {
-      val assignUdf = assigner(centroids)
-      // per-cluster per-dimension means: posexplode keeps this a plain
-      // (cluster, dim) hash aggregation — no vectors collect
-      val means = vecs.withColumn("cl", assignUdf(col("v")))
-        .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cl", "dim").agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getInt(0))
-      centroids = centroids.map { case (cid, old) =>
-        means.get(cid) match {
-          case Some(rows) =>
-            val m = new Array[Double](old.length)
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-            cid -> normalize(m)
-          case None => cid -> old // empty cell keeps its centroid
+      for (_ <- 0 until iters) {
+        val assignUdf = assigner(centroids)
+        // per-cluster per-dimension means: posexplode keeps this a plain
+        // (cluster, dim) hash aggregation — no vectors collect
+        val means = sample.withColumn("cl", assignUdf(col("v")))
+          .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cl", "dim").agg(avg(col("x")).as("m"))
+          .collect().groupBy(_.getInt(0))
+        centroids = centroids.map { case (cid, old) =>
+          means.get(cid) match {
+            case Some(rows) =>
+              val m = new Array[Double](old.length)
+              rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+              cid -> normalize(m)
+            case None => cid -> old // empty cell keeps its centroid
+          }
         }
       }
-    }
-    centroids
+      centroids
+    } finally sample.unpersist()
   }
 
   /** Best-cluster UDF over broadcast centroids (cosine; ties to the
