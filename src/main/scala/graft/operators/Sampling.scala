@@ -46,6 +46,24 @@ object Sampling {
       (xxhash64(col(keyCol), lit(seed)) / lit(2.0 * Long.MaxValue) + lit(0.5)) < frac)
   }
 
+  /** Deterministic per-key cap: keep at most `k` rows per key group —
+    * the "at most k docs per domain" balancing rule of web-corpus
+    * pipelines. Rows are ranked by seeded hash of the id (a stable
+    * uniform shuffle within each key; id tie-breaks make rank total),
+    * so the SAME k rows survive on every run and retry. One shuffle on
+    * the key columns — identical shape to any per-key top-k.
+    */
+  def capPerKey(df: DataFrame, keyCols: Seq[String], idCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    df.withColumn("_cap_rk", row_number().over(w))
+      .filter(col("_cap_rk") <= k)
+      .drop("_cap_rk")
+  }
+
   /** Deterministic train/validation/test split: assigns each key to
     * exactly one split by hash range — splits are disjoint, exhaustive,
     * and stable across runs (the property random splits lose on rerun).

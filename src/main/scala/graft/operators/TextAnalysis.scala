@@ -102,6 +102,35 @@ object TextAnalysis {
       .drop(markers.keys.toSeq.sorted.map(l => s"score_$l"): _*)
   }
 
+  /** All n-gram OCCURRENCES (not distinct — repetition needs counts),
+    * via the native generator: (doc_id, pos, tok), zero shuffles.
+    */
+  def ngramOccurrences(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val gen = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.NGramsGenerator(
+        org.apache.spark.sql.graft.Bridge.expression(
+          split(lower(col(textCol)), " ")), n))
+    df.select(col(idCol).as("doc_id"), gen.as(Seq("pos", "tok")))
+  }
+
+  /** Within-doc repetition signal (the Gopher/RefinedWeb boilerplate
+    * rule): fraction of a doc's n-gram occurrences claimed by its most
+    * frequent n-gram. Near-0 for natural text, near-1 for template spam
+    * and decode loops. Two hash aggregations keyed by doc — no joins,
+    * no self-comparison; docs shorter than `n` tokens emit nothing.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    ngramOccurrences(df, idCol, textCol, n)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        round(max(col("c")) * lit(1.0) / sum(col("c")), 6).cast("double")
+          .as("top_ngram_frac"),
+        sum(col("c")).cast("bigint").as("n_ngrams"))
+
   /** PII redaction for training corpora: URLs, emails, and long digit
     * runs (ids, phone-ish numbers) replaced with typed placeholder
     * tokens. Pure codegen'd regexp_replace chain — order matters: URLs

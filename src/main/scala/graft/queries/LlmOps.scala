@@ -254,6 +254,28 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signal, judged: per-doc fraction of
+    * bigram occurrences claimed by the most frequent bigram.
+    */
+  val qRepetition: QueryFn = withTables { spark =>
+    TextAnalysis.repetitionScore(spark.table("documents"), "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Per-key sample cap, judged on the group COUNTS it leaves behind:
+    * capPerKey keeps a deterministic hash-ranked subset, and the only
+    * engine-portable invariant is its size — LEAST(k, group size) —
+    * which the oracle states directly. (Which rows survive depends on
+    * xxhash64, which DuckDB doesn't have; SamplingSpec pins row-level
+    * determinism.)
+    */
+  val qSampleCap: QueryFn = withTables { spark =>
+    graft.operators.Sampling.capPerKey(
+        spark.table("documents"), Seq("source"), "doc_id", k = 10)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -284,6 +306,8 @@ object LlmOps {
     "q_lang_id" -> qLangId,
     "q_redact_pii" -> qRedactPii,
     "q_decontaminate" -> qDecontaminate,
+    "q_repetition" -> qRepetition,
+    "q_sample_cap" -> qSampleCap,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -485,6 +509,27 @@ object LlmOps {
       FROM tg JOIN eg ON tg.g = eg.g
       GROUP BY tg.doc_id
       ORDER BY tg.doc_id""",
+
+    // bigram occurrences via list slicing; MAX/SUM per doc.
+    "q_repetition" -> """
+      WITH g AS (
+        SELECT doc_id, ARRAY_TO_STRING(toks[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+              FROM documents) t,
+             UNNEST(RANGE(1, LEN(toks))) r(i)),
+      c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+      SELECT doc_id,
+             CAST(ROUND(MAX(c) * 1.0 / SUM(c), 6) AS DOUBLE) AS top_ngram_frac,
+             CAST(SUM(c) AS BIGINT) AS n_ngrams
+      FROM c GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    // the size invariant of the per-key cap (see qSampleCap doc).
+    "q_sample_cap" -> """
+      SELECT source, LEAST(10, COUNT(*)) AS n_kept
+      FROM documents
+      GROUP BY source
+      ORDER BY source""",
 
     "q_lang_id" -> """
       WITH s AS (

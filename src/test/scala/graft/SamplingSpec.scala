@@ -40,6 +40,24 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(deFrac - 0.5) < 0.15, s"de realized fraction $deFrac")
   }
 
+  test("capPerKey keeps at most k per key, deterministically, from the input") {
+    val capped = Sampling.capPerKey(docs, Seq("source"), "doc_id", k = 7)
+    val perKey = capped.groupBy("source").count().collect()
+    assert(perKey.nonEmpty)
+    perKey.foreach(r => assert(r.getLong(1) <= 7, s"${r.getString(0)} over cap"))
+    // full-size groups are capped exactly at k
+    assert(perKey.forall(_.getLong(1) == 7),
+      "every source has >= 7 docs in the fixture, so all caps bind")
+    // deterministic: the SAME rows survive a rerun and a repartition
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.capPerKey(docs.repartition(13), Seq("source"), "doc_id", k = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids, "cap must be stable across runs and partitionings")
+    // survivors are input rows (no fabrication)
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+  }
+
   test("train/valid/test split is disjoint, exhaustive, and stable") {
     val split = Sampling.split(docs, "doc_id",
       Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))

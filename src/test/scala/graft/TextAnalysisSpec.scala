@@ -64,6 +64,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out === Map(1L -> 2L), s"got $out")
   }
 
+  test("repetitionScore flags template spam, not natural text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now"),  // bigram 'buy now' dominates
+      (2L, "the quick brown fox jumps over fences"),
+      (3L, "solo"),                             // < 2 tokens => no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!out.contains(3L), "sub-n docs emit nothing")
+    // doc 1: 7 bigrams, 'buy now' x4 => 4/7
+    assert(math.abs(out(1L)._1 - 4.0 / 7) < 1e-6 && out(1L)._2 === 7L)
+    // doc 2: 6 distinct bigrams => top fraction 1/6
+    assert(math.abs(out(2L)._1 - 1.0 / 6) < 1e-6)
+    assert(out(1L)._1 > 3 * out(2L)._1, "spam scores far above natural text")
+  }
+
   test("regexTokenCount counts word + punctuation atoms, BPE-ish") {
     import spark.implicits._
     val df = Seq(
