@@ -302,6 +302,21 @@ object Core {
       WHERE t.n_orders >= 15
       ORDER BY t.o_custkey""",
 
+    // Q4: RECURSIVE CTE (Spark 4's UnionLoop): a recursive bucket
+    // spine drives a price histogram via theta join — LEFT JOIN keeps
+    // empty buckets, so the recursion's full output is observable.
+    "q_recursive_cte" -> """
+      WITH RECURSIVE spine(b) AS (
+        SELECT 0
+        UNION ALL
+        SELECT b + 50000 FROM spine WHERE b < 450000
+      )
+      SELECT b AS bucket_lo, COUNT(o_orderkey) AS n_orders
+      FROM spine LEFT JOIN orders
+        ON o_totalprice >= b AND o_totalprice < b + 50000
+      GROUP BY b
+      ORDER BY b""",
+
     // Q2: scalar subquery, decorrelated by Catalyst. Threshold computed
     // in decimal then rounded so both engines compare the same constant.
     "q_subquery_scalar" -> """
