@@ -16,7 +16,17 @@ object Bench {
     // costs — without this they all land on the alphabetically-first
     // query (~6 s of noise in r01/r02 profiles).
     try {
-      SparkEntry.entry(spark).count() // sf0.001 flagship: warms codegen paths
+      SparkEntry.entry(spark).count() // sf0.001 flagship: warms relational paths
+      // text + vector kernel warmup at sf0.001: tokenize/sketch/band/
+      // array_intersect and the cosine expression JIT here instead of
+      // inside whichever text query sorts first
+      import org.apache.spark.sql.functions.col
+      val d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      graft.operators.Dedup.minHashLshNearDup(d0, "doc_id", "text", 0.95, 8, 3).count()
+      graft.operators.Dedup.nearJaccardPrefix(d0, "doc_id", "text", 0.95).count()
+      val e0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      graft.operators.Similarity.probeSearch(
+        e0, e0.filter(col("vec_id") < 3), "vec_id", "embedding", 3).count()
       // LAST: leave the judged sfDir's views registered for the loop
       graft.queries.QueryDefs.ensureTables(spark, sfDir)
       spark.table("lineitem").limit(1000).groupBy("l_returnflag").count().count()

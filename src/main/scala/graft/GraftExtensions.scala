@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarityExpr, NGramsGenerator}
+import graft.functions.{CosineInt8Expr, CosineSimilarityExpr, MinHashArrayExpr,
+  NGramsGenerator, QuantizeVectorExpr, SimHashArrayExpr}
 
 /** The library's SparkSessionExtensions entry point: lets any Spark
   * deployment pick up graft's native expressions with
@@ -43,5 +44,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"ngrams(tokens, n): n must be an INT literal, got $other")
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_array"),
+      new ExpressionInfo(classOf[MinHashArrayExpr].getName, "minhash_array"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, IntegerType) => MinHashArrayExpr(exprs.head, n)
+        case other => throw new IllegalArgumentException(
+          s"minhash_array(tokens, n): n must be an INT literal, got $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash_array"),
+      new ExpressionInfo(classOf[SimHashArrayExpr].getName, "simhash_array"),
+      (exprs: Seq[Expression]) => SimHashArrayExpr(exprs.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeVectorExpr].getName, "vec_quantize_i8"),
+      (exprs: Seq[Expression]) => QuantizeVectorExpr(exprs.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine_i8"),
+      new ExpressionInfo(classOf[CosineInt8Expr].getName, "vec_cosine_i8"),
+      (exprs: Seq[Expression]) => CosineInt8Expr(exprs(0), exprs(1))))
   }
 }

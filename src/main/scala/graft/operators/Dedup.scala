@@ -129,17 +129,24 @@ object Dedup {
     val sized = ranked.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefix = sized.filter(
       col("rnk") <= floor((lit(1.0) - lit(minJaccard)) * col("n")) + 1)
+    // size pruning rides the candidate join condition (J <= min/max
+    // set size), exactly as in the LSH path
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n"), col("b.n")) >=
+             greatest(col("a.n"), col("b.n")) * lit(minJaccard))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.n").as("ni"), col("b.n").as("nj"))
       .distinct()
+    // verification: per-row token arrays + codegen'd array_intersect —
+    // two id-keyed joins and a map-side kernel, no token-granularity
+    // join, no re-aggregation shuffle (same kernel as minHashLshNearDup)
+    val docToks = tokenArrays(df, idCol, textCol)
     cands
-      .join(toks.as("ta"), col("i") === col("ta.doc_id"))
-      .join(toks.as("tb"),
-        col("j") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy("i", "j", "ni", "nj").agg(count(lit(1)).as("c"))
+      .join(docToks.as("ta"), col("i") === col("ta.doc_id"))
+      .join(docToks.as("tb"), col("j") === col("tb.doc_id"))
+      .withColumn("c", size(array_intersect(col("ta.toks"), col("tb.toks"))))
       .withColumn("jaccard",
         col("c") * lit(1.0) / (col("ni") + col("nj") - col("c")))
       .filter(col("jaccard") >= minJaccard)

@@ -40,6 +40,21 @@ class GraftExtensionsSpec extends SparkTestBase {
           |""".stripMargin).collect().map(r => (r.getLong(0), r.getString(1)))
       assert(grams.toSeq === Seq((1L, "a b"), (2L, "b c")))
 
+      // round-3 injected functions: sketches + int8 vector kernels
+      val mh = s2.sql(
+        """SELECT minhash_array(split('a b a', ' '), 4) AS s,
+          |       simhash_array(split('a b a', ' ')) AS h""".stripMargin).head()
+      assert(mh.getSeq[Long](0).length === 4)
+      val mhAgain = s2.sql(
+        "SELECT minhash_array(split('a b a', ' '), 4) AS s").head().getSeq[Long](0)
+      assert(mh.getSeq[Long](0) === mhAgain, "seeded sketches are stable")
+
+      val qcos = s2.sql(
+        """SELECT vec_cosine_i8(vec_quantize_i8(v), vec_quantize_i8(v)) AS c
+          |FROM (SELECT array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)) AS v)
+          |""".stripMargin).head().getDouble(0)
+      assert(math.abs(qcos - 1.0) < 1e-9, s"self int8 cosine was $qcos")
+
       // injected optimizer rule: self-cosine strength-reduces, and the
       // rewrite is value-exact incl. the zero-vector NaN case
       // non-foldable input: literal arrays would be constant-folded
