@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval joins at scale.
+  *
+  * Spark plans a raw `p >= lo AND p < hi` join as
+  * BroadcastNestedLoopJoin (every point against every interval) — fine
+  * when one side broadcasts, quadratic death when both sides are big.
+  * Binning turns it into an EQUI-join: intervals explode to the bins
+  * they span, points map to their one bin, and the bin key hash-joins.
+  * Each matching (point, interval) pair collides in exactly the
+  * point's bin, so the exact range filter after the join removes only
+  * false candidates and no dedup is ever needed.
+  *
+  * Cost model: interval fan-out = span/binWidth + 1 rows per interval.
+  * Pick binWidth near the typical interval span so fan-out is O(1);
+  * the join is then one shuffle of points + exploded intervals on the
+  * bin key — the shape that survives two big sides.
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval with lo <= point < hi (half-open),
+    * via equi-join on bins of `binWidth`. Both inputs keep all their
+    * columns; the bin key is internal.
+    */
+  def binned(points: DataFrame, intervals: DataFrame, pointCol: String,
+      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val i = intervals.withColumn("_bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(i, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
+}

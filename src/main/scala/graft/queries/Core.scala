@@ -509,6 +509,26 @@ object Core {
       Map("fcust" -> cust, "fnat" -> nat))
   }
 
+  /** J7 at two-big-sides scale: the binned range join. 150 overlapping
+    * price bands (width 7500, stride 3000 — each order matches ~2-3)
+    * equi-join orders on 5000-wide bins instead of nested-looping; the
+    * oracle states the same range predicate directly. PlanSpec pins
+    * that no nested-loop join appears.
+    */
+  val qJoinRangeBinned: QueryFn = withTables { spark =>
+    val intervals = spark.range(0, 150).select(
+      col("id").as("band_id"),
+      (col("id") * 3000.0).as("lo"),
+      (col("id") * 3000.0 + 7500.0).as("hi"))
+    graft.operators.RangeJoin.binned(
+        spark.table("orders"), intervals, "o_totalprice", "lo", "hi", 5000L)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
+      .orderBy("band_id")
+  }
+
   /** All §2.2–§2.7 judged queries. */
   val queries: Map[String, QueryFn] =
     (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
@@ -516,10 +536,21 @@ object Core {
       "q_topk_pergroup" -> qTopkPergroup,
       "q_topk_custom" -> qTopkCustom,
       "q_sql_facade" -> qSqlFacade,
+      "q_join_range_binned" -> qJoinRangeBinned,
     )
 
   /** All §2.2–§2.7 oracle SQL. */
   val oracles: Map[String, String] = sqlTexts ++ oracleOverrides ++ Map(
+    // the binned equi-join's semantics stated as the raw range
+    // predicate over a generated band table
+    "q_join_range_binned" -> """
+      SELECT n AS band_id, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      FROM orders, UNNEST(RANGE(0, 150)) r(n)
+      WHERE o_totalprice >= n * 3000.0 AND o_totalprice < n * 3000.0 + 7500.0
+      GROUP BY n
+      ORDER BY band_id""",
+
     // same query over the canonical table names
     "q_sql_facade" -> """
       SELECT n.n_name, seg.bucket, COUNT(*) AS n_cust

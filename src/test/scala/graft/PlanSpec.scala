@@ -72,6 +72,12 @@ class PlanSpec extends SparkTestBase {
       s"LSH path must stay equi-join shaped:\n$p")
   }
 
+  test("judged binned range join contains no nested-loop join") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join must stay equi-join shaped:\n$p")
+  }
+
   test("MinHash signature and SimHash stages plan ZERO exchanges") {
     // tokenization, per-doc dedup, and sketching are per-row functions,
     // so the signature stage must be a narrow projection — any Exchange
