@@ -20,10 +20,15 @@ object Graft {
   def sql(spark: SparkSession, query: String,
       tables: Map[String, DataFrame] = Map.empty,
       replace: Boolean = true): DataFrame = {
-    tables.foreach { case (name, df) =>
-      if (replace) df.createOrReplaceTempView(name)
-      else df.createTempView(name) // throws if the name exists
+    if (!replace) {
+      // validate ALL names before registering ANY: failing halfway
+      // would leave earlier views registered despite the throw
+      val taken = tables.keys.filter(spark.catalog.tableExists).toSeq.sorted
+      require(taken.isEmpty,
+        s"temp view(s) already exist: ${taken.mkString(", ")} " +
+          "(pass replace = true to shadow)")
     }
+    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     spark.sql(query)
   }
 

@@ -45,28 +45,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"ngrams(tokens, n): n must be an INT literal, got $other")
       }))
 
+    // arity is checked explicitly: builders receive whatever argument
+    // list the user wrote, and silently ignoring extras (or throwing a
+    // raw IndexOutOfBounds on too few) hides caller mistakes
+    def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+
     ext.injectFunction((
       FunctionIdentifier("minhash_array"),
       new ExpressionInfo(classOf[MinHashArrayExpr].getName, "minhash_array"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case Literal(n: Int, IntegerType) => MinHashArrayExpr(exprs.head, n)
-        case other => throw new IllegalArgumentException(
-          s"minhash_array(tokens, n): n must be an INT literal, got $other")
+      (exprs: Seq[Expression]) => {
+        arity("minhash_array(tokens, n)", 2, exprs)
+        exprs(1) match {
+          case Literal(n: Int, IntegerType) => MinHashArrayExpr(exprs.head, n)
+          case other => throw new IllegalArgumentException(
+            s"minhash_array(tokens, n): n must be an INT literal, got $other")
+        }
       }))
 
     ext.injectFunction((
       FunctionIdentifier("simhash_array"),
       new ExpressionInfo(classOf[SimHashArrayExpr].getName, "simhash_array"),
-      (exprs: Seq[Expression]) => SimHashArrayExpr(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("simhash_array(tokens)", 1, exprs)
+        SimHashArrayExpr(exprs.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("vec_quantize_i8"),
       new ExpressionInfo(classOf[QuantizeVectorExpr].getName, "vec_quantize_i8"),
-      (exprs: Seq[Expression]) => QuantizeVectorExpr(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("vec_quantize_i8(vec)", 1, exprs)
+        QuantizeVectorExpr(exprs.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("vec_cosine_i8"),
       new ExpressionInfo(classOf[CosineInt8Expr].getName, "vec_cosine_i8"),
-      (exprs: Seq[Expression]) => CosineInt8Expr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity("vec_cosine_i8(a, b)", 2, exprs)
+        CosineInt8Expr(exprs(0), exprs(1))
+      }))
   }
 }

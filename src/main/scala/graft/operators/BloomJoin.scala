@@ -42,6 +42,27 @@ object BloomJoin {
     }
   }
 
+  /** The build and probe key columns must agree on type FAMILY
+    * (integral vs string): the bloom filter was populated with one
+    * representation, and probing it with the other representation
+    * always misses — the probe dispatch alone can't see that, so the
+    * join would silently empty where the plain equi-join (with Spark's
+    * implicit cast) would match.
+    */
+  private def requireCompatibleKeys(big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String): Unit = {
+    def family(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case StringType => "string"
+      case other => other.typeName
+    }
+    val bf = family(big.schema(bigKey).dataType)
+    val sf = family(small.schema(smallKey).dataType)
+    require(bf == sf,
+      s"BloomJoin keys must share a type family: big.$bigKey is $bf, " +
+        s"small.$smallKey is $sf — a cross-family bloom probe always misses")
+  }
+
   /** `big` semi-joined/inner-joined to `small` on big.bigKey ==
     * small.smallKey, with a Bloom pre-filter on the big side.
     * `expectedItems`/`fpp` size the filter (bits ≈ -n·ln(fpp)/ln²2 —
@@ -50,6 +71,7 @@ object BloomJoin {
   def inner(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    requireCompatibleKeys(big, bigKey, small, smallKey)
     val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     big.filter(mightContainCol(big, bigKey, bloom))
       .join(small, col(bigKey) === col(smallKey))
@@ -61,6 +83,7 @@ object BloomJoin {
   def probeFilter(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    requireCompatibleKeys(big, bigKey, small, smallKey)
     val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     big.filter(mightContainCol(big, bigKey, bloom))
   }

@@ -34,31 +34,23 @@ object Dedup {
   /** Distinct (doc, shingle) pairs: `n`-token shingles (word n-grams)
     * joined with single spaces. Shingling makes Jaccard order-aware —
     * two docs with the same vocabulary but different phrasing stop
-    * looking like near-dups (the unigram failure mode). Built from a
-    * transform over the token array: one pass, no self-join.
+    * looking like near-dups (the unigram failure mode). One shared
+    * generator definition (TextAnalysis.ngramOccurrences) feeds both
+    * this and the repetition/contamination operators, so the shingle
+    * vocabulary cannot drift between them.
     *
     * Deliberately explode + global DISTINCT rather than a per-row
-    * `array_distinct` (the tokenArrays treatment): the shingle chain is
-    * an interpreted HOF (transform/slice/concat_ws — no codegen), and
-    * every consumer joins shingles against themselves or aggregates
-    * them twice. The DISTINCT's exchange is what lets Catalyst REUSE
-    * the computed shingle set across those branches (ReusedExchange);
-    * removing it re-evaluates the HOF chain per branch and measured
-    * 2-4x slower at sf0.1.
+    * `array_distinct` (the tokenArrays treatment): every consumer joins
+    * shingles against themselves or aggregates them twice, and the
+    * DISTINCT's exchange is what lets Catalyst REUSE the computed
+    * shingle set across those branches (ReusedExchange); removing it
+    * re-evaluates the generation per branch and measured 2-4x slower
+    * at sf0.1.
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // gram generation via the native NGramsGenerator (direct UTF8String
-    // loop in the Generate operator) — measured ~2x the interpreted
-    // transform/slice/concat_ws HOF chain it replaces; short docs
-    // produce no rows by the generator's own bounds
-    val gen = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.NGramsGenerator(
-        org.apache.spark.sql.graft.Bridge.expression(
-          split(lower(col(textCol)), " ")), n))
-    df.select(col(idCol).as("doc_id"), gen.as(Seq("pos", "tok")))
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    TextAnalysis.ngramOccurrences(df, idCol, textCol, n)
       .select("doc_id", "tok")
       .distinct()
-  }
 
   /** Exact n-gram (shingle) Jaccard near-dup: nearJaccard's math over
     * shingle sets. Same prefix-filter idea applies at scale; at judged
@@ -129,20 +121,35 @@ object Dedup {
     val sized = ranked.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefix = sized.filter(
       col("rnk") <= floor((lit(1.0) - lit(minJaccard)) * col("n")) + 1)
-    // size pruning rides the candidate join condition (J <= min/max
-    // set size), exactly as in the LSH path
+    // size pruning rides the candidate join condition (sizeRatioOk),
+    // exactly as in the LSH path
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.n"), col("b.n")) >=
-             greatest(col("a.n"), col("b.n")) * lit(minJaccard))
+          && sizeRatioOk(col("a.n"), col("b.n"), minJaccard))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.n").as("ni"), col("b.n").as("nj"))
       .distinct()
-    // verification: per-row token arrays + codegen'd array_intersect —
-    // two id-keyed joins and a map-side kernel, no token-granularity
-    // join, no re-aggregation shuffle (same kernel as minHashLshNearDup)
-    val docToks = tokenArrays(df, idCol, textCol)
+    verifyJaccard(cands, tokenArrays(df, idCol, textCol), minJaccard)
+  }
+
+  /** The necessary size condition for J(A,B) >= tau — J <= min/max set
+    * size — as a join/filter predicate over size columns. Riding the
+    * CANDIDATE JOIN CONDITION, it drops non-qualifying pairs as the
+    * hash join probes, before any downstream shuffle sees them.
+    */
+  private def sizeRatioOk(na: Column, nb: Column, tau: Double): Column =
+    least(na, nb) >= greatest(na, nb) * lit(tau)
+
+  /** Exact Jaccard verification of candidate pairs (i, j, ni, nj):
+    * equi-join each side to its per-row token array and count the
+    * intersection with a codegen'd `array_intersect` — two id-keyed
+    * joins and a map-side kernel, no token-granularity join, no
+    * re-aggregation shuffle. Shared by the prefix-filter and LSH paths
+    * so the verify math has exactly one definition.
+    */
+  private def verifyJaccard(cands: DataFrame, docToks: DataFrame,
+      minJaccard: Double): DataFrame =
     cands
       .join(docToks.as("ta"), col("i") === col("ta.doc_id"))
       .join(docToks.as("tb"), col("j") === col("tb.doc_id"))
@@ -151,7 +158,6 @@ object Dedup {
         col("c") * lit(1.0) / (col("ni") + col("nj") - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select("i", "j", "jaccard")
-  }
 
   /** Each doc's distinct-token set as a per-row array: tokenization and
     * per-doc dedup are functions of the row alone, so this is a narrow
@@ -165,14 +171,6 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         array_distinct(split(lower(col(textCol)), " ")).as("toks"))
 
-  /** MinHash signature column: `nHashes` permutations approximated by
-    * seeded xxhash64(tok, seed_i); signature element i = min hash under
-    * seed i. Deterministic (xxhash64 is a fixed function of input+seed).
-    *
-    * Also emits `n` = the doc's distinct-token count — it rides the
-    * same projected token array for free; callers needing |A|,|B| for
-    * Jaccard must not re-tokenize the corpus to get it.
-    */
   /** (doc_id, _sig: array<bigint>, n): the sketch kept as ONE array
     * column. ONE native scalar expression computes the whole sketch per
     * row (functions/MinHashAgg.scala MinHashArrayExpr: double hashing
@@ -192,6 +190,13 @@ object Dedup {
       size(col("toks")).cast("long").as("n"))
   }
 
+  /** MinHash signature columns h0..h{n-1}: `nHashes` permutations
+    * approximated by seeded xxhash64(tok, seed_i); signature element i
+    * = min hash under seed i. Deterministic. Also emits `n` = the doc's
+    * distinct-token count — it rides the same projected token array for
+    * free; callers needing |A|,|B| for Jaccard must not re-tokenize the
+    * corpus to get it.
+    */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       nHashes: Int): DataFrame =
     // flat h0..h{n-1} view of the sketch for external consumers
@@ -234,8 +239,7 @@ object Dedup {
     // shuffle ever sees them (5x fewer candidate rows on the judged
     // corpus than banding alone).
     val sizeOk = sizeRatio.map(tau =>
-      least(col("a.n"), col("b.n")) >=
-        greatest(col("a.n"), col("b.n")) * lit(tau)).getOrElse(lit(true))
+      sizeRatioOk(col("a.n"), col("b.n"), tau)).getOrElse(lit(true))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -271,15 +275,7 @@ object Dedup {
       minJaccard: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val cands = lshCandidatesWithSizes(df, idCol, textCol, bands, rowsPerBand,
       sizeRatio = Some(minJaccard))
-    val docToks = tokenArrays(df, idCol, textCol)
-    cands
-      .join(docToks.as("ta"), col("i") === col("ta.doc_id"))
-      .join(docToks.as("tb"), col("j") === col("tb.doc_id"))
-      .withColumn("c", size(array_intersect(col("ta.toks"), col("tb.toks"))))
-      .withColumn("jaccard",
-        col("c") * lit(1.0) / (col("ni") + col("nj") - col("c")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("i", "j", "jaccard")
+    verifyJaccard(cands, tokenArrays(df, idCol, textCol), minJaccard)
   }
 
   /** 64-bit SimHash of the token multiset: each token occurrence votes

@@ -124,7 +124,7 @@ object IvfIndex {
       nprobe: Int, topK: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
       .withColumn("cluster", explode(prober(centroids, nprobe)(col("pv"))))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("corpus_id"))
+    val w = Window.partitionBy("probe_id").orderBy(Similarity.rankSafe(col("cos")).desc, col("corpus_id"))
     broadcast(p).join(assigned, Seq("cluster"))
       .filter(col("probe_id") =!= col("corpus_id"))
       .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))

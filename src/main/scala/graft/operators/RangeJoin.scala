@@ -28,14 +28,17 @@ object RangeJoin {
   def binned(points: DataFrame, intervals: DataFrame, pointCol: String,
       loCol: String, hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("_bin",
+    // collision-free internal key: never clobber a caller's column
+    val bin = Iterator.from(0).map(i => s"_bin$i")
+      .find(n => !points.columns.contains(n) && !intervals.columns.contains(n)).get
+    val p = points.withColumn(bin,
       floor(col(pointCol) / binWidth).cast("long"))
-    val i = intervals.withColumn("_bin",
+    val i = intervals.withColumn(bin,
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))
-    p.join(i, Seq("_bin"))
+    p.join(i, Seq(bin))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("_bin")
+      .drop(bin)
   }
 }

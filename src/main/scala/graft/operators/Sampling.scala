@@ -59,9 +59,12 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
-    df.withColumn("_cap_rk", row_number().over(w))
-      .filter(col("_cap_rk") <= k)
-      .drop("_cap_rk")
+    // collision-free internal rank column
+    val rk = Iterator.from(0).map(i => s"_cap_rk$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(rk)
   }
 
   /** Deterministic train/validation/test split: assigns each key to

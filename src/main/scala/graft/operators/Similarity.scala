@@ -31,6 +31,15 @@ object Similarity {
   private def parallelism(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism
 
+  /** NaN-safe descending similarity sort key: a zero/empty vector's
+    * cosine is NaN, and Spark orders NaN ABOVE every real double — one
+    * zero embedding would otherwise outrank every true neighbor in all
+    * top-k windows. Mapping NaN below the cosine range (-2) ranks such
+    * rows last while leaving NaN-free data's order bit-identical.
+    */
+  private[operators] def rankSafe(c: org.apache.spark.sql.Column) =
+    nanvl(c, lit(-2.0))
+
   /** Session conf key bounding the exact all-pairs paths (rows). */
   val MaxExactRowsKey = "graft.similarity.maxExactRows"
   val MaxExactRowsDefault = 100000L
@@ -39,8 +48,11 @@ object Similarity {
     * side and compare every pair, which is a bounded-scope tool, not a
     * corpus-scale one — unbounded, the broadcast no longer fits and the
     * pair count explodes quadratically long before 100 TB. The guard
-    * counts at most maxRows+1 input rows (limit short-circuits the
-    * scan) and names the scale paths in the error. Raise
+    * counts at most maxRows+1 input rows and names the scale paths in
+    * the error. The limit short-circuits plain scans; inputs behind
+    * expensive joins/aggregations DO execute once for the guard and
+    * again for the search — persist such inputs first (bounded-scope
+    * inputs are small by this guard's own contract). Raise
     * `graft.similarity.maxExactRows` to opt a larger bounded scope in.
     */
   private def requireBounded(emb: DataFrame, op: String): Unit = {
@@ -78,7 +90,7 @@ object Similarity {
     */
   def topKPairs(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     cosinePairs(emb, idCol, vecCol)
-      .orderBy(col("cos").desc, col("id1"), col("id2"))
+      .orderBy(rankSafe(col("cos")).desc, col("id1"), col("id2"))
       .limit(k)
 
   /** k nearest neighbors per vector (directed pairs, self excluded).
@@ -90,7 +102,7 @@ object Similarity {
     val a = emb.select(col(idCol).as("id1"), col(vecCol).as("v1"))
       .repartition(parallelism(emb))
     val b = emb.select(col(idCol).as("id2"), col(vecCol).as("v2"))
-    val w = Window.partitionBy("id1").orderBy(col("cos").desc, col("id2"))
+    val w = Window.partitionBy("id1").orderBy(rankSafe(col("cos")).desc, col("id2"))
     a.join(broadcast(b), col("id1") =!= col("id2"))
       .withColumn("cos", VectorExpressions.cosine(col("v1"), col("v2")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
@@ -108,7 +120,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
       .repartition(parallelism(corpus))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("corpus_id"))
+    val w = Window.partitionBy("probe_id").orderBy(rankSafe(col("cos")).desc, col("corpus_id"))
     c.join(broadcast(p), col("probe_id") =!= col("corpus_id"))
       .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
@@ -137,7 +149,7 @@ object Similarity {
     val pq = probes.select(col(idCol).as("probe_id"),
       VectorExpressions.quantize(col(vecCol)).as("pq"))
     val wApprox = Window.partitionBy("probe_id")
-      .orderBy(col("acos").desc, col("corpus_id"))
+      .orderBy(rankSafe(col("acos")).desc, col("corpus_id"))
     val shortlist = cq.join(broadcast(pq), col("probe_id") =!= col("corpus_id"))
       .withColumn("acos", VectorExpressions.cosineInt8(col("pq"), col("cq")))
       .withColumn("arank", row_number().over(wApprox))
@@ -148,7 +160,7 @@ object Similarity {
     val cf = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val pf = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val wExact = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("corpus_id"))
+      .orderBy(rankSafe(col("cos")).desc, col("corpus_id"))
     shortlist
       .join(cf, "corpus_id")
       .join(broadcast(pf), "probe_id")

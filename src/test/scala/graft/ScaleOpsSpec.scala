@@ -92,14 +92,21 @@ class ScaleOpsSpec extends SparkTestBase {
         orders.withColumnRenamed("o_orderpriority", "prio"), prio,
         "prio", "o_orderpriority", 100L, 0.01).count()
     assert(bloomed === plain, "string-keyed Bloom join is exact")
-    // unsupported probe dtype is an error, not an empty result
-    // (bloom builds from the supported long key; the timestamp probe
-    // column is what must fail loudly)
+    // unsupported probe dtype is an error, not an empty result: the
+    // timestamp/long pair fails the family check before any UDF runs
     val e = intercept[IllegalArgumentException] {
       BloomJoin.probeFilter(orders, orders.limit(10),
         "o_orderdate", "o_custkey", 100L, 0.01).count()
     }
-    assert(e.getMessage.contains("unsupported"))
+    assert(e.getMessage.contains("type family"))
+    // CROSS-family keys (long probe vs string build) would silently
+    // empty the join — the bloom was populated with strings and a long
+    // probe always misses — so they must fail loudly too
+    val e2 = intercept[IllegalArgumentException] {
+      BloomJoin.inner(orders, prio, "o_custkey", "o_orderpriority",
+        100L, 0.01).count()
+    }
+    assert(e2.getMessage.contains("type family"))
   }
 
   test("A6 scale path: approx percentile within 5% rank error of exact") {

@@ -130,6 +130,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === exact, "full-oversample quantized search must equal exact")
   }
 
+  test("a zero vector ranks LAST, not first, in every top-k path") {
+    // cosine(0-vec, x) is NaN, and Spark sorts NaN above all doubles —
+    // without the rankSafe key a single zero embedding would be the
+    // rank-1 "neighbor" of every probe.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val dim = base.head().getSeq[Float](1).length
+    val corpus = base.union(
+      Seq((9999L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val probes = base.filter(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+        "probeSearch" -> Similarity.probeSearch(corpus, probes, "vec_id", "embedding", 5),
+        "probeSearchQuantized" -> Similarity.probeSearchQuantized(
+          corpus, probes, "vec_id", "embedding", 5, oversample = 4),
+        "knn" -> Similarity.knn(corpus, "vec_id", "embedding", 5))) {
+      val ids = df.collect().map(r => r.getLong(2)).toSet
+      assert(!ids.contains(9999L), s"$name surfaced the zero vector in top-5")
+    }
+  }
+
   test("A9: approx_count_distinct within 5% of exact per event_type") {
     import org.apache.spark.sql.functions._
     val events = graft.tables.TableLoader.events(spark, sfDir)
