@@ -62,6 +62,59 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for BMP payloads: the BMP container is a fixed
+    * little-endian header (magic 'BM'; BITMAPINFOHEADER width/height at
+    * byte offsets 18/22), so decoding needs byte arithmetic only — no
+    * codec library. This proves the decoder SLOT carries real decoders,
+    * not just the stub: formats whose decode genuinely needs a codec
+    * (jpeg/mp3/mp4) plug into the same `MediaDecoder` contract.
+    * Malformed payloads fail loudly (a media pipeline must surface
+    * corrupt inputs, not fabricate features for them).
+    */
+  class BmpDecoder extends MediaDecoder {
+    override def decode(uri: String, bytes: Array[Byte],
+        meta: Map[String, String]): MediaFeatures = {
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        s"not a BMP payload: $uri (${bytes.length} bytes)")
+      def le32(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+          ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      MediaFeatures(width = le32(18), height = le32(22), format = "bmp",
+        n_bytes = bytes.length.toLong, checksum = h)
+    }
+  }
+
+  /** Valid 24-bit BMP payloads built per row (deterministic pixels from
+    * the id): real bytes for the real decoder, generated in-plan so no
+    * binary fixture files are needed.
+    */
+  def withSyntheticBmp(df: DataFrame, idCol: String,
+      w: Int = 4, h: Int = 4): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val rowSize = (3 * w + 3) / 4 * 4 // pixel rows pad to 4 bytes
+      val dataSize = rowSize * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54) // reserved, pixel-data offset
+      b.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+        .putShort(1).putShort(24)      // planes, bpp
+        .putInt(0).putInt(dataSize)    // no compression
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var i = 0
+      while (i < dataSize) { b.put((31 * id + i).toByte); i += 1 }
+      b.array()
+    }
+    df.withColumn("media", struct(
+      concat(lit("mem://doc/"), col(idCol), lit(".bmp")).as("uri"),
+      mk(col(idCol).cast("long")).as("bytes"),
+      map(lit("format"), lit("bmp"),
+        lit("origin"), lit("synthetic")).as("meta")))
+  }
+
   /** Attach a synthetic media struct derived from an id column —
     * fixture builder (no binary testdata exists); deterministic bytes
     * from the id so tests can assert exact checksums.

@@ -45,6 +45,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(!feats.columns.contains("bytes"))
   }
 
+  test("BmpDecoder REALLY decodes: header width/height recovered, corrupt fails") {
+    import spark.implicits._
+    val bmps = Multimodal.withSyntheticBmp(
+      (0L until 12L).toDF("doc_id"), "doc_id", w = 7, h = 5)
+    val feats = Multimodal.extractFeatures(
+        bmps.repartition(3), "doc_id", "media", new Multimodal.BmpDecoder)
+      .collect()
+    assert(feats.length === 12)
+    feats.foreach { r =>
+      assert(r.getInt(1) === 7 && r.getInt(2) === 5,
+        s"decoded dims ${r.getInt(1)}x${r.getInt(2)} != written 7x5")
+      assert(r.getString(3) === "bmp")
+    }
+    // corrupt payload (not a BMP) must fail loudly, not yield features
+    val bad = Multimodal.withSyntheticMedia((0L until 2L).toDF("doc_id"), "doc_id")
+    val e = intercept[Exception] {
+      Multimodal.extractFeatures(bad, "doc_id", "media",
+        new Multimodal.BmpDecoder).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("resize shrinks the payload, stamps meta, keeps the struct shape") {
     val resized = Multimodal.resize(mediaDf, "media", 224, 224)
     assert(resized.schema("media").dataType === mediaDf.schema("media").dataType)

@@ -146,6 +146,47 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("binned range join == naive theta join for arbitrary intervals") {
+    import spark.implicits._
+    val pointsGen = Gen.choose(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 99L), Gen.choose(-50.0, 150.0))))
+    val intervalsGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(100L, 199L),
+        Gen.zip(Gen.choose(-60.0, 140.0), Gen.choose(0.0, 80.0)))))
+    check("range-join-binned")(Prop.forAll(
+        pointsGen, intervalsGen, Gen.oneOf(1L, 7L, 25L, 1000L)) { (ps, is, w) =>
+      val points = ps.toDF("pid", "p")
+      val intervals = is.map { case (id, (lo, span)) => (id, lo, lo + span) }
+        .toDF("iid", "lo", "hi")
+      val naive = points.join(intervals,
+          col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      val binned = graft.operators.RangeJoin
+        .binned(points, intervals, "p", "lo", "hi", w)
+        .select("pid", "iid").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      naive == binned
+    })
+  }
+
+  test("capPerKey: bounded by k, deterministic, and a subset of the input") {
+    import spark.implicits._
+    check("cap-per-key")(Prop.forAll(rowsGen, Gen.choose(1, 5)) { (rows, k) =>
+      // unique ids so 'subset' is checkable row-wise
+      val d = rows.zipWithIndex.map { case ((key, v), i) => (key, i.toLong) }
+        .toDF("k", "id")
+      val capped = graft.operators.Sampling.capPerKey(d, Seq("k"), "id", k)
+      val perKey = capped.groupBy("k").count().collect().map(_.getLong(1))
+      val ids = capped.select("id").collect().map(_.getLong(0)).toSet
+      val again = graft.operators.Sampling.capPerKey(d.repartition(5), Seq("k"), "id", k)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val allIds = d.select("id").collect().map(_.getLong(0)).toSet
+      perKey.forall(_ <= k) && ids == again && ids.subsetOf(allIds)
+    })
+  }
+
+  private val RowOrd: Ordering[Seq[Any]] =
+    Ordering.by((s: Seq[Any]) => s.map(_.toString).mkString("|"))
+
   test("salted aggregation merges to the unsalted aggregate") {
     check("salted-agg")(Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, salts) =>
       val d = df(rows)
