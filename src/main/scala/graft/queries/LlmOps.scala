@@ -276,6 +276,21 @@ object LlmOps {
       .orderBy("source")
   }
 
+  /** Heavy hitters via the Misra-Gries native aggregate, judged at the
+    * EXACT regime: capacity 65536 exceeds the corpus vocabulary, so the
+    * one-pass bounded-memory sketch returns true counts and the oracle
+    * is a plain GROUP BY top-20 (cnt desc, tok tie-break). The bounded-
+    * capacity approximation behavior is pinned by FreqSketchSpec.
+    */
+  val qHeavyHitters: QueryFn = withTables { spark =>
+    TextAnalysis.tokenize(spark.table("documents"), "doc_id", "text")
+      .agg(graft.functions.FreqSketchAgg.freqSketch(col("tok"), 65536).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.tok").as("tok"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -308,6 +323,7 @@ object LlmOps {
     "q_decontaminate" -> qDecontaminate,
     "q_repetition" -> qRepetition,
     "q_sample_cap" -> qSampleCap,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -523,6 +539,14 @@ object LlmOps {
              CAST(SUM(c) AS BIGINT) AS n_ngrams
       FROM c GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // exact regime: capacity >= vocabulary, so MG counts are true counts
+    "q_heavy_hitters" -> """
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY cnt DESC, tok
+      LIMIT 20""",
 
     // the size invariant of the per-key cap (see qSampleCap doc).
     "q_sample_cap" -> """
