@@ -87,5 +87,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("vec_cosine_i8(a, b)", 2, exprs)
         CosineInt8Expr(exprs(0), exprs(1))
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName,
+        "freq_sketch"),
+      (exprs: Seq[Expression]) => {
+        arity("freq_sketch(col, capacity)", 2, exprs)
+        exprs(1) match {
+          case Literal(n: Int, IntegerType) =>
+            graft.functions.FreqSketchAgg(exprs.head, n).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"freq_sketch(col, capacity): capacity must be an INT literal, got $other")
+        }
+      }))
   }
 }

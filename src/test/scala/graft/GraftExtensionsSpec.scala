@@ -55,6 +55,13 @@ class GraftExtensionsSpec extends SparkTestBase {
           |""".stripMargin).head().getDouble(0)
       assert(math.abs(qcos - 1.0) < 1e-9, s"self int8 cosine was $qcos")
 
+      val hh = s2.sql(
+        """SELECT freq_sketch(t, 10) AS sk
+          |FROM (SELECT explode(split('a a a b b c', ' ')) AS t)
+          |""".stripMargin).head().getSeq[org.apache.spark.sql.Row](0)
+      assert(hh.map(r => (r.getString(0), r.getLong(1))) ===
+        Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+
       // injected optimizer rule: self-cosine strength-reduces, and the
       // rewrite is value-exact incl. the zero-vector NaN case
       // non-foldable input: literal arrays would be constant-folded
