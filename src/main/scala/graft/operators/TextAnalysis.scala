@@ -131,6 +131,28 @@ object TextAnalysis {
           .as("top_ngram_frac"),
         sum(col("c")).cast("bigint").as("n_ngrams"))
 
+  /** Document chunking for embedding pipelines: overlapping token
+    * windows of `chunkTokens` at `stride` (stride < chunkTokens =>
+    * overlap). One chunk row per window start, per-row generation
+    * (sequence + posexplode + slice — no shuffle): the fan-out that
+    * precedes chunk embedding at scale. The final window may be short
+    * (n_tokens tells); docs shorter than one window yield one chunk.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1)
+    val toks = split(lower(col(textCol)), " ")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("_toks"),
+        posexplode(sequence(lit(0), size(toks) - 1, lit(stride)))
+          .as(Seq("chunk_no", "_start")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        concat_ws(" ",
+          slice(col("_toks"), col("_start") + 1, lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), size(col("_toks")) - col("_start"))
+          .cast("long").as("n_tokens"))
+  }
+
   /** PII redaction for training corpora: URLs, emails, and long digit
     * runs (ids, phone-ish numbers) replaced with typed placeholder
     * tokens. Pure codegen'd regexp_replace chain — order matters: URLs

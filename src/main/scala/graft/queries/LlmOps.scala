@@ -291,6 +291,15 @@ object LlmOps {
       .limit(20)
   }
 
+  /** Document chunking, judged: 25-token windows at stride 20 (5-token
+    * overlap) — the fan-out that precedes chunk embedding.
+    */
+  val qChunk: QueryFn = withTables { spark =>
+    TextAnalysis.chunk(spark.table("documents"), "doc_id", "text",
+        chunkTokens = 25, stride = 20)
+      .orderBy("doc_id", "chunk_no")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -324,6 +333,7 @@ object LlmOps {
     "q_repetition" -> qRepetition,
     "q_sample_cap" -> qSampleCap,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_chunk" -> qChunk,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -539,6 +549,16 @@ object LlmOps {
              CAST(SUM(c) AS BIGINT) AS n_ngrams
       FROM c GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // stride slicing both ways: chunk_no = (start)/stride, short tail kept
+    "q_chunk" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents)
+      SELECT doc_id, CAST((i - 1) / 20 AS BIGINT) AS chunk_no,
+             ARRAY_TO_STRING(toks[i:i+24], ' ') AS chunk,
+             CAST(LEAST(25, LEN(toks) - i + 1) AS BIGINT) AS n_tokens
+      FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
+      ORDER BY doc_id, chunk_no""",
 
     // exact regime: capacity >= vocabulary, so MG counts are true counts
     "q_heavy_hitters" -> """

@@ -81,6 +81,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L)._1 > 3 * out(2L)._1, "spam scores far above natural text")
   }
 
+  test("chunk: overlapping windows, short tail, sub-window docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")), // 12 tokens
+      (2L, "a b c"),                                  // shorter than one window
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text", chunkTokens = 5, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4 w5", "w5 w6 w7 w8 w9", "w9 w10 w11 w12"),
+      "stride-4 windows overlap by one token; tail is short")
+    assert(doc1.map(_._4).toSeq === Seq(5L, 5L, 4L))
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.toSeq === Seq((2L, 0L, "a b c", 3L)),
+      "sub-window doc yields exactly one short chunk")
+  }
+
   test("regexTokenCount counts word + punctuation atoms, BPE-ish") {
     import spark.implicits._
     val df = Seq(
