@@ -300,6 +300,19 @@ object LlmOps {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** Winsorized event values, judged: thresholds are exact percentiles
+    * computed in-plan (broadcast one-row agg, no driver collect) and
+    * the clamp is map-side — DuckDB QUANTILE_CONT states the same math.
+    */
+  val qWinsorize: QueryFn = withTables { spark =>
+    graft.operators.Outliers.winsorize(
+        spark.table("events").select("event_id", "value"),
+        "value", pLo = 0.05, pHi = 0.95)
+      .select(col("event_id"),
+        round(col("value"), 6).cast("double").as("value"))
+      .orderBy("event_id")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -334,6 +347,7 @@ object LlmOps {
     "q_sample_cap" -> qSampleCap,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_chunk" -> qChunk,
+    "q_winsorize" -> qWinsorize,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -549,6 +563,17 @@ object LlmOps {
              CAST(SUM(c) AS BIGINT) AS n_ngrams
       FROM c GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // thresholds via QUANTILE_CONT (== Spark PERCENTILE, continuous
+    // interpolation — parity established by q_agg_stats)
+    "q_winsorize" -> """
+      WITH b AS (SELECT QUANTILE_CONT(value, 0.05) AS lo,
+                        QUANTILE_CONT(value, 0.95) AS hi
+                 FROM events)
+      SELECT event_id,
+             CAST(ROUND(LEAST(GREATEST(value, lo), hi), 6) AS DOUBLE) AS value
+      FROM events, b
+      ORDER BY event_id""",
 
     // stride slicing both ways: chunk_no = (start)/stride, short tail kept
     "q_chunk" -> """
