@@ -313,6 +313,17 @@ object LlmOps {
       .orderBy("event_id")
   }
 
+  /** Tukey IQR outlier filter, judged: same in-plan threshold shape as
+    * q_winsorize, dropping far-tail rows instead of clamping.
+    */
+  val qIqrFilter: QueryFn = withTables { spark =>
+    graft.operators.Outliers.iqrFilter(
+        spark.table("events").select("event_id", "value"), "value", k = 1.5)
+      .select(col("event_id"),
+        round(col("value"), 6).cast("double").as("value"))
+      .orderBy("event_id")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -348,6 +359,7 @@ object LlmOps {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_chunk" -> qChunk,
     "q_winsorize" -> qWinsorize,
+    "q_iqr_filter" -> qIqrFilter,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -563,6 +575,15 @@ object LlmOps {
              CAST(SUM(c) AS BIGINT) AS n_ngrams
       FROM c GROUP BY doc_id
       ORDER BY doc_id""",
+
+    "q_iqr_filter" -> """
+      WITH b AS (SELECT QUANTILE_CONT(value, 0.25) AS q1,
+                        QUANTILE_CONT(value, 0.75) AS q3
+                 FROM events)
+      SELECT event_id, CAST(ROUND(value, 6) AS DOUBLE) AS value
+      FROM events, b
+      WHERE value >= q1 - 1.5 * (q3 - q1) AND value <= q3 + 1.5 * (q3 - q1)
+      ORDER BY event_id""",
 
     // thresholds via QUANTILE_CONT (== Spark PERCENTILE, continuous
     // interpolation — parity established by q_agg_stats)
