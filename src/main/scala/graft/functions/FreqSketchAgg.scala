@@ -36,6 +36,15 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
 
   require(capacity >= 1, "capacity must be positive")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string column, got $other")
+    }
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -49,13 +58,29 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
   /** Shrink to <= capacity counters: subtract the (capacity+1)-th
     * largest count from every counter and evict non-positives — the
     * standard MG merge/decrement step (each subtraction of d is d
-    * simultaneous "decrement-all" rounds).
+    * simultaneous "decrement-all" rounds). Sorting here is fine: this
+    * runs once per partial MERGE, not per input row.
     */
   private def trim(buf: mutable.HashMap[UTF8String, Long]): Unit =
     if (buf.size > capacity) {
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val d = counts(counts.length - capacity - 1) // (capacity+1)-th largest
+      val dead = buf.iterator.collect { case (k, v) if v - d <= 0 => k }.toList
+      dead.foreach(buf.remove)
+      buf.mapValuesInPlace((_, v) => v - d)
+    }
+
+  /** Per-insertion shrink for the UPDATE path, where the buffer holds
+    * exactly capacity+1 counters: the (capacity+1)-th largest IS the
+    * minimum, so one O(capacity) scan replaces the full sort — without
+    * this, a high-cardinality stream pays O(cap log cap) per unseen
+    * item once the buffer first fills.
+    */
+  private def trimOne(buf: mutable.HashMap[UTF8String, Long]): Unit =
+    if (buf.size > capacity) {
+      var d = Long.MaxValue
+      buf.foreach { case (_, v) => if (v < d) d = v }
       val dead = buf.iterator.collect { case (k, v) if v - d <= 0 => k }.toList
       dead.foreach(buf.remove)
       buf.mapValuesInPlace((_, v) => v - d)
@@ -71,7 +96,7 @@ case class FreqSketchAgg(child: Expression, capacity: Int,
         case None =>
           // copy: Spark reuses UTF8String-backed buffers across rows
           buf.update(tok.clone(), 1L)
-          trim(buf)
+          trimOne(buf)
       }
     }
     buf

@@ -79,11 +79,19 @@ object Multimodal {
       def le32(off: Int): Int =
         (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
           ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      // width/height offsets below assume BITMAPINFOHEADER (DIB header
+      // size 40 at offset 14); OS/2 BITMAPCOREHEADER stores 16-bit dims
+      // at different offsets, so reading it here would fabricate values
+      require(le32(14) == 40,
+        s"unsupported BMP DIB header (size ${le32(14)}) in $uri: " +
+          "only BITMAPINFOHEADER is decoded")
       var h = 1125899906842597L
       var i = 0
       while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      MediaFeatures(width = le32(18), height = le32(22), format = "bmp",
-        n_bytes = bytes.length.toLong, checksum = h)
+      // negative height is the valid top-down encoding; magnitude is
+      // the pixel height either way
+      MediaFeatures(width = le32(18), height = math.abs(le32(22)),
+        format = "bmp", n_bytes = bytes.length.toLong, checksum = h)
     }
   }
 

@@ -14,24 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Outliers {
 
-  private def freshCols(df: DataFrame, base: String, k: Int): Seq[String] =
-    Iterator.from(0).map(i => s"_${base}$i")
-      .filter(n => !df.columns.contains(n)).take(k).toSeq
-
   /** Clamp `valueCol` into its [pLo, pHi] percentile band (exact
     * percentiles, continuous interpolation — matches DuckDB
-    * QUANTILE_CONT). Row count and all other columns are unchanged.
+    * QUANTILE_CONT). Row count and all other columns are unchanged;
+    * NULL values STAY NULL (greatest/least skip nulls, which would
+    * silently substitute the lower bound — fabricated data).
     */
   def winsorize(df: DataFrame, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0)
-    val Seq(lo, hi) = freshCols(df, "wins", 2)
+    val Seq(lo, hi) = Cols.fresh("wins", 2, df)
     val bounds = df.agg(
       expr(s"percentile($valueCol, $pLo)").as(lo),
       expr(s"percentile($valueCol, $pHi)").as(hi))
     df.crossJoin(broadcast(bounds))
       .withColumn(valueCol,
-        least(greatest(col(valueCol).cast("double"), col(lo)), col(hi)))
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"), col(lo)), col(hi))))
       .drop(lo, hi)
   }
 
@@ -41,7 +40,7 @@ object Outliers {
     */
   def iqrFilter(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame = {
     require(k >= 0.0)
-    val Seq(q1, q3) = freshCols(df, "iqr", 2)
+    val Seq(q1, q3) = Cols.fresh("iqr", 2, df)
     val bounds = df.agg(
       expr(s"percentile($valueCol, 0.25)").as(q1),
       expr(s"percentile($valueCol, 0.75)").as(q3))

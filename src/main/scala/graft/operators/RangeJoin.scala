@@ -29,8 +29,7 @@ object RangeJoin {
       loCol: String, hiCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     // collision-free internal key: never clobber a caller's column
-    val bin = Iterator.from(0).map(i => s"_bin$i")
-      .find(n => !points.columns.contains(n) && !intervals.columns.contains(n)).get
+    val Seq(bin) = Cols.fresh("bin", 1, points, intervals)
     val p = points.withColumn(bin,
       floor(col(pointCol) / binWidth).cast("long"))
     val i = intervals.withColumn(bin,

@@ -60,8 +60,7 @@ object Sampling {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
     // collision-free internal rank column
-    val rk = Iterator.from(0).map(i => s"_cap_rk$i")
-      .find(n => !df.columns.contains(n)).get
+    val Seq(rk) = Cols.fresh("cap_rk", 1, df)
     df.withColumn(rk, row_number().over(w))
       .filter(col(rk) <= k)
       .drop(rk)

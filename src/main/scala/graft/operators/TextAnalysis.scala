@@ -137,6 +137,9 @@ object TextAnalysis {
     * (sequence + posexplode + slice — no shuffle): the fan-out that
     * precedes chunk embedding at scale. The final window may be short
     * (n_tokens tells); docs shorter than one window yield one chunk.
+    * A window whose content is FULLY CONTAINED in the previous window
+    * (the previous one already reached the doc's end) is not emitted —
+    * duplicate chunks would be embedded and retrieved twice.
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, stride: Int): DataFrame = {
@@ -146,6 +149,12 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), toks.as("_toks"),
         posexplode(sequence(lit(0), size(toks) - 1, lit(stride)))
           .as(Seq("chunk_no", "_start")))
+      // start s is redundant iff the previous window [s-stride,
+      // s-stride+chunkTokens) already covered every remaining token:
+      // size <= s - stride + chunkTokens. Redundant starts are a suffix
+      // of the start list, so chunk_no stays contiguous after the filter.
+      .filter(col("_start") === 0 ||
+        col("_start") + lit(chunkTokens - stride) < size(col("_toks")))
       .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
         concat_ws(" ",
           slice(col("_toks"), col("_start") + 1, lit(chunkTokens))).as("chunk"),

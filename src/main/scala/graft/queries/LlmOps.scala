@@ -596,7 +596,9 @@ object LlmOps {
       FROM events, b
       ORDER BY event_id""",
 
-    // stride slicing both ways: chunk_no = (start)/stride, short tail kept
+    // stride slicing both ways: chunk_no = (start)/stride, short tail
+    // kept, but windows fully contained in their predecessor dropped
+    // (i = 1-based start: redundant iff (i-1) + 25 - 20 >= LEN)
     "q_chunk" -> """
       WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
                  FROM documents)
@@ -604,6 +606,7 @@ object LlmOps {
              ARRAY_TO_STRING(toks[i:i+24], ' ') AS chunk,
              CAST(LEAST(25, LEN(toks) - i + 1) AS BIGINT) AS n_tokens
       FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
+      WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
 
     // exact regime: capacity >= vocabulary, so MG counts are true counts

@@ -28,6 +28,16 @@ class OutliersSpec extends SparkTestBase {
     assert(v50 === 50.0)
   }
 
+  test("winsorize preserves NULL values instead of fabricating the bound") {
+    import spark.implicits._
+    val withNull = values.select(col("id"),
+      when(col("id") === 7L, lit(null)).otherwise(col("value")).as("value"))
+    val out = Outliers.winsorize(withNull, "value", 0.05, 0.95)
+    assert(out.count() === 100)
+    assert(out.filter(col("id") === 7L).head().isNullAt(1),
+      "a NULL input must stay NULL, not become the lower percentile")
+  }
+
   test("iqrFilter drops exactly the far-tail rows") {
     val kept = Outliers.iqrFilter(values, "value", k = 1.5)
     assert(kept.count() === 98, "only the two wild outliers leave")

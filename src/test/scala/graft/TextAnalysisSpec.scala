@@ -98,6 +98,15 @@ class TextAnalysisSpec extends SparkTestBase {
     val doc2 = out.filter(_._1 == 2L)
     assert(doc2.toSeq === Seq((2L, 0L, "a b c", 3L)),
       "sub-window doc yields exactly one short chunk")
+
+    // a tail window fully contained in its predecessor is NOT emitted:
+    // 9 tokens, ct=5, stride=4 => window at 8 is just token 9, already
+    // covered by the window at 4 (tokens 5-9)
+    val nine = Seq((3L, (1 to 9).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks9 = TextAnalysis.chunk(nine, "doc_id", "text", 5, 4)
+      .collect().map(_.getString(2)).toSeq
+    assert(chunks9 === Seq("t1 t2 t3 t4 t5", "t5 t6 t7 t8 t9"),
+      "contained tail window must be dropped")
   }
 
   test("regexTokenCount counts word + punctuation atoms, BPE-ish") {
