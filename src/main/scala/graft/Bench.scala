@@ -20,16 +20,26 @@ object Bench {
     // after the first failure, landing its cost on the first timed query)
     def warm(body: => Unit): Unit =
       try body catch { case _: Throwable => () } // failures surface per-query below
+    // Warmup data: the smallest sibling SF of the judged dir (so any
+    // data layout warms from its own tree, not a hardcoded path); fall
+    // back to sfDir itself when no sibling exists. Absence is logged —
+    // a silently-skipped warmup lands its JIT cost on the first timed
+    // query.
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath
+      else { System.err.println(s"bench: no sf0.001 sibling of $sfDir; warming on sfDir"); sfDir }
+    }
     warm { SparkEntry.entry(spark).count() } // sf0.001 flagship: relational paths
     warm {
-      // text + vector kernel warmup at sf0.001: tokenize/sketch/band/
+      // text + vector kernel warmup: tokenize/sketch/band/
       // array_intersect and the cosine expression JIT here instead of
       // inside whichever text query sorts first
       import org.apache.spark.sql.functions.col
-      val d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val d0 = spark.read.parquet(s"$warmDir/documents.parquet")
       graft.operators.Dedup.minHashLshNearDup(d0, "doc_id", "text", 0.95, 8, 3).count()
       graft.operators.Dedup.nearJaccardPrefix(d0, "doc_id", "text", 0.95).count()
-      val e0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val e0 = spark.read.parquet(s"$warmDir/embeddings.parquet")
       graft.operators.Similarity.probeSearch(
         e0, e0.filter(col("vec_id") < 3), "vec_id", "embedding", 3).count()
     }
@@ -54,12 +64,18 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    // ms precision: the driver captures a bounded TAIL of the run log,
+    // and full-double timings pushed the line past it in r3 (the first
+    // ~10 queries were truncated away). 3 decimals keeps ~90 queries
+    // well inside the capture; sub-ms digits are noise anyway.
+    def sec3(v: Double): String = // ROOT locale: '.' decimal separator always
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

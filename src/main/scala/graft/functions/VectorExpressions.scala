@@ -159,7 +159,12 @@ case class QuantizeVectorExpr(child: Expression)
     val n = x.numElements()
     var m = 0.0f
     var i = 0
-    while (i < n) { val v = math.abs(x.getFloat(i)); if (v > m) m = v; i += 1 }
+    while (i < n) {
+      // Loud failure on null slots: getFloat would silently read a null
+      // element as 0.0 — a fabricated vector component (ADVICE r3).
+      if (x.isNullAt(i)) throw QuantizeVectorExpr.nullElement(i)
+      val v = math.abs(x.getFloat(i)); if (v > m) m = v; i += 1
+    }
     val out = new Array[Byte](n)
     if (m > 0.0f) {
       val s = 127.0f / m
@@ -181,6 +186,7 @@ case class QuantizeVectorExpr(child: Expression)
          |final int $n = $a.numElements();
          |float $m = 0.0f;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) throw graft.functions.QuantizeVectorExpr.nullElement($i);
          |  final float $v = java.lang.Math.abs($a.getFloat($i));
          |  if ($v > $m) $m = $v;
          |}
@@ -197,6 +203,16 @@ case class QuantizeVectorExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object QuantizeVectorExpr {
+  /** Shared by interpreted eval and generated code (public so codegen
+    * can reference it by class name).
+    */
+  def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"vec_quantize_i8/vec_cosine_i8: null element at index $i — " +
+        "embedding arrays must be dense (a null slot is not a zero)")
 }
 
 /** Cosine over int8-quantized vectors: integer multiply-accumulate
@@ -225,6 +241,8 @@ case class CosineInt8Expr(left: Expression, right: Expression)
     var d = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
+      // null slots fail loudly instead of reading as 0 (ADVICE r3)
+      if (x.isNullAt(i) || y.isNullAt(i)) throw QuantizeVectorExpr.nullElement(i)
       val xv = x.getByte(i).toLong
       val yv = y.getByte(i).toLong
       d += xv * yv; na += xv * xv; nb += yv * yv
@@ -246,6 +264,8 @@ case class CosineInt8Expr(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $d = 0L, $na = 0L, $nb = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i))
+         |    throw graft.functions.QuantizeVectorExpr.nullElement($i);
          |  final long $xv = (long) $a.getByte($i);
          |  final long $yv = (long) $b.getByte($i);
          |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;

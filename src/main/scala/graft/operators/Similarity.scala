@@ -53,11 +53,15 @@ object Similarity {
     * expensive joins/aggregations DO execute once for the guard and
     * again for the search — persist such inputs first (bounded-scope
     * inputs are small by this guard's own contract). Raise
-    * `graft.similarity.maxExactRows` to opt a larger bounded scope in.
+    * `graft.similarity.maxExactRows` to opt a larger bounded scope in,
+    * or set it <= 0 to disable the guard entirely (callers that
+    * already bound their inputs skip the extra count job and keep the
+    * API fully lazy).
     */
   private def requireBounded(emb: DataFrame, op: String): Unit = {
     val maxRows = emb.sparkSession.conf
       .get(MaxExactRowsKey, MaxExactRowsDefault.toString).toLong
+    if (maxRows <= 0) return
     val n = emb.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
     require(n <= maxRows,
       s"Similarity.$op is an exact all-pairs (O(n²), broadcast) path " +

@@ -57,4 +57,45 @@ class OutliersSpec extends SparkTestBase {
     assert(out.columns.contains("_wins0"))
     assert(out.select("_wins0").head().getString(0) === "keep me")
   }
+
+  test("column names needing backticks resolve literally, not as nested paths") {
+    val odd = values.withColumnRenamed("value", "my value.x")
+    val out = Outliers.winsorize(odd, "my value.x", 0.05, 0.95)
+    assert(out.count() === 100)
+    assert(out.columns.toSeq === Seq("id", "my value.x"))
+    val kept = Outliers.iqrFilter(odd, "my value.x", k = 1.5)
+    assert(kept.count() === 98)
+  }
+
+  test("winsorizeApprox bounds sit within one order-statistic of the exact bounds") {
+    // accuracy 10000 on n=100 keeps rank error < 1, so the approx bound
+    // is an actual data value adjacent to the exact interpolated one:
+    // on the 1..98 fixture adjacent order stats differ by 1.0, so every
+    // clamped value deviates < 1.05 from the exact clamp.
+    val exact = Outliers.winsorize(values, "value", 0.05, 0.95)
+      .withColumnRenamed("value", "ev")
+    val approx = Outliers.winsorizeApprox(values, "value", 0.05, 0.95)
+      .withColumnRenamed("value", "av")
+    assert(approx.count() === 100, "row-preserving like the exact form")
+    val maxDev = exact.join(approx, "id")
+      .agg(max(abs(col("ev") - col("av")))).head().getDouble(0)
+    assert(maxDev <= 1.05, s"approx clamp deviated $maxDev from exact")
+  }
+
+  test("iqrFilterApprox drops the far tails like the exact filter") {
+    // quartile rank error < 1 order stat => fences move by < ~2.5,
+    // nowhere near the +-1000 outliers or the 1..98 interior
+    val kept = Outliers.iqrFilterApprox(values, "value", k = 1.5)
+    assert(kept.count() === 98)
+    assert(kept.filter(col("value") === -1000.0 || col("value") === 1000.0).count() === 0)
+  }
+
+  test("approx thresholds stay in-plan: broadcast bounds, no ObjectHashAggregate buffer of all values") {
+    val plan = Outliers.winsorizeApprox(values, "value", 0.05, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
+      s"bounds must broadcast in-plan:\n$plan")
+    assert(plan.contains("approx_percentile"),
+      s"approx path must aggregate a bounded GK summary:\n$plan")
+  }
 }

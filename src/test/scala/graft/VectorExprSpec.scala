@@ -49,4 +49,30 @@ class VectorExprSpec extends SparkTestBase {
     assert(out(0).getDouble(0) === 1.0)
     assert(out(1).isNullAt(0))
   }
+
+  test("quantize fails loudly on a null element instead of fabricating 0") {
+    import spark.implicits._
+    val df = Seq(Seq[java.lang.Float](1.0f, null, 3.0f)).toDF("v")
+    val e = intercept[Exception] {
+      df.select(VectorExpressions.quantize($"v")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => Option(c.getMessage).exists(_.contains("null element"))),
+      s"expected the null-element error, got: $e")
+  }
+
+  test("int8 cosine fails loudly on a null element") {
+    import spark.implicits._
+    val df = Seq((Seq[java.lang.Byte](1.toByte, null), Seq[java.lang.Byte](1.toByte, 2.toByte)))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorExpressions.cosineInt8($"a", $"b")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("null element"))),
+      s"expected the null-element error, got: $e")
+  }
 }
