@@ -299,12 +299,32 @@ object Dedup {
     * pairs equi-join per chunk instead of n².
     */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simHashNearDupFromSigs(simHash(df, idCol, textCol), maxHamming)
+
+  /** The pigeonhole candidate + exact-Hamming-verify pipeline over a
+    * precomputed (doc_id, simhash) table — shared by the xxhash64
+    * production signature ([[simHash]]) and the engine-portable md5
+    * signature ([[simHashPortable]]) so the banding/verify logic has
+    * exactly one definition.
+    *
+    * `sigBits` is the number of LOW bits the signature actually uses;
+    * chunk keys cover bits [0, (radius+1) * (sigBits / (radius+1))).
+    * Coverage gaps (when sigBits % chunks != 0, or differing bits above
+    * sigBits) can only ADD candidates, never lose one: a pair within
+    * the radius has <= maxHamming differing bits, so at least one of
+    * the (maxHamming+1) covered chunks is difference-free and the pair
+    * equi-joins there; the popcount filter then applies the exact
+    * radius over the full 64 bits.
+    */
+  def simHashNearDupFromSigs(sigs: DataFrame, maxHamming: Int,
+      sigBits: Int = 64): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPerChunk = 64 / chunks
-    val sigs = simHash(df, idCol, textCol)
+    require(sigBits >= chunks && sigBits <= 64,
+      s"sigBits=$sigBits must be in [maxHamming+1=$chunks, 64]")
+    val bitsPerChunk = sigBits / chunks
     // Single-pass chunk expansion (posexplode), not a chunks-way union
-    // that would recompute the 64-bit-vote aggregation per chunk.
+    // that would recompute the signature per chunk.
     val keyByChunk = array((0 until chunks).map { cIdx =>
       shiftright(col("simhash"), cIdx * bitsPerChunk)
         .bitwiseAND((1L << bitsPerChunk) - 1)
@@ -320,10 +340,40 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-      .withColumn("hamming", popcount(col("sa").bitwiseXOR(col("sb"))))
+      .withColumn("hamming", popcount(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("i", "j", "hamming")
   }
+
+  /** Engine-portable 60-bit SimHash: the per-token hash is the first 15
+    * hex chars of md5 (a function BOTH Spark and DuckDB compute
+    * identically — 60 bits so the value fits a signed BIGINT in either
+    * engine), and each token OCCURRENCE votes its bits ±1 exactly as in
+    * [[simHash]]. This exists so the SimHash pipeline can be judged
+    * value-exact against a DuckDB oracle that restates the same math
+    * (the xxhash64 production signature is seeded and not portable);
+    * q_dedup_simhash drives [[simHashNearDupFromSigs]] over these.
+    *
+    * Same zero-shuffle shape as the production signature: one md5 per
+    * token (the fold is over tokens, with a 60-slot vote accumulator),
+    * all per-row — no explode, no aggregation.
+    */
+  def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        expr(
+          s"""aggregate(
+             |  transform(split(lower(`$textCol`), ' '),
+             |    t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)),
+             |  array_repeat(0, 60),
+             |  (acc, h) -> zip_with(acc, sequence(0, 59),
+             |    (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1)),
+             |  acc -> aggregate(
+             |    zip_with(acc, sequence(0, 59),
+             |      (s, b) -> IF(s >= 0, shiftleft(cast(1 as bigint), b),
+             |                   cast(0 as bigint))),
+             |    cast(0 as bigint), (x, y) -> x + y))""".stripMargin)
+          .as("simhash"))
 
   /** Embedding-cosine near-dup: exact path delegates to Similarity. */
   def nearEmbedding(emb: DataFrame, idCol: String, vecCol: String,

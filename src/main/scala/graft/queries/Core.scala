@@ -457,6 +457,46 @@ object Core {
       .orderBy(col("n_name"))
   }
 
+  /** J1 through the Bloom pre-join filter (operators/BloomJoin.scala):
+    * the probe side is filtered by a broadcast Bloom filter of the
+    * build side's keys BEFORE the join shuffles it, and the real join
+    * then removes the filter's false positives — so the result equals
+    * the plain inner join (judged against q_join_inner's exact oracle)
+    * while probe rows without a partner never ride the shuffle. The
+    * 100 TB win: in selective joins most probe rows are partnerless.
+    * PlanSpec pins the probe-side filter sitting below the join.
+    */
+  val qJoinBloom: QueryFn = withTables { spark =>
+    graft.operators.BloomJoin.inner(
+        spark.table("orders").filter(col("o_totalprice") > 100000.0),
+        spark.table("customer"), "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Skew-safe join + aggregation through BOTH Salting helpers
+    * (operators/Salting.scala): the orders→customer join runs salted
+    * (8 deterministic salts, small side replicated) and the revenue
+    * rollup runs as a two-phase salted aggregation (partial on
+    * (key, salt), merge on key). Result-identical to the plain
+    * join+agg — the oracle states exactly that — while a monster key
+    * would spread over 8 reducers instead of one.
+    */
+  val qJoinSalted: QueryFn = withTables { spark =>
+    val orders = spark.table("orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val cust = spark.table("customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val joined = graft.operators.Salting.saltedJoin(
+      orders, cust, Seq("custkey"), numSalts = 8, how = "inner")
+    graft.operators.Salting.saltedAgg(joined, Seq("c_mktsegment"), numSalts = 8,
+        partial = Seq(count(lit(1)).as("pc"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("ps")),
+        merge = Seq(sum(col("pc")).cast("bigint").as("n_orders"),
+          round(sum(col("ps")), 2).cast("double").as("total")))
+      .orderBy("c_mktsegment")
+  }
+
   /** W6: top-k per group via the DataFrame API — the canonical
     * row_number + filter pattern (shuffles once on the partition key).
     */
@@ -533,6 +573,8 @@ object Core {
   val queries: Map[String, QueryFn] =
     (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
       "q_join_broadcast" -> qJoinBroadcast,
+      "q_join_bloom" -> qJoinBloom,
+      "q_join_salted" -> qJoinSalted,
       "q_topk_pergroup" -> qTopkPergroup,
       "q_topk_custom" -> qTopkCustom,
       "q_sql_facade" -> qSqlFacade,
@@ -541,6 +583,18 @@ object Core {
 
   /** All §2.2–§2.7 oracle SQL. */
   val oracles: Map[String, String] = sqlTexts ++ oracleOverrides ++ Map(
+    // the Bloom pre-filter is result-transparent: the oracle is the
+    // plain inner join (identical to q_join_inner's)
+    "q_join_bloom" -> sqlTexts("q_join_inner"),
+
+    // salting is result-transparent too: plain join + aggregate
+    "q_join_salted" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
     // the binned equi-join's semantics stated as the raw range
     // predicate over a generated band table
     "q_join_range_binned" -> """

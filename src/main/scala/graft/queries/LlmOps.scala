@@ -74,6 +74,24 @@ object LlmOps {
       .orderBy("i", "j")
   }
 
+  /** L2 SimHash variant, judged value-exact: the pigeonhole banding +
+    * exact-Hamming-verify pipeline (Dedup.simHashNearDupFromSigs — the
+    * SAME code the production xxhash64 path runs) driven by the
+    * engine-portable md5-based 60-bit signature, so the DuckDB oracle
+    * can restate the identical SimHash math (per-occurrence ±1 bit
+    * votes, sign-packed) and brute-force the pairs within radius 4.
+    * Unlike the LSH query's recall-argument regime, every value here —
+    * signature, hamming, pair set — is exact on both engines.
+    */
+  val qDedupSimhash: QueryFn = withTables { spark =>
+    Dedup.simHashNearDupFromSigs(
+        Dedup.simHashPortable(
+          spark.table("documents").filter(col("doc_id") < 1000),
+          "doc_id", "text"),
+        maxHamming = 4, sigBits = 60)
+      .orderBy("i", "j")
+  }
+
   /** Embedding-cosine near-dup over all pairs (compiled kernel). */
   val qDedupNearEmbedding: QueryFn = withTables { spark =>
     Dedup.nearEmbedding(spark.table("embeddings"), "vec_id", "embedding", 0.4)
@@ -105,6 +123,24 @@ object LlmOps {
     val emb = spark.table("embeddings")
     Similarity.probeSearch(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5)
+      .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Two-stage int8-quantized probe search, judged at full oversample:
+    * with k*oversample >= corpus size the approximate shortlist keeps
+    * every row, so the exact float re-rank returns EXACTLY the probe
+    * search's top-k and the oracle is the same exact math as
+    * q_simsearch_probe (the q_ann_ivf honesty pattern — the judged
+    * value is the two-stage quantize/re-rank plan hash-matching exact;
+    * the pruned-oversample recall tradeoff is pinned by
+    * SimilaritySpec against the brute-force oracle).
+    */
+  val qSimsearchQuantized: QueryFn = withTables { spark =>
+    val emb = spark.table("embeddings")
+    Similarity.probeSearchQuantized(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, oversample = 400000)
       .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
         round(col("cos"), 6).cast("double").as("cos"))
       .orderBy("probe_id", "rnk")
@@ -339,10 +375,12 @@ object LlmOps {
     "q_dedup_near_jaccard" -> qDedupNearJaccard,
     "q_dedup_lsh_jaccard" -> qDedupLshJaccard,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_near_embedding" -> qDedupNearEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_pergroup" -> qKnnPergroup,
     "q_simsearch_probe" -> qSimsearchProbe,
+    "q_simsearch_quantized" -> qSimsearchQuantized,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_tokens_wordcount" -> qTokensWordcount,
@@ -423,6 +461,28 @@ object LlmOps {
       WHERE c * 1.0 / (sa.nn + sb.nn - c) >= 0.2
       ORDER BY i, j""",
 
+    // The identical 60-bit md5 SimHash math, restated: per-occurrence
+    // ±1 bit votes summed per (doc, bit), sign-packed into a BIGINT,
+    // pairs brute-forced within Hamming radius 4. '0x'||15-hex-chars
+    // casts to the same value Spark's conv(..., 16, 10) yields.
+    "q_dedup_simhash" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 1000),
+           h AS (SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT AS h
+                 FROM t, UNNEST(toks) r(tok)),
+           v AS (SELECT doc_id, b,
+                        SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM h, UNNEST(RANGE(0, 60)) rb(b)
+                 GROUP BY doc_id, b),
+           sig AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+                   FROM v GROUP BY doc_id)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(BIT_COUNT(XOR(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 4
+      ORDER BY i, j""",
+
     "q_dedup_near_embedding" -> """
       SELECT a.vec_id AS id1, b.vec_id AS id2,
              CAST(ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE) AS cos
@@ -454,6 +514,22 @@ object LlmOps {
       ORDER BY id1, rnk""",
 
     "q_simsearch_probe" -> """
+      WITH pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+               LIST_COSINE_SIMILARITY(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 20),
+      rk AS (
+        SELECT probe_id, corpus_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
+
+    // full-oversample regime: the quantized shortlist keeps every row,
+    // so the exact re-rank IS the exact probe search (same oracle).
+    "q_simsearch_quantized" -> """
       WITH pairs AS (
         SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
                LIST_COSINE_SIMILARITY(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos

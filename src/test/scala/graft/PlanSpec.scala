@@ -72,6 +72,24 @@ class PlanSpec extends SparkTestBase {
       s"LSH path must stay equi-join shaped:\n$p")
   }
 
+  test("bloom join's probe-side membership filter sits below the join") {
+    val df: DataFrame = SparkEntry.queries("q_join_bloom")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val joinIdx = p.indexOf("Join")
+    val udfIdx = p.indexOf("UDF")
+    assert(joinIdx >= 0, s"no join in bloom-join plan:\n$p")
+    // children print below their parent: the bloom membership UDF
+    // filter must be a descendant of the join (pruning before the
+    // probe side shuffles), not a post-join filter above it
+    assert(udfIdx > joinIdx,
+      s"bloom membership filter is not below the join:\n$p")
+    // and it must sit on the probe (orders) scan branch: between the
+    // join and a parquet scan of orders
+    val scanAfterUdf = p.indexOf("parquet", udfIdx)
+    assert(scanAfterUdf >= 0,
+      s"bloom filter does not guard a parquet scan branch:\n$p")
+  }
+
   test("judged binned range join contains no nested-loop join") {
     val p = plan("q_join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

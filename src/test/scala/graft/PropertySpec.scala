@@ -187,6 +187,106 @@ class PropertySpec extends SparkTestBase {
   private val RowOrd: Ordering[Seq[Any]] =
     Ordering.by((s: Seq[Any]) => s.map(_.toString).mkString("|"))
 
+  test("chunk() equals the sliding-window reference model") {
+    import spark.implicits._
+    val gen = for {
+      text <- docGen
+      chunkTokens <- Gen.choose(1, 8)
+      stride <- Gen.choose(1, 8)
+    } yield (text, chunkTokens, stride)
+    check("chunk-model")(Prop.forAll(gen) { case (text, chunkTokens, stride) =>
+      // limit -1 keeps trailing empty tokens, matching Spark's split()
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      val n = toks.size
+      // reference: starts at stride steps; a non-first window whose
+      // predecessor already covered the doc's end is dropped
+      val keptStarts = (0 until n by stride)
+        .filter(s => s == 0 || s + chunkTokens - stride < n)
+      val model = keptStarts.zipWithIndex
+        .map { case (s, i) =>
+          (i.toLong, toks.slice(s, s + chunkTokens).mkString(" "),
+            math.min(chunkTokens, n - s).toLong)
+        }.toSet
+      val got = graft.operators.TextAnalysis
+        .chunk(Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          chunkTokens, stride)
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      // coverage: when stride <= chunkTokens the last emitted window
+      // reaches the end of the doc (the containment-drop rule never
+      // loses tail tokens)
+      val covered = stride > chunkTokens ||
+        keptStarts.lastOption.forall(_ + chunkTokens >= n)
+      got == model && covered
+    })
+  }
+
+  test("winsorize: row-preserving, band-bounded, interior passthrough") {
+    import spark.implicits._
+    val valuesGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000.0, 1000.0)))
+    val bandGen = for {
+      pLo <- Gen.oneOf(0.0, 0.05, 0.25, 0.5)
+      pHi <- Gen.oneOf(0.5, 0.75, 0.95, 1.0)
+      if pLo <= pHi
+    } yield (pLo, pHi)
+    def refPct(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val pos = p * (s.size - 1)
+      val i = pos.toInt
+      if (i + 1 < s.size) s(i) * (1 - (pos - i)) + s(i + 1) * (pos - i) else s(i)
+    }
+    check("winsorize-laws")(Prop.forAll(valuesGen, bandGen) { case (vs, (pLo, pHi)) =>
+      val d = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = graft.operators.Outliers.winsorize(d, "v", pLo, pHi)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val (lo, hi) = (refPct(vs, pLo), refPct(vs, pHi))
+      val tol = 1e-9 * (1 + math.abs(lo) + math.abs(hi))
+      out.size == vs.size &&
+        out.values.forall(v => v >= lo - tol && v <= hi + tol) &&
+        vs.zipWithIndex.forall { case (v, i) =>
+          // interior values pass through bit-identical
+          !(v > lo + tol && v < hi - tol) || out(i.toLong) == v
+        }
+    })
+    // full-band winsorize is the identity (clamp to [min, max])
+    check("winsorize-identity")(Prop.forAll(valuesGen) { vs =>
+      val d = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      graft.operators.Outliers.winsorize(d, "v", 0.0, 1.0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+        vs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+    })
+  }
+
+  test("simhash pigeonhole pipeline == brute-force hamming pairs") {
+    import spark.implicits._
+    // clustered signatures (bases + a few flipped bits) so near pairs
+    // actually occur; arbitrary-long sigs would make the radius filter
+    // trivially empty
+    val sigsGen = for {
+      n <- Gen.choose(2, 25)
+      bases <- Gen.listOfN(3, Gen.choose(Long.MinValue, Long.MaxValue))
+      rows <- Gen.listOfN(n, for {
+        base <- Gen.oneOf(bases)
+        flips <- Gen.choose(0, 6)
+        bits <- Gen.listOfN(flips, Gen.choose(0, 63))
+      } yield bits.foldLeft(base)((s, b) => s ^ (1L << b)))
+    } yield rows
+    check("simhash-pipeline")(Prop.forAll(sigsGen, Gen.choose(0, 8),
+        Gen.oneOf(60, 64)) { (sigs, radius, sigBits) =>
+      val d = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "simhash")
+      val got = graft.operators.Dedup
+        .simHashNearDupFromSigs(d, radius, sigBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = (for {
+        (a, i) <- sigs.zipWithIndex
+        (b, j) <- sigs.zipWithIndex if i < j
+        h = java.lang.Long.bitCount(a ^ b) if h <= radius
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      got == expected
+    })
+  }
+
   test("salted aggregation merges to the unsalted aggregate") {
     check("salted-agg")(Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, salts) =>
       val d = df(rows)
