@@ -66,6 +66,45 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Engine-portable uniform [0,1) from a stable key: the first 15 hex
+    * chars of md5 read as a 60-bit integer, over 2^60. md5 is a
+    * function BOTH Spark and DuckDB compute identically (the
+    * simHashPortable pattern), so sampling decisions made with this
+    * can be restated exactly in a DuckDB oracle; 2^60 is a power of
+    * two, so the division is exact IEEE in both engines. The xxhash64
+    * predicates above are faster (one vectorized kernel, no digest
+    * allocation) — use them when no oracle needs to replay the draw.
+    */
+  def portableUnit(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 15), 16, 10)
+      .cast("long") / lit(1152921504606846976.0) // 2^60
+
+  /** Deterministic weighted corpus mixture — the training-data mixing
+    * step: keep each source's rows with probability = its weight, tag
+    * provenance in `tagCol`, and union by name. The draw hashes
+    * (source-name, key) so the same key in two sources is decided
+    * INDEPENDENTLY per source (hashing the key alone would correlate
+    * the draws: a doc kept in one source would always be kept in the
+    * other at a lower weight). Seedless and key-stable: identical
+    * mixture on every run, retry, and cluster.
+    *
+    * Scale shape: the per-source decision is a pure per-row predicate
+    * evaluated at each source's scan (pushable, no shuffle, no
+    * driver-side state); the union is plan-level only. At 100 TB each
+    * corpus is scanned exactly once with its filter inlined.
+    */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)], keyCol: String,
+      tagCol: String = "corpus"): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "mixCorpora source names must be distinct (they seed the draws)")
+    sources.map { case (name, df, w) =>
+      require(w >= 0.0 && w <= 1.0, s"weight for '$name' must be in [0,1], got $w")
+      df.filter(portableUnit(concat(lit(s"$name:"), col(keyCol).cast("string"))) < w)
+        .withColumn(tagCol, lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Deterministic train/validation/test split: assigns each key to
     * exactly one split by hash range — splits are disjoint, exhaustive,
     * and stable across runs (the property random splits lose on rerun).

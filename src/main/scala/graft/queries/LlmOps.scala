@@ -370,7 +370,48 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Document fingerprinting, judged via the engine-portable md5
+    * variant (the simHashPortable pattern): the same two-prime rolling
+    * fold restated over DuckDB's list_reduce. Production callers use
+    * the xxhash64 [[TextAnalysis.fingerprint]]; DedupSpec pins that
+    * both variants agree on dup/non-dup structure.
+    */
+  val qFingerprint: QueryFn = withTables { spark =>
+    TextAnalysis.fingerprintPortable(spark.table("documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing (stream-offset semantics), judged: documents
+    * packed into 2048-token bins per lang shard — one running-sum
+    * window per shard, the closed form that parallelizes over shards
+    * at 100 TB. The capacity-strict greedy variant is sequential by
+    * definition and is pinned by PackingSpec instead.
+    */
+  val qPackOffset: QueryFn = withTables { spark =>
+    graft.operators.Packing.packByOffset(
+        spark.table("documents"), Seq("lang"), "doc_id",
+        size(split(lower(col("text")), " ")), budgetTokens = 2048)
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Weighted corpus mixing, judged value-exact: the md5-portable draw
+    * lets the oracle replay every keep/drop decision. Two disjoint
+    * slices of `documents` stand in for two corpora; weights 0.5/0.25.
+    */
+  val qMixCorpora: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+    graft.operators.Sampling.mixCorpora(Seq(
+        ("head", docs.filter(col("doc_id") < 250), 0.5),
+        ("tail", docs.filter(col("doc_id") >= 250 && col("doc_id") < 500), 0.25)),
+      "doc_id")
+      .select(col("corpus"), col("doc_id"), col("lang"))
+      .orderBy("corpus", "doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_fingerprint" -> qFingerprint,
+    "q_pack_offset" -> qPackOffset,
+    "q_mix_corpora" -> qMixCorpora,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near_jaccard" -> qDedupNearJaccard,
     "q_dedup_lsh_jaccard" -> qDedupLshJaccard,
@@ -760,5 +801,55 @@ object LlmOps {
                6) AS DOUBLE) AS quality
       FROM documents
       ORDER BY doc_id""",
+
+    // The identical two-prime rolling fold, restated: md5 token hashes
+    // (15 hex chars -> 60-bit bigint, the simHashPortable cast trick),
+    // list_reduce seeded by a prepended 0 accumulator (DuckDB's reduce
+    // uses the first element as init), combined as a*998244353 + b.
+    "q_fingerprint" -> """
+      WITH t AS (SELECT doc_id,
+                        LIST_TRANSFORM(STRING_SPLIT(LOWER(text), ' '),
+                          s -> ('0x' || SUBSTR(MD5(s), 1, 15))::BIGINT) AS hs
+                 FROM documents)
+      SELECT doc_id,
+             CAST(LIST_REDUCE(LIST_PREPEND(0::BIGINT, hs),
+                    (a, h) -> (a * 31 + h) % 1000000007) * 998244353
+                + LIST_REDUCE(LIST_PREPEND(0::BIGINT, hs),
+                    (a, h) -> (a * 37 + h) % 998244353) AS BIGINT) AS fp
+      FROM t
+      ORDER BY doc_id""",
+
+    // Stream-offset packing: exclusive running sum per lang shard,
+    // bin = floor(start / budget). Integer-exact in both engines.
+    "q_pack_offset" -> """
+      WITH t AS (SELECT lang, doc_id,
+                        CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+           o AS (SELECT lang, doc_id, n_tokens,
+                        CAST(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS start_offset
+                 FROM t)
+      SELECT lang, doc_id, n_tokens, start_offset,
+             CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin
+      FROM o
+      ORDER BY lang, doc_id""",
+
+    // Every keep/drop decision replayed exactly: the draw is
+    // md5('name:' || key) over 2^60 (a power of two, so the division
+    // is exact IEEE in both engines).
+    "q_mix_corpora" -> """
+      SELECT * FROM (
+        SELECT 'head' AS corpus, doc_id, lang FROM documents
+        WHERE doc_id < 250
+          AND ('0x' || SUBSTR(MD5('head:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 < 0.5
+        UNION ALL
+        SELECT 'tail' AS corpus, doc_id, lang FROM documents
+        WHERE doc_id >= 250 AND doc_id < 500
+          AND ('0x' || SUBSTR(MD5('tail:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 < 0.25
+      ) ORDER BY corpus, doc_id""",
   )
 }

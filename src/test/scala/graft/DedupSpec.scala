@@ -157,6 +157,13 @@ class DedupSpec extends SparkTestBase {
     assert(fps(0L) === fps(1L))
     assert(fps(0L) === fps(2L), "fingerprint lowercases first")
     assert(fps(0L) !== fps(3L), "rolling hash is order-sensitive")
+    // the md5-portable variant (the judged one) has the same dup
+    // structure: equal where production is equal, distinct likewise
+    val pfps = graft.operators.TextAnalysis.fingerprintPortable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pfps(0L) === pfps(1L) && pfps(0L) === pfps(2L))
+    assert(pfps(0L) !== pfps(3L))
+    assert(pfps(0L) !== fps(0L), "different token hash families")
   }
 
   test("exact dedup groups duplicate rows and keeps the lowest id") {

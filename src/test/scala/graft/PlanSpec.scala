@@ -124,6 +124,26 @@ class PlanSpec extends SparkTestBase {
       s"unexpected extra shuffles in LSH dedup ($hashExchanges):\n$p")
   }
 
+  test("offset packing plans exactly one hash shuffle (the shard sort)") {
+    // the running-sum window is the only exchange; the fingerprint-of-
+    // scale claim for packByOffset is "one sort shuffle per shard key,
+    // no sequential state" — pin it
+    val p = plan("q_pack_offset")
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"offset packing must shuffle once, on the shard key ($hashExchanges):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("corpus mixing is scan + per-row filter only: zero exchanges before sort") {
+    // each source must be one scan with its keep/drop predicate applied
+    // map-side; the union is plan-level. The only exchange allowed is
+    // the judged query's final ORDER BY (a range partition, not hash).
+    val p = plan("q_mix_corpora")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"mixing must not shuffle:\n$p")
+  }
+
   test("resample plans one hash shuffle; both window passes share it") {
     val p = plan("q_resample_interp")
     val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size

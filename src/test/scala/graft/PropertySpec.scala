@@ -287,6 +287,35 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("packGreedyCapacity equals the sequential first-fit fold") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 20L))
+      groups <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+      budget <- Gen.choose(1, 30)
+    } yield (sizes.zip(groups), budget)
+    check("pack-greedy")(Prop.forAll(gen) { case (rows, budget) =>
+      val d = rows.zipWithIndex.map { case ((sz, g), i) => (g, i.toLong, sz) }
+        .toDF("grp", "id", "n")
+      val got = graft.operators.Packing
+        .packGreedyCapacity(d, "grp", "id", col("n"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        .toSet
+      // reference: per-group in-order fold with a running fill
+      val expected = rows.zipWithIndex.groupBy(_._1._2).flatMap {
+        case (g, members) =>
+          var bin = 0L; var fill = 0L; var first = true
+          members.sortBy(_._2).map { case ((sz, _), i) =>
+            if (!first && fill + sz > budget) { bin += 1; fill = 0L }
+            first = false; fill += sz
+            (g, i.toLong, bin)
+          }
+      }.toSet
+      got == expected
+    })
+  }
+
   test("salted aggregation merges to the unsalted aggregate") {
     check("salted-agg")(Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, salts) =>
       val d = df(rows)

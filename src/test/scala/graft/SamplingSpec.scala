@@ -75,4 +75,41 @@ class SamplingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(a === b)
   }
+
+  test("mixCorpora: weighted, tagged, deterministic, per-source independent") {
+    import org.apache.spark.sql.functions._
+    val mixed = Sampling.mixCorpora(Seq(
+      ("big", docs, 0.8), ("small", docs, 0.2)), "doc_id")
+    val n = docs.count().toDouble
+    val sizes = mixed.groupBy("corpus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized fractions track weights at ~3/sqrt(n)
+    assert(math.abs(sizes("big") / n - 0.8) < 3.0 / math.sqrt(n))
+    assert(math.abs(sizes("small") / n - 0.2) < 3.0 / math.sqrt(n))
+    // independence: the small draw must NOT be a subset of the big draw
+    // (same key, different source name => independent decision)
+    val bigIds = mixed.filter(col("corpus") === "big")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val smallIds = mixed.filter(col("corpus") === "small")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!smallIds.subsetOf(bigIds),
+      "draws across sources must be independent, not nested")
+    // determinism: identical mixture after a repartition
+    val again = Sampling.mixCorpora(Seq(
+      ("big", docs.repartition(7), 0.8), ("small", docs.repartition(3), 0.2)),
+      "doc_id")
+    val a = mixed.select("corpus", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = again.select("corpus", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
+  test("mixCorpora edge weights: 1.0 keeps everything, 0.0 keeps nothing") {
+    val mixed = Sampling.mixCorpora(Seq(
+      ("all", docs, 1.0), ("none", docs, 0.0)), "doc_id")
+    import org.apache.spark.sql.functions._
+    assert(mixed.filter(col("corpus") === "all").count() === docs.count())
+    assert(mixed.filter(col("corpus") === "none").count() === 0L)
+  }
 }
