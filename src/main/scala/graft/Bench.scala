@@ -37,7 +37,7 @@ object Bench {
       // inside whichever text query sorts first
       import org.apache.spark.sql.functions.col
       val d0 = spark.read.parquet(s"$warmDir/documents.parquet")
-      graft.operators.Dedup.minHashLshNearDup(d0, "doc_id", "text", 0.95, 8, 3).count()
+      graft.operators.Dedup.minHashLshNearDup(d0, "doc_id", "text", 0.95, 12, 6).count()
       graft.operators.Dedup.nearJaccardPrefix(d0, "doc_id", "text", 0.95).count()
       val e0 = spark.read.parquet(s"$warmDir/embeddings.parquet")
       graft.operators.Similarity.probeSearch(
@@ -47,6 +47,13 @@ object Bench {
       // LAST: leave the judged sfDir's views registered for the loop
       graft.queries.QueryDefs.ensureTables(spark, sfDir)
       spark.table("lineitem").limit(1000).groupBy("l_returnflag").count().count()
+      // touch the judged text/vector tables too: footer reads + OS page
+      // cache are session costs — without this they land on whichever
+      // documents/embeddings query sorts first
+      spark.table("documents").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).count()
+      spark.table("embeddings").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).count()
     }
     // (name, seconds, error-or-null): a broken query must surface as an
     // "errors" entry, never as a fast timing (VERDICT r01 "What's wrong").

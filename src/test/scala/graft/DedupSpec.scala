@@ -61,14 +61,14 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("MinHash-LSH on real documents matches exact Jaccard") {
-    // JUDGED parameters (q_dedup_lsh_jaccard): tau=0.95 with b=8,r=3
-    // puts per-pair miss probability at ~1.7e-7 ((1-0.95^3)^8) — and
+    // JUDGED parameters (q_dedup_lsh_jaccard): tau=0.95 with b=12,r=6
+    // puts per-pair miss probability at ~1.2e-7 ((1-0.95^6)^12) — and
     // the seeded hashes make the outcome deterministic. 2 043 true
     // pairs exist in sf0.001 documents.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = pairs(Dedup.nearJaccard(docs, "doc_id", "text", 0.95))
     val lsh = pairs(Dedup.minHashLshNearDup(docs, "doc_id", "text", 0.95,
-      bands = 8, rowsPerBand = 3))
+      bands = 12, rowsPerBand = 6))
     assert(lsh.subsetOf(exact), "exact re-verification => perfect precision")
     assert(lsh === exact,
       s"sf0.001 documents: LSH missed ${(exact -- lsh).size} of ${exact.size} pairs")
