@@ -324,7 +324,10 @@ object Dedup {
       s"sigBits=$sigBits must be in [maxHamming+1=$chunks, 64]")
     val bitsPerChunk = sigBits / chunks
     // Single-pass chunk expansion (posexplode), not a chunks-way union
-    // that would recompute the signature per chunk.
+    // that would recompute the signature per chunk. (Computing the keys
+    // AFTER the explode from the materialized attribute was profiled
+    // and is timing-identical — the chunk-key array is cheap bit math
+    // over one signature value either way; see SimHashPortableProfile.)
     val keyByChunk = array((0 until chunks).map { cIdx =>
       shiftright(col("simhash"), cIdx * bitsPerChunk)
         .bitwiseAND((1L << bitsPerChunk) - 1)

@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * OUTSIDE the token fold (no per-token 60-array allocation).
   *
   * RESULT (sf0.1, recorded 2026-08-12): B computes the signature alone
-  * 2x faster (0.14 s vs 0.26 s) but the FULL pigeonhole pipeline
-  * references the signature column several times (chunk-key array,
-  * join carry, popcount), and each reference re-evaluates the
-  * projection — B's nested bit-major double-fold blows up to ~13 s vs
-  * A's 1.4 s. The zip_with formulation in Dedup.simHashPortable stays;
-  * lesson: optimize HOF expressions for CHEAP RE-EVALUATION, not
-  * single-pass cost, when downstream plans fan the column out.
+  * 2x faster (0.14 s vs 0.26 s) but the FULL pigeonhole pipeline blows
+  * up to ~12 s vs A's ~1.5 s. Not projection re-evaluation: moving the
+  * chunk-key math after the explode (so the Generate child materializes
+  * the signature once) changed nothing for either variant. The
+  * remaining explanation is evaluation mode: HOFs run interpreted, and
+  * B's nested fold (an inner per-bit aggregate dispatched per outer
+  * step, with lambda-variable rebinding) costs far more per evaluation
+  * in the join-heavy plan than A's flat zip_with loop. The zip_with
+  * formulation in Dedup.simHashPortable stays; lesson: under
+  * interpreted HOF evaluation, prefer one flat fold over nested
+  * per-element lambda dispatch, and profile the full pipeline, not the
+  * signature projection alone.
   */
 object SimHashPortableProfile {
   def main(args: Array[String]): Unit = {
