@@ -95,6 +95,130 @@ object Multimodal {
     }
   }
 
+  /** Extracted per-audio features: the audio analogue of
+    * [[MediaFeatures]] (duration and sample geometry instead of pixel
+    * geometry).
+    */
+  case class AudioFeatures(sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long,
+      checksum: Long)
+
+  /** Audio decoder contract — same lifecycle as [[MediaDecoder]]. */
+  trait AudioDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(uri: String, bytes: Array[Byte],
+        meta: Map[String, String]): AudioFeatures
+  }
+
+  /** REAL decoder for WAV (RIFF/PCM) payloads: the container is a
+    * little-endian chunk list ('RIFF'..'WAVE', then 'fmt ' carrying
+    * sample rate/channels/bit depth and 'data' carrying the PCM
+    * payload), so decoding is byte arithmetic only — the second
+    * codec-free format proving the decoder slot is real (after
+    * [[BmpDecoder]]). Compressed audio (mp3/aac) would plug into the
+    * same contract behind a codec library. Malformed payloads and
+    * non-PCM WAVs fail loudly.
+    */
+  class WavDecoder extends AudioDecoder {
+    override def decode(uri: String, bytes: Array[Byte],
+        meta: Map[String, String]): AudioFeatures = {
+      def ascii(off: Int, s: String): Boolean =
+        s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+      require(bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE"),
+        s"not a WAV payload: $uri (${bytes.length} bytes)")
+      def le32(off: Int): Int =
+        (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+          ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      def le16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      // walk the chunk list: 'fmt ' then 'data' (other chunks legal).
+      // Long offsets: a corrupt 32-bit size would wrap Int arithmetic
+      // and could walk BACKWARDS (hanging the task); as a Long the
+      // offset strictly increases and the loop bound ends the walk.
+      var off = 12L
+      var fmtOff = -1
+      var dataSize = -1L
+      while (off + 8 <= bytes.length && (fmtOff < 0 || dataSize < 0)) {
+        val size = le32(off.toInt + 4).toLong & 0xFFFFFFFFL
+        if (ascii(off.toInt, "fmt ")) fmtOff = off.toInt + 8
+        else if (ascii(off.toInt, "data")) {
+          require(off + 8 + size <= bytes.length,
+            s"WAV $uri data chunk ($size bytes) overruns the payload")
+          dataSize = size
+        }
+        off += 8 + size + (size & 1) // chunks pad to even
+      }
+      require(fmtOff >= 0 && dataSize >= 0,
+        s"WAV $uri missing fmt/data chunk")
+      require(le16(fmtOff) == 1,
+        s"WAV $uri is not uncompressed PCM (format tag ${le16(fmtOff)}): " +
+          "compressed audio needs a codec-backed AudioDecoder")
+      val channels = le16(fmtOff + 2)
+      val sampleRate = le32(fmtOff + 4)
+      val bits = le16(fmtOff + 14)
+      val blockAlign = le16(fmtOff + 12)
+      require(channels > 0 && sampleRate > 0 && blockAlign > 0,
+        s"WAV $uri has degenerate fmt fields")
+      val nSamples = dataSize / blockAlign
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      AudioFeatures(sampleRate, channels, bits, nSamples,
+        nSamples * 1000L / sampleRate, h)
+    }
+  }
+
+  /** Valid 16-bit mono PCM WAV payloads built per row (deterministic
+    * samples from the id): real bytes for the real decoder, generated
+    * in-plan — the audio counterpart of [[withSyntheticBmp]].
+    */
+  def withSyntheticWav(df: DataFrame, idCol: String,
+      sampleRate: Int = 8000, nSamples: Int = 400): DataFrame = {
+    val mk = udf { (id: Long) =>
+      val dataSize = nSamples * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)        // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16)       // block align, bits
+      b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      var i = 0
+      while (i < nSamples) { b.putShort((id * 131 + i * 7).toShort); i += 1 }
+      b.array()
+    }
+    df.withColumn("media", struct(
+      concat(lit("mem://doc/"), col(idCol), lit(".wav")).as("uri"),
+      mk(col(idCol).cast("long")).as("bytes"),
+      map(lit("format"), lit("wav"),
+        lit("origin"), lit("synthetic")).as("meta")))
+  }
+
+  /** Audio decode/feature-extract: same per-partition decoder lifecycle
+    * and bytes-dropped output as [[extractFeatures]].
+    */
+  def extractAudioFeatures(df: DataFrame, idCol: String, mediaCol: String,
+      decoder: AudioDecoder): DataFrame = {
+    val outSchema = StructType(
+      StructField("id", LongType, nullable = false) +:
+      Encoders.product[AudioFeatures].schema.fields.toIndexedSeq)
+    val input = df.select(
+      col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.uri").as("uri"),
+      col(s"$mediaCol.bytes").as("bytes"),
+      col(s"$mediaCol.meta").as("meta"))
+    input.mapPartitions { rows =>
+      decoder.open()
+      rows.map { r =>
+        val meta = r.getMap[String, String](3).toMap
+        val f = decoder.decode(r.getString(1), r.getAs[Array[Byte]](2), meta)
+        Row(r.getLong(0), f.sample_rate, f.channels, f.bits_per_sample,
+          f.n_samples, f.duration_ms, f.checksum)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Valid 24-bit BMP payloads built per row (deterministic pixels from
     * the id): real bytes for the real decoder, generated in-plan so no
     * binary fixture files are needed.

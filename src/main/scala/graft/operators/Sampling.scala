@@ -110,10 +110,24 @@ object Sampling {
     * and stable across runs (the property random splits lose on rerun).
     */
   def split(df: DataFrame, keyCol: String, weights: Seq[(String, Double)],
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    splitBy(df, xxhash64(col(keyCol), lit(seed)) / lit(2.0 * Long.MaxValue) + lit(0.5),
+      weights)
+
+  /** Engine-portable split: the same hash-range assignment over
+    * [[portableUnit]], so an oracle can replay every row's split
+    * (the xxhash64 [[split]] is faster but Spark-only). Prefer dyadic
+    * weights (0.75/0.125/0.125): the cumulative cut points then have
+    * exact double representations an oracle can restate verbatim.
+    */
+  def splitPortable(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame =
+    splitBy(df, portableUnit(col(keyCol)), weights)
+
+  private def splitBy(df: DataFrame, u: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val u = xxhash64(col(keyCol), lit(seed)) / lit(2.0 * Long.MaxValue) + lit(0.5)
     val cuts = weights.scanLeft(0.0)(_ + _._2).tail
     val assign = weights.map(_._1).zip(cuts).foldRight(
       lit(weights.last._1)) { case ((name, hi), acc) =>

@@ -409,7 +409,21 @@ object LlmOps {
       .orderBy("corpus", "doc_id")
   }
 
+  /** Deterministic train/valid/test split, judged value-exact via the
+    * portable draw: every row's assignment is replayed by the oracle.
+    * Dyadic weights (0.75/0.125/0.125) make the cumulative cut points
+    * exact doubles in both engines.
+    */
+  val qSplitTvt: QueryFn = withTables { spark =>
+    graft.operators.Sampling.splitPortable(
+        spark.table("documents"), "doc_id",
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_split_tvt" -> qSplitTvt,
     "q_fingerprint" -> qFingerprint,
     "q_pack_offset" -> qPackOffset,
     "q_mix_corpora" -> qMixCorpora,
@@ -836,6 +850,19 @@ object LlmOps {
              CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin
       FROM o
       ORDER BY lang, doc_id""",
+
+    // The same md5 draw and the same dyadic cut points (0.75, 0.875)
+    // replay every row's split assignment exactly.
+    "q_split_tvt" -> """
+      SELECT doc_id,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS u
+            FROM documents)
+      ORDER BY doc_id""",
 
     // Every keep/drop decision replayed exactly: the draw is
     // md5('name:' || key) over 2^60 (a power of two, so the division

@@ -67,6 +67,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("WavDecoder REALLY decodes: PCM geometry recovered, non-WAV fails") {
+    import spark.implicits._
+    val wavs = Multimodal.withSyntheticWav(
+      (0L until 10L).toDF("doc_id"), "doc_id", sampleRate = 16000, nSamples = 320)
+    val feats = Multimodal.extractAudioFeatures(
+        wavs.repartition(3), "doc_id", "media", new Multimodal.WavDecoder)
+      .collect()
+    assert(feats.length === 10)
+    feats.foreach { r =>
+      assert(r.getInt(1) === 16000, s"sample rate ${r.getInt(1)}")
+      assert(r.getInt(2) === 1 && r.getInt(3) === 16, "mono 16-bit")
+      assert(r.getLong(4) === 320L, s"n_samples ${r.getLong(4)}")
+      assert(r.getLong(5) === 320L * 1000 / 16000, "duration from geometry")
+    }
+    // determinism: same id => same checksum across runs/partitionings
+    val again = Multimodal.extractAudioFeatures(
+        wavs.repartition(7), "doc_id", "media", new Multimodal.WavDecoder)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    val first = feats.map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(first === again)
+    // a non-WAV payload must fail loudly
+    val bad = Multimodal.withSyntheticMedia((0L until 2L).toDF("doc_id"), "doc_id")
+    val e = intercept[Exception] {
+      Multimodal.extractAudioFeatures(bad, "doc_id", "media",
+        new Multimodal.WavDecoder).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("resize shrinks the payload, stamps meta, keeps the struct shape") {
     val resized = Multimodal.resize(mediaDf, "media", 224, 224)
     assert(resized.schema("media").dataType === mediaDf.schema("media").dataType)
