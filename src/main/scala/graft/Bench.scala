@@ -42,6 +42,14 @@ object Bench {
       val e0 = spark.read.parquet(s"$warmDir/embeddings.parquet")
       graft.operators.Similarity.probeSearch(
         e0, e0.filter(col("vec_id") < 3), "vec_id", "embedding", 3).count()
+      // IVF kernels: k-means train/assign stages JIT here, not in
+      // q_ann_ivf (training was most of that query's one-shot time)
+      val c0 = graft.operators.IvfIndex.train(e0, "vec_id", "embedding",
+        k = 2, iters = 1, seed = 42L)
+      graft.operators.IvfIndex.search(
+        graft.operators.IvfIndex.assign(e0, "vec_id", "embedding", c0),
+        e0.filter(col("vec_id") < 3), "vec_id", "embedding", c0,
+        nprobe = 2, topK = 3).count()
     }
     warm {
       // LAST: leave the judged sfDir's views registered for the loop

@@ -144,6 +144,14 @@ class PlanSpec extends SparkTestBase {
       s"mixing must not shuffle:\n$p")
   }
 
+  test("train/valid/test split is a pure projection: zero hash exchanges") {
+    // the assignment is a per-row hash expression — any exchange means
+    // the split stopped being a pushable map-side decision
+    val p = plan("q_split_tvt")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"split must not shuffle:\n$p")
+  }
+
   test("resample plans one hash shuffle; both window passes share it") {
     val p = plan("q_resample_interp")
     val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
