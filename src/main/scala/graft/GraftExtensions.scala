@@ -101,5 +101,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"freq_sketch(col, capacity): capacity must be an INT literal, got $other")
         }
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_mean"),
+      new ExpressionInfo(classOf[graft.functions.VectorMeanAgg].getName,
+        "vec_mean"),
+      (exprs: Seq[Expression]) => {
+        arity("vec_mean(vec)", 1, exprs)
+        graft.functions.VectorMeanAgg(exprs.head).toAggregateExpression()
+      }))
   }
 }

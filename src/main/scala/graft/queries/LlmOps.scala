@@ -427,7 +427,25 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Embedding mean-pooling per label class via the native mergeable
+    * VectorMeanAgg — chunk-to-document pooling at the shuffle cost of
+    * one (sum-vector, count) pair per group. Judged against DuckDB's
+    * per-position AVG of the same float32 values; elements compare as
+    * scale-4 integers (round(x*1e4)) so engine float FORMATTING can't
+    * diverge (both engines sum float32 inputs in a float64
+    * accumulator, so the values themselves agree).
+    */
+  val qPoolMean: QueryFn = withTables { spark =>
+    spark.table("embeddings")
+      .groupBy("label")
+      .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("m"))
+      .select(col("label"),
+        expr("transform(m, x -> cast(round(x * 10000) as bigint))").as("pooled"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_pool_mean" -> qPoolMean,
     "q_split_tvt" -> qSplitTvt,
     "q_fingerprint" -> qFingerprint,
     "q_pack_offset" -> qPackOffset,
@@ -855,6 +873,19 @@ object LlmOps {
              CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin
       FROM o
       ORDER BY lang, doc_id""",
+
+    // Per-position AVG restates the elementwise mean; embedding[i] is
+    // 1-based. Scale-4 integer elements dodge float-format divergence.
+    "q_pool_mean" -> """
+      WITH u AS (SELECT label, i,
+                        AVG(CAST(embedding[i] AS DOUBLE)) AS m
+                 FROM embeddings, UNNEST(RANGE(1, 65)) t(i)
+                 GROUP BY label, i)
+      SELECT label,
+             LIST(CAST(ROUND(m * 10000) AS BIGINT) ORDER BY i) AS pooled
+      FROM u
+      GROUP BY label
+      ORDER BY label""",
 
     // The same md5 draw and the same dyadic cut points (0.75, 0.875)
     // replay every row's split assignment exactly.

@@ -62,6 +62,15 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(hh.map(r => (r.getString(0), r.getLong(1))) ===
         Seq(("a", 3L), ("b", 2L), ("c", 1L)))
 
+      // round-4: native mean-pooling aggregate
+      val vm = s2.sql(
+        """SELECT vec_mean(v) AS m FROM (
+          |  SELECT array(CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT)) AS v
+          |  UNION ALL
+          |  SELECT array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT)))
+          |""".stripMargin).head().getSeq[Double](0)
+      assert(vm === Seq(2.0, 4.0))
+
       // injected optimizer rule: self-cosine strength-reduces, and the
       // rewrite is value-exact incl. the zero-vector NaN case
       // non-foldable input: literal arrays would be constant-folded
