@@ -43,6 +43,18 @@ object Multimodal {
         meta: Map[String, String]): MediaFeatures
   }
 
+  /** The one checksum definition every decoder stamps its features
+    * with: a polynomial byte hash, so equal payloads give equal
+    * checksums ACROSS decoder classes (three divergent copies would
+    * silently break that comparability).
+    */
+  private[operators] def byteChecksum(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
   /** Deterministic fake decode: features are pure functions of the
     * payload bytes. Stands in for the real codec call (unavailable
     * here); keeps tests and downstream plumbing fully exercisable.
@@ -50,9 +62,7 @@ object Multimodal {
   class StubDecoder extends MediaDecoder {
     override def decode(uri: String, bytes: Array[Byte],
         meta: Map[String, String]): MediaFeatures = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      val h = byteChecksum(bytes)
       val fmt = meta.getOrElse("format",
         uri.split('.').lastOption.getOrElse("bin"))
       MediaFeatures(
@@ -85,13 +95,11 @@ object Multimodal {
       require(le32(14) == 40,
         s"unsupported BMP DIB header (size ${le32(14)}) in $uri: " +
           "only BITMAPINFOHEADER is decoded")
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
       // negative height is the valid top-down encoding; magnitude is
       // the pixel height either way
       MediaFeatures(width = le32(18), height = math.abs(le32(22)),
-        format = "bmp", n_bytes = bytes.length.toLong, checksum = h)
+        format = "bmp", n_bytes = bytes.length.toLong,
+        checksum = byteChecksum(bytes))
     }
   }
 
@@ -139,8 +147,15 @@ object Multimodal {
       var dataSize = -1L
       while (off + 8 <= bytes.length && (fmtOff < 0 || dataSize < 0)) {
         val size = le32(off.toInt + 4).toLong & 0xFFFFFFFFL
-        if (ascii(off.toInt, "fmt ")) fmtOff = off.toInt + 8
-        else if (ascii(off.toInt, "data")) {
+        if (ascii(off.toInt, "fmt ")) {
+          // a PCM fmt chunk carries 16 bytes of fields; a shorter or
+          // truncated one must fail here, not fabricate geometry from
+          // whatever bytes follow (or throw a raw out-of-bounds later)
+          require(size >= 16 && off + 8 + 16 <= bytes.length,
+            s"WAV $uri fmt chunk truncated (declared $size bytes, " +
+              s"${bytes.length - off - 8} remain)")
+          fmtOff = off.toInt + 8
+        } else if (ascii(off.toInt, "data")) {
           require(off + 8 + size <= bytes.length,
             s"WAV $uri data chunk ($size bytes) overruns the payload")
           dataSize = size
@@ -159,11 +174,8 @@ object Multimodal {
       require(channels > 0 && sampleRate > 0 && blockAlign > 0,
         s"WAV $uri has degenerate fmt fields")
       val nSamples = dataSize / blockAlign
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
       AudioFeatures(sampleRate, channels, bits, nSamples,
-        nSamples * 1000L / sampleRate, h)
+        nSamples * 1000L / sampleRate, byteChecksum(bytes))
     }
   }
 
@@ -199,22 +211,36 @@ object Multimodal {
     * and bytes-dropped output as [[extractFeatures]].
     */
   def extractAudioFeatures(df: DataFrame, idCol: String, mediaCol: String,
-      decoder: AudioDecoder): DataFrame = {
+      decoder: AudioDecoder): DataFrame =
+    extractWith(df, idCol, mediaCol,
+      Encoders.product[AudioFeatures].schema, () => decoder.open(),
+      (uri, bytes, meta) => decoder.decode(uri, bytes, meta))
+
+  /** The one definition of the decode plumbing both extractors ride:
+    * project (id, uri, bytes, meta), stream each partition through a
+    * single decoder init, emit `id +:` the feature product's fields,
+    * dropping the heavy bytes from the output. Fixes to the shape
+    * (projection, lifecycle, meta decoding) land once, for every
+    * modality.
+    */
+  private def extractWith(df: DataFrame, idCol: String, mediaCol: String,
+      featSchema: StructType, open: () => Unit,
+      decodeRow: (String, Array[Byte], Map[String, String]) => Product)
+      : DataFrame = {
     val outSchema = StructType(
       StructField("id", LongType, nullable = false) +:
-      Encoders.product[AudioFeatures].schema.fields.toIndexedSeq)
+      featSchema.fields.toIndexedSeq)
     val input = df.select(
       col(idCol).cast("long").as("id"),
       col(s"$mediaCol.uri").as("uri"),
       col(s"$mediaCol.bytes").as("bytes"),
       col(s"$mediaCol.meta").as("meta"))
     input.mapPartitions { rows =>
-      decoder.open()
+      open() // once per partition: codec context init
       rows.map { r =>
         val meta = r.getMap[String, String](3).toMap
-        val f = decoder.decode(r.getString(1), r.getAs[Array[Byte]](2), meta)
-        Row(r.getLong(0), f.sample_rate, f.channels, f.bits_per_sample,
-          f.n_samples, f.duration_ms, f.checksum)
+        val f = decodeRow(r.getString(1), r.getAs[Array[Byte]](2), meta)
+        Row.fromSeq(r.getLong(0) +: f.productIterator.toIndexedSeq)
       }
     }(Encoders.row(outSchema))
   }
@@ -264,24 +290,10 @@ object Multimodal {
     * have (idCol: bigint, mediaCol: mediaType).
     */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String,
-      decoder: MediaDecoder): DataFrame = {
-    val outSchema = StructType(
-      StructField("id", LongType, nullable = false) +:
-      Encoders.product[MediaFeatures].schema.fields.toIndexedSeq)
-    val input = df.select(
-      col(idCol).cast("long").as("id"),
-      col(s"$mediaCol.uri").as("uri"),
-      col(s"$mediaCol.bytes").as("bytes"),
-      col(s"$mediaCol.meta").as("meta"))
-    input.mapPartitions { rows =>
-      decoder.open() // once per partition: codec context init
-      rows.map { r =>
-        val meta = r.getMap[String, String](3).toMap
-        val f = decoder.decode(r.getString(1), r.getAs[Array[Byte]](2), meta)
-        Row(r.getLong(0), f.width, f.height, f.format, f.n_bytes, f.checksum)
-      }
-    }(Encoders.row(outSchema))
-  }
+      decoder: MediaDecoder): DataFrame =
+    extractWith(df, idCol, mediaCol,
+      Encoders.product[MediaFeatures].schema, () => decoder.open(),
+      (uri, bytes, meta) => decoder.decode(uri, bytes, meta))
 
   /** Resize stub: the real implementation hands bytes to a codec and
     * re-encodes at (w, h); here the transform deterministically derives

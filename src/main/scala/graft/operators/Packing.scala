@@ -58,7 +58,10 @@ object Packing {
     * per-group buffering), so throughput scales with the number of
     * groups, not with documents per group.
     *
-    * Output: (groupCol, idCol, n_tokens, bin).
+    * Output: (groupCol, idCol, n_tokens, bin). NOTE: the group column
+    * comes back as STRING (it is the typed fold's grouping key) and the
+    * id as BIGINT — unlike [[packByOffset]], which preserves input
+    * types; re-cast before joining back on a non-string group key.
     */
   def packGreedyCapacity(df: DataFrame, groupCol: String, idCol: String,
       tokenCount: Column, budgetTokens: Int): DataFrame = {

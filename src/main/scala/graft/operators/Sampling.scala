@@ -100,6 +100,9 @@ object Sampling {
       "mixCorpora source names must be distinct (they seed the draws)")
     sources.map { case (name, df, w) =>
       require(w >= 0.0 && w <= 1.0, s"weight for '$name' must be in [0,1], got $w")
+      require(!df.columns.contains(tagCol),
+        s"source '$name' already has a '$tagCol' column — withColumn would " +
+          "silently overwrite it; pass a different tagCol")
       df.filter(portableUnit(concat(lit(s"$name:"), col(keyCol).cast("string"))) < w)
         .withColumn(tagCol, lit(name))
     }.reduce(_.unionByName(_))

@@ -94,6 +94,20 @@ class MultimodalSpec extends SparkTestBase {
         new Multimodal.WavDecoder).collect()
     }
     assert(e.getMessage != null)
+    // a TRUNCATED fmt chunk must fail with the decoder's own message,
+    // not fabricate geometry from following bytes (review finding): a
+    // 4-byte fmt chunk whose payload starts 0x01 0x00 would otherwise
+    // pass the PCM check and read sampleRate out of the 'data' tag
+    val dec = new Multimodal.WavDecoder
+    val riff = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 0, 1, 0) ++
+      "data".getBytes("US-ASCII") ++ Array[Byte](12, 0, 0, 0) ++
+      Array.fill[Byte](12)(7) // pad past the 44-byte floor
+    val e2 = intercept[IllegalArgumentException] {
+      dec.decode("mem://trunc.wav", riff, Map.empty)
+    }
+    assert(e2.getMessage.contains("fmt chunk truncated"), e2.getMessage)
   }
 
   test("resize shrinks the payload, stamps meta, keeps the struct shape") {

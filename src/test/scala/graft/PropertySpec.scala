@@ -316,6 +316,34 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("packByOffset equals the exclusive-cumsum closed form") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 40L))
+      groups <- Gen.listOfN(n, Gen.oneOf("a", "b"))
+      budget <- Gen.choose(1, 50)
+    } yield (sizes.zip(groups), budget)
+    check("pack-offset")(Prop.forAll(gen) { case (rows, budget) =>
+      val d = rows.zipWithIndex.map { case ((sz, g), i) => (g, i.toLong, sz) }
+        .toDF("grp", "id", "n")
+      val got = graft.operators.Packing
+        .packByOffset(d, Seq("grp"), "id", col("n"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(3), r.getLong(4))).toSet
+      val expected = rows.zipWithIndex.groupBy(_._1._2).flatMap {
+        case (g, members) =>
+          var cum = 0L
+          members.sortBy(_._2).map { case ((sz, _), i) =>
+            val start = cum
+            cum += sz
+            (g, i.toLong, start, start / budget)
+          }
+      }.toSet
+      got == expected
+    })
+  }
+
   test("salted aggregation merges to the unsalted aggregate") {
     check("salted-agg")(Prop.forAll(rowsGen, Gen.choose(1, 8)) { (rows, salts) =>
       val d = df(rows)
