@@ -474,6 +474,19 @@ object Core {
       .orderBy("o_orderkey")
   }
 
+  /** Z-order key computation, judged value-exact: the Morton interleave
+    * of (l_partkey, l_suppkey) — the sort key behind two-dimensional
+    * data-skipping layouts (operators/ZOrder.scala; clusterByZ's
+    * range-partition + local sort is pinned by ZOrderSpec). The bit
+    * ladder is pure arithmetic, so DuckDB restates it verbatim.
+    */
+  val qZorder: QueryFn = withTables { spark =>
+    spark.table("lineitem").filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+  }
+
   /** Skew-safe join + aggregation through BOTH Salting helpers
     * (operators/Salting.scala): the orders→customer join runs salted
     * (8 deterministic salts, small side replicated) and the revenue
@@ -575,6 +588,7 @@ object Core {
       "q_join_broadcast" -> qJoinBroadcast,
       "q_join_bloom" -> qJoinBloom,
       "q_join_salted" -> qJoinSalted,
+      "q_zorder" -> qZorder,
       "q_topk_pergroup" -> qTopkPergroup,
       "q_topk_custom" -> qTopkCustom,
       "q_sql_facade" -> qSqlFacade,
@@ -583,6 +597,33 @@ object Core {
 
   /** All §2.2–§2.7 oracle SQL. */
   val oracles: Map[String, String] = sqlTexts ++ oracleOverrides ++ Map(
+    // the identical Morton bit-spread ladder, one CTE per doubling
+    // step (masks in decimal: 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+    // 0x0F0F0F0F0F0F0F0F, 0x3333333333333333, 0x5555555555555555)
+    "q_zorder" -> """
+      WITH s0 AS (SELECT l_orderkey, l_linenumber,
+                         CAST(l_partkey AS BIGINT) AS xa,
+                         CAST(l_suppkey AS BIGINT) AS xb
+                  FROM lineitem WHERE l_orderkey <= 1000),
+      s1 AS (SELECT l_orderkey, l_linenumber,
+                    (xa | (xa << 16)) & 281470681808895 AS xa,
+                    (xb | (xb << 16)) & 281470681808895 AS xb FROM s0),
+      s2 AS (SELECT l_orderkey, l_linenumber,
+                    (xa | (xa << 8)) & 71777214294589695 AS xa,
+                    (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+      s3 AS (SELECT l_orderkey, l_linenumber,
+                    (xa | (xa << 4)) & 1085102592571150095 AS xa,
+                    (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+      s4 AS (SELECT l_orderkey, l_linenumber,
+                    (xa | (xa << 2)) & 3689348814741910323 AS xa,
+                    (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+      s5 AS (SELECT l_orderkey, l_linenumber,
+                    (xa | (xa << 1)) & 6148914691236517205 AS xa,
+                    (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+      SELECT l_orderkey, l_linenumber, xa | (xb << 1) AS z
+      FROM s5
+      ORDER BY z, l_orderkey, l_linenumber""",
+
     // the Bloom pre-filter is result-transparent: the oracle is the
     // plain inner join (identical to q_join_inner's)
     "q_join_bloom" -> sqlTexts("q_join_inner"),
