@@ -114,6 +114,27 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"), gen.as(Seq("pos", "tok")))
   }
 
+  /** Cross-document repeated spans — the anchor step of exact-substring
+    * dedup (published as: duplicated training spans measurably hurt
+    * LMs; spans repeated across documents get cut, not whole docs):
+    * every n-token span occurring in at least `minDocs` DISTINCT
+    * documents, with its document frequency. Built on the shared
+    * shingle generator, so span extraction has one definition
+    * corpus-wide; the whole operator is one generate + one hash
+    * aggregation (map-side partial on the span key) — no joins, no
+    * self-comparison, the shape that survives a 100 TB corpus. Callers
+    * cut or mask the flagged spans; full suffix-array substring dedup
+    * generalizes this to unaligned overlaps at far higher build cost.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: a span repeats at >= 2 docs")
+    ngramOccurrences(df, idCol, textCol, n)
+      .select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Within-doc repetition signal (the Gopher/RefinedWeb boilerplate
     * rule): fraction of a doc's n-gram occurrences claimed by its most
     * frequent n-gram. Near-0 for natural text, near-1 for template spam

@@ -444,7 +444,19 @@ object LlmOps {
       .orderBy("label")
   }
 
+  /** Cross-document repeated 5-token spans (exact-substring dedup's
+    * anchor step): one generate + one hash agg over the shared shingle
+    * generator, judged value-exact.
+    */
+  val qRepeatedSpans: QueryFn = withTables { spark =>
+    TextAnalysis.repeatedSpans(
+        spark.table("documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("tok")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_repeated_spans" -> qRepeatedSpans,
     "q_pool_mean" -> qPoolMean,
     "q_split_tvt" -> qSplitTvt,
     "q_fingerprint" -> qFingerprint,
@@ -873,6 +885,21 @@ object LlmOps {
              CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin
       FROM o
       ORDER BY lang, doc_id""",
+
+    // 5-token spans via 1-based inclusive list slicing (the
+    // q_dedup_ngram_jaccard pattern); RANGE is empty for docs shorter
+    // than 5 tokens.
+    "q_repeated_spans" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 1000),
+           sh AS (SELECT DISTINCT doc_id,
+                         ARRAY_TO_STRING(toks[i:i+4], ' ') AS tok
+                  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 3, 1))) r(i))
+      SELECT tok, COUNT(DISTINCT doc_id) AS n_docs
+      FROM sh
+      GROUP BY tok
+      HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY tok""",
 
     // Per-position AVG restates the elementwise mean; embedding[i] is
     // 1-based. Scale-4 integer elements dodge float-format divergence.

@@ -123,4 +123,23 @@ class TextAnalysisSpec extends SparkTestBase {
     got.foreach(r => assert(r.getInt(0) === r.getInt(1),
       s"token count mismatch: got ${r.getInt(0)}, want ${r.getInt(1)}"))
   }
+
+  test("repeatedSpans finds cross-doc n-token spans, counts docs once") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the quick brown fox jumps over it"),
+      (1L, "a lazy dog saw the quick brown fox jumps far away"),
+      (2L, "the quick brown fox jumps the quick brown fox jumps"), // twice in ONE doc
+      (3L, "nothing shared here at all today friends"),
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.repeatedSpans(df, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spans("the quick brown fox jumps") === 3L,
+      "doc 2's internal repeat counts it ONCE (distinct docs)")
+    // sub-spans shared by the same 3 docs also qualify; nothing from doc 3
+    assert(spans.keys.forall(_.split(' ').length == 5))
+    assert(!spans.keys.exists(_.contains("nothing")))
+    // minDocs=4 excludes everything (only 3 docs share any span)
+    assert(TextAnalysis.repeatedSpans(df, "doc_id", "text", 5, 4).count() === 0L)
+  }
 }
