@@ -263,4 +263,51 @@ object TextAnalysis {
            |    'b', (acc.b * 37 + h) % 998244353),
            |  acc -> acc.a * 998244353 + acc.b)""".stripMargin)
         .as("fp"))
+
+  /** Bigram language-model scoring (the CCNet-style perplexity quality
+    * filter): train add-k-smoothed bigram statistics on `train`, score
+    * every `score` document by its mean bigram log-probability —
+    * low-scoring documents are boilerplate/gibberish candidates for a
+    * quality cut.
+    *
+    * Model: P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), with c(·)
+    * bigram counts from `train` and V = |distinct continuation words|.
+    * Every statistic derives from ONE bigram-count aggregation (context
+    * counts re-aggregate it; V is a one-row agg that rides a cross
+    * join), so training is a single shuffle over the train corpus.
+    * Scoring is two equi-joins of per-occurrence bigrams against the
+    * count tables — both count tables are vocabulary-sized, far smaller
+    * than the corpus, so at scale AQE broadcasts them and the score
+    * corpus never shuffles. Unseen bigrams/contexts cost
+    * ln(k / (c1 + k·V)) (coalesce to 0), never null.
+    *
+    * Deterministic: counts are exact; the only float is the final mean,
+    * rounded by the caller.
+    */
+  def lmScoreCross(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, k: Double = 0.5): DataFrame = {
+    def bigrams(df: DataFrame) =
+      ngramOccurrences(df, idCol, textCol, 2).select("doc_id", "tok")
+    val c2 = bigrams(train).groupBy("tok").agg(count(lit(1)).as("c2"))
+    val c1 = c2.select(substring_index(col("tok"), " ", 1).as("w1"), col("c2"))
+      .groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = c2.agg(
+      countDistinct(substring_index(col("tok"), " ", -1)).as("v"))
+    bigrams(score)
+      .join(c2, Seq("tok"), "left")
+      .withColumn("w1", substring_index(col("tok"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .withColumn("lp",
+        log((coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))
+      .groupBy("doc_id")
+      .agg(avg(col("lp")).as("lm_score"))
+  }
+
+  /** Self-scored corpus: train and score on the same documents (the
+    * common "rank my corpus by fluency" pass). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame =
+    lmScoreCross(df, df, idCol, textCol, k)
 }

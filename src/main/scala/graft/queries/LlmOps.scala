@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import QueryDefs._
-import graft.operators.{Dedup, IvfIndex, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, IvfIndex, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline surface (SURVEY.md §2.11): dedup, similarity
   * search, text analysis — each judged query drives the corresponding
@@ -455,7 +455,51 @@ object LlmOps {
       .orderBy("tok")
   }
 
+  /** L2 follow-through: duplicate CLUSTERS, not just pairs. The pair
+    * set is q_dedup_ngram_jaccard's exact 3-shingle Jaccard edges; the
+    * transitive closure resolves to (doc, min-reachable-doc) via
+    * Clustering.connectedComponents. Judged against a DuckDB recursive
+    * CTE computing the same min-label fixpoint.
+    */
+  val qDedupClusters: QueryFn = withTables { spark =>
+    val docs = spark.table("documents").filter(col("doc_id") < 500)
+    val pairs = Dedup.nearNgramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.2).select("i", "j")
+    Clustering.connectedComponents(pairs, "i", "j")
+      .select(col("v").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The user-facing end of the dedup story: the surviving corpus after
+    * dropping every non-canonical cluster member found above.
+    */
+  val qDedupCanonical: QueryFn = withTables { spark =>
+    val docs = spark.table("documents").filter(col("doc_id") < 500)
+    val pairs = Dedup.nearNgramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.2).select("i", "j")
+    Clustering.keepCanonical(docs, "doc_id", pairs, "i", "j")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** L4 quality scoring, model-based: bigram-LM mean log-probability
+    * per document (self-scored corpus), the CCNet-style perplexity
+    * filter. Counts are exact integers both sides; only the final mean
+    * is floating, rounded at 6 dp.
+    */
+  val qLmScore: QueryFn = withTables { spark =>
+    TextAnalysis.lmScore(
+        spark.table("documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", k = 0.5)
+      .select(col("doc_id"),
+        round(col("lm_score"), 6).cast("double").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_canonical" -> qDedupCanonical,
+    "q_lm_score" -> qLmScore,
     "q_repeated_spans" -> qRepeatedSpans,
     "q_pool_mean" -> qPoolMean,
     "q_split_tvt" -> qSplitTvt,
@@ -493,6 +537,82 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Connected components as a recursive min-label fixpoint: `reach`
+    // accumulates every (vertex, reachable-label) pair over the
+    // symmetric edge set; MIN per vertex is the component id — the same
+    // fixpoint Clustering.connectedComponents iterates to.
+    "q_dedup_clusters" -> """
+      WITH RECURSIVE
+      t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+            FROM documents WHERE doc_id < 500),
+      sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS tok
+             FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) r(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS nn FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT i, j FROM inter
+                JOIN sizes sa ON i = sa.doc_id
+                JOIN sizes sb ON j = sb.doc_id
+                WHERE c * 1.0 / (sa.nn + sb.nn - c) >= 0.2),
+      edges AS (SELECT i AS src, j AS dst FROM pairs
+                UNION SELECT j AS src, i AS dst FROM pairs),
+      reach AS (SELECT src AS v, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS v, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.v)
+      SELECT v AS doc_id, MIN(lbl) AS cluster_id
+      FROM reach GROUP BY v ORDER BY doc_id""",
+
+    "q_dedup_canonical" -> """
+      WITH RECURSIVE
+      t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+            FROM documents WHERE doc_id < 500),
+      sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS tok
+             FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) r(i)),
+      sizes AS (SELECT doc_id, COUNT(*) AS nn FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT i, j FROM inter
+                JOIN sizes sa ON i = sa.doc_id
+                JOIN sizes sb ON j = sb.doc_id
+                WHERE c * 1.0 / (sa.nn + sb.nn - c) >= 0.2),
+      edges AS (SELECT i AS src, j AS dst FROM pairs
+                UNION SELECT j AS src, i AS dst FROM pairs),
+      reach AS (SELECT src AS v, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS v, r.lbl
+                FROM reach r JOIN edges e ON e.src = r.v),
+      losers AS (SELECT v FROM reach GROUP BY v HAVING MIN(lbl) <> v)
+      SELECT doc_id FROM documents
+      WHERE doc_id < 500 AND doc_id NOT IN (SELECT v FROM losers)
+      ORDER BY doc_id""",
+
+    // Bigram LM: P(w2|w1) = (c2 + 0.5) / (c1 + 0.5 * V); score = mean
+    // ln P over each doc's bigram occurrences. Same single bigram-count
+    // aggregation feeding context counts and V as the Spark side.
+    "q_lm_score" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 1000),
+      bi AS (SELECT doc_id, ARRAY_TO_STRING(toks[i:i+1], ' ') AS tok
+             FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) r(i)),
+      c2 AS (SELECT tok, COUNT(*) AS c2 FROM bi GROUP BY tok),
+      c1 AS (SELECT SPLIT_PART(tok, ' ', 1) AS w1, SUM(c2) AS c1
+             FROM c2 GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT SPLIT_PART(tok, ' ', 2)) AS v FROM c2)
+      SELECT bi.doc_id,
+             CAST(ROUND(AVG(LN((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6)
+                  AS DOUBLE) AS lm_score
+      FROM bi
+      JOIN c2 ON bi.tok = c2.tok
+      JOIN c1 ON SPLIT_PART(bi.tok, ' ', 1) = c1.w1
+      CROSS JOIN v
+      GROUP BY bi.doc_id
+      ORDER BY bi.doc_id""",
 
     "q_dedup_exact" -> """
       SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

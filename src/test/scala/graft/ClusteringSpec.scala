@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+class ClusteringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("two components resolve to their minimum ids") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val got = Clustering.connectedComponents(edges, "i", "j")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("long chain converges beyond one propagation pass") {
+    // path graph 10-9-...-1: label 1 must walk the full diameter
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Clustering.connectedComponents(edges, "i", "j")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 10 && got.values.forall(_ == 1L))
+  }
+
+  test("edge direction does not matter") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
+    val rev = fwd.select(col("j").as("i"), col("i").as("j"))
+    val a = Clustering.connectedComponents(fwd, "i", "j")
+      .as[(Long, Long)].collect().toSet
+    val b = Clustering.connectedComponents(rev, "i", "j")
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("maxIters too small fails loudly, not with partial labels") {
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("i", "j")
+    val ex = intercept[IllegalStateException] {
+      Clustering.connectedComponents(edges, "i", "j", maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
+  test("keepCanonical keeps cluster minima and untouched docs") {
+    val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val kept = Clustering.keepCanonical(docs, "doc_id", pairs, "i", "j")
+      .select("doc_id").as[Long].collect().toSet
+    // losers 2,3 (cluster 1) and 6 (cluster 5); 4,7,8 never in a pair
+    assert(kept === Set(1L, 4L, 5L, 7L, 8L))
+  }
+
+  test("cluster ids agree with a brute-force union-find") {
+    // deterministic pseudo-random sparse graph over 40 vertices
+    val es = (0 until 60).map { k =>
+      val a = (k * 37 + 11) % 40; val b = (k * 53 + 29) % 40
+      (math.min(a, b).toLong, math.max(a, b).toLong)
+    }.filter { case (a, b) => a != b }
+    val parent = Array.tabulate(40)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = es.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // component min = min vertex with same root
+        val r = find(v.toInt)
+        es.flatMap(e => Seq(e._1, e._2)).distinct.filter(u => find(u.toInt) == r).min
+      }).toMap
+    val got = Clustering.connectedComponents(es.toDF("i", "j"), "i", "j")
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect)
+  }
+}

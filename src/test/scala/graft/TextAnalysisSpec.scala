@@ -142,4 +142,36 @@ class TextAnalysisSpec extends SparkTestBase {
     // minDocs=4 excludes everything (only 3 docs share any span)
     assert(TextAnalysis.repeatedSpans(df, "doc_id", "text", 5, 4).count() === 0L)
   }
+
+  test("lmScore: hand-computed bigram log-probabilities") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(df, "doc_id", "text", k = 0.5)
+      .as[(Long, Double)].collect().toMap
+    // c2: "a b"->3, "b a"->1, "x y"->1; c1: a->3, b->1, x->1; V=3
+    val pAB = math.log(3.5 / 4.5); val pLow = math.log(1.5 / 2.5)
+    assert(math.abs(got(1L) - (2 * pAB + pLow) / 3) < 1e-9)
+    assert(math.abs(got(2L) - pAB) < 1e-9)
+    assert(math.abs(got(3L) - pLow) < 1e-9)
+  }
+
+  test("lmScoreCross: unseen bigrams get the smoothed floor, not null") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((9L, "p q")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreCross(train, score, "doc_id", "text", k = 0.5)
+      .as[(Long, Double)].collect().toMap
+    // unseen bigram + unseen context, V = |{b, c}| = 2: p = 0.5/(0.5*2)
+    assert(math.abs(got(9L) - math.log(0.5)) < 1e-9)
+  }
+
+  test("lmScore ranks a repeated fluent phrase above rare word salad") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, "the cat sat on the mat")).toDF("doc_id", "text")
+      .union(Seq((99L, "zqx wvk jjf pmr qqt lzn")).toDF("doc_id", "text"))
+    val got = TextAnalysis.lmScore(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(99L))
+  }
 }
