@@ -24,6 +24,37 @@ object Core {
   /** Dialect-portable SQL: same text is the Spark query AND the oracle. */
   val sqlTexts: Map[String, String] = Map(
 
+    // Ordered event funnel (view -> click -> purchase) per user: one
+    // grouped pass computes each user's first time at every stage;
+    // stage survival = ordered timestamp comparisons. Group key =
+    // user_id, so the single shuffle is user-count sized at any SF.
+    "q_funnel" -> """
+      WITH m AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+             COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+             COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+             COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                        THEN 1 END) AS n_full_funnel
+      FROM m""",
+
+    // Equi-width histogram: bucket = exact integer math (floor to
+    // bigint first, so no engine's decimal-division rounding is in
+    // play), one hash agg, ~bucket-count rows out at any SF.
+    "q_histogram" -> """
+      SELECT CAST(FLOOR(CAST(FLOOR(l_extendedprice) AS BIGINT) / 5000)
+                  AS BIGINT) AS bucket,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                  AS DOUBLE) AS total
+      FROM lineitem
+      GROUP BY 1
+      ORDER BY bucket""",
+
     // TPC-H Q1 shape: scan + filter + hash agg + sort. Partial agg
     // map-side; 6-row group key => negligible shuffle at any scale.
     "q_agg_tpch1" -> """
@@ -328,6 +359,19 @@ object Core {
 
   /** Spark-side text where the dialects diverge. */
   val sparkOnlySql: Map[String, String] = Map(
+    // Cohort retention: cohort = first active day per user, one row per
+    // (cohort, day-offset) with active-user counts. DATEDIFF arg order
+    // differs between dialects, hence the override.
+    "q_retention" -> """
+      WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      SELECT CAST(f.d0 AS STRING) AS cohort,
+             CAST(DATEDIFF(a.d, f.d0) AS BIGINT) AS day_offset,
+             COUNT(*) AS n_active
+      FROM a JOIN f ON a.user_id = f.user_id
+      GROUP BY f.d0, DATEDIFF(a.d, f.d0)
+      ORDER BY cohort, day_offset""",
     // A10-extra: the explicit PIVOT clause (vs q_pivot_conditional's
     // conditional aggregation); oracle re-expresses as FILTERed counts.
     "q_pivot_clause" -> """
@@ -376,6 +420,17 @@ object Core {
     * defined via the DataFrame API below.
     */
   val oracleOverrides: Map[String, String] = Map(
+    "q_retention" -> """
+      WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      SELECT CAST(f.d0 AS VARCHAR) AS cohort,
+             CAST(DATEDIFF('day', f.d0, a.d) AS BIGINT) AS day_offset,
+             COUNT(*) AS n_active
+      FROM a JOIN f ON a.user_id = f.user_id
+      GROUP BY f.d0, DATEDIFF('day', f.d0, a.d)
+      ORDER BY cohort, day_offset""",
+
     "q_pivot_clause" -> """
       SELECT user_id,
              COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,

@@ -496,7 +496,25 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy string matching, judged: edit-distance-1 self-join over part
+    * names plus first-char-deleted variants (guaranteed distance-1
+    * partners), via FastSS deletion-neighborhood blocking + levenshtein
+    * verify. The oracle brute-forces LEVENSHTEIN over all pairs — same
+    * result set because depth-1 neighborhoods are complete for d <= 1.
+    */
+  val qFuzzyJoin: QueryFn = withTables { spark =>
+    val base = spark.table("part").filter(col("p_partkey") <= 500)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val variants = base.select((col("id") + 10000).as("id"),
+      expr("substr(s, 2)").as("s"))
+    graft.operators.FuzzyJoin.editDistance1SelfJoin(
+        base.unionByName(variants), "id", "s")
+      .withColumn("dist", col("dist").cast("bigint"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_fuzzy_join" -> qFuzzyJoin,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_canonical" -> qDedupCanonical,
     "q_lm_score" -> qLmScore,
@@ -537,6 +555,18 @@ object LlmOps {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q_fuzzy_join" -> """
+      WITH u AS (
+        SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey <= 500
+        UNION ALL
+        SELECT p_partkey + 10000, SUBSTR(p_name, 2)
+        FROM part WHERE p_partkey <= 500)
+      SELECT a.id AS i, b.id AS j,
+             CAST(LEVENSHTEIN(a.s, b.s) AS BIGINT) AS dist
+      FROM u a JOIN u b ON a.id < b.id
+      WHERE LEVENSHTEIN(a.s, b.s) <= 1
+      ORDER BY i, j""",
 
     // Connected components as a recursive min-label fixpoint: `reach`
     // accumulates every (vertex, reachable-label) pair over the

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("self-join finds substitution, insertion, deletion; not distance 2") {
+    val df = Seq((1L, "cat"), (2L, "cut"), (3L, "cats"), (4L, "at"),
+      (5L, "dog"), (6L, "cat")).toDF("id", "s")
+    val got = FuzzyJoin.editDistance1SelfJoin(df, "id", "s")
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 2L)) === 1) // substitution
+    assert(got((1L, 3L)) === 1) // insertion
+    assert(got((1L, 4L)) === 1) // deletion
+    assert(got((1L, 6L)) === 0) // exact duplicate rides along
+    assert(!got.keySet.exists { case (i, j) => i == 5L || j == 5L },
+      "dog is >1 away from everything")
+  }
+
+  test("matches brute-force levenshtein over a generated corpus") {
+    val words = Seq("ring", "rings", "rink", "blue bolt", "blue belt",
+      "blu bolt", "red widget", "red gadget", "small ring", "smal ring",
+      "x", "", "xy")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "s")
+    val brute = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .withColumn("d", levenshtein(col("a.s"), col("b.s")))
+      .filter(col("d") <= 1)
+      .select(col("a.id"), col("b.id"), col("d"))
+      .as[(Long, Long, Int)].collect().toSet
+    val fast = FuzzyJoin.editDistance1SelfJoin(df, "id", "s")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast === brute)
+  }
+
+  test("two-table variant matches dirty strings to a reference list") {
+    val ref = Seq((1L, "paris"), (2L, "london")).toDF("rid", "name")
+    val dirty = Seq((10L, "pariss"), (11L, "lndon"), (12L, "tokyo"),
+      (13L, null.asInstanceOf[String])).toDF("did", "name")
+    val got = FuzzyJoin.editDistance1Join(
+        dirty, "did", "name", ref, "rid", "name")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((10L, 1L, 1), (11L, 2L, 1)))
+  }
+}
