@@ -420,6 +420,34 @@ object Core {
     * defined via the DataFrame API below.
     */
   val oracleOverrides: Map[String, String] = Map(
+    "q_profile" -> """
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_orderkey) AS n_null,
+               COUNT(DISTINCT l_orderkey) AS n_distinct,
+               CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+               CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+               COUNT(DISTINCT l_linenumber),
+               CAST(MIN(l_linenumber) AS VARCHAR),
+               CAST(MAX(l_linenumber) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+               COUNT(DISTINCT l_linestatus),
+               CAST(MIN(l_linestatus) AS VARCHAR),
+               CAST(MAX(l_linestatus) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+               COUNT(DISTINCT l_returnflag),
+               CAST(MIN(l_returnflag) AS VARCHAR),
+               CAST(MAX(l_returnflag) AS VARCHAR)
+        FROM lineitem)
+      ORDER BY col_name""",
+
     "q_retention" -> """
       WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
                  FROM events GROUP BY user_id),
@@ -637,9 +665,22 @@ object Core {
       .orderBy("band_id")
   }
 
+  /** Column profiling, judged at the exact-distinct regime (bounded
+    * scope); the production default is the HLL sketch path. ONE
+    * aggregation pass for all four columns — the oracle restates it as
+    * four per-column aggregates unioned.
+    */
+  val qProfile: QueryFn = withTables { spark =>
+    graft.operators.Profiling.profile(spark.table("lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_linestatus", "l_returnflag"),
+        exactDistinct = true)
+      .orderBy("col_name")
+  }
+
   /** All §2.2–§2.7 judged queries. */
   val queries: Map[String, QueryFn] =
     (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
+      "q_profile" -> qProfile,
       "q_join_broadcast" -> qJoinBroadcast,
       "q_join_bloom" -> qJoinBloom,
       "q_join_salted" -> qJoinSalted,

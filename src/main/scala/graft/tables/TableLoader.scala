@@ -58,6 +58,21 @@ object TableLoader {
     schema.fold(base)(base.schema).json(path)
   }
 
+  /** ORC scan/sink (S5): columnar alternative to parquet with the same
+    * pushdown/pruning properties (PushedFilters reach the ORC reader).
+    */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Parquet scan across files whose schemas EVOLVED (columns added
+    * over time): mergeSchema unions the file footers' schemas; rows
+    * from files missing a column read it as null. Off by default in
+    * Spark because footer-merging costs a pass over file metadata —
+    * turn it on per-read like this, not globally, at 100 TB.
+    */
+  def loadParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** The events table with `ts` converted to µs TimestampType. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

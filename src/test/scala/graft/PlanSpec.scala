@@ -124,6 +124,33 @@ class PlanSpec extends SparkTestBase {
       s"unexpected extra shuffles in LSH dedup ($hashExchanges):\n$p")
   }
 
+  test("fuzzy join stays equi-join shaped; neighborhood gen never shuffles") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"deletion-neighborhood join must not plan a quadratic join:\n$p")
+    // verification rides the candidate rows: levenshtein must not add a
+    // join of its own. Count in the plan TREE only (formatted explain
+    // repeats every node in its details section).
+    val tree = p.split("\n\n")(0)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(tree).size <= 1, s"fuzzy join should be ONE candidate join:\n$p")
+  }
+
+  test("LM scoring trains from one bigram aggregation; vocab joins broadcast") {
+    val p = plan("q_lm_score")
+    // the only cartesian-ish shape allowed is the one-row vocab
+    // cross join, which must come in as a broadcast
+    assert(!p.contains("CartesianProduct"),
+      s"lm score must broadcast the one-row vocab, not cartesian:\n$p")
+  }
+
+  test("profile is one aggregation pass: single scan, Expand for distincts") {
+    val p = plan("q_profile")
+    val scans = "Scan parquet".r.findAllIn(p.split("\n\n")(0)).size
+    assert(scans === 1, s"profile must scan the table once, saw $scans:\n$p")
+    assert(p.contains("Expand"), s"exact-distinct profile plans via Expand:\n$p")
+  }
+
   test("offset packing plans exactly one hash shuffle (the shard sort)") {
     // the running-sum window is the only exchange; the fingerprint-of-
     // scale claim for packByOffset is "one sort shuffle per shard key,

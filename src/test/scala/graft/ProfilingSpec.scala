@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Profiling
+
+class ProfilingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (10L, Some("b"), Some(2.5)),
+    (2L, None, Some(1.0)),
+    (10L, Some("a"), None),
+    (7L, Some("a"), Some(9.0))).toDF("id", "s", "x")
+
+  test("exact profile: counts, nulls, distincts, native-type min/max") {
+    val got = Profiling.profile(df, Seq("id", "s", "x"), exactDistinct = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    // min is numeric 2, not lexicographic "10"
+    assert(got("id") === ((4L, 0L, 3L, "2", "10")))
+    assert(got("s") === ((4L, 1L, 2L, "a", "b")))
+    assert(got("x") === ((4L, 1L, 3L, "1.0", "9.0")))
+  }
+
+  test("approx (HLL) profile stays within sketch error on small data") {
+    val got = Profiling.profile(df, Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(got("id") - 3L) <= 1, s"hll said ${got("id")}")
+  }
+
+  test("single aggregation pass: plan has exactly one final hash/sort agg over the scan") {
+    // exact-distinct over k columns plans one Expand (xk rows), not k scans
+    val plan = Profiling.profile(df, Seq("id", "s"), exactDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans === 1, s"expected one scan, plan:\n$plan")
+  }
+}

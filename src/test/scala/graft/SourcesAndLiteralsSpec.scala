@@ -40,6 +40,36 @@ class SourcesAndLiteralsSpec extends SparkTestBase {
     assert(back.count() === 2)
   }
 
+  test("S5: ORC round-trips with pushdown-friendly types") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toFile.getPath + "/t"
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    df.write.orc(dir)
+    val back = TableLoader.loadOrc(spark, dir)
+    assert(back.schema === df.schema)
+    assert(back.orderBy("n_nationkey").collect()
+      === df.orderBy("n_nationkey").collect())
+    // filters reach the ORC scan like parquet's
+    val plan = back.filter(col("n_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"), plan)
+  }
+
+  test("S5: parquet mergeSchema reads evolved schemas, nulls for old files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-merge").toFile.getPath + "/t"
+    // v1 files lack the `source` column that v2 adds
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text").write.parquet(dir)
+    Seq((3L, "c", "web")).toDF("id", "text", "source")
+      .write.mode("append").parquet(dir)
+    val merged = TableLoader.loadParquetMerged(spark, dir)
+      .orderBy("id").select("id", "text", "source")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(merged === Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("web"))))
+    // the default (non-merged) read still works off one footer
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("F10: struct literals, field access, and nested projection") {
     import spark.implicits._
     val df = Seq((1L, "x", 2.0), (2L, "y", 3.0)).toDF("id", "name", "v")
