@@ -42,7 +42,10 @@ object Clustering {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
+    // null endpoints carry no connectivity and would propagate null
+    // labels through least(); drop them up front
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     // Symmetric closure: propagation below follows edges src -> dst
     // only, so both directions must exist for labels to flow both ways.
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Hard per-row length bound: neighborhoods are |s|+1 rows, so an
+    * unexpectedly long string (a document routed to the wrong column)
+    * would quietly multiply the candidate volume. Fail loudly instead.
+    */
+  val MaxLen = 1000
+
   /** (id, nbr) pairs: the string itself + each single-char deletion,
     * deduped per row (duplicate deletions of repeated chars would
     * inflate the join). Pure projection + generator, no shuffle.
@@ -33,6 +39,11 @@ object FuzzyJoin {
       : DataFrame =
     df.select(col(idCol).as("_fid"), col(strCol).as("_fstr"))
       .filter(col("_fstr").isNotNull)
+      .select(col("_fid"),
+        when(length(col("_fstr")) > MaxLen,
+          raise_error(concat(lit(s"FuzzyJoin: string longer than $MaxLen chars at id="),
+            col("_fid").cast("string"))))
+          .otherwise(col("_fstr")).as("_fstr"))
       .select(col("_fid"), col("_fstr"),
         explode(array_distinct(concat(
           array(col("_fstr")),

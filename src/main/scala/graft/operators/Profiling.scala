@@ -26,6 +26,8 @@ object Profiling {
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile: no columns given")
+    require(cols.distinct == cols,
+      s"profile: duplicate columns in ${cols.mkString(",")}")
     def distinctAgg(c: String): Column =
       if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
     val structs = cols.zipWithIndex.map { case (c, i) =>

@@ -282,7 +282,9 @@ object TextAnalysis {
     * ln(k / (c1 + k·V)) (coalesce to 0), never null.
     *
     * Deterministic: counts are exact; the only float is the final mean,
-    * rounded by the caller.
+    * rounded by the caller. Documents with fewer than two tokens have
+    * no bigrams and are absent from the output (score them separately
+    * or left-join the result back if every doc needs a row).
     */
   def lmScoreCross(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, k: Double = 0.5): DataFrame = {

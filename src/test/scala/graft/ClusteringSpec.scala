@@ -39,6 +39,14 @@ class ClusteringSpec extends SparkTestBase {
     assert(ex.getMessage.contains("not converged"))
   }
 
+  test("null edge endpoints are dropped, not propagated into labels") {
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)))
+      .toDF("i", "j")
+    val got = Clustering.connectedComponents(edges, "i", "j")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("keepCanonical keeps cluster minima and untouched docs") {
     val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")

@@ -34,6 +34,14 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(fast === brute)
   }
 
+  test("a document-length string fails loudly instead of exploding the join") {
+    val df = Seq((1L, "ok"), (2L, "x" * 1001)).toDF("id", "s")
+    val ex = intercept[Exception] {
+      FuzzyJoin.editDistance1SelfJoin(df, "id", "s").collect()
+    }
+    assert(ex.getMessage.contains("longer than"), ex.getMessage)
+  }
+
   test("two-table variant matches dirty strings to a reference list") {
     val ref = Seq((1L, "paris"), (2L, "london")).toDF("rid", "name")
     val dirty = Seq((10L, "pariss"), (11L, "lndon"), (12L, "tokyo"),

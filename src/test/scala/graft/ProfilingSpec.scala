@@ -22,6 +22,13 @@ class ProfilingSpec extends SparkTestBase {
     assert(got("x") === ((4L, 1L, 3L, "1.0", "9.0")))
   }
 
+  test("duplicate column requests are rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      Profiling.profile(df, Seq("id", "id"))
+    }
+    assert(ex.getMessage.contains("duplicate"), ex.getMessage)
+  }
+
   test("approx (HLL) profile stays within sketch error on small data") {
     val got = Profiling.profile(df, Seq("id"))
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
