@@ -356,4 +356,95 @@ class PropertySpec extends SparkTestBase {
       plain == salted
     })
   }
+
+  test("connected components == union-find on arbitrary sparse graphs") {
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.choose(0, 25).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))))
+    check("cc-union-find")(Prop.forAll(edgesGen) { es =>
+      import spark.implicits._
+      val clean = es.filter { case (a, b) => a != b }
+      if (clean.isEmpty) true
+      else {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        clean.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = clean.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = verts.map(v => v -> {
+          val r = find(v); verts.filter(u => find(u) == r).min
+        }).toMap
+        val got = graft.operators.Clustering
+          .connectedComponents(clean.toDF("i", "j"), "i", "j")
+          .as[(Long, Long)].collect().toMap
+        got == expect
+      }
+    })
+  }
+
+  test("fuzzy edit-distance-1 join == brute-force levenshtein") {
+    // tiny alphabet + short lengths: dense distance-0/1/2 collisions
+    val wordGen = Gen.choose(0, 4).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b')))
+    val corpusGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    check("fuzzy-brute")(Prop.forAll(corpusGen) { words =>
+      import spark.implicits._
+      val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "s")
+      val brute = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+        .withColumn("dd", levenshtein(col("a.s"), col("b.s")))
+        .filter(col("dd") <= 1)
+        .select(col("a.id"), col("b.id"), col("dd"))
+        .as[(Long, Long, Int)].collect().toSet
+      val fast = graft.operators.FuzzyJoin.editDistance1SelfJoin(d, "id", "s")
+        .as[(Long, Long, Int)].collect().toSet
+      fast == brute
+    })
+  }
+
+  test("bigram LM: conditional probabilities sum to 1 per seen context") {
+    val docGen = Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, docGen))
+    check("lm-normalized")(Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // reconstruct the model's statistics the same way the operator does
+      val bi = graft.operators.TextAnalysis
+        .ngramOccurrences(d, "doc_id", "text", 2)
+        .groupBy("tok").agg(count(lit(1)).as("c2"))
+        .select(substring_index(col("tok"), " ", 1).as("w1"),
+          substring_index(col("tok"), " ", -1).as("w2"), col("c2"))
+        .as[(String, String, Long)].collect()
+      val vocab = bi.map(_._2).distinct
+      val k = 0.5
+      bi.groupBy(_._1).forall { case (_, rows) =>
+        val c1 = rows.map(_._3).sum
+        val seen = rows.map(r => (r._3 + k) / (c1 + k * vocab.length)).sum
+        val unseen = (vocab.length - rows.length) * (k / (c1 + k * vocab.length))
+        math.abs(seen + unseen - 1.0) < 1e-9
+      }
+    })
+  }
+
+  test("profile invariants: nulls + distinct bounded, min <= max") {
+    val optGen: Gen[List[Option[Int]]] = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.option(Gen.choose(-9, 9))))
+    check("profile-bounds")(Prop.forAll(optGen) { vals =>
+      import spark.implicits._
+      val d = vals.toDF("x")
+      val r = graft.operators.Profiling.profile(d, Seq("x"), exactDistinct = true)
+        .collect().head
+      val (n, nNull, nDist) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val nonNull = vals.flatten
+      n == vals.length && nNull == (vals.length - nonNull.length) &&
+        nDist == nonNull.distinct.length &&
+        (nonNull.isEmpty ||
+          (r.getString(4).toInt == nonNull.min && r.getString(5).toInt == nonNull.max))
+    })
+  }
 }
