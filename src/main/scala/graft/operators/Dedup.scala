@@ -133,6 +133,55 @@ object Dedup {
     verifyJaccard(cands, tokenArrays(df, idCol, textCol), minJaccard)
   }
 
+  /** Overlap-coefficient (containment) near-dup:
+    * |A∩B| / min(|A|,|B|) >= tau — catches subset/quotation
+    * duplication that Jaccard's union denominator dilutes (a doc fully
+    * contained in a 10x-larger one has containment 1.0 but Jaccard
+    * ~0.1, invisible to every Jaccard variant above). Same
+    * shared-token candidate join + pair aggregation as [[nearJaccard]]
+    * and quadratic in docs-per-token like it.
+    *
+    * At scale: when the pair's size ratio r = max/min is bounded,
+    * containment tau implies J >= tau / (1 + r - tau), so
+    * [[minHashLshCandidates]] banded at that Jaccard floor feeds
+    * [[containmentFromCandidates]]; unbounded size skew defeats
+    * symmetric MinHash (the big doc's sketch forgets the small one's
+    * tokens) and needs an asymmetric containment sketch instead —
+    * out of scope here, the bounded-ratio regime is the common one.
+    */
+  def nearContainment(df: DataFrame, idCol: String, textCol: String,
+      minOverlap: Double): DataFrame = {
+    val toks = tokens(df, idCol, textCol)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("containment",
+        col("c") * lit(1.0) / least(col("sa.n"), col("sb.n")))
+      .filter(col("containment") >= minOverlap)
+      .select("i", "j", "containment")
+  }
+
+  /** Containment verification of (i, j, ni, nj) candidate pairs via
+    * the same two id-keyed joins + per-row `array_intersect` kernel as
+    * [[minHashLshNearDup]]'s verifier — plug LSH/prefix candidates in
+    * for the pruned-at-scale shape.
+    */
+  def containmentFromCandidates(cands: DataFrame, docToks: DataFrame,
+      minOverlap: Double): DataFrame =
+    cands
+      .join(docToks.as("ta"), col("i") === col("ta.doc_id"))
+      .join(docToks.as("tb"), col("j") === col("tb.doc_id"))
+      .withColumn("c", size(array_intersect(col("ta.toks"), col("tb.toks"))))
+      .withColumn("containment",
+        col("c") * lit(1.0) / least(col("ni"), col("nj")))
+      .filter(col("containment") >= minOverlap)
+      .select("i", "j", "containment")
+
   /** The necessary size condition for J(A,B) >= tau — J <= min/max set
     * size — as a join/filter predicate over size columns. Riding the
     * CANDIDATE JOIN CONDITION, it drops non-qualifying pairs as the

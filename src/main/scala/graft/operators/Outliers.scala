@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Numeric outlier treatment for training-data quality: winsorizing
@@ -96,6 +96,52 @@ object Outliers {
     filterToBounds(df, valueCol, k, df.agg(
       approx_percentile(vcol(valueCol), lit(0.25), lit(accuracy)).cast("double"),
       approx_percentile(vcol(valueCol), lit(0.75), lit(accuracy)).cast("double")))
+  }
+
+  /** Robust z-score (median/MAD) anomaly scoring, optionally per
+    * group: score = (x - median) / (1.4826 * MAD) with
+    * MAD = median(|x - median|) and 1.4826 the normal-consistency
+    * factor, so |score| > 3 reads like "3 sigma" but is immune to the
+    * outliers themselves inflating the threshold (mean/stddev z-scores
+    * self-mask exactly the rows they should flag). Appends `robust_z`
+    * (null when the value is null or MAD = 0 — a degenerate
+    * constant-majority group has no meaningful scale).
+    *
+    * Scale shape: two aggregate passes by construction (MAD needs the
+    * median first); both stats tables are GROUP-count-sized and join
+    * back broadcast, so the data itself never shuffles. Exact
+    * percentile buffers per group — the unbounded-cardinality path is
+    * [[robustZScoreApprox]], mirroring winsorize/winsorizeApprox.
+    */
+  def robustZScore(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame =
+    robustZScoreWith(df, valueCol, groupCols,
+      c => percentile(c, lit(0.5)))
+
+  /** Robust z-score on approximate medians — the 100 TB path; see
+    * [[winsorizeApprox]] for the accuracy contract.
+    */
+  def robustZScoreApprox(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], accuracy: Int = 10000): DataFrame =
+    robustZScoreWith(df, valueCol, groupCols,
+      c => approx_percentile(c, lit(0.5), lit(accuracy)).cast("double"))
+
+  private def robustZScoreWith(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], median: Column => Column): DataFrame = {
+    val Seq(med, mad) = Cols.fresh("rz", 2, df)
+    val v = vcol(valueCol).cast("double")
+    def attach(base: DataFrame, agg: Column, as: String): DataFrame =
+      if (groupCols.isEmpty) base.crossJoin(broadcast(base.agg(agg.as(as))))
+      else base.join(
+        broadcast(base.groupBy(groupCols.map(col): _*).agg(agg.as(as))),
+        groupCols)
+    val withMad = attach(attach(df, median(v), med),
+      median(abs(v - col(med))), mad)
+    withMad
+      .withColumn("robust_z",
+        when(col(mad) =!= 0.0,
+          (v - col(med)) / (lit(1.4826) * col(mad))))
+      .drop(med, mad)
   }
 
   private def filterToBounds(df: DataFrame, valueCol: String, k: Double,

@@ -55,6 +55,66 @@ object TextAnalysis {
       .select("doc_id", "rank", "tok", "tfidf")
   }
 
+  /** BM25 term scoring (the Robertson-family ranking function behind
+    * Lucene/Elasticsearch defaults): per (doc, term),
+    *
+    *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   score   = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *
+    * returning the top `k` terms per document — the retrieval-side
+    * sibling of [[tfidf]] (BM25's tf saturation and length
+    * normalization are what make it the stronger ranking signal).
+    *
+    * Scale shape mirrors tfidf: tf/df/dl all derive from ONE
+    * tokenization; N and avgdl are a one-row aggregate attached as an
+    * in-plan broadcast cross join (no driver count); df is a
+    * vocabulary-sized aggregate joined broadcast-style by AQE. dl
+    * re-aggregates the tf table (already vocabulary×doc sized) rather
+    * than re-scanning the token stream.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokenize(df, idCol, textCol)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("dl")).as("_avgdl"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("bm25").desc, col("tok"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("bm25",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "tok", "bm25")
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats):
+    * H = ln(T) - (Σ c·ln c)/T over per-token occurrence counts c with
+    * T = Σ c. Low entropy flags template/repetitive text that a
+    * repetition-fraction rule ([[repetitionScore]]) can miss when the
+    * repetition is spread over several frequent tokens; H = 0 for
+    * single-token docs. Two doc-keyed hash aggregations over the
+    * shared tokenizer — no joins, no self-comparison.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenize(df, idCol, textCol)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_distinct"),
+        (log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"))
+          .as("entropy"))
+
   /** Per-group corpus stats over a documents-like table. */
   def textStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)

@@ -93,6 +93,19 @@ object LlmOps {
       .orderBy("i", "j")
   }
 
+  /** L2 containment variant: overlap-coefficient near-dup — the
+    * subset/quotation regime Jaccard dilutes. Counts and set sizes are
+    * exact integers; containment = c/min(na,nb) is one exact IEEE
+    * division on both engines, so the tau filter cannot straddle.
+    */
+  val qDedupContainment: QueryFn = withTables { spark =>
+    Dedup.nearContainment(
+        spark.table("documents").filter(col("doc_id") < 200),
+        "doc_id", "text", minOverlap = 0.97)
+      .withColumn("containment", round(col("containment"), 6).cast("double"))
+      .orderBy("i", "j")
+  }
+
   /** Embedding-cosine near-dup over all pairs (compiled kernel). */
   val qDedupNearEmbedding: QueryFn = withTables { spark =>
     Dedup.nearEmbedding(spark.table("embeddings"), "vec_id", "embedding", 0.4)
@@ -145,6 +158,23 @@ object LlmOps {
       .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
         round(col("cos"), 6).cast("double").as("cos"))
       .orderBy("probe_id", "rnk")
+  }
+
+  /** JL random projection 64→16, judged value-exact: the ±1 sign
+    * matrix re-derives from the same md5 bit on both engines, sign
+    * flips are IEEE-exact, both engines fold the dot product in the
+    * same order, and √16 scaling is exact — so the projected doubles
+    * are bit-identical and compare as scale-6 integers (the
+    * q_pool_mean float-formatting dodge).
+    */
+  val qRandomProjection: QueryFn = withTables { spark =>
+    graft.operators.Projection.project(
+        spark.table("embeddings"), "embedding", inDim = 64, outDim = 16,
+        seed = "jl")
+      .select(col("vec_id"),
+        expr("transform(proj, p -> cast(round(p * 1000000) as bigint))")
+          .as("proj"))
+      .orderBy("vec_id")
   }
 
   /** ANN via banded hyperplane LSH, exact re-score, bounded scope.
@@ -366,6 +396,19 @@ object LlmOps {
       .orderBy("event_id")
   }
 
+  /** Robust z-score anomaly scoring per event_type: median/MAD from
+    * the SAME exact-percentile family as q_winsorize (QUANTILE_CONT
+    * parity), score arithmetic spelled identically on both engines.
+    */
+  val qRobustZscore: QueryFn = withTables { spark =>
+    graft.operators.Outliers.robustZScore(
+        spark.table("events").select("event_id", "event_type", "value"),
+        "value", Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round(col("robust_z"), 6).cast("double").as("robust_z"))
+      .orderBy("event_id")
+  }
+
   /** A9: HLL approximate distinct — no oracle (approximate by design);
     * ScalaTest bounds it against the exact count.
     */
@@ -513,7 +556,35 @@ object LlmOps {
       .orderBy("i", "j")
   }
 
+  /** BM25 top-5 terms per doc — the retrieval-grade sibling of
+    * q_tfidf, same bounded scope. Constants that are float-inexact
+    * (k1=1.2) appear as the same decimal literal on both engines, and
+    * derived constants (k1+1, 1-b) are written as the same ARITHMETIC
+    * on both sides, so IEEE evaluation agrees bit-for-bit before the
+    * 6 dp round.
+    */
+  val qBm25: QueryFn = withTables { spark =>
+    TextAnalysis.bm25(
+        spark.table("documents").filter(col("doc_id") < 100),
+        "doc_id", "text", k = 5, k1 = 1.2, b = 0.75)
+      .select(col("doc_id"), col("rank").as("rnk"), col("tok"),
+        round(col("bm25"), 6).cast("double").as("bm25"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** Token-distribution entropy per document: counts are exact
+    * integers on both engines; only the final entropy is floating,
+    * rounded at 6 dp.
+    */
+  val qTokenEntropy: QueryFn = withTables { spark =>
+    TextAnalysis.tokenEntropy(spark.table("documents"), "doc_id", "text")
+      .withColumn("entropy", round(col("entropy"), 6).cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_bm25" -> qBm25,
+    "q_token_entropy" -> qTokenEntropy,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_canonical" -> qDedupCanonical,
@@ -528,12 +599,14 @@ object LlmOps {
     "q_dedup_near_jaccard" -> qDedupNearJaccard,
     "q_dedup_lsh_jaccard" -> qDedupLshJaccard,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_near_embedding" -> qDedupNearEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_pergroup" -> qKnnPergroup,
     "q_simsearch_probe" -> qSimsearchProbe,
     "q_simsearch_quantized" -> qSimsearchQuantized,
+    "q_random_projection" -> qRandomProjection,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_tokens_wordcount" -> qTokensWordcount,
@@ -551,10 +624,47 @@ object LlmOps {
     "q_chunk" -> qChunk,
     "q_winsorize" -> qWinsorize,
     "q_iqr_filter" -> qIqrFilter,
+    "q_robust_zscore" -> qRobustZscore,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Same formula tree as the operator; (1.2 + 1.0) and (1 - 0.75)
+    // are spelled as arithmetic so both engines derive the identical
+    // IEEE constant (a literal 2.2 is NOT the double 1.2 + 1.0).
+    "q_bm25" -> """
+      WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+           toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM base),
+           tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+           dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+           dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+           stats AS (SELECT COUNT(*) * 1.0 AS n, AVG(dl) AS avgdl FROM dl),
+           scored AS (SELECT tf.doc_id, tf.tok,
+                             LN(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                               * tf.tf * (1.2 + 1.0)
+                               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)) AS bm25
+                      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats),
+           rk AS (SELECT doc_id, tok, bm25,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, tok) AS BIGINT) AS rnk
+                  FROM scored)
+      SELECT doc_id, rnk, tok, CAST(ROUND(bm25, 6) AS DOUBLE) AS bm25
+      FROM rk WHERE rnk <= 5
+      ORDER BY doc_id, rnk""",
+
+    // H = ln(T) - (SUM c*ln c)/T over exact integer counts; only the
+    // final expression floats.
+    "q_token_entropy" -> """
+      WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+                    FROM documents),
+           c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS DOUBLE) AS entropy
+      FROM c
+      GROUP BY doc_id
+      ORDER BY doc_id""",
 
     "q_fuzzy_join" -> """
       WITH u AS (
@@ -664,6 +774,24 @@ object LlmOps {
       JOIN sizes sa ON i = sa.doc_id
       JOIN sizes sb ON j = sb.doc_id
       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+      ORDER BY i, j""",
+
+    // overlap coefficient: same candidate/intersection scaffold, min
+    // denominator; c/min is one exact IEEE division on both engines
+    "q_dedup_containment" -> """
+      WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+             FROM documents WHERE doc_id < 200) t),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                     FROM toks a JOIN toks b
+                       ON a.tok = b.tok AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+      SELECT i, j, CAST(ROUND(c * 1.0 / LEAST(sa.n, sb.n), 6) AS DOUBLE) AS containment
+      FROM inter
+      JOIN sizes sa ON i = sa.doc_id
+      JOIN sizes sb ON j = sb.doc_id
+      WHERE c * 1.0 / LEAST(sa.n, sb.n) >= 0.97
       ORDER BY i, j""",
 
     // LSH path is judged against the SAME exact math (recall-1 regime).
@@ -902,6 +1030,22 @@ object LlmOps {
       WHERE value >= q1 - 1.5 * (q3 - q1) AND value <= q3 + 1.5 * (q3 - q1)
       ORDER BY event_id""",
 
+    // median/MAD restated with the same QUANTILE_CONT parity and the
+    // same score expression tree; MAD = 0 groups score NULL
+    "q_robust_zscore" -> """
+      WITH m AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+           d AS (SELECT e.event_id, e.event_type, e.value, m.med
+                 FROM events e JOIN m USING (event_type)),
+           s AS (SELECT event_type, QUANTILE_CONT(ABS(value - med), 0.5) AS mad
+                 FROM d GROUP BY event_type)
+      SELECT d.event_id, d.event_type,
+             CASE WHEN s.mad <> 0
+                  THEN CAST(ROUND((d.value - d.med) / (1.4826 * s.mad), 6) AS DOUBLE)
+             END AS robust_z
+      FROM d JOIN s USING (event_type)
+      ORDER BY event_id""",
+
     // thresholds via QUANTILE_CONT (== Spark PERCENTILE, continuous
     // interpolation — parity established by q_agg_stats)
     "q_winsorize" -> """
@@ -1050,6 +1194,31 @@ object LlmOps {
       GROUP BY tok
       HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY tok""",
+
+    // The identical ±1 matrix re-derived from md5 low bits in SQL;
+    // lambda index i is 1-based, so position i pairs with sign row
+    // (i-1) — the LIST is built ORDER BY input dim. Explicit DOUBLE
+    // casts keep DuckDB out of DECIMAL arithmetic.
+    "q_random_projection" -> """
+      WITH signs AS (
+        SELECT j.j,
+               LIST(CASE WHEN ('0x' || SUBSTR(MD5('jl:' || i.i || ':' || j.j), 1, 15))::BIGINT & 1 = 1
+                         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i.i) AS s
+        FROM RANGE(0, 64) i(i), RANGE(0, 16) j(j)
+        GROUP BY j.j),
+           p AS (
+        SELECT e.vec_id, s.j,
+               LIST_REDUCE(
+                 LIST_PREPEND(0.0::DOUBLE,
+                   LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]),
+                     (x, i) -> x * s.s[i])),
+                 (a, b) -> a + b) / SQRT(16.0) AS v
+        FROM embeddings e, signs s)
+      SELECT vec_id,
+             LIST(CAST(ROUND(v * 1000000) AS BIGINT) ORDER BY j) AS proj
+      FROM p
+      GROUP BY vec_id
+      ORDER BY vec_id""",
 
     // Per-position AVG restates the elementwise mean; embedding[i] is
     // 1-based. Scale-4 integer elements dodge float-format divergence.

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, size}
+
 import graft.operators.Dedup
 
 /** Verifies the dedup SCALE paths against the exact operators they
@@ -172,5 +174,47 @@ class DedupSpec extends SparkTestBase {
     val out = Dedup.exact(df, "doc_id", Seq("text"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(out === Set(("a", 1L, 2L), ("b", 3L, 1L)))
+  }
+
+  test("nearContainment catches the subset pair Jaccard dilutes away") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 distinct tokens
+      (2L, "a b c"),               // fully contained in doc 1
+      (3L, "x y z"),               // disjoint
+    ).toDF("doc_id", "text")
+    val cont = Dedup.nearContainment(df, "doc_id", "text", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont === Seq((1L, 2L, 1.0)),
+      "the contained doc pairs at containment 1.0; the disjoint one never")
+    // the same pair is INVISIBLE to Jaccard at any near-dup threshold:
+    // |A∩B|/|A∪B| = 3/10
+    assert(Dedup.nearJaccard(df, "doc_id", "text", 0.5).count() === 0L)
+  }
+
+  test("containmentFromCandidates over LSH candidates == exact nearContainment in the comparable-size regime") {
+    import spark.implicits._
+    // comparable sizes => containment tau implies Jaccard >= tau/(2-tau),
+    // so Jaccard-recall-1 banding is containment-recall-1 too
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"),                   // containment 1.0
+      (3L, base.replace("w20", "q99")),        // containment 19/20 = 0.95
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),  // disjoint
+    ).toDF("doc_id", "text")
+    val exact = Dedup.nearContainment(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ta = Dedup.tokenArrays(df, "doc_id", "text")
+    val sizes = ta.select(col("doc_id"), size(col("toks")).as("n"))
+    val cands = Dedup.minHashLshCandidates(df, "doc_id", "text",
+        bands = 24, rowsPerBand = 3)
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .select(col("i"), col("j"), col("sa.n").as("ni"), col("sb.n").as("nj"))
+    val viaLsh = Dedup.containmentFromCandidates(cands, ta, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(viaLsh === exact)
   }
 }

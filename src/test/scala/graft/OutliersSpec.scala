@@ -90,6 +90,61 @@ class OutliersSpec extends SparkTestBase {
     assert(kept.filter(col("value") === -1000.0 || col("value") === 1000.0).count() === 0)
   }
 
+  test("robustZScore flags the planted outliers and stays calm on the interior") {
+    val out = Outliers.robustZScore(values, "value", Seq.empty)
+    assert(out.count() === 100)
+    assert(out.columns.toSeq === Seq("id", "value", "robust_z"))
+    // global median 49.5, MAD 25 (the +-1000 rows cannot inflate it —
+    // the whole point vs a mean/stddev z-score)
+    val wild = out.filter(abs(col("value")) === 1000.0)
+      .agg(min(abs(col("robust_z")))).head().getDouble(0)
+    val interior = out.filter(abs(col("value")) < 999.0)
+      .agg(max(abs(col("robust_z")))).head().getDouble(0)
+    assert(wild > 20.0, s"outliers must score huge, got $wild")
+    assert(interior < 1.5, s"interior must stay inside ~1.3 sigma, got $interior")
+  }
+
+  test("robustZScore: MAD = 0 (constant-majority group) scores null, not infinity") {
+    import spark.implicits._
+    val degenerate = Seq(("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 99.0))
+      .toDF("g", "value")
+    val out = Outliers.robustZScore(degenerate, "value", Seq("g"))
+    assert(out.count() === 4)
+    assert(out.filter(col("robust_z").isNotNull).count() === 0,
+      "MAD=0 has no meaningful scale; every score must be null")
+  }
+
+  test("robustZScore groups independently: each group's own median/MAD") {
+    import spark.implicits._
+    val twoGroups = ((1 to 9).map(v => ("lo", v.toDouble)) ++
+      (101 to 109).map(v => ("hi", v.toDouble))).toDF("g", "value")
+    val out = Outliers.robustZScore(twoGroups, "value", Seq("g"))
+    // both groups are the same shape around different centers: the
+    // per-group score distributions must be identical
+    val lo = out.filter(col("g") === "lo").select("robust_z")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    val hi = out.filter(col("g") === "hi").select("robust_z")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(lo === hi)
+    assert(math.abs(lo.head - (-4.0 / (1.4826 * 2.0))) < 1e-12,
+      "median 5, MAD 2: the smallest value scores (1-5)/(1.4826*2)")
+  }
+
+  test("robustZScoreApprox tracks the exact scores on the judged-scale fixture") {
+    val exact = Outliers.robustZScore(values, "value", Seq.empty)
+      .select(col("id"), col("value"), col("robust_z").as("ez"))
+    val approx = Outliers.robustZScoreApprox(values, "value", Seq.empty)
+      .select(col("id"), col("robust_z").as("az"))
+    assert(approx.count() === 100)
+    // accuracy 10000 at n=100: rank error < 1 order stat; median/MAD
+    // shift by at most one adjacent order stat (1.0 and ~1.0 here), so
+    // interior scores move well under 0.1 sigma
+    val maxDev = exact.join(approx, "id")
+      .filter(abs(col("value")) < 999.0)
+      .agg(max(abs(col("ez") - col("az")))).head().getDouble(0)
+    assert(maxDev < 0.1, s"approx interior scores deviated $maxDev")
+  }
+
   test("approx thresholds stay in-plan: broadcast bounds, no ObjectHashAggregate buffer of all values") {
     val plan = Outliers.winsorizeApprox(values, "value", 0.05, 0.95)
       .queryExecution.executedPlan.toString

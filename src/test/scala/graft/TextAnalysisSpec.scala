@@ -174,4 +174,56 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Double)].collect().toMap
     assert(got(1L) > got(99L))
   }
+
+  test("tokenEntropy: 0 for constant docs, ln(n) for uniform docs") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "solo"),
+      (4L, "a a b b c c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1 === 4L && got(1L)._2 === 1L)
+    assert(math.abs(got(1L)._3) < 1e-12, "one repeated token carries no entropy")
+    assert(math.abs(got(2L)._3 - math.log(4)) < 1e-12, "uniform = ln(n)")
+    assert(math.abs(got(3L)._3) < 1e-12)
+    assert(math.abs(got(4L)._3 - math.log(3)) < 1e-12,
+      "uniform over 3 distinct tokens regardless of multiplicity")
+  }
+
+  test("tokenEntropy separates repetitive spam repetitionScore-style rules can miss") {
+    import spark.implicits._
+    // spam spread over TWO alternating tokens: top-1-ngram fraction is
+    // only 0.5, but entropy ln(2) ~ 0.69 is far below natural text's
+    val df = Seq((1L, "buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(got(1L) < 0.8 && got(2L) > 1.9)
+  }
+
+  test("bm25: rare terms outrank common terms; ranks are dense per doc") {
+    import spark.implicits._
+    val df = Seq((1L, "apple banana"), (2L, "banana cherry"),
+      (3L, "banana durian")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df, "doc_id", "text", k = 2)
+      .as[(Long, Long, String, Double)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(_._3).toSeq === Seq("apple", "banana"),
+      "df=1 apple must outrank df=3 banana")
+    assert(got.forall(_._4 > 0.0), "idf ln(1 + x) is always positive")
+    byDoc.values.foreach(rows =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq))
+  }
+
+  test("bm25 tf saturation: doubling tf must not double the score (unlike tfidf)") {
+    import spark.implicits._
+    val df = Seq((1L, "term term term term filler"),
+      (2L, "term filler aaa bbb ccc"), (3L, "zzz yyy xxx www vvv")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df, "doc_id", "text", k = 5)
+      .filter(col("tok") === "term")
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L), "higher tf still scores higher")
+    assert(got(1L) < 2.5 * got(2L),
+      s"k1 saturation must compress 4x tf below 2.5x score, got ${got(1L) / got(2L)}")
+  }
 }
