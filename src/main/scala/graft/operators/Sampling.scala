@@ -46,6 +46,23 @@ object Sampling {
       (xxhash64(col(keyCol), lit(seed)) / lit(2.0 * Long.MaxValue) + lit(0.5)) < frac)
   }
 
+  /** Engine-portable stratified sample: [[stratified]]'s per-stratum
+    * keep/drop over the md5 [[portableUnit]] draw instead of xxhash64,
+    * so a DuckDB oracle replays every decision exactly. Prefer dyadic
+    * fractions (0.5/0.25): exact doubles on both engines. Same scale
+    * shape — a pure per-row predicate at the scan, pushable, no
+    * shuffle; rows in unlisted strata drop.
+    */
+  def stratifiedPortable(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.nonEmpty)
+    val frac = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) { case ((stratum, f), acc) =>
+        when(col(strataCol) === stratum, lit(f)).otherwise(acc)
+      }
+    df.filter(portableUnit(col(keyCol)) < frac)
+  }
+
   /** Deterministic per-key cap: keep at most `k` rows per key group —
     * the "at most k docs per domain" balancing rule of web-corpus
     * pipelines. Rows are ranked by seeded hash of the id (a stable

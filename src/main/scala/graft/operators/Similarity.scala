@@ -174,6 +174,54 @@ object Similarity {
       .select("probe_id", "rank", "corpus_id", "cos")
   }
 
+  /** Two-stage JL-projected probe search: the corpus pass ranks by
+    * cosine over `Projection.project`ed vectors (outDim ≪ inDim — 4×
+    * fewer multiply-adds per comparison at 64→16, and the column
+    * you'd scan at 100 TB is proportionally smaller), keeps a
+    * `oversample`-widened shortlist per probe, then re-ranks ONLY the
+    * shortlist with exact full-dimension cosine via an id-keyed join —
+    * the probeSearchQuantized shape with dimension reduction instead
+    * of (or, composed upstream, in addition to) element narrowing.
+    *
+    * Recall: JL preserves angles in expectation with distortion
+    * ~1/√outDim, so true top-k members sit near the top of the
+    * projected order and survive any reasonable oversample
+    * (SimilaritySpec pins recall on the judged corpus; at full
+    * oversample the result equals probeSearch exactly).
+    */
+  def probeSearchProjected(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, inDim: Int, outDim: Int,
+      seed: String = "jl", oversample: Int = 4): DataFrame = {
+    def projected(df: DataFrame, idAs: String, vecAs: String) =
+      Projection.project(df.select(col(idCol), col(vecCol)),
+          vecCol, inDim, outDim, seed)
+        .select(col(idCol).as(idAs),
+          // the cosine kernel is the float32 one — the precision the
+          // scan column would actually be stored at
+          transform(col("proj"), x => x.cast("float")).as(vecAs))
+    val cp = projected(corpus, "corpus_id", "cp")
+      .repartition(parallelism(corpus))
+    val pp = projected(probes, "probe_id", "pp")
+    val wApprox = Window.partitionBy("probe_id")
+      .orderBy(rankSafe(col("acos")).desc, col("corpus_id"))
+    val shortlist = cp.join(broadcast(pp), col("probe_id") =!= col("corpus_id"))
+      .withColumn("acos", VectorExpressions.cosine(col("pp"), col("cp")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * oversample)
+      .select("probe_id", "corpus_id")
+    val cf = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val pf = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val wExact = Window.partitionBy("probe_id")
+      .orderBy(rankSafe(col("cos")).desc, col("corpus_id"))
+    shortlist
+      .join(cf, "corpus_id")
+      .join(broadcast(pf), "probe_id")
+      .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "corpus_id", "cos")
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` from a fixed
     * seed, so signatures are stable across runs/executors.
     */

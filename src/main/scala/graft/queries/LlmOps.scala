@@ -160,6 +160,36 @@ object LlmOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Two-stage JL-projected probe search, judged at full oversample
+    * (the q_simsearch_quantized honesty pattern): the projected
+    * shortlist keeps every row, so the exact full-dimension re-rank
+    * returns EXACTLY probeSearch's top-k and the oracle is the same
+    * exact math; the pruned-oversample recall tradeoff is pinned by
+    * SimilaritySpec.
+    */
+  val qSimsearchProjected: QueryFn = withTables { spark =>
+    val emb = spark.table("embeddings")
+    Similarity.probeSearchProjected(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, inDim = 64, outDim = 16,
+        seed = "jl", oversample = 400000)
+      .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Engine-portable stratified sample over documents: per-lang keep
+    * fractions (dyadic — exact doubles), every keep/drop decision
+    * replayed exactly by the oracle's identical md5 draw; unlisted
+    * strata (zh) drop.
+    */
+  val qSampleStratified: QueryFn = withTables { spark =>
+    graft.operators.Sampling.stratifiedPortable(
+        spark.table("documents").select("doc_id", "lang"),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 1.0))
+      .orderBy("doc_id")
+  }
+
   /** JL random projection 64→16, judged value-exact: the ±1 sign
     * matrix re-derives from the same md5 bit on both engines, sign
     * flips are IEEE-exact, both engines fold the dot product in the
@@ -607,6 +637,8 @@ object LlmOps {
     "q_simsearch_probe" -> qSimsearchProbe,
     "q_simsearch_quantized" -> qSimsearchQuantized,
     "q_random_projection" -> qRandomProjection,
+    "q_simsearch_projected" -> qSimsearchProjected,
+    "q_sample_stratified" -> qSampleStratified,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_tokens_wordcount" -> qTokensWordcount,
@@ -895,6 +927,33 @@ object LlmOps {
       SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
       FROM rk WHERE rnk <= 5
       ORDER BY probe_id, rnk""",
+
+    // full-oversample regime: the projected shortlist keeps every row,
+    // so the exact re-rank IS the exact probe search (same oracle).
+    "q_simsearch_projected" -> """
+      WITH pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+               LIST_COSINE_SIMILARITY(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 20),
+      rk AS (
+        SELECT probe_id, corpus_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
+
+    // the same md5 draw and per-stratum dyadic cut points replay every
+    // keep/drop decision exactly; zh is unlisted and drops
+    "q_sample_stratified" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0
+            < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                        WHEN 'fr' THEN 0.25 WHEN 'es' THEN 1.0
+                        ELSE 0.0 END
+      ORDER BY doc_id""",
 
     // full-oversample regime: the quantized shortlist keeps every row,
     // so the exact re-rank IS the exact probe search (same oracle).

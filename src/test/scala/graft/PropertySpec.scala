@@ -447,4 +447,74 @@ class PropertySpec extends SparkTestBase {
           (r.getString(4).toInt == nonNull.min && r.getString(5).toInt == nonNull.max))
     })
   }
+
+  test("containment dominates Jaccard and matches the set definition") {
+    val corpusGen = Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, docGen))
+    check("containment-vs-jaccard")(Prop.forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val cont = Dedup.nearContainment(d, "doc_id", "text", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val jacc = Dedup.nearJaccard(d, "doc_id", "text", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      def sets = texts.map(_.toLowerCase.split(" ").toSet)
+      // every pair sharing a token appears in both, containment >=
+      // jaccard always, and containment matches |A int B| / min
+      cont.keySet == jacc.keySet &&
+        cont.forall { case (k, c) => c >= jacc(k) - 1e-12 } &&
+        cont.forall { case ((i, j), c) =>
+          val (a, b) = (sets(i.toInt), sets(j.toInt))
+          math.abs(c - a.intersect(b).size.toDouble / math.min(a.size, b.size)) < 1e-12
+        }
+    })
+  }
+
+  test("token entropy is bounded by [0, ln(distinct)] and hits both ends") {
+    val corpusGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, docGen))
+    check("entropy-bounds")(Prop.forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.operators.TextAnalysis.tokenEntropy(d, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      rows.length == texts.length && rows.forall { case (id, nTok, nDist, h) =>
+        val toks = texts(id.toInt).toLowerCase.split(" ")
+        nTok == toks.length && nDist == toks.distinct.length &&
+          h >= -1e-12 && h <= math.log(nDist.toDouble) + 1e-12 &&
+          // exactness at the ends: single-distinct docs are 0, uniform
+          // docs are exactly ln(n)
+          (nDist != 1L || math.abs(h) < 1e-12) &&
+          (toks.groupBy(identity).values.map(_.length).toSet.size != 1 ||
+            math.abs(h - math.log(nDist.toDouble)) < 1e-9)
+      }
+    })
+  }
+
+  test("robust z-score is affine-equivariant: z(a*x + b) == sign(a) * z(x)") {
+    val valsGen = Gen.choose(3, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50, 50)))
+    val abGen = Gen.zip(Gen.oneOf(-3.0, -1.0, 0.5, 2.0), Gen.choose(-10.0, 10.0))
+    check("robust-z-affine")(Prop.forAll(valsGen, abGen) { (vals, ab) =>
+      import spark.implicits._
+      val (a, b) = ab
+      val d = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toDouble) }
+        .toDF("id", "x")
+      def scores(df: DataFrame) =
+        graft.operators.Outliers.robustZScore(df, "x", Seq.empty)
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val base = scores(d)
+      val trans = scores(d.withColumn("x", col("x") * a + b))
+      base.keySet == trans.keySet && base.forall { case (k, zOpt) =>
+        (zOpt, trans(k)) match {
+          case (Some(z), Some(zt)) =>
+            math.abs(zt - math.signum(a) * z) < 1e-9
+          case (None, None) => true // MAD = 0 stays degenerate under affine
+          case _ => false
+        }
+      }
+    })
+  }
 }

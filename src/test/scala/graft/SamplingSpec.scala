@@ -112,4 +112,26 @@ class SamplingSpec extends SparkTestBase {
     assert(mixed.filter(col("corpus") === "all").count() === docs.count())
     assert(mixed.filter(col("corpus") === "none").count() === 0L)
   }
+
+  test("stratifiedPortable: per-stratum fractions, unlisted strata drop, subset of input") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.stratifiedPortable(docs, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 1.0))
+    val inCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outCounts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(outCounts.keySet.subsetOf(Set("en", "de")), "unlisted strata must drop")
+    assert(outCounts("de") === inCounts("de"), "fraction 1.0 keeps the stratum whole")
+    val ratio = outCounts("en").toDouble / inCounts("en")
+    assert(ratio > 0.3 && ratio < 0.7, s"en keep-rate $ratio far from 0.5")
+    // subset + determinism under repartition
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+    val again = Sampling.stratifiedPortable(docs.repartition(7), "lang",
+      "doc_id", Map("en" -> 0.5, "de" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
 }

@@ -130,6 +130,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === exact, "full-oversample quantized search must equal exact")
   }
 
+  test("projected probe search: cluster neighbors survive 64->16, equality at full oversample") {
+    import org.apache.spark.sql.functions.col
+    def key(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select("probe_id", "rank", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    // Recall is pinned on CLUSTERED data (the q_ann_lsh honesty note:
+    // on a near-uniform corpus every projected/quantized/banded method
+    // degenerates to chance because there are no true neighbors to
+    // preserve). Intra-cluster cos ~0.998 vs cross-cluster ~0: JL to 16
+    // dims keeps that gap enormous, so each probe's 3 cluster-mates
+    // must survive even a 2x oversample shortlist.
+    val probes = clustered.filter(col("vec_id") < 12)
+    val exact = key(Similarity.probeSearch(clustered, probes, "vec_id", "embedding", 3))
+    val proj = key(Similarity.probeSearchProjected(
+      clustered, probes, "vec_id", "embedding", 3, inDim = 64, outDim = 16,
+      oversample = 2))
+    assert(proj === exact,
+      "projected search must recover every cluster-mate on clustered data")
+    // and on the real (near-uniform) fixture, full oversample ==
+    // exact probe search — the judged q_simsearch_projected regime
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val uprobes = emb.filter(col("vec_id") < 10)
+    val full = key(Similarity.probeSearchProjected(
+      emb, uprobes, "vec_id", "embedding", 5, inDim = 64, outDim = 16,
+      oversample = emb.count().toInt / 5 + 1))
+    val uexact = key(Similarity.probeSearch(emb, uprobes, "vec_id", "embedding", 5))
+    assert(full === uexact, "full-oversample projected search must equal exact")
+  }
+
   test("a zero vector ranks LAST, not first, in every top-k path") {
     // cosine(0-vec, x) is NaN, and Spark sorts NaN above all doubles —
     // without the rankSafe key a single zero embedding would be the
