@@ -43,4 +43,28 @@ object Profiling {
       .select(explode(array(cols.indices.map(i => col(s"_p$i")): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Key-skew diagnostic — the "should I salt this join?" report:
+    * distribution of rows per key for a prospective join/group key.
+    * One shuffle (the per-key count) followed by a one-row aggregate;
+    * the output is constant-sized at any SF, so this is the probe you
+    * run BEFORE committing a 100 TB shuffle, not after it dies.
+    *
+    * `top_share` = largest key's fraction of all rows: ~1/n_keys means
+    * uniform; approaching 1.0 means one hot key will pin a single
+    * reducer and the join wants `Salting.saltedJoin` or AQE skew
+    * handling. `avg_rows` spots the complementary pathology (billions
+    * of near-empty groups).
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew: no key columns given")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_kc"))
+      .agg(
+        sum("_kc").cast("bigint").as("n_rows"),
+        count(lit(1)).cast("bigint").as("n_keys"),
+        max("_kc").cast("bigint").as("max_rows"),
+        (sum("_kc") * lit(1.0) / count(lit(1))).as("avg_rows"),
+        (max("_kc") * lit(1.0) / sum("_kc")).as("top_share"))
+  }
 }

@@ -20,6 +20,20 @@ object TextAnalysis {
   def wordCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenize(df, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("cnt"))
 
+  /** Canonical text normalization — the pass that runs BEFORE any
+    * token-based dedup/fingerprint so that casing/punctuation variants
+    * of the same content collide: lowercase, non-alphanumerics to
+    * spaces, whitespace runs collapsed, ends trimmed. Pure codegen'd
+    * regexp chain; patterns behave identically under Java regex and
+    * RE2, so the operator is judged value-exact cross-engine.
+    * ASCII-regime by design (bytes outside [a-z0-9 ] are dropped, not
+    * transliterated — accent folding needs an ICU pass this container
+    * doesn't ship).
+    */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9 ]", " "), " +", " "))
+
   /** BPE-ish subword token count: words plus punctuation/digit splits,
     * approximated by a regex token scan — counts how many atomic units
     * a BPE-style tokenizer would minimally see. Pure expression.

@@ -139,6 +139,20 @@ object Core {
       FROM customer
       ORDER BY c_mktsegment, c_nationkey""",
 
+    // J1b: NULL-SAFE equi-join (IS NOT DISTINCT FROM): null keys match
+    // null keys instead of vanishing — the semantics `=` silently
+    // drops. Nulls are manufactured (testdata has none); the null
+    // bucket is one hot key by construction, which is exactly the
+    // skew case Salting handles at scale.
+    "q_join_nullsafe" -> """
+      SELECT a.o_orderkey, b.c_custkey
+      FROM (SELECT o_orderkey, NULLIF(o_custkey % 50, 7) AS k
+            FROM orders WHERE o_orderkey < 2000) a
+      JOIN (SELECT c_custkey, NULLIF(c_custkey % 50, 7) AS k
+            FROM customer WHERE c_custkey < 200) b
+        ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY o_orderkey, c_custkey""",
+
     // J1: inner equi-join; AQE broadcasts customer when small.
     "q_join_inner" -> """
       SELECT o_orderkey, c_name, o_totalprice

@@ -426,6 +426,30 @@ object LlmOps {
       .orderBy("event_id")
   }
 
+  /** Canonical normalization judged value-exact: junk is spliced onto
+    * the clean fixture (the q_redact_pii pattern) so the chain
+    * demonstrably lowercases, strips, and collapses; both engines run
+    * the identical Java/RE2-portable regex chain.
+    */
+  val qNormalize: QueryFn = withTables { spark =>
+    spark.table("documents")
+      .select(col("doc_id"),
+        TextAnalysis.normalize(
+          concat(lit("Hello, WORLD!!  #42__ "), col("text"))).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Key-skew diagnostic over lineitem's supplier key: one per-key
+    * count shuffle + a one-row reduction, exact integers everywhere
+    * but the two rounded ratios.
+    */
+  val qKeySkew: QueryFn = withTables { spark =>
+    graft.operators.Profiling.keySkew(spark.table("lineitem"), Seq("l_suppkey"))
+      .select(col("n_rows"), col("n_keys"), col("max_rows"),
+        round(col("avg_rows"), 6).cast("double").as("avg_rows"),
+        round(col("top_share"), 6).cast("double").as("top_share"))
+  }
+
   /** Robust z-score anomaly scoring per event_type: median/MAD from
     * the SAME exact-percentile family as q_winsorize (QUANTILE_CONT
     * parity), score arithmetic spelled identically on both engines.
@@ -657,6 +681,8 @@ object LlmOps {
     "q_winsorize" -> qWinsorize,
     "q_iqr_filter" -> qIqrFilter,
     "q_robust_zscore" -> qRobustZscore,
+    "q_normalize" -> qNormalize,
+    "q_key_skew" -> qKeySkew,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
 
@@ -1088,6 +1114,26 @@ object LlmOps {
       FROM events, b
       WHERE value >= q1 - 1.5 * (q3 - q1) AND value <= q3 + 1.5 * (q3 - q1)
       ORDER BY event_id""",
+
+    // same regex chain with RE2 'g' flags; the spliced junk exercises
+    // every stage (case, punctuation, underscore, space runs)
+    "q_normalize" -> """
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER('Hello, WORLD!!  #42__ ' || text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents
+      ORDER BY doc_id""",
+
+    // per-key counts re-aggregated: exact integers, two rounded ratios
+    "q_key_skew" -> """
+      WITH c AS (SELECT l_suppkey, COUNT(*) AS kc FROM lineitem GROUP BY l_suppkey)
+      SELECT CAST(SUM(kc) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(kc) AS BIGINT) AS max_rows,
+             CAST(ROUND(SUM(kc) * 1.0 / COUNT(*), 6) AS DOUBLE) AS avg_rows,
+             CAST(ROUND(MAX(kc) * 1.0 / SUM(kc), 6) AS DOUBLE) AS top_share
+      FROM c""",
 
     // median/MAD restated with the same QUANTILE_CONT parity and the
     // same score expression tree; MAD = 0 groups score NULL

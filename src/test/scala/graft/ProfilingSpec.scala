@@ -43,4 +43,19 @@ class ProfilingSpec extends SparkTestBase {
     val scans = "LocalTableScan".r.findAllIn(plan).length
     assert(scans === 1, s"expected one scan, plan:\n$plan")
   }
+
+  test("keySkew: hand-checked distribution stats, hot key dominates top_share") {
+    import spark.implicits._
+    // key 'hot' x6, 'a' x2, 'b' x1, 'c' x1 => 10 rows, 4 keys
+    val skewed = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    val r = Profiling.keySkew(skewed, Seq("k")).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 4L && r.getLong(2) === 6L)
+    assert(math.abs(r.getDouble(3) - 2.5) < 1e-12, "avg rows per key")
+    assert(math.abs(r.getDouble(4) - 0.6) < 1e-12, "hot key owns 60%")
+    // uniform data: top_share ~ 1/n_keys
+    val uniform = (0 until 12).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "id")
+    val u = Profiling.keySkew(uniform, Seq("k")).collect().head
+    assert(math.abs(u.getDouble(4) - 0.25) < 1e-12)
+  }
 }

@@ -175,6 +175,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1L) > got(99L))
   }
 
+  test("normalize: lowercases, strips punctuation, collapses whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, WORLD!!"),
+      (2L, "  spaced   out\ttabs  "),
+      (3L, "already clean text"),
+      (4L, "__under_scores__ and #42 digits"),
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "hello world")
+    assert(got(2L) === "spaced out tabs")
+    assert(got(3L) === "already clean text", "clean text is a fixpoint")
+    assert(got(4L) === "under scores and 42 digits")
+    // idempotence: normalizing twice changes nothing
+    val twice = df.select(col("doc_id"),
+        TextAnalysis.normalize(TextAnalysis.normalize(col("text"))).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(twice === got)
+  }
+
   test("tokenEntropy: 0 for constant docs, ln(n) for uniform docs") {
     import spark.implicits._
     val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "solo"),
