@@ -199,9 +199,16 @@ object Dedup {
     */
   private def verifyJaccard(cands: DataFrame, docToks: DataFrame,
       minJaccard: Double): DataFrame =
+    verifyJaccardAcross(cands, docToks, docToks, minJaccard)
+
+  /** Two-table variant: side i and side j resolve their token arrays
+    * from different tables (the incremental-ingestion shape).
+    */
+  private def verifyJaccardAcross(cands: DataFrame, docToksI: DataFrame,
+      docToksJ: DataFrame, minJaccard: Double): DataFrame =
     cands
-      .join(docToks.as("ta"), col("i") === col("ta.doc_id"))
-      .join(docToks.as("tb"), col("j") === col("tb.doc_id"))
+      .join(docToksI.as("ta"), col("i") === col("ta.doc_id"))
+      .join(docToksJ.as("tb"), col("j") === col("tb.doc_id"))
       .withColumn("c", size(array_intersect(col("ta.toks"), col("tb.toks"))))
       .withColumn("jaccard",
         col("c") * lit(1.0) / (col("ni") + col("nj") - col("c")))
@@ -269,19 +276,7 @@ object Dedup {
   private def lshCandidatesWithSizes(df: DataFrame, idCol: String,
       textCol: String, bands: Int, rowsPerBand: Int,
       sizeRatio: Option[Double] = None): DataFrame = {
-    val sigs = signatureArrays(df, idCol, textCol, bands * rowsPerBand)
-    // One row per (doc, band) via posexplode over an array of band
-    // bucket hashes — a single pass over the signature projection, NOT
-    // a bands-way union (which would recompute the sketch per band).
-    // Each band's bucket key is the hash of its SLICE of the sketch
-    // array (xxhash64 hashes array elements recursively): banding never
-    // flattens the sketch into per-permutation columns, keeping the
-    // plan a handful of expressions regardless of nHashes.
-    val bucketByBand = array((0 until bands).map { bnd =>
-      xxhash64(slice(col("_sig"), bnd * rowsPerBand + 1, rowsPerBand))
-    }: _*)
-    val banded = sigs.select(col("doc_id"), col("n"),
-      posexplode(bucketByBand).as(Seq("band", "bucket")))
+    val banded = bandedSignatures(df, idCol, textCol, bands, rowsPerBand)
     // When verifying at threshold tau, J(A,B) <= min/max set size, so
     // the size-ratio bound rides the JOIN CONDITION: non-qualifying
     // pairs are dropped as the hash join probes, before the distinct
@@ -296,6 +291,25 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.n").as("ni"), col("b.n").as("nj"))
       .distinct() // (ni, nj) are functions of (i, j): same pair set
+  }
+
+  /** (doc_id, n, band, bucket): one row per (doc, band) via posexplode
+    * over an array of band bucket hashes — a single pass over the
+    * signature projection, NOT a bands-way union (which would
+    * recompute the sketch per band). Each band's bucket key is the
+    * hash of its SLICE of the sketch array (xxhash64 hashes array
+    * elements recursively): banding never flattens the sketch into
+    * per-permutation columns, keeping the plan a handful of
+    * expressions regardless of nHashes.
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = signatureArrays(df, idCol, textCol, bands * rowsPerBand)
+    val bucketByBand = array((0 until bands).map { bnd =>
+      xxhash64(slice(col("_sig"), bnd * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+    sigs.select(col("doc_id"), col("n"),
+      posexplode(bucketByBand).as(Seq("band", "bucket")))
   }
 
   def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
@@ -325,6 +339,35 @@ object Dedup {
     val cands = lshCandidatesWithSizes(df, idCol, textCol, bands, rowsPerBand,
       sizeRatio = Some(minJaccard))
     verifyJaccard(cands, tokenArrays(df, idCol, textCol), minJaccard)
+  }
+
+  /** Incremental near-dup: MinHash-LSH candidates + exact-Jaccard
+    * verification of an INCOMING batch against an EXISTING corpus —
+    * the shape continuous ingestion actually runs (dedup the day's
+    * crawl against the accumulated corpus, not the corpus against
+    * itself). Pairs are (i = corpus doc, j = incoming doc); no
+    * ordering constraint ties the two id spaces, so callers keep them
+    * disjoint. Cost scales with |incoming| × collision rate, never
+    * with |corpus|²: the corpus side contributes one banded-signature
+    * projection (zero shuffles) and the equi-join probes its buckets.
+    * At steady state, persist the corpus signatures and reuse them
+    * across batches ([[minHashSignatures]] shares the hash family).
+    */
+  def minHashLshNearDupAgainst(corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cb = bandedSignatures(corpus, idCol, textCol, bands, rowsPerBand)
+    val ib = bandedSignatures(incoming, idCol, textCol, bands, rowsPerBand)
+    val cands = cb.as("a")
+      .join(ib.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && sizeRatioOk(col("a.n"), col("b.n"), minJaccard))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.n").as("ni"), col("b.n").as("nj"))
+      .distinct()
+    verifyJaccardAcross(cands,
+      tokenArrays(corpus, idCol, textCol),
+      tokenArrays(incoming, idCol, textCol), minJaccard)
   }
 
   /** 64-bit SimHash of the token multiset: each token occurrence votes

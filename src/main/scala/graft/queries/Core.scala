@@ -139,6 +139,19 @@ object Core {
       FROM customer
       ORDER BY c_mktsegment, c_nationkey""",
 
+    // Wide-to-long UNPIVOT (SQL-standard form, parses on both
+    // engines): per-row metric rows from typed columns — the inverse
+    // of the PIVOT queries. Values pre-cast to one type (UNPIVOT
+    // requires homogeneous value columns).
+    "q_unpivot" -> """
+      SELECT o_orderkey, metric, val
+      FROM (SELECT o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS price,
+                   CAST(o_custkey AS DOUBLE) AS cust
+            FROM orders WHERE o_orderkey < 1000)
+      UNPIVOT (val FOR metric IN (price, cust))
+      ORDER BY o_orderkey, metric""",
+
     // J1b: NULL-SAFE equi-join (IS NOT DISTINCT FROM): null keys match
     // null keys instead of vanishing — the semantics `=` silently
     // drops. Nulls are manufactured (testdata has none); the null

@@ -106,6 +106,22 @@ object LlmOps {
       .orderBy("i", "j")
   }
 
+  /** The incremental-ingestion dedup shape, judged at the recall-1
+    * banding regime (q_dedup_lsh_jaccard's argument: per-pair miss
+    * (1-0.95^6)^12 ≈ 1.2e-7 at tau 0.95, seeded hashes make the
+    * outcome deterministic): an incoming batch vs the existing corpus,
+    * verified against the exact cross-scope Jaccard oracle.
+    */
+  val qDedupIncremental: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+    Dedup.minHashLshNearDupAgainst(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 800),
+        "doc_id", "text", minJaccard = 0.95, bands = 12, rowsPerBand = 6)
+      .withColumn("jaccard", round(col("jaccard"), 6).cast("double"))
+      .orderBy("i", "j")
+  }
+
   /** Embedding-cosine near-dup over all pairs (compiled kernel). */
   val qDedupNearEmbedding: QueryFn = withTables { spark =>
     Dedup.nearEmbedding(spark.table("embeddings"), "vec_id", "embedding", 0.4)
@@ -654,6 +670,7 @@ object LlmOps {
     "q_dedup_lsh_jaccard" -> qDedupLshJaccard,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_containment" -> qDedupContainment,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_near_embedding" -> qDedupNearEmbedding,
     "q_cosine_topk" -> qCosineTopk,
@@ -826,6 +843,23 @@ object LlmOps {
            inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
                      FROM toks a JOIN toks b
                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+      SELECT i, j, CAST(ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON i = sa.doc_id
+      JOIN sizes sb ON j = sb.doc_id
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+      ORDER BY i, j""",
+
+    // exact cross-scope Jaccard: side a = corpus, side b = incoming
+    "q_dedup_incremental" -> """
+      WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+             FROM documents WHERE doc_id < 800) t),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+           inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                     FROM toks a JOIN toks b
+                       ON a.tok = b.tok AND a.doc_id < 400 AND b.doc_id >= 400
                      GROUP BY 1, 2)
       SELECT i, j, CAST(ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS DOUBLE) AS jaccard
       FROM inter

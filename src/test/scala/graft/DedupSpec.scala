@@ -176,6 +176,22 @@ class DedupSpec extends SparkTestBase {
     assert(out === Set(("a", 1L, 2L), ("b", 3L, 1L)))
   }
 
+  test("incremental LSH dedup == exact cross-scope Jaccard at recall-1 banding") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 60)
+    val incoming = docs.filter(col("doc_id") >= 60 && col("doc_id") < 120)
+    val got = Dedup.minHashLshNearDupAgainst(corpus, incoming,
+        "doc_id", "text", minJaccard = 0.9, bands = 12, rowsPerBand = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force oracle: self-join the union, keep only cross pairs
+    val want = Dedup.nearJaccard(docs.filter(col("doc_id") < 120),
+        "doc_id", "text", 0.9)
+      .filter(col("i") < 60 && col("j") >= 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture sanity: the scopes share near-dups")
+  }
+
   test("nearContainment catches the subset pair Jaccard dilutes away") {
     import spark.implicits._
     val df = Seq(
