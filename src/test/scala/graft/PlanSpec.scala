@@ -202,6 +202,42 @@ class PlanSpec extends SparkTestBase {
     assert(scans <= 4, s"more than two scans in probe search:\n$p")
   }
 
+  test("random projection is a narrow projection: zero exchanges, no driver matrix fetch") {
+    val p = plan("q_random_projection")
+    assert(!p.contains("Exchange") || !p.contains("Arguments: hashpartitioning"),
+      s"projection must not shuffle:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"the sign matrix must be a plan literal, not a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25 statistics stay in-plan: df broadcast, N/avgdl as broadcast one-row agg") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastExchange"),
+      s"df/stats tables must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the one-row stats attach must be a broadcast nested loop, not cartesian:\n$p")
+  }
+
+  test("key skew plans one count shuffle + a one-row reduction") {
+    val p = plan("q_key_skew")
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    // per-key partial+final needs one hash exchange; the final one-row
+    // agg runs single-partition (no second hash exchange)
+    assert(hashExchanges <= 1,
+      s"keySkew must shuffle once, saw $hashExchanges:\n$p")
+  }
+
+  test("incremental dedup never self-joins the corpus: banded equi-join only") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must stay an equi-join:\n$p")
+    // both sides' signature stages are narrow projections — generators
+    // (posexplode) appear, but no token-granularity aggregation feeds
+    // the join (the sketch is computed per-row)
+    assert(p.contains("Generate"), p)
+  }
+
   test("no judged query collects to the driver mid-plan") {
     // structural guarantee: every queries() entry returns a DataFrame
     // whose plan tree Spark owns end-to-end; a driver-side collect in
