@@ -58,13 +58,14 @@ object Profiling {
     */
   def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keySkew: no key columns given")
+    val Seq(kc) = Cols.fresh("skew", 1, df) // never collides with a key col
     df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_kc"))
+      .agg(count(lit(1)).as(kc))
       .agg(
-        sum("_kc").cast("bigint").as("n_rows"),
+        sum(kc).cast("bigint").as("n_rows"),
         count(lit(1)).cast("bigint").as("n_keys"),
-        max("_kc").cast("bigint").as("max_rows"),
-        (sum("_kc") * lit(1.0) / count(lit(1))).as("avg_rows"),
-        (max("_kc") * lit(1.0) / sum("_kc")).as("top_share"))
+        max(kc).cast("bigint").as("max_rows"),
+        (sum(kc) * lit(1.0) / count(lit(1))).as("avg_rows"),
+        (max(kc) * lit(1.0) / sum(kc)).as("top_share"))
   }
 }

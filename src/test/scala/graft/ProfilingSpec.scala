@@ -57,5 +57,8 @@ class ProfilingSpec extends SparkTestBase {
     val uniform = (0 until 12).map(i => (s"k${i % 4}", i.toLong)).toDF("k", "id")
     val u = Profiling.keySkew(uniform, Seq("k")).collect().head
     assert(math.abs(u.getDouble(4) - 0.25) < 1e-12)
+    // internal count column never clobbers a caller column of that name
+    val tricky = uniform.withColumnRenamed("k", "_skew0")
+    assert(Profiling.keySkew(tricky, Seq("_skew0")).collect().head.getLong(1) === 4L)
   }
 }

@@ -155,6 +155,39 @@ class StreamingSpec extends SparkTestBase {
     assert(!kept.contains(2L), "near-dup must collapse onto doc 1's signature")
   }
 
+  test("T5c: incremental dedup runs UNCHANGED with a streaming incoming side") {
+    // minHashLshNearDupAgainst's plan is streaming-legal end-to-end
+    // when `incoming` is a stream: signature/banding are stateless
+    // per-row projections, the candidate join and both verify joins
+    // are stream-static equi-joins, and the candidate distinct() is
+    // streaming deduplication — so the SAME operator that dedups a
+    // batch against the corpus dedups a live feed against it.
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    // expected pairs from the fully-batch run of the same operator
+    val incomingBatch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") >= 60 && col("doc_id") < 120)
+      .select("doc_id", "text")
+    val want = graft.operators.Dedup.minHashLshNearDupAgainst(
+        corpus, incomingBatch, "doc_id", "text", 0.9, bands = 12, rowsPerBand = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture sanity: scopes share near-dups")
+
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.operators.Dedup.minHashLshNearDupAgainst(
+      corpus, input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 0.9, bands = 12, rowsPerBand = 6)
+    val q = streamed.writeStream.format("memory").queryName("t5c_stream")
+      .outputMode(OutputMode.Append()).start()
+    incomingBatch.collect().foreach(r => input.addData((r.getLong(0), r.getString(1))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t5c_stream").select($"i", $"j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "streaming run must emit the batch run's exact pair set")
+  }
+
   test("T6: stateful per-key running count via flatMapGroupsWithState") {
     import spark.implicits._
     val input = MemoryStream[Ev]
