@@ -103,6 +103,200 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for PNG payloads — a full pixel decode, not just a
+    * header parse: chunk walk (IHDR geometry, IDAT concatenation, IEND
+    * terminator), zlib inflate via `java.util.zip.Inflater` (stock
+    * JVM — the one compressed image format needing no codec library),
+    * and per-scanline UNFILTERING of all five PNG filter types (None/
+    * Sub/Up/Average/Paeth). 8-bit gray/RGB/RGBA, non-interlaced;
+    * anything else fails loudly, as do truncated streams, wrong
+    * inflate lengths, and unknown filter bytes. [[decodePixels]]
+    * exposes the raw pixel buffer (tests round-trip every filter type
+    * through it); `decode` reports geometry features.
+    */
+  class PngDecoder extends MediaDecoder {
+    override def decode(uri: String, bytes: Array[Byte],
+        meta: Map[String, String]): MediaFeatures = {
+      val (w, h, _) = PngDecoder.decodePixels(uri, bytes)
+      MediaFeatures(width = w, height = h, format = "png",
+        n_bytes = bytes.length.toLong, checksum = byteChecksum(bytes))
+    }
+  }
+
+  object PngDecoder {
+    private val Sig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+    private[operators] def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private[operators] def channels(colorType: Int): Int = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case 6 => 4 // rgba
+      case t => throw new IllegalArgumentException(
+        s"PNG color type $t (palette/gray+alpha) not supported")
+    }
+
+    /** (width, height, unfiltered pixel bytes, row-major, w*channels
+      * per row).
+      */
+    def decodePixels(uri: String, bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 8 && Sig.indices.forall(i =>
+          (bytes(i) & 0xFF) == Sig(i)), s"not a PNG payload: $uri")
+      def be32(off: Int): Int =
+        ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
+          ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+      var off = 8
+      var w = 0; var h = 0; var colorType = -1
+      var seenIhdr = false; var seenIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!seenIend) {
+        require(off + 8 <= bytes.length, s"PNG $uri: truncated chunk header")
+        val len = be32(off)
+        require(len >= 0 && off + 12L + len <= bytes.length,
+          s"PNG $uri: chunk overruns payload")
+        new String(bytes, off + 4, 4, "US-ASCII") match {
+          case "IHDR" =>
+            require(len == 13, s"PNG $uri: IHDR length $len")
+            w = be32(off + 8); h = be32(off + 12)
+            require((bytes(off + 16) & 0xFF) == 8,
+              s"PNG $uri: only bit depth 8 is decoded")
+            colorType = bytes(off + 17) & 0xFF
+            require((bytes(off + 20) & 0xFF) == 0,
+              s"PNG $uri: interlaced streams not supported")
+            seenIhdr = true
+          case "IDAT" =>
+            require(seenIhdr, s"PNG $uri: IDAT before IHDR")
+            idat.write(bytes, off + 8, len)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks skip
+        }
+        off += 12 + len
+      }
+      require(seenIhdr && w > 0 && h > 0, s"PNG $uri: missing/empty IHDR")
+      val bpp = channels(colorType)
+      val stride = w * bpp
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        require(n > 0 || !inf.needsInput(),
+          s"PNG $uri: IDAT stream truncated at $got/${raw.length}")
+        got += n
+      }
+      inf.end()
+      require(got == raw.length,
+        s"PNG $uri: inflated $got bytes, geometry needs ${raw.length}")
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val filter = raw(y * (stride + 1)) & 0xFF
+        val in = y * (stride + 1) + 1
+        val o = y * stride
+        var i = 0
+        while (i < stride) {
+          val x = raw(in + i) & 0xFF
+          val left = if (i >= bpp) out(o + i - bpp) & 0xFF else 0
+          val up = if (y > 0) out(o + i - stride) & 0xFF else 0
+          val upLeft = if (y > 0 && i >= bpp) out(o + i - stride - bpp) & 0xFF else 0
+          val recon = filter match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case 4 => x + paeth(left, up, upLeft)
+            case f => throw new IllegalArgumentException(
+              s"PNG $uri: unknown filter $f on row $y")
+          }
+          out(o + i) = (recon & 0xFF).toByte
+          i += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+  }
+
+  /** Valid 8-bit RGB PNG payloads built per row (deterministic pixels
+    * from the id; every scanline encoded with `filter`, exercising the
+    * decoder's unfilter path for that type): real zlib-compressed
+    * bytes for the real decoder, generated in-plan like
+    * [[withSyntheticBmp]]/[[withSyntheticWav]].
+    */
+  def withSyntheticPng(df: DataFrame, idCol: String,
+      w: Int = 4, h: Int = 4, filter: Int = 0): DataFrame = {
+    require(filter >= 0 && filter <= 4, s"PNG filter $filter")
+    val mk = udf { (id: Long) => Multimodal.encodePng(id, w, h, filter) }
+    df.withColumn("media", struct(
+      concat(lit("mem://doc/"), col(idCol), lit(".png")).as("uri"),
+      mk(col(idCol).cast("long")).as("bytes"),
+      map(lit("format"), lit("png"),
+        lit("origin"), lit("synthetic")).as("meta")))
+  }
+
+  /** Deterministic RGB pixels for row `id`. */
+  private[graft] def syntheticPixels(id: Long, w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => (id * 31 + i * 7).toByte)
+
+  /** Real PNG encoding (signature, IHDR/IDAT/IEND with CRC32, deflate
+    * of filter-prefixed scanlines) — the fixture-side inverse of
+    * [[PngDecoder]]; the filter math here is the encoder direction of
+    * the decoder's unfilter, so round-trip tests pin both.
+    */
+  private[graft] def encodePng(id: Long, w: Int, h: Int, filter: Int): Array[Byte] = {
+    val bpp = 3
+    val stride = w * bpp
+    val pix = syntheticPixels(id, w, h)
+    val filtered = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      filtered(y * (stride + 1)) = filter.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = pix(y * stride + i) & 0xFF
+        val left = if (i >= bpp) pix(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) pix((y - 1) * stride + i) & 0xFF else 0
+        val upLeft = if (y > 0 && i >= bpp) pix((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => PngDecoder.paeth(left, up, upLeft)
+        }
+        filtered(y * (stride + 1) + 1 + i) = ((cur - pred) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val compLen = defl.deflate(buf)
+    require(defl.finished(), "PNG encode: deflate buffer undersized")
+    defl.end()
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      out.putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(body)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate, std, no interlace
+      .array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(compLen)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** Extracted per-audio features: the audio analogue of
     * [[MediaFeatures]] (duration and sample geometry instead of pixel
     * geometry).

@@ -110,6 +110,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(e2.getMessage.contains("fmt chunk truncated"), e2.getMessage)
   }
 
+  test("PNG decode: full pixel round-trip through every filter type") {
+    // encode with each of the five PNG filters, decode, and require the
+    // EXACT original pixels back — this exercises inflate plus all five
+    // unfilter branches, not just the header walk
+    for (filter <- 0 to 4) {
+      val bytes = Multimodal.encodePng(7L, w = 5, h = 4, filter = filter)
+      val (w, h, pix) = Multimodal.PngDecoder.decodePixels(s"mem://f$filter.png", bytes)
+      assert(w === 5 && h === 4)
+      assert(pix.toSeq === Multimodal.syntheticPixels(7L, 5, 4).toSeq,
+        s"filter $filter pixels did not round-trip")
+    }
+  }
+
+  test("PNG features flow through the shared extract plumbing") {
+    import spark.implicits._
+    val df = Multimodal.withSyntheticPng(
+      (1L to 6L).toDF("doc_id"), "doc_id", w = 7, h = 3, filter = 4)
+    val feats = Multimodal.extractFeatures(df, "doc_id", "media",
+      new Multimodal.PngDecoder)
+    val rows = feats.collect()
+    assert(rows.length === 6)
+    assert(rows.forall(r => r.getInt(1) === 7 && r.getInt(2) === 3
+      && r.getString(3) === "png"))
+  }
+
+  test("PNG decoder fails loudly on corrupt payloads") {
+    val dec = new Multimodal.PngDecoder
+    val good = Multimodal.encodePng(1L, 4, 4, 0)
+    // not a PNG at all
+    val e1 = intercept[IllegalArgumentException] {
+      dec.decode("mem://x.png", Array[Byte](1, 2, 3), Map.empty)
+    }
+    assert(e1.getMessage.contains("not a PNG payload"))
+    // truncated IDAT: drop the tail (inflate cannot fill the geometry)
+    val e2 = intercept[IllegalArgumentException] {
+      dec.decode("mem://t.png", good.take(good.length - 20), Map.empty)
+    }
+    assert(e2.getMessage.contains("truncated") || e2.getMessage.contains("overruns"),
+      e2.getMessage)
+    // interlaced flag set: rejected, not silently mis-decoded
+    val interlaced = good.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte
+    val e3 = intercept[IllegalArgumentException] {
+      dec.decode("mem://i.png", interlaced, Map.empty)
+    }
+    assert(e3.getMessage.contains("interlaced"), e3.getMessage)
+  }
+
   test("resize shrinks the payload, stamps meta, keeps the struct shape") {
     val resized = Multimodal.resize(mediaDf, "media", 224, 224)
     assert(resized.schema("media").dataType === mediaDf.schema("media").dataType)
