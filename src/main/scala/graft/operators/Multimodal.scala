@@ -248,10 +248,25 @@ object Multimodal {
     * [[PngDecoder]]; the filter math here is the encoder direction of
     * the decoder's unfilter, so round-trip tests pin both.
     */
-  private[graft] def encodePng(id: Long, w: Int, h: Int, filter: Int): Array[Byte] = {
-    val bpp = 3
+  private[graft] def encodePng(id: Long, w: Int, h: Int, filter: Int): Array[Byte] =
+    encodePngPixels(w, h, syntheticPixels(id, w, h), filter)
+
+  /** General pixel encoder: channel count (1/3/4 → gray/RGB/RGBA) is
+    * inferred from the buffer size. [[resizePng]] re-encodes through
+    * this, so resized payloads are REAL PNGs the decoder round-trips.
+    */
+  private[graft] def encodePngPixels(w: Int, h: Int, pix: Array[Byte],
+      filter: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length % (w * h) == 0,
+      s"pixel buffer ${pix.length} does not tile ${w}x$h")
+    val bpp = pix.length / (w * h)
+    val colorType = bpp match {
+      case 1 => 0
+      case 3 => 2
+      case 4 => 6
+      case n => throw new IllegalArgumentException(s"$n channels unsupported")
+    }
     val stride = w * bpp
-    val pix = syntheticPixels(id, w, h)
     val filtered = new Array[Byte]((stride + 1) * h)
     var y = 0
     while (y < h) {
@@ -289,7 +304,7 @@ object Multimodal {
       out.array()
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // depth 8, RGB
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte) // depth 8
       .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate, std, no interlace
       .array()
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
@@ -489,6 +504,81 @@ object Multimodal {
       Encoders.product[MediaFeatures].schema, () => decoder.open(),
       (uri, bytes, meta) => decoder.decode(uri, bytes, meta))
 
+  /** REAL resize for PNG payloads: decode pixels ([[PngDecoder]]),
+    * nearest-neighbor sample to (w, h), re-encode as a real PNG
+    * ([[encodePngPixels]]) — decode → transform → encode entirely
+    * stock-JVM, per row, no shuffle, bytes never leave the row. The
+    * output payload is itself decodable, so resize chains compose.
+    * (Nearest-neighbor, not area-average: the standard cheap policy
+    * when downsampling features for thumbnailing/dedup sketches;
+    * swap the kernel inside the same shape for bilinear.)
+    */
+  def resizePng(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0)
+    val resizeUdf = udf { (uri: String, bytes: Array[Byte]) =>
+      val (sw, sh, pix) = PngDecoder.decodePixels(uri, bytes)
+      val bpp = pix.length / (sw * sh)
+      val out = new Array[Byte](w * h * bpp)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * sh / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * sw / w).toInt
+          System.arraycopy(pix, (sy * sw + sx) * bpp, out, (y * w + x) * bpp, bpp)
+          x += 1
+        }
+        y += 1
+      }
+      encodePngPixels(w, h, out, filter = 0)
+    }
+    df.withColumn(mediaCol, struct(
+      col(s"$mediaCol.uri").as("uri"),
+      resizeUdf(col(s"$mediaCol.uri"), col(s"$mediaCol.bytes")).as("bytes"),
+      stampMeta(col(s"$mediaCol.meta"), w, h)))
+  }
+
+  /** Replace (not duplicate) the `resized` meta key — resizes compose,
+    * and map_concat on a repeated key is a runtime error under Spark's
+    * default EXCEPTION dedup policy.
+    */
+  private def stampMeta(meta: org.apache.spark.sql.Column, w: Int, h: Int) =
+    map_concat(
+      map_filter(meta, (k, _) => k =!= "resized"),
+      map(lit("resized"), concat_ws("x", lit(w), lit(h)))).as("meta")
+
+  /** Per-image pixel statistics from the REAL decode: geometry plus
+    * per-channel mean values — the cheap quality/filtering signal
+    * (all-black, blown-out, or single-color images stand out) computed
+    * without any codec library. Same per-partition lifecycle and
+    * bytes-dropped output as [[extractFeatures]].
+    */
+  def extractPngStats(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("channel_means", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val input = df.select(
+      col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.uri").as("uri"),
+      col(s"$mediaCol.bytes").as("bytes"))
+    input.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, pix) = PngDecoder.decodePixels(r.getString(1),
+          r.getAs[Array[Byte]](2))
+        val bpp = pix.length / (w * h)
+        val sums = new Array[Long](bpp)
+        var i = 0
+        while (i < pix.length) { sums(i % bpp) += pix(i) & 0xFF; i += 1 }
+        Row(r.getLong(0), w, h, bpp,
+          sums.map(_.toDouble / (w.toLong * h)).toIndexedSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Resize stub: the real implementation hands bytes to a codec and
     * re-encodes at (w, h); here the transform deterministically derives
     * the resized payload (truncated checksum-stamped bytes) and updates
@@ -503,8 +593,7 @@ object Multimodal {
     df.withColumn(mediaCol, struct(
       col(s"$mediaCol.uri").as("uri"),
       resizeUdf(col(s"$mediaCol.bytes")).as("bytes"),
-      map_concat(col(s"$mediaCol.meta"),
-        map(lit("resized"), concat_ws("x", lit(w), lit(h)))).as("meta")))
+      stampMeta(col(s"$mediaCol.meta"), w, h)))
   }
 
   /** Frame sampling stub for video payloads: emits every `stride`-th

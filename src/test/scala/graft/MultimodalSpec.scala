@@ -158,6 +158,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(e3.getMessage.contains("interlaced"), e3.getMessage)
   }
 
+  test("resizePng: real decode -> nearest-neighbor -> re-encode, output is itself decodable") {
+    import spark.implicits._
+    val df = Multimodal.withSyntheticPng(
+      Seq(9L).toDF("doc_id"), "doc_id", w = 8, h = 8, filter = 2)
+    val resized = Multimodal.resizePng(df, "media", 4, 4)
+    val r = resized.selectExpr("media.uri", "media.bytes", "media.meta['resized']").head()
+    assert(r.getString(2) === "4x4")
+    val (w, h, pix) = Multimodal.PngDecoder.decodePixels(r.getString(0),
+      r.getAs[Array[Byte]](1))
+    assert(w === 4 && h === 4)
+    // nearest-neighbor at exactly half scale samples every second pixel
+    val orig = Multimodal.syntheticPixels(9L, 8, 8)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      assert(pix((y * 4 + x) * 3 + c) === orig(((y * 2) * 8 + x * 2) * 3 + c),
+        s"pixel ($x,$y) channel $c not the nearest-neighbor sample")
+    }
+    // composes: resizing the resized payload decodes again
+    val again = Multimodal.resizePng(resized, "media", 2, 2)
+      .selectExpr("media.uri", "media.bytes").head()
+    val (w2, h2, _) = Multimodal.PngDecoder.decodePixels(again.getString(0),
+      again.getAs[Array[Byte]](1))
+    assert(w2 === 2 && h2 === 2)
+  }
+
+  test("extractPngStats: exact per-channel means from decoded pixels") {
+    import spark.implicits._
+    val df = Multimodal.withSyntheticPng(
+      (1L to 3L).toDF("doc_id"), "doc_id", w = 6, h = 5, filter = 3)
+    val stats = Multimodal.extractPngStats(df, "doc_id", "media").collect()
+    assert(stats.length === 3)
+    stats.foreach { r =>
+      assert(r.getInt(1) === 6 && r.getInt(2) === 5 && r.getInt(3) === 3)
+      val means = r.getSeq[Double](4)
+      val pix = Multimodal.syntheticPixels(r.getLong(0), 6, 5)
+      for (c <- 0 until 3) {
+        val want = (c until pix.length by 3).map(i => (pix(i) & 0xFF).toLong).sum / 30.0
+        assert(math.abs(means(c) - want) < 1e-12, s"channel $c mean")
+      }
+    }
+  }
+
   test("resize shrinks the payload, stamps meta, keeps the struct shape") {
     val resized = Multimodal.resize(mediaDf, "media", 224, 224)
     assert(resized.schema("media").dataType === mediaDf.schema("media").dataType)
