@@ -579,6 +579,54 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Perceptual difference-hash (dHash) over the REAL pixel decode:
+    * gray-convert (integer Rec.601 luma), nearest-neighbor sample to a
+    * 9×8 grid, emit bit (x,y) = 1 iff gray(x+1,y) > gray(x,y) — a
+    * 64-bit signature stable under re-encoding, scaling, and small
+    * edits, which is what byte-level hashing can never give for
+    * images. Output column is named `simhash` ON PURPOSE: the
+    * signature plugs straight into [[Dedup.simHashNearDupFromSigs]]'s
+    * pigeonhole banding + exact-Hamming verify, so IMAGE near-dup
+    * rides the same candidate-pruned equi-join machinery as text
+    * near-dup ([[imageNearDup]] is that one-liner).
+    */
+  def imageDHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val hashUdf = udf { (uri: String, bytes: Array[Byte]) =>
+      val (w, h, pix) = PngDecoder.decodePixels(uri, bytes)
+      val bpp = pix.length / (w * h)
+      def gray(x: Int, y: Int): Int = {
+        val o = (y * w + x) * bpp
+        if (bpp == 1) pix(o) & 0xFF
+        else ((pix(o) & 0xFF) * 299 + (pix(o + 1) & 0xFF) * 587 +
+          (pix(o + 2) & 0xFF) * 114) / 1000
+      }
+      var sig = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * h / 8).toInt
+        var x = 0
+        while (x < 8) {
+          val sxa = (x.toLong * w / 9).toInt
+          val sxb = ((x + 1).toLong * w / 9).toInt
+          if (gray(sxb, sy) > gray(sxa, sy)) sig |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      sig
+    }
+    df.select(col(idCol).cast("long").as("doc_id"),
+      hashUdf(col(s"$mediaCol.uri"), col(s"$mediaCol.bytes")).as("simhash"))
+  }
+
+  /** Image near-dup pairs within a Hamming radius of dHash signatures —
+    * the pigeonhole-banded equi-join, shared verbatim with text
+    * SimHash dedup.
+    */
+  def imageNearDup(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 6): DataFrame =
+    Dedup.simHashNearDupFromSigs(imageDHash(df, idCol, mediaCol), maxHamming)
+
   /** Resize stub: the real implementation hands bytes to a codec and
     * re-encodes at (w, h); here the transform deterministically derives
     * the resized payload (truncated checksum-stamped bytes) and updates

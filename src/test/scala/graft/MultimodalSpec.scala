@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, concat, lit, map, struct}
 import org.apache.spark.sql.types._
 
 import graft.operators.Multimodal
@@ -197,6 +198,32 @@ class MultimodalSpec extends SparkTestBase {
         assert(math.abs(means(c) - want) < 1e-12, s"channel $c mean")
       }
     }
+  }
+
+  test("image dHash near-dup: brightness-shifted re-encodes pair up, distinct images don't") {
+    import spark.implicits._
+    // image 1: synthetic pixels; image 2: SAME pixels +8 brightness per
+    // channel (every adjacent-gray comparison unchanged => dHash
+    // IDENTICAL although every byte of the payload differs); image 3:
+    // different pixels entirely
+    val base = Multimodal.syntheticPixels(1L, 16, 16)
+      .map(b => ((b & 0xFF) % 200).toByte) // headroom: +8 can't clamp/wrap
+    val shifted = base.map(b => ((b & 0xFF) + 8).toByte)
+    val other = Multimodal.syntheticPixels(99L, 16, 16)
+    val rows = Seq(
+      (1L, Multimodal.encodePngPixels(16, 16, base, 0)),
+      (2L, Multimodal.encodePngPixels(16, 16, shifted, 4)), // different filter too
+      (3L, Multimodal.encodePngPixels(16, 16, other, 0)))
+    val df = rows.toDF("doc_id", "bytes").select(col("doc_id"), struct(
+      concat(lit("mem://img/"), col("doc_id"), lit(".png")).as("uri"),
+      col("bytes"),
+      map(lit("format"), lit("png")).as("meta")).as("media"))
+    val pairs = Multimodal.imageNearDup(df, "doc_id", "media", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      s"only the brightness-shifted pair is a near-dup, got ${pairs.toSeq}")
+    assert(pairs.head._3 === 0L,
+      "a uniform brightness shift leaves every dHash comparison unchanged")
   }
 
   test("resize shrinks the payload, stamps meta, keeps the struct shape") {
