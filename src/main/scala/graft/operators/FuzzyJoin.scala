@@ -69,6 +69,54 @@ object FuzzyJoin {
       .select("i", "j", "dist")
   }
 
+  /** Q-gram-blocked edit-distance join for distances BEYOND 1 (where
+    * deletion neighborhoods blow up combinatorially): candidates are
+    * pairs sharing at least one character q-gram, verified by
+    * codegen'd `levenshtein` <= maxDist. Count-filter guarantee: one
+    * edit destroys at most q q-grams, so a string of length L keeps at
+    * least (L-q+1) - maxDist*q of its partner's q-grams intact —
+    * >= 1 (full recall) whenever every string has length >=
+    * q*(maxDist+1). Shorter strings fail LOUDLY (silently missing
+    * pairs is the one unacceptable behavior in a dedup/matching tool);
+    * route them through [[editDistance1SelfJoin]] or brute force —
+    * short-string pair spaces are small by definition.
+    *
+    * The length-difference bound |len(a)-len(b)| <= maxDist rides the
+    * candidate JOIN CONDITION (the sizeRatioOk pattern): length-
+    * incompatible pairs drop as the hash join probes. q=2 blocks on
+    * bigrams — weaker pruning than trigrams but valid down to length
+    * 6 at maxDist=2; raise q for long-string corpora.
+    */
+  def qgramEditJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1 && q >= 2, s"maxDist=$maxDist q=$q")
+    val minLen = q * (maxDist + 1)
+    val grams = df.select(col(idCol).as("_fid"), col(strCol).as("_fstr"))
+      .filter(col("_fstr").isNotNull)
+      .select(col("_fid"),
+        when(length(col("_fstr")) > MaxLen ||
+            length(col("_fstr")) < minLen,
+          raise_error(concat(
+            lit(s"FuzzyJoin.qgramEditJoin: string length outside [$minLen, $MaxLen] at id="),
+            col("_fid").cast("string"),
+            lit(s" — below $minLen the q-gram count filter cannot guarantee recall"))))
+          .otherwise(col("_fstr")).as("_fstr"))
+      .select(col("_fid"), col("_fstr"), length(col("_fstr")).as("_flen"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length(_fstr) - ${q - 1}), i -> substr(_fstr, i, $q))")))
+          .as("_gram"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a._gram") === col("b._gram") && col("a._fid") < col("b._fid")
+          && abs(col("a._flen") - col("b._flen")) <= maxDist)
+      .select(col("a._fid").as("i"), col("b._fid").as("j"),
+        col("a._fstr").as("si"), col("b._fstr").as("sj"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("si"), col("sj")))
+      .filter(col("dist") <= maxDist)
+      .select("i", "j", "dist")
+  }
+
   /** Two-table variant: rows of `left` matched to rows of `right`
     * within edit distance 1. Typical use: dirty strings against a
     * clean reference list (the reference side's neighborhood is built

@@ -339,6 +339,23 @@ object Multimodal {
   class WavDecoder extends AudioDecoder {
     override def decode(uri: String, bytes: Array[Byte],
         meta: Map[String, String]): AudioFeatures = {
+      val p = WavDecoder.parse(uri, bytes)
+      AudioFeatures(p.sampleRate, p.channels, p.bits, p.nSamples,
+        p.nSamples * 1000L / p.sampleRate, byteChecksum(bytes))
+    }
+  }
+
+  object WavDecoder {
+    /** Parsed PCM geometry plus the data chunk's location, so sample
+      * readers ([[extractWavFrameRms]]) share one chunk-walk
+      * definition with the feature decoder.
+      */
+    case class Pcm(sampleRate: Int, channels: Int, bits: Int,
+        blockAlign: Int, dataOff: Int, dataSize: Long) {
+      def nSamples: Long = dataSize / blockAlign
+    }
+
+    def parse(uri: String, bytes: Array[Byte]): Pcm = {
       def ascii(off: Int, s: String): Boolean =
         s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
       require(bytes.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE"),
@@ -353,6 +370,7 @@ object Multimodal {
       // offset strictly increases and the loop bound ends the walk.
       var off = 12L
       var fmtOff = -1
+      var dataOff = -1
       var dataSize = -1L
       while (off + 8 <= bytes.length && (fmtOff < 0 || dataSize < 0)) {
         val size = le32(off.toInt + 4).toLong & 0xFFFFFFFFL
@@ -367,6 +385,7 @@ object Multimodal {
         } else if (ascii(off.toInt, "data")) {
           require(off + 8 + size <= bytes.length,
             s"WAV $uri data chunk ($size bytes) overruns the payload")
+          dataOff = off.toInt + 8
           dataSize = size
         }
         off += 8 + size + (size & 1) // chunks pad to even
@@ -382,10 +401,54 @@ object Multimodal {
       val blockAlign = le16(fmtOff + 12)
       require(channels > 0 && sampleRate > 0 && blockAlign > 0,
         s"WAV $uri has degenerate fmt fields")
-      val nSamples = dataSize / blockAlign
-      AudioFeatures(sampleRate, channels, bits, nSamples,
-        nSamples * 1000L / sampleRate, byteChecksum(bytes))
+      Pcm(sampleRate, channels, bits, blockAlign, dataOff, dataSize)
     }
+  }
+
+  /** Per-frame RMS energy from the REAL PCM samples — the first-pass
+    * audio quality/segmentation signal (silence and clipping stand
+    * out), computed over `samplesPerFrame`-sample frames of 16-bit PCM
+    * (all channels interleaved; the trailing short frame is emitted
+    * with its actual sample count). One input row fans out to
+    * ceil(nSamples/frame) rows — per-row generation, no shuffle, bytes
+    * never leave the row.
+    */
+  def extractWavFrameRms(df: DataFrame, idCol: String, mediaCol: String,
+      samplesPerFrame: Int): DataFrame = {
+    require(samplesPerFrame >= 1)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val input = df.select(
+      col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.uri").as("uri"),
+      col(s"$mediaCol.bytes").as("bytes"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val uri = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val p = WavDecoder.parse(uri, bytes)
+        require(p.bits == 16, s"WAV $uri: frame RMS reads 16-bit PCM, got ${p.bits}")
+        val totalShorts = (p.dataSize / 2).toInt // all channels interleaved
+        val frameShorts = samplesPerFrame * p.channels
+        (0 until (totalShorts + frameShorts - 1) / frameShorts).map { f =>
+          val start = f * frameShorts
+          val n = math.min(frameShorts, totalShorts - start)
+          var sum = 0.0
+          var i = 0
+          while (i < n) {
+            val o = p.dataOff + (start + i) * 2
+            val s = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toDouble
+            sum += s * s
+            i += 1
+          }
+          Row(r.getLong(0), f.toLong, (n / p.channels).toLong,
+            math.sqrt(sum / n))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Valid 16-bit mono PCM WAV payloads built per row (deterministic

@@ -652,7 +652,26 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Distance-2 fuzzy matching via bigram blocking: planted partners
+    * are two leading substitutions ('zz' over the first two chars), so
+    * every base-variant pair sits at distance <= 2; the oracle
+    * brute-forces LEVENSHTEIN over all pairs in the bounded scope. The
+    * count-filter recall guarantee holds (every string >= 6 chars at
+    * q=2, maxDist=2), so blocked == brute force exactly.
+    */
+  val qFuzzyJoin2: QueryFn = withTables { spark =>
+    val base = spark.table("part").filter(col("p_partkey") <= 300)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val variants = base.select((col("id") + 10000).as("id"),
+      expr("concat('zz', substr(s, 3))").as("s"))
+    graft.operators.FuzzyJoin.qgramEditJoin(
+        base.unionByName(variants), "id", "s", maxDist = 2, q = 2)
+      .withColumn("dist", col("dist").cast("bigint"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_fuzzy_join2" -> qFuzzyJoin2,
     "q_bm25" -> qBm25,
     "q_token_entropy" -> qTokenEntropy,
     "q_fuzzy_join" -> qFuzzyJoin,
@@ -740,6 +759,18 @@ object LlmOps {
       FROM c
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    "q_fuzzy_join2" -> """
+      WITH u AS (
+        SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey <= 300
+        UNION ALL
+        SELECT p_partkey + 10000, 'zz' || SUBSTR(p_name, 3)
+        FROM part WHERE p_partkey <= 300)
+      SELECT a.id AS i, b.id AS j,
+             CAST(LEVENSHTEIN(a.s, b.s) AS BIGINT) AS dist
+      FROM u a JOIN u b ON a.id < b.id
+      WHERE LEVENSHTEIN(a.s, b.s) <= 2
+      ORDER BY i, j""",
 
     "q_fuzzy_join" -> """
       WITH u AS (

@@ -51,4 +51,45 @@ class FuzzyJoinSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === Set((10L, 1L, 1), (11L, 2L, 1)))
   }
+
+  test("qgramEditJoin == brute-force levenshtein at maxDist=2") {
+    val df = Seq(
+      (1L, "spark engine"), (2L, "spurk enjine"), // 2 substitutions
+      (3L, "spark enginex"),                      // 1 insert vs id 1
+      (4L, "wholly other"),
+      (5L, "spark puddle")).toDF("id", "s")
+    val got = FuzzyJoin.qgramEditJoin(df, "id", "s", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over all 10 pairs
+    val strs = Map(1L -> "spark engine", 2L -> "spurk enjine",
+      3L -> "spark enginex", 4L -> "wholly other", 5L -> "spark puddle")
+    val want = (for {
+      i <- strs.keys; j <- strs.keys if i < j
+      d = levenshteinRef(strs(i), strs(j)) if d <= 2
+    } yield (i, j, d)).toSet
+    assert(got === want)
+    // planted: (1,2) two substitutions; (1,3) one insert; (2,3) is
+    // distance 3 (2 subs + 1 insert) and correctly absent
+    assert(want === Set((1L, 2L, 2), (1L, 3L, 1)),
+      "fixture sanity: the planted distances")
+  }
+
+  test("qgramEditJoin rejects strings too short for the recall guarantee") {
+    val df = Seq((1L, "tiny!"), (2L, "spark engine")).toDF("id", "s")
+    val ex = intercept[Exception] {
+      FuzzyJoin.qgramEditJoin(df, "id", "s", maxDist = 2).collect()
+    }
+    assert(ex.getMessage.contains("cannot guarantee recall"), ex.getMessage)
+  }
+
+  /** Textbook DP reference implementation for the spec's brute force. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }

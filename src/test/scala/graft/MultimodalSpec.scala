@@ -226,6 +226,23 @@ class MultimodalSpec extends SparkTestBase {
       "a uniform brightness shift leaves every dHash comparison unchanged")
   }
 
+  test("extractWavFrameRms: exact per-frame energy from the real PCM samples") {
+    import spark.implicits._
+    val df = Multimodal.withSyntheticWav(Seq(5L).toDF("doc_id"), "doc_id",
+      sampleRate = 8000, nSamples = 100)
+    val frames = Multimodal.extractWavFrameRms(df, "doc_id", "media",
+      samplesPerFrame = 40).collect().sortBy(_.getLong(1))
+    assert(frames.length === 3, "100 samples at 40/frame => 2 full + 1 short")
+    assert(frames.map(_.getLong(2)).toSeq === Seq(40L, 40L, 20L))
+    // exact expectation from the generator's sample formula
+    val samples = (0 until 100).map(i => (5L * 131 + i * 7).toShort.toDouble)
+    for ((f, idx) <- frames.zipWithIndex) {
+      val slice = samples.slice(idx * 40, idx * 40 + 40)
+      val want = math.sqrt(slice.map(s => s * s).sum / slice.length)
+      assert(math.abs(f.getDouble(3) - want) < 1e-9, s"frame $idx rms")
+    }
+  }
+
   test("resize shrinks the payload, stamps meta, keeps the struct shape") {
     val resized = Multimodal.resize(mediaDf, "media", 224, 224)
     assert(resized.schema("media").dataType === mediaDf.schema("media").dataType)
