@@ -139,6 +139,19 @@ object Core {
       FROM customer
       ORDER BY c_mktsegment, c_nationkey""",
 
+    // LATERAL correlated subquery (top-2 orders per customer) — the
+    // per-row dependent-subquery surface; both engines plan it as a
+    // correlated join (Spark rewrites to a window/join under the
+    // hood). Raw column passthrough, no arithmetic => exact.
+    "q_lateral" -> """
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey < 300
+      ORDER BY c_custkey, o_orderkey""",
+
     // Wide-to-long UNPIVOT (SQL-standard form, parses on both
     // engines): per-row metric rows from typed columns — the inverse
     // of the PIVOT queries. Values pre-cast to one type (UNPIVOT

@@ -65,7 +65,7 @@ class FuzzyJoinSpec extends SparkTestBase {
       3L -> "spark enginex", 4L -> "wholly other", 5L -> "spark puddle")
     val want = (for {
       i <- strs.keys; j <- strs.keys if i < j
-      d = levenshteinRef(strs(i), strs(j)) if d <= 2
+      d = EditDistanceRef.levenshtein(strs(i), strs(j)) if d <= 2
     } yield (i, j, d)).toSet
     assert(got === want)
     // planted: (1,2) two substitutions; (1,3) one insert; (2,3) is
@@ -82,14 +82,4 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(ex.getMessage.contains("cannot guarantee recall"), ex.getMessage)
   }
 
-  /** Textbook DP reference implementation for the spec's brute force. */
-  private def levenshteinRef(a: String, b: String): Int = {
-    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
-      if (i == 0) j else if (j == 0) i else 0
-    }
-    for (i <- 1 to a.length; j <- 1 to b.length)
-      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-    d(a.length)(b.length)
-  }
 }

@@ -492,6 +492,26 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("qgram edit join == brute-force levenshtein on arbitrary short strings") {
+    // 3-char alphabet at lengths 6-10 makes distance-<=2 pairs COMMON,
+    // so the law exercises hits, not just the empty set
+    val strGen = Gen.choose(6, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, strGen))
+    check("qgram-vs-brute")(Prop.forAll(corpusGen) { strs =>
+      import spark.implicits._
+      val d = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val got = graft.operators.FuzzyJoin.qgramEditJoin(d, "id", "s", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        i <- strs.indices; j <- strs.indices if i < j
+        dist = EditDistanceRef.levenshtein(strs(i), strs(j)) if dist <= 2
+      } yield (i.toLong, j.toLong, dist)).toSet
+      got == want
+    })
+  }
+
   test("robust z-score is affine-equivariant: z(a*x + b) == sign(a) * z(x)") {
     val valsGen = Gen.choose(3, 20).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-50, 50)))
