@@ -130,11 +130,23 @@ object Outliers {
       groupCols: Seq[String], median: Column => Column): DataFrame = {
     val Seq(med, mad) = Cols.fresh("rz", 2, df)
     val v = vcol(valueCol).cast("double")
+    // group attach is NULL-SAFE (<=>): a null group key is a group like
+    // any other — a plain equi-join would silently DROP its rows from
+    // the output, the one unacceptable failure mode for a
+    // row-preserving scorer
     def attach(base: DataFrame, agg: Column, as: String): DataFrame =
       if (groupCols.isEmpty) base.crossJoin(broadcast(base.agg(agg.as(as))))
-      else base.join(
-        broadcast(base.groupBy(groupCols.map(col): _*).agg(agg.as(as))),
-        groupCols)
+      else {
+        val gNames = Cols.fresh("rzg", groupCols.size, base)
+        val stats = groupCols.zip(gNames).foldLeft(
+          base.groupBy(groupCols.map(col): _*).agg(agg.as(as))) {
+          case (d, (c, g)) => d.withColumnRenamed(c, g)
+        }
+        groupCols.zip(gNames)
+          .foldLeft(base.join(broadcast(stats),
+            groupCols.zip(gNames).map { case (c, g) => col(c) <=> col(g) }
+              .reduce(_ && _))) { case (d, (_, g)) => d.drop(g) }
+      }
     val withMad = attach(attach(df, median(v), med),
       median(abs(v - col(med))), mad)
     withMad

@@ -130,6 +130,19 @@ class OutliersSpec extends SparkTestBase {
       "median 5, MAD 2: the smallest value scores (1-5)/(1.4826*2)")
   }
 
+  test("robustZScore: a NULL group key is a group, not a silent row drop") {
+    import spark.implicits._
+    val withNullGroup = Seq(
+      (1L, Option("a"), 1.0), (2L, Option("a"), 2.0), (3L, Option("a"), 3.0),
+      (4L, None, 10.0), (5L, None, 20.0), (6L, None, 30.0))
+      .toDF("id", "g", "value")
+    val out = Outliers.robustZScore(withNullGroup, "value", Seq("g"))
+    assert(out.count() === 6, "null-group rows must survive the stats join")
+    // the null group gets ITS OWN median/MAD: median 20, MAD 10
+    val z4 = out.filter(col("id") === 4L).select("robust_z").head().getDouble(0)
+    assert(math.abs(z4 - (10.0 - 20.0) / (1.4826 * 10.0)) < 1e-12)
+  }
+
   test("robustZScoreApprox tracks the exact scores on the judged-scale fixture") {
     val exact = Outliers.robustZScore(values, "value", Seq.empty)
       .select(col("id"), col("value"), col("robust_z").as("ez"))
