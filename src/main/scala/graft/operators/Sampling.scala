@@ -125,6 +125,47 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Deterministic negative sampling for contrastive training: `k`
+    * pseudo-random candidates per anchor, drawn by md5 so every draw
+    * is retry-stable AND replayable by a DuckDB oracle. Shape: the
+    * candidate set gets a dense 1..N index (one global sort — bounded
+    * candidate scopes; at 100 TB maintain the index as a persisted
+    * column instead), each anchor emits k (anchor, draw#) rows, the
+    * draw hashes to an index, and an EQUI-join fetches the candidate —
+    * k rows per anchor, never an anchors × candidates cross join.
+    *
+    * `exclude` (anchor_id, cand_id) pairs — typically the near-dup
+    * pairs from [[Dedup.minHashLshNearDupAgainst]] — are anti-joined
+    * out AFTER sampling (rejection without resampling), so output is
+    * AT MOST k per anchor and never a known positive; duplicate draws
+    * also collapse. Callers needing exactly-k oversample k and cap.
+    */
+  def negativeSample(anchors: DataFrame, anchorIdCol: String,
+      candidates: DataFrame, candIdCol: String, k: Int,
+      exclude: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1)
+    val n = candidates.agg(count(lit(1)).as("_negN"))
+    val idx = candidates.select(col(candIdCol).as("cand_id"))
+      .withColumn("_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("cand_id")).cast("long"))
+    val drawn = anchors.select(col(anchorIdCol).as("anchor_id"))
+      .crossJoin(broadcast(n)) // one-row N attach, the in-plan pattern
+      .select(col("anchor_id"), col("_negN"),
+        explode(sequence(lit(1), lit(k))).as("_draw"))
+      .withColumn("_idx",
+        conv(substring(md5(concat(col("anchor_id").cast("string"), lit(":"),
+          col("_draw").cast("string"))), 1, 15), 16, 10).cast("long")
+          % col("_negN") + 1)
+      .join(idx, "_idx")
+      .select("anchor_id", "cand_id")
+      .distinct()
+    exclude match {
+      case Some(ex) => drawn.join(
+        ex.toDF("anchor_id", "cand_id"), Seq("anchor_id", "cand_id"), "left_anti")
+      case None => drawn
+    }
+  }
+
   /** Deterministic train/validation/test split: assigns each key to
     * exactly one split by hash range — splits are disjoint, exhaustive,
     * and stable across runs (the property random splits lose on rerun).

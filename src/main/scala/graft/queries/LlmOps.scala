@@ -206,6 +206,19 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic negative sampling, judged value-exact: every draw
+    * (index arithmetic on the md5 value, the dense candidate index,
+    * the duplicate-draw collapse) replays identically in the oracle.
+    */
+  val qNegativeSample: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+    graft.operators.Sampling.negativeSample(
+        docs.filter(col("doc_id") < 50), "doc_id",
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 500), "doc_id",
+        k = 3)
+      .orderBy("anchor_id", "cand_id")
+  }
+
   /** JL random projection 64→16, judged value-exact: the ±1 sign
     * matrix re-derives from the same md5 bit on both engines, sign
     * flips are IEEE-exact, both engines fold the dot product in the
@@ -699,6 +712,7 @@ object LlmOps {
     "q_random_projection" -> qRandomProjection,
     "q_simsearch_projected" -> qSimsearchProjected,
     "q_sample_stratified" -> qSampleStratified,
+    "q_negative_sample" -> qNegativeSample,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_ivf" -> qAnnIvf,
     "q_tokens_wordcount" -> qTokensWordcount,
@@ -1034,6 +1048,22 @@ object LlmOps {
       SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
       FROM rk WHERE rnk <= 5
       ORDER BY probe_id, rnk""",
+
+    // the same md5 draw, dense index, and mod arithmetic replay every
+    // negative draw; duplicate draws collapse via DISTINCT
+    "q_negative_sample" -> """
+      WITH a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 50),
+           c AS (SELECT doc_id AS cand_id,
+                        ROW_NUMBER() OVER (ORDER BY doc_id) AS idx
+                 FROM documents WHERE doc_id >= 50 AND doc_id < 500),
+           n AS (SELECT COUNT(*) AS nn FROM c),
+           d AS (SELECT anchor_id,
+                        ('0x' || SUBSTR(MD5(anchor_id || ':' || j), 1, 15))::BIGINT
+                          % nn + 1 AS idx
+                 FROM a, n, UNNEST(RANGE(1, 4)) t(j))
+      SELECT DISTINCT anchor_id, cand_id
+      FROM d JOIN c USING (idx)
+      ORDER BY anchor_id, cand_id""",
 
     // the same md5 draw and per-stratum dyadic cut points replay every
     // keep/drop decision exactly; zh is unlisted and drops

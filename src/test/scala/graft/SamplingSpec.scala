@@ -113,6 +113,34 @@ class SamplingSpec extends SparkTestBase {
     assert(mixed.filter(col("corpus") === "none").count() === 0L)
   }
 
+  test("negativeSample: k draws per anchor from candidates, exclusions honored, deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val anchors = docs.filter(col("doc_id") < 10)
+    val cands = docs.filter(col("doc_id") >= 10 && col("doc_id") < 60)
+    val out = Sampling.negativeSample(anchors, "doc_id", cands, "doc_id", k = 3)
+    val byAnchor = out.groupBy("anchor_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byAnchor.keySet === (0L until 10L).toSet)
+    assert(byAnchor.values.forall(n => n >= 1 && n <= 3),
+      "duplicate draws may collapse but never exceed k")
+    val candIds = cands.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select("cand_id").collect().map(_.getLong(0)).toSet.subsetOf(candIds))
+    // determinism under repartition
+    val again = Sampling.negativeSample(anchors.repartition(5), "doc_id",
+      cands.repartition(3), "doc_id", k = 3)
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // exclusion: forbid one sampled pair, it must vanish (and only it)
+    val one = out.head()
+    val excluded = Sampling.negativeSample(anchors, "doc_id", cands, "doc_id",
+      k = 3, exclude = Some(Seq((one.getLong(0), one.getLong(1)))
+        .toDF("anchor_id", "cand_id")))
+    val exSet = excluded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outSet = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exSet === outSet - ((one.getLong(0), one.getLong(1))))
+  }
+
   test("stratifiedPortable: per-stratum fractions, unlisted strata drop, subset of input") {
     import org.apache.spark.sql.functions._
     val out = Sampling.stratifiedPortable(docs, "lang", "doc_id",
