@@ -83,6 +83,32 @@ object IvfIndex {
     } finally sample.unpersist()
   }
 
+  /** Persist a trained codebook: (cluster_id, centroid) rows in
+    * parquet — k×dim doubles, centroid-sized by construction. At steady
+    * state an IVF deployment trains once, saves, and every ingest/query
+    * session [[loadCentroids]] instead of re-running Lloyd sweeps.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[(Int, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cluster_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a codebook saved by [[saveCentroids]]; assign/search on the
+    * reloaded centroids are bit-identical to the training session's
+    * (doubles round-trip parquet exactly).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(path)
+      .select(col("cluster_id"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
   /** Best-cluster UDF over broadcast centroids (cosine; ties to the
     * lowest cluster id). Centroids are unit vectors, so the dot
     * product ranks identically to cosine.

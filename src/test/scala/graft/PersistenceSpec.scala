@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Dedup, IvfIndex}
+
+/** The steady-state persistence workflows: signatures and codebooks
+  * are computed ONCE, written, and reloaded by later sessions — the
+  * reloaded state must drive bit-identical results, or incremental
+  * pipelines silently fork from their history.
+  */
+class PersistenceSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("persisted SimHash signatures drive the same near-dup pairs as a fresh run") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 120)
+    val sigs = Dedup.simHash(docs, "doc_id", "text")
+    val direct = Dedup.simHashNearDupFromSigs(sigs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val path = tmp("sigs")
+    sigs.write.mode("overwrite").parquet(path)
+    val reloaded = Dedup.simHashNearDupFromSigs(
+        spark.read.parquet(path), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reloaded === direct)
+    assert(direct.nonEmpty, "fixture sanity: some near-dups exist at radius 6")
+  }
+
+  test("persisted MinHash signatures equal recomputed ones (stable hash family)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60)
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", nHashes = 24)
+    val path = tmp("minhash")
+    sigs.write.mode("overwrite").parquet(path)
+    val a = sigs.collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    assert(a === b, "bigint signatures round-trip parquet exactly")
+  }
+
+  test("saved + reloaded IVF codebook searches bit-identically") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val trained = IvfIndex.train(emb, "vec_id", "embedding", k = 4,
+      iters = 2, seed = 42L)
+    val path = tmp("ivf")
+    IvfIndex.saveCentroids(spark, trained, path)
+    val loaded = IvfIndex.loadCentroids(spark, path)
+    assert(loaded.length === trained.length)
+    trained.sortBy(_._1).zip(loaded).foreach { case ((ci, cv), (li, lv)) =>
+      assert(ci === li)
+      assert(cv.toSeq === lv.toSeq, s"centroid $ci changed across the round-trip")
+    }
+    def results(c: Array[(Int, Array[Double])]) =
+      IvfIndex.search(IvfIndex.assign(emb, "vec_id", "embedding", c),
+          probes, "vec_id", "embedding", c, nprobe = 2, topK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(results(loaded) === results(trained))
+  }
+}
