@@ -222,6 +222,59 @@ object Similarity {
       .select("probe_id", "rank", "corpus_id", "cos")
   }
 
+  /** Maximal-Marginal-Relevance rerank of a SHORTLIST: greedily pick k
+    * items maximizing λ·relevance − (1−λ)·max-cosine-to-already-picked
+    * — the standard diversity pass between retrieval and serving (λ=1
+    * is pure relevance; λ→0 maximizes spread). Ties break to the
+    * lowest id, so the output is fully deterministic.
+    *
+    * This runs DRIVER-SIDE by design: MMR is sequential (each pick
+    * depends on all previous picks), and its production position is
+    * AFTER a distributed shortlist (probeSearch / IvfIndex.search /
+    * probeSearchQuantized) has reduced the corpus to k·oversample
+    * rows. The same `requireBounded` guard as the exact all-pairs
+    * paths enforces that position — feeding a corpus-sized input fails
+    * loudly instead of collecting it.
+    */
+  def mmrRerank(shortlist: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0)
+    requireBounded(shortlist, "mmrRerank")
+    val rows = shortlist
+      .select(col(idCol).cast("long"), col(vecCol), col(relCol).cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val pickedVecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      rows.map(r => r._1 -> r): _*)
+    while (picked.length < math.min(k, rows.length)) {
+      val (bestId, bestScore) = remaining.valuesIterator.map { case (id, v, rel) =>
+        val penalty =
+          if (pickedVecs.isEmpty) 0.0
+          else pickedVecs.iterator.map(p => cos(v, p)).max
+        (id, lambda * rel - (1 - lambda) * penalty)
+      }.minBy { case (id, s) => (-s, id) } // max score, ties to lowest id
+      picked += ((bestId, bestScore))
+      pickedVecs += remaining(bestId)._2
+      remaining.remove(bestId)
+    }
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, s), i) => (id, (i + 1).toLong, s) }
+      .toDF("id", "rank", "mmr_score")
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` from a fixed
     * seed, so signatures are stable across runs/executors.
     */

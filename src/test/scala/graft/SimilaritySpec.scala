@@ -159,6 +159,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === uexact, "full-oversample projected search must equal exact")
   }
 
+  test("mmrRerank trades relevance for diversity deterministically") {
+    import spark.implicits._
+    // a, b near-identical and most relevant; c orthogonal, less
+    // relevant; d anti-correlated, least relevant
+    val shortlist = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 1.00),
+      (2L, Seq(0.999f, 0.04f, 0.0f), 0.99),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 0.60),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 0.30)).toDF("id", "vec", "rel")
+    def order(lambda: Double) =
+      graft.operators.Similarity.mmrRerank(shortlist, "id", "vec", "rel",
+        k = 3, lambda).select("id").collect().map(_.getLong(0)).toSeq
+    // pure relevance: 1, 2, 3
+    assert(order(1.0) === Seq(1L, 2L, 3L))
+    // diversity-weighted: the near-duplicate of #1 drops behind the
+    // orthogonal candidates
+    assert(order(0.5) === Seq(1L, 3L, 4L))
+    // deterministic across invocations and partitionings
+    assert(order(0.5) === graft.operators.Similarity.mmrRerank(
+      shortlist.repartition(3), "id", "vec", "rel", k = 3, lambda = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("mmrRerank refuses corpus-sized inputs (shortlist-only by contract)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    try {
+      spark.conf.set(Similarity.MaxExactRowsKey, "10")
+      val big = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          lit(1.0).as("rel"))
+      val e = intercept[IllegalArgumentException] {
+        Similarity.mmrRerank(big, "id", "vec", "rel", k = 3, lambda = 0.5)
+      }
+      assert(e.getMessage.contains("mmrRerank"))
+    } finally spark.conf.unset(Similarity.MaxExactRowsKey)
+  }
+
   test("a zero vector ranks LAST, not first, in every top-k path") {
     // cosine(0-vec, x) is NaN, and Spark sorts NaN above all doubles —
     // without the rankSafe key a single zero embedding would be the
