@@ -139,6 +139,26 @@ object Core {
       FROM customer
       ORDER BY c_mktsegment, c_nationkey""",
 
+    // F-extra: regexp_extract_all — both engines take (str, pattern,
+    // group); group 1 spelled explicitly because the DEFAULT differs
+    // (Spark 1, DuckDB 0). Arrays compare as values directly.
+    "q_regexp_extract_all" -> """
+      SELECT event_id, REGEXP_EXTRACT_ALL(props, '([0-9]+)', 1) AS nums
+      FROM events
+      ORDER BY event_id""",
+
+    // W-extra: time-based RANGE frame (1-hour rolling sum per user) —
+    // the interval-window surface beyond ROWS frames; DECIMAL-exact
+    // sum, peers-at-equal-ts semantics identical on both engines.
+    "q_win_time_range" -> """
+      SELECT event_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS rolling_1h
+      FROM events
+      ORDER BY event_id""",
+
     // LATERAL correlated subquery (top-2 orders per customer) — the
     // per-row dependent-subquery surface; both engines plan it as a
     // correlated join (Spark rewrites to a window/join under the
@@ -399,6 +419,15 @@ object Core {
 
   /** Spark-side text where the dialects diverge. */
   val sparkOnlySql: Map[String, String] = Map(
+    // A-extra: ordered string aggregation — Spark spells it LISTAGG
+    // WITHIN GROUP (SQL:2016), DuckDB STRING_AGG(expr, sep ORDER BY),
+    // hence the override.
+    "q_string_agg" -> """
+      SELECT c_mktsegment,
+             LISTAGG(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey < 100
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
     // Cohort retention: cohort = first active day per user, one row per
     // (cohort, day-offset) with active-user counts. DATEDIFF arg order
     // differs between dialects, hence the override.
@@ -460,6 +489,12 @@ object Core {
     * defined via the DataFrame API below.
     */
   val oracleOverrides: Map[String, String] = Map(
+    "q_string_agg" -> """
+      SELECT c_mktsegment,
+             STRING_AGG(c_name, '|' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey < 100
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
     "q_profile" -> """
       SELECT * FROM (
         SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
