@@ -139,6 +139,8 @@ object Sampling {
     * out AFTER sampling (rejection without resampling), so output is
     * AT MOST k per anchor and never a known positive; duplicate draws
     * also collapse. Callers needing exactly-k oversample k and cap.
+    * `candidates` must be non-empty — under ANSI mode an empty set
+    * surfaces as a loud divide-by-zero from the index modulus.
     */
   def negativeSample(anchors: DataFrame, anchorIdCol: String,
       candidates: DataFrame, candIdCol: String, k: Int,
