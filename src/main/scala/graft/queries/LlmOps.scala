@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import QueryDefs._
-import graft.operators.{Clustering, Dedup, IvfIndex, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Clustering, Dedup, IvfIndex, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline surface (SURVEY.md §2.11): dedup, similarity
   * search, text analysis — each judged query drives the corresponding
@@ -513,6 +513,37 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** BPE subword tokenization, judged value-exact on every (doc, pos,
+    * token) triple: the pinned sf0.001-trained merge table applied via
+    * the engine-portable replace chain ([[Bpe.encodedTokensCol]]) — the
+    * DuckDB oracle replays the IDENTICAL call sequence generated from
+    * the same table ([[Bpe.encodedTokensSql]]), so the two sides cannot
+    * drift. Pure codegen'd string ops per row; the only post-scan work
+    * is the explode. Bounded to 100 docs to keep the judged output
+    * proportionate; `q_bpe_fertility` covers the full corpus.
+    */
+  val qBpe: QueryFn = withTables { spark =>
+    Bpe.tokenizePortable(
+        spark.table("documents").filter(col("doc_id") < 100),
+        "doc_id", "text", Bpe.PinnedMerges)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Subword fertility per document over the FULL corpus: subword and
+    * whitespace token counts side by side — the real context-window
+    * budget (packing on whitespace counts undercounts by exactly this
+    * ratio). No explode, no shuffle: two array-length projections.
+    */
+  val qBpeFertility: QueryFn = withTables { spark =>
+    spark.table("documents").select(
+        col("doc_id"),
+        size(Bpe.encodedTokensCol(col("text"), Bpe.PinnedMerges))
+          .cast("bigint").as("n_subwords"),
+        size(filter(split(lower(col("text")), " "), w => w =!= ""))
+          .cast("bigint").as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing (stream-offset semantics), judged: documents
     * packed into 2048-token bins per lang shard — one running-sum
     * window per shard, the closed form that parallelizes over shards
@@ -695,6 +726,8 @@ object LlmOps {
     "q_pool_mean" -> qPoolMean,
     "q_split_tvt" -> qSplitTvt,
     "q_fingerprint" -> qFingerprint,
+    "q_bpe" -> qBpe,
+    "q_bpe_fertility" -> qBpeFertility,
     "q_pack_offset" -> qPackOffset,
     "q_mix_corpora" -> qMixCorpora,
     "q_dedup_exact" -> qDedupExact,
@@ -1432,6 +1465,23 @@ object LlmOps {
       FROM u
       GROUP BY label
       ORDER BY label""",
+
+    // The replace chain is GENERATED from Bpe.PinnedMerges — the same
+    // constant the Spark side folds over — so the two expressions are
+    // the same function by construction (see Bpe.encodedTokensSql).
+    "q_bpe" -> s"""
+      WITH t AS (SELECT doc_id, ${Bpe.encodedTokensSql("text", Bpe.PinnedMerges)} AS ts
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS token
+      FROM t, UNNEST(RANGE(1, LEN(ts) + 1)) r(i)
+      ORDER BY doc_id, pos""",
+
+    "q_bpe_fertility" -> s"""
+      SELECT doc_id,
+             CAST(LEN(${Bpe.encodedTokensSql("text", Bpe.PinnedMerges)}) AS BIGINT) AS n_subwords,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '')) AS BIGINT) AS n_words
+      FROM documents
+      ORDER BY doc_id""",
 
     // The same md5 draw and the same dyadic cut points (0.75, 0.875)
     // replay every row's split assignment exactly.
