@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-window aggregations over an event table (SURVEY.md §2.10
@@ -60,4 +61,36 @@ object EventWindows {
         col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("n_events"), col("sum_value"))
+
+  /** Row-level sessionization (gaps-and-islands): every event keeps its
+    * identity and gains a per-user `session_no` (1-based, in time
+    * order). [[sessions]] gives the session AGGREGATES; this gives the
+    * event→session assignment that downstream per-session features
+    * (position in session, time since session start, next-event
+    * prediction labels) are built from.
+    *
+    * Semantics match [[sessions]]/`session_window`: a gap >= `gapSeconds`
+    * opens a new session (Spark session windows are exclusive of
+    * last+gap). The gap compares `unix_micros` values — exact integer
+    * arithmetic, no float time math. `tieCol` makes the intra-user
+    * order total so ties on `tsCol` cannot make results partitioning-
+    * dependent.
+    *
+    * Scale shape: ONE hash exchange on `userCol`; the lag and the
+    * running sum share the same (partition, order) so they run in a
+    * single window sort — and a downstream per-(user, session) groupBy
+    * needs NO further exchange (hash partitioning on user already
+    * clusters (user, session_no)); both pinned by PlanSpec.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val brk = when(lag(us, 1).over(w).isNull
+        .or(us - lag(us, 1).over(w) >= gapSeconds * 1000000L), 1L)
+      .otherwise(0L)
+    events.withColumn("session_no",
+      sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -83,6 +83,50 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Quality-quantile curation: keep the top `keepFrac` of each group
+    * by `scoreCol` — the "keep the best X% per language/source by
+    * classifier score" step of corpus curation. Exact semantics: a row
+    * survives iff its cumulative distribution position in the
+    * (score DESC, tieCol) order is <= keepFrac; `tieCol` (unique)
+    * makes the order total, so the kept set is deterministic and the
+    * kept count per group is exactly floor(keepFrac * n).
+    *
+    * Scale shape: one hash exchange + per-group sort (the window).
+    * Groups here are corpus strata (languages, sources) — few and
+    * large — so the sort is the honest cost; for groups too large to
+    * sort, [[keepTopQuantileApprox]] trades exactness for a
+    * threshold-filter shape with NO sort.
+    */
+  def keepTopQuantile(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, tieCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(scoreCol.desc, col(tieCol))
+    val Seq(cd) = Cols.fresh("cume", 1, df)
+    df.withColumn(cd, cume_dist().over(w))
+      .filter(col(cd) <= keepFrac)
+      .drop(cd)
+  }
+
+  /** The 100 TB variant of [[keepTopQuantile]]: per-group
+    * `approx_percentile` threshold (bounded-memory Greenwald-Khanna
+    * sketch) broadcast back, then a map-side `score >= threshold`
+    * filter — two scans, ZERO sorts, and the kept fraction is
+    * keepFrac ± the sketch's rank error. Mirrors the
+    * winsorize/winsorizeApprox dual-path precedent.
+    */
+  def keepTopQuantileApprox(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, keepFrac: Double, accuracy: Int = 10000): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0,1]")
+    val Seq(thr) = Cols.fresh("thr", 1, df)
+    val thresholds = df.groupBy(groupCols.map(col): _*)
+      .agg(approx_percentile(scoreCol, lit(1.0 - keepFrac), lit(accuracy)).as(thr))
+    df.join(broadcast(thresholds), groupCols)
+      .filter(scoreCol >= col(thr))
+      .drop(thr)
+  }
+
   /** Engine-portable uniform [0,1) from a stable key: the first 15 hex
     * chars of md5 read as a 60-bit integer, over 2^60. md5 is a
     * function BOTH Spark and DuckDB compute identically (the

@@ -151,6 +151,32 @@ object TextAnalysis {
       least(lit(1.0), avgWordLen / lit(5.0)) * lit(0.5)
   }
 
+  /** Top-16 words of the sf0.001 documents corpus (by count, then
+    * lexicographic — the corpus has only 31 distinct words, so a full
+    * vocab would make every OOV rate zero). Pinned like
+    * [[Bpe.PinnedMerges]]: a vocabulary is built once, then applied
+    * everywhere, and pinning lets the DuckDB oracle replay it.
+    */
+  val PinnedVocab: Seq[String] = Seq(
+    "scan", "column", "window", "order", "sort", "part", "agg", "value",
+    "line", "key", "join", "merge", "group", "query", "a", "vector")
+
+  /** Out-of-vocabulary rate per document: the fraction of whitespace
+    * tokens not in `vocab` — the tokenizer-coverage check run before
+    * committing to a vocabulary (high OOV = the tokenizer will shred
+    * this slice into bytes/unknowns). Pure per-row array expressions
+    * against the broadcast vocab literal: no join, no shuffle, and the
+    * projection runs at the scan. Empty docs report 0.0.
+    */
+  def oovRate(textCol: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val toks = filter(split(lower(textCol), " "), t => t =!= "")
+    val vlit = array(vocab.map(lit): _*)
+    val oov = size(filter(toks, t => not(array_contains(vlit, t))))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(oov.cast("double") / size(toks).cast("double"))
+  }
+
   /** Marker-token language ID: score each candidate language by hits
     * of its marker n-grams/stopwords in the text; argmax wins, 'und' if
     * nothing hits. `markers` maps lang -> marker tokens. A real system

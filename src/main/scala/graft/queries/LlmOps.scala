@@ -316,6 +316,36 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-quantile curation: keep the top 25% of each language by
+    * the corpus quality score — the "keep the best X% per stratum by
+    * classifier score" curation step, judged set-exact. The kept set
+    * is a pure function of the (score DESC, doc_id) order, which both
+    * engines compute identically (same IEEE expression tree), so no
+    * rounding enters the FILTER — rounding is display-only.
+    */
+  val qQualityFilter: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    graft.operators.Sampling.keepTopQuantile(
+        docs, Seq("lang"), col("quality"), "doc_id", keepFrac = 0.25)
+      .select(col("doc_id"), col("lang"),
+        round(col("quality"), 6).cast("double").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Out-of-vocabulary rate per document against the pinned top-16
+    * corpus vocabulary — tokenizer-coverage check; pure per-row array
+    * expressions at the scan (no join, no shuffle). The oracle's vocab
+    * literal is GENERATED from the same pinned constant.
+    */
+  val qOov: QueryFn = withTables { spark =>
+    spark.table("documents").select(
+        col("doc_id"),
+        round(TextAnalysis.oovRate(col("text"), TextAnalysis.PinnedVocab), 6)
+          .cast("double").as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Time-series resample: per-user daily grid over the events span,
     * value forward-filled from the latest observation at-or-before
     * each grid instant (pandas `resample('1D').last().ffill()`
@@ -752,6 +782,8 @@ object LlmOps {
     "q_tfidf" -> qTfidf,
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
+    "q_quality_filter" -> qQualityFilter,
+    "q_oov" -> qOov,
     "q_resample_ffill" -> qResampleFfill,
     "q_resample_interp" -> qResampleInterp,
     "q_lang_id" -> qLangId,
@@ -1377,6 +1409,39 @@ object LlmOps {
                              / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)) / 5.0) * 0.5,
                6) AS DOUBLE) AS quality
       FROM documents
+      ORDER BY doc_id""",
+
+    // The same quality expression as q_quality_score; the filter rides
+    // CUME_DIST over the identical (quality DESC, doc_id) total order,
+    // so the kept SET is exact — ROUND only formats the output.
+    "q_quality_filter" -> """
+      WITH s AS (
+        SELECT doc_id, lang,
+               LEAST(1.0, (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) / 50.0) * 0.5
+               + LEAST(1.0, (LENGTH(REPLACE(text, ' ', '')) * 1.0
+                             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)) / 5.0) * 0.5
+                 AS q
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, q,
+               CUME_DIST() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS cd
+        FROM s)
+      SELECT doc_id, lang, CAST(ROUND(q, 6) AS DOUBLE) AS quality
+      FROM c WHERE cd <= 0.25
+      ORDER BY doc_id""",
+
+    // Vocab literal generated from TextAnalysis.PinnedVocab — the same
+    // constant the Spark side broadcasts.
+    "q_oov" -> s"""
+      WITH t AS (SELECT doc_id,
+                        LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), w -> w <> '') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             CAST(ROUND(CASE WHEN LEN(toks) = 0 THEN 0.0
+               ELSE CAST(LEN(LIST_FILTER(toks, t -> NOT LIST_CONTAINS(
+                      ${TextAnalysis.PinnedVocab.map(w => s"'$w'").mkString("[", ", ", "]")}, t))) AS DOUBLE)
+                    / CAST(LEN(toks) AS DOUBLE) END, 6) AS DOUBLE) AS oov_rate
+      FROM t
       ORDER BY doc_id""",
 
     // The identical two-prime rolling fold, restated: md5 token hashes

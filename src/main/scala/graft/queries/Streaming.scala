@@ -38,10 +38,24 @@ object Streaming {
       .orderBy("user_id", "s_start")
   }
 
+  /** Row-level sessionization: every event tagged with its per-user
+    * session_no (30-min gap, same rule as T3) — the event→session
+    * assignment downstream per-session features need. One user-keyed
+    * exchange; lag + running sum share a single window sort
+    * (PlanSpec-pinned).
+    */
+  val qSessionize: QueryFn = withTables { spark =>
+    EventWindows.sessionize(spark.table("events"),
+        "user_id", "ts", "event_id", gapSeconds = 1800L)
+      .select(col("user_id"), col("event_id"), col("session_no"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
+    "q_sessionize" -> qSessionize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -99,5 +113,24 @@ object Streaming {
       FROM i
       GROUP BY user_id, sess
       ORDER BY user_id, s_start""",
+
+    // Row-level gaps-and-islands with the SAME break rule as
+    // q_stream_session (gap >= 30 min opens a session); event_id
+    // breaks timestamp ties so the order is total on both engines.
+    "q_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      m AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, event_id,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM m
+      ORDER BY user_id, event_id""",
   )
 }

@@ -238,6 +238,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), p)
   }
 
+  test("sessionize: one user-keyed exchange; lag and running sum share a sort") {
+    val p = plan("q_sessionize")
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    // 1 for the window; the final orderBy is a range exchange, not hash
+    assert(hashExchanges == 1,
+      s"sessionize must shuffle once on user_id ($hashExchanges):\n$p")
+    val sorts = "^\\(\\d+\\) Sort".r.findAllMatchIn(
+      p.linesIterator.mkString("\n")).size
+    // one sort for the two stacked windows + the final global orderBy
+    assert(sorts <= 2, s"windows must share one sort ($sorts):\n$p")
+  }
+
+  test("per-session stats after sessionize need no second hash exchange") {
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val stats = graft.operators.EventWindows
+      .sessionize(events, "user_id", "ts", "event_id", 1800L)
+      .groupBy("user_id", "session_no")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val p = stats.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"user_id partitioning already clusters (user_id, session_no) " +
+        s"($hashExchanges):\n$p")
+  }
+
   test("no judged query collects to the driver mid-plan") {
     // structural guarantee: every queries() entry returns a DataFrame
     // whose plan tree Spark owns end-to-end; a driver-side collect in

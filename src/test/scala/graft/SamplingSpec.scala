@@ -162,4 +162,46 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === ids)
   }
+
+  test("keepTopQuantile keeps exactly floor(frac*n) per group, the top-scored") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("score", col("n_chars").cast("double"))
+    val kept = Sampling.keepTopQuantile(docs, Seq("lang"), col("score"),
+      "doc_id", 0.25)
+    val inCounts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outCounts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- inCounts)
+      assert(outCounts.getOrElse(lang, 0L) === (0.25 * n).floor.toLong,
+        s"lang=$lang in=$n")
+    // every kept row's score >= every dropped row's score within a group
+    // (up to the doc_id tiebreak at the cut score)
+    val minKept = kept.groupBy("lang").agg(min("score").as("mn")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.groupBy("lang").agg(max("score").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((lang, mx) <- maxDropped)
+      assert(mx <= minKept(lang),
+        s"lang=$lang dropped a score above the kept cut")
+  }
+
+  test("keepTopQuantileApprox: threshold-filter shape, frac within sketch error") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("score", col("n_chars").cast("double"))
+    val kept = Sampling.keepTopQuantileApprox(docs, Seq("lang"), col("score"), 0.25)
+    // no sort anywhere: the whole point of the approx path
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("Sort"), s"approx path must not sort:\n$p")
+    val n = docs.count().toDouble
+    val frac = kept.count() / n
+    // score has heavy ties (integer token counts), so the kept fraction
+    // can overshoot to the whole tie-class at the threshold
+    assert(frac >= 0.20 && frac <= 0.45, s"kept fraction $frac")
+    // deterministic under repartition
+    val again = Sampling.keepTopQuantileApprox(docs.repartition(7),
+      Seq("lang"), col("score"), 0.25).count()
+    assert(again === kept.count())
+  }
 }

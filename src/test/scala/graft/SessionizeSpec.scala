@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventWindows
+
+/** Row-level sessionization: hand fixture, consistency with the
+  * session_window aggregates on the real events table, and
+  * tie/partitioning determinism.
+  */
+class SessionizeSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      // user u1: 0m, 10m, then 40m (gap 30m >= 30m -> NEW session),
+      // then 41m (same session)
+      ("u1", 1L, ts(0)), ("u1", 2L, ts(10)), ("u1", 3L, ts(40)),
+      ("u1", 4L, ts(41)),
+      // user u2: single event
+      ("u2", 5L, ts(5)),
+    ).toDF("user_id", "event_id", "ts")
+  }
+
+  test("gap >= threshold opens a session; first event is session 1") {
+    val out = EventWindows.sessionize(fixture, "user_id", "ts", "event_id", 1800L)
+      .select("user_id", "event_id", "session_no")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      ("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L), ("u1", 4L, 2L),
+      ("u2", 5L, 1L)))
+  }
+
+  test("per-(user, session) bounds agree with session_window aggregates") {
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val rows = EventWindows.sessionize(events, "user_id", "ts", "event_id", 1800L)
+      .groupBy("user_id", "session_no")
+      .agg(min("ts").as("s_start"), max("ts").as("mx"),
+        count(lit(1)).as("n_events"))
+      .withColumn("s_end", col("mx") + expr("INTERVAL 30 MINUTE"))
+      .select("user_id", "s_start", "s_end", "n_events")
+    val agg = EventWindows.sessions(events, "30 minutes")
+      .select("user_id", "s_start", "s_end", "n_events")
+    assert(rows.exceptAll(agg).count() === 0L)
+    assert(agg.exceptAll(rows).count() === 0L)
+  }
+
+  test("timestamp ties break on the tie column, not on partitioning") {
+    import spark.implicits._
+    val tied = Seq(
+      ("u1", 2L, ts(0)), ("u1", 1L, ts(0)), ("u1", 3L, ts(45)),
+    ).toDF("user_id", "event_id", "ts")
+    val a = EventWindows.sessionize(tied, "user_id", "ts", "event_id", 1800L)
+      .select("event_id", "session_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = EventWindows.sessionize(tied.repartition(7), "user_id", "ts",
+        "event_id", 1800L)
+      .select("event_id", "session_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+}

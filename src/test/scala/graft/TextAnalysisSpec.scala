@@ -237,6 +237,26 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq))
   }
 
+  test("oovRate endpoints: all-in-vocab 0, all-oov 1, empty 0, mixed exact") {
+    import spark.implicits._
+    val vocab = Seq("join", "scan")
+    val df = Seq(
+      (1L, "join scan join"),      // all in vocab -> 0.0
+      (2L, "zzz qqq"),             // all oov -> 1.0
+      (3L, ""),                    // empty -> 0.0 (no NaN/null)
+      (4L, "join zzz scan qqq"),   // 2/4 oov
+      (5L, "JOIN Scan"),           // case folds before lookup
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.oovRate(col("text"), vocab).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 1.0)
+    assert(got(3L) === 0.0)
+    assert(got(4L) === 0.5)
+    assert(got(5L) === 0.0)
+  }
+
   test("bm25 tf saturation: doubling tf must not double the score (unlike tfidf)") {
     import spark.implicits._
     val df = Seq((1L, "term term term term filler"),
