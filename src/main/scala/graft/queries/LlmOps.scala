@@ -532,6 +532,21 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Count-Min point estimates in the exact (collision-free) regime:
+    * width 2719 over a 31-word vocabulary, so every estimate equals
+    * the true count and DuckDB's plain GROUP BY is the oracle — the
+    * judged-regime honesty pattern of q_heavy_hitters/q_ann_ivf.
+    * CountMinSpec pins the upper-bound property in the collision
+    * regime the oracle can't express.
+    */
+  val qCmsCounts: QueryFn = withTables { spark =>
+    val toks = TextAnalysis.tokenize(spark.table("documents"), "doc_id", "text")
+      .filter(col("tok") =!= "")
+    graft.functions.CountMin.pointEstimates(toks, "tok",
+        toks.select("tok").distinct())
+      .orderBy("tok")
+  }
+
   /** Document fingerprinting, judged via the engine-portable md5
     * variant (the simHashPortable pattern): the same two-prime rolling
     * fold restated over DuckDB's list_reduce. Production callers use
@@ -584,6 +599,19 @@ object LlmOps {
     graft.operators.Packing.packByOffset(
         spark.table("documents"), Seq("lang"), "doc_id",
         size(split(lower(col("text")), " ")), budgetTokens = 2048)
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Packing × BPE composition: the SAME stream-offset packing driven
+    * by real subword counts instead of whitespace counts — the budget
+    * a context window actually enforces. Judged end-to-end: the BPE
+    * replace chain feeds the running-sum window in one plan.
+    */
+  val qPackBpe: QueryFn = withTables { spark =>
+    graft.operators.Packing.packByOffset(
+        spark.table("documents"), Seq("lang"), "doc_id",
+        size(Bpe.encodedTokensCol(col("text"), Bpe.PinnedMerges)),
+        budgetTokens = 2048)
       .orderBy("lang", "doc_id")
   }
 
@@ -759,6 +787,7 @@ object LlmOps {
     "q_bpe" -> qBpe,
     "q_bpe_fertility" -> qBpeFertility,
     "q_pack_offset" -> qPackOffset,
+    "q_pack_bpe" -> qPackBpe,
     "q_mix_corpora" -> qMixCorpora,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near_jaccard" -> qDedupNearJaccard,
@@ -792,6 +821,7 @@ object LlmOps {
     "q_repetition" -> qRepetition,
     "q_sample_cap" -> qSampleCap,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_cms_counts" -> qCmsCounts,
     "q_chunk" -> qChunk,
     "q_winsorize" -> qWinsorize,
     "q_iqr_filter" -> qIqrFilter,
@@ -1335,6 +1365,14 @@ object LlmOps {
       WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
 
+    // exact regime: width >> vocabulary, so CMS estimates are true counts
+    "q_cms_counts" -> """
+      SELECT tok, COUNT(*) AS cnt_est
+      FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+      ORDER BY tok""",
+
     // exact regime: capacity >= vocabulary, so MG counts are true counts
     "q_heavy_hitters" -> """
       SELECT tok, COUNT(*) AS cnt
@@ -1466,6 +1504,23 @@ object LlmOps {
     "q_pack_offset" -> """
       WITH t AS (SELECT lang, doc_id,
                         CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+           o AS (SELECT lang, doc_id, n_tokens,
+                        CAST(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS start_offset
+                 FROM t)
+      SELECT lang, doc_id, n_tokens, start_offset,
+             CAST(FLOOR(start_offset / 2048.0) AS BIGINT) AS bin
+      FROM o
+      ORDER BY lang, doc_id""",
+
+    // pack_offset with n_tokens = the BPE subword count (the same
+    // generated replace chain as q_bpe's oracle).
+    "q_pack_bpe" -> s"""
+      WITH t AS (SELECT lang, doc_id,
+                        CAST(LEN(${Bpe.encodedTokensSql("text", Bpe.PinnedMerges)}) AS BIGINT) AS n_tokens
                  FROM documents),
            o AS (SELECT lang, doc_id, n_tokens,
                         CAST(COALESCE(SUM(n_tokens) OVER (

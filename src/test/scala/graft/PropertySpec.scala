@@ -537,4 +537,76 @@ class PropertySpec extends SparkTestBase {
       }
     })
   }
+
+  test("sessionize laws: session_no counts breaks; non-decreasing in time") {
+    // events: (user in 0..2, minute in 0..120); gap 15 min
+    val evGen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 120))))
+    check("sessionize-islands")(Prop.forAll(evGen) { evs =>
+      import spark.implicits._
+      val rows = evs.zipWithIndex.map { case ((u, m), i) =>
+        (s"u$u", i.toLong, new java.sql.Timestamp(m * 60000L))
+      }
+      val out = graft.operators.EventWindows
+        .sessionize(rows.toDF("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", 900L)
+        .select("user_id", "event_id", "ts", "session_no").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getLong(3)))
+      out.groupBy(_._1).forall { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        // reference: count breaks in the sorted order
+        val expected = sorted.scanLeft((0L, Long.MinValue / 2)) {
+          case ((sess, prev), e) =>
+            (if (e._3 - prev >= 900000L) sess + 1 else sess, e._3)
+        }.tail.map(_._1)
+        sorted.map(_._4).toSeq == expected.toSeq &&
+          sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq
+      }
+    })
+  }
+
+  test("keepTopQuantile laws: size floor(f*n) per group, kept are top-ranked") {
+    val rowsG = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 9))))
+    val fracG = Gen.oneOf(0.1, 0.25, 0.5, 0.75, 1.0)
+    check("quantile-curation")(Prop.forAll(rowsG, fracG) { (rows, f) =>
+      import spark.implicits._
+      val d = rows.zipWithIndex.map { case ((g, s), i) =>
+        (s"g$g", i.toLong, s.toDouble)
+      }.toDF("grp", "id", "score")
+      val kept = graft.operators.Sampling
+        .keepTopQuantile(d, Seq("grp"), col("score"), "id", f)
+        .select("grp", "id", "score").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val byGroup = rows.zipWithIndex.map { case ((g, s), i) =>
+        (s"g$g", i.toLong, s.toDouble)
+      }.groupBy(_._1)
+      byGroup.forall { case (g, members) =>
+        val k = kept.filter(_._1 == g).map(m => (m._2, m._3)).toSet
+        val want = members.map(m => (m._2, m._3))
+          .sortBy { case (id, s) => (-s, id) }
+          .take(math.floor(f * members.size).toInt).toSet
+        k == want
+      }
+    })
+  }
+
+  test("BPE law: token concatenation reconstructs word+marker for any merges") {
+    val wordG = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
+    val nMergesG = Gen.choose(0, 10)
+    check("bpe-roundtrip")(Prop.forAll(Gen.listOfN(6, wordG), nMergesG) {
+      (words, n) =>
+        val dict = words.groupBy(identity).map { case (w, ws) =>
+          w -> ws.size.toLong
+        }.toSeq
+        val merges = graft.operators.Bpe.trainFromCounts(dict, n)
+        words.forall { w =>
+          val toks = graft.operators.Bpe.encodeWord(w, merges)
+          toks.mkString == w + graft.operators.Bpe.EndOfWord &&
+            toks.forall(_.nonEmpty)
+        }
+    })
+  }
 }
