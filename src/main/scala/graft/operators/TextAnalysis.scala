@@ -177,6 +177,40 @@ object TextAnalysis {
       .otherwise(oov.cast("double") / size(toks).cast("double"))
   }
 
+  /** Per-slice unigram distribution drift: KL(P_slice || P_corpus) for
+    * each value of `groupCol` — the data-mixing diagnostic that flags
+    * a source whose token distribution has wandered from the corpus
+    * (or from a reference snapshot) before it contaminates a training
+    * mix. KL is well-defined here by construction: every token in a
+    * slice has corpus support (the corpus counts sum the slice counts).
+    *
+    * Scale shape: ONE token-granularity shuffle (the (slice, token)
+    * count); everything downstream is vocabulary-sized — per-slice
+    * totals, corpus marginals, and the corpus total as an in-plan
+    * one-row broadcast. Output is slice-count-sized at any SF.
+    *
+    * Float note: the summand is spelled (p_s) * ln(p_s / p_c) with the
+    * SAME division tree the oracle uses; results round to 6 dp (the
+    * lmScore precedent — double SUM order across engines agrees far
+    * below 1e-6).
+    */
+  def unigramDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("tok"))
+    val grpTok = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c_gt"))
+    val grpTot = grpTok.groupBy("grp").agg(sum("c_gt").as("n_g"))
+    val corpusTok = grpTok.groupBy("tok").agg(sum("c_gt").as("c_t"))
+    val corpusTot = corpusTok.agg(sum("c_t").as("n_c"))
+    val pS = col("c_gt").cast("double") / col("n_g").cast("double")
+    val pC = col("c_t").cast("double") / col("n_c").cast("double")
+    grpTok
+      .join(grpTot, "grp")
+      .join(broadcast(corpusTok), "tok")
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(col("grp").as(groupCol))
+      .agg(sum(pS * log(pS / pC)).as("kl"))
+  }
+
   /** Marker-token language ID: score each candidate language by hits
     * of its marker n-grams/stopwords in the text; argmax wins, 'und' if
     * nothing hits. `markers` maps lang -> marker tokens. A real system

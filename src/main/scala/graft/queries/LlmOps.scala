@@ -532,6 +532,42 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Per-source unigram KL drift vs the corpus distribution — the
+    * data-mixing diagnostic. One token-granularity shuffle; everything
+    * downstream is vocabulary-sized; corpus total rides an in-plan
+    * one-row broadcast. Rounded to 6 dp (the lmScore float-sum
+    * precedent).
+    */
+  val qDrift: QueryFn = withTables { spark =>
+    TextAnalysis.unigramDrift(spark.table("documents"), "source", "text")
+      .select(col("source"), round(col("kl"), 6).cast("double").as("kl"))
+      .orderBy("source")
+  }
+
+  /** Declarative data-quality gate over lineitem: five rules, ONE
+    * aggregation pass (one scan, one one-row agg, rule-sized unpivot).
+    * Mixed pass/fail by construction so the report shape is exercised.
+    */
+  val qDqChecks: QueryFn = withTables { spark =>
+    graft.operators.Profiling.checkConstraints(spark.table("lineitem"), Seq(
+        "quantity_range" -> col("l_quantity").between(1, 50),
+        "discount_bounded" -> (col("l_discount") <= 0.08),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "tax_bounded" -> (col("l_tax") < 0.05),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+      .orderBy("rule")
+  }
+
+  /** Equi-depth histogram of l_extendedprice (8 buckets), judged in
+    * the exact-percentile regime; the default approx_percentile path
+    * is the 100 TB setting (ProfilingSpec pins its depth balance).
+    */
+  val qHistogramEqdepth: QueryFn = withTables { spark =>
+    graft.operators.Profiling.equiDepthHistogram(
+        spark.table("lineitem"), "l_extendedprice", nBuckets = 8, exact = true)
+      .orderBy("bucket")
+  }
+
   /** Count-Min point estimates in the exact (collision-free) regime:
     * width 2719 over a 31-word vocabulary, so every estimate equals
     * the true count and DuckDB's plain GROUP BY is the oracle — the
@@ -822,6 +858,9 @@ object LlmOps {
     "q_sample_cap" -> qSampleCap,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms_counts" -> qCmsCounts,
+    "q_drift" -> qDrift,
+    "q_dq_checks" -> qDqChecks,
+    "q_histogram_eqdepth" -> qHistogramEqdepth,
     "q_chunk" -> qChunk,
     "q_winsorize" -> qWinsorize,
     "q_iqr_filter" -> qIqrFilter,
@@ -1364,6 +1403,64 @@ object LlmOps {
       FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
       WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
+
+    // Identical KL expression tree: p_s * LN(p_s / p_c), summed, then
+    // rounded — term order differs across engines far below 6 dp.
+    "q_drift" -> """
+      WITH gt AS (
+        SELECT source AS grp, tok, COUNT(*) AS c_gt
+        FROM (SELECT source,
+                     UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                        t -> t <> '')) AS tok
+              FROM documents)
+        GROUP BY 1, 2),
+      g AS (SELECT grp, SUM(c_gt) AS n_g FROM gt GROUP BY grp),
+      c AS (SELECT tok, SUM(c_gt) AS c_t FROM gt GROUP BY tok),
+      n AS (SELECT SUM(c_t) AS n_c FROM c)
+      SELECT grp AS source,
+             CAST(ROUND(SUM(
+               (CAST(c_gt AS DOUBLE) / CAST(n_g AS DOUBLE))
+               * LN((CAST(c_gt AS DOUBLE) / CAST(n_g AS DOUBLE))
+                    / (CAST(c_t AS DOUBLE) / CAST(n_c AS DOUBLE)))), 6)
+               AS DOUBLE) AS kl
+      FROM gt JOIN g USING (grp) JOIN c USING (tok), n
+      GROUP BY grp
+      ORDER BY source""",
+
+    // NULL rule results count as violations (none here: testdata has
+    // no nulls); each rule restated as a conditional count.
+    "q_dq_checks" -> """
+      WITH t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_quantity_range,
+               CAST(SUM(CASE WHEN l_discount <= 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_discount_bounded,
+               CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price_positive,
+               CAST(SUM(CASE WHEN l_tax < 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax_bounded,
+               CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v_flag_domain
+        FROM lineitem)
+      SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+      FROM (
+        SELECT 'quantity_range' AS rule, n_rows, v_quantity_range AS n_violations FROM t
+        UNION ALL SELECT 'discount_bounded', n_rows, v_discount_bounded FROM t
+        UNION ALL SELECT 'price_positive', n_rows, v_price_positive FROM t
+        UNION ALL SELECT 'tax_bounded', n_rows, v_tax_bounded FROM t
+        UNION ALL SELECT 'flag_domain', n_rows, v_flag_domain FROM t)
+      ORDER BY rule""",
+
+    // The same cut points (QUANTILE_CONT == Spark exact percentile,
+    // the winsorize precedent) and the same ties-low fold.
+    "q_histogram_eqdepth" -> """
+      WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL),
+      c AS (SELECT [QUANTILE_CONT(x, 0.125), QUANTILE_CONT(x, 0.25),
+                    QUANTILE_CONT(x, 0.375), QUANTILE_CONT(x, 0.5),
+                    QUANTILE_CONT(x, 0.625), QUANTILE_CONT(x, 0.75),
+                    QUANTILE_CONT(x, 0.875)] AS cuts FROM v)
+      SELECT CAST(LEN(LIST_FILTER(cuts, cc -> x > cc)) AS BIGINT) AS bucket,
+             COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi
+      FROM v, c
+      GROUP BY 1
+      ORDER BY bucket""",
 
     // exact regime: width >> vocabulary, so CMS estimates are true counts
     "q_cms_counts" -> """

@@ -61,4 +61,47 @@ class ProfilingSpec extends SparkTestBase {
     val tricky = uniform.withColumnRenamed("k", "_skew0")
     assert(Profiling.keySkew(tricky, Seq("_skew0")).collect().head.getLong(1) === 4L)
   }
+
+  test("checkConstraints: violation counts, null predicate = violation, one pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq[(java.lang.Long, String)](
+      (10L, "ok"), (200L, "ok"), (null, "ok"), (5L, "bad"),
+    ).toDF("v", "s")
+    val out = Profiling.checkConstraints(d, Seq(
+        "v_small" -> (col("v") < 100),   // 200 fails, null fails -> 2
+        "s_ok" -> (col("s") === "ok"),   // 1 violation
+        "all_pass" -> col("v").isNotNull.or(col("s") === "ok"))) // 0
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("v_small") === ((4L, 2L, false)))
+    assert(out("s_ok") === ((4L, 1L, false)))
+    assert(out("all_pass") === ((4L, 0L, true)))
+    // one aggregation pass: a single scan in the plan tree
+    val p = Profiling.checkConstraints(d, Seq("x" -> col("v").isNotNull))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("Scan".r.findAllIn(p.split("\n\n")(0)).size === 1,
+      s"rules must share one scan:\n$p")
+  }
+
+  test("equiDepthHistogram: exact path balances untied values; approx close") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = (0 until 100).map(i => i.toDouble).toDF("x")
+    val exact = Profiling.equiDepthHistogram(d, "x", 4, exact = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(exact.keySet === Set(0L, 1L, 2L, 3L))
+    assert(exact.values.map(_._1).toSeq.forall(_ === 25L),
+      s"untied uniform values must split exactly: $exact")
+    assert(exact(0L)._2 === 0.0 && exact(3L)._3 === 99.0)
+    // bucket ranges must not overlap
+    assert(exact(0L)._3 <= exact(1L)._2 && exact(2L)._3 <= exact(3L)._2)
+    // approx path: every bucket within 2x of perfect depth
+    val approx = Profiling.equiDepthHistogram(d, "x", 4)
+      .collect().map(r => r.getLong(1))
+    assert(approx.sum === 100L)
+    assert(approx.forall(n => n >= 12L && n <= 40L), approx.toSeq.toString)
+  }
 }

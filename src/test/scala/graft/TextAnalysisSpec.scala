@@ -237,6 +237,29 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq))
   }
 
+  test("unigramDrift: identical slices score 0; drifted slice positive, exact") {
+    import spark.implicits._
+    val same = Seq((1L, "s1", "a b"), (2L, "s2", "a b"))
+      .toDF("doc_id", "source", "text")
+    val zero = TextAnalysis.unigramDrift(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(zero.values.forall(v => math.abs(v) < 1e-12),
+      s"identical distributions must have zero KL: $zero")
+    // s1 = {a:2}, s2 = {a:1, b:1}; corpus = {a:3, b:1}
+    // KL(s1) = 1.0 * ln(1.0 / 0.75); KL(s2) = .5 ln(.5/.75) + .5 ln(.5/.25)
+    val drifted = Seq((1L, "s1", "a a"), (2L, "s2", "a b"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.unigramDrift(drifted, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("s1") - math.log(1.0 / 0.75)) < 1e-12)
+    assert(math.abs(got("s2") -
+      (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25))) < 1e-12)
+    // Gibbs: KL >= 0 on the real corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val real = TextAnalysis.unigramDrift(docs, "source", "text")
+    assert(real.filter(col("kl") < -1e-12).count() === 0L)
+  }
+
   test("oovRate endpoints: all-in-vocab 0, all-oov 1, empty 0, mixed exact") {
     import spark.implicits._
     val vocab = Seq("join", "scan")
