@@ -93,4 +93,48 @@ object EventWindows {
     events.withColumn("session_no",
       sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Input/state rows for [[sessionizeStream]]. */
+  case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionAssignment(user_id: Long, event_id: Long, session_no: Long)
+  case class SessionCursor(lastTsMicros: Long, sessionNo: Long)
+
+  /** Streaming-legal [[sessionize]]: the window-function formulation
+    * cannot run under Structured Streaming (no unbounded window
+    * functions over a stream), so the live path keeps ONE tiny cursor
+    * per user — (last event micros, current session_no) — in the state
+    * store and assigns sessions incrementally. State is O(1) per key
+    * regardless of history; each micro-batch's events are sorted
+    * per key in memory (bounded by per-key batch volume, not by
+    * corpus).
+    *
+    * Same break rule as [[sessionize]] (gap >= threshold opens a new
+    * session). Correct when per-key event time is non-decreasing
+    * ACROSS micro-batches (the usual log-stream contract; pair with a
+    * watermark upstream to bound disorder) — SessionizeSpec pins
+    * batch == streaming on the real events table under that contract.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSeconds: Long): org.apache.spark.sql.Dataset[SessionAssignment] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val gapMicros = gapSeconds * 1000000L
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionCursor, SessionAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessionCursor]) =>
+          val sorted = evs.toArray.sortBy(e => (e.tsMicros, e.event_id))
+          var cur = state.getOption.getOrElse(
+            SessionCursor(Long.MinValue / 2, 0L))
+          val out = sorted.map { e =>
+            val opens = e.tsMicros - cur.lastTsMicros >= gapMicros
+            cur = SessionCursor(e.tsMicros,
+              if (opens) cur.sessionNo + 1 else cur.sessionNo)
+            SessionAssignment(user, e.event_id, cur.sessionNo)
+          }
+          if (sorted.nonEmpty) state.update(cur)
+          out.iterator
+      }
+  }
 }

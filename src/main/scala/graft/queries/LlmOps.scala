@@ -532,6 +532,32 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** CDC changelog merge, judged end-to-end: a deterministic changelog
+    * derived from orders (two update generations on keys %10==0, one
+    * generation only above key 100; tombstones on keys %10==1) applied
+    * to the base snapshot. One key shuffle; the oracle re-derives the
+    * merge with the same generic window rule.
+    */
+  val qCdcMerge: QueryFn = withTables { spark =>
+    val orders = spark.table("orders")
+    val base = orders.withColumn("version", lit(0L))
+    val upd1 = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("version", lit(1L)).withColumn("is_delete", lit(false))
+    val upd2 = orders.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 100)
+      .withColumn("o_totalprice", col("o_totalprice") + 200.0)
+      .withColumn("o_orderstatus", lit("V"))
+      .withColumn("version", lit(2L)).withColumn("is_delete", lit(false))
+    val dels = orders.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("version", lit(1L)).withColumn("is_delete", lit(true))
+    graft.operators.Cdc.applyChangelog(base,
+        upd1.unionByName(upd2).unionByName(dels), Seq("o_orderkey"), "version")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Per-source unigram KL drift vs the corpus distribution — the
     * data-mixing diagnostic. One token-granularity shuffle; everything
     * downstream is vocabulary-sized; corpus total rides an in-plan
@@ -858,6 +884,7 @@ object LlmOps {
     "q_sample_cap" -> qSampleCap,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms_counts" -> qCmsCounts,
+    "q_cdc_merge" -> qCdcMerge,
     "q_drift" -> qDrift,
     "q_dq_checks" -> qDqChecks,
     "q_histogram_eqdepth" -> qHistogramEqdepth,
@@ -1403,6 +1430,34 @@ object LlmOps {
       FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
       WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
+
+    // The same generic merge rule re-derived: latest version wins,
+    // change beats base at equal version, tombstone winners drop.
+    "q_cdc_merge" -> """
+      WITH chg AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               0 AS version, FALSE AS is_delete, 0 AS src
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice + 100,
+               1, FALSE, 1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 'V', o_totalprice + 200,
+               2, FALSE, 1
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey < 100
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               1, TRUE, 1
+        FROM orders WHERE o_orderkey % 10 = 1),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC, src DESC) AS rn
+        FROM chg)
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+      FROM r WHERE rn = 1 AND NOT is_delete
+      ORDER BY o_orderkey""",
 
     // Identical KL expression tree: p_s * LN(p_s / p_c), summed, then
     // rounded — term order differs across engines far below 6 dp.

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+
+/** CDC changelog merge: insert/update/delete semantics, the
+  * change-beats-base tie rule, and the loud duplicate-version guard.
+  */
+class CdcSpec extends SparkTestBase {
+
+  private def base = {
+    import spark.implicits._
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v").withColumn("version", lit(0L))
+  }
+
+  test("upsert + delete + insert-new-key merge to the latest snapshot") {
+    import spark.implicits._
+    val changes = Seq(
+      (2L, "b2", 21.0, 1L, false), // update existing
+      (3L, "c", 30.0, 1L, true),   // delete existing
+      (4L, "d", 40.0, 1L, false),  // insert brand-new key
+      (2L, "b3", 22.0, 2L, false), // second generation wins over first
+    ).toDF("k", "s", "v", "version", "is_delete")
+    val got = Cdc.applyChangelog(base, changes, Seq("k"), "version")
+      .select("k", "s", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "b3", 22.0), (4L, "d", 40.0)))
+  }
+
+  test("at equal version the changelog row beats the base row") {
+    import spark.implicits._
+    val changes = Seq((1L, "a-fixed", 11.0, 0L, false))
+      .toDF("k", "s", "v", "version", "is_delete")
+    val got = Cdc.applyChangelog(base, changes, Seq("k"), "version")
+      .filter(col("k") === 1L).select("s", "v").collect().head
+    assert(got.getString(0) === "a-fixed" && got.getDouble(1) === 11.0)
+  }
+
+  test("schema hygiene: output carries base schema; guards fire loudly") {
+    import spark.implicits._
+    val changes = Seq((2L, "x", 0.0, 1L, false))
+      .toDF("k", "s", "v", "version", "is_delete")
+    val out = Cdc.applyChangelog(base, changes, Seq("k"), "version")
+    assert(out.columns.toSeq === Seq("k", "s", "v", "version"))
+    // base with a tombstone column is a caller bug
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(base.withColumn("is_delete", lit(false)),
+        changes, Seq("k"), "version")
+    }
+    // duplicate (key, version) in the changelog is a contract breach
+    val dup = changes.unionByName(
+      Seq((2L, "y", 1.0, 1L, false)).toDF("k", "s", "v", "version", "is_delete"))
+    intercept[IllegalArgumentException] {
+      Cdc.requireUniqueVersions(dup, Seq("k"), "version")
+    }
+    Cdc.requireUniqueVersions(changes, Seq("k"), "version") // clean passes
+  }
+
+  test("idempotent: re-applying the same changelog changes nothing") {
+    import spark.implicits._
+    val changes = Seq(
+      (2L, "b2", 21.0, 1L, false), (3L, "c", 30.0, 1L, true),
+    ).toDF("k", "s", "v", "version", "is_delete")
+    val once = Cdc.applyChangelog(base, changes, Seq("k"), "version")
+    val twice = Cdc.applyChangelog(once, changes, Seq("k"), "version")
+    assert(once.exceptAll(twice).count() === 0L)
+    assert(twice.exceptAll(once).count() === 0L)
+  }
+}

@@ -50,6 +50,43 @@ class SessionizeSpec extends SparkTestBase {
     assert(agg.exceptAll(rows).count() === 0L)
   }
 
+  test("streaming sessionize == batch sessionize on the real events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.EventWindows.SessionEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val batch = EventWindows.sessionize(events, "user_id", "ts", "event_id", 1800L)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("session_no"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // feed events in event-time order split across TWO micro-batches so
+    // cursors must survive the batch boundary
+    val ordered = events.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .orderBy("us", "event_id")
+      .collect().map(r => SessionEvent(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val input = MemoryStream[SessionEvent]
+    val q = EventWindows.sessionizeStream(input.toDS(), 1800L)
+      .toDF("user_id", "event_id", "session_no")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    input.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      "streaming cursor must reproduce the batch window result exactly")
+  }
+
   test("timestamp ties break on the tie column, not on partitioning") {
     import spark.implicits._
     val tied = Seq(
