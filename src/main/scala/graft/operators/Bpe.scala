@@ -135,6 +135,23 @@ object Bpe {
     tokenize(df, idCol, textCol, merges)
       .groupBy("doc_id").agg(count(lit(1)).as("n_subwords"))
 
+  /** Persist a trained merge table (the L43 persistence pattern:
+    * train ONCE, reload in later sessions). Order is the semantics of
+    * BPE, so it is stored explicitly, not trusted to file layout.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("ord", "a", "b")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("ord")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
   // ---- engine-portable encoding (the judged path) -------------------
 
   /** Symbol separator for the portable string encoding. Outside the

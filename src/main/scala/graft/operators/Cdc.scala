@@ -46,6 +46,46 @@ object Cdc {
       .drop(src, rn, deleteCol)
   }
 
+  /** The inverse of [[applyChangelog]]: derive the changelog BETWEEN
+    * two snapshots — one `op` row ('insert' | 'update' | 'delete') per
+    * key that differs; identical rows emit nothing. insert/update rows
+    * carry the AFTER values, delete rows the BEFORE values (what a
+    * downstream tombstone needs to identify). The reconciliation step
+    * when a pipeline refresh must ship a delta, not a full rewrite.
+    *
+    * Scale shape: ONE full outer join on the key (both snapshots
+    * shuffle once); the value comparison is a null-safe struct
+    * equality evaluated map-side after the join. Output is
+    * change-sized, not snapshot-sized.
+    *
+    * Round-trip law (CdcSpec + PropertySpec):
+    * `applyChangelog(before, diffSnapshots(before, after) + version)`
+    * reproduces `after` exactly.
+    */
+  def diffSnapshots(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diffSnapshots: no key columns")
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"snapshot schemas differ: ${before.columns.mkString(",")} vs " +
+        s"${after.columns.mkString(",")}")
+    val valueCols = before.columns.filterNot(keyCols.contains).toSeq
+    val Seq(bs, as) = Cols.fresh("snap", 2, before)
+    val b = before.select(keyCols.map(col) :+
+      struct(valueCols.map(col): _*).as(bs): _*)
+    val a = after.select(keyCols.map(col) :+
+      struct(valueCols.map(col): _*).as(as): _*)
+    val joined = b.join(a, keyCols, "full_outer")
+    val op = when(col(bs).isNull, "insert")
+      .when(col(as).isNull, "delete")
+      .when(!(col(as) <=> col(bs)), "update")
+    val winner = coalesce(col(as), col(bs))
+    joined
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("op")) ++
+        valueCols.map(c => winner.getField(c).as(c)): _*)
+  }
+
   /** Loud contract check for [[applyChangelog]]: within a key, every
     * changelog version must be distinct (ties across base/changes are
     * resolved by the change-wins rule; ties WITHIN the changelog have

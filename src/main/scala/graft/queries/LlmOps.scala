@@ -532,6 +532,26 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Snapshot diff (changelog GENERATION, the applyChangelog inverse):
+    * before = orders; after = a deterministic edit (prices bumped on
+    * keys %10==0, keys %10==1 dropped, keys %10==2 re-inserted under
+    * key+1000000). One full outer join; output is change-sized.
+    */
+  val qSnapshotDiff: QueryFn = withTables { spark =>
+    val before = spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val after = before.filter(col("o_orderkey") % 10 =!= 1)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(before.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+    graft.operators.Cdc.diffSnapshots(before, after, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("op"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** CDC changelog merge, judged end-to-end: a deterministic changelog
     * derived from orders (two update generations on keys %10==0, one
     * generation only above key 100; tombstones on keys %10==1) applied
@@ -885,6 +905,7 @@ object LlmOps {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms_counts" -> qCmsCounts,
     "q_cdc_merge" -> qCdcMerge,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_drift" -> qDrift,
     "q_dq_checks" -> qDqChecks,
     "q_histogram_eqdepth" -> qHistogramEqdepth,
@@ -1430,6 +1451,23 @@ object LlmOps {
       FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
       WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
+
+    // The edit is closed-form, so the diff is too: updates are the
+    // %10==0 keys, deletes the %10==1 keys, inserts the shifted
+    // %10==2 copies.
+    "q_snapshot_diff" -> """
+      SELECT o_orderkey, 'update' AS op, o_orderstatus,
+             CAST(ROUND(o_totalprice + 100, 2) AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 'delete', o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey + 1000000, 'insert', o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 10 = 2
+      ORDER BY o_orderkey""",
 
     // The same generic merge rule re-derived: latest version wins,
     // change beats base at equal version, tombstone winners drop.

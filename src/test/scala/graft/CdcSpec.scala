@@ -57,6 +57,41 @@ class CdcSpec extends SparkTestBase {
     Cdc.requireUniqueVersions(changes, Seq("k"), "version") // clean passes
   }
 
+  test("diffSnapshots classifies insert/update/delete; identical rows silent") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((1L, "a", 10.0), (2L, "b2", 20.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val got = Cdc.diffSnapshots(before, after, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (2L, "update", "b2", 20.0), // after values
+      (3L, "delete", "c", 30.0),  // before values
+      (4L, "insert", "d", 40.0)))
+    // self-diff is empty
+    assert(Cdc.diffSnapshots(before, before, Seq("k")).count() === 0L)
+  }
+
+  test("diff then apply round-trips: applyChangelog(before, diff) == after") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val after = Seq((2L, "b2", 21.0), (3L, "c", 30.0), (5L, "e", 50.0))
+      .toDF("k", "s", "v")
+    val diff = Cdc.diffSnapshots(before, after, Seq("k"))
+    val changelog = diff
+      .withColumn("version", lit(1L))
+      .withColumn("is_delete", col("op") === "delete")
+      .drop("op")
+    val rebuilt = Cdc.applyChangelog(
+        before.withColumn("version", lit(0L)), changelog, Seq("k"), "version")
+      .drop("version")
+    assert(rebuilt.exceptAll(after).count() === 0L)
+    assert(after.exceptAll(rebuilt).count() === 0L)
+  }
+
   test("idempotent: re-applying the same changelog changes nothing") {
     import spark.implicits._
     val changes = Seq(

@@ -61,4 +61,16 @@ class PersistenceSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(results(loaded) === results(trained))
   }
+
+  test("saved + reloaded BPE merge table tokenizes bit-identically") {
+    import graft.operators.Bpe
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    Bpe.saveMerges(spark, Bpe.PinnedMerges, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded === Bpe.PinnedMerges, "ORDER is BPE semantics; it must survive")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Bpe.tokenizePortable(docs, "doc_id", "text", Bpe.PinnedMerges)
+    val b = Bpe.tokenizePortable(docs, "doc_id", "text", loaded)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
 }

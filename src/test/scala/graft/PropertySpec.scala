@@ -592,6 +592,36 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("CDC law: diffSnapshots then applyChangelog reconstructs any after-state") {
+    // arbitrary before/after snapshots over a shared small key space:
+    // inserts, deletes, updates, and no-ops all arise
+    val snapGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 9), Gen.choose(0, 99))))
+    check("cdc-roundtrip")(Prop.forAll(snapGen, snapGen) { (b, a) =>
+      import spark.implicits._
+      // one row per key (snapshots are keyed states)
+      val before = b.groupBy(_._1).map { case (k, vs) =>
+        (k.toLong, vs.map(_._2).max) }.toSeq.toDF("k", "v")
+      val after = a.groupBy(_._1).map { case (k, vs) =>
+        (k.toLong, vs.map(_._2).max) }.toSeq.toDF("k", "v")
+      val diff = graft.operators.Cdc.diffSnapshots(before, after, Seq("k"))
+      val changelog = diff.withColumn("version", lit(1L))
+        .withColumn("is_delete", col("op") === "delete").drop("op")
+      val rebuilt = graft.operators.Cdc.applyChangelog(
+          before.withColumn("version", lit(0L)), changelog, Seq("k"), "version")
+        .drop("version")
+      rebuilt.exceptAll(after).count() == 0L &&
+        after.exceptAll(rebuilt).count() == 0L &&
+        // and the diff is minimal: no update row for keys whose state
+        // is equal on both sides
+        diff.select(col("k"), col("op"))
+          .join(before.withColumnRenamed("v", "v_before"), Seq("k"))
+          .join(after.withColumnRenamed("v", "v_after"), Seq("k"))
+          .filter(col("v_before") === col("v_after") && col("op") === "update")
+          .count() == 0L
+    })
+  }
+
   test("BPE law: token concatenation reconstructs word+marker for any merges") {
     val wordG = Gen.choose(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
