@@ -63,6 +63,19 @@ object Sampling {
     df.filter(portableUnit(col(keyCol)) < frac)
   }
 
+  /** EXACT-count deterministic sampling: exactly floor(frac·n) rows
+    * per group — Bernoulli draws ([[stratifiedPortable]]) realize the
+    * fraction only in expectation; quota-driven pipelines ("exactly
+    * 10% of each source into the eval set") need the count pinned.
+    * Composition: [[keepTopQuantile]] ordered by the engine-portable
+    * md5 uniform — a stable random permutation per group, so the kept
+    * SET is deterministic, retry-stable, and oracle-replayable. One
+    * per-group window sort, the same shape as any per-key top-k.
+    */
+  def sampleExactFraction(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, frac: Double): DataFrame =
+    keepTopQuantile(df, groupCols, portableUnit(col(keyCol)), keyCol, frac)
+
   /** Deterministic per-key cap: keep at most `k` rows per key group —
     * the "at most k docs per domain" balancing rule of web-corpus
     * pipelines. Rows are ranked by seeded hash of the id (a stable

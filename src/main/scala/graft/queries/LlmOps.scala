@@ -532,6 +532,33 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Exact-count sampling: exactly floor(0.2·n) docs per source, the
+    * quota contract Bernoulli draws only meet in expectation. The md5
+    * permutation makes the kept SET oracle-replayable row for row.
+    */
+  val qSampleExact: QueryFn = withTables { spark =>
+    graft.operators.Sampling.sampleExactFraction(
+        spark.table("documents"), Seq("source"), "doc_id", 0.2)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Per-type value trend over event time via the built-in regression
+    * aggregates (regr_slope/regr_intercept) — drift detection for a
+    * monitored metric; one hash agg, output type-count-sized. x =
+    * epoch hours as double (exact integer micros / constant on both
+    * engines); 6 dp (float-sum precedent).
+    */
+  val qTrend: QueryFn = withTables { spark =>
+    val x = unix_micros(col("ts")).cast("double") / lit(3600000000.0)
+    spark.table("events")
+      .groupBy("event_type")
+      .agg(
+        round(regr_slope(col("value"), x), 6).cast("double").as("slope"),
+        round(regr_intercept(col("value"), x), 6).cast("double").as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** Snapshot diff (changelog GENERATION, the applyChangelog inverse):
     * before = orders; after = a deterministic edit (prices bumped on
     * keys %10==0, keys %10==1 dropped, keys %10==2 re-inserted under
@@ -906,6 +933,8 @@ object LlmOps {
     "q_cms_counts" -> qCmsCounts,
     "q_cdc_merge" -> qCdcMerge,
     "q_snapshot_diff" -> qSnapshotDiff,
+    "q_sample_exact" -> qSampleExact,
+    "q_trend" -> qTrend,
     "q_drift" -> qDrift,
     "q_dq_checks" -> qDqChecks,
     "q_histogram_eqdepth" -> qHistogramEqdepth,
@@ -1451,6 +1480,33 @@ object LlmOps {
       FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
       WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
+
+    // The same md5 permutation replayed: a row survives iff its
+    // cumulative position in the per-source (u DESC, doc_id) order is
+    // within the quota.
+    "q_sample_exact" -> """
+      WITH u AS (
+        SELECT doc_id, source,
+               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / 1152921504606846976.0 AS draw
+        FROM documents),
+      c AS (
+        SELECT doc_id, source,
+               CUME_DIST() OVER (PARTITION BY source
+                                 ORDER BY draw DESC, doc_id) AS cd
+        FROM u)
+      SELECT doc_id, source FROM c WHERE cd <= 0.2
+      ORDER BY doc_id""",
+
+    // Same x construction (exact integer micros / constant) and the
+    // same regression aggregates.
+    "q_trend" -> """
+      SELECT event_type,
+             CAST(ROUND(REGR_SLOPE(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6) AS DOUBLE) AS slope,
+             CAST(ROUND(REGR_INTERCEPT(value, epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000.0), 6) AS DOUBLE) AS intercept
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     // The edit is closed-form, so the diff is too: updates are the
     // %10==0 keys, deletes the %10==1 keys, inserts the shifted

@@ -265,6 +265,21 @@ class PlanSpec extends SparkTestBase {
         s"($hashExchanges):\n$p")
   }
 
+  test("CDC merge shuffles once on the key; snapshot diff is one join") {
+    val p = plan("q_cdc_merge")
+    // base ∪ changes feed ONE row_number window: a single hash exchange
+    // (plus the presentation ORDER BY as range partitioning)
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"changelog merge must shuffle once on the key ($hashExchanges):\n$p")
+    val d = plan("q_snapshot_diff")
+    val tree = d.split("\n\n")(0)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(tree).size == 1,
+      s"snapshot diff must be ONE full-outer join:\n$d")
+    assert(!d.contains("CartesianProduct") && !d.contains("NestedLoop"), d)
+  }
+
   test("no judged query collects to the driver mid-plan") {
     // structural guarantee: every queries() entry returns a DataFrame
     // whose plan tree Spark owns end-to-end; a driver-side collect in

@@ -187,6 +187,23 @@ class SamplingSpec extends SparkTestBase {
         s"lang=$lang dropped a score above the kept cut")
   }
 
+  test("sampleExactFraction: exactly floor(frac*n) per group, stable, subset") {
+    val out = Sampling.sampleExactFraction(docs, Seq("source"), "doc_id", 0.2)
+    val inCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outCounts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, n) <- inCounts)
+      assert(outCounts.getOrElse(src, 0L) === (0.2 * n).floor.toLong, s"src=$src")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(all))
+    val again = Sampling.sampleExactFraction(docs.repartition(11),
+      Seq("source"), "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === ids, "the kept SET must be layout-independent")
+  }
+
   test("keepTopQuantileApprox: threshold-filter shape, frac within sketch error") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("score", col("n_chars").cast("double"))

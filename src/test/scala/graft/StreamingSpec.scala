@@ -216,6 +216,27 @@ class StreamingSpec extends SparkTestBase {
       "state accumulates across micro-batches per key")
   }
 
+  test("custom mergeable aggregates are streaming-legal: MG sketch in complete mode") {
+    import spark.implicits._
+    // the Misra-Gries TypedImperativeAggregate must merge across
+    // micro-batches like any algebraic agg — state is its buffer
+    val input = MemoryStream[String]
+    val sketched = input.toDF().toDF("tok")
+      .agg(graft.functions.FreqSketchAgg.freqSketch(col("tok"), 16).as("hh"))
+    val q = sketched.writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Complete()).start()
+    input.addData("a", "b", "a")
+    q.processAllAvailable()
+    input.addData("a", "c", "b", "a")
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("mg_stream").collect().last.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity 16 > 3 distinct: exact regime even over the stream
+    assert(last === Map("a" -> 4L, "b" -> 2L, "c" -> 1L),
+      s"MG sketch must accumulate exactly across micro-batches: $last")
+  }
+
   test("T7: stream-static join enriches events with a dim table") {
     import spark.implicits._
     val input = MemoryStream[Ev]
