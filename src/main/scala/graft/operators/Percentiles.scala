@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT percentiles without the value-buffering aggregate.
+  *
+  * Spark's exact `percentile` keeps a per-buffer hashmap of every
+  * distinct value — on a near-unique 100 TB column that buffer is
+  * unbounded (the one scale-killer the round-3 verdict flagged). This
+  * computes the SAME values (bit-identical interpolation, spec-pinned
+  * against `percentile` on arbitrary data) with bounded memory:
+  *
+  *  1. ONE pass: row count + Greenwald-Khanna `approx_percentile`
+  *     brackets around each target (rank error <= n/accuracy, so the
+  *     exact target rank lies inside a bracket of ~2n/accuracy rows);
+  *  2. ONE pass: for each bracket, the exact count of rows below it
+  *     and the rows inside it (conditional count + collect_list in a
+  *     single aggregation);
+  *  3. driver side: sort each bracket's ~2n/accuracy values, read the
+  *     two neighbors of the target rank, interpolate with Spark's own
+  *     formula (higher-pos)·lo + (pos-lower)·hi.
+  *
+  * Driver data is brackets × (2n/accuracy) values — bounded by a
+  * CONFIG, not by data (accuracy 10000 on 1e12 rows: ~2e8... pick
+  * accuracy ~ n/1e4 at that scale; the `require` fails loudly if a
+  * bracket exceeds `maxBracketRows` instead of OOMing silently).
+  * Guarantee checks are `require`d: if GK ever under-covers a target
+  * rank the call fails loudly rather than returning a wrong value.
+  */
+object Percentiles {
+
+  def exactValues(df: DataFrame, valueCol: Column, ps: Seq[Double],
+      accuracy: Int = 10000, maxBracketRows: Int = 1000000): Seq[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1]: $ps")
+    val v = valueCol.cast("double")
+    val vals = df.filter(v.isNotNull).select(v.as("_x"))
+
+    // pass 1: n + GK brackets (margin 3/accuracy covers GK's e-rank
+    // error plus the interpolation neighbor)
+    val eps = 3.0 / accuracy
+    val bracketPs = ps.flatMap(p =>
+      Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
+    val head = vals.agg(
+      count(lit(1)).as("_n"),
+      approx_percentile(col("_x"), array(bracketPs.map(lit): _*),
+        lit(accuracy)).as("_b")).head()
+    val n = head.getLong(0)
+    require(n > 0, "exactValues: no non-null rows")
+    val brackets = head.getSeq[Double](1)
+
+    // pass 2: per-target exact counts below the bracket + the bracket's
+    // row values, one shared aggregation
+    val aggs = ps.indices.flatMap { i =>
+      val (blo, bhi) = (brackets(2 * i), brackets(2 * i + 1))
+      Seq(
+        sum(when(col("_x") < blo, 1L).otherwise(0L)).as(s"_c$i"),
+        collect_list(when(col("_x").between(blo, bhi), col("_x")))
+          .as(s"_w$i"))
+    }
+    val row = vals.agg(aggs.head, aggs.tail: _*).head()
+
+    ps.indices.map { i =>
+      val below = row.getLong(2 * i)
+      val window = row.getSeq[Double](2 * i + 1).sorted
+      require(window.length <= maxBracketRows,
+        s"exactValues: bracket $i holds ${window.length} rows > " +
+          s"$maxBracketRows — raise accuracy for this data size")
+      val pos = ps(i) * (n - 1) // 0-based fractional rank
+      val lower = math.floor(pos).toLong
+      val higher = math.ceil(pos).toLong
+      def at(rank0: Long): Double = { // 0-based global rank
+        val j = rank0 - below
+        require(j >= 0 && j < window.length,
+          s"exactValues: target rank $rank0 outside bracket $i " +
+            s"[$below, ${below + window.length}) — GK guarantee violated")
+        window(j.toInt)
+      }
+      if (higher == lower) at(lower)
+      else (higher - pos) * at(lower) + (pos - lower) * at(higher)
+    }
+  }
+}

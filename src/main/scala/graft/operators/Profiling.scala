@@ -105,26 +105,36 @@ object Profiling {
     * the winsorize shape); bucket assignment is a map-side fold over
     * the cuts; the final count is a bucket-count-sized hash agg.
     *
-    * `exact = true` (judged regime) uses exact `percentile` —
-    * value-buffering, bounded scopes only; default is
-    * `approx_percentile` (Greenwald-Khanna, bounded memory), the only
-    * honest 100 TB setting. Ties at a cut land in the lower bucket;
-    * buckets are exactly equal-depth only when values are untied.
+    * `exact = true` (judged regime) computes cuts via
+    * [[Percentiles.exactValues]] — bounded-memory exact percentiles
+    * (approx-bracket + exact-refine, bit-identical to the `percentile`
+    * aggregate, spec-pinned), NOT the value-buffering aggregate; it is
+    * eager (two cut-finding jobs at construction, the IvfIndex.train
+    * precedent — Bench times them inside the query). Default is
+    * in-plan `approx_percentile` (Greenwald-Khanna, lazy). Ties at a
+    * cut land in the lower bucket; buckets are exactly equal-depth
+    * only when values are untied.
     */
   def equiDepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int,
       exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(nBuckets >= 2, "equiDepthHistogram: need at least 2 buckets")
     val v = col(valueCol).cast("double")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val psArr = array(ps.map(lit): _*)
-    val cutsAgg =
-      if (exact) percentile(v, psArr).as("_cuts")
-      else approx_percentile(v, psArr, lit(accuracy)).as("_cuts")
-    val cuts = df.agg(cutsAgg)
+    val withCuts =
+      if (exact) {
+        val cutVals = Percentiles.exactValues(df, v, ps, accuracy)
+        df.filter(v.isNotNull)
+          .withColumn("_cuts", array(cutVals.map(lit): _*))
+      } else {
+        val cuts = df.agg(
+          approx_percentile(v, array(ps.map(lit): _*), lit(accuracy))
+            .as("_cuts"))
+        df.filter(v.isNotNull)
+          .crossJoin(broadcast(cuts)) // one-row threshold attach
+      }
     val bucket = aggregate(col("_cuts"), lit(0),
       (acc, c) => acc + when(v > c, 1).otherwise(0))
-    df.filter(v.isNotNull)
-      .crossJoin(broadcast(cuts)) // one-row threshold attach
+    withCuts
       .groupBy(bucket.cast("bigint").as("bucket"))
       .agg(count(lit(1)).as("n"),
         min(v).as("lo"), max(v).as("hi"))
