@@ -30,17 +30,25 @@ object Outliers {
     * clamped column is retyped to double (the percentile bounds are
     * doubles, so integer inputs widen).
     *
-    * Exact percentile buffers every distinct value per aggregation
-    * buffer — fine for bounded scopes and required for the hash-exact
-    * oracle, unbounded at 100 TB of high-cardinality doubles. The
-    * at-scale entry point is [[winsorizeApprox]].
+    * The exact bounds come from [[Percentiles.exactValues]] —
+    * bounded-memory (GK-bracket + exact-refine, bit-identical to the
+    * value-buffering `percentile` aggregate, PercentilesSpec-pinned) —
+    * so the exact path no longer degrades on high-cardinality columns;
+    * it IS eager (two bound-finding jobs at construction, the
+    * IvfIndex.train precedent) and fails loudly on an all-null column.
+    * The clamp itself is a pure map-side literal expression — no join,
+    * no exchange. [[winsorizeApprox]] remains the lazy in-plan
+    * variant.
     */
   def winsorize(df: DataFrame, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     require(0.0 <= pLo && pLo <= pHi && pHi <= 1.0)
-    clampToBounds(df, valueCol, df.agg(
-      percentile(vcol(valueCol), lit(pLo)),
-      percentile(vcol(valueCol), lit(pHi))))
+    val Seq(loV, hiV) =
+      Percentiles.exactValues(df, vcol(valueCol), Seq(pLo, pHi))
+    df.withColumn(valueCol,
+      when(vcol(valueCol).isNull, lit(null).cast("double"))
+        .otherwise(least(greatest(vcol(valueCol).cast("double"),
+          lit(loV)), lit(hiV))))
   }
 
   /** Winsorize with approximate percentile thresholds — the 100 TB
@@ -76,14 +84,17 @@ object Outliers {
 
   /** Tukey IQR filter: keep rows with value in
     * [q1 - k*(q3-q1), q3 + k*(q3-q1)]. Null values drop (they fail the
-    * predicate), matching SQL comparison semantics. Exact quartiles —
-    * see [[iqrFilterApprox]] for the 100 TB path.
+    * predicate), matching SQL comparison semantics. Exact quartiles
+    * via [[Percentiles.exactValues]] (bounded memory, bit-identical —
+    * see [[winsorize]] for the eagerness note); the filter is a pure
+    * map-side literal predicate, pushable to the scan.
     */
   def iqrFilter(df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame = {
     require(k >= 0.0)
-    filterToBounds(df, valueCol, k, df.agg(
-      percentile(vcol(valueCol), lit(0.25)),
-      percentile(vcol(valueCol), lit(0.75))))
+    val Seq(q1, q3) =
+      Percentiles.exactValues(df, vcol(valueCol), Seq(0.25, 0.75))
+    df.filter(vcol(valueCol) >= lit(q1 - k * (q3 - q1)) &&
+      vcol(valueCol) <= lit(q3 + k * (q3 - q1)))
   }
 
   /** IQR filter on approximate quartiles — bounded-memory thresholds

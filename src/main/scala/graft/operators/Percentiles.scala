@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   * computes the SAME values (bit-identical interpolation, spec-pinned
   * against `percentile` on arbitrary data) with bounded memory:
   *
-  *  1. ONE pass: row count + Greenwald-Khanna `approx_percentile`
-  *     brackets around each target (rank error <= n/accuracy, so the
-  *     exact target rank lies inside a bracket of ~2n/accuracy rows);
-  *  2. ONE pass: for each bracket, the exact count of rows below it
+  *  1. count pass (cheap, count-only scan);
+  *  2. bracket pass: Greenwald-Khanna `approx_percentile` brackets
+  *     around each target (rank error <= n/accuracy, widened to >= 3
+  *     absolute rows for small n and GK's differing quantile
+  *     definition);
+  *  3. refine pass: for each bracket, the exact count of rows below it
   *     and the rows inside it (conditional count + collect_list in a
   *     single aggregation);
-  *  3. driver side: sort each bracket's ~2n/accuracy values, read the
+  *  4. driver side: sort each bracket's ~2n/accuracy values, read the
   *     two neighbors of the target rank, interpolate with Spark's own
   *     formula (higher-pos)·lo + (pos-lower)·hi.
   *
@@ -37,18 +39,22 @@ object Percentiles {
     val v = valueCol.cast("double")
     val vals = df.filter(v.isNotNull).select(v.as("_x"))
 
-    // pass 1: n + GK brackets (margin 3/accuracy covers GK's e-rank
-    // error plus the interpolation neighbor)
-    val eps = 3.0 / accuracy
+    // pass 0: n (cheap count-only scan). The bracket margin must be
+    // ABSOLUTE in rank space too: GK's e-rank error is relative
+    // (n/accuracy rows), but approx_percentile's quantile definition
+    // (rank ~ p*n) differs from percentile's interpolation definition
+    // (p*(n-1)) by up to one row — 3/n guarantees >= 3 rows of margin
+    // at any size.
+    val n = vals.count()
+    require(n > 0, "exactValues: no non-null rows")
+    val eps = math.max(3.0 / accuracy, 3.0 / n)
+
+    // pass 1: GK brackets around each target
     val bracketPs = ps.flatMap(p =>
       Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
-    val head = vals.agg(
-      count(lit(1)).as("_n"),
+    val brackets = vals.agg(
       approx_percentile(col("_x"), array(bracketPs.map(lit): _*),
-        lit(accuracy)).as("_b")).head()
-    val n = head.getLong(0)
-    require(n > 0, "exactValues: no non-null rows")
-    val brackets = head.getSeq[Double](1)
+        lit(accuracy)).as("_b")).head().getSeq[Double](0)
 
     // pass 2: per-target exact counts below the bracket + the bracket's
     // row values, one shared aggregation

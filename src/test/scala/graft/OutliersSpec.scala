@@ -44,11 +44,18 @@ class OutliersSpec extends SparkTestBase {
     assert(kept.filter(col("value") === -1000.0 || col("value") === 1000.0).count() === 0)
   }
 
-  test("thresholds are in-plan: no collect, broadcast one-row bounds") {
-    val plan = Outliers.winsorize(values, "value", 0.05, 0.95)
+  test("exact clamp is a pure map-side plan; approx bounds stay in-plan") {
+    // exact path: bounds are bounded driver literals (Percentiles
+    // centroid pattern) — the clamp plans NO join and NO exchange
+    val exactPlan = Outliers.winsorize(values, "value", 0.05, 0.95)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
-      s"bounds must broadcast in-plan:\n$plan")
+    assert(!exactPlan.contains("Exchange") && !exactPlan.contains("Join"),
+      s"exact clamp must be scan -> project only:\n$exactPlan")
+    // approx path: lazy one-row agg attached via broadcast, no collect
+    val approxPlan = Outliers.winsorizeApprox(values, "value", 0.05, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(approxPlan.contains("BroadcastExchange") || approxPlan.contains("Broadcast"),
+      s"approx bounds must broadcast in-plan:\n$approxPlan")
   }
 
   test("temp threshold columns never clobber caller columns") {
