@@ -76,6 +76,30 @@ object Sampling {
       keyCol: String, frac: Double): DataFrame =
     keepTopQuantile(df, groupCols, portableUnit(col(keyCol)), keyCol, frac)
 
+  /** Token-budget selection: walk each group in `orderCol` order and
+    * keep rows while the EXCLUSIVE running token sum stays under
+    * `budgetTokens` — "fill a 10B-token mix from ranked docs", the
+    * quota its sibling [[sampleExactFraction]] expresses in rows
+    * restated in tokens. The first row to cross the budget is KEPT
+    * (every group overshoots by less than one document; dropping it
+    * would instead undershoot — pick one, document it, make the oracle
+    * replay it). One per-group window sort, the packByOffset shape;
+    * groups fill independently, so the walk parallelizes across
+    * groups at any scale.
+    */
+  def takeTokenBudget(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, tokenCount: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val Seq(run) = Cols.fresh("budget", 1, df)
+    df.withColumn(run, coalesce(sum(tokenCount.cast("long")).over(w), lit(0L)))
+      .filter(col(run) < budgetTokens)
+      .drop(run)
+  }
+
   /** Deterministic per-key cap: keep at most `k` rows per key group —
     * the "at most k docs per domain" balancing rule of web-corpus
     * pipelines. Rows are ranked by seeded hash of the id (a stable

@@ -532,6 +532,19 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Token-budget selection: first 2000 whitespace tokens' worth of
+    * docs per lang in doc_id order — the "fill the mix to a token
+    * quota" step; the boundary-crossing doc is kept by contract.
+    */
+  val qTokenBudget: QueryFn = withTables { spark =>
+    graft.operators.Sampling.takeTokenBudget(
+        spark.table("documents"), Seq("lang"), "doc_id",
+        size(filter(split(lower(col("text")), " "), w => w =!= "")),
+        budgetTokens = 2000L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Exact-count sampling: exactly floor(0.2·n) docs per source, the
     * quota contract Bernoulli draws only meet in expectation. The md5
     * permutation makes the kept SET oracle-replayable row for row.
@@ -934,6 +947,7 @@ object LlmOps {
     "q_cdc_merge" -> qCdcMerge,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_exact" -> qSampleExact,
+    "q_token_budget" -> qTokenBudget,
     "q_trend" -> qTrend,
     "q_drift" -> qDrift,
     "q_dq_checks" -> qDqChecks,
@@ -1480,6 +1494,23 @@ object LlmOps {
       FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
       WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
+
+    // The same exclusive running sum: a doc survives iff the tokens
+    // BEFORE it (doc_id order, per lang) are under the budget.
+    "q_token_budget" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+        FROM t)
+      SELECT doc_id, lang FROM r WHERE run < 2000
+      ORDER BY doc_id""",
 
     // The same md5 permutation replayed: a row survives iff its
     // cumulative position in the per-source (u DESC, doc_id) order is

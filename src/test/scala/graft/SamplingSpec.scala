@@ -204,6 +204,27 @@ class SamplingSpec extends SparkTestBase {
     assert(again === ids, "the kept SET must be layout-independent")
   }
 
+  test("takeTokenBudget: fills to the quota, keeps the crossing doc, per group") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      ("a", 1L, 500L), ("a", 2L, 400L), ("a", 3L, 200L), ("a", 4L, 50L),
+      ("b", 5L, 2000L), ("b", 6L, 1L),
+      ("c", 7L, 100L),
+    ).toDF("grp", "id", "n")
+    val kept = Sampling.takeTokenBudget(d, Seq("grp"), "id", col("n"), 1000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a: 500 (run 0) + 400 (run 500) + 200 (run 900 < 1000, CROSSES, kept)
+    //    then 50 (run 1100 >= 1000, dropped)
+    // b: 2000 kept (run 0), 1 dropped (run 2000)
+    // c: all kept (under budget)
+    assert(kept === Set(1L, 2L, 3L, 5L, 7L))
+    // kept set is a prefix of each group's order
+    val again = Sampling.takeTokenBudget(d.repartition(5), Seq("grp"), "id",
+      col("n"), 1000L).select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
   test("keepTopQuantileApprox: threshold-filter shape, frac within sketch error") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("score", col("n_chars").cast("double"))
