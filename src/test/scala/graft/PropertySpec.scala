@@ -622,6 +622,69 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("equi-depth histogram partitions: counts sum to n, ranges ordered") {
+    val valsGen = Gen.choose(2, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 30))) // ties likely
+    val bucketsGen = Gen.oneOf(2, 3, 4, 8)
+    check("eqdepth-partition")(Prop.forAll(valsGen, bucketsGen) { (xs, nb) =>
+      import spark.implicits._
+      val df = xs.map(_.toDouble).toDF("x")
+      val rows = graft.operators.Profiling
+        .equiDepthHistogram(df, "x", nb, exact = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+      val countsOk = rows.map(_._2).sum == xs.size.toLong
+      val withinOk = rows.forall { case (_, _, lo, hi) => lo <= hi }
+      // bucket value ranges never interleave (ties at a cut go low)
+      val orderedOk = rows.sliding(2).forall {
+        case Array((_, _, _, hi1), (_, _, lo2, _)) => hi1 <= lo2
+        case _ => true
+      }
+      countsOk && withinOk && orderedOk
+    })
+  }
+
+  test("token budget law: kept set is a per-group prefix that crosses once") {
+    val rowsGen = Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 2), Gen.choose(1, 40))))
+    val budgetGen = Gen.oneOf(10L, 50L, 120L)
+    check("token-budget-prefix")(Prop.forAll(rowsGen, budgetGen) { (rows, b) =>
+      import spark.implicits._
+      val d = rows.zipWithIndex.map { case ((g, t), i) =>
+        (s"g$g", i.toLong, t.toLong) }.toDF("grp", "id", "n")
+      val kept = graft.operators.Sampling
+        .takeTokenBudget(d, Seq("grp"), "id", col("n"), b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val byGroup = rows.zipWithIndex.map { case ((g, t), i) =>
+        (s"g$g", i.toLong, t.toLong) }.groupBy(_._1)
+      byGroup.forall { case (g, members) =>
+        val sorted = members.sortBy(_._2)
+        // reference walk: keep while exclusive run < budget
+        val want = sorted.scanLeft((0L, true)) { case ((run, _), m) =>
+          (run + m._3, run < b)
+        }.tail.zip(sorted).filter(_._1._2).map(_._2)
+        kept.filter(_._1 == g).sortBy(_._2).toSeq == want
+      }
+    })
+  }
+
+  test("oovRate is always in [0,1] for arbitrary text and vocab") {
+    val textGen = Gen.listOf(
+      Gen.oneOf("join", "scan", "zzz", "qq", "", "a")).map(_.mkString(" "))
+    val vocabGen = Gen.nonEmptyListOf(Gen.oneOf("join", "scan", "a"))
+    check("oov-bounds")(Prop.forAll(Gen.listOfN(8, textGen), vocabGen) {
+      (texts, vocab) =>
+        import spark.implicits._
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "text")
+        df.select(graft.operators.TextAnalysis
+            .oovRate(col("text"), vocab.distinct).as("r"))
+          .collect().forall { r =>
+            val v = r.getDouble(0); v >= 0.0 && v <= 1.0
+          }
+    })
+  }
+
   test("BPE law: token concatenation reconstructs word+marker for any merges") {
     val wordG = Gen.choose(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
