@@ -269,6 +269,51 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Boilerplate span REMOVAL — the treatment step [[repeatedSpans]]
+    * only detects: every token covered by any occurrence of a flagged
+    * span (an n-token span appearing in >= minDocs distinct docs) is
+    * cut, and each document's text is rebuilt from the survivors in
+    * order. Row-preserving: a fully-boilerplate doc comes back as ''
+    * (callers drop or flag empties), docs shorter than n tokens pass
+    * through unchanged.
+    *
+    * Coverage rule: token at position p is cut iff some flagged
+    * occurrence starts at s with s <= p < s+n — overlapping
+    * occurrences union naturally.
+    *
+    * Scale shape: span discovery is the repeatedSpans aggregation
+    * (vocabulary-sized output); flagged START positions come from one
+    * equi-join of the n-gram stream against that span table; coverage
+    * is a doc_id-keyed anti-join with the range condition riding the
+    * equi-join; reconstruction is one doc-keyed sort-agg. Token rows
+    * shuffle by doc twice (coverage + rebuild) — inherent to
+    * order-preserving reconstruction.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, n, minDocs)
+      .select(col("tok").as("_span"))
+    // NGramsGenerator positions are 1-based (SQL generator convention);
+    // posexplode below is 0-based — align here, once
+    val starts = ngramOccurrences(df, idCol, textCol, n)
+      .join(spans, col("tok") === col("_span"))
+      .select(col("doc_id").as("_sdoc"), (col("pos") - 1L).as("_start"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
+    val kept = toks.join(starts,
+      col("doc_id") === col("_sdoc") &&
+        col("_start") <= col("pos") && col("pos") < col("_start") + n,
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("pos"), col("w")))), s => s.getField("w")), " ")
+        .as("clean_text"))
+    df.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Within-doc repetition signal (the Gopher/RefinedWeb boilerplate
     * rule): fraction of a doc's n-gram occurrences claimed by its most
     * frequent n-gram. Near-0 for natural text, near-1 for template spam

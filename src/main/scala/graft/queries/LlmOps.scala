@@ -792,6 +792,18 @@ object LlmOps {
       .orderBy("tok")
   }
 
+  /** The treatment step for q_repeated_spans' detections: cut every
+    * token covered by a cross-doc 5-gram span (>= 3 docs — minDocs 2
+    * on this corpus would shred most text) and rebuild each doc;
+    * row-preserving (empty string when everything was boilerplate).
+    */
+  val qRemoveSpans: QueryFn = withTables { spark =>
+    TextAnalysis.removeRepeatedSpans(
+        spark.table("documents").filter(col("doc_id") < 200),
+        "doc_id", "text", n = 5, minDocs = 3)
+      .orderBy("doc_id")
+  }
+
   /** L2 follow-through: duplicate CLUSTERS, not just pairs. The pair
     * set is q_dedup_ngram_jaccard's exact 3-shingle Jaccard edges; the
     * transitive closure resolves to (doc, min-reachable-doc) via
@@ -903,6 +915,7 @@ object LlmOps {
     "q_dedup_canonical" -> qDedupCanonical,
     "q_lm_score" -> qLmScore,
     "q_repeated_spans" -> qRepeatedSpans,
+    "q_remove_spans" -> qRemoveSpans,
     "q_pool_mean" -> qPoolMean,
     "q_split_tvt" -> qSplitTvt,
     "q_fingerprint" -> qFingerprint,
@@ -1824,6 +1837,31 @@ object LlmOps {
       GROUP BY tok
       HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY tok""",
+
+    // Same span definition as q_repeated_spans (full 5-gram windows),
+    // same coverage rule (cut iff an occurrence starts in
+    // (pos-5, pos]), same row-preserving rebuild.
+    "q_remove_spans" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ts
+                 FROM documents WHERE doc_id < 200),
+      tok AS (SELECT doc_id, i - 1 AS pos, ts[i] AS w, LEN(ts) AS len,
+                     ARRAY_TO_STRING(ts[i:i+4], ' ') AS g
+              FROM t, UNNEST(RANGE(1, LEN(ts) + 1)) r(i)),
+      spans AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM tok
+                               WHERE pos + 5 <= len)
+                GROUP BY g HAVING COUNT(*) >= 3),
+      starts AS (SELECT doc_id, pos FROM tok
+                 WHERE pos + 5 <= len AND g IN (SELECT g FROM spans)),
+      kept AS (SELECT k.doc_id, k.pos, k.w FROM tok k
+               WHERE NOT EXISTS (SELECT 1 FROM starts s
+                                 WHERE s.doc_id = k.doc_id
+                                   AND s.pos <= k.pos AND k.pos < s.pos + 5))
+      SELECT d.doc_id,
+             COALESCE(ka.clean_text, '') AS clean_text
+      FROM (SELECT doc_id FROM t) d
+      LEFT JOIN (SELECT doc_id, STRING_AGG(w, ' ' ORDER BY pos) AS clean_text
+                 FROM kept GROUP BY doc_id) ka USING (doc_id)
+      ORDER BY doc_id""",
 
     // The identical ±1 matrix re-derived from md5 low bits in SQL;
     // lambda index i is 1-based, so position i pairs with sign row

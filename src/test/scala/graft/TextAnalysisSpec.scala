@@ -237,6 +237,38 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq))
   }
 
+  test("removeRepeatedSpans cuts covered tokens, preserves rows and short docs") {
+    import spark.implicits._
+    val boiler = "click here to subscribe now"
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"unique words only in this document right here"),
+      (4L, boiler),          // fully boilerplate -> ''
+      (5L, "too short"),     // < n tokens: passes through
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeRepeatedSpans(df, "doc_id", "text",
+        n = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "alpha beta gamma")
+    assert(got(2L) === "delta epsilon")
+    assert(got(3L) === "unique words only in this document right here")
+    assert(got(4L) === "")
+    assert(got(5L) === "too short")
+    assert(got.size === 5, "row-preserving")
+    // overlapping occurrences union: 6x 'spam' has 2 flagged 5-gram
+    // starts (pos 0 and 1) covering all 6 tokens
+    val rep = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "spam spam spam spam spam"),
+      (3L, "spam spam spam spam spam x"),
+    ).toDF("doc_id", "text")
+    val cleaned = TextAnalysis.removeRepeatedSpans(rep, "doc_id", "text",
+        n = 5, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned === Map(1L -> "", 2L -> "", 3L -> "x"))
+  }
+
   test("unigramDrift: identical slices score 0; drifted slice positive, exact") {
     import spark.implicits._
     val same = Seq((1L, "s1", "a b"), (2L, "s2", "a b"))
