@@ -76,6 +76,20 @@ object Sampling {
       keyCol: String, frac: Double): DataFrame =
     keepTopQuantile(df, groupCols, portableUnit(col(keyCol)), keyCol, frac)
 
+  /** Deterministic shard assignment: every row gets a stable shard id
+    * in [0, nShards) from the md5-portable draw of its key — the
+    * split that lets N training workers each read "their" slice with
+    * no coordination, stable across runs/retries/layouts and balanced
+    * to ~1/sqrt(rows-per-shard). A pure per-row projection at the
+    * scan; pair with a partitioned write to materialize shard files.
+    */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    df.withColumn("shard",
+      (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % nShards).cast("int"))
+  }
+
   /** Token-budget selection: walk each group in `orderCol` order and
     * keep rows while the EXCLUSIVE running token sum stays under
     * `budgetTokens` — "fill a 10B-token mix from ranked docs", the

@@ -532,6 +532,15 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Deterministic shard assignment for N training workers: stable,
+    * coordination-free, oracle-replayable per row.
+    */
+  val qShardAssign: QueryFn = withTables { spark =>
+    graft.operators.Sampling.assignShards(spark.table("documents"), "doc_id", 8)
+      .select("doc_id", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Token-budget selection: first 2000 whitespace tokens' worth of
     * docs per lang in doc_id order — the "fill the mix to a token
     * quota" step; the boundary-crossing doc is kept by contract.
@@ -961,6 +970,7 @@ object LlmOps {
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_exact" -> qSampleExact,
     "q_token_budget" -> qTokenBudget,
+    "q_shard_assign" -> qShardAssign,
     "q_trend" -> qTrend,
     "q_drift" -> qDrift,
     "q_dq_checks" -> qDqChecks,
@@ -1507,6 +1517,14 @@ object LlmOps {
       FROM t, UNNEST(RANGE(1, LEN(toks) + 1, 20)) r(i)
       WHERE i = 1 OR (i - 1) + 5 < LEN(toks)
       ORDER BY doc_id, chunk_no""",
+
+    // The same md5 60-bit value mod 8, replayed per row.
+    "q_shard_assign" -> """
+      SELECT doc_id,
+             CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 8 AS INT) AS shard
+      FROM documents
+      ORDER BY doc_id""",
 
     // The same exclusive running sum: a doc survives iff the tokens
     // BEFORE it (doc_id order, per lang) are under the budget.

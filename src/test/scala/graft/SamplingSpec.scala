@@ -204,6 +204,21 @@ class SamplingSpec extends SparkTestBase {
     assert(again === ids, "the kept SET must be layout-independent")
   }
 
+  test("assignShards: complete, stable, balanced across shards") {
+    val out = Sampling.assignShards(docs, "doc_id", 8)
+    assert(out.count() === docs.count(), "every row gets a shard")
+    val counts = out.groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === (0 until 8).toSet, "all shards populated")
+    val n = docs.count().toDouble
+    counts.values.foreach(c =>
+      assert(math.abs(c - n / 8) < 4 * math.sqrt(n / 8), s"imbalanced: $counts"))
+    val again = Sampling.assignShards(docs.repartition(9), "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("shard"))).toSet
+    val first = out.collect().map(r => (r.getLong(0), r.getAs[Int]("shard"))).toSet
+    assert(again === first, "assignment is layout-independent")
+  }
+
   test("takeTokenBudget: fills to the quota, keeps the crossing doc, per group") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
