@@ -139,4 +139,34 @@ object Profiling {
       .agg(count(lit(1)).as("n"),
         min(v).as("lo"), max(v).as("hi"))
   }
+
+  /** Quantile discretization (feature binning): attach each ROW's
+    * equi-depth bucket id — [[equiDepthHistogram]]'s assignment step
+    * without the final aggregation, for feeding binned features
+    * downstream. Row-preserving: NULL values get a NULL bucket. Same
+    * exact/approx dual cut paths; the exact path is a pure map-side
+    * literal fold (no join), the approx path an in-plan one-row
+    * broadcast.
+    */
+  def discretizeEquiDepth(df: DataFrame, valueCol: String, nBuckets: Int,
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, "discretizeEquiDepth: need at least 2 buckets")
+    val v = col(valueCol).cast("double")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    def bucketOf(cuts: Column): Column =
+      when(v.isNull, lit(null).cast("int"))
+        .otherwise(aggregate(cuts, lit(0),
+          (acc, c) => acc + when(v > c, 1).otherwise(0)))
+    if (exact) {
+      val cutVals = Percentiles.exactValues(df, v, ps, accuracy)
+      df.withColumn("bucket", bucketOf(array(cutVals.map(lit): _*)))
+    } else {
+      val Seq(cc) = Cols.fresh("disc", 1, df)
+      val cuts = df.agg(approx_percentile(v, array(ps.map(lit): _*),
+        lit(accuracy)).as(cc))
+      df.crossJoin(broadcast(cuts))
+        .withColumn("bucket", bucketOf(col(cc)))
+        .drop(cc)
+    }
+  }
 }

@@ -653,6 +653,18 @@ object LlmOps {
       .orderBy("rule")
   }
 
+  /** Per-row quantile discretization (feature binning): each lineitem
+    * row tagged with its l_extendedprice quartile — the histogram's
+    * assignment step kept at row granularity; exact-cut judged regime.
+    */
+  val qDiscretize: QueryFn = withTables { spark =>
+    graft.operators.Profiling.discretizeEquiDepth(
+        spark.table("lineitem"), "l_extendedprice", nBuckets = 4, exact = true)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("bucket").cast("int").as("bucket"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Equi-depth histogram of l_extendedprice (8 buckets), judged in
     * the exact-percentile regime; the default approx_percentile path
     * is the 100 TB setting (ProfilingSpec pins its depth balance).
@@ -975,6 +987,7 @@ object LlmOps {
     "q_drift" -> qDrift,
     "q_dq_checks" -> qDqChecks,
     "q_histogram_eqdepth" -> qHistogramEqdepth,
+    "q_discretize" -> qDiscretize,
     "q_chunk" -> qChunk,
     "q_winsorize" -> qWinsorize,
     "q_iqr_filter" -> qIqrFilter,
@@ -1657,6 +1670,18 @@ object LlmOps {
         UNION ALL SELECT 'tax_bounded', n_rows, v_tax_bounded FROM t
         UNION ALL SELECT 'flag_domain', n_rows, v_flag_domain FROM t)
       ORDER BY rule""",
+
+    // Quartile cuts + the same ties-low fold, per row.
+    "q_discretize" -> """
+      WITH c AS (SELECT [QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.25),
+                         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.5),
+                         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.75)] AS cuts
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(LEN(LIST_FILTER(cuts,
+               cc -> CAST(l_extendedprice AS DOUBLE) > cc)) AS INT) AS bucket
+      FROM lineitem, c
+      ORDER BY l_orderkey, l_linenumber""",
 
     // The same cut points (QUANTILE_CONT == Spark exact percentile,
     // the winsorize precedent) and the same ties-low fold.

@@ -92,6 +92,42 @@ class CdcSpec extends SparkTestBase {
     assert(after.exceptAll(rebuilt).count() === 0L)
   }
 
+  test("streaming upsert: foreachBatch applies changelog micro-batches to parquet") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the production shape: a CDC stream materialized onto storage by
+    // merging each micro-batch into the parquet target
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/target"
+    base.write.mode("overwrite").parquet(dir)
+
+    val input = MemoryStream[(Long, String, Double, Long, Boolean)]
+    val q = input.toDF()
+      .toDF("k", "s", "v", "version", "is_delete")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = Cdc.applyChangelog(
+          spark.read.parquet(dir), batch, Seq("k"), "version")
+        // two-phase write: parquet can't overwrite its own input mid-read
+        val staged = merged.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(staged.toIndexedSeq), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+        ()
+      }.start()
+    input.addData((2L, "b2", 21.0, 1L, false), (3L, "c", 30.0, 1L, true))
+    q.processAllAvailable()
+    input.addData((2L, "b3", 22.0, 2L, false), (4L, "d", 40.0, 1L, false))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(dir)
+      .select("k", "s", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 10.0), (2L, "b3", 22.0), (4L, "d", 40.0)),
+      "micro-batch merges must compose to the full-changelog result")
+  }
+
   test("idempotent: re-applying the same changelog changes nothing") {
     import spark.implicits._
     val changes = Seq(

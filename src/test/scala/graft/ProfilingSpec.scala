@@ -85,6 +85,23 @@ class ProfilingSpec extends SparkTestBase {
       s"rules must share one scan:\n$p")
   }
 
+  test("discretizeEquiDepth: row-preserving, consistent with the histogram") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = ((0 until 100).map(i => java.lang.Double.valueOf(i.toDouble))
+      :+ null.asInstanceOf[java.lang.Double]).toDF("x")
+    val out = Profiling.discretizeEquiDepth(d, "x", 4, exact = true)
+    assert(out.count() === 101L, "row-preserving incl. the null row")
+    assert(out.filter(col("x").isNull && col("bucket").isNull).count() === 1L)
+    // per-bucket counts equal the histogram's
+    val byBucket = out.filter(col("bucket").isNotNull)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val hist = Profiling.equiDepthHistogram(d, "x", 4, exact = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket === hist)
+  }
+
   test("equiDepthHistogram: exact path balances untied values; approx close") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
