@@ -100,18 +100,39 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // ms precision: the driver captures a bounded TAIL of the run log,
-    // and full-double timings pushed the line past it in r3 (the first
-    // ~10 queries were truncated away). 3 decimals keeps ~90 queries
-    // well inside the capture; sub-ms digits are noise anyway.
     def sec3(v: Double): String = // ROOT locale: '.' decimal separator always
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    // The driver captures a bounded 2000-byte TAIL of the run log; at
+    // 138+ queries the full per-query map is ~3.1 KB and CANNOT fit
+    // (measured r3 AND r4: the alphabetical head was truncated away
+    // and the driver recorded parsed:null both rounds). So: the full
+    // canonical JSON goes to a FILE in the repo (bench_full.json —
+    // regression tracking reads that), and stdout's final line stays
+    // compact — total, EVERY error, the slowest-45 per-query timings
+    // (the regression-relevant ones; a query omitted here is bounded
+    // by the line's stated threshold), and a pointer to the file.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outFile: ${e.getMessage}")
+    }
+    val byTime = results.sortBy(-_._2)
+    val slowN = 45
+    val slow = byTime.take(slowN)
+    val omittedMax = byTime.drop(slowN).headOption.map(_._2).getOrElse(0.0)
+    val slowQs = slow.sortBy(_._1).map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
+      .mkString("{", ",", "}")
+    println(fullLine) // full map first: out of the tail window, kept for full-log readers
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$slowQs,"n_queries":${results.size},"queries_omitted_below":${sec3(omittedMax)},"queries_full_file":${jstr(outFile)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,14 +46,41 @@ object CountMin {
     * bounded by depth×width, independent of corpus size), and maps the
     * key list through `estimateCount`. The corpus is scanned exactly
     * once; the key side never shuffles.
+    *
+    * Key typing: dispatches on the key column's dataType — string keys
+    * probe as strings, integral keys as longs (matching the built-in
+    * aggregate, which hashes all integral widths through one long
+    * path) — and REQUIRES both sides to sit in the same family: a
+    * string-built sketch probed with longs (or vice versa) hashes
+    * differently and would return silently-wrong counts, so that is an
+    * analysis-time error here, not a wrong answer.
     */
   def pointEstimates(df: DataFrame, keyCol: String, keys: DataFrame,
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.types._
+    def family(dt: DataType): String = dt match {
+      case StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => throw new IllegalArgumentException(
+        s"CountMin.pointEstimates supports string/integral keys, got $other")
+    }
+    val buildFam = family(df.schema(keyCol).dataType)
+    val probeFam = family(keys.schema(keyCol).dataType)
+    require(buildFam == probeFam,
+      s"CountMin.pointEstimates: sketch built over $buildFam keys cannot " +
+        s"be probed with $probeFam keys — the hash families differ and " +
+        s"estimates would be silently wrong")
     val bytes = df.agg(sketchAgg(col(keyCol), eps, confidence, seed))
       .head().getAs[Array[Byte]](0)
     val holder = new Holder(bytes)
-    val est = udf((s: String) => holder.sketch.estimateCount(s))
-    keys.select(col(keyCol), est(col(keyCol)).as("cnt_est"))
+    if (buildFam == "string") {
+      val est = udf((s: String) => holder.sketch.estimateCount(s))
+      keys.select(col(keyCol), est(col(keyCol)).as("cnt_est"))
+    } else {
+      val est = udf((l: java.lang.Long) => holder.sketch.estimateCount(l))
+      keys.select(col(keyCol),
+        est(col(keyCol).cast("long")).as("cnt_est"))
+    }
   }
 }

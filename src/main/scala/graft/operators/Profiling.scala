@@ -120,19 +120,22 @@ object Profiling {
     require(nBuckets >= 2, "equiDepthHistogram: need at least 2 buckets")
     val v = col(valueCol).cast("double")
     val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    // collision-free internal cuts column (an input `_cuts` column
+    // would silently shadow a hard-coded name)
+    val Seq(cutsCol) = Cols.fresh("cuts", 1, df)
     val withCuts =
       if (exact) {
         val cutVals = Percentiles.exactValues(df, v, ps, accuracy)
         df.filter(v.isNotNull)
-          .withColumn("_cuts", array(cutVals.map(lit): _*))
+          .withColumn(cutsCol, array(cutVals.map(lit): _*))
       } else {
         val cuts = df.agg(
           approx_percentile(v, array(ps.map(lit): _*), lit(accuracy))
-            .as("_cuts"))
+            .as(cutsCol))
         df.filter(v.isNotNull)
           .crossJoin(broadcast(cuts)) // one-row threshold attach
       }
-    val bucket = aggregate(col("_cuts"), lit(0),
+    val bucket = aggregate(col(cutsCol), lit(0),
       (acc, c) => acc + when(v > c, 1).otherwise(0))
     withCuts
       .groupBy(bucket.cast("bigint").as("bucket"))

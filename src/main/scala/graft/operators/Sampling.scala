@@ -97,16 +97,20 @@ object Sampling {
     * restated in tokens. The first row to cross the budget is KEPT
     * (every group overshoots by less than one document; dropping it
     * would instead undershoot — pick one, document it, make the oracle
-    * replay it). One per-group window sort, the packByOffset shape;
-    * groups fill independently, so the walk parallelizes across
-    * groups at any scale.
+    * replay it). `tieCol` (unique per group) makes the walk order
+    * TOTAL — the (scoreCol, tieCol) contract of [[keepTopQuantile]]:
+    * without it, equal `orderCol` values would make the running sum
+    * and hence the kept set partitioning-dependent. One per-group
+    * window sort, the packByOffset shape; groups fill independently,
+    * so the walk parallelizes across groups at any scale.
     */
   def takeTokenBudget(df: DataFrame, groupCols: Seq[String],
-      orderCol: String, tokenCount: Column, budgetTokens: Long): DataFrame = {
+      orderCol: String, tieCol: String, tokenCount: Column,
+      budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens=$budgetTokens must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(orderCol))
+      .orderBy(col(orderCol), col(tieCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val Seq(run) = Cols.fresh("budget", 1, df)
     df.withColumn(run, coalesce(sum(tokenCount.cast("long")).over(w), lit(0L)))

@@ -478,7 +478,9 @@ object TextAnalysis {
       .join(c2, Seq("tok"), "left")
       .withColumn("w1", substring_index(col("tok"), " ", 1))
       .join(c1, Seq("w1"), "left")
-      .crossJoin(vocab)
+      // explicit broadcast: pre-AQE the planner has no stats for the
+      // one-row agg and could plan a non-broadcast nested loop
+      .crossJoin(broadcast(vocab))
       .withColumn("lp",
         log((coalesce(col("c2"), lit(0L)) + lit(k)) /
           (coalesce(col("c1"), lit(0L)) + lit(k) * col("v"))))

@@ -139,14 +139,6 @@ object Core {
       FROM customer
       ORDER BY c_mktsegment, c_nationkey""",
 
-    // F-extra: regexp_extract_all — both engines take (str, pattern,
-    // group); group 1 spelled explicitly because the DEFAULT differs
-    // (Spark 1, DuckDB 0). Arrays compare as values directly.
-    "q_regexp_extract_all" -> """
-      SELECT event_id, REGEXP_EXTRACT_ALL(props, '([0-9]+)', 1) AS nums
-      FROM events
-      ORDER BY event_id""",
-
     // W-extra: time-based RANGE frame (1-hour rolling sum per user) —
     // the interval-window surface beyond ROWS frames; DECIMAL-exact
     // sum, peers-at-equal-ts semantics identical on both engines.
@@ -477,6 +469,17 @@ object Core {
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
 
+    // F-extra: regexp_extract_all — group 1 spelled explicitly because
+    // the DEFAULT differs (Spark 1, DuckDB 0). Matches are serialized
+    // to a CSV scalar (SURVEY.md §5.4 rule 6: the driver's pandas hash
+    // diff cannot sort/hash array cells) — Spark spells it ARRAY_JOIN,
+    // DuckDB ARRAY_TO_STRING, hence the override pair.
+    "q_regexp_extract_all" -> """
+      SELECT event_id,
+             ARRAY_JOIN(REGEXP_EXTRACT_ALL(props, '([0-9]+)', 1), ',') AS nums
+      FROM events
+      ORDER BY event_id""",
+
     // A4: Spark reads the shimmed `events` view (ts already µs).
     "q_agg_count_distinct" -> """
       SELECT event_type, CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS u
@@ -550,6 +553,12 @@ object Core {
       FROM lineitem
       GROUP BY l_orderkey
       ORDER BY l_orderkey""",
+
+    "q_regexp_extract_all" -> """
+      SELECT event_id,
+             ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(props, '([0-9]+)', 1), ',') AS nums
+      FROM events
+      ORDER BY event_id""",
 
     "q_agg_stats" -> """
       SELECT l_returnflag,

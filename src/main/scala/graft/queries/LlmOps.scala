@@ -224,14 +224,17 @@ object LlmOps {
     * flips are IEEE-exact, both engines fold the dot product in the
     * same order, and √16 scaling is exact — so the projected doubles
     * are bit-identical and compare as scale-6 integers (the
-    * q_pool_mean float-formatting dodge).
+    * q_pool_mean float-formatting dodge), serialized to one CSV scalar
+    * per row (SURVEY.md §5.4 rule 6: the driver's pandas hash diff
+    * cannot sort/hash array cells — the q_array_agg pattern).
     */
   val qRandomProjection: QueryFn = withTables { spark =>
     graft.operators.Projection.project(
         spark.table("embeddings"), "embedding", inDim = 64, outDim = 16,
         seed = "jl")
       .select(col("vec_id"),
-        expr("transform(proj, p -> cast(round(p * 1000000) as bigint))")
+        expr("""array_join(transform(proj,
+                  p -> cast(cast(round(p * 1000000) as bigint) as string)), ',')""")
           .as("proj"))
       .orderBy("vec_id")
   }
@@ -547,7 +550,7 @@ object LlmOps {
     */
   val qTokenBudget: QueryFn = withTables { spark =>
     graft.operators.Sampling.takeTokenBudget(
-        spark.table("documents"), Seq("lang"), "doc_id",
+        spark.table("documents"), Seq("lang"), "doc_id", tieCol = "doc_id",
         size(filter(split(lower(col("text")), " "), w => w =!= "")),
         budgetTokens = 2000L)
       .select("doc_id", "lang")
@@ -791,14 +794,18 @@ object LlmOps {
     * per-position AVG of the same float32 values; elements compare as
     * scale-4 integers (round(x*1e4)) so engine float FORMATTING can't
     * diverge (both engines sum float32 inputs in a float64
-    * accumulator, so the values themselves agree).
+    * accumulator, so the values themselves agree), serialized to one
+    * CSV scalar per row (SURVEY.md §5.4 rule 6: the driver's pandas
+    * hash diff cannot sort/hash array cells — the q_array_agg pattern).
     */
   val qPoolMean: QueryFn = withTables { spark =>
     spark.table("embeddings")
       .groupBy("label")
       .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("m"))
       .select(col("label"),
-        expr("transform(m, x -> cast(round(x * 10000) as bigint))").as("pooled"))
+        expr("""array_join(transform(m,
+                  x -> cast(cast(round(x * 10000) as bigint) as string)), ',')""")
+          .as("pooled"))
       .orderBy("label")
   }
 
@@ -1926,7 +1933,7 @@ object LlmOps {
                  (a, b) -> a + b) / SQRT(16.0) AS v
         FROM embeddings e, signs s)
       SELECT vec_id,
-             LIST(CAST(ROUND(v * 1000000) AS BIGINT) ORDER BY j) AS proj
+             ARRAY_TO_STRING(LIST(CAST(ROUND(v * 1000000) AS BIGINT) ORDER BY j), ',') AS proj
       FROM p
       GROUP BY vec_id
       ORDER BY vec_id""",
@@ -1939,7 +1946,7 @@ object LlmOps {
                  FROM embeddings, UNNEST(RANGE(1, 65)) t(i)
                  GROUP BY label, i)
       SELECT label,
-             LIST(CAST(ROUND(m * 10000) AS BIGINT) ORDER BY i) AS pooled
+             ARRAY_TO_STRING(LIST(CAST(ROUND(m * 10000) AS BIGINT) ORDER BY i), ',') AS pooled
       FROM u
       GROUP BY label
       ORDER BY label""",

@@ -45,4 +45,29 @@ class CountMinSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("integral keys: long/int columns estimate exactly in the wide regime") {
+    // long keys (doc_id): the aggregate hashes integrals through the
+    // long path, and pointEstimates must probe the SAME path — before
+    // the dataType dispatch this was a runtime ClassCastException
+    val exact = docs.groupBy("doc_id").agg(count(lit(1)).as("cnt"))
+    val est = CountMin.pointEstimates(docs, "doc_id", exact.select("doc_id"))
+    val joined = exact.join(est, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    // int keys ride the identical long hash path (integralToLong)
+    val di = docs.select(col("doc_id").cast("int").as("doc_id"))
+    val esti = CountMin.pointEstimates(di, "doc_id", di.distinct())
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val exacti = exact.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(esti === exacti)
+  }
+
+  test("mixed key families are an analysis-time error, not a wrong answer") {
+    val e = intercept[IllegalArgumentException] {
+      CountMin.pointEstimates(docs, "doc_id",
+        docs.select(col("doc_id").cast("string").as("doc_id")))
+    }
+    assert(e.getMessage.contains("hash families"))
+  }
 }

@@ -142,6 +142,11 @@ class PlanSpec extends SparkTestBase {
     // cross join, which must come in as a broadcast
     assert(!p.contains("CartesianProduct"),
       s"lm score must broadcast the one-row vocab, not cartesian:\n$p")
+    // ...and positively: the vocab attach is an explicit
+    // BroadcastNestedLoopJoin (crossJoin(broadcast(vocab)),
+    // TextAnalysis.lmScoreCross) — not left to AQE's runtime stats
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row vocab must attach via BroadcastNestedLoopJoin:\n$p")
   }
 
   test("profile is one aggregation pass: single scan, Expand for distincts") {

@@ -653,7 +653,7 @@ class PropertySpec extends SparkTestBase {
       val d = rows.zipWithIndex.map { case ((g, t), i) =>
         (s"g$g", i.toLong, t.toLong) }.toDF("grp", "id", "n")
       val kept = graft.operators.Sampling
-        .takeTokenBudget(d, Seq("grp"), "id", col("n"), b)
+        .takeTokenBudget(d, Seq("grp"), "id", "id", col("n"), b)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       val byGroup = rows.zipWithIndex.map { case ((g, t), i) =>
         (s"g$g", i.toLong, t.toLong) }.groupBy(_._1)
@@ -700,6 +700,88 @@ class PropertySpec extends SparkTestBase {
           toks.mkString == w + graft.operators.Bpe.EndOfWord &&
             toks.forall(_.nonEmpty)
         }
+    })
+  }
+
+  test("removeRepeatedSpans law: cut set is the UNION of flagged-occurrence covers") {
+    // arbitrary overlap patterns from a 2-letter token alphabet: flagged
+    // 2-gram occurrences overlap, chain, and repeat within one doc —
+    // the coverage rule says a token survives iff NO flagged occurrence
+    // covers it, which the sequential reference below replays exactly
+    val docGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y")).map(_.mkString(" ")))
+    val n = 2
+    check("remove-spans-cover-union")(
+      Prop.forAll(Gen.choose(2, 6).flatMap(Gen.listOfN(_, docGen))) { texts =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        val tokLists = docs.map { case (id, t) => id -> t.split(" ").toList }
+        val flagged = tokLists
+          .flatMap { case (id, ws) =>
+            ws.sliding(n).filter(_.size == n).map(g => (id, g.mkString(" "))).toList }
+          .distinct.groupBy(_._2).filter(_._2.size >= 2).keySet
+        val want = tokLists.map { case (id, ws) =>
+          val starts = ws.sliding(n).zipWithIndex
+            .filter { case (g, _) => g.size == n && flagged(g.mkString(" ")) }
+            .map(_._2).toList
+          val covered = starts.flatMap(s => s until s + n).toSet
+          id -> ws.zipWithIndex.collect {
+            case (w, i) if !covered(i) => w }.mkString(" ")
+        }.toMap
+        import spark.implicits._
+        val got = graft.operators.TextAnalysis
+          .removeRepeatedSpans(docs.toDF("doc_id", "text"),
+            "doc_id", "text", n = n, minDocs = 2)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        got == want
+      })
+  }
+
+  test("discretizeEquiDepth law: row-preserving and bucket counts == histogram (exact, arbitrary ties)") {
+    // values from a 6-point support: ties at every cut are likely, the
+    // regime where equi-depth bucketing is easiest to get wrong
+    val valsGen = Gen.choose(2, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 5)))
+    val bucketsGen = Gen.choose(2, 4)
+    check("discretize-histogram-consistency")(
+      Prop.forAll(valsGen, bucketsGen) { (vals, nb) =>
+        import spark.implicits._
+        val d = vals.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.toDouble) }.toDF("id", "v")
+        val disc = graft.operators.Profiling
+          .discretizeEquiDepth(d, "v", nb, exact = true)
+        val discRows = disc.collect()
+        val hist = graft.operators.Profiling
+          .equiDepthHistogram(d, "v", nb, exact = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val byBucket = discRows.groupBy(_.getAs[Int]("bucket").toLong)
+          .map { case (b, rs) => b -> rs.length.toLong }
+        discRows.length == vals.size && byBucket == hist
+      })
+  }
+
+  test("takeTokenBudget boundary law: an exclusive run EQUAL to the budget drops the row") {
+    // counts drawn from divisors of the budget so exact boundary hits
+    // (run == b) occur constantly — the off-by-one regime of the
+    // exclusive-sum contract (run < b keeps, run == b drops)
+    val b = 100L
+    val rowsGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 1), Gen.oneOf(25L, 50L, 75L, 100L))))
+    check("token-budget-boundary")(Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val d = rows.zipWithIndex.map { case ((g, t), i) =>
+        (s"g$g", i.toLong, t) }.toDF("grp", "id", "n")
+      val kept = graft.operators.Sampling
+        .takeTokenBudget(d, Seq("grp"), "id", "id", col("n"), b)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      rows.zipWithIndex.groupBy(_._1._1).forall { case (g, members) =>
+        val sorted = members.sortBy(_._2)
+        var run = 0L
+        sorted.forall { case ((_, t), i) =>
+          val want = run < b // run == b exactly => dropped
+          run += t
+          kept.contains((s"g$g", i.toLong)) == want
+        }
+      }
     })
   }
 }

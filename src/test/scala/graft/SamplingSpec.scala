@@ -227,7 +227,7 @@ class SamplingSpec extends SparkTestBase {
       ("b", 5L, 2000L), ("b", 6L, 1L),
       ("c", 7L, 100L),
     ).toDF("grp", "id", "n")
-    val kept = Sampling.takeTokenBudget(d, Seq("grp"), "id", col("n"), 1000L)
+    val kept = Sampling.takeTokenBudget(d, Seq("grp"), "id", "id", col("n"), 1000L)
       .select("id").collect().map(_.getLong(0)).toSet
     // a: 500 (run 0) + 400 (run 500) + 200 (run 900 < 1000, CROSSES, kept)
     //    then 50 (run 1100 >= 1000, dropped)
@@ -236,7 +236,7 @@ class SamplingSpec extends SparkTestBase {
     assert(kept === Set(1L, 2L, 3L, 5L, 7L))
     // kept set is a prefix of each group's order
     val again = Sampling.takeTokenBudget(d.repartition(5), Seq("grp"), "id",
-      col("n"), 1000L).select("id").collect().map(_.getLong(0)).toSet
+      "id", col("n"), 1000L).select("id").collect().map(_.getLong(0)).toSet
     assert(again === kept)
   }
 

@@ -91,6 +91,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("size guard opt-out: maxExactRows <= 0 disables the guard and keeps the API lazy") {
+    try {
+      // guard on at 50 rows: the 120-row fixture is refused (baseline
+      // for the contrast below)
+      spark.conf.set(Similarity.MaxExactRowsKey, "50")
+      intercept[IllegalArgumentException] {
+        Similarity.cosinePairs(clustered, "vec_id", "embedding", 0.9)
+      }
+      // guard off (<= 0): the same call constructs WITHOUT running the
+      // guard's count job — laziness probed with an input whose
+      // evaluation throws: plan construction must succeed (no eager
+      // count), only collect() may fail
+      spark.conf.set(Similarity.MaxExactRowsKey, "0")
+      val poisoned = clustered.withColumn("vec_id",
+        org.apache.spark.sql.functions.udf((id: Long) =>
+          if (id >= 0) throw new RuntimeException("boom") else id
+        ).apply(org.apache.spark.sql.functions.col("vec_id")))
+      val lazyDf = Similarity.cosinePairs(poisoned, "vec_id", "embedding", 0.9)
+      assert(lazyDf.columns.nonEmpty) // constructed, nothing executed
+      // and on the clean fixture the disabled guard returns the same
+      // pairs the guard-raised path returns
+      val off = pairSet(Similarity.cosinePairs(clustered, "vec_id", "embedding", 0.9))
+      spark.conf.set(Similarity.MaxExactRowsKey, "100000")
+      val on = pairSet(Similarity.cosinePairs(clustered, "vec_id", "embedding", 0.9))
+      assert(off === on)
+    } finally {
+      spark.conf.unset(Similarity.MaxExactRowsKey)
+    }
+  }
+
   test("int8 quantized cosine tracks float cosine within 2e-2") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorExpressions
