@@ -630,6 +630,40 @@ object LlmOps {
       .orderBy("o_orderkey")
   }
 
+  /** CDC streaming-materialization replay, judged end-to-end: the SAME
+    * changelog as q_cdc_merge split into three MICRO-BATCHES (update
+    * gen 1, tombstones, update gen 2 — the arrival order a streaming
+    * foreachBatch sink would see) and FOLDED through applyChangelog
+    * one batch at a time, each output the next batch's base — exactly
+    * the CdcSpec foreachBatch pattern, here against the DuckDB oracle
+    * of the ONE-SHOT merge. Green means batch-fold == one-shot: the
+    * incremental materialization a stream maintains equals the batch
+    * table a full refresh would build (applyChangelog's fold
+    * associativity for version-ordered batches).
+    */
+  val qCdcReplay: QueryFn = withTables { spark =>
+    val orders = spark.table("orders")
+    val base = orders.withColumn("version", lit(0L))
+    val batches = Seq(
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("version", lit(1L)).withColumn("is_delete", lit(false)),
+      orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("version", lit(1L)).withColumn("is_delete", lit(true)),
+      orders.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 100)
+        .withColumn("o_totalprice", col("o_totalprice") + 200.0)
+        .withColumn("o_orderstatus", lit("V"))
+        .withColumn("version", lit(2L)).withColumn("is_delete", lit(false)))
+    batches.foldLeft(base) { (state, batch) =>
+        graft.operators.Cdc.applyChangelog(
+          state, batch, Seq("o_orderkey"), "version")
+      }
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Per-source unigram KL drift vs the corpus distribution — the
     * data-mixing diagnostic. One token-granularity shuffle; everything
     * downstream is vocabulary-sized; corpus total rides an in-plan
@@ -986,6 +1020,7 @@ object LlmOps {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms_counts" -> qCmsCounts,
     "q_cdc_merge" -> qCdcMerge,
+    "q_cdc_replay" -> qCdcReplay,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_exact" -> qSampleExact,
     "q_token_budget" -> qTokenBudget,
@@ -1003,6 +1038,36 @@ object LlmOps {
     "q_key_skew" -> qKeySkew,
     "q_approx_distinct" -> qApproxDistinct, // no oracle: approximate
   )
+
+  /** Shared by q_cdc_merge and q_cdc_replay: both must equal the
+    * one-shot window-rule merge (replay proves the micro-batch fold
+    * converges to it).
+    */
+  private val cdcMergeOracle = """
+      WITH chg AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               0 AS version, FALSE AS is_delete, 0 AS src
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', o_totalprice + 100,
+               1, FALSE, 1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, 'V', o_totalprice + 200,
+               2, FALSE, 1
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey < 100
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               1, TRUE, 1
+        FROM orders WHERE o_orderkey % 10 = 1),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC, src DESC) AS rn
+        FROM chg)
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+      FROM r WHERE rn = 1 AND NOT is_delete
+      ORDER BY o_orderkey"""
 
   val oracles: Map[String, String] = Map(
 
@@ -1609,31 +1674,12 @@ object LlmOps {
 
     // The same generic merge rule re-derived: latest version wins,
     // change beats base at equal version, tombstone winners drop.
-    "q_cdc_merge" -> """
-      WITH chg AS (
-        SELECT o_orderkey, o_orderstatus, o_totalprice,
-               0 AS version, FALSE AS is_delete, 0 AS src
-        FROM orders
-        UNION ALL
-        SELECT o_orderkey, 'U', o_totalprice + 100,
-               1, FALSE, 1
-        FROM orders WHERE o_orderkey % 10 = 0
-        UNION ALL
-        SELECT o_orderkey, 'V', o_totalprice + 200,
-               2, FALSE, 1
-        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey < 100
-        UNION ALL
-        SELECT o_orderkey, o_orderstatus, o_totalprice,
-               1, TRUE, 1
-        FROM orders WHERE o_orderkey % 10 = 1),
-      r AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-                                     ORDER BY version DESC, src DESC) AS rn
-        FROM chg)
-      SELECT o_orderkey, o_orderstatus,
-             CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
-      FROM r WHERE rn = 1 AND NOT is_delete
-      ORDER BY o_orderkey""",
+    "q_cdc_merge" -> cdcMergeOracle,
+
+    // INTENTIONALLY the one-shot merge oracle: q_cdc_replay folds the
+    // same changelog through applyChangelog in three micro-batches, and
+    // green here IS the judged claim that batch-fold == one-shot merge.
+    "q_cdc_replay" -> cdcMergeOracle,
 
     // Identical KL expression tree: p_s * LN(p_s / p_c), summed, then
     // rounded — term order differs across engines far below 6 dp.
