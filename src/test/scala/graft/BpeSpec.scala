@@ -38,8 +38,19 @@ class BpeSpec extends SparkTestBase {
     val b = Bpe.train(docs, "text", 12)
     assert(a === b)
     assert(a.length === 12)
-    assert(a === Bpe.PinnedMerges.take(12),
-      "PinnedMerges must be exactly what train() produces on sf0.001")
+  }
+
+  test("PinnedMerges provenance: full retrain at sf0.001 reproduces the table") {
+    // The judged q_bpe bakes PinnedMerges as a literal replace chain in
+    // both engines. This pin retrains the WHOLE table with the
+    // documented training config (nMerges=48, maxVocabWords=50000), so
+    // a testdata regeneration that skews the corpus word counts turns
+    // into a loud red test instead of a silently-stale judged query.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val retrained = Bpe.train(docs, "text", Bpe.PinnedMerges.length)
+    assert(retrained === Bpe.PinnedMerges,
+      "PinnedMerges must be exactly what train() produces on sf0.001 " +
+        "with nMerges=48, maxVocabWords=50000 — retrain drifted")
   }
 
   test("corpus alphabet stays inside [a-y ]: separator and </w> are safe") {
