@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Dedup, Similarity}
+
+/** Measured-scaling probes for the dedup / ANN / clustering family —
+  * the operators whose 100 TB story rests on "work grows with
+  * candidates, not with corpus²". PlanSpec pins the plan SHAPES; this
+  * spec pins the measured GROWTH on a ~10× corpus blow-up, converting
+  * the scale claims from plan-shape evidence to scaling evidence.
+  *
+  * Blow-up construction: replica i re-keys `doc_id += i·10⁶` and
+  * prefixes every token with a replica tag — a bijective renaming of
+  * the replica's token space, DISJOINT from every other replica's.
+  * Jaccard and SimHash-Hamming structure are invariant under bijective
+  * token renaming, and cross-replica token overlap is zero, so the
+  * TRUE near-dup pair population grows exactly linearly in N. Any
+  * clearly super-linear growth in verified pairs or wall time is an
+  * algorithmic artifact (an all-pairs or per-bucket blow-up) — exactly
+  * what the probe exists to catch. Quadratic growth at N=10 predicts a
+  * ~100× ratio; the asserts draw the line at a generous ~3× the linear
+  * prediction so machine noise can't flake them while quadratic can't
+  * hide under them.
+  */
+class ScaleProbeSpec extends SparkTestBase {
+
+  private val N = 10
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").cache()
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private def blowUpDocs(n: Int): DataFrame =
+    (0 until n).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(^| )", "$1r" + i + "q").as("text"))
+    }.reduce(_ unionByName _)
+
+  private def timedCount(df: DataFrame): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val c = df.count()
+    (c, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Wall-time growth bound: tN vs t1, linear prediction N with slack
+    * 3× (plus a floor on t1 so a sub-100 ms base can't inflate the
+    * ratio into a flake). Quadratic at N=10 predicts ~100×.
+    */
+  private def assertSubQuadratic(op: String, t1: Double, tN: Double): Unit = {
+    val ratio = tN / math.max(t1, 0.1)
+    info(f"$op: t(1x)=$t1%.2fs t(${N}x)=$tN%.2fs ratio=$ratio%.1f")
+    assert(ratio < 3.0 * N,
+      f"$op wall time grew ${ratio}%.1f× on a ${N}× corpus — " +
+        "super-linear; expected ~linear growth (quadratic predicts ~100×)")
+  }
+
+  test("minHashLshNearDup: verified pairs and time grow ~linearly at 10x") {
+    val d1 = blowUpDocs(1).cache(); d1.count()
+    val dN = blowUpDocs(N).cache(); dN.count()
+    // warmup: JVM/codegen paths for the whole pipeline
+    Dedup.minHashLshNearDup(d1, "doc_id", "text", 0.8).count()
+    val (p1, t1) = timedCount(Dedup.minHashLshNearDup(d1, "doc_id", "text", 0.8))
+    val (pN, tN) = timedCount(Dedup.minHashLshNearDup(dN, "doc_id", "text", 0.8))
+    info(s"lsh pairs: 1x=$p1 ${N}x=$pN")
+    assert(p1 > 0, "probe needs a non-empty base pair population")
+    // pair growth: per-replica counts vary only through LSH recall on
+    // renamed hashes; exact duplicates (most of the population) are
+    // always candidates, so the band is tight around N
+    assert(pN >= (N - 2) * p1 && pN <= (N + 2) * p1,
+      s"verified pairs grew $p1 -> $pN on a ${N}x corpus; expected ~${N}x")
+    assertSubQuadratic("minHashLshNearDup", t1, tN)
+    d1.unpersist(); dN.unpersist()
+  }
+
+  test("simHashNearDupFromSigs: verified pairs and time grow ~linearly at 10x") {
+    val s1 = Dedup.simHash(blowUpDocs(1), "doc_id", "text").cache(); s1.count()
+    val sN = Dedup.simHash(blowUpDocs(N), "doc_id", "text").cache(); sN.count()
+    Dedup.simHashNearDupFromSigs(s1, maxHamming = 3).count() // warmup
+    val (p1, t1) = timedCount(Dedup.simHashNearDupFromSigs(s1, maxHamming = 3))
+    val (pN, tN) = timedCount(Dedup.simHashNearDupFromSigs(sN, maxHamming = 3))
+    info(s"simhash pairs: 1x=$p1 ${N}x=$pN")
+    assert(p1 > 0, "probe needs a non-empty base pair population")
+    // Hamming <= 3 of 64 bits essentially never matches unrelated docs,
+    // so cross-replica pairs are ~0 and growth is per-replica-linear.
+    // The base population is small (~20 pairs) and each replica's
+    // renamed hashes move borderline pairs across the radius, so the
+    // band is multiplicative-wide: quadratic growth would be ~100×,
+    // two orders above the cap.
+    assert(pN >= (0.4 * N * p1).toLong && pN <= (3.0 * N * p1).toLong,
+      s"simhash pairs grew $p1 -> $pN on a ${N}x corpus; expected ~${N}x")
+    assertSubQuadratic("simHashNearDupFromSigs", t1, tN)
+    s1.unpersist(); sN.unpersist()
+  }
+
+  test("probeSearchQuantized: fixed probes, 10x corpus -> ~linear time, exact output size") {
+    val probes = emb.select("vec_id", "embedding").limit(20).cache()
+    probes.count()
+    def corpusTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+    val c1 = corpusTimes(1).cache(); c1.count()
+    val cN = corpusTimes(N).cache(); cN.count()
+    Similarity.probeSearchQuantized(c1, probes, "vec_id", "embedding", k = 10).count()
+    val (r1, t1) = timedCount(
+      Similarity.probeSearchQuantized(c1, probes, "vec_id", "embedding", k = 10))
+    val (rN, tN) = timedCount(
+      Similarity.probeSearchQuantized(cN, probes, "vec_id", "embedding", k = 10))
+    // output is top-k per probe regardless of corpus size
+    assert(r1 === 20L * 10 && rN === 20L * 10)
+    assertSubQuadratic("probeSearchQuantized", t1, tN)
+    c1.unpersist(); cN.unpersist(); probes.unpersist()
+  }
+
+  test("connectedComponents: 10x disjoint replicas -> exactly 10x clusters, ~linear time") {
+    // deterministic edge blow-up: replicate the BASE pair list itself
+    // into disjoint vertex spaces, so cluster counts scale exactly
+    val base = Dedup.minHashLshNearDup(docs, "doc_id", "text", 0.8)
+      .select("i", "j").cache()
+    base.count()
+    def edgesTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select((col("i") + lit(i.toLong * 1000000L)).as("i"),
+          (col("j") + lit(i.toLong * 1000000L)).as("j"))
+      }.reduce(_ unionByName _)
+    val e1 = edgesTimes(1).cache(); e1.count()
+    val eN = edgesTimes(N).cache(); eN.count()
+    Clustering.connectedComponents(e1, "i", "j").count() // warmup
+    val t0a = System.nanoTime()
+    val cc1 = Clustering.connectedComponents(e1, "i", "j")
+      .agg(countDistinct("cluster_id")).head.getLong(0)
+    val t1 = (System.nanoTime() - t0a) / 1e9
+    val t0b = System.nanoTime()
+    val ccN = Clustering.connectedComponents(eN, "i", "j")
+      .agg(countDistinct("cluster_id")).head.getLong(0)
+    val tN = (System.nanoTime() - t0b) / 1e9
+    info(s"clusters: 1x=$cc1 ${N}x=$ccN")
+    assert(cc1 > 0)
+    assert(ccN === N * cc1,
+      s"disjoint replicas must give exactly ${N}x clusters: $cc1 -> $ccN")
+    // iteration count is set by cluster diameter, which replication
+    // does not change — growth is per-pass-linear
+    assertSubQuadratic("connectedComponents", t1, tN)
+    e1.unpersist(); eN.unpersist(); base.unpersist()
+  }
+
+  test("plan shapes hold at 10x: banded/blocked equi-joins, no cartesian products") {
+    val dN = blowUpDocs(N)
+    val lshPlan = Dedup.minHashLshNearDup(dN, "doc_id", "text", 0.8)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!lshPlan.contains("CartesianProduct"),
+      "LSH near-dup must stay a banded equi-join at 10x")
+    val sigsN = Dedup.simHash(dN, "doc_id", "text")
+    val shPlan = Dedup.simHashNearDupFromSigs(sigsN, maxHamming = 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!shPlan.contains("CartesianProduct"),
+      "SimHash near-dup must stay a chunk-keyed equi-join at 10x")
+  }
+}
