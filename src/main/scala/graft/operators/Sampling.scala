@@ -224,6 +224,34 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Temperature-based multinomial sampling weights over corpus groups
+    * — the multilingual / multi-source rebalancing step (the α-scaled
+    * sampling of mBERT/mT5): a group with n_g rows gets draw
+    * probability w_g = n_g^α / Σ_s n_s^α. α=1 is proportional (head
+    * groups dominate), α→0 is uniform (tail groups oversampled);
+    * `epochs` = w_g·N/n_g is how many passes over group g one
+    * N-row-total draw implies — the number a curation pipeline checks
+    * against its repetition budget before committing to a mixture.
+    *
+    * Scale shape: ONE count shuffle over the corpus; everything after
+    * is group-cardinality-sized with the two scalar totals attached as
+    * an in-plan one-row broadcast (no driver collect, no second scan).
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, alpha: Double,
+      weightCol: String = "weight", epochsCol: String = "epochs"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha (1 = proportional, ->0 = uniform)")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(pow(col("n"), alpha)).as("_z"),
+      sum(col("n")).cast("double").as("_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n"),
+        (pow(col("n"), alpha) / col("_z")).as(weightCol),
+        (pow(col("n"), alpha) / col("_z") * col("_total") / col("n"))
+          .as(epochsCol))
+  }
+
   /** Deterministic negative sampling for contrastive training: `k`
     * pseudo-random candidates per anchor, drawn by md5 so every draw
     * is retry-stable AND replayable by a DuckDB oracle. Shape: the

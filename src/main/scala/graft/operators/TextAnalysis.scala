@@ -69,6 +69,60 @@ object TextAnalysis {
       .select("doc_id", "rank", "tok", "tfidf")
   }
 
+  /** All-pairs sparse cosine similarity over TF-IDF vectors of word
+    * `shingle`-grams via the INVERTED-INDEX equi-join — the lexical
+    * (term-overlap) dual of the embedding-cosine family in Similarity:
+    * two documents are compared only through terms they share, so the
+    * join is a plain term equi-join over posting lists, never an
+    * all-pairs product. `shingle` = 1 gives unigram TF-IDF; higher
+    * orders make the dimensions order-aware and the vocabulary sparse
+    * (on vocabulary-poor corpora like this testdata, unigrams appear
+    * in ~every doc and would prune to nothing — shingles are the
+    * useful regime).
+    *
+    * `maxDf` is the scale lever (the df-pruning of Bayardo et al.'s
+    * all-pairs similarity search, in its simplest form): terms in more
+    * than `maxDf` documents are dropped BEFORE the join, which (a)
+    * bounds every posting list — the join cost is Σ_term df², ≤
+    * vocab·maxDf² — and (b) removes exactly the stopword hot keys that
+    * would otherwise skew the term shuffle. Cosine is computed in the
+    * pruned vector space (norms over surviving terms), the standard
+    * stopword-removal-then-cosine semantics; the oracle replays the
+    * identical math.
+    *
+    * Shuffles: one term-granularity tf agg, one df agg, one
+    * posting-list self-join, one pair agg. Corpus-sized state never
+    * exceeds (doc, surviving-term) rows.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      minCosine: Double, maxDf: Long, shingle: Int = 1): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (got $maxDf): a term in " +
+      "fewer than 2 docs joins nothing; a bound below that prunes everything")
+    require(shingle >= 1, s"shingle must be >= 1, got $shingle")
+    val toks =
+      if (shingle == 1) tokenize(df, idCol, textCol)
+      else ngramOccurrences(df, idCol, textCol, shingle).select("doc_id", "tok")
+    val nDocs = df.agg(count(lit(1)).cast("double").as("_corpus_n"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val weighted = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * log(col("_corpus_n") / col("df")))
+      .select("doc_id", "tok", "w")
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("_norm"))
+    val wn = weighted.join(norms, "doc_id")
+      .select(col("doc_id"), col("tok"), (col("w") / col("_norm")).as("wn"))
+    wn.as("a")
+      .join(wn.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(col("a.wn") * col("b.wn")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** BM25 term scoring (the Robertson-family ranking function behind
     * Lucene/Elasticsearch defaults): per (doc, term),
     *

@@ -300,6 +300,23 @@ object LlmOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Sparse lexical similarity: all-pairs TF-IDF cosine over 2-word
+    * shingle vectors via the inverted-index equi-join (the lexical dual
+    * of q_cosine_topk). maxDf=50 is the posting-list bound — on this
+    * corpus it prunes nothing at the judged SFs (max bigram df is
+    * ~25), so the oracle sees the full vector space, while the SAME
+    * plan at web scale caps join cost at vocab·maxDf². Shingles rather
+    * than unigrams because the testdata vocabulary is 31 words, each
+    * in ~80% of docs — unigram df-pruning would delete the space.
+    */
+  val qSparseCosine: QueryFn = withTables { spark =>
+    TextAnalysis.sparseCosinePairs(
+        spark.table("documents").filter(col("doc_id") < 200),
+        "doc_id", "text", minCosine = 0.1, maxDf = 50, shingle = 2)
+      .select(col("i"), col("j"), round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("i", "j")
+  }
+
   /** L7: per-(lang, source) corpus statistics. */
   val qTextstats: QueryFn = withTables { spark =>
     TextAnalysis.textStats(spark.table("documents"), "text", Seq("lang", "source"))
@@ -809,6 +826,31 @@ object LlmOps {
       .orderBy("corpus", "doc_id")
   }
 
+  /** Temperature-based (α=0.5) multinomial mixture weights per source —
+    * the multilingual rebalancing diagnostic: draw probability
+    * n^α/Σn^α and implied epochs-per-source for a corpus-sized draw.
+    * One count shuffle; totals ride an in-plan one-row broadcast.
+    */
+  val qMixTemperature: QueryFn = withTables { spark =>
+    graft.operators.Sampling.temperatureWeights(
+        spark.table("documents"), "source", alpha = 0.5)
+      .select(col("source"), col("n"),
+        round(col("weight"), 6).cast("double").as("weight"),
+        round(col("epochs"), 6).cast("double").as("epochs"))
+      .orderBy("source")
+  }
+
+  /** Cross-document block dedup (line-level dedup restated for a
+    * newline-free corpus): 8-word blocks shared across docs survive
+    * only in their min-doc_id holder; docs are rebuilt from surviving
+    * blocks. Row-preserving — output has one row per input doc.
+    */
+  val qDedupBlocks: QueryFn = withTables { spark =>
+    Dedup.dedupBlocksAcrossDocs(spark.table("documents"), "doc_id", "text",
+        blockWords = 8)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/valid/test split, judged value-exact via the
     * portable draw: every row's assignment is replayed by the oracle.
     * Dyadic weights (0.75/0.125/0.125) make the cumulative cut points
@@ -986,7 +1028,10 @@ object LlmOps {
     "q_pack_offset" -> qPackOffset,
     "q_pack_bpe" -> qPackBpe,
     "q_mix_corpora" -> qMixCorpora,
+    "q_mix_temperature" -> qMixTemperature,
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_blocks" -> qDedupBlocks,
+    "q_sparse_cosine" -> qSparseCosine,
     "q_dedup_near_jaccard" -> qDedupNearJaccard,
     "q_dedup_lsh_jaccard" -> qDedupLshJaccard,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -1680,6 +1725,62 @@ object LlmOps {
     // same changelog through applyChangelog in three micro-batches, and
     // green here IS the judged claim that batch-fold == one-shot merge.
     "q_cdc_replay" -> cdcMergeOracle,
+
+    // Same formula tree: POWER(n,0.5)/z then *total then /n — division
+    // and multiplication order matches the Spark projection exactly.
+    "q_mix_temperature" -> """
+      WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY source),
+           z AS (SELECT SUM(POWER(n, 0.5)) AS z,
+                        CAST(SUM(n) AS DOUBLE) AS total FROM c)
+      SELECT source, n,
+             CAST(ROUND(POWER(n, 0.5) / z, 6) AS DOUBLE) AS weight,
+             CAST(ROUND(POWER(n, 0.5) / z * total / n, 6) AS DOUBLE) AS epochs
+      FROM c, z
+      ORDER BY source""",
+
+    // Blocks re-derived with RANGE + list slicing (1-based inclusive,
+    // the q_repeated_spans convention); keep rule and rebuild replayed
+    // verbatim: min-doc holder keeps, STRING_AGG in block order.
+    "q_dedup_blocks" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents),
+           b AS (SELECT doc_id, i AS bidx,
+                        ARRAY_TO_STRING(toks[i*8+1 : i*8+8], ' ') AS block
+                 FROM t, UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / 8.0) AS BIGINT))) r(i)),
+           h AS (SELECT block, MIN(doc_id) AS holder
+                 FROM (SELECT DISTINCT doc_id, block FROM b) GROUP BY block),
+           k AS (SELECT b.doc_id, b.bidx, b.block
+                 FROM b JOIN h USING (block) WHERE b.doc_id = h.holder)
+      SELECT t.doc_id AS doc_id,
+             COALESCE(STRING_AGG(k.block, ' ' ORDER BY k.bidx), '') AS clean_text
+      FROM t LEFT JOIN k ON t.doc_id = k.doc_id
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""",
+
+    // Identical TF-IDF cosine tree over 2-word shingles: w = tf*LN(N/df)
+    // in the df<=50 space, normalized per doc, summed over shared
+    // shingles; both engines filter on the UNROUNDED sum, then round.
+    "q_sparse_cosine" -> """
+      WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+           t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks FROM base),
+           sh AS (SELECT doc_id, ARRAY_TO_STRING(toks[i:i+1], ' ') AS tok
+                  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) r(i)),
+           n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_n FROM base),
+           tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM sh GROUP BY doc_id, tok),
+           dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM sh
+                     GROUP BY tok HAVING COUNT(DISTINCT doc_id) <= 50),
+           w AS (SELECT tf.doc_id, tf.tok, tf.tf * LN(n.corpus_n / dfreq.df) AS w
+                 FROM tf JOIN dfreq USING (tok), n),
+           nrm AS (SELECT doc_id, SQRT(SUM(w*w)) AS nrm FROM w GROUP BY doc_id),
+           wn AS (SELECT w.doc_id, w.tok, w.w / nrm.nrm AS wn
+                  FROM w JOIN nrm USING (doc_id))
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(ROUND(SUM(a.wn * b.wn), 6) AS DOUBLE) AS cos
+      FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING SUM(a.wn * b.wn) >= 0.1
+      ORDER BY i, j""",
 
     // Identical KL expression tree: p_s * LN(p_s / p_c), summed, then
     // rounded — term order differs across engines far below 6 dp.

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, size}
+import org.apache.spark.sql.functions.{col, length, size}
 
 import graft.operators.Dedup
 
@@ -232,5 +232,37 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(viaLsh === exact)
+  }
+
+  test("dedupBlocksAcrossDocs: shared blocks survive only in the min-doc holder") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa bb x1 y1"), // holds "aa bb"
+      (2L, "cc dd aa bb"), // loses "aa bb", keeps its unique block
+      (3L, "aa bb"),       // fully shared -> rebuilt empty
+      (4L, "zz qq"))       // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupBlocksAcrossDocs(df, "doc_id", "text", blockWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "aa bb x1 y1", 2L -> "cc dd", 3L -> "", 4L -> "zz qq"))
+  }
+
+  test("dedupBlocksAcrossDocs: short last block is a unit; rows preserved") {
+    import spark.implicits._
+    val df = Seq((1L, "aa bb cc"), (2L, "cc")).toDF("doc_id", "text")
+    val out = Dedup.dedupBlocksAcrossDocs(df, "doc_id", "text", blockWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 blocks [aa bb][cc]; doc 2's whole text is the shared "cc"
+    assert(out === Map(1L -> "aa bb cc", 2L -> ""))
+  }
+
+  test("dedupBlocksAcrossDocs on real docs: row-preserving, never grows a doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Dedup.dedupBlocksAcrossDocs(docs, "doc_id", "text", blockWords = 8)
+    assert(out.count() === docs.count())
+    val grew = out.join(docs, "doc_id")
+      .filter(length(col("clean_text")) > length(col("text"))).count()
+    assert(grew === 0L)
   }
 }

@@ -257,4 +257,29 @@ class SamplingSpec extends SparkTestBase {
       Seq("lang"), col("score"), 0.25).count()
     assert(again === kept.count())
   }
+
+  test("temperatureWeights: alpha=1 proportional, epochs=1; alpha<1 lifts the tail") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val prop = Sampling.temperatureWeights(docs, "source", alpha = 1.0).collect()
+    val total = prop.map(_.getAs[Long]("n")).sum.toDouble
+    prop.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") - r.getAs[Long]("n") / total) < 1e-12)
+      assert(math.abs(r.getAs[Double]("epochs") - 1.0) < 1e-12,
+        "alpha=1 implies exactly one pass over every source")
+    }
+    val temp = Sampling.temperatureWeights(docs, "source", alpha = 0.5)
+    assert(math.abs(temp.agg(sum("weight")).head.getDouble(0) - 1.0) < 1e-9,
+      "weights are a distribution at any alpha")
+    // alpha<1 compresses the head and lifts the tail: on a skewed
+    // grouping (sources are uniform in testdata, so skew is built from
+    // doc_id ranges) the small group's weight strictly grows vs
+    // proportional, the big group's shrinks
+    val skewed = docs.withColumn("grp",
+      when(col("doc_id") < 400, "big").otherwise("small"))
+    def weightsOf(a: Double): Map[String, Double] =
+      Sampling.temperatureWeights(skewed, "grp", a).collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    val pS = weightsOf(1.0); val tS = weightsOf(0.5)
+    assert(tS("small") > pS("small") && tS("big") < pS("big"))
+  }
 }

@@ -323,4 +323,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1L) < 2.5 * got(2L),
       s"k1 saturation must compress 4x tf below 2.5x score, got ${got(1L) / got(2L)}")
   }
+
+  test("sparseCosinePairs: identical docs cos~1, disjoint absent, maxDf prunes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb cc dd"),      // identical to 1 -> cos 1 on surviving terms
+      (3L, "ee ff gg hh"),      // disjoint -> no pair
+      (4L, "aa aa aa aa"))      // shares only the pruned hot term
+      .toDF("doc_id", "text")
+    // maxDf=2: "aa" is in 3 docs -> pruned; bb/cc/dd survive (df 2)
+    val pairs = TextAnalysis.sparseCosinePairs(df, "doc_id", "text",
+        minCosine = 0.01, maxDf = 2)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      "only the identical pair shares surviving terms")
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-9)
+  }
+
+  test("sparseCosinePairs on real docs: i<j, cos in (0,1], pairs only via shared shingles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val p = TextAnalysis.sparseCosinePairs(docs, "doc_id", "text",
+      minCosine = 0.05, maxDf = 50, shingle = 2).cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("i") >= col("j")).count() === 0L)
+    assert(p.filter(col("cos") > 1.000001 || col("cos") <= 0).count() === 0L)
+    p.unpersist()
+  }
 }
