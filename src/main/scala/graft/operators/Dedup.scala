@@ -38,13 +38,17 @@ object Dedup {
     * surviving blocks in order. Row-preserving: a fully-shared doc
     * comes back as ''.
     *
-    * Scale shape: block generation is per-row (one explode, no
-    * shuffle); the holder table is ONE hash agg on the block text;
-    * keep/cut is an equi-join of blocks against holders (both sides
-    * block-granularity — at petabyte scale key the join on
-    * xxhash64(block) to shrink the shuffle payload; text keys keep the
-    * judged path engine-portable); rebuild is one doc-keyed sort-agg.
-    * No step is ever pairwise in documents.
+    * Scale shape: block generation is per-row (ONE explode, no
+    * shuffle); holder resolution is a window MIN over the block
+    * partition — one shuffle on the block text, no self-join, the
+    * corpus is scanned once (an agg+join formulation was measured and
+    * costs a second Generate + a second block shuffle for the same
+    * answer). A boilerplate hot block concentrates its occurrences in
+    * one partition either way (the join dual shuffles the same rows to
+    * the same key) — at petabyte scale shuffle xxhash64(block) instead
+    * of the text to shrink the payload; text keys keep the judged path
+    * engine-portable. Rebuild is one doc-keyed sort-agg. No step is
+    * ever pairwise in documents.
     */
   def dedupBlocksAcrossDocs(df: DataFrame, idCol: String, textCol: String,
       blockWords: Int): DataFrame = {
@@ -56,9 +60,9 @@ object Dedup {
            |  sequence(0, cast(ceil(size(_toks) / ${blockWords}.0D) as int) - 1),
            |  b -> array_join(slice(_toks, b * $blockWords + 1, $blockWords), ' '))"""
           .stripMargin)).as(Seq("bidx", "block")))
-    val holders = blocks.select("doc_id", "block").distinct()
-      .groupBy("block").agg(min("doc_id").as("_holder"))
-    val kept = blocks.join(holders, "block")
+    val kept = blocks
+      .withColumn("_holder",
+        min("doc_id").over(Window.partitionBy("block")))
       .filter(col("doc_id") === col("_holder"))
     val rebuilt = kept.groupBy("doc_id")
       .agg(array_join(transform(array_sort(

@@ -285,6 +285,41 @@ class PlanSpec extends SparkTestBase {
     assert(!d.contains("CartesianProduct") && !d.contains("NestedLoop"), d)
   }
 
+  test("block dedup: ONE block explode, window holder, no self-join") {
+    val p = plan("q_dedup_blocks")
+    // the window formulation scans the corpus once: one Generate for
+    // the block explode (an agg+join dual costs two), no join at all
+    // for holder resolution
+    val tree = p.split("\n\n")(0)
+    assert("Generate".r.findAllIn(tree).size == 1,
+      s"block dedup must explode blocks exactly once:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // block window + doc rebuild + row-preserving join back (+
+    // presentation sort as range partitioning)
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges <= 3,
+      s"unexpected extra shuffles in block dedup ($hashExchanges):\n$p")
+  }
+
+  test("sparse cosine stays inverted-index equi-join shaped") {
+    val p = plan("q_sparse_cosine")
+    assert(!p.contains("CartesianProduct"),
+      s"sparse cosine must join through the term posting lists only:\n$p")
+    // the only nested-loops are replicas of the sanctioned ONE-ROW
+    // corpus-N attach (crossJoin(broadcast(count)) — the tfidf
+    // pattern; the weighted subtree appears once for norms and once
+    // per join side, so the attach shows up to 4 times). Every one
+    // must be a Cross BuildRight of that one-row aggregate; a nested
+    // loop between row-bearing sides would be a quadratic join.
+    val tree = p.split("\n\n")(0)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(tree).size
+    val crossBuild = "BroadcastNestedLoopJoin Cross BuildRight".r.findAllIn(tree).size
+    assert(nested == crossBuild && nested <= 4,
+      s"unexpected nested-loop joins ($nested, $crossBuild cross-build):\n$p")
+    // corpus N rides in-plan (broadcast), not a driver literal
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("no judged query collects to the driver mid-plan") {
     // structural guarantee: every queries() entry returns a DataFrame
     // whose plan tree Spark owns end-to-end; a driver-side collect in

@@ -784,4 +784,72 @@ class PropertySpec extends SparkTestBase {
       }
     })
   }
+
+  test("temperatureWeights laws: distribution, n-monotone, alpha=1 epochs=1") {
+    // arbitrary skewed group sizes (1..40 rows over <=4 groups)
+    val sizesGen = Gen.choose(1, 4).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(1, 40)))
+    val alphaGen = Gen.oneOf(0.25, 0.5, 0.75, 1.0)
+    check("temperature-weights")(Prop.forAll(sizesGen, alphaGen) { (sizes, a) =>
+      import spark.implicits._
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (0 until n).map(i => (s"g$g", i)) }
+      val out = graft.operators.Sampling
+        .temperatureWeights(rows.toDF("grp", "x"), "grp", a)
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n"),
+          r.getAs[Double]("weight"), r.getAs[Double]("epochs")))
+      val sumW = out.map(_._3).sum
+      val byN = out.sortBy(_._2)
+      val monotone = byN.zip(byN.tail).forall { case (s, b) => s._3 <= b._3 + 1e-12 }
+      val epochsLaw = a != 1.0 ||
+        out.forall(r => math.abs(r._4 - 1.0) < 1e-9)
+      math.abs(sumW - 1.0) < 1e-9 && monotone && epochsLaw
+    })
+  }
+
+  test("dedupBlocksAcrossDocs laws: row-preserving; clean blocks are an in-order subset") {
+    // tiny vocab + short docs => shared blocks are common
+    val docGen = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, docGen))
+    val w = 2
+    def blocksOf(text: String): List[String] =
+      text.split(" ", -1).toList.grouped(w).map(_.mkString(" ")).toList
+    check("dedup-blocks")(Prop.forAll(corpusGen) { docs =>
+      import spark.implicits._
+      val d = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Dedup
+        .dedupBlocksAcrossDocs(d, "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // model: holder of a block text = min doc containing it
+      val holder = docs.zipWithIndex
+        .flatMap { case (t, i) => blocksOf(t).map(_ -> i.toLong) }
+        .groupBy(_._1).map { case (b, occ) => b -> occ.map(_._2).min }
+      val expected = docs.zipWithIndex.map { case (t, i) =>
+        i.toLong -> blocksOf(t).filter(b => holder(b) == i.toLong)
+          .mkString(" ") }.toMap
+      out.size == docs.size && out == expected
+    })
+  }
+
+  test("sparseCosinePairs law: an exact duplicate doc pairs at cos 1") {
+    val docGen = Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+    val otherGen = Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ee", "ff", "gg")).map(_.mkString(" ")))
+    check("sparse-cosine-dup")(Prop.forAll(docGen, otherGen) { (t1, t2) =>
+      import spark.implicits._
+      // doc 3 duplicates doc 1: their pair must verify at cos ~ 1.
+      // doc 2 uses a DISJOINT vocabulary so no term reaches df == N —
+      // a universal term has idf = ln(N/N) = 0 and contributes nothing
+      // (plain tf-idf semantics; the judged query's maxDf < corpus
+      // size keeps it out of that regime by construction).
+      val d = Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+      val pairs = graft.operators.TextAnalysis
+        .sparseCosinePairs(d, "doc_id", "text", minCosine = 0.99, maxDf = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      pairs.exists(p => p._1 == 1L && p._2 == 3L && math.abs(p._3 - 1.0) < 1e-9)
+    })
+  }
 }
