@@ -451,6 +451,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
   }
 
+  /** Approximate decontamination score — the 100 TB dual of
+    * [[contamination]]: fraction of each training doc's DISTINCT
+    * n-gram shingles that hit a Bloom filter built over the eval
+    * set's shingles. The exact path broadcasts the eval shingle SET
+    * (fine while the eval suite is small); this one broadcasts a
+    * fixed-size bit array (MBs at any eval size, sized by
+    * `expectedShingles`/`fpp`), and the train side is ONE scan with a
+    * per-row probe — no join, no shuffle, no explode.
+    *
+    * Error is ONE-SIDED (Bloom false positives only): a contaminated
+    * shingle is never missed, so `score == 0` PROVES the doc clean,
+    * and `score >= exact fraction` always. Use it as the cheap first
+    * pass; send the score > 0 survivors (fpp-rate of the corpus)
+    * through [[contamination]] for exact adjudication.
+    *
+    * Docs with fewer than n tokens have no shingles and score 0.0 by
+    * contract (nothing to leak).
+    */
+  def contaminationScoreBloom(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      expectedShingles: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"shingle order must be >= 1, got $n")
+    val bloom = Dedup.shingles(evalSet, idCol, textCol, n)
+      .stat.bloomFilter("tok", expectedShingles, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val probe = udf { toks: Seq[String] =>
+      if (toks == null || toks.isEmpty) 0.0
+      else toks.count(t => bc.value.mightContainString(t)).toDouble / toks.size
+    }
+    val shingleArr = expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(size(_toks) - ${n - 1}, 0)),
+         |  i -> array_join(slice(_toks, i, $n), ' ')))""".stripMargin)
+    train
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("_toks"))
+      .select(col("doc_id"), probe(shingleArr).as("contamination_score"))
+  }
+
   /** Deterministic ~60-bit document fingerprint: polynomial rolling
     * hash over the TOKEN sequence (order-sensitive, unlike SimHash) —
     * two independent mod-prime rolling hashes combined as

@@ -324,6 +324,36 @@ class TextAnalysisSpec extends SparkTestBase {
       s"k1 saturation must compress 4x tf below 2.5x score, got ${got(1L) / got(2L)}")
   }
 
+  test("contaminationScoreBloom: one-sided error — never misses, zero proves clean") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val nsh = Dedup.shingles(train, "doc_id", "text", 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val exactFrac = TextAnalysis.contamination(train, evalSet, "doc_id", "text", 3)
+      .join(nsh, "doc_id")
+      .select(col("doc_id"), (col("n_shared") / col("nsh")).as("f"))
+    val score = TextAnalysis.contaminationScoreBloom(train, evalSet,
+      "doc_id", "text", 3, expectedShingles = 100000L, fpp = 1e-6)
+    val joined = score.join(exactFrac, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("contamination_score"),
+        coalesce(col("f"), lit(0.0)).as("f")).cache()
+    assert(joined.count() === train.count(), "row-preserving over train")
+    // no false negatives: the bloom score can only overshoot the truth
+    assert(joined.filter(col("contamination_score") < col("f") - 1e-9)
+      .count() === 0L)
+    assert(joined.filter(col("f") > 0 && col("contamination_score") === 0.0)
+      .count() === 0L, "score 0 must prove cleanliness")
+    // at fpp 1e-6 the flagged set is the exact set give or take a
+    // handful of fp docs
+    val exactPos = joined.filter(col("f") > 0).count()
+    val bloomPos = joined.filter(col("contamination_score") > 0).count()
+    assert(bloomPos >= exactPos && bloomPos <= exactPos + 5,
+      s"flagged sets should nearly coincide: exact=$exactPos bloom=$bloomPos")
+    joined.unpersist()
+  }
+
   test("sparseCosinePairs: identical docs cos~1, disjoint absent, maxDf prunes") {
     import spark.implicits._
     val df = Seq(
