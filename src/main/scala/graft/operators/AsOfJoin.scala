@@ -125,6 +125,41 @@ object AsOfJoin {
     carried.filter(col("_tag") === 1).drop("_t", "_tag")
   }
 
+  /** Backward as-of with a MATCH-VALIDITY bound — pandas merge_asof's
+    * `tolerance`: the latest right row at-or-before each left row
+    * counts only while `within(leftTime, matchedRightTime)` holds;
+    * a staler match leaves the payload null (the left row survives —
+    * this bounds STALENESS, it does not filter rows). `within` is a
+    * caller-shaped predicate so the bound works for any time type
+    * (e.g. `(l, r) => unix_micros(l) - unix_micros(r) <= lit(3600L *
+    * 1000000L)` for a one-hour staleness cap on timestamps).
+    *
+    * Same ONE-shuffle union+window kernel as [[asof]]: the matched
+    * right TIME rides the window as one more carried column, and the
+    * bound is a pure map-side mask after it — no second join, no
+    * candidate blow-up (the range-join formulation of tolerance
+    * explodes every in-window pair before re-aggregating).
+    */
+  def asofWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Map[String, String],
+      within: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    val Seq(matchT) = Cols.fresh("asofrt", 1, left, right)
+    val joined = asof(left,
+      right.withColumn(matchT, col(rightTime)),
+      key, leftTime, rightTime,
+      payload + (matchT -> matchT))
+    val ok = col(matchT).isNotNull && within(col(leftTime), col(matchT))
+    payload.values.foldLeft(joined) { (df, a) =>
+      df.withColumn(a, when(ok, col(a)))
+    }.drop(matchT)
+  }
+
   /** NEAREST as-of (pandas merge_asof direction='nearest'): the closer
     * of the backward and forward matches by absolute time distance;
     * ties (equidistant) go backward, matching pandas. Cost = both

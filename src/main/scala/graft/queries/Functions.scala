@@ -211,6 +211,22 @@ object Functions {
       SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.event_id""",
+
+    // J10-tolerance: the ASOF match masked by the same integer-micros
+    // staleness bound the Spark side applies (EPOCH_US == unix_micros).
+    "q_join_asof_tol" -> """
+      WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE event_type = 'click'),
+           m AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+                 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+      SELECT event_id, user_id, ts,
+             CASE WHEN click_ts IS NOT NULL
+                   AND EPOCH_US(ts) - EPOCH_US(click_ts) <= 21600000000
+                  THEN click_ts END AS click_ts
+      FROM m
+      ORDER BY event_id""",
   )
 
   /** U1: scalar UDF through the registered-function surface. */
@@ -291,12 +307,34 @@ object Functions {
       .orderBy("event_id")
   }
 
+  /** J10-tolerance (pandas merge_asof `tolerance`): the backward match
+    * counts only within a 6-hour staleness bound — older clicks leave
+    * the purchase unattributed (null payload, row kept). Same
+    * one-shuffle kernel + map-side mask; bound compared in integer
+    * micros on both engines.
+    */
+  val qJoinAsofTol: QueryFn = withTables { spark =>
+    val events = spark.table("events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts")
+    AsOfJoin.asofWithin(purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "click_ts"),
+        within = (l, r) =>
+          unix_micros(l) - unix_micros(r) <= lit(6L * 3600L * 1000000L))
+      .select("event_id", "user_id", "ts", "click_ts")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, QueryFn] =
     (sqlTexts ++ sparkOnlySql).map { case (k, v) => k -> QueryDefs.sql(v) } ++ Map(
       "q_udf_band" -> qUdfBand,
       "q_udaf_geomean" -> qUdafGeomean,
       "q_udtf_ngrams" -> qUdtfNgrams,
       "q_join_asof" -> qJoinAsof,
+      "q_join_asof_tol" -> qJoinAsofTol,
       "q_join_asof_forward" -> qJoinAsofForward,
       "q_join_asof_nearest" -> qJoinAsofNearest,
     )

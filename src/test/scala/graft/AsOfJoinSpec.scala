@@ -39,6 +39,45 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == ts("2024-01-01 10:00:00"))
   }
 
+  test("asofWithin: stale matches null out, rows survive, fresh matches keep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, unix_micros}
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),   // 30 min after match
+      (1L, ts("2024-01-01 12:00:00"), "stale"),   // 61 min after match
+      (2L, ts("2024-01-01 09:00:00"), "nomatch"), // no right row at all
+    ).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00")),
+      (1L, ts("2024-01-01 10:59:00")),
+    ).toDF("user_id", "ts")
+    val out = AsOfJoin.asofWithin(left, right, "user_id", "ts", "ts",
+        Map("ts" -> "m_ts"),
+        within = (l, r) =>
+          unix_micros(l) - unix_micros(r) <= lit(3600L * 1000000L))
+      .collect().map(r =>
+        (r.getAs[String]("name"), Option(r.getAs[Timestamp]("m_ts")))).toMap
+    assert(out.size === 3, "tolerance masks payloads, never drops rows")
+    assert(out("fresh").contains(ts("2024-01-01 09:30:00")))
+    assert(out("stale").isEmpty,
+      "the latest match violates the bound -> null, NOT a fallback to older rows")
+    assert(out("nomatch").isEmpty)
+  }
+
+  test("asofWithin at infinite tolerance equals plain asof") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val left = (1 to 60).map(i => ((i % 5).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"), s"r$i"))
+      .toDF("user_id", "ts", "name")
+    val right = (1 to 40).map(i => ((i % 7).toLong, ts(f"2024-01-01 ${i % 24}%02d:30:00")))
+      .toDF("user_id", "ts")
+    val plain = AsOfJoin.asof(left, right, "user_id", "ts", "ts", Map("ts" -> "m_ts"))
+    val tol = AsOfJoin.asofWithin(left, right, "user_id", "ts", "ts",
+      Map("ts" -> "m_ts"), within = (_, _) => lit(true))
+    assert(plain.exceptAll(tol).count() === 0L)
+    assert(tol.exceptAll(plain).count() === 0L)
+  }
+
   test("asof preserves left row count (left-outer semantics)") {
     import spark.implicits._
     val left = (1 to 100).map(i => ((i % 7).toLong, ts(f"2024-01-01 ${i % 24}%02d:00:00"), s"r$i"))
