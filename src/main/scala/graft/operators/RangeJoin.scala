@@ -40,4 +40,41 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(bin)
   }
+
+  /** INTERVAL-overlap join (both sides ranged — the genomics /
+    * session-overlap shape): every (left, right) pair whose CLOSED
+    * intervals intersect, `lLo <= rHi AND rLo <= lHi`. Spark plans the
+    * raw conjunction as a nested-loop too; both sides explode to their
+    * spanned bins and hash-join on the bin key.
+    *
+    * Unlike [[binned]] (where the point's single bin makes each true
+    * pair collide exactly once), two intervals can share SEVERAL bins,
+    * so the candidate pairs pass through one `dropDuplicates` on the
+    * caller-named id columns — pair-granularity state, the same
+    * distinct every banded dedup join in this repo carries.
+    *
+    * Cost: fan-out = span/binWidth + 1 per row per side; candidates =
+    * Σ_bin |L_bin|·|R_bin|. Pick binWidth near the typical span so
+    * both stay O(1)·rows, and the join is one shuffle per side on the
+    * bin key — the two-big-sides shape.
+    */
+  def overlapBinned(left: DataFrame, right: DataFrame,
+      lIdCol: String, lLoCol: String, lHiCol: String,
+      rIdCol: String, rLoCol: String, rHiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require((Seq(lIdCol, lLoCol, lHiCol) intersect Seq(rIdCol, rLoCol, rHiCol)).isEmpty,
+      "left and right column names must be disjoint (both survive in the output)")
+    val Seq(bin) = Cols.fresh("bin", 1, left, right)
+    def explodeBins(df: DataFrame, lo: String, hi: String) =
+      df.withColumn(bin, explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    explodeBins(left.select(lIdCol, lLoCol, lHiCol), lLoCol, lHiCol)
+      .join(explodeBins(right.select(rIdCol, rLoCol, rHiCol), rLoCol, rHiCol),
+        Seq(bin))
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol))
+      .drop(bin)
+      .dropDuplicates(lIdCol, rIdCol)
+  }
 }

@@ -735,6 +735,31 @@ object Core {
     * oracle states the same range predicate directly. PlanSpec pins
     * that no nested-loop join appears.
     */
+  /** J7c: INTERVAL-overlap join (both sides ranged) via two-sided
+    * binning — ±2000 price windows around each order vs generated
+    * 6000-wide bands; every overlapping pair with its overlap length.
+    * The raw conjunction would plan a nested loop; overlapBinned makes
+    * it a bin equi-join with pair-level dedup (RangeJoinSpec pins
+    * equality to the naive theta join on arbitrary intervals).
+    */
+  val qJoinOverlap: QueryFn = withTables { spark =>
+    val o = spark.table("orders").filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") - 2000.0).as("l_lo"),
+        (col("o_totalprice") + 2000.0).as("l_hi"))
+    val bands = spark.range(0, 112).select(
+      col("id").as("band_id"),
+      (col("id") * 4500.0).as("r_lo"),
+      (col("id") * 4500.0 + 6000.0).as("r_hi"))
+    graft.operators.RangeJoin.overlapBinned(o, bands,
+        "o_orderkey", "l_lo", "l_hi", "band_id", "r_lo", "r_hi",
+        binWidth = 5000L)
+      .select(col("o_orderkey"), col("band_id"),
+        round(least(col("l_hi"), col("r_hi")) - greatest(col("l_lo"), col("r_lo")), 2)
+          .cast("double").as("overlap"))
+      .orderBy("o_orderkey", "band_id")
+  }
+
   val qJoinRangeBinned: QueryFn = withTables { spark =>
     val intervals = spark.range(0, 150).select(
       col("id").as("band_id"),
@@ -773,6 +798,7 @@ object Core {
       "q_topk_custom" -> qTopkCustom,
       "q_sql_facade" -> qSqlFacade,
       "q_join_range_binned" -> qJoinRangeBinned,
+      "q_join_overlap" -> qJoinOverlap,
     )
 
   /** All §2.2–§2.7 oracle SQL. */
@@ -825,6 +851,21 @@ object Core {
       WHERE o_totalprice >= n * 3000.0 AND o_totalprice < n * 3000.0 + 7500.0
       GROUP BY n
       ORDER BY band_id""",
+
+    // J7c: the naive theta join the binned overlap must equal —
+    // closed-interval intersection, identical overlap arithmetic.
+    "q_join_overlap" -> """
+      WITH o AS (SELECT o_orderkey,
+                        o_totalprice - 2000.0 AS l_lo,
+                        o_totalprice + 2000.0 AS l_hi
+                 FROM orders WHERE o_orderkey < 1000),
+           b AS (SELECT n AS band_id, n * 4500.0 AS r_lo,
+                        n * 4500.0 + 6000.0 AS r_hi
+                 FROM UNNEST(RANGE(0, 112)) r(n))
+      SELECT o_orderkey, band_id,
+             CAST(ROUND(LEAST(l_hi, r_hi) - GREATEST(l_lo, r_lo), 2) AS DOUBLE) AS overlap
+      FROM o JOIN b ON l_lo <= r_hi AND r_lo <= l_hi
+      ORDER BY o_orderkey, band_id""",
 
     // same query over the canonical table names
     "q_sql_facade" -> """

@@ -168,6 +168,29 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("overlap join == naive theta join for arbitrary interval pairs") {
+    import spark.implicits._
+    // ids assigned by index: the id pair is the operator's pair
+    // identity (dropDuplicates key), so they must be unique per side
+    val ivGen = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(-60.0, 140.0), Gen.choose(0.0, 80.0))))
+    check("overlap-join-binned")(Prop.forAll(
+        ivGen, ivGen, Gen.oneOf(1L, 7L, 25L, 1000L)) { (ls, rs, w) =>
+      val left = ls.zipWithIndex.map { case ((lo, span), i) =>
+        (i.toLong, lo, lo + span) }.toDF("lid", "l_lo", "l_hi")
+      val right = rs.zipWithIndex.map { case ((lo, span), i) =>
+        (1000L + i, lo, lo + span) }.toDF("rid", "r_lo", "r_hi")
+      val naive = left.join(right,
+          col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+        .select("lid", "rid").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      val binned = graft.operators.RangeJoin
+        .overlapBinned(left, right, "lid", "l_lo", "l_hi",
+          "rid", "r_lo", "r_hi", w)
+        .select("lid", "rid").collect().map(_.toSeq).toSeq.sorted(RowOrd)
+      naive == binned
+    })
+  }
+
   test("capPerKey: bounded by k, deterministic, and a subset of the input") {
     import spark.implicits._
     check("cap-per-key")(Prop.forAll(rowsGen, Gen.choose(1, 5)) { (rows, k) =>
