@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling (the ANALYZE-style data-quality report): per-column
@@ -171,5 +172,36 @@ object Profiling {
         .withColumn("bucket", bucketOf(col(cc)))
         .drop(cc)
     }
+  }
+
+  /** Per-group Pearson AND Spearman correlation between two numeric
+    * columns — the monotone-association dual Pearson misses (Spearman
+    * is Pearson over AVERAGE ranks, the Kendall-free fractional-rank
+    * convention, so ties are handled exactly like pandas/SciPy).
+    *
+    * Shape: two rank windows (one sort per column within each group,
+    * the same shuffle) + one hash agg; average rank for a tie class
+    * of size c at min-rank r is r + (c-1)/2, built from RANK and a
+    * per-value COUNT window — no per-group collects, no second pass.
+    * NULL rows in either column are dropped up front (pairwise
+    * deletion, the pandas default).
+    */
+  def correlations(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val Seq(rx, ry) = Cols.fresh("rank", 2, df)
+    def avgRank(c: String): Column = {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(c))
+      val ties = Window.partitionBy((groupCols :+ c).map(col): _*)
+      rank().over(w) + (count(lit(1)).over(ties) - 1) / 2.0
+    }
+    clean
+      .withColumn(rx, avgRank(xCol))
+      .withColumn(ry, avgRank(yCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        corr(col(xCol), col(yCol)).as("pearson"),
+        corr(col(rx), col(ry)).as("spearman"),
+        count(lit(1)).as("n"))
   }
 }

@@ -116,4 +116,54 @@ object Resample {
         timestamp_seconds(col("_sec")).as("grid_ts"),
         col("_filled").as(valueCol))
   }
+
+  /** Per-key exponentially weighted moving average — pandas
+    * `groupby(key).ewm(alpha, adjust=False).mean()` parity: the
+    * recursive smoother y_0 = x_0, y_t = (1-α)·y_{t-1} + α·x_t over
+    * each key's rows in `orderCols` order (callers include a tiebreak
+    * column so the order is total — the repo's sessionize contract).
+    *
+    * A window cannot express the recurrence (each output feeds the
+    * next), and the closed-form rewrite Σ (1-α)^(t-i) x_i overflows
+    * (1-α)^(-i) for long series, so this is the ONE honest distributed
+    * shape: hash-repartition by key, sort within partitions, and a
+    * single streaming mapPartitions pass with O(1) state per key —
+    * exactly one shuffle, no materialized per-key buffers, series
+    * length unbounded. Null values propagate the previous EWMA
+    * unchanged (pandas ignore_na=True); output is null until the
+    * key's first non-null value.
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(orderCols.nonEmpty, "ewma needs at least one order column")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    val ki = df.schema.fieldIndex(keyCol)
+    val sorted = df
+      .repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .withColumn("_x", col(valueCol).cast("double"))
+    val vi = sorted.schema.fieldIndex("_x")
+    val out = sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var y: java.lang.Double = null
+      it.map { r =>
+        val k = r.get(ki)
+        if (!haveKey || k != curKey) { curKey = k; haveKey = true; y = null }
+        if (!r.isNullAt(vi)) {
+          val x = r.getDouble(vi)
+          y = if (y == null) x else (1.0 - alpha) * y + alpha * x
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(1) :+ (y: Any))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out
+  }
 }

@@ -378,6 +378,39 @@ object LlmOps {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** Per-user EWMA of event values (pandas ewm(alpha=0.3,
+    * adjust=False) parity): the recursive smoother runs as one
+    * streaming mapPartitions fold; the oracle replays the SAME
+    * recursion via WITH RECURSIVE with the identical IEEE expression
+    * tree, so the comparison is value-exact, not
+    * rounding-boundary-lucky. (ts, event_id) makes the order total.
+    */
+  val qEwma: QueryFn = withTables { spark =>
+    graft.operators.Resample.ewma(
+        spark.table("events").select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq("ts", "event_id"), "value", alpha = 0.3)
+      .select(col("event_id"), col("user_id"),
+        round(col("ewma"), 6).cast("double").as("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** Per-type Pearson + Spearman correlation of value against event
+    * time — "is this metric trending, and monotonically or linearly?"
+    * Time enters as SECONDS (identical double on both engines);
+    * Spearman is Pearson over average ranks, ties handled like
+    * pandas/SciPy.
+    */
+  val qCorr: QueryFn = withTables { spark =>
+    val e = spark.table("events")
+      .withColumn("t", unix_micros(col("ts")) / lit(1000000.0))
+    graft.operators.Profiling.correlations(e, Seq("event_type"), "value", "t")
+      .select(col("event_type"),
+        round(col("pearson"), 6).cast("double").as("pearson"),
+        round(col("spearman"), 6).cast("double").as("spearman"),
+        col("n"))
+      .orderBy("event_type")
+  }
+
   /** Linear-interpolation resample (pandas `interpolate()` parity):
     * judged against a DuckDB re-expression of the same two-directional
     * window kernel, rounded to 6 dp (division order differs from
@@ -1056,6 +1089,8 @@ object LlmOps {
     "q_quality_filter" -> qQualityFilter,
     "q_oov" -> qOov,
     "q_resample_ffill" -> qResampleFfill,
+    "q_ewma" -> qEwma,
+    "q_corr" -> qCorr,
     "q_resample_interp" -> qResampleInterp,
     "q_lang_id" -> qLangId,
     "q_redact_pii" -> qRedactPii,
@@ -1725,6 +1760,50 @@ object LlmOps {
     // same changelog through applyChangelog in three micro-batches, and
     // green here IS the judged claim that batch-fold == one-shot merge.
     "q_cdc_replay" -> cdcMergeOracle,
+
+    // The EXACT recursion replayed via WITH RECURSIVE — a closed-form
+    // rewrite was tried and is a trap here: finite-decimal alphas make
+    // true EWMA values land exactly on 6-dp rounding boundaries, where
+    // any re-summation diverges by one ulp and flips the round. Same
+    // IEEE tree as the Spark fold: (1.0 - 0.3) spelled as arithmetic
+    // (the literal 0.7 is a DIFFERENT double), y' = (1-α)·y + α·x.
+    "q_ewma" -> """
+      WITH RECURSIVE
+           e AS (SELECT event_id, user_id, value,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                 FROM events),
+           w AS (
+             SELECT event_id, user_id, rn, value AS y FROM e WHERE rn = 1
+             UNION ALL
+             SELECT e.event_id, e.user_id, e.rn,
+                    (1.0 - 0.3) * w.y + 0.3 * e.value
+             FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+      SELECT event_id, user_id,
+             CAST(ROUND(y, 6) AS DOUBLE) AS ewma
+      FROM w
+      ORDER BY event_id""",
+
+    // Identical rank construction (RANK + tie-class size -> average
+    // rank) and both engines' CORR is sample Pearson; time in seconds
+    // keeps the co-moment magnitudes tame.
+    "q_corr" -> """
+      WITH e AS (SELECT event_type, value,
+                        EPOCH_US(CAST(ts AS TIMESTAMP)) / 1000000.0 AS t
+                 FROM events),
+           r AS (SELECT event_type, value, t,
+                        RANK() OVER (PARTITION BY event_type ORDER BY value)
+                          + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0 AS rx,
+                        RANK() OVER (PARTITION BY event_type ORDER BY t)
+                          + (COUNT(*) OVER (PARTITION BY event_type, t) - 1) / 2.0 AS ry
+                 FROM e)
+      SELECT event_type,
+             CAST(ROUND(CORR(value, t), 6) AS DOUBLE) AS pearson,
+             CAST(ROUND(CORR(rx, ry), 6) AS DOUBLE) AS spearman,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM r
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     // Same formula tree: POWER(n,0.5)/z then *total then /n — division
     // and multiplication order matches the Spark projection exactly.

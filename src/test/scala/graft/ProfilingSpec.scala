@@ -121,4 +121,29 @@ class ProfilingSpec extends SparkTestBase {
     assert(approx.sum === 100L)
     assert(approx.forall(n => n >= 12L && n <= 40L), approx.toSeq.toString)
   }
+
+  test("correlations: monotone nonlinear -> spearman 1, pearson < 1; ties averaged") {
+    import spark.implicits._
+    // y = x^3: perfectly monotone (spearman exactly 1) but not linear
+    val mono = (1 to 20).map(i => ("m", i.toDouble, math.pow(i, 3)))
+    // anti-monotone with TIES in x: two x values repeat; Spearman must
+    // use average ranks (SciPy convention) — hand-checked value below
+    val tied = Seq(
+      ("t", 1.0, 9.0), ("t", 1.0, 8.0), ("t", 2.0, 7.0),
+      ("t", 3.0, 6.0), ("t", 3.0, 5.0))
+    val df = (mono ++ tied).toDF("g", "x", "y")
+    val out = graft.operators.Profiling.correlations(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val (pm, sm, nm) = out("m")
+    assert(nm === 20L)
+    assert(math.abs(sm - 1.0) < 1e-12, s"monotone => spearman 1, got $sm")
+    assert(pm < 0.95, s"cubic is not linear: pearson $pm")
+    val (_, st, nt) = out("t")
+    assert(nt === 5L)
+    // hand-computed: rx=[1.5,1.5,3,4.5,4.5], ry=[5,4,3,2,1] ->
+    // cov=-9, sd_x=3, sd_y=sqrt(10) -> r = -3/sqrt(10)
+    assert(math.abs(st - (-3.0 / math.sqrt(10.0))) < 1e-12,
+      s"tied spearman $st")
+  }
 }

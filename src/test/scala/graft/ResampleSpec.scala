@@ -44,4 +44,36 @@ class ResampleSpec extends SparkTestBase {
       (2L, 0L, None),
     ))
   }
+
+  test("ewma matches the hand recursion; nulls carry; keys independent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, Some(10.0)),
+      (1L, 1L, Some(20.0)),   // 0.7*10 + 0.3*20 = 13
+      (1L, 2L, None),         // null: carries 13
+      (1L, 3L, Some(3.0)),    // 0.7*13 + 0.3*3 = 10
+      (2L, 0L, None),         // leading null: no value yet -> null out
+      (2L, 1L, Some(8.0)),    // first real value seeds
+    ).toDF("k", "o", "x")
+    val out = graft.operators.Resample.ewma(df, "k", Seq("o"), "x", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out((1L, 0L)) === Some(10.0))
+    assert(out((1L, 1L)).exists(v => math.abs(v - 13.0) < 1e-12))
+    assert(out((1L, 2L)) === out((1L, 1L)), "null propagates the prior EWMA")
+    assert(out((1L, 3L)).exists(v => math.abs(v - 10.0) < 1e-12))
+    assert(out((2L, 0L)) === None, "no value seen yet -> null")
+    assert(out((2L, 1L)) === Some(8.0), "first non-null seeds the smoother")
+  }
+
+  test("ewma is deterministic under input partitioning") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i =>
+      ((i % 7).toLong, i.toLong, (i * 37 % 101).toDouble))
+    val a = graft.operators.Resample
+      .ewma(rows.toDF("k", "o", "x"), "k", Seq("o"), "x", 0.3)
+    val b = graft.operators.Resample
+      .ewma(rows.reverse.toDF("k", "o", "x").repartition(13), "k", Seq("o"), "x", 0.3)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
 }
