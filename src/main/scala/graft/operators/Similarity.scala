@@ -114,6 +114,65 @@ object Similarity {
       .select("id1", "rank", "id2", "cos")
   }
 
+  /** kNN label agreement — the confident-learning noisy-label signal:
+    * for each row, the fraction of its k nearest neighbors (embedding
+    * cosine) that share its label. Low agreement flags probable
+    * mislabels or class-boundary noise before the batch trains.
+    *
+    * Shape: the neighbor list (from [[knn]] here — swap in probeSearch
+    * / IvfIndex.search for the unbounded regimes, the output contract
+    * is the same (id, rank, neighbor) shape) + two id-keyed label
+    * joins + one per-id agg. Labels are a projection of the input, so
+    * both joins broadcast at dim-table size or hash-join id-keyed at
+    * scale — never row×row.
+    */
+  def knnLabelAgreement(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val nn = knn(emb, idCol, vecCol, k)
+    val labels = emb.select(col(idCol), col(labelCol))
+    nn
+      .join(labels.select(col(idCol).as("id1"), col(labelCol).as("_l1")), "id1")
+      .join(labels.select(col(idCol).as("id2"), col(labelCol).as("_l2")), "id2")
+      .groupBy(col("id1"), col("_l1").as(labelCol))
+      .agg(avg(when(col("_l1") === col("_l2"), 1.0).otherwise(0.0))
+        .as("agreement"),
+        count(lit(1)).as("n_neighbors"))
+      .withColumnRenamed("id1", idCol)
+  }
+
+  /** Cosine of every vector to its LABEL CENTROID (the VectorMeanAgg
+    * mean) — the embedding-space outlier signal: low centroid cosine
+    * marks vectors far from their class's mass (mislabels, drift,
+    * garbage rows). One mean-agg shuffle (label-count-sized output,
+    * broadcast back) + a per-row kernel.
+    *
+    * `quantized = true` is the oracle-replayable judged regime: the
+    * centroid is rounded to scale-4 (the q_pool_mean pin, making both
+    * engines' centroids IDENTICAL doubles) and the cosine folds in
+    * float64 in positional order — deterministic cross-engine. The
+    * default path keeps full precision and the codegen float kernel.
+    */
+  def centroidCosine(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, quantized: Boolean = false): DataFrame = {
+    val cents = emb.groupBy(col(labelCol))
+      .agg(graft.functions.VectorMeanAgg.vectorMean(col(vecCol)).as("_cent"))
+    val joined = emb.select(col(idCol), col(labelCol), col(vecCol))
+      .join(broadcast(cents), Seq(labelCol))
+    val cosCol =
+      if (!quantized)
+        VectorExpressions.cosine(col(vecCol), col("_cent").cast("array<float>"))
+      else expr(
+        s"""aggregate(zip_with(cast(`$vecCol` as array<double>),
+           |            transform(_cent, x -> round(x * 10000) / 10000),
+           |            (x, y) -> x * y), 0D, (a, x) -> a + x)
+           | / (sqrt(aggregate(transform(cast(`$vecCol` as array<double>),
+           |            x -> x * x), 0D, (a, x) -> a + x))
+           |    * sqrt(aggregate(transform(
+           |            transform(_cent, x -> round(x * 10000) / 10000),
+           |            x -> x * x), 0D, (a, x) -> a + x)))""".stripMargin)
+    joined.select(col(idCol), col(labelCol), cosCol.as("centroid_cos"))
+  }
+
   /** Exact top-k corpus neighbors for each probe vector: broadcast the
     * (small) probe set, stream the corpus ONCE, rank per probe. Linear
     * in corpus size with no shuffle of the corpus rows beyond the final

@@ -145,6 +145,33 @@ object LlmOps {
       .orderBy("id1", "rnk")
   }
 
+  /** kNN label agreement (k=10): the confident-learning noisy-label
+    * score, judged on the full neighbor graph. Agreement values are
+    * multiples of 1/k — rounding-robust by construction.
+    */
+  val qLabelAgreement: QueryFn = withTables { spark =>
+    Similarity.knnLabelAgreement(
+        spark.table("embeddings"), "vec_id", "embedding", "label", k = 10)
+      .select(col("vec_id"), col("label"),
+        round(col("agreement"), 6).cast("double").as("agreement"),
+        col("n_neighbors"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-vector cosine to the label centroid (embedding outlier
+    * signal), judged in the quantized regime: scale-4 centroids make
+    * both engines' centroid IDENTICAL doubles (the q_pool_mean pin),
+    * and the cosine folds in float64.
+    */
+  val qCentroidCos: QueryFn = withTables { spark =>
+    Similarity.centroidCosine(
+        spark.table("embeddings"), "vec_id", "embedding", "label",
+        quantized = true)
+      .select(col("vec_id"), col("label"),
+        round(col("centroid_cos"), 6).cast("double").as("centroid_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Probe-set similarity search: top-5 corpus neighbors for each of 20
     * probe vectors. Broadcast probes × ONE corpus pass — the exact
     * search shape that stays linear at 100 TB (unlike all-pairs).
@@ -1074,6 +1101,8 @@ object LlmOps {
     "q_dedup_near_embedding" -> qDedupNearEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_pergroup" -> qKnnPergroup,
+    "q_label_agreement" -> qLabelAgreement,
+    "q_centroid_cos" -> qCentroidCos,
     "q_simsearch_probe" -> qSimsearchProbe,
     "q_simsearch_quantized" -> qSimsearchQuantized,
     "q_random_projection" -> qRandomProjection,
@@ -1431,6 +1460,45 @@ object LlmOps {
       SELECT id1, rnk, id2, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
       FROM rk WHERE rnk <= 5
       ORDER BY id1, rnk""",
+
+    // The same neighbor graph at k=10, joined back to labels.
+    "q_label_agreement" -> """
+      WITH pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      rk AS (
+        SELECT id1, id2,
+               ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rnk
+        FROM pairs),
+      nn AS (SELECT id1, id2 FROM rk WHERE rnk <= 10)
+      SELECT nn.id1 AS vec_id, la.label,
+             CAST(ROUND(AVG(CASE WHEN la.label = lb.label THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS agreement,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      FROM nn
+      JOIN embeddings la ON nn.id1 = la.vec_id
+      JOIN embeddings lb ON nn.id2 = lb.vec_id
+      GROUP BY nn.id1, la.label
+      ORDER BY vec_id""",
+
+    // Scale-4 centroid (the q_pool_mean pin) -> identical doubles both
+    // engines; cosine re-derived per position in float64.
+    "q_centroid_cos" -> """
+      WITH c AS (SELECT label, i,
+                        ROUND(AVG(CAST(embedding[i] AS DOUBLE)) * 10000) / 10000 AS m
+                 FROM embeddings, UNNEST(RANGE(1, 65)) t(i)
+                 GROUP BY label, i),
+      parts AS (SELECT e.vec_id, e.label,
+                       SUM(CAST(e.embedding[c.i] AS DOUBLE) * c.m) AS dot,
+                       SUM(CAST(e.embedding[c.i] AS DOUBLE)
+                           * CAST(e.embedding[c.i] AS DOUBLE)) AS n1,
+                       SUM(c.m * c.m) AS n2
+                FROM embeddings e JOIN c ON e.label = c.label
+                GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label,
+             CAST(ROUND(dot / (SQRT(n1) * SQRT(n2)), 6) AS DOUBLE) AS centroid_cos
+      FROM parts
+      ORDER BY vec_id""",
 
     "q_simsearch_probe" -> """
       WITH pairs AS (

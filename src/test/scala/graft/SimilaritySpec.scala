@@ -263,4 +263,40 @@ class SimilaritySpec extends SparkTestBase {
         s"${r.getString(0)}: approx $approx vs exact $exact out of 5% bound")
     }
   }
+
+  test("knnLabelAgreement: a planted mislabel scores low, clean rows high") {
+    import org.apache.spark.sql.functions._
+    // label = cluster id, except vector 0 is mislabeled into cluster 29:
+    // its k=3 nearest neighbors are its own cluster-0 siblings -> 0.0
+    // agreement; clean vectors' neighbors are their 3 siblings -> 1.0
+    val labeled = clustered.withColumn("label",
+      when(col("vec_id") === 0L, lit(29)).otherwise((col("vec_id") / 4).cast("int")))
+    val out = Similarity
+      .knnLabelAgreement(labeled, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("agreement"))
+      .toMap
+    assert(out.size === 120)
+    assert(out(0L) === 0.0, "the planted mislabel disagrees with all neighbors")
+    val clean = out.filter(_._1 >= 4L) // cluster 0 neighbors see the mislabel
+    assert(clean.values.count(_ == 1.0) >= 110,
+      "clean clustered rows agree with their sibling neighbors")
+  }
+
+  test("centroidCosine: centroid members score near 1; quantized regime agrees") {
+    val labeled = clustered.withColumn("label",
+      (org.apache.spark.sql.functions.col("vec_id") / 4).cast("int"))
+    val full = Similarity.centroidCosine(labeled, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("centroid_cos")).toMap
+    assert(full.size === 120)
+    // perturbations are 5% of a unit-ish base: every member hugs its centroid
+    assert(full.values.forall(_ > 0.97), s"min=${full.values.min}")
+    val quant = Similarity
+      .centroidCosine(labeled, "vec_id", "embedding", "label", quantized = true)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("centroid_cos")).toMap
+    assert(full.keySet === quant.keySet)
+    full.foreach { case (id, c) =>
+      assert(math.abs(c - quant(id)) < 1e-3,
+        s"quantized regime must track the float kernel: $id $c vs ${quant(id)}")
+    }
+  }
 }
