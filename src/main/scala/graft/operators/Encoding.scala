@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering encoders — the training-prep transforms a
+  * pipeline runs between curation and tensorization: one-hot for
+  * bounded categoricals, the hashing trick for unbounded token
+  * spaces, leave-one-out target encoding for high-cardinality
+  * categoricals.
+  *
+  * All three are deterministic and oracle-replayable: one-hot and
+  * target encoding are pure relational algebra; feature hashing uses
+  * the md5-portable draw (the mixCorpora/splitPortable family) so an
+  * external engine derives the identical dimension and sign per
+  * token.
+  */
+object Encoding {
+
+  /** One-hot encode `colName` into one 0/1 int column per entry of
+    * `values` (named `<prefix>_<value>`). The vocabulary is
+    * CALLER-PINNED: at scale the value set comes from a profiling
+    * pass or a schema contract, never a silent driver collect mid
+    * plan — and a pinned list keeps train/serve skew impossible.
+    * Unseen values encode as all zeros (handle-unknown = ignore);
+    * NULL encodes as all zeros too.
+    *
+    * Pure per-row projections at the scan — no shuffle, no state.
+    */
+  def oneHot(df: DataFrame, colName: String, values: Seq[String],
+      prefix: Option[String] = None): DataFrame = {
+    require(values.nonEmpty, "oneHot needs a pinned, non-empty vocabulary")
+    require(values.distinct.size == values.size,
+      s"oneHot vocabulary has duplicates: ${values.mkString(",")}")
+    val pre = prefix.getOrElse(colName)
+    values.foldLeft(df) { (d, v) =>
+      d.withColumn(s"${pre}_$v",
+        when(col(colName) === v, 1).otherwise(0))
+    }
+  }
+
+  /** Hashing-trick token features (Weinberger et al. — the
+    * fixed-dimension encoder for unbounded vocabularies): each token
+    * occurrence votes ±1 into dimension md5(token) mod `dim`, sign
+    * from the next md5 hex digit's parity (the signed variant that
+    * keeps collision noise zero-mean). Output is the sparse form —
+    * one (doc_id, dim, weight) row per touched dimension — ready for
+    * a groupBy-free pivot or a sparse tensor writer.
+    *
+    * Scale shape: per-row tokenize + hash (pushes to the scan), ONE
+    * (doc, dim)-granularity hash agg. No vocabulary state anywhere —
+    * that is the point of the trick.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("_h", conv(substring(md5(col("tok")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("_sgn", when(
+        conv(substring(md5(col("tok")), 16, 1), 16, 10).cast("long") % 2 === 0,
+        1.0).otherwise(-1.0))
+      .groupBy(col("doc_id"), (col("_h") % dim).as("dim"))
+      .agg(sum(col("_sgn")).as("weight"))
+  }
+
+  /** Leave-one-out target encoding for a categorical column: each
+    * row's encoding is the target mean of its category EXCLUDING the
+    * row itself — (sum_cat - y) / (n_cat - 1) — the standard
+    * leakage-guard (plain mean encoding lets each row see its own
+    * label). Singleton categories fall back to the global mean.
+    *
+    * Shape: one category-sized agg joined back (broadcast while the
+    * category table is dim-sized; drop the hint and it degrades to an
+    * ordinary key-shuffle join at extreme cardinality) + the global
+    * mean as a one-row in-plan broadcast. No per-row second pass.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+      outCol: String = "te"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val Seq(s, n, g) = Cols.fresh("te", 3, df)
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(col(targetCol)).as(s), count(lit(1)).as(n))
+    val global = df.agg(avg(col(targetCol)).as(g))
+    df.join(broadcast(stats), Seq(catCol))
+      .crossJoin(broadcast(global))
+      .withColumn(outCol,
+        when(col(n) > 1, (col(s) - col(targetCol)) / (col(n) - 1))
+          .otherwise(col(g)))
+      .drop(s, n, g)
+  }
+}

@@ -166,4 +166,39 @@ object Resample {
     }(org.apache.spark.sql.Encoders.row(schema))
     out
   }
+
+  /** Input/output rows for [[ewmaStream]]. */
+  case class EwmaEvent(key: Long, event_id: Long, orderMicros: Long, x: Double)
+  case class EwmaOut(key: Long, event_id: Long, ewma: Double)
+  private[operators] case class EwmaState(y: Double)
+
+  /** Streaming-legal [[ewma]]: the live dual keeps ONE double per key
+    * in the state store and folds each micro-batch's (order-sorted)
+    * values through the SAME IEEE expression `(1-α)·y + α·x` — so the
+    * streamed smoother is bit-identical to the batch fold (pinned in
+    * ResampleSpec), exactly the sessionizeStream contract: correct
+    * when per-key order is non-decreasing across micro-batches; pair
+    * with a watermark upstream to bound disorder. State is O(1) per
+    * key regardless of history.
+    */
+  def ewmaStream(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      alpha: Double): org.apache.spark.sql.Dataset[EwmaOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, evs: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var y: java.lang.Double = state.getOption.map(s => Double.box(s.y)).orNull
+          val out = sorted.map { e =>
+            y = if (y == null) e.x else (1.0 - alpha) * y + alpha * e.x
+            EwmaOut(key, e.event_id, y)
+          }
+          if (y != null && sorted.nonEmpty) state.update(EwmaState(y))
+          out.iterator
+      }
+  }
 }

@@ -911,6 +911,41 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** One-hot encoding over the pinned language vocabulary — pure
+    * per-row projections at the scan; the vocabulary is pinned in the
+    * query (the production contract: profiling pass or schema, never a
+    * mid-plan collect).
+    */
+  val qOnehot: QueryFn = withTables { spark =>
+    graft.operators.Encoding.oneHot(
+        spark.table("documents").select("doc_id", "lang"),
+        "lang", Seq("de", "en", "es", "fr", "zh"))
+      .orderBy("doc_id")
+  }
+
+  /** Hashing-trick features (dim 64, md5-portable index + sign),
+    * judged value-exact: weights are sums of ±1, so no rounding is
+    * even needed.
+    */
+  val qFeatureHash: QueryFn = withTables { spark =>
+    graft.operators.Encoding.featureHash(
+        spark.table("documents"), "doc_id", "text", dim = 64)
+      .orderBy("doc_id", "dim")
+  }
+
+  /** Leave-one-out target encoding of order priority against total
+    * price — the leakage-guarded mean encoding. Rounded to 4 dp (the
+    * geomean float-sum precedent).
+    */
+  val qTargetEncode: QueryFn = withTables { spark =>
+    graft.operators.Encoding.targetEncodeLoo(
+        spark.table("orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("te"), 4).cast("double").as("te"))
+      .orderBy("o_orderkey")
+  }
+
   /** Deterministic train/valid/test split, judged value-exact via the
     * portable draw: every row's assignment is replayed by the oracle.
     * Dyadic weights (0.75/0.125/0.125) make the cumulative cut points
@@ -1089,6 +1124,9 @@ object LlmOps {
     "q_pack_bpe" -> qPackBpe,
     "q_mix_corpora" -> qMixCorpora,
     "q_mix_temperature" -> qMixTemperature,
+    "q_onehot" -> qOnehot,
+    "q_feature_hash" -> qFeatureHash,
+    "q_target_encode" -> qTargetEncode,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_blocks" -> qDedupBlocks,
     "q_sparse_cosine" -> qSparseCosine,
@@ -1872,6 +1910,47 @@ object LlmOps {
       FROM r
       GROUP BY event_type
       ORDER BY event_type""",
+
+    // The same pinned vocabulary spelled as CASE columns.
+    "q_onehot" -> """
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS lang_de,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+             CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lang_es,
+             CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS lang_fr,
+             CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS lang_zh
+      FROM documents
+      ORDER BY doc_id""",
+
+    // Same md5-portable index (first 15 hex chars mod dim) and sign
+    // (16th hex digit parity) per token occurrence.
+    "q_feature_hash" -> """
+      WITH toks AS (SELECT doc_id,
+                           UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+                    FROM documents),
+           h AS (SELECT doc_id,
+                        ('0x' || SUBSTR(MD5(tok), 1, 15))::BIGINT % 64 AS dim,
+                        CASE WHEN ('0x' || SUBSTR(MD5(tok), 16, 1))::BIGINT % 2 = 0
+                             THEN 1.0 ELSE -1.0 END AS sgn
+                 FROM toks WHERE tok <> '')
+      SELECT doc_id, dim, CAST(SUM(sgn) AS DOUBLE) AS weight
+      FROM h
+      GROUP BY doc_id, dim
+      ORDER BY doc_id, dim""",
+
+    // LOO mean re-derived: (category sum - own y) / (n - 1), global
+    // mean for singletons (none in this data, stated for parity).
+    "q_target_encode" -> """
+      WITH s AS (SELECT o_orderpriority, SUM(o_totalprice) AS sm,
+                        COUNT(*) AS n
+                 FROM orders GROUP BY o_orderpriority),
+           g AS (SELECT AVG(o_totalprice) AS gm FROM orders)
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(ROUND(CASE WHEN s.n > 1
+                             THEN (s.sm - o.o_totalprice) / (s.n - 1)
+                             ELSE g.gm END, 4) AS DOUBLE) AS te
+      FROM orders o JOIN s USING (o_orderpriority), g
+      ORDER BY o.o_orderkey""",
 
     // Same formula tree: POWER(n,0.5)/z then *total then /n — division
     // and multiplication order matches the Spark projection exactly.

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Encoding
+
+/** Hand-computed semantics for the feature encoders. */
+class EncodingSpec extends SparkTestBase {
+
+  test("oneHot: pinned vocab, unknown and null encode as all zeros") {
+    import spark.implicits._
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "xx"), (4L, null))
+      .toDF("id", "lang")
+    val out = Encoding.oneHot(df, "lang", Seq("de", "en"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("lang_de"), r.getAs[Int]("lang_en"))).toMap
+    assert(out === Map(1L -> ((0, 1)), 2L -> ((1, 0)),
+      3L -> ((0, 0)), 4L -> ((0, 0))))
+  }
+
+  test("featureHash: repeated token accumulates; deterministic; dims bounded") {
+    import spark.implicits._
+    val df = Seq((1L, "spark spark spark"), (2L, "spark"), (3L, ""))
+      .toDF("id", "text")
+    val out = Encoding.featureHash(df, "id", "text", dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDoc = out.groupBy(_._1)
+    // one token, one dimension: |weight| = occurrence count, same dim
+    // and sign for both docs (md5 is content-only)
+    assert(byDoc(1L).length === 1 && byDoc(2L).length === 1)
+    val (d1, d2) = (byDoc(1L).head, byDoc(2L).head)
+    assert(d1._2 === d2._2 && math.abs(d1._3) === 3.0 && math.abs(d2._3) === 1.0)
+    assert(math.signum(d1._3) === math.signum(d2._3))
+    assert(!byDoc.contains(3L), "empty text has no features")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16))
+  }
+
+  test("featureHash on real docs: dims within range, total |weight| <= tokens") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fh = Encoding.featureHash(docs, "doc_id", "text", dim = 64).cache()
+    assert(fh.filter(col("dim") < 0 || col("dim") >= 64).count() === 0L)
+    val mass = fh.groupBy("doc_id").agg(sum(abs(col("weight"))).as("m"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("n")), "doc_id")
+    assert(mass.filter(col("m") > col("n")).count() === 0L,
+      "signed collisions can only cancel mass, never create it")
+    fh.unpersist()
+  }
+
+  test("targetEncodeLoo: leave-one-out means; singleton falls back to global") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("cat", "y")
+    val out = Encoding.targetEncodeLoo(df, "cat", "y")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 1.0)) === 2.5) // (2+3)/2
+    assert(out(("a", 2.0)) === 2.0) // (1+3)/2
+    assert(out(("a", 3.0)) === 1.5) // (1+2)/2
+    assert(out(("b", 10.0)) === 4.0, "singleton -> global mean (1+2+3+10)/4")
+  }
+}

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, unix_micros}
+
 import graft.operators.Resample
 
 /** Hand-computed interpolation/ffill semantics for the resample
@@ -64,6 +66,42 @@ class ResampleSpec extends SparkTestBase {
     assert(out((1L, 3L)).exists(v => math.abs(v - 10.0) < 1e-12))
     assert(out((2L, 0L)) === None, "no value seen yet -> null")
     assert(out((2L, 1L)) === Some(8.0), "first non-null seeds the smoother")
+  }
+
+  test("streaming ewma == batch ewma bit-for-bit on the real events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.Resample.EwmaEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("k"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double").as("x"))
+    val batch = graft.operators.Resample
+      .ewma(events, "k", Seq("us", "eid"), "x", 0.3)
+      .select(col("k"), col("eid"), col("ewma"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val ordered = events.orderBy("us", "eid").collect()
+      .map(r => EwmaEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val input = MemoryStream[EwmaEvent]
+    val q = graft.operators.Resample.ewmaStream(input.toDS(), 0.3)
+      .toDF("k", "eid", "ewma")
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    input.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ewma_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch,
+      "the O(1)-state streaming fold must equal the batch fold exactly")
   }
 
   test("ewma is deterministic under input partitioning") {
