@@ -911,6 +911,32 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END curation pipeline, judged as ONE composed plan:
+    * normalize → quality gate (>= 0.85 on the normalized text) →
+    * exact dedup (keep min doc_id per normalized text) → deterministic
+    * train/valid/test split. The point is compositionality: four
+    * library operators chain into a single Catalyst plan (scan-level
+    * regexp chain, per-row score filter, one dedup agg + semi-join
+    * shape, per-row split draw) and the oracle replays the whole
+    * pipeline as chained CTEs. The gate compares the UNROUNDED score —
+    * pure integer-length arithmetic, identical doubles both engines.
+    */
+  val qPipelineCurate: QueryFn = withTables { spark =>
+    val normed = spark.table("documents")
+      .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
+    val gated = normed
+      .withColumn("q", TextAnalysis.qualityScore(col("norm")))
+      .filter(col("q") >= 0.85)
+    val keep = Dedup.exact(gated, "doc_id", Seq("norm"))
+      .select(col("keep_id").as("doc_id"))
+    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    graft.operators.Sampling.splitPortable(deduped, "doc_id",
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+      .select(col("doc_id"),
+        round(col("q"), 6).cast("double").as("quality"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** One-hot encoding over the pinned language vocabulary — pure
     * per-row projections at the scan; the vocabulary is pinned in the
     * query (the production contract: profiling pass or schema, never a
@@ -1124,6 +1150,7 @@ object LlmOps {
     "q_pack_bpe" -> qPackBpe,
     "q_mix_corpora" -> qMixCorpora,
     "q_mix_temperature" -> qMixTemperature,
+    "q_pipeline_curate" -> qPipelineCurate,
     "q_onehot" -> qOnehot,
     "q_feature_hash" -> qFeatureHash,
     "q_target_encode" -> qTargetEncode,
@@ -1910,6 +1937,33 @@ object LlmOps {
       FROM r
       GROUP BY event_type
       ORDER BY event_type""",
+
+    // The full pipeline replayed as chained CTEs: normalize chain,
+    // quality over the NORMALIZED text, unrounded gate, min-doc dedup,
+    // md5-portable split.
+    "q_pipeline_curate" -> """
+      WITH n AS (SELECT doc_id,
+                        TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                          LOWER(text), '[^a-z0-9 ]', ' ', 'g'),
+                          ' +', ' ', 'g')) AS norm
+                 FROM documents),
+           q AS (SELECT doc_id, norm,
+                        LEAST(1.0, (LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1) / 50.0) * 0.5
+                        + LEAST(1.0, (LENGTH(REPLACE(norm, ' ', '')) * 1.0
+                            / (LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1)) / 5.0) * 0.5 AS q
+                 FROM n),
+           f AS (SELECT * FROM q WHERE q >= 0.85),
+           k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY norm),
+           d AS (SELECT f.doc_id, f.q FROM f JOIN k USING (doc_id))
+      SELECT doc_id, CAST(ROUND(q, 6) AS DOUBLE) AS quality,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, q,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS u
+            FROM d)
+      ORDER BY doc_id""",
 
     // The same pinned vocabulary spelled as CASE columns.
     "q_onehot" -> """

@@ -150,6 +150,29 @@ class ScaleProbeSpec extends SparkTestBase {
     e1.unpersist(); eN.unpersist(); base.unpersist()
   }
 
+  test("sparseCosinePairs: verified pairs and time grow ~linearly at 10x") {
+    import graft.operators.TextAnalysis
+    val d1 = blowUpDocs(1).cache(); d1.count()
+    val dN = blowUpDocs(N).cache(); dN.count()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sparseCosinePairs(df, "doc_id", "text",
+        minCosine = 0.3, maxDf = 50, shingle = 2)
+    run(d1).count() // warmup
+    val (p1, t1) = timedCount(run(d1))
+    val (pN, tN) = timedCount(run(dN))
+    info(s"sparse pairs: 1x=$p1 ${N}x=$pN")
+    assert(p1 > 0, "probe needs a non-empty base pair population")
+    // cross-replica shingle overlap is zero, so candidates grow
+    // per-replica-linearly; the corpus-size term in idf shifts weights
+    // slightly (ln(10N/df) vs ln(N/df)), moving borderline pairs
+    // across the threshold — hence the wide multiplicative band.
+    // Quadratic candidate growth would be ~100×.
+    assert(pN >= (0.3 * N * p1).toLong && pN <= (3.0 * N * p1).toLong,
+      s"sparse cosine pairs grew $p1 -> $pN on a ${N}x corpus; expected ~${N}x")
+    assertSubQuadratic("sparseCosinePairs", t1, tN)
+    d1.unpersist(); dN.unpersist()
+  }
+
   test("plan shapes hold at 10x: banded/blocked equi-joins, no cartesian products") {
     val dN = blowUpDocs(N)
     val lshPlan = Dedup.minHashLshNearDup(dN, "doc_id", "text", 0.8)
