@@ -41,4 +41,38 @@ class PartitioningSpec extends SparkTestBase {
     // partition column round-trips (moved to directory, restored on read)
     assert(spark.read.parquet(dir).columns.toSet === docs.columns.toSet)
   }
+
+  test("bucketed tables co-locate the join: zero Exchange on the bucket key") {
+    // THE 100 TB repeated-join lever: two fact tables bucketed on the
+    // same key with the same bucket count join with NO shuffle at all —
+    // the layout pre-pays the exchange once at write time. Broadcast is
+    // disabled so the planner can't sidestep the demonstration.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source")
+    val scores = docs.select(col("doc_id"), length(col("source")).as("s"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_scores")
+      docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("b_docs")
+      scores.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("b_scores")
+      val joined = spark.table("b_docs").join(spark.table("b_scores"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed-by-key join must not shuffle either side:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a merge join over co-located buckets:\n$plan")
+      // and the un-bucketed dual DOES shuffle — the layout is the diff
+      val unbucketed = docs.join(scores, "doc_id")
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(joined.count() === unbucketed.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_scores")
+    }
+  }
 }
