@@ -856,6 +856,56 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("ewma == in-memory reference fold on arbitrary keyed series with nulls") {
+    val rowsGen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 2),
+        Gen.option(Gen.choose(-50.0, 50.0)))))
+    check("ewma-reference")(Prop.forAll(rowsGen, Gen.oneOf(0.1, 0.3, 1.0)) {
+      (rows, a) =>
+        import spark.implicits._
+        val d = rows.zipWithIndex.map { case ((k, v), i) =>
+          (s"k$k", i.toLong, v) }.toDF("k", "o", "x")
+        val got = graft.operators.Resample.ewma(d, "k", Seq("o"), "x", a)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+        rows.zipWithIndex.groupBy(_._1._1).forall { case (k, members) =>
+          var y: Option[Double] = None
+          members.sortBy(_._2).forall { case ((_, v), i) =>
+            y = v match {
+              case Some(x) => Some(y.fold(x)(p => (1.0 - a) * p + a * x))
+              case None => y
+            }
+            got((s"k$k", i.toLong)) == y // bit-exact: same IEEE ops
+          }
+        }
+    })
+  }
+
+  test("asofWithin == naive latest-match-then-mask on arbitrary event sets") {
+    val sideGen = Gen.choose(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 100L))))
+    check("asof-within-reference")(Prop.forAll(
+        sideGen, sideGen, Gen.oneOf(5L, 20L, 200L)) { (ls, rs, tol) =>
+      import spark.implicits._
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "lt", "lid")
+      val right = rs.map { case (k, t) => (k, t) }.toDF("k", "rt")
+      val got = graft.operators.AsOfJoin.asofWithin(
+          left, right, "k", "lt", "rt", Map("rt" -> "m"),
+          within = (l, r) => l - r <= lit(tol))
+        .collect().map { r =>
+          val mi = r.fieldIndex("m")
+          r.getAs[Long]("lid") ->
+            (if (r.isNullAt(mi)) None else Some(r.getLong(mi)))
+        }.toMap
+      ls.zipWithIndex.forall { case ((k, lt), i) =>
+        val matches = rs.filter(r => r._1 == k && r._2 <= lt).map(_._2)
+        val expect = matches.sorted.lastOption.filter(m => lt - m <= tol)
+        got(i.toLong) == expect
+      }
+    })
+  }
+
   test("sparseCosinePairs law: an exact duplicate doc pairs at cos 1") {
     val docGen = Gen.choose(2, 6).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
