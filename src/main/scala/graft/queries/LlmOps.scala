@@ -911,6 +911,19 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Scale-safe global dense ids over a total order — judged against
+    * the single-partition ROW_NUMBER the operator exists to avoid:
+    * same answer, but the data path stays range-partitioned at full
+    * parallelism (plan-pinned in PlanSpec).
+    */
+  val qDenseIds: QueryFn = withTables { spark =>
+    graft.operators.Indexing.denseIds(
+        spark.table("orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_totalprice", "o_orderkey"))
+      .select(col("o_orderkey"), col("rid"))
+      .orderBy("o_orderkey")
+  }
+
   /** END-TO-END curation pipeline, judged as ONE composed plan:
     * normalize → quality gate (>= 0.85 on the normalized text) →
     * exact dedup (keep min doc_id per normalized text) → deterministic
@@ -1151,6 +1164,7 @@ object LlmOps {
     "q_mix_corpora" -> qMixCorpora,
     "q_mix_temperature" -> qMixTemperature,
     "q_pipeline_curate" -> qPipelineCurate,
+    "q_dense_ids" -> qDenseIds,
     "q_onehot" -> qOnehot,
     "q_feature_hash" -> qFeatureHash,
     "q_target_encode" -> qTargetEncode,
@@ -1937,6 +1951,13 @@ object LlmOps {
       FROM r
       GROUP BY event_type
       ORDER BY event_type""",
+
+    // The very formulation the operator avoids at scale IS the oracle.
+    "q_dense_ids" -> """
+      SELECT o_orderkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rid
+      FROM orders
+      ORDER BY o_orderkey""",
 
     // The full pipeline replayed as chained CTEs: normalize chain,
     // quality over the NORMALIZED text, unrounded gate, min-doc dedup,

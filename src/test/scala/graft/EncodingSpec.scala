@@ -47,6 +47,22 @@ class EncodingSpec extends SparkTestBase {
     fh.unpersist()
   }
 
+  test("denseIds == global row_number on a total order; ids are 1..N") {
+    import graft.operators.Indexing
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars")
+    val got = Indexing.denseIds(docs, Seq("n_chars", "doc_id"))
+      .select("doc_id", "rid")
+    val naive = docs.selectExpr("doc_id",
+      "cast(row_number() over (order by n_chars, doc_id) as long) as rid")
+    assert(got.exceptAll(naive).count() === 0L)
+    assert(naive.exceptAll(got).count() === 0L)
+    val n = docs.count()
+    val stats = got.agg(min("rid"), max("rid"), countDistinct("rid")).head
+    assert(stats.getLong(0) === 1L && stats.getLong(1) === n
+      && stats.getLong(2) === n)
+  }
+
   test("targetEncodeLoo: leave-one-out means; singleton falls back to global") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))

@@ -320,6 +320,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("dense ids: data rides a range partition, never a global-window collapse") {
+    val p = plan("q_dense_ids")
+    assert(p.contains("rangepartitioning"),
+      s"dense ids must range-partition the data path:\n$p")
+    // the only SinglePartition work is the P-row offset table (its
+    // subtree is an aggregate of partition counts); the FULL data must
+    // not flow through a single partition — which is exactly what the
+    // naive ROW_NUMBER() OVER (ORDER BY ...) oracle does. A Window
+    // node over the raw scan would betray that shape here.
+    val tree = p.split("\n\n")(0)
+    val windows = "\\bWindow\\b".r.findAllIn(tree).size
+    assert(windows <= 1, s"unexpected data-path windows ($windows):\n$p")
+  }
+
   test("no judged query collects to the driver mid-plan") {
     // structural guarantee: every queries() entry returns a DataFrame
     // whose plan tree Spark owns end-to-end; a driver-side collect in
