@@ -928,21 +928,27 @@ object LlmOps {
     * normalize → quality gate (>= 0.85 on the normalized text) →
     * exact dedup (keep min doc_id per normalized text) → deterministic
     * train/valid/test split. The point is compositionality: four
-    * library operators chain into a single Catalyst plan (scan-level
-    * regexp chain, per-row score filter, one dedup agg + semi-join
-    * shape, per-row split draw) and the oracle replays the whole
-    * pipeline as chained CTEs. The gate compares the UNROUNDED score —
+    * library stages chain into a single Catalyst plan (scan-level
+    * regexp chain, per-row score filter, ONE window-holder dedup
+    * shuffle — the agg + semi-join dual evaluates the regexp subtree
+    * twice, measured — per-row split draw) and the oracle replays the
+    * whole pipeline as chained CTEs. The gate compares the UNROUNDED score —
     * pure integer-length arithmetic, identical doubles both engines.
     */
   val qPipelineCurate: QueryFn = withTables { spark =>
+    import org.apache.spark.sql.expressions.Window
     val normed = spark.table("documents")
       .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm"))
     val gated = normed
       .withColumn("q", TextAnalysis.qualityScore(col("norm")))
       .filter(col("q") >= 0.85)
-    val keep = Dedup.exact(gated, "doc_id", Seq("norm"))
-      .select(col("keep_id").as("doc_id"))
-    val deduped = gated.join(keep, Seq("doc_id"), "left_semi")
+    // keep-min dedup as a window holder (the dedupBlocksAcrossDocs
+    // shape): ONE shuffle on the dedup key and the scan+regexp chain
+    // runs once — the agg + semi-join dual evaluates the gated subtree
+    // twice for the same keep set
+    val deduped = gated
+      .withColumn("_keep", min("doc_id").over(Window.partitionBy("norm")))
+      .filter(col("doc_id") === col("_keep"))
     graft.operators.Sampling.splitPortable(deduped, "doc_id",
         Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
       .select(col("doc_id"),
