@@ -33,6 +33,10 @@ object Encoding {
     require(values.distinct.size == values.size,
       s"oneHot vocabulary has duplicates: ${values.mkString(",")}")
     val pre = prefix.getOrElse(colName)
+    val clash = values.map(v => s"${pre}_$v").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"oneHot output would overwrite existing columns: ${clash.mkString(",")}" +
+        " — pass a different prefix")
     values.foldLeft(df) { (d, v) =>
       d.withColumn(s"${pre}_$v",
         when(col(colName) === v, 1).otherwise(0))

@@ -128,6 +128,10 @@ object Similarity {
     */
   def knnLabelAgreement(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
+    val reserved = Set("id1", "id2", "rank", "cos", "_l1", "_l2",
+      "agreement", "n_neighbors")
+    require(!reserved(idCol) && !reserved(labelCol),
+      s"idCol/labelCol must avoid the internal names ${reserved.mkString(",")}")
     val nn = knn(emb, idCol, vecCol, k)
     val labels = emb.select(col(idCol), col(labelCol))
     nn
@@ -154,6 +158,9 @@ object Similarity {
     */
   def centroidCosine(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, quantized: Boolean = false): DataFrame = {
+    require(!Seq(idCol, labelCol, vecCol).exists(
+        Set("_cent", "centroid_cos").contains),
+      "idCol/labelCol/vecCol must avoid the internal names _cent/centroid_cos")
     val cents = emb.groupBy(col(labelCol))
       .agg(graft.functions.VectorMeanAgg.vectorMean(col(vecCol)).as("_cent"))
     val joined = emb.select(col(idCol), col(labelCol), col(vecCol))

