@@ -25,6 +25,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(mt("meta").dataType.asInstanceOf[MapType].valueType === StringType)
   }
 
+  test("binaryFile source: on-disk PNGs ingest into the media struct and decode") {
+    // THE 100 TB ingestion path: media lands as FILES, not parquet —
+    // spark.read.format("binaryFile") gives (path, content, length) and
+    // maps straight into the canonical struct<uri,bytes,meta>; the real
+    // PNG decoder then recovers the pixel dimensions from disk bytes.
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    (0L until 6L).foreach { id =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/img$id.png"),
+        Multimodal.encodePng(id, 5, 3, filter = 0))
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+    assert(files.count() === 6)
+    val media = files.select(
+      org.apache.spark.sql.functions.regexp_extract(
+        col("path"), "img(\\d+)\\.png", 1).cast("long").as("doc_id"),
+      struct(col("path").as("uri"), col("content").as("bytes"),
+        map(lit("format"), lit("png")).as("meta")).as("media"))
+    val feats = Multimodal.extractFeatures(
+      media, "doc_id", "media", new Multimodal.PngDecoder)
+    val dims = feats.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[Int]("width"), r.getAs[Int]("height")))
+    assert(dims.length === 6)
+    assert(dims.forall { case (_, w, h) => w === 5 && h === 3 },
+      s"decoded dims from disk bytes: ${dims.mkString(",")}")
+  }
+
   test("extractFeatures decodes every row, deterministically, in parallel") {
     val df = mediaDf.repartition(4) // decode must not depend on layout
     val feats = Multimodal.extractFeatures(
