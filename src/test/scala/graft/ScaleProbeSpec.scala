@@ -173,6 +173,21 @@ class ScaleProbeSpec extends SparkTestBase {
     d1.unpersist(); dN.unpersist()
   }
 
+  test("dedupBlocksAcrossDocs: row-preserving at 10x, ~linear time") {
+    val d1 = blowUpDocs(1).cache(); d1.count()
+    val dN = blowUpDocs(N).cache(); dN.count()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupBlocksAcrossDocs(df, "doc_id", "text", blockWords = 8)
+    run(d1).count() // warmup
+    val (r1, t1) = timedCount(run(d1))
+    val (rN, tN) = timedCount(run(dN))
+    // row-preserving makes the size law exact; the work law is the
+    // window shuffle over 10x blocks
+    assert(r1 === 500L && rN === 500L * N)
+    assertSubQuadratic("dedupBlocksAcrossDocs", t1, tN)
+    d1.unpersist(); dN.unpersist()
+  }
+
   test("plan shapes hold at 10x: banded/blocked equi-joins, no cartesian products") {
     val dN = blowUpDocs(N)
     val lshPlan = Dedup.minHashLshNearDup(dN, "doc_id", "text", 0.8)
