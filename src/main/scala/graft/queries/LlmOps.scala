@@ -1004,6 +1004,21 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** GROUP-level split (scikit GroupShuffleSplit semantics): the draw
+    * keys on the ENTITY (user), not the row, so every event of a user
+    * lands in the same split — the leakage guard row-level splitting
+    * misses (a user's behavior in train and test is memorization, not
+    * generalization). Same per-row md5 draw, pushable at the scan;
+    * group atomicity is a free consequence of keying on the group.
+    */
+  val qSplitGrouped: QueryFn = withTables { spark =>
+    graft.operators.Sampling.splitPortable(
+        spark.table("events").select("event_id", "user_id"), "user_id",
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+      .select("event_id", "user_id", "split")
+      .orderBy("event_id")
+  }
+
   /** Embedding mean-pooling per label class via the native mergeable
     * VectorMeanAgg — chunk-to-document pooling at the shuffle cost of
     * one (sum-vector, count) pair per group. Judged against DuckDB's
@@ -1162,6 +1177,7 @@ object LlmOps {
     "q_remove_spans" -> qRemoveSpans,
     "q_pool_mean" -> qPoolMean,
     "q_split_tvt" -> qSplitTvt,
+    "q_split_grouped" -> qSplitGrouped,
     "q_fingerprint" -> qFingerprint,
     "q_bpe" -> qBpe,
     "q_bpe_fertility" -> qBpeFertility,
@@ -2424,6 +2440,19 @@ object LlmOps {
 
     // The same md5 draw and the same dyadic cut points (0.75, 0.875)
     // replay every row's split assignment exactly.
+    // The row-level draw keyed on the GROUP: identical md5 math, so
+    // group atomicity is structural (same user => same u => same arm).
+    "q_split_grouped" -> """
+      SELECT event_id, user_id,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT event_id, user_id,
+                   ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS u
+            FROM events)
+      ORDER BY event_id""",
+
     "q_split_tvt" -> """
       SELECT doc_id,
              CASE WHEN u < 0.75 THEN 'train'

@@ -258,6 +258,18 @@ class SamplingSpec extends SparkTestBase {
     assert(again === kept.count())
   }
 
+  test("group-keyed split is atomic: every row of a group shares the arm") {
+    val ev = graft.tables.TableLoader.events(spark, sfDir)
+      .select("event_id", "user_id")
+    val s = Sampling.splitPortable(ev, "user_id",
+      Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+    val torn = s.groupBy("user_id")
+      .agg(countDistinct("split").as("arms")).filter(col("arms") > 1).count()
+    assert(torn === 0L, "a group straddling splits is entity leakage")
+    // all three arms actually populated at this group count
+    assert(s.select("split").distinct().count() === 3L)
+  }
+
   test("temperatureWeights: alpha=1 proportional, epochs=1; alpha<1 lifts the tail") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val prop = Sampling.temperatureWeights(docs, "source", alpha = 1.0).collect()
