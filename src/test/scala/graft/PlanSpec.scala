@@ -17,6 +17,21 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("GLOBAL sweep: no judged query plans a CartesianProduct") {
+    // the one standing exception: q_join_cross IS a cross join by
+    // definition (nation × region, 125 rows, §2.3 J6)
+    val exempt = Set("q_join_cross")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.explainString(ExplainMode.fromString("simple"))
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian product: ${offenders.mkString(", ")}")
+  }
+
   test("filters reach the parquet scan (pushdown)") {
     val p = plan("q_filter_cmp")
     assert(p.contains("PushedFilters: ["), p)
