@@ -85,15 +85,19 @@ object Encoding {
       outCol: String = "te"): DataFrame = {
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column; pass a different outCol")
-    val Seq(s, n, g) = Cols.fresh("te", 3, df)
+    val Seq(s, n, g, ck) = Cols.fresh("te", 4, df)
     val stats = df.groupBy(col(catCol))
       .agg(sum(col(targetCol)).as(s), count(lit(1)).as(n))
+      .withColumnRenamed(catCol, ck)
     val global = df.agg(avg(col(targetCol)).as(g))
-    df.join(broadcast(stats), Seq(catCol))
+    // NULL-SAFE join: a null category is its own LOO group (groupBy
+    // already emits its stats row) — a plain equi-join would silently
+    // DROP every null-category row from a training-prep transform
+    df.join(broadcast(stats), col(catCol) <=> col(ck))
       .crossJoin(broadcast(global))
       .withColumn(outCol,
         when(col(n) > 1, (col(s) - col(targetCol)) / (col(n) - 1))
           .otherwise(col(g)))
-      .drop(s, n, g)
+      .drop(s, n, g, ck)
   }
 }

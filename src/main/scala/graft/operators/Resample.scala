@@ -144,11 +144,12 @@ object Resample {
       org.apache.spark.sql.types.StructField(outCol,
         org.apache.spark.sql.types.DoubleType, nullable = true))
     val ki = df.schema.fieldIndex(keyCol)
+    val Seq(xc) = Cols.fresh("ewmax", 1, df) // an input "_x" must survive
     val sorted = df
       .repartition(col(keyCol))
       .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
-      .withColumn("_x", col(valueCol).cast("double"))
-    val vi = sorted.schema.fieldIndex("_x")
+      .withColumn(xc, col(valueCol).cast("double"))
+    val vi = sorted.schema.fieldIndex(xc)
     val out = sorted.mapPartitions { it =>
       var curKey: Any = null
       var haveKey = false

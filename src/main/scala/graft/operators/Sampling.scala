@@ -243,6 +243,8 @@ object Sampling {
       s"alpha must be in (0, 1], got $alpha (1 = proportional, ->0 = uniform)")
     require(!Seq("n", weightCol, epochsCol).contains(groupCol),
       s"groupCol '$groupCol' collides with an output column (n/$weightCol/$epochsCol)")
+    require(weightCol != epochsCol && weightCol != "n" && epochsCol != "n",
+      s"output columns must be distinct: n/$weightCol/$epochsCol")
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
     val totals = counts.agg(
       sum(pow(col("n"), alpha)).as("_z"),

@@ -484,10 +484,16 @@ object TextAnalysis {
       if (toks == null || toks.isEmpty) 0.0
       else toks.count(t => bc.value.mightContainString(t)).toDouble / toks.size
     }
+    // short docs: sequence(1, 0) would generate DESCENDING [1, 0] (the
+    // step defaults to -1 when start > stop) and slice(_, 0, n) throws
+    // — so docs under n tokens take the explicit empty-array branch,
+    // which the probe scores 0.0 per the contract
     val shingleArr = expr(
-      s"""array_distinct(transform(
-         |  sequence(1, greatest(size(_toks) - ${n - 1}, 0)),
-         |  i -> array_join(slice(_toks, i, $n), ' ')))""".stripMargin)
+      s"""CASE WHEN size(_toks) >= $n THEN
+         |  array_distinct(transform(
+         |    sequence(1, size(_toks) - ${n - 1}),
+         |    i -> array_join(slice(_toks, i, $n), ' ')))
+         |ELSE array() END""".stripMargin)
     train
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("_toks"))
       .select(col("doc_id"), probe(shingleArr).as("contamination_score"))

@@ -1945,8 +1945,15 @@ object LlmOps {
            w AS (
              SELECT event_id, user_id, rn, value AS y FROM e WHERE rn = 1
              UNION ALL
+             -- null values carry the prior EWMA (pandas ignore_na) and
+             -- the smoother seeds on the FIRST non-null — the exact
+             -- operator semantics, so a testdata regeneration with
+             -- nulls cannot flip this query while the Spark side is
+             -- right (no nulls exist at the judged SFs today)
              SELECT e.event_id, e.user_id, e.rn,
-                    (1.0 - 0.3) * w.y + 0.3 * e.value
+                    CASE WHEN e.value IS NULL THEN w.y
+                         WHEN w.y IS NULL THEN e.value
+                         ELSE (1.0 - 0.3) * w.y + 0.3 * e.value END
              FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
       SELECT event_id, user_id,
              CAST(ROUND(y, 6) AS DOUBLE) AS ewma

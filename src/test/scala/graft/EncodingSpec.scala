@@ -74,4 +74,18 @@ class EncodingSpec extends SparkTestBase {
     assert(out(("a", 3.0)) === 1.5) // (1+2)/2
     assert(out(("b", 10.0)) === 4.0, "singleton -> global mean (1+2+3+10)/4")
   }
+
+  test("targetEncodeLoo: null categories are their own group, rows never drop") {
+    import spark.implicits._
+    val df = Seq(Some("a") -> 1.0, Some("a") -> 3.0,
+      None -> 5.0, None -> 7.0).map { case (c, y) => (c.orNull, y) }
+      .toDF("cat", "y")
+    val out = Encoding.targetEncodeLoo(df, "cat", "y")
+    assert(out.count() === 4L,
+      "a null-unsafe join would silently drop the null-category rows")
+    val nulls = out.filter(col("cat").isNull)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(nulls === Map(5.0 -> 7.0, 7.0 -> 5.0),
+      "null is its own leave-one-out group")
+  }
 }

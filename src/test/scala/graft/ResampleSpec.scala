@@ -104,6 +104,16 @@ class ResampleSpec extends SparkTestBase {
       "the O(1)-state streaming fold must equal the batch fold exactly")
   }
 
+  test("ewma survives an input column literally named _x") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 10.0, "keepme"), (1L, 1L, 20.0, "also"))
+      .toDF("k", "o", "x", "_x")
+    val out = Resample.ewma(df, "k", Seq("o"), "x", 0.3)
+    assert(out.columns.toSeq === Seq("k", "o", "x", "_x", "ewma"))
+    assert(out.orderBy("o").collect().map(_.getString(3)).toSeq
+      === Seq("keepme", "also"), "the caller's _x column must survive intact")
+  }
+
   test("ewma is deterministic under input partitioning") {
     import spark.implicits._
     val rows = (0 until 500).map(i =>

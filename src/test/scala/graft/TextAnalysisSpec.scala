@@ -324,6 +324,20 @@ class TextAnalysisSpec extends SparkTestBase {
       s"k1 saturation must compress 4x tf below 2.5x score, got ${got(1L) / got(2L)}")
   }
 
+  test("contaminationScoreBloom: docs shorter than n score 0.0, no crash") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val train = Seq((1L, "one two"), (2L, ""), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationScoreBloom(train, evalSet,
+        "doc_id", "text", n = 3, expectedShingles = 100L, fpp = 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) === 0.0 && out(2L) === 0.0,
+      "short/empty docs have no shingles: nothing to leak")
+    assert(out(3L) === 1.0, "a verbatim eval doc is fully contaminated")
+  }
+
   test("contaminationScoreBloom: one-sided error — never misses, zero proves clean") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
