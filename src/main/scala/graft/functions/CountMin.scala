@@ -74,11 +74,16 @@ object CountMin {
     val bytes = df.agg(sketchAgg(col(keyCol), eps, confidence, seed))
       .head().getAs[Array[Byte]](0)
     val holder = new Holder(bytes)
+    // Null probe keys estimate to null, not an executor NPE: the sketch
+    // was built over non-null occurrences only (sketchAgg skips nulls), so
+    // "unknown key" is the honest answer for a null probe.
     if (buildFam == "string") {
-      val est = udf((s: String) => holder.sketch.estimateCount(s))
+      val est = udf((s: String) =>
+        if (s == null) null else java.lang.Long.valueOf(holder.sketch.estimateCount(s)))
       keys.select(col(keyCol), est(col(keyCol)).as("cnt_est"))
     } else {
-      val est = udf((l: java.lang.Long) => holder.sketch.estimateCount(l))
+      val est = udf((l: java.lang.Long) =>
+        if (l == null) null else java.lang.Long.valueOf(holder.sketch.estimateCount(l)))
       keys.select(col(keyCol),
         est(col(keyCol).cast("long")).as("cnt_est"))
     }

@@ -246,13 +246,16 @@ object Sampling {
     require(weightCol != epochsCol && weightCol != "n" && epochsCol != "n",
       s"output columns must be distinct: n/$weightCol/$epochsCol")
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    // Internal one-row-aggregate names via Cols.fresh (repo convention):
+    // a groupCol literally named _z0/_total-style must not collide.
+    val Seq(zc, totc) = Cols.fresh("twtmp", 2, counts)
     val totals = counts.agg(
-      sum(pow(col("n"), alpha)).as("_z"),
-      sum(col("n")).cast("double").as("_total"))
+      sum(pow(col("n"), alpha)).as(zc),
+      sum(col("n")).cast("double").as(totc))
     counts.crossJoin(broadcast(totals))
       .select(col(groupCol), col("n"),
-        (pow(col("n"), alpha) / col("_z")).as(weightCol),
-        (pow(col("n"), alpha) / col("_z") * col("_total") / col("n"))
+        (pow(col("n"), alpha) / col(zc)).as(weightCol),
+        (pow(col("n"), alpha) / col(zc) * col(totc) / col("n"))
           .as(epochsCol))
   }
 

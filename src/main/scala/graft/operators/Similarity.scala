@@ -154,7 +154,10 @@ object Similarity {
     * centroid is rounded to scale-4 (the q_pool_mean pin, making both
     * engines' centroids IDENTICAL doubles) and the cosine folds in
     * float64 in positional order — deterministic cross-engine. The
-    * default path keeps full precision and the codegen float kernel.
+    * default path truncates the float64 centroid to float32 to ride the
+    * codegen float kernel (the vectors are float32 anyway, so the
+    * centroid's extra mantissa bits are below the data's own noise
+    * floor; the accumulation itself still runs in double).
     */
   def centroidCosine(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, quantized: Boolean = false): DataFrame = {

@@ -115,8 +115,13 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .withColumn("w", col("tf") * log(col("_corpus_n") / col("df")))
       .select("doc_id", "tok", "w")
+    // A doc whose every surviving term has df == nDocs (possible when
+    // maxDf >= corpus size, since ln(N/df) = 0 there) has zero norm; it
+    // carries no signal in the pruned space, so exclude it explicitly
+    // rather than let 0/0 NaN weights silently drop its pairs downstream.
     val norms = weighted.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("_norm"))
+      .filter(col("_norm") > 0.0)
     val wn = weighted.join(norms, "doc_id")
       .select(col("doc_id"), col("tok"), (col("w") / col("_norm")).as("wn"))
     wn.as("a")

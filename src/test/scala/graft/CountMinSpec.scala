@@ -24,6 +24,23 @@ class CountMinSpec extends SparkTestBase {
       assert(r.getLong(1) === r.getLong(2), s"tok=${r.getString(0)}"))
   }
 
+  test("null probe keys estimate to null, not an executor NPE") {
+    import spark.implicits._
+    val probes = Seq(Some("the"), None, Some("of")).toDF("tok")
+    val est = CountMin.pointEstimates(toks, "tok", probes).collect()
+    assert(est.length === 3)
+    val byKey = est.map(r => Option(r.getString(0)) -> r.isNullAt(1)).toMap
+    assert(byKey(None), "null key must yield a null estimate")
+    assert(!byKey(Some("the")) && !byKey(Some("of")),
+      "non-null keys still estimate")
+
+    val longProbes = Seq(Some(1L), None).toDF("tok")
+    val longToks = toks.select(length(col("tok")).cast("long").as("tok"))
+    val estL = CountMin.pointEstimates(longToks, "tok", longProbes).collect()
+    assert(estL.exists(r => r.isNullAt(0) && r.isNullAt(1)),
+      "null integral key must yield a null estimate")
+  }
+
   test("narrow regime: estimates never undercount (upper-bound property)") {
     // eps=0.5 -> width ~6 buckets for a 31-word vocab: heavy collisions
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))

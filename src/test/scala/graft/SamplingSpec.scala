@@ -294,4 +294,17 @@ class SamplingSpec extends SparkTestBase {
     val pS = weightsOf(1.0); val tS = weightsOf(0.5)
     assert(tS("small") > pS("small") && tS("big") < pS("big"))
   }
+
+  test("temperatureWeights: internal one-row-agg names cannot collide with groupCol") {
+    import spark.implicits._
+    // _z and _total were previously hardcoded internal names; a group
+    // column with either name raised an ambiguous-column error
+    for (grp <- Seq("_z", "_total", "_twtmp0")) {
+      val df = Seq(("a", 1), ("a", 1), ("b", 1)).toDF(grp, "x")
+      val w = Sampling.temperatureWeights(df, grp, alpha = 1.0).collect()
+      val m = w.map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+      assert(math.abs(m("a") - 2.0 / 3) < 1e-12 && math.abs(m("b") - 1.0 / 3) < 1e-12,
+        s"groupCol '$grp' must work like any other name")
+    }
+  }
 }

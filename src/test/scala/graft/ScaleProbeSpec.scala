@@ -47,15 +47,31 @@ class ScaleProbeSpec extends SparkTestBase {
     (c, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Timing asserts are best-effort by nature: on a heavily loaded host
+    * GC/scheduling noise can breach even a generous band. They stay ON
+    * by default, can be disabled via GRAFT_SCALE_TIMING=off (the exact
+    * row/pair-count laws remain unconditional), and retry once before
+    * failing so a single scheduling spike can't flake the suite.
+    */
+  private val timingAsserts = !sys.env.get("GRAFT_SCALE_TIMING").contains("off")
+
   /** Wall-time growth bound: tN vs t1, linear prediction N with slack
     * 3× (plus a floor on t1 so a sub-100 ms base can't inflate the
     * ratio into a flake). Quadratic at N=10 predicts ~100×.
+    * `remeasure` re-runs both timings for the one-retry path.
     */
-  private def assertSubQuadratic(op: String, t1: Double, tN: Double): Unit = {
-    val ratio = tN / math.max(t1, 0.1)
-    info(f"$op: t(1x)=$t1%.2fs t(${N}x)=$tN%.2fs ratio=$ratio%.1f")
-    assert(ratio < 3.0 * N,
-      f"$op wall time grew ${ratio}%.1f× on a ${N}× corpus — " +
+  private def assertSubQuadratic(op: String, t1: Double, tN: Double,
+      remeasure: () => (Double, Double) = null): Unit = {
+    def ratio(a: Double, b: Double): Double = b / math.max(a, 0.1)
+    val r0 = ratio(t1, tN)
+    info(f"$op: t(1x)=$t1%.2fs t(${N}x)=$tN%.2fs ratio=$r0%.1f")
+    if (!timingAsserts) { info(s"$op: timing assert skipped (GRAFT_SCALE_TIMING=off)"); return }
+    if (r0 < 3.0 * N) return
+    val rBest =
+      if (remeasure == null) r0
+      else { val (a, b) = remeasure(); info(f"$op retry: t(1x)=$a%.2fs t(${N}x)=$b%.2fs"); math.min(r0, ratio(a, b)) }
+    assert(rBest < 3.0 * N,
+      f"$op wall time grew ${rBest}%.1f× on a ${N}× corpus (twice) — " +
         "super-linear; expected ~linear growth (quadratic predicts ~100×)")
   }
 
@@ -73,7 +89,9 @@ class ScaleProbeSpec extends SparkTestBase {
     // always candidates, so the band is tight around N
     assert(pN >= (N - 2) * p1 && pN <= (N + 2) * p1,
       s"verified pairs grew $p1 -> $pN on a ${N}x corpus; expected ~${N}x")
-    assertSubQuadratic("minHashLshNearDup", t1, tN)
+    assertSubQuadratic("minHashLshNearDup", t1, tN,
+      () => (timedCount(Dedup.minHashLshNearDup(d1, "doc_id", "text", 0.8))._2,
+        timedCount(Dedup.minHashLshNearDup(dN, "doc_id", "text", 0.8))._2))
     d1.unpersist(); dN.unpersist()
   }
 
@@ -93,7 +111,9 @@ class ScaleProbeSpec extends SparkTestBase {
     // two orders above the cap.
     assert(pN >= (0.4 * N * p1).toLong && pN <= (3.0 * N * p1).toLong,
       s"simhash pairs grew $p1 -> $pN on a ${N}x corpus; expected ~${N}x")
-    assertSubQuadratic("simHashNearDupFromSigs", t1, tN)
+    assertSubQuadratic("simHashNearDupFromSigs", t1, tN,
+      () => (timedCount(Dedup.simHashNearDupFromSigs(s1, maxHamming = 3))._2,
+        timedCount(Dedup.simHashNearDupFromSigs(sN, maxHamming = 3))._2))
     s1.unpersist(); sN.unpersist()
   }
 
@@ -114,7 +134,9 @@ class ScaleProbeSpec extends SparkTestBase {
       Similarity.probeSearchQuantized(cN, probes, "vec_id", "embedding", k = 10))
     // output is top-k per probe regardless of corpus size
     assert(r1 === 20L * 10 && rN === 20L * 10)
-    assertSubQuadratic("probeSearchQuantized", t1, tN)
+    assertSubQuadratic("probeSearchQuantized", t1, tN,
+      () => (timedCount(Similarity.probeSearchQuantized(c1, probes, "vec_id", "embedding", k = 10))._2,
+        timedCount(Similarity.probeSearchQuantized(cN, probes, "vec_id", "embedding", k = 10))._2))
     c1.unpersist(); cN.unpersist(); probes.unpersist()
   }
 
@@ -146,7 +168,9 @@ class ScaleProbeSpec extends SparkTestBase {
       s"disjoint replicas must give exactly ${N}x clusters: $cc1 -> $ccN")
     // iteration count is set by cluster diameter, which replication
     // does not change — growth is per-pass-linear
-    assertSubQuadratic("connectedComponents", t1, tN)
+    assertSubQuadratic("connectedComponents", t1, tN,
+      () => (timedCount(Clustering.connectedComponents(e1, "i", "j"))._2,
+        timedCount(Clustering.connectedComponents(eN, "i", "j"))._2))
     e1.unpersist(); eN.unpersist(); base.unpersist()
   }
 
@@ -169,7 +193,8 @@ class ScaleProbeSpec extends SparkTestBase {
     // Quadratic candidate growth would be ~100×.
     assert(pN >= (0.3 * N * p1).toLong && pN <= (3.0 * N * p1).toLong,
       s"sparse cosine pairs grew $p1 -> $pN on a ${N}x corpus; expected ~${N}x")
-    assertSubQuadratic("sparseCosinePairs", t1, tN)
+    assertSubQuadratic("sparseCosinePairs", t1, tN,
+      () => (timedCount(run(d1))._2, timedCount(run(dN))._2))
     d1.unpersist(); dN.unpersist()
   }
 
@@ -184,7 +209,8 @@ class ScaleProbeSpec extends SparkTestBase {
     // row-preserving makes the size law exact; the work law is the
     // window shuffle over 10x blocks
     assert(r1 === 500L && rN === 500L * N)
-    assertSubQuadratic("dedupBlocksAcrossDocs", t1, tN)
+    assertSubQuadratic("dedupBlocksAcrossDocs", t1, tN,
+      () => (timedCount(run(d1))._2, timedCount(run(dN))._2))
     d1.unpersist(); dN.unpersist()
   }
 

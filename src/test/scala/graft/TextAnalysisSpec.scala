@@ -385,6 +385,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-9)
   }
 
+  test("sparseCosinePairs: a zero-norm doc (all terms at df == N) is excluded, not NaN") {
+    import spark.implicits._
+    // maxDf = corpus size: "aa" is in ALL 3 docs, so ln(N/df) = 0 and
+    // doc 3 (only "aa") has zero norm. It must drop out explicitly; the
+    // bb-sharing pair must still appear with finite cosine.
+    val df = Seq(
+      (1L, "aa bb"),
+      (2L, "aa bb"),
+      (3L, "aa aa"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.sparseCosinePairs(df, "doc_id", "text",
+        minCosine = 0.0, maxDf = 3)
+      .select("i", "j", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => !p._3.isNaN), "no NaN cosines may survive")
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      "the zero-norm doc contributes no pairs; the bb pair survives")
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-9)
+  }
+
   test("sparseCosinePairs on real docs: i<j, cos in (0,1], pairs only via shared shingles") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 100)
