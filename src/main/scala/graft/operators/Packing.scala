@@ -86,4 +86,35 @@ object Packing {
       }
       .toDF(groupCol, idCol, "n_tokens", "bin")
   }
+
+  /** Length-bucketed batch assembly — the padding-waste killer for
+    * inference and non-packed training: documents land in a length
+    * bucket (`floor(len / bucketWidth)`), each bucket is walked in
+    * (length, id) order, and consecutive runs of `batchSize` documents
+    * form a batch. Sequences in a batch then differ by less than
+    * `bucketWidth` tokens, so pad-to-longest waste is bounded by the
+    * bucket width instead of the corpus-max length.
+    *
+    * Closed form over ONE row_number window partitioned by bucket — a
+    * single sort shuffle keyed on the bucket (parallel across buckets;
+    * a skewed bucket is one sort partition, the same regime as any
+    * grouped window). Deterministic: same input, same batches.
+    *
+    * Output: (idCol, len, bucket, batch_id, pos_in_batch) with
+    * batch_id globally unique via (bucket, run index).
+    */
+  def bucketBatches(df: DataFrame, idCol: String, lenCol: Column,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth=$bucketWidth must be >= 1")
+    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("len"), col(idCol))
+    df.select(col(idCol), lenCol.cast("long").as("len"))
+      .withColumn("bucket", floor(col("len") / lit(bucketWidth)))
+      .withColumn("_rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch_id",
+        concat_ws(":", col("bucket"), floor(col("_rn") / lit(batchSize))))
+      .withColumn("pos_in_batch", col("_rn") % batchSize)
+      .drop("_rn")
+  }
 }

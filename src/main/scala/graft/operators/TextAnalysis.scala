@@ -240,6 +240,39 @@ object TextAnalysis {
       .otherwise(oov.cast("double") / size(toks).cast("double"))
   }
 
+  /** Top-`topK` vocabulary by corpus frequency with the CUMULATIVE
+    * share of token occurrences each rank covers — the coverage curve
+    * behind every vocabulary-size decision (how many types cover 95 %
+    * of tokens? what does an OOV budget of 1 % cost in vocab slots?).
+    * Output: (rank, tok, cnt, cum_share), rank 1 = most frequent, ties
+    * broken by token text so the curve is deterministic.
+    *
+    * Scale shape: ONE token-granularity count shuffle; everything after
+    * is VOCABULARY-sized — the rank/cumsum window is a global sort, but
+    * over type counts (≤ a few million rows at any corpus size), not
+    * tokens, the same bounded-global-sort regime as the BPE merge table
+    * and negativeSample's dense index. The corpus total rides the same
+    * window (unbounded-following sum), so there is no second pass and
+    * no driver aggregate.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = tokenize(df, idCol, textCol)
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    val total = sum(col("cnt")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    counts
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("cum_share",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / total.cast("double"))
+      .filter(col("rank") <= topK)
+      .select("rank", "tok", "cnt", "cum_share")
+  }
+
   /** Per-slice unigram distribution drift: KL(P_slice || P_corpus) for
     * each value of `groupCol` — the data-mixing diagnostic that flags
     * a source whose token distribution has wandered from the corpus

@@ -438,6 +438,64 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Rolling median + p90 of event values per user over a trailing
+    * 10-row frame (ts, event_id order). Both engines compute the
+    * type-7 linear-interpolation quantile (Spark side from the sorted
+    * frame array, DuckDB via windowed MEDIAN/QUANTILE_CONT), rounded
+    * to 6 dp.
+    */
+  val qRollingMedian: QueryFn = withTables { spark =>
+    val base = spark.table("events")
+      .select("event_id", "user_id", "ts", "value")
+    val med = graft.operators.Resample.rollingQuantile(
+      base, "user_id", Seq("ts", "event_id"), "value",
+      frameRows = 10, q = 0.5, outCol = "med")
+    graft.operators.Resample.rollingQuantile(
+        med, "user_id", Seq("ts", "event_id"), "value",
+        frameRows = 10, q = 0.9, outCol = "p90")
+      .select(col("event_id"), col("user_id"),
+        round(col("med"), 6).cast("double").as("med"),
+        round(col("p90"), 6).cast("double").as("p90"))
+      .orderBy("event_id")
+  }
+
+  /** Hard negatives: top-5 nearest DIFFERENT-label vectors per anchor.
+    * Oracle replays the same all-pairs + label-mismatch filter +
+    * per-anchor rank; cosine rounded to 6 dp (the q_knn_pergroup
+    * precedent).
+    */
+  val qHardNegatives: QueryFn = withTables { spark =>
+    Similarity.hardNegatives(
+        spark.table("embeddings"), "vec_id", "embedding", "label", m = 5)
+      .select(col("id1"), col("rank").as("rnk"), col("id2"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("id1", "rnk")
+  }
+
+  /** Vocabulary coverage curve: top-40 tokens with cumulative share of
+    * occurrences. cum_share rounds to 6 dp (integer-count division).
+    */
+  val qVocabCoverage: QueryFn = withTables { spark =>
+    TextAnalysis.vocabCoverage(
+        spark.table("documents"), "doc_id", "text", topK = 40)
+      .select(col("rank").as("rnk"), col("tok"), col("cnt"),
+        round(col("cum_share"), 6).cast("double").as("cum_share"))
+      .orderBy("rnk")
+  }
+
+  /** Length-bucketed batching over documents (n_chars, width 200,
+    * batches of 32): deterministic batch ids and positions, exact
+    * integer output — no rounding needed.
+    */
+  val qBucketBatches: QueryFn = withTables { spark =>
+    graft.operators.Packing.bucketBatches(
+        spark.table("documents"), "doc_id", col("n_chars"),
+        bucketWidth = 200, batchSize = 32)
+      .select(col("doc_id"), col("len"), col("bucket"),
+        col("batch_id"), col("pos_in_batch"))
+      .orderBy("doc_id")
+  }
+
   /** Linear-interpolation resample (pandas `interpolate()` parity):
     * judged against a DuckDB re-expression of the same two-directional
     * window kernel, rounded to 6 dp (division order differs from
@@ -1221,6 +1279,10 @@ object LlmOps {
     "q_resample_ffill" -> qResampleFfill,
     "q_ewma" -> qEwma,
     "q_corr" -> qCorr,
+    "q_rolling_median" -> qRollingMedian,
+    "q_hard_negatives" -> qHardNegatives,
+    "q_vocab_coverage" -> qVocabCoverage,
+    "q_bucket_batches" -> qBucketBatches,
     "q_resample_interp" -> qResampleInterp,
     "q_lang_id" -> qLangId,
     "q_redact_pii" -> qRedactPii,
@@ -1963,6 +2025,55 @@ object LlmOps {
     // Identical rank construction (RANK + tie-class size -> average
     // rank) and both engines' CORR is sample Pearson; time in seconds
     // keeps the co-moment magnitudes tame.
+    "q_rolling_median" -> """
+      SELECT event_id, user_id,
+             CAST(ROUND(MEDIAN(value) OVER w, 6) AS DOUBLE) AS med,
+             CAST(ROUND(QUANTILE_CONT(value, 0.9) OVER w, 6) AS DOUBLE) AS p90
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+    "q_hard_negatives" -> """
+      WITH pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND a.label IS DISTINCT FROM b.label),
+      rk AS (
+        SELECT id1, id2, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT id1, rnk, id2, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY id1, rnk""",
+    "q_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents),
+      counts AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+      ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk,
+               tok, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(SUM(cnt) OVER () AS DOUBLE) AS share
+        FROM counts)
+      SELECT rnk, tok, cnt, CAST(ROUND(share, 6) AS DOUBLE) AS cum_share
+      FROM ranked WHERE rnk <= 40
+      ORDER BY rnk""",
+    "q_bucket_batches" -> """
+      WITH b AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+               CAST(FLOOR(n_chars / 200.0) AS BIGINT) AS bucket
+        FROM documents),
+      r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY len, doc_id) AS BIGINT) - 1 AS rn
+        FROM b)
+      SELECT doc_id, len, bucket,
+             CAST(bucket AS VARCHAR) || ':' || CAST(CAST(FLOOR(rn / 32.0) AS BIGINT) AS VARCHAR) AS batch_id,
+             CAST(rn % 32 AS BIGINT) AS pos_in_batch
+      FROM r ORDER BY doc_id""",
     "q_corr" -> """
       WITH e AS (SELECT event_type, value,
                         EPOCH_US(CAST(ts AS TIMESTAMP)) / 1000000.0 AS t

@@ -90,4 +90,36 @@ class PackingSpec extends SparkTestBase {
       assert(nb <= greedyBins(lang), s"offset packing used more bins for $lang")
     }
   }
+
+  test("bucketBatches: batches respect size, bucket purity, and length spread") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Packing.bucketBatches(docs, "doc_id", col("n_chars"),
+      bucketWidth = 200, batchSize = 32).cache()
+    assert(out.count() === docs.count(), "row-preserving")
+    val byBatch = out.groupBy("batch_id")
+      .agg(count(lit(1)).as("n"), countDistinct("bucket").as("nb"),
+        (max("len") - min("len")).as("spread"),
+        countDistinct("pos_in_batch").as("npos")).collect()
+    byBatch.foreach { r =>
+      assert(r.getAs[Long]("n") <= 32, "a batch never exceeds batchSize")
+      assert(r.getAs[Long]("nb") === 1L, "a batch never mixes buckets")
+      assert(r.getAs[Long]("spread") < 200, "in-batch length spread < bucketWidth")
+      assert(r.getAs[Long]("npos") === r.getAs[Long]("n"),
+        "positions within a batch are distinct")
+    }
+    // at most one under-filled batch per bucket (the tail)
+    val tails = out.groupBy("bucket", "batch_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") < 32)
+      .groupBy("bucket").agg(count(lit(1)).as("small")).collect()
+    tails.foreach(r => assert(r.getAs[Long]("small") === 1L,
+      s"bucket ${r.get(0)} has more than one under-filled batch"))
+    out.unpersist()
+  }
+
+  test("bucketBatches is deterministic under input partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Packing.bucketBatches(docs, "doc_id", col("n_chars"), 200, 32)
+    val b = Packing.bucketBatches(docs.repartition(13), "doc_id", col("n_chars"), 200, 32)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
 }

@@ -124,4 +124,52 @@ class ResampleSpec extends SparkTestBase {
       .ewma(rows.reverse.toDF("k", "o", "x").repartition(13), "k", Seq("o"), "x", 0.3)
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
+
+  test("rollingQuantile matches a brute-force reference on arbitrary frames") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i =>
+      ((i % 5).toLong, i.toLong, ((i * 37) % 101).toDouble))
+    val df = rows.toDF("k", "o", "x")
+    def ref(q: Double, frame: Int): Map[Long, Double] =
+      rows.groupBy(_._1).flatMap { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.indices.map { i =>
+          val vals = sorted.slice(math.max(0, i - frame + 1), i + 1)
+            .map(_._3).sorted
+          val h = (vals.length - 1) * q
+          val lo = h.toInt; val frac = h - lo
+          val v = if (lo + 1 < vals.length) vals(lo) + frac * (vals(lo + 1) - vals(lo))
+            else vals(lo)
+          sorted(i)._2 -> v
+        }
+      }
+    for ((q, frame) <- Seq((0.5, 7), (0.9, 10), (0.0, 4), (1.0, 4))) {
+      val out = Resample.rollingQuantile(df, "k", Seq("o"), "x", frame, q)
+        .select("o", "rq").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expect = ref(q, frame)
+      expect.foreach { case (o, v) =>
+        assert(math.abs(out(o) - v) < 1e-9, s"q=$q frame=$frame row o=$o: ${out(o)} vs $v")
+      }
+    }
+  }
+
+  test("rollingQuantile: nulls are excluded from the frame; all-null frame is null") {
+    import spark.implicits._
+    val df = Seq[(Long, Long, Option[Double])](
+      (1L, 0L, None), (1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, Some(20.0)))
+      .toDF("k", "o", "x")
+    val out = Resample.rollingQuantile(df, "k", Seq("o"), "x", frameRows = 2, q = 0.5)
+      .orderBy("o").collect().map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    // frames: [null] -> null; [null,10] -> 10; [10,null] -> 10; [null,20] -> 20
+    assert(out.toSeq === Seq(None, Some(10.0), Some(10.0), Some(20.0)))
+  }
+
+  test("rollingQuantile refuses an output-name collision") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0)).toDF("k", "o", "rq")
+    intercept[IllegalArgumentException] {
+      Resample.rollingQuantile(df, "k", Seq("o"), "rq", 3, 0.5)
+    }
+  }
 }

@@ -299,4 +299,50 @@ class SimilaritySpec extends SparkTestBase {
         s"quantized regime must track the float kernel: $id $c vs ${quant(id)}")
     }
   }
+
+  test("hardNegatives: never same-label, ranked over the negative set only") {
+    val labeled = clustered.withColumn("label",
+      (org.apache.spark.sql.functions.col("vec_id") / 4).cast("int"))
+    val hn = Similarity.hardNegatives(labeled, "vec_id", "embedding", "label", m = 3)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("rank"),
+        r.getAs[Long]("id2"), r.getAs[Double]("cos")))
+    val labelOf = labeled.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Int](1)).toMap
+    assert(hn.nonEmpty)
+    hn.foreach { case (a, _, n, _) =>
+      assert(labelOf(a) != labelOf(n), s"$a drew same-label negative $n")
+    }
+    // exactly m per anchor (every anchor has >= m different-label rows here)
+    val perAnchor = hn.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ === 3))
+    // rank 1 must be the TRUE nearest different-label row, not merely the
+    // nearest overall that happens to differ: check against brute force
+    val vecs = labeled.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long](0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    hn.filter(_._2 == 1L).take(20).foreach { case (a, _, n, _) =>
+      val best = vecs.keys.filter(o => o != a && labelOf(o) != labelOf(a))
+        .maxBy(o => (cos(vecs(a), vecs(o)), -o))
+      assert(n === best, s"anchor $a: rank-1 negative $n != brute-force $best")
+    }
+  }
+
+  test("hardNegatives: an anchor with few negatives under-fills, never pads") {
+    import spark.implicits._
+    // 1 row of label 0, 2 rows of label 1: the label-0 anchor has only
+    // 2 possible negatives even at m=5
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.8f, 0.2f), 1)).toDF("vec_id", "embedding", "label")
+    val hn = Similarity.hardNegatives(tiny, "vec_id", "embedding", "label", m = 5)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    assert(hn.count(_._1 == 0L) === 2, "label-0 anchor has exactly 2 negatives")
+    assert(hn.count(_._1 == 1L) === 1 && hn.count(_._1 == 2L) === 1,
+      "label-1 anchors have exactly the one label-0 negative")
+  }
 }

@@ -385,6 +385,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-9)
   }
 
+  test("vocabCoverage: monotone curve, exact shares, reaches 1 at full vocab") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c"), (2L, "a b  c")).toDF("doc_id", "text")
+    // counts: a=4 b=3 c=2 (empty token from the double space excluded), total 9
+    val full = TextAnalysis.vocabCoverage(df, "doc_id", "text", topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("tok"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("cum_share")))
+    assert(full.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, "a", 4L), (2L, "b", 3L), (3L, "c", 2L)))
+    assert(math.abs(full(0)._4 - 4.0 / 9) < 1e-12)
+    assert(math.abs(full(1)._4 - 7.0 / 9) < 1e-12)
+    assert(math.abs(full(2)._4 - 1.0) < 1e-12, "full vocab covers everything")
+    assert(full.map(_._4).sliding(2).forall(p => p(0) <= p(1)), "monotone")
+    // topK truncates the curve without changing retained rows
+    val top2 = TextAnalysis.vocabCoverage(df, "doc_id", "text", topK = 2)
+      .orderBy("rank").collect().map(r => r.getAs[String]("tok"))
+    assert(top2.toSeq === Seq("a", "b"))
+  }
+
   test("sparseCosinePairs: a zero-norm doc (all terms at df == N) is excluded, not NaN") {
     import spark.implicits._
     // maxDf = corpus size: "aa" is in ALL 3 docs, so ln(N/df) = 0 and
