@@ -137,4 +137,33 @@ object EventWindows {
           out.iterator
       }
   }
+
+  /** Conversation/trajectory assembly: [[sessionize]] the event log,
+    * then collapse each (user, session) into ONE training example —
+    * the ordered transcript of its event types (joined with `sep`),
+    * its event count, and its wall-clock span in seconds. This is the
+    * events→documents bridge of a behavioral-sequence pipeline
+    * (session2vec, next-action LM, funnel clustering): downstream text
+    * ops (dedup, quality, packing) consume the transcript column
+    * exactly like document text.
+    *
+    * Scale shape: the sessionize window's hash exchange on the user
+    * column already clusters (user, session_no), so the groupBy adds
+    * NO second exchange (the [[sessionize]] plan note); the transcript
+    * rebuild is the remove-spans collect+sort pattern, bounded by
+    * session length. Event ids break timestamp ties end-to-end, so the
+    * transcript string is total-order deterministic.
+    */
+  def sessionTranscripts(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSeconds: Long,
+      sep: String = ">"): DataFrame =
+    sessionize(events, userCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(userCol), col("session_no"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col(tsCol),
+          col(tieCol), col(typeCol).as("t")))), s => s("t")), sep)
+          .as("transcript"),
+        count(lit(1)).as("n_events"),
+        floor((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+          / lit(1000000L)).cast("bigint").as("span_sec"))
 }

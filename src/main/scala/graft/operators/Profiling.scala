@@ -204,4 +204,27 @@ object Profiling {
         corr(col(rx), col(ry)).as("spearman"),
         count(lit(1)).as("n"))
   }
+
+  /** Per-dimension statistics of an embedding column — mean, sample
+    * stddev, min, max, and non-null count for each coordinate. The
+    * embedding-health profile: a dimension with ~zero variance is dead
+    * capacity (collapse), a runaway mean/max marks scaling bugs, and
+    * (mean, std) per dimension are exactly the whitening constants a
+    * normalization pass needs.
+    *
+    * Scale shape: one posexplode fan-out (rows × dims) into one hash
+    * aggregate keyed by dimension — output is DIMS-sized regardless of
+    * corpus size, every aggregate partial/mergeable, no joins. Values
+    * are widened float→double BEFORE aggregating (exact widening; the
+    * sums then carry double precision).
+    */
+  def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("bigint").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(avg(col("x")).as("mean"),
+        stddev_samp(col("x")).as("std"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"),
+        count(col("x")).as("n"))
 }

@@ -245,4 +245,39 @@ object Resample {
         frac * (element_at(arr, least(lo + 1, n)) - element_at(arr, lo)))
     df.withColumn(outCol, quant)
   }
+
+  /** Rolling z-score anomaly detection: per key, each value scored
+    * against the mean and SAMPLE stddev of the `frameRows` most recent
+    * rows (current row included, ordered by `orderCols`); rows with
+    * |z| > `threshold` are flagged. The time-series spike detector a
+    * metrics or quality-score stream wants — a global z-score (see
+    * `Outliers.robustZscore`) can't flag a value that is normal
+    * globally but anomalous for ITS recent window.
+    *
+    * Mean and stddev ride ONE window frame (same partition+order, so a
+    * single sort per key, O(1) state per row — partial-aggregatable
+    * frame sums, no value buffering). `z` is null while the frame has
+    * fewer than two non-null values (sample stddev undefined) and when
+    * the frame stddev is 0 (constant window) — both surfaced as null,
+    * never ±Inf/NaN, so downstream filters behave.
+    */
+  def rollingZscore(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, frameRows: Int, threshold: Double): DataFrame = {
+    require(frameRows >= 2, s"frameRows must be >= 2, got $frameRows")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    require(!df.columns.exists(Set("roll_mean", "roll_std", "z", "is_anomaly")),
+      "output columns roll_mean/roll_std/z/is_anomaly must not exist in the input")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(frameRows - 1).toLong, Window.currentRow)
+    val v = col(valueCol).cast("double")
+    df.withColumn("roll_mean", avg(v).over(w))
+      .withColumn("roll_std", stddev_samp(v).over(w))
+      .withColumn("z",
+        when(col("roll_std").isNull || col("roll_std") === 0.0,
+          lit(null).cast("double"))
+          .otherwise((v - col("roll_mean")) / col("roll_std")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+  }
 }

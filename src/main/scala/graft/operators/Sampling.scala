@@ -332,4 +332,43 @@ object Sampling {
     }
     df.withColumn("split", assign)
   }
+
+  /** Leakage-free train/valid/test split: [[splitPortable]] assignment,
+    * then DROP from the train split every row whose key appears in
+    * `pairs` (a near-duplicate pair set, any orientation) opposite a
+    * key assigned to a held-out split. A near-dup of an eval document
+    * sitting in train is memorized-eval-leakage — the split looks
+    * honest, the benchmark isn't. Eval rows are never dropped (their
+    * membership defines the benchmark); only the contaminated train
+    * rows go.
+    *
+    * `pairs` is any two-column (id, id) DataFrame — compose with
+    * [[Dedup.nearJaccardPrefix]] (exact, oracle-replayable) or
+    * [[Dedup.minHashLshNearDup]] (the corpus-scale path); the operator
+    * is agnostic to how candidates were found.
+    *
+    * Scale shape: `pairs` is near-dup-pair-sized, every join is
+    * id-keyed, and the final anti-join's right side is bounded by the
+    * pair count — broadcast-able in practice, shuffle-hash at worst.
+    * Nothing here rescans text.
+    */
+  def leakFreeSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)], pairs: DataFrame,
+      trainName: String = "train"): DataFrame = {
+    require(pairs.columns.length == 2,
+      s"pairs must have exactly two id columns, got ${pairs.columns.mkString(", ")}")
+    require(weights.exists(_._1 == trainName),
+      s"trainName '$trainName' is not one of the split names")
+    val s = splitPortable(df, keyCol, weights)
+    val Seq(a, b, sa, sb) = Cols.fresh("lfs", 4, df, pairs)
+    val p = pairs.toDF(a, b)
+    val partners = p.unionByName(p.select(col(b).as(a), col(a).as(b)))
+    val assign = s.select(col(keyCol), col("split"))
+    val leaked = partners
+      .join(assign.select(col(keyCol).as(a), col("split").as(sa)), Seq(a))
+      .join(assign.select(col(keyCol).as(b), col("split").as(sb)), Seq(b))
+      .filter(col(sa) === trainName && col(sb) =!= trainName)
+      .select(col(a).as(keyCol)).distinct()
+    s.join(leaked, Seq(keyCol), "left_anti")
+  }
 }

@@ -633,4 +633,138 @@ object TextAnalysis {
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame =
     lmScoreCross(df, df, idCol, textCol, k)
+
+  /** Top-`topK` token pairs by pointwise mutual information over
+    * document-level co-occurrence: PMI(x,y) = ln(N·c_xy / (c_x·c_y))
+    * with c_* = document frequencies and N = corpus size — the
+    * collocation/topic-structure probe (high-PMI pairs are phrases and
+    * domain terms; a corpus whose top pairs are template fragments is
+    * boilerplate). `minDf` prunes the pair space to tokens frequent
+    * enough to matter; rank ties break on (t1, t2) so selection is
+    * deterministic.
+    *
+    * Scale shape: the pair generator is a per-document self-join of
+    * each doc's DISTINCT qualifying tokens — fan-out is bounded by
+    * (per-doc distinct vocab)², never corpus², and the doc_id equi-join
+    * collocates without a second exchange. Document frequencies and N
+    * attach as vocabulary-sized broadcast joins; the final top-k window
+    * sorts the MIN-DF-PRUNED pair table (vocabulary-pair-sized, the
+    * vocabCoverage bounded-global-sort regime).
+    */
+  def pmiTopPairs(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int, topK: Int): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = tokenize(df, idCol, textCol)
+      .filter(col("tok") =!= "").distinct()
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDf)
+    val n = df.agg(count(lit(1)).as("n"))
+    val qual = toks.join(broadcast(dfs.select("tok")), Seq("tok"))
+    val pairs = qual.as("a")
+      .join(qual.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("t1"), col("b.tok").as("t2"))
+      .agg(count(lit(1)).as("c_xy"))
+    // rank on the PRE-log ratio: ln is monotone, so the order is the
+    // same — but *, / are IEEE-correctly-rounded in every engine while
+    // libm ln may differ in the last ulp, which could flip the rank of
+    // near-tied pairs between Spark and an oracle
+    val ratio = col("c_xy").cast("double") * col("n").cast("double") /
+      (col("c_x").cast("double") * col("c_y").cast("double"))
+    val w = Window.orderBy(col("_ratio").desc, col("t1"), col("t2"))
+    pairs
+      .join(broadcast(dfs.select(col("tok").as("t1"), col("c").as("c_x"))), Seq("t1"))
+      .join(broadcast(dfs.select(col("tok").as("t2"), col("c").as("c_y"))), Seq("t2"))
+      .crossJoin(broadcast(n))
+      .withColumn("_ratio", ratio)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("t1"), col("t2"), col("c_xy"),
+        log(col("_ratio")).as("pmi"))
+  }
+
+  /** Zipf-law fit over the top-`topK` vocabulary: OLS of ln(count) on
+    * ln(rank) → (slope, intercept, r2, n_ranks). A natural corpus sits
+    * near slope ≈ −1; a flat slope means near-uniform token use
+    * (synthetic/templated text), a steep one a few dominating tokens —
+    * the one-row corpus-health summary of the [[vocabCoverage]] curve.
+    *
+    * Same scale shape as vocabCoverage: one token count shuffle, then a
+    * vocabulary-sized rank window; the regression itself is Spark's
+    * partial-aggregatable regr_* family, so the fit adds no extra pass.
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2 to fit a line, got $topK")
+    val counts = tokenize(df, idCol, textCol)
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(log(col("rank").cast("double")).as("lr"),
+        log(col("cnt").cast("double")).as("lc"))
+      .agg(expr("regr_slope(lc, lr)").as("slope"),
+        expr("regr_intercept(lc, lr)").as("intercept"),
+        expr("regr_r2(lc, lr)").as("r2"),
+        count(lit(1)).as("n_ranks"))
+  }
+
+  /** Deterministic masked-LM example construction: each token position
+    * draws an engine-portable uniform from md5(seed:doc:pos) and is
+    * replaced by `maskTok` when the draw falls under `rate`. Returns
+    * the masked text plus the label set ("pos:token" pairs, CSV) —
+    * the (input, target) pair an MLM data loader emits. Seedless
+    * randomness is the point: the same corpus yields the same masks on
+    * every run, retry, and cluster (the [[Sampling.portableUnit]]
+    * contract), and an oracle can replay every decision.
+    *
+    * Scale shape: one position fan-out (explode) and one doc-keyed
+    * re-aggregation — the remove-spans rebuild pattern; no joins, no
+    * driver state. The per-position md5 is the portability cost; swap
+    * xxhash64 for the draw when no oracle needs to replay it.
+    */
+  def mlmMask(df: DataFrame, idCol: String, textCol: String,
+      rate: Double, seed: String = "mlm", maskTok: String = "[MASK]")
+      : DataFrame = {
+    require(rate > 0.0 && rate < 1.0, s"rate must be in (0,1), got $rate")
+    val pos = df.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .withColumn("u", Sampling.portableUnit(
+        concat_ws(":", lit(seed), col("doc_id"), col("pos"))))
+      .withColumn("masked", col("u") < rate)
+    pos.groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"),
+          when(col("masked"), lit(maskTok)).otherwise(col("tok")).as("t")))),
+          s => s("t")), " ").as("masked_text"),
+        array_join(transform(array_sort(collect_list(when(col("masked"),
+          struct(col("pos"), concat_ws(":", col("pos"), col("tok")).as("l"))))),
+          s => s("l")), ",").as("labels"),
+        sum(col("masked").cast("long")).as("n_masked"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * n-grams that occur in no other document — the inverse boilerplate
+    * signal (novelty ≈ 1 marks original content; ≈ 0 marks docs
+    * assembled from corpus-common fragments). Complements
+    * [[repeatedSpans]]: that op finds the shared spans, this one scores
+    * each document by how little of it is shared.
+    *
+    * Scale shape: one shingle generate + distinct, one gram-keyed count
+    * shuffle, one gram-keyed join back, one doc-keyed aggregate — all
+    * equi-keyed, nothing quadratic; the gram join reuses the shingle
+    * exchange (the [[Dedup.shingles]] ReusedExchange note applies).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = Dedup.shingles(df, idCol, textCol, n)
+    val gdf = grams.groupBy("tok").agg(count(lit(1)).as("g_df"))
+    grams.join(gdf, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        avg((col("g_df") === 1L).cast("double")).as("novelty"))
+  }
 }

@@ -496,6 +496,98 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** PMI collocations: top-50 token pairs by document-level pointwise
+    * mutual information at minDf 25. Rank is computed over the pre-log
+    * ratio (IEEE-exact in both engines); pmi rounds to 6 dp.
+    */
+  val qPmiPairs: QueryFn = withTables { spark =>
+    TextAnalysis.pmiTopPairs(
+        spark.table("documents"), "doc_id", "text", minDf = 25, topK = 50)
+      .select(col("rank").as("rnk"), col("t1"), col("t2"), col("c_xy"),
+        round(col("pmi"), 6).cast("double").as("pmi"))
+      .orderBy("rnk")
+  }
+
+  /** Zipf fit over the top-30 vocabulary ranks: OLS slope/intercept/r2
+    * of ln(count) on ln(rank), one row, rounded to 6 dp.
+    */
+  val qZipfFit: QueryFn = withTables { spark =>
+    TextAnalysis.zipfFit(spark.table("documents"), "doc_id", "text", topK = 30)
+      .select(round(col("slope"), 6).cast("double").as("slope"),
+        round(col("intercept"), 6).cast("double").as("intercept"),
+        round(col("r2"), 6).cast("double").as("r2"),
+        col("n_ranks"))
+  }
+
+  /** Rolling z-score anomalies over a trailing 20-row frame per user.
+    * The anomaly flag compares the ROUNDED z against the threshold so
+    * an engine ulp difference at the boundary cannot flip it; exported
+    * as 0/1 bigint.
+    */
+  val qRollingZscore: QueryFn = withTables { spark =>
+    val base = spark.table("events")
+      .select("event_id", "user_id", "ts", "value")
+    graft.operators.Resample.rollingZscore(
+        base, "user_id", Seq("ts", "event_id"), "value",
+        frameRows = 20, threshold = 2.5)
+      .select(col("event_id"), col("user_id"),
+        round(col("z"), 6).cast("double").as("z"),
+        when(abs(round(col("z"), 6)) > 2.5, 1L).otherwise(0L).as("is_anom"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic MLM masking at 15 %: every mask decision is
+    * md5('mlm:doc:pos') < 0.15, replayed exactly by the oracle;
+    * labels are "pos:token" CSV in position order.
+    */
+  val qMlmMask: QueryFn = withTables { spark =>
+    TextAnalysis.mlmMask(
+        spark.table("documents"), "doc_id", "text", rate = 0.15)
+      .select("doc_id", "masked_text", "labels", "n_masked")
+      .orderBy("doc_id")
+  }
+
+  /** Per-dimension embedding statistics (collapse/whitening profile):
+    * mean, sample std, min, max, count per coordinate, rounded to 6 dp.
+    */
+  val qEmbDimstats: QueryFn = withTables { spark =>
+    graft.operators.Profiling.embeddingDimStats(
+        spark.table("embeddings"), "embedding")
+      .select(col("dim"),
+        round(col("mean"), 6).cast("double").as("mean"),
+        round(col("std"), 6).cast("double").as("std"),
+        round(col("mn"), 6).cast("double").as("mn"),
+        round(col("mx"), 6).cast("double").as("mx"),
+        col("n"))
+      .orderBy("dim")
+  }
+
+  /** Leakage-free split: portable 75/12.5/12.5 assignment, then train
+    * rows with an exact-Jaccard (>= 0.95) near-dup in valid/test are
+    * dropped. Pair source is the oracle-replayable exact path; the
+    * corpus-scale path swaps in minHashLshNearDup with the same
+    * contract.
+    */
+  val qSplitLeakfree: QueryFn = withTables { spark =>
+    val docs = spark.table("documents").filter(col("doc_id") < 1000)
+    val pairs = Dedup.nearJaccardPrefix(docs, "doc_id", "text", minJaccard = 0.95)
+      .select("i", "j")
+    graft.operators.Sampling.leakFreeSplit(docs, "doc_id",
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125), pairs)
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  }
+
+  /** N-gram novelty: per-doc fraction of distinct 3-grams unique to
+    * that doc, rounded to 6 dp.
+    */
+  val qNgramNovelty: QueryFn = withTables { spark =>
+    TextAnalysis.ngramNovelty(spark.table("documents"), "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("n_grams"),
+        round(col("novelty"), 6).cast("double").as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Linear-interpolation resample (pandas `interpolate()` parity):
     * judged against a DuckDB re-expression of the same two-directional
     * window kernel, rounded to 6 dp (division order differs from
@@ -1283,6 +1375,13 @@ object LlmOps {
     "q_hard_negatives" -> qHardNegatives,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_bucket_batches" -> qBucketBatches,
+    "q_pmi_pairs" -> qPmiPairs,
+    "q_zipf_fit" -> qZipfFit,
+    "q_rolling_zscore" -> qRollingZscore,
+    "q_mlm_mask" -> qMlmMask,
+    "q_emb_dimstats" -> qEmbDimstats,
+    "q_split_leakfree" -> qSplitLeakfree,
+    "q_ngram_novelty" -> qNgramNovelty,
     "q_resample_interp" -> qResampleInterp,
     "q_lang_id" -> qLangId,
     "q_redact_pii" -> qRedactPii,
@@ -2074,6 +2173,155 @@ object LlmOps {
              CAST(bucket AS VARCHAR) || ':' || CAST(CAST(FLOOR(rn / 32.0) AS BIGINT) AS VARCHAR) AS batch_id,
              CAST(rn % 32 AS BIGINT) AS pos_in_batch
       FROM r ORDER BY doc_id""",
+
+    // rank over the pre-log ratio (*, / are IEEE-exact in both
+    // engines; libm ln is not guaranteed to the last ulp)
+    "q_pmi_pairs" -> """
+      WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+             FROM documents) t WHERE tok <> ''),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      dfs AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok HAVING COUNT(*) >= 25),
+      qual AS (SELECT t.doc_id, t.tok FROM toks t JOIN dfs USING (tok)),
+      pairs AS (
+        SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c_xy
+        FROM qual a JOIN qual b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT t1, t2, c_xy,
+               (CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE))
+                 / (CAST(dx.c AS DOUBLE) * CAST(dy.c AS DOUBLE)) AS ratio
+        FROM pairs
+        JOIN dfs dx ON pairs.t1 = dx.tok
+        JOIN dfs dy ON pairs.t2 = dy.tok
+        CROSS JOIN n),
+      ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, t1, t2) AS BIGINT) AS rnk,
+               t1, t2, c_xy, ratio
+        FROM scored)
+      SELECT rnk, t1, t2, c_xy, CAST(ROUND(LN(ratio), 6) AS DOUBLE) AS pmi
+      FROM ranked WHERE rnk <= 50
+      ORDER BY rnk""",
+
+    "q_zipf_fit" -> """
+      WITH toks AS (
+        SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents),
+      counts AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+      ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk, cnt
+        FROM counts),
+      pts AS (
+        SELECT LN(CAST(rnk AS DOUBLE)) AS lr, LN(CAST(cnt AS DOUBLE)) AS lc
+        FROM ranked WHERE rnk <= 30)
+      SELECT CAST(ROUND(REGR_SLOPE(lc, lr), 6) AS DOUBLE) AS slope,
+             CAST(ROUND(REGR_INTERCEPT(lc, lr), 6) AS DOUBLE) AS intercept,
+             CAST(ROUND(REGR_R2(lc, lr), 6) AS DOUBLE) AS r2,
+             COUNT(*) AS n_ranks
+      FROM pts""",
+
+    // the anomaly flag compares the ROUNDED z so a last-ulp stddev
+    // difference at the threshold boundary cannot flip it
+    "q_rolling_zscore" -> """
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      s AS (
+        SELECT event_id, user_id,
+               AVG(value) OVER w AS m,
+               STDDEV_SAMP(value) OVER w AS sd,
+               value
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      z AS (
+        SELECT event_id, user_id,
+               CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                    ELSE ROUND((value - m) / sd, 6) END AS z
+        FROM s)
+      SELECT event_id, user_id, CAST(z AS DOUBLE) AS z,
+             CAST(CASE WHEN ABS(z) > 2.5 THEN 1 ELSE 0 END AS BIGINT) AS is_anom
+      FROM z ORDER BY event_id""",
+
+    // every mask decision is md5('mlm:doc:pos') < 0.15, replayed bit-
+    // for-bit ('0x'||15 hex chars over 2^60, the portableUnit formula)
+    "q_mlm_mask" -> """
+      WITH pos AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok,
+               CAST(GENERATE_SUBSCRIPTS(STRING_SPLIT(LOWER(text), ' '), 1) - 1 AS BIGINT) AS p
+        FROM documents),
+      m AS (
+        SELECT doc_id, tok, p,
+               ('0x' || SUBSTR(MD5('mlm:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 15))::BIGINT
+                 / 1152921504606846976.0 < 0.15 AS masked
+        FROM pos)
+      SELECT doc_id,
+             STRING_AGG(CASE WHEN masked THEN '[MASK]' ELSE tok END, ' ' ORDER BY p) AS masked_text,
+             COALESCE(STRING_AGG(CASE WHEN masked THEN CAST(p AS VARCHAR) || ':' || tok END, ',' ORDER BY p), '') AS labels,
+             SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked
+      FROM m GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "q_emb_dimstats" -> """
+      WITH x AS (
+        SELECT CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS BIGINT) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings)
+      SELECT dim,
+             CAST(ROUND(AVG(x), 6) AS DOUBLE) AS mean,
+             CAST(ROUND(STDDEV_SAMP(x), 6) AS DOUBLE) AS std,
+             CAST(ROUND(MIN(x), 6) AS DOUBLE) AS mn,
+             CAST(ROUND(MAX(x), 6) AS DOUBLE) AS mx,
+             COUNT(x) AS n
+      FROM x GROUP BY dim
+      ORDER BY dim""",
+
+    // split assignment + exact-Jaccard pairs, composed: train rows
+    // with a >= 0.95 partner outside train are dropped
+    "q_split_leakfree" -> """
+      WITH s AS (
+        SELECT doc_id,
+               CASE WHEN u < 0.75 THEN 'train'
+                    WHEN u < 0.875 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 AS u
+              FROM documents WHERE doc_id < 1000)),
+      toks AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+             FROM documents WHERE doc_id < 1000) t),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT i, j FROM inter
+                JOIN sizes sa ON i = sa.doc_id
+                JOIN sizes sb ON j = sb.doc_id
+                WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95),
+      partners AS (SELECT i AS a, j AS b FROM pairs
+                   UNION ALL SELECT j AS a, i AS b FROM pairs),
+      leaked AS (SELECT DISTINCT p.a AS doc_id
+                 FROM partners p
+                 JOIN s sa ON p.a = sa.doc_id
+                 JOIN s sb ON p.b = sb.doc_id
+                 WHERE sa.split = 'train' AND sb.split <> 'train')
+      SELECT doc_id, split FROM s
+      WHERE doc_id NOT IN (SELECT doc_id FROM leaked)
+      ORDER BY doc_id""",
+
+    "q_ngram_novelty" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS tok
+             FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 1))) r(i)),
+      gdf AS (SELECT tok, COUNT(*) AS g_df FROM sh GROUP BY tok)
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(ROUND(AVG(CASE WHEN g_df = 1 THEN 1.0 ELSE 0.0 END), 6) AS DOUBLE) AS novelty
+      FROM sh JOIN gdf USING (tok)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
     "q_corr" -> """
       WITH e AS (SELECT event_type, value,
                         EPOCH_US(CAST(ts AS TIMESTAMP)) / 1000000.0 AS t

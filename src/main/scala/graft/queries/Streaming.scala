@@ -51,11 +51,27 @@ object Streaming {
       .orderBy("user_id", "event_id")
   }
 
+  /** Conversation assembly: each (user, session) collapsed to one
+    * ordered transcript of its event types plus count and span — the
+    * events→documents bridge (downstream text ops consume the
+    * transcript column like document text). Same 30-min gap rule and
+    * total (ts, event_id) order as q_sessionize, so the transcript
+    * string is deterministic in both engines.
+    */
+  val qSessionTranscript: QueryFn = withTables { spark =>
+    EventWindows.sessionTranscripts(spark.table("events"),
+        "user_id", "ts", "event_id", "event_type", gapSeconds = 1800L)
+      .select(col("user_id"), col("session_no"), col("transcript"),
+        col("n_events"), col("span_sec"))
+      .orderBy("user_id", "session_no")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
     "q_sessionize" -> qSessionize,
+    "q_session_transcript" -> qSessionTranscript,
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,5 +148,32 @@ object Streaming {
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
       FROM m
       ORDER BY user_id, event_id""",
+
+    // q_sessionize's gaps-and-islands CTE + per-session STRING_AGG in
+    // the same total (ts, event_id) order; span truncates to whole
+    // seconds exactly like Spark's micros-div
+    "q_session_transcript" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      m AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      i AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM m)
+      SELECT user_id, session_no,
+             STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS transcript,
+             COUNT(*) AS n_events,
+             CAST(FLOOR(EPOCH(MAX(ts) - MIN(ts))) AS BIGINT) AS span_sec
+      FROM i
+      GROUP BY user_id, session_no
+      ORDER BY user_id, session_no""",
   )
 }

@@ -146,4 +146,39 @@ class ProfilingSpec extends SparkTestBase {
     assert(math.abs(st - (-3.0 / math.sqrt(10.0))) < 1e-12,
       s"tied spearman $st")
   }
+
+  test("embeddingDimStats: hand-computed per-dimension stats") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1.0f, 10.0f),
+      Array(3.0f, 20.0f),
+      Array(5.0f, 30.0f)).toDF("embedding")
+    val out = Profiling.embeddingDimStats(vecs, "embedding")
+      .orderBy("dim").collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("mean"),
+        r.getAs[Double]("std"), r.getAs[Double]("mn"),
+        r.getAs[Double]("mx"), r.getAs[Long]("n")))
+    assert(out.length === 2)
+    val (d0, m0, s0, mn0, mx0, n0) = out(0)
+    assert(d0 === 0L && m0 === 3.0 && mn0 === 1.0 && mx0 === 5.0 && n0 === 3L)
+    assert(math.abs(s0 - 2.0) < 1e-12) // sample std of 1,3,5
+    val (d1, m1, s1, mn1, mx1, n1) = out(1)
+    assert(d1 === 1L && m1 === 20.0 && mn1 === 10.0 && mx1 === 30.0 && n1 === 3L)
+    assert(math.abs(s1 - 10.0) < 1e-12)
+  }
+
+  test("embeddingDimStats on real embeddings: dims complete, counts full") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nRows = emb.count()
+    val dims = emb.selectExpr("size(embedding) AS d").distinct().collect()
+    assert(dims.length === 1, "uniform embedding dimensionality")
+    val d = dims.head.getInt(0)
+    val out = Profiling.embeddingDimStats(emb, "embedding").collect()
+    assert(out.length === d, "one row per dimension")
+    assert(out.forall(_.getAs[Long]("n") === nRows), "no dropped values")
+    assert(out.forall { r =>
+      val (mn, mx) = (r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+      mn <= r.getAs[Double]("mean") && r.getAs[Double]("mean") <= mx
+    })
+  }
 }

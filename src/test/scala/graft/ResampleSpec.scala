@@ -172,4 +172,43 @@ class ResampleSpec extends SparkTestBase {
       Resample.rollingQuantile(df, "k", Seq("o"), "rq", 3, 0.5)
     }
   }
+
+  test("rollingZscore matches a brute-force reference") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i =>
+      ((i % 4).toLong, i.toLong, ((i * 53) % 97).toDouble))
+    val df = rows.toDF("k", "o", "x")
+    val out = Resample.rollingZscore(df, "k", Seq("o"), "x",
+        frameRows = 8, threshold = 1.5)
+      .select("o", "roll_mean", "roll_std", "z", "is_anomaly").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 7), i + 1).map(_._3)
+        val mean = frame.sum / frame.length
+        val r = out(sorted(i)._2)
+        assert(math.abs(r.getDouble(1) - mean) < 1e-9, "mean")
+        if (frame.length >= 2) {
+          val sd = math.sqrt(
+            frame.map(v => (v - mean) * (v - mean)).sum / (frame.length - 1))
+          assert(math.abs(r.getDouble(2) - sd) < 1e-9, "std")
+          if (sd > 0) {
+            val z = (sorted(i)._3 - mean) / sd
+            assert(math.abs(r.getDouble(3) - z) < 1e-9, "z")
+            assert(r.getBoolean(4) === (math.abs(z) > 1.5), "flag")
+          } else assert(r.isNullAt(3) && !r.getBoolean(4))
+        } else assert(r.isNullAt(3) && !r.getBoolean(4),
+          "single-row frame: no z, no flag")
+      }
+    }
+  }
+
+  test("rollingZscore: constant frames yield null z and never flag") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (1L, i.toLong, 5.0)).toDF("k", "o", "x")
+    val out = Resample.rollingZscore(df, "k", Seq("o"), "x", 4, 2.0).collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("z"))))
+    assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
 }

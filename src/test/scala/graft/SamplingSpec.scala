@@ -307,4 +307,59 @@ class SamplingSpec extends SparkTestBase {
         s"groupCol '$grp' must work like any other name")
     }
   }
+
+  test("leakFreeSplit drops exactly the train rows with an eval partner") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("id")
+    val weights = Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)
+    val base = Sampling.splitPortable(ids, "id", weights)
+    val split = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainIds = split.collect { case (k, "train") => k }.toSeq.sorted
+    val evalIds = split.collect { case (k, s) if s != "train" => k }.toSeq.sorted
+    // pairs: two train↔eval edges (both orientations exercised), one
+    // train↔train edge (harmless), one eval↔eval edge (harmless)
+    val pairs = Seq(
+      (trainIds(0), evalIds(0)), (evalIds(1), trainIds(1)),
+      (trainIds(2), trainIds(3)), (evalIds(2), evalIds(3)))
+      .toDF("i", "j")
+    val out = Sampling.leakFreeSplit(ids, "id", weights, pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(trainIds(0)) && !out.contains(trainIds(1)),
+      "train rows with an eval partner are dropped, either orientation")
+    assert(out.contains(trainIds(2)) && out.contains(trainIds(3)),
+      "train-train pairs drop nothing")
+    evalIds.foreach(k => assert(out(k) == split(k), "eval rows never dropped"))
+    assert(out.size === 200 - 2, "exactly the two leaked rows go")
+    (out.keySet -- Set(trainIds(0), trainIds(1))).foreach(k =>
+      assert(out(k) == split(k), "surviving assignments unchanged"))
+  }
+
+  test("leakFreeSplit end-to-end on near-dup documents: no train doc has an eval near-dup") {
+    val docsAll = docs.filter(col("doc_id") < 300)
+    val weights = Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)
+    val pairs = graft.operators.Dedup.nearJaccardPrefix(
+      docsAll, "doc_id", "text", minJaccard = 0.9).select("i", "j")
+    val out = Sampling.leakFreeSplit(docsAll, "doc_id", weights, pairs).cache()
+    val assign = out.select(col("doc_id"), col("split"))
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val s = assign.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    p.foreach { case (i, j) =>
+      val leak = (s.get(i), s.get(j)) match {
+        case (Some("train"), Some(x)) if x != "train" => true
+        case (Some(x), Some("train")) if x != "train" => true
+        case _ => false
+      }
+      assert(!leak, s"surviving pair ($i,$j) still straddles train/eval")
+    }
+    out.unpersist()
+  }
+
+  test("leakFreeSplit: internal working names cannot collide with caller columns") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, "x")).toDF("id", "_lfs0")
+    val pairs = Seq((1L, 2L)).toDF("_lfs1", "id")
+    val out = Sampling.leakFreeSplit(df, "id",
+      Seq("train" -> 0.75, "valid" -> 0.25), pairs)
+    assert(out.count() > 0)
+  }
 }

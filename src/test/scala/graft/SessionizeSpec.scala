@@ -102,4 +102,42 @@ class SessionizeSpec extends SparkTestBase {
     assert(a.toSeq === b.toSeq)
     assert(a.toSeq === Seq((1L, 1L), (2L, 1L), (3L, 2L)))
   }
+
+  test("sessionTranscripts: hand fixture with ties and a gap") {
+    import spark.implicits._
+    val t0 = 1700000000000000L // epoch micros
+    def ts(offSec: Long) = new Timestamp((t0 + offSec * 1000000L) / 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), "view"),
+      (1L, 3L, ts(60), "click"),   // same ts as event 2: tie broken by id
+      (1L, 2L, ts(60), "view"),
+      (1L, 4L, ts(60 + 1800), "buy") // exactly the gap: new session
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventWindows.sessionTranscripts(ev, "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800L)
+      .orderBy("session_no").collect()
+      .map(r => (r.getAs[Long]("session_no"), r.getAs[String]("transcript"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("span_sec")))
+    assert(out.toSeq === Seq(
+      (1L, "view>view>click", 3L, 60L), // id 2 before id 3 on the tied ts
+      (2L, "buy", 1L, 0L)))
+  }
+
+  test("sessionTranscripts on real events: consistent with sessionize") {
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val tr = EventWindows.sessionTranscripts(events, "user_id", "ts",
+      "event_id", "event_type", 1800L).cache()
+    val sess = EventWindows.sessionize(events, "user_id", "ts",
+      "event_id", 1800L)
+    assert(tr.count() ===
+      sess.select("user_id", "session_no").distinct().count(),
+      "one transcript per (user, session)")
+    assert(tr.agg(sum("n_events")).collect().head.getLong(0) === events.count(),
+      "every event lands in exactly one transcript")
+    // separator count == n_events - 1 for every transcript
+    val bad = tr.filter(
+      size(split(col("transcript"), ">", -1)) =!= col("n_events")).count()
+    assert(bad === 0L, "transcript length matches n_events")
+    tr.unpersist()
+  }
 }

@@ -434,4 +434,102 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(p.filter(col("cos") > 1.000001 || col("cos") <= 0).count() === 0L)
     p.unpersist()
   }
+
+  test("pmiTopPairs matches brute force on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a c"), (5L, "b"), (6L, "c d")).toDF("doc_id", "text")
+    // doc freqs: a=4 b=4 c=3 d=1; N=6
+    // pairs (docs containing both): (a,b)=3 (a,c)=2 (b,c)=1 (c,d)=1
+    val out = TextAnalysis.pmiTopPairs(docs, "doc_id", "text",
+        minDf = 1, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2"),
+        r.getAs[Long]("c_xy"), r.getAs[Double]("pmi")))
+    val expect = Map(
+      ("a", "b") -> (3L, math.log(3.0 * 6 / (4 * 4))),
+      ("a", "c") -> (2L, math.log(2.0 * 6 / (4 * 3))),
+      ("b", "c") -> (1L, math.log(1.0 * 6 / (4 * 3))),
+      ("c", "d") -> (1L, math.log(1.0 * 6 / (3 * 1))))
+    assert(out.length === expect.size)
+    out.foreach { case (t1, t2, c, pmi) =>
+      val (ec, epmi) = expect((t1, t2))
+      assert(c === ec, s"pair ($t1,$t2) count")
+      assert(math.abs(pmi - epmi) < 1e-12, s"pair ($t1,$t2) pmi")
+    }
+    // rank order = pmi desc: (c,d)=ln2 > (a,b)=ln1.125 > (a,c)=ln1 > (b,c)
+    assert(out.map(p => (p._1, p._2)).toSeq ===
+      Seq(("c", "d"), ("a", "b"), ("a", "c"), ("b", "c")))
+    // minDf prunes: at minDf=3, d (df=1) drops and with it its pair
+    val pruned = TextAnalysis.pmiTopPairs(docs, "doc_id", "text",
+      minDf = 3, topK = 10).collect()
+    assert(pruned.length === 3 && !pruned.exists(_.getAs[String]("t2") == "d"))
+  }
+
+  test("zipfFit recovers slope -1 exactly on a perfect power law") {
+    import spark.implicits._
+    // counts 60/r for ranks 1..5: ln(cnt) = ln 60 - 1·ln(rank), r2 = 1
+    val words = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15, "e" -> 12)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val out = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", topK = 5).collect().head
+    assert(math.abs(out.getAs[Double]("slope") + 1.0) < 1e-9)
+    assert(math.abs(out.getAs[Double]("intercept") - math.log(60.0)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(out.getAs[Long]("n_ranks") === 5L)
+  }
+
+  test("ngramNovelty: shared grams lower novelty, unique docs score 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // grams: "a b c", "b c d"
+      (2L, "a b c e"),   // grams: "a b c", "b c e" — shares "a b c" with doc 1
+      (3L, "x y z w")    // grams: "x y z", "y z w" — all unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Double]("novelty")))
+    assert(out.toSeq === Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 2L, 1.0)))
+  }
+
+  test("mlmMask: unmasking the labels reconstructs the original text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val masked = TextAnalysis.mlmMask(docs, "doc_id", "text", rate = 0.15)
+      .join(docs.select(col("doc_id"), lower(col("text")).as("orig")), "doc_id")
+      .cache()
+    assert(masked.count() === docs.count(), "row-preserving")
+    masked.collect().foreach { r =>
+      val toks = r.getAs[String]("masked_text").split(" ", -1)
+      val labels = r.getAs[String]("labels")
+      val pairs = if (labels.isEmpty) Array.empty[(Int, String)]
+        else labels.split(",", -1).map { l =>
+          val Array(p, t) = l.split(":", 2); (p.toInt, t)
+        }
+      assert(pairs.length === r.getAs[Long]("n_masked"),
+        "labels count n_masked masked positions")
+      pairs.foreach { case (p, t) =>
+        assert(toks(p) === "[MASK]", s"labeled position $p is masked")
+        toks(p) = t
+      }
+      assert(toks.count(_ == "[MASK]") === 0, "every mask is labeled")
+      assert(toks.mkString(" ") === r.getAs[String]("orig"),
+        s"doc ${r.getAs[Long]("doc_id")} reconstructs")
+    }
+    // realized rate tracks 15% over the corpus
+    val agg = masked.agg(
+      sum(col("n_masked")).as("m"),
+      sum(size(split(col("orig"), " "))).as("t")).collect().head
+    val rate = agg.getAs[Long]("m").toDouble / agg.getAs[Long]("t")
+    assert(rate > 0.12 && rate < 0.18, s"realized mask rate $rate")
+    masked.unpersist()
+  }
+
+  test("mlmMask is deterministic under input partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = TextAnalysis.mlmMask(docs, "doc_id", "text", rate = 0.15)
+    val b = TextAnalysis.mlmMask(docs.repartition(13), "doc_id", "text", rate = 0.15)
+    assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
+  }
 }
