@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the run log's bounded tail for Bench's ONE-line JSON
+// summary. Under sbt's default LoggedOutput every forked-process line is
+// re-emitted as "[info] <line>", so no line ever STARTS with '{' and the
+// driver recorded parsed:null five rounds running even when the complete
+// JSON sat inside the tail (BENCH_r05.json). StdoutOutput passes the
+// forked JVM's stdout through verbatim — the JSON line reaches the log
+// undecorated — and showSuccess drops the trailing "[success] Total
+// time: ..." epilogue so that line is also the LAST line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -143,11 +143,16 @@ object Bench {
       val omittedMax = byTime.drop(n).headOption.map(_._2).getOrElse(0.0)
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$slowQs,"n_queries":${results.size},"queries_omitted_below":${sec3(omittedMax)},"queries_full_file":${jstr(outFile)},"errors":$errs,"sf":"$sfDir"}"""
     }
-    val budget = 1750 // 2000-byte tail − sbt prefix/epilogue, with margin
+    // build.sbt routes run output through StdoutOutput (no "[info] "
+    // prefix) and sets showSuccess := false (no "[success]" epilogue), so
+    // the compact line below is both UNDECORATED (starts with '{') and the
+    // LAST line of the log — printed after spark.stop() so no Spark
+    // shutdown warning can land behind it.
+    val budget = 1900 // 2000-byte driver tail, with margin for newlines
     val slowN = (results.size to 0 by -1)
       .find(n => renderLine(n).length <= budget).getOrElse(0)
+    spark.stop()
     println(fullLine) // full map first: out of the tail window, kept for full-log readers
     println(renderLine(slowN))
-    spark.stop()
   }
 }

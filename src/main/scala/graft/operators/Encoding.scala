@@ -100,4 +100,32 @@ object Encoding {
           .otherwise(col(g)))
       .drop(s, n, g, ck)
   }
+
+  /** Per-group feature scaling: z-score (sample std) and min-max in
+    * one pass — the normalization step that runs per stratum
+    * (per-sensor, per-event-type, per-feature-family) so one group's
+    * range never squashes another's. Degenerate groups stay NULL, not
+    * NaN: a single-row or constant group has no spread to scale by,
+    * and NULL propagates honestly through training-prep filters where
+    * NaN poisons comparisons silently.
+    *
+    * Shape: one group-keyed stats aggregate joined back broadcast
+    * (group count is strata-sized by definition), row-preserving — the
+    * [[targetEncodeLoo]] join pattern, null-safe on the group key so
+    * null-group rows scale within their own group.
+    */
+  def scaleNumeric(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = col(valueCol).cast("double")
+    val Seq(gk, mu, sd, mn, mx) = Cols.fresh("sc", 5, df)
+    val stats = df.groupBy(col(groupCol).as(gk))
+      .agg(avg(v).as(mu), stddev_samp(v).as(sd),
+        min(v).as(mn), max(v).as(mx))
+    df.join(broadcast(stats), col(groupCol) <=> col(gk))
+      .withColumn("z",
+        when(col(sd) > 0.0, (v - col(mu)) / col(sd)))
+      .withColumn("minmax",
+        when(col(mx) > col(mn), (v - col(mn)) / (col(mx) - col(mn))))
+      .drop(gk, mu, sd, mn, mx)
+  }
 }

@@ -227,4 +227,83 @@ object Profiling {
         min(col("x")).as("mn"),
         max(col("x")).as("mx"),
         count(col("x")).as("n"))
+
+  /** Per-shard content checksums — the dataset-fingerprint a pipeline
+    * records next to every materialized snapshot so a later run (or a
+    * consumer cluster) can verify "same rows, same bytes" without
+    * re-reading both copies row-by-row. Each row digests to a 60-bit
+    * integer (md5 over key + content columns, separator-framed so
+    * column boundaries can't alias), shards by the
+    * [[Sampling.assignShards]] draw of the key, and each shard reports
+    * its row count and the XOR of its digests.
+    *
+    * XOR, not SUM: order-independent AND overflow-free (a 60-bit sum
+    * overflows an int64 silently past ~2^4 rows × 2^60; XOR stays in
+    * range at any cardinality), so the checksum is partitioning-,
+    * retry-, and engine-independent. The whole thing is one projection
+    * at the scan plus ONE shard-keyed aggregate with map-side
+    * partials; output is nShards rows regardless of corpus size.
+    *
+    * Caveat the honest way: XOR cancels PAIRS of identical digests, so
+    * a table that gains the same row TWICE keeps its checksum. The row
+    * COUNT column catches exactly that case — compare both.
+    */
+  def shardChecksum(df: DataFrame, keyCol: String,
+      contentCols: Seq[String], nShards: Int): DataFrame = {
+    require(contentCols.nonEmpty, "shardChecksum needs content columns")
+    val Seq(dg) = Cols.fresh("ck", 1, df)
+    // \\u0001-framed concat: ('ab','c') and ('a','bc') digest differently
+    val digest = conv(substring(md5(concat_ws("",
+      (keyCol +: contentCols).map(c => col(c).cast("string")): _*)), 1, 15),
+      16, 10).cast("long")
+    Sampling.assignShards(df, keyCol, nShards)
+      .withColumn(dg, digest)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        // bit_xor is SQL-registered but has no Column builder in this
+        // Spark -- expr() over the fresh internal column keeps codegen
+        expr(s"bit_xor($dg)").as("checksum"))
+      .orderBy("shard")
+  }
+
+  /** Mutual information between two categorical columns, with the
+    * marginal entropies and the normalized coefficient — the
+    * dataset-composition diagnostic ("how much does source determine
+    * language?") that catches stratification accidents a pair of
+    * histograms can't. All probabilities are exact integer ratios
+    * (cell/N); logs are taken at the very end over those ratios, so
+    * the only float work is the final vocabulary²-sized sum.
+    *
+    * MI = Σ_ab (c_ab/N) ln(c_ab·N / (c_a·c_b)), H = -Σ (c/N) ln(c/N),
+    * NMI = MI / max(H_a, H_b) (0 when both entropies are 0 — two
+    * constant columns carry no information to normalize by).
+    *
+    * Scale shape: ONE (a,b)-keyed count shuffle; marginals re-aggregate
+    * that cell table (cells ≤ |A|·|B|, vocabulary-sized); everything
+    * after the first count is cell-table-sized, attached broadcast.
+    * Null categories are their own level (dropping them would hide
+    * exactly the missing-data structure this op exists to surface).
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_cab"))
+    val ma = cells.groupBy("_a").agg(sum("_cab").as("_ca"))
+    val mb = cells.groupBy("_b").agg(sum("_cab").as("_cb"))
+    val n = cells.agg(sum("_cab").cast("double").as("_n"))
+    val joined = cells.join(broadcast(ma), "_a").join(broadcast(mb), "_b")
+      .crossJoin(broadcast(n))
+    val pab = col("_cab") / col("_n")
+    val pa = col("_ca") / col("_n")
+    val pb = col("_cb") / col("_n")
+    // H_a over the cell table: Σ_b p_ab = p_a, so -Σ_cells p_ab·ln p_a
+    // = -Σ_a p_a·ln p_a exactly (same trick for H_b) — no second scan.
+    joined.agg(
+      sum(pab * log((col("_cab") * col("_n")) / (col("_ca") * col("_cb")))).as("mi"),
+      (-sum(pab * log(pa))).as("h_a"),
+      (-sum(pab * log(pb))).as("h_b"),
+      sum(col("_cab")).as("n_rows"))
+      .withColumn("nmi",
+        when(greatest(col("h_a"), col("h_b")) > 0.0,
+          col("mi") / greatest(col("h_a"), col("h_b"))).otherwise(lit(0.0)))
+  }
 }

@@ -371,4 +371,60 @@ object Sampling {
       .select(col(a).as(keyCol)).distinct()
     s.join(leaked, Seq(keyCol), "left_anti")
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows per group —
+    * "sample docs proportional to length / quality weight" with the
+    * inclusion odds of sequential weighted draws, not Bernoulli
+    * thinning. Efraimidis–Spirakis reservoir order (A-Res restated
+    * for a distributed engine): every row gets an exponential race
+    * time -ln(u)/w from its OWN stable uniform u = [[portableUnit]]
+    * (key), and the k smallest per group win — one expression + one
+    * per-group top-k window, the [[capPerKey]] shape, no sequential
+    * reservoir state anywhere. Zero/negative weights fail loudly (a
+    * silent weight-0 row can never win, which reads as data loss
+    * downstream); `keyCol` tie-breaks make the rank total, so the
+    * kept SET is deterministic, retry-stable, and oracle-replayable
+    * (ln is the one libm call — both engines' 1-ulp draws sit ~1e9
+    * ulps apart on a 60-bit uniform, so selection cannot flip).
+    */
+  def weightedSamplePortable(df: DataFrame, groupCols: Seq[String],
+      keyCol: String, weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val Seq(race, rk) = Cols.fresh("ws", 2, df)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(race), col(keyCol))
+    df.withColumn(race,
+        when(weightCol <= 0.0, raise_error(concat(
+          lit("weightedSamplePortable: non-positive weight at key="),
+          col(keyCol).cast("string"))))
+          .otherwise(-log(portableUnit(col(keyCol))) / weightCol))
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(race, rk)
+  }
+
+  /** Deterministic global shuffle order for training: every row gets
+    * its shard in [0, nShards) and its 1-based position WITHIN that
+    * shard, both derived from the md5-portable draw of its key — the
+    * "shuffle once, then N workers stream their slice in a fixed
+    * order" layout. Epoch-stable, retry-stable, and replayable by an
+    * external engine (a resumed job re-derives the exact order with
+    * no shuffle file to recover).
+    *
+    * Scale shape: shard is a per-row projection at the scan; position
+    * is ONE row_number window per shard, so the sort parallelizes
+    * across shards and each sort is shard-sized — pick nShards so a
+    * shard fits a worker, exactly as the training job already must.
+    */
+  def globalShuffle(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val Seq(u) = Cols.fresh("gs", 1, df)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(u), col(keyCol))
+    assignShards(df, keyCol, nShards)
+      .withColumn(u, portableUnit(concat(lit("pos:"), col(keyCol).cast("string"))))
+      .withColumn("pos", row_number().over(w))
+      .drop(u)
+  }
 }

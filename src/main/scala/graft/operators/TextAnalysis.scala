@@ -767,4 +767,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         avg((col("g_df") === 1L).cast("double")).as("novelty"))
   }
+
+  /** Skip-gram co-occurrence counts — the (center, context) pair table
+    * behind word2vec/GloVe-style embedding training: for every token
+    * position i, each of the up to `window` following tokens
+    * contributes one ordered (w1, w2) pair, and pairs are counted
+    * corpus-wide. Ordered (left-to-right) pairs keep directional
+    * information; symmetrize with a union when the model wants
+    * (w1,w2) ≡ (w2,w1).
+    *
+    * Spark-first shape: pair generation is ONE per-row HOF projection
+    * (`transform` over positions × a `slice` of the following window —
+    * `slice` past the array end is empty, so edges need no branch), so
+    * there is NO self-join and no shuffle before the single (w1,w2)
+    * count aggregate. Candidate volume is window × tokens — linear in
+    * corpus size, the same row count a join formulation would shuffle
+    * TWICE (once to co-locate positions, once to count); here it
+    * shuffles once, pre-combined map-side to vocabulary² at most.
+    */
+  def skipgramCounts(df: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    df.select(split(lower(col(textCol)), " ").as("_toks"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(_toks)),
+            i -> transform(slice(_toks, i + 1, $window),
+                           t -> struct(element_at(_toks, i) AS w1, t AS w2))))"""))
+        .as("_pair"))
+      .groupBy(col("_pair.w1").as("w1"), col("_pair.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }
