@@ -1315,7 +1315,123 @@ object LlmOps {
       .orderBy("i", "j")
   }
 
+  /** Weighted sampling without replacement: 25 docs per language,
+    * inclusion odds proportional to length — every exponential race
+    * time -ln(u)/w is replayed by the oracle from the same md5 draw,
+    * and the doc_id tiebreak makes the rank total, so the kept SET is
+    * value-exact (ln's 1-ulp cross-engine noise is ~9 orders below
+    * the gaps between 60-bit-uniform race times).
+    */
+  val qSampleWeighted: QueryFn = withTables { spark =>
+    graft.operators.Sampling.weightedSamplePortable(
+        spark.table("documents"), Seq("lang"), "doc_id",
+        col("n_chars").cast("double"), k = 25)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Deterministic global shuffle order: shard + in-shard position
+    * from two independent portable draws; every assignment replayed
+    * exactly by the oracle (integer mod + row_number, no floats in
+    * the shard path).
+    */
+  val qGlobalShuffle: QueryFn = withTables { spark =>
+    graft.operators.Sampling.globalShuffle(
+        spark.table("documents"), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Skip-gram (center, context) pair counts at window 3 — generated
+    * by a per-row HOF (no self-join on Spark's side); the oracle
+    * derives the identical pair multiset from an ordinality self-join.
+    * Counts are exact integers; nothing floats.
+    */
+  val qSkipgram: QueryFn = withTables { spark =>
+    TextAnalysis.skipgramCounts(
+        spark.table("documents").filter(col("doc_id") < 200),
+        "doc_id", "text", window = 3)
+      .orderBy("w1", "w2")
+  }
+
+  /** Per-shard XOR content checksums over (text, lang, source):
+    * 60-bit md5 digests under  framing, XOR-folded per shard —
+    * bit-identical on both engines (md5 and XOR have no float or
+    * ordering freedom anywhere).
+    */
+  val qShardChecksum: QueryFn = withTables { spark =>
+    graft.operators.Profiling.shardChecksum(
+        spark.table("documents"), "doc_id",
+        Seq("text", "lang", "source"), nShards = 8)
+  }
+
+  /** Mutual information lang × source with marginal entropies and the
+    * normalized coefficient: all probabilities are exact integer
+    * ratios, logs land only in the final cell-table-sized sum,
+    * rounded at 6 dp.
+    */
+  val qMutualInfo: QueryFn = withTables { spark =>
+    graft.operators.Profiling.mutualInfo(
+        spark.table("documents"), "lang", "source")
+      .select(
+        round(col("mi"), 6).cast("double").as("mi"),
+        round(col("h_a"), 6).cast("double").as("h_a"),
+        round(col("h_b"), 6).cast("double").as("h_b"),
+        round(col("nmi"), 6).cast("double").as("nmi"),
+        col("n_rows"))
+  }
+
+  /** Per-event-type z-score + min-max scaling, row-preserving; the
+    * degenerate-group NULL contract is part of the judged surface
+    * (CASE mirrors the when() exactly). 6 dp round absorbs the
+    * partial-aggregation vs sequential-sum ulps in mean/std.
+    */
+  val qScaleFeatures: QueryFn = withTables { spark =>
+    graft.operators.Encoding.scaleNumeric(
+        spark.table("events").select("event_id", "event_type", "value"),
+        "event_type", "value")
+      .select(col("event_id"),
+        round(col("z"), 6).cast("double").as("z"),
+        round(col("minmax"), 6).cast("double").as("minmax"))
+      .orderBy("event_id")
+  }
+
+  /** Distribution-shape aggregates (skewness, excess kurtosis) from
+    * raw power sums — spelled as the SAME explicit moment arithmetic
+    * on both engines because the built-ins disagree (Spark's
+    * skewness/kurtosis are population-form, DuckDB's are
+    * bias-corrected sample-form). Values are pre-scaled by 1e-5 so
+    * the 4th-power sums stay far from the 2^53 integer-precision
+    * cliff, and 6 dp rounding absorbs sum-order ulps.
+    */
+  val qAggShape: QueryFn = withTables { spark =>
+    val x = col("l_extendedprice") / lit(100000.0)
+    spark.table("lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("s3") / col("n") - lit(3.0) * (col("s1") / col("n")) * (col("s2") / col("n"))
+            + lit(2.0) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s1") / col("n")))
+          / pow(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), 1.5), 6)
+          .cast("double").as("skew"),
+        round((col("s4") / col("n") - lit(4.0) * (col("s1") / col("n")) * (col("s3") / col("n"))
+            + lit(6.0) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s2") / col("n"))
+            - lit(3.0) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s1") / col("n")) * (col("s1") / col("n")))
+          / pow(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), 2.0) - lit(3.0), 6)
+          .cast("double").as("kurt"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_global_shuffle" -> qGlobalShuffle,
+    "q_skipgram" -> qSkipgram,
+    "q_shard_checksum" -> qShardChecksum,
+    "q_mutual_info" -> qMutualInfo,
+    "q_scale_features" -> qScaleFeatures,
+    "q_agg_shape" -> qAggShape,
     "q_fuzzy_join2" -> qFuzzyJoin2,
     "q_bm25" -> qBm25,
     "q_token_entropy" -> qTokenEntropy,
@@ -1441,6 +1557,115 @@ object LlmOps {
       ORDER BY o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+
+    // Efraimidis-Spirakis race times replayed from the same md5 draw;
+    // the selected SET is compared, not the race values.
+    "q_sample_weighted" -> """
+      SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                 -LN(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0) / CAST(n_chars AS DOUBLE),
+                 doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 25
+      ORDER BY lang, doc_id""",
+
+    // shard = md5(key) mod 8 (integer path, no floats); pos ranks the
+    // independent md5('pos:'||key) draw inside each shard.
+    "q_global_shuffle" -> """
+      SELECT doc_id, shard, pos FROM (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                 ORDER BY ('0x' || SUBSTR(MD5('pos:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            / 1152921504606846976.0,
+                          doc_id) AS INT) AS pos
+        FROM documents)
+      ORDER BY shard, pos""",
+
+    // Ordinality self-join derives the same ordered-pair multiset the
+    // Spark HOF generates without a join.
+    "q_skipgram" -> """
+      WITH t AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(LOWER(text), ' '), 1) AS ord
+        FROM documents WHERE doc_id < 200)
+      SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS cnt
+      FROM t a JOIN t b
+        ON a.doc_id = b.doc_id AND b.ord > a.ord AND b.ord <= a.ord + 3
+      GROUP BY a.tok, b.tok
+      ORDER BY w1, w2""",
+
+    // 60-bit md5 digests under chr(1) framing, XOR-folded per shard —
+    // integer-exact on both engines.
+    "q_shard_checksum" -> """
+      SELECT shard, COUNT(*) AS n_rows, BIT_XOR(digest) AS checksum FROM (
+        SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
+               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || CHR(1) || text
+                 || CHR(1) || lang || CHR(1) || source), 1, 15))::BIGINT AS digest
+        FROM documents)
+      GROUP BY shard
+      ORDER BY shard""",
+
+    // Identical ratio trees: cab/nn, ln(cab*nn/(ca*cb)) — counts stay
+    // integer until the final cell-table-sized sum.
+    "q_mutual_info" -> """
+      WITH cells AS (
+        SELECT lang AS a, source AS b, COUNT(*) AS cab
+        FROM documents GROUP BY lang, source),
+      ma AS (SELECT a, SUM(cab)::BIGINT AS ca FROM cells GROUP BY a),
+      mb AS (SELECT b, SUM(cab)::BIGINT AS cb FROM cells GROUP BY b),
+      nn AS (SELECT SUM(cab)::DOUBLE AS n FROM cells)
+      SELECT CAST(ROUND(SUM((cab / n) * LN((cab * n) / (ca * cb))), 6) AS DOUBLE) AS mi,
+             CAST(ROUND(-SUM((cab / n) * LN(ca / n)), 6) AS DOUBLE) AS h_a,
+             CAST(ROUND(-SUM((cab / n) * LN(cb / n)), 6) AS DOUBLE) AS h_b,
+             CAST(ROUND(CASE WHEN GREATEST(-SUM((cab / n) * LN(ca / n)),
+                                           -SUM((cab / n) * LN(cb / n))) > 0
+                    THEN SUM((cab / n) * LN((cab * n) / (ca * cb)))
+                         / GREATEST(-SUM((cab / n) * LN(ca / n)),
+                                    -SUM((cab / n) * LN(cb / n)))
+                    ELSE 0.0 END, 6) AS DOUBLE) AS nmi,
+             SUM(cab)::BIGINT AS n_rows
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // CASE mirrors the operator's when(): degenerate groups stay NULL.
+    "q_scale_features" -> """
+      SELECT event_id,
+             CAST(ROUND(CASE WHEN sd > 0 THEN (value - mu) / sd END, 6) AS DOUBLE) AS z,
+             CAST(ROUND(CASE WHEN mx > mn THEN (value - mn) / (mx - mn) END, 6) AS DOUBLE) AS minmax
+      FROM (SELECT event_id, value,
+                   AVG(value) OVER (PARTITION BY event_type) AS mu,
+                   STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sd,
+                   MIN(value) OVER (PARTITION BY event_type) AS mn,
+                   MAX(value) OVER (PARTITION BY event_type) AS mx
+            FROM events)
+      ORDER BY event_id""",
+
+    // Explicit moment arithmetic (the built-ins disagree across
+    // engines: population vs bias-corrected sample form); both sides
+    // compute the very same ratio tree over raw power sums of
+    // x = l_extendedprice / 100000.0.
+    "q_agg_shape" -> """
+      SELECT l_returnflag, n,
+             CAST(ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                         + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+               / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS DOUBLE) AS skew,
+             CAST(ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                         + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                         - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+               / POWER(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3.0, 6) AS DOUBLE) AS kurt
+      FROM (SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(l_extendedprice / 100000.0) AS s1,
+                   SUM((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS s2,
+                   SUM((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)
+                       * (l_extendedprice / 100000.0)) AS s3,
+                   SUM((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)
+                       * (l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)) AS s4
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
 
     // Same formula tree as the operator; (1.2 + 1.0) and (1 - 0.75)
     // are spelled as arithmetic so both engines derive the identical
