@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
 
 /** Duplicate-cluster resolution: connected components over a near-dup
   * pair list, and the canonical-document dedup built on it.
@@ -50,6 +52,10 @@ object Clustering {
     // only, so both directions must exist for labels to flow both ways.
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      // every pass joins sym on dst: hash-partition ONCE here (the
+      // checkpointed plan keeps its outputPartitioning), so per-pass
+      // exchanges move only the label state, never the edge list
+      .repartition(col("dst"))
       .localCheckpoint() // the loop re-joins this every pass: compute once
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("cluster_id"))
@@ -84,6 +90,114 @@ object Clustering {
         s"connectedComponents: not converged after $maxIters passes " +
           "(graph diameter exceeds maxIters; raise it for long-chain graphs)")
     labels
+  }
+
+  /** Deterministic Lloyd k-means over an embedding column.
+    *
+    * Semantic curation at corpus scale (cluster-then-process: SemDeDup
+    * -style near-dup removal, cluster-balanced sampling, topic
+    * bucketing) needs a clustering whose assignments are REPRODUCIBLE
+    * across runs, retries, and engines — `rand()` init disqualifies
+    * itself the same way it does for [[Sampling]]. Seeding here is the
+    * k vectors with the smallest engine-portable md5 draw of their id
+    * ([[Sampling.portableUnit]]); every subsequent step is pure
+    * arithmetic.
+    *
+    * Scale design (Lloyd's is centroid-broadcast by nature):
+    *  - Assignment is a narrow per-row projection — the k·dim centroid
+    *    matrix rides into the plan as literals (k·dim doubles, a few
+    *    KB), so NO join and NO shuffle; distances stay inside
+    *    whole-stage codegen via `zip_with`/`aggregate` HOFs.
+    *  - The update step is ONE hash aggregation keyed by cluster id
+    *    with `avg(element_at(vec, i))` per dimension — partial
+    *    aggregation sums per-partition first, so the shuffle carries
+    *    k·dim partial sums per partition, not rows. No posexplode (a
+    *    ×dim row blow-up) anywhere.
+    *  - Driver holds exactly the k·dim centroid matrix per iteration —
+    *    the irreducible Lloyd state — never row data.
+    *
+    * Engine-portable determinism: distances and refreshed centroid
+    * coordinates are rounded to `roundDp` decimals, so an oracle
+    * replaying the same arithmetic reproduces every assignment
+    * bit-exactly (summation-order noise lives ~1e-13, far below the
+    * 1e-6 quantum; ties on the rounded distance break to the lowest
+    * cluster index via `array_position`). Empty clusters keep their
+    * previous centroid.
+    *
+    * Returns one row per input: (idCol, cluster [0-based], dist
+    * [squared L2 to the final centroid, rounded]).
+    */
+  def kmeansPortable(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"kmeansPortable: k must be >= 1, got $k")
+    require(iters >= 0, s"kmeansPortable: iters must be >= 0, got $iters")
+    val Seq(idc, vc) = Cols.fresh("km", 2, vecs)
+    val v = vecs.select(col(idCol).as(idc),
+      col(vecCol).cast("array<double>").as(vc))
+    val dim = v.select(size(col(vc))).head().getInt(0)
+    var centroids: Seq[Seq[Double]] = v
+      .orderBy(Sampling.portableUnit(col(idc)), col(idc))
+      .limit(k)
+      .select(col(vc)).collect().toSeq
+      .map(_.getSeq[Double](0).toSeq)
+    require(centroids.size == k,
+      s"kmeansPortable: needs >= $k rows, got ${centroids.size}")
+
+    def sqDist(centroid: Seq[Double]): Column =
+      round(aggregate(
+        zip_with(col(vc), typedLit(centroid), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, e) => acc + e), roundDp)
+    def assigned(): DataFrame = {
+      val dists = array(centroids.map(sqDist): _*)
+      v.select(col(idc), col(vc),
+        (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
+        array_min(dists).as("dist"))
+    }
+
+    for (_ <- 1 to iters) {
+      val dimAvgs = (0 until dim).map(i =>
+        round(avg(element_at(col(vc), i + 1)), roundDp).as(s"m$i"))
+      val refreshed = assigned()
+        .groupBy(col("cluster"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toSeq)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        refreshed.getOrElse(c, old) // empty cluster: centroid stands
+      }
+    }
+    assigned().select(col(idc).as(idCol), col("cluster"), col("dist"))
+  }
+
+  /** SemDeDup-style semantic near-dup removal: k-means-cluster the
+    * embedding space, then drop every vector that has a LOWER-id
+    * cluster-mate with cosine >= `minCosine`. Clustering bounds the
+    * quadratic pair search to within-cluster pairs — the published
+    * SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540) — so the
+    * pair stage scales with Σ cluster_size², not corpus², and each
+    * pair batch is an equi-join on cluster id (hash-partitioned, never
+    * a cartesian product). Keep-lowest-id is the same survivor rule as
+    * [[keepCanonical]]; cosine is the codegen'd float64 kernel, rounded
+    * to 6 dp so the >= threshold decision is engine-portable.
+    *
+    * Returns the SURVIVING rows of `vecs` (all original columns).
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minCosine: Double): DataFrame = {
+    val Seq(cl) = Cols.fresh("cl", 1, vecs)
+    val assign = kmeansPortable(vecs, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster").as(cl))
+    val side = vecs.select(col(idCol), col(vecCol)).join(assign, Seq(idCol))
+    val a = side.select(col(cl), col(idCol).as("_a_id"), col(vecCol).as("_a_v"))
+    val b = side.select(col(cl), col(idCol).as("_b_id"), col(vecCol).as("_b_v"))
+    val losers = a.join(b, Seq(cl))
+      .filter(col("_a_id") < col("_b_id"))
+      .filter(round(VectorExpressions.cosine(col("_a_v"), col("_b_v")), 6)
+        >= lit(minCosine))
+      .select(col("_b_id").as(idCol))
+      .distinct()
+    vecs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Canonical-document dedup: drop every document that is a

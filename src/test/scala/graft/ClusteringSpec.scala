@@ -78,4 +78,64 @@ class ClusteringSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === expect)
   }
+
+  // --- kmeansPortable ---
+
+  private def blobs = Seq(
+    // two well-separated 2-D blobs; ids chosen so the two smallest md5
+    // draws (6, then 4) land one per blob — Lloyd is a LOCAL optimizer
+    // and can only separate blobs its seeds straddle
+    (6L, Seq(0.0f, 0.1f)), (5L, Seq(0.1f, 0.0f)), (3L, Seq(0.05f, 0.05f)),
+    (4L, Seq(9.0f, 9.1f)), (1L, Seq(9.1f, 9.0f)), (2L, Seq(9.05f, 9.05f)),
+  ).toDF("id", "vec")
+
+  test("kmeans separates two obvious blobs, preserving every row") {
+    val got = Clustering.kmeansPortable(blobs, "id", "vec", k = 2, iters = 2)
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(got.length === 6)
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.values.toSet === Set(Set(6L, 5L, 3L), Set(4L, 1L, 2L)))
+    assert(got.forall { case (_, c, d) => c >= 0 && c < 2 && d >= 0.0 })
+  }
+
+  test("kmeans is deterministic across runs") {
+    val a = Clustering.kmeansPortable(blobs, "id", "vec", 2, 2).collect().toSeq
+    val b = Clustering.kmeansPortable(blobs, "id", "vec", 2, 2).collect().toSeq
+    assert(a === b)
+  }
+
+  test("kmeans iters=0 assigns against the raw seed centroids") {
+    // seeds are data points, so at least the seed rows sit at dist 0
+    val got = Clustering.kmeansPortable(blobs, "id", "vec", 2, iters = 0)
+      .as[(Long, Int, Double)].collect()
+    assert(got.count(_._3 == 0.0) >= 2)
+  }
+
+  test("kmeans with k greater than the row count fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      Clustering.kmeansPortable(blobs, "id", "vec", k = 7, iters = 1)
+    }
+    assert(ex.getMessage.contains("needs >= 7 rows"))
+  }
+
+  // --- semDedup ---
+
+  test("semDedup drops higher-id exact duplicates, keeps distinct vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),   // dup pair -> keep 1
+      (3L, Seq(0.0f, 1.0f)),                          // orthogonal: survives
+      (4L, Seq(-1.0f, 0.0f)),                         // anti-parallel: survives
+    ).toDF("id", "vec")
+    val kept = Clustering.semDedup(vecs, "id", "vec", k = 1, iters = 1,
+        minCosine = 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("semDedup with an unreachable threshold keeps everything") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("id", "vec")
+    val kept = Clustering.semDedup(vecs, "id", "vec", 1, 1, minCosine = 1.5)
+    assert(kept.count() === 2)
+  }
 }

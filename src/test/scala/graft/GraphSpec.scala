@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Double] =
+    Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters)
+      .as[(String, Double)].collect().toMap
+
+  test("rank mass is conserved (sums to 1 up to rounding)") {
+    val sym = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b", "c" -> "d", "d" -> "c")
+    val r = ranks(sym, iters = 5)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, r)
+  }
+
+  test("star center outranks leaves; leaves tie exactly") {
+    val star = Seq("l1", "l2", "l3", "l4").flatMap(l => Seq("hub" -> l, l -> "hub"))
+    val r = ranks(star, iters = 4)
+    assert(r("hub") > r("l1"), r)
+    assert(Seq("l1", "l2", "l3", "l4").map(r).distinct.size === 1, r)
+  }
+
+  test("regular graph (cycle) stays at the uniform fixed point") {
+    val cycle = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    val r = ranks(cycle, iters = 3)
+    // uniform 1/3 is PageRank's fixed point on any out-regular cycle
+    assert(r.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9), r)
+  }
+
+  test("dangling vertex redistributes its mass (hand-computed 2-node)") {
+    // a -> b, b dangling. p0 = (.5, .5); one step:
+    //   a: .15/2 + .85*(0 + .5/2)  = .2875
+    //   b: .15/2 + .85*(.5 + .5/2) = .7125
+    val r = ranks(Seq("a" -> "b"), iters = 1)
+    assert(r === Map("a" -> 0.2875, "b" -> 0.7125))
+  }
+
+  test("duplicate and null edges do not skew degrees or ranks") {
+    val base = Seq("a" -> "b", "b" -> "a")
+    val noisy = base ++ base ++ base // duplicates collapse via distinct
+    val withNull = noisy.toDF("s", "t")
+      .unionByName(Seq((null.asInstanceOf[String], "a")).toDF("s", "t"))
+    val clean = ranks(base, iters = 3)
+    val got = Graph.pageRank(withNull, "s", "t", iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(got === clean)
+  }
+
+  test("deterministic across runs") {
+    val sym = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b")
+    assert(ranks(sym, 3) === ranks(sym, 3))
+  }
+
+  test("invalid parameters fail loudly") {
+    val e = Seq("a" -> "b").toDF("s", "t")
+    intercept[IllegalArgumentException](Graph.pageRank(e, "s", "t", iters = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(e, "s", "t", 1, damping = 1.0))
+  }
+}

@@ -925,4 +925,74 @@ class PropertySpec extends SparkTestBase {
       pairs.exists(p => p._1 == 1L && p._2 == 3L && math.abs(p._3 - 1.0) < 1e-9)
     })
   }
+
+  test("pageRank laws: mass conserved, ranks positive, floor respected") {
+    val edgeGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6))).map(_.filter(e => e._1 != e._2)))
+    check("pagerank-mass")(Prop.forAll(edgeGen) { es =>
+      es.isEmpty || {
+        import spark.implicits._
+        val r = graft.operators.Graph
+          .pageRank(es.toDF("s", "t"), "s", "t", iters = 3)
+          .as[(String, Double)].collect()
+        val n = r.length
+        // dangling redistribution keeps total mass at exactly 1 (up to
+        // the 1e-12 per-rank rounding), and every rank is at least the
+        // teleport floor (1-d)/n
+        math.abs(r.map(_._2).sum - 1.0) < n * 1e-11 &&
+          r.forall(_._2 >= (1.0 - 0.85) / n - 1e-11)
+      }
+    })
+  }
+
+  test("kmeans laws: rows preserved, ids in range, seeds at zero dist") {
+    val vecGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(-50, 50), Gen.choose(-50, 50))))
+    check("kmeans-rows")(Prop.forAll(vecGen) { pts =>
+      import spark.implicits._
+      val rows = pts.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, Seq(x.toFloat, y.toFloat)) }
+      val d = rows.toDF("id", "vec")
+      val k = math.min(3, rows.size)
+      // iters=0 pins assignment against raw seed centroids: the k seed
+      // rows themselves must sit at distance exactly 0
+      val a0 = graft.operators.Clustering
+        .kmeansPortable(d, "id", "vec", k, iters = 0)
+        .as[(Long, Int, Double)].collect()
+      val a1 = graft.operators.Clustering
+        .kmeansPortable(d, "id", "vec", k, iters = 1)
+        .as[(Long, Int, Double)].collect()
+      a0.length == rows.size && a1.length == rows.size &&
+        (a0 ++ a1).forall(r => r._2 >= 0 && r._2 < k && r._3 >= 0.0) &&
+        a0.count(_._3 == 0.0) >= k // duplicates of a seed also hit 0
+    })
+  }
+
+  test("semDedup laws: survivors nonempty per cluster, dup-free at tau") {
+    val vecGen = Gen.choose(2, 10).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Seq(1f, 0f), Seq(0f, 1f), Seq(1f, 0.05f), Seq(-1f, 0f))))
+    check("semdedup-survivors")(Prop.forAll(vecGen) { vs =>
+      import spark.implicits._
+      val d = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+      val kept = graft.operators.Clustering
+        .semDedup(d, "id", "vec", k = 1, iters = 0, minCosine = 0.99)
+        .select("id").as[Long].collect().toSet
+      // k=1: one cluster, so survivors must be pairwise below tau AND
+      // every dropped row must have a kept near-dup with a lower id
+      val vec = vs.map(_.map(_.toDouble))
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val keptL = kept.toList.sorted
+      val noDupAmongKept = keptL.combinations(2).forall {
+        case List(i, j) => cos(vec(i.toInt), vec(j.toInt)) < 0.995
+        case _ => true
+      }
+      val droppedJustified = vs.indices.map(_.toLong).filterNot(kept.contains)
+        .forall(jj => kept.exists(ii =>
+          ii < jj && cos(vec(ii.toInt), vec(jj.toInt)) >= 0.985))
+      kept.nonEmpty && noDupAmongKept && droppedJustified
+    })
+  }
 }
