@@ -92,4 +92,97 @@ object Graph {
     }
     state.select(col("vertex"), col("rank"))
   }
+
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) on a directed
+    * edge list. Per iteration: auth(v) = Σ_{u→v} hub(u), then hub(u) =
+    * Σ_{u→v} auth(v), each half-step L1-normalized to total mass 1 and
+    * rounded to `roundDp` decimals (same engine-portability contract as
+    * [[pageRank]] — the normalizing sum rides a one-row broadcast, no
+    * driver collect). Vertices with no in-edges hold auth 0; no
+    * out-edges, hub 0.
+    *
+    * Scale shape: identical to [[pageRank]] — the edge list partitions
+    * once per direction, each half-step is one equi-join against the
+    * vertex-sized state plus one key-grouped sum, lineage truncated per
+    * iteration.
+    *
+    * Returns (vertex, hub, auth).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, roundDp: Int = 12): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("vertex"))
+      .unionByName(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint()
+    var state = nodes
+      .select(col("vertex"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint()
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val total = df.agg(sum(col(c)).as("_total"))
+      df.crossJoin(broadcast(total))
+        .withColumn(c, round(col(c) / col("_total"), roundDp))
+        .drop("_total")
+    }
+    for (_ <- 1 to iters) {
+      val auth = e
+        .join(state.select(col("vertex"), col("hub")), e("src") === col("vertex"))
+        .groupBy(e("dst").as("av"))
+        .agg(sum(col("hub")).as("auth2"))
+      val s1 = normalized(
+        state.join(auth, state("vertex") === auth("av"), "left")
+          .select(col("vertex"), col("hub"),
+            coalesce(col("auth2"), lit(0.0)).as("auth")),
+        "auth").localCheckpoint()
+      val hub = e
+        .join(s1.select(col("vertex"), col("auth")), e("dst") === col("vertex"))
+        .groupBy(e("src").as("hv"))
+        .agg(sum(col("auth")).as("hub2"))
+      state = normalized(
+        s1.join(hub, s1("vertex") === hub("hv"), "left")
+          .select(col("vertex"),
+            coalesce(col("hub2"), lit(0.0)).as("hub"), col("auth")),
+        "hub").localCheckpoint()
+    }
+    state.select(col("vertex"), col("hub"), col("auth"))
+  }
+
+  /** Per-vertex triangle counts on an undirected graph given as an
+    * edge list (direction and duplicates ignored, self-loops dropped).
+    *
+    * Algorithm: canonicalize each edge to (lo, hi), then count paths
+    * lo→mid→hi that close with a (lo, hi) edge — each triangle
+    * {a<b<c} is generated exactly once as a=lo, b=mid, c=hi — and
+    * credit each of its three corners. Both joins are equi-joins on a
+    * vertex key. At cluster scale, orient edges low-DEGREE-first
+    * instead of low-id-first (swap the canonicalization column) — the
+    * classic heavy-hitter guard that bounds per-key fan-out by the
+    * graph's degeneracy; the triangle SET is orientation-invariant, so
+    * the oracle and tests hold for either choice.
+    *
+    * Returns (vertex, n_triangles) for vertices in >= 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("lo"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull && col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint() // three self-references below: compute once
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
+      .join(e.as("ac"),
+        col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+      .select(col("ab.lo").as("a"), col("ab.hi").as("b"), col("bc.hi").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
+      .groupBy("vertex")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

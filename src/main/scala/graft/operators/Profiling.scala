@@ -228,6 +228,44 @@ object Profiling {
         max(col("x")).as("mx"),
         count(col("x")).as("n"))
 
+  /** Per-row diagonal-covariance Mahalanobis score over an embedding
+    * column: Σ_i ((x_i − μ_i)/σ_i)², the standard cheap embedding-space
+    * outlier flag (full-covariance Mahalanobis needs a dim×dim inverse;
+    * the diagonal form is the per-dim z-score energy and scales to any
+    * corpus). Dims with σ = 0 (or undefined, n < 2) carry no signal and
+    * contribute exactly 0 on both engines.
+    *
+    * In-plan end to end: the [[embeddingDimStats]] aggregation collapses
+    * to ONE row of (μ[], σ[]) arrays via dim-sorted collect lists,
+    * broadcast back over the corpus, and the per-row sum runs in
+    * `zip_with`/`aggregate` HOFs inside whole-stage codegen — no second
+    * shuffle, no driver collect. μ/σ are rounded to `roundDp` before
+    * use and the score after, so an oracle replaying the same
+    * arithmetic is bit-exact (SURVEY.md §5.4).
+    *
+    * Returns the input's id column plus `maha` (rounded score).
+    */
+  def mahalanobisDiag(df: DataFrame, idCol: String, vecCol: String,
+      roundDp: Int = 6): DataFrame = {
+    val stats = embeddingDimStats(df, vecCol)
+      .select(col("dim"), round(col("mean"), roundDp).as("mu"),
+        round(col("std"), roundDp).as("sd"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("mus"),
+        array_sort(collect_list(struct(col("dim"), col("sd")))).as("sds"))
+      .select(transform(col("mus"), s => s.getField("mu")).as("mu"),
+        transform(col("sds"), s => s.getField("sd")).as("sd"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(aggregate(
+          zip_with(
+            zip_with(col("_v"), col("mu"), (x, m) => x - m),
+            col("sd"),
+            (d, s) => when(s.isNotNull && s > 0.0, (d / s) * (d / s))
+              .otherwise(0.0)),
+          lit(0.0), (acc, e) => acc + e), roundDp).as("maha"))
+  }
+
   /** Per-shard content checksums — the dataset-fingerprint a pipeline
     * records next to every materialized snapshot so a later run (or a
     * consumer cluster) can verify "same rows, same bytes" without

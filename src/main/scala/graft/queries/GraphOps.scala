@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Graph}
+import graft.operators.{Clustering, Graph, Profiling}
 import QueryDefs._
 
 /** Judged queries for the round-6 graph/clustering operators:
@@ -55,10 +55,51 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** 2-iteration HITS on the DIRECTED part→supplier graph: parts are
+    * pure hubs, suppliers pure authorities. Each half-step is
+    * L1-normalized and 12-dp-quantized, mirrored by the unrolled
+    * oracle.
+    */
+  val qHits: QueryFn = withTables { spark =>
+    val e0 = spark.table("lineitem")
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    Graph.hits(e0, "src", "dst", iters = 2)
+      .orderBy("vertex")
+  }
+
+  /** Per-vertex triangle counts on the part co-order graph (parts
+    * sharing an order, 20% of orders to bound the pair fan-out at
+    * bench SFs). Canonicalization is by STRING order on both engines.
+    */
+  val qTriangles: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    Graph.triangleCounts(pairs, "a", "b")
+      .orderBy("vertex")
+  }
+
+  /** Diagonal-Mahalanobis outlier score per embedding: per-dim μ/σ
+    * (6-dp-quantized) broadcast back over the corpus, z-score energy
+    * summed in index order on both engines.
+    */
+  val qMahalanobis: QueryFn = withTables { spark =>
+    Profiling.mahalanobisDiag(spark.table("embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_kmeans" -> qKmeans,
     "q_semdedup" -> qSemDedup,
     "q_pagerank" -> qPageRank,
+    "q_hits" -> qHits,
+    "q_triangles" -> qTriangles,
+    "q_mahalanobis" -> qMahalanobis,
   )
 
   // Shared CTE text: one Lloyd round over embeddings, ending in the
@@ -144,5 +185,78 @@ object GraphOps {
                    FROM e JOIN p2 p ON e.src = p.v GROUP BY e.dst) c
                ON c.v = d.v)
       SELECT v AS vertex, pr AS rank FROM p3 ORDER BY vertex""",
+
+    // Two unrolled HITS iterations; each half-step normalizes by the
+    // total mass over ALL vertices (zeros contribute nothing, so the
+    // sum over the contribution table equals it) and rounds at 12 dp.
+    "q_hits" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem),
+      n AS (SELECT DISTINCT src AS vertex FROM e0
+            UNION SELECT DISTINCT dst FROM e0),
+      a1r AS (SELECT dst AS v, CAST(COUNT(*) AS DOUBLE) AS x
+              FROM e0 GROUP BY dst),
+      a1 AS (SELECT n.vertex, ROUND(COALESCE(a1r.x, 0.0) / t.s, 12) AS auth
+             FROM n LEFT JOIN a1r ON a1r.v = n.vertex
+             CROSS JOIN (SELECT SUM(x) AS s FROM a1r) t),
+      h1r AS (SELECT e0.src AS v, SUM(a1.auth) AS x
+              FROM e0 JOIN a1 ON a1.vertex = e0.dst GROUP BY e0.src),
+      h1 AS (SELECT n.vertex, ROUND(COALESCE(h1r.x, 0.0) / t.s, 12) AS hub
+             FROM n LEFT JOIN h1r ON h1r.v = n.vertex
+             CROSS JOIN (SELECT SUM(x) AS s FROM h1r) t),
+      a2r AS (SELECT e0.dst AS v, SUM(h1.hub) AS x
+              FROM e0 JOIN h1 ON h1.vertex = e0.src GROUP BY e0.dst),
+      a2 AS (SELECT n.vertex, ROUND(COALESCE(a2r.x, 0.0) / t.s, 12) AS auth
+             FROM n LEFT JOIN a2r ON a2r.v = n.vertex
+             CROSS JOIN (SELECT SUM(x) AS s FROM a2r) t),
+      h2r AS (SELECT e0.src AS v, SUM(a2.auth) AS x
+              FROM e0 JOIN a2 ON a2.vertex = e0.dst GROUP BY e0.src),
+      h2 AS (SELECT n.vertex, ROUND(COALESCE(h2r.x, 0.0) / t.s, 12) AS hub
+             FROM n LEFT JOIN h2r ON h2r.v = n.vertex
+             CROSS JOIN (SELECT SUM(x) AS s FROM h2r) t)
+      SELECT n.vertex, h2.hub, a2.auth
+      FROM n JOIN h2 ON h2.vertex = n.vertex JOIN a2 ON a2.vertex = n.vertex
+      ORDER BY n.vertex""",
+
+    // Canonical (lo < hi BY STRING ORDER, matching the operator's
+    // string cast) edges; each triangle {a<b<c} is generated once as
+    // ab ⋈ bc closed by ac, then credits its three corners.
+    "q_triangles" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+              FROM e ab
+              JOIN e bc ON bc.lo = ab.hi
+              JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+      corners AS (
+        SELECT a AS vertex FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      SELECT vertex, COUNT(*) AS n_triangles
+      FROM corners GROUP BY vertex ORDER BY vertex""",
+
+    // Per-dim stats quantized at 6 dp BEFORE the per-row z-energy sum,
+    // exactly as the operator broadcasts them.
+    "q_mahalanobis" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ex AS (SELECT UNNEST(v) AS x, GENERATE_SUBSCRIPTS(v, 1) AS i FROM v),
+      st AS (SELECT i, ROUND(AVG(x), 6) AS mu, ROUND(STDDEV_SAMP(x), 6) AS sd
+             FROM ex GROUP BY i),
+      m AS (SELECT LIST(mu ORDER BY i) AS mu, LIST(sd ORDER BY i) AS sd FROM st)
+      SELECT vec_id,
+             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+               i -> CASE WHEN sd[i] IS NOT NULL AND sd[i] > 0
+                    THEN ((v[i] - mu[i]) / sd[i]) * ((v[i] - mu[i]) / sd[i])
+                    ELSE 0.0 END)), 6) AS maha
+      FROM v CROSS JOIN m
+      ORDER BY vec_id""",
   )
 }

@@ -58,5 +58,54 @@ class GraphSpec extends SparkTestBase {
     val e = Seq("a" -> "b").toDF("s", "t")
     intercept[IllegalArgumentException](Graph.pageRank(e, "s", "t", iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, "s", "t", 1, damping = 1.0))
+    intercept[IllegalArgumentException](Graph.hits(e, "s", "t", iters = 0))
+  }
+
+  // --- hits ---
+
+  test("hits on a directed star: center is the sole authority") {
+    // h1 -> hub, h2 -> hub, h3 -> hub: 'hub' soaks ALL authority mass,
+    // the pointers split hub mass evenly; dead columns are exactly 0
+    val es = Seq("h1" -> "c", "h2" -> "c", "h3" -> "c")
+    val r = Graph.hits(es.toDF("s", "t"), "s", "t", iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("c") === ((0.0, 1.0)))
+    Seq("h1", "h2", "h3").foreach { h =>
+      assert(math.abs(r(h)._1 - 1.0 / 3) < 1e-9 && r(h)._2 === 0.0, r)
+    }
+  }
+
+  test("hits mass: hub and auth scores each sum to 1 after normalization") {
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val r = Graph.hits(es.toDF("s", "t"), "s", "t", iters = 3)
+      .as[(String, Double, Double)].collect()
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-9)
+    assert(math.abs(r.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  // --- triangleCounts ---
+
+  test("triangle counts on a hand-built graph") {
+    // K4 on {a,b,c,d}: every vertex sits in C(3,2)=3 triangles; the
+    // pendant edge d-e adds none for e
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e")
+    val got = Graph.triangleCounts(k4.toDF("s", "t"), "s", "t")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangle counts ignore direction, duplicates, and self-loops") {
+    val messy = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "a",
+      "a" -> "b", "a" -> "a")
+    val got = Graph.triangleCounts(messy.toDF("s", "t"), "s", "t")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangle-free graph yields no rows") {
+    val square = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    assert(Graph.triangleCounts(square.toDF("s", "t"), "s", "t").isEmpty)
   }
 }

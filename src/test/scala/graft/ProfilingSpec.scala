@@ -181,4 +181,23 @@ class ProfilingSpec extends SparkTestBase {
       mn <= r.getAs[Double]("mean") && r.getAs[Double]("mean") <= mx
     })
   }
+
+  test("mahalanobisDiag: hand-computed 1-D scores; constant dim adds 0") {
+    import spark.implicits._
+    // dim 0: values 0,2,4 -> mu=2, sd=2 -> z^2 = 1, 0, 1
+    // dim 1: constant 7 -> sd=0 -> contributes exactly 0 everywhere
+    val d = Seq((1L, Seq(0f, 7f)), (2L, Seq(2f, 7f)), (3L, Seq(4f, 7f)))
+      .toDF("id", "vec")
+    val got = Profiling.mahalanobisDiag(d, "id", "vec")
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("mahalanobisDiag: row-preserving and nonnegative on real vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Profiling.mahalanobisDiag(emb, "vec_id", "embedding")
+    assert(got.count() === emb.count())
+    import org.apache.spark.sql.functions._
+    assert(got.filter(col("maha") < 0).isEmpty)
+  }
 }

@@ -226,4 +226,96 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(!shPlan.contains("CartesianProduct"),
       "SimHash near-dup must stay a chunk-keyed equi-join at 10x")
   }
+
+  test("pageRank: 10x disjoint replica graphs -> per-rank mass 1/Nx, ~linear time") {
+    import graft.operators.Graph
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    def graphTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        val t = li.select(concat(lit(s"g$i-"), col("src")).as("s0"),
+          concat(lit(s"g$i-"), col("dst")).as("d0"))
+        t.select(col("s0").as("src"), col("d0").as("dst"))
+          .unionByName(t.select(col("d0").as("src"), col("s0").as("dst")))
+      }.reduce(_ unionByName _)
+    val g1 = graphTimes(1).cache(); g1.count()
+    val gN = graphTimes(N).cache(); gN.count()
+    Graph.pageRank(g1, "src", "dst", iters = 2).count() // warmup
+    val t0a = System.nanoTime()
+    val r1 = Graph.pageRank(g1, "src", "dst", iters = 2)
+      .agg(count(lit(1)), sum("rank")).head
+    val t1 = (System.nanoTime() - t0a) / 1e9
+    val t0b = System.nanoTime()
+    val rN = Graph.pageRank(gN, "src", "dst", iters = 2)
+      .agg(count(lit(1)), sum("rank")).head
+    val tN = (System.nanoTime() - t0b) / 1e9
+    // disjoint replication: N× vertices, total mass still exactly 1
+    // (teleport (1-d)/(N·n) makes each replica an independent PageRank
+    // scaled by 1/N), iteration count FIXED — growth is per-pass-linear
+    assert(rN.getLong(0) === N * r1.getLong(0))
+    assert(math.abs(r1.getDouble(1) - 1.0) < 1e-6 &&
+      math.abs(rN.getDouble(1) - 1.0) < 1e-6)
+    assertSubQuadratic("pageRank", t1, tN,
+      () => (timedCount(Graph.pageRank(g1, "src", "dst", iters = 2))._2,
+        timedCount(Graph.pageRank(gN, "src", "dst", iters = 2))._2))
+    g1.unpersist(); gN.unpersist()
+  }
+
+  test("triangleCounts: 10x disjoint replica graphs -> exactly 10x triangles, ~linear time") {
+    import graft.operators.Graph
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val base = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").cast("string").as("a"), col("y.pk").cast("string").as("b"))
+      .distinct().cache()
+    base.count()
+    def edgesTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select(concat(lit(s"g$i-"), col("a")).as("a"),
+          concat(lit(s"g$i-"), col("b")).as("b"))
+      }.reduce(_ unionByName _)
+    val e1 = edgesTimes(1).cache(); e1.count()
+    val eN = edgesTimes(N).cache(); eN.count()
+    Graph.triangleCounts(e1, "a", "b").count() // warmup
+    def total(df: DataFrame): Long =
+      Graph.triangleCounts(df, "a", "b")
+        .agg(coalesce(sum("n_triangles"), lit(0L))).head.getLong(0)
+    val t0a = System.nanoTime(); val c1 = total(e1)
+    val t1 = (System.nanoTime() - t0a) / 1e9
+    val t0b = System.nanoTime(); val cN = total(eN)
+    val tN = (System.nanoTime() - t0b) / 1e9
+    info(s"triangle corner-credits: 1x=$c1 ${N}x=$cN")
+    assert(c1 > 0, "probe needs a non-empty base triangle population")
+    assert(cN === N * c1,
+      s"disjoint replicas must give exactly ${N}x triangles: $c1 -> $cN")
+    assertSubQuadratic("triangleCounts", t1, tN,
+      () => (timedCount(Graph.triangleCounts(e1, "a", "b"))._2,
+        timedCount(Graph.triangleCounts(eN, "a", "b"))._2))
+    e1.unpersist(); eN.unpersist(); base.unpersist()
+  }
+
+  test("kmeansPortable: 10x corpus -> exactly 10x assignments, ~linear time") {
+    import graft.operators.Clustering
+    def corpusTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+    val c1 = corpusTimes(1).cache(); c1.count()
+    val cN = corpusTimes(N).cache(); cN.count()
+    def run(df: DataFrame) =
+      Clustering.kmeansPortable(df, "vec_id", "embedding", k = 8, iters = 1)
+    run(c1).count() // warmup
+    val (r1, t1) = timedCount(run(c1))
+    val (rN, tN) = timedCount(run(cN))
+    // assignment is a per-row projection and the update one k·dim-wide
+    // hash agg: row-linear by construction, and row counts must match
+    assert(r1 === c1.count() && rN === cN.count())
+    assertSubQuadratic("kmeansPortable", t1, tN,
+      () => (timedCount(run(c1))._2, timedCount(run(cN))._2))
+    c1.unpersist(); cN.unpersist()
+  }
 }
