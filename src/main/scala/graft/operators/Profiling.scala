@@ -290,9 +290,14 @@ object Profiling {
       contentCols: Seq[String], nShards: Int): DataFrame = {
     require(contentCols.nonEmpty, "shardChecksum needs content columns")
     val Seq(dg) = Cols.fresh("ck", 1, df)
-    // \\u0001-framed concat: ('ab','c') and ('a','bc') digest differently
+    // \\u0001-framed concat: ('ab','c') and ('a','bc') digest differently.
+    // Each column is coalesced to a \\u0002 sentinel BEFORE framing:
+    // concat_ws drops NULL arguments together with their separator, so
+    // without the sentinel (a,NULL,b) and (a,b,NULL) would collide to
+    // the same digest and the framing claim would fail on NULLs.
     val digest = conv(substring(md5(concat_ws("",
-      (keyCol +: contentCols).map(c => col(c).cast("string")): _*)), 1, 15),
+      (keyCol +: contentCols).map(c =>
+        coalesce(col(c).cast("string"), lit(""))): _*)), 1, 15),
       16, 10).cast("long")
     Sampling.assignShards(df, keyCol, nShards)
       .withColumn(dg, digest)
@@ -325,10 +330,15 @@ object Profiling {
   def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
       .agg(count(lit(1)).as("_cab"))
-    val ma = cells.groupBy("_a").agg(sum("_cab").as("_ca"))
-    val mb = cells.groupBy("_b").agg(sum("_cab").as("_cb"))
+    // Null-safe (<=>) marginal attach: a NULL category is a real level,
+    // and a plain equi-join would silently drop its cells from the
+    // MI/entropy sums while n_rows still counted them.
+    val ma = cells.groupBy(col("_a").as("_a_m")).agg(sum("_cab").as("_ca"))
+    val mb = cells.groupBy(col("_b").as("_b_m")).agg(sum("_cab").as("_cb"))
     val n = cells.agg(sum("_cab").cast("double").as("_n"))
-    val joined = cells.join(broadcast(ma), "_a").join(broadcast(mb), "_b")
+    val joined = cells
+      .join(broadcast(ma), col("_a") <=> col("_a_m")).drop("_a_m")
+      .join(broadcast(mb), col("_b") <=> col("_b_m")).drop("_b_m")
       .crossJoin(broadcast(n))
     val pab = col("_cab") / col("_n")
     val pa = col("_ca") / col("_n")

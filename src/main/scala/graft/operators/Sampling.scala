@@ -394,9 +394,14 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col(race), col(keyCol))
+    // NULL weights must hit the guard too: NULL <= 0.0 is NULL (falsy),
+    // so without the isNull arm a NULL weight would slip to the
+    // otherwise-branch, race as NULL, and — under Spark's NULLS FIRST
+    // ascending sort — silently WIN a slot (DuckDB sorts NULLS LAST:
+    // a cross-engine kept-set divergence on top of the contract break).
     df.withColumn(race,
-        when(weightCol <= 0.0, raise_error(concat(
-          lit("weightedSamplePortable: non-positive weight at key="),
+        when(weightCol.isNull || weightCol <= 0.0, raise_error(concat(
+          lit("weightedSamplePortable: null or non-positive weight at key="),
           col(keyCol).cast("string"))))
           .otherwise(-log(portableUnit(col(keyCol))) / weightCol))
       .withColumn(rk, row_number().over(w))

@@ -2483,7 +2483,7 @@ object LlmOps {
       SELECT doc_id,
              STRING_AGG(CASE WHEN masked THEN '[MASK]' ELSE tok END, ' ' ORDER BY p) AS masked_text,
              COALESCE(STRING_AGG(CASE WHEN masked THEN CAST(p AS VARCHAR) || ':' || tok END, ',' ORDER BY p), '') AS labels,
-             SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked
+             CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
       FROM m GROUP BY doc_id
       ORDER BY doc_id""",
 

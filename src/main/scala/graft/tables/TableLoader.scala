@@ -73,13 +73,27 @@ object TableLoader {
   def loadParquetMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
-  /** The events table with `ts` converted to µs TimestampType. */
+  /** The events table with `ts` normalized to µs TimestampType.
+    *
+    * The fixture generator has shipped `ts` as two different physical
+    * types across rounds: INT64 TIMESTAMP(NANOS) (which Spark 4.x only
+    * reads via the nanosAsLong flag, as raw Long nanos) and plain
+    * timestamp[us] (which Spark reads as TIMESTAMP_NTZ). Branch on the
+    * type the footer actually delivered so the view's schema is a
+    * stable TimestampType either way — under the UTC session both
+    * paths yield bit-identical instants to DuckDB's
+    * `CAST(ts AS TIMESTAMP)` (SURVEY.md §1.3).
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr(
-        "event_id",
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG)) AS ts",
-        "user_id", "event_type", "value", "props")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "timestamp_micros(CAST(ts DIV 1000 AS LONG)) AS ts"
+      case _ =>
+        "CAST(ts AS TIMESTAMP) AS ts"
+    }
+    raw.selectExpr("event_id", tsExpr,
+      "user_id", "event_type", "value", "props")
   }
 }
