@@ -290,14 +290,20 @@ object Profiling {
       contentCols: Seq[String], nShards: Int): DataFrame = {
     require(contentCols.nonEmpty, "shardChecksum needs content columns")
     val Seq(dg) = Cols.fresh("ck", 1, df)
-    // \\u0001-framed concat: ('ab','c') and ('a','bc') digest differently.
-    // Each column is coalesced to a \\u0002 sentinel BEFORE framing:
-    // concat_ws drops NULL arguments together with their separator, so
-    // without the sentinel (a,NULL,b) and (a,b,NULL) would collide to
-    // the same digest and the framing claim would fail on NULLs.
-    val digest = conv(substring(md5(concat_ws("",
-      (keyCol +: contentCols).map(c =>
-        coalesce(col(c).cast("string"), lit(""))): _*)), 1, 15),
+    // Length-prefixed framing (injective): each field encodes as
+    // "<charlen>:<value>", NULL as "-". Tokens are self-delimiting (a
+    // parser reads '-', or digits up to the first ':' then exactly
+    // that many chars), so no combination of values -- including
+    // values containing any would-be separator byte -- can alias
+    // another row's encoding. This closes the collision class a fixed
+    // sentinel left open: a value EQUAL to the sentinel digested the
+    // same as NULL, and embedded separator bytes could still alias
+    // the frame.
+    val digest = conv(substring(md5(concat(
+      (keyCol +: contentCols).map { c =>
+        val s = col(c).cast("string")
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("-"))
+      }: _*)), 1, 15),
       16, 10).cast("long")
     Sampling.assignShards(df, keyCol, nShards)
       .withColumn(dg, digest)

@@ -1355,9 +1355,9 @@ object LlmOps {
   }
 
   /** Per-shard XOR content checksums over (text, lang, source):
-    * 60-bit md5 digests under  framing, XOR-folded per shard —
-    * bit-identical on both engines (md5 and XOR have no float or
-    * ordering freedom anywhere).
+    * 60-bit md5 digests under injective length-prefixed framing,
+    * XOR-folded per shard — bit-identical on both engines (md5 and
+    * XOR have no float or ordering freedom anywhere).
     */
   val qShardChecksum: QueryFn = withTables { spark =>
     graft.operators.Profiling.shardChecksum(
@@ -1599,13 +1599,17 @@ object LlmOps {
       GROUP BY a.tok, b.tok
       ORDER BY w1, w2""",
 
-    // 60-bit md5 digests under chr(1) framing, XOR-folded per shard —
-    // integer-exact on both engines.
+    // 60-bit md5 digests under length-prefixed framing ("len:value",
+    // NULL -> '-'; injective, see Profiling.shardChecksum), XOR-folded
+    // per shard — integer-exact on both engines.
     "q_shard_checksum" -> """
       SELECT shard, COUNT(*) AS n_rows, BIT_XOR(digest) AS checksum FROM (
         SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard,
-               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || CHR(1) || text
-                 || CHR(1) || lang || CHR(1) || source), 1, 15))::BIGINT AS digest
+               ('0x' || SUBSTR(MD5(
+                    COALESCE(LENGTH(CAST(doc_id AS VARCHAR))::VARCHAR || ':' || CAST(doc_id AS VARCHAR), '-')
+                 || COALESCE(LENGTH(text)::VARCHAR || ':' || text, '-')
+                 || COALESCE(LENGTH(lang)::VARCHAR || ':' || lang, '-')
+                 || COALESCE(LENGTH(source)::VARCHAR || ':' || source, '-')), 1, 15))::BIGINT AS digest
         FROM documents)
       GROUP BY shard
       ORDER BY shard""",

@@ -89,7 +89,20 @@ object TableLoader {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val tsExpr = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG)) AS ts"
+        // A Long-typed ts is assumed to be the nanosAsLong read of
+        // TIMESTAMP(NANOS) — but a fixture that ever shipped plain
+        // INT64 micros would ALSO arrive Long-typed and be silently
+        // divided by 1000. Assert the nanos magnitude in-plan:
+        // micros stay < 1e17 until year 5138 while nanos pass 1e17 in
+        // 1973, so any 2020s-era micros value trips the guard loudly.
+        // assert_true rides codegen, evaluates to NULL when the check
+        // holds (the coalesce adds 0), and costs one comparison per
+        // row — no extra job at view-registration time.
+        "timestamp_micros(CAST((ts + coalesce(CAST(assert_true(" +
+          "ts IS NULL OR ts >= 100000000000000000, " +
+          "'events.ts: INT64 magnitude < 1e17 is not TIMESTAMP(NANOS) " +
+          "-- fixture likely switched to raw micros; fix TableLoader.events'" +
+          ") AS BIGINT), 0)) DIV 1000 AS LONG)) AS ts"
       case _ =>
         "CAST(ts AS TIMESTAMP) AS ts"
     }
