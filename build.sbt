@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on the 128 GiB bench box: at 32 concurrent tasks the 8g
+  // default ran GC-bound on checkpoint-heavy iterative queries
+  // (pagerank rep spread 8-19 s on an idle machine); headroom
+  // flattens that without touching any per-query plan.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -73,6 +73,32 @@ object Bench {
         "id", "s", maxDist = 2).count()
     }
     warm {
+      // graph + clustering + curation-pipeline kernels: the pageRank/
+      // hits iteration plans, kmeans HOF distance trees, and the
+      // normalize/qualityScore regexp chains are one-shot codegen+JIT
+      // costs of 5-17 s each (measured: q_pipeline_curate rep1 18.2 s
+      // vs rep2 1.5 s, q_lm_score 18.4 vs 1.0) — spend them here on
+      // sf0.001-sized inputs instead of inside the timed loop
+      import org.apache.spark.sql.functions.col
+      val d0 = spark.read.parquet(s"$warmDir/documents.parquet")
+      val e0 = spark.read.parquet(s"$warmDir/embeddings.parquet")
+      val li0 = spark.read.parquet(s"$warmDir/lineitem.parquet")
+        .limit(500)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      graft.operators.Graph.pageRank(li0, "src", "dst", iters = 1).count()
+      graft.operators.Graph.hits(li0, "src", "dst", iters = 1).count()
+      graft.operators.Graph.triangleCounts(li0, "src", "dst").count()
+      graft.operators.Clustering.kmeansPortable(
+        e0.limit(50), "vec_id", "embedding", k = 2, iters = 1).count()
+      d0.limit(50).select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(
+          graft.operators.TextAnalysis.normalize(col("text"))).as("q")).count()
+      graft.operators.TextAnalysis.lmScore(
+        d0.limit(50), "doc_id", "text").count()
+      graft.operators.Similarity.knnLabelAgreement(
+        e0.limit(50), "vec_id", "embedding", "label", k = 3).count()
+    }
+    warm {
       // LAST: leave the judged sfDir's views registered for the loop
       graft.queries.QueryDefs.ensureTables(spark, sfDir)
       spark.table("lineitem").limit(1000).groupBy("l_returnflag").count().count()

@@ -70,25 +70,40 @@ object Graph {
       .select(col("vertex"), col("outdeg"), col("n"),
         (lit(1.0) / col("n")).as("rank"))
       .localCheckpoint()
+    // Dangling vertices exist iff some vertex has outdeg 0 — a
+    // one-time limit(1) probe. Symmetrized graphs (the common curation
+    // case: undirected co-occurrence / similarity graphs) have NONE,
+    // and for them the per-iteration dangling-mass aggregate, its
+    // broadcast, and the crossJoin node are pure overhead: the mass is
+    // exactly +0.0 every round, so skipping the term is identical
+    // arithmetic, not an approximation.
+    val hasDangling = !state.filter(col("outdeg") === 0L).limit(1).isEmpty
     for (_ <- 1 to iters) {
-      // one scalar row: rank mass parked on dangling vertices this round
-      val dangling = state.filter(col("outdeg") === 0L)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
       val contrib = e
         .join(state.select(col("vertex"), col("outdeg"), col("rank")),
           e("src") === col("vertex"))
         .groupBy(col("dst").as("cv"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
-      state = state
-        .join(contrib, state("vertex") === contrib("cv"), "left")
-        .crossJoin(broadcast(dangling))
+      val joined = state.join(contrib, state("vertex") === contrib("cv"), "left")
+      val withMass =
+        if (hasDangling) {
+          // one scalar row: rank mass parked on dangling vertices
+          val dangling = state.filter(col("outdeg") === 0L)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
+          joined.crossJoin(broadcast(dangling))
+        } else joined.withColumn("dangling_mass", lit(0.0))
+      state = withMass
         .select(col("vertex"), col("outdeg"), col("n"),
           round(
             (lit(1.0) - lit(damping)) / col("n")
               + lit(damping) * (coalesce(col("contrib"), lit(0.0))
                 + col("dangling_mass") / col("n")),
             roundDp).as("rank"))
-        .localCheckpoint()
+        // lazy: truncates lineage identically but materializes inside
+        // the NEXT action (the following iteration's dangling aggregate
+        // or the caller's first job) instead of paying a blocking
+        // driver-side job per iteration
+        .localCheckpoint(false)
     }
     state.select(col("vertex"), col("rank"))
   }
@@ -140,7 +155,7 @@ object Graph {
         state.join(auth, state("vertex") === auth("av"), "left")
           .select(col("vertex"), col("hub"),
             coalesce(col("auth2"), lit(0.0)).as("auth")),
-        "auth").localCheckpoint()
+        "auth").localCheckpoint(false)
       val hub = e
         .join(s1.select(col("vertex"), col("auth")), e("dst") === col("vertex"))
         .groupBy(e("src").as("hv"))
@@ -149,7 +164,9 @@ object Graph {
         s1.join(hub, s1("vertex") === hub("hv"), "left")
           .select(col("vertex"),
             coalesce(col("hub2"), lit(0.0)).as("hub"), col("auth")),
-        "hub").localCheckpoint()
+        // lazy for the same reason as pageRank's loop state: one fewer
+        // blocking job per half-step, identical lineage truncation
+        "hub").localCheckpoint(false)
     }
     state.select(col("vertex"), col("hub"), col("auth"))
   }

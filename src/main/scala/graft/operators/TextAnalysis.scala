@@ -427,6 +427,76 @@ object TextAnalysis {
           .as("top_ngram_frac"),
         sum(col("c")).cast("bigint").as("n_ngrams"))
 
+  /** CROSS-doc duplicate-n-gram fraction per document (the
+    * MassiveText/Gopher `duplicate n-gram fraction` quality rule,
+    * cross-document flavor): the share of a doc's n-gram positions
+    * whose n-gram also appears in >= `minDocs` DISTINCT documents.
+    * High values mark boilerplate-heavy docs (templates, scraped
+    * chrome) even when no single whole doc duplicates —
+    * [[repetitionScore]] is the within-doc dual.
+    *
+    * Scale shape: one shared n-gram generate feeds both sides — the
+    * document-frequency aggregate (vocabulary-sized output) and the
+    * per-position stream; they meet in ONE token-keyed equi-join, then
+    * one doc-keyed aggregation. Row-preserving: docs shorter than `n`
+    * tokens have no spans and report n_spans=0 with a NULL fraction
+    * (0/0 has no honest value).
+    */
+  def duplicateNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs: a span repeats at >= 2 docs")
+    val occ = ngramOccurrences(df, idCol, textCol, n)
+    val docFreq = occ.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(countDistinct("doc_id").as("_df"))
+    val perDoc = occ.join(docFreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("n_dup_spans"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(col("n_dup_spans") * lit(1.0) / col("n_spans"), 6)
+          .cast("double").as("dup_frac"))
+  }
+
+  /** Pairwise vocabulary Jaccard between corpus groups (sources,
+    * languages, time slices): |V_a ∩ V_b| / |V_a ∪ V_b| for every
+    * unordered group pair — the corpus-comparison matrix that says
+    * which sources speak the same language BEFORE mixing them
+    * ([[unigramDrift]] is the distribution-shape dual; this is pure
+    * set overlap).
+    *
+    * Scale shape: one (group, token) distinct aggregation, then the
+    * pair intersections come from a token-keyed self-join of that
+    * vocabulary table (vocab-sized, NOT corpus-sized), and the
+    * group-pair grid is a crossJoin of two group-cardinality-sized
+    * aggregates (broadcast both ways). Jaccard is a ratio of exact
+    * integers rounded at 6 dp — no float freedom anywhere.
+    */
+  def vocabJaccard(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val gt = tokenize(df, groupCol, textCol)
+      .filter(col("tok") =!= "")
+      .select(col("doc_id").as("g"), col("tok"))
+      .distinct()
+    val sizes = gt.groupBy("g").agg(count(lit(1)).as("vsize"))
+    val inter = gt.as("a").join(gt.as("b"), Seq("tok"))
+      .filter(col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val grid = sizes.select(col("g").as("g1"), col("vsize").as("s1"))
+      .crossJoin(broadcast(sizes.select(col("g").as("g2"), col("vsize").as("s2"))))
+      .filter(col("g1") < col("g2"))
+    grid.join(inter, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("s1") + col("s2") - coalesce(col("n_inter"), lit(0L))).as("n_union"),
+        round(coalesce(col("n_inter"), lit(0L)) * lit(1.0)
+          / (col("s1") + col("s2") - coalesce(col("n_inter"), lit(0L))), 6)
+          .cast("double").as("jaccard"))
+  }
+
   /** Document chunking for embedding pipelines: overlapping token
     * windows of `chunkTokens` at `stride` (stride < chunkTokens =>
     * overlap). One chunk row per window start, per-row generation

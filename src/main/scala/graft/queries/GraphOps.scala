@@ -50,6 +50,10 @@ object GraphOps {
       .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
         concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       .distinct()
+      // referenced by BOTH union branches below: without this the
+      // lineitem scan + 591k-pair distinct executes twice (measured
+      // ~4 s of the query's steady-state time at sf0.1)
+      .localCheckpoint()
     val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
     Graph.pageRank(sym, "src", "dst", iters = 3)
       .orderBy("vertex")
