@@ -99,6 +99,29 @@ object Bench {
         e0.limit(50), "vec_id", "embedding", "label", k = 3).count()
     }
     warm {
+      // round-8 kernels: label-propagation/k-core iteration plans and
+      // the Jaro-Winkler codegen expression (same one-shot JIT logic
+      // as the block above)
+      import org.apache.spark.sql.functions.{col, substring}
+      val d0 = spark.read.parquet(s"$warmDir/documents.parquet")
+      val li0 = spark.read.parquet(s"$warmDir/lineitem.parquet")
+        .limit(500)
+        .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      val seeds = li0.limit(20)
+        .select(col("src").as("v"), col("dst").cast("string").as("l"))
+      graft.operators.Graph.labelPropagation(
+        li0, "src", "dst", seeds, "v", "l", iters = 1).count()
+      graft.operators.Graph.kcore(li0, "src", "dst", k = 2, rounds = 1).count()
+      graft.operators.FuzzyJoin.jaroWinklerSelfJoin(
+        d0.limit(30).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 12).as("s")),
+        "id", "s", minSim = 0.5).count()
+      graft.operators.Profiling.psi(
+        d0.limit(60), d0.limit(60), Seq("lang"), "n_chars", bins = 4).count()
+      graft.operators.RankEval.aucRank(
+        d0.limit(60), "lang", "n_chars", col("doc_id") % 2 === 0).count()
+    }
+    warm {
       // LAST: leave the judged sfDir's views registered for the loop
       graft.queries.QueryDefs.ensureTables(spark, sfDir)
       spark.table("lineitem").limit(1000).groupBy("l_returnflag").count().count()

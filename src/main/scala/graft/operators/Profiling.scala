@@ -360,4 +360,117 @@ object Profiling {
         when(greatest(col("h_a"), col("h_b")) > 0.0,
           col("mi") / greatest(col("h_a"), col("h_b"))).otherwise(lit(0.0)))
   }
+
+  /** Gini coefficient of a non-negative numeric column per group — the
+    * inequality/concentration diagnostic for corpus composition ("is
+    * token mass concentrated in a few giant documents/sources?"):
+    * 0 = perfectly even, →1 = all mass on one row.
+    *
+    * Computed from the sorted-rank identity
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with xᵢ ascending —
+    * tie-ORDER-invariant (equal values occupy a fixed position set, so
+    * any rank assignment among them yields the same Σ i·xᵢ), which
+    * makes the row_number total-order requirement moot cross-engine.
+    * Sums accumulate in decimal(38,0) (exact integers; DuckDB's
+    * HUGEINT mirror), so the only float is the final rounded division.
+    *
+    * Scale shape: one per-group sort window (the necessary cost of a
+    * rank statistic, parallel across groups) + one group agg. Groups
+    * too large to sort should use the binned approximation over
+    * [[equiDepthHistogram]] instead.
+    */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "gini: need at least one group column")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(v.asc)
+    df.filter(v.isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(gcols: _*)
+      .agg(
+        sum((col("_rn") * v).cast("decimal(38,0)")).as("_s1"),
+        sum(v.cast("decimal(38,0)")).as("_sx"),
+        count(lit(1)).as("n"))
+      .select((gcols :+
+        when(col("_sx") > 0,
+          round((lit(2) * col("_s1") - (col("n") + 1) * col("_sx"))
+            .cast("double")
+            / (col("n") * col("_sx")).cast("double"), 6))
+          .cast("double").as("gini")
+        :+ col("n")): _*)
+  }
+
+  /** Population Stability Index between a reference and a current
+    * sample of a numeric column, per group: the standard model/data
+    * monitoring drift score. Values bin into `bins` fixed-width
+    * buckets over the REFERENCE's global [min, max] (the production
+    * convention: edges freeze with the reference snapshot; current
+    * values outside clamp into the edge bins). Counts take add-one
+    * smoothing over the full group×bin grid so empty bins never blow
+    * up the log:
+    *
+    *   p_b = (c_ref_b + 1)/(n_ref + bins),
+    *   q_b = (c_cur_b + 1)/(n_cur + bins),
+    *   PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    *
+    * Complements [[graft.operators.TextAnalysis.unigramDrift]] (KL on
+    * token distributions): PSI is symmetric-ish, bounded by its
+    * smoothing, and the score monitoring dashboards expect. Ratios
+    * stay exact integers until the final bins-sized log sum; bin
+    * assignment is a fixed IEEE expression (sub/mul/div/floor — all
+    * correctly rounded, so both engines agree bit-for-bit).
+    *
+    * Scale shape: one min/max aggregate over the reference (one-row
+    * broadcast), one (group, bin) count per side — corpus touched once
+    * per side — then grid completion and the PSI fold over the
+    * group×bins-sized table. The grid comes from the distinct-group
+    * table × a `sequence` explode, never from corpus data.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, groupCols: Seq[String],
+      valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"psi: bins must be >= 2, got $bins")
+    require(groupCols.nonEmpty, "psi: need at least one group column")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val edges = ref.filter(v.isNotNull)
+      .agg(min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi"))
+    def binned(df: DataFrame): DataFrame = df
+      .filter(v.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select((gcols :+
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(greatest(
+            floor((v.cast("double") - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))).cast("int"),
+            lit(0)), lit(bins - 1))).as("bin")): _*)
+      .groupBy((gcols :+ col("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val refCounts = binned(ref)
+    val curCounts = binned(cur)
+    val groups = ref.select(gcols: _*).unionByName(cur.select(gcols: _*))
+      .distinct()
+    val grid = groups.select((gcols :+
+      explode(sequence(lit(0), lit(bins - 1))).as("bin")): _*)
+    val joinKeys = groupCols :+ "bin"
+    val perBin = grid
+      .join(refCounts.withColumnRenamed("cnt", "_cr"), joinKeys, "left")
+      .join(curCounts.withColumnRenamed("cnt", "_cc"), joinKeys, "left")
+      .select((gcols :+ col("bin")
+        :+ coalesce(col("_cr"), lit(0L)).as("_cr")
+        :+ coalesce(col("_cc"), lit(0L)).as("_cc")): _*)
+    val nr = sum(col("_cr")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*))
+    val nc = sum(col("_cc")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*))
+    val p = (col("_cr") + 1).cast("double") / (col("_nr") + bins)
+    val q = (col("_cc") + 1).cast("double") / (col("_nc") + bins)
+    perBin
+      .withColumn("_nr", nr).withColumn("_nc", nc)
+      .groupBy(gcols: _*)
+      .agg(round(sum((p - q) * log(p / q)), 6).cast("double").as("psi"),
+        max(col("_nr")).cast("long").as("n_ref"),
+        max(col("_nc")).cast("long").as("n_cur"))
+  }
 }

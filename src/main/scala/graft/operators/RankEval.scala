@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranking-agreement metrics between two top-k lists per query key —
@@ -60,4 +61,152 @@ object RankEval {
         coalesce(col("rbo"), lit(0.0)).as("rbo"),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
+
+  /** Per-group ROC AUC of a score against a binary label via the
+    * rank-sum (Mann–Whitney U) identity:
+    * AUC = (Σ avgrank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), where avgrank is the
+    * tie-averaged ascending rank of the score within the group. Tie
+    * averaging uses RANK + (ties−1)/2 — a dyadic half-integer, so the
+    * whole computation is exact integer/dyadic arithmetic until the
+    * single final division (rounded at 6 dp). Degenerate groups (no
+    * positives or no negatives) report NULL auc, never a division
+    * blow-up.
+    *
+    * Scale shape: one window over (group, score) for the rank, one
+    * tie-count window on the same partitioning (no second exchange —
+    * both windows hash-partition by the group key), one group-keyed
+    * aggregation. No joins, no driver collect; the per-group sort is
+    * the necessary cost of an exact AUC and parallelizes across
+    * groups.
+    */
+  def aucRank(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: Column): DataFrame = {
+    val byGroup = Window.partitionBy(col(groupCol))
+    val rnk = rank().over(byGroup.orderBy(col(scoreCol)))
+    val ties = count(lit(1)).over(
+      Window.partitionBy(col(groupCol), col(scoreCol)))
+    val ranked = df
+      .withColumn("_lbl", labelCol.cast("int"))
+      .withColumn("_avgrank",
+        rnk.cast("double") + (ties.cast("double") - 1.0) / 2.0)
+    ranked.groupBy(col(groupCol))
+      .agg(
+        sum(when(col("_lbl") === 1, col("_avgrank"))).as("_rsum"),
+        sum(col("_lbl")).cast("long").as("n_pos"),
+        sum(lit(1) - col("_lbl")).cast("long").as("n_neg"))
+      .select(col(groupCol),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("_rsum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+            / (col("n_pos") * col("n_neg")), 6))
+          .cast("double").as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Cohen's kappa between two categorical raters on the same rows:
+    * κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement rate
+    * and p_e = Σ_c rowmarg_c·colmarg_c / N² the chance agreement. All
+    * counts are exact integers; the two probabilities and κ are formed
+    * in one final double expression (rounded at 6 dp by the caller's
+    * projection). Returns a single row (n, p_o, p_e, kappa); a
+    * degenerate table where p_e = 1 (both raters constant and equal)
+    * reports NULL kappa.
+    *
+    * Scale shape: one cell-count aggregation over (raterA, raterB) —
+    * the contingency table, category²-sized — then marginals
+    * re-aggregate the cell table; nothing after the first shuffle
+    * touches corpus-sized data. Same pattern as Profiling.mutualInfo.
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val cells = df.select(raterA.as("ca"), raterB.as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+    val aMarg = cells.groupBy("ca").agg(sum("n").as("na"))
+    val bMarg = cells.groupBy("cb").agg(sum("n").as("nb"))
+    val agree = cells.agg(
+      sum(when(col("ca") === col("cb"), col("n")).otherwise(lit(0L)))
+        .as("n_agree"),
+      sum(col("n")).as("n_total"))
+    val chance = aMarg
+      .join(bMarg, col("ca") === col("cb"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("chance_num"))
+    agree.crossJoin(broadcast(chance))
+      .select(
+        col("n_total").cast("long").as("n"),
+        round(col("n_agree") / col("n_total"), 6).cast("double").as("p_o"),
+        round(col("chance_num") / (col("n_total") * col("n_total")), 6)
+          .cast("double").as("p_e"),
+        when(col("chance_num") < col("n_total") * col("n_total"),
+          round((col("n_agree") * col("n_total") - col("chance_num"))
+            / (col("n_total") * col("n_total") - col("chance_num")), 6))
+          .cast("double").as("kappa"))
+  }
+
+  /** Recall@k of an approximate ranking against the exact one, per
+    * query key: |approx-top-k ∩ exact-top-k| / k — THE acceptance
+    * number for every ANN/quantized/projected search path (RBO above
+    * grades rank ORDER; this grades set membership, which is what a
+    * retrieval cache actually serves). Both inputs carry (qCol, idCol,
+    * rankCol); rows ranked > k are ignored. Queries present in the
+    * EXACT input emit a row (an approx-only query key is a bug the
+    * join surfaces as recall 0).
+    *
+    * Scale shape: one equi-join of two k-row-per-query tables + one
+    * query-keyed count — identical to [[rbo]], never corpus-sized.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val aa = approx.select(col(qCol).as("q"), col(idCol).as("item"),
+      col(rankCol).cast("long").as("_ra")).filter(col("_ra") <= k)
+    val ee = exact.select(col(qCol).as("q"), col(idCol).as("item"),
+      col(rankCol).cast("long").as("_re")).filter(col("_re") <= k)
+    val hits = aa.join(ee, Seq("q", "item"))
+      .groupBy("q").agg(count(lit(1)).as("n_hit"))
+    ee.select("q").distinct()
+      .join(hits, Seq("q"), "left")
+      .select(col("q").as(qCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / k.toDouble, 6)
+          .cast("double").as("recall"))
+  }
+
+  /** Expected calibration error over `bins` fixed-width confidence
+    * bins: ECE = Σ_b (n_b/N)·|acc_b − conf̄_b|, plus the per-bin
+    * reliability table (bin, n, accuracy, mean confidence). The
+    * confidence must already be in [0,1] and 6-dp-quantized by the
+    * caller — bin assignment floor(conf·bins) on a rounded quantum is
+    * engine-portable (conf = 1.0 clamps into the last bin). Counts are
+    * exact; accuracies and mean confidences are rationals of rounded
+    * quanta.
+    *
+    * Scale shape: one bin-keyed aggregation (bins-sized output), the
+    * scalar ECE folds the bin table — corpus-sized data is touched
+    * exactly once.
+    */
+  def calibrationBins(df: DataFrame, confCol: Column, labelCol: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"calibrationBins: bins must be >= 1, got $bins")
+    val bin = least(floor(confCol * bins).cast("int"), lit(bins - 1))
+    val perBin = df
+      .select(bin.as("bin"), confCol.as("_conf"),
+        labelCol.cast("int").as("_lbl"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("_lbl").as("_npos"),
+        sum("_conf").as("_csum"))
+    perBin.select(
+      col("bin"), col("n"),
+      round(col("_npos") / col("n"), 6).cast("double").as("accuracy"),
+      round(col("_csum") / col("n"), 6).cast("double").as("mean_conf"))
+  }
+
+  /** Scalar ECE from the `calibrationBins` reliability table: needs
+    * the table's (n, accuracy, mean_conf) columns. One fold over the
+    * bins-sized table.
+    */
+  def eceFromBins(binsDf: DataFrame): DataFrame =
+    binsDf.agg(
+      round(sum(col("n") * abs(col("accuracy") - col("mean_conf")))
+        / sum(col("n")), 6).cast("double").as("ece"),
+      sum(col("n")).cast("long").as("n"))
 }

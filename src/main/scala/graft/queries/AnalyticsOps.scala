@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RankEval, Resample, Spectral, TextAnalysis}
+import graft.operators.{Profiling, RankEval, Resample, Spectral, TextAnalysis}
 import QueryDefs._
 
 /** Round-8 judged queries: spectral projection, ranking-agreement
@@ -77,12 +77,135 @@ object AnalyticsOps {
       .orderBy("g1", "g2")
   }
 
+  /** Per-event-type ROC AUC of the value score against an
+    * even-JSON-k label via the rank-sum identity: exact
+    * integer/dyadic arithmetic end-to-end (tie-averaged ranks are
+    * half-integers), one final rounded division.
+    */
+  val qAucEval: QueryFn = withTables { spark =>
+    RankEval.aucRank(spark.table("events"), "event_type", "value",
+        get_json_object(col("props"), "$.k").cast("bigint") % 2 === 0)
+      .orderBy("event_type")
+  }
+
+  /** Cohen's kappa between the labeled language and a source-prior
+    * classifier (each doc predicted as its source's majority
+    * language): the inter-rater agreement number for "how much does
+    * source determine language", all-integer until the final
+    * divisions.
+    */
+  val qKappa: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+    val pred = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("c").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("pred"))
+    RankEval.cohensKappa(
+      docs.join(broadcast(pred), Seq("source")),
+      col("lang"), col("pred"))
+  }
+
+  /** Reliability table (10 bins) for a min-max-normalized value
+    * "confidence" against the purchase label: confidences are
+    * 6-dp-quantized BEFORE binning, so bin membership is
+    * engine-portable; per-bin stats are rationals of those quanta.
+    */
+  val qCalibration: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+    val mm = ev.agg(min(col("value")).cast("double").as("_lo"),
+      max(col("value")).cast("double").as("_hi"))
+    val scored = ev.crossJoin(broadcast(mm))
+      .withColumn("conf",
+        round((col("value") - col("_lo")) / (col("_hi") - col("_lo")), 6))
+    RankEval.calibrationBins(scored, col("conf"),
+        col("event_type") === "purchase", bins = 10)
+      .orderBy("bin")
+  }
+
+  /** PSI drift of the value distribution, first half of the month as
+    * the frozen reference vs the second half, per event type: 10
+    * fixed-width bins over the reference range, add-one smoothing,
+    * exact integer ratios until the bins-sized log fold.
+    */
+  val qPsi: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+    val cut = col("ts").cast("date") < lit("2024-01-16").cast("date")
+    Profiling.psi(ev.filter(cut), ev.filter(!cut),
+        Seq("event_type"), "value", bins = 10)
+      .orderBy("event_type")
+  }
+
+  /** Jaro + Jaro-Winkler over planted typo pairs (chars 4-5
+    * substituted): the pair set is a fixed equi-join — no
+    * set-membership boundary to disagree on — and both engines'
+    * comparators run the same textbook kernel, diffed at 6 dp.
+    * Exercises the native codegen expressions end-to-end.
+    */
+  val qFuzzyJw: QueryFn = withTables { spark =>
+    val base = spark.table("part").filter(col("p_partkey") <= 400)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val variants = base.select(col("id"),
+      concat(substring(col("s"), 1, 3), lit("zz"),
+        substring(col("s"), 6, 1000000)).as("vs"))
+    base.join(variants, Seq("id"))
+      .select(col("id").as("i"), (col("id") + 10000).as("j"),
+        round(graft.functions.StringSimilarity.jaroCol(
+          col("s"), col("vs")), 6).cast("double").as("jaro"),
+        round(graft.functions.StringSimilarity.jaroWinklerCol(
+          col("s"), col("vs")), 6).cast("double").as("jw"))
+      .orderBy("i")
+  }
+
+  /** Recall@5 of the dot-product ranking against the exact cosine
+    * ranking per probe — the metric-sensitivity probe for the ANN
+    * family, and recallAtK judged end-to-end. Both rankings sort raw
+    * doubles whose folds are bit-identical cross-engine (index-order
+    * accumulation), so the top-k SETS are exact, not fuzzy.
+    */
+  val qRecallMetric: QueryFn = withTables { spark =>
+    import graft.operators.Similarity
+    val emb = spark.table("embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.probeSearch(emb, probes, "vec_id", "embedding", k = 5)
+    val cc = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val pp = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val approx = cc.join(broadcast(pp), col("probe_id") =!= col("corpus_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(pv, cv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, b) -> a + b)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("dot").desc, col("corpus_id"))).cast("bigint"))
+      .filter(col("rank") <= 5)
+    RankEval.recallAtK(approx, exact, "probe_id", "corpus_id", "rank", k = 5)
+      .orderBy("probe_id")
+  }
+
+  /** Gini concentration of document length per language: exact
+    * integer sums (decimal-accumulated) to one final rounded
+    * division; tie-order-invariant, so the rank windows need no
+    * cross-engine total order.
+    */
+  val qGini: QueryFn = withTables { spark =>
+    Profiling.gini(spark.table("documents"), Seq("lang"), "n_chars")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_pca_power" -> qPcaPower,
     "q_rbo_eval" -> qRboEval,
     "q_decay_agg" -> qDecayAgg,
     "q_dup_ngrams" -> qDupNgrams,
     "q_vocab_jaccard" -> qVocabJaccard,
+    "q_auc_eval" -> qAucEval,
+    "q_kappa" -> qKappa,
+    "q_calibration" -> qCalibration,
+    "q_psi" -> qPsi,
+    "q_fuzzy_jw" -> qFuzzyJw,
+    "q_recall_metric" -> qRecallMetric,
+    "q_gini" -> qGini,
   )
 
   // RBO depth weights: ONE Scala computation feeds both the Spark
@@ -202,5 +325,176 @@ object AnalyticsOps {
       FROM sizes s1 JOIN sizes s2 ON s1.g < s2.g
       LEFT JOIN inter i ON i.g1 = s1.g AND i.g2 = s2.g
       ORDER BY g1, g2""",
+
+    // Rank-sum AUC: tie-averaged rank = RANK + (ties-1)/2 (a dyadic
+    // half-integer), so the sums are exact and the single division is
+    // the only float, rounded at 6 dp on both engines.
+    "q_auc_eval" -> """
+      WITH l AS (SELECT event_type, value,
+                   CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                     % 2 = 0 THEN 1 ELSE 0 END AS lbl
+                 FROM events),
+      r AS (SELECT event_type, lbl,
+              RANK() OVER (PARTITION BY event_type ORDER BY value)
+                + (COUNT(*) OVER (PARTITION BY event_type, value) - 1.0)
+                  / 2.0 AS avgrank
+            FROM l),
+      a AS (SELECT event_type,
+              SUM(CASE WHEN lbl = 1 THEN avgrank END) AS rsum,
+              SUM(lbl) AS n_pos, SUM(1 - lbl) AS n_neg
+            FROM r GROUP BY event_type)
+      SELECT event_type,
+             CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+               THEN ROUND((rsum - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg), 6) END AS DOUBLE) AS auc,
+             n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg
+      FROM a ORDER BY event_type""",
+
+    // Kappa: contingency cells / marginals / chance mass are exact
+    // integers; p_o, p_e, kappa are single divisions of those integers.
+    "q_kappa" -> """
+      WITH pred AS (
+        SELECT source, lang AS pred FROM (
+          SELECT source, lang, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY COUNT(*) DESC, lang) AS rn
+          FROM documents GROUP BY source, lang) WHERE rn = 1),
+      j AS (SELECT d.lang AS ca, p.pred AS cb
+            FROM documents d JOIN pred p USING (source)),
+      cells AS (SELECT ca, cb, COUNT(*) AS n FROM j GROUP BY ca, cb),
+      ma AS (SELECT ca, SUM(n) AS na FROM cells GROUP BY ca),
+      mb AS (SELECT cb, SUM(n) AS nb FROM cells GROUP BY cb),
+      ag AS (SELECT SUM(CASE WHEN ca = cb THEN n ELSE 0 END) AS n_agree,
+                    SUM(n) AS n_total FROM cells),
+      ch AS (SELECT COALESCE(SUM(ma.na * mb.nb), 0) AS chance_num
+             FROM ma JOIN mb ON ma.ca = mb.cb)
+      SELECT n_total::BIGINT AS n,
+             CAST(ROUND(n_agree / n_total, 6) AS DOUBLE) AS p_o,
+             CAST(ROUND(chance_num / (n_total * n_total), 6) AS DOUBLE) AS p_e,
+             CAST(CASE WHEN chance_num < n_total * n_total
+               THEN ROUND((n_agree * n_total - chance_num)
+                 / (n_total * n_total - chance_num), 6) END AS DOUBLE) AS kappa
+      FROM ag CROSS JOIN ch""",
+
+    // Reliability bins: conf quantized at 6 dp BEFORE floor(conf*10),
+    // so bin membership can't straddle an engine ulp; per-bin stats
+    // are rationals of the quanta.
+    "q_calibration" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      c AS (SELECT ROUND((value - lo) / (hi - lo), 6) AS conf,
+              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+            FROM events CROSS JOIN mm),
+      b AS (SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin, conf, lbl
+            FROM c)
+      SELECT bin, COUNT(*) AS n,
+             CAST(ROUND(SUM(lbl) / COUNT(*), 6) AS DOUBLE) AS accuracy,
+             CAST(ROUND(SUM(conf) / COUNT(*), 6) AS DOUBLE) AS mean_conf
+      FROM b GROUP BY bin ORDER BY bin""",
+
+    // PSI: bin edges freeze on the reference min/max; the bin
+    // expression FLOOR((v-lo)*10/(hi-lo)) is the identical IEEE
+    // arithmetic on both engines; add-one-smoothed ratios stay exact
+    // integers until the bins-sized log fold.
+    "q_psi" -> """
+      WITH ref AS (SELECT event_type, value FROM events
+                   WHERE CAST(ts AS DATE) < DATE '2024-01-16'),
+      cur AS (SELECT event_type, value FROM events
+              WHERE NOT (CAST(ts AS DATE) < DATE '2024-01-16')),
+      mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                    CAST(MAX(value) AS DOUBLE) AS hi FROM ref),
+      rb AS (SELECT event_type,
+               CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(GREATEST(CAST(FLOOR((value - lo) * 10
+                   / (hi - lo)) AS INT), 0), 9) END AS bin,
+               COUNT(*) AS cr
+             FROM ref CROSS JOIN mm GROUP BY 1, 2),
+      cb AS (SELECT event_type,
+               CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(GREATEST(CAST(FLOOR((value - lo) * 10
+                   / (hi - lo)) AS INT), 0), 9) END AS bin,
+               COUNT(*) AS cc
+             FROM cur CROSS JOIN mm GROUP BY 1, 2),
+      g AS (SELECT DISTINCT event_type FROM events),
+      grid AS (SELECT event_type, r.bin FROM g
+               CROSS JOIN (SELECT UNNEST(RANGE(0, 10)) AS bin) r),
+      per AS (SELECT grid.event_type, grid.bin,
+                COALESCE(rb.cr, 0) AS cr, COALESCE(cb.cc, 0) AS cc
+              FROM grid
+              LEFT JOIN rb ON rb.event_type = grid.event_type
+                AND rb.bin = grid.bin
+              LEFT JOIN cb ON cb.event_type = grid.event_type
+                AND cb.bin = grid.bin),
+      tot AS (SELECT event_type, bin, cr, cc,
+                SUM(cr) OVER (PARTITION BY event_type) AS nr,
+                SUM(cc) OVER (PARTITION BY event_type) AS nc
+              FROM per)
+      SELECT event_type,
+             CAST(ROUND(SUM(((cr + 1) / (nr + 10) - (cc + 1) / (nc + 10))
+               * LN(((cr + 1) / (nr + 10)) / ((cc + 1) / (nc + 10)))), 6)
+               AS DOUBLE) AS psi,
+             MAX(nr)::BIGINT AS n_ref, MAX(nc)::BIGINT AS n_cur
+      FROM tot GROUP BY event_type ORDER BY event_type""",
+
+    // Both comparators verified same-kernel against DuckDB's
+    // implementations (match window, transposition halving, 0.7
+    // boost threshold, prefix cap 4) — the pair set is a fixed
+    // equi-join so only VALUES are diffed, at 6 dp.
+    "q_fuzzy_jw" -> """
+      WITH b AS (SELECT p_partkey AS id, p_name AS s
+                 FROM part WHERE p_partkey <= 400),
+      v AS (SELECT id, SUBSTR(s, 1, 3) || 'zz' || SUBSTR(s, 6) AS vs FROM b)
+      SELECT b.id AS i, b.id + 10000 AS j,
+             CAST(ROUND(JARO_SIMILARITY(b.s, v.vs), 6) AS DOUBLE) AS jaro,
+             CAST(ROUND(JARO_WINKLER_SIMILARITY(b.s, v.vs), 6) AS DOUBLE) AS jw
+      FROM b JOIN v USING (id) ORDER BY i""",
+
+    // Two exact rankings (cosine vs dot) on bit-identical index-order
+    // folds, intersected at depth 5: the top-k SETS are exact on both
+    // engines, so only the rational recall is rounded.
+    "q_recall_metric" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 20),
+      c AS (SELECT vec_id AS corpus_id, v AS cv FROM v),
+      pairs AS (SELECT probe_id, corpus_id,
+                  LIST_COSINE_SIMILARITY(pv, cv) AS cos,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(pv) + 1),
+                    i -> pv[i] * cv[i])) AS dot
+                FROM p JOIN c ON probe_id <> corpus_id),
+      ex AS (SELECT probe_id, corpus_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS r
+             FROM pairs),
+      ap AS (SELECT probe_id, corpus_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY dot DESC, corpus_id) AS r
+             FROM pairs),
+      h AS (SELECT e.probe_id, COUNT(*) AS n_hit
+            FROM ex e JOIN ap a ON e.probe_id = a.probe_id
+              AND e.corpus_id = a.corpus_id
+            WHERE e.r <= 5 AND a.r <= 5 GROUP BY e.probe_id)
+      SELECT q.probe_id, COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+             CAST(ROUND(COALESCE(h.n_hit, 0) / 5.0, 6) AS DOUBLE) AS recall
+      FROM (SELECT DISTINCT probe_id FROM p) q
+      LEFT JOIN h USING (probe_id)
+      ORDER BY probe_id""",
+
+    // Gini from the sorted-rank identity: Σ i·x and Σ x are exact
+    // integers (HUGEINT here, decimal(38,0) in Spark), G =
+    // (2·s1 − (n+1)·sx)/(n·sx) in one rounded division; rank
+    // assignment among ties cannot change s1.
+    "q_gini" -> """
+      WITH r AS (SELECT lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY n_chars, doc_id) AS rn
+                 FROM documents),
+      a AS (SELECT lang, SUM(rn * n_chars) AS s1, SUM(n_chars) AS sx,
+                   COUNT(*) AS n
+            FROM r GROUP BY lang)
+      SELECT lang,
+             CAST(CASE WHEN sx > 0 THEN ROUND(
+               CAST(2 * s1 - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 6) END AS DOUBLE) AS gini,
+             n::BIGINT AS n
+      FROM a ORDER BY lang""",
   )
 }

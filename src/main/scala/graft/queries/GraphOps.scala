@@ -97,6 +97,39 @@ object GraphOps {
       .orderBy("vec_id")
   }
 
+  /** 2-iteration clamped majority label propagation on the part
+    * co-order graph: every 10th part seeds its p_brand; ties break
+    * (count DESC, label ASC) — integer counts and total-order argmax,
+    * so the unrolled oracle is exact with no rounding anywhere.
+    */
+  val qLabelProp: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    val seeds = spark.table("part")
+      .filter(col("p_partkey") % 10 === 0)
+      .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+    Graph.labelPropagation(pairs, "a", "b", seeds, "v", "lbl", iters = 2)
+      .orderBy("vertex")
+  }
+
+  /** 2-round k-core peeling (k=3) on the same co-order graph:
+    * all-integer degrees, oracle unrolls the two synchronous peels.
+    */
+  val qKcore: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    Graph.kcore(pairs, "a", "b", k = 3, rounds = 2)
+      .orderBy("vertex")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_kmeans" -> qKmeans,
     "q_semdedup" -> qSemDedup,
@@ -104,6 +137,8 @@ object GraphOps {
     "q_hits" -> qHits,
     "q_triangles" -> qTriangles,
     "q_mahalanobis" -> qMahalanobis,
+    "q_label_prop" -> qLabelProp,
+    "q_kcore" -> qKcore,
   )
 
   // Shared CTE text: one Lloyd round over embeddings, ending in the
@@ -262,5 +297,62 @@ object GraphOps {
                     ELSE 0.0 END)), 6) AS maha
       FROM v CROSS JOIN m
       ORDER BY vec_id""",
+
+    // Two unrolled synchronous majority rounds: per round one
+    // neighbor-label count, one (count DESC, label ASC) argmax, seeds
+    // clamped, no-labeled-neighbor keeps the previous label.
+    "q_label_prop" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      pr AS (SELECT DISTINCT CAST(x.pk AS VARCHAR) AS src,
+                             CAST(y.pk AS VARCHAR) AS dst
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+      n AS (SELECT DISTINCT src AS vertex FROM e),
+      sd AS (SELECT CAST(p_partkey AS VARCHAR) AS vertex,
+                    MIN(p_brand) AS seed_label
+             FROM part WHERE p_partkey % 10 = 0 GROUP BY 1),
+      s0 AS (SELECT n.vertex, sd.seed_label, sd.seed_label AS label
+             FROM n LEFT JOIN sd USING (vertex)),
+      m1 AS (SELECT e.dst AS mv, s.label AS nl, COUNT(*) AS c
+             FROM e JOIN s0 s ON s.vertex = e.src
+             WHERE s.label IS NOT NULL GROUP BY 1, 2),
+      w1 AS (SELECT mv, nl FROM (
+               SELECT mv, nl, ROW_NUMBER() OVER (PARTITION BY mv
+                 ORDER BY c DESC, nl) AS rn FROM m1) WHERE rn = 1),
+      s1 AS (SELECT s.vertex, s.seed_label,
+               CASE WHEN s.seed_label IS NOT NULL THEN s.seed_label
+                    ELSE COALESCE(w1.nl, s.label) END AS label
+             FROM s0 s LEFT JOIN w1 ON w1.mv = s.vertex),
+      m2 AS (SELECT e.dst AS mv, s.label AS nl, COUNT(*) AS c
+             FROM e JOIN s1 s ON s.vertex = e.src
+             WHERE s.label IS NOT NULL GROUP BY 1, 2),
+      w2 AS (SELECT mv, nl FROM (
+               SELECT mv, nl, ROW_NUMBER() OVER (PARTITION BY mv
+                 ORDER BY c DESC, nl) AS rn FROM m2) WHERE rn = 1),
+      s2 AS (SELECT s.vertex, s.seed_label,
+               CASE WHEN s.seed_label IS NOT NULL THEN s.seed_label
+                    ELSE COALESCE(w2.nl, s.label) END AS label
+             FROM s1 s LEFT JOIN w2 ON w2.mv = s.vertex)
+      SELECT vertex, label, seed_label IS NOT NULL AS is_seed
+      FROM s2 ORDER BY vertex""",
+
+    // Two unrolled peels at k=3, then degrees of the surviving
+    // subgraph — all-integer.
+    "q_kcore" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      pr AS (SELECT DISTINCT CAST(x.pk AS VARCHAR) AS src,
+                             CAST(y.pk AS VARCHAR) AS dst
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e0 AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+      a0 AS (SELECT src AS v FROM e0 GROUP BY src HAVING COUNT(*) >= 3),
+      e1 AS (SELECT e0.src, e0.dst FROM e0
+             JOIN a0 s ON e0.src = s.v JOIN a0 d ON e0.dst = d.v),
+      a1 AS (SELECT src AS v FROM e1 GROUP BY src HAVING COUNT(*) >= 3),
+      e2 AS (SELECT e1.src, e1.dst FROM e1
+             JOIN a1 s ON e1.src = s.v JOIN a1 d ON e1.dst = d.v)
+      SELECT src AS vertex, COUNT(*) AS degree
+      FROM e2 GROUP BY src ORDER BY vertex""",
   )
 }

@@ -147,4 +147,206 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out(("s1", "s3"))._1 == 0L, "zero-overlap pair still present")
     assert(out(("s1", "s3"))._3 == 0.0)
   }
+
+  // ---- aucRank ----
+
+  test("aucRank: perfect separation 1, reversed 0, all-ties 0.5") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: every positive outscores every negative
+      ("g1", 0.9, 1), ("g1", 0.8, 1), ("g1", 0.3, 0), ("g1", 0.1, 0),
+      // g2: reversed
+      ("g2", 0.9, 0), ("g2", 0.8, 0), ("g2", 0.3, 1), ("g2", 0.1, 1),
+      // g3: one shared score for everything -> chance
+      ("g3", 0.5, 1), ("g3", 0.5, 0), ("g3", 0.5, 1), ("g3", 0.5, 0),
+    ).toDF("g", "score", "lbl")
+    val out = RankEval.aucRank(df, "g", "score", col("lbl") === 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("g1") == 1.0)
+    assert(out("g2") == 0.0)
+    assert(out("g3") == 0.5, "tie-averaged ranks give exactly chance")
+  }
+
+  test("aucRank: hand value with a tie straddling the classes") {
+    import spark.implicits._
+    // scores asc: 0.1(neg) 0.5(pos) 0.5(neg) 0.9(pos)
+    // avgranks: 1, 2.5, 2.5, 4; rsum+ = 6.5; auc = (6.5-3)/4 = 0.875
+    val df = Seq(("g", 0.1, 0), ("g", 0.5, 1), ("g", 0.5, 0), ("g", 0.9, 1))
+      .toDF("g", "score", "lbl")
+    val r = RankEval.aucRank(df, "g", "score", col("lbl") === 1)
+      .collect().head
+    assert(r.getDouble(1) == 0.875)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+  }
+
+  test("aucRank: degenerate single-class group reports NULL auc") {
+    import spark.implicits._
+    val df = Seq(("g", 0.1, 1), ("g", 0.5, 1)).toDF("g", "score", "lbl")
+    val r = RankEval.aucRank(df, "g", "score", col("lbl") === 1)
+      .collect().head
+    assert(r.isNullAt(1), "no negatives -> NULL, not a blow-up")
+  }
+
+  // ---- cohensKappa ----
+
+  test("cohensKappa: perfect agreement 1, checkerboard independence 0") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val p = RankEval.cohensKappa(perfect, col("a"), col("b")).collect().head
+    assert(p.getDouble(3) == 1.0)
+    // uniform independent raters: p_o = p_e = 0.5 -> kappa 0
+    val indep = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val i = RankEval.cohensKappa(indep, col("a"), col("b")).collect().head
+    assert(i.getDouble(1) == 0.5 && i.getDouble(2) == 0.5)
+    assert(i.getDouble(3) == 0.0)
+  }
+
+  test("cohensKappa: constant equal raters -> NULL (p_e = 1)") {
+    import spark.implicits._
+    val df = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val r = RankEval.cohensKappa(df, col("a"), col("b")).collect().head
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+    assert(r.isNullAt(3))
+  }
+
+  test("cohensKappa: disjoint category sets -> zero chance mass") {
+    import spark.implicits._
+    val df = Seq(("x", "p"), ("y", "q")).toDF("a", "b")
+    val r = RankEval.cohensKappa(df, col("a"), col("b")).collect().head
+    assert(r.getDouble(1) == 0.0, "never agree")
+    assert(r.getDouble(2) == 0.0, "no shared categories")
+    assert(r.getDouble(3) == 0.0, "(0-0)/(1-0)")
+  }
+
+  // ---- calibrationBins / eceFromBins ----
+
+  test("calibrationBins: hand reliability table and ECE") {
+    import spark.implicits._
+    // bin 0: confs .05/.05, one of two correct -> acc .5, conf .05
+    // bin 9: confs .95/1.0 (1.0 clamps into bin 9), both correct
+    val df = Seq((0.05, 1), (0.05, 0), (0.95, 1), (1.0, 1))
+      .toDF("conf", "lbl")
+    val bins = RankEval.calibrationBins(df, col("conf"), col("lbl") === 1, 10)
+    val m = bins.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(m.keySet == Set(0, 9), "only occupied bins emit")
+    assert(m(0) == ((2L, 0.5, 0.05)))
+    assert(m(9) == ((2L, 1.0, 0.975)))
+    val ece = RankEval.eceFromBins(bins).collect().head
+    // 2/4*|0.5-0.05| + 2/4*|1-0.975| = 0.225 + 0.0125
+    assert(ece.getDouble(0) == 0.2375)
+    assert(ece.getLong(1) == 4L)
+  }
+
+  // ---- psi ----
+
+  test("psi: identical halves score exactly 0, a shift scores > 0") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val ref = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 10.0))
+      .toDF("g", "v")
+    val same = Profiling.psi(ref, ref, Seq("g"), "v", bins = 4)
+      .collect().head
+    assert(same.getDouble(1) == 0.0, "p == q per bin")
+    assert(same.getLong(2) == 4L && same.getLong(3) == 4L)
+    val shifted = Seq(("g", 9.0), ("g", 9.5), ("g", 10.0), ("g", 8.0))
+      .toDF("g", "v")
+    val drift = Profiling.psi(ref, shifted, Seq("g"), "v", bins = 4)
+      .collect().head
+    assert(drift.getDouble(1) > 0.1, s"mass moved to the top bin: $drift")
+  }
+
+  test("psi: degenerate single-value reference puts everything in bin 0") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val ref = Seq(("g", 5.0), ("g", 5.0)).toDF("g", "v")
+    val cur = Seq(("g", 7.0), ("g", 3.0)).toDF("g", "v")
+    val r = Profiling.psi(ref, cur, Seq("g"), "v", bins = 4).collect().head
+    assert(r.getDouble(1) == 0.0,
+      "hi == lo routes all mass of both sides to bin 0 -> p == q")
+  }
+
+  test("psi: current-only group still reports (ref side all-smoothed)") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val ref = Seq(("g1", 1.0), ("g1", 2.0)).toDF("g", "v")
+    val cur = Seq(("g2", 1.5)).toDF("g", "v")
+    val out = Profiling.psi(ref, cur, Seq("g"), "v", bins = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("g1", "g2"), "grid covers union of groups")
+  }
+
+  // ---- recallAtK ----
+
+  test("recallAtK: identical 1, disjoint 0, partial counted exactly") {
+    import spark.implicits._
+    def ranking(rows: (String, String, Int)*) =
+      rows.toSeq.toDF("q", "item", "rnk")
+    val ex = ranking(("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+      ("q2", "x", 1), ("q2", "y", 2), ("q2", "z", 3))
+    val same = RankEval.recallAtK(ex, ex, "q", "item", "rnk", 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(same == Map("q1" -> 1.0, "q2" -> 1.0))
+    // q1 approx shares {a, c} reordered; q2 shares nothing
+    val ap = ranking(("q1", "c", 1), ("q1", "d", 2), ("q1", "a", 3),
+      ("q2", "p", 1), ("q2", "q", 2), ("q2", "r", 3))
+    val out = RankEval.recallAtK(ap, ex, "q", "item", "rnk", 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out("q1") == ((2L, 0.666667)))
+    assert(out("q2") == ((0L, 0.0)))
+  }
+
+  test("recallAtK: exact-side queries absent from approx surface as 0") {
+    import spark.implicits._
+    val ex = Seq(("q1", "a", 1), ("q9", "b", 1)).toDF("q", "item", "rnk")
+    val ap = Seq(("q1", "a", 1)).toDF("q", "item", "rnk")
+    val out = RankEval.recallAtK(ap, ex, "q", "item", "rnk", 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out == Map("q1" -> 1.0, "q9" -> 0.0),
+      "a dropped query is a visible zero, not a missing row")
+  }
+
+  test("recallAtK: ranks beyond k are ignored on both sides") {
+    import spark.implicits._
+    val ex = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 9))
+      .toDF("q", "item", "rnk")
+    val ap = Seq(("q", "c", 1), ("q", "a", 5)).toDF("q", "item", "rnk")
+    val out = RankEval.recallAtK(ap, ex, "q", "item", "rnk", 2)
+      .collect().head
+    assert(out.getLong(1) == 0L,
+      "c is beyond exact@2, a beyond approx@2 -> no hits")
+  }
+
+  // ---- gini ----
+
+  test("gini: uniform 0, concentrated hand value, tie-order invariant") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val even = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L)).toDF("g", "v")
+    assert(Profiling.gini(even, Seq("g"), "v").collect().head.getDouble(1)
+      == 0.0)
+    // [0,0,0,10]: G = (2*40 - 5*10) / (4*10) = 0.75
+    val conc = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 10L)).toDF("g", "v")
+    assert(Profiling.gini(conc, Seq("g"), "v").collect().head.getDouble(1)
+      == 0.75)
+    // shuffled tied input: identical result (rank identity is
+    // invariant to tie assignment)
+    val shuffled = Seq(("g", 10L), ("g", 0L), ("g", 0L), ("g", 0L)).toDF("g", "v")
+    assert(Profiling.gini(shuffled, Seq("g"), "v").collect().head.getDouble(1)
+      == 0.75)
+  }
+
+  test("gini: all-zero mass reports NULL, nulls filtered, n counted") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val zeros = Seq(("g", Some(0L)), ("g", Some(0L)), ("g", None))
+      .toDF("g", "v")
+    val r = Profiling.gini(zeros, Seq("g"), "v").collect().head
+    assert(r.isNullAt(1), "sx = 0 -> NULL, not a division blow-up")
+    assert(r.getLong(2) == 2L, "null row filtered before counting")
+  }
 }

@@ -108,4 +108,80 @@ class GraphSpec extends SparkTestBase {
     val square = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
     assert(Graph.triangleCounts(square.toDF("s", "t"), "s", "t").isEmpty)
   }
+
+  // ---- labelPropagation ----
+
+  private def propagate(edges: Seq[(String, String)],
+      seeds: Seq[(String, String)], iters: Int)
+      : Map[String, (Option[String], Boolean)] =
+    Graph.labelPropagation(edges.toDF("s", "t"), "s", "t",
+        seeds.toDF("v", "l"), "v", "l", iters)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getBoolean(2)))).toMap
+
+  test("labelPropagation: a path reaches one hop per iteration") {
+    val path = Seq("1" -> "2", "2" -> "3", "3" -> "4")
+    val seeds = Seq("1" -> "A")
+    val one = propagate(path, seeds, 1)
+    assert(one("2")._1.contains("A"))
+    assert(one("3")._1.isEmpty, "two hops away after one round")
+    val two = propagate(path, seeds, 2)
+    assert(two("3")._1.contains("A"))
+    assert(two("4")._1.isEmpty)
+    assert(two("1") == ((Some("A"), true)), "seed clamped and flagged")
+    assert(!two("2")._2)
+  }
+
+  test("labelPropagation: majority wins, ties break to the smallest label") {
+    // center c has neighbors: two B-seeds, one A-seed -> majority B
+    val star = Seq("c" -> "n1", "c" -> "n2", "c" -> "n3")
+    val maj = propagate(star, Seq("n1" -> "B", "n2" -> "B", "n3" -> "A"), 1)
+    assert(maj("c")._1.contains("B"))
+    // one A, one B -> tie -> A
+    val tie = propagate(Seq("c" -> "n1", "c" -> "n2"),
+      Seq("n1" -> "B", "n2" -> "A"), 1)
+    assert(tie("c")._1.contains("A"))
+  }
+
+  test("labelPropagation: seeds never flip even when outvoted") {
+    val star = Seq("c" -> "n1", "c" -> "n2")
+    val out = propagate(star,
+      Seq("c" -> "A", "n1" -> "B", "n2" -> "B"), 3)
+    assert(out("c") == ((Some("A"), true)), "clamped")
+    assert(out("n1")._1.contains("B"), "seed n1 keeps B")
+  }
+
+  // ---- kcore ----
+
+  private def core(edges: Seq[(String, String)], k: Int, rounds: Int)
+      : Map[String, Long] =
+    Graph.kcore(edges.toDF("s", "t"), "s", "t", k, rounds)
+      .as[(String, Long)].collect().toMap
+
+  test("kcore: K4 survives k=3, pendant and triangle die") {
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d")
+    val pendant = Seq("a" -> "p")
+    val out = core(k4 ++ pendant, k = 3, rounds = 2)
+    assert(out.keySet == Set("a", "b", "c", "d"))
+    assert(out.values.toSet == Set(3L),
+      "degrees measured in the surviving subgraph")
+    // a triangle has min degree 2: gone at k=3 in one round
+    val tri = Seq("x" -> "y", "y" -> "z", "z" -> "x")
+    assert(core(tri, k = 3, rounds = 1).isEmpty)
+  }
+
+  test("kcore: cascading peel needs its rounds (chain into a K4)") {
+    // chain p1-p2-p3 hangs off K4 vertex a: each round peels one link
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d")
+    val chain = Seq("a" -> "p1", "p1" -> "p2", "p2" -> "p3")
+    val r1 = core(k4 ++ chain, k = 2, rounds = 1)
+    assert(r1.contains("p2"), "p2 still held by p3's edge after round 1")
+    assert(!r1.contains("p3"), "leaf degree 1 < 2 peels immediately")
+    val r3 = core(k4 ++ chain, k = 2, rounds = 3)
+    assert(r3.keySet == Set("a", "b", "c", "d"),
+      "fixpoint reached: only the 2-core remains")
+  }
 }
