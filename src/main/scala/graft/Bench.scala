@@ -120,6 +120,11 @@ object Bench {
         d0.limit(60), d0.limit(60), Seq("lang"), "n_chars", bins = 4).count()
       graft.operators.RankEval.aucRank(
         d0.limit(60), "lang", "n_chars", col("doc_id") % 2 === 0).count()
+      graft.operators.Sampling.bootstrapMeanCI(
+        d0.limit(60), Seq("lang"), "n_chars", "doc_id",
+        replicas = 8, loRank = 1, hiRank = 8).count()
+      graft.operators.Profiling.chiSquare(
+        d0.limit(60), "lang", "source").count()
     }
     warm {
       // LAST: leave the judged sfDir's views registered for the loop

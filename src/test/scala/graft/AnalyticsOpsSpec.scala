@@ -349,4 +349,96 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(r.isNullAt(1), "sx = 0 -> NULL, not a division blow-up")
     assert(r.getLong(2) == 2L, "null row filtered before counting")
   }
+
+  // ---- chiSquare ----
+
+  test("chiSquare: independence 0, perfect 2x2 association chi2=n V=1") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    // balanced checkerboard: O == E everywhere
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Profiling.chiSquare(indep, "a", "b").collect().head
+    assert(i.getDouble(0) == 0.0)
+    assert(i.getLong(1) == 1L, "dof (2-1)(2-1)")
+    assert(i.getDouble(2) == 0.0)
+    // diagonal-only: chi2 = n, V = 1
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val p = Profiling.chiSquare(perfect, "a", "b").collect().head
+    assert(p.getDouble(0) == 4.0)
+    assert(p.getDouble(2) == 1.0)
+  }
+
+  test("chiSquare: empty cells contribute their expected mass") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    // 2x2 with one empty cell: O = [[2,0],[1,1]]
+    // E = [[1.5,0.5],[1.5,0.5]]; chi2 = 1/6+1/2+1/6+1/2 = 4/3
+    val df = Seq(("x", "p"), ("x", "p"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r = Profiling.chiSquare(df, "a", "b").collect().head
+    assert(math.abs(r.getDouble(0) - 4.0 / 3) < 1e-6)
+  }
+
+  test("chiSquare: constant column -> dof 0, NULL V") {
+    import graft.operators.Profiling
+    import spark.implicits._
+    val df = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val r = Profiling.chiSquare(df, "a", "b").collect().head
+    assert(r.getDouble(0) == 0.0 && r.getLong(1) == 0L)
+    assert(r.isNullAt(2), "min(r,c)-1 = 0 -> no effect size")
+  }
+
+  // ---- bootstrapMeanCI ----
+
+  test("bootstrapMeanCI: point mass collapses the interval exactly") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val df = (1L to 50L).map(i => ("g", i, 7L)).toDF("g", "id", "v")
+    val r = Sampling.bootstrapMeanCI(df, Seq("g"), "v", "id",
+      replicas = 20, loRank = 2, hiRank = 19).collect().head
+    assert(r.getDouble(1) == 7.0)
+    assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 7.0,
+      "every replica mean of a constant is the constant")
+    assert(r.getLong(4) == 50L)
+  }
+
+  test("bootstrapMeanCI: interval brackets the mean and is ordered") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val df = (1L to 200L).map(i => ("g", i, i % 17)).toDF("g", "id", "v")
+    val r = Sampling.bootstrapMeanCI(df, Seq("g"), "v", "id").collect().head
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"3rd/38th order stats bracket the sample mean: $lo $mean $hi")
+    assert(lo < hi, "a non-degenerate sample has real width")
+  }
+
+  test("bootstrapMeanCI: deterministic across runs, ranks validated") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val df = (1L to 40L).map(i => ("g", i, i)).toDF("g", "id", "v")
+    def run() = Sampling.bootstrapMeanCI(df, Seq("g"), "v", "id",
+      replicas = 16, loRank = 1, hiRank = 16).collect().head.toSeq
+    assert(run() == run(), "md5 draws are seedless and stable")
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapMeanCI(df, Seq("g"), "v", "id",
+        replicas = 10, loRank = 0, hiRank = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapMeanCI(df, Seq("g"), "v", "id",
+        replicas = 10, loRank = 5, hiRank = 11)
+    }
+  }
+
+  test("PoissonCdf: monotone thresholds matching exp(-1) mass") {
+    import graft.operators.Sampling
+    val c = Sampling.PoissonCdf
+    assert(c.size == 6)
+    assert(math.abs(c.head - math.exp(-1.0)) < 1e-15)
+    assert(c.sliding(2).forall(p => p(0) < p(1)))
+    assert(c.last < 1.0 && c.last > 0.999)
+  }
 }

@@ -995,4 +995,159 @@ class PropertySpec extends SparkTestBase {
       kept.nonEmpty && noDupAmongKept && droppedJustified
     })
   }
+
+  test("aucRank laws: bounds, and invariance under positive affine score maps") {
+    val gen = Gen.choose(2, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 20), Gen.oneOf(true, false))))
+    check("auc-affine")(Prop.forAll(gen) { rows =>
+      import spark.implicits._
+      val base = rows.zipWithIndex
+        .map { case ((s, l), i) => ("g", s.toDouble, l) }
+        .toDF("g", "score", "lbl")
+      def auc(d: DataFrame): Option[Double] = {
+        val r = graft.operators.RankEval
+          .aucRank(d, "g", "score", col("lbl")).collect().head
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      }
+      val a1 = auc(base)
+      // 3x + 7 preserves every rank and tie exactly
+      val a2 = auc(base.withColumn("score", col("score") * 3 + 7))
+      a1 == a2 && a1.forall(a => a >= 0.0 && a <= 1.0)
+    })
+  }
+
+  test("gini laws: bounds [0,1) and exact scale invariance") {
+    val gen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 50L))).suchThat(_.sum > 0)
+    check("gini-scale")(Prop.forAll(gen) { vs =>
+      import spark.implicits._
+      def g(mult: Long): Double = graft.operators.Profiling
+        .gini(vs.map(v => ("g", v * mult)).toDF("g", "v"), Seq("g"), "v")
+        .collect().head.getDouble(1)
+      val g1 = g(1L)
+      g1 >= 0.0 && g1 < 1.0 && g(7L) == g1
+    })
+  }
+
+  test("recallAtK laws: self-recall 1, bounds, symmetry of the hit count") {
+    val gen = Gen.choose(1, 8).flatMap(n => Gen.pick(n, 0 to 20))
+    check("recall-self")(Prop.forAll(gen, gen) { (xs, ys) =>
+      import spark.implicits._
+      def ranking(ids: Seq[Int]) = ids.zipWithIndex
+        .map { case (id, i) => ("q", id.toString, i + 1) }
+        .toDF("q", "item", "rnk")
+      val k = 5
+      val re = graft.operators.RankEval
+      val self = re.recallAtK(ranking(xs.toSeq), ranking(xs.toSeq),
+        "q", "item", "rnk", k).collect().head.getDouble(2)
+      val ab = re.recallAtK(ranking(xs.toSeq), ranking(ys.toSeq),
+        "q", "item", "rnk", k).collect().head
+      val ba = re.recallAtK(ranking(ys.toSeq), ranking(xs.toSeq),
+        "q", "item", "rnk", k).collect().head
+      val selfExpected =
+        math.rint(math.min(xs.size, k).toDouble / k * 1e6) / 1e6
+      self == selfExpected &&
+        ab.getLong(1) == ba.getLong(1) && // |A∩B| is symmetric
+        ab.getDouble(2) >= 0.0 && ab.getDouble(2) <= 1.0
+    })
+  }
+
+  test("jaro-winkler laws: range, symmetry, identity on arbitrary ASCII") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    check("jw-laws")(Prop.forAll(sGen, sGen) { (a, b) =>
+      val f = graft.functions.StringSimilarity
+      def u(s: String) = UTF8String.fromString(s)
+      val ab = f.jaroWinkler(u(a), u(b))
+      val ba = f.jaroWinkler(u(b), u(a))
+      ab == ba && ab >= 0.0 && ab <= 1.0 &&
+        f.jaroWinkler(u(a), u(a)) == 1.0 &&
+        f.jaro(u(a), u(b)) <= ab + 1e-15
+    })
+  }
+
+  test("kcore law: survivors shrink as k grows (same rounds)") {
+    val edgeGen = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 8), Gen.choose(0, 8))))
+    check("kcore-monotone")(Prop.forAll(edgeGen) { es =>
+      import spark.implicits._
+      val d = es.map { case (a, b) => (a.toString, b.toString) }.toDF("s", "t")
+      def verts(k: Int): Set[String] =
+        graft.operators.Graph.kcore(d, "s", "t", k, rounds = 2)
+          .select("vertex").collect().map(_.getString(0)).toSet
+      val v2 = verts(2)
+      val v3 = verts(3)
+      v3.subsetOf(v2)
+    })
+  }
+
+  test("labelPropagation law: labels only ever come from the seed set") {
+    val edgeGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6))))
+    val seedGen = Gen.choose(0, 4).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 6), Gen.oneOf("A", "B", "C"))))
+    check("lp-closed")(Prop.forAll(edgeGen, seedGen) { (es, sd) =>
+      import spark.implicits._
+      val edges = es.map { case (a, b) => (a.toString, b.toString) }
+        .toDF("s", "t")
+      val seeds = sd.map { case (v, l) => (v.toString, l) }.toDF("v", "l")
+      val out = graft.operators.Graph
+        .labelPropagation(edges, "s", "t", seeds, "v", "l", iters = 2)
+        .collect()
+      val allowed = sd.map(_._2).toSet
+      out.forall(r => r.isNullAt(1) || allowed(r.getString(1))) &&
+        // clamping: every seed vertex present in the graph keeps a
+        // seed-set label and is flagged
+        out.filter(_.getBoolean(2)).forall(r => allowed(r.getString(1)))
+    })
+  }
+
+  test("psi law: any distribution against itself scores exactly 0") {
+    val gen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 2), Gen.choose(-30, 30))))
+    check("psi-self")(Prop.forAll(gen) { rows =>
+      import spark.implicits._
+      val d = rows.map { case (g, v) => (s"g$g", v.toDouble) }.toDF("g", "v")
+      graft.operators.Profiling.psi(d, d, Seq("g"), "v", bins = 4)
+        .collect().forall(_.getDouble(1) == 0.0)
+    })
+  }
+
+  test("bootstrapMeanCI law: interval ordered and inside the value range") {
+    val gen = Gen.choose(12, 25).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0L, 100L)))
+    check("bootstrap-range")(Prop.forAll(gen) { vs =>
+      import spark.implicits._
+      val d = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+        .toDF("g", "id", "v")
+      val r = graft.operators.Sampling
+        .bootstrapMeanCI(d, Seq("g"), "v", "id",
+          replicas = 12, loRank = 2, hiRank = 11)
+        .collect().head
+      // empty replicas surface as NULL ranks; when both ends exist
+      // they are ordered and bounded by the raw value range
+      val ok = (r.isNullAt(2) || r.isNullAt(3)) || {
+        val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+        lo <= hi && lo >= vs.min.toDouble && hi <= vs.max.toDouble
+      }
+      ok && r.getLong(4) == vs.size.toLong
+    })
+  }
+
+  test("cohensKappa law: kappa <= 1, equal to 1 exactly at perfect agreement") {
+    val gen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf("x", "y", "z"), Gen.oneOf("x", "y", "z"))))
+    check("kappa-bound")(Prop.forAll(gen) { rows =>
+      import spark.implicits._
+      val d = rows.toDF("a", "b")
+      val r = graft.operators.RankEval
+        .cohensKappa(d, col("a"), col("b")).collect().head
+      val perfect = rows.forall { case (a, b) => a == b }
+      r.isNullAt(3) || {
+        val kp = r.getDouble(3)
+        kp <= 1.0 && (!perfect || kp == 1.0)
+      }
+    })
+  }
 }
