@@ -125,6 +125,13 @@ object Bench {
         replicas = 8, loRank = 1, hiRank = 8).count()
       graft.operators.Profiling.chiSquare(
         d0.limit(60), "lang", "source").count()
+      graft.operators.Graph.pageRankWeighted(
+        li0.withColumn("w", org.apache.spark.sql.functions.lit(2.0)),
+        "src", "dst", "w", iters = 1).count()
+      graft.operators.FuzzyJoin.sortedNeighborhoodJoin(
+        d0.limit(30).select(col("doc_id").as("id"),
+          substring(col("text"), 1, 12).as("s")),
+        "id", "s", window = 2, maxDist = 2).count()
     }
     warm {
       // LAST: leave the judged sfDir's views registered for the loop

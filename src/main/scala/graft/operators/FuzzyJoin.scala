@@ -136,6 +136,49 @@ object FuzzyJoin {
       .select("left_id", "right_id", "dist")
   }
 
+  /** Blocked sorted-neighborhood candidate generation (Hernández &
+    * Stolfo's classic record-linkage method, re-expressed without a
+    * global sort): within each first-character block, rows sort by
+    * (string, id) and every row pairs with its next `window`
+    * neighbors in that order, verified by codegen'd `levenshtein` <=
+    * `maxDist`. The zero-join alternative to q-gram blocking — pair
+    * generation is ONE window (lead array) + a generator, no
+    * candidate equi-join at all; the trade is the classic
+    * sorted-neighborhood recall HEURISTIC (a true pair further than
+    * `window` apart in sort order, or straddling a block boundary, is
+    * never compared) vs [[qgramEditJoin]]'s count-filter guarantee.
+    *
+    * Scale shape: the block key makes the sort per-block (parallel,
+    * no single-partition global window); pair fan-out is exactly
+    * `window` per row before the distance filter. At extreme block
+    * skew, widen the key (first 2 chars) — same contract.
+    *
+    * Returns (i, j, dist) with i < j by id.
+    */
+  def sortedNeighborhoodJoin(df: DataFrame, idCol: String, strCol: String,
+      window: Int, maxDist: Int): DataFrame = {
+    require(window >= 1, s"sortedNeighborhoodJoin: window >= 1, got $window")
+    require(maxDist >= 0, s"sortedNeighborhoodJoin: maxDist >= 0, got $maxDist")
+    val base = df.select(col(idCol).as("_fid"), col(strCol).as("_fstr"))
+      .filter(col("_fstr").isNotNull && length(col("_fstr")) > 0)
+      .withColumn("_blk", substring(col("_fstr"), 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_blk").orderBy(col("_fstr").asc, col("_fid").asc)
+    val withNbrs = base.withColumn("_nbrs",
+      array((1 to window).map(i =>
+        struct(lead(col("_fid"), i).over(w).as("nid"),
+          lead(col("_fstr"), i).over(w).as("ns"))): _*))
+    withNbrs
+      .select(col("_fid"), col("_fstr"),
+        explode(col("_nbrs")).as("_n"))
+      .filter(col("_n.nid").isNotNull)
+      .withColumn("dist", levenshtein(col("_fstr"), col("_n.ns")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("_fid"), col("_n.nid")).as("i"),
+        greatest(col("_fid"), col("_n.nid")).as("j"),
+        col("dist"))
+  }
+
   /** Jaro-Winkler self-join: all pairs scoring >= `minSim`, candidates
     * blocked on (first byte, length band of `lenBand`). The comparator
     * is the native codegen kernel

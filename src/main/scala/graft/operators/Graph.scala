@@ -108,6 +108,85 @@ object Graph {
     state.select(col("vertex"), col("rank"))
   }
 
+  /** Weight-proportional fixed-iteration PageRank: contributions split
+    * along out-edges proportionally to an edge weight instead of
+    * uniformly — the form curation graphs actually need (co-occurrence
+    * counts, similarity scores, citation multiplicities as weights).
+    *
+    * rank_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} rank_t(u)·w(u,v)/wout(u)
+    *                              + danglingMass_t/N)
+    *
+    * with wout(u) = Σ w(u,·). Zero/negative-weight edges are dropped
+    * (they'd poison wout); a vertex whose every out-edge was dropped is
+    * dangling, handled exactly as in [[pageRank]]. Same
+    * engine-portability contract: end-of-iteration ranks rounded to
+    * `roundDp`; weights ride as doubles, so the oracle replays the
+    * identical rank·w/wout arithmetic. Same scale shape: edges (with
+    * weights and the broadcast-attached wout) partition once, each
+    * iteration is one equi-join against vertex state + one key-grouped
+    * sum, lineage truncated per pass. Parallel edges are NOT deduped —
+    * their weights both count (sum duplicate edges upstream if that is
+    * not the intent).
+    *
+    * Returns (vertex, rank).
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int, damping: Double = 0.85,
+      roundDp: Int = 12): DataFrame = {
+    require(iters >= 1, s"pageRankWeighted: iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"pageRankWeighted: damping must be in (0,1), got $damping")
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull
+        && col("w").isNotNull && col("w") > 0.0)
+    val wout = e0.groupBy(col("src").as("wv")).agg(sum(col("w")).as("wout"))
+    val e = e0
+      .join(wout, e0("src") === wout("wv"))
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = edges
+      .select(col(srcCol).cast("string").as("vertex"))
+      .unionByName(edges.select(col(dstCol).cast("string").as("vertex")))
+      .filter(col("vertex").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var state = nodes
+      .join(wout, nodes("vertex") === wout("wv"), "left")
+      .select(col("vertex"), col("wout").isNotNull.as("has_out"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).cast("double").as("n"))))
+      .select(col("vertex"), col("has_out"), col("n"),
+        (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    val hasDangling = !state.filter(!col("has_out")).limit(1).isEmpty
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(state.select(col("vertex"), col("rank")),
+          e("src") === col("vertex"))
+        .groupBy(col("dst").as("cv"))
+        .agg(sum(col("rank") * col("share")).as("contrib"))
+      val joined = state.join(contrib, state("vertex") === contrib("cv"), "left")
+      val withMass =
+        if (hasDangling) {
+          val dangling = state.filter(!col("has_out"))
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
+          joined.crossJoin(broadcast(dangling))
+        } else joined.withColumn("dangling_mass", lit(0.0))
+      state = withMass
+        .select(col("vertex"), col("has_out"), col("n"),
+          round(
+            (lit(1.0) - lit(damping)) / col("n")
+              + lit(damping) * (coalesce(col("contrib"), lit(0.0))
+                + col("dangling_mass") / col("n")),
+            roundDp).as("rank"))
+        .localCheckpoint(false)
+    }
+    state.select(col("vertex"), col("rank"))
+  }
+
   /** Fixed-iteration HITS (Kleinberg hubs & authorities) on a directed
     * edge list. Per iteration: auth(v) = Σ_{u→v} hub(u), then hub(u) =
     * Σ_{u→v} auth(v), each half-step L1-normalized to total mass 1 and

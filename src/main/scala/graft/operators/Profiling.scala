@@ -409,6 +409,49 @@ object Profiling {
         col("n"))
   }
 
+  /** k-anonymity / l-diversity audit over a quasi-identifier
+    * combination — the release-governance gate for training corpora
+    * with user-linked metadata: a quasi-identifier group smaller than
+    * `k` re-identifies its members; a group whose sensitive column
+    * takes fewer than `l` distinct values leaks the attribute even at
+    * size >= k (homogeneity attack).
+    *
+    * Returns one row per quasi-group: (quasiCols..., n_rows,
+    * n_sensitive, k_anonymous, l_diverse) — all exact integers and
+    * integer comparisons, nothing float. One aggregation; the
+    * count_distinct shuffles (group, sensitive) pairs, bounded by the
+    * group-count × sensitive-domain, not the corpus.
+    *
+    * [[suppressBelowK]] is the enforcement half: drop every row whose
+    * quasi-group fails k — the standard suppression remedy.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: need quasi-identifier columns")
+    require(k >= 1 && l >= 1, s"kAnonymity: k, l >= 1, got ($k, $l)")
+    val gcols = quasiCols.map(col)
+    df.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select((gcols :+ col("n_rows") :+ col("n_sensitive")
+        :+ (col("n_rows") >= k).as("k_anonymous")
+        :+ (col("n_sensitive") >= l).as("l_diverse")): _*)
+  }
+
+  /** Suppression remedy: keep only rows whose quasi-group has >= k
+    * members. One aggregation + one group-keyed semi-join (the
+    * group-size table is group-count-sized — broadcast at scale).
+    */
+  def suppressBelowK(df: DataFrame, quasiCols: Seq[String], k: Int)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "suppressBelowK: need quasi-identifier columns")
+    val big = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= k)
+      .drop("_n")
+    df.join(broadcast(big), quasiCols, "left_semi")
+  }
+
   /** Gini coefficient of a non-negative numeric column per group — the
     * inequality/concentration diagnostic for corpus composition ("is
     * token mass concentrated in a few giant documents/sources?"):

@@ -214,6 +214,59 @@ object AnalyticsOps {
       .orderBy("lang")
   }
 
+  /** Blocked sorted-neighborhood dedup at window 3: planted variants
+    * (a 2-char suffix append) sort adjacent to their base inside the
+    * same first-char block, so the window catches them; pair SET is
+    * determined by the (string, id) total order and integer
+    * levenshtein — nothing float anywhere.
+    */
+  val qSortedNeighborhood: QueryFn = withTables { spark =>
+    val base = spark.table("part").filter(col("p_partkey") <= 500)
+      .select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val variants = base.select((col("id") + 10000).as("id"),
+      concat(col("s"), lit(" x")).as("s"))
+    graft.operators.FuzzyJoin.sortedNeighborhoodJoin(
+        base.unionByName(variants), "id", "s", window = 3, maxDist = 2)
+      .withColumn("dist", col("dist").cast("bigint"))
+      .orderBy("i", "j")
+  }
+
+  /** Market-basket association between event types per user: support,
+    * confidence, and lift from exact distinct-user counts — the
+    * co-occurrence structure diagnostic; one self-join on the
+    * (user, type)-distinct table, vocabulary-sized aggregates.
+    */
+  val qBasketLift: QueryFn = withTables { spark =>
+    val d = spark.table("events").select("user_id", "event_type").distinct()
+    val pairs = d.as("x").join(d.as("y"),
+        col("x.user_id") === col("y.user_id")
+          && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_both"))
+    val singles = d.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val nu = d.agg(countDistinct(col("user_id")).as("n_users"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("ta"), col("c").as("ca"))), Seq("ta"))
+      .join(broadcast(singles.select(col("event_type").as("tb"), col("c").as("cb"))), Seq("tb"))
+      .crossJoin(broadcast(nu))
+      .select(col("ta"), col("tb"), col("n_both"),
+        round(col("n_both") / col("n_users"), 6).cast("double").as("support"),
+        round(col("n_both") / col("ca"), 6).cast("double").as("confidence"),
+        round((col("n_both") * col("n_users")) / (col("ca") * col("cb")), 6)
+          .cast("double").as("lift"))
+      .orderBy("ta", "tb")
+  }
+
+  /** k-anonymity/l-diversity audit over the (lang, source) quasi-id
+    * with doc length as the sensitive attribute — all-integer counts
+    * and comparisons.
+    */
+  val qKAnonymity: QueryFn = withTables { spark =>
+    Profiling.kAnonymity(spark.table("documents"),
+        Seq("lang", "source"), "n_chars", k = 5, l = 3)
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_pca_power" -> qPcaPower,
     "q_rbo_eval" -> qRboEval,
@@ -229,6 +282,9 @@ object AnalyticsOps {
     "q_gini" -> qGini,
     "q_chi_square" -> qChiSquare,
     "q_bootstrap_ci" -> qBootstrapCi,
+    "q_sorted_neighborhood" -> qSortedNeighborhood,
+    "q_basket_lift" -> qBasketLift,
+    "q_k_anonymity" -> qKAnonymity,
   )
 
   // Poisson(1) CDF thresholds: the ONE Scala computation
@@ -581,5 +637,57 @@ object AnalyticsOps {
              CAST(ci_lo AS DOUBLE) AS ci_lo, CAST(ci_hi AS DOUBLE) AS ci_hi,
              n::BIGINT AS n
       FROM base JOIN ci USING (lang) ORDER BY lang""",
+
+    // Same (block, sort-position) pairing: positions from the
+    // identical (string, id) total order, distances integer.
+    "q_sorted_neighborhood" -> """
+      WITH u AS (
+        SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey <= 500
+        UNION ALL
+        SELECT p_partkey + 10000, p_name || ' x'
+        FROM part WHERE p_partkey <= 500),
+      r AS (SELECT id, s, SUBSTR(s, 1, 1) AS blk,
+              ROW_NUMBER() OVER (PARTITION BY SUBSTR(s, 1, 1)
+                ORDER BY s, id) AS pos
+            FROM u)
+      SELECT LEAST(a.id, b.id) AS i, GREATEST(a.id, b.id) AS j,
+             CAST(LEVENSHTEIN(a.s, b.s) AS BIGINT) AS dist
+      FROM r a JOIN r b
+        ON a.blk = b.blk AND b.pos - a.pos BETWEEN 1 AND 3
+      WHERE LEVENSHTEIN(a.s, b.s) <= 2
+      ORDER BY i, j""",
+
+    // Exact distinct-user counts; support/confidence/lift are single
+    // divisions of those integers.
+    "q_basket_lift" -> """
+      WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+      pairs AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                       COUNT(*) AS n_both
+                FROM d x JOIN d y ON x.user_id = y.user_id
+                  AND x.event_type < y.event_type
+                GROUP BY 1, 2),
+      s AS (SELECT event_type, COUNT(*) AS c FROM d GROUP BY event_type),
+      nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM d)
+      SELECT ta, tb, n_both,
+             CAST(ROUND(n_both / n_users, 6) AS DOUBLE) AS support,
+             CAST(ROUND(n_both / sa.c, 6) AS DOUBLE) AS confidence,
+             CAST(ROUND((n_both * n_users) / (sa.c * sb.c), 6) AS DOUBLE)
+               AS lift
+      FROM pairs
+      JOIN s sa ON sa.event_type = ta
+      JOIN s sb ON sb.event_type = tb
+      CROSS JOIN nu
+      ORDER BY ta, tb""",
+
+    // All-integer governance audit: group sizes + distinct sensitive
+    // values + the two threshold booleans.
+    "q_k_anonymity" -> """
+      SELECT lang, source, COUNT(*) AS n_rows,
+             COUNT(DISTINCT n_chars) AS n_sensitive,
+             COUNT(*) >= 5 AS k_anonymous,
+             COUNT(DISTINCT n_chars) >= 3 AS l_diverse
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source""",
   )
 }

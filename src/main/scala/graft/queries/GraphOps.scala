@@ -130,6 +130,28 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** 2-iteration weight-proportional PageRank on the co-order part
+    * graph, co-occurrence counts as edge weights (the authority prior
+    * a curation pipeline actually computes). Symmetric closure ⇒ no
+    * dangling term; ranks 12-dp-quantized per iteration; the share
+    * w/wout is the identical double division on both engines.
+    */
+  val qPageRankWeighted: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").cast("string").as("a"),
+        col("y.pk").cast("string").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val sym = pairs.select(col("a"), col("b"), col("cnt"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b"), col("cnt")))
+    Graph.pageRankWeighted(sym, "a", "b", "cnt", iters = 2)
+      .orderBy("vertex")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_kmeans" -> qKmeans,
     "q_semdedup" -> qSemDedup,
@@ -139,6 +161,7 @@ object GraphOps {
     "q_mahalanobis" -> qMahalanobis,
     "q_label_prop" -> qLabelProp,
     "q_kcore" -> qKcore,
+    "q_pagerank_weighted" -> qPageRankWeighted,
   )
 
   // Shared CTE text: one Lloyd round over embeddings, ending in the
@@ -354,5 +377,36 @@ object GraphOps {
              JOIN a1 s ON e1.src = s.v JOIN a1 d ON e1.dst = d.v)
       SELECT src AS vertex, COUNT(*) AS degree
       FROM e2 GROUP BY src ORDER BY vertex""",
+
+    // Two unrolled weighted iterations: shares w/wout are one double
+    // division per edge, contributions Σ pr·share, ranks rounded at
+    // 12 dp; symmetric closure ⇒ every vertex has in- and out-edges.
+    "q_pagerank_weighted" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      pr0 AS (SELECT CAST(x.pk AS VARCHAR) AS a, CAST(y.pk AS VARCHAR) AS b,
+                     COUNT(*) AS cnt
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              GROUP BY 1, 2),
+      e0 AS (SELECT a AS src, b AS dst, CAST(cnt AS DOUBLE) AS w FROM pr0
+             UNION ALL
+             SELECT b, a, CAST(cnt AS DOUBLE) FROM pr0),
+      wout AS (SELECT src, SUM(w) AS wout FROM e0 GROUP BY src),
+      e AS (SELECT e0.src, e0.dst, e0.w / wout.wout AS share
+            FROM e0 JOIN wout USING (src)),
+      nv AS (SELECT DISTINCT src AS v FROM e0),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nv),
+      p0 AS (SELECT v, 1.0 / n AS pr FROM nv CROSS JOIN nn),
+      p1 AS (SELECT d.v, ROUND((1.0 - 0.85) / nn.n + 0.85 * c.s, 12) AS pr
+             FROM nv d CROSS JOIN nn
+             JOIN (SELECT e.dst AS v, SUM(p.pr * e.share) AS s
+                   FROM e JOIN p0 p ON e.src = p.v GROUP BY e.dst) c
+               ON c.v = d.v),
+      p2 AS (SELECT d.v, ROUND((1.0 - 0.85) / nn.n + 0.85 * c.s, 12) AS pr
+             FROM nv d CROSS JOIN nn
+             JOIN (SELECT e.dst AS v, SUM(p.pr * e.share) AS s
+                   FROM e JOIN p1 p ON e.src = p.v GROUP BY e.dst) c
+               ON c.v = d.v)
+      SELECT v AS vertex, pr AS rank FROM p2 ORDER BY vertex""",
   )
 }

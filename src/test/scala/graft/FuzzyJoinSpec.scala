@@ -82,4 +82,39 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(ex.getMessage.contains("cannot guarantee recall"), ex.getMessage)
   }
 
+  test("sortedNeighborhoodJoin: adjacent-in-sort pairs found, far pairs skipped") {
+    val df = Seq(
+      (1L, "apple pie"), (2L, "apple pia"), // adjacent after sort
+      (3L, "apricot"),                      // same block, > dist 2
+      (4L, "azzzz last in block"),          // pushes 1-2 adjacency test
+      (5L, "banana")).toDF("id", "s")
+    val out = FuzzyJoin.sortedNeighborhoodJoin(df, "id", "s",
+        window = 2, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.keySet == Set((1L, 2L)), s"only the planted pair: $out")
+    assert(out((1L, 2L)) == 1)
+  }
+
+  test("sortedNeighborhoodJoin heuristic contract: outside the window or block, no pair") {
+    // w=1: "aa" and "ac" are 2 apart in sort order (ab between) -> missed
+    val gap = Seq((1L, "aa"), (2L, "ab x"), (3L, "ac")).toDF("id", "s")
+    val g = FuzzyJoin.sortedNeighborhoodJoin(gap, "id", "s",
+      window = 1, maxDist = 2).collect()
+    assert(!g.exists(r => r.getLong(0) == 1L && r.getLong(1) == 3L),
+      "beyond the window: documented miss")
+    // different first char: never compared even at distance 1
+    val blocks = Seq((1L, "aaaa"), (2L, "baaa")).toDF("id", "s")
+    assert(FuzzyJoin.sortedNeighborhoodJoin(blocks, "id", "s",
+      window = 3, maxDist = 2).isEmpty)
+  }
+
+  test("sortedNeighborhoodJoin emits canonical i < j ids and respects maxDist") {
+    // high id sorts FIRST: canonicalization must still put lower id left
+    val df = Seq((9L, "zebra a"), (1L, "zebra b")).toDF("id", "s")
+    val out = FuzzyJoin.sortedNeighborhoodJoin(df, "id", "s",
+      window = 1, maxDist = 1).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 9L)
+  }
+
 }

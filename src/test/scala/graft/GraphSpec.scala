@@ -109,6 +109,43 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.triangleCounts(square.toDF("s", "t"), "s", "t").isEmpty)
   }
 
+  // ---- pageRankWeighted ----
+
+  test("pageRankWeighted: mass conserved; contributions split by weight") {
+    // a -> b (w=3), a -> c (w=1), b -> a (w=1), c -> a (w=1)
+    val e = Seq(("a", "b", 3.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("s", "t", "w")
+    val r = Graph.pageRankWeighted(e, "s", "t", "w", iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, "rank mass conserved")
+    // after one round from uniform 1/3: b receives 3x c's share of a's
+    // rank: b = (1-d)/3 + d*(1/3)*(3/4), c = (1-d)/3 + d*(1/3)*(1/4)
+    val d = 0.85
+    assert(math.abs(r("b") - ((1 - d) / 3 + d / 3 * 0.75)) < 1e-9)
+    assert(math.abs(r("c") - ((1 - d) / 3 + d / 3 * 0.25)) < 1e-9)
+  }
+
+  test("pageRankWeighted: uniform weights match unweighted pageRank") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "a")
+    val unw = ranks(edges, 2)
+    val wdf = edges.map { case (s, t) => (s, t, 5.0) }.toDF("s", "t", "w")
+    val w = Graph.pageRankWeighted(wdf, "s", "t", "w", iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(unw.keySet == w.keySet)
+    unw.foreach { case (v, rk) =>
+      assert(math.abs(w(v) - rk) < 1e-9, s"vertex $v: $rk vs ${w(v)}")
+    }
+  }
+
+  test("pageRankWeighted: non-positive and null weights are dropped loudly as dangling") {
+    // b's only out-edge has weight 0 -> b is dangling and redistributes
+    val e = Seq(("a", "b", 2.0), ("b", "a", 0.0)).toDF("s", "t", "w")
+    val r = Graph.pageRankWeighted(e, "s", "t", "w", iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      "dangling mass redistributed, not lost")
+  }
+
   // ---- labelPropagation ----
 
   private def propagate(edges: Seq[(String, String)],

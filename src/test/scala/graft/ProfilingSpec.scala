@@ -200,4 +200,33 @@ class ProfilingSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     assert(got.filter(col("maha") < 0).isEmpty)
   }
+
+  test("kAnonymity flags small and homogeneous groups; suppressBelowK enforces") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      // group (a,x): 3 rows, 3 distinct sensitive -> k ok (k=3), l ok (l=2)
+      ("a", "x", 10L), ("a", "x", 20L), ("a", "x", 30L),
+      // group (a,y): 2 rows -> too small
+      ("a", "y", 10L), ("a", "y", 20L),
+      // group (b,x): 3 rows but one sensitive value -> homogeneous
+      ("b", "x", 7L), ("b", "x", 7L), ("b", "x", 7L),
+    ).toDF("q1", "q2", "s")
+    val rep = graft.operators.Profiling
+      .kAnonymity(df, Seq("q1", "q2"), "s", k = 3, l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(rep(("a", "x")) == ((3L, 3L, true, true)))
+    assert(rep(("a", "y")) == ((2L, 2L, false, true)))
+    assert(rep(("b", "x")) == ((3L, 1L, true, false)),
+      "size passes but the homogeneity attack is flagged")
+    val kept = graft.operators.Profiling
+      .suppressBelowK(df, Seq("q1", "q2"), k = 3)
+      .select("q1", "q2").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("a", "x"), ("b", "x")),
+      "suppression drops exactly the under-k groups, row-complete otherwise")
+  }
 }

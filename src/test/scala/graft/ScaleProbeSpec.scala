@@ -318,4 +318,68 @@ class ScaleProbeSpec extends SparkTestBase {
       () => (timedCount(run(c1))._2, timedCount(run(cN))._2))
     c1.unpersist(); cN.unpersist()
   }
+
+  test("kcore: 10x disjoint replica graphs -> exactly 10x survivors, ~linear time") {
+    import graft.operators.Graph
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    def graphTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        li.select(concat(lit(s"g$i-"), col("src")).as("src"),
+          concat(lit(s"g$i-"), col("dst")).as("dst"))
+      }.reduce(_ unionByName _)
+    val g1 = graphTimes(1).cache(); g1.count()
+    val gN = graphTimes(N).cache(); gN.count()
+    def run(g: DataFrame) = Graph.kcore(g, "src", "dst", k = 3, rounds = 2)
+    run(g1).count() // warmup
+    val (c1, t1) = timedCount(run(g1))
+    val (cN, tN) = timedCount(run(gN))
+    // each replica is an isomorphic independent component: the peel
+    // decomposes exactly, so survivors scale exactly linearly
+    assert(cN === N * c1,
+      s"disjoint replicas must peel independently: $c1 -> $cN")
+    assertSubQuadratic("kcore", t1, tN,
+      () => (timedCount(run(g1))._2, timedCount(run(gN))._2))
+    g1.unpersist(); gN.unpersist()
+  }
+
+  test("labelPropagation: 10x disjoint replica graphs -> exactly 10x labeled, ~linear time") {
+    import graft.operators.Graph
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    def graphTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        li.select(concat(lit(s"g$i-"), col("src")).as("src"),
+          concat(lit(s"g$i-"), col("dst")).as("dst"))
+      }.reduce(_ unionByName _)
+    // seeds mirror per replica: every part vertex whose key ends in 0
+    // carries a label derived from its tens digit — suffix-preserved
+    // renaming, so the seed structure replicates exactly
+    def seedsOf(g: DataFrame): DataFrame = g
+      .select(col("src").as("v")).distinct()
+      .filter(col("v").endsWith("0"))
+      .withColumn("l", concat(lit("L"), substring(col("v"), -2, 1)))
+    val g1 = graphTimes(1).cache(); g1.count()
+    val gN = graphTimes(N).cache(); gN.count()
+    def run(g: DataFrame) = Graph.labelPropagation(
+      g, "src", "dst", seedsOf(g), "v", "l", iters = 2)
+    run(g1).count() // warmup
+    def labeled(g: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = run(g).filter(col("label").isNotNull).count()
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    val (c1, t1) = labeled(g1)
+    val (cN, tN) = labeled(gN)
+    assert(c1 > 0, "seeds must spread somewhere on the base graph")
+    assert(cN === N * c1,
+      s"disjoint replicas must propagate independently: $c1 -> $cN")
+    assertSubQuadratic("labelPropagation", t1, tN,
+      () => (labeled(g1)._2, labeled(gN)._2))
+    g1.unpersist(); gN.unpersist()
+  }
 }
