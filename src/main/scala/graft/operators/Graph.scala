@@ -40,17 +40,25 @@ object Graph {
     * iterations and diff successive rounds themselves.
     *
     * Returns one row per vertex: (vertex, rank).
+    *
+    * `assumeDistinct`: callers that can PROVE their edge list carries
+    * no duplicates (e.g. a symmetric closure of a distinct pair table
+    * over disjoint src/dst keyspaces) may skip the defensive dedup —
+    * one full edge-list shuffle saved. A duplicate edge under this
+    * flag double-counts its contribution, so assert it only on
+    * construction-guaranteed inputs.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85, roundDp: Int = 12): DataFrame = {
+      iters: Int, damping: Double = 0.85, roundDp: Int = 12,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0,1), got $damping")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       // every iteration joins e on src: hash-partition ONCE here and the
       // checkpointed plan keeps its outputPartitioning, so the per-pass
       // exchange moves only the (vertex, rank) state, never the edges
@@ -79,8 +87,15 @@ object Graph {
     // arithmetic, not an approximation.
     val hasDangling = !state.filter(col("outdeg") === 0L).limit(1).isEmpty
     for (_ <- 1 to iters) {
+      // explicit broadcast of the VERTEX-sized state: checkpointed RDD
+      // scans carry no stats, and without the hint the optimizer has
+      // been observed building the EDGE side of this join as the
+      // broadcast relation — shipping the whole edge list every
+      // iteration. State is the small side by construction (vertices
+      // << edges); for billion-vertex graphs where even state outgrows
+      // the driver, drop the hint and pre-bucket both sides instead.
       val contrib = e
-        .join(state.select(col("vertex"), col("outdeg"), col("rank")),
+        .join(broadcast(state.select(col("vertex"), col("outdeg"), col("rank"))),
           e("src") === col("vertex"))
         .groupBy(col("dst").as("cv"))
         .agg(sum(col("rank") / col("outdeg")).as("contrib"))
@@ -163,8 +178,10 @@ object Graph {
       .localCheckpoint()
     val hasDangling = !state.filter(!col("has_out")).limit(1).isEmpty
     for (_ <- 1 to iters) {
+      // state-side broadcast: same stats-blind-optimizer rationale as
+      // [[pageRank]] (vertices << edges; edge side must never ship)
       val contrib = e
-        .join(state.select(col("vertex"), col("rank")),
+        .join(broadcast(state.select(col("vertex"), col("rank"))),
           e("src") === col("vertex"))
         .groupBy(col("dst").as("cv"))
         .agg(sum(col("rank") * col("share")).as("contrib"))
@@ -226,8 +243,10 @@ object Graph {
         .drop("_total")
     }
     for (_ <- 1 to iters) {
+      // state-side broadcasts per half-step ([[pageRank]] rationale)
       val auth = e
-        .join(state.select(col("vertex"), col("hub")), e("src") === col("vertex"))
+        .join(broadcast(state.select(col("vertex"), col("hub"))),
+          e("src") === col("vertex"))
         .groupBy(e("dst").as("av"))
         .agg(sum(col("hub")).as("auth2"))
       val s1 = normalized(
@@ -236,7 +255,8 @@ object Graph {
             coalesce(col("auth2"), lit(0.0)).as("auth")),
         "auth").localCheckpoint(false)
       val hub = e
-        .join(s1.select(col("vertex"), col("auth")), e("dst") === col("vertex"))
+        .join(broadcast(s1.select(col("vertex"), col("auth"))),
+          e("dst") === col("vertex"))
         .groupBy(e("src").as("hv"))
         .agg(sum(col("auth")).as("hub2"))
       state = normalized(
@@ -334,8 +354,9 @@ object Graph {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("mv").orderBy(col("cnt").desc, col("nlabel").asc)
     for (_ <- 1 to iters) {
+      // state-side broadcast ([[pageRank]] rationale)
       val majority = e
-        .join(state.select(col("vertex"), col("label")),
+        .join(broadcast(state.select(col("vertex"), col("label"))),
           e("src") === col("vertex"))
         .filter(col("label").isNotNull)
         .groupBy(col("dst").as("mv"), col("label").as("nlabel"))
@@ -395,9 +416,12 @@ object Graph {
       val alive = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("av"))
+      // the survivor set is vertex-sized: broadcast both semi-joins so
+      // the shrinking edge list never re-shuffles ([[pageRank]]
+      // rationale)
       e = e
-        .join(alive, e("src") === alive("av"), "left_semi")
-        .join(alive, e("dst") === alive("av"), "left_semi")
+        .join(broadcast(alive), e("src") === alive("av"), "left_semi")
+        .join(broadcast(alive), e("dst") === alive("av"), "left_semi")
         .localCheckpoint(false)
     }
     e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))

@@ -55,7 +55,9 @@ object GraphOps {
       // ~4 s of the query's steady-state time at sf0.1)
       .localCheckpoint()
     val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRank(sym, "src", "dst", iters = 3)
+    // sym is distinct BY CONSTRUCTION: e0 is distinct and the p*/s*
+    // key namespaces are disjoint, so the swapped branch can't collide
+    Graph.pageRank(sym, "src", "dst", iters = 3, assumeDistinct = true)
       .orderBy("vertex")
   }
 
