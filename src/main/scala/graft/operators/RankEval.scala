@@ -170,6 +170,89 @@ object RankEval {
           .cast("double").as("recall"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — THE standard
+    * hybrid-retrieval combiner (lexical BM25 list + dense ANN list →
+    * one ranking): score(item) = Σ_lists 1/(c + rank), missing-from-a-
+    * list contributes nothing, then re-rank by (score DESC, item).
+    * Every score is a sum of at most |lists| double divisions of
+    * small integers — IEEE-identical cross-engine — and the output
+    * rank is a total order.
+    *
+    * Each input carries (qCol, idCol, rankCol); rows ranked > depth
+    * are ignored; `c` is the classic dampening constant (60). Returns
+    * (qCol, item, rrf, rank) for the top `k` fused items per query.
+    *
+    * Scale shape: a union of k-row-per-query tables, one (query,
+    * item) sum, one per-query top-k window — never corpus-sized.
+    */
+  def rrfFuse(lists: Seq[DataFrame], qCol: String, idCol: String,
+      rankCol: String, depth: Int, k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranking")
+    require(depth >= 1 && k >= 1 && c >= 0,
+      s"rrfFuse: depth/k >= 1, c >= 0, got ($depth, $k, $c)")
+    val normalized = lists.map(_.select(col(qCol).as("q"),
+        col(idCol).as("item"), col(rankCol).cast("long").as("_r"))
+      .filter(col("_r") <= depth))
+    val scored = normalized.reduce(_ unionByName _)
+      .groupBy("q", "item")
+      .agg(sum(lit(1.0) / (lit(c) + col("_r"))).as("_score"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("q")
+      .orderBy(col("_score").desc, col("item").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q").as(qCol), col("item"),
+        round(col("_score"), 6).cast("double").as("rrf"),
+        col("rank"), col("n_lists"))
+  }
+
+  /** Ideal DCG at depth k under the [[ndcgAtK]] gain contract
+    * (relevance k, k-1, …, 1 in ideal order): computed ONCE here and
+    * shared verbatim with any oracle — the rboWeights pattern.
+    */
+  def idcgAtK(k: Int): Double = {
+    require(k >= 1, s"idcgAtK: k must be >= 1, got $k")
+    (1 to k).map(i =>
+      (math.pow(2.0, k + 1 - i) - 1) / (math.log(i + 1) / math.log(2.0))).sum
+  }
+
+  /** nDCG@k of an approximate ranking against the exact one, with the
+    * PINNED gain contract rel(item) = k+1−exactRank for items in the
+    * exact top-k (0 otherwise): the graded companion of [[recallAtK]]
+    * (set membership) and [[rbo]] (order agreement) — it rewards
+    * putting the exact best items EARLY. Under this contract the
+    * ideal ranking is the exact one, so IDCG is the [[idcgAtK]]
+    * constant and nDCG = DCG/IDCG needs no per-query ideal sort.
+    *
+    * DCG terms (2^rel−1)/log2(pos+1) are double arithmetic on small
+    * integers; the per-query sum is k terms — rounded at 6 dp.
+    * Queries in the exact input always emit; an approx list that
+    * misses every exact top-k item scores 0.
+    *
+    * Scale shape: one equi-join of two k-row-per-query tables + one
+    * query-keyed sum ([[rbo]] shape).
+    */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, qCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k must be >= 1, got $k")
+    val idcg = idcgAtK(k)
+    val aa = approx.select(col(qCol).as("q"), col(idCol).as("item"),
+      col(rankCol).cast("long").as("_pos")).filter(col("_pos") <= k)
+    val ee = exact.select(col(qCol).as("q"), col(idCol).as("item"),
+      col(rankCol).cast("long").as("_er")).filter(col("_er") <= k)
+    val dcg = aa.join(ee, Seq("q", "item"))
+      .withColumn("_rel", lit(k + 1) - col("_er"))
+      .groupBy("q")
+      .agg(sum((pow(lit(2.0), col("_rel")) - 1.0)
+        / log2(col("_pos") + 1)).as("_dcg"))
+    ee.select("q").distinct()
+      .join(dcg, Seq("q"), "left")
+      .select(col("q").as(qCol),
+        round(coalesce(col("_dcg"), lit(0.0)) / idcg, 6)
+          .cast("double").as("ndcg"))
+  }
+
   /** Expected calibration error over `bins` fixed-width confidence
     * bins: ECE = Σ_b (n_b/N)·|acc_b − conf̄_b|, plus the per-bin
     * reliability table (bin, n, accuracy, mean confidence). The

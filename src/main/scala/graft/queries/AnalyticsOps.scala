@@ -267,6 +267,50 @@ object AnalyticsOps {
       .orderBy("lang", "source")
   }
 
+  // Shared scaffold for the retrieval-eval family: exact-cosine and
+  // dot-product rankings per probe, both on bit-identical index-order
+  // folds (see qRecallMetric).
+  private def twoRankings(spark: org.apache.spark.sql.SparkSession,
+      depth: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Similarity
+    val emb = spark.table("embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.probeSearch(emb, probes, "vec_id", "embedding",
+      k = depth)
+    val cc = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val pp = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val dot = cc.join(broadcast(pp), col("probe_id") =!= col("corpus_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(pv, cv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, b) -> a + b)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("dot").desc, col("corpus_id"))).cast("bigint"))
+      .filter(col("rank") <= depth)
+    (exact, dot)
+  }
+
+  /** Reciprocal-rank fusion of the cosine and dot-product rankings at
+    * c=60: top-5 fused per probe — the hybrid-retrieval combiner
+    * judged end-to-end. Scores are sums of ≤ 2 exact double
+    * divisions; the fused rank is a total order.
+    */
+  val qRrfFuse: QueryFn = withTables { spark =>
+    val (exact, dot) = twoRankings(spark, depth = 10)
+    RankEval.rrfFuse(Seq(exact, dot), "probe_id", "corpus_id", "rank",
+        depth = 10, k = 5, c = 60)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** nDCG@5 of the dot-product ranking against exact cosine under the
+    * pinned gain contract (rel = 6 − exactRank): the graded companion
+    * of recall@k; IDCG is the one shared Scala constant.
+    */
+  val qNdcg: QueryFn = withTables { spark =>
+    val (exact, dot) = twoRankings(spark, depth = 5)
+    RankEval.ndcgAtK(dot, exact, "probe_id", "corpus_id", "rank", k = 5)
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_pca_power" -> qPcaPower,
     "q_rbo_eval" -> qRboEval,
@@ -285,6 +329,8 @@ object AnalyticsOps {
     "q_sorted_neighborhood" -> qSortedNeighborhood,
     "q_basket_lift" -> qBasketLift,
     "q_k_anonymity" -> qKAnonymity,
+    "q_rrf_fuse" -> qRrfFuse,
+    "q_ndcg" -> qNdcg,
   )
 
   // Poisson(1) CDF thresholds: the ONE Scala computation
@@ -678,6 +724,70 @@ object AnalyticsOps {
       JOIN s sb ON sb.event_type = tb
       CROSS JOIN nu
       ORDER BY ta, tb""",
+
+    // RRF: same two rankings, same 1/(60+r) sums (<= 2 IEEE-commutative
+    // terms), same (score DESC, item) fused order.
+    "q_rrf_fuse" -> """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 20),
+      c AS (SELECT vec_id AS corpus_id, v AS cv FROM v),
+      pairs AS (SELECT probe_id, corpus_id,
+                  LIST_COSINE_SIMILARITY(pv, cv) AS cos,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(pv) + 1),
+                    i -> pv[i] * cv[i])) AS dot
+                FROM p JOIN c ON probe_id <> corpus_id),
+      ex AS (SELECT probe_id, corpus_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS r
+             FROM pairs),
+      ap AS (SELECT probe_id, corpus_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY dot DESC, corpus_id) AS r
+             FROM pairs),
+      u AS (SELECT probe_id, corpus_id, r FROM ex WHERE r <= 10
+            UNION ALL
+            SELECT probe_id, corpus_id, r FROM ap WHERE r <= 10),
+      sc AS (SELECT probe_id, corpus_id, SUM(1.0 / (60 + r)) AS s,
+                    COUNT(*) AS n_lists
+             FROM u GROUP BY 1, 2),
+      rk AS (SELECT probe_id, corpus_id, s, n_lists, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY s DESC, corpus_id) AS rnk
+             FROM sc)
+      SELECT probe_id, corpus_id AS item,
+             CAST(ROUND(s, 6) AS DOUBLE) AS rrf,
+             rnk::BIGINT AS rank, n_lists::BIGINT AS n_lists
+      FROM rk WHERE rnk <= 5
+      ORDER BY probe_id, rank""",
+
+    // nDCG@5 with the pinned rel = 6 - exactRank gains; IDCG is the
+    // interpolated Scala constant, so only DCG is per-engine float.
+    "q_ndcg" -> s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 20),
+      c AS (SELECT vec_id AS corpus_id, v AS cv FROM v),
+      pairs AS (SELECT probe_id, corpus_id,
+                  LIST_COSINE_SIMILARITY(pv, cv) AS cos,
+                  LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(pv) + 1),
+                    i -> pv[i] * cv[i])) AS dot
+                FROM p JOIN c ON probe_id <> corpus_id),
+      ex AS (SELECT probe_id, corpus_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS r
+             FROM pairs),
+      ap AS (SELECT probe_id, corpus_id, ROW_NUMBER() OVER (
+               PARTITION BY probe_id ORDER BY dot DESC, corpus_id) AS r
+             FROM pairs),
+      dcg AS (SELECT a.probe_id,
+                SUM((POWER(2.0, 6 - e.r) - 1.0) / LOG2(a.r + 1)) AS d
+              FROM ap a JOIN ex e ON a.probe_id = e.probe_id
+                AND a.corpus_id = e.corpus_id
+              WHERE a.r <= 5 AND e.r <= 5
+              GROUP BY a.probe_id)
+      SELECT q.probe_id,
+             CAST(ROUND(COALESCE(dcg.d, 0.0) / ${RankEval.idcgAtK(5)}, 6)
+               AS DOUBLE) AS ndcg
+      FROM (SELECT DISTINCT probe_id FROM p) q
+      LEFT JOIN dcg USING (probe_id)
+      ORDER BY probe_id""",
 
     // All-integer governance audit: group sizes + distinct sensitive
     // values + the two threshold booleans.

@@ -321,6 +321,67 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "c is beyond exact@2, a beyond approx@2 -> no hits")
   }
 
+  // ---- rrfFuse ----
+
+  test("rrfFuse: consensus at depth beats a single-list front-runner") {
+    import spark.implicits._
+    def ranking(rows: (String, String, Int)*) =
+      rows.toSeq.toDF("q", "item", "rnk")
+    // x sits at rank 2 in BOTH lists: 2/62 > 1/61 from y's single top spot
+    val a = ranking(("q", "y", 1), ("q", "x", 2), ("q", "z", 3))
+    val b = ranking(("q", "w", 1), ("q", "x", 2), ("q", "v", 3))
+    val out = RankEval.rrfFuse(Seq(a, b), "q", "item", "rnk",
+        depth = 3, k = 5, c = 60)
+      .collect().map(r => r.getString(1) -> ((r.getLong(3), r.getDouble(2),
+        r.getLong(4)))).toMap
+    assert(out("x")._1 == 1L, s"consensus wins: $out")
+    assert(out("x")._3 == 2L && out("y")._3 == 1L)
+    assert(math.abs(out("x")._2 - 2.0 / 62) < 1e-6)
+    // single-list items tie at 1/61 -> item-order tiebreak
+    assert(out("w")._1 < out("y")._1, "tie broken by item ascending")
+  }
+
+  test("rrfFuse: depth filter drops deep ranks; k caps the output") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => ("q", s"i$i", i)).toDF("q", "item", "rnk")
+    val out = RankEval.rrfFuse(Seq(a), "q", "item", "rnk",
+      depth = 4, k = 2, c = 60).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getString(1)).toSet == Set("i1", "i2"),
+      "single list at depth 4, top-2 kept in input order")
+  }
+
+  // ---- ndcgAtK ----
+
+  test("ndcgAtK: identical ranking 1, disjoint 0, displacement in between") {
+    import spark.implicits._
+    def ranking(ids: Seq[String]) = ids.zipWithIndex
+      .map { case (id, i) => ("q", id, i + 1) }.toDF("q", "item", "rnk")
+    val ex = ranking(Seq("a", "b", "c", "d", "e"))
+    val same = RankEval.ndcgAtK(ex, ex, "q", "item", "rnk", 5)
+      .collect().head.getDouble(1)
+    assert(same == 1.0, "ideal order achieves IDCG exactly (post-round)")
+    val disjoint = RankEval.ndcgAtK(ranking(Seq("v", "w", "x", "y", "z")),
+      ex, "q", "item", "rnk", 5).collect().head.getDouble(1)
+    assert(disjoint == 0.0)
+    // best item pushed to the end: strictly between 0 and 1, and worse
+    // than swapping the two WORST items
+    val demoted = RankEval.ndcgAtK(ranking(Seq("b", "c", "d", "e", "a")),
+      ex, "q", "item", "rnk", 5).collect().head.getDouble(1)
+    val tailSwap = RankEval.ndcgAtK(ranking(Seq("a", "b", "c", "e", "d")),
+      ex, "q", "item", "rnk", 5).collect().head.getDouble(1)
+    assert(demoted > 0.0 && demoted < 1.0)
+    assert(tailSwap > demoted, "top-heavy: demoting rank 1 costs more")
+  }
+
+  test("idcgAtK is the exact closed-form constant") {
+    val k = 3
+    val byHand = (1 to 3).map(i =>
+      (math.pow(2.0, 4 - i) - 1) / (math.log(i + 1) / math.log(2.0))).sum
+    assert(RankEval.idcgAtK(k) == byHand)
+    assert(RankEval.idcgAtK(5) > RankEval.idcgAtK(3), "monotone in k")
+  }
+
   // ---- gini ----
 
   test("gini: uniform 0, concentrated hand value, tie-order invariant") {
