@@ -361,4 +361,38 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange") || p.contains("Subquery"),
       s"corpus N must be computed in-plan:\n$p")
   }
+
+  test("sorted-neighborhood pairing is join-free: one window, a generator, no Join node") {
+    val p = plan("q_sorted_neighborhood")
+    assert(!p.contains("Join"),
+      s"the lead-array pairing must not plan any join:\n$p")
+    assert(p.contains("Window") && p.contains("Generate"), p)
+  }
+
+  test("bootstrap CI: generator fan-out partial-aggregates before its one replica shuffle") {
+    val p = plan("q_bootstrap_ci")
+    assert(!p.contains("SortMergeJoin"),
+      s"group-sized CI attach must broadcast:\n$p")
+    assert(p.contains("Generate"), s"B-way fan-out must be a generator:\n$p")
+    // corpus-order exchanges: (group, replica) partial-agg shuffle +
+    // the group-keyed window/base shuffles — all group-sized or
+    // (group×B)-sized; anything beyond 3 means the fan-out itself
+    // started shuffling
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$p")
+  }
+
+  test("PSI: per-side counts broadcast onto the grid; no sort-merge anywhere") {
+    val p = plan("q_psi")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"bin-count attach fell back to sort-merge:\n$p")
+  }
+
+  test("Jaro-Winkler planted pairs: broadcast equi-join, codegen comparator in-plan") {
+    val p = plan("q_fuzzy_jw")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("jaro"), s"native comparator missing from plan:\n$p")
+  }
 }
