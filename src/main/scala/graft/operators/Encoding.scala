@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Feature-engineering encoders — the training-prep transforms a
@@ -127,5 +128,51 @@ object Encoding {
       .withColumn("minmax",
         when(col(mx) > col(mn), (v - col(mn)) / (col(mx) - col(mn))))
       .drop(gk, mu, sd, mn, mx)
+  }
+
+  /** Quantile normalization onto the pooled distribution — the
+    * batch-effect corrector (microarray lineage, here: make each
+    * source/language's length or score distribution comparable): the
+    * row at in-group rank r of n maps to the POOLED value at global
+    * rank ceil(r·N/n). After normalization every group's value
+    * multiset draws from the same pooled quantiles, preserving only
+    * within-group order.
+    *
+    * Pinned contract (everything integer, engine-portable): in-group
+    * rank r = row_number over (value, id) — `idCol` must be unique,
+    * the repo-wide total-order tie rule; pooled rank table = global
+    * dense ids over (value, id) via [[Indexing.denseIds]] (range
+    * shuffle + offsets — NO single-partition global window); target
+    * index = (r·N + n − 1) div n, exact integer arithmetic; the
+    * mapped value attaches by an index equi-join.
+    *
+    * Scale shape: one group-keyed window (rank + size share the
+    * partitioning), one range shuffle for the pooled ranks, one
+    * corpus-sized equi-join on the computed index. No driver state.
+    *
+    * Returns the input columns + `qnorm` (the mapped pooled value).
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, idCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize: need group columns")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val byGroup = Window.partitionBy(gcols: _*)
+    val ranked = df.filter(v.isNotNull)
+      .withColumn("_qr", row_number().over(
+        byGroup.orderBy(v.asc, col(idCol).asc)).cast("long"))
+      .withColumn("_qn", count(lit(1)).over(byGroup))
+    val pooled = Indexing.denseIds(
+        df.filter(v.isNotNull).select(v.as("_pv"), col(idCol).as("_pid")),
+        Seq("_pv", "_pid"), outCol = "_rid")
+      .select(col("_rid"), col("_pv"))
+    val total = pooled.agg(count(lit(1)).as("_qtot"))
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("_target",
+        expr("(_qr * _qtot + _qn - 1) DIV _qn"))
+      .join(pooled, col("_target") === col("_rid"))
+      .withColumn("qnorm", col("_pv"))
+      .drop("_qr", "_qn", "_qtot", "_target", "_rid", "_pv")
   }
 }

@@ -473,6 +473,23 @@ object Profiling {
   def gini(df: DataFrame, groupCols: Seq[String], valueCol: String)
       : DataFrame = {
     require(groupCols.nonEmpty, "gini: need at least one group column")
+    // the exact-sum path accumulates in decimal(38,0), which would
+    // silently ROUND fractional values — enforce the integer contract
+    // loudly (fractional columns: pre-scale to a fixed-point integer,
+    // e.g. round(v * 1e6))
+    val vType = df.schema(valueCol).dataType
+    val integral = vType match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral,
+      s"gini: '$valueCol' is $vType — the exact decimal(38,0) sums would " +
+        "silently round fractional values; pre-scale to integers " +
+        "(e.g. round(v * 1e6) as a fixed-point column) and re-run")
     val gcols = groupCols.map(col)
     val v = col(valueCol)
     val w = org.apache.spark.sql.expressions.Window

@@ -86,7 +86,17 @@ object RankEval {
     val ties = count(lit(1)).over(
       Window.partitionBy(col(groupCol), col(scoreCol)))
     val ranked = df
+      // unscored rows carry no rank information AND engines disagree
+      // on where NULLs sort (Spark asc = NULLS FIRST, DuckDB = NULLS
+      // LAST) — excluding them is both the standard AUC contract and
+      // the only portable one
+      .filter(col(scoreCol).isNotNull)
       .withColumn("_lbl", labelCol.cast("int"))
+      // rows with an unknown label are excluded BEFORE ranking: the
+      // evaluation set is (scored AND labeled) rows — leaving them in
+      // would shift every real row's rank while contributing to
+      // neither class
+      .filter(col("_lbl").isNotNull)
       .withColumn("_avgrank",
         rnk.cast("double") + (ties.cast("double") - 1.0) / 2.0)
     ranked.groupBy(col(groupCol))

@@ -38,7 +38,11 @@ object Spectral {
 
   /** The dominant principal direction after `iters` power iterations,
     * as a rounded unit vector. Null vectors are skipped (they carry no
-    * direction and would NPE the fold).
+    * direction and would NPE the fold). Dimension contract: the first
+    * surviving row's length IS the corpus dimension — a row of any
+    * OTHER length null-pads through zip_with, its dot goes NULL, and
+    * it drops out of the matvec sums silently; validate dimensions
+    * upstream (embeddingDimStats) if raggedness is possible.
     */
   def principalComponent(vecs: DataFrame, idCol: String, vecCol: String,
       iters: Int, roundDp: Int = 6): Seq[Double] = {
@@ -46,7 +50,10 @@ object Spectral {
     val Seq(vc) = Cols.fresh("pw", 1, vecs)
     val v = vecs.select(col(vecCol).cast("array<double>").as(vc))
       .filter(col(vc).isNotNull)
-    val dim = v.select(size(col(vc))).head().getInt(0)
+    val dimProbe = v.select(size(col(vc))).limit(1).collect()
+    require(dimProbe.nonEmpty,
+      "principalComponent: empty corpus (no non-null vectors)")
+    val dim = dimProbe.head.getInt(0)
     def roundDec(x: Double): Double =
       BigDecimal(x).setScale(roundDp, BigDecimal.RoundingMode.HALF_UP).toDouble
     var comp: Seq[Double] = Seq.fill(dim)(roundDec(1.0 / math.sqrt(dim.toDouble)))

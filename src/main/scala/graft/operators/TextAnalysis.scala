@@ -446,8 +446,10 @@ object TextAnalysis {
       n: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs: a span repeats at >= 2 docs")
     val occ = ngramOccurrences(df, idCol, textCol, n)
+    // count(*) on the already-distinct pairs: a countDistinct here
+    // would plan a SECOND dedup-aggregate over deduped input
     val docFreq = occ.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(countDistinct("doc_id").as("_df"))
+      .groupBy("tok").agg(count(lit(1)).as("_df"))
     val perDoc = occ.join(docFreq, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),

@@ -83,8 +83,12 @@ object AnalyticsOps {
     * half-integers), one final rounded division.
     */
   val qAucEval: QueryFn = withTables { spark =>
+    // coalesce mirrors the oracle's CASE ... ELSE 0: a row with a
+    // missing/non-numeric k is a NEGATIVE on both engines, never a
+    // silently-excluded NULL label
     RankEval.aucRank(spark.table("events"), "event_type", "value",
-        get_json_object(col("props"), "$.k").cast("bigint") % 2 === 0)
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+          % 2 === 0, lit(false)))
       .orderBy("event_type")
   }
 
@@ -166,20 +170,8 @@ object AnalyticsOps {
     * accumulation), so the top-k SETS are exact, not fuzzy.
     */
   val qRecallMetric: QueryFn = withTables { spark =>
-    import graft.operators.Similarity
-    val emb = spark.table("embeddings")
-    val probes = emb.filter(col("vec_id") < 20)
-    val exact = Similarity.probeSearch(emb, probes, "vec_id", "embedding", k = 5)
-    val cc = emb.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
-    val pp = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
-    val approx = cc.join(broadcast(pp), col("probe_id") =!= col("corpus_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(pv, cv, (x, y) -> cast(x as double) * cast(y as double)), 0D, (a, b) -> a + b)"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("probe_id")
-          .orderBy(col("dot").desc, col("corpus_id"))).cast("bigint"))
-      .filter(col("rank") <= 5)
-    RankEval.recallAtK(approx, exact, "probe_id", "corpus_id", "rank", k = 5)
+    val (exact, dot) = twoRankings(spark, depth = 5)
+    RankEval.recallAtK(dot, exact, "probe_id", "corpus_id", "rank", k = 5)
       .orderBy("probe_id")
   }
 
@@ -311,6 +303,18 @@ object AnalyticsOps {
       .orderBy("probe_id")
   }
 
+  /** Quantile normalization of per-language doc lengths onto the
+    * pooled distribution: rank arithmetic is exact integers, the
+    * mapped value is a lookup — nothing float anywhere.
+    */
+  val qQuantileNorm: QueryFn = withTables { spark =>
+    graft.operators.Encoding.quantileNormalize(
+        spark.table("documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "n_chars", "doc_id")
+      .select("doc_id", "lang", "n_chars", "qnorm")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_pca_power" -> qPcaPower,
     "q_rbo_eval" -> qRboEval,
@@ -331,6 +335,7 @@ object AnalyticsOps {
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
     "q_ndcg" -> qNdcg,
+    "q_quantile_norm" -> qQuantileNorm,
   )
 
   // Poisson(1) CDF thresholds: the ONE Scala computation
@@ -462,9 +467,9 @@ object AnalyticsOps {
     // the only float, rounded at 6 dp on both engines.
     "q_auc_eval" -> """
       WITH l AS (SELECT event_type, value,
-                   CASE WHEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                   CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
                      % 2 = 0 THEN 1 ELSE 0 END AS lbl
-                 FROM events),
+                 FROM events WHERE value IS NOT NULL),
       r AS (SELECT event_type, lbl,
               RANK() OVER (PARTITION BY event_type ORDER BY value)
                 + (COUNT(*) OVER (PARTITION BY event_type, value) - 1.0)
@@ -546,7 +551,10 @@ object AnalyticsOps {
                    / (hi - lo)) AS INT), 0), 9) END AS bin,
                COUNT(*) AS cc
              FROM cur CROSS JOIN mm GROUP BY 1, 2),
-      g AS (SELECT DISTINCT event_type FROM events),
+      -- group universe = ref UNION cur, matching the operator (a type
+      -- living only in rows BOTH filters exclude must not appear)
+      g AS (SELECT DISTINCT event_type FROM ref
+            UNION SELECT DISTINCT event_type FROM cur),
       grid AS (SELECT event_type, r.bin FROM g
                CROSS JOIN (SELECT UNNEST(RANGE(0, 10)) AS bin) r),
       per AS (SELECT grid.event_type, grid.bin,
@@ -639,11 +647,17 @@ object AnalyticsOps {
       nn AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cells),
       rc AS (SELECT (SELECT COUNT(*) FROM ma) AS r,
                     (SELECT COUNT(*) FROM mb) AS c),
+      -- null-safe marginal attach: the Spark operator keeps NULL
+      -- categories as real levels (joins with <=>), and rc counts them
+      -- too — a plain USING join would drop their cells while dof
+      -- still counted the level
       x AS (SELECT SUM((o - na * nb / n) * (o - na * nb / n)
                      / (na * nb / n)) + MAX(n) - SUM(na * nb / n) AS chi2,
                    MAX(n) AS nd, MAX((r - 1) * (c - 1)) AS dof,
                    CAST(MAX(LEAST(r, c) - 1) AS DOUBLE) AS minrc
-            FROM cells JOIN ma USING (a) JOIN mb USING (b)
+            FROM cells
+            JOIN ma ON cells.a IS NOT DISTINCT FROM ma.a
+            JOIN mb ON cells.b IS NOT DISTINCT FROM mb.b
             CROSS JOIN nn CROSS JOIN rc)
       SELECT CAST(ROUND(chi2, 6) AS DOUBLE) AS chi2,
              dof::BIGINT AS dof,
@@ -788,6 +802,24 @@ object AnalyticsOps {
       FROM (SELECT DISTINCT probe_id FROM p) q
       LEFT JOIN dcg USING (probe_id)
       ORDER BY probe_id""",
+
+    // Quantile normalization: in-group ranks, pooled global ranks,
+    // target = ceil(r*N/n) in exact integer arithmetic, value lookup
+    // by index join.
+    "q_quantile_norm" -> """
+      WITH r AS (SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY n_chars, doc_id) AS qr,
+                   COUNT(*) OVER (PARTITION BY lang) AS qn
+                 FROM documents),
+      g AS (SELECT n_chars AS pooled,
+              ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rid
+            FROM documents),
+      nn AS (SELECT COUNT(*) AS qtot FROM documents)
+      SELECT r.doc_id, r.lang, r.n_chars, g.pooled AS qnorm
+      FROM r CROSS JOIN nn
+      JOIN g ON g.rid = (r.qr * nn.qtot + r.qn - 1) // r.qn
+      ORDER BY r.doc_id""",
 
     // All-integer governance audit: group sizes + distinct sensitive
     // values + the two threshold booleans.

@@ -88,4 +88,39 @@ class EncodingSpec extends SparkTestBase {
     assert(nulls === Map(5.0 -> 7.0, 7.0 -> 5.0),
       "null is its own leave-one-out group")
   }
+
+  test("quantileNormalize: every group draws from the same pooled quantiles") {
+    import spark.implicits._
+    // pooled sorted: [1,2,10,20]; each group of 2 maps ranks 1,2 to
+    // pooled indices ceil(1*4/2)=2 and ceil(2*4/2)=4 -> values 2, 20
+    val df = Seq((1L, "g1", 1L), (2L, "g1", 2L),
+      (3L, "g2", 10L), (4L, "g2", 20L)).toDF("id", "g", "v")
+    val out = Encoding.quantileNormalize(df, Seq("g"), "v", "id")
+      .select("g", "qnorm").collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted.toSeq }
+    assert(out == Map("g1" -> Seq(2L, 20L), "g2" -> Seq(2L, 20L)),
+      s"normalized multisets must coincide across groups: $out")
+  }
+
+  test("quantileNormalize: single group is the identity; rows preserved") {
+    import spark.implicits._
+    val df = (1L to 9L).map(i => (i, "g", i * 10)).toDF("id", "g", "v")
+    val out = Encoding.quantileNormalize(df, Seq("g"), "v", "id")
+    assert(out.count() == 9L)
+    // one group: r == rid mapping, target index == own rank
+    assert(out.filter(col("qnorm") =!= col("v")).isEmpty,
+      "pooled == group distribution: qnorm must be the value itself")
+  }
+
+  test("quantileNormalize: ties map deterministically via the id tiebreak") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "b", 5L), (4L, "b", 6L))
+      .toDF("id", "g", "v")
+    val r1 = Encoding.quantileNormalize(df, Seq("g"), "v", "id")
+      .orderBy("id").collect().map(_.getLong(3)).toSeq
+    val r2 = Encoding.quantileNormalize(df, Seq("g"), "v", "id")
+      .orderBy("id").collect().map(_.getLong(3)).toSeq
+    assert(r1 == r2, "stable under re-execution")
+  }
 }
