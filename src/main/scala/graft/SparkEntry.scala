@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsOps, Core, Functions, GraphOps, LlmOps, Streaming}
+import graft.queries.{AnalyticsOps, Core, Functions, GraphOps, LlmOps, StatsOps, Streaming}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Functions.queries ++ LlmOps.queries ++
-      Streaming.queries ++ GraphOps.queries ++ AnalyticsOps.queries
+      Streaming.queries ++ GraphOps.queries ++ AnalyticsOps.queries ++
+      StatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Core.oracles ++ Functions.oracles ++ LlmOps.oracles ++
-      Streaming.oracles ++ GraphOps.oracles ++ AnalyticsOps.oracles
+      Streaming.oracles ++ GraphOps.oracles ++ AnalyticsOps.oracles ++
+      StatsOps.oracles
 }

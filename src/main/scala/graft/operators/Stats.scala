@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison and changepoint statistics for corpus /
+  * stream monitoring: two-sample Kolmogorov–Smirnov shift detection,
+  * two-proportion z-tests with Wilson intervals, Theil's uncertainty
+  * coefficient, exact-integer CUSUM changepoint scores, and day-of-week
+  * seasonality indices.
+  *
+  * Determinism discipline (SURVEY.md §5.4): every statistic here is
+  * exact integer/rational arithmetic to ONE final rounded division
+  * wherever the math allows (KS, CUSUM, seasonality, Markov-style
+  * ratios); where a sqrt is required (z-test, Wilson) the expression
+  * tree is spelled identically on both engines — IEEE-754 sqrt is
+  * correctly rounded, so identical inputs give identical doubles.
+  */
+object Stats {
+
+  /** Integer floor-division (toward negative infinity) — Spark's
+    * integral `/`+cast and `div` truncate toward zero, which
+    * mis-buckets negatives; both engines replay this exact form.
+    */
+  private[operators] def fdiv(a: Column, b: Column): Column =
+    (a - pmod(a, b)) / b
+
+  /** Per-group two-sample Kolmogorov–Smirnov statistic of `valueCol`
+    * against the complement (all other groups pooled) — the
+    * distribution-shift detector for "did this source/slice drift away
+    * from the rest of the corpus" over a numeric feature.
+    *
+    * Exactness: values are 6-dp-quantized; with group ECDF F_g = c_g /
+    * n_g and complement ECDF F_r = (C − c_g) / (N − n_g) evaluated at
+    * every distinct value, D_g = max |F_g − F_r| =
+    * max |c_g·(N−n_g) − (C−c_g)·n_g| / (n_g·(N−n_g)) — the numerator
+    * is a pure integer per grid point, so the max is an integer
+    * comparison and the ONLY float work is one final rounded division.
+    *
+    * Scale shape: one (group,value)-keyed count shuffle; the grid is
+    * |distinct values| × |groups| (each group must be evaluated at
+    * every global jump point), built by broadcasting the group-sized
+    * n_g table onto the distinct-value table. Per-group cumulative
+    * counts are one window sorted by value; the global cumulative is
+    * recovered IN-GRID as sum(c_g) over a value-partitioned window —
+    * no single-partition global sort anywhere. At 100 TB pre-bin or
+    * coarsen the quantization so |distinct values| stays bounded; the
+    * grid is the only term that grows past vocabulary size.
+    *
+    * Output: (group, n_group, n_rest, ks) — ks NULL when the group is
+    * the whole input (no complement to compare against).
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(groupCol).as("_g"), round(col(valueCol), 6).as("_q"))
+      .agg(count(lit(1)).as("_c"))
+    val groups = cells.groupBy(col("_g").as("_gm")).agg(sum("_c").as("_ng"))
+    val values = cells.select(col("_q").as("_vq")).distinct()
+    val n = cells.agg(sum("_c").as("_n"))
+
+    // null-safe (<=>) everywhere: a NULL group or NULL value is a real
+    // level and must keep its counts (the mutualInfo contract)
+    val grid = values
+      .crossJoin(broadcast(groups))
+      .join(cells, col("_gm") <=> col("_g") && col("_vq") <=> col("_q"),
+        "left")
+      .select(col("_gm").as("_g"), col("_vq").as("_q"), col("_ng"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+
+    val perGroup = Window.partitionBy("_g").orderBy("_q")
+    val atValue = Window.partitionBy("_q")
+    val withCum = grid
+      .withColumn("_cum", sum("_c").over(perGroup))
+      // global cumulative at _q = Σ over groups of the per-group
+      // cumulative — every group has a grid row at every _q, so the
+      // value-partitioned sum recovers C(_q) without a global sort
+      .withColumn("_call", sum("_cum").over(atValue))
+      .crossJoin(broadcast(n))
+
+    withCum
+      .withColumn("_num",
+        abs(col("_cum") * (col("_n") - col("_ng"))
+          - (col("_call") - col("_cum")) * col("_ng")))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_ng").as("n_group"),
+        (max("_n") - max("_ng")).as("n_rest"),
+        max("_num").as("_maxnum"))
+      .withColumn("ks",
+        when(col("n_rest") > 0,
+          round(col("_maxnum") / (col("n_group") * col("n_rest"))
+            .cast("double"), 6)).cast("double"))
+      .select(groupCol, "n_group", "n_rest", "ks")
+  }
+
+  /** Per-group two-proportion z-test of a boolean outcome against the
+    * complement, plus the Wilson 95% score interval for the group rate
+    * — the A/B-style "is this slice's conversion/pass rate different
+    * from everyone else's" gate.
+    *
+    * All counts are exact integers; the z and Wilson formulas are the
+    * only float work and are spelled as the identical expression tree
+    * in the oracle (divisions, products, and IEEE-exact sqrt), rounded
+    * at 6 dp. z is NULL when the complement is empty or the pooled
+    * variance is 0 (rate 0 or 1 everywhere).
+    *
+    * Scale shape: ONE group-keyed count shuffle; the global totals are
+    * a broadcast one-row aggregate. Output: (group, n, successes,
+    * rate, z, wilson_lo, wilson_hi).
+    */
+  def propZTest(df: DataFrame, groupCol: String, success: Column): DataFrame = {
+    val z0 = lit(1.96)
+    val byG = df.groupBy(col(groupCol).as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+    val tot = byG.agg(sum("n").as("_tn"), sum("successes").as("_tx"))
+
+    val nG = col("n").cast("double")
+    val nR = (col("_tn") - col("n")).cast("double")
+    val pG = col("successes") / nG
+    val pR = (col("_tx") - col("successes")) / nR
+    val pPool = col("_tx") / col("_tn").cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nG + lit(1.0) / nR))
+    // Wilson: center (p + z²/2n) / (1 + z²/n), half-width
+    // z·sqrt(p(1−p)/n + z²/4n²) / (1 + z²/n)
+    val denom = lit(1.0) + z0 * z0 / nG
+    val center = (pG + z0 * z0 / (lit(2.0) * nG)) / denom
+    val half = z0 * sqrt(pG * (lit(1.0) - pG) / nG
+      + z0 * z0 / (lit(4.0) * nG * nG)) / denom
+
+    byG.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"), col("successes"),
+        round(pG, 6).cast("double").as("rate"),
+        when(col("_tn") > col("n") && pPool > 0.0 && pPool < 1.0,
+          round((pG - pR) / se, 6)).cast("double").as("z"),
+        round(center - half, 6).cast("double").as("wilson_lo"),
+        round(center + half, 6).cast("double").as("wilson_hi"))
+  }
+
+  /** Theil's uncertainty coefficient between two categorical columns,
+    * both directions — the ASYMMETRIC sibling of [[Profiling.mutualInfo]]'s
+    * NMI: U(a|b) = MI / H(a) is "what fraction of a's uncertainty does
+    * knowing b remove", which is NOT U(b|a) when the marginals differ
+    * (NMI hides the asymmetry behind max(H_a, H_b)).
+    *
+    * Same one-shuffle cell-table shape as mutualInfo (it reuses it);
+    * degenerate direction (constant column, H = 0) reports NULL.
+    * Output one row: (u_a_given_b, u_b_given_a, n_rows).
+    */
+  def theilsU(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    Profiling.mutualInfo(df, aCol, bCol).select(
+      when(col("h_a") > 0.0, round(col("mi") / col("h_a"), 6))
+        .cast("double").as("u_a_given_b"),
+      when(col("h_b") > 0.0, round(col("mi") / col("h_b"), 6))
+        .cast("double").as("u_b_given_a"),
+      col("n_rows"))
+
+  /** Per-group CUSUM changepoint score: walk the group in
+    * (orderCol, tieCol) total order and score each prefix k by how far
+    * its running sum S_k departs from the uniform-trend line k·T/n;
+    * report the max departure and the first prefix attaining it — the
+    * "did this metric's level shift somewhere in the window" detector.
+    *
+    * Exactness: values are 6-dp-quantized to scaled longs, so
+    * n·S_k − k·T is a pure integer per prefix; the max and its argmin-k
+    * tie-break are integer comparisons and the ONLY float work is the
+    * final division by n·10⁶, rounded at 6 dp. Long headroom: |n·S_k|
+    * ≤ n²·max|v|·10⁶ — fine to ~10⁸ rows per group at |v| ≤ 100; past
+    * that, pre-aggregate the series (e.g. per-hour sums) before
+    * scoring, which is also the statistically sane move.
+    *
+    * Scale shape: one window sort per group (hash-partitioned by
+    * group), one group agg for (n, T), one more window max for the
+    * argmax — no joins, no collect; groups score independently.
+    * Output: (group, n, cusum, at_k).
+    */
+  def cusum(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy("_g").orderBy(col(orderCol), col(tieCol))
+    val scored = df
+      .select(col(groupCol).as("_g"), col(orderCol), col(tieCol),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .withColumn("_k", row_number().over(w))
+      .withColumn("_s", sum("_q").over(w))
+    val totals = scored.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"), sum("_q").as("_t"))
+    val dev = scored
+      .join(broadcast(totals), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_num", abs(col("_n") * col("_s") - col("_k") * col("_t")))
+    // first prefix attaining the max: integer (num DESC, k ASC) order
+    val pick = Window.partitionBy("_g")
+      .orderBy(col("_num").desc, col("_k").asc)
+    dev.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        round(col("_num") / (col("_n") * lit(1e6)), 6)
+          .cast("double").as("cusum"),
+        col("_k").as("at_k"))
+  }
+
+  /** Day-of-week seasonality index per group: mean(value | dow) /
+    * mean(value) as an exact rational of 6-dp quanta —
+    * (sum_dow · n_all) / (n_dow · sum_all) in scaled-long arithmetic,
+    * one final rounded division. Day-of-week is computed PORTABLY from
+    * epoch seconds ((days_since_epoch + 3) mod 7, 0 = Monday) — the
+    * engines disagree on their native dayofweek() numbering.
+    *
+    * Scale shape: one (group, dow)-keyed count shuffle (≤ 7 rows per
+    * group), group totals re-aggregate that table and attach
+    * broadcast. Index is NULL when the group's overall sum is 0.
+    * Output: (group, dow, n, seasonality).
+    */
+  def seasonalityIndex(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dow = pmod(fdiv(unix_timestamp(col(tsCol)), lit(86400L)) + 3, lit(7))
+      .cast("int")
+    val cells = df
+      .select(col(groupCol).as(groupCol), dow.as("dow"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy(groupCol, "dow")
+      .agg(count(lit(1)).as("n"), sum("_q").as("_s"))
+    val totals = cells.groupBy(col(groupCol).as("_gm"))
+      .agg(sum("n").as("_tn"), sum("_s").as("_ts"))
+    cells.join(broadcast(totals), col(groupCol) <=> col("_gm")).drop("_gm")
+      .select(col(groupCol), col("dow"), col("n"),
+        when(col("_ts") =!= 0,
+          round((col("_s") * col("_tn"))
+            / (col("n") * col("_ts")).cast("double"), 6))
+          .cast("double").as("seasonality"))
+  }
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+import QueryDefs._
+
+/** Judged queries for the distribution-statistics layer (operators
+  * in [[graft.operators.Stats]]): KS shift detection, two-proportion
+  * z-tests, Theil's U, CUSUM changepoints, and seasonality indices.
+  * Oracles replay the identical arithmetic in DuckDB under the
+  * SURVEY.md §5.4 determinism rules.
+  */
+object StatsOps {
+
+  /** Two-sample KS statistic of each event type's value distribution
+    * against the pooled rest: exact integer ECDF numerators on the
+    * (distinct value × group) grid, one final rounded division.
+    */
+  val qKsTest: QueryFn = withTables { spark =>
+    Stats.ksTest(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  /** Two-proportion z-test of P(value > 50) per event type vs the
+    * rest, with the Wilson 95% interval for the group rate — exact
+    * counts into an identically-spelled float tree (IEEE sqrt).
+    */
+  val qPropZtest: QueryFn = withTables { spark =>
+    Stats.propZTest(spark.table("events"), "event_type",
+        col("value") > 50.0)
+      .orderBy("event_type")
+  }
+
+  /** Theil's uncertainty coefficient lang↔source: the asymmetric
+    * "how much does source determine language" number that NMI
+    * (q_mutual_info) symmetrizes away.
+    */
+  val qTheilsU: QueryFn = withTables { spark =>
+    Stats.theilsU(spark.table("documents"), "lang", "source")
+  }
+
+  /** Max CUSUM departure of each event type's value series (ts,
+    * event_id order): all-integer n·S_k − k·T scoring over 6-dp
+    * quanta, first-argmax tie-break, one final rounded division.
+    */
+  val qCusum: QueryFn = withTables { spark =>
+    Stats.cusum(spark.table("events"), "event_type", "ts", "event_id",
+        "value")
+      .orderBy("event_type")
+  }
+
+  /** Day-of-week seasonality index per event type: exact rational
+    * (sum_dow·n_all)/(n_dow·sum_all) of scaled-long quanta, portable
+    * epoch-arithmetic day-of-week (0 = Monday).
+    */
+  val qSeasonality: QueryFn = withTables { spark =>
+    Stats.seasonalityIndex(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type", "dow")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_ks_test" -> qKsTest,
+    "q_prop_ztest" -> qPropZtest,
+    "q_theils_u" -> qTheilsU,
+    "q_cusum" -> qCusum,
+    "q_seasonality" -> qSeasonality)
+
+  val oracles: Map[String, String] = Map(
+    // Same grid construction: per-(group,value) counts, group sizes
+    // broadcast onto the distinct-value table, per-group cumulative by
+    // value, global cumulative recovered in-grid as the sum of
+    // per-group cumulatives at each value. Integer numerators; one
+    // rounded division.
+    "q_ks_test" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g = gr.g AND ce.q = v.q),
+      cum AS (
+        SELECT g, q, ng,
+               SUM(c) OVER (PARTITION BY g ORDER BY q) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call
+        FROM cum)
+      SELECT g AS event_type, MAX(ng) AS n_group,
+             MAX(n) - MAX(ng) AS n_rest,
+             CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+               CAST(ROUND(MAX(ABS(cg * (n - ng) - (call - cg) * ng))
+                 / CAST(MAX(ng) * (MAX(n) - MAX(ng)) AS DOUBLE), 6)
+                 AS DOUBLE)
+             END AS ks
+      FROM cum2 CROSS JOIN nn
+      GROUP BY g
+      ORDER BY event_type""",
+
+    // Identical float tree: pooled-variance z, Wilson score interval
+    // with z0² spelled 1.96*1.96 on both engines.
+    "q_prop_ztest" -> """
+      WITH byg AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS successes
+        FROM events GROUP BY event_type),
+      tot AS (SELECT SUM(n)::BIGINT AS tn, SUM(successes)::BIGINT AS tx
+              FROM byg)
+      SELECT event_type, n, successes,
+        CAST(ROUND(successes / CAST(n AS DOUBLE), 6) AS DOUBLE) AS rate,
+        CAST(CASE WHEN tn > n
+                   AND tx / CAST(tn AS DOUBLE) > 0.0
+                   AND tx / CAST(tn AS DOUBLE) < 1.0 THEN
+          ROUND((successes / CAST(n AS DOUBLE)
+                 - (tx - successes) / CAST(tn - n AS DOUBLE))
+            / SQRT(tx / CAST(tn AS DOUBLE)
+                   * (1.0 - tx / CAST(tn AS DOUBLE))
+                   * (1.0 / CAST(n AS DOUBLE)
+                      + 1.0 / CAST(tn - n AS DOUBLE))), 6)
+        END AS DOUBLE) AS z,
+        CAST(ROUND(
+          (successes / CAST(n AS DOUBLE)
+             + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+          - 1.96 * SQRT(successes / CAST(n AS DOUBLE)
+                * (1.0 - successes / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + 1.96 * 1.96
+                / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6)
+          AS DOUBLE) AS wilson_lo,
+        CAST(ROUND(
+          (successes / CAST(n AS DOUBLE)
+             + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+          + 1.96 * SQRT(successes / CAST(n AS DOUBLE)
+                * (1.0 - successes / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + 1.96 * 1.96
+                / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+            / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)), 6)
+          AS DOUBLE) AS wilson_hi
+      FROM byg CROSS JOIN tot
+      ORDER BY event_type""",
+
+    // The q_mutual_info cell CTE with the two asymmetric ratios.
+    "q_theils_u" -> """
+      WITH cells AS (
+        SELECT lang AS a, source AS b, COUNT(*) AS cab
+        FROM documents GROUP BY lang, source),
+      ma AS (SELECT a, SUM(cab)::BIGINT AS ca FROM cells GROUP BY a),
+      mb AS (SELECT b, SUM(cab)::BIGINT AS cb FROM cells GROUP BY b),
+      nn AS (SELECT SUM(cab)::DOUBLE AS n FROM cells)
+      SELECT CAST(ROUND(CASE WHEN -SUM((cab / n) * LN(ca / n)) > 0
+               THEN SUM((cab / n) * LN((cab * n) / (ca * cb)))
+                    / (-SUM((cab / n) * LN(ca / n))) END, 6) AS DOUBLE)
+               AS u_a_given_b,
+             CAST(ROUND(CASE WHEN -SUM((cab / n) * LN(cb / n)) > 0
+               THEN SUM((cab / n) * LN((cab * n) / (ca * cb)))
+                    / (-SUM((cab / n) * LN(cb / n))) END, 6) AS DOUBLE)
+               AS u_b_given_a,
+             SUM(cab)::BIGINT AS n_rows
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // Same scaled-long running sums over the same (ts, event_id)
+    // total order; integer |n·S_k − k·T| scoring, first-argmax.
+    "q_cusum" -> """
+      WITH scored AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS qv,
+               ROW_NUMBER() OVER w AS k,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) OVER w AS s
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      tot AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(qv)::BIGINT AS t
+              FROM scored GROUP BY g),
+      dev AS (
+        SELECT s.g, t.n, s.k, ABS(t.n * s.s - s.k * t.t) AS num
+        FROM scored s JOIN tot t ON s.g = t.g)
+      SELECT g AS event_type, n,
+             CAST(ROUND(num / (n * 1000000.0), 6) AS DOUBLE) AS cusum,
+             k AS at_k
+      FROM (SELECT g, n, k, num,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                     ORDER BY num DESC, k ASC) AS rn
+            FROM dev)
+      WHERE rn = 1
+      ORDER BY event_type""",
+
+    // Portable epoch day-of-week ((days + 3) mod 7, 0 = Monday) and
+    // the exact rational index over scaled-long sums.
+    "q_seasonality" -> """
+      WITH cells AS (
+        SELECT event_type,
+               CAST(((CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                      - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400
+                          + 86400) % 86400)) // 86400 + 3) % 7 AS INT)
+                 AS dow,
+               COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS s
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, SUM(n)::BIGINT AS tn, SUM(s)::BIGINT AS ts
+              FROM cells GROUP BY event_type)
+      SELECT c.event_type, c.dow, c.n,
+             CAST(CASE WHEN t.ts <> 0 THEN
+               ROUND((c.s * t.tn) / CAST(c.n * t.ts AS DOUBLE), 6)
+             END AS DOUBLE) AS seasonality
+      FROM cells c JOIN tot t ON c.event_type = t.event_type
+      ORDER BY c.event_type, c.dow""")
+}

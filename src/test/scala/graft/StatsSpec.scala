@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Hand-computed fixtures and laws for the distribution-statistics
+  * operators: KS test, two-proportion z-test, Theil's U, CUSUM,
+  * seasonality index.
+  */
+class StatsSpec extends SparkTestBase {
+
+  // ---- ksTest ----
+
+  test("ksTest hand fixture: disjoint supports give KS = 1") {
+    import spark.implicits._
+    // group a entirely below group b: max ECDF gap is 1 exactly
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 11.0)).toDF("g", "v")
+    val out = Stats.ksTest(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") == 1.0 && out("b") == 1.0, s"disjoint => 1.0, got $out")
+  }
+
+  test("ksTest hand fixture: identical distributions give KS = 0") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val out = Stats.ksTest(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") == 0.0 && out("b") == 0.0)
+  }
+
+  test("ksTest hand fixture: known intermediate value") {
+    import spark.implicits._
+    // a = {1, 3}, rest = {2}: F_a jumps 0.5 at 1, F_r jumps 1 at 2.
+    // At v=1: |0.5 - 0| = 0.5; at v=2: |0.5 - 1| = 0.5; at v=3: 0.
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0)).toDF("g", "v")
+    val ks = Stats.ksTest(df, "g", "v").filter(col("g") === "a")
+      .collect().head.getDouble(3)
+    assert(ks == 0.5, s"expected 0.5, got $ks")
+  }
+
+  test("ksTest: single-group input reports NULL (no complement)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val row = Stats.ksTest(df, "g", "v").collect().head
+    assert(row.isNullAt(3) && row.getLong(2) == 0L)
+  }
+
+  // ---- propZTest ----
+
+  test("propZTest hand fixture: symmetric groups give opposite z") {
+    import spark.implicits._
+    // a: 3/4 success, b: 1/4 — pooled 1/2, z_a = -z_b by symmetry
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 0), ("b", 0), ("b", 0), ("b", 1)).toDF("g", "s")
+    val out = Stats.propZTest(df, "g", col("s") === 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(out("a") + out("b")) < 1e-9, s"antisymmetric, got $out")
+    assert(out("a") > 0)
+  }
+
+  test("propZTest: Wilson interval contains the rate and sits in [0,1]") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => ("g", i % 3 == 0)) ++
+      Seq.tabulate(10)(i => ("h", i % 2 == 0))
+    val out = Stats.propZTest(df.toDF("g", "s"), "g", col("s"))
+    out.collect().foreach { r =>
+      val (rate, lo, hi) = (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+      assert(lo <= rate && rate <= hi, s"rate inside CI: $r")
+      assert(lo >= 0.0 && hi <= 1.0, s"CI clamped to [0,1] range: $r")
+    }
+  }
+
+  test("propZTest: degenerate pooled rate reports NULL z") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("b", 1)).toDF("g", "s")
+    Stats.propZTest(df, "g", col("s") === 1).collect()
+      .foreach(r => assert(r.isNullAt(4), s"all-success => NULL z: $r"))
+  }
+
+  // ---- theilsU ----
+
+  test("theilsU: identical columns give U = 1 both ways") {
+    import spark.implicits._
+    val df = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("z", "z"))
+      .toDF("a", "b")
+    val r = Stats.theilsU(df, "a", "b").collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
+  }
+
+  test("theilsU: independent columns give U = 0, constant gives NULL") {
+    import spark.implicits._
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r = Stats.theilsU(ind, "a", "b").collect().head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val rc = Stats.theilsU(const, "a", "b").collect().head
+    assert(rc.isNullAt(0), "H(a)=0 => U(a|b) NULL")
+    assert(rc.getDouble(1) == 0.0, "MI=0 with H(b)>0 => 0")
+  }
+
+  test("theilsU is asymmetric when marginals differ") {
+    import spark.implicits._
+    // b refines a: knowing b pins a exactly (U(a|b)=1) but not back
+    val df = Seq(("x", "p"), ("x", "q"), ("y", "r"), ("y", "s"))
+      .toDF("a", "b")
+    val r = Stats.theilsU(df, "a", "b").collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) < 1.0 && r.getDouble(1) > 0.0)
+  }
+
+  // ---- cusum ----
+
+  test("cusum hand fixture: level shift maximizes at the break") {
+    import spark.implicits._
+    // 0,0,0,10,10,10: T=30, n=6; |n*S_k - k*T| peaks at k=3
+    // (|6*0-3*30| = 90); cusum = 90/(6*1e6) with 1e6-scaled values
+    val df = Seq.tabulate(6)(i => ("g", i, if (i < 3) 0.0 else 10.0))
+      .toDF("g", "k", "v")
+    val r = Stats.cusum(df, "g", "k", "k", "v").collect().head
+    assert(r.getInt(3) == 3, s"break at k=3: $r")
+    assert(r.getDouble(2) == 15.0, s"max departure 90/6 = 15: $r")
+  }
+
+  test("cusum: constant series scores 0 (at first prefix)") {
+    import spark.implicits._
+    val df = Seq.tabulate(5)(i => ("g", i, 2.5)).toDF("g", "k", "v")
+    val r = Stats.cusum(df, "g", "k", "k", "v").collect().head
+    assert(r.getDouble(2) == 0.0 && r.getInt(3) == 1)
+  }
+
+  test("cusum is invariant to adding a constant to every value") {
+    import spark.implicits._
+    val base = Seq.tabulate(8)(i => ("g", i, math.sin(i) * 10))
+    val a = Stats.cusum(base.toDF("g", "k", "v"), "g", "k", "k", "v")
+      .collect().head
+    val b = Stats.cusum(base.map { case (g, k, v) => (g, k, v + 100.0) }
+        .toDF("g", "k", "v"), "g", "k", "k", "v")
+      .collect().head
+    assert(a.getDouble(2) == b.getDouble(2) && a.getInt(3) == b.getInt(3),
+      s"level-shift invariance: $a vs $b")
+  }
+
+  // ---- seasonalityIndex ----
+
+  test("seasonalityIndex: uniform values give index 1 on every day") {
+    import spark.implicits._
+    val df = Seq.tabulate(14)(i =>
+      ("g", java.sql.Timestamp.valueOf(s"2024-01-${i + 1} 12:00:00"), 5.0))
+      .toDF("g", "ts", "v")
+    val out = Stats.seasonalityIndex(df, "g", "ts", "v").collect()
+    assert(out.length == 7)
+    out.foreach(r => assert(r.getDouble(3) == 1.0, s"uniform => 1: $r"))
+  }
+
+  test("seasonalityIndex: dow 0 is Monday and the index is the mean ratio") {
+    import spark.implicits._
+    // 2024-01-01 was a Monday; value 9 vs 3 elsewhere in a 3-day set
+    // with means 9 and 3: overall mean 5, so Monday index = 9/5
+    val df = Seq(
+      ("g", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 9.0),
+      ("g", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 3.0),
+      ("g", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 3.0))
+      .toDF("g", "ts", "v")
+    val out = Stats.seasonalityIndex(df, "g", "ts", "v").collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(0) == 1.8, s"Monday 9/5: $out")
+    assert(out(1) == 0.6 && out(2) == 0.6)
+  }
+
+  test("seasonalityIndex: weighted day means recombine to the overall mean") {
+    // law: Σ_d (n_d/N)·idx_d = 1 for every group (up to rounding)
+    val g = graft.tables.TableLoader.events(spark, sfDir)
+    val out = Stats.seasonalityIndex(g, "event_type", "ts", "value")
+      .groupBy("event_type")
+      .agg(sum(col("n") * col("seasonality")).as("wsum"),
+        sum("n").as("n"))
+      .collect()
+    out.foreach { r =>
+      val ratio = r.getDouble(1) / r.getLong(2)
+      assert(math.abs(ratio - 1.0) < 1e-4, s"weighted mean law: $r")
+    }
+  }
+}
