@@ -581,4 +581,57 @@ object Profiling {
         max(col("_nr")).cast("long").as("n_ref"),
         max(col("_nc")).cast("long").as("n_cur"))
   }
+
+  /** Zone maps — per-shard (min, max, null-count) for each listed
+    * column, the data-skipping index a 100 TB layout lives on: a
+    * reader with a predicate consults the shard-sized map and prunes
+    * every shard whose [min, max] cannot match, the same contract as
+    * parquet row-group statistics and Delta/Iceberg file stats, here
+    * materialized as a queryable table (and, composed with
+    * [[ZOrder.clusterByZ]]'s range partitioning, the ranges become
+    * tight on every clustered column at once).
+    *
+    * ONE hash aggregation keyed by the [[Sampling.assignShards]] md5
+    * shard; output is nShards rows regardless of input size. No value
+    * arithmetic — mins/maxes pass fixture values through exactly, so
+    * there is no rounding contract.
+    */
+  def zoneMap(df: DataFrame, keyCol: String, nShards: Int,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMap needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    }
+    Sampling.assignShards(df, keyCol, nShards)
+      .groupBy("shard")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Deterministic pseudonymization: replace each listed column with
+    * the md5 of a salted, length-prefixed encoding of its value — the
+    * release-governance step between [[kAnonymity]]'s audit and
+    * shipping a dataset: identifiers become opaque tokens, but the
+    * SAME (salt, value) always maps to the SAME token, so joins and
+    * group-bys across pseudonymized tables still line up (run every
+    * table through the same salt). NULL stays NULL (a token for NULL
+    * would conflate all missing values into one linkable group).
+    *
+    * The length-prefix framing is the [[shardChecksum]] injectivity
+    * contract: no value can alias another's encoding, including
+    * values containing the separator. Pure per-row codegen
+    * projection — zero shuffles; reversal is by rainbow table only,
+    * so treat the salt as a secret and rotate it per release.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize needs at least one column")
+    cols.foldLeft(df) { (acc, c) =>
+      val s = col(c).cast("string")
+      acc.withColumn(c,
+        when(col(c).isNotNull,
+          md5(concat(lit(salt), lit(":"),
+            length(s).cast("string"), lit(":"), s))))
+    }
+  }
 }

@@ -315,4 +315,40 @@ object Resample {
           .as("raw_sum"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** First-order Markov transition matrix over per-key state
+    * sequences: walk each key's rows in (orderCol, tieCol) TOTAL
+    * order, count (state, next-state) pairs across all keys, and
+    * normalize per origin state — "what do users do after a click",
+    * the session-behavior model behind next-event prediction
+    * baselines and funnel sanity checks.
+    *
+    * Probabilities are exact integer ratios (pair count / origin
+    * total), one final rounded division. Transitions INTO a null
+    * state are not tracked (a lead() null means "sequence ended" on
+    * both engines — the fixture-free way to keep the two readings
+    * identical); a null ORIGIN state is a real level.
+    *
+    * Scale shape: one window sort per key (hash-partitioned by key) +
+    * one (from,to)-keyed count shuffle; origin totals are a window
+    * over the states²-sized transition table, no joins. Sequences of
+    * different keys never meet, so the walk parallelizes at any
+    * scale.
+    */
+  def markovTransitions(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy("_k").orderBy(col(orderCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol).as("_k"), col(orderCol), col(tieCol),
+        col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n_pairs"))
+    val byFrom = Window.partitionBy("from_state")
+    pairs
+      .withColumn("prob",
+        round(col("n_pairs") / sum("n_pairs").over(byFrom).cast("double"), 6)
+          .cast("double"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Stats
+import graft.operators.{Profiling, Resample, Stats}
 import QueryDefs._
 
 /** Judged queries for the distribution-statistics layer (operators
@@ -60,12 +60,53 @@ object StatsOps {
       .orderBy("event_type", "dow")
   }
 
+  /** First-order event-type transition matrix over per-user event
+    * sequences in (ts, event_id) total order — exact integer
+    * pair-count ratios, one rounded division.
+    */
+  val qMarkov: QueryFn = withTables { spark =>
+    Resample.markovTransitions(spark.table("events"), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("from_state", "to_state")
+  }
+
+  /** Data-skipping zone maps for orders sharded 8 ways on the md5 of
+    * the order key: per-shard min/max/null-count for price, date, and
+    * status — pure pass-through values, no rounding contract.
+    */
+  val qZonemap: QueryFn = withTables { spark =>
+    Profiling.zoneMap(spark.table("orders"), "o_orderkey", 8,
+        Seq("o_totalprice", "o_orderdate", "o_orderstatus"))
+      .orderBy("shard")
+  }
+
+  /** Referential-consistency proof for deterministic pseudonymization:
+    * customer and orders keys are tokenized INDEPENDENTLY under the
+    * same salt, then joined ON THE TOKENS — order counts per token
+    * must equal the plaintext join's counts.
+    */
+  val qPseudonymize: QueryFn = withTables { spark =>
+    val c = Profiling.pseudonymize(
+      spark.table("customer").select(col("c_custkey")),
+      Seq("c_custkey"), "graft-r8")
+    val o = Profiling.pseudonymize(
+      spark.table("orders").select(col("o_custkey")),
+      Seq("o_custkey"), "graft-r8")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(c("c_custkey").as("token"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_ks_test" -> qKsTest,
     "q_prop_ztest" -> qPropZtest,
     "q_theils_u" -> qTheilsU,
     "q_cusum" -> qCusum,
-    "q_seasonality" -> qSeasonality)
+    "q_seasonality" -> qSeasonality,
+    "q_markov" -> qMarkov,
+    "q_zonemap" -> qZonemap,
+    "q_pseudonymize" -> qPseudonymize)
 
   val oracles: Map[String, String] = Map(
     // Same grid construction: per-(group,value) counts, group sizes
@@ -213,5 +254,57 @@ object StatsOps {
                ROUND((c.s * t.tn) / CAST(c.n * t.ts AS DOUBLE), 6)
              END AS DOUBLE) AS seasonality
       FROM cells c JOIN tot t ON c.event_type = t.event_type
-      ORDER BY c.event_type, c.dow""")
+      ORDER BY c.event_type, c.dow""",
+
+    // Same LEAD over the same (ts, event_id) total order; sequence
+    // ends (lead NULL) are dropped on both engines.
+    "q_markov" -> """
+      WITH pairs AS (
+        SELECT event_type AS from_state,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_state
+        FROM events),
+      cnt AS (
+        SELECT from_state, to_state, COUNT(*)::BIGINT AS n_pairs
+        FROM pairs WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state)
+      SELECT from_state, to_state, n_pairs,
+             CAST(ROUND(n_pairs / CAST(SUM(n_pairs) OVER
+               (PARTITION BY from_state) AS DOUBLE), 6) AS DOUBLE)
+               AS prob
+      FROM cnt
+      ORDER BY from_state, to_state""",
+
+    // Same md5 shard arithmetic as q_shard_assign; min/max/null-count
+    // pass values through untouched.
+    "q_zonemap" -> """
+      SELECT CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               ::BIGINT % 8 AS INT) AS shard,
+             COUNT(*)::BIGINT AS n_rows,
+             MIN(o_totalprice) AS min_o_totalprice,
+             MAX(o_totalprice) AS max_o_totalprice,
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS nulls_o_totalprice,
+             MIN(o_orderdate) AS min_o_orderdate,
+             MAX(o_orderdate) AS max_o_orderdate,
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS nulls_o_orderdate,
+             MIN(o_orderstatus) AS min_o_orderstatus,
+             MAX(o_orderstatus) AS max_o_orderstatus,
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS nulls_o_orderstatus
+      FROM orders
+      GROUP BY shard
+      ORDER BY shard""",
+
+    // The plaintext join restated over tokens: identical salted
+    // length-prefixed md5 encoding on both engines.
+    "q_pseudonymize" -> """
+      SELECT MD5('graft-r8:'
+               || CAST(LENGTH(CAST(c_custkey AS VARCHAR)) AS VARCHAR)
+               || ':' || CAST(c_custkey AS VARCHAR)) AS token,
+             COUNT(*)::BIGINT AS n_orders
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY token
+      ORDER BY token""")
 }

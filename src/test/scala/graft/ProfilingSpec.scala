@@ -229,4 +229,61 @@ class ProfilingSpec extends SparkTestBase {
     assert(kept == Set(("a", "x"), ("b", "x")),
       "suppression drops exactly the under-k groups, row-complete otherwise")
   }
+
+  test("zoneMap: shard stats cover every row and bound every value") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val zm = graft.operators.Profiling
+      .zoneMap(orders, "o_orderkey", 4, Seq("o_totalprice"))
+      .collect()
+    assert(zm.length == 4, "one row per shard")
+    assert(zm.map(_.getLong(1)).sum == orders.count(), "rows partition")
+    val (gmin, gmax) = {
+      val r = orders.agg(
+        org.apache.spark.sql.functions.min("o_totalprice"),
+        org.apache.spark.sql.functions.max("o_totalprice")).collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    zm.foreach { r =>
+      assert(r.getDouble(2) >= gmin && r.getDouble(3) <= gmax)
+      assert(r.getDouble(2) <= r.getDouble(3), "min <= max within shard")
+      assert(r.getLong(4) == 0L, "fixture has no nulls")
+    }
+  }
+
+  test("zoneMap counts nulls and keeps them out of min/max") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("k", "v")
+    val zm = graft.operators.Profiling.zoneMap(df, "k", 1, Seq("v"))
+      .collect().head
+    assert(zm.getLong(1) == 3 && zm.getLong(4) == 1)
+    assert(zm.getDouble(2) == 1.0 && zm.getDouble(3) == 5.0)
+  }
+
+  test("pseudonymize: deterministic, consistent across tables, null-preserving") {
+    import spark.implicits._
+    val a = Seq(Some(42L), Some(7L), None).toDF("k")
+    val b = Seq(Some(42L), Some(99L)).toDF("k")
+    val pa = graft.operators.Profiling.pseudonymize(a, Seq("k"), "s")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val pb = graft.operators.Profiling.pseudonymize(b, Seq("k"), "s")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(pa(2) == null, "NULL stays NULL")
+    assert(pa(0) == pb(0), "same (salt, value) => same token across tables")
+    assert(pa(0) != pa(1) && pa(0) != pb(1), "distinct values => distinct tokens")
+    // a different salt unlinks everything
+    val pa2 = graft.operators.Profiling.pseudonymize(a, Seq("k"), "t")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(pa2(0) != pa(0), "salt rotation changes every token")
+  }
+
+  test("pseudonymize framing is injective on separator-bearing strings") {
+    import spark.implicits._
+    // "1:2" vs "1" + ":2"-ish collisions: length prefix disambiguates
+    val df = Seq("1:2", "12", ":12", "1:", "").toDF("k")
+    val toks = graft.operators.Profiling.pseudonymize(df, Seq("k"), "s")
+      .collect().map(_.getString(0))
+    assert(toks.distinct.length == toks.length,
+      "no two distinct values share a token")
+  }
 }

@@ -211,4 +211,31 @@ class ResampleSpec extends SparkTestBase {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("z"))))
     assert(out.forall(!_.getAs[Boolean]("is_anomaly")))
   }
+
+  test("markovTransitions hand fixture: counts, probs, and sequence ends") {
+    import spark.implicits._
+    // user 1: a->b->a->b (pairs ab, ba, ab); user 2: b->b (pair bb).
+    // Last event of each user produces no pair.
+    val df = Seq((1L, 1, "a"), (1L, 2, "b"), (1L, 3, "a"), (1L, 4, "b"),
+      (2L, 1, "b"), (2L, 2, "b")).toDF("u", "o", "s")
+    val out = Resample.markovTransitions(df, "u", "o", "o", "s")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", "b")) == ((2L, 1.0)), s"a always goes to b: $out")
+    assert(out(("b", "a")) == ((1L, 0.5)))
+    assert(out(("b", "b")) == ((1L, 0.5)))
+    assert(out.size == 3, "exactly three observed transitions")
+  }
+
+  test("markovTransitions: per-origin probabilities sum to 1") {
+    val ev = graft.tables.TableLoader.events(spark, sfDir)
+    val sums = Resample
+      .markovTransitions(ev, "user_id", "ts", "event_id", "event_type")
+      .groupBy("from_state")
+      .agg(org.apache.spark.sql.functions.sum("prob").as("p"))
+      .collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
+      s"row-stochastic: $r"))
+  }
 }
