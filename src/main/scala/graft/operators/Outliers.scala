@@ -176,4 +176,64 @@ object Outliers {
         vcol(valueCol) <= col(q3) + lit(k) * (col(q3) - col(q1)))
       .drop(q1, q3)
   }
+
+  /** Exact ε-neighbor counts in a 2-D feature space via grid
+    * blocking — the DBSCAN core step as a distributed density
+    * diagnostic: a point with fewer than `minPts` neighbors within
+    * `eps` (Euclidean) is a density outlier; core points feed a
+    * clustering pass (pair the cores and run
+    * [[Clustering.connectedComponents]]).
+    *
+    * RECALL-COMPLETE by construction: coordinates quantize to
+    * `scale`-scaled longs, cells are ε-sized (floor division toward
+    * −∞, so negative coordinates bucket correctly), and any two
+    * points within ε lie in the same or an adjacent cell — each point
+    * probes its 3×3 cell neighborhood, an EQUI-join on cell keys,
+    * never all-pairs. The distance test is all-integer
+    * (Δx² + Δy² ≤ ε² on scaled longs): no float tolerance, boundary
+    * ties count identically on any engine.
+    *
+    * Scale shape: one 9-way probe fan-out (in-stage generate), one
+    * cell-keyed equi-join, one id-keyed count — cost ∝ points ×
+    * neighborhood density, the blocked-join contract of the dedup
+    * family. A hot cell (degenerate density) is an AQE skew-join
+    * case, same as any skewed key. Zero-neighbor points keep their
+    * row (left join + conditional count). Output: (idCol,
+    * n_neighbors, is_core).
+    */
+  def epsNeighborCounts(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double, minPts: Int,
+      scale: Int = 100): DataFrame = {
+    require(eps > 0, s"eps=$eps must be > 0")
+    require(minPts >= 1, s"minPts=$minPts must be >= 1")
+    val epsI = math.round(eps * scale)
+    require(epsI >= 1, s"eps*scale must round to >= 1, got $epsI")
+
+    def cellOf(c: Column) = Stats.fdiv(c, lit(epsI)).cast("long")
+    val pts = df.select(col(idCol).as("_id"),
+        round(col(xCol) * scale).cast("long").as("_xi"),
+        round(col(yCol) * scale).cast("long").as("_yi"))
+      .withColumn("_cx", cellOf(col("_xi")))
+      .withColumn("_cy", cellOf(col("_yi")))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val probes = pts
+      .withColumn("_o", explode(array(offsets: _*)))
+      .select(col("_id"), col("_xi"), col("_yi"),
+        (col("_cx") + col("_o.dx")).as("_pcx"),
+        (col("_cy") + col("_o.dy")).as("_pcy"))
+    val data = pts.select(col("_id").as("_id2"), col("_xi").as("_xi2"),
+      col("_yi").as("_yi2"), col("_cx").as("_cx2"), col("_cy").as("_cy2"))
+
+    val dx = col("_xi2") - col("_xi")
+    val dy = col("_yi2") - col("_yi")
+    probes
+      .join(data, col("_pcx") === col("_cx2") && col("_pcy") === col("_cy2"),
+        "left")
+      .groupBy(col("_id").as(idCol))
+      .agg(count(when(col("_id2").isNotNull && col("_id2") =!= col("_id")
+          && dx * dx + dy * dy <= lit(epsI * epsI), 1))
+        .as("n_neighbors"))
+      .withColumn("is_core", col("n_neighbors") >= minPts)
+  }
 }

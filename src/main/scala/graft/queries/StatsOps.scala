@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profiling, Resample, Stats}
+import graft.operators.{Outliers, Profiling, Resample, Stats}
 import QueryDefs._
 
 /** Judged queries for the distribution-statistics layer (operators
@@ -98,6 +98,20 @@ object StatsOps {
       .orderBy("token")
   }
 
+  /** Exact ε-neighbor counts over the (value, props.k) plane via the
+    * recall-complete 3×3 grid equi-join: all-integer distance test on
+    * scaled longs, density outliers = non-core points.
+    */
+  val qDensityGrid: QueryFn = withTables { spark =>
+    val pts = spark.table("events").select(col("event_id"),
+      col("value"),
+      coalesce(get_json_object(col("props"), "$.k").cast("bigint"),
+        lit(0L)).as("k"))
+    Outliers.epsNeighborCounts(pts, "event_id", "value", "k",
+        eps = 5.0, minPts = 10)
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_ks_test" -> qKsTest,
     "q_prop_ztest" -> qPropZtest,
@@ -106,7 +120,8 @@ object StatsOps {
     "q_seasonality" -> qSeasonality,
     "q_markov" -> qMarkov,
     "q_zonemap" -> qZonemap,
-    "q_pseudonymize" -> qPseudonymize)
+    "q_pseudonymize" -> qPseudonymize,
+    "q_density_grid" -> qDensityGrid)
 
   val oracles: Map[String, String] = Map(
     // Same grid construction: per-(group,value) counts, group sizes
@@ -306,5 +321,40 @@ object StatsOps {
              COUNT(*)::BIGINT AS n_orders
       FROM customer JOIN orders ON o_custkey = c_custkey
       GROUP BY token
-      ORDER BY token""")
+      ORDER BY token""",
+
+    // Same 100-scaled quantization, ε-sized floor-division cells
+    // (exact-division arithmetic, sign-safe), 3×3 probe fan-out, and
+    // the all-integer Δx²+Δy² ≤ (100ε)² test.
+    "q_density_grid" -> """
+      WITH pts AS (
+        SELECT event_id AS id,
+               CAST(ROUND(value * 100) AS BIGINT) AS xi,
+               CAST(ROUND(COALESCE(
+                 CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+                 * 100) AS BIGINT) AS yi
+        FROM events),
+      cells AS (
+        SELECT id, xi, yi,
+               (xi - ((xi % 500 + 500) % 500)) // 500 AS cx,
+               (yi - ((yi % 500 + 500) % 500)) // 500 AS cy
+        FROM pts),
+      probes AS (
+        SELECT c.id, c.xi, c.yi,
+               c.cx + d.dx AS pcx, c.cy + e.dy AS pcy
+        FROM cells c
+        CROSS JOIN (VALUES (-1), (0), (1)) d(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) e(dy)),
+      cnt AS (
+        SELECT p.id,
+               COUNT(CASE WHEN c2.id IS NOT NULL AND c2.id <> p.id
+                      AND (c2.xi - p.xi) * (c2.xi - p.xi)
+                          + (c2.yi - p.yi) * (c2.yi - p.yi) <= 250000
+                     THEN 1 END)::BIGINT AS n_neighbors
+        FROM probes p
+        LEFT JOIN cells c2 ON p.pcx = c2.cx AND p.pcy = c2.cy
+        GROUP BY p.id)
+      SELECT id AS event_id, n_neighbors, n_neighbors >= 10 AS is_core
+      FROM cnt
+      ORDER BY event_id""")
 }

@@ -173,4 +173,56 @@ class OutliersSpec extends SparkTestBase {
     assert(plan.contains("approx_percentile"),
       s"approx path must aggregate a bounded GK summary:\n$plan")
   }
+
+  test("epsNeighborCounts matches brute force, incl. negatives and boundary") {
+    import spark.implicits._
+    // deterministic scatter with negative coordinates and exact-eps
+    // boundary pairs (distance exactly 2.0 must count: <=)
+    val rng = new scala.util.Random(7)
+    val scatter = Seq.tabulate(200)(i =>
+      (i.toLong, rng.nextDouble() * 20 - 10, rng.nextDouble() * 20 - 10))
+    val boundary = Seq((900L, 50.0, 50.0), (901L, 52.0, 50.0),
+      (902L, 50.0, 48.01))
+    val df = (scatter ++ boundary).toDF("id", "x", "y")
+    val eps = 2.0
+
+    val grid = Outliers.epsNeighborCounts(df, "id", "x", "y", eps, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute force over 100-scaled longs — the operator's metric
+    def q(v: Double) = math.round(v * 100)
+    val pts = (scatter ++ boundary).map { case (i, x, y) => (i, q(x), q(y)) }
+    val brute = pts.map { case (i, xi, yi) =>
+      i -> pts.count { case (j, xj, yj) =>
+        j != i && (xj - xi) * (xj - xi) + (yj - yi) * (yj - yi) <= 200L * 200L
+      }.toLong
+    }.toMap
+
+    assert(grid.size == pts.size, "row-preserving incl. zero-neighbor points")
+    assert(grid == brute, {
+      val bad = grid.collect { case (k, v) if brute(k) != v => (k, v, brute(k)) }
+      s"grid != brute at ${bad.take(5).toList}"
+    })
+    assert(grid(900L) >= 1, "exact-eps boundary pair counts (<=)")
+    assert(grid(902L) >= 1, "within-eps pair counts")
+  }
+
+  test("epsNeighborCounts: isolated point reports 0 neighbors, not a dropped row") {
+    import spark.implicits._
+    val df = Seq((1L, 0.0, 0.0), (2L, 100.0, 100.0)).toDF("id", "x", "y")
+    val out = Outliers.epsNeighborCounts(df, "id", "x", "y", 1.0, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet == Set((1L, 0L, false), (2L, 0L, false)))
+  }
+
+  test("epsNeighborCounts plans a cell equi-join, not a cartesian product") {
+    import spark.implicits._
+    val df = Seq.tabulate(50)(i => (i.toLong, i * 1.0, i * 2.0))
+      .toDF("id", "x", "y")
+    val plan = Outliers.epsNeighborCounts(df, "id", "x", "y", 2.0, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid blocking must stay an equi-join:\n$plan")
+  }
 }
