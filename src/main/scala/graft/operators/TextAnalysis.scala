@@ -869,4 +869,66 @@ object TextAnalysis {
       .groupBy(col("_pair.w1").as("w1"), col("_pair.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Heaps'-law vocabulary-growth fit per group: walk each group's
+    * docs in `idCol` order, track cumulative token count T_i and
+    * cumulative DISTINCT vocabulary V_i at every doc boundary, and fit
+    * ln V = ln k + b·ln T by least squares — the tokenizer-budgeting
+    * curve ("how fast does vocabulary grow if we ingest 10× more of
+    * this source"; natural text sits near b ≈ 0.5).
+    *
+    * The running distinct is NOT a running set: a token contributes to
+    * V_i exactly at its FIRST doc (min doc id per (group, token)), so
+    * V_i is a cumulative sum of per-doc new-token counts — one
+    * (group,token) aggregate + one window, vocabulary-sized state,
+    * no quadratic re-scan. The regression runs on ROUND(ln·10⁶)
+    * scaled longs folded into decimal(38,0) power sums, so slope and
+    * intercept are exact integer rationals converted to double once
+    * and rounded — the agg_shape explicit-moments contract (built-in
+    * regr_slope accumulates floats in partition order and is not
+    * engine-portable).
+    *
+    * Scale shape: one token shuffle, one doc-keyed agg, two per-group
+    * window sorts (docs within group), one group agg. Degenerate
+    * groups (one doc, or all boundary points coincident) report NULL.
+    * Output: (group, n_docs, heaps_b, heaps_lnk).
+    */
+  def heapsLawFit(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("_g"), col(idCol).as("_d"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("_tok"))
+    val perDoc = toks.groupBy("_g", "_d").agg(count(lit(1)).as("_td"))
+    val newPerDoc = toks.groupBy("_g", "_tok")
+      .agg(min("_d").as("_d"))
+      .groupBy("_g", "_d").agg(count(lit(1)).as("_vd"))
+    val w = Window.partitionBy("_g").orderBy("_d")
+    val points = perDoc
+      .join(newPerDoc, Seq("_g", "_d"), "left")
+      .withColumn("_t", sum("_td").over(w))
+      .withColumn("_v", sum(coalesce(col("_vd"), lit(0L))).over(w))
+      .filter(col("_t") > 0 && col("_v") > 0)
+      .select(col("_g"),
+        round(log(col("_t")) * 1e6).cast("long").as("_x"),
+        round(log(col("_v")) * 1e6).cast("long").as("_y"))
+    val dec = "decimal(38,0)"
+    points.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum("_x").cast(dec).as("_sx"), sum("_y").cast(dec).as("_sy"),
+        sum(col("_x") * col("_y")).cast(dec).as("_sxy"),
+        sum(col("_x") * col("_x")).cast(dec).as("_sxx"))
+      .withColumn("_den", col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_num", col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+      .select(col(groupCol), col("_n").cast("long").as("n_docs"),
+        when(col("_den") =!= 0,
+          round(col("_num").cast("double") / col("_den").cast("double"), 6))
+          .cast("double").as("heaps_b"),
+        // intercept in ln units: (Sy·den − num·Sx) / (n·den·10⁶),
+        // still an exact integer ratio before the double conversion
+        when(col("_den") =!= 0,
+          round((col("_sy") * col("_den") - col("_num") * col("_sx"))
+            .cast("double")
+            / (col("_n") * col("_den")).cast("double") / 1e6, 6))
+          .cast("double").as("heaps_lnk"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Outliers, Profiling, Resample, Stats}
+import graft.operators.{Outliers, Profiling, Resample, Stats, TextAnalysis}
 import QueryDefs._
 
 /** Judged queries for the distribution-statistics layer (operators
@@ -112,6 +112,15 @@ object StatsOps {
       .orderBy("event_id")
   }
 
+  /** Heaps'-law vocabulary-growth fit per source: exact integer
+    * least-squares over ROUND(ln·10⁶) scaled boundary points.
+    */
+  val qHeaps: QueryFn = withTables { spark =>
+    TextAnalysis.heapsLawFit(spark.table("documents"), "source",
+        "doc_id", "text")
+      .orderBy("source")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_ks_test" -> qKsTest,
     "q_prop_ztest" -> qPropZtest,
@@ -121,7 +130,8 @@ object StatsOps {
     "q_markov" -> qMarkov,
     "q_zonemap" -> qZonemap,
     "q_pseudonymize" -> qPseudonymize,
-    "q_density_grid" -> qDensityGrid)
+    "q_density_grid" -> qDensityGrid,
+    "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
     // Same grid construction: per-(group,value) counts, group sizes
@@ -356,5 +366,49 @@ object StatsOps {
         GROUP BY p.id)
       SELECT id AS event_id, n_neighbors, n_neighbors >= 10 AS is_core
       FROM cnt
-      ORDER BY event_id""")
+      ORDER BY event_id""",
+
+    // Same first-occurrence cumulative vocabulary, the same scaled-ln
+    // boundary points, and the same exact-integer regression rationals
+    // (HUGEINT here, decimal(38,0) on the Spark side) converted to
+    // double once.
+    "q_heaps" -> """
+      WITH toks AS (
+        SELECT source AS g, doc_id AS d,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      perdoc AS (
+        SELECT g, d, COUNT(*)::BIGINT AS td FROM toks GROUP BY g, d),
+      firstocc AS (
+        SELECT g, tok, MIN(d) AS d FROM toks GROUP BY g, tok),
+      newperdoc AS (
+        SELECT g, d, COUNT(*)::BIGINT AS vd FROM firstocc GROUP BY g, d),
+      pts AS (
+        SELECT p.g,
+               CAST(ROUND(LN(SUM(p.td) OVER w) * 1000000.0) AS BIGINT)
+                 AS x,
+               CAST(ROUND(LN(SUM(COALESCE(n.vd, 0)) OVER w)
+                 * 1000000.0) AS BIGINT) AS y
+        FROM perdoc p
+        LEFT JOIN newperdoc n ON p.g = n.g AND p.d = n.d
+        WINDOW w AS (PARTITION BY p.g ORDER BY p.d)),
+      sums AS (
+        SELECT g, COUNT(*)::HUGEINT AS n,
+               SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+               SUM(x * y)::HUGEINT AS sxy, SUM(x * x)::HUGEINT AS sxx
+        FROM pts GROUP BY g)
+      SELECT g AS source, CAST(n AS BIGINT) AS n_docs,
+             CAST(CASE WHEN n * sxx - sx * sx <> 0 THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             END AS DOUBLE) AS heaps_b,
+             CAST(CASE WHEN n * sxx - sx * sx <> 0 THEN
+               ROUND(CAST(sy * (n * sxx - sx * sx)
+                     - (n * sxy - sx * sy) * sx AS DOUBLE)
+                 / CAST(n * (n * sxx - sx * sx) AS DOUBLE)
+                 / 1000000.0, 6)
+             END AS DOUBLE) AS heaps_lnk
+      FROM sums
+      ORDER BY source""")
 }

@@ -532,4 +532,41 @@ class TextAnalysisSpec extends SparkTestBase {
     val b = TextAnalysis.mlmMask(docs.repartition(13), "doc_id", "text", rate = 0.15)
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
+
+  test("heapsLawFit: all-fresh vocabulary fits b = 1, lnk = 0 exactly") {
+    import spark.implicits._
+    // every doc contributes only never-seen tokens => V_i == T_i at
+    // every boundary => ln V = 0 + 1·ln T with zero residual
+    val docs = Seq.tabulate(6)(d =>
+      ("g", d.toLong, (0 until (d + 2)).map(j => s"w${d}_$j").mkString(" ")))
+      .toDF("g", "id", "text")
+    val r = TextAnalysis.heapsLawFit(docs, "g", "id", "text")
+      .collect().head
+    assert(r.getLong(1) == 6)
+    assert(r.getDouble(2) == 1.0, s"b: $r")
+    assert(r.getDouble(3) == 0.0, s"lnk: $r")
+  }
+
+  test("heapsLawFit: saturated vocabulary fits b = 0 at the vocab level") {
+    import spark.implicits._
+    // same 4-token vocab in every doc => V_i constant = 4, T_i grows
+    val docs = Seq.tabulate(5)(d => ("g", d.toLong, "a b c d"))
+      .toDF("g", "id", "text")
+    val r = TextAnalysis.heapsLawFit(docs, "g", "id", "text")
+      .collect().head
+    assert(r.getDouble(2) == 0.0, s"flat vocab => slope 0: $r")
+    assert(math.abs(r.getDouble(3) - math.log(4.0)) < 1e-5,
+      s"intercept = ln 4: $r")
+  }
+
+  test("heapsLawFit: single-doc group reports NULL fit, groups independent") {
+    import spark.implicits._
+    val docs = Seq(("one", 1L, "a b c"),
+      ("two", 1L, "a a"), ("two", 2L, "a b")).toDF("g", "id", "text")
+    val out = TextAnalysis.heapsLawFit(docs, "g", "id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("one").isNullAt(2) && out("one").isNullAt(3),
+      "one boundary point cannot fix a line")
+    assert(!out("two").isNullAt(2), "two distinct points fit")
+  }
 }
