@@ -41,9 +41,18 @@ object Clustering {
     * converge — for near-dup graphs that means the edge list is not the
     * near-clique family this is tuned for, and silently-partial labels
     * would merge or split clusters downstream.
+    *
+    * `shortcut = true` adds pointer jumping: each pass also pulls the
+    * label OF the current label (one extra label⋈label join), so label
+    * distance doubles per pass and convergence drops from
+    * O(diameter) to O(log diameter) passes. Near-clique dedup graphs
+    * (diameter 2-4) don't need it — the extra join per pass costs more
+    * than it saves; LONG-CHAIN graphs (DBSCAN ε-chains, road-like
+    * adjacency, time-linked sessions) need it badly: a 1000-hop chain
+    * is ~10 shortcut passes vs ~1000 plain ones.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, shortcut: Boolean = false): DataFrame = {
     // null endpoints carry no connectivity and would propagate null
     // labels through least(); drop them up front
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -70,14 +79,28 @@ object Clustering {
         .join(labels, sym("dst") === labels("v"))
         .groupBy(col("src").as("v2"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, labels("v") === nbrMin("v2"), "left")
         .select(col("v"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
             .as("_chg"))
-        .localCheckpoint()
+      val next = (if (!shortcut) stepped else {
+        // pointer jump: label(label(v)) — the label table joined to
+        // itself on the current label; labels only ever decrease, so
+        // least() keeps monotonicity and the convergence proof
+        val byV = stepped.select(col("v").as("_lv"),
+          col("cluster_id").as("_lc"))
+        stepped
+          .join(byV, stepped("cluster_id") === col("_lv"), "left")
+          .select(stepped("v"),
+            least(stepped("cluster_id"),
+              coalesce(col("_lc"), stepped("cluster_id"))).as("cluster_id"),
+            (stepped("_chg") ||
+              coalesce(col("_lc"), stepped("cluster_id"))
+                < stepped("cluster_id")).as("_chg"))
+      }).localCheckpoint()
       // One tiny driver-side scalar per pass; labels never leave the
       // executors. limit(1) short-circuits the scan on non-converged
       // passes.

@@ -201,14 +201,15 @@ object Outliers {
     * row (left join + conditional count). Output: (idCol,
     * n_neighbors, is_core).
     */
-  def epsNeighborCounts(df: DataFrame, idCol: String, xCol: String,
-      yCol: String, eps: Double, minPts: Int,
-      scale: Int = 100): DataFrame = {
+  /** The shared grid-join frames: (probes with 3×3 cell fan-out, data
+    * keyed by its own cell, scaled ε). Sides join on (_pcx, _pcy) ==
+    * (_cx2, _cy2); the true-distance test is the caller's.
+    */
+  private def gridFrames(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double, scale: Int): (DataFrame, DataFrame, Long) = {
     require(eps > 0, s"eps=$eps must be > 0")
-    require(minPts >= 1, s"minPts=$minPts must be >= 1")
     val epsI = math.round(eps * scale)
     require(epsI >= 1, s"eps*scale must round to >= 1, got $epsI")
-
     def cellOf(c: Column) = Stats.fdiv(c, lit(epsI)).cast("long")
     val pts = df.select(col(idCol).as("_id"),
         round(col(xCol) * scale).cast("long").as("_xi"),
@@ -224,7 +225,14 @@ object Outliers {
         (col("_cy") + col("_o.dy")).as("_pcy"))
     val data = pts.select(col("_id").as("_id2"), col("_xi").as("_xi2"),
       col("_yi").as("_yi2"), col("_cx").as("_cx2"), col("_cy").as("_cy2"))
+    (probes, data, epsI)
+  }
 
+  def epsNeighborCounts(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double, minPts: Int,
+      scale: Int = 100): DataFrame = {
+    require(minPts >= 1, s"minPts=$minPts must be >= 1")
+    val (probes, data, epsI) = gridFrames(df, idCol, xCol, yCol, eps, scale)
     val dx = col("_xi2") - col("_xi")
     val dy = col("_yi2") - col("_yi")
     probes
@@ -235,5 +243,61 @@ object Outliers {
           && dx * dx + dy * dy <= lit(epsI * epsI), 1))
         .as("n_neighbors"))
       .withColumn("is_core", col("n_neighbors") >= minPts)
+  }
+
+  /** Full deterministic DBSCAN labels on top of
+    * [[epsNeighborCounts]]: core points cluster by min-id label
+    * propagation over the core–core ε-graph
+    * ([[Clustering.connectedComponents]] — the dedup family's
+    * iteration, state = core vertices only); border points (non-core
+    * within ε of a core) take the MIN label among their core
+    * neighbors — textbook DBSCAN leaves border assignment
+    * order-dependent, this total order makes it reproducible across
+    * runs and engines; noise points report NULL.
+    *
+    * Scale shape: the [[gridFrames]] cell equi-join twice (counts +
+    * pairs — same blocked cost), then CC over the core-core EDGE list
+    * only, run WITH pointer jumping (`shortcut = true`): ε-chains make
+    * the core graph's hop diameter ~range/ε, and plain min-label
+    * propagation would need that many passes — jumping needs
+    * ~log₂(diameter). Output: (idCol, n_neighbors, is_core,
+    * cluster_id).
+    */
+  def dbscanLabels(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Double, minPts: Int, scale: Int = 100,
+      maxIters: Int = 40): DataFrame = {
+    val counts = epsNeighborCounts(df, idCol, xCol, yCol, eps, minPts, scale)
+    val (probes, data, epsI) = gridFrames(df, idCol, xCol, yCol, eps, scale)
+    val dx = col("_xi2") - col("_xi")
+    val dy = col("_yi2") - col("_yi")
+    val pairs = probes
+      .join(data, col("_pcx") === col("_cx2") && col("_pcy") === col("_cy2"))
+      .filter(col("_id2") =!= col("_id")
+        && dx * dx + dy * dy <= lit(epsI * epsI))
+      .select(col("_id"), col("_id2"))
+
+    val cores = counts.filter(col("is_core")).select(col(idCol).as("_cv"))
+    val corePairs = pairs
+      .join(cores, pairs("_id") === cores("_cv")).drop("_cv")
+      .join(cores, pairs("_id2") === cores("_cv")).drop("_cv")
+    val cc = Clustering.connectedComponents(corePairs, "_id", "_id2",
+      maxIters = maxIters, shortcut = true)
+    // isolated cores (>= minPts neighbors, none of them core) have no
+    // edge and miss from cc: they are their own singleton cluster
+    val coreLabels = cores
+      .join(cc, cores("_cv") === cc("v"), "left")
+      .select(col("_cv"), coalesce(col("cluster_id"), col("_cv"))
+        .as("_clu"))
+    val borderLabels = pairs
+      .join(counts.filter(!col("is_core")).select(col(idCol).as("_bv")),
+        pairs("_id") === col("_bv"))
+      .join(coreLabels, pairs("_id2") === coreLabels("_cv"))
+      .groupBy(col("_bv")).agg(min("_clu").as("_bclu"))
+
+    counts
+      .join(coreLabels, counts(idCol) === coreLabels("_cv"), "left")
+      .join(borderLabels, counts(idCol) === borderLabels("_bv"), "left")
+      .select(counts(idCol), col("n_neighbors"), col("is_core"),
+        coalesce(col("_clu"), col("_bclu")).as("cluster_id"))
   }
 }

@@ -198,6 +198,59 @@ object Stats {
         col("_k").as("at_k"))
   }
 
+  /** Kaplan–Meier survival curve with right censoring — the
+    * retention/time-to-event estimator behind "what fraction of users
+    * are still active after t days": subjects carry a duration and an
+    * observed flag (true = the terminal event happened, false =
+    * censored at that duration), and S(t) multiplies (1 − d_u/n_u)
+    * over event times u ≤ t with n_u = subjects still at risk.
+    *
+    * The product is computed as exp(Σ ln(1 − d/n)) — a windowed sum
+    * of per-event-time terms; d/n are exact integer ratios, and the
+    * ln/exp chain is the mutualInfo float-noise class (≪ the 6-dp
+    * round). A time where EVERYONE at risk exits (d = n) drives S to
+    * an exact 0.0 from then on via an explicit cumulative flag — no
+    * ln(0) reaches either engine. A null observed flag counts as
+    * censored (the subject existed; its event was never seen).
+    *
+    * Scale shape: one (group, duration)-keyed count shuffle collapses
+    * subjects to event-time cells; every window after that runs on the
+    * cells table (distinct durations × groups — calendar-bounded),
+    * so an empty `groupCols` (one global curve) is NOT a scale
+    * hazard. Output rows are the curve's step points (d > 0):
+    * (groupCols..., duration, n_at_risk, n_events, n_censored,
+    * survival).
+    */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: String, observed: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val cells = df
+      .groupBy((gcols :+ col(durationCol).as("duration")): _*)
+      .agg(sum(when(observed, 1L).otherwise(0L)).as("n_events"),
+        sum(when(observed, 0L).otherwise(1L)).as("n_censored"))
+    val wGroup = Window.partitionBy(gcols: _*)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy("duration")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val exits = col("n_events") + col("n_censored")
+    cells
+      .withColumn("n_at_risk",
+        sum(exits).over(wGroup) - coalesce(sum(exits).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("n_events") < col("n_at_risk"),
+          log(lit(1.0) - col("n_events") / col("n_at_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("_zero",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wOrd))
+      .withColumn("survival",
+        when(col("_zero") === 1, lit(0.0))
+          .otherwise(round(exp(sum("_term").over(wOrd)), 6))
+          .cast("double"))
+      .filter(col("n_events") > 0)
+      .select((gcols :+ col("duration") :+ col("n_at_risk")
+        :+ col("n_events") :+ col("n_censored") :+ col("survival")): _*)
+  }
+
   /** Day-of-week seasonality index per group: mean(value | dow) /
     * mean(value) as an exact rational of 6-dp quanta —
     * (sum_dow · n_all) / (n_dow · sum_all) in scaled-long arithmetic,

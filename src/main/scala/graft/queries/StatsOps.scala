@@ -112,6 +112,44 @@ object StatsOps {
       .orderBy("event_id")
   }
 
+  /** Deterministic DBSCAN over a 1000-event slice of the (value,
+    * props.k) plane: core clusters by min-id label propagation over
+    * the core–core ε-graph, border points take the MIN core-neighbor
+    * label, noise stays NULL — all-integer geometry, total-order
+    * labels. (The slice keeps the oracle's recursive transitive
+    * closure tractable; the Spark side is the same blocked join + CC
+    * at any scale.)
+    */
+  val qDbscan: QueryFn = withTables { spark =>
+    val pts = spark.table("events").filter(col("event_id") < 1000)
+      .select(col("event_id"), col("value"),
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint"),
+          lit(0L)).as("k"))
+    Outliers.dbscanLabels(pts, "event_id", "value", "k",
+        eps = 5.0, minPts = 8)
+      .orderBy("event_id")
+  }
+
+  /** Kaplan–Meier time-to-conversion curve: each user's duration runs
+    * from their first event to their FIRST PURCHASE (observed) or to
+    * their last event (right-censored — no purchase seen); exact
+    * at-risk/exit integers, the ln/exp product chain, explicit
+    * exact-zero handling.
+    */
+  val qKaplanMeier: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"))
+      .select(col("user_id"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .as("duration"),
+        col("_firstp").isNotNull.as("observed"))
+    Stats.kaplanMeier(subjects, Seq.empty, "duration", col("observed"))
+      .orderBy("duration")
+  }
+
   /** Heaps'-law vocabulary-growth fit per source: exact integer
     * least-squares over ROUND(ln·10⁶) scaled boundary points.
     */
@@ -131,6 +169,8 @@ object StatsOps {
     "q_zonemap" -> qZonemap,
     "q_pseudonymize" -> qPseudonymize,
     "q_density_grid" -> qDensityGrid,
+    "q_dbscan" -> qDbscan,
+    "q_kaplan_meier" -> qKaplanMeier,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -367,6 +407,116 @@ object StatsOps {
       SELECT id AS event_id, n_neighbors, n_neighbors >= 10 AS is_core
       FROM cnt
       ORDER BY event_id""",
+
+    // Same grid geometry as q_density_grid (ε=15 ⇒ 1500-scaled cells,
+    // ε² = 2 250 000), then the q_dedup_clusters recursive min-label
+    // closure over core-core edges, isolated-core self-labels, and
+    // min-core-neighbor border labels.
+    "q_dbscan" -> """
+      WITH RECURSIVE
+      pts AS (
+        SELECT event_id AS id,
+               CAST(ROUND(value * 100) AS BIGINT) AS xi,
+               CAST(ROUND(COALESCE(
+                 CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+                 * 100) AS BIGINT) AS yi
+        FROM events WHERE event_id < 1000),
+      cells AS (
+        SELECT id, xi, yi,
+               (xi - ((xi % 500 + 500) % 500)) // 500 AS cx,
+               (yi - ((yi % 500 + 500) % 500)) // 500 AS cy
+        FROM pts),
+      probes AS (
+        SELECT c.id, c.xi, c.yi,
+               c.cx + d.dx AS pcx, c.cy + e.dy AS pcy
+        FROM cells c
+        CROSS JOIN (VALUES (-1), (0), (1)) d(dx)
+        CROSS JOIN (VALUES (-1), (0), (1)) e(dy)),
+      pairs AS (
+        SELECT p.id AS i, c2.id AS j
+        FROM probes p JOIN cells c2
+          ON p.pcx = c2.cx AND p.pcy = c2.cy
+        WHERE c2.id <> p.id
+          AND (c2.xi - p.xi) * (c2.xi - p.xi)
+              + (c2.yi - p.yi) * (c2.yi - p.yi) <= 250000),
+      cnt AS (
+        SELECT p.id,
+               COUNT(CASE WHEN c2.id IS NOT NULL AND c2.id <> p.id
+                      AND (c2.xi - p.xi) * (c2.xi - p.xi)
+                          + (c2.yi - p.yi) * (c2.yi - p.yi) <= 250000
+                     THEN 1 END)::BIGINT AS n_neighbors
+        FROM probes p
+        LEFT JOIN cells c2 ON p.pcx = c2.cx AND p.pcy = c2.cy
+        GROUP BY p.id),
+      cores AS (SELECT id FROM cnt WHERE n_neighbors >= 8),
+      coreedges AS (
+        SELECT i AS src, j AS dst FROM pairs
+        WHERE i IN (SELECT id FROM cores)
+          AND j IN (SELECT id FROM cores)),
+      reach AS (
+        SELECT src AS v, src AS lbl FROM coreedges
+        UNION
+        SELECT e.dst AS v, r.lbl
+        FROM reach r JOIN coreedges e ON e.src = r.v),
+      corelbl AS (
+        SELECT c.id, COALESCE(m.lbl, c.id) AS clu
+        FROM cores c
+        LEFT JOIN (SELECT v, MIN(lbl) AS lbl FROM reach GROUP BY v) m
+          ON m.v = c.id),
+      borderlbl AS (
+        SELECT p.i AS id, MIN(cl.clu) AS clu
+        FROM pairs p JOIN corelbl cl ON p.j = cl.id
+        WHERE p.i NOT IN (SELECT id FROM cores)
+        GROUP BY p.i)
+      SELECT cnt.id AS event_id, cnt.n_neighbors,
+             cnt.n_neighbors >= 8 AS is_core,
+             COALESCE(c.clu, b.clu) AS cluster_id
+      FROM cnt
+      LEFT JOIN corelbl c ON cnt.id = c.id
+      LEFT JOIN borderlbl b ON cnt.id = b.id
+      ORDER BY event_id""",
+
+    // Same time-to-first-purchase durations, the same exclusive
+    // prior-exits window for at-risk counts, and the same guarded
+    // ln/exp product chain with the exact-zero cumulative flag.
+    "q_kaplan_meier" -> """
+      WITH subj AS (
+        SELECT user_id,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS duration,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL AS observed
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT duration,
+               SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT
+                 AS n_events,
+               SUM(CASE WHEN observed THEN 0 ELSE 1 END)::BIGINT
+                 AS n_censored
+        FROM subj GROUP BY duration),
+      km AS (
+        SELECT duration, n_events, n_censored,
+               (SELECT SUM(n_events + n_censored) FROM cells)::BIGINT
+                 - COALESCE(SUM(n_events + n_censored) OVER
+                     (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS n_at_risk
+        FROM cells),
+      km2 AS (
+        SELECT duration, n_events, n_censored, n_at_risk,
+               SUM(CASE WHEN n_events < n_at_risk
+                    THEN LN(1.0 - n_events / CAST(n_at_risk AS DOUBLE))
+                    ELSE 0.0 END) OVER (ORDER BY duration) AS lnsum,
+               MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY duration) AS hitzero
+        FROM km)
+      SELECT duration, n_at_risk, n_events, n_censored,
+             CAST(CASE WHEN hitzero = 1 THEN 0.0
+                  ELSE ROUND(EXP(lnsum), 6) END AS DOUBLE) AS survival
+      FROM km2
+      WHERE n_events > 0
+      ORDER BY duration""",
 
     // Same first-occurrence cumulative vocabulary, the same scaled-ln
     // boundary points, and the same exact-integer regression rationals

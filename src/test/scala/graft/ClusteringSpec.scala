@@ -138,4 +138,29 @@ class ClusteringSpec extends SparkTestBase {
     val kept = Clustering.semDedup(vecs, "id", "vec", 1, 1, minCosine = 1.5)
     assert(kept.count() === 2)
   }
+
+  test("shortcut CC equals plain CC and converges inside a log-sized budget") {
+    import spark.implicits._
+    // a 120-hop path graph (worst case for plain propagation) plus a
+    // disjoint triangle; min label must flow the whole chain
+    val chain = (0 until 120).map(i => (i.toLong + 500L, i.toLong + 501L))
+    val tri = Seq((10000L, 10001L), (10001L, 10002L), (10002L, 10000L))
+    val edges = (chain ++ tri).toDF("src", "dst")
+
+    val plain = Clustering
+      .connectedComponents(edges, "src", "dst", maxIters = 130)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 120 hops, pointer jumping: label distance doubles per pass, so
+    // ~log2(120) + slack passes MUST be enough — 12 would throw if
+    // jumping regressed to linear propagation
+    val jumped = Clustering
+      .connectedComponents(edges, "src", "dst", maxIters = 12,
+        shortcut = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(jumped == plain, "identical labels under either schedule")
+    assert((500L to 620L).forall(v => jumped(v) == 500L),
+      "chain collapses to its min id")
+    assert(Seq(10000L, 10001L, 10002L).forall(v => jumped(v) == 10000L))
+  }
 }

@@ -215,6 +215,42 @@ class OutliersSpec extends SparkTestBase {
     assert(out.toSet == Set((1L, 0L, false), (2L, 0L, false)))
   }
 
+  test("dbscanLabels: two blobs, a border point, and noise get textbook labels") {
+    import spark.implicits._
+    // blob A: 4 points pairwise within eps=2 around (0,0); blob B:
+    // same around (100,0); border: within eps of A's cores but with
+    // only 1 neighbor itself; noise: isolated
+    val blobA = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0),
+      (4L, 1.0, 1.0))
+    val blobB = Seq((11L, 100.0, 0.0), (12L, 101.0, 0.0),
+      (13L, 100.0, 1.0), (14L, 101.0, 1.0))
+    val border = Seq((21L, 2.5, 0.0)) // within 2.0 of ids 2,4 only
+    val noise = Seq((31L, 50.0, 50.0))
+    val df = (blobA ++ blobB ++ border ++ noise).toDF("id", "x", "y")
+    val out = Outliers.dbscanLabels(df, "id", "x", "y", eps = 2.0,
+        minPts = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    blobA.foreach { case (i, _, _) =>
+      assert(out(i) == ((true, Some(1L))), s"blob A core labeled 1: $out") }
+    blobB.foreach { case (i, _, _) =>
+      assert(out(i) == ((true, Some(11L))), s"blob B core labeled 11: $out") }
+    assert(out(21L) == ((false, Some(1L))),
+      s"border point joins A without being core: $out")
+    assert(out(31L) == ((false, None)), s"noise stays NULL: $out")
+  }
+
+  test("dbscanLabels: isolated core (dense singleton cell) is its own cluster") {
+    import spark.implicits._
+    // 5 coincident points: each has 4 neighbors >= minPts, all in one
+    // spot; they form one cluster labeled by the min id
+    val df = Seq.tabulate(5)(i => (i + 10L, 7.0, 7.0)).toDF("id", "x", "y")
+    val out = Outliers.dbscanLabels(df, "id", "x", "y", 1.0, 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+    assert(out.forall(t => t._2 && t._3 == 10L), s"one min-id cluster: ${out.toList}")
+  }
+
   test("epsNeighborCounts plans a cell equi-join, not a cartesian product") {
     import spark.implicits._
     val df = Seq.tabulate(50)(i => (i.toLong, i * 1.0, i * 2.0))

@@ -145,6 +145,44 @@ class StatsSpec extends SparkTestBase {
       s"level-shift invariance: $a vs $b")
   }
 
+  // ---- kaplanMeier ----
+
+  test("kaplanMeier matches the textbook worked example with censoring") {
+    import spark.implicits._
+    // durations (observed): 1+, 2c, 3+, 4+, 5c
+    // t=1: n=5,d=1 -> 4/5; t=3: n=3,d=1 -> *2/3; t=4: n=2,d=1 -> *1/2
+    val df = Seq((1, true), (2, false), (3, true), (4, true), (5, false))
+      .toDF("duration", "obs")
+    val out = Stats.kaplanMeier(df, Seq.empty, "duration", col("obs"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(1, 3, 4), "curve steps only at event times")
+    assert(out(1) == ((5L, 1L, 0L, 0.8)), s"$out")
+    assert(out(3) == ((3L, 1L, 0L, 0.533333)), s"$out")
+    assert(out(4) == ((2L, 1L, 0L, 0.266667)), s"$out")
+  }
+
+  test("kaplanMeier: exhausted risk set drives survival to exact 0") {
+    import spark.implicits._
+    val df = Seq((1, true), (2, true), (2, true)).toDF("duration", "obs")
+    val out = Stats.kaplanMeier(df, Seq.empty, "duration", col("obs"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(out(2) == 0.0, s"everyone exits at t=2: $out")
+  }
+
+  test("kaplanMeier: null observed counts as censored; groups independent") {
+    import spark.implicits._
+    val df = Seq(("a", 1, Some(true)), ("a", 2, None),
+      ("b", 1, Some(true)), ("b", 1, Some(true))).toDF("g", "duration", "obs")
+    val out = Stats.kaplanMeier(df, Seq("g"), "duration", col("obs"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("a", 1)) == ((2L, 1L, 0L, 0.5)),
+      s"null-obs subject stays in a's risk set then censors: $out")
+    assert(out(("b", 1)) == ((2L, 2L, 0L, 0.0)),
+      s"b's risk set exhausts independently: $out")
+  }
+
   // ---- seasonalityIndex ----
 
   test("seasonalityIndex: uniform values give index 1 on every day") {
