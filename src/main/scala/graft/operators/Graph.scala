@@ -426,4 +426,60 @@ object Graph {
     }
     e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
   }
+
+  /** Newman modularity of a vertex partition — the quality number for
+    * ANY community assignment (label-propagation output, an attribute
+    * partition, a hash-bucket baseline): Q = Σ_c [m_c/m − (d_c/2m)²],
+    * the intra-community edge excess over the degree-preserving random
+    * expectation; Q ≈ 0 for a random partition, higher = assortative.
+    *
+    * Exact to the end: with integer m (undirected edges among LABELED
+    * vertices), intra = Σ_c m_c, and per-community degree sums d_c,
+    * Q = (4m·intra − Σ_c d_c²) / (4m²) — one rounded division.
+    * Vertices missing from `labels` are dropped along with their
+    * edges (the partition must cover the graph it is scored on);
+    * self-loops are dropped as in the rest of the family.
+    *
+    * Scale shape: canonical-dedup shuffle, two vertex-keyed label
+    * joins, one degree agg, community-sized everything after. Output
+    * one row: (modularity, m_edges, n_communities).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, vCol: String, labelCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("string").as("_a"),
+        col(dstCol).cast("string").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .select(least(col("_a"), col("_b")).as("_a"),
+        greatest(col("_a"), col("_b")).as("_b"))
+      .distinct()
+    val lab = labels.select(col(vCol).cast("string").as("_v"),
+      col(labelCol).as("_l"))
+    val labeled = canon
+      .join(lab.select(col("_v").as("_va"), col("_l").as("_la")),
+        col("_a") === col("_va")).drop("_va")
+      .join(lab.select(col("_v").as("_vb"), col("_l").as("_lb")),
+        col("_b") === col("_vb")).drop("_vb")
+      .localCheckpoint() // edge stats + degrees both re-read this
+    // everything stays in-plan: the one-row (m, intra) aggregate is
+    // broadcast onto the community-sized degree table — no driver
+    // collect
+    val stats = labeled.agg(count(lit(1)).as("_m"),
+      sum(when(col("_la") <=> col("_lb"), 1L).otherwise(0L)).as("_intra"))
+    val degs = labeled.select(col("_a").as("_v"), col("_la").as("_l"))
+      .unionByName(labeled.select(col("_b").as("_v"), col("_lb").as("_l")))
+      .groupBy("_v", "_l").agg(count(lit(1)).as("_d"))
+    degs.groupBy("_l").agg(sum("_d").as("_dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("_dc") * col("_dc")).as("_sumdc2"))
+      .crossJoin(broadcast(stats))
+      .select(
+        when(col("_m") > 0,
+          round((lit(4L) * col("_m") * col("_intra") - col("_sumdc2"))
+            / (lit(4.0) * col("_m") * col("_m")), 6))
+          .cast("double").as("modularity"),
+        col("_m").as("m_edges"),
+        col("n_communities"))
+  }
 }

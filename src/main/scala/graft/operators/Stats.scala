@@ -198,6 +198,52 @@ object Stats {
         col("_k").as("at_k"))
   }
 
+  /** Benford first-digit expectations log10(1 + 1/d), d = 1..9,
+    * computed ONCE here and shared VERBATIM with the oracle SQL (the
+    * bootstrap-CI shared-threshold contract) — no cross-engine log10.
+    */
+  val benfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.log10(1 + 1.0 / d))
+
+  /** Benford's-law first-digit profile of a positive numeric column —
+    * the fabricated-data / unit-mixup screen for financial-ish
+    * magnitudes: natural multiplicative data leads with digit d at
+    * probability log10(1+1/d); uniform or hand-typed data doesn't.
+    *
+    * The leading digit comes from INTEGER string formatting of the
+    * `scale`-quantized magnitude (scaling by a power of ten never
+    * changes the leading digit) — double formatting differs across
+    * engines, bigint formatting doesn't. Counts are exact; observed
+    * ratios round once; expected masses are the [[benfordExpected]]
+    * shared literals. Zeros/nulls drop (no leading digit); negatives
+    * contribute their magnitude. All nine digits always report (zero
+    * counts included) via a 9-row literal grid.
+    *
+    * Scale shape: one 9-bucket count shuffle + broadcast one-row
+    * total. Output: (digit, n, observed_p, expected_p, abs_dev).
+    */
+  def benford(df: DataFrame, valueCol: String, scale: Int = 100): DataFrame = {
+    require(scale >= 1, s"scale=$scale must be >= 1")
+    val counts = df
+      .select(round(abs(col(valueCol)) * scale).cast("long").as("_q"))
+      .filter(col("_q") > 0)
+      .select(substring(col("_q").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val grid = counts.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val tot = counts.agg(sum("n").as("_tot"))
+    val expected = element_at(
+      array(benfordExpected.map(lit): _*), col("digit"))
+    val obs = coalesce(col("n"), lit(0L)) / col("_tot").cast("double")
+    grid.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        round(obs, 6).cast("double").as("observed_p"),
+        round(expected, 6).cast("double").as("expected_p"),
+        round(abs(obs - expected), 6).cast("double").as("abs_dev"))
+  }
+
   /** Kaplan–Meier survival curve with right censoring — the
     * retention/time-to-event estimator behind "what fraction of users
     * are still active after t days": subjects carry a duration and an

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Outliers, Profiling, Resample, Stats, TextAnalysis}
+import graft.operators.{Graph, Outliers, Profiling, Resample, Stats, TextAnalysis}
 import QueryDefs._
 
 /** Judged queries for the distribution-statistics layer (operators
@@ -159,6 +159,30 @@ object StatsOps {
       .orderBy("source")
   }
 
+  /** Benford first-digit profile of order totals: integer-string
+    * leading digits, exact count ratios, shared expected literals.
+    */
+  val qBenford: QueryFn = withTables { spark =>
+    Stats.benford(spark.table("orders"), "o_totalprice")
+      .orderBy("digit")
+  }
+
+  /** Assortativity of the part co-order graph by brand: Newman
+    * modularity of the p_brand attribute partition — all-integer
+    * (4m·intra − Σd_c²) numerator, one rounded division.
+    */
+  val qModularity: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    val labels = spark.table("part")
+      .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
+    Graph.modularity(pairs, "a", "b", labels, "v", "lbl")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_ks_test" -> qKsTest,
     "q_prop_ztest" -> qPropZtest,
@@ -171,6 +195,8 @@ object StatsOps {
     "q_density_grid" -> qDensityGrid,
     "q_dbscan" -> qDbscan,
     "q_kaplan_meier" -> qKaplanMeier,
+    "q_benford" -> qBenford,
+    "q_modularity" -> qModularity,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -475,6 +501,71 @@ object StatsOps {
       LEFT JOIN corelbl c ON cnt.id = c.id
       LEFT JOIN borderlbl b ON cnt.id = b.id
       ORDER BY event_id""",
+
+    // Leading digits from BIGINT string formatting (portable, unlike
+    // double formatting); expected masses are the Stats.benfordExpected
+    // Scala doubles interpolated verbatim into this SQL.
+    "q_benford" -> s"""
+      WITH q AS (
+        SELECT CAST(ROUND(ABS(o_totalprice) * 100) AS BIGINT) AS q
+        FROM orders),
+      d AS (SELECT CAST(SUBSTR(CAST(q AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM q WHERE q > 0),
+      cnt AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY digit),
+      tot AS (SELECT SUM(n)::BIGINT AS t FROM cnt),
+      grid AS (SELECT CAST(UNNEST(RANGE(1, 10)) AS INT) AS digit),
+      expd AS (SELECT digit, CASE digit ${(1 to 9).map(i =>
+        s"WHEN $i THEN CAST(${graft.operators.Stats.benfordExpected(i - 1)} AS DOUBLE)")
+        .mkString(" ")} END AS e FROM grid)
+      SELECT g.digit, COALESCE(c.n, 0)::BIGINT AS n,
+             CAST(ROUND(COALESCE(c.n, 0) / CAST(t AS DOUBLE), 6)
+               AS DOUBLE) AS observed_p,
+             CAST(ROUND(e, 6) AS DOUBLE) AS expected_p,
+             CAST(ROUND(ABS(COALESCE(c.n, 0) / CAST(t AS DOUBLE) - e), 6)
+               AS DOUBLE) AS abs_dev
+      FROM grid g
+      LEFT JOIN cnt c ON g.digit = c.digit
+      JOIN expd ex ON ex.digit = g.digit
+      CROSS JOIN tot
+      ORDER BY g.digit""",
+
+    // Same string-canonical dedup, label joins, and the all-integer
+    // modularity numerator.
+    "q_modularity" -> """
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      pairs AS (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      lab AS (SELECT CAST(p_partkey AS VARCHAR) AS v, p_brand AS l
+              FROM part),
+      led AS (
+        SELECT p.a, p.b, la.l AS la, lb.l AS lb
+        FROM pairs p
+        JOIN lab la ON p.a = la.v
+        JOIN lab lb ON p.b = lb.v),
+      stats AS (
+        SELECT COUNT(*)::BIGINT AS m,
+               SUM(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS intra
+        FROM led),
+      degs AS (
+        SELECT v, l, COUNT(*)::BIGINT AS d
+        FROM (SELECT a AS v, la AS l FROM led
+              UNION ALL SELECT b AS v, lb AS l FROM led)
+        GROUP BY v, l),
+      comm AS (SELECT l, SUM(d)::BIGINT AS dc FROM degs GROUP BY l),
+      agg AS (
+        SELECT COUNT(*)::BIGINT AS n_communities,
+               SUM(dc * dc)::BIGINT AS sumdc2
+        FROM comm)
+      SELECT CAST(CASE WHEN m > 0 THEN
+               ROUND((4 * m * intra - sumdc2) / (4.0 * m * m), 6)
+             END AS DOUBLE) AS modularity,
+             m AS m_edges, n_communities
+      FROM agg CROSS JOIN stats""",
 
     // Same time-to-first-purchase durations, the same exclusive
     // prior-exits window for at-risk counts, and the same guarded

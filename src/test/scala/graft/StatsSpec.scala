@@ -145,6 +145,70 @@ class StatsSpec extends SparkTestBase {
       s"level-shift invariance: $a vs $b")
   }
 
+  // ---- benford ----
+
+  test("benford: digits from quantized magnitudes, zeros/nulls drop") {
+    import spark.implicits._
+    // 1.23 -> 123 -> '1'; 0.91 -> 91 -> '9'; -20.5 -> 2050 -> '2';
+    // 0.0 and null drop
+    val df = Seq(Some(1.23), Some(0.91), Some(-20.5), Some(0.0), None)
+      .toDF("v")
+    val out = Stats.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.size == 9, "all nine digits report")
+    assert(out(1) == 1 && out(9) == 1 && out(2) == 1)
+    assert(out.values.sum == 3, "zero and null contribute nothing")
+  }
+
+  test("benford: observed masses sum to 1 and expected masses are Benford") {
+    import spark.implicits._
+    val df = Seq.tabulate(500)(i => (i + 1) * 1.37).toDF("v")
+    val rows = Stats.benford(df, "v").collect()
+    val obsSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4, s"probabilities: $obsSum")
+    val exp1 = rows.find(_.getInt(0) == 1).get.getDouble(3)
+    assert(exp1 == math.floor(math.log10(2) * 1e6 + 0.5) / 1e6,
+      s"expected_p(1) = round(log10 2): $exp1")
+  }
+
+  // ---- modularity (Graph) ----
+
+  test("modularity: two clean cliques under their own labels score high") {
+    import spark.implicits._
+    // two disjoint triangles, labels = component: intra = m, and
+    // Q = 1 - sum(dc^2)/(4m^2) = 1 - (36+36)/144 = 0.5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "d")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "b")).toDF("v", "l")
+    val r = graft.operators.Graph.modularity(edges, "s", "d", labels, "v", "l")
+      .collect().head
+    assert(r.getDouble(0) == 0.5, s"$r")
+    assert(r.getLong(1) == 6 && r.getLong(2) == 2)
+  }
+
+  test("modularity: everything in one community scores exactly 0") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val labels = Seq(1L, 2L, 3L, 4L).map(_ -> "x").toDF("v", "l")
+    val r = graft.operators.Graph.modularity(edges, "s", "d", labels, "v", "l")
+      .collect().head
+    assert(r.getDouble(0) == 0.0, s"single community: $r")
+  }
+
+  test("modularity: anti-community labels score negative; dup edges collapse") {
+    import spark.implicits._
+    // bipartite-ish: every edge crosses labels -> intra = 0 -> Q < 0;
+    // duplicated/reversed edges must not double-count m
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L)).toDF("s", "d")
+    val labels = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"))
+      .toDF("v", "l")
+    val r = graft.operators.Graph.modularity(edges, "s", "d", labels, "v", "l")
+      .collect().head
+    assert(r.getLong(1) == 2, s"canonical dedup: $r")
+    assert(r.getDouble(0) < 0.0, s"all-cross partition: $r")
+  }
+
   // ---- kaplanMeier ----
 
   test("kaplanMeier matches the textbook worked example with censoring") {
