@@ -1150,4 +1150,92 @@ class PropertySpec extends SparkTestBase {
       }
     })
   }
+
+  test("ksTest law: bounded in [0,1], 1 on disjoint supports, 0 vs a clone") {
+    check("ks-bounds")(Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      Prop(rows.nonEmpty) ==> {
+        // two groups: "a" = values as-is, "b" = values shifted out of
+        // a's support entirely (disjoint => KS must be exactly 1);
+        // "c" = clone of a (identical multiset => KS(c vs rest)
+        // bounded, KS in [0,1] always)
+        val d = (rows.map(r => ("a", r._2.toDouble)) ++
+          rows.map(r => ("b", r._2.toDouble + 1000.0)) ++
+          rows.map(r => ("c", r._2.toDouble)))
+          .toDF("g", "v")
+        val out = graft.operators.Stats.ksTest(d, "g", "v").collect()
+          .map(r => r.getString(0) -> r.getDouble(3)).toMap
+        out("b") == 1.0 && out.values.forall(k => k >= 0.0 && k <= 1.0)
+      }
+    })
+  }
+
+  test("markovTransitions law: row-stochastic and pair-count-preserving") {
+    check("markov-stochastic")(Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      Prop(rows.nonEmpty) ==> {
+        val d = rows.zipWithIndex
+          .map { case ((k, v), i) => (k, i, s"s${v % 4}") }
+          .toDF("k", "o", "s")
+        val out = graft.operators.Resample
+          .markovTransitions(d, "k", "o", "o", "s").collect()
+        val pairSum = out.map(_.getLong(2)).sum
+        val expectedPairs = rows.groupBy(_._1).values
+          .map(g => math.max(g.size - 1, 0)).sum
+        val probByFrom = out.groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getDouble(3)).sum)
+        pairSum == expectedPairs &&
+          probByFrom.values.forall(p => math.abs(p - 1.0) < 1e-4)
+      }
+    })
+  }
+
+  test("kaplanMeier law: survival is non-increasing and in [0,1]") {
+    check("km-monotone")(Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      Prop(rows.nonEmpty) ==> {
+        val d = rows.map { case (k, v) => (v % 10, k % 2 == 0) }
+          .toDF("duration", "obs")
+        val curve = graft.operators.Stats
+          .kaplanMeier(d, Seq.empty, "duration", col("obs"))
+          .orderBy("duration").collect().map(_.getDouble(4))
+        curve.forall(s => s >= 0.0 && s <= 1.0) &&
+          curve.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+      }
+    })
+  }
+
+  test("benford law: digit masses partition the nonzero rows") {
+    check("benford-partition")(Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val d = rows.map { case (k, v) => (k * 37 + v) / 7.0 }.toDF("v")
+      val out = graft.operators.Stats.benford(d, "v").collect()
+      val n = out.map(_.getLong(1)).sum
+      val nonzero = rows.count { case (k, v) =>
+        math.round(math.abs((k * 37 + v) / 7.0) * 100) > 0 }
+      n == nonzero && out.length == 9
+    })
+  }
+
+  test("modularity law: bounded above by 1 and 0 for a single community") {
+    check("modularity-bounds")(Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val edges0 = rows.collect { case (k, v) if k != v % 6 =>
+        (k.toLong, (v % 6).toLong) }
+      Prop(edges0.nonEmpty) ==> {
+        val edges = edges0.toDF("s", "d")
+        val verts = edges0.flatMap(e => Seq(e._1, e._2)).distinct
+        val one = verts.map(_ -> "x").toDF("v", "l")
+        val own = verts.map(v => v -> s"c$v").toDF("v", "l")
+        val g = graft.operators.Graph
+        val qOne = g.modularity(edges, "s", "d", one, "v", "l")
+          .collect().head.getDouble(0)
+        val qOwn = g.modularity(edges, "s", "d", own, "v", "l")
+          .collect().head.getDouble(0)
+        // single community is exactly 0; singleton communities have
+        // zero intra mass, so Q = -sum(d_c^2)/4m^2 < 0; both <= 1
+        qOne == 0.0 && qOwn < 0.0 && qOwn >= -1.0
+      }
+    })
+  }
 }
