@@ -395,4 +395,51 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("jaro"), s"native comparator missing from plan:\n$p")
   }
+
+  test("KS test: group sizes broadcast onto the value grid, cells attach without sort-merge") {
+    val p = plan("q_ks_test")
+    assert(p.contains("BroadcastExchange"),
+      s"group-cardinality table must broadcast onto the grid:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"grid joins must stay broadcast (groups + one-row N are tiny):\n$p")
+  }
+
+  test("Markov transitions: one key window + one pair agg, no Join node") {
+    val p = plan("q_markov")
+    assert(!p.contains("Join"),
+      s"origin totals must ride a window, not a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("CUSUM: per-group totals broadcast; no sort-merge join") {
+    val p = plan("q_cusum")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"group-sized totals attach must broadcast:\n$p")
+  }
+
+  test("zone maps: ONE aggregation pair over the scan (partial + final)") {
+    val p = plan("q_zonemap")
+    // tree lines only ("SortAggregate (7)") — the formatted details
+    // section repeats each node as "(7) SortAggregate"
+    val aggs = "(Hash|Sort|ObjectHash)Aggregate \\(".r.findAllIn(p).size
+    assert(aggs == 2, s"zoneMap must scan once (got $aggs agg nodes):\n$p")
+  }
+
+  test("pseudonymize: tokens are per-row projections; the join keys on them") {
+    val p = plan("q_pseudonymize")
+    assert(p.contains("md5"), s"salted md5 must be in-plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"token join must stay an equi-join:\n$p")
+  }
+
+  test("grid density: cell fan-out is a generator feeding an equi-join") {
+    val p = plan("q_density_grid")
+    assert(p.contains("Generate"),
+      s"3x3 probe fan-out must be an in-stage generator:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cell join must stay an equi-join:\n$p")
+  }
 }
