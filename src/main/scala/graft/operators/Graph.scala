@@ -427,6 +427,66 @@ object Graph {
     e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Degree assortativity — the Pearson correlation of endpoint
+    * degrees over the undirected edge list (Newman 2002): positive =
+    * hubs prefer hubs (social-graph shape), negative = hubs fan out
+    * to leaves (star/infrastructure shape). The structural number
+    * that predicts how a co-occurrence graph behaves under sampling
+    * and skew-aware partitioning.
+    *
+    * Exact to the end: degrees are integers; the correlation runs
+    * over BOTH directions of every edge (the standard symmetric
+    * treatment), so Σx = Σy and the moment sums are exact in
+    * decimal(38,0)/HUGEINT; the only float work is one sqrt (IEEE)
+    * and one rounded division. Degenerate (regular graph, zero
+    * variance) reports NULL.
+    *
+    * Scale shape: canonical dedup, one degree aggregate, two
+    * vertex-keyed degree joins onto edges, a one-row moment fold.
+    * Output one row: (assortativity, m_edges, n_vertices).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("string").as("_a"),
+        col(dstCol).cast("string").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull
+        && col("_a") =!= col("_b"))
+      .select(least(col("_a"), col("_b")).as("_a"),
+        greatest(col("_a"), col("_b")).as("_b"))
+      .distinct()
+      .localCheckpoint() // degrees + both direction unions re-read it
+    val sym = canon.unionByName(
+      canon.select(col("_b").as("_a"), col("_a").as("_b")))
+    val degs = sym.groupBy(col("_a").as("_v"))
+      .agg(count(lit(1)).as("_deg"))
+    val ends = sym
+      .join(degs.select(col("_v").as("_va"), col("_deg").as("_dx")),
+        col("_a") === col("_va")).drop("_va")
+      .join(degs.select(col("_v").as("_vb"), col("_deg").as("_dy")),
+        col("_b") === col("_vb")).drop("_vb")
+    val dec = "decimal(38,0)"
+    val nV = degs.agg(count(lit(1)).as("_nv"))
+    ends.agg(count(lit(1)).cast(dec).as("_n"),
+        sum("_dx").cast(dec).as("_sx"), sum("_dy").cast(dec).as("_sy"),
+        sum(col("_dx") * col("_dy")).cast(dec).as("_sxy"),
+        sum(col("_dx") * col("_dx")).cast(dec).as("_sxx"),
+        sum(col("_dy") * col("_dy")).cast(dec).as("_syy"))
+      .crossJoin(broadcast(nV))
+      .select(
+        when((col("_n") * col("_sxx") - col("_sx") * col("_sx")) =!= 0
+            && (col("_n") * col("_syy") - col("_sy") * col("_sy")) =!= 0,
+          round((col("_n") * col("_sxy") - col("_sx") * col("_sy"))
+            .cast("double")
+            / sqrt((col("_n") * col("_sxx") - col("_sx") * col("_sx"))
+              .cast("double")
+              * (col("_n") * col("_syy") - col("_sy") * col("_sy"))
+                .cast("double")), 6))
+          .cast("double").as("assortativity"),
+        floor(col("_n").cast("long") / 2).cast("long").as("m_edges"),
+        col("_nv").as("n_vertices"))
+  }
+
   /** Newman modularity of a vertex partition — the quality number for
     * ANY community assignment (label-propagation output, an attribute
     * partition, a hash-bucket baseline): Q = Σ_c [m_c/m − (d_c/2m)²],

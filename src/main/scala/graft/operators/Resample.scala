@@ -316,6 +316,60 @@ object Resample {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Autocorrelation function of each group's DAILY value sums at
+    * lags 1..maxLag — "does yesterday predict today" for metric
+    * streams, the series-structure diagnostic behind seasonality
+    * and changepoint follow-ups. Lags step over the OBSERVED day
+    * sequence (a gap day joins its nearest neighbors; document the
+    * series as observation-indexed, not calendar-indexed).
+    *
+    * Exact to the end: daily sums are 6-dp scaled longs, centered
+    * terms a_t = n·x_t − S are decimal(38,0) integers (the heapsLawFit
+    * contract — built-in corr accumulates floats in partition order),
+    * so ACF_k = Σ a_t·a_{t+k} / Σ a_t² is one rounded division per
+    * lag. Constant series (zero variance) report NULL.
+    *
+    * Scale shape: one (group, day)-keyed count shuffle collapses the
+    * corpus to calendar-bounded cells; the lead windows and moment
+    * fold run on cells only. Output: (group, lag, acf, n_days).
+    */
+  def autocorrelation(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10,
+      s"maxLag=$maxLag out of the sane 1..10 window")
+    val dec = "decimal(38,0)"
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    val cells = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_day").agg(sum("_q").as("_x"))
+    val stats = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).cast(dec).as("_n"), sum("_x").cast(dec).as("_s"))
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val centered = cells
+      .join(broadcast(stats), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_a", (col("_n") * col("_x").cast(dec) - col("_s"))
+        .cast(dec))
+    val withLeads = (1 to maxLag).foldLeft(centered) { (acc, k) =>
+      acc.withColumn(s"_l$k", lead(col("_a"), k).over(w))
+    }
+    val aggs = sum(col("_a") * col("_a")).as("_d") +:
+      count(lit(1)).as("n_days") +:
+      (1 to maxLag).map(k => sum(col("_a") * col(s"_l$k")).as(s"_n$k"))
+    val folded = withLeads.groupBy(col("_g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val lagRows = explode(array((1 to maxLag).map(k =>
+      struct(lit(k).as("lag"), col(s"_n$k").as("num"))): _*))
+    folded
+      .select(col(groupCol), col("_d"), col("n_days"), lagRows.as("_lr"))
+      .select(col(groupCol), col("_lr.lag").as("lag"),
+        when(col("_d") =!= 0,
+          round(col("_lr.num").cast("double") / col("_d").cast("double"),
+            6)).cast("double").as("acf"),
+        col("n_days"))
+  }
+
   /** First-order Markov transition matrix over per-key state
     * sequences: walk each key's rows in (orderCol, tieCol) TOTAL
     * order, count (state, next-state) pairs across all keys, and

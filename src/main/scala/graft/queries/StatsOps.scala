@@ -183,6 +183,29 @@ object StatsOps {
     Graph.modularity(pairs, "a", "b", labels, "v", "lbl")
   }
 
+  /** Degree assortativity of the part co-order graph: exact integer
+    * moment sums over both edge directions, one IEEE sqrt + rounded
+    * division.
+    */
+  val qAssortativity: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    Graph.assortativity(pairs, "a", "b")
+  }
+
+  /** Daily-sum autocorrelation at lags 1..3 per event type: exact
+    * decimal centered moments, one rounded division per lag.
+    */
+  val qAcf: QueryFn = withTables { spark =>
+    Resample.autocorrelation(spark.table("events"), "event_type", "ts",
+        "value", maxLag = 3)
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_ks_test" -> qKsTest,
     "q_prop_ztest" -> qPropZtest,
@@ -197,6 +220,8 @@ object StatsOps {
     "q_kaplan_meier" -> qKaplanMeier,
     "q_benford" -> qBenford,
     "q_modularity" -> qModularity,
+    "q_assortativity" -> qAssortativity,
+    "q_acf" -> qAcf,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -566,6 +591,78 @@ object StatsOps {
              END AS DOUBLE) AS modularity,
              m AS m_edges, n_communities
       FROM agg CROSS JOIN stats""",
+
+    // Same canonical dedup + symmetric union; HUGEINT moment sums,
+    // identical sqrt/division tree.
+    "q_assortativity" -> """
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      canon AS (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS (SELECT a, b FROM canon
+              UNION ALL SELECT b AS a, a AS b FROM canon),
+      degs AS (SELECT a AS v, COUNT(*)::BIGINT AS deg
+               FROM sym GROUP BY a),
+      ends AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM sym s
+        JOIN degs da ON s.a = da.v
+        JOIN degs db ON s.b = db.v),
+      mom AS (
+        SELECT COUNT(*)::HUGEINT AS n,
+               SUM(dx)::HUGEINT AS sx, SUM(dy)::HUGEINT AS sy,
+               SUM(dx * dy)::HUGEINT AS sxy,
+               SUM(dx * dx)::HUGEINT AS sxx,
+               SUM(dy * dy)::HUGEINT AS syy
+        FROM ends),
+      nv AS (SELECT COUNT(*)::BIGINT AS n_vertices FROM degs)
+      SELECT CAST(CASE WHEN n * sxx - sx * sx <> 0
+                        AND n * syy - sy * sy <> 0 THEN
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             END AS DOUBLE) AS assortativity,
+             CAST(FLOOR(CAST(n AS BIGINT) / 2.0) AS BIGINT) AS m_edges,
+             n_vertices
+      FROM mom CROSS JOIN nv""",
+
+    // Same daily cells (portable epoch day), HUGEINT centered terms
+    // n·x − S, the same three LEADs over the observed-day order.
+    "q_acf" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2,
+               LEAD(aa, 3) OVER w AS l3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2, SUM(aa * l3) AS n3
+        FROM lagged GROUP BY g)
+      SELECT g AS event_type, lag,
+             CAST(CASE WHEN d <> 0 THEN
+               ROUND(CAST(nk AS DOUBLE) / CAST(d AS DOUBLE), 6)
+             END AS DOUBLE) AS acf, n_days
+      FROM (
+        SELECT g, 1 AS lag, n1 AS nk, d, n_days FROM agg
+        UNION ALL SELECT g, 2, n2, d, n_days FROM agg
+        UNION ALL SELECT g, 3, n3, d, n_days FROM agg)
+      ORDER BY event_type, lag""",
 
     // Same time-to-first-purchase durations, the same exclusive
     // prior-exits window for at-risk counts, and the same guarded

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Stats
+import graft.operators.{Resample, Stats}
 
 /** Hand-computed fixtures and laws for the distribution-statistics
   * operators: KS test, two-proportion z-test, Theil's U, CUSUM,
@@ -207,6 +207,63 @@ class StatsSpec extends SparkTestBase {
       .collect().head
     assert(r.getLong(1) == 2, s"canonical dedup: $r")
     assert(r.getDouble(0) < 0.0, s"all-cross partition: $r")
+  }
+
+  // ---- assortativity (Graph) ----
+
+  test("assortativity: a star is exactly -1; a regular graph is NULL") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")
+    val rs = graft.operators.Graph.assortativity(star, "s", "d")
+      .collect().head
+    assert(rs.getDouble(0) == -1.0, s"hub-to-leaf only: $rs")
+    assert(rs.getLong(1) == 4 && rs.getLong(2) == 5)
+
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val rc = graft.operators.Graph.assortativity(cycle, "s", "d")
+      .collect().head
+    assert(rc.isNullAt(0), s"all degrees equal => zero variance: $rc")
+  }
+
+  test("assortativity: two cliques of different sizes score +1-ish positive") {
+    import spark.implicits._
+    // within each clique degrees are equal, across cliques they
+    // differ: every edge connects equal degrees => r = 1
+    val k3 = for { i <- 0 to 2; j <- (i + 1) to 2 } yield (i.toLong, j.toLong)
+    val k4 = for { i <- 10 to 13; j <- (i + 1) to 13 } yield (i.toLong, j.toLong)
+    val r = graft.operators.Graph
+      .assortativity((k3 ++ k4).toDF("s", "d"), "s", "d")
+      .collect().head
+    assert(r.getDouble(0) == 1.0, s"degree-homogeneous edges: $r")
+  }
+
+  // ---- autocorrelation (Resample) ----
+
+  test("autocorrelation: alternating daily series gives ACF1 = -(n-1)/n") {
+    import spark.implicits._
+    // six days of +10/-10 around the mean: a_t alternates, so
+    // ACF1 = -5/6 and ACF2 = +4/6 exactly
+    val df = Seq.tabulate(6)(i =>
+      ("g", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        if (i % 2 == 0) 20.0 else 0.0)).toDF("g", "ts", "v")
+    val out = Resample.autocorrelation(df, "g", "ts", "v", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out(1) == -0.833333, s"-(5/6): $out")
+    assert(out(2) == 0.666667, s"4/6: $out")
+  }
+
+  test("autocorrelation: constant series reports NULL, groups independent") {
+    import spark.implicits._
+    val df = (Seq.tabulate(5)(i =>
+      ("flat", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"), 3.0))
+      ++ Seq.tabulate(5)(i =>
+        ("ramp", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+          i * 1.0))).toDF("g", "ts", "v")
+    val out = Resample.autocorrelation(df, "g", "ts", "v", maxLag = 1)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("flat").isEmpty, "zero variance => NULL")
+    assert(out("ramp").exists(_ > 0), "monotone ramp autocorrelates positively")
   }
 
   // ---- kaplanMeier ----
