@@ -382,4 +382,37 @@ class ScaleProbeSpec extends SparkTestBase {
       () => (labeled(g1)._2, labeled(gN)._2))
     g1.unpersist(); gN.unpersist()
   }
+
+  test("epsNeighborCounts: 10x disjoint coordinate bands -> 10x identical counts, ~linear time") {
+    import graft.operators.Outliers
+    // replica i shifts y by i·10⁴ ≫ ε: bands never interact, so each
+    // replica's neighborhood structure is EXACTLY the base's — total
+    // neighbor mass must be exactly N× and any extra candidate work
+    // is a blocking artifact
+    val base = emb.select(col("vec_id").as("id"),
+      (element_at(col("embedding"), 1) * 10.0).as("x"),
+      (element_at(col("embedding"), 2) * 10.0).as("y")).cache()
+    base.count()
+    def bands(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select((col("id") + lit(i.toLong * 1000000L)).as("id"),
+          col("x"), (col("y") + lit(i * 10000.0)).as("y"))
+      }.reduce(_ unionByName _)
+    val b1 = bands(1).cache(); b1.count()
+    val bN = bands(N).cache(); bN.count()
+    def run(df: DataFrame) =
+      Outliers.epsNeighborCounts(df, "id", "x", "y", eps = 1.0, minPts = 3)
+    run(b1).count() // warmup
+    val sum1 = run(b1).agg(sum("n_neighbors")).head.getLong(0)
+    val (r1, t1) = timedCount(run(b1))
+    val sumN = run(bN).agg(sum("n_neighbors")).head.getLong(0)
+    val (rN, tN) = timedCount(run(bN))
+    info(s"rows: 1x=$r1 ${N}x=$rN; neighbor mass: $sum1 -> $sumN")
+    assert(r1 > 0 && rN === N * r1, "row-preserving at every scale")
+    assert(sumN === N * sum1,
+      s"disjoint bands must give exactly ${N}x neighbor mass: $sum1 -> $sumN")
+    assertSubQuadratic("epsNeighborCounts", t1, tN,
+      () => (timedCount(run(b1))._2, timedCount(run(bN))._2))
+    b1.unpersist(); bN.unpersist(); base.unpersist()
+  }
 }
