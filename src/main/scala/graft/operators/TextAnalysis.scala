@@ -870,6 +870,102 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** The ln 2 constant shared VERBATIM with the JSD oracle (the
+    * benfordExpected contract): one-sided token mass contributes
+    * p·ln 2 to JSD, and the literal must be the same double on both
+    * engines.
+    */
+  val ln2: Double = math.log(2.0)
+
+  /** Pairwise Jensen–Shannon divergence matrix between group unigram
+    * distributions — the SYMMETRIC, bounded ([0, ln 2]) corpus-
+    * comparison number that [[unigramDrift]]'s KL is not: safe to
+    * threshold, safe to average, defined even when supports differ
+    * (disjoint vocabularies score exactly ln 2).
+    *
+    * Decomposition that never materializes the union vocabulary:
+    * shared tokens contribute (p·ln(2p/(p+q)) + q·ln(2q/(p+q)))/2 via
+    * ONE token-keyed self-join of the vocab-sized count table;
+    * one-sided mass (1 − Σ_shared p) contributes ·ln2/2 from the
+    * shared sums alone — no anti-join pass. Probabilities are exact
+    * integer ratios; ln at the fold (the mutualInfo float class);
+    * zero-overlap pairs report from the broadcast group grid.
+    *
+    * Scale shape: one (group,token) shuffle, one token-keyed
+    * vocab-sized self-join, group²-sized everything after. Output:
+    * (g1, g2, jsd, n_shared).
+    */
+  def jsDivergence(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("tok"))
+    val cnt = toks.groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("g").agg(sum("c").as("n"))
+    val a = cnt.join(tot, "g")
+      .select(col("g").as("g1"), col("tok"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+    val b = cnt.join(tot, "g")
+      .select(col("g").as("g2"), col("tok"),
+        (col("c").cast("double") / col("n").cast("double")).as("q"))
+    val shared = a.join(b, Seq("tok"))
+      .filter(col("g1") < col("g2"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+          + col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .as("_sharedTerm"),
+        sum("p").as("_sa"), sum("q").as("_sb"))
+    val groups = tot.select(col("g"))
+    val grid = groups.select(col("g").as("g1"))
+      .crossJoin(broadcast(groups.select(col("g").as("g2"))))
+      .filter(col("g1") < col("g2"))
+    grid.join(shared, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"),
+        round((coalesce(col("_sharedTerm"), lit(0.0))
+          + ((lit(1.0) - coalesce(col("_sa"), lit(0.0)))
+            + (lit(1.0) - coalesce(col("_sb"), lit(0.0)))) * lit(ln2))
+          / 2.0, 6).cast("double").as("jsd"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  /** Trending tokens between two halves of a corpus ordering: rank
+    * tokens by the add-one-smoothed frequency-growth odds
+    * (c₂+1)/(n₂+V) ÷ (c₁+1)/(n₁+V) — "what vocabulary is the new data
+    * bringing in", the corpus-monitoring twin of [[unigramDrift]]'s
+    * single drift number. Exact integer cross-ratio
+    * (c₂+1)(n₁+V) / ((c₁+1)(n₂+V)) to one rounded division; top-k by
+    * (score DESC, token ASC) — a total order.
+    *
+    * Scale shape: one (half, token) count shuffle, broadcast one-row
+    * totals, one global top-k (rank over the vocab-sized score table;
+    * at huge vocabularies swap in [[graft.plans.TopKPerKey]]'s
+    * partial-top-k). Output: (token, c_old, c_new, score) — the k
+    * fastest risers.
+    */
+  def trendingTokens(df: DataFrame, textCol: String, isNew: Column,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val toks = df.select(isNew.as("_new"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("tok"))
+    val cnt = toks.groupBy("tok")
+      .agg(sum(when(col("_new"), 0L).otherwise(1L)).as("c_old"),
+        sum(when(col("_new"), 1L).otherwise(0L)).as("c_new"))
+    val tot = cnt.agg(sum("c_old").as("_n1"), sum("c_new").as("_n2"),
+      count(lit(1)).as("_v"))
+    val scored = cnt.crossJoin(broadcast(tot))
+      .select(col("tok").as("token"), col("c_old"), col("c_new"),
+        round(((col("c_new") + 1) * (col("_n1") + col("_v")))
+          / ((col("c_old") + 1) * (col("_n2") + col("_v"))).cast("double"),
+          6).cast("double").as("score"))
+    scored
+      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("score").desc, col("token").asc)))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Heaps'-law vocabulary-growth fit per group: walk each group's
     * docs in `idCol` order, track cumulative token count T_i and
     * cumulative DISTINCT vocabulary V_i at every doc boundary, and fit

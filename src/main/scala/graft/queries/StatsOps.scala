@@ -206,6 +206,25 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — symmetric, bounded, defined for disjoint
+    * vocabularies; shared ln 2 literal.
+    */
+  val qJsd: QueryFn = withTables { spark =>
+    TextAnalysis.jsDivergence(spark.table("documents"), "source", "text")
+      .orderBy("g1", "g2")
+  }
+
+  /** Top-20 trending tokens between the even-doc and odd-doc halves:
+    * exact add-one-smoothed growth cross-ratios, (score, token)
+    * total-order ranking.
+    */
+  val qTrending: QueryFn = withTables { spark =>
+    TextAnalysis.trendingTokens(spark.table("documents"), "text",
+        col("doc_id") % 2 === 1, k = 20)
+      .orderBy(col("score").desc, col("token"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_ks_test" -> qKsTest,
     "q_prop_ztest" -> qPropZtest,
@@ -222,6 +241,8 @@ object StatsOps {
     "q_modularity" -> qModularity,
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
+    "q_jsd" -> qJsd,
+    "q_trending" -> qTrending,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -591,6 +612,67 @@ object StatsOps {
              END AS DOUBLE) AS modularity,
              m AS m_edges, n_communities
       FROM agg CROSS JOIN stats""",
+
+    // Same shared-token self-join decomposition; one-sided mass from
+    // the shared sums; TextAnalysis.ln2 interpolated verbatim.
+    "q_jsd" -> s"""
+      WITH toks AS (
+        SELECT source AS g,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      cnt AS (SELECT g, tok, COUNT(*)::BIGINT AS c
+              FROM toks GROUP BY g, tok),
+      tot AS (SELECT g, SUM(c)::BIGINT AS n FROM cnt GROUP BY g),
+      p AS (SELECT c.g, c.tok, c.c / CAST(t.n AS DOUBLE) AS p
+            FROM cnt c JOIN tot t ON c.g = t.g),
+      shared AS (
+        SELECT a.g AS g1, b.g AS g2, COUNT(*)::BIGINT AS n_shared,
+               SUM(a.p * LN(2.0 * a.p / (a.p + b.p))
+                   + b.p * LN(2.0 * b.p / (a.p + b.p))) AS st,
+               SUM(a.p) AS sa, SUM(b.p) AS sb
+        FROM p a JOIN p b ON a.tok = b.tok AND a.g < b.g
+        GROUP BY a.g, b.g),
+      grid AS (SELECT a.g AS g1, b.g AS g2
+               FROM tot a CROSS JOIN tot b WHERE a.g < b.g)
+      SELECT g.g1, g.g2,
+             CAST(ROUND((COALESCE(st, 0.0)
+               + ((1.0 - COALESCE(sa, 0.0)) + (1.0 - COALESCE(sb, 0.0)))
+                 * ${graft.operators.TextAnalysis.ln2}) / 2.0, 6)
+               AS DOUBLE) AS jsd,
+             COALESCE(n_shared, 0)::BIGINT AS n_shared
+      FROM grid g
+      LEFT JOIN shared s ON g.g1 = s.g1 AND g.g2 = s.g2
+      ORDER BY g.g1, g.g2""",
+
+    // Same halves, the same exact cross-ratio, the same rounded-score
+    // total-order ranking.
+    "q_trending" -> """
+      WITH toks AS (
+        SELECT (doc_id % 2 = 1) AS isnew,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      cnt AS (
+        SELECT tok,
+               SUM(CASE WHEN isnew THEN 0 ELSE 1 END)::BIGINT AS c_old,
+               SUM(CASE WHEN isnew THEN 1 ELSE 0 END)::BIGINT AS c_new
+        FROM toks GROUP BY tok),
+      tot AS (SELECT SUM(c_old)::BIGINT AS n1, SUM(c_new)::BIGINT AS n2,
+                     COUNT(*)::BIGINT AS v
+              FROM cnt),
+      scored AS (
+        SELECT tok AS token, c_old, c_new,
+               CAST(ROUND(((c_new + 1) * (n1 + v))
+                 / CAST((c_old + 1) * (n2 + v) AS DOUBLE), 6)
+                 AS DOUBLE) AS score
+        FROM cnt CROSS JOIN tot)
+      SELECT token, c_old, c_new, score
+      FROM (SELECT *, ROW_NUMBER() OVER
+              (ORDER BY score DESC, token ASC) AS rn
+            FROM scored)
+      WHERE rn <= 20
+      ORDER BY score DESC, token""",
 
     // Same canonical dedup + symmetric union; HUGEINT moment sums,
     // identical sqrt/division tree.

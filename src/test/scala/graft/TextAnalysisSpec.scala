@@ -533,6 +533,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
 
+  test("jsDivergence: clones score 0, disjoint vocabularies score ln 2") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, "x y x z"), ("b", 2L, "x y x z"),
+      ("c", 3L, "p q r p")).toDF("g", "id", "text")
+    val out = TextAnalysis.jsDivergence(docs, "g", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(("a", "b")) == ((0.0, 3L)), s"identical => 0: $out")
+    assert(out(("a", "c"))._1 == math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6,
+      s"disjoint => ln 2: $out")
+    assert(out(("a", "c"))._2 == 0L)
+    assert(out.size == 3, "full pair grid incl. zero-overlap pairs")
+  }
+
+  test("jsDivergence stays within [0, ln 2] on the real corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vals = TextAnalysis.jsDivergence(docs, "lang", "text")
+      .collect().map(_.getDouble(2))
+    assert(vals.nonEmpty)
+    assert(vals.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9),
+      s"bounds: ${vals.toList}")
+  }
+
+  test("trendingTokens: a planted riser tops the list; ranking is total-ordered") {
+    import spark.implicits._
+    // 'nova' appears only in the new half, background tokens in both
+    val docs = (Seq.tabulate(4)(i => (i * 2L, "base words here")) ++
+      Seq.tabulate(4)(i => (i * 2 + 1L, "base words here nova nova")))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.trendingTokens(docs, "text",
+        col("doc_id") % 2 === 1, k = 3)
+      .orderBy(col("score").desc, col("token")).collect()
+    assert(top.head.getString(0) == "nova", s"riser first: ${top.toList}")
+    assert(top.head.getLong(1) == 0 && top.head.getLong(2) == 8)
+    assert(top.length == 3)
+    assert(top.map(_.getDouble(3)).sliding(2)
+      .forall(w => w.length < 2 || w(0) >= w(1)), "sorted by score")
+  }
+
   test("heapsLawFit: all-fresh vocabulary fits b = 1, lnk = 0 exactly") {
     import spark.implicits._
     // every doc contributes only never-seen tokens => V_i == T_i at
