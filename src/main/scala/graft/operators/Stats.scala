@@ -198,6 +198,88 @@ object Stats {
         col("_k").as("at_k"))
   }
 
+  /** Per-quantile drift between two slices of each group — the
+    * quantile-by-quantile refinement of [[ksTest]]'s single number:
+    * WHERE in the distribution did the shift happen (tails vs
+    * median), the diagnostic that tells a drifted feature's story.
+    *
+    * Quantile contract (explicit, engine-portable): the q-th of
+    * `nQuantiles` cuts is the value at 1-based sorted position
+    * ceil(q·n/nQuantiles) — a pure ORDER STATISTIC: no interpolation
+    * scheme to disagree on, deterministic under ties (the value at a
+    * sorted position is fixed no matter how equal values order).
+    * Values pass through untouched; the delta is one rounded
+    * subtraction.
+    *
+    * Scale shape: one sort window per (group, slice) + a broadcast
+    * count join to target the ranks; output is groups × quantiles.
+    * Output: (group, quantile, v_ref, v_cur, delta) — NULL side if a
+    * slice is empty for the group.
+    */
+  def qqDrift(df: DataFrame, groupCol: String, valueCol: String,
+      isCur: Column, nQuantiles: Int = 10): DataFrame = {
+    require(nQuantiles >= 2, s"nQuantiles=$nQuantiles must be >= 2")
+    val ranked = df
+      .select(col(groupCol).as("_g"), isCur.as("_cur"),
+        col(valueCol).as("_v"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g", "_cur").orderBy("_v")))
+    val counts = ranked.groupBy(col("_g").as("_gm"), col("_cur").as("_cm"))
+      .agg(count(lit(1)).as("_n"))
+    val targets = counts
+      .withColumn("quantile",
+        explode(array((1 until nQuantiles).map(lit): _*)))
+      // ceil(q·n/k) in pure integer arithmetic: (q·n + k − 1) div k
+      .withColumn("_r",
+        (((col("quantile") * col("_n") + nQuantiles - 1)
+          - pmod(col("quantile") * col("_n") + nQuantiles - 1,
+            lit(nQuantiles.toLong))) / nQuantiles).cast("long"))
+    val cuts = ranked.join(targets,
+      col("_g") <=> col("_gm") && col("_cur") <=> col("_cm")
+        && col("_rn") === col("_r"))
+      .select(col("_g"), col("_cur"), col("quantile"), col("_v"))
+    val ref = cuts.filter(!col("_cur"))
+      .select(col("_g"), col("quantile"), col("_v").as("v_ref"))
+    val cur = cuts.filter(col("_cur"))
+      .select(col("_g").as("_g2"), col("quantile").as("_q2"),
+        col("_v").as("v_cur"))
+    ref.join(cur, col("_g") <=> col("_g2") && col("quantile") === col("_q2"),
+        "full")
+      .select(coalesce(col("_g"), col("_g2")).as(groupCol),
+        coalesce(col("quantile"), col("_q2")).as("quantile"),
+        col("v_ref"), col("v_cur"),
+        round(col("v_cur") - col("v_ref"), 6).cast("double").as("delta"))
+  }
+
+  /** Trimmed mean per group: drop the floor(n·trim) smallest and
+    * largest rows (by the deterministic sorted-multiset positions —
+    * ties don't matter, the kept multiset is fixed) and average the
+    * rest as an exact scaled-integer ratio with one rounded division —
+    * the robust location estimate that winsorizing approximates
+    * without the clamp artifacts.
+    *
+    * One sort window per group + broadcast counts. Output: (group,
+    * n, n_trimmed_each_side, trimmed_mean).
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      trim: Double = 0.1): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim=$trim must be in [0, 0.5)")
+    val ranked = df
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g").orderBy("_q")))
+    val counts = ranked.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_t", floor(col("_n") * trim).cast("long"))
+    ranked.join(broadcast(counts), col("_g") <=> col("_gm")).drop("_gm")
+      .filter(col("_rn") > col("_t") && col("_rn") <= col("_n") - col("_t"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_n").as("n"), max("_t").as("n_trimmed_each_side"),
+        round(sum("_q") / (count(lit(1)) * lit(1e6)), 6)
+          .cast("double").as("trimmed_mean"))
+  }
+
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9,
     * computed ONCE here and shared VERBATIM with the oracle SQL (the
     * bootstrap-CI shared-threshold contract) — no cross-engine log10.

@@ -206,6 +206,25 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Decile-by-decile drift of value between the first and second
+    * half-month per event type: pure order statistics at explicit
+    * integer ranks, one rounded subtraction.
+    */
+  val qQqDrift: QueryFn = withTables { spark =>
+    Stats.qqDrift(spark.table("events"), "event_type", "value",
+        col("ts") >= lit("2024-01-16").cast("timestamp"), nQuantiles = 10)
+      .orderBy("event_type", "quantile")
+  }
+
+  /** 10%-trimmed mean of value per event type: deterministic
+    * sorted-multiset trim, exact scaled-integer mean.
+    */
+  val qTrimmedMean: QueryFn = withTables { spark =>
+    Stats.trimmedMean(spark.table("events"), "event_type", "value",
+        trim = 0.1)
+      .orderBy("event_type")
+  }
+
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions — symmetric, bounded, defined for disjoint
     * vocabularies; shared ln 2 literal.
@@ -243,6 +262,8 @@ object StatsOps {
     "q_acf" -> qAcf,
     "q_jsd" -> qJsd,
     "q_trending" -> qTrending,
+    "q_qq_drift" -> qQqDrift,
+    "q_trimmed_mean" -> qTrimmedMean,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -612,6 +633,59 @@ object StatsOps {
              END AS DOUBLE) AS modularity,
              m AS m_edges, n_communities
       FROM agg CROSS JOIN stats""",
+
+    // Same ceil(q·n/10) order-statistic ranks over the same
+    // (group, half, value) sort; values pass through untouched.
+    "q_qq_drift" -> """
+      WITH ranked AS (
+        SELECT event_type AS g,
+               (ts >= TIMESTAMP '2024-01-16') AS cur, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                 (ts >= TIMESTAMP '2024-01-16') ORDER BY value) AS rn
+        FROM events),
+      counts AS (SELECT g, cur, COUNT(*)::BIGINT AS n
+                 FROM ranked GROUP BY g, cur),
+      targets AS (
+        SELECT g, cur, q.quantile,
+               CAST(((q.quantile * n + 9)
+                 - ((q.quantile * n + 9) % 10)) / 10 AS BIGINT) AS r
+        FROM counts
+        CROSS JOIN (SELECT UNNEST(RANGE(1, 10)) AS quantile) q),
+      cuts AS (
+        SELECT t.g, t.cur, t.quantile, rk.v
+        FROM targets t JOIN ranked rk
+          ON rk.g = t.g AND rk.cur = t.cur AND rk.rn = t.r),
+      ref AS (SELECT g, quantile, v AS v_ref FROM cuts WHERE NOT cur),
+      cur_ AS (SELECT g, quantile, v AS v_cur FROM cuts WHERE cur)
+      SELECT COALESCE(r.g, c.g) AS event_type,
+             CAST(COALESCE(r.quantile, c.quantile) AS INT) AS quantile,
+             v_ref, v_cur,
+             CAST(ROUND(v_cur - v_ref, 6) AS DOUBLE) AS delta
+      FROM ref r FULL JOIN cur_ c
+        ON r.g = c.g AND r.quantile = c.quantile
+      ORDER BY event_type, quantile""",
+
+    // Same floor(n·0.1) per-side trim over the same sorted multiset;
+    // exact scaled-integer mean.
+    "q_trimmed_mean" -> """
+      WITH ranked AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS q,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY CAST(ROUND(value * 1000000.0) AS BIGINT)) AS rn
+        FROM events),
+      counts AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               CAST(FLOOR(COUNT(*) * 0.1) AS BIGINT) AS t
+        FROM ranked GROUP BY g)
+      SELECT r.g AS event_type, MAX(c.n) AS n,
+             MAX(c.t) AS n_trimmed_each_side,
+             CAST(ROUND(SUM(r.q) / (COUNT(*) * 1000000.0), 6) AS DOUBLE)
+               AS trimmed_mean
+      FROM ranked r JOIN counts c ON r.g = c.g
+      WHERE r.rn > c.t AND r.rn <= c.n - c.t
+      GROUP BY r.g
+      ORDER BY event_type""",
 
     // Same shared-token self-join decomposition; one-sided mass from
     // the shared sums; TextAnalysis.ln2 interpolated verbatim.

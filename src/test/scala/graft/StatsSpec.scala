@@ -145,6 +145,52 @@ class StatsSpec extends SparkTestBase {
       s"level-shift invariance: $a vs $b")
   }
 
+  // ---- qqDrift / trimmedMean ----
+
+  test("qqDrift: constant shift appears at every decile exactly") {
+    import spark.implicits._
+    val ref = Seq.tabulate(20)(i => ("g", false, i * 1.0))
+    val cur = Seq.tabulate(20)(i => ("g", true, i * 1.0 + 5.0))
+    val out = Stats.qqDrift((ref ++ cur).toDF("g", "cur", "v"), "g", "v",
+        col("cur"), nQuantiles = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert(out.keySet == Set(1, 2, 3), "k-1 interior quantiles")
+    assert(out.values.forall(_ == 5.0), s"uniform +5 shift: $out")
+  }
+
+  test("qqDrift: order statistics hit exact ranks; empty slice side is NULL") {
+    import spark.implicits._
+    // ref = 1..10, quartiles at ceil(q*10/4) = positions 3,5,8
+    val df = (Seq.tabulate(10)(i => ("g", false, (i + 1) * 1.0))
+      :+ (("h", false, 1.0))).toDF("g", "cur", "v")
+    val out = Stats.qqDrift(df, "g", "v", col("cur"), nQuantiles = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out(("g", 1)).getDouble(2) == 3.0)
+    assert(out(("g", 2)).getDouble(2) == 5.0)
+    assert(out(("g", 3)).getDouble(2) == 8.0)
+    out.values.foreach(r => assert(r.isNullAt(3) && r.isNullAt(4),
+      s"no cur slice anywhere: $r"))
+  }
+
+  test("trimmedMean: hand fixture trims exactly floor(n*trim) per side") {
+    import spark.implicits._
+    // 1..10 with outliers 1000 and -1000 replacing the ends: n=10,
+    // t=1 -> keep sorted positions 2..9 = {2..9}, mean 5.5
+    val vals = Seq(-1000.0, 2, 3, 4, 5, 6, 7, 8, 9, 1000.0)
+    val r = Stats.trimmedMean(vals.map(("g", _)).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(r.getLong(1) == 10 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 5.5, s"outliers trimmed: $r")
+  }
+
+  test("trimmedMean: trim 0 is the plain mean; tiny groups keep a row") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("h", 7.0)).toDF("g", "v")
+    val out = Stats.trimmedMean(df, "g", "v", trim = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("g") == 1.5 && out("h") == 7.0)
+  }
+
   // ---- benford ----
 
   test("benford: digits from quantized magnitudes, zeros/nulls drop") {
