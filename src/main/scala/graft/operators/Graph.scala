@@ -427,6 +427,43 @@ object Graph {
     e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
   }
 
+  /** Bipartite co-occurrence projection with a skew cap — the formal
+    * version of the "parts sharing an order" edge-list construction
+    * every graph query here inlines: project a (left, right)
+    * membership table onto right-right edges weighted by shared left
+    * keys. THE scale hazard is the per-left quadratic fan-out (one
+    * hot basket with 10⁴ members mints 5·10⁷ pairs); `maxPerLeft`
+    * drops left keys above the cap BEFORE the self-join — a
+    * DOCUMENTED recall trade (hot baskets carry little co-occurrence
+    * signal per pair; the capped projection is the standard
+    * market-basket practice), and the drop is by exact degree, so
+    * it's deterministic, not sampled.
+    *
+    * Scale shape: one distinct shuffle, one degree agg + broadcast
+    * semi-join filter, one left-keyed self-join whose per-key cost is
+    * ≤ cap²; weights are exact integers. Output: (a, b, weight) with
+    * a < b canonically (string order).
+    */
+  def bipartiteProject(df: DataFrame, leftCol: String, rightCol: String,
+      maxPerLeft: Int): DataFrame = {
+    require(maxPerLeft >= 2, s"maxPerLeft=$maxPerLeft must be >= 2")
+    val m = df
+      .select(col(leftCol).cast("string").as("_l"),
+        col(rightCol).cast("string").as("_r"))
+      .filter(col("_l").isNotNull && col("_r").isNotNull)
+      .distinct()
+    val keep = m.groupBy(col("_l").as("_lk")).agg(count(lit(1)).as("_d"))
+      .filter(col("_d") <= maxPerLeft)
+      .select("_lk")
+    val capped = m.join(broadcast(keep), col("_l") === col("_lk"),
+      "left_semi")
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x._l") === col("y._l") && col("x._r") < col("y._r"))
+      .groupBy(col("x._r").as("a"), col("y._r").as("b"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** Degree assortativity — the Pearson correlation of endpoint
     * degrees over the undirected edge list (Newman 2002): positive =
     * hubs prefer hubs (social-graph shape), negative = hubs fan out

@@ -582,6 +582,36 @@ object Profiling {
         max(col("_nc")).cast("long").as("n_cur"))
   }
 
+  /** Functional-dependency audit: does `detCols → depCol` hold — the
+    * schema-contract check behind "is doc_id really a key", "does
+    * source determine lang", "is this denormalized column consistent".
+    * A determinant group violates iff it maps to more than one
+    * dependent value; NULL dependents are a real level (two rows
+    * (k, NULL) and (k, 'x') ARE an inconsistency).
+    *
+    * All exact integers to one rounded rate. Scale shape: one
+    * (det, dep) distinct shuffle, one det-keyed count, a one-row
+    * fold. Output one row: (n_groups, n_violating, violation_rate,
+    * max_distinct_dep).
+    */
+  def functionalDependency(df: DataFrame, detCols: Seq[String],
+      depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "functionalDependency needs determinants")
+    val dcols = detCols.map(col)
+    val perDet = df
+      .select((dcols :+ col(depCol).as("_dep")): _*)
+      .distinct()
+      .groupBy(dcols: _*)
+      .agg(count(lit(1)).as("_nd"))
+    perDet.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+      round(sum(when(col("_nd") > 1, 1L).otherwise(0L))
+        / count(lit(1)).cast("double"), 6).cast("double")
+        .as("violation_rate"),
+      max("_nd").as("max_distinct_dep"))
+  }
+
   /** Zone maps — per-shard (min, max, null-count) for each listed
     * column, the data-skipping index a 100 TB layout lives on: a
     * reader with a predicate consults the shard-sized map and prunes

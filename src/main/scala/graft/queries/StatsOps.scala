@@ -225,6 +225,24 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Part co-purchase projection of lineitem with the skew cap:
+    * exact integer co-order weights, hot orders (> 8 parts) dropped
+    * deterministically by degree before the self-join.
+    */
+  val qBipartite: QueryFn = withTables { spark =>
+    Graph.bipartiteProject(spark.table("lineitem"), "l_orderkey",
+        "l_partkey", maxPerLeft = 8)
+      .orderBy("a", "b")
+  }
+
+  /** Functional-dependency audit source → lang on documents: exact
+    * integer group/violation counts, one rounded rate.
+    */
+  val qFdCheck: QueryFn = withTables { spark =>
+    Profiling.functionalDependency(spark.table("documents"),
+        Seq("source"), "lang")
+  }
+
   /** Pairwise Jensen–Shannon divergence between source unigram
     * distributions — symmetric, bounded, defined for disjoint
     * vocabularies; shared ln 2 literal.
@@ -264,6 +282,8 @@ object StatsOps {
     "q_trending" -> qTrending,
     "q_qq_drift" -> qQqDrift,
     "q_trimmed_mean" -> qTrimmedMean,
+    "q_bipartite" -> qBipartite,
+    "q_fd_check" -> qFdCheck,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -686,6 +706,36 @@ object StatsOps {
       WHERE r.rn > c.t AND r.rn <= c.n - c.t
       GROUP BY r.g
       ORDER BY event_type""",
+
+    // Same distinct membership, the same degree-cap filter BEFORE the
+    // self-join, canonical string order.
+    "q_bipartite" -> """
+      WITH m AS (
+        SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS l,
+               CAST(l_partkey AS VARCHAR) AS r
+        FROM lineitem),
+      keep AS (SELECT l FROM m GROUP BY l HAVING COUNT(*) <= 8),
+      capped AS (SELECT m.l, m.r FROM m JOIN keep ON m.l = keep.l)
+      SELECT x.r AS a, y.r AS b, COUNT(*)::BIGINT AS weight
+      FROM capped x JOIN capped y ON x.l = y.l AND x.r < y.r
+      GROUP BY x.r, y.r
+      ORDER BY a, b""",
+
+    // Same DISTINCT (det, dep) with NULL as a level, the same
+    // violation fold.
+    "q_fd_check" -> """
+      WITH pd AS (
+        SELECT source, COUNT(*)::BIGINT AS nd
+        FROM (SELECT DISTINCT source, lang FROM documents)
+        GROUP BY source)
+      SELECT COUNT(*)::BIGINT AS n_groups,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_violating,
+             CAST(ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+               AS violation_rate,
+             MAX(nd) AS max_distinct_dep
+      FROM pd""",
 
     // Same shared-token self-join decomposition; one-sided mass from
     // the shared sums; TextAnalysis.ln2 interpolated verbatim.

@@ -255,6 +255,50 @@ class StatsSpec extends SparkTestBase {
     assert(r.getDouble(0) < 0.0, s"all-cross partition: $r")
   }
 
+  // ---- bipartiteProject (Graph) ----
+
+  test("bipartiteProject: co-occurrence weights exact; hot left keys dropped") {
+    import spark.implicits._
+    // basket 1 = {a,b,c}; basket 2 = {a,b}; hot basket = 4 items with
+    // cap 3 -> dropped entirely; duplicate memberships collapse
+    val df = (Seq((1, "a"), (1, "b"), (1, "c"), (1, "a"),
+      (2, "a"), (2, "b")) ++
+      Seq.tabulate(4)(i => (9, s"h$i"))).toDF("l", "r")
+    val out = graft.operators.Graph.bipartiteProject(df, "l", "r", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L),
+      s"weights from baskets 1+2 only: $out")
+  }
+
+  test("bipartiteProject: cap bounds the per-left pair fan-out") {
+    import spark.implicits._
+    val df = (1 to 10).flatMap(l =>
+      (1 to 5).map(i => (l, s"i$i"))).toDF("l", "r")
+    val pairs = graft.operators.Graph.bipartiteProject(df, "l", "r", 5)
+    // 5 items per basket -> C(5,2)=10 distinct pairs, each weight 10
+    val rows = pairs.collect()
+    assert(rows.length == 10 && rows.forall(_.getLong(2) == 10L))
+  }
+
+  // ---- functionalDependency (Profiling) ----
+
+  test("functionalDependency: clean FD scores 0; violations counted with NULL level") {
+    import spark.implicits._
+    val clean = Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("k", "v")
+    val rc = graft.operators.Profiling
+      .functionalDependency(clean, Seq("k"), "v").collect().head
+    assert(rc.getLong(0) == 2 && rc.getLong(1) == 0 && rc.getDouble(2) == 0.0)
+
+    val dirty = Seq(("a", Some("x")), ("a", None), ("b", Some("y")),
+      ("c", Some("z")), ("c", Some("w")), ("c", Some("u"))).toDF("k", "v")
+    val rd = graft.operators.Profiling
+      .functionalDependency(dirty, Seq("k"), "v").collect().head
+    assert(rd.getLong(0) == 3 && rd.getLong(1) == 2,
+      s"(a,NULL)+(a,x) is an inconsistency: $rd")
+    assert(rd.getDouble(2) == 0.666667 && rd.getLong(3) == 3)
+  }
+
   // ---- assortativity (Graph) ----
 
   test("assortativity: a star is exactly -1; a regular graph is NULL") {
