@@ -203,6 +203,48 @@ object Resample {
       }
   }
 
+  /** Input/output rows for [[markovStream]]. */
+  case class TransitionEvent(key: Long, orderMicros: Long, eventId: Long,
+    state: String)
+  case class TransitionPair(from_state: String, to_state: String)
+  private[operators] case class LastSeen(state: String, have: Boolean)
+
+  /** Streaming-legal dual of [[markovTransitions]]'s pair extraction:
+    * ONE (state, have) record per key in the state store; each
+    * micro-batch's (order-sorted) events emit a pair per consecutive
+    * step, carrying the chain ACROSS micro-batch boundaries — count
+    * the emitted pairs downstream and the transition matrix equals
+    * the batch one (pinned in ResampleSpec). Same semantics contract:
+    * transitions INTO a null state are not emitted but DO advance the
+    * cursor (a null origin is a real level — the `have` flag keeps
+    * "no previous event" distinct from "previous state was null").
+    * Correct when per-key order is non-decreasing across
+    * micro-batches — the ewmaStream/sessionizeStream contract; pair
+    * with a watermark upstream to bound disorder.
+    */
+  def markovStream(
+      events: org.apache.spark.sql.Dataset[TransitionEvent]):
+      org.apache.spark.sql.Dataset[TransitionPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[LastSeen, TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, evs: Iterator[TransitionEvent],
+            gs: GroupState[LastSeen]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.eventId))
+          var last = gs.getOption.getOrElse(LastSeen(null, have = false))
+          val out = Array.newBuilder[TransitionPair]
+          sorted.foreach { e =>
+            if (last.have && e.state != null)
+              out += TransitionPair(last.state, e.state)
+            last = LastSeen(e.state, have = true)
+          }
+          if (sorted.nonEmpty) gs.update(last)
+          out.result().iterator
+      }
+  }
+
   /** Exact rolling quantile over a trailing ROWS frame — the
     * order-statistic sibling of a running mean: per key, over the
     * `frameRows` most recent rows (ordered by `orderCols`), the

@@ -228,6 +228,45 @@ class ResampleSpec extends SparkTestBase {
     assert(out.size == 3, "exactly three observed transitions")
   }
 
+  test("streaming markov pairs == batch transition counts across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.Resample.TransitionEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val batch = Resample
+      .markovTransitions(events, "user_id", "ts", "event_id", "event_type")
+      .select("from_state", "to_state", "n_pairs")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val ordered = events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"))
+      .orderBy(col("ts"), col("event_id")).collect()
+      .map(r => TransitionEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val input = MemoryStream[TransitionEvent]
+    val q = Resample.markovStream(input.toDS()).toDF("from_state", "to_state")
+      .writeStream.format("memory").queryName("markov_stream")
+      .outputMode(OutputMode.Append()).start()
+    // three micro-batches: chains must carry across the boundaries
+    val thirds = ordered.grouped(math.max(ordered.length / 3, 1)).toSeq
+    thirds.foreach { b =>
+      input.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("markov_stream")
+      .groupBy("from_state", "to_state").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed === batch,
+      "O(1)-state streaming pair extraction must equal the batch window")
+  }
+
   test("markovTransitions: per-origin probabilities sum to 1") {
     val ev = graft.tables.TableLoader.events(spark, sfDir)
     val sums = Resample
