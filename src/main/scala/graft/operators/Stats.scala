@@ -51,9 +51,37 @@ object Stats {
     * Output: (group, n_group, n_rest, ks) — ks NULL when the group is
     * the whole input (no complement to compare against).
     */
-  def ksTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val cells = df
-      .groupBy(col(groupCol).as("_g"), round(col(valueCol), 6).as("_q"))
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    ksOnPoints(df.select(col(groupCol).as("_g"),
+      round(col(valueCol), 6).as("_q")), groupCol)
+
+  /** The 100 TB dual of [[ksTest]]: evaluate the ECDFs on `bins`
+    * equi-width bins of the GLOBAL [min, max] (one-row broadcast
+    * stats, the PSI freeze) instead of every distinct value, so the
+    * grid is bins × groups regardless of value cardinality. Binning
+    * merges jump points, so D_binned ≤ D_exact always (the sup runs
+    * over a coarser set) and the gap is bounded by the largest mass a
+    * single bin hides — both pinned in StatsSpec. Same output
+    * contract as [[ksTest]].
+    */
+  def ksTestBinned(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val stats = df.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val binned = df.crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col("_hi") > col("_lo"),
+          least(floor((col(valueCol) - col("_lo")) * bins
+            / (col("_hi") - col("_lo"))), lit(bins - 1)))
+          .otherwise(lit(0)).cast("long").as("_q"))
+    ksOnPoints(binned, groupCol)
+  }
+
+  /** Shared KS machinery over a prepared (_g, _q) point frame. */
+  private def ksOnPoints(points: DataFrame, groupCol: String): DataFrame = {
+    val cells = points
+      .groupBy(col("_g"), col("_q"))
       .agg(count(lit(1)).as("_c"))
     val groups = cells.groupBy(col("_g").as("_gm")).agg(sum("_c").as("_ng"))
     val values = cells.select(col("_q").as("_vq")).distinct()

@@ -41,6 +41,39 @@ class StatsSpec extends SparkTestBase {
     assert(ks == 0.5, s"expected 0.5, got $ks")
   }
 
+  test("ksTestBinned: never exceeds exact KS, converges as bins refine") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (Seq.tabulate(80)(_ => ("a", rng.nextDouble() * 10)) ++
+      Seq.tabulate(80)(_ => ("b", rng.nextDouble() * 10 + 2)))
+      .toDF("g", "v")
+    val exact = Stats.ksTest(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val coarse = Stats.ksTestBinned(df, "g", "v", bins = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val fine = Stats.ksTestBinned(df, "g", "v", bins = 4096).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    exact.keys.foreach { g =>
+      assert(coarse(g) <= exact(g) + 1e-9,
+        s"binned sup runs over a coarser set: $g ${coarse(g)} vs ${exact(g)}")
+      assert(math.abs(fine(g) - exact(g)) < 0.05,
+        s"fine bins approach exact: $g ${fine(g)} vs ${exact(g)}")
+    }
+  }
+
+  test("ksTestBinned equals exact when bins resolve every value") {
+    import spark.implicits._
+    // integer values in [0, 10) with 1000 bins over the global range:
+    // every distinct value lands alone in its bin
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 7.0),
+      ("b", 2.0), ("b", 8.0), ("b", 9.0)).toDF("g", "v")
+    val exact = Stats.ksTest(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val binned = Stats.ksTestBinned(df, "g", "v", bins = 1000).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(binned == exact, s"$binned vs $exact")
+  }
+
   test("ksTest: single-group input reports NULL (no complement)") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
