@@ -166,4 +166,42 @@ object EventWindows {
         count(lit(1)).as("n_events"),
         floor((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
           / lit(1000000L)).cast("bigint").as("span_sec"))
+
+  /** Top-k most common `pathLen`-step event paths WITHIN sessions —
+    * the "user flow" miner behind funnel discovery: sessionize with
+    * the gap rule, slide a `pathLen` window over each session's
+    * (tsCol, tieCol)-ordered states, count complete windows, rank
+    * by (count DESC, path ASC) — a total order. Paths never cross a
+    * session boundary (that's the point: cross-session steps aren't
+    * a flow).
+    *
+    * Scale shape: the sessionize window (one user-keyed sort) + the
+    * same sort reused for the leads, one path-keyed count, one
+    * vocab-of-paths-sized top-k. Output: (path, n), k rows.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, stateCol: String, gapSeconds: Long,
+      pathLen: Int = 3, k: Int = 10): DataFrame = {
+    require(pathLen >= 2, s"pathLen=$pathLen must be >= 2")
+    require(k >= 1, s"k=$k must be >= 1")
+    val sess = sessionize(events, userCol, tsCol, tieCol, gapSeconds)
+    val w = Window.partitionBy(col(userCol), col("session_no"))
+      .orderBy(col(tsCol), col(tieCol))
+    val steps = (0 until pathLen).map {
+      case 0 => col(stateCol)
+      case i => lead(col(stateCol), i).over(w)
+    }
+    val counted = sess
+      // every step non-null — including the origin state: concat_ws
+      // silently skips nulls and would alias shorter paths otherwise
+      .withColumn("path", when(steps.map(_.isNotNull)
+          .reduce(_ && _), concat_ws(">", steps: _*)))
+      .filter(col("path").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    counted
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("n").desc, col("path").asc)))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
 }

@@ -66,12 +66,23 @@ object Streaming {
       .orderBy("user_id", "session_no")
   }
 
+  /** Top-10 three-step in-session event flows under the same 30-min
+    * gap rule and (ts, event_id) total order: exact path counts,
+    * (n DESC, path) total-order ranking.
+    */
+  val qTopPaths: QueryFn = withTables { spark =>
+    EventWindows.topPaths(spark.table("events"), "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800L, pathLen = 3, k = 10)
+      .orderBy(col("n").desc, col("path"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
     "q_sessionize" -> qSessionize,
     "q_session_transcript" -> qSessionTranscript,
+    "q_top_paths" -> qTopPaths,
   )
 
   val oracles: Map[String, String] = Map(
@@ -175,5 +186,39 @@ object Streaming {
       FROM i
       GROUP BY user_id, session_no
       ORDER BY user_id, session_no""",
+
+    // q_sessionize's gaps-and-islands CTE, LEAD steps within
+    // (user, session) in the same total order; || NULL-propagation
+    // drops incomplete windows exactly like the Spark guard.
+    "q_top_paths" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      m AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM m),
+      p AS (
+        SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+               || '>' || LEAD(event_type, 2) OVER w2 AS path
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id, session_no
+                      ORDER BY ts, event_id)),
+      c AS (SELECT path, COUNT(*)::BIGINT AS n
+            FROM p WHERE path IS NOT NULL GROUP BY path)
+      SELECT path, n
+      FROM (SELECT path, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS rn
+            FROM c)
+      WHERE rn <= 10
+      ORDER BY n DESC, path""",
   )
 }

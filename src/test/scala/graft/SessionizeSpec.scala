@@ -140,4 +140,34 @@ class SessionizeSpec extends SparkTestBase {
     assert(bad === 0L, "transcript length matches n_events")
     tr.unpersist()
   }
+
+  test("topPaths: flows never cross a session boundary; counts exact") {
+    import spark.implicits._
+    // u1 session A: a,b,c,b -> paths a>b>c, b>c>b; 30-min gap; then
+    // session B: a,b,c -> a>b>c again. u2: a,b,c -> a>b>c.
+    val df = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"), (1L, 3L, ts(2), "c"),
+      (1L, 4L, ts(3), "b"),
+      (1L, 5L, ts(40), "a"), (1L, 6L, ts(41), "b"), (1L, 7L, ts(42), "c"),
+      (2L, 8L, ts(0), "a"), (2L, 9L, ts(1), "b"), (2L, 10L, ts(2), "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventWindows.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800L, pathLen = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 3L, "b>c>b" -> 1L),
+      s"no path spans the u1 session gap (no c>b>a / b>a>b): $out")
+  }
+
+  test("topPaths: k truncates under the (n DESC, path ASC) total order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, ts(0), "x"), (1L, 2L, ts(1), "y"), (1L, 3L, ts(2), "z"),
+      (2L, 4L, ts(0), "p"), (2L, 5L, ts(1), "q"), (2L, 6L, ts(2), "r"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventWindows.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800L, pathLen = 3, k = 1)
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "p>q>r",
+      s"tie on n=1 broken by path asc: ${out.toList}")
+  }
 }
