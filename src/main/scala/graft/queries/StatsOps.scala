@@ -235,6 +235,21 @@ object StatsOps {
       .orderBy("a", "b")
   }
 
+  /** Adamic–Adar link prediction on the co-order part graph: top-20
+    * not-yet-linked pairs by hub-discounted common neighbors, hub
+    * middles (> 50 neighbors) dropped by exact degree.
+    */
+  val qLinkPred: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    Graph.linkPrediction(pairs, "a", "b", maxMiddleDegree = 50, k = 20)
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+  }
+
   /** Functional-dependency audit source → lang on documents: exact
     * integer group/violation counts, one rounded rate.
     */
@@ -284,6 +299,7 @@ object StatsOps {
     "q_trimmed_mean" -> qTrimmedMean,
     "q_bipartite" -> qBipartite,
     "q_fd_check" -> qFdCheck,
+    "q_link_pred" -> qLinkPred,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -720,6 +736,46 @@ object StatsOps {
       FROM capped x JOIN capped y ON x.l = y.l AND x.r < y.r
       GROUP BY x.r, y.r
       ORDER BY a, b""",
+
+    // Same canonical/symmetric edges, the same middle-degree cap
+    // before the path-2 join, anti-join of existing edges, and the
+    // same rounded-score total-order ranking.
+    "q_link_pred" -> """
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      canon AS (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS (SELECT a, b FROM canon
+              UNION ALL SELECT b AS a, a AS b FROM canon),
+      degs AS (SELECT a AS v, COUNT(*)::BIGINT AS deg
+               FROM sym GROUP BY a),
+      mids AS (SELECT v, deg FROM degs WHERE deg <= 50),
+      via AS (SELECT s.a AS x, s.b AS u, m.deg
+              FROM sym s JOIN mids m ON s.b = m.v),
+      cands AS (
+        SELECT v.x AS pa, r.b AS pb, v.deg AS mdeg
+        FROM via v JOIN sym r ON v.u = r.a
+        WHERE v.x < r.b),
+      scored AS (
+        SELECT pa, pb, COUNT(*)::BIGINT AS common_neighbors,
+               SUM(CASE WHEN mdeg > 1
+                     THEN 1.0 / LN(CAST(mdeg AS DOUBLE)) END) AS aa
+        FROM cands GROUP BY pa, pb),
+      nonedge AS (
+        SELECT s.* FROM scored s
+        LEFT JOIN canon c ON s.pa = c.a AND s.pb = c.b
+        WHERE c.a IS NULL)
+      SELECT pa AS a, pb AS b, common_neighbors,
+             CAST(ROUND(aa, 6) AS DOUBLE) AS adamic_adar
+      FROM (SELECT *, ROW_NUMBER() OVER
+              (ORDER BY ROUND(aa, 6) DESC, pa, pb) AS rn
+            FROM nonedge)
+      WHERE rn <= 20
+      ORDER BY adamic_adar DESC, a, b""",
 
     // Same DISTINCT (det, dep) with NULL as a level, the same
     // violation fold.

@@ -314,6 +314,39 @@ class StatsSpec extends SparkTestBase {
     assert(rows.length == 10 && rows.forall(_.getLong(2) == 10L))
   }
 
+  // ---- linkPrediction (Graph) ----
+
+  test("linkPrediction: scores only non-edges; common neighbors exact") {
+    import spark.implicits._
+    // path a-m-b plus edge a-c: (a,b) share middle m (not linked);
+    // (m,c) share middle a; a-c and a-m and m-b are EDGES -> excluded
+    val edges = Seq(("a", "m"), ("m", "b"), ("a", "c")).toDF("s", "d")
+    val out = graft.operators.Graph
+      .linkPrediction(edges, "s", "d", maxMiddleDegree = 10, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // (a,b) share middle m; (c,m) share middle a; (b,c) share no
+    // neighbor (b:{m}, c:{a}) and must NOT appear
+    assert(out.keySet == Set(("a", "b"), ("c", "m")),
+      s"exactly the distance-2 non-edges: $out")
+    assert(out(("a", "b"))._1 == 1L && out(("c", "m"))._1 == 1L)
+  }
+
+  test("linkPrediction: hub middles above the cap stop minting candidates") {
+    import spark.implicits._
+    // star through hub h (degree 5): with cap 4 the hub is not a
+    // legal middle, so NO leaf pair is scored
+    val star = (1 to 5).map(i => ("h", s"l$i")).toDF("s", "d")
+    val out = graft.operators.Graph
+      .linkPrediction(star, "s", "d", maxMiddleDegree = 4, k = 100)
+      .collect()
+    assert(out.isEmpty, s"capped hub mints nothing: ${out.toList}")
+    val uncapped = graft.operators.Graph
+      .linkPrediction(star, "s", "d", maxMiddleDegree = 5, k = 100)
+      .collect()
+    assert(uncapped.length == 10, "C(5,2) leaf pairs via the hub")
+  }
+
   // ---- functionalDependency (Profiling) ----
 
   test("functionalDependency: clean FD scores 0; violations counted with NULL level") {
