@@ -513,6 +513,9 @@ object Graph {
         col(rightCol).cast("string").as("_r"))
       .filter(col("_l").isNotNull && col("_r").isNotNull)
       .distinct()
+      // three consumers (degree agg + both self-join sides): without
+      // this the scan+distinct executes three times
+      .localCheckpoint()
     val keep = m.groupBy(col("_l").as("_lk")).agg(count(lit(1)).as("_d"))
       .filter(col("_d") <= maxPerLeft)
       .select("_lk")
