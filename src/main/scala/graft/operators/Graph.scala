@@ -302,6 +302,50 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per vertex: 2·T(v)/(deg(v)·(deg(v)−1))
+    * — how close each vertex's neighborhood is to a clique, the
+    * per-vertex refinement of [[triangleCounts]] (and the number whose
+    * graph average separates social-clique structure from star/chain
+    * structure at the same degree distribution). Exact integer
+    * triangle counts and degrees into ONE rounded division; deg < 2 →
+    * NULL (no pair of neighbors to close). Triangle-free vertices
+    * report 0, not a dropped row.
+    *
+    * Scale shape: the triangleCounts three-way join + one degree agg
+    * over the same checkpointed canonical edge list, vertex-keyed
+    * attach. Output: (vertex, degree, n_triangles, clustering_coef).
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
+        .as("lo"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+          .as("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull
+        && col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint() // triangle joins + degree union re-read it
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
+      .join(e.as("ac"),
+        col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+      .select(col("ab.lo").as("a"), col("ab.hi").as("b"),
+        col("bc.hi").as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("_tv"))
+      .groupBy("_tv").agg(count(lit(1)).as("n_triangles"))
+    val degs = e.select(col("lo").as("vertex"))
+      .unionByName(e.select(col("hi").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    degs.join(tri, col("vertex") === col("_tv"), "left").drop("_tv")
+      .select(col("vertex"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(lit(2L) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .cast("double").as("clustering_coef"))
+  }
+
   /** Fixed-iteration semi-supervised label propagation on an
     * undirected graph: seed vertices carry a known label and are
     * CLAMPED (they never change); every other vertex takes, each

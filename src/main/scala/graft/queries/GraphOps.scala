@@ -154,6 +154,21 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Per-vertex clustering coefficient on the q_triangles co-order
+    * graph: exact triangle/degree integers, one rounded division,
+    * deg < 2 → NULL, triangle-free vertices report 0.
+    */
+  val qClusteringCoef: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    Graph.clusteringCoefficient(pairs, "a", "b")
+      .orderBy("vertex")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_kmeans" -> qKmeans,
     "q_semdedup" -> qSemDedup,
@@ -164,6 +179,7 @@ object GraphOps {
     "q_label_prop" -> qLabelProp,
     "q_kcore" -> qKcore,
     "q_pagerank_weighted" -> qPageRankWeighted,
+    "q_clustering_coef" -> qClusteringCoef,
   )
 
   // Shared CTE text: one Lloyd round over embeddings, ending in the
@@ -306,6 +322,40 @@ object GraphOps {
         UNION ALL SELECT c FROM tri)
       SELECT vertex, COUNT(*) AS n_triangles
       FROM corners GROUP BY vertex ORDER BY vertex""",
+
+    // The q_triangles CTEs + symmetric degrees + the same exact
+    // 2T/(d(d-1)) division.
+    "q_clustering_coef" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+              FROM e ab
+              JOIN e bc ON bc.lo = ab.hi
+              JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+      tcnt AS (
+        SELECT vertex, COUNT(*)::BIGINT AS n_triangles
+        FROM (SELECT a AS vertex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY vertex),
+      degs AS (
+        SELECT vertex, COUNT(*)::BIGINT AS degree
+        FROM (SELECT lo AS vertex FROM e UNION ALL SELECT hi FROM e)
+        GROUP BY vertex)
+      SELECT d.vertex, d.degree,
+             COALESCE(t.n_triangles, 0)::BIGINT AS n_triangles,
+             CAST(CASE WHEN d.degree >= 2 THEN
+               ROUND(2 * COALESCE(t.n_triangles, 0)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+             END AS DOUBLE) AS clustering_coef
+      FROM degs d LEFT JOIN tcnt t ON d.vertex = t.vertex
+      ORDER BY d.vertex""",
 
     // Per-dim stats quantized at 6 dp BEFORE the per-row z-energy sum,
     // exactly as the operator broadcasts them.

@@ -221,4 +221,33 @@ class GraphSpec extends SparkTestBase {
     assert(r3.keySet == Set("a", "b", "c", "d"),
       "fixpoint reached: only the 2-core remains")
   }
+
+  test("clusteringCoefficient: clique 1.0, star center 0.0, leaves NULL") {
+    import spark.implicits._
+    // triangle abc (all coef 1) + star center s with leaves x,y
+    // (s deg 2, no edge x-y -> coef 0; leaves deg 1 -> NULL)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("s", "x"), ("s", "y")).toDF("u", "v")
+    val out = graft.operators.Graph
+      .clusteringCoefficient(edges, "u", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    Seq("a", "b", "c").foreach(v =>
+      assert(out(v) == ((2L, 1L, Some(1.0))), s"clique corner $v: $out"))
+    assert(out(("s")) == ((2L, 0L, Some(0.0))), s"open wedge center: $out")
+    assert(out(("x"))._3.isEmpty && out(("y"))._3.isEmpty,
+      s"degree-1 leaves undefined: $out")
+  }
+
+  test("clusteringCoefficient: partial closure gives the exact fraction") {
+    import spark.implicits._
+    // v adjacent to a,b,c; only a-b closed: coef(v) = 2*1/(3*2) = 1/3
+    val edges = Seq(("v", "a"), ("v", "b"), ("v", "c"), ("a", "b"))
+      .toDF("u", "w")
+    val r = graft.operators.Graph.clusteringCoefficient(edges, "u", "w")
+      .filter(col("vertex") === "v").collect().head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 0.333333, s"1/3 rounded: $r")
+  }
 }
