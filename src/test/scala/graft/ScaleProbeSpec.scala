@@ -383,6 +383,35 @@ class ScaleProbeSpec extends SparkTestBase {
     g1.unpersist(); gN.unpersist()
   }
 
+  test("bipartiteProject: 10x disjoint replicas -> exactly 10x weighted pairs, ~linear time") {
+    import graft.operators.Graph
+    // replica i offsets BOTH sides into a disjoint key space, so each
+    // replica's projection is exactly the base's — pair multiset must
+    // be exactly N x and the per-left cap applies within replicas only
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("l"), col("l_partkey").as("r")).cache()
+    li.count()
+    def reps(n: Int): DataFrame =
+      (0 until n).map { i =>
+        li.select((col("l") + lit(i.toLong * 10000000L)).as("l"),
+          (col("r") + lit(i.toLong * 10000000L)).as("r"))
+      }.reduce(_ unionByName _)
+    val r1 = reps(1).cache(); r1.count()
+    val rN = reps(N).cache(); rN.count()
+    def run(df: DataFrame) = Graph.bipartiteProject(df, "l", "r", 8)
+    run(r1).count() // warmup
+    val (p1, t1) = timedCount(run(r1))
+    val w1 = run(r1).agg(sum("weight")).head.getLong(0)
+    val (pN, tN) = timedCount(run(rN))
+    val wN = run(rN).agg(sum("weight")).head.getLong(0)
+    info(s"pairs: 1x=$p1 ${N}x=$pN; weight mass: $w1 -> $wN")
+    assert(p1 > 0 && pN === N * p1, "disjoint replicas: exactly Nx pairs")
+    assert(wN === N * w1, "exactly Nx weight mass")
+    assertSubQuadratic("bipartiteProject", t1, tN,
+      () => (timedCount(run(r1))._2, timedCount(run(rN))._2))
+    r1.unpersist(); rN.unpersist(); li.unpersist()
+  }
+
   test("epsNeighborCounts: 10x disjoint coordinate bands -> 10x identical counts, ~linear time") {
     import graft.operators.Outliers
     // replica i shifts y by i·10⁴ ≫ ε: bands never interact, so each
