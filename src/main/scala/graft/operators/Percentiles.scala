@@ -87,4 +87,49 @@ object Percentiles {
       else (higher - pos) * at(lower) + (pos - lower) * at(higher)
     }
   }
+
+  /** Exact weighted quantile per group: the smallest value whose
+    * cumulative weight reaches p = pNum/pDen of the total — "the
+    * median order price weighted by quantity", the inventory/revenue
+    * flavor of a quantile where every row counts as `weightCol` units.
+    *
+    * The probability is a RATIONAL (pNum/pDen), so the crossing
+    * threshold ceil(W·pNum/pDen) is pure integer arithmetic — no
+    * float q, no interpolation scheme, deterministic under value ties
+    * (weights aggregate per distinct value first, so the cumulative
+    * is a function of the value alone). Weights must be non-negative
+    * integers (pre-scale fractional weights); the answer value passes
+    * through untouched.
+    *
+    * Scale shape: one (group, value)-keyed sum shuffle, one sort
+    * window per group over DISTINCT values, one min-agg — the
+    * trimmedMean family. Zero-total-weight groups report NULL.
+    * Output: (groupCols..., total_weight, wq).
+    */
+  def weightedQuantile(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, pNum: Int, pDen: Int): DataFrame = {
+    require(pDen >= 1 && pNum >= 1 && pNum <= pDen,
+      s"p=$pNum/$pDen must sit in (0, 1]")
+    val gcols = groupCols.map(col)
+    val cells = df
+      .select((gcols :+ col(valueCol).as("_v")
+        :+ col(weightCol).cast("long").as("_w")): _*)
+      .groupBy((gcols :+ col("_v")): _*)
+      .agg(sum("_w").as("_wv"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy("_v")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+    val num = col("_tw") * pNum + pDen - 1
+    cells
+      .withColumn("_cum", sum("_wv").over(wOrd))
+      .withColumn("_tw", sum("_wv").over(wAll))
+      // ceil(W·pNum/pDen) = (W·pNum + pDen − 1 − mod) / pDen, all long
+      .withColumn("_thr", ((num - pmod(num, lit(pDen.toLong))) / pDen)
+        .cast("long"))
+      .groupBy(gcols: _*)
+      .agg(max("_tw").as("total_weight"),
+        min(when(col("_cum") >= col("_thr") && col("_thr") > 0, col("_v")))
+          .as("wq"))
+  }
 }

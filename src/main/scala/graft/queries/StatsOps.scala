@@ -150,6 +150,16 @@ object StatsOps {
       .orderBy("duration")
   }
 
+  /** Quantity-weighted median price per return flag: rational p=1/2,
+    * pure integer crossing threshold, value passes through untouched.
+    */
+  val qWeightedMedian: QueryFn = withTables { spark =>
+    graft.operators.Percentiles.weightedQuantile(spark.table("lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        pNum = 1, pDen = 2)
+      .orderBy("l_returnflag")
+  }
+
   /** Heaps'-law vocabulary-growth fit per source: exact integer
     * least-squares over ROUND(ln·10⁶) scaled boundary points.
     */
@@ -300,6 +310,7 @@ object StatsOps {
     "q_bipartite" -> qBipartite,
     "q_fd_check" -> qFdCheck,
     "q_link_pred" -> qLinkPred,
+    "q_weighted_median" -> qWeightedMedian,
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
@@ -967,6 +978,25 @@ object StatsOps {
       FROM km2
       WHERE n_events > 0
       ORDER BY duration""",
+
+    // Same per-distinct-value weight cells, the same integer ceil
+    // threshold (tw+1 − mod)/2, the same min-crossing pick.
+    "q_weighted_median" -> """
+      WITH cells AS (
+        SELECT l_returnflag AS g, l_extendedprice AS v,
+               SUM(CAST(l_quantity AS BIGINT))::BIGINT AS wv
+        FROM lineitem GROUP BY 1, 2),
+      c2 AS (
+        SELECT g, v, wv,
+               SUM(wv) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(wv) OVER (PARTITION BY g) AS tw
+        FROM cells)
+      SELECT g AS l_returnflag, MAX(tw) AS total_weight,
+             MIN(CASE WHEN cum >= ((tw + 1) - ((tw + 1) % 2)) // 2
+                       AND tw > 0
+                  THEN v END) AS wq
+      FROM c2 GROUP BY g
+      ORDER BY g""",
 
     // Same first-occurrence cumulative vocabulary, the same scaled-ln
     // boundary points, and the same exact-integer regression rationals

@@ -58,4 +58,39 @@ class PercentilesSpec extends SparkTestBase {
       Percentiles.exactValues(Seq.empty[Double].toDF("x"), col("x"), Seq(0.5))
     }
   }
+
+  test("weightedQuantile: hand fixture, unit-weight degeneration, zero weights") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,1,4: W=6, thr=ceil(3)=3 -> cum hits
+    // 3 first at value 3 (cum 1,2,6) -> weighted median 3
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 4L))
+      .toDF("g", "v", "w")
+    val r = Percentiles.weightedQuantile(df, Seq("g"), "v", "w", 1, 2)
+      .collect().head
+    assert(r.getLong(1) == 6 && r.getDouble(2) == 3.0, s"$r")
+
+    // all weights 1: lower median of {1,2,3,4} = value at ceil(4/2)=2
+    val unit = Seq(1.0, 2.0, 3.0, 4.0).map(("u", _, 1L)).toDF("g", "v", "w")
+    val ru = Percentiles.weightedQuantile(unit, Seq("g"), "v", "w", 1, 2)
+      .collect().head
+    assert(ru.getDouble(2) == 2.0, s"unit weights = lower median: $ru")
+
+    val zero = Seq(("z", 5.0, 0L)).toDF("g", "v", "w")
+    val rz = Percentiles.weightedQuantile(zero, Seq("g"), "v", "w", 1, 2)
+      .collect().head
+    assert(rz.getLong(1) == 0 && rz.isNullAt(2), "zero mass => NULL")
+  }
+
+  test("weightedQuantile: p=1 returns the max value; ties collapse by value") {
+    import spark.implicits._
+    val df = Seq(("g", 2.0, 3L), ("g", 2.0, 2L), ("g", 9.0, 1L))
+      .toDF("g", "v", "w")
+    val max = Percentiles.weightedQuantile(df, Seq("g"), "v", "w", 1, 1)
+      .collect().head
+    assert(max.getDouble(2) == 9.0, s"p=1 crosses at the top: $max")
+    // 5 of 6 units sit at 2.0 -> median 2.0 regardless of row split
+    val med = Percentiles.weightedQuantile(df, Seq("g"), "v", "w", 1, 2)
+      .collect().head
+    assert(med.getDouble(2) == 2.0, s"tied values aggregate first: $med")
+  }
 }
