@@ -1217,6 +1217,24 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("weightedQuantile law: monotone in p and always an input value") {
+    check("wq-monotone")(Prop.forAll(rowsGen) { rows =>
+      import spark.implicits._
+      Prop(rows.nonEmpty) ==> {
+        val d = rows.map { case (k, v) => ("g", v.toDouble, (k + 1).toLong) }
+          .toDF("g", "v", "w")
+        val qs = Seq((1, 4), (1, 2), (3, 4), (1, 1)).map { case (n, den) =>
+          graft.operators.Percentiles
+            .weightedQuantile(d, Seq("g"), "v", "w", n, den)
+            .collect().head.getDouble(2)
+        }
+        val values = rows.map(_._2.toDouble).toSet
+        qs.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)) &&
+          qs.forall(values.contains)
+      }
+    })
+  }
+
   test("modularity law: bounded above by 1 and 0 for a single community") {
     check("modularity-bounds")(Prop.forAll(rowsGen) { rows =>
       import spark.implicits._
