@@ -55,6 +55,9 @@ def main():
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             spark_cols = sorted(spark_rel.columns)
+            sdf = con.sql(
+                f"SELECT {', '.join(spark_cols)} FROM spark_rel").df()
+            spark_dtypes = {c: str(sdf[c].dtype) for c in spark_cols}
             spark_rows = sorted(
                 tuple(norm(v) for v in row)
                 for row in con.sql(
@@ -66,12 +69,28 @@ def main():
         try:
             orel = con.sql(osql)
             ocols = sorted(orel.columns)
+            odf = con.sql(f"SELECT {', '.join(ocols)} FROM orel").df()
+            odtypes = {c: str(odf[c].dtype) for c in ocols}
             orows = sorted(
                 tuple(norm(v) for v in row)
                 for row in con.sql(
                     f"SELECT {', '.join(ocols)} FROM orel").fetchall())
         except Exception as e:
             print(f"FAIL {name}: oracle errored: {e}")
+            n_fail += 1
+            continue
+
+        # Dtype-strict: the driver hashes through pandas, where a
+        # DuckDB HUGEINT (e.g. an uncast windowed SUM(BIGINT)) lands
+        # as float64 against Spark's int64 and hash-mismatches even
+        # with identical values. Both sides here flow through DuckDB
+        # .df(), so a dtype diff is a genuine engine-dtype divergence.
+        dtype_bad = [c for c in ocols
+                     if spark_dtypes.get(c) != odtypes.get(c)]
+        if spark_cols == ocols and dtype_bad:
+            print(f"FAIL {name}: dtype mismatch on "
+                  + ", ".join(f"{c} (spark {spark_dtypes[c]} != "
+                              f"oracle {odtypes[c]})" for c in dtype_bad))
             n_fail += 1
             continue
 

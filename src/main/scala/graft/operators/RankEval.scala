@@ -279,7 +279,10 @@ object RankEval {
   def calibrationBins(df: DataFrame, confCol: Column, labelCol: Column,
       bins: Int): DataFrame = {
     require(bins >= 1, s"calibrationBins: bins must be >= 1, got $bins")
-    val bin = least(floor(confCol * bins).cast("int"), lit(bins - 1))
+    // isNotNull guard: least() skips nulls, so a NULL confidence would
+    // otherwise silently land in the top bin instead of staying NULL.
+    val bin = when(confCol.isNotNull,
+      least(floor(confCol * bins), lit((bins - 1).toLong))).cast("bigint")
     val perBin = df
       .select(bin.as("bin"), confCol.as("_conf"),
         labelCol.cast("int").as("_lbl"))

@@ -69,12 +69,18 @@ object Stats {
     require(bins >= 2, s"bins=$bins must be >= 2")
     val stats = df.agg(min(col(valueCol)).as("_lo"),
       max(col(valueCol)).as("_hi"))
+    // Outer isNotNull guard: least() SKIPS nulls, so without it a NULL
+    // value would bin as floor(NULL) → least(NULL, bins-1) = bins-1 and
+    // silently count as a top-bin observation. The ksTest contract says
+    // a NULL value is a real level of its own — keep it NULL here and
+    // let ksOnPoints's null-safe grid carry it.
     val binned = df.crossJoin(broadcast(stats))
       .select(col(groupCol).as("_g"),
-        when(col("_hi") > col("_lo"),
-          least(floor((col(valueCol) - col("_lo")) * bins
-            / (col("_hi") - col("_lo"))), lit(bins - 1)))
-          .otherwise(lit(0)).cast("long").as("_q"))
+        when(col(valueCol).isNotNull,
+          when(col("_hi") > col("_lo"),
+            least(floor((col(valueCol) - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))), lit(bins - 1)))
+            .otherwise(lit(0))).cast("long").as("_q"))
     ksOnPoints(binned, groupCol)
   }
 
@@ -223,7 +229,7 @@ object Stats {
       .select(col("_g").as(groupCol), col("_n").as("n"),
         round(col("_num") / (col("_n") * lit(1e6)), 6)
           .cast("double").as("cusum"),
-        col("_k").as("at_k"))
+        col("_k").cast("bigint").as("at_k"))
   }
 
   /** Per-quantile drift between two slices of each group — the

@@ -22,6 +22,16 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** The 100 TB dual judged: same KS contract evaluated on 16
+    * equi-width bins of the global value range (the PSI edge freeze),
+    * so the ECDF grid is 16 × groups regardless of value cardinality.
+    */
+  val qKsBinned: QueryFn = withTables { spark =>
+    Stats.ksTestBinned(spark.table("events"), "event_type", "value",
+        bins = 16)
+      .orderBy("event_type")
+  }
+
   /** Two-proportion z-test of P(value > 50) per event type vs the
     * rest, with the Wilson 95% interval for the group rate — exact
     * counts into an identically-spelled float tree (IEEE sqrt).
@@ -144,7 +154,7 @@ object StatsOps {
           col("ts").cast("date"))).as("_firstp"))
       .select(col("user_id"),
         datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
-          .as("duration"),
+          .cast("bigint").as("duration"),
         col("_firstp").isNotNull.as("observed"))
     Stats.kaplanMeier(subjects, Seq.empty, "duration", col("observed"))
       .orderBy("duration")
@@ -289,6 +299,7 @@ object StatsOps {
 
   val queries: Map[String, QueryFn] = Map(
     "q_ks_test" -> qKsTest,
+    "q_ks_binned" -> qKsBinned,
     "q_prop_ztest" -> qPropZtest,
     "q_theils_u" -> qTheilsU,
     "q_cusum" -> qCusum,
@@ -329,10 +340,53 @@ object StatsOps {
       grid AS (
         SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
         FROM vals v CROSS JOIN grps gr
-        LEFT JOIN cells ce ON ce.g = gr.g AND ce.q = v.q),
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
       cum AS (
         SELECT g, q, ng,
-               SUM(c) OVER (PARTITION BY g ORDER BY q) AS cg
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call
+        FROM cum)
+      SELECT g AS event_type, MAX(ng) AS n_group,
+             MAX(n) - MAX(ng) AS n_rest,
+             CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+               CAST(ROUND(MAX(ABS(cg * (n - ng) - (call - cg) * ng))
+                 / CAST(MAX(ng) * (MAX(n) - MAX(ng)) AS DOUBLE), 6)
+                 AS DOUBLE)
+             END AS ks
+      FROM cum2 CROSS JOIN nn
+      GROUP BY g
+      ORDER BY event_type""",
+
+    // The q_ks_test grid machinery on 16 equi-width bins of the
+    // global [min,max] (floor-scaled, top edge clamped into the last
+    // bin); a NULL value stays its own level on both engines, with
+    // the window ordering pinned NULLS FIRST to match Spark.
+    "q_ks_binned" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*) AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
+      cum AS (
+        SELECT g, q, ng,
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
         FROM grid),
       cum2 AS (
         SELECT g, q, ng, cg,
@@ -429,7 +483,7 @@ object StatsOps {
               FROM scored GROUP BY g),
       dev AS (
         SELECT s.g, t.n, s.k, ABS(t.n * s.s - s.k * t.t) AS num
-        FROM scored s JOIN tot t ON s.g = t.g)
+        FROM scored s JOIN tot t ON s.g IS NOT DISTINCT FROM t.g)
       SELECT g AS event_type, n,
              CAST(ROUND(num / (n * 1000000.0), 6) AS DOUBLE) AS cusum,
              k AS at_k
@@ -445,10 +499,10 @@ object StatsOps {
     "q_seasonality" -> """
       WITH cells AS (
         SELECT event_type,
-               CAST(((CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+               CAST((((CAST(FLOOR(EPOCH(ts)) AS BIGINT)
                       - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400
-                          + 86400) % 86400)) // 86400 + 3) % 7 AS INT)
-                 AS dow,
+                          + 86400) % 86400)) // 86400 + 3) % 7 + 7) % 7
+                 AS INT) AS dow,
                COUNT(*)::BIGINT AS n,
                SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS s
         FROM events GROUP BY 1, 2),
@@ -458,7 +512,8 @@ object StatsOps {
              CAST(CASE WHEN t.ts <> 0 THEN
                ROUND((c.s * t.tn) / CAST(c.n * t.ts AS DOUBLE), 6)
              END AS DOUBLE) AS seasonality
-      FROM cells c JOIN tot t ON c.event_type = t.event_type
+      FROM cells c JOIN tot t
+        ON c.event_type IS NOT DISTINCT FROM t.event_type
       ORDER BY c.event_type, c.dow""",
 
     // Same LEAD over the same (ts, event_id) total order; sequence
@@ -548,8 +603,8 @@ object StatsOps {
       FROM cnt
       ORDER BY event_id""",
 
-    // Same grid geometry as q_density_grid (ε=15 ⇒ 1500-scaled cells,
-    // ε² = 2 250 000), then the q_dedup_clusters recursive min-label
+    // Same grid geometry as q_density_grid (ε=5 ⇒ 500-scaled cells,
+    // ε² = 250 000), then the q_dedup_clusters recursive min-label
     // closure over core-core edges, isolated-core self-labels, and
     // min-core-neighbor border labels.
     "q_dbscan" -> """
@@ -959,10 +1014,10 @@ object StatsOps {
         FROM subj GROUP BY duration),
       km AS (
         SELECT duration, n_events, n_censored,
-               (SELECT SUM(n_events + n_censored) FROM cells)::BIGINT
+               ((SELECT SUM(n_events + n_censored) FROM cells)
                  - COALESCE(SUM(n_events + n_censored) OVER
                      (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND 1 PRECEDING), 0) AS n_at_risk
+                      AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
         FROM cells),
       km2 AS (
         SELECT duration, n_events, n_censored, n_at_risk,
@@ -991,7 +1046,7 @@ object StatsOps {
                SUM(wv) OVER (PARTITION BY g ORDER BY v) AS cum,
                SUM(wv) OVER (PARTITION BY g) AS tw
         FROM cells)
-      SELECT g AS l_returnflag, MAX(tw) AS total_weight,
+      SELECT g AS l_returnflag, MAX(tw)::BIGINT AS total_weight,
              MIN(CASE WHEN cum >= ((tw + 1) - ((tw + 1) % 2)) // 2
                        AND tw > 0
                   THEN v END) AS wq

@@ -230,9 +230,9 @@ class AnalyticsOpsSpec extends SparkTestBase {
       .toDF("conf", "lbl")
     val bins = RankEval.calibrationBins(df, col("conf"), col("lbl") === 1, 10)
     val m = bins.collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    assert(m.keySet == Set(0, 9), "only occupied bins emit")
+    assert(m.keySet == Set(0L, 9L), "only occupied bins emit")
     assert(m(0) == ((2L, 0.5, 0.05)))
     assert(m(9) == ((2L, 1.0, 0.975)))
     val ece = RankEval.eceFromBins(bins).collect().head

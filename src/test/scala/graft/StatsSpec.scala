@@ -74,6 +74,23 @@ class StatsSpec extends SparkTestBase {
     assert(binned == exact, s"$binned vs $exact")
   }
 
+  test("ksTestBinned: NULL values stay their own level, not the top bin") {
+    import spark.implicits._
+    // a carries the NULLs. least() skips nulls, so the unguarded bin
+    // expression would have collapsed them into bin 15 (top-bin mass
+    // they don't have); the contract keeps NULL as its own level, so
+    // with bins resolving every real value, binned must equal exact.
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", None),
+      ("b", Some(2.0)), ("b", Some(9.0)), ("b", Some(9.0)))
+      .toDF("g", "v")
+    val exact = Stats.ksTest(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val binned = Stats.ksTestBinned(df, "g", "v", bins = 1000).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(binned == exact, s"null level must survive binning: " +
+      s"$binned vs $exact")
+  }
+
   test("ksTest: single-group input reports NULL (no complement)") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
@@ -155,7 +172,7 @@ class StatsSpec extends SparkTestBase {
     val df = Seq.tabulate(6)(i => ("g", i, if (i < 3) 0.0 else 10.0))
       .toDF("g", "k", "v")
     val r = Stats.cusum(df, "g", "k", "k", "v").collect().head
-    assert(r.getInt(3) == 3, s"break at k=3: $r")
+    assert(r.getLong(3) == 3L, s"break at k=3: $r")
     assert(r.getDouble(2) == 15.0, s"max departure 90/6 = 15: $r")
   }
 
@@ -163,7 +180,7 @@ class StatsSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq.tabulate(5)(i => ("g", i, 2.5)).toDF("g", "k", "v")
     val r = Stats.cusum(df, "g", "k", "k", "v").collect().head
-    assert(r.getDouble(2) == 0.0 && r.getInt(3) == 1)
+    assert(r.getDouble(2) == 0.0 && r.getLong(3) == 1L)
   }
 
   test("cusum is invariant to adding a constant to every value") {
@@ -174,7 +191,7 @@ class StatsSpec extends SparkTestBase {
     val b = Stats.cusum(base.map { case (g, k, v) => (g, k, v + 100.0) }
         .toDF("g", "k", "v"), "g", "k", "k", "v")
       .collect().head
-    assert(a.getDouble(2) == b.getDouble(2) && a.getInt(3) == b.getInt(3),
+    assert(a.getDouble(2) == b.getDouble(2) && a.getLong(3) == b.getLong(3),
       s"level-shift invariance: $a vs $b")
   }
 
