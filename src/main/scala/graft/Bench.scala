@@ -145,16 +145,47 @@ object Bench {
       spark.table("embeddings").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1))).count()
     }
+    // Noise armor (BASELINE.md repeat rule): this box is co-tenant, so
+    // a single rep can read 5-20x its steady-state time under ambient
+    // load (r8: the driver's q_feature_hash 20.46 s vs 0.87 s steady
+    // cost two independent investigations). Any query whose first rep
+    // exceeds 3x its committed bench_full.json anchor gets ONE re-run
+    // and reports the MIN of the two — a genuine regression repeats,
+    // a GC/load spike doesn't. Anchors are read from the PREVIOUS
+    // round's committed file before this run overwrites it; no anchor
+    // (new query, first round) → no re-run.
+    val anchorFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val anchors: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(anchorFile)), "UTF-8")
+        "\"(q_[a-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
     // (name, seconds, error-or-null): a broken query must surface as an
     // "errors" entry, never as a fast timing (VERDICT r01 "What's wrong").
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    var reruns = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (t1, err1) = timeOne(name, fn)
+      val t = anchors.get(name) match {
+        case Some(a) if err1.isEmpty && t1 > 3.0 * a =>
+          reruns ::= name
+          math.min(t1, timeOne(name, fn)._1)
+        case _ => t1
+      }
+      (name, t, err1)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -168,8 +199,9 @@ object Bench {
     val total = results.map(_._2).sum
     val fullQs = results.map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
       .mkString("{", ",", "}")
+    val rerunsJson = reruns.sorted.map(jstr).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"reruns":$rerunsJson,"sf":"$sfDir"}"""
     // The driver captures a bounded 2000-byte TAIL of the run log; at
     // 138+ queries the full per-query map is ~3.1 KB and CANNOT fit
     // (measured r3 AND r4: the alphabetical head was truncated away

@@ -270,36 +270,90 @@ object Graph {
     state.select(col("vertex"), col("hub"), col("auth"))
   }
 
+  /** Canonical undirected edge list: one (lo, hi) row per edge with
+    * lo < hi as strings, self-loops and null endpoints dropped,
+    * duplicates (including both directions) collapsed. The shared
+    * prologue of every undirected-graph operator here; NOT
+    * checkpointed — callers decide whether/where to truncate lineage.
+    */
+  private[graft] def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).cast("string").as("_ca"),
+        col(dstCol).cast("string").as("_cb"))
+      .filter(col("_ca").isNotNull && col("_cb").isNotNull
+        && col("_ca") =!= col("_cb"))
+      .select(least(col("_ca"), col("_cb")).as("lo"),
+        greatest(col("_ca"), col("_cb")).as("hi"))
+      .distinct()
+
+  /** Degree-order the canonical edge list: re-orient every (lo, hi)
+    * edge so `lo` is the endpoint of smaller rank under the TOTAL
+    * order rank(v) = (degree(v), v) — the classic heavy-hitter guard
+    * for wedge enumeration. Every out-neighbor of v then has degree
+    * >= degree(v), so out-degree is bounded by sqrt(2·|E|) regardless
+    * of how skewed the degree distribution is, and the wedge join's
+    * per-key fan-out is degeneracy-bounded instead of deg² at hubs.
+    * The triangle SET is orientation-invariant, so judged outputs
+    * don't change.
+    *
+    * Returns (oriented edges (lo, hi), per-vertex (vertex, degree)) —
+    * degrees are the TRUE undirected degrees, shared with callers
+    * that need them (clustering coefficient) so the union-agg runs
+    * once. Input is checkpointed here (degree agg + orientation join
+    * + callers re-read it).
+    */
+  private[graft] def orientByDegree(canon: DataFrame): (DataFrame, DataFrame) = {
+    val c = canon.localCheckpoint()
+    val degs = c.select(col("lo").as("vertex"))
+      .unionByName(c.select(col("hi").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    val oriented = c
+      .join(degs.select(col("vertex").as("_vl"), col("degree").as("_dl")),
+        col("lo") === col("_vl"))
+      .join(degs.select(col("vertex").as("_vh"), col("degree").as("_dh")),
+        col("hi") === col("_vh"))
+      // lo < hi by construction, so id already tie-breaks: keep the
+      // orientation iff deg(lo) <= deg(hi), else flip
+      .select(
+        when(col("_dl") <= col("_dh"), col("lo")).otherwise(col("hi"))
+          .as("lo"),
+        when(col("_dl") <= col("_dh"), col("hi")).otherwise(col("lo"))
+          .as("hi"))
+    (oriented, degs)
+  }
+
+  /** Exactly-once triangle corner counts over a degree-oriented edge
+    * list: each triangle with vertex ranks r_a < r_b < r_c appears
+    * once as the wedge a→b→c closed by a→c, and credits all three
+    * corners. Both joins are vertex-keyed equi-joins; fan-out at the
+    * wedge key is in(b)·out(b) <= deg(b)·sqrt(2|E|) — the
+    * [[orientByDegree]] guarantee.
+    */
+  private def triangleCorners(oriented: DataFrame): DataFrame = {
+    val e = oriented.localCheckpoint() // three self-references: compute once
+    e.as("ab")
+      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
+      .join(e.as("ac"),
+        col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
+      .select(explode(array(col("ab.lo"), col("ab.hi"), col("bc.hi")))
+        .as("vertex"))
+      .groupBy("vertex")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Per-vertex triangle counts on an undirected graph given as an
     * edge list (direction and duplicates ignored, self-loops dropped).
     *
-    * Algorithm: canonicalize each edge to (lo, hi), then count paths
-    * lo→mid→hi that close with a (lo, hi) edge — each triangle
-    * {a<b<c} is generated exactly once as a=lo, b=mid, c=hi — and
-    * credit each of its three corners. Both joins are equi-joins on a
-    * vertex key. At cluster scale, orient edges low-DEGREE-first
-    * instead of low-id-first (swap the canonicalization column) — the
-    * classic heavy-hitter guard that bounds per-key fan-out by the
-    * graph's degeneracy; the triangle SET is orientation-invariant, so
-    * the oracle and tests hold for either choice.
+    * Algorithm: canonicalize each edge ([[canonicalEdges]]), orient it
+    * low-degree-first ([[orientByDegree]] — the hub guard), then count
+    * rank-ordered wedges that close ([[triangleCorners]]).
     *
     * Returns (vertex, n_triangles) for vertices in >= 1 triangle.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("lo"),
-        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("hi"))
-      .filter(col("lo").isNotNull && col("hi").isNotNull && col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint() // three self-references below: compute once
-    val tri = e.as("ab")
-      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
-      .join(e.as("ac"),
-        col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
-      .select(col("ab.lo").as("a"), col("ab.hi").as("b"), col("bc.hi").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vertex"))
-      .groupBy("vertex")
-      .agg(count(lit(1)).as("n_triangles"))
+    val (oriented, _) = orientByDegree(canonicalEdges(edges, srcCol, dstCol))
+    triangleCorners(oriented)
   }
 
   /** Local clustering coefficient per vertex: 2·T(v)/(deg(v)·(deg(v)−1))
@@ -317,26 +371,10 @@ object Graph {
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol).cast("string"), col(dstCol).cast("string"))
-        .as("lo"),
-        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
-          .as("hi"))
-      .filter(col("lo").isNotNull && col("hi").isNotNull
-        && col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint() // triangle joins + degree union re-read it
-    val tri = e.as("ab")
-      .join(e.as("bc"), col("ab.hi") === col("bc.lo"))
-      .join(e.as("ac"),
-        col("ac.lo") === col("ab.lo") && col("ac.hi") === col("bc.hi"))
-      .select(col("ab.lo").as("a"), col("ab.hi").as("b"),
-        col("bc.hi").as("c"))
-      .select(explode(array(col("a"), col("b"), col("c"))).as("_tv"))
-      .groupBy("_tv").agg(count(lit(1)).as("n_triangles"))
-    val degs = e.select(col("lo").as("vertex"))
-      .unionByName(e.select(col("hi").as("vertex")))
-      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    val (oriented, degs) =
+      orientByDegree(canonicalEdges(edges, srcCol, dstCol))
+    val tri = triangleCorners(oriented)
+      .select(col("vertex").as("_tv"), col("n_triangles"))
     degs.join(tri, col("vertex") === col("_tv"), "left").drop("_tv")
       .select(col("vertex"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
@@ -493,14 +531,8 @@ object Graph {
     require(maxMiddleDegree >= 2,
       s"maxMiddleDegree=$maxMiddleDegree must be >= 2")
     require(k >= 1, s"k=$k must be >= 1")
-    val half = edges
-      .select(col(srcCol).cast("string").as("_a"),
-        col(dstCol).cast("string").as("_b"))
-      .filter(col("_a").isNotNull && col("_b").isNotNull
-        && col("_a") =!= col("_b"))
-      .select(least(col("_a"), col("_b")).as("_a"),
-        greatest(col("_a"), col("_b")).as("_b"))
-      .distinct()
+    val half = canonicalEdges(edges, srcCol, dstCol)
+      .select(col("lo").as("_a"), col("hi").as("_b"))
       .localCheckpoint() // sym, degrees, and the anti-join re-read it
     val sym = half.unionByName(
       half.select(col("_b").as("_a"), col("_a").as("_b")))
@@ -592,14 +624,8 @@ object Graph {
     */
   def assortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val canon = edges
-      .select(col(srcCol).cast("string").as("_a"),
-        col(dstCol).cast("string").as("_b"))
-      .filter(col("_a").isNotNull && col("_b").isNotNull
-        && col("_a") =!= col("_b"))
-      .select(least(col("_a"), col("_b")).as("_a"),
-        greatest(col("_a"), col("_b")).as("_b"))
-      .distinct()
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+      .select(col("lo").as("_a"), col("hi").as("_b"))
       .localCheckpoint() // degrees + both direction unions re-read it
     val sym = canon.unionByName(
       canon.select(col("_b").as("_a"), col("_a").as("_b")))
@@ -651,14 +677,8 @@ object Graph {
     */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, vCol: String, labelCol: String): DataFrame = {
-    val canon = edges
-      .select(col(srcCol).cast("string").as("_a"),
-        col(dstCol).cast("string").as("_b"))
-      .filter(col("_a").isNotNull && col("_b").isNotNull
-        && col("_a") =!= col("_b"))
-      .select(least(col("_a"), col("_b")).as("_a"),
-        greatest(col("_a"), col("_b")).as("_b"))
-      .distinct()
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+      .select(col("lo").as("_a"), col("hi").as("_b"))
     val lab = labels.select(col(vCol).cast("string").as("_v"),
       col(labelCol).as("_l"))
     val labeled = canon

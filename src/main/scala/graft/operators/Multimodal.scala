@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * modeled as an opaque binary column plus typed metadata —
   * `struct<uri:string, bytes:binary, meta:map<string,string>>`.
   *
-  * The DECODE step is a stub by design: no codec libraries exist in
-  * this container (and none may be added), so `StubDecoder` derives
-  * deterministic pseudo-features from the raw bytes. Everything around
-  * it — the schema, the typed Dataset plumbing, per-partition decoder
-  * lifecycle, batch shape, and partition sizing — is the real 100 TB
-  * pipeline shape: swap `StubDecoder` for a JNI/codec-backed
-  * implementation and nothing else changes.
+  * Image decode is REAL and library-free: PNG (full inflate +
+  * unfilter, [[PngDecoder]]), baseline JPEG (Huffman + IDCT,
+  * [[JpegDecoder]]), BMP header geometry ([[BmpDecoder]]), WAV PCM
+  * ([[WavDecoder]]) — together the formats that dominate real
+  * corpora. Formats whose decode genuinely needs an external codec
+  * (mp3/aac, mp4/h264) keep loud `unsupported` stubs plus
+  * `StubDecoder` for pseudo-features; everything around the slot —
+  * the schema, typed Dataset plumbing, per-partition decoder
+  * lifecycle, batch shape, partition sizing — is the real 100 TB
+  * pipeline shape, so a JNI/codec-backed decoder drops in with
+  * nothing else changing.
   *
   * Scale notes: media rows are large (MBs of bytes each), so
   * `maxPartitionBytes`-driven splits keep partitions bounded; decode is
@@ -77,7 +81,7 @@ object Multimodal {
     * byte offsets 18/22), so decoding needs byte arithmetic only — no
     * codec library. This proves the decoder SLOT carries real decoders,
     * not just the stub: formats whose decode genuinely needs a codec
-    * (jpeg/mp3/mp4) plug into the same `MediaDecoder` contract.
+    * (mp3/mp4) plug into the same `MediaDecoder` contract.
     * Malformed payloads fail loudly (a media pipeline must surface
     * corrupt inputs, not fabricate features for them).
     */
@@ -653,9 +657,21 @@ object Multimodal {
     * rides the same candidate-pruned equi-join machinery as text
     * near-dup ([[imageNearDup]] is that one-liner).
     */
+  /** Magic-byte dispatch over the REAL pixel decoders: JPEG SOI →
+    * [[JpegDecoder]], PNG signature (and everything else, which
+    * PngDecoder rejects loudly) → [[PngDecoder]]. Both return the
+    * same (w, h, row-major 1/3/4-bpp) contract, so every consumer
+    * (dHash, stats) is format-agnostic.
+    */
+  private[operators] def decodeImagePixels(uri: String,
+      bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF
+      && (bytes(1) & 0xFF) == 0xD8) JpegDecoder.decodePixels(uri, bytes)
+    else PngDecoder.decodePixels(uri, bytes)
+
   def imageDHash(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
     val hashUdf = udf { (uri: String, bytes: Array[Byte]) =>
-      val (w, h, pix) = PngDecoder.decodePixels(uri, bytes)
+      val (w, h, pix) = decodeImagePixels(uri, bytes)
       val bpp = pix.length / (w * h)
       def gray(x: Int, y: Int): Int = {
         val o = (y * w + x) * bpp

@@ -32,6 +32,12 @@ object QueryDefs {
   def withTables(body: SparkSession => DataFrame): QueryFn =
     (spark, sfDir) => { ensureTables(spark, sfDir); body(spark) }
 
+  /** Like [[withTables]] but passes sfDir through — for queries that
+    * key shared memoized builds (e.g. [[GraphOps.coOrderParts]]) by
+    * scale-factor directory. */
+  def withTablesSf(body: (SparkSession, String) => DataFrame): QueryFn =
+    (spark, sfDir) => { ensureTables(spark, sfDir); body(spark, sfDir) }
+
   /** A query defined as Spark SQL text over the registered views. */
   def sql(text: String): QueryFn = withTables(_.sql(text))
 }

@@ -191,30 +191,19 @@ object StatsOps {
     * modularity of the p_brand attribute partition — all-integer
     * (4m·intra − Σd_c²) numerator, one rounded division.
     */
-  val qModularity: QueryFn = withTables { spark =>
-    val li = spark.table("lineitem")
-      .filter(col("l_orderkey") % 7 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+  val qModularity: QueryFn = withTablesSf { (spark, sfDir) =>
     val labels = spark.table("part")
       .select(col("p_partkey").as("v"), col("p_brand").as("lbl"))
-    Graph.modularity(pairs, "a", "b", labels, "v", "lbl")
+    Graph.modularity(GraphOps.coOrderParts(spark, sfDir, 7), "a", "b",
+      labels, "v", "lbl")
   }
 
   /** Degree assortativity of the part co-order graph: exact integer
     * moment sums over both edge directions, one IEEE sqrt + rounded
     * division.
     */
-  val qAssortativity: QueryFn = withTables { spark =>
-    val li = spark.table("lineitem")
-      .filter(col("l_orderkey") % 7 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    Graph.assortativity(pairs, "a", "b")
+  val qAssortativity: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.assortativity(GraphOps.coOrderParts(spark, sfDir, 7), "a", "b")
   }
 
   /** Daily-sum autocorrelation at lags 1..3 per event type: exact
@@ -259,14 +248,9 @@ object StatsOps {
     * not-yet-linked pairs by hub-discounted common neighbors, hub
     * middles (> 50 neighbors) dropped by exact degree.
     */
-  val qLinkPred: QueryFn = withTables { spark =>
-    val li = spark.table("lineitem")
-      .filter(col("l_orderkey") % 7 === 0)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    Graph.linkPrediction(pairs, "a", "b", maxMiddleDegree = 50, k = 20)
+  val qLinkPred: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.linkPrediction(GraphOps.coOrderParts(spark, sfDir, 7), "a", "b",
+        maxMiddleDegree = 50, k = 20)
       .orderBy(col("adamic_adar").desc, col("a"), col("b"))
   }
 

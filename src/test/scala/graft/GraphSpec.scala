@@ -109,6 +109,39 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.triangleCounts(square.toDF("s", "t"), "s", "t").isEmpty)
   }
 
+  test("orientByDegree: planted hub mints zero wedges, not deg²") {
+    // Star with the hub id in the MIDDLE of the id order: under the
+    // old low-id-first orientation the hub had 40 in-edges and 40
+    // out-edges, so the ab.hi = bc.lo wedge join minted 40·40 = 1600
+    // candidates. Degree ordering points every edge leaf→hub (leaves
+    // have degree 1 < 80), hub out-degree 0 → exactly zero wedges.
+    val star = (Seq.tabulate(40)(i => (f"a$i%02d", "mm")) ++
+      Seq.tabulate(40)(i => ("mm", f"z$i%02d"))).toDF("s", "t")
+    val (oriented, degs) =
+      Graph.orientByDegree(Graph.canonicalEdges(star, "s", "t"))
+    val e = oriented.cache()
+    assert(e.filter(col("hi") =!= "mm").count() == 0,
+      "every star edge must orient leaf -> hub")
+    val wedges = e.as("ab")
+      .join(e.as("bc"), col("ab.hi") === col("bc.lo")).count()
+    assert(wedges == 0L, s"hub guard: expected 0 wedge candidates, got $wedges")
+    assert(degs.filter(col("vertex") === "mm").head.getLong(1) == 80L)
+    assert(Graph.triangleCounts(star, "s", "t").isEmpty)
+    e.unpersist()
+  }
+
+  test("orientByDegree: triangle counts invariant on a skewed graph") {
+    // hub h in K4 {h,a,b,c} plus 30 pendant leaves on h: counts must
+    // match the unoriented ground truth (each K4 vertex in 3 triangles)
+    val k4 = Seq("h" -> "a", "h" -> "b", "h" -> "c", "a" -> "b",
+      "a" -> "c", "b" -> "c")
+    val skewed = (k4 ++ Seq.tabulate(30)(i => "h" -> f"p$i%02d"))
+      .toDF("s", "t")
+    val got = Graph.triangleCounts(skewed, "s", "t")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("h" -> 3L, "a" -> 3L, "b" -> 3L, "c" -> 3L))
+  }
+
   // ---- pageRankWeighted ----
 
   test("pageRankWeighted: mass conserved; contributions split by weight") {
