@@ -204,4 +204,38 @@ object EventWindows {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** First-touch / last-touch conversion attribution: for every
+    * conversion event (`isConversion`), credit (a) the user's FIRST
+    * non-conversion event type ever seen before it and (b) the MOST
+    * RECENT one — the two classic marketing-attribution policies. A
+    * conversion with no prior non-conversion event credits the
+    * `"direct"` channel. All counts are exact integers over the
+    * (tsCol, tieCol) per-user total order — no rounding contract.
+    *
+    * Scale shape: ONE user-keyed window sort computes both policies
+    * (first/last with ignoreNulls over the unbounded-preceding
+    * frame), then one channel-keyed count — no joins, no collect.
+    * Output: (channel, first_touch, last_touch), one row per channel
+    * credited by either policy.
+    */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String,
+      isConversion: Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(!isConversion, col(typeCol))
+    val scored = events
+      .withColumn("_first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("_last", last(touch, ignoreNulls = true).over(w))
+      .filter(isConversion)
+      .select(coalesce(col("_first"), lit("direct")).as("_fc"),
+        coalesce(col("_last"), lit("direct")).as("_lc"))
+    scored.select(col("_fc").as("channel"), lit(1L).as("_f"), lit(0L).as("_l"))
+      .unionByName(scored.select(col("_lc").as("channel"), lit(0L).as("_f"),
+        lit(1L).as("_l")))
+      .groupBy("channel")
+      .agg(sum("_f").as("first_touch"), sum("_l").as("last_touch"))
+  }
 }

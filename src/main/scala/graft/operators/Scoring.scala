@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Customer/entity value scoring: RFM tiles and revenue-concentration
+  * (Lorenz/Pareto) curves — the segmentation layer a curation or
+  * analytics pipeline runs over transactional facts to pick "whales",
+  * churn risks, and sampling strata.
+  *
+  * Determinism contract (SURVEY.md §5.4): every rank runs over a TOTAL
+  * order (metric, entity-id tiebreak); monetary sums are exact
+  * `decimal(18,2)` (shuffle-order-proof) and convert to double once at
+  * the output edge; tile assignment is the closed-form
+  * `floor((rank-1)·n/N)` — NOT engine-NTILE, whose uneven-group fill
+  * policy differs in spirit across engines; shares are one rounded
+  * double division.
+  *
+  * Scale shape: everything ranks the per-entity AGGREGATE (|customers|
+  * rows, orders of magnitude smaller than the fact table). Global
+  * ranks come from [[Indexing.denseIds]] — range-partition + local
+  * index + P-row offsets, NEVER a single-partition window; three
+  * metric rank passes = three small range shuffles.
+  */
+object Scoring {
+
+  /** RFM scores per customer over an orders fact table: recency (days
+    * since last order, measured from the global max order date),
+    * frequency (order count), monetary (exact decimal revenue sum),
+    * each scored 1..`nTiles` on the closed-form tile of its global
+    * rank with HIGHER = BETTER (more recent / more orders / more
+    * revenue), ties broken by customer id so the rank is total.
+    * `rfm` = r·100 + f·10 + m for nTiles <= 9 consumers.
+    *
+    * Output: (customer, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, rfm).
+    */
+  def rfm(orders: DataFrame, custCol: String, dateCol: String,
+      amountCol: String, nTiles: Int): DataFrame = {
+    require(nTiles >= 2 && nTiles <= 9,
+      s"rfm: nTiles must be in [2,9] (combined digit encoding), got $nTiles")
+    val agg = orders.groupBy(col(custCol).as("customer"))
+      .agg(max(col(dateCol)).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col(amountCol).cast("decimal(18,2)")).as("_mon"))
+    val anchor = orders.agg(max(col(dateCol)).as("_anchor"))
+    val base = agg.crossJoin(broadcast(anchor))
+      .select(col("customer"),
+        datediff(col("_anchor"), col("_last")).cast("bigint")
+          .as("recency_days"),
+        col("frequency"), col("_mon"),
+        (-col("frequency")).as("_negf"), (-col("_mon")).as("_negm"))
+      // three rank passes + the N aggregate re-read it
+      .localCheckpoint()
+    val n = base.agg(count(lit(1)).as("_n"))
+
+    // best-first rank per metric: tile t of rank r is
+    // floor((r-1)·nTiles/N); score = nTiles - t, so rank 1 scores
+    // nTiles and the last rank scores 1
+    def score(rankCol: String): org.apache.spark.sql.Column =
+      (lit(nTiles) - floor((col(rankCol) - 1) * nTiles / col("_n")))
+        .cast("bigint")
+
+    val r1 = Indexing.denseIds(base, Seq("recency_days", "customer"), "_rr")
+    val r2 = Indexing.denseIds(r1, Seq("_negf", "customer"), "_rf")
+    val r3 = Indexing.denseIds(r2, Seq("_negm", "customer"), "_rm")
+    r3.crossJoin(broadcast(n))
+      .select(col("customer"), col("recency_days"), col("frequency"),
+        col("_mon").cast("double").as("monetary"),
+        score("_rr").as("r_score"),
+        score("_rf").as("f_score"),
+        score("_rm").as("m_score"))
+      .withColumn("rfm",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("bigint"))
+  }
+
+  /** Revenue-concentration (Lorenz/Pareto) curve: rank customers by
+    * exact decimal revenue DESC (customer-id tiebreak), cut into
+    * `buckets` closed-form rank tiles (bucket 1 = top customers), and
+    * report each bucket's exact revenue plus its rounded share and
+    * top-down cumulative share of the total — "the top decile holds
+    * X% of revenue".
+    *
+    * Output: (bucket, n_customers, revenue, revenue_share, cum_share).
+    */
+  def revenueConcentration(orders: DataFrame, custCol: String,
+      amountCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"revenueConcentration: buckets >= 2, got $buckets")
+    val agg = orders.groupBy(col(custCol).as("_c"))
+      .agg(sum(col(amountCol).cast("decimal(18,2)")).as("_mon"))
+      .withColumn("_negm", -col("_mon"))
+      .localCheckpoint() // rank pass + N aggregate re-read it
+    val n = agg.agg(count(lit(1)).as("_n"))
+    val perBucket = Indexing.denseIds(agg, Seq("_negm", "_c"), "_rk")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        (floor((col("_rk") - 1) * buckets / col("_n")) + 1).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("_mon").as("_bmon"))
+    val tot = perBucket.agg(sum("_bmon").as("_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket") // buckets-sized frame: the single partition is fine
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.crossJoin(broadcast(tot))
+      .withColumn("_cum", sum("_bmon").over(w))
+      .select(col("bucket"), col("n_customers"),
+        col("_bmon").cast("double").as("revenue"),
+        round(col("_bmon").cast("double") / col("_tot").cast("double"), 6)
+          .as("revenue_share"),
+        round(col("_cum").cast("double") / col("_tot").cast("double"), 6)
+          .as("cum_share"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profiling, RankEval, Resample, Spectral, TextAnalysis}
+import graft.operators.{EventWindows, Profiling, RankEval, Resample, Scoring, Spectral, TextAnalysis}
 import QueryDefs._
 
 /** Round-8 judged queries: spectral projection, ranking-agreement
@@ -315,7 +315,52 @@ object AnalyticsOps {
       .orderBy("doc_id")
   }
 
+  /** RFM quintile scoring over orders: exact decimal(18,2) monetary
+    * sums, closed-form floor((rank−1)·5/N) tiles over (metric,
+    * customer) total orders — ranks from the scale-safe denseIds
+    * pass, never a single-partition window.
+    */
+  val qRfm: QueryFn = withTables { spark =>
+    Scoring.rfm(spark.table("orders"), "o_custkey", "o_orderdate",
+        "o_totalprice", nTiles = 5)
+      .orderBy("customer")
+  }
+
+  /** Revenue-concentration deciles (Lorenz/Pareto): exact decimal
+    * bucket sums, one rounded share division, top-down cumulative.
+    */
+  val qPareto: QueryFn = withTables { spark =>
+    Scoring.revenueConcentration(spark.table("orders"), "o_custkey",
+        "o_totalprice", buckets = 10)
+      .orderBy("bucket")
+  }
+
+  /** First/last-touch purchase attribution over the per-user
+    * (ts, event_id) total order: exact integer channel credits,
+    * no-prior-touch purchases credit 'direct'.
+    */
+  val qAttribution: QueryFn = withTables { spark =>
+    EventWindows.touchAttribution(spark.table("events"), "user_id", "ts",
+        "event_id", "event_type", col("event_type") === "purchase")
+      .orderBy("channel")
+  }
+
+  /** Inverted index over documents: true document frequencies, df
+    * gates 5..400 (the stopword guard), posting lists capped at 20
+    * doc-id-sorted entries and serialized comma-joined (the LISTAGG
+    * scalar-compare convention).
+    */
+  val qPostingLists: QueryFn = withTables { spark =>
+    TextAnalysis.postingLists(spark.table("documents"), "doc_id", "text",
+        minDf = 5, maxDf = 400, maxPostings = 20)
+      .orderBy("token")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_rfm" -> qRfm,
+    "q_pareto" -> qPareto,
+    "q_attribution" -> qAttribution,
+    "q_posting_lists" -> qPostingLists,
     "q_pca_power" -> qPcaPower,
     "q_rbo_eval" -> qRboEval,
     "q_decay_agg" -> qDecayAgg,
@@ -354,6 +399,116 @@ object AnalyticsOps {
       .mkString("CASE GREATEST(a.ra, b.rb) ", " ", " ELSE 0.0 END")
 
   val oracles: Map[String, String] = Map(
+
+    // Same per-customer aggregate (exact DECIMAL(18,2) revenue), the
+    // same three best-first total-order ranks, and the same
+    // closed-form floor tile — integer // arithmetic mirrors Spark's
+    // floor(double) exactly (quotient error ~1e-15 vs the 1/N >= 1e-9
+    // gap to the nearest integer boundary).
+    "q_rfm" -> """
+      WITH agg AS (
+        SELECT o_custkey AS customer,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               COUNT(*)::BIGINT AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        FROM orders GROUP BY 1),
+      anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ad FROM orders),
+      base AS (
+        SELECT customer,
+               DATE_DIFF('day', last_d, ad)::BIGINT AS recency_days,
+               frequency, mon
+        FROM agg CROSS JOIN anchor),
+      n AS (SELECT COUNT(*)::BIGINT AS nc FROM base),
+      rk AS (
+        SELECT customer, recency_days, frequency, mon,
+               ROW_NUMBER() OVER (ORDER BY recency_days, customer) AS rr,
+               ROW_NUMBER() OVER (ORDER BY frequency DESC, customer) AS rf,
+               ROW_NUMBER() OVER (ORDER BY mon DESC, customer) AS rm
+        FROM base)
+      SELECT customer, recency_days, frequency,
+             CAST(mon AS DOUBLE) AS monetary,
+             (5 - ((rr - 1) * 5) // nc)::BIGINT AS r_score,
+             (5 - ((rf - 1) * 5) // nc)::BIGINT AS f_score,
+             (5 - ((rm - 1) * 5) // nc)::BIGINT AS m_score,
+             ((5 - ((rr - 1) * 5) // nc) * 100
+              + (5 - ((rf - 1) * 5) // nc) * 10
+              + (5 - ((rm - 1) * 5) // nc))::BIGINT AS rfm
+      FROM rk CROSS JOIN n
+      ORDER BY customer""",
+
+    // Same revenue-DESC total-order rank, closed-form buckets, exact
+    // decimal bucket sums, one rounded double division per share.
+    "q_pareto" -> """
+      WITH agg AS (
+        SELECT o_custkey AS c,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        FROM orders GROUP BY 1),
+      n AS (SELECT COUNT(*)::BIGINT AS nc FROM agg),
+      rk AS (SELECT c, mon,
+               ROW_NUMBER() OVER (ORDER BY mon DESC, c) AS r
+             FROM agg),
+      b AS (SELECT (((r - 1) * 10) // nc + 1)::BIGINT AS bucket,
+                   COUNT(*)::BIGINT AS n_customers, SUM(mon) AS bmon
+            FROM rk CROSS JOIN n GROUP BY 1),
+      tot AS (SELECT SUM(bmon) AS t FROM b)
+      SELECT bucket, n_customers, CAST(bmon AS DOUBLE) AS revenue,
+             CAST(ROUND(CAST(bmon AS DOUBLE) / CAST(t AS DOUBLE), 6)
+               AS DOUBLE) AS revenue_share,
+             CAST(ROUND(CAST(SUM(bmon) OVER (ORDER BY bucket) AS DOUBLE)
+               / CAST(t AS DOUBLE), 6) AS DOUBLE) AS cum_share
+      FROM b CROSS JOIN tot
+      ORDER BY bucket""",
+
+    // Same IGNORE NULLS first/last windows over the same per-user
+    // (ts, event_id) total order; purchases with no prior
+    // non-purchase event credit 'direct' on both engines.
+    "q_attribution" -> """
+      WITH scored AS (
+        SELECT event_type,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS fc,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS lc
+        FROM events),
+      conv AS (SELECT COALESCE(fc, 'direct') AS fch,
+                      COALESCE(lc, 'direct') AS lch
+               FROM scored WHERE event_type = 'purchase'),
+      u AS (SELECT fch AS channel, 1::BIGINT AS f, 0::BIGINT AS l
+            FROM conv
+            UNION ALL
+            SELECT lch, 0::BIGINT, 1::BIGINT FROM conv)
+      SELECT channel, SUM(f)::BIGINT AS first_touch,
+             SUM(l)::BIGINT AS last_touch
+      FROM u GROUP BY channel
+      ORDER BY channel""",
+
+    // Same per-doc token dedup, df gates on the TRUE document
+    // frequency, doc-id-ordered rank cap, and comma-joined sorted
+    // serialization (STRING_AGG skips the over-cap NULLs exactly as
+    // collect_list does).
+    "q_posting_lists" -> """
+      WITH toks AS (
+        SELECT doc_id AS d,
+               UNNEST(LIST_DISTINCT(LIST_FILTER(
+                 STRING_SPLIT(LOWER(text), ' '), t -> t <> ''))) AS token
+        FROM documents),
+      dfc AS (SELECT token, COUNT(*)::BIGINT AS df FROM toks
+              GROUP BY token HAVING COUNT(*) BETWEEN 5 AND 400),
+      capped AS (
+        SELECT t.token, t.d, dfc.df,
+               ROW_NUMBER() OVER (PARTITION BY t.token ORDER BY t.d) AS rk
+        FROM toks t JOIN dfc ON t.token = dfc.token)
+      SELECT token, MAX(df)::BIGINT AS df,
+             STRING_AGG(CASE WHEN rk <= 20 THEN CAST(d AS VARCHAR) END,
+               ',' ORDER BY d) AS postings
+      FROM capped GROUP BY token
+      ORDER BY token""",
 
     // Two unrolled matrix-free power iterations: per-row dots fold in
     // index order (LIST_SUM over LIST_TRANSFORM = the aggregate/

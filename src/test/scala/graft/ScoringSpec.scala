@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventWindows, Scoring, TextAnalysis}
+
+/** Hand-computed fixtures for the customer-scoring, attribution, and
+  * inverted-index operators (round 9).
+  */
+class ScoringSpec extends SparkTestBase {
+
+  // ---- rfm ----
+
+  test("rfm hand fixture: ranks, tiles, and exact decimal monetary") {
+    import spark.implicits._
+    // anchor = 2024-01-10. recency: A 0d, C 2d, B 5d, D 9d.
+    // frequency: A 3, C 2, B 1, D 1. monetary: C 500, A 300, B 50, D 10.
+    val orders = Seq(
+      ("A", "2024-01-10", 100.0), ("A", "2024-01-05", 100.0),
+      ("A", "2024-01-01", 100.0),
+      ("B", "2024-01-05", 50.0),
+      ("C", "2024-01-08", 250.0), ("C", "2024-01-02", 250.0),
+      ("D", "2024-01-01", 10.0))
+      .toDF("cust", "d", "amt")
+      .select(col("cust"), col("d").cast("date").as("d"), col("amt"))
+    val out = Scoring.rfm(orders, "cust", "d", "amt", nTiles = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    // tile of rank r (N=4, n=2): score = 2 - (r-1)*2/4 -> r1,r2 => 2; r3,r4 => 1
+    assert(out("A") == ((0L, 3L, 300.0, 2L, 2L, 2L, 222L)), out("A").toString)
+    assert(out("C") == ((2L, 2L, 500.0, 2L, 2L, 2L, 222L)), out("C").toString)
+    assert(out("B") == ((5L, 1L, 50.0, 1L, 1L, 1L, 111L)), out("B").toString)
+    assert(out("D") == ((9L, 1L, 10.0, 1L, 1L, 1L, 111L)), out("D").toString)
+  }
+
+  test("rfm tiles are balanced: each score bucket holds N/n ± 1 customers") {
+    import spark.implicits._
+    val orders = (1 to 23).map(i =>
+      (f"c$i%02d", f"2024-01-${(i % 9) + 1}%02d", i * 7.0))
+      .toDF("cust", "d", "amt")
+      .select(col("cust"), col("d").cast("date").as("d"), col("amt"))
+    val out = Scoring.rfm(orders, "cust", "d", "amt", nTiles = 5)
+    val sizes = out.groupBy("m_score").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // 23 customers over 5 closed-form tiles: sizes 5,5,5,4,4
+    assert(sizes.values.toSeq.sorted == Seq(4L, 4L, 5L, 5L, 5L), sizes.toString)
+  }
+
+  // ---- revenueConcentration ----
+
+  test("revenueConcentration hand fixture: top bucket holds the whales") {
+    import spark.implicits._
+    val orders = Seq(("A", 300.0), ("B", 50.0), ("C", 500.0), ("D", 10.0))
+      .toDF("cust", "amt")
+    val rows = Scoring.revenueConcentration(orders, "cust", "amt", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(rows.length == 2)
+    // bucket 1 = {C 500, A 300} = 800 of 860; bucket 2 = {B, D} = 60
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L
+      && rows(0).getDouble(2) == 800.0)
+    assert(rows(0).getDouble(3) == math.rint(800.0 / 860.0 * 1e6) / 1e6)
+    assert(rows(0).getDouble(4) == rows(0).getDouble(3), "cum = share for bucket 1")
+    assert(rows(1).getDouble(2) == 60.0 && rows(1).getDouble(4) == 1.0)
+  }
+
+  // ---- touchAttribution ----
+
+  test("touchAttribution hand fixture: first/last credits and direct") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 1L, 1L, "view"), ("u1", 2L, 2L, "click"),
+      ("u1", 3L, 3L, "purchase"), ("u1", 4L, 4L, "purchase"),
+      ("u2", 1L, 5L, "purchase"))
+      .toDF("user", "t", "eid", "etype")
+    val out = EventWindows.touchAttribution(ev, "user", "t", "eid", "etype",
+        col("etype") === "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // u1's two purchases: first touch = view both times; last touch =
+    // click both times (the t3 purchase is not a touch candidate).
+    // u2's purchase has no prior event -> direct/direct.
+    assert(out == Map("view" -> ((2L, 0L)), "click" -> ((0L, 2L)),
+      "direct" -> ((1L, 1L))), out.toString)
+  }
+
+  // ---- postingLists ----
+
+  test("postingLists hand fixture: dedup, df gates, cap, serialization") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "b c"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    // df: a 1, b 2, c 3, d 1. gates [2,2] keep only b.
+    val only = TextAnalysis.postingLists(docs, "doc_id", "text",
+      minDf = 2, maxDf = 2, maxPostings = 5).collect()
+    assert(only.length == 1)
+    assert(only(0).getString(0) == "b" && only(0).getLong(1) == 2L
+      && only(0).getString(2) == "1,2", only(0).toString)
+    // cap below df: postings truncate, df stays the TRUE count
+    val capped = TextAnalysis.postingLists(docs, "doc_id", "text",
+      minDf = 2, maxDf = 10, maxPostings = 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(capped == Map("b" -> ((2L, "1")), "c" -> ((3L, "1"))), capped.toString)
+  }
+}
