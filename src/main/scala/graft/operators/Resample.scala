@@ -168,6 +168,100 @@ object Resample {
     out
   }
 
+  /** Per-key Holt double-exponential smoothing (level + trend) — the
+    * EWMA's big sibling that tracks a drifting series instead of
+    * lagging it, and the cheapest defensible forecaster for capacity
+    * and volume planning:
+    *
+    *   level_0 = x_0, trend_0 = 0
+    *   level_t = round(α·x_t + (1−α)·(level_{t−1} + trend_{t−1}), 6)
+    *   trend_t = round(β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}, 6)
+    *
+    * Each state is rounded to 6 dp at every step (BigDecimal HALF_UP —
+    * the same policy as Spark's `round`), so an oracle unrolling the
+    * identical recursion (DuckDB recursive CTE) reproduces the doubles
+    * bit-exactly: float noise lives ~1e-16 per step, far below the
+    * quantum — the [[Graph.pageRank]] §5.4 regime.
+    *
+    * Same honest distributed shape as [[ewma]] (the recurrence feeds
+    * itself, so no window expresses it): ONE hash shuffle on the key,
+    * in-partition sort, a streaming O(1)-state pass. NULL values
+    * propagate the previous state unchanged.
+    *
+    * Appends (levelCol, trendCol) to the input rows.
+    */
+  def holt(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double,
+      levelCol: String = "level", trendCol: String = "trend"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(orderCols.nonEmpty, "holt needs at least one order column")
+    require(!df.columns.contains(levelCol) && !df.columns.contains(trendCol),
+      s"input already has '$levelCol'/'$trendCol'; pass different out columns")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(levelCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true) :+
+      org.apache.spark.sql.types.StructField(trendCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    val ki = df.schema.fieldIndex(keyCol)
+    val Seq(xc) = Cols.fresh("holtx", 1, df)
+    val sorted = df
+      .repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .withColumn(xc, col(valueCol).cast("double"))
+    val vi = sorted.schema.fieldIndex(xc)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var level: java.lang.Double = null
+      var trend: java.lang.Double = null
+      it.map { r =>
+        val k = r.get(ki)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; level = null; trend = null
+        }
+        if (!r.isNullAt(vi)) {
+          val x = r.getDouble(vi)
+          if (level == null) { level = x; trend = 0.0 }
+          else {
+            val prevL: Double = level
+            val prevT: Double = trend
+            val l = r6(alpha * x + (1.0 - alpha) * (prevL + prevT))
+            level = l
+            trend = r6(beta * (l - prevL) + (1.0 - beta) * prevT)
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(1) :+ (level: Any) :+ (trend: Any))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** h-step-ahead Holt forecasts from each key's FINAL state:
+    * forecast(h) = round(level + h·trend, 6), h = 1..horizon. One row
+    * per (key, h); keys whose series had no non-null value emit
+    * nothing.
+    */
+  def holtForecast(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double,
+      horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val smoothed = holt(df, keyCol, orderCols, valueCol, alpha, beta)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    smoothed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("level").isNotNull)
+      .select(col(keyCol), col("level"), col("trend"))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col(keyCol), col("h").cast("bigint").as("h"),
+        round(col("level") + col("h") * col("trend"), 6)
+          .cast("double").as("forecast"))
+  }
+
   /** Input/output rows for [[ewmaStream]]. */
   case class EwmaEvent(key: Long, event_id: Long, orderMicros: Long, x: Double)
   case class EwmaOut(key: Long, event_id: Long, ewma: Double)
@@ -199,6 +293,44 @@ object Resample {
             EwmaOut(key, e.event_id, y)
           }
           if (y != null && sorted.nonEmpty) state.update(EwmaState(y))
+          out.iterator
+      }
+  }
+
+  /** Input/output rows for [[holtStream]]. */
+  case class HoltOut(key: Long, event_id: Long, level: Double, trend: Double)
+  private[operators] case class HoltState(level: Double, trend: Double)
+
+  /** Streaming-legal [[holt]]: TWO doubles per key in the state store,
+    * each micro-batch's (order-sorted) values folded through the
+    * IDENTICAL rounded recursion — streamed level/trend bit-equal to
+    * the batch pass (pinned in ResampleSpec). Same contract as
+    * [[ewmaStream]]: correct when per-key order is non-decreasing
+    * across micro-batches; watermark upstream to bound disorder.
+    */
+  def holtStream(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      alpha: Double, beta: Double): org.apache.spark.sql.Dataset[HoltOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    import events.sparkSession.implicits._
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, evs: Iterator[EwmaEvent], gs: GroupState[HoltState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var st = gs.getOption.orNull
+          val out = sorted.map { e =>
+            st = if (st == null) HoltState(e.x, 0.0)
+            else {
+              val l = r6(alpha * e.x + (1.0 - alpha) * (st.level + st.trend))
+              HoltState(l, r6(beta * (l - st.level) + (1.0 - beta) * st.trend))
+            }
+            HoltOut(key, e.event_id, st.level, st.trend)
+          }
+          if (sorted.nonEmpty) gs.update(st)
           out.iterator
       }
   }

@@ -215,6 +215,23 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  /** 3-step Holt (level+trend) forecast of each event type's daily
+    * value series: exact scaled-long daily sums into the 6-dp-rounded
+    * two-state recursion (α=0.3, β=0.2), forecasts from the final
+    * state — the oracle unrolls the identical recursion in a
+    * recursive CTE with all-DOUBLE arithmetic (decimal literals cast,
+    * so both engines run the same IEEE ops).
+    */
+  val qHoltForecast: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+    Resample.holtForecast(daily, "event_type", Seq("d"), "x",
+        alpha = 0.3, beta = 0.2, horizon = 3)
+      .orderBy("event_type", "h")
+  }
+
   /** Decile-by-decile drift of value between the first and second
     * half-month per event type: pure order statistics at explicit
     * integer ranks, one rounded subtraction.
@@ -298,6 +315,7 @@ object StatsOps {
     "q_modularity" -> qModularity,
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
+    "q_holt_forecast" -> qHoltForecast,
     "q_jsd" -> qJsd,
     "q_trending" -> qTrending,
     "q_qq_drift" -> qQqDrift,
@@ -452,6 +470,44 @@ object StatsOps {
                AS u_b_given_a,
              SUM(cab)::BIGINT AS n_rows
       FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // Same exact scaled-long daily sums, the same 6-dp-rounded Holt
+    // recursion unrolled day by day, forecasts from the last state.
+    // Every coefficient is CAST to DOUBLE: a bare 0.3 literal is
+    // DECIMAL in DuckDB and (1 - 0.3) would be an EXACT 0.7 where the
+    // Spark kernel computes the IEEE double 1.0-0.3 — casting first
+    // makes both engines run the identical float ops.
+    "q_holt_forecast" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      rec AS (
+        SELECT g, i, x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i,
+               ROUND(CAST(0.3 AS DOUBLE) * si.x
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (r.level + r.trend), 6),
+               ROUND(CAST(0.2 AS DOUBLE)
+                   * (ROUND(CAST(0.3 AS DOUBLE) * si.x
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                         * (r.level + r.trend), 6) - r.level)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.trend, 6)
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, level, trend,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT g AS event_type, CAST(h.h AS BIGINT) AS h,
+             CAST(ROUND(level + h.h * trend, 6) AS DOUBLE) AS forecast
+      FROM fin CROSS JOIN (VALUES (1), (2), (3)) h(h)
+      WHERE rn = 1
+      ORDER BY event_type, h""",
 
     // Same scaled-long running sums over the same (ts, event_id)
     // total order; integer |n·S_k − k·T| scoring, first-argmax.

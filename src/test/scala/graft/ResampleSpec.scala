@@ -277,4 +277,82 @@ class ResampleSpec extends SparkTestBase {
     sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4,
       s"row-stochastic: $r"))
   }
+
+  // ---- holt ----
+
+  test("holt hand fixture: 6-dp-rounded level/trend recursion") {
+    import spark.implicits._
+    // x = 10, 12, 14 (α=0.3, β=0.2):
+    // l1 = 0.3·12 + 0.7·10 = 10.6, t1 = 0.2·0.6 = 0.12
+    // l2 = 0.3·14 + 0.7·10.72 = 11.704, t2 = 0.2·1.104 + 0.8·0.12 = 0.3168
+    val df = Seq(("g", 1, 10.0), ("g", 2, 12.0), ("g", 3, 14.0))
+      .toDF("k", "i", "x")
+    val out = Resample.holt(df, "k", Seq("i"), "x", 0.3, 0.2)
+      .orderBy("i").collect()
+    assert(out(0).getDouble(3) == 10.0 && out(0).getDouble(4) == 0.0)
+    assert(out(1).getDouble(3) == 10.6 && out(1).getDouble(4) == 0.12)
+    assert(out(2).getDouble(3) == 11.704 && out(2).getDouble(4) == 0.3168)
+    val fc = Resample.holtForecast(df, "k", Seq("i"), "x", 0.3, 0.2, 3)
+      .orderBy("h").collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(fc == Map(1L -> 12.0208, 2L -> 12.3376, 3L -> 12.6544), fc.toString)
+  }
+
+  test("holt: α=β=1 on a perfectly linear series extrapolates it exactly") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i, 5.0 + 2.0 * i)).toDF("k", "i", "x")
+    val fc = Resample.holtForecast(df, "k", Seq("i"), "x", 1.0, 1.0, 2)
+      .orderBy("h").collect()
+    assert(fc(0).getDouble(2) == 27.0 && fc(1).getDouble(2) == 29.0,
+      fc.mkString(","))
+  }
+
+  test("streaming holt == batch holt bit-for-bit on the real events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.Resample.EwmaEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("k"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double").as("x"))
+    val batch = graft.operators.Resample
+      .holt(events, "k", Seq("us", "eid"), "x", 0.3, 0.2)
+      .select(col("k"), col("eid"), col("level"), col("trend"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+
+    val ordered = events.orderBy("us", "eid").collect()
+      .map(r => EwmaEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val input = MemoryStream[EwmaEvent]
+    val q = graft.operators.Resample.holtStream(input.toDS(), 0.3, 0.2)
+      .toDF("k", "eid", "level", "trend")
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    input.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("holt_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch,
+      "the 2-double streaming state fold must equal the batch fold exactly")
+  }
+
+  test("holt: constant series keeps zero trend; NULLs propagate state") {
+    import spark.implicits._
+    val df = Seq(("g", 1, Some(4.0)), ("g", 2, None), ("g", 3, Some(4.0)))
+      .toDF("k", "i", "x")
+    val rows = Resample.holt(df, "k", Seq("i"), "x", 0.5, 0.5)
+      .orderBy("i").collect()
+    // the NULL row carries the previous state forward unchanged
+    assert(rows(1).getDouble(3) == 4.0 && rows(1).getDouble(4) == 0.0)
+    assert(rows(2).getDouble(3) == 4.0 && rows(2).getDouble(4) == 0.0)
+  }
 }
