@@ -442,4 +442,33 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"),
       s"cell join must stay an equi-join:\n$p")
   }
+
+  test("rfm: ranks come from denseIds checkpoints, never a whole-data window") {
+    val p = plan("q_rfm")
+    // the rank machinery executes inside denseIds (range partition +
+    // local index, lineage truncated) — the judged plan must read its
+    // checkpointed output, and the only Window allowed is the P-row
+    // offset cumulative over a partition-count AGGREGATE. A bare
+    // ROW_NUMBER() OVER (ORDER BY ...) over the customer frame would
+    // show up as an extra Window node here.
+    assert(p.contains("localCheckpoint at Indexing.scala"),
+      s"ranks must ride the denseIds range-partition machinery:\n$p")
+    val tree = p.split("\n\n")(0)
+    val windows = "\\bWindow\\b".r.findAllIn(tree).size
+    assert(windows <= 1, s"unexpected data-path windows ($windows):\n$p")
+  }
+
+  test("posting lists: scan prunes to (doc_id, text); one token shuffle family") {
+    val p = plan("q_posting_lists")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"documents scan reads unreferenced columns:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no blowup joins:\n$p")
+  }
+
+  test("attribution: both policies from one window pass, no self-join") {
+    val p = plan("q_attribution")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"first+last touch must come from windows over one scan, not joins:\n$p")
+  }
 }

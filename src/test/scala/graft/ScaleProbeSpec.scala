@@ -444,4 +444,37 @@ class ScaleProbeSpec extends SparkTestBase {
       () => (timedCount(run(b1))._2, timedCount(run(bN))._2))
     b1.unpersist(); bN.unpersist(); base.unpersist()
   }
+
+  test("postingLists: 10x corpus with 10x df gates -> same tokens, 10x df, ~linear time") {
+    import graft.operators.TextAnalysis
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).cache()
+    base.count()
+    // replicate docs verbatim under disjoint id spans: every token's
+    // document frequency scales exactly 10x, so gates scaled 10x keep
+    // the SAME token set and the capped postings stay cap-sized —
+    // the posting table grows with the lexicon, not the corpus
+    def docsTimes(n: Int): DataFrame =
+      (0 until n).map { i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+    val d1 = docsTimes(1).cache(); d1.count()
+    val dN = docsTimes(N).cache(); dN.count()
+    def run(df: DataFrame, scale: Int): DataFrame =
+      TextAnalysis.postingLists(df, "doc_id", "text",
+        minDf = 5 * scale, maxDf = 400 * scale, maxPostings = 20)
+    run(d1, 1).count() // warmup
+    val (r1, t1) = timedCount(run(d1, 1))
+    val (rN, tN) = timedCount(run(dN, N))
+    info(s"posting rows: 1x=$r1 ${N}x=$rN")
+    assert(r1 > 0 && rN === r1,
+      s"10x corpus with 10x gates must keep the token set: $r1 -> $rN")
+    val df1 = run(d1, 1).agg(sum("df")).head.getLong(0)
+    val dfN = run(dN, N).agg(sum("df")).head.getLong(0)
+    assert(dfN === N * df1, s"true df must scale exactly ${N}x: $df1 -> $dfN")
+    assertSubQuadratic("postingLists", t1, tN,
+      () => (timedCount(run(d1, 1))._2, timedCount(run(dN, N))._2))
+    d1.unpersist(); dN.unpersist(); base.unpersist()
+  }
 }
