@@ -8,13 +8,13 @@ import org.apache.spark.sql.types._
   * modeled as an opaque binary column plus typed metadata —
   * `struct<uri:string, bytes:binary, meta:map<string,string>>`.
   *
-  * Image decode is REAL and library-free: PNG (full inflate +
-  * unfilter, [[PngDecoder]]), baseline JPEG (Huffman + IDCT,
-  * [[JpegDecoder]]), BMP header geometry ([[BmpDecoder]]), WAV PCM
-  * ([[WavDecoder]]) — together the formats that dominate real
-  * corpora. Formats whose decode genuinely needs an external codec
-  * (mp3/aac, mp4/h264) keep loud `unsupported` stubs plus
-  * `StubDecoder` for pseudo-features; everything around the slot —
+  * Decode is REAL and library-free across the board: PNG (full
+  * inflate + unfilter, [[PngDecoder]]), baseline JPEG (Huffman +
+  * IDCT, [[JpegDecoder]]), BMP header geometry ([[BmpDecoder]]), WAV
+  * PCM ([[WavDecoder]]), MP3 frame-header walking and MP4 box walking
+  * ([[MediaContainers]] — container-level sample rate/channels/
+  * duration/track dims; only their SAMPLE decode needs an external
+  * codec and stays a loud stub); everything around the slot —
   * the schema, typed Dataset plumbing, per-partition decoder
   * lifecycle, batch shape, partition sizing — is the real 100 TB
   * pipeline shape, so a JNI/codec-backed decoder drops in with
