@@ -205,6 +205,59 @@ object EventWindows {
       .drop("_rn")
   }
 
+  /** Per-type dwell-time statistics: for every event, the time until
+    * the SAME USER's next event (any type) — the "how long do users
+    * sit on X" engagement signal. Durations are exact integer
+    * microseconds summed as longs; the mean is ONE rounded division
+    * at the end. Each user's final event has no successor and is
+    * excluded (not zero-filled).
+    *
+    * Scale shape: one user-keyed window sort for the lead, one
+    * type-keyed aggregation. Output: (event_type, n_dwells,
+    * total_dwell_sec, avg_dwell_sec) — totals floor-divided to whole
+    * seconds to stay integer-exact cross-engine.
+    */
+  def dwellTimes(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_next", lead(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .withColumn("_dw", col("_next") - unix_micros(col(tsCol)))
+      .groupBy(col(typeCol).as("event_type"))
+      // DIV, not floor(double /): at cluster scale the micros total
+      // exceeds 2^53 and a double quotient drops ulps
+      .agg(count(lit(1)).as("n_dwells"),
+        expr("CAST(sum(`_dw`) DIV 1000000 AS BIGINT)")
+          .as("total_dwell_sec"),
+        round(sum(col("_dw")) / (count(lit(1)) * lit(1000000.0)), 6)
+          .cast("double").as("avg_dwell_sec"))
+  }
+
+  /** Time-gap debounce (the batch twin of streaming dropDuplicates
+    * within a watermark): keep an event iff the SAME (user, type) saw
+    * no kept-or-dropped event within the preceding `minGapSeconds` —
+    * the standard double-fire/retry-storm suppressor. NOTE the gap is
+    * measured to the previous RAW event (lag), not the previous
+    * SURVIVOR — the cheap one-window policy; a survivor-relative gap
+    * needs the sessionize running-state trick and is a different
+    * contract. All-integer comparisons, no rounding.
+    *
+    * Scale shape: one (user, type)-keyed window sort, a lag, a
+    * filter — no joins. Returns the surviving input rows.
+    */
+  def debounce(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, minGapSeconds: Long): DataFrame = {
+    require(minGapSeconds >= 1, s"minGapSeconds must be >= 1")
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - col("_prev") > minGapSeconds * 1000000L)
+      .drop("_prev")
+  }
+
   /** First-touch / last-touch conversion attribution: for every
     * conversion event (`isConversion`), credit (a) the user's FIRST
     * non-conversion event type ever seen before it and (b) the MOST

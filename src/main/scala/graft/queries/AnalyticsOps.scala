@@ -356,7 +356,29 @@ object AnalyticsOps {
       .orderBy("token")
   }
 
+  /** Per-type dwell times (time to the user's next event): exact
+    * integer microsecond sums, DIV to whole seconds, one rounded
+    * mean division.
+    */
+  val qDwell: QueryFn = withTables { spark =>
+    EventWindows.dwellTimes(spark.table("events"), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("event_type")
+  }
+
+  /** 1-hour (user, type) debounce: survivors of the lag-gap filter —
+    * all-integer microsecond comparisons.
+    */
+  val qDebounce: QueryFn = withTables { spark =>
+    EventWindows.debounce(spark.table("events"), "user_id", "ts",
+        "event_id", "event_type", minGapSeconds = 3600)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_dwell" -> qDwell,
+    "q_debounce" -> qDebounce,
     "q_rfm" -> qRfm,
     "q_pareto" -> qPareto,
     "q_attribution" -> qAttribution,
@@ -399,6 +421,36 @@ object AnalyticsOps {
       .mkString("CASE GREATEST(a.ra, b.rb) ", " ", " ELSE 0.0 END")
 
   val oracles: Map[String, String] = Map(
+
+    // Same user-keyed lead over the same (ts, event_id) total order;
+    // totals integer-DIV'd to seconds (the HUGEINT window-sum class is
+    // dodged by casting the sum back to BIGINT before dividing).
+    "q_dwell" -> """
+      WITH d AS (
+        SELECT event_type,
+               LEAD(EPOCH_US(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)
+                 - EPOCH_US(ts) AS dw
+        FROM events)
+      SELECT event_type, COUNT(*)::BIGINT AS n_dwells,
+             (SUM(dw)::BIGINT // 1000000)::BIGINT AS total_dwell_sec,
+             CAST(ROUND(SUM(dw)::BIGINT / (COUNT(*) * 1000000.0), 6)
+               AS DOUBLE) AS avg_dwell_sec
+      FROM d WHERE dw IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    // Same (user, type)-keyed lag gap in integer microseconds.
+    "q_debounce" -> """
+      WITH lagd AS (
+        SELECT event_id, user_id, event_type,
+               EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER
+                 (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS gap
+        FROM events)
+      SELECT event_id, user_id, event_type
+      FROM lagd WHERE gap IS NULL OR gap > 3600000000::BIGINT
+      ORDER BY event_id""",
 
     // Same per-customer aggregate (exact DECIMAL(18,2) revenue), the
     // same three best-first total-order ranks, and the same

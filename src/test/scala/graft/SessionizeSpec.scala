@@ -170,4 +170,40 @@ class SessionizeSpec extends SparkTestBase {
     assert(out.length == 1 && out.head.getString(0) == "p>q>r",
       s"tie on n=1 broken by path asc: ${out.toList}")
   }
+
+  test("dwellTimes hand fixture: exact micros, last event excluded") {
+    import spark.implicits._
+    // u1: a@0s -> b@10s -> a@25s (last excluded): dwell(a)=10s, dwell(b)=15s
+    // u2: a@0s -> a@2s: dwell(a)=2s
+    val ev = Seq(
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"),
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:10"), 2L, "b"),
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:25"), 3L, "a"),
+      ("u2", Timestamp.valueOf("2024-01-01 00:00:00"), 4L, "a"),
+      ("u2", Timestamp.valueOf("2024-01-01 00:00:02"), 5L, "a"))
+      .toDF("u", "ts", "eid", "t")
+    val out = EventWindows.dwellTimes(ev, "u", "ts", "eid", "t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((2L, 12L, 6.0)), out.toString)
+    assert(out("b") == ((1L, 15L, 15.0)), out.toString)
+  }
+
+  test("debounce hand fixture: gap to previous RAW event, per (user, type)") {
+    import spark.implicits._
+    // gap 5s: a@0 keep, a@3 drop (3s gap), a@7 drop (4s from the RAW
+    // previous a@3 — survivor-relative would have kept it), a@13 keep
+    // (6s); b@1 keeps independently of the a-chain
+    val ev = Seq(
+      ("u", Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"),
+      ("u", Timestamp.valueOf("2024-01-01 00:00:03"), 2L, "a"),
+      ("u", Timestamp.valueOf("2024-01-01 00:00:07"), 3L, "a"),
+      ("u", Timestamp.valueOf("2024-01-01 00:00:13"), 4L, "a"),
+      ("u", Timestamp.valueOf("2024-01-01 00:00:01"), 5L, "b"))
+      .toDF("u", "ts", "eid", "t")
+    val kept = EventWindows.debounce(ev, "u", "ts", "eid", "t",
+        minGapSeconds = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept == Set(1L, 4L, 5L), kept.toString)
+  }
 }
