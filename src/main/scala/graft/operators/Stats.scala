@@ -127,6 +127,71 @@ object Stats {
       .select(groupCol, "n_group", "n_rest", "ks")
   }
 
+  /** Per-group Mann–Whitney U rank-sum test of `valueCol` against the
+    * pooled complement — the nonparametric "is this slice's value
+    * distribution shifted" test that reacts to location where KS
+    * reacts to any shape difference; the robust sibling of a t-test
+    * with no normality assumption.
+    *
+    * Exactness: values 6-dp-quantized; ranks carry ties as average
+    * ranks, kept integer by DOUBLING — for value v with E(v) tied rows
+    * and C(v) rows below, the doubled average rank is D(v) = 2·C(v) +
+    * E(v) + 1 (an integer), so the doubled rank sum R1d = Σ c_g(v)·D(v)
+    * and 2·U1 = 2·n_g·n_r + n_g·(n_g+1) − R1d are pure integers. The
+    * tie-corrected normal approximation
+    * z = (U1 − n_g·n_r/2) / sqrt(n_g·n_r·((N+1) − Σ(E³−E)/(N·(N−1)))/12)
+    * is the only float work, spelled as the identical expression tree
+    * on both engines (IEEE /, sqrt), rounded at 6 dp; z is NULL when
+    * the complement is empty or the variance is 0 (all values tied).
+    * Σ(E³−E) accumulates in decimal(38,0) — at corpus scale a popular
+    * value's E³ overflows a long.
+    *
+    * Scale shape: one (group, value) cell shuffle; the below-count
+    * prefix C(v) is ONE ordered window over the VOCABULARY-sized
+    * per-value table (bounded after 6-dp quantization — the zipf/
+    * heaps boundary-table cost class, never the data); per-group
+    * sums are a group-keyed aggregate. Output: (group, n_group,
+    * n_rest, u, z) — u exact (.0/.5 halves are exact doubles).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cells = df
+      .select(col(groupCol).as("_g"), round(col(valueCol), 6).as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    // per-value total E and exclusive-cumulative C over the value
+    // order, computed once and joined back onto the cells
+    val totals = cells.groupBy(col("_q").as("_tq")).agg(sum("_c").as("_e"))
+      .withColumn("_cbelow", coalesce(
+        sum("_e").over(Window.orderBy(col("_tq"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val dec = "decimal(38,0)"
+    val nn = totals.agg(sum("_e").as("_n"),
+      sum((col("_e").cast(dec) * col("_e") * col("_e") - col("_e"))
+        .cast(dec)).as("_ties"))
+    val perG = cells
+      .join(totals, cells("_q") <=> totals("_tq"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum("_c").as("n_group"),
+        sum(col("_c") * (lit(2L) * col("_cbelow") + col("_e") + 1))
+          .cast(dec).as("_r1d"))
+    perG.crossJoin(broadcast(nn))
+      .withColumn("n_rest", (col("_n") - col("n_group")).cast("bigint"))
+      .withColumn("_2u",
+        lit(2L).cast(dec) * col("n_group") * col("n_rest")
+          + col("n_group").cast(dec) * (col("n_group") + 1) - col("_r1d"))
+      .withColumn("u", (col("_2u").cast("double") / 2.0))
+      .withColumn("_var",
+        col("n_group").cast("double") * col("n_rest")
+          * ((col("_n") + 1.0) - col("_ties").cast("double")
+              / (col("_n").cast("double") * (col("_n") - 1.0)))
+          / 12.0)
+      .withColumn("z",
+        when(col("n_rest") > 0 && col("_var") > 0.0,
+          round((col("u") - col("n_group").cast("double")
+              * col("n_rest") / 2.0) / sqrt(col("_var")), 6))
+          .cast("double"))
+      .select(groupCol, "n_group", "n_rest", "u", "z")
+  }
+
   /** Per-group two-proportion z-test of a boolean outcome against the
     * complement, plus the Wilson 95% score interval for the group rate
     * — the A/B-style "is this slice's conversion/pass rate different

@@ -32,6 +32,15 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Mann–Whitney U rank-sum shift test per event type vs the pooled
+    * rest: exact doubled-average-rank integers, decimal(38,0) tie
+    * cubes, one identically-spelled float z (IEEE /, sqrt), 6 dp.
+    */
+  val qMannWhitney: QueryFn = withTables { spark =>
+    Stats.mannWhitney(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   /** Two-proportion z-test of P(value > 50) per event type vs the
     * rest, with the Wilson 95% interval for the group rate — exact
     * counts into an identically-spelled float tree (IEEE sqrt).
@@ -302,6 +311,7 @@ object StatsOps {
     "q_ks_test" -> qKsTest,
     "q_ks_binned" -> qKsBinned,
     "q_prop_ztest" -> qPropZtest,
+    "q_mann_whitney" -> qMannWhitney,
     "q_theils_u" -> qTheilsU,
     "q_cusum" -> qCusum,
     "q_seasonality" -> qSeasonality,
@@ -403,6 +413,47 @@ object StatsOps {
              END AS ks
       FROM cum2 CROSS JOIN nn
       GROUP BY g
+      ORDER BY event_type""",
+
+    // Same doubled-average-rank integers (D = 2·C + E + 1), HUGEINT
+    // tie cubes mirroring decimal(38,0), and the identically-spelled
+    // tie-corrected z tree (coefficients cast to DOUBLE).
+    "q_mann_whitney" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn AS (SELECT SUM(e)::BIGINT AS n,
+                    SUM(e::HUGEINT * e * e - e)::HUGEINT AS ties
+             FROM tot),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS n_group,
+               SUM(c::HUGEINT * (2 * cbelow + e + 1))::HUGEINT AS r1d
+        FROM cells JOIN tot2 ON cells.q IS NOT DISTINCT FROM tot2.tq
+        GROUP BY g),
+      stat AS (
+        SELECT g, n_group, (n - n_group)::BIGINT AS n_rest,
+               CAST(2::HUGEINT * n_group * (n - n_group)
+                 + n_group::HUGEINT * (n_group + 1) - r1d AS DOUBLE)
+                 / 2.0 AS u,
+               CAST(n_group AS DOUBLE) * (n - n_group)
+                 * ((CAST(n AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / 12.0 AS var,
+               n
+        FROM perg CROSS JOIN nn)
+      SELECT g AS event_type, n_group, n_rest, u,
+             CAST(CASE WHEN n_rest > 0 AND var > 0 THEN
+               ROUND((u - CAST(n_group AS DOUBLE) * n_rest / 2.0)
+                 / SQRT(var), 6) END AS DOUBLE) AS z
+      FROM stat
       ORDER BY event_type""",
 
     // Identical float tree: pooled-variance z, Wilson score interval

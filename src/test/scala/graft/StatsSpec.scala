@@ -98,6 +98,51 @@ class StatsSpec extends SparkTestBase {
     assert(row.isNullAt(3) && row.getLong(2) == 0L)
   }
 
+  // ---- mannWhitney ----
+
+  test("mannWhitney hand fixture: disjoint groups, no ties") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}: ranks 1..4, R_a = 3, U_a = 4+3-3 = 4;
+    // var = 2·2·5/12, z_a = (4-2)/sqrt(5/3)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val out = Stats.mannWhitney(df, "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val z = math.rint(2.0 / math.sqrt(2.0 * 2.0 * 5.0 / 12.0) * 1e6) / 1e6
+    assert(out("a")._3 == 4.0 && out("b")._3 == 0.0, out.toString)
+    assert(out("a")._4 == z && out("b")._4 == -z, out.toString)
+  }
+
+  test("mannWhitney: U_a + U_b = n_a·n_b; all-tied input gives NULL z") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val df = (Seq.tabulate(30)(_ => ("a", rng.nextInt(6).toDouble)) ++
+      Seq.tabulate(40)(_ => ("b", rng.nextInt(6).toDouble))).toDF("g", "v")
+    val us = Stats.mannWhitney(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(us("a") + us("b") == 30.0 * 40.0, us.toString)
+
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val rows = Stats.mannWhitney(tied, "g", "v").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) == 2.0, s"all-tied U = n1·n2/2: $r")
+      assert(r.isNullAt(4), s"zero variance must yield NULL z: $r")
+    }
+  }
+
+  test("mannWhitney: average ranks under ties match the closed form") {
+    import spark.implicits._
+    // a = {1, 2}, b = {2, 3}: ranks 1, 2.5, 2.5, 4 -> R_a = 3.5,
+    // U_a = 4 + 3 - 3.5 = 3.5 (the .5 half must survive exactly)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val u = Stats.mannWhitney(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(u("a") == 3.5 && u("b") == 0.5, u.toString)
+  }
+
   // ---- propZTest ----
 
   test("propZTest hand fixture: symmetric groups give opposite z") {
