@@ -192,6 +192,60 @@ object Stats {
       .select(groupCol, "n_group", "n_rest", "u", "z")
   }
 
+  /** Per-group robust (median/MAD) outlier profile — the
+    * heavy-tail-safe sibling of mean/stddev z-scoring: median and MAD
+    * shrug off the very outliers a moment-based score lets poison its
+    * own threshold.
+    *
+    * Exactness: values quantize to 1e-6-scaled longs; the group
+    * median is the exact LOWER median (rank (n+1) DIV 2 in value
+    * order — the weightedQuantile convention), MAD the exact lower
+    * median of |x − med|, both pure integers. The outlier rule is the
+    * modified z-score |x − med| / (MAD/0.6745) > 3.5 (Iglewicz–
+    * Hoaglin) implemented as the INTEGER cross-multiplication
+    * 6745·|x − med| > 35000·MAD — no float ever enters the decision,
+    * so the count is engine-exact. Display median/mad descale by one
+    * rounded division; MAD = 0 (over half the group tied at the
+    * median) reports NULL rate and 0 outliers by contract.
+    *
+    * Scale shape: two group-keyed window sorts (value rank, absdev
+    * rank) + one group aggregate; a single giant group serializes its
+    * own sort — swap the rank medians for approx_percentile at that
+    * scale (the winsorize dual). Output: (group, n, median, mad,
+    * n_outliers, outlier_rate).
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val pts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("bigint").as("_x"))
+    val wv = Window.partitionBy("_g").orderBy("_x")
+    val wg = Window.partitionBy("_g")
+    val medRank = floor((col("_n") + 1) / 2).cast("bigint")
+    val withMed = pts
+      .withColumn("_rn", row_number().over(wv))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_med",
+        max(when(col("_rn") === medRank, col("_x"))).over(wg))
+      .withColumn("_ad", abs(col("_x") - col("_med")))
+    val wa = Window.partitionBy("_g").orderBy("_ad")
+    withMed
+      .withColumn("_rna", row_number().over(wa))
+      .withColumn("_mad",
+        max(when(col("_rna") === medRank, col("_ad"))).over(wg))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max("_med") / 1e6, 6).cast("double").as("median"),
+        round(max("_mad") / 1e6, 6).cast("double").as("mad"),
+        sum(when(col("_mad") > 0 &&
+          col("_ad") * 6745L > col("_mad") * 35000L, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_rate",
+        when(col("mad") > 0.0,
+          round(col("n_outliers") / col("n").cast("double"), 6))
+          .cast("double"))
+  }
+
   /** Per-group two-proportion z-test of a boolean outcome against the
     * complement, plus the Wilson 95% score interval for the group rate
     * — the A/B-style "is this slice's conversion/pass rate different

@@ -41,6 +41,15 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Robust median/MAD outlier profile of value per event type:
+    * exact integer lower medians, the 6745·|x−med| > 35000·MAD
+    * integer outlier rule, descaled display medians.
+    */
+  val qRobustOutliers: QueryFn = withTables { spark =>
+    Stats.robustOutliers(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   /** Two-proportion z-test of P(value > 50) per event type vs the
     * rest, with the Wilson 95% interval for the group rate — exact
     * counts into an identically-spelled float tree (IEEE sqrt).
@@ -312,6 +321,7 @@ object StatsOps {
     "q_ks_binned" -> qKsBinned,
     "q_prop_ztest" -> qPropZtest,
     "q_mann_whitney" -> qMannWhitney,
+    "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
     "q_cusum" -> qCusum,
     "q_seasonality" -> qSeasonality,
@@ -413,6 +423,48 @@ object StatsOps {
              END AS ks
       FROM cum2 CROSS JOIN nn
       GROUP BY g
+      ORDER BY event_type""",
+
+    // Same scaled-long quantization, the same lower-median ranks
+    // ((n+1) // 2) for median and MAD, and the same integer
+    // cross-multiplied outlier rule — no float enters any decision.
+    "q_robust_outliers" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      r1 AS (
+        SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM pts),
+      m1 AS (
+        SELECT g, x, n,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN x END)
+                 OVER (PARTITION BY g) AS med
+        FROM r1),
+      a1 AS (SELECT g, n, med, ABS(x - med) AS ad FROM m1),
+      r2 AS (
+        SELECT g, n, med, ad,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY ad) AS rna
+        FROM a1),
+      m2 AS (
+        SELECT g, n, med, ad,
+               MAX(CASE WHEN rna = (n + 1) // 2 THEN ad END)
+                 OVER (PARTITION BY g) AS mad
+        FROM r2),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               CAST(ROUND(MAX(med) / 1000000.0, 6) AS DOUBLE) AS median,
+               CAST(ROUND(MAX(mad) / 1000000.0, 6) AS DOUBLE) AS mad,
+               SUM(CASE WHEN mad > 0 AND ad * 6745 > mad * 35000
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM m2 GROUP BY g)
+      SELECT g AS event_type, n, median, mad, n_outliers,
+             CAST(CASE WHEN mad > 0.0 THEN
+               ROUND(n_outliers / CAST(n AS DOUBLE), 6) END AS DOUBLE)
+               AS outlier_rate
+      FROM agg
       ORDER BY event_type""",
 
     // Same doubled-average-rank integers (D = 2·C + E + 1), HUGEINT

@@ -143,6 +143,42 @@ class StatsSpec extends SparkTestBase {
     assert(u("a") == 3.5 && u("b") == 0.5, u.toString)
   }
 
+  // ---- robustOutliers ----
+
+  test("robustOutliers hand fixture: lower medians, integer rule") {
+    import spark.implicits._
+    // {1,2,3,100}: lower median 2; |x-med| = {1,0,1,98}, MAD = 1
+    // (rank 2 of 0,1,1,98); outlier iff 6745·ad > 35000·1e6 scaled
+    // -> ad > ~5.19 -> only 100. Rate 1/4.
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0))
+      .toDF("g", "v")
+    val r = Stats.robustOutliers(df, "g", "v").collect().head
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 2.0
+      && r.getDouble(3) == 1.0, r.toString)
+    assert(r.getLong(4) == 1L && r.getDouble(5) == 0.25, r.toString)
+  }
+
+  test("robustOutliers: MAD 0 reports zero outliers and NULL rate") {
+    import spark.implicits._
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0))
+      .toDF("g", "v")
+    // median 5, |x-med| = {0,0,0,4} -> MAD (rank 2) = 0: by contract
+    // the rule cannot fire (threshold undefined), rate NULL
+    val r = Stats.robustOutliers(df, "g", "v").collect().head
+    assert(r.getDouble(3) == 0.0 && r.getLong(4) == 0L && r.isNullAt(5),
+      r.toString)
+  }
+
+  test("robustOutliers is immune to the outlier poisoning its threshold") {
+    import spark.implicits._
+    // mean/std z would let the 1e6 point drag sigma so far that
+    // nothing flags; median/MAD still flags it
+    val df = (Seq.tabulate(20)(i => ("g", 10.0 + (i % 5))) :+
+      ("g", 1000000.0)).toDF("g", "v")
+    val r = Stats.robustOutliers(df, "g", "v").collect().head
+    assert(r.getLong(4) == 1L, s"the planted point must flag: $r")
+  }
+
   // ---- propZTest ----
 
   test("propZTest hand fixture: symmetric groups give opposite z") {
