@@ -544,6 +544,67 @@ object Resample {
         col("n_days"))
   }
 
+  /** Pairwise lead/lag cross-correlation between the daily series of
+    * every ORDERED group pair: xcorr(a, b, k) = Pearson(x_a(day),
+    * x_b(day + k)) for k = 0..maxLag — "does activity in a lead
+    * activity in b k days later", the causality-screening sibling of
+    * [[autocorrelation]]. Alignment is CALENDAR-indexed: a pair's
+    * correlation runs over the days where BOTH series observed (the
+    * strict inner-join contract — zero-filling absent days is a
+    * different estimator; document per use).
+    *
+    * Exact to the end: daily sums are 6-dp scaled longs; all five
+    * Pearson moment sums accumulate in decimal(38,0) (the
+    * assortativity contract), so the correlation is ONE
+    * identically-spelled float division with IEEE sqrt, rounded 6 dp;
+    * either series constant over the joined days → NULL.
+    *
+    * Scale shape: the corpus collapses to calendar-bounded (group,
+    * day) cells first; the lag fan-out (maxLag+1 rows per cell) and
+    * the day-keyed self-join run on cells only. Output: (group_a,
+    * group_b, lag, n_days, xcorr), ordered pairs a ≠ b.
+    */
+  def crossCorrelation(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 10,
+      s"maxLag=$maxLag out of the sane 0..10 window")
+    val dec = "decimal(38,0)"
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    val cells = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_day").agg(sum("_q").as("_x"))
+      .localCheckpoint() // both join sides re-read it
+    val lagged = cells
+      .withColumn("_lag", explode(sequence(lit(0), lit(maxLag))))
+      .select(col("_g").as("_ga"), col("_lag"),
+        (col("_day") + col("_lag")).as("_jday"), col("_x").as("_xa"))
+    val right = cells
+      .select(col("_g").as("_gb"), col("_day").as("_jday"),
+        col("_x").as("_xb"))
+    lagged.join(right,
+        Seq("_jday")).filter(col("_ga") =!= col("_gb"))
+      .groupBy(col("_ga").as("group_a"), col("_gb").as("group_b"),
+        col("_lag").cast("bigint").as("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("_xa").cast(dec)).as("_sx"),
+        sum(col("_xb").cast(dec)).as("_sy"),
+        sum((col("_xa").cast(dec) * col("_xa")).cast(dec)).as("_sxx"),
+        sum((col("_xb").cast(dec) * col("_xb")).cast(dec)).as("_syy"),
+        sum((col("_xa").cast(dec) * col("_xb")).cast(dec)).as("_sxy"))
+      .withColumn("_vx", (col("n_days").cast(dec) * col("_sxx")
+        - col("_sx") * col("_sx")).cast("double"))
+      .withColumn("_vy", (col("n_days").cast(dec) * col("_syy")
+        - col("_sy") * col("_sy")).cast("double"))
+      .withColumn("xcorr",
+        when(col("_vx") > 0.0 && col("_vy") > 0.0,
+          round((col("n_days").cast(dec) * col("_sxy")
+              - col("_sx") * col("_sy")).cast("double")
+            / sqrt(col("_vx") * col("_vy")), 6)).cast("double"))
+      .select("group_a", "group_b", "lag", "n_days", "xcorr")
+  }
+
   /** First-order Markov transition matrix over per-key state
     * sequences: walk each key's rows in (orderCol, tieCol) TOTAL
     * order, count (state, next-state) pairs across all keys, and

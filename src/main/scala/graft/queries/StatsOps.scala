@@ -250,6 +250,16 @@ object StatsOps {
       .orderBy("event_type", "h")
   }
 
+  /** Lead/lag cross-correlation between event types' daily series at
+    * lags 0..2: calendar-aligned strict inner join, exact decimal
+    * Pearson moments, one rounded division with IEEE sqrt.
+    */
+  val qXcorr: QueryFn = withTables { spark =>
+    Resample.crossCorrelation(spark.table("events"), "event_type", "ts",
+        "value", maxLag = 2)
+      .orderBy("group_a", "group_b", "lag")
+  }
+
   /** Decile-by-decile drift of value between the first and second
     * half-month per event type: pure order statistics at explicit
     * integer ranks, one rounded subtraction.
@@ -336,6 +346,7 @@ object StatsOps {
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
     "q_holt_forecast" -> qHoltForecast,
+    "q_xcorr" -> qXcorr,
     "q_jsd" -> qJsd,
     "q_trending" -> qTrending,
     "q_qq_drift" -> qQqDrift,
@@ -573,6 +584,40 @@ object StatsOps {
                AS u_b_given_a,
              SUM(cab)::BIGINT AS n_rows
       FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // Same daily cells as q_acf, the same calendar-shifted inner
+    // join, HUGEINT Pearson moments mirroring decimal(38,0), one
+    // rounded division with IEEE sqrt.
+    "q_xcorr" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      lags AS (SELECT UNNEST([0, 1, 2]) AS lag),
+      joined AS (
+        SELECT a.g AS ga, b.g AS gb, l.lag, a.x AS xa, b.x AS xb
+        FROM cells a CROSS JOIN lags l
+        JOIN cells b ON a.day + l.lag = b.day AND a.g <> b.g),
+      agg AS (
+        SELECT ga, gb, lag::BIGINT AS lag, COUNT(*)::BIGINT AS n_days,
+               SUM(xa::HUGEINT) AS sx, SUM(xb::HUGEINT) AS sy,
+               SUM(xa::HUGEINT * xa) AS sxx, SUM(xb::HUGEINT * xb) AS syy,
+               SUM(xa::HUGEINT * xb) AS sxy
+        FROM joined GROUP BY 1, 2, 3),
+      v AS (
+        SELECT ga, gb, lag, n_days,
+               CAST(n_days::HUGEINT * sxx - sx * sx AS DOUBLE) AS vx,
+               CAST(n_days::HUGEINT * syy - sy * sy AS DOUBLE) AS vy,
+               CAST(n_days::HUGEINT * sxy - sx * sy AS DOUBLE) AS cov
+        FROM agg)
+      SELECT ga AS group_a, gb AS group_b, lag, n_days,
+             CAST(CASE WHEN vx > 0 AND vy > 0 THEN
+               ROUND(cov / SQRT(vx * vy), 6) END AS DOUBLE) AS xcorr
+      FROM v
+      ORDER BY group_a, group_b, lag""",
 
     // Same exact scaled-long daily sums, the same 6-dp-rounded Holt
     // recursion unrolled day by day, forecasts from the last state.

@@ -278,6 +278,45 @@ class ResampleSpec extends SparkTestBase {
       s"row-stochastic: $r"))
   }
 
+  // ---- crossCorrelation ----
+
+  test("crossCorrelation: identical series correlate 1.0 at lag 0, " +
+      "a one-day shift moves the 1.0 to lag 1") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val series = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0)
+    val ev =
+      series.zipWithIndex.map { case (v, i) =>
+        ("a", Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), v) } ++
+      // b repeats a's values one day LATER: a leads b by 1
+      series.zipWithIndex.map { case (v, i) =>
+        ("b", Timestamp.valueOf(f"2024-01-${i + 2}%02d 12:00:00"), v) }
+    val out = Resample.crossCorrelation(ev.toDF("g", "ts", "v"),
+        "g", "ts", "v", maxLag = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("a", "b", 1L)) == Some(1.0),
+      s"shifted copy must peak at lag 1: $out")
+    assert(out(("a", "b", 0L)).exists(v => v < 1.0), out.toString)
+  }
+
+  test("crossCorrelation: anti-correlated at lag 0; constant series NULL") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val ev = (1 to 6).flatMap { i =>
+      val t = Timestamp.valueOf(f"2024-01-$i%02d 12:00:00")
+      Seq(("a", t, i.toDouble), ("b", t, 10.0 - i), ("c", t, 7.0))
+    }
+    val out = Resample.crossCorrelation(ev.toDF("g", "ts", "v"),
+        "g", "ts", "v", maxLag = 0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("a", "b")) == Some(-1.0), out.toString)
+    assert(out(("a", "c")).isEmpty, s"constant side must be NULL: $out")
+  }
+
   // ---- holt ----
 
   test("holt hand fixture: 6-dp-rounded level/trend recursion") {
