@@ -335,6 +335,50 @@ object Resample {
       }
   }
 
+  /** Output rows for [[rollingQuantileStream]]. */
+  case class RollingQuantileOut(key: Long, event_id: Long, quantile: Double)
+  private[operators] case class RollingBuf(buf: List[Double])
+
+  /** Streaming-legal [[rollingQuantile]]: the state store keeps the
+    * `frameRows` most recent values per key (BOUNDED state — the
+    * frame, not the history) and each micro-batch's (order-sorted)
+    * rows emit the type-7 quantile of their trailing frame through
+    * the IDENTICAL double expression tree as the batch window
+    * (h = (n−1)·q + 1, a + frac·(b − a)), so streamed quantiles are
+    * bit-equal to batch (pinned in ResampleSpec). Same ordering
+    * contract as [[ewmaStream]].
+    */
+  def rollingQuantileStream(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      frameRows: Int, q: Double)
+      : org.apache.spark.sql.Dataset[RollingQuantileOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    import events.sparkSession.implicits._
+    def type7(sortedBuf: Array[Double]): Double = {
+      val n = sortedBuf.length
+      val h = (n.toDouble - 1.0) * q + 1.0
+      val lo = math.floor(h).toInt
+      val frac = h - math.floor(h)
+      if (lo >= n) sortedBuf(n - 1)
+      else sortedBuf(lo - 1) +
+        frac * (sortedBuf(math.min(lo + 1, n) - 1) - sortedBuf(lo - 1))
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RollingBuf, RollingQuantileOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, evs: Iterator[EwmaEvent], gs: GroupState[RollingBuf]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var buf = gs.getOption.map(_.buf).getOrElse(Nil)
+          val out = sorted.map { e =>
+            buf = (buf :+ e.x).takeRight(frameRows)
+            RollingQuantileOut(key, e.event_id, type7(buf.toArray.sorted))
+          }
+          if (sorted.nonEmpty) gs.update(RollingBuf(buf))
+          out.iterator
+      }
+  }
+
   /** Input/output rows for [[markovStream]]. */
   case class TransitionEvent(key: Long, orderMicros: Long, eventId: Long,
     state: String)

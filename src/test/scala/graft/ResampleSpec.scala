@@ -278,6 +278,45 @@ class ResampleSpec extends SparkTestBase {
       s"row-stochastic: $r"))
   }
 
+  test("streaming rolling quantile == batch bit-for-bit on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.Resample.EwmaEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("k"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double").as("x"))
+    val batch = graft.operators.Resample
+      .rollingQuantile(events, "k", Seq("us", "eid"), "x",
+        frameRows = 5, q = 0.5)
+      .select(col("k"), col("eid"), col("rq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val ordered = events.orderBy("us", "eid").collect()
+      .map(r => EwmaEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val input = MemoryStream[EwmaEvent]
+    val qy = graft.operators.Resample
+      .rollingQuantileStream(input.toDS(), frameRows = 5, q = 0.5)
+      .toDF("k", "eid", "rq")
+      .writeStream.format("memory").queryName("rq_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    input.addData(first.toIndexedSeq: _*)
+    qy.processAllAvailable()
+    input.addData(second.toIndexedSeq: _*)
+    qy.processAllAvailable()
+    qy.stop()
+
+    val streamed = spark.table("rq_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch,
+      "the bounded-frame streaming state must equal the batch window exactly")
+  }
+
   // ---- crossCorrelation ----
 
   test("crossCorrelation: identical series correlate 1.0 at lag 0, " +
