@@ -305,4 +305,54 @@ object RankEval {
       round(sum(col("n") * abs(col("accuracy") - col("mean_conf")))
         / sum(col("n")), 6).cast("double").as("ece"),
       sum(col("n")).cast("long").as("n"))
+
+  /** Lift / gains curve: rank the population by score DESC (id
+    * tiebreak — a total order), cut into `buckets` closed-form rank
+    * tiles, and report each bucket's response rate plus the
+    * cumulative capture and lift of targeting the top buckets — the
+    * standard "how much better than random is mailing the top decile"
+    * model-evaluation table.
+    *
+    * Exactness: bucket/cumulative counts are pure integers; lift =
+    * (cum_pos·N) / (cum_n·P) with the integer cross-products
+    * accumulated in decimal(38,0) (N·cum_pos overflows a long at
+    * corpus scale) and ONE rounded division; rate and capture are one
+    * rounded division each; an all-negative population reports NULL
+    * capture/lift. Ranks come from [[Indexing.denseIds]] — never a
+    * single-partition window over the data.
+    *
+    * Output: (bucket, n, n_pos, rate, cum_capture, lift).
+    */
+  def liftCurve(df: DataFrame, idCol: String, scoreCol: String,
+      label: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"liftCurve: buckets must be >= 2, got $buckets")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(scoreCol).isNotNull)
+      .select(col(idCol).as("_id"), (-col(scoreCol)).as("_negs"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .localCheckpoint() // rank pass + the N/P aggregate re-read it
+    val nn = base.agg(count(lit(1)).as("_n"), sum("_y").as("_p"))
+    val perBucket = Indexing.denseIds(base, Seq("_negs", "_id"), "_rk")
+      .crossJoin(broadcast(nn))
+      .withColumn("bucket",
+        (floor((col("_rk") - 1) * buckets / col("_n")) + 1).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        max("_n").as("_n"), max("_p").as("_p"))
+    val wc = Window.orderBy("bucket") // buckets-sized frame
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("_cn", sum("n").over(wc))
+      .withColumn("_cp", sum("n_pos").over(wc))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n").cast("double"), 6)
+          .cast("double").as("rate"),
+        when(col("_p") > 0,
+          round(col("_cp") / col("_p").cast("double"), 6))
+          .cast("double").as("cum_capture"),
+        when(col("_p") > 0,
+          round((col("_cp").cast(dec) * col("_n")).cast("double")
+            / (col("_cn").cast(dec) * col("_p")).cast("double"), 6))
+          .cast("double").as("lift"))
+  }
 }

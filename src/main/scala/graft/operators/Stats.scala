@@ -246,6 +246,68 @@ object Stats {
           .cast("double"))
   }
 
+  /** Per-group best decision-stump split: for every candidate
+    * threshold t (each distinct 6-dp value), the Gini impurity gain of
+    * partitioning the group into x <= t vs x > t against a boolean
+    * label — the single-feature split finder at the bottom of every
+    * tree/GBM trainer, and by itself the "which cutoff on this score
+    * best separates good from bad docs" answer.
+    *
+    * Exactness: class counts per distinct value and their cumulative
+    * prefixes are pure integers; the parent/child Gini terms are
+    * computed as ONE identically-spelled float tree from those
+    * integers and the gain is rounded at 6 dp; the argmax is the
+    * total order (gain DESC, threshold ASC). Candidate thresholds
+    * with an empty side are excluded, so a group with a single
+    * distinct value emits NO row (there is no valid split); a group
+    * with a constant label reports gain 0 at its smallest threshold.
+    *
+    * Scale shape: one (group, value) cell shuffle; class prefixes are
+    * per-group windows over the vocabulary-sized cell table (bounded
+    * after quantization); one argmax window per group. Output:
+    * (group, n, n_pos, threshold, gini_gain).
+    */
+  def bestSplit(df: DataFrame, groupCol: String, valueCol: String,
+      label: Column): DataFrame = {
+    val cells = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), round(col(valueCol), 6).as("_q"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("_g", "_q")
+      .agg(sum("_y").as("_c1"), sum(lit(1L) - col("_y")).as("_c0"))
+    val wv = Window.partitionBy("_g").orderBy("_q")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wg = Window.partitionBy("_g")
+    val scored = cells
+      .withColumn("_p1", sum("_c1").over(wv))
+      .withColumn("_p0", sum("_c0").over(wv))
+      .withColumn("_n1", sum("_c1").over(wg))
+      .withColumn("_n0", sum("_c0").over(wg))
+      .withColumn("_nl", col("_p1") + col("_p0"))
+      .withColumn("_nr",
+        col("_n1") + col("_n0") - col("_p1") - col("_p0"))
+      .filter(col("_nr") > 0) // the top value has no right side
+    val n = (col("_n1") + col("_n0")).cast("double")
+    def gini(pos: Column, tot: Column): Column =
+      lit(1.0) - (pos.cast("double") / tot) * (pos.cast("double") / tot) -
+        ((tot - pos).cast("double") / tot) * ((tot - pos).cast("double") / tot)
+    val gain = round(
+      gini(col("_n1"), col("_n1") + col("_n0"))
+        - (col("_nl").cast("double") / n) * gini(col("_p1"), col("_nl"))
+        - (col("_nr").cast("double") / n)
+          * gini(col("_n1") - col("_p1"), col("_nr")), 6)
+    scored
+      .withColumn("_gain", gain.cast("double"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_g").orderBy(col("_gain").desc, col("_q").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("_g").as(groupCol),
+        (col("_n1") + col("_n0")).cast("bigint").as("n"),
+        col("_n1").cast("bigint").as("n_pos"),
+        col("_q").cast("double").as("threshold"),
+        col("_gain").as("gini_gain"))
+  }
+
   /** Per-group two-proportion z-test of a boolean outcome against the
     * complement, plus the Wilson 95% score interval for the group rate
     * — the A/B-style "is this slice's conversion/pass rate different

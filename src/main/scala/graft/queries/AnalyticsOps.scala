@@ -376,7 +376,18 @@ object AnalyticsOps {
       .orderBy("event_id")
   }
 
+  /** Decile lift/gains table of value-ranked events against the
+    * is-purchase label: closed-form rank tiles over a denseIds total
+    * order, integer cross-product lift, one rounded division each.
+    */
+  val qLiftCurve: QueryFn = withTables { spark =>
+    RankEval.liftCurve(spark.table("events"), "event_id", "value",
+        col("event_type") === "purchase", buckets = 10)
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_lift_curve" -> qLiftCurve,
     "q_dwell" -> qDwell,
     "q_debounce" -> qDebounce,
     "q_rfm" -> qRfm,
@@ -421,6 +432,36 @@ object AnalyticsOps {
       .mkString("CASE GREATEST(a.ra, b.rb) ", " ", " ELSE 0.0 END")
 
   val oracles: Map[String, String] = Map(
+
+    // Same score-DESC total-order rank, closed-form buckets, and the
+    // HUGEINT cross-product lift mirroring decimal(38,0).
+    "q_lift_curve" -> """
+      WITH base AS (
+        SELECT event_id AS id, value AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL),
+      nn AS (SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p FROM base),
+      rk AS (SELECT id, y,
+               ROW_NUMBER() OVER (ORDER BY s DESC, id) AS r
+             FROM base),
+      b AS (SELECT (((r - 1) * 10) // n + 1)::BIGINT AS bucket,
+                   COUNT(*)::BIGINT AS bn, SUM(y)::BIGINT AS bp
+            FROM rk CROSS JOIN nn GROUP BY 1),
+      c AS (SELECT bucket, bn, bp,
+                   SUM(bn) OVER (ORDER BY bucket)::BIGINT AS cn,
+                   SUM(bp) OVER (ORDER BY bucket)::BIGINT AS cp
+            FROM b)
+      SELECT bucket, bn AS n, bp AS n_pos,
+             CAST(ROUND(bp / CAST(bn AS DOUBLE), 6) AS DOUBLE) AS rate,
+             CAST(CASE WHEN p > 0 THEN
+               ROUND(cp / CAST(p AS DOUBLE), 6) END AS DOUBLE)
+               AS cum_capture,
+             CAST(CASE WHEN p > 0 THEN
+               ROUND(CAST(cp::HUGEINT * n AS DOUBLE)
+                 / CAST(cn::HUGEINT * p AS DOUBLE), 6) END AS DOUBLE)
+               AS lift
+      FROM c CROSS JOIN nn
+      ORDER BY bucket""",
 
     // Same user-keyed lead over the same (ts, event_id) total order;
     // totals integer-DIV'd to seconds (the HUGEINT window-sum class is

@@ -250,6 +250,17 @@ object StatsOps {
       .orderBy("event_type", "h")
   }
 
+  /** Best decision-stump split of doc length against the is-English
+    * label per source: exact integer class prefixes, one
+    * identically-spelled Gini float tree, (gain DESC, threshold ASC)
+    * argmax.
+    */
+  val qBestSplit: QueryFn = withTables { spark =>
+    Stats.bestSplit(spark.table("documents"), "source", "n_chars",
+        col("lang") === "en")
+      .orderBy("source")
+  }
+
   /** Lead/lag cross-correlation between event types' daily series at
     * lags 0..2: calendar-aligned strict inner join, exact decimal
     * Pearson moments, one rounded division with IEEE sqrt.
@@ -347,6 +358,7 @@ object StatsOps {
     "q_acf" -> qAcf,
     "q_holt_forecast" -> qHoltForecast,
     "q_xcorr" -> qXcorr,
+    "q_best_split" -> qBestSplit,
     "q_jsd" -> qJsd,
     "q_trending" -> qTrending,
     "q_qq_drift" -> qQqDrift,
@@ -584,6 +596,61 @@ object StatsOps {
                AS u_b_given_a,
              SUM(cab)::BIGINT AS n_rows
       FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // Same integer class cells/prefixes and the same left-associated
+    // Gini gain tree (parent − (nl/n)·giniL − (nr/n)·giniR), argmax
+    // on (gain DESC, threshold ASC).
+    "q_best_split" -> """
+      WITH cells AS (
+        SELECT source AS g, ROUND(n_chars, 6) AS q,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c1,
+               SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS c0
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      pref AS (
+        SELECT g, q, c1, c0,
+               SUM(c1) OVER (PARTITION BY g ORDER BY q NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS p1,
+               SUM(c0) OVER (PARTITION BY g ORDER BY q NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS p0,
+               SUM(c1) OVER (PARTITION BY g)::BIGINT AS n1,
+               SUM(c0) OVER (PARTITION BY g)::BIGINT AS n0
+        FROM cells),
+      sc AS (
+        SELECT g, q, n1, n0, p1,
+               (p1 + p0)::BIGINT AS nl,
+               (n1 + n0 - p1 - p0)::BIGINT AS nr
+        FROM pref WHERE n1 + n0 - p1 - p0 > 0),
+      gn AS (
+        SELECT g, q, n1, n0,
+               ROUND(
+                 (1.0 - (CAST(n1 AS DOUBLE) / (n1 + n0))
+                          * (CAST(n1 AS DOUBLE) / (n1 + n0))
+                      - (CAST((n1 + n0) - n1 AS DOUBLE) / (n1 + n0))
+                          * (CAST((n1 + n0) - n1 AS DOUBLE) / (n1 + n0)))
+                 - (CAST(nl AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                     * (1.0 - (CAST(p1 AS DOUBLE) / nl)
+                              * (CAST(p1 AS DOUBLE) / nl)
+                            - (CAST(nl - p1 AS DOUBLE) / nl)
+                              * (CAST(nl - p1 AS DOUBLE) / nl))
+                 - (CAST(nr AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                     * (1.0 - (CAST(n1 - p1 AS DOUBLE) / nr)
+                              * (CAST(n1 - p1 AS DOUBLE) / nr)
+                            - (CAST(nr - (n1 - p1) AS DOUBLE) / nr)
+                              * (CAST(nr - (n1 - p1) AS DOUBLE) / nr)),
+                 6) AS gain
+        FROM sc),
+      best AS (
+        SELECT g, q, n1, n0, gain,
+               ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY gain DESC, q ASC) AS rn
+        FROM gn)
+      SELECT g AS source, (n1 + n0)::BIGINT AS n, n1 AS n_pos,
+             CAST(q AS DOUBLE) AS threshold,
+             CAST(gain AS DOUBLE) AS gini_gain
+      FROM best WHERE rn = 1
+      ORDER BY source""",
 
     // Same daily cells as q_acf, the same calendar-shifted inner
     // join, HUGEINT Pearson moments mirroring decimal(38,0), one

@@ -86,6 +86,35 @@ class ScoringSpec extends SparkTestBase {
       "direct" -> ((1L, 1L))), out.toString)
   }
 
+  // ---- liftCurve ----
+
+  test("liftCurve hand fixture: perfect ranker concentrates capture") {
+    import spark.implicits._
+    // scores 8..1, positives at the 4 highest scores: bucket 1 (top
+    // half) holds all positives -> capture 1.0, lift = (4/4)/(4/8) = 2
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble, i >= 5))
+      .toDF("id", "s", "y")
+    val rows = graft.operators.RankEval
+      .liftCurve(df, "id", "s", col("y"), buckets = 2)
+      .orderBy("bucket").collect()
+    assert(rows(0).getLong(1) == 4L && rows(0).getLong(2) == 4L)
+    assert(rows(0).getDouble(3) == 1.0 && rows(0).getDouble(4) == 1.0
+      && rows(0).getDouble(5) == 2.0, rows(0).toString)
+    assert(rows(1).getLong(2) == 0L && rows(1).getDouble(4) == 1.0
+      && rows(1).getDouble(5) == 1.0, rows(1).toString)
+  }
+
+  test("liftCurve: random-uniform labels give lift ~1 in every bucket; " +
+      "all-negative reports NULL capture/lift") {
+    import spark.implicits._
+    val allNeg = (1 to 6).map(i => (i.toLong, i.toDouble, false))
+      .toDF("id", "s", "y")
+    val rows = graft.operators.RankEval
+      .liftCurve(allNeg, "id", "s", col("y"), buckets = 3)
+      .collect()
+    rows.foreach(r => assert(r.isNullAt(4) && r.isNullAt(5), r.toString))
+  }
+
   // ---- postingLists ----
 
   test("postingLists hand fixture: dedup, df gates, cap, serialization") {

@@ -143,6 +143,42 @@ class StatsSpec extends SparkTestBase {
     assert(u("a") == 3.5 && u("b") == 0.5, u.toString)
   }
 
+  // ---- bestSplit ----
+
+  test("bestSplit hand fixture: perfect separation gains the parent gini") {
+    import spark.implicits._
+    // pos at {1,2}, neg at {3,4}: split x <= 2 is perfect; parent
+    // gini = 0.5, children pure -> gain 0.5 at threshold 2
+    val df = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 3.0, false), ("g", 4.0, false)).toDF("g", "v", "y")
+    val r = Stats.bestSplit(df, "g", "v", col("y")).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L, r.toString)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 0.5, r.toString)
+  }
+
+  test("bestSplit: constant label gains 0 at the smallest threshold; " +
+      "single-value group emits no row") {
+    import spark.implicits._
+    val df = Seq(("c", 5.0, true), ("c", 7.0, true), ("c", 9.0, true),
+      ("s", 3.0, true), ("s", 3.0, false)).toDF("g", "v", "y")
+    val rows = Stats.bestSplit(df, "g", "v", col("y")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows("c") == ((5.0, 0.0)), rows.toString)
+    assert(!rows.contains("s"), "one distinct value admits no split")
+  }
+
+  test("bestSplit picks the impurity-optimal threshold on a mixed group") {
+    import spark.implicits._
+    // pos at {1,2,3,9}, neg at {4,5,6,7}: t=3 -> left 3/0 pure,
+    // right 1/4 -> gain = 0.5 - (5/8)(2·0.2·0.8) = 0.3; better than
+    // any other cut
+    val df = (Seq(1, 2, 3, 9).map(v => ("g", v.toDouble, true)) ++
+      Seq(4, 5, 6, 7).map(v => ("g", v.toDouble, false))).toDF("g", "v", "y")
+    val r = Stats.bestSplit(df, "g", "v", col("y")).collect().head
+    assert(r.getDouble(3) == 3.0, r.toString)
+    assert(math.abs(r.getDouble(4) - 0.3) < 1e-9, r.toString)
+  }
+
   // ---- robustOutliers ----
 
   test("robustOutliers hand fixture: lower medians, integer rule") {
