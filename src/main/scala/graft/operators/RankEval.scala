@@ -306,6 +306,30 @@ object RankEval {
         / sum(col("n")), 6).cast("double").as("ece"),
       sum(col("n")).cast("long").as("n"))
 
+  /** Exact Brier score of probabilistic predictions against boolean
+    * outcomes: mean (conf − y)² — the proper-scoring sibling of
+    * [[calibrationBins]]/ECE. Confidences quantize to 1e-6-scaled
+    * longs, squared deviations accumulate in decimal(38,0) (exact,
+    * shuffle-order-proof — a float sum of squares drifts with
+    * partition order), ONE rounded division at the end. NULL
+    * confidences are excluded (not scored as wrong).
+    *
+    * Output: one row (brier, n).
+    */
+  def brierScore(df: DataFrame, confCol: Column, label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = (round(confCol * 1e6).cast("long")
+      - when(label, 1000000L).otherwise(0L))
+    df.filter(confCol.isNotNull)
+      .select(((d * d).cast(dec)).as("_d2"))
+      .agg(count(lit(1)).as("n"), sum("_d2").as("_s"))
+      .select(
+        round(col("_s").cast("double")
+          / (col("n").cast("double") * 1e12), 6)
+          .cast("double").as("brier"),
+        col("n"))
+  }
+
   /** Lift / gains curve: rank the population by score DESC (id
     * tiebreak — a total order), cut into `buckets` closed-form rank
     * tiles, and report each bucket's response rate plus the

@@ -308,6 +308,59 @@ object Stats {
         col("_gain").as("gini_gain"))
   }
 
+  /** Per-group Wald sequential probability ratio test (SPRT) of a
+    * Bernoulli rate against simple hypotheses H0: p = p0 vs
+    * H1: p = p1 — the early-stopping A/B gate: unlike the fixed-n
+    * z-test ([[propZTest]]), the SPRT's log-likelihood ratio can
+    * cross a bound long before the planned sample completes.
+    *
+    *   LLR = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0))
+    *   accept H1 when LLR >= ln((1−β)/α); accept H0 when
+    *   LLR <= ln(β/(1−α)); else continue.
+    *
+    * Determinism: the four log constants are computed ONCE in Scala
+    * (Double.toString round-trips, so an oracle interpolating them
+    * compares against identical doubles — the rboWeights contract);
+    * LLR is one rounded multiply-add over exact integer (n, s); the
+    * decisions are threshold comparisons on the ROUNDED llr, so both
+    * engines decide identically.
+    *
+    * Scale shape: one group-keyed count — nothing else. Output:
+    * (group, n, successes, llr, decision).
+    */
+  def sprt(df: DataFrame, groupCol: String, success: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0.0 && p0 < 1.0 && p1 > 0.0 && p1 < 1.0 && p0 != p1,
+      s"sprt: need 0 < p0, p1 < 1 and p0 != p1 (got $p0, $p1)")
+    require(alpha > 0.0 && alpha < 1.0 && beta > 0.0 && beta < 1.0,
+      s"sprt: alpha/beta must be in (0,1)")
+    val cs = math.log(p1 / p0)
+    val cf = math.log((1.0 - p1) / (1.0 - p0))
+    val lo = math.log(beta / (1.0 - alpha))
+    val hi = math.log((1.0 - beta) / alpha)
+    df.groupBy(col(groupCol).as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+      .withColumn("llr",
+        round(col("successes") * lit(cs)
+          + (col("n") - col("successes")) * lit(cf), 6).cast("double"))
+      .withColumn("decision",
+        when(col("llr") >= lit(hi), lit("accept_h1"))
+          .when(col("llr") <= lit(lo), lit("accept_h0"))
+          .otherwise(lit("continue")))
+  }
+
+  /** The interpolation constants [[sprt]] uses, exposed so oracle
+    * text can embed the IDENTICAL doubles (Double.toString
+    * round-trips). Returns (lnSuccessRatio, lnFailureRatio, lnLower,
+    * lnUpper).
+    */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Double, Double, Double, Double) =
+    (math.log(p1 / p0), math.log((1.0 - p1) / (1.0 - p0)),
+      math.log(beta / (1.0 - alpha)), math.log((1.0 - beta) / alpha))
+
   /** Per-group two-proportion z-test of a boolean outcome against the
     * complement, plus the Wilson 95% score interval for the group rate
     * — the A/B-style "is this slice's conversion/pass rate different

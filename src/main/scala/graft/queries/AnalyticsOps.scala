@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventWindows, Profiling, RankEval, Resample, Scoring, Spectral, TextAnalysis}
+import graft.operators.{EventWindows, Profiling, RankEval, Resample, Scoring, Spectral, Stats, TextAnalysis}
 import QueryDefs._
 
 /** Round-8 judged queries: spectral projection, ranking-agreement
@@ -386,7 +386,34 @@ object AnalyticsOps {
       .orderBy("bucket")
   }
 
+  /** Exact Brier score of the q_calibration min-max confidence
+    * against is-purchase: scaled-long squared deviations in
+    * decimal(38,0), one rounded division.
+    */
+  val qBrier: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+    val mm = ev.agg(min(col("value")).cast("double").as("_lo"),
+      max(col("value")).cast("double").as("_hi"))
+    val scored = ev.crossJoin(broadcast(mm))
+      .withColumn("conf",
+        round((col("value") - col("_lo")) / (col("_hi") - col("_lo")), 6))
+    RankEval.brierScore(scored, col("conf"),
+      col("event_type") === "purchase")
+  }
+
+  /** SPRT early-stopping gate per event type: H0 rate 0.4 vs H1 rate
+    * 0.5 of P(value > 50), α = β = 0.05 — Scala-computed log
+    * constants interpolated into the oracle verbatim.
+    */
+  val qSprt: QueryFn = withTables { spark =>
+    Stats.sprt(spark.table("events"), "event_type",
+        col("value") > 50.0, p0 = 0.4, p1 = 0.5)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_brier" -> qBrier,
+    "q_sprt" -> qSprt,
     "q_lift_curve" -> qLiftCurve,
     "q_dwell" -> qDwell,
     "q_debounce" -> qDebounce,
@@ -431,7 +458,52 @@ object AnalyticsOps {
       .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }
       .mkString("CASE GREATEST(a.ra, b.rb) ", " ", " ELSE 0.0 END")
 
+  // SPRT log constants: ONE Scala computation (Stats.sprtConstants)
+  // interpolated into the oracle text — Double.toString round-trips,
+  // so both engines multiply by the identical doubles.
+  private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
+
   val oracles: Map[String, String] = Map(
+
+    // Same exact integer (n, successes), the same interpolated log
+    // constants, one rounded multiply-add, decisions on the ROUNDED
+    // llr.
+    "q_sprt" -> s"""
+      WITH byg AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS successes
+        FROM events GROUP BY event_type),
+      sc AS (
+        SELECT event_type, n, successes,
+               CAST(ROUND(successes * ${sprtC._1}
+                 + (n - successes) * ${sprtC._2}, 6) AS DOUBLE) AS llr
+        FROM byg)
+      SELECT event_type, n, successes, llr,
+             CASE WHEN llr >= ${sprtC._4} THEN 'accept_h1'
+                  WHEN llr <= ${sprtC._3} THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM sc
+      ORDER BY event_type""",
+
+    // Same min-max confidence, scaled-long deviations, HUGEINT sum of
+    // squares mirroring decimal(38,0), one rounded division.
+    "q_brier" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      sc AS (
+        SELECT CAST(ROUND((value - lo) / (hi - lo), 6) AS DOUBLE) AS conf,
+               CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END
+                 AS y
+        FROM events CROSS JOIN mm),
+      d AS (
+        SELECT (CAST(ROUND(conf * 1000000.0) AS BIGINT) - y) AS dd
+        FROM sc WHERE conf IS NOT NULL)
+      SELECT CAST(ROUND(CAST(SUM(dd::HUGEINT * dd) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0), 6)
+               AS DOUBLE) AS brier,
+             COUNT(*)::BIGINT AS n
+      FROM d""",
 
     // Same score-DESC total-order rank, closed-form buckets, and the
     // HUGEINT cross-product lift mirroring decimal(38,0).

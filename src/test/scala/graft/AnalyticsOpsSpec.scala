@@ -241,6 +241,22 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(ece.getLong(1) == 4L)
   }
 
+  // ---- brierScore ----
+
+  test("brierScore: perfect predictions 0, coin-flip 0.25, exact thirds") {
+    import spark.implicits._
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("c", "y")
+    assert(RankEval.brierScore(perfect, col("c"), col("y"))
+      .collect().head.getDouble(0) == 0.0)
+    val coin = Seq((0.5, true), (0.5, false)).toDF("c", "y")
+    assert(RankEval.brierScore(coin, col("c"), col("y"))
+      .collect().head.getDouble(0) == 0.25)
+    // (0.9-1)² + (0.4-0)² + (0.2-0)² over 3 = (0.01+0.16+0.04)/3 = 0.07
+    val mixed = Seq((0.9, true), (0.4, false), (0.2, false)).toDF("c", "y")
+    val r = RankEval.brierScore(mixed, col("c"), col("y")).collect().head
+    assert(r.getDouble(0) == 0.07 && r.getLong(1) == 3L, r.toString)
+  }
+
   // ---- psi ----
 
   test("psi: identical halves score exactly 0, a shift scores > 0") {

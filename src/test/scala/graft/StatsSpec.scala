@@ -143,6 +143,30 @@ class StatsSpec extends SparkTestBase {
     assert(u("a") == 3.5 && u("b") == 0.5, u.toString)
   }
 
+  // ---- sprt ----
+
+  test("sprt: decisive rates cross the right bounds, borderline continues") {
+    import spark.implicits._
+    // p0=0.1, p1=0.5: 'hi' group 18/20 successes -> strong H1 evidence;
+    // 'lo' group 0/20 -> strong H0; 'mid' tiny sample -> continue
+    val df = (Seq.tabulate(20)(i => ("hi", i < 18)) ++
+      Seq.tabulate(20)(_ => ("lo", false)) ++
+      Seq(("mid", true))).toDF("g", "s")
+    val out = Stats.sprt(df, "g", col("s"), p0 = 0.1, p1 = 0.5)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(out == Map("hi" -> "accept_h1", "lo" -> "accept_h0",
+      "mid" -> "continue"), out.toString)
+  }
+
+  test("sprt llr matches the closed form on exact counts") {
+    import spark.implicits._
+    val df = Seq.tabulate(10)(i => ("g", i < 4)).toDF("g", "s")
+    val (cs, cf, _, _) = Stats.sprtConstants(0.2, 0.4, 0.05, 0.05)
+    val expected = math.rint((4 * cs + 6 * cf) * 1e6) / 1e6
+    val r = Stats.sprt(df, "g", col("s"), 0.2, 0.4).collect().head
+    assert(r.getDouble(3) == expected, r.toString)
+  }
+
   // ---- bestSplit ----
 
   test("bestSplit hand fixture: perfect separation gains the parent gini") {
