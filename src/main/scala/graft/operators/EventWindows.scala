@@ -258,6 +258,46 @@ object EventWindows {
       .drop("_prev")
   }
 
+  /** Cohort lifetime-value curves — the revenue complement of plain
+    * cohort retention: users cohort by their FIRST active day; each
+    * (cohort, day-offset) cell reports the active-user count and the
+    * cohort's CUMULATIVE value per cohort member up to that offset
+    * ("how much has the Jan-3 cohort spent per user by day 7").
+    *
+    * Exactness: values sum as 1e-6-scaled longs; the cumulative is an
+    * integer window; cohort size = the offset-0 active count (every
+    * user is active on their first day by construction); the per-user
+    * LTV is ONE rounded division. Cohort keys serialize as ISO date
+    * strings (the q_retention convention).
+    *
+    * Scale shape: one user-keyed first-day aggregate joined back (a
+    * user-dimension join), one (cohort, offset) aggregate, one
+    * cohort-keyed window over the calendar-bounded cell table.
+    * Output: (cohort, day_offset, n_active, cum_value_per_user).
+    */
+  def cohortValue(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val byUser = events.select(col(userCol).as("_u"),
+      col(tsCol).cast("date").as("_d"),
+      round(col(valueCol) * 1e6).cast("long").as("_q"))
+    val firsts = byUser.groupBy("_u").agg(min("_d").as("_f"))
+    val cells = byUser.join(firsts, Seq("_u"))
+      .groupBy(col("_f").as("_cohort"),
+        datediff(col("_d"), col("_f")).cast("bigint").as("day_offset"))
+      .agg(countDistinct(col("_u")).as("n_active"), sum("_q").as("_v"))
+    val wSize = Window.partitionBy("_cohort")
+    val wCum = Window.partitionBy("_cohort").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("_cum", sum("_v").over(wCum))
+      .withColumn("_size",
+        max(when(col("day_offset") === 0, col("n_active"))).over(wSize))
+      .select(col("_cohort").cast("string").as("cohort"),
+        col("day_offset"), col("n_active"),
+        round(col("_cum") / (col("_size") * lit(1e6)), 6)
+          .cast("double").as("cum_value_per_user"))
+  }
+
   /** First-touch / last-touch conversion attribution: for every
     * conversion event (`isConversion`), credit (a) the user's FIRST
     * non-conversion event type ever seen before it and (b) the MOST

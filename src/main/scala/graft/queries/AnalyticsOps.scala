@@ -411,7 +411,17 @@ object AnalyticsOps {
       .orderBy("event_type")
   }
 
+  /** Cohort LTV curves: first-day cohorts, exact scaled-long
+    * cumulative value, one rounded per-user division.
+    */
+  val qCohortLtv: QueryFn = withTables { spark =>
+    EventWindows.cohortValue(spark.table("events"), "user_id", "ts",
+        "value")
+      .orderBy("cohort", "day_offset")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_cohort_ltv" -> qCohortLtv,
     "q_brier" -> qBrier,
     "q_sprt" -> qSprt,
     "q_lift_curve" -> qLiftCurve,
@@ -464,6 +474,34 @@ object AnalyticsOps {
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
   val oracles: Map[String, String] = Map(
+
+    // Same first-day cohorts and scaled-long cumulative (window sum
+    // cast ::BIGINT — the HUGEINT class), one rounded division.
+    "q_cohort_ltv" -> """
+      WITH u AS (
+        SELECT user_id AS uu, CAST(ts AS DATE) AS d,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS q
+        FROM events),
+      f AS (SELECT uu, MIN(d) AS f0 FROM u GROUP BY uu),
+      cells AS (
+        SELECT f.f0 AS cohort, DATEDIFF('day', f.f0, u.d)::BIGINT
+                 AS day_offset,
+               COUNT(DISTINCT u.uu)::BIGINT AS n_active,
+               SUM(u.q)::BIGINT AS v
+        FROM u JOIN f ON u.uu = f.uu
+        GROUP BY 1, 2),
+      w AS (
+        SELECT cohort, day_offset, n_active,
+               SUM(v) OVER (PARTITION BY cohort ORDER BY day_offset)
+                 ::BIGINT AS cum,
+               MAX(CASE WHEN day_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort)::BIGINT AS sz
+        FROM cells)
+      SELECT CAST(cohort AS VARCHAR) AS cohort, day_offset, n_active,
+             CAST(ROUND(cum / (sz * 1000000.0), 6) AS DOUBLE)
+               AS cum_value_per_user
+      FROM w
+      ORDER BY cohort, day_offset""",
 
     // Same exact integer (n, successes), the same interpolated log
     // constants, one rounded multiply-add, decisions on the ROUNDED

@@ -189,6 +189,26 @@ class SessionizeSpec extends SparkTestBase {
     assert(out("b") == ((1L, 15L, 15.0)), out.toString)
   }
 
+  test("cohortValue hand fixture: exact cumulative LTV per cohort member") {
+    import spark.implicits._
+    // cohort 2024-01-01: u1, u2 (both first-seen day 1).
+    //   day 0: u1 spends 10, u2 spends 6 -> cum 16, per-user 8.0
+    //   day 2: u1 spends 4            -> cum 20, per-user 10.0
+    // cohort 2024-01-02: u3 alone, spends 3 -> per-user 3.0
+    val ev = Seq(
+      ("u1", Timestamp.valueOf("2024-01-01 01:00:00"), 10.0),
+      ("u2", Timestamp.valueOf("2024-01-01 02:00:00"), 6.0),
+      ("u1", Timestamp.valueOf("2024-01-03 01:00:00"), 4.0),
+      ("u3", Timestamp.valueOf("2024-01-02 01:00:00"), 3.0))
+      .toDF("u", "ts", "v")
+    val out = EventWindows.cohortValue(ev, "u", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("2024-01-01", 0L)) == ((2L, 8.0)), out.toString)
+    assert(out(("2024-01-01", 2L)) == ((1L, 10.0)), out.toString)
+    assert(out(("2024-01-02", 0L)) == ((1L, 3.0)), out.toString)
+  }
+
   test("debounce hand fixture: gap to previous RAW event, per (user, type)") {
     import spark.implicits._
     // gap 5s: a@0 keep, a@3 drop (3s gap), a@7 drop (4s from the RAW
