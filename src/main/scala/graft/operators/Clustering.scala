@@ -152,11 +152,32 @@ object Clustering {
     */
   def kmeansPortable(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
-    require(k >= 1, s"kmeansPortable: k must be >= 1, got $k")
-    require(iters >= 0, s"kmeansPortable: iters must be >= 0, got $iters")
     val Seq(idc, vc) = Cols.fresh("km", 2, vecs)
     val v = vecs.select(col(idCol).as(idc),
       col(vecCol).cast("array<double>").as(vc))
+    val centroids = trainCentroids(v, idc, vc, k, iters, roundDp)
+    assignToCentroids(v, idc, vc, centroids, roundDp)
+      .select(col(idc).as(idCol), col("cluster"), col("dist"))
+  }
+
+  /** The squared-L2-to-a-literal-centroid kernel every portable
+    * clustering step shares (distances rounded at roundDp). */
+  private[operators] def sqDistTo(vec: Column, centroid: Seq[Double],
+      roundDp: Int): Column =
+    round(aggregate(
+      zip_with(vec, typedLit(centroid), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e), roundDp)
+
+  /** The Lloyd training loop of [[kmeansPortable]], reusable on any
+    * (id, vector) projection — [[ProductQuantizer]] runs it once per
+    * subspace. Same portable seeding, per-step rounding, and
+    * empty-cluster rule; driver state is the k·dim centroid matrix
+    * only (the sanctioned bounded collect).
+    */
+  private[operators] def trainCentroids(v: DataFrame, idc: String,
+      vc: String, k: Int, iters: Int, roundDp: Int): Seq[Seq[Double]] = {
+    require(k >= 1, s"kmeansPortable: k must be >= 1, got $k")
+    require(iters >= 0, s"kmeansPortable: iters must be >= 0, got $iters")
     val dim = v.select(size(col(vc))).head().getInt(0)
     var centroids: Seq[Seq[Double]] = v
       .orderBy(Sampling.portableUnit(col(idc)), col(idc))
@@ -165,22 +186,10 @@ object Clustering {
       .map(_.getSeq[Double](0).toSeq)
     require(centroids.size == k,
       s"kmeansPortable: needs >= $k rows, got ${centroids.size}")
-
-    def sqDist(centroid: Seq[Double]): Column =
-      round(aggregate(
-        zip_with(col(vc), typedLit(centroid), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, e) => acc + e), roundDp)
-    def assigned(): DataFrame = {
-      val dists = array(centroids.map(sqDist): _*)
-      v.select(col(idc), col(vc),
-        (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
-        array_min(dists).as("dist"))
-    }
-
     for (_ <- 1 to iters) {
       val dimAvgs = (0 until dim).map(i =>
         round(avg(element_at(col(vc), i + 1)), roundDp).as(s"m$i"))
-      val refreshed = assigned()
+      val refreshed = assignToCentroids(v, idc, vc, centroids, roundDp)
         .groupBy(col("cluster"))
         .agg(dimAvgs.head, dimAvgs.tail: _*)
         .collect()
@@ -190,7 +199,18 @@ object Clustering {
         refreshed.getOrElse(c, old) // empty cluster: centroid stands
       }
     }
-    assigned().select(col(idc).as(idCol), col("cluster"), col("dist"))
+    centroids
+  }
+
+  /** Literal-centroid assignment: (idc, vc, cluster, dist), argmin
+    * ties to the lowest cluster index via array_position. */
+  private[operators] def assignToCentroids(v: DataFrame, idc: String,
+      vc: String, centroids: Seq[Seq[Double]], roundDp: Int): DataFrame = {
+    val dists = array(centroids.map(c =>
+      sqDistTo(col(vc), c, roundDp)): _*)
+    v.select(col(idc), col(vc),
+      (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
+      array_min(dists).as("dist"))
   }
 
   /** SemDeDup-style semantic near-dup removal: k-means-cluster the

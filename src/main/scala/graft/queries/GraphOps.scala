@@ -183,7 +183,41 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Product-quantization codes + reconstruction error over the
+    * embeddings table: m=2 subspaces of 32 dims, k=4 codes each, one
+    * Lloyd round per subspace — training reuses the portable kmeans
+    * machinery verbatim, so every code and distance is engine-exact.
+    */
+  val qAnnPq: QueryFn = withTables { spark =>
+    val e = spark.table("embeddings")
+    val cb = graft.operators.ProductQuantizer.train(
+      e, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    graft.operators.ProductQuantizer.encode(e, "vec_id", "embedding", cb)
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).cast("bigint").as("code0"),
+        element_at(col("codes"), 2).cast("bigint").as("code1"),
+        col("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** ADC top-5 per probe over the PQ code table: per-probe distance
+    * tables (2×4 rounded entries), approximate distance = two table
+    * lookups summed and rounded, (adc, vec_id) total-order ranks.
+    */
+  val qAnnPqSearch: QueryFn = withTables { spark =>
+    val e = spark.table("embeddings")
+    val cb = graft.operators.ProductQuantizer.train(
+      e, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val enc = graft.operators.ProductQuantizer.encode(
+      e, "vec_id", "embedding", cb)
+    graft.operators.ProductQuantizer.searchAdc(enc, "vec_id",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding", cb, topK = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_ann_pq" -> qAnnPq,
+    "q_ann_pq_search" -> qAnnPqSearch,
     "q_kmeans" -> qKmeans,
     "q_semdedup" -> qSemDedup,
     "q_pagerank" -> qPageRank,
@@ -233,7 +267,95 @@ object GraphOps {
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
           FROM a1) WHERE rk = 1)"""
 
+  // One subspace's full PQ pipeline (portable seed → one Lloyd round
+  // → final assignment asg1$j with (vec_id, c, dist)) over the slice
+  // v[lo:hi] — the kmeansCtes arithmetic verbatim, parametrized per
+  // subspace so q_ann_pq replays BOTH independent trainings.
+  private def pqSubCtes(j: Int, lo: Int, hi: Int, k: Int): String = s"""
+      sub$j AS (SELECT vec_id, v[$lo:$hi] AS s FROM v),
+      seeds$j AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY u, vec_id) - 1 AS c,
+               s AS cv
+        FROM (SELECT vec_id, v[$lo:$hi] AS s,
+                ('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                  / 1152921504606846976.0 AS u
+              FROM v ORDER BY u, vec_id LIMIT $k)),
+      a0$j AS (
+        SELECT vec_id, s, c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(s) + 1),
+                 i -> (s[i] - cv[i]) * (s[i] - cv[i]))), 6) AS dist
+        FROM sub$j CROSS JOIN seeds$j),
+      asg0$j AS (
+        SELECT vec_id, s, c FROM (
+          SELECT vec_id, s, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist, c) AS rk
+          FROM a0$j) WHERE rk = 1),
+      ex$j AS (SELECT c, UNNEST(s) AS val,
+                      GENERATE_SUBSCRIPTS(s, 1) AS i FROM asg0$j),
+      mu$j AS (SELECT c, i, ROUND(AVG(val), 6) AS mu
+               FROM ex$j GROUP BY c, i),
+      cf$j AS (SELECT c, LIST(mu ORDER BY i) AS cv FROM mu$j GROUP BY c),
+      cb$j AS (SELECT sd.c, COALESCE(f.cv, sd.cv) AS cv
+               FROM seeds$j sd LEFT JOIN cf$j f ON sd.c = f.c),
+      a1$j AS (
+        SELECT vec_id, c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(s) + 1),
+                 i -> (s[i] - cv[i]) * (s[i] - cv[i]))), 6) AS dist
+        FROM sub$j CROSS JOIN cb$j),
+      asg1$j AS (
+        SELECT vec_id, c, dist FROM (
+          SELECT vec_id, c, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY dist, c) AS rk
+          FROM a1$j) WHERE rk = 1)"""
+
+  private val pqCtes: String = """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),""" +
+    pqSubCtes(0, 1, 32, 4) + "," + pqSubCtes(1, 33, 64, 4)
+
   val oracles: Map[String, String] = Map(
+
+    // Both independent subspace trainings (the kmeansCtes arithmetic
+    // on v[1:32] and v[33:64]), joined on vec_id; recon_err = the
+    // rounded sum of the two rounded subspace distances.
+    "q_ann_pq" -> (pqCtes + """
+      SELECT a.vec_id, CAST(a.c AS BIGINT) AS code0,
+             CAST(b.c AS BIGINT) AS code1,
+             CAST(ROUND(a.dist + b.dist, 6) AS DOUBLE) AS recon_err
+      FROM asg10 a JOIN asg11 b ON a.vec_id = b.vec_id
+      ORDER BY a.vec_id"""),
+
+    // Per-probe distance tables against the SAME final codebooks,
+    // ADC = two lookups summed and rounded, (adc, vec_id) ranks.
+    "q_ann_pq_search" -> (pqCtes + """,
+      probes AS (SELECT vec_id AS pid, v AS pv FROM v WHERE vec_id < 3),
+      pd0 AS (
+        SELECT p.pid, c.c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                 i -> (pv[i] - cv[i]) * (pv[i] - cv[i]))), 6) AS d
+        FROM probes p CROSS JOIN cb0 c),
+      pd1 AS (
+        SELECT p.pid, c.c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                 i -> (pv[i + 32] - cv[i]) * (pv[i + 32] - cv[i]))), 6) AS d
+        FROM probes p CROSS JOIN cb1 c),
+      adc AS (
+        SELECT p0.pid AS probe_id, a.vec_id,
+               ROUND(p0.d + p1.d, 6) AS adc
+        FROM asg10 a JOIN asg11 b ON a.vec_id = b.vec_id
+        JOIN pd0 p0 ON p0.c = a.c
+        JOIN pd1 p1 ON p1.c = b.c AND p1.pid = p0.pid),
+      ranked AS (
+        SELECT probe_id, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY adc, vec_id) AS rank
+        FROM adc)
+      SELECT probe_id, vec_id, rank::BIGINT AS rank,
+             CAST(adc AS DOUBLE) AS adc
+      FROM ranked WHERE rank <= 5
+      ORDER BY probe_id, rank"""),
 
     "q_kmeans" -> (kmeansCtes + """
       SELECT vec_id, CAST(c AS INT) AS cluster, dist

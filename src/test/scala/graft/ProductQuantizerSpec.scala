@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, ProductQuantizer}
+
+/** Laws tying product quantization back to the portable k-means it is
+  * built from, plus ADC search contracts.
+  */
+class ProductQuantizerSpec extends SparkTestBase {
+
+  private def vecs() = {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    (0 until 60).map(i => (i.toLong, Seq.fill(8)(rng.nextDouble() * 4 - 2)))
+      .toDF("id", "v")
+  }
+
+  test("m=1 PQ is exactly portable k-means (codes and distances)") {
+    val df = vecs()
+    val cb = ProductQuantizer.train(df, "id", "v", m = 1, k = 3, iters = 1)
+    val pq = ProductQuantizer.encode(df, "id", "v", cb)
+      .select(col("id"), element_at(col("codes"), 1).as("c"),
+        col("recon_err"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    val km = Clustering.kmeansPortable(df, "id", "v", k = 3, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(pq == km, "one subspace must degenerate to plain k-means")
+  }
+
+  test("subspace split: recon_err sums the per-subspace minima exactly") {
+    val df = vecs()
+    val cb = ProductQuantizer.train(df, "id", "v", m = 2, k = 3, iters = 1)
+    assert(cb.m == 2 && cb.subDim == 4
+      && cb.centroids.forall(_.forall(_.size == 4)))
+    // finer codebooks can only shrink reconstruction error: k=6 vs k=2
+    val coarse = ProductQuantizer.encode(df, "id", "v",
+      ProductQuantizer.train(df, "id", "v", 2, 2, 1))
+      .agg(sum("recon_err")).head.getDouble(0)
+    val fine = ProductQuantizer.encode(df, "id", "v",
+      ProductQuantizer.train(df, "id", "v", 2, 6, 1))
+      .agg(sum("recon_err")).head.getDouble(0)
+    assert(fine <= coarse + 1e-9,
+      s"more codes must not reconstruct worse: k=6 $fine vs k=2 $coarse")
+  }
+
+  test("searchAdc: full rank lists, adc non-decreasing, total order") {
+    val df = vecs()
+    val cb = ProductQuantizer.train(df, "id", "v", m = 2, k = 3, iters = 1)
+    val enc = ProductQuantizer.encode(df, "id", "v", cb)
+    val out = ProductQuantizer.searchAdc(enc, "id",
+        df.filter(col("id") < 2), "id", "v", cb, topK = 4)
+      .orderBy("probe_id", "rank").collect()
+    assert(out.length == 8, s"2 probes x top-4: ${out.length}")
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val adcs = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        s"adc must be non-decreasing in rank: ${adcs.toSeq}")
+    }
+  }
+
+  test("dimension mismatch fails loudly") {
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.train(vecs(), "id", "v", m = 3, k = 2, iters = 0)
+    }
+  }
+}
