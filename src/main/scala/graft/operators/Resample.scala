@@ -588,6 +588,48 @@ object Resample {
         col("n_days"))
   }
 
+  /** Per-key sequence perplexity under the corpus's own first-order
+    * Markov model: score every consecutive state pair with the GLOBAL
+    * transition probability ([[markovTransitions]], which rounds each
+    * probability at 6 dp — ln/exp then run on identical doubles), and
+    * report perplexity = exp(−mean ln p) per key — "how predictable
+    * is this user's behavior", the sequence-anomaly score that flags
+    * bots (ppl ≈ 1, every step the modal transition) and erratic
+    * accounts (high ppl) in one number.
+    *
+    * Pairs whose transition was never counted cannot occur (the model
+    * is trained on the same corpus), so every pair joins; keys with
+    * no consecutive pair (single-event users) emit nothing.
+    * Determinism: ln p quantizes to 1e-6-scaled longs BEFORE the
+    * per-key sum (a float mean drifts with shuffle order), so the
+    * mean is an exact rational and exp/round run on identical doubles.
+    *
+    * Scale shape: the [[markovTransitions]] window + one states²-sized
+    * broadcast join + one key aggregate. Output: (key, n_steps,
+    * perplexity).
+    */
+  def markovPerplexity(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val probs = markovTransitions(df, keyCol, orderCol, tieCol, stateCol)
+      .select(col("from_state").as("_pf"), col("to_state").as("_pt"),
+        col("prob").as("_p"))
+    val w = Window.partitionBy("_k").orderBy(col(orderCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol).as("_k"), col(orderCol), col(tieCol),
+        col(stateCol).as("_from"))
+      .withColumn("_to", lead(col("_from"), 1).over(w))
+      .filter(col("_to").isNotNull)
+    pairs
+      .join(broadcast(probs),
+        col("_from") <=> col("_pf") && col("_to") <=> col("_pt"))
+      .groupBy(col("_k").as(keyCol))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(round(log(col("_p")) * 1e6).cast("long")).as("_s"))
+      .select(col(keyCol), col("n_steps"),
+        round(exp(-(col("_s") / (col("n_steps") * lit(1e6)))), 6)
+          .cast("double").as("perplexity"))
+  }
+
   /** Pairwise lead/lag cross-correlation between the daily series of
     * every ORDERED group pair: xcorr(a, b, k) = Pearson(x_a(day),
     * x_b(day + k)) for k = 0..maxLag — "does activity in a lead

@@ -250,6 +250,15 @@ object StatsOps {
       .orderBy("event_type", "h")
   }
 
+  /** Per-user behavioral perplexity under the corpus's own Markov
+    * transition model: quantized-log exact sums, one rounded exp.
+    */
+  val qMarkovPerplexity: QueryFn = withTables { spark =>
+    Resample.markovPerplexity(spark.table("events"), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
   /** Best decision-stump split of doc length against the is-English
     * label per source: exact integer class prefixes, one
     * identically-spelled Gini float tree, (gain DESC, threshold ASC)
@@ -359,6 +368,7 @@ object StatsOps {
     "q_holt_forecast" -> qHoltForecast,
     "q_xcorr" -> qXcorr,
     "q_best_split" -> qBestSplit,
+    "q_markov_perplexity" -> qMarkovPerplexity,
     "q_jsd" -> qJsd,
     "q_trending" -> qTrending,
     "q_qq_drift" -> qQqDrift,
@@ -596,6 +606,36 @@ object StatsOps {
                AS u_b_given_a,
              SUM(cab)::BIGINT AS n_rows
       FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // The q_markov probability CTE (6-dp rounded), logs quantized to
+    // scaled longs BEFORE the per-user sum (exact mean), one rounded
+    // exp.
+    "q_markov_perplexity" -> """
+      WITH pairs AS (
+        SELECT user_id, event_type AS f,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS t
+        FROM events),
+      cnt AS (
+        SELECT f, t, COUNT(*)::BIGINT AS n
+        FROM pairs WHERE t IS NOT NULL GROUP BY f, t),
+      probs AS (
+        SELECT f, t,
+               CAST(ROUND(n / CAST(SUM(n) OVER (PARTITION BY f)
+                 AS DOUBLE), 6) AS DOUBLE) AS p
+        FROM cnt),
+      scored AS (
+        SELECT pr.user_id,
+               CAST(ROUND(LN(p.p) * 1000000.0) AS BIGINT) AS lq
+        FROM (SELECT user_id, f, t FROM pairs WHERE t IS NOT NULL) pr
+        JOIN probs p ON pr.f IS NOT DISTINCT FROM p.f
+                    AND pr.t IS NOT DISTINCT FROM p.t)
+      SELECT user_id, COUNT(*)::BIGINT AS n_steps,
+             CAST(ROUND(EXP(-(SUM(lq)::BIGINT / (COUNT(*) * 1000000.0))),
+               6) AS DOUBLE) AS perplexity
+      FROM scored
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     // Same integer class cells/prefixes and the same left-associated
     // Gini gain tree (parent − (nl/n)·giniL − (nr/n)·giniR), argmax

@@ -317,6 +317,32 @@ class ResampleSpec extends SparkTestBase {
       "the bounded-frame streaming state must equal the batch window exactly")
   }
 
+  // ---- markovPerplexity ----
+
+  test("markovPerplexity: deterministic chains score 1, uniform forks 2") {
+    import spark.implicits._
+    // u1/u2 alternate a<->b perfectly: every transition prob 1 -> ppl 1.
+    // u3/u4 branch from 'x' to y/z evenly: each step prob 0.5 -> ppl 2.
+    val ev =
+      Seq.tabulate(6)(i => (1L, i.toLong, i.toLong,
+        if (i % 2 == 0) "a" else "b")) ++
+      Seq.tabulate(6)(i => (2L, i.toLong, (10 + i).toLong,
+        if (i % 2 == 0) "a" else "b")) ++
+      Seq((3L, 0L, 20L, "x"), (3L, 1L, 21L, "y"), (3L, 2L, 22L, "x"),
+        (3L, 3L, 23L, "z"), (4L, 0L, 30L, "x"), (4L, 1L, 31L, "z"),
+        (4L, 2L, 32L, "x"), (4L, 3L, 33L, "y"))
+    val df = ev.toDF("k", "o", "tie", "s")
+    val out = Resample.markovPerplexity(df, "k", "o", "tie", "s")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 1.0 && out(2L) == 1.0, out.toString)
+    // y->x and z->x are certain; only the x->y/z steps cost ln 2:
+    // u3 steps: x->y (.5), y->x (1), x->z (.5) -> exp(2/3·ln2) ≈ 1.5874
+    val expect = math.rint(math.exp(
+      -(2 * math.rint(math.log(0.5) * 1e6) / (3 * 1e6))) * 1e6) / 1e6
+    assert(out(3L) == expect && out(4L) == expect,
+      s"got $out, want fork ppl $expect")
+  }
+
   // ---- crossCorrelation ----
 
   test("crossCorrelation: identical series correlate 1.0 at lag 0, " +
