@@ -258,6 +258,42 @@ object EventWindows {
       .drop("_prev")
   }
 
+  /** Time-bounded conversion rate: of all `fromType` events, how many
+    * saw a `toType` event from the SAME user within `windowSeconds`
+    * after them — the windowed funnel step q_funnel's unbounded
+    * first-timestamp comparisons can't express ("purchased within an
+    * hour OF THAT click", not "ever purchased after first click").
+    *
+    * Each from-event's next toType timestamp comes from ONE
+    * user-keyed window (first-ignoreNulls over the strictly-following
+    * frame); the within-window decision is an exact integer
+    * microsecond comparison; the rate is ONE rounded division.
+    *
+    * Output: one row (n_from, n_converted, conversion_rate).
+    */
+  def windowedConversions(events: DataFrame, userCol: String,
+      tsCol: String, tieCol: String, typeCol: String, fromType: String,
+      toType: String, windowSeconds: Long): DataFrame = {
+    require(windowSeconds >= 1, "windowSeconds must be >= 1")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    events
+      .withColumn("_next", first(
+        when(col(typeCol) === toType, unix_micros(col(tsCol))),
+        ignoreNulls = true).over(w))
+      .filter(col(typeCol) === fromType)
+      .agg(count(lit(1)).as("n_from"),
+        sum(when(col("_next").isNotNull &&
+          col("_next") - unix_micros(col(tsCol))
+            <= windowSeconds * 1000000L, 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn("conversion_rate",
+        when(col("n_from") > 0,
+          round(col("n_converted") / col("n_from").cast("double"), 6))
+          .cast("double"))
+  }
+
   /** Cohort lifetime-value curves — the revenue complement of plain
     * cohort retention: users cohort by their FIRST active day; each
     * (cohort, day-offset) cell reports the active-user count and the

@@ -20,6 +20,32 @@ object TextAnalysis {
   def wordCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokenize(df, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("cnt"))
 
+  /** Boolean retrieval over the tokenized corpus: documents matching
+    * at least `minMatch` of the query terms (set semantics — a term
+    * repeated in a doc matches once), with the matched-term count and
+    * the total occurrences of query terms as the tie-grade — the AND/
+    * OR query primitive a [[postingLists]] index serves at scale
+    * (this operator IS the posting intersection, expressed as one
+    * semi-filtered aggregation; all integers, no rounding).
+    *
+    * Scale shape: the query-term filter prunes the token stream to
+    * |terms| posting lists BEFORE any shuffle; one doc-keyed
+    * aggregation. Output: (doc_id, n_matched, tf_total), docs with
+    * n_matched >= minMatch.
+    */
+  def booleanRetrieve(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], minMatch: Int): DataFrame = {
+    require(terms.nonEmpty, "booleanRetrieve: need at least one term")
+    require(minMatch >= 1 && minMatch <= terms.size,
+      s"minMatch $minMatch out of 1..${terms.size}")
+    tokenize(df, idCol, textCol)
+      .filter(col("tok").isin(terms.map(_.toLowerCase): _*))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("tok")).as("n_matched"),
+        count(lit(1)).as("tf_total"))
+      .filter(col("n_matched") >= minMatch)
+  }
+
   /** Inverted index: one posting row family per token — document
     * frequency plus the CAPPED, doc-id-sorted posting list serialized
     * as a comma-joined string (the LISTAGG output convention, so the

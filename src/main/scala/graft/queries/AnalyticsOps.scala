@@ -420,7 +420,28 @@ object AnalyticsOps {
       .orderBy("cohort", "day_offset")
   }
 
+  /** 1-hour click→purchase windowed conversion: exact microsecond
+    * next-event windows, one rounded rate.
+    */
+  val qFunnelWindowed: QueryFn = withTables { spark =>
+    EventWindows.windowedConversions(spark.table("events"), "user_id",
+        "ts", "event_id", "event_type", fromType = "click",
+        toType = "purchase", windowSeconds = 3600)
+  }
+
+  /** Boolean AND retrieval of {spark, query} over documents: set-
+    * semantics matched-term counts plus total term occurrences — the
+    * posting-intersection primitive, all integers.
+    */
+  val qBoolSearch: QueryFn = withTables { spark =>
+    TextAnalysis.booleanRetrieve(spark.table("documents"), "doc_id",
+        "text", Seq("spark", "query"), minMatch = 2)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_funnel_windowed" -> qFunnelWindowed,
+    "q_bool_search" -> qBoolSearch,
     "q_cohort_ltv" -> qCohortLtv,
     "q_brier" -> qBrier,
     "q_sprt" -> qSprt,
@@ -474,6 +495,43 @@ object AnalyticsOps {
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
   val oracles: Map[String, String] = Map(
+
+    // Same strictly-following IGNORE NULLS window, integer micros
+    // comparison, one rounded rate.
+    "q_funnel_windowed" -> """
+      WITH nx AS (
+        SELECT event_type, EPOCH_US(ts) AS us,
+               FIRST_VALUE(CASE WHEN event_type = 'purchase'
+                             THEN EPOCH_US(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS nxt
+        FROM events)
+      SELECT COUNT(*)::BIGINT AS n_from,
+             SUM(CASE WHEN nxt IS NOT NULL
+                       AND nxt - us <= 3600000000::BIGINT
+                  THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+             CAST(CASE WHEN COUNT(*) > 0 THEN
+               ROUND(SUM(CASE WHEN nxt IS NOT NULL
+                           AND nxt - us <= 3600000000::BIGINT
+                        THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+             END AS DOUBLE) AS conversion_rate
+      FROM nx WHERE event_type = 'click'""",
+
+    // Same lowercase whitespace tokens, set-semantics distinct match
+    // counts, total-occurrence grades — all integers.
+    "q_bool_search" -> """
+      SELECT doc_id, COUNT(DISTINCT tok)::BIGINT AS n_matched,
+             COUNT(*)::BIGINT AS tf_total
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t <> '')) AS tok
+        FROM documents)
+      WHERE tok IN ('spark', 'query')
+      GROUP BY doc_id
+      HAVING COUNT(DISTINCT tok) >= 2
+      ORDER BY doc_id""",
 
     // Same first-day cohorts and scaled-long cumulative (window sum
     // cast ::BIGINT — the HUGEINT class), one rounded division.

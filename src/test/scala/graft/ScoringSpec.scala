@@ -115,6 +115,43 @@ class ScoringSpec extends SparkTestBase {
     rows.foreach(r => assert(r.isNullAt(4) && r.isNullAt(5), r.toString))
   }
 
+  // ---- windowedConversions ----
+
+  test("windowedConversions: inside-window converts, outside doesn't") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click at :00, purchase at :30 -> converts (gap 30 min)
+      ("u1", Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click"),
+      ("u1", Timestamp.valueOf("2024-01-01 10:30:00"), 2L, "purchase"),
+      // u2: click at :00, purchase 2h later -> no conversion
+      ("u2", Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "click"),
+      ("u2", Timestamp.valueOf("2024-01-01 12:00:00"), 4L, "purchase"),
+      // u3: purchase BEFORE the click only -> no conversion
+      ("u3", Timestamp.valueOf("2024-01-01 09:00:00"), 5L, "purchase"),
+      ("u3", Timestamp.valueOf("2024-01-01 10:00:00"), 6L, "click"))
+      .toDF("u", "ts", "eid", "t")
+    val r = EventWindows.windowedConversions(ev, "u", "ts", "eid", "t",
+      "click", "purchase", windowSeconds = 3600).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L, r.toString)
+    assert(r.getDouble(2) == math.rint(1.0 / 3.0 * 1e6) / 1e6, r.toString)
+  }
+
+  // ---- booleanRetrieve ----
+
+  test("booleanRetrieve: AND semantics, set matching, tf grades") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark query spark"), (2L, "spark alone"),
+      (3L, "query and spark and query")).toDF("doc_id", "text")
+    val and2 = TextAnalysis.booleanRetrieve(docs, "doc_id", "text",
+      Seq("spark", "query"), minMatch = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(and2 == Map(1L -> ((2L, 3L)), 3L -> ((2L, 3L))), and2.toString)
+    val or1 = TextAnalysis.booleanRetrieve(docs, "doc_id", "text",
+      Seq("spark", "query"), minMatch = 1).collect()
+    assert(or1.length == 3, "OR semantics matches every doc here")
+  }
+
   // ---- postingLists ----
 
   test("postingLists hand fixture: dedup, df gates, cap, serialization") {
