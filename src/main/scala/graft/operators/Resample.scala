@@ -588,6 +588,42 @@ object Resample {
         col("n_days"))
   }
 
+  /** Per-group burstiness (Fano factor / index of dispersion) of the
+    * daily EVENT-COUNT series: F = Var(N_day) / Mean(N_day) over the
+    * observed days — 1 for a Poisson-steady stream, >> 1 for bursty
+    * (bot spikes, incident storms), < 1 for throttled/regular
+    * traffic. The one-number companion to [[crossCorrelation]]'s
+    * structure and [[markovPerplexity]]'s predictability.
+    *
+    * Exact: daily counts are integers; with S = Σ n_d, Q = Σ n_d²,
+    * D = #days (POPULATION variance), F = (D·Q − S²) / (D·S) —
+    * decimal(38,0) numerator/denominator into ONE rounded division;
+    * zero total (no events) reports NULL. Days step over the
+    * OBSERVED day set (the autocorrelation contract — zero-count
+    * calendar gaps are not fabricated; document per use).
+    *
+    * Output: (group, n_days, n_events, fano).
+    */
+  def fanoFactor(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    val cells = df
+      .select(col(groupCol).as("_g"), day.as("_day"))
+      .groupBy("_g", "_day").agg(count(lit(1)).as("_n"))
+    cells.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum("_n").cast(dec).as("_s"),
+        sum((col("_n").cast(dec) * col("_n")).cast(dec)).as("_q"))
+      .select(col(groupCol), col("n_days"),
+        col("_s").cast("bigint").as("n_events"),
+        when(col("_s") > 0,
+          round((col("n_days").cast(dec) * col("_q") - col("_s") * col("_s"))
+              .cast("double")
+            / (col("n_days").cast(dec) * col("_s")).cast("double"), 6))
+          .cast("double").as("fano"))
+  }
+
   /** Per-key sequence perplexity under the corpus's own first-order
     * Markov model: score every consecutive state pair with the GLOBAL
     * transition probability ([[markovTransitions]], which rounds each

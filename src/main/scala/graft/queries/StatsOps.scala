@@ -250,6 +250,14 @@ object StatsOps {
       .orderBy("event_type", "h")
   }
 
+  /** Burstiness (Fano factor) of daily event counts per event type:
+    * exact decimal moments, one rounded division.
+    */
+  val qFano: QueryFn = withTables { spark =>
+    Resample.fanoFactor(spark.table("events"), "event_type", "ts")
+      .orderBy("event_type")
+  }
+
   /** Per-user behavioral perplexity under the corpus's own Markov
     * transition model: quantized-log exact sums, one rounded exp.
     */
@@ -369,6 +377,7 @@ object StatsOps {
     "q_xcorr" -> qXcorr,
     "q_best_split" -> qBestSplit,
     "q_markov_perplexity" -> qMarkovPerplexity,
+    "q_fano" -> qFano,
     "q_jsd" -> qJsd,
     "q_trending" -> qTrending,
     "q_qq_drift" -> qQqDrift,
@@ -606,6 +615,30 @@ object StatsOps {
                AS u_b_given_a,
              SUM(cab)::BIGINT AS n_rows
       FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // Same q_acf day cells (counts only), HUGEINT moments mirroring
+    // decimal(38,0), population variance over observed days, one
+    // rounded division.
+    "q_fano" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days,
+               SUM(n)::HUGEINT AS s,
+               SUM(n::HUGEINT * n)::HUGEINT AS q
+        FROM cells GROUP BY g)
+      SELECT g AS event_type, n_days, CAST(s AS BIGINT) AS n_events,
+             CAST(CASE WHEN s > 0 THEN
+               ROUND(CAST(n_days::HUGEINT * q - s * s AS DOUBLE)
+                 / CAST(n_days::HUGEINT * s AS DOUBLE), 6)
+             END AS DOUBLE) AS fano
+      FROM agg
+      ORDER BY event_type""",
 
     // The q_markov probability CTE (6-dp rounded), logs quantized to
     // scaled longs BEFORE the per-user sum (exact mean), one rounded

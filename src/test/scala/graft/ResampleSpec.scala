@@ -317,6 +317,29 @@ class ResampleSpec extends SparkTestBase {
       "the bounded-frame streaming state must equal the batch window exactly")
   }
 
+  // ---- fanoFactor ----
+
+  test("fanoFactor: constant daily counts 0, known dispersion exact") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // g 'flat': 2 events on each of 3 days -> variance 0 -> F = 0.
+    // g 'burst': counts 1, 1, 4 -> S=6, Q=18, D=3: F = (54-36)/18 = 1.0
+    val ev =
+      (1 to 3).flatMap(d => Seq(1, 2).map(i =>
+        ("flat", Timestamp.valueOf(f"2024-01-0$d%d 0$i%d:00:00")))) ++
+      Seq(("burst", Timestamp.valueOf("2024-01-01 01:00:00")),
+        ("burst", Timestamp.valueOf("2024-01-02 01:00:00")),
+        ("burst", Timestamp.valueOf("2024-01-03 01:00:00")),
+        ("burst", Timestamp.valueOf("2024-01-03 02:00:00")),
+        ("burst", Timestamp.valueOf("2024-01-03 03:00:00")),
+        ("burst", Timestamp.valueOf("2024-01-03 04:00:00")))
+    val out = Resample.fanoFactor(ev.toDF("g", "ts"), "g", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("flat") == ((3L, 6L, 0.0)), out.toString)
+    assert(out("burst") == ((3L, 6L, 1.0)), out.toString)
+  }
+
   // ---- markovPerplexity ----
 
   test("markovPerplexity: deterministic chains score 1, uniform forks 2") {
