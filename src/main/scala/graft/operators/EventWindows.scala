@@ -334,6 +334,80 @@ object EventWindows {
           .cast("double").as("cum_value_per_user"))
   }
 
+  /** Input rows for the round-9 streaming twins. */
+  case class TypedEvent(user: Long, etype: String, event_id: Long,
+      orderMicros: Long)
+  private[operators] case class LastMicros(us: Long)
+  private[operators] case class PrevEvent(eventId: Long, etype: String,
+      us: Long)
+  /** Output rows for [[dwellStream]]. */
+  case class DwellOut(user: Long, event_id: Long, etype: String,
+      dwell_micros: Long)
+
+  /** Streaming-legal [[debounce]]: ONE long per (user, type) in the
+    * state store — the previous RAW event time, exactly the batch
+    * lag — so survivors are identical to the batch filter (pinned in
+    * SessionizeSpec). Same ordering contract as the other twins:
+    * per-key order non-decreasing across micro-batches (watermark
+    * upstream to bound disorder).
+    */
+  def debounceStream(events: org.apache.spark.sql.Dataset[TypedEvent],
+      minGapSeconds: Long)
+      : org.apache.spark.sql.Dataset[TypedEvent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(minGapSeconds >= 1, "minGapSeconds must be >= 1")
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user, e.etype))
+      .flatMapGroupsWithState[LastMicros, TypedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), evs: Iterator[TypedEvent],
+            gs: GroupState[LastMicros]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var prev = gs.getOption.map(_.us)
+          val out = sorted.flatMap { e =>
+            val keep = prev.forall(p =>
+              e.orderMicros - p > minGapSeconds * 1000000L)
+            prev = Some(e.orderMicros) // gap is to the RAW previous event
+            if (keep) Some(e) else None
+          }
+          if (sorted.nonEmpty) gs.update(LastMicros(prev.get))
+          out.iterator
+      }
+  }
+
+  /** Streaming-legal dual of [[dwellTimes]]'s per-event durations:
+    * each arriving event closes the PREVIOUS event's dwell (state =
+    * one (event_id, type, ts) record per user), so an event's dwell
+    * row is emitted exactly when its successor arrives — and the
+    * final event of a user never emits, matching the batch operator's
+    * exclusion. Aggregating the emitted rows per type reproduces
+    * [[dwellTimes]] exactly (pinned on the real events table).
+    */
+  def dwellStream(events: org.apache.spark.sql.Dataset[TypedEvent])
+      : org.apache.spark.sql.Dataset[DwellOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[PrevEvent, DwellOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[TypedEvent],
+            gs: GroupState[PrevEvent]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var prev = gs.getOption.orNull
+          val out = sorted.map { e =>
+            val emitted =
+              if (prev != null)
+                Some(DwellOut(user, prev.eventId, prev.etype,
+                  e.orderMicros - prev.us))
+              else None
+            prev = PrevEvent(e.event_id, e.etype, e.orderMicros)
+            emitted
+          }.flatten
+          if (sorted.nonEmpty) gs.update(prev)
+          out.iterator
+      }
+  }
+
   /** First-touch / last-touch conversion attribution: for every
     * conversion event (`isConversion`), credit (a) the user's FIRST
     * non-conversion event type ever seen before it and (b) the MOST

@@ -189,6 +189,62 @@ class SessionizeSpec extends SparkTestBase {
     assert(out("b") == ((1L, 15L, 15.0)), out.toString)
   }
 
+  test("streaming debounce == batch debounce on real events; " +
+      "streaming dwell aggregates to batch dwellTimes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.EventWindows.TypedEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ev = graft.tables.TableLoader.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("u"), col("event_type").as("t"),
+        col("event_id").cast("long").as("eid"), unix_micros(col("ts")).as("us"))
+    val typed = ev.collect().map(r =>
+      TypedEvent(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.orderMicros, e.event_id))
+
+    val batchDebounce = graft.operators.EventWindows.debounce(
+        graft.tables.TableLoader.events(spark, sfDir),
+        "user_id", "ts", "event_id", "event_type", minGapSeconds = 3600)
+      .select(col("event_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val inD = MemoryStream[TypedEvent]
+    val qd = graft.operators.EventWindows.debounceStream(inD.toDS(), 3600L)
+      .writeStream.format("memory").queryName("deb_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (d1, d2) = typed.splitAt(typed.length / 2)
+    inD.addData(d1.toIndexedSeq: _*); qd.processAllAvailable()
+    inD.addData(d2.toIndexedSeq: _*); qd.processAllAvailable()
+    qd.stop()
+    val streamedDebounce = spark.table("deb_stream")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamedDebounce === batchDebounce,
+      "streaming survivors must equal the batch lag filter exactly")
+
+    val batchDwell = graft.operators.EventWindows.dwellTimes(
+        graft.tables.TableLoader.events(spark, sfDir),
+        "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val inW = MemoryStream[TypedEvent]
+    val qw = graft.operators.EventWindows.dwellStream(inW.toDS())
+      .writeStream.format("memory").queryName("dwell_stream")
+      .outputMode(OutputMode.Append()).start()
+    inW.addData(d1.toIndexedSeq: _*); qw.processAllAvailable()
+    inW.addData(d2.toIndexedSeq: _*); qw.processAllAvailable()
+    qw.stop()
+    val streamedDwell = spark.table("dwell_stream")
+      .groupBy(col("etype").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(dwell_micros) DIV 1000000 AS BIGINT)").as("tot"),
+        round(sum("dwell_micros") / (count(lit(1)) * lit(1000000.0)), 6)
+          .cast("double").as("avg"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamedDwell === batchDwell,
+      "per-type aggregate of streamed dwells must equal batch dwellTimes")
+  }
+
   test("cohortValue hand fixture: exact cumulative LTV per cohort member") {
     import spark.implicits._
     // cohort 2024-01-01: u1, u2 (both first-seen day 1).
