@@ -408,6 +408,39 @@ object EventWindows {
       }
   }
 
+  /** Output rows for [[topKStream]]. */
+  case class TopKRow(key: String, event_id: Long, value: Double)
+  private[operators] case class TopKState(rows: List[(Double, Long)])
+
+  /** Streaming running top-k per key — the live dual of the
+    * [[graft.plans.TopKPerKeyNode]] batch operator: the state store
+    * keeps each key's current top-k (value DESC, id ASC — a total
+    * order) as a K-BOUNDED list, and every micro-batch emits the
+    * key's refreshed top-k in COMPLETE-list form (the memory-sink
+    * leaderboard shape: consumers read the latest emission per key).
+    * After all input, the final emission per key equals the batch
+    * operator's rows exactly (pinned in SessionizeSpec). State is
+    * O(k) per key regardless of history.
+    */
+  def topKStream(events: org.apache.spark.sql.Dataset[TopKRow], k: Int)
+      : org.apache.spark.sql.Dataset[TopKRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k must be >= 1, got $k")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[TopKState, TopKRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[TopKRow], gs: GroupState[TopKState]) =>
+          val merged = (gs.getOption.map(_.rows).getOrElse(Nil) ++
+            evs.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .distinct
+            .take(k)
+          gs.update(TopKState(merged))
+          merged.map { case (v, id) => TopKRow(key, id, v) }.iterator
+      }
+  }
+
   /** First-touch / last-touch conversion attribution: for every
     * conversion event (`isConversion`), credit (a) the user's FIRST
     * non-conversion event type ever seen before it and (b) the MOST

@@ -245,6 +245,57 @@ class SessionizeSpec extends SparkTestBase {
       "per-type aggregate of streamed dwells must equal batch dwellTimes")
   }
 
+  test("topKStream: cross-batch merge keeps the true top-k; one-batch " +
+      "emission equals the window reference on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.EventWindows.TopKRow
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // cross-batch merge on a hand key
+    val in1 = MemoryStream[TopKRow]
+    val q1 = graft.operators.EventWindows.topKStream(in1.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_merge")
+      .outputMode(OutputMode.Append()).start()
+    in1.addData(TopKRow("a", 1L, 1.0), TopKRow("a", 2L, 5.0),
+      TopKRow("a", 3L, 3.0))
+    q1.processAllAvailable()
+    in1.addData(TopKRow("a", 4L, 4.0))
+    q1.processAllAvailable()
+    q1.stop()
+    val emissions = spark.table("topk_merge").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // batch 1 emits {(2,5),(3,3)}; batch 2 re-emits (2,5) with (4,4)
+    assert(emissions == Map((2L, 5.0) -> 2, (3L, 3.0) -> 1,
+      (4L, 4.0) -> 1), emissions.toString)
+
+    // single-batch equivalence with the window reference on real data
+    val ev = graft.tables.TableLoader.events(spark, sfDir)
+      .select(col("event_type").as("key"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+    val expect = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val in2 = MemoryStream[TopKRow]
+    val q2 = graft.operators.EventWindows.topKStream(in2.toDS(), k = 5)
+      .writeStream.format("memory").queryName("topk_real")
+      .outputMode(OutputMode.Append()).start()
+    in2.addData(ev.collect().map(r =>
+      TopKRow(r.getString(0), r.getLong(1), r.getDouble(2))).toIndexedSeq: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table("topk_real").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect,
+      "one-batch streaming top-k must equal the batch window top-k")
+  }
+
   test("cohortValue hand fixture: exact cumulative LTV per cohort member") {
     import spark.implicits._
     // cohort 2024-01-01: u1, u2 (both first-seen day 1).
