@@ -243,6 +243,47 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("debounce is idempotent: survivors are always > gap apart") {
+    // any kept event's gap to its RAW predecessor exceeds T, and that
+    // predecessor is no earlier than the previous survivor — so
+    // survivor spacing > T and a second pass drops nothing
+    check("debounce idempotence")(Prop.forAll(
+      Gen.choose(1, 20).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 50L))))) { rows =>
+      import spark.implicits._
+      val ev = rows.zipWithIndex
+        .map { case ((u, sec), i) =>
+          (s"u$u", new java.sql.Timestamp(sec * 1000L), i.toLong, "t") }
+        .toDF("u", "ts", "eid", "t")
+      val once = graft.operators.EventWindows
+        .debounce(ev, "u", "ts", "eid", "t", minGapSeconds = 5)
+      val twice = graft.operators.EventWindows
+        .debounce(once, "u", "ts", "eid", "t", minGapSeconds = 5)
+      once.select("eid").collect().map(_.getLong(0)).toSet ==
+        twice.select("eid").collect().map(_.getLong(0)).toSet
+    })
+  }
+
+  test("rfm frequency/monetary scores are invariant to amount scaling") {
+    import spark.implicits._
+    // multiplying every amount by a positive constant permutes nothing:
+    // ranks (and so f/m tiles) must not move
+    val rng = new scala.util.Random(23)
+    val orders = (1 to 40).map(i =>
+      (s"c${i % 13}", f"2024-01-${(i % 9) + 1}%02d",
+        1.0 + rng.nextInt(500)))
+      .toDF("cust", "d", "amt")
+      .select(col("cust"), col("d").cast("date").as("d"), col("amt"))
+    def scores(df: DataFrame) =
+      graft.operators.Scoring.rfm(df, "cust", "d", "amt", nTiles = 4)
+        .select("customer", "r_score", "f_score", "m_score")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = scores(orders)
+    val scaled = scores(orders.withColumn("amt", col("amt") * 7.0))
+    assert(base == scaled, "rank tiles must be scale-invariant")
+  }
+
   test("winsorize: row-preserving, band-bounded, interior passthrough") {
     import spark.implicits._
     val valuesGen = Gen.choose(1, 30).flatMap(n =>
