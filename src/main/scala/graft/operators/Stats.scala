@@ -308,6 +308,59 @@ object Stats {
         col("_gain").as("gini_gain"))
   }
 
+  /** Per-group Cohen's d effect size against the pooled complement —
+    * the MAGNITUDE companion to the existence tests ([[ksTest]] "is
+    * there a shift", [[mannWhitney]]/[[propZTest]] "is it
+    * significant"): d = (mean_g − mean_rest) / s_pooled with the
+    * standard pooled SAMPLE deviation, the number that survives
+    * sample-size growth when p-values stop being informative.
+    *
+    * Exactness: values quantize to 1e-6-scaled longs; per-side count/
+    * sum/sum-of-squares accumulate in decimal(38,0) (rest = global −
+    * group, exact); means, variances, and the final d are ONE
+    * identically-spelled float tree (IEEE /, sqrt) rounded 6 dp. NULL
+    * when either side has < 2 rows or the pooled variance is 0.
+    *
+    * Scale shape: one group-keyed moment aggregate + a broadcast
+    * one-row global. Output: (group, n_group, n_rest, cohens_d).
+    */
+  def cohensD(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val byG = pts.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_group"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q1"))
+    val tot = byG.agg(sum("n_group").as("_n"), sum("_s1").as("_s"),
+      sum("_q1").as("_q"))
+    val n1 = col("n_group").cast("double")
+    val n2 = col("n_rest").cast("double")
+    // sample variance of a side from its exact moments, in VALUE units
+    // (the 1e-12 descale folds into both the mean difference and the
+    // pooled sqrt, so it cancels — compute in scaled units throughout
+    // and descale nothing)
+    def v(n: Column, s: Column, q: Column): Column =
+      (n * q.cast("double") - s.cast("double") * s.cast("double")) /
+        (n * (n - 1.0))
+    byG.crossJoin(broadcast(tot))
+      .withColumn("n_rest", (col("_n") - col("n_group")).cast("bigint"))
+      .withColumn("_s2", (col("_s") - col("_s1")).cast(dec))
+      .withColumn("_q2", (col("_q") - col("_q1")).cast(dec))
+      .withColumn("_pool",
+        ((n1 - 1.0) * v(n1, col("_s1"), col("_q1"))
+          + (n2 - 1.0) * v(n2, col("_s2"), col("_q2")))
+          / (n1 + n2 - 2.0))
+      .withColumn("cohens_d",
+        when(col("n_group") >= 2 && col("n_rest") >= 2
+            && col("_pool") > 0.0,
+          round((col("_s1").cast("double") / n1
+              - col("_s2").cast("double") / n2) / sqrt(col("_pool")), 6))
+          .cast("double"))
+      .select(groupCol, "n_group", "n_rest", "cohens_d")
+  }
+
   /** Per-group Wald sequential probability ratio test (SPRT) of a
     * Bernoulli rate against simple hypotheses H0: p = p0 vs
     * H1: p = p1 — the early-stopping A/B gate: unlike the fixed-n

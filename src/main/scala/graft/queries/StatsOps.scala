@@ -250,6 +250,14 @@ object StatsOps {
       .orderBy("event_type", "h")
   }
 
+  /** Cohen's d of value per event type vs the pooled rest: exact
+    * decimal moments into one identically-spelled float tree.
+    */
+  val qCohensD: QueryFn = withTables { spark =>
+    Stats.cohensD(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   /** Burstiness (Fano factor) of daily event counts per event type:
     * exact decimal moments, one rounded division.
     */
@@ -378,6 +386,7 @@ object StatsOps {
     "q_best_split" -> qBestSplit,
     "q_markov_perplexity" -> qMarkovPerplexity,
     "q_fano" -> qFano,
+    "q_cohens_d" -> qCohensD,
     "q_jsd" -> qJsd,
     "q_trending" -> qTrending,
     "q_qq_drift" -> qQqDrift,
@@ -615,6 +624,48 @@ object StatsOps {
                AS u_b_given_a,
              SUM(cab)::BIGINT AS n_rows
       FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn""",
+
+    // Same scaled-long moments (rest = global − group, exact), the
+    // same sample-variance and pooled-d float tree (scale cancels, so
+    // everything stays in scaled units on both engines). The + 0.0
+    // normalizes SIGNED ZERO: a tiny negative d rounds to -0.0 under
+    // DuckDB's double ROUND but to +0.0 under Spark's BigDecimal
+    // rounding (BigDecimal has no signed zero), and the driver's
+    // repr-based compare distinguishes them.
+    "q_cohens_d" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS n1,
+               SUM(x::HUGEINT) AS s1, SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      tot AS (SELECT SUM(n1)::BIGINT AS n, SUM(s1) AS s, SUM(q1) AS q
+              FROM byg),
+      m AS (
+        SELECT g, n1, (n - n1)::BIGINT AS n2,
+               s1, (s - s1) AS s2, q1, (q - q1) AS q2
+        FROM byg CROSS JOIN tot),
+      d AS (
+        SELECT g, n1, n2,
+               ((CAST(n1 AS DOUBLE) - 1.0)
+                  * ((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+                + (CAST(n2 AS DOUBLE) - 1.0)
+                  * ((CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                     / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))))
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) AS pool,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
+        FROM m)
+      SELECT g AS event_type, n1 AS n_group, n2 AS n_rest,
+             CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND pool > 0 THEN
+               ROUND(md / SQRT(pool), 6) + 0.0 END AS DOUBLE) AS cohens_d
+      FROM d
+      ORDER BY event_type""",
 
     // Same q_acf day cells (counts only), HUGEINT moments mirroring
     // decimal(38,0), population variance over observed days, one

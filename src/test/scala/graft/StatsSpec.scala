@@ -143,6 +143,25 @@ class StatsSpec extends SparkTestBase {
     assert(u("a") == 3.5 && u("b") == 0.5, u.toString)
   }
 
+  // ---- cohensD ----
+
+  test("cohensD hand fixture and zero-variance NULL contract") {
+    import spark.implicits._
+    // a = {0,1}, b = {2,3}: means .5/2.5, both sample variances .5,
+    // pooled .5 -> d_a = -2/sqrt(.5) = -2.828427
+    val df = Seq(("a", 0.0), ("a", 1.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val out = Stats.cohensD(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val want = math.rint(-2.0 / math.sqrt(0.5) * 1e6) / 1e6
+    assert(out("a") == want && out("b") == -want, out.toString)
+
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    Stats.cohensD(const, "g", "v").collect()
+      .foreach(r => assert(r.isNullAt(3), s"zero pooled variance: $r"))
+  }
+
   // ---- sprt ----
 
   test("sprt: decisive rates cross the right bounds, borderline continues") {
