@@ -176,16 +176,29 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    var reruns = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (t1, err1) = timeOne(name, fn)
-      val t = anchors.get(name) match {
-        case Some(a) if err1.isEmpty && t1 > 3.0 * a =>
-          reruns ::= name
-          math.min(t1, timeOne(name, fn)._1)
-        case _ => t1
-      }
-      (name, t, err1)
+    // First pass: time every query once, in name order.
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val (t1, err1) = timeOne(name, fn)
+        (name, fn, t1, err1)
+    }
+    // Deferred re-run pass (r9 verdict): the immediate back-to-back
+    // re-run shared the first rep's loaded window — under a co-tenant
+    // load spike spanning both reps, 4 of 21 re-runs still reported
+    // 3-5x phantoms that independent steady-state runs cleared. Running
+    // the >3x-anchor outliers AFTER the full sweep decorrelates the two
+    // reps in time (the sweep itself is minutes of separation), so a
+    // transient spike can't contaminate both.
+    val rerunCandidates = firstPass.collect {
+      case (name, fn, t1, None)
+          if anchors.get(name).exists(a => t1 > 3.0 * a) => (name, fn)
+    }
+    val rerunTimes: Map[String, Double] = rerunCandidates.map {
+      case (name, fn) => name -> timeOne(name, fn)._1
+    }.toMap
+    val reruns = rerunCandidates.map(_._1).toList
+    val results = firstPass.map { case (name, _, t1, err1) =>
+      (name, math.min(t1, rerunTimes.getOrElse(name, t1)), err1)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

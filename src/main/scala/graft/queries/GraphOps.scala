@@ -215,7 +215,56 @@ object GraphOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVFADC (coarse cells × PQ codes): portable coarse k-means on the
+    * full vector (4 cells, one Lloyd round — the SAME trainCentroids
+    * arithmetic as the subspaces, so the oracle unrolls it verbatim),
+    * probes rank cells by rounded distance and scan the nearest 2 of
+    * 4; ADC within the probed cells only; top-5 via the bounded
+    * partial-aggregate heap. Real pruning is judged here (nprobe <
+    * k_coarse), not the recall-1 shortcut — the oracle replays the
+    * cell selection.
+    */
+  val qAnnIvfPq: QueryFn = withTables { spark =>
+    val e = spark.table("embeddings")
+    val coarse = graft.operators.ProductQuantizer.trainCoarse(
+      e, "vec_id", "embedding", k = 4, iters = 1)
+    val cb = graft.operators.ProductQuantizer.train(
+      e, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val idx = graft.operators.ProductQuantizer.buildIvfPq(
+      e, "vec_id", "embedding", coarse, cb)
+    graft.operators.ProductQuantizer.searchIvfAdc(idx, "vec_id",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        coarse, cb, nprobe = 2, topK = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Recall@5 of the pruned IVFADC search against the EXACT rounded
+    * squared-L2 top-5 — the acceptance number a real ANN deployment
+    * watches when tuning nprobe. Both sides and the recall join are
+    * fully unrolled in the oracle.
+    */
+  val qAnnIvfPqRecall: QueryFn = withTables { spark =>
+    val e = spark.table("embeddings")
+    val probes = e.filter(col("vec_id") < 3)
+    val coarse = graft.operators.ProductQuantizer.trainCoarse(
+      e, "vec_id", "embedding", k = 4, iters = 1)
+    val cb = graft.operators.ProductQuantizer.train(
+      e, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val idx = graft.operators.ProductQuantizer.buildIvfPq(
+      e, "vec_id", "embedding", coarse, cb)
+    val approx = graft.operators.ProductQuantizer.searchIvfAdc(idx,
+      "vec_id", probes, "vec_id", "embedding", coarse, cb,
+      nprobe = 2, topK = 5)
+    val exact = graft.operators.ProductQuantizer.searchExact(
+      e, "vec_id", "embedding", probes, "vec_id", "embedding", topK = 5)
+    graft.operators.RankEval.recallAtK(approx, exact,
+        "probe_id", "vec_id", "rank", k = 5)
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
     "q_ann_pq" -> qAnnPq,
     "q_ann_pq_search" -> qAnnPqSearch,
     "q_kmeans" -> qKmeans,
@@ -315,7 +364,81 @@ object GraphOps {
                  FROM embeddings),""" +
     pqSubCtes(0, 1, 32, 4) + "," + pqSubCtes(1, 33, 64, 4)
 
+  // IVFADC: the PQ subspace CTEs + a coarse quantizer trained on the
+  // FULL vector with the identical arithmetic (pqSubCtes over v[1:64],
+  // k=4) — asg12 is the cell assignment, cb2 the coarse codebook —
+  // plus probe-side distance tables, cell ranking (top-2 of 4 by
+  // (rounded dist, cell)), cell-pruned ADC, and (adc, vec_id) ranks.
+  private val ivfPqCtes: String = pqCtes + "," +
+    pqSubCtes(2, 1, 64, 4) + """,
+      probes AS (SELECT vec_id AS pid, v AS pv FROM v WHERE vec_id < 3),
+      pd0 AS (
+        SELECT p.pid, c.c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                 i -> (pv[i] - cv[i]) * (pv[i] - cv[i]))), 6) AS d
+        FROM probes p CROSS JOIN cb0 c),
+      pd1 AS (
+        SELECT p.pid, c.c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                 i -> (pv[i + 32] - cv[i]) * (pv[i + 32] - cv[i]))), 6) AS d
+        FROM probes p CROSS JOIN cb1 c),
+      pcd AS (
+        SELECT p.pid, c.c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                 i -> (pv[i] - cv[i]) * (pv[i] - cv[i]))), 6) AS d
+        FROM probes p CROSS JOIN cb2 c),
+      pcell AS (
+        SELECT pid, c FROM (
+          SELECT pid, c, ROW_NUMBER() OVER (PARTITION BY pid
+            ORDER BY d, c) AS rk
+          FROM pcd) WHERE rk <= 2),
+      adc AS (
+        SELECT pc.pid AS probe_id, a.vec_id, ROUND(p0.d + p1.d, 6) AS adc
+        FROM pcell pc
+        JOIN asg12 cell ON cell.c = pc.c
+        JOIN asg10 a ON a.vec_id = cell.vec_id
+        JOIN asg11 b ON b.vec_id = cell.vec_id
+        JOIN pd0 p0 ON p0.c = a.c AND p0.pid = pc.pid
+        JOIN pd1 p1 ON p1.c = b.c AND p1.pid = pc.pid),
+      ranked AS (
+        SELECT probe_id, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY adc, vec_id) AS rank
+        FROM adc)"""
+
   val oracles: Map[String, String] = Map(
+
+    "q_ann_ivfpq" -> (ivfPqCtes + """
+      SELECT probe_id, vec_id, rank::BIGINT AS rank,
+             CAST(adc AS DOUBLE) AS adc
+      FROM ranked WHERE rank <= 5
+      ORDER BY probe_id, rank"""),
+
+    // Exact rounded-sq-L2 top-5 per probe, the pruned IVFADC top-5,
+    // and the per-probe set intersection over them.
+    "q_ann_ivfpq_recall" -> (ivfPqCtes + """,
+      exact AS (
+        SELECT p.pid AS probe_id, c.vec_id,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                 i -> (c.v[i] - p.pv[i]) * (c.v[i] - p.pv[i]))), 6) AS d
+        FROM probes p CROSS JOIN v c),
+      exrk AS (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY d, vec_id) AS rank
+        FROM exact),
+      ex5 AS (SELECT probe_id, vec_id FROM exrk WHERE rank <= 5),
+      ap5 AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= 5),
+      hits AS (
+        SELECT a.probe_id, COUNT(*) AS n_hit
+        FROM ap5 a JOIN ex5 e
+          ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+        GROUP BY a.probe_id)
+      SELECT e.probe_id, COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+             CAST(ROUND(COALESCE(h.n_hit, 0) / 5.0, 6) AS DOUBLE) AS recall
+      FROM (SELECT DISTINCT probe_id FROM ex5) e
+      LEFT JOIN hits h USING (probe_id)
+      ORDER BY e.probe_id"""),
 
     // Both independent subspace trainings (the kmeansCtes arithmetic
     // on v[1:32] and v[33:64]), joined on vec_id; recon_err = the

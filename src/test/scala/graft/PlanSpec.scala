@@ -72,6 +72,22 @@ class PlanSpec extends SparkTestBase {
       s"agg fell out of whole-stage codegen:\n$executed")
   }
 
+  test("IVFADC search: cell-pruned broadcast join + k-bounded partial top-k") {
+    val df = SparkEntry.queries("q_ann_ivfpq")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the code table equi-joins the broadcast probe×cell side — never a
+    // cross join of corpus × probes
+    assert(p.contains("BroadcastHashJoin"), s"expected cell equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVFADC must not scan corpus × probes:\n$p")
+    // the top-k is a partial aggregate: each map task forwards at most
+    // k structs per probe BEFORE the exchange (the r9-verdict fix for
+    // the row_number full-shuffle shape) — and no Window buffers groups
+    assert(p.contains("partial_topk_struct"),
+      s"top-k must be map-side partial-aggregated:\n$p")
+    assert(!p.contains("Window"), s"window top-k shape regressed:\n$p")
+  }
+
   test("as-of join plans exactly one hash shuffle of the unioned stream") {
     val p = plan("q_join_asof")
     // one hashpartitioning exchange feeds the window; the only other

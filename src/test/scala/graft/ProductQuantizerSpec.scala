@@ -66,4 +66,71 @@ class ProductQuantizerSpec extends SparkTestBase {
       ProductQuantizer.train(vecs(), "id", "v", m = 3, k = 2, iters = 0)
     }
   }
+
+  test("IVFADC at nprobe == k_coarse is exactly searchAdc (recall 1)") {
+    val df = vecs()
+    val coarse = ProductQuantizer.trainCoarse(df, "id", "v", k = 3, iters = 1)
+    val cb = ProductQuantizer.train(df, "id", "v", m = 2, k = 3, iters = 1)
+    val idx = ProductQuantizer.buildIvfPq(df, "id", "v", coarse, cb)
+    val probes = df.filter(col("id") < 3)
+    val full = ProductQuantizer.searchAdc(
+        ProductQuantizer.encode(df, "id", "v", cb), "id",
+        probes, "id", "v", cb, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val ivf = ProductQuantizer.searchIvfAdc(idx, "id", probes, "id", "v",
+        coarse, cb, nprobe = 3, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(ivf == full, "probing every cell must reproduce the full ADC scan")
+  }
+
+  test("IVFADC pruning returns a subset ranking consistent with ADC") {
+    // at nprobe < k each returned (probe, vec) must also appear in the
+    // full ADC scan with an adc value IDENTICAL (same arithmetic) and
+    // the pruned list must be rank-consistent (adc non-decreasing)
+    val df = vecs()
+    val coarse = ProductQuantizer.trainCoarse(df, "id", "v", k = 4, iters = 1)
+    val cb = ProductQuantizer.train(df, "id", "v", m = 2, k = 3, iters = 1)
+    val idx = ProductQuantizer.buildIvfPq(df, "id", "v", coarse, cb)
+    val probes = df.filter(col("id") < 3)
+    val fullAdc = ProductQuantizer.searchAdc(
+        ProductQuantizer.encode(df, "id", "v", cb), "id",
+        probes, "id", "v", cb, topK = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    val pruned = ProductQuantizer.searchIvfAdc(idx, "id", probes, "id", "v",
+      coarse, cb, nprobe = 2, topK = 4).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(fullAdc.contains(key), s"$key not in the full ADC list")
+      assert(fullAdc(key) == r.getDouble(3), s"adc mismatch for $key")
+    }
+    pruned.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val adcs = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("searchExact matches a driver-side brute force") {
+    val df = vecs()
+    val data = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = ProductQuantizer.searchExact(df, "id",
+        "v", df.filter(col("id") < 2), "id", "v", topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    (0L until 2L).foreach { pid =>
+      val pv = data(pid)
+      val want = data.toSeq.map { case (id, v) =>
+        val d = v.zip(pv).map { case (x, y) => (x - y) * (x - y) }.sum
+        (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      }.sorted.take(3).map(_._2)
+      want.zipWithIndex.foreach { case (id, i) =>
+        assert(got((pid, i + 1L)) == id,
+          s"probe $pid rank ${i + 1}: want $id got ${got((pid, i + 1L))}")
+      }
+    }
+  }
 }
