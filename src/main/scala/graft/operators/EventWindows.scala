@@ -441,6 +441,102 @@ object EventWindows {
       }
   }
 
+  /** Per-conversion emission of [[attributionStream]]. */
+  case class TouchOut(user: Long, event_id: Long, first_channel: String,
+      last_channel: String)
+  private[operators] case class TouchState(first: Option[String],
+      last: Option[String])
+  /** Per-from-event emission of [[conversionsStream]]. */
+  case class ConvOut(user: Long, event_id: Long, converted: Boolean)
+  private[operators] case class PendingFroms(rows: List[(Long, Long)])
+
+  /** Streaming-legal [[touchAttribution]]: state is TWO strings per
+    * user (the first and most recent non-conversion channel ever
+    * seen) — O(1) however long the history — and each conversion
+    * event emits its (first, last) credit pair the moment it arrives.
+    * Aggregating the emissions per channel reproduces the batch
+    * operator exactly (pinned in SessionizeSpec). Same ordering
+    * contract as the other twins: per-key event-time order
+    * non-decreasing across micro-batches.
+    */
+  def attributionStream(events: org.apache.spark.sql.Dataset[TypedEvent],
+      conversionType: String)
+      : org.apache.spark.sql.Dataset[TouchOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[TouchState, TouchOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[TypedEvent], gs: GroupState[TouchState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var st = gs.getOption.getOrElse(TouchState(None, None))
+          val out = sorted.flatMap { e =>
+            if (e.etype == conversionType) {
+              Some(TouchOut(user, e.event_id,
+                st.first.getOrElse("direct"), st.last.getOrElse("direct")))
+            } else {
+              st = TouchState(st.first.orElse(Some(e.etype)), Some(e.etype))
+              None
+            }
+          }
+          if (sorted.nonEmpty) gs.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming-legal [[windowedConversions]], emitted per from-event:
+    * state is the user's PENDING fromType events (id, micros) not yet
+    * resolved — bounded by event rate × window, because every
+    * arriving event (any type, event-time ordered) expires pendings
+    * older than the window as NOT converted, and the first toType
+    * arrival resolves all remaining pendings (all within the window
+    * by construction) as converted — exactly the batch rule
+    * "first strictly-following toType within W seconds". A pending
+    * with no further traffic stays unemitted (the stream can't know
+    * yet); replaying with a trailing flush event per user closes
+    * every pending, after which the aggregated emissions equal the
+    * batch aggregate exactly (pinned in SessionizeSpec).
+    */
+  def conversionsStream(events: org.apache.spark.sql.Dataset[TypedEvent],
+      fromType: String, toType: String, windowSeconds: Long)
+      : org.apache.spark.sql.Dataset[ConvOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowSeconds >= 1, "windowSeconds must be >= 1")
+    import events.sparkSession.implicits._
+    val windowMicros = windowSeconds * 1000000L
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[PendingFroms, ConvOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[TypedEvent],
+            gs: GroupState[PendingFroms]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var pending = gs.getOption.map(_.rows).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConvOut]
+          sorted.foreach { e =>
+            val (expired, live) = pending.partition {
+              case (_, us) => e.orderMicros - us > windowMicros
+            }
+            expired.foreach { case (id, _) =>
+              out += ConvOut(user, id, converted = false)
+            }
+            pending = live
+            if (e.etype == toType) {
+              // every surviving pending strictly precedes e in the
+              // (micros, id) order and sits within the window
+              pending.foreach { case (id, _) =>
+                out += ConvOut(user, id, converted = true)
+              }
+              pending = Nil
+            }
+            if (e.etype == fromType) {
+              pending = pending :+ (e.event_id, e.orderMicros)
+            }
+          }
+          if (sorted.nonEmpty) gs.update(PendingFroms(pending))
+          out.iterator
+      }
+  }
+
   /** First-touch / last-touch conversion attribution: for every
     * conversion event (`isConversion`), credit (a) the user's FIRST
     * non-conversion event type ever seen before it and (b) the MOST

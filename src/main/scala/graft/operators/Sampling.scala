@@ -515,4 +515,55 @@ object Sampling {
         :+ col("ci_lo").cast("double") :+ col("ci_hi").cast("double")
         :+ col("n")): _*)
   }
+
+  /** Iterative proportional fitting (raking; Deming & Stephan 1940) —
+    * the dataset-rebalancing weights that make a corpus's (a × b)
+    * composition match TARGET marginals without resampling: classic
+    * survey raking, and in an LLM pipeline the "reweight scraped data
+    * so lang × source matches the design mix" step (the continuous
+    * sibling of mixCorpora's hard caps). This variant rakes toward
+    * UNIFORM marginals on both axes (target_a = N/|levels_a| per a
+    * level, likewise b) — the maximum-entropy mix.
+    *
+    * Each iteration rescales cell weights to satisfy the row marginal
+    * exactly, then the column marginal (which perturbs rows; the
+    * alternation converges geometrically). Weights round at `roundDp`
+    * (1e-12 quantum, three orders above the float-sum noise of the
+    * level-bounded marginal sums), so the unrolled oracle reproduces
+    * them bit-exactly.
+    *
+    * Scale shape: ONE (a, b) count shuffle collapses the corpus to a
+    * levels²-bounded cell table; every iteration is two window sums
+    * over the CELLS — corpus size never re-enters. Joining the weights
+    * back onto rows is a broadcast join for the caller. Output:
+    * (aCol, bCol, n, weight).
+    */
+  def rakeWeights(df: DataFrame, aCol: String, bCol: String,
+      iters: Int, roundDp: Int = 12): DataFrame = {
+    require(iters >= 1, s"rake: iters must be >= 1, got $iters")
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val nTot = cells.agg(sum("_c").cast("double").as("_nt"))
+    val levA = cells.select("_a").distinct()
+      .agg(count(lit(1)).cast("double").as("_la"))
+    val levB = cells.select("_b").distinct()
+      .agg(count(lit(1)).cast("double").as("_lb"))
+    var w = cells
+      .crossJoin(broadcast(nTot))
+      .crossJoin(broadcast(levA))
+      .crossJoin(broadcast(levB))
+      .withColumn("_w", lit(1.0))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("_a")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("_b")
+    for (_ <- 1 to iters) {
+      w = w.withColumn("_w",
+        round(col("_w") * (col("_nt") / col("_la"))
+          / sum(col("_c") * col("_w")).over(wa), roundDp))
+      w = w.withColumn("_w",
+        round(col("_w") * (col("_nt") / col("_lb"))
+          / sum(col("_c") * col("_w")).over(wb), roundDp))
+    }
+    w.select(col("_a").as(aCol), col("_b").as(bCol),
+      col("_c").as("n"), col("_w").cast("double").as("weight"))
+  }
 }

@@ -150,12 +150,47 @@ object Stats {
     * prefix C(v) is ONE ordered window over the VOCABULARY-sized
     * per-value table (bounded after 6-dp quantization — the zipf/
     * heaps boundary-table cost class, never the data); per-group
-    * sums are a group-keyed aggregate. Output: (group, n_group,
+    * sums are a group-keyed aggregate. On a CONTINUOUS value column
+    * the 6-dp grid approaches corpus size and the prefix window
+    * serializes — that regime belongs to [[mannWhitneyBinned]], whose
+    * grid is `bins`-bounded by construction. Output: (group, n_group,
     * n_rest, u, z) — u exact (.0/.5 halves are exact doubles).
     */
-  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val cells = df
-      .select(col(groupCol).as("_g"), round(col(valueCol), 6).as("_q"))
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    mwOnPoints(df.select(col(groupCol).as("_g"),
+      round(col(valueCol), 6).as("_q")), groupCol)
+
+  /** The 100 TB dual of [[mannWhitney]] (the [[ksTestBinned]]
+    * precedent): values histogram onto `bins` equi-width cells over
+    * the frozen global [min, max] BEFORE the rank machinery, so the
+    * per-value grid the prefix window sorts is bins-bounded however
+    * high-cardinality the raw values are. Binning coarsens ties only:
+    * rows in one cell become exact ties at the cell id, which the
+    * tie-corrected z already models — z converges to the exact test
+    * from below as bins grow (equal when bins resolve every distinct
+    * value; see the spec's convergence pin). Same NULL contract as
+    * [[ksTestBinned]]: a NULL value stays NULL (its own level), never
+    * silently lands in the top cell.
+    */
+  def mannWhitneyBinned(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val stats = df.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val binned = df.crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col(valueCol).isNotNull,
+          when(col("_hi") > col("_lo"),
+            least(floor((col(valueCol) - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))), lit(bins - 1)))
+            .otherwise(lit(0))).cast("long").as("_q"))
+    mwOnPoints(binned, groupCol)
+  }
+
+  /** Shared Mann–Whitney machinery over a prepared (_g, _q) point
+    * frame — the [[ksOnPoints]] pattern. */
+  private def mwOnPoints(points: DataFrame, groupCol: String): DataFrame = {
+    val cells = points
       .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
     // per-value total E and exclusive-cumulative C over the value
     // order, computed once and joined back onto the cells
@@ -190,6 +225,155 @@ object Stats {
               * col("n_rest") / 2.0) / sqrt(col("_var")), 6))
           .cast("double"))
       .select(groupCol, "n_group", "n_rest", "u", "z")
+  }
+
+  /** Kruskal–Wallis H test across ALL groups at once — the k-group
+    * generalization of [[mannWhitney]] (the nonparametric one-way
+    * ANOVA): "do these k sources/slices share a location" in one
+    * number, where pairwise MW needs k² runs.
+    *
+    * Exactness: the SAME doubled-rank machinery (D(v) = 2C+E+1, all
+    * integers); doubled rank sums R2_g and their squares live in
+    * decimal(38,0) (R2² ~ 4N⁴ overflows a long at corpus scale), the
+    * Σ R2_g²/n_g term is one double division per GROUP summed over
+    * the group-bounded table, and
+    * H = (3/(N(N+1)))·Σ R2_g²/n_g − 3(N+1), tie-corrected by
+    * 1 − Σ(E³−E)/(N³−N), is one identically-spelled float tree
+    * rounded at 6 dp. h NULL when every value ties (correction 0) or
+    * fewer than 2 groups.
+    *
+    * Scale shape: identical to [[mannWhitney]] (one cell shuffle, one
+    * vocabulary-bounded prefix window, group-keyed sums); the binned
+    * dual [[kruskalWallisBinned]] bounds the grid for continuous
+    * values. Output: ONE row (n, k, dof, h).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    kwOnPoints(df.select(col(groupCol).as("_g"),
+      round(col(valueCol), 6).as("_q")))
+
+  /** The bins-bounded dual of [[kruskalWallis]] — the
+    * [[mannWhitneyBinned]] binning (frozen global [min, max], NULL
+    * stays its own level) feeding the same H machinery. */
+  def kruskalWallisBinned(df: DataFrame, groupCol: String,
+      valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val stats = df.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val binned = df.crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col(valueCol).isNotNull,
+          when(col("_hi") > col("_lo"),
+            least(floor((col(valueCol) - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))), lit(bins - 1)))
+            .otherwise(lit(0))).cast("long").as("_q"))
+    kwOnPoints(binned)
+  }
+
+  private def kwOnPoints(points: DataFrame): DataFrame = {
+    val cells = points
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val totals = cells.groupBy(col("_q").as("_tq")).agg(sum("_c").as("_e"))
+      .withColumn("_cbelow", coalesce(
+        sum("_e").over(Window.orderBy(col("_tq"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val dec = "decimal(38,0)"
+    val nn = totals.agg(sum("_e").as("_n"),
+      sum((col("_e").cast(dec) * col("_e") * col("_e") - col("_e"))
+        .cast(dec)).as("_ties"))
+    val perG = cells
+      .join(totals, cells("_q") <=> totals("_tq"))
+      .groupBy(col("_g"))
+      .agg(sum("_c").as("_ng"),
+        sum(col("_c") * (lit(2L) * col("_cbelow") + col("_e") + 1))
+          .cast(dec).as("_r2"))
+    perG
+      .select(col("_ng"),
+        (col("_r2") * col("_r2")).cast(dec).as("_r2sq"))
+      .crossJoin(broadcast(nn))
+      .agg(max(col("_n")).as("_nmax"), max(col("_ties")).as("_tmax"),
+        count(lit(1)).as("k"),
+        sum(col("_r2sq").cast("double") / col("_ng")).as("_sumterm"))
+      .select(col("_nmax").cast("bigint").as("n"),
+        col("k").cast("bigint").as("k"),
+        (col("k") - 1).cast("bigint").as("dof"),
+        col("_nmax").cast("double").as("_nd"),
+        col("_tmax").cast("double").as("_td"),
+        col("_sumterm"))
+      .withColumn("_h",
+        lit(3.0) / (col("_nd") * (col("_nd") + 1.0)) * col("_sumterm")
+          - lit(3.0) * (col("_nd") + 1.0))
+      .withColumn("_corr",
+        lit(1.0) - col("_td")
+          / (col("_nd") * col("_nd") * col("_nd") - col("_nd")))
+      .withColumn("h",
+        when(col("k") >= 2 && col("_corr") > 0.0,
+          round(col("_h") / col("_corr"), 6)).cast("double"))
+      .select("n", "k", "dof", "h")
+  }
+
+  /** Cliff's delta ordinal effect size per group vs the pooled
+    * complement — the MAGNITUDE companion to [[mannWhitney]]'s
+    * existence test (the rank-world sibling of [[cohensD]]):
+    * δ = (#(x>y) − #(x<y)) / (n_g·n_r) ∈ [−1, 1] — with this MW
+    * machinery's U convention (u counts complement wins + half-ties),
+    * δ = 1 − 2u/(n_g·n_r) —
+    * read as "probability a group draw exceeds a complement draw,
+    * minus the reverse". U is the exact (half-integer) statistic the
+    * MW machinery already produces, so δ is ONE extra rounded float
+    * expression — same scale shape, same NULL contract (complement
+    * empty). Output: (group, n_group, n_rest, delta).
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    mannWhitney(df, groupCol, valueCol)
+      .select(col(groupCol), col("n_group"), col("n_rest"),
+        when(col("n_rest") > 0,
+          round(lit(1.0) - lit(2.0) * col("u")
+            / (col("n_group").cast("double") * col("n_rest")), 6))
+          .cast("double").as("delta"))
+
+  /** Empirical-Bayes (beta-binomial, method of moments) shrinkage of
+    * per-group success rates — the "don't trust a 2/3 rate next to a
+    * 2000/3000 one" fix every CTR/quality-rate ranking needs: groups
+    * borrow strength from the across-group prior, small groups shrink
+    * hard toward the grand mean, large ones barely move.
+    *
+    * Moments: m and v are the UNWEIGHTED mean/sample-variance of the
+    * per-group rates (each rate one exact integer division; m and v
+    * rounded at 12 dp so the groups-bounded summation order can't
+    * leak); prior α = m·(m(1−m)/v − 1), β = (1−m)/m · α, shrunk rate
+    * = (x_g + α)/(n_g + α + β), all ONE identically-spelled float
+    * tree rounded at 6 dp. Degenerate priors (v = 0, v ≥ m(1−m),
+    * m ∈ {0, 1}, or < 2 groups) report NULL shrunk rates — shrinking
+    * toward a meaningless prior is worse than not shrinking.
+    *
+    * Scale shape: one group-keyed count aggregate (groups-bounded
+    * table), one broadcast of the 1-row prior. Output: (group, n,
+    * successes, rate, shrunk_rate).
+    */
+  def ebShrinkRates(df: DataFrame, groupCol: String,
+      success: Column): DataFrame = {
+    val byG = df.groupBy(col(groupCol).as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+      .withColumn("_p", col("successes").cast("double") / col("n"))
+    val prior = byG.agg(count(lit(1)).as("_k"),
+        round(avg(col("_p")), 12).as("_m"),
+        round(var_samp(col("_p")), 12).as("_v"))
+      .withColumn("_alpha",
+        when(col("_k") >= 2 && col("_v") > 0.0
+            && col("_m") > 0.0 && col("_m") < 1.0
+            && col("_m") * (lit(1.0) - col("_m")) > col("_v"),
+          col("_m") * (col("_m") * (lit(1.0) - col("_m")) / col("_v")
+            - 1.0)))
+      .withColumn("_beta",
+        (lit(1.0) - col("_m")) / col("_m") * col("_alpha"))
+    byG.crossJoin(broadcast(prior))
+      .select(col(groupCol), col("n"), col("successes"),
+        round(col("_p"), 6).cast("double").as("rate"),
+        when(col("_alpha").isNotNull,
+          round((col("successes") + col("_alpha"))
+            / (col("n") + col("_alpha") + col("_beta")), 6))
+          .cast("double").as("shrunk_rate"))
   }
 
   /** Per-group robust (median/MAD) outlier profile — the
@@ -233,6 +417,51 @@ object Stats {
       .withColumn("_rna", row_number().over(wa))
       .withColumn("_mad",
         max(when(col("_rna") === medRank, col("_ad"))).over(wg))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max("_med") / 1e6, 6).cast("double").as("median"),
+        round(max("_mad") / 1e6, 6).cast("double").as("mad"),
+        sum(when(col("_mad") > 0 &&
+          col("_ad") * 6745L > col("_mad") * 35000L, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_rate",
+        when(col("mad") > 0.0,
+          round(col("n_outliers") / col("n").cast("double"), 6))
+          .cast("double"))
+  }
+
+  /** The 100 TB dual of [[robustOutliers]]: median and MAD via
+    * `approx_percentile` (GK sketch) group AGGREGATES instead of
+    * per-group sort windows — a single giant group costs a bounded
+    * sketch merge, not a serialized sort. Same scaled-long outlier
+    * rule (6745·|x − med| > 35000·MAD — integers once the sketch
+    * medians are fixed), same output schema. Deviation contract: the
+    * sketch guarantees a value within `accuracy`-rank of the true
+    * median, so med/MAD are real observed values at most n/accuracy
+    * ranks off the exact lower median; with accuracy ≥ group size the
+    * sketch is exact and this equals [[robustOutliers]] except at
+    * even-n groups where GK may return the UPPER median (pinned in
+    * OutliersSpec with the deviation bound).
+    *
+    * Not judged (GK internals are engine-specific — DuckDB's
+    * approx_quantile is t-digest); spec-pinned against the exact twin.
+    */
+  def robustOutliersApprox(df: DataFrame, groupCol: String,
+      valueCol: String, accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 1, s"accuracy=$accuracy must be >= 1")
+    val pts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("bigint").as("_x"))
+    val meds = pts.groupBy("_g")
+      .agg(percentile_approx(col("_x"), lit(0.5), lit(accuracy))
+        .cast("bigint").as("_med"))
+    val withAd = pts.join(meds, Seq("_g"))
+      .withColumn("_ad", abs(col("_x") - col("_med")))
+    val mads = withAd.groupBy(col("_g").as("_gm"))
+      .agg(percentile_approx(col("_ad"), lit(0.5), lit(accuracy))
+        .cast("bigint").as("_mad"))
+    withAd.join(mads, col("_g") <=> col("_gm")).drop("_gm")
       .groupBy(col("_g").as(groupCol))
       .agg(count(lit(1)).as("n"),
         round(max("_med") / 1e6, 6).cast("double").as("median"),
@@ -572,6 +801,44 @@ object Stats {
         round(col("v_cur") - col("v_ref"), 6).cast("double").as("delta"))
   }
 
+  /** The 100 TB dual of [[qqDrift]]: one `approx_percentile(ARRAY)`
+    * sketch aggregate per (group, slice) replaces the per-slice sort
+    * window — a group whose slice is corpus-sized costs a bounded
+    * sketch merge. Quantile q of nQuantiles is the sketch value at
+    * fraction q/nQuantiles (a real observed value within
+    * n/accuracy ranks of the exact order statistic). Same output
+    * schema; spec-pinned against the exact twin, not judged (GK
+    * internals are engine-specific).
+    */
+  def qqDriftApprox(df: DataFrame, groupCol: String, valueCol: String,
+      isCur: Column, nQuantiles: Int = 10,
+      accuracy: Int = 10000): DataFrame = {
+    require(nQuantiles >= 2, s"nQuantiles=$nQuantiles must be >= 2")
+    require(accuracy >= 1, s"accuracy=$accuracy must be >= 1")
+    val fracs = array((1 until nQuantiles)
+      .map(q => lit(q.toDouble / nQuantiles)): _*)
+    val cuts = df
+      .select(col(groupCol).as("_g"), isCur.as("_cur"),
+        col(valueCol).as("_v"))
+      .groupBy("_g", "_cur")
+      .agg(percentile_approx(col("_v"), fracs, lit(accuracy)).as("_qs"))
+      .select(col("_g"), col("_cur"),
+        posexplode(col("_qs")).as(Seq("_p", "_v")))
+      .select(col("_g"), col("_cur"), (col("_p") + 1).as("quantile"),
+        col("_v"))
+    val ref = cuts.filter(!col("_cur"))
+      .select(col("_g"), col("quantile"), col("_v").as("v_ref"))
+    val cur = cuts.filter(col("_cur"))
+      .select(col("_g").as("_g2"), col("quantile").as("_q2"),
+        col("_v").as("v_cur"))
+    ref.join(cur, col("_g") <=> col("_g2") && col("quantile") === col("_q2"),
+        "full")
+      .select(coalesce(col("_g"), col("_g2")).as(groupCol),
+        coalesce(col("quantile"), col("_q2")).as("quantile"),
+        col("v_ref"), col("v_cur"),
+        round(col("v_cur") - col("v_ref"), 6).cast("double").as("delta"))
+  }
+
   /** Trimmed mean per group: drop the floor(n·trim) smallest and
     * largest rows (by the deterministic sorted-multiset positions —
     * ties don't matter, the kept multiset is fixed) and average the
@@ -600,6 +867,165 @@ object Stats {
         round(sum("_q") / (count(lit(1)) * lit(1e6)), 6)
           .cast("double").as("trimmed_mean"))
   }
+
+  /** The 100 TB dual of [[trimmedMean]]: the trim boundaries come
+    * from one `approx_percentile` sketch pair per group instead of a
+    * per-group sort window, then the mean averages rows strictly
+    * inside (lo, hi] — value-based trimming (drop x ≤ lo-quantile or
+    * x > hi-quantile) rather than the exact twin's count-based
+    * floor(n·trim) per side, so under heavy ties at a boundary the
+    * two can differ by the tied mass; the sketch bound makes each
+    * boundary at most n/accuracy ranks off. Output: (group, n, lo,
+    * hi, trimmed_mean). Spec-pinned against the exact twin; not
+    * judged (GK internals are engine-specific).
+    */
+  def trimmedMeanApprox(df: DataFrame, groupCol: String, valueCol: String,
+      trim: Double = 0.1, accuracy: Int = 10000): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim=$trim must be in [0, 0.5)")
+    require(accuracy >= 1, s"accuracy=$accuracy must be >= 1")
+    val pts = df
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+    val bounds = pts.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        percentile_approx(col("_q"), lit(trim), lit(accuracy))
+          .cast("long").as("_lo"),
+        percentile_approx(col("_q"), lit(1.0 - trim), lit(accuracy))
+          .cast("long").as("_hi"))
+    pts.join(broadcast(bounds), col("_g") <=> col("_gm")).drop("_gm")
+      .filter((lit(trim) === 0.0 || col("_q") > col("_lo"))
+        && col("_q") <= col("_hi"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_n").as("n"),
+        round(max("_lo") / 1e6, 6).cast("double").as("lo"),
+        round(max("_hi") / 1e6, 6).cast("double").as("hi"),
+        round(sum("_q") / (count(lit(1)) * lit(1e6)), 6)
+          .cast("double").as("trimmed_mean"))
+  }
+
+  /** Hill tail-index estimator over the top-k order statistics — THE
+    * standard heavy-tail exponent ("is doc length / degree / value
+    * power-law, and how fat"): H = mean of ln(x_(i) / x_(k+1)) over
+    * the k largest values, alpha = 1/H (Hill 1975, Ann. Statist.
+    * 3(5)). A corpus whose alpha ≈ 1-2 is dominated by its giants —
+    * the number that tells you whether truncation/winsorization will
+    * move your aggregates.
+    *
+    * Exactness: the top k+1 rows are the (value DESC, id ASC) total
+    * order; each log ratio quantizes to a ROUND(ln·10⁶) scaled long
+    * (the heapsLawFit convention — the quantum absorbs sub-1e-6 libm
+    * noise), the mean is one exact integer sum and one rounded
+    * division. Requires k+1 positive values — fewer rows → EMPTY
+    * result (no partial tail estimate).
+    *
+    * Scale shape: one TakeOrderedAndProject of k+1 rows (never a full
+    * sort), then k-bounded local work. Output: one row (k, x_tail,
+    * hill, alpha); alpha NULL when the top k+1 values are all equal
+    * (H = 0).
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"hill: k must be >= 2, got $k")
+    val top = df.filter(col(valueCol) > 0)
+      .select(col(valueCol).cast("double").as("_x"), col(idCol).as("_id"))
+      .orderBy(col("_x").desc, col("_id"))
+      .limit(k + 1)
+    // k+1 rows: the unpartitioned window is bounded by construction
+    val ranked = top.withColumn("_rn",
+      row_number().over(Window.orderBy(col("_x").desc, col("_id"))))
+    val tail = ranked.filter(col("_rn") === k + 1)
+      .select(col("_x").as("_xt"))
+    ranked.filter(col("_rn") <= k)
+      .crossJoin(broadcast(tail))
+      .select(round(log(col("_x") / col("_xt")) * 1e6).cast("long").as("_l"),
+        col("_xt"))
+      .agg(count(lit(1)).as("_k"), sum("_l").as("_s"), max("_xt").as("_xtail"))
+      .filter(col("_k") === k)
+      .select(lit(k).cast("bigint").as("k"),
+        col("_xtail").cast("double").as("x_tail"),
+        round(col("_s") / (lit(k) * lit(1e6)), 6).cast("double").as("hill"))
+      .withColumn("alpha",
+        when(col("hill") > 0.0, round(lit(1.0) / col("hill"), 6))
+          .cast("double"))
+  }
+
+  /** Wilcoxon signed-rank test over pre-paired (x, y) rows per group —
+    * the PAIRED sibling of [[mannWhitney]] (same subject before/after:
+    * the A/B design where each unit is its own control). Differences
+    * d = y − x (6-dp rounded) drop zeros by the classic convention;
+    * |d| ranks carry ties as average ranks kept integer by DOUBLING
+    * (the mannWhitney D(v) = 2C+E+1 trick), so 2·W⁺ = Σ_{d>0} D is a
+    * pure integer. The tie-corrected normal approximation
+    * z = (2W⁺ − n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 − Σ(E³−E)/12)
+    * is the only float work, one identically-spelled tree, 6 dp.
+    * Σ(E³−E) accumulates in decimal(38,0).
+    *
+    * Scale shape: one (group, |d|) cell shuffle; the below-count
+    * prefix is a per-GROUP window over the cell table (bounded after
+    * quantization). Output: (group, n_pairs, n_nonzero, w_plus, z) —
+    * w_plus NULL when every pair ties at zero, z additionally NULL
+    * when the variance is 0.
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pairs = df.select(col(groupCol).as("_g"),
+        round(col(yCol) - col(xCol), 6).as("_d"))
+      .filter(col("_d").isNotNull)
+    val allCounts = pairs.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val cells = pairs.filter(col("_d") =!= 0.0)
+      .groupBy(col("_g"), abs(col("_d")).as("_ad"))
+      .agg(count(lit(1)).as("_e"),
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("_p"))
+    val dec = "decimal(38,0)"
+    val wBelow = Window.partitionBy("_g").orderBy("_ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perG = cells
+      .withColumn("_cb", coalesce(sum("_e").over(wBelow), lit(0L)))
+      .groupBy(col("_g"))
+      .agg(sum("_e").as("n_nonzero"),
+        sum(col("_p").cast(dec) * (lit(2L) * col("_cb") + col("_e") + 1))
+          .cast(dec).as("_2wp"),
+        sum((col("_e").cast(dec) * col("_e") * col("_e") - col("_e"))
+          .cast(dec)).as("_ties"))
+    val nD = col("n_nonzero").cast("double")
+    allCounts.join(perG, col("_gm") <=> col("_g"), "left")
+      .select(col("_gm").as(groupCol), col("n_pairs"),
+        coalesce(col("n_nonzero"), lit(0L)).as("n_nonzero"),
+        (col("_2wp").cast("double") / 2.0).as("w_plus"),
+        col("_2wp"), col("_ties"))
+      .withColumn("_var",
+        nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 6.0
+          - col("_ties").cast("double") / 12.0)
+      .withColumn("z",
+        when(col("n_nonzero") > 0 && col("_var") > 0.0,
+          round((col("_2wp").cast("double") - nD * (nD + 1.0) / 2.0)
+            / sqrt(col("_var")), 6)).cast("double"))
+      .select(groupCol, "n_pairs", "n_nonzero", "w_plus", "z")
+  }
+
+  /** McNemar's test of two paired binary classifiers per group — the
+    * model-comparison gate for "did B actually beat A on the SAME
+    * rows": only the discordant pairs carry signal (b = A right and B
+    * wrong, c = the reverse); the statistic (b−c)²/(b+c) is chi² with
+    * 1 dof under the null that both err equally. All-integer counts,
+    * one rounded division; NULL when the models never disagree
+    * (b + c = 0). A NULL correctness flag counts as incorrect for
+    * that side (documented, matches the filter-style when/otherwise).
+    *
+    * One group-keyed count shuffle. Output: (group, n, b, c, mcnemar).
+    */
+  def mcnemar(df: DataFrame, groupCol: String, aCorrect: Column,
+      bCorrect: Column): DataFrame =
+    df.groupBy(col(groupCol).as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b"),
+        sum(when(bCorrect && !aCorrect, 1L).otherwise(0L)).as("c"))
+      .withColumn("mcnemar",
+        when(col("b") + col("c") > 0,
+          round(((col("b") - col("c")) * (col("b") - col("c")))
+            .cast("double") / (col("b") + col("c")), 6))
+          .cast("double"))
 
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9,
     * computed ONCE here and shared VERBATIM with the oracle SQL (the

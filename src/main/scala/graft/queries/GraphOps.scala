@@ -37,35 +37,83 @@ object GraphOps {
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
 
+  /** Cross-SESSION persistence layer under the per-session memo (the
+    * IvfIndex.saveCentroids pattern scaled up to the edge table): when
+    * `graft.graph.cache` (system property, or SPARK_GRAFT_GRAPH_CACHE
+    * env) names a directory, each memoized graph materializes to
+    * parquet there on first build and every later session READS it
+    * instead of re-running the lineitem self-join — at steady state a
+    * serving/bench session pays one parquet scan per graph. Results
+    * are bit-identical: the edge tables are (string, string, long)
+    * rows, which round-trip parquet exactly, and every consumer
+    * re-aggregates from the edges. The cache key carries the sfDir
+    * path, so distinct datasets never collide; the cache directory is
+    * epoch-scoped by the CALLER (point it at a fresh dir when the
+    * underlying tables change — the materialized-view contract).
+    * Unset (the default, and the Verify/correctness path) keeps the
+    * build-fresh behavior byte-for-byte.
+    */
+  private def cacheRoot: Option[String] =
+    sys.props.get("graft.graph.cache")
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_CACHE"))
+
+  private def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private[graft] def throughCache(
+      spark: org.apache.spark.sql.SparkSession, key: String)(
+      build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    cacheRoot match {
+      case None => build.localCheckpoint()
+      case Some(root) =>
+        val dir = new org.apache.hadoop.fs.Path(root, key)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val ok = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+        if (!fs.exists(ok)) {
+          build.write.mode("overwrite").parquet(dir.toString)
+        }
+        spark.read.parquet(dir.toString)
+    }
+
+  /** Build (or cache-load) every shared judged graph for `sfDir` —
+    * the bench/serving session's prewarm hook. Returns row counts
+    * (forces materialization + cache write-through). */
+  def prewarmSharedGraphs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[Long] = Seq(
+    coOrderParts(spark, sfDir, 5).count(),
+    coOrderParts(spark, sfDir, 7).count(),
+    partSupplierEdges(spark, sfDir).count())
+
   /** Distinct co-order part pairs (a < b by part key, emitted as
     * strings — the operators' canonical key type) with exact
     * co-occurrence counts, over orders with l_orderkey % mod == 0. */
-  private[queries] def coOrderParts(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def coOrderParts(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, mod: Int): org.apache.spark.sql.DataFrame =
-    coOrderMemo.computeIfAbsent((spark, sfDir, mod), _ => {
-      val li = spark.table("lineitem")
-        .filter(col("l_orderkey") % mod === 0)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").cast("string").as("a"),
-          col("y.pk").cast("string").as("b"))
-        .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
-    })
+    coOrderMemo.computeIfAbsent((spark, sfDir, mod), _ =>
+      throughCache(spark, s"co_order_${mod}_${sanitize(sfDir)}") {
+        val li = spark.table("lineitem")
+          .filter(col("l_orderkey") % mod === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").cast("string").as("a"),
+            col("y.pk").cast("string").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+      })
 
   /** Distinct part→supplier edges with disjoint p-/s-prefixed key
     * namespaces (shared by q_pagerank and q_hits). */
   private[queries] def partSupplierEdges(
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
-    psMemo.computeIfAbsent((spark, sfDir), _ => {
-      spark.table("lineitem")
-        .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-        .distinct()
-        .localCheckpoint()
-    })
+    psMemo.computeIfAbsent((spark, sfDir), _ =>
+      throughCache(spark, s"part_supplier_${sanitize(sfDir)}") {
+        spark.table("lineitem")
+          .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+      })
 
   /** One Lloyd round (portable seed → assign → centroid refresh →
     * assign) over the embeddings table: (vec_id, cluster, dist).

@@ -41,6 +41,94 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** 16-bin Mann-Whitney over the q_ks_binned histogram cells: the
+    * bins-bounded grid replaces the distinct-value prefix window —
+    * the shape that survives a continuous value column at 100 TB.
+    */
+  val qMwBinned: QueryFn = withTables { spark =>
+    Stats.mannWhitneyBinned(spark.table("events"), "event_type", "value",
+        bins = 16)
+      .orderBy("event_type")
+  }
+
+  /** Wilcoxon signed-rank on paired per-user half-month spend (exact
+    * integer cents — value has 2 decimals, so the sums and diffs are
+    * pure longs), per event type: the PAIRED location test next to
+    * q_mann_whitney's independent-samples one.
+    */
+  val qWilcoxon: QueryFn = withTables { spark =>
+    val cents = round(col("value") * 100).cast("long")
+    val paired = spark.table("events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("ts") < lit("2024-01-16").cast("timestamp"),
+          cents).otherwise(lit(0L))).as("x"),
+        sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"),
+          cents).otherwise(lit(0L))).as("y"))
+    graft.operators.Stats.wilcoxonSignedRank(paired, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
+  /** McNemar's paired-classifier test per source: two deterministic
+    * "is this document English" rules scored against the lang label —
+    * only the disagreements carry the statistic; all-integer counts,
+    * one rounded division.
+    */
+  val qMcnemar: QueryFn = withTables { spark =>
+    val label = col("lang") === "en"
+    graft.operators.Stats.mcnemar(spark.table("documents"), "source",
+        (col("n_chars") > 500) === label,
+        (length(col("text")) > 550) === label)
+      .orderBy("source")
+  }
+
+  /** Hill tail-index of document length over the top-100 order
+    * statistics: scaled-long log ratios (the heapsLawFit quantum),
+    * one exact sum, one rounded mean, alpha = 1/H.
+    */
+  val qHill: QueryFn = withTables { spark =>
+    graft.operators.Stats.hillTailIndex(spark.table("documents"),
+      "n_chars", "doc_id", k = 100)
+  }
+
+  /** Two IPF raking iterations toward uniform lang x source marginals
+    * on documents: per-cell reweighting via window sums over the
+    * levels-bounded cell table, weights 12-dp-quantized per half-step.
+    */
+  val qIpfRake: QueryFn = withTables { spark =>
+    graft.operators.Sampling.rakeWeights(spark.table("documents"),
+        "lang", "source", iters = 2)
+      .orderBy("lang", "source")
+  }
+
+  /** Kruskal-Wallis H across all five event types at once: the
+    * k-group rank ANOVA over 6-dp-quantized values, doubled-rank
+    * integers, tie-corrected, one float tree.
+    */
+  val qKruskal: QueryFn = withTables { spark =>
+    graft.operators.Stats.kruskalWallis(spark.table("events"),
+      "event_type", "value")
+  }
+
+  /** Cliff's delta per event type vs the pooled complement: the
+    * ordinal effect-size companion of q_mann_whitney, one extra
+    * rounded expression over the same exact U.
+    */
+  val qCliffsDelta: QueryFn = withTables { spark =>
+    graft.operators.Stats.cliffsDelta(spark.table("events"),
+        "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  /** Empirical-Bayes shrunk success rates (value > 50) per event
+    * type: beta-binomial method-of-moments prior from the group
+    * rates, 12-dp-frozen moments, one float tree.
+    */
+  val qEbShrink: QueryFn = withTables { spark =>
+    graft.operators.Stats.ebShrinkRates(spark.table("events"),
+        "event_type", col("value") > 50.0)
+      .orderBy("event_type")
+  }
+
   /** Robust median/MAD outlier profile of value per event type:
     * exact integer lower medians, the 6745·|x−med| > 35000·MAD
     * integer outlier rule, descaled display medians.
@@ -367,6 +455,14 @@ object StatsOps {
     "q_ks_binned" -> qKsBinned,
     "q_prop_ztest" -> qPropZtest,
     "q_mann_whitney" -> qMannWhitney,
+    "q_mw_binned" -> qMwBinned,
+    "q_wilcoxon" -> qWilcoxon,
+    "q_mcnemar" -> qMcnemar,
+    "q_hill" -> qHill,
+    "q_ipf_rake" -> qIpfRake,
+    "q_kruskal" -> qKruskal,
+    "q_cliffs_delta" -> qCliffsDelta,
+    "q_eb_shrink" -> qEbShrink,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
     "q_cusum" -> qCusum,
@@ -521,6 +617,266 @@ object StatsOps {
     // Same doubled-average-rank integers (D = 2·C + E + 1), HUGEINT
     // tie cubes mirroring decimal(38,0), and the identically-spelled
     // tie-corrected z tree (coefficients cast to DOUBLE).
+    // The q_mann_whitney rank CTEs, k-group squared rank sums, the
+    // identical H float tree.
+    "q_kruskal" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn AS (SELECT SUM(e)::BIGINT AS n,
+                    SUM(e::HUGEINT * e * e - e)::HUGEINT AS ties
+             FROM tot),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS ng,
+               SUM(c::HUGEINT * (2 * cbelow + e + 1))::HUGEINT AS r2
+        FROM cells JOIN tot2 ON cells.q IS NOT DISTINCT FROM tot2.tq
+        GROUP BY g),
+      agg AS (
+        SELECT MAX(n)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               MAX(CAST(ties AS DOUBLE)) AS td,
+               MAX(CAST(n AS DOUBLE)) AS nd,
+               SUM(CAST(r2 * r2 AS DOUBLE) / ng) AS sumterm
+        FROM perg CROSS JOIN nn)
+      SELECT n, k, (k - 1)::BIGINT AS dof,
+             CAST(CASE WHEN k >= 2
+                    AND 1.0 - td / (nd * nd * nd - nd) > 0.0 THEN
+               ROUND((3.0 / (nd * (nd + 1.0)) * sumterm
+                      - 3.0 * (nd + 1.0))
+                 / (1.0 - td / (nd * nd * nd - nd)), 6) END AS DOUBLE) AS h
+      FROM agg""",
+
+    // The q_mann_whitney CTEs with delta = 1 - 2u/(ng*nr) (u is the
+    // complement-wins convention) as the final projection.
+    "q_cliffs_delta" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn AS (SELECT SUM(e)::BIGINT AS n FROM tot),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS n_group,
+               SUM(c::HUGEINT * (2 * cbelow + e + 1))::HUGEINT AS r1d
+        FROM cells JOIN tot2 ON cells.q IS NOT DISTINCT FROM tot2.tq
+        GROUP BY g),
+      stat AS (
+        SELECT g, n_group, (n - n_group)::BIGINT AS n_rest,
+               CAST(2::HUGEINT * n_group * (n - n_group)
+                 + n_group::HUGEINT * (n_group + 1) - r1d AS DOUBLE)
+                 / 2.0 AS u
+        FROM perg CROSS JOIN nn)
+      SELECT g AS event_type, n_group, n_rest,
+             CAST(CASE WHEN n_rest > 0 THEN
+               ROUND(1.0 - 2.0 * u / (CAST(n_group AS DOUBLE) * n_rest), 6)
+             END AS DOUBLE) AS delta
+      FROM stat
+      ORDER BY event_type""",
+
+    // Group rates, 12-dp-frozen beta-binomial moments, the identical
+    // shrinkage tree.
+    "q_eb_shrink" -> """
+      WITH byg AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS successes
+        FROM events GROUP BY 1),
+      byg2 AS (SELECT event_type, n, successes,
+                      CAST(successes AS DOUBLE) / n AS p FROM byg),
+      pr AS (SELECT COUNT(*)::BIGINT AS k, ROUND(AVG(p), 12) AS m,
+                    ROUND(VAR_SAMP(p), 12) AS v
+             FROM byg2),
+      pr2 AS (SELECT k, m, v,
+                     CASE WHEN k >= 2 AND v > 0.0 AND m > 0.0 AND m < 1.0
+                            AND m * (1.0 - m) > v
+                       THEN m * (m * (1.0 - m) / v - 1.0) END AS alpha
+              FROM pr),
+      pr3 AS (SELECT k, m, v, alpha, (1.0 - m) / m * alpha AS beta FROM pr2)
+      SELECT event_type, n, successes,
+             CAST(ROUND(p, 6) AS DOUBLE) AS rate,
+             CAST(CASE WHEN alpha IS NOT NULL THEN
+               ROUND((successes + alpha) / (n + alpha + beta), 6)
+             END AS DOUBLE) AS shrunk_rate
+      FROM byg2 CROSS JOIN pr3
+      ORDER BY event_type""",
+
+    // Integer-cents pairing, doubled |d|-ranks, the identical z tree.
+    "q_wilcoxon" -> """
+      WITH p AS (
+        SELECT event_type, user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS x,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                   THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2),
+      ac AS (SELECT event_type AS gm, COUNT(*)::BIGINT AS n_pairs
+             FROM p GROUP BY 1),
+      d0 AS (SELECT event_type AS g, y - x AS d FROM p),
+      cells AS (
+        SELECT g, ABS(d) AS ad, COUNT(*)::BIGINT AS e,
+               SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS pp
+        FROM d0 WHERE d <> 0 GROUP BY 1, 2),
+      cb AS (
+        SELECT g, ad, e, pp,
+               COALESCE(SUM(e) OVER (PARTITION BY g ORDER BY ad
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbel
+        FROM cells),
+      perg AS (
+        SELECT g, SUM(e)::BIGINT AS n_nonzero,
+               SUM(pp::HUGEINT * (2 * cbel + e + 1))::HUGEINT AS wp2,
+               SUM(e::HUGEINT * e * e - e)::HUGEINT AS ties
+        FROM cb GROUP BY g),
+      j AS (
+        SELECT ac.gm, ac.n_pairs,
+               COALESCE(perg.n_nonzero, 0)::BIGINT AS n_nonzero,
+               CAST(perg.wp2 AS DOUBLE) / 2.0 AS w_plus,
+               CAST(perg.wp2 AS DOUBLE) AS wp2d,
+               CAST(perg.ties AS DOUBLE) AS tiesd,
+               CAST(COALESCE(perg.n_nonzero, 0) AS DOUBLE) AS nd
+        FROM ac LEFT JOIN perg ON perg.g IS NOT DISTINCT FROM ac.gm)
+      SELECT gm AS event_type, n_pairs, n_nonzero, w_plus,
+             CAST(CASE WHEN n_nonzero > 0
+                    AND nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0
+                        - tiesd / 12.0 > 0.0 THEN
+               ROUND((wp2d - nd * (nd + 1.0) / 2.0)
+                 / SQRT(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0
+                        - tiesd / 12.0), 6) END AS DOUBLE) AS z
+      FROM j
+      ORDER BY event_type""",
+
+    // Discordant-pair counts + one rounded division.
+    "q_mcnemar" -> """
+      WITH t AS (
+        SELECT source,
+               ((n_chars > 500) = (lang = 'en')) AS acr,
+               ((LENGTH(text) > 550) = (lang = 'en')) AS bcr
+        FROM documents),
+      agg AS (
+        SELECT source, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN acr AND NOT bcr THEN 1 ELSE 0 END)::BIGINT AS b,
+               SUM(CASE WHEN bcr AND NOT acr THEN 1 ELSE 0 END)::BIGINT AS c
+        FROM t GROUP BY source)
+      SELECT source, n, b, c,
+             CAST(CASE WHEN b + c > 0 THEN
+               ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+             END AS DOUBLE) AS mcnemar
+      FROM agg
+      ORDER BY source""",
+
+    // Top-101 order statistics, scaled-long log ratios, rounded mean.
+    "q_hill" -> """
+      WITH top AS (
+        SELECT CAST(n_chars AS DOUBLE) AS x, doc_id,
+               ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC,
+                 doc_id) AS rn
+        FROM documents WHERE n_chars > 0
+        ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 101),
+      tl AS (SELECT x AS xt FROM top WHERE rn = 101),
+      ls AS (
+        SELECT CAST(ROUND(LN(x / xt) * 1000000) AS BIGINT) AS l, xt
+        FROM top CROSS JOIN tl WHERE rn <= 100),
+      agg AS (SELECT COUNT(*)::BIGINT AS kk, SUM(l)::BIGINT AS s,
+                     MAX(xt) AS xtail
+              FROM ls)
+      SELECT 100::BIGINT AS k, CAST(xtail AS DOUBLE) AS x_tail,
+             CAST(ROUND(s / (100 * 1e6), 6) AS DOUBLE) AS hill,
+             CAST(CASE WHEN ROUND(s / (100 * 1e6), 6) > 0.0 THEN
+               ROUND(1.0 / ROUND(s / (100 * 1e6), 6), 6)
+             END AS DOUBLE) AS alpha
+      FROM agg WHERE kk = 100""",
+
+    // Two unrolled raking iterations (row step then column step per
+    // iteration), weights 12-dp-quantized per half-step.
+    "q_ipf_rake" -> """
+      WITH cells AS (
+        SELECT lang AS a, source AS b, COUNT(*)::BIGINT AS c
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM cells),
+      la AS (SELECT CAST(COUNT(*) AS DOUBLE) AS la
+             FROM (SELECT DISTINCT a FROM cells)),
+      lb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS lb
+             FROM (SELECT DISTINCT b FROM cells)),
+      w0 AS (SELECT a, b, c, nt, la, lb, 1.0 AS w
+             FROM cells CROSS JOIN tot CROSS JOIN la CROSS JOIN lb),
+      r1 AS (SELECT a, b, c, nt, la, lb,
+               ROUND(w * (nt / la)
+                 / SUM(c * w) OVER (PARTITION BY a), 12) AS w
+             FROM w0),
+      c1 AS (SELECT a, b, c, nt, la, lb,
+               ROUND(w * (nt / lb)
+                 / SUM(c * w) OVER (PARTITION BY b), 12) AS w
+             FROM r1),
+      r2 AS (SELECT a, b, c, nt, la, lb,
+               ROUND(w * (nt / la)
+                 / SUM(c * w) OVER (PARTITION BY a), 12) AS w
+             FROM c1),
+      c2 AS (SELECT a, b, c, nt, la, lb,
+               ROUND(w * (nt / lb)
+                 / SUM(c * w) OVER (PARTITION BY b), 12) AS w
+             FROM r2)
+      SELECT a AS lang, b AS source, c AS n, CAST(w AS DOUBLE) AS weight
+      FROM c2
+      ORDER BY lang, source""",
+
+    // q_ks_binned's equi-width cell CTE feeding q_mann_whitney's
+    // doubled-rank machinery verbatim.
+    "q_mw_binned" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*)::BIGINT AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn AS (SELECT SUM(e)::BIGINT AS n,
+                    SUM(e::HUGEINT * e * e - e)::HUGEINT AS ties
+             FROM tot),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS n_group,
+               SUM(c::HUGEINT * (2 * cbelow + e + 1))::HUGEINT AS r1d
+        FROM cells JOIN tot2 ON cells.q IS NOT DISTINCT FROM tot2.tq
+        GROUP BY g),
+      stat AS (
+        SELECT g, n_group, (n - n_group)::BIGINT AS n_rest,
+               CAST(2::HUGEINT * n_group * (n - n_group)
+                 + n_group::HUGEINT * (n_group + 1) - r1d AS DOUBLE)
+                 / 2.0 AS u,
+               CAST(n_group AS DOUBLE) * (n - n_group)
+                 * ((CAST(n AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / 12.0 AS var,
+               n
+        FROM perg CROSS JOIN nn)
+      SELECT g AS event_type, n_group, n_rest, u,
+             CAST(CASE WHEN n_rest > 0 AND var > 0 THEN
+               ROUND((u - CAST(n_group AS DOUBLE) * n_rest / 2.0)
+                 / SQRT(var), 6) END AS DOUBLE) AS z
+      FROM stat
+      ORDER BY event_type""",
+
     "q_mann_whitney" -> """
       WITH cells AS (
         SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c

@@ -73,4 +73,42 @@ class PersistenceSpec extends SparkTestBase {
     val b = Bpe.tokenizePortable(docs, "doc_id", "text", loaded)
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
+
+  test("graph cache: write-through once, later sessions read parquet") {
+    import spark.implicits._
+    val root = tmp("graphcache")
+    sys.props("graft.graph.cache") = root
+    try {
+      var builds = 0
+      def build = { builds += 1; Seq(("1", "2", 3L)).toDF("a", "b", "cnt") }
+      val first = graft.queries.GraphOps.throughCache(spark, "t_edges")(build)
+        .collect().map(_.toSeq).toSet
+      val second = graft.queries.GraphOps.throughCache(spark, "t_edges")(build)
+        .collect().map(_.toSeq).toSet
+      assert(builds == 1, s"second call must read parquet, not rebuild: $builds")
+      assert(first == second)
+    } finally sys.props.remove("graft.graph.cache")
+  }
+
+  test("cached co-order graph is bit-identical to a fresh build") {
+    graft.queries.QueryDefs.ensureTables(spark, sfDir)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+    // fresh build (cache unset): the Verify/correctness path
+    val fresh = edgeSet(graft.queries.GraphOps.coOrderParts(spark, sfDir, 7))
+    val root = tmp("graphcache2")
+    sys.props("graft.graph.cache") = root
+    try {
+      // distinct memo keys that SANITIZE to the same cache key: the
+      // first populates the cache, the second must READ it
+      val written = edgeSet(
+        graft.queries.GraphOps.coOrderParts(spark, sfDir + "/", 7))
+      val reread = edgeSet(
+        graft.queries.GraphOps.coOrderParts(spark, sfDir + "_", 7))
+      assert(written == fresh, "write-through must match the fresh build")
+      assert(reread == fresh, "cache read must match the fresh build")
+      assert(fresh.nonEmpty)
+    } finally sys.props.remove("graft.graph.cache")
+  }
 }

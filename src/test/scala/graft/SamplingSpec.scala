@@ -362,4 +362,39 @@ class SamplingSpec extends SparkTestBase {
       Seq("train" -> 0.75, "valid" -> 0.25), pairs)
     assert(out.count() > 0)
   }
+
+  // ---- rakeWeights (IPF) ----
+
+  test("rakeWeights: the closing column step satisfies its marginal " +
+      "exactly; row marginals converge with iterations") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val rows = Seq.tabulate(600)(_ =>
+      (s"a${rng.nextInt(4)}", s"b${rng.nextInt(3)}"))
+    val df = rows.toDF("a", "b")
+    def marginals(iters: Int) = {
+      val w = Sampling.rakeWeights(df, "a", "b", iters)
+      val nt = rows.size.toDouble
+      val colDev = w.groupBy("b").agg(sum(col("n") * col("weight")).as("m"))
+        .collect().map(r => math.abs(r.getDouble(1) - nt / 3)).max
+      val rowDev = w.groupBy("a").agg(sum(col("n") * col("weight")).as("m"))
+        .collect().map(r => math.abs(r.getDouble(1) - nt / 4)).max
+      (rowDev, colDev)
+    }
+    val (r1, c1) = marginals(1)
+    val (r3, c3) = marginals(3)
+    assert(c1 < 1e-6 && c3 < 1e-6,
+      s"column step must close its marginal: $c1, $c3")
+    assert(r3 <= r1 + 1e-9, s"row deviation must not grow: $r3 vs $r1")
+    assert(r3 < 1.0, s"row marginal must be near-closed by iter 3: $r3")
+  }
+
+  test("rakeWeights: balanced table rakes to uniform weights of 1") {
+    import spark.implicits._
+    val rows = for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)
+    val w = Sampling.rakeWeights(rows.toDF("a", "b"), "a", "b", iters = 2)
+      .collect().map(_.getDouble(3))
+    assert(w.forall(_ == 1.0), w.toSeq.toString)
+  }
 }

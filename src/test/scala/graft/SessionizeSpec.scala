@@ -333,4 +333,91 @@ class SessionizeSpec extends SparkTestBase {
       .collect().map(_.getLong(2)).toSet
     assert(kept == Set(1L, 4L, 5L), kept.toString)
   }
+
+  test("attributionStream emissions aggregate to batch touchAttribution " +
+      "on real events (cross-batch state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.EventWindows.TypedEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val raw = graft.tables.TableLoader.events(spark, sfDir)
+    val batch = graft.operators.EventWindows.touchAttribution(raw,
+        "user_id", "ts", "event_id", "event_type",
+        col("event_type") === "purchase")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val typed = raw.select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), unix_micros(col("ts")))
+      .collect().map(r =>
+        TypedEvent(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.orderMicros, e.event_id))
+    val in = MemoryStream[TypedEvent]
+    val q = graft.operators.EventWindows.attributionStream(in.toDS(),
+        "purchase")
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (a1, a2) = typed.splitAt(typed.length / 2)
+    in.addData(a1.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(a2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val emissions = spark.table("attr_stream").collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    val streamed = (emissions.map(_._1).groupBy(identity).keySet ++
+      emissions.map(_._2).groupBy(identity).keySet ++ batch.keySet)
+      .map { ch =>
+        ch -> ((emissions.count(_._1 == ch).toLong,
+          emissions.count(_._2 == ch).toLong))
+      }.filter { case (_, (f, l)) => f > 0 || l > 0 }.toMap
+    assert(streamed === batch,
+      "per-channel (first, last) credits must equal the batch operator")
+  }
+
+  test("conversionsStream (with trailing flush) aggregates to batch " +
+      "windowedConversions on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.EventWindows.TypedEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val raw = graft.tables.TableLoader.events(spark, sfDir)
+    val batch = graft.operators.EventWindows.windowedConversions(raw,
+        "user_id", "ts", "event_id", "event_type",
+        "click", "purchase", windowSeconds = 3600)
+      .collect().head
+    val typed = raw.select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), unix_micros(col("ts")))
+      .collect().map(r =>
+        TypedEvent(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.orderMicros, e.event_id))
+    // trailing flush per user (far beyond every window) closes every
+    // pending from as not-converted; flush rows are neither from- nor
+    // to-typed, so the batch aggregate over the same input is unchanged
+    val maxUs = typed.map(_.orderMicros).max
+    val maxId = typed.map(_.event_id).max
+    val flush = typed.map(_.user).distinct.zipWithIndex.map {
+      case (u, i) =>
+        TypedEvent(u, "zz_flush", maxId + i + 1, maxUs + 10L * 3600000000L)
+    }
+    val in = MemoryStream[TypedEvent]
+    val q = graft.operators.EventWindows.conversionsStream(in.toDS(),
+        "click", "purchase", windowSeconds = 3600)
+      .writeStream.format("memory").queryName("conv_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (c1, c2) = typed.splitAt(typed.length / 2)
+    in.addData(c1.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(c2.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(flush.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("conv_stream").collect()
+      .map(r => r.getLong(1) -> r.getBoolean(2))
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "each from event resolves exactly once")
+    assert(rows.length.toLong == batch.getLong(0),
+      s"every from event must resolve: ${rows.length} vs ${batch.getLong(0)}")
+    assert(rows.count(_._2).toLong == batch.getLong(1),
+      s"converted count: ${rows.count(_._2)} vs ${batch.getLong(1)}")
+  }
 }

@@ -91,6 +91,53 @@ class StatsSpec extends SparkTestBase {
       s"$binned vs $exact")
   }
 
+  test("mannWhitneyBinned equals exact when bins resolve every value") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 7.0),
+      ("b", 2.0), ("b", 8.0), ("b", 9.0)).toDF("g", "v")
+    val exact = Stats.mannWhitney(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4))).toSet
+    val binned = Stats.mannWhitneyBinned(df, "g", "v", bins = 1000)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4))).toSet
+    assert(binned == exact, s"$binned vs $exact")
+  }
+
+  test("mannWhitneyBinned: z within pinned bound of exact at judged resolution") {
+    // the judged regime: 16 equi-width bins on a continuous value.
+    // Binning only coarsens ties, so z moves by the within-cell rank
+    // noise — pinned here so a binning regression (off-by-one edges,
+    // dropped top bin) can't hide behind "it's approximate".
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val df = (Seq.tabulate(400)(_ => ("a", rng.nextDouble() * 10)) ++
+      Seq.tabulate(400)(_ => ("b", rng.nextDouble() * 10 + 1.5)))
+      .toDF("g", "v")
+    val exact = Stats.mannWhitney(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val binned = Stats.mannWhitneyBinned(df, "g", "v", bins = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    exact.keys.foreach { g =>
+      assert(math.abs(binned(g) - exact(g)) < 0.5,
+        s"16-bin z drifted: $g ${binned(g)} vs ${exact(g)}")
+      assert(math.signum(binned(g)) == math.signum(exact(g)),
+        s"binned z flipped sign: $g")
+    }
+  }
+
+  test("mannWhitneyBinned: NULL values stay their own level") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", None),
+      ("b", Some(2.0)), ("b", Some(9.0)), ("b", Some(9.0)))
+      .toDF("g", "v")
+    val exact = Stats.mannWhitney(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toSet
+    val binned = Stats.mannWhitneyBinned(df, "g", "v", bins = 1000)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSet
+    assert(binned == exact, s"null level must survive binning: " +
+      s"$binned vs $exact")
+  }
+
   test("ksTest: single-group input reports NULL (no complement)") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
@@ -256,6 +303,245 @@ class StatsSpec extends SparkTestBase {
       ("g", 1000000.0)).toDF("g", "v")
     val r = Stats.robustOutliers(df, "g", "v").collect().head
     assert(r.getLong(4) == 1L, s"the planted point must flag: $r")
+  }
+
+  // ---- approx duals of the per-group exact-median family ----
+
+  test("robustOutliersApprox: pinned deviation vs the exact twin") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val df = (Seq.tabulate(300)(_ => ("g", rng.nextGaussian() * 3 + 10)) ++
+      Seq.tabulate(5)(_ => ("g", 500.0 + rng.nextDouble())))
+      .toDF("g", "v")
+    val exact = Stats.robustOutliers(df, "g", "v").collect().head
+    val approx = Stats.robustOutliersApprox(df, "g", "v").collect().head
+    assert(approx.getLong(1) == exact.getLong(1), "n must be exact")
+    // accuracy 10000 >> n: the sketch is rank-exact; only the
+    // even-n upper-vs-lower median convention can differ, bounded by
+    // one order statistic (~sigma/n of mass here -> tight band)
+    assert(math.abs(approx.getDouble(2) - exact.getDouble(2)) < 0.1,
+      s"median drifted: ${approx.getDouble(2)} vs ${exact.getDouble(2)}")
+    assert(math.abs(approx.getDouble(3) - exact.getDouble(3)) < 0.1,
+      s"mad drifted: ${approx.getDouble(3)} vs ${exact.getDouble(3)}")
+    // the planted far outliers must flag under either median
+    assert(approx.getLong(4) == exact.getLong(4),
+      s"outlier count: ${approx.getLong(4)} vs ${exact.getLong(4)}")
+  }
+
+  test("robustOutliersApprox: MAD 0 contract matches the exact twin") {
+    import spark.implicits._
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0))
+      .toDF("g", "v")
+    val r = Stats.robustOutliersApprox(df, "g", "v").collect().head
+    assert(r.getDouble(3) == 0.0 && r.getLong(4) == 0L && r.isNullAt(5),
+      r.toString)
+  }
+
+  test("trimmedMeanApprox: within one boundary order-statistic of exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    val df = Seq.tabulate(500)(_ => ("g", rng.nextDouble() * 100))
+      .toDF("g", "v")
+    val exact = Stats.trimmedMean(df, "g", "v", trim = 0.1)
+      .collect().head.getDouble(3)
+    val approx = Stats.trimmedMeanApprox(df, "g", "v", trim = 0.1)
+      .collect().head.getDouble(4)
+    // rank-exact sketch at this n: boundaries differ by at most the
+    // <=-vs-< boundary convention, one row of 500 each side
+    assert(math.abs(approx - exact) < 1.0, s"$approx vs $exact")
+  }
+
+  test("trimmedMeanApprox: trim 0 is the plain mean (no boundary drop)") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 6.0)).toDF("g", "v")
+    val r = Stats.trimmedMeanApprox(df, "g", "v", trim = 0.0)
+      .collect().head
+    assert(r.getDouble(4) == 3.0, r.toString)
+  }
+
+  test("qqDriftApprox: quantiles within one order-statistic of exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val df = Seq.tabulate(400) { i =>
+      ("g", i % 2 == 0, rng.nextDouble() * 50 + (if (i % 2 == 0) 5 else 0))
+    }.toDF("g", "cur", "v")
+    val exact = Stats.qqDrift(df, "g", "v", col("cur"), nQuantiles = 4)
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    val approx = Stats.qqDriftApprox(df, "g", "v", col("cur"),
+        nQuantiles = 4).collect()
+      .map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (q, d) =>
+      assert(math.abs(approx(q) - d) < 2.0,
+        s"quantile $q delta drifted: ${approx(q)} vs $d")
+    }
+  }
+
+  // ---- kruskalWallis / cliffsDelta / ebShrinkRates ----
+
+  test("kruskal hand fixture: textbook H, no ties") {
+    import spark.implicits._
+    // groups {1,2}, {3,4}, {5,6}: R = {3, 7, 11},
+    // H = 12/42 * (9/2 + 49/2 + 121/2) - 21 = 4.571429
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 4.571429, r.toString)
+  }
+
+  test("kruskal: k=2 tie-corrected H equals the MW z squared") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val df = (Seq.tabulate(80)(_ => ("a", rng.nextInt(40).toDouble)) ++
+      Seq.tabulate(90)(_ => ("b", rng.nextInt(40).toDouble + 5)))
+      .toDF("g", "v")
+    val h = Stats.kruskalWallis(df, "g", "v").collect().head.getDouble(3)
+    val z = Stats.mannWhitney(df, "g", "v").collect()
+      .find(_.getString(0) == "a").get.getDouble(4)
+    assert(math.abs(h - z * z) < 1e-3, s"H=$h vs z^2=${z * z}")
+  }
+
+  test("kruskal: all-tied values and single group report NULL h") {
+    import spark.implicits._
+    val tied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(tied, "g", "v").collect().head.isNullAt(3))
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Stats.kruskalWallis(one, "g", "v").collect().head.isNullAt(3))
+  }
+
+  test("kruskalWallisBinned equals exact when bins resolve every value") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0),
+      ("c", 2.0), ("c", 9.0)).toDF("g", "v")
+    val exact = Stats.kruskalWallis(df, "g", "v").collect().head
+    val binned = Stats.kruskalWallisBinned(df, "g", "v", bins = 1000)
+      .collect().head
+    assert(exact.getDouble(3) == binned.getDouble(3))
+  }
+
+  test("cliffs delta: dominance fixtures at the [-1, 1] poles") {
+    import spark.implicits._
+    val df = Seq(("g", 2.0), ("g", 3.0), ("r", 1.0)).toDF("g", "v")
+    val out = Stats.cliffsDelta(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("g") == 1.0 && out("r") == -1.0, out.toString)
+    // full overlap: identical distributions give delta 0
+    val even = Seq(("g", 1.0), ("g", 2.0), ("r", 1.0), ("r", 2.0))
+      .toDF("g", "v")
+    val d0 = Stats.cliffsDelta(even, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(d0("g") == 0.0 && d0("r") == 0.0, d0.toString)
+  }
+
+  test("ebShrinkRates: small groups shrink harder, toward the prior mean") {
+    import spark.implicits._
+    // three groups, rates 0.2 / 0.5 / 0.8; the extreme SMALL group
+    // must move farther toward the middle than the extreme LARGE one
+    val rows = Seq.fill(10)(("small", true)).map(t => (t._1, true)) ++
+      Seq.fill(40)(("small", false)) ++ // 10/50 = 0.2
+      Seq.fill(500)(("mid", true)) ++ Seq.fill(500)(("mid", false)) ++
+      Seq.fill(4000)(("large", true)) ++ Seq.fill(1000)(("large", false))
+    val df = rows.toDF("g", "s")
+    val out = Stats.ebShrinkRates(df, "g", col("s")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val (rS, sS) = out("small"); val (rL, sL) = out("large")
+    assert(sS > rS, "below-mean small group must shrink upward")
+    assert(sL < rL, "above-mean large group must shrink downward")
+    assert(math.abs(sS - rS) > math.abs(sL - rL),
+      s"small shrinks harder: $out")
+  }
+
+  test("ebShrinkRates: degenerate priors report NULL shrunk rates") {
+    import spark.implicits._
+    // identical rates -> v = 0 -> no meaningful prior
+    val df = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("g", "s")
+    val out = Stats.ebShrinkRates(df, "g", col("s")).collect()
+    assert(out.forall(_.isNullAt(4)), out.mkString(","))
+  }
+
+  // ---- wilcoxonSignedRank / mcnemar / hillTailIndex ----
+
+  test("wilcoxon hand fixture: textbook W+ and z, zero diffs dropped") {
+    import spark.implicits._
+    // d = y - x = {1, -2, 3, 4}: |d| ranks 1..4, W+ = 1 + 3 + 4 = 8,
+    // E[W+] = 5, Var = 7.5 -> z = 3 / sqrt(7.5) = 1.095445
+    val df = Seq(("g", 0L, 1L), ("g", 0L, -2L), ("g", 0L, 3L),
+      ("g", 0L, 4L)).toDF("g", "x", "y")
+    val r = Stats.wilcoxonSignedRank(df, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L, r.toString)
+    assert(r.getDouble(3) == 8.0, s"W+ must be 8: $r")
+    assert(math.abs(r.getDouble(4) - 1.095445) < 1e-6, r.toString)
+  }
+
+  test("wilcoxon: zero differences drop; all-zero group reports NULLs") {
+    import spark.implicits._
+    val df = Seq(("g", 5L, 5L), ("g", 1L, 2L),
+      ("z", 7L, 7L)).toDF("g", "x", "y")
+    val out = Stats.wilcoxonSignedRank(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(1) == 2L && out("g").getLong(2) == 1L)
+    assert(out("z").getLong(2) == 0L && out("z").isNullAt(3)
+      && out("z").isNullAt(4), out("z").toString)
+  }
+
+  test("wilcoxon symmetry: swapping x and y negates z, preserves W-sum") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val df = Seq.tabulate(60)(i =>
+      ("g", rng.nextInt(1000).toLong, rng.nextInt(1100).toLong))
+      .toDF("g", "x", "y")
+    val fwd = Stats.wilcoxonSignedRank(df, "g", "x", "y").collect().head
+    val rev = Stats.wilcoxonSignedRank(
+      df.select(col("g"), col("y").as("x"), col("x").as("y")),
+      "g", "x", "y").collect().head
+    val n = fwd.getLong(2).toDouble
+    assert(fwd.getDouble(3) + rev.getDouble(3) == n * (n + 1) / 2.0,
+      "W+ + W- must be n(n+1)/2")
+    assert(math.abs(fwd.getDouble(4) + rev.getDouble(4)) < 1e-9,
+      s"z must negate: ${fwd.getDouble(4)} vs ${rev.getDouble(4)}")
+  }
+
+  test("mcnemar hand fixture: only discordant pairs count") {
+    import spark.implicits._
+    // 5 rows A-only-right, 2 rows B-only-right, 3 both-right:
+    // stat = (5-2)^2 / 7 = 9/7 = 1.285714
+    val rows = Seq.fill(5)(("g", true, false)) ++
+      Seq.fill(2)(("g", false, true)) ++ Seq.fill(3)(("g", true, true))
+    val df = rows.toDF("g", "ac", "bc")
+    val r = Stats.mcnemar(df, "g", col("ac"), col("bc")).collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 5L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 1.285714, r.toString)
+  }
+
+  test("mcnemar: never-disagreeing models report NULL") {
+    import spark.implicits._
+    val df = Seq(("g", true, true), ("g", false, false)).toDF("g", "ac", "bc")
+    val r = Stats.mcnemar(df, "g", col("ac"), col("bc")).collect().head
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L && r.isNullAt(4))
+  }
+
+  test("hill hand fixture: exact scaled-log mean, Pareto sanity") {
+    import spark.implicits._
+    val df = Seq((1L, 1000.0), (2L, 100.0), (3L, 10.0)).toDF("id", "v")
+    val r = Stats.hillTailIndex(df, "v", "id", k = 2).collect().head
+    // H = (ln(100) + ln(10)) / 2 via scaled longs:
+    // (4605170 + 2302585) / 2e6 = 3.4538775 -> 3.453878 (HALF_UP)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 10.0, r.toString)
+    assert(r.getDouble(2) == 3.453878, r.toString)
+    assert(r.getDouble(3) == BigDecimal(1.0 / 3.453878)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+  }
+
+  test("hill: fewer than k+1 positive rows yields an empty result; " +
+      "all-equal tail yields NULL alpha") {
+    import spark.implicits._
+    val small = Seq((1L, 5.0), (2L, 4.0)).toDF("id", "v")
+    assert(Stats.hillTailIndex(small, "v", "id", k = 2).count() == 0L)
+    val flat = Seq.tabulate(5)(i => (i.toLong, 7.0)).toDF("id", "v")
+    val r = Stats.hillTailIndex(flat, "v", "id", k = 3).collect().head
+    assert(r.getDouble(2) == 0.0 && r.isNullAt(3), r.toString)
   }
 
   // ---- propZTest ----
