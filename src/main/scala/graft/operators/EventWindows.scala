@@ -441,6 +441,54 @@ object EventWindows {
       }
   }
 
+  /** Input rows for [[cusumStream]]. */
+  case class KeyedValue(key: String, event_id: Long, orderMicros: Long,
+      x: Double)
+  /** Per-event emission of [[cusumStream]]. */
+  case class CusumOut(key: String, event_id: Long, s: Double,
+      alarm: Boolean)
+  private[operators] case class CusumState(scaled: Long)
+
+  /** Streaming twin of [[graft.operators.Stats.cusumDetect]] — the
+    * Page CUSUM recurrence S = max(0, S + (x − target − slack)) with
+    * ONE scaled long of state per key, each event emitting its
+    * (s, alarm) row the moment it arrives. The batch operator unrolls
+    * the identical integer recurrence via the prefix-min identity, so
+    * the two are bit-equal row-for-row (pinned in SessionizeSpec).
+    * Same ordering contract as the other twins: per-key event-time
+    * order non-decreasing across micro-batches.
+    */
+  def cusumStream(events: org.apache.spark.sql.Dataset[KeyedValue],
+      target: Double, slack: Double, threshold: Double)
+      : org.apache.spark.sql.Dataset[CusumOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(threshold > 0, "cusumStream: threshold must be > 0")
+    import events.sparkSession.implicits._
+    val offset = math.round(target * 1e6) + math.round(slack * 1e6)
+    val thrScaled = math.round(threshold * 1e6)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[KeyedValue],
+            gs: GroupState[CusumState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var s = gs.getOption.map(_.scaled).getOrElse(0L)
+          val out = sorted.map { e =>
+            // HALF_UP like the batch round(): math.round half-rounds
+            // toward +inf for negatives, which would fork the twins
+            val q = BigDecimal(e.x * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            s = math.max(0L, s + q - offset)
+            CusumOut(key, e.event_id,
+              BigDecimal(s)./(BigDecimal(1000000))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              s > thrScaled)
+          }
+          if (sorted.nonEmpty) gs.update(CusumState(s))
+          out.iterator
+      }
+  }
+
   /** Per-conversion emission of [[attributionStream]]. */
   case class TouchOut(user: Long, event_id: Long, first_channel: String,
       last_channel: String)

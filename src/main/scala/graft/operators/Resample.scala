@@ -762,4 +762,46 @@ object Resample {
         round(col("n_pairs") / sum("n_pairs").over(byFrom).cast("double"), 6)
           .cast("double"))
   }
+
+  /** Maximum drawdown of the per-group cumulative series — "the worst
+    * peak-to-trough fall so far" over any running total (spend,
+    * token-budget burn, score): the tail-risk number a mean/variance
+    * summary hides. NULL values are excluded (no observation, not a
+    * zero step).
+    *
+    * Exactness: steps quantize to 1e-6-scaled longs, the cumulative
+    * sum and its running max are integer windows over the (orderCol)
+    * per-group total order, drawdown = runmax − cum is a pure
+    * integer; the reported maximum takes the FIRST trough in order on
+    * ties ((dd DESC, order ASC) total order) and descales with one
+    * rounded division.
+    *
+    * Scale shape: one group-keyed ordered window pass + one argmax
+    * window — the rolling-aggregate cost class. Pre-aggregate to day
+    * cells when a single group's raw series is corpus-sized. Output:
+    * (group, n, max_drawdown, at_order) — drawdown 0 for
+    * monotonically rising (or single-point) series.
+    */
+  def maxDrawdown(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+    val wOrd = Window.partitionBy("_g").orderBy("_o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy("_g")
+    val withDd = pts
+      .withColumn("_cum", sum("_q").over(wOrd))
+      .withColumn("_peak", max(col("_cum")).over(wOrd))
+      .withColumn("_dd", col("_peak") - col("_cum"))
+    val pick = Window.partitionBy("_g")
+      .orderBy(col("_dd").desc, col("_o").asc)
+    withDd
+      .withColumn("_n", count(lit(1)).over(wG))
+      .withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .select(col("_g").as(groupCol), col("_n").cast("bigint").as("n"),
+        round(col("_dd") / 1e6, 6).cast("double").as("max_drawdown"),
+        col("_o").as("at_order"))
+  }
 }

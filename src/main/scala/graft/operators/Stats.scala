@@ -311,6 +311,216 @@ object Stats {
       .select("n", "k", "dof", "h")
   }
 
+  /** One-sided CUSUM drift DETECTOR per group (Page 1954) — the
+    * ONLINE complement of [[cusum]]'s retrospective max-deviation:
+    * S_t = max(0, S_{t−1} + (x_t − target − slack)) accumulates only
+    * sustained upward drift (slack absorbs in-control noise) and
+    * alarms when S_t > threshold. The same recurrence a streaming
+    * monitor runs — [[graft.operators.EventWindows.cusumStream]] is
+    * the bit-equal flatMapGroupsWithState twin.
+    *
+    * Exactness: steps quantize to 1e-6-scaled longs; the recurrence
+    * unrolls to the PREFIX-MIN identity S_t = P_t − min(0, min_{j≤t}
+    * P_j) with P the running step sum — two integer windows, no
+    * iteration; the alarm compare is integer vs integer.
+    *
+    * Scale shape: one group-keyed ordered window pass. Output: one
+    * row per input row — (group, order, s, alarm); consumers keep
+    * the alarm rows or aggregate (the judged query reports the full
+    * trace head + per-group summary shape via its own projection).
+    */
+  def cusumDetect(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"cusumDetect: threshold must be > 0")
+    val step = round(col(valueCol) * 1e6).cast("long") -
+      lit(math.round(target * 1e6)) - lit(math.round(slack * 1e6))
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        step.as("_q"))
+    val wOrd = Window.partitionBy("_g").orderBy("_o")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thrScaled = math.round(threshold * 1e6)
+    pts
+      .withColumn("_p", sum("_q").over(wOrd))
+      .withColumn("_m", least(lit(0L), min("_p").over(wOrd)))
+      .withColumn("_s", col("_p") - col("_m"))
+      .select(col("_g").as(groupCol), col("_o").as(orderCol),
+        round(col("_s") / 1e6, 6).cast("double").as("s"),
+        (col("_s") > thrScaled).as("alarm"))
+  }
+
+  /** Rolling Pearson correlation of two series per group over a
+    * `window`-row trailing frame — "are these two signals still
+    * moving together LATELY" (daily volume vs daily count, price vs
+    * flow), where the global correlation hides regime changes.
+    *
+    * Exactness: both series quantize to 1e-6-scaled longs; the five
+    * moment sums over the frame are decimal(38,0) integers, and
+    * r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)) is ONE
+    * identically-spelled float tree rounded at 6 dp (scale cancels —
+    * the 1e-6 factors divide out of r exactly). NULL r while the
+    * frame is shorter than `window` (warm-up) or when either side is
+    * constant in the frame.
+    *
+    * Scale shape: one group-keyed ordered window pass, frame-bounded
+    * state. Output: (group, order, n, r).
+    */
+  def rollingCorr(df: DataFrame, groupCol: String, orderCol: String,
+      xCol: String, yCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"rollingCorr: window must be >= 2")
+    val dec = "decimal(38,0)"
+    val pts = df.select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+      round(col(xCol) * 1e6).cast("long").as("_x"),
+      round(col(yCol) * 1e6).cast("long").as("_y"))
+    val w = Window.partitionBy("_g").orderBy("_o")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = count(lit(1)).over(w)
+    val sx = sum(col("_x").cast(dec)).over(w)
+    val sy = sum(col("_y").cast(dec)).over(w)
+    val sxx = sum((col("_x").cast(dec) * col("_x")).cast(dec)).over(w)
+    val syy = sum((col("_y").cast(dec) * col("_y")).cast(dec)).over(w)
+    val sxy = sum((col("_x").cast(dec) * col("_y")).cast(dec)).over(w)
+    pts
+      .withColumn("_n", n)
+      .withColumn("_vx", (n.cast(dec) * sxx - (sx * sx).cast(dec)).cast("double"))
+      .withColumn("_vy", (n.cast(dec) * syy - (sy * sy).cast(dec)).cast("double"))
+      .withColumn("_cv", (n.cast(dec) * sxy - (sx * sy).cast(dec)).cast("double"))
+      .select(col("_g").as(groupCol), col("_o").as(orderCol),
+        col("_n").cast("bigint").as("n"),
+        when(col("_n") >= window && col("_vx") > 0.0 && col("_vy") > 0.0,
+          round(col("_cv") / sqrt(col("_vx") * col("_vy")), 6))
+          .cast("double").as("r"))
+  }
+
+  /** Pettitt changepoint test per group — the rank-based (Mann-
+    * Whitney-flavored) "WHEN did this series shift" detector, the
+    * location complement of CUSUM's mean-shift score: for each split
+    * point t, U_t = Σ_{i≤t, j>t} sgn(x_j − x_i); the change point is
+    * the split maximizing |U_t|. Works on any ordered series (here:
+    * one row per (group, order) — pre-aggregate to day cells for a
+    * calendar-bounded series).
+    *
+    * Exactness: with average ranks (ties contribute 0 to sgn sums)
+    * the classic identity U_t = 2·R_t − t(N+1) holds, and with
+    * DOUBLED ranks (the mannWhitney D = 2C+E+1 trick, C and E within
+    * the group) U_t = t(N+1) − R2_t is a PURE INTEGER — no float
+    * anywhere, the argmax is the (|U| DESC, t ASC) total order.
+    * Verified against the brute-force pairwise sgn sum in the spec,
+    * ties included.
+    *
+    * Scale shape: one (group, value) cell aggregate for the doubled
+    * ranks, one group-keyed order window for the prefix sums, one
+    * argmax window — all group-bounded (the series should be
+    * cell-aggregated first; a calendar-day series is ≤ days rows per
+    * group). Output: (group, n, u_max [signed U at the split],
+    * k_stat = |u_max|, at_order) — NULL stat for groups with < 2
+    * points.
+    */
+  def pettitt(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val pts = df.select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+      round(col(valueCol), 6).as("_v"))
+    // doubled within-group ranks from (group, value) cells
+    val cells = pts.groupBy("_g", "_v").agg(count(lit(1)).as("_e"))
+    val wBelow = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("_cb", coalesce(sum("_e").over(wBelow), lit(0L)))
+      .select(col("_g").as("_gr"), col("_v").as("_vr"),
+        (lit(2L) * col("_cb") + col("_e") + 1).as("_d"))
+    val wOrd = Window.partitionBy("_g").orderBy("_o")
+    val wGrp = Window.partitionBy("_g")
+    val withU = pts
+      .join(ranked, col("_g") <=> col("_gr") && col("_v") <=> col("_vr"))
+      .withColumn("_t", row_number().over(wOrd))
+      .withColumn("_r2", sum("_d").over(wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", count(lit(1)).over(wGrp))
+      // U_t = t(N+1) − R2_t; only splits 1..N−1 are valid
+      .withColumn("_u", col("_t") * (col("_n") + 1) - col("_r2"))
+      .filter(col("_t") < col("_n"))
+    val pick = Window.partitionBy("_g")
+      .orderBy(abs(col("_u")).desc, col("_t").asc)
+    val best = withU.withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .select(col("_g"), col("_n"), col("_u"), col("_o"))
+    // groups with a single point have no valid split: emit NULL stat
+    val singles = pts.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") === 1)
+      .select(col("_g"), col("_n"), lit(null).cast("long").as("_u"),
+        lit(null).cast(pts.schema("_o").dataType).as("_o"))
+    best.unionByName(singles)
+      .select(col("_g").as(groupCol), col("_n").cast("bigint").as("n"),
+        col("_u").cast("bigint").as("u_max"),
+        abs(col("_u")).cast("bigint").as("k_stat"),
+        col("_o").as("at_order"))
+  }
+
+  /** Theil–Sen robust slope per group — the median of all pairwise
+    * slopes: one wild day can drag OLS anywhere, but moves only one
+    * of n(n−1)/2 pairwise slopes here (29% breakdown). The natural
+    * robust-trend companion to [[cusum]]/[[pettitt]] on the same
+    * day-cell series.
+    *
+    * Exactness: slopes (y_j − y_i)/(x_j − x_i) over x-distinct pairs
+    * are one double division each, rounded at 6 dp; the reported
+    * slope is the exact LOWER median of the rounded-slope multiset
+    * (the robustOutliers rank convention), the intercept the lower
+    * median of y_i − slope·x_i (rounded) — deterministic under ties.
+    *
+    * Scale shape: an explicit within-group pair join — O(points²)
+    * per group BY DESIGN, guarded by `maxPoints` (count-checked):
+    * Theil–Sen is for CELL-AGGREGATED series (a calendar of daily
+    * points, never raw rows). Output: (group, n, n_pairs, slope,
+    * intercept) — NULL slope when no x-distinct pair exists.
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2, s"theilSen: maxPoints must be >= 2")
+    val pts = df.select(col(groupCol).as("_g"),
+      col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+    val over = pts.groupBy("_g").agg(count(lit(1)).as("_np"))
+      .filter(col("_np") > maxPoints).limit(1).collect()
+    require(over.isEmpty,
+      s"theilSen: group ${over.headOption.map(_.get(0))} exceeds " +
+        s"$maxPoints points — pre-aggregate the series to cells " +
+        s"(daily/hourly) before the pairwise stage")
+    val a = pts.select(col("_g"), col("_x").as("_x1"), col("_y").as("_y1"))
+    val b = pts.select(col("_g").as("_g2"), col("_x").as("_x2"),
+      col("_y").as("_y2"))
+    val slopes = a.join(b, col("_g") <=> col("_g2") && col("_x1") < col("_x2"))
+      .select(col("_g"),
+        round((col("_y2") - col("_y1")) / (col("_x2") - col("_x1")), 6)
+          .as("_s"))
+    val wS = Window.partitionBy("_g").orderBy("_s")
+    val wG = Window.partitionBy("_g")
+    val medRank = floor((col("_nq") + 1) / 2).cast("bigint")
+    val slopeMed = slopes
+      .withColumn("_rn", row_number().over(wS))
+      .withColumn("_nq", count(lit(1)).over(wG))
+      .withColumn("_med", max(when(col("_rn") === medRank, col("_s"))).over(wG))
+      .groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("n_pairs"), max("_med").as("slope"))
+    val withSlope = pts.join(slopeMed, col("_g") <=> col("_gm"), "left")
+    val wI = Window.partitionBy("_g").orderBy("_i")
+    val interMed = withSlope
+      .filter(col("slope").isNotNull)
+      .withColumn("_i", round(col("_y") - col("slope") * col("_x"), 6))
+      .withColumn("_rn", row_number().over(wI))
+      .withColumn("_nq", count(lit(1)).over(wG))
+      .withColumn("_imed", max(when(col("_rn") === medRank, col("_i"))).over(wG))
+      .groupBy(col("_g").as("_gi"))
+      .agg(max("_imed").as("intercept"))
+    pts.groupBy("_g").agg(count(lit(1)).as("n"))
+      .join(slopeMed, col("_g") <=> col("_gm"), "left")
+      .join(interMed, col("_g") <=> col("_gi"), "left")
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        coalesce(col("n_pairs"), lit(0L)).cast("bigint").as("n_pairs"),
+        col("slope").cast("double"),
+        col("intercept").cast("double"))
+  }
+
   /** Cliff's delta ordinal effect size per group vs the pooled
     * complement — the MAGNITUDE companion to [[mannWhitney]]'s
     * existence test (the rank-world sibling of [[cohensD]]):

@@ -129,6 +129,71 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Pettitt changepoint on the daily integer-cents spend series per
+    * event type: pure-integer doubled-rank U_t, (|U| DESC, t) argmax.
+    */
+  val qPettitt: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    graft.operators.Stats.pettitt(cells, "event_type", "d", "v")
+      .withColumn("at_order", col("at_order").cast("string"))
+      .orderBy("event_type")
+  }
+
+  /** Theil-Sen robust slope of daily spend vs day index per event
+    * type: rounded pairwise slopes over the calendar-bounded cells,
+    * exact lower medians for slope and intercept.
+    */
+  val qTheilSen: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+        / 100.0).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    graft.operators.Stats.theilSen(cells, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
+  /** Max drawdown of the running (value - 100) total per event type,
+    * ordered by event_id: integer cumulative/running-max windows,
+    * first-trough tie rule.
+    */
+  val qDrawdown: QueryFn = withTables { spark =>
+    graft.operators.Resample.maxDrawdown(
+        spark.table("events").withColumn("step", col("value") - 100.0),
+        "event_type", "event_id", "step")
+      .orderBy("event_type")
+  }
+
+  /** Online Page-CUSUM drift detector trace per event type (target
+    * 100, slack 5, threshold 500), ordered by event_id: the integer
+    * prefix-min unrolling of S = max(0, S + step).
+    */
+  val qCusumDetect: QueryFn = withTables { spark =>
+    graft.operators.Stats.cusumDetect(spark.table("events"),
+        "event_type", "event_id", "value",
+        target = 100.0, slack = 5.0, threshold = 500.0)
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Rolling 7-day Pearson correlation between daily spend (cents)
+    * and daily event count per event type: decimal(38,0) moment
+    * windows into one float tree, NULL during warm-up.
+    */
+  val qRollingCorr: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+    graft.operators.Stats.rollingCorr(cells, "event_type", "d",
+        "x", "y", window = 7)
+      .withColumn("d", col("d").cast("string"))
+      .orderBy("event_type", "d")
+  }
+
   /** Robust median/MAD outlier profile of value per event type:
     * exact integer lower medians, the 6745·|x−med| > 35000·MAD
     * integer outlier rule, descaled display medians.
@@ -463,6 +528,11 @@ object StatsOps {
     "q_kruskal" -> qKruskal,
     "q_cliffs_delta" -> qCliffsDelta,
     "q_eb_shrink" -> qEbShrink,
+    "q_pettitt" -> qPettitt,
+    "q_theil_sen" -> qTheilSen,
+    "q_drawdown" -> qDrawdown,
+    "q_cusum_detect" -> qCusumDetect,
+    "q_rolling_corr" -> qRollingCorr,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
     "q_cusum" -> qCusum,
@@ -617,6 +687,143 @@ object StatsOps {
     // Same doubled-average-rank integers (D = 2·C + E + 1), HUGEINT
     // tie cubes mirroring decimal(38,0), and the identically-spelled
     // tie-corrected z tree (coefficients cast to DOUBLE).
+    // Prefix-min unrolling of the Page recurrence, integer compare.
+    "q_cusum_detect" -> """
+      WITH pts AS (
+        SELECT event_type AS g, event_id AS o,
+               CAST(ROUND(value * 1000000) AS BIGINT) - 105000000 AS q
+        FROM events WHERE value IS NOT NULL),
+      c1 AS (SELECT g, o,
+               SUM(q) OVER (PARTITION BY g ORDER BY o) AS p
+             FROM pts),
+      c2 AS (SELECT g, o,
+               p - LEAST(0, MIN(p) OVER (PARTITION BY g ORDER BY o))
+                 AS sc
+             FROM c1)
+      SELECT g AS event_type, o AS event_id,
+             CAST(ROUND(sc / 1e6, 6) AS DOUBLE) AS s,
+             sc > 500000000 AS alarm
+      FROM c2
+      ORDER BY event_type, event_id""",
+
+    // Scaled-integer moment windows into the identical r tree.
+    "q_rolling_corr" -> """
+      WITH cells AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x,
+               COUNT(*)::BIGINT AS y
+        FROM events GROUP BY 1, 2),
+      sc AS (SELECT g, d, CAST(x * 1000000 AS HUGEINT) AS qx,
+                    CAST(y * 1000000 AS HUGEINT) AS qy
+             FROM cells),
+      w AS (
+        SELECT g, d,
+               COUNT(*) OVER fr AS n,
+               SUM(qx) OVER fr AS sx, SUM(qy) OVER fr AS sy,
+               SUM(qx * qx) OVER fr AS sxx,
+               SUM(qy * qy) OVER fr AS syy,
+               SUM(qx * qy) OVER fr AS sxy
+        FROM sc
+        WINDOW fr AS (PARTITION BY g ORDER BY d
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT g AS event_type, CAST(d AS VARCHAR) AS d, n::BIGINT AS n,
+             CAST(CASE WHEN n >= 7
+                    AND CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE) > 0.0
+                    AND CAST(n::HUGEINT * syy - sy * sy AS DOUBLE) > 0.0
+               THEN ROUND(CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE)
+                        * CAST(n::HUGEINT * syy - sy * sy AS DOUBLE)), 6)
+             END AS DOUBLE) AS r
+      FROM w
+      ORDER BY event_type, d""",
+
+    // Day cells in exact cents, doubled within-group ranks, integer
+    // U_t = t(N+1) - R2_t, (|U| DESC, t) argmax.
+    "q_pettitt" -> """
+      WITH cells AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY 1, 2),
+      rk AS (
+        SELECT g, d,
+               2 * (RANK() OVER (PARTITION BY g ORDER BY v) - 1)
+                 + COUNT(*) OVER (PARTITION BY g, v) + 1 AS dd
+        FROM cells),
+      u AS (
+        SELECT g, d,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d)
+                   * (COUNT(*) OVER (PARTITION BY g) + 1)
+                 - SUM(dd) OVER (PARTITION BY g ORDER BY d) AS uu,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS t,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM rk),
+      best AS (
+        SELECT g, n, uu, d,
+               ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY ABS(uu) DESC, t) AS rk2
+        FROM u WHERE t < n)
+      SELECT g AS event_type, n::BIGINT AS n, uu::BIGINT AS u_max,
+             ABS(uu)::BIGINT AS k_stat, CAST(d AS VARCHAR) AS at_order
+      FROM best WHERE rk2 = 1
+      ORDER BY event_type""",
+
+    // Calendar cells, rounded pairwise slopes, exact lower medians.
+    "q_theil_sen" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      pairs AS (
+        SELECT a.g, ROUND((b.y - a.y) / (b.x - a.x), 6) AS s
+        FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x),
+      smed AS (
+        SELECT g, COUNT(*) OVER (PARTITION BY g)::BIGINT AS n_pairs, s,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS nq
+        FROM pairs),
+      sm AS (SELECT g, n_pairs, s AS slope FROM smed
+             WHERE rn = (nq + 1) // 2),
+      imed AS (
+        SELECT c.g, ROUND(c.y - sm.slope * c.x, 6) AS i,
+               ROW_NUMBER() OVER (PARTITION BY c.g
+                 ORDER BY ROUND(c.y - sm.slope * c.x, 6)) AS rn,
+               COUNT(*) OVER (PARTITION BY c.g) AS nq
+        FROM cells c JOIN sm ON sm.g = c.g),
+      im AS (SELECT g, i AS intercept FROM imed WHERE rn = (nq + 1) // 2),
+      base AS (SELECT g, COUNT(*)::BIGINT AS n FROM cells GROUP BY g)
+      SELECT base.g AS event_type, base.n,
+             COALESCE(sm.n_pairs, 0)::BIGINT AS n_pairs,
+             CAST(sm.slope AS DOUBLE) AS slope,
+             CAST(im.intercept AS DOUBLE) AS intercept
+      FROM base LEFT JOIN sm ON sm.g = base.g
+      LEFT JOIN im ON im.g = base.g
+      ORDER BY base.g""",
+
+    // Integer cumulative + running max, first-trough tie rule.
+    "q_drawdown" -> """
+      WITH pts AS (
+        SELECT event_type AS g, event_id AS o,
+               CAST(ROUND((value - 100.0) * 1e6) AS BIGINT) AS q
+        FROM events WHERE value IS NOT NULL),
+      c1 AS (SELECT g, o,
+               SUM(q) OVER (PARTITION BY g ORDER BY o) AS cum
+             FROM pts),
+      c2 AS (SELECT g, o,
+               MAX(cum) OVER (PARTITION BY g ORDER BY o) - cum AS dd,
+               COUNT(*) OVER (PARTITION BY g) AS n
+             FROM c1),
+      best AS (SELECT g, n, dd, o,
+               ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY dd DESC, o) AS rk
+             FROM c2)
+      SELECT g AS event_type, n::BIGINT AS n,
+             CAST(ROUND(dd / 1e6, 6) AS DOUBLE) AS max_drawdown,
+             o AS at_order
+      FROM best WHERE rk = 1
+      ORDER BY event_type""",
+
     // The q_mann_whitney rank CTEs, k-group squared rank sums, the
     // identical H float tree.
     "q_kruskal" -> """

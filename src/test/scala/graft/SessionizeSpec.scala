@@ -334,6 +334,45 @@ class SessionizeSpec extends SparkTestBase {
     assert(kept == Set(1L, 4L, 5L), kept.toString)
   }
 
+  test("cusumStream is row-for-row bit-equal to batch cusumDetect " +
+      "on real events (cross-batch state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.EventWindows.KeyedValue
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val raw = graft.tables.TableLoader.events(spark, sfDir)
+    val batch = graft.operators.Stats.cusumDetect(raw,
+        "event_type", "event_id", "value",
+        target = 100.0, slack = 5.0, threshold = 500.0)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // the batch order key is event_id, so the stream's order key must
+    // be the same total order — feed event_id as orderMicros (in
+    // production both sides would key on the same event-time column)
+    val typed = raw.select(col("event_type"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .collect().map(r =>
+        KeyedValue(r.getString(0), r.getLong(1), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e.orderMicros, e.event_id))
+    val in = MemoryStream[KeyedValue]
+    val q = graft.operators.EventWindows.cusumStream(in.toDS(),
+        target = 100.0, slack = 5.0, threshold = 500.0)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (c1, c2) = typed.splitAt(typed.length / 2)
+    in.addData(c1.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(c2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (id, sv) =>
+      assert(streamed(id) == sv, s"event $id: ${streamed(id)} vs $sv")
+    }
+  }
+
   test("attributionStream emissions aggregate to batch touchAttribution " +
       "on real events (cross-batch state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -377,6 +377,123 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  // ---- cusumDetect / rollingCorr ----
+
+  test("cusumDetect equals the literal Page recurrence, alarms cross") {
+    import spark.implicits._
+    val rng = new scala.util.Random(61)
+    val vals = Seq.tabulate(60)(t =>
+      rng.nextInt(1000) / 100.0 + (if (t >= 40) 12.0 else 0.0))
+    val df = vals.zipWithIndex.map { case (v, t) => ("g", t, v) }
+      .toDF("g", "t", "v")
+    val got = Stats.cusumDetect(df, "g", "t", "v",
+        target = 5.0, slack = 1.0, threshold = 30.0)
+      .collect().map(r => r.getInt(1) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    var s = 0L
+    vals.zipWithIndex.foreach { case (v, t) =>
+      val q = BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong - 6000000L
+      s = math.max(0L, s + q)
+      assert(got(t)._1 == s / 1e6, s"t=$t: ${got(t)._1} vs ${s / 1e6}")
+      assert(got(t)._2 == (s > 30000000L), s"alarm at t=$t")
+    }
+    assert(got.values.exists(_._2), "the planted drift must alarm")
+    assert(!got(5)._2, "no alarm before the drift")
+  }
+
+  test("rollingCorr: warm-up NULL, perfect +/-1 on linear frames, " +
+      "constant side NULL") {
+    import spark.implicits._
+    val up = Seq.tabulate(10)(t => ("g", t, t.toDouble, 2.0 * t + 3))
+    val r1 = Stats.rollingCorr(up.toDF("g", "t", "x", "y"),
+        "g", "t", "x", "y", window = 4)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    (0 to 2).foreach(t => assert(r1(t).isNullAt(3), s"warm-up at $t"))
+    (3 to 9).foreach(t => assert(r1(t).getDouble(3) == 1.0, s"r at $t"))
+    val down = Seq.tabulate(8)(t => ("g", t, t.toDouble, -3.0 * t))
+    val r2 = Stats.rollingCorr(down.toDF("g", "t", "x", "y"),
+      "g", "t", "x", "y", window = 4).collect()
+      .filter(!_.isNullAt(3)).map(_.getDouble(3))
+    assert(r2.nonEmpty && r2.forall(_ == -1.0), r2.toSeq.toString)
+    val const = Seq.tabulate(6)(t => ("g", t, 5.0, t.toDouble))
+    val r3 = Stats.rollingCorr(const.toDF("g", "t", "x", "y"),
+      "g", "t", "x", "y", window = 3).collect()
+    assert(r3.forall(_.isNullAt(3)), "constant x has no correlation")
+  }
+
+  // ---- pettitt / theilSen / maxDrawdown ----
+
+  test("pettitt: integer U_t equals the brute-force pairwise sgn sum, " +
+      "ties included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(59)
+    val series = Seq.tabulate(40)(t =>
+      (t, (rng.nextInt(8) + (if (t >= 25) 5 else 0)).toDouble))
+    val df = series.map { case (t, v) => ("g", t, v) }.toDF("g", "t", "v")
+    val r = Stats.pettitt(df, "g", "t", "v").collect().head
+    // brute force: U_t = sum_{i<=t, j>t} sgn(x_j - x_i)
+    val xs = series.map(_._2)
+    val us = (1 until xs.length).map { t =>
+      val (pre, post) = xs.splitAt(t)
+      t -> pre.map(a => post.map(b => math.signum(b - a)).sum).sum.toLong
+    }
+    val (bestT, bestU) = us.maxBy { case (t, u) => (math.abs(u), -t) }
+    assert(r.getLong(2) == bestU, s"u_max: ${r.getLong(2)} vs $bestU")
+    assert(r.getLong(3) == math.abs(bestU))
+    assert(r.getInt(4) == bestT - 1,
+      s"change point at t index ${bestT - 1}: $r") // _o of the t-th row
+    assert(r.getLong(3) > 0, "the planted shift must register")
+  }
+
+  test("pettitt: single-point group reports NULL stat") {
+    import spark.implicits._
+    val df = Seq(("g", 1, 5.0)).toDF("g", "t", "v")
+    val r = Stats.pettitt(df, "g", "t", "v").collect().head
+    assert(r.getLong(1) == 1L && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("theilSen: exact line recovered; one wild point cannot drag it") {
+    import spark.implicits._
+    val line = Seq.tabulate(21)(x => ("g", x, 3.0 * x + 7))
+    val clean = Stats.theilSen(line.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head
+    assert(clean.getDouble(3) == 3.0 && clean.getDouble(4) == 7.0, clean.toString)
+    // corrupt one point by +1e6: OLS slope would explode; TS holds
+    val dirty = (line.take(20) :+ (("g", 20, 1e6)))
+      .toDF("g", "x", "y")
+    val robust = Stats.theilSen(dirty, "g", "x", "y").collect().head
+    assert(robust.getDouble(3) == 3.0,
+      s"median slope must shrug off the outlier: $robust")
+  }
+
+  test("theilSen: maxPoints guard fires; x-constant group NULL slope") {
+    import spark.implicits._
+    val big = Seq.tabulate(50)(i => ("g", i, i.toDouble)).toDF("g", "x", "y")
+    intercept[IllegalArgumentException] {
+      Stats.theilSen(big, "g", "x", "y", maxPoints = 10)
+    }
+    val flat = Seq(("g", 1, 2.0), ("g", 1, 5.0)).toDF("g", "x", "y")
+    val r = Stats.theilSen(flat, "g", "x", "y").collect().head
+    assert(r.getLong(2) == 0L && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("maxDrawdown hand fixture: peak-to-trough, first trough on ties") {
+    import spark.implicits._
+    // steps: +10, -4, +2, -8, +20 -> cum 10, 6, 8, 0, 20
+    // peaks  10, 10, 10, 10, 20 -> dd 0, 4, 2, 10, 0 -> max 10 at t=4
+    val df = Seq(("g", 1, 10.0), ("g", 2, -4.0), ("g", 3, 2.0),
+      ("g", 4, -8.0), ("g", 5, 20.0)).toDF("g", "t", "v")
+    val r = graft.operators.Resample.maxDrawdown(df, "g", "t", "v")
+      .collect().head
+    assert(r.getLong(1) == 5L && r.getDouble(2) == 10.0
+      && r.getInt(3) == 4, r.toString)
+    // monotone series: drawdown exactly 0
+    val up = Seq(("g", 1, 1.0), ("g", 2, 2.0)).toDF("g", "t", "v")
+    assert(graft.operators.Resample.maxDrawdown(up, "g", "t", "v")
+      .collect().head.getDouble(2) == 0.0)
+  }
+
   // ---- kruskalWallis / cliffsDelta / ebShrinkRates ----
 
   test("kruskal hand fixture: textbook H, no ties") {
