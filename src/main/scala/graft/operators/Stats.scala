@@ -521,6 +521,130 @@ object Stats {
         col("intercept").cast("double"))
   }
 
+  /** Kendall's tau-b rank correlation per group — the pair-concordance
+    * view of monotonic association (Spearman asks "how linear are the
+    * ranks", tau asks "what fraction of pairs agree in direction"),
+    * tie-corrected: tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)).
+    *
+    * Exactness: values 6-dp-scaled longs; concordant/discordant are
+    * integer sign comparisons over the explicit pair join, tie terms
+    * n1/n2 integer sums over the (group, value) cells, n0 = n(n−1)/2;
+    * the single float tree divides exact integers. O(points²) per
+    * group BY DESIGN with the [[theilSen]] `maxPoints` cells-only
+    * guard. Output: (group, n, n_pairs, concordant, discordant,
+    * tau_b) — NULL tau when either side is constant.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2, s"kendallTau: maxPoints must be >= 2")
+    val pts = df.select(col(groupCol).as("_g"),
+      round(col(xCol) * 1e6).cast("long").as("_x"),
+      round(col(yCol) * 1e6).cast("long").as("_y"))
+    val over = pts.groupBy("_g").agg(count(lit(1)).as("_np"))
+      .filter(col("_np") > maxPoints).limit(1).collect()
+    require(over.isEmpty,
+      s"kendallTau: group ${over.headOption.map(_.get(0))} exceeds " +
+        s"$maxPoints points — pre-aggregate the series to cells first")
+    val wid = Window.partitionBy("_g").orderBy("_x", "_y")
+    val withId = pts.withColumn("_rid", row_number().over(wid))
+    val a = withId.select(col("_g"), col("_x").as("_x1"),
+      col("_y").as("_y1"), col("_rid").as("_r1"))
+    val b = withId.select(col("_g").as("_g2"), col("_x").as("_x2"),
+      col("_y").as("_y2"), col("_rid").as("_r2"))
+    val pairAgg = a.join(b, col("_g") <=> col("_g2") && col("_r1") < col("_r2"))
+      .select(col("_g"),
+        ((col("_x1") < col("_x2") && col("_y1") < col("_y2")) ||
+          (col("_x1") > col("_x2") && col("_y1") > col("_y2"))).as("_con"),
+        ((col("_x1") < col("_x2") && col("_y1") > col("_y2")) ||
+          (col("_x1") > col("_x2") && col("_y1") < col("_y2"))).as("_dis"))
+      .groupBy(col("_g").as("_gp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_con"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("_dis"), 1L).otherwise(0L)).as("discordant"))
+    def tiePairs(c: String) = pts.groupBy(col("_g").as("_gt"), col(c))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy("_gt")
+      .agg(sum(col("_t") * (col("_t") - 1)).as("_tp2")) // doubled
+    val tx = tiePairs("_x").withColumnRenamed("_tp2", "_n1d")
+    val ty = tiePairs("_y").withColumnRenamed("_gt", "_gt2")
+      .withColumnRenamed("_tp2", "_n2d")
+    pts.groupBy("_g").agg(count(lit(1)).as("n"))
+      .join(pairAgg, col("_g") <=> col("_gp"), "left")
+      .join(tx, col("_g") <=> col("_gt"), "left")
+      .join(ty, col("_g") <=> col("_gt2"), "left")
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        coalesce(col("n_pairs"), lit(0L)).cast("bigint").as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).cast("bigint").as("concordant"),
+        coalesce(col("discordant"), lit(0L)).cast("bigint").as("discordant"),
+        col("_n1d"), col("_n2d"))
+      // doubled tie pairs: n0d = n(n-1), denom terms (n0d - n1d)/2 etc.
+      .withColumn("_den",
+        ((col("n") * (col("n") - 1) - col("_n1d")).cast("double") / 2.0)
+          * ((col("n") * (col("n") - 1) - col("_n2d")).cast("double") / 2.0))
+      .withColumn("tau_b",
+        when(col("_den") > 0.0,
+          round((col("concordant") - col("discordant")).cast("double")
+            / sqrt(col("_den")), 6)).cast("double"))
+      .select(groupCol, "n", "n_pairs", "concordant", "discordant", "tau_b")
+  }
+
+  /** Wald–Wolfowitz runs test per group — "is this ordered sequence
+    * RANDOM around its median, or does it trend/oscillate": too few
+    * runs of above/below-median means trending, too many means
+    * alternation; the classic model-free randomness screen for any
+    * residual or rate series.
+    *
+    * Exactness: the split point is the exact LOWER median of the
+    * 1e-6-scaled values (the robustOutliers convention); rows equal
+    * to the median are EXCLUDED (the classic dichotomy rule); the
+    * run count is 1 + Σ[b_t ≠ b_{t−1}] over the (orderCol) total
+    * order — all integers; z = (R − E)/sqrt(Var) with
+    * E = 2ab/(a+b) + 1 and Var = 2ab(2ab − a − b)/((a+b)²(a+b−1))
+    * is one identically-spelled float tree at 6 dp, NULL when either
+    * side is empty or Var is 0.
+    *
+    * Scale shape: one group-keyed value-rank window for the median,
+    * one order window for the run boundaries. Output: (group,
+    * n_used, n_above, n_below, runs, z).
+    */
+  def runsTest(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+    val wv = Window.partitionBy("_g").orderBy("_q")
+    val wg = Window.partitionBy("_g")
+    val medRank = floor((col("_n") + 1) / 2).cast("bigint")
+    val withMed = pts
+      .withColumn("_rn", row_number().over(wv))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_med",
+        max(when(col("_rn") === medRank, col("_q"))).over(wg))
+      .filter(col("_q") =!= col("_med"))
+      .withColumn("_above", col("_q") > col("_med"))
+    val wOrd = Window.partitionBy("_g").orderBy("_o")
+    val marked = withMed
+      .withColumn("_prev", lag(col("_above"), 1).over(wOrd))
+      .withColumn("_brk",
+        when(col("_prev").isNull || col("_prev") =!= col("_above"), 1L)
+          .otherwise(0L))
+    val agg = marked.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_used"),
+        sum(when(col("_above"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(!col("_above"), 1L).otherwise(0L)).as("n_below"),
+        sum("_brk").as("runs"))
+    val aD = col("n_above").cast("double")
+    val bD = col("n_below").cast("double")
+    val e = lit(2.0) * aD * bD / (aD + bD) + 1.0
+    val v = lit(2.0) * aD * bD * (lit(2.0) * aD * bD - aD - bD) /
+      ((aD + bD) * (aD + bD) * (aD + bD - 1.0))
+    agg.withColumn("z",
+        when(col("n_above") > 0 && col("n_below") > 0 && v > 0.0,
+          round((col("runs").cast("double") - e) / sqrt(v), 6))
+          .cast("double"))
+      .select(groupCol, "n_used", "n_above", "n_below", "runs", "z")
+  }
+
   /** Cliff's delta ordinal effect size per group vs the pooled
     * complement — the MAGNITUDE companion to [[mannWhitney]]'s
     * existence test (the rank-world sibling of [[cohensD]]):

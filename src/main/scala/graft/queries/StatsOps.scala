@@ -194,6 +194,31 @@ object StatsOps {
       .orderBy("event_type", "d")
   }
 
+  /** Kendall tau-b on the daily (day index, spend) cells per event
+    * type: integer concordant/discordant pair counts with tie
+    * correction, one float tree.
+    */
+  val qKendall: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    graft.operators.Stats.kendallTau(cells, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
+  /** Wald-Wolfowitz runs test of value around its per-type median,
+    * ordered by event_id: exact lower-median split, integer run
+    * count, one z tree.
+    */
+  val qRunsTest: QueryFn = withTables { spark =>
+    graft.operators.Stats.runsTest(spark.table("events"),
+        "event_type", "event_id", "value")
+      .orderBy("event_type")
+  }
+
   /** Robust median/MAD outlier profile of value per event type:
     * exact integer lower medians, the 6745·|x−med| > 35000·MAD
     * integer outlier rule, descaled display medians.
@@ -533,6 +558,8 @@ object StatsOps {
     "q_drawdown" -> qDrawdown,
     "q_cusum_detect" -> qCusumDetect,
     "q_rolling_corr" -> qRollingCorr,
+    "q_kendall" -> qKendall,
+    "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
     "q_cusum" -> qCusum,
@@ -687,6 +714,92 @@ object StatsOps {
     // Same doubled-average-rank integers (D = 2·C + E + 1), HUGEINT
     // tie cubes mirroring decimal(38,0), and the identically-spelled
     // tie-corrected z tree (coefficients cast to DOUBLE).
+    // Integer pair concordance with tie correction; scaling cancels
+    // out of every comparison, so the oracle compares raw values.
+    "q_kendall" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      wid AS (SELECT g, x, y,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, y) AS rid
+              FROM cells),
+      pr AS (
+        SELECT a.g,
+               CASE WHEN (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS con,
+               CASE WHEN (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dis
+        FROM wid a JOIN wid b ON a.g = b.g AND a.rid < b.rid),
+      pa AS (SELECT g, COUNT(*)::BIGINT AS n_pairs,
+                    SUM(con)::BIGINT AS concordant,
+                    SUM(dis)::BIGINT AS discordant
+             FROM pr GROUP BY g),
+      tx AS (SELECT g, SUM(t * (t - 1))::BIGINT AS n1d
+             FROM (SELECT g, x, COUNT(*) AS t FROM cells GROUP BY g, x)
+             GROUP BY g),
+      ty AS (SELECT g, SUM(t * (t - 1))::BIGINT AS n2d
+             FROM (SELECT g, y, COUNT(*) AS t FROM cells GROUP BY g, y)
+             GROUP BY g),
+      base AS (SELECT g, COUNT(*)::BIGINT AS n FROM cells GROUP BY g)
+      SELECT base.g AS event_type, base.n,
+             COALESCE(pa.n_pairs, 0)::BIGINT AS n_pairs,
+             COALESCE(pa.concordant, 0)::BIGINT AS concordant,
+             COALESCE(pa.discordant, 0)::BIGINT AS discordant,
+             CAST(CASE WHEN
+                 (CAST(base.n * (base.n - 1) - tx.n1d AS DOUBLE) / 2.0)
+                 * (CAST(base.n * (base.n - 1) - ty.n2d AS DOUBLE) / 2.0)
+                 > 0.0 THEN
+               ROUND(CAST(pa.concordant - pa.discordant AS DOUBLE)
+                 / SQRT(
+                   (CAST(base.n * (base.n - 1) - tx.n1d AS DOUBLE) / 2.0)
+                   * (CAST(base.n * (base.n - 1) - ty.n2d AS DOUBLE) / 2.0)),
+                 6) END AS DOUBLE) AS tau_b
+      FROM base LEFT JOIN pa ON pa.g = base.g
+      JOIN tx ON tx.g = base.g JOIN ty ON ty.g = base.g
+      ORDER BY base.g""",
+
+    // Lower-median dichotomy, integer runs, the identical z tree.
+    "q_runs_test" -> """
+      WITH pts AS (
+        SELECT event_type AS g, event_id AS o,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS q
+        FROM events WHERE value IS NOT NULL),
+      m AS (SELECT g, o, q,
+              ROW_NUMBER() OVER (PARTITION BY g ORDER BY q) AS rn,
+              COUNT(*) OVER (PARTITION BY g) AS n
+            FROM pts),
+      med AS (SELECT g, MAX(CASE WHEN rn = (n + 1) // 2 THEN q END) AS medq
+              FROM m GROUP BY g),
+      f AS (SELECT m.g, m.o, m.q > med.medq AS above
+            FROM m JOIN med ON med.g = m.g WHERE m.q <> med.medq),
+      r AS (SELECT g, o, above,
+              LAG(above) OVER (PARTITION BY g ORDER BY o) AS prev
+            FROM f),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_used,
+               SUM(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT AS n_above,
+               SUM(CASE WHEN NOT above THEN 1 ELSE 0 END)::BIGINT AS n_below,
+               SUM(CASE WHEN prev IS NULL OR prev <> above
+                   THEN 1 ELSE 0 END)::BIGINT AS runs
+        FROM r GROUP BY g)
+      SELECT g AS event_type, n_used, n_above, n_below, runs,
+             CAST(CASE WHEN n_above > 0 AND n_below > 0 AND
+                 2.0 * n_above * n_below
+                   * (2.0 * n_above * n_below - n_above - n_below)
+                   / ((n_above + n_below) * (n_above + n_below)
+                      * (n_above + n_below - 1.0)) > 0.0 THEN
+               ROUND((CAST(runs AS DOUBLE)
+                   - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+                 / SQRT(2.0 * n_above * n_below
+                   * (2.0 * n_above * n_below - n_above - n_below)
+                   / ((n_above + n_below) * (n_above + n_below)
+                      * (n_above + n_below - 1.0))), 6)
+             END AS DOUBLE) AS z
+      FROM agg
+      ORDER BY g""",
+
     // Prefix-min unrolling of the Page recurrence, integer compare.
     "q_cusum_detect" -> """
       WITH pts AS (

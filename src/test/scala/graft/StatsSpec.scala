@@ -377,6 +377,58 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  // ---- kendallTau / runsTest ----
+
+  test("kendall hand fixtures: poles, tie correction to zero") {
+    import spark.implicits._
+    val mono = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0))
+      .toDF("g", "x", "y")
+    val r1 = Stats.kendallTau(mono, "g", "x", "y").collect().head
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 3L
+      && r1.getLong(4) == 0L && r1.getDouble(5) == 1.0, r1.toString)
+    val anti = Seq(("g", 1.0, 3.0), ("g", 2.0, 2.0), ("g", 3.0, 1.0))
+      .toDF("g", "x", "y")
+    assert(Stats.kendallTau(anti, "g", "x", "y")
+      .collect().head.getDouble(5) == -1.0)
+    // ties on both axes: C = D = 2, n1 = n2 = 1 -> tau exactly 0
+    val tied = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 2.0, 3.0),
+      ("g", 3.0, 1.0)).toDF("g", "x", "y")
+    val r3 = Stats.kendallTau(tied, "g", "x", "y").collect().head
+    assert(r3.getLong(3) == 2L && r3.getLong(4) == 2L
+      && r3.getDouble(5) == 0.0, r3.toString)
+    // constant y: denominator term zero -> NULL
+    val flat = Seq(("g", 1.0, 5.0), ("g", 2.0, 5.0)).toDF("g", "x", "y")
+    assert(Stats.kendallTau(flat, "g", "x", "y").collect().head.isNullAt(5))
+  }
+
+  test("runs test hand fixture: median row excluded, textbook z") {
+    import spark.implicits._
+    // values 1,8,2,9 in order: lower median 2 (excluded);
+    // remaining in order: 1(below), 8(above), 9(above) -> runs 2,
+    // a=2 b=1: z = (2 - 7/3) / sqrt(2/9) = -0.707107
+    val df = Seq(("g", 1, 1.0), ("g", 2, 8.0), ("g", 3, 2.0),
+      ("g", 4, 9.0)).toDF("g", "t", "v")
+    val r = Stats.runsTest(df, "g", "t", "v").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 1L
+      && r.getLong(4) == 2L, r.toString)
+    assert(r.getDouble(5) == -0.707107, r.toString)
+  }
+
+  test("runs test: trending sequence scores fewer runs than alternating") {
+    import spark.implicits._
+    val trend = Seq.tabulate(40)(t => ("g", t, t.toDouble))
+    // distinct values (a two-level set would drop the whole median
+    // level under the equal-to-median exclusion rule)
+    val alt = Seq.tabulate(40)(t =>
+      ("g", t, (t % 2) * 100 + t * 0.1))
+    val zTrend = Stats.runsTest(trend.toDF("g", "t", "v"), "g", "t", "v")
+      .collect().head.getDouble(5)
+    val zAlt = Stats.runsTest(alt.toDF("g", "t", "v"), "g", "t", "v")
+      .collect().head.getDouble(5)
+    assert(zTrend < -3.0, s"monotone trend must score very few runs: $zTrend")
+    assert(zAlt > 3.0, s"alternation must score too many runs: $zAlt")
+  }
+
   // ---- cusumDetect / rollingCorr ----
 
   test("cusumDetect equals the literal Page recurrence, alarms cross") {
