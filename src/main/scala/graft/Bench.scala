@@ -99,6 +99,26 @@ object Bench {
         e0.limit(50), "vec_id", "embedding", "label", k = 3).count()
     }
     warm {
+      // PQ / IVFADC kernels: the subspace-distance HOF trees, the
+      // bounded top-k heap agg, and the cell-ranking array_sort are
+      // one-shot codegen+JIT costs — spend them on sf0.001-sized
+      // inputs instead of inside q_ann_pq* / q_ann_ivfpq*
+      import org.apache.spark.sql.functions.col
+      val e0 = spark.read.parquet(s"$warmDir/embeddings.parquet")
+      val coarse = graft.operators.ProductQuantizer.trainCoarse(
+        e0, "vec_id", "embedding", k = 2, iters = 0)
+      val cb = graft.operators.ProductQuantizer.train(
+        e0, "vec_id", "embedding", m = 2, k = 2, iters = 0)
+      val idx = graft.operators.ProductQuantizer.buildIvfPq(
+        e0, "vec_id", "embedding", coarse, cb)
+      graft.operators.ProductQuantizer.searchIvfAdc(idx, "vec_id",
+        e0.filter(col("vec_id") < 2), "vec_id", "embedding",
+        coarse, cb, nprobe = 2, topK = 2).count()
+      graft.operators.ProductQuantizer.searchExact(e0, "vec_id",
+        "embedding", e0.filter(col("vec_id") < 2), "vec_id", "embedding",
+        topK = 2).count()
+    }
+    warm {
       // round-8 kernels: label-propagation/k-core iteration plans and
       // the Jaro-Winkler codegen expression (same one-shot JIT logic
       // as the block above)

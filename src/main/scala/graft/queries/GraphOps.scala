@@ -73,7 +73,12 @@ object GraphOps {
         if (!fs.exists(ok)) {
           build.write.mode("overwrite").parquet(dir.toString)
         }
-        spark.read.parquet(dir.toString)
+        // localCheckpoint the READ too: the iterative graph operators
+        // reference the edge frame many times per plan — without it the
+        // cache path re-scans parquet per reference where the fresh
+        // path served memory blocks (measured: q_link_pred 7.5 s vs
+        // its 4.5 s anchor in the first cached bench run)
+        spark.read.parquet(dir.toString).localCheckpoint()
     }
 
   /** Build (or cache-load) every shared judged graph for `sfDir` —
@@ -310,7 +315,18 @@ object GraphOps {
       .orderBy("probe_id")
   }
 
+  /** 2-hop harmonic centrality on the q_triangles co-order graph:
+    * exact per-hop reach counts (degree, distinct 2-hop shell) into
+    * one rounded float expression.
+    */
+  val qHarmonic: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.harmonicCentrality(coOrderParts(spark, sfDir, 5), "a", "b",
+        maxHops = 2)
+      .orderBy("vertex")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_harmonic" -> qHarmonic,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
     "q_ann_pq" -> qAnnPq,
@@ -527,6 +543,32 @@ object GraphOps {
              CAST(adc AS DOUBLE) AS adc
       FROM ranked WHERE rank <= 5
       ORDER BY probe_id, rank"""),
+
+    // Symmetric closure of the canonical edges; hop-1 = neighbors,
+    // hop-2 shell = distinct 2-paths minus self and hop-1.
+    "q_harmonic" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      sym AS (SELECT lo AS v, hi AS w FROM e
+              UNION ALL SELECT hi, lo FROM e),
+      h2 AS (SELECT DISTINCT f.v, s.w
+             FROM sym f JOIN sym s ON s.v = f.w
+             WHERE f.v <> s.w),
+      shell2 AS (SELECT v, w FROM h2 EXCEPT SELECT v, w FROM sym),
+      c1 AS (SELECT v, COUNT(*)::BIGINT AS n1 FROM sym GROUP BY v),
+      c2 AS (SELECT v, COUNT(*)::BIGINT AS n2 FROM shell2 GROUP BY v)
+      SELECT c1.v AS vertex, c1.n1 AS n_hop1,
+             COALESCE(c2.n2, 0)::BIGINT AS n_hop2,
+             CAST(ROUND(c1.n1 / 1.0 + COALESCE(c2.n2, 0) / 2.0, 6)
+               AS DOUBLE) AS harmonic
+      FROM c1 LEFT JOIN c2 ON c2.v = c1.v
+      ORDER BY vertex""",
 
     "q_kmeans" -> (kmeansCtes + """
       SELECT vec_id, CAST(c AS INT) AS cluster, dist

@@ -283,4 +283,26 @@ class GraphSpec extends SparkTestBase {
     assert(r.getLong(1) == 3 && r.getLong(2) == 1)
     assert(r.getDouble(3) == 0.333333, s"1/3 rounded: $r")
   }
+
+  test("harmonicCentrality: path and clique hand fixtures at 2 hops") {
+    import spark.implicits._
+    // path a-b-c-d: a sees b at 1, c at 2 -> 1 + 0.5 = 1.5;
+    // b sees {a, c} at 1, {d} at 2 -> 2 + 0.5 = 2.5
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val h = graft.operators.Graph.harmonicCentrality(path, "s", "d")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(h("a") == ((1L, 1L, 1.5)) && h("b") == ((2L, 1L, 2.5)), h.toString)
+    assert(h("c") == ((2L, 1L, 2.5)) && h("d") == ((1L, 1L, 1.5)), h.toString)
+    // triangle: every vertex reaches both others at hop 1, empty shell
+    val k3 = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("s", "d")
+    val hk = graft.operators.Graph.harmonicCentrality(k3, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(hk.values.forall(_ == 2.0), hk.toString)
+    // maxHops 1 degenerates to plain degree
+    val h1 = graft.operators.Graph.harmonicCentrality(path, "s", "d",
+        maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(h1 == Map("a" -> 1.0, "b" -> 2.0, "c" -> 2.0, "d" -> 1.0))
+  }
 }
