@@ -211,6 +211,90 @@ object ProductQuantizer {
       idCol, topK)
   }
 
+  /** Residual of every vector against its coarse cell's centroid:
+    * (idCol, cell, resid) — the quantity the paper-faithful IVFADC
+    * (Jégou et al. 2011 §IV.B) compresses: residuals have far less
+    * variance than raw vectors (the coarse centroid already explains
+    * the cell's location), so the SAME PQ budget reconstructs them
+    * more accurately. */
+  def residuals(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Seq[Double]], roundDp: Int = 6): DataFrame = {
+    require(coarse.nonEmpty, "ivfpq: coarse codebook must be non-empty")
+    val v0 = vecs.select(col(idCol),
+      col(vecCol).cast("array<double>").as("_v"))
+    val cellDists = array(coarse.map(c =>
+      Clustering.sqDistTo(col("_v"), c, roundDp)): _*)
+    val coarseLit = typedLit(coarse.map(_.toSeq))
+    v0.withColumn("cell",
+        (array_position(cellDists, array_min(cellDists)) - 1).cast("int"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("_v"), element_at(coarseLit, col("cell") + 1),
+          (x, y) => x - y).as("resid"))
+  }
+
+  /** Residual-PQ codebooks: the coarse assignment's residuals feed
+    * [[train]]'s per-subspace portable k-means verbatim. */
+  def trainResidual(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Seq[Double]], m: Int, k: Int, iters: Int,
+      roundDp: Int = 6): Codebooks =
+    train(residuals(vecs, idCol, vecCol, coarse, roundDp),
+      idCol, "resid", m, k, iters, roundDp)
+
+  /** The residual IVFADC index: (idCol, cell, codes) where codes
+    * quantize the RESIDUAL v − c_cell against residual-trained
+    * codebooks — one narrow projection pass, as [[buildIvfPq]]. */
+  def buildIvfPqResidual(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Seq[Double]], cb: Codebooks,
+      roundDp: Int = 6): DataFrame = {
+    val r = residuals(vecs, idCol, vecCol, coarse, roundDp)
+    val perSub = (0 until cb.m).map { j =>
+      val s = slice(col("resid"), j * cb.subDim + 1, cb.subDim)
+      val dists = array(cb.centroids(j).map(c =>
+        Clustering.sqDistTo(s, c, roundDp)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    r.select(col(idCol), col("cell"), array(perSub: _*).as("codes"))
+  }
+
+  /** Residual IVFADC search — the full Jégou §IV layout: probes rank
+    * cells by raw-vector distance and keep `nprobe`; within each
+    * probed cell the distance tables are built on the PROBE'S RESIDUAL
+    * against that cell (q − c_cell), so the tables vary per (probe,
+    * cell) — nprobe × m × k entries per probe, still
+    * broadcast-bounded; ADC and the bounded top-k as [[searchIvfAdc]].
+    *
+    * Output: (probe_id, vec_id, rank, adc) — adc approximates
+    * ‖(q − c_cell) − pq(v − c_cell)‖², the §IV.B residual ADC.
+    */
+  def searchIvfAdcResidual(indexed: DataFrame, idCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      coarse: Seq[Seq[Double]], cb: Codebooks, nprobe: Int, topK: Int,
+      roundDp: Int = 6): DataFrame = {
+    require(topK >= 1, s"ivfpq: topK must be >= 1, got $topK")
+    require(nprobe >= 1 && nprobe <= coarse.size,
+      s"ivfpq: nprobe must be in [1, ${coarse.size}], got $nprobe")
+    val p0 = probes.select(col(probeIdCol).as("probe_id"),
+      col(probeVecCol).cast("array<double>").as("_pv"))
+    val cellDists = array(coarse.map(c =>
+      Clustering.sqDistTo(col("_pv"), c, roundDp)): _*)
+    val rankedCells = array_sort(zip_with(cellDists,
+      sequence(lit(0), lit(coarse.size - 1)),
+      (d, c) => struct(d.as("d"), c.cast("int").as("c"))))
+    val cells = transform(slice(rankedCells, 1, nprobe), x => x("c"))
+    val coarseLit = typedLit(coarse.map(_.toSeq))
+    // per (probe, cell): residual q − c_cell becomes the table input
+    val probeCells = p0
+      .withColumn("cell", explode(cells))
+      .withColumn("_pv",
+        zip_with(col("_pv"), element_at(coarseLit, col("cell") + 1),
+          (x, y) => x - y))
+    val tables = withDistTables(probeCells, cb, roundDp).drop("_pv")
+    topKPerProbe(
+      indexed.join(broadcast(tables), Seq("cell"))
+        .withColumn("adc", adcExpr(cb, roundDp)),
+      idCol, topK)
+  }
+
   /** Exact rounded-squared-L2 top-k — the ground-truth twin the ADC
     * paths are graded against (recall@k via RankEval.recallAtK). The
     * probe side must be a bounded query batch (broadcast); the corpus

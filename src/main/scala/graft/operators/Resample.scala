@@ -262,6 +262,178 @@ object Resample {
           .cast("double").as("forecast"))
   }
 
+  /** Holt–Winters additive triple exponential smoothing per key —
+    * [[holt]] plus a `period`-slot seasonal ring, the level+trend+
+    * seasonality forecaster for any calendar series with a weekly/
+    * daily cycle:
+    *   l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(x_t − l_{t−1} − b_{t−1}) + (1−γ)s_{t−m}
+    * Initialization (classic): the first m non-null values set
+    * l = round6(mean(x_1..x_m)), b = 0, s_i = round6(x_i − l); rows
+    * before the ring fills emit NULL state (warm-up). Every update
+    * rounds at 6 dp (the holt contract), so the DuckDB oracle replays
+    * the recursion bit-exactly through a LIST-state recursive CTE.
+    * NULL values are skipped without advancing the ring.
+    *
+    * Scale shape: identical to [[holt]] — one hash repartition by
+    * key, one intra-partition sort, a sequential per-key fold with
+    * O(period) state; keys never interact.
+    *
+    * Output: input columns + (levelCol, trendCol, seasonCol).
+    */
+  def holtWinters(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int, levelCol: String = "level",
+      trendCol: String = "trend", seasonCol: String = "season"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1], got $gamma")
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(orderCols.nonEmpty, "holtWinters needs at least one order column")
+    require(Seq(levelCol, trendCol, seasonCol).forall(!df.columns.contains(_)),
+      "input already has a level/trend/season column; pass different names")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++
+      Seq(levelCol, trendCol, seasonCol).map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val ki = df.schema.fieldIndex(keyCol)
+    val Seq(xc) = Cols.fresh("hwx", 1, df)
+    val sorted = df
+      .repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .withColumn(xc, col(valueCol).cast("double"))
+    val vi = sorted.schema.fieldIndex(xc)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var warm = List.empty[Double] // first `period` values, oldest first
+      var level: java.lang.Double = null
+      var trend: java.lang.Double = null
+      var ring: Vector[Double] = Vector.empty // s_{t-m+1..t}, oldest first
+      var season: java.lang.Double = null
+      it.map { r =>
+        val k = r.get(ki)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; warm = Nil
+          level = null; trend = null; ring = Vector.empty; season = null
+        }
+        if (!r.isNullAt(vi)) {
+          val x = r.getDouble(vi)
+          if (level == null) {
+            warm = warm :+ x
+            if (warm.size == period) {
+              val l = r6(warm.sum / period)
+              level = l; trend = 0.0
+              ring = warm.map(v => r6(v - l)).toVector
+              season = ring.last
+            }
+          } else {
+            val sOld = ring.head
+            val prevL: Double = level
+            val prevT: Double = trend
+            val l = r6(alpha * (x - sOld) + (1.0 - alpha) * (prevL + prevT))
+            val b = r6(beta * (l - prevL) + (1.0 - beta) * prevT)
+            val sNew = r6(gamma * (x - prevL - prevT) + (1.0 - gamma) * sOld)
+            level = l; trend = b; season = sNew
+            ring = ring.tail :+ sNew
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+
+          (level: Any) :+ (trend: Any) :+ (season: Any))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** h-step Holt–Winters forecasts from each key's FINAL state:
+    * forecast(h) = round(level + h·trend + s_{t+h−m·ceil(h/m)}, 6) —
+    * the seasonal term cycles through the final ring. Keys that never
+    * filled their ring emit nothing. One row per (key, h).
+    */
+  def holtWintersForecast(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, alpha: Double,
+      beta: Double, gamma: Double, period: Int,
+      horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1], got $gamma")
+    require(period >= 2, s"period must be >= 2, got $period")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // dedicated terminal-state fold (NOT the row-level op + a trailing
+    // window): the final ring lives in the fold state, so a key whose
+    // series is exactly `period` rows still forecasts — reading the
+    // ring off emitted rows would need 2·period − 1 of them
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("_k") +: orderCols.map(col)) :+
+        col(valueCol).cast("double").as("_x"): _*)
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k") +: orderCols.map(col): _*)
+    val xi = sorted.schema.length - 1
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.head,
+      org.apache.spark.sql.types.StructField("_l",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_t",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_ring",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val finals = sorted.mapPartitions { it =>
+      val done = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var curKey: Any = null
+      var haveKey = false
+      var warm = List.empty[Double]
+      var level: java.lang.Double = null
+      var trend = 0.0
+      var ring: Vector[Double] = Vector.empty
+      def flush(): Unit =
+        if (haveKey && level != null && ring.size == period) {
+          done += org.apache.spark.sql.Row(curKey, level.doubleValue(),
+            trend, ring)
+        }
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!haveKey || k != curKey) {
+          flush()
+          curKey = k; haveKey = true; warm = Nil
+          level = null; trend = 0.0; ring = Vector.empty
+        }
+        val x = r.getDouble(xi)
+        if (level == null) {
+          warm = warm :+ x
+          if (warm.size == period) {
+            val l = r6(warm.sum / period)
+            level = l; trend = 0.0
+            ring = warm.map(v => r6(v - l)).toVector
+          }
+        } else {
+          val sOld = ring.head
+          val prevL: Double = level
+          val prevT = trend
+          val l = r6(alpha * (x - sOld) + (1.0 - alpha) * (prevL + prevT))
+          val b = r6(beta * (l - prevL) + (1.0 - beta) * prevT)
+          val sNew = r6(gamma * (x - prevL - prevT) + (1.0 - gamma) * sOld)
+          level = l; trend = b
+          ring = ring.tail :+ sNew
+        }
+      }
+      flush()
+      done.iterator
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    finals
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col("_k").as(keyCol), col("h").cast("bigint").as("h"),
+        round(col("_l") + col("h") * col("_t")
+            + element_at(col("_ring"),
+              (pmod(col("h") - 1, lit(period)) + 1).cast("int")), 6)
+          .cast("double").as("forecast"))
+  }
+
   /** Input/output rows for [[ewmaStream]]. */
   case class EwmaEvent(key: Long, event_id: Long, orderMicros: Long, x: Double)
   case class EwmaOut(key: Long, event_id: Long, ewma: Double)

@@ -325,7 +325,28 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Residual IVFADC (the paper-faithful §IV.B layout): the SAME
+    * coarse quantizer, PQ codebooks trained on the CELL RESIDUALS,
+    * per-(probe, cell) residual distance tables, pruning judged at
+    * nprobe 2 of 4 — the oracle replays residual training and the
+    * per-cell tables end to end.
+    */
+  val qAnnIvfPqRes: QueryFn = withTables { spark =>
+    val e = spark.table("embeddings")
+    val coarse = graft.operators.ProductQuantizer.trainCoarse(
+      e, "vec_id", "embedding", k = 4, iters = 1)
+    val cb = graft.operators.ProductQuantizer.trainResidual(
+      e, "vec_id", "embedding", coarse, m = 2, k = 4, iters = 1)
+    val idx = graft.operators.ProductQuantizer.buildIvfPqResidual(
+      e, "vec_id", "embedding", coarse, cb)
+    graft.operators.ProductQuantizer.searchIvfAdcResidual(idx, "vec_id",
+        e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        coarse, cb, nprobe = 2, topK = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_ann_ivfpq_res" -> qAnnIvfPqRes,
     "q_harmonic" -> qHarmonic,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
@@ -384,15 +405,16 @@ object GraphOps {
   // → final assignment asg1$j with (vec_id, c, dist)) over the slice
   // v[lo:hi] — the kmeansCtes arithmetic verbatim, parametrized per
   // subspace so q_ann_pq replays BOTH independent trainings.
-  private def pqSubCtes(j: Int, lo: Int, hi: Int, k: Int): String = s"""
-      sub$j AS (SELECT vec_id, v[$lo:$hi] AS s FROM v),
+  private def pqSubCtes(j: Int, lo: Int, hi: Int, k: Int,
+      src: String = "v", vc: String = "v"): String = s"""
+      sub$j AS (SELECT vec_id, $vc[$lo:$hi] AS s FROM $src),
       seeds$j AS (
         SELECT ROW_NUMBER() OVER (ORDER BY u, vec_id) - 1 AS c,
                s AS cv
-        FROM (SELECT vec_id, v[$lo:$hi] AS s,
+        FROM (SELECT vec_id, $vc[$lo:$hi] AS s,
                 ('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
                   / 1152921504606846976.0 AS u
-              FROM v ORDER BY u, vec_id LIMIT $k)),
+              FROM $src ORDER BY u, vec_id LIMIT $k)),
       a0$j AS (
         SELECT vec_id, s, c,
                ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(s) + 1),
@@ -470,7 +492,73 @@ object GraphOps {
                  ORDER BY adc, vec_id) AS rank
         FROM adc)"""
 
+  // Residual IVFADC (Jégou §IV.B): coarse training on the full
+  // vector (cb2/asg12), residuals r = v − cb2[cell], residual-trained
+  // subspace codebooks cb3/cb4 with assignments asg13/asg14, probe
+  // cell ranking on the RAW vector, per-(probe, cell) residual
+  // distance tables, cell-pruned residual ADC, (adc, vec_id) ranks.
+  private val ivfPqResCtes: String = """
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),""" +
+    pqSubCtes(2, 1, 64, 4) + """,
+      resid AS (
+        SELECT vv.vec_id, a.c AS cell,
+               LIST_TRANSFORM(RANGE(1, 65), i -> vv.v[i] - cb.cv[i]) AS rv
+        FROM v vv JOIN asg12 a ON a.vec_id = vv.vec_id
+        JOIN cb2 cb ON cb.c = a.c),""" +
+    pqSubCtes(3, 1, 32, 4, "resid", "rv") + "," +
+    pqSubCtes(4, 33, 64, 4, "resid", "rv") + """,
+      probes AS (SELECT vec_id AS pid, v AS pv FROM v WHERE vec_id < 3),
+      pcd AS (
+        SELECT p.pid, c.c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                 i -> (pv[i] - cv[i]) * (pv[i] - cv[i]))), 6) AS d
+        FROM probes p CROSS JOIN cb2 c),
+      pcell AS (
+        SELECT pid, c FROM (
+          SELECT pid, c, ROW_NUMBER() OVER (PARTITION BY pid
+            ORDER BY d, c) AS rk
+          FROM pcd) WHERE rk <= 2),
+      pres AS (
+        SELECT pc.pid, pc.c AS cell,
+               LIST_TRANSFORM(RANGE(1, 65),
+                 i -> p.pv[i] - cb.cv[i]) AS pr
+        FROM pcell pc JOIN probes p ON p.pid = pc.pid
+        JOIN cb2 cb ON cb.c = pc.c),
+      prd0 AS (
+        SELECT pid, cell, cj.c AS code,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                 i -> (pr[i] - cv[i]) * (pr[i] - cv[i]))), 6) AS d
+        FROM pres CROSS JOIN cb3 cj),
+      prd1 AS (
+        SELECT pid, cell, cj.c AS code,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                 i -> (pr[i + 32] - cv[i]) * (pr[i + 32] - cv[i]))), 6) AS d
+        FROM pres CROSS JOIN cb4 cj),
+      adcr AS (
+        SELECT pc.pid AS probe_id, cell.vec_id,
+               ROUND(d0.d + d1.d, 6) AS adc
+        FROM pcell pc
+        JOIN asg12 cell ON cell.c = pc.c
+        JOIN asg13 a ON a.vec_id = cell.vec_id
+        JOIN asg14 b ON b.vec_id = cell.vec_id
+        JOIN prd0 d0 ON d0.pid = pc.pid AND d0.cell = pc.c
+                    AND d0.code = a.c
+        JOIN prd1 d1 ON d1.pid = pc.pid AND d1.cell = pc.c
+                    AND d1.code = b.c),
+      rankedr AS (
+        SELECT probe_id, vec_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY adc, vec_id) AS rank
+        FROM adcr)"""
+
   val oracles: Map[String, String] = Map(
+
+    "q_ann_ivfpq_res" -> (ivfPqResCtes + """
+      SELECT probe_id, vec_id, rank::BIGINT AS rank,
+             CAST(adc AS DOUBLE) AS adc
+      FROM rankedr WHERE rank <= 5
+      ORDER BY probe_id, rank"""),
 
     "q_ann_ivfpq" -> (ivfPqCtes + """
       SELECT probe_id, vec_id, rank::BIGINT AS rank,

@@ -428,6 +428,21 @@ object StatsOps {
       .orderBy("event_type", "h")
   }
 
+  /** Holt-Winters additive (weekly seasonal) 7-step forecast of the
+    * daily spend series per event type: the q_holt_forecast recursion
+    * plus a 7-slot seasonal ring, every update 6-dp-rounded, the
+    * oracle replaying it through a LIST-state recursive CTE.
+    */
+  val qHwForecast: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+    Resample.holtWintersForecast(daily, "event_type", Seq("d"), "x",
+        alpha = 0.3, beta = 0.2, gamma = 0.1, period = 7, horizon = 7)
+      .orderBy("event_type", "h")
+  }
+
   /** Cohen's d of value per event type vs the pooled rest: exact
     * decimal moments into one identically-spelled float tree.
     */
@@ -575,6 +590,7 @@ object StatsOps {
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
     "q_holt_forecast" -> qHoltForecast,
+    "q_hw_forecast" -> qHwForecast,
     "q_xcorr" -> qXcorr,
     "q_best_split" -> qBestSplit,
     "q_markov_perplexity" -> qMarkovPerplexity,
@@ -1492,6 +1508,48 @@ object StatsOps {
     // DECIMAL in DuckDB and (1 - 0.3) would be an EXACT 0.7 where the
     // Spark kernel computes the IEEE double 1.0-0.3 — casting first
     // makes both engines run the identical float ops.
+    // The q_holt_forecast recursion plus a 7-slot LIST seasonal ring:
+    // init l0 = round6(list_sum(first 7)/7), s_i = round6(x_i - l0);
+    // each step re-spells the operator's rounded level inside the
+    // trend update (the holt precedent), ring = seas[2:] || [s_new].
+    "q_hw_forecast" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      init AS (
+        SELECT g, ROUND(LIST_SUM(l7) / 7, 6) AS l0, l7
+        FROM (SELECT g, LIST(x ORDER BY i) AS l7
+              FROM si WHERE i <= 7 GROUP BY g)
+        WHERE LEN(l7) = 7),
+      rec AS (
+        SELECT g, 7 AS i, l0 AS level, CAST(0.0 AS DOUBLE) AS trend,
+               LIST_TRANSFORM(l7, v -> ROUND(v - l0, 6)) AS seas
+        FROM init
+        UNION ALL
+        SELECT si.g, si.i,
+               ROUND(0.3 * (si.x - r.seas[1])
+                 + (1.0 - 0.3) * (r.level + r.trend), 6),
+               ROUND(0.2 * (ROUND(0.3 * (si.x - r.seas[1])
+                     + (1.0 - 0.3) * (r.level + r.trend), 6) - r.level)
+                 + (1.0 - 0.2) * r.trend, 6),
+               r.seas[2:] || [ROUND(0.1 * (si.x - r.level - r.trend)
+                 + (1.0 - 0.1) * r.seas[1], 6)]
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, level, trend, seas,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT g AS event_type, CAST(h.h AS BIGINT) AS h,
+             CAST(ROUND(level + h.h * trend
+               + seas[((h.h - 1) % 7) + 1], 6) AS DOUBLE) AS forecast
+      FROM fin CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) h(h)
+      WHERE rn = 1
+      ORDER BY event_type, h""",
+
     "q_holt_forecast" -> """
       WITH RECURSIVE s AS (
         SELECT event_type AS g, CAST(ts AS DATE) AS d,

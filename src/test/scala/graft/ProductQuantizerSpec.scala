@@ -113,6 +113,81 @@ class ProductQuantizerSpec extends SparkTestBase {
     }
   }
 
+  private def clustered() = {
+    import spark.implicits._
+    val rng = new scala.util.Random(73)
+    val centers = Seq(Seq.fill(8)(5.0), Seq.fill(8)(-5.0),
+      (0 until 8).map(i => if (i % 2 == 0) 5.0 else -5.0))
+    (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(_ + rng.nextGaussian() * 0.5))
+    }.toDF("id", "v")
+  }
+
+  test("residual PQ reconstructs clustered data better than plain PQ") {
+    val df = clustered()
+    val coarse = ProductQuantizer.trainCoarse(df, "id", "v", k = 3, iters = 2)
+    val plainCb = ProductQuantizer.train(df, "id", "v", m = 2, k = 3, iters = 1)
+    val plain = ProductQuantizer.encode(df, "id", "v", plainCb)
+      .agg(sum("recon_err")).head.getDouble(0)
+    val resCb = ProductQuantizer.trainResidual(df, "id", "v", coarse,
+      m = 2, k = 3, iters = 1)
+    val residual = ProductQuantizer.encode(
+        ProductQuantizer.residuals(df, "id", "v", coarse), "id", "resid",
+        resCb)
+      .agg(sum("recon_err")).head.getDouble(0)
+    assert(residual < plain,
+      s"residual coding must beat raw coding on clustered data: " +
+        s"$residual vs $plain")
+  }
+
+  test("residual IVFADC: pruned results subset the full probe, adc intact") {
+    val df = clustered()
+    val coarse = ProductQuantizer.trainCoarse(df, "id", "v", k = 3, iters = 2)
+    val cb = ProductQuantizer.trainResidual(df, "id", "v", coarse,
+      m = 2, k = 3, iters = 1)
+    val idx = ProductQuantizer.buildIvfPqResidual(df, "id", "v", coarse, cb)
+    val probes = df.filter(col("id") < 3)
+    val full = ProductQuantizer.searchIvfAdcResidual(idx, "id", probes,
+        "id", "v", coarse, cb, nprobe = 3, topK = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    val pruned = ProductQuantizer.searchIvfAdcResidual(idx, "id", probes,
+      "id", "v", coarse, cb, nprobe = 1, topK = 5).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.contains(key) && full(key) == r.getDouble(3),
+        s"pruned row $key must appear in the full probe with the same adc")
+    }
+  }
+
+  test("residual IVFADC routes every result to the probe's own cluster") {
+    // the planted structure: inter-blob squared distance is ~800 while
+    // intra-blob is ~2, far beyond any ADC quantization error — so at
+    // nprobe 1 every returned neighbor must be a cluster-mate of the
+    // probe (id % 3). Within-cluster RANK fidelity is deliberately NOT
+    // pinned: with m=2, k=3 residual codes the within-blob ADC order is
+    // quantization-limited, which is expected of a 6-byte code.
+    val df = clustered()
+    val coarse = ProductQuantizer.trainCoarse(df, "id", "v", k = 3, iters = 2)
+    val cb = ProductQuantizer.trainResidual(df, "id", "v", coarse,
+      m = 2, k = 3, iters = 1)
+    val idx = ProductQuantizer.buildIvfPqResidual(df, "id", "v", coarse, cb)
+    val probes = df.filter(col("id") < 3)
+    val got = ProductQuantizer.searchIvfAdcResidual(idx, "id", probes,
+        "id", "v", coarse, cb, nprobe = 1, topK = 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    got.foreach { case (pid, ids) =>
+      assert(ids.size == 5, s"probe $pid returned ${ids.size} rows")
+      val strays = ids.filterNot(i => i % 3 == pid % 3)
+      assert(strays.isEmpty,
+        s"probe $pid (cluster ${pid % 3}) returned other-cluster ids $strays")
+    }
+  }
+
   test("searchExact matches a driver-side brute force") {
     val df = vecs()
     val data = df.collect()

@@ -482,4 +482,58 @@ class ResampleSpec extends SparkTestBase {
     assert(rows(1).getDouble(3) == 4.0 && rows(1).getDouble(4) == 0.0)
     assert(rows(2).getDouble(3) == 4.0 && rows(2).getDouble(4) == 0.0)
   }
+
+  test("holtWinters forecast: pure periodic series reproduces the cycle") {
+    import spark.implicits._
+    // x alternates 10/20 with period 2, gamma = 0: init l = 15,
+    // s = [-5, +5]; every step keeps l = 15, b = 0, so forecasts
+    // replay the cycle exactly
+    val df = Seq.tabulate(10)(t =>
+      ("g", t, if (t % 2 == 0) 10.0 else 20.0)).toDF("g", "t", "x")
+    val f = graft.operators.Resample.holtWintersForecast(df, "g",
+        Seq("t"), "x", alpha = 0.5, beta = 0.0, gamma = 0.0,
+        period = 2, horizon = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(f == Map(1L -> 10.0, 2L -> 20.0, 3L -> 10.0, 4L -> 20.0), f.toString)
+  }
+
+  test("holtWinters forecast: a series of exactly `period` rows " +
+      "still forecasts (terminal-state fold, not trailing rows)") {
+    import spark.implicits._
+    val df = Seq(("g", 1, 10.0), ("g", 2, 20.0)).toDF("g", "t", "x")
+    val f = graft.operators.Resample.holtWintersForecast(df, "g",
+        Seq("t"), "x", alpha = 0.3, beta = 0.2, gamma = 0.1,
+        period = 2, horizon = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(f == Map(1L -> 10.0, 2L -> 20.0), f.toString)
+    // fewer than `period` points: no ring, no forecast
+    val short = Seq(("g", 1, 10.0)).toDF("g", "t", "x")
+    assert(graft.operators.Resample.holtWintersForecast(short, "g",
+      Seq("t"), "x", 0.3, 0.2, 0.1, period = 2, horizon = 2).count() == 0L)
+  }
+
+  test("holtWinters row-level state matches a hand recurrence replay") {
+    import spark.implicits._
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = Seq(4.0, 9.0, 6.0, 11.0, 5.5, 12.5)
+    val df = xs.zipWithIndex.map { case (x, t) => ("g", t, x) }
+      .toDF("g", "t", "x")
+    val got = graft.operators.Resample.holtWinters(df, "g", Seq("t"),
+        "x", alpha = 0.4, beta = 0.3, gamma = 0.2, period = 2)
+      .collect().map(r => r.getInt(1) ->
+        ((r.get(3), r.get(4), r.get(5)))).toMap
+    assert(got(0) == ((null, null, null)), "warm-up emits NULL state")
+    var l = r6((4.0 + 9.0) / 2); var b = 0.0
+    var ring = Vector(r6(4.0 - l), r6(9.0 - l))
+    assert(got(1) == ((l, b, ring.last)), got(1).toString)
+    xs.drop(2).zipWithIndex.foreach { case (x, i) =>
+      val sOld = ring.head
+      val nl = r6(0.4 * (x - sOld) + 0.6 * (l + b))
+      val nb = r6(0.3 * (nl - l) + 0.7 * b)
+      val ns = r6(0.2 * (x - l - b) + 0.8 * sOld)
+      l = nl; b = nb; ring = ring.tail :+ ns
+      assert(got(i + 2) == ((l, b, ns)), s"row ${i + 2}: ${got(i + 2)}")
+    }
+  }
 }
