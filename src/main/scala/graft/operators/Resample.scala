@@ -760,6 +760,43 @@ object Resample {
         col("n_days"))
   }
 
+  /** Effective sample size of each group's daily value series under
+    * its measured autocorrelation: ESS = n / (1 + 2·Σ_{k=1..maxLag}
+    * ρ_k) — the honest denominator for any "is this week different"
+    * mean comparison on a correlated series (n independent-looking
+    * days of a sticky metric carry far fewer than n observations).
+    *
+    * Exactness: rides [[autocorrelation]] verbatim; its 6-dp-rounded
+    * ρ_k values are exact multiples of 1e-6, so Σρ accumulates as a
+    * SCALED LONG (order-free), and ESS is one final identically-
+    * spelled rounded division. The correction factor is reported
+    * alongside. Denominator ≤ 0 (strongly negative short-lag ACF
+    * pushes the truncated-sum estimator out of its validity range) or
+    * any NULL ρ (constant series) → NULL ESS by contract.
+    *
+    * Scale shape: identical to [[autocorrelation]] — calendar-bounded
+    * cells; the fold below runs on groups × maxLag rows.
+    * Output: (group, n_days, acf_sum, ess).
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    val acf = autocorrelation(df, groupCol, tsCol, valueCol, maxLag)
+    acf.groupBy(col(groupCol))
+      .agg(max("n_days").as("n_days"),
+        sum(round(col("acf") * 1e6).cast("long")).as("_sq"),
+        count(col("acf")).as("_nk"),
+        count(lit(1)).as("_k"))
+      .withColumn("acf_sum",
+        when(col("_nk") === col("_k"),
+          round(col("_sq") / lit(1e6), 6)).cast("double"))
+      .withColumn("ess",
+        when(col("acf_sum").isNotNull
+            && (lit(1.0) + lit(2.0) * col("acf_sum")) > 0.0,
+          round(col("n_days").cast("double")
+            / (lit(1.0) + lit(2.0) * col("acf_sum")), 6)).cast("double"))
+      .select(groupCol, "n_days", "acf_sum", "ess")
+  }
+
   /** Per-group burstiness (Fano factor / index of dispersion) of the
     * daily EVENT-COUNT series: F = Var(N_day) / Mean(N_day) over the
     * observed days — 1 for a Poisson-steady stream, >> 1 for bursty

@@ -1472,6 +1472,231 @@ object Stats {
     * broadcast. Index is NULL when the group's overall sum is 0.
     * Output: (group, dow, n, seasonality).
     */
+  /** Chi-squared test of independence over the (aCol, bCol)
+    * contingency table, with Cramér's V effect size — the categorical
+    * association screen behind "is language independent of source"
+    * style corpus questions ([[theilsU]] answers the directional
+    * version; this is the symmetric classic with an effect size on
+    * [0, 1]).
+    *
+    * Exactness: observed counts, row/column marginals and N are exact
+    * integers; each cell's term ((o·N − r·c)/N)²/(r·c/N) is computed
+    * as ONE identically-spelled float tree from a decimal(38,0)
+    * integer numerator, rounded at 12 dp and accumulated in
+    * decimal(38,12) — decimal addition is exact and order-free, so
+    * the cell-sum is partitioning-independent (float Σ would depend
+    * on partition order). chi2/V round at 6 dp off the exact sum.
+    *
+    * Scale shape: one (a, b)-keyed count shuffle collapses the corpus
+    * to a levels²-bounded cell table; marginals re-aggregate that
+    * table and attach broadcast. NULL levels are real levels (the
+    * mutualInfo contract). V is NULL when min(R−1, C−1) = 0 (a
+    * single-level side has no association to measure).
+    *
+    * Output: one row (n, n_a_levels, n_b_levels, dof, chi2, cramers_v).
+    */
+  def chiSquared(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val rows = cells.groupBy(col("_a").as("_ar"))
+      .agg(sum("_o").as("_r"), count(lit(1)).as("_rl"))
+    val colsM = cells.groupBy(col("_b").as("_bc"))
+      .agg(sum("_o").as("_c"), count(lit(1)).as("_cl"))
+    val tot = cells.agg(sum("_o").cast(dec).as("_n"),
+      count(lit(1)).as("_ncells"))
+    val levA = rows.agg(count(lit(1)).as("_ra"))
+    val levB = colsM.agg(count(lit(1)).as("_cb"))
+    val termed = cells
+      .join(broadcast(rows), col("_a") <=> col("_ar"))
+      .join(broadcast(colsM), col("_b") <=> col("_bc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_num",
+        (col("_o").cast(dec) * col("_n")
+          - col("_r").cast(dec) * col("_c")).cast("double"))
+      .withColumn("_den",
+        col("_n").cast("double") * col("_r").cast("double")
+          * col("_c").cast("double"))
+      .withColumn("_term",
+        round(col("_num") * col("_num") / col("_den"), 12)
+          .cast("decimal(38,12)"))
+    termed
+      .agg(max(col("_n")).cast("long").as("n"),
+        sum(col("_term")).as("_chi"))
+      .crossJoin(broadcast(levA)).crossJoin(broadcast(levB))
+      .select(col("n"),
+        col("_ra").as("n_a_levels"), col("_cb").as("n_b_levels"),
+        ((col("_ra") - 1) * (col("_cb") - 1)).as("dof"),
+        round(col("_chi").cast("double"), 6).cast("double").as("chi2"),
+        when((col("_ra") - 1) > 0 && (col("_cb") - 1) > 0,
+          round(sqrt(col("_chi").cast("double")
+            / (col("n").cast("double")
+              * least(col("_ra") - 1, col("_cb") - 1).cast("double"))), 6))
+          .cast("double").as("cramers_v"))
+  }
+
+  /** Per-group Jarque–Bera normality screen from exact quantized
+    * moment sums: skewness g1 = m3/m2^1.5, excess kurtosis g2 =
+    * m4/m2² − 3, JB = n/6·(g1² + g2²/4) — the "is this metric even
+    * roughly normal" gate that decides whether z-test-family results
+    * deserve trust.
+    *
+    * Exactness: values quantize to `scale` (cents by default — the
+    * benford contract; coarser than the house 1e6 because 4th-power
+    * sums of 1e6-scaled longs overflow decimal(38,0) at corpus row
+    * counts, while cent-scaled x⁴ ≤ 1e20/row holds to ~1e18 rows);
+    * S1..S4 accumulate in decimal(38,0), so every input to the float
+    * stage is exact and partitioning-independent. The central-moment
+    * trees m_k(S1..S4, n) are spelled identically on both engines
+    * (the quantization scale cancels inside g1/g2), rounded at 6 dp.
+    *
+    * Scale shape: one group-keyed aggregate of four decimal sums —
+    * map-side partials, no window, no second pass. n < 2 or zero
+    * variance → NULL stats by contract.
+    *
+    * Output: (group, n, skewness, kurtosis, jb) — kurtosis is EXCESS.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 100): DataFrame = {
+    require(scale >= 1, s"scale=$scale must be >= 1")
+    val dec = "decimal(38,0)"
+    val x = round(col(valueCol) * scale).cast("long")
+    val sums = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), x.as("_x"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_s2"),
+        sum((col("_x").cast(dec) * col("_x") * col("_x")).cast(dec))
+          .as("_s3"),
+        sum((col("_x").cast(dec) * col("_x") * col("_x") * col("_x"))
+          .cast(dec)).as("_s4"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val mu = d("_s1") / nd
+    val m2 = d("_s2") / nd - mu * mu
+    val m3 = (d("_s3") / nd - lit(3.0) * mu * (d("_s2") / nd)) +
+      lit(2.0) * mu * mu * mu
+    val m4 = (d("_s4") / nd - lit(4.0) * mu * (d("_s3") / nd)) +
+      lit(6.0) * mu * mu * (d("_s2") / nd) - lit(3.0) * mu * mu * mu * mu
+    val ok = col("n") >= 2 && m2 > 0.0
+    val g1 = m3 / sqrt(m2 * m2 * m2)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    sums.select(col("_g").as(groupCol), col("n"),
+      when(ok, round(g1, 6)).cast("double").as("skewness"),
+      when(ok, round(g2, 6)).cast("double").as("kurtosis"),
+      when(ok, round(nd / lit(6.0) * (g1 * g1 + g2 * g2 / lit(4.0)), 6))
+        .cast("double").as("jb"))
+  }
+
+  /** Per-group two-sample Cramér–von Mises statistic against the
+    * pooled complement on `bins` equi-width cells — the
+    * whole-distribution companion to [[ksTestBinned]]: KS reads the
+    * single worst ECDF gap, CvM integrates EVERY gap (T =
+    * n₁n₂/N² · Σ_points (F₁−F₂)²), so a broad small shift that never
+    * spikes still registers. Born binned (the mannWhitneyBinned
+    * precedent): the grid is bins-bounded by construction, so there
+    * is no corpus-sized exact grid to outgrow.
+    *
+    * Exactness: same frozen-[min,max] cells and cumulative machinery
+    * as [[ksTestBinned]]; per cell the gap numerator cum·(N−ng) −
+    * (call−cum)·ng and the point weight w_q (total observations in
+    * the cell) are exact integers, the weighted square sum
+    * accumulates in decimal(38,0), and T_g = Σ w_q·num_q² /
+    * (N²·n_g·n_r) is ONE final rounded division. NULL values are a
+    * real level (ksTestBinned contract).
+    *
+    * Output: (group, n_group, n_rest, cvm) — cvm NULL when the group
+    * is the whole input.
+    */
+  def cvmBinned(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val dec = "decimal(38,0)"
+    val stats = df.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val points = df.crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col(valueCol).isNotNull,
+          when(col("_hi") > col("_lo"),
+            least(floor((col(valueCol) - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))), lit(bins - 1)))
+            .otherwise(lit(0))).cast("long").as("_q"))
+    val cells = points.groupBy(col("_g"), col("_q"))
+      .agg(count(lit(1)).as("_c"))
+    val groups = cells.groupBy(col("_g").as("_gm")).agg(sum("_c").as("_ng"))
+    val values = cells.select(col("_q").as("_vq")).distinct()
+    val n = cells.agg(sum("_c").as("_n"))
+    val grid = values
+      .crossJoin(broadcast(groups))
+      .join(cells, col("_gm") <=> col("_g") && col("_vq") <=> col("_q"),
+        "left")
+      .select(col("_gm").as("_g"), col("_vq").as("_q"), col("_ng"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val perGroup = Window.partitionBy("_g").orderBy("_q")
+    val atValue = Window.partitionBy("_q")
+    grid
+      .withColumn("_cum", sum("_c").over(perGroup))
+      .withColumn("_call", sum("_cum").over(atValue))
+      .withColumn("_w", sum("_c").over(atValue))
+      .crossJoin(broadcast(n))
+      .withColumn("_num",
+        (col("_cum") * (col("_n") - col("_ng"))
+          - (col("_call") - col("_cum")) * col("_ng")).cast(dec))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_ng").as("n_group"),
+        (max("_n") - max("_ng")).as("n_rest"),
+        sum(col("_w").cast(dec) * col("_num") * col("_num")).as("_ssq"),
+        max("_n").as("_nn"))
+      .withColumn("cvm",
+        when(col("n_rest") > 0,
+          round(col("_ssq").cast("double")
+            / (col("_nn").cast("double") * col("_nn").cast("double")
+              * col("n_group").cast("double")
+              * col("n_rest").cast("double")), 6)).cast("double"))
+      .select(groupCol, "n_group", "n_rest", "cvm")
+  }
+
+  /** Benjamini–Hochberg FDR step-up over a battery of p-values: rank
+    * tests by p ascending, find the largest rank i with p_i ≤
+    * i·alpha/m, and mark everything at or below it significant — the
+    * multiple-testing gate that keeps a 50-slice drift battery from
+    * crying wolf on 2-3 slices by chance every run.
+    *
+    * Exactness: the threshold compare is spelled p·m ≤ i·alpha (both
+    * sides one float product — no division), the rank total order is
+    * (p, idCols) so ties can't flip between engines, and the step-up
+    * cutoff is an integer max over qualifying ranks. No rounding
+    * anywhere: inputs pass through.
+    *
+    * Scale shape: the battery is TEST-COUNT-bounded by contract (one
+    * row per test — slices × metrics, never data rows), so the
+    * single-partition rank window costs m rows; the corpus-scale work
+    * happened upstream producing each p. Output: input columns +
+    * (rank, m, significant). NULL p-values are rejected loudly — a
+    * test that produced no p is a pipeline bug, not an insignificant
+    * result.
+    */
+  def fdrBh(df: DataFrame, pCol: String, idCols: Seq[String],
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha must be in (0,1)")
+    require(idCols.nonEmpty, "fdrBh needs tiebreak id columns")
+    val guarded = df.withColumn(pCol,
+      when(col(pCol).isNull, raise_error(
+        lit("fdrBh: NULL p-value in the battery"))).otherwise(col(pCol)))
+    val w = Window.orderBy(col(pCol) +: idCols.map(col): _*)
+    val all = Window.partitionBy()
+    guarded
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("_kmax",
+        max(when(col(pCol) * col("m") <= col("rank") * alpha, col("rank")))
+          .over(all))
+      .withColumn("significant",
+        coalesce(col("rank") <= col("_kmax"), lit(false)))
+      .drop("_kmax")
+  }
+
   def seasonalityIndex(df: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val dow = pmod(fdiv(unix_timestamp(col(tsCol)), lit(86400L)) + 3, lit(7))

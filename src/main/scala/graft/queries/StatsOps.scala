@@ -443,6 +443,57 @@ object StatsOps {
       .orderBy("event_type", "h")
   }
 
+  /** Chi-squared independence of lang × source on documents, with
+    * Cramér's V: exact integer contingency marginals, per-cell terms
+    * 12-dp-quantized into an exact decimal sum, one float tree.
+    */
+  val qChiSquared: QueryFn = withTables { spark =>
+    Stats.chiSquared(spark.table("documents"), "lang", "source")
+  }
+
+  /** Jarque-Bera normality screen of value per event type: cent-scaled
+    * decimal(38,0) moment sums S1..S4 into identically-spelled
+    * central-moment trees (the scale cancels in g1/g2).
+    */
+  val qJarqueBera: QueryFn = withTables { spark =>
+    Stats.jarqueBera(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  /** Binned two-sample Cramér-von Mises of value per event type vs
+    * the pooled rest: the q_ks_binned cells with a weighted squared
+    * gap sum (decimal-exact) instead of the max gap.
+    */
+  val qCvmBinned: QueryFn = withTables { spark =>
+    Stats.cvmBinned(spark.table("events"), "event_type", "value", bins = 16)
+      .orderBy("event_type")
+  }
+
+  /** Benjamini-Hochberg FDR over the per-event-type binned-KS battery:
+    * asymptotic KS p-values (one 9-dp-rounded exp tree) ranked by
+    * (p, event_type), step-up cutoff at alpha = 0.1.
+    */
+  val qFdrBh: QueryFn = withTables { spark =>
+    val ks = Stats.ksTestBinned(spark.table("events"), "event_type",
+      "value", bins = 16)
+    val withP = ks.withColumn("p",
+      least(lit(1.0), round(lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks")
+        * col("n_group").cast("double") * col("n_rest").cast("double")
+        / (col("n_group") + col("n_rest")).cast("double")), 9)))
+    Stats.fdrBh(withP, "p", Seq("event_type"), alpha = 0.1)
+      .orderBy("event_type")
+  }
+
+  /** Effective sample size of the daily spend series per event type
+    * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
+    * acf values summed as exact scaled longs, one rounded division.
+    */
+  val qEss: QueryFn = withTables { spark =>
+    Resample.effectiveSampleSize(spark.table("events"), "event_type",
+        "ts", "value", maxLag = 3)
+      .orderBy("event_type")
+  }
+
   /** Cohen's d of value per event type vs the pooled rest: exact
     * decimal moments into one identically-spelled float tree.
     */
@@ -589,6 +640,11 @@ object StatsOps {
     "q_modularity" -> qModularity,
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
+    "q_chi_squared" -> qChiSquared,
+    "q_jarque_bera" -> qJarqueBera,
+    "q_cvm_binned" -> qCvmBinned,
+    "q_fdr_bh" -> qFdrBh,
+    "q_ess" -> qEss,
     "q_holt_forecast" -> qHoltForecast,
     "q_hw_forecast" -> qHwForecast,
     "q_xcorr" -> qXcorr,
@@ -683,6 +739,243 @@ object StatsOps {
              END AS ks
       FROM cum2 CROSS JOIN nn
       GROUP BY g
+      ORDER BY event_type""",
+
+    // Exact integer contingency marginals; each cell term is the same
+    // (o·N − r·c)²/(N·r·c) double tree rounded at 12 dp into an exact
+    // DECIMAL(38,12) sum (order-free on both engines), then one
+    // rounded cast for chi2 and the same sqrt tree for V.
+    "q_chi_squared" -> """
+      WITH cells AS (
+        SELECT lang AS a, source AS b, COUNT(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2),
+      rows_ AS (SELECT a, SUM(o)::BIGINT AS r FROM cells GROUP BY a),
+      cols_ AS (SELECT b, SUM(o)::BIGINT AS c FROM cells GROUP BY b),
+      tot AS (SELECT SUM(o)::HUGEINT AS n FROM cells),
+      la AS (SELECT COUNT(*)::BIGINT AS ra FROM rows_),
+      lb AS (SELECT COUNT(*)::BIGINT AS cb FROM cols_),
+      terms AS (
+        SELECT CAST(ce.o::HUGEINT * n - r.r::HUGEINT * c.c AS DOUBLE)
+                 AS numd,
+               CAST(n AS DOUBLE) * CAST(r.r AS DOUBLE)
+                 * CAST(c.c AS DOUBLE) AS den
+        FROM cells ce
+        JOIN rows_ r ON ce.a IS NOT DISTINCT FROM r.a
+        JOIN cols_ c ON ce.b IS NOT DISTINCT FROM c.b
+        CROSS JOIN tot),
+      s AS (SELECT SUM(ROUND(numd * numd / den, 12)::DECIMAL(38,12))
+              AS chi FROM terms)
+      SELECT CAST(n AS BIGINT) AS n, ra AS n_a_levels, cb AS n_b_levels,
+             (ra - 1) * (cb - 1) AS dof,
+             CAST(ROUND(CAST(chi AS DOUBLE), 6) AS DOUBLE) AS chi2,
+             CAST(CASE WHEN ra - 1 > 0 AND cb - 1 > 0 THEN
+               ROUND(SQRT(CAST(chi AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * CAST(LEAST(ra - 1, cb - 1) AS DOUBLE))), 6)
+             END AS DOUBLE) AS cramers_v
+      FROM s CROSS JOIN tot CROSS JOIN la CROSS JOIN lb""",
+
+    // Cent-scaled HUGEINT moment sums mirroring decimal(38,0); the
+    // central-moment, g1/g2 and JB trees spelled exactly as the
+    // operator's Column expressions (left-associative, same literals).
+    "q_jarque_bera" -> """
+      WITH pts AS (
+        SELECT event_type AS g, CAST(ROUND(value * 100.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x::HUGEINT) AS s1, SUM(x::HUGEINT * x) AS s2,
+               SUM(x::HUGEINT * x * x) AS s3,
+               SUM(x::HUGEINT * x * x * x) AS s4
+        FROM pts GROUP BY g),
+      m AS (
+        SELECT g, n, CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+               CAST(s4 AS DOUBLE) AS s4d
+        FROM agg),
+      c AS (
+        SELECT g, n, nd,
+               s2d / nd - mu * mu AS m2,
+               s3d / nd - 3.0 * mu * (s2d / nd) + 2.0 * mu * mu * mu AS m3,
+               s4d / nd - 4.0 * mu * (s3d / nd)
+                 + 6.0 * mu * mu * (s2d / nd)
+                 - 3.0 * mu * mu * mu * mu AS m4
+        FROM m),
+      gg AS (
+        SELECT g, n, nd, m2,
+               m3 / SQRT(m2 * m2 * m2) AS g1,
+               m4 / (m2 * m2) - 3.0 AS g2
+        FROM c)
+      SELECT g AS event_type, n,
+             CAST(CASE WHEN n >= 2 AND m2 > 0.0 THEN ROUND(g1, 6) END
+               AS DOUBLE) AS skewness,
+             CAST(CASE WHEN n >= 2 AND m2 > 0.0 THEN ROUND(g2, 6) END
+               AS DOUBLE) AS kurtosis,
+             CAST(CASE WHEN n >= 2 AND m2 > 0.0 THEN
+               ROUND(nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 6) END
+               AS DOUBLE) AS jb
+      FROM gg
+      ORDER BY event_type""",
+
+    // The q_ks_binned cell/grid/cumulative CTEs verbatim, plus the
+    // per-bin total weight w; the statistic integrates w·num² in
+    // HUGEINT and divides once.
+    "q_cvm_binned" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*) AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
+      cum AS (
+        SELECT g, q, ng, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call,
+               SUM(c) OVER (PARTITION BY q) AS w
+        FROM cum),
+      numd AS (
+        SELECT g, ng, w,
+               (cg * (n - ng) - (call - cg) * ng)::HUGEINT AS num
+        FROM cum2 CROSS JOIN nn)
+      SELECT g AS event_type, MAX(ng) AS n_group,
+             MAX(n) - MAX(ng) AS n_rest,
+             CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+               CAST(ROUND(CAST(SUM(w::HUGEINT * num * num) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+                    * CAST(MAX(ng) AS DOUBLE)
+                    * CAST(MAX(n) - MAX(ng) AS DOUBLE)), 6)
+                 AS DOUBLE)
+             END AS cvm
+      FROM numd CROSS JOIN nn
+      GROUP BY g
+      ORDER BY event_type""",
+
+    // The q_ks_binned battery feeding the asymptotic KS p (one
+    // 9-dp-rounded EXP tree), then BH: (p, event_type) rank order,
+    // the p·m ≤ rank·alpha compare (products only — no division),
+    // integer step-up cutoff.
+    "q_fdr_bh" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*) AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
+      cum AS (
+        SELECT g, q, ng,
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call
+        FROM cum),
+      kst AS (
+        SELECT g AS event_type, MAX(ng) AS n_group,
+               MAX(n) - MAX(ng) AS n_rest,
+               CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+                 CAST(ROUND(MAX(ABS(cg * (n - ng) - (call - cg) * ng))
+                   / CAST(MAX(ng) * (MAX(n) - MAX(ng)) AS DOUBLE), 6)
+                   AS DOUBLE)
+               END AS ks
+        FROM cum2 CROSS JOIN nn
+        GROUP BY g),
+      withp AS (
+        SELECT event_type, n_group, n_rest, ks,
+               LEAST(1.0, ROUND(2.0 * EXP(-2.0 * ks * ks
+                 * CAST(n_group AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                 / CAST(n_group + n_rest AS DOUBLE)), 9)) AS p
+        FROM kst),
+      ranked AS (
+        SELECT event_type, n_group, n_rest, ks, p,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS rank,
+               COUNT(*) OVER () AS m
+        FROM withp),
+      km AS (SELECT MAX(rank) AS kmax FROM ranked
+             WHERE p * m <= rank * 0.1)
+      SELECT event_type, n_group, n_rest, ks, p,
+             rank::BIGINT AS rank, m::BIGINT AS m,
+             COALESCE(rank <= kmax, FALSE) AS significant
+      FROM ranked CROSS JOIN km
+      ORDER BY event_type""",
+
+    // The q_acf CTEs verbatim; the 6-dp acf values are exact 1e-6
+    // multiples, so their sum is an exact scaled long, and ESS is one
+    // identically-spelled rounded division.
+    "q_ess" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2,
+               LEAD(aa, 3) OVER w AS l3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2, SUM(aa * l3) AS n3
+        FROM lagged GROUP BY g),
+      acfs AS (
+        SELECT g, n_days,
+               CAST(CASE WHEN d <> 0 THEN
+                 ROUND(CAST(nk AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS DOUBLE) AS acf
+        FROM (
+          SELECT g, n1 AS nk, d, n_days FROM agg
+          UNION ALL SELECT g, n2, d, n_days FROM agg
+          UNION ALL SELECT g, n3, d, n_days FROM agg)),
+      s AS (
+        SELECT g, MAX(n_days) AS n_days,
+               SUM(CAST(ROUND(acf * 1000000.0) AS BIGINT)) AS sq,
+               COUNT(acf) AS nk, COUNT(*) AS k
+        FROM acfs GROUP BY g),
+      fin AS (
+        SELECT g, n_days,
+               CAST(CASE WHEN nk = k THEN ROUND(sq / 1000000.0, 6) END
+                 AS DOUBLE) AS acf_sum
+        FROM s)
+      SELECT g AS event_type, n_days, acf_sum,
+             CAST(CASE WHEN acf_sum IS NOT NULL
+                    AND 1.0 + 2.0 * acf_sum > 0.0 THEN
+               ROUND(CAST(n_days AS DOUBLE) / (1.0 + 2.0 * acf_sum), 6)
+             END AS DOUBLE) AS ess
+      FROM fin
       ORDER BY event_type""",
 
     // Same scaled-long quantization, the same lower-median ranks

@@ -1132,4 +1132,137 @@ class StatsSpec extends SparkTestBase {
       assert(math.abs(ratio - 1.0) < 1e-4, s"weighted mean law: $r")
     }
   }
+
+  // ---- chiSquared ----
+
+  test("chiSquared hand fixture: textbook 2x2 table") {
+    import spark.implicits._
+    // table: a1/b1=10, a1/b2=20, a2/b1=30, a2/b2=40; N=100
+    // chi2 = N(ad-bc)^2 / (r1 r2 c1 c2) = 100*(400-600)^2/(30*70*40*60)
+    //      = 100*40000/5040000 = 0.793651 (6 dp)
+    val rows = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(20)(("a1", "b2")) ++
+      Seq.fill(30)(("a2", "b1")) ++ Seq.fill(40)(("a2", "b2"))
+    val r = Stats.chiSquared(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 100 && r.getAs[Long]("dof") == 1)
+    assert(math.abs(r.getAs[Double]("chi2") - 0.793651) < 1e-6, r.toString)
+    // V = sqrt(chi2 / (N * min(R-1,C-1))) = sqrt(0.00793651) = 0.089087
+    assert(math.abs(r.getAs[Double]("cramers_v") - 0.089087) < 1e-6)
+  }
+
+  test("chiSquared: exact independence gives chi2 = 0") {
+    import spark.implicits._
+    // perfectly proportional table: o = r*c/N exactly everywhere
+    val rows = Seq.fill(4)(("x", "u")) ++ Seq.fill(4)(("x", "v")) ++
+      Seq.fill(4)(("y", "u")) ++ Seq.fill(4)(("y", "v"))
+    val r = Stats.chiSquared(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Double]("chi2") == 0.0 && r.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  test("chiSquared: single-level side reports NULL V and dof 0") {
+    import spark.implicits._
+    val df = Seq(("x", "u"), ("x", "v"), ("x", "u")).toDF("a", "b")
+    val r = Stats.chiSquared(df, "a", "b").collect().head
+    assert(r.getAs[Long]("dof") == 0L)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("chiSquared: NULL level is a real level") {
+    import spark.implicits._
+    val df = Seq(("x", Some("u")), ("x", None), ("y", Some("u")),
+      ("y", None)).toDF("a", "b")
+    val r = Stats.chiSquared(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n_b_levels") == 2L, "NULL must count as a b-level")
+    assert(r.getAs[Double]("chi2") == 0.0, "proportional incl. NULL level")
+  }
+
+  // ---- jarqueBera ----
+
+  test("jarqueBera hand fixture: symmetric two-point mass") {
+    import spark.implicits._
+    // {-1,-1,1,1}: mu=0, m2=1, m3=0, m4=1 -> g1=0, g2=-2, JB=n/6*(0+1)
+    val df = Seq(("g", -1.0), ("g", -1.0), ("g", 1.0), ("g", 1.0))
+      .toDF("g", "v")
+    val r = Stats.jarqueBera(df, "g", "v").collect().head
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis") == -2.0)
+    assert(math.abs(r.getAs[Double]("jb") - 4.0 / 6.0) < 1e-6, r.toString)
+  }
+
+  test("jarqueBera: right skew is positive, constant series is NULL") {
+    import spark.implicits._
+    val skewed = (Seq.fill(9)(0.0) :+ 100.0).map(("g", _)).toDF("g", "v")
+    val r = Stats.jarqueBera(skewed, "g", "v").collect().head
+    assert(r.getAs[Double]("skewness") > 2.0, s"planted right skew: $r")
+    val const = Seq(("g", 5.0), ("g", 5.0)).toDF("g", "v")
+    val c = Stats.jarqueBera(const, "g", "v").collect().head
+    assert(c.isNullAt(c.fieldIndex("jb")), "zero variance must be NULL")
+  }
+
+  // ---- cvmBinned ----
+
+  test("cvmBinned: identical distributions give 0, disjoint give more") {
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val s = Stats.cvmBinned(same, "g", "v", bins = 4).collect()
+    s.foreach(r => assert(r.getAs[Double]("cvm") == 0.0, r.toString))
+    val disj = Seq(("a", 1.0), ("a", 1.1), ("b", 9.0), ("b", 9.1))
+      .toDF("g", "v")
+    val d = Stats.cvmBinned(disj, "g", "v", bins = 4).collect()
+    d.foreach(r => assert(r.getAs[Double]("cvm") > 0.1, r.toString))
+  }
+
+  test("cvmBinned hand fixture: one-point shift") {
+    import spark.implicits._
+    // bins resolve each value; a={0,10}, b={0,20} on [0,20], 2 bins:
+    // cells: a has bin0:2? No: (0-0)*2/20=0; (10-0)*2/20=1 -> bin 1
+    //        b: 0 -> bin 0, 20 -> clamp bin 1
+    // At bin 0: Fa=1/2, Fb=1/2 gap 0, w=2. At bin 1: both 1, gap 0.
+    // => cvm = 0 despite different raw values (binning merges them).
+    val df = Seq(("a", 0.0), ("a", 10.0), ("b", 0.0), ("b", 20.0))
+      .toDF("g", "v")
+    val out = Stats.cvmBinned(df, "g", "v", bins = 2).collect()
+    out.foreach(r => assert(r.getAs[Double]("cvm") == 0.0, r.toString))
+    // finer bins separate 10 from 20: a={bin0,bin2}, b={bin0,bin3}
+    // grid bins {0,2,3}: at bin2 Fa=1, Fb=1/2 -> num=|2*2-1*2|=2, w=1
+    // T_a = w*num^2 / (N^2*ng*nr) = 1*4/(16*2*2) = 0.0625
+    val fine = Stats.cvmBinned(df, "g", "v", bins = 4).collect()
+    fine.foreach(r => assert(r.getAs[Double]("cvm") == 0.0625, r.toString))
+  }
+
+  // ---- fdrBh ----
+
+  test("fdrBh textbook fixture: step-up cutoff rescues a borderline p") {
+    import spark.implicits._
+    // m=5, alpha=0.05: thresholds i*alpha/m = .01,.02,.03,.04,.05
+    // p = .005,.011,.02,.2,.3 -> largest i with p_i <= thr_i is i=3
+    // (.02 <= .03); note i=2 FAILS alone (.011 > .01) but is rescued.
+    val df = Seq(("t1", 0.005), ("t2", 0.011), ("t3", 0.02),
+      ("t4", 0.2), ("t5", 0.3)).toDF("id", "p")
+    val out = Stats.fdrBh(df, "p", Seq("id"), alpha = 0.05)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Boolean]("significant")).toMap
+    assert(out == Map("t1" -> true, "t2" -> true, "t3" -> true,
+      "t4" -> false, "t5" -> false), out.toString)
+  }
+
+  test("fdrBh: nothing qualifies, nothing significant; all do, all are") {
+    import spark.implicits._
+    val none = Seq(("a", 0.9), ("b", 0.8)).toDF("id", "p")
+    assert(Stats.fdrBh(none, "p", Seq("id"), 0.05)
+      .filter(col("significant")).count() == 0L)
+    val all = Seq(("a", 0.001), ("b", 0.002)).toDF("id", "p")
+    assert(Stats.fdrBh(all, "p", Seq("id"), 0.05)
+      .filter(col("significant")).count() == 2L)
+  }
+
+  test("fdrBh: NULL p-value is rejected loudly") {
+    import spark.implicits._
+    val df = Seq(("a", Some(0.01)), ("b", None)).toDF("id", "p")
+    val e = intercept[Exception] {
+      Stats.fdrBh(df, "p", Seq("id"), 0.05).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
