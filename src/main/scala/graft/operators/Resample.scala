@@ -507,6 +507,62 @@ object Resample {
       }
   }
 
+  /** Output rows for [[holtWintersStream]]. */
+  case class HwOut(key: Long, event_id: Long, level: Option[Double],
+    trend: Option[Double], season: Option[Double])
+  private[operators] case class HwState(warm: List[Double],
+    level: Option[Double], trend: Double, ring: List[Double])
+
+  /** Streaming-legal [[holtWinters]]: per-key state is the warm-up
+    * list plus (level, trend) plus the `period`-slot seasonal ring —
+    * O(period) per key regardless of history — and each micro-batch's
+    * (order-sorted) values fold through the IDENTICAL 6-dp-rounded
+    * recursion, so streamed (level, trend, season) are bit-equal to
+    * the batch pass (pinned in ResampleSpec). Warm-up rows emit None
+    * exactly where batch emits NULL. Same ordering contract as
+    * [[ewmaStream]]: per-key order non-decreasing across
+    * micro-batches; watermark upstream to bound disorder.
+    */
+  def holtWintersStream(events: org.apache.spark.sql.Dataset[EwmaEvent],
+      alpha: Double, beta: Double, gamma: Double, period: Int)
+      : org.apache.spark.sql.Dataset[HwOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1], got $gamma")
+    require(period >= 2, s"period must be >= 2, got $period")
+    import events.sparkSession.implicits._
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, evs: Iterator[EwmaEvent], gs: GroupState[HwState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var st = gs.getOption.getOrElse(HwState(Nil, None, 0.0, Nil))
+          val out = sorted.map { e =>
+            st match {
+              case HwState(warm, None, _, _) =>
+                val w2 = warm :+ e.x
+                st = if (w2.size == period) {
+                  val l = r6(w2.sum / period)
+                  HwState(Nil, Some(l), 0.0, w2.map(v => r6(v - l)))
+                } else HwState(w2, None, 0.0, Nil)
+              case HwState(_, Some(prevL), prevT, ring) =>
+                val sOld = ring.head
+                val l = r6(alpha * (e.x - sOld) + (1.0 - alpha) * (prevL + prevT))
+                val b = r6(beta * (l - prevL) + (1.0 - beta) * prevT)
+                val sNew = r6(gamma * (e.x - prevL - prevT) + (1.0 - gamma) * sOld)
+                st = HwState(Nil, Some(l), b, ring.tail :+ sNew)
+            }
+            HwOut(key, e.event_id, st.level,
+              st.level.map(_ => st.trend), st.ring.lastOption)
+          }
+          if (sorted.nonEmpty) gs.update(st)
+          out.iterator
+      }
+  }
+
   /** Output rows for [[rollingQuantileStream]]. */
   case class RollingQuantileOut(key: Long, event_id: Long, quantile: Double)
   private[operators] case class RollingBuf(buf: List[Double])

@@ -1697,6 +1697,157 @@ object Stats {
       .drop("_kmax")
   }
 
+  /** Split-conformal quantile per group: q̂ = the k-th smallest
+    * 6-dp-quantized score with k = min(n, ⌈(1−alpha)·(n+1)⌉) — the
+    * calibration constant behind distribution-free prediction
+    * intervals ("inflate every interval to the q̂ of the holdout
+    * nonconformity scores and coverage ≥ 1−alpha follows, no
+    * normality assumed").
+    *
+    * Exactness: the order statistic is selected by COUNTING — the
+    * first (group, value) cell whose cumulative count reaches k —
+    * never by float quantile interpolation; k comes from one
+    * identically-spelled ceil tree (IEEE product noise can only push
+    * k conservatively up, the safe direction for coverage — both
+    * engines compute the same double, so the same k).
+    *
+    * Scale shape: one (group, value) cell shuffle; the cumulative
+    * window runs over the 6-dp VOCABULARY of each group (the
+    * mannWhitney cost class — pre-bin a continuous score at 100 TB).
+    * NULL scores are dropped (no nonconformity measured), n < 1 →
+    * no row. Output: (group, n, k, qhat).
+    */
+  def conformalQuantile(df: DataFrame, groupCol: String, scoreCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha must be in (0,1)")
+    val cells = df.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(scoreCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val groups = cells.groupBy(col("_g").as("_gm")).agg(sum("_c").as("n"))
+    val w = Window.partitionBy("_g").orderBy("_q")
+    cells
+      .withColumn("_cum", sum("_c").over(w))
+      .join(broadcast(groups), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("k",
+        least(col("n"), ceil((lit(1.0) - alpha) * (col("n") + 1)
+          .cast("double")).cast("long")))
+      .filter(col("_cum") >= col("k"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("n").as("n"), max("k").as("k"),
+        round(min("_q") / lit(1e6), 6).cast("double").as("qhat"))
+  }
+
+  /** Cochran–Armitage trend test per group: is a binary rate
+    * monotonically trending across ORDERED buckets (weeks, score
+    * deciles, cohort ages) — the "is this actually drifting, not just
+    * wobbling" gate a plain per-bucket z-test battery can't answer.
+    *
+    * With bucket score s (any integer ordinal — the statistic is
+    * translation-invariant), exact integer sums N, S = Σpos,
+    * T1 = Σ s·pos, T2 = Σ s·n, T3 = Σ s²·n accumulate in
+    * decimal(38,0); z = (T1 − T2·S/N) /
+    * sqrt(S/N·(1−S/N)·(T3 − T2·T2/N)) is ONE identically-spelled
+    * float tree rounded at 6 dp; zero variance (one bucket, or all
+    * success / all failure) → NULL.
+    *
+    * Scale shape: one (group, bucket) cell shuffle, then a
+    * group-keyed fold of five decimal sums — map-side partials, no
+    * window anywhere. Output: (group, n, n_pos, n_buckets, z).
+    */
+  def cochranArmitage(df: DataFrame, groupCol: String, bucket: Column,
+      success: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .select(col(groupCol).as("_g"), bucket.cast("long").as("_s"),
+        when(success, 1L).otherwise(0L).as("_y"))
+      .groupBy("_g", "_s")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_p"))
+    val sums = cells.groupBy(col("_g").as(groupCol))
+      .agg(sum("_n").as("n"), sum("_p").as("n_pos"),
+        count(lit(1)).as("n_buckets"),
+        sum((col("_s") * col("_p")).cast(dec)).as("_t1"),
+        sum((col("_s") * col("_n")).cast(dec)).as("_t2"),
+        sum((col("_s").cast(dec) * col("_s") * col("_n")).cast(dec))
+          .as("_t3"))
+    def d(c: String): Column = col(c).cast("double")
+    val pbar = d("n_pos") / d("n")
+    val num = d("_t1") - d("_t2") * pbar
+    val varT = d("_t3") - d("_t2") * d("_t2") / d("n")
+    val den = sqrt(pbar * (lit(1.0) - pbar) * varT)
+    sums.select(col(groupCol), col("n"), col("n_pos"), col("n_buckets"),
+      when(col("n_pos") > 0 && col("n_pos") < col("n")
+          && col("n_buckets") > 1,
+        round(num / den, 6)).cast("double").as("z"))
+  }
+
+  /** Isotonic (PAV) calibration curve per group: bin scores onto
+    * `bins` equi-width cells of the frozen global [min, max] (the
+    * ksTestBinned freeze), then fit the monotone-non-decreasing rate
+    * curve via the minimax closed form fitted(t) = max_{i≤t}
+    * min_{j≥t} rate(i..j) — the classic probability-calibration step
+    * ("a score of 0.8 should mean 80%") that respects ranking instead
+    * of imposing a sigmoid.
+    *
+    * Exactness: cell counts and prefix sums are exact integers;
+    * interval rates round at 6 dp BEFORE the min/max selection, so
+    * the chosen value is the same double on both engines however the
+    * true rationals tie. PAV runs over OBSERVED cells only (an empty
+    * bin contributes no constraint). NULL scores are dropped; NULL
+    * labels are failures (document per use).
+    *
+    * Scale shape: one (group, bin) cell shuffle collapses the corpus
+    * to ≤ bins cells per group; the (i, j, t) triple expansion is
+    * bins³-bounded CELL work (8000 rows at 20 bins — never data), an
+    * explicit contract like theilSen's maxPoints. Output: (group,
+    * bin, n, n_pos, rate_raw, rate_iso) with rate_iso non-decreasing
+    * in bin.
+    */
+  def isotonicCalibration(df: DataFrame, groupCol: String,
+      scoreCol: String, label: Column, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64,
+      s"bins=$bins out of the sane 2..64 window (cell work is bins^3)")
+    val stats = df.agg(min(col(scoreCol)).as("_lo"),
+      max(col(scoreCol)).as("_hi"))
+    val binned = df.filter(col(scoreCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col("_hi") > col("_lo"),
+          least(floor((col(scoreCol) - col("_lo")) * bins
+            / (col("_hi") - col("_lo"))), lit(bins - 1)))
+          .otherwise(lit(0)).cast("long").as("_b"),
+        when(label, 1L).otherwise(0L).as("_y"))
+    val w = Window.partitionBy("_g").orderBy("_b")
+    val cells = binned.groupBy("_g", "_b")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_p"))
+      .withColumn("_t", row_number().over(w))
+      .withColumn("_cn", sum("_n").over(w))
+      .withColumn("_cp", sum("_p").over(w))
+    val iSide = cells.select(col("_g").as("_gi"), col("_t").as("_i"),
+      (col("_cn") - col("_n")).as("_cni"), (col("_cp") - col("_p")).as("_cpi"))
+    val jSide = cells.select(col("_g").as("_gj"), col("_t").as("_j"),
+      col("_cn").as("_cnj"), col("_cp").as("_cpj"))
+    val pairs = iSide
+      .join(jSide, col("_gi") <=> col("_gj") && col("_i") <= col("_j"))
+      .select(col("_gi").as("_gp"), col("_i"), col("_j"),
+        round((col("_cpj") - col("_cpi"))
+          / (col("_cnj") - col("_cni")).cast("double"), 6).as("_avg"))
+    val tSide = cells.select(col("_g").as("_gt"), col("_t").as("_tt"))
+    val fitted = pairs
+      .join(tSide, col("_gp") <=> col("_gt")
+        && col("_i") <= col("_tt") && col("_j") >= col("_tt"))
+      .groupBy(col("_gp"), col("_tt"), col("_i"))
+      .agg(min("_avg").as("_minj"))
+      .groupBy(col("_gp"), col("_tt"))
+      .agg(max("_minj").as("rate_iso"))
+    cells
+      .join(fitted, col("_g") <=> col("_gp") && col("_t") === col("_tt"))
+      .select(col("_g").as(groupCol), col("_b").as("bin"),
+        col("_n").as("n"), col("_p").as("n_pos"),
+        round(col("_p") / col("_n").cast("double"), 6).as("rate_raw"),
+        col("rate_iso").cast("double").as("rate_iso"))
+  }
+
   def seasonalityIndex(df: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val dow = pmod(fdiv(unix_timestamp(col(tsCol)), lit(86400L)) + 3, lit(7))

@@ -494,6 +494,39 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Split-conformal 90% quantile of value per event type: counting
+    * order statistic over (group, value) cells, identically-spelled
+    * ceil for k.
+    */
+  val qConformal: QueryFn = withTables { spark =>
+    Stats.conformalQuantile(spark.table("events"), "event_type", "value",
+        alpha = 0.1)
+      .orderBy("event_type")
+  }
+
+  /** Cochran-Armitage trend of the high-value (>100) rate across
+    * calendar weeks per event type: exact decimal bucket sums into
+    * one z tree.
+    */
+  val qTrendTest: QueryFn = withTables { spark =>
+    val e = spark.table("events")
+    val epoch = unix_timestamp(col("ts"))
+    val week = ((epoch - pmod(epoch, lit(604800L))) / lit(604800L))
+      .cast("long")
+    Stats.cochranArmitage(e, "event_type", week, col("value") > 100)
+      .orderBy("event_type")
+  }
+
+  /** Isotonic (PAV) calibration of P(lang = en) against doc length
+    * per source: 12 frozen equi-width bins, minimax closed form over
+    * bins-cubed cell triples, 6-dp rates selected before min/max.
+    */
+  val qIsotonic: QueryFn = withTables { spark =>
+    Stats.isotonicCalibration(spark.table("documents"), "source",
+        "n_chars", col("lang") === "en", bins = 12)
+      .orderBy("source", "bin")
+  }
+
   /** Cohen's d of value per event type vs the pooled rest: exact
     * decimal moments into one identically-spelled float tree.
     */
@@ -641,6 +674,9 @@ object StatsOps {
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
     "q_chi_squared" -> qChiSquared,
+    "q_conformal" -> qConformal,
+    "q_trend_test" -> qTrendTest,
+    "q_isotonic" -> qIsotonic,
     "q_jarque_bera" -> qJarqueBera,
     "q_cvm_binned" -> qCvmBinned,
     "q_fdr_bh" -> qFdrBh,
@@ -740,6 +776,106 @@ object StatsOps {
       FROM cum2 CROSS JOIN nn
       GROUP BY g
       ORDER BY event_type""",
+
+    // Counting order statistic: first (group, value) cell whose
+    // cumulative count reaches k, with k from the identical ceil tree.
+    "q_conformal" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS q
+        FROM events WHERE value IS NOT NULL),
+      cells AS (SELECT g, q, COUNT(*)::BIGINT AS c FROM pts GROUP BY 1, 2),
+      grp AS (SELECT g, SUM(c)::BIGINT AS n FROM cells GROUP BY g),
+      cum AS (
+        SELECT g, q, SUM(c) OVER (PARTITION BY g ORDER BY q) AS cum
+        FROM cells),
+      kk AS (
+        SELECT g, n,
+               LEAST(n, CEIL((1.0 - 0.1) * CAST(n + 1 AS DOUBLE))::BIGINT)
+                 AS k
+        FROM grp)
+      SELECT c.g AS event_type, MAX(k.n) AS n, MAX(k.k) AS k,
+             CAST(ROUND(MIN(c.q) / 1000000.0, 6) AS DOUBLE) AS qhat
+      FROM cum c JOIN kk k ON c.g IS NOT DISTINCT FROM k.g
+                          AND c.cum >= k.k
+      GROUP BY c.g
+      ORDER BY event_type""",
+
+    // Same week bucketing as the q_acf day trick (604800 s), exact
+    // HUGEINT bucket sums mirroring decimal(38,0), one z tree.
+    "q_trend_test" -> """
+      WITH base AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 604800 + 604800)
+                   % 604800)) // 604800 AS s,
+               CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+        FROM events),
+      cells AS (
+        SELECT g, s, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p
+        FROM base GROUP BY 1, 2),
+      sums AS (
+        SELECT g, SUM(n)::BIGINT AS n, SUM(p)::BIGINT AS n_pos,
+               COUNT(*)::BIGINT AS n_buckets,
+               SUM((s * p)::HUGEINT) AS t1, SUM((s * n)::HUGEINT) AS t2,
+               SUM(s::HUGEINT * s * n) AS t3
+        FROM cells GROUP BY g)
+      SELECT g AS event_type, n, n_pos, n_buckets,
+             CAST(CASE WHEN n_pos > 0 AND n_pos < n AND n_buckets > 1 THEN
+               ROUND((CAST(t1 AS DOUBLE)
+                   - CAST(t2 AS DOUBLE)
+                     * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / SQRT(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(t3 AS DOUBLE)
+                        - CAST(t2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                          / CAST(n AS DOUBLE))), 6)
+             END AS DOUBLE) AS z
+      FROM sums
+      ORDER BY event_type""",
+
+    // Frozen [min,max] cells, prefix sums, the minimax PAV closed
+    // form over (i, j, t) cell triples, interval rates 6-dp-rounded
+    // BEFORE min/max selection.
+    "q_isotonic" -> """
+      WITH st AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi
+                  FROM documents),
+      binned AS (
+        SELECT source AS g,
+               (CASE WHEN hi > lo
+                  THEN LEAST(FLOOR((n_chars - lo) * 12 / (hi - lo)), 11)
+                  ELSE 0 END)::BIGINT AS b,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents CROSS JOIN st
+        WHERE n_chars IS NOT NULL),
+      cells AS (
+        SELECT g, b, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p
+        FROM binned GROUP BY 1, 2),
+      cp AS (
+        SELECT g, b, n, p,
+               ROW_NUMBER() OVER w AS t,
+               SUM(n) OVER w AS cn, SUM(p) OVER w AS cpp
+        FROM cells WINDOW w AS (PARTITION BY g ORDER BY b)),
+      pairs AS (
+        SELECT i.g, i.t AS i, j.t AS j,
+               ROUND((j.cpp - (i.cpp - i.p))
+                 / CAST(j.cn - (i.cn - i.n) AS DOUBLE), 6) AS avg
+        FROM cp i JOIN cp j ON i.g IS NOT DISTINCT FROM j.g
+                           AND i.t <= j.t),
+      inner_ AS (
+        SELECT p.g, t.t AS tt, p.i, MIN(p.avg) AS minj
+        FROM pairs p JOIN cp t ON p.g IS NOT DISTINCT FROM t.g
+                              AND p.i <= t.t AND p.j >= t.t
+        GROUP BY 1, 2, 3),
+      fit AS (SELECT g, tt, MAX(minj) AS rate_iso FROM inner_
+              GROUP BY 1, 2)
+      SELECT c.g AS source, c.b AS bin, c.n AS n, c.p AS n_pos,
+             CAST(ROUND(c.p / CAST(c.n AS DOUBLE), 6) AS DOUBLE)
+               AS rate_raw,
+             CAST(f.rate_iso AS DOUBLE) AS rate_iso
+      FROM cp c JOIN fit f ON c.g IS NOT DISTINCT FROM f.g
+                          AND c.t = f.tt
+      ORDER BY source, bin""",
 
     // Exact integer contingency marginals; each cell term is the same
     // (o·N − r·c)²/(N·r·c) double tree rounded at 12 dp into an exact

@@ -472,6 +472,54 @@ class ResampleSpec extends SparkTestBase {
       "the 2-double streaming state fold must equal the batch fold exactly")
   }
 
+  test("streaming holtWinters == batch holtWinters bit-for-bit on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.Resample.EwmaEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("k"),
+        col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double").as("x"))
+    val batch = graft.operators.Resample
+      .holtWinters(events, "k", Seq("us", "eid"), "x", 0.3, 0.2, 0.1,
+        period = 5)
+      .select(col("k"), col("eid"), col("level"), col("trend"), col("season"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+
+    val ordered = events.orderBy("us", "eid").collect()
+      .map(r => EwmaEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val input = MemoryStream[EwmaEvent]
+    val q = graft.operators.Resample
+      .holtWintersStream(input.toDS(), 0.3, 0.2, 0.1, period = 5)
+      .toDF("k", "eid", "level", "trend", "season")
+      .writeStream.format("memory").queryName("hw_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (first, second) = ordered.splitAt(ordered.length / 2)
+    input.addData(first.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hw_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(streamed === batch,
+      "the O(period) streaming ring fold must equal the batch fold exactly")
+  }
+
   test("holt: constant series keeps zero trend; NULLs propagate state") {
     import spark.implicits._
     val df = Seq(("g", 1, Some(4.0)), ("g", 2, None), ("g", 3, Some(4.0)))

@@ -1265,4 +1265,103 @@ class StatsSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  // ---- conformalQuantile ----
+
+  test("conformalQuantile: counting order statistic with the ceil k") {
+    import spark.implicits._
+    val df = (1 to 9).map(i => ("g", i.toDouble)).toDF("g", "v")
+    // alpha=0.2: k = min(9, ceil(0.8*10)) = 8 -> 8th smallest = 8.0
+    val r = Stats.conformalQuantile(df, "g", "v", alpha = 0.2)
+      .collect().head
+    assert(r.getAs[Long]("n") == 9 && r.getAs[Long]("k") == 8)
+    assert(r.getAs[Double]("qhat") == 8.0, r.toString)
+    // alpha=0.1: 0.9*10 ceils past 9 in IEEE (0.9 is not exact), so
+    // the min(n, .) clamp lands k = 9 -> the max — conservatively safe
+    val r2 = Stats.conformalQuantile(df, "g", "v", alpha = 0.1)
+      .collect().head
+    assert(r2.getAs[Long]("k") == 9 && r2.getAs[Double]("qhat") == 9.0)
+  }
+
+  test("conformalQuantile: ties resolved by counting, NULLs dropped") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1.0)), ("g", Some(1.0)), ("g", Some(1.0)),
+      ("g", Some(2.0)), ("g", None)).toDF("g", "v")
+    // n=4, alpha=0.5: k = min(4, ceil(0.5*5)) = 3 -> 3rd smallest = 1.0
+    val r = Stats.conformalQuantile(df, "g", "v", alpha = 0.5)
+      .collect().head
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("k") == 3)
+    assert(r.getAs[Double]("qhat") == 1.0, r.toString)
+  }
+
+  // ---- cochranArmitage ----
+
+  test("cochranArmitage textbook fixture") {
+    import spark.implicits._
+    // buckets 0/1/2 with 10 each, pos 2/5/8: z = 6/sqrt(5) = 2.683282
+    val rows = (0 until 3).flatMap { s =>
+      val pos = Seq(2, 5, 8)(s)
+      (0 until 10).map(i => ("g", s, i < pos))
+    }
+    val r = Stats.cochranArmitage(rows.toDF("g", "s", "y"), "g",
+      col("s"), col("y")).collect().head
+    assert(r.getAs[Long]("n") == 30 && r.getAs[Long]("n_pos") == 15)
+    assert(math.abs(r.getAs[Double]("z") - 2.683282) < 1e-6, r.toString)
+  }
+
+  test("cochranArmitage: translation-invariant, degenerate is NULL") {
+    import spark.implicits._
+    val rows = (0 until 3).flatMap { s =>
+      val pos = Seq(2, 5, 8)(s)
+      (0 until 10).map(i => ("g", s, i < pos))
+    }
+    val base = Stats.cochranArmitage(rows.toDF("g", "s", "y"), "g",
+      col("s"), col("y")).collect().head.getAs[Double]("z")
+    val shifted = Stats.cochranArmitage(rows.toDF("g", "s", "y"), "g",
+      col("s") + 1000, col("y")).collect().head.getAs[Double]("z")
+    assert(base == shifted, "score translation must not move z")
+    val allPos = Seq(("g", 0, true), ("g", 1, true)).toDF("g", "s", "y")
+    val d = Stats.cochranArmitage(allPos, "g", col("s"), col("y"))
+      .collect().head
+    assert(d.isNullAt(d.fieldIndex("z")), "all-success must be NULL")
+  }
+
+  // ---- isotonicCalibration ----
+
+  test("isotonicCalibration: violating pair pools to the weighted mean") {
+    import spark.implicits._
+    // bin0: 4/5 = 0.8, bin1: 1/5 = 0.2 -> PAV pools both to 0.5
+    val rows = (0 until 5).map(i => ("g", 0.0, i < 4)) ++
+      (0 until 5).map(i => ("g", 10.0, i < 1))
+    val out = Stats.isotonicCalibration(rows.toDF("g", "v", "y"), "g",
+        "v", col("y"), bins = 2)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("rate_raw") == 0.8)
+    assert(out(0).getAs[Double]("rate_iso") == 0.5)
+    assert(out(1).getAs[Double]("rate_iso") == 0.5, out.mkString(","))
+  }
+
+  test("isotonicCalibration: already-monotone curve is unchanged; " +
+      "fit is non-decreasing on real docs") {
+    import spark.implicits._
+    val rows = (0 until 10).map(i => ("g", 0.0, i < 2)) ++
+      (0 until 10).map(i => ("g", 5.0, i < 5)) ++
+      (0 until 10).map(i => ("g", 10.0, i < 9))
+    val out = Stats.isotonicCalibration(rows.toDF("g", "v", "y"), "g",
+        "v", col("y"), bins = 3)
+      .orderBy("bin").collect()
+    out.foreach(r => assert(
+      r.getAs[Double]("rate_iso") == r.getAs[Double]("rate_raw"),
+      s"monotone input must pass through: $r"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fit = Stats.isotonicCalibration(docs, "source", "n_chars",
+        col("lang") === "en", bins = 8)
+      .orderBy("source", "bin").collect()
+    fit.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val isos = rs.map(_.getAs[Double]("rate_iso"))
+      assert(isos.zip(isos.tail).forall { case (a, b) => a <= b },
+        s"rate_iso must be non-decreasing: ${rs.mkString(",")}")
+    }
+  }
 }
