@@ -494,6 +494,22 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Misra-Gries heavy hitters of lang per source, capacity 16: the
+    * judged slice runs in the sketch's EXACT regime (7 langs < 16 —
+    * no decrement can fire anywhere), so the oracle is a plain GROUP
+    * BY; the map-side-bounded shuffle shape is what's being judged.
+    */
+  val qHeavyHitters: QueryFn = withTables { spark =>
+    val hh = spark.table("documents")
+      .groupBy(col("source"))
+      .agg(graft.functions.FrequentItemsAgg
+        .frequentItems(col("lang"), 16).as("_hh"))
+    hh.select(col("source"), posexplode(col("_hh")).as(Seq("_p", "_e")))
+      .select(col("source"), col("_e.item").as("lang"),
+        (col("_p") + 1).cast("bigint").as("rank"), col("_e.n").as("n"))
+      .orderBy("source", "rank")
+  }
+
   /** Split-conformal 90% quantile of value per event type: counting
     * order statistic over (group, value) cells, identically-spelled
     * ceil for k.
@@ -675,6 +691,7 @@ object StatsOps {
     "q_acf" -> qAcf,
     "q_chi_squared" -> qChiSquared,
     "q_conformal" -> qConformal,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_trend_test" -> qTrendTest,
     "q_isotonic" -> qIsotonic,
     "q_jarque_bera" -> qJarqueBera,
@@ -776,6 +793,19 @@ object StatsOps {
       FROM cum2 CROSS JOIN nn
       GROUP BY g
       ORDER BY event_type""",
+
+    // Exact-regime heavy hitters (7 langs < capacity 16): the sketch
+    // counts equal plain GROUP BY counts; (n DESC, lang) total order.
+    "q_heavy_hitters" -> """
+      WITH counts AS (
+        SELECT source, lang, COUNT(*)::BIGINT AS n
+        FROM documents WHERE lang IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n DESC, lang)::BIGINT AS rank, n
+      FROM counts
+      ORDER BY source, rank""",
 
     // Counting order statistic: first (group, value) cell whose
     // cumulative count reaches k, with k from the identical ceil tree.
