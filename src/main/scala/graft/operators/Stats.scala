@@ -1848,6 +1848,188 @@ object Stats {
         col("rate_iso").cast("double").as("rate_iso"))
   }
 
+  /** Per-group ordinary least squares of y on x with R²: the
+    * workhorse "fit a line and say how much it explains" summary
+    * ([[theilSen]] is the robust sibling; OLS is what every dashboard
+    * actually plots, and R² is the association strength Kendall/
+    * Pearson don't state in slope units).
+    *
+    * Exactness: x and y quantize to 6-dp scaled longs; the six sums
+    * n, Sx, Sy, Sxx, Syy, Sxy accumulate in decimal(38,0), so every
+    * float input is exact. slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) —
+    * the quantization scale cancels — intercept = ȳ − slope·x̄ (one
+    * descale), R² = num²/(den_x·den_y); each is ONE identically-
+    * spelled float tree rounded at 6 dp. Constant x → NULL everything
+    * (no line); constant y → slope/intercept exact, R² NULL (0/0).
+    *
+    * Scale shape: one group-keyed fold of six decimal sums — map-side
+    * partials, no window, no second pass (the cohensD class).
+    * Output: (group, n, slope, intercept, r2).
+    */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_x"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxx"),
+        sum((col("_y").cast(dec) * col("_y")).cast(dec)).as("_syy"),
+        sum((col("_x").cast(dec) * col("_y")).cast(dec)).as("_sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val num = nd * d("_sxy") - d("_sx") * d("_sy")
+    val denX = nd * d("_sxx") - d("_sx") * d("_sx")
+    val denY = nd * d("_syy") - d("_sy") * d("_sy")
+    val slope = num / denX
+    sums.select(col("_g").as(groupCol), col("n"),
+      when(denX > 0.0, round(slope, 6)).cast("double").as("slope"),
+      when(denX > 0.0,
+        round(d("_sy") / nd / lit(1e6) - slope * (d("_sx") / nd / lit(1e6)),
+          6)).cast("double").as("intercept"),
+      when(denX > 0.0 && denY > 0.0,
+        round(num * num / (denX * denY), 6)).cast("double").as("r2"))
+  }
+
+  /** Per-group two-sample log-rank test against the pooled complement
+    * — the hypothesis-test companion to [[kaplanMeier]]: "are these
+    * two survival curves actually different" (time-to-churn by
+    * cohort, time-to-conversion by source) with censoring handled
+    * correctly, which no t-test on raw durations does.
+    *
+    * At every time with ≥ 1 event: d/n are total events/at-risk,
+    * d₁/n₁ the group's; O = Σd₁ (exact integer), E = Σ d·n₁/n,
+    * V = Σ d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1). Each E/V term is one
+    * identically-spelled float tree rounded at 12 dp into an exact
+    * order-free decimal(38,12) sum (the chiSquared discipline);
+    * z = (O−E)/√V rounds at 6. V = 0 (no comparison possible) → NULL.
+    *
+    * Scale shape: one (group, duration) cell shuffle; at-risk counts
+    * come from per-group cumulative windows on the times × groups
+    * GRID (duration-vocabulary-bounded, the ksTest cost class), total
+    * d/n recovered in-grid by time-partitioned sums — no global sort.
+    * Output: (group, n_subjects, o, e, z).
+    */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+      observed: Column): DataFrame = {
+    val cells = df
+      .groupBy(col(groupCol).as("_g"), col(durationCol).as("_t"))
+      .agg(sum(when(observed, 1L).otherwise(0L)).as("_d"),
+        count(lit(1)).as("_x"))
+    val groups = cells.groupBy(col("_g").as("_gm"))
+      .agg(sum("_x").as("_ng"))
+    val times = cells.groupBy(col("_t").as("_tv"))
+      .agg(sum("_d").as("_dtot")).filter(col("_dtot") > 0)
+      .select("_tv")
+    val grid = times
+      .crossJoin(broadcast(groups))
+      .join(cells, col("_gm") <=> col("_g") && col("_tv") <=> col("_t"),
+        "left")
+      .select(col("_gm").as("_g"), col("_tv").as("_t"), col("_ng"),
+        coalesce(col("_d"), lit(0L)).as("_d"),
+        coalesce(col("_x"), lit(0L)).as("_x"))
+    // at-risk at t = subjects minus exits at earlier times; exits at
+    // times with zero global events still leave the risk set, so the
+    // prefix must count ALL exits — join the full cell history back
+    val wPrev = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exitsAll = cells.select(col("_g"), col("_t"), col("_x"))
+      .withColumn("_isEvt", lit(0L))
+    val gridT = grid.select(col("_g"), col("_t"), lit(null).cast("long")
+      .as("_x")).withColumn("_isEvt", lit(1L))
+    val merged = exitsAll.select(col("_g"), col("_t"), col("_x"),
+        col("_isEvt"))
+      .unionByName(gridT)
+      .groupBy("_g", "_t")
+      .agg(sum(coalesce(col("_x"), lit(0L))).as("_exits"),
+        max("_isEvt").as("_isEvt"))
+    val wPrev2 = Window.partitionBy("_g").orderBy("_t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = merged
+      .join(broadcast(groups), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_nrisk",
+        col("_ng") - coalesce(sum("_exits").over(wPrev2), lit(0L)))
+      .filter(col("_isEvt") === 1L)
+      .select(col("_g"), col("_t"), col("_ng"), col("_nrisk"))
+    val full = atRisk
+      .join(grid.select(col("_g").as("_gg"), col("_t").as("_tt"),
+        col("_d")), col("_g") <=> col("_gg") && col("_t") === col("_tt"))
+      .drop("_gg", "_tt")
+    val atTime = Window.partitionBy("_t")
+    val termed = full
+      .withColumn("_dt", sum("_d").over(atTime))
+      .withColumn("_nt", sum("_nrisk").over(atTime))
+      .withColumn("_frac", col("_nrisk").cast("double")
+        / col("_nt").cast("double"))
+      .withColumn("_te",
+        round(col("_dt").cast("double") * col("_frac"), 12)
+          .cast("decimal(38,12)"))
+      .withColumn("_tv",
+        when(col("_nt") > 1,
+          round(col("_dt").cast("double") * col("_frac")
+            * (lit(1.0) - col("_frac"))
+            * (col("_nt") - col("_dt")).cast("double")
+            / (col("_nt") - 1).cast("double"), 12))
+          .otherwise(lit(0.0)).cast("decimal(38,12)"))
+    termed
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_ng").as("n_subjects"), sum("_d").as("o"),
+        sum("_te").as("_e"), sum("_tv").as("_v"))
+      .select(col(groupCol), col("n_subjects"), col("o"),
+        round(col("_e").cast("double"), 6).cast("double").as("e"),
+        when(col("_v").cast("double") > 0.0,
+          round((col("o").cast("double") - col("_e").cast("double"))
+            / sqrt(col("_v").cast("double")), 6))
+          .cast("double").as("z"))
+  }
+
+  /** Partial autocorrelation at lags 1..3 per group — "is lag-2
+    * structure real or just lag-1 echoing twice", the AR-order
+    * diagnostic read alongside [[Resample.autocorrelation]]'s ACF.
+    * Closed-form Durbin–Levinson unroll (three levels; the explicit
+    * contract of this operator — deeper orders belong to a model
+    * fitter): φ11 = ρ1, φ22 = (ρ2 − ρ1²)/(1 − ρ1²),
+    * φ21 = ρ1·(1 − φ22)... computed from the 6-dp-rounded ACF values,
+    * each φkk one identically-spelled float tree rounded at 6 dp.
+    * Degenerate denominators (|ρ1| = 1 echo chains) or NULL ACF
+    * (constant series) → NULL at that lag and beyond.
+    *
+    * Output: (group, lag, pacf) for lags 1..3.
+    */
+  def pacf(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val acf = Resample.autocorrelation(df, groupCol, tsCol, valueCol,
+      maxLag = 3)
+    val wide = acf.groupBy(col(groupCol))
+      .agg(max(when(col("lag") === 1, col("acf"))).as("_r1"),
+        max(when(col("lag") === 2, col("acf"))).as("_r2"),
+        max(when(col("lag") === 3, col("acf"))).as("_r3"))
+    val r1 = col("_r1"); val r2 = col("_r2"); val r3 = col("_r3")
+    val den2 = lit(1.0) - r1 * r1
+    val p22 = (r2 - r1 * r1) / den2
+    val p21 = r1 * (lit(1.0) - p22)
+    val den3 = lit(1.0) - p21 * r1 - p22 * r2
+    val p33 = (r3 - p21 * r2 - p22 * r1) / den3
+    val lagged = wide.select(col(groupCol),
+      round(r1, 6).cast("double").as("_p1"),
+      when(r1.isNotNull && r2.isNotNull && den2 =!= 0.0,
+        round(p22, 6)).cast("double").as("_p2"),
+      when(r1.isNotNull && r2.isNotNull && r3.isNotNull
+          && den2 =!= 0.0 && den3 =!= 0.0,
+        round(p33, 6)).cast("double").as("_p3"))
+    lagged.select(col(groupCol),
+        explode(array(
+          struct(lit(1L).as("lag"), col("_p1").as("pacf")),
+          struct(lit(2L).as("lag"), col("_p2").as("pacf")),
+          struct(lit(3L).as("lag"), col("_p3").as("pacf")))).as("_e"))
+      .select(col(groupCol), col("_e.lag").as("lag"),
+        col("_e.pacf").as("pacf"))
+  }
+
   def seasonalityIndex(df: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val dow = pmod(fdiv(unix_timestamp(col(tsCol)), lit(86400L)) + 3, lit(7))

@@ -510,6 +510,46 @@ object StatsOps {
       .orderBy("source", "rank")
   }
 
+  /** OLS of daily spend (integer cents) on the day index per event
+    * type, with R²: six decimal moment sums into identically-spelled
+    * slope/intercept/R² trees.
+    */
+  val qLinFit: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Stats.linearFit(cells, "event_type", "x", "y").orderBy("event_type")
+  }
+
+  /** Two-cohort log-rank on time-to-first-purchase (the
+    * q_kaplan_meier subjects split by user parity): grid at-risk
+    * counts, 12-dp decimal E/V term sums, one z tree.
+    */
+  val qLogRank: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("cohort"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"))
+    Stats.logRank(subjects, "cohort", "duration", col("observed"))
+      .orderBy("cohort")
+  }
+
+  /** PACF at lags 1..3 of the daily spend series per event type:
+    * the q_acf values through the closed-form Durbin-Levinson unroll.
+    */
+  val qPacf: QueryFn = withTables { spark =>
+    Stats.pacf(spark.table("events"), "event_type", "ts", "value")
+      .orderBy("event_type", "lag")
+  }
+
   /** Split-conformal 90% quantile of value per event type: counting
     * order statistic over (group, value) cells, identically-spelled
     * ceil for k.
@@ -692,6 +732,9 @@ object StatsOps {
     "q_chi_squared" -> qChiSquared,
     "q_conformal" -> qConformal,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_lin_fit" -> qLinFit,
+    "q_log_rank" -> qLogRank,
+    "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
     "q_isotonic" -> qIsotonic,
     "q_jarque_bera" -> qJarqueBera,
@@ -793,6 +836,168 @@ object StatsOps {
       FROM cum2 CROSS JOIN nn
       GROUP BY g
       ORDER BY event_type""",
+
+    // The q_kendall day cells; HUGEINT moment sums mirroring
+    // decimal(38,0), the identical slope/intercept/R^2 float trees.
+    "q_lin_fit" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(yq::HUGEINT * yq) AS syy,
+               SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts GROUP BY g),
+      d AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s)
+      SELECT g AS event_type, n,
+             CAST(CASE WHEN denx > 0.0 THEN ROUND(num / denx, 6) END
+               AS DOUBLE) AS slope,
+             CAST(CASE WHEN denx > 0.0 THEN
+               ROUND(syd / CAST(n AS DOUBLE) / 1000000.0
+                 - num / denx * (sxd / CAST(n AS DOUBLE) / 1000000.0), 6)
+             END AS DOUBLE) AS intercept,
+             CAST(CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+               ROUND(num * num / (denx * deny), 6)
+             END AS DOUBLE) AS r2
+      FROM d
+      ORDER BY event_type""",
+
+    // The q_kaplan_meier subjects split by user parity; at-risk from
+    // the full exit history, grid totals by time partition, E/V terms
+    // 12-dp-rounded into exact DECIMAL(38,12) sums, one z tree.
+    "q_log_rank" -> """
+      WITH subj AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS g,
+               DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS t,
+               (MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) IS NOT NULL) AS obs
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT g, t, SUM(CASE WHEN obs THEN 1 ELSE 0 END)::BIGINT AS d,
+               COUNT(*)::BIGINT AS x
+        FROM subj GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(x)::BIGINT AS ng FROM cells GROUP BY g),
+      times AS (
+        SELECT t FROM (SELECT t, SUM(d) AS dt FROM cells GROUP BY t)
+        WHERE dt > 0),
+      risk AS (
+        SELECT gr.g, tm.t, gr.ng,
+               (gr.ng - COALESCE(SUM(c2.x), 0))::BIGINT AS nrisk
+        FROM times tm CROSS JOIN grps gr
+        LEFT JOIN cells c2 ON c2.g = gr.g AND c2.t < tm.t
+        GROUP BY 1, 2, 3),
+      grid AS (
+        SELECT r.g, r.t, r.ng, r.nrisk, COALESCE(ce.d, 0)::BIGINT AS d
+        FROM risk r LEFT JOIN cells ce ON ce.g = r.g AND ce.t = r.t),
+      tot AS (
+        SELECT g, t, ng, nrisk, d,
+               SUM(d) OVER (PARTITION BY t) AS dt,
+               SUM(nrisk) OVER (PARTITION BY t) AS nt
+        FROM grid),
+      terms AS (
+        SELECT g, ng, d,
+               ROUND(CAST(dt AS DOUBLE)
+                 * (CAST(nrisk AS DOUBLE) / CAST(nt AS DOUBLE)), 12)
+                 ::DECIMAL(38,12) AS te,
+               (CASE WHEN nt > 1 THEN
+                  ROUND(CAST(dt AS DOUBLE)
+                    * (CAST(nrisk AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (1.0 - CAST(nrisk AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * CAST(nt - dt AS DOUBLE)
+                    / CAST(nt - 1 AS DOUBLE), 12)
+                ELSE 0.0 END)::DECIMAL(38,12) AS tv
+        FROM tot),
+      agg AS (
+        SELECT g, MAX(ng) AS ng, SUM(d)::BIGINT AS o,
+               SUM(te) AS e, SUM(tv) AS v
+        FROM terms GROUP BY g)
+      SELECT g AS cohort, ng AS n_subjects, o,
+             CAST(ROUND(CAST(e AS DOUBLE), 6) AS DOUBLE) AS e,
+             CAST(CASE WHEN CAST(v AS DOUBLE) > 0.0 THEN
+               ROUND((CAST(o AS DOUBLE) - CAST(e AS DOUBLE))
+                 / SQRT(CAST(v AS DOUBLE)), 6)
+             END AS DOUBLE) AS z
+      FROM agg
+      ORDER BY cohort""",
+
+    // The q_acf CTEs, pivoted wide, through the closed-form
+    // Durbin-Levinson unroll with RAW (unrounded) intermediate phis.
+    "q_pacf" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2,
+               LEAD(aa, 3) OVER w AS l3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, SUM(aa * aa) AS dd,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2, SUM(aa * l3) AS n3
+        FROM lagged GROUP BY g),
+      wide AS (
+        SELECT g,
+               CAST(CASE WHEN dd <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+               END AS DOUBLE) AS r1,
+               CAST(CASE WHEN dd <> 0 THEN
+                 ROUND(CAST(n2 AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+               END AS DOUBLE) AS r2,
+               CAST(CASE WHEN dd <> 0 THEN
+                 ROUND(CAST(n3 AS DOUBLE) / CAST(dd AS DOUBLE), 6)
+               END AS DOUBLE) AS r3
+        FROM agg),
+      c1 AS (
+        SELECT g, r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+        FROM wide),
+      c2 AS (SELECT g, r1, r2, r3, p22, r1 * (1.0 - p22) AS p21 FROM c1),
+      fin AS (
+        SELECT g,
+               CAST(ROUND(r1, 6) AS DOUBLE) AS p1,
+               CAST(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+                      AND 1.0 - r1 * r1 <> 0.0 THEN ROUND(p22, 6)
+                    END AS DOUBLE) AS p2,
+               CAST(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+                      AND r3 IS NOT NULL AND 1.0 - r1 * r1 <> 0.0
+                      AND 1.0 - p21 * r1 - p22 * r2 <> 0.0 THEN
+                 ROUND((r3 - p21 * r2 - p22 * r1)
+                   / (1.0 - p21 * r1 - p22 * r2), 6)
+               END AS DOUBLE) AS p3
+        FROM c2)
+      SELECT g AS event_type, lag, pacf FROM (
+        SELECT g, 1::BIGINT AS lag, p1 AS pacf FROM fin
+        UNION ALL SELECT g, 2, p2 FROM fin
+        UNION ALL SELECT g, 3, p3 FROM fin)
+      ORDER BY event_type, lag""",
 
     // Exact-regime heavy hitters (7 langs < capacity 16): the sketch
     // counts equal plain GROUP BY counts; (n DESC, lang) total order.

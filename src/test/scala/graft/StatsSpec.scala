@@ -1326,6 +1326,115 @@ class StatsSpec extends SparkTestBase {
     assert(d.isNullAt(d.fieldIndex("z")), "all-success must be NULL")
   }
 
+  // ---- linearFit ----
+
+  test("linearFit: exact line recovered with r2 = 1") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i.toDouble, 2.0 * i + 3.0))
+      .toDF("g", "x", "y")
+    val r = Stats.linearFit(df, "g", "x", "y").collect().head
+    assert(r.getAs[Double]("slope") == 2.0, r.toString)
+    assert(r.getAs[Double]("intercept") == 3.0, r.toString)
+    assert(r.getAs[Double]("r2") == 1.0, r.toString)
+  }
+
+  test("linearFit: constant x is NULL; constant y has slope 0, r2 NULL") {
+    import spark.implicits._
+    val cx = Seq(("g", 1.0, 5.0), ("g", 1.0, 7.0)).toDF("g", "x", "y")
+    val r = Stats.linearFit(cx, "g", "x", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("slope"))
+      && r.isNullAt(r.fieldIndex("r2")), r.toString)
+    val cy = Seq(("g", 1.0, 5.0), ("g", 2.0, 5.0), ("g", 3.0, 5.0))
+      .toDF("g", "x", "y")
+    val r2 = Stats.linearFit(cy, "g", "x", "y").collect().head
+    assert(r2.getAs[Double]("slope") == 0.0
+      && r2.getAs[Double]("intercept") == 5.0
+      && r2.isNullAt(r2.fieldIndex("r2")), r2.toString)
+  }
+
+  test("linearFit: outlier moves OLS where theilSen holds (contrast pin)") {
+    import spark.implicits._
+    val clean = (1 to 20).map(i => ("g", i.toDouble, i.toDouble))
+    val spiked = clean :+ (("g", 21.0, 1000.0))
+    val s = Stats.linearFit(spiked.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().head.getAs[Double]("slope")
+    assert(s > 5.0, s"OLS must chase the spike (that's its contract): $s")
+  }
+
+  // ---- logRank ----
+
+  test("logRank hand fixture: alternating event times") {
+    import spark.implicits._
+    // A events at t=1,3; B events at t=2,4 (no censoring)
+    // O_A=2, E_A=0.5+1/3+0.5, V=0.25+2/9+0.25 -> z_A ~ 0.784464
+    val df = Seq((0, 1L, true), (0, 3L, true), (1, 2L, true),
+      (1, 4L, true)).toDF("g", "t", "obs")
+    val out = Stats.logRank(df, "g", "t", col("obs")).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val zA = out(0).getAs[Double]("z")
+    val zB = out(1).getAs[Double]("z")
+    assert(out(0).getAs[Long]("o") == 2L)
+    assert(math.abs(out(0).getAs[Double]("e") - 1.333333) < 1e-5)
+    assert(math.abs(zA - 0.784465) < 1e-4, s"zA=$zA")
+    assert(math.abs(zA + zB) < 1e-5, s"two-sample antisymmetry: $zA $zB")
+  }
+
+  test("logRank: identical curves give z = 0; censoring shrinks risk sets") {
+    import spark.implicits._
+    val same = Seq((0, 1L, true), (0, 2L, true), (1, 1L, true),
+      (1, 2L, true)).toDF("g", "t", "obs")
+    Stats.logRank(same, "g", "t", col("obs")).collect().foreach { r =>
+      assert(r.getAs[Double]("z") == 0.0, r.toString)
+    }
+    // a censored B subject at t=1 is at risk at t=1 but never events:
+    // it inflates n at t=1 and leaves before t=2
+    val cens = Seq((0, 1L, true), (0, 2L, true), (1, 1L, false),
+      (1, 2L, true)).toDF("g", "t", "obs")
+    val out = Stats.logRank(cens, "g", "t", col("obs")).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // t=1: n=4, d=1 (A), A frac 1/2 -> E_A += 0.5
+    // t=2: at risk A{2}, B{2}: n=2, d=2 -> E_A += 2*(1/2) = 1
+    assert(out(0).getAs[Long]("o") == 2L)
+    assert(math.abs(out(0).getAs[Double]("e") - 1.5) < 1e-9, out.toString)
+  }
+
+  // ---- pacf ----
+
+  test("pacf: lag-1 equals acf lag-1; closed forms replay measured acf") {
+    import spark.implicits._
+    val df = (0 until 40).map { d =>
+      ("g", java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00")
+        .toLocalDateTime.plusDays(d).atZone(java.time.ZoneId.systemDefault()),
+        math.sin(d * 0.7) * 10 + d * 0.3)
+    }.map { case (g, zdt, v) =>
+      (g, java.sql.Timestamp.from(zdt.toInstant), v)
+    }.toDF("g", "ts", "v")
+    val acf = Resample.autocorrelation(df, "g", "ts", "v", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (rho1, rho2, rho3) = (acf(1), acf(2), acf(3))
+    val p22 = (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1)
+    val p21 = rho1 * (1.0 - p22)
+    val p33 = (rho3 - p21 * rho2 - p22 * rho1) /
+      (1.0 - p21 * rho1 - p22 * rho2)
+    val got = Stats.pacf(df, "g", "ts", "v").collect()
+      .map(r => r.getLong(1).toInt -> r.getDouble(2)).toMap
+    assert(got(1) == r6(rho1), got.toString)
+    assert(got(2) == r6(p22), got.toString)
+    assert(got(3) == r6(p33), got.toString)
+  }
+
+  test("pacf: constant series is NULL at every lag") {
+    import spark.implicits._
+    val df = (0 until 10).map(d =>
+      ("g", java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"), 3.0))
+      .toDF("g", "ts", "v")
+    val got = Stats.pacf(df, "g", "ts", "v").collect()
+    assert(got.length == 3)
+    got.foreach(r => assert(r.isNullAt(2), r.toString))
+  }
+
   // ---- isotonicCalibration ----
 
   test("isotonicCalibration: violating pair pools to the weighted mean") {
