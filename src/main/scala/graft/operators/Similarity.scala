@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorExpressions, VectorOps}
@@ -307,6 +307,114 @@ object Similarity {
       .orderBy(rankSafe(col("acos")).desc, col("corpus_id"))
     val shortlist = cp.join(broadcast(pp), col("probe_id") =!= col("corpus_id"))
       .withColumn("acos", VectorExpressions.cosine(col("pp"), col("cp")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * oversample)
+      .select("probe_id", "corpus_id")
+    val cf = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val pf = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val wExact = Window.partitionBy("probe_id")
+      .orderBy(rankSafe(col("cos")).desc, col("corpus_id"))
+    shortlist
+      .join(cf, "corpus_id")
+      .join(broadcast(pf), "probe_id")
+      .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "corpus_id", "cos")
+  }
+
+  /** Two-stage matryoshka probe search: the corpus pass ranks by
+    * cosine over the FIRST `dims` components only (the
+    * Matryoshka-representation-learning deployment layout — store the
+    * full vector once, scan its prefix; at 64→32 the scan column
+    * halves with no re-encoding), keeps an `oversample`-widened
+    * shortlist, then re-ranks ONLY the shortlist with exact
+    * full-dimension cosine — the probeSearchProjected shape with a
+    * zero-cost slice instead of a projection matrix.
+    *
+    * Recall: MRL-trained prefixes preserve neighborhood order by
+    * construction, and even untrained prefixes are an unbiased
+    * coordinate subsample (the JL argument at outDim = dims) —
+    * SimilaritySpec pins recall on the judged corpus; at full
+    * oversample the result equals probeSearch exactly.
+    */
+  def probeSearchTruncated(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int,
+      oversample: Int = 4): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def trunc(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs),
+        transform(slice(col(vecCol), 1, dims), x => x.cast("float"))
+          .as(vecAs))
+    val ct = trunc(corpus, "corpus_id", "ct")
+      .repartition(parallelism(corpus))
+    val pt = trunc(probes, "probe_id", "pt")
+    val wApprox = Window.partitionBy("probe_id")
+      .orderBy(rankSafe(col("acos")).desc, col("corpus_id"))
+    val shortlist = ct.join(broadcast(pt), col("probe_id") =!= col("corpus_id"))
+      .withColumn("acos", VectorExpressions.cosine(col("pt"), col("ct")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * oversample)
+      .select("probe_id", "corpus_id")
+    val cf = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val pf = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val wExact = Window.partitionBy("probe_id")
+      .orderBy(rankSafe(col("cos")).desc, col("corpus_id"))
+    shortlist
+      .join(cf, "corpus_id")
+      .join(broadcast(pf), "probe_id")
+      .withColumn("cos", VectorExpressions.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(wExact).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "corpus_id", "cos")
+  }
+
+  /** Sign-bit words for [[probeSearchBinary]]: dim/32 longs, each
+    * packing 32 sign bits high-to-low via an exact integer fold —
+    * 32 bits per word (not 64) so the fold's acc·2+bit arithmetic
+    * stays overflow-free on engines that error on BIGINT overflow
+    * rather than wrap. */
+  private[graft] def signWords(vec: Column, dim: Int): Column = {
+    require(dim % 32 == 0, s"binary search needs dim % 32 == 0, got $dim")
+    array((0 until dim / 32).map { w =>
+      aggregate(slice(vec, w * 32 + 1, 32), lit(0L),
+        (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L))
+    }: _*)
+  }
+
+  /** Two-stage sign-binarized probe search: the corpus pass ranks by
+    * Hamming AGREEMENT over 1-bit-per-dimension sign signatures (a
+    * 64-dim float32 vector becomes two longs — 16× smaller than the
+    * float column, and the per-comparison work is dim/32 XOR+popcount
+    * word ops instead of dim multiply-adds), keeps an
+    * `oversample`-widened shortlist, then re-ranks ONLY the shortlist
+    * with exact float cosine — the probeSearchQuantized shape at the
+    * extreme end of the precision/throughput curve (binary beats int8
+    * by another 4× where recall tolerates it).
+    *
+    * Recall: sign agreement estimates angle via the hyperplane-LSH
+    * identity P(sign match) = 1 − θ/π per dimension, so near
+    * neighbors agree on most bits; SimilaritySpec pins recall on the
+    * judged corpus; at full oversample the result equals probeSearch
+    * exactly.
+    */
+  def probeSearchBinary(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      oversample: Int = 4): DataFrame = {
+    val words = dim / 32
+    val cb = corpus.select(col(idCol).as("corpus_id"),
+        signWords(col(vecCol), dim).as("cb"))
+      .repartition(parallelism(corpus))
+    val pb = probes.select(col(idCol).as("probe_id"),
+      signWords(col(vecCol), dim).as("pb"))
+    val agree = (0 until words).map { w =>
+      lit(32L) - bit_count(element_at(col("pb"), w + 1)
+        .bitwiseXOR(element_at(col("cb"), w + 1)))
+    }.reduce(_ + _)
+    val wApprox = Window.partitionBy("probe_id")
+      .orderBy(col("agree").desc, col("corpus_id"))
+    val shortlist = cb.join(broadcast(pb), col("probe_id") =!= col("corpus_id"))
+      .withColumn("agree", agree)
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= k * oversample)
       .select("probe_id", "corpus_id")

@@ -220,6 +220,36 @@ object LlmOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Two-stage matryoshka (prefix-truncated) probe search, judged at
+    * full oversample (the q_simsearch_quantized honesty pattern): the
+    * 32-of-64-dim shortlist keeps every row, so the exact
+    * full-dimension re-rank returns EXACTLY probeSearch's top-k and
+    * the oracle is the same exact math; the pruned-oversample recall
+    * tradeoff is pinned by SimilaritySpec.
+    */
+  val qSimsearchTruncated: QueryFn = withTables { spark =>
+    val emb = spark.table("embeddings")
+    Similarity.probeSearchTruncated(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = 32, oversample = 400000)
+      .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Two-stage sign-binarized probe search, judged at full oversample
+    * (same honesty pattern): the 1-bit-per-dim Hamming shortlist keeps
+    * every row, so the exact float re-rank returns EXACTLY
+    * probeSearch's top-k; SimilaritySpec pins the pruned recall.
+    */
+  val qSimsearchBinary: QueryFn = withTables { spark =>
+    val emb = spark.table("embeddings")
+    Similarity.probeSearchBinary(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dim = 64, oversample = 400000)
+      .select(col("probe_id"), col("rank").as("rnk"), col("corpus_id"),
+        round(col("cos"), 6).cast("double").as("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Engine-portable stratified sample over documents: per-lang keep
     * fractions (dyadic — exact doubles), every keep/drop decision
     * replayed exactly by the oracle's identical md5 draw; unlisted
@@ -1472,6 +1502,8 @@ object LlmOps {
     "q_centroid_cos" -> qCentroidCos,
     "q_simsearch_probe" -> qSimsearchProbe,
     "q_simsearch_quantized" -> qSimsearchQuantized,
+    "q_simsearch_truncated" -> qSimsearchTruncated,
+    "q_simsearch_binary" -> qSimsearchBinary,
     "q_random_projection" -> qRandomProjection,
     "q_simsearch_projected" -> qSimsearchProjected,
     "q_sample_stratified" -> qSampleStratified,
@@ -2047,6 +2079,38 @@ object LlmOps {
                         WHEN 'fr' THEN 0.25 WHEN 'es' THEN 1.0
                         ELSE 0.0 END
       ORDER BY doc_id""",
+
+    // full-oversample regime: the truncated-prefix shortlist keeps
+    // every row, so the exact re-rank IS the exact probe search.
+    "q_simsearch_truncated" -> """
+      WITH pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+               LIST_COSINE_SIMILARITY(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 20),
+      rk AS (
+        SELECT probe_id, corpus_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
+
+    // full-oversample regime: the sign-bit Hamming shortlist keeps
+    // every row, so the exact re-rank IS the exact probe search.
+    "q_simsearch_binary" -> """
+      WITH pairs AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+               LIST_COSINE_SIMILARITY(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < 20),
+      rk AS (
+        SELECT probe_id, corpus_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, corpus_id) AS BIGINT) AS rnk
+        FROM pairs)
+      SELECT probe_id, rnk, corpus_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos
+      FROM rk WHERE rnk <= 5
+      ORDER BY probe_id, rnk""",
 
     // full-oversample regime: the quantized shortlist keeps every row,
     // so the exact re-rank IS the exact probe search (same oracle).

@@ -189,6 +189,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(full === uexact, "full-oversample projected search must equal exact")
   }
 
+  test("truncated (matryoshka) probe search: recall + full-oversample equality") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val probes = emb.filter(col("vec_id") < 10)
+    def key(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select("probe_id", "rank", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val exact = key(Similarity.probeSearch(emb, probes, "vec_id", "embedding", 5))
+    val trunc = key(Similarity.probeSearchTruncated(
+      emb, probes, "vec_id", "embedding", 5, dims = 32, oversample = 8))
+    val hit = exact.map(t => (t._1, t._3)).toSet
+      .intersect(trunc.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    assert(hit >= 0.5,
+      s"32-of-64-dim prefix recall $hit < 0.5 (${exact.size} exact rows)")
+    val full = key(Similarity.probeSearchTruncated(
+      emb, probes, "vec_id", "embedding", 5, dims = 32,
+      oversample = emb.count().toInt / 5 + 1))
+    assert(full === exact, "full-oversample truncated search must equal exact")
+  }
+
+  test("signWords packs sign bits high-to-low into 32-bit words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 64 dims: first word all-positive -> (2^32 - 1); second word has
+    // only its FIRST element positive -> that bit lands highest: 2^31
+    val v = (Seq.fill(32)(1.0f) ++ (1.0f +: Seq.fill(31)(-1.0f)))
+    val r = Seq((1L, v)).toDF("id", "vec")
+      .select(Similarity.signWords(col("vec"), 64).as("w"))
+      .collect().head.getSeq[Long](0)
+    assert(r == Seq((1L << 32) - 1, 1L << 31), r.toString)
+  }
+
+  test("binary probe search: recall + full-oversample equality") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val probes = emb.filter(col("vec_id") < 10)
+    def key(df: DataFrame): Seq[(Long, Long, Long)] =
+      df.select("probe_id", "rank", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val exact = key(Similarity.probeSearch(emb, probes, "vec_id", "embedding", 5))
+    val bin = key(Similarity.probeSearchBinary(
+      emb, probes, "vec_id", "embedding", 5, dim = 64, oversample = 16))
+    val hit = exact.map(t => (t._1, t._3)).toSet
+      .intersect(bin.map(t => (t._1, t._3)).toSet).size.toDouble / exact.size
+    assert(hit >= 0.4,
+      s"64-bit sign-signature recall $hit < 0.4 (${exact.size} exact rows)")
+    val full = key(Similarity.probeSearchBinary(
+      emb, probes, "vec_id", "embedding", 5, dim = 64,
+      oversample = emb.count().toInt / 5 + 1))
+    assert(full === exact, "full-oversample binary search must equal exact")
+  }
+
   test("mmrRerank trades relevance for diversity deterministically") {
     import spark.implicits._
     // a, b near-identical and most relevant; c orthogonal, less
