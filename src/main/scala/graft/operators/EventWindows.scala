@@ -94,6 +94,38 @@ object EventWindows {
       sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Bounce rate per LANDING event type: of all sessions whose FIRST
+    * event (by the (ts, tie) total order) is of a given type, the
+    * fraction that end after that single event — the classic "did the
+    * landing page hold them" engagement read, here generalized to any
+    * event taxonomy.
+    *
+    * Rides [[sessionize]] verbatim (same gap rule, same total order);
+    * the per-session landing/type/count windows share sessionize's
+    * (user) hash partitioning, so the whole operator costs ONE
+    * exchange. Counts are exact integers; the rate is one rounded
+    * division.
+    *
+    * Output: (typeCol, n_sessions, n_bounces, bounce_rate).
+    */
+  def bounceRate(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSeconds: Long): DataFrame = {
+    val s = sessionize(events, userCol, tsCol, tieCol, gapSeconds)
+    val wOrd = Window.partitionBy(col(userCol), col("session_no"))
+      .orderBy(col(tsCol), col(tieCol))
+    val wAll = Window.partitionBy(col(userCol), col("session_no"))
+    s.withColumn("_landing", first(col(typeCol)).over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_rn", row_number().over(wOrd))
+      .filter(col("_rn") === 1)
+      .groupBy(col("_landing").as(typeCol))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("_n") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        round(col("n_bounces") / col("n_sessions").cast("double"), 6)
+          .cast("double"))
+  }
+
   /** Input/state rows for [[sessionizeStream]]. */
   case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
   case class SessionAssignment(user_id: Long, event_id: Long, session_no: Long)

@@ -76,7 +76,17 @@ object Streaming {
       .orderBy(col("n").desc, col("path"))
   }
 
+  /** Bounce rate per landing event type under the q_sessionize gap
+    * rule: exact session counts, one rounded division.
+    */
+  val qBounceRate: QueryFn = withTables { spark =>
+    EventWindows.bounceRate(spark.table("events"), "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800L)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_bounce_rate" -> qBounceRate,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
@@ -86,6 +96,39 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    // q_sessionize's gaps-and-islands CTE; landing = first event in
+    // the (ts, event_id) total order; bounce = single-event session.
+    "q_bounce_rate" -> """
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      m AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      i AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM m),
+      per AS (
+        SELECT user_id, session_no,
+               COUNT(*)::BIGINT AS n,
+               FIRST(event_type ORDER BY ts, event_id) AS landing
+        FROM i GROUP BY 1, 2)
+      SELECT landing AS event_type,
+             COUNT(*)::BIGINT AS n_sessions,
+             SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+             CAST(ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS bounce_rate
+      FROM per
+      GROUP BY landing
+      ORDER BY event_type""",
+
     // Tumbling day = date_trunc; epoch-aligned like Spark's window().
     "q_stream_tumbling" -> """
       WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
