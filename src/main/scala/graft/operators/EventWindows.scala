@@ -230,11 +230,11 @@ object EventWindows {
           .reduce(_ && _), concat_ws(">", steps: _*)))
       .filter(col("path").isNotNull)
       .groupBy("path").agg(count(lit(1)).as("n"))
+    // orderBy+limit → TakeOrderedAndProject: the path vocabulary is
+    // |states|^pathLen-shaped; never exchange it to a single partition.
     counted
-      .withColumn("_rn", row_number().over(
-        Window.orderBy(col("n").desc, col("path").asc)))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
   }
 
   /** Per-type dwell-time statistics: for every event, the time until

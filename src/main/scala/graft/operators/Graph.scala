@@ -555,11 +555,15 @@ object Graph {
       // prediction = pairs NOT already linked
       .join(half, col("_pa") === col("_a") && col("_pb") === col("_b"),
         "left_anti")
+    // Global top-k WITHOUT a single-partition window: orderBy+limit
+    // plans as TakeOrderedAndProject — each partition keeps a local
+    // k-heap and the driver merges partitions × k rows, so the full
+    // candidate set never lands on one task (the r10 verdict's one
+    // remaining plan-shape hazard here).
     scored
       .withColumn("adamic_adar", round(col("_aa"), 6).cast("double"))
-      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("adamic_adar").desc, col("_pa"), col("_pb"))))
-      .filter(col("_rn") <= k)
+      .orderBy(col("adamic_adar").desc, col("_pa"), col("_pb"))
+      .limit(k)
       .select(col("_pa").as("a"), col("_pb").as("b"),
         col("common_neighbors"), col("adamic_adar"))
   }

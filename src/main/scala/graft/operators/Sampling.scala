@@ -262,9 +262,9 @@ object Sampling {
   /** Deterministic negative sampling for contrastive training: `k`
     * pseudo-random candidates per anchor, drawn by md5 so every draw
     * is retry-stable AND replayable by a DuckDB oracle. Shape: the
-    * candidate set gets a dense 1..N index (one global sort — bounded
-    * candidate scopes; at 100 TB maintain the index as a persisted
-    * column instead), each anchor emits k (anchor, draw#) rows, the
+    * candidate set gets a dense 1..N index via [[Indexing.denseIds]]
+    * (range shuffle at full parallelism + a P-row offset table — never
+    * a single-partition window), each anchor emits k (anchor, draw#) rows, the
     * draw hashes to an index, and an EQUI-join fetches the candidate —
     * k rows per anchor, never an anchors × candidates cross join.
     *
@@ -281,9 +281,14 @@ object Sampling {
       exclude: Option[DataFrame] = None): DataFrame = {
     require(k >= 1)
     val n = candidates.agg(count(lit(1)).as("_negN"))
-    val idx = candidates.select(col(candIdCol).as("cand_id"))
-      .withColumn("_idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("cand_id")).cast("long"))
+    // Dense 1..N index via Indexing.denseIds (range shuffle + offset
+    // table) — NOT a bare row_number() window, which would exchange
+    // the whole candidate pool to one partition. Same ids (cand_id is
+    // a total order), scale-safe shape.
+    val idx = Indexing.denseIds(
+        candidates.select(col(candIdCol).as("cand_id")),
+        Seq("cand_id"), outCol = "_idx")
+      .withColumn("_idx", col("_idx").cast("long"))
     val drawn = anchors.select(col(anchorIdCol).as("anchor_id"))
       .crossJoin(broadcast(n)) // one-row N attach, the in-plan pattern
       .select(col("anchor_id"), col("_negN"),

@@ -312,13 +312,13 @@ object TextAnalysis {
     * Output: (rank, tok, cnt, cum_share), rank 1 = most frequent, ties
     * broken by token text so the curve is deterministic.
     *
-    * Scale shape: ONE token-granularity count shuffle; everything after
-    * is VOCABULARY-sized — the rank/cumsum window is a global sort, but
-    * over type counts (≤ a few million rows at any corpus size), not
-    * tokens, the same bounded-global-sort regime as the BPE merge table
-    * and negativeSample's dense index. The corpus total rides the same
-    * window (unbounded-following sum), so there is no second pass and
-    * no driver aggregate.
+    * Scale shape: ONE token-granularity count shuffle; the top-k cut is
+    * orderBy+limit (TakeOrderedAndProject — per-partition k-heaps, no
+    * vocabulary-sized single-partition exchange), the corpus total is a
+    * one-row scalar agg cross-joined in, and the only window left runs
+    * over ≤ topK rows (the hillTailIndex limit-FIRST pattern). At
+    * 100 TB the vocabulary is 10⁸ types; none of them ever lands on a
+    * single task here.
     */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame = {
@@ -326,15 +326,16 @@ object TextAnalysis {
     val counts = tokenize(df, idCol, textCol)
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topK)
     val w = Window.orderBy(col("cnt").desc, col("tok"))
-    val total = sum(col("cnt")).over(
-      w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    counts
+    top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .withColumn("cum_share",
         sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).cast("double") / total.cast("double"))
-      .filter(col("rank") <= topK)
+          Window.currentRow)).cast("double") / col("_total").cast("double"))
       .select("rank", "tok", "cnt", "cum_share")
   }
 
@@ -809,14 +810,18 @@ object TextAnalysis {
     // near-tied pairs between Spark and an oracle
     val ratio = col("c_xy").cast("double") * col("n").cast("double") /
       (col("c_x").cast("double") * col("c_y").cast("double"))
+    // top-k cut via orderBy+limit (TakeOrderedAndProject): the pair
+    // table is |vocab|²-shaped in the worst case — never exchange it
+    // to one partition; the rank window runs over ≤ topK rows only.
     val w = Window.orderBy(col("_ratio").desc, col("t1"), col("t2"))
     pairs
       .join(broadcast(dfs.select(col("tok").as("t1"), col("c").as("c_x"))), Seq("t1"))
       .join(broadcast(dfs.select(col("tok").as("t2"), col("c").as("c_y"))), Seq("t2"))
       .crossJoin(broadcast(n))
       .withColumn("_ratio", ratio)
+      .orderBy(col("_ratio").desc, col("t1"), col("t2"))
+      .limit(topK)
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= topK)
       .select(col("rank"), col("t1"), col("t2"), col("c_xy"),
         log(col("_ratio")).as("pmi"))
   }
@@ -827,9 +832,11 @@ object TextAnalysis {
     * (synthetic/templated text), a steep one a few dominating tokens —
     * the one-row corpus-health summary of the [[vocabCoverage]] curve.
     *
-    * Same scale shape as vocabCoverage: one token count shuffle, then a
-    * vocabulary-sized rank window; the regression itself is Spark's
-    * partial-aggregatable regr_* family, so the fit adds no extra pass.
+    * Same scale shape as vocabCoverage: one token count shuffle, an
+    * orderBy+limit top-k cut (TakeOrderedAndProject — no vocabulary-
+    * sized single-partition exchange), a rank window over ≤ topK rows,
+    * and the regression itself is Spark's partial-aggregatable regr_*
+    * family, so the fit adds no extra pass.
     */
   def zipfFit(df: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame = {
@@ -839,8 +846,9 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("cnt").desc, col("tok"))
     counts
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topK)
       .withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= topK)
       .select(log(col("rank").cast("double")).as("lr"),
         log(col("cnt").cast("double")).as("lc"))
       .agg(expr("regr_slope(lc, lr)").as("slope"),
@@ -1024,11 +1032,11 @@ object TextAnalysis {
         round(((col("c_new") + 1) * (col("_n1") + col("_v")))
           / ((col("c_old") + 1) * (col("_n2") + col("_v"))).cast("double"),
           6).cast("double").as("score"))
+    // orderBy+limit → TakeOrderedAndProject: the scored frame is
+    // vocabulary-sized; never exchange it to a single partition.
     scored
-      .withColumn("_rn", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("score").desc, col("token").asc)))
-      .filter(col("_rn") <= k)
-      .drop("_rn")
+      .orderBy(col("score").desc, col("token").asc)
+      .limit(k)
   }
 
   /** Heaps'-law vocabulary-growth fit per group: walk each group's

@@ -59,6 +59,36 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k plan regressed:\n$p")
   }
 
+  test("every global top-k cut is TakeOrderedAndProject, not a single-partition window") {
+    // r11: these operators used to rank with row_number() OVER (ORDER
+    // BY …) — an Exchange SinglePartition + full sort of a candidate/
+    // vocabulary-sized frame. The cut is now orderBy+limit; the only
+    // window allowed is one that runs AFTER the limit (≤ k rows).
+    for (name <- Seq("q_link_pred", "q_vocab_coverage", "q_zipf_fit",
+        "q_pmi_pairs", "q_trending", "q_top_paths")) {
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k cut is not TakeOrderedAndProject:\n$p")
+    }
+  }
+
+  test("negativeSample indexes candidates via denseIds, not a global window") {
+    // the dense 1..N candidate index must ride Indexing.denseIds
+    // (range exchange + mapPartitions counter), never a bare
+    // row_number() window over the whole pool on one partition
+    val p = SparkEntry.queries("q_negative_sample")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    // denseIds' mapPartitions counter is localCheckpoint'ed, so it
+    // surfaces as Scan ExistingRDD; the old shape was a row_number
+    // Window (absent now — the only Window left is the P-row offset
+    // cumsum inside denseIds)
+    assert(p.contains("ExistingRDD"),
+      s"q_negative_sample: denseIds kernel missing from plan:\n$p")
+    assert(!p.contains("row_number"),
+      s"q_negative_sample: single-partition row_number window is back:\n$p")
+  }
+
   test("TPC-H Q1 aggregation is partial (map-side) + final, codegen'd") {
     val df = SparkEntry.queries("q_agg_tpch1")(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
