@@ -756,9 +756,22 @@ object Graph {
           Seq("v", "w"), "left_anti")
         .select(col("v"), col("w"), lit(h).as("dist"))
         .localCheckpoint()
-      seen = seen.unionByName(shell).localCheckpoint()
+      val grown = seen.unionByName(shell).localCheckpoint()
+      // both eager checkpoints above have materialized: the previous
+      // seen and the h-1 shell are fully consumed — release their
+      // blocks NOW instead of holding every generation simultaneously
+      // (the closure is the biggest object in the whole suite; pinning
+      // all copies was starving co-tenant queries of block-manager
+      // memory)
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(seen)
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(frontier)
+      seen = grown
       frontier = shell
     }
+    // the result below reads only `seen`: the last shell and the edge
+    // list are consumed
+    if (maxHops >= 2)
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(frontier)
     val hopCols = (1 to maxHops).map(h =>
       sum(when(col("dist") === h, 1L).otherwise(0L)).as(s"n_hop$h"))
     val harmonic = round((1 to maxHops).map(h =>
@@ -766,5 +779,76 @@ object Graph {
     seen.groupBy(col("v").as("vertex"))
       .agg(hopCols.head, hopCols.tail: _*)
       .withColumn("harmonic", harmonic.cast("double"))
+  }
+
+  /** HyperANF approximate harmonic centrality — the bounded-memory
+    * dual of [[harmonicCentrality]] (Boldi, Rosa & Vigna, WWW 2011).
+    * The exact form materializes every (v, w, dist) reach pair, which
+    * is |ball|-sized per vertex and ~quadratic in community size —
+    * correct at judged SF, a scale-killer at 100×. Here each vertex
+    * carries a CONSTANT m = 2^p byte HLL register sketch of its h-hop
+    * ball; one hop = send your sketch to each neighbour + union
+    * received sketches ([[graft.functions.HllUnionAgg]], a partial-
+    * aggregatable elementwise max, so each map task pre-merges and the
+    * shuffle carries ≤ one sketch per (task, vertex) — E×m bytes of
+    * messages, V×m bytes of state, pair sets never exist).
+    *
+    * Estimates: ball_h(v) via the standard HLL estimator; shell h =
+    * max(0, ball_h − ball_{h−1}) (clamped — adjacent estimates of
+    * nested sets can invert by the ~1.04/√m noise); harmonic ≈
+    * Σ shell_h / h. Deterministic: fixed splitmix64 hashing, unions
+    * are order-independent, so the result is partitioning- and
+    * retry-stable (repo contract) — "approx" means vs the exact twin,
+    * not run-to-run.
+    *
+    * Output: (vertex, n_hop1 .. n_hopH, harmonic) — same shape as the
+    * exact twin, counts as estimate doubles rounded to 2 dp.
+    */
+  def harmonicCentralityApprox(edges: DataFrame, srcCol: String,
+      dstCol: String, maxHops: Int = 2, p: Int = 12): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 6,
+      s"harmonicCentralityApprox: maxHops must be in [1, 6], got $maxHops")
+    val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
+      .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
+      .localCheckpoint() // re-read every hop
+    // B(v,0) = {v}; state carries (v, _reg, _ball1.._ballh) so each
+    // hop's checkpoint fully replaces its predecessor — the previous
+    // generation's blocks are freed immediately (no per-hop frame list
+    // pinning every state at once, the exact twin's r10 co-tenancy bug)
+    var state = sym.select("v").distinct()
+      .withColumn("_reg", graft.functions.HllReach.hllInit(col("v"), p))
+      .localCheckpoint() // truncate the iterative lineage per hop
+    for (h <- 1 to maxHops) {
+      val prevBalls = (1 until h).map(i => s"_ball$i")
+      // ball columns ride the SAME groupBy as the register union (max
+      // ignores the nulls on message rows) — no extra join per hop
+      val msgs = sym
+        .join(state.select(col("v").as("w"), col("_reg")), Seq("w"))
+        .select(col("v") +: col("_reg") +:
+          prevBalls.map(n => lit(null).cast("double").as(n)): _*)
+      val aggs = graft.functions.HllReach.hllUnion(col("_reg"), p).as("_reg") +:
+        prevBalls.map(n => max(col(n)).as(n))
+      val grown = state.select(col("v") +: col("_reg") +: prevBalls.map(col): _*)
+        .unionByName(msgs)
+        .groupBy("v")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn(s"_ball$h", graft.functions.HllReach.hllCount(col("_reg")))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.freeLocalCheckpoint(state)
+      state = grown
+    }
+    val shells = (1 to maxHops).map { h =>
+      val prev = if (h == 1) lit(1.0) else col(s"_ball${h - 1}")
+      greatest(lit(0.0), col(s"_ball$h") - prev).as(s"_shell$h")
+    }
+    val withShells = state.select(col("v") +: shells: _*)
+    val harmonic = round((1 to maxHops).map(h =>
+      col(s"_shell$h") / lit(h.toDouble)).reduce(_ + _), 6)
+    withShells.select(
+      (col("v").as("vertex") +:
+        (1 to maxHops).map(h =>
+          round(col(s"_shell$h"), 2).as(s"n_hop$h"))) :+
+        harmonic.cast("double").as("harmonic"): _*)
   }
 }

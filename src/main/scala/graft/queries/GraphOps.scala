@@ -325,6 +325,17 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** HyperANF dual of q_harmonic: constant-memory HLL reach sketches
+    * instead of the materialized 2-hop closure — the 100 TB path. No
+    * DuckDB oracle (replaying HLL registers in SQL is not sensible);
+    * GraphSpec pins |approx − exact| against the exact twin at judged
+    * SF, and the driver records the rows-only check. */
+  val qHarmonicApprox: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.harmonicCentralityApprox(coOrderParts(spark, sfDir, 5), "a", "b",
+        maxHops = 2, p = 12)
+      .orderBy("vertex")
+  }
+
   /** Residual IVFADC (the paper-faithful §IV.B layout): the SAME
     * coarse quantizer, PQ codebooks trained on the CELL RESIDUALS,
     * per-(probe, cell) residual distance tables, pruning judged at
@@ -348,6 +359,7 @@ object GraphOps {
   val queries: Map[String, QueryFn] = Map(
     "q_ann_ivfpq_res" -> qAnnIvfPqRes,
     "q_harmonic" -> qHarmonic,
+    "q_harmonic_approx" -> qHarmonicApprox,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
     "q_ann_pq" -> qAnnPq,

@@ -24,4 +24,19 @@ object Bridge {
   /** Wrap a (possibly custom) logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame once every consumer has been MATERIALIZED (eager
+    * checkpoints only — after the next checkpoint in a chain exists,
+    * its predecessors' blocks are dead weight). localCheckpoint
+    * persists the underlying RDD directly, bypassing the cache
+    * manager, so `Dataset.unpersist()` can't reach it; the RDD handle
+    * on the LogicalRDD leaf can. No-op for anything else.
+    */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
