@@ -90,13 +90,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       FunctionIdentifier("freq_sketch"),
-      new ExpressionInfo(classOf[graft.functions.FreqSketchAgg].getName,
+      new ExpressionInfo(classOf[graft.functions.FrequentItemsAgg].getName,
         "freq_sketch"),
       (exprs: Seq[Expression]) => {
         arity("freq_sketch(col, capacity)", 2, exprs)
         exprs(1) match {
           case Literal(n: Int, IntegerType) =>
-            graft.functions.FreqSketchAgg(exprs.head, n).toAggregateExpression()
+            graft.functions.FrequentItemsAgg(exprs.head, n,
+              itemField = "tok", countField = "cnt").toAggregateExpression()
           case other => throw new IllegalArgumentException(
             s"freq_sketch(col, capacity): capacity must be an INT literal, got $other")
         }

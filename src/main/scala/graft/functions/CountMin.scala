@@ -8,7 +8,7 @@ import org.apache.spark.util.sketch.CountMinSketch
 
 /** Count-Min sketch: bounded-memory frequency estimation, the
   * UPPER-bound complement of the Misra-Gries lower bound in
-  * [[FreqSketchAgg]] (CMS answers point queries for ANY key; MG tracks
+  * [[FrequentItemsAgg]] (CMS answers point queries for ANY key; MG tracks
   * only the heavy survivors).
   *
   * Spark-first: the sketch itself is Spark's built-in

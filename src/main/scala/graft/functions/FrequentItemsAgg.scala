@@ -38,16 +38,34 @@ import org.apache.spark.unsafe.types.UTF8String
   *    HLL) — the bounds above are what the spec pins there.
   *
   * NULL items are skipped (no frequency to attribute).
+  *
+  * Item types are restricted to flat comparables (no struct/array/map/
+  * binary): the buffer keys on the item VALUE in a hash map, and
+  * container values cross the serialization boundary in different
+  * runtime representations (GenericInternalRow on the update path,
+  * UnsafeRow after deserialize) whose `equals` don't meet — the same
+  * item would silently fragment into several counters across a shuffle
+  * merge. Flat types (numbers, strings, dates, decimals) have one
+  * canonical representation on both paths. BinaryType is out for the
+  * same reason (Array[Byte] hashes by reference).
   */
 case class FrequentItemsAgg(child: Expression, capacity: Int,
+    itemField: String = "item", countField: String = "n",
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.HashMap[Any, Long]] {
 
-  require(capacity >= 1 && capacity <= 4096,
-    s"frequent_items: capacity must be in 1..4096, got $capacity")
+  require(capacity >= 1 && capacity <= (1 << 17),
+    s"frequent_items: capacity must be in 1..131072, got $capacity")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+    child.dataType match {
+      case _: StructType | _: ArrayType | _: MapType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a flat comparable item type " +
+            s"(container/binary keys break value equality across the " +
+            s"shuffle boundary), got ${child.dataType}")
+      case dt => TypeUtils.checkForOrderingExpr(dt, prettyName)
+    }
 
   private lazy val itemOrdering =
     TypeUtils.getInterpretedOrdering(child.dataType)
@@ -55,8 +73,8 @@ case class FrequentItemsAgg(child: Expression, capacity: Int,
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("item", child.dataType, nullable = false),
-      StructField("n", LongType, nullable = false))),
+    StructType(Seq(StructField(itemField, child.dataType, nullable = false),
+      StructField(countField, LongType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "frequent_items"
 
@@ -190,4 +208,11 @@ object FrequentItemsAgg {
   def frequentItems(c: Column, capacity: Int): Column =
     Bridge.column(FrequentItemsAgg(Bridge.expression(c), capacity)
       .toAggregateExpression())
+
+  /** Compatibility shape of the retired r3 string-only FreqSketchAgg:
+    * same sketch, fields named (tok, cnt). One MG implementation
+    * serves both call shapes (r11 consolidation). */
+  def freqSketch(c: Column, capacity: Int): Column =
+    Bridge.column(FrequentItemsAgg(Bridge.expression(c), capacity,
+      itemField = "tok", countField = "cnt").toAggregateExpression())
 }

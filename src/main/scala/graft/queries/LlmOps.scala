@@ -705,7 +705,7 @@ object LlmOps {
     */
   val qHeavyHitters: QueryFn = withTables { spark =>
     TextAnalysis.tokenize(spark.table("documents"), "doc_id", "text")
-      .agg(graft.functions.FreqSketchAgg.freqSketch(col("tok"), 65536).as("sk"))
+      .agg(graft.functions.FrequentItemsAgg.freqSketch(col("tok"), 65536).as("sk"))
       .select(explode(col("sk")).as("e"))
       .select(col("e.tok").as("tok"), col("e.cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))

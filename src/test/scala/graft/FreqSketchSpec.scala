@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.FreqSketchAgg
+import graft.functions.FrequentItemsAgg
 import graft.operators.TextAnalysis
 
 /** Misra-Gries heavy-hitters aggregate: exact when capacity covers the
@@ -13,7 +13,7 @@ import graft.operators.TextAnalysis
 class FreqSketchSpec extends SparkTestBase {
 
   private def sketch(df: org.apache.spark.sql.DataFrame, cap: Int): Map[String, Long] =
-    df.agg(FreqSketchAgg.freqSketch(col("tok"), cap).as("sk"))
+    df.agg(FrequentItemsAgg.freqSketch(col("tok"), cap).as("sk"))
       .select(explode(col("sk")).as("e"))
       .select("e.tok", "e.cnt")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -70,6 +70,32 @@ class FrequentItemsAggSpec extends SparkTestBase {
     assert(got.toSeq == Seq("a" -> 2L, "b" -> 1L), got.toSeq.toString)
   }
 
+  test("container/binary item types are rejected at analysis (key-equality hazard)") {
+    // struct keys would fragment across the shuffle merge: update()
+    // retains GenericInternalRow keys while deserialize() rebuilds
+    // UnsafeRow keys, and UnsafeRow.equals only matches other
+    // UnsafeRows — silently wrong counts. Rejected up front instead.
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("s", "i")
+    for (bad <- Seq(struct(col("s"), col("i")), array(col("i")),
+        col("s").cast("binary"))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(FrequentItemsAgg.frequentItems(bad, 4)).collect()
+      }
+      assert(e.getMessage.contains("flat comparable"), e.getMessage)
+    }
+  }
+
+  test("freqSketch compat shape: same sketch, (tok, cnt) field names") {
+    import spark.implicits._
+    val df = Seq("a", "a", "b").toDF("x").repartition(2)
+    val got = df.agg(FrequentItemsAgg.freqSketch(col("x"), 4).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.tok"), col("e.cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("a" -> 2L, "b" -> 1L), got.toSeq.toString)
+  }
+
   test("plan shape: partial frequent_items before the exchange, no raw rows") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = docs.groupBy(col("source"))

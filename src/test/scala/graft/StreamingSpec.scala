@@ -222,7 +222,7 @@ class StreamingSpec extends SparkTestBase {
     // micro-batches like any algebraic agg — state is its buffer
     val input = MemoryStream[String]
     val sketched = input.toDF().toDF("tok")
-      .agg(graft.functions.FreqSketchAgg.freqSketch(col("tok"), 16).as("hh"))
+      .agg(graft.functions.FrequentItemsAgg.freqSketch(col("tok"), 16).as("hh"))
     val q = sketched.writeStream.format("memory").queryName("mg_stream")
       .outputMode(OutputMode.Complete()).start()
     input.addData("a", "b", "a")
