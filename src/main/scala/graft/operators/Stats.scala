@@ -85,6 +85,27 @@ object Stats {
   }
 
   /** Shared KS machinery over a prepared (_g, _q) point frame. */
+  /** Fold a per-group size guard into the LAZY plan: every row joins
+    * its group's count and `wrapCol` is rewrapped so that evaluating
+    * ANY row of an oversized group raises with `msg`. Unlike an eager
+    * `.collect()` pre-check this adds no extra execution of the
+    * upstream plan — the guard rides the operator's own single pass
+    * (the weightedSamplePortable raise_error precedent). The wrapped
+    * column must be one every downstream row evaluates.
+    */
+  private def guardGroupSize(df: DataFrame, wrapCol: String,
+      msg: String, maxPoints: Int): DataFrame = {
+    val counts = df.groupBy(col("_g").as("_gguard"))
+      .agg(count(lit(1)).as("_np"))
+    val t = df.schema(wrapCol).dataType
+    df.join(counts, col("_g") <=> col("_gguard"))
+      .withColumn(wrapCol,
+        when(col("_np") > maxPoints, raise_error(concat(
+          lit(msg + " (group="), col("_g").cast("string"), lit(")"))).cast(t))
+          .otherwise(col(wrapCol)))
+      .drop("_gguard", "_np")
+  }
+
   private def ksOnPoints(points: DataFrame, groupCol: String): DataFrame = {
     val cells = points
       .groupBy(col("_g"), col("_q"))
@@ -290,15 +311,21 @@ object Stats {
       .select(col("_ng"),
         (col("_r2") * col("_r2")).cast(dec).as("_r2sq"))
       .crossJoin(broadcast(nn))
+      // each group's r2²/n_g term is frozen at 12 dp and summed in
+      // decimal(38,12) — exact, order-free addition (the chiSquared
+      // discipline); a float SUM here is accumulation-order-dependent
+      // and at large N its ~1e-15·N error can cross the 6-dp rounding
+      // boundary of H
       .agg(max(col("_n")).as("_nmax"), max(col("_ties")).as("_tmax"),
         count(lit(1)).as("k"),
-        sum(col("_r2sq").cast("double") / col("_ng")).as("_sumterm"))
+        sum(round(col("_r2sq").cast("double") / col("_ng"), 12)
+          .cast("decimal(38,12)")).as("_sumterm"))
       .select(col("_nmax").cast("bigint").as("n"),
         col("k").cast("bigint").as("k"),
         (col("k") - 1).cast("bigint").as("dof"),
         col("_nmax").cast("double").as("_nd"),
         col("_tmax").cast("double").as("_td"),
-        col("_sumterm"))
+        col("_sumterm").cast("double").as("_sumterm"))
       .withColumn("_h",
         lit(3.0) / (col("_nd") * (col("_nd") + 1.0)) * col("_sumterm")
           - lit(3.0) * (col("_nd") + 1.0))
@@ -470,7 +497,8 @@ object Stats {
     * median of y_i − slope·x_i (rounded) — deterministic under ties.
     *
     * Scale shape: an explicit within-group pair join — O(points²)
-    * per group BY DESIGN, guarded by `maxPoints` (count-checked):
+    * per group BY DESIGN, guarded by `maxPoints` (an in-plan
+    * raise_error riding the same single pass — no eager pre-scan):
     * Theil–Sen is for CELL-AGGREGATED series (a calendar of daily
     * points, never raw rows). Output: (group, n, n_pairs, slope,
     * intercept) — NULL slope when no x-distinct pair exists.
@@ -478,14 +506,15 @@ object Stats {
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, maxPoints: Int = 1000): DataFrame = {
     require(maxPoints >= 2, s"theilSen: maxPoints must be >= 2")
-    val pts = df.select(col(groupCol).as("_g"),
+    val raw = df.select(col(groupCol).as("_g"),
       col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
-    val over = pts.groupBy("_g").agg(count(lit(1)).as("_np"))
-      .filter(col("_np") > maxPoints).limit(1).collect()
-    require(over.isEmpty,
-      s"theilSen: group ${over.headOption.map(_.get(0))} exceeds " +
-        s"$maxPoints points — pre-aggregate the series to cells " +
-        s"(daily/hourly) before the pairwise stage")
+    // guard folded into the LAZY plan (no eager pre-scan executing the
+    // upstream twice): every point carries its group count and x is
+    // wrapped so any evaluated row of an oversized group raises
+    val pts = Stats.guardGroupSize(raw, "_x",
+      s"theilSen: group exceeds $maxPoints points — pre-aggregate the " +
+        "series to cells (daily/hourly) before the pairwise stage",
+      maxPoints)
     val a = pts.select(col("_g"), col("_x").as("_x1"), col("_y").as("_y1"))
     val b = pts.select(col("_g").as("_g2"), col("_x").as("_x2"),
       col("_y").as("_y2"))
@@ -537,14 +566,14 @@ object Stats {
   def kendallTau(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, maxPoints: Int = 1000): DataFrame = {
     require(maxPoints >= 2, s"kendallTau: maxPoints must be >= 2")
-    val pts = df.select(col(groupCol).as("_g"),
+    val raw = df.select(col(groupCol).as("_g"),
       round(col(xCol) * 1e6).cast("long").as("_x"),
       round(col(yCol) * 1e6).cast("long").as("_y"))
-    val over = pts.groupBy("_g").agg(count(lit(1)).as("_np"))
-      .filter(col("_np") > maxPoints).limit(1).collect()
-    require(over.isEmpty,
-      s"kendallTau: group ${over.headOption.map(_.get(0))} exceeds " +
-        s"$maxPoints points — pre-aggregate the series to cells first")
+    // lazy in-plan guard — the theilSen pattern
+    val pts = Stats.guardGroupSize(raw, "_x",
+      s"kendallTau: group exceeds $maxPoints points — pre-aggregate " +
+        "the series to cells first",
+      maxPoints)
     val wid = Window.partitionBy("_g").orderBy("_x", "_y")
     val withId = pts.withColumn("_rid", row_number().over(wid))
     val a = withId.select(col("_g"), col("_x").as("_x1"),
@@ -1678,9 +1707,10 @@ object Stats {
     * result.
     */
   def fdrBh(df: DataFrame, pCol: String, idCols: Seq[String],
-      alpha: Double): DataFrame = {
+      alpha: Double, maxTests: Int = 100000): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha must be in (0,1)")
     require(idCols.nonEmpty, "fdrBh needs tiebreak id columns")
+    require(maxTests >= 1, s"maxTests=$maxTests must be >= 1")
     val guarded = df.withColumn(pCol,
       when(col(pCol).isNull, raise_error(
         lit("fdrBh: NULL p-value in the battery"))).otherwise(col(pCol)))
@@ -1688,7 +1718,16 @@ object Stats {
     val all = Window.partitionBy()
     guarded
       .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("m", count(lit(1)).over(all))
+      // the battery contract is one row per TEST; the rank window is a
+      // single-partition sort, so a corpus-sized misuse (p-values per
+      // document) must fail loudly rather than silently single-thread
+      // — the theilSen/kendallTau maxPoints discipline, in-plan
+      .withColumn("m",
+        when(count(lit(1)).over(all) > maxTests, raise_error(lit(
+          s"fdrBh: battery exceeds $maxTests tests — this operator " +
+            "ranks ONE row per test on a single partition; aggregate " +
+            "upstream or raise maxTests knowingly")).cast("long"))
+          .otherwise(count(lit(1)).over(all)))
       .withColumn("_kmax",
         max(when(col(pCol) * col("m") <= col("rank") * alpha, col("rank")))
           .over(all))

@@ -1642,7 +1642,8 @@ object StatsOps {
         SELECT MAX(n)::BIGINT AS n, COUNT(*)::BIGINT AS k,
                MAX(CAST(ties AS DOUBLE)) AS td,
                MAX(CAST(n AS DOUBLE)) AS nd,
-               SUM(CAST(r2 * r2 AS DOUBLE) / ng) AS sumterm
+               CAST(SUM(CAST(ROUND(CAST(r2 * r2 AS DOUBLE) / ng, 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS sumterm
         FROM perg CROSS JOIN nn)
       SELECT n, k, (k - 1)::BIGINT AS dof,
              CAST(CASE WHEN k >= 2

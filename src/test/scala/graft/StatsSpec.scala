@@ -521,13 +521,37 @@ class StatsSpec extends SparkTestBase {
 
   test("theilSen: maxPoints guard fires; x-constant group NULL slope") {
     import spark.implicits._
+    // the guard is IN-PLAN (lazy raise_error, no eager pre-scan): it
+    // fires when the oversized group's rows are actually evaluated
     val big = Seq.tabulate(50)(i => ("g", i, i.toDouble)).toDF("g", "x", "y")
-    intercept[IllegalArgumentException] {
-      Stats.theilSen(big, "g", "x", "y", maxPoints = 10)
+    val e = intercept[Exception] {
+      Stats.theilSen(big, "g", "x", "y", maxPoints = 10).collect()
     }
+    assert(e.getMessage.contains("exceeds 10 points"), e.getMessage)
     val flat = Seq(("g", 1, 2.0), ("g", 1, 5.0)).toDF("g", "x", "y")
     val r = Stats.theilSen(flat, "g", "x", "y").collect().head
     assert(r.getLong(2) == 0L && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("kendallTau maxPoints and fdrBh maxTests guards are lazy and loud") {
+    import spark.implicits._
+    val big = Seq.tabulate(40)(i => ("g", i.toDouble, i.toDouble))
+      .toDF("g", "x", "y")
+    val e1 = intercept[Exception] {
+      Stats.kendallTau(big, "g", "x", "y", maxPoints = 10).collect()
+    }
+    assert(e1.getMessage.contains("exceeds 10 points"), e1.getMessage)
+    val battery = Seq(("t1", 0.01), ("t2", 0.2), ("t3", 0.5))
+      .toDF("test_id", "p")
+    val e2 = intercept[Exception] {
+      Stats.fdrBh(battery, "p", Seq("test_id"), alpha = 0.1, maxTests = 2)
+        .collect()
+    }
+    assert(e2.getMessage.contains("exceeds 2 tests"), e2.getMessage)
+    // under the cap the battery behaves exactly as before
+    val ok = Stats.fdrBh(battery, "p", Seq("test_id"), alpha = 0.1)
+      .orderBy("rank").collect()
+    assert(ok.length == 3 && ok.head.getAs[Boolean]("significant"))
   }
 
   test("maxDrawdown hand fixture: peak-to-trough, first trough on ties") {
