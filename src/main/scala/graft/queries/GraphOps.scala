@@ -47,11 +47,14 @@ object GraphOps {
     * are bit-identical: the edge tables are (string, string, long)
     * rows, which round-trip parquet exactly, and every consumer
     * re-aggregates from the edges. The cache key carries the sfDir
-    * path, so distinct datasets never collide; the cache directory is
-    * epoch-scoped by the CALLER (point it at a fresh dir when the
-    * underlying tables change — the materialized-view contract).
-    * Unset (the default, and the Verify/correctness path) keeps the
-    * build-fresh behavior byte-for-byte.
+    * path AND a cheap content fingerprint of the source directory
+    * (file count + total bytes + max mtime from one recursive
+    * FileSystem listing — r11), so distinct datasets never collide
+    * and a REFRESHED dataset at the same path can't serve stale
+    * edges: regenerating the fixtures changes the fingerprint, the
+    * old entry is simply never matched again, and the first consumer
+    * writes a fresh one. Unset (the default, and the Verify/
+    * correctness path) keeps the build-fresh behavior byte-for-byte.
     */
   private def cacheRoot: Option[String] =
     sys.props.get("graft.graph.cache")
@@ -60,18 +63,45 @@ object GraphOps {
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** One recursive listing of `path`: (#files, Σbytes, max mtime)
+    * hashed to hex. Cheap (metadata only) relative to any build it
+    * guards; "absent" when the path doesn't resolve. */
+  private[graft] def dirFingerprint(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      var n = 0L; var bytes = 0L; var mt = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        n += 1; bytes += f.getLen
+        if (f.getModificationTime > mt) mt = f.getModificationTime
+      }
+      Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s"$n:$bytes:$mt"))
+    }
+  }
+
   private[graft] def throughCache(
-      spark: org.apache.spark.sql.SparkSession, key: String)(
+      spark: org.apache.spark.sql.SparkSession, key: String,
+      sourceDir: String)(
       build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     cacheRoot match {
       case None => build.localCheckpoint()
       case Some(root) =>
-        val dir = new org.apache.hadoop.fs.Path(root, key)
+        val epochKey = s"${key}_${dirFingerprint(spark, sourceDir)}"
+        val dir = new org.apache.hadoop.fs.Path(root, epochKey)
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val ok = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
         if (!fs.exists(ok)) {
           build.write.mode("overwrite").parquet(dir.toString)
+        } else {
+          // visibility on reuse (ADVICE r10): which entry, built when
+          System.err.println(s"graft: graph cache hit $dir " +
+            s"(built ${new java.util.Date(fs.getFileStatus(ok).getModificationTime)})")
         }
         // localCheckpoint the READ too: the iterative graph operators
         // reference the edge frame many times per plan — without it the
@@ -96,7 +126,7 @@ object GraphOps {
   private[graft] def coOrderParts(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, mod: Int): org.apache.spark.sql.DataFrame =
     coOrderMemo.computeIfAbsent((spark, sfDir, mod), _ =>
-      throughCache(spark, s"co_order_${mod}_${sanitize(sfDir)}") {
+      throughCache(spark, s"co_order_${mod}_${sanitize(sfDir)}", sfDir) {
         val li = spark.table("lineitem")
           .filter(col("l_orderkey") % mod === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -113,7 +143,7 @@ object GraphOps {
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame =
     psMemo.computeIfAbsent((spark, sfDir), _ =>
-      throughCache(spark, s"part_supplier_${sanitize(sfDir)}") {
+      throughCache(spark, s"part_supplier_${sanitize(sfDir)}", sfDir) {
         spark.table("lineitem")
           .select(concat(lit("p"), col("l_partkey").cast("string")).as("src"),
             concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
