@@ -1069,4 +1069,122 @@ object Resample {
         round(col("_dd") / 1e6, 6).cast("double").as("max_drawdown"),
         col("_o").as("at_order"))
   }
+
+  /** Classical additive seasonal decomposition y = trend + seasonal +
+    * residual per group — the first thing anyone does to a daily
+    * metric before calling a change a change: trend is the centered
+    * `period`-point moving average (period must be ODD so the window
+    * is symmetric), the seasonal profile is the per-phase mean of the
+    * detrended series re-centered to sum to zero, and the residual is
+    * what remains. The anomaly feed for [[graft.operators.Stats]]'
+    * changepoint family runs on the RESIDUAL, not the raw series.
+    *
+    * Exactness: y quantizes to 1e6-scaled longs; the trend MA is an
+    * exact integer sum divided once (rounded 6 dp); per-phase means
+    * and the re-centering are rationals of 6-dp quanta frozen at 6 dp;
+    * the residual is one subtraction of already-rounded doubles.
+    * Trend (and everything downstream) is NULL on the half-window
+    * edges — the honest classical convention, no padding invented.
+    *
+    * Scale shape: one group-keyed sort window (series are day-cell
+    * sized by contract) + one (group, phase)-keyed mean — nothing
+    * global. Output: (group, x, y, trend, seasonal, resid).
+    */
+  def decomposeAdditive(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"decomposeAdditive: period must be odd >= 3, got $period")
+    val half = period / 2
+    val pts = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(xCol).cast("long").as("_x"),
+        round(col(valueCol) * 1e6).cast("long").as("_yq"))
+    val wOrd = Window.partitionBy("_g").orderBy("_x")
+    val wMa = wOrd.rowsBetween(-half, half)
+    val trended = pts
+      .withColumn("_nw", count(lit(1)).over(wMa))
+      .withColumn("_trend",
+        when(col("_nw") === period,
+          round(sum(col("_yq")).over(wMa) / lit(period.toDouble) / 1e6, 6)))
+      .withColumn("_det",
+        col("_yq") / lit(1e6) - col("_trend")) // null-propagates off-edges
+      .withColumn("_phase", pmod(col("_x"), lit(period.toLong)))
+    // phase means over the detrended interior, then re-centered by the
+    // UNWEIGHTED mean of the p phase values (the textbook convention —
+    // a per-row average would weight phases by their row counts)
+    val phaseMeans = trended.filter(col("_det").isNotNull)
+      .groupBy("_g", "_phase").agg(round(avg("_det"), 6).as("_smean"))
+    val centers = phaseMeans.groupBy(col("_g").as("_gc"))
+      .agg(round(avg("_smean"), 6).as("_c"))
+    trended
+      .join(phaseMeans, Seq("_g", "_phase"), "left")
+      .join(centers, col("_g") <=> col("_gc"), "left").drop("_gc")
+      .withColumn("_scenter", round(col("_smean") - col("_c"), 6))
+      .select(col("_g").as(groupCol), col("_x").as("x"),
+        round(col("_yq") / 1e6, 6).cast("double").as("y"),
+        col("_trend").cast("double").as("trend"),
+        when(col("_trend").isNotNull, col("_scenter"))
+          .cast("double").as("seasonal"),
+        when(col("_trend").isNotNull,
+          round(col("_yq") / lit(1e6) - col("_trend") - col("_scenter"), 6))
+          .cast("double").as("resid"))
+  }
+
+  /** Forecast-accuracy panel of the SEASONAL-NAIVE baseline per group:
+    * ŷ_t = y_{t−season}, scored with MAE, sMAPE, and MASE (the scaled
+    * error whose denominator is the one-step-naive in-sample MAE — the
+    * M-competition convention that makes accuracy comparable across
+    * series of different units). This is the honest yardstick every
+    * real forecaster must beat; run it next to [[graft.operators
+    * .Stats.holtForecast]] and friends before trusting them.
+    *
+    * Exactness: y quantizes to 1e6-scaled longs, so every error
+    * |y_t − y_{t−k}| is an EXACT integer; MAE is one rounded division,
+    * MASE one rounded ratio of exact integer products, and sMAPE's
+    * per-term rationals freeze at 12 dp into a decimal(38,12) sum.
+    * Gaps in x are the caller's problem (cells contract: one row per
+    * period, lag-by-rows == lag-by-period).
+    *
+    * Scale shape: one group-keyed sort window over day-cell series.
+    * Output: (group, n, mae, smape, mase) — NULLs when the series is
+    * too short for the lags involved.
+    */
+  def forecastAccuracy(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String, season: Int): DataFrame = {
+    require(season >= 1, s"forecastAccuracy: season must be >= 1, got $season")
+    val pts = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(xCol).cast("long").as("_x"),
+        round(col(valueCol) * 1e6).cast("long").as("_yq"))
+    val wOrd = Window.partitionBy("_g").orderBy("_x")
+    val dec = "decimal(38,0)"
+    pts
+      .withColumn("_ys", lag(col("_yq"), season).over(wOrd))
+      .withColumn("_y1", lag(col("_yq"), 1).over(wOrd))
+      .withColumn("_es", abs(col("_yq") - col("_ys")))
+      .withColumn("_e1", abs(col("_yq") - col("_y1")))
+      .withColumn("_sm",
+        when(col("_es").isNotNull,
+          when(abs(col("_yq")) + abs(col("_ys")) === 0, lit(0.0))
+            .otherwise(round(lit(2.0) * col("_es")
+              / (abs(col("_yq")) + abs(col("_ys"))).cast("double"), 12))))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        count(col("_es")).as("_ns"),
+        sum(col("_es").cast(dec)).as("_ses"),
+        count(col("_e1")).as("_n1"),
+        sum(col("_e1").cast(dec)).as("_se1"),
+        sum(col("_sm").cast("decimal(38,12)")).as("_ssm"))
+      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        when(col("_ns") > 0,
+          round(col("_ses").cast("double") / col("_ns") / 1e6, 6))
+          .cast("double").as("mae"),
+        when(col("_ns") > 0,
+          round(col("_ssm").cast("double") / col("_ns"), 6))
+          .cast("double").as("smape"),
+        // MASE = (Σ|e_s|/n_s) / (Σ|e_1|/n_1) as one exact-integer
+        // cross-ratio — no intermediate float division
+        when(col("_ns") > 0 && col("_n1") > 0 && col("_se1") > 0,
+          round((col("_ses").cast("double") * col("_n1"))
+            / (col("_se1").cast("double") * col("_ns")), 6))
+          .cast("double").as("mase"))
+  }
 }

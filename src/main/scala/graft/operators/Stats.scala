@@ -2087,4 +2087,195 @@ object Stats {
             / (col("n") * col("_ts")).cast("double"), 6))
           .cast("double").as("seasonality"))
   }
+
+  /** One-way ANOVA F over (_g, _x scaled-long) points — shared by
+    * [[anovaF]] (raw values) and [[brownForsythe]] (absolute median
+    * deviations). SSB's Σ s_g²/n_g terms are frozen at 12 dp and
+    * summed in decimal(38,12) (the kruskalWallis discipline); the
+    * scale factor cancels in F, so nothing descales. */
+  private def anovaOnPoints(points: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byG = points.groupBy("_g")
+      .agg(count(lit(1)).as("_ng"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q1"))
+    byG
+      .agg(sum("_ng").as("_n"), count(lit(1)).as("_k"),
+        sum("_s1").as("_s"), sum("_q1").as("_q"),
+        sum(round(col("_s1").cast("double") * col("_s1").cast("double")
+          / col("_ng"), 12).cast("decimal(38,12)")).as("_sb"))
+      .withColumn("_ssb",
+        col("_sb").cast("double")
+          - col("_s").cast("double") * col("_s").cast("double")
+            / col("_n").cast("double"))
+      .withColumn("_ssw", col("_q").cast("double") - col("_sb").cast("double"))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("k"),
+        (col("_k") - 1).cast("bigint").as("dof_between"),
+        (col("_n") - col("_k")).cast("bigint").as("dof_within"),
+        when(col("_k") >= 2 && col("_n") > col("_k") && col("_ssw") > 0.0,
+          round((col("_ssb") / (col("_k") - 1).cast("double"))
+            / (col("_ssw") / (col("_n") - col("_k")).cast("double")), 6))
+          .cast("double").as("f"))
+  }
+
+  /** One-way ANOVA F test: does the group mean of `valueCol` differ
+    * across the levels of `groupCol`? The parametric sibling of
+    * [[kruskalWallis]] (which asks the same of ranks) — still the
+    * first gate every "did the treatment move the metric per segment"
+    * analysis runs.
+    *
+    * Exactness: values quantize to 1e6-scaled longs; per-group
+    * count/sum/sum-of-squares accumulate in decimal(38,0); the
+    * between-groups Σ s_g²/n_g terms are frozen at 12 dp into a
+    * decimal(38,12) sum; F is one identically-spelled float tree
+    * rounded 6 dp (the quantization scale cancels). NULL when k < 2,
+    * n ≤ k, or SSW = 0.
+    *
+    * Scale shape: ONE group-keyed moment aggregate, then a k-row
+    * fold — no windows, no sorts, nothing single-partition beyond the
+    * k-row final. Output: (n, k, dof_between, dof_within, f).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    anovaOnPoints(df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x")))
+
+  /** Brown–Forsythe test of variance homogeneity: one-way ANOVA F
+    * over z = |x − median_g| — Levene's test with the MEDIAN center
+    * (the robust form that keeps its size under heavy tails, and the
+    * variant every "are these segments equally noisy" check should
+    * default to). A significant F here invalidates the equal-variance
+    * assumption [[anovaF]] itself leans on — run them as a pair.
+    *
+    * Exactness: the per-group center is the exact LOWER median of the
+    * 1e6-scaled longs (the [[robustOutliers]] rank convention), so z
+    * is an exact integer in scaled units and the downstream ANOVA
+    * fold is the shared [[anovaOnPoints]] decimal tree.
+    *
+    * Scale shape: one per-group sort window for the median (the
+    * robustOutliers cost class — at corpus scale pre-bin or use the
+    * approx-median dual first), then the one-shuffle ANOVA fold.
+    * Output: (n, k, dof_between, dof_within, f).
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val wv = Window.partitionBy("_g").orderBy("_x")
+    val wg = Window.partitionBy("_g")
+    val medRank = floor((col("_n") + 1) / 2).cast("bigint")
+    anovaOnPoints(pts
+      .withColumn("_rn", row_number().over(wv))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_med", max(when(col("_rn") === medRank, col("_x"))).over(wg))
+      .select(col("_g"), abs(col("_x") - col("_med")).as("_x")))
+  }
+
+  /** Per-group Durbin–Watson statistic on the residuals of y ~ x:
+    * DW = Σ(e_t − e_{t−1})² / Σe_t² over the x-ordered series — the
+    * "are the residuals serially correlated" diagnostic that decides
+    * whether a per-group trend fit ([[linearFit]]) can be trusted or
+    * the series needs differencing (DW ≈ 2 → independent; → 0
+    * positive autocorrelation; → 4 negative).
+    *
+    * Exactness: slope/intercept come from the exact decimal(38,0)
+    * integer moments (the linearFit trees — identical doubles on both
+    * engines); residuals are descaled to value units and rounded 6 dp;
+    * each squared term is frozen at 12 dp into decimal(38,12) sums;
+    * DW is one rounded division. x must be unique per group (series
+    * contract); ties order by (x, y) so even a misuse is
+    * deterministic. NULL when n < 3 or the denominator is 0.
+    *
+    * Scale shape: one group-keyed moment aggregate + one group-keyed
+    * lag window over DAY-CELL-sized series. Output: (group, n, dw).
+    */
+  def durbinWatson(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_xq"),
+        round(col(yCol) * 1e6).cast("long").as("_yq"))
+    val mom = pts.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_xq").cast(dec)).as("_sx"),
+        sum(col("_yq").cast(dec)).as("_sy"),
+        sum((col("_xq").cast(dec) * col("_xq")).cast(dec)).as("_sxx"),
+        sum((col("_xq").cast(dec) * col("_yq")).cast(dec)).as("_sxy"))
+      .withColumn("_denx",
+        col("_n").cast("double") * col("_sxx").cast("double")
+          - col("_sx").cast("double") * col("_sx").cast("double"))
+      .withColumn("_b",
+        when(col("_denx") > 0.0,
+          (col("_n").cast("double") * col("_sxy").cast("double")
+            - col("_sx").cast("double") * col("_sy").cast("double"))
+            / col("_denx")))
+      .withColumn("_a", // intercept in SCALED units
+        (col("_sy").cast("double") - col("_b") * col("_sx").cast("double"))
+          / col("_n").cast("double"))
+    val w = Window.partitionBy("_g").orderBy("_xq", "_yq")
+    pts.join(mom, col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_e",
+        round((col("_yq").cast("double") - col("_b") * col("_xq").cast("double")
+          - col("_a")) / 1e6, 6))
+      .withColumn("_ep", lag(col("_e"), 1).over(w))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_e") * col("_e"), 12).cast("decimal(38,12)")).as("_den"),
+        sum(when(col("_ep").isNotNull,
+          round((col("_e") - col("_ep")) * (col("_e") - col("_ep")), 12)
+            .cast("decimal(38,12)"))).as("_num"))
+      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        when(col("n") >= 3 && col("_den").cast("double") > 0.0,
+          round(col("_num").cast("double") / col("_den").cast("double"), 6))
+          .cast("double").as("dw"))
+  }
+
+  /** Per-group Grubbs statistic: G = max |x − mean| / s with the
+    * suspect value itself — the classic single-outlier screen for
+    * small per-group batteries (daily metric panels), reported as the
+    * statistic + suspect so the caller compares G against the
+    * critical value for its n and alpha (a lookup, not a compute).
+    *
+    * Exactness: mean and sample s from exact decimal(38,0) moments
+    * (identical doubles both engines); per-row z rounded 6 dp; the
+    * arg-max is the lexicographic max of (z, x) so ties break to the
+    * LARGEST value — deterministic. NULL G when n < 3 or s = 0.
+    *
+    * Scale shape: one group-keyed moment aggregate + one group-keyed
+    * max — no windows. Output: (group, n, mean, sd, suspect, g).
+    */
+  def grubbs(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_xq"))
+    val mom = pts.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_xq").cast(dec)).as("_s1"),
+        sum((col("_xq").cast(dec) * col("_xq")).cast(dec)).as("_q1"))
+      .withColumn("_mu", col("_s1").cast("double") / col("_n").cast("double"))
+      .withColumn("_var",
+        (col("_n").cast("double") * col("_q1").cast("double")
+          - col("_s1").cast("double") * col("_s1").cast("double"))
+          / (col("_n").cast("double") * (col("_n").cast("double") - 1.0)))
+      .withColumn("_sd", when(col("_var") > 0.0, sqrt(col("_var"))))
+    pts.join(mom, col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_z",
+        when(col("_sd").isNotNull,
+          round(abs(col("_xq").cast("double") - col("_mu")) / col("_sd"), 6))
+          .otherwise(lit(0.0)))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max(col("_n")).cast("bigint").as("n"),
+        round(max(col("_mu")) / 1e6, 6).cast("double").as("mean"),
+        round(max(col("_sd")) / 1e6, 6).cast("double").as("sd"),
+        max(struct(col("_z"), col("_xq"))).as("_top"),
+        max(col("_sd").isNotNull.cast("int")).as("_hassd"))
+      .select(col(groupCol), col("n"), col("mean"), col("sd"),
+        when(col("_hassd") === 1 && col("n") >= 3,
+          round(col("_top._xq") / 1e6, 6)).cast("double").as("suspect"),
+        when(col("_hassd") === 1 && col("n") >= 3, col("_top._z"))
+          .cast("double").as("g"))
+  }
 }

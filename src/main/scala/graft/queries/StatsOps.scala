@@ -695,7 +695,53 @@ object StatsOps {
       .orderBy(col("score").desc, col("token"))
   }
 
+  /** One-way ANOVA F across all five event types: exact decimal
+    * moments, 12-dp-frozen between-group terms, one float tree.
+    */
+  val qAnova: QueryFn = withTables { spark =>
+    graft.operators.Stats.anovaF(spark.table("events"),
+      "event_type", "value")
+  }
+
+  /** Brown–Forsythe (median-centered Levene) variance-homogeneity
+    * test: the q_robust_outliers lower-median per group feeds exact
+    * integer |x − med| deviations into the shared ANOVA fold.
+    */
+  val qLevene: QueryFn = withTables { spark =>
+    graft.operators.Stats.brownForsythe(spark.table("events"),
+      "event_type", "value")
+  }
+
+  /** Durbin–Watson serial-correlation diagnostic on the q_lin_fit
+    * daily-cell series: residuals from the same exact-moment OLS,
+    * 6-dp-rounded, squared-term sums frozen at 12 dp.
+    */
+  val qDurbinWatson: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    graft.operators.Stats.durbinWatson(cells, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
+  /** Grubbs single-outlier screen per event type: G = max |x−mean|/s
+    * with the suspect value, arg-max deterministic via (z, x)
+    * lexicographic order.
+    */
+  val qGrubbs: QueryFn = withTables { spark =>
+    graft.operators.Stats.grubbs(spark.table("events"),
+        "event_type", "value")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_anova" -> qAnova,
+    "q_levene" -> qLevene,
+    "q_durbin_watson" -> qDurbinWatson,
+    "q_grubbs" -> qGrubbs,
     "q_ks_test" -> qKsTest,
     "q_ks_binned" -> qKsBinned,
     "q_prop_ztest" -> qPropZtest,
@@ -839,6 +885,165 @@ object StatsOps {
 
     // The q_kendall day cells; HUGEINT moment sums mirroring
     // decimal(38,0), the identical slope/intercept/R^2 float trees.
+    // Exact HUGEINT moments per group, 12-dp-frozen s1²/ng terms in
+    // DECIMAL(38,12), the identical F tree.
+    "q_anova" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      agg AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               CAST(SUM(s1) AS DOUBLE) AS s, CAST(SUM(q1) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / ng, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb
+        FROM byg),
+      d AS (SELECT n, k, sb - s * s / CAST(n AS DOUBLE) AS ssb,
+                   q - sb AS ssw FROM agg)
+      SELECT n, k, (k - 1)::BIGINT AS dof_between,
+             (n - k)::BIGINT AS dof_within,
+             CAST(CASE WHEN k >= 2 AND n > k AND ssw > 0.0 THEN
+               ROUND((ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(n - k AS DOUBLE)), 6) END AS DOUBLE) AS f
+      FROM d""",
+
+    // The q_robust_outliers lower-median CTEs feeding |x - med| into
+    // the q_anova fold.
+    "q_levene" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      r1 AS (
+        SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS nn
+        FROM pts),
+      m1 AS (
+        SELECT g, x,
+               MAX(CASE WHEN rn = (nn + 1) // 2 THEN x END)
+                 OVER (PARTITION BY g) AS med
+        FROM r1),
+      z AS (SELECT g, ABS(x - med) AS x FROM m1),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM z GROUP BY g),
+      agg AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               CAST(SUM(s1) AS DOUBLE) AS s, CAST(SUM(q1) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / ng, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb
+        FROM byg),
+      d AS (SELECT n, k, sb - s * s / CAST(n AS DOUBLE) AS ssb,
+                   q - sb AS ssw FROM agg)
+      SELECT n, k, (k - 1)::BIGINT AS dof_between,
+             (n - k)::BIGINT AS dof_within,
+             CAST(CASE WHEN k >= 2 AND n > k AND ssw > 0.0 THEN
+               ROUND((ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(n - k AS DOUBLE)), 6) END AS DOUBLE) AS f
+      FROM d""",
+
+    // q_lin_fit cells + exact-moment OLS, 6-dp residuals, lag window,
+    // 12-dp-frozen squared-term sums, one rounded division.
+    "q_durbin_watson" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      mom AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts GROUP BY g),
+      fit AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS b,
+               (CAST(sy AS DOUBLE) - CASE WHEN CAST(n AS DOUBLE)
+                      * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        FROM mom),
+      res AS (
+        SELECT pts.g,
+               ROUND((CAST(yq AS DOUBLE) - b * CAST(xq AS DOUBLE) - a)
+                 / 1000000.0, 6) AS e,
+               LAG(ROUND((CAST(yq AS DOUBLE) - b * CAST(xq AS DOUBLE) - a)
+                 / 1000000.0, 6)) OVER
+                 (PARTITION BY pts.g ORDER BY xq, yq) AS ep
+        FROM pts JOIN fit ON pts.g IS NOT DISTINCT FROM fit.g)
+      SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+             CAST(CASE WHEN COUNT(*) >= 3 AND CAST(SUM(CAST(ROUND(e * e, 12)
+                    AS DECIMAL(38,12))) AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(SUM(CASE WHEN ep IS NOT NULL THEN
+                       CAST(ROUND((e - ep) * (e - ep), 12)
+                         AS DECIMAL(38,12)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(e * e, 12) AS DECIMAL(38,12)))
+                     AS DOUBLE), 6)
+             END AS DOUBLE) AS dw
+      FROM res GROUP BY g
+      ORDER BY event_type""",
+
+    // Exact moments -> mean/sd doubles, 6-dp z per row, arg-max by
+    // (z DESC, x DESC).
+    "q_grubbs" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS xq
+        FROM events WHERE value IS NOT NULL),
+      mom AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS s1, SUM(xq::HUGEINT * xq) AS q1
+        FROM pts GROUP BY g),
+      m2 AS (
+        SELECT g, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+        FROM mom),
+      m3 AS (SELECT g, n, mu,
+                    CASE WHEN v > 0.0 THEN SQRT(v) END AS sd FROM m2),
+      zs AS (
+        SELECT pts.g, n, mu, sd, xq,
+               CASE WHEN sd IS NOT NULL THEN
+                 ROUND(ABS(CAST(xq AS DOUBLE) - mu) / sd, 6)
+               ELSE 0.0 END AS z
+        FROM pts JOIN m3 ON pts.g IS NOT DISTINCT FROM m3.g),
+      top AS (
+        SELECT g, n, mu, sd, xq, z,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY z DESC, xq DESC)
+                 AS rn
+        FROM zs)
+      SELECT g AS event_type, n,
+             CAST(ROUND(mu / 1000000.0, 6) AS DOUBLE) AS mean,
+             CAST(ROUND(sd / 1000000.0, 6) AS DOUBLE) AS sd,
+             CAST(CASE WHEN sd IS NOT NULL AND n >= 3 THEN
+               ROUND(xq / 1000000.0, 6) END AS DOUBLE) AS suspect,
+             CAST(CASE WHEN sd IS NOT NULL AND n >= 3 THEN z END
+               AS DOUBLE) AS g
+      FROM top WHERE rn = 1
+      ORDER BY event_type""",
+
     "q_lin_fit" -> """
       WITH cells AS (
         SELECT event_type AS g,

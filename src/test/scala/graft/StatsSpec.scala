@@ -533,6 +533,51 @@ class StatsSpec extends SparkTestBase {
     assert(r.getLong(2) == 0L && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("anovaF hand fixture; brownForsythe zero on equal deviation profiles") {
+    import spark.implicits._
+    // {1,2,3} vs {4,5,6}: SSB = 13.5, SSW = 4, F = (13.5/1)/(4/4) = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getDouble(4) == 13.5, r.toString)
+    // same shapes shifted: |x - med| profiles identical -> F = 0
+    val bf = Stats.brownForsythe(df, "g", "v").collect().head
+    assert(bf.getDouble(4) == 0.0, bf.toString)
+    // one group / constant values degenerate to NULL
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Stats.anovaF(one, "g", "v").collect().head.isNullAt(4))
+  }
+
+  test("durbinWatson hand fixture and perfect-fit NULL") {
+    import spark.implicits._
+    // y = {1,3,2,4} on x = 1..4: sxy = 29 -> b = 0.8, a = 0.5,
+    // e = {-0.3, 0.9, -0.9, 0.3} -> DW = 6.12/1.8 = 3.4
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0),
+      ("g", 4.0, 4.0)).toDF("g", "x", "y")
+    val r = Stats.durbinWatson(df, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 3.4, r.toString)
+    // exact line: all residuals 0 -> denominator 0 -> NULL
+    val line = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+      .toDF("g", "x", "y")
+    assert(Stats.durbinWatson(line, "g", "x", "y").collect().head.isNullAt(2))
+  }
+
+  test("grubbs flags the planted outlier; constant group NULL") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0))
+      .toDF("g", "v")
+    val r = Stats.grubbs(df, "g", "v").collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(4) == 100.0, s"suspect must be the outlier: $r")
+    val expG = math.rint(73.5 / math.sqrt(2401.6666666666665) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(5) - expG) < 2e-6, s"G: $r vs $expG")
+    val const = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("g", "v")
+    val c = Stats.grubbs(const, "g", "v").collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5), c.toString)
+  }
+
   test("kendallTau maxPoints and fdrBh maxTests guards are lazy and loud") {
     import spark.implicits._
     val big = Seq.tabulate(40)(i => ("g", i.toDouble, i.toDouble))
