@@ -1080,9 +1080,11 @@ object Resample {
     * changepoint family runs on the RESIDUAL, not the raw series.
     *
     * Exactness: y quantizes to 1e6-scaled longs; the trend MA is an
-    * exact integer sum divided once (rounded 6 dp); per-phase means
-    * and the re-centering are rationals of 6-dp quanta frozen at 6 dp;
-    * the residual is one subtraction of already-rounded doubles.
+    * exact integer sum divided once (rounded 6 dp); detrended values
+    * are frozen at 6 dp and the per-phase means / re-centering sum
+    * them in decimal(38,6) with ONE rounded division each (never an
+    * order-dependent float avg); the residual is one subtraction of
+    * already-rounded doubles.
     * Trend (and everything downstream) is NULL on the half-window
     * edges — the honest classical convention, no padding invented.
     *
@@ -1105,16 +1107,19 @@ object Resample {
       .withColumn("_trend",
         when(col("_nw") === period,
           round(sum(col("_yq")).over(wMa) / lit(period.toDouble) / 1e6, 6)))
-      .withColumn("_det",
-        col("_yq") / lit(1e6) - col("_trend")) // null-propagates off-edges
+      .withColumn("_det", // 6-dp frozen so downstream sums are exact
+        round(col("_yq") / lit(1e6) - col("_trend"), 6))
       .withColumn("_phase", pmod(col("_x"), lit(period.toLong)))
     // phase means over the detrended interior, then re-centered by the
     // UNWEIGHTED mean of the p phase values (the textbook convention —
     // a per-row average would weight phases by their row counts)
     val phaseMeans = trended.filter(col("_det").isNotNull)
-      .groupBy("_g", "_phase").agg(round(avg("_det"), 6).as("_smean"))
+      .groupBy("_g", "_phase")
+      .agg(round(sum(col("_det").cast("decimal(38,6)")).cast("double")
+        / count(lit(1)), 6).as("_smean"))
     val centers = phaseMeans.groupBy(col("_g").as("_gc"))
-      .agg(round(avg("_smean"), 6).as("_c"))
+      .agg(round(sum(col("_smean").cast("decimal(38,6)")).cast("double")
+        / count(lit(1)), 6).as("_c"))
     trended
       .join(phaseMeans, Seq("_g", "_phase"), "left")
       .join(centers, col("_g") <=> col("_gc"), "left").drop("_gc")

@@ -2278,4 +2278,746 @@ object Stats {
         when(col("_hassd") === 1 && col("n") >= 3, col("_top._z"))
           .cast("double").as("g"))
   }
+
+  /** Per-group Welch's t against the pooled complement — the
+    * unequal-variance location test that [[cohensD]] reports magnitude
+    * for: t = (m₁ − m₂) / √(v₁/n₁ + v₂/n₂) with the
+    * Welch–Satterthwaite degrees of freedom, the default two-sample
+    * test when nothing guarantees the segments share a variance
+    * (which nothing ever does).
+    *
+    * Exactness: values quantize to 1e6-scaled longs; per-side moments
+    * accumulate in decimal(38,0) (rest = global − group, exact); the
+    * scale cancels in t and dof, so means/variances stay in scaled
+    * units; t and dof are each ONE identically-spelled float tree
+    * (IEEE /, sqrt) rounded 6 dp. NULL when either side has < 2 rows
+    * or both variances are 0.
+    *
+    * Scale shape: one group-keyed moment aggregate + a broadcast
+    * one-row global — the [[cohensD]] plan exactly. Output:
+    * (group, n_group, n_rest, t, dof).
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val byG = pts.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_group"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q1"))
+    val tot = byG.agg(sum("n_group").as("_n"), sum("_s1").as("_s"),
+      sum("_q1").as("_q"))
+    val n1 = col("n_group").cast("double")
+    val n2 = col("n_rest").cast("double")
+    def v(n: Column, s: Column, q: Column): Column =
+      (n * q.cast("double") - s.cast("double") * s.cast("double")) /
+        (n * (n - 1.0))
+    byG.crossJoin(broadcast(tot))
+      .withColumn("n_rest", (col("_n") - col("n_group")).cast("bigint"))
+      .withColumn("_s2", (col("_s") - col("_s1")).cast(dec))
+      .withColumn("_q2", (col("_q") - col("_q1")).cast(dec))
+      .withColumn("_w1",
+        when(col("n_group") >= 2, v(n1, col("_s1"), col("_q1")) / n1))
+      .withColumn("_w2",
+        when(col("n_rest") >= 2, v(n2, col("_s2"), col("_q2")) / n2))
+      .withColumn("_ok",
+        col("n_group") >= 2 && col("n_rest") >= 2
+          && col("_w1") + col("_w2") > 0.0)
+      .withColumn("t",
+        when(col("_ok"),
+          round((col("_s1").cast("double") / n1
+              - col("_s2").cast("double") / n2)
+            / sqrt(col("_w1") + col("_w2")), 6)).cast("double"))
+      .withColumn("dof",
+        when(col("_ok")
+            && col("_w1") * col("_w1") / (n1 - 1.0)
+              + col("_w2") * col("_w2") / (n2 - 1.0) > 0.0,
+          round((col("_w1") + col("_w2")) * (col("_w1") + col("_w2"))
+            / (col("_w1") * col("_w1") / (n1 - 1.0)
+              + col("_w2") * col("_w2") / (n2 - 1.0)), 6)).cast("double"))
+      .select(groupCol, "n_group", "n_rest", "t", "dof")
+  }
+
+  /** Bartlett's test of equal variances across ALL k levels of
+    * `groupCol` — the parametric sibling of [[brownForsythe]]: more
+    * powerful under normality, famously fragile off it (run the pair
+    * and disagree loudly). K² = [(N−k)·ln s_p² − Σ(n_g−1)·ln s_g²] /
+    * [1 + (Σ 1/(n_g−1) − 1/(N−k)) / (3(k−1))], χ²(k−1) under H0.
+    *
+    * Exactness: per-group variances come from exact decimal(38,0)
+    * moments of 1e6-scaled longs and are computed in SCALED units —
+    * the ln-scale offsets cancel between the pooled and summed terms
+    * ((N−k)·ln c − Σ(n_g−1)·ln c = 0), so nothing descales. `ln` is
+    * the one non-correctly-rounded primitive in the tree, so each
+    * ln s_g² is frozen at 12 dp BEFORE the (n_g−1) multiply (a 1-ulp
+    * engine difference on a value ~O(40) sits ~1e-14, far inside the
+    * 5e-13 boundary; multiplying first would amplify it past the
+    * freeze), the product is frozen at 6 dp into a decimal(38,6) sum,
+    * and 1/(n_g−1) (correctly-rounded IEEE divide) at 12 dp into
+    * decimal(38,12) — the [[chiSquared]] order-free discipline.
+    * K² is one rounded float tree. Groups with n_g < 2 or zero
+    * variance are excluded from the fold (and reported via k_used);
+    * NULL when fewer than 2 usable groups remain.
+    *
+    * Scale shape: one group-keyed moment aggregate, then a k-row
+    * fold. Output: (n, k_used, k2).
+    */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byG = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_ng"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q1"))
+      .withColumn("_ngd", col("_ng").cast("double"))
+      // sample variance in scaled units (exact moments, one float tree)
+      .withColumn("_v",
+        when(col("_ng") >= 2,
+          (col("_ngd") * col("_q1").cast("double")
+            - col("_s1").cast("double") * col("_s1").cast("double"))
+            / (col("_ngd") * (col("_ngd") - 1.0))))
+      .filter(col("_v") > 0.0)
+    byG
+      .agg(sum("_ng").as("_n"), count(lit(1)).as("_k"),
+        sum(round((col("_ngd") - 1.0) * round(log(col("_v")), 12), 6)
+          .cast("decimal(38,6)")).as("_sln"),
+        // Σ (n_g−1)·s_g² recovers the pooled variance numerator
+        // exactly in float from per-group 12-dp-frozen terms
+        sum(round((col("_ngd") - 1.0) * col("_v"), 6)
+          .cast("decimal(38,6)")).as("_ssw"),
+        sum(round(lit(1.0) / (col("_ngd") - 1.0), 12)
+          .cast("decimal(38,12)")).as("_sinv"))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("k_used"),
+        when(col("_k") >= 2 && col("_n") > col("_k"),
+          round(((col("_n") - col("_k")).cast("double")
+              * round(log(col("_ssw").cast("double")
+                / (col("_n") - col("_k")).cast("double")), 12)
+              - col("_sln").cast("double"))
+            / (lit(1.0)
+              + (col("_sinv").cast("double")
+                - lit(1.0) / (col("_n") - col("_k")).cast("double"))
+                / (lit(3.0) * (col("_k").cast("double") - 1.0))), 6))
+          .cast("double").as("k2"))
+  }
+
+  /** Mood's median test: does each group sit above/below the GRAND
+    * median at the same rate? The k-sample location test that only
+    * needs counts — the coarsest, most assumption-free sibling of
+    * [[kruskalWallis]], and the one that survives heavy censoring at
+    * the tails. Pearson χ² on the k×2 (≤ median, > median) table.
+    *
+    * Exactness: the grand median is the exact LOWER median of the
+    * 1e6-scaled longs, recovered from the (group × value) grid's
+    * value-partitioned cumulative (no global sort — the [[ksTest]]
+    * trick); cell counts are exact integers; expected counts and the
+    * χ² fold use the [[chiSquared]] discipline (12-dp-frozen terms in
+    * decimal(38,12)). Groups with an empty expected cell contribute
+    * NULL (all-values-equal degenerate).
+    *
+    * Scale shape: one (group, value) cell shuffle; one ordered window
+    * over the per-group VOCABULARY grid (the [[mannWhitney]] cost
+    * class — pre-bin a continuous column first); one k-row fold.
+    * Output: (n, k, chi2, dof).
+    */
+  def moodMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cells = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val groups = cells.select(col("_g").as("_gm")).distinct()
+    val grid = cells.select(col("_q").as("_vq")).distinct()
+      .crossJoin(broadcast(groups))
+      .join(cells, col("_gm") <=> col("_g") && col("_vq") <=> col("_q"),
+        "left")
+      .select(col("_gm").as("_g"), col("_vq").as("_q"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val perGroup = Window.partitionBy("_g").orderBy("_q")
+    val atValue = Window.partitionBy("_q")
+    val cum = grid
+      .withColumn("_cum", sum("_c").over(perGroup))
+      .withColumn("_call", sum("_cum").over(atValue))
+    val n = cells.agg(sum("_c").as("_n"))
+    // grand lower median: smallest value whose global cumulative
+    // reaches ceil(N/2) = (N+1) div 2
+    val med = cum.crossJoin(broadcast(n))
+      .filter(col("_call") * 2 >= col("_n"))
+      .agg(min("_q").as("_med"))
+    val tab = cells.crossJoin(broadcast(med))
+      .groupBy("_g")
+      .agg(sum(when(col("_q") <= col("_med"), col("_c"))
+          .otherwise(lit(0L))).as("_lo"),
+        sum(col("_c")).as("_ng"))
+    val tot = tab.agg(sum("_lo").as("_tlo"), sum("_ng").as("_tn"),
+      count(lit(1)).as("_k"))
+    tab.crossJoin(broadcast(tot))
+      // expected counts under independence; χ² terms frozen at 12 dp
+      .withColumn("_elo",
+        col("_ng").cast("double") * col("_tlo").cast("double")
+          / col("_tn").cast("double"))
+      .withColumn("_ehi",
+        col("_ng").cast("double")
+          * (col("_tn") - col("_tlo")).cast("double")
+          / col("_tn").cast("double"))
+      .agg(max("_tn").as("_n"), max("_k").as("_kk"),
+        sum(when(col("_elo") > 0.0 && col("_ehi") > 0.0,
+          round((col("_lo").cast("double") - col("_elo"))
+              * (col("_lo").cast("double") - col("_elo")) / col("_elo")
+            + ((col("_ng") - col("_lo")).cast("double") - col("_ehi"))
+              * ((col("_ng") - col("_lo")).cast("double") - col("_ehi"))
+              / col("_ehi"), 12).cast("decimal(38,12)")))
+          .as("_chi"),
+        min((col("_elo") > 0.0 && col("_ehi") > 0.0).cast("int"))
+          .as("_allok"))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_kk").cast("bigint").as("k"),
+        when(col("_allok") === 1 && col("_kk") >= 2,
+          round(col("_chi").cast("double"), 6)).cast("double").as("chi2"),
+        (col("_kk") - 1).cast("bigint").as("dof"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient over a long
+    * (block, item, value) frame: α = k/(k−1)·(1 − Σ var_i/var_total)
+    * — "do these k parallel signals measure one underlying thing"
+    * (rater panels, multi-metric quality scores, ensemble judges).
+    * Blocks missing any item are EXCLUDED (the complete-case
+    * convention — a partial block would bias every variance).
+    *
+    * Exactness: values quantize to 1e6-scaled longs (the scale
+    * cancels in the variance ratio, so nothing descales); per-item
+    * and block-total variances come from exact decimal(38,0) moments
+    * over the complete blocks; each var_i is frozen at 12 dp into an
+    * order-free decimal(38,12) sum (the [[bartlett]] discipline); α
+    * is one rounded float tree. NULL when k < 2, usable blocks < 2,
+    * or the total variance is 0.
+    *
+    * Scale shape: one block-keyed completeness filter + one item-
+    * keyed and one block-keyed moment aggregate — no windows. Output:
+    * (n_blocks, k, alpha).
+    */
+  def cronbachAlpha(df: DataFrame, blockCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(blockCol).as("_b"), col(itemCol).as("_i"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+    val k = pts.select(col("_i")).distinct().agg(count(lit(1)).as("_k"))
+    val complete = pts
+      .groupBy("_b").agg(count(lit(1)).as("_ni"),
+        sum(col("_v").cast(dec)).as("_tot"))
+      .crossJoin(broadcast(k))
+      .filter(col("_ni") === col("_k"))
+    def svar(n: Column, s: Column, q: Column): Column =
+      ((n * q.cast("double") - s.cast("double") * s.cast("double"))
+        / (n * (n - 1.0)))
+    // per-item variance across complete blocks
+    val items = pts.join(complete.select(col("_b")), Seq("_b"))
+      .groupBy("_i")
+      .agg(count(lit(1)).as("_n"), sum(col("_v").cast(dec)).as("_s"),
+        sum((col("_v").cast(dec) * col("_v")).cast(dec)).as("_q"))
+      .agg(sum(when(col("_n") >= 2,
+        round(svar(col("_n").cast("double"), col("_s"), col("_q")), 12))
+        .cast("decimal(38,12)")).as("_svi"))
+    // block-total variance
+    val totals = complete
+      .agg(count(lit(1)).as("_nb"),
+        sum(col("_tot")).as("_st"),
+        sum((col("_tot") * col("_tot")).cast(dec)).as("_qt"))
+    totals.crossJoin(broadcast(items)).crossJoin(broadcast(k))
+      .withColumn("_vt",
+        when(col("_nb") >= 2,
+          svar(col("_nb").cast("double"), col("_st"), col("_qt"))))
+      .select(col("_nb").cast("bigint").as("n_blocks"),
+        col("_k").cast("bigint").as("k"),
+        when(col("_k") >= 2 && col("_nb") >= 2 && col("_vt") > 0.0,
+          round(col("_k").cast("double") / (col("_k").cast("double") - 1.0)
+            * (lit(1.0) - col("_svi").cast("double") / col("_vt")), 6))
+          .cast("double").as("alpha"))
+  }
+
+  /** Mantel–Haenszel stratified 2×2 analysis: the common odds ratio
+    * OR_MH = Σ(a_s·d_s/n_s) / Σ(b_s·c_s/n_s) and the CMH χ²
+    * (uncorrected) = (Σa_s − ΣE[a_s])² / ΣVar(a_s) — "does exposure
+    * move the outcome AFTER holding the stratum constant", the
+    * Simpson's-paradox-proof A/B readout a pooled 2×2 gets wrong
+    * whenever arm allocation varies by segment.
+    *
+    * Exactness: per-stratum cells a/b/c/d and margins are exact
+    * integers; each stratum's a·d/n, b·c/n, E[a] = r₁c₁/n and
+    * Var = r₁r₀c₁c₀/(n²(n−1)) terms are single float trees frozen at
+    * 12 dp into order-free decimal(38,12) sums; OR and χ² are one
+    * rounded tree each. Strata with n < 2 are excluded (Var needs
+    * n−1); OR NULL when Σb·c/n = 0, χ² NULL when ΣVar = 0.
+    *
+    * Scale shape: one stratum-keyed conditional-count aggregate +
+    * one strata-bounded fold. Output: (n_strata, n, or_mh, cmh_chi2).
+    */
+  def mantelHaenszel(df: DataFrame, stratumCol: String,
+      exposedCol: String, outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val tab = df.filter(e.isNotNull && o.isNotNull)
+      .groupBy(col(stratumCol).as("_s"))
+      .agg(cnt(e && o).as("_a"), cnt(e && !o).as("_b"),
+        cnt(!e && o).as("_c"), cnt(!e && !o).as("_d"))
+      .withColumn("_n", col("_a") + col("_b") + col("_c") + col("_d"))
+      .filter(col("_n") >= 2)
+    def d(c: String): Column = col(c).cast("double")
+    val nd = d("_n")
+    def dz(t: Column): Column = round(t, 12).cast("decimal(38,12)")
+    tab
+      .agg(count(lit(1)).cast("bigint").as("n_strata"),
+        sum("_n").cast("bigint").as("n"),
+        sum("_a").as("_sa"),
+        sum(dz(d("_a") * d("_d") / nd)).as("_sad"),
+        sum(dz(d("_b") * d("_c") / nd)).as("_sbc"),
+        sum(dz((d("_a") + d("_b")) * (d("_a") + d("_c")) / nd)).as("_sea"),
+        sum(dz((d("_a") + d("_b")) * (d("_c") + d("_d"))
+          * (d("_a") + d("_c")) * (d("_b") + d("_d"))
+          / (nd * nd * (nd - 1.0)))).as("_sva"))
+      .select(col("n_strata"), col("n"),
+        when(col("_sbc").cast("double") > 0.0,
+          round(col("_sad").cast("double") / col("_sbc").cast("double"), 6))
+          .cast("double").as("or_mh"),
+        when(col("_sva").cast("double") > 0.0,
+          round((col("_sa").cast("double") - col("_sea").cast("double"))
+            * (col("_sa").cast("double") - col("_sea").cast("double"))
+            / col("_sva").cast("double"), 6))
+          .cast("double").as("cmh_chi2"))
+  }
+
+  /** Friedman test over a long (block, treatment, value) frame: are
+    * the k treatments located identically across matched blocks? The
+    * repeated-measures dual of [[kruskalWallis]] (which assumes
+    * independent groups) — ranks live WITHIN each block, so
+    * between-block level shifts cancel by construction. Mid-ranks on
+    * ties; the classic uncorrected statistic
+    * χ²_F = 3/(n·k·(k+1))·Σ_j R2_j² − 3·n·(k+1) on doubled rank sums
+    * (R2 = 2R keeps tied mid-ranks integer — the [[mannWhitney]]
+    * doubling trick).
+    *
+    * Exactness: values quantize to 1e6-scaled longs (exact
+    * comparisons); within-block doubled mid-ranks 2r+c−1 are exact
+    * integers from a rank window + a (block, value) tie count;
+    * Σ R2_j² accumulates in decimal(38,0); χ² is one rounded float
+    * tree. Blocks missing any treatment are EXCLUDED (complete-case);
+    * duplicate (block, treatment) observations raise loudly — the
+    * matrix contract is one cell per pair. NULL when k < 2 or no
+    * complete blocks.
+    *
+    * Scale shape: rank windows are BLOCK-keyed (k-bounded partitions);
+    * one completeness filter + one treatment-keyed sum. Output: ONE
+    * row (n_blocks, k, dof, chi2).
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(blockCol).as("_b"), col(treatCol).as("_i"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+    // one observation per (block, treatment) — in-plan loud guard
+    val dups = pts.groupBy(col("_b").as("_bd"), col("_i").as("_id"))
+      .agg(count(lit(1)).as("_nc"))
+    val guarded = pts
+      .join(dups, col("_b") <=> col("_bd") && col("_i") <=> col("_id"))
+      .withColumn("_v",
+        when(col("_nc") > 1, raise_error(concat(
+          lit("friedman: duplicate (block, treatment) observation ("),
+          col("_b").cast("string"), lit(", "), col("_i").cast("string"),
+          lit(")"))).cast("long")).otherwise(col("_v")))
+      .select("_b", "_i", "_v")
+    val k = guarded.select(col("_i")).distinct()
+      .agg(count(lit(1)).as("_k"))
+    val complete = guarded.groupBy(col("_b").as("_bc"))
+      .agg(count(lit(1)).as("_ni"))
+      .crossJoin(broadcast(k)).filter(col("_ni") === col("_k"))
+      .select("_bc")
+    val wr = Window.partitionBy("_b").orderBy("_v")
+    val ranked = guarded.join(complete, col("_b") <=> col("_bc"))
+      .withColumn("_r", rank().over(wr))
+      .withColumn("_c", count(lit(1)).over(
+        Window.partitionBy("_b", "_v")))
+      // doubled mid-rank 2·(r + (c−1)/2) = 2r + c − 1: exact integer
+      .withColumn("_m2", lit(2L) * col("_r") + col("_c") - 1L)
+    val perT = ranked.groupBy("_i")
+      .agg(sum(col("_m2").cast(dec)).as("_r2"),
+        count(lit(1)).as("_nb"))
+    perT
+      .agg(max("_nb").as("_n"), count(lit(1)).as("_kk"),
+        sum((col("_r2") * col("_r2")).cast(dec)).as("_sr2"))
+      .select(col("_n").cast("bigint").as("n_blocks"),
+        col("_kk").cast("bigint").as("k"),
+        (col("_kk") - 1).cast("bigint").as("dof"),
+        when(col("_kk") >= 2 && col("_n") >= 1,
+          round(lit(3.0) * col("_sr2").cast("double")
+            / (col("_n").cast("double") * col("_kk").cast("double")
+              * (col("_kk").cast("double") + 1.0))
+            - lit(3.0) * col("_n").cast("double")
+              * (col("_kk").cast("double") + 1.0), 6))
+          .cast("double").as("chi2"))
+  }
+
+  /** Dunn's post-hoc pairwise panel after [[kruskalWallis]]: for each
+    * unordered group pair, z = (R̄_a − R̄_b) / √(σ²·(1/n_a+1/n_b))
+    * with pooled mid-ranks and the tie-corrected
+    * σ² = N(N+1)/12 − Σ(E³−E)/(12(N−1)) — the rank-world twin of
+    * [[tukeyHsd]] ("WHICH groups differ" once the omnibus H fires);
+    * feed the panel to [[fdrBh]] for the multiplicity gate.
+    *
+    * Exactness: the [[mannWhitney]] doubled-rank machinery verbatim
+    * (D(v) = 2C+E+1 exact integers on the 6-dp value vocabulary;
+    * R2_g and Σ(E³−E) in decimal(38,0)); mean ranks are exact
+    * rationals R2_g/(2n_g) rounded 6 dp; z is one identically-spelled
+    * float tree rounded 6 dp, NULL when σ² ≤ 0 (everything tied).
+    *
+    * Scale shape: one cell shuffle + ONE vocabulary-bounded prefix
+    * window (the mannWhitney cost class — pre-bin a continuous value
+    * first), then a k²-bounded self-join of the k-row group table.
+    * Output: (group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+    * z) with group_a < group_b.
+    */
+  def dunnTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(col(groupCol).as("_g"),
+        round(col(valueCol), 6).as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val totals = cells.groupBy(col("_q").as("_tq")).agg(sum("_c").as("_e"))
+      .withColumn("_cbelow", coalesce(
+        sum("_e").over(Window.orderBy(col("_tq"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nn = totals.agg(sum("_e").as("_n"),
+      sum((col("_e").cast(dec) * col("_e") * col("_e") - col("_e"))
+        .cast(dec)).as("_ties"))
+    val perG = cells
+      .join(totals, cells("_q") <=> totals("_tq"))
+      .groupBy(col("_g"))
+      .agg(sum("_c").as("_ng"),
+        sum(col("_c") * (lit(2L) * col("_cbelow") + col("_e") + 1))
+          .cast(dec).as("_r2"))
+    val a = perG.select(col("_g").as("group_a"), col("_ng").as("n_a"),
+      col("_r2").as("_r2a"))
+    val b = perG.select(col("_g").as("group_b"), col("_ng").as("n_b"),
+      col("_r2").as("_r2b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(nn))
+      .withColumn("_sig2",
+        col("_n").cast("double") * (col("_n").cast("double") + 1.0) / 12.0
+          - col("_ties").cast("double")
+            / (lit(12.0) * (col("_n").cast("double") - 1.0)))
+      .withColumn("_dbar",
+        (col("_r2a").cast("double") / col("n_a").cast("double")
+          - col("_r2b").cast("double") / col("n_b").cast("double")) / 2.0)
+      .select(col("group_a"), col("group_b"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        round(col("_r2a").cast("double")
+          / (lit(2.0) * col("n_a").cast("double")), 6)
+          .cast("double").as("mean_rank_a"),
+        round(col("_r2b").cast("double")
+          / (lit(2.0) * col("n_b").cast("double")), 6)
+          .cast("double").as("mean_rank_b"),
+        when(col("_sig2") > 0.0,
+          round(col("_dbar") / sqrt(col("_sig2")
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))), 6))
+          .cast("double").as("z"))
+  }
+
+  /** G-test (likelihood-ratio χ²) of independence on the `aCol` ×
+    * `bCol` contingency table — the information-theoretic twin of
+    * [[chiSquared]]: G = 2·Σ O·ln(O·N/(r·c)) is additive under table
+    * partitioning (χ² isn't) and is exactly 2N·MI(nats), so it reads
+    * as "how many nats of association did N rows buy". Run the pair:
+    * they agree asymptotically and disagree on sparse cells, which is
+    * itself a diagnostic.
+    *
+    * Exactness: cell counts and marginals are exact integers in
+    * decimal(38,0); each cell's ln(O·N/(r·c)) (the one
+    * non-correctly-rounded primitive) is frozen at 12 dp BEFORE the
+    * O multiply (the [[bartlett]] discipline — multiplying an O(N)
+    * count into a 1-ulp ln difference first would amplify it past the
+    * freeze), the O·ln term is rounded 6 dp into an order-free
+    * decimal(38,6) sum, and G doubles it in one rounded tree. Empty
+    * cells never materialize (GROUP BY only sees observed pairs) and
+    * contribute exactly their O·ln(O/E) → 0 limit. NULL G when the
+    * table is degenerate (single row or column level).
+    *
+    * Scale shape: identical to [[chiSquared]] — one cell shuffle +
+    * broadcast marginals, cells-bounded work after that. Output:
+    * (n, n_a_levels, n_b_levels, dof, g).
+    */
+  def gTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val rows = cells.groupBy(col("_a").as("_ar")).agg(sum("_o").as("_r"))
+    val colsM = cells.groupBy(col("_b").as("_bc")).agg(sum("_o").as("_c"))
+    val tot = cells.agg(sum("_o").cast(dec).as("_n"))
+    val levA = rows.agg(count(lit(1)).as("_ra"))
+    val levB = colsM.agg(count(lit(1)).as("_cb"))
+    cells
+      .join(broadcast(rows), col("_a") <=> col("_ar"))
+      .join(broadcast(colsM), col("_b") <=> col("_bc"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_lnv", round(log(
+        (col("_o").cast(dec) * col("_n")).cast("double")
+          / (col("_r").cast(dec) * col("_c")).cast("double")), 12))
+      .withColumn("_term",
+        round(col("_o").cast("double") * col("_lnv"), 6)
+          .cast("decimal(38,6)"))
+      .agg(max(col("_n")).cast("long").as("n"), sum("_term").as("_sg"))
+      .crossJoin(broadcast(levA)).crossJoin(broadcast(levB))
+      .select(col("n"),
+        col("_ra").as("n_a_levels"), col("_cb").as("n_b_levels"),
+        ((col("_ra") - 1) * (col("_cb") - 1)).as("dof"),
+        when((col("_ra") - 1) > 0 && (col("_cb") - 1) > 0,
+          round(lit(2.0) * col("_sg").cast("double"), 6))
+          .cast("double").as("g"))
+  }
+
+  /** Per-group binned two-sample Anderson–Darling statistic against
+    * the pooled complement — completes the quadratic-EDF trio with
+    * [[ksTestBinned]] (worst gap) and [[cvmBinned]] (every gap,
+    * uniform weight): AD divides each gap by H(1−H), so TAIL
+    * disagreement — where a uniform weight vanishes quadratically —
+    * counts at full strength. The shift-in-the-extremes detector
+    * (latency p99s, length ceilings) that KS and CvM both soft-pedal.
+    *
+    * A² = (n_g·n_r/N)·Σ_cells h_q·(F₁−F₂)²/(H_q(1−H_q)) over cells
+    * with 0 < H < 1 (the exact discrete analog of the Pettitt 1976
+    * integrand on the bins-bounded grid; h_q = pooled mass fraction).
+    *
+    * Exactness: the [[cvmBinned]] frozen-[min,max] cells and
+    * cumulative machinery verbatim; per cell, num = cum·(N−n_g) −
+    * (call−cum)·n_g, w (pooled cell count), call, and N are exact
+    * integers, the cell term w·num²·N/(n_g·n_r·call·(N−call)) is ONE
+    * float tree frozen at 12 dp into an order-free decimal(38,12)
+    * sum, and A² is one final rounded cast. The last cell (H = 1)
+    * drops out by construction. NULL values are a real level
+    * (ksTestBinned contract). Output: (group, n_group, n_rest, ad) —
+    * ad NULL when the group is the whole input.
+    */
+  def adBinned(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"bins=$bins must be >= 2")
+    val dec = "decimal(38,0)"
+    val stats = df.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val points = df.crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col(valueCol).isNotNull,
+          when(col("_hi") > col("_lo"),
+            least(floor((col(valueCol) - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))), lit(bins - 1)))
+            .otherwise(lit(0))).cast("long").as("_q"))
+    val cells = points.groupBy(col("_g"), col("_q"))
+      .agg(count(lit(1)).as("_c"))
+    val groups = cells.groupBy(col("_g").as("_gm")).agg(sum("_c").as("_ng"))
+    val values = cells.select(col("_q").as("_vq")).distinct()
+    val n = cells.agg(sum("_c").as("_n"))
+    val grid = values
+      .crossJoin(broadcast(groups))
+      .join(cells, col("_gm") <=> col("_g") && col("_vq") <=> col("_q"),
+        "left")
+      .select(col("_gm").as("_g"), col("_vq").as("_q"), col("_ng"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val perGroup = Window.partitionBy("_g").orderBy("_q")
+    val atValue = Window.partitionBy("_q")
+    grid
+      .withColumn("_cum", sum("_c").over(perGroup))
+      .withColumn("_call", sum("_cum").over(atValue))
+      .withColumn("_w", sum("_c").over(atValue))
+      .crossJoin(broadcast(n))
+      .withColumn("_num",
+        (col("_cum") * (col("_n") - col("_ng"))
+          - (col("_call") - col("_cum")) * col("_ng")).cast(dec))
+      // cell term: w·num²·N / (n_g·n_r·call·(N−call)); H=1 cells
+      // (call = N) excluded — the integrand's open-interval domain
+      .withColumn("_term",
+        when(col("_call") > 0 && col("_call") < col("_n")
+            && col("_ng") < col("_n"),
+          round((col("_w").cast(dec) * col("_num") * col("_num"))
+              .cast("double") * col("_n").cast("double")
+            / (col("_ng").cast("double")
+              * (col("_n") - col("_ng")).cast("double")
+              * col("_call").cast("double")
+              * (col("_n") - col("_call")).cast("double")), 12)
+            .cast("decimal(38,12)")))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_ng").as("n_group"),
+        (max("_n") - max("_ng")).as("n_rest"),
+        sum("_term").as("_ssq"))
+      .withColumn("ad",
+        when(col("n_rest") > 0,
+          round(col("_ssq").cast("double"), 6)).cast("double"))
+      .select(groupCol, "n_group", "n_rest", "ad")
+  }
+
+  /** Per-group Page–Hinkley drift detector over the x-ordered series:
+    * m_t = Σ_{i≤t}(x_i − μ_i − δ) with μ_i the running mean, alarm
+    * when m_t − min_{i≤t} m_i exceeds λ — the sequential mean-shift
+    * monitor that [[Stats.cusumDetect]]'s fixed-reference form
+    * approximates; PH self-centers, so it needs no in-control mean
+    * fed in. Reported per group: the maximum excursion and the FIRST
+    * x where it crossed λ (NULL = no alarm).
+    *
+    * Exactness: values quantize to 1e6-scaled longs; μ_t is the exact
+    * rational S_t/t descaled and rounded 6 dp; each deviation term is
+    * rounded 6 dp into a decimal(38,6) CUMULATIVE sum (so m_t, its
+    * running min, and the excursion m_t − min are all exact decimals —
+    * no float accumulation anywhere); the λ compare runs on exact
+    * decimals. ph_max is one final rounded cast.
+    *
+    * Scale shape: windows are group-keyed over DAY-CELL-sized series
+    * (the [[durbinWatson]] cost class — pre-aggregate a raw event
+    * stream to cells first). Output: (group, n, ph_max, alarm_x).
+    */
+  def pageHinkley(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String, delta: Double, lambda: Double): DataFrame = {
+    require(lambda > 0.0, s"lambda=$lambda must be > 0")
+    val pts = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(xCol).cast("long").as("_x"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+    val w = Window.partitionBy("_g").orderBy("_x")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("_t", row_number().over(w))
+      .withColumn("_s", sum(col("_v").cast("decimal(38,0)")).over(cum))
+      .withColumn("_mu",
+        round(col("_s").cast("double") / col("_t") / 1e6, 6))
+      .withColumn("_dev",
+        round(col("_v") / lit(1e6) - col("_mu") - lit(delta), 6)
+          .cast("decimal(38,6)"))
+      .withColumn("_m", sum("_dev").over(cum))
+      .withColumn("_mmin", min("_m").over(cum))
+      .withColumn("_ph", col("_m") - col("_mmin"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(max("_ph").cast("double"), 6).cast("double").as("ph_max"),
+        min(when(col("_ph") > lambda, col("_x"))).as("alarm_x"))
+  }
+
+  /** Per-group first-order partial correlation of y and z controlling
+    * for x: r_yz·x = (r_yz − r_yx·r_zx)/√((1−r_yx²)(1−r_zx²)) — the
+    * "are these two metrics related, or do they both just trend with
+    * time/volume" confound check that raw [[Stats.corrPearson]]
+    * batteries can't answer.
+    *
+    * Exactness: all three columns quantize to 1e6-scaled longs; the
+    * nine cross-moments accumulate in decimal(38,0) (exact,
+    * partitioning-independent); each pairwise r is one identically-
+    * spelled float tree frozen at 12 dp (the [[bartlett]] freeze-
+    * before-combine discipline), and the partial r is one final tree
+    * rounded 6 dp. NULL when n < 3, any variance is 0, or either
+    * (1−r²) factor is ≤ 0 (perfect collinearity with the control).
+    *
+    * Scale shape: ONE group-keyed aggregate of ten decimal sums —
+    * map-side partials, no windows. Output: (group, n, r_yz, r_yx,
+    * r_zx, r_partial).
+    */
+  def partialCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    def q(c: String): Column = round(col(c) * 1e6).cast("long")
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull
+        && col(zCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        q(xCol).as("_x"), q(yCol).as("_y"), q(zCol).as("_z"))
+    def s(a: String): Column = sum(col(a).cast(dec))
+    def s2(a: String, b: String): Column =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val mom = pts.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        s("_x").as("_sx"), s("_y").as("_sy"), s("_z").as("_sz"),
+        s2("_x", "_x").as("_sxx"), s2("_y", "_y").as("_syy"),
+        s2("_z", "_z").as("_szz"), s2("_x", "_y").as("_sxy"),
+        s2("_x", "_z").as("_sxz"), s2("_y", "_z").as("_syz"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    def cov(sab: String, sa: String, sb: String): Column =
+      nd * d(sab) - d(sa) * d(sb)
+    def varOf(saa: String, sa: String): Column =
+      nd * d(saa) - d(sa) * d(sa)
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column =
+      when(col("n") >= 3 && varOf(saa, sa) > 0.0 && varOf(sbb, sb) > 0.0,
+        round(cov(sab, sa, sb)
+          / sqrt(varOf(saa, sa) * varOf(sbb, sb)), 12))
+    mom
+      .withColumn("_ryz", r("_syz", "_sy", "_sz", "_syy", "_szz"))
+      .withColumn("_ryx", r("_sxy", "_sx", "_sy", "_sxx", "_syy"))
+      .withColumn("_rzx", r("_sxz", "_sx", "_sz", "_sxx", "_szz"))
+      .withColumn("_den",
+        (lit(1.0) - col("_ryx") * col("_ryx"))
+          * (lit(1.0) - col("_rzx") * col("_rzx")))
+      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        round(col("_ryz"), 6).cast("double").as("r_yz"),
+        round(col("_ryx"), 6).cast("double").as("r_yx"),
+        round(col("_rzx"), 6).cast("double").as("r_zx"),
+        when(col("_den") > 0.0,
+          round((col("_ryz") - col("_ryx") * col("_rzx"))
+            / sqrt(col("_den")), 6)).cast("double").as("r_partial"))
+  }
+
+  /** Tukey-style HSD pairwise panel after [[anovaF]]: for every
+    * unordered group pair, the mean difference and the studentized
+    * range statistic q = (m_a − m_b) / √(MSW/2 · (1/n_a + 1/n_b))
+    * (Tukey–Kramer form for unequal n) — the "WHICH groups differ"
+    * follow-up that the omnibus F deliberately doesn't answer. The
+    * caller compares q against the studentized-range critical value
+    * for (k, N−k) — a lookup, not a compute.
+    *
+    * Exactness: per-group moments are exact decimal(38,0) sums of
+    * 1e6-scaled longs; MSW comes from the same 12-dp-frozen Σ s_g²/n_g
+    * fold as [[anovaF]]; diff descales to value units rounded 6 dp; q
+    * is one identically-spelled float tree rounded 6 dp. NULL q when
+    * MSW = 0 or either side has no second row's worth of freedom
+    * (N ≤ k).
+    *
+    * Scale shape: one group-keyed moment aggregate, then a k²-bounded
+    * self-join of the k-row group table (pairs of LEVELS, never of
+    * rows). Output: (group_a, group_b, n_a, n_b, diff, q) with
+    * group_a < group_b.
+    */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val byG = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_ng"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q1"))
+    val msw = byG
+      .agg(sum("_ng").as("_n"), count(lit(1)).as("_k"),
+        sum("_q1").as("_q"),
+        sum(round(col("_s1").cast("double") * col("_s1").cast("double")
+          / col("_ng"), 12).cast("decimal(38,12)")).as("_sb"))
+      .select(col("_n"), col("_k"),
+        when(col("_n") > col("_k"),
+          (col("_q").cast("double") - col("_sb").cast("double"))
+            / (col("_n") - col("_k")).cast("double")).as("_msw"))
+    val a = byG.select(col("_g").as("group_a"), col("_ng").as("n_a"),
+      col("_s1").as("_sa"))
+    val b = byG.select(col("_g").as("group_b"), col("_ng").as("n_b"),
+      col("_s1").as("_sb1"))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(msw))
+      .withColumn("_d",
+        col("_sa").cast("double") / col("n_a").cast("double")
+          - col("_sb1").cast("double") / col("n_b").cast("double"))
+      .select(col("group_a"), col("group_b"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        round(col("_d") / 1e6, 6).cast("double").as("diff"),
+        when(col("_msw") > 0.0,
+          round(col("_d") / sqrt(col("_msw") / 2.0
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))), 6))
+          .cast("double").as("q"))
+  }
 }

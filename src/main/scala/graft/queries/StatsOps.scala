@@ -737,11 +737,85 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Welch's unequal-variance t of each event type's value against
+    * the pooled rest: exact decimal moments per side, t and the
+    * Welch–Satterthwaite dof as identically-spelled float trees.
+    */
+  val qWelchT: QueryFn = withTables { spark =>
+    graft.operators.Stats.welchT(spark.table("events"),
+        "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  /** Bartlett's variance-homogeneity K² across all five event types:
+    * the parametric dual of q_levene — 12-dp-frozen ln terms, scale
+    * offsets cancelling between pooled and per-group logs.
+    */
+  val qBartlett: QueryFn = withTables { spark =>
+    graft.operators.Stats.bartlett(spark.table("events"),
+      "event_type", "value")
+  }
+
+  /** Mood's median test: k×2 above/below-grand-median counts into
+    * the chiSquared fold; the grand lower median comes off the
+    * (group × value) grid with no global sort.
+    */
+  val qMoodMedian: QueryFn = withTables { spark =>
+    graft.operators.Stats.moodMedian(spark.table("events"),
+      "event_type", "value")
+  }
+
+  /** Tukey–Kramer HSD pairwise panel over the five event types: the
+    * q_anova MSW under every pairwise studentized range statistic.
+    */
+  val qTukeyHsd: QueryFn = withTables { spark =>
+    graft.operators.Stats.tukeyHsd(spark.table("events"),
+        "event_type", "value")
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Daily cents-spend cells per event type — the shared series for
+    * the decomposition / forecast-accuracy pair (the q_lin_fit cells).
+    */
+  private def dayCells(spark: org.apache.spark.sql.SparkSession) =
+    spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+
+  /** Classical additive decomposition of daily spend per event type,
+    * weekly period: centered 7-day MA trend, zero-sum day-of-week
+    * seasonal profile, residual — all 6-dp frozen with decimal sums.
+    */
+  val qDecompose: QueryFn = withTables { spark =>
+    Resample.decomposeAdditive(dayCells(spark), "event_type", "x", "y",
+        period = 7)
+      .orderBy("event_type", "x")
+  }
+
+  /** Seasonal-naive forecast accuracy (MAE / sMAPE / MASE) of the
+    * same daily cells at season 7 — exact integer errors, 12-dp
+    * frozen sMAPE terms, MASE as one exact cross-ratio.
+    */
+  val qForecastAcc: QueryFn = withTables { spark =>
+    Resample.forecastAccuracy(dayCells(spark), "event_type", "x", "y",
+        season = 7)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_decompose" -> qDecompose,
+    "q_forecast_acc" -> qForecastAcc,
     "q_anova" -> qAnova,
     "q_levene" -> qLevene,
     "q_durbin_watson" -> qDurbinWatson,
     "q_grubbs" -> qGrubbs,
+    "q_welch_t" -> qWelchT,
+    "q_bartlett" -> qBartlett,
+    "q_mood_median" -> qMoodMedian,
+    "q_tukey_hsd" -> qTukeyHsd,
     "q_ks_test" -> qKsTest,
     "q_ks_binned" -> qKsBinned,
     "q_prop_ztest" -> qPropZtest,
@@ -1043,6 +1117,240 @@ object StatsOps {
                AS DOUBLE) AS g
       FROM top WHERE rn = 1
       ORDER BY event_type""",
+
+    // The q_cohens_d side-vs-rest HUGEINT moments; t and dof as the
+    // identical Welch float trees.
+    "q_welch_t" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS n1, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      tot AS (SELECT SUM(n1)::BIGINT AS n, SUM(s1) AS s, SUM(q1) AS q
+              FROM byg),
+      j AS (
+        SELECT g, n1, (n - n1)::BIGINT AS n2,
+               CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(q1 AS DOUBLE) AS q1d,
+               CAST(s - s1 AS DOUBLE) AS s2d, CAST(q - q1 AS DOUBLE) AS q2d
+        FROM byg, tot),
+      w AS (
+        SELECT g, n1, n2, n1d, n2d, s1d, s2d,
+               (n1d * q1d - s1d * s1d) / (n1d * (n1d - 1.0)) / n1d AS w1,
+               (n2d * q2d - s2d * s2d) / (n2d * (n2d - 1.0)) / n2d AS w2
+        FROM j),
+      o AS (
+        SELECT g, n1, n2,
+               (n1 >= 2 AND n2 >= 2 AND w1 + w2 > 0.0) AS ok,
+               s1d / n1d - s2d / n2d AS md, w1, w2, n1d, n2d
+        FROM w)
+      SELECT g AS event_type, n1 AS n_group, n2 AS n_rest,
+             CAST(CASE WHEN ok THEN
+               ROUND(md / SQRT(w1 + w2), 6) END AS DOUBLE) AS t,
+             CAST(CASE WHEN ok AND w1 * w1 / (n1d - 1.0)
+                 + w2 * w2 / (n2d - 1.0) > 0.0 THEN
+               ROUND((w1 + w2) * (w1 + w2)
+                 / (w1 * w1 / (n1d - 1.0) + w2 * w2 / (n2d - 1.0)), 6)
+             END AS DOUBLE) AS dof
+      FROM o ORDER BY event_type""",
+
+    // Per-group variances from exact moments in SCALED units (the ln
+    // offsets cancel), ln frozen at 12 dp BEFORE the (n-1) multiply.
+    "q_bartlett" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      v AS (
+        SELECT ng, CAST(ng AS DOUBLE) AS ngd,
+               (CAST(ng AS DOUBLE) * CAST(q1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0)) AS vv
+        FROM byg WHERE ng >= 2),
+      f AS (SELECT * FROM v WHERE vv > 0.0),
+      agg AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               CAST(SUM(CAST(ROUND((ngd - 1.0) * ROUND(LN(vv), 12), 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS sln,
+               CAST(SUM(CAST(ROUND((ngd - 1.0) * vv, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) AS ssw,
+               CAST(SUM(CAST(ROUND(1.0 / (ngd - 1.0), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS sinv
+        FROM f)
+      SELECT n, k AS k_used,
+             CAST(CASE WHEN k >= 2 AND n > k THEN
+               ROUND((CAST(n - k AS DOUBLE)
+                   * ROUND(LN(ssw / CAST(n - k AS DOUBLE)), 12) - sln)
+                 / (1.0 + (sinv - 1.0 / CAST(n - k AS DOUBLE))
+                   / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+             END AS DOUBLE) AS k2
+      FROM agg""",
+
+    // Grand LOWER median off the global value cumulative, then the
+    // k x 2 chi-squared fold with 12-dp-frozen terms.
+    "q_mood_median" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS q,
+               COUNT(*)::BIGINT AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      vals AS (SELECT q, SUM(c) AS cq FROM cells GROUP BY q),
+      cum AS (SELECT q, SUM(cq) OVER (ORDER BY q) AS call FROM vals),
+      med AS (SELECT MIN(q) AS med FROM cum, nn WHERE call * 2 >= n),
+      tab AS (
+        SELECT g, SUM(CASE WHEN q <= med THEN c ELSE 0 END)::BIGINT AS lo,
+               SUM(c)::BIGINT AS ng
+        FROM cells, med GROUP BY g),
+      tot AS (SELECT SUM(lo)::BIGINT AS tlo, SUM(ng)::BIGINT AS tn,
+                     COUNT(*)::BIGINT AS k FROM tab),
+      terms AS (
+        SELECT tn, k, lo, ng,
+               CAST(ng AS DOUBLE) * CAST(tlo AS DOUBLE)
+                 / CAST(tn AS DOUBLE) AS elo,
+               CAST(ng AS DOUBLE) * CAST(tn - tlo AS DOUBLE)
+                 / CAST(tn AS DOUBLE) AS ehi
+        FROM tab, tot)
+      SELECT MAX(tn) AS n, MAX(k) AS k,
+             CAST(CASE WHEN MIN(CASE WHEN elo > 0.0 AND ehi > 0.0
+                 THEN 1 ELSE 0 END) = 1 AND MAX(k) >= 2 THEN
+               ROUND(CAST(SUM(CASE WHEN elo > 0.0 AND ehi > 0.0 THEN
+                 CAST(ROUND((CAST(lo AS DOUBLE) - elo)
+                     * (CAST(lo AS DOUBLE) - elo) / elo
+                   + (CAST(ng - lo AS DOUBLE) - ehi)
+                     * (CAST(ng - lo AS DOUBLE) - ehi) / ehi, 12)
+                 AS DECIMAL(38,12)) END) AS DOUBLE), 6)
+             END AS DOUBLE) AS chi2,
+             (MAX(k) - 1)::BIGINT AS dof
+      FROM terms""",
+
+    // The q_lin_fit day cells; centered 7-row MA, pmod phases,
+    // decimal(38,6) phase-mean sums — every round replayed.
+    "q_decompose" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(x AS BIGINT) AS x,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      ma AS (
+        SELECT g, x, yq, COUNT(*) OVER w7 AS nw, SUM(yq) OVER w7 AS s7
+        FROM pts WINDOW w7 AS (PARTITION BY g ORDER BY x
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tr AS (
+        SELECT g, x, yq,
+               CASE WHEN nw = 7 THEN
+                 ROUND(s7 / 7.0 / 1000000.0, 6) END AS trend,
+               ((x % 7) + 7) % 7 AS phase
+        FROM ma),
+      det AS (
+        SELECT g, x, yq, trend, phase,
+               ROUND(yq / 1000000.0 - trend, 6) AS det
+        FROM tr),
+      pm AS (
+        SELECT g, phase,
+               ROUND(CAST(SUM(CAST(det AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS smean
+        FROM det WHERE det IS NOT NULL GROUP BY g, phase),
+      ct AS (
+        SELECT g, ROUND(CAST(SUM(CAST(smean AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+        FROM pm GROUP BY g),
+      j AS (
+        SELECT d.g, d.x, d.yq, d.trend,
+               ROUND(pm.smean - ct.c, 6) AS scenter
+        FROM det d LEFT JOIN pm ON d.g = pm.g AND d.phase = pm.phase
+        LEFT JOIN ct ON d.g = ct.g)
+      SELECT g AS event_type, x,
+             CAST(ROUND(yq / 1000000.0, 6) AS DOUBLE) AS y,
+             CAST(trend AS DOUBLE) AS trend,
+             CAST(CASE WHEN trend IS NOT NULL THEN scenter END
+               AS DOUBLE) AS seasonal,
+             CAST(CASE WHEN trend IS NOT NULL THEN
+               ROUND(yq / 1000000.0 - trend - scenter, 6) END
+               AS DOUBLE) AS resid
+      FROM j ORDER BY event_type, x""",
+
+    // Same cells; exact integer |e| sums, 12-dp sMAPE terms, MASE as
+    // one integer cross-ratio.
+    "q_forecast_acc" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(x AS BIGINT) AS x,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      lg AS (
+        SELECT g, yq,
+               LAG(yq, 7) OVER (PARTITION BY g ORDER BY x) AS ys,
+               LAG(yq, 1) OVER (PARTITION BY g ORDER BY x) AS y1
+        FROM pts),
+      e AS (
+        SELECT g, ABS(yq - ys) AS es, ABS(yq - y1) AS e1,
+               CASE WHEN ys IS NOT NULL THEN
+                 CASE WHEN ABS(yq) + ABS(ys) = 0 THEN 0.0
+                 ELSE ROUND(2.0 * ABS(yq - ys)
+                   / CAST(ABS(yq) + ABS(ys) AS DOUBLE), 12) END
+               END AS sm
+        FROM lg)
+      SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+             CAST(CASE WHEN COUNT(es) > 0 THEN
+               ROUND(CAST(SUM(es::HUGEINT) AS DOUBLE) / COUNT(es)
+                 / 1000000.0, 6) END AS DOUBLE) AS mae,
+             CAST(CASE WHEN COUNT(es) > 0 THEN
+               ROUND(CAST(SUM(CAST(sm AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(es), 6) END AS DOUBLE) AS smape,
+             CAST(CASE WHEN COUNT(es) > 0 AND COUNT(e1) > 0
+                 AND SUM(e1) > 0 THEN
+               ROUND(CAST(SUM(es::HUGEINT) AS DOUBLE) * COUNT(e1)
+                 / (CAST(SUM(e1::HUGEINT) AS DOUBLE) * COUNT(es)), 6)
+             END AS DOUBLE) AS mase
+      FROM e GROUP BY g ORDER BY event_type""",
+
+    // The q_anova MSW (12-dp-frozen s1^2/ng fold) under every
+    // pairwise mean difference; Tukey-Kramer q float tree.
+    "q_tukey_hsd" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      ms AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               CAST(SUM(q1) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / ng, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb
+        FROM byg),
+      m AS (SELECT CASE WHEN n > k THEN
+              (q - sb) / CAST(n - k AS DOUBLE) END AS msw FROM ms),
+      pair AS (
+        SELECT a.g AS group_a, b.g AS group_b, a.ng AS n_a, b.ng AS n_b,
+               CAST(a.s1 AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                 - CAST(b.s1 AS DOUBLE) / CAST(b.ng AS DOUBLE) AS d,
+               msw
+        FROM byg a JOIN byg b ON a.g < b.g, m)
+      SELECT group_a, group_b, n_a, n_b,
+             CAST(ROUND(d / 1000000.0, 6) AS DOUBLE) AS diff,
+             CAST(CASE WHEN msw > 0.0 THEN
+               ROUND(d / SQRT(msw / 2.0 * (1.0 / CAST(n_a AS DOUBLE)
+                 + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS DOUBLE) AS q
+      FROM pair ORDER BY group_a, group_b""",
 
     "q_lin_fit" -> """
       WITH cells AS (

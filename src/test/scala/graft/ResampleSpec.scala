@@ -625,4 +625,54 @@ class ResampleSpec extends SparkTestBase {
       assert(got(i + 2) == ((l, b, ns)), s"row ${i + 2}: ${got(i + 2)}")
     }
   }
+
+  test("decomposeAdditive: pure seasonal series recovered exactly") {
+    import spark.implicits._
+    // y = 10 + phase pattern {0, 3, -3} on period 3: trend MA is a
+    // constant 10, seasonal recovers the pattern, residual is 0
+    val pat = Seq(0.0, 3.0, -3.0)
+    val rows = (0 until 12).map(t => ("g", t.toLong, 10.0 + pat(t % 3)))
+    val out = Resample.decomposeAdditive(rows.toDF("g", "x", "y"),
+        "g", "x", "y", period = 3)
+      .orderBy("x").collect()
+    assert(out.length == 12)
+    assert(out.head.isNullAt(3) && out.last.isNullAt(3),
+      "half-window edges carry NULL trend")
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getAs[Double]("trend") == 10.0, r.toString)
+      assert(r.getAs[Double]("seasonal") == pat((r.getAs[Long]("x") % 3).toInt),
+        r.toString)
+      assert(r.getAs[Double]("resid") == 0.0, r.toString)
+    }
+    // seasonal profile sums to ~0 by construction
+    val s = out.filter(!_.isNullAt(4)).map(_.getAs[Double]("seasonal"))
+      .distinct.sum
+    assert(math.abs(s) < 1e-9, s"zero-sum profile: $s")
+    // even period rejected loudly
+    intercept[IllegalArgumentException] {
+      Resample.decomposeAdditive(rows.toDF("g", "x", "y"), "g", "x", "y", 4)
+    }
+  }
+
+  test("forecastAccuracy: perfect seasonal-naive scores 0; MASE vs naive") {
+    import spark.implicits._
+    // exact period-2 repetition: seasonal-naive error 0 everywhere
+    val per = (0 until 8).map(t => ("g", t.toLong, Seq(5.0, 9.0)(t % 2)))
+    val p = Resample.forecastAccuracy(per.toDF("g", "x", "y"),
+      "g", "x", "y", season = 2).collect().head
+    assert(p.getAs[Double]("mae") == 0.0 && p.getAs[Double]("smape") == 0.0
+      && p.getAs[Double]("mase") == 0.0, p.toString)
+    // rising line y = t: season-7 error is 7, naive error 1 -> MASE
+    // = 7 exactly; sMAPE terms replayable
+    val lin = (0 until 20).map(t => ("g", t.toLong, t.toDouble))
+    val l = Resample.forecastAccuracy(lin.toDF("g", "x", "y"),
+      "g", "x", "y", season = 7).collect().head
+    assert(l.getAs[Double]("mae") == 7.0, l.toString)
+    assert(l.getAs[Double]("mase") == 7.0, l.toString)
+    // too-short series: no season-lag pairs -> NULL panel
+    val short = (0 until 3).map(t => ("g", t.toLong, t.toDouble))
+    val s = Resample.forecastAccuracy(short.toDF("g", "x", "y"),
+      "g", "x", "y", season = 7).collect().head
+    assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4), s.toString)
+  }
 }

@@ -1542,4 +1542,82 @@ class StatsSpec extends SparkTestBase {
         s"rate_iso must be non-decreasing: ${rs.mkString(",")}")
     }
   }
+
+  test("welchT hand fixture, antisymmetric sign, degenerate NULL") {
+    import spark.implicits._
+    // a = {1,2,3}: m=2, v=1; b = {4,6}: m=5, v=2
+    // t = (2-5)/sqrt(1/3 + 2/2) = -3/sqrt(4/3)
+    // dof = (4/3)^2 / ((1/3)^2/2 + 1^2/1) = (16/9)/(1/18+1)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val out = Stats.welchT(df, "g", "v").orderBy("g").collect()
+    val expT = math.rint(-3.0 / math.sqrt(4.0 / 3.0) * 1e6) / 1e6
+    val expD = math.rint((16.0 / 9.0) / (1.0 / 18.0 + 1.0) * 1e6) / 1e6
+    assert(out(0).getAs[Double]("t") == expT, out.mkString(","))
+    assert(out(0).getAs[Double]("dof") == expD, out.mkString(","))
+    assert(out(1).getAs[Double]("t") == -expT, "rest-side flips the sign")
+    // single-row side -> NULL
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    assert(Stats.welchT(tiny, "g", "v").filter(col("g") === "a")
+      .collect().head.isNullAt(3))
+  }
+
+  test("bartlett: equal variances ~ 0, planted inflation detected") {
+    import spark.implicits._
+    // identical shapes shifted: all s_g^2 equal -> K2 == 0 exactly
+    // (pooled == each group's variance, terms cancel)
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val k2 = Stats.bartlett(same, "g", "v").collect().head
+    assert(k2.getLong(0) == 6L && k2.getLong(1) == 2L)
+    assert(math.abs(k2.getDouble(2)) < 1e-9, k2.toString)
+    // one group 100x the spread -> large positive K2
+    val infl = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", -100.0), ("b", 0.0), ("b", 100.0)).toDF("g", "v")
+    assert(Stats.bartlett(infl, "g", "v").collect().head.getDouble(2) > 5.0)
+    // constant group excluded; fewer than 2 usable -> NULL
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val c = Stats.bartlett(const, "g", "v").collect().head
+    assert(c.getLong(1) == 1L && c.isNullAt(2), c.toString)
+  }
+
+  test("moodMedian: balanced groups ~ 0, shifted group detected") {
+    import spark.implicits._
+    // both groups straddle the grand median identically -> chi2 = 0
+    val bal = Seq(("a", 1.0), ("a", 4.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val r = Stats.moodMedian(bal, "g", "v").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(2) == 0.0, r.toString)
+    // a entirely below, b entirely above -> maximal 2x2 chi2 = n
+    val sep = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0))
+      .toDF("g", "v")
+    assert(Stats.moodMedian(sep, "g", "v").collect().head.getDouble(2)
+      == 4.0)
+    // grand median is the LOWER median: {1,2,3,4} -> med 2
+    val med = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val m = Stats.moodMedian(med, "g", "v").collect().head
+    assert(m.getDouble(2) == 4.0, s"lower-median split must be clean: $m")
+  }
+
+  test("tukeyHsd pairwise panel matches the anova MSW; ordering fixed") {
+    import spark.implicits._
+    // {1,2,3} vs {4,5,6} vs {10,11,12}: every group variance 1 -> MSW=1
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0),
+      ("c", 10.0), ("c", 11.0), ("c", 12.0)).toDF("g", "v")
+    val out = Stats.tukeyHsd(df, "g", "v")
+      .orderBy("group_a", "group_b").collect()
+    assert(out.length == 3, "3 unordered pairs of 3 levels")
+    val ab = out(0)
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b")
+    assert(ab.getAs[Double]("diff") == -3.0)
+    // q = diff / sqrt(MSW/2 * (1/3+1/3)) = -3 / sqrt(1/3)
+    val expQ = math.rint(-3.0 / math.sqrt(1.0 / 3.0) * 1e6) / 1e6
+    assert(ab.getAs[Double]("q") == expQ, ab.toString)
+    // a-c spans 9: three times the a-b difference
+    assert(out(1).getAs[Double]("diff") == -9.0)
+  }
 }
