@@ -1192,4 +1192,103 @@ object Resample {
             / (col("_se1").cast("double") * col("_ns")), 6))
           .cast("double").as("mase"))
   }
+
+  /** Ljung–Box portmanteau test per group: Q = n(n+2)·Σ_{k=1..m}
+    * ρ_k²/(n−k) over the daily-cell series — "is there ANY serial
+    * structure in the first m lags", the one-number gate read before
+    * trusting an i.i.d. assumption that [[autocorrelation]]'s per-lag
+    * panel only answers lag by lag (m near-threshold ρ's can be
+    * jointly damning while individually ignorable). Compare Q against
+    * χ²(m); the whiteness sibling of [[Stats.durbinWatson]] (which
+    * sees only lag 1).
+    *
+    * Exactness: rides [[autocorrelation]] verbatim; each 6-dp ρ_k is
+    * an exact multiple of 1e-6, so ρ_k² is computed on identical
+    * doubles, the per-lag term ρ_k²/(n−k) is frozen at 12 dp into an
+    * order-free decimal(38,12) sum, and Q is one identically-spelled
+    * rounded float tree. Any NULL ρ (constant series) or n ≤ m → NULL
+    * Q by contract.
+    *
+    * Scale shape: identical to [[autocorrelation]] — calendar-bounded
+    * day cells per group; the fold is groups × m rows.
+    * Output: (group, n_days, m, q).
+    */
+  def ljungBox(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    val acf = autocorrelation(df, groupCol, tsCol, valueCol, maxLag)
+    acf.groupBy(col(groupCol))
+      .agg(max("n_days").as("n_days"),
+        count(col("acf")).as("_nk"), count(lit(1)).as("_k"),
+        sum(round(col("acf") * col("acf")
+            / (col("n_days") - col("lag")).cast("double"), 12)
+          .cast("decimal(38,12)")).as("_t"))
+      .select(col(groupCol), col("n_days"), lit(maxLag).as("m"),
+        when(col("_nk") === col("_k") && col("n_days") > lit(maxLag),
+          round(col("n_days").cast("double")
+            * (col("n_days") + 2).cast("double")
+            * col("_t").cast("double"), 6)).cast("double").as("q"))
+  }
+
+  /** AR(2) Yule–Walker fit + one-step forecast per group on the daily
+    * series: φ1 = ρ1(1−ρ2)/(1−ρ1²), φ2 = (ρ2−ρ1²)/(1−ρ1²) from the
+    * lag-1/2 autocorrelations, then x̂_{n+1} = μ + φ1(x_n−μ) +
+    * φ2(x_{n−1}−μ) — the first model-based forecaster in the stack,
+    * read against [[forecastAccuracy]]'s seasonal-naive baseline
+    * (an AR fit that can't beat naive is noise). φ2 is exactly the
+    * lag-2 PACF, so the fit doubles as [[Stats.pacf]]'s order check.
+    *
+    * Exactness: ρ's ride [[autocorrelation]] (6-dp frozen); μ is one
+    * rounded division of the exact decimal day-cell sum; x_n, x_{n−1}
+    * descale exactly; φ1, φ2 and the forecast are identically-spelled
+    * float trees each rounded at 6 dp. Degenerate 1−ρ1² ≤ 0 (unit-root
+    * echo), NULL ρ, or n < 3 → NULL coefficients and forecast.
+    *
+    * Scale shape: the [[autocorrelation]] fold + one group-keyed
+    * descending-day window cut to the last two cells.
+    * Output: (group, n_days, phi1, phi2, forecast).
+    */
+  def arForecast(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    val cells = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+      .groupBy("_g", "_day").agg(sum("_x").as("_x"))
+    val mu = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast("decimal(38,0)")).as("_s"))
+      .withColumn("_mu",
+        round(col("_s").cast("double") / col("_n").cast("double") / 1e6, 6))
+      .select("_gm", "_n", "_mu")
+    val wLast = Window.partitionBy("_g").orderBy(col("_day").desc)
+    val lastTwo = cells
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") <= 2)
+      .groupBy(col("_g").as("_gl"))
+      .agg(max(when(col("_rn") === 1, round(col("_x") / 1e6, 6))).as("_xn"),
+        max(when(col("_rn") === 2, round(col("_x") / 1e6, 6))).as("_xn1"))
+    val rho = autocorrelation(df, groupCol, tsCol, valueCol, 2)
+      .groupBy(col(groupCol))
+      .agg(max("n_days").as("n_days"),
+        max(when(col("lag") === 1, col("acf"))).as("_r1"),
+        max(when(col("lag") === 2, col("acf"))).as("_r2"))
+    val den = lit(1.0) - col("_r1") * col("_r1")
+    rho
+      .join(broadcast(mu), col(groupCol) <=> col("_gm")).drop("_gm")
+      .join(broadcast(lastTwo), col(groupCol) <=> col("_gl")).drop("_gl")
+      .withColumn("phi1",
+        when(col("n_days") >= 3 && den > 0.0,
+          round(col("_r1") * (lit(1.0) - col("_r2")) / den, 6))
+          .cast("double"))
+      .withColumn("phi2",
+        when(col("n_days") >= 3 && den > 0.0,
+          round((col("_r2") - col("_r1") * col("_r1")) / den, 6))
+          .cast("double"))
+      .select(col(groupCol), col("n_days"), col("phi1"), col("phi2"),
+        when(col("phi1").isNotNull,
+          round(col("_mu") + col("phi1") * (col("_xn") - col("_mu"))
+            + col("phi2") * (col("_xn1") - col("_mu")), 6))
+          .cast("double").as("forecast"))
+  }
 }

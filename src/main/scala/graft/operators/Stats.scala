@@ -2632,8 +2632,10 @@ object Stats {
       .select("_b", "_i", "_v")
     val k = guarded.select(col("_i")).distinct()
       .agg(count(lit(1)).as("_k"))
+    // completeness counts DISTINCT treatments — a duplicated cell must
+    // not mask a missing one (the duplicate itself raises via _v)
     val complete = guarded.groupBy(col("_b").as("_bc"))
-      .agg(count(lit(1)).as("_ni"))
+      .agg(countDistinct(col("_i")).as("_ni"))
       .crossJoin(broadcast(k)).filter(col("_ni") === col("_k"))
       .select("_bc")
     val wr = Window.partitionBy("_b").orderBy("_v")
@@ -2702,7 +2704,7 @@ object Stats {
       col("_r2").as("_r2a"))
     val b = perG.select(col("_g").as("group_b"), col("_ng").as("n_b"),
       col("_r2").as("_r2b"))
-    a.join(b, col("group_a") < col("group_b"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
       .crossJoin(broadcast(nn))
       .withColumn("_sig2",
         col("_n").cast("double") * (col("_n").cast("double") + 1.0) / 12.0
@@ -2787,9 +2789,10 @@ object Stats {
     * counts at full strength. The shift-in-the-extremes detector
     * (latency p99s, length ceilings) that KS and CvM both soft-pedal.
     *
-    * A² = (n_g·n_r/N)·Σ_cells h_q·(F₁−F₂)²/(H_q(1−H_q)) over cells
-    * with 0 < H < 1 (the exact discrete analog of the Pettitt 1976
-    * integrand on the bins-bounded grid; h_q = pooled mass fraction).
+    * A² = (N/(n_g·n_r))·Σ_cells w_q·num_q²/(call_q·(N−call_q)) over
+    * cells with 0 < H < 1 — the Scholz–Stephens (1987) two-sample
+    * computational form with each pooled order position collapsed
+    * onto its cell (w_q positions share the cell's ECDF state).
     *
     * Exactness: the [[cvmBinned]] frozen-[min,max] cells and
     * cumulative machinery verbatim; per cell, num = cum·(N−n_g) −
@@ -3005,7 +3008,7 @@ object Stats {
       col("_s1").as("_sa"))
     val b = byG.select(col("_g").as("group_b"), col("_ng").as("n_b"),
       col("_s1").as("_sb1"))
-    a.join(b, col("group_a") < col("group_b"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
       .crossJoin(broadcast(msw))
       .withColumn("_d",
         col("_sa").cast("double") / col("n_a").cast("double")
@@ -3019,5 +3022,126 @@ object Stats {
             * (lit(1.0) / col("n_a").cast("double")
               + lit(1.0) / col("n_b").cast("double"))), 6))
           .cast("double").as("q"))
+  }
+
+  /** Cochran's Q over a long (block, treatment, flag) frame: do the k
+    * treatments have equal success rates across matched blocks, for
+    * BINARY outcomes — the 0/1 member of the matched-blocks family
+    * ([[friedman]] ranks continuous values; [[mcNemar]] is the k=2
+    * special case). Q = (k−1)·[k·ΣC_j² − N²] / (k·N − ΣR_i²) with
+    * C_j the treatment success totals, R_i the block success totals,
+    * N = ΣC_j — read against χ²(k−1).
+    *
+    * Exactness: every quantity is an exact integer; numerator and
+    * denominator accumulate in decimal(38,0) and Q is ONE rounded
+    * division — no float order anywhere. The [[friedman]] contracts
+    * verbatim: blocks missing any treatment are EXCLUDED
+    * (complete-case, counted over DISTINCT treatments), duplicate
+    * (block, treatment) cells raise loudly in-plan. Degenerate
+    * denominator 0 (every block constant — all-0 or all-1 rows carry
+    * no information) or k < 2 → NULL Q.
+    *
+    * Scale shape: one duplicate-guard join + two group-keyed integer
+    * aggregates — no windows at all (ranks are not needed for 0/1).
+    * Output: ONE row (n_blocks, k, dof, q).
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      flagCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df
+      .select(col(blockCol).as("_b"), col(treatCol).as("_i"),
+        when(flagCol, 1L).otherwise(0L).as("_x"))
+    val dups = pts.groupBy(col("_b").as("_bd"), col("_i").as("_id"))
+      .agg(count(lit(1)).as("_nc"))
+    val guarded = pts
+      .join(dups, col("_b") <=> col("_bd") && col("_i") <=> col("_id"))
+      .withColumn("_x",
+        when(col("_nc") > 1, raise_error(concat(
+          lit("cochranQ: duplicate (block, treatment) observation ("),
+          col("_b").cast("string"), lit(", "), col("_i").cast("string"),
+          lit(")"))).cast("long")).otherwise(col("_x")))
+      .select("_b", "_i", "_x")
+    val k = guarded.select(col("_i")).distinct()
+      .agg(count(lit(1)).as("_k"))
+    val complete = guarded.groupBy(col("_b").as("_bc"))
+      .agg(countDistinct(col("_i")).as("_ni"))
+      .crossJoin(broadcast(k)).filter(col("_ni") === col("_k"))
+      .select("_bc")
+    val kept = guarded.join(complete, col("_b") <=> col("_bc"))
+    val byT = kept.groupBy("_i")
+      .agg(sum("_x").as("_cj"), count(lit(1)).as("_nb"))
+    val byB = kept.groupBy("_b").agg(sum("_x").as("_ri"))
+      .agg(sum((col("_ri").cast(dec) * col("_ri")).cast(dec)).as("_sr2"),
+        sum(col("_ri").cast(dec)).as("_nt"))
+    byT
+      .agg(max("_nb").as("_n"), count(lit(1)).as("_kk"),
+        sum((col("_cj").cast(dec) * col("_cj")).cast(dec)).as("_sc2"))
+      .crossJoin(broadcast(byB))
+      .select(col("_n").cast("bigint").as("n_blocks"),
+        col("_kk").cast("bigint").as("k"),
+        (col("_kk") - 1).cast("bigint").as("dof"),
+        when(col("_kk") >= 2 && col("_n") >= 1
+            && (col("_kk") * col("_nt") - col("_sr2")).cast("double") > 0.0,
+          round((col("_kk") - 1).cast("double")
+            * (col("_kk") * col("_sc2") - col("_nt") * col("_nt"))
+              .cast("double")
+            / (col("_kk") * col("_nt") - col("_sr2")).cast("double"), 6))
+          .cast("double").as("q"))
+  }
+
+  /** Chi-squared goodness-of-fit of observed category counts against
+    * DECLARED expected shares — the sample-ratio-mismatch (SRM) gate
+    * every experiment readout runs before trusting its arms (a 50/50
+    * split that lands 52/48 at scale is a broken assignment path, and
+    * every downstream test on it is invalid), and the generic
+    * "does this shard/bucket layout match its design" audit.
+    * χ² = Σ(O_c − E_c)²/E_c with E_c = N·w_c, read against χ²(k−1).
+    *
+    * Exactness: observed counts are exact integers; each share w_c is
+    * a caller-declared literal so E_c = N·w_c is the same double on
+    * any engine; per-category terms are frozen at 12 dp into an
+    * order-free decimal(38,12) sum and χ² is one rounded tree.
+    * Categories NOT in the declared map raise loudly in-plan (a
+    * misdeclared design must not silently skew every term); declared
+    * categories with no rows contribute their full E_c. NULL when
+    * N = 0 or any declared share ≤ 0.
+    *
+    * Scale shape: one hash aggregate to k counts + a k-bounded
+    * broadcast join — the scan dominates. Output: ONE row
+    * (n, k, dof, chi2).
+    */
+  def chiSquaredGof(df: DataFrame, catCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "chiSquaredGof: empty expected map")
+    val obs = df.groupBy(col(catCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_o"))
+    val exp = df.sparkSession.range(1)
+      .select(explode(array(expected.map { case (c, w) =>
+        struct(lit(c).as("_ec"), lit(w).as("_w")) }: _*)).as("_s"))
+      .select(col("_s._ec").as("_ec"), col("_s._w").as("_w"))
+    // full outer (absent categories pay full E; undeclared raise) —
+    // both sides are k-bounded aggregates, no broadcast hint needed
+    val joined = obs.join(exp, col("_c") <=> col("_ec"), "full")
+      .withColumn("_o",
+        when(col("_ec").isNull, raise_error(concat(
+          lit("chiSquaredGof: undeclared category "), col("_c")))
+          .cast("long"))
+          .otherwise(coalesce(col("_o"), lit(0L))))
+    val n = joined.agg(sum("_o").as("_nt")).select(col("_nt"))
+    joined.crossJoin(broadcast(n))
+      .withColumn("_e", col("_nt").cast("double") * col("_w"))
+      .withColumn("_t",
+        when(col("_w") > 0.0,
+          round((col("_o").cast("double") - col("_e"))
+            * (col("_o").cast("double") - col("_e")) / col("_e"), 12)
+            .cast("decimal(38,12)")))
+      .agg(max("_nt").as("n"), count(lit(1)).as("_k"),
+        min(col("_w")).as("_wmin"), sum("_t").as("_chi"))
+      .select(col("n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("k"),
+        (col("_k") - 1).cast("bigint").as("dof"),
+        when(col("n") > 0 && col("_wmin") > 0.0,
+          round(col("_chi").cast("double"), 6))
+          .cast("double").as("chi2"))
   }
 }

@@ -805,9 +805,145 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** G-test (likelihood-ratio χ²) of lang × source independence on
+    * documents: the information-theoretic twin of q_chi_squared —
+    * exact integer cells, 12-dp-frozen ln terms, one doubled fold.
+    */
+  val qGTest: QueryFn = withTables { spark =>
+    Stats.gTest(spark.table("documents"), "lang", "source")
+  }
+
+  /** Binned two-sample Anderson–Darling of value per event type vs
+    * the pooled rest: the q_cvm_binned cells with the H(1−H) tail
+    * weighting — the extremes-sensitive member of the EDF trio.
+    */
+  val qAdBinned: QueryFn = withTables { spark =>
+    Stats.adBinned(spark.table("events"), "event_type", "value", bins = 16)
+      .orderBy("event_type")
+  }
+
+  /** Daily cells in DOLLARS with event counts — the (x, y, n) panel
+    * for the self-centering drift / confound / reliability quartet.
+    */
+  private def dayCellsN(spark: org.apache.spark.sql.SparkSession) =
+    spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("_cents"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        (col("_cents") / 100.0).as("y"), col("n"))
+
+  /** Page–Hinkley self-centering drift detector over daily dollar
+    * spend per event type (δ=0, λ=2000): decimal-exact cumulative
+    * deviations, running-min excursion, first alarm day.
+    */
+  val qPageHinkley: QueryFn = withTables { spark =>
+    Stats.pageHinkley(dayCellsN(spark), "event_type", "x", "y",
+        delta = 0.0, lambda = 2000.0)
+      .orderBy("event_type")
+  }
+
+  /** Partial correlation of daily spend and event count controlling
+    * for the day index, per event type: "do spend and volume move
+    * together beyond both trending with time".
+    */
+  val qPartialCorr: QueryFn = withTables { spark =>
+    Stats.partialCorr(dayCellsN(spark), "event_type", "x", "y", "n")
+      .orderBy("event_type")
+  }
+
+  /** Cronbach's alpha of the five event types' daily spend series as
+    * parallel items over day blocks: complete-case blocks, exact
+    * decimal moments, 12-dp-frozen per-item variances.
+    */
+  val qCronbach: QueryFn = withTables { spark =>
+    Stats.cronbachAlpha(dayCellsN(spark), "x", "event_type", "y")
+  }
+
+  /** Mantel–Haenszel stratified 2×2: does user parity move the
+    * high-value rate after holding event type constant — common odds
+    * ratio + uncorrected CMH χ² from 12-dp-frozen stratum terms.
+    */
+  val qMantelHaenszel: QueryFn = withTables { spark =>
+    val e = spark.table("events")
+      .withColumn("exposed", col("user_id") % 2 === 0)
+      .withColumn("hi", col("value") > 50.0)
+    Stats.mantelHaenszel(e, "event_type", "exposed", "hi")
+  }
+
+  /** Friedman test of the five event types across matched day blocks
+    * on daily dollar spend: within-block doubled mid-ranks, exact
+    * decimal rank-sum squares, the classic uncorrected χ²_F.
+    */
+  val qFriedman: QueryFn = withTables { spark =>
+    Stats.friedman(dayCellsN(spark), "x", "event_type", "y")
+  }
+
+  /** Dunn's post-hoc pairwise panel after q_kruskal: pooled doubled
+    * mid-ranks on the value vocabulary, tie-corrected σ², one z per
+    * event-type pair.
+    */
+  val qDunn: QueryFn = withTables { spark =>
+    Stats.dunnTest(spark.table("events"), "event_type", "value")
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Ljung–Box portmanteau whiteness test over the q_acf daily value
+    * series (m=3): 12-dp-frozen ρ²/(n−k) terms into one decimal fold,
+    * Q read against χ²(3).
+    */
+  val qLjungBox: QueryFn = withTables { spark =>
+    Resample.ljungBox(spark.table("events"), "event_type", "ts",
+        "value", maxLag = 3)
+      .orderBy("event_type")
+  }
+
+  /** AR(2) Yule–Walker fit + one-step forecast of the same daily
+    * series: φ's from the 6-dp lag-1/2 autocorrelations, forecast
+    * anchored on the exact-decimal mean and the last two day cells.
+    */
+  val qAr2Forecast: QueryFn = withTables { spark =>
+    Resample.arForecast(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type")
+  }
+
+  /** Cochran's Q across the five event types over matched day blocks
+    * on the binary "daily spend above $1,500" outcome: the 0/1 member
+    * of the matched-blocks family, exact-integer throughout.
+    */
+  val qCochranQ: QueryFn = withTables { spark =>
+    Stats.cochranQ(dayCellsN(spark), "x", "event_type",
+      col("y") > 1500.0)
+  }
+
+  /** Sample-ratio-mismatch gate: user_id % 10 buckets on events
+    * against the declared uniform 1/10 design — χ² goodness-of-fit
+    * with 12-dp-frozen terms.
+    */
+  val qSrm: QueryFn = withTables { spark =>
+    val e = spark.table("events")
+      .withColumn("bucket", (col("user_id") % 10).cast("string"))
+    Stats.chiSquaredGof(e, "bucket",
+      (0 to 9).map(i => i.toString -> 0.1))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_ljung_box" -> qLjungBox,
+    "q_ar2_forecast" -> qAr2Forecast,
+    "q_cochran_q" -> qCochranQ,
+    "q_srm" -> qSrm,
     "q_decompose" -> qDecompose,
     "q_forecast_acc" -> qForecastAcc,
+    "q_g_test" -> qGTest,
+    "q_ad_binned" -> qAdBinned,
+    "q_page_hinkley" -> qPageHinkley,
+    "q_partial_corr" -> qPartialCorr,
+    "q_cronbach" -> qCronbach,
+    "q_mantel_haenszel" -> qMantelHaenszel,
+    "q_friedman" -> qFriedman,
+    "q_dunn" -> qDunn,
     "q_anova" -> qAnova,
     "q_levene" -> qLevene,
     "q_durbin_watson" -> qDurbinWatson,
@@ -1350,6 +1486,346 @@ object StatsOps {
              CAST(CASE WHEN msw > 0.0 THEN
                ROUND(d / SQRT(msw / 2.0 * (1.0 / CAST(n_a AS DOUBLE)
                  + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS DOUBLE) AS q
+      FROM pair ORDER BY group_a, group_b""",
+
+    // The q_chi_squared cells/marginals with the likelihood-ratio
+    // fold: ln frozen at 12 dp BEFORE the O multiply, 6-dp terms.
+    "q_g_test" -> """
+      WITH cells AS (
+        SELECT lang AS a, source AS b, COUNT(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2),
+      rows_ AS (SELECT a, SUM(o)::BIGINT AS r FROM cells GROUP BY a),
+      cols_ AS (SELECT b, SUM(o)::BIGINT AS c FROM cells GROUP BY b),
+      tot AS (SELECT SUM(o)::HUGEINT AS n FROM cells),
+      la AS (SELECT COUNT(*)::BIGINT AS ra FROM rows_),
+      lb AS (SELECT COUNT(*)::BIGINT AS cb FROM cols_),
+      terms AS (
+        SELECT ROUND(CAST(ce.o AS DOUBLE)
+                 * ROUND(LN(CAST(ce.o::HUGEINT * n AS DOUBLE)
+                     / CAST(r.r::HUGEINT * c.c AS DOUBLE)), 12), 6)
+                 ::DECIMAL(38,6) AS term
+        FROM cells ce
+        JOIN rows_ r ON ce.a IS NOT DISTINCT FROM r.a
+        JOIN cols_ c ON ce.b IS NOT DISTINCT FROM c.b
+        CROSS JOIN tot),
+      s AS (SELECT SUM(term) AS sg FROM terms)
+      SELECT CAST(n AS BIGINT) AS n, ra AS n_a_levels, cb AS n_b_levels,
+             (ra - 1) * (cb - 1) AS dof,
+             CAST(CASE WHEN ra - 1 > 0 AND cb - 1 > 0 THEN
+               ROUND(2.0 * CAST(sg AS DOUBLE), 6) END AS DOUBLE) AS g
+      FROM s CROSS JOIN tot CROSS JOIN la CROSS JOIN lb""",
+
+    // The q_cvm_binned grid with the H(1-H) Anderson-Darling weight;
+    // per-cell terms 12-dp frozen, H=1 cells excluded.
+    "q_ad_binned" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*) AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
+      cum AS (
+        SELECT g, q, ng, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call,
+               SUM(c) OVER (PARTITION BY q) AS w
+        FROM cum),
+      termd AS (
+        SELECT g, ng, n,
+               CASE WHEN call > 0 AND call < n AND ng < n THEN
+                 ROUND(CAST(w::HUGEINT
+                       * ((cg * (n - ng) - (call - cg) * ng)::HUGEINT)
+                       * ((cg * (n - ng) - (call - cg) * ng)::HUGEINT)
+                     AS DOUBLE) * CAST(n AS DOUBLE)
+                   / (CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)
+                     * CAST(call AS DOUBLE) * CAST(n - call AS DOUBLE)),
+                   12)::DECIMAL(38,12)
+               END AS term
+        FROM cum2 CROSS JOIN nn)
+      SELECT g AS event_type, MAX(ng) AS n_group,
+             MAX(n) - MAX(ng) AS n_rest,
+             CAST(CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) END AS DOUBLE) AS ad
+      FROM termd GROUP BY g ORDER BY event_type""",
+
+    // Daily dollar cells; running mean as exact rational, 6-dp-frozen
+    // deviations into DECIMAL(38,6) cumulative sums, running-min
+    // excursion, first day over lambda=2000.
+    "q_page_hinkley" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(x AS BIGINT) AS x,
+               CAST(ROUND((cents / 100.0) * 1000000.0) AS BIGINT) AS v
+        FROM cells WHERE x IS NOT NULL),
+      w AS (
+        SELECT g, x, v, ROW_NUMBER() OVER wx AS t,
+               SUM(v::HUGEINT) OVER wx AS s
+        FROM pts WINDOW wx AS (PARTITION BY g ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      dev AS (
+        SELECT g, x,
+               ROUND(v / 1000000.0
+                 - ROUND(CAST(s AS DOUBLE) / t / 1000000.0, 6)
+                 - 0.0, 6)::DECIMAL(38,6) AS dev
+        FROM w),
+      m AS (
+        SELECT g, x, SUM(dev) OVER wx AS m
+        FROM dev WINDOW wx AS (PARTITION BY g ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      ph AS (
+        SELECT g, x, m - MIN(m) OVER wx AS ph
+        FROM m WINDOW wx AS (PARTITION BY g ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+             CAST(ROUND(CAST(MAX(ph) AS DOUBLE), 6) AS DOUBLE) AS ph_max,
+             MIN(CASE WHEN ph > 2000.0 THEN x END)::BIGINT AS alarm_x
+      FROM ph GROUP BY g ORDER BY event_type""",
+
+    // Ten HUGEINT cross-moments per event type; pairwise r frozen at
+    // 12 dp, the partial-r tree rounded 6 dp.
+    "q_partial_corr" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS xd,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               COUNT(*)::BIGINT AS nev
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(ROUND(xd * 1000000.0) AS BIGINT) AS x,
+               CAST(ROUND((cents / 100.0) * 1000000.0) AS BIGINT) AS y,
+               CAST(ROUND(nev * 1000000.0) AS BIGINT) AS z
+        FROM cells WHERE xd IS NOT NULL),
+      mom AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+               SUM(z::HUGEINT) AS sz,
+               SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy,
+               SUM(z::HUGEINT * z) AS szz, SUM(x::HUGEINT * y) AS sxy,
+               SUM(x::HUGEINT * z) AS sxz, SUM(y::HUGEINT * z) AS syz
+        FROM pts GROUP BY g),
+      r AS (
+        SELECT g, n, CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+               CAST(sz AS DOUBLE) AS szd, CAST(sxx AS DOUBLE) AS sxxd,
+               CAST(syy AS DOUBLE) AS syyd, CAST(szz AS DOUBLE) AS szzd,
+               CAST(sxy AS DOUBLE) AS sxyd, CAST(sxz AS DOUBLE) AS sxzd,
+               CAST(syz AS DOUBLE) AS syzd
+        FROM mom),
+      rr AS (
+        SELECT g, n,
+               CASE WHEN n >= 3 AND nd * syyd - syd * syd > 0.0
+                     AND nd * szzd - szd * szd > 0.0 THEN
+                 ROUND((nd * syzd - syd * szd)
+                   / SQRT((nd * syyd - syd * syd)
+                     * (nd * szzd - szd * szd)), 12) END AS ryz,
+               CASE WHEN n >= 3 AND nd * sxxd - sxd * sxd > 0.0
+                     AND nd * syyd - syd * syd > 0.0 THEN
+                 ROUND((nd * sxyd - sxd * syd)
+                   / SQRT((nd * sxxd - sxd * sxd)
+                     * (nd * syyd - syd * syd)), 12) END AS ryx,
+               CASE WHEN n >= 3 AND nd * sxxd - sxd * sxd > 0.0
+                     AND nd * szzd - szd * szd > 0.0 THEN
+                 ROUND((nd * sxzd - sxd * szd)
+                   / SQRT((nd * sxxd - sxd * sxd)
+                     * (nd * szzd - szd * szd)), 12) END AS rzx
+        FROM r)
+      SELECT g AS event_type, n,
+             CAST(ROUND(ryz, 6) AS DOUBLE) AS r_yz,
+             CAST(ROUND(ryx, 6) AS DOUBLE) AS r_yx,
+             CAST(ROUND(rzx, 6) AS DOUBLE) AS r_zx,
+             CAST(CASE WHEN (1.0 - ryx * ryx) * (1.0 - rzx * rzx) > 0.0
+               THEN ROUND((ryz - ryx * rzx)
+                 / SQRT((1.0 - ryx * ryx) * (1.0 - rzx * rzx)), 6)
+             END AS DOUBLE) AS r_partial
+      FROM rr ORDER BY event_type""",
+
+    // Complete day blocks only; per-item variances 12-dp frozen into
+    // DECIMAL(38,12), block-total variance, one alpha tree.
+    "q_cronbach" -> """
+      WITH cells AS (
+        SELECT event_type AS i,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b,
+               CAST(ROUND((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 AS BIGINT) / 100.0) * 1000000.0) AS BIGINT) AS v
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      k AS (SELECT COUNT(DISTINCT i)::BIGINT AS k FROM cells),
+      blocks AS (
+        SELECT b, COUNT(*)::BIGINT AS ni, SUM(v::HUGEINT) AS tot
+        FROM cells GROUP BY b),
+      complete AS (
+        SELECT b, tot FROM blocks CROSS JOIN k WHERE ni = k),
+      items AS (
+        SELECT SUM(CASE WHEN cnt >= 2 THEN
+                 ROUND((CAST(cnt AS DOUBLE) * CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1.0)),
+                   12)::DECIMAL(38,12) END) AS svi
+        FROM (
+          SELECT c.i, COUNT(*)::BIGINT AS cnt,
+                 SUM(c.v::HUGEINT) AS s, SUM(c.v::HUGEINT * c.v) AS q
+          FROM cells c JOIN complete cb ON c.b = cb.b
+          GROUP BY c.i)),
+      totals AS (
+        SELECT COUNT(*)::BIGINT AS nb, SUM(tot) AS st,
+               SUM(tot * tot) AS qt
+        FROM complete)
+      SELECT nb AS n_blocks, k,
+             CAST(CASE WHEN k >= 2 AND nb >= 2
+                 AND (CAST(nb AS DOUBLE) * CAST(qt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))
+                   > 0.0 THEN
+               ROUND(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                 * (1.0 - CAST(svi AS DOUBLE)
+                   / ((CAST(nb AS DOUBLE) * CAST(qt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                     / (CAST(nb AS DOUBLE)
+                       * (CAST(nb AS DOUBLE) - 1.0)))), 6)
+             END AS DOUBLE) AS alpha
+      FROM totals CROSS JOIN items CROSS JOIN k""",
+
+    // Per-stratum 2x2 integer cells; a*d/n, b*c/n, E[a], Var terms
+    // 12-dp frozen into DECIMAL(38,12) sums; OR and chi2 one tree.
+    "q_mantel_haenszel" -> """
+      WITH tab AS (
+        SELECT event_type AS s,
+               SUM(CASE WHEN user_id % 2 = 0 AND value > 50.0
+                 THEN 1 ELSE 0 END)::BIGINT AS a,
+               SUM(CASE WHEN user_id % 2 = 0 AND NOT value > 50.0
+                 THEN 1 ELSE 0 END)::BIGINT AS b,
+               SUM(CASE WHEN NOT user_id % 2 = 0 AND value > 50.0
+                 THEN 1 ELSE 0 END)::BIGINT AS c,
+               SUM(CASE WHEN NOT user_id % 2 = 0 AND NOT value > 50.0
+                 THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM events WHERE value IS NOT NULL GROUP BY 1),
+      t2 AS (SELECT *, (a + b + c + d)::BIGINT AS n FROM tab
+             WHERE a + b + c + d >= 2),
+      agg AS (
+        SELECT COUNT(*)::BIGINT AS n_strata, SUM(n)::BIGINT AS n,
+               SUM(a)::BIGINT AS sa,
+               SUM(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / CAST(n AS DOUBLE), 12)::DECIMAL(38,12)) AS sad,
+               SUM(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(n AS DOUBLE), 12)::DECIMAL(38,12)) AS sbc,
+               SUM(ROUND((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                 * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                 / CAST(n AS DOUBLE), 12)::DECIMAL(38,12)) AS sea,
+               SUM(ROUND((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                 * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                 * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                 * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0)), 12)::DECIMAL(38,12))
+                 AS sva
+        FROM t2)
+      SELECT n_strata, n,
+             CAST(CASE WHEN CAST(sbc AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6)
+             END AS DOUBLE) AS or_mh,
+             CAST(CASE WHEN CAST(sva AS DOUBLE) > 0.0 THEN
+               ROUND((CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE))
+                 * (CAST(sa AS DOUBLE) - CAST(sea AS DOUBLE))
+                 / CAST(sva AS DOUBLE), 6)
+             END AS DOUBLE) AS cmh_chi2
+      FROM agg""",
+
+    // Complete day blocks; doubled within-block mid-ranks 2r+c-1,
+    // HUGEINT rank-sum squares, the classic uncorrected chi2_F tree.
+    "q_friedman" -> """
+      WITH cells AS (
+        SELECT event_type AS i,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b,
+               CAST(ROUND((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 AS BIGINT) / 100.0) * 1000000.0) AS BIGINT) AS v
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      k AS (SELECT COUNT(DISTINCT i)::BIGINT AS k FROM cells),
+      complete AS (
+        SELECT b FROM cells CROSS JOIN k
+        GROUP BY b, k HAVING COUNT(DISTINCT i) = MAX(k)),
+      ranked AS (
+        SELECT c.i,
+               2 * RANK() OVER (PARTITION BY c.b ORDER BY c.v)
+                 + COUNT(*) OVER (PARTITION BY c.b, c.v) - 1 AS m2
+        FROM cells c JOIN complete cb ON c.b = cb.b),
+      pert AS (
+        SELECT i, SUM(m2::HUGEINT) AS r2, COUNT(*)::BIGINT AS nb
+        FROM ranked GROUP BY i),
+      agg AS (
+        SELECT MAX(nb)::BIGINT AS n, COUNT(*)::BIGINT AS kk,
+               SUM(r2 * r2) AS sr2
+        FROM pert)
+      SELECT n AS n_blocks, kk AS k, (kk - 1)::BIGINT AS dof,
+             CAST(CASE WHEN kk >= 2 AND n >= 1 THEN
+               ROUND(3.0 * CAST(sr2 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                     * (CAST(kk AS DOUBLE) + 1.0))
+                 - 3.0 * CAST(n AS DOUBLE)
+                   * (CAST(kk AS DOUBLE) + 1.0), 6)
+             END AS DOUBLE) AS chi2
+      FROM agg""",
+
+    // The q_mann_whitney doubled-rank machinery feeding the pairwise
+    // Dunn z panel with the tie-corrected pooled variance.
+    "q_dunn" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn AS (SELECT SUM(e)::BIGINT AS n,
+                    SUM(e::HUGEINT * e * e - e)::HUGEINT AS ties
+             FROM tot),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS ng,
+               SUM(c::HUGEINT * (2 * cbelow + e + 1))::HUGEINT AS r2
+        FROM cells JOIN tot2 ON cells.q IS NOT DISTINCT FROM tot2.tq
+        GROUP BY g),
+      pair AS (
+        SELECT a.g AS group_a, b.g AS group_b,
+               a.ng AS n_a, b.ng AS n_b, a.r2 AS r2a, b.r2 AS r2b,
+               CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+                 - CAST(ties AS DOUBLE)
+                   / (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS sig2
+        FROM perg a JOIN perg b ON a.g < b.g CROSS JOIN nn)
+      SELECT group_a, group_b, n_a, n_b,
+             CAST(ROUND(CAST(r2a AS DOUBLE)
+               / (2.0 * CAST(n_a AS DOUBLE)), 6) AS DOUBLE)
+               AS mean_rank_a,
+             CAST(ROUND(CAST(r2b AS DOUBLE)
+               / (2.0 * CAST(n_b AS DOUBLE)), 6) AS DOUBLE)
+               AS mean_rank_b,
+             CAST(CASE WHEN sig2 > 0.0 THEN
+               ROUND((CAST(r2a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(r2b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0
+                 / SQRT(sig2 * (1.0 / CAST(n_a AS DOUBLE)
+                   + 1.0 / CAST(n_b AS DOUBLE))), 6)
+             END AS DOUBLE) AS z
       FROM pair ORDER BY group_a, group_b""",
 
     "q_lin_fit" -> """
@@ -3282,6 +3758,172 @@ object StatsOps {
         UNION ALL SELECT g, 2, n2, d, n_days FROM agg
         UNION ALL SELECT g, 3, n3, d, n_days FROM agg)
       ORDER BY event_type, lag""",
+
+    // The q_acf CTEs verbatim, then the Ljung-Box fold: each rounded
+    // rho's squared term over (n - k) frozen at 12 dp into a decimal
+    // sum, Q = n(n+2)*sum as one rounded float tree.
+    "q_ljung_box" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2,
+               LEAD(aa, 3) OVER w AS l3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2, SUM(aa * l3) AS n3
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, lag, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(nk AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r
+        FROM (
+          SELECT g, 1 AS lag, n1 AS nk, d, n_days FROM agg
+          UNION ALL SELECT g, 2, n2, d, n_days FROM agg
+          UNION ALL SELECT g, 3, n3, d, n_days FROM agg)),
+      fold AS (
+        SELECT g, MAX(n_days) AS n_days, COUNT(r) AS nk, COUNT(*) AS k,
+               SUM(CAST(ROUND(r * r / CAST(n_days - lag AS DOUBLE), 12)
+                 AS DECIMAL(38,12))) AS t
+        FROM rho GROUP BY g)
+      SELECT g AS event_type, n_days, 3 AS m,
+             CAST(CASE WHEN nk = k AND n_days > 3 THEN
+               ROUND(CAST(n_days AS DOUBLE) * CAST(n_days + 2 AS DOUBLE)
+                 * CAST(t AS DOUBLE), 6)
+             END AS DOUBLE) AS q
+      FROM fold ORDER BY event_type""",
+
+    // The q_acf CTEs at maxLag 2, the exact-decimal day-cell mean,
+    // the last-two-cells window, and the same Yule-Walker phi and
+    // forecast float trees.
+    "q_ar2_forecast" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r1,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n2 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r2
+        FROM agg),
+      mu AS (
+        SELECT g, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) AS mu
+        FROM st),
+      lastt AS (
+        SELECT g,
+               MAX(CASE WHEN rn = 1 THEN xr END) AS xn,
+               MAX(CASE WHEN rn = 2 THEN xr END) AS xn1
+        FROM (
+          SELECT g, ROUND(x / 1000000.0, 6) AS xr,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY day DESC)
+                   AS rn
+          FROM cells)
+        WHERE rn <= 2 GROUP BY g),
+      f AS (
+        SELECT rho.g AS g, n_days, r1, r2, mu, xn, xn1,
+               CASE WHEN n_days >= 3 AND 1.0 - r1 * r1 > 0.0 THEN
+                 ROUND(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) END AS phi1,
+               CASE WHEN n_days >= 3 AND 1.0 - r1 * r1 > 0.0 THEN
+                 ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) END AS phi2
+        FROM rho JOIN mu ON rho.g = mu.g JOIN lastt ON rho.g = lastt.g)
+      SELECT g AS event_type, n_days,
+             CAST(phi1 AS DOUBLE) AS phi1, CAST(phi2 AS DOUBLE) AS phi2,
+             CAST(CASE WHEN phi1 IS NOT NULL THEN
+               ROUND(mu + phi1 * (xn - mu) + phi2 * (xn1 - mu), 6)
+             END AS DOUBLE) AS forecast
+      FROM f ORDER BY event_type""",
+
+    // Same day cells, the same complete-case/dup contracts as
+    // q_friedman, and the exact-integer Cochran fold with ONE
+    // rounded division.
+    "q_cochran_q" -> """
+      WITH cells AS (
+        SELECT event_type AS i,
+               DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+      flags AS (
+        SELECT b, i,
+               CASE WHEN cents / 100.0 > 1500.0 THEN 1 ELSE 0 END AS x
+        FROM cells),
+      k AS (SELECT COUNT(DISTINCT i) AS kk FROM flags),
+      complete AS (
+        SELECT b FROM flags GROUP BY b
+        HAVING COUNT(DISTINCT i) = (SELECT kk FROM k)),
+      kept AS (SELECT f.* FROM flags f JOIN complete c ON f.b = c.b),
+      byt AS (SELECT i, SUM(x)::HUGEINT AS cj, COUNT(*)::BIGINT AS nb
+              FROM kept GROUP BY i),
+      byb AS (SELECT SUM(ri * ri)::HUGEINT AS sr2, SUM(ri)::HUGEINT AS nt
+              FROM (SELECT b, SUM(x)::HUGEINT AS ri
+                    FROM kept GROUP BY b)),
+      f AS (SELECT MAX(nb) AS n, COUNT(*) AS kk,
+              SUM(cj * cj)::HUGEINT AS sc2 FROM byt)
+      SELECT n::BIGINT AS n_blocks, kk::BIGINT AS k,
+             (kk - 1)::BIGINT AS dof,
+             CAST(CASE WHEN kk >= 2 AND n >= 1
+                    AND CAST(kk * nt - sr2 AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(kk - 1 AS DOUBLE)
+                 * CAST(kk * sc2 - nt * nt AS DOUBLE)
+                 / CAST(kk * nt - sr2 AS DOUBLE), 6)
+             END AS DOUBLE) AS q
+      FROM f CROSS JOIN byb""",
+
+    // user_id % 10 buckets vs the declared uniform design: absent
+    // buckets pay full E, terms frozen at 12 dp into the decimal fold.
+    "q_srm" -> """
+      WITH obs AS (
+        SELECT CAST(user_id % 10 AS VARCHAR) AS c, COUNT(*)::BIGINT AS o
+        FROM events GROUP BY 1),
+      exp AS (
+        SELECT CAST(i AS VARCHAR) AS ec, CAST(0.1 AS DOUBLE) AS w
+        FROM range(10) t(i)),
+      j AS (
+        SELECT ec, COALESCE(o, 0)::BIGINT AS o, w
+        FROM exp LEFT JOIN obs ON obs.c = exp.ec),
+      n AS (SELECT SUM(o)::BIGINT AS nt FROM j),
+      t AS (SELECT o, CAST(nt AS DOUBLE) * w AS e, nt FROM j
+            CROSS JOIN n)
+      SELECT MAX(nt)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+             (COUNT(*) - 1)::BIGINT AS dof,
+             CAST(CASE WHEN MAX(nt) > 0 THEN
+               ROUND(CAST(SUM(CAST(ROUND(
+                 (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e,
+                 12) AS DECIMAL(38,12))) AS DOUBLE), 6)
+             END AS DOUBLE) AS chi2
+      FROM t""",
 
     // Same time-to-first-purchase durations, the same exclusive
     // prior-exits window for at-risk counts, and the same guarded

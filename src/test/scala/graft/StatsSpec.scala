@@ -1602,6 +1602,174 @@ class StatsSpec extends SparkTestBase {
     assert(m.getDouble(2) == 4.0, s"lower-median split must be clean: $m")
   }
 
+  test("gTest: independence ~ 0, association positive, equals 2N*MI") {
+    import spark.implicits._
+    // perfectly independent 2x2 (balanced): G == 0 exactly
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val g0 = Stats.gTest(ind, "u", "v").collect().head
+    assert(g0.getLong(0) == 4L && g0.getLong(3) == 1L)
+    assert(g0.getAs[Double]("g") == 0.0, g0.toString)
+    // perfect association: G = 2N·ln(2) for a diagonal 2x2
+    val dia = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val g1 = Stats.gTest(dia, "u", "v").collect().head.getAs[Double]("g")
+    assert(math.abs(g1 - 8.0 * math.log(2.0)) < 1e-5, g1.toString)
+    // degenerate single-column table -> NULL
+    val one = Seq(("a", "x"), ("b", "x")).toDF("u", "v")
+    assert(Stats.gTest(one, "u", "v").collect().head.isNullAt(4))
+  }
+
+  test("adBinned: identical groups ~ 0, separated groups large, " +
+      "tail shift outranks cvm's reading") {
+    import spark.implicits._
+    // two identical uniform groups -> every gap 0 -> ad == 0
+    val same = (1 to 40).flatMap(i =>
+      Seq(("a", i.toDouble % 10), ("b", i.toDouble % 10)))
+    val s = Stats.adBinned(same.toDF("g", "v"), "g", "v", bins = 10)
+      .collect()
+    s.foreach(r => assert(r.getAs[Double]("ad") == 0.0, r.toString))
+    // fully separated supports -> large positive statistic
+    val sep = ((1 to 20).map(i => ("a", i.toDouble)) ++
+      (1 to 20).map(i => ("b", 100.0 + i))).toDF("g", "v")
+    val a = Stats.adBinned(sep, "g", "v", bins = 10).collect()
+      .find(_.getString(0) == "a").get
+    assert(a.getAs[Double]("ad") > 10.0, a.toString)
+    assert(a.getAs[Long]("n_group") == 20L && a.getAs[Long]("n_rest") == 20L)
+  }
+
+  test("pageHinkley: flat series no alarm, planted step alarms at it") {
+    import spark.implicits._
+    // constant series: every deviation 0 -> ph_max 0, no alarm
+    val flat = (0 until 20).map(t => ("g", t.toLong, 10.0))
+    val f = Stats.pageHinkley(flat.toDF("g", "x", "v"), "g", "x", "v",
+      delta = 0.0, lambda = 1.0).collect().head
+    assert(f.getAs[Double]("ph_max") == 0.0 && f.isNullAt(3), f.toString)
+    // step up at t=10: PH accumulates positive deviations after the
+    // jump; alarm fires at/after the step, never before
+    val step = (0 until 20).map(t =>
+      ("g", t.toLong, if (t < 10) 10.0 else 50.0))
+    val st = Stats.pageHinkley(step.toDF("g", "x", "v"), "g", "x", "v",
+      delta = 0.0, lambda = 30.0).collect().head
+    assert(st.getAs[Double]("ph_max") > 30.0, st.toString)
+    assert(st.getAs[Long]("alarm_x") >= 10L, st.toString)
+    // delta swallows small drifts: huge slack -> no alarm on the step
+    val sw = Stats.pageHinkley(step.toDF("g", "x", "v"), "g", "x", "v",
+      delta = 100.0, lambda = 30.0).collect().head
+    assert(sw.isNullAt(3), sw.toString)
+  }
+
+  test("partialCorr: confounded pair vanishes, direct link survives") {
+    import spark.implicits._
+    // y and z both = x exactly: r_yz = 1 but r_yz.x undefined
+    // (1 - r² = 0 -> NULL, perfect collinearity with the control)
+    val conf = (1 to 12).map(t => ("g", t.toDouble, t.toDouble, t.toDouble))
+    val c = Stats.partialCorr(conf.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head
+    assert(c.getAs[Double]("r_yz") == 1.0 && c.isNullAt(5), c.toString)
+    // y = x + e, z independent pattern: partial keeps y-z near raw y-z
+    val mix = (1 to 12).map(t => ("g", t.toDouble,
+      t.toDouble + (if (t % 2 == 0) 1.0 else -1.0),
+      (if (t % 3 == 0) 5.0 else 2.0)))
+    val m = Stats.partialCorr(mix.toDF("g", "x", "y", "z"),
+      "g", "x", "y", "z").collect().head
+    assert(!m.isNullAt(5), m.toString)
+    // n < 3 -> NULL everything
+    val tiny = Seq(("g", 1.0, 2.0, 3.0), ("g", 2.0, 3.0, 4.0))
+      .toDF("g", "x", "y", "z")
+    assert(Stats.partialCorr(tiny, "g", "x", "y", "z")
+      .collect().head.isNullAt(2))
+  }
+
+  test("cronbachAlpha: duplicated item -> 1, incomplete blocks drop") {
+    import spark.implicits._
+    // two identical items: perfectly consistent scale -> alpha == 1
+    val dup = (1 to 10).flatMap(b =>
+      Seq((b.toLong, "i1", b * 2.0), (b.toLong, "i2", b * 2.0)))
+    val d = Stats.cronbachAlpha(dup.toDF("b", "i", "v"), "b", "i", "v")
+      .collect().head
+    assert(d.getLong(0) == 10L && d.getLong(1) == 2L)
+    assert(d.getAs[Double]("alpha") == 1.0, d.toString)
+    // anti-correlated items: alpha < 0 is legal and diagnostic
+    val anti = (1 to 10).flatMap(b =>
+      Seq((b.toLong, "i1", b.toDouble), (b.toLong, "i2", 11.0 - b)))
+    val a = Stats.cronbachAlpha(anti.toDF("b", "i", "v"), "b", "i", "v")
+      .collect().head
+    assert(a.isNullAt(2) || a.getAs[Double]("alpha") < 0.0, a.toString)
+    // a block missing one item is excluded from n_blocks
+    val miss = dup ++ Seq((99L, "i1", 5.0))
+    assert(Stats.cronbachAlpha(miss.toDF("b", "i", "v"), "b", "i", "v")
+      .collect().head.getLong(0) == 10L)
+  }
+
+  test("mantelHaenszel: null effect ~ OR 1, planted effect detected") {
+    import spark.implicits._
+    // same 2x2 in both strata, exposure doubles the odds
+    def stratum(s: String) = Seq.fill(20)((s, true, true)) ++
+      Seq.fill(10)((s, true, false)) ++ Seq.fill(10)((s, false, true)) ++
+      Seq.fill(20)((s, false, false))
+    val eff = (stratum("s1") ++ stratum("s2")).toDF("s", "e", "o")
+    val r = Stats.mantelHaenszel(eff, "s", "e", "o").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 120L)
+    // per stratum OR = (20·20)/(10·10) = 4 -> pooled MH OR = 4
+    assert(r.getAs[Double]("or_mh") == 4.0, r.toString)
+    assert(r.getAs[Double]("cmh_chi2") > 3.84, "effect detectable")
+    // exposure independent of outcome -> OR 1, chi2 0
+    def nul(s: String) = Seq.fill(10)((s, true, true)) ++
+      Seq.fill(10)((s, true, false)) ++ Seq.fill(10)((s, false, true)) ++
+      Seq.fill(10)((s, false, false))
+    val n = Stats.mantelHaenszel((nul("s1") ++ nul("s2")).toDF("s", "e", "o"),
+      "s", "e", "o").collect().head
+    assert(n.getAs[Double]("or_mh") == 1.0 && n.getAs[Double]("cmh_chi2") == 0.0)
+  }
+
+  test("friedman: consistent treatment order maximal, dup observation raises") {
+    import spark.implicits._
+    // 3 treatments, identical order in every one of 4 blocks:
+    // R_j = {4, 8, 12}, chi2 = 12·(16+64+144)·... = the k=3,n=4 max = 8
+    val rows = (1 to 4).flatMap(b => Seq(
+      (b.toLong, "t1", 1.0 + b), (b.toLong, "t2", 10.0 + b),
+      (b.toLong, "t3", 20.0 + b)))
+    val r = Stats.friedman(rows.toDF("b", "t", "v"), "b", "t", "v")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getAs[Double]("chi2") == 8.0, r.toString)
+    // all values equal: every rank tied at the block mid -> chi2 0
+    val tied = (1 to 4).flatMap(b => Seq(
+      (b.toLong, "t1", 5.0), (b.toLong, "t2", 5.0), (b.toLong, "t3", 5.0)))
+    assert(Stats.friedman(tied.toDF("b", "t", "v"), "b", "t", "v")
+      .collect().head.getAs[Double]("chi2") == 0.0)
+    // duplicate (block, treatment) cell raises loudly
+    val dup = rows ++ Seq((1L, "t1", 9.0))
+    val e = intercept[Exception] {
+      Stats.friedman(dup.toDF("b", "t", "v"), "b", "t", "v").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("dunnTest: mean ranks match hand fixture, z antisymmetric in sign") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}, c = {5,6}: pooled ranks 1..6, mean ranks
+    // 1.5 / 3.5 / 5.5, no ties -> sig2 = N(N+1)/12 = 3.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val out = Stats.dunnTest(df, "g", "v")
+      .orderBy("group_a", "group_b").collect()
+    assert(out.length == 3)
+    val ab = out(0)
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b")
+    assert(ab.getAs[Double]("mean_rank_a") == 1.5
+      && ab.getAs[Double]("mean_rank_b") == 3.5, ab.toString)
+    val expZ = math.rint((1.5 - 3.5) / math.sqrt(3.5 * (0.5 + 0.5)) * 1e6) / 1e6
+    assert(ab.getAs[Double]("z") == expZ, ab.toString)
+    // a-c gap is twice a-b -> z doubles (same variance, equal n)
+    assert(out(1).getAs[Double]("z") == math.rint(2.0 * expZ * 1e6) / 1e6)
+    // everything tied -> sig2 0 -> NULL z
+    val allTied = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    assert(Stats.dunnTest(allTied, "g", "v").collect().head.isNullAt(6))
+  }
+
   test("tukeyHsd pairwise panel matches the anova MSW; ordering fixed") {
     import spark.implicits._
     // {1,2,3} vs {4,5,6} vs {10,11,12}: every group variance 1 -> MSW=1
@@ -1619,5 +1787,137 @@ class StatsSpec extends SparkTestBase {
     assert(ab.getAs[Double]("q") == expQ, ab.toString)
     // a-c spans 9: three times the a-b difference
     assert(out(1).getAs[Double]("diff") == -9.0)
+  }
+
+  test("ljungBox: replays the frozen-term fold from measured acf") {
+    import spark.implicits._
+    // six alternating days: rho1 = -5/6, rho2 = 4/6 exactly (the
+    // autocorrelation fixture); replay Q with the same frozen terms
+    val df = Seq.tabulate(6)(i =>
+      ("g", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        if (i % 2 == 0) 20.0 else 0.0)).toDF("g", "ts", "v")
+    val out = Resample.ljungBox(df, "g", "ts", "v", maxLag = 2)
+      .collect().head
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val t1 = r(-0.833333 * -0.833333 / 5.0, 12)
+    val t2 = r(0.666667 * 0.666667 / 4.0, 12)
+    val expQ = r(6.0 * 8.0 * (t1 + t2), 6)
+    assert(out.getAs[Long]("n_days") == 6L && out.getAs[Int]("m") == 2)
+    assert(out.getAs[Double]("q") == expQ, out.toString)
+  }
+
+  test("ljungBox: constant series and n <= m both report NULL") {
+    import spark.implicits._
+    val flat = Seq.tabulate(5)(i =>
+      ("flat", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        3.0)).toDF("g", "ts", "v")
+    assert(Resample.ljungBox(flat, "g", "ts", "v", maxLag = 2)
+      .collect().head.isNullAt(3), "zero variance => NULL acf => NULL Q")
+    val short = Seq.tabulate(3)(i =>
+      ("s", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        i * 7.0)).toDF("g", "ts", "v")
+    assert(Resample.ljungBox(short, "g", "ts", "v", maxLag = 3)
+      .collect().head.isNullAt(3), "n = m is out of the Q domain")
+  }
+
+  test("arForecast: Yule-Walker phis replay measured acf; forecast tree") {
+    import spark.implicits._
+    // the alternating fixture: rho1 = -5/6, rho2 = 2/3 (6-dp frozen)
+    val df = Seq.tabulate(6)(i =>
+      ("g", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        if (i % 2 == 0) 20.0 else 0.0)).toDF("g", "ts", "v")
+    val out = Resample.arForecast(df, "g", "ts", "v").collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (rho1, rho2) = (-0.833333, 0.666667)
+    val den = 1.0 - rho1 * rho1
+    val phi1 = r6(rho1 * (1.0 - rho2) / den)
+    val phi2 = r6((rho2 - rho1 * rho1) / den)
+    assert(out.getAs[Double]("phi1") == phi1, out.toString)
+    assert(out.getAs[Double]("phi2") == phi2, out.toString)
+    // mean = 10, last two days are (0, 20) -> xn = 0, xn1 = 20
+    val exp = r6(10.0 + phi1 * (0.0 - 10.0) + phi2 * (20.0 - 10.0))
+    assert(out.getAs[Double]("forecast") == exp, out.toString)
+  }
+
+  test("arForecast: constant series and unit-root echo report NULL") {
+    import spark.implicits._
+    val flat = Seq.tabulate(6)(i =>
+      ("flat", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        3.0)).toDF("g", "ts", "v")
+    val f = Resample.arForecast(flat, "g", "ts", "v").collect().head
+    assert(f.isNullAt(2) && f.isNullAt(3) && f.isNullAt(4),
+      "zero variance => NULL acf => NULL fit: " + f)
+    // two days only: n_days < 3 guard
+    val tiny = Seq.tabulate(2)(i =>
+      ("t", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        i * 5.0)).toDF("g", "ts", "v")
+    val t = Resample.arForecast(tiny, "g", "ts", "v").collect().head
+    assert(t.isNullAt(2) && t.isNullAt(4), t.toString)
+  }
+
+  test("cochranQ: textbook 3-treatment panel; constant blocks drop out") {
+    import spark.implicits._
+    // 4 blocks x 3 treatments; success pattern: treatment c always
+    // succeeds, a never, b alternates -> C = (0, 2, 4), R per block
+    // (1,2,1,2), N=6: Q = 2*(3*20-36)/(3*6-10) = 48/8 = 6
+    val df = (for {
+      b <- 1 to 4
+      (t, x) <- Seq(("a", false), ("b", b % 2 == 0), ("c", true))
+    } yield (b, t, x)).toDF("blk", "trt", "x")
+    val out = Stats.cochranQ(df, "blk", "trt", col("x")).collect().head
+    assert(out.getAs[Long]("n_blocks") == 4L && out.getAs[Long]("k") == 3L)
+    assert(out.getAs[Double]("q") == 6.0, out.toString)
+    // every block all-true: denominator k*N - sum R^2 = 0 -> NULL
+    val const = (for { b <- 1 to 3; t <- Seq("a", "b") }
+      yield (b, t, true)).toDF("blk", "trt", "x")
+    assert(Stats.cochranQ(const, "blk", "trt", col("x"))
+      .collect().head.isNullAt(3), "uninformative blocks => NULL")
+  }
+
+  test("cochranQ: incomplete blocks excluded; duplicate cells raise") {
+    import spark.implicits._
+    // block 3 misses treatment b -> excluded; remaining 2 blocks as
+    // in the fixture above
+    val df = (Seq((1, "a", false), (1, "b", true), (2, "a", false),
+      (2, "b", true), (3, "a", true))).toDF("blk", "trt", "x")
+    val out = Stats.cochranQ(df, "blk", "trt", col("x")).collect().head
+    assert(out.getAs[Long]("n_blocks") == 2L, out.toString)
+    val dup = Seq((1, "a", true), (1, "a", false), (1, "b", true))
+      .toDF("blk", "trt", "x")
+    val ex = intercept[Exception] {
+      Stats.cochranQ(dup, "blk", "trt", col("x")).collect()
+    }
+    assert(ex.getMessage.contains("duplicate") ||
+      ex.getCause != null, ex.getMessage)
+  }
+
+  test("chiSquaredGof: uniform-match is 0; absent category pays full E") {
+    import spark.implicits._
+    val even = Seq("a", "a", "b", "b", "c", "c").toDF("cat")
+    val out = Stats.chiSquaredGof(even, "cat",
+      Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)))
+      .collect().head
+    assert(out.getAs[Long]("n") == 6L && out.getAs[Long]("dof") == 2L)
+    assert(out.getAs[Double]("chi2") == 0.0, out.toString)
+    // c declared but absent: O=0 vs E=2 contributes (0-2)^2/2 = 2;
+    // a,b observed 3 each vs E=2 contribute 1/2 each -> chi2 = 3
+    val skew = Seq("a", "a", "a", "b", "b", "b").toDF("cat")
+    val s = Stats.chiSquaredGof(skew, "cat",
+      Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)))
+      .collect().head
+    assert(s.getAs[Double]("chi2") == 3.0, s.toString)
+  }
+
+  test("chiSquaredGof: undeclared category raises loudly") {
+    import spark.implicits._
+    val df = Seq("a", "b", "zz").toDF("cat")
+    val ex = intercept[Exception] {
+      Stats.chiSquaredGof(df, "cat",
+        Seq("a" -> 0.5, "b" -> 0.5)).collect()
+    }
+    assert(ex.getMessage.contains("undeclared") ||
+      ex.getCause != null, ex.getMessage)
   }
 }
