@@ -330,6 +330,176 @@ object RankEval {
         col("n"))
   }
 
+  /** Thresholded confusion panel per group: tp/fp/fn/tn plus
+    * accuracy, precision, recall, F1, and Matthews correlation — the
+    * one-table answer to "how does this score behave as a classifier
+    * at THIS operating point", the fixed-threshold companion of
+    * [[aucRank]] (which integrates over all thresholds) and
+    * [[liftCurve]] (which sweeps rank tiles).
+    *
+    * Exactness: the four cells are exact integers (predicted =
+    * score ≥ threshold, a literal); each rate is ONE rounded division
+    * of those integers; MCC's numerator tp·tn − fp·fn is formed in
+    * decimal(38,0) (each product overflows a long past ~3e9 rows) and
+    * its denominator is the identically-spelled √ of four double
+    * factors — any zero factor → NULL mcc (the undefined case), empty
+    * rate denominators → NULL, never a division blow-up. Unscored or
+    * unlabeled rows are excluded (the [[aucRank]] contract).
+    *
+    * Scale shape: one group-keyed aggregation over the scan — no
+    * windows, no joins; output is groups-sized.
+    */
+  def confusionPanel(df: DataFrame, groupCol: String, scoreCol: String,
+      label: Column, threshold: Double): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(scoreCol).isNotNull && label.isNotNull)
+      .select(col(groupCol),
+        when(label, 1L).otherwise(0L).as("_y"),
+        when(col(scoreCol) >= threshold, 1L).otherwise(0L).as("_p"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_y") * col("_p")).as("tp"),
+        sum((lit(1L) - col("_y")) * col("_p")).as("fp"),
+        sum(col("_y") * (lit(1L) - col("_p"))).as("fn"),
+        sum((lit(1L) - col("_y")) * (lit(1L) - col("_p"))).as("tn"))
+    val n = (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")
+    def d(c: Column) = c.cast("double")
+    cells.select(col(groupCol),
+      col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+      col("fn").cast("long").as("fn"), col("tn").cast("long").as("tn"),
+      round((d(col("tp")) + d(col("tn"))) / n, 6)
+        .cast("double").as("accuracy"),
+      when(col("tp") + col("fp") > 0,
+        round(d(col("tp")) / (d(col("tp")) + d(col("fp"))), 6))
+        .cast("double").as("precision"),
+      when(col("tp") + col("fn") > 0,
+        round(d(col("tp")) / (d(col("tp")) + d(col("fn"))), 6))
+        .cast("double").as("recall"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        round(lit(2.0) * d(col("tp"))
+          / (lit(2.0) * d(col("tp")) + d(col("fp")) + d(col("fn"))), 6))
+        .cast("double").as("f1"),
+      when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0
+          && col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+        round((col("tp").cast(dec) * col("tn")
+            - col("fp").cast(dec) * col("fn")).cast("double")
+          / sqrt(d(col("tp") + col("fp")) * d(col("tp") + col("fn"))
+            * d(col("tn") + col("fp")) * d(col("tn") + col("fn"))), 6))
+        .cast("double").as("mcc"))
+  }
+
+  /** Per-group log-loss (binary cross-entropy) of a probabilistic
+    * confidence against a boolean outcome: −mean(y·ln p̂ + (1−y)·
+    * ln(1−p̂)) with p̂ clamped to [eps, 1−eps] — the proper scoring
+    * rule that punishes CONFIDENT wrong answers where [[brierScore]]
+    * saturates (a wrong 0.999999 costs ~13.8 nats here, 1.0 there).
+    *
+    * Exactness: the caller supplies a 6-dp-quantized confidence (the
+    * [[calibrationBins]] contract) so the clamped p̂ is the same
+    * double on any engine; each row's −ln term is frozen at 12 dp
+    * into an order-free decimal(38,12) sum (the ln-freeze discipline:
+    * a 1-ulp libm difference dies at the 12th decimal, not in a
+    * float accumulation), and the mean is ONE rounded division.
+    * Unscored/unlabeled rows are excluded. Output: (group, n,
+    * logloss).
+    *
+    * Scale shape: one group-keyed aggregation over the scan.
+    */
+  def logLoss(df: DataFrame, groupCol: String, confCol: Column,
+      label: Column, eps: Double = 1e-6): DataFrame = {
+    require(eps > 0.0 && eps < 0.5, s"logLoss: eps in (0, 0.5), got $eps")
+    val p = least(greatest(confCol.cast("double"), lit(eps)),
+      lit(1.0 - eps))
+    val term = round(when(label, -log(p)).otherwise(-log(lit(1.0) - p)), 12)
+      .cast("decimal(38,12)")
+    df.filter(confCol.isNotNull && label.isNotNull)
+      .select(col(groupCol), term.as("_t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum("_t").as("_s"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        round(col("_s").cast("double") / col("n").cast("double"), 6)
+          .cast("double").as("logloss"))
+  }
+
+  /** Per-group average precision (the area under the precision–recall
+    * curve in its standard discrete form): rank rows by (score DESC,
+    * id ASC — a pinned total order), then AP = (1/n_pos)·Σ_{k : y_k=1}
+    * cumPos(k)/k. The class-imbalance-honest companion of [[aucRank]]
+    * — ROC AUC stays rosy when negatives dominate; AP collapses
+    * toward the positive prevalence.
+    *
+    * Exactness: ranks and cumulative-positive counts are exact
+    * integers off ONE window (the rank and running-sum windows share
+    * (group, score DESC, id) partitioning+ordering — one exchange,
+    * one sort); each positive row's precision cumPos/k is frozen at
+    * 12 dp into an order-free decimal(38,12) sum; AP is ONE rounded
+    * division by n_pos. No positives → NULL ap. Ties broken by id —
+    * the pinned-tiebreak contract, documented rather than
+    * tie-averaged (same rule as every other ranked operator here).
+    *
+    * Scale shape: one window + one group-keyed aggregation; the
+    * per-group sort is the necessary cost of an exact AP and
+    * parallelizes across groups ([[aucRank]]'s cost class).
+    */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, label: Column): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val base = df
+      .filter(col(scoreCol).isNotNull && label.isNotNull)
+      .select(col(groupCol), col(scoreCol), col(idCol),
+        when(label, 1L).otherwise(0L).as("_y"))
+    base
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_cp",
+        sum("_y").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(groupCol), col("_y"),
+        when(col("_y") === 1L,
+          round(col("_cp").cast("double") / col("_k").cast("double"), 12)
+            .cast("decimal(38,12)")).as("_prec"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum("_y").as("n_pos"),
+        sum("_prec").as("_s"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        col("n_pos").cast("long").as("n_pos"),
+        when(col("n_pos") > 0,
+          round(col("_s").cast("double") / col("n_pos").cast("double"), 6))
+          .cast("double").as("ap"))
+  }
+
+  /** Reciprocal rank of the FIRST relevant item per query: the
+    * navigational-retrieval number ("how far down is the first right
+    * answer") that [[recallAtK]] (set membership) and [[ndcgAtK]]
+    * (graded order) both blur. `ranked` carries (qCol, idCol,
+    * rankCol) with ranks from the caller's total order; `relevant`
+    * carries the (qCol, idCol) relevance set. Queries in the RELEVANT
+    * input always emit (no relevant item inside `depth` → first_rank
+    * NULL, rr 0.0 — the standard truncated-MRR convention); rr is one
+    * rounded division of exact integers, so a downstream MRR is an
+    * order-free mean of 6-dp quanta.
+    *
+    * Scale shape: one equi-join of a depth-bounded ranking against
+    * the relevance set + one query-keyed min — the [[rbo]] cost
+    * class, never corpus-sized.
+    */
+  def reciprocalRank(ranked: DataFrame, relevant: DataFrame,
+      qCol: String, idCol: String, rankCol: String, depth: Int)
+      : DataFrame = {
+    require(depth >= 1, s"reciprocalRank: depth must be >= 1, got $depth")
+    val rr = ranked
+      .select(col(qCol).as("q"), col(idCol).as("item"),
+        col(rankCol).cast("long").as("_r"))
+      .filter(col("_r") <= depth)
+      .join(relevant.select(col(qCol).as("q"), col(idCol).as("item"))
+        .distinct(), Seq("q", "item"))
+      .groupBy("q").agg(min("_r").as("first_rank"))
+    relevant.select(col(qCol).as("q")).distinct()
+      .join(rr, Seq("q"), "left")
+      .select(col("q").as(qCol), col("first_rank"),
+        coalesce(round(lit(1.0) / col("first_rank"), 6), lit(0.0))
+          .cast("double").as("rr"))
+  }
+
   /** Lift / gains curve: rank the population by score DESC (id
     * tiebreak — a total order), cut into `buckets` closed-form rank
     * tiles, and report each bucket's response rate plus the

@@ -439,7 +439,74 @@ object AnalyticsOps {
       .orderBy("doc_id")
   }
 
+  /** Thresholded confusion panel of the value score at 50.0 against
+    * the even-JSON-k label, per event type: exact integer cells, one
+    * rounded division per rate, MCC with a decimal numerator.
+    */
+  val qConfusion: QueryFn = withTables { spark =>
+    RankEval.confusionPanel(spark.table("events"), "event_type", "value",
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+          % 2 === 0, lit(false)), threshold = 50.0)
+      .orderBy("event_type")
+  }
+
+  /** Binary log-loss of the min-max-normalized value confidence
+    * against the even-JSON-k label, per event type: 6-dp-quantized
+    * confidences, 12-dp-frozen ln terms in a decimal fold.
+    */
+  val qLogLoss: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+    val mm = ev.agg(min(col("value")).cast("double").as("_lo"),
+      max(col("value")).cast("double").as("_hi"))
+    val scored = ev.crossJoin(broadcast(mm))
+      .withColumn("conf",
+        round((col("value") - col("_lo")) / (col("_hi") - col("_lo")), 6))
+    RankEval.logLoss(scored, "event_type", col("conf"),
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+          % 2 === 0, lit(false)))
+      .orderBy("event_type")
+  }
+
+  /** Average precision of the value ranking against the even-JSON-k
+    * label per event type ((value DESC, event_id) pinned total
+    * order): integer ranks/cumulatives off one window, 12-dp-frozen
+    * precision terms, one division by n_pos.
+    */
+  val qAvgPrecision: QueryFn = withTables { spark =>
+    RankEval.averagePrecision(spark.table("events"), "event_type",
+        "value", "event_id",
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+          % 2 === 0, lit(false)))
+      .orderBy("event_type")
+  }
+
+  /** Reciprocal rank of the first top-3-by-count user inside the
+    * top-10-by-value ranking, per event type (the q_rbo_eval ranking
+    * fixtures): exact integer first-ranks, rr one rounded division,
+    * no-hit queries report 0.
+    */
+  val qMrr: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+    def ranking(metric: Column) = ev
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(metric.as("m"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("m").desc_nulls_last, col("user_id"))))
+    val byValue = ranking(round(sum(col("value")), 6))
+      .filter(col("rnk") <= 10)
+    val relevant = ranking(count(lit(1))).filter(col("rnk") <= 3)
+      .select("event_type", "user_id")
+    RankEval.reciprocalRank(byValue, relevant, "event_type", "user_id",
+        "rnk", depth = 10)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_confusion" -> qConfusion,
+    "q_log_loss" -> qLogLoss,
+    "q_avg_precision" -> qAvgPrecision,
+    "q_mrr" -> qMrr,
     "q_funnel_windowed" -> qFunnelWindowed,
     "q_bool_search" -> qBoolSearch,
     "q_cohort_ltv" -> qCohortLtv,
@@ -495,6 +562,116 @@ object AnalyticsOps {
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact integer cells; each rate ONE rounded division spelled
+    // identically; MCC numerator in HUGEINT, denominator the same
+    // left-associated product of four double factors under the sqrt.
+    "q_confusion" -> """
+      WITH l AS (SELECT event_type,
+               CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                 AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS y,
+               CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS p
+             FROM events WHERE value IS NOT NULL),
+      c AS (SELECT event_type,
+              SUM(y * p)::BIGINT AS tp, SUM((1 - y) * p)::BIGINT AS fp,
+              SUM(y * (1 - p))::BIGINT AS fn,
+              SUM((1 - y) * (1 - p))::BIGINT AS tn
+            FROM l GROUP BY event_type)
+      SELECT event_type, tp, fp, fn, tn,
+        CAST(ROUND((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+          / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS DOUBLE) AS accuracy,
+        CAST(CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
+          / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 6) END
+          AS DOUBLE) AS precision,
+        CAST(CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
+          / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) END
+          AS DOUBLE) AS recall,
+        CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+          ROUND(2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE)
+            + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) END
+          AS DOUBLE) AS f1,
+        CAST(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+            AND tn + fn > 0 THEN
+          ROUND(CAST(tp::HUGEINT * tn - fp::HUGEINT * fn AS DOUBLE)
+            / SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+              * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6)
+          END AS DOUBLE) AS mcc
+      FROM c ORDER BY event_type""",
+
+    // 6-dp conf quanta; clamp endpoints computed as 1.0 - 0.000001 on
+    // both engines; per-row ln terms frozen at 12 dp into
+    // DECIMAL(38,12); one rounded mean.
+    "q_log_loss" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      c AS (SELECT event_type,
+              ROUND((value - lo) / (hi - lo), 6) AS conf,
+              CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS y
+            FROM events CROSS JOIN mm WHERE value IS NOT NULL),
+      t AS (SELECT event_type,
+              ROUND(CASE WHEN y = 1
+                THEN -LN(LEAST(GREATEST(conf, 0.000001), 1.0 - 0.000001))
+                ELSE -LN(1.0 - LEAST(GREATEST(conf, 0.000001),
+                  1.0 - 0.000001)) END, 12)::DECIMAL(38,12) AS term
+            FROM c)
+      SELECT event_type, COUNT(*)::BIGINT AS n,
+             CAST(ROUND(CAST(SUM(term) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS logloss
+      FROM t GROUP BY event_type ORDER BY event_type""",
+
+    // (value DESC, event_id) pinned total order; integer rank and
+    // cumulative-positive; positive rows' cumPos/k frozen at 12 dp;
+    // AP one division by n_pos.
+    "q_avg_precision" -> """
+      WITH l AS (SELECT event_type, value, event_id,
+               CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                 AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS y
+             FROM events WHERE value IS NOT NULL),
+      r AS (SELECT event_type, y,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY value DESC, event_id) AS k,
+              SUM(y) OVER (PARTITION BY event_type
+                ORDER BY value DESC, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+            FROM l),
+      t AS (SELECT event_type, y,
+              CASE WHEN y = 1 THEN ROUND(CAST(cp AS DOUBLE)
+                / CAST(k AS DOUBLE), 12)::DECIMAL(38,12) END AS prec
+            FROM r)
+      SELECT event_type, COUNT(*)::BIGINT AS n,
+             SUM(y)::BIGINT AS n_pos,
+             CAST(CASE WHEN SUM(y) > 0 THEN
+               ROUND(CAST(SUM(prec) AS DOUBLE)
+                 / CAST(SUM(y) AS DOUBLE), 6) END AS DOUBLE) AS ap
+      FROM t GROUP BY event_type ORDER BY event_type""",
+
+    // The q_rbo_eval ranking CTEs; first_rank an exact integer MIN,
+    // rr one rounded division, no-hit queries 0.
+    "q_mrr" -> """
+      WITH ag AS (SELECT event_type, user_id, ROUND(SUM(value), 6) AS m
+                  FROM events GROUP BY event_type, user_id),
+      ar AS (SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY m DESC NULLS LAST, user_id) AS ra
+             FROM ag),
+      bg AS (SELECT event_type, user_id, COUNT(*) AS m
+             FROM events GROUP BY event_type, user_id),
+      br AS (SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY m DESC NULLS LAST, user_id) AS rb
+             FROM bg),
+      rel AS (SELECT DISTINCT event_type, user_id FROM br WHERE rb <= 3),
+      hit AS (SELECT a.event_type, MIN(a.ra) AS first_rank
+              FROM ar a JOIN rel r ON a.event_type = r.event_type
+                AND a.user_id = r.user_id
+              WHERE a.ra <= 10 GROUP BY a.event_type),
+      q AS (SELECT DISTINCT event_type FROM rel)
+      SELECT q.event_type, h.first_rank,
+             CAST(COALESCE(ROUND(1.0 / h.first_rank, 6), 0.0) AS DOUBLE)
+               AS rr
+      FROM q LEFT JOIN hit h USING (event_type)
+      ORDER BY event_type""",
 
     // Same strictly-following IGNORE NULLS window, integer micros
     // comparison, one rounded rate.

@@ -518,4 +518,107 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(c.sliding(2).forall(p => p(0) < p(1)))
     assert(c.last < 1.0 && c.last > 0.999)
   }
+
+  // ---- confusionPanel ----
+
+  test("confusionPanel: perfect, inverted, and boundary-inclusive") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 0.9, 1), ("a", 0.8, 1), ("a", 0.7, 0), ("a", 0.6, 0),
+      ("b", 0.9, 0), ("b", 0.8, 0), ("b", 0.7, 1), ("b", 0.6, 1),
+    ).toDF("g", "score", "lbl")
+    val out = RankEval.confusionPanel(df, "g", "score",
+        col("lbl") === 1, threshold = 0.75)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 2 && a.getLong(4) == 2, "a: tp=2 tn=2")
+    assert(a.getDouble(5) == 1.0 && a.getDouble(6) == 1.0
+      && a.getDouble(7) == 1.0 && a.getDouble(8) == 1.0
+      && a.getDouble(9) == 1.0, "a: all metrics 1")
+    val b = out("b")
+    assert(b.getLong(2) == 2 && b.getLong(3) == 2, "b: fp=2 fn=2")
+    assert(b.getDouble(9) == -1.0, "b: mcc -1")
+    // score == threshold predicts POSITIVE (>= contract)
+    val edge = Seq(("g", 0.75, 0)).toDF("g", "score", "lbl")
+    assert(RankEval.confusionPanel(edge, "g", "score", col("lbl") === 1,
+      0.75).collect().head.getLong(2) == 1, "boundary row is fp")
+  }
+
+  test("confusionPanel: single-class group NULLs mcc, keeps rates") {
+    import spark.implicits._
+    val df = Seq(("g", 0.9, 1), ("g", 0.1, 1)).toDF("g", "score", "lbl")
+    val r = RankEval.confusionPanel(df, "g", "score", col("lbl") === 1,
+      0.5).collect().head
+    assert(r.getDouble(7) == 0.5, "recall tp/(tp+fn) = 1/2")
+    assert(r.isNullAt(9), "tn+fp = 0 -> NULL mcc")
+    assert(r.getDouble(5) == 0.5, "accuracy 1/2")
+  }
+
+  // ---- logLoss ----
+
+  test("logLoss: coin-flip 0.693147, near-perfect ~0, NULLs excluded") {
+    import spark.implicits._
+    val half = Seq(("g", 0.5, 1), ("g", 0.5, 0)).toDF("g", "conf", "y")
+    assert(RankEval.logLoss(half, "g", col("conf"), col("y") === 1)
+      .collect().head.getDouble(2) == 0.693147)
+    val perfect = Seq(("g", 1.0, 1), ("g", 0.0, 0)).toDF("g", "conf", "y")
+    val p = RankEval.logLoss(perfect, "g", col("conf"), col("y") === 1)
+      .collect().head
+    assert(p.getDouble(2) < 1e-5, s"clamped-perfect ~0, got ${p.getDouble(2)}")
+    val withNull = Seq(("g", Some(0.5), 1), ("g", None, 0))
+      .toDF("g", "conf", "y")
+    assert(RankEval.logLoss(withNull, "g", col("conf"), col("y") === 1)
+      .collect().head.getLong(1) == 1, "NULL conf excluded from n")
+  }
+
+  test("logLoss: confident-wrong costs ~13.8 nats (clamp floor)") {
+    import spark.implicits._
+    val wrong = Seq(("g", 1.0, 0)).toDF("g", "conf", "y")
+    val v = RankEval.logLoss(wrong, "g", col("conf"), col("y") === 1)
+      .collect().head.getDouble(2)
+    assert(math.abs(v - (-math.log(1e-6))) < 1e-3, s"got $v")
+  }
+
+  // ---- averagePrecision ----
+
+  test("averagePrecision: hand value, all-negative NULL, id tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 0.9, 1L, 1), ("g", 0.8, 2L, 0), ("g", 0.7, 3L, 1),
+      ("g", 0.6, 4L, 0),
+    ).toDF("g", "score", "id", "y")
+    val r = RankEval.averagePrecision(df, "g", "score", "id",
+      col("y") === 1).collect().head
+    // positives at ranks 1 (prec 1) and 3 (prec 2/3): AP = 5/6
+    assert(r.getDouble(3) == 0.833333, s"got ${r.getDouble(3)}")
+    val neg = Seq(("g", 0.9, 1L, 0)).toDF("g", "score", "id", "y")
+    assert(RankEval.averagePrecision(neg, "g", "score", "id",
+      col("y") === 1).collect().head.isNullAt(3))
+    // tie on score: id ASC wins — positive at id 1 ranks FIRST
+    val tie = Seq(("g", 0.5, 1L, 1), ("g", 0.5, 2L, 0))
+      .toDF("g", "score", "id", "y")
+    assert(RankEval.averagePrecision(tie, "g", "score", "id",
+      col("y") === 1).collect().head.getDouble(3) == 1.0)
+  }
+
+  // ---- reciprocalRank ----
+
+  test("reciprocalRank: first hit, no-hit zero, depth cut") {
+    import spark.implicits._
+    val ranked = Seq(
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "c", 3L),
+      ("q2", "x", 1L), ("q2", "y", 11L),
+    ).toDF("q", "item", "rnk")
+    val rel = Seq(("q1", "b"), ("q1", "c"), ("q2", "y"), ("q3", "z"))
+      .toDF("q", "item")
+    val out = RankEval.reciprocalRank(ranked, rel, "q", "item", "rnk",
+        depth = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("q1").getLong(1) == 2 && out("q1").getDouble(2) == 0.5,
+      "first relevant at rank 2")
+    assert(out("q2").isNullAt(1) && out("q2").getDouble(2) == 0.0,
+      "only relevant item is past depth")
+    assert(out("q3").isNullAt(1) && out("q3").getDouble(2) == 0.0,
+      "relevance-only query emits 0")
+  }
 }
