@@ -3144,4 +3144,154 @@ object Stats {
           round(col("_chi").cast("double"), 6))
           .cast("double").as("chi2"))
   }
+
+  /** Fleiss' kappa over a long (subject, category) ratings frame with
+    * a FIXED panel size r — chance-corrected agreement among MANY
+    * raters per item (ensemble judges, multi-annotator labels), where
+    * [[graft.operators.RankEval.cohensKappa]] handles exactly two
+    * NAMED raters. κ = (P̄ − P̄_e)/(1 − P̄_e) with
+    * P̄ = (ΣΣn_ij² − N·r)/(N·r·(r−1)) and P̄_e = ΣC_j²/(N·r)².
+    *
+    * Exactness: every moment (ΣΣn_ij², ΣC_j², N) is an exact integer
+    * accumulated in decimal(38,0); κ, P̄, P̄_e are identically-spelled
+    * float trees of those integers rounded at 6 dp — no per-row
+    * floats anywhere. Subjects whose rating count ≠ r are EXCLUDED
+    * (the complete-panel contract — Fleiss is undefined for ragged
+    * panels, and a silent mix would bias P̄); category marginals are
+    * computed on the kept subjects only. All-agree-everywhere → P̄_e
+    * can reach 1 → NULL κ; no kept subjects → NULL everything.
+    *
+    * Scale shape: one (subject, category) cell aggregate + one
+    * panel-size filter join — cells are the only shuffle touching
+    * corpus-sized data; everything after is categories/subjects-sized.
+    * Output: ONE row (n_subjects, r, k_categories, p_bar, p_e, kappa).
+    */
+  def fleissKappa(df: DataFrame, subjectCol: String, categoryCol: String,
+      r: Int): DataFrame = {
+    require(r >= 2, s"fleissKappa: r must be >= 2, got $r")
+    val dec = "decimal(38,0)"
+    val pts = df
+      .filter(col(subjectCol).isNotNull && col(categoryCol).isNotNull)
+      .select(col(subjectCol).as("_s"), col(categoryCol).as("_c"))
+    val kept = pts.groupBy("_s").agg(count(lit(1)).as("_nr"))
+      .filter(col("_nr") === r).select("_s")
+    val cells = pts.join(kept, Seq("_s"))
+      .groupBy("_s", "_c").agg(count(lit(1)).as("_n"))
+    val s2 = cells.agg(
+      sum((col("_n").cast(dec) * col("_n")).cast(dec)).as("_s2"),
+      countDistinct(col("_s")).as("_nsub"))
+    val byCat = cells.groupBy("_c").agg(sum("_n").as("_cj"))
+      .agg(sum((col("_cj").cast(dec) * col("_cj")).cast(dec)).as("_sc2"),
+        count(lit(1)).as("_ncat"))
+    val nr = col("_nsub").cast("double") * r
+    val pbar = (col("_s2").cast("double") - nr) /
+      (nr * (r - 1).toDouble)
+    val pe = col("_sc2").cast("double") / (nr * nr)
+    s2.crossJoin(broadcast(byCat))
+      .select(col("_nsub").cast("bigint").as("n_subjects"),
+        lit(r.toLong).as("r"),
+        col("_ncat").cast("bigint").as("k_categories"),
+        when(col("_nsub") > 0, round(pbar, 6))
+          .cast("double").as("p_bar"),
+        when(col("_nsub") > 0, round(pe, 6)).cast("double").as("p_e"),
+        when(col("_nsub") > 0 && pe < 1.0,
+          round((pbar - pe) / (lit(1.0) - pe), 6))
+          .cast("double").as("kappa"))
+  }
+
+  /** One-sided Fisher's exact test on the 2×2 (exposed × outcome)
+    * table: p = P(A ≥ a_obs | fixed margins), the hypergeometric tail
+    * — THE small-sample gate where [[chiSquared]]'s asymptotics lie
+    * (expected cells < 5). The one-sided "greater" form is the
+    * deterministic one: the two-sided "sum of probabilities ≤ p_obs"
+    * convention hides a knife-edge float comparison per table, so it
+    * is deliberately NOT offered.
+    *
+    * Exactness: cells are exact integers; ln-factorials are an
+    * order-FIXED cumulative decimal(38,12) sum of 12-dp-frozen ln(i)
+    * terms (identical on any engine), every term's exponent is exact
+    * decimal arithmetic on six of those values, each exp(·) is frozen
+    * at 12 dp into an order-free decimal sum, and p is ONE rounded
+    * cast. An exact test is a SMALL-SAMPLE tool by definition: the
+    * plan raises loudly past `maxN` rows (the ln-factorial ladder and
+    * the tail enumeration are both O(N) single-partition work — at
+    * scale the caller wants [[chiSquared]]/[[gTest]], which are exact
+    * enough exactly when Fisher stops being necessary).
+    *
+    * Output: ONE row (a, b, c, d, n, p_greater).
+    */
+  def fisherExactGreater(df: DataFrame, exposed: Column, outcome: Column,
+      maxN: Long = 1000000L): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val cells = df
+      .filter(exposed.isNotNull && outcome.isNotNull)
+      .select(when(exposed, 1L).otherwise(0L).as("_e"),
+        when(outcome, 1L).otherwise(0L).as("_o"))
+      .agg(coalesce(sum(col("_e") * col("_o")), lit(0L)).as("a"),
+        coalesce(sum(col("_e") * (lit(1L) - col("_o"))), lit(0L)).as("b"),
+        coalesce(sum((lit(1L) - col("_e")) * col("_o")), lit(0L)).as("c"),
+        coalesce(sum((lit(1L) - col("_e")) * (lit(1L) - col("_o"))),
+          lit(0L)).as("d"))
+      .withColumn("_n",
+        col("a") + col("b") + col("c") + col("d"))
+      .withColumn("_n",
+        when(col("_n") > maxN, raise_error(concat(
+          lit(s"fisherExactGreater: n exceeds maxN=$maxN ("),
+          col("_n").cast("string"),
+          lit(") - use chiSquared/gTest at this scale"))).cast("bigint"))
+          .otherwise(col("_n")))
+      .localCheckpoint() // the ladder and the tail both re-read it
+    val lf = cells
+      .select(explode(sequence(lit(0L), col("_n"))).as("_i"))
+      .withColumn("_lt",
+        when(col("_i") >= 2L, round(log(col("_i").cast("double")), 12))
+          .otherwise(lit(0.0)).cast(dec12))
+      // guarded-small by contract: the single-partition cumulative IS
+      // the documented maxN cost, not an accident
+      .withColumn("_lf", sum("_lt").over(
+        Window.orderBy("_i")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("_i"), col("_lf"))
+    def lfAt(out: String): DataFrame =
+      lf.select(col("_i").as(s"${out}_i"), col("_lf").as(out))
+    val base = cells
+      .select(col("a"), col("b"), col("c"), col("d"), col("_n"),
+        (col("a") + col("b")).as("_r1"), (col("c") + col("d")).as("_r2"),
+        (col("a") + col("c")).as("_c1"))
+    // constant lookups: lf(r1) + lf(r2) − [lf(N) − lf(c1) − lf(N−c1)]
+    val const = base
+      .join(lfAt("_l1"), col("_r1") === col("_l1_i"))
+      .join(lfAt("_l2"), col("_r2") === col("_l2_i"))
+      .join(lfAt("_ln"), col("_n") === col("_ln_i"))
+      .join(lfAt("_lc"), col("_c1") === col("_lc_i"))
+      .join(lfAt("_lnc"), col("_n") - col("_c1") === col("_lnc_i"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("_n"),
+        col("_r1"), col("_r2"), col("_c1"),
+        (col("_l1") + col("_l2") - col("_ln") + col("_lc") + col("_lnc"))
+          .as("_k0"))
+    val terms = const
+      .select(col("a"), col("b"), col("c"), col("d"), col("_n"),
+        col("_r1"), col("_r2"), col("_c1"), col("_k0"),
+        explode(sequence(col("a"), least(col("_r1"), col("_c1"))))
+          .as("_ap"))
+      .join(broadcast(lfAt("_la")), col("_ap") === col("_la_i"))
+      .join(broadcast(lfAt("_lb")),
+        col("_r1") - col("_ap") === col("_lb_i"))
+      .join(broadcast(lfAt("_lc2")),
+        col("_c1") - col("_ap") === col("_lc2_i"))
+      .join(broadcast(lfAt("_ld")),
+        col("_r2") - col("_c1") + col("_ap") === col("_ld_i"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("_n"),
+        round(exp((col("_k0") - col("_la") - col("_lb") - col("_lc2")
+          - col("_ld")).cast("double")), 12).cast(dec12).as("_p"))
+    terms.groupBy("a", "b", "c", "d")
+      .agg(max("_n").as("n"), sum("_p").as("_ps"))
+      .select(col("a").cast("bigint").as("a"),
+        col("b").cast("bigint").as("b"),
+        col("c").cast("bigint").as("c"),
+        col("d").cast("bigint").as("d"),
+        col("n").cast("bigint").as("n"),
+        round(col("_ps").cast("double"), 6)
+          .cast("double").as("p_greater"))
+  }
 }

@@ -1100,4 +1100,78 @@ object TextAnalysis {
             / (col("_n") * col("_den")).cast("double") / 1e6, 6))
           .cast("double").as("heaps_lnk"))
   }
+
+  /** Multinomial Naive Bayes trained and scored on the SAME frame:
+    * per-class token log-probabilities with add-one (Laplace)
+    * smoothing over the corpus vocabulary, per-doc class score
+    * ln P(class) + Σ_tok count·ln P(tok|class), predicted class by
+    * (score DESC, class ASC). The classical from-counts text
+    * classifier — the supervised sibling of [[languageId]]'s n-gram
+    * heuristic, and the cheap source/quality/topic router a curation
+    * pipeline runs before anything neural.
+    *
+    * Exactness: all counts are exact integers; each ln is frozen at
+    * 12 dp (priors and the V×C smoothed grid — ratios are formed as
+    * one double division of exact integers first); per-token
+    * contributions count·lnp are identical doubles frozen at 6 dp
+    * into an order-free decimal(38,6) per-(doc, class) sum; the final
+    * score is one rounded add. Argmax compares 6-dp-frozen scores
+    * with the class-name tiebreak — a total order. Empty docs score
+    * priors only (never dropped).
+    *
+    * Scale shape: token explode → three hash aggregates (doc-token,
+    * class-token, class totals); the smoothed grid is V×C rows (C is
+    * small); scoring is ONE equi-join of doc-token counts against the
+    * grid on token (the shuffle carries doc-tokens × C) + one
+    * (doc, class) aggregate + one doc-keyed C-row argmax window.
+    * Output: (idCol, pred, score).
+    */
+  def naiveBayesPredict(df: DataFrame, idCol: String, classCol: String,
+      textCol: String): DataFrame = {
+    val dec6 = "decimal(38,6)"
+    val toks = df.select(col(idCol).as("_id"), col(classCol).as("_cls"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("_tok"))
+    val docTok = toks.groupBy("_id", "_tok")
+      .agg(count(lit(1)).as("_cnt"))
+    val clsTok = toks.groupBy("_cls", "_tok").agg(count(lit(1)).as("_ct"))
+    val clsTot = toks.groupBy(col("_cls").as("_clt"))
+      .agg(count(lit(1)).as("_tot"))
+    val vocab = toks.select("_tok").distinct()
+    val vn = vocab.agg(count(lit(1)).as("_v"))
+    val nDocs = df.agg(count(lit(1)).as("_nd"))
+    val priors = df.groupBy(col(classCol).as("_cls"))
+      .agg(count(lit(1)).as("_ndc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("_cls"),
+        round(log(col("_ndc").cast("double") / col("_nd").cast("double")),
+          12).cast("decimal(38,12)").as("_prior"))
+    val grid = vocab
+      .crossJoin(broadcast(clsTot))
+      .join(clsTok.select(col("_tok").as("_tk"), col("_cls").as("_tc"),
+          col("_ct")),
+        col("_tok") <=> col("_tk") && col("_clt") <=> col("_tc"), "left")
+      .crossJoin(broadcast(vn))
+      .select(col("_tok"), col("_clt").as("_cls"),
+        round(log((coalesce(col("_ct"), lit(0L)) + 1L).cast("double")
+          / (col("_tot") + col("_v")).cast("double")), 12)
+          .cast("decimal(38,12)").as("_lnp"))
+    val contrib = docTok.join(grid, Seq("_tok"))
+      .groupBy("_id", "_cls")
+      .agg(sum(round(col("_cnt").cast("double")
+        * col("_lnp").cast("double"), 6).cast(dec6)).as("_tsum"))
+    val scored = df.select(col(idCol).as("_id"))
+      .crossJoin(broadcast(priors.select(col("_cls"), col("_prior"))))
+      .join(contrib, Seq("_id", "_cls"), "left")
+      .select(col("_id"), col("_cls"),
+        round(col("_prior").cast("double")
+          + coalesce(col("_tsum").cast("double"), lit(0.0)), 6)
+          .as("_score"))
+    val w = Window.partitionBy("_id")
+      .orderBy(col("_score").desc, col("_cls").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_id").as(idCol), col("_cls").as("pred"),
+        col("_score").cast("double").as("score"))
+  }
 }

@@ -502,7 +502,19 @@ object AnalyticsOps {
       .orderBy("event_type")
   }
 
+  /** Multinomial Naive Bayes source classifier trained and scored on
+    * documents (class = source, add-one smoothing over the corpus
+    * vocabulary): frozen-ln grid, 6-dp-frozen per-token terms, argmax
+    * on frozen scores with the class tiebreak.
+    */
+  val qNaiveBayes: QueryFn = withTables { spark =>
+    TextAnalysis.naiveBayesPredict(spark.table("documents"), "doc_id",
+        "source", "text")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_naive_bayes" -> qNaiveBayes,
     "q_confusion" -> qConfusion,
     "q_log_loss" -> qLogLoss,
     "q_avg_precision" -> qAvgPrecision,
@@ -562,6 +574,49 @@ object AnalyticsOps {
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
   val oracles: Map[String, String] = Map(
+
+    // Same counts / smoothed-grid / frozen-ln pipeline; scores are
+    // 6-dp-frozen decimal sums so the argmax order is engine-portable.
+    "q_naive_bayes" -> """
+      WITH toks AS (
+        SELECT doc_id AS id, source AS cls,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                  t -> t <> '')) AS tok
+        FROM documents),
+      dt AS (SELECT id, tok, COUNT(*) AS cnt FROM toks GROUP BY id, tok),
+      ct AS (SELECT cls, tok, COUNT(*) AS ctc FROM toks GROUP BY cls, tok),
+      tot AS (SELECT cls, COUNT(*) AS tot FROM toks GROUP BY cls),
+      voc AS (SELECT DISTINCT tok FROM toks),
+      vn AS (SELECT COUNT(*) AS v FROM voc),
+      nd AS (SELECT COUNT(*) AS nd FROM documents),
+      pri AS (SELECT source AS cls,
+                ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                  / CAST(MAX(nd.nd) AS DOUBLE)), 12)::DECIMAL(38,12)
+                  AS prior
+              FROM documents CROSS JOIN nd GROUP BY source),
+      grid AS (SELECT voc.tok, t.cls,
+                 ROUND(LN(CAST(COALESCE(c.ctc, 0) + 1 AS DOUBLE)
+                   / CAST(t.tot + vn.v AS DOUBLE)), 12)::DECIMAL(38,12)
+                   AS lnp
+               FROM voc CROSS JOIN tot t
+               LEFT JOIN ct c ON c.tok = voc.tok AND c.cls = t.cls
+               CROSS JOIN vn),
+      contrib AS (SELECT d.id, g.cls,
+                    SUM(ROUND(CAST(d.cnt AS DOUBLE)
+                      * CAST(g.lnp AS DOUBLE), 6)::DECIMAL(38,6)) AS tsum
+                  FROM dt d JOIN grid g ON d.tok = g.tok
+                  GROUP BY d.id, g.cls),
+      sc AS (SELECT doc.doc_id AS id, p.cls,
+               ROUND(CAST(p.prior AS DOUBLE)
+                 + COALESCE(CAST(c.tsum AS DOUBLE), 0.0), 6) AS score
+             FROM documents doc CROSS JOIN pri p
+             LEFT JOIN contrib c ON c.id = doc.doc_id AND c.cls = p.cls),
+      r AS (SELECT id, cls, score,
+              ROW_NUMBER() OVER (PARTITION BY id
+                ORDER BY score DESC, cls) AS rn
+            FROM sc)
+      SELECT id AS doc_id, cls AS pred, CAST(score AS DOUBLE) AS score
+      FROM r WHERE rn = 1 ORDER BY doc_id""",
 
     // Exact integer cells; each rate ONE rounded division spelled
     // identically; MCC numerator in HUGEINT, denominator the same

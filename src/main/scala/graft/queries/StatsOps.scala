@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Graph, Outliers, Profiling, Resample, Stats, TextAnalysis}
@@ -929,7 +930,38 @@ object StatsOps {
       (0 to 9).map(i => i.toString -> 0.1))
   }
 
+  /** Fleiss' kappa across the first-20-events-per-day panels (rater
+    * count fixed at 20 by a (ts, event_id) total-order cut; short days
+    * drop out via the operator's complete-panel contract), category =
+    * event type: exact integer moments, one rounded κ tree.
+    */
+  val qFleissKappa: QueryFn = withTables { spark =>
+    val rated = spark.table("events")
+      .withColumn("_d", col("ts").cast("date"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_d").orderBy(col("ts"), col("event_id"))))
+      .filter(col("_rn") <= 20)
+      .select(datediff(col("_d"), lit("2024-01-01").cast("date")).as("s"),
+        col("event_type"))
+    Stats.fleissKappa(rated, "s", "event_type", r = 20)
+  }
+
+  /** One-sided Fisher's exact test of user parity × value > 95 on one
+    * day's events (the small-sample regime the test exists for):
+    * frozen ln-factorial ladder, 12-dp-frozen tail terms, one rounded
+    * sum.
+    */
+  val qFisherExact: QueryFn = withTables { spark =>
+    val day = spark.table("events")
+      .filter(col("ts").cast("date") === lit("2024-01-15").cast("date")
+        && col("value").isNotNull)
+    Stats.fisherExactGreater(day, col("user_id") % 2 === 0,
+      col("value") > 95.0)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_fleiss_kappa" -> qFleissKappa,
+    "q_fisher_exact" -> qFisherExact,
     "q_ljung_box" -> qLjungBox,
     "q_ar2_forecast" -> qAr2Forecast,
     "q_cochran_q" -> qCochranQ,
@@ -1015,6 +1047,87 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact integer moments over complete 20-rating day panels; p_bar
+    // / p_e / kappa identically-spelled float trees of those integers.
+    "q_fleiss_kappa" -> """
+      WITH rated AS (
+        SELECT DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS s,
+               event_type AS c,
+               ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                 ORDER BY ts, event_id) AS rn
+        FROM events),
+      pts AS (SELECT s, c FROM rated WHERE rn <= 20),
+      kept AS (SELECT s FROM pts GROUP BY s HAVING COUNT(*) = 20),
+      cells AS (SELECT p.s, p.c, COUNT(*) AS n
+                FROM pts p JOIN kept k ON p.s = k.s GROUP BY p.s, p.c),
+      m AS (SELECT SUM(n::HUGEINT * n) AS s2,
+                   COUNT(DISTINCT s) AS nsub FROM cells),
+      bc AS (SELECT SUM(cj::HUGEINT * cj) AS sc2, COUNT(*) AS ncat
+             FROM (SELECT c, SUM(n) AS cj FROM cells GROUP BY c))
+      SELECT nsub::BIGINT AS n_subjects, CAST(20 AS BIGINT) AS r,
+             ncat::BIGINT AS k_categories,
+             CAST(CASE WHEN nsub > 0 THEN ROUND(
+               (CAST(s2 AS DOUBLE) - CAST(nsub AS DOUBLE) * 20)
+               / ((CAST(nsub AS DOUBLE) * 20) * 19.0), 6) END
+               AS DOUBLE) AS p_bar,
+             CAST(CASE WHEN nsub > 0 THEN ROUND(
+               CAST(sc2 AS DOUBLE) / ((CAST(nsub AS DOUBLE) * 20)
+                 * (CAST(nsub AS DOUBLE) * 20)), 6) END
+               AS DOUBLE) AS p_e,
+             CAST(CASE WHEN nsub > 0 AND CAST(sc2 AS DOUBLE)
+                 / ((CAST(nsub AS DOUBLE) * 20)
+                   * (CAST(nsub AS DOUBLE) * 20)) < 1.0 THEN ROUND(
+               ((CAST(s2 AS DOUBLE) - CAST(nsub AS DOUBLE) * 20)
+                 / ((CAST(nsub AS DOUBLE) * 20) * 19.0)
+                - CAST(sc2 AS DOUBLE) / ((CAST(nsub AS DOUBLE) * 20)
+                  * (CAST(nsub AS DOUBLE) * 20)))
+               / (1.0 - CAST(sc2 AS DOUBLE) / ((CAST(nsub AS DOUBLE) * 20)
+                  * (CAST(nsub AS DOUBLE) * 20))), 6) END
+               AS DOUBLE) AS kappa
+      FROM m CROSS JOIN bc""",
+
+    // Order-fixed cumulative DECIMAL(38,12) ln-factorial ladder;
+    // each hypergeometric tail term's exponent is exact decimal
+    // arithmetic on six ladder values, exp frozen at 12 dp.
+    "q_fisher_exact" -> """
+      WITH base AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS e,
+               CASE WHEN value > 95.0 THEN 1 ELSE 0 END AS o
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+          AND value IS NOT NULL),
+      cells AS (SELECT COALESCE(SUM(e * o), 0)::BIGINT AS a,
+                       COALESCE(SUM(e * (1 - o)), 0)::BIGINT AS b,
+                       COALESCE(SUM((1 - e) * o), 0)::BIGINT AS c,
+                       COALESCE(SUM((1 - e) * (1 - o)), 0)::BIGINT AS d
+                FROM base),
+      c2 AS (SELECT *, a + b + c + d AS n, a + b AS r1, c + d AS r2,
+                    a + c AS c1 FROM cells),
+      seq AS (SELECT UNNEST(RANGE(0, (SELECT n FROM c2) + 1)) AS i),
+      lf AS (SELECT i, SUM(CASE WHEN i >= 2
+                 THEN ROUND(LN(CAST(i AS DOUBLE)), 12)::DECIMAL(38,12)
+                 ELSE 0::DECIMAL(38,12) END)
+               OVER (ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
+             FROM seq),
+      -- lookups via ONE ordered LIST instead of nine lf self-joins:
+      -- duckdb's join-order search explodes past ~4 copies of the
+      -- windowed CTE; the list is the same frozen ladder verbatim
+      lfa AS (SELECT LIST(lf ORDER BY i) AS arr FROM lf),
+      aps AS (SELECT UNNEST(RANGE((SELECT a FROM c2),
+                (SELECT LEAST(r1, c1) FROM c2) + 1)) AS ap),
+      t AS (SELECT c2.a, c2.b, c2.c, c2.d, c2.n,
+              ROUND(EXP(CAST(arr[c2.r1 + 1] + arr[c2.r2 + 1]
+                - arr[c2.n + 1] + arr[c2.c1 + 1] + arr[c2.n - c2.c1 + 1]
+                - arr[aps.ap + 1] - arr[c2.r1 - aps.ap + 1]
+                - arr[c2.c1 - aps.ap + 1]
+                - arr[c2.r2 - c2.c1 + aps.ap + 1]
+                AS DOUBLE)), 12)::DECIMAL(38,12) AS p
+            FROM aps CROSS JOIN c2 CROSS JOIN lfa)
+      SELECT a, b, c, d, n,
+             CAST(ROUND(CAST(SUM(p) AS DOUBLE), 6) AS DOUBLE) AS p_greater
+      FROM t GROUP BY a, b, c, d, n""",
     // Same grid construction: per-(group,value) counts, group sizes
     // broadcast onto the distinct-value table, per-group cumulative by
     // value, global cumulative recovered in-grid as the sum of

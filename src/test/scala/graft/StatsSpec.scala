@@ -1920,4 +1920,72 @@ class StatsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("undeclared") ||
       ex.getCause != null, ex.getMessage)
   }
+
+  // ---- fleissKappa ----
+
+  test("fleissKappa: unanimous split panels score 1") {
+    import spark.implicits._
+    // 4 subjects x 3 raters, perfect agreement, categories split 2/2:
+    // P = 1, Pe = 0.5, kappa = 1
+    val df = (Seq.fill(3)((1, "A")) ++ Seq.fill(3)((2, "A"))
+      ++ Seq.fill(3)((3, "B")) ++ Seq.fill(3)((4, "B"))).toDF("s", "c")
+    val r = Stats.fleissKappa(df, "s", "c", r = 3).collect().head
+    assert(r.getLong(0) == 4 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.5
+      && r.getDouble(5) == 1.0, r.toString)
+  }
+
+  test("fleissKappa: balanced 2-1 splits land at -1/3; ragged drops") {
+    import spark.implicits._
+    // every subject splits 2-1, categories balanced overall:
+    // P = (20-12)/24 = 1/3, Pe = 0.5, kappa = -1/3
+    val core = Seq(
+      (1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"), (2, "B"),
+      (3, "A"), (3, "A"), (3, "B"), (4, "A"), (4, "B"), (4, "B"))
+    // subject 5 has only 2 ratings: excluded by the complete-panel rule
+    val df = (core ++ Seq((5, "A"), (5, "A"))).toDF("s", "c")
+    val r = Stats.fleissKappa(df, "s", "c", r = 3).collect().head
+    assert(r.getLong(0) == 4, "ragged subject dropped")
+    assert(r.getDouble(3) == 0.333333 && r.getDouble(5) == -0.333333,
+      r.toString)
+  }
+
+  test("fleissKappa: constant category NULLs kappa (p_e = 1)") {
+    import spark.implicits._
+    val df = Seq.tabulate(6)(i => (i / 3, "A")).toDF("s", "c")
+    val r = Stats.fleissKappa(df, "s", "c", r = 3).collect().head
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    assert(r.isNullAt(5), "pe = 1 -> NULL kappa")
+  }
+
+  // ---- fisherExactGreater ----
+
+  test("fisherExactGreater: 17/70 textbook tail") {
+    import spark.implicits._
+    // a=3 b=1 c=1 d=3: P(A>=3) = (C(4,3)C(4,1) + C(4,4)C(4,0))/C(8,4)
+    //                          = (16 + 1)/70
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(3)((false, false))
+    val df = rows.toDF("e", "o")
+    val r = Stats.fisherExactGreater(df, col("e"), col("o"))
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(4) == 8)
+    assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
+  }
+
+  test("fisherExactGreater: a = 0 tail sums to 1; maxN raises") {
+    import spark.implicits._
+    val df = Seq((true, false), (true, false), (false, true),
+      (false, true)).toDF("e", "o")
+    val r = Stats.fisherExactGreater(df, col("e"), col("o"))
+      .collect().head
+    assert(math.abs(r.getDouble(5) - 1.0) < 2e-6,
+      s"P(A >= 0) = 1, got ${r.getDouble(5)}")
+    val ex = intercept[Exception] {
+      Stats.fisherExactGreater(df, col("e"), col("o"), maxN = 3)
+        .collect()
+    }
+    assert(ex.getMessage.contains("fisherExactGreater")
+      || ex.getCause != null, ex.getMessage)
+  }
 }

@@ -608,4 +608,39 @@ class TextAnalysisSpec extends SparkTestBase {
       "one boundary point cannot fix a line")
     assert(!out("two").isNullAt(2), "two distinct points fit")
   }
+
+  // ---- naiveBayesPredict ----
+
+  test("naiveBayesPredict: recovers class structure, priors carry empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "A", "x x y"), ("d2", "A", "x y"),
+      ("d3", "B", "z z"), ("d4", "B", "z y"),
+      ("d5", "A", ""), // empty: scored on priors only (A is majority)
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.naiveBayesPredict(docs, "doc_id", "source",
+        "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 5, "every doc emits exactly one prediction")
+    assert(out("d1").getString(1) == "A" && out("d2").getString(1) == "A")
+    assert(out("d3").getString(1) == "B" && out("d4").getString(1) == "B")
+    assert(out("d5").getString(1) == "A", "empty doc takes the prior argmax")
+    // hand check d3 "z z": prior ln(3/5) + 2*ln((3+1)/(4+3)) for B
+    val exp = math.floor((math.log(2.0 / 5)
+      + (math.rint(2 * math.rint(math.log(4.0 / 7.0) * 1e12) / 1e12 * 1e6)
+        / 1e6)) * 1e6 + 0.5) / 1e6
+    assert(math.abs(out("d3").getDouble(2) - exp) < 2e-6,
+      s"d3 B-score ${out("d3").getDouble(2)} vs $exp")
+  }
+
+  test("naiveBayesPredict: deterministic across runs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "s1", "alpha beta beta"), ("b", "s2", "gamma gamma"),
+      ("c", "s1", "alpha gamma"), ("d", "s2", "beta gamma gamma"),
+    ).toDF("doc_id", "source", "text")
+    def run() = TextAnalysis.naiveBayesPredict(docs, "doc_id",
+      "source", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
 }
