@@ -3294,4 +3294,141 @@ object Stats {
         round(col("_ps").cast("double"), 6)
           .cast("double").as("p_greater"))
   }
+
+  /** CUPED variance reduction (Deng et al. 2013, WSDM): adjust each
+    * unit's experiment-period metric Y by its pre-period covariate X,
+    * Y_adj = Y − θ(X − X̄) with the POOLED θ = cov(X,Y)/var(X) — the
+    * standard pre-experiment-data trick that shrinks metric variance
+    * (often 30–50 % on revenue-like metrics) without touching the
+    * treatment effect, because θ is fit ignoring arms. Reports, per
+    * arm: n, the raw and adjusted means, and the variance-reduction
+    * ratio 1 − var(Y_adj)/var(Y).
+    *
+    * Exactness: X and Y quantize to 1e6-scaled longs; ALL moments
+    * (global n/Sx/Sy/Sxx/Sxy, per-arm n/Sx/Sy/Sxx/Syy/Sxy) are exact
+    * decimal(38,0) integers off TWO hash aggregates; θ is ONE double
+    * division of exact integers frozen at 12 dp; every output is one
+    * identically-spelled float tree on exact moments and that frozen
+    * θ, rounded at 6 dp (θ cancels the 1e6 scale, variances cancel it
+    * in the ratio). var(X) = 0 → NULL θ and adjusted columns; arms
+    * with n < 2 → NULL variance reduction.
+    *
+    * Scale shape: one global + one arm-keyed aggregate over the unit
+    * table (the caller aggregates raw events to units first); output
+    * is arms-sized. Output: (arm, n, theta, mean_post, mean_adj,
+    * var_reduction).
+    */
+  def cuped(df: DataFrame, armCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df
+      .filter(col(preCol).isNotNull && col(postCol).isNotNull)
+      .select(col(armCol).as("_arm"),
+        round(col(preCol) * 1e6).cast("long").as("_x"),
+        round(col(postCol) * 1e6).cast("long").as("_y"))
+    val g = pts.agg(count(lit(1)).as("_n"),
+      sum(col("_x").cast(dec)).as("_sx"),
+      sum(col("_y").cast(dec)).as("_sy"),
+      sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxx"),
+      sum((col("_x").cast(dec) * col("_y")).cast(dec)).as("_sxy"))
+    val byArm = pts.groupBy("_arm")
+      .agg(count(lit(1)).as("_na"),
+        sum(col("_x").cast(dec)).as("_sxa"),
+        sum(col("_y").cast(dec)).as("_sya"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxxa"),
+        sum((col("_y").cast(dec) * col("_y")).cast(dec)).as("_syya"),
+        sum((col("_x").cast(dec) * col("_y")).cast(dec)).as("_sxya"))
+    def d(c: String) = col(c).cast("double")
+    val thetaDen = d("_n") * d("_sxx") - d("_sx") * d("_sx")
+    val theta = round((d("_n") * d("_sxy") - d("_sx") * d("_sy"))
+      / thetaDen, 12)
+    val na = d("_na")
+    // per-arm sample moments in scaled² units (scale cancels in the
+    // variance ratio; the means descale by 1e6 once at the end)
+    val vy = (na * d("_syya") - d("_sya") * d("_sya")) / (na * (na - 1.0))
+    val vx = (na * d("_sxxa") - d("_sxa") * d("_sxa")) / (na * (na - 1.0))
+    val cxy = (na * d("_sxya") - d("_sxa") * d("_sya")) / (na * (na - 1.0))
+    val vAdj = vy + theta * theta * vx - lit(2.0) * theta * cxy
+    byArm.crossJoin(broadcast(g))
+      .select(col("_arm").as(armCol), col("_na").cast("bigint").as("n"),
+        when(thetaDen > 0.0, round(theta, 6)).cast("double").as("theta"),
+        round(d("_sya") / na / 1e6, 6).cast("double").as("mean_post"),
+        when(thetaDen > 0.0,
+          round((d("_sya") / na - theta * (d("_sxa") / na
+            - d("_sx") / d("_n"))) / 1e6, 6))
+          .cast("double").as("mean_adj"),
+        when(thetaDen > 0.0 && col("_na") >= 2 && vy > 0.0,
+          round(lit(1.0) - vAdj / vy, 6))
+          .cast("double").as("var_reduction"))
+  }
+
+  /** Difference-in-differences on the 2×2 (treated × post) design:
+    * DiD = (m̄_treat,post − m̄_treat,pre) − (m̄_ctrl,post − m̄_ctrl,pre)
+    * — the parallel-trends causal readout when assignment wasn't
+    * randomized (feature rollouts by region/cohort), plus its
+    * normal-approximation standard error √(Σ s²_i/n_i) over the four
+    * cells. The experimentation sibling of [[cuped]] (which assumes
+    * randomized arms).
+    *
+    * Exactness: values quantize to 1e6-scaled longs; per-cell
+    * n/S/S² are exact decimal(38,0) off ONE hash aggregate; the four
+    * means, DiD, each cell variance, and the SE are identically-
+    * spelled float trees rounded at 6 dp (means and DiD descale by
+    * 1e6 once; the SE descales by 1e6 under the √ as /1e12). Any
+    * empty cell → NULL did/se; cells with n < 2 → NULL se only.
+    *
+    * Scale shape: one hash aggregate to four rows + a four-row fold.
+    * Output: ONE row (n, m_c0, m_c1, m_t0, m_t1, did, se).
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(treated.isNotNull && post.isNotNull
+        && col(valueCol).isNotNull)
+      .select(when(treated, 1).otherwise(0).as("_t"),
+        when(post, 1).otherwise(0).as("_p"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+      .groupBy("_t", "_p")
+      .agg(count(lit(1)).as("_n"), sum(col("_v").cast(dec)).as("_s"),
+        sum((col("_v").cast(dec) * col("_v")).cast(dec)).as("_q"))
+    def pick(t: Int, p: Int, c: String) =
+      max(when(col("_t") === t && col("_p") === p, col(c)))
+    val folded = cells.agg(
+      sum("_n").as("n"),
+      pick(0, 0, "_n").as("_nc0"), pick(0, 1, "_n").as("_nc1"),
+      pick(1, 0, "_n").as("_nt0"), pick(1, 1, "_n").as("_nt1"),
+      pick(0, 0, "_s").as("_sc0"), pick(0, 1, "_s").as("_sc1"),
+      pick(1, 0, "_s").as("_st0"), pick(1, 1, "_s").as("_st1"),
+      pick(0, 0, "_q").as("_qc0"), pick(0, 1, "_q").as("_qc1"),
+      pick(1, 0, "_q").as("_qt0"), pick(1, 1, "_q").as("_qt1"))
+    def d(c: String) = col(c).cast("double")
+    def m(s: String, n: String) = d(s) / d(n)
+    def v(q: String, s: String, n: String) =
+      (d(n) * d(q) - d(s) * d(s)) / (d(n) * (d(n) - 1.0))
+    val haveAll = col("_nc0").isNotNull && col("_nc1").isNotNull &&
+      col("_nt0").isNotNull && col("_nt1").isNotNull
+    val allBig = col("_nc0") >= 2 && col("_nc1") >= 2 &&
+      col("_nt0") >= 2 && col("_nt1") >= 2
+    folded.select(
+      col("n").cast("bigint").as("n"),
+      when(col("_nc0").isNotNull, round(m("_sc0", "_nc0") / 1e6, 6))
+        .cast("double").as("m_c0"),
+      when(col("_nc1").isNotNull, round(m("_sc1", "_nc1") / 1e6, 6))
+        .cast("double").as("m_c1"),
+      when(col("_nt0").isNotNull, round(m("_st0", "_nt0") / 1e6, 6))
+        .cast("double").as("m_t0"),
+      when(col("_nt1").isNotNull, round(m("_st1", "_nt1") / 1e6, 6))
+        .cast("double").as("m_t1"),
+      when(haveAll,
+        round(((m("_st1", "_nt1") - m("_st0", "_nt0"))
+          - (m("_sc1", "_nc1") - m("_sc0", "_nc0"))) / 1e6, 6))
+        .cast("double").as("did"),
+      when(haveAll && allBig,
+        round(sqrt((v("_qt1", "_st1", "_nt1") / d("_nt1")
+          + v("_qt0", "_st0", "_nt0") / d("_nt0")
+          + v("_qc1", "_sc1", "_nc1") / d("_nc1")
+          + v("_qc0", "_sc0", "_nc0") / d("_nc0")) / 1e12), 6))
+        .cast("double").as("se"))
+  }
 }

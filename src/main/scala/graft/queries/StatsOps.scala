@@ -959,7 +959,41 @@ object StatsOps {
       col("value") > 95.0)
   }
 
+  /** CUPED adjustment of per-user second-half spend by first-half
+    * spend (arm = user parity): pooled θ from exact decimal moments
+    * frozen at 12 dp, adjusted means and the variance-reduction ratio
+    * as single rounded trees.
+    */
+  val qCuped: QueryFn = withTables { spark =>
+    val cut = lit("2024-01-16").cast("date")
+    val u = spark.table("events")
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("ts").cast("date") < cut,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          / 100.0).as("pre"),
+        (sum(when(col("ts").cast("date") >= cut,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          / 100.0).as("post"))
+      .withColumn("arm",
+        when(col("user_id") % 2 === 0, "treat").otherwise("control"))
+    Stats.cuped(u, "arm", "pre", "post").orderBy("arm")
+  }
+
+  /** Difference-in-differences of event value across (user parity ×
+    * second-half-of-month): four exact-moment cells, DiD and its
+    * normal-approximation SE as single rounded trees.
+    */
+  val qDid: QueryFn = withTables { spark =>
+    Stats.diffInDiff(spark.table("events"),
+      col("user_id") % 2 === 0,
+      col("ts").cast("date") >= lit("2024-01-16").cast("date"),
+      "value")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_cuped" -> qCuped,
+    "q_did" -> qDid,
     "q_fleiss_kappa" -> qFleissKappa,
     "q_fisher_exact" -> qFisherExact,
     "q_ljung_box" -> qLjungBox,
@@ -1047,6 +1081,132 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // Pooled theta = one 12-dp-frozen division of HUGEINT moments;
+    // adjusted means / variance-reduction are single rounded trees on
+    // exact per-arm moments (scale cancels in theta and the ratio).
+    "q_cuped" -> """
+      WITH u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'treat'
+                 ELSE 'control' END AS arm,
+               SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                 ELSE 0 END) / 100.0 AS pre,
+               SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                 ELSE 0 END) / 100.0 AS post
+        FROM events GROUP BY user_id),
+      pts AS (SELECT arm,
+                CAST(ROUND(pre * 1000000.0) AS BIGINT) AS x,
+                CAST(ROUND(post * 1000000.0) AS BIGINT) AS y
+              FROM u WHERE pre IS NOT NULL AND post IS NOT NULL),
+      g AS (SELECT COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS sx,
+                   SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT * x) AS sxx,
+                   SUM(x::HUGEINT * y) AS sxy FROM pts),
+      a AS (SELECT arm, COUNT(*)::BIGINT AS na, SUM(x::HUGEINT) AS sxa,
+                   SUM(y::HUGEINT) AS sya, SUM(x::HUGEINT * x) AS sxxa,
+                   SUM(y::HUGEINT * y) AS syya,
+                   SUM(x::HUGEINT * y) AS sxya
+            FROM pts GROUP BY arm),
+      t AS (SELECT a.arm, a.na,
+              CAST(a.na AS DOUBLE) AS nad, CAST(a.sxa AS DOUBLE) AS sxad,
+              CAST(a.sya AS DOUBLE) AS syad,
+              CAST(a.sxxa AS DOUBLE) AS sxxad,
+              CAST(a.syya AS DOUBLE) AS syyad,
+              CAST(a.sxya AS DOUBLE) AS sxyad,
+              CAST(g.n AS DOUBLE) AS nd, CAST(g.sx AS DOUBLE) AS sxd,
+              CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE) AS den,
+              ROUND((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+                  - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+                / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+                  - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)), 12)
+                AS theta
+            FROM a CROSS JOIN g)
+      SELECT arm, na AS n,
+             CAST(CASE WHEN den > 0.0 THEN ROUND(theta, 6) END
+               AS DOUBLE) AS theta,
+             CAST(ROUND(syad / nad / 1000000.0, 6) AS DOUBLE)
+               AS mean_post,
+             CAST(CASE WHEN den > 0.0 THEN
+               ROUND((syad / nad - theta * (sxad / nad - sxd / nd))
+                 / 1000000.0, 6) END AS DOUBLE) AS mean_adj,
+             CAST(CASE WHEN den > 0.0 AND na >= 2
+                 AND (nad * syyad - syad * syad) / (nad * (nad - 1.0))
+                   > 0.0 THEN
+               ROUND(1.0 -
+                 ((nad * syyad - syad * syad) / (nad * (nad - 1.0))
+                  + theta * theta * ((nad * sxxad - sxad * sxad)
+                    / (nad * (nad - 1.0)))
+                  - 2.0 * theta * ((nad * sxyad - sxad * syad)
+                    / (nad * (nad - 1.0))))
+                 / ((nad * syyad - syad * syad) / (nad * (nad - 1.0))),
+                 6) END AS DOUBLE) AS var_reduction
+      FROM t ORDER BY arm""",
+
+    // Four exact-moment cells off one aggregate; the DiD and SE trees
+    // are spelled once each, descaled at the end.
+    "q_did" -> """
+      WITH pts AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN 1 ELSE 0 END AS p,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      cells AS (SELECT t, p, COUNT(*)::BIGINT AS n, SUM(v::HUGEINT) AS s,
+                       SUM(v::HUGEINT * v) AS q
+                FROM pts GROUP BY t, p),
+      f AS (SELECT SUM(n) AS n,
+              MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS nc0,
+              MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS nc1,
+              MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS nt0,
+              MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS nt1,
+              MAX(CASE WHEN t = 0 AND p = 0 THEN s END) AS sc0,
+              MAX(CASE WHEN t = 0 AND p = 1 THEN s END) AS sc1,
+              MAX(CASE WHEN t = 1 AND p = 0 THEN s END) AS st0,
+              MAX(CASE WHEN t = 1 AND p = 1 THEN s END) AS st1,
+              MAX(CASE WHEN t = 0 AND p = 0 THEN q END) AS qc0,
+              MAX(CASE WHEN t = 0 AND p = 1 THEN q END) AS qc1,
+              MAX(CASE WHEN t = 1 AND p = 0 THEN q END) AS qt0,
+              MAX(CASE WHEN t = 1 AND p = 1 THEN q END) AS qt1
+            FROM cells)
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(CASE WHEN nc0 IS NOT NULL THEN ROUND(CAST(sc0 AS DOUBLE)
+          / CAST(nc0 AS DOUBLE) / 1000000.0, 6) END AS DOUBLE) AS m_c0,
+        CAST(CASE WHEN nc1 IS NOT NULL THEN ROUND(CAST(sc1 AS DOUBLE)
+          / CAST(nc1 AS DOUBLE) / 1000000.0, 6) END AS DOUBLE) AS m_c1,
+        CAST(CASE WHEN nt0 IS NOT NULL THEN ROUND(CAST(st0 AS DOUBLE)
+          / CAST(nt0 AS DOUBLE) / 1000000.0, 6) END AS DOUBLE) AS m_t0,
+        CAST(CASE WHEN nt1 IS NOT NULL THEN ROUND(CAST(st1 AS DOUBLE)
+          / CAST(nt1 AS DOUBLE) / 1000000.0, 6) END AS DOUBLE) AS m_t1,
+        CAST(CASE WHEN nc0 IS NOT NULL AND nc1 IS NOT NULL
+            AND nt0 IS NOT NULL AND nt1 IS NOT NULL THEN
+          ROUND(((CAST(st1 AS DOUBLE) / CAST(nt1 AS DOUBLE)
+              - CAST(st0 AS DOUBLE) / CAST(nt0 AS DOUBLE))
+            - (CAST(sc1 AS DOUBLE) / CAST(nc1 AS DOUBLE)
+              - CAST(sc0 AS DOUBLE) / CAST(nc0 AS DOUBLE)))
+            / 1000000.0, 6) END AS DOUBLE) AS did,
+        CAST(CASE WHEN nc0 >= 2 AND nc1 >= 2 AND nt0 >= 2 AND nt1 >= 2
+          THEN ROUND(SQRT(
+            ((CAST(nt1 AS DOUBLE) * CAST(qt1 AS DOUBLE)
+                - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE))
+              / (CAST(nt1 AS DOUBLE) * (CAST(nt1 AS DOUBLE) - 1.0))
+              / CAST(nt1 AS DOUBLE)
+            + (CAST(nt0 AS DOUBLE) * CAST(qt0 AS DOUBLE)
+                - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE))
+              / (CAST(nt0 AS DOUBLE) * (CAST(nt0 AS DOUBLE) - 1.0))
+              / CAST(nt0 AS DOUBLE)
+            + (CAST(nc1 AS DOUBLE) * CAST(qc1 AS DOUBLE)
+                - CAST(sc1 AS DOUBLE) * CAST(sc1 AS DOUBLE))
+              / (CAST(nc1 AS DOUBLE) * (CAST(nc1 AS DOUBLE) - 1.0))
+              / CAST(nc1 AS DOUBLE)
+            + (CAST(nc0 AS DOUBLE) * CAST(qc0 AS DOUBLE)
+                - CAST(sc0 AS DOUBLE) * CAST(sc0 AS DOUBLE))
+              / (CAST(nc0 AS DOUBLE) * (CAST(nc0 AS DOUBLE) - 1.0))
+              / CAST(nc0 AS DOUBLE)) / 1000000000000.0), 6) END
+          AS DOUBLE) AS se
+      FROM f""",
 
     // Exact integer moments over complete 20-rating day panels; p_bar
     // / p_e / kappa identically-spelled float trees of those integers.

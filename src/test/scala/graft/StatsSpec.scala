@@ -1973,6 +1973,67 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- cuped ----
+
+  test("cuped: perfect covariate recovers theta=2, equal adjusted means, full reduction") {
+    import spark.implicits._
+    // y = 2x exactly: pooled theta = 2, var(Y_adj) = 0, and both
+    // arms' adjusted means collapse to the same value
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 4.0, 8.0), ("b", 5.0, 10.0), ("b", 6.0, 12.0),
+    ).toDF("arm", "pre", "post")
+    val out = Stats.cuped(df, "arm", "pre", "post")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(2) == 2.0, "theta = 2")
+    assert(out("a").getDouble(4) == 7.0 && out("b").getDouble(4) == 7.0,
+      s"adjusted means equalize: ${out("a")} ${out("b")}")
+    assert(out("a").getDouble(5) == 1.0 && out("b").getDouble(5) == 1.0,
+      "all variance explained")
+    assert(out("a").getDouble(3) == 4.0 && out("b").getDouble(3) == 10.0,
+      "raw means untouched")
+  }
+
+  test("cuped: constant covariate NULLs theta and adjusted columns") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 2.0), ("a", 1.0, 4.0), ("b", 1.0, 6.0),
+      ("b", 1.0, 8.0)).toDF("arm", "pre", "post")
+    val r = Stats.cuped(df, "arm", "pre", "post").collect()
+    assert(r.forall(_.isNullAt(2)), "var(X) = 0 -> NULL theta")
+    assert(r.forall(_.isNullAt(4)), "NULL adjusted mean")
+    assert(r.forall(row => !row.isNullAt(3)), "raw mean still reported")
+  }
+
+  // ---- diffInDiff ----
+
+  test("diffInDiff: hand 2x2 lands did = 2 with a positive se") {
+    import spark.implicits._
+    val df = Seq(
+      // control: pre mean 1, post mean 2 (trend +1)
+      (false, false, 0.5), (false, false, 1.5),
+      (false, true, 1.5), (false, true, 2.5),
+      // treated: pre mean 1, post mean 4 (trend +3) -> did = 2
+      (true, false, 0.5), (true, false, 1.5),
+      (true, true, 3.5), (true, true, 4.5),
+    ).toDF("t", "p", "v")
+    val r = Stats.diffInDiff(df, col("t"), col("p"), "v").collect().head
+    assert(r.getLong(0) == 8)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0
+      && r.getDouble(3) == 1.0 && r.getDouble(4) == 4.0, r.toString)
+    assert(r.getDouble(5) == 2.0, s"did = 2: $r")
+    assert(r.getDouble(6) > 0.0, "normal-approx se is positive")
+  }
+
+  test("diffInDiff: a missing cell NULLs did, means survive") {
+    import spark.implicits._
+    val df = Seq((false, false, 1.0), (false, true, 2.0),
+      (true, false, 3.0)).toDF("t", "p", "v")
+    val r = Stats.diffInDiff(df, col("t"), col("p"), "v").collect().head
+    assert(r.isNullAt(5) && r.isNullAt(6), "no treated-post cell")
+    assert(r.getDouble(1) == 1.0 && r.getDouble(3) == 3.0)
+    assert(r.isNullAt(4), "absent cell mean is NULL")
+  }
+
   test("fisherExactGreater: a = 0 tail sums to 1; maxN raises") {
     import spark.implicits._
     val df = Seq((true, false), (true, false), (false, true),
