@@ -50,21 +50,122 @@ object Clustering {
     * than it saves; LONG-CHAIN graphs (DBSCAN ε-chains, road-like
     * adjacency, time-linked sessions) need it badly: a 1000-hop chain
     * is ~10 shortcut passes vs ~1000 plain ones.
+    *
+    * Adaptive small-graph path: when the deduped symmetric edge list
+    * has ≤ `driverMaxEdges` rows AND an atomic vertex type, labels
+    * come from a driver union-find instead of the loop — the broadcast
+    * -join argument applied to iteration (several scheduler round-
+    * trips per pass vs milliseconds of single-core work). Both paths
+    * produce the identical min-id fixpoint (spec-pinned); pass
+    * `driverMaxEdges = 0` to force the distributed loop.
     */
+  /** Driver union-find over a collected symmetric edge list: the
+    * small-graph fast path of [[connectedComponents]]. Path-compressed
+    * find + union-by-size, then each component labels with its MINIMUM
+    * vertex id — bit-identical to the distributed loop's fixpoint.
+    * Only called under the caller's size bound and only for vertex
+    * types with a total order (Comparable).
+    */
+  private def unionFindLabels(rows: Array[(Any, Any)]): Seq[(Any, Any)] = {
+    val parent = new java.util.HashMap[Any, Any]()
+    val size = new java.util.HashMap[Any, Int]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != null && parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != null && parent.get(c) != r) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      if (parent.get(r) == null) { parent.put(r, r); size.put(r, 1) }
+      r
+    }
+    rows.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (big, small) =
+          if (size.get(ra) >= size.get(rb)) (ra, rb) else (rb, ra)
+        parent.put(small, big)
+        size.put(big, size.get(big) + size.get(small))
+      }
+    }
+    @annotation.nowarn("cat=unchecked")
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      // match Spark's UTF8String binary order, not UTF-16 compareTo
+      // (they disagree on non-BMP code points)
+      case (x: String, y: String) => java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
+    val minOf = new java.util.HashMap[Any, Any]()
+    val verts = new java.util.LinkedHashSet[Any]()
+    rows.foreach { case (a, b) => verts.add(a); verts.add(b) }
+    verts.forEach { v =>
+      val r = find(v)
+      val cur = minOf.get(r)
+      if (cur == null || lt(v, cur)) minOf.put(r, v)
+    }
+    val out = Vector.newBuilder[(Any, Any)]
+    verts.forEach(v => out += ((v, minOf.get(find(v)))))
+    out.result()
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 25, shortcut: Boolean = false): DataFrame = {
+      maxIters: Int = 25, shortcut: Boolean = false,
+      driverMaxEdges: Long = 200000L): DataFrame = {
     // null endpoints carry no connectivity and would propagate null
     // labels through least(); drop them up front
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     // Symmetric closure: propagation below follows edges src -> dst
     // only, so both directions must exist for labels to flow both ways.
-    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val symRaw = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint() // upstream (often a blocked join) runs ONCE
+    // Size decisions read the EDGE LIST, not the session default. The
+    // count is free — symRaw is already materialized.
+    val nSym = symRaw.count()
+    // Small-graph fast path: the same adaptivity argument as a
+    // broadcast join — when the (deduped, symmetrized) edge list fits
+    // the driver comfortably, a path-compressed union-find labels it
+    // in milliseconds, where the distributed loop pays several
+    // scheduler round-trips PER PASS for sub-second work (a DBSCAN
+    // core graph or an LSH near-dup family at test scale burns ~5 s of
+    // pure stage overhead). Past the bound — or for vertex types with
+    // no total order — the pointer-jumping loop below runs unchanged;
+    // both paths produce the identical min-id fixpoint (pinned by
+    // spec on a fixture run through both).
+    val vType = symRaw.schema("src").dataType
+    val comparableV = {
+      import org.apache.spark.sql.types._
+      vType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             BooleanType => true
+        case _ => false
+      }
+    }
+    if (nSym <= driverMaxEdges && comparableV) {
+      val pairs = symRaw.collect().map(r => (r.get(0), r.get(1)))
+      val labeled = unionFindLabels(pairs)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", vType),
+        org.apache.spark.sql.types.StructField("cluster_id", vType)))
+      val rows = labeled.map { case (v, c) =>
+        org.apache.spark.sql.Row(v, c) }
+      val slices = math.max(1, rows.size / 100000)
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.parallelize(rows, slices), schema)
+    }
+    val defaultParts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L,
+      math.min(defaultParts.toLong, nSym / 250000L + 1L)).toInt
+    val sym = symRaw
       // every pass joins sym on dst: hash-partition ONCE here (the
       // checkpointed plan keeps its outputPartitioning), so per-pass
       // exchanges move only the label state, never the edge list
-      .repartition(col("dst"))
+      .repartition(parts, col("dst"))
       .localCheckpoint() // the loop re-joins this every pass: compute once
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("cluster_id"))

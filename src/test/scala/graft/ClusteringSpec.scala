@@ -34,9 +34,31 @@ class ClusteringSpec extends SparkTestBase {
   test("maxIters too small fails loudly, not with partial labels") {
     val edges = (1L until 10L).map(i => (i, i + 1)).toDF("i", "j")
     val ex = intercept[IllegalStateException] {
-      Clustering.connectedComponents(edges, "i", "j", maxIters = 2).collect()
+      // driverMaxEdges = 0: this pins the DISTRIBUTED loop's contract
+      Clustering.connectedComponents(edges, "i", "j", maxIters = 2,
+        driverMaxEdges = 0L).collect()
     }
     assert(ex.getMessage.contains("not converged"))
+  }
+
+  test("driver fast path and distributed loop agree exactly") {
+    // chain + clique + isolated pair, both vertex-type classes
+    val edges = ((1L until 40L).map(i => (i, i + 1))
+      ++ Seq((100L, 101L), (101L, 102L), (100L, 102L), (500L, 501L)))
+      .toDF("i", "j")
+    val fast = Clustering.connectedComponents(edges, "i", "j")
+      .as[(Long, Long)].collect().toMap
+    val dist = Clustering.connectedComponents(edges, "i", "j",
+        shortcut = true, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist, "identical min-id fixpoint on either path")
+    val sEdges = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("i", "j")
+    val sFast = Clustering.connectedComponents(sEdges, "i", "j")
+      .as[(String, String)].collect().toMap
+    val sDist = Clustering.connectedComponents(sEdges, "i", "j",
+        driverMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sFast == sDist && sFast("c") == "a" && sFast("y") == "x")
   }
 
   test("null edge endpoints are dropped, not propagated into labels") {
