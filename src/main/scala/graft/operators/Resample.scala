@@ -1193,6 +1193,83 @@ object Resample {
           .cast("double").as("mase"))
   }
 
+  /** Cross-correlation function between two measures' daily series
+    * per group, at lags −m..m: ccf(ℓ) = Σ aˣ_t·aʸ_{t+ℓ}/√(Dx·Dy) on
+    * the [[autocorrelation]] convention (overlap numerator, full-
+    * series denominators, centered values) — "does spend LEAD volume,
+    * and by how many days" in one panel; a peak at POSITIVE ℓ means x
+    * leads y by ℓ days. ccf(0) is the plain Pearson sign between the
+    * two series; negative lags come from the mirrored lead
+    * (ccf_{x,y}(−ℓ) = Σ aʸ_t·aˣ_{t+ℓ}/√(Dx·Dy) exactly).
+    *
+    * Exactness: the [[autocorrelation]] machinery verbatim on TWO
+    * 1e6-quantized measures — centered values n·x−Σx are exact
+    * decimal(38,0) integers, every numerator and both D's are exact
+    * decimal sums over ONE shared (group, day) window's leads, and
+    * each ccf is one rounded division (the denominator multiplies the
+    * D's as DOUBLES: their decimal product can pass precision 38 on
+    * long rich series, the cast cannot). Dx = 0 or Dy = 0 (a constant
+    * series) → NULL ccf at every lag.
+    *
+    * Scale shape: one cell aggregate + one group-keyed day-ordered
+    * window carrying 2m leads + one group fold — the
+    * [[autocorrelation]] cost class. Output: (group, lag ∈ −m..m,
+    * ccf, n_days).
+    */
+  def crossCorrelation(df: DataFrame, groupCol: String, tsCol: String,
+      xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10,
+      s"maxLag=$maxLag out of the sane 1..10 window")
+    val dec = "decimal(38,0)"
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    val cells = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(xCol) * 1e6).cast("long").as("_qx"),
+        round(col(yCol) * 1e6).cast("long").as("_qy"))
+      .groupBy("_g", "_day")
+      .agg(sum("_qx").as("_x"), sum("_qy").as("_y"))
+    val stats = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum("_x").cast(dec).as("_sx"), sum("_y").cast(dec).as("_sy"))
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val centered = cells
+      .join(broadcast(stats), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_ax", (col("_n") * col("_x").cast(dec) - col("_sx"))
+        .cast(dec))
+      .withColumn("_ay", (col("_n") * col("_y").cast(dec) - col("_sy"))
+        .cast(dec))
+    val withLeads = (1 to maxLag).foldLeft(centered) { (acc, k) =>
+      acc.withColumn(s"_lx$k", lead(col("_ax"), k).over(w))
+        .withColumn(s"_ly$k", lead(col("_ay"), k).over(w))
+    }
+    val aggs = sum(col("_ax") * col("_ax")).as("_dx") +:
+      sum(col("_ay") * col("_ay")).as("_dy") +:
+      sum(col("_ax") * col("_ay")).as("_n0") +:
+      count(lit(1)).as("n_days") +:
+      ((1 to maxLag).map(k =>
+        sum(col("_ax") * col(s"_ly$k")).as(s"_np$k")) ++
+       (1 to maxLag).map(k =>
+        sum(col("_ay") * col(s"_lx$k")).as(s"_nn$k")))
+    val folded = withLeads.groupBy(col("_g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val lagRows = explode(array(
+      ((-maxLag to -1).map(l =>
+        struct(lit(l).as("lag"), col(s"_nn${-l}").as("num"))) ++
+       Seq(struct(lit(0).as("lag"), col("_n0").as("num"))) ++
+       (1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"_np$l").as("num")))): _*))
+    folded
+      .select(col(groupCol), col("_dx"), col("_dy"), col("n_days"),
+        lagRows.as("_lr"))
+      .select(col(groupCol), col("_lr.lag").as("lag"),
+        when(col("_dx") > 0 && col("_dy") > 0,
+          round(col("_lr.num").cast("double")
+            / sqrt(col("_dx").cast("double") * col("_dy").cast("double")),
+            6)).cast("double").as("ccf"),
+        col("n_days"))
+  }
+
   /** Ljung–Box portmanteau test per group: Q = n(n+2)·Σ_{k=1..m}
     * ρ_k²/(n−k) over the daily-cell series — "is there ANY serial
     * structure in the first m lags", the one-number gate read before

@@ -3295,6 +3295,72 @@ object Stats {
           .cast("double").as("p_greater"))
   }
 
+  /** Mann–Kendall trend test per group on the daily-cell series: is
+    * there a MONOTONIC trend at all, with no straight-line assumption
+    * — the nonparametric gate read before (or instead of) [[theilSen]]
+    * 's slope, and the hypothesis-test companion the regression family
+    * lacks (regr_slope gives a magnitude, never a yes/no). S =
+    * Σ_{i<j} sign(x_j − x_i) over day order; Var(S) = [n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5)]/18 with the tie correction; z = (S∓1)/√Var
+    * (continuity-corrected, the sign branch keyed on the EXACT
+    * integer S — no float knife-edge).
+    *
+    * Exactness: day cells are exact 1e6-scaled integer sums; S and
+    * both variance terms are exact integers in decimal(38,0); Var and
+    * z are one identically-spelled rounded tree each. Var ≤ 0 (n < 2
+    * or everything tied) → NULL z. The pairwise stage is guarded
+    * lazily in-plan at `maxPoints` cells per group (the [[theilSen]]
+    * contract: pre-aggregate to coarser cells past that).
+    *
+    * Scale shape: one cell aggregate, one group-keyed self-join
+    * bounded by the guard, one tie aggregate — the [[theilSen]] cost
+    * class. Output: (group, n_days, s, var_s, z).
+    */
+  def mannKendall(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxPoints: Int = 2000): DataFrame = {
+    val dec = "decimal(38,0)"
+    val day = fdiv(unix_timestamp(col(tsCol)), lit(86400L)).cast("long")
+    val cellsRaw = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_day").agg(sum("_q").as("_x"))
+    val cells = guardGroupSize(cellsRaw, "_x",
+      s"mannKendall: group exceeds $maxPoints day cells — aggregate " +
+        "to coarser cells before the pairwise stage", maxPoints)
+    val a = cells.select(col("_g"), col("_day").as("_d1"),
+      col("_x").as("_x1"))
+    val b = cells.select(col("_g").as("_g2"), col("_day").as("_d2"),
+      col("_x").as("_x2"))
+    val sTab = a
+      .join(b, col("_g") <=> col("_g2") && col("_d1") < col("_d2"))
+      .groupBy(col("_g").as("_gs"))
+      .agg(sum(when(col("_x2") > col("_x1"), 1L)
+        .when(col("_x2") < col("_x1"), -1L).otherwise(0L))
+        .cast(dec).as("_S"))
+    val ties = cells.groupBy(col("_g"), col("_x"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_g").as("_gt"))
+      .agg(sum((col("_t").cast(dec) * (col("_t") - 1)
+        * (col("_t") * 2 + 5)).cast(dec)).as("_T"))
+    val nTab = cells.groupBy("_g").agg(count(lit(1)).as("_n"))
+    val varNum = (col("_n").cast(dec) * (col("_n") - 1)
+      * (col("_n") * 2 + 5)).cast(dec) - col("_T")
+    val varS = varNum.cast("double") / 18.0
+    val sD = col("_S").cast("double")
+    nTab
+      .join(sTab, col("_g") <=> col("_gs"), "left")
+      .join(ties, col("_g") <=> col("_gt"), "left")
+      .select(col("_g").as(groupCol),
+        col("_n").cast("bigint").as("n_days"),
+        coalesce(col("_S"), lit(0).cast(dec)).cast("bigint").as("s"),
+        round(varS, 6).cast("double").as("var_s"),
+        when(varS > 0.0,
+          when(col("_S") > 0, round((sD - 1.0) / sqrt(varS), 6))
+            .when(col("_S") < 0, round((sD + 1.0) / sqrt(varS), 6))
+            .otherwise(lit(0.0)))
+          .cast("double").as("z"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013, WSDM): adjust each
     * unit's experiment-period metric Y by its pre-period covariate X,
     * Y_adj = Y − θ(X − X̄) with the POOLED θ = cov(X,Y)/var(X) — the

@@ -1101,6 +1101,57 @@ object TextAnalysis {
           .cast("double").as("heaps_lnk"))
   }
 
+  /** PMI collocation mining: the top-k adjacent-token bigrams by
+    * pointwise mutual information, PMI = ln(P(w1w2)/(P(w1)·P(w2))) =
+    * ln(c₁₂·N²/(M·c₁·c₂)) — the classical "new york"/"machine
+    * learning" phrase detector, and the vocabulary step BEFORE
+    * phrase-aware tokenization or stop-phrase lists. A `minCount`
+    * floor keeps the rare-pair PMI explosion out (a hapax pair maxes
+    * PMI by construction).
+    *
+    * Exactness: bigram/unigram/total counts are exact integers; each
+    * PMI is ONE ln of one double division of exact decimal(38,0)
+    * cross-products, rounded at 6 dp; the cut is a total order
+    * (pmi DESC, w1, w2) through a TakeOrderedAndProject limit — never
+    * a single-partition sort.
+    *
+    * Scale shape: one bigram explode + two hash aggregates + two
+    * unigram equi-joins + the top-k cut; everything after the
+    * aggregates is vocabulary-sized. Output: (w1, w2, n_pair, pmi).
+    */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Int, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1,
+      s"collocations: minCount/k must be >= 1, got ($minCount, $k)")
+    val dec = "decimal(38,0)"
+    val toksArr = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val base = df.select(toksArr.as("_toks"))
+    val uni = base.select(explode(col("_toks")).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+    val nTok = uni.agg(sum("_c").cast(dec).as("_n"))
+    // sequence() descends when start > stop — size >= 2 guard first
+    val bi = base.filter(size(col("_toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("_toks")) - 2),
+        i => struct(element_at(col("_toks"), i + 1).as("w1"),
+          element_at(col("_toks"), i + 2).as("w2")))).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nBi = bi.agg(count(lit(1)).cast(dec).as("_m"))
+    bc
+      .join(uni.select(col("_w").as("w1"), col("_c").as("_c1")), Seq("w1"))
+      .join(uni.select(col("_w").as("w2"), col("_c").as("_c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"),
+        col("n_pair").cast("bigint").as("n_pair"),
+        round(log((col("n_pair").cast(dec) * col("_n") * col("_n"))
+            .cast("double")
+          / (col("_m") * col("_c1") * col("_c2")).cast("double")), 6)
+          .cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Multinomial Naive Bayes trained and scored on the SAME frame:
     * per-class token log-probabilities with add-one (Laplace)
     * smoothing over the corpus vocabulary, per-doc class score

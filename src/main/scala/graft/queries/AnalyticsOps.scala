@@ -513,7 +513,17 @@ object AnalyticsOps {
       .orderBy("doc_id")
   }
 
+  /** Top-20 PMI collocations (adjacent bigrams, min count 5) over the
+    * document corpus: exact integer counts, one frozen ln per pair,
+    * (pmi DESC, w1, w2) total-order cut.
+    */
+  val qCollocations: QueryFn = withTables { spark =>
+    TextAnalysis.collocations(spark.table("documents"), "text",
+      minCount = 5, k = 20)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_collocations" -> qCollocations,
     "q_naive_bayes" -> qNaiveBayes,
     "q_confusion" -> qConfusion,
     "q_log_loss" -> qLogLoss,
@@ -574,6 +584,30 @@ object AnalyticsOps {
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact bigram/unigram/total counts; PMI one frozen ln of a
+    // HUGEINT cross-product ratio; LIMIT under a total order.
+    "q_collocations" -> """
+      WITH t AS (SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   x -> x <> '') AS toks
+                 FROM documents),
+      uni AS (SELECT UNNEST(toks) AS w FROM t),
+      uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      nn AS (SELECT COUNT(*)::HUGEINT AS n FROM uni),
+      bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+             FROM t, UNNEST(RANGE(1, LEN(toks))) r(i)
+             WHERE LEN(toks) >= 2),
+      bc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2),
+      nb AS (SELECT COUNT(*)::HUGEINT AS m FROM bi)
+      SELECT b.w1, b.w2, b.n_pair::BIGINT AS n_pair,
+             CAST(ROUND(LN(CAST(b.n_pair::HUGEINT * n * n AS DOUBLE)
+               / CAST(m * u1.c * u2.c AS DOUBLE)), 6) AS DOUBLE) AS pmi
+      FROM bc b
+      JOIN uc u1 ON u1.w = b.w1
+      JOIN uc u2 ON u2.w = b.w2
+      CROSS JOIN nn CROSS JOIN nb
+      WHERE b.n_pair >= 5
+      ORDER BY pmi DESC, w1, w2 LIMIT 20""",
 
     // Same counts / smoothed-grid / frozen-ln pipeline; scores are
     // 6-dp-frozen decimal sums so the argmax order is engine-portable.

@@ -991,7 +991,30 @@ object StatsOps {
       "value")
   }
 
+  /** Mann–Kendall monotonic-trend test on daily dollar spend per
+    * event type: exact integer S with tie-corrected variance,
+    * continuity-corrected z keyed on the integer sign of S.
+    */
+  val qMannKendall: QueryFn = withTables { spark =>
+    Stats.mannKendall(spark.table("events"), "event_type", "ts", "value")
+      .orderBy("event_type")
+  }
+
+  /** Cross-correlation of daily spend vs daily volume per event type
+    * at lags −3..3 ("does spend lead volume"): the q_acf machinery on
+    * two measures, exact decimal numerators, one rounded division per
+    * lag.
+    */
+  val qCcf: QueryFn = withTables { spark =>
+    Resample.crossCorrelation(
+        spark.table("events").withColumn("one", lit(1.0)),
+        "event_type", "ts", "value", "one", maxLag = 3)
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_mann_kendall" -> qMannKendall,
+    "q_ccf" -> qCcf,
     "q_cuped" -> qCuped,
     "q_did" -> qDid,
     "q_fleiss_kappa" -> qFleissKappa,
@@ -1081,6 +1104,88 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact integer S over the day-pair join; tie-corrected variance
+    // as one decimal subtraction cast once; z branches on integer S.
+    "q_mann_kendall" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      s AS (SELECT a.g,
+              SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                ELSE 0 END)::HUGEINT AS s
+            FROM cells a JOIN cells b ON a.g = b.g AND a.day < b.day
+            GROUP BY a.g),
+      t AS (SELECT g, SUM(tt::HUGEINT * (tt - 1) * (2 * tt + 5)) AS tsum
+            FROM (SELECT g, x, COUNT(*) AS tt FROM cells GROUP BY g, x)
+            GROUP BY g),
+      n AS (SELECT g, COUNT(*)::BIGINT AS n FROM cells GROUP BY g),
+      f AS (SELECT n.g, n.n, COALESCE(s.s, 0) AS s,
+              CAST(n.n::HUGEINT * (n.n - 1) * (2 * n.n + 5) - t.tsum
+                AS DOUBLE) / 18.0 AS vs
+            FROM n LEFT JOIN s ON n.g = s.g LEFT JOIN t ON n.g = t.g)
+      SELECT g AS event_type, n AS n_days, s::BIGINT AS s,
+             CAST(ROUND(vs, 6) AS DOUBLE) AS var_s,
+             CAST(CASE WHEN vs > 0.0 THEN
+               CASE WHEN s > 0
+                 THEN ROUND((CAST(s AS DOUBLE) - 1.0) / SQRT(vs), 6)
+                 WHEN s < 0
+                 THEN ROUND((CAST(s AS DOUBLE) + 1.0) / SQRT(vs), 6)
+                 ELSE 0.0 END END AS DOUBLE) AS z
+      FROM f ORDER BY event_type""",
+
+    // The q_acf centered-integer machinery on two measures; per-lag
+    // numerators and both D's exact HUGEINT sums; denominators
+    // multiplied as doubles.
+    "q_ccf" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x,
+               SUM(CAST(ROUND(1.0 * 1000000.0) AS BIGINT))::BIGINT AS y
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx,
+                    SUM(y)::HUGEINT AS sy
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.sx AS ax,
+                   st.n * c.y - st.sy AS ay
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, ax, ay,
+               LEAD(ax, 1) OVER w AS lx1, LEAD(ax, 2) OVER w AS lx2,
+               LEAD(ax, 3) OVER w AS lx3,
+               LEAD(ay, 1) OVER w AS ly1, LEAD(ay, 2) OVER w AS ly2,
+               LEAD(ay, 3) OVER w AS ly3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days,
+               SUM(ax * ax) AS dx, SUM(ay * ay) AS dy,
+               SUM(ax * ay) AS n0,
+               SUM(ax * ly1) AS np1, SUM(ax * ly2) AS np2,
+               SUM(ax * ly3) AS np3,
+               SUM(ay * lx1) AS nn1, SUM(ay * lx2) AS nn2,
+               SUM(ay * lx3) AS nn3
+        FROM lagged GROUP BY g)
+      SELECT g AS event_type, lag,
+             CAST(CASE WHEN dx > 0 AND dy > 0 THEN
+               ROUND(CAST(num AS DOUBLE)
+                 / SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)), 6)
+             END AS DOUBLE) AS ccf, n_days
+      FROM (
+        SELECT g, -3 AS lag, nn3 AS num, dx, dy, n_days FROM agg
+        UNION ALL SELECT g, -2, nn2, dx, dy, n_days FROM agg
+        UNION ALL SELECT g, -1, nn1, dx, dy, n_days FROM agg
+        UNION ALL SELECT g, 0, n0, dx, dy, n_days FROM agg
+        UNION ALL SELECT g, 1, np1, dx, dy, n_days FROM agg
+        UNION ALL SELECT g, 2, np2, dx, dy, n_days FROM agg
+        UNION ALL SELECT g, 3, np3, dx, dy, n_days FROM agg)
+      ORDER BY event_type, lag""",
 
     // Pooled theta = one 12-dp-frozen division of HUGEINT moments;
     // adjusted means / variance-reduction are single rounded trees on

@@ -1973,6 +1973,68 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- mannKendall ----
+
+  test("mannKendall: monotone up, constant ties, and antisymmetry") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    val up = Seq.tabulate(4)(i => ("g", day(i + 1), (i + 1).toDouble))
+      .toDF("g", "ts", "v")
+    val r = Stats.mannKendall(up, "g", "ts", "v").collect().head
+    assert(r.getLong(1) == 4 && r.getLong(2) == 6, s"S = C(4,2): $r")
+    assert(r.getDouble(3) == 8.666667, "Var = 4*3*13/18")
+    val expZ = math.rint(5.0 / math.sqrt(8.666667) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(4) - expZ) < 2e-6, s"$r vs $expZ")
+    val down = Seq.tabulate(4)(i => ("g", day(i + 1), (4 - i).toDouble))
+      .toDF("g", "ts", "v")
+    val rd = Stats.mannKendall(down, "g", "ts", "v").collect().head
+    assert(rd.getLong(2) == -6 && rd.getDouble(4) == -r.getDouble(4),
+      "antisymmetric under reversal")
+    val flat = Seq.tabulate(4)(i => ("g", day(i + 1), 7.0))
+      .toDF("g", "ts", "v")
+    val rf = Stats.mannKendall(flat, "g", "ts", "v").collect().head
+    assert(rf.getLong(2) == 0 && rf.isNullAt(4),
+      "all-tied variance collapses -> NULL z")
+  }
+
+  // ---- crossCorrelation ----
+
+  test("crossCorrelation: shifted copy peaks at its lead lag") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    val xs = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0)
+    // y_t = x_{t-1}: x LEADS y by one day -> peak at lag +1
+    val rows = (1 to 8).flatMap { i =>
+      Seq(("g", day(i), xs(i - 1), if (i >= 2) xs(i - 2) else 0.0))
+    }
+    val df = rows.toDF("g", "ts", "x", "y")
+    val out = Resample.crossCorrelation(df, "g", "ts", "x", "y", 2)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(out.size == 5, "lags -2..2")
+    val peak = out(1).getDouble(2)
+    assert((-2 to 2).filter(_ != 1)
+      .forall(l => out(l).getDouble(2) < peak),
+      s"lag +1 dominates: ${out.map { case (l, r) => l -> r.getDouble(2) }}")
+    assert(out(0).getLong(3) == 8, "n_days")
+  }
+
+  test("crossCorrelation: swapping measures mirrors the lag axis") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    val rows = (1 to 9).map(i =>
+      ("g", day(i), (i * i % 7).toDouble, (i * 3 % 5).toDouble))
+    val df = rows.toDF("g", "ts", "x", "y")
+    val xy = Resample.crossCorrelation(df, "g", "ts", "x", "y", 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    val yx = Resample.crossCorrelation(df, "g", "ts", "y", "x", 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert((-3 to 3).forall(l => xy(l) == yx(-l)),
+      s"ccf_xy(l) == ccf_yx(-l): $xy vs $yx")
+    val const = df.withColumn("y", lit(2.0))
+    assert(Resample.crossCorrelation(const, "g", "ts", "x", "y", 2)
+      .collect().forall(_.isNullAt(2)), "constant series -> NULL ccf")
+  }
+
   // ---- cuped ----
 
   test("cuped: perfect covariate recovers theta=2, equal adjusted means, full reduction") {

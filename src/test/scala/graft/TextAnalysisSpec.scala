@@ -609,6 +609,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out("two").isNullAt(2), "two distinct points fit")
   }
 
+  // ---- collocations ----
+
+  test("collocations: planted phrase tops the panel, counts exact") {
+    import spark.implicits._
+    val docs = (1 to 6).map(i => (i.toLong, "new york " + ("w" + i) * 1))
+      .toDF("doc_id", "text")
+      .union(Seq((7L, "old news"), (8L, "single")).toDF("doc_id", "text"))
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getString(0) == "new" && top.getString(1) == "york",
+      s"planted bigram wins: ${top}")
+    assert(top.getLong(2) == 6, "exact pair count")
+    // hand PMI: c12=6, c_new=6, c_york=6, N=21 tokens, M=13 bigrams
+    val exp = math.rint(math.log(6.0 * 21 * 21 / (13.0 * 6 * 6)) * 1e6) / 1e6
+    assert(math.abs(top.getDouble(3) - exp) < 2e-6,
+      s"${top.getDouble(3)} vs $exp")
+  }
+
+  test("collocations: minCount floors rare pairs, short docs skipped") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2, k = 10)
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "a",
+      "only (a, b) clears minCount = 2; single-token doc adds no pair")
+  }
+
   // ---- naiveBayesPredict ----
 
   test("naiveBayesPredict: recovers class structure, priors carry empty docs") {
