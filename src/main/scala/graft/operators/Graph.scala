@@ -123,6 +123,79 @@ object Graph {
     state.select(col("vertex"), col("rank"))
   }
 
+  /** Personalized PageRank: the [[pageRank]] iteration with ALL
+    * teleport mass pinned to a source set S instead of spread
+    * uniformly — "importance relative to THESE seeds", the standard
+    * related-items / seed-expansion ranker (recommendations from a
+    * user's items, label propagation from a trusted whitelist).
+    * rank₀ = 1[v∈S]/|S|; rank_{t+1}(v) = (1−d)·1[v∈S]/|S| +
+    * d·(Σ_{u→v} rank_t(u)/outdeg(u) + danglingMass·1[v∈S]/|S|) —
+    * dangling mass also returns to the seeds (the PPR convention:
+    * every restart lands in S). Vertices unreached after `iters` hops
+    * report rank 0, which is itself the answer ("not related within
+    * the horizon").
+    *
+    * Same engine-portability and scale contracts as [[pageRank]]:
+    * end-of-iteration ranks rounded to `roundDp`, edges partition
+    * once, each pass joins the broadcast vertex state. Returns
+    * (vertex, rank).
+    */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String,
+      dstCol: String, sources: Seq[String], iters: Int,
+      damping: Double = 0.85, roundDp: Int = 12,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRankPersonalized: iters must be >= 1")
+    require(sources.nonEmpty, "pageRankPersonalized: empty source set")
+    require(damping > 0.0 && damping < 1.0,
+      s"pageRankPersonalized: damping must be in (0,1), got $damping")
+    val e0 = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (assumeDistinct) e0 else e0.distinct())
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("vertex"))
+      .unionByName(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("outdeg"))
+    val sLit = typedLit(sources)
+    val ind = when(array_contains(sLit, col("vertex")),
+      lit(1.0 / sources.size)).otherwise(lit(0.0))
+    var state = nodes
+      .join(outDeg, Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        ind.as("rank"))
+      .localCheckpoint()
+    val hasDangling = !state.filter(col("outdeg") === 0L).limit(1).isEmpty
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(broadcast(state.select(col("vertex"), col("outdeg"),
+          col("rank"))), e("src") === col("vertex"))
+        .groupBy(col("dst").as("cv"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      val joined = state.join(contrib, state("vertex") === contrib("cv"),
+        "left")
+      val withMass =
+        if (hasDangling) {
+          val dangling = state.filter(col("outdeg") === 0L)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
+          joined.crossJoin(broadcast(dangling))
+        } else joined.withColumn("dangling_mass", lit(0.0))
+      state = withMass
+        .select(col("vertex"), col("outdeg"),
+          round(
+            (lit(1.0) - lit(damping)) * ind
+              + lit(damping) * (coalesce(col("contrib"), lit(0.0))
+                + col("dangling_mass") * ind),
+            roundDp).as("rank"))
+        .localCheckpoint(false)
+    }
+    state.select(col("vertex"), col("rank"))
+  }
+
   /** Weight-proportional fixed-iteration PageRank: contributions split
     * along out-edges proportionally to an edge weight instead of
     * uniformly — the form curation graphs actually need (co-occurrence

@@ -3295,6 +3295,101 @@ object Stats {
           .cast("double").as("p_greater"))
   }
 
+  /** Balanced two-way ANOVA with interaction on the (A × B) factorial
+    * design: does factor A matter, does B, and — the question one-way
+    * ANOVA cannot ask — do they INTERACT (does A's effect depend on
+    * B's level). Classical equal-cell-n decomposition: SS_A =
+    * ΣS_a²/(k_b·n) − S²/N, SS_B mirror, SS_AB = SS_cells − SS_A −
+    * SS_B, SS_within = Σy² − SS_cells-part; F's against their dof.
+    *
+    * BALANCED by contract: unequal cell sizes make the factorial
+    * decomposition order-dependent (the Type I/II/III quagmire), so a
+    * ragged or incomplete grid raises loudly in-plan — the caller
+    * cuts equal cells first (a deterministic row_number cut, the
+    * [[fleissKappa]] fixture pattern).
+    *
+    * Exactness: values quantize to 1e6-scaled longs; every moment
+    * (cell sums, squares, level sums, Σy²) is an exact decimal(38,0)
+    * integer; each SS and F is ONE identically-spelled float tree
+    * rounded at 6 dp (SS descale by 1e12; F is scale-free). n = 1
+    * per cell (saturated interaction) or SS_within ≤ 0 → NULL F's.
+    *
+    * Scale shape: one cell aggregate over the scan + level/grand
+    * folds of the cells-sized table. Output: ONE row (k_a, k_b,
+    * n_cell, ss_a, ss_b, ss_ab, ss_within, f_a, f_b, f_ab).
+    */
+  def anovaTwoWay(df: DataFrame, aCol: String, bCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(aCol).as("_a"), col(bCol).as("_b"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+      .groupBy("_a", "_b")
+      .agg(count(lit(1)).as("_nc"), sum(col("_v").cast(dec)).as("_s"),
+        sum((col("_v").cast(dec) * col("_v")).cast(dec)).as("_q"))
+      // balance guard rides the lazy plan: any evaluated cell of a
+      // ragged design raises before a single SS is formed
+      .withColumn("_guard",
+        max(col("_nc")).over(Window.partitionBy())
+          =!= min(col("_nc")).over(Window.partitionBy()))
+      .withColumn("_nc",
+        when(col("_guard"), raise_error(lit(
+          "anovaTwoWay: unequal cell sizes - cut a balanced design " +
+            "first (the factorial decomposition is order-dependent " +
+            "on ragged grids)")).cast("long"))
+          .otherwise(col("_nc")))
+      .drop("_guard")
+    val aLev = cells.groupBy("_a").agg(sum("_s").as("_sa"))
+      .agg(sum((col("_sa") * col("_sa")).cast(dec)).as("_SA"),
+        count(lit(1)).as("_ka"))
+    val bLev = cells.groupBy("_b").agg(sum("_s").as("_sb"))
+      .agg(sum((col("_sb") * col("_sb")).cast(dec)).as("_SB"),
+        count(lit(1)).as("_kb"))
+    val grand = cells.agg(
+      sum((col("_s") * col("_s")).cast(dec)).as("_SC"),
+      sum(col("_s")).as("_S"), sum(col("_q")).as("_Q"),
+      max("_nc").as("_n"), count(lit(1)).as("_ncells"))
+    def d(c: String) = col(c).cast("double")
+    val joinedAll = grand.crossJoin(broadcast(aLev))
+      .crossJoin(broadcast(bLev))
+      // completeness guard: a missing (a, b) cell is a ragged design
+      // the equal-n check cannot see
+      .withColumn("_SC",
+        when(col("_ncells") =!= col("_ka") * col("_kb"),
+          raise_error(lit("anovaTwoWay: incomplete factorial grid - " +
+            "every (a, b) cell must be present")).cast(dec))
+          .otherwise(col("_SC")))
+    val nTot = d("_ka") * d("_kb") * d("_n")
+    val corr = d("_S") * d("_S") / nTot
+    val ssA = d("_SA") / (d("_kb") * d("_n")) - corr
+    val ssB = d("_SB") / (d("_ka") * d("_n")) - corr
+    val ssCells = d("_SC") / d("_n") - corr
+    val ssAB = ssCells - ssA - ssB
+    val ssW = d("_Q") - d("_SC") / d("_n")
+    val dofW = nTot - d("_ka") * d("_kb")
+    val fOk = col("_n") >= 2 && ssW > 0.0
+    joinedAll.select(
+      col("_ka").cast("bigint").as("k_a"),
+      col("_kb").cast("bigint").as("k_b"),
+      col("_n").cast("bigint").as("n_cell"),
+      round(ssA / 1e12, 6).cast("double").as("ss_a"),
+      round(ssB / 1e12, 6).cast("double").as("ss_b"),
+      round(ssAB / 1e12, 6).cast("double").as("ss_ab"),
+      round(ssW / 1e12, 6).cast("double").as("ss_within"),
+      when(fOk && col("_ka") >= 2,
+        round((ssA / (d("_ka") - 1.0)) / (ssW / dofW), 6))
+        .cast("double").as("f_a"),
+      when(fOk && col("_kb") >= 2,
+        round((ssB / (d("_kb") - 1.0)) / (ssW / dofW), 6))
+        .cast("double").as("f_b"),
+      when(fOk && col("_ka") >= 2 && col("_kb") >= 2,
+        round((ssAB / ((d("_ka") - 1.0) * (d("_kb") - 1.0)))
+          / (ssW / dofW), 6))
+        .cast("double").as("f_ab"))
+  }
+
   /** Mann–Kendall trend test per group on the daily-cell series: is
     * there a MONOTONIC trend at all, with no straight-line assumption
     * — the nonparametric gate read before (or instead of) [[theilSen]]

@@ -1170,25 +1170,34 @@ object TextAnalysis {
     * with the class-name tiebreak — a total order. Empty docs score
     * priors only (never dropped).
     *
-    * Scale shape: token explode → three hash aggregates (doc-token,
-    * class-token, class totals); the smoothed grid is V×C rows (C is
-    * small); scoring is ONE equi-join of doc-token counts against the
-    * grid on token (the shuffle carries doc-tokens × C) + one
-    * (doc, class) aggregate + one doc-keyed C-row argmax window.
-    * Output: (idCol, pred, score).
+    * Scale shape: ONE tokenize + explode pass into the (doc, token)
+    * aggregate; class-token counts, class totals, and the vocabulary
+    * all derive from it (never a second corpus scan); the smoothed
+    * V×C grid (C small) BROADCASTS into the scoring join — a shuffle
+    * there would hash the corpus onto vocabulary-cardinality keys —
+    * then one (doc, class) aggregate + one doc-keyed C-row argmax
+    * window. Output: (idCol, pred, score).
     */
   def naiveBayesPredict(df: DataFrame, idCol: String, classCol: String,
       textCol: String): DataFrame = {
     val dec6 = "decimal(38,6)"
-    val toks = df.select(col(idCol).as("_id"), col(classCol).as("_cls"),
-      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-        .as("_tok"))
-    val docTok = toks.groupBy("_id", "_tok")
+    // ONE tokenize + explode pass: every other count derives from the
+    // (doc, token) aggregate joined to the tiny doc->class map (the
+    // naive plan re-scanned and re-split the whole corpus four times)
+    val docTok = df.select(col(idCol).as("_id"),
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("_tok"))
+      .groupBy("_id", "_tok")
       .agg(count(lit(1)).as("_cnt"))
-    val clsTok = toks.groupBy("_cls", "_tok").agg(count(lit(1)).as("_ct"))
-    val clsTot = toks.groupBy(col("_cls").as("_clt"))
-      .agg(count(lit(1)).as("_tot"))
-    val vocab = toks.select("_tok").distinct()
+      .localCheckpoint(false) // read twice (class counts + scoring)
+    val docCls = df.select(col(idCol).as("_id"),
+      col(classCol).as("_cls"))
+    val clsTok = docTok.join(docCls, Seq("_id"))
+      .groupBy("_cls", "_tok").agg(sum("_cnt").as("_ct"))
+      .localCheckpoint(false) // read for the grid AND the class totals
+    val clsTot = clsTok.groupBy(col("_cls").as("_clt"))
+      .agg(sum("_ct").as("_tot"))
+    val vocab = clsTok.select("_tok").distinct()
     val vn = vocab.agg(count(lit(1)).as("_v"))
     val nDocs = df.agg(count(lit(1)).as("_nd"))
     val priors = df.groupBy(col(classCol).as("_cls"))
@@ -1207,7 +1216,12 @@ object TextAnalysis {
         round(log((coalesce(col("_ct"), lit(0L)) + 1L).cast("double")
           / (col("_tot") + col("_v")).cast("double")), 12)
           .cast("decimal(38,12)").as("_lnp"))
-    val contrib = docTok.join(grid, Seq("_tok"))
+    // broadcast: the grid is (vocabulary × classes)-sized — tiny next
+    // to the doc-token table, and a shuffle join here would hash the
+    // whole corpus onto vocabulary-cardinality keys (skew by
+    // construction); for an extreme vocab × classes product that
+    // outgrows the driver, drop the hint and pre-salt instead
+    val contrib = docTok.join(broadcast(grid), Seq("_tok"))
       .groupBy("_id", "_cls")
       .agg(sum(round(col("_cnt").cast("double")
         * col("_lnp").cast("double"), 6).cast(dec6)).as("_tsum"))

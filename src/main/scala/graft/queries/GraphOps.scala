@@ -193,6 +193,20 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** 3-iteration personalized PageRank on the q_pagerank graph, all
+    * teleport mass pinned to part p1: seed-relative importance; the
+    * 12-dp per-iteration rounding keeps both engines on identical
+    * doubles.
+    */
+  val qPageRankPersonalized: QueryFn = withTablesSf { (spark, sfDir) =>
+    val e0 = partSupplierEdges(spark, sfDir)
+    val sym = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRankPersonalized(sym, "src", "dst", sources = Seq("p1"),
+        iters = 3, assumeDistinct = true)
+      .orderBy("vertex")
+  }
+
   /** 2-iteration HITS on the DIRECTED part→supplier graph: parts are
     * pure hubs, suppliers pure authorities. Each half-step is
     * L1-normalized and 12-dp-quantized, mirrored by the unrolled
@@ -397,6 +411,7 @@ object GraphOps {
     "q_kmeans" -> qKmeans,
     "q_semdedup" -> qSemDedup,
     "q_pagerank" -> qPageRank,
+    "q_ppr" -> qPageRankPersonalized,
     "q_hits" -> qHits,
     "q_triangles" -> qTriangles,
     "q_mahalanobis" -> qMahalanobis,
@@ -716,6 +731,43 @@ object GraphOps {
     // Three unrolled power-iteration rounds; the symmetric closure has
     // no dangling vertices, so the operator's dangling term is exactly
     // +0.0 and the oracle omits it.
+    // The q_pagerank CTEs with teleport mass pinned to p1: pr0 is the
+    // seed indicator, each pass ROUND((1-d)*ind + d*(s + 0.0*ind), 12)
+    // (the 0.0 dangling term spelled like the operator's no-dangling
+    // branch; symmetric graph => contrib rows exist for every vertex).
+    "q_ppr" -> """
+      WITH e0 AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem),
+      e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      deg AS (SELECT src AS v, COUNT(*) AS outdeg,
+                     CASE WHEN src = 'p1' THEN 1.0 ELSE 0.0 END AS ind
+              FROM e GROUP BY src),
+      p0 AS (SELECT v, outdeg, ind, ind AS pr FROM deg),
+      p1 AS (SELECT d.v, d.outdeg, d.ind,
+                    ROUND((1.0 - 0.85) * d.ind
+                      + 0.85 * (c.s + 0.0 * d.ind), 12) AS pr
+             FROM deg d
+             JOIN (SELECT e.dst AS v, SUM(p.pr / p.outdeg) AS s
+                   FROM e JOIN p0 p ON e.src = p.v GROUP BY e.dst) c
+               ON c.v = d.v),
+      p2 AS (SELECT d.v, d.outdeg, d.ind,
+                    ROUND((1.0 - 0.85) * d.ind
+                      + 0.85 * (c.s + 0.0 * d.ind), 12) AS pr
+             FROM deg d
+             JOIN (SELECT e.dst AS v, SUM(p.pr / p.outdeg) AS s
+                   FROM e JOIN p1 p ON e.src = p.v GROUP BY e.dst) c
+               ON c.v = d.v),
+      p3 AS (SELECT d.v, d.outdeg, d.ind,
+                    ROUND((1.0 - 0.85) * d.ind
+                      + 0.85 * (c.s + 0.0 * d.ind), 12) AS pr
+             FROM deg d
+             JOIN (SELECT e.dst AS v, SUM(p.pr / p.outdeg) AS s
+                   FROM e JOIN p2 p ON e.src = p.v GROUP BY e.dst) c
+               ON c.v = d.v)
+      SELECT v AS vertex, pr AS rank FROM p3 ORDER BY vertex""",
+
     "q_pagerank" -> """
       WITH e0 AS (
         SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,

@@ -1012,7 +1012,24 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Balanced two-way ANOVA with interaction on a 30-per-cell cut of
+    * (event type × user parity): exact decimal moments, each SS/F one
+    * rounded tree; the balance and grid-completeness guards ride the
+    * lazy plan.
+    */
+  val qAnovaTwoWay: QueryFn = withTables { spark =>
+    val cut = spark.table("events")
+      .filter(col("value").isNotNull)
+      .withColumn("par", col("user_id") % 2)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("par"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("_rn") <= 30)
+    Stats.anovaTwoWay(cut, "event_type", "par", "value")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_anova2" -> qAnovaTwoWay,
     "q_mann_kendall" -> qMannKendall,
     "q_ccf" -> qCcf,
     "q_cuped" -> qCuped,
@@ -1104,6 +1121,58 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact HUGEINT moments off the same 30-per-cell cut; SS and F
+    // trees spelled once each, SS descaled by 1e12.
+    "q_anova2" -> """
+      WITH cut AS (
+        SELECT event_type AS a, user_id % 2 AS b, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, user_id % 2
+                 ORDER BY ts, event_id) AS rn
+        FROM events WHERE value IS NOT NULL),
+      pts AS (SELECT a, b, CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+              FROM cut WHERE rn <= 30),
+      cells AS (SELECT a, b, COUNT(*)::BIGINT AS n,
+                       SUM(v::HUGEINT) AS s, SUM(v::HUGEINT * v) AS q
+                FROM pts GROUP BY a, b),
+      al AS (SELECT SUM(sa * sa) AS sa2, COUNT(*)::BIGINT AS ka
+             FROM (SELECT a, SUM(s) AS sa FROM cells GROUP BY a)),
+      bl AS (SELECT SUM(sb * sb) AS sb2, COUNT(*)::BIGINT AS kb
+             FROM (SELECT b, SUM(s) AS sb FROM cells GROUP BY b)),
+      g AS (SELECT SUM(s * s) AS sc2, SUM(s) AS st, SUM(q) AS qt,
+                   MAX(n) AS n FROM cells),
+      f AS (SELECT ka, kb, n,
+              CAST(ka AS DOUBLE) AS kad, CAST(kb AS DOUBLE) AS kbd,
+              CAST(n AS DOUBLE) AS nd, CAST(sa2 AS DOUBLE) AS sad,
+              CAST(sb2 AS DOUBLE) AS sbd, CAST(sc2 AS DOUBLE) AS scd,
+              CAST(st AS DOUBLE) AS std_, CAST(qt AS DOUBLE) AS qtd
+            FROM g CROSS JOIN al CROSS JOIN bl),
+      z AS (SELECT ka, kb, n, kad, kbd, nd,
+              std_ * std_ / (kad * kbd * nd) AS corr,
+              sad / (kbd * nd) AS ta, sbd / (kad * nd) AS tb,
+              scd / nd AS tc, qtd
+            FROM f)
+      SELECT ka AS k_a, kb AS k_b, n AS n_cell,
+        CAST(ROUND((ta - corr) / 1000000000000.0, 6) AS DOUBLE) AS ss_a,
+        CAST(ROUND((tb - corr) / 1000000000000.0, 6) AS DOUBLE) AS ss_b,
+        CAST(ROUND(((tc - corr) - (ta - corr) - (tb - corr))
+          / 1000000000000.0, 6) AS DOUBLE) AS ss_ab,
+        CAST(ROUND((qtd - tc) / 1000000000000.0, 6) AS DOUBLE)
+          AS ss_within,
+        CAST(CASE WHEN n >= 2 AND qtd - tc > 0.0 AND ka >= 2 THEN
+          ROUND(((ta - corr) / (kad - 1.0))
+            / ((qtd - tc) / (kad * kbd * nd - kad * kbd)), 6) END
+          AS DOUBLE) AS f_a,
+        CAST(CASE WHEN n >= 2 AND qtd - tc > 0.0 AND kb >= 2 THEN
+          ROUND(((tb - corr) / (kbd - 1.0))
+            / ((qtd - tc) / (kad * kbd * nd - kad * kbd)), 6) END
+          AS DOUBLE) AS f_b,
+        CAST(CASE WHEN n >= 2 AND qtd - tc > 0.0 AND ka >= 2 AND kb >= 2
+          THEN ROUND(((tc - corr) - (ta - corr) - (tb - corr))
+            / ((kad - 1.0) * (kbd - 1.0))
+            / ((qtd - tc) / (kad * kbd * nd - kad * kbd)), 6) END
+          AS DOUBLE) AS f_ab
+      FROM z""",
 
     // Exact integer S over the day-pair join; tie-corrected variance
     // as one decimal subtraction cast once; z branches on integer S.

@@ -305,4 +305,37 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(h1 == Map("a" -> 1.0, "b" -> 2.0, "c" -> 2.0, "d" -> 1.0))
   }
+
+  // ---- pageRankPersonalized ----
+
+  test("pageRankPersonalized: one step from the seed, hand values") {
+    import spark.implicits._
+    // symmetric star a-b, a-c; seed a, one iteration:
+    // r(a) = 0.15*1 + 0.85*(r(b)/1 + r(c)/1) = 0.15
+    // r(b) = r(c) = 0.85 * (1/2) = 0.425
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("s", "t")
+    val got = graft.operators.Graph.pageRankPersonalized(
+        edges, "s", "t", sources = Seq("a"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 0.15, "b" -> 0.425, "c" -> 0.425), got.toString)
+  }
+
+  test("pageRankPersonalized: unreached stays 0, mass conserved") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("x", "y"), ("y", "x")).toDF("s", "t")
+    val got = graft.operators.Graph.pageRankPersonalized(
+        edges, "s", "t", sources = Seq("a"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("x") == 0.0 && got("y") == 0.0,
+      "disconnected component never earns seed mass")
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0) < 1e-9,
+      s"no dangling, so total mass stays 1: $mass")
+    // star mass oscillates seed <-> leaves: after 3 passes the hand
+    // recursion gives a = .15 + .85*2*.06375, b = .85*(.8725/2)
+    assert(got("a") == 0.258375 && got("b") == 0.3708125
+      && got("b") == got("c"), got.toString)
+  }
 }

@@ -1973,6 +1973,56 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- anovaTwoWay ----
+
+  test("anovaTwoWay: pure interaction design lands F_ab = 16") {
+    import spark.implicits._
+    // cell means 0.5/2.5/2.5/0.5: A and B main effects vanish, the
+    // crossover is pure interaction; within-SS = 2, dofW = 4
+    val df = Seq(
+      ("a1", 0L, 0.0), ("a1", 0L, 1.0), ("a1", 1L, 2.0), ("a1", 1L, 3.0),
+      ("a2", 0L, 2.0), ("a2", 0L, 3.0), ("a2", 1L, 0.0), ("a2", 1L, 1.0),
+    ).toDF("a", "b", "v")
+    val r = Stats.anovaTwoWay(df, "a", "b", "v").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0, "no main effects")
+    assert(r.getDouble(5) == 8.0 && r.getDouble(6) == 2.0, r.toString)
+    assert(r.isNullAt(7) === false && r.getDouble(9) == 16.0,
+      s"F_ab = (8/1)/(2/4): $r")
+  }
+
+  test("anovaTwoWay: pure A effect, zero within NULLs the F's") {
+    import spark.implicits._
+    val df = Seq(
+      ("a1", 0L, 1.0), ("a1", 0L, 1.0), ("a1", 1L, 1.0), ("a1", 1L, 1.0),
+      ("a2", 0L, 3.0), ("a2", 0L, 3.0), ("a2", 1L, 3.0), ("a2", 1L, 3.0),
+    ).toDF("a", "b", "v")
+    val r = Stats.anovaTwoWay(df, "a", "b", "v").collect().head
+    assert(r.getDouble(3) == 8.0 && r.getDouble(4) == 0.0
+      && r.getDouble(6) == 0.0)
+    assert(r.isNullAt(7) && r.isNullAt(9), "ssW = 0 -> NULL F")
+  }
+
+  test("anovaTwoWay: ragged cells and incomplete grids raise loudly") {
+    import spark.implicits._
+    val ragged = Seq(
+      ("a1", 0L, 1.0), ("a1", 0L, 2.0), ("a1", 1L, 1.0), ("a1", 1L, 2.0),
+      ("a2", 0L, 1.0), ("a2", 0L, 2.0), ("a2", 1L, 1.0),
+    ).toDF("a", "b", "v")
+    val ex = intercept[Exception] {
+      Stats.anovaTwoWay(ragged, "a", "b", "v").collect()
+    }
+    assert(ex.getMessage.contains("unequal") || ex.getCause != null)
+    val missing = Seq(
+      ("a1", 0L, 1.0), ("a1", 0L, 2.0), ("a1", 1L, 1.0), ("a1", 1L, 2.0),
+      ("a2", 0L, 1.0), ("a2", 0L, 2.0),
+    ).toDF("a", "b", "v")
+    val ex2 = intercept[Exception] {
+      Stats.anovaTwoWay(missing, "a", "b", "v").collect()
+    }
+    assert(ex2.getMessage.contains("incomplete") || ex2.getCause != null)
+  }
+
   // ---- mannKendall ----
 
   test("mannKendall: monotone up, constant ties, and antisymmetry") {
