@@ -638,6 +638,151 @@ object Profiling {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Single-feature decision stump by information gain: sweep the
+    * B−1 interior edges of a fixed-width bin grid over the feature
+    * and report the threshold whose split maximizes label-entropy
+    * reduction — "how separable is the label on THIS feature, and
+    * where" in one number + one cut point; the supervised companion
+    * of [[mutualInfo]] (which needs categorical sides) and the
+    * 1-feature special case of what a tree trainer repeats.
+    *
+    * gain(q) = H(N⁺, N) − (n_L/N)·H(n⁺_L, n_L) − (n_R/N)·H(n⁺_R, n_R)
+    * with all counts exact integers from ONE (bin, label) aggregate's
+    * cumulatives; each binary entropy H is one identically-spelled
+    * double tree frozen at 12 dp (pure 0/1 mixtures contribute an
+    * exact 0 by the x·ln x limit, never a ln(0)); the argmax is a
+    * (gain DESC, edge ASC) total order. Edges freeze on the feature's
+    * [min, max] (the [[psi]] grid); threshold = lo + q·(hi−lo)/B on
+    * identical doubles. Degenerate: constant feature or single-class
+    * label → gain 0 at the first edge.
+    *
+    * Scale shape: one scan → (bin, label) cells → bins-bounded
+    * windows; the sweep never touches corpus-sized data. Output: ONE
+    * row (n, n_pos, edge, threshold, n_left, n_right, gain).
+    */
+  def infoGainStump(df: DataFrame, featureCol: String, label: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"infoGainStump: bins must be >= 2, got $bins")
+    val v = col(featureCol)
+    val edges = df.filter(v.isNotNull)
+      .agg(min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi"))
+    val cells = df.filter(v.isNotNull && label.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(greatest(
+            floor((v.cast("double") - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))).cast("int"),
+            lit(0)), lit(bins - 1))).as("_bin"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("_bin")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_p"))
+    val wOrd = Window.orderBy("_bin") // bins-bounded
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    // cumulative (left-side) counts AT each bin; the split edge after
+    // bin q sends bins <= q left
+    val cum = cells
+      .withColumn("_nl", sum("_n").over(wOrd))
+      .withColumn("_pl", sum("_p").over(wOrd))
+      .withColumn("_nt", sum("_n").over(wAll))
+      .withColumn("_pt", sum("_p").over(wAll))
+      .filter(col("_bin") < bins - 1) // interior edges only
+    def h(p: Column, n: Column): Column = {
+      val pd = p.cast("double"); val nd = n.cast("double")
+      round(when(p > 0 && p < n,
+        -(pd / nd) * log(pd / nd)
+          - ((nd - pd) / nd) * log((nd - pd) / nd))
+        .otherwise(lit(0.0)), 12)
+    }
+    val nr = col("_nt") - col("_nl")
+    val pr = col("_pt") - col("_pl")
+    val gain = round(h(col("_pt"), col("_nt"))
+      - (col("_nl").cast("double") / col("_nt").cast("double"))
+        * h(col("_pl"), col("_nl"))
+      - (nr.cast("double") / col("_nt").cast("double")) * h(pr, nr), 6)
+    cum
+      .select(col("_nt").cast("bigint").as("n"),
+        col("_pt").cast("bigint").as("n_pos"),
+        (col("_bin") + 1).cast("bigint").as("edge"),
+        col("_nl").cast("bigint").as("n_left"),
+        nr.cast("bigint").as("n_right"),
+        gain.cast("double").as("gain"))
+      .crossJoin(broadcast(edges))
+      .withColumn("threshold",
+        round(col("_lo") + col("edge").cast("double")
+          * (col("_hi") - col("_lo")) / bins, 6).cast("double"))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("gain").desc, col("edge").asc)))
+      .filter(col("_rk") === 1)
+      .select("n", "n_pos", "edge", "threshold", "n_left", "n_right",
+        "gain")
+  }
+
+  /** Weight-of-evidence / information-value binning — the credit-
+    * scoring screen "how much does THIS score separate the classes,
+    * bin by bin": WoE_i = ln((g_i+0.5)/G / ((b_i+0.5)/B)) over fixed-
+    * width bins with the classical +0.5 adjustment applied EVERYWHERE
+    * (an empty-side bin would otherwise be ±∞; one convention for all
+    * bins keeps the panel comparable), IV = Σ ((g_i+0.5)/G −
+    * (b_i+0.5)/B)·WoE_i. Rule of thumb: IV < 0.02 useless, > 0.5
+    * suspicious.
+    *
+    * Exactness: counts exact integers; G/B are the raw totals; each
+    * WoE is one frozen-12-dp ln of one double ratio; IV terms freeze
+    * at 12 dp into an order-free decimal(38,12) sum; IV and WoE round
+    * at 6 dp. Empty bins on the grid still emit (their adjusted WoE
+    * is the all-smoothing value — visible, not silently dropped).
+    * G = 0 or B = 0 (single-class data) → NULL woe/iv.
+    *
+    * Scale shape: one scan → bin cells → a bins-bounded grid fold.
+    * Output: one row per bin (bin, n_good, n_bad, woe, iv) with iv
+    * repeated (the panel's scalar).
+    */
+  def woeIv(df: DataFrame, scoreCol: String, good: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"woeIv: bins must be >= 2, got $bins")
+    val v = col(scoreCol)
+    val edges = df.filter(v.isNotNull)
+      .agg(min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi"))
+    val cells = df.filter(v.isNotNull && good.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(greatest(
+            floor((v.cast("double") - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))).cast("int"),
+            lit(0)), lit(bins - 1))).as("_bin"),
+        when(good, 1L).otherwise(0L).as("_g"))
+      .groupBy("_bin")
+      .agg(sum("_g").as("_gc"), sum(lit(1L) - col("_g")).as("_bc"))
+    val grid = df.sparkSession.range(bins.toLong)
+      .select(col("id").cast("int").as("_bin"))
+      .join(cells, Seq("_bin"), "left")
+      .select(col("_bin"),
+        coalesce(col("_gc"), lit(0L)).as("_gc"),
+        coalesce(col("_bc"), lit(0L)).as("_bc"))
+    val wAll = Window.partitionBy()
+    val withTot = grid
+      .withColumn("_G", sum("_gc").over(wAll))
+      .withColumn("_B", sum("_bc").over(wAll))
+    val gs = (col("_gc").cast("double") + 0.5) / col("_G").cast("double")
+    val bs = (col("_bc").cast("double") + 0.5) / col("_B").cast("double")
+    val woe = round(log(gs / bs), 12)
+    val ivTerm = round((gs - bs) * woe, 12).cast("decimal(38,12)")
+    withTot
+      .withColumn("_woe", when(col("_G") > 0 && col("_B") > 0, woe))
+      .withColumn("_ivt",
+        when(col("_G") > 0 && col("_B") > 0, ivTerm))
+      .withColumn("iv",
+        round(sum("_ivt").over(wAll).cast("double"), 6).cast("double"))
+      .select(col("_bin").cast("bigint").as("bin"),
+        col("_gc").cast("bigint").as("n_good"),
+        col("_bc").cast("bigint").as("n_bad"),
+        round(col("_woe"), 6).cast("double").as("woe"),
+        col("iv"))
+  }
+
   /** Deterministic pseudonymization: replace each listed column with
     * the md5 of a salted, length-prefixed encoding of its value — the
     * release-governance step between [[kAnonymity]]'s audit and

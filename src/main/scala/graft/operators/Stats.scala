@@ -1489,6 +1489,47 @@ object Stats {
         :+ col("n_events") :+ col("n_censored") :+ col("survival")): _*)
   }
 
+  /** Nelson–Aalen cumulative hazard with right censoring — the
+    * additive dual of [[kaplanMeier]]: H(t) = Σ_{u≤t} d_u/n_u over
+    * event times, the curve whose SLOPE is the hazard rate (read it
+    * to see when risk concentrates; read KM to see how many survive).
+    * Same subject contract (duration + observed flag, null observed
+    * = censored).
+    *
+    * Exactness: STRONGER than KM's ln/exp chain — each d/n is one
+    * double division of exact integers frozen at 12 dp, and H is an
+    * order-FIXED cumulative decimal(38,12) sum over the duration
+    * window, rounded at 6 dp per step. No transcendentals anywhere.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one (group,
+    * duration) count shuffle to event-time cells, then windows over
+    * the cells table. Output step points (d > 0): (groupCols...,
+    * duration, n_at_risk, n_events, n_censored, cum_hazard).
+    */
+  def nelsonAalen(df: DataFrame, groupCols: Seq[String],
+      durationCol: String, observed: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val cells = df
+      .groupBy((gcols :+ col(durationCol).as("duration")): _*)
+      .agg(sum(when(observed, 1L).otherwise(0L)).as("n_events"),
+        sum(when(observed, 0L).otherwise(1L)).as("n_censored"))
+    val wGroup = Window.partitionBy(gcols: _*)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy("duration")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val exits = col("n_events") + col("n_censored")
+    cells
+      .withColumn("n_at_risk",
+        sum(exits).over(wGroup) - coalesce(sum(exits).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        round(col("n_events").cast("double")
+          / col("n_at_risk").cast("double"), 12).cast("decimal(38,12)"))
+      .withColumn("cum_hazard",
+        round(sum("_term").over(wOrd).cast("double"), 6).cast("double"))
+      .filter(col("n_events") > 0)
+      .select((gcols :+ col("duration") :+ col("n_at_risk")
+        :+ col("n_events") :+ col("n_censored") :+ col("cum_hazard")): _*)
+  }
+
   /** Day-of-week seasonality index per group: mean(value | dow) /
     * mean(value) as an exact rational of 6-dp quanta —
     * (sum_dow · n_all) / (n_dow · sum_all) in scaled-long arithmetic,

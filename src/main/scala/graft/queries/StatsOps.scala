@@ -1028,7 +1028,48 @@ object StatsOps {
     Stats.anovaTwoWay(cut, "event_type", "par", "value")
   }
 
+  /** Nelson–Aalen cumulative hazard on the q_kaplan_meier subjects:
+    * 12-dp-frozen d/n steps into an order-fixed decimal cumulative —
+    * no transcendentals at all.
+    */
+  val qNelsonAalen: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"))
+      .select(col("user_id"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"))
+    Stats.nelsonAalen(subjects, Seq.empty, "duration", col("observed"))
+      .orderBy("duration")
+  }
+
+  /** Best single-threshold split of value against the purchase label
+    * (16-bin sweep): exact cumulative counts, 12-dp-frozen binary
+    * entropies, (gain DESC, edge) argmax.
+    */
+  val qStump: QueryFn = withTables { spark =>
+    Profiling.infoGainStump(spark.table("events"), "value",
+      col("event_type") === "purchase", bins = 16)
+  }
+
+  /** Weight-of-evidence panel + information value of value against
+    * the even-JSON-k label (10 bins, +0.5 adjustment everywhere):
+    * frozen ln per bin, decimal IV fold.
+    */
+  val qWoeIv: QueryFn = withTables { spark =>
+    Profiling.woeIv(spark.table("events"), "value",
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+          % 2 === 0, lit(false)), bins = 10)
+      .orderBy("bin")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_nelson_aalen" -> qNelsonAalen,
+    "q_stump" -> qStump,
+    "q_woe_iv" -> qWoeIv,
     "q_anova2" -> qAnovaTwoWay,
     "q_mann_kendall" -> qMannKendall,
     "q_ccf" -> qCcf,
@@ -1121,6 +1162,144 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // The q_kaplan_meier cells; frozen d/n steps into an order-fixed
+    // DECIMAL(38,12) cumulative — no ln/exp anywhere.
+    "q_nelson_aalen" -> """
+      WITH subj AS (
+        SELECT user_id,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS duration,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL AS observed
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT duration,
+               SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT
+                 AS n_events,
+               SUM(CASE WHEN observed THEN 0 ELSE 1 END)::BIGINT
+                 AS n_censored
+        FROM subj GROUP BY duration),
+      na AS (
+        SELECT duration, n_events, n_censored,
+               ((SELECT SUM(n_events + n_censored) FROM cells)
+                 - COALESCE(SUM(n_events + n_censored) OVER
+                     (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        FROM cells),
+      na2 AS (
+        SELECT duration, n_events, n_censored, n_at_risk,
+               SUM(ROUND(CAST(n_events AS DOUBLE)
+                     / CAST(n_at_risk AS DOUBLE), 12)::DECIMAL(38,12))
+                 OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS hsum
+        FROM na)
+      SELECT duration, n_at_risk, n_events, n_censored,
+             CAST(ROUND(CAST(hsum AS DOUBLE), 6) AS DOUBLE) AS cum_hazard
+      FROM na2 WHERE n_events > 0 ORDER BY duration""",
+
+    // Exact cumulative split counts off the frozen 16-bin grid;
+    // binary entropies 12-dp frozen; (gain DESC, edge) argmax.
+    "q_stump" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      cells AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(GREATEST(CAST(FLOOR((value - lo) * 16
+                   / (hi - lo)) AS INT), 0), 15) END AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events CROSS JOIN mm WHERE value IS NOT NULL),
+      agg AS (SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p
+              FROM cells GROUP BY bin),
+      cum AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS nl,
+               SUM(p) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS pl,
+               SUM(n) OVER () AS nt, SUM(p) OVER () AS pt
+        FROM agg),
+      sw AS (
+        SELECT bin + 1 AS edge, nl, pl, nt, pt, nt - nl AS nr,
+               pt - pl AS pr
+        FROM cum WHERE bin < 15),
+      gq AS (
+        SELECT edge, nl, nr, nt, pt,
+          ROUND(
+            ROUND(CASE WHEN pt > 0 AND pt < nt THEN
+              -(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                * LN(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+              - ((CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))
+                  / CAST(nt AS DOUBLE))
+                * LN((CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))
+                  / CAST(nt AS DOUBLE)) ELSE 0.0 END, 12)
+            - (CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+              * ROUND(CASE WHEN pl > 0 AND pl < nl THEN
+                -(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                  * LN(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                - ((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE))
+                    / CAST(nl AS DOUBLE))
+                  * LN((CAST(nl AS DOUBLE) - CAST(pl AS DOUBLE))
+                    / CAST(nl AS DOUBLE)) ELSE 0.0 END, 12)
+            - (CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE))
+              * ROUND(CASE WHEN pr > 0 AND pr < nr THEN
+                -(CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                  * LN(CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                - ((CAST(nr AS DOUBLE) - CAST(pr AS DOUBLE))
+                    / CAST(nr AS DOUBLE))
+                  * LN((CAST(nr AS DOUBLE) - CAST(pr AS DOUBLE))
+                    / CAST(nr AS DOUBLE)) ELSE 0.0 END, 12), 6) AS gain
+        FROM sw)
+      SELECT nt::BIGINT AS n, pt::BIGINT AS n_pos, edge::BIGINT AS edge,
+             CAST(ROUND(lo + CAST(edge AS DOUBLE) * (hi - lo) / 16, 6)
+               AS DOUBLE) AS threshold,
+             nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+             CAST(gain AS DOUBLE) AS gain
+      FROM gq CROSS JOIN mm
+      ORDER BY gain DESC, edge LIMIT 1""",
+
+    // +0.5-adjusted WoE per fixed bin (empty bins still emit); IV
+    // terms 12-dp frozen into a DECIMAL(38,12) fold.
+    "q_woe_iv" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      cells AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(GREATEST(CAST(FLOOR((value - lo) * 10
+                   / (hi - lo)) AS INT), 0), 9) END AS bin,
+               CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                 AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS g
+        FROM events CROSS JOIN mm WHERE value IS NOT NULL),
+      agg AS (SELECT bin, SUM(g)::BIGINT AS gc,
+                     SUM(1 - g)::BIGINT AS bc
+              FROM cells GROUP BY bin),
+      grid AS (
+        SELECT r.bin, COALESCE(a.gc, 0) AS gc, COALESCE(a.bc, 0) AS bc
+        FROM (SELECT UNNEST(RANGE(0, 10))::INT AS bin) r
+        LEFT JOIN agg a ON a.bin = r.bin),
+      tot AS (
+        SELECT bin, gc, bc, SUM(gc) OVER () AS gt, SUM(bc) OVER () AS bt
+        FROM grid),
+      w AS (
+        SELECT bin, gc, bc, gt, bt,
+               ROUND(LN(((CAST(gc AS DOUBLE) + 0.5) / CAST(gt AS DOUBLE))
+                 / ((CAST(bc AS DOUBLE) + 0.5) / CAST(bt AS DOUBLE))),
+                 12) AS woe
+        FROM tot),
+      w2 AS (
+        SELECT bin, gc, bc, gt, bt, woe,
+               SUM(CASE WHEN gt > 0 AND bt > 0 THEN
+                 ROUND(((CAST(gc AS DOUBLE) + 0.5) / CAST(gt AS DOUBLE)
+                   - (CAST(bc AS DOUBLE) + 0.5) / CAST(bt AS DOUBLE))
+                   * woe, 12)::DECIMAL(38,12) END) OVER () AS ivs
+        FROM w)
+      SELECT bin::BIGINT AS bin, gc AS n_good, bc AS n_bad,
+             CAST(CASE WHEN gt > 0 AND bt > 0 THEN ROUND(woe, 6) END
+               AS DOUBLE) AS woe,
+             CAST(ROUND(CAST(ivs AS DOUBLE), 6) AS DOUBLE) AS iv
+      FROM w2 ORDER BY bin""",
 
     // Exact HUGEINT moments off the same 30-per-cell cut; SS and F
     // trees spelled once each, SS descaled by 1e12.

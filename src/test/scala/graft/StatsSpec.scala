@@ -1973,6 +1973,54 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- nelsonAalen ----
+
+  test("nelsonAalen: hand steps, censoring shrinks risk set silently") {
+    import spark.implicits._
+    val df = Seq((1L, true), (1L, true), (2L, false), (3L, true))
+      .toDF("duration", "observed")
+    val rows = Stats.nelsonAalen(df, Seq.empty, "duration", col("observed"))
+      .orderBy("duration").collect()
+    assert(rows.length == 2, "censor-only times emit no step")
+    assert(rows(0).getLong(0) == 1 && rows(0).getLong(1) == 4
+      && rows(0).getDouble(4) == 0.5, rows(0).toString)
+    assert(rows(1).getLong(0) == 3 && rows(1).getLong(1) == 1
+      && rows(1).getDouble(4) == 1.5, "0.5 + 1/1 after the censor")
+  }
+
+  // ---- infoGainStump ----
+
+  test("infoGainStump: perfectly separable feature finds the cut") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val df = Seq((0.0, 0), (1.0, 0), (2.0, 1), (3.0, 1)).toDF("v", "y")
+    val r = Profiling.infoGainStump(df, "v", col("y") === 1, bins = 4)
+      .collect().head
+    assert(r.getLong(2) == 2 && r.getDouble(3) == 1.5,
+      s"edge 2 at threshold 1.5: $r")
+    assert(r.getDouble(6) == 0.693147, "gain = H(1/2) = ln 2")
+    assert(r.getLong(4) == 2 && r.getLong(5) == 2)
+    // single-class label: nothing to gain anywhere
+    val flat = Seq((0.0, 1), (1.0, 1), (2.0, 1)).toDF("v", "y")
+    assert(Profiling.infoGainStump(flat, "v", col("y") === 1, 4)
+      .collect().head.getDouble(6) == 0.0)
+  }
+
+  // ---- woeIv ----
+
+  test("woeIv: clean split gives symmetric ln3 panel, iv exact") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val df = (0 to 9).map(i => (i.toDouble, i < 5)).toDF("v", "g")
+    val rows = Profiling.woeIv(df, "v", col("g"), bins = 10)
+      .orderBy("bin").collect()
+    assert(rows.length == 10, "every grid bin emits")
+    assert(rows.head.getDouble(3) == 1.098612, "ln 3 with +0.5 both sides")
+    assert(rows.last.getDouble(3) == -1.098612, "mirror bin")
+    assert(rows.head.getDouble(4) == 2.197225, s"iv: ${rows.head}")
+    assert(rows.forall(_.getDouble(4) == 2.197225), "iv repeats per row")
+  }
+
   // ---- anovaTwoWay ----
 
   test("anovaTwoWay: pure interaction design lands F_ab = 16") {
