@@ -500,6 +500,72 @@ object RankEval {
           .cast("double").as("rr"))
   }
 
+  /** ROC curve table over a fixed threshold grid: for each of the
+    * B−1 interior edges of the score's frozen [min, max] bin grid,
+    * the full confusion row (score ≥ threshold predicts positive —
+    * the [[confusionPanel]] contract) plus TPR/FPR/precision — the
+    * PLOTTABLE curve behind [[aucRank]]'s one number, and the
+    * operating-point menu a threshold picker actually reads.
+    *
+    * Exactness: bin cells (one (bin, label) aggregate) and their
+    * cumulative counts are exact integers; thresholds are lo +
+    * q·(hi−lo)/B on identical doubles; each rate is ONE rounded
+    * division. Unscored/unlabeled rows are excluded. Degenerate rate
+    * denominators → NULL, never a blow-up.
+    *
+    * Scale shape: one scan → bins-bounded cells → bins-bounded
+    * windows; B−1 output rows. (An EXACT every-distinct-score curve
+    * is a per-row window sort — use [[aucRank]] for the exact scalar
+    * and this grid for the plot.)
+    */
+  def rocCurve(df: DataFrame, scoreCol: String, label: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"rocCurve: bins must be >= 2, got $bins")
+    val v = col(scoreCol)
+    val edges = df.filter(v.isNotNull)
+      .agg(min(v).cast("double").as("_lo"), max(v).cast("double").as("_hi"))
+    val cells = df.filter(v.isNotNull && label.isNotNull)
+      .crossJoin(broadcast(edges))
+      .select(
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(greatest(
+            floor((v.cast("double") - col("_lo")) * bins
+              / (col("_hi") - col("_lo"))).cast("int"),
+            lit(0)), lit(bins - 1))).as("_bin"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("_bin")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_p"))
+    val wOrd = Window.orderBy("_bin") // bins-bounded
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    // split after bin q: bins <= q predict NEGATIVE (below threshold)
+    val cum = cells
+      .withColumn("_nl", sum("_n").over(wOrd))
+      .withColumn("_pl", sum("_p").over(wOrd))
+      .withColumn("_nt", sum("_n").over(wAll))
+      .withColumn("_pt", sum("_p").over(wAll))
+      .filter(col("_bin") < bins - 1)
+    val tp = col("_pt") - col("_pl")
+    val fp = (col("_nt") - col("_nl")) - tp
+    val fn = col("_pl")
+    val tn = col("_nl") - col("_pl")
+    def rate(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+        .cast("double")
+    cum
+      .crossJoin(broadcast(edges))
+      .select(
+        (col("_bin") + 1).cast("bigint").as("edge"),
+        round(col("_lo") + (col("_bin") + 1).cast("double")
+          * (col("_hi") - col("_lo")) / bins, 6)
+          .cast("double").as("threshold"),
+        tp.cast("bigint").as("tp"), fp.cast("bigint").as("fp"),
+        fn.cast("bigint").as("fn"), tn.cast("bigint").as("tn"),
+        rate(tp, tp + fn).as("tpr"),
+        rate(fp, fp + tn).as("fpr"),
+        rate(tp, tp + fp).as("precision"))
+  }
+
   /** Lift / gains curve: rank the population by score DESC (id
     * tiebreak — a total order), cut into `buckets` closed-form rank
     * tiles, and report each bucket's response rate plus the

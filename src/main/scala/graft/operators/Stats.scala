@@ -3240,6 +3240,71 @@ object Stats {
           .cast("double").as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal) over a long (unit, category)
+    * ratings frame: the agreement coefficient that tolerates RAGGED
+    * panels and missing ratings — where [[fleissKappa]] demands a
+    * fixed r per unit, here any unit with ≥ 2 ratings contributes
+    * (single-rating units carry no pairable information and drop).
+    * α = 1 − D_o/D_e with D_o = Σ_{c≠k} o_ck / n and
+    * D_e = Σ_{c≠k} n_c·n_k / (n·(n−1)), o_ck the coincidence matrix
+    * o_ck = Σ_u n_uc·(n_uk − δ_ck)/(r_u − 1), n = Σ r_u over kept
+    * units.
+    *
+    * Exactness: the only non-integer is the per-unit 1/(r_u−1)
+    * weight: every disagreeing-pair term n_uc·n_uk/(r_u−1) is frozen
+    * at 12 dp into an order-free decimal(38,12) sum; marginals n_c
+    * and n are exact integers (row sums of o collapse the /(r_u−1)
+    * back out: Σ_k n_uc(n_uk−δ)/(r_u−1) = n_uc exactly, so n_c is
+    * just the category's rating count); α is ONE rounded tree.
+    * D_e = 0 (one category in play) → NULL α.
+    *
+    * Scale shape: one (unit, category) cell aggregate, one unit-pair
+    * fold over the per-unit k-bounded cells (a self-join WITHIN
+    * units, k²-bounded per unit), category-sized marginals. Output:
+    * ONE row (n_units, n_ratings, k_categories, d_o, d_e, alpha).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+      categoryCol: String): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val cells = df
+      .filter(col(unitCol).isNotNull && col(categoryCol).isNotNull)
+      .select(col(unitCol).as("_u"), col(categoryCol).as("_c"))
+      .groupBy("_u", "_c").agg(count(lit(1)).as("_n"))
+    val units = cells.groupBy(col("_u").as("_ur"))
+      .agg(sum("_n").as("_r"))
+      .filter(col("_r") >= 2)
+    val kept = cells.join(units, col("_u") <=> col("_ur")).drop("_ur")
+    // observed disagreement mass: within-unit cross-category pairs,
+    // weighted 1/(r_u - 1); the diagonal never enters (c < k on the
+    // self-join would halve — c =!= k keeps the full symmetric sum)
+    val disagree = kept.as("a")
+      .join(kept.select(col("_u").as("_u2"), col("_c").as("_c2"),
+        col("_n").as("_n2")),
+        col("_u") <=> col("_u2") && col("_c") =!= col("_c2"))
+      .select(round((col("_n").cast("double") * col("_n2").cast("double"))
+        / (col("_r").cast("double") - 1.0), 12).cast(dec12).as("_t"))
+      .agg(coalesce(sum("_t"), lit(0).cast(dec12)).as("_do_num"))
+    val marg = kept.groupBy("_c").agg(sum("_n").as("_nc"))
+      .agg(sum(col("_nc").cast("decimal(38,0)")).as("_nn"),
+        sum((col("_nc").cast("decimal(38,0)") * col("_nc"))
+          .cast("decimal(38,0)")).as("_sq"),
+        count(lit(1)).as("_k"))
+    val nUnits = units.agg(count(lit(1)).as("_nu"))
+    def d(c: String) = col(c).cast("double")
+    // sum_{c != k} n_c n_k = n^2 - sum n_c^2
+    val dOb = d("_do_num") / d("_nn")
+    val dEx = (d("_nn") * d("_nn") - d("_sq")) /
+      (d("_nn") * (d("_nn") - 1.0))
+    disagree.crossJoin(broadcast(marg)).crossJoin(broadcast(nUnits))
+      .select(col("_nu").cast("bigint").as("n_units"),
+        col("_nn").cast("bigint").as("n_ratings"),
+        col("_k").cast("bigint").as("k_categories"),
+        when(col("_nn") > 1, round(dOb, 6)).cast("double").as("d_o"),
+        when(col("_nn") > 1, round(dEx, 6)).cast("double").as("d_e"),
+        when(col("_nn") > 1 && dEx > 0.0,
+          round(lit(1.0) - dOb / dEx, 6)).cast("double").as("alpha"))
+  }
+
   /** One-sided Fisher's exact test on the 2×2 (exposed × outcome)
     * table: p = P(A ≥ a_obs | fixed margins), the hypergeometric tail
     * — THE small-sample gate where [[chiSquared]]'s asymptotics lie

@@ -1066,7 +1066,33 @@ object StatsOps {
       .orderBy("bin")
   }
 
+  /** ROC curve table of value vs the even-JSON-k label over a frozen
+    * 20-bin threshold grid: exact cumulative cells, one rounded
+    * division per rate.
+    */
+  val qRocCurve: QueryFn = withTables { spark =>
+    graft.operators.RankEval.rocCurve(spark.table("events"), "value",
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+          % 2 === 0, lit(false)), bins = 20)
+      .orderBy("edge")
+  }
+
+  /** Krippendorff's alpha (nominal) with days as units and event
+    * types as categories — the ragged-panel agreement coefficient
+    * (no fixed-r cut, unlike q_fleiss_kappa): frozen per-unit pair
+    * terms, exact marginals, one alpha tree.
+    */
+  val qKrippendorff: QueryFn = withTables { spark =>
+    Stats.krippendorffAlpha(
+      spark.table("events").select(col("ts").cast("date").as("day"),
+        col("event_type")), "day", "event_type")
+  }
+
+
+
   val queries: Map[String, QueryFn] = Map(
+    "q_roc_curve" -> qRocCurve,
+    "q_krippendorff" -> qKrippendorff,
     "q_nelson_aalen" -> qNelsonAalen,
     "q_stump" -> qStump,
     "q_woe_iv" -> qWoeIv,
@@ -1162,6 +1188,90 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact cumulative (bin, label) cells on the frozen 20-bin grid;
+    // score >= threshold predicts positive; one division per rate.
+    "q_roc_curve" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      cells AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(GREATEST(CAST(FLOOR((value - lo) * 20
+                   / (hi - lo)) AS INT), 0), 19) END AS bin,
+               CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                 AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS y
+        FROM events CROSS JOIN mm WHERE value IS NOT NULL),
+      agg AS (SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p
+              FROM cells GROUP BY bin),
+      cum AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS nl,
+               SUM(p) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS pl,
+               SUM(n) OVER () AS nt, SUM(p) OVER () AS pt
+        FROM agg WHERE 1 = 1),
+      sw AS (
+        SELECT bin, nl, pl, nt, pt,
+               pt - pl AS tp, (nt - nl) - (pt - pl) AS fp,
+               pl AS fn, nl - pl AS tn
+        FROM cum WHERE bin < 19)
+      SELECT (bin + 1)::BIGINT AS edge,
+             CAST(ROUND(lo + CAST(bin + 1 AS DOUBLE) * (hi - lo) / 20,
+               6) AS DOUBLE) AS threshold,
+             tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+             tn::BIGINT AS tn,
+             CAST(CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
+               / CAST(tp + fn AS DOUBLE), 6) END AS DOUBLE) AS tpr,
+             CAST(CASE WHEN fp + tn > 0 THEN ROUND(CAST(fp AS DOUBLE)
+               / CAST(fp + tn AS DOUBLE), 6) END AS DOUBLE) AS fpr,
+             CAST(CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
+               / CAST(tp + fp AS DOUBLE), 6) END AS DOUBLE) AS precision
+      FROM sw CROSS JOIN mm ORDER BY edge""",
+
+    // Per-unit pair terms frozen at 12 dp into DECIMAL(38,12); exact
+    // integer marginals (the /(r-1) collapses out of row sums).
+    "q_krippendorff" -> """
+      WITH cells AS (
+        SELECT CAST(ts AS DATE) AS u, event_type AS c,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      units AS (SELECT u, SUM(n)::BIGINT AS r FROM cells GROUP BY u
+                HAVING SUM(n) >= 2),
+      kept AS (SELECT c.u, c.c, c.n, un.r
+               FROM cells c JOIN units un ON c.u = un.u),
+      dis AS (
+        SELECT COALESCE(SUM(ROUND(
+                 (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))
+                 / (CAST(a.r AS DOUBLE) - 1.0), 12)::DECIMAL(38,12)),
+               0::DECIMAL(38,12)) AS dnum
+        FROM kept a JOIN kept b ON a.u = b.u AND a.c <> b.c),
+      marg AS (
+        SELECT SUM(nc::HUGEINT) AS nn, SUM(nc::HUGEINT * nc) AS sq,
+               COUNT(*)::BIGINT AS k
+        FROM (SELECT c, SUM(n) AS nc FROM kept GROUP BY c)),
+      nu AS (SELECT COUNT(*)::BIGINT AS nu FROM units)
+      SELECT nu AS n_units, CAST(nn AS BIGINT) AS n_ratings,
+             k AS k_categories,
+             CAST(CASE WHEN nn > 1 THEN ROUND(CAST(dnum AS DOUBLE)
+               / CAST(nn AS DOUBLE), 6) END AS DOUBLE) AS d_o,
+             CAST(CASE WHEN nn > 1 THEN ROUND(
+               (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(sq AS DOUBLE))
+               / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)), 6)
+               END AS DOUBLE) AS d_e,
+             CAST(CASE WHEN nn > 1
+                 AND (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                   - CAST(sq AS DOUBLE))
+                 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))
+                 > 0.0 THEN
+               ROUND(1.0 - (CAST(dnum AS DOUBLE) / CAST(nn AS DOUBLE))
+                 / ((CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                     - CAST(sq AS DOUBLE))
+                   / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))),
+                 6) END AS DOUBLE) AS alpha
+      FROM dis CROSS JOIN marg CROSS JOIN nu""",
+
 
     // The q_kaplan_meier cells; frozen d/n steps into an order-fixed
     // DECIMAL(38,12) cumulative — no ln/exp anywhere.

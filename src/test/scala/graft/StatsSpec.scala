@@ -1973,6 +1973,50 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- rocCurve ----
+
+  test("rocCurve: separable feature walks the perfect corner") {
+    import spark.implicits._
+    import graft.operators.RankEval
+    val df = Seq((0.0, 0), (1.0, 0), (2.0, 1), (3.0, 1)).toDF("v", "y")
+    val rows = RankEval.rocCurve(df, "v", col("y") === 1, bins = 4)
+      .orderBy("edge").collect()
+    assert(rows.length == 3, "B - 1 interior edges")
+    val byEdge = rows.map(r => r.getLong(0) -> r).toMap
+    val e2 = byEdge(2L)
+    assert(e2.getLong(2) == 2 && e2.getLong(3) == 0 && e2.getLong(4) == 0
+      && e2.getLong(5) == 2, s"perfect split: $e2")
+    assert(e2.getDouble(6) == 1.0 && e2.getDouble(7) == 0.0
+      && e2.getDouble(8) == 1.0)
+    val e1 = byEdge(1L)
+    assert(e1.getDouble(6) == 1.0 && e1.getDouble(7) == 0.5,
+      s"loose threshold trades fpr: $e1")
+    val e3 = byEdge(3L)
+    assert(e3.getDouble(6) == 0.5 && e3.getDouble(7) == 0.0)
+    assert(e2.getDouble(1) == 1.5, "threshold = lo + 2*(hi-lo)/4")
+  }
+
+  // ---- krippendorffAlpha ----
+
+  test("krippendorffAlpha: hand 4/9, perfect 1, singles dropped") {
+    import spark.implicits._
+    val df = Seq((1, "A"), (1, "A"), (2, "A"), (2, "B"), (3, "B"),
+      (3, "B"), (4, "A")) // unit 4 has one rating: unpaired, dropped
+      .toDF("u", "c")
+    val r = Stats.krippendorffAlpha(df, "u", "c").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 6 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.333333 && r.getDouble(4) == 0.6)
+    assert(r.getDouble(5) == 0.444444, s"1 - (1/3)/(3/5): $r")
+    val perfect = Seq((1, "A"), (1, "A"), (2, "B"), (2, "B"))
+      .toDF("u", "c")
+    assert(Stats.krippendorffAlpha(perfect, "u", "c")
+      .collect().head.getDouble(5) == 1.0)
+    val oneCat = Seq((1, "A"), (1, "A"), (2, "A"), (2, "A"))
+      .toDF("u", "c")
+    assert(Stats.krippendorffAlpha(oneCat, "u", "c")
+      .collect().head.isNullAt(5), "D_e = 0 -> NULL alpha")
+  }
+
   // ---- nelsonAalen ----
 
   test("nelsonAalen: hand steps, censoring shrinks risk set silently") {
