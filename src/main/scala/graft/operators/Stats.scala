@@ -563,8 +563,12 @@ object Stats {
     * guard. Output: (group, n, n_pairs, concordant, discordant,
     * tau_b) — NULL tau when either side is constant.
     */
-  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
-      yCol: String, maxPoints: Int = 1000): DataFrame = {
+  /** Shared concordant/discordant/tie core of [[kendallTau]] and
+    * [[ordinalAssociation]]: (group, n, n_pairs, concordant,
+    * discordant, doubled-tie-pair counts per side).
+    */
+  private def tauCore(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxPoints: Int): DataFrame = {
     require(maxPoints >= 2, s"kendallTau: maxPoints must be >= 2")
     val raw = df.select(col(groupCol).as("_g"),
       round(col(xCol) * 1e6).cast("long").as("_x"),
@@ -606,6 +610,11 @@ object Stats {
         coalesce(col("concordant"), lit(0L)).cast("bigint").as("concordant"),
         coalesce(col("discordant"), lit(0L)).cast("bigint").as("discordant"),
         col("_n1d"), col("_n2d"))
+  }
+
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 1000): DataFrame =
+    tauCore(df, groupCol, xCol, yCol, maxPoints)
       // doubled tie pairs: n0d = n(n-1), denom terms (n0d - n1d)/2 etc.
       .withColumn("_den",
         ((col("n") * (col("n") - 1) - col("_n1d")).cast("double") / 2.0)
@@ -615,6 +624,40 @@ object Stats {
           round((col("concordant") - col("discordant")).cast("double")
             / sqrt(col("_den")), 6)).cast("double"))
       .select(groupCol, "n", "n_pairs", "concordant", "discordant", "tau_b")
+
+  /** Goodman–Kruskal gamma and both Somers' D directions per group —
+    * the tie-handling spectrum [[kendallTau]]'s tau-b sits inside:
+    * gamma = (C−D)/(C+D) ignores EVERY tied pair (the most forgiving
+    * ordinal association), Somers' D_yx = (C−D)/(pairs untied on x)
+    * penalizes ties on the DEPENDENT side only (the asymmetric
+    * "does x predict y's order" number, and the statistic under
+    * ROC-AUC: D_yx = 2·AUC − 1 when x is binary), D_xy mirrors.
+    *
+    * Exactness: C, D, and the doubled tie-pair counts are the
+    * [[kendallTau]] exact integers verbatim (same 1e6 quantization,
+    * same lazily-guarded pair join); each coefficient is ONE rounded
+    * division. All-tied denominators → NULL.
+    *
+    * Output: (group, n, concordant, discordant, gamma, somers_d_yx,
+    * somers_d_xy).
+    */
+  def ordinalAssociation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 1000): DataFrame = {
+    val cd = (col("concordant") - col("discordant")).cast("double")
+    val untiedX = (col("n") * (col("n") - 1) - col("_n1d"))
+      .cast("double") / 2.0
+    val untiedY = (col("n") * (col("n") - 1) - col("_n2d"))
+      .cast("double") / 2.0
+    tauCore(df, groupCol, xCol, yCol, maxPoints)
+      .select(col(groupCol), col("n"), col("concordant"),
+        col("discordant"),
+        when(col("concordant") + col("discordant") > 0,
+          round(cd / (col("concordant") + col("discordant"))
+            .cast("double"), 6)).cast("double").as("gamma"),
+        when(untiedX > 0.0, round(cd / untiedX, 6))
+          .cast("double").as("somers_d_yx"),
+        when(untiedY > 0.0, round(cd / untiedY, 6))
+          .cast("double").as("somers_d_xy"))
   }
 
   /** Wald–Wolfowitz runs test per group — "is this ordered sequence

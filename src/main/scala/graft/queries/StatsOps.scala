@@ -1090,7 +1090,23 @@ object StatsOps {
 
 
 
+  /** Goodman-Kruskal gamma + both Somers' D directions on the
+    * q_kendall day cells: the tie-handling spectrum around tau-b,
+    * exact C/D/tie integers, one rounded division each.
+    */
+  val qOrdinal: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Stats.ordinalAssociation(cells, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_ordinal" -> qOrdinal,
     "q_roc_curve" -> qRocCurve,
     "q_krippendorff" -> qKrippendorff,
     "q_nelson_aalen" -> qNelsonAalen,
@@ -1188,6 +1204,57 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // The q_kendall CTEs with the gamma / Somers' D projections: one
+    // rounded division each on the same exact integers.
+    "q_ordinal" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      wid AS (SELECT g, x, y,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, y) AS rid
+              FROM cells),
+      pr AS (
+        SELECT a.g,
+               CASE WHEN (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS con,
+               CASE WHEN (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dis
+        FROM wid a JOIN wid b ON a.g = b.g AND a.rid < b.rid),
+      pa AS (SELECT g, SUM(con)::BIGINT AS concordant,
+                    SUM(dis)::BIGINT AS discordant
+             FROM pr GROUP BY g),
+      tx AS (SELECT g, SUM(t * (t - 1))::BIGINT AS n1d
+             FROM (SELECT g, x, COUNT(*) AS t FROM cells GROUP BY g, x)
+             GROUP BY g),
+      ty AS (SELECT g, SUM(t * (t - 1))::BIGINT AS n2d
+             FROM (SELECT g, y, COUNT(*) AS t FROM cells GROUP BY g, y)
+             GROUP BY g),
+      base AS (SELECT g, COUNT(*)::BIGINT AS n FROM cells GROUP BY g)
+      SELECT base.g AS event_type, base.n,
+             COALESCE(pa.concordant, 0)::BIGINT AS concordant,
+             COALESCE(pa.discordant, 0)::BIGINT AS discordant,
+             CAST(CASE WHEN pa.concordant + pa.discordant > 0 THEN
+               ROUND(CAST(pa.concordant - pa.discordant AS DOUBLE)
+                 / CAST(pa.concordant + pa.discordant AS DOUBLE), 6)
+               END AS DOUBLE) AS gamma,
+             CAST(CASE WHEN
+                 CAST(base.n * (base.n - 1) - tx.n1d AS DOUBLE) / 2.0
+                 > 0.0 THEN
+               ROUND(CAST(pa.concordant - pa.discordant AS DOUBLE)
+                 / (CAST(base.n * (base.n - 1) - tx.n1d AS DOUBLE)
+                   / 2.0), 6) END AS DOUBLE) AS somers_d_yx,
+             CAST(CASE WHEN
+                 CAST(base.n * (base.n - 1) - ty.n2d AS DOUBLE) / 2.0
+                 > 0.0 THEN
+               ROUND(CAST(pa.concordant - pa.discordant AS DOUBLE)
+                 / (CAST(base.n * (base.n - 1) - ty.n2d AS DOUBLE)
+                   / 2.0), 6) END AS DOUBLE) AS somers_d_xy
+      FROM base LEFT JOIN pa ON pa.g = base.g
+      JOIN tx ON tx.g = base.g JOIN ty ON ty.g = base.g
+      ORDER BY base.g""",
 
     // Exact cumulative (bin, label) cells on the frozen 20-bin grid;
     // score >= threshold predicts positive; one division per rate.

@@ -1973,6 +1973,30 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- ordinalAssociation ----
+
+  test("ordinalAssociation: gamma ignores ties, Somers' D penalizes one side") {
+    import spark.implicits._
+    // x strictly increasing; y has one tie pair (rows 2,3): C=5, D=0,
+    // untied-on-x pairs = 6, untied-on-y pairs = 5
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 2.0),
+      ("g", 4.0, 3.0)).toDF("g", "x", "y")
+    val r = Stats.ordinalAssociation(df, "g", "x", "y").collect().head
+    assert(r.getLong(2) == 5 && r.getLong(3) == 0, s"C/D: $r")
+    assert(r.getDouble(4) == 1.0, "gamma drops the tied pair entirely")
+    assert(r.getDouble(5) == 0.833333, "D_yx = 5/6 (x fully untied)")
+    assert(r.getDouble(6) == 1.0, "D_xy = 5/5")
+    // reversed y: antisymmetric
+    val rev = Seq(("g", 1.0, 3.0), ("g", 2.0, 2.0), ("g", 3.0, 2.0),
+      ("g", 4.0, 1.0)).toDF("g", "x", "y")
+    val rr = Stats.ordinalAssociation(rev, "g", "x", "y").collect().head
+    assert(rr.getDouble(4) == -1.0 && rr.getDouble(5) == -0.833333)
+    // all-tied y: no ordered pairs at all -> NULL gamma and D_xy
+    val flat = Seq(("g", 1.0, 7.0), ("g", 2.0, 7.0)).toDF("g", "x", "y")
+    val rf = Stats.ordinalAssociation(flat, "g", "x", "y").collect().head
+    assert(rf.isNullAt(4) && rf.isNullAt(6) && rf.getDouble(5) == 0.0)
+  }
+
   // ---- rocCurve ----
 
   test("rocCurve: separable feature walks the perfect corner") {
