@@ -1152,6 +1152,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word co-occurrence graph — two words are linked when
+    * they appear within `window` tokens of each other in any document
+    * — then the top-k words by rank. The unsupervised keyword ranker
+    * that beats raw frequency by rewarding words that CO-OCCUR with
+    * many other well-connected words; [[collocations]] finds the
+    * phrases, this finds the vocabulary that matters.
+    *
+    * Determinism: edges are exact set-valued (distinct co-occurrence
+    * pairs, symmetrized); ranks ride [[Graph.pageRank]]'s contract
+    * verbatim (uniform init, 12-dp end-of-iteration rounding, fixed
+    * `iters`); the cut is a (rank DESC, word) total order through a
+    * TakeOrderedAndProject limit.
+    *
+    * Scale shape: pair generation is a per-row nested transform over
+    * the token array (≤ window·len pairs per doc, zero joins), one
+    * distinct to the vocabulary-sized edge set, then the PageRank
+    * loop on that small graph. Output: (word, rank).
+    */
+  def textRankKeywords(df: DataFrame, textCol: String, window: Int,
+      iters: Int, k: Int): DataFrame = {
+    require(window >= 1 && iters >= 1 && k >= 1,
+      s"textRankKeywords: window/iters/k must be >= 1")
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val pairs = df.select(toks.as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("_toks")) - 2),
+        i => transform(
+          sequence(lit(1), least(lit(window),
+            size(col("_toks")) - 1 - i)),
+          j => struct(element_at(col("_toks"), i + 1).as("w1"),
+            element_at(col("_toks"), i + j + 1).as("w2")))))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val sym = pairs.unionByName(
+      pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+    Graph.pageRank(sym, "w1", "w2", iters)
+      .orderBy(col("rank").desc, col("vertex").asc)
+      .limit(k)
+      .select(col("vertex").as("word"), col("rank"))
+  }
+
   /** Multinomial Naive Bayes trained and scored on the SAME frame:
     * per-class token log-probabilities with add-one (Laplace)
     * smoothing over the corpus vocabulary, per-doc class score

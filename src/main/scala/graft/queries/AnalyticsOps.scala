@@ -522,7 +522,17 @@ object AnalyticsOps {
       minCount = 5, k = 20)
   }
 
+  /** TextRank top-20 keywords over the document corpus (window 2,
+    * 3 PageRank iterations): exact distinct co-occurrence edges, the
+    * 12-dp-per-iteration rank contract, (rank DESC, word) cut.
+    */
+  val qTextRank: QueryFn = withTables { spark =>
+    TextAnalysis.textRankKeywords(spark.table("documents"), "text",
+      window = 2, iters = 3, k = 20)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_textrank" -> qTextRank,
     "q_collocations" -> qCollocations,
     "q_naive_bayes" -> qNaiveBayes,
     "q_confusion" -> qConfusion,
@@ -584,6 +594,43 @@ object AnalyticsOps {
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
   val oracles: Map[String, String] = Map(
+
+    // Distinct symmetrized co-occurrence edges + the q_pagerank
+    // iteration CTEs (uniform init, 12-dp rounds); LIMIT under the
+    // (rank DESC, word) total order.
+    "q_textrank" -> """
+      WITH t AS (SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   x -> x <> '') AS toks
+                 FROM documents),
+      pr0 AS (SELECT toks[i] AS w1, toks[i + j] AS w2
+              FROM t, UNNEST(RANGE(1, LEN(toks))) r(i),
+                   UNNEST(RANGE(1, 3)) s(j)
+              WHERE i + j <= LEN(toks) AND toks[i] <> toks[i + j]),
+      e0 AS (SELECT DISTINCT w1 AS src, w2 AS dst FROM pr0
+             UNION SELECT DISTINCT w2 AS src, w1 AS dst FROM pr0),
+      nn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM e0),
+      deg AS (SELECT src AS v, COUNT(*) AS outdeg FROM e0 GROUP BY src),
+      p0 AS (SELECT v, outdeg, 1.0 / n AS pr FROM deg CROSS JOIN nn),
+      p1 AS (SELECT d.v, d.outdeg,
+                    ROUND((1.0 - 0.85) / nn.n + 0.85 * c.s, 12) AS pr
+             FROM deg d CROSS JOIN nn
+             JOIN (SELECT e0.dst AS v, SUM(p.pr / p.outdeg) AS s
+                   FROM e0 JOIN p0 p ON e0.src = p.v GROUP BY e0.dst) c
+               ON c.v = d.v),
+      p2 AS (SELECT d.v, d.outdeg,
+                    ROUND((1.0 - 0.85) / nn.n + 0.85 * c.s, 12) AS pr
+             FROM deg d CROSS JOIN nn
+             JOIN (SELECT e0.dst AS v, SUM(p.pr / p.outdeg) AS s
+                   FROM e0 JOIN p1 p ON e0.src = p.v GROUP BY e0.dst) c
+               ON c.v = d.v),
+      p3 AS (SELECT d.v, d.outdeg,
+                    ROUND((1.0 - 0.85) / nn.n + 0.85 * c.s, 12) AS pr
+             FROM deg d CROSS JOIN nn
+             JOIN (SELECT e0.dst AS v, SUM(p.pr / p.outdeg) AS s
+                   FROM e0 JOIN p2 p ON e0.src = p.v GROUP BY e0.dst) c
+               ON c.v = d.v)
+      SELECT v AS word, pr AS rank FROM p3
+      ORDER BY pr DESC, v LIMIT 20""",
 
     // Exact bigram/unigram/total counts; PMI one frozen ln of a
     // HUGEINT cross-product ratio; LIMIT under a total order.

@@ -639,6 +639,34 @@ class TextAnalysisSpec extends SparkTestBase {
       "only (a, b) clears minCount = 2; single-token doc adds no pair")
   }
 
+  // ---- textRankKeywords ----
+
+  test("textRankKeywords: hub word outranks leaves, mass conserved") {
+    import spark.implicits._
+    val docs = Seq((1L, "hub x"), (2L, "hub y"), (3L, "hub z"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs, "text", window = 2,
+      iters = 3, k = 10).collect()
+    assert(out.head.getString(0) == "hub", s"hub is best-connected: ${out.toSeq}")
+    assert(out.length == 4, "solo never pairs -> 4 graph words")
+    val mass = out.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"symmetric graph conserves mass: $mass")
+    assert(out.map(_.getString(0)).toSet == Set("hub", "x", "y", "z"))
+  }
+
+  test("textRankKeywords: window widens the edge set, order total") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val w1 = TextAnalysis.textRankKeywords(docs, "text", 1, 2, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w3 = TextAnalysis.textRankKeywords(docs, "text", 3, 2, 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // chain at window 1: ends (a, d) rank below middles (b, c);
+    // window 3 makes it a clique: all equal
+    assert(w1("b") > w1("a") && w1("c") > w1("d"), w1.toString)
+    assert(w3.values.toSet.size == 1, s"clique equalizes: $w3")
+  }
+
   // ---- naiveBayesPredict ----
 
   test("naiveBayesPredict: recovers class structure, priors carry empty docs") {
