@@ -2988,6 +2988,75 @@ object Stats {
         min(when(col("_ph") > lambda, col("_x"))).as("alarm_x"))
   }
 
+  /** Input rows for [[pageHinkleyStream]]. */
+  case class PhEvent(key: String, x: Long, v: Double)
+  /** Per-key monitor snapshot emitted after each micro-batch. */
+  case class PhOut(key: String, n: Long, ph_max: Double,
+    alarm_x: Option[Long])
+  private[operators] case class PhState(t: Long,
+    s: java.math.BigDecimal, m: java.math.BigDecimal,
+    mMin: java.math.BigDecimal, phMax: java.math.BigDecimal,
+    alarm: Option[Long])
+
+  /** Streaming-legal [[pageHinkley]]: the self-centering drift
+    * monitor as a live per-key state machine — state is SIX scalars
+    * per key (count, exact value sum, exact cumulative deviation, its
+    * running min, the max excursion, the first alarm x), O(1)
+    * regardless of history, and each micro-batch's (x-sorted) values
+    * fold through the IDENTICAL arithmetic: HALF_UP 1e6 quantization,
+    * the 6-dp-rounded running mean, 6-dp-frozen deviations added as
+    * exact decimals, excursion = m − min(m). Emits one snapshot per
+    * key per micro-batch (the latest snapshot at any moment IS the
+    * batch answer over everything seen — pinned bit-equal in
+    * StatsSpec on the real events table). Same ordering contract as
+    * [[graft.operators.Resample.ewmaStream]]: per-key x
+    * non-decreasing across micro-batches; watermark upstream to
+    * bound disorder.
+    */
+  def pageHinkleyStream(events: org.apache.spark.sql.Dataset[PhEvent],
+      delta: Double, lambda: Double)
+      : org.apache.spark.sql.Dataset[PhOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(lambda > 0.0, s"lambda=$lambda must be > 0")
+    import events.sparkSession.implicits._
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[PhEvent], gs: GroupState[PhState]) =>
+          val sorted = evs.toArray.sortBy(_.x)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = gs.getOption.getOrElse(PhState(0L,
+              java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO,
+              null, java.math.BigDecimal.ZERO, None))
+            sorted.foreach { e =>
+              val vq = java.math.BigDecimal.valueOf(e.v * 1e6)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              val t = st.t + 1
+              val s = st.s.add(java.math.BigDecimal.valueOf(vq))
+              val mu = r6(s.doubleValue() / t / 1e6)
+              val dev = java.math.BigDecimal
+                .valueOf(r6(vq / 1e6 - mu - delta)).setScale(6)
+              val m = st.m.add(dev)
+              val mMin =
+                if (st.mMin == null || m.compareTo(st.mMin) < 0) m
+                else st.mMin
+              val ph = m.subtract(mMin)
+              val phMax =
+                if (ph.compareTo(st.phMax) > 0) ph else st.phMax
+              val alarm = st.alarm.orElse(
+                if (ph.doubleValue() > lambda) Some(e.x) else None)
+              st = PhState(t, s, m, mMin, phMax, alarm)
+            }
+            gs.update(st)
+            Iterator.single(PhOut(key, st.t,
+              r6(st.phMax.doubleValue()), st.alarm))
+          }
+      }
+  }
+
   /** Per-group first-order partial correlation of y and z controlling
     * for x: r_yz·x = (r_yz − r_yx·r_zx)/√((1−r_yx²)(1−r_zx²)) — the
     * "are these two metrics related, or do they both just trend with

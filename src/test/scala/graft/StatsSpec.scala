@@ -1973,6 +1973,51 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- pageHinkleyStream ----
+
+  test("streaming pageHinkley == batch pageHinkley on real daily cells") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val cells = graft.tables.TableLoader.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("_cents"))
+      .select(col("event_type").as("key"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("long")
+          .as("x"),
+        (col("_cents") / 100.0).as("v"))
+    val batch = Stats.pageHinkley(cells, "key", "x", "v",
+        delta = 0.0, lambda = 2000.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+
+    val ordered = cells.as[Stats.PhEvent].collect()
+      .sortBy(e => (e.key, e.x))
+    val input = MemoryStream[Stats.PhEvent]
+    val q = Stats.pageHinkleyStream(input.toDS(), delta = 0.0,
+        lambda = 2000.0)
+      .toDF("key", "n", "ph_max", "alarm_x")
+      .writeStream.format("memory").queryName("ph_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (a, b) = ordered.splitAt(ordered.length / 2)
+    input.addData(a.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(b.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("ph_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+    assert(last === batch,
+      "the six-scalar streaming state must replay the batch fold exactly")
+  }
+
   // ---- ordinalAssociation ----
 
   test("ordinalAssociation: gamma ignores ties, Somers' D penalizes one side") {
