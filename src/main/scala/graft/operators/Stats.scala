@@ -420,6 +420,49 @@ object Stats {
           .cast("double").as("r"))
   }
 
+  /** Rolling OLS slope over a trailing ROWS frame per group — the
+    * windowed twin of the global trend fit: "what's the local trend
+    * RIGHT NOW", the drift needle a dashboard actually plots (the
+    * global regr_slope averages January into June; [[rollingCorr]]
+    * answers co-movement, this answers direction+rate).
+    *
+    * Exactness: the [[rollingCorr]] machinery verbatim — both columns
+    * quantize to 1e6-scaled longs, the five windowed moment sums are
+    * exact decimal(38,0) over ONE shared (group, order) frame, and
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE rounded division of
+    * exact integers (the 1e6 scales cancel). Warm-up rows (frame not
+    * yet full) and zero-variance frames report NULL.
+    *
+    * Scale shape: one key shuffle + in-partition sort; O(1) running
+    * state per row. Output: (group, order, n, slope).
+    */
+  def rollingSlope(df: DataFrame, groupCol: String, orderCol: String,
+      xCol: String, yCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"rollingSlope: window must be >= 2")
+    val dec = "decimal(38,0)"
+    val pts = df.select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+      round(col(xCol) * 1e6).cast("long").as("_x"),
+      round(col(yCol) * 1e6).cast("long").as("_y"))
+    val w = Window.partitionBy("_g").orderBy("_o")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val n = count(lit(1)).over(w)
+    val sx = sum(col("_x").cast(dec)).over(w)
+    val sy = sum(col("_y").cast(dec)).over(w)
+    val sxx = sum((col("_x").cast(dec) * col("_x")).cast(dec)).over(w)
+    val sxy = sum((col("_x").cast(dec) * col("_y")).cast(dec)).over(w)
+    pts
+      .withColumn("_n", n)
+      .withColumn("_vx",
+        (n.cast(dec) * sxx - (sx * sx).cast(dec)).cast("double"))
+      .withColumn("_cv",
+        (n.cast(dec) * sxy - (sx * sy).cast(dec)).cast("double"))
+      .select(col("_g").as(groupCol), col("_o").as(orderCol),
+        col("_n").cast("bigint").as("n"),
+        when(col("_n") >= window && col("_vx") > 0.0,
+          round(col("_cv") / col("_vx"), 6))
+          .cast("double").as("slope"))
+  }
+
   /** Pettitt changepoint test per group — the rank-based (Mann-
     * Whitney-flavored) "WHEN did this series shift" detector, the
     * location complement of CUSUM's mean-shift score: for each split

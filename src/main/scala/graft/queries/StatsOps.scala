@@ -1105,7 +1105,24 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Trailing-7-day rolling OLS slope of daily spend against the day
+    * index per event type: the local trend needle — exact windowed
+    * decimal moments, one rounded division per row.
+    */
+  val qRollingSlope: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("y"))
+      .withColumn("x",
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("double"))
+    graft.operators.Stats.rollingSlope(cells, "event_type", "d",
+        "x", "y", window = 7)
+      .withColumn("d", col("d").cast("string"))
+      .orderBy("event_type", "d")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_rolling_slope" -> qRollingSlope,
     "q_ordinal" -> qOrdinal,
     "q_roc_curve" -> qRocCurve,
     "q_krippendorff" -> qKrippendorff,
@@ -1204,6 +1221,37 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // The q_rolling_corr windowed-moment machinery with the slope
+    // projection: one rounded division of exact integers per row.
+    "q_rolling_slope" -> """
+      WITH cells AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y,
+               CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      sc AS (SELECT g, d,
+                    CAST(ROUND(x * 1000000.0) AS BIGINT)::HUGEINT AS qx,
+                    CAST(ROUND(y * 1000000.0) AS BIGINT)::HUGEINT AS qy
+             FROM cells),
+      w AS (
+        SELECT g, d,
+               COUNT(*) OVER fr AS n,
+               SUM(qx) OVER fr AS sx, SUM(qy) OVER fr AS sy,
+               SUM(qx * qx) OVER fr AS sxx,
+               SUM(qx * qy) OVER fr AS sxy
+        FROM sc
+        WINDOW fr AS (PARTITION BY g ORDER BY d
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT g AS event_type, CAST(d AS VARCHAR) AS d, n::BIGINT AS n,
+             CAST(CASE WHEN n >= 7
+                    AND CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE) > 0.0
+               THEN ROUND(CAST(n::HUGEINT * sxy - sx * sy AS DOUBLE)
+                 / CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE), 6)
+             END AS DOUBLE) AS slope
+      FROM w
+      ORDER BY event_type, d""",
 
     // The q_kendall CTEs with the gamma / Somers' D projections: one
     // rounded division each on the same exact integers.

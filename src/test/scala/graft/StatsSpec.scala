@@ -1973,6 +1973,24 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- rollingSlope ----
+
+  test("rollingSlope: exact line recovered after warm-up, NULL before") {
+    import spark.implicits._
+    val df = (1 to 6).map(i => ("g", i, i.toDouble, 3.0 * i + 1))
+      .toDF("g", "o", "x", "y")
+    val rows = Stats.rollingSlope(df, "g", "o", "x", "y", window = 3)
+      .orderBy("o").collect()
+    assert(rows.take(2).forall(_.isNullAt(3)), "warm-up rows are NULL")
+    assert(rows.drop(2).forall(_.getDouble(3) == 3.0),
+      s"y = 3x + 1 everywhere: ${rows.toSeq}")
+    // constant x inside the frame: no slope to fit
+    val flat = (1 to 4).map(i => ("g", i, 2.0, i.toDouble))
+      .toDF("g", "o", "x", "y")
+    assert(Stats.rollingSlope(flat, "g", "o", "x", "y", 3)
+      .collect().forall(_.isNullAt(3)))
+  }
+
   // ---- pageHinkleyStream ----
 
   test("streaming pageHinkley == batch pageHinkley on real daily cells") {
