@@ -306,6 +306,52 @@ object RankEval {
         / sum(col("n")), 6).cast("double").as("ece"),
       sum(col("n")).cast("long").as("n"))
 
+  /** Hosmer–Lemeshow goodness-of-fit over fixed-width confidence
+    * bins: HL = Σ_g (O_g − E_g)²/(n_g·π̄_g·(1−π̄_g)) vs χ²(k−2) — the
+    * TEST companion of [[calibrationBins]]/ECE (ECE sizes the
+    * miscalibration; HL asks whether it's beyond chance). O = observed
+    * positives, E = Σ conf, π̄ = E/n per bin.
+    *
+    * Exactness: confidences are caller-quantized at 6 dp (the
+    * [[calibrationBins]] contract), so E is an exact decimal sum of
+    * 1e6-scaled longs; O and n are exact integers; each bin's term is
+    * ONE identically-spelled float tree frozen at 12 dp into an
+    * order-free decimal(38,12) sum. Degenerate bins (π̄ = 0 or 1 —
+    * zero variance, the classic HL exclusion) are dropped and k
+    * reports the bins USED. Unscored/unlabeled rows are excluded.
+    *
+    * Scale shape: one bin-keyed aggregation + a bins-sized fold.
+    * Output: ONE row (n, k_bins, dof, hl).
+    */
+  def hosmerLemeshow(df: DataFrame, confCol: Column, label: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 3, s"hosmerLemeshow: bins must be >= 3, got $bins")
+    val bin = when(confCol.isNotNull,
+      least(floor(confCol * bins), lit((bins - 1).toLong))).cast("bigint")
+    val cells = df.filter(confCol.isNotNull && label.isNotNull)
+      .select(bin.as("_bin"),
+        round(confCol * 1e6).cast("long").as("_c"),
+        when(label, 1L).otherwise(0L).as("_y"))
+      .groupBy("_bin")
+      .agg(count(lit(1)).as("_n"), sum("_y").as("_o"),
+        sum(col("_c").cast("decimal(38,0)")).as("_e"))
+    val nd = col("_n").cast("double")
+    val ed = col("_e").cast("double") / 1e6
+    val pi = ed / nd
+    val term = when(pi > 0.0 && pi < 1.0,
+      round((col("_o").cast("double") - ed)
+        * (col("_o").cast("double") - ed)
+        / (nd * pi * (lit(1.0) - pi)), 12).cast("decimal(38,12)"))
+    cells.select(col("_n"), term.as("_t"))
+      .agg(sum("_n").as("n"), count(col("_t")).as("_k"),
+        sum("_t").as("_hl"))
+      .select(col("n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("k_bins"),
+        greatest(col("_k") - 2, lit(0L)).cast("bigint").as("dof"),
+        when(col("_k") > 0, round(col("_hl").cast("double"), 6))
+          .cast("double").as("hl"))
+  }
+
   /** Exact Brier score of probabilistic predictions against boolean
     * outcomes: mean (conf − y)² — the proper-scoring sibling of
     * [[calibrationBins]]/ECE. Confidences quantize to 1e-6-scaled

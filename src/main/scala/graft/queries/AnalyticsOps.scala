@@ -531,7 +531,24 @@ object AnalyticsOps {
       window = 2, iters = 3, k = 20)
   }
 
+  /** Hosmer-Lemeshow calibration test of the min-max value confidence
+    * against the even-JSON-k label (10 bins): exact O/E per bin,
+    * 12-dp-frozen terms, degenerate bins excluded.
+    */
+  val qHosmer: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+    val mm = ev.agg(min(col("value")).cast("double").as("_lo"),
+      max(col("value")).cast("double").as("_hi"))
+    val scored = ev.crossJoin(broadcast(mm))
+      .withColumn("conf",
+        round((col("value") - col("_lo")) / (col("_hi") - col("_lo")), 6))
+    RankEval.hosmerLemeshow(scored, col("conf"),
+      coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+        % 2 === 0, lit(false)), bins = 10)
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_hosmer" -> qHosmer,
     "q_textrank" -> qTextRank,
     "q_collocations" -> qCollocations,
     "q_naive_bayes" -> qNaiveBayes,
@@ -594,6 +611,40 @@ object AnalyticsOps {
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact O / decimal E per q_calibration bin; per-bin terms frozen
+    // at 12 dp; degenerate (pi 0/1) bins excluded, k reports used.
+    "q_hosmer" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      c AS (SELECT ROUND((value - lo) / (hi - lo), 6) AS conf,
+              CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS y
+            FROM events CROSS JOIN mm),
+      b AS (SELECT LEAST(CAST(FLOOR(conf * 10) AS BIGINT), 9) AS bin,
+                   CAST(ROUND(conf * 1000000.0) AS BIGINT) AS cq, y
+            FROM c WHERE conf IS NOT NULL),
+      cells AS (SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS o,
+                       SUM(cq::HUGEINT) AS e
+                FROM b GROUP BY bin),
+      t AS (SELECT n,
+              CASE WHEN CAST(e AS DOUBLE) / 1000000.0
+                     / CAST(n AS DOUBLE) > 0.0
+                    AND CAST(e AS DOUBLE) / 1000000.0
+                     / CAST(n AS DOUBLE) < 1.0 THEN
+                ROUND((CAST(o AS DOUBLE) - CAST(e AS DOUBLE) / 1000000.0)
+                  * (CAST(o AS DOUBLE) - CAST(e AS DOUBLE) / 1000000.0)
+                  / (CAST(n AS DOUBLE)
+                    * (CAST(e AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(e AS DOUBLE) / 1000000.0
+                      / CAST(n AS DOUBLE))), 12)::DECIMAL(38,12)
+              END AS term
+            FROM cells)
+      SELECT SUM(n)::BIGINT AS n, COUNT(term)::BIGINT AS k_bins,
+             GREATEST(COUNT(term) - 2, 0)::BIGINT AS dof,
+             CAST(CASE WHEN COUNT(term) > 0 THEN
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) END AS DOUBLE) AS hl
+      FROM t""",
 
     // Distinct symmetrized co-occurrence edges + the q_pagerank
     // iteration CTEs (uniform init, 12-dp rounds); LIMIT under the

@@ -601,6 +601,25 @@ class AnalyticsOpsSpec extends SparkTestBase {
       col("y") === 1).collect().head.getDouble(3) == 1.0)
   }
 
+  // ---- hosmerLemeshow ----
+
+  test("hosmerLemeshow: perfect calibration scores 0, degenerate bins drop") {
+    import spark.implicits._
+    val df = Seq((0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0),
+      (0.0, 0), (0.0, 0)).toDF("conf", "y")
+    val r = RankEval.hosmerLemeshow(df, col("conf"), col("y") === 1,
+      bins = 10).collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 1,
+      s"pi = 0 bin excluded from k: $r")
+    assert(r.getDouble(3) == 0.0, "O == E -> zero statistic")
+    // miscalibrated: conf 0.9 but half positive -> big term
+    val bad = Seq.fill(10)((0.9, 1)) ++ Seq.fill(10)((0.9, 0))
+    val rb = RankEval.hosmerLemeshow(bad.toDF("conf", "y"), col("conf"),
+      col("y") === 1, bins = 10).collect().head
+    // O = 10, E = 18, n = 20, pi = .9: (8^2)/(20*.9*.1) = 35.555556
+    assert(rb.getDouble(3) == 35.555556, rb.toString)
+  }
+
   // ---- reciprocalRank ----
 
   test("reciprocalRank: first hit, no-hit zero, depth cut") {
