@@ -314,6 +314,54 @@ object Clustering {
       array_min(dists).as("dist"))
   }
 
+  /** Simplified silhouette per cluster (Hruschka et al. 2004): for
+    * each point, a = (squared-L2) distance to its OWN centroid, b =
+    * the nearest OTHER centroid's distance, s = (b−a)/max(a,b) — the
+    * O(n·k) centroid-based form of the O(n²) pairwise silhouette,
+    * which is the only form that survives corpus scale; the
+    * cluster-quality readout run after [[kmeansPortable]] ("is k
+    * right, which clusters are mush"). s near 1 = tight and far from
+    * neighbors, near 0 = boundary, negative = probably mis-assigned.
+    *
+    * Determinism: distances are the [[kmeansPortable]] rounded
+    * kernel verbatim (same seeding, same argmin-lowest-index ties —
+    * a tie on min distance gives b = a, s = 0 on any engine); each s
+    * is one rounded tree frozen at 6 dp, per-cluster means are
+    * decimal(38,6) sums of those quanta with ONE division.
+    * max(a,b) = 0 (point on every centroid) → s = 0 by convention.
+    *
+    * Scale shape: centroids ride as literals (the Lloyd contract —
+    * zero joins), one scan computes all k distances per row inside
+    * codegen, one cluster-keyed aggregate. Output:
+    * (cluster, n, silhouette).
+    */
+  def simplifiedSilhouette(vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
+    require(k >= 2, s"simplifiedSilhouette: k must be >= 2, got $k")
+    val Seq(idc, vc) = Cols.fresh("sil", 2, vecs)
+    val v = vecs.select(col(idCol).as(idc),
+      col(vecCol).cast("array<double>").as(vc))
+    val centroids = trainCentroids(v, idc, vc, k, iters, roundDp)
+    val dists = array(centroids.map(c =>
+      sqDistTo(col(vc), c, roundDp)): _*)
+    val withD = v.select(col(idc), dists.as("_d"))
+      .withColumn("cluster",
+        (array_position(col("_d"), array_min(col("_d"))) - 1).cast("int"))
+      .withColumn("_a", array_min(col("_d")))
+      .withColumn("_b", array_min(filter(col("_d"),
+        (_, i) => i =!= col("cluster"))))
+      .withColumn("_s",
+        when(greatest(col("_a"), col("_b")) > 0.0,
+          round((col("_b") - col("_a"))
+            / greatest(col("_a"), col("_b")), 6))
+          .otherwise(lit(0.0)).cast("decimal(38,6)"))
+    withD.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("_s").as("_ss"))
+      .select(col("cluster"), col("n").cast("bigint").as("n"),
+        round(col("_ss").cast("double") / col("n").cast("double"), 6)
+          .cast("double").as("silhouette"))
+  }
+
   /** SemDeDup-style semantic near-dup removal: k-means-cluster the
     * embedding space, then drop every vector that has a LOWER-id
     * cluster-mate with cosine >= `minCosine`. Clustering bounds the

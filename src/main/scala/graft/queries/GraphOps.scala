@@ -162,6 +162,17 @@ object GraphOps {
       .orderBy("vec_id")
   }
 
+  /** Per-cluster simplified silhouette of the q_kmeans clustering:
+    * the O(n·k) centroid-based quality readout — same rounded
+    * distance kernel, 6-dp-frozen s values, decimal means.
+    */
+  val qSilhouette: QueryFn = withTables { spark =>
+    Clustering.simplifiedSilhouette(
+        spark.table("embeddings"), "vec_id", "embedding", k = 8,
+        iters = 1)
+      .orderBy("cluster")
+  }
+
   /** SemDeDup (cluster-then-dedup): k-means partition, then drop any
     * vector with a lower-id cluster-mate at cosine >= 0.3 (threshold
     * compared on the 6-dp-rounded cosine, so the boundary decision is
@@ -409,6 +420,7 @@ object GraphOps {
     "q_ann_pq" -> qAnnPq,
     "q_ann_pq_search" -> qAnnPqSearch,
     "q_kmeans" -> qKmeans,
+    "q_silhouette" -> qSilhouette,
     "q_semdedup" -> qSemDedup,
     "q_pagerank" -> qPageRank,
     "q_ppr" -> qPageRankPersonalized,
@@ -718,6 +730,23 @@ object GraphOps {
     "q_kmeans" -> (kmeansCtes + """
       SELECT vec_id, CAST(c AS INT) AS cluster, dist
       FROM asg1 ORDER BY vec_id"""),
+
+    // The q_kmeans CTEs; b = nearest OTHER centroid off the full a1
+    // distance table; s frozen at 6 dp, per-cluster decimal means.
+    "q_silhouette" -> (kmeansCtes + """,
+      bb AS (SELECT a1.vec_id, MIN(a1.dist) AS b
+             FROM a1 JOIN asg1 g ON a1.vec_id = g.vec_id
+               AND a1.c <> g.c
+             GROUP BY a1.vec_id),
+      sil AS (SELECT g.c AS cluster,
+                CASE WHEN GREATEST(g.dist, bb.b) > 0.0 THEN
+                  ROUND((bb.b - g.dist) / GREATEST(g.dist, bb.b), 6)
+                ELSE 0.0 END::DECIMAL(38,6) AS s
+              FROM asg1 g JOIN bb ON g.vec_id = bb.vec_id)
+      SELECT CAST(cluster AS INT) AS cluster, COUNT(*)::BIGINT AS n,
+             CAST(ROUND(CAST(SUM(s) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS silhouette
+      FROM sil GROUP BY cluster ORDER BY cluster"""),
 
     "q_semdedup" -> (kmeansCtes + """,
       losers AS (

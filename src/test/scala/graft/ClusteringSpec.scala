@@ -111,6 +111,26 @@ class ClusteringSpec extends SparkTestBase {
     (4L, Seq(9.0f, 9.1f)), (1L, Seq(9.1f, 9.0f)), (2L, Seq(9.05f, 9.05f)),
   ).toDF("id", "vec")
 
+  test("simplifiedSilhouette: tight blobs near 1, degenerate ties 0") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0, 0.1)), (2L, Array(0.1, 0.0)), (3L, Array(0.0, 0.0)),
+      (4L, Array(10.0, 10.1)), (5L, Array(10.1, 10.0)),
+      (6L, Array(10.0, 10.0)),
+    ).toDF("vec_id", "embedding")
+    val rows = Clustering.simplifiedSilhouette(vecs, "vec_id",
+      "embedding", k = 2, iters = 2).orderBy("cluster").collect()
+    assert(rows.length == 2 && rows.map(_.getLong(1)).sum == 6)
+    assert(rows.forall(_.getDouble(2) > 0.9),
+      s"well-separated blobs score near 1: ${rows.toSeq}")
+    // identical vectors: every centroid coincides -> a = b -> s = 0
+    val same = (1L to 4L).map(i => (i, Array(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val flat = Clustering.simplifiedSilhouette(same, "vec_id",
+      "embedding", k = 2, iters = 1).collect()
+    assert(flat.forall(_.getDouble(2) == 0.0), flat.toSeq.toString)
+  }
+
   test("kmeans separates two obvious blobs, preserving every row") {
     val got = Clustering.kmeansPortable(blobs, "id", "vec", k = 2, iters = 2)
       .as[(Long, Int, Double)].collect().sortBy(_._1)
