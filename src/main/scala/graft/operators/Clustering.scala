@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions
@@ -360,6 +361,70 @@ object Clustering {
       .select(col("cluster"), col("n").cast("bigint").as("n"),
         round(col("_ss").cast("double") / col("n").cast("double"), 6)
           .cast("double").as("silhouette"))
+  }
+
+  /** Davies–Bouldin index per cluster: R_i = max_{j≠i}
+    * (σ_i+σ_j)/d(c_i,c_j) with σ the mean member distance to the own
+    * centroid and d the centroid-pair distance, DB = mean R — the
+    * LOWER-is-better companion of [[simplifiedSilhouette]] (both
+    * O(n·k)+O(k²), never pairwise-corpus); the two disagreeing is
+    * itself the "clusters overlap" smell.
+    *
+    * Determinism: member distances are the [[kmeansPortable]] rounded
+    * kernel; σ is a decimal(38,6) mean of those 6-dp quanta (ONE
+    * division, re-frozen at 6 dp); centroid-pair distances are the
+    * SAME left-to-right rounded fold computed once on the driver's
+    * k·dim literal matrix; each R is one rounded division of frozen
+    * 6-dp values, the max and the DB mean run on those quanta.
+    * Duplicate centroids (d = 0) drop the pair — a cluster with no
+    * valid pair reports NULL r_max and leaves the DB mean. Only
+    * clusters WITH members participate.
+    *
+    * Output: (cluster, n, sigma, r_max, db) — db repeated per row
+    * (the panel's scalar).
+    */
+  def daviesBouldin(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
+    require(k >= 2, s"daviesBouldin: k must be >= 2, got $k")
+    val Seq(idc, vc) = Cols.fresh("db", 2, vecs)
+    val v = vecs.select(col(idCol).as(idc),
+      col(vecCol).cast("array<double>").as(vc))
+    val centroids = trainCentroids(v, idc, vc, k, iters, roundDp)
+    val sig = assignToCentroids(v, idc, vc, centroids, roundDp)
+      .select(col("cluster"), col("dist").cast("decimal(38,6)").as("_d"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("_d").as("_sd"))
+      .select(col("cluster"), col("n").cast("bigint").as("n"),
+        round(col("_sd").cast("double") / col("n").cast("double"),
+          roundDp).as("sigma"))
+    // centroid-pair distances: the sqDistTo fold replayed on the
+    // driver literals — same left-to-right order, same rounding
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(roundDp, java.math.RoundingMode.HALF_UP).doubleValue()
+    val pairRows = for {
+      i <- centroids.indices; j <- centroids.indices if i != j
+    } yield (i, j, r6(centroids(i).zip(centroids(j))
+      .foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }))
+    val pairs = vecs.sparkSession.createDataFrame(pairRows)
+      .toDF("_ci", "_cj", "_dij")
+    val rTab = sig.select(col("cluster").as("_ci"), col("sigma").as("_si"))
+      .join(broadcast(pairs), Seq("_ci"))
+      .join(sig.select(col("cluster").as("_cj"), col("sigma").as("_sj")),
+        Seq("_cj"))
+      .filter(col("_dij") > 0.0)
+      .select(col("_ci"),
+        round((col("_si") + col("_sj")) / col("_dij"), roundDp).as("_r"))
+      .groupBy(col("_ci").as("_cr"))
+      .agg(max("_r").as("r_max"))
+    val wAll = Window.partitionBy()
+    sig.join(rTab, col("cluster") === col("_cr"), "left").drop("_cr")
+      .withColumn("db",
+        round(sum(col("r_max").cast("decimal(38,6)")).over(wAll)
+          .cast("double") / count(col("r_max")).over(wAll), 6)
+          .cast("double"))
+      .select(col("cluster"), col("n"),
+        col("sigma").cast("double").as("sigma"),
+        col("r_max").cast("double").as("r_max"), col("db"))
   }
 
   /** SemDeDup-style semantic near-dup removal: k-means-cluster the

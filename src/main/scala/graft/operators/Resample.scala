@@ -1193,6 +1193,55 @@ object Resample {
           .cast("double").as("mase"))
   }
 
+  /** Trend and seasonal STRENGTH per group (Hyndman's STL-strength
+    * convention on the [[decomposeAdditive]] components): F_seasonal
+    * = max(0, 1 − var(resid)/var(seasonal+resid)), F_trend analog —
+    * "how seasonal / how trended is this series" as two numbers on
+    * [0,1], the triage that decides whether L207's decomposition (and
+    * everything downstream of it) is even worth reading.
+    *
+    * Exactness: the decomposition's 6-dp components re-quantize to
+    * exact 1e6-scaled longs (lossless by construction); all variance
+    * moments are exact decimal(38,0) off ONE group aggregate over the
+    * interior (non-NULL-trend) rows; each strength is one
+    * identically-spelled rounded tree. n < 3 interior rows or a zero
+    * denominator variance → NULL strength.
+    *
+    * Output: (group, n, trend_strength, seasonal_strength).
+    */
+  def seasonalStrength(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String, period: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = (c: String) => round(col(c) * 1e6).cast("long")
+    val comps = decomposeAdditive(df, groupCol, xCol, valueCol, period)
+      .filter(col("resid").isNotNull)
+      .select(col(groupCol),
+        q("resid").as("_r"),
+        (q("seasonal") + q("resid")).as("_sr"),
+        (q("trend") + q("resid")).as("_tr"))
+    def s(c: String) = sum(col(c).cast(dec))
+    def s2(c: String) = sum((col(c).cast(dec) * col(c)).cast(dec))
+    val m = comps.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        s("_r").as("_s1"), s2("_r").as("_q1"),
+        s("_sr").as("_s2"), s2("_sr").as("_q2"),
+        s("_tr").as("_s3"), s2("_tr").as("_q3"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n")
+    def v(sc: String, qc: String) =
+      (nd * d(qc) - d(sc) * d(sc)) / (nd * (nd - 1.0))
+    val vr = v("_s1", "_q1")
+    val vsr = v("_s2", "_q2")
+    val vtr = v("_s3", "_q3")
+    m.select(col(groupCol), col("n").cast("bigint").as("n"),
+      when(col("n") >= 3 && vtr > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - vr / vtr), 6))
+        .cast("double").as("trend_strength"),
+      when(col("n") >= 3 && vsr > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - vr / vsr), 6))
+        .cast("double").as("seasonal_strength"))
+  }
+
   /** Cross-correlation function between two measures' daily series
     * per group, at lags −m..m: ccf(ℓ) = Σ aˣ_t·aʸ_{t+ℓ}/√(Dx·Dy) on
     * the [[autocorrelation]] convention (overlap numerator, full-

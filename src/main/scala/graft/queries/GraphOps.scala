@@ -173,6 +173,18 @@ object GraphOps {
       .orderBy("cluster")
   }
 
+  /** Davies-Bouldin panel of the q_kmeans clustering: sigma from
+    * decimal means of the rounded distance quanta, centroid-pair
+    * distances replayed once on the literal matrix, R/DB one rounded
+    * tree each.
+    */
+  val qDaviesBouldin: QueryFn = withTables { spark =>
+    Clustering.daviesBouldin(
+        spark.table("embeddings"), "vec_id", "embedding", k = 8,
+        iters = 1)
+      .orderBy("cluster")
+  }
+
   /** SemDeDup (cluster-then-dedup): k-means partition, then drop any
     * vector with a lower-id cluster-mate at cosine >= 0.3 (threshold
     * compared on the 6-dp-rounded cosine, so the boundary decision is
@@ -421,6 +433,7 @@ object GraphOps {
     "q_ann_pq_search" -> qAnnPqSearch,
     "q_kmeans" -> qKmeans,
     "q_silhouette" -> qSilhouette,
+    "q_davies_bouldin" -> qDaviesBouldin,
     "q_semdedup" -> qSemDedup,
     "q_pagerank" -> qPageRank,
     "q_ppr" -> qPageRankPersonalized,
@@ -730,6 +743,33 @@ object GraphOps {
     "q_kmeans" -> (kmeansCtes + """
       SELECT vec_id, CAST(c AS INT) AS cluster, dist
       FROM asg1 ORDER BY vec_id"""),
+
+    // The q_kmeans CTEs; sigma = decimal mean of rounded member
+    // distances, centroid pairs off c1's lists (same rounded fold),
+    // R/DB one rounded tree each; d = 0 pairs dropped.
+    "q_davies_bouldin" -> (kmeansCtes + """,
+      sig AS (SELECT c AS cluster, COUNT(*)::BIGINT AS n,
+                ROUND(CAST(SUM(dist::DECIMAL(38,6)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS sigma
+              FROM asg1 GROUP BY c),
+      dp AS (SELECT a.c AS ci, b.c AS cj,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.cv) + 1),
+                 i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))), 6)
+                 AS dij
+             FROM c1 a CROSS JOIN c1 b WHERE a.c <> b.c),
+      rt AS (SELECT si.cluster AS ci,
+               MAX(ROUND((si.sigma + sj.sigma) / dp.dij, 6)) AS r_max
+             FROM sig si JOIN dp ON dp.ci = si.cluster
+             JOIN sig sj ON sj.cluster = dp.cj
+             WHERE dp.dij > 0.0 GROUP BY si.cluster),
+      fin AS (SELECT sig.cluster, sig.n, sig.sigma, rt.r_max
+              FROM sig LEFT JOIN rt ON rt.ci = sig.cluster)
+      SELECT CAST(cluster AS INT) AS cluster, n,
+             CAST(sigma AS DOUBLE) AS sigma,
+             CAST(r_max AS DOUBLE) AS r_max,
+             CAST(ROUND(CAST(SUM(r_max::DECIMAL(38,6)) OVER ()
+               AS DOUBLE) / COUNT(r_max) OVER (), 6) AS DOUBLE) AS db
+      FROM fin ORDER BY cluster"""),
 
     // The q_kmeans CTEs; b = nearest OTHER centroid off the full a1
     // distance table; s frozen at 6 dp, per-cluster decimal means.

@@ -1121,7 +1121,23 @@ object StatsOps {
       .orderBy("event_type", "d")
   }
 
+  /** Trend/seasonal strength of the q_decompose daily-cents series
+    * (period 7): exact re-quantized components, one variance-ratio
+    * tree per strength.
+    */
+  val qSeasonalStrength: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Resample.seasonalStrength(cells, "event_type", "x", "y", period = 7)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_seasonal_strength" -> qSeasonalStrength,
     "q_rolling_slope" -> qRollingSlope,
     "q_ordinal" -> qOrdinal,
     "q_roc_curve" -> qRocCurve,
@@ -1221,6 +1237,87 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // The q_decompose CTEs; components re-quantized to exact 1e6
+    // longs, HUGEINT variance moments, one strength tree each.
+    "q_seasonal_strength" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(x AS BIGINT) AS x,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      ma AS (
+        SELECT g, x, yq, COUNT(*) OVER w7 AS nw, SUM(yq) OVER w7 AS s7
+        FROM pts WINDOW w7 AS (PARTITION BY g ORDER BY x
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tr AS (
+        SELECT g, x, yq,
+               CASE WHEN nw = 7 THEN
+                 ROUND(s7 / 7.0 / 1000000.0, 6) END AS trend,
+               ((x % 7) + 7) % 7 AS phase
+        FROM ma),
+      det AS (
+        SELECT g, x, yq, trend, phase,
+               ROUND(yq / 1000000.0 - trend, 6) AS det
+        FROM tr),
+      pm AS (
+        SELECT g, phase,
+               ROUND(CAST(SUM(CAST(det AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS smean
+        FROM det WHERE det IS NOT NULL GROUP BY g, phase),
+      ct AS (
+        SELECT g, ROUND(CAST(SUM(CAST(smean AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+        FROM pm GROUP BY g),
+      j AS (
+        SELECT d.g, d.x, d.yq, d.trend,
+               ROUND(pm.smean - ct.c, 6) AS scenter
+        FROM det d LEFT JOIN pm ON d.g = pm.g AND d.phase = pm.phase
+        LEFT JOIN ct ON d.g = ct.g),
+      comp AS (
+        SELECT g,
+               CAST(ROUND(ROUND(yq / 1000000.0 - trend - scenter, 6)
+                 * 1000000.0) AS BIGINT) AS r,
+               CAST(ROUND(scenter * 1000000.0) AS BIGINT)
+                 + CAST(ROUND(ROUND(yq / 1000000.0 - trend - scenter, 6)
+                   * 1000000.0) AS BIGINT) AS sr,
+               CAST(ROUND(trend * 1000000.0) AS BIGINT)
+                 + CAST(ROUND(ROUND(yq / 1000000.0 - trend - scenter, 6)
+                   * 1000000.0) AS BIGINT) AS tr
+        FROM j WHERE trend IS NOT NULL),
+      m AS (SELECT g, COUNT(*)::BIGINT AS n,
+              SUM(r::HUGEINT) AS s1, SUM(r::HUGEINT * r) AS q1,
+              SUM(sr::HUGEINT) AS s2, SUM(sr::HUGEINT * sr) AS q2,
+              SUM(tr::HUGEINT) AS s3, SUM(tr::HUGEINT * tr) AS q3
+            FROM comp GROUP BY g)
+      SELECT g AS event_type, n,
+        CAST(CASE WHEN n >= 3 AND (CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+            - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0.0 THEN
+          ROUND(GREATEST(0.0, 1.0 -
+            ((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+            / ((CAST(n AS DOUBLE) * CAST(q3 AS DOUBLE)
+              - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6)
+          END AS DOUBLE) AS trend_strength,
+        CAST(CASE WHEN n >= 3 AND (CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0.0 THEN
+          ROUND(GREATEST(0.0, 1.0 -
+            ((CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+            / ((CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6)
+          END AS DOUBLE) AS seasonal_strength
+      FROM m ORDER BY event_type""",
 
     // The q_rolling_corr windowed-moment machinery with the slope
     // projection: one rounded division of exact integers per row.

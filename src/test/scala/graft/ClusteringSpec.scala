@@ -131,6 +131,27 @@ class ClusteringSpec extends SparkTestBase {
     assert(flat.forall(_.getDouble(2) == 0.0), flat.toSeq.toString)
   }
 
+  test("daviesBouldin: separated blobs score low, duplicate centroids drop") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0, 0.1)), (2L, Array(0.1, 0.0)), (3L, Array(0.0, 0.0)),
+      (4L, Array(10.0, 10.1)), (5L, Array(10.1, 10.0)),
+      (6L, Array(10.0, 10.0)),
+    ).toDF("vec_id", "embedding")
+    val rows = Clustering.daviesBouldin(vecs, "vec_id", "embedding",
+      k = 2, iters = 2).orderBy("cluster").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getDouble(4) < 0.1),
+      s"tight separated blobs -> small DB: ${rows.toSeq}")
+    assert(rows.forall(r => r.getDouble(2) >= 0.0), "sigma nonnegative")
+    // identical vectors: duplicate centroids, every pair drops
+    val same = (1L to 4L).map(i => (i, Array(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val flat = Clustering.daviesBouldin(same, "vec_id", "embedding",
+      k = 2, iters = 1).collect()
+    assert(flat.forall(_.isNullAt(3)), "d = 0 pairs dropped -> NULL r_max")
+  }
+
   test("kmeans separates two obvious blobs, preserving every row") {
     val got = Clustering.kmeansPortable(blobs, "id", "vec", k = 2, iters = 2)
       .as[(Long, Int, Double)].collect().sortBy(_._1)

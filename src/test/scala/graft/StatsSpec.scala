@@ -1973,6 +1973,27 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- seasonalStrength ----
+
+  test("seasonalStrength: pure season 1/NULL, pure trend NULL/1") {
+    import spark.implicits._
+    // period-3 pure seasonal over 4 cycles: resid 0, flat trend
+    val pattern = Seq(10.0, 20.0, 30.0)
+    val seasonal = (0 until 12).map(i => ("g", i.toLong, pattern(i % 3)))
+      .toDF("g", "x", "y")
+    val rs = Resample.seasonalStrength(seasonal, "g", "x", "y",
+      period = 3).collect().head
+    assert(rs.getDouble(3) == 1.0, s"pure season: $rs")
+    assert(rs.isNullAt(2), "flat trend + zero resid -> NULL trend strength")
+    // pure line: det/seasonal/resid all 0, trend carries everything
+    val line = (0 until 12).map(i => ("g", i.toLong, 5.0 * i))
+      .toDF("g", "x", "y")
+    val rl = Resample.seasonalStrength(line, "g", "x", "y", period = 3)
+      .collect().head
+    assert(rl.getDouble(2) == 1.0, s"pure trend: $rl")
+    assert(rl.isNullAt(3), "zero seasonal+resid variance -> NULL")
+  }
+
   // ---- rollingSlope ----
 
   test("rollingSlope: exact line recovered after warm-up, NULL before") {
