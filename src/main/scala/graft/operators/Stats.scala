@@ -3395,6 +3395,121 @@ object Stats {
           .cast("double").as("kappa"))
   }
 
+  /** Cohen's h effect size per group vs the pooled complement:
+    * h = 2·asin(√p_g) − 2·asin(√p_rest) — the proportions analog of
+    * Cohen's d, and the missing number next to [[propZTest]]'s
+    * p-value (at corpus n EVERYTHING is significant; h says whether
+    * the gap is worth caring about: 0.2 small, 0.5 medium, 0.8
+    * large). Rest-side counts recover exactly as global − group (the
+    * cohensD plan).
+    *
+    * Exactness: counts are exact integers; each proportion is one
+    * double division; the arcsine tree is identically spelled and
+    * frozen at 6 dp (the ln-freeze discipline applied to asin — a
+    * 1-ulp libm difference dies at the 6th decimal). Empty sides →
+    * NULL h. Output: (group, n_g, n_rest, p_g, p_rest, h).
+    */
+  def cohensH(df: DataFrame, groupCol: String, success: Column)
+      : DataFrame = {
+    val byG = df.filter(success.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(success, 1L).otherwise(0L)).as("_s"))
+    val tot = byG.agg(sum("_n").as("_nt"), sum("_s").as("_st"))
+    def d(c: Column) = c.cast("double")
+    val pg = d(col("_s")) / d(col("_n"))
+    val pr = d(col("_st") - col("_s")) / d(col("_nt") - col("_n"))
+    byG.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("_n").cast("bigint").as("n_g"),
+        (col("_nt") - col("_n")).cast("bigint").as("n_rest"),
+        round(pg, 6).cast("double").as("p_g"),
+        when(col("_nt") - col("_n") > 0, round(pr, 6))
+          .cast("double").as("p_rest"),
+        when(col("_n") > 0 && col("_nt") - col("_n") > 0,
+          round(lit(2.0) * asin(sqrt(pg)) - lit(2.0) * asin(sqrt(pr)),
+            6)).cast("double").as("h"))
+  }
+
+  /** Woolf confidence interval for the 2×2 odds ratio:
+    * OR = ad/bc, CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)) — the
+    * interval [[mantelHaenszel]]'s point estimate and
+    * [[fisherExactGreater]]'s p-value both leave unstated ("how big
+    * COULD the effect be" is the question a decision needs).
+    *
+    * Exactness: cells are exact integers; ln OR freezes at 12 dp,
+    * the SE's four reciprocals form one identically-spelled tree
+    * under the √, and each bound is ONE frozen exp tree rounded at
+    * 6 dp. ANY zero cell → NULL everything except the cells (the
+    * Woolf interval is undefined; small-sample callers want
+    * [[fisherExactGreater]], not a smoothed fudge). `z` defaults to
+    * the 95 % two-sided 1.959964.
+    *
+    * Output: ONE row (a, b, c, d, odds_ratio, ci_lo, ci_hi).
+    */
+  def oddsRatioCI(df: DataFrame, exposed: Column, outcome: Column,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0.0, s"oddsRatioCI: z must be > 0, got $z")
+    val cells = df
+      .filter(exposed.isNotNull && outcome.isNotNull)
+      .select(when(exposed, 1L).otherwise(0L).as("_e"),
+        when(outcome, 1L).otherwise(0L).as("_o"))
+      .agg(coalesce(sum(col("_e") * col("_o")), lit(0L)).as("a"),
+        coalesce(sum(col("_e") * (lit(1L) - col("_o"))), lit(0L)).as("b"),
+        coalesce(sum((lit(1L) - col("_e")) * col("_o")), lit(0L)).as("c"),
+        coalesce(sum((lit(1L) - col("_e")) * (lit(1L) - col("_o"))),
+          lit(0L)).as("d"))
+    def dd(c: String) = col(c).cast("double")
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0
+    val lnOr = round(log(dd("a") * dd("d") / (dd("b") * dd("c"))), 12)
+    val se = sqrt(lit(1.0) / dd("a") + lit(1.0) / dd("b")
+      + lit(1.0) / dd("c") + lit(1.0) / dd("d"))
+    cells.select(
+      col("a").cast("bigint").as("a"), col("b").cast("bigint").as("b"),
+      col("c").cast("bigint").as("c"), col("d").cast("bigint").as("d"),
+      when(ok, round(dd("a") * dd("d") / (dd("b") * dd("c")), 6))
+        .cast("double").as("odds_ratio"),
+      when(ok, round(exp(lnOr - lit(z) * se), 6))
+        .cast("double").as("ci_lo"),
+      when(ok, round(exp(lnOr + lit(z) * se), 6))
+        .cast("double").as("ci_hi"))
+  }
+
+  /** Bland–Altman agreement between two paired measurements: bias =
+    * mean(x−y) and the 95 % limits of agreement bias ± z·sd(x−y) —
+    * THE method-comparison readout (correlation is the wrong tool: two
+    * methods can correlate at .99 and still disagree by a constant
+    * offset a correlation never shows).
+    *
+    * Exactness: differences quantize to exact 1e6-scaled longs;
+    * n/Σd/Σd² are exact decimal(38,0) off ONE aggregate; bias, the
+    * sample sd, and each limit are identically-spelled rounded trees
+    * (sd frozen at 6 dp BEFORE the limits so the ± arms share one
+    * value). n < 2 → NULL sd/limits. Output: ONE row
+    * (n, bias, sd, loa_lo, loa_hi).
+    */
+  def blandAltman(df: DataFrame, xCol: String, yCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"blandAltman: z must be > 0, got $z")
+    val dec = "decimal(38,0)"
+    val dq = (round(col(xCol) * 1e6).cast("long")
+      - round(col(yCol) * 1e6).cast("long"))
+    val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(dq.as("_d"))
+      .agg(count(lit(1)).as("n"), sum(col("_d").cast(dec)).as("_s"),
+        sum((col("_d").cast(dec) * col("_d")).cast(dec)).as("_q"))
+    def d(c: String) = col(c).cast("double")
+    val bias = round(d("_s") / d("n") / 1e6, 6)
+    val sd = round(sqrt((d("n") * d("_q") - d("_s") * d("_s"))
+      / (d("n") * (d("n") - 1.0))) / 1e6, 6)
+    m.select(col("n").cast("bigint").as("n"),
+      when(col("n") > 0, bias).cast("double").as("bias"),
+      when(col("n") >= 2, sd).cast("double").as("sd"),
+      when(col("n") >= 2, round(bias - lit(z) * sd, 6))
+        .cast("double").as("loa_lo"),
+      when(col("n") >= 2, round(bias + lit(z) * sd, 6))
+        .cast("double").as("loa_hi"))
+  }
+
   /** Krippendorff's alpha (nominal) over a long (unit, category)
     * ratings frame: the agreement coefficient that tolerates RAGGED
     * panels and missing ratings — where [[fleissKappa]] demands a

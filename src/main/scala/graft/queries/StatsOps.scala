@@ -1136,7 +1136,38 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Cohen's h of the high-value share per event type vs the pooled
+    * rest: the effect size q_prop_ztest's p-value leaves unstated;
+    * frozen arcsine trees on exact proportions.
+    */
+  val qCohensH: QueryFn = withTables { spark =>
+    Stats.cohensH(spark.table("events"), "event_type",
+        col("value") > 50.0)
+      .orderBy("event_type")
+  }
+
+  /** Woolf odds-ratio CI for user parity × high value: exact cells,
+    * frozen ln/exp trees, NULL on any zero cell.
+    */
+  val qOddsRatio: QueryFn = withTables { spark =>
+    Stats.oddsRatioCI(spark.table("events"),
+      col("user_id") % 2 === 0, col("value") > 50.0)
+  }
+
+  /** Bland-Altman agreement between the raw value and its
+    * whole-dollar rounding (quantization bias + limits): exact
+    * decimal moments, sd frozen before the ± arms.
+    */
+  val qBlandAltman: QueryFn = withTables { spark =>
+    Stats.blandAltman(
+      spark.table("events").withColumn("rounded",
+        round(col("value"), 0)), "value", "rounded")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_cohens_h" -> qCohensH,
+    "q_odds_ratio" -> qOddsRatio,
+    "q_bland_altman" -> qBlandAltman,
     "q_seasonal_strength" -> qSeasonalStrength,
     "q_rolling_slope" -> qRollingSlope,
     "q_ordinal" -> qOrdinal,
@@ -1237,6 +1268,95 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // Exact side-vs-rest counts; the arcsine tree spelled once and
+    // frozen at 6 dp.
+    "q_cohens_h" -> """
+      WITH g AS (SELECT event_type,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT
+                     AS s
+                 FROM events WHERE value IS NOT NULL
+                 GROUP BY event_type),
+      t AS (SELECT SUM(n)::BIGINT AS nt, SUM(s)::BIGINT AS st FROM g)
+      SELECT event_type, n AS n_g, (nt - n)::BIGINT AS n_rest,
+             CAST(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS p_g,
+             CAST(CASE WHEN nt - n > 0 THEN
+               ROUND(CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE), 6)
+               END AS DOUBLE) AS p_rest,
+             CAST(CASE WHEN n > 0 AND nt - n > 0 THEN
+               ROUND(2.0 * ASIN(SQRT(CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)))
+                 - 2.0 * ASIN(SQRT(CAST(st - s AS DOUBLE)
+                   / CAST(nt - n AS DOUBLE))), 6) END AS DOUBLE) AS h
+      FROM g CROSS JOIN t ORDER BY event_type""",
+
+    // Exact 2x2 cells; ln OR frozen at 12 dp, one exp tree per bound;
+    // any zero cell -> NULL (Woolf is undefined there).
+    "q_odds_ratio" -> """
+      WITH base AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS e,
+               CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS o
+        FROM events WHERE value IS NOT NULL),
+      cells AS (SELECT COALESCE(SUM(e * o), 0)::BIGINT AS a,
+                       COALESCE(SUM(e * (1 - o)), 0)::BIGINT AS b,
+                       COALESCE(SUM((1 - e) * o), 0)::BIGINT AS c,
+                       COALESCE(SUM((1 - e) * (1 - o)), 0)::BIGINT AS d
+                FROM base)
+      SELECT a, b, c, d,
+        CAST(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+          ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+            / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6) END
+          AS DOUBLE) AS odds_ratio,
+        CAST(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+          ROUND(EXP(ROUND(LN(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+              / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 12)
+            - 1.959964 * SQRT(1.0 / CAST(a AS DOUBLE)
+              + 1.0 / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)
+              + 1.0 / CAST(d AS DOUBLE))), 6) END AS DOUBLE) AS ci_lo,
+        CAST(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+          ROUND(EXP(ROUND(LN(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+              / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 12)
+            + 1.959964 * SQRT(1.0 / CAST(a AS DOUBLE)
+              + 1.0 / CAST(b AS DOUBLE) + 1.0 / CAST(c AS DOUBLE)
+              + 1.0 / CAST(d AS DOUBLE))), 6) END AS DOUBLE) AS ci_hi
+      FROM cells""",
+
+    // Exact 1e6-quantized differences; bias/sd/limits spelled once,
+    // sd frozen before the +/- arms.
+    "q_bland_altman" -> """
+      WITH d AS (
+        SELECT CAST(ROUND(value * 1000000.0) AS BIGINT)
+               - CAST(ROUND(ROUND(value, 0) * 1000000.0) AS BIGINT) AS dd
+        FROM events
+        WHERE value IS NOT NULL AND ROUND(value, 0) IS NOT NULL),
+      m AS (SELECT COUNT(*)::BIGINT AS n, SUM(dd::HUGEINT) AS s,
+                   SUM(dd::HUGEINT * dd) AS q
+            FROM d)
+      SELECT n,
+        CAST(CASE WHEN n > 0 THEN ROUND(CAST(s AS DOUBLE)
+          / CAST(n AS DOUBLE) / 1000000.0, 6) END AS DOUBLE) AS bias,
+        CAST(CASE WHEN n >= 2 THEN
+          ROUND(SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+            / 1000000.0, 6) END AS DOUBLE) AS sd,
+        CAST(CASE WHEN n >= 2 THEN
+          ROUND(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              / 1000000.0, 6)
+            - 1.96 * ROUND(SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+              / 1000000.0, 6), 6) END AS DOUBLE) AS loa_lo,
+        CAST(CASE WHEN n >= 2 THEN
+          ROUND(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+              / 1000000.0, 6)
+            + 1.96 * ROUND(SQRT((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+              / 1000000.0, 6), 6) END AS DOUBLE) AS loa_hi
+      FROM m""",
 
     // The q_decompose CTEs; components re-quantized to exact 1e6
     // longs, HUGEINT variance moments, one strength tree each.

@@ -1973,6 +1973,53 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- cohensH / oddsRatioCI / blandAltman ----
+
+  test("cohensH: equal proportions 0, known gap, antisymmetric") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(("a", 1)) ++ Seq.fill(2)(("a", 0))
+      ++ Seq.fill(2)(("b", 1)) ++ Seq.fill(8)(("b", 0))).toDF("g", "y")
+    val out = Stats.cohensH(df, "g", col("y") === 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exp = math.rint((2 * math.asin(math.sqrt(0.8))
+      - 2 * math.asin(math.sqrt(0.2))) * 1e6) / 1e6
+    assert(math.abs(out("a").getDouble(5) - exp) < 2e-6, out("a").toString)
+    assert(out("a").getDouble(5) == -out("b").getDouble(5),
+      "swapping sides flips the sign")
+    val same = (Seq.fill(5)(("a", 1)) ++ Seq.fill(5)(("a", 0))
+      ++ Seq.fill(4)(("b", 1)) ++ Seq.fill(4)(("b", 0))).toDF("g", "y")
+    assert(Stats.cohensH(same, "g", col("y") === 1)
+      .collect().forall(_.getDouble(5) == 0.0), "p = p_rest -> h = 0")
+  }
+
+  test("oddsRatioCI: OR 4 bracketed by its Woolf interval; zero cell NULLs") {
+    import spark.implicits._
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(20)((false, false))
+    val r = Stats.oddsRatioCI(rows.toDF("e", "o"), col("e"), col("o"))
+      .collect().head
+    assert(r.getDouble(4) == 4.0, s"ad/bc = 400/100: $r")
+    assert(r.getDouble(5) < 4.0 && 4.0 < r.getDouble(6),
+      "interval brackets the point estimate")
+    assert(r.getDouble(5) > 0.0, "log-scale interval stays positive")
+    val zero = Seq((true, true), (false, false)).toDF("e", "o")
+    val rz = Stats.oddsRatioCI(zero, col("e"), col("o")).collect().head
+    assert(rz.isNullAt(4) && rz.isNullAt(5) && rz.isNullAt(6))
+  }
+
+  test("blandAltman: constant offset is pure bias with zero-width limits") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => (i + 0.25, i.toDouble)).toDF("x", "y")
+    val r = Stats.blandAltman(df, "x", "y").collect().head
+    assert(r.getLong(0) == 5 && r.getDouble(1) == 0.25, r.toString)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.25
+      && r.getDouble(4) == 0.25, "no spread -> limits collapse to bias")
+    val spread = Seq((1.0, 0.0), (0.0, 1.0)).toDF("x", "y")
+    val rs = Stats.blandAltman(spread, "x", "y").collect().head
+    assert(rs.getDouble(1) == 0.0 && rs.getDouble(2) > 1.0,
+      "symmetric disagreement: zero bias, real sd")
+  }
+
   // ---- seasonalStrength ----
 
   test("seasonalStrength: pure season 1/NULL, pure trend NULL/1") {
