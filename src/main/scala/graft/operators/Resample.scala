@@ -1193,6 +1193,70 @@ object Resample {
           .cast("double").as("mase"))
   }
 
+  /** Newey–West (Bartlett-kernel) HAC standard error of each group's
+    * daily mean: se² = [γ̂₀ + 2Σ_{k=1..m}(1 − k/(m+1))·γ̂_k]/n — the
+    * honest uncertainty for a CORRELATED series, reported beside the
+    * i.i.d. se that metric dashboards quote by default (on a sticky
+    * daily metric the i.i.d. se can be several times too small; the
+    * ESS row says how many effective days you have, this prices the
+    * mean directly).
+    *
+    * Exactness: the [[autocorrelation]] fold verbatim — centered
+    * values n·x−Σx are exact decimal(38,0) integers, γ̂ numerators
+    * and γ̂₀'s denominator are exact decimal sums over ONE shared
+    * day-ordered window; the Bartlett combination is ONE fixed-size
+    * expression tree (m literal weights — never a data-dependent
+    * float fold) and each se is one rounded tree (the n²·10⁶ descale
+    * folds in). A strongly negative short-lag ACF can push the
+    * truncated kernel sum negative → NULL se_hac (the ESS validity
+    * contract). n ≤ m → NULL.
+    *
+    * Output: (group, n_days, mean, se_iid, se_hac) — se_iid uses the
+    * same 1/n (population) convention so the two are comparable.
+    */
+  def hacSe(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 10,
+      s"maxLag=$maxLag out of the sane 1..10 window")
+    val dec = "decimal(38,0)"
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    val cells = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_day").agg(sum("_q").as("_x"))
+    val statsTab = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).cast(dec).as("_n"), sum("_x").cast(dec).as("_s"))
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val centered = cells
+      .join(broadcast(statsTab), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_a", (col("_n") * col("_x").cast(dec) - col("_s"))
+        .cast(dec))
+    val withLeads = (1 to maxLag).foldLeft(centered) { (acc, k) =>
+      acc.withColumn(s"_l$k", lead(col("_a"), k).over(w))
+    }
+    val aggs = sum(col("_a") * col("_a")).as("_d0") +:
+      count(lit(1)).as("n_days") +:
+      max(col("_s")).as("_sm") +:
+      ((1 to maxLag).map(k =>
+        sum(col("_a") * col(s"_l$k")).as(s"_n$k")))
+    val folded = withLeads.groupBy(col("_g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n_days")
+    val sHac = (1 to maxLag).foldLeft(d("_d0")) { (acc, k) =>
+      acc + lit(2.0 * (1.0 - k.toDouble / (maxLag + 1))) * d(s"_n$k")
+    }
+    folded.select(col(groupCol), col("n_days").cast("bigint").as("n_days"),
+      round(d("_sm") / nd / 1e6, 6).cast("double").as("mean"),
+      when(col("n_days") > maxLag && d("_d0") > 0.0,
+        round(sqrt(d("_d0")) / (nd * nd) / 1e6, 6))
+        .cast("double").as("se_iid"),
+      when(col("n_days") > maxLag && sHac > 0.0,
+        round(sqrt(sHac) / (nd * nd) / 1e6, 6))
+        .cast("double").as("se_hac"))
+  }
+
   /** Trend and seasonal STRENGTH per group (Hyndman's STL-strength
     * convention on the [[decomposeAdditive]] components): F_seasonal
     * = max(0, 1 − var(resid)/var(seasonal+resid)), F_trend analog —

@@ -1164,7 +1164,19 @@ object StatsOps {
         round(col("value"), 0)), "value", "rounded")
   }
 
+  /** Newey-West HAC standard error of each type's daily mean value
+    * (Bartlett m=3), beside the i.i.d. se: the honest uncertainty for
+    * a sticky series — the q_acf fold with the fixed-weight kernel
+    * combination.
+    */
+  val qHacSe: QueryFn = withTables { spark =>
+    Resample.hacSe(spark.table("events"), "event_type", "ts", "value",
+        maxLag = 3)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_hac_se" -> qHacSe,
     "q_cohens_h" -> qCohensH,
     "q_odds_ratio" -> qOddsRatio,
     "q_bland_altman" -> qBlandAltman,
@@ -1268,6 +1280,50 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // The q_acf fold; Bartlett weights 1.5/1.0/0.5 are exact binary
+    // literals, the kernel sum is one fixed expression tree, each se
+    // one rounded tree (n^2 * 1e6 descale folded in).
+    "q_hac_se" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa, st.s
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa, s,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2,
+               LEAD(aa, 3) OVER w AS l3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, MAX(s) AS sm,
+               SUM(aa * aa) AS d0,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2,
+               SUM(aa * l3) AS n3
+        FROM lagged GROUP BY g)
+      SELECT g AS event_type, n_days,
+        CAST(ROUND(CAST(sm AS DOUBLE) / CAST(n_days AS DOUBLE)
+          / 1000000.0, 6) AS DOUBLE) AS mean,
+        CAST(CASE WHEN n_days > 3 AND CAST(d0 AS DOUBLE) > 0.0 THEN
+          ROUND(SQRT(CAST(d0 AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))
+            / 1000000.0, 6) END AS DOUBLE) AS se_iid,
+        CAST(CASE WHEN n_days > 3
+            AND CAST(d0 AS DOUBLE) + 1.5 * CAST(n1 AS DOUBLE)
+              + 1.0 * CAST(n2 AS DOUBLE) + 0.5 * CAST(n3 AS DOUBLE)
+              > 0.0 THEN
+          ROUND(SQRT(CAST(d0 AS DOUBLE) + 1.5 * CAST(n1 AS DOUBLE)
+              + 1.0 * CAST(n2 AS DOUBLE) + 0.5 * CAST(n3 AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))
+            / 1000000.0, 6) END AS DOUBLE) AS se_hac
+      FROM agg ORDER BY event_type""",
 
     // Exact side-vs-rest counts; the arcsine tree spelled once and
     // frozen at 6 dp.

@@ -1973,6 +1973,37 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- hacSe ----
+
+  test("hacSe: i.i.d.-like series keeps se_hac near se_iid; short NULL") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // alternating series: strong NEGATIVE lag-1 autocorrelation pulls
+    // the kernel sum BELOW the iid variance
+    val alt = (1 to 12).map(i =>
+      ("g", day(i), if (i % 2 == 0) 10.0 else 20.0)).toDF("g", "ts", "v")
+    val ra = graft.operators.Resample.hacSe(alt, "g", "ts", "v", 3)
+      .collect().head
+    assert(!ra.isNullAt(3), ra.toString)
+    if (!ra.isNullAt(4))
+      assert(ra.getDouble(4) < ra.getDouble(3),
+        s"negative autocorrelation shrinks the HAC se: $ra")
+    assert(ra.getDouble(2) == 15.0, "mean of the alternating pair")
+    // trending series: positive autocorrelation inflates se_hac
+    val trend = (1 to 12).map(i => ("g", day(i), i.toDouble))
+      .toDF("g", "ts", "v")
+    val rt = graft.operators.Resample.hacSe(trend, "g", "ts", "v", 3)
+      .collect().head
+    assert(rt.getDouble(4) > rt.getDouble(3),
+      s"a sticky series prices wider: $rt")
+    // n <= maxLag: nothing to estimate
+    val short = (1 to 3).map(i => ("g", day(i), i.toDouble))
+      .toDF("g", "ts", "v")
+    val rs = graft.operators.Resample.hacSe(short, "g", "ts", "v", 3)
+      .collect().head
+    assert(rs.isNullAt(3) && rs.isNullAt(4))
+  }
+
   // ---- cohensH / oddsRatioCI / blandAltman ----
 
   test("cohensH: equal proportions 0, known gap, antisymmetric") {
