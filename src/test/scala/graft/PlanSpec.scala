@@ -517,4 +517,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"first+last touch must come from windows over one scan, not joins:\n$p")
   }
+
+  test("naive bayes: the vocabulary grid broadcasts into scoring") {
+    // a shuffle join here would hash the doc-token table onto
+    // vocabulary-cardinality keys — skew by construction
+    val p = plan("q_naive_bayes")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V x C grid must broadcast:\n$p")
+  }
+
+  test("collocations and textrank cut top-k without a global sort") {
+    assert(plan("q_collocations").contains("TakeOrderedAndProject"),
+      "PMI cut regressed to a full sort")
+    assert(plan("q_textrank").contains("TakeOrderedAndProject"),
+      "keyword cut regressed to a full sort")
+  }
+
+  test("confusion panel: one aggregate over the scan, no joins, no windows") {
+    val p = plan("q_confusion")
+    val tree = p.split("\n\n")(0)
+    assert(!tree.contains("Join"), s"confusion cells need no join:\n$p")
+    assert(!"\\bWindow\\b".r.findFirstIn(tree).isDefined,
+      s"confusion cells need no window:\n$p")
+  }
 }
