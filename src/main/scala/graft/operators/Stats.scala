@@ -1616,6 +1616,64 @@ object Stats {
         :+ col("n_events") :+ col("n_censored") :+ col("cum_hazard")): _*)
   }
 
+  /** Harrell's concordance index for right-censored survival data:
+    * over comparable pairs (i had the event AND t_i < t_j), the
+    * fraction where the riskier-scored subject actually failed first
+    * — the AUC of survival models, and the discrimination number the
+    * [[kaplanMeier]]/[[nelsonAalen]]/[[logRank]] family leaves
+    * unmeasured ("does this score ORDER the failures right").
+    * Tied risks count 1/2 (the standard convention); tied times are
+    * not comparable and drop (the simple Harrell form).
+    *
+    * Exactness: FULLY exact — risks quantize to 1e6-scaled longs,
+    * concordant/tied/pair counts are exact integers, and
+    * C = (2·concordant + tied)/(2·pairs) is ONE rounded division of
+    * integers. No pairs (everything censored or co-timed) → NULL.
+    * The pairwise stage is guarded lazily in-plan at `maxPoints`
+    * subjects (the [[theilSen]] contract — sample or stratify past
+    * that; C is a U-statistic, a uniform subject sample estimates it
+    * unbiasedly).
+    *
+    * Output: ONE row (n, n_pairs, concordant, tied, c_index).
+    */
+  def concordanceIndex(df: DataFrame, durationCol: String,
+      observed: Column, riskCol: String, maxPoints: Int = 5000)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val raw = df
+      .filter(col(durationCol).isNotNull && observed.isNotNull
+        && col(riskCol).isNotNull)
+      .select(lit(1).as("_g"), col(durationCol).cast("long").as("_t"),
+        when(observed, 1L).otherwise(0L).as("_e"),
+        round(col(riskCol) * 1e6).cast("long").as("_r"))
+    val pts = guardGroupSize(raw, "_r",
+      s"concordanceIndex: exceeds $maxPoints subjects — sample or " +
+        "stratify first (C is a U-statistic; a uniform sample " +
+        "estimates it unbiasedly)", maxPoints)
+    val a = pts.filter(col("_e") === 1L)
+      .select(col("_t").as("_ta"), col("_r").as("_ra"))
+    val b = pts.select(col("_t").as("_tb"), col("_r").as("_rb"))
+    val pairs = a.join(b, col("_ta") < col("_tb"))
+      .agg(count(lit(1)).cast(dec).as("_np"),
+        sum(when(col("_ra") > col("_rb"), 1L).otherwise(0L))
+          .cast(dec).as("_c"),
+        sum(when(col("_ra") === col("_rb"), 1L).otherwise(0L))
+          .cast(dec).as("_tie"))
+    val n = pts.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(pairs))
+      .select(col("n").cast("bigint").as("n"),
+        coalesce(col("_np"), lit(0).cast(dec)).cast("bigint")
+          .as("n_pairs"),
+        coalesce(col("_c"), lit(0).cast(dec)).cast("bigint")
+          .as("concordant"),
+        coalesce(col("_tie"), lit(0).cast(dec)).cast("bigint")
+          .as("tied"),
+        when(col("_np") > 0,
+          round((lit(2L) * col("_c") + col("_tie")).cast("double")
+            / (lit(2L) * col("_np")).cast("double"), 6))
+          .cast("double").as("c_index"))
+  }
+
   /** Day-of-week seasonality index per group: mean(value | dow) /
     * mean(value) as an exact rational of 6-dp quanta —
     * (sum_dow · n_all) / (n_dow · sum_all) in scaled-long arithmetic,

@@ -1175,7 +1175,27 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Harrell's C of total spend as a conversion-risk score on the
+    * q_kaplan_meier subjects ("do spenders convert first"): exact
+    * pair counts, one rounded division.
+    */
+  val qCIndex: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("risk"))
+      .select(col("user_id"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"), col("risk"))
+    Stats.concordanceIndex(subjects, "duration", col("observed"),
+      "risk")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_c_index" -> qCIndex,
     "q_hac_se" -> qHacSe,
     "q_cohens_h" -> qCohensH,
     "q_odds_ratio" -> qOddsRatio,
@@ -1280,6 +1300,40 @@ object StatsOps {
     "q_heaps" -> qHeaps)
 
   val oracles: Map[String, String] = Map(
+
+    // The q_kaplan_meier subjects + exact integer pair counts;
+    // C = (2c + t)/(2p) one rounded division.
+    "q_c_index" -> """
+      WITH subj AS (
+        SELECT user_id,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS duration,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL AS observed,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS risk
+        FROM events GROUP BY user_id),
+      pts AS (SELECT CAST(duration AS BIGINT) AS t,
+                     CASE WHEN observed THEN 1 ELSE 0 END AS e,
+                     CAST(ROUND(risk * 1000000.0) AS BIGINT) AS r
+              FROM subj
+              WHERE duration IS NOT NULL AND risk IS NOT NULL),
+      pr AS (SELECT COUNT(*)::HUGEINT AS np,
+               SUM(CASE WHEN a.r > b.r THEN 1 ELSE 0 END)::HUGEINT AS c,
+               SUM(CASE WHEN a.r = b.r THEN 1 ELSE 0 END)::HUGEINT
+                 AS tie
+             FROM (SELECT t, r FROM pts WHERE e = 1) a
+             JOIN pts b ON a.t < b.t),
+      n AS (SELECT COUNT(*)::BIGINT AS n FROM pts)
+      SELECT n,
+             COALESCE(np, 0)::BIGINT AS n_pairs,
+             COALESCE(c, 0)::BIGINT AS concordant,
+             COALESCE(tie, 0)::BIGINT AS tied,
+             CAST(CASE WHEN np > 0 THEN
+               ROUND(CAST(2 * c + tie AS DOUBLE)
+                 / CAST(2 * np AS DOUBLE), 6) END AS DOUBLE) AS c_index
+      FROM n CROSS JOIN pr""",
 
     // The q_acf fold; Bartlett weights 1.5/1.0/0.5 are exact binary
     // literals, the kernel sum is one fixed expression tree, each se

@@ -1973,6 +1973,35 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 17.0 / 70) < 2e-6, r.toString)
   }
 
+  // ---- concordanceIndex ----
+
+  test("concordanceIndex: perfect order 1, reversed 0, censoring prunes pairs") {
+    import spark.implicits._
+    // events at t=1,2,3 with risk descending exactly with failure
+    // order: every comparable pair concordant
+    val good = Seq((1L, true, 3.0), (2L, true, 2.0), (3L, true, 1.0))
+      .toDF("duration", "observed", "risk")
+    val rg = Stats.concordanceIndex(good, "duration", col("observed"),
+      "risk").collect().head
+    assert(rg.getLong(1) == 3 && rg.getDouble(4) == 1.0, rg.toString)
+    val bad = Seq((1L, true, 1.0), (2L, true, 2.0), (3L, true, 3.0))
+      .toDF("duration", "observed", "risk")
+    assert(Stats.concordanceIndex(bad, "duration", col("observed"),
+      "risk").collect().head.getDouble(4) == 0.0)
+    // censored early subject forms no pair as the failing side
+    val cen = Seq((1L, false, 9.0), (2L, true, 2.0), (3L, false, 1.0))
+      .toDF("duration", "observed", "risk")
+    val rc = Stats.concordanceIndex(cen, "duration", col("observed"),
+      "risk").collect().head
+    assert(rc.getLong(1) == 1, s"only (t=2 event, t=3) compares: $rc")
+    assert(rc.getDouble(4) == 1.0, "riskier subject failed first")
+    // all censored: nothing comparable
+    val none = Seq((1L, false, 1.0), (2L, false, 2.0))
+      .toDF("duration", "observed", "risk")
+    assert(Stats.concordanceIndex(none, "duration", col("observed"),
+      "risk").collect().head.isNullAt(4))
+  }
+
   // ---- hacSe ----
 
   test("hacSe: i.i.d.-like series keeps se_hac near se_iid; short NULL") {
