@@ -1653,7 +1653,11 @@ object Stats {
     val a = pts.filter(col("_e") === 1L)
       .select(col("_t").as("_ta"), col("_r").as("_ra"))
     val b = pts.select(col("_t").as("_tb"), col("_r").as("_rb"))
-    val pairs = a.join(b, col("_ta") < col("_tb"))
+    // a pure inequality join has no equi-key; broadcasting the
+    // guarded-small EVENT side plans a bounded BroadcastNestedLoop
+    // (the right physical shape for a maxPoints-bounded U-statistic),
+    // never a CartesianProduct
+    val pairs = broadcast(a).join(b, col("_ta") < col("_tb"))
       .agg(count(lit(1)).cast(dec).as("_np"),
         sum(when(col("_ra") > col("_rb"), 1L).otherwise(0L))
           .cast(dec).as("_c"),
