@@ -51,6 +51,15 @@ object HllReach {
     if (rho > (reg(idx) & 0xff)) reg(idx) = rho.toByte
   }
 
+  /** 2^-r for every possible register value, precomputed once: the
+    * estimator sums m of these per call, and callers evaluating many
+    * sketches (the harmonic driver fast path runs V×hops estimates)
+    * made Math.pow the hot op. Table values ARE Math.pow outputs, and
+    * the summation order is unchanged (register-index order), so every
+    * estimate is bit-identical to the direct-pow form. */
+  private val Pow2Neg: Array[Double] =
+    Array.tabulate(256)(r => java.lang.Math.pow(2.0, -r))
+
   /** Standard HLL cardinality estimate over m = reg.length registers
     * (requires m >= 128 so one alpha formula applies — enforced by the
     * p >= 7 bound on every entry point). */
@@ -62,7 +71,7 @@ object HllReach {
     var i = 0
     while (i < m) {
       val r = reg(i) & 0xff
-      sum += java.lang.Math.pow(2.0, -r)
+      sum += Pow2Neg(r)
       if (r == 0) zeros += 1
       i += 1
     }

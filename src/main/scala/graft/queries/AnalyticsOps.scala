@@ -350,8 +350,8 @@ object AnalyticsOps {
     * doc-id-sorted entries and serialized comma-joined (the LISTAGG
     * scalar-compare convention).
     */
-  val qPostingLists: QueryFn = withTables { spark =>
-    TextAnalysis.postingLists(spark.table("documents"), "doc_id", "text",
+  val qPostingLists: QueryFn = withTablesSf { (spark, sfDir) =>
+    TextAnalysis.postingListsFromCounts(TextMemo.tokenCounts(spark, sfDir),
         minDf = 5, maxDf = 400, maxPostings = 20)
       .orderBy("token")
   }
@@ -433,9 +433,9 @@ object AnalyticsOps {
     * semantics matched-term counts plus total term occurrences — the
     * posting-intersection primitive, all integers.
     */
-  val qBoolSearch: QueryFn = withTables { spark =>
-    TextAnalysis.booleanRetrieve(spark.table("documents"), "doc_id",
-        "text", Seq("spark", "query"), minMatch = 2)
+  val qBoolSearch: QueryFn = withTablesSf { (spark, sfDir) =>
+    TextAnalysis.booleanRetrieveFromCounts(TextMemo.tokenCounts(spark, sfDir),
+        Seq("spark", "query"), minMatch = 2)
       .orderBy("doc_id")
   }
 
@@ -507,9 +507,10 @@ object AnalyticsOps {
     * vocabulary): frozen-ln grid, 6-dp-frozen per-token terms, argmax
     * on frozen scores with the class tiebreak.
     */
-  val qNaiveBayes: QueryFn = withTables { spark =>
+  val qNaiveBayes: QueryFn = withTablesSf { (spark, sfDir) =>
     TextAnalysis.naiveBayesPredict(spark.table("documents"), "doc_id",
-        "source", "text")
+        "source", "text",
+        pretok = Some(TextMemo.tokenCounts(spark, sfDir)))
       .orderBy("doc_id")
   }
 

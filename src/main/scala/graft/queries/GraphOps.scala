@@ -60,7 +60,7 @@ object GraphOps {
     sys.props.get("graft.graph.cache")
       .orElse(sys.env.get("SPARK_GRAFT_GRAPH_CACHE"))
 
-  private def sanitize(s: String): String =
+  private[graft] def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** One recursive listing of `path`: (#files, Σbytes, max mtime)

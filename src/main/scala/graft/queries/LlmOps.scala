@@ -339,9 +339,10 @@ object LlmOps {
       .orderBy("probe_id", "rnk")
   }
 
-  /** L5: tokenization + corpus word count. */
-  val qTokensWordcount: QueryFn = withTables { spark =>
-    TextAnalysis.wordCounts(spark.table("documents"), "doc_id", "text")
+  /** L5: tokenization + corpus word count — over the session-shared
+    * [[TextMemo]] counts (integer re-aggregation, value-identical). */
+  val qTokensWordcount: QueryFn = withTablesSf { (spark, sfDir) =>
+    TextAnalysis.wordCountsFromCounts(TextMemo.tokenCounts(spark, sfDir))
       .orderBy(col("cnt").desc, col("tok"))
   }
 
@@ -927,8 +928,9 @@ object LlmOps {
     * one-row broadcast. Rounded to 6 dp (the lmScore float-sum
     * precedent).
     */
-  val qDrift: QueryFn = withTables { spark =>
-    TextAnalysis.unigramDrift(spark.table("documents"), "source", "text")
+  val qDrift: QueryFn = withTablesSf { (spark, sfDir) =>
+    TextAnalysis.unigramDriftFromCounts(TextMemo.tokenCounts(spark, sfDir),
+        spark.table("documents"), "source")
       .select(col("source"), round(col("kl"), 6).cast("double").as("kl"))
       .orderBy("source")
   }
@@ -1321,8 +1323,8 @@ object LlmOps {
     * integers on both engines; only the final entropy is floating,
     * rounded at 6 dp.
     */
-  val qTokenEntropy: QueryFn = withTables { spark =>
-    TextAnalysis.tokenEntropy(spark.table("documents"), "doc_id", "text")
+  val qTokenEntropy: QueryFn = withTablesSf { (spark, sfDir) =>
+    TextAnalysis.tokenEntropyFromCounts(TextMemo.tokenCounts(spark, sfDir))
       .withColumn("entropy", round(col("entropy"), 6).cast("double"))
       .orderBy("doc_id")
   }

@@ -306,6 +306,29 @@ class GraphSpec extends SparkTestBase {
     assert(h1 == Map("a" -> 1.0, "b" -> 2.0, "c" -> 2.0, "d" -> 1.0))
   }
 
+  test("harmonic family: driver fast path ≡ distributed closure, bit-identical") {
+    import spark.implicits._
+    // deterministic pseudo-random graph with hubs, triangles, and a
+    // pendant chain — enough structure that any shell-count or
+    // estimator drift between the two paths would show
+    val edges = ((0 until 160).map(i => (s"v${i % 40}", s"v${(i * 7 + 3) % 40}"))
+      ++ Seq(("v40", "v41"), ("v41", "v42"))).toDF("s", "d")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.toSeq.toList).sortBy(_.toString).toList
+    for (hops <- Seq(1, 2, 3)) {
+      val fast = graft.operators.Graph.harmonicCentrality(
+        edges, "s", "d", maxHops = hops)
+      val dist = graft.operators.Graph.harmonicCentrality(
+        edges, "s", "d", maxHops = hops, driverMaxEdges = -1L)
+      assert(canon(fast) == canon(dist), s"exact twin diverged at hops=$hops")
+      val fastA = graft.operators.Graph.harmonicCentralityApprox(
+        edges, "s", "d", maxHops = hops, p = 7)
+      val distA = graft.operators.Graph.harmonicCentralityApprox(
+        edges, "s", "d", maxHops = hops, p = 7, driverMaxEdges = -1L)
+      assert(canon(fastA) == canon(distA), s"approx twin diverged at hops=$hops")
+    }
+  }
+
   // ---- pageRankPersonalized ----
 
   test("pageRankPersonalized: one step from the seed, hand values") {

@@ -34,6 +34,49 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!cols.exists(_.startsWith("score_")))
   }
 
+  test("from-counts duals ≡ tokenize-from-scratch forms, row-identical") {
+    import spark.implicits._
+    // fixture with repeated tokens, shared vocabulary across docs,
+    // empty-token runs (double spaces), and a group column — every
+    // feature the duals must carry through identically
+    val docs = Seq(
+      (0L, "a", "spark query engine  spark spark"),
+      (1L, "a", "query planner query query engine"),
+      (2L, "b", "spark spark  spark engine engine"),
+      (3L, "b", "lonely"),
+      (4L, "a", "query spark")
+    ).toDF("doc_id", "source", "text")
+    val counts = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(rows(TextAnalysis.wordCountsFromCounts(counts))
+      == rows(TextAnalysis.tokenize(docs, "doc_id", "text")
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))),
+      "wordCounts dual")
+    assert(rows(TextAnalysis.tokenEntropyFromCounts(counts))
+      == rows(TextAnalysis.tokenEntropy(docs, "doc_id", "text")),
+      "tokenEntropy dual")
+    assert(rows(TextAnalysis.booleanRetrieveFromCounts(counts,
+        Seq("spark", "query"), minMatch = 2))
+      == rows(TextAnalysis.booleanRetrieve(docs, "doc_id", "text",
+        Seq("spark", "query"), minMatch = 2)),
+      "booleanRetrieve dual")
+    assert(rows(TextAnalysis.postingListsFromCounts(counts,
+        minDf = 1, maxDf = 4, maxPostings = 2))
+      == rows(TextAnalysis.postingLists(docs, "doc_id", "text",
+        minDf = 1, maxDf = 4, maxPostings = 2)),
+      "postingLists dual")
+    assert(rows(TextAnalysis.unigramDriftFromCounts(counts,
+        docs.select("doc_id", "source"), "source"))
+      == rows(TextAnalysis.unigramDrift(docs, "source", "text")),
+      "unigramDrift dual")
+    assert(rows(TextAnalysis.naiveBayesPredict(docs, "doc_id", "source",
+        "text", pretok = Some(counts)))
+      == rows(TextAnalysis.naiveBayesPredict(docs, "doc_id", "source", "text")),
+      "naiveBayes pretok")
+  }
+
   test("redactPii scrubs urls, emails, and long digit runs — in that order") {
     import spark.implicits._
     val df = Seq(
