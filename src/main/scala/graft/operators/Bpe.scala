@@ -145,12 +145,25 @@ object Bpe {
     merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
       .toDF("ord", "a", "b")
       .repartition(1).write.mode("overwrite").parquet(path)
+    FixtureMeta.write(spark, path, merges.length,
+      FixtureMeta.combine(mergeHashes(merges)))
   }
 
+  private def mergeHashes(merges: Seq[(String, String)]): Iterator[Long] =
+    merges.iterator.zipWithIndex.map { case ((a, b), i) =>
+      FixtureMeta.rowHash(s"$i:$a:$b") }
+
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(String, String)] =
-    spark.read.parquet(path).orderBy("ord")
+      path: String): Seq[(String, String)] = {
+    val loaded = spark.read.parquet(path).orderBy("ord")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // integrity gate against the save-time sidecar (no-op when absent);
+    // ord rides inside the hash, so a REORDERED merge table — which
+    // changes BPE semantics — fails too, not just edits
+    FixtureMeta.check(spark, path, loaded.length,
+      FixtureMeta.combine(mergeHashes(loaded)))
+    loaded
+  }
 
   // ---- engine-portable encoding (the judged path) -------------------
 

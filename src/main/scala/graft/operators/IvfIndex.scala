@@ -95,19 +95,32 @@ object IvfIndex {
       .toDF("cluster_id", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(path)
+    FixtureMeta.write(spark, path, centroids.length,
+      FixtureMeta.combine(centroids.iterator.map(centroidHash)))
   }
+
+  /** Exact canonical hash of one codebook row (doubles via raw bits —
+    * a 1-ulp drift flips it). */
+  private def centroidHash(c: (Int, Array[Double])): Long =
+    FixtureMeta.rowHash(
+      c._1 + ":" + c._2.map(java.lang.Double.doubleToRawLongBits).mkString(","))
 
   /** Reload a codebook saved by [[saveCentroids]]; assign/search on the
     * reloaded centroids are bit-identical to the training session's
     * (doubles round-trip parquet exactly).
     */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[(Int, Array[Double])] =
-    spark.read.parquet(path)
+      path: String): Array[(Int, Array[Double])] = {
+    val loaded = spark.read.parquet(path)
       .select(col("cluster_id"), col("centroid"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
+    // integrity gate against the save-time sidecar (no-op when absent)
+    FixtureMeta.check(spark, path, loaded.length,
+      FixtureMeta.combine(loaded.iterator.map(centroidHash)))
+    loaded
+  }
 
   /** Best-cluster UDF over broadcast centroids (cosine; ties to the
     * lowest cluster id). Centroids are unit vectors, so the dot

@@ -74,6 +74,43 @@ class PersistenceSpec extends SparkTestBase {
     assert(a.exceptAll(b).count() === 0L && b.exceptAll(a).count() === 0L)
   }
 
+  test("fixture sidecar: tampered codebook/merge parquet fails loudly at load") {
+    import graft.operators.Bpe
+    // centroids: save one codebook, overwrite the parquet with a
+    // DIFFERENT one while keeping the original sidecar -> load throws
+    val path = tmp("ivfmeta")
+    IvfIndex.saveCentroids(spark,
+      Array(0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)), path)
+    val meta = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, graft.operators.FixtureMeta.FileName))
+    IvfIndex.saveCentroids(spark,
+      Array(0 -> Array(0.5, 0.5), 1 -> Array(0.0, 1.0)), path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, graft.operators.FixtureMeta.FileName), meta)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      path, "." + graft.operators.FixtureMeta.FileName + ".crc"))
+    val e = intercept[IllegalArgumentException](
+      IvfIndex.loadCentroids(spark, path))
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+    // merges: REORDERING the table (same rows, different ord) is a
+    // semantic change and must also fail
+    val dir = tmp("bpemeta") + "/merges"
+    Bpe.saveMerges(spark, Seq(("a", "b"), ("c", "d")), dir)
+    val meta2 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, graft.operators.FixtureMeta.FileName))
+    Bpe.saveMerges(spark, Seq(("c", "d"), ("a", "b")), dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, graft.operators.FixtureMeta.FileName), meta2)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      dir, "." + graft.operators.FixtureMeta.FileName + ".crc"))
+    val e2 = intercept[IllegalArgumentException](Bpe.loadMerges(spark, dir))
+    assert(e2.getMessage.contains("sidecar"), e2.getMessage)
+    // absent sidecar (legacy/hand-placed fixture) loads with no check
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, graft.operators.FixtureMeta.FileName))
+    assert(Bpe.loadMerges(spark, dir) === Seq(("c", "d"), ("a", "b")))
+  }
+
   test("graph cache: write-through once, later sessions read parquet; stale source rebuilds") {
     import spark.implicits._
     val root = tmp("graphcache")
