@@ -668,6 +668,84 @@ object Stats {
             / sqrt(col("_den")), 6)).cast("double"))
       .select(groupCol, "n", "n_pairs", "concordant", "discordant", "tau_b")
 
+  /** Binned Kendall tau-b — the 100 TB dual of [[kendallTau]] (the
+    * ksTestBinned/mannWhitneyBinned construction, r12 verdict item 6):
+    * the exact form's pairwise join is maxPoints-guarded because it is
+    * quadratic in group size, while here each (x, y) lands in one of
+    * `bins`×`bins` equi-width cells (global min/max per axis, one
+    * broadcast 1-row aggregate), and concordant/discordant pair counts
+    * come from CELL-pair products with the standard tie correction —
+    * one corpus-sized shuffle to cells, then every table is bins²- (and
+    * the pair join bins⁴-) bounded per group regardless of corpus
+    * size. Binning maps each point to the tau of the discretized
+    * series: ties INSIDE a cell (or sharing a bin edge on one axis)
+    * are tau-b ties, which is the estimator's documented coarseness —
+    * StatsSpec pins |Δtau| vs the exact twin at 16 bins.
+    *
+    * Exactness: counts and cell products are exact integers; tau_b is
+    * one rounded float expression, NULL when either tie-corrected
+    * denominator term is 0 (all points tied on an axis). NULL x/y rows
+    * are dropped (a rank correlation over an unordered level is
+    * undefined — unlike KS, where NULL is a real level).
+    *
+    * Output: (group, n, n_pairs, concordant, discordant, tau_b) — the
+    * exact twin's schema.
+    */
+  def kendallTauBinned(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins=$bins must be in [2, 4096]")
+    val stats = df.agg(
+      min(col(xCol)).as("_lox"), max(col(xCol)).as("_hix"),
+      min(col(yCol)).as("_loy"), max(col(yCol)).as("_hiy"))
+    def bin(v: Column, lo: Column, hi: Column): Column =
+      when(hi > lo,
+        least(floor((v - lo) * bins / (hi - lo)), lit(bins - 1)))
+        .otherwise(lit(0)).cast("long")
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        bin(col(xCol), col("_lox"), col("_hix")).as("_qx"),
+        bin(col(yCol), col("_loy"), col("_hiy")).as("_qy"))
+      .groupBy("_g", "_qx", "_qy").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false) // read by the pair join (×2) + 3 aggs
+    val b = cells.select(col("_g").as("_g2"), col("_qx").as("_xb"),
+      col("_qy").as("_yb"), col("_c").as("_cb"))
+    // qx_a < qx_b orients each unordered cell pair once; equal-qx
+    // pairs are x-ties (neither concordant nor discordant) and are
+    // correctly absent
+    val pairAgg = cells
+      .join(b, col("_g") <=> col("_g2") && col("_qx") < col("_xb"))
+      .groupBy(col("_g").as("_gp"))
+      .agg(
+        sum(when(col("_qy") < col("_yb"), col("_c") * col("_cb"))
+          .otherwise(0L)).as("_con"),
+        sum(when(col("_qy") > col("_yb"), col("_c") * col("_cb"))
+          .otherwise(0L)).as("_dis"))
+    def tiePairs(c: String, out: String) =
+      cells.groupBy(col("_g").as("_gt"), col(c))
+        .agg(sum("_c").as("_t"))
+        .groupBy("_gt")
+        .agg(sum(col("_t") * (col("_t") - 1)).as(out)) // doubled
+    val tx = tiePairs("_qx", "_n1d")
+    val ty = tiePairs("_qy", "_n2d").withColumnRenamed("_gt", "_gt2")
+    cells.groupBy("_g").agg(sum("_c").as("n"))
+      .join(pairAgg, col("_g") <=> col("_gp"), "left")
+      .join(tx, col("_g") <=> col("_gt"))
+      .join(ty, col("_g") <=> col("_gt2"))
+      .withColumn("_den",
+        ((col("n") * (col("n") - 1) - col("_n1d")).cast("double") / 2.0)
+          * ((col("n") * (col("n") - 1) - col("_n2d")).cast("double") / 2.0))
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        (col("n") * (col("n") - 1) / 2).cast("bigint").as("n_pairs"),
+        coalesce(col("_con"), lit(0L)).cast("bigint").as("concordant"),
+        coalesce(col("_dis"), lit(0L)).cast("bigint").as("discordant"),
+        when(col("_den") > 0.0,
+          round((coalesce(col("_con"), lit(0L))
+            - coalesce(col("_dis"), lit(0L))).cast("double")
+            / sqrt(col("_den")), 6)).cast("double").as("tau_b"))
+  }
+
   /** Goodman–Kruskal gamma and both Somers' D directions per group —
     * the tie-handling spectrum [[kendallTau]]'s tau-b sits inside:
     * gamma = (C−D)/(C+D) ignores EVERY tied pair (the most forgiving

@@ -210,6 +210,18 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Binned Kendall tau-b of (value, user_id) per event type, judged
+    * on the RAW event stream (no pre-aggregation — that is the dual's
+    * point) at 16×16 cells: integer cell counts and pair products,
+    * one rounded tau expression. StatsSpec pins |Δtau| vs the exact
+    * twin on a bounded fixture.
+    */
+  val qKendallBinned: QueryFn = withTables { spark =>
+    graft.operators.Stats.kendallTauBinned(spark.table("events"),
+        "event_type", "value", "user_id", bins = 16)
+      .orderBy("event_type")
+  }
+
   /** Wald-Wolfowitz runs test of value around its per-type median,
     * ordered by event_id: exact lower-median split, integer run
     * count, one z tree.
@@ -1255,6 +1267,7 @@ object StatsOps {
     "q_cusum_detect" -> qCusumDetect,
     "q_rolling_corr" -> qRollingCorr,
     "q_kendall" -> qKendall,
+    "q_kendall_binned" -> qKendallBinned,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -3563,6 +3576,58 @@ object StatsOps {
     // tie-corrected z tree (coefficients cast to DOUBLE).
     // Integer pair concordance with tie correction; scaling cancels
     // out of every comparison, so the oracle compares raw values.
+    // Same equi-width binning as q_mw_binned, cell-pair concordance
+    // with the doubled tie correction — every count an exact integer,
+    // one rounded tau_b division.
+    "q_kendall_binned" -> """
+      WITH st AS (SELECT MIN(value) AS lox, MAX(value) AS hix,
+                         MIN(user_id) AS loy, MAX(user_id) AS hiy
+                  FROM events),
+      pts AS (
+        SELECT event_type AS g,
+               (CASE WHEN hix > lox
+                  THEN LEAST(FLOOR((value - lox) * 16 / (hix - lox)), 15)
+                  ELSE 0 END)::BIGINT AS qx,
+               (CASE WHEN hiy > loy
+                  THEN LEAST(FLOOR((user_id - loy) * 16 / (hiy - loy)), 15)
+                  ELSE 0 END)::BIGINT AS qy
+        FROM events CROSS JOIN st
+        WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      cells AS (SELECT g, qx, qy, COUNT(*)::BIGINT AS c
+                FROM pts GROUP BY 1, 2, 3),
+      pa AS (
+        SELECT a.g,
+               SUM(CASE WHEN a.qy < b.qy THEN a.c * b.c ELSE 0 END)
+                 ::BIGINT AS con,
+               SUM(CASE WHEN a.qy > b.qy THEN a.c * b.c ELSE 0 END)
+                 ::BIGINT AS dis
+        FROM cells a JOIN cells b ON a.g = b.g AND a.qx < b.qx
+        GROUP BY a.g),
+      tx AS (SELECT g, SUM(t * (t - 1))::BIGINT AS n1d
+             FROM (SELECT g, qx, SUM(c) AS t FROM cells GROUP BY g, qx)
+             GROUP BY g),
+      ty AS (SELECT g, SUM(t * (t - 1))::BIGINT AS n2d
+             FROM (SELECT g, qy, SUM(c) AS t FROM cells GROUP BY g, qy)
+             GROUP BY g),
+      base AS (SELECT g, SUM(c)::BIGINT AS n FROM cells GROUP BY g)
+      SELECT base.g AS event_type, base.n,
+             CAST(base.n * (base.n - 1) / 2 AS BIGINT) AS n_pairs,
+             COALESCE(pa.con, 0)::BIGINT AS concordant,
+             COALESCE(pa.dis, 0)::BIGINT AS discordant,
+             CAST(CASE WHEN
+                 (CAST(base.n * (base.n - 1) - tx.n1d AS DOUBLE) / 2.0)
+                 * (CAST(base.n * (base.n - 1) - ty.n2d AS DOUBLE) / 2.0)
+                 > 0.0 THEN
+               ROUND(CAST(COALESCE(pa.con, 0) - COALESCE(pa.dis, 0)
+                   AS DOUBLE)
+                 / SQRT(
+                   (CAST(base.n * (base.n - 1) - tx.n1d AS DOUBLE) / 2.0)
+                   * (CAST(base.n * (base.n - 1) - ty.n2d AS DOUBLE) / 2.0)),
+                 6) END AS DOUBLE) AS tau_b
+      FROM base LEFT JOIN pa ON pa.g = base.g
+      JOIN tx ON tx.g = base.g JOIN ty ON ty.g = base.g
+      ORDER BY base.g""",
+
     "q_kendall" -> """
       WITH cells AS (
         SELECT event_type AS g,

@@ -91,6 +91,60 @@ class StatsSpec extends SparkTestBase {
       s"$binned vs $exact")
   }
 
+  test("kendallTauBinned equals exact when bins resolve every value") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // integer-valued points in [0, 9]; 1000 bins give every value its
+    // own cell (and its own bin edge), so cell-pair concordance equals
+    // point-pair concordance exactly, ties included
+    val df = Seq(("a", 1.0, 5.0), ("a", 3.0, 4.0), ("a", 7.0, 9.0),
+      ("a", 3.0, 2.0), ("b", 2.0, 2.0), ("b", 8.0, 6.0), ("b", 9.0, 0.0),
+      ("b", 8.0, 6.0)).toDF("g", "x", "y")
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) null else r.getDouble(5))
+    val exact = Stats.kendallTau(df, "g", "x", "y").collect()
+      .map(canon).toSet
+    val binned = Stats.kendallTauBinned(df, "g", "x", "y", bins = 1000)
+      .collect().map(canon).toSet
+    assert(binned == exact, s"$binned vs $exact")
+  }
+
+  test("kendallTauBinned: tau within pinned bound of exact at 16 bins") {
+    // the judged regime: 16x16 equi-width cells over continuous
+    // series. Binning only COARSENS order (strict within-cell order
+    // becomes a tie), so tau moves by the within-cell noise — pinned
+    // so an edge regression can't hide behind "it's approximate".
+    import spark.implicits._
+    import graft.operators.Stats
+    val rng = new scala.util.Random(31)
+    val df = Seq.tabulate(600) { i =>
+      val x = rng.nextDouble() * 10
+      ("a", x, x * 2 + rng.nextDouble() * 6) // correlated + noise
+    }.toDF("g", "x", "y")
+    val exact = Stats.kendallTau(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val binned = Stats.kendallTauBinned(df, "g", "x", "y", bins = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(math.abs(binned("a") - exact("a")) < 0.05,
+      s"16-bin tau drifted: ${binned("a")} vs ${exact("a")}")
+    assert(math.signum(binned("a")) == math.signum(exact("a")))
+  }
+
+  test("kendallTauBinned drops NULL x/y rows; all-tied axis yields NULL tau") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val df = Seq(("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(3.0)),
+      ("a", None, Some(9.0)), ("a", Some(4.0), None),
+      ("c", Some(5.0), Some(1.0)), ("c", Some(5.0), Some(2.0)))
+      .toDF("g", "x", "y")
+    val out = Stats.kendallTauBinned(df, "g", "x", "y", bins = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(5)) null else r.getDouble(5)))).toMap
+    assert(out("a")._1 == 2L, "null x/y rows dropped from n")
+    assert(out("c")._2 == null, "x all tied -> zero denominator -> NULL")
+  }
+
   test("mannWhitneyBinned equals exact when bins resolve every value") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 3.0), ("a", 7.0),
