@@ -38,4 +38,211 @@ object Graft {
       "tables must be non-empty (or pass a SparkSession explicitly)")
     sql(tables.head._2.sparkSession, query, tables)
   }
+
+  // ---- statement-level MERGE (r12 verdict item 4) --------------------
+  //
+  // Spark itself only parses MERGE INTO against catalog v2 tables; a
+  // user migrating MERGE statements onto bare parquet had to hand-roll
+  // the Cdc rewrite. These entry points close that gap: the DataFrame
+  // form below is the kernel, [[mergeSql]] parses the statement shape,
+  // and [[mergeIntoParquet]] is the copy-on-write writer that rewrites
+  // only touched partitions.
+
+  /** SCD-1 MERGE as a pure transform: per `on`-key,
+    *  - source row matching a target key: deleted when
+    *    `whenMatchedDeleteIf` holds (evaluated on the SOURCE row),
+    *    else replaces the target row when `whenMatchedUpdate`;
+    *  - source row matching nothing: inserted when
+    *    `whenNotMatchedInsert`;
+    *  - untouched target keys pass through.
+    *
+    * Requires identical target/source schemas (the `UPDATE SET * /
+    * INSERT *` statement shape). The source must carry at most one row
+    * per key — multiple matches have no defined winner (the ANSI MERGE
+    * cardinality error; run [[graft.operators.Cdc.requireUniqueVersions]]
+    * as a validation pass when unsure).
+    *
+    * Scale shape: routed through [[graft.operators.Cdc.applyChangelog]]
+    * — with the default clause set (update + insert, no delete
+    * condition) the plan is the changelog merge verbatim: ONE hash
+    * shuffle of target ∪ source on the key, nothing else moves. A
+    * delete condition or a disabled clause needs matched/not-matched
+    * membership, adding one semi/anti join of the source against the
+    * target's key column (source-sized, usually ≪ target).
+    */
+  def merge(target: DataFrame, source: DataFrame, on: Seq[String],
+      whenMatchedUpdate: Boolean = true,
+      whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsert: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(on.nonEmpty, "merge: no key columns")
+    require(target.columns.toSeq == source.columns.toSeq,
+      s"merge (UPDATE SET * / INSERT *) needs identical schemas: " +
+        s"${target.columns.mkString(",")} vs ${source.columns.mkString(",")}")
+    val Seq(isDel, ver) = graft.operators.Cols.fresh("mrg", 2, target)
+    val changes =
+      if (whenMatchedUpdate && whenNotMatchedInsert
+          && whenMatchedDeleteIf.isEmpty) {
+        // pure upsert: matched-ness never changes the action, so skip
+        // the membership probe entirely
+        source.withColumn(isDel, lit(false))
+      } else {
+        val keys = target.select(on.map(col): _*)
+        val matched = source.join(keys, on, "left_semi")
+          .withColumn(isDel, whenMatchedDeleteIf.getOrElse(lit(false)))
+        val matchedActing =
+          if (whenMatchedUpdate) matched else matched.filter(col(isDel))
+        val act =
+          if (whenMatchedUpdate || whenMatchedDeleteIf.isDefined)
+            Some(matchedActing)
+          else None
+        val ins =
+          if (whenNotMatchedInsert)
+            Some(source.join(keys, on, "left_anti")
+              .withColumn(isDel, lit(false)))
+          else None
+        (act.toSeq ++ ins.toSeq)
+          .reduceOption(_ unionByName _)
+          .getOrElse(source.filter(lit(false)).withColumn(isDel, lit(false)))
+      }
+    graft.operators.Cdc.applyChangelog(
+        target.withColumn(ver, lit(0L)),
+        changes.withColumn(ver, lit(1L)),
+        on, ver, isDel)
+      .drop(ver)
+  }
+
+  private val MergeRe =
+    ("""(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(\w+)\s+ON\s+(.+?)""" +
+      """((?:\s*WHEN\s+(?:NOT\s+)?MATCHED\b.*?)+)\s*""").r
+  private val OnEqRe = """(?i)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+  private val ClauseRe =
+    ("""(?is)WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+""" +
+      """(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)""").r
+
+  /** Parse the portable `MERGE INTO` statement shape onto [[merge]]:
+    *
+    * {{{
+    * MERGE INTO <target> USING <source>
+    *   ON <target>.<k> = <source>.<k> [AND ...]
+    * [WHEN MATCHED AND <cond> THEN DELETE]
+    * [WHEN MATCHED THEN UPDATE SET *]
+    * [WHEN NOT MATCHED THEN INSERT *]
+    * }}}
+    *
+    * `<target>`/`<source>` resolve from `tables` (the [[sql]] facade's
+    * map shape). Restrictions, loudly rejected rather than silently
+    * mis-executed: ON must be conjunctive same-name key equalities;
+    * the only actions are `UPDATE SET *` / `INSERT *` / `DELETE`; a
+    * MATCHED condition is allowed on the DELETE clause only and may
+    * reference source columns (qualified with the source name).
+    */
+  def mergeSql(spark: SparkSession, statement: String,
+      tables: Map[String, DataFrame]): DataFrame = statement match {
+    case MergeRe(t, s, onText, clausesText) =>
+      val target = tables.getOrElse(t,
+        sys.error(s"mergeSql: unknown target table '$t' (have ${tables.keys.mkString(",")})"))
+      val source = tables.getOrElse(s,
+        sys.error(s"mergeSql: unknown source table '$s'"))
+      val on = onText.split("(?i)\\bAND\\b").toSeq.map {
+        case OnEqRe(q1, c1, q2, c2) =>
+          val (tc, sc) =
+            if (q1.equalsIgnoreCase(t) && q2.equalsIgnoreCase(s)) (c1, c2)
+            else if (q1.equalsIgnoreCase(s) && q2.equalsIgnoreCase(t)) (c2, c1)
+            else sys.error(s"mergeSql: ON term must join $t to $s: '$onText'")
+          require(tc.equalsIgnoreCase(sc),
+            s"mergeSql: ON keys must be same-named columns, got $tc = $sc")
+          tc
+        case other => sys.error(s"mergeSql: unsupported ON term '$other' " +
+          "(only <target>.<k> = <source>.<k> conjunctions)")
+      }
+      var update = false; var insert = false
+      var deleteIf: Option[org.apache.spark.sql.Column] = None
+      val found = ClauseRe.findAllMatchIn(clausesText).toSeq
+      require(found.nonEmpty, s"mergeSql: no WHEN clauses parsed in '$clausesText'")
+      found.foreach { m =>
+        val not = m.group(1) != null
+        val cond = Option(m.group(2))
+        val action = m.group(3).toUpperCase.replaceAll("\\s+", " ")
+        (not, action) match {
+          case (false, "DELETE") =>
+            // the source alias makes s.<col> references resolve
+            deleteIf = Some(org.apache.spark.sql.functions.expr(
+              cond.getOrElse("true")))
+          case (false, "UPDATE SET *") =>
+            require(cond.isEmpty,
+              "mergeSql: MATCHED AND <cond> is supported on DELETE only")
+            update = true
+          case (true, "INSERT *") =>
+            require(cond.isEmpty,
+              "mergeSql: NOT MATCHED AND <cond> is not supported")
+            insert = true
+          case other => sys.error(s"mergeSql: unsupported clause $other")
+        }
+      }
+      merge(target, source.alias(s), on,
+        whenMatchedUpdate = update,
+        whenMatchedDeleteIf = deleteIf,
+        whenNotMatchedInsert = insert)
+    case _ => sys.error(
+      "mergeSql: statement does not match the supported MERGE INTO shape")
+  }
+
+  /** Copy-on-write MERGE into a partitioned bare-parquet table: only
+    * partitions the source actually touches are rewritten; every other
+    * partition's files are left byte-untouched (PartitioningSpec pins
+    * it). This is the Iceberg/Delta COW pattern without the table
+    * format: correctness holds because `partitionCols ⊆ on` (enforced)
+    * means a key can never move between partitions, so a merge's
+    * effects are confined to the source rows' own partitions.
+    *
+    * The touched-partition list is collected to the driver (bounded by
+    * `maxTouchedPartitions` — partition VALUES are the small side by
+    * construction; raise it knowingly). The merged replacement is
+    * materialized via localCheckpoint before the overwrite because
+    * Spark refuses to overwrite a path its own plan still reads; a
+    * production deployment on a real commit protocol would stage +
+    * swap instead.
+    */
+  def mergeIntoParquet(spark: SparkSession, path: String,
+      source: DataFrame, on: Seq[String], partitionCols: Seq[String],
+      whenMatchedUpdate: Boolean = true,
+      whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
+      whenNotMatchedInsert: Boolean = true,
+      maxTouchedPartitions: Int = 10000): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(partitionCols.nonEmpty, "mergeIntoParquet: no partition columns")
+    require(partitionCols.forall(on.contains),
+      s"mergeIntoParquet: partitionCols (${partitionCols.mkString(",")}) " +
+        s"must be a subset of the merge keys (${on.mkString(",")}) — " +
+        "otherwise a matched key could live in a partition this " +
+        "copy-on-write never rewrites")
+    val touched = source.select(partitionCols.map(col): _*).distinct()
+      .limit(maxTouchedPartitions + 1).collect()
+    require(touched.length <= maxTouchedPartitions,
+      s"mergeIntoParquet: source touches > $maxTouchedPartitions " +
+        "partitions — raise maxTouchedPartitions or fall back to a " +
+        "full-table merge + rewrite")
+    val base = spark.read.parquet(path)
+    val touchedPred = touched.map { row =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(row.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    // column order: parquet partition columns come back LAST on read;
+    // realign the source to the read-back order so merge's SET */
+    // INSERT * schema contract applies
+    val src = source.select(base.columns.map(col): _*)
+    val merged = merge(base.filter(touchedPred), src, on,
+      whenMatchedUpdate, whenMatchedDeleteIf, whenNotMatchedInsert)
+      .localCheckpoint() // sever the plan's file references before overwrite
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(path)
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
   * working columns: generated names never collide with caller columns,
   * so no user data is silently clobbered and dropped.
   */
-private[operators] object Cols {
+private[graft] object Cols {
 
   /** `k` fresh column names based on `base`, absent from every input. */
   def fresh(base: String, k: Int, dfs: DataFrame*): Seq[String] = {

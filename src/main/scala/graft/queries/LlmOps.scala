@@ -868,6 +868,32 @@ object LlmOps {
     * to the base snapshot. One key shuffle; the oracle re-derives the
     * merge with the same generic window rule.
     */
+  /** Statement-level MERGE INTO through the [[graft.Graft.mergeSql]]
+    * parser (r12 verdict item 4): updates on the mod-10 keys, a
+    * conditional DELETE on the mod-20 subset, inserts on offset keys —
+    * the three-clause statement a user migrating MERGE SQL writes,
+    * routed to the Cdc window rule. The oracle replays the clause
+    * semantics directly (matched-delete / matched-update /
+    * not-matched-insert set algebra).
+    */
+  val qMergeInto: QueryFn = withTables { spark =>
+    val orders = spark.table("orders")
+    val src = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("o_orderstatus", lit("U"))
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.Graft.mergeSql(spark,
+      """MERGE INTO t USING s ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("t" -> orders, "s" -> src))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val qCdcMerge: QueryFn = withTables { spark =>
     val orders = spark.table("orders")
     val base = orders.withColumn("version", lit(0L))
@@ -1541,6 +1567,7 @@ object LlmOps {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms_counts" -> qCmsCounts,
     "q_cdc_merge" -> qCdcMerge,
+    "q_merge_into" -> qMergeInto,
     "q_cdc_replay" -> qCdcReplay,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_exact" -> qSampleExact,
@@ -2380,6 +2407,33 @@ object LlmOps {
     // The same generic merge rule re-derived: latest version wins,
     // change beats base at equal version, tombstone winners drop.
     "q_cdc_merge" -> cdcMergeOracle,
+
+    // MERGE INTO clause semantics replayed as set algebra: matched
+    // source rows displace or delete their target row, not-matched
+    // source rows insert, untouched target keys pass through.
+    "q_merge_into" -> """
+      WITH s AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3),
+      t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      merged AS (
+        SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+        FROM t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM s)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        FROM s JOIN t ON s.o_orderkey = t.o_orderkey
+        WHERE NOT (s.o_orderkey % 20 = 0)
+        UNION ALL
+        SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        FROM s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t))
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+      FROM merged
+      ORDER BY o_orderkey""",
 
     // INTENTIONALLY the one-shot merge oracle: q_cdc_replay folds the
     // same changelog through applyChangelog in three micro-batches, and

@@ -36,6 +36,73 @@ class GraftSpec extends SparkTestBase {
     assert(rows === Set(("neg", 1L), ("mid", 1L), ("high", 1L)))
   }
 
+  // ---- statement-level MERGE ----
+
+  private def mergeFixture = {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "v")
+    val source = Seq((2L, "B", 99.0), (4L, "D", 77.0), (9L, "i", 9.0))
+      .toDF("k", "s", "v")
+    (target, source)
+  }
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("merge: default clauses = upsert (update matched, insert new, keep rest)") {
+    val (t, s) = mergeFixture
+    assert(rowsOf(Graft.merge(t, s, Seq("k"))) === Set(
+      (1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (4L, "D", 77.0), (9L, "i", 9.0)))
+  }
+
+  test("merge: clause combinations act independently") {
+    import spark.implicits._
+    val (t, s) = mergeFixture
+    // update only — no inserts
+    assert(rowsOf(Graft.merge(t, s, Seq("k"), whenNotMatchedInsert = false))
+      === Set((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "D", 77.0)))
+    // insert only — matched rows keep their target values
+    assert(rowsOf(Graft.merge(t, s, Seq("k"), whenMatchedUpdate = false))
+      === Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+        (4L, "d", 40.0), (9L, "i", 9.0)))
+    // conditional delete beats update; NOT-matched rows meeting the
+    // delete condition still insert (delete applies to MATCHED only)
+    assert(rowsOf(Graft.merge(t, s, Seq("k"),
+        whenMatchedDeleteIf = Some(col("v") > 80.0)))
+      === Set((1L, "a", 10.0), (3L, "c", 30.0), (4L, "D", 77.0), (9L, "i", 9.0)))
+    val sDel = Seq((9L, "i", 999.0)).toDF("k", "s", "v")
+    assert(rowsOf(Graft.merge(t, sDel, Seq("k"),
+        whenMatchedDeleteIf = Some(col("v") > 80.0)))
+      .contains((9L, "i", 999.0)),
+      "not-matched row meeting the delete condition must still insert")
+  }
+
+  test("mergeSql parses the three-clause statement and rejects the rest") {
+    val (t, s) = mergeFixture
+    val out = Graft.mergeSql(spark,
+      """MERGE INTO tgt USING src ON tgt.k = src.k
+         WHEN MATCHED AND src.v > 80.0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("tgt" -> t, "src" -> s))
+    assert(rowsOf(out) === Set(
+      (1L, "a", 10.0), (3L, "c", 30.0), (4L, "D", 77.0), (9L, "i", 9.0)))
+    // reversed ON orientation parses too
+    assert(rowsOf(Graft.mergeSql(spark,
+      """MERGE INTO tgt USING src ON src.k = tgt.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("tgt" -> t, "src" -> s))) === rowsOf(Graft.merge(t, s, Seq("k"))))
+    intercept[Exception](Graft.mergeSql(spark,
+      "MERGE INTO tgt USING src ON tgt.k < src.k WHEN MATCHED THEN DELETE",
+      Map("tgt" -> t, "src" -> s)))
+    intercept[Exception](Graft.mergeSql(spark,
+      """MERGE INTO tgt USING src ON tgt.k = src.k
+         WHEN MATCHED THEN UPDATE SET v = 1""",
+      Map("tgt" -> t, "src" -> s)))
+  }
+
   test("replace=false refuses to shadow an existing view") {
     import spark.implicits._
     val a = Seq(1).toDF("x")

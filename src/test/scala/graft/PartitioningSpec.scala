@@ -42,6 +42,42 @@ class PartitioningSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).columns.toSet === docs.columns.toSet)
   }
 
+  test("mergeIntoParquet rewrites ONLY touched partitions (copy-on-write)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergecow").toString + "/t"
+    // 3 partitions by p; keys carry the partition value (enforced ⊆ on)
+    val base = Seq((1, 10L, 1.0), (1, 11L, 2.0), (2, 20L, 3.0),
+      (2, 21L, 4.0), (3, 30L, 5.0)).toDF("p", "k", "v")
+    base.write.partitionBy("p").parquet(dir)
+    def filesOf(p: Int) = {
+      val d = new java.io.File(s"$dir/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before2 = filesOf(2)
+    val before3 = filesOf(3)
+    // source touches partitions 1 (update + delete) and 3 (insert) only
+    val source = Seq((1, 10L, 99.0), (1, 11L, -1.0), (3, 31L, 6.0))
+      .toDF("p", "k", "v")
+    Graft.mergeIntoParquet(spark, dir, source, on = Seq("p", "k"),
+      partitionCols = Seq("p"),
+      whenMatchedDeleteIf = Some(col("v") < 0))
+    // untouched partition 2: same files, same mtimes — byte-untouched
+    assert(filesOf(2) === before2, "partition p=2 was rewritten")
+    // touched partition 3 gained content (rewritten)
+    assert(filesOf(3) !== before3, "partition p=3 should have been rewritten")
+    // table content equals the logical full-table merge
+    val got = spark.read.parquet(dir)
+      .select("p", "k", "v").as[(Int, Long, Double)].collect().toSet
+    assert(got === Set((1, 10L, 99.0), (2, 20L, 3.0), (2, 21L, 4.0),
+      (3, 30L, 5.0), (3, 31L, 6.0)))
+    // partition cols outside the key set are rejected loudly
+    val e = intercept[IllegalArgumentException](
+      Graft.mergeIntoParquet(spark, dir, source, on = Seq("k"),
+        partitionCols = Seq("p")))
+    assert(e.getMessage.contains("subset"), e.getMessage)
+  }
+
   test("bucketed tables co-locate the join: zero Exchange on the bucket key") {
     // THE 100 TB repeated-join lever: two fact tables bucketed on the
     // same key with the same bucket count join with NO shuffle at all —
