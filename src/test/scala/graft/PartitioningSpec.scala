@@ -42,6 +42,40 @@ class PartitioningSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).columns.toSet === docs.columns.toSet)
   }
 
+  test("loadPruned skips files via footer min/max; results identical to unpruned") {
+    import graft.tables.TableLoader
+    val dir = Files.createTempDirectory("pruned").toString + "/docs"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // range-clustered layout: 8 files with near-disjoint doc_id ranges
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id").write.parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 4, s"fixture needs multiple files, got $nFiles")
+    val pruned = TableLoader.loadPruned(spark, dir, "doc_id",
+      lower = Some(100L), upper = Some(180L))
+    val readFiles = pruned.select(input_file_name()).distinct().count()
+    assert(readFiles < nFiles,
+      s"selective range must skip files: read $readFiles of $nFiles")
+    // result identity with the unpruned read + same filter
+    val expect = spark.read.parquet(dir)
+      .filter(col("doc_id") >= 100L && col("doc_id") <= 180L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(pruned.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      === expect.toSeq)
+    // string column bounds prune lexically too (lang is low-cardinality
+    // so every file may contain every lang — identity is the claim)
+    val byLang = TableLoader.loadPruned(spark, dir, "lang",
+      lower = Some("zz"), upper = None)
+    assert(byLang.count()
+      === spark.read.parquet(dir).filter(col("lang") >= "zz").count())
+    // impossible range: empty result without a full-table scan
+    val none = TableLoader.loadPruned(spark, dir, "doc_id",
+      lower = Some(-500L), upper = Some(-100L))
+    assert(none.count() === 0L)
+    assert(none.select(input_file_name()).distinct().count() <= 1L)
+  }
+
   test("mergeIntoParquet rewrites ONLY touched partitions (copy-on-write)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mergecow").toString + "/t"
