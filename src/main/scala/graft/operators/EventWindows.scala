@@ -650,4 +650,71 @@ object EventWindows {
       .groupBy("channel")
       .agg(sum("_f").as("first_touch"), sum("_l").as("last_touch"))
   }
+
+  /** Multi-touch position attribution — the fractional-credit models
+    * between [[touchAttribution]]'s all-or-nothing endpoints: each
+    * conversion's PATH is the user's non-conversion touches since the
+    * previous conversion; every touch on a converting path earns
+    *  - linear credit 1/k, and
+    *  - U-shaped (40/20/40) credit: k=1 → 1, k=2 → 0.5 each, k≥3 →
+    *    0.4 endpoints and 0.2/(k−2) per middle touch
+    * summed per channel. Paths with no conversion after them earn
+    * nothing (the stream hasn't converted — yet). A conversion with
+    * no prior touch credits `"direct"` with 1.0 under both models.
+    *
+    * Exactness: path membership and ranks ride the (tsCol, tieCol)
+    * per-user total order (exact integers); each touch's two credits
+    * are frozen at 6 dp into order-free decimal(38,6) channel sums —
+    * the only float is 0.2/(k−2), frozen before summation; totals
+    * conserve Σcredit = conversions up to the 6-dp freeze. Output
+    * credits cast double.
+    *
+    * Scale shape: the touchAttribution cost class — one user-keyed
+    * window sort assigns path ids, one (user, path) window ranks
+    * touches and sizes k, one channel-keyed sum. No joins beyond the
+    * in-window path/conversion pairing, no collect. Output:
+    * (channel, touches, linear_credit, u_credit).
+    */
+  def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, isConversion: Column): DataFrame = {
+    val dec6 = "decimal(38,6)"
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    // conversions BEFORE this row → touches between conversion c and
+    // c+1 share path id c, and conversion c+1's own row also gets c
+    val withPath = events
+      .withColumn("_path", count(when(isConversion, 1))
+        .over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+    val touches = withPath.filter(!isConversion)
+      .select(col(userCol).as("_u"), col("_path"), col(tsCol).as("_ts"),
+        col(tieCol).as("_tie"), col(typeCol).as("_ch"))
+    val convPaths = withPath.filter(isConversion)
+      .select(col(userCol).as("_u"), col("_path"))
+      .distinct() // one conversion per (user, path) by construction
+    val wPath = Window.partitionBy("_u", "_path").orderBy("_ts", "_tie")
+    val wPathAll = Window.partitionBy("_u", "_path")
+    val ranked = touches
+      .join(convPaths, Seq("_u", "_path")) // converting paths only
+      .withColumn("_r", row_number().over(wPath))
+      .withColumn("_k", count(lit(1)).over(wPathAll))
+    val uCredit = when(col("_k") === 1, lit(1.0))
+      .when(col("_k") === 2, lit(0.5))
+      .when(col("_r") === 1 || col("_r") === col("_k"), lit(0.4))
+      .otherwise(round(lit(0.2) / (col("_k") - 2), 6))
+    val direct = convPaths
+      // a conversion whose path has no touches: left-anti on touches
+      .join(touches.select("_u", "_path").distinct(), Seq("_u", "_path"),
+        "left_anti")
+      .select(lit("direct").as("channel"), lit(1L).as("_t"),
+        lit(1.0).cast(dec6).as("_lin"), lit(1.0).cast(dec6).as("_ucr"))
+    ranked
+      .select(col("_ch").as("channel"), lit(1L).as("_t"),
+        round(lit(1.0) / col("_k"), 6).cast(dec6).as("_lin"),
+        uCredit.cast(dec6).as("_ucr"))
+      .unionByName(direct)
+      .groupBy("channel")
+      .agg(sum("_t").as("touches"),
+        sum("_lin").cast("double").as("linear_credit"),
+        sum("_ucr").cast("double").as("u_credit"))
+  }
 }

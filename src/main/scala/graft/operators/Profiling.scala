@@ -470,6 +470,52 @@ object Profiling {
     * too large to sort should use the binned approximation over
     * [[equiDepthHistogram]] instead.
     */
+  /** Categorical diversity profile per group — "how varied is this
+    * slice's category mix" in the three standard numbers a corpus-
+    * composition dashboard quotes: richness (distinct categories),
+    * Shannon entropy H = ln n − (Σ c·ln c)/n in nats with effective
+    * categories e^H (the 'true diversity' of order 1), and the
+    * UNBIASED Gini–Simpson index 1 − Σ c(c−1)/(n(n−1)) (probability
+    * two draws WITHOUT replacement differ — all-integer, no float
+    * freedom). The category-mix sibling of [[gini]]'s value
+    * concentration; the drift family (PSI/JSD) compares two mixes,
+    * this profiles one.
+    *
+    * Exactness: counts are exact integers; each c·ln c term is frozen
+    * at 12 dp into an order-free decimal(38,12) sum (the mutualInfo
+    * discipline); H, e^H, and the Simpson division are each one
+    * rounded float expression. NULL categories are a real level (the
+    * chiSquare convention). Singleton groups: H = 0, Simpson NULL
+    * (no unordered pair exists).
+    *
+    * Scale shape: one (group, category) count shuffle, then
+    * category-cardinality-sized folds. Output: (group..., n,
+    * richness, shannon, eff_categories, simpson).
+    */
+  def diversity(df: DataFrame, groupCols: Seq[String], catCol: String)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "diversity: need at least one group column")
+    val gcols = groupCols.map(col)
+    val cells = df.groupBy(gcols :+ col(catCol): _*)
+      .agg(count(lit(1)).as("_c"))
+    val dec12 = "decimal(38,12)"
+    cells.groupBy(gcols: _*)
+      .agg(sum("_c").as("_n"), count(lit(1)).as("_k"),
+        sum(round(col("_c") * log(col("_c")), 12).cast(dec12)).as("_clnc"),
+        sum(col("_c") * (col("_c") - 1)).as("_same"))
+      .withColumn("_h",
+        round(log(col("_n")) - col("_clnc").cast("double") / col("_n"), 6))
+      .select(gcols ++ Seq(
+        col("_n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("richness"),
+        col("_h").cast("double").as("shannon"),
+        round(exp(col("_h")), 6).cast("double").as("eff_categories"),
+        when(col("_n") >= 2,
+          round(lit(1.0) - col("_same").cast("double")
+            / (col("_n") * (col("_n") - 1)).cast("double"), 6))
+          .cast("double").as("simpson")): _*)
+  }
+
   def gini(df: DataFrame, groupCols: Seq[String], valueCol: String)
       : DataFrame = {
     require(groupCols.nonEmpty, "gini: need at least one group column")

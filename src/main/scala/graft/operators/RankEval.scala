@@ -306,6 +306,120 @@ object RankEval {
         / sum(col("n")), 6).cast("double").as("ece"),
       sum(col("n")).cast("long").as("n"))
 
+  /** Multi-class one-vs-rest classification report — per class c:
+    * tp = |actual=c ∧ pred=c|, precision = tp/|pred=c|, recall =
+    * tp/|actual=c|, F1 = 2PR/(P+R) — the per-class table behind
+    * "macro-F1" that the binary [[confusionPanel]] can't produce, and
+    * the standard acceptance gate for any multi-class router (e.g.
+    * [[TextAnalysis.naiveBayesPredict]]'s output against its labels).
+    * Classes present only in predictions (or only in labels) still get
+    * a row — silently dropping them hides exactly the failure mode
+    * (a class the model never predicts) the report exists to catch.
+    *
+    * Exactness: every count is an exact integer from ONE
+    * (actual, pred) cell aggregation; P/R/F1 are one rounded division
+    * each (zero denominators → NULL; F1 NULL when P+R = 0 or either
+    * is NULL). NULL actual/pred rows are excluded (unlabeled).
+    *
+    * Scale shape: one (actual, pred) shuffle — cells are
+    * classes²-bounded regardless of corpus size — then class-keyed
+    * joins over class-sized tables. Output: (class, n_actual,
+    * n_pred, tp, precision, recall, f1).
+    */
+  def classReport(df: DataFrame, actualCol: String, predCol: String)
+      : DataFrame = {
+    val cells = df
+      .filter(col(actualCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(actualCol).as("_a"), col(predCol).as("_p"))
+      .agg(count(lit(1)).as("_c"))
+    val act = cells.groupBy(col("_a").as("_ca"))
+      .agg(sum("_c").as("n_actual"))
+    val prd = cells.groupBy(col("_p").as("_cp"))
+      .agg(sum("_c").as("n_pred"))
+    val tp = cells.filter(col("_a") <=> col("_p"))
+      .select(col("_a").as("_ct"), col("_c").as("tp"))
+    val classes = act.select(col("_ca").as("class"))
+      .unionByName(prd.select(col("_cp").as("class"))).distinct()
+    classes
+      .join(act, col("class") <=> col("_ca"), "left").drop("_ca")
+      .join(prd, col("class") <=> col("_cp"), "left").drop("_cp")
+      .join(tp, col("class") <=> col("_ct"), "left").drop("_ct")
+      .select(col("class"),
+        coalesce(col("n_actual"), lit(0L)).cast("bigint").as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).cast("bigint").as("n_pred"),
+        coalesce(col("tp"), lit(0L)).cast("bigint").as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, round(col("tp") / col("n_pred"), 6))
+          .cast("double"))
+      .withColumn("recall",
+        when(col("n_actual") > 0, round(col("tp") / col("n_actual"), 6))
+          .cast("double"))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull
+            && col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall")), 6)).cast("double"))
+  }
+
+  /** Murphy decomposition of the binned Brier score —
+    * brier_binned = REL − RES + UNC over the [[calibrationBins]] grid:
+    * reliability REL = Σ n_k(p̄_k − ō_k)²/N penalizes miscalibration
+    * (ECE's squared sibling), resolution RES = Σ n_k(ō_k − ō)²/N
+    * rewards bins that SEPARATE outcomes, uncertainty UNC = ō(1−ō) is
+    * the data's irreducible floor. The decomposition answers what a
+    * single Brier number (L156) can't: is the score bad because the
+    * model is miscalibrated (fix with [[Stats.isotonicCalibration]])
+    * or because it doesn't discriminate (no post-hoc fix exists).
+    *
+    * Exactness: confidences caller-quantized at 6 dp (the
+    * calibrationBins contract) so bin conf sums are exact decimals of
+    * 1e6-scaled longs; counts exact integers; p̄/ō per bin are
+    * 12-dp-frozen doubles; each bin's REL/RES term freezes at 12 dp
+    * into order-free decimal(38,12) sums; the three components round
+    * at 6 dp. Unscored/unlabeled rows are excluded.
+    *
+    * Scale shape: one bin-keyed aggregation + a bins-sized fold —
+    * corpus size never passes the first shuffle. Output: ONE row
+    * (n, k_bins, reliability, resolution, uncertainty, brier_binned).
+    */
+  def brierDecomposition(df: DataFrame, confCol: Column, labelCol: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"brierDecomposition: bins must be >= 1, got $bins")
+    val dec12 = "decimal(38,12)"
+    val bin = least(floor(confCol * bins), lit((bins - 1).toLong)).cast("bigint")
+    val cells = df
+      .filter(confCol.isNotNull && labelCol.isNotNull)
+      .select(bin.as("_b"),
+        round(confCol * 1e6).cast("long").as("_cq"),
+        labelCol.cast("int").as("_y"))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("_nk"),
+        sum(col("_cq").cast("decimal(38,0)")).as("_cs"),
+        sum("_y").as("_pk"))
+    val tot = cells.agg(sum("_nk").as("_n"), sum("_pk").as("_p"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("_conf", round(col("_cs").cast("double") / 1e6 / col("_nk"), 12))
+      .withColumn("_acc", round(col("_pk").cast("double") / col("_nk"), 12))
+      .withColumn("_obar", round(col("_p").cast("double") / col("_n"), 12))
+      .groupBy("_n", "_p", "_obar")
+      .agg(count(lit(1)).as("_k"),
+        sum(round(col("_nk") * (col("_conf") - col("_acc"))
+          * (col("_conf") - col("_acc")), 12).cast(dec12)).as("_rel"),
+        sum(round(col("_nk") * (col("_acc") - col("_obar"))
+          * (col("_acc") - col("_obar")), 12).cast(dec12)).as("_res"))
+      .withColumn("_reld", round(col("_rel").cast("double") / col("_n"), 6))
+      .withColumn("_resd", round(col("_res").cast("double") / col("_n"), 6))
+      .withColumn("_unc",
+        round(col("_obar") * (lit(1.0) - col("_obar")), 6))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("k_bins"),
+        col("_reld").cast("double").as("reliability"),
+        col("_resd").cast("double").as("resolution"),
+        col("_unc").cast("double").as("uncertainty"),
+        round(col("_reld") - col("_resd") + col("_unc"), 6)
+          .cast("double").as("brier_binned"))
+  }
+
   /** Hosmer–Lemeshow goodness-of-fit over fixed-width confidence
     * bins: HL = Σ_g (O_g − E_g)²/(n_g·π̄_g·(1−π̄_g)) vs χ²(k−2) — the
     * TEST companion of [[calibrationBins]]/ECE (ECE sizes the

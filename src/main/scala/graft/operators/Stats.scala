@@ -2439,6 +2439,136 @@ object Stats {
       .select(col("_g"), abs(col("_x") - col("_med")).as("_x")))
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951) — the
+    * unequal-variance F* that stays valid when [[brownForsythe]]
+    * rejects the equal-variance assumption [[anovaF]] leans on; the
+    * k-group generalization of [[welchTTest]]. With w_g = n_g/s_g²,
+    * W = Σw, m̄ = Σ w·m / W, Λ = Σ (1−w_g/W)²/(n_g−1):
+    *
+    *   F* = [Σ w_g(m_g−m̄)² / (k−1)] / [1 + (2(k−2)/(k²−1))·Λ]
+    *
+    * with dof1 = k−1 and dof2 = (k²−1)/(3Λ) — Welch 1951's
+    * approximate-degrees form.
+    *
+    * Exactness: per-group moments accumulate in decimal(38,0) over
+    * 1e6-scaled longs; mean and variance per group are each ONE
+    * 12-dp-frozen double then mean/variance DE-SCALE to natural units before their
+    * 12-dp freezes (frozen scaled-unit weights would quantize to ~1
+    * significant digit); every cross-group
+    * sum folds 12-dp-frozen decimal terms (order-free); F* and dof2
+    * are rounded at 6 dp. Groups need n_g ≥ 2 and s_g² > 0 —
+    * degenerate groups are EXCLUDED with their count reported
+    * (k_used); NULL when k_used < 2.
+    *
+    * Scale shape: ONE group-keyed moment aggregate → k-row frame →
+    * one 1-row broadcast fold joined back — no windows, no sorts.
+    * Output: (n, k_used, dof1, dof2, f).
+    */
+  def welchAnova(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec0 = "decimal(38,0)"
+    val dec12 = "decimal(38,12)"
+    val byG = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_ng"),
+        sum(col("_x").cast(dec0)).as("_s1"),
+        sum((col("_x").cast(dec0) * col("_x")).cast(dec0)).as("_q1"))
+      .filter(col("_ng") >= 2)
+      // frozen per-group mean and UNBIASED variance, DE-SCALED back to
+      // natural units before the freeze: w = n/s² in scaled units is
+      // ~1e-12·w_natural, so a 12-dp freeze there would keep ~1 digit
+      // of the weights (measured: 0.1% F* error on a k=2 fixture);
+      // in natural units the freezes sit 8+ digits below the values
+      .withColumn("_m",
+        round(col("_s1").cast("double") / col("_ng") / 1e6, 12))
+      .withColumn("_v", round((col("_q1").cast("double")
+        - col("_s1").cast("double") * col("_s1").cast("double")
+          / col("_ng")) / (col("_ng") - 1) / 1e12, 12))
+      .filter(col("_v") > 0.0)
+      .withColumn("_w", round(col("_ng") / col("_v"), 12))
+    val tot = byG.agg(
+      sum("_ng").as("_n"), count(lit(1)).as("_k"),
+      sum(col("_w").cast(dec12)).as("_wsum"),
+      sum(round(col("_w") * col("_m"), 12).cast(dec12)).as("_wm"))
+    val withMean = byG.crossJoin(broadcast(tot))
+      .withColumn("_mbar",
+        round(col("_wm").cast("double") / col("_wsum").cast("double"), 12))
+    val fold = withMean.groupBy("_n", "_k", "_wsum")
+      .agg(
+        sum(round(col("_w") * (col("_m") - col("_mbar"))
+          * (col("_m") - col("_mbar")), 12).cast(dec12)).as("_num"),
+        sum(round((lit(1.0) - col("_w") / col("_wsum").cast("double"))
+          * (lit(1.0) - col("_w") / col("_wsum").cast("double"))
+          / (col("_ng") - 1), 12).cast(dec12)).as("_lam"))
+    fold.select(
+      col("_n").cast("bigint").as("n"),
+      col("_k").cast("bigint").as("k_used"),
+      (col("_k") - 1).cast("bigint").as("dof1"),
+      when(col("_k") >= 2 && col("_lam").cast("double") > 0.0,
+        round((col("_k") * col("_k") - 1).cast("double")
+          / (lit(3.0) * col("_lam").cast("double")), 6))
+        .cast("double").as("dof2"),
+      when(col("_k") >= 2,
+        round((col("_num").cast("double") / (col("_k") - 1).cast("double"))
+          / (lit(1.0) + (lit(2.0) * (col("_k") - 2).cast("double")
+            / (col("_k") * col("_k") - 1).cast("double"))
+            * col("_lam").cast("double")), 6))
+        .cast("double").as("f"))
+  }
+
+  /** Entropy-based inequality indices per group — the decomposable
+    * complements of the rank-based Gini (L107): Theil T =
+    * (1/n)Σ(x/μ)ln(x/μ), Theil L (mean log deviation) =
+    * (1/n)Σ ln(μ/x), and Atkinson(ε=1) = 1 − exp(−L) = 1 − geomean/μ.
+    * T and L are additively decomposable across subgroups (the reason
+    * econometrics prefers them for corpus/revenue concentration
+    * audits); Atkinson(1) reads as "the share of total you could
+    * discard under equal distribution at the same welfare".
+    *
+    * Exactness: values quantize to 1e2-scaled longs (cents — the
+    * revenue convention; the indices are scale-invariant so the
+    * quantum only sets resolution); μ is one 12-dp-frozen double per
+    * group joined back broadcast; each row's T/L term is frozen at
+    * 12 dp into order-free decimal(38,12) sums; the three indices are
+    * one rounded expression each. Non-positive and NULL values are
+    * EXCLUDED (ln is undefined there — the standard Theil domain)
+    * with the kept count reported.
+    *
+    * Scale shape: one group mean agg (broadcast back) + one
+    * group-keyed term agg — two corpus passes, no windows, no sorts
+    * (vs [[Profiling.gini]]'s per-group sort). Output: (group..., n,
+    * theil_t, theil_l, atkinson1).
+    */
+  def inequality(df: DataFrame, groupCols: Seq[String], valueCol: String)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "inequality: need at least one group column")
+    val gcols = groupCols.map(col)
+    val dec12 = "decimal(38,12)"
+    val pts = df
+      .select(gcols :+ round(col(valueCol) * 100).cast("long").as("_x"): _*)
+      .filter(col("_x").isNotNull && col("_x") > 0)
+    val means = pts.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast("decimal(38,0)")).as("_s"))
+      .withColumn("_mu", round(col("_s").cast("double") / col("_n"), 12))
+      .select(gcols ++ Seq(col("_n"), col("_mu")): _*)
+    pts.join(broadcast(means), groupCols)
+      .withColumn("_r", col("_x") / col("_mu"))
+      .groupBy((gcols :+ col("_n")) :+ col("_mu"): _*)
+      .agg(
+        sum(round(col("_r") * log(col("_r")), 12).cast(dec12)).as("_t"),
+        sum(round(-log(col("_r")), 12).cast(dec12)).as("_l"))
+      .withColumn("_lmean", col("_l").cast("double") / col("_n"))
+      .select(gcols ++ Seq(
+        col("_n").cast("bigint").as("n"),
+        round(col("_t").cast("double") / col("_n"), 6)
+          .cast("double").as("theil_t"),
+        round(col("_lmean"), 6).cast("double").as("theil_l"),
+        round(lit(1.0) - exp(-col("_lmean")), 6)
+          .cast("double").as("atkinson1")): _*)
+  }
+
   /** Per-group Durbin–Watson statistic on the residuals of y ~ x:
     * DW = Σ(e_t − e_{t−1})² / Σe_t² over the x-ordered series — the
     * "are the residuals serially correlated" diagnostic that decides

@@ -339,6 +339,56 @@ object AnalyticsOps {
     * (ts, event_id) total order: exact integer channel credits,
     * no-prior-touch purchases credit 'direct'.
     */
+  /** Shannon / Simpson / richness diversity of the language mix per
+    * source: integer counts, frozen c·ln c decimal sums, unbiased
+    * integer Gini–Simpson, one rounded expression each.
+    */
+  val qDiversity: QueryFn = withTables { spark =>
+    graft.operators.Profiling.diversity(spark.table("documents"),
+        Seq("source"), "lang")
+      .orderBy("source")
+  }
+
+  /** Murphy decomposition of the binned Brier score for the
+    * min-max-normalized value confidence vs the purchase label
+    * (the q_calibration grid): frozen bin means, decimal REL/RES
+    * folds, REL − RES + UNC identity row.
+    */
+  val qBrierDecomp: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+    val mm = ev.agg(min(col("value")).cast("double").as("_lo"),
+      max(col("value")).cast("double").as("_hi"))
+    val scored = ev.crossJoin(broadcast(mm))
+      .withColumn("conf",
+        round((col("value") - col("_lo")) / (col("_hi") - col("_lo")), 6))
+    RankEval.brierDecomposition(scored, col("conf"),
+      col("event_type") === "purchase", bins = 10)
+  }
+
+  /** Multi-class one-vs-rest P/R/F1 panel: actual = event_type,
+    * predicted by a deterministic rule that exercises the diagonal,
+    * a never-correct sink class ('bot', pred-only), and heavy
+    * off-diagonal mass — all integer cells, rounded divisions.
+    */
+  val qF1Panel: QueryFn = withTables { spark =>
+    val ev = spark.table("events").withColumn("_pred",
+      when(col("event_id") % 3 === 0, col("event_type"))
+        .when(col("event_id") % 3 === 1, lit("bot"))
+        .otherwise(lit("click")))
+    RankEval.classReport(ev, "event_type", "_pred")
+      .orderBy("class")
+  }
+
+  /** Position-based multi-touch attribution (linear + U-shaped
+    * 40/20/40) of purchase conversions over per-user touch paths:
+    * integer path ranks, 6-dp-frozen credits in decimal channel sums.
+    */
+  val qAttributionPosition: QueryFn = withTables { spark =>
+    EventWindows.positionAttribution(spark.table("events"), "user_id",
+        "ts", "event_id", "event_type", col("event_type") === "purchase")
+      .orderBy("channel")
+  }
+
   val qAttribution: QueryFn = withTables { spark =>
     EventWindows.touchAttribution(spark.table("events"), "user_id", "ts",
         "event_id", "event_type", col("event_type") === "purchase")
@@ -568,6 +618,10 @@ object AnalyticsOps {
     "q_rfm" -> qRfm,
     "q_pareto" -> qPareto,
     "q_attribution" -> qAttribution,
+    "q_attribution_position" -> qAttributionPosition,
+    "q_diversity" -> qDiversity,
+    "q_brier_decomp" -> qBrierDecomp,
+    "q_f1_panel" -> qF1Panel,
     "q_posting_lists" -> qPostingLists,
     "q_pca_power" -> qPcaPower,
     "q_rbo_eval" -> qRboEval,
@@ -1088,6 +1142,148 @@ object AnalyticsOps {
     // Same IGNORE NULLS first/last windows over the same per-user
     // (ts, event_id) total order; purchases with no prior
     // non-purchase event credit 'direct' on both engines.
+    // Integer category cells, frozen c·ln c decimal sums, unbiased
+    // integer Simpson.
+    "q_diversity" -> """
+      WITH cells AS (
+        SELECT source, lang, COUNT(*)::BIGINT AS c
+        FROM documents GROUP BY source, lang),
+      agg AS (
+        SELECT source, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               CAST(SUM(CAST(ROUND(c * LN(c), 12) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS clnc,
+               SUM(c * (c - 1))::BIGINT AS same
+        FROM cells GROUP BY source),
+      h AS (SELECT source, n, k, ROUND(LN(n) - clnc / n, 6) AS hh, same
+            FROM agg)
+      SELECT source, n, k AS richness,
+             CAST(hh AS DOUBLE) AS shannon,
+             CAST(ROUND(EXP(hh), 6) AS DOUBLE) AS eff_categories,
+             CAST(CASE WHEN n >= 2 THEN
+               ROUND(1.0 - same / CAST(n * (n - 1) AS DOUBLE), 6)
+               END AS DOUBLE) AS simpson
+      FROM h ORDER BY source""",
+
+    // q_calibration's grid; frozen bin means; decimal REL/RES folds.
+    "q_brier_decomp" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      scored AS (
+        SELECT ROUND((value - lo) / (hi - lo), 6) AS conf,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events CROSS JOIN mm
+        WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      cells AS (
+        SELECT CAST(LEAST(FLOOR(conf * 10), 9) AS BIGINT) AS b,
+               COUNT(*)::BIGINT AS nk,
+               SUM(CAST(ROUND(conf * 1000000) AS BIGINT)::HUGEINT) AS cs,
+               SUM(y)::BIGINT AS pk
+        FROM scored GROUP BY 1),
+      tot AS (SELECT SUM(nk)::BIGINT AS n, SUM(pk)::BIGINT AS p FROM cells),
+      enr AS (
+        SELECT b, nk,
+               ROUND(CAST(cs AS DOUBLE) / 1000000.0 / nk, 12) AS cm,
+               ROUND(CAST(pk AS DOUBLE) / nk, 12) AS am,
+               ROUND(CAST(p AS DOUBLE) / n, 12) AS obar, n
+        FROM cells CROSS JOIN tot),
+      fold AS (
+        SELECT n, obar, COUNT(*)::BIGINT AS k,
+               CAST(SUM(CAST(ROUND(nk * (cm - am) * (cm - am), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS rel,
+               CAST(SUM(CAST(ROUND(nk * (am - obar) * (am - obar), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS res
+        FROM enr GROUP BY n, obar),
+      six AS (SELECT n, k, ROUND(rel / n, 6) AS rel6, ROUND(res / n, 6)
+                AS res6, ROUND(obar * (1.0 - obar), 6) AS unc6
+              FROM fold)
+      SELECT n, k AS k_bins,
+             CAST(rel6 AS DOUBLE) AS reliability,
+             CAST(res6 AS DOUBLE) AS resolution,
+             CAST(unc6 AS DOUBLE) AS uncertainty,
+             CAST(ROUND(rel6 - res6 + unc6, 6) AS DOUBLE) AS brier_binned
+      FROM six""",
+
+    // One (actual, pred) cell aggregate; class-keyed set algebra;
+    // rounded divisions with NULL zero-denominators.
+    "q_f1_panel" -> """
+      WITH ev AS (
+        SELECT event_type AS a,
+               CASE WHEN event_id % 3 = 0 THEN event_type
+                    WHEN event_id % 3 = 1 THEN 'bot'
+                    ELSE 'click' END AS p
+        FROM events
+        WHERE event_type IS NOT NULL),
+      cells AS (SELECT a, p, COUNT(*)::BIGINT AS c FROM ev GROUP BY a, p),
+      act AS (SELECT a, SUM(c)::BIGINT AS n_actual FROM cells GROUP BY a),
+      prd AS (SELECT p, SUM(c)::BIGINT AS n_pred FROM cells GROUP BY p),
+      tp AS (SELECT a AS cl, c AS tp FROM cells WHERE a = p),
+      classes AS (SELECT a AS cl FROM act UNION SELECT p FROM prd),
+      base AS (
+        SELECT classes.cl AS class,
+               COALESCE(n_actual, 0)::BIGINT AS n_actual,
+               COALESCE(n_pred, 0)::BIGINT AS n_pred,
+               COALESCE(tp, 0)::BIGINT AS tp
+        FROM classes
+        LEFT JOIN act ON act.a = classes.cl
+        LEFT JOIN prd ON prd.p = classes.cl
+        LEFT JOIN tp ON tp.cl = classes.cl),
+      pr AS (
+        SELECT class, n_actual, n_pred, tp,
+               CASE WHEN n_pred > 0
+                 THEN ROUND(tp / CAST(n_pred AS DOUBLE), 6) END AS precision,
+               CASE WHEN n_actual > 0
+                 THEN ROUND(tp / CAST(n_actual AS DOUBLE), 6) END AS recall
+        FROM base)
+      SELECT class, n_actual, n_pred, tp,
+             CAST(precision AS DOUBLE) AS precision,
+             CAST(recall AS DOUBLE) AS recall,
+             CAST(CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                    AND precision + recall > 0 THEN
+               ROUND(2.0 * precision * recall / (precision + recall), 6)
+               END AS DOUBLE) AS f1
+      FROM pr ORDER BY class""",
+
+    // Path ids from the same prior-conversion count window; integer
+    // ranks; frozen fractional credits in decimal channel sums.
+    "q_attribution_position" -> """
+      WITH base AS (
+        SELECT user_id AS u, ts, event_id AS eid, event_type AS et,
+               event_type = 'purchase' AS conv
+        FROM events),
+      wp AS (
+        SELECT *, COUNT(CASE WHEN conv THEN 1 END) OVER
+            (PARTITION BY u ORDER BY ts, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS path
+        FROM base),
+      touches AS (SELECT u, path, ts, eid, et FROM wp WHERE NOT conv),
+      convp AS (SELECT DISTINCT u, path FROM wp WHERE conv),
+      ranked AS (
+        SELECT t.u, t.path, t.et,
+               ROW_NUMBER() OVER (PARTITION BY t.u, t.path
+                                  ORDER BY t.ts, t.eid) AS r,
+               COUNT(*) OVER (PARTITION BY t.u, t.path) AS k
+        FROM touches t JOIN convp USING (u, path)),
+      credits AS (
+        SELECT et AS channel, 1::BIGINT AS t,
+               CAST(ROUND(1.0 / k, 6) AS DECIMAL(38,6)) AS lin,
+               CAST(CASE WHEN k = 1 THEN 1.0
+                         WHEN k = 2 THEN 0.5
+                         WHEN r = 1 OR r = k THEN 0.4
+                         ELSE ROUND(0.2 / (k - 2), 6) END
+                 AS DECIMAL(38,6)) AS ucr
+        FROM ranked
+        UNION ALL
+        SELECT 'direct', 1::BIGINT,
+               CAST(1.0 AS DECIMAL(38,6)), CAST(1.0 AS DECIMAL(38,6))
+        FROM convp c
+        WHERE NOT EXISTS (SELECT 1 FROM touches t
+                          WHERE t.u = c.u AND t.path = c.path))
+      SELECT channel, SUM(t)::BIGINT AS touches,
+             CAST(SUM(lin) AS DOUBLE) AS linear_credit,
+             CAST(SUM(ucr) AS DOUBLE) AS u_credit
+      FROM credits GROUP BY channel
+      ORDER BY channel""",
+
     "q_attribution" -> """
       WITH scored AS (
         SELECT event_type,

@@ -210,6 +210,25 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Welch's heteroscedastic one-way ANOVA of value across event
+    * types: frozen per-group mean/variance/weight, decimal cross-group
+    * folds, one rounded F-star / dof2 pair.
+    */
+  val qWelchAnova: QueryFn = withTables { spark =>
+    graft.operators.Stats.welchAnova(spark.table("events"),
+      "event_type", "value")
+  }
+
+  /** Theil T / Theil L / Atkinson(1) inequality of order value by
+    * priority: cent-quantized positive values, frozen per-row ln
+    * terms in decimal sums, one rounded division per index.
+    */
+  val qInequality: QueryFn = withTables { spark =>
+    graft.operators.Stats.inequality(spark.table("orders"),
+        Seq("o_orderpriority"), "o_totalprice")
+      .orderBy("o_orderpriority")
+  }
+
   /** Binned Kendall tau-b of (value, user_id) per event type, judged
     * on the RAW event stream (no pre-aggregation — that is the dual's
     * point) at 16×16 cells: integer cell counts and pair products,
@@ -1268,6 +1287,8 @@ object StatsOps {
     "q_rolling_corr" -> qRollingCorr,
     "q_kendall" -> qKendall,
     "q_kendall_binned" -> qKendallBinned,
+    "q_welch_anova" -> qWelchAnova,
+    "q_inequality" -> qInequality,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -3576,6 +3597,81 @@ object StatsOps {
     // tie-corrected z tree (coefficients cast to DOUBLE).
     // Integer pair concordance with tie correction; scaling cancels
     // out of every comparison, so the oracle compares raw values.
+    // Welch 1951: frozen per-group moments, decimal folds, the same
+    // left-assoc float trees.
+    "q_welch_anova" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg0 AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      byg1 AS (
+        SELECT g, ng,
+               ROUND(CAST(s1 AS DOUBLE) / ng / 1000000.0, 12) AS m,
+               ROUND((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                 * CAST(s1 AS DOUBLE) / ng) / (ng - 1)
+                 / 1000000000000.0, 12) AS v
+        FROM byg0 WHERE ng >= 2),
+      byg AS (SELECT g, ng, m, ROUND(ng / v, 12) AS w
+              FROM byg1 WHERE v > 0.0),
+      tot AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               SUM(CAST(w AS DECIMAL(38,12))) AS bigw,
+               SUM(CAST(ROUND(w * m, 12) AS DECIMAL(38,12))) AS wm
+        FROM byg),
+      mb AS (SELECT n, k, CAST(bigw AS DOUBLE) AS wd,
+                    ROUND(CAST(wm AS DOUBLE) / CAST(bigw AS DOUBLE), 12)
+                      AS mbar
+             FROM tot),
+      fold AS (
+        SELECT n, k,
+               CAST(SUM(CAST(ROUND(w * (m - mbar) * (m - mbar), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE) AS num,
+               CAST(SUM(CAST(ROUND((1.0 - w / wd) * (1.0 - w / wd)
+                 / (ng - 1), 12) AS DECIMAL(38,12))) AS DOUBLE) AS lam
+        FROM byg CROSS JOIN mb GROUP BY n, k, wd, mbar)
+      SELECT n, k AS k_used, (k - 1)::BIGINT AS dof1,
+             CAST(CASE WHEN k >= 2 AND lam > 0.0 THEN
+               ROUND(CAST(k * k - 1 AS DOUBLE) / (3.0 * lam), 6)
+               END AS DOUBLE) AS dof2,
+             CAST(CASE WHEN k >= 2 THEN
+               ROUND((num / CAST(k - 1 AS DOUBLE))
+                 / (1.0 + (2.0 * CAST(k - 2 AS DOUBLE)
+                   / CAST(k * k - 1 AS DOUBLE)) * lam), 6)
+               END AS DOUBLE) AS f
+      FROM fold""",
+
+    // Cent-quantized positive values; per-row frozen ln terms in
+    // decimal sums; the three rounded indices.
+    "q_inequality" -> """
+      WITH pts AS (
+        SELECT g, x FROM (
+          SELECT o_orderpriority AS g,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders)
+        WHERE x IS NOT NULL AND x > 0),
+      means AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               ROUND(CAST(SUM(x::HUGEINT) AS DOUBLE) / COUNT(*), 12) AS mu
+        FROM pts GROUP BY g),
+      terms AS (SELECT p.g, n, x / mu AS r
+                FROM pts p JOIN means USING (g)),
+      agg AS (
+        SELECT g, n,
+               CAST(SUM(CAST(ROUND(r * LN(r), 12) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS t,
+               CAST(SUM(CAST(ROUND(-LN(r), 12) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS l
+        FROM terms GROUP BY g, n)
+      SELECT g AS o_orderpriority, n,
+             CAST(ROUND(t / n, 6) AS DOUBLE) AS theil_t,
+             CAST(ROUND(l / n, 6) AS DOUBLE) AS theil_l,
+             CAST(ROUND(1.0 - EXP(-(l / n)), 6) AS DOUBLE) AS atkinson1
+      FROM agg ORDER BY g""",
+
     // Same equi-width binning as q_mw_binned, cell-pair concordance
     // with the doubled tie correction — every count an exact integer,
     // one rounded tau_b division.

@@ -640,4 +640,80 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out("q3").isNullAt(1) && out("q3").getDouble(2) == 0.0,
       "relevance-only query emits 0")
   }
+
+  // ---- round-13 additions ----
+
+  test("brierDecomposition: perfectly calibrated 0/1 confidences -> REL 0, identity holds") {
+    import spark.implicits._
+    val df = (Seq.fill(6)((1.0, true)) ++ Seq.fill(4)((0.0, false)))
+      .toDF("conf", "y")
+    val r = RankEval.brierDecomposition(df, col("conf"), col("y"), bins = 10)
+      .collect().head
+    val (rel, res, unc, brier) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(rel == 0.0, s"perfect calibration: $rel")
+    assert(math.abs(brier - (rel - res + unc)) < 1e-9, "Murphy identity")
+    assert(math.abs(unc - 0.6 * 0.4) < 1e-9)
+    assert(math.abs(res - unc) < 1e-9,
+      "perfectly separated bins resolve ALL the uncertainty")
+    assert(brier == 0.0, "binned Brier of a perfect forecaster is 0")
+  }
+
+  test("brierDecomposition: constant base-rate forecaster has RES 0, brier = UNC") {
+    import spark.implicits._
+    val df = (Seq.fill(3)((0.5, true)) ++ Seq.fill(3)((0.5, false)))
+      .toDF("conf", "y")
+    val r = RankEval.brierDecomposition(df, col("conf"), col("y"), bins = 10)
+      .collect().head
+    assert(r.getDouble(3) == 0.0, "one bin at the base rate: no resolution")
+    assert(r.getDouble(2) == 0.0, "0.5 vs 0.5 accuracy: no reliability gap")
+    assert(r.getDouble(5) == 0.25, "brier = UNC = 0.25")
+  }
+
+  test("classReport: per-class cells, pred-only class, zero-denominator NULLs") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),   // a: tp 2 of 3 actual
+      ("b", "a"), ("b", "b"),               // b: tp 1 of 2 actual
+      ("c", "x"), ("c", "x")                // c never predicted; x never actual
+    ).toDF("act", "pred")
+    val rows = RankEval.classReport(df, "act", "pred").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getLong(1) == 3 && rows("a").getLong(2) == 3
+      && rows("a").getLong(3) == 2)
+    assert(rows("a").getDouble(4) == 0.666667 && rows("a").getDouble(5) == 0.666667)
+    assert(rows("c").getLong(3) == 0 && rows("c").isNullAt(4),
+      "never-predicted class: precision NULL (0 predictions)")
+    assert(rows("c").getDouble(5) == 0.0, "recall 0 of 2")
+    assert(rows("c").isNullAt(6), "P NULL -> F1 NULL")
+    assert(rows("x").getLong(1) == 0 && rows("x").getLong(2) == 2
+      && rows("x").isNullAt(5), "pred-only class keeps its row, recall NULL")
+  }
+
+  test("positionAttribution: hand paths — U 40/20/40, linear 1/k, direct") {
+    import spark.implicits._
+    // u1: a,b,c -> CONV ; u2: a -> CONV ; u3: CONV with no touches ;
+    // u4: touches but never converts (no credit)
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "CONV"),
+      (2L, 1L, "a"), (2L, 2L, "CONV"),
+      (3L, 1L, "CONV"),
+      (4L, 1L, "a"), (4L, 2L, "b")
+    ).toDF("user", "ts", "ch")
+    val out = graft.operators.EventWindows.positionAttribution(
+        ev, "user", "ts", "ts", "ch", col("ch") === "CONV")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((2L, 1.333333, 1.4)),
+      s"a: 1/3 + 1 linear, 0.4 + 1.0 U: ${out("a")}")
+    assert(out("b") == ((1L, 0.333333, 0.2)), out("b").toString)
+    assert(out("c") == ((1L, 0.333333, 0.4)), out("c").toString)
+    assert(out("direct") == ((1L, 1.0, 1.0)), "u3 converts with no touches")
+    assert(!out.contains("CONV"), "conversions are not channels")
+    // u4's touches earn nothing: totals conserve conversions
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-6,
+      "sum of linear credit == number of conversions")
+    assert(math.abs(out.values.map(_._3).sum - 3.0) < 1e-6,
+      "sum of U credit == number of conversions")
+  }
 }

@@ -286,4 +286,29 @@ class ProfilingSpec extends SparkTestBase {
     assert(toks.distinct.length == toks.length,
       "no two distinct values share a token")
   }
+
+  test("diversity: uniform mix maxes Shannon/Simpson; singletons degrade gracefully") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val df = (Seq.fill(3)(("u", "a")) ++ Seq.fill(3)(("u", "b")) ++
+      Seq.fill(3)(("u", "c")) ++ Seq.fill(3)(("u", "d")) ++
+      Seq(("s", "only")) ++
+      Seq(("skew", "x"), ("skew", "x"), ("skew", "x"), ("skew", "y")))
+      .toDF("g", "cat")
+    val out = Profiling.diversity(df, Seq("g"), "cat").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = out("u")
+    assert(u.getLong(1) == 12 && u.getLong(2) == 4)
+    assert(math.abs(u.getDouble(3) - math.log(4.0)) < 1e-5,
+      "uniform 4-way mix: H = ln 4")
+    assert(math.abs(u.getDouble(4) - 4.0) < 1e-4,
+      "effective categories of a uniform 4-mix is 4")
+    // unbiased Gini–Simpson: 1 − 4·(3·2)/(12·11) = 1 − 24/132
+    assert(u.getDouble(5) == math.floor((1.0 - 24.0 / 132.0) * 1e6 + 0.5) / 1e6)
+    val s1 = out("s")
+    assert(s1.getDouble(3) == 0.0 && s1.getDouble(4) == 1.0
+      && s1.isNullAt(5), "singleton group: H 0, eff 1, Simpson NULL")
+    assert(out("skew").getDouble(3) < u.getDouble(3),
+      "skewed mix is less diverse than uniform")
+  }
 }

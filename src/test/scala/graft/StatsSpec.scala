@@ -2522,4 +2522,65 @@ class StatsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("fisherExactGreater")
       || ex.getCause != null, ex.getMessage)
   }
+
+  // ---- round-13: Welch ANOVA + inequality ----
+
+  test("welchAnova: k=2 equals the Welch t-test squared (F = t², same dof)") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val rng = new scala.util.Random(17)
+    val df = (Seq.tabulate(60)(_ => ("a", rng.nextDouble() * 4)) ++
+      Seq.tabulate(35)(_ => ("b", rng.nextDouble() * 9 + 1.0)))
+      .toDF("g", "v")
+    val f = Stats.welchAnova(df, "g", "v").collect().head
+    // welchT tests each group against its complement — with k=2 the
+    // complement of "a" IS "b", so this is the classic two-sample pair
+    val t = Stats.welchT(df, "g", "v").collect()
+      .find(_.getString(0) == "a").get
+    val tv = t.getDouble(t.schema.fieldNames.indexOf("t"))
+    val dofIdx = t.schema.fieldNames.indexOf("dof")
+    assert(math.abs(f.getDouble(4) - tv * tv) < 1e-3,
+      s"F* ${f.getDouble(4)} vs t² ${tv * tv}")
+    assert(math.abs(f.getDouble(3) - t.getDouble(dofIdx)) < 1e-3,
+      "Welch–Satterthwaite dof agrees")
+    assert(f.getLong(2) == 1L, "dof1 = k-1 = 1")
+  }
+
+  test("welchAnova: equal group means -> F* ~ 0; degenerate groups excluded") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 2.0),
+      ("b", 2.0), ("b", 1.0), ("b", 3.0),
+      ("c", 5.0),            // n=1: excluded
+      ("d", 4.0), ("d", 4.0) // zero variance: excluded
+    ).toDF("g", "v")
+    val r = Stats.welchAnova(df, "g", "v").collect().head
+    assert(r.getLong(1) == 2L, s"only a,b usable: $r")
+    assert(r.getDouble(4) == 0.0, s"identical means: ${r.getDouble(4)}")
+  }
+
+  test("inequality: equal values -> all zero; known two-point fixture; scale-invariant") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val eq = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("k", "v")
+    val r0 = Stats.inequality(eq, Seq("k"), "v").collect().head
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.0
+      && r0.getDouble(4) == 0.0, r0.toString)
+    // x = (1, 3): mu=2, T = (0.5·ln0.5 + 1.5·ln1.5)/1... per point:
+    // T = ((1/2)ln(1/2) + (3/2)ln(3/2)) / 2 = (−0.346574+0.608198)/2
+    val two = Seq(("g", 1.0), ("g", 3.0)).toDF("k", "v")
+    val r2 = Stats.inequality(two, Seq("k"), "v").collect().head
+    assert(math.abs(r2.getDouble(2) - 0.130812) < 1e-6, r2.toString)
+    // Theil L = (ln2 − ln1·…): L = (ln(2/1)+ln(2/3))/2 = (0.693147−0.405465)/2
+    assert(math.abs(r2.getDouble(3) - 0.143841) < 1e-6, r2.toString)
+    assert(math.abs(r2.getDouble(4) - (1.0 - math.exp(-0.143841))) < 1e-5)
+    // exact scale invariance (×10 stays exact in cents)
+    val ten = Seq(("g", 10.0), ("g", 30.0)).toDF("k", "v")
+    val rT = Stats.inequality(ten, Seq("k"), "v").collect().head
+    assert(rT.getDouble(2) == r2.getDouble(2) && rT.getDouble(3) == r2.getDouble(3))
+    // non-positive values are excluded with the kept count visible
+    val mixed = Seq(("g", 1.0), ("g", 3.0), ("g", 0.0), ("g", -2.0))
+      .toDF("k", "v")
+    assert(Stats.inequality(mixed, Seq("k"), "v").collect().head.getLong(1) == 2L)
+  }
 }
