@@ -306,6 +306,61 @@ object RankEval {
         / sum(col("n")), 6).cast("double").as("ece"),
       sum(col("n")).cast("long").as("n"))
 
+  /** Expected Reciprocal Rank (Chapelle et al., CIKM 2009) — the
+    * cascade-model ranking metric next to nDCG (L115): the user scans
+    * down the list and stops at position i with probability R_i =
+    * (2^g − 1)/2^maxGrade; ERR = Σ_i (1/i)·R_i·Π_{j<i}(1−R_j). Unlike
+    * nDCG it PENALIZES relevant results placed under other relevant
+    * results — the "one good answer satisfies" regime of QA-style
+    * retrieval.
+    *
+    * Exactness: ranks come from the (score DESC, tie ASC) total
+    * order; R is exact in doubles (powers of two); the survival
+    * product rides a ln-sum window with an explicit hit-grade-max
+    * flag so a preceding R = 1 zeroes the tail EXACTLY (the
+    * kaplanMeier pattern — no ln(0) reaches either engine); each
+    * position's contribution is frozen at 12 dp into an order-free
+    * decimal(38,12) sum, ERR rounds at 6. NULL grades are excluded;
+    * grades clamp to [0, maxGrade].
+    *
+    * Scale shape: one group-keyed rank window cut to k (rows past k
+    * never contribute), then windows over ≤ k rows per group.
+    * Output: (group, n_ranked, err).
+    */
+  def expectedReciprocalRank(df: DataFrame, groupCol: String,
+      scoreCol: String, tieCol: String, gradeCol: String,
+      maxGrade: Int, k: Int): DataFrame = {
+    require(maxGrade >= 1 && maxGrade <= 30,
+      s"expectedReciprocalRank: maxGrade must be in [1, 30], got $maxGrade")
+    require(k >= 1, "expectedReciprocalRank: k must be >= 1")
+    val wRank = Window.partitionBy("_g")
+      .orderBy(col("_s").desc, col("_t").asc)
+    val denom = math.pow(2.0, maxGrade)
+    val wOrd = Window.partitionBy("_g").orderBy("_rnk")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(gradeCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(scoreCol).as("_s"),
+        col(tieCol).as("_t"),
+        least(greatest(col(gradeCol).cast("long"), lit(0L)),
+          lit(maxGrade.toLong)).as("_gr"))
+      .withColumn("_rnk", row_number().over(wRank))
+      .filter(col("_rnk") <= k)
+      .withColumn("_rel", (pow(lit(2.0), col("_gr")) - 1.0) / lit(denom))
+      .withColumn("_hitone",
+        coalesce(max(when(col("_rel") === 1.0, 1).otherwise(0)).over(wPrev),
+          lit(0)))
+      .withColumn("_lnprev",
+        coalesce(sum(when(col("_rel") < 1.0, log(lit(1.0) - col("_rel")))
+          .otherwise(lit(0.0))).over(wPrev), lit(0.0)))
+      .withColumn("_c",
+        when(col("_hitone") === 1, lit(0.0))
+          .otherwise(round(col("_rel") / col("_rnk") * exp(col("_lnprev")), 12)))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n_ranked"),
+        round(sum(col("_c").cast("decimal(38,12)")).cast("double"), 6)
+          .cast("double").as("err"))
+  }
+
   /** Multi-class one-vs-rest classification report — per class c:
     * tp = |actual=c ∧ pred=c|, precision = tp/|pred=c|, recall =
     * tp/|actual=c|, F1 = 2PR/(P+R) — the per-class table behind

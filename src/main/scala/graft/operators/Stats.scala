@@ -1653,6 +1653,74 @@ object Stats {
         :+ col("n_events") :+ col("n_censored") :+ col("survival")): _*)
   }
 
+  /** [[kaplanMeier]] with Greenwood variance and the log(−log) 95%
+    * confidence band — the form every survival curve is actually
+    * published in: Var(ln S) ≈ Σ d/(n(n−d)) (Greenwood 1926) over the
+    * event times so far, se_θ = √Var/|ln S| on the θ = ln(−ln S)
+    * scale, band = S^exp(±z·se_θ). The log-log transform keeps the
+    * band inside (0, 1) by construction — the naive S ± z·se band
+    * leaks outside near the edges, which is exactly where retention
+    * curves live.
+    *
+    * Exactness: the survival column is [[kaplanMeier]] verbatim (same
+    * cells, windows, ln folds over the duration total order); the
+    * Greenwood cumulative rides the same ordered window; the band is
+    * one identically-spelled float tree per row rounded at 6 dp. NULL
+    * band where it is undefined: S = 0 (risk set exhausted), S = 1
+    * exactly (no information yet), or Var = 0 with S interior.
+    *
+    * Scale shape: identical to kaplanMeier — one (group, duration)
+    * count shuffle, calendar-bounded cells, windows over cells only.
+    * Output: kaplanMeier's columns + (ci_lo, ci_hi).
+    */
+  def kaplanMeierCI(df: DataFrame, groupCols: Seq[String],
+      durationCol: String, observed: Column, z: Double = 1.96): DataFrame = {
+    val gcols = groupCols.map(col)
+    val cells = df
+      .groupBy((gcols :+ col(durationCol).as("duration")): _*)
+      .agg(sum(when(observed, 1L).otherwise(0L)).as("n_events"),
+        sum(when(observed, 0L).otherwise(1L)).as("n_censored"))
+    val wGroup = Window.partitionBy(gcols: _*)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy("duration")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val exits = col("n_events") + col("n_censored")
+    val lnS = col("_lnsum")
+    val seTheta = sqrt(col("_gw")) / -lnS // |ln S| = −ln S (S < 1 here)
+    val band = (sign: Double) =>
+      round(exp(exp(lit(sign * z) * seTheta) * lnS), 6).cast("double")
+    cells
+      .withColumn("n_at_risk",
+        sum(exits).over(wGroup) - coalesce(sum(exits).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("n_events") < col("n_at_risk"),
+          log(lit(1.0) - col("n_events") / col("n_at_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("_gwterm",
+        when(col("n_events") < col("n_at_risk"),
+          col("n_events") / (col("n_at_risk")
+            * (col("n_at_risk") - col("n_events"))).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("_zero",
+        max(when(col("n_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wOrd))
+      .withColumn("_lnsum", sum("_term").over(wOrd))
+      .withColumn("_gw", sum("_gwterm").over(wOrd))
+      .withColumn("survival",
+        when(col("_zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("_lnsum")), 6))
+          .cast("double"))
+      .withColumn("ci_lo",
+        when(col("_zero") === 1 || lnS >= 0.0 || col("_gw") <= 0.0, lit(null))
+          .otherwise(band(1.0)))
+      .withColumn("ci_hi",
+        when(col("_zero") === 1 || lnS >= 0.0 || col("_gw") <= 0.0, lit(null))
+          .otherwise(band(-1.0)))
+      .filter(col("n_events") > 0)
+      .select((gcols :+ col("duration") :+ col("n_at_risk")
+        :+ col("n_events") :+ col("n_censored") :+ col("survival")
+        :+ col("ci_lo").cast("double") :+ col("ci_hi").cast("double")): _*)
+  }
+
   /** Nelson–Aalen cumulative hazard with right censoring — the
     * additive dual of [[kaplanMeier]]: H(t) = Σ_{u≤t} d_u/n_u over
     * event times, the curve whose SLOPE is the hazard rate (read it
@@ -2172,6 +2240,62 @@ object Stats {
     * partials, no window, no second pass (the cohensD class).
     * Output: (group, n, slope, intercept, r2).
     */
+  /** Dickey–Fuller unit-root t-statistic per group (the non-augmented
+    * DF form): regress Δy_t = α + β·y_{t−1} and report t(β) = β/se(β)
+    * — "does this series mean-revert (β < 0, large negative t) or
+    * random-walk (β ≈ 0)", the stationarity gate run before trusting
+    * any [[linearFit]]/forecast on a level series. Compare t against
+    * the DF critical values (−2.86 at 5% with constant), NOT the
+    * normal table — the null distribution is nonstandard, which is
+    * the entire point of the test.
+    *
+    * Exactness: values quantize to 1e6-scaled longs; the (y_{t−1},
+    * Δy_t) pairs come from one lag window over the (orderCol) total
+    * order and are exact integer differences; regression moments
+    * accumulate in decimal(38,0) (the [[linearFit]] discipline); β,
+    * SSE, se, and t are one identically-spelled float tree rounded at
+    * 6 dp (the quantization scale cancels in t). NULL when n < 3 or
+    * the variance terms degenerate.
+    *
+    * Scale shape: one per-group ordered window (the rollingSlope cost
+    * class) + one group-keyed moment aggregate. Output: (group, n,
+    * beta, t_df) with beta de-scaled to natural units per unit y.
+    */
+  def dickeyFuller(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("_g").orderBy("_o")
+    val pairs = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        round(col(valueCol) * 1e6).cast("long").as("_yv"))
+      .withColumn("_x", lag("_yv", 1).over(w))
+      .filter(col("_x").isNotNull)
+      .select(col("_g"), col("_x"), (col("_yv") - col("_x")).as("_y"))
+    val sums = pairs.groupBy("_g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxx"),
+        sum((col("_y").cast(dec) * col("_y")).cast(dec)).as("_syy"),
+        sum((col("_x").cast(dec) * col("_y")).cast(dec)).as("_sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val sxx = nd * d("_sxx") - d("_sx") * d("_sx")
+    val sxy = nd * d("_sxy") - d("_sx") * d("_sy")
+    val syy = nd * d("_syy") - d("_sy") * d("_sy")
+    val beta = sxy / sxx
+    // SSE·n = Syy_c − β·Sxy_c on the n-scaled centered moments; the
+    // n factors cancel inside t (se² = (SSE/(n−2))/Sxx_c·n … spelled
+    // once, identically, on both engines)
+    val sse = (syy - beta * sxy) / nd
+    val t = beta / sqrt((sse / (nd - 2.0)) / (sxx / nd))
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      when(col("n") >= 3 && sxx > 0.0, round(beta, 6))
+        .cast("double").as("beta"),
+      when(col("n") >= 3 && sxx > 0.0 && syy - beta * sxy > 0.0,
+        round(t, 6)).cast("double").as("t_df"))
+  }
+
   def linearFit(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

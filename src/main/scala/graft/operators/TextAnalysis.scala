@@ -1269,6 +1269,68 @@ object TextAnalysis {
       .select(col("vertex").as("word"), col("rank"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010) — candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/frequency where degree(w) = Σ |phrase| over every phrase
+    * occurrence containing w (co-occurrence within candidates) and
+    * freq(w) = w's occurrences in candidates; a phrase scores the sum
+    * of its words' scores; top `k` DISTINCT phrases by (score DESC,
+    * phrase ASC). The classic unsupervised keyphrase baseline — the
+    * multi-word sibling of [[tfidf]]'s unigram ranking and the
+    * collocation family (PMI finds pairs; RAKE finds whole phrases).
+    *
+    * Exactness: degrees/frequencies/occurrence counts are exact
+    * integers over the (doc, position) total order; each word score
+    * is ONE 12-dp-frozen division; a phrase's score is the order-free
+    * decimal(38,12) sum of its words' frozen scores (identical text ⇒
+    * identical multiset ⇒ identical score), rounded at 6 dp; the cut
+    * is a (score DESC, phrase ASC) total order via orderBy + limit
+    * (TakeOrderedAndProject, never a global sort).
+    *
+    * Scale shape: one tokenize+posexplode pass, one per-doc position
+    * window for phrase ids (gaps-and-islands on stopword markers),
+    * vocabulary-sized word stats BROADCAST into the phrase scoring,
+    * one phrase-keyed aggregate. Output: (phrase, n_words, n_occurs,
+    * score).
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int): DataFrame = {
+    require(stopwords.nonEmpty, "rakeKeywords: need a stopword list")
+    require(k >= 1, "rakeKeywords: k must be >= 1")
+    val dec12 = "decimal(38,12)"
+    val wDoc = Window.partitionBy("_d").orderBy("_p")
+    val wInst = Window.partitionBy("_d", "_ph")
+    val words = df
+      .select(col(idCol).as("_d"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("_p", "_w")))
+      .filter(col("_w") =!= "")
+      .withColumn("_stop", col("_w").isin(stopwords.map(_.toLowerCase): _*))
+      .withColumn("_ph", sum(when(col("_stop"), 1).otherwise(0)).over(wDoc))
+      .filter(!col("_stop"))
+      .withColumn("_len", count(lit(1)).over(wInst))
+      .localCheckpoint(false) // word stats + phrase assembly both read it
+    val wordScores = words.groupBy(col("_w").as("_wk"))
+      .agg(sum("_len").as("_deg"), count(lit(1)).as("_freq"))
+      .withColumn("_ws",
+        round(col("_deg") / col("_freq").cast("double"), 12))
+      .select("_wk", "_ws")
+    val scored = words
+      .join(broadcast(wordScores), col("_w") <=> col("_wk"))
+      .groupBy("_d", "_ph")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_p"), col("_w")))),
+          s => s.getField("_w"))).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("_ws").cast(dec12)).as("_psum"))
+    scored.groupBy("phrase")
+      .agg(max("n_words").cast("bigint").as("n_words"),
+        count(lit(1)).cast("bigint").as("n_occurs"),
+        round(max(col("_psum")).cast("double"), 6).cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
+
   /** Multinomial Naive Bayes trained and scored on the SAME frame:
     * per-class token log-probabilities with add-one (Laplace)
     * smoothing over the corpus vocabulary, per-doc class score

@@ -379,6 +379,20 @@ object AnalyticsOps {
       .orderBy("class")
   }
 
+  /** Expected reciprocal rank of the value-ranked event list per
+    * type, graded 0..4 by the JSON k (grade 4 = navigational hit that
+    * stops the cascade): exact ranks, power-of-two relevances, ln-sum
+    * survival with the hit-grade-max zero flag, 12-dp-frozen
+    * contributions in a decimal sum.
+    */
+  val qErr: QueryFn = withTables { spark =>
+    val ev = spark.table("events").withColumn("_grade",
+      get_json_object(col("props"), "$.k").cast("bigint") % 5)
+    RankEval.expectedReciprocalRank(ev, "event_type", "value",
+        "event_id", "_grade", maxGrade = 4, k = 20)
+      .orderBy("event_type")
+  }
+
   /** Position-based multi-touch attribution (linear + U-shaped
     * 40/20/40) of purchase conversions over per-user touch paths:
     * integer path ranks, 6-dp-frozen credits in decimal channel sums.
@@ -619,6 +633,7 @@ object AnalyticsOps {
     "q_pareto" -> qPareto,
     "q_attribution" -> qAttribution,
     "q_attribution_position" -> qAttributionPosition,
+    "q_err" -> qErr,
     "q_diversity" -> qDiversity,
     "q_brier_decomp" -> qBrierDecomp,
     "q_f1_panel" -> qF1Panel,
@@ -1242,6 +1257,43 @@ object AnalyticsOps {
                ROUND(2.0 * precision * recall / (precision + recall), 6)
                END AS DOUBLE) AS f1
       FROM pr ORDER BY class""",
+
+    // Cascade-model replay: same rank/clamp, power-of-two relevances,
+    // ln-survival windows, frozen contributions.
+    "q_err" -> """
+      WITH pts AS (
+        SELECT event_type AS g, value AS s, event_id AS t,
+               LEAST(GREATEST(
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) % 5,
+                 0), 4) AS gr
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+              IS NOT NULL),
+      rk AS (SELECT g, gr,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC, t ASC)
+                 AS r
+             FROM pts),
+      top AS (SELECT g, gr, r, (POWER(2.0, gr) - 1.0) / 16.0 AS rr
+              FROM rk WHERE r <= 20),
+      w AS (
+        SELECT g, r, rr,
+               COALESCE(MAX(CASE WHEN rr = 1.0 THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY g ORDER BY r
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS hitone,
+               COALESCE(SUM(CASE WHEN rr < 1.0 THEN LN(1.0 - rr)
+                            ELSE 0.0 END) OVER
+                 (PARTITION BY g ORDER BY r
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                 AS lnprev
+        FROM top),
+      c AS (SELECT g, CASE WHEN hitone = 1 THEN 0.0
+                      ELSE ROUND(rr / r * EXP(lnprev), 12) END AS c
+            FROM w)
+      SELECT g AS event_type, COUNT(*)::BIGINT AS n_ranked,
+             CAST(ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS DOUBLE) AS err
+      FROM c GROUP BY g ORDER BY g""",
 
     // Path ids from the same prior-conversion count window; integer
     // ranks; frozen fractional credits in decimal channel sums.

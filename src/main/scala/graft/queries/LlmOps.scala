@@ -358,6 +358,16 @@ object LlmOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** RAKE top-20 keyphrases over the document corpus: stopword-free
+    * runs as candidates ('a'/'the' plus the domain adjectives as the
+    * stopword set), integer degree/frequency stats, 12-dp-frozen word
+    * scores into decimal phrase sums, (score DESC, phrase) cut.
+    */
+  val qRake: QueryFn = withTables { spark =>
+    TextAnalysis.rakeKeywords(spark.table("documents"), "doc_id", "text",
+      stopwords = Seq("a", "the", "fast", "slow", "big", "small"), k = 20)
+  }
+
   /** Sparse lexical similarity: all-pairs TF-IDF cosine over 2-word
     * shingle vectors via the inverted-index equi-join (the lexical dual
     * of q_cosine_topk). maxDf=50 is the posting-list bound — on this
@@ -1540,6 +1550,7 @@ object LlmOps {
     "q_ann_ivf" -> qAnnIvf,
     "q_tokens_wordcount" -> qTokensWordcount,
     "q_tfidf" -> qTfidf,
+    "q_rake" -> qRake,
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
     "q_quality_filter" -> qQualityFilter,
@@ -2935,6 +2946,42 @@ object LlmOps {
       FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents) t
       GROUP BY tok
       ORDER BY cnt DESC, tok""",
+
+    // Gaps-and-islands phrase ids over raw-split positions (empty
+    // tokens dropped first, exactly like the operator), integer
+    // deg/freq, frozen word scores, decimal phrase sums.
+    "q_rake" -> """
+      WITH t AS (SELECT doc_id AS d,
+                        STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents),
+      pos AS (SELECT d, i AS p, toks[i] AS w
+              FROM t, UNNEST(RANGE(1, LEN(toks) + 1)) r(i)
+              WHERE toks[i] <> ''),
+      mk AS (SELECT d, p, w,
+               w IN ('a', 'the', 'fast', 'slow', 'big', 'small') AS stop
+             FROM pos),
+      ph AS (SELECT d, p, w, stop,
+               SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY d ORDER BY p) AS phid
+             FROM mk),
+      words AS (SELECT d, phid, p, w,
+                  COUNT(*) OVER (PARTITION BY d, phid) AS len
+                FROM ph WHERE NOT stop),
+      ws AS (SELECT w AS wk,
+               ROUND(SUM(len) / CAST(COUNT(*) AS DOUBLE), 12) AS s
+             FROM words GROUP BY w),
+      inst AS (SELECT d, phid,
+                 STRING_AGG(w, ' ' ORDER BY p) AS phrase,
+                 COUNT(*)::BIGINT AS n_words,
+                 SUM(CAST(s AS DECIMAL(38,12))) AS psum
+               FROM words JOIN ws ON ws.wk = words.w
+               GROUP BY d, phid),
+      agg AS (SELECT phrase, MAX(n_words)::BIGINT AS n_words,
+                COUNT(*)::BIGINT AS n_occurs,
+                CAST(ROUND(CAST(MAX(psum) AS DOUBLE), 6) AS DOUBLE) AS score
+              FROM inst GROUP BY phrase)
+      SELECT phrase, n_words, n_occurs, score
+      FROM agg ORDER BY score DESC, phrase ASC LIMIT 20""",
 
     "q_tfidf" -> """
       WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

@@ -388,6 +388,36 @@ object StatsOps {
       .orderBy("duration")
   }
 
+  /** Kaplan–Meier with the Greenwood log(−log) 95% band on the
+    * q_kaplan_meier subjects: same cells/windows, one Greenwood
+    * cumulative, one band tree per row rounded at 6 dp.
+    */
+  val qKmCi: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"))
+      .select(col("user_id"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"))
+    Stats.kaplanMeierCI(subjects, Seq.empty, "duration", col("observed"))
+      .orderBy("duration")
+  }
+
+  /** Dickey–Fuller unit-root t on the per-type daily-spend series
+    * (exact integer cents per day): one lag window, decimal moments,
+    * one rounded β/t tree.
+    */
+  val qDickeyFuller: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.operators.Stats.dickeyFuller(daily, "event_type", "d", "y")
+      .orderBy("event_type")
+  }
+
   /** Quantity-weighted median price per return flag: rational p=1/2,
     * pure integer crossing threshold, value passes through untouched.
     */
@@ -1289,6 +1319,8 @@ object StatsOps {
     "q_kendall_binned" -> qKendallBinned,
     "q_welch_anova" -> qWelchAnova,
     "q_inequality" -> qInequality,
+    "q_km_ci" -> qKmCi,
+    "q_dickey_fuller" -> qDickeyFuller,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -5267,6 +5299,102 @@ object StatsOps {
     // Same time-to-first-purchase durations, the same exclusive
     // prior-exits window for at-risk counts, and the same guarded
     // ln/exp product chain with the exact-zero cumulative flag.
+    // q_kaplan_meier's CTEs + the Greenwood cumulative + the log-log
+    // band tree, identically spelled.
+    "q_km_ci" -> """
+      WITH subj AS (
+        SELECT user_id,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS duration,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL AS observed
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT duration,
+               SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT
+                 AS n_events,
+               SUM(CASE WHEN observed THEN 0 ELSE 1 END)::BIGINT
+                 AS n_censored
+        FROM subj GROUP BY duration),
+      km AS (
+        SELECT duration, n_events, n_censored,
+               ((SELECT SUM(n_events + n_censored) FROM cells)
+                 - COALESCE(SUM(n_events + n_censored) OVER
+                     (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        FROM cells),
+      km2 AS (
+        SELECT duration, n_events, n_censored, n_at_risk,
+               SUM(CASE WHEN n_events < n_at_risk
+                    THEN LN(1.0 - n_events / CAST(n_at_risk AS DOUBLE))
+                    ELSE 0.0 END) OVER (ORDER BY duration) AS lnsum,
+               SUM(CASE WHEN n_events < n_at_risk
+                    THEN n_events / CAST(n_at_risk
+                           * (n_at_risk - n_events) AS DOUBLE)
+                    ELSE 0.0 END) OVER (ORDER BY duration) AS gw,
+               MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY duration) AS hitzero
+        FROM km)
+      SELECT duration, n_at_risk, n_events, n_censored,
+             CAST(CASE WHEN hitzero = 1 THEN 0.0
+                  ELSE ROUND(EXP(lnsum), 6) END AS DOUBLE) AS survival,
+             CAST(CASE WHEN hitzero = 1 OR lnsum >= 0.0 OR gw <= 0.0
+                  THEN NULL
+                  ELSE ROUND(EXP(EXP(1.96 * (SQRT(gw) / -lnsum)) * lnsum),
+                             6) END AS DOUBLE) AS ci_lo,
+             CAST(CASE WHEN hitzero = 1 OR lnsum >= 0.0 OR gw <= 0.0
+                  THEN NULL
+                  ELSE ROUND(EXP(EXP(-1.96 * (SQRT(gw) / -lnsum)) * lnsum),
+                             6) END AS DOUBLE) AS ci_hi
+      FROM km2
+      WHERE n_events > 0
+      ORDER BY duration""",
+
+    // One lag window over the daily series, decimal moments, the same
+    // left-assoc beta/t tree.
+    "q_dickey_fuller" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS y
+        FROM events GROUP BY 1, 2),
+      pts0 AS (
+        SELECT g, d, CAST(ROUND(y * 1000000.0) AS BIGINT) AS yv
+        FROM daily),
+      pairs AS (
+        SELECT g, x, yv - x AS yy FROM (
+          SELECT g, yv, LAG(yv) OVER (PARTITION BY g ORDER BY d) AS x
+          FROM pts0)
+        WHERE x IS NOT NULL),
+      sums AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x::HUGEINT) AS sx, SUM(yy::HUGEINT) AS sy,
+               SUM(x::HUGEINT * x) AS sxx0, SUM(yy::HUGEINT * yy) AS syy0,
+               SUM(x::HUGEINT * yy) AS sxy0
+        FROM pairs GROUP BY g),
+      fl AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS sxx,
+               CAST(n AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sxy,
+               CAST(n AS DOUBLE) * CAST(syy0 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syy
+        FROM sums),
+      b AS (SELECT g, n, sxx, sxy, syy, sxy / sxx AS beta FROM fl),
+      e AS (SELECT g, n, sxx, syy, sxy, beta,
+                   (syy - beta * sxy) / CAST(n AS DOUBLE) AS sse
+            FROM b)
+      SELECT g AS event_type, n,
+             CAST(CASE WHEN n >= 3 AND sxx > 0.0
+               THEN ROUND(beta, 6) END AS DOUBLE) AS beta,
+             CAST(CASE WHEN n >= 3 AND sxx > 0.0
+                    AND syy - beta * sxy > 0.0 THEN
+               ROUND(beta / SQRT((sse / (CAST(n AS DOUBLE) - 2.0))
+                 / (sxx / CAST(n AS DOUBLE))), 6) END AS DOUBLE) AS t_df
+      FROM e ORDER BY g""",
+
     "q_kaplan_meier" -> """
       WITH subj AS (
         SELECT user_id,

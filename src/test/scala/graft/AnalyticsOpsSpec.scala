@@ -716,4 +716,30 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._3).sum - 3.0) < 1e-6,
       "sum of U credit == number of conversions")
   }
+
+  test("expectedReciprocalRank: hand cascade values and grade clamping") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: grades 4,2,0 by score order -> R = 1, 3/16, 0
+      ("a", 10.0, 1L, 4L), ("a", 9.0, 2L, 2L), ("a", 8.0, 3L, 0L),
+      // group b: grades 2,2 -> R = 3/16 each
+      ("b", 5.0, 4L, 2L), ("b", 4.0, 5L, 2L),
+      // group c: grade clamps (7 -> 4, -2 -> 0)
+      ("c", 2.0, 6L, 7L), ("c", 1.0, 7L, -2L)
+    ).toDF("g", "s", "t", "gr")
+    val out = graft.operators.RankEval.expectedReciprocalRank(
+        df, "g", "s", "t", "gr", maxGrade = 4, k = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // standard mapping: R = (2^g − 1)/2^gmax, so R(gmax) = 15/16 — a
+    // near-certain (not certain) stop, per Chapelle et al.
+    val rMax = 15.0 / 16.0
+    val r = 3.0 / 16.0
+    // a: 15/16 + (1/2)(3/16)(1 − 15/16) + 0
+    assert(math.abs(out("a") - (rMax + r * (1 - rMax) / 2.0)) < 1e-6,
+      out("a").toString)
+    // b: 3/16 + (1/2)(3/16)(13/16)
+    assert(math.abs(out("b") - (r + r * (1 - r) / 2.0)) < 1e-6, out("b").toString)
+    // c: clamp 7 -> 4 gives R = 15/16; rank-2 grade clamps -2 -> 0
+    assert(math.abs(out("c") - rMax) < 1e-6, out("c").toString)
+  }
 }

@@ -2583,4 +2583,50 @@ class StatsSpec extends SparkTestBase {
       .toDF("k", "v")
     assert(Stats.inequality(mixed, Seq("k"), "v").collect().head.getLong(1) == 2L)
   }
+
+  test("kaplanMeierCI: survival matches KM; band brackets it inside (0,1); degenerate NULLs") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // textbook: 10 subjects, events at t=1 (2), t=3 (1), censored at 2 (3), rest censored at 5
+    val subj = (Seq((1L, true), (1L, true), (3L, true)) ++
+      Seq.fill(3)((2L, false)) ++ Seq.fill(4)((5L, false)))
+      .toDF("dur", "obs")
+    val km = Stats.kaplanMeier(subj, Seq.empty, "dur", col("obs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val ci = Stats.kaplanMeierCI(subj, Seq.empty, "dur", col("obs"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    km.foreach { case (d, s0) =>
+      val r = ci(d)
+      assert(r.getDouble(4) == s0, s"survival must equal kaplanMeier at $d")
+      val (lo, hi) = (r.getDouble(5), r.getDouble(6))
+      assert(lo < s0 && s0 < hi, s"band brackets S at $d: $lo $s0 $hi")
+      assert(lo > 0.0 && hi < 1.0, "log-log band stays inside (0,1)")
+    }
+    // exhausted risk set: S = 0, band NULL
+    val allEvents = Seq((1L, true), (2L, true)).toDF("dur", "obs")
+    val z = Stats.kaplanMeierCI(allEvents, Seq.empty, "dur", col("obs"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(z(2L).getDouble(4) == 0.0 && z(2L).isNullAt(5) && z(2L).isNullAt(6))
+  }
+
+  test("dickeyFuller: stationary AR series strongly negative; random walk near zero") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val rng = new scala.util.Random(43)
+    var ar = 0.0; var rw = 0.0
+    val rows = (1 to 300).map { t =>
+      ar = 0.2 * ar + rng.nextGaussian()         // strongly mean-reverting
+      rw = rw + rng.nextGaussian()               // unit root
+      (t, ar, rw)
+    }
+    val df = rows.map { case (t, a, _) => ("ar", t, a) }
+      .++(rows.map { case (t, _, w) => ("rw", t, w) }).toDF("g", "o", "v")
+    val out = Stats.dickeyFuller(df, "g", "o", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("ar") < -6.0, s"mean reversion must reject hard: ${out("ar")}")
+    assert(out("rw") > -2.5, s"random walk must NOT cross the 5% DF bar: ${out("rw")}")
+    // n < 3 → NULL
+    val tiny = Seq(("t", 1, 1.0), ("t", 2, 2.0)).toDF("g", "o", "v")
+    assert(Stats.dickeyFuller(tiny, "g", "o", "v").collect().head.isNullAt(3))
+  }
 }

@@ -744,4 +744,32 @@ class TextAnalysisSpec extends SparkTestBase {
       "source", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("rakeKeywords: hand degree/frequency scores, phrase boundaries, ties") {
+    import spark.implicits._
+    // doc1: "deep learning is deep" with stopword 'is':
+    //   phrases: [deep learning], [deep]
+    //   freq: deep 2, learning 1; deg: deep 2+1=3, learning 2
+    //   scores: deep 1.5, learning 2.0
+    //   phrase scores: "deep learning" 3.5, "deep" 1.5
+    val docs = Seq((1L, "deep learning is deep")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+        stopwords = Seq("is"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("deep learning") == ((2L, 1L, 3.5)), out.toString)
+    assert(out("deep") == ((1L, 1L, 1.5)), out.toString)
+    // repeated phrases count occurrences once each, same score
+    val rep = Seq((1L, "alpha beta is alpha beta")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.rakeKeywords(rep, "doc_id", "text",
+        stopwords = Seq("is"), k = 10).collect()
+    assert(r2.length == 1 && r2.head.getString(0) == "alpha beta"
+      && r2.head.getLong(2) == 2L, r2.mkString(","))
+    // k cuts on (score DESC, phrase ASC)
+    val many = Seq((1L, "aa is bb is cc")).toDF("doc_id", "text")
+    val top1 = TextAnalysis.rakeKeywords(many, "doc_id", "text",
+        stopwords = Seq("is"), k = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "aa",
+      "equal scores tie-break on phrase asc: " + top1.mkString(","))
+  }
 }
