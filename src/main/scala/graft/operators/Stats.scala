@@ -2641,6 +2641,158 @@ object Stats {
         .cast("double").as("f"))
   }
 
+  /** Cox proportional-hazards fit, one covariate, Breslow ties, FIXED
+    * Newton iterations from β = 0 — the regression member of the
+    * survival family: KM/Nelson–Aalen describe a curve, the log-rank
+    * tests two groups, the c-index grades a score, Cox puts a
+    * HAZARD RATIO with a standard error on the covariate. Partial
+    * likelihood: U(β) = Σ_events [Σx_event − d·S1/S0],
+    * I(β) = Σ_events d·(S2/S0 − (S1/S0)²) with S_k(t) =
+    * Σ_{T_j ≥ t} x_j^k·exp(βx_j); β ← β + U/I per iteration.
+    *
+    * Determinism (the pageRank fixed-iteration contract): covariates
+    * freeze at 6 dp; per-subject exp terms freeze at 12 dp into
+    * decimal cell sums (order-free); S_k are exact decimal reverse
+    * cumulatives over the duration-DESC cell order; per-event-time
+    * U/I terms freeze at 12 dp into decimal folds; β re-freezes at
+    * 12 dp per iteration — an oracle unrolling the same iterations
+    * reproduces it bit-for-bit. Iteration count is FIXED, not
+    * convergence-tested; I ≤ 0 (degenerate spread) keeps β unchanged
+    * and reports NULL se.
+    *
+    * Scale shape: per iteration, one broadcast join of the k-row β
+    * table, one (group, duration) cell aggregation, windows over the
+    * calendar-bounded cell table, one group fold — β never leaves the
+    * cluster (no driver collect). Output: (group, n, n_events, beta,
+    * hazard_ratio, se).
+    */
+  def coxPH(df: DataFrame, groupCol: String, durationCol: String,
+      observed: Column, covariateCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"coxPH: iters must be in [1, 8]")
+    val dec12 = "decimal(38,12)"
+    val subj = df.filter(col(covariateCol).isNotNull
+        && col(durationCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(durationCol).as("_t"),
+        when(observed, 1L).otherwise(0L).as("_e"),
+        round(col(covariateCol), 6).as("_x"))
+      .localCheckpoint() // re-read every iteration
+    val wRev = Window.partitionBy("_g").orderBy(col("_t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pass(beta: DataFrame) = {
+      val eb = exp(col("_b") * col("_x"))
+      val cells = subj.join(broadcast(beta), Seq("_g"))
+        .withColumn("_ex", round(eb, 12).cast(dec12))
+        .withColumn("_xex", round(col("_x") * eb, 12).cast(dec12))
+        .withColumn("_xxex",
+          round(col("_x") * col("_x") * eb, 12).cast(dec12))
+        .groupBy("_g", "_t")
+        .agg(max("_b").as("_b"), // constant within group
+          sum("_ex").as("_s0c"), sum("_xex").as("_s1c"),
+          sum("_xxex").as("_s2c"),
+          sum("_e").as("_d"),
+          sum((col("_x") * col("_e")).cast("decimal(38,6)")).as("_sx"),
+          count(lit(1)).as("_nc"))
+      cells
+        .withColumn("_S0", sum("_s0c").over(wRev))
+        .withColumn("_S1", sum("_s1c").over(wRev))
+        .withColumn("_S2", sum("_s2c").over(wRev))
+        .withColumn("_r1", col("_S1").cast("double") / col("_S0").cast("double"))
+        .groupBy("_g")
+        .agg(max("_b").as("_b"),
+          sum("_nc").cast("bigint").as("n"),
+          sum("_d").cast("bigint").as("n_events"),
+          sum(when(col("_d") > 0,
+            round(col("_sx").cast("double") - col("_d") * col("_r1"), 12))
+            .otherwise(lit(0.0)).cast(dec12)).as("_U"),
+          sum(when(col("_d") > 0,
+            round(col("_d") * (col("_S2").cast("double")
+              / col("_S0").cast("double") - col("_r1") * col("_r1")), 12))
+            .otherwise(lit(0.0)).cast(dec12)).as("_I"))
+    }
+    var beta = subj.select(col("_g")).distinct()
+      .withColumn("_b", lit(0.0))
+    for (_ <- 1 to iters) {
+      beta = pass(beta)
+        .select(col("_g"),
+          when(col("_I").cast("double") > 0.0,
+            round(col("_b") + col("_U").cast("double")
+              / col("_I").cast("double"), 12))
+            .otherwise(col("_b")).as("_b"))
+        .localCheckpoint() // k rows; truncate the iterative lineage
+    }
+    // one last pass at the final β for the observed information → se
+    pass(beta).select(col("_g").as(groupCol), col("n"), col("n_events"),
+      round(col("_b"), 6).cast("double").as("beta"),
+      round(exp(col("_b")), 6).cast("double").as("hazard_ratio"),
+      when(col("_I").cast("double") > 0.0,
+        round(lit(1.0) / sqrt(col("_I").cast("double")), 6))
+        .cast("double").as("se"))
+  }
+
+  /** One-lag Granger causality F per group — does x's PAST improve the
+    * prediction of y beyond y's own past: restricted y_t = α + β·y_{t−1}
+    * vs unrestricted y_t = α + β₁·y_{t−1} + β₂·x_{t−1};
+    * F = (SSE_r − SSE_u) / (SSE_u/(n−3)) with 1 and n−3 dof — the
+    * lead/lag DIRECTIONAL test next to [[crossCorrelation]] (CCF says
+    * the series co-move at some lag; Granger says the lag is useful
+    * over y's own memory) and the causal sibling of [[dickeyFuller]]
+    * (run DF first — Granger on unit-root levels is the classic
+    * spurious-regression trap, which is the caller's contract here).
+    *
+    * Exactness: both series quantize to 1e6-scaled longs; the (y_t,
+    * y_{t−1}, x_{t−1}) triples come from one lag window over the
+    * order total order; ALL nine product moments accumulate in
+    * decimal(38,0); both OLS solutions (1-var and the 2-var closed
+    * form via the 2×2 normal-equation determinant) are one
+    * identically-spelled float tree; β₂ and F round at 6 dp. NULL
+    * when n < 4, a variance term degenerates, or det ≤ 0.
+    *
+    * Scale shape: one per-group ordered window + one group-keyed
+    * moment aggregate — the [[dickeyFuller]] cost class. Output:
+    * (group, n, beta_x, f).
+    */
+  def grangerF(df: DataFrame, groupCol: String, orderCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("_g").orderBy("_o")
+    val pts = df.filter(col(yCol).isNotNull && col(xCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        round(col(yCol) * 1e6).cast("long").as("_yv"),
+        round(col(xCol) * 1e6).cast("long").as("_xv"))
+      .withColumn("_l", lag("_yv", 1).over(w))
+      .withColumn("_x", lag("_xv", 1).over(w))
+      .filter(col("_l").isNotNull && col("_x").isNotNull)
+      .select(col("_g"), col("_yv").as("_y"), col("_l"), col("_x"))
+    def m(a: String, b: String) =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val sums = pts.groupBy("_g").agg(count(lit(1)).as("n"),
+      sum(col("_y").cast(dec)).as("_sy"),
+      sum(col("_l").cast(dec)).as("_sl"),
+      sum(col("_x").cast(dec)).as("_sx"),
+      m("_y", "_y").as("_syy"), m("_l", "_l").as("_sll"),
+      m("_x", "_x").as("_sxx"), m("_y", "_l").as("_syl"),
+      m("_y", "_x").as("_syx"), m("_l", "_x").as("_slx"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val sll = nd * d("_sll") - d("_sl") * d("_sl")
+    val sxx = nd * d("_sxx") - d("_sx") * d("_sx")
+    val slx = nd * d("_slx") - d("_sl") * d("_sx")
+    val sly = nd * d("_syl") - d("_sl") * d("_sy")
+    val sxy = nd * d("_syx") - d("_sx") * d("_sy")
+    val syy = nd * d("_syy") - d("_sy") * d("_sy")
+    val bR = sly / sll
+    val sseR = (syy - bR * sly) / nd
+    val det = sll * sxx - slx * slx
+    val b1 = (sly * sxx - sxy * slx) / det
+    val b2 = (sxy * sll - sly * slx) / det
+    val sseU = (syy - b1 * sly - b2 * sxy) / nd
+    val ok = col("n") >= 4 && sll > 0.0 && det > 0.0 && sseU > 0.0
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      when(ok, round(b2, 6)).cast("double").as("beta_x"),
+      when(ok, round((sseR - sseU) / (sseU / (nd - 3.0)), 6))
+        .cast("double").as("f"))
+  }
+
   /** Entropy-based inequality indices per group — the decomposable
     * complements of the rank-based Gini (L107): Theil T =
     * (1/n)Σ(x/μ)ln(x/μ), Theil L (mean log deviation) =

@@ -418,6 +418,42 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Cox proportional hazards of log-spend on time-to-first-purchase
+    * (the q_kaplan_meier/q_c_index subjects): 3 fixed Newton
+    * iterations, Breslow ties, frozen exp terms in decimal cell sums,
+    * reverse-cumulative risk sets, one hazard-ratio row.
+    */
+  val qCoxPh: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("_spend"))
+      .select(lit("all").as("g"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"),
+        log(lit(1.0) + col("_spend")).as("xcov"))
+    graft.operators.Stats.coxPH(subjects, "g", "duration",
+      col("observed"), "xcov", iters = 3)
+  }
+
+  /** One-lag Granger F of yesterday's clicks on today's purchases
+    * (global daily count series, exact integers): one lag window,
+    * nine decimal moments, the closed-form 2-var OLS trees.
+    */
+  val qGranger: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.grangerF(daily, "g", "d", "y", "x")
+  }
+
   /** Quantity-weighted median price per return flag: rational p=1/2,
     * pure integer crossing threshold, value passes through untouched.
     */
@@ -1321,6 +1357,8 @@ object StatsOps {
     "q_inequality" -> qInequality,
     "q_km_ci" -> qKmCi,
     "q_dickey_fuller" -> qDickeyFuller,
+    "q_granger" -> qGranger,
+    "q_cox_ph" -> qCoxPh,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -5351,6 +5389,263 @@ object StatsOps {
       FROM km2
       WHERE n_events > 0
       ORDER BY duration""",
+
+    // 3 unrolled Newton iterations + the final observed-information
+    // pass — every freeze identical to the operator.
+    "q_cox_ph" -> """
+      WITH subj0 AS (
+        SELECT user_id,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS t,
+               CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL
+                 THEN 1 ELSE 0 END AS e,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS spend
+        FROM events GROUP BY user_id),
+      subj AS (SELECT t, e, ROUND(LN(1.0 + spend), 6) AS x FROM subj0),
+      b0 AS (SELECT 0.0 AS b),
+      terms1 AS (
+        SELECT t, e, x,
+               CAST(ROUND(EXP(b0.b * x), 12) AS DECIMAL(38,12)) AS ex,
+               CAST(ROUND(x * EXP(b0.b * x), 12) AS DECIMAL(38,12))
+                 AS xex,
+               CAST(ROUND(x * x * EXP(b0.b * x), 12)
+                 AS DECIMAL(38,12)) AS xxex
+        FROM subj CROSS JOIN b0),
+      cells1 AS (
+        SELECT t, SUM(ex) AS s0c, SUM(xex) AS s1c, SUM(xxex) AS s2c,
+               SUM(e)::BIGINT AS d,
+               SUM(CAST(x * e AS DECIMAL(38,6))) AS sx,
+               COUNT(*)::BIGINT AS nc
+        FROM terms1 GROUP BY t),
+      w1 AS (
+        SELECT *,
+               SUM(s0c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s0,
+               SUM(s1c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s1,
+               SUM(s2c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s2
+        FROM cells1),
+      g1 AS (
+        SELECT SUM(nc)::BIGINT AS n, SUM(d)::BIGINT AS ne,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(CAST(sx AS DOUBLE)
+                     - d * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS u,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(d
+                     * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS i
+        FROM w1),
+      b1 AS (
+        SELECT CASE WHEN CAST(i AS DOUBLE) > 0.0
+               THEN ROUND(b0.b + CAST(u AS DOUBLE) / CAST(i AS DOUBLE),
+                          12)
+               ELSE b0.b END AS b
+        FROM g1 CROSS JOIN b0),
+      terms2 AS (
+        SELECT t, e, x,
+               CAST(ROUND(EXP(b1.b * x), 12) AS DECIMAL(38,12)) AS ex,
+               CAST(ROUND(x * EXP(b1.b * x), 12) AS DECIMAL(38,12))
+                 AS xex,
+               CAST(ROUND(x * x * EXP(b1.b * x), 12)
+                 AS DECIMAL(38,12)) AS xxex
+        FROM subj CROSS JOIN b1),
+      cells2 AS (
+        SELECT t, SUM(ex) AS s0c, SUM(xex) AS s1c, SUM(xxex) AS s2c,
+               SUM(e)::BIGINT AS d,
+               SUM(CAST(x * e AS DECIMAL(38,6))) AS sx,
+               COUNT(*)::BIGINT AS nc
+        FROM terms2 GROUP BY t),
+      w2 AS (
+        SELECT *,
+               SUM(s0c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s0,
+               SUM(s1c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s1,
+               SUM(s2c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s2
+        FROM cells2),
+      g2 AS (
+        SELECT SUM(nc)::BIGINT AS n, SUM(d)::BIGINT AS ne,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(CAST(sx AS DOUBLE)
+                     - d * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS u,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(d
+                     * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS i
+        FROM w2),
+      b2 AS (
+        SELECT CASE WHEN CAST(i AS DOUBLE) > 0.0
+               THEN ROUND(b1.b + CAST(u AS DOUBLE) / CAST(i AS DOUBLE),
+                          12)
+               ELSE b1.b END AS b
+        FROM g2 CROSS JOIN b1),
+      terms3 AS (
+        SELECT t, e, x,
+               CAST(ROUND(EXP(b2.b * x), 12) AS DECIMAL(38,12)) AS ex,
+               CAST(ROUND(x * EXP(b2.b * x), 12) AS DECIMAL(38,12))
+                 AS xex,
+               CAST(ROUND(x * x * EXP(b2.b * x), 12)
+                 AS DECIMAL(38,12)) AS xxex
+        FROM subj CROSS JOIN b2),
+      cells3 AS (
+        SELECT t, SUM(ex) AS s0c, SUM(xex) AS s1c, SUM(xxex) AS s2c,
+               SUM(e)::BIGINT AS d,
+               SUM(CAST(x * e AS DECIMAL(38,6))) AS sx,
+               COUNT(*)::BIGINT AS nc
+        FROM terms3 GROUP BY t),
+      w3 AS (
+        SELECT *,
+               SUM(s0c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s0,
+               SUM(s1c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s1,
+               SUM(s2c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s2
+        FROM cells3),
+      g3 AS (
+        SELECT SUM(nc)::BIGINT AS n, SUM(d)::BIGINT AS ne,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(CAST(sx AS DOUBLE)
+                     - d * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS u,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(d
+                     * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS i
+        FROM w3),
+      b3 AS (
+        SELECT CASE WHEN CAST(i AS DOUBLE) > 0.0
+               THEN ROUND(b2.b + CAST(u AS DOUBLE) / CAST(i AS DOUBLE),
+                          12)
+               ELSE b2.b END AS b
+        FROM g3 CROSS JOIN b2),
+      terms4 AS (
+        SELECT t, e, x,
+               CAST(ROUND(EXP(b3.b * x), 12) AS DECIMAL(38,12)) AS ex,
+               CAST(ROUND(x * EXP(b3.b * x), 12) AS DECIMAL(38,12))
+                 AS xex,
+               CAST(ROUND(x * x * EXP(b3.b * x), 12)
+                 AS DECIMAL(38,12)) AS xxex
+        FROM subj CROSS JOIN b3),
+      cells4 AS (
+        SELECT t, SUM(ex) AS s0c, SUM(xex) AS s1c, SUM(xxex) AS s2c,
+               SUM(e)::BIGINT AS d,
+               SUM(CAST(x * e AS DECIMAL(38,6))) AS sx,
+               COUNT(*)::BIGINT AS nc
+        FROM terms4 GROUP BY t),
+      w4 AS (
+        SELECT *,
+               SUM(s0c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s0,
+               SUM(s1c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s1,
+               SUM(s2c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS s2
+        FROM cells4),
+      g4 AS (
+        SELECT SUM(nc)::BIGINT AS n, SUM(d)::BIGINT AS ne,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(CAST(sx AS DOUBLE)
+                     - d * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS u,
+               SUM(CASE WHEN d > 0 THEN CAST(ROUND(d
+                     * (CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE))), 12)
+                     AS DECIMAL(38,12))
+                   ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS i
+        FROM w4),
+      fin AS (SELECT * FROM g4 CROSS JOIN b3)
+      SELECT 'all' AS g, n, ne AS n_events,
+             CAST(ROUND(b, 6) AS DOUBLE) AS beta,
+             CAST(ROUND(EXP(b), 6) AS DOUBLE) AS hazard_ratio,
+             CAST(CASE WHEN CAST(i AS DOUBLE) > 0.0
+               THEN ROUND(1.0 / SQRT(CAST(i AS DOUBLE)), 6)
+               END AS DOUBLE) AS se
+      FROM fin""",
+
+    // One lag window, nine HUGEINT moments, the identical restricted/
+    // unrestricted OLS trees and F ratio.
+    "q_granger" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 ::BIGINT AS x,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 ::BIGINT AS y
+        FROM events GROUP BY 1),
+      pts0 AS (SELECT 'all' AS g, d,
+                 CAST(ROUND(y * 1000000.0) AS BIGINT) AS yv,
+                 CAST(ROUND(x * 1000000.0) AS BIGINT) AS xv
+               FROM daily),
+      tri AS (
+        SELECT g, yv AS y, l, x FROM (
+          SELECT g, yv,
+                 LAG(yv) OVER (PARTITION BY g ORDER BY d) AS l,
+                 LAG(xv) OVER (PARTITION BY g ORDER BY d) AS x
+          FROM pts0)
+        WHERE l IS NOT NULL AND x IS NOT NULL),
+      sums AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(y::HUGEINT) AS sy, SUM(l::HUGEINT) AS sl,
+               SUM(x::HUGEINT) AS sx,
+               SUM(y::HUGEINT * y) AS syy0, SUM(l::HUGEINT * l) AS sll0,
+               SUM(x::HUGEINT * x) AS sxx0, SUM(y::HUGEINT * l) AS syl0,
+               SUM(y::HUGEINT * x) AS syx0, SUM(l::HUGEINT * x) AS slx0
+        FROM tri GROUP BY g),
+      fl AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sll0 AS DOUBLE)
+                 - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) AS sll,
+               CAST(n AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS sxx,
+               CAST(n AS DOUBLE) * CAST(slx0 AS DOUBLE)
+                 - CAST(sl AS DOUBLE) * CAST(sx AS DOUBLE) AS slx,
+               CAST(n AS DOUBLE) * CAST(syl0 AS DOUBLE)
+                 - CAST(sl AS DOUBLE) * CAST(sy AS DOUBLE) AS sly,
+               CAST(n AS DOUBLE) * CAST(syx0 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sxy,
+               CAST(n AS DOUBLE) * CAST(syy0 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syy
+        FROM sums),
+      sol AS (
+        SELECT g, n, sll, sxx, slx, sly, sxy, syy,
+               sly / sll AS br,
+               sll * sxx - slx * slx AS det
+        FROM fl),
+      sol2 AS (
+        SELECT g, n, sll, det, sly, sxy, syy,
+               (syy - br * sly) / CAST(n AS DOUBLE) AS sser,
+               (sly * sxx - sxy * slx) / det AS b1,
+               (sxy * sll - sly * slx) / det AS b2
+        FROM sol),
+      sol3 AS (
+        SELECT g, n, sll, det, b2,
+               sser,
+               (syy - b1 * sly - b2 * sxy) / CAST(n AS DOUBLE) AS sseu
+        FROM sol2)
+      SELECT g, n,
+             CAST(CASE WHEN n >= 4 AND sll > 0.0 AND det > 0.0
+                    AND sseu > 0.0
+               THEN ROUND(b2, 6) END AS DOUBLE) AS beta_x,
+             CAST(CASE WHEN n >= 4 AND sll > 0.0 AND det > 0.0
+                    AND sseu > 0.0 THEN
+               ROUND((sser - sseu) / (sseu / (CAST(n AS DOUBLE) - 3.0)), 6)
+               END AS DOUBLE) AS f
+      FROM sol3""",
 
     // One lag window over the daily series, decimal moments, the same
     // left-assoc beta/t tree.

@@ -2629,4 +2629,66 @@ class StatsSpec extends SparkTestBase {
     val tiny = Seq(("t", 1, 1.0), ("t", 2, 2.0)).toDF("g", "o", "v")
     assert(Stats.dickeyFuller(tiny, "g", "o", "v").collect().head.isNullAt(3))
   }
+
+  test("grangerF: x's past predicts y -> large F; independent -> small; asymmetric") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val rng = new scala.util.Random(11)
+    val xs = Seq.fill(220)(rng.nextGaussian())
+    val noise = Seq.fill(220)(rng.nextGaussian() * 0.2)
+    // y_t = 0.9 x_{t-1} + small noise -> x Granger-causes y
+    val ys = (0 until 220).map(t =>
+      if (t == 0) 0.0 else 0.9 * xs(t - 1) + noise(t))
+    val df = (0 until 220).map(t => ("c", t, ys(t), xs(t)))
+      .toDF("g", "o", "y", "x")
+    val f = Stats.grangerF(df, "g", "o", "y", "x")
+      .collect().head.getDouble(3)
+    assert(f > 50.0, s"planted causality must reject hard: $f")
+    // reverse direction: y's past says ~nothing about x
+    val rev = Stats.grangerF(df.select(col("g"), col("o"),
+        col("x").as("y"), col("y").as("x")), "g", "o", "y", "x")
+      .collect().head.getDouble(3)
+    assert(rev < 8.0, s"reverse direction must not reject hard: $rev")
+    // independent series
+    val ind = (0 until 220).map(t =>
+      ("i", t, rng.nextGaussian(), rng.nextGaussian()))
+      .toDF("g", "o", "y", "x")
+    val fi = Stats.grangerF(ind, "g", "o", "y", "x")
+      .collect().head.getDouble(3)
+    assert(fi < 8.0, s"independent series: $fi")
+    // degenerate: n < 4 -> NULL
+    val tiny = Seq(("t", 1, 1.0, 2.0), ("t", 2, 2.0, 1.0),
+      ("t", 3, 1.5, 1.0)).toDF("g", "o", "y", "x")
+    assert(Stats.grangerF(tiny, "g", "o", "y", "x").collect().head.isNullAt(3))
+  }
+
+  test("coxPH: planted hazard direction, null effect, degenerate covariate") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // high-x subjects fail early, low-x late -> beta > 0 (hazard rises with x)
+    val risky = (1 to 30).map(i => ("g", i.toLong, true, 2.0))
+    val safe = (1 to 30).map(i => ("g", (i + 40).toLong, i % 3 != 0, 0.0))
+    val df = (risky ++ safe).toDF("g", "dur", "obs", "x")
+    val r = Stats.coxPH(df, "g", "dur", col("obs"), "x").collect().head
+    assert(r.getLong(1) == 60 && r.getLong(2) == 50, r.toString)
+    assert(r.getDouble(3) > 0.5, s"planted positive hazard: ${r.getDouble(3)}")
+    assert(r.getDouble(4) > math.exp(0.5) - 1e-9, "hr = exp(beta)")
+    assert(r.getDouble(5) > 0.0, "se defined")
+    // covariate carries no signal -> beta ~ 0
+    // covariate assigned by a hash independent of duration AND of the
+    // censoring pattern (x = duration parity would correlate with the
+    // i%4 censoring rule and plant spurious signal)
+    val mixed = (1 to 60).map(i =>
+      ("g", i.toLong, i % 4 != 0,
+        if ((i * 2654435761L) % 97 < 48) 1.0 else 0.0))
+      .toDF("g", "dur", "obs", "x")
+    val r0 = Stats.coxPH(mixed, "g", "dur", col("obs"), "x").collect().head
+    assert(math.abs(r0.getDouble(3)) < 0.5,
+      s"hash-assigned covariate ~ no effect: ${r0.getDouble(3)}")
+    // constant covariate: I = 0 every iteration -> beta 0, se NULL
+    val const = (1 to 10).map(i => ("g", i.toLong, true, 5.0))
+      .toDF("g", "dur", "obs", "x")
+    val rc = Stats.coxPH(const, "g", "dur", col("obs"), "x").collect().head
+    assert(rc.getDouble(3) == 0.0 && rc.isNullAt(5), rc.toString)
+  }
 }
