@@ -651,6 +651,130 @@ object EventWindows {
       .agg(sum("_f").as("first_touch"), sum("_l").as("last_touch"))
   }
 
+  /** Markov-chain attribution by removal effects — the data-driven
+    * model next to the heuristic position models: user paths become a
+    * first-order chain START → touches → CONV/NULL; a channel's value
+    * is how much the chain's conversion probability DROPS when the
+    * channel is removed (transitions into it die), normalized into
+    * attribution shares (the ChannelAttribution methodology).
+    * Conversion probability is evaluated at a bounded HORIZON — the
+    * probability of absorbing in CONV within `horizon` steps — the
+    * bounded-hop determinism pattern (exact fixed-iteration value,
+    * never a convergence test; raise horizon knowingly for
+    * longer-path corpora).
+    *
+    * Determinism: transition probabilities are one 12-dp-frozen
+    * division each from exact integer counts over the (tsCol, tieCol)
+    * per-user total order; every absorption step sums 12-dp-frozen
+    * p·v terms in order-free decimal(38,12) and re-freezes v at
+    * 12 dp; removal effects and shares are one rounded division each.
+    * Channel states ride a "ch:" prefix internally so user channel
+    * names can never collide with START/CONV/NULL.
+    *
+    * Scale shape: path construction is the positionAttribution window
+    * pair (corpus-sized, one user-keyed sort); everything after the
+    * transition-count shuffle is (channels² × scenarios)-sized, and
+    * the horizon loop iterates on channel-cardinality state tables
+    * (checkpointed per step, never the corpus). Output: (channel,
+    * p_conv_removed, removal_effect, share) plus a synthetic
+    * ('__base__', p_conv, 0, NULL) row carrying the baseline.
+    */
+  def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, isConversion: Column,
+      horizon: Int = 8): DataFrame = {
+    require(horizon >= 1 && horizon <= 32,
+      s"markovAttribution: horizon must be in [1, 32], got $horizon")
+    val dec12 = "decimal(38,12)"
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val withPath = events
+      .withColumn("_path", count(when(isConversion, 1))
+        .over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+    val touches = withPath.filter(!isConversion)
+      .select(col(userCol).as("_u"), col("_path"), col(tsCol).as("_ts"),
+        col(tieCol).as("_tie"),
+        concat(lit("ch:"), col(typeCol)).as("_ch"))
+    val convPaths = withPath.filter(isConversion)
+      .select(col(userCol).as("_u"), col("_path")).distinct()
+    val wPath = Window.partitionBy("_u", "_path").orderBy("_ts", "_tie")
+    val wPathAll = Window.partitionBy("_u", "_path")
+    val seq = touches
+      .join(convPaths.withColumn("_cv", lit(1)), Seq("_u", "_path"), "left")
+      .withColumn("_r", row_number().over(wPath))
+      .withColumn("_k", count(lit(1)).over(wPathAll))
+      .withColumn("_next", lead("_ch", 1).over(wPath))
+    val trans = seq.filter(col("_r") === 1)
+      .select(lit("START").as("_src"), col("_ch").as("_dst"))
+      .unionByName(seq.filter(col("_next").isNotNull)
+        .select(col("_ch").as("_src"), col("_next").as("_dst")))
+      .unionByName(seq.filter(col("_r") === col("_k"))
+        .select(col("_ch").as("_src"),
+          when(col("_cv") === 1, lit("CONV")).otherwise(lit("NULL"))
+            .as("_dst")))
+      .unionByName(convPaths
+        .join(touches.select("_u", "_path").distinct(), Seq("_u", "_path"),
+          "left_anti")
+        .select(lit("START").as("_src"), lit("CONV").as("_dst")))
+    val probs = trans.groupBy("_src", "_dst").agg(count(lit(1)).as("_c"))
+      .withColumn("_tot", sum("_c").over(Window.partitionBy("_src")))
+      .withColumn("_p", round(col("_c") / col("_tot").cast("double"), 12))
+      .select("_src", "_dst", "_p")
+      .localCheckpoint() // channels²-sized; read per scenario + step
+    val channels = probs
+      .select(col("_src").as("_st")).filter(col("_st").startsWith("ch:"))
+      .unionByName(probs.select(col("_dst").as("_st"))
+        .filter(col("_st").startsWith("ch:")))
+      .distinct()
+    val scen = channels.select(col("_st").as("_sc"))
+      .unionByName(channels.sparkSession.range(1)
+        .select(lit("none").as("_sc")))
+    val tScen = probs.crossJoin(broadcast(scen))
+      .filter(col("_src") =!= col("_sc"))
+      .withColumn("_dst2",
+        when(col("_dst") === col("_sc"), lit("NULL")).otherwise(col("_dst")))
+      .select("_sc", "_src", "_dst2", "_p")
+      .localCheckpoint() // read every horizon step
+    var v = tScen.select("_sc", "_src").distinct()
+      .withColumn("_v", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to horizon) {
+      val prev = v.select(col("_sc").as("_vsc"), col("_src").as("_vst"),
+        col("_v").as("_pv"))
+      v = tScen
+        .join(prev, col("_sc") <=> col("_vsc")
+          && col("_dst2") <=> col("_vst"), "left")
+        .withColumn("_val",
+          when(col("_dst2") === "CONV", lit(1.0))
+            .when(col("_dst2") === "NULL", lit(0.0))
+            .otherwise(coalesce(col("_pv"), lit(0.0))))
+        .groupBy("_sc", "_src")
+        .agg(round(sum(round(col("_p") * col("_val"), 12).cast(dec12))
+          .cast("double"), 12).as("_v"))
+        .localCheckpoint() // (scenarios × states)-sized
+    }
+    val starts = v.filter(col("_src") === "START")
+      .select(col("_sc"), col("_v"))
+    val base = starts.filter(col("_sc") === "none")
+      .select(col("_v").as("_pb"))
+    val removed = starts.filter(col("_sc") =!= "none")
+      .crossJoin(broadcast(base))
+      .withColumn("_re",
+        when(col("_pb") > 0.0,
+          round(lit(1.0) - col("_v") / col("_pb"), 6)))
+      .withColumn("_resum", sum("_re").over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    removed.select(
+        regexp_replace(col("_sc"), "^ch:", "").as("channel"),
+        round(col("_v"), 6).cast("double").as("p_conv_removed"),
+        col("_re").cast("double").as("removal_effect"),
+        when(col("_resum") > 0.0, round(col("_re") / col("_resum"), 6))
+          .cast("double").as("share"))
+      .unionByName(base.select(lit("__base__").as("channel"),
+        round(col("_pb"), 6).cast("double").as("p_conv_removed"),
+        lit(0.0).as("removal_effect"),
+        lit(null).cast("double").as("share")))
+  }
+
   /** Multi-touch position attribution — the fractional-credit models
     * between [[touchAttribution]]'s all-or-nothing endpoints: each
     * conversion's PATH is the user's non-conversion touches since the

@@ -379,6 +379,17 @@ object AnalyticsOps {
       .orderBy("class")
   }
 
+  /** Markov removal-effect attribution of purchase conversions
+    * (horizon 8): frozen transition probabilities, decimal absorption
+    * folds per step, removal effects and shares as rounded divisions.
+    */
+  val qMarkovAttribution: QueryFn = withTables { spark =>
+    EventWindows.markovAttribution(spark.table("events"), "user_id",
+        "ts", "event_id", "event_type",
+        col("event_type") === "purchase", horizon = 8)
+      .orderBy("channel")
+  }
+
   /** Expected reciprocal rank of the value-ranked event list per
     * type, graded 0..4 by the JSON k (grade 4 = navigational hit that
     * stops the cascade): exact ranks, power-of-two relevances, ln-sum
@@ -634,6 +645,7 @@ object AnalyticsOps {
     "q_attribution" -> qAttribution,
     "q_attribution_position" -> qAttributionPosition,
     "q_err" -> qErr,
+    "q_markov_attribution" -> qMarkovAttribution,
     "q_diversity" -> qDiversity,
     "q_brier_decomp" -> qBrierDecomp,
     "q_f1_panel" -> qF1Panel,
@@ -1257,6 +1269,166 @@ object AnalyticsOps {
                ROUND(2.0 * precision * recall / (precision + recall), 6)
                END AS DOUBLE) AS f1
       FROM pr ORDER BY class""",
+
+    // Full replay: path windows, frozen transition probabilities, 8
+    // unrolled absorption steps, removal effects + shares.
+    "q_markov_attribution" -> """
+      WITH base AS (
+        SELECT user_id AS u, ts, event_id AS eid,
+               'ch:' || event_type AS et,
+               event_type = 'purchase' AS conv
+        FROM events),
+      wp AS (
+        SELECT *, COUNT(CASE WHEN conv THEN 1 END) OVER
+            (PARTITION BY u ORDER BY ts, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS path
+        FROM base),
+      touches AS (SELECT u, path, ts, eid, et FROM wp WHERE NOT conv),
+      convp AS (SELECT DISTINCT u, path FROM wp WHERE conv),
+      seq AS (
+        SELECT t.u, t.path, t.et,
+               ROW_NUMBER() OVER (PARTITION BY t.u, t.path
+                                  ORDER BY t.ts, t.eid) AS r,
+               COUNT(*) OVER (PARTITION BY t.u, t.path) AS k,
+               LEAD(t.et) OVER (PARTITION BY t.u, t.path
+                                ORDER BY t.ts, t.eid) AS nxt,
+               CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END AS cv
+        FROM touches t LEFT JOIN convp c
+          ON c.u = t.u AND c.path = t.path),
+      trans AS (
+        SELECT 'START' AS src, et AS dst FROM seq WHERE r = 1
+        UNION ALL
+        SELECT et, nxt FROM seq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT et, CASE WHEN cv = 1 THEN 'CONV' ELSE 'NULL' END
+        FROM seq WHERE r = k
+        UNION ALL
+        SELECT 'START', 'CONV' FROM convp c
+        WHERE NOT EXISTS (SELECT 1 FROM touches t
+                          WHERE t.u = c.u AND t.path = c.path)),
+      probs AS (
+        SELECT src, dst,
+               ROUND(COUNT(*) / CAST(SUM(COUNT(*))
+                 OVER (PARTITION BY src) AS DOUBLE), 12) AS p
+        FROM trans GROUP BY src, dst),
+      channels AS (
+        SELECT DISTINCT st FROM (
+          SELECT src AS st FROM probs UNION ALL SELECT dst FROM probs)
+        WHERE st LIKE 'ch:%'),
+      scen AS (SELECT st AS sc FROM channels
+               UNION ALL SELECT 'none'),
+      tscen AS (
+        SELECT sc, src,
+               CASE WHEN dst = sc THEN 'NULL' ELSE dst END AS dst2, p
+        FROM probs CROSS JOIN scen WHERE src <> sc),
+      v0 AS (SELECT DISTINCT sc, src, 0.0 AS v FROM tscen),
+      v1 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v0 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      v2 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v1 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      v3 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v2 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      v4 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v3 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      v5 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v4 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      v6 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v5 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      v7 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v6 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      v8 AS (
+        SELECT sc, src,
+               ROUND(CAST(SUM(CAST(ROUND(p * val, 12) AS DECIMAL(38,12)))
+                 AS DOUBLE), 12) AS v
+        FROM (SELECT t.sc, t.src, t.p,
+                CASE WHEN t.dst2 = 'CONV' THEN 1.0
+                     WHEN t.dst2 = 'NULL' THEN 0.0
+                     ELSE COALESCE(pv.v, 0.0) END AS val
+              FROM tscen t LEFT JOIN v7 pv
+                ON pv.sc = t.sc AND pv.src = t.dst2)
+        GROUP BY sc, src),
+      starts AS (SELECT sc, v FROM v8 WHERE src = 'START'),
+      pb AS (SELECT v AS pbase FROM starts WHERE sc = 'none'),
+      rem AS (
+        SELECT sc, v,
+               CASE WHEN pbase > 0.0
+                 THEN ROUND(1.0 - v / pbase, 6) END AS re
+        FROM starts CROSS JOIN pb WHERE sc <> 'none'),
+      shr AS (SELECT sc, v, re, SUM(re) OVER () AS resum FROM rem)
+      SELECT SUBSTR(sc, 4) AS channel,
+             CAST(ROUND(v, 6) AS DOUBLE) AS p_conv_removed,
+             CAST(re AS DOUBLE) AS removal_effect,
+             CAST(CASE WHEN resum > 0.0 THEN ROUND(re / resum, 6) END
+               AS DOUBLE) AS share
+      FROM shr
+      UNION ALL
+      SELECT '__base__', CAST(ROUND(pbase, 6) AS DOUBLE), 0.0,
+             CAST(NULL AS DOUBLE)
+      FROM pb
+      ORDER BY channel""",
 
     // Cascade-model replay: same rank/clamp, power-of-two relevances,
     // ln-survival windows, frozen contributions.

@@ -742,4 +742,26 @@ class AnalyticsOpsSpec extends SparkTestBase {
     // c: clamp 7 -> 4 gives R = 15/16; rank-2 grade clamps -2 -> 0
     assert(math.abs(out("c") - rMax) < 1e-6, out("c").toString)
   }
+
+  test("markovAttribution: hand chain removal effects and shares") {
+    import spark.implicits._
+    // START->a (2/3), START->b (1/3); a->CONV .5, a->NULL .5; b->CONV 1
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "CONV"),
+      (2L, 1L, "a"),                 // never converts -> a->NULL
+      (3L, 1L, "b"), (3L, 2L, "CONV")
+    ).toDF("user", "ts", "ch")
+    val out = graft.operators.EventWindows.markovAttribution(
+        ev, "user", "ts", "ts", "ch", col("ch") === "CONV")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    // base: 2/3*1/2 + 1/3*1 = 2/3
+    assert(out("__base__")._1 == 0.666667, out.toString)
+    // remove a: only b's third converts -> p 1/3, effect 1 - .5 = .5
+    assert(out("a") == ((0.333333, 0.5, 0.5)), out("a").toString)
+    // remove b: p = 2/3 * 1/2 = 1/3, effect .5, share .5
+    assert(out("b") == ((0.333333, 0.5, 0.5)), out("b").toString)
+    assert(!out.contains("CONV") && !out.contains("START"))
+  }
 }
