@@ -2641,6 +2641,253 @@ object Stats {
         .cast("double").as("f"))
   }
 
+  /** Yuen's trimmed-mean t-test between exactly two groups — the
+    * robust location test heavy tails call for when [[welchT]]'s raw
+    * means get dragged by outliers and [[mannWhitney]] answers a
+    * different question (stochastic dominance, not means): compare
+    * `trimPct`%-trimmed means with Winsorized variances,
+    * t = (m̄t₁ − m̄t₂)/√(d₁+d₂), dᵢ = (nᵢ−1)s²wᵢ/(hᵢ(hᵢ−1)) with
+    * h = n − 2g, g = ⌊n·trim⌋, Welch-style dof (Yuen 1974).
+    *
+    * Exactness: values quantize to 1e6-scaled longs; trim bounds are
+    * exact order statistics from one per-group rank window; trimmed
+    * sums and Winsorized moments accumulate in decimal(38,0); means/
+    * variances/d freeze at 12 dp (descaled); t and dof are one
+    * rounded tree. Requires exactly two groups — any other count
+    * yields the k_groups row with NULL stats (the caller's loud
+    * signal), never a silent pick.
+    *
+    * Scale shape: one per-group sort window (the robustOutliers cost
+    * class) + one group moment aggregate + a 2-row fold. Output: ONE
+    * row (g1, g2, k_groups, n1, n2, t, dof).
+    */
+  def yuenT(df: DataFrame, groupCol: String, valueCol: String,
+      trimPct: Int = 20): DataFrame = {
+    require(trimPct >= 1 && trimPct < 50,
+      s"yuenT: trimPct must be in [1, 49], got $trimPct")
+    val dec = "decimal(38,0)"
+    // rank ties in _x may order arbitrarily — harmless: every
+    // rank-derived quantity here (boundary VALUES, membership of the
+    // trimmed middle, Winsorized values) is tie-invariant because tied
+    // rows carry equal values
+    val wOrd = Window.partitionBy("_g").orderBy("_x")
+    val wAll = Window.partitionBy("_g")
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_gtrim", floor(col("_n") * trimPct / 100).cast("long"))
+      .withColumn("_loV",
+        max(when(col("_rn") === col("_gtrim") + 1, col("_x"))).over(wAll))
+      .withColumn("_hiV",
+        max(when(col("_rn") === col("_n") - col("_gtrim"), col("_x")))
+          .over(wAll))
+      .withColumn("_wv",
+        when(col("_rn") <= col("_gtrim"), col("_loV"))
+          .when(col("_rn") > col("_n") - col("_gtrim"), col("_hiV"))
+          .otherwise(col("_x")))
+    val byG = pts.groupBy("_g")
+      .agg(max("_n").as("_ng"), max("_gtrim").as("_gt"),
+        sum(when(col("_rn") > col("_gtrim")
+          && col("_rn") <= col("_n") - col("_gtrim"),
+          col("_x").cast(dec)).otherwise(lit(0).cast(dec))).as("_tsum"),
+        sum(col("_wv").cast(dec)).as("_ws"),
+        sum((col("_wv").cast(dec) * col("_wv")).cast(dec)).as("_wq"))
+      .withColumn("_h", col("_ng") - lit(2) * col("_gt"))
+      .withColumn("_tm",
+        round(col("_tsum").cast("double") / col("_h") / 1e6, 12))
+      .withColumn("_s2w",
+        round((col("_ng").cast("double") * col("_wq").cast("double")
+          - col("_ws").cast("double") * col("_ws").cast("double"))
+          / (col("_ng").cast("double") * (col("_ng") - 1).cast("double"))
+          / 1e12, 12))
+      .withColumn("_d",
+        when(col("_h") >= 2,
+          round((col("_ng") - 1).cast("double") * col("_s2w")
+            / (col("_h").cast("double") * (col("_h") - 1).cast("double")),
+            12)))
+    val two = byG.agg(count(lit(1)).as("_k"),
+      min("_g").as("g1"), max("_g").as("g2"),
+      min_by(struct(col("_ng"), col("_h"), col("_tm"), col("_d")), col("_g"))
+        .as("_a"),
+      max_by(struct(col("_ng"), col("_h"), col("_tm"), col("_d")), col("_g"))
+        .as("_b"))
+    val d1 = col("_a._d"); val d2 = col("_b._d")
+    val h1 = col("_a._h"); val h2 = col("_b._h")
+    val ok = (col("_k") === 2) && d1.isNotNull && d2.isNotNull &&
+      ((d1 + d2) > 0.0) && (h1 >= 2) && (h2 >= 2)
+    two.select(col("g1").cast("string").as("g1"),
+      col("g2").cast("string").as("g2"),
+      col("_k").cast("bigint").as("k_groups"),
+      col("_a._ng").cast("bigint").as("n1"),
+      col("_b._ng").cast("bigint").as("n2"),
+      when(ok, round((col("_a._tm") - col("_b._tm")) / sqrt(d1 + d2), 6))
+        .cast("double").as("t"),
+      when(ok, round((d1 + d2) * (d1 + d2)
+        / (d1 * d1 / (h1 - 1).cast("double")
+          + d2 * d2 / (h2 - 1).cast("double")), 6))
+        .cast("double").as("dof"))
+  }
+
+  /** Entropy rate of the observed first-order chain per group —
+    * H = −Σ_s π̂_s Σ_s' p(s'|s)·ln p(s'|s) in nats with conditional
+    * perplexity e^H: "how predictable is the next state given the
+    * current one" — the sequence-predictability number on top of the
+    * L122 transition matrix (a low rate says the chain is
+    * deterministic enough to exploit; the per-sequence sibling of
+    * L159's per-document Markov perplexity). π̂ is the empirical
+    * source-state distribution of the observed transitions (exact
+    * integer counts — the plug-in estimator, not the stationary
+    * eigenvector; they coincide as the chain mixes).
+    *
+    * Exactness: transition and source counts are exact integers from
+    * one lag window + one cell aggregation; each cell's
+    * −(c/n)·ln(c/row_total) term is frozen at 12 dp into an
+    * order-free decimal(38,12) sum; H and e^H round at 6 dp.
+    * Deterministic single-state chains report H = 0.
+    *
+    * Scale shape: one per-(group, sequence) lag window, then
+    * states²-bounded cells. Output: (group, n_transitions,
+    * entropy_rate, perplexity).
+    */
+  def markovEntropyRate(df: DataFrame, groupCol: String, seqCol: String,
+      tsCol: String, tieCol: String, stateCol: String): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val w = Window.partitionBy("_g", "_s").orderBy("_o", "_tie")
+    val trans = df.filter(col(stateCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(seqCol).as("_s"),
+        col(tsCol).as("_o"), col(tieCol).as("_tie"),
+        col(stateCol).as("_st"))
+      .withColumn("_nx", lead("_st", 1).over(w))
+      .filter(col("_nx").isNotNull)
+      .groupBy(col("_g"), col("_st"), col("_nx"))
+      .agg(count(lit(1)).as("_c"))
+    val wSrc = Window.partitionBy("_g", "_st")
+    val wAll = Window.partitionBy("_g")
+    trans
+      .withColumn("_rowtot", sum("_c").over(wSrc))
+      .withColumn("_n", sum("_c").over(wAll))
+      .withColumn("_term",
+        round((col("_c").cast("double") / col("_n"))
+          * -log(col("_c").cast("double") / col("_rowtot")), 12)
+          .cast(dec12))
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_n").cast("bigint").as("n_transitions"),
+        round(sum("_term").cast("double"), 6).cast("double")
+          .as("entropy_rate"),
+        round(exp(round(sum("_term").cast("double"), 6)), 6)
+          .cast("double").as("perplexity"))
+  }
+
+  /** Binned two-segment breakpoint scan per group — sweep the B−1
+    * interior edges of an equi-width x grid and report the split that
+    * maximizes SSE reduction of piecewise simple OLS (left fit +
+    * right fit vs one global fit): "where does the relationship
+    * change" — the regression sibling of [[Profiling.infoGainStump]]
+    * (label entropy) and the changepoint family's covariate-aware
+    * member (CUSUM/Pettitt watch one series; this watches y|x).
+    *
+    * Per side, cost = (syy − sxy²/sxx)/n on n-scaled centered moments
+    * (mean-only cost syy/n when the side's x is constant); gain =
+    * cost_total − cost_left − cost_right; argmax on the (gain DESC,
+    * edge ASC) total order.
+    *
+    * Exactness: x/y quantize to 1e6-scaled longs; per-bin moment
+    * cells accumulate in decimal(38,0) and prefix sums ride ONE
+    * bins-ordered window (exact integers end to end); every cost is
+    * one identically-spelled float tree; gain/threshold round at 6 dp
+    * (threshold = lo + q·(hi−lo)/B on per-group frozen edges, the
+    * stump convention, descaled). Degenerate groups (n < 4, constant
+    * x, or no valid split) report NULL edge/gain.
+    *
+    * Scale shape: one corpus-sized cell aggregation, then everything
+    * is bins-bounded per group — the mannWhitneyBinned cost class.
+    * Output: (group, n, edge, threshold, cost_total, cost_split,
+    * gain).
+    */
+  def breakpointScan(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins=$bins must be in [2, 4096]")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_x"),
+        round(col(yCol) * 1e6).cast("long").as("_yv"))
+    val edges = pts.groupBy("_g")
+      .agg(min("_x").as("_lo"), max("_x").as("_hi"),
+        count(lit(1)).as("_ng"))
+    val cells = pts.join(broadcast(edges), Seq("_g"))
+      .withColumn("_q",
+        when(col("_hi") > col("_lo"),
+          least(floor((col("_x") - col("_lo")).cast("double") * bins
+            / (col("_hi") - col("_lo")).cast("double")), lit(bins - 1)))
+          .otherwise(lit(0)).cast("long"))
+      .groupBy("_g", "_q")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_yv").cast(dec)).as("_sy"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxx"),
+        sum((col("_yv").cast(dec) * col("_yv")).cast(dec)).as("_syy"),
+        sum((col("_x").cast(dec) * col("_yv")).cast(dec)).as("_sxy"))
+    val wCum = Window.partitionBy("_g").orderBy("_q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("_g")
+    def cum(c: String) = sum(col(c)).over(wCum).as(c + "l")
+    def tot(c: String) = sum(col(c)).over(wAll).as(c + "t")
+    val withCums = cells.select(
+      (Seq(col("_g"), col("_q")) ++
+        Seq("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy").map(cum) ++
+        Seq("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy").map(tot)): _*)
+    // cost of one OLS segment from raw sums (NULL-free: mean-only
+    // when x is constant on the side)
+    def cost(n: Column, sx: Column, sy: Column, sxx: Column,
+        syy: Column, sxy: Column): Column = {
+      val nd = n.cast("double")
+      val cxx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+      val cyy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+      val cxy = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+      when(n >= 2 && cxx > 0.0, (cyy - cxy * cxy / cxx) / (nd * nd))
+        .when(n >= 1, cyy / (nd * nd))
+        .otherwise(lit(0.0))
+    }
+    val costL = cost(col("_nl"), col("_sxl"), col("_syl"), col("_sxxl"),
+      col("_syyl"), col("_sxyl"))
+    val costR = cost(col("_nt") - col("_nl"), col("_sxt") - col("_sxl"),
+      col("_syt") - col("_syl"), col("_sxxt") - col("_sxxl"),
+      col("_syyt") - col("_syyl"), col("_sxyt") - col("_sxyl"))
+    val costT = cost(col("_nt"), col("_sxt"), col("_syt"), col("_sxxt"),
+      col("_syyt"), col("_sxyt"))
+    val wBest = Window.partitionBy("_g")
+      .orderBy(col("_gain").desc, col("_q").asc)
+    val scanned = withCums
+      .filter(col("_q") < bins - 1 && col("_nl") < col("_nt"))
+      .withColumn("_gain", round(costT - costL - costR, 6))
+      .withColumn("_ct", round(costT, 6))
+      .withColumn("_cs", round(costL + costR, 6))
+      .withColumn("_rk", row_number().over(wBest))
+      .filter(col("_rk") === 1)
+    scanned.join(broadcast(edges), Seq("_g"), "right")
+      .select(col("_g").as(groupCol),
+        col("_ng").cast("bigint").as("n"),
+        when(col("_gain").isNotNull && col("_nt") >= 4
+            && col("_hi") > col("_lo"), col("_q") + 1)
+          .cast("bigint").as("edge"),
+        when(col("_gain").isNotNull && col("_nt") >= 4
+            && col("_hi") > col("_lo"),
+          round((col("_lo").cast("double") / 1e6)
+            + (col("_q") + 1).cast("double")
+              * ((col("_hi") - col("_lo")).cast("double") / 1e6)
+              / bins, 6)).cast("double").as("threshold"),
+        when(col("_ct").isNotNull, round(col("_ct") / 1e12, 6))
+          .cast("double").as("cost_total"),
+        when(col("_cs").isNotNull, round(col("_cs") / 1e12, 6))
+          .cast("double").as("cost_split"),
+        when(col("_gain").isNotNull && col("_nt") >= 4
+            && col("_hi") > col("_lo"), round(col("_gain") / 1e12, 6))
+          .cast("double").as("gain"))
+  }
+
   /** Cox proportional-hazards fit, one covariate, Breslow ties, FIXED
     * Newton iterations from β = 0 — the regression member of the
     * survival family: KM/Nelson–Aalen describe a curve, the log-rank

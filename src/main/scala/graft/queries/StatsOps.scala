@@ -418,6 +418,41 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Two-segment breakpoint scan of value over the day index per
+    * event type (16 bins): decimal moment cells, one cumulative
+    * window, identical cost trees, (gain DESC, edge) argmax.
+    */
+  val qBreakpoint: QueryFn = withTables { spark =>
+    val pts = spark.table("events")
+      .withColumn("dayx",
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("double"))
+    graft.operators.Stats.breakpointScan(pts, "event_type", "dayx",
+        "value", bins = 16)
+      .orderBy("event_type")
+  }
+
+  /** Entropy rate of each user's event-type chain, global group:
+    * exact transition cells, frozen −(c/n)·ln(c/rowtot) terms in a
+    * decimal sum, one rounded H/perplexity pair.
+    */
+  val qMarkovEntropy: QueryFn = withTables { spark =>
+    graft.operators.Stats.markovEntropyRate(
+      spark.table("events").withColumn("g", lit("all")),
+      "g", "user_id", "ts", "event_id", "event_type")
+  }
+
+  /** Yuen's 20%-trimmed t between click and purchase spend: exact
+    * order-statistic trim bounds, Winsorized decimal moments, one
+    * rounded t/dof tree.
+    */
+  val qYuen: QueryFn = withTables { spark =>
+    graft.operators.Stats.yuenT(
+      spark.table("events")
+        .filter(col("event_type").isin("click", "purchase")),
+      "event_type", "value", trimPct = 20)
+  }
+
   /** Cox proportional hazards of log-spend on time-to-first-purchase
     * (the q_kaplan_meier/q_c_index subjects): 3 fixed Newton
     * iterations, Breslow ties, frozen exp terms in decimal cell sums,
@@ -1359,6 +1394,9 @@ object StatsOps {
     "q_dickey_fuller" -> qDickeyFuller,
     "q_granger" -> qGranger,
     "q_cox_ph" -> qCoxPh,
+    "q_breakpoint" -> qBreakpoint,
+    "q_markov_entropy" -> qMarkovEntropy,
+    "q_yuen" -> qYuen,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -3667,6 +3705,205 @@ object StatsOps {
     // tie-corrected z tree (coefficients cast to DOUBLE).
     // Integer pair concordance with tie correction; scaling cancels
     // out of every comparison, so the oracle compares raw values.
+    // Per-group equi-width cells, one cumulative window, the identical
+    // three cost trees, (gain DESC, edge) argmax, degenerate NULLs.
+    "q_breakpoint" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(CAST(DATEDIFF('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+      edges AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi,
+                       COUNT(*)::BIGINT AS ng
+                FROM pts GROUP BY g),
+      cells AS (
+        SELECT g, q, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS sx,
+               SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT * x) AS sxx,
+               SUM(y::HUGEINT * y) AS syy, SUM(x::HUGEINT * y) AS sxy
+        FROM (SELECT p.g,
+                (CASE WHEN e.hi > e.lo
+                   THEN LEAST(FLOOR(CAST(p.x - e.lo AS DOUBLE) * 16
+                     / CAST(e.hi - e.lo AS DOUBLE)), 15)
+                   ELSE 0 END)::BIGINT AS q, x, y
+              FROM pts p JOIN edges e USING (g))
+        GROUP BY g, q),
+      cums AS (
+        SELECT g, q,
+               SUM(n) OVER wc AS nl, SUM(sx) OVER wc AS sxl,
+               SUM(sy) OVER wc AS syl, SUM(sxx) OVER wc AS sxxl,
+               SUM(syy) OVER wc AS syyl, SUM(sxy) OVER wc AS sxyl,
+               SUM(n) OVER wa AS nt, SUM(sx) OVER wa AS sxt,
+               SUM(sy) OVER wa AS syt, SUM(sxx) OVER wa AS sxxt,
+               SUM(syy) OVER wa AS syyt, SUM(sxy) OVER wa AS sxyt
+        FROM cells
+        WINDOW wc AS (PARTITION BY g ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wa AS (PARTITION BY g)),
+      cen AS (
+        SELECT g, q, nl, nt,
+               CAST(nl AS DOUBLE) * CAST(sxxl AS DOUBLE)
+                 - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE) AS cxxl,
+               CAST(nl AS DOUBLE) * CAST(syyl AS DOUBLE)
+                 - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE) AS cyyl,
+               CAST(nl AS DOUBLE) * CAST(sxyl AS DOUBLE)
+                 - CAST(sxl AS DOUBLE) * CAST(syl AS DOUBLE) AS cxyl,
+               CAST(nt - nl AS DOUBLE) * CAST(sxxt - sxxl AS DOUBLE)
+                 - CAST(sxt - sxl AS DOUBLE) * CAST(sxt - sxl AS DOUBLE)
+                 AS cxxr,
+               CAST(nt - nl AS DOUBLE) * CAST(syyt - syyl AS DOUBLE)
+                 - CAST(syt - syl AS DOUBLE) * CAST(syt - syl AS DOUBLE)
+                 AS cyyr,
+               CAST(nt - nl AS DOUBLE) * CAST(sxyt - sxyl AS DOUBLE)
+                 - CAST(sxt - sxl AS DOUBLE) * CAST(syt - syl AS DOUBLE)
+                 AS cxyr,
+               CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE)
+                 - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) AS cxxt,
+               CAST(nt AS DOUBLE) * CAST(syyt AS DOUBLE)
+                 - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE) AS cyyt,
+               CAST(nt AS DOUBLE) * CAST(sxyt AS DOUBLE)
+                 - CAST(sxt AS DOUBLE) * CAST(syt AS DOUBLE) AS cxyt
+        FROM cums),
+      costs AS (
+        SELECT g, q, nl, nt,
+               CASE WHEN nl >= 2 AND cxxl > 0.0
+                 THEN (cyyl - cxyl * cxyl / cxxl)
+                   / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE))
+                 WHEN nl >= 1
+                 THEN cyyl / (CAST(nl AS DOUBLE) * CAST(nl AS DOUBLE))
+                 ELSE 0.0 END AS cl,
+               CASE WHEN nt - nl >= 2 AND cxxr > 0.0
+                 THEN (cyyr - cxyr * cxyr / cxxr)
+                   / (CAST(nt - nl AS DOUBLE) * CAST(nt - nl AS DOUBLE))
+                 WHEN nt - nl >= 1
+                 THEN cyyr / (CAST(nt - nl AS DOUBLE)
+                   * CAST(nt - nl AS DOUBLE))
+                 ELSE 0.0 END AS cr,
+               CASE WHEN nt >= 2 AND cxxt > 0.0
+                 THEN (cyyt - cxyt * cxyt / cxxt)
+                   / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+                 WHEN nt >= 1
+                 THEN cyyt / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+                 ELSE 0.0 END AS ct0
+        FROM cen),
+      scan AS (
+        SELECT g, q, nt,
+               ROUND(ct0 - cl - cr, 6) AS gain,
+               ROUND(ct0, 6) AS ct, ROUND(cl + cr, 6) AS cs,
+               ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY ROUND(ct0 - cl - cr, 6) DESC, q ASC) AS rk
+        FROM costs WHERE q < 15 AND nl < nt),
+      best AS (SELECT * FROM scan WHERE rk = 1)
+      SELECT e.g AS event_type, e.ng AS n,
+             CAST(CASE WHEN b.gain IS NOT NULL AND b.nt >= 4
+                    AND e.hi > e.lo THEN b.q + 1 END AS BIGINT) AS edge,
+             CAST(CASE WHEN b.gain IS NOT NULL AND b.nt >= 4
+                    AND e.hi > e.lo THEN
+               ROUND((CAST(e.lo AS DOUBLE) / 1000000.0)
+                 + CAST(b.q + 1 AS DOUBLE)
+                   * (CAST(e.hi - e.lo AS DOUBLE) / 1000000.0) / 16, 6)
+               END AS DOUBLE) AS threshold,
+             CAST(CASE WHEN b.ct IS NOT NULL
+               THEN ROUND(b.ct / 1000000000000.0, 6) END AS DOUBLE)
+               AS cost_total,
+             CAST(CASE WHEN b.cs IS NOT NULL
+               THEN ROUND(b.cs / 1000000000000.0, 6) END AS DOUBLE)
+               AS cost_split,
+             CAST(CASE WHEN b.gain IS NOT NULL AND b.nt >= 4
+                    AND e.hi > e.lo
+               THEN ROUND(b.gain / 1000000000000.0, 6) END AS DOUBLE)
+               AS gain
+      FROM edges e LEFT JOIN best b ON b.g = e.g
+      ORDER BY e.g""",
+
+    // One lead window per user chain, states² cells, frozen
+    // -(c/n)·ln(c/rowtot) terms in a decimal sum.
+    "q_markov_entropy" -> """
+      WITH tr AS (
+        SELECT st, nx FROM (
+          SELECT event_type AS st,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nx
+          FROM events WHERE event_type IS NOT NULL)
+        WHERE nx IS NOT NULL),
+      cells AS (SELECT st, nx, COUNT(*)::BIGINT AS c
+                FROM tr GROUP BY st, nx),
+      en AS (SELECT c, SUM(c) OVER (PARTITION BY st) AS rowtot,
+                    SUM(c) OVER () AS n
+             FROM cells),
+      terms AS (SELECT n,
+                  CAST(ROUND((CAST(c AS DOUBLE) / n)
+                    * -LN(CAST(c AS DOUBLE) / rowtot), 12)
+                    AS DECIMAL(38,12)) AS term
+                FROM en)
+      SELECT 'all' AS g, MAX(n)::BIGINT AS n_transitions,
+             CAST(ROUND(CAST(SUM(term) AS DOUBLE), 6) AS DOUBLE)
+               AS entropy_rate,
+             CAST(ROUND(EXP(ROUND(CAST(SUM(term) AS DOUBLE), 6)), 6)
+               AS DOUBLE) AS perplexity
+      FROM terms""",
+
+    // Exact order-statistic trim bounds, Winsorized HUGEINT moments,
+    // the identical Yuen t/dof trees.
+    "q_yuen" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')),
+      rk AS (SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+             FROM pts),
+      b AS (SELECT g, x, rn, n,
+              CAST(FLOOR(n * 20 / 100) AS BIGINT) AS gt FROM rk),
+      bounds AS (SELECT g, MAX(CASE WHEN rn = gt + 1 THEN x END) AS lov,
+                        MAX(CASE WHEN rn = n - gt THEN x END) AS hiv
+                 FROM b GROUP BY g),
+      w AS (SELECT b.g, b.n, b.gt, b.rn, b.x,
+              CASE WHEN rn <= gt THEN lov
+                   WHEN rn > n - gt THEN hiv ELSE x END AS wv
+            FROM b JOIN bounds ON bounds.g = b.g),
+      byg AS (
+        SELECT g, MAX(n)::BIGINT AS ng, MAX(gt)::BIGINT AS gt,
+               SUM(CASE WHEN rn > gt AND rn <= n - gt
+                   THEN x::HUGEINT ELSE 0 END) AS tsum,
+               SUM(wv::HUGEINT) AS ws, SUM(wv::HUGEINT * wv) AS wq
+        FROM w GROUP BY g),
+      st AS (
+        SELECT g, ng, ng - 2 * gt AS h,
+               ROUND(CAST(tsum AS DOUBLE) / (ng - 2 * gt) / 1000000.0, 12)
+                 AS tm,
+               ROUND((CAST(ng AS DOUBLE) * CAST(wq AS DOUBLE)
+                 - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE))
+                 / (CAST(ng AS DOUBLE) * CAST(ng - 1 AS DOUBLE))
+                 / 1000000000000.0, 12) AS s2w
+        FROM byg),
+      dd AS (SELECT g, ng, h, tm,
+               CASE WHEN h >= 2 THEN
+                 ROUND(CAST(ng - 1 AS DOUBLE) * s2w
+                   / (CAST(h AS DOUBLE) * CAST(h - 1 AS DOUBLE)), 12) END
+                 AS d
+             FROM st),
+      two AS (
+        SELECT (SELECT COUNT(*) FROM dd)::BIGINT AS k,
+               a.g AS g1, bb.g AS g2, a.ng AS n1, bb.ng AS n2,
+               a.h AS h1, bb.h AS h2, a.tm AS tm1, bb.tm AS tm2,
+               a.d AS d1, bb.d AS d2
+        FROM (SELECT * FROM dd ORDER BY g LIMIT 1) a,
+             (SELECT * FROM dd ORDER BY g DESC LIMIT 1) bb)
+      SELECT g1, g2, k AS k_groups, n1, n2,
+             CAST(CASE WHEN k = 2 AND d1 IS NOT NULL AND d2 IS NOT NULL
+                    AND d1 + d2 > 0.0 AND h1 >= 2 AND h2 >= 2 THEN
+               ROUND((tm1 - tm2) / SQRT(d1 + d2), 6) END AS DOUBLE) AS t,
+             CAST(CASE WHEN k = 2 AND d1 IS NOT NULL AND d2 IS NOT NULL
+                    AND d1 + d2 > 0.0 AND h1 >= 2 AND h2 >= 2 THEN
+               ROUND((d1 + d2) * (d1 + d2)
+                 / (d1 * d1 / CAST(h1 - 1 AS DOUBLE)
+                   + d2 * d2 / CAST(h2 - 1 AS DOUBLE)), 6)
+               END AS DOUBLE) AS dof
+      FROM two""",
+
     // Welch 1951: frozen per-group moments, decimal folds, the same
     // left-assoc float trees.
     "q_welch_anova" -> """

@@ -2691,4 +2691,72 @@ class StatsSpec extends SparkTestBase {
     val rc = Stats.coxPH(const, "g", "dur", col("obs"), "x").collect().head
     assert(rc.getDouble(3) == 0.0 && rc.isNullAt(5), rc.toString)
   }
+
+  test("breakpointScan: planted slope change found at the right threshold") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // y = x for x < 8, y = 8 + 5(x - 8) after: kink at x = 8
+    val df = (0 until 160).map { i =>
+      val x = i / 10.0
+      ("g", x, if (x < 8.0) x else 8.0 + 5.0 * (x - 8.0))
+    }.toDF("g", "x", "y")
+    val r = Stats.breakpointScan(df, "g", "x", "y", bins = 16).collect().head
+    assert(r.getLong(1) == 160)
+    assert(!r.isNullAt(2) && math.abs(r.getDouble(3) - 8.0) < 1.1,
+      s"threshold near the kink: $r")
+    assert(r.getDouble(6) > 0.0, "split strictly improves")
+    assert(r.getDouble(5) < r.getDouble(4), "cost_split < cost_total")
+    // pure line: no split gains anything material
+    val line = (0 until 100).map(i => ("l", i / 10.0, 3.0 * i / 10.0))
+      .toDF("g", "x", "y")
+    val rl = Stats.breakpointScan(line, "g", "x", "y", 16).collect().head
+    assert(rl.isNullAt(6) || rl.getDouble(6) < 1e-6,
+      s"no kink -> no gain: $rl")
+    // constant x: degenerate, NULL edge
+    val cx = Seq(("c", 1.0, 1.0), ("c", 1.0, 5.0), ("c", 1.0, 9.0),
+      ("c", 1.0, 2.0)).toDF("g", "x", "y")
+    val rc = Stats.breakpointScan(cx, "g", "x", "y", 16).collect().head
+    assert(rc.isNullAt(2) && rc.getLong(1) == 4, rc.toString)
+  }
+
+  test("markovEntropyRate: deterministic chain 0; uniform 2-state chain ln 2") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // deterministic cycle a->b->a->b per user
+    val det = (1 to 2).flatMap(u => (0 until 20).map(i =>
+      ("all", u.toLong, i, i, if (i % 2 == 0) "a" else "b")))
+      .toDF("g", "u", "ts", "tie", "st")
+    val rd = Stats.markovEntropyRate(det, "g", "u", "ts", "tie", "st")
+      .collect().head
+    assert(rd.getDouble(2) == 0.0 && rd.getDouble(3) == 1.0, rd.toString)
+    // each state goes to either state equally often -> H = ln 2
+    val uni = Seq("a","a","b","b") // a->a, a->b, b->b; need balanced: craft
+    val seqStates = Seq("a","a","b","a","b","b","a","b","b","a","a","b",
+      "a","a","b","b","a")
+    val u2 = seqStates.zipWithIndex.map { case (st, i) =>
+      ("all", 1L, i, i, st) }.toDF("g", "u", "ts", "tie", "st")
+    val ru = Stats.markovEntropyRate(u2, "g", "u", "ts", "tie", "st")
+      .collect().head
+    assert(ru.getDouble(2) > 0.6 && ru.getDouble(2) <= 0.6932,
+      s"mixed 2-state chain approaches ln 2: $ru")
+  }
+
+  test("yuenT: robust to outliers where the raw-mean contrast explodes") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // identical cores, one group gets huge outliers
+    val a = (1 to 40).map(i => ("a", 10.0 + (i % 5)))
+    val b = (1 to 40).map(i => ("b", 10.0 + ((i + 2) % 5))) ++
+      Seq(("b", 100000.0), ("b", -100000.0))
+    val df = (a ++ b).toDF("g", "v")
+    val r = Stats.yuenT(df, "g", "v", trimPct = 20).collect().head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 40 && r.getLong(4) == 42)
+    assert(math.abs(r.getDouble(5)) < 3.0,
+      s"trimmed t ignores the planted outliers: $r")
+    // three groups -> NULL stats, loud k
+    val three = df.unionByName(Seq(("c", 1.0), ("c", 2.0)).toDF("g", "v"))
+    val r3 = Stats.yuenT(three, "g", "v").collect().head
+    assert(r3.getLong(2) == 3 && r3.isNullAt(5) && r3.isNullAt(6))
+  }
 }
