@@ -681,7 +681,7 @@ object EventWindows {
     */
   def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, isConversion: Column,
-      horizon: Int = 8): DataFrame = {
+      horizon: Int = 8, driverMaxCells: Long = 200000L): DataFrame = {
     require(horizon >= 1 && horizon <= 32,
       s"markovAttribution: horizon must be in [1, 32], got $horizon")
     val dec12 = "decimal(38,12)"
@@ -734,25 +734,73 @@ object EventWindows {
         when(col("_dst") === col("_sc"), lit("NULL")).otherwise(col("_dst")))
       .select("_sc", "_src", "_dst2", "_p")
       .localCheckpoint() // read every horizon step
-    var v = tScen.select("_sc", "_src").distinct()
-      .withColumn("_v", lit(0.0)).localCheckpoint()
-    for (_ <- 1 to horizon) {
-      val prev = v.select(col("_sc").as("_vsc"), col("_src").as("_vst"),
-        col("_v").as("_pv"))
-      v = tScen
-        .join(prev, col("_sc") <=> col("_vsc")
-          && col("_dst2") <=> col("_vst"), "left")
-        .withColumn("_val",
-          when(col("_dst2") === "CONV", lit(1.0))
-            .when(col("_dst2") === "NULL", lit(0.0))
-            .otherwise(coalesce(col("_pv"), lit(0.0))))
-        .groupBy("_sc", "_src")
-        .agg(round(sum(round(col("_p") * col("_val"), 12).cast(dec12))
-          .cast("double"), 12).as("_v"))
-        .localCheckpoint() // (scenarios × states)-sized
+    // Small-chain fast path (the harmonicCentrality driver-BFS
+    // precedent): the scenario table is (channels² × scenarios) rows —
+    // when it fits the driver comfortably, the horizon loop is pure
+    // scheduler overhead (8 tiny checkpointed jobs measured at ~3 s of
+    // a 3.6 s query), so run the SAME frozen arithmetic in Scala:
+    // per-step terms round(p·v, 12) summed as exact BigDecimals
+    // (order-free, like the decimal(38,12) fold), v re-frozen at 12 dp
+    // — bit-identical to the distributed loop (spec-pinned). Past the
+    // bound the loop below runs unchanged.
+    val starts: DataFrame = {
+      val nCells = tScen.count() // free: tScen is checkpointed
+      if (nCells <= driverMaxCells) {
+        val rows = tScen.collect().map(r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+        def r12(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+        val byScen = rows.groupBy(_._1)
+        val out = byScen.toSeq.map { case (sc, ts) =>
+          var v = ts.map(_._2).distinct.map(_ -> 0.0).toMap
+          for (_ <- 1 to horizon) {
+            v = ts.groupBy(_._2).map { case (src, edges0) =>
+              var acc = java.math.BigDecimal.ZERO
+              edges0.foreach { case (_, _, dst2, p) =>
+                val value = dst2 match {
+                  case "CONV" => 1.0
+                  case "NULL" => 0.0
+                  case s => v.getOrElse(s, 0.0)
+                }
+                // the distributed chain is round(·,12) THEN a
+                // decimal(38,12) cast — replicate both steps so
+                // double-rounding edges can't diverge
+                acc = acc.add(java.math.BigDecimal.valueOf(r12(p * value))
+                  .setScale(12, java.math.RoundingMode.HALF_UP))
+              }
+              src -> r12(acc.doubleValue())
+            }
+          }
+          org.apache.spark.sql.Row(sc, v.getOrElse("START", 0.0))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_sc",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_v",
+            org.apache.spark.sql.types.DoubleType)))
+        events.sparkSession.createDataFrame(
+          events.sparkSession.sparkContext.parallelize(out, 1), schema)
+      } else {
+        var v = tScen.select("_sc", "_src").distinct()
+          .withColumn("_v", lit(0.0)).localCheckpoint()
+        for (_ <- 1 to horizon) {
+          val prev = v.select(col("_sc").as("_vsc"), col("_src").as("_vst"),
+            col("_v").as("_pv"))
+          v = tScen
+            .join(prev, col("_sc") <=> col("_vsc")
+              && col("_dst2") <=> col("_vst"), "left")
+            .withColumn("_val",
+              when(col("_dst2") === "CONV", lit(1.0))
+                .when(col("_dst2") === "NULL", lit(0.0))
+                .otherwise(coalesce(col("_pv"), lit(0.0))))
+            .groupBy("_sc", "_src")
+            .agg(round(sum(round(col("_p") * col("_val"), 12).cast(dec12))
+              .cast("double"), 12).as("_v"))
+            .localCheckpoint() // (scenarios × states)-sized
+        }
+        v.filter(col("_src") === "START").select(col("_sc"), col("_v"))
+      }
     }
-    val starts = v.filter(col("_src") === "START")
-      .select(col("_sc"), col("_v"))
     val base = starts.filter(col("_sc") === "none")
       .select(col("_v").as("_pb"))
     val removed = starts.filter(col("_sc") =!= "none")

@@ -763,5 +763,14 @@ class AnalyticsOpsSpec extends SparkTestBase {
     // remove b: p = 2/3 * 1/2 = 1/3, effect .5, share .5
     assert(out("b") == ((0.333333, 0.5, 0.5)), out("b").toString)
     assert(!out.contains("CONV") && !out.contains("START"))
+    // driver fast path ≡ distributed loop, bit-identical
+    val dist = graft.operators.EventWindows.markovAttribution(
+        ev, "user", "ts", "ts", "ch", col("ch") === "CONV",
+        driverMaxCells = -1L)
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    val fast = graft.operators.EventWindows.markovAttribution(
+        ev, "user", "ts", "ts", "ch", col("ch") === "CONV")
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(fast == dist, s"paths diverged:\n$fast\n$dist")
   }
 }
