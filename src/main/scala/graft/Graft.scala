@@ -188,6 +188,86 @@ object Graft {
       "mergeSql: statement does not match the supported MERGE INTO shape")
   }
 
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*""".r
+  private val SetRe = """(?s)\s*(\w+)\s*=\s*(.+)\s*""".r
+
+  /** Statement-level `UPDATE <t> SET c = expr[, ...] WHERE <cond>` as
+    * a pure transform: rows matching the condition get each SET column
+    * re-evaluated (expressions may reference any column of the row),
+    * other rows pass through untouched — the second member of the DML
+    * trio ([[mergeSql]], this, [[deleteSql]]) a user migrating
+    * statement SQL onto bare parquet needs. SET splits on TOP-LEVEL
+    * commas only (commas inside parentheses/quotes belong to the
+    * expression); unknown columns are rejected loudly.
+    */
+  def updateSql(spark: SparkSession, statement: String,
+      tables: Map[String, DataFrame]): DataFrame = statement match {
+    case UpdateRe(t, setText, condText) =>
+      val target = tables.getOrElse(t,
+        sys.error(s"updateSql: unknown table '$t' (have ${tables.keys.mkString(",")})"))
+      import org.apache.spark.sql.functions.{col, expr, when}
+      val cond = expr(condText)
+      val sets = splitTopLevel(setText).map {
+        case SetRe(c, e) =>
+          require(target.columns.contains(c),
+            s"updateSql: unknown column '$c' in SET (table has " +
+              s"${target.columns.mkString(",")})")
+          c -> expr(e)
+        case other => sys.error(s"updateSql: unsupported SET term '$other'")
+      }
+      // evaluate every RHS against the PRE-update row (ANSI UPDATE
+      // semantics: SET a = b, b = a swaps) — build one projection
+      val outCols = target.columns.map { c =>
+        sets.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, e)) => when(cond, e).otherwise(col(c))
+            .cast(target.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }
+      target.select(outCols.toIndexedSeq: _*)
+    case _ => sys.error(
+      "updateSql: statement does not match UPDATE <t> SET ... WHERE ...")
+  }
+
+  /** Statement-level `DELETE FROM <t> WHERE <cond>`: the surviving
+    * rows (cond false or NULL survives? No — ANSI deletes rows where
+    * the condition is TRUE; NULL-condition rows survive, which
+    * `filter(!cond)` alone would drop — hence the null-safe guard).
+    */
+  def deleteSql(spark: SparkSession, statement: String,
+      tables: Map[String, DataFrame]): DataFrame = statement match {
+    case DeleteRe(t, condText) =>
+      val target = tables.getOrElse(t,
+        sys.error(s"deleteSql: unknown table '$t'"))
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      target.filter(not(coalesce(expr(condText), lit(false))))
+    case _ => sys.error(
+      "deleteSql: statement does not match DELETE FROM <t> WHERE ...")
+  }
+
+  /** Split on commas at parenthesis/quote depth zero. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
   /** Copy-on-write MERGE into a partitioned bare-parquet table: only
     * partitions the source actually touches are rewritten; every other
     * partition's files are left byte-untouched (PartitioningSpec pins

@@ -798,6 +798,70 @@ object RankEval {
     *
     * Output: (bucket, n, n_pos, rate, cum_capture, lift).
     */
+  /** Qini / uplift curve — the treatment-effect analogue of
+    * [[liftCurve]]: rank EVERYONE by the uplift model's score, cut
+    * into rank tiles, and per cumulative depth report
+    * qini(k) = conv_T(k) − conv_C(k)·(n_T(k)/n_C(k)) — incremental
+    * conversions attributable to treating the top-k, the curve whose
+    * area is THE uplift-model acceptance number (a model that only
+    * finds sure-things hugs zero; random targeting is the straight
+    * line to qini(N)).
+    *
+    * Exactness: tile and cumulative counts are pure integers (ranks
+    * from [[Indexing.denseIds]], never a single-partition window);
+    * the qini correction's integer cross-products accumulate in
+    * decimal(38,0) before ONE rounded division; per-tile uplift is
+    * two rounded rates. Rows missing score/treatment/label are
+    * excluded; tiles with an empty control (or treated) arm report
+    * NULL uplift, and qini is NULL until the cumulative control arm
+    * is nonempty.
+    *
+    * Output: (bucket, n_treated, n_control, conv_treated,
+    * conv_control, uplift, qini).
+    */
+  def qiniCurve(df: DataFrame, idCol: String, scoreCol: String,
+      treated: Column, label: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"qiniCurve: buckets must be >= 2, got $buckets")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(scoreCol).isNotNull
+        && treated.isNotNull && label.isNotNull)
+      .select(col(idCol).as("_id"), (-col(scoreCol)).as("_negs"),
+        when(treated, 1L).otherwise(0L).as("_t"),
+        when(treated && label, 1L).otherwise(0L).as("_yt"),
+        when(!treated && label, 1L).otherwise(0L).as("_yc"))
+      .localCheckpoint() // rank pass + the count aggregate re-read it
+    val nn = base.agg(count(lit(1)).as("_n"))
+    val perBucket = Indexing.denseIds(base, Seq("_negs", "_id"), "_rk")
+      .crossJoin(broadcast(nn))
+      .withColumn("bucket",
+        (floor((col("_rk") - 1) * buckets / col("_n")) + 1).cast("bigint"))
+      .groupBy("bucket")
+      .agg(sum("_t").as("n_treated"),
+        sum(lit(1L) - col("_t")).as("n_control"),
+        sum("_yt").as("conv_treated"), sum("_yc").as("conv_control"))
+    val wc = Window.orderBy("bucket") // buckets-sized frame
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("_cnt", sum("n_treated").over(wc))
+      .withColumn("_cnc", sum("n_control").over(wc))
+      .withColumn("_cyt", sum("conv_treated").over(wc))
+      .withColumn("_cyc", sum("conv_control").over(wc))
+      .select(col("bucket"),
+        col("n_treated").cast("bigint").as("n_treated"),
+        col("n_control").cast("bigint").as("n_control"),
+        col("conv_treated").cast("bigint").as("conv_treated"),
+        col("conv_control").cast("bigint").as("conv_control"),
+        when(col("n_treated") > 0 && col("n_control") > 0,
+          round(col("conv_treated") / col("n_treated").cast("double")
+            - col("conv_control") / col("n_control").cast("double"), 6))
+          .cast("double").as("uplift"),
+        when(col("_cnc") > 0,
+          round(col("_cyt").cast("double")
+            - (col("_cyc").cast(dec) * col("_cnt")).cast("double")
+              / col("_cnc").cast("double"), 6))
+          .cast("double").as("qini"))
+  }
+
   def liftCurve(df: DataFrame, idCol: String, scoreCol: String,
       label: Column, buckets: Int): DataFrame = {
     require(buckets >= 2, s"liftCurve: buckets must be >= 2, got $buckets")

@@ -2484,7 +2484,7 @@ object Stats {
     * deviations). SSB's Σ s_g²/n_g terms are frozen at 12 dp and
     * summed in decimal(38,12) (the kruskalWallis discipline); the
     * scale factor cancels in F, so nothing descales. */
-  private def anovaOnPoints(points: DataFrame): DataFrame = {
+  private[graft] def anovaCore(points: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val byG = points.groupBy("_g")
       .agg(count(lit(1)).as("_ng"),
@@ -2500,6 +2500,10 @@ object Stats {
           - col("_s").cast("double") * col("_s").cast("double")
             / col("_n").cast("double"))
       .withColumn("_ssw", col("_q").cast("double") - col("_sb").cast("double"))
+  }
+
+  private def anovaOnPoints(points: DataFrame): DataFrame = {
+    anovaCore(points)
       .select(col("_n").cast("bigint").as("n"),
         col("_k").cast("bigint").as("k"),
         (col("_k") - 1).cast("bigint").as("dof_between"),
@@ -2531,6 +2535,37 @@ object Stats {
     anovaOnPoints(df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("_g"),
         round(col(valueCol) * 1e6).cast("long").as("_x")))
+
+  /** ANOVA effect sizes — η² = SSB/SST (variance explained by the
+    * grouping, the descriptive number) and the less-biased
+    * ω² = (SSB − (k−1)·MSW)/(SST + MSW) — what the L199 F-statistic
+    * deliberately doesn't say: an enormous F on an enormous n can
+    * mark a MICROSCOPIC effect significant; these size it. Shares
+    * [[anovaF]]'s exact fold verbatim (same quantization, decimal
+    * moments, frozen between-group terms — the scale cancels in both
+    * ratios).
+    *
+    * Output: ONE row (n, k, eta2, omega2), 6 dp; NULL on degenerate
+    * folds (k < 2, n ≤ k, SST ≤ 0); ω² is clamped at 0 (small
+    * negative estimates are the estimator's known behavior under
+    * null effects — reported as 0, the standard convention).
+    */
+  def anovaEffectSizes(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val core = anovaCore(df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x")))
+    val sst = col("_ssb") + col("_ssw")
+    val msw = col("_ssw") / (col("_n") - col("_k")).cast("double")
+    val ok = col("_k") >= 2 && col("_n") > col("_k") && sst > 0.0
+    core.select(col("_n").cast("bigint").as("n"),
+      col("_k").cast("bigint").as("k"),
+      when(ok, round(col("_ssb") / sst, 6)).cast("double").as("eta2"),
+      when(ok && col("_ssw") > 0.0,
+        round(greatest(lit(0.0),
+          (col("_ssb") - (col("_k") - 1).cast("double") * msw)
+            / (sst + msw)), 6)).cast("double").as("omega2"))
+  }
 
   /** Brown–Forsythe test of variance homogeneity: one-way ANOVA F
     * over z = |x − median_g| — Levene's test with the MEDIAN center
@@ -2886,6 +2921,62 @@ object Stats {
         when(col("_gain").isNotNull && col("_nt") >= 4
             && col("_hi") > col("_lo"), round(col("_gain") / 1e12, 6))
           .cast("double").as("gain"))
+  }
+
+  /** Restricted mean survival time — the area under the KM curve up
+    * to a clinically chosen τ: "expected event-free time within the
+    * first τ units", the model-free effect measure survival analyses
+    * report when proportional hazards (the [[coxPH]] assumption) is
+    * in doubt. RMST = Σ S(t_{i−1})·(t_i − t_{i−1}) over event times
+    * ≤ τ plus the S(t_last)·(τ − t_last) tail, with S(t₀) = 1.
+    *
+    * Exactness: survival steps are [[kaplanMeier]]'s 6-dp-frozen
+    * values verbatim (same cells, same windows); segment widths are
+    * exact integers; each S·width term freezes at 12 dp into an
+    * order-free decimal(38,12) sum; RMST rounds at 6 dp. The tail
+    * clamps at τ (an event time past τ contributes nothing). Groups
+    * with NO event time ≤ τ are absent from the output (their curve
+    * is flat at 1, RMST = τ by definition — absent, not fabricated);
+    * the ungrouped global form reports that case as RMST = τ.
+    *
+    * Scale shape: kaplanMeier's — one (group, duration) count
+    * shuffle, windows over calendar-bounded cells. Output:
+    * (group..., n_events_used, rmst, tau).
+    */
+  def restrictedMeanSurvival(df: DataFrame, groupCols: Seq[String],
+      durationCol: String, observed: Column, tau: Long): DataFrame = {
+    require(tau >= 1, s"restrictedMeanSurvival: tau must be >= 1, got $tau")
+    val dec12 = "decimal(38,12)"
+    val gcols = groupCols.map(col)
+    val km = kaplanMeier(df, groupCols, durationCol, observed)
+      .filter(col("duration") <= tau)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy("duration")
+    val wAll = Window.partitionBy(gcols: _*)
+    val stepped = km
+      .withColumn("_sprev",
+        coalesce(lag(col("survival"), 1).over(wOrd), lit(1.0)))
+      .withColumn("_tprev",
+        coalesce(lag(col("duration"), 1).over(wOrd), lit(0L)))
+      .withColumn("_last", max("duration").over(wAll))
+      .withColumn("_seg",
+        round(col("_sprev") * (col("duration") - col("_tprev")), 12)
+          .cast(dec12))
+      .withColumn("_tail",
+        when(col("duration") === col("_last"),
+          round(col("survival") * (lit(tau) - col("duration")), 12))
+          .otherwise(lit(0.0)).cast(dec12))
+    if (groupCols.isEmpty)
+      stepped.agg(count(lit(1)).cast("bigint").as("n_events_used"),
+        coalesce(round(sum(col("_seg")).cast("double")
+          + sum(col("_tail")).cast("double"), 6), lit(tau.toDouble))
+          .cast("double").as("rmst"),
+        lit(tau).cast("bigint").as("tau"))
+    else
+      stepped.groupBy(gcols: _*)
+        .agg(count(lit(1)).cast("bigint").as("n_events_used"),
+          round(sum(col("_seg")).cast("double")
+            + sum(col("_tail")).cast("double"), 6).cast("double").as("rmst"),
+          lit(tau).cast("bigint").as("tau"))
   }
 
   /** Cox proportional-hazards fit, one covariate, Breslow ties, FIXED

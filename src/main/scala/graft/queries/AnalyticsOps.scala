@@ -379,6 +379,18 @@ object AnalyticsOps {
       .orderBy("class")
   }
 
+  /** Qini / uplift curve: value as the targeting score, even user_id
+    * as the (deterministic) treatment arm, purchase as conversion,
+    * 10 rank tiles from denseIds — integer cells, decimal qini
+    * cross-products, rounded uplift rates.
+    */
+  val qQini: QueryFn = withTables { spark =>
+    RankEval.qiniCurve(spark.table("events"), "event_id", "value",
+        treated = col("user_id") % 2 === 0,
+        label = col("event_type") === "purchase", buckets = 10)
+      .orderBy("bucket")
+  }
+
   /** Markov removal-effect attribution of purchase conversions
     * (horizon 8): frozen transition probabilities, decimal absorption
     * folds per step, removal effects and shares as rounded divisions.
@@ -646,6 +658,7 @@ object AnalyticsOps {
     "q_attribution_position" -> qAttributionPosition,
     "q_err" -> qErr,
     "q_markov_attribution" -> qMarkovAttribution,
+    "q_qini" -> qQini,
     "q_diversity" -> qDiversity,
     "q_brier_decomp" -> qBrierDecomp,
     "q_f1_panel" -> qF1Panel,
@@ -1269,6 +1282,49 @@ object AnalyticsOps {
                ROUND(2.0 * precision * recall / (precision + recall), 6)
                END AS DOUBLE) AS f1
       FROM pr ORDER BY class""",
+
+    // Global (score DESC, id) rank tiles, integer arm cells, the
+    // decimal qini correction.
+    "q_qini" -> """
+      WITH base AS (
+        SELECT event_id AS id, value AS s,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+               CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END AS yt,
+               CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase'
+                 THEN 1 ELSE 0 END AS yc
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL),
+      nn AS (SELECT COUNT(*)::BIGINT AS n FROM base),
+      rk AS (SELECT t, yt, yc,
+               ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r
+             FROM base),
+      pb AS (
+        SELECT (FLOOR((r - 1) * 10 / n) + 1)::BIGINT AS bucket,
+               SUM(t)::BIGINT AS n_treated,
+               SUM(1 - t)::BIGINT AS n_control,
+               SUM(yt)::BIGINT AS conv_treated,
+               SUM(yc)::BIGINT AS conv_control
+        FROM rk CROSS JOIN nn GROUP BY 1),
+      cum AS (
+        SELECT *,
+               SUM(n_treated) OVER wc AS cnt, SUM(n_control) OVER wc AS cnc,
+               SUM(conv_treated) OVER wc AS cyt,
+               SUM(conv_control) OVER wc AS cyc
+        FROM pb
+        WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW))
+      SELECT bucket, n_treated, n_control, conv_treated, conv_control,
+             CAST(CASE WHEN n_treated > 0 AND n_control > 0 THEN
+               ROUND(conv_treated / CAST(n_treated AS DOUBLE)
+                 - conv_control / CAST(n_control AS DOUBLE), 6)
+               END AS DOUBLE) AS uplift,
+             CAST(CASE WHEN cnc > 0 THEN
+               ROUND(CAST(cyt AS DOUBLE)
+                 - CAST(cyc::HUGEINT * cnt AS DOUBLE)
+                   / CAST(cnc AS DOUBLE), 6) END AS DOUBLE) AS qini
+      FROM cum ORDER BY bucket""",
 
     // Full replay: path windows, frozen transition probabilities, 8
     // unrolled absorption steps, removal effects + shares.

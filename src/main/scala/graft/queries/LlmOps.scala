@@ -904,6 +904,37 @@ object LlmOps {
       .orderBy("o_orderkey")
   }
 
+  /** Statement-level UPDATE through [[graft.Graft.updateSql]]: two SET
+    * clauses (one referencing the pre-update row) over a modular
+    * predicate — the second member of the DML trio. The price bump is
+    * an exact double addition (a ×1.1 multiply lands half-way values
+    * like .955 on different sides of the 2-dp round across engines —
+    * measured, not theoretical); one rounded price.
+    */
+  val qUpdateInto: QueryFn = withTables { spark =>
+    graft.Graft.updateSql(spark,
+      """UPDATE t SET o_totalprice = o_totalprice + 250.0,
+                      o_orderstatus = 'X'
+         WHERE o_orderkey % 7 = 0""",
+      Map("t" -> spark.table("orders")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Statement-level DELETE through [[graft.Graft.deleteSql]]: ANSI
+    * semantics — rows where the condition is TRUE are removed,
+    * NULL-condition rows survive.
+    */
+  val qDeleteFrom: QueryFn = withTables { spark =>
+    graft.Graft.deleteSql(spark,
+      "DELETE FROM t WHERE o_totalprice > 150000 OR o_orderstatus = 'F'",
+      Map("t" -> spark.table("orders")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   val qCdcMerge: QueryFn = withTables { spark =>
     val orders = spark.table("orders")
     val base = orders.withColumn("version", lit(0L))
@@ -1579,6 +1610,8 @@ object LlmOps {
     "q_cms_counts" -> qCmsCounts,
     "q_cdc_merge" -> qCdcMerge,
     "q_merge_into" -> qMergeInto,
+    "q_update_into" -> qUpdateInto,
+    "q_delete_from" -> qDeleteFrom,
     "q_cdc_replay" -> qCdcReplay,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_exact" -> qSampleExact,
@@ -2418,6 +2451,28 @@ object LlmOps {
     // The same generic merge rule re-derived: latest version wins,
     // change beats base at equal version, tombstone winners drop.
     "q_cdc_merge" -> cdcMergeOracle,
+
+    // UPDATE clause semantics: matched rows re-evaluate each SET
+    // expression against the pre-update row, others pass through.
+    "q_update_into" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CAST(ROUND(CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 250.0
+                    ELSE o_totalprice END, 2) AS DOUBLE) AS o_totalprice
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    // ANSI DELETE: TRUE-condition rows removed, NULL-condition rows
+    // survive.
+    "q_delete_from" -> """
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE NOT COALESCE(o_totalprice > 150000 OR o_orderstatus = 'F',
+                         FALSE)
+      ORDER BY o_orderkey""",
 
     // MERGE INTO clause semantics replayed as set algebra: matched
     // source rows displace or delete their target row, not-matched

@@ -453,6 +453,32 @@ object StatsOps {
       "event_type", "value", trimPct = 20)
   }
 
+  /** ANOVA effect sizes (η², ω²) of event value across types — the
+    * q_anova fold verbatim plus two rounded ratios.
+    */
+  val qAnovaEffect: QueryFn = withTables { spark =>
+    graft.operators.Stats.anovaEffectSizes(spark.table("events"),
+      "event_type", "value")
+  }
+
+  /** Restricted mean survival time to first purchase within τ = 10
+    * days (the q_kaplan_meier subjects): frozen KM steps, exact
+    * segment widths, decimal area fold.
+    */
+  val qRmst: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"))
+      .select(col("user_id"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"))
+    graft.operators.Stats.restrictedMeanSurvival(subjects, Seq.empty,
+      "duration", col("observed"), tau = 10L)
+  }
+
   /** Cox proportional hazards of log-spend on time-to-first-purchase
     * (the q_kaplan_meier/q_c_index subjects): 3 fixed Newton
     * iterations, Breslow ties, frozen exp terms in decimal cell sums,
@@ -1397,6 +1423,8 @@ object StatsOps {
     "q_breakpoint" -> qBreakpoint,
     "q_markov_entropy" -> qMarkovEntropy,
     "q_yuen" -> qYuen,
+    "q_anova_effect" -> qAnovaEffect,
+    "q_rmst" -> qRmst,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -3705,6 +3733,96 @@ object StatsOps {
     // tie-corrected z tree (coefficients cast to DOUBLE).
     // Integer pair concordance with tie correction; scaling cancels
     // out of every comparison, so the oracle compares raw values.
+    // The q_anova moment fold + the two effect-size ratios.
+    "q_anova_effect" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      agg AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               CAST(SUM(s1) AS DOUBLE) AS s, CAST(SUM(q1) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / ng, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb
+        FROM byg),
+      d AS (SELECT n, k, sb - s * s / CAST(n AS DOUBLE) AS ssb,
+                   q - sb AS ssw FROM agg),
+      e AS (SELECT n, k, ssb, ssw, ssb + ssw AS sst,
+                   ssw / CAST(n - k AS DOUBLE) AS msw FROM d)
+      SELECT n, k,
+             CAST(CASE WHEN k >= 2 AND n > k AND sst > 0.0
+               THEN ROUND(ssb / sst, 6) END AS DOUBLE) AS eta2,
+             CAST(CASE WHEN k >= 2 AND n > k AND sst > 0.0 AND ssw > 0.0
+               THEN ROUND(GREATEST(0.0,
+                 (ssb - CAST(k - 1 AS DOUBLE) * msw) / (sst + msw)), 6)
+               END AS DOUBLE) AS omega2
+      FROM e""",
+
+    // q_kaplan_meier's frozen survival steps, exact segment widths,
+    // decimal area fold + the tau tail.
+    "q_rmst" -> """
+      WITH subj AS (
+        SELECT user_id,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS duration,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL AS observed
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT duration,
+               SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT
+                 AS n_events,
+               SUM(CASE WHEN observed THEN 0 ELSE 1 END)::BIGINT
+                 AS n_censored
+        FROM subj GROUP BY duration),
+      km AS (
+        SELECT duration, n_events, n_censored,
+               ((SELECT SUM(n_events + n_censored) FROM cells)
+                 - COALESCE(SUM(n_events + n_censored) OVER
+                     (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        FROM cells),
+      km2 AS (
+        SELECT duration, n_events, n_at_risk,
+               SUM(CASE WHEN n_events < n_at_risk
+                    THEN LN(1.0 - n_events / CAST(n_at_risk AS DOUBLE))
+                    ELSE 0.0 END) OVER (ORDER BY duration) AS lnsum,
+               MAX(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY duration) AS hitzero
+        FROM km),
+      curve AS (
+        SELECT duration,
+               CAST(CASE WHEN hitzero = 1 THEN 0.0
+                    ELSE ROUND(EXP(lnsum), 6) END AS DOUBLE) AS survival
+        FROM km2 WHERE n_events > 0),
+      win AS (SELECT duration, survival FROM curve WHERE duration <= 10),
+      stepped AS (
+        SELECT duration, survival,
+               COALESCE(LAG(survival) OVER (ORDER BY duration), 1.0)
+                 AS sprev,
+               COALESCE(LAG(duration) OVER (ORDER BY duration), 0)
+                 AS tprev,
+               MAX(duration) OVER () AS lastd
+        FROM win),
+      terms AS (
+        SELECT CAST(ROUND(sprev * (duration - tprev), 12)
+                 AS DECIMAL(38,12)) AS seg,
+               CAST(CASE WHEN duration = lastd
+                 THEN ROUND(survival * (10 - duration), 12)
+                 ELSE 0.0 END AS DECIMAL(38,12)) AS tail
+        FROM stepped)
+      SELECT COUNT(*)::BIGINT AS n_events_used,
+             CAST(COALESCE(ROUND(CAST(SUM(seg) AS DOUBLE)
+               + CAST(SUM(tail) AS DOUBLE), 6), 10.0) AS DOUBLE) AS rmst,
+             10::BIGINT AS tau
+      FROM terms""",
+
     // Per-group equi-width cells, one cumulative window, the identical
     // three cost trees, (gain DESC, edge) argmax, degenerate NULLs.
     "q_breakpoint" -> """

@@ -773,4 +773,28 @@ class AnalyticsOpsSpec extends SparkTestBase {
       .collect().map(_.toSeq.toList).sortBy(_.toString).toList
     assert(fast == dist, s"paths diverged:\n$fast\n$dist")
   }
+
+  test("qiniCurve: perfect uplift model front-loads qini; counts conserve") {
+    import spark.implicits._
+    // score separates persuadables (convert IFF treated) from duds
+    val rows = (1 to 40).map { i =>
+      val persuadable = i <= 20
+      val t = i % 2 == 0
+      (i.toLong, if (persuadable) 1.0 else 0.0, t,
+        if (persuadable) t else false)
+    }.toDF("id", "s", "t", "y")
+    val out = graft.operators.RankEval.qiniCurve(rows, "id", "s",
+        col("t"), col("y"), buckets = 4)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 4)
+    // first half (buckets 1-2) holds all persuadables: uplift 1.0
+    assert(out(0).getDouble(5) == 1.0 && out(1).getDouble(5) == 1.0,
+      out.mkString(","))
+    // last buckets add nothing: qini flat after bucket 2
+    assert(out(2).getDouble(6) == out(1).getDouble(6)
+      && out(3).getDouble(6) == out(1).getDouble(6), out.mkString(","))
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == 40)
+    // qini at full depth = total incremental conversions (10 - 0*1)
+    assert(out(3).getDouble(6) == 10.0, out(3).toString)
+  }
 }

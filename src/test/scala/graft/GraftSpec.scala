@@ -103,6 +103,36 @@ class GraftSpec extends SparkTestBase {
       Map("tgt" -> t, "src" -> s)))
   }
 
+  test("updateSql: pre-update row semantics (swap), function-call SET, loud unknowns") {
+    import spark.implicits._
+    val t = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("k", "a", "b")
+    // ANSI UPDATE evaluates every RHS against the OLD row: a swap works
+    val swapped = Graft.updateSql(spark,
+      "UPDATE t SET a = b, b = a WHERE k = 1", Map("t" -> t))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(swapped(1L) == ((20.0, 10.0)), "swap needs old-row RHS")
+    assert(swapped(2L) == ((30.0, 40.0)), "non-matching rows untouched")
+    // a function call with commas inside SET parses (top-level split)
+    val fn = Graft.updateSql(spark,
+      "UPDATE t SET a = round(a + 0.4, 0), b = greatest(b, 35.0) WHERE k = 2",
+      Map("t" -> t)).collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(fn(2L) == ((30.0, 40.0)), fn.toString)
+    assert(fn(1L) == ((10.0, 20.0)))
+    intercept[Exception](Graft.updateSql(spark,
+      "UPDATE t SET nosuch = 1 WHERE k = 1", Map("t" -> t)))
+  }
+
+  test("deleteSql: TRUE rows removed, NULL-condition rows survive") {
+    import spark.implicits._
+    val t = Seq((1L, Some(5.0)), (2L, Some(50.0)), (3L, None))
+      .toDF("k", "v")
+    val out = Graft.deleteSql(spark,
+      "DELETE FROM t WHERE v > 10", Map("t" -> t))
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L), "NULL condition must survive an ANSI DELETE")
+  }
+
   test("replace=false refuses to shadow an existing view") {
     import spark.implicits._
     val a = Seq(1).toDF("x")

@@ -2759,4 +2759,38 @@ class StatsSpec extends SparkTestBase {
     val r3 = Stats.yuenT(three, "g", "v").collect().head
     assert(r3.getLong(2) == 3 && r3.isNullAt(5) && r3.isNullAt(6))
   }
+
+  test("anovaEffectSizes: separated groups near 1, identical groups -> omega 0") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val sep = (Seq.fill(20)(("a", 1.0)) ++ Seq.fill(20)(("b", 100.0)) ++
+      Seq.tabulate(20)(i => ("a", 1.0 + (i % 3) * 0.01)) ++
+      Seq.tabulate(20)(i => ("b", 100.0 + (i % 3) * 0.01)))
+      .toDF("g", "v")
+    val r = Stats.anovaEffectSizes(sep, "g", "v").collect().head
+    assert(r.getDouble(2) > 0.99 && r.getDouble(3) > 0.99, r.toString)
+    val same = (Seq.tabulate(30)(i => ("a", (i % 5).toDouble)) ++
+      Seq.tabulate(30)(i => ("b", (i % 5).toDouble))).toDF("g", "v")
+    val r0 = Stats.anovaEffectSizes(same, "g", "v").collect().head
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.0,
+      s"identical distributions: $r0")
+  }
+
+  test("restrictedMeanSurvival: hand step curve; no-event window -> tau") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // 4 subjects: events at t=2 (S=0.75) and t=4 (S=0.5), censored at 6
+    val subj = Seq((2L, true), (4L, true), (6L, false), (6L, false))
+      .toDF("dur", "obs")
+    val r = Stats.restrictedMeanSurvival(subj, Seq.empty, "dur",
+      col("obs"), tau = 5L).collect().head
+    // area: 1.0*2 + 0.75*2 + 0.5*1 = 4.0
+    assert(r.getDouble(1) == 4.0, r.toString)
+    assert(r.getLong(0) == 2 && r.getLong(2) == 5L)
+    // first event beyond tau: flat curve, RMST = tau
+    val late = Seq((9L, true), (9L, false)).toDF("dur", "obs")
+    val rl = Stats.restrictedMeanSurvival(late, Seq.empty, "dur",
+      col("obs"), tau = 5L).collect().head
+    assert(rl.getDouble(1) == 5.0 && rl.getLong(0) == 0, rl.toString)
+  }
 }
