@@ -3624,9 +3624,11 @@ object Stats {
     * one completeness filter + one treatment-keyed sum. Output: ONE
     * row (n_blocks, k, dof, chi2).
     */
-  def friedman(df: DataFrame, blockCol: String, treatCol: String,
-      valueCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
+  /** Shared Friedman-family prep: loud duplicate guard, complete
+    * blocks only, doubled mid-ranks (2r + c − 1, exact integers).
+    * Returns rows (_b block, _i treatment, _m2 doubled mid-rank). */
+  private def friedmanRanked(df: DataFrame, blockCol: String,
+      treatCol: String, valueCol: String): DataFrame = {
     val pts = df.filter(col(valueCol).isNotNull)
       .select(col(blockCol).as("_b"), col(treatCol).as("_i"),
         round(col(valueCol) * 1e6).cast("long").as("_v"))
@@ -3650,12 +3652,117 @@ object Stats {
       .crossJoin(broadcast(k)).filter(col("_ni") === col("_k"))
       .select("_bc")
     val wr = Window.partitionBy("_b").orderBy("_v")
-    val ranked = guarded.join(complete, col("_b") <=> col("_bc"))
+    guarded.join(complete, col("_b") <=> col("_bc"))
       .withColumn("_r", rank().over(wr))
       .withColumn("_c", count(lit(1)).over(
         Window.partitionBy("_b", "_v")))
       // doubled mid-rank 2·(r + (c−1)/2) = 2r + c − 1: exact integer
       .withColumn("_m2", lit(2L) * col("_r") + col("_c") - 1L)
+  }
+
+  /** Page's L test for ordered alternatives in randomized blocks —
+    * the DIRECTIONAL follow-up to [[friedman]]: Friedman asks "do the
+    * treatments differ at all", Page asks "do the values INCREASE
+    * along this hypothesized treatment order" (dose levels, time
+    * points, model sizes) and is far more powerful when that order is
+    * the question. L = Σ_j c_j·R_j with c_j the treatment's 1-based
+    * position in the NATURAL ORDER of the treatment labels (encode
+    * the hypothesis in sortable labels — the portable convention) and
+    * R_j its rank sum over complete blocks;
+    * z = (L − nk(k+1)²/4) / √(n·k²(k+1)(k²−1)/144).
+    *
+    * Exactness: shares [[friedman]]'s prep verbatim (loud duplicate
+    * guard, complete blocks, doubled integer mid-ranks, ties by
+    * mid-rank — the standard large-sample practice); L and the
+    * doubled mean are exact integers; z is one rounded float tree.
+    * NULL z when k < 3 or no complete blocks (Page needs an order of
+    * at least 3).
+    *
+    * Scale shape: friedman's — one block-keyed rank window, then
+    * treatment-cardinality tables. Output: (n_blocks, k, l_stat, z).
+    */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ranked = friedmanRanked(df, blockCol, treatCol, valueCol)
+    val perT = ranked.groupBy("_i")
+      .agg(sum(col("_m2").cast(dec)).as("_r2"), count(lit(1)).as("_nb"))
+      // c_j: position of the treatment in its label's natural order —
+      // a k-row frame, so the unpartitioned window is k-bounded
+      .withColumn("_c", row_number().over(Window.orderBy("_i")))
+    perT
+      .agg(max("_nb").as("_n"), count(lit(1)).as("_kk"),
+        sum((col("_c") * col("_r2")).cast(dec)).as("_l2"))
+      .select(col("_n").cast("bigint").as("n_blocks"),
+        col("_kk").cast("bigint").as("k"),
+        // _l2 is the DOUBLED L (doubled mid-ranks); report L exactly
+        (col("_l2").cast("double") / 2.0).as("l_stat"),
+        when(col("_kk") >= 3 && col("_n") >= 1,
+          round((col("_l2").cast("double")
+            - col("_n").cast("double") * col("_kk").cast("double")
+              * (col("_kk") + 1).cast("double")
+              * (col("_kk") + 1).cast("double") / 2.0)
+            / (lit(2.0) * sqrt(col("_n").cast("double")
+              * col("_kk").cast("double") * col("_kk").cast("double")
+              * (col("_kk") + 1).cast("double")
+              * (col("_kk") * col("_kk") - 1).cast("double") / 144.0)),
+            6)).cast("double").as("z"))
+  }
+
+  /** One-sample binned Kolmogorov–Smirnov against the UNIFORM law on
+    * the observed [min, max] — "is this column flat over its range"
+    * (hash keys, shard assignments, quantile-normalized features): the
+    * one-sample member of the KS family (L117 compares two samples);
+    * D = max over the B bin edges of |ECDF − (q+1)/B|, evaluated at
+    * EVERY edge (an empty bin still advances the reference CDF — the
+    * grid keeps it honest).
+    *
+    * Exactness: FULLY integer — D's numerator is max|cum·B − n·(q+1)|
+    * over exact counts and the single division n·B happens once,
+    * rounded at 6 dp. NULL values are excluded; degenerate range
+    * (hi = lo) reports NULL.
+    *
+    * Scale shape: one corpus shuffle to (group, bin) cells, then the
+    * B×groups grid. Output: (group, n, ks).
+    */
+  def ksUniformBinned(df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins=$bins must be in [2, 4096]")
+    val stats = df.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val cells = df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col("_hi") > col("_lo"),
+          least(floor((col(valueCol) - col("_lo")) * bins
+            / (col("_hi") - col("_lo"))), lit(bins - 1)))
+          .otherwise(lit(null)).cast("long").as("_q"))
+      .filter(col("_q").isNotNull)
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val groups = cells.groupBy(col("_g").as("_gm")).agg(sum("_c").as("_n"))
+    val grid = groups.crossJoin(
+        cells.sparkSession.range(bins).select(col("id").as("_qq")))
+      .join(cells, col("_gm") <=> col("_g") && col("_qq") <=> col("_q"),
+        "left")
+      .select(col("_gm"), col("_qq"), col("_n"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val wCum = Window.partitionBy("_gm").orderBy("_qq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_num",
+        abs(col("_cum") * bins - col("_n") * (col("_qq") + 1)))
+      .groupBy(col("_gm").as(groupCol))
+      .agg(max("_n").cast("bigint").as("n"),
+        round(max("_num").cast("double")
+          / (max("_n") * lit(bins.toLong)).cast("double"), 6)
+          .cast("double").as("ks"))
+  }
+
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ranked = friedmanRanked(df, blockCol, treatCol, valueCol)
     val perT = ranked.groupBy("_i")
       .agg(sum(col("_m2").cast(dec)).as("_r2"),
         count(lit(1)).as("_nb"))

@@ -1039,6 +1039,24 @@ object StatsOps {
     Stats.friedman(dayCellsN(spark), "x", "event_type", "y")
   }
 
+  /** Page's L ordered-alternative test over the q_friedman blocks
+    * (treatment order = event-type label order): same prep, exact
+    * integer L, one z tree.
+    */
+  val qPageTrend: QueryFn = withTables { spark =>
+    Stats.pageTrend(dayCellsN(spark), "x", "event_type", "y")
+  }
+
+  /** One-sample binned KS of value against the uniform law on its
+    * global range, per event type: fully integer D numerator, one
+    * rounded division.
+    */
+  val qKsUniform: QueryFn = withTables { spark =>
+    Stats.ksUniformBinned(spark.table("events"), "event_type", "value",
+        bins = 16)
+      .orderBy("event_type")
+  }
+
   /** Dunn's post-hoc pairwise panel after q_kruskal: pooled doubled
     * mid-ranks on the value vocabulary, tie-corrected σ², one z per
     * event-type pair.
@@ -1425,6 +1443,8 @@ object StatsOps {
     "q_yuen" -> qYuen,
     "q_anova_effect" -> qAnovaEffect,
     "q_rmst" -> qRmst,
+    "q_page_trend" -> qPageTrend,
+    "q_ks_uniform" -> qKsUniform,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -3100,6 +3120,73 @@ object StatsOps {
 
     // Complete day blocks; doubled within-block mid-ranks 2r+c-1,
     // HUGEINT rank-sum squares, the classic uncorrected chi2_F tree.
+    // q_friedman's prep + label-order treatment positions + the exact
+    // integer L fold and z tree.
+    "q_page_trend" -> """
+      WITH cells AS (
+        SELECT event_type AS i,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b,
+               CAST(ROUND((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 AS BIGINT) / 100.0) * 1000000.0) AS BIGINT) AS v
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      k AS (SELECT COUNT(DISTINCT i)::BIGINT AS k FROM cells),
+      complete AS (
+        SELECT b FROM cells CROSS JOIN k
+        GROUP BY b, k HAVING COUNT(DISTINCT i) = MAX(k)),
+      ranked AS (
+        SELECT c.i,
+               2 * RANK() OVER (PARTITION BY c.b ORDER BY c.v)
+                 + COUNT(*) OVER (PARTITION BY c.b, c.v) - 1 AS m2
+        FROM cells c JOIN complete cb ON c.b = cb.b),
+      pert AS (
+        SELECT i, SUM(m2::HUGEINT) AS r2, COUNT(*)::BIGINT AS nb
+        FROM ranked GROUP BY i),
+      pos AS (SELECT i, r2, nb,
+                ROW_NUMBER() OVER (ORDER BY i) AS c FROM pert),
+      agg AS (
+        SELECT MAX(nb)::BIGINT AS n, COUNT(*)::BIGINT AS kk,
+               SUM(c::HUGEINT * r2) AS l2
+        FROM pos)
+      SELECT n AS n_blocks, kk AS k,
+             CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+             CAST(CASE WHEN kk >= 3 AND n >= 1 THEN
+               ROUND((CAST(l2 AS DOUBLE)
+                   - CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                     * CAST(kk + 1 AS DOUBLE) * CAST(kk + 1 AS DOUBLE)
+                     / 2.0)
+                 / (2.0 * SQRT(CAST(n AS DOUBLE) * CAST(kk AS DOUBLE)
+                     * CAST(kk AS DOUBLE) * CAST(kk + 1 AS DOUBLE)
+                     * CAST(kk * kk - 1 AS DOUBLE) / 144.0)), 6)
+             END AS DOUBLE) AS z
+      FROM agg""",
+
+    // Fully integer one-sample D: the grid keeps empty bins honest.
+    "q_ks_uniform" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT g, q, COUNT(*)::BIGINT AS c FROM (
+          SELECT event_type AS g,
+                 (CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    END)::BIGINT AS q
+          FROM events CROSS JOIN st WHERE value IS NOT NULL)
+        WHERE q IS NOT NULL GROUP BY g, q),
+      groups AS (SELECT g, SUM(c)::BIGINT AS n FROM cells GROUP BY g),
+      grid AS (
+        SELECT gg.g, gg.n, gg.qq, COALESCE(c.c, 0)::BIGINT AS c
+        FROM (SELECT g, n, qq
+              FROM groups, UNNEST(RANGE(0, 16)) r(qq)) gg
+        LEFT JOIN cells c ON c.g = gg.g AND c.q = gg.qq),
+      cum AS (
+        SELECT g, n, qq,
+               SUM(c) OVER (PARTITION BY g ORDER BY qq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM grid)
+      SELECT g AS event_type, MAX(n)::BIGINT AS n,
+             CAST(ROUND(CAST(MAX(ABS(cum * 16 - n * (qq + 1))) AS DOUBLE)
+               / CAST(MAX(n) * 16 AS DOUBLE), 6) AS DOUBLE) AS ks
+      FROM cum GROUP BY g ORDER BY g""",
+
     "q_friedman" -> """
       WITH cells AS (
         SELECT event_type AS i,

@@ -2793,4 +2793,41 @@ class StatsSpec extends SparkTestBase {
       col("obs"), tau = 5L).collect().head
     assert(rl.getDouble(1) == 5.0 && rl.getLong(0) == 0, rl.toString)
   }
+
+  test("pageTrend: monotone blocks hit the exact maximum L; reversed flips z") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // 4 blocks, treatments t1 < t2 < t3 perfectly increasing:
+    // every block ranks 1,2,3 -> R = (4, 8, 12), L = 1·4+2·8+3·12 = 56
+    val inc = (1 to 4).flatMap(b => Seq(
+      (b, "t1", b * 1.0), (b, "t2", b + 10.0), (b, "t3", b + 20.0)))
+      .toDF("b", "t", "v")
+    val r = Stats.pageTrend(inc, "b", "t", "v").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 56.0, s"max L for n=4,k=3: $r")
+    assert(r.getDouble(3) > 2.0, s"perfect trend: strong positive z: $r")
+    // reversed order: minimum L, z negated exactly
+    val dec = (1 to 4).flatMap(b => Seq(
+      (b, "t1", b + 20.0), (b, "t2", b + 10.0), (b, "t3", b * 1.0)))
+      .toDF("b", "t", "v")
+    val rr = Stats.pageTrend(dec, "b", "t", "v").collect().head
+    assert(rr.getDouble(2) == 40.0 && rr.getDouble(3) == -r.getDouble(3), rr.toString)
+    // k = 2: Page needs at least 3 ordered levels
+    val two = (1 to 4).flatMap(b => Seq((b, "t1", 1.0 * b), (b, "t2", 2.0 * b)))
+      .toDF("b", "t", "v")
+    assert(Stats.pageTrend(two, "b", "t", "v").collect().head.isNullAt(3))
+  }
+
+  test("ksUniformBinned: uniform grid ~0; point mass ~1; empty bins count") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // exactly uniform over the 16-bin grid -> D = 0
+    val uni = (0 until 160).map(i => ("u", i / 10.0)).toDF("g", "v")
+    // all mass at the minimum -> ECDF jumps to 1 at bin 1: D = 15/16
+    val mass = (Seq.fill(50)(("m", 0.0)) :+ ("m", 15.99)).toDF("g", "v")
+    val out = Stats.ksUniformBinned(uni.unionByName(mass), "g", "v", 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("u") < 0.01, s"uniform: ${out("u")}")
+    assert(out("m") > 0.9, s"point mass: ${out("m")} (empty bins must count)")
+  }
 }
