@@ -2676,6 +2676,135 @@ object Stats {
         .cast("double").as("f"))
   }
 
+  /** Hodges–Lehmann shift estimator between exactly two groups — the
+    * median of ALL pairwise differences y − x: the robust "how much
+    * did the distribution move" number that pairs with [[mannWhitney]]
+    * (MW says WHETHER it moved; HL says BY HOW MUCH, immune to
+    * outliers where a mean difference is not). Groups pair in label
+    * order: shift = median{v(g2) − v(g1)}.
+    *
+    * Exactness: values quantize to 1e6-scaled longs; differences are
+    * exact integers; the estimate is the exact LOWER median of the
+    * n₁·n₂ pair multiset (the robustOutliers rank convention),
+    * descaled at 6 dp. Exactly-two-groups contract (k_groups
+    * reported, NULL otherwise — the [[yuenT]] pattern).
+    *
+    * Scale guard: the pair space is n₁·n₂ — the same quadratic class
+    * as [[kendallTau]], guarded lazily at `maxPoints` rows per group
+    * with the same pre-aggregate-to-cells escape hatch (daily cells,
+    * value vocabularies). The pair join carries a constant-true key
+    * and BROADCASTS the smaller side (the c-index precedent) — a
+    * bounded nested-loop by contract, never an accidental one.
+    *
+    * Output: ONE row (g1, g2, k_groups, n1, n2, n_pairs, hl_shift).
+    */
+  def hodgesLehmann(df: DataFrame, groupCol: String, valueCol: String,
+      maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 1, "hodgesLehmann: maxPoints must be >= 1")
+    val raw = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val pts = Stats.guardGroupSize(raw, "_x",
+      s"hodgesLehmann: group exceeds $maxPoints points — pre-aggregate " +
+        "the series to cells first", maxPoints)
+      .localCheckpoint(false) // labels + both pair sides re-read it
+    val labels = pts.agg(countDistinct("_g").as("_k"),
+      min("_g").as("_g1"), max("_g").as("_g2"))
+    val a = pts.crossJoin(broadcast(labels.select("_g1")))
+      .filter(col("_g") === col("_g1")).select(col("_x").as("_xa"))
+    val b = pts.crossJoin(broadcast(labels.select("_g2")))
+      .filter(col("_g") === col("_g2")).select(col("_x").as("_xb"))
+    val diffs = broadcast(a).crossJoin(b)
+      .select((col("_xb") - col("_xa")).as("_d"))
+    val wOrd = Window.orderBy("_d") // guarded-small by contract
+    val medRank = floor((col("_m") + 1) / 2).cast("bigint")
+    val med = diffs
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_m", count(lit(1)).over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("_rn") === medRank)
+      .select(count(lit(1)).as("_hit"), max("_d").as("_med"),
+        max("_m").as("_npairs"))
+    val sizes = pts.groupBy("_g").agg(count(lit(1)).as("_n"))
+      .agg(min_by(col("_n"), col("_g")).as("_n1"),
+        max_by(col("_n"), col("_g")).as("_n2"))
+    labels.crossJoin(broadcast(med)).crossJoin(broadcast(sizes))
+      .select(col("_g1").as("g1"), col("_g2").as("g2"),
+        col("_k").cast("bigint").as("k_groups"),
+        col("_n1").cast("bigint").as("n1"),
+        col("_n2").cast("bigint").as("n2"),
+        coalesce(col("_npairs"), lit(0L)).cast("bigint").as("n_pairs"),
+        when(col("_k") === 2,
+          round(col("_med").cast("double") / 1e6, 6))
+          .cast("double").as("hl_shift"))
+  }
+
+  /** Conover's squared-ranks test for variance equality across k
+    * groups — the RANK-based member of the spread-test trio
+    * ([[bartlett]] is parametric and fragile off normality;
+    * [[brownForsythe]] is median-ANOVA; this ranks |x − x̄_g| pooled
+    * and compares squared-rank sums): T = (Σ_g S_g²/n_g − N·s̄²)/D²
+    * vs χ²(k−1), with s_i the squared pooled mid-rank of the absolute
+    * deviation, S_g its group sum, D² the sample variance of the s_i.
+    *
+    * Exactness: deviations |x − x̄_g| use a 12-dp-frozen group mean
+    * over 1e6-scaled longs and freeze at 6 dp themselves; pooled
+    * mid-ranks come from value-keyed CELL cumulatives (the
+    * mannWhitney trick — no global row sort), DOUBLED to stay
+    * integral; all rank powers (m2², m2⁴) accumulate exactly in
+    * decimal(38,0) (the doubling cancels in T); T is one rounded
+    * float tree. NULL when k < 2, N < 2, or D² = 0.
+    *
+    * Scale shape: one group-mean aggregate broadcast back, one
+    * (value-cell) aggregation + vocabulary-sized cumulative, one
+    * group fold. Output: ONE row (n, k, dof, t).
+    */
+  def conoverSquaredRanks(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val means = pts.groupBy(col("_g").as("_gm"))
+      .agg(round(sum(col("_x").cast(dec)).cast("double")
+        / count(lit(1)), 12).as("_mu"))
+    val devs = pts.join(broadcast(means), col("_g") <=> col("_gm"))
+      .select(col("_g"),
+        round(abs(col("_x").cast("double") - col("_mu")), 6).as("_u"))
+    val cells = devs.groupBy("_g", "_u").agg(count(lit(1)).as("_c"))
+    val tot = cells.groupBy(col("_u").as("_uv")).agg(sum("_c").as("_e"))
+      .withColumn("_cbelow", coalesce(sum("_e").over(
+        Window.orderBy("_uv").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L))) // deviation-vocabulary-sized frame
+    val withRank = cells
+      .join(tot, col("_u") <=> col("_uv"))
+      // doubled pooled mid-rank: 2·cbelow + e + 1 (exact integer)
+      .withColumn("_m2", lit(2L) * col("_cbelow") + col("_e") + 1L)
+      .withColumn("_q2", (col("_m2").cast(dec) * col("_m2")).cast(dec))
+    val byG = withRank.groupBy("_g")
+      .agg(sum(col("_c")).as("_ng"),
+        sum((col("_c").cast(dec) * col("_q2")).cast(dec)).as("_sg"),
+        sum((col("_c").cast(dec) * (col("_q2") * col("_q2")).cast(dec))
+          .cast(dec)).as("_s4"))
+    byG.agg(sum("_ng").as("_n"), count(lit(1)).as("_k"),
+        sum(round(col("_sg").cast("double") * col("_sg").cast("double")
+          / col("_ng"), 12).cast("decimal(38,12)")).as("_ssg"),
+        sum(col("_sg")).as("_ss"), sum(col("_s4")).as("_sq"))
+      .withColumn("_sbar", col("_ss").cast("double") / col("_n"))
+      .withColumn("_d2",
+        (col("_sq").cast("double")
+          - col("_n").cast("double") * col("_sbar") * col("_sbar"))
+          / (col("_n") - 1).cast("double"))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("k"),
+        (col("_k") - 1).cast("bigint").as("dof"),
+        when(col("_k") >= 2 && col("_n") >= 2 && col("_d2") > 0.0,
+          round((col("_ssg").cast("double")
+            - col("_n").cast("double") * col("_sbar") * col("_sbar"))
+            / col("_d2"), 6)).cast("double").as("t"))
+  }
+
   /** Yuen's trimmed-mean t-test between exactly two groups — the
     * robust location test heavy tails call for when [[welchT]]'s raw
     * means get dragged by outliers and [[mannWhitney]] answers a

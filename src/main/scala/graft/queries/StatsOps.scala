@@ -1047,6 +1047,29 @@ object StatsOps {
     Stats.pageTrend(dayCellsN(spark), "x", "event_type", "y")
   }
 
+  /** Hodges–Lehmann shift between click and purchase daily spend
+    * (bounded daily cells — the documented pre-aggregation escape
+    * hatch for the quadratic pair space): exact integer differences,
+    * exact lower median, one descaled round.
+    */
+  val qHodgesLehmann: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("y"))
+    Stats.hodgesLehmann(daily, "event_type", "y")
+  }
+
+  /** Conover squared-ranks variance test of value across event types:
+    * frozen group means, 6-dp deviations, doubled pooled mid-ranks
+    * from value-cell cumulatives, exact decimal rank powers, one
+    * rounded T tree.
+    */
+  val qConover: QueryFn = withTables { spark =>
+    Stats.conoverSquaredRanks(spark.table("events"), "event_type",
+      "value")
+  }
+
   /** One-sample binned KS of value against the uniform law on its
     * global range, per event type: fully integer D numerator, one
     * rounded division.
@@ -1445,6 +1468,8 @@ object StatsOps {
     "q_rmst" -> qRmst,
     "q_page_trend" -> qPageTrend,
     "q_ks_uniform" -> qKsUniform,
+    "q_hodges_lehmann" -> qHodgesLehmann,
+    "q_conover" -> qConover,
     "q_runs_test" -> qRunsTest,
     "q_robust_outliers" -> qRobustOutliers,
     "q_theils_u" -> qTheilsU,
@@ -3120,6 +3145,84 @@ object StatsOps {
 
     // Complete day blocks; doubled within-block mid-ranks 2r+c-1,
     // HUGEINT rank-sum squares, the classic uncorrected chi2_F tree.
+    // Exact integer pair differences over bounded daily cells; exact
+    // lower median of the pair multiset.
+    "q_hodges_lehmann" -> """
+      WITH daily AS (
+        SELECT event_type AS g,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, CAST(ts AS DATE)),
+      pts AS (SELECT g, CAST(ROUND(y * 1000000.0) AS BIGINT) AS x
+              FROM daily),
+      lab AS (SELECT COUNT(DISTINCT g)::BIGINT AS k,
+                     MIN(g) AS g1, MAX(g) AS g2 FROM pts),
+      a AS (SELECT x AS xa FROM pts, lab WHERE g = g1),
+      b AS (SELECT x AS xb FROM pts, lab WHERE g = g2),
+      d AS (SELECT xb - xa AS dd FROM a CROSS JOIN b),
+      m AS (SELECT dd, ROW_NUMBER() OVER (ORDER BY dd) AS rn,
+                   COUNT(*) OVER () AS mm FROM d),
+      med AS (SELECT MAX(dd) AS med, MAX(mm)::BIGINT AS npairs
+              FROM m WHERE rn = CAST(FLOOR((mm + 1) / 2) AS BIGINT)),
+      sz AS (SELECT MIN_BY(n, g) AS n1, MAX_BY(n, g) AS n2
+             FROM (SELECT g, COUNT(*)::BIGINT AS n FROM pts GROUP BY g))
+      SELECT g1, g2, k AS k_groups, n1, n2,
+             COALESCE(npairs, 0)::BIGINT AS n_pairs,
+             CAST(CASE WHEN k = 2
+               THEN ROUND(CAST(med AS DOUBLE) / 1000000.0, 6)
+               END AS DOUBLE) AS hl_shift
+      FROM lab CROSS JOIN med CROSS JOIN sz""",
+
+    // Frozen group means, 6-dp deviations, doubled mid-ranks from
+    // value-cell cumulatives, exact decimal rank powers, the same T.
+    "q_conover" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      means AS (
+        SELECT g AS gm,
+               ROUND(CAST(SUM(x::HUGEINT) AS DOUBLE) / COUNT(*), 12)
+                 AS mu
+        FROM pts GROUP BY g),
+      devs AS (
+        SELECT g, ROUND(ABS(CAST(x AS DOUBLE) - mu), 6) AS u
+        FROM pts JOIN means ON means.gm = pts.g),
+      cells AS (SELECT g, u, COUNT(*)::BIGINT AS c
+                FROM devs GROUP BY g, u),
+      tot AS (
+        SELECT uv, e,
+               COALESCE(SUM(e) OVER (ORDER BY uv
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM (SELECT u AS uv, SUM(c)::BIGINT AS e FROM cells GROUP BY u)),
+      wr AS (
+        SELECT g, c, (2 * cbelow + e + 1)::HUGEINT AS m2
+        FROM cells JOIN tot ON tot.uv = cells.u),
+      byg AS (
+        SELECT g, SUM(c)::BIGINT AS ng,
+               SUM(c::HUGEINT * m2 * m2) AS sg,
+               SUM(c::HUGEINT * m2 * m2 * m2 * m2) AS s4
+        FROM wr GROUP BY g),
+      agg AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS k,
+               CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                 / ng, 12) AS DECIMAL(38,12))) AS DOUBLE) AS ssg,
+               CAST(SUM(sg) AS DOUBLE) AS ss, CAST(SUM(s4) AS DOUBLE) AS sq
+        FROM byg),
+      fin AS (
+        SELECT n, k, ssg, ss / n AS sbar, sq FROM agg),
+      fin2 AS (
+        SELECT n, k, ssg, sbar,
+               (sq - CAST(n AS DOUBLE) * sbar * sbar)
+                 / CAST(n - 1 AS DOUBLE) AS d2
+        FROM fin)
+      SELECT n, k, (k - 1)::BIGINT AS dof,
+             CAST(CASE WHEN k >= 2 AND n >= 2 AND d2 > 0.0 THEN
+               ROUND((ssg - CAST(n AS DOUBLE) * sbar * sbar) / d2, 6)
+               END AS DOUBLE) AS t
+      FROM fin2""",
+
     // q_friedman's prep + label-order treatment positions + the exact
     // integer L fold and z tree.
     "q_page_trend" -> """

@@ -89,6 +89,33 @@ class PlanSpec extends SparkTestBase {
       s"q_negative_sample: single-partition row_number window is back:\n$p")
   }
 
+  test("round-13 plan shapes: binned tau pair join hashes, qini rides denseIds") {
+    // kendallTauBinned's cell-pair join carries a group EQUALITY, so
+    // it must plan as a hash/sort-merge join with the qx inequality as
+    // a residual condition — never a nested-loop over the cells
+    val tau = SparkEntry.queries("q_kendall_binned")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!tau.contains("BroadcastNestedLoopJoin")
+      && !tau.contains("CartesianProduct"),
+      s"q_kendall_binned: cell-pair join degenerated to nested loop:\n$tau")
+    // qiniCurve ranks through Indexing.denseIds (the liftCurve
+    // contract) — a bare global row_number window must never return
+    val qini = SparkEntry.queries("q_qini")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(qini.contains("ExistingRDD"),
+      s"q_qini: denseIds kernel missing:\n$qini")
+    assert(!qini.contains("row_number"),
+      s"q_qini: single-partition row_number window is back:\n$qini")
+    // breakpointScan: every corpus-sized window partitions by the
+    // group key; the executed plan must not warn-shape an
+    // unpartitioned sort of the cells (the bins-sized argmax window
+    // partitions by _g too)
+    val bp = SparkEntry.queries("q_breakpoint")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!bp.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"q_breakpoint: corpus window lost its group partitioning:\n$bp")
+  }
+
   test("TPC-H Q1 aggregation is partial (map-side) + final, codegen'd") {
     val df = SparkEntry.queries("q_agg_tpch1")(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -2830,4 +2830,38 @@ class StatsSpec extends SparkTestBase {
     assert(out("u") < 0.01, s"uniform: ${out("u")}")
     assert(out("m") > 0.9, s"point mass: ${out("m")} (empty bins must count)")
   }
+
+  test("hodgesLehmann: hand shift, outlier immunity, two-group contract") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // x = {1,2,3}, y = {11,12,13}: all 9 diffs center on 10
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val r = Stats.hodgesLehmann(df, "g", "v").collect().head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(5) == 9 && r.getDouble(6) == 10.0, r.toString)
+    // one absurd outlier barely moves the estimate (vs mean diff ~ +333)
+    val out = df.unionByName(Seq(("b", 1000.0)).toDF("g", "v"))
+    val r2 = Stats.hodgesLehmann(out, "g", "v").collect().head
+    assert(r2.getDouble(6) == 10.0, s"HL shrugs the outlier: $r2")
+    // k != 2 -> NULL shift
+    val three = df.unionByName(Seq(("c", 5.0)).toDF("g", "v"))
+    assert(Stats.hodgesLehmann(three, "g", "v").collect().head.isNullAt(6))
+  }
+
+  test("conoverSquaredRanks: planted spread difference rejects; equal spread doesn't") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val rng = new scala.util.Random(13)
+    val tight = Seq.tabulate(80)(_ => ("t", rng.nextGaussian() * 1.0))
+    val wide = Seq.tabulate(80)(_ => ("w", rng.nextGaussian() * 6.0))
+    val r = Stats.conoverSquaredRanks((tight ++ wide).toDF("g", "v"),
+      "g", "v").collect().head
+    assert(r.getLong(0) == 160 && r.getLong(1) == 2 && r.getLong(2) == 1)
+    assert(r.getDouble(3) > 30.0, s"6x spread must reject hard: $r")
+    val same = (Seq.tabulate(80)(i => ("a", (i % 7).toDouble)) ++
+      Seq.tabulate(80)(i => ("b", ((i + 3) % 7).toDouble))).toDF("g", "v")
+    val r0 = Stats.conoverSquaredRanks(same, "g", "v").collect().head
+    assert(r0.getDouble(3) < 4.0, s"identical spreads: $r0")
+  }
 }
