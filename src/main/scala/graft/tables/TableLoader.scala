@@ -118,7 +118,12 @@ object TableLoader {
     require(paths.nonEmpty, s"loadPruned: no parquet files under $path")
     val pred = (lower.map(l => col(column) >= lit(l)) ++
       upper.map(u => col(column) <= lit(u))).reduce(_ && _)
-    spark.read.parquet(paths.map(_.toString): _*).filter(pred)
+    // basePath keeps hive-style partition columns alive when reading
+    // explicit file paths under a partitioned root (without it the
+    // directory-encoded columns silently vanish from the schema);
+    // harmless on flat single-directory layouts
+    spark.read.option("basePath", path)
+      .parquet(paths.map(_.toString): _*).filter(pred)
   }
 
   /** CSV scan (S5): header + explicit-or-inferred schema. At scale,

@@ -112,6 +112,38 @@ class PartitioningSpec extends SparkTestBase {
     assert(e.getMessage.contains("subset"), e.getMessage)
   }
 
+  test("the bare-parquet table pattern composes: COW merge then pruned read") {
+    import spark.implicits._
+    import graft.tables.TableLoader
+    // the Iceberg-mount story without the format: a partitioned table
+    // maintained by copy-on-write MERGE stays consumable by the
+    // footer-stats pruned read — including the partition column, which
+    // explicit-file reads would silently drop without basePath
+    val dir = Files.createTempDirectory("cowpruned").toString + "/t"
+    val base = (1 to 50).map(i => (i % 5, i.toLong, i * 1.0))
+      .toDF("p", "k", "v")
+    base.write.partitionBy("p").parquet(dir)
+    val source = Seq((2, 12L, 999.0), (2, 102L, 5.0), (4, 14L, -1.0))
+      .toDF("p", "k", "v")
+    Graft.mergeIntoParquet(spark, dir, source, on = Seq("p", "k"),
+      partitionCols = Seq("p"),
+      whenMatchedDeleteIf = Some(col("v") < 0))
+    val pruned = TableLoader.loadPruned(spark, dir, "k",
+      lower = Some(10L), upper = Some(20L))
+    assert(pruned.columns.toSet === Set("p", "k", "v"),
+      "partition column must survive the explicit-file read")
+    val expect = spark.read.parquet(dir)
+      .filter(col("k") >= 10L && col("k") <= 20L)
+      .collect().map(_.toSeq.toList).sortBy(_.toString).toList
+    assert(pruned.collect().map(_.toSeq.toList).sortBy(_.toString).toList
+      === expect)
+    // the merge's effects are visible through the pruned read
+    val byK = pruned.collect().map(r =>
+      r.getLong(r.fieldIndex("k")) -> r.getDouble(r.fieldIndex("v"))).toMap
+    assert(byK(12L) == 999.0, "COW update visible")
+    assert(!byK.contains(14L), "COW delete visible")
+  }
+
   test("bucketed tables co-locate the join: zero Exchange on the bucket key") {
     // THE 100 TB repeated-join lever: two fact tables bucketed on the
     // same key with the same bucket count join with NO shuffle at all —
