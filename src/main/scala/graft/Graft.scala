@@ -88,8 +88,15 @@ object Graft {
         source.withColumn(isDel, lit(false))
       } else {
         val keys = target.select(on.map(col): _*)
+        // ANSI MERGE: a NULL delete condition means the DELETE clause is
+        // NOT taken (the row falls through to UPDATE). Null-safe the flag
+        // here — downstream applyChangelog filters on `!isDel`, which
+        // would drop a NULL-flagged change AND its displaced base row,
+        // silently deleting the key. The whenMatchedUpdate=false path's
+        // `filter(col(isDel))` below already drops NULLs correctly.
         val matched = source.join(keys, on, "left_semi")
-          .withColumn(isDel, whenMatchedDeleteIf.getOrElse(lit(false)))
+          .withColumn(isDel, org.apache.spark.sql.functions.coalesce(
+            whenMatchedDeleteIf.getOrElse(lit(false)), lit(false)))
         val matchedActing =
           if (whenMatchedUpdate) matched else matched.filter(col(isDel))
         val act =
@@ -316,6 +323,19 @@ object Graft {
     val merged = merge(base.filter(touchedPred), src, on,
       whenMatchedUpdate, whenMatchedDeleteIf, whenNotMatchedInsert)
       .localCheckpoint() // sever the plan's file references before overwrite
+    // Dynamic overwrite only rewrites partitions PRESENT in the output.
+    // A touched partition whose every row was deleted produces zero
+    // output rows, so its old files would survive and the deleted rows
+    // resurrect on the next read. Diff touched vs surviving partition
+    // values (merged ⊆ touched because partitionCols ⊆ on pins keys to
+    // their partitions) and delete the emptied directories explicitly
+    // after the write.
+    val surviving = merged.select(partitionCols.map(col): _*).distinct()
+      .collect()
+      .map(r => partitionCols.indices.map(r.get).toSeq).toSet
+    val emptied = touched
+      .map(r => partitionCols.indices.map(r.get).toSeq)
+      .filterNot(surviving.contains)
     val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.partitionBy(partitionCols: _*)
@@ -324,5 +344,36 @@ object Graft {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { values =>
+        val rel = partitionCols.zip(values).map { case (c, v) =>
+          val s = Option(v).map(_.toString)
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")
+          s"$c=${escapePathName(s)}"
+        }.mkString("/")
+        val dir = new org.apache.hadoop.fs.Path(path, rel)
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
+  }
+
+  /** Hive-style partition-path escaping, matching what Spark's writer
+    * produces for directory names (ExternalCatalogUtils semantics):
+    * control chars and path-hostile chars become %XX.
+    */
+  private def escapePathName(s: String): String = {
+    def needsEscape(c: Char): Boolean =
+      c < ' ' || c == '"' || c == '#' || c == '%' || c == '\'' ||
+        c == '*' || c == '/' || c == ':' || c == '=' || c == '?' ||
+        c == '\\' || c == '\u007F' || c == '{' || c == '[' || c == ']' ||
+        c == '^'
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (needsEscape(c)) sb.append("%%%02X".format(c.toInt))
+      else sb.append(c)
+    }
+    sb.toString
   }
 }

@@ -78,6 +78,21 @@ object TableLoader {
       }
       b.result()
     }
+    // Unsigned lexicographic byte compare — parquet binary stats are
+    // ordered by UNSIGNED UTF-8 bytes, and Spark's row filter compares
+    // UTF8String bytes the same way. Java String.compareTo (UTF-16
+    // code units) DISAGREES for supplementary-plane codepoints vs
+    // U+E000..U+FFFF, which would wrongly prune matching files.
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
     def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: java.lang.Number, y: java.lang.Number)
           if x.isInstanceOf[java.lang.Long] || x.isInstanceOf[Integer] =>
@@ -85,8 +100,11 @@ object TableLoader {
       case (x: java.lang.Number, y: java.lang.Number) =>
         java.lang.Double.compare(x.doubleValue, y.doubleValue)
       case (x: org.apache.parquet.io.api.Binary, y) =>
-        x.toStringUsingUTF8.compareTo(y.toString)
-      case (x, y) => x.toString.compareTo(y.toString)
+        cmpBytes(x.getBytes,
+          y.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (x, y) => cmpBytes(
+        x.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val kept = files.filter { f =>
       try {
@@ -101,7 +119,13 @@ object TableLoader {
               case Some(cc) =>
                 val st = cc.getStatistics
                 if (st == null) true // no stats: cannot prune
-                else if (!st.hasNonNullValue) false // all NULL: range never matches
+                else if (!st.hasNonNullValue)
+                  // hasNonNullValue=false means "no min/max recorded".
+                  // That PROVES all-NULL (range never matches → prunable)
+                  // only when the null count is set and covers every
+                  // row; a no-stats writer or dropped oversized binary
+                  // min/max also lands here and MUST keep the chunk.
+                  !(st.isNumNullsSet && st.getNumNulls == block.getRowCount)
                 else {
                   val geLo = lower.forall(l => cmp(st.genericGetMax, l) >= 0)
                   val leHi = upper.forall(u => cmp(st.genericGetMin, u) <= 0)

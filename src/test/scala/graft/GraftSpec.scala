@@ -78,6 +78,27 @@ class GraftSpec extends SparkTestBase {
       "not-matched row meeting the delete condition must still insert")
   }
 
+  test("merge: NULL delete condition means UPDATE, not silent deletion") {
+    import spark.implicits._
+    // ANSI MERGE: a NULL-valued MATCHED AND <cond> means the DELETE
+    // clause is NOT taken, so the row falls through to UPDATE SET *.
+    val t = Seq((1L, "a", Some(10.0)), (2L, "b", Some(20.0)))
+      .toDF("k", "s", "v")
+    val s = Seq((1L, "A", None: Option[Double]), (2L, "B", Some(99.0)))
+      .toDF("k", "s", "v")
+    val out = Graft.merge(t, s, Seq("k"),
+      whenMatchedDeleteIf = Some(col("v") > 80.0))
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(out === Set((1L, "A", None)),
+      s"NULL condition must update (k=1) and TRUE must delete (k=2): $out")
+    // with update disabled, a NULL condition row passes through untouched
+    val keep = Graft.merge(t, s, Seq("k"), whenMatchedUpdate = false,
+      whenNotMatchedInsert = false,
+      whenMatchedDeleteIf = Some(col("v") > 80.0))
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(keep === Set((1L, "a", Some(10.0))))
+  }
+
   test("mergeSql parses the three-clause statement and rejects the rest") {
     val (t, s) = mergeFixture
     val out = Graft.mergeSql(spark,

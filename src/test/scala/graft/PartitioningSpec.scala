@@ -76,6 +76,66 @@ class PartitioningSpec extends SparkTestBase {
     assert(none.select(input_file_name()).distinct().count() <= 1L)
   }
 
+  test("loadPruned keeps no-stats files; string bounds compare by UTF-8 bytes") {
+    import graft.tables.TableLoader
+    import spark.implicits._
+    // (a) hasNonNullValue=false means "no min/max recorded", which a
+    // stats-disabled writer also produces — such files MUST be kept
+    // (the r13 ADVICE high: treating it as all-NULL vanished rows)
+    val dirA = Files.createTempDirectory("nostats").toString + "/t"
+    Seq((150L, "x"), (160L, "y")).toDF("k", "s")
+      .coalesce(1).write
+      .option("parquet.column.statistics.enabled", "false")
+      .parquet(dirA)
+    val keptA = TableLoader.loadPruned(spark, dirA, "k",
+      lower = Some(100L), upper = Some(200L))
+    assert(keptA.count() === 2L, "stats-less file was wrongly pruned")
+    // ...while a PROVABLY all-NULL file still prunes (numNulls covers
+    // every row): only the non-null file is opened
+    val dirN = Files.createTempDirectory("allnull").toString + "/t"
+    Seq((None: Option[Long], "n"), (None, "n2")).toDF("k", "s")
+      .coalesce(1).write.parquet(dirN)
+    Seq((Some(150L): Option[Long], "x")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(dirN)
+    val keptN = TableLoader.loadPruned(spark, dirN, "k",
+      lower = Some(100L), upper = Some(200L))
+    assert(keptN.count() === 1L)
+    assert(keptN.select(input_file_name()).distinct().count() === 1L,
+      "all-NULL file should have been pruned")
+    // (b) supplementary-plane codepoints: UTF-16 code units order
+    // U+1F600 (surrogates D83D DE00) BELOW U+E000, but parquet stats and
+    // Spark's row filter order by UTF-8 bytes (F0 9F 98 80 > EE 80 80).
+    // A String.compareTo-based prune would drop this matching file.
+    val dirB = Files.createTempDirectory("utf8ord").toString + "/t"
+    Seq(("😀", 1L)).toDF("s", "k").coalesce(1).write.parquet(dirB)
+    val keptB = TableLoader.loadPruned(spark, dirB, "s",
+      lower = Some(""))
+    assert(keptB.count() === 1L,
+      "UTF-16 bound comparison wrongly pruned a matching file")
+    // identity vs the unpruned filtered read on the same predicate
+    assert(keptB.count() ===
+      spark.read.parquet(dirB).filter(col("s") >= "").count())
+  }
+
+  test("mergeIntoParquet deletes emptied partitions (no row resurrection)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergeempty").toString + "/t"
+    val base = Seq((1, 10L, 1.0), (1, 11L, 2.0), (2, 20L, 3.0))
+      .toDF("p", "k", "v")
+    base.write.partitionBy("p").parquet(dir)
+    // the source deletes EVERY row of partition p=1: dynamic overwrite
+    // alone would leave p=1's old files in place (zero output rows for
+    // that partition) and the deleted rows would resurrect on read
+    val source = Seq((1, 10L, -1.0), (1, 11L, -1.0)).toDF("p", "k", "v")
+    Graft.mergeIntoParquet(spark, dir, source, on = Seq("p", "k"),
+      partitionCols = Seq("p"), whenMatchedDeleteIf = Some(col("v") < 0))
+    val got = spark.read.parquet(dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got === Set((2, 20L, 3.0)), s"deleted rows resurrected: $got")
+    assert(!new java.io.File(s"$dir/p=1").exists(),
+      "emptied partition directory must be removed")
+  }
+
   test("mergeIntoParquet rewrites ONLY touched partitions (copy-on-write)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mergecow").toString + "/t"
