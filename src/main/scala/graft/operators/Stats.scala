@@ -2325,6 +2325,92 @@ object Stats {
         round(num * num / (denX * denY), 6)).cast("double").as("r2"))
   }
 
+  /** Multi-covariate OLS per group — y on (x1, x2) with an intercept,
+    * reporting β, se(β), t, and R²: "regress y on x1..xp", the single
+    * most common analytics ask beyond [[linearFit]]'s one covariate.
+    * p = 2 is the closed-form tier (the normal equations reduce to one
+    * 2×2 centered solve via Cramer, every determinant a writable
+    * float tree); higher p wants a Gram-matrix + in-plan elimination
+    * unroll and is rejected loudly rather than silently mis-solved.
+    *
+    * Exactness (§5.4): inputs quantize to 1e6-scaled longs; all ten
+    * Gram moments accumulate in decimal(38,0) (exact, order-free);
+    * every derived quantity is ONE identically-spelled double tree on
+    * those moments — n-scaled centered moments Sij = n·Σxixj − Σxi·Σxj,
+    * det = S11·S22 − S12², Cramer numerators, SSE = (Syy − b1·S1y −
+    * b2·S2y)/n, se from the adjugate diagonals — rounded at 6 dp.
+    * Degenerate panels (n < 4, collinear/constant covariates det ≤ 0,
+    * or zero residual variance for se/t) yield NULL, pinned.
+    *
+    * Scale shape: one group-keyed hash aggregate (map-side partials,
+    * ten decimal sums), zero joins, zero windows — the [[linearFit]]
+    * cost class exactly; 100× data changes nothing but the scan.
+    * Output: (group, n, b0, b1, b2, se_b0, se_b1, se_b2, t_b1, t_b2,
+    * r2), β de-scaled to natural units.
+    */
+  def linearFitMulti(df: DataFrame, groupCol: String, xCols: Seq[String],
+      yCol: String): DataFrame = {
+    require(xCols.size == 2,
+      s"linearFitMulti: exactly 2 covariates supported (closed-form " +
+        s"2x2 solve); got ${xCols.size} — for p=1 use linearFit")
+    val Seq(x1c, x2c) = xCols
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(x1c).isNotNull && col(x2c).isNotNull
+        && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(x1c) * 1e6).cast("long").as("_x1"),
+        round(col(x2c) * 1e6).cast("long").as("_x2"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+    def m(a: String, b: String): Column =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val sums = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x1").cast(dec)).as("_s1"),
+        sum(col("_x2").cast(dec)).as("_s2"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        m("_x1", "_x1").as("_s11"), m("_x2", "_x2").as("_s22"),
+        m("_x1", "_x2").as("_s12"), m("_x1", "_y").as("_s1y"),
+        m("_x2", "_y").as("_s2y"), m("_y", "_y").as("_syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    // n-scaled centered moments: Sij = n·Σxixj − Σxi·Σxj = n²·Cov
+    val cS11 = nd * d("_s11") - d("_s1") * d("_s1")
+    val cS22 = nd * d("_s22") - d("_s2") * d("_s2")
+    val cS12 = nd * d("_s12") - d("_s1") * d("_s2")
+    val cS1y = nd * d("_s1y") - d("_s1") * d("_sy")
+    val cS2y = nd * d("_s2y") - d("_s2") * d("_sy")
+    val cSyy = nd * d("_syy") - d("_sy") * d("_sy")
+    val det = cS11 * cS22 - cS12 * cS12
+    // Cramer on the centered 2×2 (the n factors cancel in β)
+    val b1 = (cS1y * cS22 - cS2y * cS12) / det
+    val b2 = (cS2y * cS11 - cS1y * cS12) / det
+    val b0s = (d("_sy") - b1 * d("_s1") - b2 * d("_s2")) / nd // scaled units
+    // SSE in scaled² units: Cyy − b1·C1y − b2·C2y with Cij = Sij/n
+    val sse = (cSyy - b1 * cS1y - b2 * cS2y) / nd
+    val s2 = sse / (nd - 3.0)
+    // Var(βj) = s²·(C⁻¹)jj; C⁻¹ = n·adj(S)/det ⇒ diag = n·(S22, S11)/det
+    val se1 = sqrt(s2 * nd * cS22 / det)
+    val se2 = sqrt(s2 * nd * cS11 / det)
+    // Var(β0) = s²·(1/n + x̄'C⁻¹x̄), x̄'C⁻¹x̄ = (s1²·S22 − 2·s1·s2·S12
+    //   + s2²·S11)/(n·det) with x̄i = si/n
+    val se0 = sqrt(s2 * (lit(1.0) / nd
+      + (d("_s1") * d("_s1") * cS22 - lit(2.0) * d("_s1") * d("_s2") * cS12
+        + d("_s2") * d("_s2") * cS11) / (nd * det)))
+    val r2 = (b1 * cS1y + b2 * cS2y) / cSyy
+    val okB = col("n") >= 4 && det > 0.0
+    val okT = okB && sse > 0.0
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      when(okB, round(b0s / lit(1e6), 6)).cast("double").as("b0"),
+      when(okB, round(b1, 6)).cast("double").as("b1"),
+      when(okB, round(b2, 6)).cast("double").as("b2"),
+      when(okT, round(se0 / lit(1e6), 6)).cast("double").as("se_b0"),
+      when(okT, round(se1, 6)).cast("double").as("se_b1"),
+      when(okT, round(se2, 6)).cast("double").as("se_b2"),
+      when(okT, round(b1 / se1, 6)).cast("double").as("t_b1"),
+      when(okT, round(b2 / se2, 6)).cast("double").as("t_b2"),
+      when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
+  }
+
   /** Per-group two-sample log-rank test against the pooled complement
     * — the hypothesis-test companion to [[kaplanMeier]]: "are these
     * two survival curves actually different" (time-to-churn by

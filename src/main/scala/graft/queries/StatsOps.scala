@@ -683,6 +683,19 @@ object StatsOps {
     Stats.linearFit(cells, "event_type", "x", "y").orderBy("event_type")
   }
 
+  /** Multi-covariate OLS: l_extendedprice on (l_quantity, l_discount)
+    * per return flag — β, se(β), t, R² from ten decimal(38,0) Gram
+    * moments and one closed-form 2×2 Cramer solve. The quantity
+    * coefficient is the real signal (extendedprice ≈ qty × unit
+    * price); discount is noise, so its t hovers near zero — both the
+    * strong- and null-effect se/t paths are exercised.
+    */
+  val qOlsMulti: QueryFn = withTables { spark =>
+    Stats.linearFitMulti(spark.table("lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_discount"), "l_extendedprice")
+      .orderBy("l_returnflag")
+  }
+
   /** Two-cohort log-rank on time-to-first-purchase (the
     * q_kaplan_meier subjects split by user parity): grid at-risk
     * counts, 12-dp decimal E/V term sums, one z tree.
@@ -1489,6 +1502,7 @@ object StatsOps {
     "q_conformal" -> qConformal,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_lin_fit" -> qLinFit,
+    "q_ols_multi" -> qOlsMulti,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
@@ -3365,6 +3379,87 @@ object StatsOps {
                    + 1.0 / CAST(n_b AS DOUBLE))), 6)
              END AS DOUBLE) AS z
       FROM pair ORDER BY group_a, group_b""",
+
+    // Ten HUGEINT Gram moments, n-scaled centered moments, one 2×2
+    // Cramer solve + adjugate-diagonal standard errors — every derived
+    // quantity the identical left-associated float tree, 6 dp.
+    "q_ols_multi" -> """
+      WITH pts AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity * 1000000.0) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 1000000.0) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+               SUM(y::HUGEINT) AS sy,
+               SUM(x1::HUGEINT * x1) AS s11, SUM(x2::HUGEINT * x2) AS s22,
+               SUM(x1::HUGEINT * x2) AS s12, SUM(x1::HUGEINT * y) AS s1y,
+               SUM(x2::HUGEINT * y) AS s2y, SUM(y::HUGEINT * y) AS syy
+        FROM pts GROUP BY g),
+      fl AS (
+        SELECT g, n, CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(sy AS DOUBLE) AS syd,
+               CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS cs11,
+               CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cs22,
+               CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cs12,
+               CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs1y,
+               CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs2y,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS csyy
+        FROM s),
+      g1 AS (
+        SELECT *, cs11 * cs22 - cs12 * cs12 AS det FROM fl),
+      g2 AS (
+        SELECT *,
+               (cs1y * cs22 - cs2y * cs12) / det AS b1,
+               (cs2y * cs11 - cs1y * cs12) / det AS b2
+        FROM g1),
+      g3 AS (
+        SELECT *,
+               (syd - b1 * s1d - b2 * s2d) / CAST(n AS DOUBLE) AS b0s,
+               (csyy - b1 * cs1y - b2 * cs2y) / CAST(n AS DOUBLE) AS sse
+        FROM g2),
+      g4 AS (
+        SELECT *, sse / (CAST(n AS DOUBLE) - 3.0) AS s2m FROM g3),
+      g5 AS (
+        SELECT *,
+               SQRT(s2m * CAST(n AS DOUBLE) * cs22 / det) AS se1,
+               SQRT(s2m * CAST(n AS DOUBLE) * cs11 / det) AS se2,
+               SQRT(s2m * (1.0 / CAST(n AS DOUBLE)
+                 + (s1d * s1d * cs22 - 2.0 * s1d * s2d * cs12
+                    + s2d * s2d * cs11)
+                   / (CAST(n AS DOUBLE) * det))) AS se0
+        FROM g4)
+      SELECT g AS l_returnflag, n,
+             CAST(CASE WHEN n >= 4 AND det > 0.0
+               THEN ROUND(b0s / 1000000.0, 6) END AS DOUBLE) AS b0,
+             CAST(CASE WHEN n >= 4 AND det > 0.0
+               THEN ROUND(b1, 6) END AS DOUBLE) AS b1,
+             CAST(CASE WHEN n >= 4 AND det > 0.0
+               THEN ROUND(b2, 6) END AS DOUBLE) AS b2,
+             CAST(CASE WHEN n >= 4 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(se0 / 1000000.0, 6) END AS DOUBLE) AS se_b0,
+             CAST(CASE WHEN n >= 4 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(se1, 6) END AS DOUBLE) AS se_b1,
+             CAST(CASE WHEN n >= 4 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(se2, 6) END AS DOUBLE) AS se_b2,
+             CAST(CASE WHEN n >= 4 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(b1 / se1, 6) END AS DOUBLE) AS t_b1,
+             CAST(CASE WHEN n >= 4 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(b2 / se2, 6) END AS DOUBLE) AS t_b2,
+             CAST(CASE WHEN n >= 4 AND det > 0.0 AND csyy > 0.0
+               THEN ROUND((b1 * cs1y + b2 * cs2y) / csyy, 6) END
+               AS DOUBLE) AS r2
+      FROM g5 ORDER BY l_returnflag""",
 
     "q_lin_fit" -> """
       WITH cells AS (
