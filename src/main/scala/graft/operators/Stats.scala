@@ -3282,6 +3282,85 @@ object Stats {
         .cast("double").as("se"))
   }
 
+  /** Logistic regression, one covariate with intercept, FIXED Newton
+    * iterations from (α, β) = (0, 0) — the most common supervised
+    * baseline after Naive Bayes: P(y=1|x) = 1/(1+e^−(α+βx)), reported
+    * with se(β) and the odds ratio e^β. Newton step per iteration:
+    * gradient g = [Σ(y−p), Σx(y−p)], Hessian H = [[Σw, Σxw],
+    * [Σxw, Σx²w]] with w = p(1−p); (α,β) += H⁻¹g via the closed 2×2
+    * solve.
+    *
+    * Determinism (the [[coxPH]] fixed-iteration contract verbatim):
+    * x freezes at 6 dp; per-row gradient/Hessian terms freeze at
+    * 12 dp into order-free decimal(38,12) sums; the 2×2 solve is one
+    * identically-spelled float tree; α, β re-freeze at 12 dp per
+    * iteration — an oracle unrolling the same iterations reproduces
+    * the fit bit-for-bit. Iteration count is FIXED, not
+    * convergence-tested; det ≤ 0 (degenerate or separated panel)
+    * keeps the params unchanged that round and reports NULL se.
+    * Perfect separation diverges in ANY Newton solver — the fixed
+    * iteration count bounds it here; callers wanting a regularized
+    * fit should damp x or cap iters.
+    *
+    * Scale shape: per iteration, one broadcast join of the k-row
+    * param table + one group-keyed decimal aggregate — params never
+    * leave the cluster (no driver collect); localCheckpoint truncates
+    * the iterative lineage exactly as [[coxPH]]. Output: (group, n,
+    * n_pos, alpha, beta, se_beta, z_beta, odds_ratio).
+    */
+  def logisticFit(df: DataFrame, groupCol: String, xCol: String,
+      yCond: Column, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"logisticFit: iters must be in [1, 8]")
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(xCol).isNotNull)
+      .select(col(groupCol).as("_g"), round(col(xCol), 6).as("_x"),
+        when(yCond, 1.0).otherwise(0.0).as("_y"))
+      .localCheckpoint() // re-read every iteration
+    def pass(params: DataFrame) = {
+      val p = lit(1.0) / (lit(1.0)
+        + exp(-(col("_a") + col("_b") * col("_x"))))
+      val w = p * (lit(1.0) - p)
+      rows.join(broadcast(params), Seq("_g"))
+        .withColumn("_g0", round(col("_y") - p, 12).cast(dec12))
+        .withColumn("_g1", round(col("_x") * (col("_y") - p), 12).cast(dec12))
+        .withColumn("_h00", round(w, 12).cast(dec12))
+        .withColumn("_h01", round(col("_x") * w, 12).cast(dec12))
+        .withColumn("_h11", round(col("_x") * col("_x") * w, 12).cast(dec12))
+        .groupBy("_g")
+        .agg(max("_a").as("_a"), max("_b").as("_b"), // constant per group
+          count(lit(1)).as("n"),
+          sum(col("_y")).cast("bigint").as("n_pos"),
+          sum("_g0").as("_G0"), sum("_g1").as("_G1"),
+          sum("_h00").as("_H00"), sum("_h01").as("_H01"),
+          sum("_h11").as("_H11"))
+    }
+    def d(c: String): Column = col(c).cast("double")
+    def det: Column = d("_H00") * d("_H11") - d("_H01") * d("_H01")
+    var params = rows.select(col("_g")).distinct()
+      .withColumn("_a", lit(0.0)).withColumn("_b", lit(0.0))
+    for (_ <- 1 to iters) {
+      params = pass(params)
+        .select(col("_g"),
+          when(det > 0.0,
+            round(col("_a") + (d("_G0") * d("_H11") - d("_G1") * d("_H01"))
+              / det, 12)).otherwise(col("_a")).as("_a"),
+          when(det > 0.0,
+            round(col("_b") + (d("_G1") * d("_H00") - d("_G0") * d("_H01"))
+              / det, 12)).otherwise(col("_b")).as("_b"))
+        .localCheckpoint() // k rows; truncate the iterative lineage
+    }
+    // one last pass at the final params for the observed information
+    pass(params).select(col("_g").as(groupCol),
+      col("n").cast("bigint").as("n"), col("n_pos"),
+      round(col("_a"), 6).cast("double").as("alpha"),
+      round(col("_b"), 6).cast("double").as("beta"),
+      when(det > 0.0, round(sqrt(d("_H00") / det), 6))
+        .cast("double").as("se_beta"),
+      when(det > 0.0, round(col("_b") / sqrt(d("_H00") / det), 6))
+        .cast("double").as("z_beta"),
+      round(exp(col("_b")), 6).cast("double").as("odds_ratio"))
+  }
+
   /** One-lag Granger causality F per group — does x's PAST improve the
     * prediction of y beyond y's own past: restricted y_t = α + β·y_{t−1}
     * vs unrestricted y_t = α + β₁·y_{t−1} + β₂·x_{t−1};

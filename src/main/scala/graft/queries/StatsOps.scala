@@ -696,6 +696,21 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** Logistic regression of purchase-vs-rest on scaled event value
+    * per user-cohort: 3 FIXED Newton iterations from (0,0), 12-dp
+    * frozen gradient/Hessian terms in decimal sums, the closed 2×2
+    * solve — the coxPH determinism contract on the classification
+    * side. The oracle unrolls the identical iterations.
+    */
+  val qLogistic: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .select(pmod(col("user_id"), lit(3)).cast("int").as("cohort"),
+        (col("value") / 100.0).as("x"),
+        (col("event_type") === "purchase").as("is_purchase"))
+    Stats.logisticFit(ev, "cohort", "x", col("is_purchase"), iters = 3)
+      .orderBy("cohort")
+  }
+
   /** Two-cohort log-rank on time-to-first-purchase (the
     * q_kaplan_meier subjects split by user parity): grid at-risk
     * counts, 12-dp decimal E/V term sums, one z tree.
@@ -1502,6 +1517,7 @@ object StatsOps {
     "q_conformal" -> qConformal,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_lin_fit" -> qLinFit,
+    "q_logistic" -> qLogistic,
     "q_ols_multi" -> qOlsMulti,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
@@ -3379,6 +3395,137 @@ object StatsOps {
                    + 1.0 / CAST(n_b AS DOUBLE))), 6)
              END AS DOUBLE) AS z
       FROM pair ORDER BY group_a, group_b""",
+
+    // Three unrolled Newton iterations from (0,0) + the final
+    // observed-information pass — every per-row term 12-dp frozen into
+    // decimal sums, the 2×2 solve one identical float tree (the
+    // q_cox_ph discipline on the classification side).
+    "q_logistic" -> """
+      WITH pts AS (
+        SELECT CAST(user_id % 3 AS INTEGER) AS g,
+               ROUND(value / 100.0, 6) AS x,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL),
+      p0 AS (SELECT DISTINCT g, 0.0 AS a, 0.0 AS b FROM pts),
+      pr1 AS (
+        SELECT pts.g, x, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts JOIN p0 USING (g)),
+      t1 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr1 GROUP BY g),
+      d1 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t1),
+      p1 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d1),
+      pr2 AS (
+        SELECT pts.g, x, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts JOIN p1 USING (g)),
+      t2 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr2 GROUP BY g),
+      d2 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t2),
+      p2 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d2),
+      pr3 AS (
+        SELECT pts.g, x, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts JOIN p2 USING (g)),
+      t3 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr3 GROUP BY g),
+      d3 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t3),
+      p3 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d3),
+      pr4 AS (
+        SELECT pts.g, x, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts JOIN p3 USING (g)),
+      t4 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr4 GROUP BY g),
+      d4 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t4)
+      SELECT g AS cohort, n, n_pos,
+             CAST(ROUND(a, 6) AS DOUBLE) AS alpha,
+             CAST(ROUND(b, 6) AS DOUBLE) AS beta,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(SQRT(CAST(h00 AS DOUBLE) / det), 6) END
+               AS DOUBLE) AS se_beta,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(b / SQRT(CAST(h00 AS DOUBLE) / det), 6) END
+               AS DOUBLE) AS z_beta,
+             CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
+      FROM d4 ORDER BY cohort""",
 
     // Ten HUGEINT Gram moments, n-scaled centered moments, one 2×2
     // Cramer solve + adjugate-diagonal standard errors — every derived

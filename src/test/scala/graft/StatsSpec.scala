@@ -1551,6 +1551,71 @@ class StatsSpec extends SparkTestBase {
       Stats.linearFitMulti(tiny, "g", Seq("x1"), "y"))
   }
 
+  // ---- logisticFit ----
+
+  test("logisticFit: planted boundary recovered — direction, z, odds ratio") {
+    import spark.implicits._
+    // y flips from 0 to 1 around x = 2.5 with deterministic sin noise
+    // keeping the classes overlapped (finite MLE)
+    val df = (1 to 400).map { i =>
+      val x = i / 40.0 // 0.025 .. 10
+      ("g", x, 2.0 * x - 5.0 + 2.0 * math.sin(i.toDouble) > 0.0)
+    }.toDF("g", "x", "y")
+    val r = Stats.logisticFit(df, "g", "x", col("y")).collect().head
+    assert(r.getAs[Double]("beta") > 0.5, r.toString)
+    assert(r.getAs[Double]("alpha") < 0.0, r.toString)
+    assert(r.getAs[Double]("z_beta") > 3.0, r.toString)
+    assert(r.getAs[Double]("odds_ratio") > 1.5, r.toString)
+    assert(r.getAs[Double]("se_beta") > 0.0, r.toString)
+    // decision boundary −α/β lands near the planted 2.5
+    val bnd = -r.getAs[Double]("alpha") / r.getAs[Double]("beta")
+    assert(math.abs(bnd - 2.5) < 0.5, s"boundary $bnd")
+    assert(r.getAs[Long]("n") === 400L)
+    assert(r.getAs[Long]("n_pos") ===
+      df.filter(col("y")).count())
+  }
+
+  test("logisticFit: negative effect flips every sign") {
+    import spark.implicits._
+    val df = (1 to 400).map { i =>
+      val x = i / 40.0
+      ("g", x, 2.0 * x - 5.0 + 2.0 * math.sin(i.toDouble) < 0.0)
+    }.toDF("g", "x", "y")
+    val r = Stats.logisticFit(df, "g", "x", col("y")).collect().head
+    assert(r.getAs[Double]("beta") < -0.5, r.toString)
+    assert(r.getAs[Double]("z_beta") < -3.0, r.toString)
+    assert(r.getAs[Double]("odds_ratio") < 1.0, r.toString)
+  }
+
+  test("logisticFit: constant covariate degenerates to NULL se, params frozen") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, true), ("g", 1.0, false), ("g", 1.0, true))
+      .toDF("g", "x", "y")
+    val r = Stats.logisticFit(df, "g", "x", col("y")).collect().head
+    // det = 0 every iteration: params never move off (0, 0)
+    assert(r.getAs[Double]("alpha") == 0.0 && r.getAs[Double]("beta") == 0.0,
+      r.toString)
+    assert(r.isNullAt(r.fieldIndex("se_beta"))
+      && r.isNullAt(r.fieldIndex("z_beta")), r.toString)
+    // fixed iteration count is bounded-contract: out-of-range rejected
+    intercept[IllegalArgumentException](
+      Stats.logisticFit(df, "g", "x", col("y"), iters = 0))
+    intercept[IllegalArgumentException](
+      Stats.logisticFit(df, "g", "x", col("y"), iters = 9))
+  }
+
+  test("logisticFit: one-sided labels stay finite under fixed iterations") {
+    import spark.implicits._
+    // all-positive labels: the MLE diverges, the FIXED iteration count
+    // bounds it — outputs must be finite, alpha pushed up
+    val df = (1 to 50).map(i => ("g", i / 10.0, true)).toDF("g", "x", "y")
+    val r = Stats.logisticFit(df, "g", "x", col("y")).collect().head
+    assert(!r.isNullAt(r.fieldIndex("alpha")), r.toString)
+    assert(!r.getAs[Double]("alpha").isNaN
+      && !r.getAs[Double]("beta").isNaN, r.toString)
+    assert(r.getAs[Double]("alpha") > 0.0, r.toString)
+  }
+
   // ---- logRank ----
 
   test("logRank hand fixture: alternating event times") {
