@@ -255,6 +255,91 @@ object Graft {
       "deleteSql: statement does not match DELETE FROM <t> WHERE ...")
   }
 
+  private val InsertValuesRe =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*\(.+?\))\s*""".r
+  private val InsertSelectRe =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(SELECT\s+.+?)\s*""".r
+
+  /** Statement-level `INSERT INTO <t> [(cols)] VALUES (...)[, ...]` /
+    * `INSERT INTO <t> [(cols)] SELECT ...` as a pure transform:
+    * returns target ∪ inserted — the last member of the DML quartet
+    * ([[mergeSql]], [[updateSql]], [[deleteSql]], this). ANSI column
+    * semantics: a column list binds the incoming columns POSITIONALLY
+    * to the named target columns; unnamed target columns are filled
+    * with NULL; every incoming value casts to the target column's
+    * type. The SELECT form resolves table names from `tables` (the
+    * facade map shape). Unknown tables/columns and arity mismatches
+    * are rejected loudly.
+    *
+    * Scale shape: zero shuffles — a VALUES inline table is a local
+    * relation unioned under the target's plan, a SELECT source keeps
+    * its own plan; the union is metadata-only (no exchange; writers
+    * parallelize per-source). For the persisted form see
+    * [[insertIntoParquet]], which appends files without touching
+    * existing ones.
+    */
+  def insertSql(spark: SparkSession, statement: String,
+      tables: Map[String, DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (t, colsOpt, incoming) = statement match {
+      case InsertValuesRe(tn, cs, valuesText) =>
+        (tn, Option(cs), spark.sql(s"SELECT * FROM $valuesText"))
+      case InsertSelectRe(tn, cs, select) =>
+        tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        (tn, Option(cs), spark.sql(select))
+      case _ => sys.error(
+        "insertSql: statement does not match INSERT INTO <t> [(cols)] " +
+          "VALUES (...) | SELECT ...")
+    }
+    val target = tables.getOrElse(t, sys.error(
+      s"insertSql: unknown table '$t' (have ${tables.keys.mkString(",")})"))
+    val named = colsOpt match {
+      case Some(cs) =>
+        val names = cs.split(",").map(_.trim).toSeq
+        names.foreach { c =>
+          require(target.columns.exists(_.equalsIgnoreCase(c)),
+            s"insertSql: unknown column '$c' in column list (table has " +
+              s"${target.columns.mkString(",")})")
+        }
+        names
+      case None => target.columns.toSeq
+    }
+    require(incoming.columns.length == named.size,
+      s"insertSql: ${named.size} target column(s) but " +
+        s"${incoming.columns.length} value(s) per row")
+    // positional bind, NULL-fill the unnamed columns, cast to target types
+    val pos = named.map(_.toLowerCase).zipWithIndex.toMap
+    val aligned = incoming.select(target.columns.map { c =>
+      pos.get(c.toLowerCase) match {
+        case Some(i) => col(incoming.columns(i))
+          .cast(target.schema(c).dataType).as(c)
+        case None => lit(null).cast(target.schema(c).dataType).as(c)
+      }
+    }.toIndexedSeq: _*)
+    target.unionByName(aligned)
+  }
+
+  /** Persisted INSERT for a bare-parquet table: appends the aligned
+    * rows as NEW files — existing files (all partitions, touched or
+    * not) stay byte-identical, the cheapest possible table mutation
+    * (PartitioningSpec pins it). Pass `partitionCols` matching the
+    * table's layout so new rows land in their hive directories.
+    */
+  def insertIntoParquet(spark: SparkSession, path: String,
+      rows: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(path)
+    require(rows.columns.map(_.toLowerCase).toSet
+        == base.columns.map(_.toLowerCase).toSet,
+      s"insertIntoParquet: schema mismatch — table has " +
+        s"${base.columns.mkString(",")}, rows have ${rows.columns.mkString(",")}")
+    val aligned = rows.select(base.columns.map(c =>
+      col(c).cast(base.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    val w = aligned.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
   /** Split on commas at parenthesis/quote depth zero. */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]

@@ -935,6 +935,24 @@ object LlmOps {
       .orderBy("o_orderkey")
   }
 
+  /** Statement-level INSERT through [[graft.Graft.insertSql]],
+    * completing the DML quartet: the VALUES inline-table form, then
+    * the INSERT-SELECT form with a column list whose unnamed target
+    * columns NULL-fill (ANSI positional binding) — composed so one
+    * judged result covers all three statement features. Unique keys
+    * keep the sort total without ordering on the NULL-filled column.
+    */
+  val qInsertInto: QueryFn = withTables { spark =>
+    val r1 = graft.Graft.insertSql(spark,
+      "INSERT INTO r VALUES (100, 'ANTARCTICA'), (101, 'ATLANTIS')",
+      Map("r" -> spark.table("region")))
+    graft.Graft.insertSql(spark,
+      """INSERT INTO r (r_regionkey)
+         SELECT n_nationkey + 200 FROM nation WHERE n_nationkey < 3""",
+      Map("r" -> r1, "nation" -> spark.table("nation")))
+      .orderBy("r_regionkey")
+  }
+
   val qCdcMerge: QueryFn = withTables { spark =>
     val orders = spark.table("orders")
     val base = orders.withColumn("version", lit(0L))
@@ -1609,6 +1627,7 @@ object LlmOps {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms_counts" -> qCmsCounts,
     "q_cdc_merge" -> qCdcMerge,
+    "q_insert_into" -> qInsertInto,
     "q_merge_into" -> qMergeInto,
     "q_update_into" -> qUpdateInto,
     "q_delete_from" -> qDeleteFrom,
@@ -2451,6 +2470,19 @@ object LlmOps {
     // The same generic merge rule re-derived: latest version wins,
     // change beats base at equal version, tombstone winners drop.
     "q_cdc_merge" -> cdcMergeOracle,
+
+    // INSERT as set algebra: target ∪ VALUES rows ∪ the SELECT rows
+    // with the un-listed column NULL-filled.
+    "q_insert_into" -> """
+      SELECT * FROM (
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL
+        SELECT * FROM (VALUES (100, 'ANTARCTICA'), (101, 'ATLANTIS'))
+          v(r_regionkey, r_name)
+        UNION ALL
+        SELECT n_nationkey + 200 AS r_regionkey, NULL AS r_name
+        FROM nation WHERE n_nationkey < 3)
+      ORDER BY r_regionkey""",
 
     // UPDATE clause semantics: matched rows re-evaluate each SET
     // expression against the pre-update row, others pass through.

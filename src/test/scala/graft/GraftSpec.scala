@@ -154,6 +154,35 @@ class GraftSpec extends SparkTestBase {
     assert(out === Set(1L, 3L), "NULL condition must survive an ANSI DELETE")
   }
 
+  test("insertSql: VALUES, SELECT form, column-list NULL-fill, loud rejects") {
+    import spark.implicits._
+    val t = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("k", "s", "v")
+    // VALUES form, full row, literal coercion to target types
+    val ins = Graft.insertSql(spark,
+      "INSERT INTO t VALUES (3, 'c', 3.5), (4, 'd', 4.5)", Map("t" -> t))
+    assert(ins.as[(Int, String, Double)].collect().toSet
+      === Set((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5), (4, "d", 4.5)))
+    // column list: positional bind, unnamed columns NULL-fill
+    val part = Graft.insertSql(spark,
+      "INSERT INTO t (v, k) VALUES (9.9, 9)", Map("t" -> t))
+    val r9 = part.filter(col("k") === 9).collect().head
+    assert(r9.isNullAt(r9.fieldIndex("s")) && r9.getDouble(2) == 9.9)
+    // SELECT form resolves other frames from the map
+    val src = Seq((7, "g", 7.5)).toDF("a", "b", "c")
+    val sel = Graft.insertSql(spark,
+      "INSERT INTO t SELECT a, b, c FROM u", Map("t" -> t, "u" -> src))
+    assert(sel.count() === 3 && sel.filter(col("k") === 7).count() === 1)
+    // rejects: unknown table, unknown column, arity mismatch, shape
+    intercept[Exception](Graft.insertSql(spark,
+      "INSERT INTO nope VALUES (1, 'x', 0.0)", Map("t" -> t)))
+    intercept[Exception](Graft.insertSql(spark,
+      "INSERT INTO t (zz) VALUES (1)", Map("t" -> t)))
+    intercept[Exception](Graft.insertSql(spark,
+      "INSERT INTO t VALUES (1, 'x')", Map("t" -> t)))
+    intercept[Exception](Graft.insertSql(spark,
+      "UPSERT INTO t VALUES (1, 'x', 0.0)", Map("t" -> t)))
+  }
+
   test("replace=false refuses to shadow an existing view") {
     import spark.implicits._
     val a = Seq(1).toDF("x")

@@ -136,6 +136,36 @@ class PartitioningSpec extends SparkTestBase {
       "emptied partition directory must be removed")
   }
 
+  test("insertIntoParquet appends files; EVERY existing file byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("insappend").toString + "/t"
+    val base = Seq((1, 10L, 1.0), (2, 20L, 2.0)).toDF("p", "k", "v")
+    base.write.partitionBy("p").parquet(dir)
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    val before = snapshot()
+    // rows land in an existing partition (p=1) AND a new one (p=3);
+    // column order intentionally scrambled — insert aligns it
+    val rows = Seq((11L, 1, 9.0), (30L, 3, 3.0)).toDF("k", "p", "v")
+    Graft.insertIntoParquet(spark, dir, rows, partitionCols = Seq("p"))
+    val after = snapshot()
+    before.foreach { case (path, sig) =>
+      assert(after.get(path).contains(sig), s"existing file changed: $path")
+    }
+    assert(after.size > before.size, "append must add files")
+    val got = spark.read.parquet(dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(got === Set((1, 10L, 1.0), (2, 20L, 2.0), (1, 11L, 9.0),
+      (3, 30L, 3.0)))
+  }
+
   test("mergeIntoParquet rewrites ONLY touched partitions (copy-on-write)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mergecow").toString + "/t"
