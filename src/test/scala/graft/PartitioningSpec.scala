@@ -136,6 +136,48 @@ class PartitioningSpec extends SparkTestBase {
       "emptied partition directory must be removed")
   }
 
+  test("pruning manifest: identical decisions, zero footer opens, stale-safe") {
+    import graft.tables.TableLoader
+    val dir = Files.createTempDirectory("manifest").toString + "/docs"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id").write.parquet(dir)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+    // footer-path baseline decisions
+    val footerFiles = filesRead(TableLoader.loadPruned(spark, dir,
+      "doc_id", lower = Some(100L), upper = Some(180L)))
+    // write the manifest, then the same query must open ZERO footers
+    TableLoader.writePruningManifest(spark, dir, Seq("doc_id", "lang"))
+    val before = TableLoader.footerReads.get()
+    val viaManifest = TableLoader.loadPruned(spark, dir, "doc_id",
+      lower = Some(100L), upper = Some(180L))
+    val manifestFiles = filesRead(viaManifest)
+    assert(TableLoader.footerReads.get() === before,
+      "manifest path must not open any parquet footer")
+    // identical pruning decisions AND identical results
+    assert(manifestFiles === footerFiles)
+    val expect = spark.read.parquet(dir)
+      .filter(col("doc_id") >= 100L && col("doc_id") <= 180L)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(viaManifest.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      === expect)
+    // string column via manifest too
+    assert(TableLoader.loadPruned(spark, dir, "lang",
+        lower = Some("zz")).count()
+      === spark.read.parquet(dir).filter(col("lang") >= "zz").count())
+    // staleness: a file appended AFTER the manifest write is not
+    // listed -> footer fallback keeps it correct (rows must appear)
+    val extra = docs.filter(col("doc_id") === 150L)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    extra.coalesce(1).write.mode("append").parquet(dir)
+    val afterAppend = TableLoader.loadPruned(spark, dir, "doc_id",
+      lower = Some(1000000L), upper = None)
+    assert(afterAppend.count() === extra.count(),
+      "appended file missing from manifest must fall back, not vanish")
+  }
+
   test("insertIntoParquet appends files; EVERY existing file byte-identical") {
     import spark.implicits._
     val dir = Files.createTempDirectory("insappend").toString + "/t"
