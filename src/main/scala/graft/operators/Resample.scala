@@ -1437,6 +1437,103 @@ object Resample {
     * descending-day window cut to the last two cells.
     * Output: (group, n_days, phi1, phi2, forecast).
     */
+  /** AR(p ≤ 3) Yule–Walker fit + one-step forecast per group on the
+    * daily series — [[arForecast]]'s order-p generalization via the
+    * Durbin–Levinson recursion (the [[Stats.pacf]] unroll, whose
+    * level-k diagonal IS the lag-k PACF): φ's from the 6-dp lag-1..p
+    * autocorrelations, then x̂_{n+1} = μ + Σ_j φ_j(x_{n+1−j} − μ).
+    * Level 2: φ22 = (ρ2−ρ1²)/(1−ρ1²), φ21 = ρ1(1−φ22). Level 3:
+    * φ33 = (ρ3 − φ21ρ2 − φ22ρ1)/(1 − φ21ρ1 − φ22ρ2), φ31 = φ21 −
+    * φ33φ22, φ32 = φ22 − φ33φ21.
+    *
+    * Exactness: ρ's ride [[autocorrelation]] (6-dp frozen); μ and the
+    * last-p cells descale exactly as [[arForecast]]; every φ and the
+    * forecast are identically-spelled float trees rounded at 6 dp
+    * (the recursion runs UNROUNDED inside, matching [[Stats.pacf]]).
+    * Degenerate levels (1−ρ1² ≤ 0, level-3 denominator 0, NULL ρ, or
+    * n_days ≤ p) → NULL coefficients and forecast. p = 2 agrees with
+    * [[arForecast]] up to float-associativity in the φ trees
+    * (algebraically identical, pinned ≤ 1e-5 in ResampleSpec).
+    *
+    * Scale shape: the [[autocorrelation]] fold + one group-keyed
+    * descending-day window cut to the last p cells — group-count-
+    * bounded state, one shuffle class regardless of p.
+    * Output: (group, n_days, phi1..phi3 [NULL above p], forecast).
+    */
+  def arpForecast(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, p: Int = 3): DataFrame = {
+    require(p >= 1 && p <= 3, s"arpForecast: p must be in [1, 3], got $p")
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    val cells = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+      .groupBy("_g", "_day").agg(sum("_x").as("_x"))
+    val mu = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast("decimal(38,0)")).as("_s"))
+      .withColumn("_mu",
+        round(col("_s").cast("double") / col("_n").cast("double") / 1e6, 6))
+      .select("_gm", "_mu")
+    val wLast = Window.partitionBy("_g").orderBy(col("_day").desc)
+    val lastP = cells
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") <= p)
+      .groupBy(col("_g").as("_gl"))
+      .agg(max(when(col("_rn") === 1, round(col("_x") / 1e6, 6))).as("_xn"),
+        max(when(col("_rn") === 2, round(col("_x") / 1e6, 6))).as("_xn1"),
+        max(when(col("_rn") === 3, round(col("_x") / 1e6, 6))).as("_xn2"))
+    val rho = autocorrelation(df, groupCol, tsCol, valueCol, p)
+      .groupBy(col(groupCol))
+      .agg(max("n_days").as("n_days"),
+        max(when(col("lag") === 1, col("acf"))).as("_r1"),
+        max(when(col("lag") === 2, col("acf"))).as("_r2"),
+        max(when(col("lag") === 3, col("acf"))).as("_r3"))
+    val joined = rho
+      .join(broadcast(mu), col(groupCol) <=> col("_gm")).drop("_gm")
+      .join(broadcast(lastP), col(groupCol) <=> col("_gl")).drop("_gl")
+    val r1 = col("_r1"); val r2 = col("_r2"); val r3 = col("_r3")
+    val nOk = col("n_days") >= (p + 1)
+    val (phi1, phi2, phi3) = p match {
+      case 1 =>
+        (when(nOk && r1.isNotNull, round(r1, 6)),
+          lit(null).cast("double"), lit(null).cast("double"))
+      case 2 =>
+        val den2 = lit(1.0) - r1 * r1
+        val p22 = (r2 - r1 * r1) / den2
+        val ok = nOk && r1.isNotNull && r2.isNotNull && den2 > 0.0
+        (when(ok, round(r1 * (lit(1.0) - p22), 6)),
+          when(ok, round(p22, 6)), lit(null).cast("double"))
+      case _ =>
+        val den2 = lit(1.0) - r1 * r1
+        val p22 = (r2 - r1 * r1) / den2
+        val p21 = r1 * (lit(1.0) - p22)
+        val den3 = lit(1.0) - p21 * r1 - p22 * r2
+        val p33 = (r3 - p21 * r2 - p22 * r1) / den3
+        val ok = nOk && r1.isNotNull && r2.isNotNull && r3.isNotNull &&
+          den2 > 0.0 && den3 =!= 0.0
+        (when(ok, round(p21 - p33 * p22, 6)),
+          when(ok, round(p22 - p33 * p21, 6)),
+          when(ok, round(p33, 6)))
+    }
+    val base = joined
+      .withColumn("phi1", phi1.cast("double"))
+      .withColumn("phi2", phi2.cast("double"))
+      .withColumn("phi3", phi3.cast("double"))
+    val fc = p match {
+      case 1 => col("_mu") + col("phi1") * (col("_xn") - col("_mu"))
+      case 2 => col("_mu") + col("phi1") * (col("_xn") - col("_mu")) +
+        col("phi2") * (col("_xn1") - col("_mu"))
+      case _ => col("_mu") + col("phi1") * (col("_xn") - col("_mu")) +
+        col("phi2") * (col("_xn1") - col("_mu")) +
+        col("phi3") * (col("_xn2") - col("_mu"))
+    }
+    base.select(col(groupCol), col("n_days"),
+      col("phi1"), col("phi2"), col("phi3"),
+      when(col("phi1").isNotNull, round(fc, 6))
+        .cast("double").as("forecast"))
+  }
+
   def arForecast(df: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))

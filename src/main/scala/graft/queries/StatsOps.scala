@@ -1137,6 +1137,17 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** AR(3) Yule–Walker fit + one-step forecast of the same daily
+    * series: φ's from the Durbin–Levinson unroll over the 6-dp
+    * lag-1..3 autocorrelations (the q_pacf recursion), forecast
+    * anchored on the exact-decimal mean and the last three day cells.
+    */
+  val qArpForecast: QueryFn = withTables { spark =>
+    Resample.arpForecast(spark.table("events"), "event_type", "ts",
+        "value", p = 3)
+      .orderBy("event_type")
+  }
+
   /** Cochran's Q across the five event types over matched day blocks
     * on the binary "daily spend above $1,500" outcome: the 0/1 member
     * of the matched-blocks family, exact-integer throughout.
@@ -1444,6 +1455,7 @@ object StatsOps {
     "q_fisher_exact" -> qFisherExact,
     "q_ljung_box" -> qLjungBox,
     "q_ar2_forecast" -> qAr2Forecast,
+    "q_arp_forecast" -> qArpForecast,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
     "q_decompose" -> qDecompose,
@@ -6004,6 +6016,93 @@ object StatsOps {
     // The q_acf CTEs at maxLag 2, the exact-decimal day-cell mean,
     // the last-two-cells window, and the same Yule-Walker phi and
     // forecast float trees.
+    // The q_ar2_forecast cells + a lag-3 column, then the Durbin–
+    // Levinson level-2/3 unroll (identical spelling to q_pacf) and the
+    // three-term forecast tree anchored on μ and the last three cells.
+    "q_arp_forecast" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2,
+               LEAD(aa, 3) OVER w AS l3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2, SUM(aa * l3) AS n3
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r1,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n2 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r2,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n3 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r3
+        FROM agg),
+      mu AS (
+        SELECT g, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) AS mu
+        FROM st),
+      lastt AS (
+        SELECT g,
+               MAX(CASE WHEN rn = 1 THEN xr END) AS xn,
+               MAX(CASE WHEN rn = 2 THEN xr END) AS xn1,
+               MAX(CASE WHEN rn = 3 THEN xr END) AS xn2
+        FROM (
+          SELECT g, ROUND(x / 1000000.0, 6) AS xr,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY day DESC)
+                   AS rn
+          FROM cells)
+        WHERE rn <= 3 GROUP BY g),
+      dl1 AS (
+        SELECT rho.g AS g, n_days, r1, r2, r3, mu, xn, xn1, xn2,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+        FROM rho JOIN mu ON rho.g = mu.g JOIN lastt ON rho.g = lastt.g),
+      dl2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM dl1),
+      dl3 AS (
+        SELECT *,
+               (r3 - p21 * r2 - p22 * r1)
+                 / (1.0 - p21 * r1 - p22 * r2) AS p33,
+               1.0 - p21 * r1 - p22 * r2 AS den3
+        FROM dl2),
+      f AS (
+        SELECT g, n_days, mu, xn, xn1, xn2,
+               CASE WHEN n_days >= 4 AND r1 IS NOT NULL
+                      AND r2 IS NOT NULL AND r3 IS NOT NULL
+                      AND 1.0 - r1 * r1 > 0.0 AND den3 <> 0.0 THEN
+                 ROUND(p21 - p33 * p22, 6) END AS phi1,
+               CASE WHEN n_days >= 4 AND r1 IS NOT NULL
+                      AND r2 IS NOT NULL AND r3 IS NOT NULL
+                      AND 1.0 - r1 * r1 > 0.0 AND den3 <> 0.0 THEN
+                 ROUND(p22 - p33 * p21, 6) END AS phi2,
+               CASE WHEN n_days >= 4 AND r1 IS NOT NULL
+                      AND r2 IS NOT NULL AND r3 IS NOT NULL
+                      AND 1.0 - r1 * r1 > 0.0 AND den3 <> 0.0 THEN
+                 ROUND(p33, 6) END AS phi3
+        FROM dl3)
+      SELECT g AS event_type, n_days,
+             CAST(phi1 AS DOUBLE) AS phi1, CAST(phi2 AS DOUBLE) AS phi2,
+             CAST(phi3 AS DOUBLE) AS phi3,
+             CAST(CASE WHEN phi1 IS NOT NULL THEN
+               ROUND(mu + phi1 * (xn - mu) + phi2 * (xn1 - mu)
+                 + phi3 * (xn2 - mu), 6)
+             END AS DOUBLE) AS forecast
+      FROM f ORDER BY event_type""",
+
     "q_ar2_forecast" -> """
       WITH cells AS (
         SELECT event_type AS g,

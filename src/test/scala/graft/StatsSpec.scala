@@ -2043,6 +2043,86 @@ class StatsSpec extends SparkTestBase {
     assert(t.isNullAt(2) && t.isNullAt(4), t.toString)
   }
 
+  test("arpForecast: p=2 agrees with arForecast; p=1 is the acf echo") {
+    import spark.implicits._
+    // a rich series: trend + alternation, 12 days
+    val df = Seq.tabulate(12)(i =>
+      ("g", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        i * 2.0 + (if (i % 2 == 0) 7.0 else 0.0))).toDF("g", "ts", "v")
+    val a2 = Resample.arForecast(df, "g", "ts", "v").collect().head
+    val p2 = Resample.arpForecast(df, "g", "ts", "v", p = 2)
+      .collect().head
+    // the Durbin–Levinson φ trees are algebraically identical to the
+    // closed AR(2) form but not bit-identical (float associativity):
+    // pinned to agree within 1e-5 after the 6-dp freeze
+    assert(math.abs(p2.getAs[Double]("phi1") - a2.getAs[Double]("phi1"))
+      < 1e-5, s"$p2 vs $a2")
+    assert(math.abs(p2.getAs[Double]("phi2") - a2.getAs[Double]("phi2"))
+      < 1e-5, s"$p2 vs $a2")
+    assert(math.abs(p2.getAs[Double]("forecast")
+      - a2.getAs[Double]("forecast")) < 1e-4, s"$p2 vs $a2")
+    assert(p2.isNullAt(p2.fieldIndex("phi3")))
+    // p=1: phi1 IS the 6-dp lag-1 acf
+    val r1 = Resample.autocorrelation(df, "g", "ts", "v", 1)
+      .collect().head.getAs[Double]("acf")
+    val p1 = Resample.arpForecast(df, "g", "ts", "v", p = 1)
+      .collect().head
+    assert(p1.getAs[Double]("phi1") == r1, p1.toString)
+    assert(p1.isNullAt(p1.fieldIndex("phi2")))
+  }
+
+  test("arpForecast: p=3 replays the Durbin–Levinson unroll on measured acf") {
+    import spark.implicits._
+    val df = Seq.tabulate(14)(i =>
+      ("g", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        Seq(5.0, 9.0, 2.0, 11.0, 4.0, 8.0, 1.0)(i % 7) + i)).toDF("g", "ts", "v")
+    val acf = Resample.autocorrelation(df, "g", "ts", "v", 3)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf"))
+      .toMap
+    val (r1, r2, r3) = (acf(1L), acf(2L), acf(3L))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val den2 = 1.0 - r1 * r1
+    val p22 = (r2 - r1 * r1) / den2
+    val p21 = r1 * (1.0 - p22)
+    val den3 = 1.0 - p21 * r1 - p22 * r2
+    val p33 = (r3 - p21 * r2 - p22 * r1) / den3
+    val out = Resample.arpForecast(df, "g", "ts", "v", p = 3)
+      .collect().head
+    assert(out.getAs[Double]("phi1") == r6(p21 - p33 * p22), out.toString)
+    assert(out.getAs[Double]("phi2") == r6(p22 - p33 * p21), out.toString)
+    assert(out.getAs[Double]("phi3") == r6(p33), out.toString)
+    // forecast anchors on μ and the last three day cells
+    val mu = r6(df.select(avg("v")).collect().head.getDouble(0))
+    val (x13, x12, x11) = (13.0 + 1.0, 12.0 + 8.0, 11.0 + 4.0)
+    val exp = r6(mu + out.getAs[Double]("phi1") * (x13 - mu)
+      + out.getAs[Double]("phi2") * (x12 - mu)
+      + out.getAs[Double]("phi3") * (x11 - mu))
+    assert(out.getAs[Double]("forecast") == exp, out.toString)
+  }
+
+  test("arpForecast: degenerate and bounds") {
+    import spark.implicits._
+    val flat = Seq.tabulate(8)(i =>
+      ("flat", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        3.0)).toDF("g", "ts", "v")
+    val f = Resample.arpForecast(flat, "g", "ts", "v", p = 3)
+      .collect().head
+    assert(f.isNullAt(f.fieldIndex("phi1"))
+      && f.isNullAt(f.fieldIndex("forecast")), f.toString)
+    // n_days = 3 < p+1 = 4
+    val tiny = Seq.tabulate(3)(i =>
+      ("t", java.sql.Timestamp.valueOf(s"2024-03-${i + 1} 06:00:00"),
+        i * 5.0 + (i % 2))).toDF("g", "ts", "v")
+    val t = Resample.arpForecast(tiny, "g", "ts", "v", p = 3)
+      .collect().head
+    assert(t.isNullAt(t.fieldIndex("phi1")), t.toString)
+    intercept[IllegalArgumentException](
+      Resample.arpForecast(flat, "g", "ts", "v", p = 0))
+    intercept[IllegalArgumentException](
+      Resample.arpForecast(flat, "g", "ts", "v", p = 4))
+  }
+
   test("cochranQ: textbook 3-treatment panel; constant blocks drop out") {
     import spark.implicits._
     // 4 blocks x 3 treatments; success pattern: treatment c always
