@@ -564,6 +564,66 @@ object EventWindows {
       }
   }
 
+  /** Per-touch credit emission of [[positionAttributionStream]]. */
+  case class PosOut(user: Long, conversion_id: Long, channel: String,
+      linear_credit: Double, u_credit: Double)
+  private[operators] case class PathState(chs: List[String])
+
+  /** Streaming-legal [[positionAttribution]] (the r13 batch operator's
+    * twin): state is the user's CURRENT path — the ordered channel
+    * list since the last conversion, O(path length) exactly as the
+    * batch window holds it — and each conversion emits one credit row
+    * per touch of its path (or a single `"direct"` row for an empty
+    * path) the moment it arrives, then resets the path. Credits use
+    * the batch trees verbatim (linear 1/k, U-shape 1 / 0.5 / 0.4 /
+    * 0.2⁄(k−2), all 6-dp HALF_UP frozen), so aggregating the
+    * emissions per channel reproduces the batch operator exactly
+    * (pinned in SessionizeSpec). Same ordering contract as the other
+    * twins: per-key event-time order non-decreasing across
+    * micro-batches. Markov removal-effect attribution stays
+    * batch-scoped by contract — its transition-matrix refit is
+    * inherently global (see [[markovAttribution]]).
+    */
+  def positionAttributionStream(
+      events: org.apache.spark.sql.Dataset[TypedEvent],
+      conversionType: String)
+      : org.apache.spark.sql.Dataset[PosOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[PathState, PosOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[TypedEvent], gs: GroupState[PathState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.orderMicros, e.event_id))
+          var path = gs.getOption.map(_.chs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PosOut]
+          sorted.foreach { e =>
+            if (e.etype == conversionType) {
+              val k = path.length
+              if (k == 0)
+                out += PosOut(user, e.event_id, "direct", 1.0, 1.0)
+              else {
+                val lin = r6(1.0 / k)
+                path.zipWithIndex.foreach { case (ch, i) =>
+                  val r = i + 1
+                  val u =
+                    if (k == 1) 1.0
+                    else if (k == 2) 0.5
+                    else if (r == 1 || r == k) 0.4
+                    else r6(0.2 / (k - 2))
+                  out += PosOut(user, e.event_id, ch, lin, u)
+                }
+              }
+              path = Nil
+            } else path = path :+ e.etype
+          }
+          if (sorted.nonEmpty) gs.update(PathState(path))
+          out.iterator
+      }
+  }
+
   /** Streaming-legal [[windowedConversions]], emitted per from-event:
     * state is the user's PENDING fromType events (id, micros) not yet
     * resolved — bounded by event rate × window, because every
@@ -678,6 +738,14 @@ object EventWindows {
     * (checkpointed per step, never the corpus). Output: (channel,
     * p_conv_removed, removal_effect, share) plus a synthetic
     * ('__base__', p_conv, 0, NULL) row carrying the baseline.
+    *
+    * BATCH-SCOPED BY CONTRACT (no streaming twin, unlike
+    * [[positionAttributionStream]]): the removal effects are
+    * functions of the GLOBAL transition matrix — one late event
+    * re-weights every channel's share, so there is no per-key O(state)
+    * incremental form; the streaming analog is a periodic micro-batch
+    * REFIT over the accumulated paths (`foreachBatch` + this
+    * operator), which is a scheduling choice, not an operator.
     */
   def markovAttribution(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, isConversion: Column,

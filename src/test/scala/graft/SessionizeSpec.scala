@@ -413,6 +413,47 @@ class SessionizeSpec extends SparkTestBase {
       "per-channel (first, last) credits must equal the batch operator")
   }
 
+  test("positionAttributionStream emissions aggregate to batch " +
+      "positionAttribution on real events (cross-batch paths)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.EventWindows.TypedEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val raw = graft.tables.TableLoader.events(spark, sfDir)
+    val batch = graft.operators.EventWindows.positionAttribution(raw,
+        "user_id", "ts", "event_id", "event_type",
+        col("event_type") === "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val typed = raw.select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), unix_micros(col("ts")))
+      .collect().map(r =>
+        TypedEvent(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.orderMicros, e.event_id))
+    val in = MemoryStream[TypedEvent]
+    val q = graft.operators.EventWindows.positionAttributionStream(
+        in.toDS(), "purchase")
+      .writeStream.format("memory").queryName("pos_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (a1, a2) = typed.splitAt(typed.length / 2)
+    in.addData(a1.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(a2.toIndexedSeq: _*); q.processAllAvailable()
+    q.stop()
+    // per-channel aggregation of the emissions: exact decimal sums of
+    // the 6-dp-frozen credits, matching the batch decimal(38,6) fold
+    val streamed = spark.table("pos_stream").collect()
+      .map(r => (r.getString(2), r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1).map { case (ch, rows) =>
+        ch -> ((rows.length.toLong,
+          rows.map(t => BigDecimal(t._2)).sum.toDouble,
+          rows.map(t => BigDecimal(t._3)).sum.toDouble))
+      }
+    assert(streamed === batch,
+      "per-channel (touches, linear, u) credits must equal the batch operator")
+  }
+
   test("conversionsStream (with trailing flush) aggregates to batch " +
       "windowedConversions on real events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
