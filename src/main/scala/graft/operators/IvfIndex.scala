@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorExpressions, VectorOps}
+import graft.functions.VectorExpressions
 
 /** IVF (inverted-file) approximate nearest neighbor: the second scale
   * path next to hyperplane LSH (Similarity.lshCosinePairs).

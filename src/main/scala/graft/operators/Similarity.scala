@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{VectorExpressions, VectorOps}
+import graft.functions.VectorExpressions
 
 /** Similarity search over an embedding column (ArrayType(FloatType)).
   *
