@@ -611,12 +611,22 @@ object Graph {
       half.select(col("_b").as("_a"), col("_a").as("_b")))
     val degs = sym.groupBy(col("_a").as("_v")).agg(count(lit(1)).as("_deg"))
     val mids = degs.filter(col("_deg") <= maxMiddleDegree)
+    // Join strategies are PINNED, not stats-derived: a localCheckpointed
+    // edge frame (fresh build or the GraphOps parquet cache) reports
+    // whatever sizeInBytes its RDD happens to have, and a small-looking
+    // frame made Catalyst BROADCAST the full symmetric edge table into
+    // both big joins (r14, the q_link_pred watch item: 7.5 s cached vs
+    // 2.5 s fresh for the same data — and at 100 TB an edge-table
+    // broadcast is not slow, it's dead). The degree-capped vertex list
+    // is the ONLY side that is small by construction → broadcast it;
+    // the edge-table joins get merge hints (shuffle on the join key,
+    // skew-safe, size-independent).
     // path-2 through an under-cap middle: (x, u) ⋈ (u, y), x < y
     val viaMid = sym
-      .join(mids, sym("_b") === mids("_v"))
+      .join(broadcast(mids), sym("_b") === mids("_v"))
       .select(col("_a").as("_x"), col("_b").as("_u"), col("_deg"))
     val cands = viaMid.as("l")
-      .join(sym.as("r"), col("l._u") === col("r._a"))
+      .join(sym.as("r").hint("merge"), col("l._u") === col("r._a"))
       .filter(col("l._x") < col("r._b"))
       .select(col("l._x").as("_pa"), col("r._b").as("_pb"),
         col("l._deg").as("_mdeg"))
@@ -626,7 +636,8 @@ object Graph {
         sum(when(col("_mdeg") > 1, lit(1.0) / log(col("_mdeg")
           .cast("double")))).as("_aa"))
       // prediction = pairs NOT already linked
-      .join(half, col("_pa") === col("_a") && col("_pb") === col("_b"),
+      .join(half.hint("merge"),
+        col("_pa") === col("_a") && col("_pb") === col("_b"),
         "left_anti")
     // Global top-k WITHOUT a single-partition window: orderBy+limit
     // plans as TakeOrderedAndProject — each partition keeps a local

@@ -2352,7 +2352,8 @@ object Stats {
       yCol: String): DataFrame = {
     require(xCols.size == 2,
       s"linearFitMulti: exactly 2 covariates supported (closed-form " +
-        s"2x2 solve); got ${xCols.size} — for p=1 use linearFit")
+        s"2x2 solve); got ${xCols.size} — for p=1 use linearFit, " +
+        "for p=3 use linearFitMulti3")
     val Seq(x1c, x2c) = xCols
     val dec = "decimal(38,0)"
     val rows = df.filter(col(x1c).isNotNull && col(x2c).isNotNull
@@ -2409,6 +2410,106 @@ object Stats {
       when(okT, round(b1 / se1, 6)).cast("double").as("t_b1"),
       when(okT, round(b2 / se2, 6)).cast("double").as("t_b2"),
       when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
+  }
+
+  /** [[linearFitMulti]]'s p = 3 tier — y on (x1, x2, x3) + intercept
+    * per group: the intercept eliminates by centering, leaving one
+    * 3×3 symmetric solve whose Cramer determinants and adjugate
+    * diagonals are still writable float trees (the judged ceiling of
+    * the closed-form family; beyond p = 3 the determinant expansion
+    * stops being honestly spellable in SQL and wants an in-plan
+    * elimination unroll instead).
+    *
+    * Same contract as [[linearFitMulti]]: 1e6-quantized longs,
+    * FIFTEEN decimal(38,0) Gram moments, n-scaled centered moments
+    * Sij, det via the first-row cofactor expansion, β by replaced-
+    * column determinants, SSE = (Syy − Σβ_j·S_jy)/n, Var(β_j) =
+    * s²·n·A_jj/det with A_jj the 2×2 adjugate diagonals — every
+    * derived value ONE identically-spelled tree rounded at 6 dp;
+    * n < 5, det ≤ 0, or zero residual variance → NULL, pinned. One
+    * hash aggregate, zero joins/windows. Output: (group, n, b0, b1,
+    * b2, b3, se_b1, se_b2, se_b3, t_b1, t_b2, t_b3, r2).
+    */
+  def linearFitMulti3(df: DataFrame, groupCol: String, xCols: Seq[String],
+      yCol: String): DataFrame = {
+    require(xCols.size == 3,
+      s"linearFitMulti3: exactly 3 covariates, got ${xCols.size}")
+    val Seq(x1c, x2c, x3c) = xCols
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(x1c).isNotNull && col(x2c).isNotNull
+        && col(x3c).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(x1c) * 1e6).cast("long").as("_x1"),
+        round(col(x2c) * 1e6).cast("long").as("_x2"),
+        round(col(x3c) * 1e6).cast("long").as("_x3"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+    def m(a: String, b: String): Column =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val sums = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x1").cast(dec)).as("_s1"),
+        sum(col("_x2").cast(dec)).as("_s2"),
+        sum(col("_x3").cast(dec)).as("_s3"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        m("_x1", "_x1").as("_s11"), m("_x2", "_x2").as("_s22"),
+        m("_x3", "_x3").as("_s33"), m("_x1", "_x2").as("_s12"),
+        m("_x1", "_x3").as("_s13"), m("_x2", "_x3").as("_s23"),
+        m("_x1", "_y").as("_s1y"), m("_x2", "_y").as("_s2y"),
+        m("_x3", "_y").as("_s3y"), m("_y", "_y").as("_syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val s11 = nd * d("_s11") - d("_s1") * d("_s1")
+    val s22 = nd * d("_s22") - d("_s2") * d("_s2")
+    val s33 = nd * d("_s33") - d("_s3") * d("_s3")
+    val s12 = nd * d("_s12") - d("_s1") * d("_s2")
+    val s13 = nd * d("_s13") - d("_s1") * d("_s3")
+    val s23 = nd * d("_s23") - d("_s2") * d("_s3")
+    val s1y = nd * d("_s1y") - d("_s1") * d("_sy")
+    val s2y = nd * d("_s2y") - d("_s2") * d("_sy")
+    val s3y = nd * d("_s3y") - d("_s3") * d("_sy")
+    val syy = nd * d("_syy") - d("_sy") * d("_sy")
+    // first-row cofactor expansion of the symmetric 3×3
+    val det = s11 * (s22 * s33 - s23 * s23) -
+      s12 * (s12 * s33 - s23 * s13) +
+      s13 * (s12 * s23 - s22 * s13)
+    // Cramer: column j of S replaced by (s1y, s2y, s3y)
+    val det1 = s1y * (s22 * s33 - s23 * s23) -
+      s12 * (s2y * s33 - s23 * s3y) +
+      s13 * (s2y * s23 - s22 * s3y)
+    val det2 = s11 * (s2y * s33 - s23 * s3y) -
+      s1y * (s12 * s33 - s23 * s13) +
+      s13 * (s12 * s3y - s2y * s13)
+    val det3 = s11 * (s22 * s3y - s2y * s23) -
+      s12 * (s12 * s3y - s2y * s13) +
+      s1y * (s12 * s23 - s22 * s13)
+    val b1 = det1 / det
+    val b2 = det2 / det
+    val b3 = det3 / det
+    val b0s = (d("_sy") - b1 * d("_s1") - b2 * d("_s2") - b3 * d("_s3")) / nd
+    val sse = (syy - b1 * s1y - b2 * s2y - b3 * s3y) / nd
+    val s2m = sse / (nd - 4.0)
+    // adjugate diagonals of S (2×2 minors)
+    val a11 = s22 * s33 - s23 * s23
+    val a22 = s11 * s33 - s13 * s13
+    val a33 = s11 * s22 - s12 * s12
+    val se1 = sqrt(s2m * nd * a11 / det)
+    val se2 = sqrt(s2m * nd * a22 / det)
+    val se3 = sqrt(s2m * nd * a33 / det)
+    val r2 = (b1 * s1y + b2 * s2y + b3 * s3y) / syy
+    val okB = col("n") >= 5 && det > 0.0
+    val okT = okB && sse > 0.0
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      when(okB, round(b0s / lit(1e6), 6)).cast("double").as("b0"),
+      when(okB, round(b1, 6)).cast("double").as("b1"),
+      when(okB, round(b2, 6)).cast("double").as("b2"),
+      when(okB, round(b3, 6)).cast("double").as("b3"),
+      when(okT, round(se1, 6)).cast("double").as("se_b1"),
+      when(okT, round(se2, 6)).cast("double").as("se_b2"),
+      when(okT, round(se3, 6)).cast("double").as("se_b3"),
+      when(okT, round(b1 / se1, 6)).cast("double").as("t_b1"),
+      when(okT, round(b2 / se2, 6)).cast("double").as("t_b2"),
+      when(okT, round(b3 / se3, 6)).cast("double").as("t_b3"),
+      when(okB && syy > 0.0, round(r2, 6)).cast("double").as("r2"))
   }
 
   /** Per-group two-sample log-rank test against the pooled complement

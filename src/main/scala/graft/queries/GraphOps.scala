@@ -107,8 +107,20 @@ object GraphOps {
         // reference the edge frame many times per plan — without it the
         // cache path re-scans parquet per reference where the fresh
         // path served memory blocks (measured: q_link_pred 7.5 s vs
-        // its 4.5 s anchor in the first cached bench run)
-        spark.read.parquet(dir.toString).localCheckpoint()
+        // its 4.5 s anchor in the first cached bench run).
+        // REPARTITION first (r14, the q_link_pred watch-item root
+        // cause): the cached edge table is ~1 MB of parquet, so the
+        // raw read is ONE input split — localCheckpoint then pins a
+        // 1-partition RDD and every downstream narrow stage (the
+        // path-2 join's probe-side fan-out above all) runs on one
+        // core where the fresh-build path inherited the shuffle's
+        // full parallelism (measured: q_link_pred 7.7 s cached vs
+        // 2.5 s fresh steady; 2.4 s cached after this repartition).
+        // Values are untouched — consumers re-aggregate from edges,
+        // and PersistenceSpec pins cache-read == fresh-build results.
+        spark.read.parquet(dir.toString)
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .localCheckpoint()
     }
 
   /** Build (or cache-load) every shared judged graph for `sfDir` —

@@ -1531,6 +1531,55 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("linearFitMulti3: exact hyperplane recovered; noisy planted effect") {
+    import spark.implicits._
+    // y = 2 + 1.5·x1 − 3·x2 + 0.25·x3 exactly, covariates incommensurate
+    val exact = (1 to 60).map { i =>
+      val (x1, x2, x3) = ((i % 7).toDouble, (i % 5).toDouble,
+        ((i * i) % 11).toDouble)
+      ("g", x1, x2, x3, 2.0 + 1.5 * x1 - 3.0 * x2 + 0.25 * x3)
+    }.toDF("g", "x1", "x2", "x3", "y")
+    val r = Stats.linearFitMulti3(exact, "g", Seq("x1", "x2", "x3"), "y")
+      .collect().head
+    assert(r.getAs[Double]("b0") == 2.0, r.toString)
+    assert(r.getAs[Double]("b1") == 1.5, r.toString)
+    assert(r.getAs[Double]("b2") == -3.0, r.toString)
+    assert(r.getAs[Double]("b3") == 0.25, r.toString)
+    assert(r.getAs[Double]("r2") == 1.0, r.toString)
+    // an exact fit leaves SSE at float-cancellation scale: se is NULL
+    // (sse == 0 exactly) or vanishingly small — both acceptable
+    assert(r.isNullAt(r.fieldIndex("se_b1"))
+      || r.getAs[Double]("se_b1") < 1e-4, r.toString)
+    // noisy: effects recovered with tight t's; nested R² ordering holds
+    val noisy = (1 to 300).map { i =>
+      val (x1, x2, x3) = ((i % 13).toDouble, (i % 7).toDouble,
+        ((i * 3) % 9).toDouble)
+      ("g", x1, x2, x3,
+        1.0 + 4.0 * x1 - 2.0 * x2 + 0.5 * x3 + math.sin(i.toDouble))
+    }.toDF("g", "x1", "x2", "x3", "y")
+    val rn = Stats.linearFitMulti3(noisy, "g", Seq("x1", "x2", "x3"), "y")
+      .collect().head
+    assert(math.abs(rn.getAs[Double]("b1") - 4.0) < 0.05, rn.toString)
+    assert(math.abs(rn.getAs[Double]("b2") + 2.0) < 0.05, rn.toString)
+    assert(math.abs(rn.getAs[Double]("b3") - 0.5) < 0.05, rn.toString)
+    assert(rn.getAs[Double]("t_b1") > 50.0 && rn.getAs[Double]("t_b2") < -50.0
+      && rn.getAs[Double]("t_b3") > 10.0, rn.toString)
+    val r2of2 = Stats.linearFitMulti(noisy, "g", Seq("x1", "x2"), "y")
+      .collect().head.getAs[Double]("r2")
+    assert(rn.getAs[Double]("r2") >= r2of2,
+      "adding x3 can never lower in-sample R²")
+    // collinear (x3 = x1 + x2) → det = 0 → NULL
+    val colin = (1 to 30).map { i =>
+      val (x1, x2) = ((i % 6).toDouble, (i % 4).toDouble)
+      ("g", x1, x2, x1 + x2, x1 - x2)
+    }.toDF("g", "x1", "x2", "x3", "y")
+    val rc = Stats.linearFitMulti3(colin, "g", Seq("x1", "x2", "x3"), "y")
+      .collect().head
+    assert(rc.isNullAt(rc.fieldIndex("b1")), rc.toString)
+    intercept[IllegalArgumentException](
+      Stats.linearFitMulti3(colin, "g", Seq("x1", "x2"), "y"))
+  }
+
   test("linearFitMulti: collinear covariates and tiny n are NULL") {
     import spark.implicits._
     // x2 = 2·x1 + 1 exactly → det = 0 → every coefficient NULL
