@@ -696,6 +696,17 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** The p = 3 tier: + l_tax as the third covariate — fifteen Gram
+    * moments, the 3×3 centered Cramer determinants and adjugate
+    * diagonals as writable float trees (the closed-form family's
+    * judged ceiling).
+    */
+  val qOlsMulti3: QueryFn = withTables { spark =>
+    Stats.linearFitMulti3(spark.table("lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice")
+      .orderBy("l_returnflag")
+  }
+
   /** Logistic regression of purchase-vs-rest on scaled event value
     * per user-cohort: 3 FIXED Newton iterations from (0,0), 12-dp
     * frozen gradient/Hessian terms in decimal sums, the closed 2×2
@@ -1531,6 +1542,7 @@ object StatsOps {
     "q_lin_fit" -> qLinFit,
     "q_logistic" -> qLogistic,
     "q_ols_multi" -> qOlsMulti,
+    "q_ols_multi3" -> qOlsMulti3,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
@@ -3538,6 +3550,115 @@ object StatsOps {
                AS DOUBLE) AS z_beta,
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
       FROM d4 ORDER BY cohort""",
+
+    // Fifteen HUGEINT Gram moments, the 3×3 first-row cofactor
+    // expansions (det + three replaced-column Cramer determinants +
+    // adjugate diagonals) — identical left-associated float trees.
+    "q_ols_multi3" -> """
+      WITH pts AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity * 1000000.0) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 1000000.0) AS BIGINT) AS x2,
+               CAST(ROUND(l_tax * 1000000.0) AS BIGINT) AS x3,
+               CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+               SUM(x3::HUGEINT) AS s3, SUM(y::HUGEINT) AS sy,
+               SUM(x1::HUGEINT * x1) AS q11, SUM(x2::HUGEINT * x2) AS q22,
+               SUM(x3::HUGEINT * x3) AS q33, SUM(x1::HUGEINT * x2) AS q12,
+               SUM(x1::HUGEINT * x3) AS q13, SUM(x2::HUGEINT * x3) AS q23,
+               SUM(x1::HUGEINT * y) AS q1y, SUM(x2::HUGEINT * y) AS q2y,
+               SUM(x3::HUGEINT * y) AS q3y, SUM(y::HUGEINT * y) AS qyy
+        FROM pts GROUP BY g),
+      fl AS (
+        SELECT g, n, CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(s3 AS DOUBLE) AS s3d, CAST(sy AS DOUBLE) AS syd,
+               CAST(n AS DOUBLE) * CAST(q11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS s11,
+               CAST(n AS DOUBLE) * CAST(q22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS s22,
+               CAST(n AS DOUBLE) * CAST(q33 AS DOUBLE)
+                 - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s33,
+               CAST(n AS DOUBLE) * CAST(q12 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS s12,
+               CAST(n AS DOUBLE) * CAST(q13 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s13,
+               CAST(n AS DOUBLE) * CAST(q23 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s23,
+               CAST(n AS DOUBLE) * CAST(q1y AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS s1y,
+               CAST(n AS DOUBLE) * CAST(q2y AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS s2y,
+               CAST(n AS DOUBLE) * CAST(q3y AS DOUBLE)
+                 - CAST(s3 AS DOUBLE) * CAST(sy AS DOUBLE) AS s3y,
+               CAST(n AS DOUBLE) * CAST(qyy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syy
+        FROM s),
+      g1 AS (
+        SELECT *,
+               s11 * (s22 * s33 - s23 * s23)
+                 - s12 * (s12 * s33 - s23 * s13)
+                 + s13 * (s12 * s23 - s22 * s13) AS det,
+               s1y * (s22 * s33 - s23 * s23)
+                 - s12 * (s2y * s33 - s23 * s3y)
+                 + s13 * (s2y * s23 - s22 * s3y) AS det1,
+               s11 * (s2y * s33 - s23 * s3y)
+                 - s1y * (s12 * s33 - s23 * s13)
+                 + s13 * (s12 * s3y - s2y * s13) AS det2,
+               s11 * (s22 * s3y - s2y * s23)
+                 - s12 * (s12 * s3y - s2y * s13)
+                 + s1y * (s12 * s23 - s22 * s13) AS det3
+        FROM fl),
+      g2 AS (
+        SELECT *, det1 / det AS b1, det2 / det AS b2, det3 / det AS b3
+        FROM g1),
+      g3 AS (
+        SELECT *,
+               (syd - b1 * s1d - b2 * s2d - b3 * s3d)
+                 / CAST(n AS DOUBLE) AS b0s,
+               (syy - b1 * s1y - b2 * s2y - b3 * s3y)
+                 / CAST(n AS DOUBLE) AS sse
+        FROM g2),
+      g4 AS (
+        SELECT *, sse / (CAST(n AS DOUBLE) - 4.0) AS s2m FROM g3),
+      g5 AS (
+        SELECT *,
+               SQRT(s2m * CAST(n AS DOUBLE)
+                 * (s22 * s33 - s23 * s23) / det) AS se1,
+               SQRT(s2m * CAST(n AS DOUBLE)
+                 * (s11 * s33 - s13 * s13) / det) AS se2,
+               SQRT(s2m * CAST(n AS DOUBLE)
+                 * (s11 * s22 - s12 * s12) / det) AS se3
+        FROM g4)
+      SELECT g AS l_returnflag, n,
+             CAST(CASE WHEN n >= 5 AND det > 0.0
+               THEN ROUND(b0s / 1000000.0, 6) END AS DOUBLE) AS b0,
+             CAST(CASE WHEN n >= 5 AND det > 0.0
+               THEN ROUND(b1, 6) END AS DOUBLE) AS b1,
+             CAST(CASE WHEN n >= 5 AND det > 0.0
+               THEN ROUND(b2, 6) END AS DOUBLE) AS b2,
+             CAST(CASE WHEN n >= 5 AND det > 0.0
+               THEN ROUND(b3, 6) END AS DOUBLE) AS b3,
+             CAST(CASE WHEN n >= 5 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(se1, 6) END AS DOUBLE) AS se_b1,
+             CAST(CASE WHEN n >= 5 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(se2, 6) END AS DOUBLE) AS se_b2,
+             CAST(CASE WHEN n >= 5 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(se3, 6) END AS DOUBLE) AS se_b3,
+             CAST(CASE WHEN n >= 5 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(b1 / se1, 6) END AS DOUBLE) AS t_b1,
+             CAST(CASE WHEN n >= 5 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(b2 / se2, 6) END AS DOUBLE) AS t_b2,
+             CAST(CASE WHEN n >= 5 AND det > 0.0 AND sse > 0.0
+               THEN ROUND(b3 / se3, 6) END AS DOUBLE) AS t_b3,
+             CAST(CASE WHEN n >= 5 AND det > 0.0 AND syy > 0.0
+               THEN ROUND((b1 * s1y + b2 * s2y + b3 * s3y) / syy, 6) END
+               AS DOUBLE) AS r2
+      FROM g5 ORDER BY l_returnflag""",
 
     // Ten HUGEINT Gram moments, n-scaled centered moments, one 2×2
     // Cramer solve + adjugate-diagonal standard errors — every derived
