@@ -3462,6 +3462,91 @@ object Stats {
       round(exp(col("_b")), 6).cast("double").as("odds_ratio"))
   }
 
+  /** Poisson regression, one covariate with intercept, FIXED Newton
+    * iterations from α = Laplace-smoothed log-mean, β = 0 (the
+    * standard GLM start — from α = 0 the first step on large counts
+    * overshoots to e^49-scale μ and freezes on inf) — the count-data
+    * member of the GLM trio ([[linearFitMulti]] gaussian,
+    * [[logisticFit]] binomial, this): log μ = α + βx, so e^β is a
+    * RATE RATIO per unit x (daily events, defects, arrivals). Newton
+    * step: gradient g = [Σ(y−μ), Σx(y−μ)], Hessian H = [[Σμ, Σxμ],
+    * [Σxμ, Σx²μ]] with μ = e^(α+βx); (α,β) += H⁻¹g via the closed
+    * 2×2 solve.
+    *
+    * Determinism: the [[logisticFit]] contract verbatim — x frozen at
+    * 6 dp, per-row terms frozen at 12 dp into order-free
+    * decimal(38,12) sums, one identically-spelled 2×2 float tree,
+    * params re-frozen at 12 dp per iteration; det ≤ 0 keeps params
+    * and reports NULL se. y must be a non-negative count (counts are
+    * exact longs; a negative count is rejected loudly in-plan via the
+    * guard column). Fixed iterations bound any divergence.
+    *
+    * Scale shape: per iteration one broadcast join of the k-row param
+    * table + one group-keyed decimal aggregate; params never leave
+    * the cluster. Output: (group, n, sum_y, alpha, beta, se_beta,
+    * z_beta, rate_ratio).
+    */
+  def poissonFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"poissonFit: iters must be in [1, 8]")
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"), round(col(xCol), 6).as("_x"),
+        col(yCol).cast("double").as("_y"))
+      .withColumn("_y", when(col("_y") >= 0.0, col("_y")).otherwise(
+        raise_error(lit("poissonFit: negative count in y"))))
+      .localCheckpoint() // re-read every iteration
+    def pass(params: DataFrame) = {
+      val mu = exp(col("_a") + col("_b") * col("_x"))
+      rows.join(broadcast(params), Seq("_g"))
+        .withColumn("_g0", round(col("_y") - mu, 12).cast(dec12))
+        .withColumn("_g1", round(col("_x") * (col("_y") - mu), 12).cast(dec12))
+        .withColumn("_h00", round(mu, 12).cast(dec12))
+        .withColumn("_h01", round(col("_x") * mu, 12).cast(dec12))
+        .withColumn("_h11", round(col("_x") * col("_x") * mu, 12).cast(dec12))
+        .groupBy("_g")
+        .agg(max("_a").as("_a"), max("_b").as("_b"),
+          count(lit(1)).as("n"),
+          sum(col("_y")).cast("double").as("sum_y"),
+          sum("_g0").as("_G0"), sum("_g1").as("_G1"),
+          sum("_h00").as("_H00"), sum("_h01").as("_H01"),
+          sum("_h11").as("_H11"))
+    }
+    def d(c: String): Column = col(c).cast("double")
+    def det: Column = d("_H00") * d("_H11") - d("_H01") * d("_H01")
+    // init α at the Laplace-smoothed log-mean (the standard GLM start;
+    // from α = 0 the first Newton step on large counts overshoots to
+    // e^49-scale μ and the fit freezes on inf/NaN), β at 0 — both
+    // deterministic and oracle-replicable from the same sums
+    var params = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n0"), sum(col("_y")).as("_sy0"))
+      .select(col("_g"),
+        round(log((col("_sy0") + 1.0) / (col("_n0") + 1.0).cast("double")),
+          12).as("_a"),
+        lit(0.0).as("_b"))
+    for (_ <- 1 to iters) {
+      params = pass(params)
+        .select(col("_g"),
+          when(det > 0.0,
+            round(col("_a") + (d("_G0") * d("_H11") - d("_G1") * d("_H01"))
+              / det, 12)).otherwise(col("_a")).as("_a"),
+          when(det > 0.0,
+            round(col("_b") + (d("_G1") * d("_H00") - d("_G0") * d("_H01"))
+              / det, 12)).otherwise(col("_b")).as("_b"))
+        .localCheckpoint() // k rows; truncate the iterative lineage
+    }
+    pass(params).select(col("_g").as(groupCol),
+      col("n").cast("bigint").as("n"),
+      round(col("sum_y"), 6).cast("double").as("sum_y"),
+      round(col("_a"), 6).cast("double").as("alpha"),
+      round(col("_b"), 6).cast("double").as("beta"),
+      when(det > 0.0, round(sqrt(d("_H00") / det), 6))
+        .cast("double").as("se_beta"),
+      when(det > 0.0, round(col("_b") / sqrt(d("_H00") / det), 6))
+        .cast("double").as("z_beta"),
+      round(exp(col("_b")), 6).cast("double").as("rate_ratio"))
+  }
+
   /** One-lag Granger causality F per group — does x's PAST improve the
     * prediction of y beyond y's own past: restricted y_t = α + β·y_{t−1}
     * vs unrestricted y_t = α + β₁·y_{t−1} + β₂·x_{t−1};

@@ -722,6 +722,24 @@ object StatsOps {
       .orderBy("cohort")
   }
 
+  /** Poisson regression of daily event counts on the scaled day
+    * index per event type — the GLM trio's count member: 3 FIXED
+    * Newton iterations from the Laplace-smoothed log-mean, 12-dp
+    * frozen μ-weighted gradient/Hessian terms, the same closed 2×2
+    * solve as q_logistic; e^β is the per-decade-of-days rate ratio.
+    */
+  val qPoisson: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("y"))
+      .select(col("event_type"),
+        (datediff(col("d"), lit("2024-01-01").cast("date")) / 10.0)
+          .as("x"),
+        col("y"))
+    Stats.poissonFit(cells, "event_type", "x", "y", iters = 3)
+      .orderBy("event_type")
+  }
+
   /** Two-cohort log-rank on time-to-first-purchase (the
     * q_kaplan_meier subjects split by user parity): grid at-risk
     * counts, 12-dp decimal E/V term sums, one z tree.
@@ -1541,6 +1559,7 @@ object StatsOps {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_lin_fit" -> qLinFit,
     "q_logistic" -> qLogistic,
+    "q_poisson" -> qPoisson,
     "q_ols_multi" -> qOlsMulti,
     "q_ols_multi3" -> qOlsMulti3,
     "q_log_rank" -> qLogRank,
@@ -3419,6 +3438,129 @@ object StatsOps {
                    + 1.0 / CAST(n_b AS DOUBLE))), 6)
              END AS DOUBLE) AS z
       FROM pair ORDER BY group_a, group_b""",
+
+    // The q_logistic iteration scheme with μ = EXP(a + b·x) weights
+    // and the Laplace-smoothed log-mean init — three unrolled Newton
+    // CTEs + the final observed-information pass.
+    "q_poisson" -> """
+      WITH cells AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT g,
+               ROUND(DATEDIFF('day', DATE '2024-01-01', d) / 10.0, 6) AS x,
+               y
+        FROM cells WHERE d IS NOT NULL),
+      p0 AS (
+        SELECT g, ROUND(LN((SUM(y) + 1.0)
+                 / CAST(COUNT(*) + 1 AS DOUBLE)), 12) AS a,
+               0.0 AS b
+        FROM pts GROUP BY g),
+      pr1 AS (
+        SELECT pts.g, x, y, a, b, EXP(a + b * x) AS m
+        FROM pts JOIN p0 USING (g)),
+      t1 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - m, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - m), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(m, 12) AS DECIMAL(38,12))) AS h00,
+               SUM(CAST(ROUND(x * m, 12) AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * m, 12) AS DECIMAL(38,12))) AS h11
+        FROM pr1 GROUP BY g),
+      d1 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t1),
+      p1 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d1),
+      pr2 AS (
+        SELECT pts.g, x, y, a, b, EXP(a + b * x) AS m
+        FROM pts JOIN p1 USING (g)),
+      t2 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - m, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - m), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(m, 12) AS DECIMAL(38,12))) AS h00,
+               SUM(CAST(ROUND(x * m, 12) AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * m, 12) AS DECIMAL(38,12))) AS h11
+        FROM pr2 GROUP BY g),
+      d2 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t2),
+      p2 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d2),
+      pr3 AS (
+        SELECT pts.g, x, y, a, b, EXP(a + b * x) AS m
+        FROM pts JOIN p2 USING (g)),
+      t3 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - m, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - m), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(m, 12) AS DECIMAL(38,12))) AS h00,
+               SUM(CAST(ROUND(x * m, 12) AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * m, 12) AS DECIMAL(38,12))) AS h11
+        FROM pr3 GROUP BY g),
+      d3 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t3),
+      p3 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d3),
+      pr4 AS (
+        SELECT pts.g, x, y, a, b, EXP(a + b * x) AS m
+        FROM pts JOIN p3 USING (g)),
+      t4 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               COUNT(*)::BIGINT AS n, SUM(y) AS sum_y,
+               SUM(CAST(ROUND(m, 12) AS DECIMAL(38,12))) AS h00,
+               SUM(CAST(ROUND(x * m, 12) AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * m, 12) AS DECIMAL(38,12))) AS h11
+        FROM pr4 GROUP BY g),
+      d4 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t4)
+      SELECT g AS event_type, n,
+             CAST(ROUND(sum_y, 6) AS DOUBLE) AS sum_y,
+             CAST(ROUND(a, 6) AS DOUBLE) AS alpha,
+             CAST(ROUND(b, 6) AS DOUBLE) AS beta,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(SQRT(CAST(h00 AS DOUBLE) / det), 6) END
+               AS DOUBLE) AS se_beta,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(b / SQRT(CAST(h00 AS DOUBLE) / det), 6) END
+               AS DOUBLE) AS z_beta,
+             CAST(ROUND(EXP(b), 6) AS DOUBLE) AS rate_ratio
+      FROM d4 ORDER BY event_type""",
 
     // Three unrolled Newton iterations from (0,0) + the final
     // observed-information pass — every per-row term 12-dp frozen into

@@ -1653,6 +1653,36 @@ class StatsSpec extends SparkTestBase {
       Stats.logisticFit(df, "g", "x", col("y"), iters = 9))
   }
 
+  test("poissonFit: planted rate trend — beta recovers ln-rate slope") {
+    import spark.implicits._
+    // counts follow rate e^(2 + 0.3x) with deterministic perturbation;
+    // β should recover ≈ 0.3 and e^β the per-unit rate ratio
+    val df = (1 to 200).map { i =>
+      val x = (i % 10).toDouble
+      val rate = math.exp(2.0 + 0.3 * x)
+      ("g", x, math.max(0.0, math.rint(rate + 3.0 * math.sin(i.toDouble))))
+    }.toDF("g", "x", "y")
+    val r = Stats.poissonFit(df, "g", "x", "y").collect().head
+    assert(math.abs(r.getAs[Double]("beta") - 0.3) < 0.02, r.toString)
+    assert(math.abs(r.getAs[Double]("alpha") - 2.0) < 0.1, r.toString)
+    assert(r.getAs[Double]("z_beta") > 20.0, r.toString)
+    assert(math.abs(r.getAs[Double]("rate_ratio") - math.exp(0.3)) < 0.03)
+    // flat counts: beta ~ 0, rate_ratio ~ 1
+    val flat = (1 to 100).map(i =>
+      ("f", (i % 10).toDouble, 5.0 + (i % 3))).toDF("g", "x", "y")
+    val rf = Stats.poissonFit(flat, "g", "x", "y").collect().head
+    assert(math.abs(rf.getAs[Double]("beta")) < 0.05, rf.toString)
+    // constant x degenerates: det = 0, params stay at the init, NULL se
+    val cx = Seq(("c", 1.0, 4.0), ("c", 1.0, 6.0)).toDF("g", "x", "y")
+    val rc = Stats.poissonFit(cx, "g", "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("se_beta")), rc.toString)
+    assert(rc.getAs[Double]("beta") == 0.0, rc.toString)
+    // negative counts rejected loudly in-plan
+    val neg = Seq(("n", 1.0, -2.0), ("n", 2.0, 1.0)).toDF("g", "x", "y")
+    intercept[Exception](
+      Stats.poissonFit(neg, "g", "x", "y").collect())
+  }
+
   test("logisticFit: one-sided labels stay finite under fixed iterations") {
     import spark.implicits._
     // all-positive labels: the MLE diverges, the FIXED iteration count
