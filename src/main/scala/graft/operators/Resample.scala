@@ -779,17 +779,30 @@ object Resample {
     * corpus to calendar-bounded cells; the lead windows and moment
     * fold run on cells only. Output: (group, lag, acf, n_days).
     */
+  /** Shared 1e6-quantized day-cell builder: (_g, _day, _x) with _x the
+    * exact scaled-long daily sum — the base frame of the acf/AR/
+    * seasonal family. */
+  private[operators] def dayCells(df: DataFrame, groupCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
+      .cast("long")
+    df.select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_day").agg(sum("_q").as("_x"))
+  }
+
   def autocorrelation(df: DataFrame, groupCol: String, tsCol: String,
-      valueCol: String, maxLag: Int): DataFrame = {
+      valueCol: String, maxLag: Int): DataFrame =
+    autocorrelationCells(dayCells(df, groupCol, tsCol, valueCol),
+      groupCol, maxLag)
+
+  /** [[autocorrelation]] on a pre-built (_g, _day, _x) cell frame —
+    * the entry the seasonal-differenced series feeds. */
+  private[operators] def autocorrelationCells(cells: DataFrame,
+      groupCol: String, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 10,
       s"maxLag=$maxLag out of the sane 1..10 window")
     val dec = "decimal(38,0)"
-    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
-      .cast("long")
-    val cells = df
-      .select(col(groupCol).as("_g"), day.as("_day"),
-        round(col(valueCol) * 1e6).cast("long").as("_q"))
-      .groupBy("_g", "_day").agg(sum("_q").as("_x"))
     val stats = cells.groupBy(col("_g").as("_gm"))
       .agg(count(lit(1)).cast(dec).as("_n"), sum("_x").cast(dec).as("_s"))
     val w = Window.partitionBy("_g").orderBy("_day")
@@ -1461,14 +1474,14 @@ object Resample {
     * Output: (group, n_days, phi1..phi3 [NULL above p], forecast).
     */
   def arpForecast(df: DataFrame, groupCol: String, tsCol: String,
-      valueCol: String, p: Int = 3): DataFrame = {
+      valueCol: String, p: Int = 3): DataFrame =
+    arpForecastCells(dayCells(df, groupCol, tsCol, valueCol),
+      groupCol, p)
+
+  /** [[arpForecast]] on a pre-built (_g, _day, _x) cell frame. */
+  private[operators] def arpForecastCells(cells: DataFrame,
+      groupCol: String, p: Int): DataFrame = {
     require(p >= 1 && p <= 3, s"arpForecast: p must be in [1, 3], got $p")
-    val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))
-      .cast("long")
-    val cells = df
-      .select(col(groupCol).as("_g"), day.as("_day"),
-        round(col(valueCol) * 1e6).cast("long").as("_x"))
-      .groupBy("_g", "_day").agg(sum("_x").as("_x"))
     val mu = cells.groupBy(col("_g").as("_gm"))
       .agg(count(lit(1)).as("_n"),
         sum(col("_x").cast("decimal(38,0)")).as("_s"))
@@ -1483,7 +1496,7 @@ object Resample {
       .agg(max(when(col("_rn") === 1, round(col("_x") / 1e6, 6))).as("_xn"),
         max(when(col("_rn") === 2, round(col("_x") / 1e6, 6))).as("_xn1"),
         max(when(col("_rn") === 3, round(col("_x") / 1e6, 6))).as("_xn2"))
-    val rho = autocorrelation(df, groupCol, tsCol, valueCol, p)
+    val rho = autocorrelationCells(cells, groupCol, p)
       .groupBy(col(groupCol))
       .agg(max("n_days").as("n_days"),
         max(when(col("lag") === 1, col("acf"))).as("_r1"),
@@ -1532,6 +1545,69 @@ object Resample {
       col("phi1"), col("phi2"), col("phi3"),
       when(col("phi1").isNotNull, round(fc, 6))
         .cast("double").as("forecast"))
+  }
+
+  /** Seasonally-differenced AR(p) one-step forecast — SARIMA-lite
+    * (0,0,0)×(p on the D=1 seasonal difference): d_t = x_t −
+    * x_{t−season} over the day-cell ROW order removes the repeating
+    * weekly/periodic level, [[arpForecast]]'s Durbin–Levinson
+    * machinery fits the difference series, and the forecast
+    * integrates back: x̂_{n+1} = x_{n+1−season} + d̂_{n+1}. The model
+    * [[Stats.seasonalityIndex]] diagnoses and L183's Holt–Winters
+    * smooths, as an explicit AR fit.
+    *
+    * Exactness: the difference cells are exact scaled-long
+    * subtractions keyed to the later day; everything downstream is
+    * [[arpForecastCells]] verbatim (6-dp acf, unrounded DL inside,
+    * 6-dp φ's); the anchor x_{n+1−season} descales exactly and the
+    * final integration is one rounded addition. Groups shorter than
+    * season + p + 1 cells → NULL forecast by the inner guards.
+    *
+    * Scale shape: one extra per-group lag window over the day cells,
+    * then the arpForecast cost class unchanged. Output: (group,
+    * n_days [of the DIFFERENCED series], phi1..phi3, diff_forecast,
+    * forecast).
+    */
+  def seasonalArpForecast(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, season: Int = 7, p: Int = 2): DataFrame = {
+    require(season >= 2 && season <= 366,
+      s"seasonalArpForecast: season must be in [2, 366], got $season")
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val dcells = cells
+      .withColumn("_xs", lag(col("_x"), season).over(w))
+      .filter(col("_xs").isNotNull)
+      .select(col("_g"), col("_day"), (col("_x") - col("_xs")).as("_x"))
+    val fit = arpForecastCells(dcells, groupCol, p)
+      .withColumnRenamed("forecast", "diff_forecast")
+    // anchor: the value season−1 rows before the last (x_{n+1−season})
+    val wLast = Window.partitionBy("_g").orderBy(col("_day").desc)
+    val anchor = cells
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") === season)
+      .select(col("_g").as("_ga"), round(col("_x") / 1e6, 6).as("_xa"))
+    // drift fallback: a CONSTANT difference series (exactly periodic
+    // data, or periodic + linear trend) has zero variance, so the AR
+    // fit is rightly NULL — but the correct forecast is known: anchor
+    // + the mean difference (random-walk-with-drift on the seasonal
+    // lag, the standard degenerate case of this model)
+    val mud = dcells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_nm"),
+        sum(col("_x").cast("decimal(38,0)")).as("_sm"))
+      .select(col("_gm"),
+        round(col("_sm").cast("double") / col("_nm").cast("double") / 1e6,
+          6).as("_mud"))
+    fit.join(broadcast(anchor), col(groupCol) <=> col("_ga"), "left")
+      .drop("_ga")
+      .join(broadcast(mud), col(groupCol) <=> col("_gm"), "left")
+      .drop("_gm")
+      .withColumn("forecast",
+        when(col("_xa").isNotNull
+            && coalesce(col("diff_forecast"), col("_mud")).isNotNull,
+          round(col("_xa")
+            + coalesce(col("diff_forecast"), col("_mud")), 6))
+          .cast("double"))
+      .drop("_xa", "_mud")
   }
 
   def arForecast(df: DataFrame, groupCol: String, tsCol: String,

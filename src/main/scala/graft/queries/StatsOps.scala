@@ -1177,6 +1177,17 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** SARIMA-lite: AR(2) on the lag-7 seasonally-differenced daily
+    * series, integrated back through the x_{n+1−7} anchor — the
+    * explicit-model cousin of q_hw_forecast's smoother, sharing the
+    * Durbin–Levinson trees with q_arp_forecast.
+    */
+  val qArpSeasonal: QueryFn = withTables { spark =>
+    Resample.seasonalArpForecast(spark.table("events"), "event_type",
+        "ts", "value", season = 7, p = 2)
+      .orderBy("event_type")
+  }
+
   /** Cochran's Q across the five event types over matched day blocks
     * on the binary "daily spend above $1,500" outcome: the 0/1 member
     * of the matched-blocks family, exact-integer throughout.
@@ -1485,6 +1496,7 @@ object StatsOps {
     "q_ljung_box" -> qLjungBox,
     "q_ar2_forecast" -> qAr2Forecast,
     "q_arp_forecast" -> qArpForecast,
+    "q_arp_seasonal" -> qArpSeasonal,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
     "q_decompose" -> qDecompose,
@@ -6279,6 +6291,93 @@ object StatsOps {
     // The q_acf CTEs at maxLag 2, the exact-decimal day-cell mean,
     // the last-two-cells window, and the same Yule-Walker phi and
     // forecast float trees.
+    // Lag-7 seasonal difference of the day cells, then the q_arp
+    // AR(2) pipeline on the DIFFERENCED series, integrated back
+    // through the rn=7 anchor of the ORIGINAL cells.
+    "q_arp_seasonal" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      dcells AS (
+        SELECT g, day, x - xs AS x FROM (
+          SELECT g, day, x,
+                 LAG(x, 7) OVER (PARTITION BY g ORDER BY day) AS xs
+          FROM cells)
+        WHERE xs IS NOT NULL),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM dcells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM dcells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r1,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n2 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r2
+        FROM agg),
+      mu AS (
+        SELECT g, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) AS mu
+        FROM st),
+      lastt AS (
+        SELECT g,
+               MAX(CASE WHEN rn = 1 THEN xr END) AS xn,
+               MAX(CASE WHEN rn = 2 THEN xr END) AS xn1
+        FROM (
+          SELECT g, ROUND(x / 1000000.0, 6) AS xr,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY day DESC)
+                   AS rn
+          FROM dcells)
+        WHERE rn <= 2 GROUP BY g),
+      anchor AS (
+        SELECT g, ROUND(x / 1000000.0, 6) AS xa FROM (
+          SELECT g, x,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY day DESC)
+                   AS rn
+          FROM cells)
+        WHERE rn = 7),
+      f AS (
+        SELECT rho.g AS g, n_days, mu, xn, xn1, xa,
+               CASE WHEN n_days >= 3 AND r1 IS NOT NULL
+                      AND r2 IS NOT NULL AND 1.0 - r1 * r1 > 0.0 THEN
+                 ROUND(r1 * (1.0 - (r2 - r1 * r1) / (1.0 - r1 * r1)), 6)
+               END AS phi1,
+               CASE WHEN n_days >= 3 AND r1 IS NOT NULL
+                      AND r2 IS NOT NULL AND 1.0 - r1 * r1 > 0.0 THEN
+                 ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) END AS phi2
+        FROM rho JOIN mu ON rho.g = mu.g JOIN lastt ON rho.g = lastt.g
+        LEFT JOIN anchor ON rho.g = anchor.g),
+      f2 AS (
+        SELECT g, n_days, phi1, phi2, xa, mu,
+               CASE WHEN phi1 IS NOT NULL THEN
+                 ROUND(mu + phi1 * (xn - mu) + phi2 * (xn1 - mu), 6)
+               END AS diff_forecast
+        FROM f)
+      SELECT g AS event_type, n_days,
+             CAST(phi1 AS DOUBLE) AS phi1, CAST(phi2 AS DOUBLE) AS phi2,
+             CAST(NULL AS DOUBLE) AS phi3,
+             CAST(diff_forecast AS DOUBLE) AS diff_forecast,
+             CAST(CASE WHEN xa IS NOT NULL
+                    AND COALESCE(diff_forecast, mu) IS NOT NULL THEN
+               ROUND(xa + COALESCE(diff_forecast, mu), 6) END
+               AS DOUBLE) AS forecast
+      FROM f2 ORDER BY event_type""",
+
     // The q_ar2_forecast cells + a lag-3 column, then the Durbin–
     // Levinson level-2/3 unroll (identical spelling to q_pacf) and the
     // three-term forecast tree anchored on μ and the last three cells.

@@ -2180,6 +2180,54 @@ class StatsSpec extends SparkTestBase {
     assert(out.getAs[Double]("forecast") == exp, out.toString)
   }
 
+  test("seasonalArpForecast: periodic and trend+periodic are EXACT") {
+    import spark.implicits._
+    val pat = Seq(10.0, 3.0, 7.0, 12.0, 5.0, 8.0, 2.0) // period 7
+    // 28 days of a strict period-7 signal: differences are all zero →
+    // AR degenerate, drift fallback = anchor + 0 = next period value
+    val per = (0 until 28).map(i =>
+      ("g", java.sql.Timestamp.valueOf(
+        f"2024-03-${i + 1}%02d 06:00:00"), pat(i % 7)))
+      .toDF("g", "ts", "v")
+    val rp = Resample.seasonalArpForecast(per, "g", "ts", "v")
+      .collect().head
+    assert(rp.isNullAt(rp.fieldIndex("phi1")), rp.toString)
+    assert(rp.getAs[Double]("forecast") == pat(28 % 7),
+      s"periodic next value must be exact: $rp")
+    // + linear trend 0.5/day: diffs constant 3.5 → drift fallback is
+    // again exact for the next point
+    val tr = (0 until 28).map(i =>
+      ("g", java.sql.Timestamp.valueOf(
+        f"2024-03-${i + 1}%02d 06:00:00"), pat(i % 7) + 0.5 * i))
+      .toDF("g", "ts", "v")
+    val rt = Resample.seasonalArpForecast(tr, "g", "ts", "v")
+      .collect().head
+    assert(rt.getAs[Double]("forecast") == pat(28 % 7) + 0.5 * 28,
+      s"trend+periodic next value must be exact: $rt")
+    // noisy seasonal: AR fits the differenced series (phis non-null)
+    // and the forecast integrates back near the periodic level
+    val nz = (0 until 56).map(i =>
+      ("g", java.sql.Timestamp.valueOf(
+        if (i < 31) f"2024-03-${i + 1}%02d 06:00:00"
+        else f"2024-04-${i - 30}%02d 06:00:00"),
+        pat(i % 7) + 2.0 * math.sin(i.toDouble)))
+      .toDF("g", "ts", "v")
+    val rn = Resample.seasonalArpForecast(nz, "g", "ts", "v")
+      .collect().head
+    assert(!rn.isNullAt(rn.fieldIndex("phi1")), rn.toString)
+    assert(math.abs(rn.getAs[Double]("forecast") - pat(56 % 7)) < 4.0,
+      rn.toString)
+    // shorter than a season: no differenced rows at all → no output row
+    val tiny = (0 until 5).map(i =>
+      ("t", java.sql.Timestamp.valueOf(
+        f"2024-03-${i + 1}%02d 06:00:00"), pat(i % 7)))
+      .toDF("g", "ts", "v")
+    assert(Resample.seasonalArpForecast(tiny, "g", "ts", "v")
+      .collect().isEmpty)
+    intercept[IllegalArgumentException](
+      Resample.seasonalArpForecast(per, "g", "ts", "v", season = 1))
+  }
+
   test("arpForecast: degenerate and bounds") {
     import spark.implicits._
     val flat = Seq.tabulate(8)(i =>
