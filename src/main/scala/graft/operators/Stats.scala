@@ -2412,6 +2412,69 @@ object Stats {
       when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
   }
 
+  /** Ridge regression, two covariates + (unpenalized) intercept — the
+    * L2-regularized member beside [[linearFitMulti]]: the shrinkage
+    * every "regress y on correlated features" ask eventually needs
+    * when the OLS solve goes near-singular. Formulated SCALE-
+    * INVARIANTLY as standardized ridge: the centered normal equations
+    * with each covariate's own variance inflated by (1 + λ) —
+    * S11·(1+λ), S22·(1+λ), cross-moments untouched — which equals
+    * ridge on unit-variance covariates and makes λ a pure shrinkage
+    * knob (λ = 0 IS OLS, pinned equal to linearFitMulti; λ → ∞ sends
+    * β → 0). A singular OLS panel (collinear covariates) becomes
+    * solvable for any λ > 0 — the point of the operator.
+    *
+    * Same determinism contract as [[linearFitMulti]]: ten
+    * decimal(38,0) Gram moments, one Cramer tree on the inflated
+    * diagonal, 6-dp rounds; se/t are deliberately NOT reported (ridge
+    * SEs need the effective-dof story — out of scope, documented).
+    * Output: (group, n, lambda, b0, b1, b2, r2).
+    */
+  def ridgeFit(df: DataFrame, groupCol: String, xCols: Seq[String],
+      yCol: String, lambda: Double): DataFrame = {
+    require(xCols.size == 2, s"ridgeFit: exactly 2 covariates")
+    require(lambda >= 0.0, s"ridgeFit: lambda must be >= 0, got $lambda")
+    val Seq(x1c, x2c) = xCols
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(x1c).isNotNull && col(x2c).isNotNull
+        && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(x1c) * 1e6).cast("long").as("_x1"),
+        round(col(x2c) * 1e6).cast("long").as("_x2"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+    def m(a: String, b: String): Column =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val sums = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x1").cast(dec)).as("_s1"),
+        sum(col("_x2").cast(dec)).as("_s2"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        m("_x1", "_x1").as("_s11"), m("_x2", "_x2").as("_s22"),
+        m("_x1", "_x2").as("_s12"), m("_x1", "_y").as("_s1y"),
+        m("_x2", "_y").as("_s2y"), m("_y", "_y").as("_syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val lam = lit(1.0 + lambda)
+    val cS11 = (nd * d("_s11") - d("_s1") * d("_s1")) * lam
+    val cS22 = (nd * d("_s22") - d("_s2") * d("_s2")) * lam
+    val cS12 = nd * d("_s12") - d("_s1") * d("_s2")
+    val cS1y = nd * d("_s1y") - d("_s1") * d("_sy")
+    val cS2y = nd * d("_s2y") - d("_s2") * d("_sy")
+    val cSyy = nd * d("_syy") - d("_sy") * d("_sy")
+    val det = cS11 * cS22 - cS12 * cS12
+    val b1 = (cS1y * cS22 - cS2y * cS12) / det
+    val b2 = (cS2y * cS11 - cS1y * cS12) / det
+    val b0s = (d("_sy") - b1 * d("_s1") - b2 * d("_s2")) / nd
+    val r2 = (b1 * cS1y + b2 * cS2y) / cSyy
+    val okB = col("n") >= 3 && det > 0.0
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      lit(lambda).cast("double").as("lambda"),
+      when(okB, round(b0s / lit(1e6), 6)).cast("double").as("b0"),
+      when(okB, round(b1, 6)).cast("double").as("b1"),
+      when(okB, round(b2, 6)).cast("double").as("b2"),
+      when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
+  }
+
   /** [[linearFitMulti]]'s p = 3 tier — y on (x1, x2, x3) + intercept
     * per group: the intercept eliminates by centering, leaving one
     * 3×3 symmetric solve whose Cramer determinants and adjugate

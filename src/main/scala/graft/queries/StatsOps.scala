@@ -696,6 +696,16 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** Standardized ridge at λ = 0.5 on the q_ols_multi design — the
+    * same ten Gram moments with the covariate variances inflated by
+    * (1 + λ); coefficients shrink toward 0 vs the OLS twin.
+    */
+  val qRidge: QueryFn = withTables { spark =>
+    Stats.ridgeFit(spark.table("lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_discount"), "l_extendedprice", lambda = 0.5)
+      .orderBy("l_returnflag")
+  }
+
   /** The p = 3 tier: + l_tax as the third covariate — fifteen Gram
     * moments, the 3×3 centered Cramer determinants and adjugate
     * diagonals as writable float trees (the closed-form family's
@@ -1574,6 +1584,7 @@ object StatsOps {
     "q_poisson" -> qPoisson,
     "q_ols_multi" -> qOlsMulti,
     "q_ols_multi3" -> qOlsMulti3,
+    "q_ridge" -> qRidge,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
@@ -3704,6 +3715,64 @@ object StatsOps {
                AS DOUBLE) AS z_beta,
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
       FROM d4 ORDER BY cohort""",
+
+    // The q_ols_multi moments with the covariate variances inflated
+    // by (1 + λ) = 1.5 — the standardized-ridge Cramer trees.
+    "q_ridge" -> """
+      WITH pts AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity * 1000000.0) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 1000000.0) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+               SUM(y::HUGEINT) AS sy,
+               SUM(x1::HUGEINT * x1) AS s11, SUM(x2::HUGEINT * x2) AS s22,
+               SUM(x1::HUGEINT * x2) AS s12, SUM(x1::HUGEINT * y) AS s1y,
+               SUM(x2::HUGEINT * y) AS s2y, SUM(y::HUGEINT * y) AS syy
+        FROM pts GROUP BY g),
+      fl AS (
+        SELECT g, n, CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(sy AS DOUBLE) AS syd,
+               (CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) * 1.5 AS cs11,
+               (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) * 1.5 AS cs22,
+               CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cs12,
+               CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs1y,
+               CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs2y,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS csyy
+        FROM s),
+      g1 AS (
+        SELECT *, cs11 * cs22 - cs12 * cs12 AS det FROM fl),
+      g2 AS (
+        SELECT *,
+               (cs1y * cs22 - cs2y * cs12) / det AS b1,
+               (cs2y * cs11 - cs1y * cs12) / det AS b2
+        FROM g1),
+      g3 AS (
+        SELECT *,
+               (syd - b1 * s1d - b2 * s2d) / CAST(n AS DOUBLE) AS b0s
+        FROM g2)
+      SELECT g AS l_returnflag, n, CAST(0.5 AS DOUBLE) AS lambda,
+             CAST(CASE WHEN n >= 3 AND det > 0.0
+               THEN ROUND(b0s / 1000000.0, 6) END AS DOUBLE) AS b0,
+             CAST(CASE WHEN n >= 3 AND det > 0.0
+               THEN ROUND(b1, 6) END AS DOUBLE) AS b1,
+             CAST(CASE WHEN n >= 3 AND det > 0.0
+               THEN ROUND(b2, 6) END AS DOUBLE) AS b2,
+             CAST(CASE WHEN n >= 3 AND det > 0.0 AND csyy > 0.0
+               THEN ROUND((b1 * cs1y + b2 * cs2y) / csyy, 6) END
+               AS DOUBLE) AS r2
+      FROM g3 ORDER BY l_returnflag""",
 
     // Fifteen HUGEINT Gram moments, the 3×3 first-row cofactor
     // expansions (det + three replaced-column Cramer determinants +

@@ -1531,6 +1531,43 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("ridgeFit: lambda=0 IS OLS; shrinkage monotone; collinear solvable") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val (x1, x2) = ((i % 13).toDouble, (i % 7).toDouble)
+      ("g", x1, x2, 1.0 + 4.0 * x1 - 2.0 * x2 + math.sin(i.toDouble))
+    }.toDF("g", "x1", "x2", "y")
+    val ols = Stats.linearFitMulti(df, "g", Seq("x1", "x2"), "y")
+      .collect().head
+    val r0 = Stats.ridgeFit(df, "g", Seq("x1", "x2"), "y", lambda = 0.0)
+      .collect().head
+    assert(r0.getAs[Double]("b1") == ols.getAs[Double]("b1")
+      && r0.getAs[Double]("b2") == ols.getAs[Double]("b2")
+      && r0.getAs[Double]("b0") == ols.getAs[Double]("b0"),
+      s"lambda=0 must BE the OLS solution: $r0 vs $ols")
+    // shrinkage: |b| decreases as lambda grows; huge lambda → near 0
+    val r1 = Stats.ridgeFit(df, "g", Seq("x1", "x2"), "y", 1.0)
+      .collect().head
+    val rBig = Stats.ridgeFit(df, "g", Seq("x1", "x2"), "y", 1e6)
+      .collect().head
+    assert(math.abs(r1.getAs[Double]("b1")) < math.abs(ols.getAs[Double]("b1")))
+    assert(math.abs(r1.getAs[Double]("b2")) < math.abs(ols.getAs[Double]("b2")))
+    assert(math.abs(rBig.getAs[Double]("b1")) < 1e-3
+      && math.abs(rBig.getAs[Double]("b2")) < 1e-3, rBig.toString)
+    // collinear design: OLS is NULL, any lambda > 0 solves it
+    val colin = (1 to 40).map { i =>
+      val x = (i % 9).toDouble
+      ("g", x, 2.0 * x, 3.0 * x)
+    }.toDF("g", "x1", "x2", "y")
+    assert(Stats.linearFitMulti(colin, "g", Seq("x1", "x2"), "y")
+      .collect().head.isNullAt(2))
+    val rc = Stats.ridgeFit(colin, "g", Seq("x1", "x2"), "y", 0.1)
+      .collect().head
+    assert(!rc.isNullAt(rc.fieldIndex("b1")), rc.toString)
+    intercept[IllegalArgumentException](
+      Stats.ridgeFit(df, "g", Seq("x1", "x2"), "y", -0.1))
+  }
+
   test("linearFitMulti3: exact hyperplane recovered; noisy planted effect") {
     import spark.implicits._
     // y = 2 + 1.5·x1 − 3·x2 + 0.25·x3 exactly, covariates incommensurate
