@@ -2412,6 +2412,67 @@ object Stats {
       when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
   }
 
+  /** Weighted least squares, one covariate — [[linearFit]] with a
+    * per-row weight column: the heteroscedasticity workhorse (inverse-
+    * variance weighting of aggregated cells, importance-weighted
+    * trends, reliability-weighted sensors). Closed form on weighted
+    * moments: slope = (ΣwΣwxy − ΣwxΣwy)/(ΣwΣwx² − (Σwx)²), intercept
+    * = (Σwy − slope·Σwx)/Σw, R² its weighted analogue. w = 1
+    * everywhere reproduces [[linearFit]] exactly (pinned); zero-weight
+    * rows drop out exactly; negative weights are rejected loudly
+    * in-plan.
+    *
+    * Exactness: x, y, w all quantize to 1e6-scaled longs; the seven
+    * weighted moments (including the TRIPLE products w·x·y, w·x²,
+    * w·y²) accumulate in decimal(38,0) — exact, order-free. The
+    * triple products cost headroom: at w ≈ 1, |y| ≈ 1e5 the w·y²
+    * term is ~1e28/row, leaving ~1e10 rows per group before
+    * decimal(38) overflows (Spark then yields NULL, not a wrong
+    * number) — for bigger groups pre-aggregate to cells first; the
+    * slope/intercept/R² trees are [[linearFit]]'s with Σw in n's
+    * place, de-scaled once. Degenerate weighted x-variance → NULL.
+    * One hash aggregate, zero joins/windows. Output: (group, n,
+    * sum_w, slope, intercept, r2).
+    */
+  def weightedLinearFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, wCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull
+        && col(wCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_x"),
+        round(col(yCol) * 1e6).cast("long").as("_y"),
+        round(col(wCol) * 1e6).cast("long").as("_w"))
+      .withColumn("_w", when(col("_w") >= 0L, col("_w")).otherwise(
+        raise_error(lit("weightedLinearFit: negative weight"))))
+      .filter(col("_w") > 0L)
+    def m2(a: String, b: String): Column =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    def m3(a: String, b: String, c: String): Column =
+      sum(((col(a).cast(dec) * col(b)).cast(dec) * col(c)).cast(dec))
+    val sums = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_w").cast(dec)).as("_sw"),
+        m2("_w", "_x").as("_swx"), m2("_w", "_y").as("_swy"),
+        m3("_w", "_x", "_x").as("_swxx"),
+        m3("_w", "_y", "_y").as("_swyy"),
+        m3("_w", "_x", "_y").as("_swxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val num = d("_sw") * d("_swxy") - d("_swx") * d("_swy")
+    val denX = d("_sw") * d("_swxx") - d("_swx") * d("_swx")
+    val denY = d("_sw") * d("_swyy") - d("_swy") * d("_swy")
+    val slope = num / denX
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      round(d("_sw") / lit(1e6), 6).cast("double").as("sum_w"),
+      when(denX > 0.0, round(slope, 6)).cast("double").as("slope"),
+      when(denX > 0.0,
+        round(d("_swy") / d("_sw") / lit(1e6)
+          - slope * (d("_swx") / d("_sw") / lit(1e6)), 6))
+        .cast("double").as("intercept"),
+      when(denX > 0.0 && denY > 0.0,
+        round(num * num / (denX * denY), 6)).cast("double").as("r2"))
+  }
+
   /** Ridge regression, two covariates + (unpenalized) intercept — the
     * L2-regularized member beside [[linearFitMulti]]: the shrinkage
     * every "regress y on correlated features" ask eventually needs

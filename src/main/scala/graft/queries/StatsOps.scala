@@ -696,6 +696,19 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** Weighted least squares: extendedprice on quantity per return
+    * flag, rows weighted by (1 − discount) — seven HUGEINT weighted
+    * moments (triple products for wx², wy², wxy), the linearFit trees
+    * with Σw in n's place.
+    */
+  val qWls: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .withColumn("w", lit(1.0) - col("l_discount"))
+    Stats.weightedLinearFit(li, "l_returnflag", "l_quantity",
+        "l_extendedprice", "w")
+      .orderBy("l_returnflag")
+  }
+
   /** Standardized ridge at λ = 0.5 on the q_ols_multi design — the
     * same ten Gram moments with the covariate variances inflated by
     * (1 + λ); coefficients shrink toward 0 vs the OLS twin.
@@ -1585,6 +1598,7 @@ object StatsOps {
     "q_ols_multi" -> qOlsMulti,
     "q_ols_multi3" -> qOlsMulti3,
     "q_ridge" -> qRidge,
+    "q_wls" -> qWls,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
@@ -3715,6 +3729,49 @@ object StatsOps {
                AS DOUBLE) AS z_beta,
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
       FROM d4 ORDER BY cohort""",
+
+    // Seven HUGEINT weighted moments (triple products wx², wy², wxy),
+    // the q_lin_fit trees with Σw in n's place, Σw descaled once.
+    "q_wls" -> """
+      WITH pts AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity * 1000000.0) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT) AS y,
+               CAST(ROUND((1.0 - l_discount) * 1000000.0) AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL),
+      pos AS (SELECT * FROM pts WHERE w > 0),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(w::HUGEINT) AS sw,
+               SUM(w::HUGEINT * x) AS swx, SUM(w::HUGEINT * y) AS swy,
+               SUM(w::HUGEINT * x * x) AS swxx,
+               SUM(w::HUGEINT * y * y) AS swyy,
+               SUM(w::HUGEINT * x * y) AS swxy
+        FROM pos GROUP BY g),
+      fl AS (
+        SELECT g, n, CAST(sw AS DOUBLE) AS swd,
+               CAST(swx AS DOUBLE) AS swxd, CAST(swy AS DOUBLE) AS swyd,
+               CAST(sw AS DOUBLE) * CAST(swxy AS DOUBLE)
+                 - CAST(swx AS DOUBLE) * CAST(swy AS DOUBLE) AS num,
+               CAST(sw AS DOUBLE) * CAST(swxx AS DOUBLE)
+                 - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) AS denx,
+               CAST(sw AS DOUBLE) * CAST(swyy AS DOUBLE)
+                 - CAST(swy AS DOUBLE) * CAST(swy AS DOUBLE) AS deny
+        FROM s)
+      SELECT g AS l_returnflag, n,
+             CAST(ROUND(swd / 1000000.0, 6) AS DOUBLE) AS sum_w,
+             CAST(CASE WHEN denx > 0.0 THEN ROUND(num / denx, 6) END
+               AS DOUBLE) AS slope,
+             CAST(CASE WHEN denx > 0.0 THEN
+               ROUND(swyd / swd / 1000000.0
+                 - num / denx * (swxd / swd / 1000000.0), 6)
+             END AS DOUBLE) AS intercept,
+             CAST(CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+               ROUND(num * num / (denx * deny), 6)
+             END AS DOUBLE) AS r2
+      FROM fl ORDER BY l_returnflag""",
 
     // The q_ols_multi moments with the covariate variances inflated
     // by (1 + λ) = 1.5 — the standardized-ridge Cramer trees.

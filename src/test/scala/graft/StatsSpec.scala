@@ -1531,6 +1531,40 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("weightedLinearFit: w=1 IS linearFit; zero drops; weights steer") {
+    import spark.implicits._
+    val df = (1 to 50).map(i =>
+      ("g", i.toDouble, 2.0 * i + 3.0 + math.sin(i.toDouble), 1.0))
+      .toDF("g", "x", "y", "w")
+    val plain = Stats.linearFit(
+      df.select(col("g"), col("x"), col("y")), "g", "x", "y")
+      .collect().head
+    val unit = Stats.weightedLinearFit(df, "g", "x", "y", "w")
+      .collect().head
+    assert(unit.getAs[Double]("slope") == plain.getAs[Double]("slope")
+      && unit.getAs[Double]("intercept") == plain.getAs[Double]("intercept")
+      && unit.getAs[Double]("r2") == plain.getAs[Double]("r2"),
+      s"w=1 must BE linearFit: $unit vs $plain")
+    // zero-weight rows drop EXACTLY: poisoned rows with w=0 change nothing
+    val poisoned = df.unionByName(Seq(("g", 1.0, 1e9, 0.0))
+      .toDF("g", "x", "y", "w"))
+    val z = Stats.weightedLinearFit(poisoned, "g", "x", "y", "w")
+      .collect().head
+    assert(z.getAs[Double]("slope") == unit.getAs[Double]("slope"))
+    assert(z.getAs[Long]("n") === unit.getAs[Long]("n"))
+    // weights steer the fit: upweight a steeper subpopulation
+    val mix = ((1 to 40).map(i => ("m", i.toDouble, 1.0 * i, 1.0)) ++
+      (1 to 40).map(i => ("m", i.toDouble, 5.0 * i, 9.0)))
+      .toDF("g", "x", "y", "w")
+    val s = Stats.weightedLinearFit(mix, "g", "x", "y", "w")
+      .collect().head.getAs[Double]("slope")
+    assert(s > 4.0 && s < 5.0, s"weighted slope pulled to the heavy arm: $s")
+    // negative weight rejected loudly
+    intercept[Exception](Stats.weightedLinearFit(
+      Seq(("n", 1.0, 1.0, -1.0)).toDF("g", "x", "y", "w"),
+      "g", "x", "y", "w").collect())
+  }
+
   test("ridgeFit: lambda=0 IS OLS; shrinkage monotone; collinear solvable") {
     import spark.implicits._
     val df = (1 to 200).map { i =>
