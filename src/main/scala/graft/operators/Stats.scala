@@ -2071,6 +2071,52 @@ object Stats {
       .drop("_kmax")
   }
 
+  /** Holm step-down correction — the FWER member beside [[fdrBh]]'s
+    * FDR: reject hypotheses in ascending-p order while p_(j) ≤
+    * α/(m−j+1), stop at the FIRST failure (every later test is
+    * untouchable however small its p — the step-down contract BH
+    * deliberately relaxes). Uniformly more powerful than Bonferroni
+    * at identical FWER, assumption-free — the default when "any
+    * single false positive is unacceptable" (launch gates, medical
+    * batteries) where BH's "a controlled fraction is fine" doesn't
+    * hold. Also reports the standard adjusted p: p_adj(i) = running
+    * max of min(1, (m−j+1)·p_j), 9-dp frozen per term.
+    *
+    * Same battery contract as [[fdrBh]]: one row per TEST, NULL p
+    * loudly rejected, single-partition rank window guarded by
+    * `maxTests` (batteries are test-count-bounded by construction).
+    * Output: input columns + rank, m, p_adj, significant.
+    */
+  def holm(df: DataFrame, pCol: String, idCols: Seq[String],
+      alpha: Double, maxTests: Int = 100000): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha must be in (0,1)")
+    require(idCols.nonEmpty, "holm needs tiebreak id columns")
+    require(maxTests >= 1, s"maxTests=$maxTests must be >= 1")
+    val guarded = df.withColumn(pCol,
+      when(col(pCol).isNull, raise_error(
+        lit("holm: NULL p-value in the battery"))).otherwise(col(pCol)))
+    val w = Window.orderBy(col(pCol) +: idCols.map(col): _*)
+    val all = Window.partitionBy()
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    guarded
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m",
+        when(count(lit(1)).over(all) > maxTests, raise_error(lit(
+          s"holm: battery exceeds $maxTests tests — this operator " +
+            "ranks ONE row per test on a single partition; aggregate " +
+            "upstream or raise maxTests knowingly")).cast("long"))
+          .otherwise(count(lit(1)).over(all)))
+      .withColumn("p_adj",
+        max(round(least(lit(1.0),
+          col(pCol) * (col("m") - col("rank") + 1)), 9)).over(wCum))
+      .withColumn("_kfail",
+        min(when(col(pCol) * (col("m") - col("rank") + 1) > alpha,
+          col("rank"))).over(all))
+      .withColumn("significant",
+        col("rank") < coalesce(col("_kfail"), col("m") + 1))
+      .drop("_kfail")
+  }
+
   /** Split-conformal quantile per group: q̂ = the k-th smallest
     * 6-dp-quantized score with k = min(n, ⌈(1−alpha)·(n+1)⌉) — the
     * calibration constant behind distribution-free prediction

@@ -643,6 +643,21 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Holm step-down on the q_fdr_bh battery — the FWER gate beside
+    * BH's FDR: reject in ascending-p order until the first failure of
+    * p ≤ α/(m−rank+1); adjusted p as the 9-dp-frozen running max.
+    */
+  val qFdrHolm: QueryFn = withTables { spark =>
+    val ks = Stats.ksTestBinned(spark.table("events"), "event_type",
+      "value", bins = 16)
+    val withP = ks.withColumn("p",
+      least(lit(1.0), round(lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks")
+        * col("n_group").cast("double") * col("n_rest").cast("double")
+        / (col("n_group") + col("n_rest")).cast("double")), 9)))
+    Stats.holm(withP, "p", Seq("event_type"), alpha = 0.1)
+      .orderBy("event_type")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -1606,6 +1621,7 @@ object StatsOps {
     "q_jarque_bera" -> qJarqueBera,
     "q_cvm_binned" -> qCvmBinned,
     "q_fdr_bh" -> qFdrBh,
+    "q_fdr_holm" -> qFdrHolm,
     "q_ess" -> qEss,
     "q_holt_forecast" -> qHoltForecast,
     "q_hw_forecast" -> qHwForecast,
@@ -4423,6 +4439,71 @@ object StatsOps {
     // 9-dp-rounded EXP tree), then BH: (p, event_type) rank order,
     // the p·m ≤ rank·alpha compare (products only — no division),
     // integer step-up cutoff.
+    // The q_fdr_bh battery through `withp`, then the Holm step-down
+    // tail: first failing rank caps rejections; p_adj = running max of
+    // 9-dp-frozen min(1, (m−rank+1)·p).
+    "q_fdr_holm" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*) AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
+      cum AS (
+        SELECT g, q, ng,
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call
+        FROM cum),
+      kst AS (
+        SELECT g AS event_type, MAX(ng) AS n_group,
+               MAX(n) - MAX(ng) AS n_rest,
+               CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+                 CAST(ROUND(MAX(ABS(cg * (n - ng) - (call - cg) * ng))
+                   / CAST(MAX(ng) * (MAX(n) - MAX(ng)) AS DOUBLE), 6)
+                   AS DOUBLE)
+               END AS ks
+        FROM cum2 CROSS JOIN nn
+        GROUP BY g),
+      withp AS (
+        SELECT event_type, n_group, n_rest, ks,
+               LEAST(1.0, ROUND(2.0 * EXP(-2.0 * ks * ks
+                 * CAST(n_group AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                 / CAST(n_group + n_rest AS DOUBLE)), 9)) AS p
+        FROM kst),
+      ranked AS (
+        SELECT event_type, n_group, n_rest, ks, p,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS rank,
+               COUNT(*) OVER () AS m
+        FROM withp),
+      adj AS (
+        SELECT *,
+               MAX(ROUND(LEAST(1.0, p * (m - rank + 1)), 9))
+                 OVER (ORDER BY rank) AS p_adj
+        FROM ranked),
+      kf AS (SELECT MIN(rank) AS kfail FROM ranked
+             WHERE p * (m - rank + 1) > 0.1)
+      SELECT event_type, n_group, n_rest, ks, p,
+             rank::BIGINT AS rank, m::BIGINT AS m,
+             CAST(p_adj AS DOUBLE) AS p_adj,
+             rank < COALESCE(kfail, m + 1) AS significant
+      FROM adj CROSS JOIN kf
+      ORDER BY event_type""",
+
     "q_fdr_bh" -> """
       WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
       cells AS (

@@ -1531,6 +1531,48 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("holm: textbook step-down — first failure blocks later tinies") {
+    import spark.implicits._
+    // m = 4, alpha = 0.05: thresholds 0.0125, 0.0167, 0.025, 0.05
+    // p = (0.01, 0.02, 0.0001?, ...) — craft: first passes, second
+    // FAILS, third is tiny but must stay non-significant (step-down)
+    val df = Seq(("a", 0.010), ("b", 0.030), ("c", 0.011), ("d", 0.9))
+      .toDF("id", "p")
+    val out = Stats.holm(df, "p", Seq("id"), alpha = 0.05)
+      .collect().map(r => r.getAs[String]("id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Boolean]("significant"),
+          r.getAs[Double]("p_adj")))).toMap
+    // sorted p: a(0.010) c(0.011) b(0.030) d(0.9); thresholds
+    // 0.05/4=0.0125, /3=0.0167, /2=0.025, /1=0.05
+    assert(out("a")._2 && out("c")._2, out.toString)
+    assert(!out("b")._2, "0.030 > 0.025 fails at rank 3")
+    assert(!out("d")._2)
+    // adjusted p: running max of (m-rank+1)*p = 0.04, 0.033->0.04, ...
+    assert(out("a")._3 == 0.04, out.toString)
+    assert(out("c")._3 == 0.04, "running max keeps monotone")
+    assert(out("b")._3 == 0.06, out.toString)
+    assert(out("d")._3 == 0.9, out.toString)
+    // step-down: a tiny p BELOW a failing rank is still blocked
+    val blocked = Seq(("a", 0.5), ("b", 0.4), ("c", 0.0001))
+      .toDF("id", "p")
+    val ob = Stats.holm(blocked, "p", Seq("id"), alpha = 0.05)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Boolean]("significant")).toMap
+    assert(ob("c") && !ob("a") && !ob("b"),
+      s"only the tiny leading p rejects: $ob")
+    val allBlocked = Seq(("a", 0.5), ("b", 0.0001), ("c", 0.04))
+      .toDF("id", "p")
+    // sorted: b(0.0001) ≤ 0.0167 ✓, c(0.04) > 0.025 FAILS, a blocked
+    val oa = Stats.holm(allBlocked, "p", Seq("id"), alpha = 0.05)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Boolean]("significant")).toMap
+    assert(oa("b") && !oa("c") && !oa("a"), oa.toString)
+    // NULL p rejected loudly
+    intercept[Exception](Stats.holm(
+      Seq(("a", Some(0.1)), ("b", None: Option[Double])).toDF("id", "p"),
+      "p", Seq("id"), 0.05).collect())
+  }
+
   test("weightedLinearFit: w=1 IS linearFit; zero drops; weights steer") {
     import spark.implicits._
     val df = (1 to 50).map(i =>
