@@ -323,6 +323,50 @@ object TextAnalysis {
         max(wordCount(col(textCol)).cast("bigint")).as("max_words"),
         sum(wordCount(col(textCol)).cast("bigint")).as("total_words"))
 
+  /** Corpus readability per group — Flesch reading ease and
+    * Flesch–Kincaid grade from three EXACT integer components summed
+    * per group: words (the [[wordCount]] chars-minus-spaces count),
+    * sentences (runs of `[.!?]+`, floored at 1 per document so a
+    * fragment counts as one sentence), and syllables approximated as
+    * VOWEL GROUPS (`[aeiouy]+` runs of the lowercased text — the
+    * standard cheap heuristic; whitespace breaks a group, so the
+    * text-level count equals the per-word sum; the "min 1 per word"
+    * refinement is deliberately omitted and documented: it needs a
+    * per-word fold that buys little on natural text). RE = 206.835 −
+    * 1.015·(W/S) − 84.6·(Syl/W); FK = 0.39·(W/S) + 11.8·(Syl/W) −
+    * 15.59 — each ONE rounded float tree on the exact totals.
+    *
+    * Scale shape: per-row regex counts at the scan (codegen'd, no
+    * explode, no shuffle beyond the one group aggregate). Groups with
+    * zero words → NULL scores. Output: (group..., n_docs, words,
+    * sentences, syllables, flesch, fk_grade).
+    */
+  def readability(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val words = wordCount(col(textCol)).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val sylls = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val agg = df.filter(col(textCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(words).as("words"), sum(sents).as("sentences"),
+        sum(sylls).as("syllables"))
+    val w = col("words").cast("double")
+    val s = col("sentences").cast("double")
+    val y = col("syllables").cast("double")
+    agg.select((groupCols.map(col) ++ Seq(col("n_docs"), col("words"),
+      col("sentences"), col("syllables"),
+      when(col("words") > 0,
+        round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w),
+          6)).cast("double").as("flesch"),
+      when(col("words") > 0,
+        round(lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59),
+          6)).cast("double").as("fk_grade"))): _*)
+  }
+
   /** Heuristic quality score in [0,1]: length component (saturates at
     * 50 words) + word-shape component (avg word length, saturates at 5
     * chars). Deterministic, SQL-expressible — the judged query mirrors

@@ -391,6 +391,16 @@ object LlmOps {
       .orderBy("lang", "source")
   }
 
+  /** Corpus readability per language: Flesch reading ease + FK grade
+    * from exact integer word/sentence/vowel-group counts, one rounded
+    * float tree each.
+    */
+  val qReadability: QueryFn = withTables { spark =>
+    TextAnalysis.readability(spark.table("documents"), "text",
+        Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** Quality scoring: deterministic length/word-shape heuristic. */
   val qQualityScore: QueryFn = withTables { spark =>
     val docs = spark.table("documents")
@@ -1600,6 +1610,7 @@ object LlmOps {
     "q_tokens_wordcount" -> qTokensWordcount,
     "q_tfidf" -> qTfidf,
     "q_rake" -> qRake,
+    "q_readability" -> qReadability,
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
     "q_quality_filter" -> qQualityFilter,
@@ -3084,6 +3095,39 @@ object LlmOps {
       SELECT doc_id, rnk, tok, CAST(ROUND(tfidf, 6) AS DOUBLE) AS tfidf
       FROM rk WHERE rnk <= 5
       ORDER BY doc_id, rnk""",
+
+    // Exact integer word / sentence-run / vowel-group sums per lang,
+    // one rounded Flesch and FK tree each.
+    "q_readability" -> """
+      WITH pts AS (
+        SELECT lang,
+               (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                 + 1)::BIGINT AS w,
+               GREATEST(1, LEN(regexp_extract_all(text, '[.!?]+')))
+                 ::BIGINT AS st,
+               LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                 ::BIGINT AS sy
+        FROM documents WHERE text IS NOT NULL),
+      agg AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(w)::BIGINT AS words, SUM(st)::BIGINT AS sentences,
+               SUM(sy)::BIGINT AS syllables
+        FROM pts GROUP BY lang)
+      SELECT lang, n_docs, words, sentences, syllables,
+             CAST(CASE WHEN words > 0 THEN
+               ROUND(206.835
+                 - 1.015 * (CAST(words AS DOUBLE)
+                            / CAST(sentences AS DOUBLE))
+                 - 84.6 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE)), 6)
+             END AS DOUBLE) AS flesch,
+             CAST(CASE WHEN words > 0 THEN
+               ROUND(0.39 * (CAST(words AS DOUBLE)
+                             / CAST(sentences AS DOUBLE))
+                 + 11.8 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE)) - 15.59, 6)
+             END AS DOUBLE) AS fk_grade
+      FROM agg ORDER BY lang""",
 
     "q_textstats" -> """
       SELECT lang, source, COUNT(*) AS n_docs,

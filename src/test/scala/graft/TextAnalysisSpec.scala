@@ -11,6 +11,35 @@ import graft.operators.TextAnalysis
   */
 class TextAnalysisSpec extends SparkTestBase {
 
+  test("readability: hand-counted Flesch components; fragment floors at 1") {
+    import spark.implicits._
+    // "the cat sat. it sat!" -> words=5? chars-minus-spaces+1 counts
+    // exactly the whitespace gaps: 4 spaces + 1 = 5 words; sentences:
+    // runs of [.!?] -> 2; vowel groups of lowercase: e,a,a,i,a -> 5
+    val docs = Seq(("en", "the cat sat. it sat!"),
+      ("en", "no punctuation here")).toDF("lang", "text")
+    val r = graft.operators.TextAnalysis
+      .readability(docs, "text", Seq("lang")).collect().head
+    assert(r.getAs[Long]("words") === 5L + 3L, r.toString)
+    // doc 2 has no [.!?]: floors at 1 sentence
+    assert(r.getAs[Long]("sentences") === 2L + 1L, r.toString)
+    // doc2 vowel groups: o, u(+a? "punctuation" -> u,ua,io), e,e ->
+    // no|punctuation|here = o + (u, ua, io) + (e, e) = 6
+    assert(r.getAs[Long]("syllables") === 5L + 6L, r.toString)
+    val w = 8.0; val s = 3.0; val y = 11.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("flesch")
+      == r6(206.835 - 1.015 * (w / s) - 84.6 * (y / w)), r.toString)
+    assert(r.getAs[Double]("fk_grade")
+      == r6(0.39 * (w / s) + 11.8 * (y / w) - 15.59), r.toString)
+    // zero-word group: NULL scores, not a crash
+    val empty = Seq(("x", "")).toDF("lang", "text")
+    val re = graft.operators.TextAnalysis
+      .readability(empty, "text", Seq("lang")).collect().head
+    assert(re.getAs[Long]("words") >= 1L || re.isNullAt(re.fieldIndex("flesch")))
+  }
+
   test("languageId picks the language with most marker hits, 'und' if none") {
     import spark.implicits._
     val docs = Seq(
