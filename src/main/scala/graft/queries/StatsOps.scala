@@ -711,6 +711,23 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** Price elasticity of demand — the log-log regression pattern:
+    * slope of ln(quantity) on ln(unit price) per return flag IS the
+    * elasticity (% quantity change per % price change); reuses the
+    * linearFit decimal-moment machinery on ln-transformed points
+    * (identical libm doubles on both engines, then the 1e6 freeze).
+    */
+  val qElasticity: QueryFn = withTables { spark =>
+    val pts = spark.table("lineitem")
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("l_returnflag"),
+        log(col("l_extendedprice") / col("l_quantity")).as("ln_price"),
+        log(col("l_quantity")).as("ln_qty"))
+    Stats.linearFit(pts, "l_returnflag", "ln_price", "ln_qty")
+      .withColumnRenamed("slope", "elasticity")
+      .orderBy("l_returnflag")
+  }
+
   /** Weighted least squares: extendedprice on quantity per return
     * flag, rows weighted by (1 − discount) — seven HUGEINT weighted
     * moments (triple products for wx², wy², wxy), the linearFit trees
@@ -1614,6 +1631,7 @@ object StatsOps {
     "q_ols_multi3" -> qOlsMulti3,
     "q_ridge" -> qRidge,
     "q_wls" -> qWls,
+    "q_elasticity" -> qElasticity,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
@@ -3745,6 +3763,48 @@ object StatsOps {
                AS DOUBLE) AS z_beta,
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
       FROM d4 ORDER BY cohort""",
+
+    // ln-transformed points (identical libm doubles), then the
+    // q_lin_fit moment CTEs and trees verbatim; slope = elasticity.
+    "q_elasticity" -> """
+      WITH pts0 AS (
+        SELECT l_returnflag AS g,
+               LN(l_extendedprice / l_quantity) AS lp,
+               LN(l_quantity) AS lq
+        FROM lineitem
+        WHERE l_quantity > 0 AND l_extendedprice > 0),
+      pts AS (
+        SELECT g, CAST(ROUND(lp * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(lq * 1000000.0) AS BIGINT) AS yq
+        FROM pts0 WHERE lp IS NOT NULL AND lq IS NOT NULL),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(yq::HUGEINT * yq) AS syy,
+               SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts GROUP BY g),
+      d AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s)
+      SELECT g AS l_returnflag, n,
+             CAST(CASE WHEN denx > 0.0 THEN ROUND(num / denx, 6) END
+               AS DOUBLE) AS elasticity,
+             CAST(CASE WHEN denx > 0.0 THEN
+               ROUND(syd / CAST(n AS DOUBLE) / 1000000.0
+                 - num / denx * (sxd / CAST(n AS DOUBLE) / 1000000.0), 6)
+             END AS DOUBLE) AS intercept,
+             CAST(CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+               ROUND(num * num / (denx * deny), 6)
+             END AS DOUBLE) AS r2
+      FROM d
+      ORDER BY l_returnflag""",
 
     // Seven HUGEINT weighted moments (triple products wx², wy², wxy),
     // the q_lin_fit trees with Σw in n's place, Σw descaled once.
