@@ -35,6 +35,49 @@ object Scoring {
     * Output: (customer, recency_days, frequency, monetary, r_score,
     * f_score, m_score, rfm).
     */
+  /** Item-item co-occurrence similarity panel — cosine, Jaccard, and
+    * Dice over "entities sharing a key" (users co-triggering event
+    * types, baskets sharing items): the SIMILARITY complement of the
+    * association-RULES panel (support/confidence/lift, L112) and the
+    * exact small-cardinality sibling of the banded set-similarity
+    * dedup family. cos = n_ab/√(n_a·n_b), jaccard = n_ab/(n_a+n_b−
+    * n_ab), dice = 2·n_ab/(n_a+n_b) — all counts exact integers from
+    * one distinct + one item-keyed self-join, one rounded division
+    * each (the single √ is IEEE on an exact long product).
+    *
+    * Scale shape: distinct → key-keyed self-join (per-key cost ≤
+    * items-per-key²; cap hot keys upstream with
+    * [[graft.operators.Graph.bipartiteProject]]'s maxPerLeft when the
+    * key side is skewed) → item-pair aggregate + two broadcast
+    * degree joins. Output: (item_a, item_b, n_both, cosine, jaccard,
+    * dice), item_a < item_b.
+    */
+  def cooccurrenceSimilarity(df: DataFrame, keyCol: String,
+      itemCol: String): DataFrame = {
+    val d = df.select(col(keyCol).as("_k"), col(itemCol).as("_i"))
+      .filter(col("_k").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val pairs = d.as("x").join(d.as("y"),
+        col("x._k") === col("y._k") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val singles = d.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
+    pairs
+      .join(broadcast(singles.select(col("_i").as("item_a"),
+        col("_c").as("_ca"))), Seq("item_a"))
+      .join(broadcast(singles.select(col("_i").as("item_b"),
+        col("_c").as("_cb"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        round(col("n_both") / sqrt((col("_ca") * col("_cb"))
+          .cast("double")), 6).cast("double").as("cosine"),
+        round(col("n_both")
+          / (col("_ca") + col("_cb") - col("n_both")).cast("double"), 6)
+          .cast("double").as("jaccard"),
+        round((col("n_both") * 2.0)
+          / (col("_ca") + col("_cb")).cast("double"), 6)
+          .cast("double").as("dice"))
+  }
+
   def rfm(orders: DataFrame, custCol: String, dateCol: String,
       amountCol: String, nTiles: Int): DataFrame = {
     require(nTiles >= 2 && nTiles <= 9,

@@ -228,6 +228,17 @@ object AnalyticsOps {
     * co-occurrence structure diagnostic; one self-join on the
     * (user, type)-distinct table, vocabulary-sized aggregates.
     */
+  /** Item-item co-occurrence similarity panel (cosine / Jaccard /
+    * Dice) over users' distinct event types — the similarity
+    * complement of q_basket_lift's rules; exact integer counts, one
+    * rounded division per measure.
+    */
+  val qItemCosine: QueryFn = withTables { spark =>
+    graft.operators.Scoring.cooccurrenceSimilarity(
+        spark.table("events"), "user_id", "event_type")
+      .orderBy("item_a", "item_b")
+  }
+
   val qBasketLift: QueryFn = withTables { spark =>
     val d = spark.table("events").select("user_id", "event_type").distinct()
     val pairs = d.as("x").join(d.as("y"),
@@ -679,6 +690,7 @@ object AnalyticsOps {
     "q_bootstrap_ci" -> qBootstrapCi,
     "q_sorted_neighborhood" -> qSortedNeighborhood,
     "q_basket_lift" -> qBasketLift,
+    "q_item_cosine" -> qItemCosine,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
     "q_ndcg" -> qNdcg,
@@ -1976,6 +1988,30 @@ object AnalyticsOps {
 
     // Exact distinct-user counts; support/confidence/lift are single
     // divisions of those integers.
+    // The q_basket_lift distinct/pairs/singles CTEs with the
+    // similarity ratios: cos n/√(ca·cb), jaccard, dice.
+    "q_item_cosine" -> """
+      WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      pairs AS (SELECT x.event_type AS item_a, y.event_type AS item_b,
+                       COUNT(*)::BIGINT AS n_both
+                FROM d x JOIN d y ON x.user_id = y.user_id
+                  AND x.event_type < y.event_type
+                GROUP BY 1, 2),
+      s AS (SELECT event_type, COUNT(*)::BIGINT AS c FROM d
+            GROUP BY event_type)
+      SELECT item_a, item_b, n_both,
+             CAST(ROUND(n_both / SQRT(CAST(sa.c * sb.c AS DOUBLE)), 6)
+               AS DOUBLE) AS cosine,
+             CAST(ROUND(n_both / CAST(sa.c + sb.c - n_both AS DOUBLE), 6)
+               AS DOUBLE) AS jaccard,
+             CAST(ROUND((n_both * 2.0) / CAST(sa.c + sb.c AS DOUBLE), 6)
+               AS DOUBLE) AS dice
+      FROM pairs
+      JOIN s sa ON sa.event_type = item_a
+      JOIN s sb ON sb.event_type = item_b
+      ORDER BY item_a, item_b""",
+
     "q_basket_lift" -> """
       WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
       pairs AS (SELECT x.event_type AS ta, y.event_type AS tb,
