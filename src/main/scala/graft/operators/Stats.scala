@@ -2458,6 +2458,68 @@ object Stats {
       when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
   }
 
+  /** Minimum detectable effect per group — the experiment-DESIGN
+    * number the A/B family (SRM, CUPED, diff-in-diff, SPRT) assumes
+    * was computed first: with this group's variance and THIS sample
+    * size per arm, the smallest true mean shift a two-sample test
+    * would detect at significance α and power 1−β is MDE =
+    * (z_{1−α/2} + z_{power})·s·√(2/n). Reported absolute and relative
+    * to the mean ("we can detect a 3.2 % move, so a 1 % hypothesis is
+    * unanswerable at this traffic").
+    *
+    * Determinism: s is the sample sd from exact decimal(38,0) moments
+    * of 1e6-quantized values; the z constants are PINNED doubles
+    * (interpolated verbatim into the oracle — the sprtConstants
+    * pattern), supported at the standard (α, power) grid and rejected
+    * loudly elsewhere; MDE is one identically-spelled float tree
+    * rounded at 6 dp. n < 2 or zero variance → NULL.
+    *
+    * Scale shape: one group-keyed moment aggregate, nothing else.
+    * Output: (group, n, mean, sd, mde_abs, mde_rel).
+    */
+  def minDetectableEffect(df: DataFrame, groupCol: String,
+      valueCol: String, alpha: Double = 0.05,
+      power: Double = 0.8): DataFrame = {
+    val zAlpha = MdeZ.getOrElse(("alpha", alpha), sys.error(
+      s"minDetectableEffect: unsupported alpha=$alpha — pinned grid: " +
+        MdeZ.keys.filter(_._1 == "alpha").map(_._2).toSeq.sorted.mkString(", ")))
+    val zPower = MdeZ.getOrElse(("power", power), sys.error(
+      s"minDetectableEffect: unsupported power=$power — pinned grid: " +
+        MdeZ.keys.filter(_._1 == "power").map(_._2).toSeq.sorted.mkString(", ")))
+    val dec = "decimal(38,0)"
+    val sums = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_s"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val varS = (nd * d("_q") - d("_s") * d("_s")) / (nd * (nd - 1.0))
+    val sd = sqrt(varS) / lit(1e6)
+    val mean = d("_s") / nd / lit(1e6)
+    val mde = lit(zAlpha + zPower) * sd * sqrt(lit(2.0) / nd)
+    val ok = col("n") >= 2 && varS > 0.0
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      round(mean, 6).cast("double").as("mean"),
+      when(ok, round(sd, 6)).cast("double").as("sd"),
+      when(ok, round(mde, 6)).cast("double").as("mde_abs"),
+      when(ok && mean =!= 0.0, round(mde / mean, 6))
+        .cast("double").as("mde_rel"))
+  }
+
+  /** Pinned two-sided z(1−α/2) and one-sided z(power) doubles for
+    * [[minDetectableEffect]] — the standard grid, frozen so both
+    * engines multiply by identical constants. */
+  private[graft] val MdeZ: Map[(String, Double), Double] = Map(
+    ("alpha", 0.10) -> 1.6448536269514722,
+    ("alpha", 0.05) -> 1.959963984540054,
+    ("alpha", 0.01) -> 2.5758293035489004,
+    ("power", 0.8) -> 0.8416212335729143,
+    ("power", 0.9) -> 1.2815515655446004,
+    ("power", 0.95) -> 1.6448536269514722)
+
   /** Weighted least squares, one covariate — [[linearFit]] with a
     * per-row weight column: the heteroscedasticity workhorse (inverse-
     * variance weighting of aggregated cells, importance-weighted

@@ -711,6 +711,17 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** Minimum detectable effect of event value per type at α = 0.05,
+    * power 0.8 — the experiment-sizing number computed before any
+    * A/B read: exact decimal moments, pinned z constants, one MDE
+    * tree.
+    */
+  val qMde: QueryFn = withTables { spark =>
+    Stats.minDetectableEffect(spark.table("events"), "event_type",
+        "value")
+      .orderBy("event_type")
+  }
+
   /** Price elasticity of demand — the log-log regression pattern:
     * slope of ln(quantity) on ln(unit price) per return flag IS the
     * elasticity (% quantity change per % price change); reuses the
@@ -1632,6 +1643,7 @@ object StatsOps {
     "q_ridge" -> qRidge,
     "q_wls" -> qWls,
     "q_elasticity" -> qElasticity,
+    "q_mde" -> qMde,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
@@ -1658,7 +1670,47 @@ object StatsOps {
     "q_weighted_median" -> qWeightedMedian,
     "q_heaps" -> qHeaps)
 
+  // The pinned MDE z-sum (z_{0.975} + z_{0.8}) — ONE Scala constant
+  // interpolated into the oracle; Double.toString round-trips, so both
+  // engines multiply by the identical double.
+  private val mdeC: Double =
+    Stats.MdeZ(("alpha", 0.05)) + Stats.MdeZ(("power", 0.8))
+
   val oracles: Map[String, String] = Map(
+
+    // Exact decimal moments, pinned z-sum constant, sd/mean/MDE each
+    // one identically-spelled rounded tree.
+    "q_mde" -> s"""
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      st AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x::HUGEINT) AS sx, SUM(x::HUGEINT * x) AS q
+        FROM pts GROUP BY g),
+      fl AS (
+        SELECT g, n,
+               (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vs,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean
+        FROM st),
+      f2 AS (
+        SELECT g, n, vs, mean, SQRT(vs) / 1000000.0 AS sd FROM fl),
+      f3 AS (
+        SELECT g, n, vs, mean, sd,
+               $mdeC * sd * SQRT(2.0 / CAST(n AS DOUBLE)) AS mde
+        FROM f2)
+      SELECT g AS event_type, n,
+             CAST(ROUND(mean, 6) AS DOUBLE) AS mean,
+             CAST(CASE WHEN n >= 2 AND vs > 0.0 THEN ROUND(sd, 6) END
+               AS DOUBLE) AS sd,
+             CAST(CASE WHEN n >= 2 AND vs > 0.0 THEN ROUND(mde, 6) END
+               AS DOUBLE) AS mde_abs,
+             CAST(CASE WHEN n >= 2 AND vs > 0.0 AND mean <> 0.0 THEN
+               ROUND(mde / mean, 6) END AS DOUBLE) AS mde_rel
+      FROM f3 ORDER BY event_type""",
 
     // The q_kaplan_meier subjects + exact integer pair counts;
     // C = (2c + t)/(2p) one rounded division.
