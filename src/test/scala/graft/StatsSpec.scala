@@ -1531,6 +1531,45 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("minDetectableEffect: hand sd, traffic shrinks MDE, off-grid rejects") {
+    import spark.implicits._
+    // values 1..5: mean 3, sample var 2.5, sd ~1.581139
+    val df = (1 to 5).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Stats.minDetectableEffect(df, "g", "v").collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("mean") == 3.0, r.toString)
+    assert(math.abs(r.getAs[Double]("sd") - math.sqrt(2.5)) < 1e-5)
+    val z = 1.959963984540054 + 0.8416212335729143
+    assert(math.abs(r.getAs[Double]("mde_abs")
+      - z * math.sqrt(2.5) * math.sqrt(2.0 / 5)) < 1e-5, r.toString)
+    assert(r.getAs[Double]("mde_rel")
+      == r6(r.getAs[Double]("mde_abs") / 3.0) ||
+      math.abs(r.getAs[Double]("mde_rel")
+        - r.getAs[Double]("mde_abs") / 3.0) < 1e-5)
+    // 4x the traffic halves the MDE (same distribution replicated)
+    val big = (1 to 4).flatMap(_ => 1 to 5).map(i => ("g", i.toDouble))
+      .toDF("g", "v")
+    val rb = Stats.minDetectableEffect(big, "g", "v").collect().head
+    // ~half: the 1/√n factor halves exactly; the sample sd also dips
+    // (n−1 denominator), so the ratio lands just under 0.5
+    val ratio = rb.getAs[Double]("mde_abs") / r.getAs[Double]("mde_abs")
+    assert(ratio > 0.40 && ratio < 0.52, s"$rb vs $r (ratio $ratio)")
+    // higher power demands a bigger MDE; tighter alpha too
+    val rp = Stats.minDetectableEffect(df, "g", "v", power = 0.9)
+      .collect().head
+    assert(rp.getAs[Double]("mde_abs") > r.getAs[Double]("mde_abs"))
+    // constant series: zero variance → NULL
+    val const = Seq(("c", 2.0), ("c", 2.0)).toDF("g", "v")
+    val rc = Stats.minDetectableEffect(const, "g", "v").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("mde_abs")), rc.toString)
+    // off-grid alpha/power rejected loudly
+    intercept[RuntimeException](
+      Stats.minDetectableEffect(df, "g", "v", alpha = 0.07))
+    intercept[RuntimeException](
+      Stats.minDetectableEffect(df, "g", "v", power = 0.85))
+  }
+
   test("holm: textbook step-down — first failure blocks later tinies") {
     import spark.implicits._
     // m = 4, alpha = 0.05: thresholds 0.0125, 0.0167, 0.025, 0.05
