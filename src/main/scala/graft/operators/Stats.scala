@@ -3736,13 +3736,15 @@ object Stats {
         .withColumn("_h00", round(mu, 12).cast(dec12))
         .withColumn("_h01", round(col("_x") * mu, 12).cast(dec12))
         .withColumn("_h11", round(col("_x") * col("_x") * mu, 12).cast(dec12))
+        .withColumn("_pe", round((col("_y") - mu) * (col("_y") - mu) / mu,
+          12).cast(dec12))
         .groupBy("_g")
         .agg(max("_a").as("_a"), max("_b").as("_b"),
           count(lit(1)).as("n"),
           sum(col("_y")).cast("double").as("sum_y"),
           sum("_g0").as("_G0"), sum("_g1").as("_G1"),
           sum("_h00").as("_H00"), sum("_h01").as("_H01"),
-          sum("_h11").as("_H11"))
+          sum("_h11").as("_H11"), sum("_pe").as("_CHI"))
     }
     def d(c: String): Column = col(c).cast("double")
     def det: Column = d("_H00") * d("_H11") - d("_H01") * d("_H01")
@@ -3776,7 +3778,13 @@ object Stats {
         .cast("double").as("se_beta"),
       when(det > 0.0, round(col("_b") / sqrt(d("_H00") / det), 6))
         .cast("double").as("z_beta"),
-      round(exp(col("_b")), 6).cast("double").as("rate_ratio"))
+      round(exp(col("_b")), 6).cast("double").as("rate_ratio"),
+      // overdispersion diagnostic: Pearson χ²/(n−2) at the final fit —
+      // ≈ 1 for true Poisson data; ≫ 1 says the variance outruns the
+      // mean and a quasi-Poisson/NB error model is needed (the rate
+      // ratio stays consistent, its se does NOT — the caller's cue)
+      when(col("n") > 2, round(d("_CHI") / (col("n").cast("double") - 2.0),
+        6)).cast("double").as("dispersion"))
   }
 
   /** One-lag Granger causality F per group — does x's PAST improve the

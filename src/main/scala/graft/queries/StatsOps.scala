@@ -3666,7 +3666,9 @@ object StatsOps {
                COUNT(*)::BIGINT AS n, SUM(y) AS sum_y,
                SUM(CAST(ROUND(m, 12) AS DECIMAL(38,12))) AS h00,
                SUM(CAST(ROUND(x * m, 12) AS DECIMAL(38,12))) AS h01,
-               SUM(CAST(ROUND(x * x * m, 12) AS DECIMAL(38,12))) AS h11
+               SUM(CAST(ROUND(x * x * m, 12) AS DECIMAL(38,12))) AS h11,
+               SUM(CAST(ROUND((y - m) * (y - m) / m, 12)
+                 AS DECIMAL(38,12))) AS chi
         FROM pr4 GROUP BY g),
       d4 AS (
         SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
@@ -3682,7 +3684,10 @@ object StatsOps {
              CAST(CASE WHEN det > 0.0 THEN
                ROUND(b / SQRT(CAST(h00 AS DOUBLE) / det), 6) END
                AS DOUBLE) AS z_beta,
-             CAST(ROUND(EXP(b), 6) AS DOUBLE) AS rate_ratio
+             CAST(ROUND(EXP(b), 6) AS DOUBLE) AS rate_ratio,
+             CAST(CASE WHEN n > 2 THEN
+               ROUND(CAST(chi AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0), 6)
+             END AS DOUBLE) AS dispersion
       FROM d4 ORDER BY event_type""",
 
     // Three unrolled Newton iterations from (0,0) + the final

@@ -1824,6 +1824,15 @@ class StatsSpec extends SparkTestBase {
       ("f", (i % 10).toDouble, 5.0 + (i % 3))).toDF("g", "x", "y")
     val rf = Stats.poissonFit(flat, "g", "x", "y").collect().head
     assert(math.abs(rf.getAs[Double]("beta")) < 0.05, rf.toString)
+    // overdispersion diagnostic: tight counts read < 1, counts with
+    // variance far beyond the mean read >> 1
+    assert(r.getAs[Double]("dispersion") > 0.0, r.toString)
+    val over = (1 to 100).map(i =>
+      ("o", (i % 10).toDouble, if (i % 2 == 0) 1.0 else 99.0))
+      .toDF("g", "x", "y")
+    val ro = Stats.poissonFit(over, "g", "x", "y").collect().head
+    assert(ro.getAs[Double]("dispersion") > 5.0,
+      s"variance 2401 vs mean 50 must flag overdispersion: $ro")
     // constant x degenerates: det = 0, params stay at the init, NULL se
     val cx = Seq(("c", 1.0, 4.0), ("c", 1.0, 6.0)).toDF("g", "x", "y")
     val rc = Stats.poissonFit(cx, "g", "x", "y").collect().head
