@@ -90,6 +90,41 @@ object Sampling {
         .cast("long") % nShards).cast("int"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * RESHARD-STABLE alternative to [[assignShards]]'s modulo: each key
+    * goes to argmax over shards of the md5-portable draw of
+    * "key|shard". Growing nShards → nShards+1 moves only the keys
+    * whose NEW shard wins (≈ 1/(nShards+1) of them) — modulo reshuffles
+    * ~all keys, invalidating every shard-local cache/index; HRW is how
+    * cache rings and shard maps grow in place (Thaler–Ravishankar).
+    * Deterministic, coordination-free, portable: the oracle replays
+    * the identical md5 draws. Ties (md5 collisions across the shard
+    * fan of one key) break toward the LOWEST shard id, making argmax
+    * total.
+    *
+    * Scale shape: one per-row fan-out of nShards md5 evaluations
+    * composed as a greatest-of-structs expression at the scan — no
+    * explode, no join, no shuffle; nShards is bounded (≤ 1024) by
+    * contract.
+    */
+  def assignShardsHrw(df: DataFrame, keyCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards=$nShards must be in [1, 1024] (per-row fan of md5 draws)")
+    def draw(s: Int): Column =
+      conv(substring(md5(concat(col(keyCol).cast("string"),
+        lit(s"|$s"))), 1, 15), 16, 10).cast("long")
+    // argmax via greatest over (draw, -shard) structs: struct ordering
+    // compares fields in order, so equal draws pick the LOWER shard id
+    if (nShards == 1) df.withColumn("shard", lit(0))
+    else {
+      val packed = (0 until nShards).map(s =>
+        struct(draw(s).as("_d"), lit(-s).as("_ns")))
+      df.withColumn("shard",
+        (-greatest(packed: _*).getField("_ns")).cast("int"))
+    }
+  }
+
   /** Token-budget selection: walk each group in `orderCol` order and
     * keep rows while the EXCLUSIVE running token sum stays under
     * `budgetTokens` — "fill a 10B-token mix from ranked docs", the

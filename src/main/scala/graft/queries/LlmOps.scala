@@ -816,6 +816,18 @@ object LlmOps {
   /** Deterministic shard assignment for N training workers: stable,
     * coordination-free, oracle-replayable per row.
     */
+  /** Rendezvous (HRW) shard assignment: argmax over 8 shards of the
+    * md5 draw of "key|shard" — the reshard-stable dual of
+    * q_shard_assign's modulo (growing the fleet moves only the new
+    * shard's winners, pinned in SamplingSpec).
+    */
+  val qShardHrw: QueryFn = withTables { spark =>
+    graft.operators.Sampling.assignShardsHrw(
+        spark.table("documents"), "doc_id", 8)
+      .select("doc_id", "shard")
+      .orderBy("doc_id")
+  }
+
   val qShardAssign: QueryFn = withTables { spark =>
     graft.operators.Sampling.assignShards(spark.table("documents"), "doc_id", 8)
       .select("doc_id", "shard")
@@ -1647,6 +1659,7 @@ object LlmOps {
     "q_sample_exact" -> qSampleExact,
     "q_token_budget" -> qTokenBudget,
     "q_shard_assign" -> qShardAssign,
+    "q_shard_hrw" -> qShardHrw,
     "q_trend" -> qTrend,
     "q_drift" -> qDrift,
     "q_dq_checks" -> qDqChecks,
@@ -3098,6 +3111,23 @@ object LlmOps {
 
     // Exact integer word / sentence-run / vowel-group sums per lang,
     // one rounded Flesch and FK tree each.
+    // Per-key fan over the 8 shards, identical md5 draws, argmax with
+    // the lowest-shard tie rule via (draw DESC, shard ASC) rank.
+    "q_shard_hrw" -> """
+      WITH fan AS (
+        SELECT doc_id, s.s AS shard,
+               ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|'
+                 || CAST(s.s AS VARCHAR)), 1, 15))::BIGINT AS draw
+        FROM documents CROSS JOIN (SELECT UNNEST(RANGE(0, 8)) AS s) s),
+      win AS (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY draw DESC, shard ASC) AS rn
+        FROM fan)
+      SELECT doc_id, CAST(shard AS INT) AS shard
+      FROM win WHERE rn = 1
+      ORDER BY doc_id""",
+
     "q_readability" -> """
       WITH pts AS (
         SELECT lang,

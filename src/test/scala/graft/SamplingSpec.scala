@@ -219,6 +219,45 @@ class SamplingSpec extends SparkTestBase {
     assert(again === first, "assignment is layout-independent")
   }
 
+  test("assignShardsHrw: minimal movement on grow — movers only join the NEW shard") {
+    val h8 = Sampling.assignShardsHrw(docs, "doc_id", 8)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // complete + all shards populated + roughly balanced
+    assert(h8.size.toLong === docs.count())
+    val counts = h8.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts.keySet === (0 until 8).toSet, counts.toMap.toString)
+    val n = h8.size.toDouble
+    counts.values.foreach(c =>
+      assert(math.abs(c - n / 8) < 4 * math.sqrt(n / 8),
+        s"imbalanced: ${counts.toMap}"))
+    // THE HRW property: growing 8 -> 9 moves a key ONLY if shard 8
+    // wins it — every mover lands on the new shard, nobody reshuffles
+    // between old shards (modulo moves ~7/8 of all keys instead)
+    val h9 = Sampling.assignShardsHrw(docs, "doc_id", 9)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val movers = h8.keys.filter(k => h8(k) != h9(k)).toSeq
+    assert(movers.nonEmpty, "some keys must move to the new shard")
+    movers.foreach(k => assert(h9(k) === 8,
+      s"mover $k went ${h8(k)} -> ${h9(k)}, not to the new shard"))
+    assert(movers.size < h8.size / 4,
+      s"~1/9 expected to move, got ${movers.size}/${h8.size}")
+    // layout independence (the assignShards contract)
+    val again = Sampling.assignShardsHrw(docs.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === h8)
+    // single shard trivially constant; bounds rejected
+    assert(Sampling.assignShardsHrw(docs, "doc_id", 1)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSeq
+      === Seq(0))
+    intercept[IllegalArgumentException](
+      Sampling.assignShardsHrw(docs, "doc_id", 0))
+    intercept[IllegalArgumentException](
+      Sampling.assignShardsHrw(docs, "doc_id", 2000))
+  }
+
   test("takeTokenBudget: fills to the quota, keeps the crossing doc, per group") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
