@@ -144,6 +144,47 @@ object Multimodal {
         s"PNG color type $t (palette/gray+alpha) not supported")
     }
 
+    /** PNG textual metadata: every `tEXt` chunk's (keyword, text) pair
+      * in stream order — the image-side analog of the WAV/mp4
+      * container walks: author/title/software/comment tags ride PNG
+      * files as latin-1 keyword\0text payloads, and a corpus pipeline
+      * wants them WITHOUT decoding pixels. Same strict chunk-walk
+      * discipline as [[decodePixels]] (truncated/overrunning chunks
+      * fail loudly); compressed `zTXt`/`iTXt` are skipped by
+      * documented contract (rarely load-bearing; the zlib plumbing
+      * exists if a corpus needs them). Returns Nil for a PNG with no
+      * text chunks; rejects non-PNG payloads.
+      */
+    def textChunks(uri: String, bytes: Array[Byte]): Seq[(String, String)] = {
+      require(bytes.length >= 8 && Sig.indices.forall(i =>
+          (bytes(i) & 0xFF) == Sig(i)), s"not a PNG payload: $uri")
+      def be32(off: Int): Int =
+        ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
+          ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+      var off = 8
+      var seenIend = false
+      val out = Seq.newBuilder[(String, String)]
+      while (!seenIend && off < bytes.length) {
+        require(off + 8 <= bytes.length, s"PNG $uri: truncated chunk header")
+        val len = be32(off)
+        require(len >= 0 && off + 12L + len <= bytes.length,
+          s"PNG $uri: chunk overruns payload")
+        new String(bytes, off + 4, 4, "US-ASCII") match {
+          case "tEXt" =>
+            val body = bytes.slice(off + 8, off + 8 + len)
+            val nul = body.indexOf(0.toByte)
+            require(nul > 0, s"PNG $uri: tEXt chunk missing keyword NUL")
+            out += ((new String(body, 0, nul, "ISO-8859-1"),
+              new String(body, nul + 1, body.length - nul - 1,
+                "ISO-8859-1")))
+          case "IEND" => seenIend = true
+          case _ => ()
+        }
+        off += 12 + len
+      }
+      out.result()
+    }
+
     /** (width, height, unfiltered pixel bytes, row-major, w*channels
       * per row).
       */
@@ -417,6 +458,32 @@ object Multimodal {
     * ceil(nSamples/frame) rows — per-row generation, no shuffle, bytes
     * never leave the row.
     */
+  /** PNG textual metadata per media row: one output row per `tEXt`
+    * chunk (id, keyword, text) via [[PngDecoder.textChunks]] — the
+    * "harvest author/software/comment tags across a 100 TB image
+    * corpus" op: per-row chunk walk only (no pixel decode, no
+    * inflate), bytes never leave the row, no shuffle. Rows whose
+    * payload has no text chunks emit nothing; non-PNG payloads fail
+    * loudly (filter upstream by container type).
+    */
+  def extractPngText(df: DataFrame, idCol: String,
+      mediaCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("keyword", StringType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    val input = df.select(
+      col(idCol).cast("long").as("id"),
+      col(s"$mediaCol.uri").as("uri"),
+      col(s"$mediaCol.bytes").as("bytes"))
+    input.mapPartitions { rows =>
+      rows.flatMap { r =>
+        PngDecoder.textChunks(r.getString(1), r.getAs[Array[Byte]](2))
+          .map { case (k, v) => Row(r.getLong(0), k, v) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def extractWavFrameRms(df: DataFrame, idCol: String, mediaCol: String,
       samplesPerFrame: Int): DataFrame = {
     require(samplesPerFrame >= 1)

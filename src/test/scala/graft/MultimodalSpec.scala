@@ -228,6 +228,59 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("extractPngText: tEXt key/values harvested without pixel decode") {
+    import spark.implicits._
+    // splice real tEXt chunks (length + type + keyword\0text + CRC32)
+    // before IEND of an encoder-built PNG
+    def textChunk(k: String, v: String): Array[Byte] = {
+      val body = k.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+        v.getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(body)
+      val len = body.length
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte,
+        len.toByte) ++ typ ++ body ++ {
+        val c = crc.getValue
+        Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte,
+          c.toByte)
+      }
+    }
+    val plain = Multimodal.encodePng(1L, 4, 4, 0)
+    val iendAt = plain.length - 12 // IEND is the final 12-byte chunk
+    val tagged = plain.take(iendAt) ++ textChunk("Author", "ada") ++
+      textChunk("Comment", "hello png") ++ plain.drop(iendAt)
+    // direct walk
+    assert(Multimodal.PngDecoder.textChunks("t", tagged)
+      === Seq("Author" -> "ada", "Comment" -> "hello png"))
+    assert(Multimodal.PngDecoder.textChunks("t", plain) === Nil)
+    // pixels still decode with the spliced chunks in place
+    val (w, h, _) = Multimodal.PngDecoder.decodePixels("t", tagged)
+    assert(w === 4 && h === 4)
+    // frame-level: one row per tag, untagged rows emit nothing
+    val df = Seq((1L, tagged), (2L, plain)).toDF("doc_id", "bytes")
+      .select(col("doc_id"), struct(
+        concat(lit("mem://"), col("doc_id")).as("uri"),
+        col("bytes").as("bytes"),
+        map().cast("map<string,string>").as("meta")).as("media"))
+    val rows = Multimodal.extractPngText(df, "doc_id", "media")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows === Set((1L, "Author", "ada"), (1L, "Comment", "hello png")))
+    // corrupt: keyword without NUL fails loudly
+    val badBody = "NoNulHere".getBytes("ISO-8859-1")
+    val bad = plain.take(iendAt) ++ {
+      val typ = "tEXt".getBytes("US-ASCII")
+      val len = badBody.length
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte,
+        len.toByte) ++ typ ++ badBody ++ Array.fill(4)(0.toByte)
+    } ++ plain.drop(iendAt)
+    intercept[IllegalArgumentException](
+      Multimodal.PngDecoder.textChunks("t", bad))
+    intercept[IllegalArgumentException](
+      Multimodal.PngDecoder.textChunks("t", Array[Byte](1, 2, 3)))
+  }
+
   test("image dHash near-dup: brightness-shifted re-encodes pair up, distinct images don't") {
     import spark.implicits._
     // image 1: synthetic pixels; image 2: SAME pixels +8 brightness per
