@@ -116,6 +116,23 @@ class PlanSpec extends SparkTestBase {
       s"q_breakpoint: corpus window lost its group partitioning:\n$bp")
   }
 
+  test("round-14 plan shape: linkPrediction never broadcasts the edge table") {
+    // the r14 watch-item fix: join strategies are PINNED — the path-2
+    // probe and the not-linked anti-join must be merge joins whatever
+    // the edge frame's LogicalRDD stats claim (a cache-read frame's
+    // tiny stats used to flip BOTH to full-edge-table broadcasts);
+    // the only broadcast is the degree-capped vertex list
+    val lp = SparkEntry.queries("q_link_pred")(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    val smjCount = "SortMergeJoin".r.findAllIn(lp).length
+    assert(smjCount >= 2,
+      s"q_link_pred: expected merge joins for the path-2 and anti " +
+        s"joins, got $smjCount:\n$lp")
+    assert(!lp.contains("BroadcastHashJoin LeftAnti")
+      && !lp.contains("LeftAnti, BuildRight"),
+      s"q_link_pred: the not-linked anti-join broadcast the edge table:\n$lp")
+  }
+
   test("TPC-H Q1 aggregation is partial (map-side) + final, codegen'd") {
     val df = SparkEntry.queries("q_agg_tpch1")(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
