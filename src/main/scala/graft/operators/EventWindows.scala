@@ -249,6 +249,46 @@ object EventWindows {
     * total_dwell_sec, avg_dwell_sec) — totals floor-divided to whole
     * seconds to stay integer-exact cross-engine.
     */
+  /** DAU / trailing-MAU stickiness per calendar day — the engagement
+    * ratio every growth dashboard leads with: DAU(d) = distinct
+    * active users on d, MAU(d) = distinct users active in the
+    * trailing `windowDays` (default 28) ENDING at d, stickiness =
+    * DAU/MAU ("what share of the monthly base shows up daily").
+    *
+    * Exact and scale-shaped: dedup to (user, day) cells ONCE (the
+    * corpus-sized shuffle), then each cell emits to the `windowDays`
+    * window-end days it covers via an in-plan sequence explode
+    * (bounded ×windowDays fan of the CELLS, not the events), and one
+    * (day, user) dedup + day count gives the exact trailing distinct
+    * — no per-day COUNT DISTINCT re-scan, no window over users.
+    * Days with no activity are absent (their DAU is 0 and their MAU
+    * is whatever the fan delivered — reporting them would need a
+    * calendar spine; callers join one if gaps matter, documented).
+    * Output: (day, dau, mau, stickiness), stickiness 6-dp.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"stickiness: windowDays must be in [1, 366], got $windowDays")
+    val cells = events
+      .select(col(userCol).as("_u"), col(tsCol).cast("date").as("_d"))
+      .filter(col("_u").isNotNull && col("_d").isNotNull)
+      .distinct()
+      .localCheckpoint() // DAU and the MAU fan both read it
+    val dau = cells.groupBy(col("_d").as("day"))
+      .agg(countDistinct(col("_u")).as("dau"))
+    val mau = cells
+      .select(col("_u"), explode(sequence(col("_d"),
+        date_add(col("_d"), windowDays - 1))).as("_w"))
+      .distinct() // (user, window-end) — a user counts once per window
+      .groupBy(col("_w").as("day"))
+      .agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau") / col("mau").cast("double"), 6)
+          .cast("double").as("stickiness"))
+  }
+
   def dwellTimes(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))

@@ -239,6 +239,16 @@ object AnalyticsOps {
       .orderBy("item_a", "item_b")
   }
 
+  /** DAU / trailing-28-day-MAU stickiness per calendar day: one
+    * (user, day) dedup, a bounded ×28 window-end fan for the exact
+    * trailing distinct, one rounded ratio.
+    */
+  val qStickiness: QueryFn = withTables { spark =>
+    graft.operators.EventWindows.stickiness(
+        spark.table("events"), "user_id", "ts", windowDays = 28)
+      .orderBy("day")
+  }
+
   val qBasketLift: QueryFn = withTables { spark =>
     val d = spark.table("events").select("user_id", "event_type").distinct()
     val pairs = d.as("x").join(d.as("y"),
@@ -691,6 +701,7 @@ object AnalyticsOps {
     "q_sorted_neighborhood" -> qSortedNeighborhood,
     "q_basket_lift" -> qBasketLift,
     "q_item_cosine" -> qItemCosine,
+    "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
     "q_ndcg" -> qNdcg,
@@ -1990,6 +2001,25 @@ object AnalyticsOps {
     // divisions of those integers.
     // The q_basket_lift distinct/pairs/singles CTEs with the
     // similarity ratios: cos n/√(ca·cb), jaccard, dice.
+    // (user, day) dedup, the same ×28 window-end fan, exact distinct
+    // per window end, one rounded ratio.
+    "q_stickiness" -> """
+      WITH cells AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      dau AS (
+        SELECT d AS day, COUNT(DISTINCT u)::BIGINT AS dau
+        FROM cells GROUP BY d),
+      fan AS (
+        SELECT DISTINCT u, d + CAST(i.i AS INTEGER) AS day
+        FROM cells CROSS JOIN (SELECT UNNEST(RANGE(0, 28)) AS i) i),
+      mau AS (SELECT day, COUNT(*)::BIGINT AS mau FROM fan GROUP BY day)
+      SELECT dau.day AS day, dau, mau,
+             CAST(ROUND(dau / CAST(mau AS DOUBLE), 6) AS DOUBLE)
+               AS stickiness
+      FROM dau JOIN mau ON dau.day = mau.day
+      ORDER BY day""",
+
     "q_item_cosine" -> """
       WITH d AS (SELECT DISTINCT user_id, event_type FROM events
                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
