@@ -2458,6 +2458,60 @@ object Stats {
       when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
   }
 
+  /** Distribution-free median confidence interval per group — the
+    * order-statistic CI (x_(k), x_(n+1−k)) with k = max(1,
+    * ⌊(n − z√n)/2⌋), the binomial-normal-approximation rank bound:
+    * no normality, no symmetry, no bootstrap randomness — the honest
+    * interval to put on a latency/spend median next to L109's
+    * bootstrap MEAN CI. Also reports the exact LOWER median
+    * x_(⌊(n+1)/2⌋) (the L277 Hodges–Lehmann convention).
+    *
+    * Determinism: values quantize to 1e6-scaled longs; every rank is
+    * selected by COUNTING over (group, value) cells (the conformal
+    * pattern — never float interpolation); k comes from one
+    * identically-spelled double tree with the PINNED z (both engines
+    * compute the same double, so the same k). n < 6 (k would exceed
+    * the median rank region meaningfully) → NULL bounds, n still
+    * reported.
+    *
+    * Scale shape: one (group, value) cell shuffle + one cumulative
+    * window over each group's value VOCABULARY + one group fold.
+    * Output: (group, n, median_lo, ci_lo, ci_hi).
+    */
+  def medianCI(df: DataFrame, groupCol: String, valueCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val z = MdeZ.getOrElse(("alpha", alpha), sys.error(
+      s"medianCI: unsupported alpha=$alpha — pinned grid: " +
+        MdeZ.keys.filter(_._1 == "alpha").map(_._2).toSeq.sorted.mkString(", ")))
+    val cells = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+      .groupBy("_g", "_v").agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy("_g").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("_g")
+    val ranked = cells
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_n", sum("_c").over(wAll))
+    val nd = col("_n").cast("double")
+    val k = greatest(lit(1L),
+      floor((nd - lit(z) * sqrt(nd)) / 2.0).cast("long"))
+    val medRank = floor((nd + 1.0) / 2.0).cast("long")
+    ranked
+      .withColumn("_k", k)
+      .groupBy(col("_g").as(groupCol))
+      .agg(max("_n").cast("bigint").as("n"),
+        (min(when(col("_cum") >= medRank, col("_v"))) / 1e6)
+          .cast("double").as("median_lo"),
+        (min(when(col("_cum") >= col("_k"), col("_v"))) / 1e6)
+          .cast("double").as("_lo"),
+        (min(when(col("_cum") >= col("_n") + 1L - col("_k"), col("_v")))
+          / 1e6).cast("double").as("_hi"))
+      .select(col(groupCol), col("n"), col("median_lo"),
+        when(col("n") >= 6, col("_lo")).cast("double").as("ci_lo"),
+        when(col("n") >= 6, col("_hi")).cast("double").as("ci_hi"))
+  }
+
   /** Minimum detectable effect per group — the experiment-DESIGN
     * number the A/B family (SRM, CUPED, diff-in-diff, SPRT) assumes
     * was computed first: with this group's variance and THIS sample

@@ -711,6 +711,15 @@ object StatsOps {
       .orderBy("l_returnflag")
   }
 
+  /** Distribution-free median CI of event value per type: counting-
+    * selected order statistics (x_(k), x_(n+1-k)) with the pinned-z
+    * rank bound, plus the exact lower median.
+    */
+  val qMedianCi: QueryFn = withTables { spark =>
+    Stats.medianCI(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   /** Minimum detectable effect of event value per type at α = 0.05,
     * power 0.8 — the experiment-sizing number computed before any
     * A/B read: exact decimal moments, pinned z constants, one MDE
@@ -1644,6 +1653,7 @@ object StatsOps {
     "q_wls" -> qWls,
     "q_elasticity" -> qElasticity,
     "q_mde" -> qMde,
+    "q_median_ci" -> qMedianCi,
     "q_log_rank" -> qLogRank,
     "q_pacf" -> qPacf,
     "q_trend_test" -> qTrendTest,
@@ -1677,6 +1687,41 @@ object StatsOps {
     Stats.MdeZ(("alpha", 0.05)) + Stats.MdeZ(("power", 0.8))
 
   val oracles: Map[String, String] = Map(
+
+    // Counting-selected order statistics over (group, value) cells;
+    // k from one pinned-z double tree, identical both engines.
+    "q_median_ci" -> s"""
+      WITH cells AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS v,
+               COUNT(*)::BIGINT AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      r AS (
+        SELECT g, v, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM cells),
+      kk AS (
+        SELECT *,
+               GREATEST(1, CAST(FLOOR((CAST(n AS DOUBLE)
+                 - ${Stats.MdeZ(("alpha", 0.05))}
+                 * SQRT(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS k,
+               CAST(FLOOR((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+                 AS mr
+        FROM r),
+      agg AS (
+        SELECT g, MAX(n)::BIGINT AS n,
+               MIN(CASE WHEN cum >= mr THEN v END) / 1000000.0
+                 AS median_lo,
+               MIN(CASE WHEN cum >= k THEN v END) / 1000000.0 AS lo,
+               MIN(CASE WHEN cum >= n + 1 - k THEN v END) / 1000000.0
+                 AS hi
+        FROM kk GROUP BY g)
+      SELECT g AS event_type, n,
+             CAST(median_lo AS DOUBLE) AS median_lo,
+             CAST(CASE WHEN n >= 6 THEN lo END AS DOUBLE) AS ci_lo,
+             CAST(CASE WHEN n >= 6 THEN hi END AS DOUBLE) AS ci_hi
+      FROM agg ORDER BY event_type""",
 
     // Exact decimal moments, pinned z-sum constant, sd/mean/MDE each
     // one identically-spelled rounded tree.

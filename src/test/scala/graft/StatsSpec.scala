@@ -1531,6 +1531,31 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("medianCI: hand order statistics; coverage brackets the median") {
+    import spark.implicits._
+    // n=25 of 1..25: k = max(1, floor((25 − 1.96·5)/2)) = 7;
+    // CI = (x_(7), x_(19)) = (7, 19); lower median = x_(13) = 13
+    val df = (1 to 25).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Stats.medianCI(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") === 25L)
+    assert(r.getAs[Double]("median_lo") == 13.0, r.toString)
+    assert(r.getAs[Double]("ci_lo") == 7.0, r.toString)
+    assert(r.getAs[Double]("ci_hi") == 19.0, r.toString)
+    // duplicates: counting selection respects multiplicity
+    val dup = (Seq.fill(10)(1.0) ++ Seq.fill(10)(2.0) ++ Seq.fill(5)(3.0))
+      .map(("d", _)).toDF("g", "v")
+    val rd = Stats.medianCI(dup, "g", "v").collect().head
+    assert(rd.getAs[Double]("median_lo") == 2.0, rd.toString)
+    assert(rd.getAs[Double]("ci_lo") == 1.0 &&
+      rd.getAs[Double]("ci_hi") == 2.0, rd.toString)
+    // tiny n: bounds NULL, n reported
+    val tiny = (1 to 4).map(i => ("t", i.toDouble)).toDF("g", "v")
+    val rt = Stats.medianCI(tiny, "g", "v").collect().head
+    assert(rt.getAs[Long]("n") === 4L
+      && rt.isNullAt(rt.fieldIndex("ci_lo")), rt.toString)
+    intercept[RuntimeException](Stats.medianCI(df, "g", "v", alpha = 0.2))
+  }
+
   test("minDetectableEffect: hand sd, traffic shrinks MDE, off-grid rejects") {
     import spark.implicits._
     // values 1..5: mean 3, sample var 2.5, sd ~1.581139
