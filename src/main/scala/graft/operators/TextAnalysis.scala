@@ -290,6 +290,57 @@ object TextAnalysis {
       .select("doc_id", "rank", "tok", "bm25")
   }
 
+  /** BM25 ranked retrieval — top-`topK` documents for a bag of query
+    * terms: score(d) = Σ_{t ∈ q ∩ d} idf(t)·tf-saturation(t, d), the
+    * [[bm25]] per-term weights summed per document — the RANKED step
+    * after [[booleanSearch]]'s set step, i.e. an actual search query
+    * over the corpus. Query-term tf rows are filtered BEFORE the
+    * aggregate (the scan only carries matching tokens forward);
+    * document length and document frequency come from the FULL corpus
+    * as BM25 requires.
+    *
+    * Determinism: idf/saturation are the [[bm25]] float trees
+    * verbatim; per-term scores freeze at 12 dp into an order-free
+    * decimal(38,12) per-doc sum (terms arrive in shuffle order); the
+    * final score rounds at 6 dp; top-k cuts by (score DESC, doc_id)
+    * via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    * never a single-partition window).
+    * Output: (doc_id, n_matched, score), ≤ topK rows.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search: empty query")
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val dec12 = "decimal(38,12)"
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = tokenize(df, idCol, textCol)
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("_n"),
+      avg(col("dl")).as("_avgdl"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("_avgdl"))))
+      .withColumn("_t", round(col("s"), 12).cast(dec12))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_matched"),
+        sum("_t").as("_sum"))
+      .select(col("doc_id"), col("n_matched"),
+        round(col("_sum").cast("double"), 6).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Per-document Shannon entropy of the token distribution (nats):
     * H = ln(T) - (Σ c·ln c)/T over per-token occurrence counts c with
     * T = Σ c. Low entropy flags template/repetitive text that a

@@ -1417,6 +1417,15 @@ object LlmOps {
     * on both sides, so IEEE evaluation agrees bit-for-bit before the
     * 6 dp round.
     */
+  /** BM25 ranked retrieval for the query {vector, join, window}:
+    * top-10 docs by the 12-dp-frozen per-term score sum — the ranked
+    * step after q_bool_search's set step.
+    */
+  val qBm25Search: QueryFn = withTables { spark =>
+    TextAnalysis.bm25Search(spark.table("documents"), "doc_id", "text",
+      Seq("vector", "join", "window"), topK = 10)
+  }
+
   val qBm25: QueryFn = withTables { spark =>
     TextAnalysis.bm25(
         spark.table("documents").filter(col("doc_id") < 100),
@@ -1573,6 +1582,7 @@ object LlmOps {
     "q_agg_shape" -> qAggShape,
     "q_fuzzy_join2" -> qFuzzyJoin2,
     "q_bm25" -> qBm25,
+    "q_bm25_search" -> qBm25Search,
     "q_token_entropy" -> qTokenEntropy,
     "q_fuzzy_join" -> qFuzzyJoin,
     "q_dedup_clusters" -> qDedupClusters,
@@ -1822,6 +1832,31 @@ object LlmOps {
     // Same formula tree as the operator; (1.2 + 1.0) and (1 - 0.75)
     // are spelled as arithmetic so both engines derive the identical
     // IEEE constant (a literal 2.2 is NOT the double 1.2 + 1.0).
+    // The q_bm25 trees with query-term tf filtering; per-term scores
+    // 12-dp frozen into decimal per-doc sums; (score DESC, doc_id)
+    // top-10.
+    "q_bm25_search" -> """
+      WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+                    FROM documents),
+           tfq AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+                   WHERE tok IN ('vector', 'join', 'window')
+                   GROUP BY doc_id, tok),
+           dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+           dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+                     WHERE tok IN ('vector', 'join', 'window')
+                     GROUP BY tok),
+           stats AS (SELECT COUNT(*) * 1.0 AS n, AVG(dl) AS avgdl FROM dl),
+           scored AS (SELECT tfq.doc_id,
+                             LN(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                               * tfq.tf * (1.2 + 1.0)
+                               / (tfq.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)) AS s
+                      FROM tfq JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats)
+      SELECT doc_id, COUNT(*)::BIGINT AS n_matched,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(s, 12) AS DECIMAL(38,12)))
+               AS DOUBLE), 6) AS DOUBLE) AS score
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10""",
+
     "q_bm25" -> """
       WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
            toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM base),
