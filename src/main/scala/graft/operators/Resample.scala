@@ -1570,8 +1570,10 @@ object Resample {
     */
   def seasonalArpForecast(df: DataFrame, groupCol: String, tsCol: String,
       valueCol: String, season: Int = 7, p: Int = 2): DataFrame = {
-    require(season >= 2 && season <= 366,
-      s"seasonalArpForecast: season must be in [2, 366], got $season")
+    require(season >= 1 && season <= 366,
+      s"seasonalArpForecast: season must be in [1, 366], got $season")
+    // season = 1 is the ordinary first difference: AR(p) on Δx with
+    // the drift fallback = random-walk-with-drift — i.e. ARI(p,1)
     val cells = dayCells(df, groupCol, tsCol, valueCol)
     val w = Window.partitionBy("_g").orderBy("_day")
     val dcells = cells

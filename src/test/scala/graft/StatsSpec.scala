@@ -2410,8 +2410,19 @@ class StatsSpec extends SparkTestBase {
       .toDF("g", "ts", "v")
     assert(Resample.seasonalArpForecast(tiny, "g", "ts", "v")
       .collect().isEmpty)
+    // season = 1 = ordinary first difference (ARI): a pure linear
+    // trend has constant Δ — drift fallback forecasts the next point
+    // EXACTLY
+    val lin = (0 until 20).map(i =>
+      ("l", java.sql.Timestamp.valueOf(
+        f"2024-03-${i + 1}%02d 06:00:00"), 5.0 + 2.5 * i))
+      .toDF("g", "ts", "v")
+    val rl = Resample.seasonalArpForecast(lin, "g", "ts", "v",
+      season = 1, p = 1).collect().head
+    assert(rl.getAs[Double]("forecast") == 5.0 + 2.5 * 20,
+      s"linear-trend ARI next point must be exact: $rl")
     intercept[IllegalArgumentException](
-      Resample.seasonalArpForecast(per, "g", "ts", "v", season = 1))
+      Resample.seasonalArpForecast(per, "g", "ts", "v", season = 0))
   }
 
   test("arpForecast: degenerate and bounds") {
