@@ -955,6 +955,69 @@ object EventWindows {
     * in-window path/conversion pairing, no collect. Output:
     * (channel, touches, linear_credit, u_credit).
     */
+  /** Time-decay attribution — the fourth classic model beside
+    * first/last-touch, position-based, and Markov removal: each touch
+    * of a converting path earns weight e^(−Δt/τ) for its seconds-gap
+    * Δt to the conversion (τ = halfLifeSeconds/ln 2, so a touch one
+    * half-life out earns exactly half a fresh touch), normalized per
+    * conversion so Σcredit = conversions — "recent touches close,
+    * early touches open" as a continuous dial instead of the U-shape's
+    * three buckets.
+    *
+    * Determinism: Δt is an exact long seconds difference; each weight
+    * is ONE exp tree frozen at 12 dp; the per-path normalizer is an
+    * order-free decimal(38,12) window sum of the frozen weights; each
+    * credit is one rounded division frozen at 12 dp into the
+    * channel-keyed decimal sum; output credit rounds at 6 dp.
+    * Touch-less conversions credit `"direct"` with 1.0 (the
+    * positionAttribution contract).
+    *
+    * Scale shape: the positionAttribution cost class exactly — the
+    * same path windows plus one (user, path) conversion-time join,
+    * one channel-keyed sum. Output: (channel, touches, decay_credit).
+    */
+  def decayAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, isConversion: Column,
+      halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds >= 1,
+      s"decayAttribution: halfLifeSeconds must be >= 1, got $halfLifeSeconds")
+    val dec12 = "decimal(38,12)"
+    val tau = halfLifeSeconds / math.log(2.0)
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val withPath = events
+      .withColumn("_path", count(when(isConversion, 1))
+        .over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+    val touches = withPath.filter(!isConversion)
+      .select(col(userCol).as("_u"), col("_path"),
+        unix_timestamp(col(tsCol)).as("_tts"), col(typeCol).as("_ch"))
+    val convs = withPath.filter(isConversion)
+      .select(col(userCol).as("_u"), col("_path"),
+        unix_timestamp(col(tsCol)).as("_cts"))
+    val wPathAll = Window.partitionBy("_u", "_path")
+    val weighted = touches
+      .join(convs, Seq("_u", "_path")) // converting paths only
+      .withColumn("_w",
+        round(exp((col("_tts") - col("_cts")).cast("double") / lit(tau)),
+          12).cast(dec12))
+      .withColumn("_wsum", sum("_w").over(wPathAll))
+      .withColumn("_cr",
+        round(col("_w").cast("double") / col("_wsum").cast("double"), 12)
+          .cast(dec12))
+    val direct = convs
+      .join(touches.select("_u", "_path").distinct(), Seq("_u", "_path"),
+        "left_anti")
+      .select(lit("direct").as("channel"), lit(1L).as("_t"),
+        lit(1.0).cast(dec12).as("_cr"))
+    weighted
+      .select(col("_ch").as("channel"), lit(1L).as("_t"), col("_cr"))
+      .unionByName(direct)
+      .groupBy("channel")
+      .agg(sum("_t").as("touches"),
+        round(sum("_cr").cast("double"), 6).cast("double")
+          .as("decay_credit"))
+  }
+
   def positionAttribution(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, isConversion: Column): DataFrame = {
     val dec6 = "decimal(38,6)"

@@ -441,6 +441,18 @@ object AnalyticsOps {
     * 40/20/40) of purchase conversions over per-user touch paths:
     * integer path ranks, 6-dp-frozen credits in decimal channel sums.
     */
+  /** Time-decay attribution with a 24 h half-life: per converting
+    * path, touches earn e^(−Δ/τ) weights (12-dp frozen), normalized
+    * per conversion — the continuous-recency fourth model of the
+    * attribution family.
+    */
+  val qAttributionDecay: QueryFn = withTables { spark =>
+    EventWindows.decayAttribution(spark.table("events"), "user_id",
+        "ts", "event_id", "event_type", col("event_type") === "purchase",
+        halfLifeSeconds = 86400L)
+      .orderBy("channel")
+  }
+
   val qAttributionPosition: QueryFn = withTables { spark =>
     EventWindows.positionAttribution(spark.table("events"), "user_id",
         "ts", "event_id", "event_type", col("event_type") === "purchase")
@@ -677,6 +689,7 @@ object AnalyticsOps {
     "q_pareto" -> qPareto,
     "q_attribution" -> qAttribution,
     "q_attribution_position" -> qAttributionPosition,
+    "q_attribution_decay" -> qAttributionDecay,
     "q_err" -> qErr,
     "q_markov_attribution" -> qMarkovAttribution,
     "q_qini" -> qQini,
@@ -707,6 +720,10 @@ object AnalyticsOps {
     "q_ndcg" -> qNdcg,
     "q_quantile_norm" -> qQuantileNorm,
   )
+
+  // Time-decay attribution tau = halfLife/ln 2 — ONE Scala double
+  // interpolated into the oracle (Double.toString round-trips).
+  private val decayTau: Double = 86400L / math.log(2.0)
 
   // Poisson(1) CDF thresholds: the ONE Scala computation
   // (Sampling.PoissonCdf) interpolated into the oracle text —
@@ -1548,6 +1565,49 @@ object AnalyticsOps {
 
     // Path ids from the same prior-conversion count window; integer
     // ranks; frozen fractional credits in decimal channel sums.
+    // The q_attribution_position path CTEs + per-touch e^(−Δ/τ)
+    // weights (12-dp frozen), per-path decimal window normalizer,
+    // channel-keyed decimal credit sum.
+    "q_attribution_decay" -> s"""
+      WITH base AS (
+        SELECT user_id AS u, ts, event_id AS eid, event_type AS et,
+               event_type = 'purchase' AS conv
+        FROM events),
+      wp AS (
+        SELECT *, COUNT(CASE WHEN conv THEN 1 END) OVER
+            (PARTITION BY u ORDER BY ts, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS path
+        FROM base),
+      touches AS (
+        SELECT u, path, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS tts, et
+        FROM wp WHERE NOT conv),
+      convs AS (
+        SELECT u, path, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS cts
+        FROM wp WHERE conv),
+      weighted AS (
+        SELECT t.u, t.path, t.et,
+               CAST(ROUND(EXP(CAST(t.tts - c.cts AS DOUBLE)
+                 / $decayTau), 12) AS DECIMAL(38,12)) AS w
+        FROM touches t JOIN convs c USING (u, path)),
+      normed AS (
+        SELECT et,
+               CAST(ROUND(CAST(w AS DOUBLE)
+                 / CAST(SUM(w) OVER (PARTITION BY u, path) AS DOUBLE),
+                 12) AS DECIMAL(38,12)) AS cr
+        FROM weighted),
+      credits AS (
+        SELECT et AS channel, 1::BIGINT AS t, cr FROM normed
+        UNION ALL
+        SELECT 'direct', 1::BIGINT, CAST(1.0 AS DECIMAL(38,12))
+        FROM convs c
+        WHERE NOT EXISTS (SELECT 1 FROM touches t
+                          WHERE t.u = c.u AND t.path = c.path))
+      SELECT channel, SUM(t)::BIGINT AS touches,
+             CAST(ROUND(CAST(SUM(cr) AS DOUBLE), 6) AS DOUBLE)
+               AS decay_credit
+      FROM credits GROUP BY channel
+      ORDER BY channel""",
+
     "q_attribution_position" -> """
       WITH base AS (
         SELECT user_id AS u, ts, event_id AS eid, event_type AS et,

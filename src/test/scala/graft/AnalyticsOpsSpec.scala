@@ -717,6 +717,42 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "sum of U credit == number of conversions")
   }
 
+  test("decayAttribution: half-life halves the weight; credits conserve") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: a two hours out, b one hour out, conversion at 12:00 —
+    // with a 1 h half-life: w_a = 2^-2 = 0.25, w_b = 2^-1 = 0.5 →
+    // credits 1/3 and 2/3. u2: direct. u3: touch, never converts.
+    val ev = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1L, "a"),
+      (1L, t("2024-03-01 11:00:00"), 2L, "b"),
+      (1L, t("2024-03-01 12:00:00"), 3L, "CONV"),
+      (2L, t("2024-03-01 09:00:00"), 4L, "CONV"),
+      (3L, t("2024-03-01 09:30:00"), 5L, "a")
+    ).toDF("user", "ts", "eid", "ch")
+    val out = graft.operators.EventWindows.decayAttribution(
+        ev, "user", "ts", "eid", "ch", col("ch") === "CONV",
+        halfLifeSeconds = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("a") == ((1L, 0.333333)), out.toString)
+    assert(out("b") == ((1L, 0.666667)), out.toString)
+    assert(out("direct") == ((1L, 1.0)), out.toString)
+    assert(!out.contains("CONV"))
+    assert(math.abs(out.values.map(_._2).sum - 2.0) < 1e-5,
+      "credit conserves conversions")
+    // recency dial: a longer half-life flattens toward equal credit
+    val flat = graft.operators.EventWindows.decayAttribution(
+        ev, "user", "ts", "eid", "ch", col("ch") === "CONV",
+        halfLifeSeconds = 360000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(flat("b") - flat("a") < 0.1 && flat("b") > flat("a"),
+      s"long half-life flattens but keeps recency order: $flat")
+    intercept[IllegalArgumentException](
+      graft.operators.EventWindows.decayAttribution(
+        ev, "user", "ts", "eid", "ch", col("ch") === "CONV", 0L))
+  }
+
   test("expectedReciprocalRank: hand cascade values and grade clamping") {
     import spark.implicits._
     val df = Seq(
