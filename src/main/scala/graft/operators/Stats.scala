@@ -1762,6 +1762,43 @@ object Stats {
         :+ col("n_events") :+ col("n_censored") :+ col("cum_hazard")): _*)
   }
 
+  /** Weibull survival fit per group — parametric shape/scale from the
+    * Nelson–Aalen regression: under Weibull, H(t) = (t/λ)^k, so
+    * ln H = k·ln t − k·ln λ is a LINE; the slope of ln(cum hazard) on
+    * ln(event time) is the shape k (k < 1 infant-mortality hazard,
+    * k ≈ 1 memoryless, k > 1 wear-out) and λ = e^(−intercept/k) the
+    * characteristic life — the parametric summary KM/NA leave as a
+    * curve, with censoring handled by construction (it's IN the NA
+    * estimator). The standard quick Weibull-plot estimator, not MLE —
+    * documented.
+    *
+    * Determinism: rides [[nelsonAalen]]'s 6-dp cum-hazard verbatim;
+    * ln points at t > 0, H > 0 (t = 0 events are outside the model's
+    * support and dropped, documented); the regression is
+    * [[linearFit]] verbatim on the ln points; shape/scale/r2 round at
+    * 6 dp. Degenerate (one event time, zero slope) → NULL scale.
+    *
+    * Scale shape: nelsonAalen's cell windows + one group-keyed moment
+    * aggregate; points per group = distinct event times
+    * (calendar-bounded). Output: (group, n [event times used], shape
+    * (= slope), scale, r2).
+    */
+  def weibullFit(df: DataFrame, groupCol: String, durationCol: String,
+      observed: Column): DataFrame = {
+    val na = nelsonAalen(df, Seq(groupCol), durationCol, observed)
+    val pts = na.filter(col("duration") > 0 && col("cum_hazard") > 0.0)
+      .select(col(groupCol),
+        log(col("duration").cast("double")).as("_lt"),
+        log(col("cum_hazard")).as("_lh"))
+    linearFit(pts, groupCol, "_lt", "_lh")
+      .select(col(groupCol), col("n"),
+        col("slope").as("shape"),
+        when(col("slope").isNotNull && col("slope") =!= 0.0,
+          round(exp(-col("intercept") / col("slope")), 6))
+          .cast("double").as("scale"),
+        col("r2"))
+  }
+
   /** Harrell's concordance index for right-censored survival data:
     * over comparable pairs (i had the event AND t_i < t_j), the
     * fraction where the riskier-scored subject actually failed first

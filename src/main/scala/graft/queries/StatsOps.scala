@@ -1385,6 +1385,24 @@ object StatsOps {
     * 12-dp-frozen d/n steps into an order-fixed decimal cumulative —
     * no transcendentals at all.
     */
+  /** Weibull shape/scale per user-parity cohort from the Nelson–
+    * Aalen regression: ln H on ln t is a line under Weibull; slope =
+    * shape, e^(−intercept/slope) = characteristic life.
+    */
+  val qWeibull: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("cohort"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"))
+    Stats.weibullFit(subjects, "cohort", "duration", col("observed"))
+      .orderBy("cohort")
+  }
+
   val qNelsonAalen: QueryFn = withTables { spark =>
     val subjects = spark.table("events").groupBy("user_id")
       .agg(min(col("ts").cast("date")).as("_first"),
@@ -1559,6 +1577,7 @@ object StatsOps {
     "q_roc_curve" -> qRocCurve,
     "q_krippendorff" -> qKrippendorff,
     "q_nelson_aalen" -> qNelsonAalen,
+    "q_weibull" -> qWeibull,
     "q_stump" -> qStump,
     "q_woe_iv" -> qWoeIv,
     "q_anova2" -> qAnovaTwoWay,
@@ -2173,6 +2192,88 @@ object StatsOps {
 
     // The q_kaplan_meier cells; frozen d/n steps into an order-fixed
     // DECIMAL(38,12) cumulative — no ln/exp anywhere.
+    // Parity-cohort NA CTEs + LN points + the q_lin_fit trees + one
+    // scale tree e^(−intercept/slope).
+    "q_weibull" -> """
+      WITH subj AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS g,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS duration,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL AS observed
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT g, duration,
+               SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT
+                 AS n_events,
+               SUM(CASE WHEN observed THEN 0 ELSE 1 END)::BIGINT
+                 AS n_censored
+        FROM subj GROUP BY g, duration),
+      na AS (
+        SELECT g, duration, n_events,
+               (SUM(n_events + n_censored) OVER (PARTITION BY g)
+                 - COALESCE(SUM(n_events + n_censored) OVER
+                     (PARTITION BY g ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        FROM cells),
+      na2 AS (
+        SELECT g, duration, n_events,
+               SUM(ROUND(CAST(n_events AS DOUBLE)
+                     / CAST(n_at_risk AS DOUBLE), 12)::DECIMAL(38,12))
+                 OVER (PARTITION BY g ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS hsum
+        FROM na),
+      steps AS (
+        SELECT g, duration,
+               CAST(ROUND(CAST(hsum AS DOUBLE), 6) AS DOUBLE)
+                 AS cum_hazard
+        FROM na2 WHERE n_events > 0),
+      pts0 AS (
+        SELECT g, LN(CAST(duration AS DOUBLE)) AS lt, LN(cum_hazard) AS lh
+        FROM steps WHERE duration > 0 AND cum_hazard > 0.0),
+      pts AS (
+        SELECT g, CAST(ROUND(lt * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(lh * 1000000.0) AS BIGINT) AS yq
+        FROM pts0 WHERE lt IS NOT NULL AND lh IS NOT NULL),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(yq::HUGEINT * yq) AS syy,
+               SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts GROUP BY g),
+      d AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s),
+      fit AS (
+        SELECT g, n,
+               CAST(CASE WHEN denx > 0.0 THEN ROUND(num / denx, 6) END
+                 AS DOUBLE) AS shape,
+               CAST(CASE WHEN denx > 0.0 THEN
+                 ROUND(syd / CAST(n AS DOUBLE) / 1000000.0
+                   - num / denx * (sxd / CAST(n AS DOUBLE) / 1000000.0),
+                   6)
+               END AS DOUBLE) AS icpt,
+               CAST(CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+                 ROUND(num * num / (denx * deny), 6)
+               END AS DOUBLE) AS r2
+        FROM d)
+      SELECT g AS cohort, n, shape,
+             CAST(CASE WHEN shape IS NOT NULL AND shape <> 0.0 THEN
+               ROUND(EXP(-icpt / shape), 6) END AS DOUBLE) AS scale,
+             r2
+      FROM fit ORDER BY cohort""",
+
     "q_nelson_aalen" -> """
       WITH subj AS (
         SELECT user_id,

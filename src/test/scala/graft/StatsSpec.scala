@@ -1531,6 +1531,38 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("weibullFit: planted shape/scale recovered; exponential reads k=1") {
+    import spark.implicits._
+    // deterministic Weibull(k=2, lambda=50) sample via the inverse CDF
+    // on a uniform grid; durations rounded to whole days (the NA grid)
+    def sample(k: Double, lam: Double, n: Int): Seq[Long] =
+      (0 until n).map { i =>
+        val u = (i + 0.5) / n
+        math.max(1L, math.round(lam * math.pow(-math.log(1 - u), 1 / k)))
+      }
+    val wei = sample(2.0, 50.0, 400).map(("w", _, true))
+      .toDF("g", "duration", "obs")
+    val rw = Stats.weibullFit(wei, "g", "duration", col("obs"))
+      .collect().head
+    assert(math.abs(rw.getAs[Double]("shape") - 2.0) < 0.25, rw.toString)
+    assert(math.abs(rw.getAs[Double]("scale") - 50.0) < 5.0, rw.toString)
+    assert(rw.getAs[Double]("r2") > 0.97, rw.toString)
+    // exponential (k = 1): memoryless reads shape ~ 1
+    val expo = sample(1.0, 30.0, 400).map(("e", _, true))
+      .toDF("g", "duration", "obs")
+    val re = Stats.weibullFit(expo, "g", "duration", col("obs"))
+      .collect().head
+    assert(math.abs(re.getAs[Double]("shape") - 1.0) < 0.15, re.toString)
+    // censoring-aware: censoring half the tail must not wreck the fit
+    val cens = sample(2.0, 50.0, 400).zipWithIndex.map { case (t, i) =>
+      if (i % 4 == 0 && t > 50) ("c", math.min(t, 60L), false)
+      else ("c", t, true)
+    }.toDF("g", "duration", "obs")
+    val rc = Stats.weibullFit(cens, "g", "duration", col("obs"))
+      .collect().head
+    assert(math.abs(rc.getAs[Double]("shape") - 2.0) < 0.4, rc.toString)
+  }
+
   test("medianCI: hand order statistics; coverage brackets the median") {
     import spark.implicits._
     // n=25 of 1..25: k = max(1, floor((25 − 1.96·5)/2)) = 7;
