@@ -4570,6 +4570,72 @@ object Stats {
           .cast("double").as("ks"))
   }
 
+  /** One-sample exponential KS per group, binned — [[ksUniformBinned]]
+    * against the EXPONENTIAL law with the group's own MLE rate λ̂ =
+    * n/Σx: the memorylessness gate for inter-arrival/waiting-time
+    * columns (queueing assumptions, retry storms, bot cadences) — a
+    * low D says arrivals are Poisson-like, a high D says clustering
+    * or periodicity. Same grid discipline as the uniform sibling:
+    * D = max over ALL B edges of |ECDF − (1 − e^{−λ̂·edge})| on a
+    * global equi-width grid, empty bins still advance the reference.
+    * (Estimating λ from the same data biases D slightly low — the
+    * classic Lilliefors caveat, documented; compare groups against
+    * each other, not raw KS tables.)
+    *
+    * Determinism: counts/cumulative are exact integers; λ̂ is one
+    * double tree on exact 1e6-quantized sums; each edge term is one
+    * 12-dp-frozen float tree, the max over edges of frozen values;
+    * ks rounds at 6 dp. Negative values rejected loudly (outside the
+    * support); hi ≤ 0 or an empty group → absent.
+    *
+    * Scale shape: the ksUniformBinned cost class — one (group, bin)
+    * cell shuffle, a bins × groups grid, one fold.
+    * Output: (group, n, rate, ks).
+    */
+  def ksExponentialBinned(df: DataFrame, groupCol: String,
+      valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 4096, s"bins=$bins must be in [2, 4096]")
+    val guarded = df.filter(col(valueCol).isNotNull)
+      .withColumn("_v", when(col(valueCol) >= 0, col(valueCol))
+        .otherwise(raise_error(lit(
+          "ksExponentialBinned: negative value outside the support"))))
+    val stats = guarded.agg(max(col("_v")).cast("double").as("_hi"))
+    val cells = guarded
+      .crossJoin(broadcast(stats))
+      .filter(col("_hi") > 0.0)
+      .select(col(groupCol).as("_g"), col("_hi"),
+        least(floor(col("_v") * bins / col("_hi")), lit(bins - 1))
+          .cast("long").as("_q"),
+        round(col("_v") * 1e6).cast("long").as("_x"))
+      .groupBy("_g", "_q")
+      .agg(count(lit(1)).as("_c"),
+        sum(col("_x").cast("decimal(38,0)")).as("_s"),
+        max("_hi").as("_hi"))
+    val groups = cells.groupBy(col("_g").as("_gm"))
+      .agg(sum("_c").as("_n"), sum("_s").as("_sx"), max("_hi").as("_hiG"))
+    val grid = groups.crossJoin(
+        cells.sparkSession.range(bins).select(col("id").as("_qq")))
+      .join(cells.select("_g", "_q", "_c"),
+        col("_gm") <=> col("_g") && col("_qq") <=> col("_q"), "left")
+      .select(col("_gm"), col("_qq"), col("_n"), col("_sx"), col("_hiG"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val wCum = Window.partitionBy("_gm").orderBy("_qq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nd = col("_n").cast("double")
+    // λ̂ = n / mean-sum: exact scaled sums, one double tree
+    val lam = nd * lit(1e6) / col("_sx").cast("double")
+    val edge = col("_hiG") * (col("_qq") + 1).cast("double") / bins
+    grid
+      .withColumn("_cum", sum("_c").over(wCum))
+      .withColumn("_term",
+        round(abs(col("_cum").cast("double") / nd
+          - (lit(1.0) - exp(-lam * edge))), 12))
+      .groupBy(col("_gm").as(groupCol))
+      .agg(max("_n").cast("bigint").as("n"),
+        round(max(lam), 12).cast("double").as("rate"),
+        round(max("_term"), 6).cast("double").as("ks"))
+  }
+
   def friedman(df: DataFrame, blockCol: String, treatCol: String,
       valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"

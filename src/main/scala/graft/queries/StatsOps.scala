@@ -52,6 +52,24 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** One-sample exponential KS on per-user inter-arrival seconds per
+    * event type: is the arrival process memoryless? Group-rate MLE,
+    * global 16-bin grid, 12-dp frozen edge terms.
+    */
+  val qKsExponential: QueryFn = withTables { spark =>
+    // lag order at SECOND resolution (the gap unit) + event_id — the
+    // oracle replays exactly this order; µs-resolution ordering would
+    // fork same-second ties between the engines
+    val w = Window.partitionBy("user_id").orderBy("_sec", "event_id")
+    val gaps = spark.table("events")
+      .withColumn("_sec", unix_timestamp(col("ts")))
+      .withColumn("_gap", col("_sec") - lag("_sec", 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .select(col("event_type"), col("_gap"))
+    Stats.ksExponentialBinned(gaps, "event_type", "_gap", bins = 16)
+      .orderBy("event_type")
+  }
+
   /** Wilcoxon signed-rank on paired per-user half-month spend (exact
     * integer cents — value has 2 decimals, so the sums and diffs are
     * pure longs), per event type: the PAIRED location test next to
@@ -1643,6 +1661,7 @@ object StatsOps {
     "q_rmst" -> qRmst,
     "q_page_trend" -> qPageTrend,
     "q_ks_uniform" -> qKsUniform,
+    "q_ks_exponential" -> qKsExponential,
     "q_hodges_lehmann" -> qHodgesLehmann,
     "q_conover" -> qConover,
     "q_runs_test" -> qRunsTest,
@@ -1706,6 +1725,56 @@ object StatsOps {
     Stats.MdeZ(("alpha", 0.05)) + Stats.MdeZ(("power", 0.8))
 
   val oracles: Map[String, String] = Map(
+
+    // Per-user lag gaps, global 16-bin grid with empty bins advancing
+    // the reference, group-MLE rate, 12-dp frozen |ECDF − expCDF|.
+    "q_ks_exponential" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+        FROM events),
+      gaps AS (
+        SELECT event_type AS g,
+               sec - LAG(sec) OVER (PARTITION BY user_id
+                 ORDER BY ts_order, event_id) AS v
+        FROM (SELECT user_id, event_type, event_id, sec,
+                     sec AS ts_order FROM ev) t),
+      gv AS (SELECT g, v FROM gaps WHERE v IS NOT NULL),
+      st AS (SELECT CAST(MAX(v) AS DOUBLE) AS hi FROM gv),
+      cells AS (
+        SELECT g,
+               CAST(LEAST(FLOOR(v * 16 / hi), 15) AS BIGINT) AS q,
+               COUNT(*)::BIGINT AS c,
+               SUM(CAST(ROUND(v * 1000000.0) AS BIGINT)::HUGEINT) AS sx
+        FROM gv CROSS JOIN st WHERE hi > 0.0
+        GROUP BY g, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS n, SUM(sx) AS sxg
+               FROM cells GROUP BY g),
+      grid AS (
+        SELECT gr.g, v.qq, gr.n, gr.sxg, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM (SELECT UNNEST(RANGE(0, 16)) AS qq) v
+        CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.qq),
+      cum AS (
+        SELECT g, qq, n, sxg,
+               SUM(c) OVER (PARTITION BY g ORDER BY qq) AS cum
+        FROM grid),
+      terms AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * 1000000.0 / CAST(sxg AS DOUBLE)
+                 AS lam,
+               ROUND(ABS(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (1.0 - EXP(-(CAST(n AS DOUBLE) * 1000000.0
+                     / CAST(sxg AS DOUBLE))
+                   * ((SELECT hi FROM st) * CAST(qq + 1 AS DOUBLE)
+                      / 16)))), 12) AS term
+        FROM cum)
+      SELECT g AS event_type, MAX(n)::BIGINT AS n,
+             CAST(ROUND(MAX(lam), 12) AS DOUBLE) AS rate,
+             CAST(ROUND(MAX(term), 6) AS DOUBLE) AS ks
+      FROM terms GROUP BY g
+      ORDER BY event_type""",
 
     // Counting-selected order statistics over (group, value) cells;
     // k from one pinned-z double tree, identical both engines.

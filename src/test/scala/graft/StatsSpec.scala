@@ -1531,6 +1531,28 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("ksExponentialBinned: exponential data fits, periodic data flags") {
+    import spark.implicits._
+    // deterministic exponential sample via inverse CDF on a grid
+    val expo = (0 until 500).map { i =>
+      val u = (i + 0.5) / 500.0
+      ("e", -50.0 * math.log(1 - u))
+    }.toDF("g", "v")
+    val re = Stats.ksExponentialBinned(expo, "g", "v", bins = 16)
+      .collect().head
+    assert(re.getAs[Double]("ks") < 0.05,
+      s"true exponential must fit: $re")
+    assert(math.abs(re.getAs[Double]("rate") - 1.0 / 50.0) < 2e-3, re.toString)
+    // strictly periodic arrivals (constant gap): memoryless it is NOT
+    val per = (0 until 500).map(_ => ("p", 50.0)).toDF("g", "v")
+    val rp = Stats.ksExponentialBinned(per, "g", "v", bins = 16)
+      .collect().head
+    assert(rp.getAs[Double]("ks") > 0.3,
+      s"constant gaps must flag hard: $rp")
+    intercept[Exception](Stats.ksExponentialBinned(
+      Seq(("n", -1.0)).toDF("g", "v"), "g", "v", 16).collect())
+  }
+
   test("weibullFit: planted shape/scale recovered; exponential reads k=1") {
     import spark.implicits._
     // deterministic Weibull(k=2, lambda=50) sample via the inverse CDF
