@@ -3785,6 +3785,103 @@ object Stats {
       round(exp(col("_b")), 6).cast("double").as("odds_ratio"))
   }
 
+  /** Logistic regression with TWO covariates + intercept — the
+    * multivariate tier of [[logisticFit]], solved per Newton step by
+    * the [[linearFitMulti3]] 3×3 Cramer trees on the Hessian
+    * (first-row cofactor expansions; H is the PSD weighted Gram
+    * matrix, so det > 0 except under collinearity/separation, which
+    * freezes the step exactly like the 2×2 tier). Gradient g =
+    * (Σ(y−p), Σx1(y−p), Σx2(y−p)); Hessian from w = p(1−p) weighted
+    * moments.
+    *
+    * Same determinism contract as [[logisticFit]]: x's frozen at
+    * 6 dp, per-row terms at 12 dp into order-free decimal sums,
+    * params re-frozen at 12 dp per FIXED iteration, se from the
+    * adjugate diagonals at the final fit. Output: (group, n, n_pos,
+    * alpha, b1, b2, se_b1, se_b2, z_b1, z_b2).
+    */
+  def logisticFit2(df: DataFrame, groupCol: String, x1Col: String,
+      x2Col: String, yCond: Column, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"logisticFit2: iters must be in [1, 8]")
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(x1Col), 6).as("_x1"), round(col(x2Col), 6).as("_x2"),
+        when(yCond, 1.0).otherwise(0.0).as("_y"))
+      .localCheckpoint()
+    def pass(params: DataFrame) = {
+      val p = lit(1.0) / (lit(1.0)
+        + exp(-(col("_a") + col("_b1") * col("_x1")
+          + col("_b2") * col("_x2"))))
+      val w = p * (lit(1.0) - p)
+      rows.join(broadcast(params), Seq("_g"))
+        .withColumn("_g0", round(col("_y") - p, 12).cast(dec12))
+        .withColumn("_g1", round(col("_x1") * (col("_y") - p), 12).cast(dec12))
+        .withColumn("_g2", round(col("_x2") * (col("_y") - p), 12).cast(dec12))
+        .withColumn("_h00", round(w, 12).cast(dec12))
+        .withColumn("_h01", round(col("_x1") * w, 12).cast(dec12))
+        .withColumn("_h02", round(col("_x2") * w, 12).cast(dec12))
+        .withColumn("_h11", round(col("_x1") * col("_x1") * w, 12).cast(dec12))
+        .withColumn("_h12", round(col("_x1") * col("_x2") * w, 12).cast(dec12))
+        .withColumn("_h22", round(col("_x2") * col("_x2") * w, 12).cast(dec12))
+        .groupBy("_g")
+        .agg(max("_a").as("_a"), max("_b1").as("_b1"), max("_b2").as("_b2"),
+          count(lit(1)).as("n"),
+          sum(col("_y")).cast("bigint").as("n_pos"),
+          sum("_g0").as("_G0"), sum("_g1").as("_G1"), sum("_g2").as("_G2"),
+          sum("_h00").as("_H00"), sum("_h01").as("_H01"),
+          sum("_h02").as("_H02"), sum("_h11").as("_H11"),
+          sum("_h12").as("_H12"), sum("_h22").as("_H22"))
+    }
+    def d(c: String): Column = col(c).cast("double")
+    def det: Column =
+      d("_H00") * (d("_H11") * d("_H22") - d("_H12") * d("_H12")) -
+        d("_H01") * (d("_H01") * d("_H22") - d("_H12") * d("_H02")) +
+        d("_H02") * (d("_H01") * d("_H12") - d("_H11") * d("_H02"))
+    def det0: Column =
+      d("_G0") * (d("_H11") * d("_H22") - d("_H12") * d("_H12")) -
+        d("_H01") * (d("_G1") * d("_H22") - d("_H12") * d("_G2")) +
+        d("_H02") * (d("_G1") * d("_H12") - d("_H11") * d("_G2"))
+    def det1: Column =
+      d("_H00") * (d("_G1") * d("_H22") - d("_H12") * d("_G2")) -
+        d("_G0") * (d("_H01") * d("_H22") - d("_H12") * d("_H02")) +
+        d("_H02") * (d("_H01") * d("_G2") - d("_G1") * d("_H02"))
+    def det2: Column =
+      d("_H00") * (d("_H11") * d("_G2") - d("_G1") * d("_H12")) -
+        d("_H01") * (d("_H01") * d("_G2") - d("_G1") * d("_H02")) +
+        d("_G0") * (d("_H01") * d("_H12") - d("_H11") * d("_H02"))
+    var params = rows.select(col("_g")).distinct()
+      .withColumn("_a", lit(0.0)).withColumn("_b1", lit(0.0))
+      .withColumn("_b2", lit(0.0))
+    for (_ <- 1 to iters) {
+      params = pass(params)
+        .select(col("_g"),
+          when(det > 0.0, round(col("_a") + det0 / det, 12))
+            .otherwise(col("_a")).as("_a"),
+          when(det > 0.0, round(col("_b1") + det1 / det, 12))
+            .otherwise(col("_b1")).as("_b1"),
+          when(det > 0.0, round(col("_b2") + det2 / det, 12))
+            .otherwise(col("_b2")).as("_b2"))
+        .localCheckpoint()
+    }
+    val a11 = d("_H11") * d("_H22") - d("_H12") * d("_H12")
+    val a22 = d("_H00") * d("_H22") - d("_H02") * d("_H02")
+    val a33 = d("_H00") * d("_H11") - d("_H01") * d("_H01")
+    pass(params).select(col("_g").as(groupCol),
+      col("n").cast("bigint").as("n"), col("n_pos"),
+      round(col("_a"), 6).cast("double").as("alpha"),
+      round(col("_b1"), 6).cast("double").as("b1"),
+      round(col("_b2"), 6).cast("double").as("b2"),
+      when(det > 0.0, round(sqrt(a22 / det), 6))
+        .cast("double").as("se_b1"),
+      when(det > 0.0, round(sqrt(a33 / det), 6))
+        .cast("double").as("se_b2"),
+      when(det > 0.0, round(col("_b1") / sqrt(a22 / det), 6))
+        .cast("double").as("z_b1"),
+      when(det > 0.0, round(col("_b2") / sqrt(a33 / det), 6))
+        .cast("double").as("z_b2"))
+  }
+
   /** Poisson regression, one covariate with intercept, FIXED Newton
     * iterations from α = Laplace-smoothed log-mean, β = 0 (the
     * standard GLM start — from α = 0 the first step on large counts

@@ -815,6 +815,22 @@ object StatsOps {
       .orderBy("cohort")
   }
 
+  /** Two-covariate logistic regression of purchase-vs-rest on scaled
+    * value and hour-of-day per user cohort: 3 FIXED Newton iterations,
+    * each a 3×3 Cramer solve on the frozen-weight Hessian — the
+    * multivariate tier of q_logistic.
+    */
+  val qLogistic2: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .select(pmod(col("user_id"), lit(3)).cast("int").as("cohort"),
+        (col("value") / 100.0).as("x1"),
+        (hour(col("ts")) / 10.0).as("x2"),
+        (col("event_type") === "purchase").as("is_purchase"))
+    Stats.logisticFit2(ev, "cohort", "x1", "x2", col("is_purchase"),
+        iters = 3)
+      .orderBy("cohort")
+  }
+
   /** Poisson regression of daily event counts on the scaled day
     * index per event type — the GLM trio's count member: 3 FIXED
     * Newton iterations from the Laplace-smoothed log-mean, 12-dp
@@ -1684,6 +1700,7 @@ object StatsOps {
     "q_heavy_hitters" -> qHeavyHitters,
     "q_lin_fit" -> qLinFit,
     "q_logistic" -> qLogistic,
+    "q_logistic2" -> qLogistic2,
     "q_poisson" -> qPoisson,
     "q_ols_multi" -> qOlsMulti,
     "q_ols_multi3" -> qOlsMulti3,
@@ -3904,6 +3921,301 @@ object StatsOps {
                ROUND(CAST(chi AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0), 6)
              END AS DOUBLE) AS dispersion
       FROM d4 ORDER BY event_type""",
+
+    // q_logistic's scheme at 3 parameters: per iteration a 3x3
+    // first-row-cofactor Cramer solve on the frozen-weight Hessian.
+    "q_logistic2" -> """
+      WITH pts AS (
+        SELECT CAST(user_id % 3 AS INTEGER) AS g,
+               ROUND(value / 100.0, 6) AS x1,
+               ROUND(HOUR(ts) / 10.0, 6) AS x2,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      p0 AS (SELECT DISTINCT g, 0.0 AS a, 0.0 AS b1, 0.0 AS b2 FROM pts),
+      pr1 AS (
+        SELECT pts.g, x1, x2, y, a, b1, b2,
+               1.0 / (1.0 + EXP(-(a + b1 * x1 + b2 * x2))) AS p
+        FROM pts JOIN p0 USING (g)),
+      t1 AS (
+        SELECT g, MAX(a) AS a, MAX(b1) AS b1, MAX(b2) AS b2,
+               COUNT(*)::BIGINT AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x1 * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(x2 * (y - p), 12) AS DECIMAL(38,12))) AS g2,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h02,
+               SUM(CAST(ROUND(x1 * x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11,
+               SUM(CAST(ROUND(x1 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h12,
+               SUM(CAST(ROUND(x2 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h22
+        FROM pr1 GROUP BY g),
+      d1 AS (
+        SELECT *,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det,
+          CAST(g0 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)) AS det0,
+          CAST(h00 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            - CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det1,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det2
+        FROM t1),
+      p1 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a + det0 / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b1 + det1 / det, 12)
+          ELSE b1 END AS b1,
+          CASE WHEN det > 0.0 THEN ROUND(b2 + det2 / det, 12)
+          ELSE b2 END AS b2
+        FROM d1),
+      pr2 AS (
+        SELECT pts.g, x1, x2, y, a, b1, b2,
+               1.0 / (1.0 + EXP(-(a + b1 * x1 + b2 * x2))) AS p
+        FROM pts JOIN p1 USING (g)),
+      t2 AS (
+        SELECT g, MAX(a) AS a, MAX(b1) AS b1, MAX(b2) AS b2,
+               COUNT(*)::BIGINT AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x1 * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(x2 * (y - p), 12) AS DECIMAL(38,12))) AS g2,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h02,
+               SUM(CAST(ROUND(x1 * x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11,
+               SUM(CAST(ROUND(x1 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h12,
+               SUM(CAST(ROUND(x2 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h22
+        FROM pr2 GROUP BY g),
+      d2 AS (
+        SELECT *,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det,
+          CAST(g0 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)) AS det0,
+          CAST(h00 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            - CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det1,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det2
+        FROM t2),
+      p2 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a + det0 / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b1 + det1 / det, 12)
+          ELSE b1 END AS b1,
+          CASE WHEN det > 0.0 THEN ROUND(b2 + det2 / det, 12)
+          ELSE b2 END AS b2
+        FROM d2),
+      pr3 AS (
+        SELECT pts.g, x1, x2, y, a, b1, b2,
+               1.0 / (1.0 + EXP(-(a + b1 * x1 + b2 * x2))) AS p
+        FROM pts JOIN p2 USING (g)),
+      t3 AS (
+        SELECT g, MAX(a) AS a, MAX(b1) AS b1, MAX(b2) AS b2,
+               COUNT(*)::BIGINT AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x1 * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(x2 * (y - p), 12) AS DECIMAL(38,12))) AS g2,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h02,
+               SUM(CAST(ROUND(x1 * x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11,
+               SUM(CAST(ROUND(x1 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h12,
+               SUM(CAST(ROUND(x2 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h22
+        FROM pr3 GROUP BY g),
+      d3 AS (
+        SELECT *,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det,
+          CAST(g0 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)) AS det0,
+          CAST(h00 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            - CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det1,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det2
+        FROM t3),
+      p3 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a + det0 / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b1 + det1 / det, 12)
+          ELSE b1 END AS b1,
+          CASE WHEN det > 0.0 THEN ROUND(b2 + det2 / det, 12)
+          ELSE b2 END AS b2
+        FROM d3),
+      pr4 AS (
+        SELECT pts.g, x1, x2, y, a, b1, b2,
+               1.0 / (1.0 + EXP(-(a + b1 * x1 + b2 * x2))) AS p
+        FROM pts JOIN p3 USING (g)),
+      t4 AS (
+        SELECT g, MAX(a) AS a, MAX(b1) AS b1, MAX(b2) AS b2,
+               COUNT(*)::BIGINT AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x1 * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(x2 * (y - p), 12) AS DECIMAL(38,12))) AS g2,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h02,
+               SUM(CAST(ROUND(x1 * x1 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11,
+               SUM(CAST(ROUND(x1 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h12,
+               SUM(CAST(ROUND(x2 * x2 * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h22
+        FROM pr4 GROUP BY g),
+      d4 AS (
+        SELECT *,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det,
+          CAST(g0 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(g1 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)) AS det0,
+          CAST(h00 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))
+            - CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h22 AS DOUBLE)
+              - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det1,
+          CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE))
+            - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(g2 AS DOUBLE)
+              - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE))
+            + CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE)
+              * CAST(h12 AS DOUBLE)
+              - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)) AS det2
+        FROM t4)
+      SELECT g AS cohort, n, n_pos,
+             CAST(ROUND(a, 6) AS DOUBLE) AS alpha,
+             CAST(ROUND(b1, 6) AS DOUBLE) AS b1,
+             CAST(ROUND(b2, 6) AS DOUBLE) AS b2,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(SQRT((CAST(h00 AS DOUBLE) * CAST(h22 AS DOUBLE)
+                 - CAST(h02 AS DOUBLE) * CAST(h02 AS DOUBLE)) / det), 6)
+             END AS DOUBLE) AS se_b1,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(SQRT((CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                 - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det), 6)
+             END AS DOUBLE) AS se_b2,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(b1 / SQRT((CAST(h00 AS DOUBLE) * CAST(h22 AS DOUBLE)
+                 - CAST(h02 AS DOUBLE) * CAST(h02 AS DOUBLE)) / det), 6)
+             END AS DOUBLE) AS z_b1,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(b2 / SQRT((CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                 - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det), 6)
+             END AS DOUBLE) AS z_b2
+      FROM d4 ORDER BY cohort""",
 
     // Three unrolled Newton iterations from (0,0) + the final
     // observed-information pass — every per-row term 12-dp frozen into

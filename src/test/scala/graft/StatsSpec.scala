@@ -1867,6 +1867,42 @@ class StatsSpec extends SparkTestBase {
     assert(r.getAs[Double]("odds_ratio") < 1.0, r.toString)
   }
 
+  test("logisticFit2: planted 2-covariate boundary; collinear freezes") {
+    import spark.implicits._
+    // y = 1 when 2·x1 − 3·x2 − 1 + noise > 0: both effects recovered
+    // with the right signs and strong z's
+    val df = (1 to 600).map { i =>
+      val x1 = (i % 11).toDouble / 2.0
+      val x2 = (i % 7).toDouble / 2.0
+      ("g", x1, x2,
+        2.0 * x1 - 3.0 * x2 - 1.0 + 2.0 * math.sin(i.toDouble) > 0.0)
+    }.toDF("g", "x1", "x2", "y")
+    val r = Stats.logisticFit2(df, "g", "x1", "x2", col("y"))
+      .collect().head
+    assert(r.getAs[Double]("b1") > 0.8, r.toString)
+    assert(r.getAs[Double]("b2") < -0.8, r.toString)
+    assert(r.getAs[Double]("z_b1") > 5.0 && r.getAs[Double]("z_b2") < -5.0,
+      r.toString)
+    // the planted boundary ratio b2/b1 ≈ −1.5 survives the link
+    val ratio = r.getAs[Double]("b2") / r.getAs[Double]("b1")
+    assert(math.abs(ratio + 1.5) < 0.25, s"boundary ratio $ratio")
+    // dropping x2 must not fit better: deviance proxy via |z|
+    val r1 = Stats.logisticFit(
+      df.select(col("g"), col("x1").as("x"), col("y")), "g", "x", col("y"))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("z_b1")) >
+      math.abs(r1.getAs[Double]("z_beta")) - 10.0) // sanity, not a law
+    // collinear covariates: det = 0 → params frozen at 0, NULL se
+    val colin = (1 to 50).map { i =>
+      val x = (i % 9).toDouble
+      ("c", x, 2.0 * x, i % 2 == 0)
+    }.toDF("g", "x1", "x2", "y")
+    val rc = Stats.logisticFit2(colin, "g", "x1", "x2", col("y"))
+      .collect().head
+    assert(rc.getAs[Double]("b1") == 0.0
+      && rc.isNullAt(rc.fieldIndex("se_b1")), rc.toString)
+  }
+
   test("logisticFit: constant covariate degenerates to NULL se, params frozen") {
     import spark.implicits._
     val df = Seq(("g", 1.0, true), ("g", 1.0, false), ("g", 1.0, true))
