@@ -3972,7 +3972,13 @@ object Stats {
       // mean and a quasi-Poisson/NB error model is needed (the rate
       // ratio stays consistent, its se does NOT — the caller's cue)
       when(col("n") > 2, round(d("_CHI") / (col("n").cast("double") - 2.0),
-        6)).cast("double").as("dispersion"))
+        6)).cast("double").as("dispersion"),
+      // the quasi-Poisson correction THE dispersion diagnostic calls
+      // for: se·√φ — the rate ratio stays, its honesty interval widens
+      when(det > 0.0 && col("n") > 2,
+        round(sqrt(d("_H00") / det)
+          * sqrt(d("_CHI") / (col("n").cast("double") - 2.0)), 6))
+        .cast("double").as("se_beta_quasi"))
   }
 
   /** One-lag Granger causality F per group — does x's PAST improve the

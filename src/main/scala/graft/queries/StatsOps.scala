@@ -3919,7 +3919,12 @@ object StatsOps {
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS rate_ratio,
              CAST(CASE WHEN n > 2 THEN
                ROUND(CAST(chi AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0), 6)
-             END AS DOUBLE) AS dispersion
+             END AS DOUBLE) AS dispersion,
+             CAST(CASE WHEN det > 0.0 AND n > 2 THEN
+               ROUND(SQRT(CAST(h00 AS DOUBLE) / det)
+                 * SQRT(CAST(chi AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0)),
+                 6)
+             END AS DOUBLE) AS se_beta_quasi
       FROM d4 ORDER BY event_type""",
 
     // q_logistic's scheme at 3 parameters: per iteration a 3x3

@@ -1948,6 +1948,9 @@ class StatsSpec extends SparkTestBase {
     val ro = Stats.poissonFit(over, "g", "x", "y").collect().head
     assert(ro.getAs[Double]("dispersion") > 5.0,
       s"variance 2401 vs mean 50 must flag overdispersion: $ro")
+    // the quasi correction widens the se by sqrt(dispersion)
+    assert(ro.getAs[Double]("se_beta_quasi")
+      > 2.0 * ro.getAs[Double]("se_beta"), ro.toString)
     // constant x degenerates: det = 0, params stay at the init, NULL se
     val cx = Seq(("c", 1.0, 4.0), ("c", 1.0, 6.0)).toDF("g", "x", "y")
     val rc = Stats.poissonFit(cx, "g", "x", "y").collect().head
