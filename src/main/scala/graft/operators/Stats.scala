@@ -4115,6 +4115,64 @@ object Stats {
     * Scale shape: one group-keyed moment aggregate + one group-keyed
     * lag window over DAY-CELL-sized series. Output: (group, n, dw).
     */
+  /** Breusch–Pagan heteroscedasticity test (Koenker's studentized
+    * form), per group — do the REGRESSION ERRORS' sizes depend on x?
+    * OLS assumes they don't; when they do, [[linearFit]]'s se story
+    * and every CI on it silently shrink. BP = n·R²_aux where R²_aux
+    * is the fit of the SQUARED residuals on x; compare against χ²(1).
+    * The diagnostic sibling of [[durbinWatson]] (serial correlation)
+    * on the variance axis.
+    *
+    * Determinism: the first fit and its residuals are the
+    * durbinWatson machinery verbatim (exact decimal moments,
+    * unrounded β/α, residuals frozen at 6 dp); e² is a product of
+    * 6-dp-exact doubles frozen at 6 dp; the auxiliary regression is
+    * [[linearFit]] verbatim on (x, e²); BP is one rounded product.
+    * NULL when either fit degenerates.
+    *
+    * Scale shape: two moment aggregates + one broadcast join of the
+    * k-row fit table — no windows (DW's lag window isn't needed
+    * here). Output: (group, n, r2_aux, bp).
+    */
+  def breuschPagan(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_xq"),
+        round(col(yCol) * 1e6).cast("long").as("_yq"))
+    val mom = pts.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_xq").cast(dec)).as("_sx"),
+        sum(col("_yq").cast(dec)).as("_sy"),
+        sum((col("_xq").cast(dec) * col("_xq")).cast(dec)).as("_sxx"),
+        sum((col("_xq").cast(dec) * col("_yq")).cast(dec)).as("_sxy"))
+      .withColumn("_denx",
+        col("_n").cast("double") * col("_sxx").cast("double")
+          - col("_sx").cast("double") * col("_sx").cast("double"))
+      .withColumn("_b",
+        when(col("_denx") > 0.0,
+          (col("_n").cast("double") * col("_sxy").cast("double")
+            - col("_sx").cast("double") * col("_sy").cast("double"))
+            / col("_denx")))
+      .withColumn("_a",
+        (col("_sy").cast("double") - col("_b") * col("_sx").cast("double"))
+          / col("_n").cast("double"))
+    val resid = pts.join(broadcast(mom), col("_g") <=> col("_gm"))
+      .drop("_gm")
+      .withColumn("_e",
+        round((col("_yq").cast("double")
+          - col("_b") * col("_xq").cast("double") - col("_a")) / 1e6, 6))
+      .select(col("_g"), (col("_xq") / 1e6).as("_x"),
+        round(col("_e") * col("_e"), 6).as("_e2"))
+    linearFit(resid, "_g", "_x", "_e2")
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        col("r2").as("r2_aux"),
+        when(col("r2").isNotNull,
+          round(col("n").cast("double") * col("r2"), 6))
+          .cast("double").as("bp"))
+  }
+
   def durbinWatson(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -849,6 +849,21 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Breusch–Pagan (Koenker) heteroscedasticity test on the
+    * q_lin_fit daily-spend cells: the q_durbin_watson residuals,
+    * squared + 6-dp frozen, refit on the day index; BP = n·R²_aux.
+    */
+  val qBreuschPagan: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Stats.breuschPagan(cells, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
   /** Two-cohort log-rank on time-to-first-purchase (the
     * q_kaplan_meier subjects split by user parity): grid at-risk
     * counts, 12-dp decimal E/V term sums, one z tree.
@@ -1640,6 +1655,7 @@ object StatsOps {
     "q_anova" -> qAnova,
     "q_levene" -> qLevene,
     "q_durbin_watson" -> qDurbinWatson,
+    "q_breusch_pagan" -> qBreuschPagan,
     "q_grubbs" -> qGrubbs,
     "q_welch_t" -> qWelchT,
     "q_bartlett" -> qBartlett,
@@ -2978,6 +2994,79 @@ object StatsOps {
                ROUND((ssb / CAST(k - 1 AS DOUBLE))
                  / (ssw / CAST(n - k AS DOUBLE)), 6) END AS DOUBLE) AS f
       FROM d""",
+
+    // The q_durbin_watson residual CTEs, squared residuals 6-dp
+    // frozen, the q_lin_fit auxiliary trees, BP = n·R².
+    "q_breusch_pagan" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      mom AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts GROUP BY g),
+      fit AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS b,
+               (CAST(sy AS DOUBLE) - CASE WHEN CAST(n AS DOUBLE)
+                      * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        FROM mom),
+      res AS (
+        SELECT pts.g, pts.xq / 1000000.0 AS x,
+               ROUND(ROUND((CAST(yq AS DOUBLE) - b * CAST(xq AS DOUBLE)
+                 - a) / 1000000.0, 6)
+                 * ROUND((CAST(yq AS DOUBLE) - b * CAST(xq AS DOUBLE)
+                 - a) / 1000000.0, 6), 6) AS e2
+        FROM pts JOIN fit ON pts.g IS NOT DISTINCT FROM fit.g),
+      pts2 AS (
+        SELECT g, CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(e2 * 1000000.0) AS BIGINT) AS yq
+        FROM res WHERE x IS NOT NULL AND e2 IS NOT NULL),
+      s2 AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(yq::HUGEINT * yq) AS syy,
+               SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts2 GROUP BY g),
+      d2 AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        FROM s2),
+      r2t AS (
+        SELECT g, n,
+               CAST(CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+                 ROUND(num * num / (denx * deny), 6)
+               END AS DOUBLE) AS r2_aux
+        FROM d2)
+      SELECT g AS event_type, n, r2_aux,
+             CAST(CASE WHEN r2_aux IS NOT NULL THEN
+               ROUND(CAST(n AS DOUBLE) * r2_aux, 6) END AS DOUBLE) AS bp
+      FROM r2t ORDER BY event_type""",
 
     // q_lin_fit cells + exact-moment OLS, 6-dp residuals, lag window,
     // 12-dp-frozen squared-term sums, one rounded division.

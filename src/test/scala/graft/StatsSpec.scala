@@ -1531,6 +1531,28 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("breuschPagan: fanning errors flag, constant errors don't") {
+    import spark.implicits._
+    // heteroscedastic: error amplitude grows with x (the classic fan)
+    val fan = (1 to 300).map { i =>
+      val x = (i % 20).toDouble + 1.0
+      ("f", x, 2.0 * x + x * math.sin(i.toDouble))
+    }.toDF("g", "x", "y")
+    val rf = Stats.breuschPagan(fan, "g", "x", "y").collect().head
+    // homoscedastic: same model, constant error amplitude
+    val flat = (1 to 300).map { i =>
+      val x = (i % 20).toDouble + 1.0
+      ("h", x, 2.0 * x + 3.0 * math.sin(i.toDouble))
+    }.toDF("g", "x", "y")
+    val rh = Stats.breuschPagan(flat, "g", "x", "y").collect().head
+    assert(rf.getAs[Double]("bp") > 15.0,
+      s"fanning errors must exceed chi2(1) thresholds decisively: $rf")
+    assert(rh.getAs[Double]("bp") < 4.0,
+      s"constant errors must stay under ~chi2(1) 5%: $rh")
+    assert(rf.getAs[Double]("bp") > 5.0 * rh.getAs[Double]("bp"),
+      s"contrast: $rf vs $rh")
+  }
+
   test("ksExponentialBinned: exponential data fits, periodic data flags") {
     import spark.implicits._
     // deterministic exponential sample via inverse CDF on a grid
