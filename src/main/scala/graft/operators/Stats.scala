@@ -4115,6 +4115,79 @@ object Stats {
     * Scale shape: one group-keyed moment aggregate + one group-keyed
     * lag window over DAY-CELL-sized series. Output: (group, n, dw).
     */
+  /** Chow structural-break test per group — did the REGRESSION change
+    * at a known breakpoint (policy launch, price change, deploy)?
+    * Fit y~x pooled and separately left/right of `breakX`; F =
+    * ((SSE_p − SSE_l − SSE_r)/2) / ((SSE_l + SSE_r)/(n − 4)) vs
+    * F(2, n−4) — the regression-level sibling of L267's mean-level
+    * breakpoint scan (that one finds WHERE, this one tests a KNOWN
+    * where at slope+intercept resolution).
+    *
+    * Determinism: one group-keyed aggregate of TWELVE decimal(38,0)
+    * side-conditional moments (left/right of the break; pooled sums
+    * are the exact decimal sums of the sides); each segment's SSE is
+    * the dickeyFuller tree ((Syy_c − β·Sxy_c)/n on n-scaled centered
+    * moments); F is one rounded tree. Degenerate sides (< 3 points,
+    * zero x-variance) or SSE_l + SSE_r ≤ 0 → NULL.
+    *
+    * Scale shape: one hash aggregate, zero joins/windows.
+    * Output: (group, n, n_left, n_right, f).
+    */
+  def chowTest(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, breakX: Double): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        (col(xCol) < breakX).as("_l"),
+        round(col(xCol) * 1e6).cast("long").as("_x"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+    def side(isL: Boolean, e: Column): Column = {
+      val cond = if (isL) col("_l") else !col("_l")
+      sum(when(cond, e).otherwise(lit(0L).cast(dec)))
+    }
+    def moments(isL: Boolean, tag: String) = Seq(
+      sum(when(if (isL) col("_l") else !col("_l"), 1L).otherwise(0L))
+        .as(s"_n$tag"),
+      side(isL, col("_x").cast(dec)).as(s"_sx$tag"),
+      side(isL, col("_y").cast(dec)).as(s"_sy$tag"),
+      side(isL, (col("_x").cast(dec) * col("_x")).cast(dec)).as(s"_sxx$tag"),
+      side(isL, (col("_x").cast(dec) * col("_y")).cast(dec)).as(s"_sxy$tag"),
+      side(isL, (col("_y").cast(dec) * col("_y")).cast(dec)).as(s"_syy$tag"))
+    val aggs = moments(isL = true, "L") ++ moments(isL = false, "R")
+    val sums = pts.groupBy("_g").agg(aggs.head, aggs.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    // segment SSE from its own sums; pooled sums are exact decimal
+    // sums of the two sides
+    def sse(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): (Column, Column) = {
+      val nd = n.cast("double")
+      val sxxc = nd * sxx - sx * sx
+      val sxyc = nd * sxy - sx * sy
+      val syyc = nd * syy - sy * sy
+      val b = sxyc / sxxc
+      (sxxc, (syyc - b * sxyc) / nd)
+    }
+    val (dxL, sseL) = sse(col("_nL"), d("_sxL"), d("_syL"),
+      d("_sxxL"), d("_sxyL"), d("_syyL"))
+    val (dxR, sseR) = sse(col("_nR"), d("_sxR"), d("_syR"),
+      d("_sxxR"), d("_sxyR"), d("_syyR"))
+    val nP = col("_nL") + col("_nR")
+    val (dxP, sseP) = sse(nP,
+      (col("_sxL") + col("_sxR")).cast("double"),
+      (col("_syL") + col("_syR")).cast("double"),
+      (col("_sxxL") + col("_sxxR")).cast("double"),
+      (col("_sxyL") + col("_sxyR")).cast("double"),
+      (col("_syyL") + col("_syyR")).cast("double"))
+    val nd = nP.cast("double")
+    val f = ((sseP - sseL - sseR) / 2.0) / ((sseL + sseR) / (nd - 4.0))
+    val ok = col("_nL") >= 3 && col("_nR") >= 3 && dxL > 0.0 &&
+      dxR > 0.0 && dxP > 0.0 && (sseL + sseR) > 0.0
+    sums.select(col("_g").as(groupCol), nP.cast("bigint").as("n"),
+      col("_nL").cast("bigint").as("n_left"),
+      col("_nR").cast("bigint").as("n_right"),
+      when(ok, round(f, 6)).cast("double").as("f"))
+  }
+
   /** Breusch–Pagan heteroscedasticity test (Koenker's studentized
     * form), per group — do the REGRESSION ERRORS' sizes depend on x?
     * OLS assumes they don't; when they do, [[linearFit]]'s se story

@@ -849,6 +849,21 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Chow structural-break test of the daily-spend regression at day
+    * 30 per event type: twelve side-conditional decimal moments, three
+    * dickeyFuller SSE trees, one F.
+    */
+  val qChow: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Stats.chowTest(cells, "event_type", "x", "y", breakX = 30.0)
+      .orderBy("event_type")
+  }
+
   /** Breusch–Pagan (Koenker) heteroscedasticity test on the
     * q_lin_fit daily-spend cells: the q_durbin_watson residuals,
     * squared + 6-dp frozen, refit on the day index; BP = n·R²_aux.
@@ -1656,6 +1671,7 @@ object StatsOps {
     "q_levene" -> qLevene,
     "q_durbin_watson" -> qDurbinWatson,
     "q_breusch_pagan" -> qBreuschPagan,
+    "q_chow" -> qChow,
     "q_grubbs" -> qGrubbs,
     "q_welch_t" -> qWelchT,
     "q_bartlett" -> qBartlett,
@@ -2994,6 +3010,88 @@ object StatsOps {
                ROUND((ssb / CAST(k - 1 AS DOUBLE))
                  / (ssw / CAST(n - k AS DOUBLE)), 6) END AS DOUBLE) AS f
       FROM d""",
+
+    // Twelve side-conditional HUGEINT moments (pooled = exact sums of
+    // the sides), the dickeyFuller SSE tree per segment, one F.
+    "q_chow" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, x < 30.0 AS l,
+               CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      m AS (
+        SELECT g,
+               SUM(CASE WHEN l THEN 1 ELSE 0 END)::BIGINT AS nL,
+               SUM(CASE WHEN l THEN xq::HUGEINT ELSE 0 END) AS sxL,
+               SUM(CASE WHEN l THEN yq::HUGEINT ELSE 0 END) AS syL,
+               SUM(CASE WHEN l THEN xq::HUGEINT * xq ELSE 0 END) AS sxxL,
+               SUM(CASE WHEN l THEN xq::HUGEINT * yq ELSE 0 END) AS sxyL,
+               SUM(CASE WHEN l THEN yq::HUGEINT * yq ELSE 0 END) AS syyL,
+               SUM(CASE WHEN NOT l THEN 1 ELSE 0 END)::BIGINT AS nR,
+               SUM(CASE WHEN NOT l THEN xq::HUGEINT ELSE 0 END) AS sxR,
+               SUM(CASE WHEN NOT l THEN yq::HUGEINT ELSE 0 END) AS syR,
+               SUM(CASE WHEN NOT l THEN xq::HUGEINT * xq ELSE 0 END)
+                 AS sxxR,
+               SUM(CASE WHEN NOT l THEN xq::HUGEINT * yq ELSE 0 END)
+                 AS sxyR,
+               SUM(CASE WHEN NOT l THEN yq::HUGEINT * yq ELSE 0 END)
+                 AS syyR
+        FROM pts GROUP BY g),
+      mp AS (
+        SELECT *, nL + nR AS nP, sxL + sxR AS sxP, syL + syR AS syP,
+               sxxL + sxxR AS sxxP, sxyL + sxyR AS sxyP,
+               syyL + syyR AS syyP
+        FROM m),
+      t AS (
+        SELECT g, nL, nR, nP,
+               CAST(nL AS DOUBLE) * CAST(sxxL AS DOUBLE)
+                 - CAST(sxL AS DOUBLE) * CAST(sxL AS DOUBLE) AS dxL,
+               (CAST(nL AS DOUBLE) * CAST(syyL AS DOUBLE)
+                  - CAST(syL AS DOUBLE) * CAST(syL AS DOUBLE)
+                - (CAST(nL AS DOUBLE) * CAST(sxyL AS DOUBLE)
+                   - CAST(sxL AS DOUBLE) * CAST(syL AS DOUBLE))
+                  / (CAST(nL AS DOUBLE) * CAST(sxxL AS DOUBLE)
+                     - CAST(sxL AS DOUBLE) * CAST(sxL AS DOUBLE))
+                  * (CAST(nL AS DOUBLE) * CAST(sxyL AS DOUBLE)
+                     - CAST(sxL AS DOUBLE) * CAST(syL AS DOUBLE)))
+                 / CAST(nL AS DOUBLE) AS sseL,
+               CAST(nR AS DOUBLE) * CAST(sxxR AS DOUBLE)
+                 - CAST(sxR AS DOUBLE) * CAST(sxR AS DOUBLE) AS dxR,
+               (CAST(nR AS DOUBLE) * CAST(syyR AS DOUBLE)
+                  - CAST(syR AS DOUBLE) * CAST(syR AS DOUBLE)
+                - (CAST(nR AS DOUBLE) * CAST(sxyR AS DOUBLE)
+                   - CAST(sxR AS DOUBLE) * CAST(syR AS DOUBLE))
+                  / (CAST(nR AS DOUBLE) * CAST(sxxR AS DOUBLE)
+                     - CAST(sxR AS DOUBLE) * CAST(sxR AS DOUBLE))
+                  * (CAST(nR AS DOUBLE) * CAST(sxyR AS DOUBLE)
+                     - CAST(sxR AS DOUBLE) * CAST(syR AS DOUBLE)))
+                 / CAST(nR AS DOUBLE) AS sseR,
+               CAST(nP AS DOUBLE) * CAST(sxxP AS DOUBLE)
+                 - CAST(sxP AS DOUBLE) * CAST(sxP AS DOUBLE) AS dxP,
+               (CAST(nP AS DOUBLE) * CAST(syyP AS DOUBLE)
+                  - CAST(syP AS DOUBLE) * CAST(syP AS DOUBLE)
+                - (CAST(nP AS DOUBLE) * CAST(sxyP AS DOUBLE)
+                   - CAST(sxP AS DOUBLE) * CAST(syP AS DOUBLE))
+                  / (CAST(nP AS DOUBLE) * CAST(sxxP AS DOUBLE)
+                     - CAST(sxP AS DOUBLE) * CAST(sxP AS DOUBLE))
+                  * (CAST(nP AS DOUBLE) * CAST(sxyP AS DOUBLE)
+                     - CAST(sxP AS DOUBLE) * CAST(syP AS DOUBLE)))
+                 / CAST(nP AS DOUBLE) AS sseP
+        FROM mp)
+      SELECT g AS event_type, CAST(nP AS BIGINT) AS n,
+             nL AS n_left, nR AS n_right,
+             CAST(CASE WHEN nL >= 3 AND nR >= 3 AND dxL > 0.0
+                    AND dxR > 0.0 AND dxP > 0.0
+                    AND sseL + sseR > 0.0 THEN
+               ROUND(((sseP - sseL - sseR) / 2.0)
+                 / ((sseL + sseR) / (CAST(nP AS DOUBLE) - 4.0)), 6)
+             END AS DOUBLE) AS f
+      FROM t ORDER BY event_type""",
 
     // The q_durbin_watson residual CTEs, squared residuals 6-dp
     // frozen, the q_lin_fit auxiliary trees, BP = n·R².

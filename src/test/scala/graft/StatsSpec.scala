@@ -1531,6 +1531,35 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("chowTest: planted slope break flags; stable line doesn't") {
+    import spark.implicits._
+    // slope flips 1.0 -> 4.0 at x = 50: the break must scream
+    val broke = (1 to 100).map { i =>
+      val x = i.toDouble
+      val y = (if (x < 50) x else 50.0 + 4.0 * (x - 50)) +
+        0.5 * math.sin(i.toDouble)
+      ("b", x, y)
+    }.toDF("g", "x", "y")
+    val rb = Stats.chowTest(broke, "g", "x", "y", breakX = 50.0)
+      .collect().head
+    assert(rb.getAs[Double]("f") > 100.0, rb.toString)
+    assert(rb.getAs[Long]("n_left") === 49L
+      && rb.getAs[Long]("n_right") === 51L, rb.toString)
+    // one stable line: F stays ordinary
+    val stable = (1 to 100).map { i =>
+      ("s", i.toDouble, 2.0 * i + 0.5 * math.sin(i.toDouble))
+    }.toDF("g", "x", "y")
+    val rs = Stats.chowTest(stable, "g", "x", "y", breakX = 50.0)
+      .collect().head
+    assert(rs.getAs[Double]("f") < 5.0, rs.toString)
+    // a side with < 3 points → NULL
+    val thin = (1 to 10).map(i => ("t", i.toDouble, i * 1.0))
+      .toDF("g", "x", "y")
+    val rt = Stats.chowTest(thin, "g", "x", "y", breakX = 2.0)
+      .collect().head
+    assert(rt.isNullAt(rt.fieldIndex("f")), rt.toString)
+  }
+
   test("breuschPagan: fanning errors flag, constant errors don't") {
     import spark.implicits._
     // heteroscedastic: error amplitude grows with x (the classic fan)
