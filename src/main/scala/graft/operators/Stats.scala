@@ -4115,6 +4115,81 @@ object Stats {
     * Scale shape: one group-keyed moment aggregate + one group-keyed
     * lag window over DAY-CELL-sized series. Output: (group, n, dw).
     */
+  /** Regression influence diagnostics — the top-k most INFLUENTIAL
+    * points of each group's y~x fit by Cook's distance: leverage
+    * h = 1/n + (x−x̄)²/Sxx, studentized residual r = e/(s·√(1−h)),
+    * D = (r²/2)·(h/(1−h)) — "which rows, if dropped, would move the
+    * line" — completing the diagnostics suite (L201 serial
+    * correlation, L304 heteroscedasticity, L305 stability, this:
+    * influence). The practical use: review/cap these rows before
+    * trusting any [[linearFit]]-family number.
+    *
+    * Determinism: the durbinWatson fit/residual machinery verbatim
+    * (6-dp residuals); h, r, D are identically-spelled float trees on
+    * the exact moments, each rounded at 6 dp; top-k cuts by (D DESC,
+    * group, x, y) via orderBy+limit (TakeOrderedAndProject). Points
+    * with h ≥ 1 (n = 1 groups) or zero residual variance → excluded
+    * by the guards.
+    *
+    * Scale shape: one moment aggregate + one broadcast join of the
+    * k-row fit table + a second residual-variance aggregate — no
+    * windows; the per-row diagnostics are scan-level projections.
+    * Output: (group, x, y, leverage, std_resid, cooks_d), ≤ topK rows.
+    */
+  def regressionInfluence(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_xq"),
+        round(col(yCol) * 1e6).cast("long").as("_yq"))
+    val mom = pts.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_xq").cast(dec)).as("_sx"),
+        sum(col("_yq").cast(dec)).as("_sy"),
+        sum((col("_xq").cast(dec) * col("_xq")).cast(dec)).as("_sxx"),
+        sum((col("_xq").cast(dec) * col("_yq")).cast(dec)).as("_sxy"))
+      .withColumn("_denx",
+        col("_n").cast("double") * col("_sxx").cast("double")
+          - col("_sx").cast("double") * col("_sx").cast("double"))
+      .withColumn("_b",
+        when(col("_denx") > 0.0,
+          (col("_n").cast("double") * col("_sxy").cast("double")
+            - col("_sx").cast("double") * col("_sy").cast("double"))
+            / col("_denx")))
+      .withColumn("_a",
+        (col("_sy").cast("double") - col("_b") * col("_sx").cast("double"))
+          / col("_n").cast("double"))
+    val withE = pts.join(broadcast(mom), col("_g") <=> col("_gm"))
+      .drop("_gm")
+      .withColumn("_e",
+        round((col("_yq").cast("double")
+          - col("_b") * col("_xq").cast("double") - col("_a")) / 1e6, 6))
+    val sse = withE.groupBy(col("_g").as("_gs"))
+      .agg(sum(round(col("_e") * col("_e"), 12).cast("decimal(38,12)"))
+        .as("_sse"))
+    val nd = col("_n").cast("double")
+    // h = 1/n + n·(x − x̄)²/Sxx on the n-scaled centered moment:
+    // (x − Σx/n)² / (Sxx_c/n) with Sxx_c = _denx/n ⇒ spelled once:
+    val xc = col("_xq").cast("double") - col("_sx").cast("double") / nd
+    val h = lit(1.0) / nd + xc * xc * nd / col("_denx")
+    val s2 = col("_sse").cast("double") / (nd - 2.0)
+    val r = col("_e") / sqrt(s2 * (lit(1.0) - h))
+    val dcook = (r * r / 2.0) * (h / (lit(1.0) - h))
+    withE.join(broadcast(sse), col("_g") <=> col("_gs")).drop("_gs")
+      .filter(col("_n") >= 3 && col("_denx") > 0.0 &&
+        col("_sse").cast("double") > 0.0)
+      .select(col("_g").as(groupCol),
+        (col("_xq") / 1e6).cast("double").as("x"),
+        (col("_yq") / 1e6).cast("double").as("y"),
+        round(h, 6).cast("double").as("leverage"),
+        round(r, 6).cast("double").as("std_resid"),
+        round(dcook, 6).cast("double").as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col(groupCol), col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** Chow structural-break test per group — did the REGRESSION change
     * at a known breakpoint (policy launch, price change, deploy)?
     * Fit y~x pooled and separately left/right of `breakX`; F =

@@ -849,6 +849,20 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Top-10 most influential daily-spend cells of each type's trend
+    * fit by Cook's distance — leverage, studentized residual, D — the
+    * influence member of the regression-diagnostics suite.
+    */
+  val qInfluence: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Stats.regressionInfluence(cells, "event_type", "x", "y", topK = 10)
+  }
+
   /** Chow structural-break test of the daily-spend regression at day
     * 30 per event type: twelve side-conditional decimal moments, three
     * dickeyFuller SSE trees, one F.
@@ -1672,6 +1686,7 @@ object StatsOps {
     "q_durbin_watson" -> qDurbinWatson,
     "q_breusch_pagan" -> qBreuschPagan,
     "q_chow" -> qChow,
+    "q_influence" -> qInfluence,
     "q_grubbs" -> qGrubbs,
     "q_welch_t" -> qWelchT,
     "q_bartlett" -> qBartlett,
@@ -3010,6 +3025,75 @@ object StatsOps {
                ROUND((ssb / CAST(k - 1 AS DOUBLE))
                  / (ssw / CAST(n - k AS DOUBLE)), 6) END AS DOUBLE) AS f
       FROM d""",
+
+    // The DW fit/residual CTEs + h/r/D trees; (D DESC, g, x, y) top-10.
+    "q_influence" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      mom AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts GROUP BY g),
+      fit AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(sx AS DOUBLE) AS sxd,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS b,
+               (CAST(sy AS DOUBLE) - CASE WHEN CAST(n AS DOUBLE)
+                      * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        FROM mom),
+      withe AS (
+        SELECT pts.g, xq, yq, n, denx, sxd,
+               ROUND((CAST(yq AS DOUBLE) - b * CAST(xq AS DOUBLE) - a)
+                 / 1000000.0, 6) AS e
+        FROM pts JOIN fit ON pts.g IS NOT DISTINCT FROM fit.g),
+      sset AS (
+        SELECT g, SUM(CAST(ROUND(e * e, 12) AS DECIMAL(38,12))) AS sse
+        FROM withe GROUP BY g),
+      diag AS (
+        SELECT w.g, xq, yq, e, n, denx, sxd,
+               CAST(sse AS DOUBLE) AS ssed,
+               1.0 / CAST(n AS DOUBLE)
+                 + (CAST(xq AS DOUBLE) - sxd / CAST(n AS DOUBLE))
+                 * (CAST(xq AS DOUBLE) - sxd / CAST(n AS DOUBLE))
+                 * CAST(n AS DOUBLE) / denx AS h
+        FROM withe w JOIN sset ON w.g IS NOT DISTINCT FROM sset.g),
+      d2 AS (
+        SELECT g, xq, yq, h,
+               e / SQRT(ssed / (CAST(n AS DOUBLE) - 2.0) * (1.0 - h))
+                 AS r
+        FROM diag
+        WHERE n >= 3 AND denx > 0.0 AND ssed > 0.0)
+      SELECT g AS event_type,
+             CAST(xq / 1000000.0 AS DOUBLE) AS x,
+             CAST(yq / 1000000.0 AS DOUBLE) AS y,
+             CAST(ROUND(h, 6) AS DOUBLE) AS leverage,
+             CAST(ROUND(r, 6) AS DOUBLE) AS std_resid,
+             CAST(ROUND((r * r / 2.0) * (h / (1.0 - h)), 6) AS DOUBLE)
+               AS cooks_d
+      FROM d2
+      ORDER BY ROUND((r * r / 2.0) * (h / (1.0 - h)), 6) DESC, g, x, y
+      LIMIT 10""",
 
     // Twelve side-conditional HUGEINT moments (pooled = exact sums of
     // the sides), the dickeyFuller SSE tree per segment, one F.

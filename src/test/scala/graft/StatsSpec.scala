@@ -1531,6 +1531,30 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("regressionInfluence: planted outlier tops Cook's D; clean line is flat") {
+    import spark.implicits._
+    val clean = (1 to 40).map(i =>
+      ("g", i.toDouble, 2.0 * i + math.sin(i.toDouble)))
+    // a far-x, far-off-line point: maximal leverage AND residual
+    val spiked = (clean :+ (("g", 80.0, 400.0))).toDF("g", "x", "y")
+    val top = Stats.regressionInfluence(spiked, "g", "x", "y", topK = 3)
+      .collect()
+    assert(top.head.getAs[Double]("x") == 80.0,
+      s"the planted point must top the list: ${top.head}")
+    assert(top.head.getAs[Double]("cooks_d")
+      > 10.0 * top(1).getAs[Double]("cooks_d"),
+      s"dominance: ${top.toSeq}")
+    assert(top.head.getAs[Double]("leverage")
+      > top(1).getAs[Double]("leverage"), "far-x point carries leverage")
+    // a clean line: no point dominates
+    val flat = Stats.regressionInfluence(clean.toDF("g", "x", "y"),
+      "g", "x", "y", topK = 2).collect()
+    assert(flat(0).getAs[Double]("cooks_d")
+      < 5.0 * flat(1).getAs[Double]("cooks_d"), flat.toSeq.toString)
+    intercept[IllegalArgumentException](
+      Stats.regressionInfluence(spiked, "g", "x", "y", 0))
+  }
+
   test("chowTest: planted slope break flags; stable line doesn't") {
     import spark.implicits._
     // slope flips 1.0 -> 4.0 at x = 50: the break must scream
