@@ -4428,7 +4428,60 @@ object Stats {
     * one-row global — the [[cohensD]] plan exactly. Output:
     * (group, n_group, n_rest, t, dof).
     */
+  /** Student's pooled-variance two-sample t per group vs the pooled
+    * rest — the EQUAL-VARIANCE classical t beside L203's Welch: when
+    * the variances genuinely match (run L204/L278 first), pooling
+    * buys back power and the dof is the exact integer n − 2 instead
+    * of Welch–Satterthwaite's fraction. s_p² = ((n1−1)v1 +
+    * (n2−1)v2)/(n1+n2−2); t = (x̄1 − x̄2)/(s_p·√(1/n1 + 1/n2)).
+    *
+    * Determinism: the welchT moment machinery verbatim (exact decimal
+    * sums, complement by subtraction); the pooled trees are one
+    * rounded spelling; dof is an exact bigint. n < 2 on either side
+    * or zero pooled variance → NULL t.
+    * Output: (group, n_group, n_rest, t, dof).
+    */
+  def studentT(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val byG = pts.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_group"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q1"))
+    val tot = byG.agg(sum("n_group").as("_n"), sum("_s1").as("_s"),
+      sum("_q1").as("_q"))
+    val n1 = col("n_group").cast("double")
+    val n2 = col("n_rest").cast("double")
+    def v(n: Column, sc: Column, q: Column): Column =
+      (n * q.cast("double") - sc.cast("double") * sc.cast("double")) /
+        (n * (n - 1.0))
+    byG.crossJoin(broadcast(tot))
+      .withColumn("n_rest", (col("_n") - col("n_group")).cast("bigint"))
+      .withColumn("_s2", (col("_s") - col("_s1")).cast(dec))
+      .withColumn("_q2", (col("_q") - col("_q1")).cast(dec))
+      .withColumn("_v1", when(col("n_group") >= 2, v(n1, col("_s1"), col("_q1"))))
+      .withColumn("_v2", when(col("n_rest") >= 2, v(n2, col("_s2"), col("_q2"))))
+      .withColumn("_sp2",
+        ((n1 - 1.0) * col("_v1") + (n2 - 1.0) * col("_v2"))
+          / (n1 + n2 - 2.0))
+      .withColumn("_ok",
+        col("n_group") >= 2 && col("n_rest") >= 2 && col("_sp2") > 0.0)
+      .withColumn("t",
+        when(col("_ok"),
+          round((col("_s1").cast("double") / n1
+              - col("_s2").cast("double") / n2)
+            / sqrt(col("_sp2") * (lit(1.0) / n1 + lit(1.0) / n2)), 6))
+          .cast("double"))
+      .withColumn("dof",
+        when(col("_ok"), col("n_group") + col("n_rest") - 2L)
+          .cast("bigint"))
+      .select(groupCol, "n_group", "n_rest", "t", "dof")
+  }
+
   def welchT(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+
     val dec = "decimal(38,0)"
     val pts = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("_g"),

@@ -1110,6 +1110,16 @@ object StatsOps {
     * the pooled rest: exact decimal moments per side, t and the
     * Welch–Satterthwaite dof as identically-spelled float trees.
     */
+  /** Student's pooled-variance t of each event type vs the rest —
+    * the equal-variance classical t beside q_welch_t; exact-integer
+    * dof n − 2.
+    */
+  val qStudentT: QueryFn = withTables { spark =>
+    graft.operators.Stats.studentT(spark.table("events"),
+        "event_type", "value")
+      .orderBy("event_type")
+  }
+
   val qWelchT: QueryFn = withTables { spark =>
     graft.operators.Stats.welchT(spark.table("events"),
         "event_type", "value")
@@ -1689,6 +1699,7 @@ object StatsOps {
     "q_influence" -> qInfluence,
     "q_grubbs" -> qGrubbs,
     "q_welch_t" -> qWelchT,
+    "q_student_t" -> qStudentT,
     "q_bartlett" -> qBartlett,
     "q_mood_median" -> qMoodMedian,
     "q_tukey_hsd" -> qTukeyHsd,
@@ -3348,6 +3359,44 @@ object StatsOps {
 
     // The q_cohens_d side-vs-rest HUGEINT moments; t and dof as the
     // identical Welch float trees.
+    // The q_welch_t moment CTEs with the POOLED variance: sp2 =
+    // ((n1-1)v1 + (n2-1)v2)/(n1+n2-2), exact-integer dof.
+    "q_student_t" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS n1, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      tot AS (SELECT SUM(n1)::BIGINT AS n, SUM(s1) AS s, SUM(q1) AS q
+              FROM byg),
+      j AS (
+        SELECT g, n1, (n - n1)::BIGINT AS n2,
+               CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(q1 AS DOUBLE) AS q1d,
+               CAST(s - s1 AS DOUBLE) AS s2d, CAST(q - q1 AS DOUBLE) AS q2d
+        FROM byg, tot),
+      w AS (
+        SELECT g, n1, n2, n1d, n2d, s1d, s2d,
+               (n1d * q1d - s1d * s1d) / (n1d * (n1d - 1.0)) AS v1,
+               (n2d * q2d - s2d * s2d) / (n2d * (n2d - 1.0)) AS v2
+        FROM j),
+      o AS (
+        SELECT g, n1, n2, n1d, n2d, s1d, s2d,
+               ((n1d - 1.0) * v1 + (n2d - 1.0) * v2)
+                 / (n1d + n2d - 2.0) AS sp2
+        FROM w)
+      SELECT g AS event_type, n1 AS n_group, n2 AS n_rest,
+             CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND sp2 > 0.0 THEN
+               ROUND((s1d / n1d - s2d / n2d)
+                 / SQRT(sp2 * (1.0 / n1d + 1.0 / n2d)), 6)
+             END AS DOUBLE) AS t,
+             CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND sp2 > 0.0 THEN
+               n1 + n2 - 2 END AS BIGINT) AS dof
+      FROM o ORDER BY event_type""",
+
     "q_welch_t" -> """
       WITH pts AS (
         SELECT event_type AS g,

@@ -1531,6 +1531,29 @@ class StatsSpec extends SparkTestBase {
       "adding a covariate can never lower in-sample R²")
   }
 
+  test("studentT: agrees with Welch on balanced equal-variance data; integer dof") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => ("a", 10.0 + math.sin(i.toDouble))) ++
+      (1 to 50).map(i => ("b", 12.0 + math.sin(i.toDouble + 0.5))))
+      .toDF("g", "v")
+    val st = Stats.studentT(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val wt = Stats.welchT(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // balanced n and equal spread: pooled and Welch t nearly coincide
+    assert(math.abs(st("a").getAs[Double]("t")
+      - wt("a").getAs[Double]("t")) < 0.01,
+      s"${st("a")} vs ${wt("a")}")
+    // pooled dof is the exact integer n - 2
+    assert(st("a").getAs[Long]("dof") === 98L, st("a").toString)
+    assert(st("a").getAs[Double]("t") < -10.0, "clear shift flags")
+    // degenerate side: n_rest < 2 → NULL
+    val tiny = Seq(("x", 1.0), ("x", 2.0), ("y", 3.0)).toDF("g", "v")
+    val rt = Stats.studentT(tiny, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rt("y").isNullAt(rt("y").fieldIndex("t")), rt.toString)
+  }
+
   test("regressionInfluence: planted outlier tops Cook's D; clean line is flat") {
     import spark.implicits._
     val clean = (1 to 40).map(i =>
