@@ -301,6 +301,13 @@ object Graft {
             s"insertSql: unknown column '$c' in column list (table has " +
               s"${target.columns.mkString(",")})")
         }
+        // ANSI rejects duplicate target columns; without this check the
+        // positional map below would last-win silently, binding one
+        // incoming value and dropping the other
+        require(names.map(_.toLowerCase).distinct.size == names.size,
+          s"insertSql: duplicate column(s) in column list: " +
+            names.groupBy(_.toLowerCase).filter(_._2.size > 1)
+              .keys.mkString(","))
         names
       case None => target.columns.toSeq
     }
@@ -389,22 +396,28 @@ object Graft {
         s"must be a subset of the merge keys (${on.mkString(",")}) — " +
         "otherwise a matched key could live in a partition this " +
         "copy-on-write never rewrites")
-    val touched = source.select(partitionCols.map(col): _*).distinct()
+    val base = spark.read.parquet(path)
+    // column order: parquet partition columns come back LAST on read;
+    // realign the source to the read-back order so merge's SET */
+    // INSERT * schema contract applies. CAST to the read-back types too:
+    // if the union below widened a source column (Int source vs Long
+    // read-back), the `touched` values collected here would compare
+    // type-unequal (Seq(1) != Seq(1L)) against the merged output's
+    // `surviving` values, misclassifying every touched partition as
+    // emptied and deleting its freshly rewritten directory
+    val src = source.select(base.columns.map(c =>
+      col(c).cast(base.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    val touched = src.select(partitionCols.map(col): _*).distinct()
       .limit(maxTouchedPartitions + 1).collect()
     require(touched.length <= maxTouchedPartitions,
       s"mergeIntoParquet: source touches > $maxTouchedPartitions " +
         "partitions — raise maxTouchedPartitions or fall back to a " +
         "full-table merge + rewrite")
-    val base = spark.read.parquet(path)
     val touchedPred = touched.map { row =>
       partitionCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(row.get(i)) }
         .reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    // column order: parquet partition columns come back LAST on read;
-    // realign the source to the read-back order so merge's SET */
-    // INSERT * schema contract applies
-    val src = source.select(base.columns.map(col): _*)
     val merged = merge(base.filter(touchedPred), src, on,
       whenMatchedUpdate, whenMatchedDeleteIf, whenNotMatchedInsert)
       .localCheckpoint() // sever the plan's file references before overwrite

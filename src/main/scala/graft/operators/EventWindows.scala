@@ -990,20 +990,34 @@ object EventWindows {
         .over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
     val touches = withPath.filter(!isConversion)
       .select(col(userCol).as("_u"), col("_path"),
-        unix_timestamp(col(tsCol)).as("_tts"), col(typeCol).as("_ch"))
+        unix_timestamp(col(tsCol)).as("_tts"), col(tsCol).as("_ots"),
+        col(tieCol).as("_tie"), col(typeCol).as("_ch"))
     val convs = withPath.filter(isConversion)
       .select(col(userCol).as("_u"), col("_path"),
         unix_timestamp(col(tsCol)).as("_cts"))
     val wPathAll = Window.partitionBy("_u", "_path")
+    // A path whose every touch predates the conversion by > ~40
+    // half-lives freezes all weights to 0 at 12 dp → _wsum = 0 and the
+    // normalized division would NULL out, silently dropping that
+    // conversion's unit of credit. Fall back to crediting the LAST
+    // touch (latest (ts, tie) — the one a fresh weight would favor)
+    // with exactly 1.0 so Σcredit = conversions holds unconditionally.
+    val wPathLast = Window.partitionBy("_u", "_path")
+      .orderBy(col("_ots").desc, col("_tie").desc)
     val weighted = touches
       .join(convs, Seq("_u", "_path")) // converting paths only
       .withColumn("_w",
         round(exp((col("_tts") - col("_cts")).cast("double") / lit(tau)),
           12).cast(dec12))
       .withColumn("_wsum", sum("_w").over(wPathAll))
+      .withColumn("_last", row_number().over(wPathLast))
       .withColumn("_cr",
-        round(col("_w").cast("double") / col("_wsum").cast("double"), 12)
-          .cast(dec12))
+        when(col("_wsum") === 0,
+          when(col("_last") === 1, lit(1.0)).otherwise(lit(0.0))
+            .cast(dec12))
+        .otherwise(
+          round(col("_w").cast("double") / col("_wsum").cast("double"), 12)
+            .cast(dec12)))
     val direct = convs
       .join(touches.select("_u", "_path").distinct(), Seq("_u", "_path"),
         "left_anti")

@@ -617,13 +617,15 @@ object Graph {
     // frame made Catalyst BROADCAST the full symmetric edge table into
     // both big joins (r14, the q_link_pred watch item: 7.5 s cached vs
     // 2.5 s fresh for the same data — and at 100 TB an edge-table
-    // broadcast is not slow, it's dead). The degree-capped vertex list
-    // is the ONLY side that is small by construction → broadcast it;
-    // the edge-table joins get merge hints (shuffle on the join key,
-    // skew-safe, size-independent).
+    // broadcast is not slow, it's dead). ALL THREE joins get merge
+    // hints (shuffle on the join key, skew-safe, size-independent):
+    // the degree-capped vertex list is small-ish but NOT small by
+    // construction — capping only removes high-degree hubs, so on a
+    // large graph `mids` is still MOST vertices, and force-broadcasting
+    // it would OOM executors at the scale these comments target (r15).
     // path-2 through an under-cap middle: (x, u) ⋈ (u, y), x < y
     val viaMid = sym
-      .join(broadcast(mids), sym("_b") === mids("_v"))
+      .join(mids.hint("merge"), sym("_b") === mids("_v"))
       .select(col("_a").as("_x"), col("_b").as("_u"), col("_deg"))
     val cands = viaMid.as("l")
       .join(sym.as("r").hint("merge"), col("l._u") === col("r._a"))

@@ -97,13 +97,18 @@ object TableLoader {
     }
 
   /** Can a file with these stats contain a row in [lower, upper]?
-    * Conservative: only a provable miss returns false. */
+    * Conservative: only a provable miss returns false. A bound that
+    * cannot be parsed against the column's stat type (e.g. a string
+    * bound on a long-stats column) proves nothing — keep the file
+    * rather than abort the whole read with a NumberFormatException. */
   private def canMatch(cs: ColStat,
       lower: Option[Any], upper: Option[Any]): Boolean =
     if (!cs.hasStats) true
     else if (cs.allNull) false // a range predicate never matches NULL
-    else lower.forall(l => cmpStat(cs.kind, cs.max, l) >= 0) &&
-      upper.forall(u => cmpStat(cs.kind, cs.min, u) <= 0)
+    else try {
+      lower.forall(l => cmpStat(cs.kind, cs.max, l) >= 0) &&
+        upper.forall(u => cmpStat(cs.kind, cs.min, u) <= 0)
+    } catch { case _: NumberFormatException => true }
 
   /** Read one file's footer and reduce `column`'s block statistics to
     * a [[ColStat]]. Any block that cannot prove its contents forces

@@ -753,6 +753,31 @@ class AnalyticsOpsSpec extends SparkTestBase {
         ev, "user", "ts", "eid", "ch", col("ch") === "CONV", 0L))
   }
 
+  test("decayAttribution: all-stale path still credits exactly one unit") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // every touch predates the conversion by >> 40 half-lives (1 s
+    // half-life, hours-old touches): every weight freezes to 0 at
+    // 12 dp, so the per-path normalizer is 0 — the r15 ADVICE fix
+    // falls back to crediting the LAST touch with 1.0 instead of
+    // NULLing the credits and dropping the conversion's unit
+    val ev = Seq(
+      (1L, t("2024-03-01 06:00:00"), 1L, "a"),
+      (1L, t("2024-03-01 07:00:00"), 2L, "b"),
+      (1L, t("2024-03-01 12:00:00"), 3L, "CONV")
+    ).toDF("user", "ts", "eid", "ch")
+    val out = graft.operators.EventWindows.decayAttribution(
+        ev, "user", "ts", "eid", "ch", col("ch") === "CONV",
+        halfLifeSeconds = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("b") == ((1L, 1.0)),
+      s"last (most recent) touch takes the whole unit: $out")
+    assert(out("a") == ((1L, 0.0)), out.toString)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9,
+      s"credit conserves the conversion even when all weights freeze to 0: $out")
+  }
+
   test("expectedReciprocalRank: hand cascade values and grade clamping") {
     import spark.implicits._
     val df = Seq(

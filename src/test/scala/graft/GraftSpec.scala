@@ -181,6 +181,11 @@ class GraftSpec extends SparkTestBase {
       "INSERT INTO t VALUES (1, 'x')", Map("t" -> t)))
     intercept[Exception](Graft.insertSql(spark,
       "UPSERT INTO t VALUES (1, 'x', 0.0)", Map("t" -> t)))
+    // duplicate target columns: ANSI rejects; pre-r15 the positional
+    // map last-won silently, binding one value and dropping the other
+    val dup = intercept[IllegalArgumentException](Graft.insertSql(spark,
+      "INSERT INTO t (k, K) VALUES (1, 2)", Map("t" -> t)))
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
   }
 
   test("replace=false refuses to shadow an existing view") {

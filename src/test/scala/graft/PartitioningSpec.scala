@@ -136,6 +136,47 @@ class PartitioningSpec extends SparkTestBase {
       "emptied partition directory must be removed")
   }
 
+  test("mergeIntoParquet: widened partition types never misclassify as emptied") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergewiden").toString + "/t"
+    // one directory value exceeds Int range, so the partition column
+    // reads back as LongType for EVERY partition
+    Seq((1L, 10L, 1.0), (3000000000L, 20L, 2.0)).toDF("p", "k", "v")
+      .write.partitionBy("p").parquet(dir)
+    // the source types p as Int — pre-r15 the touched values (Int)
+    // compared type-unequal against the merged output's surviving
+    // values (Long), Seq(1) != Seq(1L), so p=1 was misclassified as
+    // emptied and its freshly rewritten directory deleted (data loss)
+    val source = Seq((1, 10L, 9.0)).toDF("p", "k", "v")
+    Graft.mergeIntoParquet(spark, dir, source, on = Seq("p", "k"),
+      partitionCols = Seq("p"))
+    val got = spark.read.parquet(dir).select("k", "v")
+      .as[(Long, Double)].collect().toSet
+    assert(got === Set((10L, 9.0), (20L, 2.0)),
+      s"widened-type merge lost live rows: $got")
+    assert(new java.io.File(s"$dir/p=1").exists(),
+      "touched-but-surviving partition directory was deleted")
+  }
+
+  test("loadPruned: unparsable bound degrades to plain-read behavior") {
+    import graft.tables.TableLoader
+    import spark.implicits._
+    val dir = Files.createTempDirectory("badbound").toString + "/t"
+    Seq((150L, "x"), (160L, "y")).toDF("k", "s").coalesce(1).write.parquet(dir)
+    // a non-numeric bound against long stats used to abort the whole
+    // read with a NumberFormatException at planning time; the pruner is
+    // conservative by construction — it must keep the file and behave
+    // exactly like the unpruned read with the same predicate
+    val pruned = scala.util.Try(
+      TableLoader.loadPruned(spark, dir, "k", lower = Some("abc")).count())
+    val plain = scala.util.Try(
+      spark.read.parquet(dir)
+        .filter(org.apache.spark.sql.functions.col("k") >= "abc").count())
+    assert(pruned.isSuccess === plain.isSuccess,
+      s"pruned=$pruned plain=$plain must agree")
+    for (p <- pruned; q <- plain) assert(p === q)
+  }
+
   test("pruning manifest: identical decisions, zero footer opens, stale-safe") {
     import graft.tables.TableLoader
     val dir = Files.createTempDirectory("manifest").toString + "/docs"

@@ -121,13 +121,14 @@ class PlanSpec extends SparkTestBase {
     // probe and the not-linked anti-join must be merge joins whatever
     // the edge frame's LogicalRDD stats claim (a cache-read frame's
     // tiny stats used to flip BOTH to full-edge-table broadcasts);
-    // the only broadcast is the degree-capped vertex list
+    // r15: the mids join is merge-pinned too (the degree-capped vertex
+    // list is most vertices of a big graph, not broadcast-safe)
     val lp = SparkEntry.queries("q_link_pred")(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
     val smjCount = "SortMergeJoin".r.findAllIn(lp).length
-    assert(smjCount >= 2,
-      s"q_link_pred: expected merge joins for the path-2 and anti " +
-        s"joins, got $smjCount:\n$lp")
+    assert(smjCount >= 3,
+      s"q_link_pred: expected merge joins for the mids, path-2 and " +
+        s"anti joins, got $smjCount:\n$lp")
     assert(!lp.contains("BroadcastHashJoin LeftAnti")
       && !lp.contains("LeftAnti, BuildRight"),
       s"q_link_pred: the not-linked anti-join broadcast the edge table:\n$lp")
