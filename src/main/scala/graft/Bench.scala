@@ -222,6 +222,16 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // Co-tenancy flag (r14 verdict item 8): the r14 driver run diverged
+    // 18% from the same-day solo anchor, and adjudicating regression vs
+    // ambient load required archaeology. Record the 1-minute system
+    // load average at sweep start and end so the next reader can
+    // separate the two without it (this box has 32 cores; load >> 32
+    // means co-tenant CPU pressure spanned the run).
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     // First pass: time every query once, in name order.
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
@@ -274,8 +284,9 @@ object Bench {
     val fullQs = results.map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
       .mkString("{", ",", "}")
     val rerunsJson = reruns.sorted.map(jstr).mkString("[", ",", "]")
+    val loads = s""""load_avg_start":${sec3(loadStart)},"load_avg_end":${sec3(loadAvg())}"""
     val fullLine =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"reruns":$rerunsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"reruns":$rerunsJson,$loads,"sf":"$sfDir"}"""
     // The driver captures a bounded 2000-byte TAIL of the run log; at
     // 138+ queries the full per-query map is ~3.1 KB and CANNOT fit
     // (measured r3 AND r4: the alphabetical head was truncated away
@@ -308,7 +319,7 @@ object Bench {
         .map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
         .mkString("{", ",", "}")
       val omittedMax = byTime.drop(n).headOption.map(_._2).getOrElse(0.0)
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$slowQs,"n_queries":${results.size},"queries_omitted_below":${sec3(omittedMax)},"queries_full_file":${jstr(outFile)},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$slowQs,"n_queries":${results.size},"queries_omitted_below":${sec3(omittedMax)},"queries_full_file":${jstr(outFile)},"errors":$errs,$loads,"sf":"$sfDir"}"""
     }
     // build.sbt routes run output through StdoutOutput (no "[info] "
     // prefix) and sets showSuccess := false (no "[success]" epilogue), so

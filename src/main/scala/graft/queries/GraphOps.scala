@@ -116,10 +116,21 @@ object GraphOps {
         // core where the fresh-build path inherited the shuffle's
         // full parallelism (measured: q_link_pred 7.7 s cached vs
         // 2.5 s fresh steady; 2.4 s cached after this repartition).
-        // Values are untouched — consumers re-aggregate from edges,
-        // and PersistenceSpec pins cache-read == fresh-build results.
+        // Partition count scales with the cached BYTES (r15, the
+        // q_pagerank_weighted regression fix): a flat
+        // numShufflePartitions fanned every narrow stage of every
+        // iterative consumer to 32 tasks over ~1 MB — pure scheduling
+        // tax ×(iterations × joins). ~16 MB/partition, floor 4 so no
+        // consumer is ever one-core starved, cap at the session's
+        // shuffle parallelism. Values are untouched — consumers
+        // re-aggregate from edges, and PersistenceSpec pins
+        // cache-read == fresh-build results.
+        val bytes = fs.getContentSummary(dir).getLength
+        val parts = math.max(4L, math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          (bytes >> 24) + 1)).toInt
         spark.read.parquet(dir.toString)
-          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .repartition(parts)
           .localCheckpoint()
     }
 
