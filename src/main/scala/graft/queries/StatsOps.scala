@@ -1351,6 +1351,30 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** MA(1) method-of-moments fit + one-step forecast of the same
+    * daily series: θ from the invertible root of ρ1 = θ/(1+θ²)
+    * (defined iff |ρ1| < 0.5), last innovation by an explicit 8-term
+    * truncated inversion over the final day cells, forecast
+    * x̂ = μ + θ·ε_n — the short-shock-memory complement of
+    * q_arp_forecast's AR fits.
+    */
+  val qMaForecast: QueryFn = withTables { spark =>
+    Resample.maForecast(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type")
+  }
+
+  /** AR-order selection by relative AIC over the Durbin–Levinson
+    * PACF diagonal: ΔAIC_p = n·ln Π_{k≤p}(1−φ_kk²) + 2p for p ≤ 3
+    * (γ0 cancels against the white-noise base), best_p the
+    * parsimony-tied argmin — "which q_arp_forecast order?".
+    */
+  val qArOrder: QueryFn = withTables { spark =>
+    Resample.arOrderSelect(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type")
+  }
+
   /** Cochran's Q across the five event types over matched day blocks
     * on the binary "daily spend above $1,500" outcome: the 0/1 member
     * of the matched-blocks family, exact-integer throughout.
@@ -1679,6 +1703,8 @@ object StatsOps {
     "q_ar2_forecast" -> qAr2Forecast,
     "q_arp_forecast" -> qArpForecast,
     "q_arp_seasonal" -> qArpSeasonal,
+    "q_ma_forecast" -> qMaForecast,
+    "q_ar_order" -> qArOrder,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
     "q_decompose" -> qDecompose,
@@ -7639,6 +7665,172 @@ object StatsOps {
                ROUND(mu + phi1 * (xn - mu) + phi2 * (xn1 - mu)
                  + phi3 * (xn2 - mu), 6)
              END AS DOUBLE) AS forecast
+      FROM f ORDER BY event_type""",
+
+    // The q_arp_forecast cells + lag-1 acf, θ from the invertible
+    // MA(1) moment root, ε_n as the explicit 8-term truncated
+    // inversion (powers spelled as literal products), forecast
+    // μ + θ·ε_n.
+    "q_ma_forecast" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa, LEAD(aa, 1) OVER w AS l1
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r1
+        FROM agg),
+      mu AS (
+        SELECT g, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) AS mu
+        FROM st),
+      lastt AS (
+        SELECT g,
+               MAX(CASE WHEN rn = 1 THEN xr END) AS x1,
+               MAX(CASE WHEN rn = 2 THEN xr END) AS x2,
+               MAX(CASE WHEN rn = 3 THEN xr END) AS x3,
+               MAX(CASE WHEN rn = 4 THEN xr END) AS x4,
+               MAX(CASE WHEN rn = 5 THEN xr END) AS x5,
+               MAX(CASE WHEN rn = 6 THEN xr END) AS x6,
+               MAX(CASE WHEN rn = 7 THEN xr END) AS x7,
+               MAX(CASE WHEN rn = 8 THEN xr END) AS x8
+        FROM (
+          SELECT g, ROUND(x / 1000000.0, 6) AS xr,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY day DESC)
+                   AS rn
+          FROM cells)
+        WHERE rn <= 8 GROUP BY g),
+      th AS (
+        SELECT rho.g AS g, n_days, r1, mu,
+               x1, x2, x3, x4, x5, x6, x7, x8,
+               CASE WHEN n_days >= 2 AND r1 IS NOT NULL
+                      AND ABS(r1) < 0.5 THEN
+                 ROUND(CASE WHEN r1 = 0.0 THEN 0.0 ELSE
+                   (1.0 - SQRT(1.0 - 4.0 * r1 * r1)) / (2.0 * r1)
+                 END, 6) END AS theta
+        FROM rho JOIN mu ON rho.g = mu.g
+                 JOIN lastt ON rho.g = lastt.g),
+      e AS (
+        SELECT *,
+               CASE WHEN theta IS NOT NULL THEN ROUND(
+                 (COALESCE(x1, mu) - mu)
+                 + (-theta) * (COALESCE(x2, mu) - mu)
+                 + (-theta) * (-theta) * (COALESCE(x3, mu) - mu)
+                 + (-theta) * (-theta) * (-theta)
+                   * (COALESCE(x4, mu) - mu)
+                 + (-theta) * (-theta) * (-theta) * (-theta)
+                   * (COALESCE(x5, mu) - mu)
+                 + (-theta) * (-theta) * (-theta) * (-theta) * (-theta)
+                   * (COALESCE(x6, mu) - mu)
+                 + (-theta) * (-theta) * (-theta) * (-theta) * (-theta)
+                   * (-theta) * (COALESCE(x7, mu) - mu)
+                 + (-theta) * (-theta) * (-theta) * (-theta) * (-theta)
+                   * (-theta) * (-theta) * (COALESCE(x8, mu) - mu),
+                 6) END AS eps
+        FROM th)
+      SELECT g AS event_type, n_days, CAST(r1 AS DOUBLE) AS rho1,
+             CAST(theta AS DOUBLE) AS theta, CAST(eps AS DOUBLE) AS eps,
+             CAST(CASE WHEN eps IS NOT NULL THEN
+               ROUND(mu + theta * eps, 6) END AS DOUBLE) AS forecast
+      FROM e ORDER BY event_type""",
+
+    // The q_arp_forecast acf fold + Durbin–Levinson diagonal, then
+    // ΔAIC_p = n·ln Π(1−φ_kk²) + 2p and the parsimony argmin.
+    "q_ar_order" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2,
+               LEAD(aa, 3) OVER w AS l3
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2, SUM(aa * l3) AS n3
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r1,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n2 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r2,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n3 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r3
+        FROM agg),
+      dl1 AS (
+        SELECT g, n_days, r1, r2, r3,
+               (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+        FROM rho),
+      dl2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM dl1),
+      dl3 AS (
+        SELECT *,
+               (r3 - p21 * r2 - p22 * r1)
+                 / (1.0 - p21 * r1 - p22 * r2) AS p33,
+               1.0 - p21 * r1 - p22 * r2 AS den3
+        FROM dl2),
+      f AS (
+        SELECT g, n_days,
+               CASE WHEN n_days >= 2 AND r1 IS NOT NULL
+                      AND r1 * r1 < 1.0 THEN
+                 ROUND(CAST(n_days AS DOUBLE) * LN(1.0 - r1 * r1)
+                   + 2.0, 6) END AS aic1,
+               CASE WHEN n_days >= 3 AND r1 IS NOT NULL
+                      AND r1 * r1 < 1.0 AND r2 IS NOT NULL
+                      AND 1.0 - r1 * r1 > 0.0
+                      AND p22 * p22 < 1.0 THEN
+                 ROUND(CAST(n_days AS DOUBLE)
+                   * LN((1.0 - r1 * r1) * (1.0 - p22 * p22))
+                   + 4.0, 6) END AS aic2,
+               CASE WHEN n_days >= 4 AND r1 IS NOT NULL
+                      AND r1 * r1 < 1.0 AND r2 IS NOT NULL
+                      AND 1.0 - r1 * r1 > 0.0 AND p22 * p22 < 1.0
+                      AND r3 IS NOT NULL AND den3 <> 0.0
+                      AND p33 * p33 < 1.0 THEN
+                 ROUND(CAST(n_days AS DOUBLE)
+                   * LN((1.0 - r1 * r1) * (1.0 - p22 * p22)
+                        * (1.0 - p33 * p33))
+                   + 6.0, 6) END AS aic3
+        FROM dl3)
+      SELECT g AS event_type, n_days,
+             CAST(aic1 AS DOUBLE) AS aic1, CAST(aic2 AS DOUBLE) AS aic2,
+             CAST(aic3 AS DOUBLE) AS aic3,
+             CAST(CASE
+               WHEN aic3 IS NOT NULL AND aic3 < 0.0
+                    AND (aic1 IS NULL OR aic3 < aic1)
+                    AND (aic2 IS NULL OR aic3 < aic2) THEN 3
+               WHEN aic2 IS NOT NULL AND aic2 < 0.0
+                    AND (aic1 IS NULL OR aic2 < aic1) THEN 2
+               WHEN aic1 IS NOT NULL AND aic1 < 0.0 THEN 1
+               ELSE 0 END AS INT) AS best_p
       FROM f ORDER BY event_type""",
 
     "q_ar2_forecast" -> """

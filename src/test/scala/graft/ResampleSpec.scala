@@ -675,4 +675,72 @@ class ResampleSpec extends SparkTestBase {
       "g", "x", "y", season = 7).collect().head
     assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4), s.toString)
   }
+
+  test("maForecast: |rho1| >= 0.5 is outside MA(1) moment range -> NULL fit") {
+    import spark.implicits._
+    // alternating 0/10 over 8 days: exact rho1 = -7/8 = -0.875
+    val df = (0 until 8).map(i => ("g", ts(i * 86400L), if (i % 2 == 0) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+    val r = Resample.maForecast(df, "k", "t", "v").collect().head
+    assert(r.getDouble(2) === -0.875, s"rho1: $r")
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), r.toString)
+  }
+
+  test("maForecast: zero lag-1 autocorrelation -> theta 0, forecast = mean") {
+    import spark.implicits._
+    // 1,2,3: centered (-1,0,1), lag-1 moment sum (-1*0)+(0*1) = 0
+    val df = Seq(("g", ts(0L), 1.0), ("g", ts(86400L), 2.0),
+      ("g", ts(2 * 86400L), 3.0)).toDF("k", "t", "v")
+    val r = Resample.maForecast(df, "k", "t", "v").collect().head
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0, r.toString)
+    assert(r.getDouble(4) === 1.0, s"eps = x_n - mu = 3 - 2: $r")
+    assert(r.getDouble(5) === 2.0, s"forecast = mu: $r")
+  }
+
+  test("maForecast: theta inverts the moment equation rho1 = theta/(1+theta^2) " +
+      "on the real events table") {
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val rows = Resample.maForecast(events, "event_type", "ts", "value")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      val rho1 = r.getDouble(2); val th = r.getDouble(3)
+      assert(math.abs(th) < 1.0, s"invertible root required: $r")
+      assert(math.abs(rho1 - th / (1.0 + th * th)) < 5e-6,
+        s"moment identity broken: $r")
+      assert(!r.isNullAt(5), s"defined theta must forecast: $r")
+    }
+  }
+
+  test("arOrderSelect: best_p is the parsimony argmin of the returned AICs") {
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val rows = Resample.arOrderSelect(events, "event_type", "ts", "value")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val aics = (2 to 4).map(i =>
+        if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+      // candidates: order 0 at 0.0 plus each defined order
+      val cand = (0.0, 0) +: aics.zipWithIndex.collect {
+        case (Some(v), i) => (v, i + 1) }
+      val best = cand.minBy { case (v, p) => (v, p) }._2
+      assert(r.getInt(5) === best, s"argmin mismatch: $r")
+    }
+  }
+
+  test("arOrderSelect: strong positive autocorrelation prefers p >= 1; " +
+      "degenerate single-cell group stays at 0") {
+    import spark.implicits._
+    val trend = (0 until 12).map(i => ("t", ts(i * 86400L), i.toDouble))
+    val lone = Seq(("one", ts(0L), 5.0))
+    val out = Resample.arOrderSelect((trend ++ lone).toDF("k", "t", "v"),
+      "k", "t", "v").collect().map(r => r.getString(0) -> r).toMap
+    val t = out("t")
+    assert(!t.isNullAt(2) && t.getDouble(2) < 0.0,
+      s"linear trend must make AR(1) beat white noise: $t")
+    assert(t.getInt(5) >= 1, t.toString)
+    val l = out("one")
+    assert(l.isNullAt(2) && l.isNullAt(3) && l.isNullAt(4)
+      && l.getInt(5) === 0, l.toString)
+  }
 }
