@@ -461,7 +461,7 @@ object Graft {
     * produces for directory names (ExternalCatalogUtils semantics):
     * control chars and path-hostile chars become %XX.
     */
-  private def escapePathName(s: String): String = {
+  private[graft] def escapePathName(s: String): String = {
     def needsEscape(c: Char): Boolean =
       c < ' ' || c == '"' || c == '#' || c == '%' || c == '\'' ||
         c == '*' || c == '/' || c == ':' || c == '=' || c == '?' ||

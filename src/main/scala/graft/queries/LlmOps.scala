@@ -975,6 +975,52 @@ object LlmOps {
       .orderBy("r_regionkey")
   }
 
+  /** Snapshot time travel end-to-end through [[graft.tables.Versioned]]
+    * (r14 verdict item 3): orders is written as a versioned table
+    * partitioned by status, a three-clause merge (update / delete /
+    * insert-into-a-NEW-partition) commits v2, then BOTH versions are
+    * read back and aggregated — v1 must replay the PRE-merge table
+    * (the time-travel claim: the merge physically appended files and
+    * the v1 snapshot still names the originals) and v2 the merged one.
+    * Exact-cents sums keep the aggregate order-free. The scratch table
+    * lives in a per-run temp dir; the result is localCheckpointed
+    * (bounded: versions × statuses rows) before cleanup.
+    */
+  val qTimeTravel: QueryFn = withTables { spark =>
+    import graft.tables.Versioned
+    val base = spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt")
+      .toString + "/orders"
+    try {
+      Versioned.create(spark, dir, base, Seq("o_orderstatus"))
+      val src = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .unionByName(base.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("N")))
+      Versioned.mergeInto(spark, dir, src,
+        on = Seq("o_orderkey", "o_orderstatus"),
+        partitionCols = Seq("o_orderstatus"),
+        whenMatchedDeleteIf = Some(col("o_orderkey") % 20 === 0))
+      def agg(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(round(col("o_totalprice") * 100.0).cast("long"))
+              .cast("double") / 100.0).as("total"))
+          .withColumn("version", lit(v))
+      agg(Versioned.load(spark, dir, Some(1)), 1)
+        .unionByName(agg(Versioned.load(spark, dir, Some(2)), 2))
+        .select("version", "o_orderstatus", "n_orders", "total")
+        .orderBy("version", "o_orderstatus")
+        .localCheckpoint()
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root.getParent, true)
+    }
+  }
+
   val qCdcMerge: QueryFn = withTables { spark =>
     val orders = spark.table("orders")
     val base = orders.withColumn("version", lit(0L))
@@ -1662,6 +1708,7 @@ object LlmOps {
     "q_cdc_merge" -> qCdcMerge,
     "q_insert_into" -> qInsertInto,
     "q_merge_into" -> qMergeInto,
+    "q_time_travel" -> qTimeTravel,
     "q_update_into" -> qUpdateInto,
     "q_delete_from" -> qDeleteFrom,
     "q_cdc_replay" -> qCdcReplay,
@@ -2568,6 +2615,38 @@ object LlmOps {
     // MERGE INTO clause semantics replayed as set algebra: matched
     // source rows displace or delete their target row, not-matched
     // source rows insert, untouched target keys pass through.
+    // v1 = the untouched pre-merge table; v2 = the merge replayed as
+    // set algebra (update %10==0 rows except the %20==0 deletes, plus
+    // inserts under offset keys in the new 'N' partition). Exact-cents
+    // sums; one rounded division per cell.
+    "q_time_travel" -> """
+      WITH v1 AS (
+        SELECT 1 AS version, o_orderstatus,
+               COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS DOUBLE) / 100.0 AS total
+        FROM orders GROUP BY o_orderstatus),
+      upd AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 20 <> 0),
+      ins AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey,
+               'N' AS o_orderstatus, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 10 = 3),
+      m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      v2 AS (
+        SELECT 2 AS version, o_orderstatus,
+               COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(ROUND(p * 100.0) AS BIGINT))
+                 AS DOUBLE) / 100.0 AS total
+        FROM m GROUP BY o_orderstatus)
+      SELECT version, o_orderstatus, n_orders, total FROM v1
+      UNION ALL
+      SELECT version, o_orderstatus, n_orders, total FROM v2
+      ORDER BY version, o_orderstatus""",
+
     "q_merge_into" -> """
       WITH s AS (
         SELECT o_orderkey, 'U' AS o_orderstatus,

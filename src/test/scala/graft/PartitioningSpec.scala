@@ -350,4 +350,121 @@ class PartitioningSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_scores")
     }
   }
+
+  test("Versioned: time travel — v1 readable byte-exact after a merge; " +
+      "v2 is the merged table; emptied partition needs no delete") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vtt").toString + "/t"
+    val base = Seq((1, 10L, 1.0), (1, 11L, 2.0), (2, 20L, 3.0),
+      (3, 30L, 4.0)).toDF("p", "k", "v")
+    assert(Versioned.create(spark, dir, base, Seq("p")) === 1)
+    // merge: update (1,10), delete (2,20) — emptying p=2 — and insert
+    // (4,40) into a partition that did not exist before
+    val source = Seq((1, 10L, 9.0), (2, 20L, -1.0), (4, 40L, 5.0))
+      .toDF("p", "k", "v")
+    assert(Versioned.mergeInto(spark, dir, source, on = Seq("p", "k"),
+      partitionCols = Seq("p"),
+      whenMatchedDeleteIf = Some(col("v") < 0)) === 2)
+    assert(Versioned.currentVersion(spark, dir) === Some(2))
+    val v1 = Versioned.load(spark, dir, Some(1)).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(v1 === Set((1, 10L, 1.0), (1, 11L, 2.0), (2, 20L, 3.0),
+      (3, 30L, 4.0)), s"v1 must be the pre-merge table: $v1")
+    val v2 = Versioned.load(spark, dir, Some(2)).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(v2 === Set((1, 10L, 9.0), (1, 11L, 2.0), (3, 30L, 4.0),
+      (4, 40L, 5.0)), s"v2 must be the merged table: $v2")
+    // the emptied partition's FILES are still on disk (history is the
+    // mechanism — no directory delete), they're just not in v2's set
+    assert(new java.io.File(s"$dir/p=2").exists(),
+      "history files must survive the merge")
+    // default load = current
+    assert(Versioned.load(spark, dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet === v2)
+  }
+
+  test("Versioned: snapshot isolation — a reader resolved BEFORE the " +
+      "commit sees its version after it; old files stay byte-identical") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("viso").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0), (2, 20L, 2.0)).toDF("p", "k", "v"), Seq("p"))
+    def bytes(): Map[String, Array[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir)).map(f =>
+        f.getPath -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    }
+    val before = bytes()
+    // the concurrent reader: plan resolved against v1's file list
+    val reader = Versioned.load(spark, dir, Some(1))
+    val merged = Versioned.mergeInto(spark, dir,
+      Seq((1, 10L, 9.0), (2, 21L, 8.0)).toDF("p", "k", "v"),
+      on = Seq("p", "k"), partitionCols = Seq("p"))
+    assert(merged === 2)
+    // collect AFTER the commit: still exactly v1 (torn reads impossible
+    // because the resolved files are immutable)
+    assert(reader.select("p", "k", "v").as[(Int, Long, Double)]
+      .collect().toSet === Set((1, 10L, 1.0), (2, 20L, 2.0)))
+    // every pre-merge data file is byte-identical (append-only commits)
+    val after = bytes()
+    before.foreach { case (path, b) =>
+      assert(after.contains(path), s"pre-merge file deleted: $path")
+      assert(java.util.Arrays.equals(after(path), b),
+        s"pre-merge file mutated: $path")
+    }
+    // commit hygiene: snapshots present, no staging temp left behind
+    // (local-FS .crc checksum sidecars are fine)
+    val vd = new java.io.File(s"$dir/${Versioned.VersionsDirName}")
+    val names = vd.listFiles().map(_.getName).filterNot(_.endsWith(".crc"))
+    assert(names.sorted.toSeq === Seq("v000001.json", "v000002.json"))
+    assert(!names.exists(_.contains(".tmp")), names.mkString(","))
+  }
+
+  test("Versioned: insertInto appends + commits; vacuum keeps the tail " +
+      "and fails earlier loads loudly") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vvac").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0)).toDF("p", "k", "v"), Seq("p"))
+    assert(Versioned.insertInto(spark, dir,
+      Seq((2, 20L, 2.0)).toDF("p", "k", "v"), Seq("p")) === 2)
+    assert(Versioned.load(spark, dir, Some(2)).count() === 2L)
+    assert(Versioned.load(spark, dir, Some(1)).count() === 1L)
+    // a merge that rewrites p=1 strands v1's file for vacuum
+    Versioned.mergeInto(spark, dir,
+      Seq((1, 10L, 9.0)).toDF("p", "k", "v"),
+      on = Seq("p", "k"), partitionCols = Seq("p"))
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 1)
+    assert(deleted.nonEmpty, "the rewritten p=1 original must be vacuumed")
+    // current still reads; vacuumed versions fail loudly, not wrongly
+    assert(Versioned.load(spark, dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+      === Set((1, 10L, 9.0), (2, 20L, 2.0)))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.load(spark, dir, Some(1)).count()
+    }
+    assert(e.getMessage.contains("vacuum") || e.getMessage.contains("snapshot"),
+      e.getMessage)
+  }
+
+  test("Versioned: contract guards — partitionCols ⊆ on; unversioned " +
+      "dirs refuse load; double init refuses") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vguard").toString + "/t"
+    Seq((1, 10L, 1.0)).toDF("p", "k", "v").write.partitionBy("p").parquet(dir)
+    intercept[RuntimeException] { Versioned.load(spark, dir) }
+    assert(Versioned.init(spark, dir) === 1)
+    intercept[IllegalArgumentException] { Versioned.init(spark, dir) }
+    intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir,
+        Seq((1, 10L, 2.0)).toDF("p", "k", "v"),
+        on = Seq("k"), partitionCols = Seq("p"))
+    }
+  }
 }
