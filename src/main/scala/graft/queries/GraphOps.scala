@@ -426,6 +426,18 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Hop-2-truncated (ego) betweenness on the q_harmonic co-order
+    * graph: per middle vertex, Σ over distance-exactly-2 unordered
+    * pairs of 1/(common-neighbor count) — exact integer σ's, 12-dp
+    * order-free credit sum, zero-broker vertices kept at 0.0. The
+    * full-horizon/sampled Brandes twin is GraphSpec-pinned equal at
+    * maxHops = 2 (Graph.betweennessExact).
+    */
+  val qBetweenness: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.betweenness2(coOrderParts(spark, sfDir, 5), "a", "b")
+      .orderBy("vertex")
+  }
+
   /** Residual IVFADC (the paper-faithful §IV.B layout): the SAME
     * coarse quantizer, PQ codebooks trained on the CELL RESIDUALS,
     * per-(probe, cell) residual distance tables, pruning judged at
@@ -450,6 +462,7 @@ object GraphOps {
     "q_ann_ivfpq_res" -> qAnnIvfPqRes,
     "q_harmonic" -> qHarmonic,
     "q_harmonic_approx" -> qHarmonicApprox,
+    "q_betweenness" -> qBetweenness,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
     "q_ann_pq" -> qAnnPq,
@@ -658,6 +671,41 @@ object GraphOps {
         FROM adcr)"""
 
   val oracles: Map[String, String] = Map(
+
+    // The q_harmonic graph CTEs, then: wedges s–m–t (s < t), minus
+    // adjacent pairs (distance exactly 2), σ = middles per pair, each
+    // middle credited ROUND(1/σ, 12) into an order-free decimal sum.
+    "q_betweenness" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      sym AS (SELECT lo AS v, hi AS w FROM e
+              UNION ALL SELECT hi, lo FROM e),
+      p2 AS (SELECT f.v AS s, f.w AS m, g.w AS t
+             FROM sym f JOIN sym g ON g.v = f.w
+             WHERE f.v <> g.w AND f.v < g.w),
+      d2 AS (SELECT p2.s, p2.m, p2.t FROM p2
+             WHERE NOT EXISTS (SELECT 1 FROM sym a
+                               WHERE a.v = p2.s AND a.w = p2.t)),
+      sig AS (SELECT s, t, COUNT(*)::BIGINT AS sigma
+              FROM d2 GROUP BY s, t),
+      credit AS (
+        SELECT d2.m AS vertex, COUNT(*)::BIGINT AS n_paths,
+               SUM(CAST(ROUND(1.0 / sigma, 12) AS DECIMAL(38,12))) AS b
+        FROM d2 JOIN sig ON sig.s = d2.s AND sig.t = d2.t
+        GROUP BY d2.m),
+      verts AS (SELECT DISTINCT v AS vertex FROM sym)
+      SELECT verts.vertex AS vertex,
+             COALESCE(credit.n_paths, 0)::BIGINT AS n_paths,
+             CAST(ROUND(COALESCE(CAST(b AS DOUBLE), 0.0), 6) AS DOUBLE)
+               AS betweenness
+      FROM verts LEFT JOIN credit ON credit.vertex = verts.vertex
+      ORDER BY 1""",
 
     "q_ann_ivfpq_res" -> (ivfPqResCtes + """
       SELECT probe_id, vec_id, rank::BIGINT AS rank,

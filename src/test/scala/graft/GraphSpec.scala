@@ -361,4 +361,77 @@ class GraphSpec extends SparkTestBase {
     assert(got("a") == 0.258375 && got("b") == 0.3708125
       && got("b") == got("c"), got.toString)
   }
+
+  private def betMap(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+    df.select("vertex", "betweenness").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("betweennessExact: star center brokers every leaf pair; path P5 " +
+      "matches the textbook 0,3,4,3,0") {
+    val star = (1 to 5).map(i => ("hub", s"l$i")).toDF("s", "t")
+    val bs = betMap(Graph.betweennessExact(star, "s", "t"))
+    assert(bs("hub") === 10.0, s"C(5,2) leaf pairs: $bs") // 5*4/2
+    assert((1 to 5).forall(i => bs(s"l$i") === 0.0), bs.toString)
+    val p5 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("s", "t")
+    val bp = betMap(Graph.betweennessExact(p5, "s", "t"))
+    assert(bp === Map("a" -> 0.0, "b" -> 3.0, "c" -> 4.0, "d" -> 3.0,
+      "e" -> 0.0), bp.toString)
+  }
+
+  test("betweennessExact: split shortest paths share credit (C4 + chord-free " +
+      "square: opposite corners route half through each middle)") {
+    val c4 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("s", "t")
+    val b = betMap(Graph.betweennessExact(c4, "s", "t"))
+    // each vertex is the middle of exactly one opposite pair, sharing
+    // with the other route: 1/2
+    assert(b.values.forall(_ === 0.5), b.toString)
+  }
+
+  test("betweenness2 (distributed) == betweennessExact(maxHops=2) on a " +
+      "mixed fixture and on the co-order graph") {
+    val fx = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a"),
+      ("b", "f"), ("f", "g"), ("c", "g"), ("a", "g"), ("d", "f"))
+      .toDF("s", "t")
+    val dist = betMap(Graph.betweenness2(fx, "s", "t"))
+    val drv = betMap(Graph.betweennessExact(fx, "s", "t", maxHops = 2))
+    assert(dist.keySet === drv.keySet)
+    dist.foreach { case (v, x) =>
+      assert(math.abs(x - drv(v)) <= 1e-6, s"$v: dist $x vs driver ${drv(v)}")
+    }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val co = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").cast("string").as("a"),
+        col("y.pk").cast("string").as("b")).distinct()
+    val dist2 = betMap(Graph.betweenness2(co, "a", "b"))
+    val drv2 = betMap(Graph.betweennessExact(co, "a", "b", maxHops = 2))
+    assert(dist2.keySet === drv2.keySet && dist2.nonEmpty)
+    dist2.foreach { case (v, x) =>
+      assert(math.abs(x - drv2(v)) <= 1e-6, s"$v: dist $x vs driver ${drv2(v)}")
+    }
+  }
+
+  test("betweennessExact: sampleEvery=1 equals the full pass; sampling is " +
+      "deterministic and unbiased-by-stratum on a vertex-transitive graph") {
+    val c6 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+      ("f", "a")).toDF("s", "t")
+    val full = betMap(Graph.betweennessExact(c6, "s", "t"))
+    // C6: every vertex brokers the same mass
+    assert(full.values.toSet.size === 1, full.toString)
+    val s2a = betMap(Graph.betweennessExact(c6, "s", "t", sampleEvery = 2))
+    val s2b = betMap(Graph.betweennessExact(c6, "s", "t", sampleEvery = 2))
+    assert(s2a === s2b, "sampling must be deterministic")
+    // the k-scaled estimator sums to the full total on a transitive graph
+    assert(math.abs(s2a.values.sum - full.values.sum) <= 1e-6,
+      s"${s2a.values.sum} vs ${full.values.sum}")
+    // loud guards
+    intercept[IllegalArgumentException] {
+      Graph.betweennessExact(c6, "s", "t", sampleEvery = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.betweennessExact(c6, "s", "t", driverMaxEdges = 2)
+    }
+  }
 }
