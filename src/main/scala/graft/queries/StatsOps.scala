@@ -815,6 +815,20 @@ object StatsOps {
       .orderBy("cohort")
   }
 
+  /** One-vs-rest multiclass logistic over the five event types on
+    * scaled value: the k = 5 binary purchase-style fits in one
+    * per-iteration aggregate (2 FIXED Newton steps each), reported
+    * per class — the multiclass linear classifier beside
+    * q_naive_bayes. The oracle replicates rows per class and unrolls
+    * the identical iterations.
+    */
+  val qLogisticMulti: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .select(col("event_type"), (col("value") / 100.0).as("x"))
+    Stats.logisticMulti(ev, "event_type", "x", iters = 2)
+      .orderBy("class")
+  }
+
   /** Two-covariate logistic regression of purchase-vs-rest on scaled
     * value and hour-of-day per user cohort: 3 FIXED Newton iterations,
     * each a 3×3 Cramer solve on the frozen-weight Hessian — the
@@ -1705,6 +1719,7 @@ object StatsOps {
     "q_arp_seasonal" -> qArpSeasonal,
     "q_ma_forecast" -> qMaForecast,
     "q_ar_order" -> qArOrder,
+    "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
     "q_decompose" -> qDecompose,
@@ -4572,6 +4587,110 @@ object StatsOps {
     // observed-information pass — every per-row term 12-dp frozen into
     // decimal sums, the 2×2 solve one identical float tree (the
     // q_cox_ph discipline on the classification side).
+    // The q_logistic Newton unroll (2 updates + a final stats pass)
+    // over class-replicated points: y = 1 iff the row's event type is
+    // the replica's class — the OvR decomposition, all five panels in
+    // each GROUP BY.
+    "q_logistic_multi" -> """
+      WITH pts AS (
+        SELECT c.class AS g, ROUND(value / 100.0, 6) AS x,
+               CASE WHEN event_type = c.class THEN 1.0 ELSE 0.0 END AS y
+        FROM events
+        CROSS JOIN (SELECT DISTINCT event_type AS class FROM events) c
+        WHERE value IS NOT NULL),
+      p0 AS (SELECT DISTINCT g, 0.0 AS a, 0.0 AS b FROM pts),
+      pr1 AS (
+        SELECT pts.g, x, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts JOIN p0 USING (g)),
+      t1 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr1 GROUP BY g),
+      d1 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t1),
+      p1 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d1),
+      pr2 AS (
+        SELECT pts.g, x, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts JOIN p1 USING (g)),
+      t2 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(y - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (y - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr2 GROUP BY g),
+      d2 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t2),
+      p2 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d2),
+      pr3 AS (
+        SELECT pts.g, x, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts JOIN p2 USING (g)),
+      t3 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b,
+               COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr3 GROUP BY g),
+      d3 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t3)
+      -- + 0.0 normalizes DuckDB's ROUND(-3e-7, 6) = -0.0 to the +0.0
+      -- Spark's BigDecimal rounding always produces (sign-less zero)
+      SELECT g AS class, n, n_pos,
+             CAST(ROUND(a, 6) + 0.0 AS DOUBLE) AS alpha,
+             CAST(ROUND(b, 6) + 0.0 AS DOUBLE) AS beta,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(SQRT(CAST(h00 AS DOUBLE) / det), 6) END
+               AS DOUBLE) AS se_beta,
+             CAST(CASE WHEN det > 0.0 THEN
+               ROUND(b / SQRT(CAST(h00 AS DOUBLE) / det), 6) + 0.0 END
+               AS DOUBLE) AS z_beta,
+             CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
+      FROM d3 ORDER BY class""",
+
     "q_logistic" -> """
       WITH pts AS (
         SELECT CAST(user_id % 3 AS INTEGER) AS g,

@@ -1953,6 +1953,39 @@ class StatsSpec extends SparkTestBase {
       df.filter(col("y")).count())
   }
 
+  test("logisticMulti: k=2 row equals the binary fit bit-for-bit; " +
+      "k=3 recovers each planted band; class cap is loud") {
+    import spark.implicits._
+    val two = (1 to 400).map { i =>
+      val x = i / 40.0
+      ("g", x, if (2.0 * x - 5.0 + 2.0 * math.sin(i.toDouble) > 0.0)
+        "pos" else "neg")
+    }.toDF("g", "x", "lbl")
+    val multi = Stats.logisticMulti(two, "lbl", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bin = Stats.logisticFit(two, "g", "x", col("lbl") === "pos")
+      .collect().head
+    val pos = multi("pos")
+    Seq("alpha", "beta", "se_beta", "z_beta", "odds_ratio").foreach { c =>
+      assert(pos.getAs[Double](c) === bin.getAs[Double](c),
+        s"$c: OvR ${pos.getAs[Double](c)} vs binary ${bin.getAs[Double](c)}")
+    }
+    // the rest-class mirror flips the slope sign
+    assert(multi("neg").getAs[Double]("beta") < 0.0
+      && pos.getAs[Double]("beta") > 0.0)
+    // k=3 bands: low/mid/high x — low falls with x, high rises with x
+    val three = (1 to 300).map { i =>
+      val x = i / 30.0
+      ("g", x, if (x < 3.3) "low" else if (x < 6.6) "mid" else "high")
+    }.toDF("g", "x", "lbl")
+    val m3 = Stats.logisticMulti(three, "lbl", "x")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("beta")).toMap
+    assert(m3("low") < 0.0 && m3("high") > 0.0, m3.toString)
+    intercept[IllegalArgumentException] {
+      Stats.logisticMulti(three, "lbl", "x", maxClasses = 2).collect()
+    }
+  }
+
   test("logisticFit: negative effect flips every sign") {
     import spark.implicits._
     val df = (1 to 400).map { i =>
