@@ -1386,6 +1386,18 @@ object LlmOps {
       .orderBy("tok")
   }
 
+  /** Maximal repeated spans on the q_repeated_spans corpus: per doc,
+    * the maximal runs whose every 5-gram repeats in >= 2 docs — the
+    * suffix-array-class cut unit (one long boilerplate block = one
+    * span), anchors + gaps-and-islands instead of a suffix build.
+    */
+  val qRepeatedSpansMaximal: QueryFn = withTables { spark =>
+    TextAnalysis.maximalRepeatedSpans(
+        spark.table("documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", minLen = 5, minDocs = 2)
+      .orderBy("doc_id", "start")
+  }
+
   /** The treatment step for q_repeated_spans' detections: cut every
     * token covered by a cross-doc 5-gram span (>= 3 docs — minDocs 2
     * on this corpus would shred most text) and rebuild each doc;
@@ -1635,6 +1647,7 @@ object LlmOps {
     "q_dedup_canonical" -> qDedupCanonical,
     "q_lm_score" -> qLmScore,
     "q_repeated_spans" -> qRepeatedSpans,
+    "q_repeated_spans_maximal" -> qRepeatedSpansMaximal,
     "q_remove_spans" -> qRemoveSpans,
     "q_pool_mean" -> qPoolMean,
     "q_split_tvt" -> qSplitTvt,
@@ -3394,6 +3407,33 @@ object LlmOps {
       GROUP BY tok
       HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY tok""",
+
+    // The q_repeated_spans anchors, then per-doc gaps-and-islands
+    // (pos − row_number) grouping consecutive flagged 5-gram starts
+    // into maximal runs; a run s..e covers tokens s..e+4, rebuilt by
+    // an inclusive list slice.
+    "q_repeated_spans_maximal" -> """
+      WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS toks
+                 FROM documents WHERE doc_id < 1000),
+      occ AS (SELECT doc_id, i AS pos,
+                     ARRAY_TO_STRING(toks[i:i+4], ' ') AS tok
+              FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 3, 1))) r(i)),
+      rep AS (SELECT tok
+              FROM (SELECT DISTINCT doc_id, tok FROM occ)
+              GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 2),
+      anch AS (SELECT occ.doc_id, occ.pos FROM occ JOIN rep USING (tok)),
+      isl AS (SELECT doc_id, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY pos) AS grp
+              FROM anch),
+      runs AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) AS e
+               FROM isl GROUP BY doc_id, grp)
+      SELECT r.doc_id,
+             CAST(r.s - 1 AS BIGINT) AS start,
+             CAST(r.e - r.s + 5 AS INT) AS len_tokens,
+             ARRAY_TO_STRING(t.toks[r.s:r.e+4], ' ') AS span
+      FROM runs r JOIN t ON t.doc_id = r.doc_id
+      ORDER BY r.doc_id, start""",
 
     // Same span definition as q_repeated_spans (full 5-gram windows),
     // same coverage rule (cut iff an occurrence starts in

@@ -215,6 +215,60 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.repeatedSpans(df, "doc_id", "text", 5, 4).count() === 0L)
   }
 
+  test("maximalRepeatedSpans: a shared block reports as ONE maximal span; " +
+      "isolated anchors degenerate to the fixed-n output") {
+    import spark.implicits._
+    // docs 0 and 1 share a 7-token block -> every 5-gram inside it is
+    // a (>=2)-doc anchor, and the 3 consecutive anchors fuse into one
+    // 7-token maximal span per doc
+    val df = Seq(
+      (0L, "xx one two three four five six seven yy zz"),
+      (1L, "aa bb one two three four five six seven cc"),
+      (2L, "totally different text with no shared blocks at all"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maximalRepeatedSpans(df, "doc_id", "text",
+        minLen = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(got === Set(
+      (0L, 1L, 7, "one two three four five six seven"),
+      (1L, 2L, 7, "one two three four five six seven")), got.toString)
+    // isolated anchors (no adjacent flagged grams): len == minLen and
+    // the span set == the fixed-n repeatedSpans detections
+    val iso2 = Seq(
+      (0L, "k1 k2 shared1 shared2 shared3 shared4 shared5 k3 k4"),
+      (1L, "j1 shared1 shared2 shared3 shared4 shared5 j2 j3 j4"),
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.maximalRepeatedSpans(iso2, "doc_id", "text", 5, 2)
+      .collect()
+    val fixed = TextAnalysis.repeatedSpans(iso2, "doc_id", "text", 5, 2)
+      .collect().map(_.getString(0)).toSet
+    assert(m.forall(_.getInt(2) === 5), m.mkString(","))
+    assert(m.map(_.getString(3)).toSet === fixed)
+  }
+
+  test("maximalRepeatedSpans: partner change truncates per doc (the " +
+      "per-doc cut semantics)") {
+    import spark.implicits._
+    // doc 0 shares its left 4-gram with doc 1 and its right 4-gram
+    // with doc 2, but the grams BRIDGING the halves ("u2 u3 m1 v1",
+    // "u3 m1 v1 v2") appear nowhere else — so doc 0 reports two
+    // separate maximal spans, NOT one fused block: a span is only as
+    // long as its every interior gram is actually repeated
+    val df = Seq(
+      (0L, "u1 u2 u3 m1 v1 v2 v3"),
+      (1L, "u1 u2 u3 m1 x1 x2 x3"),
+      (2L, "y1 y2 y3 m1 v1 v2 v3"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.maximalRepeatedSpans(df, "doc_id", "text",
+        minLen = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(got === Set(
+      (0L, "u1 u2 u3 m1"), (0L, "m1 v1 v2 v3"),
+      (1L, "u1 u2 u3 m1"),
+      (2L, "m1 v1 v2 v3")), got.toString)
+  }
+
   test("lmScore: hand-computed bigram log-probabilities") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"))
