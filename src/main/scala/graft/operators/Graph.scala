@@ -1160,6 +1160,58 @@ object Graph {
         harmonic.cast("double").as("harmonic"): _*)
   }
 
+  /** Eigenvector centrality by FIXED power iterations on the
+    * undirected canonical graph — "important because your neighbors
+    * are important", the undamped ancestor of [[pageRank]] that
+    * completes the centrality tier (degree, PageRank×2, HITS,
+    * harmonic, k-core, betweenness): v ← A·v, sup-normalized each
+    * pass (divide by the max — no sqrt, so the normalizer is one
+    * portable division). Iteration 1 from the all-ones vector is
+    * degree; each further pass mixes in longer walks.
+    *
+    * Determinism: per pass the neighbor sum accumulates 12-dp-frozen
+    * scores in an order-free decimal(38,12) sum, the max is exact on
+    * those decimals, and the renormalized score re-freezes at 12 dp;
+    * final report at 6 dp. FIXED iterations — no convergence test, so
+    * bipartite-ish graphs' period-2 oscillation (the textbook power-
+    * iteration caveat; [[pageRank]]'s damping is the cure when a
+    * converged ranking is the ask) is simply reported at the chosen
+    * horizon, identically on every engine.
+    *
+    * Scale shape: per iteration one edge–state equi-join + one
+    * vertex-keyed decimal sum + one scalar-max broadcast — the
+    * pageRank cost class; state is one row per vertex,
+    * localCheckpoint truncates lineage per pass.
+    *
+    * Output: (vertex, eigenvector).
+    */
+  def eigenvectorCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"eigenvectorCentrality: iters must be in [1, 8], got $iters")
+    val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
+      .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
+      .localCheckpoint()
+    var state = sym.select(col("v")).distinct()
+      .withColumn("_ev", lit(1.0))
+    for (_ <- 1 to iters) {
+      val summed = sym
+        .join(state.select(col("v").as("_sv"), col("_ev")),
+          col("w") === col("_sv"))
+        .groupBy("v")
+        .agg(sum(round(col("_ev"), 12).cast("decimal(38,12)")).as("_sum"))
+      val mx = summed.agg(max("_sum").as("_mx"))
+      state = summed.crossJoin(broadcast(mx))
+        .select(col("v"),
+          round(col("_sum").cast("double") / col("_mx").cast("double"),
+            12).as("_ev"))
+        .localCheckpoint()
+    }
+    state.select(col("v").as("vertex"),
+      round(col("_ev"), 6).cast("double").as("eigenvector"))
+  }
+
   /** Hop-2-truncated betweenness centrality, distributed — "who
     * brokers" on the undirected graph: B(v) = Σ over unordered pairs
     * (s,t) at distance EXACTLY 2 of (shortest s–t paths through v) /

@@ -4571,6 +4571,82 @@ object Stats {
       .select(groupCol, "n_group", "n_rest", "t", "dof")
   }
 
+  /** TOST equivalence test (two one-sided Welch t's) of each group's
+    * mean vs the pooled rest: the A/B gate [[welchT]] cannot answer —
+    * "are these the SAME within ±margin", where a non-significant
+    * difference test proves nothing. H0 is |μ_g − μ_rest| ≥ margin;
+    * equivalence is declared iff BOTH one-sided tests reject:
+    * t_lower = (d̄ + margin)/se > tCrit AND t_upper = (d̄ − margin)/se
+    * < −tCrit (tCrit is the caller's one-sided critical value, e.g.
+    * 1.645 for α = .05 at large dof — no t CDF enters the plan, so
+    * the decision is an exact comparison on the ROUNDED statistics).
+    *
+    * Exactness: the [[welchT]] moment machinery verbatim (exact
+    * decimal sums of 1e6-scaled longs; the margin joins the tree
+    * pre-scaled by the same 1e6 so d̄ and margin live in one unit);
+    * t_lower/t_upper/dof/mean_diff are identically-spelled rounded
+    * trees; `equivalent` compares the rounded t's. Thin sides → NULL
+    * statistics and NULL verdict.
+    *
+    * Scale shape: one group aggregate + one broadcast total — the
+    * welchT class. Output: (group, n_group, n_rest, mean_diff,
+    * t_lower, t_upper, dof, equivalent).
+    */
+  def tostEquivalence(df: DataFrame, groupCol: String, valueCol: String,
+      margin: Double, tCrit: Double = 1.645): DataFrame = {
+    require(margin > 0.0, s"tostEquivalence: margin must be > 0, got $margin")
+    require(tCrit > 0.0, s"tostEquivalence: tCrit must be > 0, got $tCrit")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val byG = pts.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_group"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q1"))
+    val tot = byG.agg(sum("n_group").as("_n"), sum("_s1").as("_s"),
+      sum("_q1").as("_q"))
+    val n1 = col("n_group").cast("double")
+    val n2 = col("n_rest").cast("double")
+    def v(n: Column, s: Column, q: Column): Column =
+      (n * q.cast("double") - s.cast("double") * s.cast("double")) /
+        (n * (n - 1.0))
+    val md = col("_s1").cast("double") / n1 - col("_s2").cast("double") / n2
+    val se = sqrt(col("_w1") + col("_w2"))
+    val scaledMargin = lit(margin) * lit(1e6)
+    byG.crossJoin(broadcast(tot))
+      .withColumn("n_rest", (col("_n") - col("n_group")).cast("bigint"))
+      .withColumn("_s2", (col("_s") - col("_s1")).cast(dec))
+      .withColumn("_q2", (col("_q") - col("_q1")).cast(dec))
+      .withColumn("_w1",
+        when(col("n_group") >= 2, v(n1, col("_s1"), col("_q1")) / n1))
+      .withColumn("_w2",
+        when(col("n_rest") >= 2, v(n2, col("_s2"), col("_q2")) / n2))
+      .withColumn("_ok",
+        col("n_group") >= 2 && col("n_rest") >= 2
+          && col("_w1") + col("_w2") > 0.0)
+      .withColumn("mean_diff",
+        when(col("_ok"), round(md / lit(1e6), 6)).cast("double"))
+      .withColumn("t_lower",
+        when(col("_ok"),
+          round((md + scaledMargin) / se, 6)).cast("double"))
+      .withColumn("t_upper",
+        when(col("_ok"),
+          round((md - scaledMargin) / se, 6)).cast("double"))
+      .withColumn("dof",
+        when(col("_ok")
+            && col("_w1") * col("_w1") / (n1 - 1.0)
+              + col("_w2") * col("_w2") / (n2 - 1.0) > 0.0,
+          round((col("_w1") + col("_w2")) * (col("_w1") + col("_w2"))
+            / (col("_w1") * col("_w1") / (n1 - 1.0)
+              + col("_w2") * col("_w2") / (n2 - 1.0)), 6)).cast("double"))
+      .withColumn("equivalent",
+        when(col("_ok"),
+          col("t_lower") > lit(tCrit) && col("t_upper") < -lit(tCrit)))
+      .select(groupCol, "n_group", "n_rest", "mean_diff",
+        "t_lower", "t_upper", "dof", "equivalent")
+  }
+
   /** Bartlett's test of equal variances across ALL k levels of
     * `groupCol` — the parametric sibling of [[brownForsythe]]: more
     * powerful under normality, famously fragile off it (run the pair

@@ -438,6 +438,16 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Eigenvector centrality on the q_harmonic co-order graph: 3 fixed
+    * sup-normalized power iterations, 12-dp-frozen decimal neighbor
+    * sums, one portable max-division per pass.
+    */
+  val qEigenvector: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.eigenvectorCentrality(coOrderParts(spark, sfDir, 5), "a", "b",
+        iters = 3)
+      .orderBy("vertex")
+  }
+
   /** Residual IVFADC (the paper-faithful §IV.B layout): the SAME
     * coarse quantizer, PQ codebooks trained on the CELL RESIDUALS,
     * per-(probe, cell) residual distance tables, pruning judged at
@@ -463,6 +473,7 @@ object GraphOps {
     "q_harmonic" -> qHarmonic,
     "q_harmonic_approx" -> qHarmonicApprox,
     "q_betweenness" -> qBetweenness,
+    "q_eigenvector" -> qEigenvector,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
     "q_ann_pq" -> qAnnPq,
@@ -671,6 +682,44 @@ object GraphOps {
         FROM adcr)"""
 
   val oracles: Map[String, String] = Map(
+
+    // The q_harmonic graph CTEs, then 3 unrolled sup-normalized power
+    // iterations: 12-dp-frozen decimal neighbor sums, scalar max via
+    // cross join, one rounded division per pass.
+    "q_eigenvector" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      sym AS (SELECT lo AS v, hi AS w FROM e
+              UNION ALL SELECT hi, lo FROM e),
+      s1 AS (SELECT sym.v AS v,
+                    SUM(CAST(ROUND(1.0, 12) AS DECIMAL(38,12))) AS s
+             FROM sym GROUP BY sym.v),
+      m1 AS (SELECT MAX(s) AS mx FROM s1),
+      v1 AS (SELECT v, ROUND(CAST(s AS DOUBLE) / CAST(mx AS DOUBLE), 12)
+               AS ev
+             FROM s1, m1),
+      s2 AS (SELECT sym.v AS v,
+                    SUM(CAST(ROUND(v1.ev, 12) AS DECIMAL(38,12))) AS s
+             FROM sym JOIN v1 ON v1.v = sym.w GROUP BY sym.v),
+      m2 AS (SELECT MAX(s) AS mx FROM s2),
+      v2 AS (SELECT v, ROUND(CAST(s AS DOUBLE) / CAST(mx AS DOUBLE), 12)
+               AS ev
+             FROM s2, m2),
+      s3 AS (SELECT sym.v AS v,
+                    SUM(CAST(ROUND(v2.ev, 12) AS DECIMAL(38,12))) AS s
+             FROM sym JOIN v2 ON v2.v = sym.w GROUP BY sym.v),
+      m3 AS (SELECT MAX(s) AS mx FROM s3),
+      v3 AS (SELECT v, ROUND(CAST(s AS DOUBLE) / CAST(mx AS DOUBLE), 12)
+               AS ev
+             FROM s3, m3)
+      SELECT v AS vertex, CAST(ROUND(ev, 6) AS DOUBLE) AS eigenvector
+      FROM v3 ORDER BY vertex""",
 
     // The q_harmonic graph CTEs, then: wedges s–m–t (s < t), minus
     // adjacent pairs (distance exactly 2), σ = middles per pair, each

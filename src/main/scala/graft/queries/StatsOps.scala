@@ -1140,6 +1140,16 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** TOST equivalence of each event type's mean value vs the pooled
+    * rest at ±100 margin: both one-sided Welch t's vs 1.645, the
+    * "same within a margin" gate a plain difference test can't give.
+    */
+  val qTost: QueryFn = withTables { spark =>
+    graft.operators.Stats.tostEquivalence(spark.table("events"),
+        "event_type", "value", margin = 100.0, tCrit = 1.645)
+      .orderBy("event_type")
+  }
+
   /** Bartlett's variance-homogeneity K² across all five event types:
     * the parametric dual of q_levene — 12-dp-frozen ln terms, scale
     * offsets cancelling between pooled and per-group logs.
@@ -1734,6 +1744,7 @@ object StatsOps {
     "q_ma_forecast" -> qMaForecast,
     "q_arma_forecast" -> qArmaForecast,
     "q_ar_order" -> qArOrder,
+    "q_tost" -> qTost,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
@@ -3452,6 +3463,60 @@ object StatsOps {
              CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND sp2 > 0.0 THEN
                n1 + n2 - 2 END AS BIGINT) AS dof
       FROM o ORDER BY event_type""",
+
+    // The q_welch_t moment CTEs + the pre-scaled margin trees; the
+    // verdict compares the ROUNDED one-sided t's against the literal
+    // critical value.
+    "q_tost" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS n1, SUM(x::HUGEINT) AS s1,
+               SUM(x::HUGEINT * x) AS q1
+        FROM pts GROUP BY g),
+      tot AS (SELECT SUM(n1)::BIGINT AS n, SUM(s1) AS s, SUM(q1) AS q
+              FROM byg),
+      j AS (
+        SELECT g, n1, (n - n1)::BIGINT AS n2,
+               CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(q1 AS DOUBLE) AS q1d,
+               CAST(s - s1 AS DOUBLE) AS s2d, CAST(q - q1 AS DOUBLE) AS q2d
+        FROM byg, tot),
+      w AS (
+        SELECT g, n1, n2, n1d, n2d, s1d, s2d,
+               (n1d * q1d - s1d * s1d) / (n1d * (n1d - 1.0)) / n1d AS w1,
+               (n2d * q2d - s2d * s2d) / (n2d * (n2d - 1.0)) / n2d AS w2
+        FROM j),
+      o AS (
+        SELECT g, n1, n2,
+               (n1 >= 2 AND n2 >= 2 AND w1 + w2 > 0.0) AS ok,
+               s1d / n1d - s2d / n2d AS md, w1, w2, n1d, n2d
+        FROM w),
+      r AS (
+        SELECT g, n1, n2, ok, w1, w2, n1d, n2d,
+               CASE WHEN ok THEN ROUND(md / 1000000.0, 6) END
+                 AS mean_diff,
+               CASE WHEN ok THEN
+                 ROUND((md + 100.0 * 1000000.0) / SQRT(w1 + w2), 6)
+               END AS t_lower,
+               CASE WHEN ok THEN
+                 ROUND((md - 100.0 * 1000000.0) / SQRT(w1 + w2), 6)
+               END AS t_upper
+        FROM o)
+      SELECT g AS event_type, n1 AS n_group, n2 AS n_rest,
+             CAST(mean_diff AS DOUBLE) AS mean_diff,
+             CAST(t_lower AS DOUBLE) AS t_lower,
+             CAST(t_upper AS DOUBLE) AS t_upper,
+             CAST(CASE WHEN ok AND w1 * w1 / (n1d - 1.0)
+                 + w2 * w2 / (n2d - 1.0) > 0.0 THEN
+               ROUND((w1 + w2) * (w1 + w2)
+                 / (w1 * w1 / (n1d - 1.0) + w2 * w2 / (n2d - 1.0)), 6)
+             END AS DOUBLE) AS dof,
+             CASE WHEN ok THEN
+               (t_lower > 1.645 AND t_upper < -1.645) END AS equivalent
+      FROM r ORDER BY event_type""",
 
     "q_welch_t" -> """
       WITH pts AS (

@@ -413,6 +413,27 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("eigenvectorCentrality: triangle+pendant hand values at 3 iters; " +
+      "star reports the bipartite odd-iteration state deterministically") {
+    // C3 (a,b,c) + pendant d-a: after 3 sup-normalized passes
+    // a = 1, b = c = 2/2.6 = .769231, d = 1/2.6 = .384615
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")).toDF("s", "t")
+    val got = Graph.eigenvectorCentrality(g, "s", "t", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 1.0 && got("b") === 0.769231
+      && got("c") === 0.769231 && got("d") === 0.384615, got.toString)
+    // star K1,5 is bipartite: odd iterations report center 1, leaves
+    // 1/5 (period-2 oscillation is the documented fixed-iter contract)
+    val star = (1 to 5).map(i => ("hub", s"l$i")).toDF("s", "t")
+    val s3 = Graph.eigenvectorCentrality(star, "s", "t", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s3("hub") === 1.0 && (1 to 5).forall(i => s3(s"l$i") === 0.2),
+      s3.toString)
+    intercept[IllegalArgumentException] {
+      Graph.eigenvectorCentrality(star, "s", "t", iters = 0)
+    }
+  }
+
   test("betweennessExact: sampleEvery=1 equals the full pass; sampling is " +
       "deterministic and unbiased-by-stratum on a vertex-transitive graph") {
     val c6 = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),

@@ -1953,6 +1953,35 @@ class StatsSpec extends SparkTestBase {
       df.filter(col("y")).count())
   }
 
+  test("tostEquivalence: equal means pass a generous margin, fail an " +
+      "underpowered one; a shifted group is never equivalent") {
+    import spark.implicits._
+    val df = ((1 to 50).map(i => ("a", 100.0 + (i % 5))) ++
+      (1 to 50).map(i => ("b", 100.0 + ((i + 2) % 5))) ++
+      (1 to 50).map(i => ("c", 200.0 + (i % 5)))).toDF("g", "v")
+    def verdicts(margin: Double) =
+      Stats.tostEquivalence(df, "g", "v", margin)
+        .collect().map(r => r.getString(0) ->
+          Option(r.get(7)).map(_.asInstanceOf[Boolean])).toMap
+    val wide = verdicts(80.0)
+    // a vs rest: rest mean ~ (102+202)/2 = 152, diff ~ 50 < 80 margin
+    assert(wide("a") === Some(true) && wide("b") === Some(true), wide.toString)
+    // c sits ~ +75 above its rest mean of ~102... within 80? diff
+    // ~ 98 > 80 -> not equivalent
+    assert(wide("c") === Some(false), wide.toString)
+    val tight = verdicts(0.1)
+    assert(tight.values.forall(_ === Some(false)),
+      s"0.1 margin cannot certify anything here: $tight")
+    // statistics carry through: t_lower > t_upper always, dof defined
+    Stats.tostEquivalence(df, "g", "v", 10.0).collect().foreach { r =>
+      assert(r.getDouble(4) > r.getDouble(5), r.toString)
+      assert(r.getDouble(6) > 0.0, r.toString)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.tostEquivalence(df, "g", "v", margin = -1.0)
+    }
+  }
+
   test("logisticMulti: k=2 row equals the binary fit bit-for-bit; " +
       "k=3 recovers each planted band; class cap is loud") {
     import spark.implicits._
