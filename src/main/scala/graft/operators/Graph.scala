@@ -1160,6 +1160,35 @@ object Graph {
         harmonic.cast("double").as("harmonic"): _*)
   }
 
+  /** Bounded-hop closeness centrality — the "how few hops to my
+    * whole neighborhood" dual of [[harmonicCentrality]] (closeness
+    * averages distance then inverts; harmonic averages inverted
+    * distances — closeness rewards uniform reach, harmonic rewards
+    * any near mass): C_h(v) = reach_h(v) / Σ_{w∈ball_h(v)} d(v,w),
+    * hop-bounded for the same 100 TB reason as L182 (full-diameter
+    * all-pairs BFS is quadratic fantasy; the h-hop ball is the
+    * product signal). Rides [[harmonicCentrality]]'s exact per-hop
+    * shells VERBATIM — one extra rounded float tree over the same
+    * integer counts, so the closure (and its driver fast path + the
+    * GraphSpec equality pin) is shared, not duplicated.
+    *
+    * Output: (vertex, n_hop1..H, closeness), closeness ∈ (0, 1],
+    * 1 = everything reached in one hop.
+    */
+  def closenessCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, maxHops: Int = 2,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
+    val h = harmonicCentrality(edges, srcCol, dstCol, maxHops,
+      driverMaxEdges)
+    val reach = (1 to maxHops).map(i => col(s"n_hop$i")).reduce(_ + _)
+    val dsum = (1 to maxHops).map(i =>
+      col(s"n_hop$i") * lit(i.toDouble)).reduce(_ + _)
+    h.select(
+      (col("vertex") +: (1 to maxHops).map(i => col(s"n_hop$i"))) :+
+        when(dsum > 0.0, round(reach.cast("double") / dsum, 6))
+          .cast("double").as("closeness"): _*)
+  }
+
   /** Eigenvector centrality by FIXED power iterations on the
     * undirected canonical graph — "important because your neighbors
     * are important", the undamped ancestor of [[pageRank]] that

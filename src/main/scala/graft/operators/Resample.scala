@@ -1860,6 +1860,77 @@ object Resample {
         .cast("int").as("best_p"))
   }
 
+  /** AR(1) one-step forecast WITH a prediction interval — the
+    * uncertainty tier the point forecasters ([[arForecast]],
+    * [[arpForecast]], [[maForecast]], [[armaForecast]]) omit: under
+    * AR(1), the one-step innovation variance is v = γ0(1 − φ²) with
+    * γ0 the series' population variance, so the normal-approx
+    * interval is x̂ ± z·√v. A forecast shipped without its band
+    * invites over-reading a ±3σ series' point estimate.
+    *
+    * Exactness: φ = ρ1 rides [[autocorrelationCells]] (6-dp); γ0 is
+    * one rounded tree over the EXACT decimal cell moments
+    * ((nΣx²−S²)/n², descaled by 1e12 and frozen at 6 dp); v, se, and
+    * the two bounds are identically-spelled rounded trees; the z is a
+    * caller literal (no normal CDF in-plan). Degenerate: n < 2, NULL
+    * ρ1 (constant series), or |φ| ≥ 1 → NULL band.
+    *
+    * Scale shape: the [[arForecast]] cost class — acf fold + one
+    * group-keyed last-cell window. Output: (group, n_days, phi1,
+    * gamma0, forecast, se, lo, hi).
+    */
+  def arForecastInterval(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, z: Double = 1.96): DataFrame = {
+    require(z > 0.0, s"arForecastInterval: z must be > 0, got $z")
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val dec = "decimal(38,0)"
+    val mo = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast(dec)).as("_s"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_q"))
+      .withColumn("_mu",
+        round(col("_s").cast("double") / col("_n").cast("double") / 1e6, 6))
+      .withColumn("gamma0",
+        when(col("_n") >= 2,
+          round((col("_n").cast("double") * col("_q").cast("double")
+              - col("_s").cast("double") * col("_s").cast("double"))
+            / (col("_n").cast("double") * col("_n").cast("double"))
+            / 1e12, 6)).cast("double"))
+      .select("_gm", "_mu", "gamma0")
+    val wLast = Window.partitionBy("_g").orderBy(col("_day").desc)
+    val lastOne = cells
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") === 1)
+      .select(col("_g").as("_gl"), round(col("_x") / 1e6, 6).as("_xn"))
+    val rho = autocorrelationCells(cells, groupCol, 1)
+      .groupBy(col(groupCol))
+      .agg(max("n_days").as("n_days"),
+        max(when(col("lag") === 1, col("acf"))).as("_r1"))
+    val phi = col("phi1")
+    val ok = phi.isNotNull && abs(phi) < 1.0 && col("gamma0").isNotNull
+    rho
+      .join(broadcast(mo), col(groupCol) <=> col("_gm")).drop("_gm")
+      .join(broadcast(lastOne), col(groupCol) <=> col("_gl")).drop("_gl")
+      .withColumn("phi1",
+        when(col("n_days") >= 2 && col("_r1").isNotNull,
+          col("_r1")).cast("double"))
+      .withColumn("forecast",
+        when(ok, round(col("_mu")
+          + phi * (col("_xn") - col("_mu")), 6)).cast("double"))
+      .withColumn("se",
+        when(ok && col("gamma0") * (lit(1.0) - phi * phi) >= 0.0,
+          round(sqrt(col("gamma0") * (lit(1.0) - phi * phi)), 6))
+          .cast("double"))
+      .withColumn("lo",
+        when(col("se").isNotNull,
+          round(col("forecast") - lit(z) * col("se"), 6)).cast("double"))
+      .withColumn("hi",
+        when(col("se").isNotNull,
+          round(col("forecast") + lit(z) * col("se"), 6)).cast("double"))
+      .select(groupCol, "n_days", "phi1", "gamma0", "forecast", "se",
+        "lo", "hi")
+  }
+
   def arForecast(df: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val day = Stats.fdiv(unix_timestamp(col(tsCol)), lit(86400L))

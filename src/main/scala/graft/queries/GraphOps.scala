@@ -438,6 +438,16 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Bounded-hop closeness centrality on the q_harmonic co-order
+    * graph: reach / Σdist over the same exact 2-hop shells, the
+    * uniform-reach dual of harmonic.
+    */
+  val qCloseness: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.closenessCentrality(coOrderParts(spark, sfDir, 5), "a", "b",
+        maxHops = 2)
+      .orderBy("vertex")
+  }
+
   /** Eigenvector centrality on the q_harmonic co-order graph: 3 fixed
     * sup-normalized power iterations, 12-dp-frozen decimal neighbor
     * sums, one portable max-division per pass.
@@ -474,6 +484,7 @@ object GraphOps {
     "q_harmonic_approx" -> qHarmonicApprox,
     "q_betweenness" -> qBetweenness,
     "q_eigenvector" -> qEigenvector,
+    "q_closeness" -> qCloseness,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
     "q_ann_pq" -> qAnnPq,
@@ -682,6 +693,35 @@ object GraphOps {
         FROM adcr)"""
 
   val oracles: Map[String, String] = Map(
+
+    // The q_harmonic CTEs verbatim; only the final expression changes:
+    // closeness = (n1 + n2) / (n1·1 + n2·2) over the same exact shells.
+    "q_closeness" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      sym AS (SELECT lo AS v, hi AS w FROM e
+              UNION ALL SELECT hi, lo FROM e),
+      h2 AS (SELECT DISTINCT f.v, s.w
+             FROM sym f JOIN sym s ON s.v = f.w
+             WHERE f.v <> s.w),
+      shell2 AS (SELECT v, w FROM h2 EXCEPT SELECT v, w FROM sym),
+      c1 AS (SELECT v, COUNT(*)::BIGINT AS n1 FROM sym GROUP BY v),
+      c2 AS (SELECT v, COUNT(*)::BIGINT AS n2 FROM shell2 GROUP BY v)
+      SELECT c1.v AS vertex, c1.n1 AS n_hop1,
+             COALESCE(c2.n2, 0)::BIGINT AS n_hop2,
+             CAST(CASE WHEN c1.n1 * 1.0 + COALESCE(c2.n2, 0) * 2.0 > 0.0
+               THEN ROUND(
+                 CAST(c1.n1 + COALESCE(c2.n2, 0) AS DOUBLE)
+                 / (c1.n1 * 1.0 + COALESCE(c2.n2, 0) * 2.0), 6) END
+               AS DOUBLE) AS closeness
+      FROM c1 LEFT JOIN c2 ON c2.v = c1.v
+      ORDER BY vertex""",
 
     // The q_harmonic graph CTEs, then 3 unrolled sup-normalized power
     // iterations: 12-dp-frozen decimal neighbor sums, scalar max via

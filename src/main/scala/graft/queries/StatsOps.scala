@@ -1140,6 +1140,17 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** AR(1) one-step forecast with a 95% prediction interval on the
+    * daily series: band from the innovation variance γ0(1−φ²) over
+    * exact decimal moments — the uncertainty the point forecasters
+    * omit.
+    */
+  val qForecastInterval: QueryFn = withTables { spark =>
+    Resample.arForecastInterval(spark.table("events"), "event_type",
+        "ts", "value", z = 1.96)
+      .orderBy("event_type")
+  }
+
   /** TOST equivalence of each event type's mean value vs the pooled
     * rest at ±100 margin: both one-sided Welch t's vs 1.645, the
     * "same within a margin" gate a plain difference test can't give.
@@ -1745,6 +1756,7 @@ object StatsOps {
     "q_arma_forecast" -> qArmaForecast,
     "q_ar_order" -> qArOrder,
     "q_tost" -> qTost,
+    "q_forecast_interval" -> qForecastInterval,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
@@ -7948,6 +7960,80 @@ object StatsOps {
              CAST(CASE WHEN eps IS NOT NULL THEN
                ROUND(mu + theta * eps, 6) END AS DOUBLE) AS forecast
       FROM e ORDER BY event_type""",
+
+    // The q_ma_forecast cells + lag-1 acf; γ0 from the exact decimal
+    // moments, band = forecast ± z·√(γ0(1−φ²)).
+    "q_forecast_interval" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x::HUGEINT) AS s,
+                    SUM(x::HUGEINT * x) AS q
+             FROM cells GROUP BY g),
+      mo AS (
+        SELECT g,
+               ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 / 1000000.0, 6) AS mu,
+               CASE WHEN n >= 2 THEN
+                 ROUND((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                   / 1000000000000.0, 6) END AS gamma0
+        FROM st),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      lagged AS (
+        SELECT g, aa, LEAD(aa, 1) OVER w AS l1
+        FROM a WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n_days, SUM(aa * aa) AS d,
+               SUM(aa * l1) AS n1
+        FROM lagged GROUP BY g),
+      rho AS (
+        SELECT g, n_days,
+               CASE WHEN d <> 0 THEN
+                 ROUND(CAST(n1 AS DOUBLE) / CAST(d AS DOUBLE), 6)
+               END AS r1
+        FROM agg),
+      lastt AS (
+        SELECT g, MAX(CASE WHEN rn = 1 THEN xr END) AS xn
+        FROM (
+          SELECT g, ROUND(x / 1000000.0, 6) AS xr,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY day DESC)
+                   AS rn
+          FROM cells)
+        WHERE rn = 1 GROUP BY g),
+      f AS (
+        SELECT rho.g AS g, n_days, mu, gamma0, xn,
+               CASE WHEN n_days >= 2 AND r1 IS NOT NULL THEN r1 END
+                 AS phi1
+        FROM rho JOIN mo ON rho.g = mo.g
+                 JOIN lastt ON rho.g = lastt.g),
+      o AS (
+        SELECT g, n_days, phi1, gamma0,
+               CASE WHEN phi1 IS NOT NULL AND ABS(phi1) < 1.0
+                      AND gamma0 IS NOT NULL THEN
+                 ROUND(mu + phi1 * (xn - mu), 6) END AS forecast,
+               CASE WHEN phi1 IS NOT NULL AND ABS(phi1) < 1.0
+                      AND gamma0 IS NOT NULL
+                      AND gamma0 * (1.0 - phi1 * phi1) >= 0.0 THEN
+                 ROUND(SQRT(gamma0 * (1.0 - phi1 * phi1)), 6)
+               END AS se
+        FROM f)
+      SELECT g AS event_type, n_days,
+             CAST(phi1 AS DOUBLE) AS phi1, CAST(gamma0 AS DOUBLE)
+               AS gamma0,
+             CAST(forecast AS DOUBLE) AS forecast,
+             CAST(se AS DOUBLE) AS se,
+             CAST(CASE WHEN se IS NOT NULL THEN
+               ROUND(forecast - 1.96 * se, 6) END AS DOUBLE) AS lo,
+             CAST(CASE WHEN se IS NOT NULL THEN
+               ROUND(forecast + 1.96 * se, 6) END AS DOUBLE) AS hi
+      FROM o ORDER BY event_type""",
 
     // The q_ma_forecast skeleton at two lags: φ = ρ2/ρ1, B from the
     // mixed moment, the invertible quadratic root, then the 7-term

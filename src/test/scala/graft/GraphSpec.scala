@@ -413,6 +413,16 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("closenessCentrality: P3 hand values over the shared 2-hop shells") {
+    val p3 = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
+    val got = Graph.closenessCentrality(p3, "s", "t", maxHops = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("b") === ((2L, 0L, 1.0)), got.toString)
+    assert(got("a") === ((1L, 1L, 0.666667)), got.toString)
+    assert(got("c") === ((1L, 1L, 0.666667)), got.toString)
+  }
+
   test("eigenvectorCentrality: triangle+pendant hand values at 3 iters; " +
       "star reports the bipartite odd-iteration state deterministically") {
     // C3 (a,b,c) + pendant d-a: after 3 sup-normalized passes

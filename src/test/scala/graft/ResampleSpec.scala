@@ -746,6 +746,26 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("arForecastInterval: band brackets the forecast, collapses on a " +
+      "constant series, and se^2 = gamma0(1-phi^2)") {
+    import spark.implicits._
+    val trend = (0 until 12).map(i => ("t", ts(i * 86400L), i.toDouble))
+    val const = (0 until 8).map(i => ("c", ts(i * 86400L), 5.0))
+    val out = Resample.arForecastInterval(
+        (trend ++ const).toDF("k", "t", "v"), "k", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = out("t")
+    val (phi, g0, fc, se, lo, hi) = (t.getDouble(2), t.getDouble(3),
+      t.getDouble(4), t.getDouble(5), t.getDouble(6), t.getDouble(7))
+    assert(lo < fc && fc < hi, t.toString)
+    assert(math.abs(se * se - g0 * (1.0 - phi * phi)) < 1e-4, t.toString)
+    assert(math.abs((fc - lo) - 1.96 * se) < 1e-5, t.toString)
+    // constant series: zero-variance acf is NULL -> no fit, no band
+    val c = out("c")
+    assert(c.isNullAt(2) && c.isNullAt(4) && c.isNullAt(6), c.toString)
+    assert(c.getDouble(3) === 0.0, s"gamma0 of a constant series: $c")
+  }
+
   test("arOrderSelect: best_p is the parsimony argmin of the returned AICs") {
     val events = graft.tables.TableLoader.events(spark, sfDir)
     val rows = Resample.arOrderSelect(events, "event_type", "ts", "value")
