@@ -957,6 +957,86 @@ object Stats {
           .cast("double"))
   }
 
+  /** Huber M-estimator of location by FIXED IRLS iterations — the
+    * robust mean between [[robustOutliers]]' median (50% breakdown,
+    * low efficiency) and the plain mean (efficient, zero breakdown):
+    * minimize Huber loss with tuning constant k (1.345 ≈ 95%
+    * gaussian efficiency), solved by iteratively reweighted means
+    * w = min(1, k·ŝ/|x − μ|) with the robust scale ŝ = 1.4826·MAD
+    * FROZEN up front (the standard one-step-scale variant — re-
+    * estimating scale per pass is a different, less stable
+    * estimator).
+    *
+    * Determinism ([[logisticFit]]'s fixed-iteration contract): exact
+    * lower median / MAD from the [[robustOutliers]] integer windows
+    * seed μ0 and ŝ; per pass the weights freeze at 12 dp and the
+    * weighted values at 6 dp into order-free decimal sums, μ
+    * re-freezes at 6 dp (scaled units). MAD = 0 degenerates
+    * gracefully: only rows AT the median keep weight 1, so the fit
+    * returns the median — no NULL contract needed.
+    *
+    * Scale shape: the robustOutliers windows once + per iteration one
+    * broadcast params join and one group aggregate; the caveat is the
+    * same single-giant-group sort as robustOutliers (swap the rank
+    * median for the approx dual at that scale). Output: (group, n,
+    * median, mad, huber_mean).
+    */
+  def huberMean(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.345, iters: Int = 2): DataFrame = {
+    require(k > 0.0, s"huberMean: k must be > 0, got $k")
+    require(iters >= 1 && iters <= 6,
+      s"huberMean: iters must be in [1, 6], got $iters")
+    val pts = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("bigint").as("_x"))
+    val wv = Window.partitionBy("_g").orderBy("_x")
+    val wg = Window.partitionBy("_g")
+    val medRank = floor((col("_n") + 1) / 2).cast("bigint")
+    val withMed = pts
+      .withColumn("_rn", row_number().over(wv))
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("_med",
+        max(when(col("_rn") === medRank, col("_x"))).over(wg))
+      .withColumn("_ad0", abs(col("_x") - col("_med")))
+    val wa = Window.partitionBy("_g").orderBy("_ad0")
+    val rows = withMed
+      .withColumn("_rna", row_number().over(wa))
+      .withColumn("_mad",
+        max(when(col("_rna") === medRank, col("_ad0"))).over(wg))
+      .select("_g", "_x", "_med", "_mad")
+      .localCheckpoint() // re-read every iteration
+    var params = rows.groupBy("_g")
+      .agg(max("_med").cast("double").as("_m"))
+    for (_ <- 1 to iters) {
+      params = rows.join(broadcast(params), Seq("_g"))
+        .withColumn("_ks",
+          col("_mad").cast("double") * (lit(1.4826) * lit(k)))
+        .withColumn("_ad", abs(col("_x").cast("double") - col("_m")))
+        .withColumn("_w",
+          round(when(col("_ad") <= col("_ks"), lit(1.0))
+            .otherwise(col("_ks") / col("_ad")), 12))
+        .groupBy("_g")
+        .agg(max("_m").as("_mp"),
+          sum(col("_w").cast("decimal(38,12)")).as("_sw"),
+          sum(round(col("_w") * col("_x"), 6).cast("decimal(38,6)"))
+            .as("_swx"))
+        .select(col("_g"),
+          when(col("_sw").cast("double") > 0.0,
+            round(col("_swx").cast("double") / col("_sw").cast("double"),
+              6)).otherwise(col("_mp")).as("_m"))
+        .localCheckpoint() // k rows; truncate the iterative lineage
+    }
+    rows.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max("_med") / 1e6, 6).cast("double").as("median"),
+        round(max("_mad") / 1e6, 6).cast("double").as("mad"))
+      .join(broadcast(params.withColumnRenamed("_g", groupCol)),
+        Seq(groupCol))
+      .select(col(groupCol), col("n"), col("median"), col("mad"),
+        round(col("_m") / 1e6, 6).cast("double").as("huber_mean"))
+  }
+
   /** The 100 TB dual of [[robustOutliers]]: median and MAD via
     * `approx_percentile` (GK sketch) group AGGREGATES instead of
     * per-group sort windows — a single giant group costs a bounded

@@ -1140,6 +1140,16 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Huber robust mean of event value per type: exact median/MAD seed,
+    * 2 fixed IRLS passes with 12-dp-frozen weights at k = 1.345 —
+    * between the median's breakdown and the mean's efficiency.
+    */
+  val qHuber: QueryFn = withTables { spark =>
+    graft.operators.Stats.huberMean(spark.table("events"),
+        "event_type", "value", k = 1.345, iters = 2)
+      .orderBy("event_type")
+  }
+
   /** AR(1) one-step forecast with a 95% prediction interval on the
     * daily series: band from the innovation variance γ0(1−φ²) over
     * exact decimal moments — the uncertainty the point forecasters
@@ -1757,6 +1767,7 @@ object StatsOps {
     "q_ar_order" -> qArOrder,
     "q_tost" -> qTost,
     "q_forecast_interval" -> qForecastInterval,
+    "q_huber" -> qHuber,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
@@ -5821,6 +5832,85 @@ object StatsOps {
     // Same scaled-long quantization, the same lower-median ranks
     // ((n+1) // 2) for median and MAD, and the same integer
     // cross-multiplied outlier rule — no float enters any decision.
+    // The q_robust_outliers median/MAD CTEs seed μ0 and the frozen
+    // scale; two unrolled IRLS passes with 12-dp weights and 6-dp
+    // weighted values in decimal sums.
+    "q_huber" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      r1 AS (
+        SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM pts),
+      m1 AS (
+        SELECT g, x, n,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN x END)
+                 OVER (PARTITION BY g) AS med
+        FROM r1),
+      a1 AS (SELECT g, x, n, med, ABS(x - med) AS ad0 FROM m1),
+      r2 AS (
+        SELECT g, x, n, med, ad0,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY ad0) AS rna
+        FROM a1),
+      m2 AS (
+        SELECT g, x, n, med,
+               MAX(CASE WHEN rna = (n + 1) // 2 THEN ad0 END)
+                 OVER (PARTITION BY g) AS mad
+        FROM r2),
+      p0 AS (SELECT g, CAST(MAX(med) AS DOUBLE) AS m FROM m2 GROUP BY g),
+      i1 AS (
+        SELECT m2.g, x, mad, m,
+               CAST(mad AS DOUBLE) * (1.4826 * 1.345) AS ks,
+               ABS(CAST(x AS DOUBLE) - m) AS ad
+        FROM m2 JOIN p0 ON p0.g = m2.g),
+      w1 AS (
+        SELECT g, x, mad, m,
+               ROUND(CASE WHEN ad <= ks THEN 1.0 ELSE ks / ad END, 12)
+                 AS w
+        FROM i1),
+      t1 AS (
+        SELECT g, MAX(m) AS mp,
+               SUM(CAST(w AS DECIMAL(38,12))) AS sw,
+               SUM(CAST(ROUND(w * x, 6) AS DECIMAL(38,6))) AS swx
+        FROM w1 GROUP BY g),
+      p1 AS (
+        SELECT g, CASE WHEN CAST(sw AS DOUBLE) > 0.0 THEN
+            ROUND(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+          ELSE mp END AS m
+        FROM t1),
+      i2 AS (
+        SELECT m2.g, x, mad, m,
+               CAST(mad AS DOUBLE) * (1.4826 * 1.345) AS ks,
+               ABS(CAST(x AS DOUBLE) - m) AS ad
+        FROM m2 JOIN p1 ON p1.g = m2.g),
+      w2 AS (
+        SELECT g, x, mad, m,
+               ROUND(CASE WHEN ad <= ks THEN 1.0 ELSE ks / ad END, 12)
+                 AS w
+        FROM i2),
+      t2 AS (
+        SELECT g, MAX(m) AS mp,
+               SUM(CAST(w AS DECIMAL(38,12))) AS sw,
+               SUM(CAST(ROUND(w * x, 6) AS DECIMAL(38,6))) AS swx
+        FROM w2 GROUP BY g),
+      p2 AS (
+        SELECT g, CASE WHEN CAST(sw AS DOUBLE) > 0.0 THEN
+            ROUND(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+          ELSE mp END AS m
+        FROM t2),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               CAST(ROUND(MAX(med) / 1000000.0, 6) AS DOUBLE) AS median,
+               CAST(ROUND(MAX(mad) / 1000000.0, 6) AS DOUBLE) AS mad
+        FROM m2 GROUP BY g)
+      SELECT agg.g AS event_type, n, median, mad,
+             CAST(ROUND(p2.m / 1000000.0, 6) AS DOUBLE) AS huber_mean
+      FROM agg JOIN p2 ON p2.g = agg.g
+      ORDER BY event_type""",
+
     "q_robust_outliers" -> """
       WITH pts AS (
         SELECT event_type AS g,

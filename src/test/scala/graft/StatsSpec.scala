@@ -1953,6 +1953,29 @@ class StatsSpec extends SparkTestBase {
       df.filter(col("y")).count())
   }
 
+  test("huberMean: shrugs off a planted outlier the plain mean can't; " +
+      "huge k recovers the plain mean; MAD=0 returns the median") {
+    import spark.implicits._
+    val base = (1 to 99).map(i => ("g", 10.0 + (i % 3))) // 10,11,12 mix
+    val df = (base :+ (("g", 100000.0))).toDF("g", "v")
+    val r = Stats.huberMean(df, "g", "v").collect().head
+    val hm = r.getDouble(4)
+    val plain = df.agg(avg("v")).collect().head.getDouble(0)
+    assert(hm > 10.0 && hm < 13.0, s"robust location poisoned: $r")
+    assert(plain > 1000.0, s"fixture must poison the mean: $plain")
+    // k -> inf: every weight 1, IRLS fixed point is the plain mean
+    val all = Stats.huberMean(df, "g", "v", k = 1e9).collect().head
+    assert(math.abs(all.getDouble(4) - plain) < 1e-5, all.toString)
+    // MAD = 0 (majority tied): only tied rows keep weight -> median
+    val tied = ((1 to 9).map(_ => ("t", 7.0)) ++ Seq(("t", 99.0)))
+      .toDF("g", "v")
+    val tr = Stats.huberMean(tied, "g", "v").collect().head
+    assert(tr.getDouble(3) === 0.0 && tr.getDouble(4) === 7.0, tr.toString)
+    intercept[IllegalArgumentException] {
+      Stats.huberMean(df, "g", "v", k = 0.0)
+    }
+  }
+
   test("tostEquivalence: equal means pass a generous margin, fail an " +
       "underpowered one; a shifted group is never equivalent") {
     import spark.implicits._
