@@ -894,4 +894,88 @@ object RankEval {
             / (col("_cn").cast(dec) * col("_p")).cast("double"), 6))
           .cast("double").as("lift"))
   }
+
+  /** Bradley–Terry strength scores from pairwise game outcomes — the
+    * pairwise-preference ranker behind every "which model/doc/variant
+    * wins head-to-head" leaderboard (LLM eval's chatbot-arena
+    * scoring, A/B/n taste tests, sports tables): P(i beats j) =
+    * w_i/(w_i + w_j), fit by FIXED iterations of Hunter's MM update
+    * w_i ← W_i / Σ_j n_ij/(w_i + w_j) (W_i = i's total wins, n_ij =
+    * games between i and j), sup-normalized each pass so the scale
+    * gauge is pinned (BT is identified only up to a constant factor).
+    *
+    * Determinism (the fixed-iteration house contract): per pass each
+    * pair term freezes at 12 dp into an order-free decimal sum; the
+    * raw update is one division; the max-normalized score re-freezes
+    * at 12 dp; final report at 6 dp. A zero-win item's score is
+    * exactly 0 (W_i = 0), an undefeated item stays finite (the MM
+    * denominator never vanishes while it has games). Draws carry no
+    * information under BT — feed decided games only.
+    *
+    * Scale shape: games aggregate once to (i, j, n, wins) pair stats
+    * — everything iterative joins THAT, never the raw games; per pass
+    * one broadcast of the item-sized state into the pair table + one
+    * item-keyed decimal sum + a scalar max. The state must be
+    * broadcastable: item count is guarded at `maxItems` (pair stats
+    * stay distributed — items are the small side by construction of
+    * any leaderboard).
+    *
+    * Output: (item, n_games, n_wins, score), score ∈ [0, 1],
+    * 1 = strongest.
+    */
+  def bradleyTerry(games: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 2, maxItems: Int = 100000): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"bradleyTerry: iters must be in [1, 8], got $iters")
+    val g = games
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull)
+      .select(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"))
+      .filter(col("_w") =!= col("_l"))
+    // directed pair stats: (i, j, n games, wins of i over j)
+    val stats = g.select(col("_w").as("i"), col("_l").as("j"),
+        lit(1L).as("_win"))
+      .unionByName(g.select(col("_l").as("i"), col("_w").as("j"),
+        lit(0L).as("_win")))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("_win").as("_wi"))
+      .localCheckpoint() // re-read every iteration
+    // each game lands once in orientation (i, opponent), so per-i sums
+    // need no dedup factor
+    val totals = stats.groupBy("i")
+      .agg(sum("n").cast("bigint").as("n_games"),
+        sum("_wi").cast("bigint").as("n_wins"))
+    val items = stats.select(col("i")).distinct()
+      .limit(maxItems + 1).localCheckpoint()
+    require(items.count() <= maxItems,
+      s"bradleyTerry: > $maxItems items — the per-pass state broadcast " +
+        "needs a bounded leaderboard; bucket items first or raise " +
+        "maxItems knowingly")
+    var scores = items.withColumn("_s", lit(1.0))
+    for (_ <- 1 to iters) {
+      val si = scores.select(col("i"), col("_s").as("_si"))
+      val sj = scores.select(col("i").as("_j"), col("_s").as("_sj"))
+      val denom = stats
+        .join(broadcast(si), Seq("i"))
+        .join(broadcast(sj), col("j") === col("_j")).drop("_j")
+        .withColumn("_t",
+          round(col("n").cast("double") / (col("_si") + col("_sj")), 12))
+        .groupBy("i")
+        .agg(sum(col("_t").cast("decimal(38,12)")).as("_d"),
+          sum("_wi").as("_W"))
+      val raw = denom.select(col("i"),
+        when(col("_d").cast("double") > 0.0,
+          col("_W").cast("double") / col("_d").cast("double"))
+          .otherwise(lit(0.0)).as("_r"))
+      val mx = raw.agg(max("_r").as("_mx"))
+      scores = raw.crossJoin(broadcast(mx))
+        .select(col("i"),
+          when(col("_mx") > 0.0, round(col("_r") / col("_mx"), 12))
+            .otherwise(lit(0.0)).as("_s"))
+        .localCheckpoint()
+    }
+    totals.join(scores, Seq("i"))
+      .select(col("i").as("item"), col("n_games"), col("n_wins"),
+        round(col("_s"), 6).cast("double").as("score"))
+  }
 }

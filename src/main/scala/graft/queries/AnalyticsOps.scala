@@ -239,6 +239,29 @@ object AnalyticsOps {
       .orderBy("item_a", "item_b")
   }
 
+  /** Bradley–Terry leaderboard from pairwise price contests: within
+    * each mod-19 order, the pricier lineitem's part "beats" the other
+    * (ties are no game); 2 fixed MM passes, sup-normalized — the
+    * head-to-head preference ranker (chatbot-arena scoring) on
+    * deterministic testdata games.
+    */
+  val qBradleyTerry: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_extendedprice").as("pr"))
+    val games = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(
+        when(col("x.pr") > col("y.pr"), col("x.pk"))
+          .when(col("x.pr") < col("y.pr"), col("y.pk")).as("w"),
+        when(col("x.pr") > col("y.pr"), col("y.pk"))
+          .when(col("x.pr") < col("y.pr"), col("x.pk")).as("l"))
+      .filter(col("w").isNotNull)
+    graft.operators.RankEval.bradleyTerry(games, "w", "l", iters = 2)
+      .orderBy("item")
+  }
+
   /** DAU / trailing-28-day-MAU stickiness per calendar day: one
     * (user, day) dedup, a bounded ×28 window-end fan for the exact
     * trailing distinct, one rounded ratio.
@@ -714,6 +737,7 @@ object AnalyticsOps {
     "q_sorted_neighborhood" -> qSortedNeighborhood,
     "q_basket_lift" -> qBasketLift,
     "q_item_cosine" -> qItemCosine,
+    "q_bradley_terry" -> qBradleyTerry,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -2079,6 +2103,62 @@ object AnalyticsOps {
                AS stickiness
       FROM dau JOIN mau ON dau.day = mau.day
       ORDER BY day""",
+
+    // Same pair-contest games, directed pair stats from both
+    // orientations, two unrolled MM passes (12-dp decimal pair terms,
+    // sup-normalized state).
+    "q_bradley_terry" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk,
+                         l_extendedprice AS pr
+                  FROM lineitem WHERE l_orderkey % 19 = 0),
+      gm AS (SELECT CASE WHEN x.pr > y.pr THEN x.pk
+                         WHEN x.pr < y.pr THEN y.pk END AS w,
+                    CASE WHEN x.pr > y.pr THEN y.pk
+                         WHEN x.pr < y.pr THEN x.pk END AS l
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      g AS (SELECT CAST(w AS VARCHAR) AS w, CAST(l AS VARCHAR) AS l
+            FROM gm WHERE w IS NOT NULL
+              AND CAST(w AS VARCHAR) <> CAST(l AS VARCHAR)),
+      dir AS (SELECT w AS i, l AS j, 1 AS win FROM g
+              UNION ALL SELECT l, w, 0 FROM g),
+      stats AS (SELECT i, j, COUNT(*)::BIGINT AS n,
+                       SUM(win)::BIGINT AS wi
+                FROM dir GROUP BY i, j),
+      tot AS (SELECT i, SUM(n)::BIGINT AS n_games,
+                     SUM(wi)::BIGINT AS n_wins
+              FROM stats GROUP BY i),
+      d1 AS (SELECT i,
+                    SUM(CAST(ROUND(CAST(n AS DOUBLE) / (1.0 + 1.0), 12)
+                      AS DECIMAL(38,12))) AS d,
+                    SUM(wi) AS ww
+             FROM stats GROUP BY i),
+      r1 AS (SELECT i, CASE WHEN CAST(d AS DOUBLE) > 0.0 THEN
+                 CAST(ww AS DOUBLE) / CAST(d AS DOUBLE)
+               ELSE 0.0 END AS r
+             FROM d1),
+      m1 AS (SELECT MAX(r) AS mx FROM r1),
+      v1 AS (SELECT i, CASE WHEN mx > 0.0 THEN ROUND(r / mx, 12)
+                            ELSE 0.0 END AS s
+             FROM r1, m1),
+      d2 AS (SELECT st.i AS i,
+                    SUM(CAST(ROUND(CAST(n AS DOUBLE) / (a.s + b.s), 12)
+                      AS DECIMAL(38,12))) AS d,
+                    SUM(wi) AS ww
+             FROM stats st JOIN v1 a ON a.i = st.i
+                           JOIN v1 b ON b.i = st.j
+             GROUP BY st.i),
+      r2 AS (SELECT i, CASE WHEN CAST(d AS DOUBLE) > 0.0 THEN
+                 CAST(ww AS DOUBLE) / CAST(d AS DOUBLE)
+               ELSE 0.0 END AS r
+             FROM d2),
+      m2 AS (SELECT MAX(r) AS mx FROM r2),
+      v2 AS (SELECT i, CASE WHEN mx > 0.0 THEN ROUND(r / mx, 12)
+                            ELSE 0.0 END AS s
+             FROM r2, m2)
+      SELECT tot.i AS item, n_games, n_wins,
+             CAST(ROUND(v2.s, 6) AS DOUBLE) AS score
+      FROM tot JOIN v2 ON v2.i = tot.i
+      ORDER BY item""",
 
     "q_item_cosine" -> """
       WITH d AS (SELECT DISTINCT user_id, event_type FROM events

@@ -858,4 +858,27 @@ class AnalyticsOpsSpec extends SparkTestBase {
     // qini at full depth = total incremental conversions (10 - 0*1)
     assert(out(3).getDouble(6) == 10.0, out(3).toString)
   }
+
+  test("bradleyTerry: transitive tournament orders the strengths; " +
+      "zero-win item scores 0; undefeated item stays finite at 1") {
+    import spark.implicits._
+    // a beats b 3x, b beats c 3x, a beats c 3x; d loses every game
+    val games = (Seq.fill(3)(("a", "b")) ++ Seq.fill(3)(("b", "c")) ++
+      Seq.fill(3)(("a", "c")) ++ Seq.fill(2)(("a", "d")) ++
+      Seq.fill(2)(("b", "d")) ++ Seq.fill(2)(("c", "d")))
+      .toDF("w", "l")
+    val out = graft.operators.RankEval.bradleyTerry(games, "w", "l")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (aG, aW, aS) = out("a"); val (_, _, bS) = out("b")
+    val (_, _, cS) = out("c"); val (dG, dW, dS) = out("d")
+    assert(aG === 8L && aW === 8L, out.toString) // undefeated
+    assert(aS === 1.0, s"sup-normalized undefeated leader: $out")
+    assert(aS > bS && bS > cS && cS > dS, out.toString)
+    assert(dG === 6L && dW === 0L && dS === 0.0,
+      s"all-losses item must score exactly 0: $out")
+    intercept[IllegalArgumentException] {
+      graft.operators.RankEval.bradleyTerry(games, "w", "l", maxItems = 2)
+    }
+  }
 }
