@@ -1733,6 +1733,69 @@ object Stats {
         :+ col("n_events") :+ col("n_censored") :+ col("survival")): _*)
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING risks — what
+    * [[kaplanMeier]] gets wrong when more than one exit exists
+    * (1 − KM per cause over-counts: a user who churned can no longer
+    * convert): CIF_k(t) = Σ_{s ≤ t} S(s−)·d_k(s)/n(s) with S the
+    * ALL-CAUSE survival — "probability the FIRST event by t is of
+    * cause k". `causeCol` is a string, NULL = censored; Σ_k CIF_k(∞)
+    * + S(∞) = 1 when follow-up is complete (pinned).
+    *
+    * Exactness: the kaplanMeier cells/windows verbatim for the
+    * all-cause S(s−) (exclusive-prior ln fold, exact-zero exhaustion
+    * handling, 12-dp frozen); each increment S(s−)·d_k/n freezes at
+    * 12 dp into an order-free decimal cumulative over the (group,
+    * cause) duration order; final CIF at 6 dp.
+    *
+    * Scale shape: kaplanMeier's — one (group, duration) count shuffle
+    * plus one (group, duration, cause) count shuffle, all windows on
+    * calendar-bounded cells. Output: (group..., cause, duration,
+    * n_at_risk, n_events, cif).
+    */
+  def competingRisks(df: DataFrame, groupCols: Seq[String],
+      durationCol: String, causeCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val durCells = df
+      .groupBy((gcols :+ col(durationCol).as("duration")): _*)
+      .agg(count(lit(1)).as("_exits"),
+        sum(when(col(causeCol).isNotNull, 1L).otherwise(0L)).as("_dtot"))
+    val wGroup = Window.partitionBy(gcols: _*)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy("duration")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val base = durCells
+      .withColumn("n_at_risk",
+        sum(col("_exits")).over(wGroup)
+          - coalesce(sum(col("_exits")).over(wPrev), lit(0L)))
+      .withColumn("_term",
+        when(col("_dtot") < col("n_at_risk"),
+          log(lit(1.0) - col("_dtot") / col("n_at_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("_zeroPrev",
+        coalesce(max(when(col("_dtot") === col("n_at_risk"), 1)
+          .otherwise(0)).over(wPrev), lit(0)))
+      .withColumn("_sprev",
+        when(col("_zeroPrev") === 1, lit(0.0))
+          .otherwise(round(exp(coalesce(sum("_term").over(wPrev),
+            lit(0.0))), 12)))
+      .select((gcols :+ col("duration") :+ col("n_at_risk")
+        :+ col("_sprev")): _*)
+    val causeCells = df.filter(col(causeCol).isNotNull)
+      .groupBy((gcols :+ col(durationCol).as("duration")
+        :+ col(causeCol).cast("string").as("cause")): _*)
+      .agg(count(lit(1)).as("n_events"))
+    val wCause = Window
+      .partitionBy((gcols :+ col("cause")): _*).orderBy("duration")
+    causeCells
+      .join(base, (groupCols :+ "duration").toSeq)
+      .withColumn("_inc",
+        round(col("_sprev") * col("n_events")
+          / col("n_at_risk").cast("double"), 12).cast("decimal(38,12)"))
+      .withColumn("cif",
+        round(sum("_inc").over(wCause).cast("double"), 6).cast("double"))
+      .select((gcols :+ col("cause") :+ col("duration")
+        :+ col("n_at_risk") :+ col("n_events") :+ col("cif")): _*)
+  }
+
   /** [[kaplanMeier]] with Greenwood variance and the log(−log) 95%
     * confidence band — the form every survival curve is actually
     * published in: Var(ln S) ≈ Σ d/(n(n−d)) (Greenwood 1926) over the

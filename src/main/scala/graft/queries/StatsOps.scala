@@ -392,6 +392,33 @@ object StatsOps {
     * at-risk/exit integers, the ln/exp product chain, explicit
     * exact-zero handling.
     */
+  /** Aalen–Johansen cumulative incidence with purchase vs error as
+    * competing first events (earlier date wins, purchase on ties),
+    * censored at last activity: CIF_k = Σ S(s−)·d_k/n over the
+    * all-cause survival — the competing-risks correction of
+    * q_kaplan_meier's single-cause curve.
+    */
+  val qCumInc: QueryFn = withTables { spark =>
+    val s = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_fp"),
+        min(when(col("event_type") === "error",
+          col("ts").cast("date"))).as("_fe"))
+    val cause = when(col("_fp").isNotNull
+        && (col("_fe").isNull || col("_fp") <= col("_fe")), "purchase")
+      .when(col("_fe").isNotNull, "error")
+    val eventDate = when(cause === "purchase", col("_fp"))
+      .when(cause === "error", col("_fe"))
+    val subjects = s.select(col("user_id"),
+      datediff(coalesce(eventDate, col("_last")), col("_first"))
+        .cast("bigint").as("duration"),
+      cause.as("cause"))
+    Stats.competingRisks(subjects, Seq.empty, "duration", "cause")
+      .orderBy("cause", "duration")
+  }
+
   val qKaplanMeier: QueryFn = withTables { spark =>
     val subjects = spark.table("events").groupBy("user_id")
       .agg(min(col("ts").cast("date")).as("_first"),
@@ -1768,6 +1795,7 @@ object StatsOps {
     "q_tost" -> qTost,
     "q_forecast_interval" -> qForecastInterval,
     "q_huber" -> qHuber,
+    "q_cuminc" -> qCumInc,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
@@ -8791,6 +8819,74 @@ object StatsOps {
                ROUND(beta / SQRT((sse / (CAST(n AS DOUBLE) - 2.0))
                  / (sxx / CAST(n AS DOUBLE))), 6) END AS DOUBLE) AS t_df
       FROM e ORDER BY g""",
+
+    // The q_kaplan_meier machinery on the ALL-CAUSE exits for S(s−)
+    // (exclusive-prior ln fold, 12-dp frozen), then per-cause 12-dp
+    // decimal increments cumulated over the (cause, duration) order.
+    "q_cuminc" -> """
+      WITH s AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS first,
+               MAX(CAST(ts AS DATE)) AS last,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) AS fp,
+               MIN(CASE WHEN event_type = 'error'
+                     THEN CAST(ts AS DATE) END) AS fe
+        FROM events GROUP BY user_id),
+      subj AS (
+        SELECT user_id,
+               CASE WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe)
+                      THEN 'purchase'
+                    WHEN fe IS NOT NULL THEN 'error' END AS cause,
+               DATE_DIFF('day', first,
+                 COALESCE(CASE WHEN fp IS NOT NULL
+                                 AND (fe IS NULL OR fp <= fe) THEN fp
+                               WHEN fe IS NOT NULL THEN fe END,
+                          last)) AS duration
+        FROM s),
+      cells AS (
+        SELECT duration, COUNT(*)::BIGINT AS exits,
+               SUM(CASE WHEN cause IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS dtot
+        FROM subj GROUP BY duration),
+      km AS (
+        SELECT duration, dtot,
+               ((SELECT SUM(exits) FROM cells)
+                 - COALESCE(SUM(exits) OVER
+                     (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS n_at_risk
+        FROM cells),
+      km2 AS (
+        SELECT duration, n_at_risk,
+               COALESCE(SUM(CASE WHEN dtot < n_at_risk
+                    THEN LN(1.0 - dtot / CAST(n_at_risk AS DOUBLE))
+                    ELSE 0.0 END) OVER
+                 (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0.0) AS lnprev,
+               COALESCE(MAX(CASE WHEN dtot = n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS zeroprev
+        FROM km),
+      sm AS (
+        SELECT duration, n_at_risk,
+               CASE WHEN zeroprev = 1 THEN 0.0
+                    ELSE ROUND(EXP(lnprev), 12) END AS sprev
+        FROM km2),
+      cc AS (SELECT cause, duration, COUNT(*)::BIGINT AS n_events
+             FROM subj WHERE cause IS NOT NULL GROUP BY cause, duration),
+      inc AS (
+        SELECT cc.cause, cc.duration, sm.n_at_risk, cc.n_events,
+               CAST(ROUND(sprev * n_events
+                 / CAST(sm.n_at_risk AS DOUBLE), 12)
+                 AS DECIMAL(38,12)) AS inc
+        FROM cc JOIN sm ON sm.duration = cc.duration),
+      cum AS (
+        SELECT cause, duration, n_at_risk, n_events,
+               SUM(inc) OVER (PARTITION BY cause ORDER BY duration) AS c
+        FROM inc)
+      SELECT cause, duration, n_at_risk, n_events,
+             CAST(ROUND(CAST(c AS DOUBLE), 6) AS DOUBLE) AS cif
+      FROM cum ORDER BY cause, duration""",
 
     "q_kaplan_meier" -> """
       WITH subj AS (

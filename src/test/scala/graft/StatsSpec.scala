@@ -1953,6 +1953,33 @@ class StatsSpec extends SparkTestBase {
       df.filter(col("y")).count())
   }
 
+  test("competingRisks: CIFs + survival conserve mass without censoring; " +
+      "single cause equals 1 - KM survival") {
+    import spark.implicits._
+    // complete follow-up, two causes: CIF_a(inf) + CIF_b(inf) = 1
+    val full = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (4L, "a"),
+      (5L, "b")).map { case (d, c) => (d, c: String) }
+      .toDF("duration", "cause")
+    val cr = Stats.competingRisks(full, Seq.empty, "duration", "cause")
+      .collect()
+    val lastByCause = cr.groupBy(_.getString(0)).map { case (c, rows) =>
+      c -> rows.maxBy(_.getLong(1)).getDouble(4) }
+    assert(math.abs(lastByCause.values.sum - 1.0) < 1e-9,
+      s"mass must conserve: $lastByCause")
+    // one cause + censoring: CIF = 1 - KM at every event time
+    val mixed = Seq((1L, Some("x")), (2L, None), (3L, Some("x")),
+      (4L, None), (5L, Some("x"))).toDF("duration", "cause")
+    val cif = Stats.competingRisks(mixed, Seq.empty, "duration", "cause")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val km = Stats.kaplanMeier(mixed, Seq.empty, "duration",
+        col("cause").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    km.foreach { case (t, s) =>
+      assert(math.abs(cif(t) - (1.0 - s)) < 1e-6,
+        s"t=$t: cif ${cif(t)} vs 1-km ${1.0 - s}")
+    }
+  }
+
   test("huberMean: shrugs off a planted outlier the plain mean can't; " +
       "huge k recovers the plain mean; MAD=0 returns the median") {
     import spark.implicits._
