@@ -117,15 +117,38 @@ object Versioned {
     }
   }
 
+  /** The streaming batchId a snapshot committed, if it came from the
+    * micro-batch sink — the idempotence marker for replay skipping. */
+  def committedBatchId(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    currentVersion(spark, path).flatMap { v =>
+      val p = snapshotPath(root, v)
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      (JsonMethods.parse(txt) \ "batchId") match {
+        case JInt(b) => Some(b.toLong)
+        case _ => None
+      }
+    }
+  }
+
   /** Stage + atomic-rename commit of snapshot v. Fails loudly if v
     * already exists (a concurrent writer won the commit). */
   private def writeSnapshot(fs: FileSystem, root: Path, v: Int,
-      files: Seq[(String, Long)]): Unit = {
+      files: Seq[(String, Long)], batchId: Option[Long] = None): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val doc = ("version" -> v) ~
+    val base = ("version" -> v) ~
       ("files" -> files.sortBy(_._1).map { case (p, l) =>
         ("path" -> p) ~ ("len" -> l) })
+    val doc = batchId match {
+      case Some(b) => base ~ ("batchId" -> b)
+      case None => base
+    }
     val vd = versionsDir(root)
     if (!fs.exists(vd)) fs.mkdirs(vd)
     val target = snapshotPath(root, v)
@@ -260,7 +283,42 @@ object Versioned {
     * (the insertIntoParquet contract) AND the previous version stays
     * readable. Returns the committed version. */
   def insertInto(spark: SparkSession, path: String, rows: DataFrame,
-      partitionCols: Seq[String] = Nil): Int = {
+      partitionCols: Seq[String] = Nil): Int =
+    insertCommit(spark, path, rows, partitionCols, None)
+
+  /** Exactly-once micro-batch sink commit — the
+    * `writeStream.foreachBatch` body for a versioned table: appends
+    * the batch and commits a snapshot STAMPED with `batchId`; a
+    * replayed batch (Structured Streaming re-runs the last batch
+    * after recovery) whose id is ≤ the table's committed batchId is
+    * SKIPPED, so restarts never double-append — the table-format
+    * idempotent-sink protocol (the reason plain parquet `foreachBatch`
+    * sinks are at-least-once) on the same snapshot machinery. Returns
+    * the table's version after the call (unchanged on a skip;
+    * PartitioningSpec pins replay == no-op and mid-stream version
+    * reads).
+    *
+    * Usage:
+    * {{{
+    * ds.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   Versioned.insertIntoStreamBatch(spark, dir, b, cols, id); ()
+    * }
+    * }}}
+    */
+  def insertIntoStreamBatch(spark: SparkSession, path: String,
+      rows: DataFrame, partitionCols: Seq[String], batchId: Long): Int = {
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.insertIntoStreamBatch: $path is not a " +
+        "versioned table — create/init it before starting the stream"))
+    committedBatchId(spark, path) match {
+      case Some(last) if batchId <= last => cur // replay: idempotent skip
+      case _ => insertCommit(spark, path, rows, partitionCols, Some(batchId))
+    }
+  }
+
+  private def insertCommit(spark: SparkSession, path: String,
+      rows: DataFrame, partitionCols: Seq[String],
+      batchId: Option[Long]): Int = {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     val cur = currentVersion(spark, path).getOrElse(
@@ -278,7 +336,8 @@ object Versioned {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
     val after = dataFiles(fs, root)
-    writeSnapshot(fs, root, cur + 1, live ++ (after -- before.keySet).toSeq)
+    writeSnapshot(fs, root, cur + 1,
+      live ++ (after -- before.keySet).toSeq, batchId)
     cur + 1
   }
 

@@ -452,6 +452,46 @@ class PartitioningSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("Versioned: exactly-once streaming sink — each micro-batch is one " +
+      "snapshot, replayed batches are skipped, mid-stream versions read") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.tables.Versioned
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("vstream").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((0, 0L, 0.0)).toDF("p", "k", "v"), Seq("p"))
+    val input = MemoryStream[(Int, Long, Double)]
+    val q = input.toDS().toDF("p", "k", "v")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Versioned.insertIntoStreamBatch(spark, dir, b, Seq("p"), id); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("vstream_ckpt").toString)
+      .start()
+    input.addData((1, 10L, 1.0))
+    q.processAllAvailable()
+    input.addData((1, 11L, 2.0), (2, 20L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(Versioned.currentVersion(spark, dir) === Some(3))
+    assert(Versioned.load(spark, dir).count() === 4L)
+    // time travel into the stream's history: v2 = after batch 0 only
+    assert(Versioned.load(spark, dir, Some(2)).select("k")
+      .as[Long].collect().toSet === Set(0L, 10L))
+    // replaying an already-committed batch is an exact no-op
+    val v = Versioned.insertIntoStreamBatch(spark, dir,
+      Seq((9, 90L, 9.0)).toDF("p", "k", "v"), Seq("p"), batchId = 1L)
+    assert(v === 3 && Versioned.load(spark, dir).count() === 4L,
+      "batch replay must not double-append")
+    assert(Versioned.committedBatchId(spark, dir) === Some(1L))
+    // a genuinely new batch commits
+    assert(Versioned.insertIntoStreamBatch(spark, dir,
+      Seq((9, 90L, 9.0)).toDF("p", "k", "v"), Seq("p"), batchId = 2L) === 4)
+    assert(Versioned.load(spark, dir).count() === 5L)
+  }
+
   test("Versioned: contract guards — partitionCols ⊆ on; unversioned " +
       "dirs refuse load; double init refuses") {
     import spark.implicits._
