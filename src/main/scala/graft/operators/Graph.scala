@@ -1160,6 +1160,58 @@ object Graph {
         harmonic.cast("double").as("harmonic"): _*)
   }
 
+  /** k-truss by FIXED peeling rounds — the EDGE-cohesion dual of
+    * [[kcore]] (a k-core survives on degree alone; a k-truss edge
+    * must sit in ≥ k−2 triangles of the surviving graph, so trusses
+    * reject the star/bridge structures cores admit — the standard
+    * community-core extractor): each round recounts per-edge triangle
+    * support on the CURRENT graph and drops edges below k−2; rounds
+    * is fixed (the [[kcore]] contract — convergence is when a round
+    * removes nothing; size rounds to the expected peel depth,
+    * deterministic either way).
+    *
+    * Support counting enumerates each triangle once via the canonical
+    * a<b<c wedge join + closing-edge equi-join — exact integer
+    * counts, so the enumeration strategy cannot change results; at
+    * hub-skewed 100 TB the [[orientByDegree]] degeneracy orientation
+    * is the drop-in wedge guard (same integers, √(2E)-bounded
+    * fan-out).
+    *
+    * Output: the surviving edges with their support in the FINAL
+    * graph — (a, b, support); support is recomputed after the last
+    * round, so a non-converged peel is visible (edges with support
+    * < k−2 remaining means add rounds).
+    */
+  def ktruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"ktruss: k must be >= 3, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"ktruss: rounds must be in [1, 16], got $rounds")
+    var e = canonicalEdges(edges, srcCol, dstCol)
+      .repartition(col("lo")).localCheckpoint()
+    def support(cur: DataFrame): DataFrame = {
+      val t = cur.as("e1").join(cur.as("e2"),
+          col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+        .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+          col("e2.hi").as("c"))
+        .join(cur.select(col("lo").as("b"), col("hi").as("c")),
+          Seq("b", "c"))
+      t.select(col("a").as("lo"), col("b").as("hi"))
+        .unionByName(t.select(col("a").as("lo"), col("c").as("hi")))
+        .unionByName(t.select(col("b").as("lo"), col("c").as("hi")))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to rounds) {
+      e = e.join(support(e), Seq("lo", "hi"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2))
+        .select("lo", "hi")
+        .localCheckpoint(false)
+    }
+    e.join(support(e), Seq("lo", "hi"), "left")
+      .select(col("lo").as("a"), col("hi").as("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Bounded-hop closeness centrality — the "how few hops to my
     * whole neighborhood" dual of [[harmonicCentrality]] (closeness
     * averages distance then inverts; harmonic averages inverted

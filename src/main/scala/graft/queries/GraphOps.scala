@@ -303,6 +303,17 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** 2-round k-truss peeling (k=4: every surviving edge in >= 2
+    * triangles of the surviving graph) on the q_kcore co-order graph —
+    * the edge-cohesion dual of q_kcore; exact integer supports,
+    * oracle unrolls the two synchronous peels + the final recount.
+    */
+  val qKtruss: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.ktruss(coOrderParts(spark, sfDir, 7), "a", "b", k = 4,
+        rounds = 2)
+      .orderBy("a", "b")
+  }
+
   /** 2-iteration weight-proportional PageRank on the co-order part
     * graph, co-occurrence counts as edge weights (the authority prior
     * a curation pipeline actually computes). Symmetric closure ⇒ no
@@ -485,6 +496,7 @@ object GraphOps {
     "q_betweenness" -> qBetweenness,
     "q_eigenvector" -> qEigenvector,
     "q_closeness" -> qCloseness,
+    "q_ktruss" -> qKtruss,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_recall" -> qAnnIvfPqRecall,
     "q_ann_pq" -> qAnnPq,
@@ -1174,6 +1186,56 @@ object GraphOps {
 
     // Two unrolled peels at k=3, then degrees of the surviving
     // subgraph — all-integer.
+    // Canonical a<b<c triangle enumeration per round; support = the
+    // 3-way union count per edge; two unrolled peels at k−2 = 2, then
+    // the final recount on the survivors.
+    "q_ktruss" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      e0 AS (SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS lo,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR))
+                 AS hi
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             WHERE x.pk <> y.pk),
+      t0 AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+             FROM e0 e1 JOIN e0 e2
+                  ON e1.lo = e2.lo AND e1.hi < e2.hi
+             JOIN e0 e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+      s0 AS (SELECT lo, hi, COUNT(*)::BIGINT AS sup FROM (
+               SELECT a AS lo, b AS hi FROM t0
+               UNION ALL SELECT a, c FROM t0
+               UNION ALL SELECT b, c FROM t0) u
+             GROUP BY lo, hi),
+      e1r AS (SELECT e0.lo, e0.hi FROM e0
+              LEFT JOIN s0 ON s0.lo = e0.lo AND s0.hi = e0.hi
+              WHERE COALESCE(sup, 0) >= 2),
+      t1 AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+             FROM e1r e1 JOIN e1r e2
+                  ON e1.lo = e2.lo AND e1.hi < e2.hi
+             JOIN e1r e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+      s1 AS (SELECT lo, hi, COUNT(*)::BIGINT AS sup FROM (
+               SELECT a AS lo, b AS hi FROM t1
+               UNION ALL SELECT a, c FROM t1
+               UNION ALL SELECT b, c FROM t1) u
+             GROUP BY lo, hi),
+      e2r AS (SELECT e1r.lo, e1r.hi FROM e1r
+              LEFT JOIN s1 ON s1.lo = e1r.lo AND s1.hi = e1r.hi
+              WHERE COALESCE(sup, 0) >= 2),
+      t2 AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+             FROM e2r e1 JOIN e2r e2
+                  ON e1.lo = e2.lo AND e1.hi < e2.hi
+             JOIN e2r e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+      s2 AS (SELECT lo, hi, COUNT(*)::BIGINT AS sup FROM (
+               SELECT a AS lo, b AS hi FROM t2
+               UNION ALL SELECT a, c FROM t2
+               UNION ALL SELECT b, c FROM t2) u
+             GROUP BY lo, hi)
+      SELECT e2r.lo AS a, e2r.hi AS b,
+             COALESCE(s2.sup, 0)::BIGINT AS support
+      FROM e2r LEFT JOIN s2 ON s2.lo = e2r.lo AND s2.hi = e2r.hi
+      ORDER BY a, b""",
+
     "q_kcore" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                   FROM lineitem WHERE l_orderkey % 7 = 0),

@@ -413,6 +413,29 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("ktruss: K4 survives 4-truss entirely; a pendant triangle peels " +
+      "out and takes its wedge casualties with it") {
+    // K4 on a,b,c,d (every edge in 2 triangles) + triangle (d,e,f)
+    // glued at d (each of its edges in exactly 1 triangle) + pendant g
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("d", "f"), ("e", "f"), ("f", "g"))
+      .toDF("s", "t")
+    val out = Graph.ktruss(g, "s", "t", k = 4, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")), out.toString)
+    assert(out.values.forall(_ === 2L),
+      s"every K4 edge sits in exactly 2 surviving triangles: $out")
+    // k=3 keeps both triangle structures, drops only the pendant edge
+    val t3 = Graph.ktruss(g, "s", "t", k = 3, rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t3.size === 9 && !t3.contains(("f", "g")), t3.toString)
+    intercept[IllegalArgumentException] {
+      Graph.ktruss(g, "s", "t", k = 2, rounds = 1)
+    }
+  }
+
   test("closenessCentrality: P3 hand values over the shared 2-hop shells") {
     val p3 = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
     val got = Graph.closenessCentrality(p3, "s", "t", maxHops = 2)
