@@ -3976,6 +3976,83 @@ object Stats {
       col("_lblmc") === col("class"), iters)
   }
 
+  /** Propensity-score stratified ATE — the observational-causal
+    * workhorse beside L228's CUPED (experimental) and L229's DiD
+    * (panel): when treatment is NOT randomized, fit P(treated | x)
+    * with [[logisticFit]], cut the sample into equal-width propensity
+    * strata, and average the within-stratum treated-vs-control
+    * outcome differences weighted by stratum size — within a stratum
+    * the arms are (approximately) exchangeable on x, so the weighted
+    * difference estimates the ATE where a raw difference is
+    * confounded. Strata missing an arm carry no comparison and are
+    * excluded from the estimate (reported with NULL diff; the weight
+    * base is the USED strata — standard practice, visible in the
+    * panel).
+    *
+    * Determinism: the propensity model is [[logisticFit]] verbatim
+    * (its 6-dp alpha/beta are the scoring params, so scores are one
+    * identically-spelled sigmoid tree rounded at 6 dp); stratum =
+    * min(⌊p·S⌋, S−1) on the ROUNDED score (equal-WIDTH bins — rank
+    * ties make quantile bins engine-ambiguous); arm means from exact
+    * decimal sums of 1e6-scaled outcomes; each stratum term freezes
+    * at 12 dp into the decimal ATE fold.
+    *
+    * Scale shape: the logisticFit passes + one stratum aggregate +
+    * one scalar broadcast — nothing beyond the fit's cost class.
+    * Output: (stratum, n_treat, n_ctrl, y_treat, y_ctrl, diff, ate
+    * [constant column — the weighted estimate]).
+    */
+  def propensityStratifiedAte(df: DataFrame, treat: Column,
+      yCol: String, xCol: String, nStrata: Int = 5,
+      iters: Int = 2): DataFrame = {
+    require(nStrata >= 2 && nStrata <= 100,
+      s"propensityStratifiedAte: nStrata must be in [2, 100], got $nStrata")
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol), 6).as("_x"),
+        when(treat, 1L).otherwise(0L).as("_t"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+      .withColumn("_g", lit(1))
+      .localCheckpoint()
+    val fit = logisticFit(rows, "_g", "_x", col("_t") === 1L, iters)
+      .select(col("_g"), col("alpha"), col("beta"))
+    val scored = rows.join(broadcast(fit), Seq("_g"))
+      .withColumn("_p",
+        round(lit(1.0) / (lit(1.0)
+          + exp(-(col("alpha") + col("beta") * col("_x")))), 6))
+      .withColumn("stratum",
+        least(floor(col("_p") * nStrata), lit(nStrata - 1)).cast("int"))
+    val panel = scored.groupBy("stratum")
+      .agg(sum(when(col("_t") === 1L, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("_t") === 0L, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("_t") === 1L, col("_y").cast(dec))).as("_sy1"),
+        sum(when(col("_t") === 0L, col("_y").cast(dec))).as("_sy0"))
+      .withColumn("y_treat",
+        when(col("n_treat") > 0,
+          round(col("_sy1").cast("double") / col("n_treat").cast("double")
+            / 1e6, 6)).cast("double"))
+      .withColumn("y_ctrl",
+        when(col("n_ctrl") > 0,
+          round(col("_sy0").cast("double") / col("n_ctrl").cast("double")
+            / 1e6, 6)).cast("double"))
+      .withColumn("diff",
+        when(col("n_treat") > 0 && col("n_ctrl") > 0,
+          round(col("y_treat") - col("y_ctrl"), 6)).cast("double"))
+      .localCheckpoint()
+    val used = panel.filter(col("diff").isNotNull)
+      .agg(sum(col("n_treat") + col("n_ctrl")).as("_nu"))
+    val ate = panel.filter(col("diff").isNotNull)
+      .crossJoin(broadcast(used))
+      .agg(sum(round(col("diff")
+          * (col("n_treat") + col("n_ctrl")).cast("double")
+          / col("_nu").cast("double"), 12).cast("decimal(38,12)"))
+        .as("_a"))
+      .select(round(col("_a").cast("double"), 6).cast("double").as("ate"))
+    panel.crossJoin(broadcast(ate))
+      .select("stratum", "n_treat", "n_ctrl", "y_treat", "y_ctrl",
+        "diff", "ate")
+  }
+
   /** Logistic regression with TWO covariates + intercept — the
     * multivariate tier of [[logisticFit]], solved per Newton step by
     * the [[linearFitMulti3]] 3×3 Cramer trees on the Hessian

@@ -842,6 +842,23 @@ object StatsOps {
       .orderBy("cohort")
   }
 
+  /** Propensity-stratified ATE of odd-cohort "treatment" on event
+    * value with hour-of-day as the confounder: logistic propensity
+    * (2 Newton steps), 5 equal-width score strata, size-weighted
+    * within-stratum differences — the observational-causal estimator
+    * beside q_cuped/q_did.
+    */
+  val qPsmAte: QueryFn = withTables { spark =>
+    // treatment probability rises with hour (user_id % 24 < hour), so
+    // the propensity genuinely varies and the strata spread
+    val ev = spark.table("events")
+      .select((col("user_id") % 24 < hour(col("ts"))).as("treated"),
+        col("value"), hour(col("ts")).cast("double").as("hod"))
+    Stats.propensityStratifiedAte(ev, col("treated"), "value", "hod",
+        nStrata = 5, iters = 2)
+      .orderBy("stratum")
+  }
+
   /** One-vs-rest multiclass logistic over the five event types on
     * scaled value: the k = 5 binary purchase-style fits in one
     * per-iteration aggregate (2 FIXED Newton steps each), reported
@@ -1796,6 +1813,7 @@ object StatsOps {
     "q_forecast_interval" -> qForecastInterval,
     "q_huber" -> qHuber,
     "q_cuminc" -> qCumInc,
+    "q_psm_ate" -> qPsmAte,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
@@ -4821,6 +4839,120 @@ object StatsOps {
                AS DOUBLE) AS z_beta,
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
       FROM d3 ORDER BY class""",
+
+    // The q_logistic unroll (2 steps, one global group) fits the
+    // propensity; scores use the 6-dp published alpha/beta; strata are
+    // equal-width on the rounded score; the ATE folds 12-dp stratum
+    // terms weighted over the USED strata.
+    "q_psm_ate" -> """
+      WITH pts AS (
+        SELECT ROUND(CAST(HOUR(ts) AS DOUBLE), 6) AS x,
+               CASE WHEN user_id % 24 < HOUR(ts) THEN 1.0 ELSE 0.0 END
+                 AS t,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      pr1 AS (
+        SELECT x, t, y, 0.0 AS a, 0.0 AS b,
+               1.0 / (1.0 + EXP(-(0.0 + 0.0 * x))) AS p
+        FROM pts),
+      t1 AS (
+        SELECT MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(t - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (t - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr1),
+      d1 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t1),
+      p1 AS (
+        SELECT
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d1),
+      pr2 AS (
+        SELECT x, t, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts, p1),
+      t2 AS (
+        SELECT MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(t - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (t - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr2),
+      d2 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t2),
+      p2 AS (
+        SELECT
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d2),
+      fit AS (SELECT ROUND(a, 6) AS alpha, ROUND(b, 6) AS beta FROM p2),
+      scored AS (
+        SELECT t, y,
+               CAST(LEAST(FLOOR(
+                 ROUND(1.0 / (1.0 + EXP(-(alpha + beta * x))), 6) * 5),
+                 4) AS INT) AS stratum
+        FROM pts, fit),
+      panel AS (
+        SELECT stratum,
+               SUM(CASE WHEN t = 1.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_treat,
+               SUM(CASE WHEN t = 0.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_ctrl,
+               SUM(CASE WHEN t = 1.0 THEN y::HUGEINT END) AS sy1,
+               SUM(CASE WHEN t = 0.0 THEN y::HUGEINT END) AS sy0
+        FROM scored GROUP BY stratum),
+      means AS (
+        SELECT stratum, n_treat, n_ctrl,
+               CASE WHEN n_treat > 0 THEN
+                 ROUND(CAST(sy1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                   / 1000000.0, 6) END AS y_treat,
+               CASE WHEN n_ctrl > 0 THEN
+                 ROUND(CAST(sy0 AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+                   / 1000000.0, 6) END AS y_ctrl
+        FROM panel),
+      diffs AS (
+        SELECT *, CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+                 ROUND(y_treat - y_ctrl, 6) END AS diff
+        FROM means),
+      used AS (SELECT SUM(n_treat + n_ctrl) AS nu FROM diffs
+               WHERE diff IS NOT NULL),
+      atev AS (
+        SELECT CAST(ROUND(CAST(SUM(CAST(ROUND(diff
+                 * CAST(n_treat + n_ctrl AS DOUBLE)
+                 / CAST(nu AS DOUBLE), 12) AS DECIMAL(38,12)))
+               AS DOUBLE), 6) AS DOUBLE) AS ate
+        FROM diffs, used WHERE diff IS NOT NULL)
+      SELECT stratum, n_treat, n_ctrl,
+             CAST(y_treat AS DOUBLE) AS y_treat,
+             CAST(y_ctrl AS DOUBLE) AS y_ctrl,
+             CAST(diff AS DOUBLE) AS diff, ate
+      FROM diffs, atev ORDER BY stratum""",
 
     "q_logistic" -> """
       WITH pts AS (

@@ -1953,6 +1953,31 @@ class StatsSpec extends SparkTestBase {
       df.filter(col("y")).count())
   }
 
+  test("propensityStratifiedAte: recovers a planted effect the raw " +
+      "difference overstates threefold under confounding") {
+    import spark.implicits._
+    // P(treated | x) ~ x/10, y = 10x + 5*t: treated units have higher
+    // x, so the raw difference absorbs the x effect; within propensity
+    // strata x is nearly constant and the planted +5 re-emerges
+    val df = (0 until 4000).map { i =>
+      val x = (i % 10).toDouble
+      val t = (i * 7 % 10) < x
+      (t, 10.0 * x + (if (t) 5.0 else 0.0), x)
+    }.toDF("t", "y", "x")
+    val out = Stats.propensityStratifiedAte(df, col("t"), "y", "x")
+      .collect()
+    val ate = out.head.getAs[Double]("ate")
+    val raw = df.filter(col("t")).agg(avg("y")).head.getDouble(0) -
+      df.filter(!col("t")).agg(avg("y")).head.getDouble(0)
+    assert(raw > 20.0, s"fixture must confound the raw diff: $raw")
+    assert(math.abs(ate - 5.0) < 5.0 && ate < raw / 2.0,
+      s"stratification must deconfound: ate $ate vs raw $raw")
+    // the x=0 band has no treated units: its stratum reports NULL diff
+    // and is excluded from the weight base
+    assert(out.exists(r => r.isNullAt(5)),
+      s"an armless stratum must be excluded, not invented: ${out.mkString}")
+  }
+
   test("competingRisks: CIFs + survival conserve mass without censoring; " +
       "single cause equals 1 - KM survival") {
     import spark.implicits._
