@@ -4249,6 +4249,88 @@ object Stats {
         .cast("double").as("se_beta_quasi"))
   }
 
+  /** Gamma regression, log link — the GLM family's POSITIVE-SKEWED
+    * member (L282 gaussian, L283 binomial, L286 poisson; gamma is the
+    * spend/latency/duration error model: variance ∝ μ², so big
+    * customers are allowed big wobble without dominating the fit the
+    * way OLS lets them). For the log link the IRLS weights are
+    * CONSTANT, so each fixed iteration is exactly one OLS solve on
+    * the working response z = η + (y − μ)/μ — the cheapest GLM in the
+    * family.
+    *
+    * Determinism ([[poissonFit]]'s contract): x frozen at 6 dp;
+    * per-row z, xz, x, x², and Pearson terms frozen at 12 dp into
+    * order-free decimal sums; the closed 2×2 OLS solve and the
+    * per-iteration (α, β) re-freeze at 12 dp; init α = ln(ȳ)
+    * (oracle-replicable from the same sums), β = 0. y ≤ 0 is outside
+    * gamma support and rejected loudly in-plan. se(β) =
+    * √(φ̂·n/det) with φ̂ the Pearson dispersion Σ((y−μ)/μ)²/(n−2).
+    *
+    * Output: (group, n, alpha, beta, se_beta, z_beta, rate_ratio,
+    * dispersion).
+    */
+  def gammaFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"gammaFit: iters must be in [1, 8]")
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"), round(col(xCol), 6).as("_x"),
+        col(yCol).cast("double").as("_y"))
+      .withColumn("_y", when(col("_y") > 0.0, col("_y")).otherwise(
+        raise_error(lit("gammaFit: y must be > 0 (gamma support)"))))
+      .localCheckpoint() // re-read every iteration
+    def pass(params: DataFrame) = {
+      val eta = col("_a") + col("_b") * col("_x")
+      val mu = exp(eta)
+      val z = eta + (col("_y") - mu) / mu
+      rows.join(broadcast(params), Seq("_g"))
+        .withColumn("_zt", round(z, 12).cast(dec12))
+        .withColumn("_xzt", round(col("_x") * z, 12).cast(dec12))
+        .withColumn("_xt", round(col("_x"), 12).cast(dec12))
+        .withColumn("_xxt", round(col("_x") * col("_x"), 12).cast(dec12))
+        .withColumn("_pe",
+          round((col("_y") - mu) * (col("_y") - mu) / (mu * mu), 12)
+            .cast(dec12))
+        .groupBy("_g")
+        .agg(max("_a").as("_a"), max("_b").as("_b"),
+          count(lit(1)).as("n"),
+          sum("_zt").as("_SZ"), sum("_xzt").as("_SXZ"),
+          sum("_xt").as("_SX"), sum("_xxt").as("_SXX"),
+          sum("_pe").as("_CHI"))
+    }
+    def d(c: String): Column = col(c).cast("double")
+    def nD: Column = col("n").cast("double")
+    def det: Column = nD * d("_SXX") - d("_SX") * d("_SX")
+    var params = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n0"), sum(col("_y")).as("_sy0"))
+      .select(col("_g"),
+        round(log(col("_sy0") / col("_n0").cast("double")), 12).as("_a"),
+        lit(0.0).as("_b"))
+    for (_ <- 1 to iters) {
+      params = pass(params)
+        .select(col("_g"),
+          when(det > 0.0,
+            round((d("_SZ") - (nD * d("_SXZ") - d("_SX") * d("_SZ"))
+              / det * d("_SX")) / nD, 12)).otherwise(col("_a")).as("_a"),
+          when(det > 0.0,
+            round((nD * d("_SXZ") - d("_SX") * d("_SZ")) / det, 12))
+            .otherwise(col("_b")).as("_b"))
+        .localCheckpoint() // k rows; truncate the iterative lineage
+    }
+    val se = sqrt(d("_CHI") / (nD - 2.0) * (nD / det))
+    pass(params).select(col("_g").as(groupCol),
+      col("n").cast("bigint").as("n"),
+      round(col("_a"), 6).cast("double").as("alpha"),
+      round(col("_b"), 6).cast("double").as("beta"),
+      when(det > 0.0 && col("n") > 2, round(se, 6))
+        .cast("double").as("se_beta"),
+      when(det > 0.0 && col("n") > 2, round(col("_b") / se, 6))
+        .cast("double").as("z_beta"),
+      round(exp(col("_b")), 6).cast("double").as("rate_ratio"),
+      when(col("n") > 2, round(d("_CHI") / (nD - 2.0), 6))
+        .cast("double").as("dispersion"))
+  }
+
   /** One-lag Granger causality F per group — does x's PAST improve the
     * prediction of y beyond y's own past: restricted y_t = α + β·y_{t−1}
     * vs unrestricted y_t = α + β₁·y_{t−1} + β₂·x_{t−1};

@@ -842,6 +842,19 @@ object StatsOps {
       .orderBy("cohort")
   }
 
+  /** Gamma GLM (log link) of positive event value on scaled
+    * hour-of-day per event type: 2 fixed IRLS passes, each ONE OLS
+    * solve on the working response (constant weights under the log
+    * link) — the spend/latency error model completing the GLM family.
+    */
+  val qGamma: QueryFn = withTables { spark =>
+    val ev = spark.table("events").filter(col("value") > 0.0)
+      .select(col("event_type"), col("value"),
+        (hour(col("ts")) / 10.0).as("x"))
+    Stats.gammaFit(ev, "event_type", "x", "value", iters = 2)
+      .orderBy("event_type")
+  }
+
   /** Propensity-stratified ATE of odd-cohort "treatment" on event
     * value with hour-of-day as the confounder: logistic propensity
     * (2 Newton steps), 5 equal-width score strata, size-weighted
@@ -1814,6 +1827,7 @@ object StatsOps {
     "q_huber" -> qHuber,
     "q_cuminc" -> qCumInc,
     "q_psm_ate" -> qPsmAte,
+    "q_gamma" -> qGamma,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
@@ -4839,6 +4853,111 @@ object StatsOps {
                AS DOUBLE) AS z_beta,
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
       FROM d3 ORDER BY class""",
+
+    // Working-response OLS per pass (constant IRLS weights under the
+    // log link): z = η + (y−μ)/μ, 12-dp frozen z/xz/x/x² decimal sums,
+    // ln-mean init, 2 unrolled passes + final stats.
+    "q_gamma" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               ROUND(HOUR(ts) / 10.0, 6) AS x,
+               CAST(value AS DOUBLE) AS y
+        FROM events
+        WHERE value > 0.0 AND ts IS NOT NULL AND value IS NOT NULL),
+      p0 AS (
+        SELECT g, ROUND(LN(SUM(y) / CAST(COUNT(*) AS DOUBLE)), 12) AS a,
+               0.0 AS b
+        FROM pts GROUP BY g),
+      pr1 AS (
+        SELECT pts.g, x, y, a, b,
+               a + b * x AS eta, EXP(a + b * x) AS mu
+        FROM pts JOIN p0 USING (g)),
+      t1 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b, COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(eta + (y - mu) / mu, 12)
+                 AS DECIMAL(38,12))) AS sz,
+               SUM(CAST(ROUND(x * (eta + (y - mu) / mu), 12)
+                 AS DECIMAL(38,12))) AS sxz,
+               SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS sxx
+        FROM pr1 GROUP BY g),
+      d1 AS (
+        SELECT *, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS det
+        FROM t1),
+      p1 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN
+            ROUND((CAST(sz AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) / det
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN
+            ROUND((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d1),
+      pr2 AS (
+        SELECT pts.g, x, y, a, b,
+               a + b * x AS eta, EXP(a + b * x) AS mu
+        FROM pts JOIN p1 USING (g)),
+      t2 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b, COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(eta + (y - mu) / mu, 12)
+                 AS DECIMAL(38,12))) AS sz,
+               SUM(CAST(ROUND(x * (eta + (y - mu) / mu), 12)
+                 AS DECIMAL(38,12))) AS sxz,
+               SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS sxx
+        FROM pr2 GROUP BY g),
+      d2 AS (
+        SELECT *, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS det
+        FROM t2),
+      p2 AS (
+        SELECT g,
+          CASE WHEN det > 0.0 THEN
+            ROUND((CAST(sz AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) / det
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN
+            ROUND((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d2),
+      pr3 AS (
+        SELECT pts.g, x, y, a, b, EXP(a + b * x) AS mu
+        FROM pts JOIN p2 USING (g)),
+      t3 AS (
+        SELECT g, MAX(a) AS a, MAX(b) AS b, COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(ROUND((y - mu) * (y - mu) / (mu * mu), 12)
+                 AS DECIMAL(38,12))) AS chi
+        FROM pr3 GROUP BY g),
+      d3 AS (
+        SELECT *, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS det,
+               SQRT(CAST(chi AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0)
+                 * (CAST(n AS DOUBLE) / (CAST(n AS DOUBLE)
+                    * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS se
+        FROM t3)
+      SELECT g AS event_type, n,
+             CAST(ROUND(a, 6) AS DOUBLE) AS alpha,
+             CAST(ROUND(b, 6) AS DOUBLE) AS beta,
+             CAST(CASE WHEN det > 0.0 AND n > 2 THEN ROUND(se, 6) END
+               AS DOUBLE) AS se_beta,
+             CAST(CASE WHEN det > 0.0 AND n > 2 THEN ROUND(b / se, 6) END
+               AS DOUBLE) AS z_beta,
+             CAST(ROUND(EXP(b), 6) AS DOUBLE) AS rate_ratio,
+             CAST(CASE WHEN n > 2 THEN
+               ROUND(CAST(chi AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0), 6)
+             END AS DOUBLE) AS dispersion
+      FROM d3 ORDER BY event_type""",
 
     // The q_logistic unroll (2 steps, one global group) fits the
     // propensity; scores use the 6-dp published alpha/beta; strata are

@@ -1953,6 +1953,28 @@ class StatsSpec extends SparkTestBase {
       df.filter(col("y")).count())
   }
 
+  test("gammaFit: exact log-linear data recovered; noiseless dispersion " +
+      "vanishes; non-positive y rejected loudly") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      val x = i / 20.0
+      ("g", x, math.exp(1.0 + 0.5 * x))
+    }.toDF("g", "x", "y")
+    val r = Stats.gammaFit(df, "g", "x", "y", iters = 4).collect().head
+    assert(math.abs(r.getAs[Double]("alpha") - 1.0) < 0.02, r.toString)
+    assert(math.abs(r.getAs[Double]("beta") - 0.5) < 0.02, r.toString)
+    assert(r.getAs[Double]("dispersion") < 1e-3,
+      s"noiseless fit must have ~0 Pearson dispersion: $r")
+    assert(r.getAs[Double]("rate_ratio") > 1.0, r.toString)
+    val bad = Seq(("g", 1.0, 0.0)).toDF("g", "x", "y")
+    val e = intercept[Exception] {
+      Stats.gammaFit(bad, "g", "x", "y").collect()
+    }
+    assert(e.getMessage.contains("gamma support")
+      || Option(e.getCause).exists(_.getMessage.contains("gamma support")),
+      e.getMessage)
+  }
+
   test("propensityStratifiedAte: recovers a planted effect the raw " +
       "difference overstates threefold under confounding") {
     import spark.implicits._
