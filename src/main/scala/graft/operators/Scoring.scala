@@ -155,4 +155,60 @@ object Scoring {
         round(col("_cum").cast("double") / col("_tot").cast("double"), 6)
           .as("cum_share"))
   }
+
+  /** Off-policy (counterfactual) policy evaluation by inverse
+    * propensity scoring — "what would the new policy have earned on
+    * the logged traffic", the bandit-replay estimator behind every
+    * ranker/recommender/prompt-routing A/B you can't afford to run
+    * live: V̂_IPS = (1/n)·Σ r·1[a = π(x)]/p(a) over logged (action,
+    * reward, logging-propensity) rows, plus the self-normalized SNIPS
+    * Σrw/Σw (bounded, trades a little bias for much less variance)
+    * and the weights' effective sample size (Σw)²/Σw² — the honesty
+    * gauge: an ESS of 40 on a million logged rows means the estimate
+    * rests on 40 effective matches, whatever n says.
+    *
+    * Determinism: weights w = 1[match]/p are per-row trees on the
+    * caller's propensity column (a matched row with p ≤ 0 is invalid
+    * and rejected loudly in-plan — silently dropping it would bias
+    * the estimate); r·w, w, and w² freeze at 12 dp into order-free
+    * decimal sums; the three estimates are one rounded division each.
+    *
+    * Scale shape: one pass, one group aggregate — no joins beyond
+    * what the caller did to attach target/propensity columns.
+    * Output: (group..., n, n_matched, ips, snips, ess).
+    */
+  def ipsEvaluate(df: DataFrame, actionCol: String, rewardCol: String,
+      propensityCol: String, targetCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val matched = col(actionCol) === col(targetCol)
+    val p = col(propensityCol).cast("double")
+    val w = when(matched && p > 0.0, lit(1.0) / p)
+      .when(matched,
+        raise_error(lit("ipsEvaluate: matched row with propensity <= 0 " +
+          "— a logged action must have positive logging probability")))
+      .otherwise(lit(0.0))
+    val r = col(rewardCol).cast("double")
+    val gcols = groupCols.map(col)
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(gcols: _*)
+    val agg = grouped.agg(
+      count(lit(1)).as("n"),
+      sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+      sum(round(r * w, 12).cast(dec12)).as("_srw"),
+      sum(round(w, 12).cast(dec12)).as("_sw"),
+      sum(round(w * w, 12).cast(dec12)).as("_sww"))
+    agg.select((gcols :+
+      col("n") :+ col("n_matched") :+
+      round(col("_srw").cast("double") / col("n").cast("double"), 6)
+        .cast("double").as("ips") :+
+      when(col("_sw").cast("double") > 0.0,
+        round(col("_srw").cast("double") / col("_sw").cast("double"), 6))
+        .cast("double").as("snips") :+
+      when(col("_sww").cast("double") > 0.0,
+        round(col("_sw").cast("double") * col("_sw").cast("double")
+          / col("_sww").cast("double"), 6))
+        .cast("double").as("ess")): _*)
+  }
 }

@@ -239,6 +239,29 @@ object AnalyticsOps {
       .orderBy("item_a", "item_b")
   }
 
+  /** Off-policy IPS/SNIPS replay: target policy "purchase after noon,
+    * view before" evaluated on logged events with plug-in empirical
+    * logging propensities P(event_type) — what the counterfactual
+    * router would have earned, with the weights' effective sample
+    * size as the honesty gauge.
+    */
+  val qIpsEval: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .select(col("event_type").as("action"),
+        (col("value") / 100.0).as("reward"), hour(col("ts")).as("hod"))
+    val props = ev.groupBy("action")
+      .agg(count(lit(1)).as("_c"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("_n"))))
+      .select(col("action"),
+        round(col("_c").cast("double") / col("_n").cast("double"), 12)
+          .as("prop"))
+    val logged = ev.join(broadcast(props), Seq("action"))
+      .withColumn("target",
+        when(col("hod") >= 12, "purchase").otherwise("view"))
+    graft.operators.Scoring.ipsEvaluate(logged, "action", "reward",
+      "prop", "target")
+  }
+
   /** Bradley–Terry leaderboard from pairwise price contests: within
     * each mod-19 order, the pricier lineitem's part "beats" the other
     * (ties are no game); 2 fixed MM passes, sup-normalized — the
@@ -738,6 +761,7 @@ object AnalyticsOps {
     "q_basket_lift" -> qBasketLift,
     "q_item_cosine" -> qItemCosine,
     "q_bradley_terry" -> qBradleyTerry,
+    "q_ips_eval" -> qIpsEval,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -2103,6 +2127,47 @@ object AnalyticsOps {
                AS stickiness
       FROM dau JOIN mau ON dau.day = mau.day
       ORDER BY day""",
+
+    // Empirical logging propensities, hour-gated target policy, 12-dp
+    // frozen rw/w/w² decimal sums, one rounded division per estimate.
+    "q_ips_eval" -> """
+      WITH ev AS (
+        SELECT event_type AS action, value / 100.0 AS reward,
+               HOUR(ts) AS hod
+        FROM events),
+      pc AS (SELECT action, COUNT(*)::BIGINT AS c FROM ev GROUP BY action),
+      nt AS (SELECT COUNT(*)::BIGINT AS n FROM ev),
+      props AS (
+        SELECT action,
+               ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 12) AS prop
+        FROM pc, nt),
+      logged AS (
+        SELECT ev.action, reward, prop,
+               CASE WHEN hod >= 12 THEN 'purchase' ELSE 'view' END
+                 AS target
+        FROM ev JOIN props ON props.action = ev.action),
+      wt AS (
+        SELECT reward,
+               CASE WHEN action = target AND prop > 0.0 THEN 1.0 / prop
+                    ELSE 0.0 END AS w,
+               CASE WHEN action = target THEN 1 ELSE 0 END AS m
+        FROM logged),
+      agg AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(m)::BIGINT AS n_matched,
+               SUM(CAST(ROUND(reward * w, 12) AS DECIMAL(38,12))) AS srw,
+               SUM(CAST(ROUND(w, 12) AS DECIMAL(38,12))) AS sw,
+               SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12))) AS sww
+        FROM wt)
+      SELECT n, n_matched,
+             CAST(ROUND(CAST(srw AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS ips,
+             CAST(CASE WHEN CAST(sw AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(srw AS DOUBLE) / CAST(sw AS DOUBLE), 6) END
+               AS DOUBLE) AS snips,
+             CAST(CASE WHEN CAST(sww AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                 / CAST(sww AS DOUBLE), 6) END AS DOUBLE) AS ess
+      FROM agg""",
 
     // Same pair-contest games, directed pair stats from both
     // orientations, two unrolled MM passes (12-dp decimal pair terms,

@@ -859,6 +859,36 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out(3).getDouble(6) == 10.0, out(3).toString)
   }
 
+  test("ipsEvaluate: hand fixture matches the textbook estimator; " +
+      "replaying the logging policy SNIPS to the plain mean reward; " +
+      "bad propensity on a matched row is loud") {
+    import spark.implicits._
+    // uniform logging (p = .5 each), target always A:
+    // w = 2 on the two A rows; IPS = (2*1 + 2*3)/4 = 2.0,
+    // SNIPS = (2+6)/4 = 2.0, ESS = (4)^2/8 = 2 (the matched count)
+    val logged = Seq(("A", 1.0, 0.5, "A"), ("B", 9.0, 0.5, "A"),
+      ("A", 3.0, 0.5, "A"), ("B", 7.0, 0.5, "A"))
+      .toDF("a", "r", "p", "tgt")
+    val one = graft.operators.Scoring
+      .ipsEvaluate(logged, "a", "r", "p", "tgt").collect().head
+    assert(one.getLong(0) === 4L && one.getLong(1) === 2L, one.toString)
+    assert(one.getDouble(2) === 2.0 && one.getDouble(3) === 2.0
+      && one.getDouble(4) === 2.0, one.toString)
+    // target == logged action: SNIPS returns exactly the mean reward
+    val self = logged.withColumn("tgt", col("a"))
+    val r = graft.operators.Scoring
+      .ipsEvaluate(self, "a", "r", "p", "tgt").collect().head
+    assert(r.getDouble(3) === 5.0, s"SNIPS(logging policy) = mean r: $r")
+    val bad = Seq(("A", 1.0, 0.0, "A")).toDF("a", "r", "p", "tgt")
+    val e = intercept[Exception] {
+      graft.operators.Scoring.ipsEvaluate(bad, "a", "r", "p", "tgt")
+        .collect()
+    }
+    assert(e.getMessage.contains("propensity")
+      || Option(e.getCause).exists(_.getMessage.contains("propensity")),
+      e.getMessage)
+  }
+
   test("bradleyTerry: transitive tournament orders the strengths; " +
       "zero-win item scores 0; undefeated item stays finite at 1") {
     import spark.implicits._
