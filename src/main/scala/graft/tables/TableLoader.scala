@@ -186,8 +186,17 @@ object TableLoader {
   }
 
   private def relPath(root: org.apache.hadoop.fs.Path,
-      f: org.apache.hadoop.fs.Path): String =
-    root.toUri.relativize(f.toUri).getPath
+      f: org.apache.hadoop.fs.Path): String = {
+    val r = root.toUri.relativize(f.toUri).getPath
+    if (!r.startsWith("/")) r
+    else {
+      // URI.relativize against a schemeless root silently returns the
+      // FULL path instead of a relative one (listFiles paths are
+      // scheme-qualified) — strip the root prefix so manifest keys are
+      // truly relative and interoperate with snapshot file lists
+      r.stripPrefix(root.toUri.getPath.stripSuffix("/")).stripPrefix("/")
+    }
+  }
 
   /** Write the persisted pruning manifest (r13 verdict item 5): ONE
     * driver pass over the table's parquet footers emits
@@ -337,6 +346,31 @@ object TableLoader {
     // harmless on flat single-directory layouts
     spark.read.option("basePath", path)
       .parquet(paths.map(_.toString): _*).filter(pred)
+  }
+
+  /** [[loadPruned]]'s decision core over an EXPLICIT (relPath, length)
+    * file list — the entry [[Versioned.loadPruned]] feeds with a
+    * snapshot's live set, so zone-map skipping composes with snapshot
+    * isolation (and, because versioned files are IMMUTABLE, their
+    * manifest entries never go stale — the length check always
+    * passes). Returns the absolute paths that can match. */
+  private[graft] def pruneFileList(spark: SparkSession, path: String,
+      files: Seq[(String, Long)], column: String,
+      lower: Option[Any], upper: Option[Any]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val manifest = readManifest(fs, root)
+    files.filter { case (rel, len) =>
+      val f = new org.apache.hadoop.fs.Path(root, rel)
+      val fromManifest = manifest.flatMap(_.get(rel))
+        .filter(_._1 == len)
+        .flatMap(_._2.get(column))
+      val cs = fromManifest.getOrElse(footerStat(conf, f, column))
+      canMatch(cs, lower, upper)
+    }.map { case (rel, _) =>
+      new org.apache.hadoop.fs.Path(root, rel).toString
+    }
   }
 
   /** CSV scan (S5): header + explicit-or-inferred schema. At scale,

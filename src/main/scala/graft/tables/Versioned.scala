@@ -213,6 +213,49 @@ object Versioned {
       .parquet(files.map(f => new Path(root, f._1).toString): _*)
   }
 
+  /** Zone-map-pruned read of a SNAPSHOT — [[load]] composed with
+    * [[TableLoader.loadPruned]]'s data skipping: the snapshot's live
+    * files are filtered by their parquet min/max stats before Spark
+    * ever opens them, so a selective range on a clustered versioned
+    * table reads O(matching files) of the chosen VERSION. Because
+    * versioned files are immutable, `_graft_manifest.json` entries
+    * never go stale for them (the staleness check is byte-length) —
+    * write the manifest once per table and every version plans from
+    * the one sidecar. Result-identical to `load(...).filter(...)` by
+    * the same conservative [[TableLoader]] decision core
+    * (PartitioningSpec pins it).
+    */
+  def loadPruned(spark: SparkSession, path: String, column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    require(lower.isDefined || upper.isDefined,
+      "Versioned.loadPruned: at least one of lower/upper must be set")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      sys.error(s"Versioned.loadPruned: $path is not a versioned table"))
+    val files = readSnapshot(fs, root, v)
+    require(files.nonEmpty, s"Versioned.loadPruned: v$v of $path is empty")
+    files.foreach { case (rel, len) =>
+      val p = new Path(root, rel)
+      require(fs.exists(p) && fs.getFileStatus(p).getLen == len,
+        s"Versioned.loadPruned: $rel of v$v is missing or resized — " +
+          "vacuumed past this version, or immutability was violated")
+    }
+    val kept = TableLoader.pruneFileList(spark, path, files, column,
+      lower, upper)
+    // no candidate: one live file supplies the schema, the filter
+    // returns the correct empty result
+    val paths =
+      if (kept.nonEmpty) kept
+      else files.take(1).map(f => new Path(root, f._1).toString)
+    val pred = (lower.map(l => c(column) >= lit(l)) ++
+      upper.map(u => c(column) <= lit(u))).reduce(_ && _)
+    spark.read.option("basePath", root.toString)
+      .parquet(paths: _*).filter(pred)
+  }
+
   /** Versioned COW MERGE: same semantics and same touched-partition
     * confinement as [[graft.Graft.mergeIntoParquet]] (partitionCols ⊆
     * on, bounded touched-value collect), but the replacement rows are

@@ -492,6 +492,48 @@ class PartitioningSpec extends SparkTestBase {
     assert(Versioned.load(spark, dir).count() === 5L)
   }
 
+  test("Versioned.loadPruned: snapshot isolation composes with zone-map " +
+      "skipping; immutable files keep manifest entries fresh forever") {
+    import spark.implicits._
+    import graft.tables.{TableLoader, Versioned}
+    val dir = Files.createTempDirectory("vprune").toString + "/t"
+    // 4 hive partitions × range-clustered files with near-disjoint k
+    val base = (0L until 400L).map(k => (k % 4, k, k * 2.0))
+      .toDF("p", "k", "v")
+    base.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.partitionBy("p").parquet(dir)
+    Versioned.init(spark, dir)
+    TableLoader.writePruningManifest(spark, dir, Seq("k"))
+    // a merge rewrites the touched partition into NEW files
+    Versioned.mergeInto(spark, dir,
+      Seq((2, 10L, -1.0), (2, 390L, -1.0)).toDF("p", "k", "v"),
+      on = Seq("p", "k"), partitionCols = Seq("p"))
+    // v1 pruned == v1 filtered, and it skipped files
+    val v1p = Versioned.loadPruned(spark, dir, "k",
+      lower = Some(100L), upper = Some(150L), version = Some(1))
+    val v1f = Versioned.load(spark, dir, Some(1))
+      .filter(col("k") >= 100L && col("k") <= 150L)
+    assert(v1p.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      === v1f.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    val allV1 = Versioned.load(spark, dir, Some(1))
+      .select(input_file_name()).distinct().count()
+    val touched = v1p.select(input_file_name()).distinct().count()
+    assert(touched < allV1,
+      s"selective range must skip v1 files: $touched of $allV1")
+    // current version pruned == current filtered (sees the merge)
+    val v2p = Versioned.loadPruned(spark, dir, "k",
+      lower = Some(10L), upper = Some(10L))
+    assert(v2p.select("v").as[Double].collect().toSet === Set(-1.0))
+    // pre-merge files are immutable, so the ONE manifest still covers
+    // them: pruning v1 again opens no footers for manifest-covered files
+    val before = TableLoader.footerReads.get()
+    Versioned.loadPruned(spark, dir, "k", lower = Some(100L),
+      upper = Some(150L), version = Some(1)).count()
+    val opened = TableLoader.footerReads.get() - before
+    assert(opened === 0L,
+      s"v1 planning must ride the sidecar, opened $opened footers")
+  }
+
   test("Versioned: contract guards — partitionCols ⊆ on; unversioned " +
       "dirs refuse load; double init refuses") {
     import spark.implicits._
