@@ -1297,4 +1297,67 @@ class PropertySpec extends SparkTestBase {
       }
     })
   }
+
+  private val edgesGen: Gen[List[(String, String)]] =
+    Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7))))
+      .map(_.collect { case (a, b) if a != b => (s"v$a", s"v$b") })
+      .suchThat(_.nonEmpty)
+
+  test("betweenness2 conserves mass: scores sum to the count of " +
+      "distance-2 pairs (each pair distributes exactly one unit)") {
+    check("betweenness-conservation")(Prop.forAll(edgesGen) { es =>
+      import spark.implicits._
+      val g = es.toDF("s", "t")
+      val rows = graft.operators.Graph.betweenness2(g, "s", "t").collect()
+      val total = rows.map(_.getDouble(2)).sum
+      // reference distance-2 pair count on the undirected simple graph
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      val verts = adj.keySet.toSeq
+      val d2 = (for {
+        s <- verts; t <- verts if s < t
+        if !adj(s).contains(t)
+        if adj(s).exists(adj(t).contains) // some common neighbor
+      } yield 1).size
+      // each vertex's score is rounded once at 6 dp -> absolute slack
+      math.abs(total - d2) < 1e-4
+    })
+  }
+
+  test("ktruss invariants at ANY fixed round count: output ⊆ input, " +
+      "k+1-truss ⊆ k-truss, and one more round only shrinks") {
+    val p = SCTest.Parameters.default
+      .withMinSuccessfulTests(6).withWorkers(1)
+    val res = SCTest.check(p, Prop.forAll(edgesGen,
+        Gen.choose(3, 4)) { (es, k) =>
+      import spark.implicits._
+      val g = es.toDF("s", "t")
+      val canon = es.map { case (a, b) =>
+        (Seq(a, b).min, Seq(a, b).max) }.toSet
+      def truss(kk: Int, r: Int) =
+        graft.operators.Graph.ktruss(g, "s", "t", kk, rounds = r)
+          .collect().map(x => (x.getString(0), x.getString(1))).toSet
+      val e1 = truss(k, 1)
+      val e2 = truss(k, 2)
+      val tighter = truss(k + 1, 1)
+      e1.subsetOf(canon) && e2.subsetOf(e1) && tighter.subsetOf(e1)
+    })
+    assert(res.passed, s"ktruss invariants failed: ${res.status}")
+  }
+
+  test("huberMean is affine-equivariant: huber(a·x + b) = a·huber(x) + b") {
+    check("huber-equivariance")(Prop.forAll(rowsGen.suchThat(_.size >= 3),
+        Gen.choose(1, 5), Gen.choose(-50, 50)) { (rows, a, b) =>
+      import spark.implicits._
+      val base = rows.map { case (_, v) => ("g", v.toDouble) }.toDF("g", "x")
+      val scaled = rows.map { case (_, v) => ("g", a * v.toDouble + b) }
+        .toDF("g", "x")
+      val h0 = graft.operators.Stats.huberMean(base, "g", "x")
+        .collect().head.getDouble(4)
+      val h1 = graft.operators.Stats.huberMean(scaled, "g", "x")
+        .collect().head.getDouble(4)
+      math.abs(h1 - (a * h0 + b)) < 1e-4
+    })
+  }
 }
