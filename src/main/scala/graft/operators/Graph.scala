@@ -1271,8 +1271,13 @@ object Graph {
     require(iters >= 1 && iters <= 8,
       s"eigenvectorCentrality: iters must be in [1, 8], got $iters")
     val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // partition the symmetric edge table ONCE on the per-pass join key
+    // (w): localCheckpoint pins the layout, so every iteration's join
+    // exchanges only the vertex-sized state — the pageRank discipline;
+    // without this each pass re-shuffles the EDGES, the actual big side
     val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
       .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
+      .repartition(col("w"))
       .localCheckpoint()
     var state = sym.select(col("v")).distinct()
       .withColumn("_ev", lit(1.0))
