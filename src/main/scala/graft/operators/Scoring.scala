@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Customer/entity value scoring: RFM tiles and revenue-concentration
@@ -76,6 +77,71 @@ object Scoring {
         round((col("n_both") * 2.0)
           / (col("_ca") + col("_cb")).cast("double"), 6)
           .cast("double").as("dice"))
+  }
+
+  /** Item-based collaborative-filtering recommendations — the classic
+    * "customers who bought X also bought" serving query, composed on
+    * [[cooccurrenceSimilarity]]'s exact cosine: each user's candidate
+    * score is Σ cosine(owned, candidate) over their history (the
+    * textbook item-kNN aggregation), already-owned items are
+    * anti-joined out (recommending what you have is a bug, not a
+    * result), and the top N per user return under the (score DESC,
+    * item ASC) total order.
+    *
+    * Determinism: cosines are the 6-dp similarity outputs (exact
+    * multiples of 1e-6), summed in an order-free decimal(38,6); the
+    * rank runs on the rounded score with the item tiebreak.
+    *
+    * Scale shape: the similarity pair table is catalog-bounded and
+    * joins the (user, item) history on the ITEM key — the fan-out per
+    * user is their history × neighbors-per-item, the inherent cost of
+    * item-kNN serving; the anti-join and the per-user top-N window
+    * both key on user. For hub-skewed catalogs cap the neighbor list
+    * first (`maxNeighbors` keeps only each item's top-m cosine
+    * neighbors — the m-NN graph every production item-kNN
+    * materializes, here under the same total order).
+    *
+    * Output: (user, item, score, rank), N rows per user.
+    */
+  def itemKnnRecommend(df: DataFrame, userCol: String, itemCol: String,
+      topN: Int, maxNeighbors: Int = 50): DataFrame = {
+    require(topN >= 1, s"itemKnnRecommend: topN must be >= 1, got $topN")
+    require(maxNeighbors >= 1,
+      s"itemKnnRecommend: maxNeighbors must be >= 1")
+    val hist = df.select(col(userCol).as("_u"), col(itemCol).as("_i"))
+      .filter(col("_u").isNotNull && col("_i").isNotNull)
+      .distinct()
+      .localCheckpoint() // similarity + expansion + anti-join re-read it
+    val sim = cooccurrenceSimilarity(hist, "_u", "_i")
+      .select(col("item_a"), col("item_b"), col("cosine"))
+    // symmetric m-NN neighbor table under the (cosine DESC, neighbor)
+    // total order
+    val nbrs = sim
+      .select(col("item_a").as("_from"), col("item_b").as("_to"),
+        col("cosine"))
+      .unionByName(sim.select(col("item_b").as("_from"),
+        col("item_a").as("_to"), col("cosine")))
+    val wN = Window.partitionBy("_from")
+      .orderBy(col("cosine").desc, col("_to"))
+    val capped = nbrs
+      .withColumn("_rn", row_number().over(wN))
+      .filter(col("_rn") <= maxNeighbors)
+      .drop("_rn")
+    val cand = hist.join(capped, col("_i") === col("_from"))
+      .select(col("_u"), col("_to").as("item"), col("cosine"))
+      // never recommend something already in the history
+      .join(hist.select(col("_u"), col("_i").as("item")),
+        Seq("_u", "item"), "left_anti")
+      .groupBy(col("_u"), col("item"))
+      .agg(sum(col("cosine").cast("decimal(38,6)")).as("_s"))
+      .select(col("_u"), col("item"),
+        col("_s").cast("double").as("score"))
+    val wU = Window.partitionBy("_u")
+      .orderBy(col("score").desc, col("item"))
+    cand.withColumn("rank", row_number().over(wU))
+      .filter(col("rank") <= topN)
+      .select(col("_u").as(userCol), col("item"), col("score"),
+        col("rank"))
   }
 
   def rfm(orders: DataFrame, custCol: String, dateCol: String,

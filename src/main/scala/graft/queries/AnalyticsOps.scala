@@ -239,6 +239,23 @@ object AnalyticsOps {
       .orderBy("item_a", "item_b")
   }
 
+  /** Item-kNN "also bought" recommendations over customer–part
+    * baskets: exact co-occurrence cosine, 10-NN neighbor cap, owned
+    * parts anti-joined out, top-3 per customer under the (score DESC,
+    * part) total order.
+    */
+  val qItemKnn: QueryFn = withTables { spark =>
+    val hist = spark.table("lineitem")
+      .filter(col("l_orderkey") % 3 === 0 && col("l_partkey") % 50 === 0)
+      .join(spark.table("orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    graft.operators.Scoring.itemKnnRecommend(hist, "cust", "part",
+        topN = 3, maxNeighbors = 10)
+      .withColumnRenamed("item", "part")
+      .orderBy("cust", "rank")
+  }
+
   /** Off-policy IPS/SNIPS replay: target policy "purchase after noon,
     * view before" evaluated on logged events with plug-in empirical
     * logging propensities P(event_type) — what the counterfactual
@@ -762,6 +779,7 @@ object AnalyticsOps {
     "q_item_cosine" -> qItemCosine,
     "q_bradley_terry" -> qBradleyTerry,
     "q_ips_eval" -> qIpsEval,
+    "q_item_knn" -> qItemKnn,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -2127,6 +2145,52 @@ object AnalyticsOps {
                AS stickiness
       FROM dau JOIN mau ON dau.day = mau.day
       ORDER BY day""",
+
+    // The q_item_cosine pair math on customer-part baskets, symmetric
+    // 10-NN cap under (cosine DESC, neighbor), owned anti-join, 6-dp
+    // decimal score sums, top-3 window.
+    "q_item_knn" -> """
+      WITH hist AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey % 3 = 0 AND l.l_partkey % 50 = 0),
+      pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b, COUNT(*)::BIGINT AS n_both
+        FROM hist x JOIN hist y ON x.u = y.u AND x.i < y.i
+        GROUP BY x.i, y.i),
+      singles AS (SELECT i, COUNT(*)::BIGINT AS c FROM hist GROUP BY i),
+      sim AS (
+        SELECT item_a, item_b,
+               ROUND(n_both / SQRT(CAST(ca.c * cb.c AS DOUBLE)), 6)
+                 AS cosine
+        FROM pairs
+        JOIN singles ca ON ca.i = pairs.item_a
+        JOIN singles cb ON cb.i = pairs.item_b),
+      nbrs AS (
+        SELECT item_a AS f, item_b AS t, cosine FROM sim
+        UNION ALL SELECT item_b, item_a, cosine FROM sim),
+      capped AS (
+        SELECT f, t, cosine FROM (
+          SELECT f, t, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY f
+                   ORDER BY cosine DESC, t) AS rn
+          FROM nbrs)
+        WHERE rn <= 10),
+      cand AS (
+        SELECT h.u, c.t AS item,
+               SUM(CAST(c.cosine AS DECIMAL(38,6))) AS s
+        FROM hist h JOIN capped c ON c.f = h.i
+        WHERE NOT EXISTS (SELECT 1 FROM hist o
+                          WHERE o.u = h.u AND o.i = c.t)
+        GROUP BY h.u, c.t),
+      ranked AS (
+        SELECT u, item, CAST(s AS DOUBLE) AS score,
+               ROW_NUMBER() OVER (PARTITION BY u
+                 ORDER BY CAST(s AS DOUBLE) DESC, item) AS rank
+        FROM cand)
+      SELECT u AS cust, item AS part, score, CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY cust, rank""",
 
     // Empirical logging propensities, hour-gated target policy, 12-dp
     // frozen rw/w/w² decimal sums, one rounded division per estimate.

@@ -859,6 +859,31 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out(3).getDouble(6) == 10.0, out(3).toString)
   }
 
+  test("itemKnnRecommend: hand cosines, owned items never recommended, " +
+      "rank total order holds") {
+    import spark.implicits._
+    // users 1,2 own {A,B}; user 3 owns {A,C}:
+    // cos(A,B) = 2/sqrt(3*2) = .816497, cos(A,C) = 1/sqrt(3) = .57735
+    val hist = Seq((1, "A"), (1, "B"), (2, "A"), (2, "B"),
+      (3, "A"), (3, "C")).toDF("u", "i")
+    val rec = graft.operators.Scoring
+      .itemKnnRecommend(hist, "u", "i", topN = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getDouble(2), r.getInt(3)))
+    val byUser = rec.groupBy(_._1)
+    assert(byUser(1).map(x => (x._2, x._3)).toSet === Set(("C", 0.57735)),
+      rec.mkString(","))
+    assert(byUser(2).map(x => (x._2, x._3)).toSet === Set(("C", 0.57735)),
+      rec.mkString(","))
+    assert(byUser(3).map(x => (x._2, x._3)).toSet === Set(("B", 0.816497)),
+      rec.mkString(","))
+    // nothing owned comes back; ranks start at 1
+    assert(rec.forall(_._4 >= 1) &&
+      !rec.exists { case (u, i, _, _) =>
+        hist.collect().exists(h => h.getInt(0) == u && h.getString(1) == i)
+      })
+  }
+
   test("ipsEvaluate: hand fixture matches the textbook estimator; " +
       "replaying the logging policy SNIPS to the plain mean reward; " +
       "bad propensity on a matched row is loud") {
