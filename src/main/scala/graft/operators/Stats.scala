@@ -3220,6 +3220,48 @@ object Stats {
             / (sst + msw)), 6)).cast("double").as("omega2"))
   }
 
+  /** Intraclass correlation ICC(1,1) — the reliability coefficient of
+    * the agreement tier (L100 Cohen, L225 Fleiss, L239 Krippendorff
+    * handle CATEGORICAL raters; L213 Cronbach asks about items; ICC is
+    * the CONTINUOUS-measurement "how much of the variance is the
+    * subject, not the measurement" number): one-way random effects on
+    * balanced k-measurement panels, ICC = (MSB − MSW)/(MSB + (k−1)MSW)
+    * from the [[anovaF]] fold with SUBJECTS as the groups. Negative
+    * estimates are the estimator's known null behavior and are
+    * reported as computed (clamping hides a meaningful "less agreement
+    * than chance" signal here, unlike ω²'s convention).
+    *
+    * Balanced by contract: subjects with ≠ k measurements drop (the
+    * fleissKappa complete-panel rule) — visible via n_subjects.
+    * Exactness: [[anovaCore]] verbatim (1e6-scaled longs, decimal
+    * moments, 12-dp frozen between terms — the scale cancels in the
+    * ratio); MSB/MSW/ICC are identically-spelled float trees at 6 dp.
+    * NULL when < 2 complete subjects or degenerate denominators.
+    *
+    * Scale shape: one completeness aggregate + the one-shuffle ANOVA
+    * fold. Output: ONE row (n_subjects, k, msb, msw, icc).
+    */
+  def icc(df: DataFrame, subjectCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"icc: k must be >= 2, got $k")
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(subjectCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_x"))
+    val complete = pts.groupBy("_g").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") === k).select("_g")
+    val core = anovaCore(pts.join(complete, Seq("_g"), "left_semi"))
+    val msb = col("_ssb") / (col("_k") - 1).cast("double")
+    val msw = col("_ssw") / (col("_n") - col("_k")).cast("double")
+    val ok = col("_k") >= 2 && col("_n") > col("_k")
+    core.select(col("_k").cast("bigint").as("n_subjects"),
+      lit(k).cast("int").as("k"),
+      when(ok, round(msb / 1e12, 6)).cast("double").as("msb"),
+      when(ok, round(msw / 1e12, 6)).cast("double").as("msw"),
+      when(ok && (msb + (lit(k) - 1).cast("double") * msw) > 0.0,
+        round((msb - msw) / (msb + (lit(k) - 1).cast("double") * msw), 6))
+        .cast("double").as("icc"))
+  }
+
   /** Brown–Forsythe test of variance homogeneity: one-way ANOVA F
     * over z = |x − median_g| — Levene's test with the MEDIAN center
     * (the robust form that keeps its size under heavy tails, and the

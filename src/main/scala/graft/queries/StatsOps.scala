@@ -842,6 +842,15 @@ object StatsOps {
       .orderBy("cohort")
   }
 
+  /** ICC(1,1) of daily dollar spend with DAYS as subjects and the five
+    * event types as the k measurements (complete panels only): how
+    * much of the daily-spend variance is the day itself vs the type —
+    * the continuous-measurement member of the agreement tier.
+    */
+  val qIcc: QueryFn = withTables { spark =>
+    Stats.icc(dayCellsN(spark), "x", "y", k = 5)
+  }
+
   /** Gamma GLM (log link) of positive event value on scaled
     * hour-of-day per event type: 2 fixed IRLS passes, each ONE OLS
     * solve on the working response (constant weights under the log
@@ -1828,6 +1837,7 @@ object StatsOps {
     "q_cuminc" -> qCumInc,
     "q_psm_ate" -> qPsmAte,
     "q_gamma" -> qGamma,
+    "q_icc" -> qIcc,
     "q_logistic_multi" -> qLogisticMulti,
     "q_cochran_q" -> qCochranQ,
     "q_srm" -> qSrm,
@@ -4853,6 +4863,51 @@ object StatsOps {
                AS DOUBLE) AS z_beta,
              CAST(ROUND(EXP(b), 6) AS DOUBLE) AS odds_ratio
       FROM d3 ORDER BY class""",
+
+    // Day-subject cells (the q_cochran_q prelude at dollar scale),
+    // complete-panel filter, the q_anova decimal fold with days as
+    // groups, MSB/MSW descaled by 1e12, one ICC tree.
+    "q_icc" -> """
+      WITH cells AS (
+        SELECT event_type,
+               DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS y
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT x AS g, CAST(ROUND(y * 1000000.0) AS BIGINT) AS v
+        FROM cells WHERE y IS NOT NULL),
+      complete AS (
+        SELECT g FROM pts GROUP BY g HAVING COUNT(*) = 5),
+      kept AS (SELECT pts.g, v FROM pts JOIN complete USING (g)),
+      byg AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, SUM(v::HUGEINT) AS s1,
+               SUM(v::HUGEINT * v) AS q1
+        FROM kept GROUP BY g),
+      agg AS (
+        SELECT SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS kk,
+               CAST(SUM(s1) AS DOUBLE) AS s, CAST(SUM(q1) AS DOUBLE) AS q,
+               CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / ng, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sb
+        FROM byg),
+      ss AS (
+        SELECT n, kk, sb - s * s / CAST(n AS DOUBLE) AS ssb,
+               q - sb AS ssw
+        FROM agg),
+      ms AS (
+        SELECT n, kk,
+               ssb / CAST(kk - 1 AS DOUBLE) AS msb,
+               ssw / CAST(n - kk AS DOUBLE) AS msw
+        FROM ss)
+      SELECT kk AS n_subjects, CAST(5 AS INT) AS k,
+             CAST(CASE WHEN kk >= 2 AND n > kk THEN
+               ROUND(msb / 1000000000000.0, 6) END AS DOUBLE) AS msb,
+             CAST(CASE WHEN kk >= 2 AND n > kk THEN
+               ROUND(msw / 1000000000000.0, 6) END AS DOUBLE) AS msw,
+             CAST(CASE WHEN kk >= 2 AND n > kk
+                    AND msb + 4.0 * msw > 0.0
+                  THEN ROUND((msb - msw) / (msb + 4.0 * msw), 6)
+             END AS DOUBLE) AS icc
+      FROM ms""",
 
     // Working-response OLS per pass (constant IRLS weights under the
     // log link): z = η + (y−μ)/μ, 12-dp frozen z/xz/x/x² decimal sums,

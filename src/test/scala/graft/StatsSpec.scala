@@ -1953,6 +1953,32 @@ class StatsSpec extends SparkTestBase {
       df.filter(col("y")).count())
   }
 
+  test("icc: planted subject effect scores near 1, pure noise near 0; " +
+      "incomplete panels drop") {
+    import spark.implicits._
+    // subject base 100·s dominates a tiny deterministic rater wobble
+    val strong = for (s <- 1 to 20; r <- 1 to 4)
+      yield (s.toLong, 100.0 * s + (r % 3) * 0.5)
+    val hi = Stats.icc(strong.toDF("subj", "y"), "subj", "y", k = 4)
+      .collect().head
+    assert(hi.getAs[Double]("icc") > 0.99, hi.toString)
+    assert(hi.getAs[Long]("n_subjects") === 20L)
+    // value depends only on the rater, never the subject: msb = 0
+    // exactly, so icc hits its floor (0 − msw)/(0 + 3·msw) = −1/3 —
+    // the negative null behavior reported as computed, not clamped
+    val flat = for (s <- 1 to 20; r <- 1 to 4)
+      yield (s.toLong, (r * 7 % 5).toDouble)
+    val lo = Stats.icc(flat.toDF("subj", "y"), "subj", "y", k = 4)
+      .collect().head
+    assert(lo.getAs[Double]("icc") === -0.333333, lo.toString)
+    assert(lo.getAs[Double]("msb") === 0.0, lo.toString)
+    // a subject with an incomplete panel is excluded, not imputed
+    val part = Stats.icc(
+      (strong.filter(_._1 < 20) ++ Seq((20L, 1.0))).toDF("subj", "y"),
+      "subj", "y", k = 4).collect().head
+    assert(part.getAs[Long]("n_subjects") === 19L, part.toString)
+  }
+
   test("gammaFit: exact log-linear data recovered; noiseless dispersion " +
       "vanishes; non-positive y rejected loudly") {
     import spark.implicits._
