@@ -958,8 +958,14 @@ object RankEval {
       val denom = stats
         .join(broadcast(si), Seq("i"))
         .join(broadcast(sj), col("j") === col("_j")).drop("_j")
+        // floor the pair denominator: both sup-normalized scores can
+        // round to exactly 0.0 at 12 dp under extreme score spread,
+        // and n/0 = Infinity would NULL out under the decimal cast and
+        // silently drop the term from the MM sum — the floor keeps the
+        // term finite (and huge, as MM intends for a near-zero pair)
         .withColumn("_t",
-          round(col("n").cast("double") / (col("_si") + col("_sj")), 12))
+          round(col("n").cast("double")
+            / greatest(col("_si") + col("_sj"), lit(1e-12)), 12))
         .groupBy("i")
         .agg(sum(col("_t").cast("decimal(38,12)")).as("_d"),
           sum("_wi").as("_W"))

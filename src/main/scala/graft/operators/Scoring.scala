@@ -96,23 +96,41 @@ object Scoring {
     * joins the (user, item) history on the ITEM key — the fan-out per
     * user is their history × neighbors-per-item, the inherent cost of
     * item-kNN serving; the anti-join and the per-user top-N window
-    * both key on user. For hub-skewed catalogs cap the neighbor list
-    * first (`maxNeighbors` keeps only each item's top-m cosine
+    * both key on user. Two hub caps, both deterministic: `maxHistory`
+    * keeps only each user's first m items under the item-ascending
+    * total order and is applied BEFORE the co-occurrence pair build
+    * (whose per-user cost is history², quadratic on a hub user) and
+    * BEFORE the candidate expansion — the full uncapped history is
+    * still used for the owned-item anti-join (a linear equi-join;
+    * recommending something the user owns is wrong regardless of the
+    * cap), so a capped run can only MISS candidates, never recommend
+    * an owned item. `maxNeighbors` keeps only each item's top-m cosine
     * neighbors — the m-NN graph every production item-kNN
-    * materializes, here under the same total order).
+    * materializes, here under the same total order.
     *
     * Output: (user, item, score, rank), N rows per user.
     */
   def itemKnnRecommend(df: DataFrame, userCol: String, itemCol: String,
-      topN: Int, maxNeighbors: Int = 50): DataFrame = {
+      topN: Int, maxNeighbors: Int = 50,
+      maxHistory: Int = 1000): DataFrame = {
     require(topN >= 1, s"itemKnnRecommend: topN must be >= 1, got $topN")
     require(maxNeighbors >= 1,
       s"itemKnnRecommend: maxNeighbors must be >= 1")
+    require(maxHistory >= 1,
+      s"itemKnnRecommend: maxHistory must be >= 1, got $maxHistory")
     val hist = df.select(col(userCol).as("_u"), col(itemCol).as("_i"))
       .filter(col("_u").isNotNull && col("_i").isNotNull)
       .distinct()
       .localCheckpoint() // similarity + expansion + anti-join re-read it
-    val sim = cooccurrenceSimilarity(hist, "_u", "_i")
+    // deterministic per-user history cap: the survivor set is the m
+    // smallest item ids (total order), so re-runs and the spec law see
+    // the same capped table; bounds the pair stage at cap² per user
+    val wH = Window.partitionBy("_u").orderBy("_i")
+    val histCapped = hist
+      .withColumn("_hr", row_number().over(wH))
+      .filter(col("_hr") <= maxHistory)
+      .drop("_hr")
+    val sim = cooccurrenceSimilarity(histCapped, "_u", "_i")
       .select(col("item_a"), col("item_b"), col("cosine"))
     // symmetric m-NN neighbor table under the (cosine DESC, neighbor)
     // total order
@@ -127,7 +145,7 @@ object Scoring {
       .withColumn("_rn", row_number().over(wN))
       .filter(col("_rn") <= maxNeighbors)
       .drop("_rn")
-    val cand = hist.join(capped, col("_i") === col("_from"))
+    val cand = histCapped.join(capped, col("_i") === col("_from"))
       .select(col("_u"), col("_to").as("item"), col("cosine"))
       // never recommend something already in the history
       .join(hist.select(col("_u"), col("_i").as("item")),

@@ -884,6 +884,38 @@ class AnalyticsOpsSpec extends SparkTestBase {
       })
   }
 
+  test("itemKnnRecommend: maxHistory caps the pair stage on the " +
+      "deterministic smallest-item survivor set; anti-join still sees " +
+      "the FULL history; cap >= history is a no-op") {
+    import spark.implicits._
+    // hub user 1 owns {A,B,C,D}; users 2,3 share small baskets.
+    val hist = Seq((1, "A"), (1, "B"), (1, "C"), (1, "D"),
+      (2, "A"), (2, "B"), (3, "C"), (3, "D")).toDF("u", "i")
+    def run(cap: Int) = graft.operators.Scoring
+      .itemKnnRecommend(hist, "u", "i", topN = 3, maxNeighbors = 10,
+        maxHistory = cap)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // cap 2 on user 1 keeps {A,B} (smallest items — the deterministic
+    // survivor set), so the capped run equals the run on the manually
+    // capped history
+    val manual = Seq((1, "A"), (1, "B"),
+      (2, "A"), (2, "B"), (3, "C"), (3, "D")).toDF("u", "i")
+    val manualOut = graft.operators.Scoring
+      .itemKnnRecommend(manual, "u", "i", topN = 3, maxNeighbors = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(run(2) === manualOut)
+    // a big cap changes nothing
+    assert(run(1000) === run(4))
+    // owned items NEVER come back even when the cap hid them from the
+    // expansion (user 1 owns C,D beyond cap 2 — they must not appear)
+    assert(!run(2).contains((1, "C")) && !run(2).contains((1, "D")))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Scoring.itemKnnRecommend(hist, "u", "i",
+        topN = 1, maxHistory = 0)
+    }
+    assert(e.getMessage.contains("maxHistory"))
+  }
+
   test("ipsEvaluate: hand fixture matches the textbook estimator; " +
       "replaying the logging policy SNIPS to the plain mean reward; " +
       "bad propensity on a matched row is loud") {
