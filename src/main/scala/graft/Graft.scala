@@ -255,6 +255,49 @@ object Graft {
       "deleteSql: statement does not match DELETE FROM <t> WHERE ...")
   }
 
+  /** Persisted statement-level `UPDATE <t> SET ... WHERE ...` against
+    * a SNAPSHOT-VERSIONED parquet table ([[graft.tables.Versioned]]):
+    * same parse surface as [[updateSql]], compiled onto
+    * [[graft.tables.Versioned.updateWhere]] — the rewrite commits as
+    * a NEW version (prior versions still time-travel, only partitions
+    * containing a matching row are rewritten). The statement's table
+    * name is documentation; the table IS `path`. Returns the
+    * committed version.
+    */
+  def updateSqlVersioned(spark: SparkSession, statement: String,
+      path: String, partitionCols: Seq[String] = Nil): Int =
+    statement match {
+      case UpdateRe(_, setText, condText) =>
+        import org.apache.spark.sql.functions.expr
+        val sets = splitTopLevel(setText).map {
+          case SetRe(c, e) => c -> expr(e)
+          case other =>
+            sys.error(s"updateSqlVersioned: unsupported SET term '$other'")
+        }
+        graft.tables.Versioned.updateWhere(spark, path, sets,
+          expr(condText), partitionCols)
+      case _ => sys.error(
+        "updateSqlVersioned: statement does not match UPDATE <t> SET ... WHERE ...")
+    }
+
+  /** Persisted statement-level `DELETE FROM <t> WHERE ...` against a
+    * snapshot-versioned parquet table: [[deleteSql]]'s parse surface
+    * onto [[graft.tables.Versioned.deleteWhere]] (ANSI: TRUE-condition
+    * rows removed, NULL-condition rows survive; an emptied partition
+    * simply has no files in the new snapshot). Returns the committed
+    * version.
+    */
+  def deleteSqlVersioned(spark: SparkSession, statement: String,
+      path: String, partitionCols: Seq[String] = Nil): Int =
+    statement match {
+      case DeleteRe(_, condText) =>
+        import org.apache.spark.sql.functions.expr
+        graft.tables.Versioned.deleteWhere(spark, path, expr(condText),
+          partitionCols)
+      case _ => sys.error(
+        "deleteSqlVersioned: statement does not match DELETE FROM <t> WHERE ...")
+    }
+
   private val InsertValuesRe =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(VALUES\s*\(.+?\))\s*""".r
   private val InsertSelectRe =

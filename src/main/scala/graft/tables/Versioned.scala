@@ -34,7 +34,21 @@ import org.apache.spark.sql.functions.{col, lit}
   * Contract: ONE writer at a time (commits are serialized by the
   * caller — this layer adds no lock; two concurrent writers could
   * both stage v{N+1} and one rename would fail loudly, not corrupt),
-  * any number of readers. A versioned table must be read through
+  * any number of readers. Every commit's data files are STAMPED with
+  * a commit-unique prefix and the snapshot is built from the stamp —
+  * never from a before/after directory diff — so even when the
+  * single-writer contract is violated, the loser's files can never be
+  * silently claimed by the winner's snapshot: the winner's snapshot
+  * contains exactly its own files and the loser dies on the v-rename
+  * collision, leaving only unreferenced orphans for [[vacuum]].
+  * [[vacuum]] itself must be serialized WITH the writer (it is part
+  * of the one-writer contract, not exempt from it): it deletes
+  * unreferenced data files, and an in-flight commit's freshly-moved
+  * files are exactly that until the snapshot renames into place. As a
+  * safety margin it additionally skips unreferenced files newer than
+  * the latest committed snapshot, so a vacuum racing a writer (a
+  * contract violation) leaves the in-flight files alone.
+  * A versioned table must be read through
   * [[load]] — a plain directory read sees every generation of every
   * row and is NOT the table (the directory stopped being the source
   * of truth the moment the first commit kept history).
@@ -164,6 +178,70 @@ object Versioned {
       s"Versioned: atomic commit rename failed for $target")
   }
 
+  /** Append `df`'s rows as STAMPED new files: the write goes to a
+    * private staging dir under the versions dir (invisible to data
+    * listings and plain reads), then each data file is MOVED into the
+    * table under a commit-unique name prefix. The commit's file set
+    * is therefore known exactly — never inferred from a before/after
+    * directory diff — so a concurrent writer's files (a violated
+    * single-writer contract) can never be silently claimed by this
+    * commit's snapshot. Returns (relPath, len) of the moved files.
+    */
+  private def stampedAppend(fs: FileSystem, root: Path,
+      df: DataFrame, partitionCols: Seq[String]): Seq[(String, Long)] = {
+    val stamp = java.util.UUID.randomUUID().toString
+      .replace("-", "").take(16)
+    val stage = new Path(versionsDir(root), s".stage-$stamp")
+    val w = df.write.mode("errorifexists")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(stage.toString)
+    val staged = dataFiles(fs, stage).toSeq.sortBy(_._1)
+    val moved = staged.map { case (rel, len) =>
+      val slash = rel.lastIndexOf('/')
+      val (dirRel, name) =
+        if (slash < 0) ("", rel)
+        else (rel.substring(0, slash), rel.substring(slash + 1))
+      val destDir = if (dirRel.isEmpty) root else new Path(root, dirRel)
+      if (!fs.exists(destDir)) fs.mkdirs(destDir)
+      val destName = s"g$stamp-$name"
+      val dest = new Path(destDir, destName)
+      require(fs.rename(new Path(stage, rel), dest),
+        s"Versioned: stamped move failed for $dest")
+      (if (dirRel.isEmpty) destName else s"$dirRel/$destName") -> len
+    }
+    fs.delete(stage, true)
+    moved
+  }
+
+  /** Partition-column types whose JVM `Row.get(i).toString` rendering
+    * is IDENTICAL to Spark's hive partition-directory rendering.
+    * [[mergeInto]]/[[updateWhere]]/[[deleteWhere]] re-render touched
+    * partition VALUES to path prefixes to drop a touched partition's
+    * old files from the new snapshot — for a type whose toString
+    * diverges (java.sql.Timestamp renders `2024-01-01 00:00:00.0` but
+    * the directory says `2024-01-01 00%3A00%3A00`; Double `1.0E7` vs
+    * `1.0E7`-vs-plain disagreements; BigDecimal scale), the prefix
+    * would never match and the new snapshot would SILENTLY keep both
+    * the old and the rewritten files — duplicated rows in a committed
+    * snapshot. Hence: loud require, not a silent wrong table.
+    */
+  private def requireRenderablePartitionTypes(
+      df: DataFrame, partitionCols: Seq[String], op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok: Set[DataType] =
+      Set(StringType, IntegerType, LongType, ShortType, ByteType,
+        BooleanType, DateType)
+    val bad = partitionCols.filterNot(c => ok.contains(df.schema(c).dataType))
+    require(bad.isEmpty,
+      s"Versioned.$op: partition column(s) ${bad.mkString(",")} have " +
+        s"type(s) ${bad.map(c => df.schema(c).dataType.simpleString).mkString(",")} " +
+        "whose JVM rendering differs from Spark's partition-directory " +
+        "rendering — the touched-partition file drop would silently " +
+        "keep stale files (duplicated rows). Partition on " +
+        "string/int/long/short/byte/boolean/date, or derive a " +
+        "renderable partition key (e.g. date_format the timestamp)")
+  }
+
   /** Version an EXISTING bare-parquet directory: snapshot its current
     * files as v1. Returns 1. */
   def init(spark: SparkSession, path: String): Int = {
@@ -277,12 +355,10 @@ object Versioned {
     require(partitionCols.forall(on.contains),
       s"Versioned.mergeInto: partitionCols (${partitionCols.mkString(",")}) " +
         s"must be a subset of the merge keys (${on.mkString(",")})")
-    val root = new Path(path)
-    val fs = fsOf(spark, root)
     val cur = currentVersion(spark, path).getOrElse(
       sys.error(s"Versioned.mergeInto: $path is not a versioned table"))
-    val live = readSnapshot(fs, root, cur)
     val base = load(spark, path, Some(cur))
+    requireRenderablePartitionTypes(base, partitionCols, "mergeInto")
     // align to the read-back column order and types (the
     // mergeIntoParquet contract — union widening would break the
     // partition-value diff and SET */INSERT * schema equality)
@@ -300,24 +376,53 @@ object Versioned {
     }.reduceOption(_ || _).getOrElse(lit(false))
     val merged = graft.Graft.merge(base.filter(touchedPred), src, on,
       whenMatchedUpdate, whenMatchedDeleteIf, whenNotMatchedInsert)
-    val before = dataFiles(fs, root)
-    merged.write.mode("append").partitionBy(partitionCols: _*)
-      .parquet(path)
-    val after = dataFiles(fs, root)
-    val newFiles = (after -- before.keySet).toSeq
-    // live set: previous files OUTSIDE the touched partitions + the
-    // fresh files (merged ⊆ touched because partitionCols ⊆ on)
-    val touchedPrefixes = touched.map { row =>
-      partitionCols.zipWithIndex.map { case (c, i) =>
-        val s = Option(row.get(i)).map(_.toString)
-          .getOrElse("__HIVE_DEFAULT_PARTITION__")
-        s"$c=${graft.Graft.escapePathName(s)}"
-      }.mkString("/") + "/"
+    commitRewrite(spark, path, partitionCols, touched, merged)
+  }
+
+  /** Shared commit tail for partition-confined rewrites ([[mergeInto]],
+    * [[updateWhere]], [[deleteWhere]]): stamp-append `replacement`
+    * (the touched partitions' COMPLETE surviving rows), drop the
+    * touched partitions' previous files from the live set, commit.
+    * With `partitionCols` empty the rewrite is full-table and the new
+    * snapshot is exactly the new files. The dropped-prefix set is the
+    * union of the re-rendered touched VALUES (covers partitions the
+    * rewrite emptied — they produce no new files) and the new files'
+    * actual parent directories (authoritative for partitions that
+    * received rows); partition types are pre-validated renderable so
+    * the two coincide — the union is defense in depth, not a crutch.
+    */
+  private def commitRewrite(spark: SparkSession, path: String,
+      partitionCols: Seq[String],
+      touched: Array[org.apache.spark.sql.Row],
+      replacement: DataFrame): Int = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.commitRewrite: $path is not a versioned table"))
+    val live = readSnapshot(fs, root, cur)
+    // appending never deletes, so `replacement` may keep reading the
+    // previous version's files while the new ones are written
+    val newFiles = stampedAppend(fs, root, replacement, partitionCols)
+    if (partitionCols.isEmpty) {
+      writeSnapshot(fs, root, cur + 1, newFiles)
+    } else {
+      val rendered = touched.map { row =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          val s = Option(row.get(i)).map(_.toString)
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")
+          s"$c=${graft.Graft.escapePathName(s)}"
+        }.mkString("/") + "/"
+      }.toSeq
+      val fromFiles = newFiles.map(_._1).collect {
+        case rel if rel.lastIndexOf('/') >= 0 =>
+          rel.substring(0, rel.lastIndexOf('/') + 1)
+      }.distinct
+      val dropped = (rendered ++ fromFiles).distinct
+      val kept = live.filterNot { case (rel, _) =>
+        dropped.exists(rel.startsWith)
+      }
+      writeSnapshot(fs, root, cur + 1, kept ++ newFiles)
     }
-    val kept = live.filterNot { case (rel, _) =>
-      touchedPrefixes.exists(rel.startsWith)
-    }
-    writeSnapshot(fs, root, cur + 1, kept ++ newFiles)
     cur + 1
   }
 
@@ -374,25 +479,221 @@ object Versioned {
         s"${base.columns.mkString(",")}, rows have ${rows.columns.mkString(",")}")
     val aligned = rows.select(base.columns.map(c =>
       col(c).cast(base.schema(c).dataType).as(c)).toIndexedSeq: _*)
-    val before = dataFiles(fs, root)
-    val w = aligned.write.mode("append")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
-    val after = dataFiles(fs, root)
-    writeSnapshot(fs, root, cur + 1,
-      live ++ (after -- before.keySet).toSeq, batchId)
+    // stamped append (never a before/after directory diff): under a
+    // violated single-writer contract a concurrent appender's files
+    // could land in this commit's listing window — the stamp makes
+    // file attribution exact, so the winner's snapshot provably
+    // contains only its own files and the loser dies on the v-rename
+    val newFiles = stampedAppend(fs, root, aligned, partitionCols)
+    writeSnapshot(fs, root, cur + 1, live ++ newFiles, batchId)
+    cur + 1
+  }
+
+  /** Persisted `UPDATE ... SET ... WHERE`: rows matching `cond` get
+    * each SET column re-evaluated (every RHS sees the PRE-update row —
+    * the ANSI swap semantics; a NULL condition row is NOT updated),
+    * and the result commits as a NEW snapshot — prior versions stay
+    * readable (time travel), concurrent readers never see a torn
+    * table. Returns the committed version (unchanged when no row
+    * matches — a no-op UPDATE mints no version).
+    *
+    * Scale shape: with `partitionCols`, only partitions CONTAINING a
+    * matching row are rewritten (touched values collected bounded by
+    * `maxTouchedPartitions`; SET on a partition column is rejected
+    * loudly — it could move rows between partitions, breaking the
+    * confinement); without, the whole table rewrites as new files.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      cond: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil,
+      maxTouchedPartitions: Int = 10000): Int = {
+    import org.apache.spark.sql.functions.{coalesce, when}
+    require(sets.nonEmpty, "Versioned.updateWhere: empty SET list")
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.updateWhere: $path is not a versioned table"))
+    val base = load(spark, path, Some(cur))
+    sets.foreach { case (c, _) =>
+      require(base.columns.exists(_.equalsIgnoreCase(c)),
+        s"Versioned.updateWhere: unknown column '$c' (table has " +
+          s"${base.columns.mkString(",")})")
+    }
+    require(!sets.exists { case (c, _) =>
+        partitionCols.exists(_.equalsIgnoreCase(c)) },
+      "Versioned.updateWhere: SET on a partition column would move rows " +
+        "between partitions — phrase it as a mergeInto (delete + insert)")
+    if (partitionCols.nonEmpty)
+      requireRenderablePartitionTypes(base, partitionCols, "updateWhere")
+    val hit = coalesce(cond, lit(false))
+    def updated(df: DataFrame): DataFrame = df.select(df.columns.map { c =>
+      sets.find(_._1.equalsIgnoreCase(c)) match {
+        case Some((_, e)) => when(hit, e).otherwise(col(c))
+          .cast(df.schema(c).dataType).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+    if (partitionCols.isEmpty)
+      commitRewrite(spark, path, Nil,
+        Array.empty[org.apache.spark.sql.Row], updated(base))
+    else {
+      val touched = base.filter(hit).select(partitionCols.map(col): _*)
+        .distinct().limit(maxTouchedPartitions + 1).collect()
+      require(touched.length <= maxTouchedPartitions,
+        s"Versioned.updateWhere: > $maxTouchedPartitions touched " +
+          "partitions — raise maxTouchedPartitions knowingly")
+      if (touched.isEmpty) cur
+      else {
+        val touchedPred = touched.map { row =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(row.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        commitRewrite(spark, path, partitionCols, touched,
+          updated(base.filter(touchedPred)))
+      }
+    }
+  }
+
+  /** Persisted `DELETE FROM ... WHERE`: rows where `cond` is TRUE are
+    * removed (NULL-condition rows survive — ANSI), committed as a NEW
+    * snapshot; prior versions stay readable. Returns the committed
+    * version (unchanged when no row matches). With `partitionCols`,
+    * only partitions containing a matching row are rewritten; a
+    * partition the DELETE empties simply has no files in the new
+    * snapshot.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      cond: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil,
+      maxTouchedPartitions: Int = 10000): Int = {
+    import org.apache.spark.sql.functions.{coalesce, not}
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.deleteWhere: $path is not a versioned table"))
+    val base = load(spark, path, Some(cur))
+    if (partitionCols.nonEmpty)
+      requireRenderablePartitionTypes(base, partitionCols, "deleteWhere")
+    val hit = coalesce(cond, lit(false))
+    if (partitionCols.isEmpty)
+      commitRewrite(spark, path, Nil,
+        Array.empty[org.apache.spark.sql.Row], base.filter(not(hit)))
+    else {
+      val touched = base.filter(hit).select(partitionCols.map(col): _*)
+        .distinct().limit(maxTouchedPartitions + 1).collect()
+      require(touched.length <= maxTouchedPartitions,
+        s"Versioned.deleteWhere: > $maxTouchedPartitions touched " +
+          "partitions — raise maxTouchedPartitions knowingly")
+      if (touched.isEmpty) cur
+      else {
+        val touchedPred = touched.map { row =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(row.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        commitRewrite(spark, path, partitionCols, touched,
+          base.filter(touchedPred).filter(not(hit)))
+      }
+    }
+  }
+
+  /** Small-file compaction: rewrite every partition directory holding
+    * MORE than one live file into bin-packed larger files and commit
+    * the result as a NEW snapshot — the antidote to the streaming
+    * sink's one-file-set-per-micro-batch accretion (T12), with the
+    * append-only contract preserved: nothing is deleted, every prior
+    * version still time-travels, and the current streaming batch
+    * stamp is carried FORWARD into the compaction snapshot so a
+    * mid-stream compaction can never reopen replay protection.
+    * Directories already at one file are left byte-untouched. Returns
+    * the committed version (unchanged when nothing needs compacting).
+    *
+    * Scale shape: one shuffle of the compactable bytes, nothing else
+    * moves. Partitioned tables repartition on the partition columns
+    * (+ a deterministic row-hash salt when a directory exceeds
+    * `targetFileBytes`, bounding files-per-directory at
+    * ceil(dirBytes/target)); unpartitioned tables round-robin into
+    * ceil(totalBytes/target) bins. Old files stay for time travel —
+    * reclaim them with [[vacuum]] once history ages out.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes >= 1L,
+      s"Versioned.compact: targetFileBytes must be >= 1, got $targetFileBytes")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.compact: $path is not a versioned table"))
+    val live = readSnapshot(fs, root, cur)
+    def dirOf(rel: String): String = {
+      val slash = rel.lastIndexOf('/')
+      if (slash < 0) "" else rel.substring(0, slash)
+    }
+    val byDir = live.groupBy(f => dirOf(f._1))
+    val toCompact = byDir.filter(_._2.size > 1)
+    if (toCompact.isEmpty) return cur
+    val keep = byDir.view.filterKeys(!toCompact.contains(_))
+      .values.flatten.toSeq
+    val paths = toCompact.values.flatten
+      .map(f => new Path(root, f._1).toString).toSeq
+    val df = spark.read.option("basePath", root.toString)
+      .parquet(paths: _*)
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"Versioned.compact: partition column '$c' not in the table " +
+        s"(${df.columns.mkString(",")}) — pass the table's hive layout"))
+    val out =
+      if (partitionCols.isEmpty) {
+        val totalBytes = toCompact.values.flatten.map(_._2).sum
+        val nBins = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        df.repartition(nBins)
+      } else {
+        val maxDirBytes = toCompact.values.map(_.map(_._2).sum).max
+        val binsPerDir = math.max(1L,
+          (maxDirBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        if (binsPerDir == 1)
+          // all rows of a partition value hash to ONE task → exactly
+          // one output file per compacted directory
+          df.repartition(partitionCols.map(col): _*)
+        else {
+          // deterministic row-hash salt caps files-per-directory at
+          // binsPerDir without a second shuffle
+          val dataCols = df.columns.filterNot(partitionCols.contains)
+          df.withColumn("_graft_bin",
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.hash(
+                  dataCols.map(col).toIndexedSeq: _*), lit(binsPerDir)))
+            .repartition((partitionCols.map(col) :+ col("_graft_bin"))
+              .toIndexedSeq: _*)
+            .drop("_graft_bin")
+        }
+      }
+    val newFiles = stampedAppend(fs, root, out, partitionCols)
+    // carry the streaming stamp forward (T12 composition)
+    writeSnapshot(fs, root, cur + 1, keep ++ newFiles,
+      committedBatchId(spark, path))
     cur + 1
   }
 
   /** Retention: drop all snapshots older than the newest `keepLast`
     * and physically delete data files no kept snapshot references.
     * The ONLY destructive operation in the layer; returns the deleted
-    * data-file relPaths. */
+    * data-file relPaths.
+    *
+    * Serialization contract: vacuum is a WRITE and must be serialized
+    * with the single writer — an in-flight commit's freshly-appended
+    * files are unreferenced until its snapshot renames into place, so
+    * a concurrent vacuum could destroy a commit in progress. As a
+    * safety margin against a violated contract, unreferenced files
+    * whose modification time is NEWER than the latest committed
+    * snapshot are skipped (they may belong to an in-flight writer);
+    * they remain eligible for the next vacuum once a later snapshot
+    * either references or supersedes them.
+    */
   def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"Versioned.vacuum: keepLast must be >= 1")
     val root = new Path(path)
     val fs = fsOf(spark, root)
-    val cur = currentVersion(spark, path).getOrElse(
+    currentVersion(spark, path).getOrElse(
       sys.error(s"Versioned.vacuum: $path is not a versioned table"))
     val vd = versionsDir(root)
     val all = fs.listStatus(vd).toSeq.map(_.getPath.getName).collect {
@@ -401,7 +702,13 @@ object Versioned {
     val keep = all.takeRight(keepLast).toSet
     val referenced = keep.toSeq.flatMap(v =>
       readSnapshot(fs, root, v).map(_._1)).toSet
+    val latestMtime =
+      fs.getFileStatus(snapshotPath(root, all.max)).getModificationTime
     val doomed = (dataFiles(fs, root).keySet -- referenced).toSeq.sorted
+      .filter { rel =>
+        val p = new Path(root, rel)
+        fs.exists(p) && fs.getFileStatus(p).getModificationTime <= latestMtime
+      }
     doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     all.filterNot(keep).foreach(v =>
       fs.delete(snapshotPath(root, v), false))

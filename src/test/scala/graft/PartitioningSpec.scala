@@ -534,6 +534,190 @@ class PartitioningSpec extends SparkTestBase {
       s"v1 planning must ride the sidecar, opened $opened footers")
   }
 
+  test("Versioned.compact: small files merge into one per partition as " +
+      "a NEW snapshot — rows identical, file count drops, time travel " +
+      "unaffected, streaming batch stamp carried forward") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vcompact").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0), (2, 20L, 2.0)).toDF("p", "k", "v"), Seq("p"))
+    // streaming-cadence accretion: 3 micro-batches = 3 file sets
+    (1 to 3).foreach { i =>
+      Versioned.insertIntoStreamBatch(spark, dir,
+        Seq((1, 100L + i, i.toDouble), (2, 200L + i, i.toDouble))
+          .toDF("p", "k", "v"), Seq("p"), batchId = i.toLong)
+    }
+    assert(Versioned.currentVersion(spark, dir) === Some(4))
+    def liveFiles(v: Int): Long =
+      Versioned.load(spark, dir, Some(v)).select(input_file_name())
+        .distinct().count()
+    val preRows = Versioned.load(spark, dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+    val preFiles = liveFiles(4)
+    assert(preFiles >= 8L, s"accretion fixture needs many files: $preFiles")
+    assert(Versioned.compact(spark, dir,
+      targetFileBytes = 1L << 30, partitionCols = Seq("p")) === 5)
+    // identical rows, one file per partition dir
+    assert(Versioned.load(spark, dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet === preRows)
+    assert(liveFiles(5) === 2L, s"expected 2 compacted files, got ${liveFiles(5)}")
+    // time travel to the pre-compaction version is untouched
+    assert(Versioned.load(spark, dir, Some(4)).count() === preRows.size.toLong)
+    assert(liveFiles(4) === preFiles)
+    // the batch stamp survived: replaying batch 3 is still a no-op
+    assert(Versioned.committedBatchId(spark, dir) === Some(3L))
+    assert(Versioned.insertIntoStreamBatch(spark, dir,
+      Seq((9, 9L, 9.0)).toDF("p", "k", "v"), Seq("p"), batchId = 3L) === 5)
+    // nothing left to compact: no-op mints no version
+    assert(Versioned.compact(spark, dir,
+      targetFileBytes = 1L << 30, partitionCols = Seq("p")) === 5)
+  }
+
+  test("Versioned: stamped commits — a foreign file landing in the " +
+      "directory mid-commit is NEVER claimed by the snapshot; a commit " +
+      "collision dies loudly") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vstamp").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0)).toDF("p", "k", "v"), Seq("p"))
+    // a concurrent (contract-violating) writer's file appears in the
+    // listing window: under the old before/after directory diff this
+    // row would be silently claimed by the next commit's snapshot
+    val foreignSrc = Files.createTempDirectory("vforeign").toString + "/f"
+    Seq((1, 666L, 6.66)).toDF("p", "k", "v").drop("p")
+      .write.parquet(foreignSrc)
+    val part = new java.io.File(foreignSrc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$dir/p=1/foreign.parquet").toPath)
+    assert(Versioned.insertInto(spark, dir,
+      Seq((1, 11L, 2.0)).toDF("p", "k", "v"), Seq("p")) === 2)
+    // v2 = v1 + own insert; the foreign row is NOT in any snapshot
+    assert(Versioned.load(spark, dir).select("k").as[Long]
+      .collect().toSet === Set(10L, 11L))
+    assert(new java.io.File(s"$dir/p=1/foreign.parquet").exists(),
+      "the foreign file is an orphan for vacuum, not deleted here")
+    // (the loser-loud half of the contract is writeSnapshot's
+    // exists-check + atomic rename: two racers for the same v — a true
+    // interleaving this single-threaded test cannot stage — have one
+    // rename fail; what the stamp adds, proven above, is that the
+    // WINNER's snapshot can never claim the loser's files)
+  }
+
+  test("Versioned: non-renderable partition types are rejected loudly " +
+      "(timestamp toString diverges from the hive directory rendering)") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vts").toString + "/t"
+    val base = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0))
+      .toDF("ts", "k", "v")
+    Versioned.create(spark, dir, base, Seq("ts"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, dir,
+        Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 9.0))
+          .toDF("ts", "k", "v"),
+        on = Seq("ts", "k"), partitionCols = Seq("ts"))
+    }
+    assert(e.getMessage.contains("rendering"), e.getMessage)
+    // date partitions DO render identically and pass the guard
+    val dir2 = Files.createTempDirectory("vdate").toString + "/t"
+    Versioned.create(spark, dir2,
+      Seq((java.sql.Date.valueOf("2024-01-01"), 1L, 1.0),
+        (java.sql.Date.valueOf("2024-01-02"), 2L, 2.0)).toDF("d", "k", "v"),
+      Seq("d"))
+    assert(Versioned.mergeInto(spark, dir2,
+      Seq((java.sql.Date.valueOf("2024-01-01"), 1L, 9.0)).toDF("d", "k", "v"),
+      on = Seq("d", "k"), partitionCols = Seq("d")) === 2)
+    assert(Versioned.load(spark, dir2).select("v")
+      .as[Double].collect().toSet === Set(9.0, 2.0))
+  }
+
+  test("Versioned.vacuum: skips unreferenced files NEWER than the latest " +
+      "snapshot (in-flight writer safety margin) while reclaiming " +
+      "genuinely dead ones") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vvacsafe").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0)).toDF("p", "k", "v"), Seq("p"))
+    Versioned.mergeInto(spark, dir,
+      Seq((1, 10L, 9.0)).toDF("p", "k", "v"),
+      on = Seq("p", "k"), partitionCols = Seq("p"))
+    // an in-flight commit's freshly-moved file: unreferenced AND newer
+    // than the latest snapshot (sleep beats coarse mtime granularity)
+    Thread.sleep(1100)
+    val inflight = new java.io.File(s"$dir/p=1/gfffa-inflight.parquet")
+    java.nio.file.Files.write(inflight.toPath, Array[Byte](1, 2, 3))
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 1)
+    assert(deleted.nonEmpty, "v1's rewritten original must be reclaimed")
+    assert(inflight.exists(),
+      "a file newer than the latest snapshot must survive vacuum")
+    assert(!deleted.exists(_.contains("inflight")))
+  }
+
+  test("Versioned.updateWhere/deleteWhere + SQL facades: persisted ANSI " +
+      "semantics, partition confinement, no-op mints no version") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vupd").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0), (1, 11L, 2.0), (2, 20L, 3.0), (3, 30L, 4.0))
+        .toDF("p", "k", "v"), Seq("p"))
+    def fileOf(p: Int): Set[String] =
+      new java.io.File(s"$dir/p=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val p3Before = fileOf(3)
+    // UPDATE through the SQL facade: only p=1 and p=2 contain matches
+    assert(graft.Graft.updateSqlVersioned(spark,
+      "UPDATE t SET v = v + 10.0 WHERE k % 10 = 0 AND p < 3",
+      dir, Seq("p")) === 2)
+    assert(Versioned.load(spark, dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+      === Set((1, 10L, 11.0), (1, 11L, 2.0), (2, 20L, 13.0), (3, 30L, 4.0)))
+    // untouched partition kept its exact file set (confinement)
+    assert(fileOf(3) === p3Before)
+    // time travel: v1 is the pre-update table
+    assert(Versioned.load(spark, dir, Some(1)).select("v")
+      .as[Double].collect().toSet === Set(1.0, 2.0, 3.0, 4.0))
+    // ANSI: every SET RHS sees the PRE-update row (swap works)
+    val dir2 = Files.createTempDirectory("vswap").toString + "/t"
+    Versioned.create(spark, dir2,
+      Seq((1, 5L, 7.0)).toDF("p", "k", "v"), Seq("p"))
+    Versioned.updateWhere(spark, dir2,
+      Seq("k" -> col("v").cast("long"), "v" -> col("k").cast("double")),
+      lit(true), Seq("p"))
+    assert(Versioned.load(spark, dir2).select("k", "v")
+      .as[(Long, Double)].collect().toSet === Set((7L, 5.0)))
+    // no-op UPDATE returns the current version unchanged
+    assert(Versioned.updateWhere(spark, dir,
+      Seq("v" -> lit(0.0)), col("k") === 999L, Seq("p")) === 2)
+    // SET on a partition column is loud
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, dir,
+        Seq("p" -> lit(9)), lit(true), Seq("p"))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // DELETE through the facade: empties p=2 entirely; v grows to 3
+    assert(graft.Graft.deleteSqlVersioned(spark,
+      "DELETE FROM t WHERE p = 2 OR k = 11", dir, Seq("p")) === 3)
+    assert(Versioned.load(spark, dir).select("p", "k", "v")
+      .as[(Int, Long, Double)].collect().toSet
+      === Set((1, 10L, 11.0), (3, 30L, 4.0)))
+    // the emptied partition's files survive on disk for history
+    assert(new java.io.File(s"$dir/p=2").exists())
+    assert(Versioned.load(spark, dir, Some(2)).count() === 4L)
+    // ANSI NULL-condition rows SURVIVE a delete
+    val dir3 = Files.createTempDirectory("vdelnull").toString + "/t"
+    Versioned.create(spark, dir3,
+      Seq((1, Some(1.0)), (2, None), (3, Some(3.0)))
+        .toDF("k", "x"), Nil)
+    Versioned.deleteWhere(spark, dir3, col("x") > 2.0)
+    assert(Versioned.load(spark, dir3).select("k").as[Int]
+      .collect().toSet === Set(1, 2))
+  }
+
   test("Versioned: contract guards — partitionCols ⊆ on; unversioned " +
       "dirs refuse load; double init refuses") {
     import spark.implicits._
