@@ -1021,6 +1021,70 @@ object LlmOps {
     }
   }
 
+  /** PERSISTED statement-level UPDATE through
+    * [[graft.Graft.updateSqlVersioned]]: orders becomes a versioned
+    * table partitioned by status, the ANSI statement commits v2 (only
+    * partitions containing a matching row rewrite — the F partition
+    * is untouched by the predicate), and the judged result is the v2
+    * read-back. The persisted claim beyond q_update_into's pure
+    * transform: the update survived a write/commit/load round trip
+    * with v1 still readable underneath.
+    */
+  val qUpdateSql: QueryFn = withTables { spark =>
+    import graft.tables.Versioned
+    val base = spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_upd")
+      .toString + "/orders"
+    try {
+      Versioned.create(spark, dir, base, Seq("o_orderstatus"))
+      val v = graft.Graft.updateSqlVersioned(spark,
+        """UPDATE t SET o_totalprice = o_totalprice + 125.0
+           WHERE o_orderkey % 5 = 0 AND o_orderstatus <> 'F'""",
+        dir, Seq("o_orderstatus"))
+      require(v == 2, s"q_update_sql: expected v2, got v$v")
+      Versioned.load(spark, dir, Some(2))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root.getParent, true)
+    }
+  }
+
+  /** PERSISTED statement-level DELETE through
+    * [[graft.Graft.deleteSqlVersioned]]: the statement's TRUE rows
+    * vanish from the committed v2 (the P partition empties entirely —
+    * under snapshots an emptied partition just has no files), NULL
+    * rows would survive; judged on the v2 read-back.
+    */
+  val qDeleteSql: QueryFn = withTables { spark =>
+    import graft.tables.Versioned
+    val base = spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_del")
+      .toString + "/orders"
+    try {
+      Versioned.create(spark, dir, base, Seq("o_orderstatus"))
+      val v = graft.Graft.deleteSqlVersioned(spark,
+        "DELETE FROM t WHERE o_orderstatus = 'P' OR o_totalprice > 200000",
+        dir, Seq("o_orderstatus"))
+      require(v == 2, s"q_delete_sql: expected v2, got v$v")
+      Versioned.load(spark, dir, Some(2))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root.getParent, true)
+    }
+  }
+
   val qCdcMerge: QueryFn = withTables { spark =>
     val orders = spark.table("orders")
     val base = orders.withColumn("version", lit(0L))
@@ -1724,6 +1788,8 @@ object LlmOps {
     "q_time_travel" -> qTimeTravel,
     "q_update_into" -> qUpdateInto,
     "q_delete_from" -> qDeleteFrom,
+    "q_update_sql" -> qUpdateSql,
+    "q_delete_sql" -> qDeleteSql,
     "q_cdc_replay" -> qCdcReplay,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_exact" -> qSampleExact,
@@ -2622,6 +2688,30 @@ object LlmOps {
              CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
       FROM orders
       WHERE NOT COALESCE(o_totalprice > 150000 OR o_orderstatus = 'F',
+                         FALSE)
+      ORDER BY o_orderkey""",
+
+    // Persisted UPDATE replay: the statement's CASE projection — the
+    // judged Spark side additionally round-tripped it through a
+    // versioned commit + load.
+    "q_update_sql" -> """
+      SELECT o_orderkey,
+             o_orderstatus,
+             CAST(ROUND(CASE WHEN o_orderkey % 5 = 0
+                              AND o_orderstatus <> 'F'
+                    THEN o_totalprice + 125.0
+                    ELSE o_totalprice END, 2) AS DOUBLE) AS o_totalprice
+      FROM orders
+      ORDER BY o_orderkey""",
+
+    // Persisted DELETE replay: surviving rows only (ANSI — NULL
+    // conditions survive); the Spark side read them back from the
+    // committed v2 snapshot.
+    "q_delete_sql" -> """
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE NOT COALESCE(o_orderstatus = 'P' OR o_totalprice > 200000,
                          FALSE)
       ORDER BY o_orderkey""",
 
