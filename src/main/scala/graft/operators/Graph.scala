@@ -530,6 +530,102 @@ object Graph {
       col("seed_label").isNotNull.as("is_seed"))
   }
 
+  /** Fixed-pass half-synchronous Louvain local-move community
+    * detection on an undirected graph — the modularity-OPTIMIZING
+    * sibling of [[labelPropagation]] (which spreads labels with no
+    * objective; it is known to flood real graphs with one giant
+    * component). Every vertex starts in its own singleton community;
+    * each pass, every ELIGIBLE vertex moves to the candidate
+    * community (a neighbor's community or its own) maximizing the
+    * exact Louvain gain numerator
+    * score(v→c) = 2·m·k_{v,c} − Σtot(c∖v)·k_v (the standard ΔQ over
+    * the common positive factor 1/(2m²)) under the (score DESC,
+    * community ASC) total order. Eligibility alternates by the parity
+    * of the vertex's GLOBAL DENSE RANK (rank(v) under vertex-label
+    * order; odd ranks move on odd passes, even on even) — the
+    * half-synchronous schedule that kills the classic two-vertex swap
+    * oscillation a fully synchronous update never escapes, while
+    * staying engine-portable (a rank parity is pure SQL; a hash
+    * parity is not).
+    *
+    * Determinism: scores are exact 64-bit integers (|score| ≤
+    * 2·m·k_max — overflow needs m·k > 4.6e18, beyond any judged
+    * graph), the argmax order is total, the pass count fixed. The
+    * smallest-label tie break also merges symmetric ties toward the
+    * smaller community. Multi-level Louvain composes by contracting
+    * communities to supernodes and re-running; this local-move kernel
+    * is the part that optimizes.
+    *
+    * Scale shape: the symmetrized edge list partitions ONCE on the
+    * join key and truncates lineage (the [[pageRank]] contract); the
+    * rank comes from [[Indexing.denseIds]] (range partition + local
+    * index — never a single-partition window). Per pass: one
+    * edge×state equi-join, one (vertex, candidate) count, one
+    * community-total aggregate joined back on the community key (all
+    * hash-partitioned; community count starts at |V| — nothing here
+    * is broadcast except the one-row m), one per-vertex argmax
+    * window. State is vertex-sized.
+    *
+    * Returns (vertex, community, comm_size); community labels are the
+    * member vertex labels whose singletons absorbed the rest.
+    */
+  def louvainMove(edges: DataFrame, srcCol: String, dstCol: String,
+      passes: Int): DataFrame = {
+    require(passes >= 1 && passes <= 8,
+      s"louvainMove: passes must be in [1, 8], got $passes")
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+      .select(col("lo").as("_a"), col("hi").as("_b"))
+    val sym = canon
+      .unionByName(canon.select(col("_b").as("_a"), col("_a").as("_b")))
+      .repartition(col("_a"))
+      .localCheckpoint()
+    val deg = Indexing.denseIds(
+        sym.groupBy(col("_a").as("_v")).agg(count(lit(1)).as("_k")),
+        Seq("_v"), "_r")
+      .localCheckpoint()
+    val mRow = canon.agg(count(lit(1)).as("_m"))
+    var state = deg.select(col("_v"), col("_v").as("_c"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_v").orderBy(col("_score").desc, col("_cand").asc)
+    for (pass <- 1 to passes) {
+      val tot = state.join(deg.select(col("_v"), col("_k")), "_v")
+        .groupBy(col("_c")).agg(sum("_k").as("_tot"))
+      val kvc = sym
+        .join(state.select(col("_v").as("_b"), col("_c").as("_nc")), "_b")
+        .groupBy(col("_a").as("_v"), col("_nc").as("_cand"))
+        .agg(count(lit(1)).as("_kvc"))
+      val cands = kvc
+        .unionByName(state.select(col("_v"), col("_c").as("_cand"))
+          .withColumn("_kvc", lit(0L)))
+        .groupBy("_v", "_cand").agg(sum("_kvc").as("_kvc"))
+      val best = cands
+        .join(state, "_v")
+        .join(deg.select(col("_v"), col("_k")), "_v")
+        .join(tot.select(col("_c").as("_cand"), col("_tot")), "_cand")
+        .crossJoin(broadcast(mRow))
+        .withColumn("_totx",
+          col("_tot") - when(col("_cand") === col("_c"), col("_k"))
+            .otherwise(lit(0L)))
+        .withColumn("_score",
+          lit(2L) * col("_m") * col("_kvc") - col("_totx") * col("_k"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_v"), col("_cand"))
+      state = state
+        .join(deg.select(col("_v"), col("_r")), "_v")
+        .join(best, "_v")
+        .select(col("_v"),
+          when(col("_r") % 2 === pass % 2, col("_cand"))
+            .otherwise(col("_c")).as("_c"))
+        .localCheckpoint(false)
+    }
+    val sizes = state.groupBy(col("_c")).agg(count(lit(1)).as("comm_size"))
+    state.join(sizes, "_c")
+      .select(col("_v").as("vertex"), col("_c").as("community"),
+        col("comm_size"))
+  }
+
   /** Fixed-round k-core peeling on an undirected graph: each round
     * recomputes degrees over the surviving subgraph and drops every
     * vertex with degree < k (and its incident edges). With enough

@@ -295,6 +295,19 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** 4-pass half-synchronous Louvain local moves on the part co-order
+    * graph: exact integer ΔQ-numerator argmax under the (score DESC,
+    * community ASC) total order, move eligibility alternating by
+    * dense-rank parity (the oscillation breaker) — the
+    * modularity-OPTIMIZING community detector beside q_label_prop's
+    * objective-free spreader. The oracle unrolls the four passes with
+    * the identical all-integer arithmetic.
+    */
+  val qLouvain: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.louvainMove(coOrderParts(spark, sfDir, 7), "a", "b", passes = 4)
+      .orderBy("vertex")
+  }
+
   /** 2-round k-core peeling (k=3) on the same co-order graph:
     * all-integer degrees, oracle unrolls the two synchronous peels.
     */
@@ -511,6 +524,7 @@ object GraphOps {
     "q_triangles" -> qTriangles,
     "q_mahalanobis" -> qMahalanobis,
     "q_label_prop" -> qLabelProp,
+    "q_louvain" -> qLouvain,
     "q_kcore" -> qKcore,
     "q_pagerank_weighted" -> qPageRankWeighted,
     "q_clustering_coef" -> qClusteringCoef,
@@ -704,7 +718,70 @@ object GraphOps {
                  ORDER BY adc, vec_id) AS rank
         FROM adcr)"""
 
+  // q_louvain's oracle, generated pass-by-pass so the four unrolled
+  // rounds are mechanically identical: each pass recomputes community
+  // degree totals, neighbor-community link counts (own community
+  // unioned in at 0), the exact integer Louvain gain numerator
+  // 2·m·kvc − Σtot(c∖v)·k, the (score DESC, cand ASC) argmax, and the
+  // rank-parity-gated state update — the same arithmetic the Spark
+  // operator runs, with no rounding anywhere.
+  private val louvainOracle: String = {
+    val passCtes = (1 to 4).map { p =>
+      val prev = s"s${p - 1}"
+      s"""
+      tot$p AS (SELECT s.c, SUM(d.k)::BIGINT AS tot
+                FROM $prev s JOIN deg d ON d.v = s.v GROUP BY s.c),
+      kvc$p AS (SELECT y.v AS v, s.c AS cand, COUNT(*)::BIGINT AS kvc
+                FROM sym y JOIN $prev s ON s.v = y.n GROUP BY y.v, s.c),
+      cand$p AS (SELECT v, cand, SUM(kvc)::BIGINT AS kvc FROM (
+                   SELECT v, cand, kvc FROM kvc$p
+                   UNION ALL SELECT v, c AS cand, 0 FROM $prev)
+                 GROUP BY v, cand),
+      best$p AS (SELECT v, cand FROM (
+                   SELECT cd.v, cd.cand,
+                          ROW_NUMBER() OVER (PARTITION BY cd.v ORDER BY
+                            (2 * m.m * cd.kvc
+                              - (t.tot - CASE WHEN cd.cand = s.c
+                                              THEN d.k ELSE 0 END) * d.k)
+                              DESC, cd.cand ASC) AS rn
+                   FROM cand$p cd
+                   JOIN $prev s ON s.v = cd.v
+                   JOIN deg d ON d.v = cd.v
+                   JOIN tot$p t ON t.c = cd.cand
+                   CROSS JOIN m)
+                 WHERE rn = 1),
+      s$p AS (SELECT s.v,
+                     CASE WHEN rk.r % 2 = ${p % 2} THEN b.cand
+                          ELSE s.c END AS c
+              FROM $prev s
+              JOIN rk ON rk.v = s.v
+              JOIN best$p b ON b.v = s.v)"""
+    }.mkString(",")
+    s"""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      pairs AS (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS (SELECT a AS v, b AS n FROM pairs
+              UNION ALL SELECT b AS v, a AS n FROM pairs),
+      deg AS (SELECT v, COUNT(*)::BIGINT AS k FROM sym GROUP BY v),
+      m AS (SELECT COUNT(*)::BIGINT AS m FROM pairs),
+      rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM deg),
+      s0 AS (SELECT v, v AS c FROM deg),$passCtes,
+      sizes AS (SELECT c, COUNT(*)::BIGINT AS comm_size
+                FROM s4 GROUP BY c)
+      SELECT s.v AS vertex, s.c AS community, z.comm_size
+      FROM s4 s JOIN sizes z ON z.c = s.c
+      ORDER BY vertex"""
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_louvain" -> louvainOracle,
 
     // The q_harmonic CTEs verbatim; only the final expression changes:
     // closeness = (n1 + n2) / (n1·1 + n2·2) over the same exact shells.

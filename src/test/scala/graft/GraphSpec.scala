@@ -488,4 +488,54 @@ class GraphSpec extends SparkTestBase {
       Graph.betweennessExact(c6, "s", "t", driverMaxEdges = 2)
     }
   }
+
+  test("louvainMove: two bridged triangles resolve to the two triangle " +
+      "communities with the known modularity") {
+    val tri = Seq("a" -> "b", "a" -> "c", "b" -> "c",
+      "d" -> "e", "d" -> "f", "e" -> "f", "c" -> "d")
+    val out = Graph.louvainMove(tri.toDF("s", "t"), "s", "t", passes = 4)
+      .as[(String, String, Long)].collect()
+    val comms = out.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).values.toSet
+    assert(comms === Set(Set("a", "b", "c"), Set("d", "e", "f")), out.toSeq)
+    assert(out.forall(_._3 === 3L), out.toSeq)
+    // Q of the found partition via the judged L130 scorer: 70/196
+    val labels = Graph.louvainMove(tri.toDF("s", "t"), "s", "t", 4)
+      .select(col("vertex"), col("community"))
+    val q = Graph.modularity(tri.toDF("s", "t"), "s", "t",
+        labels, "vertex", "community")
+      .select("modularity").as[Double].head()
+    assert(q === 0.357143, s"Q = $q")
+  }
+
+  test("louvainMove: modularity is non-decreasing over passes on a ring " +
+      "of cliques and beats the singleton baseline") {
+    // 4 triangle-cliques in a ring: x0-x1-x2 cliques, ring bridges
+    val cliques = (0 until 4).flatMap { c =>
+      val v = (0 until 3).map(i => s"c${c}v$i")
+      Seq(v(0) -> v(1), v(0) -> v(2), v(1) -> v(2))
+    }
+    val bridges = (0 until 4).map(c => s"c${c}v0" -> s"c${(c + 1) % 4}v0")
+    val edges = (cliques ++ bridges).toDF("s", "t")
+    def q(passes: Int): Double = {
+      val labels = Graph.louvainMove(edges, "s", "t", passes)
+        .select(col("vertex"), col("community"))
+      Graph.modularity(edges, "s", "t", labels, "vertex", "community")
+        .select("modularity").as[Double].head()
+    }
+    val qs = (1 to 4).map(q)
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a },
+      s"modularity must not decrease over passes: $qs")
+    // singleton partition scores negative (= the pass-0 baseline);
+    // the optimizer must clear it and find the 4 cliques' Q
+    assert(qs.last > 0.0, qs.toString)
+    val comms = Graph.louvainMove(edges, "s", "t", 4)
+      .as[(String, String, Long)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1.take(2)).toSet).values.toSet
+    assert(comms === (0 until 4).map(c => Set(s"c$c")).toSet,
+      s"expected the 4 cliques: $comms")
+    intercept[IllegalArgumentException] {
+      Graph.louvainMove(edges, "s", "t", passes = 0)
+    }
+  }
 }
