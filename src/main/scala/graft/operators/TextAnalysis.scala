@@ -567,6 +567,77 @@ object TextAnalysis {
       .drop(markers.keys.toSeq.sorted.map(l => s"score_$l"): _*)
   }
 
+  /** TRAINED character-n-gram language identification (the TextCat /
+    * CCNet-profile idea): learn a top-`topK` char-n-gram rank PROFILE
+    * per language from a labeled corpus, then classify each test doc
+    * by minimum out-of-place distance between the doc's own top-K
+    * gram ranks and each language profile — Σ |rank_doc − rank_lang|
+    * with penalty `topK` for a doc gram absent from the profile.
+    * [[languageId]] consumes hand-picked markers; this one PRODUCES
+    * the label from data, which is what every downstream curation
+    * decision (mixing, dedup scope, quality gates) actually keys on.
+    *
+    * Determinism: grams are fixed-length slices of the
+    * whitespace-collapsed lowercased text; all counts, ranks, and
+    * distances are integers; both rank windows and the final argmin
+    * run under total orders ((count DESC, gram ASC) and
+    * (distance ASC, lang ASC)) — no rounding anywhere, so the oracle
+    * replays bit-exactly.
+    *
+    * Scale shape: training is one shingle aggregation to a
+    * (langs × topK)-row profile — broadcast-sized by construction.
+    * Test docs pay one gram aggregation + a per-doc rank window, then
+    * a broadcast cross with the language list (|langs| small) and a
+    * broadcast profile join; per-doc distance is one aggregate and
+    * the argmin one window. Nothing quadratic, nothing collected.
+    *
+    * Returns one row per test doc: (idCol, lang_pred, dist) —
+    * `und` with NULL dist when the text yields no full gram.
+    */
+  def languageIdTrained(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, langCol: String, n: Int = 3,
+      topK: Int = 100): DataFrame = {
+    require(n >= 1 && n <= 8, s"languageIdTrained: n in [1,8], got $n")
+    require(topK >= 1, s"languageIdTrained: topK must be >= 1")
+    def grams(df: DataFrame, keyCol: org.apache.spark.sql.Column)
+        : DataFrame =
+      df.select(keyCol.as("_key"),
+          regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("_t"))
+        .select(col("_key"), explode(expr(
+          s"transform(sequence(1, greatest(length(_t), 1)), " +
+            s"i -> substring(_t, i, $n))")).as("_g"))
+        .filter(length(col("_g")) === n)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("_key").orderBy(col("_cnt").desc, col("_g").asc)
+    def ranked(g: DataFrame): DataFrame = g
+      .groupBy("_key", "_g").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_rk", row_number().over(wRank))
+      .filter(col("_rk") <= topK)
+      .select(col("_key"), col("_g"), col("_rk"))
+    val profile = ranked(grams(
+        train.filter(col(langCol).isNotNull), col(langCol)))
+      .select(col("_key").as("_lang"), col("_g"), col("_rk").as("_rl"))
+    val langs = profile.select("_lang").distinct()
+    val docRank = ranked(grams(test, col(idCol)))
+      .select(col("_key").as("_id"), col("_g"), col("_rk").as("_rd"))
+    val best = docRank
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profile), Seq("_lang", "_g"), "left")
+      .groupBy(col("_id"), col("_lang"))
+      .agg(sum(coalesce(abs(col("_rd") - col("_rl")),
+        lit(topK.toLong))).as("dist"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_id")
+          .orderBy(col("dist").asc, col("_lang").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("_id"), col("_lang"), col("dist"))
+    test.select(col(idCol))
+      .join(best, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_lang"), lit("und")).as("lang_pred"),
+        col("dist"))
+  }
+
   /** All n-gram OCCURRENCES (not distinct — repetition needs counts),
     * via the native generator: (doc_id, pos, tok), zero shuffles.
     */

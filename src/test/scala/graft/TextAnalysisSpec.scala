@@ -855,4 +855,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(top1.length == 1 && top1.head.getString(0) == "aa",
       "equal scores tie-break on phrase asc: " + top1.mkString(","))
   }
+
+  test("languageIdTrained: held-out docs classify to their language on " +
+      "a two-language fixture; empty text -> und; deterministic re-run") {
+    import spark.implicits._
+    // distinct char distributions: 'en'-ish uses th/he/an grams,
+    // 'xx'-ish uses zq/qz — profiles separate perfectly
+    val en = Seq("the man and the hen ran then", "that hand can stand sand",
+      "then the man ran and sat", "a tan cat and the fat rat")
+    val xx = Seq("zqzq qzqz zqqz zzqq", "qzz zzq qqz zqz", "zqz qzq zzz qqq",
+      "qz zq qzzq zqqz")
+    val train = (en.take(3).map(t => ("en", t)) ++
+      xx.take(3).map(t => ("xx", t))).zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val test0 = Seq((100L, en.last), (101L, xx.last), (102L, ""))
+      .toDF("doc_id", "text")
+    def run() = graft.operators.TextAnalysis.languageIdTrained(
+        train, test0, "doc_id", "text", "lang", n = 3, topK = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = run()
+    assert(out(100L) === "en" && out(101L) === "xx", out.toString)
+    assert(out(102L) === "und", out.toString)
+    assert(run() === out, "deterministic re-run")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.languageIdTrained(
+        train, test0, "doc_id", "text", "lang", n = 0)
+    }
+  }
 }
