@@ -132,4 +132,32 @@ object Percentiles {
         min(when(col("_cum") >= col("_thr") && col("_thr") > 0, col("_v")))
           .as("wq"))
   }
+
+  /** Grouped quantiles through the PERSISTABLE mergeable sketch
+    * ([[graft.functions.QuantileSketch]]) — the reusable backend for
+    * the approx-percentile duals: one sketch per group (bounded
+    * O(k·log(n/k)) state, map-side partial aggregation), one output
+    * column per requested quantile, EXACT type-1 order statistics
+    * while a group holds ≤ k values. The sketch column itself is a
+    * plain binary — persist the grouped sketches to parquet, reload
+    * in a later session, and combine with
+    * [[graft.functions.QuantileSketch.mergeAgg]] instead of
+    * re-scanning the corpus.
+    *
+    * Output: (groupCols..., n, q_<pct> per requested quantile).
+    */
+  def sketchQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[Double], k: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"sketchQuantiles: quantiles must be in [0,1]: $qs")
+    import graft.functions.QuantileSketch
+    val gcols = groupCols.map(col)
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy() else df.groupBy(gcols: _*)
+    val sk = grouped.agg(
+      QuantileSketch.sketchAgg(col(valueCol).cast("double"), k).as("_sk"))
+    sk.select((gcols :+ QuantileSketch.countOf(col("_sk")).as("n")) ++
+      qs.map(q => QuantileSketch.quantileOf(col("_sk"), q)
+        .as(s"q_${math.round(q * 100)}")): _*)
+  }
 }

@@ -1109,6 +1109,45 @@ object LlmOps {
     }
   }
 
+  /** Persistable quantile sketch, judged at the exact regime and
+    * through a genuine RELOAD: per-(event_type, day) sketches build,
+    * persist to parquet, reload, merge per event_type, and answer
+    * four quantiles — k = 65536 exceeds every per-type count at the
+    * judged SF, so no compaction fires and each answer is the exact
+    * type-1 order statistic (value at rank ceil(q·n)); beyond k the
+    * same pipeline degrades to the rank-error-bounded estimate
+    * (deviation law in PersistenceSpec). Values pass through exactly —
+    * no rounding anywhere.
+    */
+  val qQuantileSketch: QueryFn = withTables { spark =>
+    import graft.functions.QuantileSketch
+    val k = 65536
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(QuantileSketch.sketchAgg(col("value").cast("double"), k)
+        .as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsk")
+      .toString + "/sk"
+    try {
+      daily.write.parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy("event_type")
+        .agg(QuantileSketch.mergeAgg(col("sk"), k).as("sk"))
+        .select(col("event_type"),
+          QuantileSketch.countOf(col("sk")).as("n"),
+          QuantileSketch.quantileOf(col("sk"), 0.25).as("q25"),
+          QuantileSketch.quantileOf(col("sk"), 0.5).as("median"),
+          QuantileSketch.quantileOf(col("sk"), 0.75).as("q75"),
+          QuantileSketch.quantileOf(col("sk"), 0.9).as("q90"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root.getParent, true)
+    }
+  }
+
   val qCdcMerge: QueryFn = withTables { spark =>
     val orders = spark.table("orders")
     val base = orders.withColumn("version", lit(0L))
@@ -1815,6 +1854,7 @@ object LlmOps {
     "q_delete_from" -> qDeleteFrom,
     "q_update_sql" -> qUpdateSql,
     "q_delete_sql" -> qDeleteSql,
+    "q_quantile_sketch" -> qQuantileSketch,
     "q_cdc_replay" -> qCdcReplay,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sample_exact" -> qSampleExact,
@@ -2715,6 +2755,30 @@ object LlmOps {
       WHERE NOT COALESCE(o_totalprice > 150000 OR o_orderstatus = 'F',
                          FALSE)
       ORDER BY o_orderkey""",
+
+    // Exact regime: k >= every per-type count, so the reloaded-merged
+    // sketch answers the explicit rank computation — value at rank
+    // ceil(q·n), rank floor 1. CAST(q AS DOUBLE) pins the product to
+    // the same IEEE arithmetic Spark runs.
+    "q_quantile_sketch" -> """
+      WITH r AS (
+        SELECT event_type, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, MAX(n)::BIGINT AS n,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+               CAST(0.25 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q25,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+               CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS median,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+               CAST(0.75 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q75,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(
+               CAST(0.9 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS q90
+      FROM r
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     // Persisted UPDATE replay: the statement's CASE projection — the
     // judged Spark side additionally round-tripped it through a

@@ -165,4 +165,70 @@ class PersistenceSpec extends SparkTestBase {
       assert(fresh.nonEmpty)
     } finally sys.props.remove("graft.graph.cache")
   }
+
+  test("quantile sketch: parquet round trip is bit-stable; reloaded " +
+      "partition sketches merge to the exact quantiles in the exact " +
+      "regime") {
+    import spark.implicits._
+    import graft.functions.QuantileSketch
+    // deterministic permutation of 1..1000 (7919 coprime to 1000)
+    val vals = (1 to 1000).map(i => ((i * 7919) % 1000 + 1).toDouble)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i % 4, v) }.toDF("part", "v")
+    val k = 2048
+    val sketches = df.groupBy("part")
+      .agg(QuantileSketch.sketchAgg(col("v"), k).as("sk"))
+    val dir = java.nio.file.Files.createTempDirectory("qsk").toString + "/s"
+    sketches.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    // bit stability: reload -> deserialize -> reserialize is identity
+    val pre = sketches.select("part", "sk").as[(Int, Array[Byte])]
+      .collect().toMap
+    reloaded.select("part", "sk").as[(Int, Array[Byte])].collect()
+      .foreach { case (p, bytes) =>
+        assert(java.util.Arrays.equals(bytes, pre(p)), s"part $p bytes")
+        assert(java.util.Arrays.equals(
+          QuantileSketch.deserialize(bytes).serialize, bytes),
+          s"part $p reserialize")
+      }
+    // merged reloaded sketches answer the exact type-1 statistics
+    val merged = reloaded.agg(QuantileSketch.mergeAgg(col("sk"), k).as("sk"))
+      .select(QuantileSketch.countOf(col("sk")),
+        QuantileSketch.quantileOf(col("sk"), 0.25),
+        QuantileSketch.quantileOf(col("sk"), 0.5),
+        QuantileSketch.quantileOf(col("sk"), 0.9))
+      .collect().head
+    assert(merged.getLong(0) === 1000L)
+    assert(merged.getDouble(1) === 250.0 && merged.getDouble(2) === 500.0
+      && merged.getDouble(3) === 900.0, merged.toString)
+    // empty sketch -> NULL quantile
+    val empty = df.filter(col("v") < 0)
+      .agg(QuantileSketch.sketchAgg(col("v"), k).as("sk"))
+      .select(QuantileSketch.quantileOf(col("sk"), 0.5)).collect().head
+    assert(empty.isNullAt(0))
+  }
+
+  test("quantile sketch: deviation law beyond the exact regime — " +
+      "rank error bounded at small k; deterministic re-run") {
+    import spark.implicits._
+    import graft.functions.QuantileSketch
+    val n = 10000
+    val vals = (1 to n).map(i => ((i.toLong * 104729L) % n + 1).toDouble)
+    val df = vals.toDF("v")
+    val k = 64
+    def quantiles(): Seq[Double] = {
+      val sk = df.agg(QuantileSketch.sketchAgg(col("v"), k).as("sk"))
+      Seq(0.1, 0.25, 0.5, 0.75, 0.9).map { q =>
+        sk.select(QuantileSketch.quantileOf(col("sk"), q))
+          .collect().head.getDouble(0)
+      }
+    }
+    val est = quantiles()
+    Seq(0.1, 0.25, 0.5, 0.75, 0.9).zip(est).foreach { case (q, v) =>
+      // values ARE ranks here (permutation of 1..n): rank error direct
+      val err = math.abs(v - q * n) / n
+      assert(err <= 0.05, s"q=$q est=$v rank error $err > 5%")
+    }
+    assert(quantiles() === est, "deterministic compaction must reproduce")
+  }
 }
