@@ -6666,4 +6666,183 @@ object Stats {
           + v("_qc0", "_sc0", "_nc0") / d("_nc0")) / 1e12), 6))
         .cast("double").as("se"))
   }
+
+  /** Instrumental-variable (Wald / just-identified 2SLS) estimation
+    * per group — the causal-inference member for when treatment x is
+    * ENDOGENOUS (self-selected exposure, simultaneity) and a single
+    * instrument z moves x without touching y directly: β_IV =
+    * M_zy/M_zx over the ×n centered moments M_ab = n·Σab − Σa·Σb,
+    * reported beside the naive OLS slope M_xy/M_xx (their gap IS the
+    * endogeneity story) and the first-stage strength F =
+    * (n−2)·R²_zx/(1−R²_zx) — the weak-instrument gauge (F ≲ 10 means
+    * the IV estimate rests on noise, whatever n says).
+    *
+    * Determinism: y/x/z quantize to 1e6-scaled longs, power sums are
+    * exact decimal(38,0) integers, each output is one closed-form
+    * double expression rounded at 6 dp (the [[grangerF]] contract).
+    * Degenerate groups (n < 3, M_zx = 0, M_xx/M_zz ≤ 0) report NULL
+    * loudly-by-absence rather than Infinity.
+    *
+    * Scale shape: one group aggregate — nothing else moves.
+    * Output: (group, n, beta_iv, beta_ols, first_stage_f).
+    */
+  def ivWald(df: DataFrame, groupCol: String, yCol: String,
+      xCol: String, zCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(yCol).isNotNull && col(xCol).isNotNull
+        && col(zCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(yCol) * 1e6).cast("long").as("_y"),
+        round(col(xCol) * 1e6).cast("long").as("_x"),
+        round(col(zCol) * 1e6).cast("long").as("_z"))
+    def m(a: String, b: String) =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val sums = pts.groupBy("_g").agg(count(lit(1)).as("n"),
+      sum(col("_y").cast(dec)).as("_sy"),
+      sum(col("_x").cast(dec)).as("_sx"),
+      sum(col("_z").cast(dec)).as("_sz"),
+      m("_x", "_x").as("_sxx"), m("_z", "_z").as("_szz"),
+      m("_z", "_x").as("_szx"), m("_z", "_y").as("_szy"),
+      m("_x", "_y").as("_sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val mxx = nd * d("_sxx") - d("_sx") * d("_sx")
+    val mzz = nd * d("_szz") - d("_sz") * d("_sz")
+    val mzx = nd * d("_szx") - d("_sz") * d("_sx")
+    val mzy = nd * d("_szy") - d("_sz") * d("_sy")
+    val mxy = nd * d("_sxy") - d("_sx") * d("_sy")
+    val r2 = (mzx * mzx) / (mzz * mxx)
+    val ok = col("n") >= 3 && mzz > 0.0 && mxx > 0.0
+    sums.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      when(ok && mzx =!= 0.0, round(mzy / mzx, 6))
+        .cast("double").as("beta_iv"),
+      when(ok, round(mxy / mxx, 6)).cast("double").as("beta_ols"),
+      when(ok && r2 < 1.0,
+        round((nd - 2.0) * r2 / (lit(1.0) - r2), 6))
+        .cast("double").as("first_stage_f"))
+  }
+
+  /** Sharp regression discontinuity per group: local linear fits on
+    * each side of the cutoff within `bandwidth`, treatment effect =
+    * the difference of the two intercepts AT the cutoff — the
+    * quasi-experimental design for threshold-assigned treatments
+    * (score cutoffs, price breaks, eligibility lines), where units
+    * just-left and just-right of the line are as-good-as-random.
+    *
+    * Each side solves the raw-moment OLS a = (Σy·Σx² − Σx·Σxy)/D,
+    * b = (n·Σxy − Σx·Σy)/D, D = n·Σx² − (Σx)², on x centered at the
+    * cutoff (so `a` IS the boundary value). Centering happens BEFORE
+    * the 1e6 quantization: x and y quantize to scaled longs, power
+    * sums are exact decimal integers, each output one closed-form
+    * rounded double ([[grangerF]] contract). A side with n < 2 or
+    * zero x-variance reports NULL (and a NULL effect) — visibly
+    * undersupported, never a silent extrapolation.
+    *
+    * Scale shape: one filtered group aggregate (both sides fold in
+    * the same pass via conditional sums). Output: (group, n_left,
+    * n_right, left_at_cutoff, right_at_cutoff, effect, slope_left,
+    * slope_right).
+    */
+  def regressionDiscontinuity(df: DataFrame, groupCol: String,
+      runCol: String, yCol: String, cutoff: Double,
+      bandwidth: Double): DataFrame = {
+    require(bandwidth > 0.0,
+      s"regressionDiscontinuity: bandwidth must be > 0, got $bandwidth")
+    val dec = "decimal(38,0)"
+    val band = df.filter(col(runCol).isNotNull && col(yCol).isNotNull
+        && col(runCol) >= cutoff - bandwidth
+        && col(runCol) <= cutoff + bandwidth)
+      .select(col(groupCol).as("_g"),
+        round((col(runCol) - cutoff) * 1e6).cast("long").as("_x"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+      .withColumn("_r", (col("_x") >= 0L).cast("int"))
+    def side(r: Int, e: Column) = sum(when(col("_r") === r, e)
+      .otherwise(lit(0L).cast(dec)))
+    def sq(a: String, b: String) = (col(a).cast(dec) * col(b)).cast(dec)
+    val sums = band.groupBy("_g").agg(
+      sum(when(col("_r") === 0, 1L).otherwise(0L)).as("nl"),
+      sum(when(col("_r") === 1, 1L).otherwise(0L)).as("nr"),
+      side(0, col("_x").cast(dec)).as("_sxl"),
+      side(0, col("_y").cast(dec)).as("_syl"),
+      side(0, sq("_x", "_x")).as("_sxxl"),
+      side(0, sq("_x", "_y")).as("_sxyl"),
+      side(1, col("_x").cast(dec)).as("_sxr"),
+      side(1, col("_y").cast(dec)).as("_syr"),
+      side(1, sq("_x", "_x")).as("_sxxr"),
+      side(1, sq("_x", "_y")).as("_sxyr"))
+    def d(c: String): Column = col(c).cast("double")
+    def fit(n: Column, sx: String, sy: String, sxx: String, sxy: String)
+        : (Column, Column, Column) = {
+      val nd = n.cast("double")
+      val det = nd * d(sxx) - d(sx) * d(sx)
+      val a = (d(sy) * d(sxx) - d(sx) * d(sxy)) / det
+      val b = (nd * d(sxy) - d(sx) * d(sy)) / det
+      (det, a / 1e6, b)
+    }
+    val (dl, al, bl) = fit(col("nl"), "_sxl", "_syl", "_sxxl", "_sxyl")
+    val (dr, ar, br) = fit(col("nr"), "_sxr", "_syr", "_sxxr", "_sxyr")
+    val okL = col("nl") >= 2 && dl > 0.0
+    val okR = col("nr") >= 2 && dr > 0.0
+    sums.select(col("_g").as(groupCol),
+      col("nl").cast("bigint").as("n_left"),
+      col("nr").cast("bigint").as("n_right"),
+      when(okL, round(al, 6)).cast("double").as("left_at_cutoff"),
+      when(okR, round(ar, 6)).cast("double").as("right_at_cutoff"),
+      when(okL && okR, round(ar - al, 6)).cast("double").as("effect"),
+      when(okL, round(bl, 6)).cast("double").as("slope_left"),
+      when(okR, round(br, 6)).cast("double").as("slope_right"))
+  }
+
+  /** Covariate balance by standardized mean difference — the
+    * diagnostic every matching/weighting pipeline (L323's stratified
+    * ATE above all) reports before trusting an estimate: per
+    * covariate, SMD = (μ_t − μ_c)/√((s_t² + s_c²)/2) with sample
+    * (n−1) variances; |SMD| ≲ 0.1 is the conventional "balanced"
+    * line. `cols` melt into one pass (unpivot via stack), so the
+    * whole table is ONE group aggregate regardless of covariate
+    * count.
+    *
+    * Determinism: values quantize to 1e6-scaled longs, exact decimal
+    * power sums, one closed-form rounded double per cell (variances
+    * descale by 1e12). A covariate with an empty arm or zero pooled
+    * variance reports NULL SMD. Output: (covariate, n_treat,
+    * n_control, mean_treat, mean_control, smd), one row per covariate.
+    */
+  def balanceSmd(df: DataFrame, treatCol: org.apache.spark.sql.Column,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "balanceSmd: need at least one covariate")
+    val dec = "decimal(38,0)"
+    val stacked = df.select(treatCol.cast("boolean").as("_t"),
+        explode(array(cols.map(c => struct(lit(c).as("_c"),
+          round(col(c) * 1e6).cast("long").as("_v"))): _*)).as("_s"))
+      .select(col("_t"), col("_s._c").as("_c"), col("_s._v").as("_v"))
+      .filter(col("_t").isNotNull && col("_v").isNotNull)
+    def arm(t: Boolean, e: Column) = sum(when(col("_t") === t, e)
+      .otherwise(lit(0L).cast(dec)))
+    val sums = stacked.groupBy("_c").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("_t"), 1L).otherwise(0L)).as("nc"),
+      arm(true, col("_v").cast(dec)).as("_st"),
+      arm(true, (col("_v").cast(dec) * col("_v")).cast(dec)).as("_qt"),
+      arm(false, col("_v").cast(dec)).as("_sc"),
+      arm(false, (col("_v").cast(dec) * col("_v")).cast(dec)).as("_qc"))
+    def d(c: String): Column = col(c).cast("double")
+    val ntd = col("nt").cast("double")
+    val ncd = col("nc").cast("double")
+    val mt = d("_st") / ntd
+    val mc = d("_sc") / ncd
+    val vt = (d("_qt") - d("_st") * d("_st") / ntd) / (ntd - 1.0)
+    val vc = (d("_qc") - d("_sc") * d("_sc") / ncd) / (ncd - 1.0)
+    val pooled = (vt + vc) / 2.0
+    val ok = col("nt") >= 2 && col("nc") >= 2 && pooled > 0.0
+    sums.select(col("_c").as("covariate"),
+      col("nt").cast("bigint").as("n_treat"),
+      col("nc").cast("bigint").as("n_control"),
+      when(col("nt") >= 1, round(mt / 1e6, 6))
+        .cast("double").as("mean_treat"),
+      when(col("nc") >= 1, round(mc / 1e6, 6))
+        .cast("double").as("mean_control"),
+      when(ok, round((mt - mc) / sqrt(pooled), 6))
+        .cast("double").as("smd"))
+  }
 }

@@ -560,6 +560,48 @@ object StatsOps {
     graft.operators.Stats.grangerF(daily, "g", "d", "y", "x")
   }
 
+  /** Instrumental-variable Wald/2SLS slope of spend on hour-of-day
+    * per event type, instrumented by day-of-month parity: exact
+    * decimal moments, Wald ratio vs the naive OLS slope, first-stage
+    * F as the weak-instrument gauge.
+    */
+  val qIvWald: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .select(col("event_type").as("g"), col("value").as("y"),
+        hour(col("ts")).cast("double").as("x"),
+        (dayofmonth(col("ts")) % 2).cast("double").as("z"))
+    graft.operators.Stats.ivWald(ev, "g", "y", "x", "z")
+      .orderBy("g")
+  }
+
+  /** Sharp regression discontinuity of extended price on quantity at
+    * the 25.5 cutoff (bandwidth 20) per return flag: per-side
+    * closed-form OLS on exact decimal moments, effect = the intercept
+    * jump at the cutoff.
+    */
+  val qRdd: QueryFn = withTables { spark =>
+    graft.operators.Stats.regressionDiscontinuity(
+        spark.table("lineitem").withColumn("g", col("l_returnflag")),
+        "g", "l_quantity", "l_extendedprice",
+        cutoff = 25.5, bandwidth = 20.0)
+      .orderBy("g")
+  }
+
+  /** Covariate balance (standardized mean differences) for the
+    * afternoon-treatment split over spend, day-of-month, and a user
+    * class: one melted aggregate, exact decimal moments, sample
+    * variances, the |SMD| ≲ 0.1 balance diagnostic.
+    */
+  val qSmd: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .select((hour(col("ts")) >= 12).as("t"), col("value"),
+        dayofmonth(col("ts")).cast("double").as("dom"),
+        (col("user_id") % 97).cast("double").as("ucls"))
+    graft.operators.Stats.balanceSmd(ev, col("t"),
+        Seq("value", "dom", "ucls"))
+      .orderBy("covariate")
+  }
+
   /** Quantity-weighted median price per return flag: rational p=1/2,
     * pure integer crossing threshold, value passes through untouched.
     */
@@ -1887,6 +1929,9 @@ object StatsOps {
     "q_km_ci" -> qKmCi,
     "q_dickey_fuller" -> qDickeyFuller,
     "q_granger" -> qGranger,
+    "q_iv_wald" -> qIvWald,
+    "q_rdd" -> qRdd,
+    "q_smd" -> qSmd,
     "q_cox_ph" -> qCoxPh,
     "q_breakpoint" -> qBreakpoint,
     "q_markov_entropy" -> qMarkovEntropy,
@@ -9082,6 +9127,153 @@ object StatsOps {
                ROUND((sser - sseu) / (sseu / (CAST(n AS DOUBLE) - 3.0)), 6)
                END AS DOUBLE) AS f
       FROM sol3""",
+
+    // Same 1e6 quantization, exact HUGEINT moments, and the identical
+    // Wald / OLS / first-stage-F double trees.
+    "q_iv_wald" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y,
+               CAST(ROUND(CAST(HOUR(ts) AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS x,
+               CAST(ROUND(CAST(DAY(ts) % 2 AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS z
+        FROM events WHERE value IS NOT NULL),
+      sums AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT) AS sx,
+               SUM(z::HUGEINT) AS sz,
+               SUM(x::HUGEINT * x) AS sxx0, SUM(z::HUGEINT * z) AS szz0,
+               SUM(z::HUGEINT * x) AS szx0, SUM(z::HUGEINT * y) AS szy0,
+               SUM(x::HUGEINT * y) AS sxy0
+        FROM pts GROUP BY g),
+      fl AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS mxx,
+               CAST(n AS DOUBLE) * CAST(szz0 AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS mzz,
+               CAST(n AS DOUBLE) * CAST(szx0 AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE) AS mzx,
+               CAST(n AS DOUBLE) * CAST(szy0 AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) AS mzy,
+               CAST(n AS DOUBLE) * CAST(sxy0 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS mxy
+        FROM sums),
+      r AS (SELECT g, n, mxx, mzz, mzx, mzy, mxy,
+                   (mzx * mzx) / (mzz * mxx) AS r2 FROM fl)
+      SELECT g, n,
+             CAST(CASE WHEN n >= 3 AND mzz > 0.0 AND mxx > 0.0
+                    AND mzx <> 0.0
+               THEN ROUND(mzy / mzx, 6) END AS DOUBLE) AS beta_iv,
+             CAST(CASE WHEN n >= 3 AND mzz > 0.0 AND mxx > 0.0
+               THEN ROUND(mxy / mxx, 6) END AS DOUBLE) AS beta_ols,
+             CAST(CASE WHEN n >= 3 AND mzz > 0.0 AND mxx > 0.0
+                    AND r2 < 1.0
+               THEN ROUND((CAST(n AS DOUBLE) - 2.0) * r2 / (1.0 - r2), 6)
+               END AS DOUBLE) AS first_stage_f
+      FROM r ORDER BY g""",
+
+    // Same bandwidth filter, 1e6-quantized centered x, per-side
+    // conditional HUGEINT sums, and the identical raw-moment OLS trees.
+    "q_rdd" -> """
+      WITH band AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND((l_quantity - 25.5) * 1000000.0) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 1000000.0) AS BIGINT) AS y
+        FROM lineitem
+        WHERE l_quantity >= 25.5 - 20.0 AND l_quantity <= 25.5 + 20.0),
+      b2 AS (SELECT g, x, y,
+                    CASE WHEN x >= 0 THEN 1 ELSE 0 END AS r FROM band),
+      sums AS (
+        SELECT g,
+               SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END)::BIGINT AS nl,
+               SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS nr,
+               SUM(CASE WHEN r = 0 THEN x::HUGEINT ELSE 0 END) AS sxl,
+               SUM(CASE WHEN r = 0 THEN y::HUGEINT ELSE 0 END) AS syl,
+               SUM(CASE WHEN r = 0 THEN x::HUGEINT * x ELSE 0 END) AS sxxl,
+               SUM(CASE WHEN r = 0 THEN x::HUGEINT * y ELSE 0 END) AS sxyl,
+               SUM(CASE WHEN r = 1 THEN x::HUGEINT ELSE 0 END) AS sxr,
+               SUM(CASE WHEN r = 1 THEN y::HUGEINT ELSE 0 END) AS syr,
+               SUM(CASE WHEN r = 1 THEN x::HUGEINT * x ELSE 0 END) AS sxxr,
+               SUM(CASE WHEN r = 1 THEN x::HUGEINT * y ELSE 0 END) AS sxyr
+        FROM b2 GROUP BY g),
+      fits AS (
+        SELECT g, nl, nr,
+               CAST(nl AS DOUBLE) * CAST(sxxl AS DOUBLE)
+                 - CAST(sxl AS DOUBLE) * CAST(sxl AS DOUBLE) AS dl,
+               (CAST(syl AS DOUBLE) * CAST(sxxl AS DOUBLE)
+                 - CAST(sxl AS DOUBLE) * CAST(sxyl AS DOUBLE)) AS al0,
+               (CAST(nl AS DOUBLE) * CAST(sxyl AS DOUBLE)
+                 - CAST(sxl AS DOUBLE) * CAST(syl AS DOUBLE)) AS bl0,
+               CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+                 - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE) AS dr,
+               (CAST(syr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+                 - CAST(sxr AS DOUBLE) * CAST(sxyr AS DOUBLE)) AS ar0,
+               (CAST(nr AS DOUBLE) * CAST(sxyr AS DOUBLE)
+                 - CAST(sxr AS DOUBLE) * CAST(syr AS DOUBLE)) AS br0
+        FROM sums),
+      vals AS (
+        SELECT g, nl, nr, dl, dr,
+               (al0 / dl) / 1000000.0 AS al, bl0 / dl AS bl,
+               (ar0 / dr) / 1000000.0 AS ar, br0 / dr AS br
+        FROM fits)
+      SELECT g, nl AS n_left, nr AS n_right,
+             CAST(CASE WHEN nl >= 2 AND dl > 0.0
+               THEN ROUND(al, 6) END AS DOUBLE) AS left_at_cutoff,
+             CAST(CASE WHEN nr >= 2 AND dr > 0.0
+               THEN ROUND(ar, 6) END AS DOUBLE) AS right_at_cutoff,
+             CAST(CASE WHEN nl >= 2 AND dl > 0.0 AND nr >= 2 AND dr > 0.0
+               THEN ROUND(ar - al, 6) END AS DOUBLE) AS effect,
+             CAST(CASE WHEN nl >= 2 AND dl > 0.0
+               THEN ROUND(bl, 6) END AS DOUBLE) AS slope_left,
+             CAST(CASE WHEN nr >= 2 AND dr > 0.0
+               THEN ROUND(br, 6) END AS DOUBLE) AS slope_right
+      FROM vals ORDER BY g""",
+
+    // Same melt, per-arm conditional HUGEINT sums, sample variances,
+    // and the identical scaled-mean / pooled-sd trees.
+    "q_smd" -> """
+      WITH base AS (
+        SELECT (HOUR(ts) >= 12) AS t, value,
+               CAST(DAY(ts) AS DOUBLE) AS dom,
+               CAST(user_id % 97 AS DOUBLE) AS ucls
+        FROM events),
+      melted AS (
+        SELECT t, 'value' AS c,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS v FROM base
+        UNION ALL
+        SELECT t, 'dom', CAST(ROUND(dom * 1000000.0) AS BIGINT) FROM base
+        UNION ALL
+        SELECT t, 'ucls', CAST(ROUND(ucls * 1000000.0) AS BIGINT) FROM base),
+      sums AS (
+        SELECT c,
+               SUM(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS nt,
+               SUM(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS nc,
+               SUM(CASE WHEN t THEN v::HUGEINT ELSE 0 END) AS st,
+               SUM(CASE WHEN t THEN v::HUGEINT * v ELSE 0 END) AS qt,
+               SUM(CASE WHEN NOT t THEN v::HUGEINT ELSE 0 END) AS sc,
+               SUM(CASE WHEN NOT t THEN v::HUGEINT * v ELSE 0 END) AS qc
+        FROM melted WHERE v IS NOT NULL GROUP BY c),
+      d AS (
+        SELECT c, nt, nc,
+               CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mt,
+               CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc,
+               (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                  / CAST(nt AS DOUBLE)) / (CAST(nt AS DOUBLE) - 1.0) AS vt,
+               (CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+                  / CAST(nc AS DOUBLE)) / (CAST(nc AS DOUBLE) - 1.0) AS vc
+        FROM sums),
+      p AS (SELECT c, nt, nc, mt, mc, (vt + vc) / 2.0 AS pooled FROM d)
+      SELECT c AS covariate, nt AS n_treat, nc AS n_control,
+             CAST(CASE WHEN nt >= 1
+               THEN ROUND(mt / 1000000.0, 6) END AS DOUBLE) AS mean_treat,
+             CAST(CASE WHEN nc >= 1
+               THEN ROUND(mc / 1000000.0, 6) END AS DOUBLE) AS mean_control,
+             CAST(CASE WHEN nt >= 2 AND nc >= 2 AND pooled > 0.0
+               THEN ROUND((mt - mc) / SQRT(pooled), 6)
+               END AS DOUBLE) AS smd
+      FROM p ORDER BY covariate""",
 
     // One lag window over the daily series, decimal moments, the same
     // left-assoc beta/t tree.

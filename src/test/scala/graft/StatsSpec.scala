@@ -3776,4 +3776,66 @@ class StatsSpec extends SparkTestBase {
     val r0 = Stats.conoverSquaredRanks(same, "g", "v").collect().head
     assert(r0.getDouble(3) < 4.0, s"identical spreads: $r0")
   }
+
+  test("ivWald: binary instrument reduces to the textbook Wald ratio; " +
+      "constant instrument reports NULL") {
+    import spark.implicits._
+    // z=0: x {1,2}, y {5,7}; z=1: x {3,4}, y {12,14}
+    // Wald = (13-6)/(3.5-1.5) = 3.5
+    val df = Seq((0.0, 1.0, 5.0), (0.0, 2.0, 7.0),
+      (1.0, 3.0, 12.0), (1.0, 4.0, 14.0))
+      .map { case (z, x, y) => ("g", y, x, z) }.toDF("g", "y", "x", "z")
+    val r = Stats.ivWald(df, "g", "y", "x", "z").collect().head
+    assert(r.getLong(1) === 4L && r.getDouble(2) === 3.5, r.toString)
+    // OLS on the same data: Mxy/Mxx = 64/20 = 3.2; first-stage
+    // R² = 8²/(4·20) = 0.8 → F = 2·0.8/0.2 = 8
+    assert(r.getDouble(3) === 3.2, r.toString)
+    assert(r.getDouble(4) === 8.0, r.toString)
+    val const = df.withColumn("z", lit(1.0))
+    val r2 = Stats.ivWald(const, "g", "y", "x", "z").collect().head
+    assert(r2.isNullAt(2) && r2.isNullAt(4), r2.toString)
+  }
+
+  test("regressionDiscontinuity: exact linear sides recover the " +
+      "intercept jump; bandwidth filters; thin side is NULL") {
+    import spark.implicits._
+    // left: y = 1 + 2x, right: y = 4 + x => effect 3 at cutoff 0
+    val df = Seq((-2.0, -3.0), (-1.0, -1.0), (-0.5, 0.0),
+      (0.5, 4.5), (1.0, 5.0), (2.0, 6.0),
+      (50.0, 999.0)) // outside any sane bandwidth
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "run", "y")
+    val r = Stats.regressionDiscontinuity(df, "g", "run", "y",
+      cutoff = 0.0, bandwidth = 10.0).collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L, r.toString)
+    assert(r.getDouble(3) === 1.0 && r.getDouble(4) === 4.0, r.toString)
+    assert(r.getDouble(5) === 3.0, r.toString)
+    assert(r.getDouble(6) === 2.0 && r.getDouble(7) === 1.0, r.toString)
+    // one-point side: NULL fit and NULL effect, visible counts
+    val thin = Seq(("g", -1.0, 1.0), ("g", 0.5, 4.0), ("g", 1.0, 5.0))
+      .toDF("g", "run", "y")
+    val t = Stats.regressionDiscontinuity(thin, "g", "run", "y", 0.0, 10.0)
+      .collect().head
+    assert(t.getLong(1) === 1L && t.isNullAt(3) && t.isNullAt(5), t.toString)
+    intercept[IllegalArgumentException] {
+      Stats.regressionDiscontinuity(df, "g", "run", "y", 0.0, 0.0)
+    }
+  }
+
+  test("balanceSmd: hand fixture; zero pooled variance reports NULL smd " +
+      "with means intact") {
+    import spark.implicits._
+    // treat {1,3}: mean 2 var 2; control {5,9}: mean 7 var 8
+    // smd = -5/sqrt(5) = -2.236068
+    val df = Seq((true, 1.0, 4.0), (true, 3.0, 4.0),
+      (false, 5.0, 4.0), (false, 9.0, 4.0)).toDF("t", "a", "b")
+    val out = Stats.balanceSmd(df, col("t"), Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) === 2L && a.getLong(2) === 2L)
+    assert(a.getDouble(3) === 2.0 && a.getDouble(4) === 7.0)
+    assert(a.getDouble(5) === -2.236068, a.toString)
+    val b = out("b")
+    assert(b.getDouble(3) === 4.0 && b.getDouble(4) === 4.0 && b.isNullAt(5),
+      b.toString)
+  }
 }
