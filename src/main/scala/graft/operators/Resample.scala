@@ -1975,4 +1975,251 @@ object Resample {
             + col("phi2") * (col("_xn1") - col("_mu")), 6))
           .cast("double").as("forecast"))
   }
+
+  /** Theta-method forecast per key (θ = 2 — the M3-competition
+    * winner): decompose the series into its linear trend (the θ=0
+    * line) and the curvature-doubled θ=2 line L_t = 2x_t − (a + b·t),
+    * SES-smooth the θ=2 line, and forecast the equal-weight
+    * combination 0.5·(a + b·(n+h)) + 0.5·level — in practice a
+    * drift-corrected SES that beat far fancier models across the M3
+    * series.
+    *
+    * Determinism: the trend fits by closed-form OLS over the 1-based
+    * per-key time index on 1e6-quantized values with exact decimal
+    * power sums; a and b freeze at 6 dp BEFORE the theta line is
+    * built, each L_t freezes at 6 dp, the SES recursion is [[holt]]
+    * with β = 0 (level-only — bit-identical contract), and the final
+    * combination is one rounded expression. NULL values are dropped
+    * before indexing (a skipped null would desync the trendline's t
+    * from the fold's). A single-point series forecasts its own value
+    * (b = 0). Scale shape: one t-index window + one group aggregate +
+    * the holt fold — all hash-partitioned by key.
+    *
+    * Output: (key, h, forecast), h = 1..horizon.
+    */
+  def thetaForecast(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(orderCols.nonEmpty, "thetaForecast needs an order column")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy("_k").orderBy(orderCols.map(col): _*)
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("_k") +: orderCols.map(col)) :+
+        col(valueCol).cast("double").as("_x"): _*)
+      .withColumn("_t", row_number().over(w))
+      .withColumn("_xq", round(col("_x") * 1e6).cast("long"))
+    def d(c: String) = col(c).cast("double")
+    val sums = pts.groupBy("_k").agg(count(lit(1)).as("_n"),
+      sum(col("_t").cast(dec)).as("_st"),
+      sum(col("_xq").cast(dec)).as("_sx"),
+      sum((col("_t").cast(dec) * col("_xq")).cast(dec)).as("_stx"),
+      sum((col("_t").cast(dec) * col("_t")).cast(dec)).as("_stt"))
+    val nd = col("_n").cast("double")
+    val det = nd * d("_stt") - d("_st") * d("_st")
+    val bS = (nd * d("_stx") - d("_st") * d("_sx")) / det
+    val aS = (d("_sx") - bS * d("_st")) / nd
+    val ab = sums.select(col("_k"), col("_n"),
+      when(det > 0.0, round(aS / 1e6, 6))
+        .otherwise(round(d("_sx") / nd / 1e6, 6)).as("_a"),
+      when(det > 0.0, round(bS / 1e6, 6)).otherwise(lit(0.0)).as("_b"))
+    val theta = pts.join(ab, "_k")
+      .withColumn("_l2",
+        round(lit(2.0) * col("_x") - (col("_a") + col("_b") * col("_t")), 6))
+    val smoothed = holt(theta, "_k", orderCols, "_l2",
+      alpha, beta = 0.0, levelCol = "_lev", trendCol = "_tr")
+    val wLast = Window.partitionBy(col("_k"))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    smoothed
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") === 1 && col("_lev").isNotNull)
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col("_k").as(keyCol), col("h").cast("bigint").as("h"),
+        round((col("_a") + col("_b") * (col("_n").cast("double") + col("h")))
+            * 0.5 + col("_lev") * 0.5, 6)
+          .cast("double").as("forecast"))
+  }
+
+  /** Croston's method per key — THE intermittent-demand forecaster
+    * (spare parts, rare-event counts, sparse per-item sales: series
+    * that are mostly zero with occasional positive demands, where SES
+    * on the raw series chases zeros): SES-smooth the nonzero demand
+    * SIZES z and the inter-demand INTERVALS p separately, forecast
+    * the demand rate z/p.
+    *
+    * State machine (documented convention; ScalaTest-pinned): q
+    * counts periods since the last demand (starting at 1 from the
+    * series head); a period with x > 0 sets z ← r6(α·x + (1−α)z),
+    * p ← r6(α·q + (1−α)p) (first demand initializes z = r6(x),
+    * p = r6(q)) and resets q to 1; a zero period increments q. NULL
+    * rows are skipped entirely (not periods); negative demand is
+    * rejected loudly in-plan. Every update rounds at 6 dp (the holt
+    * contract) so the recursive-CTE oracle replays bit-exactly.
+    *
+    * Scale shape: one repartition + intra-partition sort + a
+    * sequential O(1)-state per-key fold — the [[holt]] cost, keys
+    * never interact. Output one row per key: (key, n_periods,
+    * n_demands, size_level, interval_level, forecast) — a key with
+    * zero demands reports NULL levels/forecast, visibly.
+    */
+  def crostonForecast(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(orderCols.nonEmpty, "crostonForecast needs an order column")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("_k") +: orderCols.map(col)) :+
+        when(col(valueCol) < 0, raise_error(lit(
+          "crostonForecast: negative demand — intermittent series are " +
+            "counts/sizes >= 0")))
+          .otherwise(col(valueCol).cast("double")).as("_x"): _*)
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k") +: orderCols.map(col): _*)
+    val xi = sorted.schema.length - 1
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.head,
+      org.apache.spark.sql.types.StructField("n_periods",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_demands",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("size_level",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("interval_level",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val finals = sorted.mapPartitions { it =>
+      val done = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var curKey: Any = null
+      var haveKey = false
+      var n = 0L; var nd = 0L; var q = 1L
+      var z: java.lang.Double = null
+      var p: java.lang.Double = null
+      def flush(): Unit = if (haveKey)
+        done += org.apache.spark.sql.Row(curKey, n, nd, z, p)
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!haveKey || k != curKey) {
+          flush()
+          curKey = k; haveKey = true
+          n = 0L; nd = 0L; q = 1L; z = null; p = null
+        }
+        val x = r.getDouble(xi)
+        n += 1
+        if (x > 0.0) {
+          nd += 1
+          if (z == null) { z = r6(x); p = r6(q.toDouble) }
+          else {
+            z = r6(alpha * x + (1.0 - alpha) * z)
+            p = r6(alpha * q.toDouble + (1.0 - alpha) * p)
+          }
+          q = 1L
+        } else q += 1L
+      }
+      flush()
+      done.iterator
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    finals.select(col("_k").as(keyCol), col("n_periods"), col("n_demands"),
+      col("size_level"), col("interval_level"),
+      when(col("size_level").isNotNull,
+        round(col("size_level") / col("interval_level"), 6))
+        .cast("double").as("forecast"))
+  }
+
+  /** Multiplicative Holt–Winters h-step forecasts — the PROPORTIONAL
+    * seasonality twin of [[holtWintersForecast]] (additive seasonality
+    * assumes the weekly swing is a constant NUMBER; real revenue
+    * series swing by a constant FRACTION — a +40% Saturday, not a
+    * +400€ Saturday):
+    *   l = r6(α·(x/s_{t−m}) + (1−α)(l+b)), b as in Holt,
+    *   s_t = r6(γ·(x/(l_{t−1}+b_{t−1})) + (1−γ)s_{t−m}),
+    *   forecast(h) = r6((l + h·b)·s_cycle(h)).
+    * Initialization: l = r6(mean of the first m values), b = 0,
+    * s_i = r6(x_i/l). Defined for STRICTLY POSITIVE series — a
+    * non-positive value is rejected loudly in-plan (the ratios
+    * divide by state). Every update rounds at 6 dp, so the
+    * LIST-state recursive oracle replays bit-exactly. Scale shape:
+    * identical to the additive twin (one fold, O(period) state).
+    */
+  def holtWintersMultForecast(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, alpha: Double,
+      beta: Double, gamma: Double, period: Int,
+      horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0.0 && gamma <= 1.0, s"gamma must be in [0,1], got $gamma")
+    require(period >= 2, s"period must be >= 2, got $period")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("_k") +: orderCols.map(col)) :+
+        when(col(valueCol) <= 0, raise_error(lit(
+          "holtWintersMultForecast: non-positive value — multiplicative " +
+            "seasonality needs a strictly positive series (use the " +
+            "additive twin)")))
+          .otherwise(col(valueCol).cast("double")).as("_x"): _*)
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k") +: orderCols.map(col): _*)
+    val xi = sorted.schema.length - 1
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.head,
+      org.apache.spark.sql.types.StructField("_l",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_t",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_ring",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    val finals = sorted.mapPartitions { it =>
+      val done = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var curKey: Any = null
+      var haveKey = false
+      var warm = List.empty[Double]
+      var level: java.lang.Double = null
+      var trend = 0.0
+      var ring: Vector[Double] = Vector.empty
+      def flush(): Unit =
+        if (haveKey && level != null && ring.size == period) {
+          done += org.apache.spark.sql.Row(curKey, level.doubleValue(),
+            trend, ring)
+        }
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!haveKey || k != curKey) {
+          flush()
+          curKey = k; haveKey = true; warm = Nil
+          level = null; trend = 0.0; ring = Vector.empty
+        }
+        val x = r.getDouble(xi)
+        if (level == null) {
+          warm = warm :+ x
+          if (warm.size == period) {
+            val l = r6(warm.sum / period)
+            level = l; trend = 0.0
+            ring = warm.map(v => r6(v / l)).toVector
+          }
+        } else {
+          val sOld = ring.head
+          val prevL: Double = level
+          val prevT = trend
+          val l = r6(alpha * (x / sOld) + (1.0 - alpha) * (prevL + prevT))
+          val b = r6(beta * (l - prevL) + (1.0 - beta) * prevT)
+          val sNew = r6(gamma * (x / (prevL + prevT)) + (1.0 - gamma) * sOld)
+          level = l; trend = b
+          ring = ring.tail :+ sNew
+        }
+      }
+      flush()
+      done.iterator
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    finals
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col("_k").as(keyCol), col("h").cast("bigint").as("h"),
+        round((col("_l") + col("h") * col("_t"))
+            * element_at(col("_ring"),
+              (pmod(col("h") - 1, lit(period)) + 1).cast("int")), 6)
+          .cast("double").as("forecast"))
+  }
 }

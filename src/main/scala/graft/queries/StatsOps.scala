@@ -560,6 +560,55 @@ object StatsOps {
     graft.operators.Stats.grangerF(daily, "g", "d", "y", "x")
   }
 
+  /** Theta-method (θ=2) 3-step forecast of the daily spend series per
+    * event type: closed-form trend on exact decimal moments (a, b
+    * frozen at 6 dp), 6-dp theta line, SES via the holt fold with
+    * β = 0, equal-weight trend/SES combination — the M3 baseline
+    * beater; the oracle replays trend + recursion bit-exactly.
+    */
+  val qThetaForecast: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+    graft.operators.Resample.thetaForecast(daily, "event_type", Seq("d"),
+        "x", alpha = 0.3, horizon = 3)
+      .orderBy("event_type", "h")
+  }
+
+  /** Croston intermittent-demand forecast of daily high-value event
+    * counts (value > 300 — 2-6 demand days per type in 30): separate
+    * SES on demand sizes and inter-demand intervals (α = 0.4), rate
+    * forecast z/p; the oracle replays the exact state machine in a
+    * recursive CTE.
+    */
+  val qCroston: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(when(col("value") > 300, 1L).otherwise(0L))
+        .cast("double").as("x"))
+    graft.operators.Resample.crostonForecast(daily, "event_type", Seq("d"),
+        "x", alpha = 0.4)
+      .orderBy("event_type")
+  }
+
+  /** Multiplicative Holt–Winters (weekly seasonal) 7-step forecast of
+    * the strictly-positive daily spend series — the proportional-
+    * seasonality twin of q_hw_forecast: ratio seasonal ring, 6-dp
+    * updates, (level + h·trend)·s forecasts; LIST-state recursive
+    * oracle.
+    */
+  val qHwMult: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+    graft.operators.Resample.holtWintersMultForecast(daily, "event_type",
+        Seq("d"), "x", alpha = 0.3, beta = 0.2, gamma = 0.1,
+        period = 7, horizon = 7)
+      .orderBy("event_type", "h")
+  }
+
   /** Instrumental-variable Wald/2SLS slope of spend on hour-of-day
     * per event type, instrumented by day-of-month parity: exact
     * decimal moments, Wald ratio vs the naive OLS slope, first-stage
@@ -1932,6 +1981,9 @@ object StatsOps {
     "q_iv_wald" -> qIvWald,
     "q_rdd" -> qRdd,
     "q_smd" -> qSmd,
+    "q_theta_forecast" -> qThetaForecast,
+    "q_croston" -> qCroston,
+    "q_hw_mult" -> qHwMult,
     "q_cox_ph" -> qCoxPh,
     "q_breakpoint" -> qBreakpoint,
     "q_markov_entropy" -> qMarkovEntropy,
@@ -7531,6 +7583,151 @@ object StatsOps {
     // init l0 = round6(list_sum(first 7)/7), s_i = round6(x_i - l0);
     // each step re-spells the operator's rounded level inside the
     // trend update (the holt precedent), ring = seas[2:] || [s_new].
+    // Trend by the identical closed-form double tree (a, b frozen at
+    // 6 dp), 6-dp theta line, SES recursion with trend pinned 0, the
+    // same equal-weight combination.
+    "q_theta_forecast" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i,
+               CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq
+             FROM s),
+      sums AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(i::HUGEINT) AS st, SUM(xq::HUGEINT) AS sx,
+               SUM(i::HUGEINT * xq) AS stx, SUM(i::HUGEINT * i) AS stt
+        FROM si GROUP BY g),
+      fl AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) AS det,
+               CAST(st AS DOUBLE) AS std, CAST(sx AS DOUBLE) AS sxd,
+               CAST(stx AS DOUBLE) AS stxd
+        FROM sums),
+      ab0 AS (
+        SELECT g, n, det,
+               (CAST(n AS DOUBLE) * stxd - std * sxd) / det AS bs,
+               std, sxd
+        FROM fl),
+      ab AS (
+        SELECT g, n,
+               CASE WHEN det > 0.0 THEN ROUND(
+                 ((sxd - bs * std) / CAST(n AS DOUBLE)) / 1000000.0, 6)
+                 ELSE ROUND(sxd / CAST(n AS DOUBLE) / 1000000.0, 6)
+               END AS a,
+               CASE WHEN det > 0.0 THEN ROUND(bs / 1000000.0, 6)
+                 ELSE 0.0 END AS b
+        FROM ab0),
+      th AS (
+        SELECT si.g, si.i, si.x,
+               ROUND(2.0 * si.x - (ab.a + ab.b * si.i), 6) AS l2
+        FROM si JOIN ab ON ab.g = si.g),
+      rec AS (
+        SELECT g, i, l2 AS level FROM th WHERE i = 1
+        UNION ALL
+        SELECT th.g, th.i,
+               ROUND(0.3 * th.l2 + (1.0 - 0.3) * (r.level + 0.0), 6)
+        FROM rec r JOIN th ON th.g = r.g AND th.i = r.i + 1),
+      fin AS (SELECT g, level,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT fin.g AS event_type, CAST(h.h AS BIGINT) AS h,
+             CAST(ROUND((ab.a + ab.b * (CAST(ab.n AS DOUBLE) + h.h)) * 0.5
+               + fin.level * 0.5, 6) AS DOUBLE) AS forecast
+      FROM fin JOIN ab ON ab.g = fin.g
+      CROSS JOIN (VALUES (1), (2), (3)) h(h)
+      WHERE fin.rn = 1
+      ORDER BY event_type, h""",
+
+    // The exact Croston state machine: (z, p, q) recursion with 6-dp
+    // updates, demand init z = r6(x)/p = r6(q), q reset on demand.
+    "q_croston" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      rec AS (
+        SELECT g, i,
+               CAST(CASE WHEN x > 0.0 THEN ROUND(x, 6) END AS DOUBLE) AS z,
+               CAST(CASE WHEN x > 0.0 THEN 1.0 END AS DOUBLE) AS p,
+               CASE WHEN x > 0.0 THEN 1 ELSE 2 END AS q,
+               CASE WHEN x > 0.0 THEN 1 ELSE 0 END::BIGINT AS nd,
+               1::BIGINT AS n
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i,
+               CASE WHEN si.x > 0.0 AND r.z IS NULL THEN ROUND(si.x, 6)
+                    WHEN si.x > 0.0
+                      THEN ROUND(0.4 * si.x + (1.0 - 0.4) * r.z, 6)
+                    ELSE r.z END,
+               CASE WHEN si.x > 0.0 AND r.z IS NULL
+                      THEN ROUND(CAST(r.q AS DOUBLE), 6)
+                    WHEN si.x > 0.0
+                      THEN ROUND(0.4 * CAST(r.q AS DOUBLE)
+                        + (1.0 - 0.4) * r.p, 6)
+                    ELSE r.p END,
+               CASE WHEN si.x > 0.0 THEN 1 ELSE r.q + 1 END,
+               r.nd + CASE WHEN si.x > 0.0 THEN 1 ELSE 0 END,
+               r.n + 1
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, n, nd, z, p,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT g AS event_type, n AS n_periods, nd AS n_demands,
+             z AS size_level, p AS interval_level,
+             CAST(CASE WHEN z IS NOT NULL
+               THEN ROUND(z / p, 6) END AS DOUBLE) AS forecast
+      FROM fin WHERE rn = 1
+      ORDER BY event_type""",
+
+    // The q_hw_forecast LIST recursion with the multiplicative
+    // level/season updates and the (l + h·b)·s forecast.
+    "q_hw_mult" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      init AS (
+        SELECT g, ROUND(LIST_SUM(l7) / 7, 6) AS l0, l7
+        FROM (SELECT g, LIST(x ORDER BY i) AS l7
+              FROM si WHERE i <= 7 GROUP BY g)
+        WHERE LEN(l7) = 7),
+      rec AS (
+        SELECT g, 7 AS i, l0 AS level, CAST(0.0 AS DOUBLE) AS trend,
+               LIST_TRANSFORM(l7, v -> ROUND(v / l0, 6)) AS seas
+        FROM init
+        UNION ALL
+        SELECT si.g, si.i,
+               ROUND(0.3 * (si.x / r.seas[1])
+                 + (1.0 - 0.3) * (r.level + r.trend), 6),
+               ROUND(0.2 * (ROUND(0.3 * (si.x / r.seas[1])
+                     + (1.0 - 0.3) * (r.level + r.trend), 6) - r.level)
+                 + (1.0 - 0.2) * r.trend, 6),
+               r.seas[2:] || [ROUND(0.1 * (si.x / (r.level + r.trend))
+                 + (1.0 - 0.1) * r.seas[1], 6)]
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, level, trend, seas,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT g AS event_type, CAST(h.h AS BIGINT) AS h,
+             CAST(ROUND((level + h.h * trend)
+               * seas[((h.h - 1) % 7) + 1], 6) AS DOUBLE) AS forecast
+      FROM fin CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) h(h)
+      WHERE rn = 1
+      ORDER BY event_type, h""",
+
     "q_hw_forecast" -> """
       WITH RECURSIVE s AS (
         SELECT event_type AS g, CAST(ts AS DATE) AS d,

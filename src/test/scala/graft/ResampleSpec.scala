@@ -797,4 +797,70 @@ class ResampleSpec extends SparkTestBase {
     assert(l.isNullAt(2) && l.isNullAt(3) && l.isNullAt(4)
       && l.getInt(5) === 0, l.toString)
   }
+
+  test("thetaForecast: exact linear series forecasts the line itself; " +
+      "single point forecasts its own value") {
+    import spark.implicits._
+    // y = 10 + 2t: theta line L_t = 2y - (10+2t) = 10+2t = y;
+    // SES level chases but the trend term anchors: with alpha=1 the
+    // level IS y_n, so forecast(h) = .5(10+2(n+h)) + .5(10+2n)
+    val lin = (1 to 6).map(t => ("a", t, 10.0 + 2.0 * t)).toDF("k", "t", "y")
+    val f = Resample.thetaForecast(lin, "k", Seq("t"), "y",
+        alpha = 1.0, horizon = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // n=6: level = y_6 = 22; a=10,b=2 exactly
+    assert(f(1L) === 0.5 * (10 + 2 * 7) + 0.5 * 22, f.toString)
+    assert(f(2L) === 0.5 * (10 + 2 * 8) + 0.5 * 22, f.toString)
+    val one = Seq(("a", 1, 5.0)).toDF("k", "t", "y")
+    val f1 = Resample.thetaForecast(one, "k", Seq("t"), "y", 0.5, 1)
+      .collect().head
+    assert(f1.getDouble(2) === 5.0, f1.toString)
+  }
+
+  test("crostonForecast: hand state machine; all-zero key reports NULL " +
+      "levels; negative demand is loud") {
+    import spark.implicits._
+    // periods: 0,0,3,0,6 with alpha=0.5:
+    // t3: first demand q=3 -> z=3, p=3, q resets
+    // t5: q=2 -> z=.5*6+.5*3=4.5, p=.5*2+.5*3=2.5 -> forecast 1.8
+    val xs = Seq(0.0, 0.0, 3.0, 0.0, 6.0).zipWithIndex
+      .map { case (x, i) => ("a", i, x) }
+    val zeros = Seq.tabulate(3)(i => ("b", i, 0.0))
+    val out = Resample.crostonForecast((xs ++ zeros).toDF("k", "t", "x"),
+        "k", Seq("t"), "x", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) === 5L && a.getLong(2) === 2L, a.toString)
+    assert(a.getDouble(3) === 4.5 && a.getDouble(4) === 2.5
+      && a.getDouble(5) === 1.8, a.toString)
+    val b = out("b")
+    assert(b.getLong(2) === 0L && b.isNullAt(3) && b.isNullAt(5), b.toString)
+    val e = intercept[Exception] {
+      Resample.crostonForecast(Seq(("a", 1, -1.0)).toDF("k", "t", "x"),
+        "k", Seq("t"), "x", 0.5).collect()
+    }
+    assert(e.getMessage.contains("negative demand"), e.getMessage)
+  }
+
+  test("holtWintersMultForecast: constant-ratio seasonal series is " +
+      "reproduced exactly; non-positive value is loud") {
+    import spark.implicits._
+    // period 2, series 10,30,…: l0 = 20, s = (0.5, 1.5) — 6-dp exact;
+    // with alpha=1, beta=gamma=0 every update lands l = x/s = 20
+    // exactly and the ring rotates unchanged, so forecasts reproduce
+    // the cycle exactly
+    val xs = Seq(10.0, 30.0, 10.0, 30.0, 10.0, 30.0).zipWithIndex
+      .map { case (x, i) => ("a", i, x) }.toDF("k", "t", "x")
+    val f = Resample.holtWintersMultForecast(xs, "k", Seq("t"), "x",
+        alpha = 1.0, beta = 0.0, gamma = 0.0, period = 2, horizon = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(f.values.toSet === Set(10.0, 30.0), f.toString)
+    assert(f(1L) !== f(2L), "cycle must alternate")
+    val e = intercept[Exception] {
+      Resample.holtWintersMultForecast(
+        Seq(("a", 1, 0.0), ("a", 2, 1.0)).toDF("k", "t", "x"),
+        "k", Seq("t"), "x", 0.3, 0.1, 0.1, 2, 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive"), e.getMessage)
+  }
 }
