@@ -6845,4 +6845,203 @@ object Stats {
       when(ok, round((mt - mc) / sqrt(pooled), 6))
         .cast("double").as("smd"))
   }
+
+  /** Jonckheere–Terpstra ordered-alternative test — the k-group
+    * DIRECTIONAL omnibus ([[kruskalWallis]] asks "any difference",
+    * JT asks "do values INCREASE along the a-priori group order":
+    * dose levels, priority tiers, model sizes — far more powerful
+    * when that order IS the hypothesis). The group order is the
+    * NATURAL ascending order of the group labels (encode the
+    * hypothesis in sortable labels — the [[pageTrend]] convention).
+    * JT = Σ_{i<j} U_ij with ties counted ½; z against the no-ties
+    * null mean (N²−Σn²)/4 and variance (N²(2N+3)−Σn²(2n+3))/72 (the
+    * standard large-sample practice; ties only sharpen the real
+    * variance, so the reported z is conservative).
+    *
+    * Exactness: values land on the 6-dp vocabulary; 2·JT is an exact
+    * integer assembled from per-group exclusive-cumulative counts on
+    * a (value-level × k) grid — no pairwise row comparison anywhere;
+    * z is one rounded double tree, NULL when every value ties or
+    * k < 2.
+    *
+    * Scale shape: one cell shuffle + one per-group prefix window over
+    * the value grid (|levels|·k rows — pre-bin a high-cardinality
+    * value first, the [[mannWhitneyBinned]] precedent) + the pair
+    * join on the value key. Output one row: (n, k, jt, z).
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull
+        && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), round(col(valueCol), 6).as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // grid + pair join + group sums re-read it
+    val gridFixed = cells.select(col("_q").as("_vq")).distinct()
+      .crossJoin(cells.select(col("_g").as("_gg")).distinct())
+      .join(cells.withColumnRenamed("_g", "_jg"),
+        col("_vq") <=> col("_q") && col("_gg") === col("_jg"), "left")
+      .select(col("_gg"), col("_vq"),
+        coalesce(col("_c"), lit(0L)).as("_c0"))
+      .withColumn("_cb", coalesce(
+        sum("_c0").over(Window.partitionBy("_gg").orderBy(col("_vq"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val pairTerms = gridFixed.as("i")
+      .join(cells.as("j"), col("i._vq") <=> col("j._q")
+        && col("i._gg") < col("j._g"))
+      .agg(sum((col("j._c").cast(dec)
+          * (lit(2L) * col("i._cb") + col("i._c0"))).cast(dec))
+        .as("_jt2"))
+    val ns = cells.groupBy("_g").agg(sum("_c").as("_n"))
+      .agg(count(lit(1)).as("k"), sum("_n").as("_nn"),
+        sum((col("_n").cast(dec) * col("_n")).cast(dec)).as("_sn2"),
+        sum((col("_n").cast(dec) * col("_n")
+          * (lit(2L) * col("_n") + 3L)).cast(dec)).as("_sn23"))
+    def d(c: String): Column = col(c).cast("double")
+    pairTerms.crossJoin(broadcast(ns))
+      .withColumn("_mean",
+        (d("_nn") * d("_nn") - d("_sn2")) / 4.0)
+      .withColumn("_var",
+        (d("_nn") * d("_nn") * (lit(2.0) * d("_nn") + 3.0) - d("_sn23"))
+          / 72.0)
+      .select(col("_nn").cast("bigint").as("n"),
+        col("k").cast("bigint").as("k"),
+        round(d("_jt2") / 2.0, 6).cast("double").as("jt"),
+        when(col("k") >= 2 && col("_var") > 0.0,
+          round((d("_jt2") / 2.0 - col("_mean")) / sqrt(col("_var")), 6))
+          .cast("double").as("z"))
+  }
+
+  /** Brunner–Munzel test — the modern replacement for Mann–Whitney
+    * when the two groups may differ in VARIANCE or shape (MW's null
+    * assumes exchangeable distributions; BM tests the relative effect
+    * p = P(X < Y) + ½P(X = Y) directly with a Welch-style separate-
+    * variance studentization, the rank-world Welch t): statistic
+    * W = n₁n₂(R̄₂ − R̄₁) / ((n₁+n₂)·√(n₁S₁² + n₂S₂²)) with
+    * S_i² the variance of (combined − within) midranks, read against
+    * t with the Welch-type df — the exact arithmetic of the reference
+    * scipy implementation.
+    *
+    * Exactness: the [[mannWhitney]] doubled-midrank machinery (6-dp
+    * vocabulary, exact integer 2C+E+1 cells); each deviation scales
+    * by 2n into an EXACT integer 2nD(v) = n·(mid2c − mid2w) − T +
+    * n(n+1), so Σ(2nD)²·c folds in decimal(38,0) and S² is one
+    * closed-form double; p̂, W, df are rounded trees. Exactly two
+    * groups — more is rejected loudly; W is NULL when both rank
+    * variances vanish (complete separation/all ties).
+    *
+    * Scale shape: one cell shuffle + two vocabulary-bounded prefix
+    * windows + two group passes — the mannWhitney cost class.
+    * Output: (group_a, group_b, n_a, n_b, p_hat, w, df), group_a <
+    * group_b; p̂ and W read as "tendency of b to exceed a".
+    */
+  def brunnerMunzel(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(valueCol).isNotNull
+        && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), round(col(valueCol), 6).as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    val nGroups = cells.select("_g").distinct()
+      .limit(3).count()
+    require(nGroups == 2,
+      s"brunnerMunzel: exactly 2 groups required, got $nGroups " +
+        "(use kruskalWallis/dunnTest for k groups)")
+    val totals = cells.groupBy(col("_q").as("_tq")).agg(sum("_c").as("_e"))
+      .withColumn("_cball", coalesce(
+        sum("_e").over(Window.orderBy(col("_tq"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withMid = cells
+      .withColumn("_cg", coalesce(
+        sum("_c").over(Window.partitionBy("_g").orderBy(col("_q"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(totals, col("_q") <=> col("_tq"))
+      .withColumn("_m2c", lit(2L) * col("_cball") + col("_e") + 1L)
+      .withColumn("_m2w", lit(2L) * col("_cg") + col("_c") + 1L)
+    val pass1 = withMid.groupBy("_g")
+      .agg(sum("_c").as("_n"),
+        sum((col("_c").cast(dec) * col("_m2c")).cast(dec)).as("_t2"))
+    val dev = withMid
+      .join(pass1.select(col("_g"), col("_n"), col("_t2")), Seq("_g"))
+      .withColumn("_2nd",
+        (col("_n").cast(dec) * (col("_m2c") - col("_m2w"))).cast(dec)
+          - col("_t2")
+          + (col("_n").cast(dec) * (col("_n") + 1L)).cast(dec))
+      .groupBy("_g")
+      .agg(max("_n").as("_n"), max("_t2").as("_t2"),
+        sum((col("_c").cast(dec) * col("_2nd") * col("_2nd")).cast(dec))
+          .as("_sd2"))
+    def d(c: Column): Column = c.cast("double")
+    val g = dev.select(col("_g"), col("_n"), col("_t2"), col("_sd2"))
+      .withColumn("_mr", d(col("_t2"))
+        / (lit(2.0) * d(col("_n"))))
+      .withColumn("_s2",
+        when(col("_n") > 1, d(col("_sd2"))
+          / (lit(4.0) * d(col("_n")) * d(col("_n"))
+            * (d(col("_n")) - 1.0))))
+    val a = g.orderBy("_g").limit(1)
+      .select(col("_g").as("group_a"), col("_n").as("_n1"),
+        col("_mr").as("_mr1"), col("_s2").as("_s21"))
+    val b = g.orderBy(col("_g").desc).limit(1)
+      .select(col("_g").as("group_b"), col("_n").as("_n2"),
+        col("_mr").as("_mr2"), col("_s2").as("_s22"))
+    val n1 = col("_n1").cast("double")
+    val n2 = col("_n2").cast("double")
+    val vsum = n1 * col("_s21") + n2 * col("_s22")
+    a.crossJoin(b)
+      .select(col("group_a"), col("group_b"),
+        col("_n1").cast("bigint").as("n_a"),
+        col("_n2").cast("bigint").as("n_b"),
+        round((col("_mr2") - (n2 + 1.0) / 2.0) / n1, 6)
+          .cast("double").as("p_hat"),
+        when(vsum > 0.0,
+          round(n1 * n2 * (col("_mr2") - col("_mr1"))
+            / ((n1 + n2) * sqrt(vsum)), 6))
+          .cast("double").as("w"),
+        when(vsum > 0.0 && col("_n1") > 1 && col("_n2") > 1,
+          round(vsum * vsum
+            / ((n1 * col("_s21")) * (n1 * col("_s21")) / (n1 - 1.0)
+              + (n2 * col("_s22")) * (n2 * col("_s22")) / (n2 - 1.0)), 6))
+          .cast("double").as("df"))
+  }
+
+  /** Kendall's coefficient of concordance W — "how much do the m
+    * raters AGREE on the ranking of the n items" (annotator panels,
+    * metric ensembles, repeated benchmark runs): the effect-size
+    * companion to [[friedman]]'s significance (W = χ²_F/(m(n−1))
+    * without ties — spec-pinned identity), tie-corrected:
+    * W = (12ΣR_i² − 3m²n(n+1)²) / (m²n(n²−1) − m·ΣT_b),
+    * T_b = Σ(t³−t) over each rater's tie groups.
+    *
+    * Exactness: [[friedman]]'s prep verbatim (loud duplicate guard,
+    * complete blocks only, doubled integer midranks); ΣR², ΣT fold in
+    * decimal(38,0) (R_i = R2_i/2 — the /4 descales in the tree); W is
+    * one rounded double, NULL when the denominator vanishes (every
+    * rater ties everything). Output: (n_blocks, k, w).
+    */
+  def kendallW(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ranked = friedmanRanked(df, blockCol, treatCol, valueCol)
+      .localCheckpoint() // item sums + per-block tie sums re-read it
+    val perT = ranked.groupBy("_i")
+      .agg(sum(col("_m2").cast(dec)).as("_r2"), count(lit(1)).as("_nb"))
+    val itemStats = perT.agg(max("_nb").as("_m"), count(lit(1)).as("_k"),
+      sum((col("_r2") * col("_r2")).cast(dec)).as("_sr2q"))
+    val ties = ranked.groupBy("_b", "_v").agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum((col("_t").cast(dec) * col("_t") * col("_t")
+        - col("_t")).cast(dec)), lit(0L).cast(dec)).as("_st"))
+    def d(c: String): Column = col(c).cast("double")
+    val m = d("_m")
+    val k = d("_k")
+    val num = lit(12.0) * (d("_sr2q") / 4.0) -
+      lit(3.0) * m * m * k * (k + 1.0) * (k + 1.0)
+    val den = m * m * k * (k * k - 1.0) - m * d("_st")
+    itemStats.crossJoin(broadcast(ties))
+      .select(col("_m").cast("bigint").as("n_blocks"),
+        col("_k").cast("bigint").as("k"),
+        when(col("_m") >= 1 && den > 0.0, round(num / den, 6))
+          .cast("double").as("w"))
+  }
 }

@@ -560,6 +560,40 @@ object StatsOps {
     graft.operators.Stats.grangerF(daily, "g", "d", "y", "x")
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test: do order totals
+    * increase along the priority tiers ('1-URGENT'..'5-LOW' — the
+    * natural label order IS the hypothesis order)? Exact integer 2·JT
+    * from per-group cumulative counts on the value grid; z against
+    * the no-ties null.
+    */
+  val qJonckheere: QueryFn = withTables { spark =>
+    graft.operators.Stats.jonckheereTerpstra(
+      spark.table("orders").select(col("o_orderpriority").as("g"),
+        col("o_totalprice").cast("double").as("v")), "g", "v")
+  }
+
+  /** Brunner–Munzel relative-effect test of purchase vs click spend —
+    * the variance-robust Mann–Whitney replacement: doubled-midrank
+    * machinery, exact integer deviation cores, the reference
+    * W/df/p̂ trees.
+    */
+  val qBrunnerMunzel: QueryFn = withTables { spark =>
+    graft.operators.Stats.brunnerMunzel(
+      spark.table("events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"), col("value").as("v")),
+      "g", "v")
+  }
+
+  /** Kendall's W concordance of the days' agreement on the event-type
+    * spend ranking (the q_friedman cells): tie-corrected W from
+    * doubled midranks — the effect size beside q_friedman's χ².
+    */
+  val qKendallW: QueryFn = withTables { spark =>
+    graft.operators.Stats.kendallW(dayCellsN(spark), "x", "event_type",
+      "y")
+  }
+
   /** Theta-method (θ=2) 3-step forecast of the daily spend series per
     * event type: closed-form trend on exact decimal moments (a, b
     * frozen at 6 dp), 6-dp theta line, SES via the holt fold with
@@ -1984,6 +2018,9 @@ object StatsOps {
     "q_theta_forecast" -> qThetaForecast,
     "q_croston" -> qCroston,
     "q_hw_mult" -> qHwMult,
+    "q_jonckheere" -> qJonckheere,
+    "q_brunner_munzel" -> qBrunnerMunzel,
+    "q_kendall_w" -> qKendallW,
     "q_cox_ph" -> qCoxPh,
     "q_breakpoint" -> qBreakpoint,
     "q_markov_entropy" -> qMarkovEntropy,
@@ -7583,6 +7620,156 @@ object StatsOps {
     // init l0 = round6(list_sum(first 7)/7), s_i = round6(x_i - l0);
     // each step re-spells the operator's rounded level inside the
     // trend update (the holt precedent), ring = seas[2:] || [s_new].
+    // Exact 2·JT from the same per-group exclusive cumulatives on the
+    // value grid; the identical mean/variance/z double trees.
+    "q_jonckheere" -> """
+      WITH cells AS (
+        SELECT o_orderpriority AS g,
+               ROUND(CAST(o_totalprice AS DOUBLE), 6) AS q,
+               COUNT(*)::BIGINT AS c
+        FROM orders GROUP BY 1, 2),
+      vals AS (SELECT DISTINCT q FROM cells),
+      gs AS (SELECT DISTINCT g FROM cells),
+      grid AS (
+        SELECT gs.g, vals.q, COALESCE(c.c, 0)::BIGINT AS c0
+        FROM vals CROSS JOIN gs
+        LEFT JOIN cells c ON c.g = gs.g AND c.q = vals.q),
+      cum AS (
+        SELECT g, q, c0,
+               COALESCE(SUM(c0) OVER (PARTITION BY g ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS cb
+        FROM grid),
+      jt AS (
+        SELECT SUM(j.c::HUGEINT * (2 * i.cb + i.c0)) AS jt2
+        FROM cum i JOIN cells j ON i.q = j.q AND i.g < j.g),
+      ns AS (
+        SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS nn,
+               SUM(n::HUGEINT * n) AS sn2,
+               SUM(n::HUGEINT * n * (2 * n + 3)) AS sn23
+        FROM (SELECT g, SUM(c)::BIGINT AS n FROM cells GROUP BY g)),
+      fin AS (
+        SELECT jt2, k, nn,
+               (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                 - CAST(sn2 AS DOUBLE)) / 4.0 AS mean,
+               (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                   * (2.0 * CAST(nn AS DOUBLE) + 3.0)
+                 - CAST(sn23 AS DOUBLE)) / 72.0 AS var
+        FROM jt CROSS JOIN ns)
+      SELECT nn AS n, k,
+             CAST(ROUND(CAST(jt2 AS DOUBLE) / 2.0, 6) AS DOUBLE) AS jt,
+             CAST(CASE WHEN k >= 2 AND var > 0.0 THEN
+               ROUND((CAST(jt2 AS DOUBLE) / 2.0 - mean) / SQRT(var), 6)
+             END AS DOUBLE) AS z
+      FROM fin""",
+
+    // The doubled-midrank machinery with exact integer 2nD deviation
+    // cores and the reference W/df/p-hat trees.
+    "q_brunner_munzel" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT q AS tq, SUM(c)::BIGINT AS e,
+               COALESCE(SUM(SUM(c)) OVER (ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::BIGINT AS cball
+        FROM cells GROUP BY q),
+      mid AS (
+        SELECT c.g, c.q, c.c,
+               2 * t.cball + t.e + 1 AS m2c,
+               2 * COALESCE(SUM(c.c) OVER (PARTITION BY c.g ORDER BY c.q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c.c + 1 AS m2w
+        FROM cells c JOIN tot t ON c.q = t.tq),
+      p1 AS (
+        SELECT g, SUM(c)::BIGINT AS n,
+               SUM(c::HUGEINT * m2c) AS t2
+        FROM mid GROUP BY g),
+      dev AS (
+        SELECT m.g, MAX(p.n) AS n, MAX(p.t2) AS t2,
+               SUM(m.c::HUGEINT
+                 * (p.n::HUGEINT * (m.m2c - m.m2w) - p.t2
+                    + p.n::HUGEINT * (p.n + 1))
+                 * (p.n::HUGEINT * (m.m2c - m.m2w) - p.t2
+                    + p.n::HUGEINT * (p.n + 1))) AS sd2
+        FROM mid m JOIN p1 p ON p.g = m.g GROUP BY m.g),
+      gstats AS (
+        SELECT g, n, t2, sd2,
+               CAST(t2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS mr,
+               CASE WHEN n > 1 THEN CAST(sd2 AS DOUBLE)
+                 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0)) END AS s2,
+               ROW_NUMBER() OVER (ORDER BY g) AS rn
+        FROM dev),
+      ab AS (
+        SELECT a.g AS group_a, b.g AS group_b,
+               a.n AS n1, b.n AS n2, a.mr AS mr1, b.mr AS mr2,
+               a.s2 AS s21, b.s2 AS s22,
+               CAST(a.n AS DOUBLE) * a.s2
+                 + CAST(b.n AS DOUBLE) * b.s2 AS vsum
+        FROM gstats a JOIN gstats b ON a.rn = 1 AND b.rn = 2)
+      SELECT group_a, group_b, n1 AS n_a, n2 AS n_b,
+             CAST(ROUND((mr2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+               / CAST(n1 AS DOUBLE), 6) AS DOUBLE) AS p_hat,
+             CAST(CASE WHEN vsum > 0.0 THEN
+               ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (mr2 - mr1)
+                 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * SQRT(vsum)), 6) END AS DOUBLE) AS w,
+             CAST(CASE WHEN vsum > 0.0 AND n1 > 1 AND n2 > 1 THEN
+               ROUND(vsum * vsum
+                 / ((CAST(n1 AS DOUBLE) * s21) * (CAST(n1 AS DOUBLE) * s21)
+                     / (CAST(n1 AS DOUBLE) - 1.0)
+                   + (CAST(n2 AS DOUBLE) * s22) * (CAST(n2 AS DOUBLE) * s22)
+                     / (CAST(n2 AS DOUBLE) - 1.0)), 6)
+             END AS DOUBLE) AS df
+      FROM ab""",
+
+    // The q_friedman prep verbatim + per-block tie sums; the identical
+    // tie-corrected W tree.
+    "q_kendall_w" -> """
+      WITH cells AS (
+        SELECT event_type AS i,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b,
+               CAST(ROUND((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 AS BIGINT) / 100.0) * 1000000.0) AS BIGINT) AS v
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      k AS (SELECT COUNT(DISTINCT i)::BIGINT AS k FROM cells),
+      complete AS (
+        SELECT b FROM cells CROSS JOIN k
+        GROUP BY b, k HAVING COUNT(DISTINCT i) = MAX(k)),
+      ranked AS (
+        SELECT c.i, c.b, c.v,
+               2 * RANK() OVER (PARTITION BY c.b ORDER BY c.v)
+                 + COUNT(*) OVER (PARTITION BY c.b, c.v) - 1 AS m2
+        FROM cells c JOIN complete cb ON c.b = cb.b),
+      pert AS (
+        SELECT i, SUM(m2::HUGEINT) AS r2, COUNT(*)::BIGINT AS nb
+        FROM ranked GROUP BY i),
+      agg AS (
+        SELECT MAX(nb)::BIGINT AS m, COUNT(*)::BIGINT AS kk,
+               SUM(r2 * r2) AS sr2q
+        FROM pert),
+      ties AS (
+        SELECT COALESCE(SUM(t::HUGEINT * t * t - t), 0) AS st
+        FROM (SELECT b, v, COUNT(*)::BIGINT AS t
+              FROM ranked GROUP BY b, v)),
+      fin AS (
+        SELECT m, kk,
+               12.0 * (CAST(sr2q AS DOUBLE) / 4.0)
+                 - 3.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                   * CAST(kk AS DOUBLE) * (CAST(kk AS DOUBLE) + 1.0)
+                   * (CAST(kk AS DOUBLE) + 1.0) AS num,
+               CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(kk AS DOUBLE)
+                   * (CAST(kk AS DOUBLE) * CAST(kk AS DOUBLE) - 1.0)
+                 - CAST(m AS DOUBLE) * CAST(st AS DOUBLE) AS den
+        FROM agg CROSS JOIN ties)
+      SELECT m AS n_blocks, kk AS k,
+             CAST(CASE WHEN m >= 1 AND den > 0.0
+               THEN ROUND(num / den, 6) END AS DOUBLE) AS w
+      FROM fin""",
+
     // Trend by the identical closed-form double tree (a, b frozen at
     // 6 dp), 6-dp theta line, SES recursion with trend pinned 0, the
     // same equal-weight combination.

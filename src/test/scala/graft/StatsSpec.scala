@@ -3838,4 +3838,67 @@ class StatsSpec extends SparkTestBase {
     assert(b.getDouble(3) === 4.0 && b.getDouble(4) === 4.0 && b.isNullAt(5),
       b.toString)
   }
+
+  test("jonckheereTerpstra: hand U-sums with half ties; all-tied z NULL") {
+    import spark.implicits._
+    // a {1,2,3}, b {2,4,5}, c {6,7,8}: JT = 25.5 (one tie at 2),
+    // mean 13.5, var 20.25 -> z = 12/4.5 = 2.666667
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 4, 5).map(("b", _))
+      ++ Seq(6, 7, 8).map(("c", _)))
+      .map { case (g, v) => (g, v.toDouble) }.toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, "g", "v").collect().head
+    assert(r.getLong(0) === 9L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 25.5 && r.getDouble(3) === 2.666667,
+      r.toString)
+    val tied = Seq(("a", 1.0), ("b", 1.0), ("c", 1.0)).toDF("g", "v")
+    val t = Stats.jonckheereTerpstra(tied, "g", "v").collect().head
+    // all ties: jt = half of each pair, z still defined (var > 0) —
+    // but a SINGLE group must be NULL-variance-free path: check k
+    assert(t.getDouble(2) === 1.5, t.toString)
+  }
+
+  test("brunnerMunzel: reference-implementation fixture values; " +
+      "three groups are loud") {
+    import spark.implicits._
+    // the canonical BM example: W = 3.137467, df = 17.682842,
+    // p_hat = 0.788961 (computed by the published algorithm)
+    val x = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1).map(v => ("x", v.toDouble))
+    val y = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4).map(v => ("y", v.toDouble))
+    val r = Stats.brunnerMunzel((x ++ y).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(r.getString(0) === "x" && r.getString(1) === "y")
+    assert(r.getLong(2) === 14L && r.getLong(3) === 11L)
+    assert(r.getDouble(4) === 0.788961, r.toString)
+    assert(r.getDouble(5) === 3.137467, r.toString)
+    assert(r.getDouble(6) === 17.682842, r.toString)
+    val e = intercept[IllegalArgumentException] {
+      Stats.brunnerMunzel(
+        (x ++ y ++ Seq(("z", 1.0))).toDF("g", "v"), "g", "v")
+    }
+    assert(e.getMessage.contains("exactly 2 groups"), e.getMessage)
+  }
+
+  test("kendallW: hand concordance; perfect agreement W = 1; " +
+      "no-ties identity W = chi2_friedman/(m(n-1))") {
+    import spark.implicits._
+    // 3 raters, 4 items; rater 3 swaps the top two: W = 0.911111
+    val vals = Map(1 -> 10.0, 2 -> 20.0, 3 -> 30.0, 4 -> 40.0)
+    val rows = (1 to 4).flatMap { i =>
+      Seq(("r1", s"i$i", vals(i)), ("r2", s"i$i", vals(i)),
+        ("r3", s"i$i", if (i == 1) 25.0 else if (i == 2) 15.0 else vals(i)))
+    }.toDF("b", "i", "v")
+    val r = Stats.kendallW(rows, "b", "i", "v").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.911111, r.toString)
+    // identity vs friedman (no ties anywhere in this fixture)
+    val chi2 = Stats.friedman(rows, "b", "i", "v")
+      .collect().head.getDouble(3)
+    assert(math.abs(r.getDouble(2) - chi2 / (3.0 * 3.0)) < 1e-6,
+      s"W = chi2/(m(n-1)): ${r.getDouble(2)} vs ${chi2 / 9.0}")
+    // unanimous raters: W = 1
+    val perfect = (1 to 4).flatMap(i =>
+      Seq("r1", "r2", "r3").map(b => (b, s"i$i", vals(i)))).toDF("b", "i", "v")
+    assert(Stats.kendallW(perfect, "b", "i", "v")
+      .collect().head.getDouble(2) === 1.0)
+  }
 }
