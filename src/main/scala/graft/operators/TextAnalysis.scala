@@ -638,9 +638,87 @@ object TextAnalysis {
         col("dist"))
   }
 
-  /** All n-gram OCCURRENCES (not distinct — repetition needs counts),
-    * via the native generator: (doc_id, pos, tok), zero shuffles.
+  /** Chao1 vocabulary-richness estimate + Good's coverage per group —
+    * "how much vocabulary have we NOT seen yet" for a growing corpus
+    * (the capture-recapture species estimator on tokens): with f_r =
+    * number of token types observed exactly r times, bias-corrected
+    * Chao1 = D + f₁(f₁−1)/(2(f₂+1)) lower-bounds the true vocabulary,
+    * and Good's coverage Ĉ = 1 − f₁/N estimates the probability the
+    * NEXT token is an already-seen type — the quantitative version of
+    * "is this corpus slice saturated". Complements L126's Heaps-law
+    * FIT (growth-curve shape) with a point estimate of the asymptote.
+    *
+    * Exactness: whitespace tokens on lowercased text (the corpus-wide
+    * tokenizer); D, N, f₁, f₂ are exact integers; chao1 and coverage
+    * are one rounded double expression each.
+    *
+    * Scale shape: one (group, token) count aggregation (map-side
+    * partial), one count-of-counts aggregation — vocabulary-sized
+    * intermediates, no windows. Output: (group, n_tokens, vocab, f1,
+    * f2, chao1, coverage).
     */
+  def vocabRichness(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val toks = df.select(col(groupCol).as("_g"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("_tok"))
+    val typeCounts = toks.groupBy("_g", "_tok")
+      .agg(count(lit(1)).as("_r"))
+    typeCounts.groupBy("_g")
+      .agg(sum("_r").as("_n"), count(lit(1)).as("_d"),
+        sum(when(col("_r") === 1, 1L).otherwise(0L)).as("_f1"),
+        sum(when(col("_r") === 2, 1L).otherwise(0L)).as("_f2"))
+      .select(col("_g").as(groupCol),
+        col("_n").cast("bigint").as("n_tokens"),
+        col("_d").cast("bigint").as("vocab"),
+        col("_f1").cast("bigint").as("f1"),
+        col("_f2").cast("bigint").as("f2"),
+        round(col("_d").cast("double")
+          + col("_f1").cast("double") * (col("_f1").cast("double") - 1.0)
+            / (lit(2.0) * (col("_f2").cast("double") + 1.0)), 6)
+          .cast("double").as("chao1"),
+        round(lit(1.0) - col("_f1").cast("double")
+          / col("_n").cast("double"), 6)
+          .cast("double").as("coverage"))
+  }
+
+  /** Simple Good–Turing smoothed counts per group for the low-count
+    * head r = 1..maxR — the language-modeling discount that moves
+    * probability mass from seen-once types toward the unseen: r* =
+    * (r+1)·S(r+1)/S(r) over the raw counts-of-counts (the SIMPLE
+    * estimator — no log-linear smoothing of the S curve; a missing
+    * S(r) or S(r+1) reports NULL r*, visibly, rather than a smoothed
+    * guess). The unseen-mass companion P₀ = f₁/N is
+    * [[vocabRichness]]'s 1 − coverage.
+    *
+    * Exactness: integer counts-of-counts; r* is one rounded division.
+    * Scale shape: the [[vocabRichness]] aggregations + a broadcast of
+    * the maxR-row grid so EMPTY ranks still report (a dropped row
+    * would read as "no singletons" ambiguity).
+    * Output: (group, r, n_types, r_star).
+    */
+  def goodTuring(df: DataFrame, groupCol: String, textCol: String,
+      maxR: Int = 5): DataFrame = {
+    require(maxR >= 1, s"goodTuring: maxR must be >= 1, got $maxR")
+    val toks = df.select(col(groupCol).as("_g"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("_tok"))
+    val sr = toks.groupBy("_g", "_tok").agg(count(lit(1)).as("_r"))
+      .groupBy("_g", "_r").agg(count(lit(1)).as("_s"))
+    val rGrid = sr.sparkSession.range(1, maxR + 1)
+      .select(col("id").cast("long").as("_r"))
+    val grid = sr.select("_g").distinct().crossJoin(broadcast(rGrid))
+    grid
+      .join(sr, Seq("_g", "_r"), "left")
+      .join(sr.select(col("_g"), (col("_r") - 1L).as("_r"),
+        col("_s").as("_s1")), Seq("_g", "_r"), "left")
+      .select(col("_g").as(groupCol), col("_r").cast("bigint").as("r"),
+        coalesce(col("_s"), lit(0L)).cast("bigint").as("n_types"),
+        when(col("_s").isNotNull && col("_s1").isNotNull,
+          round((col("_r") + 1L).cast("double") * col("_s1").cast("double")
+            / col("_s").cast("double"), 6))
+          .cast("double").as("r_star"))
+  }
   def ngramOccurrences(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val gen = org.apache.spark.sql.graft.Bridge.column(

@@ -665,6 +665,24 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Chao1 vocabulary-richness + Good's coverage per source — "how
+    * much vocabulary is still unseen / is this slice saturated":
+    * exact counts-of-counts, one rounded expression per estimate.
+    */
+  val qChao1: QueryFn = withTables { spark =>
+    TextAnalysis.vocabRichness(spark.table("documents"), "source", "text")
+      .orderBy("source")
+  }
+
+  /** Simple Good–Turing smoothed counts r* for r = 1..5 per source —
+    * the LM discount head; empty ranks report 0 types with NULL r*.
+    */
+  val qGoodTuring: QueryFn = withTables { spark =>
+    TextAnalysis.goodTuring(spark.table("documents"), "source", "text",
+        maxR = 5)
+      .orderBy("source", "r")
+  }
+
   /** TRAINED char-trigram language ID (TextCat rank profiles): learn
     * top-100 gram profiles per language from the labeled 80% of the
     * corpus, classify the held-out doc_id%5==0 docs by integer
@@ -1840,6 +1858,8 @@ object LlmOps {
     "q_resample_interp" -> qResampleInterp,
     "q_lang_id" -> qLangId,
     "q_langid_profile" -> qLangIdProfile,
+    "q_chao1" -> qChao1,
+    "q_good_turing" -> qGoodTuring,
     "q_redact_pii" -> qRedactPii,
     "q_decontaminate" -> qDecontaminate,
     "q_repetition" -> qRepetition,
@@ -3340,6 +3360,55 @@ object LlmOps {
       FROM documents
       GROUP BY source
       ORDER BY source""",
+
+
+    // Same whitespace tokenizer (empties filtered), exact
+    // counts-of-counts, identical chao1/coverage trees.
+    "q_chao1" -> """
+      WITH toks AS (
+        SELECT source AS g,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents),
+      tc AS (SELECT g, tok, COUNT(*)::BIGINT AS r
+             FROM toks WHERE tok <> '' GROUP BY g, tok),
+      agg AS (
+        SELECT g, SUM(r)::BIGINT AS n, COUNT(*)::BIGINT AS d,
+               SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+               SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        FROM tc GROUP BY g)
+      SELECT g AS source, n AS n_tokens, d AS vocab, f1, f2,
+             CAST(ROUND(CAST(d AS DOUBLE)
+               + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                 / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6)
+               AS DOUBLE) AS chao1,
+             CAST(ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS coverage
+      FROM agg ORDER BY source""",
+
+    // Counts-of-counts + the r-grid so empty ranks still report;
+    // identical r* division.
+    "q_good_turing" -> """
+      WITH toks AS (
+        SELECT source AS g,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents),
+      sr AS (SELECT g, r, COUNT(*)::BIGINT AS s FROM (
+               SELECT g, tok, COUNT(*)::BIGINT AS r
+               FROM toks WHERE tok <> '' GROUP BY g, tok)
+             GROUP BY g, r),
+      grid AS (
+        SELECT g, CAST(rr.r AS BIGINT) AS r
+        FROM (SELECT DISTINCT g FROM sr)
+        CROSS JOIN (SELECT UNNEST(RANGE(1, 6)) AS r) rr)
+      SELECT grid.g AS source, grid.r,
+             COALESCE(s0.s, 0)::BIGINT AS n_types,
+             CAST(CASE WHEN s0.s IS NOT NULL AND s1.s IS NOT NULL
+               THEN ROUND(CAST(grid.r + 1 AS DOUBLE) * CAST(s1.s AS DOUBLE)
+                 / CAST(s0.s AS DOUBLE), 6) END AS DOUBLE) AS r_star
+      FROM grid
+      LEFT JOIN sr s0 ON s0.g = grid.g AND s0.r = grid.r
+      LEFT JOIN sr s1 ON s1.g = grid.g AND s1.r = grid.r + 1
+      ORDER BY source, grid.r""",
 
     // The trained profile classifier replayed gram-for-gram: same
     // trigram slices of the whitespace-collapsed text, same top-100

@@ -856,6 +856,26 @@ class TextAnalysisSpec extends SparkTestBase {
       "equal scores tie-break on phrase asc: " + top1.mkString(","))
   }
 
+  test("vocabRichness + goodTuring: hand counts-of-counts") {
+    import spark.implicits._
+    // tokens: a a b c -> N=4, D=3, f1=2 (b,c), f2=1 (a)
+    val docs = Seq(("g1", "a a b c")).toDF("src", "text")
+    val r = graft.operators.TextAnalysis
+      .vocabRichness(docs, "src", "text").collect().head
+    assert(r.getLong(1) === 4L && r.getLong(2) === 3L
+      && r.getLong(3) === 2L && r.getLong(4) === 1L, r.toString)
+    // chao1 = 3 + 2*1/(2*2) = 3.5; coverage = 1 - 2/4 = 0.5
+    assert(r.getDouble(5) === 3.5 && r.getDouble(6) === 0.5, r.toString)
+    val gt = graft.operators.TextAnalysis
+      .goodTuring(docs, "src", "text", maxR = 3)
+      .collect().map(x => x.getLong(1) -> x).toMap
+    // S(1)=2, S(2)=1: r*(1) = 2*1/2 = 1.0; S(3)=0 -> NULL r*(2);
+    // empty rank 3 reports 0 types
+    assert(gt(1L).getLong(2) === 2L && gt(1L).getDouble(3) === 1.0)
+    assert(gt(2L).getLong(2) === 1L && gt(2L).isNullAt(3))
+    assert(gt(3L).getLong(2) === 0L && gt(3L).isNullAt(3))
+  }
+
   test("languageIdTrained: held-out docs classify to their language on " +
       "a two-language fixture; empty text -> und; deterministic re-run") {
     import spark.implicits._
