@@ -4095,6 +4095,98 @@ object Stats {
         "diff", "ate")
   }
 
+  /** Doubly-robust AIPW (augmented inverse-propensity-weighted) ATE —
+    * the estimator that stays consistent if EITHER the propensity
+    * model OR the outcome model is right (the reason it displaced
+    * plain IPW and plain regression adjustment in observational
+    * practice, and the workhorse behind debiased-ML causal
+    * pipelines): ψ̂ = (1/n)Σ[ m₁(x) − m₀(x) + T(y−m₁(x))/e(x) −
+    * (1−T)(y−m₀(x))/(1−e(x)) ], with e(x) the [[logisticFit]]
+    * propensity (its 6-dp published α/β ARE the scoring params — the
+    * [[propensityStratifiedAte]] contract) trimmed to [clip, 1−clip]
+    * (the standard overlap guard — an untrimmed e near 0/1 lets one
+    * row dominate the average), and m_t(x) per-arm closed-form OLS
+    * on exact decimal moments (a_t, b_t frozen at 6 dp).
+    *
+    * Determinism: per-row contributions freeze at 12 dp into an
+    * order-free decimal sum; the naive difference rides exact cents
+    * sums. An armless dataset (no treated or no control rows)
+    * reports NULL ATE, visibly.
+    *
+    * Scale shape: the logistic passes (iters × one aggregate) + one
+    * per-arm moment aggregate + one contribution aggregate — nothing
+    * but group-less folds over the corpus; fits broadcast back.
+    * Output one row: (n, n_treat, ate_aipw, ate_naive).
+    */
+  def aipwAte(df: DataFrame, treat: Column, yCol: String, xCol: String,
+      iters: Int = 2, clip: Double = 0.01): DataFrame = {
+    require(clip > 0.0 && clip < 0.5, s"aipwAte: clip in (0, 0.5), got $clip")
+    val dec = "decimal(38,0)"
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol), 6).as("_x"),
+        when(treat, 1L).otherwise(0L).as("_t"),
+        round(col(yCol) * 1e6).cast("long").as("_y"))
+      .withColumn("_g", lit(1))
+      .localCheckpoint()
+    val fit = logisticFit(rows, "_g", "_x", col("_t") === 1L, iters)
+      .select(col("_g"), col("alpha"), col("beta"))
+    // per-arm outcome OLS on exact decimal moments, params at 6 dp
+    def m(a: String, b: String) =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val arms = rows
+      .withColumn("_xq", round(col("_x") * 1e6).cast("long"))
+      .groupBy("_t").agg(count(lit(1)).as("_n"),
+        sum(col("_xq").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        m("_xq", "_xq").as("_sxx"), m("_xq", "_y").as("_sxy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("_n").cast("double")
+    val mxx = nd * d("_sxx") - d("_sx") * d("_sx")
+    val mxy = nd * d("_sxy") - d("_sx") * d("_sy")
+    val slope = mxy / mxx
+    val fits = arms.select(col("_t"), col("_n"),
+      when(mxx > 0.0, round(slope, 6)).otherwise(lit(0.0)).as("_b"),
+      when(mxx > 0.0,
+        round((d("_sy") - slope * d("_sx")) / nd / 1e6, 6))
+        .otherwise(round(d("_sy") / nd / 1e6, 6)).as("_a"))
+    val f1 = fits.filter(col("_t") === 1L)
+      .select(col("_n").as("_n1"), col("_a").as("_a1"), col("_b").as("_b1"))
+    val f0 = fits.filter(col("_t") === 0L)
+      .select(col("_n").as("_n0"), col("_a").as("_a0"), col("_b").as("_b0"))
+    val scored = rows.join(broadcast(fit), Seq("_g"))
+      .crossJoin(broadcast(f1)).crossJoin(broadcast(f0))
+      .withColumn("_p",
+        round(lit(1.0) / (lit(1.0)
+          + exp(-(col("alpha") + col("beta") * col("_x")))), 6))
+      .withColumn("_e",
+        least(greatest(col("_p"), lit(clip)), lit(1.0 - clip)))
+      .withColumn("_m1", col("_a1") + col("_b1") * col("_x"))
+      .withColumn("_m0", col("_a0") + col("_b0") * col("_x"))
+      .withColumn("_yd", col("_y").cast("double") / 1e6)
+      .withColumn("_term", round(col("_m1") - col("_m0")
+        + col("_t").cast("double") * (col("_yd") - col("_m1")) / col("_e")
+        - (lit(1.0) - col("_t").cast("double")) * (col("_yd") - col("_m0"))
+          / (lit(1.0) - col("_e")), 12))
+    scored.agg(count(lit(1)).as("n"),
+        sum(col("_t")).as("n_treat"),
+        sum(col("_term").cast(dec12)).as("_s"),
+        sum(when(col("_t") === 1L, col("_y").cast(dec))).as("_sy1"),
+        sum(when(col("_t") === 0L, col("_y").cast(dec))).as("_sy0"))
+      .select(col("n").cast("bigint").as("n"),
+        col("n_treat").cast("bigint").as("n_treat"),
+        when(col("n_treat") > 0 && col("n_treat") < col("n"),
+          round(col("_s").cast("double") / col("n").cast("double"), 6))
+          .cast("double").as("ate_aipw"),
+        when(col("n_treat") > 0 && col("n_treat") < col("n"),
+          round(col("_sy1").cast("double")
+              / col("n_treat").cast("double") / 1e6
+            - col("_sy0").cast("double")
+              / (col("n").cast("double") - col("n_treat").cast("double"))
+              / 1e6, 6))
+          .cast("double").as("ate_naive"))
+  }
+
   /** Logistic regression with TWO covariates + intercept — the
     * multivariate tier of [[logisticFit]], solved per Newton step by
     * the [[linearFitMulti3]] 3×3 Cramer trees on the Hessian

@@ -560,6 +560,22 @@ object StatsOps {
     graft.operators.Stats.grangerF(daily, "g", "d", "y", "x")
   }
 
+  /** Doubly-robust AIPW ATE of the q_psm_ate treatment (hour-gated by
+    * user class) on spend with hour as the covariate: logistic
+    * propensity (2 Newton steps, 6-dp published params, clipped to
+    * [.01, .99]) + per-arm closed-form outcome OLS, 12-dp frozen
+    * per-row contributions — reportable beside q_psm_ate's stratified
+    * estimate.
+    */
+  val qAipw: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(hour(col("ts")).cast("double").as("x"),
+        (col("user_id") % 24 < hour(col("ts"))).as("t"),
+        col("value").as("y"))
+    graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test: do order totals
     * increase along the priority tiers ('1-URGENT'..'5-LOW' — the
     * natural label order IS the hypothesis order)? Exact integer 2·JT
@@ -2018,6 +2034,7 @@ object StatsOps {
     "q_theta_forecast" -> qThetaForecast,
     "q_croston" -> qCroston,
     "q_hw_mult" -> qHwMult,
+    "q_aipw" -> qAipw,
     "q_jonckheere" -> qJonckheere,
     "q_brunner_munzel" -> qBrunnerMunzel,
     "q_kendall_w" -> qKendallW,
@@ -7620,6 +7637,145 @@ object StatsOps {
     // init l0 = round6(list_sum(first 7)/7), s_i = round6(x_i - l0);
     // each step re-spells the operator's rounded level inside the
     // trend update (the holt precedent), ring = seas[2:] || [s_new].
+
+    // The q_psm_ate logistic unroll verbatim; per-arm closed-form OLS
+    // moments; the identical clipped AIPW contribution tree.
+    "q_aipw" -> """
+      WITH pts AS (
+        SELECT ROUND(CAST(HOUR(ts) AS DOUBLE), 6) AS x,
+               CASE WHEN user_id % 24 < HOUR(ts) THEN 1.0 ELSE 0.0 END
+                 AS t,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      pr1 AS (
+        SELECT x, t, y, 0.0 AS a, 0.0 AS b,
+               1.0 / (1.0 + EXP(-(0.0 + 0.0 * x))) AS p
+        FROM pts),
+      t1 AS (
+        SELECT MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(t - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (t - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr1),
+      d1 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t1),
+      p1 AS (
+        SELECT
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d1),
+      pr2 AS (
+        SELECT x, t, y, a, b,
+               1.0 / (1.0 + EXP(-(a + b * x))) AS p
+        FROM pts, p1),
+      t2 AS (
+        SELECT MAX(a) AS a, MAX(b) AS b,
+               SUM(CAST(ROUND(t - p, 12) AS DECIMAL(38,12))) AS g0,
+               SUM(CAST(ROUND(x * (t - p), 12) AS DECIMAL(38,12))) AS g1,
+               SUM(CAST(ROUND(p * (1.0 - p), 12) AS DECIMAL(38,12)))
+                 AS h00,
+               SUM(CAST(ROUND(x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h01,
+               SUM(CAST(ROUND(x * x * (p * (1.0 - p)), 12)
+                 AS DECIMAL(38,12))) AS h11
+        FROM pr2),
+      d2 AS (
+        SELECT *, CAST(h00 AS DOUBLE) * CAST(h11 AS DOUBLE)
+                  - CAST(h01 AS DOUBLE) * CAST(h01 AS DOUBLE) AS det
+        FROM t2),
+      p2 AS (
+        SELECT
+          CASE WHEN det > 0.0 THEN ROUND(a
+            + (CAST(g0 AS DOUBLE) * CAST(h11 AS DOUBLE)
+               - CAST(g1 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE a END AS a,
+          CASE WHEN det > 0.0 THEN ROUND(b
+            + (CAST(g1 AS DOUBLE) * CAST(h00 AS DOUBLE)
+               - CAST(g0 AS DOUBLE) * CAST(h01 AS DOUBLE)) / det, 12)
+          ELSE b END AS b
+        FROM d2),
+      fit AS (SELECT ROUND(a, 6) AS alpha, ROUND(b, 6) AS beta FROM p2),
+      arms AS (
+        SELECT t, COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)::HUGEINT) AS sx,
+               SUM(y::HUGEINT) AS sy,
+               SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)::HUGEINT
+                 * CAST(ROUND(x * 1000000.0) AS BIGINT)) AS sxx,
+               SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)::HUGEINT * y)
+                 AS sxy
+        FROM pts GROUP BY t),
+      afit AS (
+        SELECT t, n,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 ELSE 0.0 END AS b,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 THEN ROUND((CAST(sy AS DOUBLE)
+                     - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) / 1000000.0, 6)
+                 ELSE ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                   / 1000000.0, 6) END AS a
+        FROM arms),
+      f1 AS (SELECT a AS a1, b AS b1 FROM afit WHERE t = 1.0),
+      f0 AS (SELECT a AS a0, b AS b0 FROM afit WHERE t = 0.0),
+      scored AS (
+        SELECT t, y,
+               LEAST(GREATEST(
+                 ROUND(1.0 / (1.0 + EXP(-(alpha + beta * x))), 6),
+                 0.01), 0.99) AS e,
+               a1 + b1 * x AS m1,
+               a0 + b0 * x AS m0
+        FROM pts, fit, f1, f0),
+      terms AS (
+        SELECT t, y,
+               ROUND(m1 - m0
+                 + t * (CAST(y AS DOUBLE) / 1000000.0 - m1) / e
+                 - (1.0 - t) * (CAST(y AS DOUBLE) / 1000000.0 - m0)
+                   / (1.0 - e), 12) AS term
+        FROM scored),
+      agg AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN t = 1.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_treat,
+               SUM(CAST(term AS DECIMAL(38,12))) AS s,
+               SUM(CASE WHEN t = 1.0 THEN y::HUGEINT END) AS sy1,
+               SUM(CASE WHEN t = 0.0 THEN y::HUGEINT END) AS sy0
+        FROM terms)
+      SELECT n, n_treat,
+             CAST(CASE WHEN n_treat > 0 AND n_treat < n THEN
+               ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             END AS DOUBLE) AS ate_aipw,
+             CAST(CASE WHEN n_treat > 0 AND n_treat < n THEN
+               ROUND(CAST(sy1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                   / 1000000.0
+                 - CAST(sy0 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - CAST(n_treat AS DOUBLE))
+                   / 1000000.0, 6)
+             END AS DOUBLE) AS ate_naive
+      FROM agg""",
+
     // Exact 2·JT from the same per-group exclusive cumulatives on the
     // value grid; the identical mean/variance/z double trees.
     "q_jonckheere" -> """

@@ -3839,6 +3839,27 @@ class StatsSpec extends SparkTestBase {
       b.toString)
   }
 
+  test("aipwAte: exact-linear outcome models recover the planted effect " +
+      "under confounded assignment; armless data is NULL") {
+    import spark.implicits._
+    // y = 5T + 2x, treated only at x>=3, controls only at x<=6:
+    // naive diff = 5 + 2(6 - 3) = 11, AIPW = exactly 5 (outcome
+    // models fit the truth, residual terms vanish)
+    val treated = (3 to 9).map(x => (true, x.toDouble, 5.0 + 2.0 * x))
+    val control = (0 to 6).map(x => (false, x.toDouble, 2.0 * x))
+    val df = (treated ++ control).toDF("t", "x", "y")
+    val r = Stats.aipwAte(df, col("t"), "y", "x").collect().head
+    assert(r.getLong(0) === 14L && r.getLong(1) === 7L, r.toString)
+    assert(r.getDouble(2) === 5.0, s"AIPW must recover 5: $r")
+    assert(r.getDouble(3) === 11.0, s"naive must be confounded: $r")
+    val armless = control.toDF("t", "x", "y")
+    val a = Stats.aipwAte(armless, col("t"), "y", "x").collect().head
+    assert(a.isNullAt(2) && a.isNullAt(3), a.toString)
+    intercept[IllegalArgumentException] {
+      Stats.aipwAte(df, col("t"), "y", "x", clip = 0.6)
+    }
+  }
+
   test("jonckheereTerpstra: hand U-sums with half ties; all-tied z NULL") {
     import spark.implicits._
     // a {1,2,3}, b {2,4,5}, c {6,7,8}: JT = 25.5 (one tie at 2),
