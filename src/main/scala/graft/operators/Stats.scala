@@ -2522,6 +2522,47 @@ object Stats {
         round(t, 6)).cast("double").as("t_df"))
   }
 
+  /** Engle–Granger two-step cointegration test per group — "do these
+    * two trending series share a long-run equilibrium" (spend vs
+    * traffic, price vs index, replica lag vs load): step 1 fits the
+    * cointegrating OLS y = a + b·x ([[linearFit]] verbatim — its
+    * published 6-dp slope/intercept ARE the equilibrium vector);
+    * step 2 runs the no-constant Dickey–Fuller regression
+    * ([[dickeyFuller]] verbatim) on the 6-dp-frozen residuals —
+    * a strongly negative adf_t says the residual mean-reverts, i.e.
+    * the pair is cointegrated (read against the Engle–Granger
+    * critical values, not the plain DF table — the residual was
+    * FITTED, which shifts the null distribution; the statistic is
+    * the portable part).
+    *
+    * Determinism: both steps are the existing kernels' contracts
+    * (exact decimal moments, 6-dp params, 6-dp residuals); NULL
+    * adf_t propagates visibly for degenerate groups. Scale shape:
+    * two group aggregates + one group-keyed fit join + one lag
+    * window. Output: (group, n, beta, intercept, r2, gamma, adf_t).
+    */
+  def engleGranger(df: DataFrame, groupCol: String, orderCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    val pts = df.filter(col(yCol).isNotNull && col(xCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        col(yCol).cast("double").as("_yy"),
+        col(xCol).cast("double").as("_xx"))
+      .localCheckpoint() // the fit and the residual stage both read it
+    val fit = linearFit(pts, "_g", "_xx", "_yy")
+      .select(col("_g"), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+    val resid = pts
+      .join(fit.select(col("_g"), col("slope"), col("intercept")), Seq("_g"))
+      .withColumn("_r", round(col("_yy")
+        - (col("intercept") + col("slope") * col("_xx")), 6))
+    val adf = dickeyFuller(resid, "_g", "_o", "_r")
+      .select(col("_g"), col("beta").as("gamma"), col("t_df").as("adf_t"))
+    fit.join(adf, Seq("_g"))
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        col("slope").as("beta"), col("intercept"), col("r2"),
+        col("gamma"), col("adf_t"))
+  }
+
   def linearFit(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -576,6 +576,30 @@ object StatsOps {
     graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
   }
 
+  /** Engle–Granger cointegration of cumulative purchase spend on
+    * cumulative click spend (two trending daily series): the
+    * q_lin_fit equilibrium OLS + the q_dickey_fuller unit-root
+    * regression on its 6-dp residuals — strongly negative adf_t =
+    * mean-reverting equilibrium error.
+    */
+  val qEngleGranger: QueryFn = withTables { spark =>
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val daily = spark.table("events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("_xc"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("_yc"))
+      // calendar-bounded cumulative (days, not rows — not a hazard)
+      .withColumn("x", sum("_xc").over(w) / 100.0)
+      .withColumn("y", sum("_yc").over(w) / 100.0)
+      .withColumn("g", lit("all"))
+    graft.operators.Stats.engleGranger(daily, "g", "d", "y", "x")
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test: do order totals
     * increase along the priority tiers ('1-URGENT'..'5-LOW' — the
     * natural label order IS the hypothesis order)? Exact integer 2·JT
@@ -2035,6 +2059,7 @@ object StatsOps {
     "q_croston" -> qCroston,
     "q_hw_mult" -> qHwMult,
     "q_aipw" -> qAipw,
+    "q_engle_granger" -> qEngleGranger,
     "q_jonckheere" -> qJonckheere,
     "q_brunner_munzel" -> qBrunnerMunzel,
     "q_kendall_w" -> qKendallW,
@@ -7637,6 +7662,97 @@ object StatsOps {
     // init l0 = round6(list_sum(first 7)/7), s_i = round6(x_i - l0);
     // each step re-spells the operator's rounded level inside the
     // trend update (the holt precedent), ring = seas[2:] || [s_new].
+
+
+    // The q_lin_fit equilibrium trees on the cumulative series, 6-dp
+    // residuals, then the q_dickey_fuller no-constant regression.
+    "q_engle_granger" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS xc,
+               SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS yc
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1),
+      cum AS (
+        SELECT d,
+               SUM(xc) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0 AS x,
+               SUM(yc) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0 AS y
+        FROM daily),
+      pts AS (
+        SELECT d, x, y,
+               CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cum),
+      s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(yq::HUGEINT * yq) AS syy,
+               SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts),
+      dd AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s),
+      fit AS (
+        SELECT n,
+               CASE WHEN denx > 0.0 THEN ROUND(num / denx, 6) END AS slope,
+               CASE WHEN denx > 0.0 THEN
+                 ROUND(syd / CAST(n AS DOUBLE) / 1000000.0
+                   - num / denx * (sxd / CAST(n AS DOUBLE) / 1000000.0), 6)
+               END AS intercept,
+               CASE WHEN denx > 0.0 AND deny > 0.0 THEN
+                 ROUND(num * num / (denx * deny), 6) END AS r2
+        FROM dd),
+      resid AS (
+        SELECT p.d,
+               CAST(ROUND(ROUND(p.y - (f.intercept + f.slope * p.x), 6)
+                 * 1000000.0) AS BIGINT) AS rv
+        FROM pts p, fit f),
+      pairs AS (
+        SELECT lagv AS xx, rv - lagv AS yy FROM (
+          SELECT rv, LAG(rv) OVER (ORDER BY d) AS lagv FROM resid)
+        WHERE lagv IS NOT NULL),
+      s2 AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(xx::HUGEINT) AS sx, SUM(yy::HUGEINT) AS sy,
+               SUM(xx::HUGEINT * xx) AS sxx, SUM(yy::HUGEINT * yy) AS syy,
+               SUM(xx::HUGEINT * yy) AS sxy
+        FROM pairs),
+      d2 AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS cxx,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy
+        FROM s2),
+      adf AS (
+        SELECT CASE WHEN n >= 3 AND cxx > 0.0
+                 THEN ROUND(cxy / cxx, 6) END AS gamma,
+               CASE WHEN n >= 3 AND cxx > 0.0
+                    AND cyy - cxy / cxx * cxy > 0.0 THEN
+                 ROUND((cxy / cxx)
+                   / SQRT((((cyy - cxy / cxx * cxy) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 2.0))
+                     / (cxx / CAST(n AS DOUBLE))), 6)
+               END AS adf_t
+        FROM d2)
+      SELECT 'all' AS g, f.n, f.slope AS beta, f.intercept, f.r2,
+             a.gamma, a.adf_t
+      FROM fit f CROSS JOIN adf a""",
 
     // The q_psm_ate logistic unroll verbatim; per-arm closed-form OLS
     // moments; the identical clipped AIPW contribution tree.

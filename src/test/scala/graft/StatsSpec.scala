@@ -3839,6 +3839,20 @@ class StatsSpec extends SparkTestBase {
       b.toString)
   }
 
+  test("engleGranger: cointegrated pair (trending x, y = 2x + bounded " +
+      "alternating error) gives beta ~ 2 and a strongly negative adf_t") {
+    import spark.implicits._
+    val rows = (1 to 60).map(t =>
+      ("all", t, 2.0 * t + (if (t % 2 == 0) 1.0 else -1.0), t.toDouble))
+      .toDF("g", "o", "y", "x")
+    val r = Stats.engleGranger(rows, "g", "o", "y", "x").collect().head
+    assert(r.getLong(1) === 60L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 0.01, r.toString)
+    // alternating residual mean-reverts every step: gamma near -2,
+    // adf_t strongly negative
+    assert(r.getDouble(5) < -1.5 && r.getDouble(6) < -5.0, r.toString)
+  }
+
   test("aipwAte: exact-linear outcome models recover the planted effect " +
       "under confounded assignment; armless data is NULL") {
     import spark.implicits._
