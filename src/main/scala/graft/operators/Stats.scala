@@ -7139,6 +7139,193 @@ object Stats {
           .cast("double").as("df"))
   }
 
+  /** Two-sample ENERGY DISTANCE on a shared equi-width grid — the
+    * modern omnibus two-sample test (Székely–Rizzo): D = 2A − B − C
+    * with A = E|X−Y|, B = E|X−X′|, C = E|Y−Y′|, zero iff the
+    * distributions coincide; sensitive to ANY difference (location,
+    * scale, shape) where KS keys on the single largest CDF gap. This
+    * is the binned 100 TB dual in the [[ksTestBinned]] family: both
+    * samples histogram onto `bins` cells over the frozen global
+    * [min, max], expectations become exact integer bin-pair sums
+    * (bins² pairs — bounded by CONFIG, never by data), and distances
+    * are measured in BIN WIDTHS (scale-free for the test decision;
+    * multiply by (max−min)/bins to recover value units). The test
+    * statistic T = n₁n₂/(n₁+n₂)·D is the permutation-calibrated form.
+    *
+    * Exactness: all-integer pair sums in decimal(38,0); A, B, C, D,
+    * T are one closed-form rounded double tree. Exactly two groups,
+    * loud otherwise. Output one row: (group_a, group_b, n_a, n_b,
+    * a_cross, b_within, c_within, energy_d, t_stat).
+    */
+  def energyDistanceBinned(df: DataFrame, groupCol: String,
+      valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 100000,
+      s"energyDistanceBinned: bins in [2, 100000], got $bins")
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val nGroups = base.select(col(groupCol)).distinct().limit(3).count()
+    require(nGroups == 2,
+      s"energyDistanceBinned: exactly 2 groups required, got $nGroups")
+    val stats = base.agg(min(col(valueCol)).as("_lo"),
+      max(col(valueCol)).as("_hi"))
+    val cells = base.crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        when(col("_hi") > col("_lo"),
+          least(floor((col(valueCol) - col("_lo")) * bins
+            / (col("_hi") - col("_lo"))), lit(bins - 1)))
+          .otherwise(lit(0)).cast("long").as("_b"))
+      .groupBy("_g", "_b").agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // three pair joins re-read it
+    def pairSum(l: DataFrame, r: DataFrame): DataFrame =
+      l.as("x").crossJoin(r.as("y"))
+        .agg(sum((col("x._c").cast(dec) * col("y._c")
+          * abs(col("x._b") - col("y._b"))).cast(dec)).as("_s"))
+    val gs = cells.select("_g").distinct().orderBy("_g")
+      .collect().map(_.get(0))
+    val c1 = cells.filter(col("_g") === lit(gs(0)))
+    val c2 = cells.filter(col("_g") === lit(gs(1)))
+    val ns = cells.groupBy("_g").agg(sum("_c").as("_n"))
+    val n1 = ns.filter(col("_g") === lit(gs(0)))
+      .select(col("_n").as("_n1"))
+    val n2 = ns.filter(col("_g") === lit(gs(1)))
+      .select(col("_n").as("_n2"))
+    val sA = pairSum(c1, c2).select(col("_s").as("_sa"))
+    val sB = pairSum(c1, c1).select(col("_s").as("_sb"))
+    val sC = pairSum(c2, c2).select(col("_s").as("_sc"))
+    def d(c: String): Column = col(c).cast("double")
+    val n1d = d("_n1")
+    val n2d = d("_n2")
+    val a = d("_sa") / (n1d * n2d)
+    val b = d("_sb") / (n1d * n1d)
+    val cc = d("_sc") / (n2d * n2d)
+    val dStat = lit(2.0) * a - b - cc
+    sA.crossJoin(sB).crossJoin(sC).crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      .select(lit(gs(0).toString).as("group_a"),
+        lit(gs(1).toString).as("group_b"),
+        col("_n1").cast("bigint").as("n_a"),
+        col("_n2").cast("bigint").as("n_b"),
+        round(a, 6).cast("double").as("a_cross"),
+        round(b, 6).cast("double").as("b_within"),
+        round(cc, 6).cast("double").as("c_within"),
+        round(dStat, 6).cast("double").as("energy_d"),
+        round(n1d * n2d / (n1d + n2d) * dStat, 6)
+          .cast("double").as("t_stat"))
+  }
+
+  /** Beta-binomial overdispersion fit by method of moments on a
+    * BALANCED panel — "are these per-unit success rates more spread
+    * than a single coin explains" (per-day conversion counts,
+    * per-shard defect counts, per-annotator agreement counts):
+    * with equal trials m per unit, p̂ = Σk/(N·m), s² the sample
+    * variance of the unit rates k/m, the intra-class correlation
+    * ρ̂ = (m·s²/(p̂(1−p̂)) − 1)/(m − 1), and the Beta parameters
+    * α = p̂(1/ρ̂ − 1), β = (1−p̂)(1/ρ̂ − 1) — the shrinkage prior
+    * [[empiricalBayesRates]]-style pipelines need, fitted rather than
+    * guessed. Unequal trial counts are rejected loudly (the unequal-n
+    * MoM weights are estimator-choice-ambiguous; balance the panel
+    * upstream). ρ̂ ≤ 0 (under-dispersion) reports NULL α/β visibly —
+    * the binomial already over-explains.
+    *
+    * Exactness: k, m exact integers; rates quantize at 12 dp into
+    * decimal sums for the variance; the estimates are one closed-form
+    * rounded tree each. Output one row: (n_units, trials, p_hat,
+    * rho, alpha, beta).
+    */
+  def betaBinomialMom(df: DataFrame, succCol: String,
+      trialCol: String): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(succCol).isNotNull && col(trialCol).isNotNull)
+      .select(col(succCol).cast("long").as("_k"),
+        col(trialCol).cast("long").as("_m"))
+      // the guard lives INSIDE _p so column pruning can never drop it
+      .withColumn("_p",
+        when(col("_k") < 0 || col("_k") > col("_m") || col("_m") < 1,
+          raise_error(lit("betaBinomialMom: need 0 <= successes <= " +
+            "trials and trials >= 1")).cast("double"))
+          .otherwise(round(col("_k").cast("double")
+            / col("_m").cast("double"), 12)))
+    val agg = rows.agg(count(lit(1)).as("_nu"),
+      min("_m").as("_mmin"), max("_m").as("_mmax"),
+      sum("_k").as("_sk"), sum("_m").as("_sm"),
+      sum(col("_p").cast(dec12)).as("_sp"),
+      sum((col("_p").cast(dec12) * col("_p")).cast(dec12)).as("_spp"))
+    def d(c: String): Column = col(c).cast("double")
+    val nu = d("_nu")
+    val m = d("_mmin")
+    val p = d("_sk") / d("_sm")
+    val s2 = (d("_spp") - d("_sp") * d("_sp") / nu) / (nu - 1.0)
+    val rho = (m * s2 / (p * (lit(1.0) - p)) - 1.0) / (m - 1.0)
+    val scale = lit(1.0) / rho - 1.0
+    agg.select(
+        when(col("_mmin") =!= col("_mmax"),
+          raise_error(lit("betaBinomialMom: unbalanced panel — equal " +
+            "trials per unit required (the unequal-n MoM is " +
+            "estimator-ambiguous); balance upstream")))
+          .otherwise(col("_nu")).cast("bigint").as("n_units"),
+        col("_mmin").cast("bigint").as("trials"),
+        round(p, 6).cast("double").as("p_hat"),
+        when(col("_nu") >= 2 && p > 0.0 && p < 1.0 && col("_mmin") >= 2,
+          round(rho, 6)).cast("double").as("rho"),
+        when(col("_nu") >= 2 && p > 0.0 && p < 1.0 && col("_mmin") >= 2
+            && rho > 0.0 && rho < 1.0,
+          round(p * scale, 6)).cast("double").as("alpha"),
+        when(col("_nu") >= 2 && p > 0.0 && p < 1.0 && col("_mmin") >= 2
+            && rho > 0.0 && rho < 1.0,
+          round((lit(1.0) - p) * scale, 6)).cast("double").as("beta"))
+  }
+
+  /** Two-sample Poisson rate test (Wald form) — "is the incident rate
+    * per unit exposure different between the arms" (errors per
+    * million events, crashes per device-day): rates λ̂_i = k_i/t_i,
+    * ratio, and z = (λ̂₁ − λ̂₂)/√(k₁/t₁² + k₂/t₂²). Exactly two
+    * groups, loud otherwise; zero exposure or two zero counts report
+    * NULL z visibly.
+    *
+    * Exactness: counts and 1e6-quantized exposures are exact
+    * integers; rates and z are closed-form rounded trees. One group
+    * aggregate. Output: (group_a, group_b, k_a, k_b, rate_a, rate_b,
+    * ratio, z).
+    */
+  def poissonRateTest(df: DataFrame, groupCol: String, eventCol: Column,
+      exposureCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        when(eventCol, 1L).otherwise(0L).as("_k"),
+        round(exposureCol * 1e6).cast("long").as("_t"))
+    val nGroups = rows.select("_g").distinct().limit(3).count()
+    require(nGroups == 2,
+      s"poissonRateTest: exactly 2 groups required, got $nGroups")
+    val agg = rows.groupBy("_g")
+      .agg(sum(col("_k").cast(dec)).as("_sk"),
+        sum(col("_t").cast(dec)).as("_st"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_g")
+    val flat = agg.withColumn("_rn", row_number().over(w))
+    val a = flat.filter(col("_rn") === 1)
+      .select(col("_g").as("group_a"), col("_sk").as("_k1"),
+        col("_st").as("_t1"))
+    val b = flat.filter(col("_rn") === 2)
+      .select(col("_g").as("group_b"), col("_sk").as("_k2"),
+        col("_st").as("_t2"))
+    def d(c: String): Column = col(c).cast("double")
+    val t1 = d("_t1") / 1e6
+    val t2 = d("_t2") / 1e6
+    val r1 = d("_k1") / t1
+    val r2 = d("_k2") / t2
+    val se = sqrt(d("_k1") / (t1 * t1) + d("_k2") / (t2 * t2))
+    a.crossJoin(b).select(col("group_a"), col("group_b"),
+      col("_k1").cast("bigint").as("k_a"),
+      col("_k2").cast("bigint").as("k_b"),
+      when(col("_t1") > 0, round(r1, 6)).cast("double").as("rate_a"),
+      when(col("_t2") > 0, round(r2, 6)).cast("double").as("rate_b"),
+      when(col("_t1") > 0 && col("_t2") > 0 && r2 > 0.0,
+        round(r1 / r2, 6)).cast("double").as("ratio"),
+      when(col("_t1") > 0 && col("_t2") > 0
+          && (col("_k1") > 0 || col("_k2") > 0),
+        round((r1 - r2) / se, 6)).cast("double").as("z"))
+  }
+
   /** Kendall's coefficient of concordance W — "how much do the m
     * raters AGREE on the ranking of the n items" (annotator panels,
     * metric ensembles, repeated benchmark runs): the effect-size

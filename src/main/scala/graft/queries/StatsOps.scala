@@ -576,6 +576,46 @@ object StatsOps {
     graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
   }
 
+  /** Binned two-sample energy distance between click and purchase
+    * spend (64 cells): exact integer bin-pair sums, the 2A−B−C
+    * statistic and its n₁n₂/(n₁+n₂) test form — the any-difference
+    * omnibus beside q_ks_binned's largest-gap test.
+    */
+  val qEnergyDist: QueryFn = withTables { spark =>
+    graft.operators.Stats.energyDistanceBinned(
+      spark.table("events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("g"), col("value").as("v")),
+      "g", "v", bins = 64)
+  }
+
+  /** Beta-binomial overdispersion of daily purchase-hour coverage:
+    * each day is a 24-trial unit (hours), success = the hour saw a
+    * purchase; MoM ρ̂/α/β quantify whether days vary more than one
+    * coin explains — the fitted shrinkage prior for q_eb_shrink-style
+    * pipelines.
+    */
+  val qBetaBinomial: QueryFn = withTables { spark =>
+    val days = spark.table("events")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(countDistinct(when(col("event_type") === "purchase",
+        hour(col("ts")))).as("k"))
+      .withColumn("m", lit(24L))
+    graft.operators.Stats.betaBinomialMom(days, "k", "m")
+  }
+
+  /** Two-sample Poisson rate test: error events per unit traffic,
+    * first half of month vs second — Wald z on exact counts and
+    * exposures.
+    */
+  val qPoissonTest: QueryFn = withTables { spark =>
+    graft.operators.Stats.poissonRateTest(
+      spark.table("events")
+        .withColumn("g", when(dayofmonth(col("ts")) <= 15, "h1")
+          .otherwise("h2")),
+      "g", col("event_type") === "error", lit(1.0))
+  }
+
   /** Engle–Granger cointegration of cumulative purchase spend on
     * cumulative click spend (two trending daily series): the
     * q_lin_fit equilibrium OLS + the q_dickey_fuller unit-root
@@ -2060,6 +2100,9 @@ object StatsOps {
     "q_hw_mult" -> qHwMult,
     "q_aipw" -> qAipw,
     "q_engle_granger" -> qEngleGranger,
+    "q_energy_dist" -> qEnergyDist,
+    "q_beta_binomial" -> qBetaBinomial,
+    "q_poisson_test" -> qPoissonTest,
     "q_jonckheere" -> qJonckheere,
     "q_brunner_munzel" -> qBrunnerMunzel,
     "q_kendall_w" -> qKendallW,
@@ -7663,6 +7706,136 @@ object StatsOps {
     // each step re-spells the operator's rounded level inside the
     // trend update (the holt precedent), ring = seas[2:] || [s_new].
 
+
+
+    // Same frozen-grid binning, exact HUGEINT bin-pair sums, the
+    // identical 2A-B-C trees.
+    "q_energy_dist" -> """
+      WITH base AS (
+        SELECT event_type AS g, value AS v FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+      st AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+      cells AS (
+        SELECT g,
+               CASE WHEN hi > lo THEN LEAST(CAST(FLOOR((v - lo) * 64
+                 / (hi - lo)) AS BIGINT), 63) ELSE 0 END AS b,
+               COUNT(*)::BIGINT AS c
+        FROM base, st GROUP BY 1, 2),
+      sa AS (SELECT SUM(x.c::HUGEINT * y.c * ABS(x.b - y.b)) AS s
+             FROM cells x, cells y
+             WHERE x.g = 'click' AND y.g = 'purchase'),
+      sb AS (SELECT SUM(x.c::HUGEINT * y.c * ABS(x.b - y.b)) AS s
+             FROM cells x, cells y
+             WHERE x.g = 'click' AND y.g = 'click'),
+      sc AS (SELECT SUM(x.c::HUGEINT * y.c * ABS(x.b - y.b)) AS s
+             FROM cells x, cells y
+             WHERE x.g = 'purchase' AND y.g = 'purchase'),
+      ns AS (
+        SELECT SUM(CASE WHEN g = 'click' THEN c ELSE 0 END)::BIGINT AS n1,
+               SUM(CASE WHEN g = 'purchase' THEN c ELSE 0 END)::BIGINT
+                 AS n2
+        FROM cells),
+      fin AS (
+        SELECT n1, n2,
+               CAST(sa.s AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS a,
+               CAST(sb.s AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS b,
+               CAST(sc.s AS DOUBLE)
+                 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS c
+        FROM sa, sb, sc, ns)
+      SELECT 'click' AS group_a, 'purchase' AS group_b,
+             n1 AS n_a, n2 AS n_b,
+             CAST(ROUND(a, 6) AS DOUBLE) AS a_cross,
+             CAST(ROUND(b, 6) AS DOUBLE) AS b_within,
+             CAST(ROUND(c, 6) AS DOUBLE) AS c_within,
+             CAST(ROUND(2.0 * a - b - c, 6) AS DOUBLE) AS energy_d,
+             CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+               * (2.0 * a - b - c), 6) AS DOUBLE) AS t_stat
+      FROM fin""",
+
+    // Same daily 24-trial panel, 12-dp rate sums, identical MoM trees.
+    "q_beta_binomial" -> """
+      WITH days AS (
+        SELECT CAST(ts AS DATE) AS d,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                 THEN HOUR(ts) END)::BIGINT AS k
+        FROM events GROUP BY 1),
+      r0 AS (
+        SELECT k, 24::BIGINT AS m,
+               ROUND(CAST(k AS DOUBLE) / CAST(24 AS DOUBLE), 12) AS p
+        FROM days),
+      agg AS (
+        SELECT COUNT(*)::BIGINT AS nu,
+               MIN(m)::BIGINT AS mmin, MAX(m)::BIGINT AS mmax,
+               SUM(k)::BIGINT AS sk, SUM(m)::BIGINT AS sm,
+               SUM(CAST(p AS DECIMAL(38,12))) AS sp,
+               SUM(CAST(p AS DECIMAL(38,12))
+                 * CAST(p AS DECIMAL(38,12))) AS spp
+        FROM r0),
+      fin AS (
+        SELECT nu, mmin,
+               CAST(sk AS DOUBLE) / CAST(sm AS DOUBLE) AS p,
+               (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)
+                  * CAST(sp AS DOUBLE) / CAST(nu AS DOUBLE))
+                 / (CAST(nu AS DOUBLE) - 1.0) AS s2,
+               CAST(mmin AS DOUBLE) AS m
+        FROM agg),
+      fin2 AS (
+        SELECT nu, mmin, p,
+               (m * s2 / (p * (1.0 - p)) - 1.0) / (m - 1.0) AS rho
+        FROM fin)
+      SELECT nu AS n_units, mmin AS trials,
+             CAST(ROUND(p, 6) AS DOUBLE) AS p_hat,
+             CAST(CASE WHEN nu >= 2 AND p > 0.0 AND p < 1.0 AND mmin >= 2
+               THEN ROUND(rho, 6) END AS DOUBLE) AS rho,
+             CAST(CASE WHEN nu >= 2 AND p > 0.0 AND p < 1.0 AND mmin >= 2
+                    AND rho > 0.0 AND rho < 1.0
+               THEN ROUND(p * (1.0 / rho - 1.0), 6)
+               END AS DOUBLE) AS alpha,
+             CAST(CASE WHEN nu >= 2 AND p > 0.0 AND p < 1.0 AND mmin >= 2
+                    AND rho > 0.0 AND rho < 1.0
+               THEN ROUND((1.0 - p) * (1.0 / rho - 1.0), 6)
+               END AS DOUBLE) AS beta
+      FROM fin2""",
+
+    // Exact counts and 1e6-quantized exposures; identical Wald trees.
+    "q_poisson_test" -> """
+      WITH r0 AS (
+        SELECT CASE WHEN DAY(ts) <= 15 THEN 'h1' ELSE 'h2' END AS g,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS k,
+               1000000::BIGINT AS t
+        FROM events),
+      agg AS (SELECT g, SUM(k)::HUGEINT AS sk, SUM(t)::HUGEINT AS st
+              FROM r0 GROUP BY g),
+      a AS (SELECT g AS group_a, sk AS k1, st AS t1 FROM agg
+            WHERE g = 'h1'),
+      b AS (SELECT g AS group_b, sk AS k2, st AS t2 FROM agg
+            WHERE g = 'h2'),
+      fin AS (
+        SELECT group_a, group_b, k1, k2,
+               CAST(t1 AS DOUBLE) / 1000000.0 AS te1,
+               CAST(t2 AS DOUBLE) / 1000000.0 AS te2
+        FROM a CROSS JOIN b),
+      fin2 AS (
+        SELECT group_a, group_b, k1, k2, te1, te2,
+               CAST(k1 AS DOUBLE) / te1 AS r1,
+               CAST(k2 AS DOUBLE) / te2 AS r2
+        FROM fin)
+      SELECT group_a, group_b,
+             CAST(k1 AS BIGINT) AS k_a, CAST(k2 AS BIGINT) AS k_b,
+             CAST(CASE WHEN te1 > 0 THEN ROUND(r1, 6) END AS DOUBLE)
+               AS rate_a,
+             CAST(CASE WHEN te2 > 0 THEN ROUND(r2, 6) END AS DOUBLE)
+               AS rate_b,
+             CAST(CASE WHEN te1 > 0 AND te2 > 0 AND r2 > 0.0
+               THEN ROUND(r1 / r2, 6) END AS DOUBLE) AS ratio,
+             CAST(CASE WHEN te1 > 0 AND te2 > 0 AND (k1 > 0 OR k2 > 0)
+               THEN ROUND((r1 - r2) / SQRT(CAST(k1 AS DOUBLE)
+                 / (te1 * te1) + CAST(k2 AS DOUBLE) / (te2 * te2)), 6)
+               END AS DOUBLE) AS z
+      FROM fin2""",
 
     // The q_lin_fit equilibrium trees on the cumulative series, 6-dp
     // residuals, then the q_dickey_fuller no-constant regression.

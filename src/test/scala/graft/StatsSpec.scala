@@ -3839,6 +3839,72 @@ class StatsSpec extends SparkTestBase {
       b.toString)
   }
 
+  test("energyDistanceBinned: identical samples give D = 0; separated " +
+      "samples give the hand pair-sum value; 3 groups are loud") {
+    import spark.implicits._
+    val same = (1 to 10).flatMap(v => Seq(("a", v.toDouble), ("b", v.toDouble)))
+      .toDF("g", "v")
+    val r0 = Stats.energyDistanceBinned(same, "g", "v", bins = 10)
+      .collect().head
+    assert(r0.getDouble(7) === 0.0 && r0.getDouble(8) === 0.0, r0.toString)
+    // a = {0,0}, b = {bins-1}: bins=2 -> cells a:(0,2), b:(1,1)
+    // A = |0-1| = 1, B = 0, C = 0 -> D = 2; T = 2*1/3 * 2
+    val sep = Seq(("a", 0.0), ("a", 0.0), ("b", 10.0)).toDF("g", "v")
+    val r1 = Stats.energyDistanceBinned(sep, "g", "v", bins = 2)
+      .collect().head
+    assert(r1.getDouble(4) === 1.0 && r1.getDouble(7) === 2.0, r1.toString)
+    assert(math.abs(r1.getDouble(8) - 2.0 * 2.0 / 3.0) < 1e-6, r1.toString)
+    intercept[IllegalArgumentException] {
+      Stats.energyDistanceBinned(
+        same.unionByName(Seq(("c", 1.0)).toDF("g", "v")), "g", "v", 4)
+    }
+  }
+
+  test("betaBinomialMom: planted overdispersion recovered; binomial " +
+      "data reports NULL alpha/beta; unbalanced panel is loud") {
+    import spark.implicits._
+    // units split between rates 0.2 and 0.8 at m = 10:
+    // p = .5, s2 = .09*40/39, rho = (10*s2/.25 - 1)/9
+    val units = (1 to 40).map(i =>
+      (if (i <= 20) 2L else 8L, 10L)).toDF("k", "m")
+    val r = Stats.betaBinomialMom(units, "k", "m").collect().head
+    assert(r.getLong(0) === 40L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 0.5, r.toString)
+    val s2 = 0.09 * 40.0 / 39.0
+    val rho = (10.0 * s2 / 0.25 - 1.0) / 9.0
+    assert(math.abs(r.getDouble(3) - rho) < 1e-6, r.toString)
+    assert(math.abs(r.getDouble(4) - 0.5 * (1.0 / rho - 1.0)) < 1e-5,
+      r.toString)
+    // all units at the same k: zero variance -> rho <= 0 -> NULLs
+    val flat = (1 to 10).map(_ => (5L, 10L)).toDF("k", "m")
+    val f = Stats.betaBinomialMom(flat, "k", "m").collect().head
+    assert(f.isNullAt(4) && f.isNullAt(5), f.toString)
+    val e = intercept[Exception] {
+      Stats.betaBinomialMom(
+        Seq((1L, 10L), (1L, 12L)).toDF("k", "m"), "k", "m").collect()
+    }
+    assert(e.getMessage.contains("unbalanced"), e.getMessage)
+  }
+
+  test("poissonRateTest: hand rates and Wald z; two zero counts NULL z") {
+    import spark.implicits._
+    // a: 4 events over exposure 2.0 -> rate 2; b: 1 over 1.0 -> rate 1
+    // z = (2-1)/sqrt(4/4 + 1/1) = 1/sqrt(2)
+    val rows = (Seq.fill(4)(("a", true, 0.5)) ++
+      Seq(("b", true, 0.5), ("b", false, 0.5))).toDF("g", "ev", "ex")
+    val r = Stats.poissonRateTest(rows, "g", col("ev"), col("ex"))
+      .collect().head
+    assert(r.getLong(2) === 4L && r.getLong(3) === 1L)
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 1.0
+      && r.getDouble(6) === 2.0, r.toString)
+    assert(math.abs(r.getDouble(7) - 1.0 / math.sqrt(2.0)) < 1e-6,
+      r.toString)
+    val zeros = Seq(("a", false, 1.0), ("b", false, 1.0)).toDF("g", "ev", "ex")
+    val z = Stats.poissonRateTest(zeros, "g", col("ev"), col("ex"))
+      .collect().head
+    assert(z.isNullAt(7), z.toString)
+  }
+
   test("engleGranger: cointegrated pair (trending x, y = 2x + bounded " +
       "alternating error) gives beta ~ 2 and a strongly negative adf_t") {
     import spark.implicits._
