@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,6 +160,77 @@ object Scoring {
       .filter(col("rank") <= topN)
       .select(col("_u").as(userCol), col("item"), col("score"),
         col("rank"))
+  }
+
+  /** Recommendation-quality panel over a produced rec table — the
+    * serving-side acceptance gates beside accuracy (a recommender
+    * scoring 100% on relevance can still be useless if it only ever
+    * recommends the 10 most popular items): catalog COVERAGE (share
+    * of the history catalog ever recommended), NOVELTY (mean
+    * −ln(popularity share) of recommended items — higher = deeper
+    * cuts into the long tail), and INTRA-LIST DIVERSITY (mean
+    * 1 − cosine over within-user rec pairs, cosine from the history's
+    * co-occurrence similarity — 0 means every list is near-duplicate
+    * items).
+    *
+    * Determinism: popularity/ownership counts are exact integers from
+    * the distinct history; novelty and dissimilarity terms freeze at
+    * 12 dp into order-free decimal means; cosines are the 6-dp
+    * [[cooccurrenceSimilarity]] outputs; one rounded division per
+    * reported number. A rec item absent from the history contributes
+    * no novelty term (counted separately is upstream's bug to
+    * surface); rec pairs with no co-occurrence cosine score full
+    * diversity 1 (never co-bought = maximally diverse, by
+    * construction of the similarity).
+    *
+    * Scale shape: rec tables are user×N sized (≪ history); the pair
+    * stage is N² per user on the REC list only; the similarity join
+    * is item-keyed. Output one row: (n_users, n_recs, catalog_size,
+    * coverage, novelty, intra_list_diversity).
+    */
+  def recommendationEval(history: DataFrame, hUserCol: String,
+      hItemCol: String, recs: DataFrame, rUserCol: String,
+      rItemCol: String): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val hist = history.select(col(hUserCol).as("_u"), col(hItemCol).as("_i"))
+      .filter(col("_u").isNotNull && col("_i").isNotNull).distinct()
+      .localCheckpoint() // stats, popularity, similarity all re-read it
+    val rec = recs.select(col(rUserCol).as("_u"), col(rItemCol).as("_i"))
+      .localCheckpoint()
+    val stats = hist.agg(countDistinct("_u").as("_hu"),
+      countDistinct("_i").as("_cat"))
+    val pop = hist.groupBy("_i").agg(count(lit(1)).as("_own"))
+    val nov = rec.join(pop, Seq("_i"), "left")
+      .crossJoin(broadcast(stats))
+      .agg(count(lit(1)).as("_nr"),
+        sum(when(col("_own").isNotNull,
+          round(-log(col("_own").cast("double")
+            / col("_hu").cast("double")), 12).cast(dec12))).as("_snov"),
+        sum(when(col("_own").isNotNull, 1L).otherwise(0L)).as("_nnov"))
+    val recStats = rec.agg(countDistinct("_u").as("_ru"),
+      countDistinct("_i").as("_ri"))
+    val sim = cooccurrenceSimilarity(hist, "_u", "_i")
+      .select(col("item_a"), col("item_b"), col("cosine"))
+    val div = rec.as("a")
+      .join(rec.as("b"),
+        col("a._u") === col("b._u") && col("a._i") < col("b._i"))
+      .join(sim, col("a._i") === col("item_a")
+        && col("b._i") === col("item_b"), "left")
+      .agg(count(lit(1)).as("_np"),
+        sum(round(lit(1.0) - coalesce(col("cosine"), lit(0.0)), 12)
+          .cast(dec12)).as("_sdiv"))
+    def d(c: String): Column = col(c).cast("double")
+    nov.crossJoin(broadcast(recStats)).crossJoin(broadcast(div))
+      .crossJoin(broadcast(stats))
+      .select(col("_ru").cast("bigint").as("n_users"),
+        col("_nr").cast("bigint").as("n_recs"),
+        col("_cat").cast("bigint").as("catalog_size"),
+        when(col("_cat") > 0, round(d("_ri") / d("_cat"), 6))
+          .cast("double").as("coverage"),
+        when(col("_nnov") > 0, round(d("_snov") / d("_nnov"), 6))
+          .cast("double").as("novelty"),
+        when(col("_np") > 0, round(d("_sdiv") / d("_np"), 6))
+          .cast("double").as("intra_list_diversity"))
   }
 
   def rfm(orders: DataFrame, custCol: String, dateCol: String,

@@ -256,6 +256,24 @@ object AnalyticsOps {
       .orderBy("cust", "rank")
   }
 
+  /** Recommendation-quality panel over the q_item_knn recs: catalog
+    * coverage, mean −ln-popularity novelty, and within-list cosine
+    * diversity — the serving acceptance gates beside accuracy; the
+    * oracle replays the full item-kNN pipeline then the panel.
+    */
+  val qRecEval: QueryFn = withTables { spark =>
+    val hist = spark.table("lineitem")
+      .filter(col("l_orderkey") % 3 === 0 && col("l_partkey") % 50 === 0)
+      .join(spark.table("orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    val recs = graft.operators.Scoring.itemKnnRecommend(hist, "cust",
+        "part", topN = 3, maxNeighbors = 10)
+      .select(col("cust"), col("item"))
+    graft.operators.Scoring.recommendationEval(hist, "cust", "part",
+      recs, "cust", "item")
+  }
+
   /** Off-policy IPS/SNIPS replay: target policy "purchase after noon,
     * view before" evaluated on logged events with plug-in empirical
     * logging propensities P(event_type) — what the counterfactual
@@ -780,6 +798,7 @@ object AnalyticsOps {
     "q_bradley_terry" -> qBradleyTerry,
     "q_ips_eval" -> qIpsEval,
     "q_item_knn" -> qItemKnn,
+    "q_rec_eval" -> qRecEval,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -2191,6 +2210,83 @@ object AnalyticsOps {
       SELECT u AS cust, item AS part, score, CAST(rank AS INT) AS rank
       FROM ranked WHERE rank <= 3
       ORDER BY cust, rank""",
+
+
+    // The q_item_knn pipeline CTEs verbatim, then the panel: exact
+    // ownership counts, 12-dp -ln popularity terms, pair diversity
+    // with never-co-bought defaulting to 1.
+    "q_rec_eval" -> """
+      WITH hist AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey % 3 = 0 AND l.l_partkey % 50 = 0),
+      pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b, COUNT(*)::BIGINT AS n_both
+        FROM hist x JOIN hist y ON x.u = y.u AND x.i < y.i
+        GROUP BY x.i, y.i),
+      singles AS (SELECT i, COUNT(*)::BIGINT AS c FROM hist GROUP BY i),
+      sim AS (
+        SELECT item_a, item_b,
+               ROUND(n_both / SQRT(CAST(ca.c * cb.c AS DOUBLE)), 6)
+                 AS cosine
+        FROM pairs
+        JOIN singles ca ON ca.i = pairs.item_a
+        JOIN singles cb ON cb.i = pairs.item_b),
+      nbrs AS (
+        SELECT item_a AS f, item_b AS t, cosine FROM sim
+        UNION ALL SELECT item_b, item_a, cosine FROM sim),
+      capped AS (
+        SELECT f, t, cosine FROM (
+          SELECT f, t, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY f
+                   ORDER BY cosine DESC, t) AS rn
+          FROM nbrs)
+        WHERE rn <= 10),
+      cand AS (
+        SELECT h.u, c.t AS item,
+               SUM(CAST(c.cosine AS DECIMAL(38,6))) AS s
+        FROM hist h JOIN capped c ON c.f = h.i
+        WHERE NOT EXISTS (SELECT 1 FROM hist o
+                          WHERE o.u = h.u AND o.i = c.t)
+        GROUP BY h.u, c.t),
+      recs AS (
+        SELECT u, item AS i FROM (
+          SELECT u, item,
+                 ROW_NUMBER() OVER (PARTITION BY u
+                   ORDER BY CAST(s AS DOUBLE) DESC, item) AS rank
+          FROM cand)
+        WHERE rank <= 3),
+      stats AS (SELECT COUNT(DISTINCT u)::BIGINT AS hu,
+                       COUNT(DISTINCT i)::BIGINT AS cat FROM hist),
+      pop AS (SELECT i, COUNT(*)::BIGINT AS own FROM hist GROUP BY i),
+      nov AS (
+        SELECT COUNT(*)::BIGINT AS nr,
+               SUM(CASE WHEN pop.own IS NOT NULL THEN
+                 CAST(ROUND(-LN(CAST(pop.own AS DOUBLE)
+                   / CAST(stats.hu AS DOUBLE)), 12)
+                   AS DECIMAL(38,12)) END) AS snov,
+               SUM(CASE WHEN pop.own IS NOT NULL THEN 1 ELSE 0 END)
+                 ::BIGINT AS nnov
+        FROM recs LEFT JOIN pop ON pop.i = recs.i CROSS JOIN stats),
+      rstats AS (SELECT COUNT(DISTINCT u)::BIGINT AS ru,
+                        COUNT(DISTINCT i)::BIGINT AS ri FROM recs),
+      div AS (
+        SELECT COUNT(*)::BIGINT AS np,
+               SUM(CAST(ROUND(1.0 - COALESCE(s.cosine, 0.0), 12)
+                 AS DECIMAL(38,12))) AS sdiv
+        FROM recs a JOIN recs b ON a.u = b.u AND a.i < b.i
+        LEFT JOIN sim s ON s.item_a = a.i AND s.item_b = b.i)
+      SELECT ru AS n_users, nr AS n_recs, cat AS catalog_size,
+             CAST(CASE WHEN cat > 0 THEN
+               ROUND(CAST(ri AS DOUBLE) / CAST(cat AS DOUBLE), 6)
+             END AS DOUBLE) AS coverage,
+             CAST(CASE WHEN nnov > 0 THEN
+               ROUND(CAST(snov AS DOUBLE) / CAST(nnov AS DOUBLE), 6)
+             END AS DOUBLE) AS novelty,
+             CAST(CASE WHEN np > 0 THEN
+               ROUND(CAST(sdiv AS DOUBLE) / CAST(np AS DOUBLE), 6)
+             END AS DOUBLE) AS intra_list_diversity
+      FROM nov CROSS JOIN rstats CROSS JOIN div CROSS JOIN stats""",
 
     // Empirical logging propensities, hour-gated target policy, 12-dp
     // frozen rw/w/w² decimal sums, one rounded division per estimate.

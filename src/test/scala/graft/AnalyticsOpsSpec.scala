@@ -916,6 +916,27 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("maxHistory"))
   }
 
+  test("recommendationEval: hand coverage/novelty/diversity; no-pair " +
+      "rec lists report NULL diversity") {
+    import spark.implicits._
+    val hist = Seq((1, "A"), (1, "B"), (2, "A"), (2, "B"),
+      (3, "A"), (3, "C")).toDF("u", "i")
+    val recs = Seq((1, "C"), (2, "C"), (3, "B"), (3, "C")).toDF("u", "i")
+    val r = graft.operators.Scoring
+      .recommendationEval(hist, "u", "i", recs, "u", "i").collect().head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 4L
+      && r.getLong(2) === 3L, r.toString)
+    assert(r.getDouble(3) === 0.666667, r.toString)
+    // novelty = mean of -ln(pop): C x3 (-ln(1/3)), B x1 (-ln(2/3))
+    assert(r.getDouble(4) === 0.925325, r.toString)
+    // the only pair (B, C) never co-occurs -> full diversity
+    assert(r.getDouble(5) === 1.0, r.toString)
+    val single = Seq((1, "C"), (2, "C")).toDF("u", "i")
+    val s = graft.operators.Scoring
+      .recommendationEval(hist, "u", "i", single, "u", "i").collect().head
+    assert(s.isNullAt(5), s.toString)
+  }
+
   test("ipsEvaluate: hand fixture matches the textbook estimator; " +
       "replaying the logging policy SNIPS to the plain mean reward; " +
       "bad propensity on a matched row is loud") {
