@@ -450,6 +450,24 @@ object Graft {
     // emptied and deleting its freshly rewritten directory
     val src = source.select(base.columns.map(c =>
       col(c).cast(base.schema(c).dataType).as(c)).toIndexedSeq: _*)
+    // The emptied-partition delete below re-renders partition VALUES to
+    // directory paths; a type whose JVM toString diverges from Spark's
+    // hive rendering (timestamp, float/double, decimal) would miss the
+    // directory and the deleted rows would RESURRECT on the next read —
+    // loud guard, same contract as Versioned.mergeInto
+    locally {
+      import org.apache.spark.sql.types._
+      val ok: Set[DataType] =
+        Set(StringType, IntegerType, LongType, ShortType, ByteType,
+          BooleanType, DateType)
+      val bad = partitionCols.filterNot(c => ok.contains(base.schema(c).dataType))
+      require(bad.isEmpty,
+        s"mergeIntoParquet: partition column(s) ${bad.mkString(",")} have " +
+          "type(s) whose JVM rendering differs from Spark's partition-" +
+          "directory rendering — an emptied partition could not be " +
+          "deleted and its rows would resurrect. Partition on " +
+          "string/int/long/short/byte/boolean/date")
+    }
     val touched = src.select(partitionCols.map(col): _*).distinct()
       .limit(maxTouchedPartitions + 1).collect()
     require(touched.length <= maxTouchedPartitions,

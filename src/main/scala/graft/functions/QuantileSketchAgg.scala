@@ -179,6 +179,48 @@ object QuantileSketch {
   /** Represented value count of a sketch column. */
   def countOf(sketch: Column): Column =
     Bridge.column(QuantileSketchCountExpr(Bridge.expression(sketch)))
+
+  /** Input/output rows for [[sketchStream]]. */
+  case class SketchEvent(key: Long, x: Double)
+  case class SketchOut(key: Long, sketch: Array[Byte], n: Long)
+  private[functions] case class SketchState(bytes: Array[Byte])
+
+  /** Streaming-legal sketch accumulation — the live dual of
+    * [[sketchAgg]] (the ewmaStream/holtStream contract): ONE
+    * serialized sketch per key in the state store, each micro-batch's
+    * values folded in, the key's CURRENT sketch emitted every batch
+    * (Update mode) — so a downstream consumer always has a
+    * one-read quantile state per key, and the persisted table of
+    * emitted sketches composes with [[mergeAgg]] across keys.
+    *
+    * Exactness: in the exact regime (a key has seen ≤ k values) the
+    * streamed sketch answers BIT-IDENTICAL quantiles to the batch
+    * aggregate regardless of batch boundaries — level 0 is the value
+    * multiset and [[Buf.quantile]] sorts (StreamingSpec pins it).
+    * Beyond k, compaction points depend on arrival batching; the
+    * estimates share the rank-error envelope but not bit equality
+    * (the KLL property — documented, not hidden). State is
+    * O(k·log(n/k)) per key.
+    */
+  def sketchStream(events: org.apache.spark.sql.Dataset[SketchEvent],
+      k: Int): org.apache.spark.sql.Dataset[SketchOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    requireK(k)
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SketchState, SketchOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, evs: Iterator[SketchEvent],
+            state: GroupState[SketchState]) =>
+          val buf = state.getOption.map(s => deserialize(s.bytes))
+            .getOrElse(new Buf(k))
+          evs.foreach(e => buf.update(e.x))
+          val bytes = buf.serialize
+          state.update(SketchState(bytes))
+          Iterator(SketchOut(key, bytes, buf.count))
+      }
+  }
 }
 
 /** Sketch-build aggregate over doubles (nulls skipped). */

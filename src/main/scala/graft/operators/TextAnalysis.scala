@@ -638,6 +638,80 @@ object TextAnalysis {
         col("dist"))
   }
 
+  /** Burrows' Delta stylometric distance between groups — the
+    * standard authorship/register fingerprint (which source/author/
+    * template does this slice write like): over the corpus's top-K
+    * most frequent words, z-score each group's relative frequency
+    * against the across-group mean/sd per word, and Delta(a, b) =
+    * mean |z_a − z_b| — high-frequency FUNCTION words carry style
+    * where content words carry topic, which is why the top of the
+    * frequency list is the right feature set.
+    *
+    * Determinism: relative frequencies freeze at 12 dp; per-word
+    * across-group mean/sd come from decimal(38,12) sums with the
+    * sample (n−1) variance; z and |Δz| are closed-form doubles with
+    * per-pair terms frozen at 12 dp into a decimal mean, rounded at
+    * 6 dp. Words with zero across-group variance are EXCLUDED from a
+    * pair's mean (their z is undefined; the divisor counts only used
+    * words — reported). The top-K cut runs under the (count DESC,
+    * word ASC) total order.
+    *
+    * Scale shape: one (group, word) count shuffle; the top-K cut is
+    * one window over the corpus VOCABULARY (bounded); everything
+    * after is (K × groups)-sized — grids, stats, and the group-pair
+    * join are all broadcast-class. Output: (group_a, group_b,
+    * n_words, delta), group_a < group_b.
+    */
+  def burrowsDelta(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 2, s"burrowsDelta: topK must be >= 2, got $topK")
+    val dec12 = "decimal(38,12)"
+    val toks = df.select(col(groupCol).as("_g"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("_w"))
+    val gw = toks.groupBy("_g", "_w").agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // top-K cut + totals + grid re-read it
+    val ng = gw.groupBy("_g").agg(sum("_c").as("_n"))
+    val top = gw.groupBy("_w").agg(sum("_c").as("_tc"))
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("_tc").desc, col("_w").asc)))
+      .filter(col("_rk") <= topK)
+      .select("_w")
+    val grid = top.crossJoin(ng)
+      .join(gw, Seq("_g", "_w"), "left")
+      .select(col("_g"), col("_w"),
+        round(coalesce(col("_c"), lit(0L)).cast("double")
+          / col("_n").cast("double"), 12).as("_f"))
+      .localCheckpoint() // word stats + both pair sides re-read it
+    val wstats = grid.groupBy("_w")
+      .agg(sum(col("_f").cast(dec12)).as("_sf"),
+        sum((col("_f").cast(dec12) * col("_f")).cast(dec12)).as("_sff"),
+        count(lit(1)).as("_kg"))
+      .withColumn("_mu", col("_sf").cast("double")
+        / col("_kg").cast("double"))
+      .withColumn("_var",
+        (col("_sff").cast("double") - col("_sf").cast("double")
+          * col("_sf").cast("double") / col("_kg").cast("double"))
+          / (col("_kg").cast("double") - 1.0))
+      .filter(col("_var") > 0.0)
+      .select(col("_w"), col("_mu"), sqrt(col("_var")).as("_sd"))
+    val z = grid.join(wstats, Seq("_w"))
+      .select(col("_g"), col("_w"),
+        ((col("_f") - col("_mu")) / col("_sd")).as("_z"))
+    z.as("a").join(z.as("b"),
+        col("a._w") === col("b._w") && col("a._g") < col("b._g"))
+      .groupBy(col("a._g").as("group_a"), col("b._g").as("group_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(round(abs(col("a._z") - col("b._z")), 12).cast(dec12))
+          .as("_sd2"))
+      .select(col("group_a"), col("group_b"),
+        col("n_words").cast("bigint").as("n_words"),
+        round(col("_sd2").cast("double")
+          / col("n_words").cast("double"), 6)
+          .cast("double").as("delta"))
+  }
+
   /** Chao1 vocabulary-richness estimate + Good's coverage per group —
     * "how much vocabulary have we NOT seen yet" for a growing corpus
     * (the capture-recapture species estimator on tokens): with f_r =

@@ -665,6 +665,17 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Burrows' Delta stylometric distances between sources over the
+    * corpus's top-50 words: 12-dp frequencies, across-source z-scores
+    * with sample sd, mean |Δz| per source pair — the authorship/
+    * register fingerprint.
+    */
+  val qBurrowsDelta: QueryFn = withTables { spark =>
+    TextAnalysis.burrowsDelta(spark.table("documents"), "source", "text",
+        topK = 50)
+      .orderBy("group_a", "group_b")
+  }
+
   /** Chao1 vocabulary-richness + Good's coverage per source — "how
     * much vocabulary is still unseen / is this slice saturated":
     * exact counts-of-counts, one rounded expression per estimate.
@@ -1859,6 +1870,7 @@ object LlmOps {
     "q_lang_id" -> qLangId,
     "q_langid_profile" -> qLangIdProfile,
     "q_chao1" -> qChao1,
+    "q_burrows_delta" -> qBurrowsDelta,
     "q_good_turing" -> qGoodTuring,
     "q_redact_pii" -> qRedactPii,
     "q_decontaminate" -> qDecontaminate,
@@ -3361,6 +3373,57 @@ object LlmOps {
       GROUP BY source
       ORDER BY source""",
 
+
+
+    // Same tokenizer, top-50 cut under (count DESC, word ASC), 12-dp
+    // frequencies, identical z and pair-mean trees; zero-variance
+    // words excluded from the pair divisor on both engines.
+    "q_burrows_delta" -> """
+      WITH toks AS (
+        SELECT source AS g,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        FROM documents),
+      gw AS (SELECT g, w, COUNT(*)::BIGINT AS c
+             FROM toks WHERE w <> '' GROUP BY g, w),
+      ng AS (SELECT g, SUM(c)::BIGINT AS n FROM gw GROUP BY g),
+      top AS (SELECT w FROM (
+                SELECT w, ROW_NUMBER() OVER (
+                  ORDER BY SUM(c) DESC, w ASC) AS rk
+                FROM gw GROUP BY w)
+              WHERE rk <= 50),
+      grid AS (
+        SELECT ng.g, top.w,
+               ROUND(CAST(COALESCE(gw.c, 0) AS DOUBLE)
+                 / CAST(ng.n AS DOUBLE), 12) AS f
+        FROM top CROSS JOIN ng
+        LEFT JOIN gw ON gw.g = ng.g AND gw.w = top.w),
+      ws0 AS (
+        SELECT w, COUNT(*)::BIGINT AS kg,
+               SUM(CAST(f AS DECIMAL(38,12))) AS sf,
+               SUM(CAST(f AS DECIMAL(38,12))
+                 * CAST(f AS DECIMAL(38,12))) AS sff
+        FROM grid GROUP BY w),
+      ws AS (
+        SELECT w,
+               CAST(sf AS DOUBLE) / CAST(kg AS DOUBLE) AS mu,
+               SQRT((CAST(sff AS DOUBLE) - CAST(sf AS DOUBLE)
+                   * CAST(sf AS DOUBLE) / CAST(kg AS DOUBLE))
+                 / (CAST(kg AS DOUBLE) - 1.0)) AS sd
+        FROM ws0
+        WHERE (CAST(sff AS DOUBLE) - CAST(sf AS DOUBLE)
+            * CAST(sf AS DOUBLE) / CAST(kg AS DOUBLE))
+          / (CAST(kg AS DOUBLE) - 1.0) > 0.0),
+      z AS (
+        SELECT g, grid.w, (f - mu) / sd AS z
+        FROM grid JOIN ws ON ws.w = grid.w)
+      SELECT a.g AS group_a, b.g AS group_b,
+             COUNT(*)::BIGINT AS n_words,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(ABS(a.z - b.z), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS delta
+      FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+      GROUP BY a.g, b.g
+      ORDER BY group_a, group_b""",
 
     // Same whitespace tokenizer (empties filtered), exact
     // counts-of-counts, identical chao1/coverage trees.

@@ -335,4 +335,37 @@ class StreamingSpec extends SparkTestBase {
     assert(sunk.select($"batch_id").distinct().count() >= 2,
       "two micro-batches produced two distinct batch ids")
   }
+
+  test("quantile sketch stream: per-key state accumulates across " +
+      "micro-batches; exact-regime quantiles equal the batch aggregate " +
+      "whatever the batch boundaries") {
+    import spark.implicits._
+    import graft.functions.QuantileSketch
+    import graft.functions.QuantileSketch.{SketchEvent, SketchOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SketchEvent]
+    val out = QuantileSketch.sketchStream(input.toDS(), k = 256)
+    val q = out.writeStream.format("memory").queryName("qsk_stream")
+      .outputMode("update").start()
+    // key 1: 1..10 split across two batches; key 2: one batch
+    input.addData((1 to 6).map(i => SketchEvent(1L, i.toDouble)) ++
+      Seq(SketchEvent(2L, 100.0)): _*)
+    q.processAllAvailable()
+    input.addData((7 to 10).map(i => SketchEvent(1L, i.toDouble)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val finals = spark.table("qsk_stream")
+      .orderBy($"key", $"n".desc)
+      .as[SketchOut].collect()
+      .groupBy(_.key).view.mapValues(_.head).toMap
+    assert(finals(1L).n === 10L && finals(2L).n === 1L)
+    val sk1 = QuantileSketch.deserialize(finals(1L).sketch)
+    assert(sk1.quantile(0.5) === Some(5.0) && sk1.quantile(0.9) === Some(9.0))
+    // bit-identical quantiles to the batch aggregate (exact regime)
+    val batch = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+      .agg(QuantileSketch.sketchAgg($"v", 256).as("sk"))
+      .select(QuantileSketch.quantileOf($"sk", 0.5),
+        QuantileSketch.quantileOf($"sk", 0.9)).collect().head
+    assert(batch.getDouble(0) === 5.0 && batch.getDouble(1) === 9.0)
+  }
 }

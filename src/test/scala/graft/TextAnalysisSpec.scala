@@ -856,6 +856,28 @@ class TextAnalysisSpec extends SparkTestBase {
       "equal scores tie-break on phrase asc: " + top1.mkString(","))
   }
 
+  test("burrowsDelta: symmetric fixture distances; identical styles " +
+      "score exactly 0; zero-variance words excluded") {
+    import spark.implicits._
+    val docs = Seq(("g1", "a a b"), ("g2", "a b b"), ("g3", "a b"),
+      ("g4", "a b")).toDF("src", "text")
+    val out = graft.operators.TextAnalysis
+      .burrowsDelta(docs, "src", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // g3 and g4 write identically: delta exactly 0 over both words
+    assert(out(("g3", "g4")) === ((2L, 0.0)), out.toString)
+    // g1 and g2 mirror each other around g3/g4: equidistant
+    assert(out(("g1", "g3"))._2 === out(("g2", "g3"))._2, out.toString)
+    assert(out(("g1", "g4"))._2 === out(("g1", "g3"))._2, out.toString)
+    // opposite extremes are farther apart than either is from center
+    assert(out(("g1", "g2"))._2 > out(("g1", "g3"))._2, out.toString)
+    // all-identical corpus: every word zero-variance -> no pair rows
+    val flat = Seq(("x", "a b"), ("y", "a b")).toDF("src", "text")
+    assert(graft.operators.TextAnalysis
+      .burrowsDelta(flat, "src", "text", 10).collect().isEmpty)
+  }
+
   test("vocabRichness + goodTuring: hand counts-of-counts") {
     import spark.implicits._
     // tokens: a a b c -> N=4, D=3, f1=2 (b,c), f2=1 (a)
