@@ -7326,6 +7326,133 @@ object Stats {
         round((r1 - r2) / se, 6)).cast("double").as("z"))
   }
 
+  /** Two-sample Hotelling T² on two covariates — the MULTIVARIATE
+    * mean-difference test (two Welch/Student t's on correlated
+    * metrics double-count their shared variance and miss differences
+    * that only show jointly; T² tests the mean VECTOR once):
+    * T² = n₁n₂/(n₁+n₂)·d′S_p⁻¹d with the pooled covariance
+    * S_p = ((n₁−1)S₁+(n₂−1)S₂)/(n₁+n₂−2), and the exact-F transform
+    * F = (n−p−1)/(p(n−2))·T² (p = 2) for the decision.
+    *
+    * Exactness: values quantize to 1e6-scaled longs, all (co)moment
+    * sums are exact decimal integers, the 2×2 inverse is the
+    * closed-form adjugate/det tree, T²/F one rounded expression each
+    * (scale cancels: d carries 1e6, S_p carries 1e12). Exactly two
+    * groups loud; singular pooled covariance (collinear covariates)
+    * reports NULL visibly. One group aggregate.
+    * Output: (group_a, group_b, n_a, n_b, t2, f).
+    */
+  def hotellingT2(df: DataFrame, groupCol: String, x1Col: String,
+      x2Col: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(groupCol).isNotNull && col(x1Col).isNotNull
+        && col(x2Col).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(x1Col) * 1e6).cast("long").as("_a"),
+        round(col(x2Col) * 1e6).cast("long").as("_b"))
+    val nGroups = rows.select("_g").distinct().limit(3).count()
+    require(nGroups == 2,
+      s"hotellingT2: exactly 2 groups required, got $nGroups")
+    def m(a: String, b: String) =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val agg = rows.groupBy("_g").agg(count(lit(1)).as("_n"),
+      sum(col("_a").cast(dec)).as("_sa"),
+      sum(col("_b").cast(dec)).as("_sb"),
+      m("_a", "_a").as("_saa"), m("_b", "_b").as("_sbb"),
+      m("_a", "_b").as("_sab"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_g")
+    val flat = agg.withColumn("_rn", row_number().over(w))
+    def side(i: Int, suffix: String) = flat.filter(col("_rn") === i)
+      .select((Seq("_g", "_n", "_sa", "_sb", "_saa", "_sbb", "_sab")
+        .map(c => col(c).as(c + suffix))): _*)
+    val j = side(1, "1").crossJoin(side(2, "2"))
+    def d(c: String): Column = col(c).cast("double")
+    def css(n: String, q: String, s1: String, s2: String): Column =
+      d(q) - d(s1) * d(s2) / d(n)
+    // pooled covariance entries ×(n1+n2−2); the common factor cancels
+    // against itself inside d'S⁻¹d via det/adjugate, so spell T² on
+    // the SUMMED corrected cross-products directly
+    val sxx = css("_n1", "_saa1", "_sa1", "_sa1") +
+      css("_n2", "_saa2", "_sa2", "_sa2")
+    val syy = css("_n1", "_sbb1", "_sb1", "_sb1") +
+      css("_n2", "_sbb2", "_sb2", "_sb2")
+    val sxy = css("_n1", "_sab1", "_sa1", "_sb1") +
+      css("_n2", "_sab2", "_sa2", "_sb2")
+    val nn = d("_n1") + d("_n2")
+    val da = d("_sa1") / d("_n1") - d("_sa2") / d("_n2")
+    val db = d("_sb1") / d("_n1") - d("_sb2") / d("_n2")
+    val det = sxx * syy - sxy * sxy
+    // d' Sp^-1 d with Sp = CSS/(n-2): = (n-2) · d' CSS^-1 d
+    val quad = (da * (syy * da - sxy * db)
+      + db * (sxx * db - sxy * da)) / det
+    val t2 = d("_n1") * d("_n2") / nn * (nn - 2.0) * quad
+    val f = (nn - 3.0) / (lit(2.0) * (nn - 2.0)) * t2
+    val ok = col("_n1") >= 2 && col("_n2") >= 2 && det > 0.0
+    j.select(col("_g1").as("group_a"), col("_g2").as("group_b"),
+      col("_n1").cast("bigint").as("n_a"),
+      col("_n2").cast("bigint").as("n_b"),
+      when(ok, round(t2, 6)).cast("double").as("t2"),
+      when(ok && nn > 3.0, round(f, 6)).cast("double").as("f"))
+  }
+
+  /** TOST equivalence test for two PROPORTIONS — "are the conversion
+    * rates the same to within δ" (the ship/no-ship question A/B
+    * significance cannot answer: failing to reject ≠ equivalent):
+    * two one-sided z's against the ±δ margins on the unpooled
+    * standard error, z_lower = (p̂₁−p̂₂+δ)/se, z_upper =
+    * (δ−(p̂₁−p̂₂))/se; equivalence at level α needs BOTH > z_{1−α},
+    * so the reported z_tost = min(z_lower, z_upper) is the single
+    * decision number — the proportion sibling of the means-based
+    * L315 TOST.
+    *
+    * Exactness: exact integer counts; p̂'s at 12 dp; se and the z's
+    * closed-form rounded trees; NULL z when either arm is empty or
+    * se = 0 (both rates degenerate). Exactly two groups loud.
+    * Output: (group_a, group_b, n_a, k_a, n_b, k_b, diff, z_lower,
+    * z_upper, z_tost).
+    */
+  def tostProportions(df: DataFrame, groupCol: String, succCol: Column,
+      delta: Double): DataFrame = {
+    require(delta > 0.0 && delta < 1.0,
+      s"tostProportions: delta in (0,1), got $delta")
+    val rows = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        when(succCol, 1L).otherwise(0L).as("_k"))
+    val nGroups = rows.select("_g").distinct().limit(3).count()
+    require(nGroups == 2,
+      s"tostProportions: exactly 2 groups required, got $nGroups")
+    val agg = rows.groupBy("_g")
+      .agg(count(lit(1)).as("_n"), sum("_k").as("_sk"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_g")
+    val flat = agg.withColumn("_rn", row_number().over(w))
+    val a = flat.filter(col("_rn") === 1)
+      .select(col("_g").as("group_a"), col("_n").as("_n1"),
+        col("_sk").as("_k1"))
+    val b = flat.filter(col("_rn") === 2)
+      .select(col("_g").as("group_b"), col("_n").as("_n2"),
+        col("_sk").as("_k2"))
+    def d(c: String): Column = col(c).cast("double")
+    val p1 = round(d("_k1") / d("_n1"), 12)
+    val p2 = round(d("_k2") / d("_n2"), 12)
+    val se = sqrt(p1 * (lit(1.0) - p1) / d("_n1")
+      + p2 * (lit(1.0) - p2) / d("_n2"))
+    val diff = p1 - p2
+    val ok = col("_n1") >= 1 && col("_n2") >= 1 && se > 0.0
+    a.crossJoin(b).select(col("group_a"), col("group_b"),
+      col("_n1").cast("bigint").as("n_a"),
+      col("_k1").cast("bigint").as("k_a"),
+      col("_n2").cast("bigint").as("n_b"),
+      col("_k2").cast("bigint").as("k_b"),
+      round(diff, 6).cast("double").as("diff"),
+      when(ok, round((diff + delta) / se, 6))
+        .cast("double").as("z_lower"),
+      when(ok, round((lit(delta) - diff) / se, 6))
+        .cast("double").as("z_upper"),
+      when(ok, round(least((diff + delta) / se,
+        (lit(delta) - diff) / se), 6))
+        .cast("double").as("z_tost"))
+  }
+
   /** Kendall's coefficient of concordance W — "how much do the m
     * raters AGREE on the ranking of the n items" (annotator panels,
     * metric ensembles, repeated benchmark runs): the effect-size

@@ -576,6 +576,34 @@ object StatsOps {
     graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
   }
 
+  /** Two-sample Hotelling T² of (quantity, extended price) between
+    * the A and R return flags — the multivariate mean test where two
+    * marginal t's would double-count the strong quantity↔price
+    * correlation; exact decimal co-moments, closed-form 2×2
+    * adjugate/det, the exact-F transform.
+    */
+  val qHotelling: QueryFn = withTables { spark =>
+    graft.operators.Stats.hotellingT2(
+      spark.table("lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("double").as("x1"),
+          col("l_extendedprice").cast("double").as("x2")),
+      "g", "x1", "x2")
+  }
+
+  /** TOST equivalence of high-value shares between click and view
+    * events at margin 0.05 — "are the rates the same to within 5
+    * points", the ship question plain significance can't answer.
+    */
+  val qTostProp: QueryFn = withTables { spark =>
+    graft.operators.Stats.tostProportions(
+      spark.table("events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"), col("value")),
+      "g", col("value") > 100, delta = 0.05)
+  }
+
   /** Binned two-sample energy distance between click and purchase
     * spend (64 cells): exact integer bin-pair sums, the 2A−B−C
     * statistic and its n₁n₂/(n₁+n₂) test form — the any-difference
@@ -2101,6 +2129,8 @@ object StatsOps {
     "q_aipw" -> qAipw,
     "q_engle_granger" -> qEngleGranger,
     "q_energy_dist" -> qEnergyDist,
+    "q_hotelling" -> qHotelling,
+    "q_tost_prop" -> qTostProp,
     "q_beta_binomial" -> qBetaBinomial,
     "q_poisson_test" -> qPoissonTest,
     "q_jonckheere" -> qJonckheere,
@@ -7707,6 +7737,103 @@ object StatsOps {
     // trend update (the holt precedent), ring = seas[2:] || [s_new].
 
 
+
+
+    // Same 1e6 quantization, exact HUGEINT co-moments, identical
+    // corrected-cross-product / adjugate / T2 / F trees.
+    "q_hotelling" -> """
+      WITH rows0 AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS a,
+               CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS b
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(a::HUGEINT) AS sa, SUM(b::HUGEINT) AS sb,
+               SUM(a::HUGEINT * a) AS saa, SUM(b::HUGEINT * b) AS sbb,
+               SUM(a::HUGEINT * b) AS sab
+        FROM rows0 GROUP BY g),
+      j AS (
+        SELECT x.g AS g1, x.n AS n1, x.sa AS sa1, x.sb AS sb1,
+               x.saa AS saa1, x.sbb AS sbb1, x.sab AS sab1,
+               y.g AS g2, y.n AS n2, y.sa AS sa2, y.sb AS sb2,
+               y.saa AS saa2, y.sbb AS sbb2, y.sab AS sab2
+        FROM agg x JOIN agg y ON x.g = 'A' AND y.g = 'R'),
+      c1 AS (
+        SELECT *,
+          (CAST(saa1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE)
+             / CAST(n1 AS DOUBLE))
+          + (CAST(saa2 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sa2 AS DOUBLE)
+             / CAST(n2 AS DOUBLE)) AS sxx,
+          (CAST(sbb1 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE)
+             / CAST(n1 AS DOUBLE))
+          + (CAST(sbb2 AS DOUBLE) - CAST(sb2 AS DOUBLE) * CAST(sb2 AS DOUBLE)
+             / CAST(n2 AS DOUBLE)) AS syy,
+          (CAST(sab1 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sb1 AS DOUBLE)
+             / CAST(n1 AS DOUBLE))
+          + (CAST(sab2 AS DOUBLE) - CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE)
+             / CAST(n2 AS DOUBLE)) AS sxy,
+          CAST(sa1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sa2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS da,
+          CAST(sb1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(sb2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS db,
+          CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+        FROM j),
+      c2 AS (
+        SELECT *, sxx * syy - sxy * sxy AS det,
+               (da * (syy * da - sxy * db)
+                 + db * (sxx * db - sxy * da)) AS qn
+        FROM c1),
+      c3 AS (
+        SELECT *, CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / nn
+                 * (nn - 2.0) * (qn / det) AS t2
+        FROM c2)
+      SELECT g1 AS group_a, g2 AS group_b,
+             n1 AS n_a, n2 AS n_b,
+             CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND det > 0.0
+               THEN ROUND(t2, 6) END AS DOUBLE) AS t2,
+             CAST(CASE WHEN n1 >= 2 AND n2 >= 2 AND det > 0.0
+                    AND nn > 3.0
+               THEN ROUND((nn - 3.0) / (2.0 * (nn - 2.0)) * t2, 6)
+               END AS DOUBLE) AS f
+      FROM c3""",
+
+    // Exact counts, 12-dp rates, identical unpooled-se z trees.
+    "q_tost_prop" -> """
+      WITH rows0 AS (
+        SELECT event_type AS g,
+               CASE WHEN value > 100 THEN 1 ELSE 0 END AS k
+        FROM events WHERE event_type IN ('click', 'view')),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(k)::BIGINT AS sk
+              FROM rows0 GROUP BY g),
+      j AS (
+        SELECT x.g AS group_a, x.n AS n1, x.sk AS k1,
+               y.g AS group_b, y.n AS n2, y.sk AS k2
+        FROM agg x JOIN agg y ON x.g = 'click' AND y.g = 'view'),
+      c1 AS (
+        SELECT *, ROUND(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 12) AS p1,
+               ROUND(CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE), 12) AS p2
+        FROM j),
+      c2 AS (
+        SELECT *, p1 - p2 AS diff,
+               SQRT(p1 * (1.0 - p1) / CAST(n1 AS DOUBLE)
+                 + p2 * (1.0 - p2) / CAST(n2 AS DOUBLE)) AS se
+        FROM c1)
+      SELECT group_a, group_b, n1 AS n_a, k1 AS k_a, n2 AS n_b,
+             k2 AS k_b,
+             CAST(ROUND(diff, 6) AS DOUBLE) AS diff,
+             CAST(CASE WHEN n1 >= 1 AND n2 >= 1 AND se > 0.0
+               THEN ROUND((diff + 0.05) / se, 6) END AS DOUBLE)
+               AS z_lower,
+             CAST(CASE WHEN n1 >= 1 AND n2 >= 1 AND se > 0.0
+               THEN ROUND((0.05 - diff) / se, 6) END AS DOUBLE)
+               AS z_upper,
+             CAST(CASE WHEN n1 >= 1 AND n2 >= 1 AND se > 0.0
+               THEN ROUND(LEAST((diff + 0.05) / se, (0.05 - diff) / se), 6)
+               END AS DOUBLE) AS z_tost
+      FROM c2""",
 
     // Same frozen-grid binning, exact HUGEINT bin-pair sums, the
     // identical 2A-B-C trees.

@@ -3839,6 +3839,55 @@ class StatsSpec extends SparkTestBase {
       b.toString)
   }
 
+  test("hotellingT2: hand pooled-covariance fixture; collinear " +
+      "covariates NULL; three groups loud") {
+    import spark.implicits._
+    val a = Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0))
+      .map { case (x, y) => ("a", x, y) }
+    val b = Seq((3.0, 3.0), (4.0, 2.0), (5.0, 5.0), (6.0, 4.0))
+      .map { case (x, y) => ("b", x, y) }
+    val r = Stats.hotellingT2((a ++ b).toDF("g", "x1", "x2"),
+      "g", "x1", "x2").collect().head
+    assert(r.getLong(2) === 4L && r.getLong(3) === 4L)
+    assert(r.getDouble(4) === 4.875 && r.getDouble(5) === 2.03125,
+      r.toString)
+    // perfectly collinear covariates: singular pooled covariance
+    val coll = (a ++ b).map { case (g, x, _) => (g, x, x + 1.0) }
+    val c = Stats.hotellingT2(coll.toDF("g", "x1", "x2"), "g", "x1", "x2")
+      .collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5), c.toString)
+    intercept[IllegalArgumentException] {
+      Stats.hotellingT2((a ++ b ++ Seq(("c", 1.0, 1.0)))
+        .toDF("g", "x1", "x2"), "g", "x1", "x2")
+    }
+  }
+
+  test("tostProportions: equivalent arms clear the margin, distinct " +
+      "arms fail it; hand z values") {
+    import spark.implicits._
+    // a: 50/100, b: 52/100, margin .15:
+    // se = sqrt(.25/100 + .2496/100) = sqrt(.004996) = .070682
+    val rows = (Seq.tabulate(100)(i => ("a", i < 50)) ++
+      Seq.tabulate(100)(i => ("b", i < 52))).toDF("g", "s")
+    val r = Stats.tostProportions(rows, "g", col("s"), delta = 0.15)
+      .collect().head
+    val se = math.sqrt(0.25 / 100 + 0.52 * 0.48 / 100)
+    assert(r.getLong(3) === 50L && r.getLong(5) === 52L)
+    assert(r.getDouble(6) === -0.02, r.toString)
+    assert(math.abs(r.getDouble(7) - 0.13 / se) < 1e-6, r.toString)
+    assert(math.abs(r.getDouble(9) - 0.13 / se) < 1e-6,
+      "tost = min side: " + r)
+    assert(r.getDouble(9) > 1.645, "arms equivalent at this margin")
+    // far-apart arms: min side deeply negative
+    val far = (Seq.tabulate(100)(i => ("a", i < 20)) ++
+      Seq.tabulate(100)(i => ("b", i < 80))).toDF("g", "s")
+    val f = Stats.tostProportions(far, "g", col("s"), 0.15).collect().head
+    assert(f.getDouble(9) < -1.645, f.toString)
+    intercept[IllegalArgumentException] {
+      Stats.tostProportions(rows, "g", col("s"), 1.5)
+    }
+  }
+
   test("energyDistanceBinned: identical samples give D = 0; separated " +
       "samples give the hand pair-sum value; 3 groups are loud") {
     import spark.implicits._
