@@ -626,6 +626,167 @@ object Graph {
         col("comm_size"))
   }
 
+  /** WEIGHTED [[louvainMove]] — the kernel the multi-level ladder
+    * needs (a contracted community graph carries integer
+    * co-occurrence weights and SELF-LOOPS): same half-synchronous
+    * local moves, dense-rank-parity eligibility, and (score DESC,
+    * community ASC) argmax, with the weighted gain numerator
+    * 2·W·w_{v,c} − Σtot(c∖v)·k_v — W the total edge weight (self
+    * loops counted once), k_v the weighted degree (self loops counted
+    * TWICE, the standard convention), w_{v,c} the weight of v's links
+    * into c (self loops excluded — they move with v and cancel in the
+    * argmax). Weights must be positive integers (the contraction
+    * output; fractional weights would break the exact-integer score
+    * contract — rejected loudly).
+    *
+    * Determinism/scale: the [[louvainMove]] contract verbatim; scores
+    * fold in decimal(38,0) so contracted mega-weights cannot
+    * overflow. Returns (vertex, community, comm_size).
+    */
+  def louvainMoveWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, passes: Int): DataFrame = {
+    require(passes >= 1 && passes <= 8,
+      s"louvainMoveWeighted: passes must be in [1, 8], got $passes")
+    val dec = "decimal(38,0)"
+    val raw = edges.select(col(srcCol).cast("string").as("_ca"),
+        col(dstCol).cast("string").as("_cb"),
+        when(col(weightCol).isNull || col(weightCol) <= 0
+            || col(weightCol) =!= col(weightCol).cast("long"),
+          raise_error(lit("louvainMoveWeighted: weights must be " +
+            "positive integers (the contraction contract)")).cast("long"))
+          .otherwise(col(weightCol).cast("long")).as("_w"))
+      .filter(col("_ca").isNotNull && col("_cb").isNotNull)
+    val canon = raw.filter(col("_ca") =!= col("_cb"))
+      .select(least(col("_ca"), col("_cb")).as("_a"),
+        greatest(col("_ca"), col("_cb")).as("_b"), col("_w"))
+      .groupBy("_a", "_b").agg(sum("_w").as("_w"))
+    val selfW = raw.filter(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_v")).agg(sum("_w").as("_sw"))
+    val sym = canon
+      .unionByName(canon.select(col("_b").as("_a"), col("_a").as("_b"),
+        col("_w")))
+      .repartition(col("_a"))
+      .localCheckpoint()
+    val deg = Indexing.denseIds(
+        sym.groupBy(col("_a").as("_v")).agg(sum("_w").as("_k0"))
+          .unionByName(selfW.select(col("_v"),
+            (col("_sw") * 2L).as("_k0")))
+          .groupBy("_v").agg(sum("_k0").as("_k")),
+        Seq("_v"), "_r")
+      .localCheckpoint()
+    val mRow = canon.agg(coalesce(sum("_w"), lit(0L)).as("_m0"))
+      .crossJoin(selfW.agg(coalesce(sum("_sw"), lit(0L)).as("_m1")))
+      .select((col("_m0") + col("_m1")).as("_m"))
+    var state = deg.select(col("_v"), col("_v").as("_c"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_v").orderBy(col("_score").desc, col("_cand").asc)
+    for (pass <- 1 to passes) {
+      val tot = state.join(deg.select(col("_v"), col("_k")), "_v")
+        .groupBy(col("_c")).agg(sum("_k").as("_tot"))
+      val kvc = sym
+        .join(state.select(col("_v").as("_b"), col("_c").as("_nc")), "_b")
+        .groupBy(col("_a").as("_v"), col("_nc").as("_cand"))
+        .agg(sum("_w").as("_kvc"))
+      val cands = kvc
+        .unionByName(state.select(col("_v"), col("_c").as("_cand"))
+          .withColumn("_kvc", lit(0L)))
+        .groupBy("_v", "_cand").agg(sum("_kvc").as("_kvc"))
+      val best = cands
+        .join(state, "_v")
+        .join(deg.select(col("_v"), col("_k")), "_v")
+        .join(tot.select(col("_c").as("_cand"), col("_tot")), "_cand")
+        .crossJoin(broadcast(mRow))
+        .withColumn("_totx",
+          col("_tot") - when(col("_cand") === col("_c"), col("_k"))
+            .otherwise(lit(0L)))
+        .withColumn("_score",
+          (lit(2L).cast(dec) * col("_m") * col("_kvc")).cast(dec)
+            - (col("_totx").cast(dec) * col("_k")).cast(dec))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_v"), col("_cand"))
+      state = state
+        .join(deg.select(col("_v"), col("_r")), "_v")
+        .join(best, "_v")
+        .select(col("_v"),
+          when(col("_r") % 2 === pass % 2, col("_cand"))
+            .otherwise(col("_c")).as("_c"))
+        .localCheckpoint(false)
+    }
+    val sizes = state.groupBy(col("_c")).agg(count(lit(1)).as("comm_size"))
+    state.join(sizes, "_c")
+      .select(col("_v").as("vertex"), col("_c").as("community"),
+        col("comm_size"))
+  }
+
+  /** Contract a community assignment to its SUPER-GRAPH: every
+    * community becomes one vertex, inter-community edge weights sum,
+    * intra-community weight becomes the supernode's SELF-LOOP — the
+    * coarsening step between Louvain levels. `labels` must cover
+    * every endpoint (uncovered endpoints are dropped loudly-visibly
+    * via an inner join, the [[modularity]] contract). Input weights
+    * default to 1 per edge when `weightCol` is empty.
+    * Output: (src, dst, weight) with src <= dst (self-loops src = dst).
+    */
+  def contractCommunities(edges: DataFrame, srcCol: String,
+      dstCol: String, labels: DataFrame, vCol: String, commCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val wExpr = weightCol.map(c => col(c).cast("long"))
+      .getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).cast("string").as("_sa"),
+        col(dstCol).cast("string").as("_sb"), wExpr.as("_w"))
+      .filter(col("_sa").isNotNull && col("_sb").isNotNull)
+    val lab = labels.select(col(vCol).cast("string").as("_lv"),
+      col(commCol).cast("string").as("_lc"))
+    e.join(lab.select(col("_lv").as("_sa"), col("_lc").as("_ca")), "_sa")
+      .join(lab.select(col("_lv").as("_sb"), col("_lc").as("_cb")), "_sb")
+      .select(least(col("_ca"), col("_cb")).as("src"),
+        greatest(col("_ca"), col("_cb")).as("dst"), col("_w"))
+      .groupBy("src", "dst").agg(sum("_w").as("weight"))
+  }
+
+  /** Multi-level Louvain: run [[louvainMove]] on the raw graph, then
+    * repeatedly CONTRACT the found communities to a weighted
+    * super-graph and re-optimize with [[louvainMoveWeighted]] —
+    * levels stop early when a pass stops merging (community count
+    * stable). The label composition maps every ORIGINAL vertex to its
+    * final community, so the output is drop-in for [[modularity]]
+    * scoring and the single-level shape. Per level the graph SHRINKS
+    * to community count, so the added levels cost less than the first
+    * — the classic Louvain ladder. Returns (vertex, community,
+    * comm_size) over the original vertices.
+    */
+  def louvainMultilevel(edges: DataFrame, srcCol: String,
+      dstCol: String, passes: Int, levels: Int): DataFrame = {
+    require(levels >= 1 && levels <= 5,
+      s"louvainMultilevel: levels must be in [1, 5], got $levels")
+    var mapping = louvainMove(edges, srcCol, dstCol, passes)
+      .select(col("vertex"), col("community"))
+      .localCheckpoint()
+    var level = 1
+    var done = false
+    while (level < levels && !done) {
+      val contracted = contractCommunities(edges, srcCol, dstCol,
+        mapping, "vertex", "community")
+      val next = louvainMoveWeighted(contracted, "src", "dst", "weight",
+        passes).select(col("vertex").as("_sc"), col("community").as("_nc"))
+      val merged = next.agg(countDistinct("_nc").as("_after"),
+        count(lit(1)).as("_before")).collect().head
+      if (merged.getLong(0) == merged.getLong(1)) done = true
+      else {
+        mapping = mapping
+          .join(next, mapping("community") === next("_sc"))
+          .select(col("vertex"), col("_nc").as("community"))
+          .localCheckpoint()
+      }
+      level += 1
+    }
+    val sizes = mapping.groupBy("community").agg(count(lit(1)).as("comm_size"))
+    mapping.join(sizes, "community")
+      .select(col("vertex"), col("community"), col("comm_size"))
+  }
+
   /** Fixed-round k-core peeling on an undirected graph: each round
     * recomputes degrees over the surviving subgraph and drops every
     * vertex with degree < k (and its incident edges). With enough

@@ -508,6 +508,55 @@ class GraphSpec extends SparkTestBase {
     assert(q === 0.357143, s"Q = $q")
   }
 
+  test("louvainMoveWeighted: weight-1 graph equals the unweighted kernel; " +
+      "contraction preserves total weight incl self-loops; multilevel " +
+      "merges the hierarchy the single level leaves split") {
+    import org.apache.spark.sql.functions.lit
+    // hierarchy: 4 super-blocks, each 3 triangles chained; sparse
+    // links between consecutive blocks
+    val tris = for {
+      blk <- 0 until 4; t <- 0 until 3
+    } yield {
+      val v = (0 until 3).map(i => s"b${blk}t${t}v$i")
+      Seq(v(0) -> v(1), v(0) -> v(2), v(1) -> v(2))
+    }
+    val chains = for (blk <- 0 until 4; t <- 0 until 2)
+      yield Seq(s"b${blk}t${t}v0" -> s"b${blk}t${t + 1}v0")
+    val between = (0 until 3).map(b => Seq(s"b${b}t2v2" -> s"b${b + 1}t0v2"))
+    val edges = (tris ++ chains ++ between).flatten.toDF("s", "t")
+    // weight-1 weighted kernel == unweighted kernel, bit-for-bit
+    val unw = Graph.louvainMove(edges, "s", "t", 3)
+      .as[(String, String, Long)].collect().toSet
+    val w1 = Graph.louvainMoveWeighted(edges.withColumn("w", lit(1L)),
+        "s", "t", "w", 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(w1 === unw)
+    // contraction conserves total edge weight (self-loops included)
+    val labels = Graph.louvainMove(edges, "s", "t", 3)
+      .select(col("vertex"), col("community"))
+    val contracted = Graph.contractCommunities(edges, "s", "t",
+      labels, "vertex", "community")
+    val totalW = contracted.agg(org.apache.spark.sql.functions.sum("weight"))
+      .as[Long].collect().head
+    assert(totalW === edges.count(), s"weight conserved: $totalW")
+    // multilevel Q >= single-level Q, and both beat label-prop chance
+    def q(lab: org.apache.spark.sql.DataFrame): Double =
+      Graph.modularity(edges, "s", "t", lab, "vertex", "community")
+        .select("modularity").as[Double].head()
+    val q1 = q(labels)
+    val multi = Graph.louvainMultilevel(edges, "s", "t", passes = 3,
+      levels = 3)
+    val q2 = q(multi.select(col("vertex"), col("community")))
+    assert(q2 >= q1, s"multilevel must not lose modularity: $q2 < $q1")
+    // every original vertex appears exactly once
+    assert(multi.count() === 36L &&
+      multi.select("vertex").distinct().count() === 36L)
+    intercept[Exception] {
+      Graph.louvainMoveWeighted(edges.withColumn("w", lit(0L)),
+        "s", "t", "w", 2).collect()
+    }
+  }
+
   test("louvainMove: modularity is non-decreasing over passes on a ring " +
       "of cliques and beats the singleton baseline") {
     // 4 triangle-cliques in a ring: x0-x1-x2 cliques, ring bridges
