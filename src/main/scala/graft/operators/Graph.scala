@@ -557,14 +557,17 @@ object Graph {
     * is the part that optimizes.
     *
     * Scale shape: the symmetrized edge list partitions ONCE on the
-    * join key and truncates lineage (the [[pageRank]] contract); the
-    * rank comes from [[Indexing.denseIds]] (range partition + local
-    * index — never a single-partition window). Per pass: one
-    * edge×state equi-join, one (vertex, candidate) count, one
-    * community-total aggregate joined back on the community key (all
-    * hash-partitioned; community count starts at |V| — nothing here
-    * is broadcast except the one-row m), one per-vertex argmax
-    * window. State is vertex-sized.
+    * state-join key and truncates lineage (the [[pageRank]]
+    * contract); the rank comes from [[Indexing.denseIds]] (range
+    * partition + local index — never a single-partition window). The
+    * vertex-sized state carries (community, degree, rank) and rides
+    * the family's state-side BROADCAST discipline (vertices ≪ edges;
+    * the edge side must never ship), so a pass costs exactly three
+    * exchanges: the link-count aggregate, the candidate aggregate,
+    * and the per-vertex argmax window. Community totals aggregate
+    * from the state itself — no join. At vertex counts beyond the
+    * broadcast class, swap the two state broadcasts for hash joins
+    * (the arithmetic is join-strategy-independent).
     *
     * Returns (vertex, community, comm_size); community labels are the
     * member vertex labels whose singletons absorbed the rest.
@@ -577,47 +580,50 @@ object Graph {
       .select(col("lo").as("_a"), col("hi").as("_b"))
     val sym = canon
       .unionByName(canon.select(col("_b").as("_a"), col("_a").as("_b")))
-      .repartition(col("_a"))
-      .localCheckpoint()
-    val deg = Indexing.denseIds(
-        sym.groupBy(col("_a").as("_v")).agg(count(lit(1)).as("_k")),
-        Seq("_v"), "_r")
+      .repartition(col("_b")) // the per-pass state join keys on _b
       .localCheckpoint()
     val mRow = canon.agg(count(lit(1)).as("_m"))
-    var state = deg.select(col("_v"), col("_v").as("_c"))
+    // vertex-sized state carries (community, degree, rank) so every
+    // per-pass consumer rides ONE broadcast — the pageRank state-side
+    // discipline (vertices << edges; the edge side must never ship):
+    // 3 exchanges per pass (kvc agg, cands agg, argmax window) where
+    // the join-everything form paid ~7
+    var state = Indexing.denseIds(
+        sym.groupBy(col("_a").as("_v")).agg(count(lit(1)).as("_k")),
+        Seq("_v"), "_r")
+      .withColumn("_c", col("_v"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_v").orderBy(col("_score").desc, col("_cand").asc)
     for (pass <- 1 to passes) {
-      val tot = state.join(deg.select(col("_v"), col("_k")), "_v")
-        .groupBy(col("_c")).agg(sum("_k").as("_tot"))
+      val tot = state.groupBy(col("_c")).agg(sum("_k").as("_tot"))
       val kvc = sym
-        .join(state.select(col("_v").as("_b"), col("_c").as("_nc")), "_b")
+        .join(broadcast(state.select(col("_v").as("_b"),
+          col("_c").as("_nc"))), "_b")
         .groupBy(col("_a").as("_v"), col("_nc").as("_cand"))
         .agg(count(lit(1)).as("_kvc"))
-      val cands = kvc
+      // argmax as min(struct(-score, cand)) — lexicographic struct
+      // order IS (score DESC, community ASC), and a hash aggregate
+      // with map-side partials beats a sort window on the same key
+      state = kvc
         .unionByName(state.select(col("_v"), col("_c").as("_cand"))
           .withColumn("_kvc", lit(0L)))
         .groupBy("_v", "_cand").agg(sum("_kvc").as("_kvc"))
-      val best = cands
-        .join(state, "_v")
-        .join(deg.select(col("_v"), col("_k")), "_v")
-        .join(tot.select(col("_c").as("_cand"), col("_tot")), "_cand")
+        .join(broadcast(state), "_v")
+        .join(broadcast(tot.select(col("_c").as("_cand"), col("_tot"))),
+          "_cand")
         .crossJoin(broadcast(mRow))
         .withColumn("_totx",
           col("_tot") - when(col("_cand") === col("_c"), col("_k"))
             .otherwise(lit(0L)))
         .withColumn("_score",
           lit(2L) * col("_m") * col("_kvc") - col("_totx") * col("_k"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("_v"), col("_cand"))
-      state = state
-        .join(deg.select(col("_v"), col("_r")), "_v")
-        .join(best, "_v")
+        .groupBy("_v")
+        .agg(min(struct((-col("_score")).as("_ns"),
+            col("_cand").as("_cd"))).as("_bst"),
+          max("_c").as("_c0"), max("_k").as("_k"), max("_r").as("_r"))
         .select(col("_v"),
-          when(col("_r") % 2 === pass % 2, col("_cand"))
-            .otherwise(col("_c")).as("_c"))
+          when(col("_r") % 2 === pass % 2, col("_bst._cd"))
+            .otherwise(col("_c0")).as("_c"),
+          col("_k"), col("_r"))
         .localCheckpoint(false)
     }
     val sizes = state.groupBy(col("_c")).agg(count(lit(1)).as("comm_size"))
@@ -665,37 +671,37 @@ object Graph {
     val sym = canon
       .unionByName(canon.select(col("_b").as("_a"), col("_a").as("_b"),
         col("_w")))
-      .repartition(col("_a"))
+      .repartition(col("_b")) // the per-pass state join keys on _b
       .localCheckpoint()
-    val deg = Indexing.denseIds(
+    val mRow = canon.agg(coalesce(sum("_w"), lit(0L)).as("_m0"))
+      .crossJoin(selfW.agg(coalesce(sum("_sw"), lit(0L)).as("_m1")))
+      .select((col("_m0") + col("_m1")).as("_m"))
+    // (community, weighted degree, rank) in ONE broadcast state — the
+    // louvainMove plan discipline
+    var state = Indexing.denseIds(
         sym.groupBy(col("_a").as("_v")).agg(sum("_w").as("_k0"))
           .unionByName(selfW.select(col("_v"),
             (col("_sw") * 2L).as("_k0")))
           .groupBy("_v").agg(sum("_k0").as("_k")),
         Seq("_v"), "_r")
+      .withColumn("_c", col("_v"))
       .localCheckpoint()
-    val mRow = canon.agg(coalesce(sum("_w"), lit(0L)).as("_m0"))
-      .crossJoin(selfW.agg(coalesce(sum("_sw"), lit(0L)).as("_m1")))
-      .select((col("_m0") + col("_m1")).as("_m"))
-    var state = deg.select(col("_v"), col("_v").as("_c"))
-      .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_v").orderBy(col("_score").desc, col("_cand").asc)
     for (pass <- 1 to passes) {
-      val tot = state.join(deg.select(col("_v"), col("_k")), "_v")
-        .groupBy(col("_c")).agg(sum("_k").as("_tot"))
+      val tot = state.groupBy(col("_c")).agg(sum("_k").as("_tot"))
       val kvc = sym
-        .join(state.select(col("_v").as("_b"), col("_c").as("_nc")), "_b")
+        .join(broadcast(state.select(col("_v").as("_b"),
+          col("_c").as("_nc"))), "_b")
         .groupBy(col("_a").as("_v"), col("_nc").as("_cand"))
         .agg(sum("_w").as("_kvc"))
-      val cands = kvc
+      // the louvainMove min-struct argmax (decimal scores order
+      // correctly under struct comparison)
+      state = kvc
         .unionByName(state.select(col("_v"), col("_c").as("_cand"))
           .withColumn("_kvc", lit(0L)))
         .groupBy("_v", "_cand").agg(sum("_kvc").as("_kvc"))
-      val best = cands
-        .join(state, "_v")
-        .join(deg.select(col("_v"), col("_k")), "_v")
-        .join(tot.select(col("_c").as("_cand"), col("_tot")), "_cand")
+        .join(broadcast(state), "_v")
+        .join(broadcast(tot.select(col("_c").as("_cand"), col("_tot"))),
+          "_cand")
         .crossJoin(broadcast(mRow))
         .withColumn("_totx",
           col("_tot") - when(col("_cand") === col("_c"), col("_k"))
@@ -703,15 +709,14 @@ object Graph {
         .withColumn("_score",
           (lit(2L).cast(dec) * col("_m") * col("_kvc")).cast(dec)
             - (col("_totx").cast(dec) * col("_k")).cast(dec))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("_v"), col("_cand"))
-      state = state
-        .join(deg.select(col("_v"), col("_r")), "_v")
-        .join(best, "_v")
+        .groupBy("_v")
+        .agg(min(struct((-col("_score")).as("_ns"),
+            col("_cand").as("_cd"))).as("_bst"),
+          max("_c").as("_c0"), max("_k").as("_k"), max("_r").as("_r"))
         .select(col("_v"),
-          when(col("_r") % 2 === pass % 2, col("_cand"))
-            .otherwise(col("_c")).as("_c"))
+          when(col("_r") % 2 === pass % 2, col("_bst._cd"))
+            .otherwise(col("_c0")).as("_c"),
+          col("_k"), col("_r"))
         .localCheckpoint(false)
     }
     val sizes = state.groupBy(col("_c")).agg(count(lit(1)).as("comm_size"))
