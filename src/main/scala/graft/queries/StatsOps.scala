@@ -576,6 +576,22 @@ object StatsOps {
     graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
   }
 
+  /** Always-valid sequential monitoring (mSPRT) of daily mean spend
+    * per event type against μ₀ = 100 (σ² = 5000, τ² = 1000): the
+    * peek-anytime p-value stream a monitoring dashboard reads —
+    * running exact cumulatives, 12-dp-frozen ln Λ, supermartingale
+    * max, one rounded exp per day.
+    */
+  val qMsprt: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6
+        / count(lit(1)), 6).cast("double").as("x"))
+    graft.operators.Stats.msprt(daily, "event_type", "d", "x",
+        mu0 = 100.0, sigma2 = 5000.0, tau2 = 1000.0)
+      .orderBy("event_type", "d")
+  }
+
   /** Two-sample Hotelling T² of (quantity, extended price) between
     * the A and R return flags — the multivariate mean test where two
     * marginal t's would double-count the strong quantity↔price
@@ -2130,6 +2146,7 @@ object StatsOps {
     "q_engle_granger" -> qEngleGranger,
     "q_energy_dist" -> qEnergyDist,
     "q_hotelling" -> qHotelling,
+    "q_msprt" -> qMsprt,
     "q_tost_prop" -> qTostProp,
     "q_beta_binomial" -> qBetaBinomial,
     "q_poisson_test" -> qPoissonTest,
@@ -7738,6 +7755,50 @@ object StatsOps {
 
 
 
+
+
+    // Same daily means, exact HUGEINT cumulatives, identical 12-dp
+    // ln-lambda tree + running max + rounded exp.
+    "q_msprt" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(value * 1000000.0)
+                   AS BIGINT)) AS DOUBLE) / 1000000.0
+                 / COUNT(*), 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT g, d,
+               CAST(ROUND((x - 100.0) * 1000000.0) AS BIGINT) AS xq
+        FROM daily),
+      cum AS (
+        SELECT g, d,
+               COUNT(*) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::BIGINT AS n,
+               SUM(xq::HUGEINT) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM pts),
+      lam AS (
+        SELECT g, d, n,
+               ROUND(0.5 * LN(5000.0
+                   / (5000.0 + CAST(n AS DOUBLE) * 1000.0))
+                 + 1000.0 * (CAST(s AS DOUBLE) / 1000000.0)
+                   * (CAST(s AS DOUBLE) / 1000000.0)
+                   / (2.0 * 5000.0
+                     * (5000.0 + CAST(n AS DOUBLE) * 1000.0)), 12)
+                 AS lnl
+        FROM cum),
+      mx AS (
+        SELECT g, d, n, lnl,
+               MAX(lnl) OVER (PARTITION BY g ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM lam)
+      SELECT g AS event_type, d, n,
+             CAST(lnl AS DOUBLE) AS lambda_ln,
+             CAST(ROUND(LEAST(1.0, EXP(-m)), 6) AS DOUBLE)
+               AS p_always_valid
+      FROM mx
+      ORDER BY event_type, d""",
 
     // Same 1e6 quantization, exact HUGEINT co-moments, identical
     // corrected-cross-product / adjugate / T2 / F trees.

@@ -3839,6 +3839,33 @@ class StatsSpec extends SparkTestBase {
       b.toString)
   }
 
+  test("msprt: null data keeps p at 1-ish; a strong shift drives the " +
+      "always-valid p down monotonically; hand first-step value") {
+    import spark.implicits._
+    // one observation x=2, mu0=0, sigma2=1, tau2=1:
+    // lnL = .5 ln(1/2) + 1*4/(2*1*2) = -0.346574 + 1 = 0.653426
+    val one = Seq(("g", 1, 2.0)).toDF("g", "t", "v")
+    val r1 = Stats.msprt(one, "g", "t", "v", 0.0, 1.0, 1.0)
+      .collect().head
+    assert(math.abs(r1.getDouble(3) - 0.653426) < 1e-6, r1.toString)
+    assert(math.abs(r1.getDouble(4) - math.exp(-0.653426)) < 1e-5)
+    // constant strong shift: p must be non-increasing and end tiny
+    val shift = (1 to 30).map(t => ("g", t, 5.0)).toDF("g", "t", "v")
+    val ps = Stats.msprt(shift, "g", "t", "v", 0.0, 1.0, 1.0)
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, ps.toSeq)
+    assert(ps.last < 1e-6, s"strong shift must reject: ${ps.last}")
+    // centered null-ish data (alternating +-1): p stays above 0.1
+    val nul = (1 to 30).map(t =>
+      ("g", t, if (t % 2 == 0) 1.0 else -1.0)).toDF("g", "t", "v")
+    val pn = Stats.msprt(nul, "g", "t", "v", 0.0, 1.0, 1.0)
+      .orderBy("t").collect().map(_.getDouble(4))
+    assert(pn.last > 0.1, s"null data must not reject: ${pn.last}")
+    intercept[IllegalArgumentException] {
+      Stats.msprt(one, "g", "t", "v", 0.0, 0.0, 1.0)
+    }
+  }
+
   test("hotellingT2: hand pooled-covariance fixture; collinear " +
       "covariates NULL; three groups loud") {
     import spark.implicits._
