@@ -7453,6 +7453,76 @@ object Stats {
         .cast("double").as("z_tost"))
   }
 
+  /** Two-way fixed-effects (within) estimator — the workhorse of
+    * modern panel DiD (L229's 2×2 DiD generalized to many units ×
+    * many periods with staggered exposure): demean y and x by UNIT
+    * and TIME (ẍ = x − x̄_i − x̄_t + x̄), then β = Σẍÿ/Σẍ² — unit
+    * effects soak up "who", time effects soak up "when", β is the
+    * within-variation slope; se from SSE/(n − N − T + 1) over Σẍ²
+    * (the classical homoscedastic within se; cluster-robust variants
+    * compose downstream).
+    *
+    * Determinism: values quantize to 1e6-scaled longs; unit/time/
+    * grand means are exact-decimal sums divided once and FROZEN at
+    * 12 dp; demeaned products freeze at 12 dp into order-free decimal
+    * sums; β/se/t are closed-form rounded trees. Degenerate panels
+    * (no within variance, df ≤ 0) report NULL visibly.
+    *
+    * Scale shape: three mean aggregates (unit-, time-, grand-) joined
+    * back (unit/time tables are entity-sized; grand is one broadcast
+    * row) + one product aggregate — no windows.
+    * Output one row: (n, n_units, n_times, beta, se, t).
+    */
+  def twoWayFixedEffects(df: DataFrame, unitCol: String, timeCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dec12 = "decimal(38,12)"
+    val pts = df.filter(col(yCol).isNotNull && col(xCol).isNotNull
+        && col(unitCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(unitCol).as("_u"), col(timeCol).as("_t"),
+        round(col(yCol) * 1e6).cast("long").as("_y"),
+        round(col(xCol) * 1e6).cast("long").as("_x"))
+      .localCheckpoint() // three mean passes + the product pass
+    def means(key: String, ym: String, xm: String) =
+      pts.groupBy(col(key)).agg(
+        round(sum(col("_y").cast(dec)).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 12).as(ym),
+        round(sum(col("_x").cast(dec)).cast("double")
+          / count(lit(1)).cast("double") / 1e6, 12).as(xm))
+    val uM = means("_u", "_yu", "_xu")
+    val tM = means("_t", "_yt", "_xt")
+    val gM = pts.agg(
+      round(sum(col("_y").cast(dec)).cast("double")
+        / count(lit(1)).cast("double") / 1e6, 12).as("_yg"),
+      round(sum(col("_x").cast(dec)).cast("double")
+        / count(lit(1)).cast("double") / 1e6, 12).as("_xg"),
+      countDistinct("_u").as("_nu"), countDistinct("_t").as("_nt"))
+    val dm = pts.join(uM, "_u").join(tM, "_t").crossJoin(broadcast(gM))
+      .withColumn("_dy", col("_y").cast("double") / 1e6
+        - col("_yu") - col("_yt") + col("_yg"))
+      .withColumn("_dx", col("_x").cast("double") / 1e6
+        - col("_xu") - col("_xt") + col("_xg"))
+    val sums = dm.agg(count(lit(1)).as("n"),
+      max("_nu").as("_nu"), max("_nt").as("_nt"),
+      sum(round(col("_dx") * col("_dx"), 12).cast(dec12)).as("_sxx"),
+      sum(round(col("_dx") * col("_dy"), 12).cast(dec12)).as("_sxy"),
+      sum(round(col("_dy") * col("_dy"), 12).cast(dec12)).as("_syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val beta = d("_sxy") / d("_sxx")
+    val dof = col("n").cast("double") - d("_nu") - d("_nt") + 1.0 - 1.0
+    val sse = d("_syy") - beta * d("_sxy")
+    val se = sqrt(sse / dof / d("_sxx"))
+    val ok = d("_sxx") > 0.0
+    sums.select(col("n").cast("bigint").as("n"),
+      col("_nu").cast("bigint").as("n_units"),
+      col("_nt").cast("bigint").as("n_times"),
+      when(ok, round(beta, 6)).cast("double").as("beta"),
+      when(ok && dof > 0.0 && sse > 0.0, round(se, 6))
+        .cast("double").as("se"),
+      when(ok && dof > 0.0 && sse > 0.0, round(beta / se, 6))
+        .cast("double").as("t"))
+  }
+
   /** Mixture SPRT (mSPRT) with ALWAYS-VALID p-values — the modern
     * continuous-monitoring sequential test behind "peek whenever you
     * like" experimentation platforms (L155's classic SPRT needs a

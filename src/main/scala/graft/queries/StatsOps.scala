@@ -576,6 +576,21 @@ object StatsOps {
     graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
   }
 
+  /** Two-way fixed-effects (within) slope of spend-per-event on daily
+    * event volume over a (user-bucket × day) panel: unit effects soak
+    * up who, day effects soak up when — the modern panel-DiD
+    * workhorse; 12-dp frozen means, decimal product folds.
+    */
+  val qTwfe: QueryFn = withTables { spark =>
+    val panel = spark.table("events")
+      .groupBy((col("user_id") % 20).as("u"),
+        col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6
+          / count(lit(1)), 6).cast("double").as("y"),
+        count(lit(1)).cast("double").as("x"))
+    graft.operators.Stats.twoWayFixedEffects(panel, "u", "d", "y", "x")
+  }
+
   /** Always-valid sequential monitoring (mSPRT) of daily mean spend
     * per event type against μ₀ = 100 (σ² = 5000, τ² = 1000): the
     * peek-anytime p-value stream a monitoring dashboard reads —
@@ -2147,6 +2162,7 @@ object StatsOps {
     "q_energy_dist" -> qEnergyDist,
     "q_hotelling" -> qHotelling,
     "q_msprt" -> qMsprt,
+    "q_twfe" -> qTwfe,
     "q_tost_prop" -> qTostProp,
     "q_beta_binomial" -> qBetaBinomial,
     "q_poisson_test" -> qPoissonTest,
@@ -7756,6 +7772,77 @@ object StatsOps {
 
 
 
+
+
+    // Same panel, 12-dp frozen unit/time/grand means, identical
+    // demeaned 12-dp product folds and beta/se/t trees.
+    "q_twfe" -> """
+      WITH panel AS (
+        SELECT user_id % 20 AS u, CAST(ts AS DATE) AS d,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(value * 1000000.0)
+                   AS BIGINT)) AS DOUBLE) / 1000000.0
+                 / COUNT(*), 6) AS DOUBLE) AS y,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT u, d,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq,
+               CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq
+        FROM panel),
+      um AS (
+        SELECT u,
+               ROUND(CAST(SUM(yq::HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 12) AS yu,
+               ROUND(CAST(SUM(xq::HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 12) AS xu
+        FROM pts GROUP BY u),
+      tm AS (
+        SELECT d,
+               ROUND(CAST(SUM(yq::HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 12) AS yt,
+               ROUND(CAST(SUM(xq::HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 12) AS xt
+        FROM pts GROUP BY d),
+      gm AS (
+        SELECT ROUND(CAST(SUM(yq::HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 12) AS yg,
+               ROUND(CAST(SUM(xq::HUGEINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 12) AS xg,
+               COUNT(DISTINCT u)::BIGINT AS nu,
+               COUNT(DISTINCT d)::BIGINT AS nt
+        FROM pts),
+      dm AS (
+        SELECT CAST(p.yq AS DOUBLE) / 1000000.0 - um.yu - tm.yt + gm.yg
+                 AS dy,
+               CAST(p.xq AS DOUBLE) / 1000000.0 - um.xu - tm.xt + gm.xg
+                 AS dx
+        FROM pts p JOIN um ON um.u = p.u JOIN tm ON tm.d = p.d
+        CROSS JOIN gm),
+      sums AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(dx * dx, 12) AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(ROUND(dx * dy, 12) AS DECIMAL(38,12))) AS sxy,
+               SUM(CAST(ROUND(dy * dy, 12) AS DECIMAL(38,12))) AS syy
+        FROM dm),
+      fin AS (
+        SELECT n, gm.nu, gm.nt,
+               CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE) AS beta,
+               CAST(n AS DOUBLE) - CAST(gm.nu AS DOUBLE)
+                 - CAST(gm.nt AS DOUBLE) + 1.0 - 1.0 AS dof,
+               CAST(syy AS DOUBLE) - CAST(sxy AS DOUBLE)
+                 / CAST(sxx AS DOUBLE) * CAST(sxy AS DOUBLE) AS sse,
+               CAST(sxx AS DOUBLE) AS sxxd
+        FROM sums CROSS JOIN gm)
+      SELECT n, nu AS n_units, nt AS n_times,
+             CAST(CASE WHEN sxxd > 0.0 THEN ROUND(beta, 6) END
+               AS DOUBLE) AS beta,
+             CAST(CASE WHEN sxxd > 0.0 AND dof > 0.0 AND sse > 0.0
+               THEN ROUND(SQRT(sse / dof / sxxd), 6) END AS DOUBLE)
+               AS se,
+             CAST(CASE WHEN sxxd > 0.0 AND dof > 0.0 AND sse > 0.0
+               THEN ROUND(beta / SQRT(sse / dof / sxxd), 6)
+               END AS DOUBLE) AS t
+      FROM fin""",
 
     // Same daily means, exact HUGEINT cumulatives, identical 12-dp
     // ln-lambda tree + running max + rounded exp.

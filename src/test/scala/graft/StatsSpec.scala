@@ -3839,6 +3839,39 @@ class StatsSpec extends SparkTestBase {
       b.toString)
   }
 
+  test("twoWayFixedEffects: planted slope recovered exactly under unit " +
+      "and time effects that bias the pooled OLS; degenerate panel NULL") {
+    import spark.implicits._
+    // y = 3x + a_i + b_t with a = 10*i, b = 5*t; x varies with BOTH
+    // unit and time so pooled OLS picks up the effects, TWFE doesn't
+    val rows = for {
+      i <- 1 to 5; t <- 1 to 6
+    } yield {
+      val x = (i + t + (i * t) % 3).toDouble
+      ("u" + i, t, 3.0 * x + 10.0 * i + 5.0 * t, x)
+    }
+    val df = rows.toDF("u", "t", "y", "x")
+    val r = Stats.twoWayFixedEffects(df, "u", "t", "y", "x")
+      .collect().head
+    assert(r.getLong(0) === 30L && r.getLong(1) === 5L
+      && r.getLong(2) === 6L)
+    assert(r.getDouble(3) === 3.0, s"planted slope: $r")
+    // exact fit: the 12-dp residue makes sse ~ 1e-10, so the rounded
+    // se collapses to 0 and t explodes — the fit is visibly perfect
+    assert(r.getDouble(4) === 0.0 && r.getDouble(5) > 1e6, r.toString)
+    // pooled OLS on the same data is biased away from 3
+    val ols = Stats.linearFit(df.withColumn("g", lit("all")),
+      "g", "x", "y").collect().head
+    assert(math.abs(ols.getDouble(2) - 3.0) > 0.5,
+      s"pooled must be confounded: $ols")
+    // x constant within the demeaned space: NULL beta
+    val flat = (1 to 4).flatMap(i => (1 to 3).map(t =>
+      ("u" + i, t, i * 1.0 + t, (i + t).toDouble))).toDF("u", "t", "y", "x")
+    val f = Stats.twoWayFixedEffects(flat, "u", "t", "y", "x")
+      .collect().head
+    assert(f.isNullAt(3), f.toString)
+  }
+
   test("msprt: null data keeps p at 1-ish; a strong shift drives the " +
       "always-valid p down monotonically; hand first-step value") {
     import spark.implicits._
