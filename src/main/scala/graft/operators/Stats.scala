@@ -7453,6 +7453,103 @@ object Stats {
         .cast("double").as("z_tost"))
   }
 
+  /** Gumbel extreme-value fit by method of moments + return levels —
+    * "how bad is the 1-in-T worst day" capacity planning (peak load,
+    * max latency, flood-style tail questions on block maxima): with
+    * sample mean x̄ and sd s over the per-block maxima, β̂ = s√6/π,
+    * μ̂ = x̄ − γβ̂ (γ the Euler–Mascheroni constant), and the
+    * T-period return level x_T = μ̂ − β̂·ln(−ln(1 − 1/T)) — the level
+    * exceeded once per T blocks on average. Complements L170's Hill
+    * index (tail SHAPE) with actionable levels.
+    *
+    * Exactness: block maxima quantize at 1e6, mean/sd from exact
+    * decimal sums (sample n−1), μ̂/β̂ frozen at 6 dp before the
+    * return-level tree; one rounded expression per level. Degenerate
+    * groups (n < 2, zero variance) NULL visibly.
+    *
+    * Scale shape: one group aggregate over the block-maxima frame
+    * (block reduction is the caller's groupBy — day/shard grain) +
+    * a broadcast of the return-period list.
+    * Output: (group..., n, mu, beta, return_period, return_level).
+    */
+  def gumbelReturnLevels(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, periods: Seq[Int]): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2),
+      s"gumbelReturnLevels: periods must be >= 2, got $periods")
+    val dec = "decimal(38,0)"
+    val gamma = 0.5772156649015329
+    val gcols = groupCols.map(col)
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select((gcols :+ round(col(valueCol) * 1e6).cast("long").as("_x")): _*)
+    val grouped =
+      if (groupCols.isEmpty) pts.groupBy() else pts.groupBy(gcols: _*)
+    val sums = grouped.agg(count(lit(1)).as("_n"),
+      sum(col("_x").cast(dec)).as("_sx"),
+      sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxx"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("_n").cast("double")
+    val mean = d("_sx") / nd / 1e6
+    val varS = (d("_sxx") - d("_sx") * d("_sx") / nd)
+      .cast("double") / (nd - 1.0) / 1e12
+    val betaHat = round(sqrt(varS) * math.sqrt(6.0) / math.Pi, 6)
+    val muHat = round(mean - lit(gamma) * betaHat, 6)
+    val fitted = sums
+      .withColumn("_beta", when(col("_n") >= 2 && varS > 0.0, betaHat))
+      .withColumn("_mu", when(col("_n") >= 2 && varS > 0.0, muHat))
+    val pList = periods.map(t => struct(lit(t).as("_t")))
+    fitted
+      .withColumn("_p", explode(array(pList: _*)))
+      .select((gcols :+ col("_n").cast("bigint").as("n") :+
+        col("_mu").cast("double").as("mu") :+
+        col("_beta").cast("double").as("beta") :+
+        col("_p._t").cast("bigint").as("return_period") :+
+        round(col("_mu") - col("_beta")
+          * log(-log(lit(1.0) - lit(1.0) / col("_p._t").cast("double"))),
+          6).cast("double").as("return_level")): _*)
+  }
+
+  /** Chapman capture–recapture population estimate — "how many are
+    * there in TOTAL when we only ever see samples" (true user
+    * population from two overlapping observation windows, remaining
+    * duplicate count from two dedup methods' catches, species-style
+    * coverage of any enumeration): with n₁ marked in sample 1, n₂ in
+    * sample 2, m in both, N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's
+    * bias-corrected Lincoln–Petersen, defined even at m = 0) and its
+    * classical variance (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2)).
+    *
+    * Exactness: exact distinct-id counts (three semi-joinable set
+    * sizes from one aggregate over the deduplicated (id, in1, in2)
+    * frame); N̂/se one rounded tree each. Assumes closed population +
+    * independent samples — the caller's design contract, documented
+    * not checked. Output one row: (n1, n2, m, n_hat, se).
+    */
+  def captureRecapture(df: DataFrame, idCol: String, sample1: Column,
+      sample2: Column): DataFrame = {
+    val marks = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        when(sample1, 1).otherwise(0).as("_s1"),
+        when(sample2, 1).otherwise(0).as("_s2"))
+      .groupBy("_id")
+      .agg(max("_s1").as("_in1"), max("_s2").as("_in2"))
+    val agg = marks.agg(
+      sum(col("_in1").cast("long")).as("_n1"),
+      sum(col("_in2").cast("long")).as("_n2"),
+      sum(when(col("_in1") === 1 && col("_in2") === 1, 1L)
+        .otherwise(0L)).as("_m"))
+    def d(c: String): Column = col(c).cast("double")
+    val nHat = (d("_n1") + 1.0) * (d("_n2") + 1.0) / (d("_m") + 1.0) - 1.0
+    val varHat = (d("_n1") + 1.0) * (d("_n2") + 1.0) *
+      (d("_n1") - d("_m")) * (d("_n2") - d("_m")) /
+      ((d("_m") + 1.0) * (d("_m") + 1.0) * (d("_m") + 2.0))
+    agg.select(col("_n1").cast("bigint").as("n1"),
+      col("_n2").cast("bigint").as("n2"),
+      col("_m").cast("bigint").as("m"),
+      when(col("_n1") > 0 && col("_n2") > 0, round(nHat, 6))
+        .cast("double").as("n_hat"),
+      when(col("_n1") > 0 && col("_n2") > 0 && varHat >= 0.0,
+        round(sqrt(varHat), 6)).cast("double").as("se"))
+  }
+
   /** Two-way fixed-effects (within) estimator — the workhorse of
     * modern panel DiD (L229's 2×2 DiD generalized to many units ×
     * many periods with staggered exposure): demean y and x by UNIT

@@ -576,6 +576,29 @@ object StatsOps {
     graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
   }
 
+  /** Gumbel return levels of daily maximum spend per event type:
+    * moment fit on the block maxima (6-dp μ̂/β̂), the 30- and
+    * 365-period levels — "how bad is the 1-in-T worst day".
+    */
+  val qGumbel: QueryFn = withTables { spark =>
+    val maxima = spark.table("events")
+      .groupBy(col("event_type").as("g"), col("ts").cast("date").as("d"))
+      .agg(max("value").as("v"))
+    graft.operators.Stats.gumbelReturnLevels(maxima, Seq("g"), "v",
+        Seq(30, 365))
+      .orderBy("g", "return_period")
+  }
+
+  /** Chapman capture–recapture estimate of the TRUE user population
+    * from two observation windows (first vs second half of month):
+    * exact mark counts, the bias-corrected Lincoln–Petersen estimate
+    * + its classical se.
+    */
+  val qLincoln: QueryFn = withTables { spark =>
+    graft.operators.Stats.captureRecapture(spark.table("events"),
+      "user_id", dayofmonth(col("ts")) <= 15, dayofmonth(col("ts")) > 15)
+  }
+
   /** Two-way fixed-effects (within) slope of spend-per-event on daily
     * event volume over a (user-bucket × day) panel: unit effects soak
     * up who, day effects soak up when — the modern panel-DiD
@@ -2163,6 +2186,8 @@ object StatsOps {
     "q_hotelling" -> qHotelling,
     "q_msprt" -> qMsprt,
     "q_twfe" -> qTwfe,
+    "q_gumbel" -> qGumbel,
+    "q_lincoln" -> qLincoln,
     "q_tost_prop" -> qTostProp,
     "q_beta_binomial" -> qBetaBinomial,
     "q_poisson_test" -> qPoissonTest,
@@ -7773,6 +7798,76 @@ object StatsOps {
 
 
 
+
+
+    // Same block maxima, exact moment sums, 6-dp frozen mu/beta,
+    // identical return-level trees (literal sqrt(6) and pi digits).
+    "q_gumbel" -> """
+      WITH bm AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d, MAX(value) AS v
+        FROM events GROUP BY 1, 2),
+      pts AS (SELECT g, CAST(ROUND(v * 1000000.0) AS BIGINT) AS x
+              FROM bm),
+      sums AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x::HUGEINT) AS sx, SUM(x::HUGEINT * x) AS sxx
+        FROM pts GROUP BY g),
+      fit0 AS (
+        SELECT g, n,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+                 AS meanv,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)
+                 / 1000000000000.0 AS vr
+        FROM sums),
+      fit AS (
+        SELECT g, n,
+               CASE WHEN n >= 2 AND vr > 0.0 THEN
+                 ROUND(SQRT(vr) * 2.449489742783178
+                   / 3.141592653589793, 6) END AS beta,
+               meanv
+        FROM fit0),
+      fit2 AS (
+        SELECT g, n, beta,
+               CASE WHEN beta IS NOT NULL THEN
+                 ROUND(meanv - 0.5772156649015329 * beta, 6) END AS mu
+        FROM fit)
+      SELECT g, n, mu, beta,
+             CAST(t.t AS BIGINT) AS return_period,
+             CAST(ROUND(mu - beta
+               * LN(-LN(1.0 - 1.0 / CAST(t.t AS DOUBLE))), 6)
+               AS DOUBLE) AS return_level
+      FROM fit2 CROSS JOIN (VALUES (30), (365)) t(t)
+      ORDER BY g, return_period""",
+
+    // Same dedup-to-marks aggregate and the identical Chapman trees.
+    "q_lincoln" -> """
+      WITH marks AS (
+        SELECT user_id AS id,
+               MAX(CASE WHEN DAY(ts) <= 15 THEN 1 ELSE 0 END) AS in1,
+               MAX(CASE WHEN DAY(ts) > 15 THEN 1 ELSE 0 END) AS in2
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      agg AS (
+        SELECT SUM(in1)::BIGINT AS n1, SUM(in2)::BIGINT AS n2,
+               SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END)
+                 ::BIGINT AS m
+        FROM marks)
+      SELECT n1, n2, m,
+             CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN
+               ROUND((CAST(n1 AS DOUBLE) + 1.0)
+                 * (CAST(n2 AS DOUBLE) + 1.0)
+                 / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6)
+             END AS DOUBLE) AS n_hat,
+             CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN
+               ROUND(SQRT((CAST(n1 AS DOUBLE) + 1.0)
+                 * (CAST(n2 AS DOUBLE) + 1.0)
+                 * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                 * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                 / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+                   * (CAST(m AS DOUBLE) + 2.0))), 6)
+             END AS DOUBLE) AS se
+      FROM agg""",
 
     // Same panel, 12-dp frozen unit/time/grand means, identical
     // demeaned 12-dp product folds and beta/se/t trees.

@@ -3839,6 +3839,50 @@ class StatsSpec extends SparkTestBase {
       b.toString)
   }
 
+  test("gumbelReturnLevels: hand moment fit; levels increase with the " +
+      "period; degenerate variance NULL") {
+    import spark.implicits._
+    // maxima 10,14,18,22: mean 16, sd sqrt(80/3)
+    val df = Seq(10.0, 14.0, 18.0, 22.0).map(("g", _)).toDF("g", "v")
+    val out = Stats.gumbelReturnLevels(df, Seq("g"), "v", Seq(10, 100))
+      .collect().map(r => r.getLong(4) -> r).toMap
+    val sd = math.sqrt(80.0 / 3.0)
+    val beta = BigDecimal(sd * math.sqrt(6.0) / math.Pi)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = BigDecimal(16.0 - 0.5772156649015329 * beta)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L).getDouble(2) === mu && out(10L).getDouble(3) === beta,
+      out.toString)
+    val l10 = out(10L).getDouble(5)
+    val l100 = out(100L).getDouble(5)
+    assert(math.abs(l10 - (mu - beta * math.log(-math.log(0.9)))) < 1e-5)
+    assert(l100 > l10, "longer period, higher level")
+    val flat = Seq(5.0, 5.0, 5.0).map(("g", _)).toDF("g", "v")
+    val f = Stats.gumbelReturnLevels(flat, Seq("g"), "v", Seq(10))
+      .collect().head
+    assert(f.isNullAt(2) && f.isNullAt(5), f.toString)
+  }
+
+  test("captureRecapture: textbook Chapman estimate; m = 0 stays " +
+      "finite; duplicate sightings collapse") {
+    import spark.implicits._
+    // sample1 marks ids 1..10, sample2 catches 6..13 (m = 5):
+    // Chapman = 11*9/6 - 1 = 15.5
+    val rows = (1 to 13).map(i => (i.toLong, i <= 10, i >= 6)) ++
+      Seq((1L, true, false)) // duplicate sighting of id 1
+    val r = Stats.captureRecapture(rows.toDF("id", "s1", "s2"),
+      "id", col("s1"), col("s2")).collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 8L
+      && r.getLong(2) === 5L, r.toString)
+    assert(r.getDouble(3) === 15.5, r.toString)
+    assert(r.getDouble(4) > 0.0)
+    // disjoint samples: Chapman still finite (the bias correction)
+    val disj = (1 to 6).map(i => (i.toLong, i <= 3, i > 3))
+    val d0 = Stats.captureRecapture(disj.toDF("id", "s1", "s2"),
+      "id", col("s1"), col("s2")).collect().head
+    assert(d0.getLong(2) === 0L && d0.getDouble(3) === 15.0, d0.toString)
+  }
+
   test("twoWayFixedEffects: planted slope recovered exactly under unit " +
       "and time effects that bias the pooled OLS; degenerate panel NULL") {
     import spark.implicits._
