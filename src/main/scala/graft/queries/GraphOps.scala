@@ -308,6 +308,32 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** FIXED two-level Louvain pipeline on the mod-5 co-order graph
+    * (2 local-move passes, contract to the weighted super-graph with
+    * self-loops, 2 weighted passes, compose the label mapping) — the
+    * multi-level ladder judged end-to-end; the oracle unrolls BOTH
+    * levels including the contraction and the weighted gain
+    * arithmetic.
+    */
+  val qLouvain2: QueryFn = withTablesSf { (spark, sfDir) =>
+    val edges = coOrderParts(spark, sfDir, 5)
+    val l1 = Graph.louvainMove(edges, "a", "b", passes = 2)
+      .select(col("vertex"), col("community"))
+      .localCheckpoint() // contraction + composition both read it
+    val contracted = Graph.contractCommunities(edges, "a", "b",
+      l1, "vertex", "community")
+    val l2 = Graph.louvainMoveWeighted(contracted, "src", "dst",
+        "weight", passes = 2)
+      .select(col("vertex").as("_c1"), col("community").as("_c2"))
+    val composed = l1.join(l2, l1("community") === col("_c1"))
+      .select(col("vertex"), col("_c2").as("community"))
+    val sizes = composed.groupBy("community")
+      .agg(count(lit(1)).as("comm_size"))
+    composed.join(sizes, "community")
+      .select(col("vertex"), col("community"), col("comm_size"))
+      .orderBy("vertex")
+  }
+
   /** 2-round k-core peeling (k=3) on the same co-order graph:
     * all-integer degrees, oracle unrolls the two synchronous peels.
     */
@@ -525,6 +551,7 @@ object GraphOps {
     "q_mahalanobis" -> qMahalanobis,
     "q_label_prop" -> qLabelProp,
     "q_louvain" -> qLouvain,
+    "q_louvain2" -> qLouvain2,
     "q_kcore" -> qKcore,
     "q_pagerank_weighted" -> qPageRankWeighted,
     "q_clustering_coef" -> qClusteringCoef,
@@ -779,9 +806,104 @@ object GraphOps {
       ORDER BY vertex"""
   }
 
+  // q_louvain2's oracle: the q_louvain pass machinery parameterized
+  // over (aggregation, tables) so LEVEL 1 (unweighted counts on the
+  // raw graph) and LEVEL 2 (weighted sums on the contracted
+  // super-graph with self-loops in degrees and W but not in links)
+  // unroll from one generator, plus the contraction and the final
+  // label composition.
+  private def louvainPassCtes(tag: String, passes: Int, symName: String,
+      degName: String, rkName: String, mName: String, s0Name: String,
+      linkAgg: String): String =
+    (1 to passes).map { p =>
+      val prev = if (p == 1) s0Name else s"s$tag${p - 1}"
+      s"""
+      tot$tag$p AS MATERIALIZED (SELECT s.c, SUM(d.k)::HUGEINT AS tot
+                FROM $prev s JOIN $degName d ON d.v = s.v GROUP BY s.c),
+      kvc$tag$p AS MATERIALIZED (SELECT y.v AS v, s.c AS cand, $linkAgg AS kvc
+                FROM $symName y JOIN $prev s ON s.v = y.n
+                GROUP BY y.v, s.c),
+      cand$tag$p AS MATERIALIZED (SELECT v, cand, SUM(kvc)::HUGEINT AS kvc FROM (
+                   SELECT v, cand, kvc FROM kvc$tag$p
+                   UNION ALL SELECT v, c AS cand, 0 FROM $prev)
+                 GROUP BY v, cand),
+      best$tag$p AS MATERIALIZED (SELECT v, cand FROM (
+                   SELECT cd.v, cd.cand,
+                          ROW_NUMBER() OVER (PARTITION BY cd.v ORDER BY
+                            (2 * m.m * cd.kvc
+                              - (t.tot - CASE WHEN cd.cand = s.c
+                                              THEN d.k ELSE 0 END) * d.k)
+                              DESC, cd.cand ASC) AS rn
+                   FROM cand$tag$p cd
+                   JOIN $prev s ON s.v = cd.v
+                   JOIN $degName d ON d.v = cd.v
+                   JOIN tot$tag$p t ON t.c = cd.cand
+                   CROSS JOIN $mName m)
+                 WHERE rn = 1),
+      s$tag$p AS MATERIALIZED (SELECT s.v,
+                     CASE WHEN rk.r % 2 = ${p % 2} THEN b.cand
+                          ELSE s.c END AS c
+              FROM $prev s
+              JOIN $rkName rk ON rk.v = s.v
+              JOIN best$tag$p b ON b.v = s.v)"""
+    }.mkString(",")
+
+  private val louvain2Oracle: String = {
+    val l1 = louvainPassCtes("a", 2, "sym", "deg", "rk", "m", "s0",
+      "COUNT(*)::HUGEINT")
+    val l2 = louvainPassCtes("b", 2, "sym2", "deg2", "rk2", "m2", "t0",
+      "SUM(y.w)::HUGEINT")
+    s"""
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 5 = 0),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (SELECT a AS v, b AS n FROM pairs
+              UNION ALL SELECT b AS v, a AS n FROM pairs),
+      deg AS MATERIALIZED (SELECT v, COUNT(*)::BIGINT AS k FROM sym GROUP BY v),
+      m AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS m FROM pairs),
+      rk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM deg),
+      s0 AS MATERIALIZED (SELECT v, v AS c FROM deg),$l1,
+      ce AS MATERIALIZED (
+        SELECT LEAST(la.c, lb.c) AS src, GREATEST(la.c, lb.c) AS dst,
+               COUNT(*)::BIGINT AS w
+        FROM pairs p
+        JOIN sa2 la ON la.v = p.a
+        JOIN sa2 lb ON lb.v = p.b
+        GROUP BY 1, 2),
+      canon2 AS MATERIALIZED (SELECT src AS a2, dst AS b2, w FROM ce
+                 WHERE src <> dst),
+      selfw AS MATERIALIZED (SELECT src AS v, w AS sw FROM ce WHERE src = dst),
+      sym2 AS MATERIALIZED (SELECT a2 AS v, b2 AS n, w FROM canon2
+               UNION ALL SELECT b2, a2, w FROM canon2),
+      deg2 AS MATERIALIZED (
+        SELECT v, SUM(k0)::BIGINT AS k FROM (
+          SELECT v, SUM(w)::BIGINT AS k0 FROM sym2 GROUP BY v
+          UNION ALL SELECT v, 2 * sw FROM selfw)
+        GROUP BY v),
+      m2 AS (
+        SELECT (SELECT COALESCE(SUM(w), 0) FROM canon2)
+             + (SELECT COALESCE(SUM(sw), 0) FROM selfw) AS m),
+      rk2 AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM deg2),
+      t0 AS MATERIALIZED (SELECT v, v AS c FROM deg2),$l2,
+      final AS (
+        SELECT l1.v, l2.c
+        FROM sa2 l1 JOIN sb2 l2 ON l2.v = l1.c),
+      sizes AS (SELECT c, COUNT(*)::BIGINT AS comm_size
+                FROM final GROUP BY c)
+      SELECT f.v AS vertex, f.c AS community, z.comm_size
+      FROM final f JOIN sizes z ON z.c = f.c
+      ORDER BY vertex"""
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q_louvain" -> louvainOracle,
+    "q_louvain2" -> louvain2Oracle,
 
     // The q_harmonic CTEs verbatim; only the final expression changes:
     // closeness = (n1 + n2) / (n1·1 + n2·2) over the same exact shells.
