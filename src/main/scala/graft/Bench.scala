@@ -246,6 +246,7 @@ object Bench {
       "q_pagerank", "q_pagerank_weighted", "q_textrank", "q_eigenvector",
       "q_hits", "q_ktruss", "q_kcore", "q_betweenness", "q_closeness",
       "q_harmonic", "q_harmonic_approx", "q_label_prop", "q_louvain",
+      "q_louvain2",
       "q_triangles", "q_clustering_coef", "q_modularity",
       "q_assortativity", "q_bipartite", "q_logistic_multi",
       // first-touch heavy beyond the graph family (measured: 6.4 s

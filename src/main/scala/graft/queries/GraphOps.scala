@@ -308,7 +308,7 @@ object GraphOps {
       .orderBy("vertex")
   }
 
-  /** FIXED two-level Louvain pipeline on the mod-5 co-order graph
+  /** FIXED two-level Louvain pipeline on the mod-7 co-order graph
     * (2 local-move passes, contract to the weighted super-graph with
     * self-loops, 2 weighted passes, compose the label mapping) — the
     * multi-level ladder judged end-to-end; the oracle unrolls BOTH
@@ -316,7 +316,7 @@ object GraphOps {
     * arithmetic.
     */
   val qLouvain2: QueryFn = withTablesSf { (spark, sfDir) =>
-    val edges = coOrderParts(spark, sfDir, 5)
+    val edges = coOrderParts(spark, sfDir, 7)
     val l1 = Graph.louvainMove(edges, "a", "b", passes = 2)
       .select(col("vertex"), col("community"))
       .localCheckpoint() // contraction + composition both read it
@@ -856,7 +856,7 @@ object GraphOps {
     s"""
       WITH li AS (
         SELECT l_orderkey AS ok, l_partkey AS pk
-        FROM lineitem WHERE l_orderkey % 5 = 0),
+        FROM lineitem WHERE l_orderkey % 7 = 0),
       pairs AS MATERIALIZED (
         SELECT DISTINCT
                LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
