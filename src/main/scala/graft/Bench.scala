@@ -252,16 +252,30 @@ object Bench {
       // first-touch heavy beyond the graph family (measured: 6.4 s
       // rep 1 vs 1.0 s steady — TypedImperativeAggregate + parquet
       // round-trip codegen)
-      "q_quantile_sketch")
+      "q_quantile_sketch",
+      // iterative-GLM/MM class (r16 verdict item 5): driver runs landed
+      // first-touch JIT on these (q_bradley_terry 3.2-3.4 s driver vs
+      // 2.06-2.12 s judge solo steady); two reps report the solo band
+      "q_bradley_terry", "q_logistic2", "q_aipw", "q_psm_ate")
     // First pass: time every query once, in name order; family
     // members get the second rep immediately (same warmed state).
+    // flaky accounting (r16 ADVICE): a rep-2 failure after a rep-1 pass
+    // is nondeterminism and must surface — it is recorded in the JSON
+    // output ("flaky_rep2") and on stderr, while the query still
+    // reports rep 1's honest timing (it DID pass once).
+    val flaky = scala.collection.mutable.Map.empty[String, String]
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val (t1, err1) = timeOne(name, fn)
         if (err1.isEmpty && twoRep(name)) {
           val (t2, err2) = timeOne(name, fn)
           if (err2.isEmpty) (name, fn, math.min(t1, t2), err1)
-          else (name, fn, t1, err1)
+          else {
+            flaky(name) = err2.get
+            System.err.println(s"bench: $name rep 2 FAILED after rep 1 " +
+              s"passed (nondeterministic): ${err2.get}")
+            (name, fn, t1, err1)
+          }
         } else (name, fn, t1, err1)
     }
     // Deferred re-run pass (r9 verdict): the immediate back-to-back
@@ -310,9 +324,11 @@ object Bench {
     val fullQs = results.map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
       .mkString("{", ",", "}")
     val rerunsJson = reruns.sorted.map(jstr).mkString("[", ",", "]")
+    val flakyJson = flaky.toSeq.sortBy(_._1)
+      .map { case (k, e) => jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
     val loads = s""""load_avg_start":${sec3(loadStart)},"load_avg_end":${sec3(loadAvg())}"""
     val fullLine =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"reruns":$rerunsJson,$loads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$fullQs,"errors":$errs,"flaky_rep2":$flakyJson,"reruns":$rerunsJson,$loads,"sf":"$sfDir"}"""
     // The driver captures a bounded 2000-byte TAIL of the run log; at
     // 138+ queries the full per-query map is ~3.1 KB and CANNOT fit
     // (measured r3 AND r4: the alphabetical head was truncated away
@@ -345,7 +361,7 @@ object Bench {
         .map { case (k, v, _) => jstr(k) + ":" + sec3(v) }
         .mkString("{", ",", "}")
       val omittedMax = byTime.drop(n).headOption.map(_._2).getOrElse(0.0)
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$slowQs,"n_queries":${results.size},"queries_omitted_below":${sec3(omittedMax)},"queries_full_file":${jstr(outFile)},"errors":$errs,$loads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$slowQs,"n_queries":${results.size},"queries_omitted_below":${sec3(omittedMax)},"queries_full_file":${jstr(outFile)},"errors":$errs,"flaky_rep2":$flakyJson,$loads,"sf":"$sfDir"}"""
     }
     // build.sbt routes run output through StdoutOutput (no "[info] "
     // prefix) and sets showSuccess := false (no "[success]" epilogue), so

@@ -20,13 +20,21 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   * checkpoints, and partial aggregation like any other value.
   *
   * Structure: level i holds at most `k` values, each standing for 2^i
-  * originals. Updates append to level 0; an overfull level sorts and
-  * promotes its 0-based ODD-index elements to the next level
-  * (deterministic halving — classic KLL flips a coin per compaction;
-  * the fixed choice trades the randomized unbiasedness for exact
-  * reproducibility, the repo-wide portability contract, at the same
-  * O(n/k)-per-compaction rank-error bound). Merge concatenates
-  * per-level buffers and recompacts bottom-up — associative in
+  * originals. Updates append to level 0; an overfull level sorts,
+  * RETAINS its smallest element when its size is odd (weight
+  * conservation — the standard KLL practice; without it each odd-size
+  * compaction silently dropped one element's weight and `count`
+  * drifted under the true n), and promotes the odd-index elements of
+  * the even remainder to the next level (deterministic halving —
+  * classic KLL flips a coin per compaction; the fixed choice trades
+  * the randomized unbiasedness for exact reproducibility, the
+  * repo-wide portability contract, at the same O(n/k)-per-compaction
+  * rank-error bound). So `count` equals the exact number of values
+  * folded in, always. Merge concatenates per-level buffers and
+  * recompacts EVERY overfull level (not just the prefix reachable
+  * from level 0 — a merge can overfill a deep level while level 0
+  * stays small, and a prefix-only scan would let that level grow
+  * without bound across merge-heavy trees) — associative in
   * distribution and deterministic given operand order; the aggregate
   * is partial-aggregation-safe because every intermediate IS a
   * sketch of its inputs within the same error envelope.
@@ -60,15 +68,36 @@ object QuantileSketch {
       if (levels(0).length > k) compactFrom(0)
     }
 
+    private def compactLevel(i: Int): Unit = {
+      val sorted = levels(i).sorted
+      if (levels.length == i + 1) levels += ArrayBuffer.empty[Double]
+      val up = levels(i + 1)
+      // weight conservation: an odd-size level keeps its smallest
+      // element here (weight 2^i) and promotes every second element of
+      // the even remainder (each promoted value doubles in weight), so
+      // 2^i·m == 2^i·[odd] + 2^(i+1)·⌊m/2⌋ exactly — count == n always.
+      // The promoted parity ALTERNATES by level index (odd offsets at
+      // even levels, even offsets at odd levels): classic KLL flips a
+      // coin per compaction so the ±1-rank compaction errors cancel in
+      // expectation; a FIXED parity stacks them coherently across
+      // levels. Level-parity alternation is the stateless deterministic
+      // stand-in — reproducible bit-for-bit, serialization unchanged.
+      val odd = sorted.length % 2 == 1
+      val keepN = if (odd) 1 else 0
+      var j = keepN + (if (i % 2 == 0) 1 else 0)
+      while (j < sorted.length) { up += sorted(j); j += 2 }
+      levels(i).clear()
+      if (odd) levels(i) += sorted(0)
+    }
+
     private def compactFrom(i0: Int): Unit = {
+      // scan ALL levels, not only the contiguous overfull prefix: a
+      // merge can leave a deep level above k while a shallower one is
+      // within bounds, and stopping early lets the deep level grow
+      // unboundedly across a merge tree
       var i = i0
-      while (i < levels.length && levels(i).length > k) {
-        val sorted = levels(i).sorted
-        if (levels.length == i + 1) levels += ArrayBuffer.empty[Double]
-        val up = levels(i + 1)
-        var j = 1
-        while (j < sorted.length) { up += sorted(j); j += 2 }
-        levels(i).clear()
+      while (i < levels.length) {
+        if (levels(i).length > k) compactLevel(i)
         i += 1
       }
     }

@@ -150,6 +150,17 @@ object Percentiles {
       valueCol: String, qs: Seq[Double], k: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"sketchQuantiles: quantiles must be in [0,1]: $qs")
+    // output columns are named q_<rounded percent>; distinct quantiles
+    // that round to the same integer percent (0.249 and 0.251 → q_25
+    // twice) would produce a duplicate-column select — fail loudly
+    // instead of letting the ambiguity surface downstream
+    locally {
+      val names = qs.map(q => math.round(q * 100))
+      require(names.distinct.length == names.length,
+        s"sketchQuantiles: quantiles $qs collide after rounding to " +
+          s"integer percents (${names.mkString(",")}) — space them or " +
+          "query the sketch column directly with QuantileSketch.quantileOf")
+    }
     import graft.functions.QuantileSketch
     val gcols = groupCols.map(col)
     val grouped =

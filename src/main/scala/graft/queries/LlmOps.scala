@@ -1138,6 +1138,60 @@ object LlmOps {
     }
   }
 
+  /** Versioned ADD COLUMN schema evolution, judged end-to-end (r16
+    * verdict item 4): orders becomes a versioned table partitioned by
+    * status (v1); ADD COLUMN priority_score commits v2 as a
+    * METADATA-ONLY snapshot (same files, evolved declared schema — the
+    * query `require`s v1 still reads its own pre-evolution schema and
+    * v2 reads the new column as typed NULL over the unchanged files);
+    * an INSERT whose rows CARRY the column commits v3 (a mixed-schema
+    * snapshot: old files union-widen to NULL on read); an UPDATE that
+    * backfills the column for %10==0 keys rewrites only touched
+    * partitions ACROSS the evolution boundary (v4). Judged on the v4
+    * read-back; the oracle replays the same algebra as a NULL-extended
+    * union + CASE backfill.
+    */
+  val qSchemaEvolution: QueryFn = withTables { spark =>
+    import graft.tables.Versioned
+    val base = spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo")
+      .toString + "/orders"
+    try {
+      Versioned.create(spark, dir, base, Seq("o_orderstatus"))
+      val v2 = Versioned.addColumn(spark, dir, "priority_score",
+        org.apache.spark.sql.types.DoubleType)
+      require(v2 == 2, s"q_schema_evolution: expected v2, got $v2")
+      require(!Versioned.load(spark, dir, Some(1)).columns
+          .contains("priority_score"),
+        "q_schema_evolution: v1 must keep its pre-evolution schema")
+      require(Versioned.load(spark, dir, Some(2))
+          .filter(col("priority_score").isNotNull).isEmpty,
+        "q_schema_evolution: v2 must read the evolved column as NULL")
+      val ins = spark.table("orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          round(col("o_totalprice") / 1000.0, 2).as("priority_score"))
+      val v3 = Versioned.insertInto(spark, dir, ins, Seq("o_orderstatus"))
+      require(v3 == 3, s"q_schema_evolution: expected v3, got $v3")
+      val v4 = Versioned.updateWhere(spark, dir,
+        Seq("priority_score" -> lit(1.5)),
+        col("o_orderkey") % 10 === 0, Seq("o_orderstatus"))
+      require(v4 == 4, s"q_schema_evolution: expected v4, got $v4")
+      Versioned.load(spark, dir, Some(4))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).cast("double").as("o_totalprice"),
+          col("priority_score").cast("double").as("priority_score"))
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root.getParent, true)
+    }
+  }
+
   /** Persistable quantile sketch, judged at the exact regime and
     * through a genuine RELOAD: per-(event_type, day) sketches build,
     * persist to parquet, reload, merge per event_type, and answer
@@ -1886,6 +1940,7 @@ object LlmOps {
     "q_delete_from" -> qDeleteFrom,
     "q_update_sql" -> qUpdateSql,
     "q_delete_sql" -> qDeleteSql,
+    "q_schema_evolution" -> qSchemaEvolution,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_cdc_replay" -> qCdcReplay,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -2834,6 +2889,29 @@ object LlmOps {
       FROM orders
       WHERE NOT COALESCE(o_orderstatus = 'P' OR o_totalprice > 200000,
                          FALSE)
+      ORDER BY o_orderkey""",
+
+    // ADD COLUMN schema evolution replayed as set algebra: the base
+    // table NULL-extends to the evolved schema, the post-evolution
+    // insert carries the column, the backfill UPDATE is a CASE over
+    // the union — the judged Spark side additionally proved v1/v2
+    // time-travel schemas and round-tripped everything through
+    // versioned commits.
+    "q_schema_evolution" -> """
+      WITH evolved AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(NULL AS DOUBLE) AS priority_score
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice,
+               ROUND(o_totalprice / 1000.0, 2)
+        FROM orders WHERE o_orderkey % 7 = 0
+      )
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
+             CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1.5
+                       ELSE priority_score END AS DOUBLE) AS priority_score
+      FROM evolved
       ORDER BY o_orderkey""",
 
     // MERGE INTO clause semantics replayed as set algebra: matched

@@ -109,25 +109,43 @@ object Versioned {
     }
   }
 
-  private def readSnapshot(fs: FileSystem, root: Path, v: Int)
-      : Seq[(String, Long)] = {
+  private def readSnapshotDoc(fs: FileSystem, root: Path, v: Int)
+      : org.json4s.JValue = {
     val p = snapshotPath(root, v)
     require(fs.exists(p), s"Versioned: no snapshot v$v at $root " +
       "(wrong version, or vacuumed past it)")
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    org.json4s.jackson.JsonMethods.parse(txt)
+  }
+
+  private def readSnapshot(fs: FileSystem, root: Path, v: Int)
+      : Seq[(String, Long)] = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val doc = JsonMethods.parse(txt)
-    (doc \ "files") match {
+    (readSnapshotDoc(fs, root, v) \ "files") match {
       case JArray(fsx) => fsx.flatMap { e =>
         for {
           JString(rel) <- Option(e \ "path")
           JInt(len) <- Option(e \ "len")
         } yield rel -> len.toLong
       }
-      case _ => sys.error(s"Versioned: unparseable snapshot $p")
+      case _ => sys.error(s"Versioned: unparseable snapshot v$v at $root")
+    }
+  }
+
+  /** The snapshot's DECLARED schema, set once [[addColumn]] has evolved
+    * the table (absent before any evolution — the schema is then simply
+    * what the files carry). Committed forward by every subsequent
+    * commit, so "the schema as of version v" time-travels with v. */
+  private def snapshotSchema(fs: FileSystem, root: Path, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.json4s._
+    (readSnapshotDoc(fs, root, v) \ "schema") match {
+      case JString(json) =>
+        Some(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case _ => None
     }
   }
 
@@ -137,13 +155,8 @@ object Versioned {
     val root = new Path(path)
     val fs = fsOf(spark, root)
     currentVersion(spark, path).flatMap { v =>
-      val p = snapshotPath(root, v)
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
       import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      (JsonMethods.parse(txt) \ "batchId") match {
+      (readSnapshotDoc(fs, root, v) \ "batchId") match {
         case JInt(b) => Some(b.toLong)
         case _ => None
       }
@@ -153,12 +166,17 @@ object Versioned {
   /** Stage + atomic-rename commit of snapshot v. Fails loudly if v
     * already exists (a concurrent writer won the commit). */
   private def writeSnapshot(fs: FileSystem, root: Path, v: Int,
-      files: Seq[(String, Long)], batchId: Option[Long] = None): Unit = {
+      files: Seq[(String, Long)], batchId: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
-    val base = ("version" -> v) ~
+    val base0 = ("version" -> v) ~
       ("files" -> files.sortBy(_._1).map { case (p, l) =>
         ("path" -> p) ~ ("len" -> l) })
+    val base = schema match {
+      case Some(sc) => base0 ~ ("schema" -> sc.json)
+      case None => base0
+    }
     val doc = batchId match {
       case Some(b) => base ~ ("batchId" -> b)
       case None => base
@@ -242,6 +260,52 @@ object Versioned {
         "renderable partition key (e.g. date_format the timestamp)")
   }
 
+  /** Project `df` onto a DECLARED snapshot schema: columns the merged
+    * file read carries are cast into place; columns NO live file
+    * carries yet (an ADD COLUMN nothing has written to) read as typed
+    * NULLs. Column order is the declared order. */
+  private def alignTo(df: DataFrame,
+      sc: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(sc.fields.map { f =>
+      if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** ADD COLUMN schema evolution (r16 verdict item 4): commit a new
+    * snapshot whose FILE LIST is unchanged but whose declared schema
+    * gains `name` (nullable) at the end. No data moves — old files
+    * simply yield NULL for the column on read (union-widening via
+    * parquet mergeSchema), files written by later commits carry it,
+    * and a mixed snapshot reads both seamlessly. Time travel returns
+    * each version's OWN schema: versions before the evolution read
+    * without the column (their snapshots carry no declared schema, or
+    * an earlier one), versions after read with it. The declared schema
+    * is carried forward by every subsequent commit
+    * (insert/merge/update/delete/compact). Returns the committed
+    * version.
+    *
+    * Scale shape: a metadata-only commit — one sidecar JSON write; a
+    * 100 TB table evolves in O(1).
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.addColumn: $path is not a versioned table"))
+    val base = load(spark, path, Some(cur))
+    require(!base.columns.exists(_.equalsIgnoreCase(name)),
+      s"Versioned.addColumn: column '$name' already exists " +
+        s"(table has ${base.columns.mkString(",")})")
+    val evolved = org.apache.spark.sql.types.StructType(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
+        name, dataType, nullable = true))
+    writeSnapshot(fs, root, cur + 1, readSnapshot(fs, root, cur),
+      committedBatchId(spark, path), Some(evolved))
+    cur + 1
+  }
+
   /** Version an EXISTING bare-parquet directory: snapshot its current
     * files as v1. Returns 1. */
   def init(spark: SparkSession, path: String): Int = {
@@ -287,8 +351,15 @@ object Versioned {
         s"Versioned.load: $rel of v$v is missing or resized — " +
           "vacuumed past this version, or immutability was violated")
     }
-    spark.read.option("basePath", root.toString)
+    val declared = snapshotSchema(fs, root, v)
+    // post-evolution snapshots can mix file schemas (ADD COLUMN moves
+    // no data): mergeSchema union-widens the read, alignTo presents
+    // exactly the version's declared schema (typed NULLs for a column
+    // no file carries yet)
+    val raw = spark.read.option("basePath", root.toString)
+      .option("mergeSchema", declared.isDefined.toString)
       .parquet(files.map(f => new Path(root, f._1).toString): _*)
+    declared.map(alignTo(raw, _)).getOrElse(raw)
   }
 
   /** Zone-map-pruned read of a SNAPSHOT — [[load]] composed with
@@ -330,8 +401,13 @@ object Versioned {
       else files.take(1).map(f => new Path(root, f._1).toString)
     val pred = (lower.map(l => c(column) >= lit(l)) ++
       upper.map(u => c(column) <= lit(u))).reduce(_ && _)
-    spark.read.option("basePath", root.toString)
-      .parquet(paths: _*).filter(pred)
+    val declared = snapshotSchema(fs, root, v)
+    val raw = spark.read.option("basePath", root.toString)
+      .option("mergeSchema", declared.isDefined.toString)
+      .parquet(paths: _*)
+    // align BEFORE the filter so a post-evolution predicate column that
+    // some pruned-in files lack still resolves (as typed NULL)
+    declared.map(alignTo(raw, _)).getOrElse(raw).filter(pred)
   }
 
   /** Versioned COW MERGE: same semantics and same touched-partition
@@ -400,11 +476,12 @@ object Versioned {
     val cur = currentVersion(spark, path).getOrElse(
       sys.error(s"Versioned.commitRewrite: $path is not a versioned table"))
     val live = readSnapshot(fs, root, cur)
+    val declared = snapshotSchema(fs, root, cur) // carry evolution forward
     // appending never deletes, so `replacement` may keep reading the
     // previous version's files while the new ones are written
     val newFiles = stampedAppend(fs, root, replacement, partitionCols)
     if (partitionCols.isEmpty) {
-      writeSnapshot(fs, root, cur + 1, newFiles)
+      writeSnapshot(fs, root, cur + 1, newFiles, None, declared)
     } else {
       val rendered = touched.map { row =>
         partitionCols.zipWithIndex.map { case (c, i) =>
@@ -421,7 +498,7 @@ object Versioned {
       val kept = live.filterNot { case (rel, _) =>
         dropped.exists(rel.startsWith)
       }
-      writeSnapshot(fs, root, cur + 1, kept ++ newFiles)
+      writeSnapshot(fs, root, cur + 1, kept ++ newFiles, None, declared)
     }
     cur + 1
   }
@@ -485,7 +562,8 @@ object Versioned {
     // file attribution exact, so the winner's snapshot provably
     // contains only its own files and the loser dies on the v-rename
     val newFiles = stampedAppend(fs, root, aligned, partitionCols)
-    writeSnapshot(fs, root, cur + 1, live ++ newFiles, batchId)
+    writeSnapshot(fs, root, cur + 1, live ++ newFiles, batchId,
+      snapshotSchema(fs, root, cur)) // carry evolution forward
     cur + 1
   }
 
@@ -635,8 +713,14 @@ object Versioned {
       .values.flatten.toSeq
     val paths = toCompact.values.flatten
       .map(f => new Path(root, f._1).toString).toSeq
-    val df = spark.read.option("basePath", root.toString)
+    val declared = snapshotSchema(fs, root, cur)
+    // post-evolution directories can mix file schemas — compacting
+    // with a plain read would silently drop the added column from the
+    // rewritten files; union-widen and align like [[load]]
+    val raw = spark.read.option("basePath", root.toString)
+      .option("mergeSchema", declared.isDefined.toString)
       .parquet(paths: _*)
+    val df = declared.map(alignTo(raw, _)).getOrElse(raw)
     partitionCols.foreach(c => require(df.columns.contains(c),
       s"Versioned.compact: partition column '$c' not in the table " +
         s"(${df.columns.mkString(",")}) — pass the table's hive layout"))
@@ -668,16 +752,17 @@ object Versioned {
         }
       }
     val newFiles = stampedAppend(fs, root, out, partitionCols)
-    // carry the streaming stamp forward (T12 composition)
+    // carry the streaming stamp AND the declared schema forward
     writeSnapshot(fs, root, cur + 1, keep ++ newFiles,
-      committedBatchId(spark, path))
+      committedBatchId(spark, path), declared)
     cur + 1
   }
 
   /** Retention: drop all snapshots older than the newest `keepLast`
-    * and physically delete data files no kept snapshot references.
-    * The ONLY destructive operation in the layer; returns the deleted
-    * data-file relPaths.
+    * and physically delete data files no kept snapshot references,
+    * plus orphaned `.stage-*` staging directories a crashed commit
+    * left under the versions dir. The ONLY destructive operation in
+    * the layer; returns the deleted relPaths.
     *
     * Serialization contract: vacuum is a WRITE and must be serialized
     * with the single writer — an in-flight commit's freshly-appended
@@ -712,6 +797,19 @@ object Versioned {
     doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     all.filterNot(keep).foreach(v =>
       fs.delete(snapshotPath(root, v), false))
-    doomed
+    // staged-orphan sweep (r16 ADVICE): a crash between stampedAppend's
+    // staging write and its cleanup delete leaves a .stage-<stamp> dir
+    // under the versions dir forever — dataFiles skips the versions
+    // dir, so the unreferenced-file sweep above never lists it. Same
+    // in-flight safety margin as above: a stage dir NEWER than the
+    // latest committed snapshot may belong to a racing writer (already
+    // a contract violation) and is left alone until a later vacuum.
+    val stagedOrphans = fs.listStatus(vd).toSeq.filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith(".stage-") &&
+        st.getModificationTime <= latestMtime
+    }
+    stagedOrphans.foreach(st => fs.delete(st.getPath, true))
+    doomed ++ stagedOrphans.map(st =>
+      s"$VersionsDirName/${st.getPath.getName}")
   }
 }

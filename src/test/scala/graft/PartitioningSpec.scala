@@ -634,6 +634,92 @@ class PartitioningSpec extends SparkTestBase {
       .as[Double].collect().toSet === Set(9.0, 2.0))
   }
 
+  test("Versioned.addColumn: metadata-only schema evolution — old files " +
+      "read typed NULLs, time travel returns each version's own schema, " +
+      "DML and compaction carry the evolved schema across the boundary") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    import org.apache.spark.sql.types.DoubleType
+    val dir = Files.createTempDirectory("vevolve").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0), (2, 20L, 2.0)).toDF("p", "k", "v"), Seq("p"))
+    val filesBefore = Versioned.load(spark, dir).inputFiles.toSet
+    assert(Versioned.addColumn(spark, dir, "score", DoubleType) === 2)
+    // metadata-only: the evolution commit moved NO data
+    assert(Versioned.load(spark, dir).inputFiles.toSet === filesBefore)
+    // duplicate add (any case) is loud
+    intercept[IllegalArgumentException] {
+      Versioned.addColumn(spark, dir, "SCORE", DoubleType)
+    }
+    // v2 presents the evolved schema; no file carries the column yet
+    val v2 = Versioned.load(spark, dir)
+    assert(v2.columns.toSeq === Seq("k", "v", "p", "score"))
+    assert(v2.select("score").as[Option[Double]].collect().toSeq
+      === Seq(None, None))
+    // an insert AFTER the evolution carries the column; old rows NULL
+    assert(Versioned.insertInto(spark, dir,
+      Seq((1, 11L, 1.5, 0.9)).toDF("p", "k", "v", "score"), Seq("p")) === 3)
+    assert(Versioned.load(spark, dir).select("k", "score")
+      .as[(Long, Option[Double])].collect().toSet
+      === Set((10L, None), (20L, None), (11L, Some(0.9))))
+    // time travel: v1 reads its OWN pre-evolution schema
+    assert(!Versioned.load(spark, dir, Some(1)).columns.contains("score"))
+    assert(Versioned.load(spark, dir, Some(1)).count() === 2L)
+    // mergeInto ACROSS the evolution boundary: the touched partition
+    // (mixed old/new files) rewrites correctly, untouched old files
+    // still read NULL
+    assert(Versioned.mergeInto(spark, dir,
+      Seq((1, 10L, 7.0, 0.5)).toDF("p", "k", "v", "score"),
+      on = Seq("p", "k"), partitionCols = Seq("p")) === 4)
+    val v4rows = Versioned.load(spark, dir)
+      .select("k", "v", "score").as[(Long, Double, Option[Double])]
+      .collect().toSet
+    assert(v4rows === Set((10L, 7.0, Some(0.5)), (11L, 1.5, Some(0.9)),
+      (20L, 2.0, None)), v4rows.toString)
+    // compaction over mixed-schema directories preserves the evolved
+    // rows byte-for-value (a plain read would drop the added column)
+    val vc = Versioned.compact(spark, dir,
+      targetFileBytes = 1L << 30, partitionCols = Seq("p"))
+    assert(Versioned.load(spark, dir, Some(vc))
+      .select("k", "v", "score").as[(Long, Double, Option[Double])]
+      .collect().toSet === v4rows)
+    // updateWhere across the boundary: SET the evolved column itself
+    assert(Versioned.updateWhere(spark, dir,
+      Seq("score" -> org.apache.spark.sql.functions.lit(0.1)),
+      col("k") === 20L, Seq("p")) === vc + 1)
+    assert(Versioned.load(spark, dir).select("k", "score")
+      .as[(Long, Option[Double])].collect().toSet
+      === Set((10L, Some(0.5)), (11L, Some(0.9)), (20L, Some(0.1))))
+  }
+
+  test("Versioned.vacuum: reclaims crashed-commit .stage-* orphans under " +
+      "the versions dir, skipping ones newer than the latest snapshot") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    val dir = Files.createTempDirectory("vstageorph").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0)).toDF("p", "k", "v"), Seq("p"))
+    // a crashed commit's staging leftovers, older than the next snapshot
+    val orphan = new java.io.File(s"$dir/_graft_versions/.stage-deadbeef")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "part-0.parquet").toPath, Array[Byte](1))
+    Thread.sleep(1100) // beat coarse mtime granularity
+    Versioned.insertInto(spark, dir,
+      Seq((1, 11L, 2.0)).toDF("p", "k", "v"), Seq("p"))
+    Thread.sleep(1100)
+    // an in-flight writer's staging dir: NEWER than the latest snapshot
+    val inflight = new java.io.File(s"$dir/_graft_versions/.stage-cafebabe")
+    assert(inflight.mkdirs())
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 2)
+    assert(!orphan.exists(), "dead staging dir must be reclaimed")
+    assert(inflight.exists(), "in-flight staging dir must survive")
+    assert(deleted.exists(_.contains(".stage-deadbeef")), deleted.toString)
+    assert(!deleted.exists(_.contains(".stage-cafebabe")))
+    // the table itself is untouched
+    assert(Versioned.load(spark, dir).count() === 2L)
+  }
+
   test("Versioned.vacuum: skips unreferenced files NEWER than the latest " +
       "snapshot (in-flight writer safety margin) while reclaiming " +
       "genuinely dead ones") {

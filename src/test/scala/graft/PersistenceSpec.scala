@@ -231,4 +231,49 @@ class PersistenceSpec extends SparkTestBase {
     }
     assert(quantiles() === est, "deterministic compaction must reproduce")
   }
+
+  test("quantile sketch: adversarial merge tree keeps every level " +
+      "within k and count conserves the exact value count") {
+    import graft.functions.QuantileSketch
+    val k = 16
+    def leaf(seed: Int, n: Int): QuantileSketch.Buf = {
+      val b = new QuantileSketch.Buf(k)
+      (1 to n).foreach(i =>
+        b.update(((seed.toLong * 31L + i.toLong * 7919L) % 1000L).toDouble))
+      b
+    }
+    // count conservation on the pure update path, deep past the exact
+    // regime (many odd-size level-0 compactions at k=16)
+    val single = leaf(1, 5000)
+    assert(single.count === 5000L, s"update path count ${single.count}")
+    // worst-case left-fold merge chain: each operand lands on level 0
+    // while deeper levels fill — the prefix-only compaction scan let
+    // deep levels exceed k without bound here
+    val sizes = (1 to 64).map(s => 1 + (s * 7) % (k + 5))
+    val chain = sizes.zipWithIndex
+      .map { case (n, s) => leaf(s, n) }
+      .reduceLeft((a, b) => a.merge(b))
+    assert(chain.count === sizes.map(_.toLong).sum,
+      s"merge chain count ${chain.count} != ${sizes.sum}")
+    chain.levels.zipWithIndex.foreach { case (lv, i) =>
+      assert(lv.length <= k, s"level $i holds ${lv.length} > k=$k")
+    }
+    // balanced merge tree: same laws
+    def tree(bufs: Seq[QuantileSketch.Buf]): QuantileSketch.Buf =
+      if (bufs.length == 1) bufs.head
+      else tree(bufs.grouped(2).map {
+        case Seq(a, b) => a.merge(b)
+        case Seq(a) => a
+      }.toSeq)
+    val balanced = tree(sizes.zipWithIndex.map { case (n, s) => leaf(s, n) })
+    assert(balanced.count === sizes.map(_.toLong).sum)
+    balanced.levels.zipWithIndex.foreach { case (lv, i) =>
+      assert(lv.length <= k, s"balanced level $i holds ${lv.length} > k=$k")
+    }
+    // the quantile from a merge-heavy tree is still rank-bounded: the
+    // values are (seed*31 + i*7919) % 1000 — just sanity-pin the median
+    // lands inside the value domain and the sketch stays answerable
+    val med = chain.quantile(0.5)
+    assert(med.exists(v => v >= 0.0 && v <= 999.0), s"median $med")
+  }
 }
