@@ -274,6 +274,57 @@ object AnalyticsOps {
       recs, "cust", "item")
   }
 
+  /** The shared ALS ratings table: mean quantity per (customer, part)
+    * basket cell on the q_item_knn slice — repeated purchases average
+    * into one exact rating (decimal sum / exact count, 6-dp). */
+  private def alsRatings(spark: org.apache.spark.sql.SparkSession) =
+    spark.table("lineitem")
+      .filter(col("l_orderkey") % 3 === 0 && col("l_partkey") % 50 === 0)
+      .join(spark.table("orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(round(sum(col("l_quantity").cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("rating"))
+
+  /** Rank-2 ALS factorization judged on its reconstruction: 2 full
+    * alternations of ridge-damped closed-form 2×2 solves (the
+    * q_logistic determinism discipline — 12-dp frozen decimal
+    * normal-equation sums, Cramer in doubles, 12-dp param refreeze),
+    * deterministic id-derived item init; each observed (cust, part)
+    * rating beside its factor dot-product prediction. The oracle
+    * unrolls all four half-passes.
+    */
+  val qAls: QueryFn = withTables { spark =>
+    graft.operators.Scoring.alsPredict(alsRatings(spark),
+        "cust", "part", "rating", iters = 2, lambda = 0.1)
+      .orderBy("cust", "part")
+  }
+
+  /** ALS top-3 serving over the q_als factors: every user scores the
+    * bounded catalog by dot product, owned cells anti-join out, the
+    * (score DESC, part) total order ranks — the latent-factor twin of
+    * q_item_knn's output shape (documented swap to the ANN family
+    * when the catalog stops being broadcastable).
+    */
+  val qAlsRecs: QueryFn = withTables { spark =>
+    graft.operators.Scoring.alsRecommend(alsRatings(spark),
+        "cust", "part", "rating", topN = 3, iters = 2, lambda = 0.1)
+      .orderBy("cust", "rank")
+  }
+
+  /** The q_rec_eval panel over ALS recommendations instead of
+    * item-kNN ones (r16 verdict item 3's composition proof): the SAME
+    * recommendationEval accepts either recommender's output —
+    * coverage/novelty/diversity judged on the latent-factor recs.
+    */
+  val qRecEvalAls: QueryFn = withTables { spark =>
+    val ratings = alsRatings(spark)
+    val recs = graft.operators.Scoring.alsRecommend(ratings,
+        "cust", "part", "rating", topN = 3, iters = 2, lambda = 0.1)
+      .select(col("cust"), col("part"))
+    graft.operators.Scoring.recommendationEval(ratings, "cust", "part",
+      recs, "cust", "part")
+  }
+
   /** Off-policy IPS/SNIPS replay: target policy "purchase after noon,
     * view before" evaluated on logged events with plug-in empirical
     * logging propensities P(event_type) — what the counterfactual
@@ -799,6 +850,9 @@ object AnalyticsOps {
     "q_ips_eval" -> qIpsEval,
     "q_item_knn" -> qItemKnn,
     "q_rec_eval" -> qRecEval,
+    "q_als" -> qAls,
+    "q_als_recs" -> qAlsRecs,
+    "q_rec_eval_als" -> qRecEvalAls,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -830,7 +884,145 @@ object AnalyticsOps {
   // so both engines multiply by the identical doubles.
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
 
+  // One ALS half-pass, mirroring Scoring.alsFactors' solve tree
+  // operation-for-operation: 12-dp frozen decimal normal-equation
+  // sums, ridge +0.1 applied after the double cast, Cramer numerators
+  // in the exact same association, 12-dp refreeze. `out` factors for
+  // `outKey` are solved from `from`'s fixed factors joined on
+  // `joinKey`. MATERIALIZED keeps DuckDB from exponentially inlining
+  // the four-pass chain (the louvain2 lesson).
+  private def alsHalfPass(out: String, outKey: String, from: String,
+      joinKey: String): String = {
+    val det = s"((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1)" +
+      s" - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))"
+    s""",
+      ${out}_agg AS MATERIALIZED (
+        SELECT rat.$outKey AS k,
+               SUM(CAST(ROUND(f1 * f1, 12) AS DECIMAL(38,12))) AS a11,
+               SUM(CAST(ROUND(f1 * f2, 12) AS DECIMAL(38,12))) AS a12,
+               SUM(CAST(ROUND(f2 * f2, 12) AS DECIMAL(38,12))) AS a22,
+               SUM(CAST(ROUND(r * f1, 12) AS DECIMAL(38,12))) AS b1,
+               SUM(CAST(ROUND(r * f2, 12) AS DECIMAL(38,12))) AS b2
+        FROM rat JOIN $from ON $from.$joinKey = rat.$joinKey
+        GROUP BY rat.$outKey),
+      $out AS MATERIALIZED (
+        SELECT k AS $outKey,
+               CASE WHEN $det > 0.0 THEN
+                 ROUND((CAST(b1 AS DOUBLE) * (CAST(a22 AS DOUBLE) + 0.1)
+                   - CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                   / $det, 12)
+               ELSE 0.0 END AS f1,
+               CASE WHEN $det > 0.0 THEN
+                 ROUND(((CAST(a11 AS DOUBLE) + 0.1) * CAST(b2 AS DOUBLE)
+                   - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE))
+                   / $det, 12)
+               ELSE 0.0 END AS f2
+        FROM ${out}_agg)"""
+  }
+
+  // The q_als factor chain: exact mean ratings, id-derived item init,
+  // then iters=2 unrolled as four half-passes (uf1 <- if0, if1 <- uf1,
+  // uf2 <- if1, if2 <- uf2); final factors are uf2/if2.
+  private val alsCtes: String = """
+      WITH rat AS MATERIALIZED (
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey % 3 = 0 AND l.l_partkey % 50 = 0
+        GROUP BY o.o_custkey, l.l_partkey),
+      if0 AS MATERIALIZED (
+        SELECT DISTINCT i,
+               ROUND(0.5 + (i % 7) * 0.1, 12) AS f1,
+               ROUND(0.3 + (i % 11) * 0.04, 12) AS f2
+        FROM rat)""" +
+    alsHalfPass("uf1", "u", "if0", "i") +
+    alsHalfPass("if1", "i", "uf1", "u") +
+    alsHalfPass("uf2", "u", "if1", "i") +
+    alsHalfPass("if2", "i", "uf2", "u")
+
+  // The ALS top-3 serving CTEs on the final factors: catalog cross
+  // join, owned-cell anti-join, (score DESC, item) total order.
+  private val alsRecsCtes: String = alsCtes + """,
+      scored AS (
+        SELECT uf2.u AS u, if2.i AS i,
+               ROUND(uf2.f1 * if2.f1 + uf2.f2 * if2.f2, 6) AS score
+        FROM uf2 CROSS JOIN if2
+        WHERE NOT EXISTS (SELECT 1 FROM rat h
+                          WHERE h.u = uf2.u AND h.i = if2.i)),
+      ranked AS (
+        SELECT u, i, score,
+               ROW_NUMBER() OVER (PARTITION BY u
+                 ORDER BY score DESC, i) AS rank
+        FROM scored)"""
+
   val oracles: Map[String, String] = Map(
+
+    // The four unrolled ALS half-passes, then each observed cell's
+    // dot-product reconstruction off the final uf2/if2 factors.
+    "q_als" -> (alsCtes + """
+      SELECT rat.u AS cust, rat.i AS part, CAST(r AS DOUBLE) AS rating,
+             CAST(ROUND(uf2.f1 * if2.f1 + uf2.f2 * if2.f2, 6) AS DOUBLE)
+               AS pred
+      FROM rat JOIN uf2 ON uf2.u = rat.u JOIN if2 ON if2.i = rat.i
+      ORDER BY cust, part"""),
+
+    // The ALS serving CTEs; rank <= 3 under the exact (score DESC, i)
+    // order both engines share.
+    "q_als_recs" -> (alsRecsCtes + """
+      SELECT u AS cust, i AS part, CAST(score AS DOUBLE) AS score,
+             CAST(rank AS INT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY cust, rank"""),
+
+    // The ALS serving CTEs feeding the q_rec_eval panel verbatim
+    // (hist := the rating cells, recs := the ALS top-3) — proving the
+    // panel composes over either recommender.
+    "q_rec_eval_als" -> (alsRecsCtes + """,
+      recs AS (SELECT u, i FROM ranked WHERE rank <= 3),
+      pairs AS (
+        SELECT x.i AS item_a, y.i AS item_b, COUNT(*)::BIGINT AS n_both
+        FROM rat x JOIN rat y ON x.u = y.u AND x.i < y.i
+        GROUP BY x.i, y.i),
+      singles AS (SELECT i, COUNT(*)::BIGINT AS c FROM rat GROUP BY i),
+      sim AS (
+        SELECT item_a, item_b,
+               ROUND(n_both / SQRT(CAST(ca.c * cb.c AS DOUBLE)), 6)
+                 AS cosine
+        FROM pairs
+        JOIN singles ca ON ca.i = pairs.item_a
+        JOIN singles cb ON cb.i = pairs.item_b),
+      stats AS (SELECT COUNT(DISTINCT u)::BIGINT AS hu,
+                       COUNT(DISTINCT i)::BIGINT AS cat FROM rat),
+      pop AS (SELECT i, COUNT(*)::BIGINT AS own FROM rat GROUP BY i),
+      nov AS (
+        SELECT COUNT(*)::BIGINT AS nr,
+               SUM(CASE WHEN pop.own IS NOT NULL THEN
+                 CAST(ROUND(-LN(CAST(pop.own AS DOUBLE)
+                   / CAST(stats.hu AS DOUBLE)), 12)
+                   AS DECIMAL(38,12)) END) AS snov,
+               SUM(CASE WHEN pop.own IS NOT NULL THEN 1 ELSE 0 END)
+                 ::BIGINT AS nnov
+        FROM recs LEFT JOIN pop ON pop.i = recs.i CROSS JOIN stats),
+      rstats AS (SELECT COUNT(DISTINCT u)::BIGINT AS ru,
+                        COUNT(DISTINCT i)::BIGINT AS ri FROM recs),
+      div AS (
+        SELECT COUNT(*)::BIGINT AS np,
+               SUM(CAST(ROUND(1.0 - COALESCE(s.cosine, 0.0), 12)
+                 AS DECIMAL(38,12))) AS sdiv
+        FROM recs a JOIN recs b ON a.u = b.u AND a.i < b.i
+        LEFT JOIN sim s ON s.item_a = a.i AND s.item_b = b.i)
+      SELECT ru AS n_users, nr AS n_recs, cat AS catalog_size,
+             CAST(CASE WHEN cat > 0 THEN
+               ROUND(CAST(ri AS DOUBLE) / CAST(cat AS DOUBLE), 6)
+             END AS DOUBLE) AS coverage,
+             CAST(CASE WHEN nnov > 0 THEN
+               ROUND(CAST(snov AS DOUBLE) / CAST(nnov AS DOUBLE), 6)
+             END AS DOUBLE) AS novelty,
+             CAST(CASE WHEN np > 0 THEN
+               ROUND(CAST(sdiv AS DOUBLE) / CAST(np AS DOUBLE), 6)
+             END AS DOUBLE) AS intra_list_diversity
+      FROM nov CROSS JOIN rstats CROSS JOIN div CROSS JOIN stats"""),
 
     // Exact O / decimal E per q_calibration bin; per-bin terms frozen
     // at 12 dp; degenerate (pi 0/1) bins excluded, k reports used.
