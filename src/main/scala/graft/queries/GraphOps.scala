@@ -334,6 +334,43 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** FIXED two-level LEIDEN on the q_louvain2 graph: the same
+    * 2-pass local-move / contract / 2-weighted-pass ladder with the
+    * CONNECTIVITY REFINEMENT (r16 verdict item 1) after each
+    * local-move stage — every community splits into its connected
+    * subcommunities (min-member labels) before contraction, fixing
+    * Louvain's known internally-disconnected-community defect, and
+    * the composed output is internally connected by induction
+    * (GraphSpec pins the law on the final partition). The oracle
+    * unrolls both levels AND both refinements — connected components
+    * as recursive-CTE min-label closures over the intra-community
+    * edges.
+    */
+  val qLeiden: QueryFn = withTablesSf { (spark, sfDir) =>
+    val edges = coOrderParts(spark, sfDir, 7)
+    val l1 = Graph.louvainMove(edges, "a", "b", passes = 2)
+      .select(col("vertex"), col("community"))
+    val r1 = Graph.refineConnected(edges, "a", "b", l1,
+        "vertex", "community")
+      .localCheckpoint() // contraction + composition both read it
+    val contracted = Graph.contractCommunities(edges, "a", "b",
+      r1, "vertex", "community")
+    val l2 = Graph.louvainMoveWeighted(contracted, "src", "dst",
+        "weight", passes = 2)
+      .select(col("vertex"), col("community"))
+    val r2 = Graph.refineConnected(
+        contracted.filter(col("src") =!= col("dst")), "src", "dst",
+        l2, "vertex", "community")
+      .select(col("vertex").as("_c1"), col("community").as("_c2"))
+    val composed = r1.join(r2, r1("community") === col("_c1"))
+      .select(r1("vertex"), col("_c2").as("community"))
+    val sizes = composed.groupBy("community")
+      .agg(count(lit(1)).as("comm_size"))
+    composed.join(sizes, "community")
+      .select(col("vertex"), col("community"), col("comm_size"))
+      .orderBy("vertex")
+  }
+
   /** 2-round k-core peeling (k=3) on the same co-order graph:
     * all-integer degrees, oracle unrolls the two synchronous peels.
     */
@@ -552,6 +589,7 @@ object GraphOps {
     "q_label_prop" -> qLabelProp,
     "q_louvain" -> qLouvain,
     "q_louvain2" -> qLouvain2,
+    "q_leiden" -> qLeiden,
     "q_kcore" -> qKcore,
     "q_pagerank_weighted" -> qPageRankWeighted,
     "q_clustering_coef" -> qClusteringCoef,
@@ -848,6 +886,91 @@ object GraphOps {
               JOIN best$tag$p b ON b.v = s.v)"""
     }.mkString(",")
 
+  // Connectivity refinement for the Leiden oracle: intra-community
+  // edges of `labName`'s partition over `pairsName`, symmetric
+  // closure, then connected components as a RECURSIVE min-label
+  // closure (reach = all component-mates; UNION dedups so the
+  // recursion terminates at the transitive closure — exact, no
+  // diameter parameter) — refined label = MIN component mate,
+  // isolated-in-community vertices stay their own singleton.
+  private def refineCtes(tag: String, pairsName: String, aCol: String,
+      bCol: String, labName: String): String = s"""
+      intra$tag AS MATERIALIZED (
+        SELECT p.$aCol AS x, p.$bCol AS y
+        FROM $pairsName p
+        JOIN $labName la ON la.v = p.$aCol
+        JOIN $labName lb ON lb.v = p.$bCol
+        WHERE la.c = lb.c AND p.$aCol <> p.$bCol),
+      isym$tag AS MATERIALIZED (
+        SELECT x AS v, y AS n FROM intra$tag
+        UNION ALL SELECT y, x FROM intra$tag),
+      reach$tag AS (
+        SELECT v, v AS w FROM $labName
+        UNION
+        SELECT e.v, r.w FROM isym$tag e JOIN reach$tag r ON r.v = e.n),
+      ref$tag AS MATERIALIZED (
+        SELECT s.v, COALESCE(MIN(r.w), s.v) AS c
+        FROM $labName s LEFT JOIN reach$tag r ON r.v = s.v
+        GROUP BY s.v)"""
+
+  // q_leiden's oracle: the louvain2 two-level machinery with the
+  // connectivity refinement unrolled after EACH local-move stage —
+  // level 1 contracts the REFINED partition, and the composition maps
+  // through both refined label sets.
+  private val leidenOracle: String = {
+    val l1 = louvainPassCtes("a", 2, "sym", "deg", "rk", "m", "s0",
+      "COUNT(*)::HUGEINT")
+    val l2 = louvainPassCtes("b", 2, "sym2", "deg2", "rk2", "m2", "t0",
+      "SUM(y.w)::HUGEINT")
+    val r1 = refineCtes("a", "pairs", "a", "b", "sa2")
+    val r2 = refineCtes("b", "canon2", "a2", "b2", "sb2")
+    s"""
+      WITH RECURSIVE li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (SELECT a AS v, b AS n FROM pairs
+              UNION ALL SELECT b AS v, a AS n FROM pairs),
+      deg AS MATERIALIZED (SELECT v, COUNT(*)::BIGINT AS k FROM sym GROUP BY v),
+      m AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS m FROM pairs),
+      rk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM deg),
+      s0 AS MATERIALIZED (SELECT v, v AS c FROM deg),$l1,$r1,
+      ce AS MATERIALIZED (
+        SELECT LEAST(la.c, lb.c) AS src, GREATEST(la.c, lb.c) AS dst,
+               COUNT(*)::BIGINT AS w
+        FROM pairs p
+        JOIN refa la ON la.v = p.a
+        JOIN refa lb ON lb.v = p.b
+        GROUP BY 1, 2),
+      canon2 AS MATERIALIZED (SELECT src AS a2, dst AS b2, w FROM ce
+                 WHERE src <> dst),
+      selfw AS MATERIALIZED (SELECT src AS v, w AS sw FROM ce WHERE src = dst),
+      sym2 AS MATERIALIZED (SELECT a2 AS v, b2 AS n, w FROM canon2
+               UNION ALL SELECT b2, a2, w FROM canon2),
+      deg2 AS MATERIALIZED (
+        SELECT v, SUM(k0)::BIGINT AS k FROM (
+          SELECT v, SUM(w)::BIGINT AS k0 FROM sym2 GROUP BY v
+          UNION ALL SELECT v, 2 * sw FROM selfw)
+        GROUP BY v),
+      m2 AS (
+        SELECT (SELECT COALESCE(SUM(w), 0) FROM canon2)
+             + (SELECT COALESCE(SUM(sw), 0) FROM selfw) AS m),
+      rk2 AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM deg2),
+      t0 AS MATERIALIZED (SELECT v, v AS c FROM deg2),$l2,$r2,
+      final AS (
+        SELECT r1.v, r2.c
+        FROM refa r1 JOIN refb r2 ON r2.v = r1.c),
+      sizes AS (SELECT c, COUNT(*)::BIGINT AS comm_size
+                FROM final GROUP BY c)
+      SELECT f.v AS vertex, f.c AS community, z.comm_size
+      FROM final f JOIN sizes z ON z.c = f.c
+      ORDER BY vertex"""
+  }
+
   private val louvain2Oracle: String = {
     val l1 = louvainPassCtes("a", 2, "sym", "deg", "rk", "m", "s0",
       "COUNT(*)::HUGEINT")
@@ -904,6 +1027,7 @@ object GraphOps {
 
     "q_louvain" -> louvainOracle,
     "q_louvain2" -> louvain2Oracle,
+    "q_leiden" -> leidenOracle,
 
     // The q_harmonic CTEs verbatim; only the final expression changes:
     // closeness = (n1 + n2) / (n1·1 + n2·2) over the same exact shells.

@@ -557,6 +557,81 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("refineConnected: a disconnected community splits into its " +
+      "connected min-labeled subcommunities; a vertex with no " +
+      "intra-community edge becomes its own singleton") {
+    // the Louvain defect shape by hand: community X = {a,b} ∪ {d,e}
+    // with NO path between the halves INSIDE X (their only link runs
+    // through c, which is in Y); Y = {c} has no intra edge at all
+    val edges = Seq("a" -> "b", "d" -> "e", "a" -> "c", "c" -> "d")
+      .toDF("s", "t")
+    val labels = Seq(("a", "X"), ("b", "X"), ("d", "X"), ("e", "X"),
+      ("c", "Y")).toDF("v", "comm")
+    val out = Graph.refineConnected(edges, "s", "t", labels, "v", "comm")
+      .as[(String, String)].collect().toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "d" -> "d", "e" -> "d",
+      "c" -> "c"), out.toString)
+    // an already-connected partition is a fixpoint (labels re-keyed to
+    // min members, partition structure identical)
+    val conn = Seq(("a", "P"), ("b", "P"), ("c", "P"), ("d", "Q"),
+      ("e", "Q")).toDF("v", "comm")
+    val ref2 = Graph.refineConnected(edges, "s", "t", conn, "v", "comm")
+      .as[(String, String)].collect()
+    val parts = ref2.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      .values.toSet
+    assert(parts === Set(Set("a", "b", "c"), Set("d", "e")), ref2.toSeq)
+  }
+
+  test("leidenMultilevel: every output community is internally " +
+      "connected (the Leiden guarantee Louvain lacks); coverage and " +
+      "modularity stay in the louvain class") {
+    // the louvainMultilevel hierarchy fixture verbatim
+    val tris = for {
+      blk <- 0 until 4; t <- 0 until 3
+    } yield {
+      val v = (0 until 3).map(i => s"b${blk}t${t}v$i")
+      Seq(v(0) -> v(1), v(0) -> v(2), v(1) -> v(2))
+    }
+    val chains = for (blk <- 0 until 4; t <- 0 until 2)
+      yield Seq(s"b${blk}t${t}v0" -> s"b${blk}t${t + 1}v0")
+    val between = (0 until 3).map(b => Seq(s"b${b}t2v2" -> s"b${b + 1}t0v2"))
+    val edges = (tris ++ chains ++ between).flatten.toDF("s", "t")
+    val out = Graph.leidenMultilevel(edges, "s", "t", passes = 3,
+      levels = 3)
+    // every original vertex appears exactly once
+    assert(out.count() === 36L &&
+      out.select("vertex").distinct().count() === 36L)
+    // the connectivity LAW: each community's induced subgraph reaches
+    // every member from its first (driver BFS — fixture-sized)
+    val lab = out.select(col("vertex"), col("community"))
+      .as[(String, String)].collect()
+    val es = edges.as[(String, String)].collect()
+    def connected(members: Set[String]): Boolean =
+      if (members.size <= 1) true
+      else {
+        val adj = es.filter { case (s, t) => members(s) && members(t) }
+        var reach = Set(members.head)
+        var grew = true
+        while (grew) {
+          val next = reach ++
+            adj.collect { case (s, t) if reach(s) => t } ++
+            adj.collect { case (s, t) if reach(t) => s }
+          grew = next.size > reach.size
+          reach = next
+        }
+        reach == members
+      }
+    lab.groupBy(_._2).foreach { case (c, ms) =>
+      val members = ms.map(_._1).toSet
+      assert(connected(members), s"community $c is disconnected: $members")
+    }
+    // still a modularity optimizer: clears the singleton baseline
+    val q = Graph.modularity(edges, "s", "t",
+        out.select(col("vertex"), col("community")), "vertex", "community")
+      .select("modularity").as[Double].head()
+    assert(q > 0.0, s"Q = $q")
+  }
+
   test("louvainMove: modularity is non-decreasing over passes on a ring " +
       "of cliques and beats the singleton baseline") {
     // 4 triangle-cliques in a ring: x0-x1-x2 cliques, ring bridges
