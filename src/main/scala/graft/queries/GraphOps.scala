@@ -185,6 +185,22 @@ object GraphOps {
       .orderBy("vec_id")
   }
 
+  /** Fixed-2-pass spherical EM-GMM over the embeddings (r16 verdict
+    * item 6): init = the q_kmeans one-round centroids + σ²=1 +
+    * uniform π; per pass a 12-dp-frozen max-shifted softmax E-step
+    * and a 6-dp-refrozen closed-form M-step (means pass, then
+    * variance pass against the refreshed means, empty-mass components
+    * keep their params); judged on the final argmax assignment and
+    * winning responsibility. The oracle unrolls the kmeans init and
+    * BOTH EM passes.
+    */
+  val qGmm: QueryFn = withTables { spark =>
+    Clustering.gmmPortable(
+        spark.table("embeddings"), "vec_id", "embedding", k = 8,
+        passes = 2, kmeansIters = 1)
+      .orderBy("vec_id")
+  }
+
   /** Per-cluster simplified silhouette of the q_kmeans clustering:
     * the O(n·k) centroid-based quality readout — same rounded
     * distance kernel, 6-dp-frozen s values, decimal means.
@@ -368,6 +384,22 @@ object GraphOps {
       .agg(count(lit(1)).as("comm_size"))
     composed.join(sizes, "community")
       .select(col("vertex"), col("community"), col("comm_size"))
+      .orderBy("vertex")
+  }
+
+  /** 3-round multi-source Bellman–Ford on the weighted mod-7 co-order
+    * graph (co-occurrence counts as transfer costs, every part key
+    * divisible by 25 a depot seed): exact for every weighted shortest
+    * path of ≤ 3 edges (the documented round contract), unreached
+    * parts absent — all-integer relaxations, so the unrolled oracle is
+    * exact with no rounding anywhere.
+    */
+  val qSssp: QueryFn = withTablesSf { (spark, sfDir) =>
+    val edges = coOrderParts(spark, sfDir, 7)
+    val verts = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v"))).distinct()
+    val seeds = verts.filter(col("v").cast("long") % 25 === 0)
+    Graph.shortestPaths(edges, "a", "b", "cnt", seeds, "v", rounds = 3)
       .orderBy("vertex")
   }
 
@@ -578,6 +610,7 @@ object GraphOps {
     "q_ann_pq" -> qAnnPq,
     "q_ann_pq_search" -> qAnnPqSearch,
     "q_kmeans" -> qKmeans,
+    "q_gmm" -> qGmm,
     "q_silhouette" -> qSilhouette,
     "q_davies_bouldin" -> qDaviesBouldin,
     "q_semdedup" -> qSemDedup,
@@ -590,6 +623,7 @@ object GraphOps {
     "q_louvain" -> qLouvain,
     "q_louvain2" -> qLouvain2,
     "q_leiden" -> qLeiden,
+    "q_sssp" -> qSssp,
     "q_kcore" -> qKcore,
     "q_pagerank_weighted" -> qPageRankWeighted,
     "q_clustering_coef" -> qClusteringCoef,
@@ -631,6 +665,82 @@ object GraphOps {
           SELECT vec_id, v, c, dist,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
           FROM a1) WHERE rk = 1)"""
+
+  // One EM-GMM E-step over params${t-1}: per (vector, component) the
+  // 12-dp-frozen score s = ln π − (d/2)·ln σ² − ‖x−μ‖²/(2σ²) (dist
+  // itself 12-dp, the same index-ordered LIST fold Spark's sqDistTo
+  // runs), then the max-shifted softmax responsibility frozen at 12 dp
+  // — mirroring Clustering.gmmPortable's expression trees node for
+  // node (d = 64 on the judged embeddings).
+  private def gmmECtes(t: Int): String = s""",
+      e$t AS MATERIALIZED (
+        SELECT vv.vec_id, vv.v, p.c,
+               ROUND(LN(p.pi) - 0.5 * 64 * LN(p.s2)
+                 - ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(vv.v) + 1),
+                     i -> (vv.v[i] - p.cv[i]) * (vv.v[i] - p.cv[i]))), 12)
+                   / (2.0 * p.s2), 12) AS s
+        FROM v vv CROSS JOIN params${t - 1} p),
+      sl$t AS MATERIALIZED (
+        SELECT vec_id, LIST(s ORDER BY c) AS sl FROM e$t GROUP BY vec_id),
+      r$t AS MATERIALIZED (
+        SELECT e.vec_id, e.v, e.c,
+               ROUND(EXP(e.s - LIST_MAX(s.sl))
+                 / LIST_SUM(LIST_TRANSFORM(s.sl,
+                     x -> EXP(x - LIST_MAX(s.sl)))), 12) AS r
+        FROM e$t e JOIN sl$t s ON s.vec_id = e.vec_id)"""
+
+  // One EM-GMM M-step from r$t: responsibility masses, 6-dp-refrozen
+  // means (AVG·n/Σr — the vectorMean association), then the variance
+  // pass against the REFRESHED means with the 1e-6 floor; a component
+  // whose mass is empty keeps its previous parameters (the kmeans
+  // empty-cluster rule, via the LEFT JOIN + CASE).
+  private def gmmMCtes(t: Int): String = s""",
+      m$t AS MATERIALIZED (
+        SELECT c, SUM(r) AS sr, COUNT(*)::BIGINT AS cnt
+        FROM r$t GROUP BY c),
+      ex$t AS (SELECT c, r, UNNEST(v) AS val,
+                      GENERATE_SUBSCRIPTS(v, 1) AS i FROM r$t),
+      mud$t AS MATERIALIZED (
+        SELECT c, i, AVG(r * val) AS av FROM ex$t GROUP BY c, i),
+      muv$t AS MATERIALIZED (
+        SELECT d.c, LIST(ROUND(d.av * CAST(m.cnt AS DOUBLE) / m.sr, 6)
+                 ORDER BY d.i) AS cv
+        FROM mud$t d JOIN m$t m ON m.c = d.c
+        GROUP BY d.c),
+      sd$t AS MATERIALIZED (
+        SELECT r.c, SUM(r.r * ROUND(LIST_SUM(LIST_TRANSFORM(
+            RANGE(1, LEN(r.v) + 1),
+            i -> (r.v[i] - nm.cv[i]) * (r.v[i] - nm.cv[i]))), 12)) AS sd
+        FROM r$t r JOIN muv$t nm ON nm.c = r.c
+        GROUP BY r.c),
+      params$t AS MATERIALIZED (
+        SELECT p.c,
+               CASE WHEN m.sr > 0 THEN nm.cv ELSE p.cv END AS cv,
+               CASE WHEN m.sr > 0 THEN GREATEST(1e-06,
+                 ROUND(s.sd / (64.0 * m.sr), 6)) ELSE p.s2 END AS s2,
+               CASE WHEN m.sr > 0 THEN ROUND(m.sr / CAST(m.cnt AS DOUBLE), 6)
+                    ELSE p.pi END AS pi
+        FROM params${t - 1} p
+        LEFT JOIN m$t m ON m.c = p.c
+        LEFT JOIN muv$t nm ON nm.c = p.c
+        LEFT JOIN sd$t s ON s.c = p.c)"""
+
+  // q_gmm's oracle: the q_kmeans init CTEs (c1 = the one-round
+  // centroids), uniform π and σ²=1 as params0, two unrolled EM passes,
+  // then the final E-step's argmax assignment.
+  private val gmmOracle: String = kmeansCtes + """,
+      params0 AS MATERIALIZED (
+        SELECT c, cv, CAST(1.0 AS DOUBLE) AS s2,
+               ROUND(CAST(1.0 AS DOUBLE) / 8, 6) AS pi
+        FROM c1)""" +
+    gmmECtes(1) + gmmMCtes(1) + gmmECtes(2) + gmmMCtes(2) + gmmECtes(3) +
+    """,
+      rl3 AS (SELECT vec_id, LIST(r ORDER BY c) AS rl
+              FROM r3 GROUP BY vec_id)
+      SELECT vec_id,
+             (LIST_POSITION(rl, LIST_MAX(rl)) - 1)::INT AS cluster,
+             CAST(ROUND(LIST_MAX(rl), 6) AS DOUBLE) AS resp
+      FROM rl3 ORDER BY vec_id"""
 
   // One subspace's full PQ pipeline (portable seed → one Lloyd round
   // → final assignment asg1$j with (vec_id, c, dist)) over the slice
@@ -1029,6 +1139,46 @@ object GraphOps {
     "q_louvain2" -> louvain2Oracle,
     "q_leiden" -> leidenOracle,
 
+    // The weighted mod-7 co-order graph (counts preserved as costs),
+    // depot seeds at distance 0, three unrolled synchronous
+    // relaxation rounds of exact integer min-folds.
+    "q_sssp" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      pairs AS MATERIALIZED (
+        SELECT CAST(x.pk AS VARCHAR) AS a, CAST(y.pk AS VARCHAR) AS b,
+               COUNT(*)::BIGINT AS w
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        GROUP BY 1, 2),
+      sym AS MATERIALIZED (
+        SELECT a AS f, b AS t, w FROM pairs
+        UNION ALL SELECT b, a, w FROM pairs),
+      verts AS (SELECT DISTINCT f AS v FROM sym),
+      d0 AS (SELECT v, 0::BIGINT AS d FROM verts
+             WHERE CAST(v AS BIGINT) % 25 = 0),
+      d1 AS MATERIALIZED (
+        SELECT v, MIN(d)::BIGINT AS d FROM (
+          SELECT v, d FROM d0
+          UNION ALL
+          SELECT s.t AS v, d0.d + s.w AS d
+          FROM sym s JOIN d0 ON d0.v = s.f)
+        GROUP BY v),
+      d2 AS MATERIALIZED (
+        SELECT v, MIN(d)::BIGINT AS d FROM (
+          SELECT v, d FROM d1
+          UNION ALL
+          SELECT s.t AS v, d1.d + s.w AS d
+          FROM sym s JOIN d1 ON d1.v = s.f)
+        GROUP BY v),
+      d3 AS MATERIALIZED (
+        SELECT v, MIN(d)::BIGINT AS d FROM (
+          SELECT v, d FROM d2
+          UNION ALL
+          SELECT s.t AS v, d2.d + s.w AS d
+          FROM sym s JOIN d2 ON d2.v = s.f)
+        GROUP BY v)
+      SELECT v AS vertex, d AS dist FROM d3 ORDER BY vertex""",
+
     // The q_harmonic CTEs verbatim; only the final expression changes:
     // closeness = (n1 + n2) / (n1·1 + n2·2) over the same exact shells.
     "q_closeness" -> """
@@ -1234,6 +1384,8 @@ object GraphOps {
                AS DOUBLE) AS harmonic
       FROM c1 LEFT JOIN c2 ON c2.v = c1.v
       ORDER BY vertex""",
+
+    "q_gmm" -> gmmOracle,
 
     "q_kmeans" -> (kmeansCtes + """
       SELECT vec_id, CAST(c AS INT) AS cluster, dist

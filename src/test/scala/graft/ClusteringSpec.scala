@@ -226,4 +226,34 @@ class ClusteringSpec extends SparkTestBase {
       "chain collapses to its min id")
     assert(Seq(10000L, 10001L, 10002L).forall(v => jumped(v) == 10000L))
   }
+
+  test("gmmPortable: two planted blobs recover with near-certain " +
+      "responsibilities; k=1 is the total degenerate component; " +
+      "deterministic re-run") {
+    import spark.implicits._
+    // two tight 4-D blobs around 0 and 10, deterministic jitter
+    val vecs = (0 until 24).map { i =>
+      val base = if (i < 12) 0.0 else 10.0
+      (i.toLong, Seq(base + (i % 5) * 0.02, base - (i % 3) * 0.03,
+        base + (i % 7) * 0.01, base - (i % 4) * 0.02))
+    }.toDF("id", "vec")
+    val out = Clustering.gmmPortable(vecs, "id", "vec", k = 2, passes = 2)
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    // blob membership is EXACTLY the cluster split
+    val byCluster = out.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.values.toSet ===
+      Set((0L until 12L).toSet, (12L until 24L).toSet), out.toSeq)
+    // separation >> spread: the soft assignment is near-certain
+    assert(out.forall(_._3 > 0.999),
+      s"responsibilities must saturate: ${out.map(_._3).min}")
+    // k = 1: everything in component 0 with responsibility exactly 1
+    val one = Clustering.gmmPortable(vecs, "id", "vec", k = 1, passes = 2)
+      .as[(Long, Int, Double)].collect()
+    assert(one.forall(r => r._2 == 0 && r._3 == 1.0), one.toSeq)
+    // frozen-decimal EM: bit-identical on re-run
+    val again = Clustering.gmmPortable(vecs, "id", "vec", k = 2,
+      passes = 2).as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
 }

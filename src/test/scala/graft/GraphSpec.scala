@@ -557,6 +557,35 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("shortestPaths: fixed-round Bellman–Ford — R rounds exact for " +
+      "<= R-edge paths, later rounds improve through cheaper detours, " +
+      "multi-seed min, unreached absent, non-positive weights loud") {
+    import org.apache.spark.sql.functions.lit
+    // a -1- b -2- c -5- d, plus a direct a-c shortcut costing 10 and
+    // an isolated edge x-y (never reached from a)
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "d", 5L),
+      ("a", "c", 10L), ("x", "y", 7L)).toDF("s", "t", "w")
+    val seedsA = Seq("a").toDF("v")
+    def run(rounds: Int, seeds: org.apache.spark.sql.DataFrame) =
+      Graph.shortestPaths(edges, "s", "t", "w", seeds, "v", rounds)
+        .as[(String, Long)].collect().toMap
+    assert(run(1, seedsA) === Map("a" -> 0L, "b" -> 1L, "c" -> 10L))
+    // round 2: the 2-edge detour a-b-c (3) beats the 1-edge shortcut
+    assert(run(2, seedsA) === Map("a" -> 0L, "b" -> 1L, "c" -> 3L,
+      "d" -> 15L))
+    assert(run(3, seedsA) === Map("a" -> 0L, "b" -> 1L, "c" -> 3L,
+      "d" -> 8L), "x/y must stay absent")
+    // multi-source: every vertex takes its NEAREST seed
+    val both = run(2, Seq("a", "d").toDF("v"))
+    assert(both === Map("a" -> 0L, "b" -> 1L, "c" -> 3L, "d" -> 0L),
+      both.toString)
+    // weights must be positive integers
+    intercept[Exception] {
+      Graph.shortestPaths(edges.withColumn("w", lit(0L)), "s", "t", "w",
+        seedsA, "v", 2).collect()
+    }
+  }
+
   test("refineConnected: a disconnected community splits into its " +
       "connected min-labeled subcommunities; a vertex with no " +
       "intra-community edge becomes its own singleton") {
