@@ -607,13 +607,22 @@ object TextAnalysis {
           s"transform(sequence(1, greatest(length(_t), 1)), " +
             s"i -> substring(_t, i, $n))")).as("_g"))
         .filter(length(col("_g")) === n)
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("_key").orderBy(col("_cnt").desc, col("_g").asc)
+    // top-K cut as the bounded partial-aggregatable heap (r16 verdict
+    // item 8), NOT a row_number window: the window form sorts every
+    // language's whole gram vocabulary in ONE task (one language = one
+    // sort partition — the training-side skew), where the heap's
+    // map-side partials cap each task's contribution at K structs per
+    // key before the exchange. Ascending (−count, gram) IS
+    // (count DESC, gram ASC), and posexplode position recovers the
+    // rank — bit-identical to the window under the same total order.
     def ranked(g: DataFrame): DataFrame = g
       .groupBy("_key", "_g").agg(count(lit(1)).as("_cnt"))
-      .withColumn("_rk", row_number().over(wRank))
-      .filter(col("_rk") <= topK)
-      .select(col("_key"), col("_g"), col("_rk"))
+      .groupBy("_key")
+      .agg(graft.functions.TopKStructAgg.topKStructs(
+        struct((-col("_cnt")).as("_nc"), col("_g")), topK).as("_tk"))
+      .select(col("_key"), posexplode(col("_tk")).as(Seq("_p", "_e")))
+      .select(col("_key"), col("_e._g").as("_g"),
+        (col("_p") + 1).cast("int").as("_rk"))
     val profile = ranked(grams(
         train.filter(col(langCol).isNotNull), col(langCol)))
       .select(col("_key").as("_lang"), col("_g"), col("_rk").as("_rl"))

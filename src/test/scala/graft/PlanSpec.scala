@@ -585,4 +585,20 @@ class PlanSpec extends SparkTestBase {
     assert(!"\\bWindow\\b".r.findFirstIn(tree).isDefined,
       s"confusion cells need no window:\n$p")
   }
+
+  test("languageIdTrained: the profile/doc top-K cuts are bounded heap " +
+      "aggregates, not per-language sort windows") {
+    // r16 verdict item 8: the old row_number() OVER (PARTITION BY lang
+    // ORDER BY count, gram) sorted each language's WHOLE gram
+    // vocabulary in one task. The cut is now topk_struct (map-side
+    // partials cap every task at K structs per key); the single
+    // window left in the plan is the per-DOC argmin over |langs| rows.
+    val p = plan("q_langid_profile")
+    val tree = p.split("\n\n")(0)
+    assert(p.contains("topk_struct"), // agg fn names live in the details
+      s"profile rank must ride the bounded heap aggregate:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(tree).size
+    assert(windows <= 1,
+      s"only the per-doc argmin window is allowed, found $windows:\n$p")
+  }
 }
