@@ -1074,4 +1074,78 @@ object EventWindows {
         sum("_lin").cast("double").as("linear_credit"),
         sum("_ucr").cast("double").as("u_credit"))
   }
+  /** Exact Shapley-value channel attribution over pre-conversion
+    * touch SETS — the coalition-game standard beside [[touchAttribution]]
+    * (position rules) and [[markovAttribution]] (removal effects):
+    * each converter contributes the set T of distinct channels it
+    * touched STRICTLY before its first conversion; the coalition
+    * value v(S) = #converters with T ⊆ S; channel c's credit is the
+    * exact Shapley sum φ_c = Σ_{S ⊆ N∖{c}} |S|!·(n−1−|S|)!/n! ·
+    * (v(S∪{c}) − v(S)). Touchless conversions sit inside every v(S)
+    * and cancel in every marginal — direct conversions earn no
+    * channel credit, by algebra rather than by rule. Efficiency:
+    * Σ φ_c = v(N) − v(∅) (spec-pinned).
+    *
+    * The channel universe is a DECLARED literal list, n ≤ 6: the 2^n
+    * subset enumeration lives in ONE aggregate's column list, and
+    * past a handful of channels exact Shapley is the wrong tool
+    * (sampled permutations are a different operator). Determinism:
+    * v(S) are exact integer counts; φ is a closed-form tree of
+    * literal rational weights × count differences in ascending
+    * subset-bitmask order, rounded at 6 dp.
+    *
+    * Scale shape: one min-conversion-ts aggregate, one
+    * touch-flags join + aggregate (both user-keyed hash exchanges),
+    * then ONE global aggregate with 2^n conditional counts — the
+    * subsets never shuffle. Output: (channel, shapley,
+    * n_conversions), n_conversions = v(N).
+    */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, channels: Seq[String],
+      convType: String): DataFrame = {
+    val n = channels.size
+    require(n >= 1 && n <= 6,
+      s"shapleyAttribution: 1..6 literal channels, got $n")
+    require(channels.distinct.size == n && channels == channels.sorted,
+      "shapleyAttribution: channels must be distinct and sorted")
+    require(!channels.contains(convType),
+      "shapleyAttribution: the conversion type is not a channel")
+    val fp = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_fpts"))
+    val touches = events
+      .filter(col(typeCol).isin(channels: _*))
+      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(typeCol).as("_ch"))
+    val flags = fp.join(touches,
+        fp("_u") === touches("_u") && col("_ts") < col("_fpts"), "left")
+      .groupBy(fp("_u"))
+      .agg(channels.zipWithIndex.map { case (c, i) =>
+        max(when(col("_ch") === c, 1).otherwise(0)).as(s"_h$i")
+      }.head, channels.zipWithIndex.tail.map { case (c, i) =>
+        max(when(col("_ch") === c, 1).otherwise(0)).as(s"_h$i")
+      }: _*)
+    val masks = 0 until (1 << n)
+    val vCols = masks.map { m =>
+      val absent = (0 until n).filter(i => (m & (1 << i)) == 0)
+      val cond = absent.map(i => col(s"_h$i") === 0)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      sum(when(cond, 1L).otherwise(0L)).as(s"_v$m")
+    }
+    val vRow = flags.agg(vCols.head, vCols.tail: _*)
+    def fact(i: Int): Long = (1 to i).foldLeft(1L)(_ * _.toLong)
+    def weight(s: Int): Double =
+      (fact(s) * fact(n - 1 - s)).toDouble / fact(n).toDouble
+    val full = (1 << n) - 1
+    val out = channels.zipWithIndex.map { case (c, ci) =>
+      val bit = 1 << ci
+      val phi = masks.filter(m => (m & bit) == 0).map { m =>
+        lit(weight(Integer.bitCount(m))) *
+          (col(s"_v${m | bit}") - col(s"_v$m"))
+      }.reduce(_ + _)
+      vRow.select(lit(c).as("channel"),
+        round(phi, 6).cast("double").as("shapley"),
+        col(s"_v$full").cast("bigint").as("n_conversions"))
+    }.reduce(_ unionByName _)
+    out
+  }
 }

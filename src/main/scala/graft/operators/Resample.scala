@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2221,5 +2221,67 @@ object Resample {
             * element_at(col("_ring"),
               (pmod(col("h") - 1, lit(period)) + 1).cast("int")), 6)
           .cast("double").as("forecast"))
+  }
+  /** EWMA control chart per key — [[ewma]] composed with its
+    * exact-variance control limits (the Roberts/NIST chart): the
+    * smoother y_t rides the judged recursion verbatim; the center
+    * line is the series' full-run mean and the limits are
+    * center ± L·σ·√(α/(2−α)·(1 − (1−α)^{2t})) — the exact
+    * finite-sample EWMA variance, t the 1-based position in the SAME
+    * total order the smoother consumes, so early points get the
+    * tighter correct band instead of the asymptotic one. A point
+    * whose 6-dp-frozen EWMA leaves the 6-dp-frozen band flags.
+    *
+    * Determinism: mean/σ from exact decimal power sums (6-dp values),
+    * every emitted number re-frozen at 6 dp, flags compare frozen
+    * values only. Scale shape: [[ewma]]'s one shuffle + one stats
+    * aggregate + a broadcast join — the smoother stays the only
+    * sequential pass. Degenerate series (n < 2 or zero variance)
+    * report NULL limits and never flag.
+    *
+    * Output: (key, orderCols..., value, ewma, center, ucl, lcl,
+    * out_of_control).
+    */
+  def ewmaChart(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, limitL: Double = 3.0): DataFrame = {
+    require(limitL > 0.0, s"ewmaChart: limitL must be > 0, got $limitL")
+    val dec6 = "decimal(38,6)"
+    val dec12 = "decimal(38,12)"
+    val base = df.select((col(keyCol) +: orderCols.map(col) :+
+      round(col(valueCol).cast("double"), 6).as("_v")): _*)
+    val smoothed = ewma(base, keyCol, orderCols, "_v", alpha, "_ewma")
+    val stats = base
+      .withColumn("_v1", col("_v").cast(dec6))
+      .withColumn("_v2", round(col("_v") * col("_v"), 12).cast(dec12))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum("_v1").as("_s1"),
+        sum("_v2").as("_s2"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val mean = d("_s1") / nD
+    val variance = (d("_s2") - d("_s1") * d("_s1") / nD) / (nD - 1.0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val withT = smoothed.join(broadcast(stats), keyCol)
+      .withColumn("_t", row_number().over(w))
+      .withColumn("_sd",
+        when(col("_n") >= 2 && variance > 0.0, round(sqrt(variance), 6)))
+      .withColumn("_center", round(mean, 6))
+      .withColumn("_hw",
+        when(col("_sd").isNotNull,
+          round(lit(limitL) * col("_sd")
+            * sqrt(lit(alpha / (2.0 - alpha)) * (lit(1.0)
+              - pow(lit(1.0 - alpha), (col("_t") * 2).cast("double")))),
+            6)))
+      .withColumn("_e6", round(col("_ewma"), 6))
+      .withColumn("_ucl", round(col("_center") + col("_hw"), 6))
+      .withColumn("_lcl", round(col("_center") - col("_hw"), 6))
+    withT.select((col(keyCol) +: orderCols.map(col) :+
+      col("_v").cast("double").as("value") :+
+      col("_e6").cast("double").as("ewma") :+
+      col("_center").cast("double").as("center") :+
+      col("_ucl").cast("double").as("ucl") :+
+      col("_lcl").cast("double").as("lcl") :+
+      coalesce(col("_e6") > col("_ucl") || col("_e6") < col("_lcl"),
+        lit(false)).as("out_of_control")): _*)
   }
 }

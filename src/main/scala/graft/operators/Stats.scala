@@ -7706,4 +7706,244 @@ object Stats {
         when(col("_m") >= 1 && den > 0.0, round(num / den, 6))
           .cast("double").as("w"))
   }
+
+  /** Benjamini–Yekutieli step-up — [[fdrBh]] for batteries whose
+    * tests are ARBITRARILY dependent (BH's guarantee needs
+    * independence or positive dependence; correlated KS screens over
+    * overlapping slices are exactly the arbitrary case): the same
+    * ascending-(p, id) rank walk with the threshold deflated by the
+    * harmonic factor c(m) = Σ_{i≤m} 1/i — reject up to the largest k
+    * with p_(k)·m·c(m) ≤ k·α. c(m) is computed from the battery's own
+    * ranks (Σ 1/rank over the window — the ranks ARE 1..m), frozen at
+    * 12 dp; no per-row sequence materializes. Same battery contract
+    * as [[fdrBh]] (one row per TEST, loud NULLs, `maxTests`-guarded
+    * single-partition rank). Output: input + rank, m, cm,
+    * significant.
+    */
+  def fdrBy(df: DataFrame, pCol: String, idCols: Seq[String],
+      alpha: Double, maxTests: Int = 100000): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha must be in (0,1)")
+    require(idCols.nonEmpty, "fdrBy needs tiebreak id columns")
+    require(maxTests >= 1, s"maxTests=$maxTests must be >= 1")
+    val guarded = df.withColumn(pCol,
+      when(col(pCol).isNull, raise_error(
+        lit("fdrBy: NULL p-value in the battery"))).otherwise(col(pCol)))
+    val w = Window.orderBy(col(pCol) +: idCols.map(col): _*)
+    val all = Window.partitionBy()
+    guarded
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m",
+        when(count(lit(1)).over(all) > maxTests, raise_error(lit(
+          s"fdrBy: battery exceeds $maxTests tests — this operator " +
+            "ranks ONE row per test on a single partition; aggregate " +
+            "upstream or raise maxTests knowingly")).cast("long"))
+          .otherwise(count(lit(1)).over(all)))
+      .withColumn("cm",
+        round(sum(lit(1.0) / col("rank").cast("double")).over(all), 12))
+      .withColumn("_kmax",
+        max(when(col(pCol) * col("m").cast("double") * col("cm")
+            <= col("rank").cast("double") * alpha, col("rank"))).over(all))
+      .withColumn("significant",
+        coalesce(col("rank") <= col("_kmax"), lit(false)))
+      .drop("_kmax")
+  }
+
+  /** Negative-binomial (NB2) moment fit per group — "is this count
+    * column Poisson or genuinely clumpy": mean and sample variance
+    * from exact integer power sums, then the NB2 dispersion
+    * α̂ = (s² − x̄)/x̄² (Var = μ + αμ² ⇒ α̂ is the method-of-moments
+    * estimator; α ≤ 0 reads as at-most-Poisson), the variance ratio
+    * s²/x̄, and the overdispersion verdict — the distributional
+    * sibling of L347's beta-binomial (proportions there, raw counts
+    * here). Counts must be non-negative integers (loud otherwise).
+    *
+    * Determinism: S1/S2 fold as decimal(38,0) (exact, order-free);
+    * every output is one closed-form double tree rounded at 6 dp;
+    * degenerate groups (n < 2, x̄ = 0) report NULL rather than a
+    * division artifact. One hash aggregate, scan-dominated.
+    * Output: (group, n, mean, variance, dispersion, var_ratio,
+    * overdispersed).
+    */
+  def negbinFit(df: DataFrame, groupCol: String, countCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(countCol)
+    val guarded = when(x.isNull || x < 0 || x =!= x.cast("long"),
+      raise_error(lit("negbinFit: counts must be non-negative integers")))
+      .otherwise(x.cast("long"))
+    val agg = df.select(col(groupCol).as("_g"), guarded.as("_x"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x") * col("_x")).cast(dec)).as("_s2"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val mean = d("_s1") / nD
+    val variance = (d("_s2") - d("_s1") * d("_s1") / nD) / (nD - 1.0)
+    agg.select(col("_g").as(groupCol), col("n"),
+      round(mean, 6).cast("double").as("mean"),
+      when(col("n") >= 2, round(variance, 6)).cast("double").as("variance"),
+      when(col("n") >= 2 && mean > 0.0,
+        round((variance - mean) / (mean * mean), 6))
+        .cast("double").as("dispersion"),
+      when(col("n") >= 2 && mean > 0.0, round(variance / mean, 6))
+        .cast("double").as("var_ratio"),
+      when(col("n") >= 2 && mean > 0.0, variance > mean)
+        .as("overdispersed"))
+  }
+
+  /** Cochrane–Orcutt AR(1) feasible GLS per group — the trend fit
+    * that stays honest when residuals are serially correlated (the
+    * L250 HAC row fixes the SE; this one fixes the ESTIMATE): OLS of
+    * y on x, lag-1 residual autocorrelation ρ̂ = Σe_t·e_{t−1}/Σe²_{t−1}
+    * over the (orderCol, order tiebreak) total order, then OLS on the
+    * quasi-differenced pairs (y_t − ρ̂y_{t−1}, x_t − ρ̂x_{t−1}) with
+    * the intercept rescaled by 1/(1−ρ̂).
+    *
+    * Determinism: x/y freeze at 6 dp; each OLS folds 12-dp-rounded
+    * Sx/Sy/Sxx/Sxy terms in decimal(38,12) (order-free) with the
+    * closed-form slope/intercept trees rounded at 12; ρ̂'s products
+    * are likewise 12-dp decimal folds. Scale shape: two aggregate
+    * passes + one lag window per group + a broadcast params join —
+    * nothing quadratic, nothing collected. Output: (group, n,
+    * alpha_ols, beta_ols, rho, alpha_fgls, beta_fgls); groups with
+    * n < 3 or degenerate variance report NULL estimates.
+    */
+  def cochraneOrcutt(df: DataFrame, groupCol: String, orderCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull
+        && col(orderCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        round(col(xCol).cast("double"), 6).as("_x"),
+        round(col(yCol).cast("double"), 6).as("_y"))
+      .localCheckpoint() // OLS1, residual window, OLS2 all re-read it
+    def d(c: String): Column = col(c).cast("double")
+    def ols(pts: DataFrame, xc: String, yc: String, tag: String)
+        : DataFrame = pts
+      .withColumn("_tx", round(col(xc), 12).cast(dec12))
+      .withColumn("_ty", round(col(yc), 12).cast(dec12))
+      .withColumn("_txx", round(col(xc) * col(xc), 12).cast(dec12))
+      .withColumn("_txy", round(col(xc) * col(yc), 12).cast(dec12))
+      .groupBy("_g")
+      .agg(count(lit(1)).as(s"_n$tag"), sum("_tx").as("_sx"),
+        sum("_ty").as("_sy"), sum("_txx").as("_sxx"),
+        sum("_txy").as("_sxy"))
+      .select(col("_g"), col(s"_n$tag"),
+        {
+          val n = col(s"_n$tag").cast("double")
+          val den = n * d("_sxx") - d("_sx") * d("_sx")
+          val beta = (n * d("_sxy") - d("_sx") * d("_sy")) / den
+          when(col(s"_n$tag") >= 2 && den > 0.0, round(beta, 12))
+            .as(s"_b$tag")
+        },
+        {
+          val n = col(s"_n$tag").cast("double")
+          val den = n * d("_sxx") - d("_sx") * d("_sx")
+          val beta = (n * d("_sxy") - d("_sx") * d("_sy")) / den
+          when(col(s"_n$tag") >= 2 && den > 0.0,
+            round((d("_sy") - round(beta, 12) * d("_sx")) / n, 12))
+            .as(s"_a$tag")
+        })
+    val o1 = ols(rows, "_x", "_y", "1")
+    val wLag = Window.partitionBy("_g").orderBy(col("_o"))
+    val resid = rows.join(broadcast(o1), "_g")
+      .withColumn("_e", round(col("_y") - (col("_a1") + col("_b1")
+        * col("_x")), 12))
+      .withColumn("_el", lag(col("_e"), 1).over(wLag))
+      .withColumn("_xl", lag(col("_x"), 1).over(wLag))
+      .withColumn("_yl", lag(col("_y"), 1).over(wLag))
+      .localCheckpoint()
+    val rho2 = resid.filter(col("_el").isNotNull)
+      .withColumn("_num", round(col("_e") * col("_el"), 12).cast(dec12))
+      .withColumn("_dd", round(col("_el") * col("_el"), 12).cast(dec12))
+      .groupBy("_g")
+      .agg(sum("_num").as("_rn"), sum("_dd").as("_rd"))
+      .select(col("_g"),
+        when(d("_rd") > 0.0, round(d("_rn") / d("_rd"), 12)).as("_rho"))
+    val star = resid.join(broadcast(rho2), "_g")
+      .filter(col("_el").isNotNull && col("_rho").isNotNull)
+      .withColumn("_xs", col("_x") - col("_rho") * col("_xl"))
+      .withColumn("_ys", col("_y") - col("_rho") * col("_yl"))
+    val o2 = ols(star, "_xs", "_ys", "2")
+    o1.join(rho2, Seq("_g"), "left").join(o2, Seq("_g"), "left")
+      .select(col("_g").as(groupCol),
+        col("_n1").cast("bigint").as("n"),
+        round(col("_a1"), 6).cast("double").as("alpha_ols"),
+        round(col("_b1"), 6).cast("double").as("beta_ols"),
+        round(col("_rho"), 6).cast("double").as("rho"),
+        when(col("_rho").isNotNull && col("_rho") =!= 1.0,
+          round(col("_a2") / (lit(1.0) - col("_rho")), 6))
+          .cast("double").as("alpha_fgls"),
+        round(col("_b2"), 6).cast("double").as("beta_fgls"))
+  }
+
+  /** Westgard multi-rule QC flags per series — the clinical-lab
+    * control-chart rulebook run over any metric stream (data-quality
+    * monitors, SLO screens): each point's z-score against ITS series'
+    * full-run mean/sd, then the five classic rules as pure window
+    * logic — 1_3s (|z|>3), 2_2s (two consecutive beyond 2 on the SAME
+    * side), R_4s (consecutive opposite 2σ excursions), 4_1s (four
+    * consecutive beyond 1 on the same side), 10x (ten consecutive on
+    * one side of the mean).
+    *
+    * Determinism: values freeze at 6 dp into exact decimal power
+    * sums; z freezes at 6 dp, so every rule compares a frozen value
+    * to an integer literal; run-length rules are rolling-window
+    * counts that require a FULL frame (early rows can't fire them).
+    * Scale shape: one stats aggregate + a broadcast join + one
+    * ordered window per series. Output: (group, order, value, z,
+    * r_13s, r_22s, r_4s, r_41s, r_10x) — z NULL (rules false) when
+    * the series sd degenerates.
+    */
+  def westgardRules(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val dec6 = "decimal(38,6)"
+    val dec12 = "decimal(38,12)"
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        round(col(valueCol).cast("double"), 6).as("_v"))
+    val stats = rows
+      .withColumn("_v1", col("_v").cast(dec6))
+      .withColumn("_v2", round(col("_v") * col("_v"), 12).cast(dec12))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_n"), sum("_v1").as("_s1"),
+        sum("_v2").as("_s2"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val mean = d("_s1") / nD
+    val variance = (d("_s2") - d("_s1") * d("_s1") / nD) / (nD - 1.0)
+    val withZ = rows.join(broadcast(stats), "_g")
+      .withColumn("_sd",
+        when(col("_n") >= 2 && variance > 0.0, round(sqrt(variance), 6)))
+      .withColumn("_z",
+        when(col("_sd").isNotNull,
+          round((col("_v") - round(mean, 6)) / col("_sd"), 6)))
+    val w = Window.partitionBy("_g").orderBy(col("_o"))
+    def back(k: Int) = Window.partitionBy("_g").orderBy(col("_o"))
+      .rowsBetween(-(k - 1), 0)
+    val z = col("_z")
+    val z1 = lag(col("_z"), 1).over(w)
+    withZ
+      .withColumn("_p4", sum(when(z > 1.0, 1).otherwise(0)).over(back(4)))
+      .withColumn("_n4", sum(when(z < -1.0, 1).otherwise(0)).over(back(4)))
+      .withColumn("_p10", sum(when(z > 0.0, 1).otherwise(0)).over(back(10)))
+      .withColumn("_n10", sum(when(z < 0.0, 1).otherwise(0)).over(back(10)))
+      .withColumn("_c4", count(z).over(back(4)))
+      .withColumn("_c10", count(z).over(back(10)))
+      .select(col("_g").as(groupCol), col("_o").as(orderCol),
+        col("_v").cast("double").as("value"),
+        z.cast("double").as("z"),
+        coalesce(abs(z) > 3.0, lit(false)).as("r_13s"),
+        coalesce((z > 2.0 && z1 > 2.0) || (z < -2.0 && z1 < -2.0),
+          lit(false)).as("r_22s"),
+        coalesce((z > 2.0 && z1 < -2.0) || (z < -2.0 && z1 > 2.0),
+          lit(false)).as("r_4s"),
+        (col("_c4") === 4 && (col("_p4") === 4 || col("_n4") === 4))
+          .as("r_41s"),
+        (col("_c10") === 10 && (col("_p10") === 10 || col("_n10") === 10))
+          .as("r_10x"))
+  }
 }

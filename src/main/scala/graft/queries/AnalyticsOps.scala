@@ -325,6 +325,21 @@ object AnalyticsOps {
       recs, "cust", "part")
   }
 
+  /** Exact Shapley channel attribution (the coalition-game standard
+    * beside first/last-touch, position, decay, and Markov-removal):
+    * the four non-conversion event types as the declared channel
+    * universe, v(S) = exact count of converters whose strictly-pre-
+    * first-purchase touch set fits in S, φ from the 2⁴-subset exact
+    * Shapley sum with literal rational weights — touchless
+    * conversions cancel in every marginal by algebra.
+    */
+  val qShapley: QueryFn = withTables { spark =>
+    graft.operators.EventWindows.shapleyAttribution(spark.table("events"),
+        "user_id", "ts", "event_type",
+        Seq("click", "error", "signup", "view"), "purchase")
+      .orderBy("channel")
+  }
+
   /** Off-policy IPS/SNIPS replay: target policy "purchase after noon,
     * view before" evaluated on logged events with plug-in empirical
     * logging propensities P(event_type) — what the counterfactual
@@ -853,6 +868,7 @@ object AnalyticsOps {
     "q_als" -> qAls,
     "q_als_recs" -> qAlsRecs,
     "q_rec_eval_als" -> qRecEvalAls,
+    "q_shapley" -> qShapley,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -883,6 +899,51 @@ object AnalyticsOps {
   // interpolated into the oracle text — Double.toString round-trips,
   // so both engines multiply by the identical doubles.
   private val sprtC = Stats.sprtConstants(0.4, 0.5, 0.05, 0.05)
+
+  // The q_shapley oracle is GENERATED from the same channel list and
+  // factorial weights the operator uses (Double.toString round-trips,
+  // so both engines multiply by identical doubles; terms in ascending
+  // subset-bitmask order on both sides).
+  private val shapleyOracle: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val n = channels.size
+    def fact(i: Int): Long = (1 to i).foldLeft(1L)(_ * _.toLong)
+    def weight(s: Int): Double =
+      (fact(s) * fact(n - 1 - s)).toDouble / fact(n).toDouble
+    val flagCols = channels.zipWithIndex.map { case (c, i) =>
+      s"MAX(CASE WHEN e.event_type = '$c' THEN 1 ELSE 0 END) AS h$i"
+    }.mkString(",\n               ")
+    val masks = 0 until (1 << n)
+    val vCols = masks.map { m =>
+      val absent = (0 until n).filter(i => (m & (1 << i)) == 0)
+      val cond =
+        if (absent.isEmpty) "TRUE"
+        else absent.map(i => s"h$i = 0").mkString(" AND ")
+      s"SUM(CASE WHEN $cond THEN 1 ELSE 0 END)::BIGINT AS v$m"
+    }.mkString(",\n               ")
+    val full = (1 << n) - 1
+    val rows = channels.zipWithIndex.map { case (c, ci) =>
+      val bit = 1 << ci
+      val phi = masks.filter(m => (m & bit) == 0).map { m =>
+        s"${weight(Integer.bitCount(m))} * (v${m | bit} - v$m)"
+      }.mkString(" + ")
+      s"SELECT '$c' AS channel, CAST(ROUND($phi, 6) AS DOUBLE) AS " +
+        s"shapley, v$full AS n_conversions FROM v"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH fp AS (SELECT user_id, MIN(ts) AS fpts FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id),
+      tc AS (SELECT f.user_id,
+               $flagCols
+             FROM fp f LEFT JOIN events e
+               ON e.user_id = f.user_id AND e.ts < f.fpts
+              AND e.event_type IN (${channels.map(c => s"'$c'")
+                .mkString(",")})
+             GROUP BY f.user_id),
+      v AS (SELECT $vCols FROM tc)
+      $rows
+      ORDER BY channel"""
+  }
 
   // One ALS half-pass, mirroring Scoring.alsFactors' solve tree
   // operation-for-operation: 12-dp frozen decimal normal-equation
@@ -960,6 +1021,8 @@ object AnalyticsOps {
 
     // The four unrolled ALS half-passes, then each observed cell's
     // dot-product reconstruction off the final uf2/if2 factors.
+    "q_shapley" -> shapleyOracle,
+
     "q_als" -> (alsCtes + """
       SELECT rat.u AS cust, rat.i AS part, CAST(r AS DOUBLE) AS rating,
              CAST(ROUND(uf2.f1 * if2.f1 + uf2.f2 * if2.f2, 6) AS DOUBLE)

@@ -472,6 +472,21 @@ object LlmOps {
       .orderBy("event_id")
   }
 
+  /** EWMA control chart over the q_ewma series: the same recursion on
+    * 6-dp-frozen values plus the exact finite-sample limits
+    * center ± 3σ√(α/(2−α)(1−(1−α)^{2t})) from each user's full-run
+    * exact-decimal mean/sd — flags compare 6-dp-frozen values only.
+    */
+  val qEwmaChart: QueryFn = withTables { spark =>
+    graft.operators.Resample.ewmaChart(
+        spark.table("events").select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq("ts", "event_id"), "value", alpha = 0.3,
+        limitL = 3.0)
+      .select(col("event_id"), col("user_id"), col("value"), col("ewma"),
+        col("center"), col("ucl"), col("lcl"), col("out_of_control"))
+      .orderBy("event_id")
+  }
+
   /** Per-type Pearson + Spearman correlation of value against event
     * time — "is this metric trending, and monotonically or linearly?"
     * Time enters as SECONDS (identical double on both engines);
@@ -1908,6 +1923,7 @@ object LlmOps {
     "q_oov" -> qOov,
     "q_resample_ffill" -> qResampleFfill,
     "q_ewma" -> qEwma,
+    "q_ewma_chart" -> qEwmaChart,
     "q_corr" -> qCorr,
     "q_rolling_median" -> qRollingMedian,
     "q_hard_negatives" -> qHardNegatives,
@@ -2984,6 +3000,60 @@ object LlmOps {
     // any re-summation diverges by one ulp and flips the round. Same
     // IEEE tree as the Spark fold: (1.0 - 0.3) spelled as arithmetic
     // (the literal 0.7 is a DIFFERENT double), y' = (1-α)·y + α·x.
+    // The q_ewma recursion on 6-dp-frozen values, per-user exact
+    // power-sum stats, and the closed-form finite-sample limit
+    // 3·σ·√(c·(1−0.7^(2t))) with c = α/(2−α) interpolated as the one
+    // Scala double; flags compare frozen values only.
+    "q_ewma_chart" -> s"""
+      WITH RECURSIVE
+           e AS (SELECT event_id, user_id, ROUND(value, 6) AS v,
+                        ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                 FROM events),
+           w AS (
+             SELECT event_id, user_id, rn, v AS y FROM e WHERE rn = 1
+             UNION ALL
+             SELECT e.event_id, e.user_id, e.rn,
+                    CASE WHEN e.v IS NULL THEN w.y
+                         WHEN w.y IS NULL THEN e.v
+                         ELSE (1.0 - 0.3) * w.y + 0.3 * e.v END
+             FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1),
+           st AS (SELECT user_id, COUNT(*)::BIGINT AS n,
+                         SUM(CAST(v AS DECIMAL(38,6))) AS s1,
+                         SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+                  FROM e GROUP BY user_id),
+           lim AS (
+             SELECT w.event_id, w.user_id, w.rn, e.v, w.y, st.n,
+                    ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                      AS center,
+                    CASE WHEN st.n >= 2
+                          AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                              * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1.0) > 0.0
+                      THEN ROUND(SQRT((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0)), 6) END AS sd
+             FROM w JOIN e ON e.event_id = w.event_id
+             JOIN st ON st.user_id = w.user_id),
+           fin AS (
+             SELECT event_id, user_id, v, ROUND(y, 6) AS e6, center,
+                    CASE WHEN sd IS NOT NULL THEN
+                      ROUND(3.0 * sd * SQRT(${0.3 / 1.7} * (1.0
+                        - POWER(0.7, CAST(rn * 2 AS DOUBLE)))), 6)
+                    END AS hw
+             FROM lim)
+      SELECT event_id, user_id, CAST(v AS DOUBLE) AS value,
+             CAST(e6 AS DOUBLE) AS ewma,
+             CAST(center AS DOUBLE) AS center,
+             CAST(ROUND(center + hw, 6) AS DOUBLE) AS ucl,
+             CAST(ROUND(center - hw, 6) AS DOUBLE) AS lcl,
+             COALESCE(e6 > ROUND(center + hw, 6)
+                      OR e6 < ROUND(center - hw, 6), FALSE)
+               AS out_of_control
+      FROM fin
+      ORDER BY event_id""",
+
     "q_ewma" -> """
       WITH RECURSIVE
            e AS (SELECT event_id, user_id, value,

@@ -990,6 +990,71 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Benjamini–Yekutieli over the SAME battery as q_fdr_bh — the
+    * arbitrary-dependence FDR gate (these per-type KS screens share
+    * the pooled rest, the textbook dependent battery): the BH walk
+    * with the threshold deflated by c(m) = Σ1/i, computed from the
+    * battery's own ranks and frozen at 12 dp.
+    */
+  val qFdrBy: QueryFn = withTables { spark =>
+    val ks = Stats.ksTestBinned(spark.table("events"), "event_type",
+      "value", bins = 16)
+    val withP = ks.withColumn("p",
+      least(lit(1.0), round(lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks")
+        * col("n_group").cast("double") * col("n_rest").cast("double")
+        / (col("n_group") + col("n_rest")).cast("double")), 9)))
+    Stats.fdrBy(withP, "p", Seq("event_type"), alpha = 0.1)
+      .orderBy("event_type")
+  }
+
+  /** NB2 overdispersion fit of per-customer order counts by market
+    * segment: exact integer power sums, method-of-moments dispersion
+    * α̂ = (s²−x̄)/x̄², the count-data sibling of q_beta_binomial.
+    */
+  val qNegbin: QueryFn = withTables { spark =>
+    val cnts = spark.table("orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .join(spark.table("customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("n_orders"))
+    Stats.negbinFit(cnts, "segment", "n_orders").orderBy("segment")
+  }
+
+  /** Cochrane–Orcutt AR(1) FGLS of the daily mean spend trend per
+    * event type: OLS on (day index, daily mean), lag-1 residual ρ̂,
+    * quasi-differenced re-fit with the intercept rescaled — the
+    * serial-correlation-honest trend beside q_hac_se's corrected SE;
+    * all folds 12-dp frozen decimals, day means exact.
+    */
+  val qCochraneOrcutt: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("y"))
+    // x re-bases to the series' own first day: epoch-day indices
+    // (~2e4) push x² past the 12-dp double quantum and the frozen
+    // folds stop being engine-identical — small x keeps every term
+    // inside the representable 12-dp regime
+    val minD = daily.groupBy("event_type").agg(min(col("d")).as("_d0"))
+    val pts = daily.join(minD, "event_type")
+      .withColumn("x", datediff(col("d"), col("_d0")).cast("double"))
+    Stats.cochraneOrcutt(pts, "event_type", "d", "x", "y")
+      .orderBy("event_type")
+  }
+
+  /** Westgard multi-rule QC over the daily mean spend per event type:
+    * z against the series' full-run exact-decimal mean/sd, the five
+    * classic rules (1_3s/2_2s/R_4s/4_1s/10x) as frozen-value window
+    * logic — the lab-grade control chart a metric monitor runs.
+    */
+  val qWestgard: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    Stats.westgardRules(daily, "event_type", "d", "v")
+      .orderBy("event_type", "d")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -2241,7 +2306,11 @@ object StatsOps {
     "q_jarque_bera" -> qJarqueBera,
     "q_cvm_binned" -> qCvmBinned,
     "q_fdr_bh" -> qFdrBh,
+    "q_fdr_by" -> qFdrBy,
     "q_fdr_holm" -> qFdrHolm,
+    "q_negbin" -> qNegbin,
+    "q_cochrane_orcutt" -> qCochraneOrcutt,
+    "q_westgard" -> qWestgard,
     "q_ess" -> qEss,
     "q_holt_forecast" -> qHoltForecast,
     "q_hw_forecast" -> qHwForecast,
@@ -6417,6 +6486,261 @@ object StatsOps {
              COALESCE(rank <= kmax, FALSE) AS significant
       FROM ranked CROSS JOIN km
       ORDER BY event_type""",
+
+    // The q_fdr_bh battery verbatim with the BY harmonic deflation:
+    // c(m) = Σ1/rank over the battery's own ranks, 12-dp frozen, and
+    // the step-up compares p·m·c(m) against rank·α.
+    "q_fdr_by" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*) AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
+      cum AS (
+        SELECT g, q, ng,
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call
+        FROM cum),
+      kst AS (
+        SELECT g AS event_type, MAX(ng) AS n_group,
+               MAX(n) - MAX(ng) AS n_rest,
+               CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+                 CAST(ROUND(MAX(ABS(cg * (n - ng) - (call - cg) * ng))
+                   / CAST(MAX(ng) * (MAX(n) - MAX(ng)) AS DOUBLE), 6)
+                   AS DOUBLE)
+               END AS ks
+        FROM cum2 CROSS JOIN nn
+        GROUP BY g),
+      withp AS (
+        SELECT event_type, n_group, n_rest, ks,
+               LEAST(1.0, ROUND(2.0 * EXP(-2.0 * ks * ks
+                 * CAST(n_group AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                 / CAST(n_group + n_rest AS DOUBLE)), 9)) AS p
+        FROM kst),
+      ranked AS (
+        SELECT event_type, n_group, n_rest, ks, p,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS rank,
+               COUNT(*) OVER () AS m
+        FROM withp),
+      rankedc AS (
+        SELECT *, ROUND(SUM(1.0 / rank) OVER (), 12) AS cm FROM ranked),
+      km AS (SELECT MAX(rank) AS kmax FROM rankedc
+             WHERE p * CAST(m AS DOUBLE) * cm <= CAST(rank AS DOUBLE) * 0.1)
+      SELECT event_type, n_group, n_rest, ks, p,
+             rank::BIGINT AS rank, m::BIGINT AS m,
+             CAST(cm AS DOUBLE) AS cm,
+             COALESCE(rank <= kmax, FALSE) AS significant
+      FROM rankedc CROSS JOIN km
+      ORDER BY event_type""",
+
+    // Exact integer power sums per segment, NB2 dispersion
+    // (s²−x̄)/x̄² and variance ratio as identically-spelled double
+    // trees; degenerate groups NULL.
+    "q_negbin" -> """
+      WITH cnt AS (SELECT o_custkey, COUNT(*)::BIGINT AS x
+                   FROM orders GROUP BY o_custkey),
+      tc AS (SELECT c.c_mktsegment AS g, cnt.x
+             FROM cnt JOIN customer c ON c.c_custkey = cnt.o_custkey),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(x)::HUGEINT AS s1,
+                     SUM(x * x)::HUGEINT AS s2
+              FROM tc GROUP BY g)
+      SELECT g AS segment, n,
+             CAST(ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS mean,
+             CAST(CASE WHEN n >= 2 THEN
+               ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 6) END AS DOUBLE) AS variance,
+             CAST(CASE WHEN n >= 2
+                        AND CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+               THEN ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0)
+                   - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+               END AS DOUBLE) AS dispersion,
+             CAST(CASE WHEN n >= 2
+                        AND CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+               THEN ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0))
+                 / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               END AS DOUBLE) AS var_ratio,
+             CASE WHEN n >= 2
+                   AND CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+               THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)
+                 > CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+             END AS overdispersed
+      FROM agg ORDER BY segment""",
+
+    // Daily exact means, 12-dp-frozen OLS power sums, lag-1 residual
+    // ρ̂, quasi-differenced second OLS, intercept rescaled by 1/(1−ρ̂)
+    // — every tree spelled as the operator computes it.
+    "q_cochrane_orcutt" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS y0
+        FROM events GROUP BY 1, 2),
+      mnd AS (SELECT g, MIN(d) AS d0 FROM daily GROUP BY g),
+      pts AS (
+        SELECT daily.g, d,
+               ROUND(CAST(d - d0 AS DOUBLE), 6) AS x,
+               ROUND(y0, 6) AS y
+        FROM daily JOIN mnd ON mnd.g = daily.g),
+      o1 AS (
+        SELECT g, COUNT(*)::BIGINT AS n1,
+               SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(ROUND(y, 12) AS DECIMAL(38,12))) AS sy,
+               SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS sxy
+        FROM pts GROUP BY g),
+      p1 AS (
+        SELECT g, n1, sx, sy,
+               CASE WHEN n1 >= 2
+                     AND CAST(n1 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 THEN ROUND((CAST(n1 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+               END AS b1
+        FROM o1),
+      p2 AS (
+        SELECT g, n1, b1,
+               CASE WHEN b1 IS NOT NULL THEN
+                 ROUND((CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE))
+                   / CAST(n1 AS DOUBLE), 12) END AS a1
+        FROM p1),
+      res AS (
+        SELECT r.g, r.d, r.x, r.y,
+               ROUND(r.y - (p.a1 + p.b1 * r.x), 12) AS e
+        FROM pts r JOIN p2 p ON p.g = r.g),
+      lagd AS (
+        SELECT g, d, x, y, e,
+               LAG(e) OVER w AS el,
+               LAG(x) OVER w AS xl,
+               LAG(y) OVER w AS yl
+        FROM res WINDOW w AS (PARTITION BY g ORDER BY d)),
+      rho AS (
+        SELECT g,
+               CASE WHEN CAST(SUM(CAST(ROUND(el * el, 12)
+                   AS DECIMAL(38,12))) AS DOUBLE) > 0.0
+                 THEN ROUND(CAST(SUM(CAST(ROUND(e * el, 12)
+                     AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(el * el, 12)
+                     AS DECIMAL(38,12))) AS DOUBLE), 12) END AS rho
+        FROM lagd WHERE el IS NOT NULL GROUP BY g),
+      star AS (
+        SELECT l.g, l.x - r.rho * l.xl AS xs, l.y - r.rho * l.yl AS ys
+        FROM lagd l JOIN rho r ON r.g = l.g
+        WHERE l.el IS NOT NULL AND r.rho IS NOT NULL),
+      o2 AS (
+        SELECT g, COUNT(*)::BIGINT AS n2,
+               SUM(CAST(ROUND(xs, 12) AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(ROUND(ys, 12) AS DECIMAL(38,12))) AS sy,
+               SUM(CAST(ROUND(xs * xs, 12) AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(ROUND(xs * ys, 12) AS DECIMAL(38,12))) AS sxy
+        FROM star GROUP BY g),
+      q1 AS (
+        SELECT g, n2, sx, sy,
+               CASE WHEN n2 >= 2
+                     AND CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                 THEN ROUND((CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12)
+               END AS b2
+        FROM o2),
+      q2 AS (
+        SELECT g, b2,
+               CASE WHEN b2 IS NOT NULL THEN
+                 ROUND((CAST(sy AS DOUBLE) - b2 * CAST(sx AS DOUBLE))
+                   / CAST(n2 AS DOUBLE), 12) END AS a2
+        FROM q1)
+      SELECT p2.g AS event_type, p2.n1 AS n,
+             CAST(ROUND(p2.a1, 6) AS DOUBLE) AS alpha_ols,
+             CAST(ROUND(p2.b1, 6) AS DOUBLE) AS beta_ols,
+             CAST(ROUND(rho.rho, 6) AS DOUBLE) AS rho,
+             CAST(CASE WHEN rho.rho IS NOT NULL AND rho.rho <> 1.0
+               THEN ROUND(q2.a2 / (1.0 - rho.rho), 6) END AS DOUBLE)
+               AS alpha_fgls,
+             CAST(ROUND(q2.b2, 6) AS DOUBLE) AS beta_fgls
+      FROM p2 LEFT JOIN rho ON rho.g = p2.g
+      LEFT JOIN q2 ON q2.g = p2.g
+      ORDER BY event_type""",
+
+    // Daily exact means, full-run z from exact-decimal power sums,
+    // the five Westgard rules as identical frozen-value window logic.
+    "q_westgard" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v0
+        FROM events GROUP BY 1, 2),
+      pts AS (SELECT g, d, ROUND(v0, 6) AS v FROM daily),
+      st AS (SELECT g, COUNT(*)::BIGINT AS n,
+                    SUM(CAST(v AS DECIMAL(38,6))) AS s1,
+                    SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+             FROM pts GROUP BY g),
+      wz AS (
+        SELECT r.g, r.d, r.v,
+               CASE WHEN st.n >= 2
+                     AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0) > 0.0
+                 THEN ROUND((r.v - ROUND(CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE), 6))
+                   / ROUND(SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1.0)), 6), 6) END AS z
+        FROM pts r JOIN st ON st.g = r.g),
+      fl AS (
+        SELECT g, d, v, z,
+               LAG(z) OVER w AS z1,
+               SUM(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER w4 AS p4,
+               SUM(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) OVER w4 AS n4,
+               SUM(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) OVER w10 AS p10,
+               SUM(CASE WHEN z < 0.0 THEN 1 ELSE 0 END) OVER w10 AS n10,
+               COUNT(z) OVER w4 AS c4,
+               COUNT(z) OVER w10 AS c10
+        FROM wz
+        WINDOW w AS (PARTITION BY g ORDER BY d),
+               w4 AS (PARTITION BY g ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+               w10 AS (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      SELECT g AS event_type, d,
+             CAST(v AS DOUBLE) AS value, CAST(z AS DOUBLE) AS z,
+             COALESCE(ABS(z) > 3.0, FALSE) AS r_13s,
+             COALESCE((z > 2.0 AND z1 > 2.0) OR (z < -2.0 AND z1 < -2.0),
+               FALSE) AS r_22s,
+             COALESCE((z > 2.0 AND z1 < -2.0) OR (z < -2.0 AND z1 > 2.0),
+               FALSE) AS r_4s,
+             (c4 = 4 AND (p4 = 4 OR n4 = 4)) AS r_41s,
+             (c10 = 10 AND (p10 = 10 OR n10 = 10)) AS r_10x
+      FROM fl ORDER BY event_type, d""",
 
     // The q_acf CTEs verbatim; the 6-dp acf values are exact 1e-6
     // multiples, so their sum is an exact scaled long, and ESS is one

@@ -863,4 +863,30 @@ class ResampleSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("non-positive"), e.getMessage)
   }
+  test("ewmaChart: exact smoother + finite-sample limits; a spike " +
+      "after a stable run flags; constant series has NULL limits") {
+    import spark.implicits._
+    val vals = Seq.fill(30)(10.0) :+ 100.0
+    val df = vals.zipWithIndex.map { case (v, i) => ("A", i + 1, v) }
+      .toDF("k", "t", "v")
+    val out = Resample.ewmaChart(df, "k", Seq("t"), "v", alpha = 0.5,
+        limitL = 3.0)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    // python replay of the exact frozen arithmetic: mean 12.903226,
+    // sd 16.164477; t=31 ewma 55.0 vs ucl 40.900921 -> flags
+    assert(out(31).getAs[Double]("ewma") == 55.0)
+    assert(out(31).getAs[Double]("ucl") == 40.900921)
+    assert(out(31).getAs[Double]("lcl") == -15.094469)
+    assert(out(31).getAs[Boolean]("out_of_control"))
+    assert(out(30).getAs[Double]("ewma") == 10.0
+      && !out(30).getAs[Boolean]("out_of_control"))
+    assert(out(1).getAs[Double]("ucl") == 37.149942, out(1).toString)
+    assert((1 to 30).forall(t => !out(t).getAs[Boolean]("out_of_control")))
+    // constant series: zero variance -> NULL band, never flags
+    val const = (1 to 5).map(i => ("C", i, 4.0)).toDF("k", "t", "v")
+    Resample.ewmaChart(const, "C" match { case _ => "k" }, Seq("t"), "v",
+        0.5).collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("ucl")) && !r.getAs[Boolean]("out_of_control"))
+    }
+  }
 }

@@ -235,4 +235,41 @@ class ScoringSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("catalog"), e.getMessage)
   }
+  // ---- shapleyAttribution ----
+
+  test("shapleyAttribution: two symmetric channels split the credit, " +
+      "null players get zero, touchless conversions cancel; " +
+      "efficiency axiom holds; guards loud") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      ("u1", ts(1), "click"), ("u1", ts(2), "purchase"),
+      ("u2", ts(1), "view"), ("u2", ts(2), "click"),
+      ("u2", ts(3), "purchase"),
+      ("u3", ts(1), "purchase"), // touchless conversion
+      ("u4", ts(1), "view"), ("u4", ts(2), "purchase"),
+      ("u5", ts(1), "click"), ("u5", ts(2), "view")) // no conversion
+      .toDF("u", "ts", "t")
+    val chans = Seq("click", "error", "signup", "view")
+    val out = EventWindows.shapleyAttribution(ev, "u", "ts", "t",
+        chans, "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    // effective 2-player game: v(∅)=1, v(c)=2, v(v)=2, v(cv)=4 ->
+    // φ_click = φ_view = 1.5; error/signup are null players
+    assert(out("click") == ((1.5, 4L)) && out("view") == ((1.5, 4L)),
+      out.toString)
+    assert(out("error") == ((0.0, 4L)) && out("signup") == ((0.0, 4L)))
+    // efficiency: Σφ = v(N) − v(∅) = 4 − 1
+    assert(out.values.map(_._1).sum == 3.0)
+    intercept[IllegalArgumentException] {
+      EventWindows.shapleyAttribution(ev, "u", "ts", "t",
+        Seq("view", "click"), "purchase") // unsorted
+    }
+    intercept[IllegalArgumentException] {
+      EventWindows.shapleyAttribution(ev, "u", "ts", "t",
+        Seq("click", "purchase"), "purchase") // conversion as channel
+    }
+  }
 }

@@ -4155,4 +4155,97 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.kendallW(perfect, "b", "i", "v")
       .collect().head.getDouble(2) === 1.0)
   }
+  test("negbinFit: hand moments, degenerate zero-variance, loud guards") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 6L),
+      ("B", 2L), ("B", 2L)).toDF("g", "x")
+    val out = Stats.negbinFit(df, "g", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    // mean 3, var 14/3, alpha = (14/3 - 3)/9, ratio = 14/9
+    assert(a.getLong(1) == 4L && a.getDouble(2) == 3.0)
+    assert(a.getDouble(3) == 4.666667 && a.getDouble(4) == 0.185185)
+    assert(a.getDouble(5) == 1.555556 && a.getBoolean(6))
+    val b = out("B")
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == -0.5
+      && b.getDouble(5) == 0.0 && !b.getBoolean(6))
+    intercept[Exception] {
+      Stats.negbinFit(Seq(("A", -1L)).toDF("g", "x"), "g", "x").collect()
+    }
+    intercept[Exception] {
+      Stats.negbinFit(Seq(("A", 1.5)).toDF("g", "x"), "g", "x").collect()
+    }
+  }
+
+  test("fdrBy: harmonic deflation makes it stricter than BH on the " +
+      "same battery; cm exact") {
+    import spark.implicits._
+    val battery = Seq(("a", 0.02), ("b", 0.5), ("c", 0.9)).toDF("id", "p")
+    val by = Stats.fdrBy(battery, "p", Seq("id"), alpha = 0.1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Boolean]("significant"), r.getAs[Double]("cm")))).toMap
+    // c(3) = 1 + 1/2 + 1/3; BY thresholds: 0.02*3*1.8333 = 0.11 > 0.1,
+    // 0.5*5.5 > 0.2, 0.9*5.5 > 0.3 -> NOTHING survives
+    assert(by.values.forall(v => !v._1), by.toString)
+    assert(by("a")._2 === 1.833333333333, by.toString)
+    // same battery under BH: 0.02*3 = 0.06 <= 0.1 -> 'a' survives
+    val bh = Stats.fdrBh(battery, "p", Seq("id"), alpha = 0.1)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Boolean]("significant")).toMap
+    assert(bh("a") && !bh("b") && !bh("c"), bh.toString)
+  }
+
+  test("cochraneOrcutt: alternating AR(1)-ish residuals recover the " +
+      "planted slope after quasi-differencing; noise-free series " +
+      "reports NULL rho") {
+    import spark.implicits._
+    // y = 2 + 3x + (+1,-1,+1,...): expectations from an independent
+    // python replay of the exact frozen-fold arithmetic
+    val pts = (0 until 8).map(i =>
+      ("A", i, i.toDouble, 2.0 + 3.0 * i + (if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("g", "o", "x", "y")
+    val r = Stats.cochraneOrcutt(pts, "g", "o", "x", "y").collect().head
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 2.333333 && r.getDouble(3) == 2.904762,
+      r.toString) // OLS pulled off 3 by the alternation
+    assert(r.getDouble(4) == -0.929204, r.toString)
+    assert(r.getDouble(5) == 1.994758 && r.getDouble(6) == 3.0,
+      r.toString) // FGLS recovers the planted slope exactly
+    // noise-free line: residuals 0, rho undefined, FGLS NULL
+    val clean = (0 until 6).map(i => ("B", i, i.toDouble, 1.0 + 2.0 * i))
+      .toDF("g", "o", "x", "y")
+    val c = Stats.cochraneOrcutt(clean, "g", "o", "x", "y").collect().head
+    assert(c.getDouble(2) == 1.0 && c.getDouble(3) == 2.0)
+    assert(c.isNullAt(4) && c.isNullAt(5) && c.isNullAt(6), c.toString)
+  }
+
+  test("westgardRules: 1_3s fires on the spike, 10x on the tenth " +
+      "same-side point, nothing else; degenerate series never flags") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => ("A", i, 10.0)) :+ (("A", 11, 30.0))
+    val b = (1 to 5).map(i => ("B", i, 7.0)) // zero variance
+    val out = Stats.westgardRules((a ++ b).toDF("g", "o", "v"),
+        "g", "o", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    // z(30) = (30 - 11.818182)/6.030221 ≈ 3.0151 > 3
+    assert(out(("A", 11)).getAs[Boolean]("r_13s"))
+    assert(!out(("A", 10)).getAs[Boolean]("r_13s"))
+    // rows 1..10 all sit below the mean: 10x fires exactly at row 10
+    assert(out(("A", 10)).getAs[Boolean]("r_10x"))
+    assert(!out(("A", 9)).getAs[Boolean]("r_10x"), "window not full yet")
+    assert(!out(("A", 11)).getAs[Boolean]("r_10x"), "the spike breaks the run")
+    // no 2s-class excursions anywhere in A
+    (1 to 11).foreach { i =>
+      val r = out(("A", i))
+      assert(!r.getAs[Boolean]("r_22s") && !r.getAs[Boolean]("r_4s"),
+        s"row $i")
+    }
+    // degenerate: z NULL, every rule false
+    (1 to 5).foreach { i =>
+      val r = out(("B", i))
+      assert(r.isNullAt(3))
+      Seq("r_13s", "r_22s", "r_4s", "r_41s", "r_10x").foreach(c =>
+        assert(!r.getAs[Boolean](c), s"B$i $c"))
+    }
+  }
 }
