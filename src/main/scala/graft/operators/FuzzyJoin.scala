@@ -226,4 +226,59 @@ object FuzzyJoin {
       .filter(col("jw") >= minSim)
       .select("i", "j", "jw")
   }
+
+  /** Fellegi–Sunter record-linkage weights from a LABELED candidate
+    * pair set — the probabilistic-matching standard the edit-distance
+    * joins above feed: for each comparison field k, m_k = P(agree |
+    * match) and u_k = P(agree | non-match) from exact counts, and the
+    * log₂ agreement/disagreement weights w⁺ = log₂(m/u), w⁻ =
+    * log₂((1−m)/(1−u)) a scorer sums per pair. Training pairs come
+    * from any blocked candidate generator plus labels (planted
+    * duplicates, clerical review, a gold subset) — the operator never
+    * sees the corpus, only the bounded pair table.
+    *
+    * Determinism: counts exact; probabilities are single int/int
+    * double divisions; weights one ln/ln2 tree (the interpolated
+    * [[TextAnalysis.ln2]]) rounded at 6 dp; degenerate cells (zero or
+    * total agreement on either side) report NULL weights rather than
+    * ±∞. One aggregate over the pair table; fields are a literal
+    * list. Output: one row per field — (field, n_match, n_unmatch,
+    * m, u, w_agree, w_disagree).
+    */
+  def fellegiSunterWeights(pairs: DataFrame,
+      isMatch: org.apache.spark.sql.Column,
+      fields: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 16,
+      s"fellegiSunterWeights: 1..16 fields, got ${fields.size}")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "fellegiSunterWeights: duplicate field names")
+    val lbl = coalesce(isMatch, lit(false))
+    val aggs = Seq(
+      sum(when(lbl, 1L).otherwise(0L)).as("_nm"),
+      sum(when(!lbl, 1L).otherwise(0L)).as("_nu")) ++
+      fields.zipWithIndex.flatMap { case ((_, c), i) =>
+        val a = coalesce(c, lit(false))
+        Seq(sum(when(lbl && a, 1L).otherwise(0L)).as(s"_am$i"),
+          sum(when(!lbl && a, 1L).otherwise(0L)).as(s"_au$i"))
+      }
+    val row = pairs.agg(aggs.head, aggs.tail: _*)
+    fields.zipWithIndex.map { case ((f, _), i) =>
+      val m0 = col(s"_am$i").cast("double") / col("_nm").cast("double")
+      val u0 = col(s"_au$i").cast("double") / col("_nu").cast("double")
+      row.select(lit(f).as("field"),
+        col("_nm").cast("bigint").as("n_match"),
+        col("_nu").cast("bigint").as("n_unmatch"),
+        when(col("_nm") > 0, round(m0, 6)).cast("double").as("m"),
+        when(col("_nu") > 0, round(u0, 6)).cast("double").as("u"),
+        when(col("_nm") > 0 && col("_nu") > 0
+            && col(s"_am$i") > 0 && col(s"_au$i") > 0,
+          round(log(m0 / u0) / lit(TextAnalysis.ln2), 6))
+          .cast("double").as("w_agree"),
+        when(col("_nm") > 0 && col("_nu") > 0
+            && col(s"_am$i") < col("_nm") && col(s"_au$i") < col("_nu"),
+          round(log((lit(1.0) - m0) / (lit(1.0) - u0))
+            / lit(TextAnalysis.ln2), 6))
+          .cast("double").as("w_disagree"))
+    }.reduce(_ unionByName _)
+  }
 }

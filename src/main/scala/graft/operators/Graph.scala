@@ -1066,6 +1066,57 @@ object Graph {
         col("common_neighbors"), col("adamic_adar"))
   }
 
+  /** Jaccard-coefficient link prediction — [[linkPrediction]]'s
+    * neighbor-overlap sibling (Adamic–Adar up-weights rare middles;
+    * Jaccard normalizes by how social BOTH endpoints are, the better
+    * prior when hub adjacency is cheap): score(a,b) =
+    * |Γa∩Γb| / |Γa∪Γb| = common/(deg a + deg b − common) over the
+    * SAME degree-capped path-2 candidates and non-edge anti-join.
+    * Exact integers into one rounded division; top-k under the
+    * (jaccard DESC, a, b) total order via TakeOrderedAndProject; the
+    * three big joins keep [[linkPrediction]]'s pinned merge hints
+    * (the r14/r15 stats-blind-broadcast lesson). Output:
+    * (a, b, common_neighbors, jaccard).
+    */
+  def linkPredictionJaccard(edges: DataFrame, srcCol: String,
+      dstCol: String, maxMiddleDegree: Int, k: Int): DataFrame = {
+    require(maxMiddleDegree >= 2,
+      s"maxMiddleDegree=$maxMiddleDegree must be >= 2")
+    require(k >= 1, s"k=$k must be >= 1")
+    val half = canonicalEdges(edges, srcCol, dstCol)
+      .select(col("lo").as("_a"), col("hi").as("_b"))
+      .localCheckpoint()
+    val sym = half.unionByName(
+      half.select(col("_b").as("_a"), col("_a").as("_b")))
+    val degs = sym.groupBy(col("_a").as("_v")).agg(count(lit(1)).as("_deg"))
+    val mids = degs.filter(col("_deg") <= maxMiddleDegree)
+    val viaMid = sym
+      .join(mids.hint("merge"), sym("_b") === mids("_v"))
+      .select(col("_a").as("_x"), col("_b").as("_u"))
+    val cands = viaMid.as("l")
+      .join(sym.as("r").hint("merge"), col("l._u") === col("r._a"))
+      .filter(col("l._x") < col("r._b"))
+      .select(col("l._x").as("_pa"), col("r._b").as("_pb"))
+    cands
+      .groupBy("_pa", "_pb")
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(half.hint("merge"),
+        col("_pa") === col("_a") && col("_pb") === col("_b"),
+        "left_anti")
+      .join(degs.select(col("_v").as("_pa"), col("_deg").as("_da"))
+        .hint("merge"), "_pa")
+      .join(degs.select(col("_v").as("_pb"), col("_deg").as("_db"))
+        .hint("merge"), "_pb")
+      .withColumn("jaccard",
+        round(col("common_neighbors").cast("double")
+          / (col("_da") + col("_db") - col("common_neighbors"))
+            .cast("double"), 6).cast("double"))
+      .orderBy(col("jaccard").desc, col("_pa"), col("_pb"))
+      .limit(k)
+      .select(col("_pa").as("a"), col("_pb").as("b"),
+        col("common_neighbors"), col("jaccard"))
+  }
+
   /** Bipartite co-occurrence projection with a skew cap — the formal
     * version of the "parts sharing an order" edge-list construction
     * every graph query here inlines: project a (left, right)

@@ -1620,6 +1620,82 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** log-Dice collocation strength — the corpus-size-INDEPENDENT
+    * collocation measure beside [[collocations]]' PMI (Rychlý 2008):
+    * logDice = 14 + log₂(2·f_xy/(f_x+f_y)) is stable under corpus
+    * scaling where PMI inflates rare pairs, which is why lexicography
+    * and collocation dictionaries standardize on it. Same adjacent-
+    * bigram + unigram counting as PMI; exact integer counts into one
+    * rounded log tree (ln/ln2 with the interpolated [[ln2]] constant —
+    * the q_jsd discipline); cut under the (logdice DESC, w1, w2)
+    * total order via TakeOrderedAndProject.
+    * Output: (w1, w2, n_pair, logdice).
+    */
+  def logDiceCollocations(df: DataFrame, textCol: String,
+      minCount: Int, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1,
+      s"logDiceCollocations: minCount/k must be >= 1, got ($minCount, $k)")
+    val toksArr = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val base = df.select(toksArr.as("_toks"))
+    val uni = base.select(explode(col("_toks")).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+    val bi = base.filter(size(col("_toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("_toks")) - 2),
+        i => struct(element_at(col("_toks"), i + 1).as("w1"),
+          element_at(col("_toks"), i + 2).as("w2")))).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    bc
+      .join(uni.select(col("_w").as("w1"), col("_c").as("_c1")), Seq("w1"))
+      .join(uni.select(col("_w").as("w2"), col("_c").as("_c2")), Seq("w2"))
+      .select(col("w1"), col("w2"),
+        col("n_pair").cast("bigint").as("n_pair"),
+        round(lit(14.0) + log((lit(2L) * col("n_pair")).cast("double")
+            / (col("_c1") + col("_c2")).cast("double")) / lit(ln2), 6)
+          .cast("double").as("logdice"))
+      .orderBy(col("logdice").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Mean segmental type-token ratio (MSTTR) per document — the
+    * length-robust lexical-diversity gauge (raw TTR collapses as a
+    * document grows, so cross-length comparison is meaningless;
+    * fixed-size segments restore it): tokens in order, consecutive
+    * `segment`-token windows, TTR = distinct/segment per FULL window,
+    * MSTTR = their mean; the trailing partial window is excluded (the
+    * standard definition). Documents shorter than one segment are
+    * absent.
+    *
+    * Determinism: all integers (positions, per-segment distinct
+    * counts) into one rounded division. Scale shape: one posexplode
+    * to (doc, position) — the honest cost of ordered segmentation —
+    * then two hash aggregates; nothing collected.
+    * Output: (idCol, n_segments, msttr).
+    */
+  def msttr(df: DataFrame, idCol: String, textCol: String,
+      segment: Int): DataFrame = {
+    require(segment >= 2 && segment <= 10000,
+      s"msttr: segment must be in [2, 10000], got $segment")
+    val toks = df.select(col(idCol).as("_id"),
+      posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as(Seq("_p", "_w")))
+    val nFull = toks.groupBy("_id")
+      .agg((count(lit(1)) / segment).cast("long").as("_nseg"))
+    val segs = toks
+      .withColumn("_s", (col("_p") / segment).cast("long"))
+      .groupBy("_id", "_s").agg(countDistinct("_w").as("_d"))
+    segs.join(nFull, "_id")
+      .filter(col("_s") < col("_nseg"))
+      .groupBy("_id")
+      .agg(max("_nseg").as("n_segments"), sum("_d").as("_sd"))
+      .select(col("_id").as(idCol),
+        col("n_segments").cast("bigint").as("n_segments"),
+        round(col("_sd").cast("double")
+          / (col("n_segments") * segment).cast("double"), 6)
+          .cast("double").as("msttr"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     * over the word co-occurrence graph — two words are linked when
     * they appear within `window` tokens of each other in any document

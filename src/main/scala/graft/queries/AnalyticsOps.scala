@@ -790,6 +790,45 @@ object AnalyticsOps {
       minCount = 5, k = 20)
   }
 
+  /** log-Dice top-20 collocations over the same bigram/unigram counts
+    * as q_collocations: 14 + log₂(2f_xy/(f_x+f_y)) — the corpus-size-
+    * stable strength measure; exact counts, one ln/ln2 tree, the
+    * (logdice DESC, w1, w2) cut.
+    */
+  val qLogDice: QueryFn = withTables { spark =>
+    TextAnalysis.logDiceCollocations(spark.table("documents"), "text",
+      minCount = 5, k = 20)
+  }
+
+  /** Fellegi–Sunter linkage weights trained on the q_sorted_neighborhood
+    * planted-duplicate design: part names + 2-char-suffix variants,
+    * first-char blocked candidate pairs, label = (j == i + 10000);
+    * agreement fields name-12-prefix / brand / type; exact m/u
+    * counts into the log₂ weight trees.
+    */
+  val qLinkageWeights: QueryFn = withTables { spark =>
+    val base = spark.table("part").filter(col("p_partkey") <= 500)
+      .select(col("p_partkey").as("id"), col("p_name").as("nm"),
+        col("p_brand").as("br"), col("p_type").as("ct"))
+    val variants = base.select((col("id") + 10000).as("id"),
+      concat(col("nm"), lit(" x")).as("nm"), col("br"), col("ct"))
+    val u = base.unionByName(variants)
+    val pairs = u.as("x").join(u.as("y"),
+        substring(col("x.nm"), 1, 1) === substring(col("y.nm"), 1, 1)
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("i"), col("y.id").as("j"),
+        (col("y.id") === col("x.id") + 10000).as("is_match"),
+        (substring(col("x.nm"), 1, 12) === substring(col("y.nm"), 1, 12))
+          .as("a_name"),
+        (col("x.br") === col("y.br")).as("a_brand"),
+        (col("x.ct") === col("y.ct")).as("a_container"))
+    graft.operators.FuzzyJoin.fellegiSunterWeights(pairs,
+        col("is_match"),
+        Seq("name12" -> col("a_name"), "brand" -> col("a_brand"),
+          "type" -> col("a_container")))
+      .orderBy("field")
+  }
+
   /** TextRank top-20 keywords over the document corpus (window 2,
     * 3 PageRank iterations): exact distinct co-occurrence edges, the
     * 12-dp-per-iteration rank contract, (rank DESC, word) cut.
@@ -819,6 +858,8 @@ object AnalyticsOps {
     "q_hosmer" -> qHosmer,
     "q_textrank" -> qTextRank,
     "q_collocations" -> qCollocations,
+    "q_logdice" -> qLogDice,
+    "q_linkage_weights" -> qLinkageWeights,
     "q_naive_bayes" -> qNaiveBayes,
     "q_confusion" -> qConfusion,
     "q_log_loss" -> qLogLoss,
@@ -1181,6 +1222,92 @@ object AnalyticsOps {
       CROSS JOIN nn CROSS JOIN nb
       WHERE b.n_pair >= 5
       ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
+    // Same bigram/unigram counts; logDice = 14 + ln(2f_xy/(f_x+f_y))/ln2
+    // with the interpolated ln2 constant; same cut order.
+    "q_logdice" -> s"""
+      WITH t AS (SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   x -> x <> '') AS toks
+                 FROM documents),
+      uni AS (SELECT UNNEST(toks) AS w FROM t),
+      uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+             FROM t, UNNEST(RANGE(1, LEN(toks))) r(i)
+             WHERE LEN(toks) >= 2),
+      bc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bi GROUP BY w1, w2)
+      SELECT b.w1, b.w2, b.n_pair::BIGINT AS n_pair,
+             CAST(ROUND(14.0 + LN(CAST(2 * b.n_pair AS DOUBLE)
+               / CAST(u1.c + u2.c AS DOUBLE))
+               / ${graft.operators.TextAnalysis.ln2}, 6) AS DOUBLE)
+               AS logdice
+      FROM bc b
+      JOIN uc u1 ON u1.w = b.w1
+      JOIN uc u2 ON u2.w = b.w2
+      WHERE b.n_pair >= 5
+      ORDER BY logdice DESC, w1, w2 LIMIT 20""",
+
+    // The planted-duplicate pair design replayed: first-char blocks,
+    // label j = i + 10000, three agreement fields, exact m/u counts
+    // into the same ln/ln2 weight trees.
+    "q_linkage_weights" -> s"""
+      WITH base AS (
+        SELECT p_partkey AS id, p_name AS nm, p_brand AS br,
+               p_type AS ct
+        FROM part WHERE p_partkey <= 500),
+      u AS (SELECT * FROM base
+            UNION ALL
+            SELECT id + 10000, nm || ' x', br, ct FROM base),
+      pairs AS (
+        SELECT x.id AS i, y.id AS j,
+               (y.id = x.id + 10000) AS is_match,
+               (SUBSTR(x.nm, 1, 12) = SUBSTR(y.nm, 1, 12)) AS a0,
+               (x.br = y.br) AS a1,
+               (x.ct = y.ct) AS a2
+        FROM u x JOIN u y
+          ON SUBSTR(x.nm, 1, 1) = SUBSTR(y.nm, 1, 1) AND x.id < y.id),
+      agg AS (
+        SELECT SUM(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS nm,
+               SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END)::BIGINT
+                 AS nu,
+               SUM(CASE WHEN is_match AND a0 THEN 1 ELSE 0 END)::BIGINT
+                 AS am0,
+               SUM(CASE WHEN NOT is_match AND a0 THEN 1 ELSE 0 END)
+                 ::BIGINT AS au0,
+               SUM(CASE WHEN is_match AND a1 THEN 1 ELSE 0 END)::BIGINT
+                 AS am1,
+               SUM(CASE WHEN NOT is_match AND a1 THEN 1 ELSE 0 END)
+                 ::BIGINT AS au1,
+               SUM(CASE WHEN is_match AND a2 THEN 1 ELSE 0 END)::BIGINT
+                 AS am2,
+               SUM(CASE WHEN NOT is_match AND a2 THEN 1 ELSE 0 END)
+                 ::BIGINT AS au2
+        FROM pairs),
+      f AS (
+        SELECT 'brand' AS field, nm, nu, am1 AS am, au1 AS au FROM agg
+        UNION ALL
+        SELECT 'type', nm, nu, am2, au2 FROM agg
+        UNION ALL
+        SELECT 'name12', nm, nu, am0, au0 FROM agg)
+      SELECT field, nm AS n_match, nu AS n_unmatch,
+             CAST(CASE WHEN nm > 0 THEN
+               ROUND(CAST(am AS DOUBLE) / CAST(nm AS DOUBLE), 6) END
+               AS DOUBLE) AS m,
+             CAST(CASE WHEN nu > 0 THEN
+               ROUND(CAST(au AS DOUBLE) / CAST(nu AS DOUBLE), 6) END
+               AS DOUBLE) AS u,
+             CAST(CASE WHEN nm > 0 AND nu > 0 AND am > 0 AND au > 0
+               THEN ROUND(LN((CAST(am AS DOUBLE) / CAST(nm AS DOUBLE))
+                   / (CAST(au AS DOUBLE) / CAST(nu AS DOUBLE)))
+                 / ${graft.operators.TextAnalysis.ln2}, 6) END AS DOUBLE)
+               AS w_agree,
+             CAST(CASE WHEN nm > 0 AND nu > 0 AND am < nm AND au < nu
+               THEN ROUND(LN((1.0 - CAST(am AS DOUBLE)
+                     / CAST(nm AS DOUBLE))
+                   / (1.0 - CAST(au AS DOUBLE) / CAST(nu AS DOUBLE)))
+                 / ${graft.operators.TextAnalysis.ln2}, 6) END AS DOUBLE)
+               AS w_disagree
+      FROM f
+      ORDER BY field""",
 
     // Same counts / smoothed-grid / frozen-ln pipeline; scores are
     // 6-dp-frozen decimal sums so the argmax order is engine-portable.

@@ -391,6 +391,35 @@ object LlmOps {
       .orderBy("lang", "source")
   }
 
+  /** Mean segmental type-token ratio (25-token segments) per document:
+    * the length-robust lexical-diversity gauge — all-integer segment
+    * distinct counts, one rounded division, partial tails excluded.
+    */
+  val qMsttr: QueryFn = withTables { spark =>
+    TextAnalysis.msttr(spark.table("documents"), "doc_id", "text",
+        segment = 25)
+      .orderBy("doc_id")
+  }
+
+  /** MMR diverse rerank judged end-to-end (upgrading the L42
+    * ScalaTest-only row): a 12-candidate shortlist with deterministic
+    * id-derived relevance, λ = 0.5, four greedy picks — scores are
+    * bit-exact on both engines (index-ordered dot-product folds, IEEE
+    * sqrt, max penalty), so the oracle unrolls all four argmax steps.
+    */
+  val qMmr: QueryFn = withTables { spark =>
+    val shortlist = spark.table("embeddings")
+      .filter(col("vec_id") < 12)
+      .select(col("vec_id"), col("embedding"),
+        round((col("vec_id") * 37 % 100).cast("double") / 100.0, 6)
+          .as("rel"))
+    graft.operators.Similarity.mmrRerank(shortlist, "vec_id",
+        "embedding", "rel", k = 4, lambda = 0.5)
+      .select(col("id"), col("rank"),
+        round(col("mmr_score"), 6).cast("double").as("mmr_score"))
+      .orderBy("rank")
+  }
+
   /** Corpus readability per language: Flesch reading ease + FK grade
     * from exact integer word/sentence/vowel-group counts, one rounded
     * float tree each.
@@ -1923,6 +1952,8 @@ object LlmOps {
     "q_oov" -> qOov,
     "q_resample_ffill" -> qResampleFfill,
     "q_ewma" -> qEwma,
+    "q_mmr" -> qMmr,
+    "q_msttr" -> qMsttr,
     "q_ewma_chart" -> qEwmaChart,
     "q_corr" -> qCorr,
     "q_rolling_median" -> qRollingMedian,
@@ -2008,7 +2039,79 @@ object LlmOps {
       FROM r WHERE rn = 1 AND NOT is_delete
       ORDER BY o_orderkey"""
 
+  // The q_mmr oracle: four unrolled greedy argmax steps over the
+  // 12-candidate shortlist — cosine as the same index-ordered LIST
+  // folds Spark's driver loop runs (bit-exact doubles: IEEE products,
+  // sequential sums, correctly-rounded SQRT), penalty = GREATEST over
+  // the picked set, ties broken (score DESC, id).
+  private val mmrOracle: String = {
+    def cos(a: String, b: String): String = {
+      val d = s"LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
+        s"i -> $a[i] * $b[i]))"
+      val na = s"LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN($a) + 1), " +
+        s"i -> $a[i] * $a[i]))"
+      val nb = s"LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN($b) + 1), " +
+        s"i -> $b[i] * $b[i]))"
+      s"(CASE WHEN $na = 0 OR $nb = 0 THEN -1.0 " +
+        s"ELSE $d / SQRT($na * $nb) END)"
+    }
+    val steps = (2 to 4).map { t =>
+      val excl = (1 until t).map(j => s"SELECT id FROM p$j")
+        .mkString(" UNION ALL ")
+      val pens = (1 until t).map(j => cos("c.v", s"p$j.v"))
+      val pen =
+        if (pens.size == 1) pens.head
+        else s"GREATEST(${pens.mkString(", ")})"
+      val froms = (1 until t).map(j => s"p$j").mkString(", ")
+      s""",
+      s$t AS (SELECT c.id, c.v, 0.5 * c.rel - 0.5 * $pen AS s
+              FROM cand c, $froms
+              WHERE c.id NOT IN ($excl)),
+      p$t AS (SELECT id, v, s FROM s$t ORDER BY s DESC, id LIMIT 1)"""
+    }.mkString
+    s"""
+      WITH cand AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               ROUND(((vec_id * 37) % 100) / 100.0, 6) AS rel
+        FROM embeddings WHERE vec_id < 12),
+      s1 AS (SELECT id, v, 0.5 * rel - 0.5 * 0.0 AS s FROM cand),
+      p1 AS (SELECT id, v, s FROM s1 ORDER BY s DESC, id LIMIT 1)$steps
+      SELECT id, rank, CAST(ROUND(s, 6) AS DOUBLE) AS mmr_score FROM (
+        SELECT id, 1::BIGINT AS rank, s FROM p1
+        UNION ALL SELECT id, 2, s FROM p2
+        UNION ALL SELECT id, 3, s FROM p3
+        UNION ALL SELECT id, 4, s FROM p4)
+      ORDER BY rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_mmr" -> mmrOracle,
+
+    // Per-doc 1-based token positions, 25-token segments, exact
+    // distinct counts per full segment, one rounded division; docs
+    // shorter than one segment absent.
+    "q_msttr" -> """
+      WITH d AS (SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text),
+                   ' '), x -> x <> '') AS tk
+                 FROM documents),
+      pos AS (SELECT doc_id, UNNEST(tk) AS tok,
+                     GENERATE_SUBSCRIPTS(tk, 1) AS i FROM d),
+      nf AS (SELECT doc_id, COUNT(*) // 25 AS nseg
+             FROM pos GROUP BY doc_id),
+      sg AS (SELECT doc_id, (i - 1) // 25 AS s,
+                    COUNT(DISTINCT tok) AS dd
+             FROM pos GROUP BY doc_id, 2),
+      agg AS (SELECT sg.doc_id, MAX(nf.nseg)::BIGINT AS n_segments,
+                     SUM(dd) AS sd
+              FROM sg JOIN nf ON nf.doc_id = sg.doc_id
+              WHERE sg.s < nf.nseg
+              GROUP BY sg.doc_id)
+      SELECT doc_id, n_segments,
+             CAST(ROUND(CAST(sd AS DOUBLE)
+               / CAST(n_segments * 25 AS DOUBLE), 6) AS DOUBLE) AS msttr
+      FROM agg
+      ORDER BY doc_id""",
 
     // Efraimidis-Spirakis race times replayed from the same md5 draw;
     // the selected SET is compared, not the race values.

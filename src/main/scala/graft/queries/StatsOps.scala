@@ -1469,6 +1469,17 @@ object StatsOps {
       .orderBy(col("adamic_adar").desc, col("a"), col("b"))
   }
 
+  /** Jaccard link prediction on the q_link_pred candidates: the
+    * neighbor-overlap score common/(deg a + deg b − common) — exact
+    * integers into one rounded division, same degree cap, anti-join,
+    * and (score DESC, a, b) top-20.
+    */
+  val qLinkPredJaccard: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.linkPredictionJaccard(GraphOps.coOrderParts(spark, sfDir, 7),
+        "a", "b", maxMiddleDegree = 50, k = 20)
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+  }
+
   /** Functional-dependency audit source → lang on documents: exact
     * integer group/violation counts, one rounded rate.
     */
@@ -2326,6 +2337,7 @@ object StatsOps {
     "q_bipartite" -> qBipartite,
     "q_fd_check" -> qFdCheck,
     "q_link_pred" -> qLinkPred,
+    "q_link_pred_jaccard" -> qLinkPredJaccard,
     "q_weighted_median" -> qWeightedMedian,
     "q_heaps" -> qHeaps)
 
@@ -9497,6 +9509,51 @@ object StatsOps {
             FROM nonedge)
       WHERE rn <= 20
       ORDER BY adamic_adar DESC, a, b""",
+
+    // The q_link_pred path-2/anti-join CTEs with the Jaccard score:
+    // common/(deg a + deg b − common), endpoint degrees from the same
+    // symmetric counts, one rounded division, the same top-20 order.
+    "q_link_pred_jaccard" -> """
+      WITH li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      canon AS (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS (SELECT a, b FROM canon
+              UNION ALL SELECT b AS a, a AS b FROM canon),
+      degs AS (SELECT a AS v, COUNT(*)::BIGINT AS deg
+               FROM sym GROUP BY a),
+      mids AS (SELECT v FROM degs WHERE deg <= 50),
+      via AS (SELECT s.a AS x, s.b AS u
+              FROM sym s JOIN mids m ON s.b = m.v),
+      cands AS (
+        SELECT v.x AS pa, r.b AS pb
+        FROM via v JOIN sym r ON v.u = r.a
+        WHERE v.x < r.b),
+      scored AS (
+        SELECT pa, pb, COUNT(*)::BIGINT AS common_neighbors
+        FROM cands GROUP BY pa, pb),
+      nonedge AS (
+        SELECT s.* FROM scored s
+        LEFT JOIN canon c ON s.pa = c.a AND s.pb = c.b
+        WHERE c.a IS NULL),
+      jsc AS (
+        SELECT n.pa, n.pb, n.common_neighbors,
+               ROUND(CAST(n.common_neighbors AS DOUBLE)
+                 / CAST(da.deg + db.deg - n.common_neighbors AS DOUBLE),
+                 6) AS j
+        FROM nonedge n
+        JOIN degs da ON da.v = n.pa
+        JOIN degs db ON db.v = n.pb)
+      SELECT pa AS a, pb AS b, common_neighbors,
+             CAST(j AS DOUBLE) AS jaccard
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY j DESC, pa, pb) AS rn
+            FROM jsc)
+      WHERE rn <= 20
+      ORDER BY jaccard DESC, a, b""",
 
     // Same DISTINCT (det, dep) with NULL as a level, the same
     // violation fold.

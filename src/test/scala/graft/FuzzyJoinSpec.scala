@@ -117,4 +117,28 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 9L)
   }
 
+  test("fellegiSunterWeights: exact m/u from a labeled pair table; " +
+      "degenerate cells NULL, not infinite") {
+    import spark.implicits._
+    // 2 matches (f1 agrees on both, f2 on one); 3 non-matches
+    // (f1 agrees once, f2 never)
+    val pairs = Seq(
+      (true, true, true), (true, true, false),
+      (false, true, false), (false, false, false),
+      (false, false, false)).toDF("lbl", "f1", "f2")
+    val out = graft.operators.FuzzyJoin.fellegiSunterWeights(pairs,
+        col("lbl"), Seq("f1" -> col("f1"), "f2" -> col("f2")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f1 = out("f1")
+    assert(f1.getLong(1) == 2L && f1.getLong(2) == 3L)
+    assert(f1.getDouble(3) == 1.0 && f1.getDouble(4) == 0.333333)
+    // w+ = log2((2/2)/(1/3)) = log2(3); m = 1 -> disagreement weight NULL
+    assert(f1.getDouble(5) == 1.584963, f1.toString)
+    assert(f1.isNullAt(6), "m = 1 must not produce -inf")
+    val f2 = out("f2")
+    assert(f2.getDouble(3) == 0.5 && f2.getDouble(4) == 0.0)
+    assert(f2.isNullAt(5), "u = 0 must not produce +inf")
+    // w- = log2((1-0.5)/(1-0)) = -1
+    assert(f2.getDouble(6) == -1.0, f2.toString)
+  }
 }

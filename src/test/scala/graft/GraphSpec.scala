@@ -691,4 +691,14 @@ class GraphSpec extends SparkTestBase {
       Graph.louvainMove(edges, "s", "t", passes = 0)
     }
   }
+  test("linkPredictionJaccard: path-graph hand fixture — overlap over " +
+      "union, existing edges excluded") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d").toDF("s", "t")
+    val out = Graph.linkPredictionJaccard(edges, "s", "t",
+        maxMiddleDegree = 50, k = 10)
+      .as[(String, String, Long, Double)].collect().toSet
+    // candidates (a,c) via b and (b,d) via c: common 1, degs (1,2)/(2,1)
+    assert(out === Set(("a", "c", 1L, 0.5), ("b", "d", 1L, 0.5)),
+      out.toString)
+  }
 }

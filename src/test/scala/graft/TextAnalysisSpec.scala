@@ -925,4 +925,32 @@ class TextAnalysisSpec extends SparkTestBase {
         train, test0, "doc_id", "text", "lang", n = 0)
     }
   }
+  test("logDiceCollocations: hand counts — 14 + log2(2f/(fx+fy)), " +
+      "frequency-stable cut order") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a c").toDF("text")
+    val out = TextAnalysis.logDiceCollocations(docs, "text",
+        minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // uni: a3 b2 c1; bi: ab2 ba1 ac1
+    assert(out(("a", "b")) == ((2L, 13.678072)), out.toString)
+    assert(out(("a", "c")) == ((1L, 13.0)))
+    assert(out(("b", "a")) == ((1L, 12.678072)))
+  }
+
+  test("msttr: full 25-token segments only; short docs absent; " +
+      "exact distinct ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c c d"),          // 2 full segments of 3
+      (2L, "a b"),                  // too short -> absent
+      (3L, "x y z x y z q"))        // 2 full segments, tail dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.msttr(docs, "doc_id", "text", segment = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((2L, 0.666667)), 3L -> ((2L, 1.0))),
+      out.toString)
+  }
 }
