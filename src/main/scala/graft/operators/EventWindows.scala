@@ -1100,6 +1100,51 @@ object EventWindows {
     * subsets never shuffle. Output: (channel, shapley,
     * n_conversions), n_conversions = v(N).
     */
+  /** Multi-window SLO burn-rate alerts (the Google SRE workbook
+    * recipe) over a daily bad/total event series: burn = (bad/total)
+    * / budget over a SHORT and a LONG trailing window, alert when
+    * BOTH exceed their thresholds — the short window catches the
+    * spike, the long window filters the blip, which is exactly why
+    * single-window alerting pages on noise. Windows are ROW windows
+    * over the day series and require a full frame (early days can't
+    * alert — a half-window burn rate is not a burn rate).
+    *
+    * Determinism: exact integer rolling sums, one rounded division
+    * per window per day, alerts compare 6-dp-frozen burns to literal
+    * thresholds. One day-level aggregate + two frame windows.
+    * Output: (day, bad, total, burn_short, burn_long, alert).
+    */
+  def burnRateAlerts(events: DataFrame, tsCol: String, isBad: Column,
+      budget: Double, shortDays: Int, longDays: Int,
+      shortThreshold: Double, longThreshold: Double): DataFrame = {
+    require(budget > 0.0 && budget < 1.0,
+      s"burnRateAlerts: budget must be in (0,1), got $budget")
+    require(shortDays >= 1 && longDays > shortDays,
+      s"burnRateAlerts: need longDays > shortDays >= 1")
+    val daily = events
+      .select(col(tsCol).cast("date").as("_d"),
+        when(coalesce(isBad, lit(false)), 1L).otherwise(0L).as("_b"))
+      .groupBy("_d")
+      .agg(count(lit(1)).as("_n"), sum("_b").as("_bad"))
+    def win(k: Int) = Window.orderBy(col("_d")).rowsBetween(-(k - 1), 0)
+    def burn(k: Int): Column =
+      round(sum(col("_bad")).over(win(k)).cast("double")
+        / sum(col("_n")).over(win(k)).cast("double") / lit(budget), 6)
+    daily
+      .withColumn("_cs", count(lit(1)).over(win(shortDays)))
+      .withColumn("_cl", count(lit(1)).over(win(longDays)))
+      .withColumn("_bs", burn(shortDays))
+      .withColumn("_bl", burn(longDays))
+      .select(col("_d").as("day"),
+        col("_bad").cast("bigint").as("bad"),
+        col("_n").cast("bigint").as("total"),
+        col("_bs").cast("double").as("burn_short"),
+        col("_bl").cast("double").as("burn_long"),
+        (col("_cs") === shortDays && col("_cl") === longDays &&
+          col("_bs") > shortThreshold && col("_bl") > longThreshold)
+          .as("alert"))
+  }
+
   def shapleyAttribution(events: DataFrame, userCol: String,
       tsCol: String, typeCol: String, channels: Seq[String],
       convType: String): DataFrame = {

@@ -1761,6 +1761,51 @@ object Graph {
       round(col("_ev"), 6).cast("double").as("eigenvector"))
   }
 
+  /** Katz centrality by FIXED attenuated iterations — the
+    * [[eigenvectorCentrality]] sibling that credits every vertex a
+    * base score so peripheral vertices differentiate (pure power
+    * iteration sends a tree's leaves to 0; Katz's +1 keeps "reachable
+    * via few attenuated paths" meaningful): x₀ = 1,
+    * x_{t+1}(v) = α·Σ_{w∼v} x_t(w) + 1 on the symmetric closure,
+    * each state frozen at 12 dp (rounded terms into order-free
+    * decimal(38,12) sums — the eigenvector discipline). α must be
+    * small enough that x stays in the 12-dp-representable regime over
+    * the FIXED iteration count (convergence needs α < 1/λ_max; fixed
+    * iterations are deterministic either way and the bound is the
+    * caller's modeling choice, as for [[pageRank]] damping).
+    *
+    * Scale shape: the edge table partitions once on the per-pass join
+    * key; each pass exchanges only vertex state. Output: (vertex,
+    * katz) at 6 dp.
+    */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      alpha: Double, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"katzCentrality: iters must be in [1, 8], got $iters")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"katzCentrality: alpha must be in (0, 1), got $alpha")
+    val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
+      .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
+      .repartition(col("w"))
+      .localCheckpoint()
+    var state = sym.select(col("v")).distinct()
+      .withColumn("_x", lit(1.0))
+    for (_ <- 1 to iters) {
+      state = sym
+        .join(state.select(col("v").as("_sv"), col("_x")),
+          col("w") === col("_sv"))
+        .groupBy("v")
+        .agg(sum(round(col("_x"), 12).cast("decimal(38,12)")).as("_sum"))
+        .select(col("v"),
+          round(lit(alpha) * col("_sum").cast("double") + lit(1.0), 12)
+            .as("_x"))
+        .localCheckpoint()
+    }
+    state.select(col("v").as("vertex"),
+      round(col("_x"), 6).cast("double").as("katz"))
+  }
+
   /** Hop-2-truncated betweenness centrality, distributed — "who
     * brokers" on the undirected graph: B(v) = Σ over unordered pairs
     * (s,t) at distance EXACTLY 2 of (shortest s–t paths through v) /

@@ -7879,6 +7879,100 @@ object Stats {
         round(col("_b2"), 6).cast("double").as("beta_fgls"))
   }
 
+  /** Synthetic-control gap analysis (Abadie et al., the comparative
+    * case study standard): the treated unit's counterfactual is an
+    * OLS combination of 3 DONOR units fitted on the PRE-treatment
+    * window ([[linearFitMulti3]] verbatim — quantized exact power
+    * sums, 3×3 Cramer, 6-dp coefficients), projected over the whole
+    * timeline; gap = actual − synthetic, and the post-period gaps ARE
+    * the effect series a DiD can't give when parallel trends fail.
+    * OLS weights (unconstrained, with intercept) are the regression
+    * flavor of synthetic control — documented choice: the simplex-
+    * constrained original needs QP, and the regression variant
+    * (Doudchenko–Imbens) is the standard relaxation.
+    *
+    * Determinism: the fit inherits linearFitMulti3's contract; the
+    * projection is one literal-free broadcast of the 4-coefficient
+    * row; outputs 6-dp. Scale: the per-unit series join is
+    * time-keyed; nothing collected. Output: (timeCol, actual,
+    * synthetic, gap, post) over times where all four units report.
+    */
+  def synthControl(df: DataFrame, unitCol: String, timeCol: String,
+      valueCol: String, treated: String, donors: Seq[String],
+      treatStart: String): DataFrame = {
+    require(donors.size == 3,
+      s"synthControl: exactly 3 donors, got ${donors.size}")
+    require(!donors.contains(treated),
+      "synthControl: the treated unit cannot be its own donor")
+    val base = df.select(col(unitCol).cast("string").as("_u"),
+      col(timeCol).as("_t"), col(valueCol).cast("double").as("_v"))
+    def ser(u: String, out: String): DataFrame =
+      base.filter(col("_u") === u).select(col("_t"), col("_v").as(out))
+    val wide = ser(treated, "_y")
+      .join(ser(donors(0), "_d1"), Seq("_t"))
+      .join(ser(donors(1), "_d2"), Seq("_t"))
+      .join(ser(donors(2), "_d3"), Seq("_t"))
+      .localCheckpoint() // the fit and the projection both read it
+    val cut = to_date(lit(treatStart))
+    val fit = linearFitMulti3(
+        wide.filter(col("_t") < cut).withColumn("_g", lit("pre")),
+        "_g", Seq("_d1", "_d2", "_d3"), "_y")
+      .select(col("b0"), col("b1"), col("b2"), col("b3"))
+    val synth = col("b0") + col("b1") * col("_d1") +
+      col("b2") * col("_d2") + col("b3") * col("_d3")
+    wide.crossJoin(broadcast(fit))
+      .select(col("_t").as(timeCol),
+        round(col("_y"), 6).cast("double").as("actual"),
+        round(synth, 6).cast("double").as("synthetic"),
+        round(col("_y") - synth, 6).cast("double").as("gap"),
+        (col("_t") >= cut).as("post"))
+  }
+
+  /** Disproportionality panel (PRR / ROR with 95% CI) per item — the
+    * pharmacovigilance signal-detection standard applied to any
+    * (item, flagged-outcome) table: returns by brand, errors by
+    * endpoint, complaints by SKU. For item i with a = flagged-in-i,
+    * b = unflagged-in-i, c = flagged-elsewhere, d = unflagged-
+    * elsewhere: PRR = (a/(a+b))/(c/(c+d)), ROR = ad/bc, and the
+    * classical ln-scale CI exp(ln PRR ± z·√(1/a − 1/(a+b) + 1/c −
+    * 1/(c+d))) — z interpolated from the one pinned [[MdeZ]]
+    * constant. Exact integer cells from one aggregate + a one-row
+    * totals broadcast; every estimate a rounded closed-form tree;
+    * degenerate cells (any of a,b,c,d = 0) report NULL rather than
+    * ±∞. Output: (item, n, n_flagged, prr, ror, prr_lo, prr_hi).
+    */
+  def prrPanel(df: DataFrame, itemCol: String, flagged: Column)
+      : DataFrame = {
+    val z = MdeZ(("alpha", 0.05))
+    val cells = df.select(col(itemCol).as("_i"),
+        when(coalesce(flagged, lit(false)), 1L).otherwise(0L).as("_f"))
+      .groupBy("_i")
+      .agg(count(lit(1)).as("_n"), sum("_f").as("_a"))
+    val tot = cells.agg(sum("_n").as("_tn"), sum("_a").as("_ta"))
+    def d(c: Column): Column = c.cast("double")
+    val a = d(col("_a"))
+    val b = d(col("_n") - col("_a"))
+    val c0 = d(col("_ta") - col("_a"))
+    val dd = d(col("_tn") - col("_n") - (col("_ta") - col("_a")))
+    val prr = (a / (a + b)) / (c0 / (c0 + dd))
+    val ror = a * dd / (b * c0)
+    val se = sqrt(lit(1.0) / a - lit(1.0) / (a + b)
+      + lit(1.0) / c0 - lit(1.0) / (c0 + dd))
+    val ok = col("_a") > 0 && (col("_n") - col("_a")) > 0 &&
+      (col("_ta") - col("_a")) > 0 &&
+      (col("_tn") - col("_n") - (col("_ta") - col("_a"))) > 0
+    cells.crossJoin(broadcast(tot))
+      .select(col("_i").as(itemCol),
+        col("_n").cast("bigint").as("n"),
+        col("_a").cast("bigint").as("n_flagged"),
+        when(ok, round(prr, 6)).cast("double").as("prr"),
+        when(ok, round(ror, 6)).cast("double").as("ror"),
+        when(ok, round(exp(log(prr) - lit(z) * se), 6))
+          .cast("double").as("prr_lo"),
+        when(ok, round(exp(log(prr) + lit(z) * se), 6))
+          .cast("double").as("prr_hi"))
+  }
+
   /** Westgard multi-rule QC flags per series — the clinical-lab
     * control-chart rulebook run over any metric stream (data-quality
     * monitors, SLO screens): each point's z-score against ITS series'

@@ -1620,6 +1620,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Lexical-richness panel per group — the classical
+    * vocabulary-structure gauges beside [[heapsLawFit]]'s growth
+    * curve: token count N, vocabulary V, hapax ratio V₁/V (how much
+    * of the vocabulary occurs once — template/boilerplate corpora
+    * crater it), Yule's K = 10⁴·(Σc² − N)/N² (repetitiveness,
+    * length-invariant by construction), and Simpson's D =
+    * Σc(c−1)/(N(N−1)) (the probability two random tokens coincide).
+    *
+    * Determinism: all exact integers (per-word counts c fold as
+    * decimal power sums) into one rounded division per gauge;
+    * single-token groups report NULL D. One (group, word) count
+    * shuffle + one group aggregate, scan-dominated. Output: (group,
+    * n_tokens, vocab, hapax_ratio, yule_k, simpson_d).
+    */
+  def lexicalRichness(df: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = df.select(col(groupCol).as("_g"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("_w"))
+    val wc = toks.groupBy("_g", "_w").agg(count(lit(1)).as("_c"))
+    val agg = wc.groupBy("_g")
+      .agg(sum(col("_c").cast(dec)).as("_n"),
+        count(lit(1)).as("_v"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("_v1"),
+        sum((col("_c") * col("_c")).cast(dec)).as("_sc2"),
+        sum((col("_c") * (col("_c") - 1L)).cast(dec)).as("_scc"))
+    def d(c: String): Column = col(c).cast("double")
+    agg.select(col("_g").as(groupCol),
+      col("_n").cast("bigint").as("n_tokens"),
+      col("_v").cast("bigint").as("vocab"),
+      round(col("_v1").cast("double") / col("_v").cast("double"), 6)
+        .cast("double").as("hapax_ratio"),
+      round(lit(10000.0) * (d("_sc2") - d("_n")) / (d("_n") * d("_n")), 6)
+        .cast("double").as("yule_k"),
+      when(col("_n") >= 2,
+        round(d("_scc") / (d("_n") * (d("_n") - lit(1.0))), 6))
+        .cast("double").as("simpson_d"))
+  }
+
   /** log-Dice collocation strength — the corpus-size-INDEPENDENT
     * collocation measure beside [[collocations]]' PMI (Rychlý 2008):
     * logDice = 14 + log₂(2·f_xy/(f_x+f_y)) is stable under corpus

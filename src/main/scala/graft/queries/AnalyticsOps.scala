@@ -325,6 +325,19 @@ object AnalyticsOps {
       recs, "cust", "part")
   }
 
+  /** Multi-window SLO burn-rate alerts over the daily error share:
+    * budget 0.2, 3-day window at threshold 1.05 AND 7-day at 1.0 —
+    * the SRE-workbook paging rule; exact rolling integer sums, full
+    * frames required.
+    */
+  val qBurnRate: QueryFn = withTables { spark =>
+    graft.operators.EventWindows.burnRateAlerts(spark.table("events"),
+        "ts", col("event_type") === "error", budget = 0.2,
+        shortDays = 3, longDays = 7,
+        shortThreshold = 1.05, longThreshold = 1.0)
+      .orderBy("day")
+  }
+
   /** Exact Shapley channel attribution (the coalition-game standard
     * beside first/last-touch, position, decay, and Markov-removal):
     * the four non-conversion event types as the declared channel
@@ -910,6 +923,7 @@ object AnalyticsOps {
     "q_als_recs" -> qAlsRecs,
     "q_rec_eval_als" -> qRecEvalAls,
     "q_shapley" -> qShapley,
+    "q_burn_rate" -> qBurnRate,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -1063,6 +1077,33 @@ object AnalyticsOps {
     // The four unrolled ALS half-passes, then each observed cell's
     // dot-product reconstruction off the final uf2/if2 factors.
     "q_shapley" -> shapleyOracle,
+
+    // Exact daily bad/total counts, rolling integer window sums, one
+    // rounded division per window, full-frame gating, frozen compares.
+    "q_burn_rate" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 ::BIGINT AS bad
+        FROM events GROUP BY 1),
+      w AS (
+        SELECT d, bad, n,
+               ROUND(CAST(SUM(bad) OVER w3 AS DOUBLE)
+                 / CAST(SUM(n) OVER w3 AS DOUBLE) / 0.2, 6) AS bs,
+               ROUND(CAST(SUM(bad) OVER w7 AS DOUBLE)
+                 / CAST(SUM(n) OVER w7 AS DOUBLE) / 0.2, 6) AS bl,
+               COUNT(*) OVER w3 AS c3, COUNT(*) OVER w7 AS c7
+        FROM daily
+        WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING
+                      AND CURRENT ROW),
+               w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                      AND CURRENT ROW))
+      SELECT d AS day, bad, n AS total,
+             CAST(bs AS DOUBLE) AS burn_short,
+             CAST(bl AS DOUBLE) AS burn_long,
+             (c3 = 3 AND c7 = 7 AND bs > 1.05 AND bl > 1.0) AS alert
+      FROM w
+      ORDER BY day""",
 
     "q_als" -> (alsCtes + """
       SELECT rat.u AS cust, rat.i AS part, CAST(r AS DOUBLE) AS rating,

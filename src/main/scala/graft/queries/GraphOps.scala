@@ -387,6 +387,23 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** 3-iteration Katz centrality (α = 0.1) on the q_eigenvector
+    * graph: x₀ = 1, x' = α·Σ neighbors + 1 with 12-dp-frozen decimal
+    * folds per pass — the attenuated-paths centrality that keeps
+    * peripheral vertices distinguishable; oracle unrolls the three
+    * passes.
+    */
+  val qKatz: QueryFn = withTablesSf { (spark, sfDir) =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    Graph.katzCentrality(edges, "a", "b", alpha = 0.1, iters = 3)
+      .orderBy("vertex")
+  }
+
   /** 3-round multi-source Bellman–Ford on the weighted mod-7 co-order
     * graph (co-occurrence counts as transfer costs, every part key
     * divisible by 25 a depot seed): exact for every weighted shortest
@@ -624,6 +641,7 @@ object GraphOps {
     "q_louvain2" -> qLouvain2,
     "q_leiden" -> qLeiden,
     "q_sssp" -> qSssp,
+    "q_katz" -> qKatz,
     "q_kcore" -> qKcore,
     "q_pagerank_weighted" -> qPageRankWeighted,
     "q_clustering_coef" -> qClusteringCoef,
@@ -1138,6 +1156,38 @@ object GraphOps {
     "q_louvain" -> louvainOracle,
     "q_louvain2" -> louvain2Oracle,
     "q_leiden" -> leidenOracle,
+
+    // The q_eigenvector graph CTEs; three unrolled attenuated passes:
+    // 12-dp frozen decimal neighbor sums, x' = round(0.1*sum + 1, 12).
+    "q_katz" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      sym AS (SELECT lo AS v, hi AS w FROM e
+              UNION ALL SELECT hi, lo FROM e),
+      x0 AS (SELECT DISTINCT v, 1.0 AS x FROM sym),
+      s1 AS (SELECT sym.v AS v,
+                    SUM(CAST(ROUND(x0.x, 12) AS DECIMAL(38,12))) AS s
+             FROM sym JOIN x0 ON x0.v = sym.w GROUP BY sym.v),
+      x1 AS (SELECT v, ROUND(0.1 * CAST(s AS DOUBLE) + 1.0, 12) AS x
+             FROM s1),
+      s2 AS (SELECT sym.v AS v,
+                    SUM(CAST(ROUND(x1.x, 12) AS DECIMAL(38,12))) AS s
+             FROM sym JOIN x1 ON x1.v = sym.w GROUP BY sym.v),
+      x2 AS (SELECT v, ROUND(0.1 * CAST(s AS DOUBLE) + 1.0, 12) AS x
+             FROM s2),
+      s3 AS (SELECT sym.v AS v,
+                    SUM(CAST(ROUND(x2.x, 12) AS DECIMAL(38,12))) AS s
+             FROM sym JOIN x2 ON x2.v = sym.w GROUP BY sym.v),
+      x3 AS (SELECT v, ROUND(0.1 * CAST(s AS DOUBLE) + 1.0, 12) AS x
+             FROM s3)
+      SELECT v AS vertex, CAST(ROUND(x, 6) AS DOUBLE) AS katz
+      FROM x3 ORDER BY vertex""",
 
     // The weighted mod-7 co-order graph (counts preserved as costs),
     // depot seeds at distance 0, three unrolled synchronous

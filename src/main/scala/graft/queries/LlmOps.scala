@@ -391,6 +391,15 @@ object LlmOps {
       .orderBy("lang", "source")
   }
 
+  /** Lexical-richness panel per language: hapax ratio, Yule's K, and
+    * Simpson's D from exact per-word count power sums — the
+    * vocabulary-structure gauges beside q_heaps' growth curve.
+    */
+  val qLexical: QueryFn = withTables { spark =>
+    TextAnalysis.lexicalRichness(spark.table("documents"), "lang", "text")
+      .orderBy("lang")
+  }
+
   /** Mean segmental type-token ratio (25-token segments) per document:
     * the length-robust lexical-diversity gauge — all-integer segment
     * distinct counts, one rounded division, partial tails excluded.
@@ -1954,6 +1963,7 @@ object LlmOps {
     "q_ewma" -> qEwma,
     "q_mmr" -> qMmr,
     "q_msttr" -> qMsttr,
+    "q_lexical" -> qLexical,
     "q_ewma_chart" -> qEwmaChart,
     "q_corr" -> qCorr,
     "q_rolling_median" -> qRollingMedian,
@@ -2087,6 +2097,35 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
 
     "q_mmr" -> mmrOracle,
+
+    // Exact per-word count power sums; hapax/Yule/Simpson as
+    // identically-spelled rounded trees.
+    "q_lexical" -> """
+      WITH toks AS (
+        SELECT lang AS g,
+               UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> t <> '')) AS w
+        FROM documents),
+      wc AS (SELECT g, w, COUNT(*)::BIGINT AS c FROM toks GROUP BY g, w),
+      agg AS (SELECT g, SUM(c)::HUGEINT AS n, COUNT(*)::BIGINT AS v,
+                     SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS v1,
+                     SUM(c::HUGEINT * c) AS sc2,
+                     SUM(c::HUGEINT * (c - 1)) AS scc
+              FROM wc GROUP BY g)
+      SELECT g AS lang, CAST(n AS BIGINT) AS n_tokens, v AS vocab,
+             CAST(ROUND(CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE), 6)
+               AS DOUBLE) AS hapax_ratio,
+             CAST(ROUND(10000.0 * (CAST(sc2 AS DOUBLE)
+                 - CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE)
+               AS yule_k,
+             CAST(CASE WHEN n >= 2 THEN
+               ROUND(CAST(scc AS DOUBLE) / (CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) - 1.0)), 6) END AS DOUBLE)
+               AS simpson_d
+      FROM agg
+      ORDER BY lang""",
 
     // Per-doc 1-based token positions, 25-token segments, exact
     // distinct counts per full segment, one rounded division; docs

@@ -1055,6 +1055,35 @@ object StatsOps {
       .orderBy("event_type", "d")
   }
 
+  /** Synthetic-control gap analysis: 'purchase' daily mean spend as
+    * the treated series, click/signup/view as donors, the
+    * q_ols_multi3 Cramer fit on the pre-2024-01-16 window projecting
+    * the counterfactual over the whole month — post-period gaps are
+    * the effect series.
+    */
+  val qSynthControl: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    Stats.synthControl(daily, "event_type", "d", "v",
+        treated = "purchase", donors = Seq("click", "signup", "view"),
+        treatStart = "2024-01-16")
+      .orderBy("d")
+  }
+
+  /** PRR/ROR disproportionality per brand on lineitem returns: which
+    * brands' items come back disproportionately — exact 2×2 cells
+    * per brand vs the rest, ln-scale 95% CI with the pinned z.
+    */
+  val qPrr: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .join(spark.table("part"), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_returnflag"))
+    Stats.prrPanel(li, "p_brand", col("l_returnflag") === "R")
+      .orderBy("p_brand")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -2322,6 +2351,8 @@ object StatsOps {
     "q_negbin" -> qNegbin,
     "q_cochrane_orcutt" -> qCochraneOrcutt,
     "q_westgard" -> qWestgard,
+    "q_synth_control" -> qSynthControl,
+    "q_prr" -> qPrr,
     "q_ess" -> qEss,
     "q_holt_forecast" -> qHoltForecast,
     "q_hw_forecast" -> qHwForecast,
@@ -6753,6 +6784,136 @@ object StatsOps {
              (c4 = 4 AND (p4 = 4 OR n4 = 4)) AS r_41s,
              (c10 = 10 AND (p10 = 10 OR n10 = 10)) AS r_10x
       FROM fl ORDER BY event_type, d""",
+
+    // The q_ols_multi3 quantized Cramer machinery fitted on the
+    // pre-window, 6-dp coefficients projected over the whole series;
+    // gap = actual - synthetic, both from the same unrounded tree.
+    "q_synth_control" -> """
+      WITH daily AS (
+        SELECT event_type AS u, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      wide AS (
+        SELECT y.d, y.v AS y, d1.v AS x1, d2.v AS x2, d3.v AS x3
+        FROM (SELECT d, v FROM daily WHERE u = 'purchase') y
+        JOIN (SELECT d, v FROM daily WHERE u = 'click') d1 ON d1.d = y.d
+        JOIN (SELECT d, v FROM daily WHERE u = 'signup') d2 ON d2.d = y.d
+        JOIN (SELECT d, v FROM daily WHERE u = 'view') d3 ON d3.d = y.d),
+      pts AS (
+        SELECT CAST(ROUND(x1 * 1000000.0) AS BIGINT) AS x1,
+               CAST(ROUND(x2 * 1000000.0) AS BIGINT) AS x2,
+               CAST(ROUND(x3 * 1000000.0) AS BIGINT) AS x3,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS y
+        FROM wide WHERE d < DATE '2024-01-16'),
+      s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+               SUM(x3::HUGEINT) AS s3, SUM(y::HUGEINT) AS sy,
+               SUM(x1::HUGEINT * x1) AS q11, SUM(x2::HUGEINT * x2) AS q22,
+               SUM(x3::HUGEINT * x3) AS q33, SUM(x1::HUGEINT * x2) AS q12,
+               SUM(x1::HUGEINT * x3) AS q13, SUM(x2::HUGEINT * x3) AS q23,
+               SUM(x1::HUGEINT * y) AS q1y, SUM(x2::HUGEINT * y) AS q2y,
+               SUM(x3::HUGEINT * y) AS q3y
+        FROM pts),
+      fl AS (
+        SELECT n, CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(s3 AS DOUBLE) AS s3d, CAST(sy AS DOUBLE) AS syd,
+               CAST(n AS DOUBLE) * CAST(q11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS s11,
+               CAST(n AS DOUBLE) * CAST(q22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS s22,
+               CAST(n AS DOUBLE) * CAST(q33 AS DOUBLE)
+                 - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s33,
+               CAST(n AS DOUBLE) * CAST(q12 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS s12,
+               CAST(n AS DOUBLE) * CAST(q13 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s13,
+               CAST(n AS DOUBLE) * CAST(q23 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s23,
+               CAST(n AS DOUBLE) * CAST(q1y AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS s1y,
+               CAST(n AS DOUBLE) * CAST(q2y AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS s2y,
+               CAST(n AS DOUBLE) * CAST(q3y AS DOUBLE)
+                 - CAST(s3 AS DOUBLE) * CAST(sy AS DOUBLE) AS s3y
+        FROM s),
+      g1 AS (
+        SELECT *,
+               s11 * (s22 * s33 - s23 * s23)
+                 - s12 * (s12 * s33 - s23 * s13)
+                 + s13 * (s12 * s23 - s22 * s13) AS det,
+               s1y * (s22 * s33 - s23 * s23)
+                 - s12 * (s2y * s33 - s23 * s3y)
+                 + s13 * (s2y * s23 - s22 * s3y) AS det1,
+               s11 * (s2y * s33 - s23 * s3y)
+                 - s1y * (s12 * s33 - s23 * s13)
+                 + s13 * (s12 * s3y - s2y * s13) AS det2,
+               s11 * (s22 * s3y - s2y * s23)
+                 - s12 * (s12 * s3y - s2y * s13)
+                 + s1y * (s12 * s23 - s22 * s13) AS det3
+        FROM fl),
+      g2 AS (
+        SELECT *, det1 / det AS b1r, det2 / det AS b2r, det3 / det AS b3r
+        FROM g1),
+      coefs AS (
+        SELECT CASE WHEN n >= 5 AND det > 0.0 THEN
+                 ROUND((syd - b1r * s1d - b2r * s2d - b3r * s3d)
+                   / CAST(n AS DOUBLE) / 1000000.0, 6) END AS b0,
+               CASE WHEN n >= 5 AND det > 0.0 THEN ROUND(b1r, 6) END AS b1,
+               CASE WHEN n >= 5 AND det > 0.0 THEN ROUND(b2r, 6) END AS b2,
+               CASE WHEN n >= 5 AND det > 0.0 THEN ROUND(b3r, 6) END AS b3
+        FROM g2)
+      SELECT w.d AS d,
+             CAST(ROUND(w.y, 6) AS DOUBLE) AS actual,
+             CAST(ROUND(c.b0 + c.b1 * w.x1 + c.b2 * w.x2 + c.b3 * w.x3,
+               6) AS DOUBLE) AS synthetic,
+             CAST(ROUND(w.y - (c.b0 + c.b1 * w.x1 + c.b2 * w.x2
+               + c.b3 * w.x3), 6) AS DOUBLE) AS gap,
+             (w.d >= DATE '2024-01-16') AS post
+      FROM wide w CROSS JOIN coefs c
+      ORDER BY d""",
+
+    // Exact 2x2 cells per brand vs rest; PRR/ROR/CI as
+    // identically-spelled trees with the interpolated z constant.
+    "q_prr" -> s"""
+      WITH li AS (
+        SELECT p.p_brand AS i,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS f
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      cells AS (SELECT i, COUNT(*)::BIGINT AS n, SUM(f)::BIGINT AS a
+                FROM li GROUP BY i),
+      tot AS (SELECT SUM(n)::BIGINT AS tn, SUM(a)::BIGINT AS ta
+              FROM cells)
+      SELECT i AS p_brand, n, a AS n_flagged,
+             CAST(CASE WHEN ok THEN ROUND(prr, 6) END AS DOUBLE) AS prr,
+             CAST(CASE WHEN ok THEN ROUND(ad / (bd * cd), 6) END
+               AS DOUBLE) AS ror,
+             CAST(CASE WHEN ok THEN
+               ROUND(EXP(LN(prr) - ${Stats.MdeZ(("alpha", 0.05))} * se), 6)
+             END AS DOUBLE) AS prr_lo,
+             CAST(CASE WHEN ok THEN
+               ROUND(EXP(LN(prr) + ${Stats.MdeZ(("alpha", 0.05))} * se), 6)
+             END AS DOUBLE) AS prr_hi
+      FROM (
+        SELECT i, n, a,
+               (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE)
+                   + CAST(n - a AS DOUBLE)))
+                 / (CAST(ta - a AS DOUBLE) / (CAST(ta - a AS DOUBLE)
+                   + CAST(tn - n - (ta - a) AS DOUBLE))) AS prr,
+               CAST(a AS DOUBLE) * CAST(tn - n - (ta - a) AS DOUBLE)
+                 AS ad,
+               CAST(n - a AS DOUBLE) AS bd,
+               CAST(ta - a AS DOUBLE) AS cd,
+               SQRT(1.0 / CAST(a AS DOUBLE)
+                 - 1.0 / (CAST(a AS DOUBLE) + CAST(n - a AS DOUBLE))
+                 + 1.0 / CAST(ta - a AS DOUBLE)
+                 - 1.0 / (CAST(ta - a AS DOUBLE)
+                   + CAST(tn - n - (ta - a) AS DOUBLE))) AS se,
+               (a > 0 AND n - a > 0 AND ta - a > 0
+                 AND tn - n - (ta - a) > 0) AS ok
+        FROM cells CROSS JOIN tot)
+      ORDER BY p_brand""",
 
     // The q_acf CTEs verbatim; the 6-dp acf values are exact 1e-6
     // multiples, so their sum is an exact scaled long, and ESS is one

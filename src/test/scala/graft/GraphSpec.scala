@@ -701,4 +701,15 @@ class GraphSpec extends SparkTestBase {
     assert(out === Set(("a", "c", 1L, 0.5), ("b", "d", 1L, 0.5)),
       out.toString)
   }
+  test("katzCentrality: hand path-graph recursion — attenuated sums " +
+      "plus the base credit, leaves distinguishable") {
+    val edges = Seq("a" -> "b", "b" -> "c").toDF("s", "t")
+    val out = Graph.katzCentrality(edges, "s", "t", alpha = 0.1,
+        iters = 3)
+      .as[(String, Double)].collect().toMap
+    // x1 = (1.1, 1.2, 1.1); x2 = (1.12, 1.22, 1.12);
+    // x3 = (1.122, 1.224, 1.122)
+    assert(out === Map("a" -> 1.122, "b" -> 1.224, "c" -> 1.122),
+      out.toString)
+  }
 }

@@ -272,4 +272,27 @@ class ScoringSpec extends SparkTestBase {
         Seq("click", "purchase"), "purchase") // conversion as channel
     }
   }
+  // ---- burnRateAlerts ----
+
+  test("burnRateAlerts: exact window burns, both-window gating, " +
+      "incomplete frames never alert") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def day(d: Int, bad: Int, total: Int) = (1 to total).map { i =>
+      (Timestamp.valueOf(f"2024-02-$d%02d 10:00:00"), i <= bad)
+    }
+    val ev = (day(1, 0, 10) ++ day(2, 5, 10) ++ day(3, 10, 10) ++
+      day(4, 10, 10)).toDF("ts", "bad")
+    val out = EventWindows.burnRateAlerts(ev, "ts", col("bad"),
+        budget = 0.5, shortDays = 2, longDays = 3,
+        shortThreshold = 1.2, longThreshold = 0.9)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // d3: short (5+10)/20/0.5 = 1.5, long (0+5+10)/30/0.5 = 1.0
+    assert(out("2024-02-03") == ((1.5, 1.0, true)), out.toString)
+    // d4: short 2.0, long (5+10+10)/30/0.5
+    assert(out("2024-02-04") == ((2.0, 1.666667, true)))
+    // frames incomplete on days 1-2 -> never alert
+    assert(!out("2024-02-01")._3 && !out("2024-02-02")._3)
+  }
 }

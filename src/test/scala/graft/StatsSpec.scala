@@ -4248,4 +4248,48 @@ class StatsSpec extends SparkTestBase {
         assert(!r.getAs[Boolean](c), s"B$i $c"))
     }
   }
+  test("synthControl: a planted exact pre-fit projects a zero pre-gap " +
+      "and recovers the post shift") {
+    import spark.implicits._
+    import java.sql.Date
+    // treated = 2 + 1*d1 exactly in pre; +5 level shift in post
+    val rows = (1 to 20).flatMap { t =>
+      val d = Date.valueOf(f"2024-03-$t%02d")
+      val d1 = 3.0 + (t % 7) * 0.5
+      val d2 = 1.0 + (t % 5) * 0.25
+      val d3 = 2.0 + (t % 3) * 1.5
+      val y = 2.0 + d1 + (if (t >= 11) 5.0 else 0.0)
+      Seq(("y", d, y), ("a", d, d1), ("b", d, d2), ("c", d, d3))
+    }.toDF("u", "d", "v")
+    val out = Stats.synthControl(rows, "u", "d", "v", "y",
+        Seq("a", "b", "c"), "2024-03-11")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    (1 to 10).foreach { t =>
+      val (gap, post) = out(f"2024-03-$t%02d")
+      assert(!post && gap == 0.0, s"pre day $t gap $gap")
+    }
+    (11 to 20).foreach { t =>
+      val (gap, post) = out(f"2024-03-$t%02d")
+      assert(post && math.abs(gap - 5.0) < 1e-6, s"post day $t gap $gap")
+    }
+  }
+
+  test("prrPanel: hand 2x2 cells; degenerate zero-flag items NULL") {
+    import spark.implicits._
+    val rows = (Seq.fill(4)(("A", true)) ++ Seq.fill(6)(("A", false)) ++
+      Seq.fill(2)(("B", true)) ++ Seq.fill(18)(("B", false)) ++
+      Seq.fill(3)(("C", false))).toDF("i", "f")
+    val out = Stats.prrPanel(rows, "i", col("f"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A") // a=4 b=6, rest: c=2 flagged, d=18+3 unflagged
+    assert(a.getLong(1) == 10L && a.getLong(2) == 4L)
+    // PRR = (4/10)/(2/23) = 4.6; ROR = 4*21/(6*2) = 7
+    assert(a.getDouble(3) == 4.6 && a.getDouble(4) == 7.0, a.toString)
+    assert(a.getDouble(5) == 0.999646 && a.getDouble(6) == 21.167491,
+      a.toString)
+    // C has zero flags -> every estimate NULL
+    val cRow = out("C")
+    assert(cRow.isNullAt(3) && cRow.isNullAt(5), cRow.toString)
+  }
 }

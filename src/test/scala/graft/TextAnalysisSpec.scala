@@ -953,4 +953,15 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Map(1L -> ((2L, 0.666667)), 3L -> ((2L, 1.0))),
       out.toString)
   }
+  test("lexicalRichness: hand counts — hapax, Yule's K, Simpson's D") {
+    import spark.implicits._
+    val docs = Seq(("L", "a a b"), ("L", "c")).toDF("g", "text")
+    // counts: a2 b1 c1 -> N=4 V=3 V1=2, sum c^2 = 6, sum c(c-1) = 2
+    val r = TextAnalysis.lexicalRichness(docs, "g", "text")
+      .collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.666667, r.toString)
+    assert(r.getDouble(4) == 1250.0, r.toString)
+    assert(r.getDouble(5) == 0.166667, r.toString)
+  }
 }
