@@ -256,7 +256,12 @@ object Bench {
       // iterative-GLM/MM class (r16 verdict item 5): driver runs landed
       // first-touch JIT on these (q_bradley_terry 3.2-3.4 s driver vs
       // 2.06-2.12 s judge solo steady); two reps report the solo band
-      "q_bradley_terry", "q_logistic2", "q_aipw", "q_psm_ate")
+      "q_bradley_terry", "q_logistic2", "q_aipw", "q_psm_ate",
+      // round-17 iterative additions: the Leiden/Katz/SSSP graph
+      // members and the ALS/GMM alternation family share the same
+      // first-touch profile as their judged siblings
+      "q_leiden", "q_katz", "q_sssp", "q_link_pred_jaccard",
+      "q_gmm", "q_als", "q_als_recs", "q_rec_eval_als")
     // First pass: time every query once, in name order; family
     // members get the second rep immediately (same warmed state).
     // flaky accounting (r16 ADVICE): a rep-2 failure after a rep-1 pass

@@ -984,4 +984,41 @@ object RankEval {
       .select(col("i").as("item"), col("n_games"), col("n_wins"),
         round(col("_s"), 6).cast("double").as("score"))
   }
+  /** Quadratic-WEIGHTED Cohen's kappa for ORDINAL raters — partial
+    * credit by squared distance, the agreement standard for graded
+    * labels (quality tiers, severity scores) where plain
+    * [[cohensKappa]] treats off-by-one like opposite-ends:
+    * κ_w = 1 − Σ(i−j)²·o_ij / Σ(i−j)²·e_ij with e from the marginal
+    * product; the usual (k−1)² weight normalization cancels in the
+    * ratio, so EVERYTHING is exact integer arithmetic — numerator
+    * from the confusion cells, denominator from the marginals grid
+    * (category-vocabulary-sized cross join), one rounded division:
+    * κ_w = 1 − n·Σ(i−j)²o / Σ(i−j)²·na_i·nb_j. Perfect chance
+    * disagreement 0 → NULL. Output: (n, kappa_w).
+    */
+  def weightedKappa(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(raterA.cast("long").as("ca"),
+        raterB.cast("long").as("cb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .groupBy("ca", "cb").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // marginals + numerator both read it
+    val num = cells.agg(
+      sum(((col("ca") - col("cb")) * (col("ca") - col("cb"))
+        * col("n")).cast(dec)).as("_num"),
+      sum(col("n").cast(dec)).as("_n"))
+    val aMarg = cells.groupBy("ca").agg(sum("n").as("na"))
+    val bMarg = cells.groupBy("cb").agg(sum("n").as("nb"))
+    val den = aMarg.crossJoin(bMarg)
+      .agg(sum(((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .cast(dec) * col("na") * col("nb")).as("_den"))
+    num.crossJoin(broadcast(den))
+      .select(col("_n").cast("bigint").as("n"),
+        when(col("_den").cast("double") > 0.0,
+          round(lit(1.0) - col("_n").cast("double")
+            * col("_num").cast("double") / col("_den").cast("double"),
+            6))
+          .cast("double").as("kappa_w"))
+  }
 }

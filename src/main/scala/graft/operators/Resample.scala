@@ -2284,4 +2284,76 @@ object Resample {
       coalesce(col("_e6") > col("_ucl") || col("_e6") < col("_lcl"),
         lit(false)).as("out_of_control")): _*)
   }
+  /** Per-key LOCAL-LEVEL KALMAN FILTER — the optimal recursive
+    * smoother for "true level + observation noise" series, the
+    * principled upgrade over [[ewma]]'s fixed gain (the Kalman gain
+    * ADAPTS: high while uncertainty is high after initialization or
+    * gaps, settling to the steady-state gain the noise ratio q/r
+    * implies):
+    *
+    *   init at the first non-null x: level = x, P = r
+    *   per step: P⁻ = P + q;  K = P⁻/(P⁻ + r);
+    *             level += K·(x − level);  P = (1−K)·P⁻
+    *
+    * Every state (level, P, K) re-freezes at 6 dp per step (BigDecimal
+    * HALF_UP — the [[holt]] discipline), so a recursive-CTE oracle
+    * reproduces the doubles bit-exactly. NULL observations propagate
+    * the prediction step only (P grows, level holds — the missing-data
+    * handling EWMA can't express). Same honest distributed shape as
+    * [[ewma]]: one hash shuffle, in-partition sort, O(1) state.
+    *
+    * Appends (levelCol, gain) to the input rows; NULL until the key's
+    * first non-null value.
+    */
+  def kalmanLocalLevel(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, q: Double, r: Double,
+      levelCol: String = "level", gainCol: String = "gain"): DataFrame = {
+    require(q > 0.0 && r > 0.0,
+      s"kalmanLocalLevel: q and r must be > 0, got ($q, $r)")
+    require(orderCols.nonEmpty, "kalmanLocalLevel needs an order column")
+    require(!df.columns.contains(levelCol) && !df.columns.contains(gainCol),
+      s"input already has '$levelCol'/'$gainCol'; pass different out cols")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++
+      Seq(org.apache.spark.sql.types.StructField(levelCol,
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField(gainCol,
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val ki = df.schema.fieldIndex(keyCol)
+    val Seq(xc) = Cols.fresh("kal", 1, df)
+    val sorted = df
+      .repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .withColumn(xc, col(valueCol).cast("double"))
+    val vi = sorted.schema.fieldIndex(xc)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var level: java.lang.Double = null
+      var p = 0.0
+      it.map { row =>
+        val k = row.get(ki)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; level = null; p = 0.0
+        }
+        var gain: java.lang.Double = null
+        if (!row.isNullAt(vi)) {
+          val x = row.getDouble(vi)
+          if (level == null) { level = r6(x); p = r6(r) }
+          else {
+            val pp = r6(p + q)
+            val kk = r6(pp / (pp + r))
+            level = r6(level + kk * (x - level))
+            p = r6((1.0 - kk) * pp)
+            gain = kk
+          }
+        } else if (level != null) {
+          p = r6(p + q) // prediction-only step: uncertainty grows
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq.dropRight(1) ++ Seq(level: Any, gain: Any))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

@@ -529,4 +529,49 @@ object Scoring {
       .select(col("_u").as(userCol), col("_i").as(itemCol),
         col("score"), col("rank").cast("int").as("rank"))
   }
+  /** ABC inventory classification — the Pareto workhorse beside
+    * [[revenueConcentration]]'s curve: items ranked by exact decimal
+    * value (ties to the item id), class A while the RUNNING share of
+    * total value stays ≤ aShare, B while ≤ bShare, C after — the
+    * standard "80/95" stocking-policy cut. Shares freeze at 12 dp
+    * before the class compare, so the boundary is engine-exact.
+    *
+    * The rank/cumulative window is a SINGLE-PARTITION sort over the
+    * per-item AGGREGATE — guarded by `maxItems` (the fdrBh battery
+    * discipline): a catalog beyond the bound must bucket upstream or
+    * raise the bound knowingly, never silently single-thread a
+    * corpus. Output: (item, value, rank, cum_share, abc_class).
+    */
+  def abcClassify(df: DataFrame, itemCol: String, valueCol: String,
+      aShare: Double = 0.8, bShare: Double = 0.95,
+      maxItems: Int = 100000): DataFrame = {
+    require(aShare > 0.0 && aShare < bShare && bShare < 1.0,
+      s"abcClassify: need 0 < aShare < bShare < 1, got ($aShare, $bShare)")
+    val dec = "decimal(38,6)"
+    val items = df
+      .select(col(itemCol).as("_i"),
+        round(col(valueCol).cast("double"), 6).cast(dec).as("_v"))
+      .groupBy("_i").agg(sum("_v").as("_v"))
+    val w = Window.orderBy(col("_v").desc, col("_i").asc)
+    val all = Window.partitionBy()
+    items
+      .withColumn("rank",
+        when(count(lit(1)).over(all) > maxItems, raise_error(lit(
+          s"abcClassify: catalog exceeds $maxItems items — this " +
+            "operator ranks the per-item aggregate on one partition; " +
+            "bucket upstream or raise maxItems knowingly")).cast("long"))
+          .otherwise(row_number().over(w).cast("long")))
+      .withColumn("_cum", sum("_v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_tot", sum("_v").over(all))
+      .withColumn("cum_share",
+        round(col("_cum").cast("double") / col("_tot").cast("double"), 12))
+      .select(col("_i").as(itemCol),
+        col("_v").cast("double").as("value"),
+        col("rank"),
+        col("cum_share").cast("double").as("cum_share"),
+        when(col("cum_share") <= aShare || col("rank") === 1L, "A")
+          .when(col("cum_share") <= bShare, "B")
+          .otherwise("C").as("abc_class"))
+  }
 }

@@ -8040,4 +8040,123 @@ object Stats {
         (col("_c10") === 10 && (col("_p10") === 10 || col("_n10") === 10))
           .as("r_10x"))
   }
+  /** Bilateral price indices (Laspeyres / Paasche / Fisher) between
+    * two periods over the COMMON item basket — the econ-standard
+    * answer to "how much did prices move, holding the basket fixed":
+    * L = Σp₁q₀/Σp₀q₀ (base-period basket), P = Σp₁q₁/Σp₀q₁
+    * (current basket), F = √(L·P) (the superlative compromise).
+    * Items missing from either period drop (reported), the classic
+    * matched-model rule.
+    *
+    * Determinism: per-(item, period) unit prices are exact decimal
+    * sums / counts rounded 6; quantities exact longs; every index
+    * term p·q rounds at 12 dp into order-free decimal(38,12) folds;
+    * the indices are single rounded divisions (√ IEEE). One
+    * (item, period) aggregate + one item-keyed self-join, basket-
+    * bounded. Output: one row — (n_items, laspeyres, paasche,
+    * fisher).
+    */
+  def priceIndex(df: DataFrame, itemCol: String, periodCol: String,
+      priceCol: String, qtyCol: String): DataFrame = {
+    val dec12 = "decimal(38,12)"
+    val cells = df
+      .filter(col(priceCol).isNotNull && col(qtyCol).isNotNull)
+      .select(col(itemCol).as("_i"), col(periodCol).cast("int").as("_p"),
+        round(col(priceCol).cast("double"), 6).cast("decimal(38,6)")
+          .as("_pr"),
+        col(qtyCol).cast("long").as("_q"))
+      .groupBy("_i", "_p")
+      .agg(round(sum("_pr").cast("double") / count(lit(1)).cast("double"),
+        6).as("_price"), sum("_q").as("_qty"))
+    val p0 = cells.filter(col("_p") === 0)
+      .select(col("_i"), col("_price").as("_p0"), col("_qty").as("_q0"))
+    val p1 = cells.filter(col("_p") === 1)
+      .select(col("_i"), col("_price").as("_p1"), col("_qty").as("_q1"))
+    val joined = p0.join(p1, Seq("_i"))
+    def fold(a: Column, b: Column): Column =
+      sum(round(a * b.cast("double"), 12).cast(dec12))
+    val agg = joined.agg(count(lit(1)).as("n_items"),
+      fold(col("_p1"), col("_q0")).as("_l1"),
+      fold(col("_p0"), col("_q0")).as("_l0"),
+      fold(col("_p1"), col("_q1")).as("_pa1"),
+      fold(col("_p0"), col("_q1")).as("_pa0"))
+    def d(c: String): Column = col(c).cast("double")
+    val lasp = d("_l1") / d("_l0")
+    val paas = d("_pa1") / d("_pa0")
+    agg.select(col("n_items").cast("bigint").as("n_items"),
+      when(d("_l0") > 0.0, round(lasp, 6)).cast("double").as("laspeyres"),
+      when(d("_pa0") > 0.0, round(paas, 6)).cast("double").as("paasche"),
+      when(d("_l0") > 0.0 && d("_pa0") > 0.0,
+        round(sqrt(lasp * paas), 6)).cast("double").as("fisher"))
+  }
+
+  /** SEASONAL Mann–Kendall trend test — [[mannKendall]] restricted to
+    * within-season pairs (Hirsch–Slack): a weekly cycle makes the
+    * plain test see oscillation as noise (or worse, as trend); the
+    * seasonal variant compares each epoch-day cell only against cells
+    * of the SAME season (day-of-week here), S = Σ_s S_s and
+    * Var = Σ_s Var_s, z with the usual continuity correction.
+    * Same quantized exact integer cells, per-season tie correction,
+    * the same maxPoints guard. Output: (group, n_days, n_seasons, s,
+    * var_s, z).
+    */
+  def mannKendallSeasonal(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, period: Int = 7, maxPoints: Int = 2000)
+      : DataFrame = {
+    require(period >= 2 && period <= 366,
+      s"mannKendallSeasonal: period in [2, 366], got $period")
+    val dec = "decimal(38,0)"
+    val day = fdiv(unix_timestamp(col(tsCol)), lit(86400L)).cast("long")
+    val cellsRaw = df
+      .select(col(groupCol).as("_g"), day.as("_day"),
+        round(col(valueCol) * 1e6).cast("long").as("_q"))
+      .groupBy("_g", "_day").agg(sum("_q").as("_x"))
+      .withColumn("_s", pmod(col("_day"), lit(period.toLong)))
+    val cells = guardGroupSize(cellsRaw, "_x",
+      s"mannKendallSeasonal: group exceeds $maxPoints day cells — " +
+        "aggregate to coarser cells before the pairwise stage", maxPoints)
+    val a = cells.select(col("_g"), col("_s"), col("_day").as("_d1"),
+      col("_x").as("_x1"))
+    val b = cells.select(col("_g").as("_g2"), col("_s").as("_s2"),
+      col("_day").as("_d2"), col("_x").as("_x2"))
+    val sTab = a
+      .join(b, col("_g") <=> col("_g2") && col("_s") === col("_s2")
+        && col("_d1") < col("_d2"))
+      .groupBy(col("_g").as("_gs"))
+      .agg(sum(when(col("_x2") > col("_x1"), 1L)
+        .when(col("_x2") < col("_x1"), -1L).otherwise(0L))
+        .cast(dec).as("_S"))
+    val perSeason = cells.groupBy("_g", "_s")
+      .agg(count(lit(1)).as("_n"))
+    val ties = cells.groupBy(col("_g"), col("_s"), col("_x"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_g").as("_gt"), col("_s").as("_st"))
+      .agg(sum((col("_t").cast(dec) * (col("_t") - 1)
+        * (col("_t") * 2 + 5)).cast(dec)).as("_T"))
+    val varTab = perSeason
+      .join(ties, col("_g") <=> col("_gt") && col("_s") <=> col("_st"),
+        "left")
+      .groupBy(col("_g").as("_gv"))
+      .agg(sum(((col("_n").cast(dec) * (col("_n") - 1)
+          * (col("_n") * 2 + 5)).cast(dec)
+          - coalesce(col("_T"), lit(0).cast(dec))).cast(dec))
+        .as("_VN"),
+        count(lit(1)).as("_nseason"))
+    val nTab = cells.groupBy("_g").agg(count(lit(1)).as("_n"))
+    val varS = col("_VN").cast("double") / 18.0
+    val sD = col("_S").cast("double")
+    nTab
+      .join(sTab, col("_g") <=> col("_gs"), "left")
+      .join(varTab, col("_g") <=> col("_gv"), "left")
+      .select(col("_g").as(groupCol),
+        col("_n").cast("bigint").as("n_days"),
+        col("_nseason").cast("bigint").as("n_seasons"),
+        coalesce(col("_S"), lit(0).cast(dec)).cast("bigint").as("s"),
+        round(varS, 6).cast("double").as("var_s"),
+        when(varS > 0.0,
+          when(col("_S") > 0, round((sD - 1.0) / sqrt(varS), 6))
+            .when(col("_S") < 0, round((sD + 1.0) / sqrt(varS), 6))
+            .otherwise(lit(0.0)))
+          .cast("double").as("z"))
+  }
 }

@@ -325,6 +325,31 @@ object AnalyticsOps {
       recs, "cust", "part")
   }
 
+
+  /** ABC inventory classification of parts by exact decimal revenue:
+    * rank under the (revenue DESC, part) total order, class by the
+    * 12-dp-frozen running share against the 80/95 cuts — the Pareto
+    * stocking-policy workhorse beside q_pareto's curve.
+    */
+  val qAbc: QueryFn = withTables { spark =>
+    graft.operators.Scoring.abcClassify(spark.table("lineitem"),
+        "l_partkey", "l_extendedprice")
+      .orderBy("rank")
+  }
+
+  /** Quadratic-weighted Cohen's kappa between two ordinal graders of
+    * documents (char-count tier vs word-count tier): partial credit
+    * by squared distance, all-integer numerator/denominator with the
+    * (k−1)² normalization cancelling — one rounded division.
+    */
+  val qKappaWeighted: QueryFn = withTables { spark =>
+    val docs = spark.table("documents")
+      .select(least(floor(col("n_chars") / 300), lit(5L)).as("ra"),
+        least(floor(size(filter(split(lower(col("text")), " "),
+          t => t =!= "")) / lit(50)), lit(5L)).as("rb"))
+    graft.operators.RankEval.weightedKappa(docs, col("ra"), col("rb"))
+  }
+
   /** Multi-window SLO burn-rate alerts over the daily error share:
     * budget 0.2, 3-day window at threshold 1.05 AND 7-day at 1.0 —
     * the SRE-workbook paging rule; exact rolling integer sums, full
@@ -924,6 +949,8 @@ object AnalyticsOps {
     "q_rec_eval_als" -> qRecEvalAls,
     "q_shapley" -> qShapley,
     "q_burn_rate" -> qBurnRate,
+    "q_abc" -> qAbc,
+    "q_kappa_weighted" -> qKappaWeighted,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
     "q_rrf_fuse" -> qRrfFuse,
@@ -1077,6 +1104,57 @@ object AnalyticsOps {
     // The four unrolled ALS half-passes, then each observed cell's
     // dot-product reconstruction off the final uf2/if2 factors.
     "q_shapley" -> shapleyOracle,
+
+    // Exact decimal revenue per part, the same total order and
+    // 12-dp-frozen running shares, literal 80/95 cuts.
+    "q_abc" -> """
+      WITH items AS (
+        SELECT l_partkey AS i,
+               SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(38,6)))
+                 AS v
+        FROM lineitem GROUP BY l_partkey),
+      ranked AS (
+        SELECT i, v,
+               ROW_NUMBER() OVER (ORDER BY v DESC, i ASC) AS rank,
+               ROUND(CAST(SUM(v) OVER (ORDER BY v DESC, i ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / CAST(SUM(v) OVER () AS DOUBLE), 12)
+                 AS cum_share
+        FROM items)
+      SELECT i AS l_partkey, CAST(v AS DOUBLE) AS value,
+             rank::BIGINT AS rank,
+             CAST(cum_share AS DOUBLE) AS cum_share,
+             CASE WHEN cum_share <= 0.8 OR rank = 1 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+      ORDER BY rank""",
+
+    // All-integer numerator (confusion cells) and denominator
+    // (marginal grid), kappa_w = 1 - n*num/den, one rounded division.
+    "q_kappa_weighted" -> """
+      WITH g AS (
+        SELECT LEAST(CAST(FLOOR(n_chars / 300) AS BIGINT), 5) AS ra,
+               LEAST(CAST(FLOOR(LEN(LIST_FILTER(STRING_SPLIT(
+                 LOWER(text), ' '), t -> t <> '')) / 50) AS BIGINT), 5)
+                 AS rb
+        FROM documents),
+      cells AS (SELECT ra, rb, COUNT(*)::BIGINT AS n
+                FROM g GROUP BY ra, rb),
+      num AS (SELECT SUM(((ra - rb) * (ra - rb) * n)::HUGEINT) AS num,
+                     SUM(n::HUGEINT) AS n
+              FROM cells),
+      am AS (SELECT ra, SUM(n)::BIGINT AS na FROM cells GROUP BY ra),
+      bm AS (SELECT rb, SUM(n)::BIGINT AS nb FROM cells GROUP BY rb),
+      den AS (SELECT SUM(((am.ra - bm.rb) * (am.ra - bm.rb))::HUGEINT
+                       * am.na * bm.nb) AS den
+              FROM am CROSS JOIN bm)
+      SELECT CAST(num.n AS BIGINT) AS n,
+             CAST(CASE WHEN CAST(den.den AS DOUBLE) > 0.0 THEN
+               ROUND(1.0 - CAST(num.n AS DOUBLE)
+                 * CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+             END AS DOUBLE) AS kappa_w
+      FROM num CROSS JOIN den""",
 
     // Exact daily bad/total counts, rolling integer window sums, one
     // rounded division per window, full-frame gating, frozen compares.

@@ -788,6 +788,25 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Croston with the Syntetos–Boylan approximation: the judged
+    * q_croston recursion plus the (1 − α/2) bias correction — the
+    * standard intermittent-demand estimator pair.
+    */
+  val qCrostonSba: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(when(col("value") > 300, 1L).otherwise(0L))
+        .cast("double").as("x"))
+    graft.operators.Resample.crostonForecast(daily, "event_type",
+        Seq("d"), "x", alpha = 0.4)
+      .withColumn("sba",
+        when(col("size_level").isNotNull,
+          round(lit(1.0 - 0.4 / 2.0)
+            * (col("size_level") / col("interval_level")), 6))
+          .cast("double"))
+      .orderBy("event_type")
+  }
+
   /** Multiplicative Holt–Winters (weekly seasonal) 7-step forecast of
     * the strictly-positive daily spend series — the proportional-
     * seasonality twin of q_hw_forecast: ratio seasonal ring, 6-dp
@@ -1082,6 +1101,47 @@ object StatsOps {
       .select(col("p_brand"), col("l_returnflag"))
     Stats.prrPanel(li, "p_brand", col("l_returnflag") === "R")
       .orderBy("p_brand")
+  }
+
+
+  /** Local-level Kalman filter over the daily mean spend per type:
+    * adaptive-gain smoothing with 6-dp-frozen (level, P, K) per step —
+    * the principled upgrade over the fixed-gain EWMA; oracle replays
+    * the recursion in a recursive CTE.
+    */
+  val qKalman: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    Resample.kalmanLocalLevel(daily, "event_type", Seq("d"), "v",
+        q = 0.5, r = 4.0)
+      .select(col("event_type"), col("d"),
+        col("v").cast("double").as("v"), col("level"), col("gain"))
+      .orderBy("event_type", "d")
+  }
+
+  /** Laspeyres/Paasche/Fisher price indices between the two mod-2
+    * order halves over the common part basket: exact matched-model
+    * unit prices and quantities, 12-dp-frozen p·q folds.
+    */
+  val qPriceIndex: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .select(col("l_partkey").as("item"),
+        (col("l_orderkey") % 2).cast("int").as("period"),
+        (col("l_extendedprice") / col("l_quantity")).as("price"),
+        col("l_quantity").as("qty"))
+    Stats.priceIndex(li, "item", "period", "price", "qty")
+  }
+
+  /** Seasonal (weekly) Mann–Kendall trend test on daily spend per
+    * type: within-season pairs only, per-season tie-corrected
+    * variance summed, the continuity-corrected z.
+    */
+  val qMkSeasonal: QueryFn = withTables { spark =>
+    Stats.mannKendallSeasonal(spark.table("events"), "event_type",
+        "ts", "value", period = 7)
+      .orderBy("event_type")
   }
 
   /** Effective sample size of the daily spend series per event type
@@ -2352,6 +2412,10 @@ object StatsOps {
     "q_cochrane_orcutt" -> qCochraneOrcutt,
     "q_westgard" -> qWestgard,
     "q_synth_control" -> qSynthControl,
+    "q_kalman" -> qKalman,
+    "q_price_index" -> qPriceIndex,
+    "q_mk_seasonal" -> qMkSeasonal,
+    "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
     "q_ess" -> qEss,
     "q_holt_forecast" -> qHoltForecast,
@@ -6785,6 +6849,138 @@ object StatsOps {
              (c10 = 10 AND (p10 = 10 OR n10 = 10)) AS r_10x
       FROM fl ORDER BY event_type, d""",
 
+    // The exact daily means, then the 6-dp-frozen Kalman recursion
+    // (level, P, K) carried through a recursive CTE.
+    "q_kalman" -> """
+      WITH RECURSIVE daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, v,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM daily),
+      rec AS (
+        SELECT g, i, d, v, ROUND(v, 6) AS level,
+               CAST(4.0 AS DOUBLE) AS p,
+               CAST(NULL AS DOUBLE) AS k
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i, si.d, si.v,
+               ROUND(r.level
+                 + ROUND(ROUND(r.p + 0.5, 6)
+                     / (ROUND(r.p + 0.5, 6) + 4.0), 6)
+                   * (si.v - r.level), 6),
+               ROUND((1.0 - ROUND(ROUND(r.p + 0.5, 6)
+                     / (ROUND(r.p + 0.5, 6) + 4.0), 6))
+                 * ROUND(r.p + 0.5, 6), 6),
+               ROUND(ROUND(r.p + 0.5, 6)
+                 / (ROUND(r.p + 0.5, 6) + 4.0), 6)
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1)
+      SELECT g AS event_type, d, CAST(v AS DOUBLE) AS v,
+             CAST(level AS DOUBLE) AS level, CAST(k AS DOUBLE) AS gain
+      FROM rec
+      ORDER BY event_type, d""",
+
+    // Matched-model basket between the mod-2 halves: exact unit
+    // prices (decimal mean, 6 dp), exact quantities, 12-dp frozen
+    // p·q folds, three rounded index trees.
+    "q_price_index" -> """
+      WITH li AS (
+        SELECT l_partkey AS i, (l_orderkey % 2)::INT AS p,
+               CAST(ROUND(l_extendedprice / l_quantity, 6)
+                 AS DECIMAL(38,6)) AS pr,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+      cells AS (
+        SELECT i, p,
+               ROUND(CAST(SUM(pr) AS DOUBLE) / COUNT(*), 6) AS price,
+               SUM(q)::BIGINT AS qty
+        FROM li GROUP BY i, p),
+      j AS (
+        SELECT a.i, a.price AS p0, a.qty AS q0, b.price AS p1,
+               b.qty AS q1
+        FROM (SELECT * FROM cells WHERE p = 0) a
+        JOIN (SELECT * FROM cells WHERE p = 1) b ON b.i = a.i),
+      agg AS (
+        SELECT COUNT(*)::BIGINT AS n_items,
+               SUM(CAST(ROUND(p1 * CAST(q0 AS DOUBLE), 12)
+                 AS DECIMAL(38,12))) AS l1,
+               SUM(CAST(ROUND(p0 * CAST(q0 AS DOUBLE), 12)
+                 AS DECIMAL(38,12))) AS l0,
+               SUM(CAST(ROUND(p1 * CAST(q1 AS DOUBLE), 12)
+                 AS DECIMAL(38,12))) AS pa1,
+               SUM(CAST(ROUND(p0 * CAST(q1 AS DOUBLE), 12)
+                 AS DECIMAL(38,12))) AS pa0
+        FROM j)
+      SELECT n_items,
+             CAST(CASE WHEN CAST(l0 AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(l1 AS DOUBLE) / CAST(l0 AS DOUBLE), 6) END
+               AS DOUBLE) AS laspeyres,
+             CAST(CASE WHEN CAST(pa0 AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(pa1 AS DOUBLE) / CAST(pa0 AS DOUBLE), 6) END
+               AS DOUBLE) AS paasche,
+             CAST(CASE WHEN CAST(l0 AS DOUBLE) > 0.0
+                        AND CAST(pa0 AS DOUBLE) > 0.0 THEN
+               ROUND(SQRT(CAST(l1 AS DOUBLE) / CAST(l0 AS DOUBLE)
+                 * (CAST(pa1 AS DOUBLE) / CAST(pa0 AS DOUBLE))), 6) END
+               AS DOUBLE) AS fisher
+      FROM agg""",
+
+    // The q_mann_kendall machinery restricted to same-season (epoch
+    // day mod 7) pairs; per-season tie-corrected variance numerators
+    // summed exactly, one /18 and the continuity-corrected z.
+    "q_mk_seasonal" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      sc AS (SELECT g, day, x,
+                    ((day % 7) + 7) % 7 AS s
+             FROM cells),
+      st AS (
+        SELECT a.g, SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                 ::HUGEINT AS sstat
+        FROM sc a JOIN sc b
+          ON a.g IS NOT DISTINCT FROM b.g AND a.s = b.s
+         AND a.day < b.day
+        GROUP BY a.g),
+      ns AS (SELECT g, s, COUNT(*)::BIGINT AS n FROM sc GROUP BY g, s),
+      ties AS (
+        SELECT g, s, SUM(t::HUGEINT * (t - 1) * (t * 2 + 5)) AS tt
+        FROM (SELECT g, s, x, COUNT(*)::BIGINT AS t
+              FROM sc GROUP BY g, s, x)
+        GROUP BY g, s),
+      vt AS (
+        SELECT ns.g,
+               SUM(ns.n::HUGEINT * (ns.n - 1) * (ns.n * 2 + 5)
+                 - COALESCE(ties.tt, 0)) AS vn,
+               COUNT(*)::BIGINT AS nseason
+        FROM ns LEFT JOIN ties
+          ON ties.g IS NOT DISTINCT FROM ns.g AND ties.s = ns.s
+        GROUP BY ns.g),
+      nt AS (SELECT g, COUNT(*)::BIGINT AS n FROM sc GROUP BY g)
+      SELECT nt.g AS event_type, nt.n AS n_days, vt.nseason AS n_seasons,
+             CAST(COALESCE(st.sstat, 0) AS BIGINT) AS s,
+             CAST(ROUND(CAST(vt.vn AS DOUBLE) / 18.0, 6) AS DOUBLE)
+               AS var_s,
+             CAST(CASE WHEN CAST(vt.vn AS DOUBLE) / 18.0 > 0.0 THEN
+               CASE WHEN st.sstat > 0 THEN
+                      ROUND((CAST(st.sstat AS DOUBLE) - 1.0)
+                        / SQRT(CAST(vt.vn AS DOUBLE) / 18.0), 6)
+                    WHEN st.sstat < 0 THEN
+                      ROUND((CAST(st.sstat AS DOUBLE) + 1.0)
+                        / SQRT(CAST(vt.vn AS DOUBLE) / 18.0), 6)
+                    ELSE 0.0 END END AS DOUBLE) AS z
+      FROM nt LEFT JOIN st ON st.g IS NOT DISTINCT FROM nt.g
+      LEFT JOIN vt ON vt.g IS NOT DISTINCT FROM nt.g
+      ORDER BY event_type""",
+
     // The q_ols_multi3 quantized Cramer machinery fitted on the
     // pre-window, 6-dp coefficients projected over the whole series;
     // gap = actual - synthetic, both from the same unrounded tree.
@@ -9184,6 +9380,53 @@ object StatsOps {
              z AS size_level, p AS interval_level,
              CAST(CASE WHEN z IS NOT NULL
                THEN ROUND(z / p, 6) END AS DOUBLE) AS forecast
+      FROM fin WHERE rn = 1
+      ORDER BY event_type""",
+
+    // The q_croston recursion verbatim plus the Syntetos-Boylan
+    // (1 - alpha/2) bias multiplier on the raw ratio.
+    "q_croston_sba" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      rec AS (
+        SELECT g, i,
+               CAST(CASE WHEN x > 0.0 THEN ROUND(x, 6) END AS DOUBLE) AS z,
+               CAST(CASE WHEN x > 0.0 THEN 1.0 END AS DOUBLE) AS p,
+               CASE WHEN x > 0.0 THEN 1 ELSE 2 END AS q,
+               CASE WHEN x > 0.0 THEN 1 ELSE 0 END::BIGINT AS nd,
+               1::BIGINT AS n
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i,
+               CASE WHEN si.x > 0.0 AND r.z IS NULL THEN ROUND(si.x, 6)
+                    WHEN si.x > 0.0
+                      THEN ROUND(0.4 * si.x + (1.0 - 0.4) * r.z, 6)
+                    ELSE r.z END,
+               CASE WHEN si.x > 0.0 AND r.z IS NULL
+                      THEN ROUND(CAST(r.q AS DOUBLE), 6)
+                    WHEN si.x > 0.0
+                      THEN ROUND(0.4 * CAST(r.q AS DOUBLE)
+                        + (1.0 - 0.4) * r.p, 6)
+                    ELSE r.p END,
+               CASE WHEN si.x > 0.0 THEN 1 ELSE r.q + 1 END,
+               r.nd + CASE WHEN si.x > 0.0 THEN 1 ELSE 0 END,
+               r.n + 1
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, n, nd, z, p,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT g AS event_type, n AS n_periods, nd AS n_demands,
+             z AS size_level, p AS interval_level,
+             CAST(CASE WHEN z IS NOT NULL
+               THEN ROUND(z / p, 6) END AS DOUBLE) AS forecast,
+             CAST(CASE WHEN z IS NOT NULL
+               THEN ROUND(0.8 * (z / p), 6) END AS DOUBLE) AS sba
       FROM fin WHERE rn = 1
       ORDER BY event_type""",
 

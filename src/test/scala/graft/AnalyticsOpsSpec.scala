@@ -989,4 +989,23 @@ class AnalyticsOpsSpec extends SparkTestBase {
       graft.operators.RankEval.bradleyTerry(games, "w", "l", maxItems = 2)
     }
   }
+  test("weightedKappa: perfect agreement 1, chance-level squared " +
+      "disagreement 0, all-integer cells") {
+    import spark.implicits._
+    val perfect = Seq((0L, 0L), (1L, 1L)).toDF("a", "b")
+    val p = graft.operators.RankEval.weightedKappa(perfect,
+      col("a"), col("b")).collect().head
+    assert(p.getLong(0) == 2L && p.getDouble(1) == 1.0, p.toString)
+    // cells (0,0)x2 and (0,2)x2: num = 8, den = 32 -> kappa_w = 0
+    val chance = Seq((0L, 0L), (0L, 0L), (0L, 2L), (0L, 2L))
+      .toDF("a", "b")
+    val c = graft.operators.RankEval.weightedKappa(chance,
+      col("a"), col("b")).collect().head
+    assert(c.getDouble(1) == 0.0, c.toString)
+    // zero chance disagreement (one category both sides) -> NULL
+    val degen = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    val d = graft.operators.RankEval.weightedKappa(degen,
+      col("a"), col("b")).collect().head
+    assert(d.isNullAt(1), d.toString)
+  }
 }

@@ -889,4 +889,23 @@ class ResampleSpec extends SparkTestBase {
       assert(r.isNullAt(r.fieldIndex("ucl")) && !r.getAs[Boolean]("out_of_control"))
     }
   }
+  test("kalmanLocalLevel: hand recursion — adaptive gain, " +
+      "prediction-only steps on nulls, frozen states") {
+    import spark.implicits._
+    val df = Seq(("A", 1, Some(10.0)), ("A", 2, Some(12.0)),
+      ("B", 1, Some(10.0)), ("B", 2, None), ("B", 3, Some(12.0)))
+      .toDF("k", "t", "x")
+    val out = Resample.kalmanLocalLevel(df, "k", Seq("t"), "x",
+        q = 1.0, r = 1.0)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // A: init (10, P=1); step: pp=2, K=2/3, level=10+K*2
+    assert(out(("A", 1)) == ((Some(10.0), None)))
+    assert(out(("A", 2)) == ((Some(11.333334), Some(0.666667))),
+      out.toString)
+    // B: the null step only grows P (1->2); then pp=3, K=0.75
+    assert(out(("B", 2)) == ((Some(10.0), None)))
+    assert(out(("B", 3)) == ((Some(11.5), Some(0.75))), out.toString)
+  }
 }

@@ -295,4 +295,26 @@ class ScoringSpec extends SparkTestBase {
     // frames incomplete on days 1-2 -> never alert
     assert(!out("2024-02-01")._3 && !out("2024-02-02")._3)
   }
+  // ---- abcClassify ----
+
+  test("abcClassify: Pareto cuts on frozen running shares; rank-1 " +
+      "always A; catalog guard loud") {
+    import spark.implicits._
+    val rows = Seq(("a", 800.0), ("b", 150.0), ("c", 30.0),
+      ("d", 20.0)).toDF("i", "v")
+    val out = Scoring.abcClassify(rows, "i", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out("a") == ((1L, 0.8, "A")) && out("b") == ((2L, 0.95, "B")))
+    assert(out("c") == ((3L, 0.98, "C")) && out("d") == ((4L, 1.0, "C")),
+      out.toString)
+    // a dominant single item stays A past the cut (rank-1 rule)
+    val dom = Seq(("x", 99.0), ("y", 1.0)).toDF("i", "v")
+    val d2 = Scoring.abcClassify(dom, "i", "v")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(d2("x") == "A" && d2("y") == "C", d2.toString)
+    intercept[Exception] {
+      Scoring.abcClassify(rows, "i", "v", maxItems = 2).collect()
+    }
+  }
 }

@@ -4292,4 +4292,35 @@ class StatsSpec extends SparkTestBase {
     val cRow = out("C")
     assert(cRow.isNullAt(3) && cRow.isNullAt(5), cRow.toString)
   }
+  test("priceIndex: matched-model hand basket — Laspeyres, Paasche, " +
+      "Fisher; unmatched items drop") {
+    import spark.implicits._
+    val rows = Seq(
+      ("x", 0, 2.0, 10L), ("x", 1, 3.0, 8L),
+      ("y", 0, 5.0, 4L), ("y", 1, 4.0, 6L),
+      ("z", 0, 9.0, 1L)) // no period-1 row -> dropped
+      .toDF("i", "p", "pr", "q")
+    val r = Stats.priceIndex(rows, "i", "p", "pr", "q").collect().head
+    // L = 46/40, P = 48/46, F = sqrt(1.2)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 1.15 && r.getDouble(2) == 1.043478,
+      r.toString)
+    assert(r.getDouble(3) == 1.095445, r.toString)
+  }
+
+  test("mannKendallSeasonal: within-season rising series — S sums " +
+      "across seasons, per-season variance, continuity-corrected z") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 6 epoch days, period 2: both seasons strictly rising -> S = 6
+    val rows = (0 until 6).map { d =>
+      ("G", new Timestamp(d * 86400000L), (d / 2 + 1).toDouble)
+    }.toDF("g", "ts", "v")
+    val r = Stats.mannKendallSeasonal(rows, "g", "ts", "v", period = 2)
+      .collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 6L, r.toString)
+    assert(r.getDouble(4) == 7.333333 && r.getDouble(5) == 1.846372,
+      r.toString)
+  }
 }
