@@ -1021,4 +1021,23 @@ object RankEval {
             6))
           .cast("double").as("kappa_w"))
   }
+  /** Kolmogorov–Smirnov MODEL statistic — the credit-scoring
+    * separation standard on [[rocCurve]]'s threshold sweep: KS =
+    * max_t |TPR(t) − FPR(t)|, with the threshold where the gap peaks
+    * (ties to the lowest edge). A binned-threshold KS, like the curve
+    * it reads — exact cells, 6-dp-frozen rates, a bins-bounded argmax
+    * window. Output: one row — (ks, at_edge, at_threshold).
+    */
+  def ksStatistic(df: DataFrame, scoreCol: String, label: Column,
+      bins: Int): DataFrame = {
+    val roc = rocCurve(df, scoreCol, label, bins)
+    roc
+      .withColumn("_d", round(abs(col("tpr") - col("fpr")), 6))
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_d").desc, col("edge").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("_d").cast("double").as("ks"),
+        col("edge").as("at_edge"),
+        col("threshold").as("at_threshold"))
+  }
 }

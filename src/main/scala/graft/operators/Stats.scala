@@ -8159,4 +8159,100 @@ object Stats {
             .otherwise(lit(0.0)))
           .cast("double").as("z"))
   }
+  /** Process-capability indices per series against declared spec
+    * limits — the manufacturing/SLO answer to "does this process FIT
+    * its tolerance band" (Westgard asks "is it in control"; Cp/Cpk
+    * ask whether in-control is good enough): Cp = (USL−LSL)/(6σ),
+    * Cpk = min(USL−μ, μ−LSL)/(3σ) — Cp the potential with perfect
+    * centering, Cpk the reality. Exact decimal power sums (6-dp
+    * values), closed-form trees rounded at 6; degenerate series
+    * (n < 2 or σ = 0) report NULL. One aggregate, scan-dominated.
+    * Output: (group, n, mean, sd, cp, cpk).
+    */
+  def processCapability(df: DataFrame, groupCol: String,
+      valueCol: String, lsl: Double, usl: Double): DataFrame = {
+    require(usl > lsl, s"processCapability: need usl > lsl, got [$lsl, $usl]")
+    val dec6 = "decimal(38,6)"
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol).cast("double"), 6).as("_v"))
+    val agg = rows
+      .withColumn("_v1", col("_v").cast(dec6))
+      .withColumn("_v2", round(col("_v") * col("_v"), 12).cast(dec12))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_n"), sum("_v1").as("_s1"),
+        sum("_v2").as("_s2"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val mean = d("_s1") / nD
+    val variance = (d("_s2") - d("_s1") * d("_s1") / nD) / (nD - 1.0)
+    val sd = sqrt(variance)
+    val ok = col("_n") >= 2 && variance > 0.0
+    agg.select(col("_g").as(groupCol), col("_n").cast("bigint").as("n"),
+      round(mean, 6).cast("double").as("mean"),
+      when(ok, round(sd, 6)).cast("double").as("sd"),
+      when(ok, round(lit(usl - lsl) / (lit(6.0) * sd), 6))
+        .cast("double").as("cp"),
+      when(ok, round(least(lit(usl) - mean, mean - lit(lsl))
+        / (lit(3.0) * sd), 6)).cast("double").as("cpk"))
+  }
+
+  /** Variance inflation factors for the 3-covariate OLS family — the
+    * multicollinearity diagnostic [[linearFitMulti3]]'s users need
+    * BEFORE trusting its t-stats: VIF_j = 1/(1−R²_j) with R²_j from
+    * regressing covariate j on the other two, all from the SAME nine
+    * quantized exact power sums (one aggregate; each auxiliary fit is
+    * a closed-form 2×2 Cramer on the centered cross-products).
+    * Degenerate auxiliary systems (det ≤ 0, zero target variance, or
+    * R² rounding to 1) report NULL. Output: one row per covariate —
+    * (covariate, r2, vif).
+    */
+  def vif3(df: DataFrame, xCols: Seq[String]): DataFrame = {
+    require(xCols.size == 3, s"vif3: exactly 3 covariates, got ${xCols.size}")
+    val Seq(x1c, x2c, x3c) = xCols
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(x1c).isNotNull && col(x2c).isNotNull
+        && col(x3c).isNotNull)
+      .select(round(col(x1c) * 1e6).cast("long").as("_x1"),
+        round(col(x2c) * 1e6).cast("long").as("_x2"),
+        round(col(x3c) * 1e6).cast("long").as("_x3"))
+    def m(a: String, b: String): Column =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val sums = rows.agg(count(lit(1)).as("n"),
+      sum(col("_x1").cast(dec)).as("_s1"),
+      sum(col("_x2").cast(dec)).as("_s2"),
+      sum(col("_x3").cast(dec)).as("_s3"),
+      m("_x1", "_x1").as("_s11"), m("_x2", "_x2").as("_s22"),
+      m("_x3", "_x3").as("_s33"), m("_x1", "_x2").as("_s12"),
+      m("_x1", "_x3").as("_s13"), m("_x2", "_x3").as("_s23"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    def cc(sab: String, sa: String, sb: String): Column =
+      nd * d(sab) - d(sa) * d(sb)
+    val s11 = cc("_s11", "_s1", "_s1")
+    val s22 = cc("_s22", "_s2", "_s2")
+    val s33 = cc("_s33", "_s3", "_s3")
+    val s12 = cc("_s12", "_s1", "_s2")
+    val s13 = cc("_s13", "_s1", "_s3")
+    val s23 = cc("_s23", "_s2", "_s3")
+    // target j on predictors (k, l): 2x2 Cramer, R² = (bk·Skj+bl·Slj)/Sjj
+    def one(name: String, sjj: Column, skk: Column, sll: Column,
+        skl: Column, skj: Column, slj: Column): DataFrame = {
+      val det = skk * sll - skl * skl
+      val bk = (skj * sll - slj * skl) / det
+      val bl = (skk * slj - skl * skj) / det
+      val r2 = (bk * skj + bl * slj) / sjj
+      val r2r = round(r2, 6)
+      sums.select(lit(name).as("covariate"),
+        when(col("n") >= 4 && det > 0.0 && sjj > 0.0, r2r)
+          .cast("double").as("r2"),
+        when(col("n") >= 4 && det > 0.0 && sjj > 0.0 && r2r < 1.0,
+          round(lit(1.0) / (lit(1.0) - r2r), 6))
+          .cast("double").as("vif"))
+    }
+    one(x1c, s11, s22, s33, s23, s12, s13)
+      .unionByName(one(x2c, s22, s11, s33, s13, s12, s23))
+      .unionByName(one(x3c, s33, s11, s22, s12, s13, s23))
+  }
 }

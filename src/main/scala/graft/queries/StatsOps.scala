@@ -1144,6 +1144,77 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+
+  /** Rank-biserial effect size beside the q_mann_whitney U test:
+    * r = 1 − 2U/(n₁n₂) — the "how often does one group beat the
+    * other" translation of U; one rounded division on the exact U.
+    */
+  val qRankBiserial: QueryFn = withTables { spark =>
+    Stats.mannWhitney(spark.table("events"), "event_type", "value")
+      .withColumn("rank_biserial",
+        when(col("n_rest") > 0,
+          round(lit(1.0) - lit(2.0) * col("u")
+            / (col("n_group") * col("n_rest")).cast("double"), 6))
+          .cast("double"))
+      .orderBy("event_type")
+  }
+
+  /** KS model statistic on the q_roc_curve sweep: max |TPR − FPR|
+    * with the peak threshold — the credit-scoring separation number.
+    */
+  val qKsModel: QueryFn = withTables { spark =>
+    graft.operators.RankEval.ksStatistic(spark.table("events"), "value",
+      coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+        % 2 === 0, lit(false)), bins = 20)
+  }
+
+  /** RiskMetrics EWMA volatility (λ = 0.94) of daily mean-spend
+    * returns per type, with the one-sided 95% VaR multiplier — the
+    * finance-standard vol tracker on the judged EWMA recursion.
+    */
+  val qRiskmetrics: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val rets = daily
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= 0.0)
+      .withColumn("ret", round(col("v") / col("_prev") - 1.0, 6))
+      .withColumn("_r2", round(col("ret") * col("ret"), 12))
+      .select("event_type", "d", "ret", "_r2")
+    Resample.ewma(rets, "event_type", Seq("d"), "_r2", alpha = 0.06,
+        outCol = "_s2")
+      .select(col("event_type"), col("d"), col("ret").cast("double")
+          .as("ret"),
+        round(sqrt(col("_s2")), 6).cast("double").as("vol"),
+        round(lit(Stats.MdeZ(("alpha", 0.10))) * sqrt(col("_s2")), 6)
+          .cast("double").as("var95"))
+      .orderBy("event_type", "d")
+  }
+
+  /** Variance inflation factors for the q_ols_multi3 covariates:
+    * each VIF from the shared nine exact power sums — the
+    * multicollinearity gate before trusting the t panel.
+    */
+  val qVif: QueryFn = withTables { spark =>
+    Stats.vif3(spark.table("lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax"))
+      .orderBy("covariate")
+  }
+
+  /** Process capability Cp/Cpk of spend per event type against the
+    * declared [0, 800] tolerance band — "is in-control good ENOUGH",
+    * the q_westgard companion.
+    */
+  val qCpk: QueryFn = withTables { spark =>
+    Stats.processCapability(spark.table("events"), "event_type",
+        "value", lsl = 0.0, usl = 800.0)
+      .orderBy("event_type")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -2415,6 +2486,11 @@ object StatsOps {
     "q_kalman" -> qKalman,
     "q_price_index" -> qPriceIndex,
     "q_mk_seasonal" -> qMkSeasonal,
+    "q_rank_biserial" -> qRankBiserial,
+    "q_ks_model" -> qKsModel,
+    "q_riskmetrics" -> qRiskmetrics,
+    "q_vif" -> qVif,
+    "q_cpk" -> qCpk,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
     "q_ess" -> qEss,
@@ -2932,6 +3008,174 @@ object StatsOps {
              CAST(CASE WHEN tp + fp > 0 THEN ROUND(CAST(tp AS DOUBLE)
                / CAST(tp + fp AS DOUBLE), 6) END AS DOUBLE) AS precision
       FROM sw CROSS JOIN mm ORDER BY edge""",
+
+    // The q_roc_curve cells/sweep, then the peak |TPR - FPR| with its
+    // threshold, ties to the lowest edge.
+    "q_ks_model" -> """
+      WITH mm AS (SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                         CAST(MAX(value) AS DOUBLE) AS hi FROM events),
+      cells AS (
+        SELECT CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(GREATEST(CAST(FLOOR((value - lo) * 20
+                   / (hi - lo)) AS INT), 0), 19) END AS bin,
+               CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k')
+                 AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS y
+        FROM events CROSS JOIN mm WHERE value IS NOT NULL),
+      agg AS (SELECT bin, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p
+              FROM cells GROUP BY bin),
+      cum AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS nl,
+               SUM(p) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS pl,
+               SUM(n) OVER () AS nt, SUM(p) OVER () AS pt
+        FROM agg WHERE 1 = 1),
+      sw AS (
+        SELECT bin, nl, pl, nt, pt,
+               pt - pl AS tp, (nt - nl) - (pt - pl) AS fp,
+               pl AS fn, nl - pl AS tn
+        FROM cum WHERE bin < 19),
+      rates AS (
+        SELECT (bin + 1)::BIGINT AS edge,
+               ROUND(lo + CAST(bin + 1 AS DOUBLE) * (hi - lo) / 20, 6)
+                 AS threshold,
+               CASE WHEN tp + fn > 0 THEN ROUND(CAST(tp AS DOUBLE)
+                 / CAST(tp + fn AS DOUBLE), 6) END AS tpr,
+               CASE WHEN fp + tn > 0 THEN ROUND(CAST(fp AS DOUBLE)
+                 / CAST(fp + tn AS DOUBLE), 6) END AS fpr
+        FROM sw CROSS JOIN mm),
+      dd AS (SELECT edge, threshold,
+                    ROUND(ABS(tpr - fpr), 6) AS d
+             FROM rates)
+      SELECT CAST(d AS DOUBLE) AS ks, at_edge, 
+             CAST(threshold AS DOUBLE) AS at_threshold
+      FROM (SELECT *, edge AS at_edge,
+                   ROW_NUMBER() OVER (ORDER BY d DESC, edge) AS rn
+            FROM dd)
+      WHERE rn = 1""",
+
+    // Lagged returns, 12-dp squared returns, the q_ewma recursion at
+    // lambda = 0.94, vol and the one-sided 95% z multiplier.
+    "q_riskmetrics" -> s"""
+      WITH RECURSIVE daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      lagd AS (SELECT g, d, v,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      rets AS (SELECT g, d,
+                      ROUND(v / pv - 1.0, 6) AS ret,
+                      ROUND(ROUND(v / pv - 1.0, 6)
+                        * ROUND(v / pv - 1.0, 6), 12) AS r2,
+                      ROW_NUMBER() OVER (PARTITION BY g ORDER BY d)
+                        AS i
+               FROM lagd WHERE pv IS NOT NULL AND pv <> 0.0),
+      rec AS (
+        SELECT g, i, d, ret, r2 AS y FROM rets WHERE i = 1
+        UNION ALL
+        SELECT rets.g, rets.i, rets.d, rets.ret,
+               CASE WHEN rets.r2 IS NULL THEN rec.y
+                    WHEN rec.y IS NULL THEN rets.r2
+                    ELSE (1.0 - 0.06) * rec.y + 0.06 * rets.r2 END
+        FROM rec JOIN rets ON rets.g = rec.g AND rets.i = rec.i + 1)
+      SELECT g AS event_type, d, CAST(ret AS DOUBLE) AS ret,
+             CAST(ROUND(SQRT(y), 6) AS DOUBLE) AS vol,
+             CAST(ROUND(${Stats.MdeZ(("alpha", 0.10))} * SQRT(y), 6)
+               AS DOUBLE) AS var95
+      FROM rec
+      ORDER BY event_type, d""",
+
+    // The q_ols_multi3 quantized power sums; each auxiliary R² a 2x2
+    // Cramer on the centered cross-products; VIF = 1/(1 - rounded R²).
+    "q_vif" -> """
+      WITH pts AS (
+        SELECT CAST(ROUND(l_quantity * 1000000.0) AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 1000000.0) AS BIGINT) AS x2,
+               CAST(ROUND(l_tax * 1000000.0) AS BIGINT) AS x3
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_tax IS NOT NULL),
+      s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+               SUM(x3::HUGEINT) AS s3,
+               SUM(x1::HUGEINT * x1) AS q11, SUM(x2::HUGEINT * x2) AS q22,
+               SUM(x3::HUGEINT * x3) AS q33, SUM(x1::HUGEINT * x2) AS q12,
+               SUM(x1::HUGEINT * x3) AS q13, SUM(x2::HUGEINT * x3) AS q23
+        FROM pts),
+      fl AS (
+        SELECT n,
+               CAST(n AS DOUBLE) * CAST(q11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS s11,
+               CAST(n AS DOUBLE) * CAST(q22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS s22,
+               CAST(n AS DOUBLE) * CAST(q33 AS DOUBLE)
+                 - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s33,
+               CAST(n AS DOUBLE) * CAST(q12 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS s12,
+               CAST(n AS DOUBLE) * CAST(q13 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s13,
+               CAST(n AS DOUBLE) * CAST(q23 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE) AS s23
+        FROM s),
+      rows3 AS (
+        SELECT 'l_quantity' AS covariate, n, s11 AS sjj, s22 AS skk,
+               s33 AS sll, s23 AS skl, s12 AS skj, s13 AS slj FROM fl
+        UNION ALL
+        SELECT 'l_discount', n, s22, s11, s33, s13, s12, s23 FROM fl
+        UNION ALL
+        SELECT 'l_tax', n, s33, s11, s22, s12, s13, s23 FROM fl),
+      g AS (
+        SELECT covariate, n, sjj, skl, skj, slj, skk, sll,
+               skk * sll - skl * skl AS det
+        FROM rows3),
+      r AS (
+        SELECT covariate, n, sjj, det,
+               CASE WHEN n >= 4 AND det > 0.0 AND sjj > 0.0 THEN
+                 ROUND((((skj * sll - slj * skl) / det) * skj
+                   + ((skk * slj - skl * skj) / det) * slj) / sjj, 6)
+               END AS r2
+        FROM g)
+      SELECT covariate,
+             CAST(r2 AS DOUBLE) AS r2,
+             CAST(CASE WHEN r2 IS NOT NULL AND r2 < 1.0 THEN
+               ROUND(1.0 / (1.0 - r2), 6) END AS DOUBLE) AS vif
+      FROM r
+      ORDER BY covariate""",
+
+    // Exact decimal power sums per type; Cp/Cpk as identically-
+    // spelled trees against the literal [0, 800] band.
+    "q_cpk" -> """
+      WITH pts AS (
+        SELECT event_type AS g, ROUND(value, 6) AS v FROM events
+        WHERE value IS NOT NULL),
+      st AS (SELECT g, COUNT(*)::BIGINT AS n,
+                    SUM(CAST(v AS DECIMAL(38,6))) AS s1,
+                    SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+             FROM pts GROUP BY g)
+      SELECT g AS event_type, n,
+             CAST(ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS mean,
+             CAST(CASE WHEN ok THEN ROUND(sd, 6) END AS DOUBLE) AS sd,
+             CAST(CASE WHEN ok THEN ROUND((800.0 - 0.0) / (6.0 * sd), 6)
+               END AS DOUBLE) AS cp,
+             CAST(CASE WHEN ok THEN
+               ROUND(LEAST(800.0 - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE),
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - 0.0)
+                 / (3.0 * sd), 6) END AS DOUBLE) AS cpk
+      FROM (
+        SELECT g, n, s1,
+               SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)) AS sd,
+               (n >= 2 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) > 0.0) AS ok
+        FROM st)
+      ORDER BY event_type""",
 
     // Per-unit pair terms frozen at 12 dp into DECIMAL(38,12); exact
     // integer marginals (the /(r-1) collapses out of row sums).
@@ -8184,6 +8428,50 @@ object StatsOps {
              CAST(CASE WHEN n_rest > 0 AND var > 0 THEN
                ROUND((u - CAST(n_group AS DOUBLE) * n_rest / 2.0)
                  / SQRT(var), 6) END AS DOUBLE) AS z
+      FROM stat
+      ORDER BY event_type""",
+
+    // The q_mann_whitney machinery plus the rank-biserial effect size
+    // r = 1 - 2U/(n1*n2), one rounded division on the exact U.
+    "q_rank_biserial" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn AS (SELECT SUM(e)::BIGINT AS n,
+                    SUM(e::HUGEINT * e * e - e)::HUGEINT AS ties
+             FROM tot),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS n_group,
+               SUM(c::HUGEINT * (2 * cbelow + e + 1))::HUGEINT AS r1d
+        FROM cells JOIN tot2 ON cells.q IS NOT DISTINCT FROM tot2.tq
+        GROUP BY g),
+      stat AS (
+        SELECT g, n_group, (n - n_group)::BIGINT AS n_rest,
+               CAST(2::HUGEINT * n_group * (n - n_group)
+                 + n_group::HUGEINT * (n_group + 1) - r1d AS DOUBLE)
+                 / 2.0 AS u,
+               CAST(n_group AS DOUBLE) * (n - n_group)
+                 * ((CAST(n AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / 12.0 AS var,
+               n
+        FROM perg CROSS JOIN nn)
+      SELECT g AS event_type, n_group, n_rest, u,
+             CAST(CASE WHEN n_rest > 0 AND var > 0 THEN
+               ROUND((u - CAST(n_group AS DOUBLE) * n_rest / 2.0)
+                 / SQRT(var), 6) END AS DOUBLE) AS z,
+             CAST(CASE WHEN n_rest > 0 THEN
+               ROUND(1.0 - 2.0 * u
+                 / CAST(n_group * n_rest AS DOUBLE), 6) END AS DOUBLE)
+               AS rank_biserial
       FROM stat
       ORDER BY event_type""",
 

@@ -1008,4 +1008,15 @@ class AnalyticsOpsSpec extends SparkTestBase {
       col("a"), col("b")).collect().head
     assert(d.isNullAt(1), d.toString)
   }
+  test("ksStatistic: a clean separator peaks where the classes " +
+      "split; ties take the lowest edge") {
+    import spark.implicits._
+    // scores 1..20, positives are the top half: KS peaks at the split
+    val df = (1 to 20).map(i => (i.toDouble, i > 10)).toDF("s", "y")
+    val r = graft.operators.RankEval.ksStatistic(df, "s", col("y"),
+      bins = 10).collect().head
+    assert(r.getDouble(0) == 1.0, r.toString) // perfect separation
+    // the earliest threshold achieving the peak wins
+    assert(r.getLong(1) == 5L, r.toString)
+  }
 }

@@ -4323,4 +4323,43 @@ class StatsSpec extends SparkTestBase {
     assert(r.getDouble(4) == 7.333333 && r.getDouble(5) == 1.846372,
       r.toString)
   }
+  test("processCapability: hand band — centered vs off-center, " +
+      "degenerate NULL") {
+    import spark.implicits._
+    // A: mean 10, sd 2 exactly (8,12,8,12...): values 8/12 x4
+    val a = Seq.fill(4)(8.0) ++ Seq.fill(4)(12.0)
+    // sd = sqrt(32*... compute: mean 10, ss = 8*4 = 32/(n-1=7)
+    val df = (a.map(("A", _)) :+ (("B", 5.0)) :+ (("B", 5.0)))
+      .toDF("g", "v")
+    val out = Stats.processCapability(df, "g", "v", lsl = 0.0,
+        usl = 20.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val aa = out("A")
+    val sd = math.sqrt(32.0 / 7.0)
+    assert(aa.getDouble(2) == 10.0)
+    assert(aa.getDouble(3) ==
+      BigDecimal(sd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // centered: cp == cpk = 20/(6 sd) = 10/(3 sd)
+    assert(aa.getDouble(4) == aa.getDouble(5), aa.toString)
+    // B: zero variance -> NULL indices
+    assert(out("B").isNullAt(3) && out("B").isNullAt(4))
+  }
+
+  test("vif3: orthogonal covariates give VIF 1; a near-duplicate " +
+      "pair inflates") {
+    import spark.implicits._
+    // x3 = x1 + tiny noise -> collinear pair; x2 independent
+    val rows = (1 to 40).map { i =>
+      val x1 = (i % 8).toDouble
+      val x2 = ((i * 7) % 5).toDouble
+      (x1, x2, x1 + (if (i % 2 == 0) 0.01 else -0.01))
+    }.toDF("x1", "x2", "x3")
+    val out = Stats.vif3(rows, Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out("x1")._2 > 100.0, s"collinear x1 must inflate: $out")
+    assert(out("x3")._2 > 100.0, s"collinear x3 must inflate: $out")
+    assert(out("x2")._2 < 1.2, s"independent x2 stays near 1: $out")
+  }
 }
