@@ -8255,4 +8255,103 @@ object Stats {
       .unionByName(one(x2c, s22, s11, s33, s13, s12, s23))
       .unionByName(one(x3c, s33, s11, s22, s12, s13, s23))
   }
+  /** X-bar / R control chart — the classic Shewhart pair beside
+    * [[westgardRules]] (z-rules on individuals) and
+    * [[processCapability]] (tolerance fit): fixed-size subgroups
+    * (the first `sampleN` observations per subgroup under the
+    * declared total order; short subgroups drop — a half subgroup
+    * has the wrong control constants), subgroup mean and range,
+    * center lines x̿ and R̄, limits x̿ ± A2·R̄ and [D3·R̄, D4·R̄]
+    * with the CALLER-DECLARED constants for its sampleN (the
+    * standard table values are the caller's contract — e.g. n=5:
+    * A2=0.577, D3=0, D4=2.114).
+    *
+    * Determinism: values freeze at 6 dp; subgroup means are exact
+    * decimal sums / sampleN; ranges exact; center lines are exact
+    * decimal means of the 6-dp-frozen statistics; every limit one
+    * rounded tree; flags compare frozen values. Output: (group,
+    * subgroup, xbar, r, ucl_x, lcl_x, ucl_r, lcl_r, out_x, out_r).
+    */
+  def xbarRChart(df: DataFrame, groupCol: String, subgroupCol: String,
+      orderCols: Seq[String], valueCol: String, sampleN: Int,
+      a2: Double, d3: Double, d4: Double): DataFrame = {
+    require(sampleN >= 2 && sampleN <= 25,
+      s"xbarRChart: sampleN in [2, 25], got $sampleN")
+    require(orderCols.nonEmpty, "xbarRChart needs order columns")
+    val dec6 = "decimal(38,6)"
+    val w = Window.partitionBy(col(groupCol), col(subgroupCol))
+      .orderBy(orderCols.map(col): _*)
+    val sample = df.filter(col(valueCol).isNotNull)
+      .withColumn("_v", round(col(valueCol).cast("double"), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= sampleN)
+    val subs = sample
+      .groupBy(col(groupCol).as("_g"), col(subgroupCol).as("_sg"))
+      .agg(count(lit(1)).as("_n"),
+        round(sum(col("_v").cast(dec6)).cast("double") / sampleN, 6)
+          .as("_xbar"),
+        round(max(col("_v")) - min(col("_v")), 6).as("_r"))
+      .filter(col("_n") === sampleN)
+      .localCheckpoint() // center lines + the chart both read it
+    val centers = subs.groupBy("_g")
+      .agg(count(lit(1)).as("_k"),
+        sum(col("_xbar").cast(dec6)).as("_sx"),
+        sum(col("_r").cast(dec6)).as("_sr"))
+      .select(col("_g"),
+        round(col("_sx").cast("double") / col("_k").cast("double"), 6)
+          .as("_xbb"),
+        round(col("_sr").cast("double") / col("_k").cast("double"), 6)
+          .as("_rb"))
+    val uclX = round(col("_xbb") + lit(a2) * col("_rb"), 6)
+    val lclX = round(col("_xbb") - lit(a2) * col("_rb"), 6)
+    val uclR = round(lit(d4) * col("_rb"), 6)
+    val lclR = round(lit(d3) * col("_rb"), 6)
+    subs.join(broadcast(centers), "_g")
+      .select(col("_g").as(groupCol), col("_sg").as(subgroupCol),
+        col("_xbar").cast("double").as("xbar"),
+        col("_r").cast("double").as("r"),
+        uclX.cast("double").as("ucl_x"), lclX.cast("double").as("lcl_x"),
+        uclR.cast("double").as("ucl_r"), lclR.cast("double").as("lcl_r"),
+        (col("_xbar") > uclX || col("_xbar") < lclX).as("out_x"),
+        (col("_r") > uclR || col("_r") < lclR).as("out_r"))
+  }
+
+  /** One-sweep MEDIAN POLISH of a two-way grid (Tukey): row effects =
+    * row medians, column effects = column medians of the row-centered
+    * residuals, cell residual = value − row − col — the robust
+    * two-way decomposition that shrugs off the outlier cells a
+    * mean-based ANOVA table smears everywhere. One sweep is the
+    * judged fixed-iteration contract (full polish iterates to
+    * convergence; the first sweep already carries the diagnostic
+    * signal and is deterministic).
+    *
+    * Determinism: cell values freeze at 6 dp; medians are the exact
+    * interpolated order statistics both engines share (the
+    * q_rolling_median precedent); every effect/residual re-freezes at
+    * 6 dp. Two median aggregates + two broadcast joins, grid-sized.
+    * Output: (rowCol, colCol, value, row_effect, col_effect,
+    * residual).
+    */
+  def medianPolish(df: DataFrame, rowCol: String, colCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(rowCol).as("_r"), col(colCol).as("_c"),
+        round(col(valueCol).cast("double"), 6).as("_v"))
+    // the EXACT interpolated median (percentile, not percentile_approx
+    // — approx would break oracle parity; grid rows are small by
+    // construction, so the value-buffering cost is bounded)
+    val rowEffExact = cells.groupBy("_r")
+      .agg(round(expr("percentile(_v, 0.5)"), 6).as("_re"))
+    val centered = cells.join(broadcast(rowEffExact), "_r")
+      .withColumn("_d", round(col("_v") - col("_re"), 6))
+    val colEff = centered.groupBy("_c")
+      .agg(round(expr("percentile(_d, 0.5)"), 6).as("_ce"))
+    centered.join(broadcast(colEff), "_c")
+      .select(col("_r").as(rowCol), col("_c").as(colCol),
+        col("_v").cast("double").as("value"),
+        col("_re").cast("double").as("row_effect"),
+        col("_ce").cast("double").as("col_effect"),
+        round(col("_d") - col("_ce"), 6).cast("double").as("residual"))
+  }
 }

@@ -404,6 +404,21 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+
+  /** Connected-component SIZE DISTRIBUTION of the mod-7 co-order
+    * graph — the corpus-structure diagnostic duplicate-cluster work
+    * keys on (one giant component vs many islands changes every
+    * downstream sampling decision): min-label components, exact size
+    * histogram.
+    */
+  val qComponentSizes: QueryFn = withTablesSf { (spark, sfDir) =>
+    val edges = coOrderParts(spark, sfDir, 7)
+    graft.operators.Clustering.connectedComponents(edges, "a", "b")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+  }
+
   /** 3-round multi-source Bellman–Ford on the weighted mod-7 co-order
     * graph (co-occurrence counts as transfer costs, every part key
     * divisible by 25 a depot seed): exact for every weighted shortest
@@ -642,6 +657,7 @@ object GraphOps {
     "q_leiden" -> qLeiden,
     "q_sssp" -> qSssp,
     "q_katz" -> qKatz,
+    "q_component_sizes" -> qComponentSizes,
     "q_kcore" -> qKcore,
     "q_pagerank_weighted" -> qPageRankWeighted,
     "q_clustering_coef" -> qClusteringCoef,
@@ -1159,6 +1175,28 @@ object GraphOps {
 
     // The q_eigenvector graph CTEs; three unrolled attenuated passes:
     // 12-dp frozen decimal neighbor sums, x' = round(0.1*sum + 1, 12).
+    "q_component_sizes" -> """
+      WITH RECURSIVE li AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (SELECT a AS v, b AS n FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+      verts AS (SELECT DISTINCT v FROM sym),
+      reach AS (
+        SELECT v, v AS w FROM verts
+        UNION
+        SELECT e.v, r.w FROM sym e JOIN reach r ON r.v = e.n),
+      lbl AS (SELECT v, MIN(w) AS c FROM reach GROUP BY v),
+      sizes AS (SELECT c, COUNT(*)::BIGINT AS size FROM lbl GROUP BY c)
+      SELECT size, COUNT(*)::BIGINT AS n_components
+      FROM sizes GROUP BY size
+      ORDER BY size""",
+
     "q_katz" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                   FROM lineitem WHERE l_orderkey % 5 = 0),

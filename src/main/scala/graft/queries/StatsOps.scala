@@ -1215,6 +1215,35 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+
+  /** X-bar/R Shewhart chart over daily 5-sample subgroups of spend
+    * per type (first five events per day under the event order):
+    * exact subgroup means/ranges, n=5 constants A2/D3/D4 declared,
+    * frozen-value flags — the subgroup SPC pair beside q_westgard's
+    * individual rules.
+    */
+  val qXbarR: QueryFn = withTables { spark =>
+    val ev = spark.table("events").withColumn("d", col("ts").cast("date"))
+    Stats.xbarRChart(ev, "event_type", "d", Seq("ts", "event_id"),
+        "value", sampleN = 5, a2 = 0.577, d3 = 0.0, d4 = 2.114)
+      .orderBy("event_type", "d")
+  }
+
+  /** One-sweep Tukey median polish of the (event_type × day-of-week)
+    * mean-spend grid: row/column effects as exact odd-count medians,
+    * 6-dp-frozen residuals — the robust two-way decomposition.
+    */
+  val qMedianPolish: QueryFn = withTables { spark =>
+    val grid = spark.table("events")
+      .groupBy(col("event_type"),
+        pmod(datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01"))), lit(7)).cast("int").as("dow"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    Stats.medianPolish(grid, "event_type", "dow", "v")
+      .orderBy("event_type", "dow")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -2491,6 +2520,8 @@ object StatsOps {
     "q_riskmetrics" -> qRiskmetrics,
     "q_vif" -> qVif,
     "q_cpk" -> qCpk,
+    "q_xbar_r" -> qXbarR,
+    "q_median_polish" -> qMedianPolish,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
     "q_ess" -> qEss,
@@ -3176,6 +3207,70 @@ object StatsOps {
                  / (CAST(n AS DOUBLE) - 1.0) > 0.0) AS ok
         FROM st)
       ORDER BY event_type""",
+
+    // First-five-per-day subgroups under the event total order, exact
+    // means/ranges, decimal center lines, literal n=5 constants.
+    "q_xbar_r" -> """
+      WITH sample AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS sg,
+               ROUND(value, 6) AS v,
+               ROW_NUMBER() OVER (PARTITION BY event_type,
+                 CAST(ts AS DATE)
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events WHERE value IS NOT NULL),
+      subs AS (
+        SELECT g, sg, COUNT(*)::BIGINT AS n,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / 5,
+                 6) AS xbar,
+               ROUND(MAX(v) - MIN(v), 6) AS r
+        FROM sample WHERE rn <= 5 GROUP BY g, sg),
+      fs AS (SELECT * FROM subs WHERE n = 5),
+      cen AS (
+        SELECT g,
+               ROUND(CAST(SUM(CAST(xbar AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS xbb,
+               ROUND(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS rb
+        FROM fs GROUP BY g)
+      SELECT fs.g AS event_type, fs.sg AS d,
+             CAST(xbar AS DOUBLE) AS xbar, CAST(r AS DOUBLE) AS r,
+             CAST(ROUND(xbb + 0.577 * rb, 6) AS DOUBLE) AS ucl_x,
+             CAST(ROUND(xbb - 0.577 * rb, 6) AS DOUBLE) AS lcl_x,
+             CAST(ROUND(2.114 * rb, 6) AS DOUBLE) AS ucl_r,
+             CAST(ROUND(0.0 * rb, 6) AS DOUBLE) AS lcl_r,
+             (xbar > ROUND(xbb + 0.577 * rb, 6)
+              OR xbar < ROUND(xbb - 0.577 * rb, 6)) AS out_x,
+             (r > ROUND(2.114 * rb, 6) OR r < ROUND(0.0 * rb, 6))
+               AS out_r
+      FROM fs JOIN cen ON cen.g = fs.g
+      ORDER BY event_type, d""",
+
+    // Exact daily-mean grid, odd-count exact medians per row then per
+    // column of the centered residuals, 6-dp frozen at every step.
+    "q_median_polish" -> """
+      WITH grid AS (
+        SELECT event_type AS r0,
+               (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 % 7)::INT AS c0,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v0
+        FROM events GROUP BY 1, 2),
+      cells AS (SELECT r0, c0, ROUND(v0, 6) AS v FROM grid),
+      re AS (SELECT r0, ROUND(MEDIAN(v), 6) AS re
+             FROM cells GROUP BY r0),
+      cent AS (
+        SELECT c.r0, c.c0, c.v, re.re,
+               ROUND(c.v - re.re, 6) AS d
+        FROM cells c JOIN re ON re.r0 = c.r0),
+      ce AS (SELECT c0, ROUND(MEDIAN(d), 6) AS ce
+             FROM cent GROUP BY c0)
+      SELECT cent.r0 AS event_type, cent.c0 AS dow,
+             CAST(v AS DOUBLE) AS value,
+             CAST(re AS DOUBLE) AS row_effect,
+             CAST(ce.ce AS DOUBLE) AS col_effect,
+             CAST(ROUND(d - ce.ce, 6) AS DOUBLE) AS residual
+      FROM cent JOIN ce ON ce.c0 = cent.c0
+      ORDER BY event_type, dow""",
 
     // Per-unit pair terms frozen at 12 dp into DECIMAL(38,12); exact
     // integer marginals (the /(r-1) collapses out of row sums).

@@ -4362,4 +4362,43 @@ class StatsSpec extends SparkTestBase {
     assert(out("x3")._2 > 100.0, s"collinear x3 must inflate: $out")
     assert(out("x2")._2 < 1.2, s"independent x2 stays near 1: $out")
   }
+  test("xbarRChart: hand subgroups — first-5 sampling, short subgroups " +
+      "drop, shifted subgroup flags on both charts") {
+    import spark.implicits._
+    val rows =
+      (1 to 5).map(i => ("A", "s1", i, i.toDouble)) ++
+      Seq(("A", "s1", 6, 99.0)) ++ // 6th observation never sampled
+      (1 to 5).map(i => ("A", "s2", i, 3.0)) ++
+      (1 to 4).map(i => ("A", "s3", i, 10.0)) ++ // short -> dropped
+      (1 to 5).map(i => ("A", "s4", i, 9.0))
+    val out = Stats.xbarRChart(rows.toDF("g", "sg", "o", "v"),
+        "g", "sg", Seq("o"), "v", sampleN = 5,
+        a2 = 0.577, d3 = 0.0, d4 = 2.114)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(!out.contains("s3"), "short subgroup must drop")
+    // xbars 3/3/9, ranges 4/0/0 -> xbb 5, rbar 1.333333
+    assert(out("s1").getDouble(2) == 3.0 && out("s1").getDouble(3) == 4.0)
+    assert(out("s1").getDouble(4) == 5.769333
+      && out("s1").getDouble(5) == 4.230667, out("s1").toString)
+    assert(out("s1").getDouble(6) == 2.818666)
+    // s4's shifted mean flags X; s1's spread flags R; flat s2 centers
+    assert(out("s4").getAs[Boolean]("out_x"))
+    assert(out("s1").getAs[Boolean]("out_r"))
+    assert(!out("s2").getAs[Boolean]("out_r"))
+  }
+
+  test("medianPolish: hand grid — odd-row exact medians, interpolated " +
+      "column medians, additive residuals") {
+    import spark.implicits._
+    val grid = Seq(("A", 0, 1.0), ("A", 1, 2.0), ("A", 2, 30.0),
+      ("B", 0, 2.0), ("B", 1, 3.0), ("B", 2, 4.0)).toDF("r", "c", "v")
+    val out = Stats.medianPolish(grid, "r", "c", "v")
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        ((x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    // row medians 2/3; col medians of residuals -1/0/14.5
+    assert(out(("A", 0)) == ((2.0, -1.0, 0.0)), out.toString)
+    assert(out(("A", 2)) == ((2.0, 14.5, 13.5)))
+    assert(out(("B", 2)) == ((3.0, 14.5, -13.5)))
+    assert(out(("B", 1)) == ((3.0, 0.0, 0.0)))
+  }
 }
