@@ -8354,4 +8354,91 @@ object Stats {
         col("_ce").cast("double").as("col_effect"),
         round(col("_d") - col("_ce"), 6).cast("double").as("residual"))
   }
+  /** Hurst exponent by rescaled-range (R/S) analysis per series — the
+    * long-memory diagnostic (H ≈ 0.5 random walk, > 0.5 persistent
+    * trends, < 0.5 mean-reverting) capacity planners and anomaly
+    * tuners read before trusting any extrapolation: for each declared
+    * window size w, split the series into FULL consecutive w-blocks,
+    * per block R = range of the cumulative mean-deviations and S the
+    * population sd, average the 6-dp R/S ratios per w, and H = the
+    * OLS slope of ln(R/S) on ln(w) over the declared scales (ln w
+    * interpolated as Scala-computed literal digits — identical on
+    * both engines).
+    *
+    * Determinism: values freeze at 6 dp; block sums fold exact
+    * decimals; cumulative deviations are 12-dp closed trees off the
+    * exact running sum; every ratio/effect re-freezes (6 dp) before
+    * the next stage; the final slope folds 12-dp decimal terms.
+    * Zero-sd blocks drop; scales whose mean R/S degenerates to ≤ 0
+    * drop (reported via n_scales); < 2 surviving scales → NULL H.
+    * Scale shape: per window size one block aggregate + one in-block
+    * running window + one per-series fold — series-bounded, nothing
+    * collected. Output: (group, n_scales, hurst).
+    */
+  def hurstRS(df: DataFrame, groupCol: String, orderCol: String,
+      valueCol: String, windows: Seq[Int] = Seq(5, 10, 15)): DataFrame = {
+    require(windows.size >= 2 && windows.distinct.size == windows.size
+        && windows.forall(_ >= 4),
+      s"hurstRS: need >= 2 distinct window sizes >= 4, got $windows")
+    val dec6 = "decimal(38,6)"
+    val dec12 = "decimal(38,12)"
+    val base = df.filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(orderCol).as("_o"),
+        round(col(valueCol).cast("double"), 6).as("_x"))
+      .withColumn("_i", row_number().over(
+        Window.partitionBy("_g").orderBy("_o")))
+      .localCheckpoint() // every window size re-reads it
+    def d(c: String): Column = col(c).cast("double")
+    val perW = windows.map { w =>
+      val wD = w.toDouble
+      val blocks = base.withColumn("_b", ((col("_i") - 1) / w).cast("long"))
+      val wIn = Window.partitionBy("_g", "_b").orderBy("_i")
+      val stats = blocks
+        .withColumn("_x1", col("_x").cast(dec6))
+        .withColumn("_x2", round(col("_x") * col("_x"), 12).cast(dec12))
+        .groupBy("_g", "_b")
+        .agg(count(lit(1)).as("_n"), sum("_x1").as("_s1"),
+          sum("_x2").as("_s2"))
+        .filter(col("_n") === w)
+        .select(col("_g"), col("_b"),
+          round(d("_s1") / lit(wD), 6).as("_mu"),
+          {
+            val v = (d("_s2") - d("_s1") * d("_s1") / lit(wD)) / lit(wD)
+            when(v > 0.0, round(sqrt(v), 6)).as("_sd")
+          })
+      val rs = blocks
+        .join(stats, Seq("_g", "_b"))
+        .withColumn("_run", sum(col("_x").cast(dec6)).over(wIn))
+        .withColumn("_k", row_number().over(wIn))
+        .withColumn("_cum",
+          round(col("_run").cast("double") - col("_k") * col("_mu"), 12))
+        .groupBy("_g", "_b")
+        .agg(max("_cum").as("_mx"), min("_cum").as("_mn"),
+          max("_sd").as("_sdv"))
+        .filter(col("_sdv").isNotNull)
+        .withColumn("_rs", round((col("_mx") - col("_mn")) / col("_sdv"), 6))
+      rs.groupBy("_g")
+        .agg(round(sum(col("_rs").cast(dec6)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("_mrs"))
+        .select(col("_g"), lit(math.log(wD)).as("_lnw"), col("_mrs"))
+    }.reduce(_ unionByName _)
+    perW.filter(col("_mrs") > 0.0)
+      .withColumn("_lnrs", round(log(col("_mrs")), 12))
+      .withColumn("_tx", round(col("_lnw"), 12).cast(dec12))
+      .withColumn("_ty", round(col("_lnrs"), 12).cast(dec12))
+      .withColumn("_txx", round(col("_lnw") * col("_lnw"), 12).cast(dec12))
+      .withColumn("_txy", round(col("_lnw") * col("_lnrs"), 12).cast(dec12))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_scales"), sum("_tx").as("_sx"),
+        sum("_ty").as("_sy"), sum("_txx").as("_sxx"),
+        sum("_txy").as("_sxy"))
+      .select(col(groupCol), col("n_scales").cast("bigint").as("n_scales"),
+        {
+          val n = col("n_scales").cast("double")
+          val den = n * d("_sxx") - d("_sx") * d("_sx")
+          when(col("n_scales") >= 2 && den > 0.0,
+            round((n * d("_sxy") - d("_sx") * d("_sy")) / den, 6))
+            .cast("double").as("hurst")
+        })
+  }
 }

@@ -1244,6 +1244,22 @@ object StatsOps {
       .orderBy("event_type", "dow")
   }
 
+
+  /** Hurst exponent by R/S analysis over scales {5, 10, 15} on the
+    * daily mean spend per type — the long-memory diagnostic (≈0.5
+    * random walk, >0.5 persistent, <0.5 mean-reverting); exact block
+    * folds, frozen ratios, ln(w) as interpolated literal digits.
+    */
+  val qHurst: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    Stats.hurstRS(daily, "event_type", "d", "v",
+        windows = Seq(5, 10, 15))
+      .orderBy("event_type")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -2522,6 +2538,7 @@ object StatsOps {
     "q_cpk" -> qCpk,
     "q_xbar_r" -> qXbarR,
     "q_median_polish" -> qMedianPolish,
+    "q_hurst" -> qHurst,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
     "q_ess" -> qEss,
@@ -2543,6 +2560,80 @@ object StatsOps {
     "q_weighted_median" -> qWeightedMedian,
     "q_heaps" -> qHeaps)
 
+
+  // One R/S scale of the q_hurst oracle: full w-blocks, exact block
+  // sums, population sd, the 12-dp cumulative-deviation tree off the
+  // exact running sum, 6-dp ratios and their decimal mean — the
+  // hurstRS trees node for node, ln(w) as the interpolated Scala
+  // double.
+  private def hurstScaleCtes(w: Int): String = {
+    val wd = s"$w.0"
+    s"""
+      b$w AS (SELECT g, x, ((i - 1) // $w) AS b, i FROM si),
+      st$w AS (
+        SELECT g, b, COUNT(*)::BIGINT AS n,
+               SUM(CAST(x AS DECIMAL(38,6))) AS s1,
+               SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS s2
+        FROM b$w GROUP BY g, b),
+      stf$w AS (
+        SELECT g, b,
+               ROUND(CAST(s1 AS DOUBLE) / $wd, 6) AS mu,
+               CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / $wd) / $wd > 0.0
+                 THEN ROUND(SQRT((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / $wd)
+                   / $wd), 6) END AS sd
+        FROM st$w WHERE n = $w),
+      cum$w AS (
+        SELECT bb.g, bb.b, s.sd,
+               ROUND(CAST(SUM(CAST(bb.x AS DECIMAL(38,6)))
+                   OVER (PARTITION BY bb.g, bb.b ORDER BY bb.i)
+                 AS DOUBLE)
+                 - (ROW_NUMBER() OVER (PARTITION BY bb.g, bb.b
+                     ORDER BY bb.i)) * s.mu, 12) AS cum
+        FROM b$w bb JOIN stf$w s ON s.g = bb.g AND s.b = bb.b),
+      rs$w AS (
+        SELECT g, b,
+               ROUND((MAX(cum) - MIN(cum)) / MAX(sd), 6) AS rs
+        FROM cum$w WHERE sd IS NOT NULL GROUP BY g, b),
+      m$w AS (
+        SELECT g, ${math.log(w.toDouble)} AS lnw,
+               ROUND(CAST(SUM(CAST(rs AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mrs
+        FROM rs$w GROUP BY g)"""
+  }
+
+  private val hurstOracle: String = s"""
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, ROUND(v, 6) AS x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM daily),${hurstScaleCtes(5)},${hurstScaleCtes(10)},${hurstScaleCtes(15)},
+      scales AS (SELECT * FROM m5 UNION ALL SELECT * FROM m10
+                 UNION ALL SELECT * FROM m15),
+      pts AS (SELECT g, lnw, ROUND(LN(mrs), 12) AS lnrs
+              FROM scales WHERE mrs > 0.0),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(CAST(ROUND(lnw, 12) AS DECIMAL(38,12))) AS sx,
+               SUM(CAST(ROUND(lnrs, 12) AS DECIMAL(38,12))) AS sy,
+               SUM(CAST(ROUND(lnw * lnw, 12) AS DECIMAL(38,12))) AS sxx,
+               SUM(CAST(ROUND(lnw * lnrs, 12) AS DECIMAL(38,12))) AS sxy
+        FROM pts GROUP BY g)
+      SELECT g AS event_type, n AS n_scales,
+             CAST(CASE WHEN n >= 2
+                        AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+               THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             END AS DOUBLE) AS hurst
+      FROM agg ORDER BY event_type"""
+
   // The pinned MDE z-sum (z_{0.975} + z_{0.8}) — ONE Scala constant
   // interpolated into the oracle; Double.toString round-trips, so both
   // engines multiply by the identical double.
@@ -2550,6 +2641,8 @@ object StatsOps {
     Stats.MdeZ(("alpha", 0.05)) + Stats.MdeZ(("power", 0.8))
 
   val oracles: Map[String, String] = Map(
+
+    "q_hurst" -> hurstOracle,
 
     // Per-user lag gaps, global 16-bin grid with empty bins advancing
     // the reference, group-MLE rate, 12-dp frozen |ECDF − expCDF|.

@@ -4401,4 +4401,22 @@ class StatsSpec extends SparkTestBase {
     assert(out(("B", 2)) == ((3.0, 14.5, -13.5)))
     assert(out(("B", 1)) == ((3.0, 0.0, 0.0)))
   }
+  test("hurstRS: a linear trend reads persistent (H near 1), a pure " +
+      "alternation reads anti-persistent (H near 0); deterministic") {
+    import spark.implicits._
+    val rows = (1 to 30).flatMap { t =>
+      Seq(("trend", t, t.toDouble),
+        ("flip", t, if (t % 2 == 0) 1.0 else -1.0))
+    }.toDF("g", "o", "v")
+    val out = Stats.hurstRS(rows, "g", "o", "v", windows = Seq(5, 10, 15))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("trend")._1 == 3L && out("trend")._2 > 0.9,
+      out.toString)
+    // alternating cumdevs are bounded: R/S flat across scales -> H ~ 0
+    assert(math.abs(out("flip")._2) < 0.1, out.toString)
+    val again = Stats.hurstRS(rows, "g", "o", "v", Seq(5, 10, 15))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again("trend") == out("trend")._2)
+  }
 }
