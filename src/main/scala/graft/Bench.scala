@@ -261,7 +261,8 @@ object Bench {
       // members and the ALS/GMM alternation family share the same
       // first-touch profile as their judged siblings
       "q_leiden", "q_katz", "q_sssp", "q_link_pred_jaccard",
-      "q_gmm", "q_als", "q_als_recs", "q_rec_eval_als")
+      "q_gmm", "q_als", "q_als_recs", "q_rec_eval_als",
+      "q_component_sizes")
     // First pass: time every query once, in name order; family
     // members get the second rep immediately (same warmed state).
     // flaky accounting (r16 ADVICE): a rep-2 failure after a rep-1 pass
