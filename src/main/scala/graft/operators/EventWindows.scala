@@ -1193,4 +1193,61 @@ object EventWindows {
     }.reduce(_ unionByName _)
     out
   }
+  /** Growth accounting (the Social-Capital/a16z standard): each day's
+    * active users decompose EXACTLY into new (first day ever),
+    * retained (also active the previous calendar day), and
+    * resurrected (seen before, but not yesterday); churned = the
+    * previous day's actives who didn't return (prev_dau − retained —
+    * an identity, not an estimate), and the quick ratio
+    * (new + resurrected)/churned summarizes whether growth outruns
+    * leakage. The decomposition DAU = new + retained + resurrected is
+    * exact by construction (spec-pinned).
+    *
+    * Determinism: everything is exact distinct counts; the quick
+    * ratio is one rounded division (NULL when nothing churned). Scale
+    * shape: one (user, day) distinct, one first-seen aggregate, one
+    * self-join on (user, day−1), a day-level aggregate, and one lag
+    * over the calendar-bounded day series. Output: (day, dau,
+    * new_users, retained, resurrected, churned, quick_ratio);
+    * churned/quick_ratio NULL on a day with no previous calendar day
+    * in the data.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ud = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("_u"), col(tsCol).cast("date").as("_d"))
+      .distinct()
+      .localCheckpoint() // first-seen + the day-1 self-join re-read it
+    val fs = ud.groupBy("_u").agg(min("_d").as("_first"))
+    val flags = ud
+      .join(fs, "_u")
+      .join(ud.select(col("_u"), date_add(col("_d"), 1).as("_d"))
+        .withColumn("_yest", lit(1)), Seq("_u", "_d"), "left")
+      .select(col("_d"),
+        when(col("_d") === col("_first"), 1L).otherwise(0L).as("_new"),
+        when(col("_yest").isNotNull, 1L).otherwise(0L).as("_ret"),
+        when(col("_d") > col("_first") && col("_yest").isNull, 1L)
+          .otherwise(0L).as("_res"))
+    val daily = flags.groupBy("_d")
+      .agg(count(lit(1)).as("dau"), sum("_new").as("new_users"),
+        sum("_ret").as("retained"), sum("_res").as("resurrected"))
+    val w = Window.orderBy("_d") // calendar-bounded day series
+    daily
+      .withColumn("_pd", lag(col("_d"), 1).over(w))
+      .withColumn("_pdau", lag(col("dau"), 1).over(w))
+      .withColumn("churned",
+        when(col("_pd") === date_sub(col("_d"), 1),
+          col("_pdau") - col("retained")))
+      .select(col("_d").as("day"),
+        col("dau").cast("bigint").as("dau"),
+        col("new_users").cast("bigint").as("new_users"),
+        col("retained").cast("bigint").as("retained"),
+        col("resurrected").cast("bigint").as("resurrected"),
+        col("churned").cast("bigint").as("churned"),
+        when(col("churned") > 0,
+          round((col("new_users") + col("resurrected")).cast("double")
+            / col("churned").cast("double"), 6))
+          .cast("double").as("quick_ratio"))
+  }
 }

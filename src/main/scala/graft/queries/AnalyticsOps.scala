@@ -350,6 +350,18 @@ object AnalyticsOps {
     graft.operators.RankEval.weightedKappa(docs, col("ra"), col("rb"))
   }
 
+
+  /** Growth accounting over daily active users: the exact
+    * new/retained/resurrected decomposition of each day's DAU,
+    * churn as the prev-day identity, and the quick ratio — the
+    * canonical product-growth ledger beside q_stickiness.
+    */
+  val qGrowthAccounting: QueryFn = withTables { spark =>
+    graft.operators.EventWindows.growthAccounting(spark.table("events"),
+        "user_id", "ts")
+      .orderBy("day")
+  }
+
   /** Multi-window SLO burn-rate alerts over the daily error share:
     * budget 0.2, 3-day window at threshold 1.05 AND 7-day at 1.0 —
     * the SRE-workbook paging rule; exact rolling integer sums, full
@@ -949,6 +961,7 @@ object AnalyticsOps {
     "q_rec_eval_als" -> qRecEvalAls,
     "q_shapley" -> qShapley,
     "q_burn_rate" -> qBurnRate,
+    "q_growth_accounting" -> qGrowthAccounting,
     "q_abc" -> qAbc,
     "q_kappa_weighted" -> qKappaWeighted,
     "q_stickiness" -> qStickiness,
@@ -1155,6 +1168,45 @@ object AnalyticsOps {
                  * CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
              END AS DOUBLE) AS kappa_w
       FROM num CROSS JOIN den""",
+
+    // Exact (user, day) distincts, first-seen minima, the day-1
+    // self-join, and the prev-day churn identity.
+    "q_growth_accounting" -> """
+      WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      fs AS (SELECT u, MIN(d) AS first_d FROM ud GROUP BY u),
+      flags AS (
+        SELECT ud.d,
+               CASE WHEN ud.d = fs.first_d THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN y.u IS NOT NULL THEN 1 ELSE 0 END AS is_ret,
+               CASE WHEN ud.d > fs.first_d AND y.u IS NULL
+                    THEN 1 ELSE 0 END AS is_res
+        FROM ud
+        JOIN fs ON fs.u = ud.u
+        LEFT JOIN ud y ON y.u = ud.u AND y.d = ud.d - 1),
+      daily AS (
+        SELECT d, COUNT(*)::BIGINT AS dau,
+               SUM(is_new)::BIGINT AS new_users,
+               SUM(is_ret)::BIGINT AS retained,
+               SUM(is_res)::BIGINT AS resurrected
+        FROM flags GROUP BY d),
+      lagd AS (
+        SELECT *, LAG(d) OVER (ORDER BY d) AS pd,
+               LAG(dau) OVER (ORDER BY d) AS pdau
+        FROM daily),
+      fin AS (
+        SELECT d, dau, new_users, retained, resurrected,
+               CASE WHEN pd = d - 1 THEN pdau - retained END AS churned
+        FROM lagd)
+      SELECT d AS day, dau, new_users, retained, resurrected,
+             CAST(churned AS BIGINT) AS churned,
+             CAST(CASE WHEN churned > 0 THEN
+               ROUND(CAST(new_users + resurrected AS DOUBLE)
+                 / CAST(churned AS DOUBLE), 6) END AS DOUBLE)
+               AS quick_ratio
+      FROM fin
+      ORDER BY day""",
 
     // Exact daily bad/total counts, rolling integer window sums, one
     // rounded division per window, full-frame gating, frozen compares.

@@ -1260,6 +1260,47 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+
+  /** Annualized Sharpe ratio of daily mean-spend returns per type
+    * (√252 interpolated digits): exact decimal power sums over the
+    * 6-dp returns, one rounded ratio — the q_riskmetrics companion
+    * summary.
+    */
+  val qSharpe: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val rets = daily
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= 0.0)
+      .select(col("event_type"),
+        round(col("v") / col("_prev") - 1.0, 6).as("_r"))
+    val agg = rets
+      .withColumn("_r1", col("_r").cast("decimal(38,6)"))
+      .withColumn("_r2", round(col("_r") * col("_r"), 12)
+        .cast("decimal(38,12)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("_r1").as("_s1"),
+        sum("_r2").as("_s2"))
+    val nD = col("n_days").cast("double")
+    val mean = col("_s1").cast("double") / nD
+    val variance = (col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1").cast("double") / nD) /
+      (nD - 1.0)
+    agg.select(col("event_type"),
+        col("n_days").cast("bigint").as("n_days"),
+        round(mean, 6).cast("double").as("mean_ret"),
+        when(col("n_days") >= 2 && variance > 0.0,
+          round(sqrt(variance), 6)).cast("double").as("sd_ret"),
+        when(col("n_days") >= 2 && variance > 0.0,
+          round(mean / sqrt(variance) * lit(math.sqrt(252.0)), 6))
+          .cast("double").as("sharpe_annual"))
+      .orderBy("event_type")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -2539,6 +2580,7 @@ object StatsOps {
     "q_xbar_r" -> qXbarR,
     "q_median_polish" -> qMedianPolish,
     "q_hurst" -> qHurst,
+    "q_sharpe" -> qSharpe,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
     "q_ess" -> qEss,
@@ -2643,6 +2685,44 @@ object StatsOps {
   val oracles: Map[String, String] = Map(
 
     "q_hurst" -> hurstOracle,
+
+    // Lagged 6-dp returns, exact decimal power sums, the Sharpe tree
+    // with the interpolated sqrt(252) digits.
+    "q_sharpe" -> s"""
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      lagd AS (SELECT g, d, v,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      rets AS (SELECT g, ROUND(v / pv - 1.0, 6) AS r
+               FROM lagd WHERE pv IS NOT NULL AND pv <> 0.0),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(CAST(r AS DECIMAL(38,6))) AS s1,
+                     SUM(CAST(ROUND(r * r, 12) AS DECIMAL(38,12)))
+                       AS s2
+              FROM rets GROUP BY g)
+      SELECT g AS event_type, n AS n_days,
+             CAST(ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS mean_ret,
+             CAST(CASE WHEN ok THEN ROUND(sd, 6) END AS DOUBLE)
+               AS sd_ret,
+             CAST(CASE WHEN ok THEN
+               ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / sd
+                 * ${math.sqrt(252.0)}, 6) END AS DOUBLE)
+               AS sharpe_annual
+      FROM (
+        SELECT g, n, s1,
+               SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)) AS sd,
+               (n >= 2 AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) > 0.0) AS ok
+        FROM agg)
+      ORDER BY event_type""",
 
     // Per-user lag gaps, global 16-bin grid with empty bins advancing
     // the reference, group-MLE rate, 12-dp frozen |ECDF − expCDF|.

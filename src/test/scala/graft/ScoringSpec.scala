@@ -317,4 +317,34 @@ class ScoringSpec extends SparkTestBase {
       Scoring.abcClassify(rows, "i", "v", maxItems = 2).collect()
     }
   }
+  // ---- growthAccounting ----
+
+  test("growthAccounting: DAU decomposes exactly into new/retained/" +
+      "resurrected; churn is the prev-day identity") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(d: Int) = Timestamp.valueOf(f"2024-04-$d%02d 10:00:00")
+    // d1: a,b  d2: a,c  d3: b,c  (b resurrects on d3, a churns)
+    val ev = Seq(("a", t(1)), ("b", t(1)), ("a", t(2)), ("c", t(2)),
+      ("b", t(3)), ("c", t(3))).toDF("u", "ts")
+    val out = EventWindows.growthAccounting(ev, "u", "ts")
+      .collect().map(r => r.getDate(0).toString -> r).toMap
+    val d1 = out("2024-04-01")
+    assert(d1.getLong(1) == 2L && d1.getLong(2) == 2L
+      && d1.getLong(3) == 0L && d1.isNullAt(5), d1.toString)
+    val d2 = out("2024-04-02")
+    // a retained, c new; b churned (2 prev - 1 retained)
+    assert(d2.getLong(2) == 1L && d2.getLong(3) == 1L
+      && d2.getLong(4) == 0L && d2.getLong(5) == 1L, d2.toString)
+    val d3 = out("2024-04-03")
+    // c retained, b resurrected, a churned; quick = (0+1)/1 = 1
+    assert(d3.getLong(2) == 0L && d3.getLong(3) == 1L
+      && d3.getLong(4) == 1L && d3.getLong(5) == 1L
+      && d3.getDouble(6) == 1.0, d3.toString)
+    // the decomposition identity holds on every day
+    out.values.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        r.toString)
+    }
+  }
 }
