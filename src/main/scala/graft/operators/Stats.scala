@@ -8441,4 +8441,151 @@ object Stats {
             .cast("double").as("hurst")
         })
   }
+  /** TWO-LEVEL BINARY SEGMENTATION — the changepoint HIERARCHY over
+    * [[breakpointScan]]'s single split (the classic binseg recursion
+    * at a FIXED depth, the judged fixed-iteration contract): find the
+    * best split of the whole binned series, then the best split of
+    * EACH resulting segment, all from ONE set of prefix sums (a
+    * segment's OLS cost is a closed form of two prefix rows, so level
+    * 2 re-reads the same cumulative table — no re-scan of the data).
+    * Same per-segment cost (least-squares residual, mean-only
+    * fallback on constant x) and the same (gain DESC, bin ASC)
+    * argmax; a side splits only when its parent holds ≥ 4 rows and
+    * both children are non-empty.
+    *
+    * Determinism: the [[breakpointScan]] contract verbatim (quantized
+    * exact decimal sums, 6-dp-frozen gains/costs, total-order
+    * argmaxes). Scale shape: one cell aggregate + one prefix window +
+    * two winner windows — bins-bounded everywhere. Output: up to 3
+    * rows per group — (group, segment ∈ 'all'|'left'|'right', n_seg,
+    * edge, threshold, gain); 'all' always present (NULL edge when
+    * degenerate, the breakpointScan rule), sides only when they can
+    * split.
+    */
+  def binarySegmentation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, bins: Int): DataFrame = {
+    require(bins >= 4 && bins <= 4096, s"bins=$bins must be in [4, 4096]")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_x"),
+        round(col(yCol) * 1e6).cast("long").as("_yv"))
+    val edges = pts.groupBy("_g")
+      .agg(min("_x").as("_lo"), max("_x").as("_hi"),
+        count(lit(1)).as("_ng"))
+    val cells = pts.join(broadcast(edges), Seq("_g"))
+      .withColumn("_q",
+        when(col("_hi") > col("_lo"),
+          least(floor((col("_x") - col("_lo")).cast("double") * bins
+            / (col("_hi") - col("_lo")).cast("double")), lit(bins - 1)))
+          .otherwise(lit(0)).cast("long"))
+      .groupBy("_g", "_q")
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_yv").cast(dec)).as("_sy"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxx"),
+        sum((col("_yv").cast(dec) * col("_yv")).cast(dec)).as("_syy"),
+        sum((col("_x").cast(dec) * col("_yv")).cast(dec)).as("_sxy"))
+    val wCum = Window.partitionBy("_g").orderBy("_q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("_g")
+    def cum(c: String) = sum(col(c)).over(wCum).as(c + "l")
+    def tot(c: String) = sum(col(c)).over(wAll).as(c + "t")
+    val withCums = cells.select(
+      (Seq(col("_g"), col("_q")) ++
+        Seq("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy").map(cum) ++
+        Seq("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy").map(tot)): _*)
+      .localCheckpoint() // both levels read it
+    // segment OLS cost from raw segment sums (mean-only on constant x)
+    def cost(n: Column, sx: Column, sy: Column, sxx: Column,
+        syy: Column, sxy: Column): Column = {
+      val nd = n.cast("double")
+      val cxx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+      val cyy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+      val cxy = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+      when(n >= 2 && cxx > 0.0, (cyy - cxy * cxy / cxx) / (nd * nd))
+        .when(n >= 1, cyy / (nd * nd))
+        .otherwise(lit(0.0))
+    }
+    def seg(names: Seq[(Column, Column)]): Column = {
+      val Seq(n, sx, sy, sxx, syy, sxy) =
+        names.map { case (a, b) => a - b }
+      cost(n, sx, sy, sxx, syy, sxy)
+    }
+    def pair(suffA: String, suffB: String): Seq[(Column, Column)] =
+      Seq("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")
+        .map(c => (col(c + suffA), col(c + suffB)))
+    val costL = cost(col("_nl"), col("_sxl"), col("_syl"),
+      col("_sxxl"), col("_syyl"), col("_sxyl"))
+    val costR = seg(pair("t", "l"))
+    val costT = cost(col("_nt"), col("_sxt"), col("_syt"),
+      col("_sxxt"), col("_syyt"), col("_sxyt"))
+    val wBest = Window.partitionBy("_g")
+      .orderBy(col("_gain").desc, col("_q").asc)
+    val l1 = withCums
+      .filter(col("_q") < bins - 1 && col("_nl") < col("_nt"))
+      .withColumn("_gain", round(costT - costL - costR, 6))
+      .withColumn("_rk", row_number().over(wBest))
+      .filter(col("_rk") === 1)
+      .select(col("_g"), col("_q").as("_q1"), col("_gain").as("_g1"),
+        col("_nl").as("_n1"), col("_sxl").as("_sx1"),
+        col("_syl").as("_sy1"), col("_sxxl").as("_sxx1"),
+        col("_syyl").as("_syy1"), col("_sxyl").as("_sxy1"))
+      .localCheckpoint() // both level-2 sides read it
+    def thr(q: Column): Column =
+      round((col("_lo").cast("double") / 1e6)
+        + (q + 1).cast("double")
+          * ((col("_hi") - col("_lo")).cast("double") / 1e6) / bins, 6)
+    val allRow = edges.join(l1, Seq("_g"), "left")
+      .select(col("_g").as(groupCol), lit("all").as("segment"),
+        col("_ng").cast("bigint").as("n_seg"),
+        when(col("_g1").isNotNull && col("_ng") >= 4
+            && col("_hi") > col("_lo"), col("_q1") + 1)
+          .cast("bigint").as("edge"),
+        when(col("_g1").isNotNull && col("_ng") >= 4
+            && col("_hi") > col("_lo"), thr(col("_q1")))
+          .cast("double").as("threshold"),
+        when(col("_g1").isNotNull && col("_ng") >= 4
+            && col("_hi") > col("_lo"), round(col("_g1") / 1e12, 6))
+          .cast("double").as("gain"))
+    val joined = withCums.join(broadcast(l1), Seq("_g"))
+      .join(broadcast(edges), Seq("_g"))
+    // LEFT side: parent = prefix at q1; children = prefix(q),
+    // prefix(q1) − prefix(q)
+    val parentL = cost(col("_n1"), col("_sx1"), col("_sy1"),
+      col("_sxx1"), col("_syy1"), col("_sxy1"))
+    val subLL = costL
+    val subLR = seg(pair("1", "l"))
+    val wSide = Window.partitionBy("_g")
+      .orderBy(col("_gain").desc, col("_q").asc)
+    val left = joined
+      .filter(col("_q") < col("_q1") && col("_nl") < col("_n1")
+        && col("_n1") >= 4)
+      .withColumn("_gain", round(parentL - subLL - subLR, 6))
+      .withColumn("_rk", row_number().over(wSide))
+      .filter(col("_rk") === 1)
+      .select(col("_g").as(groupCol), lit("left").as("segment"),
+        col("_n1").cast("bigint").as("n_seg"),
+        (col("_q") + 1).cast("bigint").as("edge"),
+        thr(col("_q")).cast("double").as("threshold"),
+        round(col("_gain") / 1e12, 6).cast("double").as("gain"))
+    // RIGHT side: parent = total − prefix(q1); children =
+    // prefix(q) − prefix(q1), total − prefix(q)
+    val parentR = seg(pair("t", "1"))
+    val subRL = seg(pair("l", "1"))
+    val subRR = seg(pair("t", "l"))
+    val right = joined
+      .filter(col("_q") > col("_q1") && col("_q") < bins - 1
+        && col("_nl") < col("_nt") && col("_nl") > col("_n1")
+        && (col("_nt") - col("_n1")) >= 4)
+      .withColumn("_gain", round(parentR - subRL - subRR, 6))
+      .withColumn("_rk", row_number().over(wSide))
+      .filter(col("_rk") === 1)
+      .select(col("_g").as(groupCol), lit("right").as("segment"),
+        (col("_nt") - col("_n1")).cast("bigint").as("n_seg"),
+        (col("_q") + 1).cast("bigint").as("edge"),
+        thr(col("_q")).cast("double").as("threshold"),
+        round(col("_gain") / 1e12, 6).cast("double").as("gain"))
+    allRow.unionByName(left).unionByName(right)
+  }
 }

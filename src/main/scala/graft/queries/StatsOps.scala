@@ -1301,6 +1301,22 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+
+  /** Two-level binary segmentation of daily spend vs day index per
+    * type: the q_breakpoint split, then the best split of EACH
+    * resulting segment from the same prefix sums — the changepoint
+    * hierarchy at the judged fixed depth.
+    */
+  val qBinseg: QueryFn = withTables { spark =>
+    val pts = spark.table("events")
+      .withColumn("dayx",
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("double"))
+    Stats.binarySegmentation(pts, "event_type", "dayx", "value",
+        bins = 16)
+      .orderBy("event_type", "segment")
+  }
+
   /** Effective sample size of the daily spend series per event type
     * under its lag-1..3 autocorrelation: the q_acf machinery, rounded
     * acf values summed as exact scaled longs, one rounded division.
@@ -2581,6 +2597,7 @@ object StatsOps {
     "q_median_polish" -> qMedianPolish,
     "q_hurst" -> qHurst,
     "q_sharpe" -> qSharpe,
+    "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
     "q_ess" -> qEss,
@@ -2676,6 +2693,146 @@ object StatsOps {
              END AS DOUBLE) AS hurst
       FROM agg ORDER BY event_type"""
 
+
+  // One segment's OLS cost from SQL sum expressions — the
+  // binarySegmentation cost tree node for node (mean-only fallback on
+  // constant x). Exact integer segment sums enter, doubles come out.
+  private def segCostSql(n: String, sx: String, sy: String,
+      sxx: String, syy: String, sxy: String): String = {
+    val nd = s"CAST($n AS DOUBLE)"
+    val cxx = s"($nd * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) " +
+      s"* CAST($sx AS DOUBLE))"
+    val cyy = s"($nd * CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) " +
+      s"* CAST($sy AS DOUBLE))"
+    val cxy = s"($nd * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) " +
+      s"* CAST($sy AS DOUBLE))"
+    s"""(CASE WHEN $n >= 2 AND $cxx > 0.0
+          THEN ($cyy - $cxy * $cxy / $cxx) / ($nd * $nd)
+          WHEN $n >= 1 THEN $cyy / ($nd * $nd)
+          ELSE 0.0 END)"""
+  }
+
+  // q_binseg's oracle: the q_breakpoint cell/prefix machinery, the
+  // level-1 winner joined back for its prefix row, then each side's
+  // candidate scan off segment-sum differences of the SAME prefixes.
+  private val binsegOracle: String = {
+    def segDiff(a: String, b: String): String = {
+      val parts = Seq("n", "sx", "sy", "sxx", "syy", "sxy").map { k =>
+        val ka = if (a == "t") s"c.${k}t" else if (a == "l") s"c.${k}l"
+          else s"b.${k}1"
+        val kb = if (b == "") "" else if (b == "t") s"c.${k}t"
+          else if (b == "l") s"c.${k}l" else s"b.${k}1"
+        if (kb.isEmpty) ka else s"($ka - $kb)"
+      }
+      segCostSql(parts(0), parts(1), parts(2), parts(3), parts(4),
+        parts(5))
+    }
+    val costL1 = segDiff("l", "")
+    val costR1 = segDiff("t", "l")
+    val costT1 = segDiff("t", "")
+    val parentL = segDiff("1", "")
+    val subLR = segDiff("1", "l")
+    val parentR = segDiff("t", "1")
+    val subRL = segDiff("l", "1")
+    val thr = "ROUND((CAST(e.lo AS DOUBLE) / 1000000.0) " +
+      "+ CAST(Q + 1 AS DOUBLE) " +
+      "* (CAST(e.hi - e.lo AS DOUBLE) / 1000000.0) / 16, 6)"
+    s"""
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(CAST(DATEDIFF('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS DOUBLE) * 1000000.0) AS BIGINT) AS x,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+      edges AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi,
+                       COUNT(*)::BIGINT AS ng
+                FROM pts GROUP BY g),
+      cells AS (
+        SELECT g, q, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS sx,
+               SUM(y::HUGEINT) AS sy, SUM(x::HUGEINT * x) AS sxx,
+               SUM(y::HUGEINT * y) AS syy, SUM(x::HUGEINT * y) AS sxy
+        FROM (SELECT p.g,
+                (CASE WHEN e.hi > e.lo
+                   THEN LEAST(FLOOR(CAST(p.x - e.lo AS DOUBLE) * 16
+                     / CAST(e.hi - e.lo AS DOUBLE)), 15)
+                   ELSE 0 END)::BIGINT AS q, x, y
+              FROM pts p JOIN edges e USING (g))
+        GROUP BY g, q),
+      cums AS (
+        SELECT g, q,
+               SUM(n) OVER wc AS nl, SUM(sx) OVER wc AS sxl,
+               SUM(sy) OVER wc AS syl, SUM(sxx) OVER wc AS sxxl,
+               SUM(syy) OVER wc AS syyl, SUM(sxy) OVER wc AS sxyl,
+               SUM(n) OVER wa AS nt, SUM(sx) OVER wa AS sxt,
+               SUM(sy) OVER wa AS syt, SUM(sxx) OVER wa AS sxxt,
+               SUM(syy) OVER wa AS syyt, SUM(sxy) OVER wa AS sxyt
+        FROM cells
+        WINDOW wc AS (PARTITION BY g ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wa AS (PARTITION BY g)),
+      l1scan AS (
+        SELECT c.g, c.q, c.nl, c.nt,
+               ROUND($costT1 - $costL1 - $costR1, 6) AS gain,
+               ROW_NUMBER() OVER (PARTITION BY c.g
+                 ORDER BY ROUND($costT1 - $costL1 - $costR1, 6) DESC,
+                   c.q ASC) AS rk
+        FROM cums c WHERE c.q < 15 AND c.nl < c.nt),
+      best AS (SELECT g, q AS q1, gain AS g1 FROM l1scan WHERE rk = 1),
+      b1 AS (SELECT c.g, b.q1, b.g1, c.nl AS n1, c.sxl AS sx1,
+                    c.syl AS sy1, c.sxxl AS sxx1, c.syyl AS syy1,
+                    c.sxyl AS sxy1
+             FROM cums c JOIN best b ON b.g = c.g AND b.q1 = c.q),
+      allrow AS (
+        SELECT e.g, 'all' AS segment, e.ng AS n_seg,
+               CASE WHEN b.g1 IS NOT NULL AND e.ng >= 4
+                     AND e.hi > e.lo THEN b.q1 + 1 END AS edge,
+               CASE WHEN b.g1 IS NOT NULL AND e.ng >= 4
+                     AND e.hi > e.lo
+                 THEN ${thr.replace("Q", "b.q1")} END AS threshold,
+               CASE WHEN b.g1 IS NOT NULL AND e.ng >= 4
+                     AND e.hi > e.lo
+                 THEN ROUND(b.g1 / 1000000000000.0, 6) END AS gain
+        FROM edges e LEFT JOIN b1 b ON b.g = e.g),
+      lcand AS (
+        SELECT c.g, c.q, b.n1 AS n_seg, e.lo, e.hi,
+               ROUND($parentL - $costL1 - $subLR, 6) AS gain,
+               ROW_NUMBER() OVER (PARTITION BY c.g
+                 ORDER BY ROUND($parentL - $costL1 - $subLR, 6) DESC,
+                   c.q ASC) AS rk
+        FROM cums c JOIN b1 b ON b.g = c.g JOIN edges e ON e.g = c.g
+        WHERE c.q < b.q1 AND c.nl < b.n1 AND b.n1 >= 4),
+      lrow AS (
+        SELECT g, 'left' AS segment, n_seg, q + 1 AS edge,
+               ${thr.replace("Q", "q").replace("e.lo", "lo")
+                 .replace("e.hi", "hi")} AS threshold,
+               ROUND(gain / 1000000000000.0, 6) AS gain
+        FROM lcand WHERE rk = 1),
+      rcand AS (
+        SELECT c.g, c.q, (c.nt - b.n1) AS n_seg, e.lo, e.hi,
+               ROUND($parentR - $subRL - $costR1, 6) AS gain,
+               ROW_NUMBER() OVER (PARTITION BY c.g
+                 ORDER BY ROUND($parentR - $subRL - $costR1, 6) DESC,
+                   c.q ASC) AS rk
+        FROM cums c JOIN b1 b ON b.g = c.g JOIN edges e ON e.g = c.g
+        WHERE c.q > b.q1 AND c.q < 15 AND c.nl < c.nt
+          AND c.nl > b.n1 AND (c.nt - b.n1) >= 4),
+      rrow AS (
+        SELECT g, 'right' AS segment, n_seg, q + 1 AS edge,
+               ${thr.replace("Q", "q").replace("e.lo", "lo")
+                 .replace("e.hi", "hi")} AS threshold,
+               ROUND(gain / 1000000000000.0, 6) AS gain
+        FROM rcand WHERE rk = 1)
+      SELECT g AS event_type, segment,
+             CAST(n_seg AS BIGINT) AS n_seg,
+             CAST(edge AS BIGINT) AS edge,
+             CAST(threshold AS DOUBLE) AS threshold,
+             CAST(gain AS DOUBLE) AS gain
+      FROM (SELECT * FROM allrow
+            UNION ALL SELECT * FROM lrow
+            UNION ALL SELECT * FROM rrow)
+      ORDER BY event_type, segment"""
+  }
+
   // The pinned MDE z-sum (z_{0.975} + z_{0.8}) — ONE Scala constant
   // interpolated into the oracle; Double.toString round-trips, so both
   // engines multiply by the identical double.
@@ -2685,6 +2842,7 @@ object StatsOps {
   val oracles: Map[String, String] = Map(
 
     "q_hurst" -> hurstOracle,
+    "q_binseg" -> binsegOracle,
 
     // Lagged 6-dp returns, exact decimal power sums, the Sharpe tree
     // with the interpolated sqrt(252) digits.

@@ -4419,4 +4419,32 @@ class StatsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(again("trend") == out("trend")._2)
   }
+  test("binarySegmentation: a planted 3-level step series yields both " +
+      "true changepoints across the two levels; constant series gains " +
+      "nothing") {
+    import spark.implicits._
+    val rows = (1 to 30).map { x =>
+      val y = if (x <= 10) 0.0 else if (x <= 20) 10.0 else 20.0
+      ("A", x.toDouble, y)
+    } ++ (1 to 30).map(x => ("B", x.toDouble, 5.0))
+    val out = Stats.binarySegmentation(rows.toDF("g", "x", "y"),
+        "g", "x", "y", bins = 16)
+      .collect().groupBy(_.getString(0))
+    val a = out("A").map(r => r.getString(1) ->
+      ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // x=10 lands in bin 4 (edge 5), x=20 in bin 10 (edge 11): the two
+    // true boundaries must be recovered across level 1 + level 2
+    val edges = a.values.flatMap(_._1).toSet
+    assert(edges.contains(5L) && edges.contains(11L), a.toString)
+    a.foreach { case (seg, (e, gain)) =>
+      if (e.isDefined && (e.get == 5L || e.get == 11L))
+        assert(gain.exists(_ > 0.0), s"$seg $gain")
+    }
+    // constant series: zero cost everywhere, zero gain at every level
+    out("B").foreach { r =>
+      assert(Option(r.get(5)).forall(_.asInstanceOf[Double] == 0.0),
+        r.toString)
+    }
+  }
 }
