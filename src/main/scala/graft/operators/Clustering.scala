@@ -575,4 +575,150 @@ object Clustering {
         .as("cluster"),
       round(array_max(col("_r")), 6).cast("double").as("resp"))
   }
+
+  /** Spectral embedding + spectral clustering — the geometric dual of
+    * the modularity family (Louvain/Leiden greedily optimize a
+    * discrete objective; this pipeline cuts the graph where the
+    * spectrum of the normalized adjacency says it is thinnest — the
+    * classic Shi–Malik normalized-cut relaxation): power iteration
+    * WITH DEFLATION on S = D^{−1/2}·A·D^{−1/2} recovers the top
+    * non-trivial eigenvectors, whose per-vertex coordinates are the
+    * spectral embedding, and [[kmeansPortable]]'s Lloyd loop yields
+    * the clusters. The k-way cut clusters on the first k−1
+    * non-trivial coordinates — the Shi–Malik prescription; for k = 2
+    * that is the Fiedler coordinate ALONE (including more vectors
+    * than cuts is the textbook failure mode: the 2nd non-trivial
+    * eigenvector parks bridge endpoints at extreme opposite values
+    * and hands Euclidean k-means a local optimum that splits a
+    * block). The emitted embedding always carries the top-2
+    * non-trivial coordinates (e2, e3) regardless of k.
+    *
+    * The trivial top eigenvector of S is known in CLOSED FORM —
+    * v1(i) = √deg(i)/√Σdeg, eigenvalue 1 — so deflation is exact
+    * arithmetic, not another power loop: each pass multiplies by S
+    * (one edge join on 12-dp-frozen weights w_uv = 1/√(d_u·d_v)),
+    * subtracts the frozen projections onto v1 (and, for the second
+    * vector, onto the finished e2), and re-normalizes. Init is the
+    * portable md5-unit hash minus ½ — deterministic, seedless, and
+    * never orthogonal to the target eigenspace in practice (a uniform
+    * init WOULD be degenerate: on regular graphs it IS v1).
+    *
+    * Engine-portable determinism: y = Σw·x rounds at 6 dp per pass,
+    * projection coefficients at 6 dp, the deflated residual at 6 dp,
+    * and the normalized coordinate at 6 dp (norm itself unrounded —
+    * summation noise ~1e−13 sits far below the quantum, the
+    * q_pca_power discipline); v1 and w freeze at 12 dp once. An
+    * all-zero residual (deflated to extinction) yields coordinate 0
+    * rather than a division artifact. Eigenvalue-1 multiplicity ≥ 2
+    * (disconnected graphs) is well-defined here: power iteration
+    * converges to the component-indicator combination present in the
+    * init, and the k-means cut recovers components exactly.
+    *
+    * Scale shape (the pageRank discipline): the weighted edge list is
+    * hash-partitioned ONCE and checkpointed; each pass moves only the
+    * vertex-sized (vertex, x) state through one edge join + one
+    * vertex-keyed aggregate, plus two scalar aggregates broadcast
+    * back; lineage truncates per pass. The vertex state rides a
+    * broadcast into the edge join (vertices << edges; for
+    * billion-vertex graphs drop the hint and pre-bucket instead —
+    * the documented pageRank caveat). k-means driver state is the
+    * k·(k−1) centroid matrix. Nothing row-sized is ever collected.
+    *
+    * Output: (vertex, e2, e3, cluster [0-based], dist).
+    */
+  def spectralClustering(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, powerIters: Int, lloydIters: Int = 1): DataFrame = {
+    require(k >= 2 && k <= 64,
+      s"spectralClustering: k must be in [2, 64], got $k")
+    require(powerIters >= 1 && powerIters <= 20,
+      s"spectralClustering: powerIters must be in [1, 20], got $powerIters")
+    require(lloydIters >= 0 && lloydIters <= 4,
+      s"spectralClustering: lloydIters must be in [0, 4], got $lloydIters")
+    val half = Graph.canonicalEdges(edges, srcCol, dstCol)
+      .localCheckpoint() // degs and the weight build both read sym
+    val sym = half.select(col("lo").as("_u"), col("hi").as("_w"))
+      .unionByName(half.select(col("hi").as("_u"), col("lo").as("_w")))
+    val degs = sym.groupBy(col("_u").as("_v")).agg(count(lit(1)).as("_d"))
+      .localCheckpoint() // read by basis, weights, and the init
+    val tot = degs.agg(sum("_d").as("_td"))
+    val basis1 = degs.crossJoin(broadcast(tot))
+      .select(col("_v"),
+        round(sqrt(col("_d").cast("double"))
+          / sqrt(col("_td").cast("double")), 12).as("_v1"))
+      .localCheckpoint()
+    val we = sym
+      .join(degs.select(col("_v").as("_duv"), col("_d").as("_du")),
+        col("_u") === col("_duv"))
+      .join(degs.select(col("_v").as("_dwv"), col("_d").as("_dw")),
+        col("_w") === col("_dwv"))
+      .select(col("_u"), col("_w"),
+        round(lit(1.0) / sqrt(col("_du").cast("double")
+          * col("_dw").cast("double")), 12).as("_wt"))
+      // joined on _w every pass: partition once, checkpoint once
+      .repartition(col("_w"))
+      .localCheckpoint()
+    // one deflated power loop; basis carries the frozen vectors to
+    // project out (named in projCols), keyed by _v
+    def powerVector(basis: DataFrame, projCols: Seq[String]): DataFrame = {
+      var x = degs.select(col("_v"),
+        round(Sampling.portableUnit(col("_v")) - 0.5, 6).as("_x"))
+        .localCheckpoint()
+      for (_ <- 1 to powerIters) {
+        val y = we
+          .join(broadcast(x), col("_w") === col("_v"))
+          .groupBy(col("_u").as("_v"))
+          .agg(round(sum(col("_wt") * col("_x")), 6).as("_y"))
+        val yb = y.join(basis, "_v")
+        val projAggs = projCols.zipWithIndex.map { case (b, i) =>
+          round(sum(col(b) * col("_y")), 6).as(s"_c$i") }
+        val cs = yb.agg(projAggs.head, projAggs.tail: _*)
+        val resid = projCols.zipWithIndex.foldLeft(col("_y")) {
+          case (acc, (b, i)) => acc - col(s"_c$i") * col(b) }
+        val dd = yb.crossJoin(broadcast(cs))
+          .select(col("_v"), round(resid, 6).as("_dd"))
+        val nrm = dd.agg(sqrt(sum(col("_dd") * col("_dd"))).as("_nrm"))
+        x = dd.crossJoin(broadcast(nrm))
+          .select(col("_v"),
+            when(col("_nrm") > 0.0, round(col("_dd") / col("_nrm"), 6))
+              .otherwise(lit(0.0)).as("_x"))
+          .localCheckpoint()
+      }
+      x
+    }
+    // top max(2, k−1) non-trivial eigenvectors, deflating every
+    // finished one (plus the closed-form v1) from the next
+    val nVecs = math.max(2, k - 1)
+    var basis = basis1
+    var projCols = Seq("_v1")
+    var eig = Vector.empty[DataFrame]
+    for (j <- 1 to nVecs) {
+      val ej = powerVector(basis, projCols)
+      eig = eig :+ ej
+      if (j < nVecs) {
+        basis = basis
+          .join(ej.select(col("_v"), col("_x").as(s"_e${j + 1}")), "_v")
+          .localCheckpoint()
+        projCols = projCols :+ s"_e${j + 1}"
+      }
+    }
+    val joined = eig.zipWithIndex.foldLeft(
+        degs.select(col("_v"))) { case (acc, (ej, i)) =>
+      acc.join(ej.select(col("_v"), col("_x").as(s"_x${i + 2}")), "_v")
+    }
+    val cutCols = (0 until (k - 1)).map(i => col(s"_x${i + 2}"))
+    val emb = joined
+      .select(col("_v"), array(cutCols: _*).as("_ev"),
+        col("_x2"), col("_x3"))
+      .localCheckpoint() // seed probe + Lloyd aggregates re-read it
+    val pts = emb.select(col("_v"), col("_ev"))
+    val centroids = trainCentroids(pts, "_v", "_ev", k, lloydIters, 6)
+    emb.select(col("_v"), col("_x2"), col("_x3"))
+      .join(assignToCentroids(pts, "_v", "_ev", centroids, 6)
+        .select(col("_v"), col("cluster"), col("dist")), "_v")
+      .select(col("_v").as("vertex"),
+        col("_x2").cast("double").as("e2"),
+        col("_x3").cast("double").as("e3"),
+        col("cluster"),
+        col("dist").cast("double").as("dist"))
+  }
 }

@@ -281,4 +281,102 @@ object FuzzyJoin {
           .cast("double").as("w_disagree"))
     }.reduce(_ unionByName _)
   }
+
+  /** UNSUPERVISED Fellegi–Sunter — the production form of
+    * [[fellegiSunterWeights]]: when no labeled pairs exist (the
+    * normal case), m_k/u_k and the match prevalence are estimated by
+    * fixed-pass EM over the blocked comparison vectors alone (Winkler
+    * 1988). Two latent classes (match / non-match) with conditionally
+    * independent field agreements — a Bernoulli-mixture twin of
+    * [[Clustering.gmmPortable]], and it rides the same discipline:
+    *
+    *  - E-step: per pair, the 12-dp-frozen class log-scores
+    *    s_m = ln p + Σ_k [γ_k·ln m_k + (1−γ_k)·ln(1−m_k)] (and s_u
+    *    with 1−p, u_k) — every ln enters as a LITERAL of the frozen
+    *    6-dp parameter — then the max-shifted two-class softmax
+    *    responsibility frozen at 12 dp.
+    *  - M-step: ONE aggregate (count + 12-dp-decimal responsibility
+    *    folds + exact agreement counts); p = r6(Σr/n),
+    *    m_k = r6(Σrγ_k/Σr), u_k = r6((n_γk − Σrγ_k)/(n − Σr)), each
+    *    clamped to [1e-6, 0.999999] so no ln ever sees 0 (the gmm
+    *    variance floor). A degenerate pass (all mass on one class)
+    *    keeps the previous parameters — the empty-cluster rule.
+    *
+    * Driver state is the 2K+2 parameter vector per pass (the
+    * sanctioned bounded collect); the pair table is scanned once per
+    * pass, one hash aggregate each, nothing row-sized collected.
+    * Deterministic: seedless literal init (pInit/mInit/uInit), frozen
+    * params, frozen responsibilities — bit-identical on re-run and
+    * replayable in an unrolled-CTE oracle.
+    *
+    * Output: one row per field — (field, n_pairs, p_match, m, u,
+    * w_agree, w_disagree), weights the log₂ trees of
+    * [[fellegiSunterWeights]] on the EM estimates (clamping makes
+    * them always finite).
+    */
+  def fellegiSunterEm(pairs: DataFrame,
+      fields: Seq[(String, org.apache.spark.sql.Column)], passes: Int,
+      pInit: Double = 0.1, mInit: Double = 0.9, uInit: Double = 0.1)
+      : DataFrame = {
+    require(fields.nonEmpty && fields.size <= 16,
+      s"fellegiSunterEm: 1..16 fields, got ${fields.size}")
+    require(fields.map(_._1).distinct.size == fields.size,
+      "fellegiSunterEm: duplicate field names")
+    require(passes >= 1 && passes <= 4,
+      s"fellegiSunterEm: passes must be in [1, 4], got $passes")
+    require(Seq(pInit, mInit, uInit).forall(v => v > 0.0 && v < 1.0),
+      "fellegiSunterEm: inits must be in (0, 1)")
+    val dec12 = "decimal(38,12)"
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def clamp6(v: Double): Double =
+      math.min(math.max(r6(v), 1e-6), 0.999999)
+    val k = fields.size
+    val rows = pairs.select(fields.zipWithIndex.map { case ((_, c), i) =>
+        coalesce(c, lit(false)).as(s"_a$i") }: _*)
+      .localCheckpoint() // scanned once per EM pass
+    var p = clamp6(pInit)
+    val m = Array.fill(k)(clamp6(mInit))
+    val u = Array.fill(k)(clamp6(uInit))
+    var n = 0L
+    for (_ <- 1 to passes) {
+      val sm = round((0 until k).foldLeft(lit(math.log(p)): org.apache.spark.sql.Column) {
+        (acc, i) => acc + when(col(s"_a$i"), lit(math.log(m(i))))
+          .otherwise(lit(math.log(1.0 - m(i)))) }, 12)
+      val su = round((0 until k).foldLeft(
+          lit(math.log(1.0 - p)): org.apache.spark.sql.Column) {
+        (acc, i) => acc + when(col(s"_a$i"), lit(math.log(u(i))))
+          .otherwise(lit(math.log(1.0 - u(i)))) }, 12)
+      val mx = greatest(col("_sm"), col("_su"))
+      val scored = rows.withColumn("_sm", sm).withColumn("_su", su)
+        .withColumn("_r", round(exp(col("_sm") - mx)
+          / (exp(col("_sm") - mx) + exp(col("_su") - mx)), 12))
+      val aggs = Seq(count(lit(1)).as("_n"),
+        sum(col("_r").cast(dec12)).as("_sr")) ++
+        (0 until k).flatMap { i => Seq(
+          sum(when(col(s"_a$i"), col("_r")).otherwise(lit(0.0))
+            .cast(dec12)).as(s"_am$i"),
+          sum(when(col(s"_a$i"), 1L).otherwise(0L)).as(s"_ag$i")) }
+      val row = scored.agg(aggs.head, aggs.tail: _*).head()
+      n = row.getLong(row.fieldIndex("_n"))
+      val sr = row.getDecimal(row.fieldIndex("_sr")).doubleValue()
+      if (sr > 0.0 && sr < n.toDouble) {
+        for (i <- 0 until k) {
+          val am = row.getDecimal(row.fieldIndex(s"_am$i")).doubleValue()
+          val ag = row.getLong(row.fieldIndex(s"_ag$i")).toDouble
+          m(i) = clamp6(am / sr)
+          u(i) = clamp6((ag - am) / (n.toDouble - sr))
+        }
+        p = clamp6(sr / n.toDouble)
+      }
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    fields.map(_._1).zipWithIndex.map { case (f, i) =>
+      (f, n, p, m(i), u(i),
+        r6(math.log(m(i) / u(i)) / TextAnalysis.ln2),
+        r6(math.log((1.0 - m(i)) / (1.0 - u(i))) / TextAnalysis.ln2))
+    }.toDF("field", "n_pairs", "p_match", "m", "u",
+      "w_agree", "w_disagree")
+  }
 }

@@ -1072,6 +1072,19 @@ object Graph {
     * prior when hub adjacency is cheap): score(a,b) =
     * |Γa∩Γb| / |Γa∪Γb| = common/(deg a + deg b − common) over the
     * SAME degree-capped path-2 candidates and non-edge anti-join.
+    *
+    * Bias contract of the cap: middles with degree > maxMiddleDegree
+    * are dropped from the NUMERATOR (common_neighbors) but their
+    * edges still count in the uncapped degree denominators, so the
+    * reported jaccard is a LOWER BOUND — systematically
+    * UNDERESTIMATED for pairs adjacent to capped hubs (unlike
+    * Adamic–Adar, where a dropped hub term is the smallest
+    * contribution, a dropped Jaccard middle removes a full numerator
+    * unit while staying in the union). Scores for pairs whose common
+    * neighbors all sit under the cap are exact; the bias only ever
+    * pushes hub-mediated pairs DOWN the ranking, never up. Raise
+    * maxMiddleDegree for exact scores on bounded graphs.
+    *
     * Exact integers into one rounded division; top-k under the
     * (jaccard DESC, a, b) total order via TakeOrderedAndProject; the
     * three big joins keep [[linkPrediction]]'s pinned merge hints
@@ -1193,9 +1206,11 @@ object Graph {
     val nV = degs.agg(count(lit(1)).as("_nv"))
     ends.agg(count(lit(1)).cast(dec).as("_n"),
         sum("_dx").cast(dec).as("_sx"), sum("_dy").cast(dec).as("_sy"),
-        sum(col("_dx") * col("_dy")).cast(dec).as("_sxy"),
-        sum(col("_dx") * col("_dx")).cast(dec).as("_sxx"),
-        sum(col("_dy") * col("_dy")).cast(dec).as("_syy"))
+        // degree products fold in decimal: hub degrees of ~3e9 make
+        // Long per-edge products (and any Long sum) silently overflow
+        sum((col("_dx").cast(dec) * col("_dy")).cast(dec)).as("_sxy"),
+        sum((col("_dx").cast(dec) * col("_dx")).cast(dec)).as("_sxx"),
+        sum((col("_dy").cast(dec) * col("_dy")).cast(dec)).as("_syy"))
       .crossJoin(broadcast(nV))
       .select(
         when((col("_n") * col("_sxx") - col("_sx") * col("_sx")) =!= 0

@@ -2226,11 +2226,16 @@ object Resample {
     * exact-variance control limits (the Roberts/NIST chart): the
     * smoother y_t rides the judged recursion verbatim; the center
     * line is the series' full-run mean and the limits are
-    * center ± L·σ·√(α/(2−α)·(1 − (1−α)^{2t})) — the exact
-    * finite-sample EWMA variance, t the 1-based position in the SAME
-    * total order the smoother consumes, so early points get the
-    * tighter correct band instead of the asymptotic one. A point
-    * whose 6-dp-frozen EWMA leaves the 6-dp-frozen band flags.
+    * center ± L·σ·√(α/(2−α)·(1 − (1−α)^{2(t−1)}) + (1−α)^{2(t−1)})
+    * — the exact finite-sample variance of THIS smoother's y₁ = x₁
+    * initialization (Var(y_t)/σ² telescopes to that closed form; at
+    * t = 1 it is exactly 1, so the first point is compared against
+    * the raw ±L·σ band, and it decays to the asymptotic α/(2−α)
+    * factor), t the 1-based position in the SAME total order the
+    * smoother consumes. The center-line-initialized (y₀ = μ) textbook
+    * form α/(2−α)·(1 − (1−α)^{2t}) does NOT hold here — it under-
+    * covers early points by up to 1/α. A point whose 6-dp-frozen
+    * EWMA leaves the 6-dp-frozen band flags.
     *
     * Determinism: mean/σ from exact decimal power sums (6-dp values),
     * every emitted number re-frozen at 6 dp, flags compare frozen
@@ -2270,7 +2275,8 @@ object Resample {
         when(col("_sd").isNotNull,
           round(lit(limitL) * col("_sd")
             * sqrt(lit(alpha / (2.0 - alpha)) * (lit(1.0)
-              - pow(lit(1.0 - alpha), (col("_t") * 2).cast("double")))),
+              - pow(lit(1.0 - alpha), ((col("_t") - 1) * 2).cast("double")))
+              + pow(lit(1.0 - alpha), ((col("_t") - 1) * 2).cast("double"))),
             6)))
       .withColumn("_e6", round(col("_ewma"), 6))
       .withColumn("_ucl", round(col("_center") + col("_hw"), 6))

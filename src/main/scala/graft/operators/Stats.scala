@@ -305,8 +305,11 @@ object Stats {
       .join(totals, cells("_q") <=> totals("_tq"))
       .groupBy(col("_g"))
       .agg(sum("_c").as("_ng"),
-        sum(col("_c") * (lit(2L) * col("_cbelow") + col("_e") + 1))
-          .cast(dec).as("_r2"))
+        // fold in decimal: c·rank products are ~n² per cell and the
+        // Long SUM is ~n³ — silently overflows past ~2e6 rows
+        sum((col("_c").cast(dec)
+          * (lit(2L) * col("_cbelow") + col("_e") + 1)).cast(dec))
+          .as("_r2"))
     perG
       .select(col("_ng"),
         (col("_r2") * col("_r2")).cast(dec).as("_r2sq"))
@@ -2110,7 +2113,9 @@ object Stats {
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("n"),
         sum(col("_x").cast(dec)).as("_s1"),
-        sum((col("_x") * col("_x")).cast(dec)).as("_s2"),
+        // cast BEFORE squaring (Long x² overflows at |value| > ~3e3
+        // under the 1e6 scale) — the _s3/_s4 folds already do
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_s2"),
         sum((col("_x").cast(dec) * col("_x") * col("_x")).cast(dec))
           .as("_s3"),
         sum((col("_x").cast(dec) * col("_x") * col("_x") * col("_x"))
@@ -2366,8 +2371,8 @@ object Stats {
     val sums = cells.groupBy(col("_g").as(groupCol))
       .agg(sum("_n").as("n"), sum("_p").as("n_pos"),
         count(lit(1)).as("n_buckets"),
-        sum((col("_s") * col("_p")).cast(dec)).as("_t1"),
-        sum((col("_s") * col("_n")).cast(dec)).as("_t2"),
+        sum((col("_s").cast(dec) * col("_p")).cast(dec)).as("_t1"),
+        sum((col("_s").cast(dec) * col("_n")).cast(dec)).as("_t2"),
         sum((col("_s").cast(dec) * col("_s") * col("_n")).cast(dec))
           .as("_t3"))
     def d(c: String): Column = col(c).cast("double")
@@ -2917,6 +2922,128 @@ object Stats {
       when(okB, round(b1, 6)).cast("double").as("b1"),
       when(okB, round(b2, 6)).cast("double").as("b2"),
       when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
+  }
+
+  /** Double-ML / partialling-out treatment effect per group
+    * (Chernozhukov et al.'s debiased-ML estimator in its closed-form
+    * tier) — the orthogonalized member that completes the causal
+    * panel beside AIPW/PSM/DID/IV: regress the OUTCOME on the
+    * confounders and the TREATMENT on the confounders (two
+    * [[ridgeFit]] nuisance fits — the L2 shrinkage keeps the solve
+    * stable when confounders are collinear), then OLS of the outcome
+    * residual on the treatment residual through the origin. The
+    * Frisch–Waugh–Lovell partialling-out: θ̂ = Σê_t·ê_y / Σê_t², with
+    * the HC0 heteroscedasticity-consistent (sandwich) standard error
+    * se = √Σ(ê_t·(ê_y − θ̂·ê_t))² / Σê_t².
+    *
+    * Determinism: the Gram pass folds exact decimal(38,0) moments of
+    * 1e6-quantized values; all six nuisance coefficients freeze at
+    * 6 dp; the residual pass re-quantizes ê_t/ê_y at 6 dp into longs
+    * whose 2nd/3rd/4th-order products fold EXACTLY in decimal(38,0)
+    * (cast-before-multiply); θ̂ freezes at 6 dp before entering the
+    * se tree, whose radicand Σ(ê_tê_y − θ̂ê_t²)² is a sum of squares
+    * — non-negative for ANY frozen θ̂, so the √ never sees a rounding
+    * artifact. Headroom: the Σê_t²ê_y² term is ~1e30/row at
+    * |ê_y| ≈ 1e3, leaving ~1e8 rows per group before decimal(38)
+    * overflows (Spark then yields NULL, not a wrong number) —
+    * pre-aggregate or rescale y for bigger groups (the
+    * [[weightedLinearFit]] contract). Degenerate panels (n < 3,
+    * singular nuisance solve, zero treatment-residual variance)
+    * report NULL.
+    *
+    * Scale shape: two scans (Gram pass, residual pass), each ONE
+    * hash aggregate; the per-group coefficient table broadcasts back
+    * for the residual pass. Nothing collected.
+    * Output: (group, n, lambda, theta, se_theta, t_theta).
+    */
+  def doubleMlAte(df: DataFrame, groupCol: String, treat: Column,
+      yCol: String, xCols: Seq[String], lambda: Double): DataFrame = {
+    require(xCols.size == 2, "doubleMlAte: exactly 2 confounders")
+    require(lambda >= 0.0, s"doubleMlAte: lambda must be >= 0, got $lambda")
+    val Seq(x1c, x2c) = xCols
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(x1c).isNotNull && col(x2c).isNotNull
+        && col(yCol).isNotNull && treat.isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(x1c) * 1e6).cast("long").as("_x1"),
+        round(col(x2c) * 1e6).cast("long").as("_x2"),
+        round(col(yCol) * 1e6).cast("long").as("_y"),
+        round(treat.cast("double") * 1e6).cast("long").as("_t"))
+      .localCheckpoint() // Gram pass + residual pass both scan it
+    def m(a: String, b: String): Column =
+      sum((col(a).cast(dec) * col(b)).cast(dec))
+    val sums = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x1").cast(dec)).as("_s1"),
+        sum(col("_x2").cast(dec)).as("_s2"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum(col("_t").cast(dec)).as("_st"),
+        m("_x1", "_x1").as("_s11"), m("_x2", "_x2").as("_s22"),
+        m("_x1", "_x2").as("_s12"),
+        m("_x1", "_y").as("_s1y"), m("_x2", "_y").as("_s2y"),
+        m("_x1", "_t").as("_s1t"), m("_x2", "_t").as("_s2t"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val lam = lit(1.0 + lambda)
+    val cS11 = (nd * d("_s11") - d("_s1") * d("_s1")) * lam
+    val cS22 = (nd * d("_s22") - d("_s2") * d("_s2")) * lam
+    val cS12 = nd * d("_s12") - d("_s1") * d("_s2")
+    val det = cS11 * cS22 - cS12 * cS12
+    // one ridge solve per target (the ridgeFit Cramer tree verbatim)
+    def solve(sjy: String, s2y: String, sy: String)
+        : (Column, Column, Column) = {
+      val c1y = nd * d(sjy) - d("_s1") * d(sy)
+      val c2y = nd * d(s2y) - d("_s2") * d(sy)
+      val b1 = (c1y * cS22 - c2y * cS12) / det
+      val b2 = (c2y * cS11 - c1y * cS12) / det
+      val b0 = (d(sy) - b1 * d("_s1") - b2 * d("_s2")) / nd
+      (round(b0 / lit(1e6), 6), round(b1, 6), round(b2, 6))
+    }
+    val (by0, by1, by2) = solve("_s1y", "_s2y", "_sy")
+    val (bt0, bt1, bt2) = solve("_s1t", "_s2t", "_st")
+    val okB = col("n") >= 3 && det > 0.0
+    val coefs = sums.select(col("_g"), col("n"),
+      when(okB, by0).as("_by0"), when(okB, by1).as("_by1"),
+      when(okB, by2).as("_by2"),
+      when(okB, bt0).as("_bt0"), when(okB, bt1).as("_bt1"),
+      when(okB, bt2).as("_bt2"))
+    val resid = rows.join(broadcast(coefs), "_g")
+      .withColumn("_ey", round(col("_y") / 1e6 - col("_by0")
+        - col("_by1") * (col("_x1") / 1e6)
+        - col("_by2") * (col("_x2") / 1e6), 6))
+      .withColumn("_et", round(col("_t") / 1e6 - col("_bt0")
+        - col("_bt1") * (col("_x1") / 1e6)
+        - col("_bt2") * (col("_x2") / 1e6), 6))
+      .select(col("_g"), col("n"),
+        round(col("_ey") * 1e6).cast("long").as("_eyl"),
+        round(col("_et") * 1e6).cast("long").as("_etl"))
+    val folded = resid.groupBy(col("_g"), col("n"))
+      .agg(sum((col("_etl").cast(dec) * col("_etl")).cast(dec))
+          .as("_a2"),
+        sum((col("_etl").cast(dec) * col("_eyl")).cast(dec)).as("_ab"),
+        sum((col("_etl").cast(dec) * col("_etl") * col("_eyl")
+          * col("_eyl")).cast(dec)).as("_m22"),
+        sum((col("_etl").cast(dec) * col("_etl") * col("_etl")
+          * col("_eyl")).cast(dec)).as("_m31"),
+        sum((col("_etl").cast(dec) * col("_etl") * col("_etl")
+          * col("_etl")).cast(dec)).as("_m40"))
+    val okT = col("_a2").isNotNull && d("_a2") > 0.0
+    val theta = round(d("_ab") / d("_a2"), 6)
+    folded
+      .withColumn("_th", when(okT, theta))
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        lit(lambda).cast("double").as("lambda"),
+        col("_th").cast("double").as("theta"),
+        when(okT, round(sqrt(d("_m22")
+            - lit(2.0) * col("_th") * d("_m31")
+            + col("_th") * col("_th") * d("_m40")) / d("_a2"), 6))
+          .cast("double").as("se_theta"),
+        when(okT && d("_m22") - lit(2.0) * col("_th") * d("_m31")
+            + col("_th") * col("_th") * d("_m40") > 0.0,
+          round(col("_th") / (sqrt(d("_m22")
+            - lit(2.0) * col("_th") * d("_m31")
+            + col("_th") * col("_th") * d("_m40")) / d("_a2")), 6))
+          .cast("double").as("t_theta"))
   }
 
   /** [[linearFitMulti]]'s p = 3 tier — y on (x1, x2, x3) + intercept
@@ -5656,8 +5783,11 @@ object Stats {
       .join(totals, cells("_q") <=> totals("_tq"))
       .groupBy(col("_g"))
       .agg(sum("_c").as("_ng"),
-        sum(col("_c") * (lit(2L) * col("_cbelow") + col("_e") + 1))
-          .cast(dec).as("_r2"))
+        // fold in decimal: c·rank products are ~n² per cell and the
+        // Long SUM is ~n³ — silently overflows past ~2e6 rows
+        sum((col("_c").cast(dec)
+          * (lit(2L) * col("_cbelow") + col("_e") + 1)).cast(dec))
+          .as("_r2"))
     val a = perG.select(col("_g").as("group_a"), col("_ng").as("n_a"),
       col("_r2").as("_r2a"))
     val b = perG.select(col("_g").as("group_b"), col("_ng").as("n_b"),
@@ -7775,7 +7905,9 @@ object Stats {
       .groupBy("_g")
       .agg(count(lit(1)).as("n"),
         sum(col("_x").cast(dec)).as("_s1"),
-        sum((col("_x") * col("_x")).cast(dec)).as("_s2"))
+        // cast BEFORE squaring: Long*Long silently overflows above
+        // ~3.04e9 counts; decimal*long keeps the square exact
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_s2"))
     def d(c: String): Column = col(c).cast("double")
     val nD = col("n").cast("double")
     val mean = d("_s1") / nD

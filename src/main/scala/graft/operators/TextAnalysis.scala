@@ -1552,8 +1552,10 @@ object TextAnalysis {
     points.groupBy(col("_g").as(groupCol))
       .agg(count(lit(1)).cast(dec).as("_n"),
         sum("_x").cast(dec).as("_sx"), sum("_y").cast(dec).as("_sy"),
-        sum(col("_x") * col("_y")).cast(dec).as("_sxy"),
-        sum(col("_x") * col("_x")).cast(dec).as("_sxx"))
+        // products fold in decimal: the 1e6-scaled logs reach ~4e7,
+        // so Long co-moment SUMS overflow past ~5.7e3 docs per group
+        sum((col("_x").cast(dec) * col("_y")).cast(dec)).as("_sxy"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_sxx"))
       .withColumn("_den", col("_n") * col("_sxx") - col("_sx") * col("_sx"))
       .withColumn("_num", col("_n") * col("_sxy") - col("_sx") * col("_sy"))
       .select(col(groupCol), col("_n").cast("long").as("n_docs"),
@@ -1645,8 +1647,10 @@ object TextAnalysis {
       .agg(sum(col("_c").cast(dec)).as("_n"),
         count(lit(1)).as("_v"),
         sum(when(col("_c") === 1, 1L).otherwise(0L)).as("_v1"),
-        sum((col("_c") * col("_c")).cast(dec)).as("_sc2"),
-        sum((col("_c") * (col("_c") - 1L)).cast(dec)).as("_scc"))
+        // cast BEFORE squaring: Long*Long silently overflows above
+        // ~3.04e9-count words; decimal*long keeps the square exact
+        sum((col("_c").cast(dec) * col("_c")).cast(dec)).as("_sc2"),
+        sum((col("_c").cast(dec) * (col("_c") - 1L)).cast(dec)).as("_scc"))
     def d(c: String): Column = col(c).cast("double")
     agg.select(col("_g").as(groupCol),
       col("_n").cast("bigint").as("n_tokens"),
@@ -1707,18 +1711,34 @@ object TextAnalysis {
     * standard definition). Documents shorter than one segment are
     * absent.
     *
+    * CONTRACT: one row per idCol. posexplode restarts positions at 0
+    * per input ROW, so a document split across rows would get
+    * colliding positions and silently wrong segments — a duplicated
+    * id therefore raises loudly (the guard rides INSIDE the consumed
+    * text column so column pruning can't drop it; concatenate
+    * multi-row documents under a declared order upstream first).
+    *
     * Determinism: all integers (positions, per-segment distinct
-    * counts) into one rounded division. Scale shape: one posexplode
-    * to (doc, position) — the honest cost of ordered segmentation —
-    * then two hash aggregates; nothing collected.
-    * Output: (idCol, n_segments, msttr).
+    * counts) into one rounded division. Scale shape: one id-keyed
+    * window count (the guard) + one posexplode to (doc, position) —
+    * the honest cost of ordered segmentation — then two hash
+    * aggregates; nothing collected. Output: (idCol, n_segments,
+    * msttr).
     */
   def msttr(df: DataFrame, idCol: String, textCol: String,
       segment: Int): DataFrame = {
     require(segment >= 2 && segment <= 10000,
       s"msttr: segment must be in [2, 10000], got $segment")
-    val toks = df.select(col(idCol).as("_id"),
-      posexplode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+    val guarded = df
+      .withColumn("_nrows", count(lit(1)).over(Window.partitionBy(idCol)))
+      .select(col(idCol).as("_id"),
+        when(col("_nrows") > 1, raise_error(concat(
+          lit("msttr: id '"), col(idCol).cast("string"),
+          lit("' has multiple rows - one row per document required; " +
+            "concatenate under a declared order first"))))
+          .otherwise(col(textCol)).as("_text"))
+    val toks = guarded.select(col("_id"),
+      posexplode(filter(split(lower(col("_text")), " "), t => t =!= ""))
         .as(Seq("_p", "_w")))
     val nFull = toks.groupBy("_id")
       .agg((count(lit(1)) / segment).cast("long").as("_nseg"))

@@ -879,6 +879,34 @@ object AnalyticsOps {
       .orderBy("field")
   }
 
+  /** UNSUPERVISED Fellegi–Sunter (r17 verdict item 3): the
+    * q_linkage_weights candidate pairs with the label WITHHELD — m/u
+    * and the match prevalence estimated by 2 fixed EM passes over the
+    * comparison vectors alone (12-dp-frozen E-step responsibilities,
+    * 6-dp-refrozen clamped M-step params, the gmmPortable
+    * discipline). The oracle unrolls both passes.
+    */
+  val qLinkageEm: QueryFn = withTables { spark =>
+    val base = spark.table("part").filter(col("p_partkey") <= 500)
+      .select(col("p_partkey").as("id"), col("p_name").as("nm"),
+        col("p_brand").as("br"), col("p_type").as("ct"))
+    val variants = base.select((col("id") + 10000).as("id"),
+      concat(col("nm"), lit(" x")).as("nm"), col("br"), col("ct"))
+    val u = base.unionByName(variants)
+    val pairs = u.as("x").join(u.as("y"),
+        substring(col("x.nm"), 1, 1) === substring(col("y.nm"), 1, 1)
+          && col("x.id") < col("y.id"))
+      .select(
+        (substring(col("x.nm"), 1, 12) === substring(col("y.nm"), 1, 12))
+          .as("a_name"),
+        (col("x.br") === col("y.br")).as("a_brand"),
+        (col("x.ct") === col("y.ct")).as("a_container"))
+    graft.operators.FuzzyJoin.fellegiSunterEm(pairs,
+        Seq("name12" -> col("a_name"), "brand" -> col("a_brand"),
+          "type" -> col("a_container")), passes = 2)
+      .orderBy("field")
+  }
+
   /** TextRank top-20 keywords over the document corpus (window 2,
     * 3 PageRank iterations): exact distinct co-occurrence edges, the
     * 12-dp-per-iteration rank contract, (rank DESC, word) cut.
@@ -905,6 +933,7 @@ object AnalyticsOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "q_linkage_em" -> qLinkageEm,
     "q_hosmer" -> qHosmer,
     "q_textrank" -> qTextRank,
     "q_collocations" -> qCollocations,
@@ -1111,6 +1140,95 @@ object AnalyticsOps {
                ROW_NUMBER() OVER (PARTITION BY u
                  ORDER BY score DESC, i) AS rank
         FROM scored)"""
+
+  // One EM pass over the linkage comparison vectors: 12-dp-frozen
+  // class log-scores with every ln taken OF the previous pass's
+  // frozen 6-dp params (params${t-1} is a 1-row CTE), max-shifted
+  // two-class softmax at 12 dp, then the M-step's decimal folds and
+  // 6-dp clamped refreeze — mirroring FuzzyJoin.fellegiSunterEm's
+  // trees node for node. A degenerate pass keeps previous params.
+  private def linkageEmCtes(t: Int): String = {
+    def smTerm(j: Int, pc: String) =
+      s"(CASE WHEN a$j THEN LN(p.$pc$j) ELSE LN(1.0 - p.$pc$j) END)"
+    def clamp(v: String) =
+      s"LEAST(GREATEST(ROUND($v, 6), 0.000001), 0.999999)"
+    val amCols = (0 until 3).map(j => s"""
+               SUM(CAST(CASE WHEN a$j THEN r ELSE 0.0 END
+                 AS DECIMAL(38,12))) AS am$j,
+               SUM(CASE WHEN a$j THEN 1 ELSE 0 END)::BIGINT AS ag$j""")
+      .mkString(",")
+    val mCols = (0 until 3).map(j => s"""
+               CASE WHEN CAST(g.sr AS DOUBLE) > 0.0
+                     AND CAST(g.sr AS DOUBLE) < CAST(g.n AS DOUBLE)
+                 THEN ${clamp(s"CAST(g.am$j AS DOUBLE) / CAST(g.sr AS DOUBLE)")}
+                 ELSE p.m$j END AS m$j,
+               CASE WHEN CAST(g.sr AS DOUBLE) > 0.0
+                     AND CAST(g.sr AS DOUBLE) < CAST(g.n AS DOUBLE)
+                 THEN ${clamp(s"(CAST(g.ag$j AS DOUBLE) - CAST(g.am$j AS DOUBLE)) / (CAST(g.n AS DOUBLE) - CAST(g.sr AS DOUBLE))")}
+                 ELSE p.u$j END AS u$j""").mkString(",")
+    s""",
+      e$t AS MATERIALIZED (
+        SELECT a0, a1, a2,
+               ROUND(LN(p.p) + ${smTerm(0, "m")} + ${smTerm(1, "m")}
+                 + ${smTerm(2, "m")}, 12) AS sm,
+               ROUND(LN(1.0 - p.p) + ${smTerm(0, "u")}
+                 + ${smTerm(1, "u")} + ${smTerm(2, "u")}, 12) AS su
+        FROM pairs CROSS JOIN params${t - 1} p),
+      r$t AS (SELECT a0, a1, a2,
+               ROUND(EXP(sm - GREATEST(sm, su))
+                 / (EXP(sm - GREATEST(sm, su))
+                   + EXP(su - GREATEST(sm, su))), 12) AS r
+              FROM e$t),
+      g$t AS (SELECT COUNT(*)::BIGINT AS n,
+               SUM(CAST(r AS DECIMAL(38,12))) AS sr,$amCols
+              FROM r$t),
+      params$t AS (
+        SELECT g.n,
+               CASE WHEN CAST(g.sr AS DOUBLE) > 0.0
+                     AND CAST(g.sr AS DOUBLE) < CAST(g.n AS DOUBLE)
+                 THEN ${clamp("CAST(g.sr AS DOUBLE) / CAST(g.n AS DOUBLE)")}
+                 ELSE p.p END AS p,$mCols
+        FROM g$t g CROSS JOIN params${t - 1} p)"""
+  }
+
+  // q_linkage_em's oracle: the q_linkage_weights pair CTEs (label
+  // withheld), literal params0 (p=0.1, m=0.9, u=0.1), two unrolled
+  // EM passes, then the per-field weight trees on the final params.
+  private val linkageEmOracle: String = {
+    val ln2 = graft.operators.TextAnalysis.ln2
+    def fieldRow(name: String, j: Int) = s"""
+      SELECT '$name' AS field, n::BIGINT AS n_pairs,
+             CAST(p AS DOUBLE) AS p_match, CAST(m$j AS DOUBLE) AS m,
+             CAST(u$j AS DOUBLE) AS u,
+             CAST(ROUND(LN(m$j / u$j) / $ln2, 6) AS DOUBLE) AS w_agree,
+             CAST(ROUND(LN((1.0 - m$j) / (1.0 - u$j)) / $ln2, 6)
+               AS DOUBLE) AS w_disagree
+      FROM params2"""
+    """
+      WITH base AS (
+        SELECT p_partkey AS id, p_name AS nm, p_brand AS br,
+               p_type AS ct
+        FROM part WHERE p_partkey <= 500),
+      uu AS (SELECT * FROM base
+             UNION ALL
+             SELECT id + 10000, nm || ' x', br, ct FROM base),
+      pairs AS MATERIALIZED (
+        SELECT (SUBSTR(x.nm, 1, 12) = SUBSTR(y.nm, 1, 12)) AS a0,
+               (x.br = y.br) AS a1,
+               (x.ct = y.ct) AS a2
+        FROM uu x JOIN uu y
+          ON SUBSTR(x.nm, 1, 1) = SUBSTR(y.nm, 1, 1) AND x.id < y.id),
+      params0 AS (
+        SELECT CAST(0.1 AS DOUBLE) AS p,
+               CAST(0.9 AS DOUBLE) AS m0, CAST(0.9 AS DOUBLE) AS m1,
+               CAST(0.9 AS DOUBLE) AS m2,
+               CAST(0.1 AS DOUBLE) AS u0, CAST(0.1 AS DOUBLE) AS u1,
+               CAST(0.1 AS DOUBLE) AS u2)""" +
+    linkageEmCtes(1) + linkageEmCtes(2) +
+    fieldRow("name12", 0) + "\n      UNION ALL" +
+    fieldRow("brand", 1) + "\n      UNION ALL" +
+    fieldRow("type", 2) + "\n      ORDER BY field"
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -1420,6 +1538,8 @@ object AnalyticsOps {
     // The planted-duplicate pair design replayed: first-char blocks,
     // label j = i + 10000, three agreement fields, exact m/u counts
     // into the same ln/ln2 weight trees.
+    "q_linkage_em" -> linkageEmOracle,
+
     "q_linkage_weights" -> s"""
       WITH base AS (
         SELECT p_partkey AS id, p_name AS nm, p_brand AS br,

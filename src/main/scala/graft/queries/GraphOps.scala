@@ -629,7 +629,24 @@ object GraphOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** Spectral embedding + clustering of the shared mod-7 co-order
+    * part graph (r17 verdict item 1): 6 deflated power passes on the
+    * normalized adjacency per eigenvector (v1 closed-form, 12-dp
+    * frozen; y/projections/residual/coordinate 6-dp frozen per pass),
+    * then the q_kmeans one-round Lloyd pipeline with k = 2 on the
+    * Shi–Malik cut coordinates (k−1 = the Fiedler coordinate alone;
+    * the emitted embedding carries e2 AND e3). The oracle unrolls all
+    * 12 power passes AND the Lloyd round.
+    */
+  val qSpectral: QueryFn = withTablesSf { (spark, sfDir) =>
+    Clustering.spectralClustering(
+        coOrderParts(spark, sfDir, 7).select("a", "b"),
+        "a", "b", k = 2, powerIters = 6)
+      .orderBy("vertex")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_spectral" -> qSpectral,
     "q_ann_ivfpq_res" -> qAnnIvfPqRes,
     "q_harmonic" -> qHarmonic,
     "q_harmonic_approx" -> qHarmonicApprox,
@@ -1167,8 +1184,113 @@ object GraphOps {
       ORDER BY vertex"""
   }
 
+  // One deflated power pass for eigenvector slot `a` (1 = e2, 2 = e3):
+  // S·x as the 6-dp-rounded weighted neighbor sum, 6-dp projection
+  // coefficients onto basis$a's frozen vectors, the 6-dp deflated
+  // residual (left-associated subtraction — Spark's foldLeft order),
+  // unrounded norm, 6-dp normalized coordinate (zero residual -> 0.0,
+  // the Spark `when` guard).
+  private def spectralPassCtes(a: Int, t: Int, projs: Seq[String])
+      : String = {
+    val cdefs = projs.zipWithIndex.map { case (b, i) =>
+      s"ROUND(SUM(b.$b * y.y), 6) AS c$i" }.mkString(", ")
+    val dsub = projs.zipWithIndex.map { case (b, i) =>
+      s" - c.c$i * b.$b" }.mkString
+    s""",
+      y${a}_$t AS MATERIALIZED (
+        SELECT w.u AS v, ROUND(SUM(w.wt * x.x), 6) AS y
+        FROM we w JOIN x${a}_${t - 1} x ON x.v = w.vv
+        GROUP BY w.u),
+      c${a}_$t AS (SELECT $cdefs
+                   FROM y${a}_$t y JOIN basis$a b ON b.v = y.v),
+      d${a}_$t AS (SELECT y.v, ROUND(y.y$dsub, 6) AS d
+                   FROM y${a}_$t y JOIN basis$a b ON b.v = y.v
+                   CROSS JOIN c${a}_$t c),
+      n${a}_$t AS (SELECT SQRT(SUM(d * d)) AS nrm FROM d${a}_$t),
+      x${a}_$t AS MATERIALIZED (
+        SELECT v, CASE WHEN nrm > 0 THEN ROUND(d / nrm, 6)
+                       ELSE CAST(0.0 AS DOUBLE) END AS x
+        FROM d${a}_$t CROSS JOIN n${a}_$t)"""
+  }
+
+  // q_spectral's oracle: the q_modularity edge CTEs, closed-form v1 +
+  // 12-dp normalized weights, the md5-unit-minus-half init, 6 deflated
+  // power passes per eigenvector (deflating v1; then v1 AND e2), and
+  // the kmeansCtes Lloyd round on the 2-d embedding with k = 2.
+  private val spectralOracle: String = {
+    """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT
+               LEAST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+               GREATEST(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS (SELECT a AS u, b AS vv FROM pairs
+              UNION ALL SELECT b AS u, a AS vv FROM pairs),
+      degs AS MATERIALIZED (
+        SELECT u AS v, COUNT(*)::BIGINT AS d FROM sym GROUP BY u),
+      tot AS (SELECT SUM(d)::BIGINT AS td FROM degs),
+      basis1 AS MATERIALIZED (
+        SELECT v, ROUND(SQRT(CAST(d AS DOUBLE))
+                 / SQRT(CAST(td AS DOUBLE)), 12) AS v1
+        FROM degs CROSS JOIN tot),
+      we AS MATERIALIZED (
+        SELECT s.u, s.vv, ROUND(1.0 / SQRT(CAST(du.d AS DOUBLE)
+                 * CAST(dv.d AS DOUBLE)), 12) AS wt
+        FROM sym s JOIN degs du ON du.v = s.u
+        JOIN degs dv ON dv.v = s.vv),
+      x1_0 AS (SELECT v, ROUND(('0x' || SUBSTR(MD5(v), 1, 15))::BIGINT
+                 / 1152921504606846976.0 - 0.5, 6) AS x
+               FROM degs)""" +
+    (1 to 6).map(t => spectralPassCtes(1, t, Seq("v1"))).mkString +
+    """,
+      basis2 AS MATERIALIZED (
+        SELECT b.v, b.v1, x.x AS e2
+        FROM basis1 b JOIN x1_6 x ON x.v = b.v),
+      x2_0 AS (SELECT v, x FROM x1_0)""" +
+    (1 to 6).map(t => spectralPassCtes(2, t, Seq("v1", "e2"))).mkString +
+    """,
+      emb AS MATERIALIZED (
+        SELECT a.v AS vid, [a.x] AS ev, a.x AS x2, b.x AS x3
+        FROM x1_6 a JOIN x2_6 b ON b.v = a.v),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY u, vid) - 1 AS c, ev AS cv
+        FROM (SELECT vid, ev,
+                ('0x' || SUBSTR(MD5(vid), 1, 15))::BIGINT
+                  / 1152921504606846976.0 AS u
+              FROM emb ORDER BY u, vid LIMIT 2)),
+      a0 AS (SELECT vid, ev, c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 2),
+                 i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))), 6) AS dist
+             FROM emb CROSS JOIN seeds),
+      asg0 AS (SELECT vid, ev, c, dist FROM (
+               SELECT vid, ev, c, dist,
+                      ROW_NUMBER() OVER (PARTITION BY vid
+                        ORDER BY dist, c) AS rk FROM a0) WHERE rk = 1),
+      ex0 AS (SELECT c, UNNEST(ev) AS val, GENERATE_SUBSCRIPTS(ev, 1) AS i
+              FROM asg0),
+      mu1 AS (SELECT c, i, ROUND(AVG(val), 6) AS mu FROM ex0 GROUP BY c, i),
+      cf1 AS (SELECT c, LIST(mu ORDER BY i) AS cv FROM mu1 GROUP BY c),
+      c1k AS (SELECT s.c, COALESCE(f.cv, s.cv) AS cv
+              FROM seeds s LEFT JOIN cf1 f ON s.c = f.c),
+      a1 AS (SELECT vid, x2, x3, c,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 2),
+                 i -> (ev[i] - cv[i]) * (ev[i] - cv[i]))), 6) AS dist
+             FROM emb CROSS JOIN c1k),
+      asg1 AS (SELECT vid, x2, x3, c, dist FROM (
+               SELECT vid, x2, x3, c, dist,
+                      ROW_NUMBER() OVER (PARTITION BY vid
+                        ORDER BY dist, c) AS rk FROM a1) WHERE rk = 1)
+      SELECT vid AS vertex, CAST(x2 AS DOUBLE) AS e2,
+             CAST(x3 AS DOUBLE) AS e3, c::INT AS cluster,
+             CAST(dist AS DOUBLE) AS dist
+      FROM asg1 ORDER BY vertex"""
+  }
+
   val oracles: Map[String, String] = Map(
 
+    "q_spectral" -> spectralOracle,
     "q_louvain" -> louvainOracle,
     "q_louvain2" -> louvain2Oracle,
     "q_leiden" -> leidenOracle,

@@ -511,9 +511,10 @@ object LlmOps {
   }
 
   /** EWMA control chart over the q_ewma series: the same recursion on
-    * 6-dp-frozen values plus the exact finite-sample limits
-    * center ± 3σ√(α/(2−α)(1−(1−α)^{2t})) from each user's full-run
-    * exact-decimal mean/sd — flags compare 6-dp-frozen values only.
+    * 6-dp-frozen values plus the exact finite-sample limits for the
+    * y₁ = x₁ start, center ± 3σ√(α/(2−α)(1−(1−α)^{2(t−1)}) +
+    * (1−α)^{2(t−1)}), from each user's full-run exact-decimal
+    * mean/sd — flags compare 6-dp-frozen values only.
     */
   val qEwmaChart: QueryFn = withTables { spark =>
     graft.operators.Resample.ewmaChart(
@@ -3143,9 +3144,12 @@ object LlmOps {
     // IEEE tree as the Spark fold: (1.0 - 0.3) spelled as arithmetic
     // (the literal 0.7 is a DIFFERENT double), y' = (1-α)·y + α·x.
     // The q_ewma recursion on 6-dp-frozen values, per-user exact
-    // power-sum stats, and the closed-form finite-sample limit
-    // 3·σ·√(c·(1−0.7^(2t))) with c = α/(2−α) interpolated as the one
-    // Scala double; flags compare frozen values only.
+    // power-sum stats, and the closed-form finite-sample limit for
+    // the y1 = x1 start, 3·σ·√(c·(1−b^(2(t−1))) + b^(2(t−1))) with
+    // c = α/(2−α) and b = 1−α each interpolated as the one Scala
+    // double (b is NOT the literal 0.7 — 1.0−0.3 is a different
+    // double and the Spark side spells lit(1.0 − alpha)); flags
+    // compare frozen values only.
     "q_ewma_chart" -> s"""
       WITH RECURSIVE
            e AS (SELECT event_id, user_id, ROUND(value, 6) AS v,
@@ -3182,7 +3186,8 @@ object LlmOps {
              SELECT event_id, user_id, v, ROUND(y, 6) AS e6, center,
                     CASE WHEN sd IS NOT NULL THEN
                       ROUND(3.0 * sd * SQRT(${0.3 / 1.7} * (1.0
-                        - POWER(0.7, CAST(rn * 2 AS DOUBLE)))), 6)
+                        - POWER(${1.0 - 0.3}, CAST((rn - 1) * 2 AS DOUBLE)))
+                        + POWER(${1.0 - 0.3}, CAST((rn - 1) * 2 AS DOUBLE))), 6)
                     END AS hw
              FROM lim)
       SELECT event_id, user_id, CAST(v AS DOUBLE) AS value,

@@ -576,6 +576,26 @@ object StatsOps {
     graft.operators.Stats.aipwAte(ev, col("t"), "y", "x", iters = 2)
   }
 
+  /** Double-ML partialling-out effect of the q_aipw treatment on
+    * spend per event type (r17 verdict item 2): ridge nuisance fits
+    * of y and t on (hour, day-of-month) at λ = 0.5, residual-on-
+    * residual OLS through the origin, HC0 sandwich se from exact
+    * 4th-order decimal folds of the 6-dp-frozen residuals.
+    */
+  val qDml: QueryFn = withTables { spark =>
+    val ev = spark.table("events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("g"),
+        hour(col("ts")).cast("double").as("x1"),
+        dayofmonth(col("ts")).cast("double").as("x2"),
+        when(col("user_id") % 24 < hour(col("ts")), 1.0)
+          .otherwise(0.0).as("t"),
+        col("value").as("y"))
+    graft.operators.Stats.doubleMlAte(ev, "g", col("t"), "y",
+        Seq("x1", "x2"), lambda = 0.5)
+      .orderBy("g")
+  }
+
   /** Gumbel return levels of daily maximum spend per event type:
     * moment fit on the block maxima (6-dp μ̂/β̂), the 30- and
     * 365-period levels — "how bad is the 1-in-T worst day".
@@ -2519,6 +2539,7 @@ object StatsOps {
     "q_croston" -> qCroston,
     "q_hw_mult" -> qHwMult,
     "q_aipw" -> qAipw,
+    "q_dml" -> qDml,
     "q_engle_granger" -> qEngleGranger,
     "q_energy_dist" -> qEnergyDist,
     "q_hotelling" -> qHotelling,
@@ -9706,6 +9727,122 @@ object StatsOps {
 
     // The q_psm_ate logistic unroll verbatim; per-arm closed-form OLS
     // moments; the identical clipped AIPW contribution tree.
+    // Double-ML: the ridgeFit Cramer trees for BOTH nuisance targets
+    // (6-dp frozen coefficients), 6-dp residuals re-quantized to 1e6
+    // longs, exact HUGEINT 2nd/3rd/4th-order folds, the frozen-theta
+    // sandwich se — every tree spelled from the Spark code.
+    "q_dml" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(CAST(HOUR(ts) AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS x1,
+               CAST(ROUND(CAST(DAY(ts) AS DOUBLE) * 1000000.0)
+                 AS BIGINT) AS x2,
+               CAST(ROUND((CASE WHEN user_id % 24 < HOUR(ts) THEN 1.0
+                 ELSE 0.0 END) * 1000000.0) AS BIGINT) AS t,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      grm AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(CAST(x1 AS HUGEINT)) AS s1,
+               SUM(CAST(x2 AS HUGEINT)) AS s2,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(t AS HUGEINT)) AS st,
+               SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+               SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+               SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+               SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+               SUM(CAST(x2 AS HUGEINT) * y) AS s2y,
+               SUM(CAST(x1 AS HUGEINT) * t) AS s1t,
+               SUM(CAST(x2 AS HUGEINT) * t) AS s2t
+        FROM pts GROUP BY g),
+      ctr AS (
+        SELECT g, n,
+               CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+               CAST(sy AS DOUBLE) AS syd, CAST(st AS DOUBLE) AS std,
+               (CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) * 1.5 AS c11,
+               (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) * 1.5 AS c22,
+               CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+               CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+               CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+               CAST(n AS DOUBLE) * CAST(s1t AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(st AS DOUBLE) AS c1t,
+               CAST(n AS DOUBLE) * CAST(s2t AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(st AS DOUBLE) AS c2t
+        FROM grm),
+      coefs AS (
+        SELECT g, n,
+               CASE WHEN n >= 3 AND c11 * c22 - c12 * c12 > 0.0 THEN
+                 ROUND(((syd - ((c1y * c22 - c2y * c12)
+                     / (c11 * c22 - c12 * c12)) * s1d
+                   - ((c2y * c11 - c1y * c12)
+                     / (c11 * c22 - c12 * c12)) * s2d)
+                   / CAST(n AS DOUBLE)) / 1000000.0, 6) END AS by0,
+               CASE WHEN n >= 3 AND c11 * c22 - c12 * c12 > 0.0 THEN
+                 ROUND((c1y * c22 - c2y * c12)
+                   / (c11 * c22 - c12 * c12), 6) END AS by1,
+               CASE WHEN n >= 3 AND c11 * c22 - c12 * c12 > 0.0 THEN
+                 ROUND((c2y * c11 - c1y * c12)
+                   / (c11 * c22 - c12 * c12), 6) END AS by2,
+               CASE WHEN n >= 3 AND c11 * c22 - c12 * c12 > 0.0 THEN
+                 ROUND(((std - ((c1t * c22 - c2t * c12)
+                     / (c11 * c22 - c12 * c12)) * s1d
+                   - ((c2t * c11 - c1t * c12)
+                     / (c11 * c22 - c12 * c12)) * s2d)
+                   / CAST(n AS DOUBLE)) / 1000000.0, 6) END AS bt0,
+               CASE WHEN n >= 3 AND c11 * c22 - c12 * c12 > 0.0 THEN
+                 ROUND((c1t * c22 - c2t * c12)
+                   / (c11 * c22 - c12 * c12), 6) END AS bt1,
+               CASE WHEN n >= 3 AND c11 * c22 - c12 * c12 > 0.0 THEN
+                 ROUND((c2t * c11 - c1t * c12)
+                   / (c11 * c22 - c12 * c12), 6) END AS bt2
+        FROM ctr),
+      resid AS (
+        SELECT p.g, c.n,
+               CAST(ROUND(ROUND(p.y / 1000000.0 - c.by0
+                 - c.by1 * (p.x1 / 1000000.0)
+                 - c.by2 * (p.x2 / 1000000.0), 6) * 1000000.0)
+                 AS BIGINT) AS eyl,
+               CAST(ROUND(ROUND(p.t / 1000000.0 - c.bt0
+                 - c.bt1 * (p.x1 / 1000000.0)
+                 - c.bt2 * (p.x2 / 1000000.0), 6) * 1000000.0)
+                 AS BIGINT) AS etl
+        FROM pts p JOIN coefs c ON c.g = p.g),
+      folded AS (
+        SELECT g, n,
+               SUM(CAST(etl AS HUGEINT) * etl) AS a2,
+               SUM(CAST(etl AS HUGEINT) * eyl) AS ab,
+               SUM(CAST(etl AS HUGEINT) * etl * eyl * eyl) AS m22,
+               SUM(CAST(etl AS HUGEINT) * etl * etl * eyl) AS m31,
+               SUM(CAST(etl AS HUGEINT) * etl * etl * etl) AS m40
+        FROM resid GROUP BY g, n),
+      fin AS (
+        SELECT g, n,
+               CASE WHEN a2 IS NOT NULL AND CAST(a2 AS DOUBLE) > 0.0
+                 THEN ROUND(CAST(ab AS DOUBLE) / CAST(a2 AS DOUBLE), 6)
+               END AS th,
+               CAST(a2 AS DOUBLE) AS a2d, CAST(m22 AS DOUBLE) AS m22d,
+               CAST(m31 AS DOUBLE) AS m31d, CAST(m40 AS DOUBLE) AS m40d
+        FROM folded)
+      SELECT g, n, CAST(0.5 AS DOUBLE) AS lambda,
+             CAST(th AS DOUBLE) AS theta,
+             CASE WHEN th IS NOT NULL THEN
+               CAST(ROUND(SQRT(m22d - 2.0 * th * m31d
+                 + th * th * m40d) / a2d, 6) AS DOUBLE)
+             END AS se_theta,
+             CASE WHEN th IS NOT NULL
+                   AND m22d - 2.0 * th * m31d + th * th * m40d > 0.0
+               THEN CAST(ROUND(th / (SQRT(m22d - 2.0 * th * m31d
+                 + th * th * m40d) / a2d), 6) AS DOUBLE)
+             END AS t_theta
+      FROM fin
+      ORDER BY g""",
+
     "q_aipw" -> """
       WITH pts AS (
         SELECT ROUND(CAST(HOUR(ts) AS DOUBLE), 6) AS x,

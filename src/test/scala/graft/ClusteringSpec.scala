@@ -256,4 +256,59 @@ class ClusteringSpec extends SparkTestBase {
       passes = 2).as[(Long, Int, Double)].collect().sortBy(_._1)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("spectralClustering: planted two-block graph recovers the " +
+      "blocks; e2 signs separate them; deterministic re-run") {
+    import spark.implicits._
+    // two 4-cliques {a..d} and {e..h} joined by ONE bridge edge d-e:
+    // the normalized cut is the bridge, so the Fiedler coordinate
+    // must split the cliques and k-means must recover them exactly
+    def clique(vs: Seq[String]) =
+      for (i <- vs.indices; j <- i + 1 until vs.size) yield (vs(i), vs(j))
+    val edges = (clique(Seq("a", "b", "c", "d"))
+      ++ clique(Seq("e", "f", "g", "h")) :+ (("d", "e")))
+      .toDF("s", "t")
+    val out = Clustering.spectralClustering(edges, "s", "t",
+        k = 2, powerIters = 8)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    val left = Set("a", "b", "c", "d")
+    val byCluster = out.groupBy(_._2._3).view
+      .mapValues(_.keys.toSet).toMap
+    assert(byCluster.values.toSet ===
+      Set(left, Set("e", "f", "g", "h")), out.toString)
+    // the Fiedler coordinate alone separates the blocks by sign
+    val signs = out.view.mapValues(v => v._1 > 0.0).toMap
+    assert(left.map(signs).size == 1
+      && Set("e", "f", "g", "h").map(signs).size == 1
+      && signs("a") != signs("h"), out.toString)
+    // frozen-decimal passes: bit-identical on re-run
+    val again = Clustering.spectralClustering(edges, "s", "t",
+        k = 2, powerIters = 8)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(again == out)
+  }
+
+  test("spectralClustering: disconnected graph — the k=2 cut agrees " +
+      "exactly with connectedComponents") {
+    import spark.implicits._
+    // two disjoint triangles (eigenvalue-1 multiplicity 2: the power
+    // loop converges INSIDE the top eigenspace and the cut must
+    // recover the components)
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("s", "t")
+    val spectral = Clustering.spectralClustering(edges, "s", "t",
+        k = 2, powerIters = 8)
+      .collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    val cc = Clustering.connectedComponents(edges, "s", "t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val spectralParts = spectral.groupBy(_._2).values
+      .map(_.keys.toSet).toSet
+    val ccParts = cc.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(spectralParts === ccParts,
+      s"spectral=$spectralParts cc=$ccParts")
+  }
 }

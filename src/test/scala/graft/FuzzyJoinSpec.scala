@@ -141,4 +141,56 @@ class FuzzyJoinSpec extends SparkTestBase {
     // w- = log2((1-0.5)/(1-0)) = -1
     assert(f2.getDouble(6) == -1.0, f2.toString)
   }
+
+  test("fellegiSunterEm: unsupervised EM recovers the labeled m/u on " +
+      "a planted two-class design; deterministic re-run") {
+    import spark.implicits._
+    // 100 planted matches (agreement ~90%/80%/70%) among 900
+    // non-matches (~10%/5%/20%). Fields draw from INDEPENDENT
+    // deterministic hashes — correlated fields (e.g. all keyed on
+    // i % 10) would break conditional independence and EM would
+    // rightly find a different latent split than the labels
+    def h(i: Int, salt: Int): Double =
+      (scala.util.hashing.MurmurHash3.stringHash(s"$i#$salt")
+        & 0x7fffffff) / 2147483647.0
+    val rows = (0 until 1000).map { i =>
+      val mt = i < 100
+      val a0 = if (mt) h(i, 1) < 0.95 else h(i, 1) < 0.05
+      val a1 = if (mt) h(i, 2) < 0.9 else h(i, 2) < 0.05
+      val a2 = if (mt) h(i, 3) < 0.85 else h(i, 3) < 0.1
+      (mt, a0, a1, a2)
+    }
+    val df = rows.toDF("is_match", "a0", "a1", "a2")
+    val fields = Seq("f0" -> col("a0"), "f1" -> col("a1"),
+      "f2" -> col("a2"))
+    val labeled = graft.operators.FuzzyJoin
+      .fellegiSunterWeights(df, col("is_match"), fields)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    val em = graft.operators.FuzzyJoin
+      .fellegiSunterEm(df.select("a0", "a1", "a2"), fields, passes = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // EM's posterior-weighted m/u lands within a tenth of the
+    // labeled rates (3 binary fields = 8 patterns; the ambiguous
+    // patterns carry partial mass by design, so exact equality is
+    // not the right claim)
+    fields.map(_._1).foreach { f =>
+      val (ml, ul) = labeled(f)
+      val (_, me, ue) = em(f)
+      assert(math.abs(me - ml) < 0.1, s"$f: em m=$me labeled m=$ml")
+      assert(math.abs(ue - ul) < 0.1, s"$f: em u=$ue labeled u=$ul")
+    }
+    // prevalence recovers the planted 10%
+    assert(math.abs(em("f0")._1 - 0.1) < 0.05, em.toString)
+    // frozen params: bit-identical on re-run
+    val again = graft.operators.FuzzyJoin
+      .fellegiSunterEm(df.select("a0", "a1", "a2"), fields, passes = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(again == em)
+    intercept[IllegalArgumentException] {
+      graft.operators.FuzzyJoin.fellegiSunterEm(df, fields, passes = 9)
+    }
+  }
 }

@@ -880,7 +880,10 @@ class ResampleSpec extends SparkTestBase {
     assert(out(31).getAs[Boolean]("out_of_control"))
     assert(out(30).getAs[Double]("ewma") == 10.0
       && !out(30).getAs[Boolean]("out_of_control"))
-    assert(out(1).getAs[Double]("ucl") == 37.149942, out(1).toString)
+    // t=1 variance factor is EXACTLY 1 for the y1=x1 start: the first
+    // point is judged against the raw ±3σ band (center ± 3·16.164477)
+    assert(out(1).getAs[Double]("ucl") == 61.396657, out(1).toString)
+    assert(out(1).getAs[Double]("lcl") == -35.590205, out(1).toString)
     assert((1 to 30).forall(t => !out(t).getAs[Boolean]("out_of_control")))
     // constant series: zero variance -> NULL band, never flags
     val const = (1 to 5).map(i => ("C", i, 4.0)).toDF("k", "t", "v")

@@ -4093,6 +4093,44 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("doubleMlAte: partialling out recovers the planted effect at " +
+      "lambda=0 and agrees with AIPW; ridge stays near; zero " +
+      "treatment residual is NULL") {
+    import spark.implicits._
+    // the q_aipw fixture: y = 5T + 2x with confounded assignment.
+    // FWL: the y-residual is EXACTLY 5x the T-residual, so theta = 5
+    // up to the 6-dp coefficient/residual freezes
+    val treated = (3 to 9).map(x =>
+      ("g", true, x.toDouble, (x * x).toDouble, 5.0 + 2.0 * x))
+    val control = (0 to 6).map(x =>
+      ("g", false, x.toDouble, (x * x).toDouble, 2.0 * x))
+    val df = (treated ++ control).toDF("g", "t", "x1", "x2", "y")
+    val r0 = Stats.doubleMlAte(df, "g", col("t"), "y",
+      Seq("x1", "x2"), lambda = 0.0).collect().head
+    assert(math.abs(r0.getDouble(3) - 5.0) < 1e-3, r0.toString)
+    assert(r0.getDouble(4) >= 0.0 && !r0.isNullAt(5), r0.toString)
+    // agreement with the doubly-robust estimate on the same fixture
+    val aipw = Stats.aipwAte(
+      df.select(col("t"), col("x1").as("x"), col("y")),
+      col("t"), "y", "x").collect().head.getDouble(2)
+    assert(math.abs(r0.getDouble(3) - aipw) < 1e-3,
+      s"dml=${r0.getDouble(3)} aipw=$aipw")
+    // shrinkage perturbs the nuisances, not the orthogonal moment:
+    // theta stays near the planted effect at lambda = 0.5
+    val r5 = Stats.doubleMlAte(df, "g", col("t"), "y",
+      Seq("x1", "x2"), lambda = 0.5).collect().head
+    assert(math.abs(r5.getDouble(3) - 5.0) < 1.0, r5.toString)
+    // constant treatment: zero residual variance -> NULL, no artifact
+    val const = control.map { case (g, _, a, b, y) => (g, true, a, b, y) }
+      .toDF("g", "t", "x1", "x2", "y")
+    val rc = Stats.doubleMlAte(const, "g", col("t"), "y",
+      Seq("x1", "x2"), 0.0).collect().head
+    assert(rc.isNullAt(3) && rc.isNullAt(4) && rc.isNullAt(5), rc.toString)
+    intercept[IllegalArgumentException] {
+      Stats.doubleMlAte(df, "g", col("t"), "y", Seq("x1"), 0.0)
+    }
+  }
+
   test("jonckheereTerpstra: hand U-sums with half ties; all-tied z NULL") {
     import spark.implicits._
     // a {1,2,3}, b {2,4,5}, c {6,7,8}: JT = 25.5 (one tie at 2),

@@ -952,6 +952,14 @@ class TextAnalysisSpec extends SparkTestBase {
         ((r.getLong(1), r.getDouble(2)))).toMap
     assert(out == Map(1L -> ((2L, 0.666667)), 3L -> ((2L, 1.0))),
       out.toString)
+    // one-row-per-document contract: a duplicated id raises loudly
+    // instead of silently mis-segmenting colliding positions
+    val dup = Seq((1L, "a b c"), (1L, "d e f"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.msttr(dup, "doc_id", "text", segment = 3).collect()
+    }
+    assert(e.getMessage.contains("multiple rows"), e.getMessage)
   }
   test("lexicalRichness: hand counts — hapax, Yule's K, Simpson's D") {
     import spark.implicits._
