@@ -188,4 +188,88 @@ object AsOfJoin {
           .otherwise(col("_fwd")))
       .drop("_back", "_fwd")
   }
+
+  /** One tagged event of [[asofStream]]'s merged input: left rows
+    * (the side being enriched) carry their event_id; right rows' ids
+    * are ignored. */
+  case class AsOfEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, is_left: Boolean)
+  /** A finalized left row: its latest right timestamp at-or-before it
+    * (micros), or null if no right row preceded it. */
+  case class AsOfMatched(user_id: Long, event_id: Long, tsMicros: Long,
+      matchTsMicros: java.lang.Long)
+  private[operators] case class AsOfPend(eventId: Long, tsMicros: Long)
+  private[operators] case class AsOfBuffers(clicks: Seq[Long],
+      pending: Seq[AsOfPend])
+
+  /** STREAM-STREAM as-of join (T14) — the [[asof]] batch kernel's
+    * streaming dual. The union+window rewrite cannot run live (no
+    * unbounded window functions over a stream), so the live path
+    * keeps per-key buffers in the state store and finalizes each left
+    * row only when the EVENT-TIME WATERMARK passes its timestamp —
+    * the point after which no earlier right row can still arrive, so
+    * the emitted match equals the batch answer by construction.
+    *
+    * Input contract: tag both streams into [[AsOfEvent]], union them,
+    * and `withWatermark("ts", <delay>)` the union BEFORE calling (the
+    * watermark drives finalization; without one nothing ever emits).
+    *
+    * Semantics, matching [[asof]]: inclusive ties (right at exactly
+    * the left's timestamp matches); a left row with no preceding
+    * right row emits a null match. Late rows — arriving with ts
+    * already at-or-under the watermark — are DROPPED (the T4
+    * contract): a late right row could otherwise retroactively change
+    * an already-emitted answer, which append-mode streaming forbids.
+    *
+    * State is bounded by the watermark horizon: pending left rows sit
+    * only until the watermark passes them, and of the right buffer
+    * only rows above the watermark plus the SINGLE latest at-or-below
+    * it survive pruning (that one dominates every older right row for
+    * any future left row). EventTimeTimeout flushes keys whose
+    * finalization is driven purely by other keys advancing the
+    * watermark. Output: Append-mode [[AsOfMatched]] rows.
+    */
+  def asofStream(events: org.apache.spark.sql.Dataset[AsOfEvent])
+      : org.apache.spark.sql.Dataset[AsOfMatched] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def micros(e: AsOfEvent): Long = e.ts.getTime * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuffers, AsOfMatched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[AsOfEvent],
+            state: GroupState[AsOfBuffers]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
+          val st0 = state.getOption.getOrElse(AsOfBuffers(Nil, Nil))
+          // late-data drop: ts at-or-under the watermark is final
+          // territory — admitting it could contradict emitted rows
+          val fresh = evs.toArray
+            .filter(e => wmMs == 0L || e.ts.getTime > wmMs)
+          val clicks = st0.clicks ++
+            fresh.filter(!_.is_left).map(micros)
+          val pending = st0.pending ++ fresh.filter(_.is_left)
+            .map(e => AsOfPend(e.event_id, micros(e)))
+          val (ready, stillPending) =
+            pending.partition(_.tsMicros <= wmMicros)
+          val out = ready.sortBy(p => (p.tsMicros, p.eventId)).map { p =>
+            val m = clicks.filter(_ <= p.tsMicros)
+            AsOfMatched(user, p.eventId, p.tsMicros,
+              if (m.isEmpty) null else java.lang.Long.valueOf(m.max))
+          }
+          // prune the right buffer: everything above the watermark,
+          // plus the one dominating row at-or-below it
+          val (newer, older) = clicks.partition(_ > wmMicros)
+          val keptClicks =
+            (if (older.nonEmpty) Seq(older.max) else Nil) ++ newer
+          if (keptClicks.isEmpty && stillPending.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuffers(keptClicks, stillPending))
+            if (stillPending.nonEmpty)
+              state.setTimeoutTimestamp(
+                stillPending.map(_.tsMicros).min / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
 }

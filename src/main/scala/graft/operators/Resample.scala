@@ -829,6 +829,78 @@ object Resample {
         col("n_days"))
   }
 
+  /** DFT periodogram / dominant-period detector over the daily series
+    * (r17 verdict item 4) — the frequency-domain view the acf/pacf/
+    * seasonality family lacked: for each candidate period P the
+    * spectral power I_P = (C_P² + S_P²)/n with C_P = Σ_t a_t·cos(2πk/P),
+    * S_P = Σ_t a_t·sin(2πk/P), k = (day − first day) mod P the
+    * CALENDAR phase (gap-robust: a missing day shifts nothing), and
+    * a_t the centered daily value. The argmax period per group is
+    * flagged `dominant`, ties on the 6-dp-frozen power breaking to
+    * the SMALLEST period (parsimony — a 14-day fit of a 7-day cycle
+    * never wins a tie).
+    *
+    * Determinism: the cos/sin factors are DRIVER-COMPUTED literals
+    * (one table row per (P, k) — Σ_{P=2..14} P = 104 rows), so no
+    * engine's libm trig is ever in the plan; centering is the acf
+    * contract's exact decimal a_t = n·x_t − S; each per-row term
+    * descales FIRST (a/(n·1e6) ≈ the value range, far under the
+    * 12-dp high-magnitude hazard) and freezes at 12 dp into
+    * decimal(38,12) folds; power is one rounded tree.
+    *
+    * Scale shape: the (group, day) cell shuffle collapses the corpus;
+    * the trig join is a 104-row broadcast; one (group, period)
+    * aggregate + a groups×13-row window. Output: (group, period,
+    * power, dominant).
+    */
+  def periodogram(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, minPeriod: Int = 2, maxPeriod: Int = 14)
+      : DataFrame = {
+    require(minPeriod >= 2 && maxPeriod >= minPeriod && maxPeriod <= 60,
+      s"periodogram: need 2 <= minPeriod <= maxPeriod <= 60, " +
+        s"got [$minPeriod, $maxPeriod]")
+    val dec = "decimal(38,0)"
+    val dec12 = "decimal(38,12)"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val trig = (minPeriod to maxPeriod).flatMap { p =>
+      (0 until p).map { k =>
+        val ang = 2.0 * math.Pi * k / p
+        (p, k.toLong, math.cos(ang), math.sin(ang))
+      }
+    }.toDF("_tp", "_tk", "_tc", "_tsv")
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val stats = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).cast(dec).as("_n"), sum("_x").cast(dec).as("_s"),
+        min("_day").as("_mind"))
+    val centered = cells
+      .join(broadcast(stats), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_a", (col("_n") * col("_x").cast(dec) - col("_s"))
+        .cast(dec))
+    val terms = centered
+      .join(broadcast(trig),
+        col("_tk") === (col("_day") - col("_mind")) % col("_tp"))
+      .select(col("_g"), col("_tp"), col("_n"),
+        round(col("_a").cast("double")
+          / (col("_n").cast("double") * 1e6) * col("_tc"), 12).as("_ct"),
+        round(col("_a").cast("double")
+          / (col("_n").cast("double") * 1e6) * col("_tsv"), 12).as("_st"))
+    val folded = terms.groupBy(col("_g"), col("_tp"))
+      .agg(max(col("_n").cast("double")).as("_nd"),
+        sum(col("_ct").cast(dec12)).as("_cs"),
+        sum(col("_st").cast(dec12)).as("_ss"))
+      .withColumn("power",
+        round((col("_cs").cast("double") * col("_cs").cast("double")
+          + col("_ss").cast("double") * col("_ss").cast("double"))
+          / col("_nd"), 6))
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("power").desc, col("_tp"))
+    folded
+      .withColumn("dominant", row_number().over(w) === 1)
+      .select(col("_g").as(groupCol), col("_tp").cast("int").as("period"),
+        col("power").cast("double").as("power"), col("dominant"))
+  }
+
   /** Effective sample size of each group's daily value series under
     * its measured autocorrelation: ESS = n / (1 + 2·Σ_{k=1..maxLag}
     * ρ_k) — the honest denominator for any "is this week different"

@@ -467,6 +467,23 @@ object AnalyticsOps {
       .orderBy("ta", "tb")
   }
 
+  /** Bounded level-3 apriori over (event_type × props.k-bucket) items
+    * per user basket (r17 verdict item 5): frequent items → frequent
+    * pairs capped to the top-50 under (count DESC, a, b) — the cap is
+    * ACTIVE here (105 possible pairs) — → fully-pruned candidate
+    * triples → one final count, with support and 3-way lift.
+    */
+  val qItemsets3: QueryFn = withTables { spark =>
+    val d = spark.table("events")
+      .select(col("user_id"),
+        concat(col("event_type"), lit("#"),
+          coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+            % 3, lit(0L)).cast("string")).as("item"))
+    graft.operators.Baskets.frequentTriples(d, "user_id", "item",
+        minSupport = 20L, topKPairs = 50)
+      .orderBy("a", "b", "c")
+  }
+
   /** k-anonymity/l-diversity audit over the (lang, source) quasi-id
     * with doc length as the sensitive attribute — all-integer counts
     * and comparisons.
@@ -933,6 +950,7 @@ object AnalyticsOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "q_itemsets3" -> qItemsets3,
     "q_linkage_em" -> qLinkageEm,
     "q_hosmer" -> qHosmer,
     "q_textrank" -> qTextRank,
@@ -1538,6 +1556,51 @@ object AnalyticsOps {
     // The planted-duplicate pair design replayed: first-char blocks,
     // label j = i + 10000, three agreement fields, exact m/u counts
     // into the same ln/ln2 weight trees.
+    // Level-3 apriori: same distinct/threshold/cap/prune chain; the
+    // capped pair set joins inner (rows unique) where Spark goes
+    // left_semi — identical row sets.
+    "q_itemsets3" -> """
+      WITH d1 AS (
+        SELECT DISTINCT user_id AS b,
+               event_type || '#' || CAST(COALESCE(
+                 TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)
+                   % 3, 0) AS VARCHAR) AS i
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      nb AS (SELECT COUNT(DISTINCT b)::BIGINT AS n FROM d1),
+      items AS (SELECT i, COUNT(*)::BIGINT AS ci FROM d1 GROUP BY i),
+      d2 AS (SELECT b, i FROM d1
+             WHERE i IN (SELECT i FROM items WHERE ci >= 20)),
+      pc AS (SELECT x.i AS pa, y.i AS pb, COUNT(*)::BIGINT AS cp
+             FROM d2 x JOIN d2 y ON x.b = y.b AND x.i < y.i
+             GROUP BY 1, 2),
+      fp AS (SELECT pa, pb FROM pc WHERE cp >= 20
+             ORDER BY cp DESC, pa, pb LIMIT 50),
+      p2 AS (SELECT x.b, x.i AS a, y.i AS b2
+             FROM d2 x JOIN d2 y ON x.b = y.b AND x.i < y.i
+             JOIN fp ON fp.pa = x.i AND fp.pb = y.i),
+      trip AS (
+        SELECT w.a, w.b2, z.i AS c
+        FROM p2 w JOIN d2 z ON w.b = z.b AND w.b2 < z.i
+        JOIN fp f2 ON f2.pa = w.a AND f2.pb = z.i
+        JOIN fp f3 ON f3.pa = w.b2 AND f3.pb = z.i),
+      cnt3 AS (
+        SELECT a, b2, c, COUNT(*)::BIGINT AS n3
+        FROM trip GROUP BY a, b2, c HAVING COUNT(*) >= 20)
+      SELECT t.a, t.b2 AS b, t.c, t.n3 AS n_baskets,
+             CAST(ROUND(t.n3 / CAST(nb.n AS DOUBLE), 6) AS DOUBLE)
+               AS support,
+             CAST(ROUND((t.n3 * CAST(nb.n AS DOUBLE)
+                 * CAST(nb.n AS DOUBLE))
+               / (CAST(ia.ci AS DOUBLE) * ib.ci * ic.ci), 6) AS DOUBLE)
+               AS lift
+      FROM cnt3 t
+      CROSS JOIN nb
+      JOIN items ia ON ia.i = t.a
+      JOIN items ib ON ib.i = t.b2
+      JOIN items ic ON ic.i = t.c
+      ORDER BY a, b, c""",
+
     "q_linkage_em" -> linkageEmOracle,
 
     "q_linkage_weights" -> s"""

@@ -1246,6 +1246,71 @@ object LlmOps {
     }
   }
 
+  /** Round-2 schema evolution (r17 verdict item 6): ADD + RENAME +
+    * DROP + retention on one versioned table — add `priority`,
+    * rename `o_totalprice` → `price` (old files keep the bytes under
+    * the old name; the rename-chain coalesce reads both generations
+    * as one column), insert post-rename rows, UPDATE `price` across
+    * the rename boundary, drop `priority`, and read the final
+    * version. In-flow requires pin each version's own schema and the
+    * latent-name-reuse refusal.
+    */
+  val qSchemaEvolution2: QueryFn = withTables { spark =>
+    import graft.tables.Versioned
+    val base = spark.table("orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo2")
+      .toString + "/orders"
+    try {
+      Versioned.create(spark, dir, base, Seq("o_orderstatus"))
+      val v2 = Versioned.addColumn(spark, dir, "priority",
+        org.apache.spark.sql.types.DoubleType)
+      require(v2 == 2, s"q_schema_evolution2: expected v2, got $v2")
+      val v3 = Versioned.renameColumn(spark, dir, "o_totalprice", "price")
+      require(v3 == 3, s"q_schema_evolution2: expected v3, got $v3")
+      require(Versioned.load(spark, dir, Some(2)).columns
+          .contains("o_totalprice"),
+        "q_schema_evolution2: v2 must keep the pre-rename name")
+      val ins = spark.table("orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_orderstatus"),
+          // NO 2-dp round here: cents/2 lands exactly on the .xx5
+          // boundary where the engines' double-rounding disagrees;
+          // half-cents are exact doubles-at-3-dp, 6-dp is boundary-free
+          (col("o_totalprice") / 2.0).as("price"),
+          round(col("o_totalprice") / 1000.0, 2).as("priority"))
+      val v4 = Versioned.insertInto(spark, dir, ins, Seq("o_orderstatus"))
+      require(v4 == 4, s"q_schema_evolution2: expected v4, got $v4")
+      val v5 = Versioned.updateWhere(spark, dir,
+        Seq("price" -> lit(1.5)), col("o_orderkey") % 10 === 0,
+        Seq("o_orderstatus"))
+      require(v5 == 5, s"q_schema_evolution2: expected v5, got $v5")
+      val v6 = Versioned.dropColumn(spark, dir, "priority")
+      require(v6 == 6, s"q_schema_evolution2: expected v6, got $v6")
+      require(!Versioned.load(spark, dir).columns.contains("priority")
+          && Versioned.load(spark, dir, Some(5)).columns
+            .contains("priority"),
+        "q_schema_evolution2: drop must be forward-only")
+      locally {
+        val refused = scala.util.Try(
+          Versioned.addColumn(spark, dir, "o_totalprice",
+            org.apache.spark.sql.types.DoubleType)).isFailure
+        require(refused, "q_schema_evolution2: latent-name reuse " +
+          "must be refused")
+      }
+      Versioned.load(spark, dir, Some(6))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("price"), 6).cast("double").as("price"))
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root.getParent, true)
+    }
+  }
+
   /** Persistable quantile sketch, judged at the exact regime and
     * through a genuine RELOAD: per-(event_type, day) sketches build,
     * persist to parquet, reload, merge per event_type, and answer
@@ -1999,6 +2064,7 @@ object LlmOps {
     "q_update_sql" -> qUpdateSql,
     "q_delete_sql" -> qDeleteSql,
     "q_schema_evolution" -> qSchemaEvolution,
+    "q_schema_evolution2" -> qSchemaEvolution2,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_cdc_replay" -> qCdcReplay,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -3070,6 +3136,25 @@ object LlmOps {
              CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
              CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1.5
                        ELSE priority_score END AS DOUBLE) AS priority_score
+      FROM evolved
+      ORDER BY o_orderkey""",
+
+    // ADD + RENAME + DROP replayed as relational algebra: the final
+    // version's `price` is the old files' o_totalprice (rename-chain
+    // coalesce), the inserted rows' price, with the %10 update
+    // applied to BOTH generations; priority never appears (dropped).
+    "q_schema_evolution2" -> """
+      WITH evolved AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_orderstatus,
+               o_totalprice / 2.0
+        FROM orders WHERE o_orderkey % 7 = 0
+      )
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(CASE WHEN o_orderkey % 10 = 0 THEN 1.5
+                             ELSE price END, 6) AS DOUBLE) AS price
       FROM evolved
       ORDER BY o_orderkey""",
 

@@ -941,6 +941,17 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  /** DFT periodogram of each event type's daily spend at candidate
+    * periods 2..14 (r17 verdict item 4): driver-literal cos/sin
+    * tables (no in-plan libm trig), exact decimal centering, 12-dp
+    * term freezes into decimal folds, parsimony-tied dominant flag.
+    */
+  val qPeriodogram: QueryFn = withTables { spark =>
+    Resample.periodogram(spark.table("events"), "event_type", "ts",
+        "value", minPeriod = 2, maxPeriod = 14)
+      .orderBy("event_type", "period")
+  }
+
   /** 3-step Holt (level+trend) forecast of each event type's daily
     * value series: exact scaled-long daily sums into the 6-dp-rounded
     * two-state recursion (α=0.3, β=0.2), forecasts from the final
@@ -2579,6 +2590,7 @@ object StatsOps {
     "q_modularity" -> qModularity,
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
+    "q_periodogram" -> qPeriodogram,
     "q_chi_squared" -> qChiSquared,
     "q_conformal" -> qConformal,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -10927,6 +10939,55 @@ object StatsOps {
 
     // Same daily cells (portable epoch day), HUGEINT centered terms
     // n·x − S, the same three LEADs over the observed-day order.
+    // The q_acf cell/centering CTEs + a generated (period, phase,
+    // cos, sin) VALUES table whose entries are THE SAME Scala
+    // math.cos/math.sin doubles the Spark plan carries as literals
+    // (no engine libm trig anywhere); 12-dp descaled term freezes,
+    // DECIMAL(38,12) folds, the (power DESC, period) parsimony rank.
+    "q_periodogram" -> s"""
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s,
+                    MIN(day) AS mind
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n AS n, st.mind,
+                   st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      trig(p, k, c, sv) AS (VALUES
+        ${(2 to 14).flatMap(p => (0 until p).map(k =>
+          s"($p, $k, ${math.cos(2.0 * math.Pi * k / p)}, " +
+            s"${math.sin(2.0 * math.Pi * k / p)})"))
+          .mkString(",\n        ")}),
+      terms AS (
+        SELECT a.g, t.p, a.n,
+               ROUND(CAST(a.aa AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * 1000000.0) * t.c, 12) AS ct,
+               ROUND(CAST(a.aa AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * 1000000.0) * t.sv, 12) AS stt
+        FROM a JOIN trig t ON t.k = (a.day - a.mind) % t.p),
+      folded AS (
+        SELECT g, p, MAX(CAST(n AS DOUBLE)) AS nd,
+               SUM(CAST(ct AS DECIMAL(38,12))) AS cs,
+               SUM(CAST(stt AS DECIMAL(38,12))) AS ss
+        FROM terms GROUP BY g, p),
+      pw AS (
+        SELECT g, p,
+               ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                 + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / nd, 6)
+                 AS power
+        FROM folded)
+      SELECT g AS event_type, p::INT AS period,
+             CAST(power AS DOUBLE) AS power,
+             (ROW_NUMBER() OVER (PARTITION BY g
+                ORDER BY power DESC, p) = 1) AS dominant
+      FROM pw
+      ORDER BY event_type, period""",
+
     "q_acf" -> """
       WITH cells AS (
         SELECT event_type AS g,

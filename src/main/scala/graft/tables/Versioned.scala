@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Snapshot-versioned bare-parquet tables: time travel + snapshot
   * isolation for the DML surface (r14 verdict item 2).
@@ -113,7 +113,7 @@ object Versioned {
       : org.json4s.JValue = {
     val p = snapshotPath(root, v)
     require(fs.exists(p), s"Versioned: no snapshot v$v at $root " +
-      "(wrong version, or vacuumed past it)")
+      "(wrong version, or expired/vacuumed past it)")
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -149,6 +149,28 @@ object Versioned {
     }
   }
 
+  /** The snapshot's rename map: declared column name → the CHAIN of
+    * prior physical names still present in older live files, newest
+    * first (a→b→c stores "c" -> ["b", "a"]). Written by
+    * [[renameColumn]], carried forward by every commit, consumed by
+    * [[alignTo]]'s coalesce. */
+  private def snapshotRenames(fs: FileSystem, root: Path, v: Int)
+      : Map[String, Seq[String]] = {
+    import org.json4s._
+    (readSnapshotDoc(fs, root, v) \ "renames") match {
+      case JArray(es) => es.flatMap { e =>
+        for { JString(to) <- Option(e \ "to") } yield {
+          val chain = (e \ "from") match {
+            case JArray(cs) => cs.collect { case JString(s) => s }
+            case _ => Nil
+          }
+          to -> chain
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
   /** The streaming batchId a snapshot committed, if it came from the
     * micro-batch sink — the idempotence marker for replay skipping. */
   def committedBatchId(spark: SparkSession, path: String): Option[Long] = {
@@ -167,16 +189,21 @@ object Versioned {
     * already exists (a concurrent writer won the commit). */
   private def writeSnapshot(fs: FileSystem, root: Path, v: Int,
       files: Seq[(String, Long)], batchId: Option[Long] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      renames: Map[String, Seq[String]] = Map.empty): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val base0 = ("version" -> v) ~
       ("files" -> files.sortBy(_._1).map { case (p, l) =>
         ("path" -> p) ~ ("len" -> l) })
-    val base = schema match {
+    val base1 = schema match {
       case Some(sc) => base0 ~ ("schema" -> sc.json)
       case None => base0
     }
+    val base = if (renames.nonEmpty)
+      base1 ~ ("renames" -> renames.toSeq.sortBy(_._1)
+        .map { case (k2, chain) => ("to" -> k2) ~ ("from" -> chain) })
+    else base1
     val doc = batchId match {
       case Some(b) => base ~ ("batchId" -> b)
       case None => base
@@ -263,13 +290,23 @@ object Versioned {
   /** Project `df` onto a DECLARED snapshot schema: columns the merged
     * file read carries are cast into place; columns NO live file
     * carries yet (an ADD COLUMN nothing has written to) read as typed
-    * NULLs. Column order is the declared order. */
+    * NULLs; a RENAMED column coalesces across its physical-name chain
+    * (post-rename files carry the declared name, older files the
+    * prior names — each file carries exactly one, so the coalesce is
+    * a disjoint union, never a preference). Column order is the
+    * declared order. */
   private def alignTo(df: DataFrame,
-      sc: org.apache.spark.sql.types.StructType): DataFrame =
+      sc: org.apache.spark.sql.types.StructType,
+      renames: Map[String, Seq[String]] = Map.empty): DataFrame =
     df.select(sc.fields.map { f =>
-      if (df.columns.exists(_.equalsIgnoreCase(f.name)))
-        col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      val sources = (f.name +: renames.getOrElse(f.name, Nil))
+        .filter(s => df.columns.exists(_.equalsIgnoreCase(s)))
+      sources match {
+        case Nil => lit(null).cast(f.dataType).as(f.name)
+        case one :: Nil => col(one).cast(f.dataType).as(f.name)
+        case many => coalesce(many.map(col): _*).cast(f.dataType)
+          .as(f.name)
+      }
     }.toIndexedSeq: _*)
 
   /** ADD COLUMN schema evolution (r16 verdict item 4): commit a new
@@ -298,12 +335,147 @@ object Versioned {
     require(!base.columns.exists(_.equalsIgnoreCase(name)),
       s"Versioned.addColumn: column '$name' already exists " +
         s"(table has ${base.columns.mkString(",")})")
+    val live = readSnapshot(fs, root, cur)
+    val renames = snapshotRenames(fs, root, cur)
+    // with DROP/RENAME in the system, live files can carry LATENT
+    // columns the declared schema no longer names — adding a column
+    // under such a name would silently resurrect the old values
+    requireNoLatentCollision(spark, root, live, renames, name,
+      "addColumn")
     val evolved = org.apache.spark.sql.types.StructType(
       base.schema.fields :+ org.apache.spark.sql.types.StructField(
         name, dataType, nullable = true))
-    writeSnapshot(fs, root, cur + 1, readSnapshot(fs, root, cur),
-      committedBatchId(spark, path), Some(evolved))
+    writeSnapshot(fs, root, cur + 1, live,
+      committedBatchId(spark, path), Some(evolved), renames)
     cur + 1
+  }
+
+  /** Every physical column name the snapshot's live files carry plus
+    * every rename-chain source — the collision surface for
+    * [[addColumn]]/[[renameColumn]]. One footer-merge schema read,
+    * no data scan. */
+  private def requireNoLatentCollision(spark: SparkSession, root: Path,
+      live: Seq[(String, Long)], renames: Map[String, Seq[String]],
+      name: String, op: String): Unit = {
+    val chainNames = renames.values.flatten.map(_.toLowerCase).toSet
+    val fileCols =
+      if (live.isEmpty) Set.empty[String]
+      else spark.read.option("basePath", root.toString)
+        .option("mergeSchema", "true")
+        .parquet(live.map(f => new Path(root, f._1).toString): _*)
+        .schema.fieldNames.map(_.toLowerCase).toSet
+    require(!chainNames.contains(name.toLowerCase)
+        && !fileCols.contains(name.toLowerCase),
+      s"Versioned.$op: live files still carry latent data under " +
+        s"'$name' (a dropped or renamed-away column) — reusing the " +
+        "name would resurrect old values; pick another name, or " +
+        "compact + vacuum the old files away first")
+  }
+
+  /** DROP COLUMN schema evolution (r17 verdict item 6): commit a new
+    * snapshot with the SAME file list and the declared schema minus
+    * `name` — a metadata-only commit, O(1) at any table size. Old
+    * files keep the bytes (history: earlier versions still read the
+    * column; [[vacuum]]/[[compact]] eventually reclaim them); reads
+    * of the new version simply never select it. Re-adding the same
+    * name is refused while any live file still carries the latent
+    * data (the [[addColumn]] guard). Hive partition-directory columns
+    * cannot drop — basePath recovery and the touched-partition commit
+    * math key on them. Returns the committed version.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Int = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.dropColumn: $path is not a versioned table"))
+    val base = load(spark, path, Some(cur))
+    require(base.columns.exists(_.equalsIgnoreCase(name)),
+      s"Versioned.dropColumn: no column '$name' " +
+        s"(table has ${base.columns.mkString(",")})")
+    require(base.columns.length >= 2,
+      "Versioned.dropColumn: cannot drop the last column")
+    val live = readSnapshot(fs, root, cur)
+    require(!live.exists(_._1.contains(s"$name=")),
+      s"Versioned.dropColumn: '$name' is a hive partition-directory " +
+        "column — partition layout is not evolvable in place")
+    val remaining = org.apache.spark.sql.types.StructType(
+      base.schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    val renames = snapshotRenames(fs, root, cur)
+      .filterNot(_._1.equalsIgnoreCase(name))
+    writeSnapshot(fs, root, cur + 1, live,
+      committedBatchId(spark, path), Some(remaining), renames)
+    cur + 1
+  }
+
+  /** RENAME COLUMN schema evolution (r17 verdict item 6): commit a
+    * new snapshot whose declared schema carries `to` in `from`'s
+    * place and whose rename map records the physical-name CHAIN
+    * (rename of rename composes), so [[alignTo]] reads old files'
+    * `from` data and new files' `to` data as ONE column — per file
+    * exactly one of the names exists, so the coalesce is a disjoint
+    * union. Metadata-only, O(1) at any table size; later data commits
+    * write files under the new name. Renaming onto a latent file
+    * column is refused (the resurrect guard); hive partition columns
+    * cannot rename. Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Int = {
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.renameColumn: $path is not a versioned table"))
+    val base = load(spark, path, Some(cur))
+    require(base.columns.exists(_.equalsIgnoreCase(from)),
+      s"Versioned.renameColumn: no column '$from' " +
+        s"(table has ${base.columns.mkString(",")})")
+    require(!base.columns.exists(_.equalsIgnoreCase(to)),
+      s"Versioned.renameColumn: target '$to' already exists")
+    require(!from.equalsIgnoreCase(to),
+      "Versioned.renameColumn: from and to are the same name")
+    val live = readSnapshot(fs, root, cur)
+    require(!live.exists(_._1.contains(s"$from=")),
+      s"Versioned.renameColumn: '$from' is a hive partition-directory " +
+        "column — partition layout is not evolvable in place")
+    val renames = snapshotRenames(fs, root, cur)
+    requireNoLatentCollision(spark, root, live, renames, to,
+      "renameColumn")
+    val chain = from +: renames.getOrElse(from, Nil)
+    val newRenames =
+      renames.filterNot(_._1.equalsIgnoreCase(from)) + (to -> chain)
+    val evolved = org.apache.spark.sql.types.StructType(
+      base.schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+    writeSnapshot(fs, root, cur + 1, live,
+      committedBatchId(spark, path), Some(evolved), newRenames)
+    cur + 1
+  }
+
+  /** Retention expiry — the METADATA half of [[vacuum]] (r17 verdict
+    * item 6): delete every snapshot document older than the newest
+    * `keepLast`, leaving ALL data files in place. Expired versions
+    * become loudly unavailable (the [[load]] "no snapshot" require);
+    * the files they alone referenced become unreferenced and a later
+    * [[vacuum]] reclaims exactly those (plus staged orphans — the
+    * composition the retention story needs: expire bounds history,
+    * vacuum reclaims bytes, each independently serialized with the
+    * single writer). Returns the expired version numbers.
+    */
+  def expireSnapshots(spark: SparkSession, path: String,
+      keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1,
+      s"Versioned.expireSnapshots: keepLast must be >= 1, got $keepLast")
+    val root = new Path(path)
+    val fs = fsOf(spark, root)
+    currentVersion(spark, path).getOrElse(
+      sys.error(s"Versioned.expireSnapshots: $path is not a versioned " +
+        "table"))
+    val vd = versionsDir(root)
+    val all = fs.listStatus(vd).toSeq.map(_.getPath.getName).collect {
+      case SnapRe(n) => n.toInt
+    }.sorted
+    val expired = all.dropRight(keepLast)
+    expired.foreach(v => fs.delete(snapshotPath(root, v), false))
+    expired
   }
 
   /** Version an EXISTING bare-parquet directory: snapshot its current
@@ -355,11 +527,12 @@ object Versioned {
     // post-evolution snapshots can mix file schemas (ADD COLUMN moves
     // no data): mergeSchema union-widens the read, alignTo presents
     // exactly the version's declared schema (typed NULLs for a column
-    // no file carries yet)
+    // no file carries yet, the rename-chain coalesce for renamed ones)
     val raw = spark.read.option("basePath", root.toString)
       .option("mergeSchema", declared.isDefined.toString)
       .parquet(files.map(f => new Path(root, f._1).toString): _*)
-    declared.map(alignTo(raw, _)).getOrElse(raw)
+    declared.map(alignTo(raw, _, snapshotRenames(fs, root, v)))
+      .getOrElse(raw)
   }
 
   /** Zone-map-pruned read of a SNAPSHOT — [[load]] composed with
@@ -407,7 +580,8 @@ object Versioned {
       .parquet(paths: _*)
     // align BEFORE the filter so a post-evolution predicate column that
     // some pruned-in files lack still resolves (as typed NULL)
-    declared.map(alignTo(raw, _)).getOrElse(raw).filter(pred)
+    declared.map(alignTo(raw, _, snapshotRenames(fs, root, v)))
+      .getOrElse(raw).filter(pred)
   }
 
   /** Versioned COW MERGE: same semantics and same touched-partition
@@ -477,11 +651,12 @@ object Versioned {
       sys.error(s"Versioned.commitRewrite: $path is not a versioned table"))
     val live = readSnapshot(fs, root, cur)
     val declared = snapshotSchema(fs, root, cur) // carry evolution forward
+    val renames = snapshotRenames(fs, root, cur)
     // appending never deletes, so `replacement` may keep reading the
     // previous version's files while the new ones are written
     val newFiles = stampedAppend(fs, root, replacement, partitionCols)
     if (partitionCols.isEmpty) {
-      writeSnapshot(fs, root, cur + 1, newFiles, None, declared)
+      writeSnapshot(fs, root, cur + 1, newFiles, None, declared, renames)
     } else {
       val rendered = touched.map { row =>
         partitionCols.zipWithIndex.map { case (c, i) =>
@@ -498,7 +673,8 @@ object Versioned {
       val kept = live.filterNot { case (rel, _) =>
         dropped.exists(rel.startsWith)
       }
-      writeSnapshot(fs, root, cur + 1, kept ++ newFiles, None, declared)
+      writeSnapshot(fs, root, cur + 1, kept ++ newFiles, None, declared,
+        renames)
     }
     cur + 1
   }
@@ -563,7 +739,8 @@ object Versioned {
     // contains only its own files and the loser dies on the v-rename
     val newFiles = stampedAppend(fs, root, aligned, partitionCols)
     writeSnapshot(fs, root, cur + 1, live ++ newFiles, batchId,
-      snapshotSchema(fs, root, cur)) // carry evolution forward
+      snapshotSchema(fs, root, cur), // carry evolution forward
+      snapshotRenames(fs, root, cur))
     cur + 1
   }
 
@@ -720,7 +897,8 @@ object Versioned {
     val raw = spark.read.option("basePath", root.toString)
       .option("mergeSchema", declared.isDefined.toString)
       .parquet(paths: _*)
-    val df = declared.map(alignTo(raw, _)).getOrElse(raw)
+    val renames = snapshotRenames(fs, root, cur)
+    val df = declared.map(alignTo(raw, _, renames)).getOrElse(raw)
     partitionCols.foreach(c => require(df.columns.contains(c),
       s"Versioned.compact: partition column '$c' not in the table " +
         s"(${df.columns.mkString(",")}) — pass the table's hive layout"))
@@ -754,7 +932,7 @@ object Versioned {
     val newFiles = stampedAppend(fs, root, out, partitionCols)
     // carry the streaming stamp AND the declared schema forward
     writeSnapshot(fs, root, cur + 1, keep ++ newFiles,
-      committedBatchId(spark, path), declared)
+      committedBatchId(spark, path), declared, renames)
     cur + 1
   }
 

@@ -1019,4 +1019,37 @@ class AnalyticsOpsSpec extends SparkTestBase {
     // the earliest threshold achieving the peak wins
     assert(r.getLong(1) == 5L, r.toString)
   }
+
+  test("frequentTriples: planted triple surfaces with exact support; " +
+      "anti-monotonicity holds; a capped-out pair kills its triples") {
+    import spark.implicits._
+    // 30 baskets {p,q,r}, 25 baskets {p,q,s}, 40 baskets {p,q} only,
+    // 100 singleton-noise baskets: with minSupport 20 the planted
+    // triples are exactly {p,q,r} (30) and {p,q,s} (25)
+    val rows =
+      (0 until 30).flatMap(i => Seq("p", "q", "r").map((s"t$i", _))) ++
+      (0 until 25).flatMap(i => Seq("p", "q", "s").map((s"u$i", _))) ++
+      (0 until 40).flatMap(i => Seq("p", "q").map((s"v$i", _))) ++
+      (0 until 100).map(i => (s"w$i", s"z${i % 50}"))
+    val df = rows.toDF("basket", "item")
+    val out = graft.operators.Baskets.frequentTriples(df, "basket",
+        "item", minSupport = 20L, topKPairs = 50)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(out == Map(("p", "q", "r") -> 30L, ("p", "q", "s") -> 25L),
+      out.toString)
+    // anti-monotonicity: triple support never exceeds any pair's.
+    // pair supports here: pq = 95, pr = qr = 30, ps = qs = 25
+    assert(out(("p", "q", "r")) <= 30L && out(("p", "q", "s")) <= 25L)
+    // cap the pair level to ONE pair: a triple needs all THREE of
+    // its pairs in the capped set, so nothing can survive
+    val capped = graft.operators.Baskets.frequentTriples(df, "basket",
+      "item", minSupport = 20L, topKPairs = 1).collect()
+    assert(capped.isEmpty, capped.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.Baskets.frequentTriples(df, "basket", "item",
+        0L, 10)
+    }
+  }
 }

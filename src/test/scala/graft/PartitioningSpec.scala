@@ -692,6 +692,84 @@ class PartitioningSpec extends SparkTestBase {
       === Set((10L, Some(0.5)), (11L, Some(0.9)), (20L, Some(0.1))))
   }
 
+  test("Versioned.dropColumn/renameColumn: metadata-only — rename " +
+      "chains coalesce across file generations, each version time-" +
+      "travels its own schema, latent-name reuse is refused; " +
+      "expireSnapshots makes old versions loudly unavailable and " +
+      "vacuum then reclaims exactly the newly-unreferenced files") {
+    import spark.implicits._
+    import graft.tables.Versioned
+    import org.apache.spark.sql.types.DoubleType
+    val dir = Files.createTempDirectory("vdroprename").toString + "/t"
+    Versioned.create(spark, dir,
+      Seq((1, 10L, 1.0, "x"), (2, 20L, 2.0, "y"))
+        .toDF("p", "k", "v", "tag"), Seq("p"))
+    val filesBefore = Versioned.load(spark, dir).inputFiles.toSet
+    // RENAME v -> amount: no data moves; old files read under the
+    // new name
+    assert(Versioned.renameColumn(spark, dir, "v", "amount") === 2)
+    assert(Versioned.load(spark, dir).inputFiles.toSet === filesBefore)
+    assert(Versioned.load(spark, dir).columns.toSeq
+      === Seq("k", "amount", "tag", "p"))
+    // a post-rename insert writes NEW-name files; both generations
+    // read as one column
+    assert(Versioned.insertInto(spark, dir,
+      Seq((1, 11L, 3.0, "z")).toDF("p", "k", "amount", "tag"),
+      Seq("p")) === 3)
+    // rename of rename composes through the chain
+    assert(Versioned.renameColumn(spark, dir, "amount", "amt") === 4)
+    assert(Versioned.load(spark, dir).select("k", "amt")
+      .as[(Long, Double)].collect().toSet
+      === Set((10L, 1.0), (20L, 2.0), (11L, 3.0)))
+    // DROP tag: forward-only — v4 still carries it
+    assert(Versioned.dropColumn(spark, dir, "tag") === 5)
+    assert(Versioned.load(spark, dir).columns.toSeq
+      === Seq("k", "amt", "p"))
+    assert(Versioned.load(spark, dir, Some(4)).columns.contains("tag"))
+    // time travel reads each version's OWN column names
+    assert(Versioned.load(spark, dir, Some(1)).columns.contains("v"))
+    assert(Versioned.load(spark, dir, Some(2)).columns.contains("amount"))
+    // latent-name reuse is refused while old files carry the bytes
+    intercept[IllegalArgumentException] {
+      Versioned.addColumn(spark, dir, "tag", DoubleType)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addColumn(spark, dir, "v", DoubleType)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "amt", "v")
+    }
+    // partition-directory columns are not evolvable
+    intercept[IllegalArgumentException] {
+      Versioned.dropColumn(spark, dir, "p")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "p", "q")
+    }
+    // DML across the rename+drop boundary, then retention: the merge
+    // strands p=1's two old generations
+    assert(Versioned.mergeInto(spark, dir,
+      Seq((1, 10L, 9.0)).toDF("p", "k", "amt"),
+      on = Seq("p", "k"), partitionCols = Seq("p")) === 6)
+    val liveNow = Versioned.load(spark, dir).inputFiles.toSet
+    // expire everything but the head: metadata-only, files intact
+    assert(Versioned.expireSnapshots(spark, dir, keepLast = 1)
+      === Seq(1, 2, 3, 4, 5))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.load(spark, dir, Some(3))
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    assert(Versioned.load(spark, dir).inputFiles.toSet === liveNow)
+    // vacuum reclaims EXACTLY the newly-unreferenced files: the two
+    // p=1 generations the merge replaced, nothing else
+    val deleted = Versioned.vacuum(spark, dir, keepLast = 1)
+    assert(deleted.size === 2 && deleted.forall(_.startsWith("p=1/")),
+      deleted.toString)
+    assert(Versioned.load(spark, dir).select("k", "amt")
+      .as[(Long, Double)].collect().toSet
+      === Set((10L, 9.0), (20L, 2.0), (11L, 3.0)))
+  }
+
   test("Versioned.vacuum: reclaims crashed-commit .stage-* orphans under " +
       "the versions dir, skipping ones newer than the latest snapshot") {
     import spark.implicits._

@@ -892,6 +892,38 @@ class ResampleSpec extends SparkTestBase {
       assert(r.isNullAt(r.fieldIndex("ucl")) && !r.getAs[Boolean]("out_of_control"))
     }
   }
+  test("periodogram: planted 7-day cycle dominates by an order of " +
+      "magnitude; constant series is all-zero with the parsimony tie; " +
+      "white noise has no towering peak") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    def unit(d: Int) = (scala.util.hashing.MurmurHash3
+      .stringHash(s"pg$d") & 0x7fffffff) / 2147483647.0
+    val rows =
+      (0 until 56).map(d => ("A", ts(d),
+        10.0 + 5.0 * math.cos(2.0 * math.Pi * d / 7.0))) ++
+      (0 until 56).map(d => ("C", ts(d), 4.0)) ++
+      (0 until 56).map(d => ("N", ts(d), unit(d)))
+    val out = Resample.periodogram(rows.toDF("g", "t", "v"), "g", "t",
+        "v", minPeriod = 2, maxPeriod = 14)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    // planted cycle: period 7 dominates and towers over the rest
+    assert(out(("A", 7))._2, out.filter(_._1._1 == "A").toString)
+    val others = (2 to 14).filter(_ != 7).map(p => out(("A", p))._1)
+    assert(out(("A", 7))._1 > 10.0 * others.max,
+      s"7-day power ${out(("A", 7))._1} vs others ${others.max}")
+    // constant series: zero power everywhere, tie parsimony -> 2
+    (2 to 14).foreach(p => assert(out(("C", p))._1 == 0.0))
+    assert(out(("C", 2))._2 && !out(("C", 7))._2)
+    // white noise: nothing towers — every peak stays far below the
+    // planted one
+    val noiseMax = (2 to 14).map(p => out(("N", p))._1).max
+    assert(noiseMax < out(("A", 7))._1 / 10.0,
+      s"noise max $noiseMax vs planted ${out(("A", 7))._1}")
+  }
+
   test("kalmanLocalLevel: hand recursion — adaptive gain, " +
       "prediction-only steps on nulls, frozen states") {
     import spark.implicits._

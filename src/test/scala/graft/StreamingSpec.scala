@@ -313,6 +313,74 @@ class StreamingSpec extends SparkTestBase {
       "only the same-user click within the hour joins")
   }
 
+  test("T14 stream-stream as-of join: the watermark finalizes each " +
+      "purchase at the batch answer, orphans emit null, late rows on " +
+      "either side drop, and the result equals the batch asof kernel") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    import graft.operators.AsOfJoin.{AsOfEvent, AsOfMatched}
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[AsOfEvent]
+    val out = AsOfJoin.asofStream(
+      input.toDS().withWatermark("ts", "1 hour").as[AsOfEvent])
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 has two clicks then a purchase; user 2 a
+    // purchase with no click at all
+    input.addData(
+      AsOfEvent(1L, 0L, t("2024-01-01 09:00:00"), is_left = false),
+      AsOfEvent(1L, 0L, t("2024-01-01 09:30:00"), is_left = false),
+      AsOfEvent(1L, 100L, t("2024-01-01 10:00:00"), is_left = true),
+      AsOfEvent(2L, 200L, t("2024-01-01 08:00:00"), is_left = true))
+    q.processAllAvailable()
+    // processAllAvailable runs the follow-up empty batch with the
+    // post-batch watermark (10:00 − 1h = 09:00): user 2's 08:00
+    // orphan finalizes VIA EVENT-TIME TIMEOUT already; user 1's
+    // 10:00 purchase is still above the watermark and stays pending
+    val mid = spark.table("asof_stream").as[AsOfMatched].collect()
+    assert(mid.map(_.event_id).toSet === Set(200L), mid.toSeq.toString)
+    assert(mid.head.matchTsMicros == null, "orphan purchase -> null")
+    // batch 2: an unrelated key's click advances the watermark to
+    // 12:00 — user 1's purchase emits the 09:30 click
+    // (inclusive-backward, the batch kernel's answer)
+    input.addData(AsOfEvent(3L, 0L, t("2024-01-01 13:00:00"),
+      is_left = false))
+    q.processAllAvailable()
+    // batch 3: watermark on to 13:00; no semantic change
+    input.addData(AsOfEvent(3L, 0L, t("2024-01-01 14:00:00"),
+      is_left = false))
+    q.processAllAvailable()
+    // batch 4: late rows on both sides (ts far under the watermark)
+    // are dropped — no retroactive change, no new output
+    input.addData(
+      AsOfEvent(1L, 0L, t("2024-01-01 09:45:00"), is_left = false),
+      AsOfEvent(1L, 300L, t("2024-01-01 09:50:00"), is_left = true))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof_stream").as[AsOfMatched].collect()
+      .map(m => m.event_id -> Option(m.matchTsMicros).map(_.toLong))
+      .toMap
+    assert(rows === Map(
+      100L -> Some(t("2024-01-01 09:30:00").getTime * 1000L),
+      200L -> None), rows.toString)
+    // batch-dual: the asof kernel on the same delivered events gives
+    // exactly these matches
+    val left = Seq((1L, 100L, t("2024-01-01 10:00:00")),
+      (2L, 200L, t("2024-01-01 08:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq((1L, t("2024-01-01 09:00:00")),
+      (1L, t("2024-01-01 09:30:00")), (3L, t("2024-01-01 13:00:00")),
+      (3L, t("2024-01-01 14:00:00")))
+      .toDF("user_id", "cts")
+    val batch = AsOfJoin.asof(left, right, "user_id", "ts", "cts",
+        Map("cts" -> "click_ts"))
+      .collect().map(r => r.getLong(1) ->
+        Option(r.getAs[Timestamp]("click_ts"))
+          .map(_.getTime * 1000L)).toMap
+    assert(batch === rows, s"stream $rows != batch $batch")
+  }
+
   test("T8: foreachBatch writes micro-batches to a parquet sink") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t8sink").toString
