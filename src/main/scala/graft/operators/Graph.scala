@@ -1130,6 +1130,58 @@ object Graph {
         col("common_neighbors"), col("jaccard"))
   }
 
+  /** Rich-club coefficient at each degree threshold k: among the N_k
+    * vertices of degree > k, φ(k) = 2E_k / (N_k(N_k−1)) — the share
+    * of possible hub-hub edges that exist. A rising φ(k) is the
+    * "elite interconnection" signature (hubs preferentially wire to
+    * each other — the property that makes hub-mediated dedup blocking
+    * and cascade models behave differently than degree sequence alone
+    * predicts).
+    *
+    * Exact integer degrees/counts over the canonical edge list; one
+    * rounded division per k; thresholds ride a tiny literal table
+    * broadcast against degrees and edges (no per-k rescans — ONE
+    * degree aggregate + ONE edge-side pass serve every k). N_k < 2 →
+    * NULL φ. Output: (k, n_nodes, n_edges, phi).
+    */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.size <= 32 && ks.forall(_ >= 1)
+        && ks.distinct.size == ks.size,
+      s"richClub: 1..32 distinct thresholds >= 1, got $ks")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ksDf = ks.map(k => Tuple1(k.toLong)).toDF("_k")
+    val half = canonicalEdges(edges, srcCol, dstCol)
+      .localCheckpoint() // degree fold + the hub-edge pass read it
+    val sym = half.select(col("lo").as("_v"))
+      .unionByName(half.select(col("hi").as("_v")))
+    val degs = sym.groupBy("_v").agg(count(lit(1)).as("_deg"))
+      .localCheckpoint()
+    val nk = degs.crossJoin(broadcast(ksDf))
+      .filter(col("_deg") > col("_k"))
+      .groupBy("_k").agg(count(lit(1)).as("n_nodes"))
+    val ek = half
+      .join(degs.select(col("_v").as("lo"), col("_deg").as("_da")), "lo")
+      .join(degs.select(col("_v").as("hi"), col("_deg").as("_db")), "hi")
+      .crossJoin(broadcast(ksDf))
+      .filter(col("_da") > col("_k") && col("_db") > col("_k"))
+      .groupBy("_k").agg(count(lit(1)).as("n_edges"))
+    ksDf.join(nk, Seq("_k"), "left").join(ek, Seq("_k"), "left")
+      .withColumn("n_nodes", coalesce(col("n_nodes"), lit(0L)))
+      .select(col("_k").cast("int").as("k"),
+        col("n_nodes").cast("bigint").as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).cast("bigint").as("n_edges"),
+        when(col("n_nodes") >= 2,
+          // counts promote to double BEFORE the product (the Long
+          // N(N-1) would overflow past ~3e9 hubs)
+          round(lit(2.0) * coalesce(col("n_edges"), lit(0L))
+            / (col("n_nodes").cast("double")
+              * (col("n_nodes") - 1L).cast("double")), 6))
+          .cast("double").as("phi"))
+      .orderBy("k")
+  }
+
   /** Bipartite co-occurrence projection with a skew cap — the formal
     * version of the "parts sharing an order" edge-list construction
     * every graph query here inlines: project a (left, right)

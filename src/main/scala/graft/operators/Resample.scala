@@ -829,6 +829,295 @@ object Resample {
         col("n_days"))
   }
 
+  /** Lag-1 binary transfer entropy between two keys' daily series —
+    * the DIRECTIONAL coupling gauge the symmetric xcorr/ccf family
+    * cannot give: TE(source→target) = Σ p(x',x,y)·ln[p(x'|x,y)/
+    * p(x'|x)] over up/down move states (x' = target's next move,
+    * x = target's current, y = source's current). TE > 0 means the
+    * source's moves carry information about the target's NEXT move
+    * beyond the target's own history; the reverse direction is a
+    * second call with the keys swapped.
+    *
+    * Determinism: states are exact long comparisons on the shared
+    * day cells; all probabilities are exact integer count ratios
+    * (the ≤8-cell joint table and its window-summed marginals), each
+    * term 12-dp frozen into a decimal fold, TE rounded at 6.
+    * Day-grain series ⇒ the state table is calendar-bounded and the
+    * global-order windows run on ≤8 rows (the documented battery-
+    * guard contract). Fewer than 2 usable transitions → NULL.
+    * Output: ONE row (n_transitions, te).
+    */
+  def transferEntropy(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, sourceKey: String, targetKey: String)
+      : DataFrame = {
+    require(sourceKey != targetKey,
+      "transferEntropy: source and target keys must differ")
+    val cells = dayCells(df.filter(col(groupCol).isin(sourceKey,
+      targetKey)), groupCol, tsCol, valueCol)
+    val src = cells.filter(col("_g") === sourceKey)
+      .select(col("_day"), col("_x").as("_xs"))
+    val tgt = cells.filter(col("_g") === targetKey)
+      .select(col("_day"), col("_x").as("_xt"))
+    val w = Window.orderBy("_day")
+    val states = tgt.join(src, "_day")
+      .withColumn("_pt", lag(col("_xt"), 1).over(w))
+      .withColumn("_ps", lag(col("_xs"), 1).over(w))
+      .filter(col("_pt").isNotNull)
+      .withColumn("_st", (col("_xt") > col("_pt")).cast("int"))
+      .withColumn("_ss", (col("_xs") > col("_ps")).cast("int"))
+      .withColumn("_sn", lead(col("_st"), 1).over(w))
+      .filter(col("_sn").isNotNull)
+    val joint = states.groupBy(col("_sn"), col("_st"), col("_ss"))
+      .agg(count(lit(1)).as("_c3"))
+    val wXY = Window.partitionBy("_st", "_ss")
+    val wXX = Window.partitionBy("_sn", "_st")
+    val wX = Window.partitionBy("_st")
+    val wAll = Window.partitionBy()
+    val terms = joint
+      .withColumn("_cxy", sum("_c3").over(wXY))
+      .withColumn("_cxx", sum("_c3").over(wXX))
+      .withColumn("_cx", sum("_c3").over(wX))
+      .withColumn("_n", sum("_c3").over(wAll))
+      .withColumn("_term", round(col("_c3").cast("double")
+        / col("_n").cast("double")
+        * log((col("_c3").cast("double") * col("_cx"))
+          / (col("_cxy").cast("double") * col("_cxx"))), 12))
+    terms.agg(max("_n").as("_nn"),
+        sum(col("_term").cast("decimal(38,12)")).as("_te"))
+      .select(col("_nn").cast("bigint").as("n_transitions"),
+        when(col("_nn") >= 2, round(col("_te").cast("double"), 6))
+          .cast("double").as("te"))
+  }
+
+  /** p-chart — the attribute (defect-proportion) Shewhart control
+    * chart beside [[ewmaChart]]'s variables chart and L391's X̄/R:
+    * per calendar day the defect share p_d = d/n, the center line
+    * p̄ = Σd/Σn (6-dp frozen), and per-day limits p̄ ±
+    * 3·√(p̄(1−p̄)/n_d) clamped to [0, 1] (days differ in volume, so
+    * the band width varies per day — the defining p-chart feature).
+    * A day whose 6-dp p leaves its 6-dp band flags.
+    *
+    * Exact integer counts; p̄ freezes BEFORE the limit tree so both
+    * engines build bands from the identical double; one day-keyed
+    * aggregate + one broadcast of the two totals. Degenerate p̄ (0 or
+    * 1 — zero binomial variance) yields hw = 0: any deviating day
+    * flags, which is the correct chart reading. Output: (day, n,
+    * n_defect, p, center, ucl, lcl, out_of_control).
+    */
+  def pChart(df: DataFrame, tsCol: String, defect: Column): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(coalesce(defect, lit(false)), 1L).otherwise(0L))
+          .as("n_defect"))
+    val tot = daily.agg(sum("n").as("_tn"), sum("n_defect").as("_td"))
+    val pbar = round(col("_td").cast("double")
+      / col("_tn").cast("double"), 6)
+    val withP = daily.crossJoin(broadcast(tot))
+      .withColumn("_pbar", pbar)
+      .withColumn("_hw", round(lit(3.0)
+        * sqrt(col("_pbar") * (lit(1.0) - col("_pbar"))
+          / col("n").cast("double")), 6))
+      .withColumn("_p", round(col("n_defect").cast("double")
+        / col("n").cast("double"), 6))
+      .withColumn("_ucl", round(least(lit(1.0),
+        col("_pbar") + col("_hw")), 6))
+      .withColumn("_lcl", round(greatest(lit(0.0),
+        col("_pbar") - col("_hw")), 6))
+    withP.select(col("day"), col("n").cast("bigint").as("n"),
+      col("n_defect").cast("bigint").as("n_defect"),
+      col("_p").cast("double").as("p"),
+      col("_pbar").cast("double").as("center"),
+      col("_ucl").cast("double").as("ucl"),
+      col("_lcl").cast("double").as("lcl"),
+      (col("_p") > col("_ucl") || col("_p") < col("_lcl"))
+        .as("out_of_control"))
+  }
+
+  /** KPSS level-stationarity test per group (Kwiatkowski–Phillips–
+    * Schmidt–Shin) — the COMPLEMENT of q_dickey_fuller's unit-root
+    * view (ADF's null is "unit root", KPSS's null is "stationary";
+    * agreeing rejections localize the verdict): η = Σ_t S_t² /
+    * (n·(d₀ + 2Σ_{k≤L}(1−k/(L+1))·d_k)) with S_t the cumulative sum
+    * of the centered daily values and d_k the lag-k co-moments — the
+    * Bartlett-kernel long-run variance. Every scale factor cancels
+    * when numerator and denominator stay in the SAME centered units,
+    * so the whole statistic computes on the acf contract's EXACT
+    * decimal a_t = n·x_t − S integers: S_t is a decimal window
+    * cumsum, ΣS_t² and the d_k fold cast-before-multiply. Rejection
+    * compares against the pinned 5% level-stationarity critical
+    * value 0.463 (KPSS 1992, Table 1) — a constant, not a CDF.
+    *
+    * Headroom: ΣS_t² is ~(n·a)²·n; at 100 TB day-sums decimal(38)
+    * can overflow → Spark yields NULL, never a wrong number —
+    * pre-scale the value column for such magnitudes (the WLS
+    * contract). Degenerate series (n < 3 or zero long-run variance)
+    * report NULL. Scale shape: the day-cell shuffle + windows on
+    * calendar-bounded cells. Output: (group, n_days, kpss_stat,
+    * reject_5pct).
+    */
+  def kpss(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, lags: Int): DataFrame = {
+    require(lags >= 0 && lags <= 10,
+      s"kpss: lags must be in [0, 10], got $lags")
+    val dec = "decimal(38,0)"
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val stats = cells.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).cast(dec).as("_n"), sum("_x").cast(dec).as("_s"))
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val centered = cells
+      .join(broadcast(stats), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_a", (col("_n") * col("_x").cast(dec) - col("_s"))
+        .cast(dec))
+      .withColumn("_cs", sum(col("_a"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withLeads = (1 to lags).foldLeft(centered) { (acc, k) =>
+      acc.withColumn(s"_l$k", lead(col("_a"), k).over(w))
+    }
+    val aggs = Seq(count(lit(1)).as("n_days"),
+      sum((col("_cs").cast(dec) * col("_cs")).cast(dec)).as("_ss"),
+      sum((col("_a").cast(dec) * col("_a")).cast(dec)).as("_d0")) ++
+      (1 to lags).map(k =>
+        sum((col("_a").cast(dec) * col(s"_l$k")).cast(dec)).as(s"_d$k"))
+    val folded = withLeads.groupBy(col("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n_days").cast("double")
+    val lrSum = (1 to lags).foldLeft(d("_d0")) { (acc, k) =>
+      acc + lit(2.0 * (1.0 - k.toDouble / (lags + 1))) * d(s"_d$k") }
+    val ok = col("n_days") >= 3 && lrSum > 0.0 && col("_ss").isNotNull
+    val stat = round(d("_ss") / (nD * lrSum), 6)
+    folded.select(col("_g").as(groupCol),
+      col("n_days").cast("bigint").as("n_days"),
+      when(ok, stat).cast("double").as("kpss_stat"),
+      when(ok, stat > 0.463).as("reject_5pct"))
+  }
+
+  /** Lo–MacKinlay variance-ratio test per group — the random-walk
+    * diagnostic on daily first differences: VR(q) = σ̂²_q/σ̂²_1 with
+    * σ̂²_1 = Σ(d−μ̂)²/(n−1) over 1-day diffs and σ̂²_q =
+    * Σ(S−qμ̂)²/(q·m) over the m = n−q+1 OVERLAPPING q-day sums;
+    * z = √n(VR−1)/√(2(2q−1)(q−1)/(3q)) (homoscedastic form, the
+    * constant interpolated). VR ≈ 1 random walk, < 1 mean-reverting,
+    * > 1 trending — the q_hurst companion with a significance gate.
+    *
+    * Exactness: diffs are exact longs on the 1e6 day-sum scale;
+    * Σd/Σd²/ΣS/ΣS² fold cast-before-multiply in decimal(38,0); both
+    * centered second moments are closed forms of those folds; VR and
+    * z are each one rounded tree. n ≤ q+1 or a degenerate σ̂²_1 →
+    * NULL. Scale shape: day cells + one window for the q-sum, one
+    * aggregate. Output: (group, n_diffs, vr, z).
+    */
+  def varianceRatio(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, q: Int): DataFrame = {
+    require(q >= 2 && q <= 30, s"varianceRatio: q in [2, 30], got $q")
+    val dec = "decimal(38,0)"
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val diffs = cells
+      .withColumn("_pv", lag(col("_x"), 1).over(w))
+      .filter(col("_pv").isNotNull)
+      .withColumn("_d", col("_x") - col("_pv"))
+      .withColumn("_qs", sum(col("_d"))
+        .over(w.rowsBetween(Window.currentRow, q - 1)))
+      .withColumn("_full", lead(col("_d"), q - 1).over(w).isNotNull)
+    val folded = diffs.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_d").cast(dec)).as("_sd"),
+        sum((col("_d").cast(dec) * col("_d")).cast(dec)).as("_sd2"),
+        sum(when(col("_full"), col("_qs").cast(dec))).as("_sq"),
+        sum(when(col("_full"),
+          (col("_qs").cast(dec) * col("_qs")).cast(dec))).as("_sq2"),
+        sum(when(col("_full"), 1L).otherwise(0L)).as("m"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val mD = col("m").cast("double")
+    val mu = d("_sd") / nD
+    val s1 = (d("_sd2") - d("_sd") * d("_sd") / nD) / (nD - 1.0)
+    val sq = ((d("_sq2") - lit(2.0 * q) * mu * d("_sq")
+      + mD * lit(q.toDouble) * lit(q.toDouble) * mu * mu)
+      / (lit(q.toDouble) * mD))
+    val vr = sq / s1
+    val zden = math.sqrt(2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q))
+    val ok = col("n") >= q + 1 && col("m") >= 1 && s1 > 0.0
+    folded.select(col("_g").as(groupCol),
+      col("n").cast("bigint").as("n_diffs"),
+      when(ok, round(vr, 6)).cast("double").as("vr"),
+      when(ok, round(sqrt(nD) * (vr - 1.0) / lit(zden), 6))
+        .cast("double").as("z"))
+  }
+
+  /** Wallis–Moore turning-points randomness test per group: count the
+    * strict interior peaks and troughs of the daily series; under
+    * i.i.d. randomness T ~ N(2(n−2)/3, (16n−29)/90). Too FEW turning
+    * points = trend/persistence, too MANY = alternation — the
+    * cheapest "is this series even random" gate before the heavier
+    * runs/ACF machinery. Exact long comparisons (ties break neither
+    * direction — strict), closed-form moments, one rounded z.
+    * Output: (group, n_days, turning_points, expected, z).
+    */
+  def turningPoints(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val marked = cells
+      .withColumn("_pv", lag(col("_x"), 1).over(w))
+      .withColumn("_nx", lead(col("_x"), 1).over(w))
+      .withColumn("_tp", when(col("_pv").isNotNull && col("_nx").isNotNull
+        && ((col("_x") > col("_pv") && col("_x") > col("_nx"))
+          || (col("_x") < col("_pv") && col("_x") < col("_nx"))),
+        1L).otherwise(0L))
+    val folded = marked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum("_tp").as("t"))
+    val nD = col("n").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    val ok = col("n") >= 3 && v > 0.0
+    folded.select(col("_g").as(groupCol),
+      col("n").cast("bigint").as("n_days"),
+      col("t").cast("bigint").as("turning_points"),
+      when(ok, round(e, 6)).cast("double").as("expected"),
+      when(ok, round((col("t").cast("double") - e) / sqrt(v), 6))
+        .cast("double").as("z"))
+  }
+
+  /** Cox–Stuart trend test per group: pair the i-th daily value with
+    * the (i+⌈n/2⌉)-th (the middle value of an odd series is unpaired),
+    * count strictly-positive second-half-minus-first-half signs among
+    * the m' non-ties, z = (2S⁺ − m')/√m' — the sign test for
+    * monotonic trend, robust to any monotone transform of the values
+    * (the Mann–Kendall family's cheapest member: one self-join, no
+    * pairwise O(n²)). Exact long signs, one rounded z; m' = 0 → NULL.
+    * Output: (group, n_days, n_pairs, n_plus, z).
+    */
+  def coxStuart(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val idx = cells
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_nn", count(lit(1)).over(Window.partitionBy("_g")))
+      .withColumn("_c", ceil(col("_nn") / lit(2.0)).cast("long"))
+    val pairs = idx.as("a")
+      .join(idx.as("b"),
+        col("a._g") === col("b._g")
+          && col("b._rn") === col("a._rn") + col("a._c"))
+      .select(col("a._g").as("_g"), col("a._nn").as("_nn"),
+        (col("b._x") - col("a._x")).as("_diff"))
+    val folded = pairs.groupBy(col("_g"))
+      .agg(max("_nn").as("n"), count(lit(1)).as("n_pairs"),
+        sum(when(col("_diff") > 0L, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("_diff") =!= 0L, 1L).otherwise(0L)).as("_m"))
+    val mD = col("_m").cast("double")
+    folded.select(col("_g").as(groupCol),
+      col("n").cast("bigint").as("n_days"),
+      col("n_pairs").cast("bigint").as("n_pairs"),
+      col("n_plus").cast("bigint").as("n_plus"),
+      when(col("_m") >= 1,
+        round((lit(2.0) * col("n_plus") - mD) / sqrt(mD), 6))
+        .cast("double").as("z"))
+  }
+
   /** DFT periodogram / dominant-period detector over the daily series
     * (r17 verdict item 4) — the frequency-domain view the acf/pacf/
     * seasonality family lacked: for each candidate period P the

@@ -2924,6 +2924,198 @@ object Stats {
       when(okB && cSyy > 0.0, round(r2, 6)).cast("double").as("r2"))
   }
 
+  /** Actuarial life table — [[kaplanMeier]]'s interval-grouped
+    * sibling (the classical demography/retention form: durations
+    * bucket into fixed-width intervals, and within-interval censoring
+    * counts HALF an exposure — the standard actuarial adjustment):
+    * per interval, n entering, d events, c censored, effective
+    * exposure n − c/2, conditional q = d/(n − c/2) frozen at 6 dp,
+    * and end-of-interval survival Π(1−q) by the kaplanMeier ln-fold
+    * discipline (exact-zero exhaustion handling included).
+    *
+    * Exact integer counts; the only doubles are q (one rounded
+    * division) and the survival fold on the FROZEN q values.
+    * Negative durations raise loudly in-plan. One interval-keyed
+    * aggregate + calendar-bounded windows. Output: (interval_start,
+    * n_entering, n_events, n_censored, effective, q, survival).
+    */
+  def lifeTable(df: DataFrame, durationCol: String, observed: Column,
+      width: Long): DataFrame = {
+    require(width >= 1, s"lifeTable: width must be >= 1, got $width")
+    val dur = col(durationCol)
+    val guarded = when(dur < 0, raise_error(
+      lit("lifeTable: negative duration"))).otherwise(dur)
+    val cells = df.filter(dur.isNotNull)
+      .select(floor(guarded / width).cast("long").as("_iv"),
+        when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("_d"))
+      .groupBy("_iv")
+      .agg(sum("_d").as("n_events"),
+        sum(lit(1L) - col("_d")).as("n_censored"))
+    val wOrd = Window.orderBy("_iv")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val exits = col("n_events") + col("n_censored")
+    cells
+      .withColumn("n_entering",
+        sum(exits).over(Window.partitionBy())
+          - coalesce(sum(exits).over(wPrev), lit(0L)))
+      .withColumn("_eff", col("n_entering").cast("double")
+        - col("n_censored").cast("double") / 2.0)
+      .withColumn("_q", round(col("n_events").cast("double")
+        / col("_eff"), 6))
+      .withColumn("_term",
+        when(col("_q") < 1.0, log(lit(1.0) - col("_q")))
+          .otherwise(lit(0.0)))
+      .withColumn("_zero",
+        max(when(col("_q") >= 1.0, 1).otherwise(0)).over(wOrd))
+      .withColumn("survival",
+        when(col("_zero") === 1, lit(0.0))
+          .otherwise(round(exp(sum("_term").over(wOrd)), 6))
+          .cast("double"))
+      .select((col("_iv") * width).cast("bigint").as("interval_start"),
+        col("n_entering").cast("bigint").as("n_entering"),
+        col("n_events").cast("bigint").as("n_events"),
+        col("n_censored").cast("bigint").as("n_censored"),
+        round(col("_eff"), 6).cast("double").as("effective"),
+        col("_q").cast("double").as("q"),
+        col("survival"))
+  }
+
+  /** Gwet's AC1 inter-rater agreement — the chance-corrected
+    * coefficient that fixes Cohen's κ's prevalence paradox (κ
+    * collapses when one category dominates even at near-perfect
+    * agreement; AC1's chance term Σ π_c(1−π_c)/(C−1) uses the
+    * AVERAGED marginals and stays calibrated): AC1 = (p_o − p_e)/
+    * (1 − p_e), π_c = (p_{a,c} + p_{b,c})/2.
+    *
+    * Exact integer counts (one rating-pair aggregate + one per-
+    * category full-outer fold over the union category space — a
+    * category only ONE rater uses still enters the chance term);
+    * p_o/p_e freeze at 12 dp before the final rounded ratio;
+    * p_e = 1 (the single-category degenerate) reports NULL. Output:
+    * ONE row (n, n_categories, po, pe, ac1).
+    */
+  def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val rows = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .localCheckpoint() // totals + both marginal folds read it
+    val n = rows.agg(count(lit(1)).as("_n"),
+      sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("_agree"))
+    val aMarg = rows.groupBy(col("_a").as("_c"))
+      .agg(count(lit(1)).as("_ca"))
+    val bMarg = rows.groupBy(col("_b").as("_c"))
+      .agg(count(lit(1)).as("_cb"))
+    val cats = aMarg.join(bMarg, Seq("_c"), "full_outer")
+      .select(col("_c"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+      .crossJoin(broadcast(n))
+      .withColumn("_pi", round((col("_ca").cast("double")
+        / col("_n").cast("double")
+        + col("_cb").cast("double") / col("_n").cast("double"))
+        / 2.0, 12))
+      .agg(count(lit(1)).as("_k"),
+        sum(round(col("_pi") * (lit(1.0) - col("_pi")), 12)
+          .cast("decimal(38,12)")).as("_spi"))
+    n.crossJoin(broadcast(cats))
+      .withColumn("_po", round(col("_agree").cast("double")
+        / col("_n").cast("double"), 12))
+      .withColumn("_pe", when(col("_k") >= 2,
+        round(col("_spi").cast("double")
+          / (col("_k").cast("double") - 1.0), 12)))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("n_categories"),
+        round(col("_po"), 6).cast("double").as("po"),
+        round(col("_pe"), 6).cast("double").as("pe"),
+        when(col("_pe").isNotNull && col("_pe") < 1.0,
+          round((col("_po") - col("_pe")) / (lit(1.0) - col("_pe")), 6))
+          .cast("double").as("ac1"))
+  }
+
+  /** Bowker symmetry test on a paired categorical confusion table —
+    * "are A→B misclassifications as common as B→A" (the multi-
+    * category McNemar): χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji)
+    * over the unordered off-diagonal pairs with any traffic, dof =
+    * the number of such pairs. A significant χ² means the two
+    * raters/models disagree DIRECTIONALLY, not just noisily.
+    *
+    * Exact integer cell counts; one (i, j) count aggregate, the
+    * upper/lower triangles full-outer-folded so a one-directional
+    * pair still enters; per-pair terms freeze at 12 dp into a
+    * decimal sum, χ² rounds at 6. No CDF — the statistic and dof are
+    * reported, the caller brings the χ² table. Output: ONE row
+    * (n, n_pairs_tested, chi2).
+    */
+  def bowkerTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_i"),
+        col(bCol).cast("string").as("_j"))
+      .groupBy("_i", "_j").agg(count(lit(1)).as("_n"))
+      .localCheckpoint() // total + both triangles read it
+    val tot = cells.agg(sum("_n").as("_tot"))
+    val up = cells.filter(col("_i") < col("_j"))
+      .select(col("_i").as("_pi"), col("_j").as("_pj"),
+        col("_n").as("_nij"))
+    val down = cells.filter(col("_i") > col("_j"))
+      .select(col("_j").as("_pi"), col("_i").as("_pj"),
+        col("_n").as("_nji"))
+    val pairs = up.join(down, Seq("_pi", "_pj"), "full_outer")
+      .select(coalesce(col("_nij"), lit(0L)).as("_nij"),
+        coalesce(col("_nji"), lit(0L)).as("_nji"))
+      .filter(col("_nij") + col("_nji") > 0L)
+      .withColumn("_term", round((col("_nij") - col("_nji"))
+        .cast("double") * (col("_nij") - col("_nji"))
+        / (col("_nij") + col("_nji")).cast("double"), 12))
+    pairs.agg(count(lit(1)).as("_dof"),
+        sum(col("_term").cast("decimal(38,12)")).as("_chi"))
+      .crossJoin(broadcast(tot))
+      .select(col("_tot").cast("bigint").as("n"),
+        col("_dof").cast("bigint").as("n_pairs_tested"),
+        when(col("_dof") >= 1, round(col("_chi").cast("double"), 6))
+          .cast("double").as("chi2"))
+  }
+
+  /** Historical VaR / CVaR (expected shortfall) per group — the risk
+    * pair every returns family ends at: VaR_α is the EXACT lower-α
+    * order statistic of the 6-dp values (value at rank ⌈α·n⌉ under
+    * the value-ascending order — the rank-r value and the first-r
+    * multiset are tie-invariant, so no tiebreak column is needed),
+    * CVaR_α the exact decimal mean of those r tail values (≤-VaR
+    * averaging via the RANK, not the value, so boundary ties can't
+    * double-count on either engine). No distributional assumption —
+    * the historical-simulation estimator.
+    *
+    * Determinism: values freeze at 6 dp; the tail sum folds as
+    * decimal(38,6); r = ⌈α·n⌉ computes from the identical double
+    * product on both engines. Groups with n = 0 are absent by
+    * construction. Scale shape: one hash shuffle (the per-group
+    * window sort) + one aggregate — the as-of-join cost class.
+    * Output: (group, n, n_tail, var_alpha, cvar_alpha).
+    */
+  def varCvar(df: DataFrame, groupCol: String, valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"varCvar: alpha must be in (0, 1), got $alpha")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol), 6).as("_v"))
+    val w = Window.partitionBy("_g").orderBy(col("_v"))
+    val ranked = rows
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
+      .withColumn("_r", ceil(lit(alpha) * col("_n")).cast("long"))
+    ranked.groupBy(col("_g"))
+      .agg(max(col("_n")).as("n"), max(col("_r")).as("n_tail"),
+        max(when(col("_rn") === col("_r"), col("_v"))).as("_var"),
+        sum(when(col("_rn") <= col("_r"),
+          col("_v").cast("decimal(38,6)"))).as("_ts"))
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        col("n_tail").cast("bigint").as("n_tail"),
+        col("_var").cast("double").as("var_alpha"),
+        round(col("_ts").cast("double")
+          / col("n_tail").cast("double"), 6)
+          .cast("double").as("cvar_alpha"))
+  }
+
   /** Double-ML / partialling-out treatment effect per group
     * (Chernozhukov et al.'s debiased-ML estimator in its closed-form
     * tier) — the orthogonalized member that completes the causal

@@ -1756,6 +1756,55 @@ object TextAnalysis {
           .cast("double").as("msttr"))
   }
 
+  /** Corpus keyness — log-likelihood (G²) keywords of subcorpus A
+    * against the rest (Rayson & Garside's standard): for each token
+    * with counts a (in A) and b (elsewhere), expected counts under
+    * the pooled rate e_a = A(a+b)/(A+B), e_b = B(a+b)/(A+B), and
+    * G² = 2·(a·ln(a/e_a) + b·ln(b/e_b)) with zero-count terms
+    * contributing 0 — "which vocabulary distinguishes THIS slice",
+    * the cross-corpus dual of TF-IDF's per-document view.
+    *
+    * Determinism: token counts exact; direction (overused_in_a) is
+    * the EXACT integer cross-multiplication a·B > b·A, never a float
+    * ratio; G² is one rounded tree on integer-derived doubles; the
+    * top-k cut is the (g2 DESC, token) total order. One token-count
+    * aggregate (sides split by conditional sums — no second scan),
+    * two scalar totals broadcast back. Output: (token, count_a,
+    * count_b, g2, overused_in_a).
+    */
+  def keyness(df: DataFrame, textCol: String, selector: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"keyness: k in [1, 10000], got $k")
+    val toks = df.select(coalesce(selector, lit(false)).as("_in"),
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("_w"))
+    val counts = toks.groupBy("_w")
+      .agg(sum(when(col("_in"), 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_in"), 0L).otherwise(1L)).as("_b"))
+    val tot = counts.agg(sum("_a").as("_ta"), sum("_b").as("_tb"))
+    def d(c: String): Column = col(c).cast("double")
+    val ad = d("_a"); val bd = d("_b")
+    val taD = d("_ta"); val tbD = d("_tb")
+    val ea = taD * (ad + bd) / (taD + tbD)
+    val eb = tbD * (ad + bd) / (taD + tbD)
+    val g2 = round(lit(2.0)
+      * (when(col("_a") > 0L, ad * log(ad / ea)).otherwise(lit(0.0))
+        + when(col("_b") > 0L, bd * log(bd / eb)).otherwise(lit(0.0))),
+      6)
+    counts.crossJoin(broadcast(tot))
+      .select(col("_w").as("token"),
+        col("_a").cast("bigint").as("count_a"),
+        col("_b").cast("bigint").as("count_b"),
+        g2.cast("double").as("g2"),
+        // exact integer cross-multiplication: decimal cast first so
+        // count*total can't overflow Long at corpus scale
+        (col("_a").cast("decimal(38,0)") * col("_tb")
+          > col("_b").cast("decimal(38,0)") * col("_ta"))
+          .as("overused_in_a"))
+      .orderBy(col("g2").desc, col("token"))
+      .limit(k)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     * over the word co-occurrence graph — two words are linked when
     * they appear within `window` tokens of each other in any document

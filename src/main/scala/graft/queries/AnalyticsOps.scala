@@ -896,6 +896,16 @@ object AnalyticsOps {
       .orderBy("field")
   }
 
+  /** Top-25 G² keyness of the English subcorpus against the rest:
+    * exact split token counts from ONE aggregate, the Rayson–Garside
+    * log-likelihood tree, integer cross-multiplied direction flag,
+    * (g2 DESC, token) cut.
+    */
+  val qKeyness: QueryFn = withTables { spark =>
+    TextAnalysis.keyness(spark.table("documents"), "text",
+      col("lang") === "en", k = 25)
+  }
+
   /** UNSUPERVISED Fellegi–Sunter (r17 verdict item 3): the
     * q_linkage_weights candidate pairs with the label WITHHELD — m/u
     * and the match prevalence estimated by 2 fixed EM passes over the
@@ -950,6 +960,7 @@ object AnalyticsOps {
   }
 
   val queries: Map[String, QueryFn] = Map(
+    "q_keyness" -> qKeyness,
     "q_itemsets3" -> qItemsets3,
     "q_linkage_em" -> qLinkageEm,
     "q_hosmer" -> qHosmer,
@@ -1600,6 +1611,40 @@ object AnalyticsOps {
       JOIN items ib ON ib.i = t.b2
       JOIN items ic ON ic.i = t.c
       ORDER BY a, b, c""",
+
+    // Split token counts in one aggregate, the same G2 tree, integer
+    // cross-multiplied direction, (g2 DESC, token) cut.
+    "q_keyness" -> """
+      WITH toks AS (
+        SELECT (lang = 'en') AS inn,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        FROM documents),
+      counts AS (
+        SELECT w,
+               SUM(CASE WHEN inn THEN 1 ELSE 0 END)::BIGINT AS a,
+               SUM(CASE WHEN inn THEN 0 ELSE 1 END)::BIGINT AS b
+        FROM toks WHERE w <> '' GROUP BY w),
+      tot AS (SELECT SUM(a)::BIGINT AS ta, SUM(b)::BIGINT AS tb
+              FROM counts)
+      SELECT w AS token, a AS count_a, b AS count_b,
+             CAST(ROUND(2.0 * (
+               (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                   * LN(CAST(a AS DOUBLE)
+                     / (CAST(ta AS DOUBLE)
+                       * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                       / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+                 ELSE 0.0 END)
+               + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                   * LN(CAST(b AS DOUBLE)
+                     / (CAST(tb AS DOUBLE)
+                       * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                       / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+                 ELSE 0.0 END)), 6) AS DOUBLE) AS g2,
+             (CAST(a AS HUGEINT) * tb > CAST(b AS HUGEINT) * ta)
+               AS overused_in_a
+      FROM counts CROSS JOIN tot
+      ORDER BY g2 DESC, token
+      LIMIT 25""",
 
     "q_linkage_em" -> linkageEmOracle,
 

@@ -645,7 +645,19 @@ object GraphOps {
       .orderBy("vertex")
   }
 
+  /** Rich-club coefficients of the mod-5 co-order graph at degree
+    * thresholds {4, 8, 16, 32}: exact hub counts and hub-hub edge
+    * counts from one degree fold + one edge pass, one rounded φ per
+    * threshold.
+    */
+  val qRichClub: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.richClub(coOrderParts(spark, sfDir, 5).select("a", "b"),
+        "a", "b", ks = Seq(4, 8, 16, 32))
+      .orderBy("k")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_rich_club" -> qRichClub,
     "q_spectral" -> qSpectral,
     "q_ann_ivfpq_res" -> qAnnIvfPqRes,
     "q_harmonic" -> qHarmonic,
@@ -1289,6 +1301,40 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // The mod-5 canonical edges; thresholds as a VALUES table; exact
+    // hub/edge counts; phi's counts promote to double before N(N-1).
+    "q_rich_club" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      sym AS (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e),
+      degs AS (SELECT v, COUNT(*)::BIGINT AS deg FROM sym GROUP BY v),
+      ks(k) AS (VALUES (4), (8), (16), (32)),
+      nk AS (SELECT k, COUNT(*)::BIGINT AS n_nodes
+             FROM degs CROSS JOIN ks WHERE deg > k GROUP BY k),
+      ek AS (SELECT k, COUNT(*)::BIGINT AS n_edges
+             FROM e
+             JOIN degs da ON da.v = e.lo
+             JOIN degs db ON db.v = e.hi
+             CROSS JOIN ks
+             WHERE da.deg > k AND db.deg > k GROUP BY k)
+      SELECT ks.k::INT AS k,
+             COALESCE(nk.n_nodes, 0)::BIGINT AS n_nodes,
+             COALESCE(ek.n_edges, 0)::BIGINT AS n_edges,
+             CAST(CASE WHEN COALESCE(nk.n_nodes, 0) >= 2 THEN
+               ROUND(2.0 * COALESCE(ek.n_edges, 0)
+                 / (CAST(nk.n_nodes AS DOUBLE)
+                   * CAST(nk.n_nodes - 1 AS DOUBLE)), 6) END
+               AS DOUBLE) AS phi
+      FROM ks LEFT JOIN nk ON nk.k = ks.k
+      LEFT JOIN ek ON ek.k = ks.k
+      ORDER BY k""",
 
     "q_spectral" -> spectralOracle,
     "q_louvain" -> louvainOracle,

@@ -1332,6 +1332,203 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Annualized Sortino ratio on the q_sharpe returns: mean excess
+    * over the POPULATION downside deviation √(Σ min(r,0)²/n) × √252 —
+    * the risk gauge that stops punishing upside volatility; exact
+    * decimal folds of the 12-dp-frozen downside squares.
+    */
+  val qSortino: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val rets = daily
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= 0.0)
+      .select(col("event_type"),
+        round(col("v") / col("_prev") - 1.0, 6).as("_r"))
+    val agg = rets
+      .withColumn("_r1", col("_r").cast("decimal(38,6)"))
+      .withColumn("_d2", when(col("_r") < 0.0,
+        round(col("_r") * col("_r"), 12)).otherwise(lit(0.0))
+        .cast("decimal(38,12)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("_r1").as("_s1"),
+        sum("_d2").as("_sd"))
+    val nD = col("n_days").cast("double")
+    val mean = col("_s1").cast("double") / nD
+    val dvar = col("_sd").cast("double") / nD
+    agg.select(col("event_type"),
+        col("n_days").cast("bigint").as("n_days"),
+        round(mean, 6).cast("double").as("mean_ret"),
+        when(col("n_days") >= 2 && dvar > 0.0,
+          round(sqrt(dvar), 6)).cast("double").as("downside_dev"),
+        when(col("n_days") >= 2 && dvar > 0.0,
+          round(mean / sqrt(dvar) * lit(math.sqrt(252.0)), 6))
+          .cast("double").as("sortino_annual"))
+      .orderBy("event_type")
+  }
+
+  /** Calmar ratio per type: annualized mean daily-spend return over
+    * the maximum peak-to-trough drawdown FRACTION of the daily level
+    * series (running max via one window) — the drawdown family's
+    * summary ratio beside q_drawdown's absolute panel.
+    */
+  val qCalmar: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withDd = daily
+      .withColumn("_runmax", max(col("v")).over(wRun))
+      .withColumn("_dd", when(col("_runmax") > 0.0,
+        round(lit(1.0) - col("v") / col("_runmax"), 6)))
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .withColumn("_r", when(col("_prev").isNotNull
+        && col("_prev") =!= 0.0,
+        round(col("v") / col("_prev") - 1.0, 6)))
+    val agg = withDd.groupBy("event_type")
+      .agg(sum(when(col("_r").isNotNull, 1L).otherwise(0L)).as("n_days"),
+        sum(col("_r").cast("decimal(38,6)")).as("_s1"),
+        max(col("_dd")).as("_mdd"))
+    val nD = col("n_days").cast("double")
+    val mean = col("_s1").cast("double") / nD
+    agg.select(col("event_type"),
+        col("n_days").cast("bigint").as("n_days"),
+        when(col("n_days") >= 1, round(mean, 6))
+          .cast("double").as("mean_ret"),
+        col("_mdd").cast("double").as("max_drawdown"),
+        when(col("n_days") >= 1 && col("_mdd") > 0.0,
+          round(mean * 252.0 / col("_mdd"), 6))
+          .cast("double").as("calmar"))
+      .orderBy("event_type")
+  }
+
+  /** Historical VaR/CVaR at α = 0.1 of the q_sharpe daily returns:
+    * the exact ⌈αn⌉-th order statistic and the exact decimal mean of
+    * the rank-selected tail — the historical-simulation risk pair.
+    */
+  val qVarCvar: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val rets = daily
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= 0.0)
+      .select(col("event_type"),
+        round(col("v") / col("_prev") - 1.0, 6).as("r"))
+    Stats.varCvar(rets, "event_type", "r", alpha = 0.1)
+      .orderBy("event_type")
+  }
+
+
+  /** Actuarial life table of the q_kaplan_meier subjects in 3-day
+    * intervals: half-exposure censoring adjustment, 6-dp frozen
+    * conditional q, the KM ln-fold survival.
+    */
+  val qLifeTable: QueryFn = withTables { spark =>
+    val subjects = spark.table("events").groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("_first"),
+        max(col("ts").cast("date")).as("_last"),
+        min(when(col("event_type") === "purchase",
+          col("ts").cast("date"))).as("_firstp"))
+      .select(col("user_id"),
+        datediff(coalesce(col("_firstp"), col("_last")), col("_first"))
+          .cast("bigint").as("duration"),
+        col("_firstp").isNotNull.as("observed"))
+    Stats.lifeTable(subjects, "duration", col("observed"), width = 3L)
+      .orderBy("interval_start")
+  }
+
+  /** Lag-1 binary transfer entropy click→purchase on the daily spend
+    * series: exact up/down state counts, window-summed marginals,
+    * 12-dp frozen terms — the directional companion of q_xcorr.
+    */
+  val qTransferEntropy: QueryFn = withTables { spark =>
+    Resample.transferEntropy(spark.table("events"), "event_type",
+      "ts", "value", sourceKey = "click", targetKey = "purchase")
+  }
+
+  /** p-chart over daily high-value-event shares (defect = value >
+    * 120): exact counts, 6-dp frozen center line, per-day clamped
+    * 3σ binomial bands.
+    */
+  val qPChart: QueryFn = withTables { spark =>
+    Resample.pChart(spark.table("events"), "ts", col("value") > 120.0)
+      .orderBy("day")
+  }
+
+  /** Gwet's AC1 agreement between the ORDER PRIORITY digit and the
+    * spend-derived priority bucket (1..5 by 100k steps): the
+    * prevalence-stable chance correction over the union category
+    * space.
+    */
+  val qGwetAc1: QueryFn = withTables { spark =>
+    val rated = spark.table("orders")
+      .select(substring(col("o_orderpriority"), 1, 1).as("a"),
+        least(lit(5L), lit(1L) + floor(col("o_totalprice") / 100000.0)
+          .cast("long")).cast("string").as("b"))
+    Stats.gwetAc1(rated, "a", "b")
+  }
+
+  /** Bowker symmetry test on the same priority-vs-spend-bucket
+    * confusion: directional misclassification asymmetry, exact
+    * off-diagonal pair folds.
+    */
+  val qBowker: QueryFn = withTables { spark =>
+    val rated = spark.table("orders")
+      .select(substring(col("o_orderpriority"), 1, 1).as("a"),
+        least(lit(5L), lit(1L) + floor(col("o_totalprice") / 100000.0)
+          .cast("long")).cast("string").as("b"))
+    Stats.bowkerTest(rated, "a", "b")
+  }
+
+  /** KPSS level-stationarity test on daily spend per type (lags 3,
+    * Bartlett kernel): the ADF complement — exact decimal cumsums and
+    * co-moments, pinned 0.463 critical value.
+    */
+  val qKpss: QueryFn = withTables { spark =>
+    Resample.kpss(spark.table("events"), "event_type", "ts", "value",
+        lags = 3)
+      .orderBy("event_type")
+  }
+
+  /** Lo–MacKinlay variance ratio at q = 5 on daily-spend first
+    * differences per type: overlapping 5-day sums, exact decimal
+    * moments, the homoscedastic z.
+    */
+  val qVarianceRatio: QueryFn = withTables { spark =>
+    Resample.varianceRatio(spark.table("events"), "event_type", "ts",
+        "value", q = 5)
+      .orderBy("event_type")
+  }
+
+  /** Wallis–Moore turning-points randomness gate on the daily spend
+    * series per type: exact strict peak/trough counts, closed-form
+    * moments, one rounded z.
+    */
+  val qTurningPoints: QueryFn = withTables { spark =>
+    Resample.turningPoints(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type")
+  }
+
+  /** Cox–Stuart paired-halves sign test for monotone trend on the
+    * daily spend series per type.
+    */
+  val qCoxStuart: QueryFn = withTables { spark =>
+    Resample.coxStuart(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type")
+  }
 
   /** Two-level binary segmentation of daily spend vs day index per
     * type: the q_breakpoint split, then the best split of EACH
@@ -2591,6 +2788,15 @@ object StatsOps {
     "q_assortativity" -> qAssortativity,
     "q_acf" -> qAcf,
     "q_periodogram" -> qPeriodogram,
+    "q_kpss" -> qKpss,
+    "q_variance_ratio" -> qVarianceRatio,
+    "q_turning_points" -> qTurningPoints,
+    "q_cox_stuart" -> qCoxStuart,
+    "q_p_chart" -> qPChart,
+    "q_gwet_ac1" -> qGwetAc1,
+    "q_bowker" -> qBowker,
+    "q_life_table" -> qLifeTable,
+    "q_transfer_entropy" -> qTransferEntropy,
     "q_chi_squared" -> qChiSquared,
     "q_conformal" -> qConformal,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -2630,6 +2836,9 @@ object StatsOps {
     "q_median_polish" -> qMedianPolish,
     "q_hurst" -> qHurst,
     "q_sharpe" -> qSharpe,
+    "q_sortino" -> qSortino,
+    "q_calmar" -> qCalmar,
+    "q_var_cvar" -> qVarCvar,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -2913,6 +3122,109 @@ object StatsOps {
                    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
                  / (CAST(n AS DOUBLE) - 1.0) > 0.0) AS ok
         FROM agg)
+      ORDER BY event_type""",
+
+    // The q_sharpe returns CTEs with the downside fold: population
+    // downside deviation, one rounded ratio ×√252 interpolated.
+    "q_sortino" -> s"""
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      lagd AS (SELECT g, d, v,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      rets AS (SELECT g, ROUND(v / pv - 1.0, 6) AS r
+               FROM lagd WHERE pv IS NOT NULL AND pv <> 0.0),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(CAST(r AS DECIMAL(38,6))) AS s1,
+                     SUM(CAST(CASE WHEN r < 0.0 THEN ROUND(r * r, 12)
+                       ELSE 0.0 END AS DECIMAL(38,12))) AS sd2
+              FROM rets GROUP BY g)
+      SELECT g AS event_type, n AS n_days,
+             CAST(ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS mean_ret,
+             CAST(CASE WHEN n >= 2
+                        AND CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+               THEN ROUND(SQRT(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)),
+                 6) END AS DOUBLE) AS downside_dev,
+             CAST(CASE WHEN n >= 2
+                        AND CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+               THEN ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                 / SQRT(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ${math.sqrt(252.0)}, 6) END AS DOUBLE)
+               AS sortino_annual
+      FROM agg
+      ORDER BY event_type""",
+
+    // Running max over the level series for the drawdown fraction,
+    // the q_sharpe returns for the annualized numerator.
+    "q_calmar" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      rund AS (SELECT g, d, v,
+                      MAX(v) OVER (PARTITION BY g ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS runmax,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      per AS (SELECT g,
+                     CASE WHEN runmax > 0.0
+                       THEN ROUND(1.0 - v / runmax, 6) END AS dd,
+                     CASE WHEN pv IS NOT NULL AND pv <> 0.0
+                       THEN ROUND(v / pv - 1.0, 6) END AS r
+              FROM rund),
+      agg AS (SELECT g,
+                     SUM(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n,
+                     SUM(CAST(r AS DECIMAL(38,6))) AS s1,
+                     MAX(dd) AS mdd
+              FROM per GROUP BY g)
+      SELECT g AS event_type, n AS n_days,
+             CAST(CASE WHEN n >= 1 THEN
+               ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) END
+               AS DOUBLE) AS mean_ret,
+             CAST(mdd AS DOUBLE) AS max_drawdown,
+             CAST(CASE WHEN n >= 1 AND mdd > 0.0 THEN
+               ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * 252.0
+                 / mdd, 6) END AS DOUBLE) AS calmar
+      FROM agg
+      ORDER BY event_type""",
+
+    // Rank-based tail selection: the rank-r value and first-r
+    // multiset are tie-invariant, so ROW_NUMBER without a tiebreak
+    // mirrors exactly; CEIL on the identical double product.
+    "q_var_cvar" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      lagd AS (SELECT g, d, v,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      rets AS (SELECT g, ROUND(ROUND(v / pv - 1.0, 6), 6) AS r
+               FROM lagd WHERE pv IS NOT NULL AND pv <> 0.0),
+      ranked AS (
+        SELECT g, r,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM rets),
+      sel AS (SELECT g, r, rn, n,
+                     CAST(CEIL(0.1 * n) AS BIGINT) AS rr
+              FROM ranked)
+      SELECT g AS event_type, MAX(n)::BIGINT AS n,
+             MAX(rr)::BIGINT AS n_tail,
+             CAST(MAX(CASE WHEN rn = rr THEN r END) AS DOUBLE)
+               AS var_alpha,
+             CAST(ROUND(CAST(SUM(CASE WHEN rn <= rr
+                 THEN CAST(r AS DECIMAL(38,6)) END) AS DOUBLE)
+               / CAST(MAX(rr) AS DOUBLE), 6) AS DOUBLE) AS cvar_alpha
+      FROM sel GROUP BY g
       ORDER BY event_type""",
 
     // Per-user lag gaps, global 16-bin grid with empty bins advancing
@@ -10939,6 +11251,373 @@ object StatsOps {
 
     // Same daily cells (portable epoch day), HUGEINT centered terms
     // n·x − S, the same three LEADs over the observed-day order.
+    // The KM subjects bucketed to 3-day intervals; half-exposure
+    // adjustment, frozen q, the KM ln-fold with exhaustion gate.
+    "q_life_table" -> """
+      WITH subj AS (
+        SELECT user_id,
+               DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                 COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END),
+                          MAX(CAST(ts AS DATE)))) AS duration,
+               MIN(CASE WHEN event_type = 'purchase'
+                     THEN CAST(ts AS DATE) END) IS NOT NULL AS observed
+        FROM events GROUP BY user_id),
+      cells AS (
+        SELECT CAST(FLOOR(duration / 3) AS BIGINT) AS iv,
+               SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS d,
+               SUM(CASE WHEN observed THEN 0 ELSE 1 END)::BIGINT AS c
+        FROM subj WHERE duration IS NOT NULL GROUP BY 1),
+      lt AS (
+        SELECT iv, d, c,
+               ((SELECT SUM(d + c) FROM cells)
+                 - COALESCE(SUM(d + c) OVER
+                     (ORDER BY iv ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0))::BIGINT AS entering
+        FROM cells),
+      lt2 AS (
+        SELECT iv, d, c, entering,
+               CAST(entering AS DOUBLE) - CAST(c AS DOUBLE) / 2.0
+                 AS eff,
+               ROUND(CAST(d AS DOUBLE)
+                 / (CAST(entering AS DOUBLE)
+                   - CAST(c AS DOUBLE) / 2.0), 6) AS q
+        FROM lt),
+      lt3 AS (
+        SELECT iv, d, c, entering, eff, q,
+               SUM(CASE WHEN q < 1.0 THEN LN(1.0 - q) ELSE 0.0 END)
+                 OVER (ORDER BY iv) AS lnsum,
+               MAX(CASE WHEN q >= 1.0 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY iv) AS hitzero
+        FROM lt2)
+      SELECT (iv * 3)::BIGINT AS interval_start,
+             entering AS n_entering, d AS n_events, c AS n_censored,
+             CAST(ROUND(eff, 6) AS DOUBLE) AS effective,
+             CAST(q AS DOUBLE) AS q,
+             CAST(CASE WHEN hitzero = 1 THEN 0.0
+                  ELSE ROUND(EXP(lnsum), 6) END AS DOUBLE) AS survival
+      FROM lt3
+      ORDER BY interval_start""",
+
+    // Day cells for the two types joined on day; up/down states via
+    // LAG, next-state via LEAD over the global day order; the <=8-row
+    // joint table's window marginals; 12-dp terms into a decimal sum.
+    "q_transfer_entropy" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+      joined AS (
+        SELECT t.day, t.x AS xt, s.x AS xs
+        FROM (SELECT day, x FROM cells WHERE g = 'purchase') t
+        JOIN (SELECT day, x FROM cells WHERE g = 'click') s
+          ON s.day = t.day),
+      states AS (
+        SELECT day,
+               CASE WHEN xt > pt THEN 1 ELSE 0 END AS st,
+               CASE WHEN xs > ps THEN 1 ELSE 0 END AS ss
+        FROM (SELECT day, xt, xs,
+                     LAG(xt) OVER w AS pt, LAG(xs) OVER w AS ps
+              FROM joined WINDOW w AS (ORDER BY day))
+        WHERE pt IS NOT NULL),
+      trans AS (
+        SELECT st, ss, LEAD(st) OVER (ORDER BY day) AS sn
+        FROM states),
+      joint AS (
+        SELECT sn, st, ss, COUNT(*)::BIGINT AS c3
+        FROM trans WHERE sn IS NOT NULL GROUP BY sn, st, ss),
+      terms AS (
+        SELECT ROUND(CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE)
+                 * LN((CAST(c3 AS DOUBLE) * cx)
+                   / (CAST(cxy AS DOUBLE) * cxx)), 12) AS term, n
+        FROM (
+          SELECT c3,
+                 SUM(c3) OVER (PARTITION BY st, ss) AS cxy,
+                 SUM(c3) OVER (PARTITION BY sn, st) AS cxx,
+                 SUM(c3) OVER (PARTITION BY st) AS cx,
+                 SUM(c3) OVER () AS n
+          FROM joint))
+      SELECT MAX(n)::BIGINT AS n_transitions,
+             CAST(CASE WHEN MAX(n) >= 2 THEN
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE),
+                 6) END AS DOUBLE) AS te
+      FROM terms""",
+
+    // Exact day counts, frozen center, per-day clamped bands.
+    "q_p_chart" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN COALESCE(value > 120.0, FALSE)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_defect
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      tot AS (SELECT SUM(n)::BIGINT AS tn, SUM(n_defect)::BIGINT AS td
+              FROM daily),
+      lim AS (
+        SELECT day, n, n_defect,
+               ROUND(CAST(td AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+                 AS pbar,
+               ROUND(3.0 * SQRT(
+                 ROUND(CAST(td AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+                 * (1.0 - ROUND(CAST(td AS DOUBLE)
+                     / CAST(tn AS DOUBLE), 6))
+                 / CAST(n AS DOUBLE)), 6) AS hw,
+               ROUND(CAST(n_defect AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS p
+        FROM daily CROSS JOIN tot)
+      SELECT day, n, n_defect, CAST(p AS DOUBLE) AS p,
+             CAST(pbar AS DOUBLE) AS center,
+             CAST(ROUND(LEAST(1.0, pbar + hw), 6) AS DOUBLE) AS ucl,
+             CAST(ROUND(GREATEST(0.0, pbar - hw), 6) AS DOUBLE) AS lcl,
+             (p > ROUND(LEAST(1.0, pbar + hw), 6)
+               OR p < ROUND(GREATEST(0.0, pbar - hw), 6))
+               AS out_of_control
+      FROM lim
+      ORDER BY day""",
+
+    // Union category space (full-outer marginal fold), 12-dp frozen
+    // po/pe, the averaged-marginal chance term.
+    "q_gwet_ac1" -> """
+      WITH rated AS (
+        SELECT SUBSTR(o_orderpriority, 1, 1) AS a,
+               CAST(LEAST(5, 1 + CAST(FLOOR(o_totalprice / 100000.0)
+                 AS BIGINT)) AS VARCHAR) AS b
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      nn AS (SELECT COUNT(*)::BIGINT AS n,
+                    SUM(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                      AS agree
+             FROM rated),
+      am AS (SELECT a AS c, COUNT(*)::BIGINT AS ca FROM rated GROUP BY a),
+      bm AS (SELECT b AS c, COUNT(*)::BIGINT AS cb FROM rated GROUP BY b),
+      cats AS (
+        SELECT COUNT(*)::BIGINT AS k,
+               SUM(CAST(ROUND(pi * (1.0 - pi), 12) AS DECIMAL(38,12)))
+                 AS spi
+        FROM (
+          SELECT ROUND((CAST(COALESCE(am.ca, 0) AS DOUBLE)
+                   / CAST(nn.n AS DOUBLE)
+                 + CAST(COALESCE(bm.cb, 0) AS DOUBLE)
+                   / CAST(nn.n AS DOUBLE)) / 2.0, 12) AS pi
+          FROM am FULL OUTER JOIN bm ON bm.c = am.c
+          CROSS JOIN nn)),
+      fin AS (
+        SELECT nn.n, cats.k,
+               ROUND(CAST(agree AS DOUBLE) / CAST(nn.n AS DOUBLE), 12)
+                 AS po,
+               CASE WHEN cats.k >= 2 THEN
+                 ROUND(CAST(cats.spi AS DOUBLE)
+                   / (CAST(cats.k AS DOUBLE) - 1.0), 12) END AS pe
+        FROM nn CROSS JOIN cats)
+      SELECT n, k AS n_categories,
+             CAST(ROUND(po, 6) AS DOUBLE) AS po,
+             CAST(ROUND(pe, 6) AS DOUBLE) AS pe,
+             CAST(CASE WHEN pe IS NOT NULL AND pe < 1.0 THEN
+               ROUND((po - pe) / (1.0 - pe), 6) END AS DOUBLE) AS ac1
+      FROM fin""",
+
+    // Upper/lower triangle full-outer fold, 12-dp terms, exact dof.
+    "q_bowker" -> """
+      WITH rated AS (
+        SELECT SUBSTR(o_orderpriority, 1, 1) AS a,
+               CAST(LEAST(5, 1 + CAST(FLOOR(o_totalprice / 100000.0)
+                 AS BIGINT)) AS VARCHAR) AS b
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      cells AS (SELECT a AS i, b AS j, COUNT(*)::BIGINT AS n
+                FROM rated GROUP BY a, b),
+      tot AS (SELECT SUM(n)::BIGINT AS t FROM cells),
+      up AS (SELECT i AS pi, j AS pj, n AS nij FROM cells WHERE i < j),
+      down AS (SELECT j AS pi, i AS pj, n AS nji FROM cells WHERE i > j),
+      pairs AS (
+        SELECT COALESCE(nij, 0) AS nij, COALESCE(nji, 0) AS nji
+        FROM up FULL OUTER JOIN down USING (pi, pj)),
+      terms AS (
+        SELECT ROUND(CAST(nij - nji AS DOUBLE) * (nij - nji)
+                 / CAST(nij + nji AS DOUBLE), 12) AS term
+        FROM pairs WHERE nij + nji > 0)
+      SELECT t.t AS n, COUNT(*)::BIGINT AS n_pairs_tested,
+             CAST(CASE WHEN COUNT(*) >= 1 THEN
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE),
+                 6) END AS DOUBLE) AS chi2
+      FROM terms CROSS JOIN tot t
+      GROUP BY t.t""",
+
+    // The q_acf cell/centering CTEs + a decimal window cumsum; the
+    // Bartlett weights interpolated as the identical Scala doubles;
+    // rejection vs the pinned 0.463 constant.
+    "q_kpss" -> s"""
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      cs AS (SELECT g, day, aa,
+                    SUM(aa) OVER (PARTITION BY g ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS s_t
+             FROM a),
+      led AS (SELECT g, aa, s_t,
+                     LEAD(aa, 1) OVER w AS l1,
+                     LEAD(aa, 2) OVER w AS l2,
+                     LEAD(aa, 3) OVER w AS l3
+              FROM cs WINDOW w AS (PARTITION BY g ORDER BY day)),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(s_t * s_t) AS ss, SUM(aa * aa) AS d0,
+                     SUM(aa * l1) AS d1, SUM(aa * l2) AS d2,
+                     SUM(aa * l3) AS d3
+              FROM led GROUP BY g)
+      SELECT g AS event_type, n AS n_days,
+             CAST(CASE WHEN ok THEN ROUND(st2, 6) END AS DOUBLE)
+               AS kpss_stat,
+             CASE WHEN ok THEN ROUND(st2, 6) > 0.463 END AS reject_5pct
+      FROM (
+        SELECT g, n, ss,
+               CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE)
+                 * (CAST(d0 AS DOUBLE)
+                   + ${2.0 * (1.0 - 1.0 / 4)} * CAST(d1 AS DOUBLE)
+                   + ${2.0 * (1.0 - 2.0 / 4)} * CAST(d2 AS DOUBLE)
+                   + ${2.0 * (1.0 - 3.0 / 4)} * CAST(d3 AS DOUBLE)))
+                 AS st2,
+               (n >= 3 AND CAST(d0 AS DOUBLE)
+                   + ${2.0 * (1.0 - 1.0 / 4)} * CAST(d1 AS DOUBLE)
+                   + ${2.0 * (1.0 - 2.0 / 4)} * CAST(d2 AS DOUBLE)
+                   + ${2.0 * (1.0 - 3.0 / 4)} * CAST(d3 AS DOUBLE) > 0.0
+                 AND ss IS NOT NULL) AS ok
+        FROM agg)
+      ORDER BY event_type""",
+
+    // Overlapping q-sums via a bounded-following window frame; the
+    // centered moments as closed forms of HUGEINT folds; the
+    // homoscedastic z constant interpolated.
+    "q_variance_ratio" -> s"""
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      lagd AS (SELECT g, day, x,
+                      LAG(x) OVER (PARTITION BY g ORDER BY day) AS pv
+               FROM cells),
+      diffs AS (SELECT g, day, x - pv AS d
+                FROM lagd WHERE pv IS NOT NULL),
+      winq AS (SELECT g, d,
+                      SUM(d) OVER (PARTITION BY g ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS qs,
+                      (LEAD(d, 4) OVER (PARTITION BY g ORDER BY day)
+                        IS NOT NULL) AS fullw
+               FROM diffs),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(CAST(d AS HUGEINT)) AS sd,
+                     SUM(CAST(d AS HUGEINT) * d) AS sd2,
+                     SUM(CASE WHEN fullw THEN CAST(qs AS HUGEINT) END)
+                       AS sq,
+                     SUM(CASE WHEN fullw
+                       THEN CAST(qs AS HUGEINT) * qs END) AS sq2,
+                     SUM(CASE WHEN fullw THEN 1 ELSE 0 END)::BIGINT AS m
+              FROM winq GROUP BY g)
+      SELECT g AS event_type, n AS n_diffs,
+             CAST(CASE WHEN ok THEN ROUND(vr, 6) END AS DOUBLE) AS vr,
+             CAST(CASE WHEN ok THEN
+               ROUND(SQRT(CAST(n AS DOUBLE)) * (vr - 1.0)
+                 / ${math.sqrt(2.0 * (2.0 * 5 - 1.0) * (5 - 1.0) / (3.0 * 5))},
+                 6) END AS DOUBLE) AS z
+      FROM (
+        SELECT g, n, m,
+               ((CAST(sq2 AS DOUBLE)
+                   - ${2.0 * 5} * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                     * CAST(sq AS DOUBLE)
+                   + CAST(m AS DOUBLE) * ${5.0} * ${5.0}
+                     * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (${5.0} * CAST(m AS DOUBLE)))
+               / ((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)
+                   * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)) AS vr,
+               (n >= 6 AND m >= 1
+                 AND (CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)
+                     * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) > 0.0) AS ok
+        FROM agg)
+      ORDER BY event_type""",
+
+    "q_turning_points" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      marked AS (
+        SELECT g,
+               CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                     AND ((x > pv AND x > nx) OR (x < pv AND x < nx))
+                 THEN 1 ELSE 0 END AS tp
+        FROM (SELECT g, x,
+                     LAG(x) OVER w AS pv, LEAD(x) OVER w AS nx
+              FROM cells WINDOW w AS (PARTITION BY g ORDER BY day))),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(tp)::BIGINT AS t
+              FROM marked GROUP BY g)
+      SELECT g AS event_type, n AS n_days, t AS turning_points,
+             CAST(CASE WHEN ok THEN ROUND(e, 6) END AS DOUBLE)
+               AS expected,
+             CAST(CASE WHEN ok THEN
+               ROUND((CAST(t AS DOUBLE) - e) / SQRT(v), 6) END
+               AS DOUBLE) AS z
+      FROM (
+        SELECT g, n, t,
+               2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0 AS e,
+               (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 AS v,
+               (n >= 3 AND (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0
+                 > 0.0) AS ok
+        FROM agg)
+      ORDER BY event_type""",
+
+    "q_cox_stuart" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      idx AS (SELECT g, x,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY day)
+                       AS rn,
+                     COUNT(*) OVER (PARTITION BY g) AS nn,
+                     CAST(CEIL(COUNT(*) OVER (PARTITION BY g) / 2.0)
+                       AS BIGINT) AS c
+              FROM cells),
+      pairs AS (
+        SELECT a.g, a.nn, b.x - a.x AS diff
+        FROM idx a JOIN idx b
+          ON b.g = a.g AND b.rn = a.rn + a.c),
+      agg AS (SELECT g, MAX(nn)::BIGINT AS n, COUNT(*)::BIGINT
+                       AS n_pairs,
+                     SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_plus,
+                     SUM(CASE WHEN diff <> 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS m
+              FROM pairs GROUP BY g)
+      SELECT g AS event_type, n AS n_days, n_pairs, n_plus,
+             CAST(CASE WHEN m >= 1 THEN
+               ROUND((2.0 * n_plus - CAST(m AS DOUBLE))
+                 / SQRT(CAST(m AS DOUBLE)), 6) END AS DOUBLE) AS z
+      FROM agg
+      ORDER BY event_type""",
+
     // The q_acf cell/centering CTEs + a generated (period, phase,
     // cos, sin) VALUES table whose entries are THE SAME Scala
     // math.cos/math.sin doubles the Spark plan carries as literals

@@ -712,4 +712,29 @@ class GraphSpec extends SparkTestBase {
     assert(out === Map("a" -> 1.122, "b" -> 1.224, "c" -> 1.122),
       out.toString)
   }
+
+  test("richClub: a K4 core with pendant leaves is a perfect club at " +
+      "every threshold below the hub degree; empty thresholds report " +
+      "zero, not a dropped row") {
+    import spark.implicits._
+    // K4 on a..d plus 3 leaves per hub: hub degree 6, leaf degree 1
+    val k4 = for (i <- Seq("a", "b", "c", "d").indices;
+      j <- i + 1 until 4)
+      yield (Seq("a", "b", "c", "d")(i), Seq("a", "b", "c", "d")(j))
+    val leaves = for (h <- Seq("a", "b", "c", "d"); i <- 1 to 3)
+      yield (h, s"$h$i")
+    val edges = (k4 ++ leaves).toDF("s", "t")
+    val out = Graph.richClub(edges, "s", "t", ks = Seq(1, 5, 6))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // k=1 and k=5: exactly the 4 hubs, all 6 club edges -> phi = 1
+    assert(out(1) == ((4L, 6L, Some(1.0))), out.toString)
+    assert(out(5) == ((4L, 6L, Some(1.0))), out.toString)
+    // k=6: nobody exceeds degree 6 -> explicit zero row, NULL phi
+    assert(out(6) == ((0L, 0L, None)), out.toString)
+    intercept[IllegalArgumentException] {
+      Graph.richClub(edges, "s", "t", ks = Seq(1, 1))
+    }
+  }
 }

@@ -924,6 +924,116 @@ class ResampleSpec extends SparkTestBase {
       s"noise max $noiseMax vs planted ${out(("A", 7))._1}")
   }
 
+  test("transferEntropy: a lag-1 copied series shows strong " +
+      "source->target flow, near-zero reverse, and independent " +
+      "series carry none") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    def unit(d: Int, s: String) = (scala.util.hashing.MurmurHash3
+      .stringHash(s"$s$d") & 0x7fffffff) / 2147483647.0
+    // source: iid up/down moves; target: EXACTLY the source's moves,
+    // one day later; indep: its own hash stream
+    val srcVals = (0 until 120).scanLeft(10.0)((a, d) =>
+      a + (if (unit(d, "s") < 0.5) -1.0 else 1.0)).tail
+    val rows =
+      (0 until 120).map(d => ("src", ts(d), srcVals(d))) ++
+      (0 until 120).map(d => ("tgt", ts(d),
+        if (d == 0) 10.0 else srcVals(d - 1))) ++
+      (0 until 120).map(d => ("ind", ts(d),
+        10.0 + unit(d, "i")))
+    val df = rows.toDF("g", "t", "v")
+    def te(s: String, t: String): Double =
+      Resample.transferEntropy(df, "g", "t", "v", s, t)
+        .collect().head.getDouble(1)
+    val fwd = te("src", "tgt")
+    val rev = te("tgt", "src")
+    val indep = te("src", "ind")
+    assert(fwd > 0.3, s"forward TE must be strong: $fwd")
+    assert(rev < fwd / 3.0, s"reverse TE must be weak: $rev vs $fwd")
+    assert(indep < 0.05, s"independent TE must be ~0: $indep")
+  }
+
+  test("pChart: a defect-burst day flags against the pooled 3-sigma " +
+      "binomial band; in-control days do not; bands clamp to [0,1]") {
+    import spark.implicits._
+    def ts(d: Int, i: Int) =
+      new java.sql.Timestamp(d.toLong * 86400000L + i * 1000L)
+    // 9 days at 2/20 defects, day 9 at 18/20
+    val rows = (0 until 10).flatMap { d =>
+      (0 until 20).map { i =>
+        val defect = if (d == 9) i < 18 else i < 2
+        (ts(d, i), defect)
+      }
+    }
+    val out = Resample.pChart(rows.toDF("t", "bad"), "t", col("bad"))
+      .collect().map(r => r.getDate(0).toLocalDate.getDayOfMonth ->
+        ((r.getDouble(3), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7)))).toMap
+    // center = 36/200 = 0.18 everywhere
+    assert(out.values.forall(v => v._2 >= 0.0 && v._3 >= 0.0))
+    val burst = out.maxBy(_._2._1)._2
+    assert(burst._1 == 0.9 && burst._4, out.toString)
+    assert(out.values.count(_._4) == 1,
+      s"only the burst day flags: $out")
+    // all limits clamped into [0, 1]
+    assert(out.values.forall(v => v._2 <= 1.0 && v._3 >= 0.0))
+  }
+
+  test("kpss/varianceRatio/turningPoints/coxStuart: the stationarity " +
+      "family's planted laws — noise accepts, a random walk rejects, " +
+      "alternation/trend/monotone move each statistic the right way") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    def unit(d: Int) = (scala.util.hashing.MurmurHash3
+      .stringHash(s"st$d") & 0x7fffffff) / 2147483647.0
+    val walkVals = (0 until 60).scanLeft(0.0)((a, d) =>
+      a + unit(d) - 0.5).tail
+    val rows =
+      (0 until 60).map(d => ("noise", ts(d), unit(d))) ++
+      (0 until 60).map(d => ("walk", ts(d), walkVals(d))) ++
+      (0 until 60).map(d => ("up", ts(d), d.toDouble)) ++
+      (0 until 60).map(d => ("alt", ts(d),
+        if (d % 2 == 0) 1.0 else 2.0)) ++
+      (0 until 60).map(d => ("smooth", ts(d), (d / 5.0) * (d / 5.0))) ++
+      (0 until 60).map(d => ("const", ts(d), 4.0))
+    val df = rows.toDF("g", "t", "v")
+    // KPSS: stationary noise accepts, the random walk rejects
+    val kp = Resample.kpss(df, "g", "t", "v", lags = 3).collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Boolean])))).toMap
+    assert(kp("noise")._2 == Some(false)
+      && kp("noise")._1.get < 0.463, kp.toString)
+    assert(kp("walk")._2 == Some(true),
+      s"random walk must reject: ${kp("walk")}")
+    // constant series: zero long-run variance -> NULL, no artifact
+    assert(kp("const")._1.isEmpty, kp("const").toString)
+    // VR: alternation mean-reverts (VR << 1, z << 0), an accelerating
+    // smooth series has positively correlated diffs (VR > 1)
+    val vr = Resample.varianceRatio(df, "g", "t", "v", q = 5)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(vr("alt")._1.get < 0.5 && vr("alt")._2.get < -2.0,
+      vr("alt").toString)
+    assert(vr("smooth")._1.get > 1.5, vr("smooth").toString)
+    // constant diffs: zero variance -> NULL, never an artifact
+    assert(vr("up")._1.isEmpty, vr("up").toString)
+    // turning points: alternation maxes out, monotone has none
+    val tp = Resample.turningPoints(df, "g", "t", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(tp("alt")._1 == 58L && tp("alt")._2.get > 2.0, tp.toString)
+    assert(tp("up")._1 == 0L && tp("up")._2.get < -2.0, tp.toString)
+    // Cox-Stuart: monotone up is all-plus with z = 15/sqrt(15);
+    // constant has zero informative pairs -> NULL
+    val cx = Resample.coxStuart(df, "g", "t", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(cx(("up")) == ((30L, 30L, Some(5.477226))), cx.toString)
+    assert(cx(("const"))._3.isEmpty, cx.toString)
+  }
+
   test("kalmanLocalLevel: hand recursion — adaptive gain, " +
       "prediction-only steps on nulls, frozen states") {
     import spark.implicits._

