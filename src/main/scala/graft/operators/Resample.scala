@@ -262,6 +262,87 @@ object Resample {
           .cast("double").as("forecast"))
   }
 
+  /** DAMPED-trend Holt forecast per key (Gardner–McKenzie) — the fix
+    * for [[holtForecast]]'s defining failure mode: a linear trend
+    * extrapolated forever overshoots at any real horizon. The φ-damped
+    * recursion
+    *   l_t = α·x_t + (1−α)(l_{t−1} + φ·b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}
+    * flattens the forecast toward l + b·φ/(1−φ):
+    *   ŷ(h) = l + (φ + φ² + … + φ^h)·b,
+    * the damping sums entering as DRIVER literals. φ = 1 is exactly
+    * [[holtForecast]] (pinned). Same determinism contract: every
+    * state re-freezes at 6 dp per step, init (l = x₁, b = 0), NULLs
+    * skipped — a recursive-CTE oracle replays it bit-exactly. Same
+    * scale shape: one hash repartition, in-partition sort, O(1)
+    * sequential state per key. Output: (key, h, forecast).
+    */
+  def holtDampedForecast(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, alpha: Double,
+      beta: Double, phi: Double, horizon: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta in [0,1], got $beta")
+    require(phi > 0.0 && phi <= 1.0, s"phi in (0,1], got $phi")
+    require(horizon >= 1 && horizon <= 100,
+      s"horizon in [1, 100], got $horizon")
+    require(orderCols.nonEmpty, "holtDampedForecast needs order columns")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("_dl",
+        org.apache.spark.sql.types.DoubleType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_db",
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    val ki = df.schema.fieldIndex(keyCol)
+    val Seq(xc) = Cols.fresh("hd", 1, df)
+    val sorted = df
+      .repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .withColumn(xc, col(valueCol).cast("double"))
+    val vi = sorted.schema.fieldIndex(xc)
+    val smoothed = sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var level: java.lang.Double = null
+      var trend: java.lang.Double = null
+      it.map { r =>
+        val k = r.get(ki)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; level = null; trend = null
+        }
+        if (!r.isNullAt(vi)) {
+          val x = r.getDouble(vi)
+          if (level == null) { level = x; trend = 0.0 }
+          else {
+            val prevL: Double = level
+            val prevT: Double = trend
+            val l = r6(alpha * x + (1.0 - alpha) * (prevL + phi * prevT))
+            level = l
+            trend = r6(beta * (l - prevL) + (1.0 - beta) * (phi * prevT))
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(1) :+ (level: Any) :+ (trend: Any))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    // cumulative damping sums as literals (driver doubles — the
+    // periodogram trig-table discipline)
+    val damps = (1 to horizon).scanLeft(0.0)((a, i) =>
+      a + math.pow(phi, i)).tail
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    smoothed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("_dl").isNotNull)
+      .select(col(keyCol), col("_dl"), col("_db"))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col(keyCol), col("h").cast("bigint").as("h"),
+        round(col("_dl") + element_at(typedLit(damps),
+          col("h").cast("int")) * col("_db"), 6)
+          .cast("double").as("forecast"))
+  }
+
   /** Holt–Winters additive triple exponential smoothing per key —
     * [[holt]] plus a `period`-slot seasonal ring, the level+trend+
     * seasonality forecaster for any calendar series with a weekly/
@@ -887,6 +968,49 @@ object Resample {
       .select(col("_nn").cast("bigint").as("n_transitions"),
         when(col("_nn") >= 2, round(col("_te").cast("double"), 6))
           .cast("double").as("te"))
+  }
+
+  /** u-chart — the defects-PER-UNIT Shewhart chart beside [[pChart]]
+    * (p charts a bounded proportion; u charts an unbounded rate: a
+    * unit can carry many defects): per day, units n_d (exact distinct
+    * of `unitCol`), defect count c_d, rate u_d = c_d/n_d, center
+    * ū = Σc/Σn (6-dp frozen) and per-day limits ū ± 3·√(ū/n_d) with
+    * only the LCL clamped at 0 (rates have no upper bound). A day
+    * whose 6-dp rate leaves its 6-dp band flags.
+    *
+    * Exact integer counts, frozen center inside the band tree, one
+    * day aggregate + one broadcast of the totals. Output: (day, n_units,
+    * n_defects, u, center, ucl, lcl, out_of_control).
+    */
+  def uChart(df: DataFrame, tsCol: String, unitCol: String,
+      defect: Column): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(tsCol).cast("date").as("day"))
+      .agg(countDistinct(col(unitCol)).as("n_units"),
+        sum(when(coalesce(defect, lit(false)), 1L).otherwise(0L))
+          .as("n_defects"))
+      .filter(col("n_units") > 0)
+    val tot = daily.agg(sum("n_units").as("_tn"),
+      sum("n_defects").as("_tc"))
+    val ubar = round(col("_tc").cast("double")
+      / col("_tn").cast("double"), 6)
+    val withU = daily.crossJoin(broadcast(tot))
+      .withColumn("_ubar", ubar)
+      .withColumn("_hw", round(lit(3.0)
+        * sqrt(col("_ubar") / col("n_units").cast("double")), 6))
+      .withColumn("_u", round(col("n_defects").cast("double")
+        / col("n_units").cast("double"), 6))
+      .withColumn("_ucl", round(col("_ubar") + col("_hw"), 6))
+      .withColumn("_lcl", round(greatest(lit(0.0),
+        col("_ubar") - col("_hw")), 6))
+    withU.select(col("day"), col("n_units").cast("bigint").as("n_units"),
+      col("n_defects").cast("bigint").as("n_defects"),
+      col("_u").cast("double").as("u"),
+      col("_ubar").cast("double").as("center"),
+      col("_ucl").cast("double").as("ucl"),
+      col("_lcl").cast("double").as("lcl"),
+      (col("_u") > col("_ucl") || col("_u") < col("_lcl"))
+        .as("out_of_control"))
   }
 
   /** p-chart — the attribute (defect-proportion) Shewhart control
@@ -2399,6 +2523,91 @@ object Resample {
         round((col("_a") + col("_b") * (col("_n").cast("double") + col("h")))
             * 0.5 + col("_lev") * 0.5, 6)
           .cast("double").as("forecast"))
+  }
+
+  /** TSB (Teunter–Syntetos–Babai) per key — the intermittent-demand
+    * forecaster that fixes Croston's two blind spots: the demand
+    * PROBABILITY updates EVERY period (zeros decay it — Croston only
+    * learns on demand days and never notices obsolescence), and the
+    * rate p·z is unbiased where z/p is not. State machine
+    * (documented; ScalaTest-pinned):
+    *   period 1: p = 1 if x > 0 else 0; z = r6(x) on demand, else
+    *             undefined until the first demand;
+    *   demand:   p ← r6(p + α_p(1−p)); z ← r6(α_z·x + (1−α_z)z);
+    *   zero:     p ← r6((1−α_p)·p); z unchanged.
+    * Forecast = r6(p·z), NULL until the first demand. Caller supplies
+    * DENSE periods (zero rows included — they carry the signal);
+    * NULLs are skipped, negative demand raises. Every update freezes
+    * at 6 dp (the holt contract) for the recursive-CTE oracle.
+    *
+    * Scale shape: the croston fold — one repartition + sort, O(1)
+    * sequential state per key. Output: (key, n_periods, n_demands,
+    * prob_level, size_level, forecast).
+    */
+  def tsbForecast(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String, alphaP: Double,
+      alphaZ: Double): DataFrame = {
+    require(alphaP > 0.0 && alphaP <= 1.0, s"alphaP in (0,1], got $alphaP")
+    require(alphaZ > 0.0 && alphaZ <= 1.0, s"alphaZ in (0,1], got $alphaZ")
+    require(orderCols.nonEmpty, "tsbForecast needs an order column")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val sorted = df.filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("_k") +: orderCols.map(col)) :+
+        when(col(valueCol) < 0, raise_error(lit(
+          "tsbForecast: negative demand")))
+          .otherwise(col(valueCol).cast("double")).as("_x"): _*)
+      .repartition(col("_k"))
+      .sortWithinPartitions(col("_k") +: orderCols.map(col): _*)
+    val xi = sorted.schema.length - 1
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.head,
+      org.apache.spark.sql.types.StructField("n_periods",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_demands",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("prob_level",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("size_level",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val finals = sorted.mapPartitions { it =>
+      val done = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var curKey: Any = null
+      var haveKey = false
+      var n = 0L; var nd = 0L
+      var p: java.lang.Double = null
+      var z: java.lang.Double = null
+      def flush(): Unit = if (haveKey)
+        done += org.apache.spark.sql.Row(curKey, n, nd, p, z)
+      it.foreach { r =>
+        val k = r.get(0)
+        if (!haveKey || k != curKey) {
+          flush()
+          curKey = k; haveKey = true
+          n = 0L; nd = 0L; p = null; z = null
+        }
+        val x = r.getDouble(xi)
+        n += 1
+        if (p == null) {
+          p = if (x > 0.0) 1.0 else 0.0
+          if (x > 0.0) { z = r6(x); nd += 1 }
+        } else if (x > 0.0) {
+          nd += 1
+          p = r6(p + alphaP * (1.0 - p))
+          z = if (z == null) r6(x) else r6(alphaZ * x + (1.0 - alphaZ) * z)
+        } else {
+          p = r6((1.0 - alphaP) * p)
+        }
+      }
+      flush()
+      done.iterator
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    finals.select(col("_k").as(keyCol), col("n_periods"),
+      col("n_demands"), col("prob_level"), col("size_level"),
+      when(col("size_level").isNotNull,
+        round(col("prob_level") * col("size_level"), 6))
+        .cast("double").as("forecast"))
   }
 
   /** Croston's method per key — THE intermittent-demand forecaster

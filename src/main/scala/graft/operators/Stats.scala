@@ -8522,6 +8522,138 @@ object Stats {
         / (lit(3.0) * sd), 6)).cast("double").as("cpk"))
   }
 
+  /** Taguchi capability Cpm — [[processCapability]]'s loss-function
+    * member: Cpm = (USL−LSL)/(6·√(σ² + (μ−T)²)) punishes distance
+    * from the TARGET T, not just spread (a process sitting dead
+    * center of the spec band but off-target reads capable on Cpk and
+    * incapable on Cpm — Taguchi's point). Same exact-power-sum
+    * machinery: 6-dp values, decimal(38) folds, one rounded tree;
+    * the denominator √(σ²+(μ−T)²) is strictly positive whenever
+    * n ≥ 2 (a constant-on-target series is the only zero — NULL by
+    * contract). Output: (group, n, mean, sd, cpm).
+    */
+  def taguchiCpm(df: DataFrame, groupCol: String, valueCol: String,
+      lsl: Double, usl: Double, target: Double): DataFrame = {
+    require(usl > lsl, s"taguchiCpm: need usl > lsl, got [$lsl, $usl]")
+    require(target >= lsl && target <= usl,
+      s"taguchiCpm: target $target outside [$lsl, $usl]")
+    val dec6 = "decimal(38,6)"
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol).cast("double"), 6).as("_v"))
+    val agg = rows
+      .withColumn("_v1", col("_v").cast(dec6))
+      .withColumn("_v2", round(col("_v") * col("_v"), 12).cast(dec12))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_n"), sum("_v1").as("_s1"),
+        sum("_v2").as("_s2"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val mean = d("_s1") / nD
+    val variance = (d("_s2") - d("_s1") * d("_s1") / nD) / (nD - 1.0)
+    val tau2 = variance + (mean - lit(target)) * (mean - lit(target))
+    val ok = col("_n") >= 2 && tau2 > 0.0
+    agg.select(col("_g").as(groupCol), col("_n").cast("bigint").as("n"),
+      round(mean, 6).cast("double").as("mean"),
+      when(col("_n") >= 2 && variance > 0.0, round(sqrt(variance), 6))
+        .cast("double").as("sd"),
+      when(ok, round(lit(usl - lsl) / (lit(6.0) * sqrt(tau2)), 6))
+        .cast("double").as("cpm"))
+  }
+
+  /** Cochran's C homogeneity-of-variances screen: C = max s_i²/Σs_i²
+    * over the k group variances — "is ONE group carrying all the
+    * noise" (the outlier-variance dual of Bartlett/Brown–Forsythe,
+    * which test ANY heterogeneity). The statistic and the offending
+    * group are reported; critical values are F-based and stay with
+    * the caller (the bowkerTest contract).
+    *
+    * Per-group variances from exact power sums, frozen at 6 dp
+    * BEFORE the max/sum so the argmax is a total order (ties break
+    * to the smallest group label); groups with n < 2 or zero
+    * variance are excluded from the panel (reported in n_excluded).
+    * Output: ONE row (k, c_stat, max_var_group, max_var, n_excluded).
+    */
+  def cochranC(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val dec6 = "decimal(38,6)"
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        round(col(valueCol).cast("double"), 6).as("_v"))
+    val agg = rows
+      .withColumn("_v1", col("_v").cast(dec6))
+      .withColumn("_v2", round(col("_v") * col("_v"), 12).cast(dec12))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("_n"), sum("_v1").as("_s1"),
+        sum("_v2").as("_s2"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val variance = (d("_s2") - d("_s1") * d("_s1") / nD) / (nD - 1.0)
+    val perG = agg
+      .withColumn("_var", when(col("_n") >= 2, round(variance, 6)))
+      .withColumn("_ok", col("_var").isNotNull && col("_var") > 0.0)
+      .localCheckpoint() // totals + the argmax pass both read it
+    val tot = perG.agg(
+      sum(when(col("_ok"), 1L).otherwise(0L)).as("_k"),
+      sum(when(!col("_ok"), 1L).otherwise(0L)).as("_ex"),
+      sum(when(col("_ok"), col("_var").cast(dec12))).as("_sv"),
+      max(when(col("_ok"), col("_var"))).as("_mv"))
+    // explicit smallest-label tie break on the FROZEN max variance
+    // (a struct-max would tie toward the largest label and DuckDB's
+    // arg_max leaves ties unspecified — both unmirrageable)
+    val winner = perG.crossJoin(broadcast(tot))
+      .filter(col("_ok") && col("_var") === col("_mv"))
+      .agg(min(col("_g")).as("_wg"))
+    tot.crossJoin(broadcast(winner))
+      .select(col("_k").cast("bigint").as("k"),
+        when(col("_k") >= 2,
+          round(col("_mv") / col("_sv").cast("double"), 6))
+          .cast("double").as("c_stat"),
+        when(col("_k") >= 1, col("_wg")).as("max_var_group"),
+        when(col("_k") >= 1, col("_mv")).cast("double").as("max_var"),
+        col("_ex").cast("bigint").as("n_excluded"))
+  }
+
+  /** Herfindahl–Hirschman concentration per group: HHI = Σ_i s_i²
+    * over entity shares s_i = v_i/V — "how concentrated is this
+    * group's volume among its entities" (1/n diversified … 1
+    * monopolized), plus the size-adjusted HHI* = (HHI − 1/n)/(1 − 1/n)
+    * that makes groups of different entity counts comparable. The
+    * q_gini / q_inequality family's market-structure member.
+    *
+    * Exactness: entity volumes fold to exact decimal cents;
+    * HHI = (Σv_i²)/V² entirely on decimal integers into ONE rounded
+    * division (shares never materialize as floats). Non-positive
+    * volumes are excluded (shares are undefined — the Theil domain
+    * rule). n = 1 → HHI 1, normalized NULL. Output: (group,
+    * n_entities, hhi, hhi_normalized).
+    */
+  def herfindahl(df: DataFrame, groupCol: String, entityCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ent = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(entityCol).as("_e"),
+        round(col(valueCol) * 100).cast("long").as("_c"))
+      .groupBy("_g", "_e")
+      .agg(sum(col("_c").cast(dec)).as("_v"))
+      .filter(col("_v") > 0)
+    val agg = ent.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v")).as("_s"),
+        sum((col("_v") * col("_v")).cast(dec)).as("_q"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val hhi = round(d("_q") / (d("_s") * d("_s")), 6)
+    agg.select(col("_g").as(groupCol),
+      col("_n").cast("bigint").as("n_entities"),
+      hhi.cast("double").as("hhi"),
+      when(col("_n") >= 2,
+        round((hhi - lit(1.0) / nD) / (lit(1.0) - lit(1.0) / nD), 6))
+        .cast("double").as("hhi_normalized"))
+  }
+
   /** Variance inflation factors for the 3-covariate OLS family — the
     * multicollinearity diagnostic [[linearFitMulti3]]'s users need
     * BEFORE trusting its t-stats: VIF_j = 1/(1−R²_j) with R²_j from

@@ -418,6 +418,38 @@ object TextAnalysis {
           6)).cast("double").as("fk_grade"))): _*)
   }
 
+  /** SMOG grade — the readability panel's polysyllable member
+    * ([[readability]] carries Flesch/FK from totals; SMOG keys on
+    * HARD words specifically): grade = 1.043·√(30·poly/sentences)
+    * + 3.1291 with poly = words of ≥3 vowel groups (the same
+    * vowel-run syllable heuristic the panel already uses, applied
+    * per word via one array transform — no second tokenizer).
+    * Exact integer counts summed per group, one rounded tree; zero
+    * sentences impossible (the readability ≥1 clamp). Output:
+    * (group..., n_docs, words, sentences, polysyllables, smog).
+    */
+  def smog(df: DataFrame, textCol: String, groupCols: Seq[String])
+      : DataFrame = {
+    val words = wordCount(col(textCol)).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val poly = size(filter(
+      transform(filter(split(lower(col(textCol)), " "), t => t =!= ""),
+        w => size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))),
+      c => c >= 3)).cast("long")
+    val agg = df.filter(col(textCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(words).as("words"),
+        sum(sents).as("sentences"), sum(poly).as("polysyllables"))
+    agg.select((groupCols.map(col) ++ Seq(col("n_docs"), col("words"),
+      col("sentences"), col("polysyllables"),
+      round(lit(1.043) * sqrt(lit(30.0)
+        * col("polysyllables").cast("double")
+        / col("sentences").cast("double")) + lit(3.1291), 6)
+        .cast("double").as("smog"))): _*)
+  }
+
   /** Heuristic quality score in [0,1]: length component (saturates at
     * 50 words) + word-shape component (avg word length, saturates at 5
     * chars). Deterministic, SQL-expressible — the judged query mirrors

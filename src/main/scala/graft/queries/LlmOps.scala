@@ -439,6 +439,15 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  /** SMOG grade per language: the readability panel's polysyllable
+    * member — hard-word counts via one per-word vowel-group
+    * transform, exact sums, one rounded tree.
+    */
+  val qSmog: QueryFn = withTables { spark =>
+    TextAnalysis.smog(spark.table("documents"), "text", Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** Quality scoring: deterministic length/word-shape heuristic. */
   val qQualityScore: QueryFn = withTables { spark =>
     val docs = spark.table("documents")
@@ -2021,6 +2030,7 @@ object LlmOps {
     "q_tfidf" -> qTfidf,
     "q_rake" -> qRake,
     "q_readability" -> qReadability,
+    "q_smog" -> qSmog,
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
     "q_quality_filter" -> qQualityFilter,
@@ -3987,6 +3997,33 @@ object LlmOps {
       SELECT doc_id, CAST(shard AS INT) AS shard
       FROM win WHERE rn = 1
       ORDER BY doc_id""",
+
+    // The readability tokenization + the per-word vowel-group
+    // polysyllable transform; same 1.043/30/3.1291 literals.
+    "q_smog" -> """
+      WITH pts AS (
+        SELECT lang,
+               (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                 + 1)::BIGINT AS w,
+               GREATEST(1, LEN(regexp_extract_all(text, '[.!?]+')))
+                 ::BIGINT AS st,
+               LEN(LIST_FILTER(LIST_TRANSFORM(
+                 LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   t -> t <> ''),
+                 wd -> LEN(regexp_extract_all(wd, '[aeiouy]+'))),
+                 c -> c >= 3))::BIGINT AS poly
+        FROM documents WHERE text IS NOT NULL),
+      agg AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(w)::BIGINT AS words, SUM(st)::BIGINT AS sentences,
+               SUM(poly)::BIGINT AS polysyllables
+        FROM pts GROUP BY lang)
+      SELECT lang, n_docs, words, sentences, polysyllables,
+             CAST(ROUND(1.043 * SQRT(30.0
+               * CAST(polysyllables AS DOUBLE)
+               / CAST(sentences AS DOUBLE)) + 3.1291, 6) AS DOUBLE)
+               AS smog
+      FROM agg ORDER BY lang""",
 
     "q_readability" -> """
       WITH pts AS (

@@ -808,6 +808,20 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** TSB forecast of rare high-value demand (daily count of value >
+    * 400 events, mostly zeros): probability updates EVERY period —
+    * the obsolescence-aware member beside q_croston.
+    */
+  val qTsb: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(when(col("value") > 400, 1L).otherwise(0L))
+        .cast("double").as("x"))
+    graft.operators.Resample.tsbForecast(daily, "event_type", Seq("d"),
+        "x", alphaP = 0.2, alphaZ = 0.3)
+      .orderBy("event_type")
+  }
+
   /** Croston with the Syntetos–Boylan approximation: the judged
     * q_croston recursion plus the (1 − α/2) bias correction — the
     * standard intermittent-demand estimator pair.
@@ -966,6 +980,21 @@ object StatsOps {
         .cast("double").as("x"))
     Resample.holtForecast(daily, "event_type", Seq("d"), "x",
         alpha = 0.3, beta = 0.2, horizon = 3)
+      .orderBy("event_type", "h")
+  }
+
+  /** Damped-trend Holt 5-step forecast of the daily spend series
+    * (α=0.3, β=0.2, φ=0.9): the overshoot-proof member of the
+    * q_holt_forecast family — forecasts flatten toward l + bφ/(1−φ)
+    * via driver-literal damping sums.
+    */
+  val qHoltDamped: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+    Resample.holtDampedForecast(daily, "event_type", Seq("d"), "x",
+        alpha = 0.3, beta = 0.2, phi = 0.9, horizon = 5)
       .orderBy("event_type", "h")
   }
 
@@ -1429,6 +1458,44 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+
+  /** Taguchi Cpm of event value against the q_cpk spec band [0, 800]
+    * with target 100: the loss-function capability that punishes
+    * off-target centering.
+    */
+  val qCpm: QueryFn = withTables { spark =>
+    Stats.taguchiCpm(spark.table("events"), "event_type", "value",
+        lsl = 0.0, usl = 800.0, target = 100.0)
+      .orderBy("event_type")
+  }
+
+  /** Cochran's C variance-outlier screen across the five event
+    * types' value variances: frozen per-group variances, explicit
+    * smallest-label tie break on the argmax.
+    */
+  val qCochranC: QueryFn = withTables { spark =>
+    Stats.cochranC(spark.table("events"), "event_type", "value")
+  }
+
+  /** Spend-concentration HHI per event type over users: exact
+    * decimal-cents share algebra (shares never float), plus the
+    * size-adjusted normalization.
+    */
+  val qHhi: QueryFn = withTables { spark =>
+    Stats.herfindahl(spark.table("events"), "event_type", "user_id",
+        "value")
+      .orderBy("event_type")
+  }
+
+  /** u-chart of high-value events PER ACTIVE USER per day (defect =
+    * value > 120, unit = user): unbounded-rate bands ū ± 3√(ū/n_d),
+    * LCL clamped at 0 only.
+    */
+  val qUChart: QueryFn = withTables { spark =>
+    Resample.uChart(spark.table("events"), "ts", "user_id",
+        col("value") > 120.0)
+      .orderBy("day")
+  }
 
   /** Actuarial life table of the q_kaplan_meier subjects in 3-day
     * intervals: half-exposure censoring adjustment, 6-dp frozen
@@ -2797,6 +2864,10 @@ object StatsOps {
     "q_bowker" -> qBowker,
     "q_life_table" -> qLifeTable,
     "q_transfer_entropy" -> qTransferEntropy,
+    "q_cpm" -> qCpm,
+    "q_cochran_c" -> qCochranC,
+    "q_hhi" -> qHhi,
+    "q_u_chart" -> qUChart,
     "q_chi_squared" -> qChiSquared,
     "q_conformal" -> qConformal,
     "q_heavy_hitters" -> qHeavyHitters,
@@ -2844,6 +2915,8 @@ object StatsOps {
     "q_prr" -> qPrr,
     "q_ess" -> qEss,
     "q_holt_forecast" -> qHoltForecast,
+    "q_holt_damped" -> qHoltDamped,
+    "q_tsb" -> qTsb,
     "q_hw_forecast" -> qHwForecast,
     "q_xcorr" -> qXcorr,
     "q_best_split" -> qBestSplit,
@@ -3855,6 +3928,141 @@ object StatsOps {
 
     // Exact decimal power sums per type; Cp/Cpk as identically-
     // spelled trees against the literal [0, 800] band.
+    // The q_cpk power-sum CTEs with the Taguchi denominator
+    // sqrt(var + (mean - T)^2).
+    "q_cpm" -> """
+      WITH pts AS (
+        SELECT event_type AS g, ROUND(value, 6) AS v FROM events
+        WHERE value IS NOT NULL),
+      st AS (SELECT g, COUNT(*)::BIGINT AS n,
+                    SUM(CAST(v AS DECIMAL(38,6))) AS s1,
+                    SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+             FROM pts GROUP BY g)
+      SELECT g AS event_type, n,
+             CAST(ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS DOUBLE) AS mean,
+             CAST(CASE WHEN n >= 2 AND vr > 0.0 THEN ROUND(SQRT(vr), 6)
+               END AS DOUBLE) AS sd,
+             CAST(CASE WHEN n >= 2 AND tau2 > 0.0 THEN
+               ROUND((800.0 - 0.0) / (6.0 * SQRT(tau2)), 6) END
+               AS DOUBLE) AS cpm
+      FROM (
+        SELECT g, n, s1,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) AS vr,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0)
+                 + (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - 100.0)
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - 100.0)
+                 AS tau2
+        FROM st)
+      ORDER BY event_type""",
+
+    // Per-group frozen variances, totals, and the explicit
+    // smallest-label winner among frozen-max ties.
+    "q_cochran_c" -> """
+      WITH pts AS (
+        SELECT CAST(event_type AS VARCHAR) AS g, ROUND(value, 6) AS v
+        FROM events WHERE value IS NOT NULL),
+      st AS (SELECT g, COUNT(*)::BIGINT AS n,
+                    SUM(CAST(v AS DECIMAL(38,6))) AS s1,
+                    SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS s2
+             FROM pts GROUP BY g),
+      perg AS (
+        SELECT g,
+               CASE WHEN n >= 2 THEN
+                 ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 6) END AS var,
+               (CASE WHEN n >= 2 THEN
+                 ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 6) END IS NOT NULL
+                AND CASE WHEN n >= 2 THEN
+                 ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 6) END > 0.0) AS ok
+        FROM st),
+      tot AS (
+        SELECT SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS k,
+               SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT AS ex,
+               SUM(CASE WHEN ok THEN CAST(var AS DECIMAL(38,12)) END)
+                 AS sv,
+               MAX(CASE WHEN ok THEN var END) AS mv
+        FROM perg),
+      winner AS (
+        SELECT MIN(p.g) AS wg
+        FROM perg p CROSS JOIN tot t
+        WHERE p.ok AND p.var = t.mv)
+      SELECT k,
+             CAST(CASE WHEN k >= 2 THEN
+               ROUND(mv / CAST(sv AS DOUBLE), 6) END AS DOUBLE)
+               AS c_stat,
+             CASE WHEN k >= 1 THEN wg END AS max_var_group,
+             CAST(CASE WHEN k >= 1 THEN mv END AS DOUBLE) AS max_var,
+             ex AS n_excluded
+      FROM tot CROSS JOIN winner""",
+
+    // Entity volumes in exact cents; HHI = Q/S^2 on decimal ints.
+    "q_hhi" -> """
+      WITH ent AS (
+        SELECT event_type AS g, user_id AS e,
+               SUM(CAST(ROUND(value * 100) AS HUGEINT)) AS v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+        HAVING SUM(CAST(ROUND(value * 100) AS HUGEINT)) > 0),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS n, SUM(v) AS s,
+               SUM(v * v) AS q
+        FROM ent GROUP BY g)
+      SELECT g AS event_type, n AS n_entities,
+             CAST(ROUND(CAST(q AS DOUBLE)
+               / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS DOUBLE)
+               AS hhi,
+             CAST(CASE WHEN n >= 2 THEN
+               ROUND((ROUND(CAST(q AS DOUBLE)
+                   / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+                 - 1.0 / CAST(n AS DOUBLE))
+                 / (1.0 - 1.0 / CAST(n AS DOUBLE)), 6) END AS DOUBLE)
+               AS hhi_normalized
+      FROM agg
+      ORDER BY event_type""",
+
+    // Exact distinct units per day, frozen center, unbounded-rate
+    // bands with only the LCL clamped.
+    "q_u_chart" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id)::BIGINT AS n_units,
+               SUM(CASE WHEN COALESCE(value > 120.0, FALSE)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_defects
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      daily2 AS (SELECT * FROM daily WHERE n_units > 0),
+      tot AS (SELECT SUM(n_units)::BIGINT AS tn,
+                     SUM(n_defects)::BIGINT AS tc
+              FROM daily2),
+      lim AS (
+        SELECT day, n_units, n_defects,
+               ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+                 AS ubar,
+               ROUND(3.0 * SQRT(
+                 ROUND(CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+                 / CAST(n_units AS DOUBLE)), 6) AS hw,
+               ROUND(CAST(n_defects AS DOUBLE)
+                 / CAST(n_units AS DOUBLE), 6) AS u
+        FROM daily2 CROSS JOIN tot)
+      SELECT day, n_units, n_defects, CAST(u AS DOUBLE) AS u,
+             CAST(ubar AS DOUBLE) AS center,
+             CAST(ROUND(ubar + hw, 6) AS DOUBLE) AS ucl,
+             CAST(ROUND(GREATEST(0.0, ubar - hw), 6) AS DOUBLE) AS lcl,
+             (u > ROUND(ubar + hw, 6)
+               OR u < ROUND(GREATEST(0.0, ubar - hw), 6))
+               AS out_of_control
+      FROM lim
+      ORDER BY day""",
+
     "q_cpk" -> """
       WITH pts AS (
         SELECT event_type AS g, ROUND(value, 6) AS v FROM events
@@ -10680,6 +10888,91 @@ object StatsOps {
              CAST(ROUND(level + h.h * trend
                + seas[((h.h - 1) % 7) + 1], 6) AS DOUBLE) AS forecast
       FROM fin CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) h(h)
+      WHERE rn = 1
+      ORDER BY event_type, h""",
+
+    // The TSB state machine unrolled: per-period probability decay /
+    // bump, size SES on demand days only, NULL size until the first
+    // demand, the p*z rate at the final state.
+    "q_tsb" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      rec AS (
+        SELECT g, i,
+               CASE WHEN x > 0.0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS p,
+               CASE WHEN x > 0.0 THEN ROUND(x, 6) END AS z,
+               CASE WHEN x > 0.0 THEN 1 ELSE 0 END AS nd
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i,
+               CASE WHEN si.x > 0.0
+                 THEN ROUND(r.p + CAST(0.2 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) - r.p), 6)
+                 ELSE ROUND((CAST(1.0 AS DOUBLE)
+                   - CAST(0.2 AS DOUBLE)) * r.p, 6) END,
+               CASE WHEN si.x > 0.0 THEN
+                 (CASE WHEN r.z IS NULL THEN ROUND(si.x, 6)
+                  ELSE ROUND(CAST(0.3 AS DOUBLE) * si.x
+                    + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                      * r.z, 6) END)
+               ELSE r.z END,
+               r.nd + CASE WHEN si.x > 0.0 THEN 1 ELSE 0 END
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, i, p, z, nd,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT g AS event_type, i::BIGINT AS n_periods,
+             nd::BIGINT AS n_demands,
+             CAST(p AS DOUBLE) AS prob_level,
+             CAST(z AS DOUBLE) AS size_level,
+             CAST(CASE WHEN z IS NOT NULL THEN ROUND(p * z, 6) END
+               AS DOUBLE) AS forecast
+      FROM fin WHERE rn = 1
+      ORDER BY event_type""",
+
+    // The q_holt_forecast recursion with the phi-damped trees and
+    // interpolated cumulative damping sums per horizon step.
+    "q_holt_damped" -> s"""
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      rec AS (
+        SELECT g, i, x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i,
+               ROUND(CAST(0.3 AS DOUBLE) * si.x
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (r.level + CAST(0.9 AS DOUBLE) * r.trend), 6),
+               ROUND(CAST(0.2 AS DOUBLE)
+                   * (ROUND(CAST(0.3 AS DOUBLE) * si.x
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                         * (r.level + CAST(0.9 AS DOUBLE) * r.trend),
+                       6) - r.level)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                   * (CAST(0.9 AS DOUBLE) * r.trend), 6)
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, level, trend,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec)
+      SELECT g AS event_type, CAST(h.h AS BIGINT) AS h,
+             CAST(ROUND(level + h.dmp * trend, 6) AS DOUBLE) AS forecast
+      FROM fin CROSS JOIN (VALUES
+        ${(1 to 5).scanLeft(0.0)((a, i) => a + math.pow(0.9, i)).tail
+          .zipWithIndex.map { case (d2, i) => s"(${i + 1}, $d2)" }
+          .mkString(", ")}) h(h, dmp)
       WHERE rn = 1
       ORDER BY event_type, h""",
 

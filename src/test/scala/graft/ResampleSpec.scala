@@ -924,6 +924,58 @@ class ResampleSpec extends SparkTestBase {
       s"noise max $noiseMax vs planted ${out(("A", 7))._1}")
   }
 
+  test("tsbForecast: hand recursion — zeros decay the probability " +
+      "(the obsolescence signal Croston misses); all-zero series " +
+      "reports NULL; negative demand raises") {
+    import spark.implicits._
+    // (5, 0, 0, 0): p = 1 -> .8 -> .64 -> .512, z = 5 -> rate 2.56
+    val df = Seq(("A", 1, 5.0), ("A", 2, 0.0), ("A", 3, 0.0),
+      ("A", 4, 0.0), ("Z", 1, 0.0), ("Z", 2, 0.0))
+      .toDF("k", "t", "x")
+    val out = Resample.tsbForecast(df, "k", Seq("t"), "x",
+        alphaP = 0.2, alphaZ = 0.3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 4L && a.getLong(2) == 1L, a.toString)
+    assert(a.getDouble(3) == 0.512 && a.getDouble(4) == 5.0, a.toString)
+    assert(a.getDouble(5) == 2.56, a.toString)
+    // Croston on the same series never sees the zeros: rate stays 5
+    val cr = Resample.crostonForecast(df.filter(col("k") === "A"),
+      "k", Seq("t"), "x", alpha = 0.2).collect().head
+    assert(cr.getDouble(5) == 5.0, cr.toString)
+    // demandless key: NULL levels, visible
+    val z = out("Z")
+    assert(z.isNullAt(4) && z.isNullAt(5) && z.getDouble(3) == 0.0,
+      z.toString)
+    intercept[Exception] {
+      Resample.tsbForecast(Seq(("B", 1, -1.0)).toDF("k", "t", "x"),
+        "k", Seq("t"), "x", 0.2, 0.3).collect()
+    }
+  }
+
+  test("holtDampedForecast: phi=1 IS holtForecast; phi<1 damps the " +
+      "increments toward the finite asymptote") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("A", i, 10.0 + 2.0 * i))
+      .toDF("k", "t", "x")
+    val plain = Resample.holtForecast(df, "k", Seq("t"), "x",
+        alpha = 0.3, beta = 0.2, horizon = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val undamped = Resample.holtDampedForecast(df, "k", Seq("t"), "x",
+        alpha = 0.3, beta = 0.2, phi = 1.0, horizon = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(undamped == plain, s"phi=1 must equal Holt: $undamped vs $plain")
+    val damped = Resample.holtDampedForecast(df, "k", Seq("t"), "x",
+        alpha = 0.3, beta = 0.2, phi = 0.5, horizon = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // increments shrink geometrically; every damped step sits under
+    // the undamped one on this rising trend
+    val incs = (1 to 3).map(h => damped(h + 1L) - damped(h.toLong))
+    assert(incs.sliding(2).forall(p => p(1) < p(0)), incs.toString)
+    assert((2 to 4).forall(h => damped(h.toLong) < plain(h.toLong)),
+      s"damped $damped vs plain $plain")
+  }
+
   test("transferEntropy: a lag-1 copied series shows strong " +
       "source->target flow, near-zero reverse, and independent " +
       "series carry none") {

@@ -4093,6 +4093,56 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("cochranC: hand variances — the noisy group carries C; ties " +
+      "break to the smallest label; singleton groups are excluded") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2, 3, 4).map(("a", _)) ++
+      Seq(1.0, 1, 1, 1.2).map(("b", _)) ++
+      Seq(0.0, 5, 0, 5).map(("c", _)) ++ Seq(("d", 9.0)))
+      .toDF("g", "v")
+    val r = Stats.cochranC(df, "g", "v").collect().head
+    // vars: a 1.666667, b .01, c 8.333333; d excluded (n=1)
+    assert(r.getLong(0) == 3L && r.getLong(4) == 1L, r.toString)
+    assert(r.getDouble(1) == 0.832501 && r.getString(2) == "c"
+      && r.getDouble(3) == 8.333333, r.toString)
+    // exact tie on frozen max variance -> smallest label wins
+    val tied = (Seq(1.0, 3.0).map(("x", _)) ++ Seq(5.0, 7.0).map(("y", _))
+      ++ Seq(2.0, 2.1).map(("z", _))).toDF("g", "v")
+    val t = Stats.cochranC(tied, "g", "v").collect().head
+    assert(t.getString(2) == "x", t.toString)
+  }
+
+  test("taguchiCpm: off-target process reads incapable on Cpm while " +
+      "Cp/Cpk stay blind; on-target equals Cp") {
+    import spark.implicits._
+    val df = Seq(5.0, 6, 7, 6, 5, 7, 6, 6).map(("g", _)).toDF("g", "v")
+    val r = Stats.taguchiCpm(df, "g", "v", lsl = 0.0, usl = 10.0,
+      target = 5.0).collect().head
+    assert(r.getDouble(2) == 6.0, r.toString)
+    assert(r.getDouble(4) == 1.32954, r.toString)
+    // same data, target at the mean: Cpm = Cp = (usl-lsl)/(6 sd)
+    val on = Stats.taguchiCpm(df, "g", "v", 0.0, 10.0, target = 6.0)
+      .collect().head
+    assert(on.getDouble(4) == 2.204793, on.toString)
+    intercept[IllegalArgumentException] {
+      Stats.taguchiCpm(df, "g", "v", 0.0, 10.0, target = 20.0)
+    }
+  }
+
+  test("herfindahl: 50/30/20 shares give HHI .38 and normalized .07; " +
+      "a monopoly is 1 with NULL normalization") {
+    import spark.implicits._
+    val df = Seq(("g", "u1", 50.0), ("g", "u2", 30.0), ("g", "u3", 20.0),
+      ("m", "u1", 7.0)).toDF("g", "e", "v")
+    val out = Stats.herfindahl(df, "g", "e", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(1) == 3L
+      && out("g").getDouble(2) == 0.38
+      && out("g").getDouble(3) == 0.07, out.toString)
+    assert(out("m").getDouble(2) == 1.0 && out("m").isNullAt(3),
+      out.toString)
+  }
+
   test("lifeTable: hand intervals — half-exposure censoring, frozen " +
       "q, KM-fold survival; exhaustion zeroes the tail; negative " +
       "duration raises") {
