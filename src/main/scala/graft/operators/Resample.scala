@@ -1058,6 +1058,62 @@ object Resample {
         .as("out_of_control"))
   }
 
+  /** I-MR (individuals & moving-range) Shewhart chart per group —
+    * the control chart for UNsubgrouped data, completing the SPC
+    * panel (X̄/R needs rational subgroups, p/u need attribute counts;
+    * a daily KPI series has neither): each day's value x_d is an
+    * individual, short-term dispersion is estimated from the mean
+    * moving range MR̄ = mean|x_d − x_{d−1}|, and the classic
+    * constants give limits x̄ ± 2.66·MR̄ (2.66 = 3/d₂ at n = 2) and
+    * the MR chart's UCL 3.267·MR̄ (D₄ at n = 2). A day flags when
+    * its value leaves the individuals band OR its moving range
+    * exceeds the MR limit.
+    *
+    * Exactness: day values and their diffs are exact longs on the
+    * 1e6 day-sum scale; x̄ and MR̄ descale from decimal(38,0) folds
+    * and freeze at 6 dp BEFORE the limit trees (both engines build
+    * bands from identical doubles); limits freeze at 6 dp; flags
+    * compare 6-dp values against 6-dp bands. A single-day group has
+    * no MR → NULL bands, no flag. Scale shape: the (group, day)
+    * cell shuffle + one group fold broadcast back. Output: (group,
+    * day, x, moving_range, center, lcl, ucl, mr_ucl,
+    * out_of_control).
+    */
+  def imrChart(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val withMr = cells
+      .withColumn("_pv", lag(col("_x"), 1).over(w))
+      .withColumn("_mr", abs(col("_x") - col("_pv")))
+    val folded = withMr.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x").cast(dec)).as("_sx"),
+        sum(when(col("_mr").isNotNull, 1L).otherwise(0L)).as("_nmr"),
+        sum(col("_mr").cast(dec)).as("_smr"))
+    val xbar = round(col("_sx").cast("double")
+      / (col("_n").cast("double") * 1e6), 6)
+    val mrbar = round(col("_smr").cast("double")
+      / (col("_nmr").cast("double") * 1e6), 6)
+    withMr.join(broadcast(folded), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_xbar", xbar)
+      .withColumn("_mrbar", when(col("_nmr") >= 1, mrbar))
+      .withColumn("_v", round(col("_x").cast("double") / 1e6, 6))
+      .withColumn("_mrv", round(col("_mr").cast("double") / 1e6, 6))
+      .withColumn("_lcl", round(col("_xbar") - lit(2.66) * col("_mrbar"), 6))
+      .withColumn("_ucl", round(col("_xbar") + lit(2.66) * col("_mrbar"), 6))
+      .withColumn("_mru", round(lit(3.267) * col("_mrbar"), 6))
+      .select(col("_g").as(groupCol), col("_day").cast("bigint").as("day"),
+        col("_v").cast("double").as("x"),
+        col("_mrv").cast("double").as("moving_range"),
+        col("_xbar").cast("double").as("center"),
+        col("_lcl").cast("double").as("lcl"),
+        col("_ucl").cast("double").as("ucl"),
+        col("_mru").cast("double").as("mr_ucl"),
+        coalesce(col("_v") > col("_ucl") || col("_v") < col("_lcl")
+          || col("_mrv") > col("_mru"), lit(false)).as("out_of_control"))
+  }
+
   /** KPSS level-stationarity test per group (Kwiatkowski–Phillips–
     * Schmidt–Shin) — the COMPLEMENT of q_dickey_fuller's unit-root
     * view (ADF's null is "unit root", KPSS's null is "stationary";
@@ -1240,6 +1296,123 @@ object Resample {
       when(col("_m") >= 1,
         round((lit(2.0) * col("n_plus") - mD) / sqrt(mD), 6))
         .cast("double").as("z"))
+  }
+
+  /** Diebold–Mariano equal-forecast-accuracy test per group — "is
+    * forecaster 1 actually better than forecaster 2, or is the gap
+    * noise": the loss differential d_t = e1_t² − e2_t² between the
+    * lag-1 naive forecast (ŷ_t = y_{t−1}) and the trailing 3-day
+    * mean (ŷ_t = (y_{t−3}+y_{t−2}+y_{t−1})/3) on the daily series,
+    * tested with the HAC (Bartlett, `lags`) long-run variance:
+    * DM = d̄ / √(σ̂²_lr/n). Negative DM = the naive forecast has the
+    * LOWER squared loss.
+    *
+    * Exactness: the KPSS cancellation — per-day errors descale FIRST
+    * (the high-magnitude lesson) and d_t freezes at 6 dp, re-scales
+    * to exact 1e6 longs, then the acf contract's exact centered
+    * decimals a_t = n·d_t − S carry every fold: with
+    * A_k = Σ a_t·a_{t+k}, DM = n·S / √(A₀ + 2Σ_k w_k·A_k) — every
+    * scale factor cancels (derived as in [[kpss]]), so the statistic
+    * is one rounded float tree over decimal(38,0) integers. Bartlett
+    * weights are literal digits. Degenerate (n < lags+2, zero
+    * long-run variance — e.g. identical forecasts) → NULL loudly.
+    * Scale shape: day cells + one ordered window, one fold. Output:
+    * (group, n_days, mean_d, dm).
+    */
+  def dieboldMariano(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, lags: Int): DataFrame = {
+    require(lags >= 0 && lags <= 10,
+      s"dieboldMariano: lags must be in [0, 10], got $lags")
+    val dec = "decimal(38,0)"
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val withD = cells
+      .withColumn("_p1", lag(col("_x"), 1).over(w))
+      .withColumn("_p2", lag(col("_x"), 2).over(w))
+      .withColumn("_p3", lag(col("_x"), 3).over(w))
+      .filter(col("_p3").isNotNull)
+      .withColumn("_e1", (col("_x") - col("_p1")).cast("double") / 1e6)
+      .withColumn("_e2", (lit(3L) * col("_x") - col("_p1")
+        - col("_p2") - col("_p3")).cast("double") / 3e6)
+      .withColumn("_dt", round(col("_e1") * col("_e1")
+        - col("_e2") * col("_e2"), 6))
+      .withColumn("_d6", round(col("_dt") * 1e6).cast("long"))
+    val stats = withD.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum(col("_d6").cast(dec)).as("_s"))
+    val wd = Window.partitionBy("_g").orderBy("_day")
+    val centered = withD
+      .join(broadcast(stats), col("_g") <=> col("_gm")).drop("_gm")
+      .withColumn("_a", (col("_n") * col("_d6").cast(dec) - col("_s"))
+        .cast(dec))
+    val withLeads = (1 to lags).foldLeft(centered) { (acc, k) =>
+      acc.withColumn(s"_l$k", lead(col("_a"), k).over(wd))
+    }
+    val aggs = Seq(count(lit(1)).as("n_days"),
+      max(col("_s")).as("_sm"),
+      sum((col("_a").cast(dec) * col("_a")).cast(dec)).as("_a0")) ++
+      (1 to lags).map(k =>
+        sum((col("_a").cast(dec) * col(s"_l$k")).cast(dec)).as(s"_a$k"))
+    val folded = withLeads.groupBy(col("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n_days").cast("double")
+    val lrSum = (1 to lags).foldLeft(d("_a0")) { (acc, k) =>
+      acc + lit(2.0 * (1.0 - k.toDouble / (lags + 1))) * d(s"_a$k") }
+    val ok = col("n_days") >= lags + 2 && lrSum > 0.0
+    folded.select(col("_g").as(groupCol),
+      col("n_days").cast("bigint").as("n_days"),
+      round(d("_sm") / (nD * 1e6), 6).cast("double").as("mean_d"),
+      when(ok, round(nD * d("_sm") / sqrt(lrSum), 6))
+        .cast("double").as("dm"))
+  }
+
+  /** Permutation entropy (Bandt–Pompe, order m = 3) per group — the
+    * model-free complexity gauge of the daily series: each 3-day
+    * window maps to one of 6 ordinal patterns (ties break to the
+    * EARLIER day — the ≤ convention, pinned), and
+    * H = −Σ p·ln p / ln 6 ∈ [0, 1]: 0 = perfectly predictable
+    * ordering (monotone), 1 = all orderings equally likely. Reads
+    * dynamical structure the moment-based family (acf, variance
+    * ratio) misses, and is invariant to any monotone transform.
+    *
+    * Exactness: patterns are exact long comparisons on the 1e6 day
+    * cells encoded as the 3-bit (a≤b, a≤c, b≤c) code; counts are
+    * exact integers; p = c/n and p·ln p follow the [[TextAnalysis]]
+    * entropy precedent (identical doubles both engines), terms
+    * freeze at 12 dp into a decimal fold; ln 6 is an interpolated
+    * literal. Groups with fewer than 3 days have no windows and drop
+    * out (no silent zero-entropy row). Scale shape: day cells + one
+    * ≤6-row-per-group count aggregate.
+    * Output: (group, n_windows, n_patterns, h_norm).
+    */
+  def permutationEntropy(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val wins = cells
+      .withColumn("_b", lead(col("_x"), 1).over(w))
+      .withColumn("_c", lead(col("_x"), 2).over(w))
+      .filter(col("_c").isNotNull)
+      .withColumn("_code",
+        when(col("_x") <= col("_b"), 4L).otherwise(0L)
+          + when(col("_x") <= col("_c"), 2L).otherwise(0L)
+          + when(col("_b") <= col("_c"), 1L).otherwise(0L))
+    val counts = wins.groupBy(col("_g"), col("_code"))
+      .agg(count(lit(1)).as("_cnt"))
+    val folded = counts
+      .withColumn("_n", sum("_cnt").over(Window.partitionBy("_g")))
+      .withColumn("_p", col("_cnt").cast("double")
+        / col("_n").cast("double"))
+      .groupBy(col("_g"))
+      .agg(max("_n").as("n_windows"), count(lit(1)).as("n_patterns"),
+        sum(round(col("_p") * log(col("_p")), 12)
+          .cast("decimal(38,12)")).as("_spl"))
+    folded.select(col("_g").as(groupCol),
+      col("n_windows").cast("bigint").as("n_windows"),
+      col("n_patterns").cast("bigint").as("n_patterns"),
+      round(-col("_spl").cast("double") / lit(math.log(6.0)), 6)
+        .cast("double").as("h_norm"))
   }
 
   /** DFT periodogram / dominant-period detector over the daily series

@@ -3031,6 +3031,114 @@ object Stats {
           .cast("double").as("ac1"))
   }
 
+  /** Scott's π inter-rater agreement — the third member of the
+    * chance-corrected panel beside Cohen's κ (product marginals) and
+    * Gwet's AC1 (averaged marginals in the DISagreement direction):
+    * π uses the squared AVERAGED marginals, p_e = Σ_c π_c² with
+    * π_c = (p_{a,c} + p_{b,c})/2, so it treats the two raters as
+    * draws from one shared category distribution — the natural model
+    * when raters are interchangeable annotators rather than fixed
+    * judges (and the per-item limit of Fleiss' κ at two raters).
+    *
+    * Exactly the [[gwetAc1]] fold shape: one rating-pair aggregate +
+    * one full-outer per-category fold over the union category space;
+    * π_c freezes at 12 dp, p_o/p_e at 12 dp before the final rounded
+    * ratio; p_e = 1 (one shared category — zero chance headroom)
+    * reports NULL. Output: ONE row (n, n_categories, po, pe,
+    * scott_pi).
+    */
+  def scottPi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val rows = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .localCheckpoint() // totals + both marginal folds read it
+    val n = rows.agg(count(lit(1)).as("_n"),
+      sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("_agree"))
+    val aMarg = rows.groupBy(col("_a").as("_c"))
+      .agg(count(lit(1)).as("_ca"))
+    val bMarg = rows.groupBy(col("_b").as("_c"))
+      .agg(count(lit(1)).as("_cb"))
+    val cats = aMarg.join(bMarg, Seq("_c"), "full_outer")
+      .select(col("_c"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+      .crossJoin(broadcast(n))
+      .withColumn("_pi", round((col("_ca").cast("double")
+        / col("_n").cast("double")
+        + col("_cb").cast("double") / col("_n").cast("double"))
+        / 2.0, 12))
+      .agg(count(lit(1)).as("_k"),
+        sum(round(col("_pi") * col("_pi"), 12)
+          .cast("decimal(38,12)")).as("_spi2"))
+    n.crossJoin(broadcast(cats))
+      .withColumn("_po", round(col("_agree").cast("double")
+        / col("_n").cast("double"), 12))
+      .withColumn("_pe", round(col("_spi2").cast("double"), 12))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_k").cast("bigint").as("n_categories"),
+        round(col("_po"), 6).cast("double").as("po"),
+        round(col("_pe"), 6).cast("double").as("pe"),
+        when(col("_pe") < 1.0,
+          round((col("_po") - col("_pe")) / (lit(1.0) - col("_pe")), 6))
+          .cast("double").as("scott_pi"))
+  }
+
+  /** Delta-method CI for a RATIO metric under unit-level clustering —
+    * the A/B panel's missing piece beside q_srm/q_cuped/q_mde: a
+    * ratio of sums R = Σx_u/Σy_u over analysis units (revenue per
+    * session, clicks per user) is NOT a mean of per-unit ratios, and
+    * its variance must account for within-unit correlation:
+    * Var(R) ≈ Σ(x_u − R·y_u)² / (n·ȳ²·n) via the first-order delta
+    * expansion — expanded here through the moment identity
+    * Σ(x−Ry)² = Σx² − 2RΣxy + R²Σy² so ONE aggregate pass suffices.
+    *
+    * Determinism: per-unit x/y freeze at 6 dp; Σx/Σy/Σx²/Σxy/Σy²
+    * fold cast-before-multiply into decimal(38,12); R freezes at
+    * 12 dp BEFORE entering the variance tree (so both engines expand
+    * the identical double); the CI uses the pinned z = 1.959964.
+    * R's rounding can push the residual quadratic microscopically
+    * negative — guarded to NULL se, never a NaN. n < 2 or Σy = 0
+    * report NULL. Scale shape: one unit-level shuffle collapses the
+    * corpus to units, one group fold. Output: (group, n_units,
+    * ratio, se, ci_lo, ci_hi).
+    */
+  def deltaMethodRatio(df: DataFrame, groupCol: String, unitCol: String,
+      numCol: String, denCol: String): DataFrame = {
+    val dec = "decimal(38,12)"
+    val units = df
+      .groupBy(col(groupCol).as("_g"), col(unitCol).as("_u"))
+      .agg(round(sum(round(col(numCol), 6).cast("decimal(38,6)"))
+          .cast("double"), 6).as("_x"),
+        round(sum(round(col(denCol), 6).cast("decimal(38,6)"))
+          .cast("double"), 6).as("_y"))
+    val folded = units.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum(round(col("_x") * col("_x"), 12).cast(dec)).as("_sxx"),
+        sum(round(col("_x") * col("_y"), 12).cast(dec)).as("_sxy"),
+        sum(round(col("_y") * col("_y"), 12).cast(dec)).as("_syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n_units").cast("double")
+    val okR = col("n_units") >= 2 && d("_sy") =!= 0.0
+    val r = round(d("_sx") / d("_sy"), 12)
+    val yBar = d("_sy") / nD
+    val ss = d("_sxx") - lit(2.0) * col("_r") * d("_sxy") +
+      col("_r") * col("_r") * d("_syy")
+    val varR = ss / (nD * yBar * yBar * nD)
+    val z = 1.959964
+    folded
+      .withColumn("_r", when(okR, r))
+      .withColumn("_var", when(col("_r").isNotNull && ss > 0.0, varR))
+      .select(col("_g").as(groupCol),
+        col("n_units").cast("bigint").as("n_units"),
+        round(col("_r"), 6).cast("double").as("ratio"),
+        round(sqrt(col("_var")), 6).cast("double").as("se"),
+        round(col("_r") - lit(z) * sqrt(col("_var")), 6)
+          .cast("double").as("ci_lo"),
+        round(col("_r") + lit(z) * sqrt(col("_var")), 6)
+          .cast("double").as("ci_hi"))
+  }
+
   /** Bowker symmetry test on a paired categorical confusion table —
     * "are A→B misclassifications as common as B→A" (the multi-
     * category McNemar): χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji)
@@ -5800,6 +5908,124 @@ object Stats {
               * (col("_kk") + 1).cast("double")
               * (col("_kk") * col("_kk") - 1).cast("double") / 144.0)),
             6)).cast("double").as("z"))
+  }
+
+  /** Quade test for randomized complete blocks — [[friedman]]'s
+    * weighted sibling: Friedman throws away how DIFFERENT the
+    * treatments are within a block; Quade weights each block by the
+    * rank Q_b of its raw range, so blocks that separate the
+    * treatments hardest count most (markedly more powerful at small
+    * k). S_ij = Q_b·(r_ij − (k+1)/2),
+    * F = (n−1)·B/(A − B) with A = ΣS_ij², B = ΣS_j²/n, on
+    * F(k−1, (n−1)(k−1)).
+    *
+    * Exactness: shares [[friedman]]'s prep verbatim (loud duplicate
+    * guard, complete blocks only, doubled integer mid-ranks); block
+    * ranges are exact longs on the 1e6 value scale and their
+    * cross-block ranks use the same doubled mid-rank formula, so
+    * 4·S_ij = Q2_b·(m2_ij − (k+1)) is an EXACT integer;
+    * A and B fold cast-before-multiply in decimal(38,0) and the
+    * 16s/ns cancel in F = (n−1)·Bnum/(n·A16 − Bnum) — one rounded
+    * float tree. Perfectly consistent blocks (A = B, F = ∞) report
+    * NULL loudly, never an artifact. Scale shape: friedman's (one
+    * block-keyed rank window + one blocks-bounded range-rank window).
+    * Output: ONE row (n_blocks, k, df1, df2, f_stat).
+    */
+  def quadeTest(df: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ranked = friedmanRanked(df, blockCol, treatCol, valueCol)
+      .select("_b", "_i", "_v", "_m2")
+    val k = ranked.select(col("_i")).distinct()
+      .agg(count(lit(1)).as("_k"))
+    val ranges = ranked.groupBy(col("_b").as("_br"))
+      .agg((max("_v") - min("_v")).as("_d"))
+    val wq = Window.orderBy("_d") // blocks-bounded: one row per block
+    val q2 = ranges
+      .withColumn("_q2", lit(2L) * rank().over(wq)
+        + count(lit(1)).over(Window.partitionBy("_d")) - 1L)
+    val scored = ranked
+      .join(broadcast(q2), col("_b") <=> col("_br")).drop("_br")
+      .crossJoin(broadcast(k))
+      .withColumn("_s4", col("_q2") * (col("_m2") - (col("_k") + 1L)))
+    val perT = scored.groupBy("_i")
+      .agg(sum(col("_s4").cast(dec)).as("_t4"),
+        sum((col("_s4").cast(dec) * col("_s4")).cast(dec)).as("_a16"),
+        count(lit(1)).as("_nb"))
+    val agg = perT.agg(max("_nb").as("_n"), count(lit(1)).as("_kk"),
+      sum("_a16").as("_a"),
+      sum((col("_t4") * col("_t4")).cast(dec)).as("_bnum"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val den = nD * d("_a") - d("_bnum")
+    val ok = col("_n") >= 2 && col("_kk") >= 2 && den > 0.0
+    agg.select(col("_n").cast("bigint").as("n_blocks"),
+      col("_kk").cast("bigint").as("k"),
+      (col("_kk") - 1L).cast("bigint").as("df1"),
+      ((col("_n") - 1L) * (col("_kk") - 1L)).cast("bigint").as("df2"),
+      when(ok, round((nD - 1.0) * d("_bnum") / den, 6))
+        .cast("double").as("f_stat"))
+  }
+
+  /** Ansari–Bradley rank-dispersion test per group vs the pooled
+    * rest — "same center, different SPREAD": scores count in from
+    * both ends, a(r) = min(r, N+1−r), so a sample concentrated at
+    * the extremes scores LOW (more dispersed) and one packed in the
+    * middle scores HIGH. The location family ([[mannWhitney]]) is
+    * blind to this alternative. z is computed from the EXACT
+    * finite-population moments of the realized score multiset
+    * (sampling m of N scores without replacement):
+    * E = m·ḡ, Var = m·(N−m)/(N−1)·σ²_g — tie-robust by
+    * construction since ties share the mid-rank score.
+    *
+    * Exactness: the [[mannWhitney]] doubled machinery — doubled
+    * mid-rank D = 2C+E+1, doubled score A2 = min(D, 2(N+1)−D), all
+    * exact integers; ΣA2 and ΣA2² fold in decimal(38,0); one rounded
+    * float z tree. Negative z = the group is MORE dispersed than the
+    * rest. Degenerate (empty rest, zero score variance) → NULL.
+    * Scale shape: one cell shuffle + the vocabulary-bounded prefix
+    * window. Output: (group, n_group, n_rest, ab_stat, z).
+    */
+  def ansariBradley(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(col(groupCol).as("_g"),
+        round(col(valueCol), 6).as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val totals = cells.groupBy(col("_q").as("_tq")).agg(sum("_c").as("_e"))
+      .withColumn("_cbelow", coalesce(
+        sum("_e").over(Window.orderBy(col("_tq"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nAll = totals.agg(sum("_e").as("_n"))
+    val scoredTot = totals.crossJoin(broadcast(nAll))
+      .withColumn("_d", lit(2L) * col("_cbelow") + col("_e") + 1L)
+      .withColumn("_a2", least(col("_d"),
+        lit(2L) * (col("_n") + 1L) - col("_d")))
+    val nn = scoredTot.agg(max("_n").as("_n"),
+      sum((col("_e").cast(dec) * col("_a2")).cast(dec)).as("_t2"),
+      sum((col("_e").cast(dec) * col("_a2") * col("_a2")).cast(dec))
+        .as("_t2sq"))
+    val perG = cells
+      .join(scoredTot.select("_tq", "_a2"), cells("_q") <=> col("_tq"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum("_c").as("n_group"),
+        sum((col("_c").cast(dec) * col("_a2")).cast(dec)).as("_sa2"))
+    def d(c: String): Column = col(c).cast("double")
+    perG.crossJoin(broadcast(nn))
+      .withColumn("n_rest", (col("_n") - col("n_group")).cast("bigint"))
+      .withColumn("_mean", col("n_group").cast("double") * d("_t2")
+        / d("_n"))
+      .withColumn("_sig", (d("_t2sq") - d("_t2") * d("_t2") / d("_n"))
+        / d("_n"))
+      .withColumn("_var", col("n_group").cast("double")
+        * col("n_rest").cast("double") / (d("_n") - 1.0) * col("_sig"))
+      .select(col(groupCol),
+        col("n_group").cast("bigint").as("n_group"),
+        col("n_rest"),
+        (d("_sa2") / 2.0).cast("double").as("ab_stat"),
+        when(col("n_rest") > 0 && col("_var") > 0.0,
+          round((d("_sa2") - col("_mean")) / sqrt(col("_var")), 6))
+          .cast("double").as("z"))
   }
 
   /** One-sample binned Kolmogorov–Smirnov against the UNIFORM law on

@@ -1458,6 +1458,156 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Omega ratio at threshold 0 on the q_sharpe daily returns: the
+    * FULL-distribution gain/loss ratio Σmax(r,0)/Σmax(−r,0) — unlike
+    * Sharpe/Sortino it uses every moment, not just the first two;
+    * exact decimal(38,6) partial-moment sums of the 6-dp returns.
+    */
+  val qOmegaRatio: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val rets = daily
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= 0.0)
+      .select(col("event_type"),
+        round(col("v") / col("_prev") - 1.0, 6).as("_r"))
+    val agg = rets.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("_r") > 0.0, col("_r")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).as("_gs"),
+        sum(when(col("_r") < 0.0, -col("_r")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).as("_ls"))
+    agg.select(col("event_type"),
+        col("n_days").cast("bigint").as("n_days"),
+        round(col("_gs").cast("double"), 6).cast("double").as("gain_sum"),
+        round(col("_ls").cast("double"), 6).cast("double").as("loss_sum"),
+        when(col("_ls").cast("double") > 0.0,
+          round(col("_gs").cast("double") / col("_ls").cast("double"), 6))
+          .cast("double").as("omega"))
+      .orderBy("event_type")
+  }
+
+  /** Ulcer index + Martin ratio per type: RMS of the running-max
+    * drawdown FRACTIONS (q_calmar's dd series) — depth × duration of
+    * underwater stretches, where max-drawdown sees only the single
+    * worst dip; Martin = annualized mean return over the 6-dp-frozen
+    * index.
+    */
+  val qUlcer: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withDd = daily
+      .withColumn("_runmax", max(col("v")).over(wRun))
+      .withColumn("_dd", when(col("_runmax") > 0.0,
+        round(lit(1.0) - col("v") / col("_runmax"), 6)))
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .withColumn("_r", when(col("_prev").isNotNull
+        && col("_prev") =!= 0.0,
+        round(col("v") / col("_prev") - 1.0, 6)))
+    val agg = withDd.groupBy("event_type")
+      .agg(sum(when(col("_dd").isNotNull, 1L).otherwise(0L)).as("n_days"),
+        sum(round(col("_dd") * col("_dd"), 12).cast("decimal(38,12)"))
+          .as("_sd2"),
+        sum(when(col("_r").isNotNull, 1L).otherwise(0L)).as("_nr"),
+        sum(col("_r").cast("decimal(38,6)")).as("_s1"))
+    agg
+      .withColumn("_ui", when(col("n_days") >= 1,
+        round(sqrt(col("_sd2").cast("double")
+          / col("n_days").cast("double")), 6)))
+      .select(col("event_type"),
+        col("n_days").cast("bigint").as("n_days"),
+        col("_ui").cast("double").as("ulcer_index"),
+        when(col("_ui") > 0.0 && col("_nr") >= 1,
+          round(col("_s1").cast("double") / col("_nr").cast("double")
+            * 252.0 / col("_ui"), 6))
+          .cast("double").as("martin"))
+      .orderBy("event_type")
+  }
+
+  /** Kelly criterion from the q_sharpe daily returns treated as
+    * win/loss bets: f* = p − (1−p)/b with p the win share among
+    * non-zero days and b the average-win/average-loss payoff — the
+    * growth-optimal bet fraction; exact integer counts + decimal
+    * partial-moment sums, p and b frozen at 12 dp before the tree.
+    */
+  val qKelly: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+        .cast("double") / count(lit(1)).cast("double"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val rets = daily
+      .withColumn("_prev", lag(col("v"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= 0.0)
+      .select(col("event_type"),
+        round(col("v") / col("_prev") - 1.0, 6).as("_r"))
+    val agg = rets.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("_r") > 0.0, 1L).otherwise(0L)).as("n_wins"),
+        sum(when(col("_r") < 0.0, 1L).otherwise(0L)).as("n_losses"),
+        sum(when(col("_r") > 0.0, col("_r")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).as("_gs"),
+        sum(when(col("_r") < 0.0, -col("_r")).otherwise(lit(0.0))
+          .cast("decimal(38,6)")).as("_ls"))
+    val ok = col("n_wins") >= 1 && col("n_losses") >= 1
+    val p = round(col("n_wins").cast("double")
+      / (col("n_wins") + col("n_losses")).cast("double"), 12)
+    val b = round((col("_gs").cast("double")
+      / col("n_wins").cast("double"))
+      / (col("_ls").cast("double") / col("n_losses").cast("double")), 12)
+    agg.select(col("event_type"),
+        col("n_days").cast("bigint").as("n_days"),
+        col("n_wins").cast("bigint").as("n_wins"),
+        col("n_losses").cast("bigint").as("n_losses"),
+        when(ok, round(p, 6)).cast("double").as("p_win"),
+        when(ok, round(b, 6)).cast("double").as("payoff_b"),
+        when(ok && b > 0.0,
+          round(p - (lit(1.0) - p) / b, 6)).cast("double").as("kelly"))
+      .orderBy("event_type")
+  }
+
+  /** Scott's π between the priority digit and the spend bucket (the
+    * q_gwet_ac1 fixture): squared-averaged-marginal chance term —
+    * the two-rater limit of Fleiss' κ.
+    */
+  val qScottPi: QueryFn = withTables { spark =>
+    val rated = spark.table("orders")
+      .select(substring(col("o_orderpriority"), 1, 1).as("a"),
+        least(lit(5L), lit(1L) + floor(col("o_totalprice") / 100000.0)
+          .cast("long")).cast("string").as("b"))
+    Stats.scottPi(rated, "a", "b")
+  }
+
+  /** I-MR chart of daily spend per event type: individuals vs
+    * x̄ ± 2.66·MR̄ bands, moving ranges vs 3.267·MR̄ — the SPC chart
+    * for unsubgrouped KPI series.
+    */
+  val qImrChart: QueryFn = withTables { spark =>
+    Resample.imrChart(spark.table("events"), "event_type", "ts",
+        "value")
+      .orderBy("event_type", "day")
+  }
+
+  /** Delta-method CI for revenue-per-event as a USER-clustered ratio
+    * metric per event type: Σx/Σy over users with the one-pass
+    * moment-identity variance — the A/B panel's ratio-metric member.
+    */
+  val qDeltaMethod: QueryFn = withTables { spark =>
+    val ev = spark.table("events").withColumn("one", lit(1.0))
+    Stats.deltaMethodRatio(ev, "event_type", "user_id", "value", "one")
+      .orderBy("event_type")
+  }
+
 
   /** Taguchi Cpm of event value against the q_cpk spec band [0, 800]
     * with target 100: the loss-function capability that punishes
@@ -2290,6 +2440,44 @@ object StatsOps {
     Stats.friedman(dayCellsN(spark), "x", "event_type", "y")
   }
 
+  /** Quade test over the q_friedman blocks: within-block ranks
+    * weighted by the cross-block rank of each block's raw range —
+    * exact 4S integers, one rounded F tree.
+    */
+  val qQuade: QueryFn = withTables { spark =>
+    Stats.quadeTest(dayCellsN(spark), "x", "event_type", "y")
+  }
+
+  /** Ansari–Bradley rank-dispersion test of each event type's values
+    * vs the pooled rest: both-ends doubled scores, exact realized-
+    * score finite-population moments.
+    */
+  val qAnsariBradley: QueryFn = withTables { spark =>
+    Stats.ansariBradley(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  /** Diebold–Mariano equal-accuracy test (lags 2) of the lag-1 naive
+    * vs trailing-3-day-mean forecasts of daily spend per type: the
+    * KPSS a-unit cancellation carries the whole statistic on exact
+    * decimal folds.
+    */
+  val qDieboldMariano: QueryFn = withTables { spark =>
+    Resample.dieboldMariano(spark.table("events"), "event_type", "ts",
+        "value", lags = 2)
+      .orderBy("event_type")
+  }
+
+  /** Permutation entropy (m = 3) of the daily spend series per type:
+    * exact ordinal-pattern counts, the entropy-precedent ln terms,
+    * normalized by ln 6.
+    */
+  val qPermEntropy: QueryFn = withTables { spark =>
+    Resample.permutationEntropy(spark.table("events"), "event_type",
+        "ts", "value")
+      .orderBy("event_type")
+  }
+
   /** Page's L ordered-alternative test over the q_friedman blocks
     * (treatment order = event-type label order): same prep, exact
     * integer L, one z tree.
@@ -2910,6 +3098,16 @@ object StatsOps {
     "q_sortino" -> qSortino,
     "q_calmar" -> qCalmar,
     "q_var_cvar" -> qVarCvar,
+    "q_omega_ratio" -> qOmegaRatio,
+    "q_ulcer" -> qUlcer,
+    "q_kelly" -> qKelly,
+    "q_scott_pi" -> qScottPi,
+    "q_imr_chart" -> qImrChart,
+    "q_delta_method" -> qDeltaMethod,
+    "q_quade" -> qQuade,
+    "q_ansari_bradley" -> qAnsariBradley,
+    "q_diebold_mariano" -> qDieboldMariano,
+    "q_perm_entropy" -> qPermEntropy,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -3298,6 +3496,247 @@ object StatsOps {
                  THEN CAST(r AS DECIMAL(38,6)) END) AS DOUBLE)
                / CAST(MAX(rr) AS DOUBLE), 6) AS DOUBLE) AS cvar_alpha
       FROM sel GROUP BY g
+      ORDER BY event_type""",
+
+    // The q_sharpe returns CTEs with decimal(38,6) partial-moment
+    // sums; one rounded gain/loss ratio, NULL on a loss-free group.
+    "q_omega_ratio" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      lagd AS (SELECT g, d, v,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      rets AS (SELECT g, ROUND(v / pv - 1.0, 6) AS r
+               FROM lagd WHERE pv IS NOT NULL AND pv <> 0.0),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(CAST(CASE WHEN r > 0.0 THEN r ELSE 0.0 END
+                       AS DECIMAL(38,6))) AS gs,
+                     SUM(CAST(CASE WHEN r < 0.0 THEN -r ELSE 0.0 END
+                       AS DECIMAL(38,6))) AS ls
+              FROM rets GROUP BY g)
+      SELECT g AS event_type, n AS n_days,
+             CAST(ROUND(CAST(gs AS DOUBLE), 6) AS DOUBLE) AS gain_sum,
+             CAST(ROUND(CAST(ls AS DOUBLE), 6) AS DOUBLE) AS loss_sum,
+             CAST(CASE WHEN CAST(ls AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(gs AS DOUBLE) / CAST(ls AS DOUBLE), 6) END
+               AS DOUBLE) AS omega
+      FROM agg
+      ORDER BY event_type""",
+
+    // The q_calmar drawdown-fraction series squared into a
+    // decimal(38,12) fold; 6-dp-frozen ulcer index inside the Martin
+    // tree.
+    "q_ulcer" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      rund AS (SELECT g, d, v,
+                      MAX(v) OVER (PARTITION BY g ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS runmax,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      per AS (SELECT g,
+                     CASE WHEN runmax > 0.0
+                       THEN ROUND(1.0 - v / runmax, 6) END AS dd,
+                     CASE WHEN pv IS NOT NULL AND pv <> 0.0
+                       THEN ROUND(v / pv - 1.0, 6) END AS r
+              FROM rund),
+      agg AS (SELECT g,
+                     SUM(CASE WHEN dd IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n,
+                     SUM(CAST(ROUND(dd * dd, 12) AS DECIMAL(38,12)))
+                       AS sd2,
+                     SUM(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS nr,
+                     SUM(CAST(r AS DECIMAL(38,6))) AS s1
+              FROM per GROUP BY g),
+      fin AS (SELECT g, n, nr, s1,
+                     CASE WHEN n >= 1 THEN
+                       ROUND(SQRT(CAST(sd2 AS DOUBLE)
+                         / CAST(n AS DOUBLE)), 6) END AS ui
+              FROM agg)
+      SELECT g AS event_type, n AS n_days,
+             CAST(ui AS DOUBLE) AS ulcer_index,
+             CAST(CASE WHEN ui > 0.0 AND nr >= 1 THEN
+               ROUND(CAST(s1 AS DOUBLE) / CAST(nr AS DOUBLE) * 252.0
+                 / ui, 6) END AS DOUBLE) AS martin
+      FROM fin
+      ORDER BY event_type""",
+
+    // Win/loss partial moments from the q_sharpe returns; p and b
+    // frozen at 12 dp before the Kelly tree.
+    "q_kelly" -> """
+      WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS v
+        FROM events GROUP BY 1, 2),
+      lagd AS (SELECT g, d, v,
+                      LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv
+               FROM daily),
+      rets AS (SELECT g, ROUND(v / pv - 1.0, 6) AS r
+               FROM lagd WHERE pv IS NOT NULL AND pv <> 0.0),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(CASE WHEN r > 0.0 THEN 1 ELSE 0 END)::BIGINT
+                       AS w,
+                     SUM(CASE WHEN r < 0.0 THEN 1 ELSE 0 END)::BIGINT
+                       AS l,
+                     SUM(CAST(CASE WHEN r > 0.0 THEN r ELSE 0.0 END
+                       AS DECIMAL(38,6))) AS gs,
+                     SUM(CAST(CASE WHEN r < 0.0 THEN -r ELSE 0.0 END
+                       AS DECIMAL(38,6))) AS ls
+              FROM rets GROUP BY g),
+      fin AS (SELECT g, n, w, l,
+                     (w >= 1 AND l >= 1) AS ok,
+                     ROUND(CAST(w AS DOUBLE) / CAST(w + l AS DOUBLE),
+                       12) AS p,
+                     ROUND((CAST(gs AS DOUBLE) / CAST(w AS DOUBLE))
+                       / (CAST(ls AS DOUBLE) / CAST(l AS DOUBLE)), 12)
+                       AS b
+              FROM agg)
+      SELECT g AS event_type, n AS n_days, w AS n_wins, l AS n_losses,
+             CAST(CASE WHEN ok THEN ROUND(p, 6) END AS DOUBLE)
+               AS p_win,
+             CAST(CASE WHEN ok THEN ROUND(b, 6) END AS DOUBLE)
+               AS payoff_b,
+             CAST(CASE WHEN ok AND b > 0.0 THEN
+               ROUND(p - (1.0 - p) / b, 6) END AS DOUBLE) AS kelly
+      FROM fin
+      ORDER BY event_type""",
+
+    // The q_gwet_ac1 fold shape with the squared-averaged-marginal
+    // chance term p_e = Σπ² (no k−1 division).
+    "q_scott_pi" -> """
+      WITH rated AS (
+        SELECT SUBSTR(o_orderpriority, 1, 1) AS a,
+               CAST(LEAST(5, 1 + CAST(FLOOR(o_totalprice / 100000.0)
+                 AS BIGINT)) AS VARCHAR) AS b
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      nn AS (SELECT COUNT(*)::BIGINT AS n,
+                    SUM(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                      AS agree
+             FROM rated),
+      am AS (SELECT a AS c, COUNT(*)::BIGINT AS ca FROM rated GROUP BY a),
+      bm AS (SELECT b AS c, COUNT(*)::BIGINT AS cb FROM rated GROUP BY b),
+      cats AS (
+        SELECT COUNT(*)::BIGINT AS k,
+               SUM(CAST(ROUND(pi * pi, 12) AS DECIMAL(38,12))) AS spi2
+        FROM (
+          SELECT ROUND((CAST(COALESCE(am.ca, 0) AS DOUBLE)
+                   / CAST(nn.n AS DOUBLE)
+                 + CAST(COALESCE(bm.cb, 0) AS DOUBLE)
+                   / CAST(nn.n AS DOUBLE)) / 2.0, 12) AS pi
+          FROM am FULL OUTER JOIN bm ON bm.c = am.c
+          CROSS JOIN nn)),
+      fin AS (
+        SELECT nn.n, cats.k,
+               ROUND(CAST(agree AS DOUBLE) / CAST(nn.n AS DOUBLE), 12)
+                 AS po,
+               ROUND(CAST(cats.spi2 AS DOUBLE), 12) AS pe
+        FROM nn CROSS JOIN cats)
+      SELECT n, k AS n_categories,
+             CAST(ROUND(po, 6) AS DOUBLE) AS po,
+             CAST(ROUND(pe, 6) AS DOUBLE) AS pe,
+             CAST(CASE WHEN pe < 1.0 THEN
+               ROUND((po - pe) / (1.0 - pe), 6) END AS DOUBLE)
+               AS scott_pi
+      FROM fin""",
+
+    // Day cells, exact long moving ranges, 6-dp-frozen x̄/MR̄ inside
+    // the 2.66/3.267 band trees.
+    "q_imr_chart" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      wm AS (SELECT g, day, x,
+                    ABS(x - LAG(x) OVER (PARTITION BY g ORDER BY day))
+                      AS mr
+             FROM cells),
+      f AS (SELECT g AS gm, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                   SUM(CASE WHEN mr IS NOT NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS nmr,
+                   SUM(CAST(mr AS DECIMAL(38,0))) AS smr
+            FROM wm GROUP BY g),
+      j AS (SELECT wm.g, wm.day, wm.x, wm.mr,
+                   ROUND(CAST(sx AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * 1000000.0), 6) AS xbar,
+                   CASE WHEN nmr >= 1 THEN
+                     ROUND(CAST(smr AS DOUBLE)
+                       / (CAST(nmr AS DOUBLE) * 1000000.0), 6) END
+                     AS mrbar,
+                   ROUND(CAST(wm.x AS DOUBLE) / 1000000.0, 6) AS v,
+                   ROUND(CAST(wm.mr AS DOUBLE) / 1000000.0, 6) AS mrv
+            FROM wm JOIN f ON f.gm = wm.g)
+      SELECT g AS event_type, day, CAST(v AS DOUBLE) AS x,
+             CAST(mrv AS DOUBLE) AS moving_range,
+             CAST(xbar AS DOUBLE) AS center,
+             CAST(ROUND(xbar - 2.66 * mrbar, 6) AS DOUBLE) AS lcl,
+             CAST(ROUND(xbar + 2.66 * mrbar, 6) AS DOUBLE) AS ucl,
+             CAST(ROUND(3.267 * mrbar, 6) AS DOUBLE) AS mr_ucl,
+             COALESCE(v > ROUND(xbar + 2.66 * mrbar, 6)
+               OR v < ROUND(xbar - 2.66 * mrbar, 6)
+               OR mrv > ROUND(3.267 * mrbar, 6), FALSE)
+               AS out_of_control
+      FROM j
+      ORDER BY event_type, day""",
+
+    // Per-user (x, y) units, one decimal(38,12) moment fold, 12-dp
+    // frozen R inside the moment-identity variance tree, pinned
+    // z = 1.959964.
+    "q_delta_method" -> """
+      WITH units AS (
+        SELECT event_type AS g, user_id AS u,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE), 6) AS x,
+               ROUND(CAST(SUM(CAST(ROUND(1.0, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE), 6) AS y
+        FROM events GROUP BY 1, 2),
+      f AS (SELECT g, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+                   SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+                   SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS sxy,
+                   SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS syy
+            FROM units GROUP BY g),
+      rr AS (SELECT g, n, sx, sy, sxx, sxy, syy,
+                    CASE WHEN n >= 2 AND CAST(sy AS DOUBLE) <> 0.0 THEN
+                      ROUND(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE),
+                        12) END AS r
+             FROM f),
+      vv AS (SELECT g, n, r,
+                    CAST(sxx AS DOUBLE) - 2.0 * r * CAST(sxy AS DOUBLE)
+                      + r * r * CAST(syy AS DOUBLE) AS ss,
+                    (CAST(sxx AS DOUBLE)
+                      - 2.0 * r * CAST(sxy AS DOUBLE)
+                      + r * r * CAST(syy AS DOUBLE))
+                      / (CAST(n AS DOUBLE)
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * CAST(n AS DOUBLE)) AS vr
+             FROM rr)
+      SELECT g AS event_type, n AS n_units,
+             CAST(ROUND(r, 6) AS DOUBLE) AS ratio,
+             CAST(CASE WHEN r IS NOT NULL AND ss > 0.0 THEN
+               ROUND(SQRT(vr), 6) END AS DOUBLE) AS se,
+             CAST(CASE WHEN r IS NOT NULL AND ss > 0.0 THEN
+               ROUND(r - 1.959964 * SQRT(vr), 6) END AS DOUBLE)
+               AS ci_lo,
+             CAST(CASE WHEN r IS NOT NULL AND ss > 0.0 THEN
+               ROUND(r + 1.959964 * SQRT(vr), 6) END AS DOUBLE)
+               AS ci_hi
+      FROM vv
       ORDER BY event_type""",
 
     // Per-user lag gaps, global 16-bin grid with empty bins advancing
@@ -5990,6 +6429,184 @@ object StatsOps {
                    * (CAST(kk AS DOUBLE) + 1.0), 6)
              END AS DOUBLE) AS chi2
       FROM agg""",
+
+    // The q_friedman prep CTEs + a cross-block range rank: exact 4S
+    // integers (q2·(m2−k−1)), HUGEINT A/B folds, the 16s/ns
+    // cancelling in one rounded F tree.
+    "q_quade" -> """
+      WITH cells AS (
+        SELECT event_type AS i,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS b,
+               CAST(ROUND((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                 AS BIGINT) / 100.0) * 1000000.0) AS BIGINT) AS v
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      k AS (SELECT COUNT(DISTINCT i)::BIGINT AS k FROM cells),
+      complete AS (
+        SELECT b FROM cells CROSS JOIN k
+        GROUP BY b, k HAVING COUNT(DISTINCT i) = MAX(k)),
+      ranked AS (
+        SELECT c.b, c.i, c.v,
+               2 * RANK() OVER (PARTITION BY c.b ORDER BY c.v)
+                 + COUNT(*) OVER (PARTITION BY c.b, c.v) - 1 AS m2
+        FROM cells c JOIN complete cb ON c.b = cb.b),
+      ranges AS (SELECT b, MAX(v) - MIN(v) AS d FROM ranked GROUP BY b),
+      q2 AS (SELECT b, 2 * RANK() OVER (ORDER BY d)
+                       + COUNT(*) OVER (PARTITION BY d) - 1 AS q2
+             FROM ranges),
+      scored AS (
+        SELECT r.i, q2.q2 * (r.m2 - (k.k + 1)) AS s4
+        FROM ranked r JOIN q2 ON q2.b = r.b CROSS JOIN k),
+      pert AS (SELECT i, SUM(s4::HUGEINT) AS t4,
+                      SUM(s4::HUGEINT * s4) AS a16,
+                      COUNT(*)::BIGINT AS nb
+               FROM scored GROUP BY i),
+      agg AS (SELECT MAX(nb)::BIGINT AS n, COUNT(*)::BIGINT AS kk,
+                     SUM(a16) AS a, SUM(t4 * t4) AS bnum
+              FROM pert)
+      SELECT n AS n_blocks, kk AS k, (kk - 1)::BIGINT AS df1,
+             ((n - 1) * (kk - 1))::BIGINT AS df2,
+             CAST(CASE WHEN n >= 2 AND kk >= 2
+                        AND CAST(n AS DOUBLE) * CAST(a AS DOUBLE)
+                          - CAST(bnum AS DOUBLE) > 0.0 THEN
+               ROUND((CAST(n AS DOUBLE) - 1.0) * CAST(bnum AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(a AS DOUBLE)
+                   - CAST(bnum AS DOUBLE)), 6) END AS DOUBLE) AS f_stat
+      FROM agg""",
+
+    // The q_mann_whitney cell/prefix machinery with both-ends doubled
+    // scores A2 = min(D, 2(N+1)−D) and the exact realized-score
+    // finite-population moments.
+    "q_ansari_bradley" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn0 AS (SELECT SUM(e)::BIGINT AS n FROM tot),
+      sc AS (SELECT tq, e,
+                    LEAST(2 * cbelow + e + 1,
+                      2 * (n + 1) - (2 * cbelow + e + 1)) AS a2
+             FROM tot2 CROSS JOIN nn0),
+      nn AS (SELECT MAX(n0.n)::BIGINT AS n,
+                    SUM(e::HUGEINT * a2)::HUGEINT AS t2,
+                    SUM(e::HUGEINT * a2 * a2)::HUGEINT AS t2sq
+             FROM sc CROSS JOIN nn0 n0),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS ng,
+               SUM(c::HUGEINT * a2)::HUGEINT AS sa2
+        FROM cells JOIN sc ON cells.q IS NOT DISTINCT FROM sc.tq
+        GROUP BY g)
+      SELECT g AS event_type, ng AS n_group, (n - ng)::BIGINT AS n_rest,
+             CAST(CAST(sa2 AS DOUBLE) / 2.0 AS DOUBLE) AS ab_stat,
+             CAST(CASE WHEN n - ng > 0
+                        AND CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)
+                          / (CAST(n AS DOUBLE) - 1.0)
+                          * ((CAST(t2sq AS DOUBLE) - CAST(t2 AS DOUBLE)
+                              * CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)) > 0.0 THEN
+               ROUND((CAST(sa2 AS DOUBLE)
+                   - CAST(ng AS DOUBLE) * CAST(t2 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                 / SQRT(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - 1.0)
+                   * ((CAST(t2sq AS DOUBLE) - CAST(t2 AS DOUBLE)
+                       * CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE))), 6) END AS DOUBLE) AS z
+      FROM perg CROSS JOIN nn
+      ORDER BY event_type""",
+
+    // Descaled per-day errors, 6-dp loss differential requantized to
+    // exact longs, the KPSS a-unit cancellation: DM = n·S/√(A₀+2ΣwA),
+    // Bartlett weights interpolated as the identical Scala doubles.
+    "q_diebold_mariano" -> s"""
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      wd AS (SELECT g, day, x,
+                    LAG(x, 1) OVER w AS p1, LAG(x, 2) OVER w AS p2,
+                    LAG(x, 3) OVER w AS p3
+             FROM cells WINDOW w AS (PARTITION BY g ORDER BY day)),
+      dd AS (
+        SELECT g, day,
+               CAST(ROUND(ROUND(
+                   (CAST(x - p1 AS DOUBLE) / 1000000.0)
+                     * (CAST(x - p1 AS DOUBLE) / 1000000.0)
+                   - (CAST(3 * x - p1 - p2 - p3 AS DOUBLE) / 3000000.0)
+                     * (CAST(3 * x - p1 - p2 - p3 AS DOUBLE) / 3000000.0),
+                 6) * 1000000.0) AS BIGINT) AS d6
+        FROM wd WHERE p3 IS NOT NULL),
+      st AS (SELECT g AS gm, COUNT(*)::HUGEINT AS n,
+                    SUM(d6)::HUGEINT AS s
+             FROM dd GROUP BY g),
+      cen AS (SELECT dd.g, dd.day, st.s,
+                     (st.n * d6::HUGEINT - st.s) AS a
+              FROM dd JOIN st ON st.gm = dd.g),
+      le AS (SELECT g, s, a,
+                    LEAD(a, 1) OVER w AS l1, LEAD(a, 2) OVER w AS l2
+             FROM cen WINDOW w AS (PARTITION BY g ORDER BY day)),
+      f AS (SELECT g, COUNT(*)::BIGINT AS nd, MAX(s) AS sm,
+                   SUM(a * a) AS a0, SUM(a * l1) AS a1,
+                   SUM(a * l2) AS a2v
+            FROM le GROUP BY g)
+      SELECT g AS event_type, nd AS n_days,
+             CAST(ROUND(CAST(sm AS DOUBLE)
+               / (CAST(nd AS DOUBLE) * 1000000.0), 6) AS DOUBLE)
+               AS mean_d,
+             CAST(CASE WHEN nd >= 4 AND CAST(a0 AS DOUBLE)
+                 + ${2.0 * (1.0 - 1.0 / 3)} * CAST(a1 AS DOUBLE)
+                 + ${2.0 * (1.0 - 2.0 / 3)} * CAST(a2v AS DOUBLE) > 0.0
+               THEN ROUND(CAST(nd AS DOUBLE) * CAST(sm AS DOUBLE)
+                 / SQRT(CAST(a0 AS DOUBLE)
+                   + ${2.0 * (1.0 - 1.0 / 3)} * CAST(a1 AS DOUBLE)
+                   + ${2.0 * (1.0 - 2.0 / 3)} * CAST(a2v AS DOUBLE)),
+                 6) END AS DOUBLE) AS dm
+      FROM f
+      ORDER BY event_type""",
+
+    // Exact 3-bit ordinal-pattern codes on the day cells, the
+    // entropy-precedent p·ln p terms frozen at 12 dp, ln 6
+    // interpolated.
+    "q_perm_entropy" -> s"""
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      wins AS (SELECT g, x,
+                      LEAD(x, 1) OVER w AS b, LEAD(x, 2) OVER w AS c
+               FROM cells WINDOW w AS (PARTITION BY g ORDER BY day)),
+      codes AS (
+        SELECT g,
+               (CASE WHEN x <= b THEN 4 ELSE 0 END
+                + CASE WHEN x <= c THEN 2 ELSE 0 END
+                + CASE WHEN b <= c THEN 1 ELSE 0 END) AS code
+        FROM wins WHERE c IS NOT NULL),
+      cnt AS (SELECT g, code, COUNT(*)::BIGINT AS cnt
+              FROM codes GROUP BY 1, 2),
+      pp AS (SELECT g, cnt, SUM(cnt) OVER (PARTITION BY g) AS n
+             FROM cnt),
+      f AS (SELECT g, MAX(n)::BIGINT AS nw, COUNT(*)::BIGINT AS np,
+                   SUM(CAST(ROUND((CAST(cnt AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                     * LN(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                     AS DECIMAL(38,12))) AS spl
+            FROM pp GROUP BY g)
+      SELECT g AS event_type, nw AS n_windows, np AS n_patterns,
+             CAST(ROUND(-CAST(spl AS DOUBLE) / ${math.log(6.0)}, 6)
+               AS DOUBLE) AS h_norm
+      FROM f
+      ORDER BY event_type""",
 
     // The q_mann_whitney doubled-rank machinery feeding the pairwise
     // Dunn z panel with the tie-corrected pooled variance.

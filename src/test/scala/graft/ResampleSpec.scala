@@ -1086,6 +1086,81 @@ class ResampleSpec extends SparkTestBase {
     assert(cx(("const"))._3.isEmpty, cx.toString)
   }
 
+  test("imrChart: a lone spike in a stable series flags on both the " +
+      "individuals and MR charts, the next day flags on MR only; " +
+      "hand center/limits; a single-day group has NULL bands") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    val rows = (0 until 21).map(d =>
+      ("A", ts(d), if (d == 10) 20.0 else 10.0)) ++
+      Seq(("B", ts(0), 7.0))
+    val out = Resample.imrChart(rows.toDF("g", "t", "v"), "g", "t", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // center 220/21, MRbar 20/20 = 1 -> [7.81619, 13.13619], MR UCL 3.267
+    val spike = out(("A", 10L))
+    assert(spike.getDouble(2) == 20.0, spike.toString)
+    assert(spike.getDouble(4) == 10.47619
+      && spike.getDouble(5) == 7.81619
+      && spike.getDouble(6) == 13.13619
+      && spike.getDouble(7) == 3.267, spike.toString)
+    assert(spike.getBoolean(8), spike.toString)
+    // the day after: value back in band, but MR = 10 > 3.267 flags
+    val after = out(("A", 11L))
+    assert(after.getDouble(2) == 10.0 && after.getDouble(3) == 10.0
+      && after.getBoolean(8), after.toString)
+    // a quiet mid-series day: in band, MR 0 -> no flag
+    assert(!out(("A", 5L)).getBoolean(8))
+    // first day has no MR (NULL), flag decided on the value alone
+    val first = out(("A", 0L))
+    assert(first.isNullAt(3) && !first.getBoolean(8), first.toString)
+    // single-day group: no MR at all -> NULL bands, never a flag
+    val b = out(("B", 0L))
+    assert(b.isNullAt(5) && b.isNullAt(6) && b.isNullAt(7)
+      && !b.getBoolean(8), b.toString)
+  }
+
+  test("dieboldMariano: hand zigzag series — naive beats MA3 with " +
+      "DM = -2.56751 at lags 2; identical-loss series (constant) " +
+      "reports NULL, never a fake verdict") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    val zig = Seq(10, 12, 11, 14, 13, 16, 15, 18, 17, 20, 19, 22)
+    val rows = zig.zipWithIndex.map { case (v, d) =>
+      ("h", ts(d), v.toDouble) } ++
+      (0 until 12).map(d => ("const", ts(d), 7.0))
+    val out = Resample.dieboldMariano(rows.toDF("g", "t", "v"),
+        "g", "t", "v", lags = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val h = out("h")
+    assert(h.getLong(1) == 9L, h.toString)
+    assert(h.getDouble(2) == -0.691358, h.toString)
+    assert(h.getDouble(3) == -2.56751, h.toString)
+    // constant series: both forecasts exact, d = 0, zero LRV -> NULL
+    val c = out("const")
+    assert(c.getDouble(2) == 0.0 && c.isNullAt(3), c.toString)
+  }
+
+  test("permutationEntropy: monotone is 0, a strict 2-cycle is " +
+      "exactly ln2/ln6 with its two patterns, ties break to the " +
+      "earlier day") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    val rows =
+      (0 until 10).map(d => ("up", ts(d), d.toDouble)) ++
+      (0 until 10).map(d => ("alt", ts(d),
+        if (d % 2 == 0) 1.0 else 2.0))
+    val out = Resample.permutationEntropy(rows.toDF("g", "t", "v"),
+        "g", "t", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = out("up")
+    assert(up.getLong(1) == 8L && up.getLong(2) == 1L, up.toString)
+    assert(up.getDouble(3) == 0.0, up.toString)
+    // (1,2,1) and (2,1,2) alternate 4/4: the a=c tie goes to day a
+    val alt = out("alt")
+    assert(alt.getLong(2) == 2L, alt.toString)
+    assert(alt.getDouble(3) == 0.386853, alt.toString)
+  }
+
   test("kalmanLocalLevel: hand recursion — adaptive gain, " +
       "prediction-only steps on nulls, frozen states") {
     import spark.implicits._

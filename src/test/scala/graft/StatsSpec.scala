@@ -4196,6 +4196,97 @@ class StatsSpec extends SparkTestBase {
     assert(d.isNullAt(3) && d.isNullAt(4), d.toString)
   }
 
+  test("scottPi: hand fixture — po 2/3, squared-averaged-marginal " +
+      "pe 0.5, pi 0.333333; perfect agreement is 1; single shared " +
+      "category is NULL") {
+    import spark.implicits._
+    val rows = Seq(("x", "x"), ("x", "x"), ("x", "y"),
+      ("y", "y"), ("y", "x"), ("y", "y"))
+    val r = Stats.scottPi(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 0.666667 && r.getDouble(3) == 0.5,
+      r.toString)
+    assert(r.getDouble(4) == 0.333333, r.toString)
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"))
+      .toDF("a", "b")
+    assert(Stats.scottPi(perfect, "a", "b").collect().head
+      .getDouble(4) == 1.0)
+    // one shared category: pe = 1, zero chance headroom -> NULL
+    val degen = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Stats.scottPi(degen, "a", "b").collect().head.isNullAt(4))
+  }
+
+  test("deltaMethodRatio: exact-proportional units have ratio 5 with " +
+      "zero residual variance (NULL se, loudly); hand two-unit group " +
+      "gives se 3.535534 and the pinned-z CI") {
+    import spark.implicits._
+    val rows = Seq(("A", "u1", 10.0, 2.0), ("A", "u2", 20.0, 4.0),
+      ("A", "u3", 30.0, 6.0),
+      ("B", "v1", 10.0, 1.0), ("B", "v2", 0.0, 1.0))
+    val out = Stats.deltaMethodRatio(rows.toDF("g", "u", "x", "y"),
+        "g", "u", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    // x = 5y exactly: ss = 0 -> se/ci NULL, ratio still reported
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 5.0, a.toString)
+    assert(a.isNullAt(3) && a.isNullAt(4) && a.isNullAt(5), a.toString)
+    // B: R = 5, ss = 100 - 100 + 50 = 50, var = 50/(2*1*1*2) = 12.5
+    val b = out("B")
+    assert(b.getDouble(2) == 5.0 && b.getDouble(3) == 3.535534,
+      b.toString)
+    assert(b.getDouble(4) == -1.929519 && b.getDouble(5) == 11.929519,
+      b.toString)
+    // a single unit cannot estimate clustering -> NULL everything
+    val solo = Seq(("C", "w", 4.0, 2.0)).toDF("g", "u", "x", "y")
+    val c = Stats.deltaMethodRatio(solo, "g", "u", "x", "y")
+      .collect().head
+    assert(c.isNullAt(2) && c.isNullAt(3), c.toString)
+  }
+
+  test("quadeTest: hand 3-block fixture gives F = 5.2 on (2, 4) — " +
+      "range-tied blocks share a doubled mid-rank; perfectly " +
+      "consistent blocks (F infinite) report NULL loudly") {
+    import spark.implicits._
+    val rows = Seq(
+      ("b1", "A", 1.0), ("b1", "B", 2.0), ("b1", "C", 3.0),
+      ("b2", "A", 2.0), ("b2", "B", 4.0), ("b2", "C", 6.0),
+      ("b3", "A", 3.0), ("b3", "B", 5.0), ("b3", "C", 4.0))
+    val r = Stats.quadeTest(rows.toDF("b", "t", "v"), "b", "t", "v")
+      .collect().head
+    // ranges 2,4,2 -> Q = 1.5,3,1.5; A = 27, B = 19.5, F = 2*19.5/7.5
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, r.toString)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 4L, r.toString)
+    assert(r.getDouble(4) == 5.2, r.toString)
+    // identical blocks: A = B exactly -> NULL, never a fake statistic
+    val consistent = Seq(
+      ("b1", "A", 1.0), ("b1", "B", 2.0), ("b1", "C", 3.0),
+      ("b2", "A", 1.0), ("b2", "B", 2.0), ("b2", "C", 3.0))
+    val c = Stats.quadeTest(consistent.toDF("b", "t", "v"),
+      "b", "t", "v").collect().head
+    assert(c.isNullAt(4), c.toString)
+  }
+
+  test("ansariBradley: the extremes-heavy group scores low — hand " +
+      "fixture z = -1.745743; a middle-packed group has positive z; " +
+      "all-tied values have zero score variance -> NULL") {
+    import spark.implicits._
+    val rows = Seq(("X", 1.0), ("X", 100.0),
+      ("Y", 49.0), ("Y", 50.0), ("Y", 51.0))
+    val out = Stats.ansariBradley(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // scores 1,2,3,2,1: X holds both 1s -> AB = 2, E = 3.6, Var = 3.36
+    val x = out("X")
+    assert(x.getLong(1) == 2L && x.getLong(2) == 3L, x.toString)
+    assert(x.getDouble(3) == 2.0 && x.getDouble(4) == -1.745743,
+      x.toString)
+    // the complementary view: Y packs the middle, z strictly positive
+    assert(out("Y").getDouble(4) > 0.0, out("Y").toString)
+    val tied = Seq(("X", 5.0), ("X", 5.0), ("Y", 5.0)).toDF("g", "v")
+    val t = Stats.ansariBradley(tied, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(t("X").isNullAt(4), t.toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
