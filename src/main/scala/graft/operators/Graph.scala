@@ -1182,6 +1182,82 @@ object Graph {
       .orderBy("k")
   }
 
+  /** Average nearest-neighbor degree curve knn(k) (Pastor-Satorras) —
+    * [[assortativity]]'s resolved view: one Pearson number says
+    * WHETHER hubs prefer hubs; knn(k) says at WHICH degree scales the
+    * preference lives (rising = assortative core, falling =
+    * hub-and-spoke). knn(k) = Σ_{v: deg v = k} Σ_{u∼v} deg u /
+    * (k·N_k) — the per-class mean of neighbor degrees.
+    *
+    * Exact to the one rounded division: degrees are integers, the
+    * numerator folds cast-before-multiply in decimal(38,0), and the
+    * k·N_k denominator promotes to double BEFORE the product (the
+    * richClub overflow rule). Scale shape: canonical dedup, one
+    * degree aggregate, two vertex-keyed degree joins, a degree-
+    * cardinality-bounded final table. Output: (k, n_nodes, knn).
+    */
+  def knnDegree(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+      .localCheckpoint() // degree fold + both direction unions read it
+    val sym = canon.select(col("lo").as("_v"), col("hi").as("_nb"))
+      .unionByName(canon.select(col("hi").as("_v"), col("lo").as("_nb")))
+    val degs = sym.groupBy(col("_v").as("_dv"))
+      .agg(count(lit(1)).as("_deg"))
+      .localCheckpoint() // both endpoint joins + the class counts
+    val ends = sym
+      .join(degs.select(col("_dv").as("_va"), col("_deg").as("_dk")),
+        col("_v") === col("_va")).drop("_va")
+      .join(degs.select(col("_dv").as("_vb"), col("_deg").as("_dn")),
+        col("_nb") === col("_vb")).drop("_vb")
+    val snb = ends.groupBy(col("_dk").as("k"))
+      .agg(sum(col("_dn").cast(dec)).as("_snb"))
+    val nk = degs.groupBy(col("_deg").as("k"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nk.join(snb, Seq("k"))
+      .select(col("k").cast("bigint").as("k"),
+        col("n_nodes").cast("bigint").as("n_nodes"),
+        round(col("_snb").cast("double")
+          / (col("k").cast("double") * col("n_nodes").cast("double")), 6)
+          .cast("double").as("knn"))
+  }
+
+  /** Directed-graph reciprocity — the share of directed edges whose
+    * reverse edge also exists, r = |E ∩ Eᵀ| / |E|: the one-number
+    * answer to "is this relation mutual or hierarchical" (follows,
+    * citations, before/after transitions). r = 1 is an undirected
+    * graph in disguise; r = 0 a pure hierarchy/DAG.
+    *
+    * Exact integers end to end: distinct directed edges with
+    * self-loops dropped (the family rule), the reciprocated count via
+    * one reversed self-join, one rounded division. Scale shape: one
+    * distinct shuffle + one edge-keyed join. Output: ONE row
+    * (n_edges, n_reciprocated, reciprocity).
+    */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("_s"),
+        col(dstCol).cast("string").as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull
+        && col("_s") =!= col("_d"))
+      .distinct()
+      .localCheckpoint() // total + both sides of the reversed join
+    val recip = e.as("x")
+      .join(e.as("y"),
+        col("x._s") === col("y._d") && col("x._d") === col("y._s"))
+      .select(col("x._s"))
+    val tot = e.agg(count(lit(1)).as("_m"))
+    val rc = recip.agg(count(lit(1)).as("_r"))
+    tot.crossJoin(broadcast(rc))
+      .select(col("_m").cast("bigint").as("n_edges"),
+        col("_r").cast("bigint").as("n_reciprocated"),
+        when(col("_m") >= 1,
+          round(col("_r").cast("double") / col("_m").cast("double"), 6))
+          .cast("double").as("reciprocity"))
+  }
+
   /** Bipartite co-occurrence projection with a skew cap — the formal
     * version of the "parts sharing an order" edge-list construction
     * every graph query here inlines: project a (left, right)

@@ -797,6 +797,132 @@ object TextAnalysis {
           .cast("double").as("coverage"))
   }
 
+  /** Jackknife species-richness estimators per group — the
+    * resampling-theory complement of [[vocabRichness]]'s Chao1:
+    * jack1 = S + f₁ and jack2 = S + 2f₁ − f₂ (abundance form, the
+    * large-sample limit), bracketing how much vocabulary the corpus
+    * has NOT shown yet from the rare-type head alone. Chao1 is a
+    * lower bound; jack2 typically sits above it — the spread IS the
+    * uncertainty signal.
+    *
+    * Exact integers end to end (the estimators are integer-valued by
+    * construction — no rounding anywhere). Same toks/counts shuffles
+    * as vocabRichness. Output: (group, vocab, f1, f2, jack1, jack2).
+    */
+  def jackknifeRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("_g"),
+      explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .as("_tok"))
+    val typeCounts = toks.groupBy("_g", "_tok")
+      .agg(count(lit(1)).as("_r"))
+    typeCounts.groupBy("_g")
+      .agg(count(lit(1)).as("_d"),
+        sum(when(col("_r") === 1, 1L).otherwise(0L)).as("_f1"),
+        sum(when(col("_r") === 2, 1L).otherwise(0L)).as("_f2"))
+      .select(col("_g").as(groupCol),
+        col("_d").cast("bigint").as("vocab"),
+        col("_f1").cast("bigint").as("f1"),
+        col("_f2").cast("bigint").as("f2"),
+        (col("_d") + col("_f1")).cast("bigint").as("jack1"),
+        (col("_d") + lit(2L) * col("_f1") - col("_f2")).cast("bigint")
+          .as("jack2"))
+  }
+
+  /** Pairwise Bray–Curtis dissimilarity between group corpora over
+    * term counts — the abundance-weighted "how different are these
+    * two text mixes" number the binary Jaccard family understates:
+    * BC(a,b) = 1 − 2Σ_t min(c_at, c_bt) / (N_a + N_b) ∈ [0, 1],
+    * 0 = identical count profiles, 1 = disjoint vocabularies.
+    *
+    * Exact integers into ONE rounded division per pair: Σmin needs
+    * only the INNER term join (absent terms contribute 0), totals
+    * come from the group fold, and pairs are ordered a < b once.
+    * Scale shape: one (group, term) shuffle, one term-keyed
+    * self-join, a groups²-bounded final table. Output: (group_a,
+    * group_b, n_a, n_b, shared, bray_curtis).
+    */
+  def brayCurtis(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.select(col(groupCol).cast("string").as("_g"),
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("_tok"))
+      .groupBy("_g", "_tok").agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // totals + both self-join sides read it
+    val totals = counts.groupBy(col("_g").as("_tg"))
+      .agg(sum("_c").as("_n"))
+    val shared = counts.as("x")
+      .join(counts.as("y"),
+        col("x._tok") === col("y._tok") && col("x._g") < col("y._g"))
+      .groupBy(col("x._g").as("_ga"), col("y._g").as("_gb"))
+      .agg(sum(least(col("x._c"), col("y._c")).cast(dec)).as("_sh"))
+    totals.as("a")
+      .join(totals.as("b"), col("a._tg") < col("b._tg"))
+      .join(shared, col("a._tg") === col("_ga")
+        && col("b._tg") === col("_gb"), "left")
+      .select(col("a._tg").as("group_a"), col("b._tg").as("group_b"),
+        col("a._n").cast("bigint").as("n_a"),
+        col("b._n").cast("bigint").as("n_b"),
+        coalesce(col("_sh").cast("bigint"), lit(0L)).as("shared"),
+        round(lit(1.0) - lit(2.0)
+          * coalesce(col("_sh"), lit(0L).cast(dec)).cast("double")
+          / (col("a._n") + col("b._n")).cast("double"), 6)
+          .cast("double").as("bray_curtis"))
+  }
+
+  /** Gries' DP corpus dispersion for the top-K terms — "is this word
+    * EVERYWHERE or just frequent somewhere": DP = Σ_i |v_i − s_i| / 2
+    * over corpus parts, v_i the term's count share in part i, s_i the
+    * part's token share. DP ≈ 0 = spread exactly as the part sizes
+    * predict; → 1 = concentrated in one part. Raw frequency ranks
+    * burst-y terms high; DP is the standard corpus-linguistics
+    * correction.
+    *
+    * Exactness: the float shares never materialize —
+    * |v_i − s_i| = |c_ti·N − n_i·C_t| / (C_t·N), so the numerator is
+    * an exact decimal fold (cast-before-multiply) and DP is ONE
+    * rounded division per term by 2·C_t·N. The part×term grid is
+    * explicit (an absent part still contributes its |0 − s_i| mass).
+    * Top-K by (count DESC, term) — the deterministic rank order.
+    * Scale shape: one (part, term) shuffle, a K-row broadcast grid
+    * join. Output: (term, total, dp) in rank order.
+    */
+  def dispersionDp(df: DataFrame, partCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 1000,
+      s"dispersionDp: topK must be in [1, 1000], got $topK")
+    val dec = "decimal(38,0)"
+    val counts = df.select(col(partCol).cast("string").as("_p"),
+        explode(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("_tok"))
+      .groupBy("_p", "_tok").agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // term totals + part totals + the grid join
+    val parts = counts.groupBy(col("_p").as("_pp"))
+      .agg(sum("_c").as("_np"))
+    val nTot = parts.agg(sum("_np").as("_nn"))
+    val top = counts.groupBy("_tok").agg(sum("_c").as("_ct"))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col("_ct").desc, col("_tok"))))
+      .filter(col("_rk") <= topK)
+      .select(col("_tok").as("_t"), col("_rk"), col("_ct"))
+    val grid = broadcast(top).crossJoin(broadcast(parts))
+      .join(counts, col("_t") === counts("_tok")
+        && col("_pp") === counts("_p"), "left")
+      .select(col("_t"), col("_rk"), col("_ct"), col("_np"),
+        coalesce(col("_c"), lit(0L)).as("_cti"))
+    grid.crossJoin(broadcast(nTot))
+      .withColumn("_num", abs((col("_cti").cast(dec) * col("_nn"))
+        .cast(dec) - (col("_np").cast(dec) * col("_ct")).cast(dec)))
+      .groupBy(col("_t").as("term"), col("_rk"), col("_ct"), col("_nn"))
+      .agg(sum(col("_num")).as("_snum"))
+      .select(col("term"), col("_ct").cast("bigint").as("total"),
+        round(col("_snum").cast("double")
+          / (lit(2.0) * col("_ct").cast("double")
+            * col("_nn").cast("double")), 6)
+          .cast("double").as("dp"))
+  }
+
   /** Simple Good–Turing smoothed counts per group for the low-count
     * head r = 1..maxR — the language-modeling discount that moves
     * probability mass from seen-once types toward the unseen: r* =

@@ -656,7 +656,35 @@ object GraphOps {
       .orderBy("k")
   }
 
+  /** Average nearest-neighbor degree curve of the mod-7 co-order
+    * graph: exact per-class neighbor-degree sums over the shared
+    * memoized edges, one rounded division per degree class.
+    */
+  val qKnnDegree: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.knnDegree(coOrderParts(spark, sfDir, 7).select("a", "b"),
+        "a", "b")
+      .orderBy("k")
+  }
+
+  /** Directed reciprocity of the consecutive-linenumber part
+    * transition graph (mod-7 orders): the share of before/after
+    * edges that also occur reversed in some other order.
+    */
+  val qReciprocity: QueryFn = withTables { spark =>
+    val li = spark.table("lineitem")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val ed = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("y.ln") === col("x.ln") + 1)
+      .select(col("x.pk").cast("string").as("src"),
+        col("y.pk").cast("string").as("dst"))
+    Graph.reciprocity(ed, "src", "dst")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_knn_degree" -> qKnnDegree,
+    "q_reciprocity" -> qReciprocity,
     "q_rich_club" -> qRichClub,
     "q_spectral" -> qSpectral,
     "q_ann_ivfpq_res" -> qAnnIvfPqRes,
@@ -1304,6 +1332,52 @@ object GraphOps {
 
     // The mod-5 canonical edges; thresholds as a VALUES table; exact
     // hub/edge counts; phi's counts promote to double before N(N-1).
+    // The mod-7 co-order graph CTEs + symmetric neighbor-degree
+    // joins; HUGEINT class sums, one rounded division per class.
+    "q_knn_degree" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      sym AS (SELECT lo AS v, hi AS nb FROM e
+              UNION ALL SELECT hi, lo FROM e),
+      degs AS (SELECT v, COUNT(*)::BIGINT AS deg FROM sym GROUP BY v),
+      ends AS (SELECT dv.deg AS k, dn.deg AS dn
+               FROM sym JOIN degs dv ON dv.v = sym.v
+               JOIN degs dn ON dn.v = sym.nb),
+      snb AS (SELECT k, SUM(dn::HUGEINT) AS snb FROM ends GROUP BY k),
+      nk AS (SELECT deg AS k, COUNT(*)::BIGINT AS n_nodes
+             FROM degs GROUP BY deg)
+      SELECT nk.k::BIGINT AS k, nk.n_nodes,
+             CAST(ROUND(CAST(snb AS DOUBLE)
+               / (CAST(nk.k AS DOUBLE) * CAST(n_nodes AS DOUBLE)), 6)
+               AS DOUBLE) AS knn
+      FROM nk JOIN snb ON snb.k = nk.k
+      ORDER BY k""",
+
+    // Distinct directed consecutive-line transitions, one reversed
+    // self-join, one rounded division.
+    "q_reciprocity" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                         l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 7 = 0),
+      ed AS (SELECT DISTINCT CAST(x.pk AS VARCHAR) AS s,
+                    CAST(y.pk AS VARCHAR) AS d
+             FROM li x JOIN li y ON x.ok = y.ok AND y.ln = x.ln + 1
+             WHERE CAST(x.pk AS VARCHAR) <> CAST(y.pk AS VARCHAR)),
+      tot AS (SELECT COUNT(*)::BIGINT AS m FROM ed),
+      rc AS (SELECT COUNT(*)::BIGINT AS r
+             FROM ed x JOIN ed y ON x.s = y.d AND x.d = y.s)
+      SELECT m AS n_edges, r AS n_reciprocated,
+             CAST(CASE WHEN m >= 1 THEN
+               ROUND(CAST(r AS DOUBLE) / CAST(m AS DOUBLE), 6) END
+               AS DOUBLE) AS reciprocity
+      FROM tot CROSS JOIN rc""",
+
     "q_rich_club" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                   FROM lineitem WHERE l_orderkey % 5 = 0),

@@ -748,6 +748,35 @@ object LlmOps {
       .orderBy("source")
   }
 
+  /** Jackknife richness estimators per source: jack1 = S + f1,
+    * jack2 = S + 2f1 − f2 — the resampling bracket around q_chao1's
+    * lower bound, exact integers end to end.
+    */
+  val qJackknife: QueryFn = withTables { spark =>
+    TextAnalysis.jackknifeRichness(spark.table("documents"), "source",
+        "text")
+      .orderBy("source")
+  }
+
+  /** Pairwise Bray–Curtis dissimilarity between language corpora over
+    * term counts: exact Σmin folds from one term-keyed self-join, one
+    * rounded division per pair.
+    */
+  val qBrayCurtis: QueryFn = withTables { spark =>
+    TextAnalysis.brayCurtis(spark.table("documents"), "lang", "text")
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Gries' DP dispersion of the top-25 terms across language parts:
+    * the exact cross-multiplied |v−s| mass (shares never float), one
+    * rounded division per term.
+    */
+  val qDispersionDp: QueryFn = withTables { spark =>
+    TextAnalysis.dispersionDp(spark.table("documents"), "lang", "text",
+        topK = 25)
+      .orderBy(desc("total"), asc("term"))
+  }
+
   /** Simple Good–Turing smoothed counts r* for r = 1..5 per source —
     * the LM discount head; empty ranks report 0 types with NULL r*.
     */
@@ -2057,6 +2086,9 @@ object LlmOps {
     "q_lang_id" -> qLangId,
     "q_langid_profile" -> qLangIdProfile,
     "q_chao1" -> qChao1,
+    "q_jackknife" -> qJackknife,
+    "q_bray_curtis" -> qBrayCurtis,
+    "q_dispersion_dp" -> qDispersionDp,
     "q_burrows_delta" -> qBurrowsDelta,
     "q_good_turing" -> qGoodTuring,
     "q_redact_pii" -> qRedactPii,
@@ -3837,6 +3869,79 @@ object LlmOps {
              CAST(ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
                AS DOUBLE) AS coverage
       FROM agg ORDER BY source""",
+
+    // The q_chao1 toks/counts CTEs; the estimators are exact integers.
+    "q_jackknife" -> """
+      WITH toks AS (
+        SELECT source AS g,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents),
+      tc AS (SELECT g, tok, COUNT(*)::BIGINT AS r
+             FROM toks WHERE tok <> '' GROUP BY g, tok),
+      agg AS (
+        SELECT g, COUNT(*)::BIGINT AS d,
+               SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+               SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+        FROM tc GROUP BY g)
+      SELECT g AS source, d AS vocab, f1, f2,
+             (d + f1)::BIGINT AS jack1,
+             (d + 2 * f1 - f2)::BIGINT AS jack2
+      FROM agg ORDER BY source""",
+
+    // One term-keyed self-join for the exact min-fold; totals from
+    // the group fold; one rounded division per ordered pair.
+    "q_bray_curtis" -> """
+      WITH toks AS (
+        SELECT CAST(lang AS VARCHAR) AS g,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT g, tok, COUNT(*)::BIGINT AS c
+              FROM toks WHERE tok <> '' GROUP BY g, tok),
+      tot AS (SELECT g AS tg, SUM(c)::BIGINT AS n FROM cnt GROUP BY g),
+      sh AS (SELECT x.g AS ga, y.g AS gb,
+                    SUM(LEAST(x.c, y.c)::HUGEINT) AS sh
+             FROM cnt x JOIN cnt y ON x.tok = y.tok AND x.g < y.g
+             GROUP BY 1, 2)
+      SELECT a.tg AS group_a, b.tg AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             COALESCE(sh.sh, 0)::BIGINT AS shared,
+             CAST(ROUND(1.0 - 2.0 * CAST(COALESCE(sh.sh, 0) AS DOUBLE)
+               / CAST(a.n + b.n AS DOUBLE), 6) AS DOUBLE) AS bray_curtis
+      FROM tot a JOIN tot b ON a.tg < b.tg
+      LEFT JOIN sh ON sh.ga = a.tg AND sh.gb = b.tg
+      ORDER BY group_a, group_b""",
+
+    // The exact cross-multiplied |v−s| mass over the explicit
+    // part×term grid; HUGEINT folds, one division per term.
+    "q_dispersion_dp" -> """
+      WITH toks AS (
+        SELECT CAST(lang AS VARCHAR) AS p,
+               UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT p, tok, COUNT(*)::BIGINT AS c
+              FROM toks WHERE tok <> '' GROUP BY p, tok),
+      parts AS (SELECT p AS pp, SUM(c)::BIGINT AS np
+                FROM cnt GROUP BY p),
+      nt AS (SELECT SUM(np)::BIGINT AS nn FROM parts),
+      top AS (SELECT tok AS t, ct, rk FROM (
+                SELECT tok, SUM(c)::BIGINT AS ct,
+                       ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, tok)
+                         AS rk
+                FROM cnt GROUP BY tok) WHERE rk <= 25),
+      grid AS (SELECT top.t, top.ct, parts.np,
+                      COALESCE(cnt.c, 0)::BIGINT AS cti
+               FROM top CROSS JOIN parts
+               LEFT JOIN cnt ON cnt.tok = top.t AND cnt.p = parts.pp),
+      agg AS (SELECT t, ct, nn,
+                     SUM(ABS(cti::HUGEINT * nn - np::HUGEINT * ct))
+                       AS snum
+              FROM grid CROSS JOIN nt GROUP BY t, ct, nn)
+      SELECT t AS term, ct AS total,
+             CAST(ROUND(CAST(snum AS DOUBLE)
+               / (2.0 * CAST(ct AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+               AS DOUBLE) AS dp
+      FROM agg
+      ORDER BY total DESC, term""",
 
     // Counts-of-counts + the r-grid so empty ranks still report;
     // identical r* division.

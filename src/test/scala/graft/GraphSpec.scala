@@ -737,4 +737,27 @@ class GraphSpec extends SparkTestBase {
       Graph.richClub(edges, "s", "t", ks = Seq(1, 1))
     }
   }
+
+  test("knnDegree: star-plus-rung hand curve — leaves see the hub, " +
+      "the hub sees the leaf mix; exact class means") {
+    import spark.implicits._
+    // c-l1, c-l2, c-l3, l1-l2: deg c=3, l1=l2=2, l3=1
+    val edges = Seq(("c", "l1"), ("c", "l2"), ("c", "l3"), ("l1", "l2"))
+      .toDF("s", "t")
+    val out = Graph.knnDegree(edges, "s", "t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((1L, 3.0)), out.toString)       // l3 -> c
+    assert(out(2L) == ((2L, 2.5)), out.toString)       // (3+2+3+2)/4
+    assert(out(3L) == ((1L, 1.666667)), out.toString)  // (2+2+1)/3
+  }
+
+  test("reciprocity: two of three directed edges reciprocate; " +
+      "self-loops and duplicates are dropped before counting") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "c"),
+      ("a", "b")).toDF("s", "t")
+    val r = Graph.reciprocity(edges, "s", "t").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 0.666667, r.toString)
+  }
 }

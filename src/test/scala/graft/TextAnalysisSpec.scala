@@ -995,4 +995,47 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getDouble(4) == 1250.0, r.toString)
     assert(r.getDouble(5) == 0.166667, r.toString)
   }
+
+  test("jackknifeRichness: hand rare-type head — jack1 = S + f1, " +
+      "jack2 = S + 2f1 - f2, exact integers") {
+    import spark.implicits._
+    val df = Seq(("A", "x x y z")).toDF("g", "text")
+    val r = TextAnalysis.jackknifeRichness(df, "g", "text")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L
+      && r.getLong(3) == 1L, r.toString)
+    assert(r.getLong(4) == 5L && r.getLong(5) == 6L, r.toString)
+  }
+
+  test("brayCurtis: hand count profiles give 1 - 2*2/7; disjoint " +
+      "vocabularies are exactly 1; pairs are ordered once") {
+    import spark.implicits._
+    val df = Seq(("A", "a a b"), ("B", "a b b c"), ("C", "q q"))
+      .toDF("g", "text")
+    val out = TextAnalysis.brayCurtis(df, "g", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getLong(2) == 3L && ab.getLong(3) == 4L
+      && ab.getLong(4) == 2L, ab.toString)
+    assert(ab.getDouble(5) == 0.428571, ab.toString)
+    assert(out(("A", "C")).getLong(4) == 0L
+      && out(("A", "C")).getDouble(5) == 1.0)
+    assert(out.size == 3, out.keys.toString)
+  }
+
+  test("dispersionDp: three hand parts — burst-concentrated terms " +
+      "score high, evenly-spread mass scores low, absent parts still " +
+      "contribute their share mass") {
+    import spark.implicits._
+    val df = Seq(("p1", "a a a b"), ("p2", "a b b b"), ("p3", "c c"))
+      .toDF("p", "text")
+    val out = TextAnalysis.dispersionDp(df, "p", "text", topK = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2)))).toMap
+    // N=10, parts 4/4/2: a = (|30-16|+|10-16|+|0-8|)/(2*4*10)
+    assert(out("a") == ((4L, 0.35)), out.toString)
+    assert(out("b") == ((4L, 0.35)), out.toString)
+    // c lives only in the small part: (|20-4|+8+8)/(2*2*10) = 0.8
+    assert(out("c") == ((2L, 0.8)), out.toString)
+  }
 }
