@@ -5362,6 +5362,92 @@ object Stats {
           .cast("double").as("g"))
   }
 
+  /** Generalized ESD (Rosner) multi-outlier screen — [[grubbs]]
+    * ITERATED: Grubbs tests exactly one suspect and suffers masking
+    * (two outliers shield each other); gESD removes the most extreme
+    * point and re-tests k times, reporting the test statistic R_i of
+    * each round. The caller compares R_i against the λ_i table —
+    * like [[bowkerTest]], the statistic is the deliverable, not a
+    * p-value.
+    *
+    * Determinism: the [[grubbs]] cell machinery on (value, count)
+    * cells — each pass recomputes exact decimal moments, freezes the
+    * per-cell score at 6 dp, finds the max score with the
+    * filter-on-frozen-max pass (the cochranC tie discipline: ties
+    * break to the LARGEST value, two passes, no struct-max), then
+    * decrements that cell's count by ONE (ties are the same value —
+    * removing "one occurrence" is exact). A degenerate pass (sd ≤ 0
+    * — e.g. all remaining values equal) reports NULL r and removes
+    * the largest value, keeping later passes deterministic. Scale
+    * shape: per pass one cell fold + one broadcast-join filter;
+    * cells shrink monotonically. Output: (group, pass, n_remaining,
+    * suspect, r) — one row per (group, pass ≤ k).
+    */
+  def gesd(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 5, s"gesd: k must be in [1, 5], got $k")
+    val dec = "decimal(38,0)"
+    val cells0 = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_xq"))
+      .groupBy("_g", "_xq").agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    def onePass(cells: DataFrame, pass: Int)
+        : (DataFrame, DataFrame) = {
+      val mom = cells.groupBy(col("_g").as("_gm"))
+        .agg(sum("_c").as("_n"),
+          sum((col("_c").cast(dec) * col("_xq")).cast(dec)).as("_s1"),
+          sum((col("_c").cast(dec) * col("_xq") * col("_xq")).cast(dec))
+            .as("_q1"))
+        .withColumn("_mu", col("_s1").cast("double")
+          / col("_n").cast("double"))
+        .withColumn("_var",
+          (col("_n").cast("double") * col("_q1").cast("double")
+            - col("_s1").cast("double") * col("_s1").cast("double"))
+            / (col("_n").cast("double")
+              * (col("_n").cast("double") - 1.0)))
+        .withColumn("_sd", when(col("_var") > 0.0, sqrt(col("_var"))))
+      val scored = cells.join(broadcast(mom), col("_g") <=> col("_gm"))
+        .drop("_gm")
+        .withColumn("_z", when(col("_sd").isNotNull,
+          round(abs(col("_xq").cast("double") - col("_mu"))
+            / col("_sd"), 6)).otherwise(lit(0.0)))
+        .localCheckpoint() // max pass + winner filter + decrement
+      val mz = scored.groupBy(col("_g").as("_gz"))
+        .agg(max("_z").as("_mz"))
+      val winner = scored.join(broadcast(mz), col("_g") <=> col("_gz"))
+        .drop("_gz")
+        .filter(col("_z") === col("_mz"))
+        .groupBy(col("_g").as("_gw"))
+        .agg(max("_xq").as("_wx"))
+      val out = scored.join(broadcast(winner), col("_g") <=> col("_gw"))
+        .drop("_gw")
+        .filter(col("_xq") === col("_wx"))
+        .select(col("_g"), lit(pass).as("pass"),
+          col("_n").cast("bigint").as("n_remaining"),
+          round(col("_xq").cast("double") / 1e6, 6).as("suspect"),
+          when(col("_sd").isNotNull && col("_n") >= 3, col("_z"))
+            .cast("double").as("r"))
+      val next = scored.join(broadcast(winner), col("_g") <=> col("_gw"))
+        .drop("_gw")
+        .withColumn("_c", when(col("_xq") === col("_wx"),
+          col("_c") - 1L).otherwise(col("_c")))
+        .filter(col("_c") > 0L)
+        .select("_g", "_xq", "_c")
+        .localCheckpoint()
+      (next, out)
+    }
+    val (_, outs) = (1 to k).foldLeft(
+        (cells0, Seq.empty[DataFrame])) { case ((cells, acc), i) =>
+      val (next, out) = onePass(cells, i)
+      (next, acc :+ out)
+    }
+    outs.reduce(_ unionByName _)
+      .select(col("_g").as(groupCol), col("pass").cast("int").as("pass"),
+        col("n_remaining"), col("suspect").cast("double").as("suspect"),
+        col("r"))
+  }
+
   /** Per-group Welch's t against the pooled complement — the
     * unequal-variance location test that [[cohensD]] reports magnitude
     * for: t = (m₁ − m₂) / √(v₁/n₁ + v₂/n₂) with the
@@ -5800,6 +5886,139 @@ object Stats {
             * (col("_sa").cast("double") - col("_sea").cast("double"))
             / col("_sva").cast("double"), 6))
           .cast("double").as("cmh_chi2"))
+  }
+
+  /** Deming regression (errors-in-variables, λ = error-variance
+    * ratio) per group — the method-comparison fit OLS gets WRONG when
+    * x is also noisy (OLS attenuates the slope toward 0; Deming
+    * splits the residual between both axes):
+    * β = (S_yy − λS_xx + √((S_yy − λS_xx)² + 4λS_xy²)) / (2S_xy),
+    * α = ȳ − βx̄ — the closed form, no iteration. λ = 1 is classic
+    * orthogonal regression. The [[blandAltman]] pair's regression
+    * member: BA reads the DISAGREEMENT, Deming fits the calibration
+    * line.
+    *
+    * Exactness: x/y freeze at 6 dp, moments fold cast-before-multiply
+    * in decimal(38,12), the centered S-terms and β/α are one
+    * identically-spelled float tree rounded 6 dp. S_xy = 0 (no
+    * covariation — β is 0/0 or the fit is degenerate-vertical) and
+    * n < 2 report NULL loudly. Scale shape: one group fold. Output:
+    * (group, n, slope, intercept).
+    */
+  def demingRegression(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, lambda: Double = 1.0): DataFrame = {
+    require(lambda > 0.0, s"demingRegression: lambda must be > 0")
+    val dec = "decimal(38,12)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol), 6).as("_x"), round(col(yCol), 6).as("_y"))
+    val folded = pts.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_sx"),
+        sum(col("_y").cast(dec)).as("_sy"),
+        sum(round(col("_x") * col("_x"), 12).cast(dec)).as("_sxx"),
+        sum(round(col("_x") * col("_y"), 12).cast(dec)).as("_sxy"),
+        sum(round(col("_y") * col("_y"), 12).cast(dec)).as("_syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val cxx = d("_sxx") - d("_sx") * d("_sx") / nD
+    val cxy = d("_sxy") - d("_sx") * d("_sy") / nD
+    val cyy = d("_syy") - d("_sy") * d("_sy") / nD
+    val diff = cyy - lit(lambda) * cxx
+    val beta = (diff + sqrt(diff * diff
+      + lit(4.0 * lambda) * cxy * cxy)) / (lit(2.0) * cxy)
+    val ok = col("n") >= 2 && cxy =!= 0.0
+    folded
+      .withColumn("_b", when(ok, round(beta, 6)))
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        col("_b").cast("double").as("slope"),
+        round(d("_sy") / nD - col("_b") * (d("_sx") / nD), 6)
+          .cast("double").as("intercept"))
+  }
+
+  /** Breslow–Day homogeneity test — [[mantelHaenszel]]'s honesty
+    * check: CMH assumes ONE common odds ratio across strata; BD asks
+    * whether the strata actually agree. Under ψ̂_MH each stratum's
+    * expected exposed-case count ã solves the quadratic
+    * ψ = ã·d̃/(b̃·c̃) on its own margins, and
+    * χ²_BD = Σ (a − ã)²·(1/ã + 1/b̃ + 1/c̃ + 1/d̃) on
+    * n_strata − 1 dof. A significant BD means the pooled or_mh is
+    * averaging genuinely different effects — report per-stratum ORs
+    * instead.
+    *
+    * Determinism: exact integer 2×2 margins; ψ̂ freezes at 6 dp (the
+    * or_mh output value) BEFORE the per-stratum trees; the quadratic
+    * root (B − √(B²−4AC))/(2A) is selected by the valid-interval
+    * test (the other root always lies outside), with the exact ψ = 1
+    * linear fallback ã = r1c1/n; per-stratum terms freeze at 12 dp
+    * into a decimal fold. Strata with a zero margin, an ã on the
+    * interval boundary (a zero fitted cell), or n < 2 are EXCLUDED
+    * and counted — never a silent Inf. Scale shape: one stratum
+    * fold + a broadcast ψ. Output: ONE row (n_strata_used,
+    * n_strata_excluded, or_mh, bd_chi2, dof).
+    */
+  def breslowDay(df: DataFrame, stratumCol: String,
+      exposedCol: String, outcomeCol: String): DataFrame = {
+    val e = col(exposedCol).cast("boolean")
+    val o = col(outcomeCol).cast("boolean")
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val tab = df.filter(e.isNotNull && o.isNotNull)
+      .groupBy(col(stratumCol).as("_s"))
+      .agg(cnt(e && o).as("_a"), cnt(e && !o).as("_b"),
+        cnt(!e && o).as("_c"), cnt(!e && !o).as("_d"))
+      .withColumn("_n", col("_a") + col("_b") + col("_c") + col("_d"))
+      .filter(col("_n") >= 2)
+      .localCheckpoint() // the psi fold + the per-stratum pass read it
+    def d(c: String): Column = col(c).cast("double")
+    val nd = d("_n")
+    def dz(t: Column): Column = round(t, 12).cast("decimal(38,12)")
+    val psiRow = tab.agg(
+      sum(dz(d("_a") * d("_d") / nd)).as("_sad"),
+      sum(dz(d("_b") * d("_c") / nd)).as("_sbc"))
+      .select(when(col("_sbc").cast("double") > 0.0,
+        round(col("_sad").cast("double") / col("_sbc").cast("double"), 6))
+        .as("_psi"))
+    val withPsi = tab.crossJoin(broadcast(psiRow))
+      .withColumn("_r1", col("_a") + col("_b"))
+      .withColumn("_c1", col("_a") + col("_c"))
+      .filter(col("_psi").isNotNull)
+    val r1 = d("_r1"); val c1 = d("_c1")
+    val lo = greatest(lit(0.0), r1 + c1 - nd)
+    val hi = least(r1, c1)
+    val aa = col("_psi") - 1.0
+    val bb = (nd - r1 - c1) + col("_psi") * (r1 + c1)
+    val cc = col("_psi") * r1 * c1
+    val disc = bb * bb - lit(4.0) * aa * cc
+    val rootM = (bb - sqrt(disc)) / (lit(2.0) * aa)
+    val rootP = (bb + sqrt(disc)) / (lit(2.0) * aa)
+    val scored = withPsi
+      .withColumn("_at", when(col("_psi") === 1.0, cc / bb)
+        .otherwise(when(rootM >= lo && rootM <= hi, rootM)
+          .otherwise(rootP)))
+      // a boundary ã means a zero fitted cell (infinite variance term):
+      // the stratum is excluded loudly via the strict-inside test
+      .withColumn("_ok", col("_at") > lo && col("_at") < hi
+        && col("_r1") >= 1 && col("_c1") >= 1
+        && col("_r1") < col("_n") && col("_c1") < col("_n"))
+      .withColumn("_term", when(col("_ok"),
+        round((d("_a") - col("_at")) * (d("_a") - col("_at"))
+          * (lit(1.0) / col("_at")
+            + lit(1.0) / (r1 - col("_at"))
+            + lit(1.0) / (c1 - col("_at"))
+            + lit(1.0) / (nd - r1 - c1 + col("_at"))), 12)))
+    scored.agg(
+        sum(when(col("_ok"), 1L).otherwise(0L)).as("_used"),
+        sum(when(col("_ok"), 0L).otherwise(1L)).as("_excl"),
+        max(col("_psi")).as("_p"),
+        sum(col("_term").cast("decimal(38,12)")).as("_chi"))
+      .select(col("_used").cast("bigint").as("n_strata_used"),
+        col("_excl").cast("bigint").as("n_strata_excluded"),
+        col("_p").cast("double").as("or_mh"),
+        when(col("_used") >= 2,
+          round(col("_chi").cast("double"), 6))
+          .cast("double").as("bd_chi2"),
+        when(col("_used") >= 2, col("_used") - 1L)
+          .cast("bigint").as("dof"))
   }
 
   /** Friedman test over a long (block, treatment, value) frame: are
@@ -7821,6 +8040,98 @@ object Stats {
         when(col("_nu") >= 2 && p > 0.0 && p < 1.0 && col("_mmin") >= 2
             && rho > 0.0 && rho < 1.0,
           round((lit(1.0) - p) * scale, 6)).cast("double").as("beta"))
+  }
+
+  /** Binned distance correlation (Székely–Rizzo) per group — the
+    * DEPENDENCE test Pearson can't be: dCor = 0 iff (asymptotically)
+    * independent, and it sees V-shapes, circles, and every other
+    * nonlinear coupling corr() scores as 0. V-statistic form:
+    * dCov² = A/n² − 2C/n³ + B_x·B_y/n⁴ with A = Σ w w′ d_x d_y,
+    * B = Σ w w′ d, C = Σ_c w_c r_x(c) r_y(c) over the binned cell
+    * pair table; dCor² = dCov²/√(dVar_x·dVar_y).
+    *
+    * The binning IS the 100 TB story (the [[energyDistanceBinned]]
+    * precedent): both variables histogram onto `bins` equi-width
+    * cells over the frozen GLOBAL [min, max], distances are exact
+    * INTEGER bin-index gaps (dCor is scale-invariant per axis, so
+    * bin units lose nothing but resolution), and every fold is an
+    * exact decimal sum over the ≤ bins⁴ pair table — the corpus
+    * never re-enters after one (group, b_x, b_y) cell shuffle.
+    * Float work is the final tree only; float cancellation around 0
+    * clamps at 0 (dCov² ≥ 0 mathematically). Degenerate axes (zero
+    * distance variance) report NULL. Headroom: the C folds carry
+    * w_c·r_x·r_y ≈ n³·bins² — decimal(38) overflows (to NULL, never
+    * a wrong number) past ~1e11 rows per group at 16 bins; pre-
+    * aggregate or shard groups above that (the WLS contract).
+    * Output: (group, n, dcov2, dcor).
+    */
+  def distanceCorrelationBinned(df: DataFrame, groupCol: String,
+      xCol: String, yCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64,
+      s"distanceCorrelationBinned: bins must be in [2, 64], got $bins")
+    val dec = "decimal(38,0)"
+    val stats = df.agg(min(col(xCol)).as("_xlo"), max(col(xCol)).as("_xhi"),
+      min(col(yCol)).as("_ylo"), max(col(yCol)).as("_yhi"))
+    def bin(c: Column, lo: Column, hi: Column): Column =
+      when(hi > lo, least(floor((c - lo) * bins / (hi - lo)),
+        lit(bins - 1))).otherwise(lit(0)).cast("long")
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(col(groupCol).as("_g"),
+        bin(col(xCol), col("_xlo"), col("_xhi")).as("_bx"),
+        bin(col(yCol), col("_ylo"), col("_yhi")).as("_by"))
+      .groupBy("_g", "_bx", "_by").agg(count(lit(1)).as("_w"))
+      .localCheckpoint() // both pair-join sides + the n fold read it
+    val pairs = cells.as("p")
+      .join(cells.as("q"), col("p._g") === col("q._g"))
+      .select(col("p._g").as("_g"),
+        col("p._bx").as("_bx"), col("p._by").as("_by"),
+        col("p._w").as("_w"),
+        // cell-count products cast before multiply: two 1e12-row
+        // cells would overflow a Long pairwise product
+        (col("p._w").cast("decimal(38,0)") * col("q._w"))
+          .cast("decimal(38,0)").as("_ww"),
+        abs(col("p._bx") - col("q._bx")).as("_dx"),
+        abs(col("p._by") - col("q._by")).as("_dy"),
+        col("q._w").as("_w2"))
+    // per LEFT cell: the distance row sums r_x, r_y (exact integers)
+    val rowSums = pairs.groupBy(col("_g"), col("_bx"), col("_by"))
+      .agg(max("_w").as("_wc"),
+        sum((col("_w2").cast(dec) * col("_dx")).cast(dec)).as("_rx"),
+        sum((col("_w2").cast(dec) * col("_dy")).cast(dec)).as("_ry"),
+        sum((col("_ww").cast(dec) * col("_dx") * col("_dy")).cast(dec))
+          .as("_axy"),
+        sum((col("_ww").cast(dec) * col("_dx") * col("_dx")).cast(dec))
+          .as("_axx"),
+        sum((col("_ww").cast(dec) * col("_dy") * col("_dy")).cast(dec))
+          .as("_ayy"),
+        sum((col("_ww").cast(dec) * col("_dx")).cast(dec)).as("_bx2"),
+        sum((col("_ww").cast(dec) * col("_dy")).cast(dec)).as("_by2"))
+    val folded = rowSums.groupBy(col("_g"))
+      .agg(sum("_wc").as("n"),
+        sum("_axy").as("_a"), sum("_axx").as("_ax"),
+        sum("_ayy").as("_ay"),
+        sum("_bx2").as("_bx"), sum("_by2").as("_by"),
+        sum((col("_wc").cast(dec) * col("_rx") * col("_ry")).cast(dec))
+          .as("_c"),
+        sum((col("_wc").cast(dec) * col("_rx") * col("_rx")).cast(dec))
+          .as("_cx"),
+        sum((col("_wc").cast(dec) * col("_ry") * col("_ry")).cast(dec))
+          .as("_cy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val n2 = nD * nD
+    def vstat(a: String, c: String, b1: String, b2: String): Column =
+      d(a) / n2 - lit(2.0) * d(c) / (n2 * nD) +
+        d(b1) * d(b2) / (n2 * n2)
+    val dcov2 = vstat("_a", "_c", "_bx", "_by")
+    val vx = vstat("_ax", "_cx", "_bx", "_bx")
+    val vy = vstat("_ay", "_cy", "_by", "_by")
+    folded.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      round(dcov2, 12).cast("double").as("dcov2"),
+      when(vx > 0.0 && vy > 0.0,
+        round(sqrt(greatest(lit(0.0), dcov2) / sqrt(vx * vy)), 6))
+        .cast("double").as("dcor"))
   }
 
   /** Two-sample Poisson rate test (Wald form) — "is the incident rate

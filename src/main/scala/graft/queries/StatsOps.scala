@@ -2478,6 +2478,79 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Deming regression (λ = 1, orthogonal) of the rounded-dollar
+    * reading on the raw value per event type — the q_bland_altman
+    * pair's calibration line with both axes noisy; closed-form slope
+    * from exact decimal moments.
+    */
+  val qDeming: QueryFn = withTables { spark =>
+    Stats.demingRegression(
+        spark.table("events").withColumn("rounded",
+          round(col("value"), 0)),
+        "event_type", "value", "rounded", lambda = 1.0)
+      .orderBy("event_type")
+  }
+
+  /** Breslow–Day homogeneity of the q_mantel_haenszel stratified
+    * odds ratios: does the pooled or_mh average genuinely different
+    * per-stratum effects? Frozen ψ̂, interval-selected quadratic
+    * roots, 12-dp term fold.
+    */
+  val qBreslowDay: QueryFn = withTables { spark =>
+    val e = spark.table("events")
+      .withColumn("exposed", col("user_id") % 2 === 0)
+      .withColumn("hi", col("value") > 50.0)
+    Stats.breslowDay(e, "event_type", "exposed", "hi")
+  }
+
+  /** Generalized ESD (k = 3) outlier screen of event values per
+    * type: iterated Grubbs on (value, count) cells with the
+    * filter-on-frozen-max winner pass and one-occurrence decrements.
+    */
+  val qGesd: QueryFn = withTables { spark =>
+    Stats.gesd(spark.table("events"), "event_type", "value", k = 3)
+      .orderBy("event_type", "pass")
+  }
+
+  /** Normalized spectral entropy of the q_periodogram powers per
+    * type: how concentrated is the daily series' energy across the
+    * candidate periods — 0 = one pure cycle, 1 = white-ish.
+    */
+  val qSpectralEntropy: QueryFn = withTables { spark =>
+    val pg = Resample.periodogram(spark.table("events"), "event_type",
+      "ts", "value", minPeriod = 2, maxPeriod = 14)
+    val tot = pg.groupBy("event_type")
+      .agg(sum(col("power").cast("decimal(38,6)")).as("_tp"),
+        count(lit(1)).as("_np"))
+    pg.join(broadcast(tot), "event_type")
+      .withColumn("_pr", col("power").cast("double")
+        / col("_tp").cast("double"))
+      .groupBy("event_type")
+      .agg(max("_np").as("_npx"), max(col("_tp").cast("double")).as("_tpd"),
+        sum(when(col("_pr") > 0.0,
+          round(col("_pr") * log(col("_pr")), 12)).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("_spl"))
+      .select(col("event_type"),
+        col("_npx").cast("bigint").as("n_periods"),
+        when(col("_tpd") > 0.0,
+          round(-col("_spl").cast("double") / lit(math.log(13.0)), 6))
+          .cast("double").as("h_norm"))
+      .orderBy("event_type")
+  }
+
+  /** Binned distance correlation of value vs hour-of-day per event
+    * type: the dependence gauge that sees the nonlinear couplings
+    * q_corr scores as zero — exact integer bin-gap folds over the
+    * bins⁴-bounded pair table.
+    */
+  val qDcor: QueryFn = withTables { spark =>
+    Stats.distanceCorrelationBinned(
+        spark.table("events").withColumn("hr",
+          hour(col("ts")).cast("double")),
+        "event_type", "value", "hr", bins = 16)
+      .orderBy("event_type")
+  }
+
   /** Page's L ordered-alternative test over the q_friedman blocks
     * (treatment order = event-type label order): same prep, exact
     * integer L, one z tree.
@@ -3108,6 +3181,11 @@ object StatsOps {
     "q_ansari_bradley" -> qAnsariBradley,
     "q_diebold_mariano" -> qDieboldMariano,
     "q_perm_entropy" -> qPermEntropy,
+    "q_deming" -> qDeming,
+    "q_breslow_day" -> qBreslowDay,
+    "q_gesd" -> qGesd,
+    "q_spectral_entropy" -> qSpectralEntropy,
+    "q_dcor" -> qDcor,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -3351,6 +3429,79 @@ object StatsOps {
   // engines multiply by the identical double.
   private val mdeC: Double =
     Stats.MdeZ(("alpha", 0.05)) + Stats.MdeZ(("power", 0.8))
+
+  // One generated gESD pass: moments → frozen z → frozen-max winner
+  // (ties to the largest value via the two-pass filter) → decrement.
+  private def gesdPass(i: Int): String = s"""
+      m$i AS (SELECT g AS gm, SUM(c)::BIGINT AS n,
+                    SUM(c::HUGEINT * xq) AS s1,
+                    SUM(c::HUGEINT * xq * xq) AS q1
+              FROM c$i GROUP BY g),
+      s$i AS (SELECT c$i.g AS g, xq, c, n,
+                    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                    (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - 1.0)) AS vr
+              FROM c$i JOIN m$i ON m$i.gm = c$i.g),
+      z$i AS (SELECT g, xq, c, n,
+                    CASE WHEN vr > 0.0 THEN SQRT(vr) END AS sd,
+                    CASE WHEN vr > 0.0 THEN
+                      ROUND(ABS(CAST(xq AS DOUBLE) - mu) / SQRT(vr), 6)
+                    ELSE 0.0 END AS z
+              FROM s$i),
+      mz$i AS (SELECT g AS gz, MAX(z) AS mz FROM z$i GROUP BY g),
+      w$i AS (SELECT g AS gw, MAX(xq) AS wx
+              FROM z$i JOIN mz$i ON gz = z$i.g
+              WHERE z = mz GROUP BY g),
+      o$i AS (SELECT z$i.g AS g, $i AS pass, n AS n_remaining,
+                    ROUND(CAST(xq AS DOUBLE) / 1000000.0, 6) AS suspect,
+                    CASE WHEN sd IS NOT NULL AND n >= 3 THEN z END AS r
+              FROM z$i JOIN w$i ON gw = z$i.g AND xq = wx),
+      c${i + 1} AS (SELECT z$i.g AS g, xq,
+                          CASE WHEN xq = wx THEN c - 1 ELSE c END AS c
+                    FROM z$i JOIN w$i ON gw = z$i.g
+                    WHERE CASE WHEN xq = wx THEN c - 1 ELSE c END > 0)"""
+
+  // Shared CTE text for the periodogram family (q_periodogram,
+  // q_spectral_entropy): the acf cells/centering + the driver-literal
+  // trig VALUES table, ending at `pw` (g, p, power).
+  private val periodogramCtes: String = s"""WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s,
+                    MIN(day) AS mind
+             FROM cells GROUP BY g),
+      a AS (SELECT c.g, c.day, st.n AS n, st.mind,
+                   st.n * c.x - st.s AS aa
+            FROM cells c JOIN st ON c.g = st.g),
+      trig(p, k, c, sv) AS (VALUES
+        ${(2 to 14).flatMap(p => (0 until p).map(k =>
+          s"($p, $k, ${math.cos(2.0 * math.Pi * k / p)}, " +
+            s"${math.sin(2.0 * math.Pi * k / p)})"))
+          .mkString(",\n        ")}),
+      terms AS (
+        SELECT a.g, t.p, a.n,
+               ROUND(CAST(a.aa AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * 1000000.0) * t.c, 12) AS ct,
+               ROUND(CAST(a.aa AS DOUBLE)
+                 / (CAST(a.n AS DOUBLE) * 1000000.0) * t.sv, 12) AS stt
+        FROM a JOIN trig t ON t.k = (a.day - a.mind) % t.p),
+      folded AS (
+        SELECT g, p, MAX(CAST(n AS DOUBLE)) AS nd,
+               SUM(CAST(ct AS DECIMAL(38,12))) AS cs,
+               SUM(CAST(stt AS DECIMAL(38,12))) AS ss
+        FROM terms GROUP BY g, p),
+      pw AS (
+        SELECT g, p,
+               ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                 + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / nd, 6)
+                 AS power
+        FROM folded)"""
 
   val oracles: Map[String, String] = Map(
 
@@ -6429,6 +6580,199 @@ object StatsOps {
                    * (CAST(kk AS DOUBLE) + 1.0), 6)
              END AS DOUBLE) AS chi2
       FROM agg""",
+
+    // Centered decimal moments, the closed-form Deming root, frozen
+    // slope inside the intercept tree.
+    "q_deming" -> """
+      WITH pts AS (
+        SELECT event_type AS g, ROUND(value, 6) AS x,
+               ROUND(ROUND(value, 0), 6) AS y
+        FROM events
+        WHERE value IS NOT NULL AND ROUND(value, 0) IS NOT NULL),
+      f AS (SELECT g, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+                   SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+                   SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS sxx,
+                   SUM(CAST(ROUND(x * y, 12) AS DECIMAL(38,12))) AS sxy,
+                   SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12))) AS syy
+            FROM pts GROUP BY g),
+      t AS (SELECT g, n, sx, sy,
+                   CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+                   CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+                   CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                     * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy
+            FROM f),
+      b AS (SELECT g, n, sx, sy,
+                   CASE WHEN n >= 2 AND cxy <> 0.0 THEN
+                     ROUND((cyy - 1.0 * cxx
+                       + SQRT((cyy - 1.0 * cxx) * (cyy - 1.0 * cxx)
+                         + 4.0 * cxy * cxy)) / (2.0 * cxy), 6) END AS sl
+            FROM t)
+      SELECT g AS event_type, n,
+             CAST(sl AS DOUBLE) AS slope,
+             CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               - sl * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS DOUBLE) AS intercept
+      FROM b
+      ORDER BY event_type""",
+
+    // The q_mantel_haenszel table fold + the per-stratum quadratic
+    // with the interval-selected root and the exact psi = 1 linear
+    // fallback; 12-dp terms, loud exclusion counts.
+    "q_breslow_day" -> """
+      WITH rows0 AS (
+        SELECT event_type AS s, (user_id % 2 = 0) AS e,
+               (value > 50.0) AS o
+        FROM events),
+      tab AS (
+        SELECT s,
+               SUM(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+               SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+               SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+               SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT
+                 AS d
+        FROM rows0 WHERE e IS NOT NULL AND o IS NOT NULL GROUP BY s),
+      tab2 AS (SELECT s, a, b, c, d, a + b + c + d AS n FROM tab
+               WHERE a + b + c + d >= 2),
+      ps AS (SELECT CASE WHEN CAST(sbc AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6) END
+               AS psi
+             FROM (SELECT
+               SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))) AS sad,
+               SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))) AS sbc
+             FROM tab2)),
+      w1 AS (SELECT a, n, a + b AS r1i, a + c AS c1i, psi,
+                    CAST(a + b AS DOUBLE) AS r1,
+                    CAST(a + c AS DOUBLE) AS c1,
+                    CAST(n AS DOUBLE) AS nd
+             FROM tab2 CROSS JOIN ps WHERE psi IS NOT NULL),
+      w2 AS (SELECT *, GREATEST(0.0, r1 + c1 - nd) AS lo,
+                    LEAST(r1, c1) AS hi, psi - 1.0 AS aa,
+                    (nd - r1 - c1) + psi * (r1 + c1) AS bb,
+                    psi * r1 * c1 AS cc
+             FROM w1),
+      w3 AS (SELECT *, bb * bb - 4.0 * aa * cc AS dsc FROM w2),
+      w4 AS (SELECT *, CASE WHEN psi = 1.0 THEN cc / bb
+                            WHEN (bb - SQRT(dsc)) / (2.0 * aa) >= lo
+                             AND (bb - SQRT(dsc)) / (2.0 * aa) <= hi
+                            THEN (bb - SQRT(dsc)) / (2.0 * aa)
+                            ELSE (bb + SQRT(dsc)) / (2.0 * aa) END AS at
+             FROM w3),
+      w5 AS (SELECT *, (at > lo AND at < hi AND r1i >= 1 AND c1i >= 1
+                        AND r1i < n AND c1i < n) AS ok
+             FROM w4),
+      w6 AS (SELECT ok, psi, CASE WHEN ok THEN
+               ROUND((CAST(a AS DOUBLE) - at) * (CAST(a AS DOUBLE) - at)
+                 * (1.0 / at + 1.0 / (r1 - at) + 1.0 / (c1 - at)
+                   + 1.0 / (nd - r1 - c1 + at)), 12) END AS term
+             FROM w5)
+      SELECT SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT
+               AS n_strata_used,
+             SUM(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT
+               AS n_strata_excluded,
+             CAST(MAX(psi) AS DOUBLE) AS or_mh,
+             CAST(CASE WHEN SUM(CASE WHEN ok THEN 1 ELSE 0 END) >= 2
+               THEN ROUND(CAST(SUM(CAST(term AS DECIMAL(38,12)))
+                 AS DOUBLE), 6) END AS DOUBLE) AS bd_chi2,
+             CAST(CASE WHEN SUM(CASE WHEN ok THEN 1 ELSE 0 END) >= 2
+               THEN SUM(CASE WHEN ok THEN 1 ELSE 0 END) - 1 END
+               AS BIGINT) AS dof
+      FROM w6""",
+
+    // Three unrolled grubbs passes on (value, count) cells with the
+    // frozen-max winner filter and one-occurrence decrements.
+    "q_gesd" -> s"""
+      WITH c1 AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS xq,
+               COUNT(*)::BIGINT AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      ${(1 to 3).map(gesdPass).mkString(",\n      ")}
+      SELECT g AS event_type, pass, n_remaining,
+             CAST(suspect AS DOUBLE) AS suspect, CAST(r AS DOUBLE) AS r
+      FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+            UNION ALL SELECT * FROM o3)
+      ORDER BY event_type, pass""",
+
+    // Global frozen bin edges, exact integer bin-gap folds over the
+    // per-group cell pair table, the three V-statistic trees.
+    "q_dcor" -> """
+      WITH src AS (SELECT event_type AS g, value AS x,
+                          CAST(HOUR(ts) AS DOUBLE) AS y
+                   FROM events),
+      st AS (SELECT MIN(x) AS xlo, MAX(x) AS xhi,
+                    MIN(y) AS ylo, MAX(y) AS yhi FROM src),
+      cells AS (
+        SELECT g,
+               CAST(CASE WHEN xhi > xlo THEN
+                 LEAST(CAST(FLOOR((x - xlo) * 16 / (xhi - xlo))
+                   AS BIGINT), 15) ELSE 0 END AS BIGINT) AS bx,
+               CAST(CASE WHEN yhi > ylo THEN
+                 LEAST(CAST(FLOOR((y - ylo) * 16 / (yhi - ylo))
+                   AS BIGINT), 15) ELSE 0 END AS BIGINT) AS by,
+               COUNT(*)::BIGINT AS w
+        FROM src CROSS JOIN st
+        WHERE x IS NOT NULL AND y IS NOT NULL
+        GROUP BY 1, 2, 3),
+      pr AS (SELECT p.g AS g, p.bx AS bx, p.by AS by, p.w AS w,
+                    (p.w::HUGEINT * q.w)::HUGEINT AS ww,
+                    ABS(p.bx - q.bx) AS dx, ABS(p.by - q.by) AS dy,
+                    q.w AS w2
+             FROM cells p JOIN cells q ON p.g = q.g),
+      rs AS (SELECT g, bx, by, MAX(w) AS wc,
+                    SUM(w2::HUGEINT * dx) AS rx,
+                    SUM(w2::HUGEINT * dy) AS ry,
+                    SUM(ww * dx * dy) AS axy, SUM(ww * dx * dx) AS axx,
+                    SUM(ww * dy * dy) AS ayy,
+                    SUM(ww * dx) AS bx2, SUM(ww * dy) AS by2
+             FROM pr GROUP BY g, bx, by),
+      f AS (SELECT g, SUM(wc)::BIGINT AS n,
+                   SUM(axy) AS a, SUM(axx) AS ax, SUM(ayy) AS ay,
+                   SUM(bx2) AS bxs, SUM(by2) AS bys,
+                   SUM(wc::HUGEINT * rx * ry) AS c,
+                   SUM(wc::HUGEINT * rx * rx) AS cx,
+                   SUM(wc::HUGEINT * ry * ry) AS cy
+            FROM rs GROUP BY g),
+      v AS (SELECT g, n,
+                   CAST(a AS DOUBLE) / (CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE))
+                     - 2.0 * CAST(c AS DOUBLE)
+                       / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         * CAST(n AS DOUBLE))
+                     + CAST(bxs AS DOUBLE) * CAST(bys AS DOUBLE)
+                       / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     AS vcov,
+                   CAST(ax AS DOUBLE) / (CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE))
+                     - 2.0 * CAST(cx AS DOUBLE)
+                       / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         * CAST(n AS DOUBLE))
+                     + CAST(bxs AS DOUBLE) * CAST(bxs AS DOUBLE)
+                       / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     AS vx,
+                   CAST(ay AS DOUBLE) / (CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE))
+                     - 2.0 * CAST(cy AS DOUBLE)
+                       / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         * CAST(n AS DOUBLE))
+                     + CAST(bys AS DOUBLE) * CAST(bys AS DOUBLE)
+                       / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     AS vy
+            FROM f)
+      SELECT g AS event_type, n,
+             CAST(ROUND(vcov, 12) AS DOUBLE) AS dcov2,
+             CAST(CASE WHEN vx > 0.0 AND vy > 0.0 THEN
+               ROUND(SQRT(GREATEST(0.0, vcov) / SQRT(vx * vy)), 6) END
+               AS DOUBLE) AS dcor
+      FROM v
+      ORDER BY event_type""",
 
     // The q_friedman prep CTEs + a cross-block range rank: exact 4S
     // integers (q2·(m2−k−1)), HUGEINT A/B folds, the 16s/ns
@@ -12534,48 +12878,36 @@ object StatsOps {
     // (no engine libm trig anywhere); 12-dp descaled term freezes,
     // DECIMAL(38,12) folds, the (power DESC, period) parsimony rank.
     "q_periodogram" -> s"""
-      WITH cells AS (
-        SELECT event_type AS g,
-               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
-                   % 86400)) // 86400 AS day,
-               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
-        FROM events GROUP BY 1, 2),
-      st AS (SELECT g, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS s,
-                    MIN(day) AS mind
-             FROM cells GROUP BY g),
-      a AS (SELECT c.g, c.day, st.n AS n, st.mind,
-                   st.n * c.x - st.s AS aa
-            FROM cells c JOIN st ON c.g = st.g),
-      trig(p, k, c, sv) AS (VALUES
-        ${(2 to 14).flatMap(p => (0 until p).map(k =>
-          s"($p, $k, ${math.cos(2.0 * math.Pi * k / p)}, " +
-            s"${math.sin(2.0 * math.Pi * k / p)})"))
-          .mkString(",\n        ")}),
-      terms AS (
-        SELECT a.g, t.p, a.n,
-               ROUND(CAST(a.aa AS DOUBLE)
-                 / (CAST(a.n AS DOUBLE) * 1000000.0) * t.c, 12) AS ct,
-               ROUND(CAST(a.aa AS DOUBLE)
-                 / (CAST(a.n AS DOUBLE) * 1000000.0) * t.sv, 12) AS stt
-        FROM a JOIN trig t ON t.k = (a.day - a.mind) % t.p),
-      folded AS (
-        SELECT g, p, MAX(CAST(n AS DOUBLE)) AS nd,
-               SUM(CAST(ct AS DECIMAL(38,12))) AS cs,
-               SUM(CAST(stt AS DECIMAL(38,12))) AS ss
-        FROM terms GROUP BY g, p),
-      pw AS (
-        SELECT g, p,
-               ROUND((CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
-                 + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / nd, 6)
-                 AS power
-        FROM folded)
+      $periodogramCtes
       SELECT g AS event_type, p::INT AS period,
              CAST(power AS DOUBLE) AS power,
              (ROW_NUMBER() OVER (PARTITION BY g
                 ORDER BY power DESC, p) = 1) AS dominant
       FROM pw
       ORDER BY event_type, period""",
+
+    // The q_periodogram CTEs + the entropy-precedent p·ln p fold over
+    // the normalized 6-dp powers; ln 13 interpolated.
+    "q_spectral_entropy" -> s"""
+      $periodogramCtes,
+      tot AS (SELECT g, SUM(CAST(power AS DECIMAL(38,6))) AS tp,
+                     COUNT(*)::BIGINT AS np
+              FROM pw GROUP BY g),
+      pp AS (SELECT pw.g, tp, np,
+                    CAST(pw.power AS DOUBLE) / CAST(tp AS DOUBLE) AS pr
+             FROM pw JOIN tot ON tot.g = pw.g),
+      f AS (SELECT g, MAX(np)::BIGINT AS np,
+                   MAX(CAST(tp AS DOUBLE)) AS tpd,
+                   SUM(CAST(CASE WHEN pr > 0.0 THEN
+                     ROUND(pr * LN(pr), 12) ELSE 0.0 END
+                     AS DECIMAL(38,12))) AS spl
+            FROM pp GROUP BY g)
+      SELECT g AS event_type, np AS n_periods,
+             CAST(CASE WHEN tpd > 0.0 THEN
+               ROUND(-CAST(spl AS DOUBLE) / ${math.log(13.0)}, 6) END
+               AS DOUBLE) AS h_norm
+      FROM f
+      ORDER BY event_type""",
 
     "q_acf" -> """
       WITH cells AS (

@@ -4287,6 +4287,85 @@ class StatsSpec extends SparkTestBase {
     assert(t("X").isNullAt(4), t.toString)
   }
 
+  test("demingRegression: an exact line is recovered exactly (slope " +
+      "2, intercept 1); hand noisy fixture; zero covariation is NULL") {
+    import spark.implicits._
+    val line = (1 to 5).map(i => ("L", i.toDouble, 2.0 * i + 1.0))
+    val noisy = Seq(("N", 1.0, 1.2), ("N", 2.0, 1.9), ("N", 3.0, 3.1),
+      ("N", 4.0, 4.0))
+    val flat = Seq(("F", 1.0, 5.0), ("F", 2.0, 5.0))
+    val out = Stats.demingRegression(
+        (line ++ noisy ++ flat).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("L").getDouble(2) == 2.0
+      && out("L").getDouble(3) == 1.0, out("L").toString)
+    assert(out("N").getDouble(2) == 0.964206
+      && out("N").getDouble(3) == 0.139485, out("N").toString)
+    assert(out("F").isNullAt(2) && out("F").isNullAt(3),
+      out("F").toString)
+  }
+
+  test("breslowDay: opposite per-stratum ORs pooling to psi = 1 " +
+      "(the linear fallback) flag heterogeneity at chi2 8.25; " +
+      "identical strata are exactly homogeneous (chi2 0)") {
+    import spark.implicits._
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      (1 to a).map(_ => (s, true, true)) ++
+      (1 to b).map(_ => (s, true, false)) ++
+      (1 to c).map(_ => (s, false, true)) ++
+      (1 to d).map(_ => (s, false, false))
+    // OR 3 vs OR 0.25, MH-pooling to exactly 1
+    val het = (stratum("s1", 10, 10, 10, 30) ++
+      stratum("s2", 5, 20, 10, 10)).toDF("s", "e", "o")
+    val h = Stats.breslowDay(het, "s", "e", "o").collect().head
+    assert(h.getLong(0) == 2L && h.getLong(1) == 0L, h.toString)
+    assert(h.getDouble(2) == 1.0 && h.getDouble(3) == 8.25, h.toString)
+    assert(h.getLong(4) == 1L, h.toString)
+    val hom = (stratum("s1", 10, 10, 10, 30) ++
+      stratum("s2", 10, 10, 10, 30)).toDF("s", "e", "o")
+    val m = Stats.breslowDay(hom, "s", "e", "o").collect().head
+    assert(m.getDouble(2) == 3.0 && m.getDouble(3) == 0.0, m.toString)
+  }
+
+  test("gesd: the masking signature — R2 > R1 after the first " +
+      "removal unmasks the second outlier; constant group reports " +
+      "NULL r every pass") {
+    import spark.implicits._
+    val rows = ((1 to 10).map(i => ("A", i.toDouble)) ++
+      Seq(("A", 50.0), ("A", 100.0)) ++
+      (1 to 5).map(_ => ("C", 7.0)))
+    val out = Stats.gesd(rows.toDF("g", "v"), "g", "v", k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val p1 = out(("A", 1)); val p2 = out(("A", 2)); val p3 = out(("A", 3))
+    assert(p1.getLong(2) == 12L && p1.getDouble(3) == 100.0
+      && p1.getDouble(4) == 2.839025, p1.toString)
+    assert(p2.getDouble(3) == 50.0 && p2.getDouble(4) == 2.948313,
+      p2.toString)
+    assert(p3.getDouble(3) == 10.0 && p3.getDouble(4) == 1.486301,
+      p3.toString)
+    // masking: the hidden outlier's R EXCEEDS the first one's
+    assert(p2.getDouble(4) > p1.getDouble(4))
+    assert(out(("C", 1)).isNullAt(4) && out(("C", 3)).isNullAt(4))
+  }
+
+  test("distanceCorrelationBinned: identical axes give exactly 1; a " +
+      "V-shape Pearson scores ~0 still couples at 0.531182; a full " +
+      "product grid is exactly independent (dcor 0)") {
+    import spark.implicits._
+    val vshape = (0 to 15).map(x => ("v", x.toDouble,
+      math.abs(x - 8.0)))
+    val same = (0 to 15).map(x => ("s", x.toDouble, x.toDouble))
+    val grid = for (x <- 0 to 15; y <- 0 to 15)
+      yield ("g", x.toDouble, y.toDouble)
+    val out = Stats.distanceCorrelationBinned(
+        (vshape ++ same ++ grid).toDF("g", "x", "y"), "g", "x", "y",
+        bins = 16)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getDouble(3) == 1.0, out("s").toString)
+    assert(out("v").getDouble(3) == 0.531182, out("v").toString)
+    assert(out("g").getDouble(3) == 0.0, out("g").toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
