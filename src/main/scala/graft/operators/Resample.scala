@@ -1298,6 +1298,153 @@ object Resample {
         .cast("double").as("z"))
   }
 
+  /** Trigg tracking signal (Trigg 1964) per group — the forecast
+    * DRIFT alarm the SPC family lacks: score the running SES
+    * forecast with its own errors, T = E_t/MAD_t ∈ [−1, 1] where
+    * E_t = β·e_t + (1−β)·E_{t−1} (signed smoothed error) and
+    * MAD_t = β·|e_t| + (1−β)·MAD_{t−1}; an unbiased forecast keeps
+    * T near 0, a level/trend break pushes it toward ±1. |T| > 0.51
+    * (the classic β = 0.2 threshold) flags. The I-MR chart asks "is
+    * the PROCESS stable"; Trigg asks "is the FORECAST still valid".
+    *
+    * Determinism: the [[holt]] state-machine contract — day values
+    * r6-descaled, every state (forecast, E, MAD) re-frozen at 6 dp
+    * per step (BigDecimal HALF_UP = Spark round), so a recursive-CTE
+    * oracle replays the doubles bit-exactly; one hash shuffle +
+    * in-partition sort, O(1) state. Day 1 has no error (NULL); a
+    * zero MAD (errors all exactly 0 so far) reports NULL T, never
+    * 0/0. Output: (group, day, x, forecast, err, tracking, alert).
+    */
+  def triggTrackingSignal(df: DataFrame, groupCol: String,
+      tsCol: String, valueCol: String, alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]")
+    require(beta > 0.0 && beta <= 1.0, s"beta must be in (0,1]")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+      .repartition(col("_g"))
+      .sortWithinPartitions(col("_g"), col("_day"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_g",
+        cells.schema("_g").dataType, nullable = true),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("forecast",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("err",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("tracking",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("alert",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val gi = cells.schema.fieldIndex("_g")
+    val di = cells.schema.fieldIndex("_day")
+    val xi = cells.schema.fieldIndex("_x")
+    val out = cells.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var f: java.lang.Double = null
+      var em = 0.0
+      var mad = 0.0
+      it.map { r =>
+        val k = r.get(gi)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; f = null; em = 0.0; mad = 0.0
+        }
+        val day = r.getLong(di)
+        val v = r6(r.getLong(xi) / 1e6)
+        if (f == null) {
+          f = v
+          org.apache.spark.sql.Row(k, day, v, null, null, null, false)
+        } else {
+          val fPrev: Double = f
+          val e = r6(v - fPrev)
+          em = r6(beta * e + (1.0 - beta) * em)
+          mad = r6(beta * math.abs(e) + (1.0 - beta) * mad)
+          val trk: java.lang.Double =
+            if (mad > 0.0) r6(em / mad) else null
+          val alert = trk != null && math.abs(trk) > 0.51
+          f = r6(alpha * v + (1.0 - alpha) * fPrev)
+          org.apache.spark.sql.Row(k, day, v, fPrev, e, trk, alert)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.select(col("_g").as(groupCol), col("day").cast("bigint").as("day"),
+      col("x"), col("forecast"), col("err"), col("tracking"),
+      col("alert"))
+  }
+
+  /** GM(1,1) grey forecast per group (Deng 1982) — the
+    * small-sample exponential forecaster from grey-systems theory,
+    * a different FAMILY from the Holt/Croston smoothers: fit the
+    * whitened equation x⁰(k) + a·z(k) = b on the accumulated series
+    * x¹ = cumsum(x⁰), z(k) = (x¹(k)+x¹(k−1))/2, by closed-form
+    * least squares, then forecast
+    * x̂⁰(n+h) = (x⁰(1) − b/a)·(1 − e^a)·e^{−a(n+h−1)}. Exact for
+    * geometric series; the practical niche is very short series
+    * where the smoothers have nothing to average.
+    *
+    * Determinism: day values r6-descaled; z freezes at 6 dp; the LS
+    * moments fold as 12-dp products in decimal(38,12); a and b
+    * freeze at 12 dp BEFORE the forecast tree; e^a / e^{−a·k} are
+    * in-plan EXP of those frozen doubles (the kaplanMeier exp
+    * precedent). Degenerate fits (n < 4, det = 0, or a = 0 — a
+    * constant series has no exponential dynamics; use the smoother
+    * family) report NULL loudly. Scale shape: one day-cell shuffle,
+    * one window cumsum, one group fold, a horizon-row explode.
+    * Output: (group, h, a, b, forecast).
+    */
+  def greyForecast(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, horizon: Int): DataFrame = {
+    require(horizon >= 1 && horizon <= 14,
+      s"greyForecast: horizon must be in [1, 14], got $horizon")
+    val dec = "decimal(38,12)"
+    val cells = dayCells(df, groupCol, tsCol, valueCol)
+    val w = Window.partitionBy("_g").orderBy("_day")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = cells
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_v", round(col("_x").cast("double") / 1e6, 6))
+      .withColumn("_x1", sum(col("_x")).over(wRun))
+      .withColumn("_x1p", lag(col("_x1"), 1).over(w))
+      .withColumn("_z", when(col("_x1p").isNotNull,
+        round((col("_x1") + col("_x1p")).cast("double") / 2e6, 6)))
+    val first = pts.filter(col("_rn") === 1)
+      .select(col("_g").as("_gf"), col("_v").as("_v1"))
+    val folded = pts.filter(col("_z").isNotNull)
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_m"), max(col("_rn")).as("_n"),
+        sum(col("_z").cast(dec)).as("_sz"),
+        sum(col("_v").cast(dec)).as("_sv"),
+        sum(round(col("_z") * col("_z"), 12).cast(dec)).as("_szz"),
+        sum(round(col("_z") * col("_v"), 12).cast(dec)).as("_szv"))
+    def d(c: String): Column = col(c).cast("double")
+    val mD = col("_m").cast("double")
+    val det = mD * d("_szz") - d("_sz") * d("_sz")
+    val aHat = (d("_sz") * d("_sv") - mD * d("_szv")) / det
+    val bHat = (d("_szz") * d("_sv") - d("_sz") * d("_szv")) / det
+    val ok = col("_m") >= 3 && det =!= 0.0
+    val params = folded
+      .join(broadcast(first), col("_g") <=> col("_gf")).drop("_gf")
+      .withColumn("_a", when(ok, round(aHat, 12)))
+      .withColumn("_b", when(col("_a").isNotNull, round(bHat, 12)))
+      .filter(col("_a").isNotNull)
+    params
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col("_g").as(groupCol), col("h").cast("bigint").as("h"),
+        round(col("_a"), 6).cast("double").as("a"),
+        round(col("_b"), 6).cast("double").as("b"),
+        when(col("_a") =!= 0.0,
+          round((col("_v1") - col("_b") / col("_a"))
+            * (lit(1.0) - exp(col("_a")))
+            * exp(-col("_a") * (col("_n").cast("double")
+              + col("h").cast("double") - 1.0)), 6))
+          .cast("double").as("forecast"))
+  }
+
   /** Diebold–Mariano equal-forecast-accuracy test per group — "is
     * forecaster 1 actually better than forecaster 2, or is the gap
     * noise": the loss differential d_t = e1_t² − e2_t² between the

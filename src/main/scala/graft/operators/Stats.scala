@@ -6247,6 +6247,91 @@ object Stats {
           .cast("double").as("z"))
   }
 
+  /** Mood's squared-rank dispersion test per group vs the pooled
+    * rest — [[ansariBradley]]'s quadratic sibling: scores
+    * (r − (N+1)/2)² grow from the CENTER out, so a sample at the
+    * extremes scores HIGH (positive z = more dispersed — note the
+    * sign convention is opposite to AB's both-ends-low scores).
+    * Quadratic scores weight far tails harder than AB's linear ramp.
+    *
+    * Exactness: the doubled machinery — M4 = (D − (N+1))² is an
+    * exact integer (= 4·Mood scores); z from the exact finite-
+    * population moments of the realized score multiset (the AB
+    * justification verbatim: ties share the mid-rank score, and the
+    * test is conditional on the realized scores). Output: (group,
+    * n_group, n_rest, mood_stat, z) with mood_stat = ΣM4/4 in the
+    * classic units.
+    */
+  def moodDispersion(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(col(groupCol).as("_g"),
+        round(col(valueCol), 6).as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val totals = cells.groupBy(col("_q").as("_tq")).agg(sum("_c").as("_e"))
+      .withColumn("_cbelow", coalesce(
+        sum("_e").over(Window.orderBy(col("_tq"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val nAll = totals.agg(sum("_e").as("_n"))
+    val scoredTot = totals.crossJoin(broadcast(nAll))
+      .withColumn("_d", lit(2L) * col("_cbelow") + col("_e") + 1L)
+      .withColumn("_m4", ((col("_d") - (col("_n") + 1L)).cast(dec)
+        * (col("_d") - (col("_n") + 1L))).cast(dec))
+    val nn = scoredTot.agg(max("_n").as("_n"),
+      sum((col("_e").cast(dec) * col("_m4")).cast(dec)).as("_t2"),
+      sum((col("_e").cast(dec) * col("_m4") * col("_m4")).cast(dec))
+        .as("_t2sq"))
+    val perG = cells
+      .join(scoredTot.select("_tq", "_m4"), cells("_q") <=> col("_tq"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(sum("_c").as("n_group"),
+        sum((col("_c").cast(dec) * col("_m4")).cast(dec)).as("_sm4"))
+    def d(c: String): Column = col(c).cast("double")
+    perG.crossJoin(broadcast(nn))
+      .withColumn("n_rest", (col("_n") - col("n_group")).cast("bigint"))
+      .withColumn("_mean", col("n_group").cast("double") * d("_t2")
+        / d("_n"))
+      .withColumn("_sig", (d("_t2sq") - d("_t2") * d("_t2") / d("_n"))
+        / d("_n"))
+      .withColumn("_var", col("n_group").cast("double")
+        * col("n_rest").cast("double") / (d("_n") - 1.0) * col("_sig"))
+      .select(col(groupCol),
+        col("n_group").cast("bigint").as("n_group"),
+        col("n_rest"),
+        (d("_sm4") / 4.0).cast("double").as("mood_stat"),
+        when(col("n_rest") > 0 && col("_var") > 0.0,
+          round((d("_sm4") - col("_mean")) / sqrt(col("_var")), 6))
+          .cast("double").as("z"))
+  }
+
+  /** Lepage location-scale omnibus test per group vs the pooled
+    * rest — "did ANYTHING about this distribution move": L = z_W² +
+    * z_AB², the Wilcoxon/Mann–Whitney location z and the
+    * Ansari–Bradley dispersion z combined, χ²(2) under the null.
+    * The drift gate to run when neither a pure shift nor a pure
+    * spread alternative is known in advance.
+    *
+    * Determinism: both component z's are the FROZEN 6-dp outputs of
+    * [[mannWhitney]] and [[ansariBradley]] (shared cell machinery),
+    * so L is one rounded tree over already-pinned doubles; either
+    * component NULL (degenerate variance) → NULL L loudly. Output:
+    * (group, n_group, n_rest, z_location, z_dispersion, lepage).
+    */
+  def lepage(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val mw = mannWhitney(df, groupCol, valueCol)
+      .select(col(groupCol), col("n_group"), col("n_rest"),
+        col("z").as("_zw"))
+    val ab = ansariBradley(df, groupCol, valueCol)
+      .select(col(groupCol), col("z").as("_za"))
+    mw.join(ab, Seq(groupCol))
+      .select(col(groupCol), col("n_group"), col("n_rest"),
+        col("_zw").as("z_location"), col("_za").as("z_dispersion"),
+        when(col("_zw").isNotNull && col("_za").isNotNull,
+          round(col("_zw") * col("_zw") + col("_za") * col("_za"), 6))
+          .cast("double").as("lepage"))
+  }
+
   /** One-sample binned Kolmogorov–Smirnov against the UNIFORM law on
     * the observed [min, max] — "is this column flat over its range"
     * (hash keys, shard assignments, quantile-normalized features): the

@@ -450,6 +450,36 @@ object TextAnalysis {
         .cast("double").as("smog"))): _*)
   }
 
+  /** Coleman–Liau readability index per group — the CHARACTER-based
+    * member of the readability panel ([[readability]] counts
+    * syllable-ish vowel groups, [[smog]] polysyllables; CLI needs
+    * only letter counts, the original OCR-friendly design):
+    * CLI = 0.0588·L − 0.296·S − 15.8 with L = letters per 100 words
+    * and S = sentences per 100 words, on corpus-summed exact counts.
+    * Output: (group..., n_docs, letters, words, sentences, cli).
+    */
+  def colemanLiau(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val words = wordCount(col(textCol)).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val letters = size(regexp_extract_all(lower(col(textCol)),
+      lit("[a-z]"), lit(0))).cast("long")
+    val agg = df.filter(col(textCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(letters).as("letters"),
+        sum(words).as("words"), sum(sents).as("sentences"))
+    agg.select((groupCols.map(col) ++ Seq(col("n_docs"), col("letters"),
+      col("words"), col("sentences"),
+      when(col("words") >= 1,
+        round(lit(0.0588) * (col("letters").cast("double")
+            / col("words").cast("double") * 100.0)
+          - lit(0.296) * (col("sentences").cast("double")
+            / col("words").cast("double") * 100.0) - 15.8, 6))
+        .cast("double").as("cli"))): _*)
+  }
+
   /** Heuristic quality score in [0,1]: length component (saturates at
     * 50 words) + word-shape component (avg word length, saturates at 5
     * chars). Deterministic, SQL-expressible — the judged query mirrors

@@ -448,6 +448,16 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  /** Coleman–Liau readability per lang: the character-based panel
+    * member — letters/sentences per 100 words on exact summed
+    * counts.
+    */
+  val qColemanLiau: QueryFn = withTables { spark =>
+    TextAnalysis.colemanLiau(spark.table("documents"), "text",
+        Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** Quality scoring: deterministic length/word-shape heuristic. */
   val qQualityScore: QueryFn = withTables { spark =>
     val docs = spark.table("documents")
@@ -2060,6 +2070,7 @@ object LlmOps {
     "q_rake" -> qRake,
     "q_readability" -> qReadability,
     "q_smog" -> qSmog,
+    "q_coleman_liau" -> qColemanLiau,
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
     "q_quality_filter" -> qQualityFilter,
@@ -4128,6 +4139,32 @@ object LlmOps {
                * CAST(polysyllables AS DOUBLE)
                / CAST(sentences AS DOUBLE)) + 3.1291, 6) AS DOUBLE)
                AS smog
+      FROM agg ORDER BY lang""",
+
+    // The readability-panel counting CTEs with the letter count; one
+    // rounded CLI tree.
+    "q_coleman_liau" -> """
+      WITH pts AS (
+        SELECT lang,
+               (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                 + 1)::BIGINT AS w,
+               GREATEST(1, LEN(regexp_extract_all(text, '[.!?]+')))
+                 ::BIGINT AS st,
+               LEN(regexp_extract_all(LOWER(text), '[a-z]'))::BIGINT
+                 AS lt
+        FROM documents WHERE text IS NOT NULL),
+      agg AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(lt)::BIGINT AS letters, SUM(w)::BIGINT AS words,
+               SUM(st)::BIGINT AS sentences
+        FROM pts GROUP BY lang)
+      SELECT lang, n_docs, letters, words, sentences,
+             CAST(CASE WHEN words >= 1 THEN
+               ROUND(0.0588 * (CAST(letters AS DOUBLE)
+                   / CAST(words AS DOUBLE) * 100.0)
+                 - 0.296 * (CAST(sentences AS DOUBLE)
+                   / CAST(words AS DOUBLE) * 100.0) - 15.8, 6) END
+               AS DOUBLE) AS cli
       FROM agg ORDER BY lang""",
 
     "q_readability" -> """

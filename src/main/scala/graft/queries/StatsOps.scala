@@ -2478,6 +2478,45 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Mood squared-rank dispersion test of each event type's values
+    * vs the pooled rest: center-out quadratic scores on the doubled
+    * machinery, exact realized-score moments.
+    */
+  val qMoodDispersion: QueryFn = withTables { spark =>
+    Stats.moodDispersion(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  /** Lepage location-scale omnibus per event type vs the rest:
+    * L = z_W² + z_AB² from the frozen component z's — the drift
+    * gate when neither a pure shift nor a pure spread is the known
+    * alternative.
+    */
+  val qLepage: QueryFn = withTables { spark =>
+    Stats.lepage(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
+  /** Trigg tracking signal (α=0.3, β=0.2) on daily spend per type:
+    * the forecast-drift alarm — smoothed-error/MAD against the
+    * classic 0.51 threshold, 6-dp frozen state machine.
+    */
+  val qTrigg: QueryFn = withTables { spark =>
+    Resample.triggTrackingSignal(spark.table("events"), "event_type",
+        "ts", "value", alpha = 0.3, beta = 0.2)
+      .orderBy("event_type", "day")
+  }
+
+  /** GM(1,1) grey forecast (h = 1..3) of daily spend per type: the
+    * small-sample exponential forecaster — closed-form LS on the
+    * accumulated series, frozen params inside the EXP tree.
+    */
+  val qGrey: QueryFn = withTables { spark =>
+    Resample.greyForecast(spark.table("events"), "event_type", "ts",
+        "value", horizon = 3)
+      .orderBy("event_type", "h")
+  }
+
   /** Deming regression (λ = 1, orthogonal) of the rounded-dollar
     * reading on the raw value per event type — the q_bland_altman
     * pair's calibration line with both axes noisy; closed-form slope
@@ -3186,6 +3225,10 @@ object StatsOps {
     "q_gesd" -> qGesd,
     "q_spectral_entropy" -> qSpectralEntropy,
     "q_dcor" -> qDcor,
+    "q_mood_dispersion" -> qMoodDispersion,
+    "q_lepage" -> qLepage,
+    "q_trigg" -> qTrigg,
+    "q_grey" -> qGrey,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -6863,6 +6906,237 @@ object StatsOps {
                      / CAST(n AS DOUBLE))), 6) END AS DOUBLE) AS z
       FROM perg CROSS JOIN nn
       ORDER BY event_type""",
+
+    // The q_ansari_bradley machinery with the center-out quadratic
+    // score M4 = (D − (N+1))².
+    "q_mood_dispersion" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn0 AS (SELECT SUM(e)::BIGINT AS n FROM tot),
+      sc AS (SELECT tq, e,
+                    ((2 * cbelow + e + 1) - (n + 1))::HUGEINT
+                      * ((2 * cbelow + e + 1) - (n + 1)) AS m4
+             FROM tot2 CROSS JOIN nn0),
+      nn AS (SELECT MAX(n0.n)::BIGINT AS n,
+                    SUM(e::HUGEINT * m4)::HUGEINT AS t2,
+                    SUM(e::HUGEINT * m4 * m4)::HUGEINT AS t2sq
+             FROM sc CROSS JOIN nn0 n0),
+      perg AS (
+        SELECT g, SUM(c)::BIGINT AS ng,
+               SUM(c::HUGEINT * m4)::HUGEINT AS sm4
+        FROM cells JOIN sc ON cells.q IS NOT DISTINCT FROM sc.tq
+        GROUP BY g)
+      SELECT g AS event_type, ng AS n_group, (n - ng)::BIGINT AS n_rest,
+             CAST(CAST(sm4 AS DOUBLE) / 4.0 AS DOUBLE) AS mood_stat,
+             CAST(CASE WHEN n - ng > 0
+                        AND CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)
+                          / (CAST(n AS DOUBLE) - 1.0)
+                          * ((CAST(t2sq AS DOUBLE) - CAST(t2 AS DOUBLE)
+                              * CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)) > 0.0 THEN
+               ROUND((CAST(sm4 AS DOUBLE)
+                   - CAST(ng AS DOUBLE) * CAST(t2 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                 / SQRT(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - 1.0)
+                   * ((CAST(t2sq AS DOUBLE) - CAST(t2 AS DOUBLE)
+                       * CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE))), 6) END AS DOUBLE) AS z
+      FROM perg CROSS JOIN nn
+      ORDER BY event_type""",
+
+    // Both component chains (the q_mann_whitney U/z and the
+    // q_ansari_bradley score z) joined; L over the frozen 6-dp z's.
+    "q_lepage" -> """
+      WITH cells AS (
+        SELECT event_type AS g, ROUND(value, 6) AS q, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT q AS tq, SUM(c)::BIGINT AS e FROM cells GROUP BY q),
+      tot2 AS (
+        SELECT tq, e,
+               COALESCE(SUM(e) OVER (ORDER BY tq NULLS FIRST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ::BIGINT AS cbelow
+        FROM tot),
+      nn AS (SELECT SUM(e)::BIGINT AS n,
+                    SUM(e::HUGEINT * e * e - e)::HUGEINT AS ties
+             FROM tot),
+      pergw AS (
+        SELECT g, SUM(c)::BIGINT AS n_group,
+               SUM(c::HUGEINT * (2 * cbelow + e + 1))::HUGEINT AS r1d
+        FROM cells JOIN tot2 ON cells.q IS NOT DISTINCT FROM tot2.tq
+        GROUP BY g),
+      zw AS (
+        SELECT g, n_group, n_rest,
+               CAST(CASE WHEN n_rest > 0 AND var > 0 THEN
+                 ROUND((u - CAST(n_group AS DOUBLE) * n_rest / 2.0)
+                   / SQRT(var), 6) END AS DOUBLE) AS zloc
+        FROM (
+          SELECT g, n_group, (n - n_group)::BIGINT AS n_rest,
+                 CAST(2::HUGEINT * n_group * (n - n_group)
+                   + n_group::HUGEINT * (n_group + 1) - r1d AS DOUBLE)
+                   / 2.0 AS u,
+                 CAST(n_group AS DOUBLE) * (n - n_group)
+                   * ((CAST(n AS DOUBLE) + 1.0)
+                      - CAST(ties AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                   / 12.0 AS var,
+                 n
+          FROM pergw CROSS JOIN nn)),
+      sc AS (SELECT tq, e,
+                    LEAST(2 * cbelow + e + 1,
+                      2 * (n + 1) - (2 * cbelow + e + 1)) AS a2
+             FROM tot2 CROSS JOIN nn),
+      nnab AS (SELECT MAX(n0.n)::BIGINT AS n,
+                      SUM(e::HUGEINT * a2)::HUGEINT AS t2,
+                      SUM(e::HUGEINT * a2 * a2)::HUGEINT AS t2sq
+               FROM sc CROSS JOIN nn n0),
+      pergab AS (
+        SELECT g, SUM(c)::BIGINT AS ng,
+               SUM(c::HUGEINT * a2)::HUGEINT AS sa2
+        FROM cells JOIN sc ON cells.q IS NOT DISTINCT FROM sc.tq
+        GROUP BY g),
+      zab AS (
+        SELECT g,
+               CAST(CASE WHEN n - ng > 0
+                          AND CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)
+                            / (CAST(n AS DOUBLE) - 1.0)
+                            * ((CAST(t2sq AS DOUBLE) - CAST(t2 AS DOUBLE)
+                                * CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE))
+                              / CAST(n AS DOUBLE)) > 0.0 THEN
+                 ROUND((CAST(sa2 AS DOUBLE)
+                     - CAST(ng AS DOUBLE) * CAST(t2 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                   / SQRT(CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE)
+                     / (CAST(n AS DOUBLE) - 1.0)
+                     * ((CAST(t2sq AS DOUBLE) - CAST(t2 AS DOUBLE)
+                         * CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))), 6) END AS DOUBLE) AS zdisp
+        FROM pergab CROSS JOIN nnab)
+      SELECT zw.g AS event_type, zw.n_group, zw.n_rest,
+             zw.zloc AS z_location, zab.zdisp AS z_dispersion,
+             CAST(CASE WHEN zloc IS NOT NULL AND zdisp IS NOT NULL THEN
+               ROUND(zloc * zloc + zdisp * zdisp, 6) END AS DOUBLE)
+               AS lepage
+      FROM zw JOIN zab ON zab.g = zw.g
+      ORDER BY event_type""",
+
+    // The holt-family recursive CTE replaying the 6-dp (f, E, MAD)
+    // state machine; the engine computes 1−α/1−β as the identical
+    // IEEE differences.
+    "q_trigg" -> """
+      WITH RECURSIVE cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, day,
+                    ROUND(CAST(x AS DOUBLE) / 1000000.0, 6) AS v,
+                    ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS i
+             FROM cells),
+      rec AS (
+        SELECT g, i, day, v, v AS f,
+               CAST(0.0 AS DOUBLE) AS em, CAST(0.0 AS DOUBLE) AS mad,
+               CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS e,
+               CAST(NULL AS DOUBLE) AS trk
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i, si.day, si.v,
+               ROUND(CAST(0.3 AS DOUBLE) * si.v
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.f, 6),
+               ROUND(CAST(0.2 AS DOUBLE) * ROUND(si.v - r.f, 6)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.em,
+                 6),
+               ROUND(CAST(0.2 AS DOUBLE) * ABS(ROUND(si.v - r.f, 6))
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.mad,
+                 6),
+               r.f,
+               ROUND(si.v - r.f, 6),
+               CASE WHEN ROUND(CAST(0.2 AS DOUBLE)
+                   * ABS(ROUND(si.v - r.f, 6))
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.mad,
+                 6) > 0.0 THEN
+                 ROUND(ROUND(CAST(0.2 AS DOUBLE) * ROUND(si.v - r.f, 6)
+                     + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                       * r.em, 6)
+                   / ROUND(CAST(0.2 AS DOUBLE)
+                       * ABS(ROUND(si.v - r.f, 6))
+                     + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+                       * r.mad, 6), 6) END
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1)
+      SELECT g AS event_type, day, CAST(v AS DOUBLE) AS x,
+             CAST(fc AS DOUBLE) AS forecast, CAST(e AS DOUBLE) AS err,
+             CAST(trk AS DOUBLE) AS tracking,
+             (trk IS NOT NULL AND ABS(trk) > 0.51) AS alert
+      FROM rec
+      ORDER BY event_type, day""",
+
+    // Day cells, one window cumsum, the closed-form GM(1,1) LS with
+    // 12-dp frozen params inside the EXP forecast tree.
+    "q_grey" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               (CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                - ((CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400 + 86400)
+                   % 86400)) // 86400 AS day,
+               SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))::BIGINT AS x
+        FROM events GROUP BY 1, 2),
+      pts AS (
+        SELECT g, day,
+               ROW_NUMBER() OVER w AS rn,
+               ROUND(CAST(x AS DOUBLE) / 1000000.0, 6) AS v,
+               CASE WHEN LAG(x1c, 1) OVER w IS NOT NULL THEN
+                 ROUND(CAST(x1c + LAG(x1c, 1) OVER w AS DOUBLE)
+                   / 2000000.0, 6) END AS z
+        FROM (SELECT g, day, x,
+                     SUM(x) OVER (PARTITION BY g ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS x1c
+              FROM cells)
+        WINDOW w AS (PARTITION BY g ORDER BY day)),
+      first AS (SELECT g AS gf, v AS v1 FROM pts WHERE rn = 1),
+      f AS (SELECT g, COUNT(*)::BIGINT AS m, MAX(rn)::BIGINT AS n,
+                   SUM(CAST(z AS DECIMAL(38,12))) AS sz,
+                   SUM(CAST(v AS DECIMAL(38,12))) AS sv,
+                   SUM(CAST(ROUND(z * z, 12) AS DECIMAL(38,12))) AS szz,
+                   SUM(CAST(ROUND(z * v, 12) AS DECIMAL(38,12))) AS szv
+            FROM pts WHERE z IS NOT NULL GROUP BY g),
+      p AS (SELECT g, n, v1,
+                   CASE WHEN m >= 3
+                         AND CAST(m AS DOUBLE) * CAST(szz AS DOUBLE)
+                           - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                           <> 0.0 THEN
+                     ROUND((CAST(sz AS DOUBLE) * CAST(sv AS DOUBLE)
+                         - CAST(m AS DOUBLE) * CAST(szv AS DOUBLE))
+                       / (CAST(m AS DOUBLE) * CAST(szz AS DOUBLE)
+                         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)),
+                       12) END AS a,
+                   ROUND((CAST(szz AS DOUBLE) * CAST(sv AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(szv AS DOUBLE))
+                     / (CAST(m AS DOUBLE) * CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)), 12)
+                     AS b
+            FROM f JOIN first ON gf = f.g)
+      SELECT g AS event_type, CAST(h.h AS BIGINT) AS h,
+             CAST(ROUND(a, 6) AS DOUBLE) AS a,
+             CAST(ROUND(b, 6) AS DOUBLE) AS b,
+             CAST(CASE WHEN a <> 0.0 THEN
+               ROUND((v1 - b / a) * (1.0 - EXP(a))
+                 * EXP(-a * (CAST(n AS DOUBLE) + CAST(h.h AS DOUBLE)
+                   - 1.0)), 6) END AS DOUBLE) AS forecast
+      FROM p CROSS JOIN (VALUES (1), (2), (3)) h(h)
+      WHERE a IS NOT NULL
+      ORDER BY event_type, h""",
 
     // Descaled per-day errors, 6-dp loss differential requantized to
     // exact longs, the KPSS a-unit cancellation: DM = n·S/√(A₀+2ΣwA),

@@ -1161,6 +1161,56 @@ class ResampleSpec extends SparkTestBase {
     assert(alt.getDouble(3) == 0.386853, alt.toString)
   }
 
+  test("triggTrackingSignal: a level step drives T to 1 and alerts " +
+      "immediately; the stable prefix has zero errors and a NULL " +
+      "signal (never 0/0); hand state recursion") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    val rows = (0 until 6).map(d => ("A", ts(d), 5.0)) ++
+      (6 until 12).map(d => ("A", ts(d), 15.0))
+    val out = Resample.triggTrackingSignal(rows.toDF("g", "t", "v"),
+        "g", "t", "v", alpha = 0.3, beta = 0.2)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.isNullAt(3) && d0.isNullAt(5) && !d0.getBoolean(6))
+    // flat prefix: e = 0, MAD = 0 -> NULL tracking, no alert
+    val d3 = out(3L)
+    assert(d3.getDouble(4) == 0.0 && d3.isNullAt(5)
+      && !d3.getBoolean(6), d3.toString)
+    // the step day: e = 10 against forecast 5, T = 1, alert
+    val d6 = out(6L)
+    assert(d6.getDouble(3) == 5.0 && d6.getDouble(4) == 10.0
+      && d6.getDouble(5) == 1.0 && d6.getBoolean(6), d6.toString)
+    // two steps in: the SES forecast is catching up (hand recursion)
+    val d8 = out(8L)
+    assert(d8.getDouble(3) == 10.1 && d8.getDouble(4) == 4.9
+      && d8.getDouble(5) == 1.0 && d8.getBoolean(6), d8.toString)
+  }
+
+  test("greyForecast: the GM(1,1) fit of a doubling series — hand " +
+      "params a = -2/3, growing forecasts; a constant series has no " +
+      "exponential dynamics and reports no rows (a NULL-a filter)") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(d.toLong * 86400000L)
+    val rows = Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0).zipWithIndex.map {
+      case (v, d) => ("A", ts(d), v) } ++
+      (0 until 6).map(d => ("C", ts(d), 7.0))
+    val out = Resample.greyForecast(rows.toDF("g", "t", "v"),
+        "g", "t", "v", horizon = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val h1 = out(("A", 1L))
+    assert(h1.getDouble(2) == -0.666667 && h1.getDouble(3) == 0.666667,
+      h1.toString)
+    assert(h1.getDouble(4) == 53.13305, h1.toString)
+    assert(out(("A", 2L)).getDouble(4) == 103.489051)
+    assert(out(("A", 3L)).getDouble(4) == 201.569147)
+    // constant series: slope 0 -> a = 0 is the DEGENERATE fit; the
+    // row survives with a = 0 only if det != 0 — assert forecast NULL
+    out.keys.filter(_._1 == "C").foreach { k =>
+      assert(out(k).isNullAt(4), out(k).toString)
+    }
+  }
+
   test("kalmanLocalLevel: hand recursion — adaptive gain, " +
       "prediction-only steps on nulls, frozen states") {
     import spark.implicits._

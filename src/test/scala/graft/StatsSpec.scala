@@ -4366,6 +4366,37 @@ class StatsSpec extends SparkTestBase {
     assert(out("g").getDouble(3) == 0.0, out("g").toString)
   }
 
+  test("moodDispersion: quadratic center-out scores — the extremes " +
+      "group scores high with z = 1.9518 (sign OPPOSITE to " +
+      "ansariBradley); all-tied values are NULL") {
+    import spark.implicits._
+    val rows = Seq(("X", 1.0), ("X", 100.0),
+      ("Y", 49.0), ("Y", 50.0), ("Y", 51.0))
+    val out = Stats.moodDispersion(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("X")
+    assert(x.getDouble(3) == 8.0 && x.getDouble(4) == 1.9518,
+      x.toString)
+    assert(out("Y").getDouble(4) < 0.0, out("Y").toString)
+    val tied = Seq(("X", 5.0), ("X", 5.0), ("Y", 5.0)).toDF("g", "v")
+    assert(Stats.moodDispersion(tied, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap.apply("X").isNullAt(4))
+  }
+
+  test("lepage: the location test alone is blind to the extremes " +
+      "group (z_W exactly 0) but L = z_AB^2 still flags it — the " +
+      "omnibus point, on hand numbers") {
+    import spark.implicits._
+    val rows = Seq(("X", 1.0), ("X", 100.0),
+      ("Y", 49.0), ("Y", 50.0), ("Y", 51.0))
+    val out = Stats.lepage(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("X")
+    assert(x.getDouble(3) == 0.0, x.toString)          // z_location
+    assert(x.getDouble(4) == -1.745743, x.toString)    // z_dispersion
+    assert(x.getDouble(5) == 3.047619, x.toString)     // L = za^2
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._

@@ -996,6 +996,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getDouble(5) == 0.166667, r.toString)
   }
 
+  test("colemanLiau: hand letter/sentence counts — 5 words, 14 " +
+      "letters, 2 sentences give CLI -11.176") {
+    import spark.implicits._
+    val df = Seq(("A", "the cat sat. it ran!")).toDF("g", "text")
+    val r = TextAnalysis.colemanLiau(df, "text", Seq("g"))
+      .collect().head
+    assert(r.getLong(2) == 14L && r.getLong(3) == 5L
+      && r.getLong(4) == 2L, r.toString)
+    assert(r.getDouble(5) == -11.176, r.toString)
+  }
+
   test("jackknifeRichness: hand rare-type head — jack1 = S + f1, " +
       "jack2 = S + 2f1 - f2, exact integers") {
     import spark.implicits._
