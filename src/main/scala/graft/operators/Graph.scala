@@ -1182,6 +1182,42 @@ object Graph {
       .orderBy("k")
   }
 
+  /** Global transitivity ratio — the ONE-number closure summary
+    * beside [[triangleCounts]]'s per-vertex view and the local
+    * clustering coefficient's per-vertex average (which weight every
+    * vertex equally; transitivity weights by wedge count, so hubs
+    * dominate — the two diverge on hub-and-spoke graphs and the gap
+    * itself is diagnostic): T = 3·Δ / W with W = Σ_v deg_v(deg_v−1)/2
+    * open wedges.
+    *
+    * Exact integers end to end: Σ_v t_v = 3Δ from the triangle
+    * machinery, doubled wedges Σ deg(deg−1) fold cast-before-multiply
+    * in decimal(38,0), T = 2·Σt_v / W2 is ONE rounded division.
+    * Wedge-free graphs (W = 0) report NULL. Output: ONE row
+    * (n_vertices, wedges, sum_triangles, transitivity).
+    */
+  def transitivity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tri = triangleCounts(edges, srcCol, dstCol)
+      .agg(sum(col("n_triangles").cast(dec)).as("_st"))
+    val canon = canonicalEdges(edges, srcCol, dstCol)
+    val sym = canon.select(col("lo").as("_v"))
+      .unionByName(canon.select(col("hi").as("_v")))
+    val degs = sym.groupBy("_v").agg(count(lit(1)).as("_deg"))
+    val wed = degs.agg(count(lit(1)).as("_nv"),
+      sum((col("_deg").cast(dec) * (col("_deg") - 1L)).cast(dec))
+        .as("_w2"))
+    wed.crossJoin(broadcast(tri))
+      .select(col("_nv").cast("bigint").as("n_vertices"),
+        (col("_w2").cast("double") / 2.0).cast("double").as("wedges"),
+        col("_st").cast("bigint").as("sum_triangles"),
+        when(col("_w2").cast("double") > 0.0,
+          round(lit(2.0) * col("_st").cast("double")
+            / col("_w2").cast("double"), 6))
+          .cast("double").as("transitivity"))
+  }
+
   /** Average nearest-neighbor degree curve knn(k) (Pastor-Satorras) —
     * [[assortativity]]'s resolved view: one Pearson number says
     * WHETHER hubs prefer hubs; knn(k) says at WHICH degree scales the

@@ -438,6 +438,69 @@ object Profiling {
         :+ (col("n_sensitive") >= l).as("l_diverse")): _*)
   }
 
+  /** t-closeness audit over a quasi-identifier combination — the
+    * third rung of the release-governance ladder ([[kAnonymity]]'s
+    * k stops re-identification, l stops homogeneity; t stops the
+    * SKEW attack: a group can be l-diverse yet still reveal that its
+    * members are overwhelmingly in the top bucket): for an ORDINAL
+    * sensitive column, the Earth-Mover distance between the group's
+    * distribution and the global one,
+    * t = Σ_j |P_cum(j) − Q_cum(j)| / (m − 1) over the m ordered
+    * domain values.
+    *
+    * Exactness: the float distributions never materialize —
+    * |a_j·N − n_g·A_j| on exact cumulative integers folds in
+    * decimal(38,0), ONE division per group by (m−1)·n_g·N. The
+    * domain grid is explicit (a value a group never takes still
+    * moves its cumulative gap). m < 2 reports NULL. Scale shape:
+    * one (quasi, s) cell shuffle, a domain-bounded broadcast grid,
+    * domain-ordered windows on grid-sized frames. Output:
+    * (quasiCols..., n_rows, t_closeness, t_close) with the flag
+    * against `t`.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: Column, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: need quasi-identifier columns")
+    require(t > 0.0 && t < 1.0, s"tCloseness: t must be in (0,1), got $t")
+    val dec = "decimal(38,0)"
+    val gcols = quasiCols.map(col)
+    val cells = df.select((gcols :+ sensitiveCol.cast("long").as("_s")): _*)
+      .filter(col("_s").isNotNull)
+      .groupBy((gcols :+ col("_s")): _*).agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // domain + global + grid join read it
+    val domain = cells.select(col("_s")).distinct()
+    val global = cells.groupBy(col("_s").as("_sg"))
+      .agg(sum("_c").as("_cg"))
+      .withColumn("_cumg", sum("_cg").over(Window.orderBy("_sg")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nAll = cells.agg(sum("_c").as("_nn"),
+      countDistinct(col("_s")).as("_m"))
+    val groups = cells.groupBy(gcols: _*).agg(sum("_c").as("_ng"))
+    val grid = groups.crossJoin(broadcast(domain))
+      .join(cells, quasiCols :+ "_s", "left")
+      .withColumn("_cc", coalesce(col("_c"), lit(0L)))
+      .withColumn("_cum", sum("_cc").over(
+        Window.partitionBy(gcols: _*).orderBy("_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(global), col("_s") === col("_sg")).drop("_sg")
+      .crossJoin(broadcast(nAll))
+      .withColumn("_gap", abs((col("_cum").cast(dec) * col("_nn"))
+        .cast(dec) - (col("_ng").cast(dec) * col("_cumg")).cast(dec)))
+    grid.groupBy((gcols :+ col("_ng") :+ col("_m") :+ col("_nn")): _*)
+      .agg(sum(col("_gap")).as("_sgap"))
+      .select((gcols :+ col("_ng").cast("bigint").as("n_rows") :+
+        when(col("_m") >= 2,
+          round(col("_sgap").cast("double")
+            / ((col("_m").cast("double") - 1.0)
+              * col("_ng").cast("double") * col("_nn").cast("double")),
+            6)).cast("double").as("t_closeness") :+
+        when(col("_m") >= 2,
+          round(col("_sgap").cast("double")
+            / ((col("_m").cast("double") - 1.0)
+              * col("_ng").cast("double") * col("_nn").cast("double")),
+            6) <= t).as("t_close")): _*)
+  }
+
   /** Suppression remedy: keep only rows whose quasi-group has >= k
     * members. One aggregation + one group-keyed semi-join (the
     * group-size table is group-count-sized — broadcast at scale).

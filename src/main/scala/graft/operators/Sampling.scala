@@ -556,6 +556,84 @@ object Sampling {
         :+ col("n")): _*)
   }
 
+  /** Neyman allocation for stratified sampling — the DESIGN step the
+    * sampling family executes but never planned: given a total
+    * budget n, the variance-minimizing split is
+    * n_h ∝ N_h·S_h (big AND noisy strata earn more samples;
+    * proportional allocation ignores the S_h factor and wastes
+    * budget on homogeneous strata).
+    *
+    * Determinism: per-stratum moments fold exactly (1e6-scaled longs
+    * in decimal(38,0)); S_h is the sample sd frozen at 6 dp; shares
+    * freeze at 12 dp before the one rounded allocation per stratum.
+    * Zero-variance or singleton strata allocate 0 loudly (a min-1
+    * floor is survey policy, not estimation — apply downstream).
+    * Rounded allocations can sum to budget ± (#strata−1); the
+    * largest-remainder repair is presentation, not computed here.
+    * Output: (stratum, n_rows, sd, share, alloc).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, s"neymanAllocation: budget must be >= 1")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(stratumCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_xq"))
+    val mom = pts.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_xq").cast(dec)).as("_s1"),
+        sum((col("_xq").cast(dec) * col("_xq")).cast(dec)).as("_q1"))
+      .withColumn("_var",
+        (col("_n").cast("double") * col("_q1").cast("double")
+          - col("_s1").cast("double") * col("_s1").cast("double"))
+          / (col("_n").cast("double")
+            * (col("_n").cast("double") - 1.0)))
+      .withColumn("_sd", when(col("_n") >= 2 && col("_var") > 0.0,
+        round(sqrt(col("_var")) / 1e6, 6)).otherwise(lit(0.0)))
+      .withColumn("_ns", round(col("_n").cast("double") * col("_sd"), 6))
+    val tot = mom.agg(sum(col("_ns").cast("decimal(38,6)")).as("_tns"))
+    mom.crossJoin(broadcast(tot))
+      .withColumn("_share", when(col("_tns").cast("double") > 0.0,
+        round(col("_ns") / col("_tns").cast("double"), 12))
+        .otherwise(lit(0.0)))
+      .select(col("_g").as(stratumCol),
+        col("_n").cast("bigint").as("n_rows"),
+        col("_sd").cast("double").as("sd"),
+        round(col("_share"), 6).cast("double").as("share"),
+        round(col("_share") * budget, 0).cast("bigint").as("alloc"))
+  }
+
+  /** Kish design effect of a weighting scheme — "how much effective
+    * sample did the weights cost": deff = n·Σw²/(Σw)², n_eff =
+    * n/deff. The honest companion to [[rakeWeights]]: raking buys
+    * marginal balance by inflating variance, and deff is the price
+    * tag. Takes the (count, weight) CELL table (weights constant
+    * within a cell), so the corpus never re-enters.
+    *
+    * Exactness: 12-dp weights make n·w and n·round(w², 12) exact at
+    * 12/24 dp — both fold in decimal(38,12); deff freezes at 6 dp
+    * before n_eff. Output: ONE row (n, deff, n_eff).
+    */
+  def designEffect(cells: DataFrame, countCol: String,
+      weightCol: String): DataFrame = {
+    val dec = "decimal(38,12)"
+    val folded = cells
+      .agg(sum(col(countCol)).as("_n"),
+        sum(round(col(countCol) * col(weightCol), 12).cast(dec))
+          .as("_sw"),
+        sum(round(col(countCol)
+          * round(col(weightCol) * col(weightCol), 12), 12).cast(dec))
+          .as("_sw2"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_n").cast("double")
+    val deff = round(nD * d("_sw2") / (d("_sw") * d("_sw")), 6)
+    folded
+      .withColumn("_deff", when(d("_sw") > 0.0, deff))
+      .select(col("_n").cast("bigint").as("n"),
+        col("_deff").cast("double").as("deff"),
+        round(nD / col("_deff"), 6).cast("double").as("n_eff"))
+  }
+
   /** Iterative proportional fitting (raking; Deming & Stephan 1940) —
     * the dataset-rebalancing weights that make a corpus's (a × b)
     * composition match TARGET marginals without resampling: classic

@@ -494,6 +494,16 @@ object AnalyticsOps {
       .orderBy("lang", "source")
   }
 
+  /** t-closeness audit of the same (lang, source) quasi-groups on
+    * the 100-char length bucket: ordered-EMD skew vs the global
+    * distribution, exact cumulative cross-multiplied gaps, t = 0.2.
+    */
+  val qTCloseness: QueryFn = withTables { spark =>
+    Profiling.tCloseness(spark.table("documents"),
+        Seq("lang", "source"), floor(col("n_chars") / 100.0), t = 0.2)
+      .orderBy("lang", "source")
+  }
+
   // Shared scaffold for the retrieval-eval family: exact-cosine and
   // dot-product rankings per probe, both on bit-identical index-order
   // folds (see qRecallMetric).
@@ -1024,6 +1034,7 @@ object AnalyticsOps {
     "q_kappa_weighted" -> qKappaWeighted,
     "q_stickiness" -> qStickiness,
     "q_k_anonymity" -> qKAnonymity,
+    "q_t_closeness" -> qTCloseness,
     "q_rrf_fuse" -> qRrfFuse,
     "q_ndcg" -> qNdcg,
     "q_quantile_norm" -> qQuantileNorm,
@@ -3292,6 +3303,53 @@ object AnalyticsOps {
 
     // All-integer governance audit: group sizes + distinct sensitive
     // values + the two threshold booleans.
+    // The k-anonymity cell fold + an explicit domain grid with
+    // cumulative cross-multiplied gaps; HUGEINT numerators, one
+    // division per quasi-group.
+    "q_t_closeness" -> """
+      WITH cells AS (
+        SELECT lang, source, CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS s,
+               COUNT(*)::BIGINT AS c
+        FROM documents
+        WHERE CAST(FLOOR(n_chars / 100.0) AS BIGINT) IS NOT NULL
+        GROUP BY 1, 2, 3),
+      dom AS (SELECT DISTINCT s FROM cells),
+      gcum AS (SELECT s AS sg,
+                      SUM(cg) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cumg
+               FROM (SELECT s, SUM(c)::BIGINT AS cg FROM cells
+                     GROUP BY s)),
+      na AS (SELECT SUM(c)::BIGINT AS nn, COUNT(DISTINCT s)::BIGINT AS m
+             FROM cells),
+      grp AS (SELECT lang, source, SUM(c)::BIGINT AS ng
+              FROM cells GROUP BY 1, 2),
+      grid AS (SELECT g.lang, g.source, g.ng, d.s,
+                      COALESCE(cells.c, 0)::BIGINT AS cc
+               FROM grp g CROSS JOIN dom d
+               LEFT JOIN cells ON cells.lang = g.lang
+                 AND cells.source = g.source AND cells.s = d.s),
+      cum AS (SELECT lang, source, ng, s,
+                     SUM(cc) OVER (PARTITION BY lang, source ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM grid),
+      gap AS (SELECT lang, source, ng, m, nn,
+                     ABS(cum::HUGEINT * nn - ng::HUGEINT * cumg) AS gap
+              FROM cum JOIN gcum ON gcum.sg = cum.s CROSS JOIN na)
+      SELECT lang, source, ng AS n_rows,
+             CAST(CASE WHEN m >= 2 THEN
+               ROUND(CAST(SUM(gap) AS DOUBLE)
+                 / ((CAST(m AS DOUBLE) - 1.0) * CAST(ng AS DOUBLE)
+                   * CAST(nn AS DOUBLE)), 6) END AS DOUBLE)
+               AS t_closeness,
+             CASE WHEN m >= 2 THEN
+               (ROUND(CAST(SUM(gap) AS DOUBLE)
+                 / ((CAST(m AS DOUBLE) - 1.0) * CAST(ng AS DOUBLE)
+                   * CAST(nn AS DOUBLE)), 6) <= 0.2) END AS t_close
+      FROM gap GROUP BY lang, source, ng, m, nn
+      ORDER BY lang, source""",
+
     "q_k_anonymity" -> """
       SELECT lang, source, COUNT(*) AS n_rows,
              COUNT(DISTINCT n_chars) AS n_sensitive,

@@ -682,7 +682,17 @@ object GraphOps {
     Graph.reciprocity(ed, "src", "dst")
   }
 
+  /** Global transitivity of the mod-5 co-order graph: 3Δ/wedges on
+    * exact integer folds — the wedge-weighted closure number whose
+    * gap from the mean local coefficient reads hub structure.
+    */
+  val qTransitivity: QueryFn = withTablesSf { (spark, sfDir) =>
+    Graph.transitivity(coOrderParts(spark, sfDir, 5).select("a", "b"),
+        "a", "b")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_transitivity" -> qTransitivity,
     "q_knn_degree" -> qKnnDegree,
     "q_reciprocity" -> qReciprocity,
     "q_rich_club" -> qRichClub,
@@ -1880,6 +1890,40 @@ object GraphOps {
     // Canonical (lo < hi BY STRING ORDER, matching the operator's
     // string cast) edges; each triangle {a<b<c} is generated once as
     // ab ⋈ bc closed by ac, then credits its three corners.
+    // The q_triangles corner counting + the symmetric degree fold;
+    // T = 2·Σt_v / Σdeg(deg−1) on exact integers.
+    "q_transitivity" -> """
+      WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_orderkey % 5 = 0),
+      pr AS (SELECT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS (SELECT DISTINCT
+              LEAST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+              GREATEST(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi
+            FROM pr WHERE a <> b),
+      tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+              FROM e ab
+              JOIN e bc ON bc.lo = ab.hi
+              JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+      st AS (SELECT SUM(cnt)::HUGEINT AS st FROM (
+               SELECT COUNT(*)::BIGINT AS cnt FROM (
+                 SELECT a AS vertex FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+               GROUP BY vertex)),
+      sym AS (SELECT lo AS v FROM e UNION ALL SELECT hi FROM e),
+      degs AS (SELECT v, COUNT(*)::BIGINT AS deg FROM sym GROUP BY v),
+      wed AS (SELECT COUNT(*)::BIGINT AS nv,
+                     SUM(deg::HUGEINT * (deg - 1)) AS w2
+              FROM degs)
+      SELECT nv AS n_vertices,
+             CAST(CAST(w2 AS DOUBLE) / 2.0 AS DOUBLE) AS wedges,
+             CAST(st AS BIGINT) AS sum_triangles,
+             CAST(CASE WHEN CAST(w2 AS DOUBLE) > 0.0 THEN
+               ROUND(2.0 * CAST(st AS DOUBLE) / CAST(w2 AS DOUBLE), 6)
+               END AS DOUBLE) AS transitivity
+      FROM wed CROSS JOIN st""",
+
     "q_triangles" -> """
       WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
                   FROM lineitem WHERE l_orderkey % 5 = 0),

@@ -2478,6 +2478,62 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Theil's U2 forecast-quality ratio per type: in-sample one-step
+    * Holt errors over naive lag-1 errors — U2 < 1 means the smoother
+    * actually earns its keep; 6-dp frozen states and errors, exact
+    * decimal squared folds.
+    */
+  val qTheilU2: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+    val sm = Resample.holt(daily, "event_type", Seq("d"), "x",
+      alpha = 0.3, beta = 0.2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d")
+    val scored = sm
+      .withColumn("_fl", lag(col("level"), 1).over(w))
+      .withColumn("_ft", lag(col("trend"), 1).over(w))
+      .withColumn("_px", lag(col("x"), 1).over(w))
+      .filter(col("_fl").isNotNull && col("_px").isNotNull)
+      .withColumn("_em",
+        round(col("x") - round(col("_fl") + col("_ft"), 6), 6))
+      .withColumn("_en", round(col("x") - col("_px"), 6))
+    val agg = scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(round(col("_em") * col("_em"), 12).cast("decimal(38,12)"))
+          .as("_sm"),
+        sum(round(col("_en") * col("_en"), 12).cast("decimal(38,12)"))
+          .as("_sn"))
+    agg.select(col("event_type"),
+        col("n_days").cast("bigint").as("n_days"),
+        when(col("_sn").cast("double") > 0.0,
+          round(sqrt(col("_sm").cast("double")
+            / col("_sn").cast("double")), 6))
+          .cast("double").as("u2"))
+      .orderBy("event_type")
+  }
+
+  /** Neyman allocation of a 1000-row budget across event types on
+    * value variability: n_h ∝ N_h·S_h — the variance-minimizing
+    * stratified design, frozen sd/share trees.
+    */
+  val qNeyman: QueryFn = withTables { spark =>
+    graft.operators.Sampling.neymanAllocation(spark.table("events"),
+        "event_type", "value", budget = 1000)
+      .orderBy("event_type")
+  }
+
+  /** Kish design effect of the q_ipf_rake weights: deff = n·Σw²/
+    * (Σw)² — what the raking balance cost in effective sample.
+    */
+  val qDesignEffect: QueryFn = withTables { spark =>
+    graft.operators.Sampling.designEffect(
+      graft.operators.Sampling.rakeWeights(spark.table("documents"),
+        "lang", "source", iters = 2), "n", "weight")
+  }
+
   /** Mood squared-rank dispersion test of each event type's values
     * vs the pooled rest: center-out quadratic scores on the doubled
     * machinery, exact realized-score moments.
@@ -3229,6 +3285,9 @@ object StatsOps {
     "q_lepage" -> qLepage,
     "q_trigg" -> qTrigg,
     "q_grey" -> qGrey,
+    "q_theil_u2" -> qTheilU2,
+    "q_neyman" -> qNeyman,
+    "q_design_effect" -> qDesignEffect,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -6906,6 +6965,129 @@ object StatsOps {
                      / CAST(n AS DOUBLE))), 6) END AS DOUBLE) AS z
       FROM perg CROSS JOIN nn
       ORDER BY event_type""",
+
+    // The q_holt_forecast recursive state CTE + one-step-ahead and
+    // naive errors; exact decimal squared folds, one rounded ratio.
+    "q_theil_u2" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      rec AS (
+        SELECT g, i, x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i,
+               ROUND(CAST(0.3 AS DOUBLE) * si.x
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (r.level + r.trend), 6),
+               ROUND(CAST(0.2 AS DOUBLE)
+                   * (ROUND(CAST(0.3 AS DOUBLE) * si.x
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                         * (r.level + r.trend), 6) - r.level)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.trend, 6)
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      sc AS (
+        SELECT si.g,
+               ROUND(si.x - ROUND(r.level + r.trend, 6), 6) AS em,
+               ROUND(si.x - sp.x, 6) AS en
+        FROM si
+        JOIN rec r ON r.g = si.g AND r.i = si.i - 1
+        JOIN si sp ON sp.g = si.g AND sp.i = si.i - 1),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(CAST(ROUND(em * em, 12) AS DECIMAL(38,12)))
+                       AS sm,
+                     SUM(CAST(ROUND(en * en, 12) AS DECIMAL(38,12)))
+                       AS sn
+              FROM sc GROUP BY g)
+      SELECT g AS event_type, n AS n_days,
+             CAST(CASE WHEN CAST(sn AS DOUBLE) > 0.0 THEN
+               ROUND(SQRT(CAST(sm AS DOUBLE) / CAST(sn AS DOUBLE)), 6)
+               END AS DOUBLE) AS u2
+      FROM agg
+      ORDER BY event_type""",
+
+    // The grubbs moment trees into the frozen sd/share/allocation
+    // chain.
+    "q_neyman" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS xq
+        FROM events WHERE value IS NOT NULL),
+      mom AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(xq::HUGEINT) AS s1,
+                     SUM(xq::HUGEINT * xq) AS q1
+              FROM pts GROUP BY g),
+      sd AS (SELECT g, n,
+                    CASE WHEN n >= 2 AND vr > 0.0 THEN
+                      ROUND(SQRT(vr) / 1000000.0, 6) ELSE 0.0 END AS sd
+             FROM (SELECT g, n,
+                     (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0)) AS vr
+                   FROM mom)),
+      ns AS (SELECT g, n, sd, ROUND(CAST(n AS DOUBLE) * sd, 6) AS nsv
+             FROM sd),
+      tot AS (SELECT SUM(CAST(nsv AS DECIMAL(38,6))) AS tns FROM ns),
+      sh AS (SELECT g, n, sd,
+                    CASE WHEN CAST(tns AS DOUBLE) > 0.0 THEN
+                      ROUND(nsv / CAST(tns AS DOUBLE), 12)
+                    ELSE 0.0 END AS share
+             FROM ns CROSS JOIN tot)
+      SELECT g AS event_type, n AS n_rows, CAST(sd AS DOUBLE) AS sd,
+             CAST(ROUND(share, 6) AS DOUBLE) AS share,
+             CAST(ROUND(share * 1000, 0) AS BIGINT) AS alloc
+      FROM sh
+      ORDER BY event_type""",
+
+    // The q_ipf_rake unrolled half-steps + the Kish fold over the
+    // cell table; frozen deff inside n_eff.
+    "q_design_effect" -> """
+      WITH cells AS (
+        SELECT lang AS a, source AS b, COUNT(*)::BIGINT AS c
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM cells),
+      la AS (SELECT CAST(COUNT(*) AS DOUBLE) AS la
+             FROM (SELECT DISTINCT a FROM cells)),
+      lb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS lb
+             FROM (SELECT DISTINCT b FROM cells)),
+      w0 AS (SELECT a, b, c, nt, la, lb, 1.0 AS w
+             FROM cells CROSS JOIN tot CROSS JOIN la CROSS JOIN lb),
+      r1 AS (SELECT a, b, c, nt, la, lb,
+               ROUND(w * (nt / la)
+                 / SUM(c * w) OVER (PARTITION BY a), 12) AS w
+             FROM w0),
+      c1 AS (SELECT a, b, c, nt, la, lb,
+               ROUND(w * (nt / lb)
+                 / SUM(c * w) OVER (PARTITION BY b), 12) AS w
+             FROM r1),
+      r2 AS (SELECT a, b, c, nt, la, lb,
+               ROUND(w * (nt / la)
+                 / SUM(c * w) OVER (PARTITION BY a), 12) AS w
+             FROM c1),
+      c2 AS (SELECT a, b, c, CAST(w AS DOUBLE) AS w
+             FROM (SELECT a, b, c,
+                     ROUND(w * (nt / lb)
+                       / SUM(c * w) OVER (PARTITION BY b), 12) AS w
+                   FROM r2)),
+      f AS (SELECT SUM(c)::BIGINT AS n,
+                   SUM(CAST(ROUND(c * w, 12) AS DECIMAL(38,12))) AS sw,
+                   SUM(CAST(ROUND(c * ROUND(w * w, 12), 12)
+                     AS DECIMAL(38,12))) AS sw2
+            FROM c2),
+      dd AS (SELECT n,
+                    CASE WHEN CAST(sw AS DOUBLE) > 0.0 THEN
+                      ROUND(CAST(n AS DOUBLE) * CAST(sw2 AS DOUBLE)
+                        / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)), 6)
+                    END AS deff
+             FROM f)
+      SELECT n, CAST(deff AS DOUBLE) AS deff,
+             CAST(ROUND(CAST(n AS DOUBLE) / deff, 6) AS DOUBLE) AS n_eff
+      FROM dd""",
 
     // The q_ansari_bradley machinery with the center-out quadratic
     // score M4 = (D − (N+1))².

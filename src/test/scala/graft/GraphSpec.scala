@@ -760,4 +760,16 @@ class GraphSpec extends SparkTestBase {
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L, r.toString)
     assert(r.getDouble(2) == 0.666667, r.toString)
   }
+
+  test("transitivity: triangle-plus-pendant — 3 corners over 5 " +
+      "wedges is 0.6; the pendant dilutes closure the mean local " +
+      "coefficient would hide") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("s", "t")
+    val r = Graph.transitivity(edges, "s", "t").collect().head
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 5.0
+      && r.getLong(2) == 3L, r.toString)
+    assert(r.getDouble(3) == 0.6, r.toString)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Profiling
+import org.apache.spark.sql.functions.col
 
 class ProfilingSpec extends SparkTestBase {
   import spark.implicits._
@@ -310,5 +311,21 @@ class ProfilingSpec extends SparkTestBase {
       && s1.isNullAt(5), "singleton group: H 0, eff 1, Simpson NULL")
     assert(out("skew").getDouble(3) < u.getDouble(3),
       "skewed mix is less diverse than uniform")
+  }
+
+  test("tCloseness: hand ordered-EMD — both skewed groups sit 15/36 " +
+      "from the global mix and fail t = 0.2; the cumulative gaps " +
+      "never materialize a float distribution") {
+    import spark.implicits._
+    val rows = Seq(("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 2L), ("B", 2L), ("B", 2L))
+    val out = Profiling.tCloseness(rows.toDF("g", "s"), Seq("g"),
+        col("s"), t = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    assert(out("A").getLong(1) == 3L
+      && out("A").getDouble(2) == 0.416667
+      && !out("A").getBoolean(3), out("A").toString)
+    assert(out("B").getDouble(2) == 0.416667 && !out("B").getBoolean(3))
   }
 }

@@ -436,4 +436,35 @@ class SamplingSpec extends SparkTestBase {
       .collect().map(_.getDouble(3))
     assert(w.forall(_ == 1.0), w.toSeq.toString)
   }
+
+  test("neymanAllocation: the noisy stratum earns the budget — " +
+      "hand shares 0.175/0.825; a zero-variance stratum allocates 0 " +
+      "loudly") {
+    import spark.implicits._
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 10.0), ("B", 10.0), ("B", 10.0),
+      ("C", 0.0), ("C", 10.0))
+    val out = Sampling.neymanAllocation(rows.toDF("g", "v"), "g", "v",
+        budget = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(2) == 1.0
+      && out("A").getDouble(3) == 0.175007
+      && out("A").getLong(4) == 18L, out("A").toString)
+    assert(out("C").getDouble(2) == 7.071068
+      && out("C").getLong(4) == 82L, out("C").toString)
+    assert(out("B").getDouble(2) == 0.0 && out("B").getLong(4) == 0L,
+      out("B").toString)
+  }
+
+  test("designEffect: unequal cell weights cost effective sample " +
+      "(hand deff 1.25, n_eff 3.2); uniform weights are exactly 1") {
+    import spark.implicits._
+    val cells = Seq((2L, 1.0), (2L, 3.0)).toDF("n", "weight")
+    val r = Sampling.designEffect(cells, "n", "weight").collect().head
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 1.25
+      && r.getDouble(2) == 3.2, r.toString)
+    val flat = Seq((5L, 2.0), (3L, 2.0)).toDF("n", "weight")
+    assert(Sampling.designEffect(flat, "n", "weight").collect().head
+      .getDouble(1) == 1.0)
+  }
 }
