@@ -2011,6 +2011,45 @@ object Resample {
           .cast("double").as("mase"))
   }
 
+  /** WAPE + signed bias panel of the seasonal-naive forecast — the
+    * two numbers [[forecastAccuracy]]'s panel omits and planners ask
+    * for first: WAPE = Σ|e|/Σ|y| (the volume-weighted error pct that
+    * doesn't explode on near-zero days the way MAPE does) and
+    * bias = Σe/Σ|y| (signed: persistent over/under-forecast — the
+    * batch twin of the Trigg signal's drift reading).
+    *
+    * Exactness: errors are exact integers on the 1e6 scale, both
+    * ratios divide exact decimal(38,0) sums once. Output: (group, n,
+    * wape, bias) — NULL when Σ|y| = 0 over the scored rows.
+    */
+  def forecastBias(df: DataFrame, groupCol: String, xCol: String,
+      valueCol: String, season: Int): DataFrame = {
+    require(season >= 1, s"forecastBias: season must be >= 1, got $season")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(xCol).cast("long").as("_x"),
+        round(col(valueCol) * 1e6).cast("long").as("_yq"))
+    val wOrd = Window.partitionBy("_g").orderBy("_x")
+    pts
+      .withColumn("_ys", lag(col("_yq"), season).over(wOrd))
+      .filter(col("_ys").isNotNull)
+      .withColumn("_e", col("_yq") - col("_ys"))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("_e")).cast(dec)).as("_sae"),
+        sum(col("_e").cast(dec)).as("_se"),
+        sum(abs(col("_yq")).cast(dec)).as("_say"))
+      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        when(col("_say").cast("double") > 0.0,
+          round(col("_sae").cast("double")
+            / col("_say").cast("double"), 6))
+          .cast("double").as("wape"),
+        when(col("_say").cast("double") > 0.0,
+          round(col("_se").cast("double")
+            / col("_say").cast("double"), 6))
+          .cast("double").as("bias"))
+  }
+
   /** Newey–West (Bartlett-kernel) HAC standard error of each group's
     * daily mean: se² = [γ̂₀ + 2Σ_{k=1..m}(1 − k/(m+1))·γ̂_k]/n — the
     * honest uncertainty for a CORRELATED series, reported beside the

@@ -596,6 +596,76 @@ object Stats {
         col("intercept").cast("double"))
   }
 
+  /** Passing–Bablok method-comparison regression per group — the
+    * RANK-based calibration fit beside [[demingRegression]]'s moment
+    * one: no error-variance ratio to assume, outlier-proof, and the
+    * estimate is the K-SHIFTED median of pairwise slopes — the shift
+    * (K = #slopes < −1, exact-(−1) slopes excluded) is what makes it
+    * an unbiased METHOD-COMPARISON estimator where plain [[theilSen]]
+    * is a trend estimator; intercept = median(y − b·x).
+    *
+    * Determinism: the theilSen machinery verbatim (maxPoints cells
+    * guard, 6-dp frozen slopes, lower-median convention — the shifted
+    * rank is ⌊(N+1)/2⌋ + K, documented); equal-x pairs drop with the
+    * x₁ < x₂ join, slopes exactly −1 drop by the PB rule. A shifted
+    * rank beyond N (pathological anti-correlation) reports NULL
+    * loudly. Output: (group, n, n_pairs, k_neg, slope, intercept).
+    */
+  def passingBablok(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2, s"passingBablok: maxPoints must be >= 2")
+    val raw = df.select(col(groupCol).as("_g"),
+      col(xCol).cast("double").as("_x"), col(yCol).cast("double").as("_y"))
+    val pts = Stats.guardGroupSize(raw, "_x",
+      s"passingBablok: group exceeds $maxPoints points — pre-aggregate " +
+        "the series to cells before the pairwise stage",
+      maxPoints)
+    val a = pts.select(col("_g"), col("_x").as("_x1"), col("_y").as("_y1"))
+    val b = pts.select(col("_g").as("_g2"), col("_x").as("_x2"),
+      col("_y").as("_y2"))
+    val slopes = a.join(b, col("_g") <=> col("_g2") && col("_x1") < col("_x2"))
+      .select(col("_g"),
+        // the x1 < x2 guard REPEATS inside the expression: Catalyst
+        // pushes the -1 filter into the join, where predicate order
+        // is unspecified and ANSI division would see x1 = x2 pairs
+        when(col("_x1") < col("_x2"),
+          round((col("_y2") - col("_y1")) / (col("_x2") - col("_x1")), 6))
+          .as("_s"))
+      .filter(col("_s") =!= -1.0)
+    val wS = Window.partitionBy("_g").orderBy("_s")
+    val wG = Window.partitionBy("_g")
+    val shiftRank = (floor((col("_nq") + 1) / 2) + col("_k")).cast("bigint")
+    val slopeMed = slopes
+      .withColumn("_rn", row_number().over(wS))
+      .withColumn("_nq", count(lit(1)).over(wG))
+      .withColumn("_k",
+        sum(when(col("_s") < -1.0, 1L).otherwise(0L)).over(wG))
+      .withColumn("_med",
+        max(when(col("_rn") === shiftRank, col("_s"))).over(wG))
+      .groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("n_pairs"), max("_k").as("k_neg"),
+        max("_med").as("slope"))
+    val withSlope = pts.join(slopeMed, col("_g") <=> col("_gm"), "left")
+    val wI = Window.partitionBy("_g").orderBy("_i")
+    val medRank = floor((col("_nq") + 1) / 2).cast("bigint")
+    val interMed = withSlope
+      .filter(col("slope").isNotNull)
+      .withColumn("_i", round(col("_y") - col("slope") * col("_x"), 6))
+      .withColumn("_rn", row_number().over(wI))
+      .withColumn("_nq", count(lit(1)).over(wG))
+      .withColumn("_imed", max(when(col("_rn") === medRank, col("_i"))).over(wG))
+      .groupBy(col("_g").as("_gi"))
+      .agg(max("_imed").as("intercept"))
+    pts.groupBy("_g").agg(count(lit(1)).as("n"))
+      .join(slopeMed, col("_g") <=> col("_gm"), "left")
+      .join(interMed, col("_g") <=> col("_gi"), "left")
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        coalesce(col("n_pairs"), lit(0L)).cast("bigint").as("n_pairs"),
+        coalesce(col("k_neg"), lit(0L)).cast("bigint").as("k_neg"),
+        col("slope").cast("double"),
+        col("intercept").cast("double"))
+  }
+
   /** Kendall's tau-b rank correlation per group — the pair-concordance
     * view of monotonic association (Spearman asks "how linear are the
     * ranks", tau asks "what fraction of pairs agree in direction"),
@@ -2300,6 +2370,51 @@ object Stats {
       .withColumn("significant",
         col("rank") < coalesce(col("_kfail"), col("m") + 1))
       .drop("_kfail")
+  }
+
+  /** Hochberg step-up correction — [[holm]]'s sharper twin: the SAME
+    * α/(m−j+1) thresholds, but rejection runs from the LARGEST p
+    * down — reject everything at or below the largest j whose p_(j)
+    * clears its threshold, so one strong test can rescue borderline
+    * siblings Holm's first-failure stop abandons. Uniformly more
+    * powerful than Holm; the price is an independence/positive-
+    * dependence assumption (Holm is assumption-free — both stay in
+    * the battery for that reason). Adjusted p is the REVERSE running
+    * min of min(1, (m−j+1)·p_j), 9-dp frozen per term.
+    *
+    * Same battery contract as [[fdrBh]]/[[holm]]: one row per TEST,
+    * NULL p loudly rejected, deterministic (p, idCols) rank,
+    * single-partition window guarded by `maxTests`. Output: input
+    * columns + rank, m, p_adj, significant.
+    */
+  def hochberg(df: DataFrame, pCol: String, idCols: Seq[String],
+      alpha: Double, maxTests: Int = 100000): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha=$alpha must be in (0,1)")
+    require(idCols.nonEmpty, "hochberg needs tiebreak id columns")
+    require(maxTests >= 1, s"maxTests=$maxTests must be >= 1")
+    val guarded = df.withColumn(pCol,
+      when(col(pCol).isNull, raise_error(
+        lit("hochberg: NULL p-value in the battery"))).otherwise(col(pCol)))
+    val w = Window.orderBy(col(pCol) +: idCols.map(col): _*)
+    val all = Window.partitionBy()
+    val wRev = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    guarded
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("m",
+        when(count(lit(1)).over(all) > maxTests, raise_error(lit(
+          s"hochberg: battery exceeds $maxTests tests — this operator " +
+            "ranks ONE row per test on a single partition; aggregate " +
+            "upstream or raise maxTests knowingly")).cast("long"))
+          .otherwise(count(lit(1)).over(all)))
+      .withColumn("p_adj",
+        min(round(least(lit(1.0),
+          col(pCol) * (col("m") - col("rank") + 1)), 9)).over(wRev))
+      .withColumn("_kmax",
+        max(when(col(pCol) * (col("m") - col("rank") + 1) <= alpha,
+          col("rank"))).over(all))
+      .withColumn("significant",
+        coalesce(col("rank") <= col("_kmax"), lit(false)))
+      .drop("_kmax")
   }
 
   /** Split-conformal quantile per group: q̂ = the k-th smallest

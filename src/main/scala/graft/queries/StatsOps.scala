@@ -1069,6 +1069,46 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Hochberg step-up over the SAME battery as q_fdr_holm: identical
+    * α/(m−j+1) thresholds walked from the largest p down — one
+    * strong test rescues borderline siblings Holm abandons.
+    */
+  val qHochberg: QueryFn = withTables { spark =>
+    val ks = Stats.ksTestBinned(spark.table("events"), "event_type",
+      "value", bins = 16)
+    val withP = ks.withColumn("p",
+      least(lit(1.0), round(lit(2.0) * exp(lit(-2.0) * col("ks") * col("ks")
+        * col("n_group").cast("double") * col("n_rest").cast("double")
+        / (col("n_group") + col("n_rest")).cast("double")), 9)))
+    Stats.hochberg(withP, "p", Seq("event_type"), alpha = 0.1)
+      .orderBy("event_type")
+  }
+
+  /** WAPE + signed bias of the season-7 naive forecast on the
+    * q_forecast_acc cells: the volume-weighted error pct and the
+    * persistent over/under-forecast reading.
+    */
+  val qForecastBias: QueryFn = withTables { spark =>
+    Resample.forecastBias(dayCells(spark), "event_type", "x", "y",
+        season = 7)
+      .orderBy("event_type")
+  }
+
+  /** Passing–Bablok method comparison of the rounded-dollar daily
+    * mean against the raw daily mean per event type: K-shifted
+    * median of pairwise slopes on calendar-bounded cells.
+    */
+  val qPassingBablok: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value"), 6).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("x"),
+        round(sum(round(round(col("value"), 0), 6).cast("decimal(38,6)"))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("y"))
+    Stats.passingBablok(daily, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
   /** Benjamini–Yekutieli over the SAME battery as q_fdr_bh — the
     * arbitrary-dependence FDR gate (these per-type KS screens share
     * the pooled rest, the textbook dependent battery): the BH walk
@@ -3288,6 +3328,9 @@ object StatsOps {
     "q_theil_u2" -> qTheilU2,
     "q_neyman" -> qNeyman,
     "q_design_effect" -> qDesignEffect,
+    "q_hochberg" -> qHochberg,
+    "q_forecast_bias" -> qForecastBias,
+    "q_passing_bablok" -> qPassingBablok,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -9177,6 +9220,146 @@ object StatsOps {
              rank < COALESCE(kfail, m + 1) AS significant
       FROM adj CROSS JOIN kf
       ORDER BY event_type""",
+
+    // The q_fdr_holm battery CTEs with the reverse-running-min p_adj
+    // and the step-UP max-qualifying-rank cutoff.
+    "q_hochberg" -> """
+      WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      cells AS (
+        SELECT event_type AS g,
+               (CASE WHEN value IS NOT NULL THEN
+                  CASE WHEN hi > lo
+                    THEN LEAST(FLOOR((value - lo) * 16 / (hi - lo)), 15)
+                    ELSE 0 END
+                END)::BIGINT AS q,
+               COUNT(*) AS c
+        FROM events CROSS JOIN st GROUP BY 1, 2),
+      grps AS (SELECT g, SUM(c)::BIGINT AS ng FROM cells GROUP BY g),
+      vals AS (SELECT DISTINCT q FROM cells),
+      nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
+      grid AS (
+        SELECT gr.g, v.q, gr.ng, COALESCE(ce.c, 0)::BIGINT AS c
+        FROM vals v CROSS JOIN grps gr
+        LEFT JOIN cells ce ON ce.g IS NOT DISTINCT FROM gr.g
+                          AND ce.q IS NOT DISTINCT FROM v.q),
+      cum AS (
+        SELECT g, q, ng,
+               SUM(c) OVER (PARTITION BY g ORDER BY q NULLS FIRST) AS cg
+        FROM grid),
+      cum2 AS (
+        SELECT g, q, ng, cg,
+               SUM(cg) OVER (PARTITION BY q) AS call
+        FROM cum),
+      kst AS (
+        SELECT g AS event_type, MAX(ng) AS n_group,
+               MAX(n) - MAX(ng) AS n_rest,
+               CASE WHEN MAX(n) - MAX(ng) > 0 THEN
+                 CAST(ROUND(MAX(ABS(cg * (n - ng) - (call - cg) * ng))
+                   / CAST(MAX(ng) * (MAX(n) - MAX(ng)) AS DOUBLE), 6)
+                   AS DOUBLE)
+               END AS ks
+        FROM cum2 CROSS JOIN nn
+        GROUP BY g),
+      withp AS (
+        SELECT event_type, n_group, n_rest, ks,
+               LEAST(1.0, ROUND(2.0 * EXP(-2.0 * ks * ks
+                 * CAST(n_group AS DOUBLE) * CAST(n_rest AS DOUBLE)
+                 / CAST(n_group + n_rest AS DOUBLE)), 9)) AS p
+        FROM kst),
+      ranked AS (
+        SELECT event_type, n_group, n_rest, ks, p,
+               ROW_NUMBER() OVER (ORDER BY p, event_type) AS rank,
+               COUNT(*) OVER () AS m
+        FROM withp),
+      adj AS (
+        SELECT *,
+               MIN(ROUND(LEAST(1.0, p * (m - rank + 1)), 9))
+                 OVER (ORDER BY rank
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS p_adj
+        FROM ranked),
+      km AS (SELECT MAX(rank) AS kmax FROM ranked
+             WHERE p * (m - rank + 1) <= 0.1)
+      SELECT event_type, n_group, n_rest, ks, p,
+             rank::BIGINT AS rank, m::BIGINT AS m,
+             CAST(p_adj AS DOUBLE) AS p_adj,
+             COALESCE(rank <= kmax, FALSE) AS significant
+      FROM adj CROSS JOIN km
+      ORDER BY event_type""",
+
+    // The q_theil_sen cells + exact integer season-7 errors; two
+    // exact-sum ratios.
+    "q_forecast_bias" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      pts AS (SELECT g, x,
+                     CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+              FROM cells),
+      wd AS (SELECT g, yq,
+                    LAG(yq, 7) OVER (PARTITION BY g ORDER BY x) AS ys
+             FROM pts),
+      er AS (SELECT g, yq, yq - ys AS e FROM wd WHERE ys IS NOT NULL),
+      agg AS (SELECT g, COUNT(*)::BIGINT AS n,
+                     SUM(ABS(e)::HUGEINT) AS sae,
+                     SUM(e::HUGEINT) AS se,
+                     SUM(ABS(yq)::HUGEINT) AS say
+              FROM er GROUP BY g)
+      SELECT g AS event_type, n,
+             CAST(CASE WHEN CAST(say AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(sae AS DOUBLE) / CAST(say AS DOUBLE), 6) END
+               AS DOUBLE) AS wape,
+             CAST(CASE WHEN CAST(say AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(se AS DOUBLE) / CAST(say AS DOUBLE), 6) END
+               AS DOUBLE) AS bias
+      FROM agg
+      ORDER BY event_type""",
+
+    // The q_theil_sen pairwise machinery with the PB exclusions and
+    // the K-shifted lower median.
+    "q_passing_bablok" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS x,
+               ROUND(CAST(SUM(CAST(ROUND(ROUND(value, 0), 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS y
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      pairs AS (
+        SELECT a.g, ROUND((b.y - a.y) / (b.x - a.x), 6) AS s
+        FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x),
+      fil AS (SELECT g, s FROM pairs WHERE s <> -1.0),
+      smed AS (
+        SELECT g, s,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS nq,
+               SUM(CASE WHEN s < -1.0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY g) AS k
+        FROM fil),
+      sm AS (SELECT g, MAX(nq)::BIGINT AS n_pairs,
+                    MAX(k)::BIGINT AS k_neg,
+                    MAX(CASE WHEN rn = (nq + 1) // 2 + k THEN s END)
+                      AS slope
+             FROM smed GROUP BY g),
+      imed AS (
+        SELECT c.g, ROUND(c.y - sm.slope * c.x, 6) AS i,
+               ROW_NUMBER() OVER (PARTITION BY c.g
+                 ORDER BY ROUND(c.y - sm.slope * c.x, 6)) AS rn,
+               COUNT(*) OVER (PARTITION BY c.g) AS nq
+        FROM cells c JOIN sm ON sm.g = c.g
+        WHERE sm.slope IS NOT NULL),
+      im AS (SELECT g, i AS intercept FROM imed WHERE rn = (nq + 1) // 2),
+      base AS (SELECT g, COUNT(*)::BIGINT AS n FROM cells GROUP BY g)
+      SELECT base.g AS event_type, base.n,
+             COALESCE(sm.n_pairs, 0)::BIGINT AS n_pairs,
+             COALESCE(sm.k_neg, 0)::BIGINT AS k_neg,
+             CAST(sm.slope AS DOUBLE) AS slope,
+             CAST(im.intercept AS DOUBLE) AS intercept
+      FROM base LEFT JOIN sm ON sm.g = base.g
+      LEFT JOIN im ON im.g = base.g
+      ORDER BY base.g""",
 
     "q_fdr_bh" -> """
       WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),

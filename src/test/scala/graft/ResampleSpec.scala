@@ -1211,6 +1211,25 @@ class ResampleSpec extends SparkTestBase {
     }
   }
 
+  test("forecastBias: a monotone series under-forecasts with wape = " +
+      "bias = 49/77; a symmetric zigzag has exactly zero bias while " +
+      "wape stays honest") {
+    import spark.implicits._
+    val mono = (1 to 14).map(i => ("up", i.toLong, i.toDouble))
+    val zig = (1 to 5).map(i => ("zz", i.toLong,
+      if (i % 2 == 1) 5.0 else 10.0))
+    val up = Resample.forecastBias(mono.toDF("g", "x", "v"),
+        "g", "x", "v", season = 7)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("up")
+    assert(up.getLong(1) == 7L && up.getDouble(2) == 0.636364
+      && up.getDouble(3) == 0.636364, up.toString)
+    val zz = Resample.forecastBias(zig.toDF("g", "x", "v"),
+        "g", "x", "v", season = 1)
+      .collect().head
+    assert(zz.getDouble(2) == 0.666667 && zz.getDouble(3) == 0.0,
+      zz.toString)
+  }
+
   test("kalmanLocalLevel: hand recursion — adaptive gain, " +
       "prediction-only steps on nulls, frozen states") {
     import spark.implicits._

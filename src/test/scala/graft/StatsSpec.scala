@@ -4397,6 +4397,47 @@ class StatsSpec extends SparkTestBase {
     assert(x.getDouble(5) == 3.047619, x.toString)     // L = za^2
   }
 
+  test("hochberg: the step-up rescue — the battery where Holm stops " +
+      "at 2 rejections goes 4/4 under Hochberg because the largest p " +
+      "clears its own threshold; reverse-cummin adjusted p") {
+    import spark.implicits._
+    val df = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.03),
+      ("t4", 0.005)).toDF("id", "p")
+    val hb = Stats.hochberg(df, "p", Seq("id"), alpha = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(hb.values.forall(_._2), hb.toString)
+    assert(hb("t4")._1 == 0.02 && hb("t1")._1 == 0.03
+      && hb("t3")._1 == 0.04 && hb("t2")._1 == 0.04, hb.toString)
+    val hm = Stats.holm(df, "p", Seq("id"), alpha = 0.05)
+      .collect().count(_.getBoolean(5))
+    assert(hm == 2, s"holm stops at the first failure: $hm")
+  }
+
+  test("passingBablok: an exact line is recovered with K = 0; an " +
+      "adversarial anti-correlated fixture exercises the K-shift " +
+      "(hand rank 6 of 6); an exact slope -1 line has no usable " +
+      "pairs and reports NULL") {
+    import spark.implicits._
+    val line = (1 to 5).map(i => ("L", i.toDouble, 2.0 * i + 1.0))
+    val anti = Seq(("A", 1.0, 10.0), ("A", 2.0, 1.0), ("A", 3.0, 12.0),
+      ("A", 4.0, 3.0))
+    val neg = (1 to 4).map(i => ("N", i.toDouble, 10.0 - i))
+    val out = Stats.passingBablok(
+        (line ++ anti ++ neg).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val l = out("L")
+    assert(l.getLong(3) == 0L && l.getDouble(4) == 2.0
+      && l.getDouble(5) == 1.0, l.toString)
+    // slopes -9,-9,-2.333333,1,1,11: K=3, rank (7/2=3)+3=6 -> 11
+    val a = out("A")
+    assert(a.getLong(2) == 6L && a.getLong(3) == 3L
+      && a.getDouble(4) == 11.0 && a.getDouble(5) == -21.0, a.toString)
+    // every slope exactly -1: all excluded, PB undefined -> NULL
+    val n = out("N")
+    assert(n.getLong(2) == 0L && n.isNullAt(4), n.toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
