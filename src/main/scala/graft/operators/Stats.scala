@@ -5388,6 +5388,132 @@ object Stats {
           .cast("double").as("bp"))
   }
 
+  /** Goldfeld–Quandt heteroscedasticity test per group — the
+    * SPLIT-SAMPLE member beside [[breuschPagan]]'s auxiliary-
+    * regression one (BP assumes the variance is LINEAR in x; GQ only
+    * asks "is the high-x end noisier than the low-x end", robust to
+    * the shape): order by x, drop the middle `dropFrac`, fit OLS on
+    * each tail, F = SSE_hi/SSE_lo (equal tail sizes k make the dof
+    * cancel exactly — the design reason for the symmetric split).
+    *
+    * Determinism: the (x, y) rank order is total (the durbinWatson
+    * ordering); tails are exact rank cuts k = ⌊n(1−dropFrac)/2⌋;
+    * per-tail SSE is the [[chowTest]] closed form on exact decimal
+    * moments — every scale factor cancels in the ratio, so F is ONE
+    * rounded division of float trees over exact integers. Degenerate
+    * tails (k < 3, zero x-variance, zero low-tail SSE) → NULL.
+    * Output: (group, n, k, f_gq) — F >> 1 reads "noise grows with
+    * x", F << 1 the reverse.
+    */
+  def goldfeldQuandt(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, dropFrac: Double = 0.2): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"goldfeldQuandt: dropFrac must be in [0,1), got $dropFrac")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_xq"),
+        round(col(yCol) * 1e6).cast("long").as("_yq"))
+    val w = Window.partitionBy("_g").orderBy("_xq", "_yq")
+    val wG = Window.partitionBy("_g")
+    val ranked = pts
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wG))
+      .withColumn("_k", floor(col("_n").cast("double")
+        * ((1.0 - dropFrac) / 2.0)).cast("long"))
+      .withColumn("_side",
+        when(col("_rn") <= col("_k"), lit("lo"))
+          .when(col("_rn") > col("_n") - col("_k"), lit("hi")))
+      .filter(col("_side").isNotNull)
+    val sides = ranked.groupBy(col("_g"), col("_side"))
+      .agg(max("_n").as("_nn"), max("_k").as("_kk"),
+        count(lit(1)).as("_ns"),
+        sum(col("_xq").cast(dec)).as("_sx"),
+        sum(col("_yq").cast(dec)).as("_sy"),
+        sum((col("_xq").cast(dec) * col("_xq")).cast(dec)).as("_sxx"),
+        sum((col("_xq").cast(dec) * col("_yq")).cast(dec)).as("_sxy"),
+        sum((col("_yq").cast(dec) * col("_yq")).cast(dec)).as("_syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("_ns").cast("double")
+    val cxx = nD * d("_sxx") - d("_sx") * d("_sx")
+    val cxy = nD * d("_sxy") - d("_sx") * d("_sy")
+    val cyy = nD * d("_syy") - d("_sy") * d("_sy")
+    val sse = cyy - cxy * cxy / cxx
+    val scored = sides
+      .withColumn("_sse", when(cxx > 0.0, sse))
+    val lo = scored.filter(col("_side") === "lo")
+      .select(col("_g").as("_gl"), col("_nn"), col("_kk"),
+        col("_sse").as("_sseL"))
+    val hi = scored.filter(col("_side") === "hi")
+      .select(col("_g").as("_gh"), col("_sse").as("_sseH"))
+    lo.join(hi, col("_gl") <=> col("_gh"))
+      .select(col("_gl").as(groupCol),
+        col("_nn").cast("bigint").as("n"),
+        col("_kk").cast("bigint").as("k"),
+        when(col("_kk") >= 3 && col("_sseL") > 0.0
+            && col("_sseH").isNotNull,
+          round(col("_sseH") / col("_sseL"), 6))
+          .cast("double").as("f_gq"))
+  }
+
+  /** Breusch–Godfrey LM test for serial correlation per group — the
+    * REGRESSION-residual sibling of [[durbinWatson]] (DW only sees
+    * lag 1 and its null distribution depends on x; BG is the modern
+    * LM form): fit OLS, then the auxiliary regression of e_t on
+    * (x_t, e_{t−1}); BG = n_aux·R²_aux ~ χ²(1). Including x in the
+    * auxiliary fit is what makes the test valid when x itself is
+    * autocorrelated — the shortcut "e on e_lag alone" is biased
+    * there.
+    *
+    * Determinism: the durbinWatson first fit verbatim (exact decimal
+    * moments, unrounded β/α, 6-dp residuals, the (x, y) lag order);
+    * the auxiliary solve is [[linearFitMulti]] verbatim on the
+    * descaled (x, e_lag, e) rows; BG is one rounded product.
+    * Output: (group, n_aux, r2_aux, bg).
+    */
+  def breuschGodfrey(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(xCol) * 1e6).cast("long").as("_xq"),
+        round(col(yCol) * 1e6).cast("long").as("_yq"))
+    val mom = pts.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_xq").cast(dec)).as("_sx"),
+        sum(col("_yq").cast(dec)).as("_sy"),
+        sum((col("_xq").cast(dec) * col("_xq")).cast(dec)).as("_sxx"),
+        sum((col("_xq").cast(dec) * col("_yq")).cast(dec)).as("_sxy"))
+      .withColumn("_denx",
+        col("_n").cast("double") * col("_sxx").cast("double")
+          - col("_sx").cast("double") * col("_sx").cast("double"))
+      .withColumn("_b",
+        when(col("_denx") > 0.0,
+          (col("_n").cast("double") * col("_sxy").cast("double")
+            - col("_sx").cast("double") * col("_sy").cast("double"))
+            / col("_denx")))
+      .withColumn("_a",
+        (col("_sy").cast("double") - col("_b") * col("_sx").cast("double"))
+          / col("_n").cast("double"))
+    val w = Window.partitionBy("_g").orderBy("_xq", "_yq")
+    val aux = pts.join(broadcast(mom), col("_g") <=> col("_gm"))
+      .drop("_gm")
+      .withColumn("_e",
+        round((col("_yq").cast("double")
+          - col("_b") * col("_xq").cast("double") - col("_a")) / 1e6, 6))
+      .withColumn("_el", lag(col("_e"), 1).over(w))
+      .filter(col("_el").isNotNull)
+      .select(col("_g"), (col("_xq") / 1e6).as("_x"), col("_el"),
+        col("_e"))
+    linearFitMulti(aux, "_g", Seq("_x", "_el"), "_e")
+      .select(col("_g").as(groupCol),
+        col("n").cast("bigint").as("n_aux"),
+        col("r2").as("r2_aux"),
+        when(col("r2").isNotNull,
+          round(col("n").cast("double") * col("r2"), 6))
+          .cast("double").as("bg"))
+  }
+
   def durbinWatson(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -2072,6 +2072,36 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Goldfeld–Quandt split-sample heteroscedasticity test on the
+    * q_breusch_pagan cells: tail SSE ratio with the middle 20%
+    * dropped — shape-free where BP assumes linear variance.
+    */
+  val qGoldfeldQuandt: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Stats.goldfeldQuandt(cells, "event_type", "x", "y", dropFrac = 0.2)
+      .orderBy("event_type")
+  }
+
+  /** Breusch–Godfrey LM serial-correlation test on the same cells:
+    * the auxiliary e on (x, e_lag) fit — valid where the e-on-e_lag
+    * shortcut is biased by autocorrelated x.
+    */
+  val qBreuschGodfrey: QueryFn = withTables { spark =>
+    val cells = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).as("x"),
+        col("y"))
+    Stats.breuschGodfrey(cells, "event_type", "x", "y")
+      .orderBy("event_type")
+  }
+
   /** Two-cohort log-rank on time-to-first-purchase (the
     * q_kaplan_meier subjects split by user parity): grid at-risk
     * counts, 12-dp decimal E/V term sums, one z tree.
@@ -3331,6 +3361,8 @@ object StatsOps {
     "q_hochberg" -> qHochberg,
     "q_forecast_bias" -> qForecastBias,
     "q_passing_bablok" -> qPassingBablok,
+    "q_goldfeld_quandt" -> qGoldfeldQuandt,
+    "q_breusch_godfrey" -> qBreuschGodfrey,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -5791,6 +5823,151 @@ object StatsOps {
 
     // The q_durbin_watson residual CTEs, squared residuals 6-dp
     // frozen, the q_lin_fit auxiliary trees, BP = n·R².
+    // The q_lin_fit cells ranked by (xq, yq); exact rank-cut tails,
+    // the chow SSE trees, one rounded ratio (equal-k dofs cancel).
+    "q_goldfeld_quandt" -> s"""
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      ranked AS (
+        SELECT g, xq, yq,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY xq, yq) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n,
+               CAST(FLOOR(CAST(COUNT(*) OVER (PARTITION BY g) AS DOUBLE)
+                 * ${(1.0 - 0.2) / 2.0}) AS BIGINT) AS k
+        FROM pts),
+      sided AS (
+        SELECT g, xq, yq, n, k,
+               CASE WHEN rn <= k THEN 'lo'
+                    WHEN rn > n - k THEN 'hi' END AS side
+        FROM ranked),
+      sums AS (
+        SELECT g, side, MAX(n)::BIGINT AS nn, MAX(k)::BIGINT AS kk,
+               COUNT(*)::BIGINT AS ns,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx,
+               SUM(xq::HUGEINT * yq) AS sxy,
+               SUM(yq::HUGEINT * yq) AS syy
+        FROM sided WHERE side IS NOT NULL GROUP BY g, side),
+      sse AS (
+        SELECT g, side, nn, kk,
+               CASE WHEN CAST(ns AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 CAST(ns AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                 - (CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(ns AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(ns AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS sse
+        FROM sums)
+      SELECT lo.g AS event_type, lo.nn AS n, lo.kk AS k,
+             CAST(CASE WHEN lo.kk >= 3 AND lo.sse > 0.0
+                        AND hi.sse IS NOT NULL THEN
+               ROUND(hi.sse / lo.sse, 6) END AS DOUBLE) AS f_gq
+      FROM (SELECT * FROM sse WHERE side = 'lo') lo
+      JOIN (SELECT * FROM sse WHERE side = 'hi') hi
+        ON hi.g IS NOT DISTINCT FROM lo.g
+      ORDER BY event_type""",
+
+    // The q_durbin_watson residual CTEs + the q_ols_multi Cramer
+    // chain on (x, e_lag, e); BG = n_aux·R², one rounded product.
+    "q_breusch_godfrey" -> """
+      WITH cells AS (
+        SELECT event_type AS g,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+        FROM events GROUP BY 1, CAST(ts AS DATE)),
+      pts AS (
+        SELECT g, CAST(ROUND(x * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(y * 1000000.0) AS BIGINT) AS yq
+        FROM cells WHERE x IS NOT NULL AND y IS NOT NULL),
+      mom AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(xq::HUGEINT) AS sx, SUM(yq::HUGEINT) AS sy,
+               SUM(xq::HUGEINT * xq) AS sxx, SUM(xq::HUGEINT * yq) AS sxy
+        FROM pts GROUP BY g),
+      fit AS (
+        SELECT g, n,
+               CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS b,
+               (CAST(sy AS DOUBLE) - CASE WHEN CAST(n AS DOUBLE)
+                      * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0 THEN
+                 (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        FROM mom),
+      res AS (
+        SELECT pts.g, pts.xq,
+               ROUND((CAST(yq AS DOUBLE) - b * CAST(xq AS DOUBLE) - a)
+                 / 1000000.0, 6) AS e,
+               LAG(ROUND((CAST(yq AS DOUBLE) - b * CAST(xq AS DOUBLE)
+                 - a) / 1000000.0, 6)) OVER
+                 (PARTITION BY pts.g ORDER BY xq, yq) AS el
+        FROM pts JOIN fit ON pts.g IS NOT DISTINCT FROM fit.g),
+      aux AS (
+        SELECT g,
+               CAST(ROUND(xq / 1000000.0 * 1000000.0) AS BIGINT) AS x1,
+               CAST(ROUND(el * 1000000.0) AS BIGINT) AS x2,
+               CAST(ROUND(e * 1000000.0) AS BIGINT) AS y
+        FROM res
+        WHERE el IS NOT NULL AND xq / 1000000.0 IS NOT NULL
+          AND e IS NOT NULL),
+      s AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+               SUM(y::HUGEINT) AS sy,
+               SUM(x1::HUGEINT * x1) AS s11, SUM(x2::HUGEINT * x2) AS s22,
+               SUM(x1::HUGEINT * x2) AS s12, SUM(x1::HUGEINT * y) AS s1y,
+               SUM(x2::HUGEINT * y) AS s2y, SUM(y::HUGEINT * y) AS syy
+        FROM aux GROUP BY g),
+      fl AS (
+        SELECT g, n,
+               CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS cs11,
+               CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cs22,
+               CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cs12,
+               CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs1y,
+               CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS cs2y,
+               CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS csyy
+        FROM s),
+      g1 AS (SELECT *, cs11 * cs22 - cs12 * cs12 AS det FROM fl),
+      g2 AS (
+        SELECT *,
+               (cs1y * cs22 - cs2y * cs12) / det AS b1,
+               (cs2y * cs11 - cs1y * cs12) / det AS b2
+        FROM g1),
+      r2t AS (
+        SELECT g, n,
+               CASE WHEN n >= 4 AND det > 0.0 AND csyy > 0.0 THEN
+                 ROUND((b1 * cs1y + b2 * cs2y) / csyy, 6) END AS r2
+        FROM g2)
+      SELECT g AS event_type, n AS n_aux,
+             CAST(r2 AS DOUBLE) AS r2_aux,
+             CAST(CASE WHEN r2 IS NOT NULL THEN
+               ROUND(CAST(n AS DOUBLE) * r2, 6) END AS DOUBLE) AS bg
+      FROM r2t
+      ORDER BY event_type""",
+
     "q_breusch_pagan" -> """
       WITH cells AS (
         SELECT event_type AS g,

@@ -4438,6 +4438,41 @@ class StatsSpec extends SparkTestBase {
     assert(n.getLong(2) == 0L && n.isNullAt(4), n.toString)
   }
 
+  test("goldfeldQuandt: amplitude growing with x gives F = 10.882353 " +
+      "on the hand tails; a shifted-but-identical noise pattern is " +
+      "EXACTLY 1 (centered moments ignore the x shift)") {
+    import spark.implicits._
+    val het = (1 to 20).map(i => ("h", i.toDouble,
+      i.toDouble * (if (i % 2 == 0) 1.0 else -1.0)))
+    val hom = (1 to 20).map(i => ("c", i.toDouble,
+      100.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+    val out = Stats.goldfeldQuandt((het ++ hom).toDF("g", "x", "y"),
+        "g", "x", "y", dropFrac = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val h = out("h")
+    assert(h.getLong(1) == 20L && h.getLong(2) == 8L, h.toString)
+    assert(h.getDouble(3) == 10.882353, h.toString)
+    assert(out("c").getDouble(3) == 1.0, out("c").toString)
+  }
+
+  test("breuschGodfrey: a square-wave residual pattern is flagged " +
+      "(hand r2 0.143323, BG 2.723137); exact-line residuals are " +
+      "all zero -> NULL loudly") {
+    import spark.implicits._
+    val wave = (1 to 20).map { i =>
+      ("w", i.toDouble,
+        i.toDouble + (if ((i - 1) % 6 < 3) 5.0 else -5.0)) }
+    val line = (1 to 20).map(i => ("l", i.toDouble, 2.0 * i + 3.0))
+    val out = Stats.breuschGodfrey((wave ++ line).toDF("g", "x", "y"),
+        "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val w = out("w")
+    assert(w.getLong(1) == 19L && w.getDouble(2) == 0.143323
+      && w.getDouble(3) == 2.723137, w.toString)
+    assert(out("l").isNullAt(2) && out("l").isNullAt(3),
+      out("l").toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
