@@ -7893,6 +7893,193 @@ object Stats {
         .cast("double").as("se"))
   }
 
+  /** Triple difference (DDD) — [[diffInDiff]] with an ELIGIBILITY
+    * stratum: when even the "control" group drifts with the rollout
+    * (seasonality, macro shocks), the ineligible stratum's OWN DiD
+    * measures that drift, and DDD = DiD_eligible − DiD_ineligible
+    * nets it out. The parallel-trends assumption weakens to "the
+    * BIAS is parallel across strata" — strictly weaker than DiD's.
+    *
+    * Determinism: the diffInDiff contract on the 2×2×2 design —
+    * 1e6-quantized values, per-cell n/S/S² exact decimal(38,0) off
+    * ONE hash aggregate + an eight-row fold; both stratum DiDs and
+    * DDD spelled once each, descaled at the end;
+    * se = √(Σ₈ s²_i/n_i). Any empty cell → NULL ddd; any cell with
+    * n < 2 → NULL se. Output: (n, did_s1, did_s0, ddd, se).
+    */
+  def tripleDiff(df: DataFrame, treated: Column, post: Column,
+      stratum: Column, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(treated.isNotNull && post.isNotNull && stratum.isNotNull
+        && col(valueCol).isNotNull)
+      .select(when(treated, 1).otherwise(0).as("_t"),
+        when(post, 1).otherwise(0).as("_p"),
+        when(stratum, 1).otherwise(0).as("_s"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+      .groupBy("_t", "_p", "_s")
+      .agg(count(lit(1)).as("_n"), sum(col("_v").cast(dec)).as("_ss"),
+        sum((col("_v").cast(dec) * col("_v")).cast(dec)).as("_q"))
+    def pick(t: Int, p: Int, s: Int, c: String) =
+      max(when(col("_t") === t && col("_p") === p && col("_s") === s,
+        col(c)))
+    val keys = for (t <- 0 to 1; p <- 0 to 1; s <- 0 to 1)
+      yield (t, p, s)
+    val aggs = Seq(sum("_n").as("n")) ++ keys.flatMap { case (t, p, s) =>
+      Seq(pick(t, p, s, "_n").as(s"_n$t$p$s"),
+        pick(t, p, s, "_ss").as(s"_s$t$p$s"),
+        pick(t, p, s, "_q").as(s"_q$t$p$s"))
+    }
+    val folded = cells.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def m(t: Int, p: Int, s: Int) = d(s"_s$t$p$s") / d(s"_n$t$p$s")
+    def v(t: Int, p: Int, s: Int) =
+      (d(s"_n$t$p$s") * d(s"_q$t$p$s") -
+        d(s"_s$t$p$s") * d(s"_s$t$p$s")) /
+        (d(s"_n$t$p$s") * (d(s"_n$t$p$s") - 1.0))
+    val haveAll = keys.map { case (t, p, s) =>
+      col(s"_n$t$p$s").isNotNull }.reduce(_ && _)
+    val allBig = keys.map { case (t, p, s) =>
+      col(s"_n$t$p$s") >= 2 }.reduce(_ && _)
+    def did(s: Int) =
+      (m(1, 1, s) - m(1, 0, s)) - (m(0, 1, s) - m(0, 0, s))
+    val seSum = keys.map { case (t, p, s) =>
+      v(t, p, s) / d(s"_n$t$p$s") }.reduce(_ + _)
+    folded.select(
+      col("n").cast("bigint").as("n"),
+      when(haveAll, round(did(1) / 1e6, 6)).cast("double").as("did_s1"),
+      when(haveAll, round(did(0) / 1e6, 6)).cast("double").as("did_s0"),
+      when(haveAll, round((did(1) - did(0)) / 1e6, 6))
+        .cast("double").as("ddd"),
+      when(haveAll && allBig, round(sqrt(seSum / 1e12), 6))
+        .cast("double").as("se"))
+  }
+
+  /** Schnabel multi-occasion capture–recapture — the T-sample
+    * generalization of L357's two-window Chapman: pool every
+    * occasion's catch/recapture evidence,
+    * N̂ = Σ_t C_t·M_t / (Σ_t R_t + 1) (the Chapman-corrected form,
+    * finite at zero recaptures), where C_t = sightings on occasion
+    * t, M_t = distinct ids first seen BEFORE t, R_t = t's sightings
+    * of already-marked ids. More occasions tighten the estimate
+    * where a second Chapman window would just start over.
+    *
+    * Exact integers end to end: one distinct (id, occasion) shuffle,
+    * a first-occasion aggregate, occasion-keyed counts + ONE
+    * exclusive cumulative window over the occasion-bounded table;
+    * the estimate is one rounded division of decimal folds. Closed
+    * population and independent sampling are the caller's design
+    * contract (as L357). Output: ONE row (n_occasions, n_marked,
+    * sum_recaptures, n_hat).
+    */
+  def schnabel(df: DataFrame, idCol: String,
+      occasionCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sightings = df
+      .filter(col(idCol).isNotNull && col(occasionCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        col(occasionCol).cast("long").as("_o"))
+      .distinct()
+      .localCheckpoint() // first-occasion fold + per-occasion counts
+    val firsts = sightings.groupBy("_id").agg(min("_o").as("_f"))
+    val perOcc = sightings
+      .join(firsts, Seq("_id"))
+      .groupBy(col("_o"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(col("_f") < col("_o"), 1L).otherwise(0L)).as("_r"))
+    val firstCounts = firsts.groupBy(col("_f").as("_o"))
+      .agg(count(lit(1)).as("_nf"))
+    val wExc = Window.orderBy("_o")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val occ = perOcc.join(firstCounts, Seq("_o"), "left")
+      .withColumn("_m", coalesce(sum(coalesce(col("_nf"), lit(0L)))
+        .over(wExc), lit(0L)))
+    val marked = firsts.agg(count(lit(1)).as("_nm"))
+    occ.agg(count(lit(1)).as("_no"),
+        sum((col("_c").cast(dec) * col("_m")).cast(dec)).as("_scm"),
+        sum(col("_r").cast(dec)).as("_sr"))
+      .crossJoin(broadcast(marked))
+      .select(col("_no").cast("bigint").as("n_occasions"),
+        col("_nm").cast("bigint").as("n_marked"),
+        col("_sr").cast("bigint").as("sum_recaptures"),
+        round(col("_scm").cast("double")
+          / (col("_sr").cast("double") + 1.0), 6)
+          .cast("double").as("n_hat"))
+  }
+
+  /** Randomization inference for the DiD effect — the permutation
+    * p-value the normal-approx se can't give on skewed spend: re-run
+    * the 2×2 under B PLACEBO unit-level assignments and ask where
+    * the observed effect ranks, p = (1 + #{|DiD_b| ≥ |DiD_obs|}) /
+    * (B + 1). The placebo draws are the engine-portable md5-unit
+    * hash of (unit, b) ([[Sampling.portableUnit]]) — seedless,
+    * deterministic, identical on every engine and retry, and
+    * CONSISTENT per unit without a join (every row of a unit hashes
+    * the same).
+    *
+    * Determinism: 1e6-quantized values; ONE (b, t, p) cell aggregate
+    * over the B+1-exploded rows (b = 0 is the observed assignment);
+    * each DiD_b is the diffInDiff mean tree frozen at 6 dp; the rank
+    * comparison runs on the frozen values; p is one rounded division
+    * of exact integers. A placebo with an empty cell yields NULL
+    * DiD_b and does not count (conservative). Scale shape: the
+    * explode is ×(B+1) on the corpus but collapses in the same
+    * aggregate — no windows, no joins. Output: ONE row (n_placebos,
+    * did_obs, n_ge, p_value).
+    */
+  def randomizationInference(df: DataFrame, unitCol: String,
+      treated: Column, post: Column, valueCol: String,
+      b: Int = 19): DataFrame = {
+    require(b >= 1 && b <= 200,
+      s"randomizationInference: b must be in [1, 200], got $b")
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(treated.isNotNull && post.isNotNull
+        && col(valueCol).isNotNull && col(unitCol).isNotNull)
+      .select(col(unitCol).cast("string").as("_u"),
+        when(treated, 1).otherwise(0).as("_t0"),
+        when(post, 1).otherwise(0).as("_p"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+    val cells = base
+      .withColumn("_b", explode(sequence(lit(0), lit(b))))
+      .withColumn("_t", when(col("_b") === 0, col("_t0"))
+        .otherwise(when(Sampling.portableUnit(
+          concat(col("_u"), lit(":"), col("_b").cast("string"))) < 0.5,
+          1).otherwise(0)))
+      .groupBy("_b", "_t", "_p")
+      .agg(count(lit(1)).as("_n"), sum(col("_v").cast(dec)).as("_s"))
+    def pick(t: Int, p: Int, c: String) =
+      max(when(col("_t") === t && col("_p") === p, col(c)))
+    val perB = cells.groupBy("_b").agg(
+      pick(0, 0, "_n").as("_nc0"), pick(0, 1, "_n").as("_nc1"),
+      pick(1, 0, "_n").as("_nt0"), pick(1, 1, "_n").as("_nt1"),
+      pick(0, 0, "_s").as("_sc0"), pick(0, 1, "_s").as("_sc1"),
+      pick(1, 0, "_s").as("_st0"), pick(1, 1, "_s").as("_st1"))
+    def d(c: String) = col(c).cast("double")
+    def m(s: String, n: String) = d(s) / d(n)
+    val haveAll = col("_nc0").isNotNull && col("_nc1").isNotNull &&
+      col("_nt0").isNotNull && col("_nt1").isNotNull
+    val dids = perB.select(col("_b"),
+      when(haveAll, round(((m("_st1", "_nt1") - m("_st0", "_nt0"))
+        - (m("_sc1", "_nc1") - m("_sc0", "_nc0"))) / 1e6, 6))
+        .as("_did"))
+      .localCheckpoint() // the observed row + the placebo fold read it
+    val obs = dids.filter(col("_b") === 0)
+      .select(col("_did").as("_obs"))
+    dids.filter(col("_b") >= 1)
+      .crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("_np"),
+        sum(when(abs(col("_did")) >= abs(col("_obs")), 1L)
+          .otherwise(0L)).as("_ge"),
+        max(col("_obs")).as("_o"))
+      .select(col("_np").cast("bigint").as("n_placebos"),
+        col("_o").cast("double").as("did_obs"),
+        col("_ge").cast("bigint").as("n_ge"),
+        round((col("_ge").cast("double") + 1.0)
+          / (col("_np").cast("double") + 1.0), 6)
+          .cast("double").as("p_value"))
+  }
+
   /** Instrumental-variable (Wald / just-identified 2SLS) estimation
     * per group — the causal-inference member for when treatment x is
     * ENDOGENOUS (self-selected exposure, simultaneity) and a single

@@ -2927,6 +2927,42 @@ object StatsOps {
       "value")
   }
 
+  /** Triple difference on the q_did design with a user-mod-3
+    * eligibility stratum: DDD nets the ineligible stratum's own
+    * drift out of the DiD — eight exact cells, one fold.
+    */
+  val qDdd: QueryFn = withTables { spark =>
+    Stats.tripleDiff(spark.table("events"),
+      col("user_id") % 2 === 0,
+      col("ts").cast("date") >= lit("2024-01-16").cast("date"),
+      col("user_id") % 3 === 0,
+      "value")
+  }
+
+  /** Schnabel multi-occasion capture–recapture of the user
+    * population from daily sightings: pooled catch/recapture
+    * evidence across every day, exact integer folds.
+    */
+  val qSchnabel: QueryFn = withTables { spark =>
+    val s = spark.table("events")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("occ"))
+    Stats.schnabel(s, "user_id", "occ")
+  }
+
+  /** Randomization-inference p-value for the q_did effect: 19 md5
+    * placebo unit assignments, rank of the observed DiD among them —
+    * the permutation answer the normal se can't give on skewed
+    * spend.
+    */
+  val qRandInference: QueryFn = withTables { spark =>
+    Stats.randomizationInference(spark.table("events"), "user_id",
+      col("user_id") % 2 === 0,
+      col("ts").cast("date") >= lit("2024-01-16").cast("date"),
+      "value", b = 19)
+  }
+
   /** Mann–Kendall monotonic-trend test on daily dollar spend per
     * event type: exact integer S with tie-corrected variance,
     * continuity-corrected z keyed on the integer sign of S.
@@ -3363,6 +3399,9 @@ object StatsOps {
     "q_passing_bablok" -> qPassingBablok,
     "q_goldfeld_quandt" -> qGoldfeldQuandt,
     "q_breusch_godfrey" -> qBreuschGodfrey,
+    "q_ddd" -> qDdd,
+    "q_schnabel" -> qSchnabel,
+    "q_rand_inference" -> qRandInference,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -3639,6 +3678,64 @@ object StatsOps {
                           CASE WHEN xq = wx THEN c - 1 ELSE c END AS c
                     FROM z$i JOIN w$i ON gw = z$i.g
                     WHERE CASE WHEN xq = wx THEN c - 1 ELSE c END > 0)"""
+
+  // The q_did oracle generalized to the 2×2×2 design: per-cell picks,
+  // both stratum DiD trees, the eight-term se sum in the SAME key
+  // order as the Spark fold.
+  private val dddOracle: String = {
+    val keys = for (t <- 0 to 1; p <- 0 to 1; s <- 0 to 1)
+      yield (t, p, s)
+    def nm(pfx: String, k: (Int, Int, Int)) = s"$pfx${k._1}${k._2}${k._3}"
+    val picks = keys.flatMap { k =>
+      Seq(
+        s"MAX(CASE WHEN t = ${k._1} AND p = ${k._2} AND s = ${k._3} " +
+          s"THEN n END) AS ${nm("n", k)}",
+        s"MAX(CASE WHEN t = ${k._1} AND p = ${k._2} AND s = ${k._3} " +
+          s"THEN sv END) AS ${nm("s", k)}",
+        s"MAX(CASE WHEN t = ${k._1} AND p = ${k._2} AND s = ${k._3} " +
+          s"THEN q END) AS ${nm("q", k)}")
+    }.mkString(",\n              ")
+    def m(t: Int, p: Int, s: Int) =
+      s"CAST(s$t$p$s AS DOUBLE) / CAST(n$t$p$s AS DOUBLE)"
+    def did(s: Int) =
+      s"((${m(1, 1, s)} - ${m(1, 0, s)}) - (${m(0, 1, s)} - ${m(0, 0, s)}))"
+    val haveAll = keys.map(k => s"${nm("n", k)} IS NOT NULL")
+      .mkString(" AND ")
+    val allBig = keys.map(k => s"${nm("n", k)} >= 2").mkString(" AND ")
+    val seSum = keys.map { case (t, p, s) =>
+      s"""(CAST(n$t$p$s AS DOUBLE) * CAST(q$t$p$s AS DOUBLE)
+                 - CAST(s$t$p$s AS DOUBLE) * CAST(s$t$p$s AS DOUBLE))
+                 / (CAST(n$t$p$s AS DOUBLE)
+                   * (CAST(n$t$p$s AS DOUBLE) - 1.0))
+                 / CAST(n$t$p$s AS DOUBLE)"""
+    }.mkString("\n               + ")
+    s"""
+      WITH pts AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN 1 ELSE 0 END AS p,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS s,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      cells AS (SELECT t, p, s, COUNT(*)::BIGINT AS n,
+                       SUM(v::HUGEINT) AS sv, SUM(v::HUGEINT * v) AS q
+                FROM pts GROUP BY 1, 2, 3),
+      f AS (SELECT SUM(n) AS n,
+              $picks
+            FROM cells)
+      SELECT CAST(n AS BIGINT) AS n,
+        CAST(CASE WHEN $haveAll THEN
+          ROUND(${did(1)} / 1000000.0, 6) END AS DOUBLE) AS did_s1,
+        CAST(CASE WHEN $haveAll THEN
+          ROUND(${did(0)} / 1000000.0, 6) END AS DOUBLE) AS did_s0,
+        CAST(CASE WHEN $haveAll THEN
+          ROUND((${did(1)} - ${did(0)}) / 1000000.0, 6) END
+          AS DOUBLE) AS ddd,
+        CAST(CASE WHEN $haveAll AND $allBig THEN
+          ROUND(SQRT(($seSum) / 1000000000000.0), 6) END
+          AS DOUBLE) AS se
+      FROM f"""
+  }
 
   // Shared CTE text for the periodogram family (q_periodogram,
   // q_spectral_entropy): the acf cells/centering + the driver-literal
@@ -5386,6 +5483,89 @@ object StatsOps {
 
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
+    "q_ddd" -> dddOracle,
+
+    // Distinct sightings, first-occasion fold, one exclusive
+    // cumulative window; the Chapman-corrected Schnabel division.
+    "q_schnabel" -> """
+      WITH s0 AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS id,
+               DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS o
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      fr AS (SELECT id, MIN(o) AS f FROM s0 GROUP BY id),
+      po AS (SELECT o, COUNT(*)::BIGINT AS c,
+                    SUM(CASE WHEN f < o THEN 1 ELSE 0 END)::BIGINT AS r
+             FROM s0 JOIN fr USING (id) GROUP BY o),
+      fc AS (SELECT f AS o, COUNT(*)::BIGINT AS nf FROM fr GROUP BY f),
+      occ AS (SELECT po.o, c, r,
+                     COALESCE(SUM(COALESCE(nf, 0)) OVER (ORDER BY po.o
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS m
+              FROM po LEFT JOIN fc ON fc.o = po.o),
+      mk AS (SELECT COUNT(*)::BIGINT AS nm FROM fr)
+      SELECT COUNT(*)::BIGINT AS n_occasions,
+             MAX(nm)::BIGINT AS n_marked,
+             SUM(r)::BIGINT AS sum_recaptures,
+             CAST(ROUND(CAST(SUM(c::HUGEINT * m) AS DOUBLE)
+               / (CAST(SUM(r::HUGEINT) AS DOUBLE) + 1.0), 6)
+               AS DOUBLE) AS n_hat
+      FROM occ CROSS JOIN mk""",
+
+    // B+1 exploded md5-portable assignments (b = 0 observed), the
+    // q_did mean tree per b frozen at 6 dp, exact rank fold.
+    "q_rand_inference" -> """
+      WITH base AS (
+        SELECT CAST(user_id AS VARCHAR) AS u,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t0,
+               CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN 1 ELSE 0 END AS p,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      bs AS (SELECT * FROM base
+             CROSS JOIN (SELECT UNNEST(RANGE(0, 20)) AS b)),
+      tt AS (SELECT b, p, v,
+               CASE WHEN b = 0 THEN t0 ELSE
+                 CASE WHEN ('0x' || SUBSTR(MD5(u || ':'
+                     || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                   / 1152921504606846976.0 < 0.5 THEN 1 ELSE 0 END
+               END AS t
+             FROM bs),
+      cells AS (SELECT b, t, p, COUNT(*)::BIGINT AS n,
+                       SUM(v::HUGEINT) AS s
+                FROM tt GROUP BY 1, 2, 3),
+      perb AS (SELECT b,
+                 MAX(CASE WHEN t = 0 AND p = 0 THEN n END) AS nc0,
+                 MAX(CASE WHEN t = 0 AND p = 1 THEN n END) AS nc1,
+                 MAX(CASE WHEN t = 1 AND p = 0 THEN n END) AS nt0,
+                 MAX(CASE WHEN t = 1 AND p = 1 THEN n END) AS nt1,
+                 MAX(CASE WHEN t = 0 AND p = 0 THEN s END) AS sc0,
+                 MAX(CASE WHEN t = 0 AND p = 1 THEN s END) AS sc1,
+                 MAX(CASE WHEN t = 1 AND p = 0 THEN s END) AS st0,
+                 MAX(CASE WHEN t = 1 AND p = 1 THEN s END) AS st1
+               FROM cells GROUP BY b),
+      dids AS (
+        SELECT b,
+               CASE WHEN nc0 IS NOT NULL AND nc1 IS NOT NULL
+                     AND nt0 IS NOT NULL AND nt1 IS NOT NULL THEN
+                 ROUND(((CAST(st1 AS DOUBLE) / CAST(nt1 AS DOUBLE)
+                     - CAST(st0 AS DOUBLE) / CAST(nt0 AS DOUBLE))
+                   - (CAST(sc1 AS DOUBLE) / CAST(nc1 AS DOUBLE)
+                     - CAST(sc0 AS DOUBLE) / CAST(nc0 AS DOUBLE)))
+                   / 1000000.0, 6) END AS did
+        FROM perb),
+      obs AS (SELECT did AS o FROM dids WHERE b = 0)
+      SELECT COUNT(*)::BIGINT AS n_placebos,
+             CAST(MAX(o) AS DOUBLE) AS did_obs,
+             SUM(CASE WHEN ABS(did) >= ABS(o) THEN 1 ELSE 0 END)
+               ::BIGINT AS n_ge,
+             CAST(ROUND((CAST(SUM(CASE WHEN ABS(did) >= ABS(o)
+                   THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+               / (CAST(COUNT(*) AS DOUBLE) + 1.0), 6) AS DOUBLE)
+               AS p_value
+      FROM dids CROSS JOIN obs
+      WHERE b >= 1""",
+
     "q_did" -> """
       WITH pts AS (
         SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,

@@ -4473,6 +4473,63 @@ class StatsSpec extends SparkTestBase {
       out("l").toString)
   }
 
+  test("tripleDiff: hand 2x2x2 — eligible DiD 2 minus ineligible " +
+      "drift 0.5 gives ddd 1.5 with exact-zero se; a missing cell " +
+      "is NULL ddd loudly") {
+    import spark.implicits._
+    def cell(t: Int, p: Int, s: Int, v: Double) =
+      Seq((t == 1, p == 1, s == 1, v), (t == 1, p == 1, s == 1, v))
+    val rows =
+      cell(0, 0, 1, 10.0) ++ cell(0, 1, 1, 11.0) ++
+      cell(1, 0, 1, 20.0) ++ cell(1, 1, 1, 23.0) ++
+      cell(0, 0, 0, 5.0) ++ cell(0, 1, 0, 6.0) ++
+      cell(1, 0, 0, 8.0) ++ cell(1, 1, 0, 9.5)
+    val df = rows.toDF("t", "p", "s", "v")
+    val r = Stats.tripleDiff(df, col("t"), col("p"), col("s"), "v")
+      .collect().head
+    assert(r.getLong(0) == 16L, r.toString)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 0.5, r.toString)
+    assert(r.getDouble(3) == 1.5 && r.getDouble(4) == 0.0, r.toString)
+    val missing = rows.filterNot(x => x._1 && x._2 && x._3)
+      .toDF("t", "p", "s", "v")
+    assert(Stats.tripleDiff(missing, col("t"), col("p"), col("s"), "v")
+      .collect().head.isNullAt(3))
+  }
+
+  test("schnabel: hand three-occasion camp — C=(2,2,3), M=(0,2,3), " +
+      "R=(0,1,2) give n_hat 13/4; marked total counts distinct ids") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L), ("b", 1L), ("b", 2L), ("c", 2L),
+      ("a", 3L), ("c", 3L), ("d", 3L), ("a", 3L)) // dup sighting drops
+    val r = Stats.schnabel(rows.toDF("id", "occ"), "id", "occ")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L
+      && r.getLong(2) == 3L, r.toString)
+    assert(r.getDouble(3) == 3.25, r.toString)
+  }
+
+  test("randomizationInference: a planted 100-point effect beats " +
+      "every md5 placebo (p = 1/20); a constant outcome ties all " +
+      "placebos at zero (p exactly 1)") {
+    import spark.implicits._
+    val planted = (0 until 20).flatMap { u =>
+      val base = 10.0
+      Seq((s"u$u", u % 2 == 0, false, base),
+        (s"u$u", u % 2 == 0, true,
+          base + (if (u % 2 == 0) 100.0 else 0.0)))
+    }
+    val r = Stats.randomizationInference(planted.toDF("u", "t", "p", "v"),
+      "u", col("t"), col("p"), "v", b = 19).collect().head
+    assert(r.getLong(0) == 19L && r.getDouble(1) == 100.0, r.toString)
+    assert(r.getDouble(3) == 0.05, r.toString)
+    val flat = (0 until 20).flatMap { u =>
+      Seq((s"u$u", u % 2 == 0, false, 7.0),
+        (s"u$u", u % 2 == 0, true, 7.0)) }
+    val f = Stats.randomizationInference(flat.toDF("u", "t", "p", "v"),
+      "u", col("t"), col("p"), "v", b = 19).collect().head
+    assert(f.getDouble(1) == 0.0 && f.getDouble(3) == 1.0, f.toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
