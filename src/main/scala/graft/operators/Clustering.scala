@@ -252,6 +252,56 @@ object Clustering {
     * Returns one row per input: (idCol, cluster [0-based], dist
     * [squared L2 to the final centroid, rounded]).
     */
+  /** Greedy k-center coreset (Gonzalez 2-approximation) — the
+    * DIVERSITY selection the similarity family lacks: kmeans picks
+    * dense centers, farthest-point traversal picks COVERING ones
+    * (every point is within r of some pick, r ≤ 2·optimal) — the
+    * standard "small diverse subset" step for eval-set seeding and
+    * annotation budgets. Seed = the [[Sampling.portableUnit]]
+    * smallest-draw row (the kmeans seeding discipline); each of the
+    * k−1 passes picks the point FARTHEST from its nearest chosen
+    * center, ties to the smallest id.
+    *
+    * Determinism: squared-L2 via the shared index-order fold
+    * ([[sqDistTo]]) frozen at 6 dp; running min-distance re-frozen
+    * per pass (a 6-dp LEAST of 6-dp values); selection is ORDER BY
+    * (dist DESC, id) LIMIT 1 — both engines on identical doubles.
+    * Driver state is the ≤ k-row center list (the sanctioned
+    * bounded collect). Each pass is one corpus projection — no
+    * joins, no shuffles; k passes total. Output: (rank, id, dist) —
+    * dist is the selection radius (NULL for the seed), the
+    * DECREASING sequence whose k-th value certifies cover radius.
+    */
+  def kCenterCoreset(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 32, s"kCenterCoreset: k in [2, 32], got $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val Seq(idc, vc) = Cols.fresh("kc", 2, vecs)
+    val v = vecs.select(col(idCol).cast("string").as(idc),
+        col(vecCol).cast("array<double>").as(vc))
+      .localCheckpoint() // k sequential passes re-read it
+    val seedRow = v.orderBy(Sampling.portableUnit(col(idc)), col(idc))
+      .limit(1).select(col(idc), col(vc)).head()
+    var picks = Seq((1, seedRow.getString(0),
+      Option.empty[Double]))
+    var center = seedRow.getSeq[Double](1).toSeq
+    var scored = v.withColumn("_dm", sqDistTo(col(vc), center, 6))
+    for (i <- 2 to k) {
+      val next = scored.orderBy(col("_dm").desc, col(idc))
+        .limit(1).select(col(idc), col(vc), col("_dm")).head()
+      picks = picks :+ ((i, next.getString(0),
+        Some(next.getDouble(2))))
+      center = next.getSeq[Double](1).toSeq
+      if (i < k)
+        scored = scored.withColumn("_dm",
+          least(col("_dm"), sqDistTo(col(vc), center, 6)))
+    }
+    picks.toDF("rank", "id", "dist")
+      .select(col("rank").cast("int").as("rank"),
+        col("id").as(idCol), col("dist").cast("double").as("dist"))
+  }
+
   def kmeansPortable(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
     val Seq(idc, vc) = Cols.fresh("km", 2, vecs)

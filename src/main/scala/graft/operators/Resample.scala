@@ -1298,6 +1298,54 @@ object Resample {
         .cast("double").as("z"))
   }
 
+  /** Two-player sequential Elo rating over an ordered match series —
+    * the ONLINE pairwise-preference tracker beside L-family
+    * Bradley–Terry's batch MLE (BT refits the whole history; Elo
+    * updates one match at a time and FORGETS, which is the point
+    * when strength drifts): E_a = 1/(1 + 10^((R_b − R_a)/400)),
+    * R_a' = R_a + K·(S − E_a). Two players are zero-sum
+    * (R_a + R_b = 2·r0), so one rating column carries the whole
+    * state.
+    *
+    * Determinism: the [[holt]] state-machine contract — E freezes at
+    * 6 dp, the updated rating re-freezes at 6 dp per match; the
+    * 10^x is spelled exp(x·ln 10) with the ln 10 literal (the
+    * in-plan EXP precedent — identical doubles both engines). The
+    * match series is ORDER-bounded by construction (day-grain), so
+    * the single-partition pass is a bounded state machine, not a
+    * corpus sort. Output: input columns + (expected_a, rating_a,
+    * rating_b).
+    */
+  def eloTwoPlayer(df: DataFrame, orderCols: Seq[String], sCol: String,
+      k: Double = 32.0, r0: Double = 1500.0): DataFrame = {
+    require(orderCols.nonEmpty, "eloTwoPlayer needs order columns")
+    require(k > 0.0, s"eloTwoPlayer: k must be > 0, got $k")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ln10 = math.log(10.0)
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("expected_a",
+        org.apache.spark.sql.types.DoubleType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("rating_a",
+        org.apache.spark.sql.types.DoubleType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("rating_b",
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    val si = df.schema.fieldIndex(sCol)
+    val sorted = df.repartition(1)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    sorted.mapPartitions { it =>
+      var r = r0
+      it.map { row =>
+        val s = row.getDouble(si)
+        val e = r6(1.0 / (1.0 + math.exp(
+          (2.0 * r0 - 2.0 * r) * ln10 / 400.0)))
+        r = r6(r + k * (s - e))
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ e :+ r :+ r6(2.0 * r0 - r))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Trigg tracking signal (Trigg 1964) per group — the forecast
     * DRIFT alarm the SPC family lacks: score the running SES
     * forecast with its own errors, T = E_t/MAD_t ∈ [−1, 1] where

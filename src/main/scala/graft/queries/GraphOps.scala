@@ -691,7 +691,19 @@ object GraphOps {
         "a", "b")
   }
 
+  /** Greedy k-center coreset (k = 4) over the embeddings: the
+    * diversity pick beside q_kmeans's density centers — md5-seeded
+    * farthest-point traversal, 6-dp frozen distances, the
+    * decreasing selection radii certify coverage.
+    */
+  val qCoreset: QueryFn = withTables { spark =>
+    Clustering.kCenterCoreset(spark.table("embeddings"), "vec_id",
+        "embedding", k = 4)
+      .orderBy("rank")
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "q_coreset" -> qCoreset,
     "q_transitivity" -> qTransitivity,
     "q_knn_degree" -> qKnnDegree,
     "q_reciprocity" -> qReciprocity,
@@ -1342,6 +1354,46 @@ object GraphOps {
 
     // The mod-5 canonical edges; thresholds as a VALUES table; exact
     // hub/edge counts; phi's counts promote to double before N(N-1).
+    // The kmeans seed/distance discipline unrolled: md5-smallest
+    // seed, three farthest-point passes with 6-dp LEAST running
+    // minima, ties to the smaller VARCHAR id.
+    "q_coreset" -> """
+      WITH v AS (SELECT CAST(vec_id AS VARCHAR) AS vid,
+                        CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+      u AS (SELECT vid, v,
+                   ('0x' || SUBSTR(MD5(vid), 1, 15))::BIGINT
+                     / 1152921504606846976.0 AS u
+            FROM v),
+      c1 AS (SELECT vid, v FROM u ORDER BY u, vid LIMIT 1),
+      d1 AS (SELECT u.vid, u.v,
+                    ROUND(LIST_SUM(LIST_TRANSFORM(
+                      RANGE(1, LEN(u.v) + 1),
+                      i -> (u.v[i] - c1.v[i]) * (u.v[i] - c1.v[i]))), 6)
+                      AS dm
+             FROM u CROSS JOIN c1),
+      c2 AS (SELECT vid, v, dm FROM d1 ORDER BY dm DESC, vid LIMIT 1),
+      d2 AS (SELECT d1.vid, d1.v,
+                    LEAST(d1.dm, ROUND(LIST_SUM(LIST_TRANSFORM(
+                      RANGE(1, LEN(d1.v) + 1),
+                      i -> (d1.v[i] - c2.v[i]) * (d1.v[i] - c2.v[i]))),
+                      6)) AS dm
+             FROM d1 CROSS JOIN c2),
+      c3 AS (SELECT vid, v, dm FROM d2 ORDER BY dm DESC, vid LIMIT 1),
+      d3 AS (SELECT d2.vid, d2.v,
+                    LEAST(d2.dm, ROUND(LIST_SUM(LIST_TRANSFORM(
+                      RANGE(1, LEN(d2.v) + 1),
+                      i -> (d2.v[i] - c3.v[i]) * (d2.v[i] - c3.v[i]))),
+                      6)) AS dm
+             FROM d2 CROSS JOIN c3),
+      c4 AS (SELECT vid, v, dm FROM d3 ORDER BY dm DESC, vid LIMIT 1)
+      SELECT 1 AS rank, (SELECT vid FROM c1) AS vec_id,
+             CAST(NULL AS DOUBLE) AS dist
+      UNION ALL SELECT 2, vid, CAST(dm AS DOUBLE) FROM c2
+      UNION ALL SELECT 3, vid, CAST(dm AS DOUBLE) FROM c3
+      UNION ALL SELECT 4, vid, CAST(dm AS DOUBLE) FROM c4
+      ORDER BY rank""",
+
     // The mod-7 co-order graph CTEs + symmetric neighbor-degree
     // joins; HUGEINT class sums, one rounded division per class.
     "q_knn_degree" -> """

@@ -2927,6 +2927,27 @@ object StatsOps {
       "value")
   }
 
+  /** Sequential two-player Elo of click vs purchase daily spend
+    * (winner = higher exact cents): the online pairwise tracker
+    * beside q_bradley_terry's batch MLE — 6-dp state machine,
+    * 10^x spelled exp(x·ln 10).
+    */
+  val qElo: QueryFn = withTables { spark =>
+    def side(t: String) = spark.table("events")
+      .filter(col("event_type") === t)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 100).cast("long")).as(s"c_$t"))
+    val matches = side("click").join(side("purchase"), Seq("d"))
+      .select(col("d"),
+        when(col("c_click") > col("c_purchase"), 1.0)
+          .when(col("c_click") === col("c_purchase"), 0.5)
+          .otherwise(0.0).as("s"))
+    Resample.eloTwoPlayer(matches, Seq("d"), "s")
+      .select(col("d").as("day"), col("s"), col("expected_a"),
+        col("rating_a"), col("rating_b"))
+      .orderBy("day")
+  }
+
   /** Triple difference on the q_did design with a user-mod-3
     * eligibility stratum: DDD nets the ineligible stratum's own
     * drift out of the DiD — eight exact cells, one fold.
@@ -3402,6 +3423,7 @@ object StatsOps {
     "q_ddd" -> qDdd,
     "q_schnabel" -> qSchnabel,
     "q_rand_inference" -> qRandInference,
+    "q_elo" -> qElo,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -5484,6 +5506,46 @@ object StatsOps {
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
     "q_ddd" -> dddOracle,
+
+    // Daily cents match series, the 6-dp Elo recursion unrolled in a
+    // recursive CTE; 10^x as EXP(x·ln 10) with the interpolated
+    // literal.
+    "q_elo" -> s"""
+      WITH RECURSIVE ca AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      pb AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      mm AS (SELECT ca.d,
+                    CAST(CASE WHEN ca.c > pb.c THEN 1.0
+                              WHEN ca.c = pb.c THEN 0.5
+                              ELSE 0.0 END AS DOUBLE) AS s
+             FROM ca JOIN pb ON pb.d = ca.d),
+      si AS (SELECT d, s, ROW_NUMBER() OVER (ORDER BY d) AS i FROM mm),
+      rec AS (
+        SELECT d, s, i,
+               ROUND(1.0 / (1.0 + EXP((2.0 * 1500.0 - 2.0 * 1500.0)
+                 * ${math.log(10.0)} / 400.0)), 6) AS e,
+               ROUND(1500.0 + 32.0 * (s
+                 - ROUND(1.0 / (1.0 + EXP((2.0 * 1500.0 - 2.0 * 1500.0)
+                   * ${math.log(10.0)} / 400.0)), 6)), 6) AS r
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.d, si.s, si.i,
+               ROUND(1.0 / (1.0 + EXP((2.0 * 1500.0 - 2.0 * rec.r)
+                 * ${math.log(10.0)} / 400.0)), 6),
+               ROUND(rec.r + 32.0 * (si.s
+                 - ROUND(1.0 / (1.0 + EXP((2.0 * 1500.0 - 2.0 * rec.r)
+                   * ${math.log(10.0)} / 400.0)), 6)), 6)
+        FROM rec JOIN si ON si.i = rec.i + 1)
+      SELECT d AS day, s, CAST(e AS DOUBLE) AS expected_a,
+             CAST(r AS DOUBLE) AS rating_a,
+             CAST(ROUND(2.0 * 1500.0 - r, 6) AS DOUBLE) AS rating_b
+      FROM rec
+      ORDER BY day""",
 
     // Distinct sightings, first-occasion fold, one exclusive
     // cumulative window; the Chapman-corrected Schnabel division.

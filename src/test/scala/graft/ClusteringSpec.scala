@@ -311,4 +311,24 @@ class ClusteringSpec extends SparkTestBase {
     assert(spectralParts === ccParts,
       s"spectral=$spectralParts cc=$ccParts")
   }
+
+  test("kCenterCoreset: md5-seeded farthest-point traversal — seed " +
+      "a, then the far extreme, then the 1.0-radius tie broken to " +
+      "the smaller id; the dist sequence certifies the cover radius") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("a", Seq(0.0, 0.0)), ("b", Seq(10.0, 0.0)),
+      ("c", Seq(1.0, 0.0)), ("d", Seq(9.0, 0.0)))
+      .toDF("id", "vec")
+    val out = Clustering.kCenterCoreset(vecs, "id", "vec", k = 3)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getString(1) == "a" && out(1).isNullAt(2),
+      out(1).toString)
+    assert(out(2).getString(1) == "b" && out(2).getDouble(2) == 100.0,
+      out(2).toString)
+    // c and d both sit at squared distance 1 from their nearest
+    // center after two picks: the tie goes to the smaller id
+    assert(out(3).getString(1) == "c" && out(3).getDouble(2) == 1.0,
+      out(3).toString)
+  }
 }

@@ -1230,6 +1230,25 @@ class ResampleSpec extends SparkTestBase {
       zz.toString)
   }
 
+  test("eloTwoPlayer: hand recursion from 1500 — a win moves 16 " +
+      "points at even odds, the favourite earns less, a draw COSTS " +
+      "the favourite; zero-sum ratings pinned") {
+    import spark.implicits._
+    val matches = Seq((1L, 1.0), (2L, 1.0), (3L, 0.5))
+      .toDF("ord", "s")
+    val out = Resample.eloTwoPlayer(matches, Seq("ord"), "s")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) == 0.5
+      && out(1L).getDouble(3) == 1516.0
+      && out(1L).getDouble(4) == 1484.0, out(1L).toString)
+    assert(out(2L).getDouble(2) == 0.545922
+      && out(2L).getDouble(3) == 1530.530496, out(2L).toString)
+    // the draw against a weaker opponent drops the favourite
+    assert(out(3L).getDouble(2) == 0.58698
+      && out(3L).getDouble(3) == 1527.747136
+      && out(3L).getDouble(4) == 1472.252864, out(3L).toString)
+  }
+
   test("kalmanLocalLevel: hand recursion — adaptive gain, " +
       "prediction-only steps on nulls, frozen states") {
     import spark.implicits._
