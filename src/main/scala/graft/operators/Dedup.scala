@@ -25,6 +25,26 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup — [[exact]]'s streaming member for
+    * ingestion pipelines (at-least-once sources re-deliver; the
+    * dedup must happen ON the stream, not in a nightly batch):
+    * Structured Streaming's `dropDuplicatesWithinWatermark` keyed on
+    * the dedup columns — the first arrival of a key EMITS immediately
+    * (Append, no buffering latency), later copies within the
+    * watermark horizon drop, and a key's state EXPIRES once the
+    * watermark passes its event time. The expiry is the honest
+    * 100 TB contract: forever-dedup needs unbounded state, so the
+    * horizon bounds state at (arrival rate × delay) keys and an
+    * ancient re-send past the horizon re-emits — pair with a
+    * downstream batch [[exact]] when that matters.
+    */
+  def exactStream(df: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "exactStream: need dedup key columns")
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Cross-document BLOCK-level dedup — the sub-document treatment
     * step: document-level near-dup keeps or drops whole docs, but web
     * corpora share boilerplate at finer granularity (headers, navs,

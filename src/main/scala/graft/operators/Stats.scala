@@ -4553,6 +4553,63 @@ object Stats {
       round(exp(col("_b")), 6).cast("double").as("odds_ratio"))
   }
 
+  /** Temperature scaling — the one-parameter calibration fix for an
+    * overconfident scorer (the standard post-hoc step before
+    * thresholding LLM/classifier logits): fit T so σ(s/T) matches
+    * the observed label rates, by FIXED Newton passes on the inverse
+    * temperature w = 1/T of the binary NLL (g = Σs(σ(ws) − y),
+    * h = Σs²σ(1−σ) > 0 — the 1-D convex problem, no line search
+    * needed). T > 1 reads "shrink the confidence", T < 1 "sharpen".
+    * Pairs with [[RankEval.calibrationBins]]' ECE: ECE diagnoses,
+    * this repairs.
+    *
+    * Determinism: the [[logisticFit]] contract in 1-D — 6-dp scores,
+    * 12-dp frozen per-row g/h terms into decimal sums, w refrozen at
+    * 12 dp per pass via a broadcast one-row param table (no driver
+    * collect); in-plan EXP on identical doubles. Each step CLAMPS to
+    * [0.001, 64] — raw Newton overshoots to negative w on extreme
+    * logits (σ's flat tails starve the hessian; a measured failure:
+    * ±5 logits at 3:1 rates diverge to w = −6.3 unclamped, and
+    * converge to the true ln3/5 in three clamped passes). Degenerate
+    * h ≤ 0 keeps w. Output: ONE row (n, n_pos, inv_temp,
+    * temperature).
+    */
+  def temperatureScaling(df: DataFrame, scoreCol: String,
+      yCond: Column, passes: Int = 4): DataFrame = {
+    require(passes >= 1 && passes <= 6,
+      s"temperatureScaling: passes must be in [1, 6], got $passes")
+    val dec12 = "decimal(38,12)"
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(round(col(scoreCol), 6).as("_s"),
+        when(yCond, 1.0).otherwise(0.0).as("_y"))
+      .localCheckpoint() // re-read every pass
+    def pass(params: DataFrame) = {
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("_w") * col("_s"))))
+      rows.crossJoin(broadcast(params))
+        .withColumn("_gt", round(col("_s") * (p - col("_y")), 12)
+          .cast(dec12))
+        .withColumn("_ht", round(col("_s") * col("_s") * p
+          * (lit(1.0) - p), 12).cast(dec12))
+        .agg(max("_w").as("_w"), count(lit(1)).as("n"),
+          sum(col("_y")).cast("bigint").as("n_pos"),
+          sum("_gt").as("_G"), sum("_ht").as("_H"))
+    }
+    def d(c: String): Column = col(c).cast("double")
+    var params = rows.limit(1).select(lit(1.0).as("_w"))
+    for (_ <- 1 to passes) {
+      params = pass(params)
+        .select(when(d("_H") > 0.0,
+          round(greatest(lit(0.001), least(lit(64.0),
+            col("_w") - d("_G") / d("_H"))), 12))
+          .otherwise(col("_w")).as("_w"))
+        .localCheckpoint() // one row; truncate the iterative lineage
+    }
+    pass(params).select(col("n").cast("bigint").as("n"), col("n_pos"),
+      round(col("_w"), 6).cast("double").as("inv_temp"),
+      when(col("_w") > 0.0, round(lit(1.0) / col("_w"), 6))
+        .cast("double").as("temperature"))
+  }
+
   /** Multiclass linear classifier by one-vs-rest logistic regression
     * (r14 verdict item 5): for each distinct label c, the binary fit
     * of (y = c) vs rest on the shared covariate — k independent

@@ -2927,6 +2927,21 @@ object StatsOps {
       "value")
   }
 
+  /** Temperature scaling of the centered-value logit against the
+    * even-JSON-k label (the q_roc_curve pair): 4 clamped Newton
+    * passes on the inverse temperature — the post-hoc calibration
+    * repair beside ECE's diagnosis.
+    */
+  val qTempScaling: QueryFn = withTables { spark =>
+    Stats.temperatureScaling(
+      spark.table("events")
+        .withColumn("s", (col("value") - 100.0) / 50.0),
+      "s",
+      coalesce(get_json_object(col("props"), "$.k").cast("bigint")
+        % 2 === 0, lit(false)),
+      passes = 4)
+  }
+
   /** Sequential two-player Elo of click vs purchase daily spend
     * (winner = higher exact cents): the online pairwise tracker
     * beside q_bradley_terry's batch MLE — 6-dp state machine,
@@ -3424,6 +3439,7 @@ object StatsOps {
     "q_schnabel" -> qSchnabel,
     "q_rand_inference" -> qRandInference,
     "q_elo" -> qElo,
+    "q_temp_scaling" -> qTempScaling,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -3667,6 +3683,25 @@ object StatsOps {
   // engines multiply by the identical double.
   private val mdeC: Double =
     Stats.MdeZ(("alpha", 0.05)) + Stats.MdeZ(("power", 0.8))
+
+  // One generated temperature-scaling Newton pass: the 12-dp frozen
+  // g/h folds at w_{i-1}, then the clamped 12-dp w update.
+  private def tempPass(i: Int): String = s"""
+      p$i AS (SELECT w, COUNT(*)::BIGINT AS n,
+                    CAST(SUM(y) AS BIGINT) AS np,
+                    SUM(CAST(ROUND(s * (1.0 / (1.0 + EXP(-(w * s)))
+                      - y), 12) AS DECIMAL(38,12))) AS g,
+                    SUM(CAST(ROUND(s * s
+                      * (1.0 / (1.0 + EXP(-(w * s))))
+                      * (1.0 - 1.0 / (1.0 + EXP(-(w * s)))), 12)
+                      AS DECIMAL(38,12))) AS h
+              FROM rows0 CROSS JOIN w${i - 1} GROUP BY w),
+      w$i AS (SELECT CASE WHEN CAST(h AS DOUBLE) > 0.0 THEN
+                       ROUND(GREATEST(0.001, LEAST(64.0,
+                         w - CAST(g AS DOUBLE) / CAST(h AS DOUBLE))),
+                         12)
+                     ELSE w END AS w
+              FROM p$i)"""
 
   // One generated gESD pass: moments → frozen z → frozen-max winner
   // (ties to the largest value via the two-pass filter) → decrement.
@@ -5506,6 +5541,25 @@ object StatsOps {
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
     "q_ddd" -> dddOracle,
+
+    // Four unrolled clamped-Newton passes + a final fold at w4; the
+    // logistic 12-dp freeze discipline in 1-D.
+    "q_temp_scaling" -> s"""
+      WITH rows0 AS (
+        SELECT ROUND((value - 100.0) / 50.0, 6) AS s,
+               CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$$.k')
+                 AS BIGINT) % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE (value - 100.0) / 50.0 IS NOT NULL),
+      w0 AS (SELECT CAST(1.0 AS DOUBLE) AS w),
+      ${(1 to 4).map(tempPass).mkString(",\n      ")},
+      p5 AS (SELECT w, COUNT(*)::BIGINT AS n,
+                    CAST(SUM(y) AS BIGINT) AS np
+             FROM rows0 CROSS JOIN w4 GROUP BY w)
+      SELECT n, np AS n_pos,
+             CAST(ROUND(w, 6) AS DOUBLE) AS inv_temp,
+             CAST(CASE WHEN w > 0.0 THEN ROUND(1.0 / w, 6) END
+               AS DOUBLE) AS temperature
+      FROM p5""",
 
     // Daily cents match series, the 6-dp Elo recursion unrolled in a
     // recursive CTE; 10^x as EXP(x·ln 10) with the interpolated

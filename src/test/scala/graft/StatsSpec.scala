@@ -4530,6 +4530,23 @@ class StatsSpec extends SparkTestBase {
     assert(f.getDouble(1) == 0.0 && f.getDouble(3) == 1.0, f.toString)
   }
 
+  test("temperatureScaling: a calibrated scorer keeps T = 1 (zero " +
+      "gradient at w = 1); overconfident ±5 logits at 3:1 rates cool " +
+      "to T = 4.551201 — the clamp rescues raw Newton's divergence") {
+    import spark.implicits._
+    val a = math.log(3.0)
+    def block(s: Double, ones: Int, zeros: Int) =
+      (1 to ones).map(_ => (s, true)) ++ (1 to zeros).map(_ => (s, false))
+    val cal = (block(a, 3, 1) ++ block(-a, 1, 3)).toDF("s", "y")
+    val c = Stats.temperatureScaling(cal, "s", col("y")).collect().head
+    assert(c.getLong(0) == 8L && c.getLong(1) == 4L, c.toString)
+    assert(c.getDouble(2) == 1.0 && c.getDouble(3) == 1.0, c.toString)
+    val over = (block(5.0, 3, 1) ++ block(-5.0, 1, 3)).toDF("s", "y")
+    val o = Stats.temperatureScaling(over, "s", col("y")).collect().head
+    assert(o.getDouble(2) == 0.219722 && o.getDouble(3) == 4.551201,
+      o.toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._

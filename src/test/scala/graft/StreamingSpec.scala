@@ -436,4 +436,45 @@ class StreamingSpec extends SparkTestBase {
         QuantileSketch.quantileOf($"sk", 0.9)).collect().head
     assert(batch.getDouble(0) === 5.0 && batch.getDouble(1) === 9.0)
   }
+
+  test("T15 streaming exact dedup: within the watermark horizon " +
+      "first-arrival wins across micro-batches; expired state lets " +
+      "an ancient re-send re-emit (the bounded-state contract); the " +
+      "in-horizon keeps equal batch Dedup.exact") {
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[Ev]
+    val out = graft.operators.Dedup.exactStream(
+      input.toDF(), "ts", "1 hour", Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Ev(1L, t("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Ev(1L, t("2024-01-01 10:05:00"), 1L, "click", 2.0), // dup drops
+      Ev(2L, t("2024-01-01 10:10:00"), 2L, "click", 3.0))
+    q.processAllAvailable()
+    // a second micro-batch redelivery inside the horizon still drops
+    input.addData(Ev(1L, t("2024-01-01 10:20:00"), 1L, "click", 4.0))
+    q.processAllAvailable()
+    val early = spark.table("dedup_stream").as[Ev].collect()
+    assert(early.map(e => e.event_id -> e.value).sorted.toSeq ===
+      Seq(1L -> 1.0, 2L -> 3.0), early.toSeq.toString)
+    // advance the watermark far past id 1's state, then re-send: the
+    // expired key re-emits — bounded state, documented
+    input.addData(Ev(99L, t("2024-01-01 20:00:00"), 9L, "click", 0.0))
+    q.processAllAvailable()
+    input.addData(Ev(1L, t("2024-01-01 20:30:00"), 1L, "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("dedup_stream").as[Ev].collect()
+    assert(all.count(_.event_id == 1L) == 2,
+      "expired state re-admits the ancient re-send: " + all.toSeq)
+    // batch dual on the first horizon's delivered events
+    val batch = graft.operators.Dedup.exact(
+      Seq((1L, 1.0), (1L, 2.0), (2L, 3.0), (1L, 4.0))
+        .toDF("event_id", "value").withColumn("id", col("value")),
+      "id", Seq("event_id"))
+    assert(batch.count() == 2, "two distinct keys in the horizon")
+  }
 }
