@@ -1298,6 +1298,72 @@ object Resample {
         .cast("double").as("z"))
   }
 
+  /** Goh–Barabási burstiness + memory of inter-event gaps per
+    * group — the two-number signature of an arrival process that
+    * [[fanoFactor]]'s count view can't separate: B = (σ−μ)/(σ+μ) of
+    * the gap distribution (−1 periodic, 0 Poisson, →1 bursty) and
+    * M = the lag-1 Pearson correlation of CONSECUTIVE gaps (does a
+    * short gap predict another short gap). Human activity is
+    * typically B > 0, M ≈ 0⁺; machine heartbeats B ≈ −1; retry
+    * storms B > 0 WITH M > 0 — the pair locates the regime.
+    *
+    * Exactness: per-entity gaps are exact integer seconds over the
+    * (ts, id) total order (the ksExponential gap contract);
+    * gap moments and the lag-1 pair co-moments fold
+    * cast-before-multiply in decimal(38,0) (consecutive pairs stay
+    * WITHIN an entity — the lag window is entity-keyed); B and M are
+    * one rounded float tree each. Degenerate (σ+μ = 0, zero pair
+    * variance) → NULL. Output: (group, n_gaps, n_pairs, burstiness,
+    * memory).
+    */
+  def gapBurstiness(df: DataFrame, groupCol: String, entityCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ev = df.filter(col(tsCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(entityCol).as("_u"),
+        col(idCol).as("_id"),
+        floor(unix_timestamp(col(tsCol))).cast("long").as("_sec"))
+    val w = Window.partitionBy("_u").orderBy("_sec", "_id")
+    val gaps = ev
+      .withColumn("_gap", col("_sec") - lag(col("_sec"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .withColumn("_next", lead(col("_gap"), 1).over(
+        Window.partitionBy("_u").orderBy("_sec", "_id")))
+    val folded = gaps.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_gap").cast(dec)).as("_s1"),
+        sum((col("_gap").cast(dec) * col("_gap")).cast(dec)).as("_s2"),
+        sum(when(col("_next").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when(col("_next").isNotNull, col("_gap").cast(dec)))
+          .as("_px"),
+        sum(when(col("_next").isNotNull, col("_next").cast(dec)))
+          .as("_py"),
+        sum(when(col("_next").isNotNull,
+          (col("_gap").cast(dec) * col("_next")).cast(dec))).as("_pxy"),
+        sum(when(col("_next").isNotNull,
+          (col("_gap").cast(dec) * col("_gap")).cast(dec))).as("_pxx"),
+        sum(when(col("_next").isNotNull,
+          (col("_next").cast(dec) * col("_next")).cast(dec))).as("_pyy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n_gaps").cast("double")
+    val mu = d("_s1") / nD
+    val varS = (nD * d("_s2") - d("_s1") * d("_s1")) / (nD * (nD - 1.0))
+    val sd = sqrt(varS)
+    val pD = col("n_pairs").cast("double")
+    val cxx = pD * d("_pxx") - d("_px") * d("_px")
+    val cyy = pD * d("_pyy") - d("_py") * d("_py")
+    val cxy = pD * d("_pxy") - d("_px") * d("_py")
+    folded.select(col("_g").as(groupCol),
+      col("n_gaps").cast("bigint").as("n_gaps"),
+      col("n_pairs").cast("bigint").as("n_pairs"),
+      when(col("n_gaps") >= 2 && varS >= 0.0 && sd + mu > 0.0,
+        round((sd - mu) / (sd + mu), 6))
+        .cast("double").as("burstiness"),
+      when(col("n_pairs") >= 2 && cxx > 0.0 && cyy > 0.0,
+        round(cxy / sqrt(cxx * cyy), 6))
+        .cast("double").as("memory"))
+  }
+
   /** Two-player sequential Elo rating over an ordered match series —
     * the ONLINE pairwise-preference tracker beside L-family
     * Bradley–Terry's batch MLE (BT refits the whole history; Elo

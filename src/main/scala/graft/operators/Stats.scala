@@ -6545,6 +6545,37 @@ object Stats {
           .cast("double").as("z"))
   }
 
+  /** Paired sign test per group — the assumption-free location test
+    * for paired readings (method A vs method B on the same item):
+    * only the SIGN of each difference enters, so no symmetry, no
+    * scale, no outlier sensitivity — the floor every paired-t/
+    * Wilcoxon result should be sanity-checked against. Ties carry no
+    * information and drop (the standard treatment);
+    * z = (2n⁺ − m)/√m over the m informative pairs.
+    *
+    * Exactness: both sides quantize to 1e6-scaled longs, so signs
+    * are exact integer comparisons; one group fold, one rounded z.
+    * m = 0 → NULL. Output: (group, n, n_plus, n_minus, z).
+    */
+  def signTest(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        (round(col(xCol) * 1e6).cast("long")
+          - round(col(yCol) * 1e6).cast("long")).as("_d"))
+    val folded = pts.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_d") > 0L, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("_d") < 0L, 1L).otherwise(0L)).as("n_minus"))
+    val mD = (col("n_plus") + col("n_minus")).cast("double")
+    folded.select(col(groupCol), col("n").cast("bigint").as("n"),
+      col("n_plus").cast("bigint").as("n_plus"),
+      col("n_minus").cast("bigint").as("n_minus"),
+      when(col("n_plus") + col("n_minus") >= 1,
+        round((lit(2.0) * col("n_plus") - mD) / sqrt(mD), 6))
+        .cast("double").as("z"))
+  }
+
   /** Mood's squared-rank dispersion test per group vs the pooled
     * rest — [[ansariBradley]]'s quadratic sibling: scores
     * (r − (N+1)/2)² grow from the CENTER out, so a sample at the

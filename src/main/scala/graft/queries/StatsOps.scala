@@ -2927,6 +2927,28 @@ object StatsOps {
       "value")
   }
 
+  /** Paired sign test of value vs the rounded-dollar reading per
+    * type (the q_deming pair): exact integer signs, ties drop, one
+    * rounded z — the assumption-free floor under the paired family.
+    */
+  val qSignTest: QueryFn = withTables { spark =>
+    Stats.signTest(
+        spark.table("events").withColumn("rounded",
+          round(col("value"), 0)),
+        "event_type", "value", "rounded")
+      .orderBy("event_type")
+  }
+
+  /** Goh–Barabási burstiness + memory of per-user inter-event gaps
+    * per type: the arrival-process signature beside q_fano's count
+    * dispersion — exact integer gap moments and lag-1 co-moments.
+    */
+  val qBurstiness: QueryFn = withTables { spark =>
+    Resample.gapBurstiness(spark.table("events"), "event_type",
+        "user_id", "ts", "event_id")
+      .orderBy("event_type")
+  }
+
   /** Temperature scaling of the centered-value logit against the
     * even-JSON-k label (the q_roc_curve pair): 4 clamped Newton
     * passes on the inverse temperature — the post-hoc calibration
@@ -3440,6 +3462,8 @@ object StatsOps {
     "q_rand_inference" -> qRandInference,
     "q_elo" -> qElo,
     "q_temp_scaling" -> qTempScaling,
+    "q_sign_test" -> qSignTest,
+    "q_burstiness" -> qBurstiness,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -5541,6 +5565,96 @@ object StatsOps {
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
     "q_ddd" -> dddOracle,
+
+    // Exact integer paired signs on the quantized pair; ties drop.
+    "q_sign_test" -> """
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT)
+                 - CAST(ROUND(ROUND(value, 0) * 1000000.0) AS BIGINT)
+                 AS d
+        FROM events
+        WHERE value IS NOT NULL AND ROUND(value, 0) IS NOT NULL),
+      f AS (SELECT g, COUNT(*)::BIGINT AS n,
+                   SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS np,
+                   SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END)::BIGINT AS nm
+            FROM pts GROUP BY g)
+      SELECT g AS event_type, n, np AS n_plus, nm AS n_minus,
+             CAST(CASE WHEN np + nm >= 1 THEN
+               ROUND((2.0 * np - CAST(np + nm AS DOUBLE))
+                 / SQRT(CAST(np + nm AS DOUBLE)), 6) END AS DOUBLE)
+               AS z
+      FROM f
+      ORDER BY event_type""",
+
+    // The ks_exponential gap construction + lag-1 pair co-moments;
+    // B and M each one rounded tree over HUGEINT folds.
+    "q_burstiness" -> """
+      WITH ev AS (
+        SELECT event_type AS g, user_id AS u, event_id AS id,
+               CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec
+        FROM events WHERE ts IS NOT NULL),
+      gp AS (SELECT g, u, id, sec,
+                    sec - LAG(sec) OVER
+                      (PARTITION BY u ORDER BY sec, id) AS gap
+             FROM ev),
+      g2 AS (SELECT g, gap,
+                    LEAD(gap) OVER (PARTITION BY u ORDER BY sec, id)
+                      AS nxt
+             FROM (SELECT * FROM gp WHERE gap IS NOT NULL)),
+      f AS (SELECT g, COUNT(*)::BIGINT AS n,
+                   SUM(gap::HUGEINT) AS s1,
+                   SUM(gap::HUGEINT * gap) AS s2,
+                   SUM(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS npr,
+                   SUM(CASE WHEN nxt IS NOT NULL THEN gap::HUGEINT END)
+                     AS px,
+                   SUM(CASE WHEN nxt IS NOT NULL THEN nxt::HUGEINT END)
+                     AS py,
+                   SUM(CASE WHEN nxt IS NOT NULL
+                     THEN gap::HUGEINT * nxt END) AS pxy,
+                   SUM(CASE WHEN nxt IS NOT NULL
+                     THEN gap::HUGEINT * gap END) AS pxx,
+                   SUM(CASE WHEN nxt IS NOT NULL
+                     THEN nxt::HUGEINT * nxt END) AS pyy
+            FROM g2 GROUP BY g)
+      SELECT g AS event_type, n AS n_gaps, npr AS n_pairs,
+             CAST(CASE WHEN n >= 2
+                        AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)) >= 0.0
+                        AND SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)))
+                          + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                          > 0.0 THEN
+               ROUND((SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) END
+               AS DOUBLE) AS burstiness,
+             CAST(CASE WHEN npr >= 2
+                        AND CAST(npr AS DOUBLE) * CAST(pxx AS DOUBLE)
+                          - CAST(px AS DOUBLE) * CAST(px AS DOUBLE)
+                          > 0.0
+                        AND CAST(npr AS DOUBLE) * CAST(pyy AS DOUBLE)
+                          - CAST(py AS DOUBLE) * CAST(py AS DOUBLE)
+                          > 0.0 THEN
+               ROUND((CAST(npr AS DOUBLE) * CAST(pxy AS DOUBLE)
+                   - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+                 / SQRT((CAST(npr AS DOUBLE) * CAST(pxx AS DOUBLE)
+                     - CAST(px AS DOUBLE) * CAST(px AS DOUBLE))
+                   * (CAST(npr AS DOUBLE) * CAST(pyy AS DOUBLE)
+                     - CAST(py AS DOUBLE) * CAST(py AS DOUBLE))), 6)
+               END AS DOUBLE) AS memory
+      FROM f
+      ORDER BY event_type""",
 
     // Four unrolled clamped-Newton passes + a final fold at w4; the
     // logistic 12-dp freeze discipline in 1-D.

@@ -1249,6 +1249,26 @@ class ResampleSpec extends SparkTestBase {
       && out(3L).getDouble(4) == 1472.252864, out(3L).toString)
   }
 
+  test("gapBurstiness: alternating short-long gaps are near-Poisson " +
+      "in B (0.021182) but perfectly anti-persistent in M (-1 " +
+      "exactly); a periodic heartbeat is B = -1 with NULL memory") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val alt = Seq(0L, 1L, 10L, 11L, 20L, 21L).zipWithIndex.map {
+      case (s, i) => ("alt", "u1", i.toLong, ts(s)) }
+    val per = (0 until 6).map(i =>
+      ("per", "u2", i.toLong, ts(i * 5L)))
+    val out = Resample.gapBurstiness(
+        (alt ++ per).toDF("g", "u", "id", "t"), "g", "u", "t", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("alt")
+    assert(a.getLong(1) == 5L && a.getLong(2) == 4L, a.toString)
+    assert(a.getDouble(3) == 0.021182 && a.getDouble(4) == -1.0,
+      a.toString)
+    val p = out("per")
+    assert(p.getDouble(3) == -1.0 && p.isNullAt(4), p.toString)
+  }
+
   test("kalmanLocalLevel: hand recursion — adaptive gain, " +
       "prediction-only steps on nulls, frozen states") {
     import spark.implicits._

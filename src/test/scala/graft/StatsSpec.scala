@@ -4547,6 +4547,22 @@ class StatsSpec extends SparkTestBase {
       o.toString)
   }
 
+  test("signTest: ties drop as uninformative — 6 up, 2 down, 2 tied " +
+      "give z = 4/sqrt(8); an all-tied group is NULL, never 0/0") {
+    import spark.implicits._
+    val rows = (1 to 6).map(i => ("A", i + 1.0, i.toDouble)) ++
+      (1 to 2).map(i => ("A", i.toDouble, i + 1.0)) ++
+      (1 to 2).map(i => ("A", 5.0, 5.0)) ++
+      (1 to 3).map(_ => ("T", 2.0, 2.0))
+    val out = Stats.signTest(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getLong(1) == 10L && a.getLong(2) == 6L
+      && a.getLong(3) == 2L, a.toString)
+    assert(a.getDouble(4) == 1.414214, a.toString)
+    assert(out("T").isNullAt(4), out("T").toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
