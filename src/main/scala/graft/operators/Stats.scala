@@ -6545,6 +6545,113 @@ object Stats {
           .cast("double").as("z"))
   }
 
+  /** Absolute-risk 2×2 panel per group — the epidemiology numbers
+    * the ratio family (odds_ratio, prr) hides: risk difference
+    * RD = r₁ − r₀ with the Wald se, relative risk RR = r₁/r₀, NNT =
+    * 1/|RD| (how many exposures per extra outcome — THE number a
+    * decision-maker asks), and the attributable fraction among the
+    * exposed (RR−1)/RR. Odds ratios exaggerate for common outcomes;
+    * this panel is the honest absolute view beside them.
+    *
+    * Determinism: exact integer 2×2 counts per group; risks freeze
+    * at 12 dp before every tree; each output is one rounded closed
+    * form. Empty arms → NULL panel; r₀ = 0 → NULL rr/af; RD = 0 →
+    * NULL nnt (no effect to invert). Output: (group, n,
+    * risk_exposed, risk_unexposed, rd, se_rd, rr, nnt, af_exposed).
+    */
+  def riskPanel(df: DataFrame, groupCol: String, exposed: Column,
+      outcome: Column): DataFrame = {
+    val e = exposed.cast("boolean")
+    val o = outcome.cast("boolean")
+    def cnt(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    val tab = df.filter(e.isNotNull && o.isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("n"),
+        cnt(e && o).as("_a"), cnt(e && !o).as("_b"),
+        cnt(!e && o).as("_c"), cnt(!e && !o).as("_d"))
+    def d(c: String): Column = col(c).cast("double")
+    val n1 = col("_a") + col("_b")
+    val n0 = col("_c") + col("_d")
+    val ok = n1 >= 1 && n0 >= 1
+    val r1 = round(d("_a") / n1.cast("double"), 12)
+    val r0 = round(d("_c") / n0.cast("double"), 12)
+    tab
+      .withColumn("_r1", when(ok, r1))
+      .withColumn("_r0", when(ok, r0))
+      .withColumn("_rd", round(col("_r1") - col("_r0"), 12))
+      .select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+        round(col("_r1"), 6).cast("double").as("risk_exposed"),
+        round(col("_r0"), 6).cast("double").as("risk_unexposed"),
+        round(col("_rd"), 6).cast("double").as("rd"),
+        round(sqrt(col("_r1") * (lit(1.0) - col("_r1"))
+            / n1.cast("double")
+          + col("_r0") * (lit(1.0) - col("_r0")) / n0.cast("double")), 6)
+          .cast("double").as("se_rd"),
+        when(col("_r0") > 0.0, round(col("_r1") / col("_r0"), 6))
+          .cast("double").as("rr"),
+        when(col("_rd") =!= 0.0, round(lit(1.0) / abs(col("_rd")), 6))
+          .cast("double").as("nnt"),
+        when(col("_r0") > 0.0 && col("_r1") > 0.0,
+          round((col("_r1") / col("_r0") - 1.0)
+            / (col("_r1") / col("_r0")), 6))
+          .cast("double").as("af_exposed"))
+  }
+
+  /** Direct standardization per group — "would the groups' rates
+    * still differ if they had the SAME composition": the crude rate
+    * confounds the outcome with the group's stratum mix (night-heavy
+    * traffic looks riskier only because nights are); the directly
+    * standardized rate re-weights each group's per-stratum rates by
+    * the POOLED stratum shares, Σ_s w_s·r_{g,s} — the demography
+    * classic, and the aggregate twin of L-family q_psm/q_ipf's
+    * row-level reweighting.
+    *
+    * Determinism: exact integer (group, stratum) cells; per-stratum
+    * rates and pooled weights freeze at 12 dp; each weighted term
+    * freezes at 12 dp into a decimal sum; crude/std rates round at
+    * 6. A stratum a group never saw (or saw with zero denominator)
+    * contributes 0 and is COUNTED in n_strata_missing — visible,
+    * never an imputed rate. Output: (group, n, crude_rate, std_rate,
+    * n_strata, n_strata_missing).
+    */
+  def directStandardization(df: DataFrame, groupCol: String,
+      stratumCol: Column, outcome: Column): DataFrame = {
+    val o = outcome.cast("boolean")
+    val cells = df.filter(o.isNotNull && stratumCol.isNotNull)
+      .groupBy(col(groupCol).as("_g"), stratumCol.as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(o, 1L).otherwise(0L)).as("_k"))
+      .localCheckpoint() // pooled weights + the grid join read it
+    val pooled = cells.groupBy(col("_s").as("_sp"))
+      .agg(sum("_n").as("_ns"))
+    val tot = pooled.agg(sum("_ns").as("_nt"),
+      count(lit(1)).as("_nstrata"))
+    val groups = cells.groupBy(col("_g").as("_gg"))
+      .agg(sum("_n").as("_ng"), sum("_k").as("_kg"))
+    val grid = groups
+      .crossJoin(broadcast(pooled))
+      .join(cells, col("_gg") <=> col("_g") && col("_sp") <=> col("_s"),
+        "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_w", round(col("_ns").cast("double")
+        / col("_nt").cast("double"), 12))
+      .withColumn("_r", when(col("_n").isNotNull && col("_n") >= 1,
+        round(col("_k").cast("double") / col("_n").cast("double"), 12)))
+      .withColumn("_term", round(col("_w") * coalesce(col("_r"),
+        lit(0.0)), 12))
+    grid.groupBy(col("_gg").as(groupCol), col("_ng"), col("_kg"),
+        col("_nstrata"))
+      .agg(sum(col("_term").cast("decimal(38,12)")).as("_std"),
+        sum(when(col("_r").isNull, 1L).otherwise(0L)).as("_miss"))
+      .select(col(groupCol), col("_ng").cast("bigint").as("n"),
+        round(col("_kg").cast("double") / col("_ng").cast("double"), 6)
+          .cast("double").as("crude_rate"),
+        round(col("_std").cast("double"), 6).cast("double")
+          .as("std_rate"),
+        col("_nstrata").cast("bigint").as("n_strata"),
+        col("_miss").cast("bigint").as("n_strata_missing"))
+  }
+
   /** Paired sign test per group — the assumption-free location test
     * for paired readings (method A vs method B on the same item):
     * only the SIGN of each difference enters, so no symmetry, no

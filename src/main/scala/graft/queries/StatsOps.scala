@@ -2927,6 +2927,26 @@ object StatsOps {
       "value")
   }
 
+  /** Absolute-risk panel of the q_mantel_haenszel 2×2 per event
+    * type: RD with the Wald se, RR, NNT, and the attributable
+    * fraction — the honest absolute view beside q_odds_ratio.
+    */
+  val qRiskPanel: QueryFn = withTables { spark =>
+    Stats.riskPanel(spark.table("events"), "event_type",
+        col("user_id") % 2 === 0, col("value") > 50.0)
+      .orderBy("event_type")
+  }
+
+  /** Directly standardized high-value rate per event type over
+    * hour-of-day strata (pooled reference): removes the hour-mix
+    * confound the crude rates carry.
+    */
+  val qDirectStd: QueryFn = withTables { spark =>
+    Stats.directStandardization(spark.table("events"), "event_type",
+        hour(col("ts")), col("value") > 120.0)
+      .orderBy("event_type")
+  }
+
   /** Paired sign test of value vs the rounded-dollar reading per
     * type (the q_deming pair): exact integer signs, ties drop, one
     * rounded z — the assumption-free floor under the paired family.
@@ -3464,6 +3484,8 @@ object StatsOps {
     "q_temp_scaling" -> qTempScaling,
     "q_sign_test" -> qSignTest,
     "q_burstiness" -> qBurstiness,
+    "q_risk_panel" -> qRiskPanel,
+    "q_direct_std" -> qDirectStd,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -5565,6 +5587,84 @@ object StatsOps {
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
     "q_ddd" -> dddOracle,
+
+    // Exact 2×2 arm counts, 12-dp frozen risks, one rounded closed
+    // form per panel number.
+    "q_risk_panel" -> """
+      WITH rows0 AS (
+        SELECT event_type AS g, (user_id % 2 = 0) AS e,
+               (value > 50.0) AS o
+        FROM events),
+      tab AS (
+        SELECT g, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+               SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+               SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+               SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT
+                 AS d
+        FROM rows0 WHERE e IS NOT NULL AND o IS NOT NULL GROUP BY g),
+      t2 AS (SELECT g, n, a + b AS n1, c + d AS n0,
+               CASE WHEN a + b >= 1 AND c + d >= 1 THEN
+                 ROUND(CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE), 12)
+                 END AS r1,
+               CASE WHEN a + b >= 1 AND c + d >= 1 THEN
+                 ROUND(CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE), 12)
+                 END AS r0
+             FROM tab),
+      t3 AS (SELECT *, ROUND(r1 - r0, 12) AS rd FROM t2)
+      SELECT g AS event_type, n,
+             CAST(ROUND(r1, 6) AS DOUBLE) AS risk_exposed,
+             CAST(ROUND(r0, 6) AS DOUBLE) AS risk_unexposed,
+             CAST(ROUND(rd, 6) AS DOUBLE) AS rd,
+             CAST(ROUND(SQRT(r1 * (1.0 - r1) / CAST(n1 AS DOUBLE)
+               + r0 * (1.0 - r0) / CAST(n0 AS DOUBLE)), 6) AS DOUBLE)
+               AS se_rd,
+             CAST(CASE WHEN r0 > 0.0 THEN ROUND(r1 / r0, 6) END
+               AS DOUBLE) AS rr,
+             CAST(CASE WHEN rd <> 0.0 THEN ROUND(1.0 / ABS(rd), 6) END
+               AS DOUBLE) AS nnt,
+             CAST(CASE WHEN r0 > 0.0 AND r1 > 0.0 THEN
+               ROUND((r1 / r0 - 1.0) / (r1 / r0), 6) END AS DOUBLE)
+               AS af_exposed
+      FROM t3
+      ORDER BY event_type""",
+
+    // Exact (group, hour) cells, pooled 12-dp weights, the weighted
+    // term fold with uncovered strata counted loudly.
+    "q_direct_std" -> """
+      WITH cells AS (
+        SELECT event_type AS g, HOUR(ts) AS s, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN value > 120.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS k
+        FROM events
+        WHERE (value > 120.0) IS NOT NULL AND HOUR(ts) IS NOT NULL
+        GROUP BY 1, 2),
+      pl AS (SELECT s AS sp, SUM(n)::BIGINT AS ns FROM cells GROUP BY s),
+      tt AS (SELECT SUM(ns)::BIGINT AS nt, COUNT(*)::BIGINT AS nstrata
+             FROM pl),
+      gs AS (SELECT g AS gg, SUM(n)::BIGINT AS ng, SUM(k)::BIGINT AS kg
+             FROM cells GROUP BY g),
+      grid AS (
+        SELECT gg, ng, kg, sp, ns, cells.n AS cn, cells.k AS ck
+        FROM gs CROSS JOIN pl
+        LEFT JOIN cells ON cells.g = gs.gg AND cells.s = pl.sp),
+      t AS (SELECT gg, ng, kg, nstrata,
+              ROUND(CAST(ns AS DOUBLE) / CAST(nt AS DOUBLE), 12) AS w,
+              CASE WHEN cn IS NOT NULL AND cn >= 1 THEN
+                ROUND(CAST(ck AS DOUBLE) / CAST(cn AS DOUBLE), 12) END
+                AS r
+            FROM grid CROSS JOIN tt)
+      SELECT gg AS event_type, ng AS n,
+             CAST(ROUND(CAST(kg AS DOUBLE) / CAST(ng AS DOUBLE), 6)
+               AS DOUBLE) AS crude_rate,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(w * COALESCE(r, 0.0), 12)
+               AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE)
+               AS std_rate,
+             MAX(nstrata)::BIGINT AS n_strata,
+             SUM(CASE WHEN r IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_strata_missing
+      FROM t GROUP BY gg, ng, kg
+      ORDER BY event_type""",
 
     // Exact integer paired signs on the quantized pair; ties drop.
     "q_sign_test" -> """

@@ -4563,6 +4563,49 @@ class StatsSpec extends SparkTestBase {
     assert(out("T").isNullAt(4), out("T").toString)
   }
 
+  test("riskPanel: hand 2x2 — risks .3/.1 give RD .2, se sqrt(.003), " +
+      "RR 3, NNT 5, AF 2/3; a null effect reports NULL NNT (no " +
+      "effect to invert)") {
+    import spark.implicits._
+    def arm(g: String, e: Boolean, k: Int, m: Int) =
+      (1 to k).map(_ => (g, e, true)) ++ (1 to m).map(_ => (g, e, false))
+    val rows = arm("A", true, 30, 70) ++ arm("A", false, 10, 90) ++
+      arm("Z", true, 5, 5) ++ arm("Z", false, 5, 5)
+    val out = Stats.riskPanel(rows.toDF("g", "e", "o"), "g",
+        col("e"), col("o"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getDouble(2) == 0.3 && a.getDouble(3) == 0.1, a.toString)
+    assert(a.getDouble(4) == 0.2 && a.getDouble(5) == 0.054772,
+      a.toString)
+    assert(a.getDouble(6) == 3.0 && a.getDouble(7) == 5.0
+      && a.getDouble(8) == 0.666667, a.toString)
+    assert(out("Z").isNullAt(7), out("Z").toString)
+  }
+
+  test("directStandardization: opposite stratum mixes with identical " +
+      "per-stratum rates standardize to the SAME 0.25 — the whole " +
+      "point; an uncovered stratum contributes 0 and is counted") {
+    import spark.implicits._
+    def cell(g: String, s: Int, k: Int, m: Int) =
+      (1 to k).map(_ => (g, s, true)) ++ (1 to m).map(_ => (g, s, false))
+    val rows = cell("A", 1, 8, 72) ++ cell("A", 2, 8, 12) ++
+      cell("B", 1, 2, 18) ++ cell("B", 2, 32, 48)
+    val out = Stats.directStandardization(rows.toDF("g", "s", "o"),
+        "g", col("s"), col("o"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getDouble(2) == 0.16
+      && out("B").getDouble(2) == 0.34, out.toString)
+    assert(out("A").getDouble(3) == 0.25
+      && out("B").getDouble(3) == 0.25, out.toString)
+    val withC = (rows ++ cell("C", 1, 5, 5)).toDF("g", "s", "o")
+    val c = Stats.directStandardization(withC, "g", col("s"), col("o"))
+      .collect().map(r => r.getString(0) -> r).toMap.apply("C")
+    // pooled weights shift with C present: s1 = 110/210, s2 = 100/210
+    assert(c.getLong(5) == 1L && c.getDouble(2) == 0.5, c.toString)
+    assert(c.getDouble(3) == 0.261905, c.toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
