@@ -2208,6 +2208,98 @@ object Stats {
         .cast("double").as("jb"))
   }
 
+  /** D'Agostino–Pearson K² normality omnibus — [[jarqueBera]]'s
+    * finite-sample-honest sibling: JB's χ²(2) approximation is
+    * miscalibrated below n ≈ 2000; D'Agostino transforms the SAME
+    * sample skewness/kurtosis through their exact small-sample
+    * moments to genuinely ~N(0,1) z's (skew z: D'Agostino 1970;
+    * kurtosis z: Anscombe–Glynn 1983), K² = z₁² + z₂² ~ χ²(2) at
+    * any usable n.
+    *
+    * Determinism: the jarqueBera exact decimal power sums; g₁/g₂
+    * and each transform stage freeze at 12 dp (a withColumn chain
+    * the oracle mirrors column-for-column); asinh is spelled
+    * ln(x + √(x²+1)) and the SIGNED cube root sign(b)·e^{ln|b|/3}
+    * on a 12-dp-frozen base (the in-plan LN/EXP precedent); z's
+    * freeze at 6 dp before K². n < 8 (the Anscombe domain), zero
+    * variance, or a zero cube-root base report NULL loudly. Output:
+    * (group, n, skew_z, kurt_z, k2).
+    */
+  def dagostinoK2(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 100): DataFrame = {
+    require(scale >= 1, s"scale=$scale must be >= 1")
+    val dec = "decimal(38,0)"
+    val x = round(col(valueCol) * scale).cast("long")
+    val sums = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), x.as("_x"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x").cast(dec)).as("_s1"),
+        sum((col("_x").cast(dec) * col("_x")).cast(dec)).as("_s2"),
+        sum((col("_x").cast(dec) * col("_x") * col("_x")).cast(dec))
+          .as("_s3"),
+        sum((col("_x").cast(dec) * col("_x") * col("_x") * col("_x"))
+          .cast(dec)).as("_s4"))
+    def d(c: String): Column = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val mu = d("_s1") / nd
+    val m2 = d("_s2") / nd - mu * mu
+    val m3 = (d("_s3") / nd - lit(3.0) * mu * (d("_s2") / nd)) +
+      lit(2.0) * mu * mu * mu
+    val m4 = (d("_s4") / nd - lit(4.0) * mu * (d("_s3") / nd)) +
+      lit(6.0) * mu * mu * (d("_s2") / nd) - lit(3.0) * mu * mu * mu * mu
+    val ok = col("n") >= 8 && m2 > 0.0
+    val staged = sums
+      .withColumn("_g1", when(ok, round(m3 / sqrt(m2 * m2 * m2), 12)))
+      // RAW kurtosis b2 (not excess): Anscombe's small-sample moments
+      // E[b2] = 3(n−1)/(n+1) are stated for b2 — feeding the excess
+      // form here was a caught sign-level failure (a platykurtic
+      // sample scored z = +17 instead of negative)
+      .withColumn("_g2", when(ok, round(m4 / (m2 * m2), 12)))
+      // --- skew z (D'Agostino 1970) ---
+      .withColumn("_y", round(col("_g1")
+        * sqrt((nd + 1.0) * (nd + 3.0) / (lit(6.0) * (nd - 2.0))), 12))
+      .withColumn("_b2", round(lit(3.0)
+        * (nd * nd + lit(27.0) * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+        / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0)), 12))
+      .withColumn("_w2", round(lit(-1.0)
+        + sqrt(lit(2.0) * (col("_b2") - 1.0)), 12))
+      .withColumn("_dl", lit(1.0) / sqrt(log(sqrt(col("_w2")))))
+      .withColumn("_al", sqrt(lit(2.0) / (col("_w2") - 1.0)))
+      .withColumn("_ya", round(col("_y") / col("_al"), 12))
+      .withColumn("_z1", when(col("_w2") > 1.0,
+        round(col("_dl") * log(col("_ya")
+          + sqrt(col("_ya") * col("_ya") + 1.0)), 6)))
+      // --- kurtosis z (Anscombe–Glynn 1983) ---
+      .withColumn("_eb", round(lit(3.0) * (nd - 1.0) / (nd + 1.0), 12))
+      .withColumn("_vb", round(lit(24.0) * nd * (nd - 2.0) * (nd - 3.0)
+        / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)), 12))
+      .withColumn("_xs", round((col("_g2") - col("_eb"))
+        / sqrt(col("_vb")), 12))
+      .withColumn("_sb", round(lit(6.0)
+        * (nd * nd - lit(5.0) * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+        * sqrt(lit(6.0) * (nd + 3.0) * (nd + 5.0)
+          / (nd * (nd - 2.0) * (nd - 3.0))), 12))
+      .withColumn("_aa", round(lit(6.0) + lit(8.0) / col("_sb")
+        * (lit(2.0) / col("_sb")
+          + sqrt(lit(1.0) + lit(4.0) / (col("_sb") * col("_sb")))), 12))
+      .withColumn("_bb", round((lit(1.0) - lit(2.0) / col("_aa"))
+        / (lit(1.0) + col("_xs")
+          * sqrt(lit(2.0) / (col("_aa") - 4.0))), 12))
+      .withColumn("_cr", when(col("_bb") =!= 0.0,
+        signum(col("_bb")) * exp(log(abs(col("_bb"))) / 3.0)))
+      .withColumn("_z2", when(col("_aa") > 4.0 && col("_cr").isNotNull,
+        round(((lit(1.0) - lit(2.0) / (lit(9.0) * col("_aa")))
+          - col("_cr"))
+          / sqrt(lit(2.0) / (lit(9.0) * col("_aa"))), 6)))
+    staged.select(col("_g").as(groupCol), col("n").cast("bigint").as("n"),
+      col("_z1").cast("double").as("skew_z"),
+      col("_z2").cast("double").as("kurt_z"),
+      when(col("_z1").isNotNull && col("_z2").isNotNull,
+        round(col("_z1") * col("_z1") + col("_z2") * col("_z2"), 6))
+        .cast("double").as("k2"))
+  }
+
   /** Per-group two-sample Cramér–von Mises statistic against the
     * pooled complement on `bins` equi-width cells — the
     * whole-distribution companion to [[ksTestBinned]]: KS reads the
@@ -8148,6 +8240,70 @@ object Stats {
         .cast("double").as("ddd"),
       when(haveAll && allBig, round(sqrt(seSum / 1e12), 6))
         .cast("double").as("se"))
+  }
+
+  /** Event-study (dynamic DiD) panel — the PER-PERIOD view that
+    * validates [[diffInDiff]]'s single number: effect_k =
+    * (m_treated,k − m_control,k) − the same gap at the REFERENCE
+    * period (k = refPeriod, conventionally −1), one row per relative
+    * period. Pre-period effects ≈ 0 IS the parallel-trends evidence;
+    * post-period effects trace adoption dynamics a pooled DiD
+    * averages away.
+    *
+    * Determinism: the diffInDiff cell contract — 1e6-quantized
+    * values, exact per-(arm, period) decimal cells off ONE
+    * aggregate, the reference row broadcast back; effects and the
+    * 4-cell Wald se are one rounded tree per period; the reference
+    * period's own effect is EXACTLY 0 by construction (pinned).
+    * Missing arm at a period → NULL effect loudly. Output:
+    * (rel_period, n_treated, n_control, effect, se).
+    */
+  def eventStudy(df: DataFrame, treated: Column, periodCol: Column,
+      valueCol: String, refPeriod: Long = -1L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(treated.isNotNull && periodCol.isNotNull
+        && col(valueCol).isNotNull)
+      .select(when(treated, 1).otherwise(0).as("_t"),
+        periodCol.cast("long").as("_k"),
+        round(col(valueCol) * 1e6).cast("long").as("_v"))
+      .groupBy("_t", "_k")
+      .agg(count(lit(1)).as("_n"), sum(col("_v").cast(dec)).as("_s"),
+        sum((col("_v").cast(dec) * col("_v")).cast(dec)).as("_q"))
+    def d(c: String) = col(c).cast("double")
+    val perK = cells.groupBy("_k").agg(
+      max(when(col("_t") === 1, col("_n"))).as("_nt"),
+      max(when(col("_t") === 0, col("_n"))).as("_nc"),
+      max(when(col("_t") === 1, col("_s"))).as("_st"),
+      max(when(col("_t") === 0, col("_s"))).as("_sc"),
+      max(when(col("_t") === 1, col("_q"))).as("_qt"),
+      max(when(col("_t") === 0, col("_q"))).as("_qc"))
+      .localCheckpoint() // the reference row + every period read it
+    val ref = perK.filter(col("_k") === refPeriod)
+      .select(col("_nt").as("_rnt"), col("_nc").as("_rnc"),
+        col("_st").as("_rst"), col("_sc").as("_rsc"),
+        col("_qt").as("_rqt"), col("_qc").as("_rqc"))
+    def m(s: String, n: String) = d(s) / d(n)
+    def v(q: String, s: String, n: String) =
+      (d(n) * d(q) - d(s) * d(s)) / (d(n) * (d(n) - 1.0))
+    val haveAll = col("_nt").isNotNull && col("_nc").isNotNull &&
+      col("_rnt").isNotNull && col("_rnc").isNotNull
+    val allBig = col("_nt") >= 2 && col("_nc") >= 2 &&
+      col("_rnt") >= 2 && col("_rnc") >= 2
+    perK.crossJoin(broadcast(ref))
+      .select(col("_k").cast("bigint").as("rel_period"),
+        coalesce(col("_nt"), lit(0L)).cast("bigint").as("n_treated"),
+        coalesce(col("_nc"), lit(0L)).cast("bigint").as("n_control"),
+        when(haveAll,
+          round(((m("_st", "_nt") - m("_sc", "_nc"))
+            - (m("_rst", "_rnt") - m("_rsc", "_rnc"))) / 1e6, 6))
+          .cast("double").as("effect"),
+        when(haveAll && allBig,
+          round(sqrt((v("_qt", "_st", "_nt") / d("_nt")
+            + v("_qc", "_sc", "_nc") / d("_nc")
+            + v("_rqt", "_rst", "_rnt") / d("_rnt")
+            + v("_rqc", "_rsc", "_rnc") / d("_rnc")) / 1e12), 6))
+          .cast("double").as("se"))
   }
 
   /** Schnabel multi-occasion capture–recapture — the T-sample

@@ -2927,6 +2927,28 @@ object StatsOps {
       "value")
   }
 
+  /** Event-study panel of the q_did design by relative WEEK to the
+    * 2024-01-16 adoption: pre-period effects read parallel trends,
+    * post periods trace the dynamics the pooled DiD averages away.
+    */
+  val qEventStudy: QueryFn = withTables { spark =>
+    Stats.eventStudy(spark.table("events"),
+        col("user_id") % 2 === 0,
+        floor(datediff(col("ts").cast("date"),
+          lit("2024-01-16").cast("date")) / lit(7)),
+        "value")
+      .orderBy("rel_period")
+  }
+
+  /** D'Agostino–Pearson K² normality omnibus on event values per
+    * type: the finite-sample-honest sibling of q_jarque_bera —
+    * exact power sums through the staged 12-dp transform chain.
+    */
+  val qDagostino: QueryFn = withTables { spark =>
+    Stats.dagostinoK2(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   /** Absolute-risk panel of the q_mantel_haenszel 2×2 per event
     * type: RD with the Wald se, RR, NNT, and the attributable
     * fraction — the honest absolute view beside q_odds_ratio.
@@ -3486,6 +3508,8 @@ object StatsOps {
     "q_burstiness" -> qBurstiness,
     "q_risk_panel" -> qRiskPanel,
     "q_direct_std" -> qDirectStd,
+    "q_event_study" -> qEventStudy,
+    "q_dagostino" -> qDagostino,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -5587,6 +5611,150 @@ object StatsOps {
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
     "q_ddd" -> dddOracle,
+
+    // The q_did cell machinery per relative week with the k = −1
+    // reference row broadcast; the 4-cell Wald se per period.
+    "q_event_study" -> """
+      WITH pts AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+               CAST(FLOOR(DATEDIFF('day', DATE '2024-01-16',
+                 CAST(ts AS DATE)) / 7) AS BIGINT) AS k,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      cells AS (SELECT t, k, COUNT(*)::BIGINT AS n,
+                       SUM(v::HUGEINT) AS s, SUM(v::HUGEINT * v) AS q
+                FROM pts GROUP BY 1, 2),
+      pk AS (SELECT k,
+               MAX(CASE WHEN t = 1 THEN n END) AS nt,
+               MAX(CASE WHEN t = 0 THEN n END) AS nc,
+               MAX(CASE WHEN t = 1 THEN s END) AS st,
+               MAX(CASE WHEN t = 0 THEN s END) AS sc,
+               MAX(CASE WHEN t = 1 THEN q END) AS qt,
+               MAX(CASE WHEN t = 0 THEN q END) AS qc
+             FROM cells GROUP BY k),
+      rf AS (SELECT nt AS rnt, nc AS rnc, st AS rst, sc AS rsc,
+                    qt AS rqt, qc AS rqc
+             FROM pk WHERE k = -1)
+      SELECT k AS rel_period,
+             COALESCE(nt, 0)::BIGINT AS n_treated,
+             COALESCE(nc, 0)::BIGINT AS n_control,
+             CAST(CASE WHEN nt IS NOT NULL AND nc IS NOT NULL
+                        AND rnt IS NOT NULL AND rnc IS NOT NULL THEN
+               ROUND(((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                   - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                 - (CAST(rst AS DOUBLE) / CAST(rnt AS DOUBLE)
+                   - CAST(rsc AS DOUBLE) / CAST(rnc AS DOUBLE)))
+                 / 1000000.0, 6) END AS DOUBLE) AS effect,
+             CAST(CASE WHEN nt >= 2 AND nc >= 2 AND rnt >= 2
+                        AND rnc >= 2 THEN
+               ROUND(SQRT(((CAST(nt AS DOUBLE) * CAST(qt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                   / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0))
+                   / CAST(nt AS DOUBLE)
+                 + (CAST(nc AS DOUBLE) * CAST(qc AS DOUBLE)
+                     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                   / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0))
+                   / CAST(nc AS DOUBLE)
+                 + (CAST(rnt AS DOUBLE) * CAST(rqt AS DOUBLE)
+                     - CAST(rst AS DOUBLE) * CAST(rst AS DOUBLE))
+                   / (CAST(rnt AS DOUBLE) * (CAST(rnt AS DOUBLE) - 1.0))
+                   / CAST(rnt AS DOUBLE)
+                 + (CAST(rnc AS DOUBLE) * CAST(rqc AS DOUBLE)
+                     - CAST(rsc AS DOUBLE) * CAST(rsc AS DOUBLE))
+                   / (CAST(rnc AS DOUBLE) * (CAST(rnc AS DOUBLE) - 1.0))
+                   / CAST(rnc AS DOUBLE)) / 1000000000000.0), 6) END
+               AS DOUBLE) AS se
+      FROM pk CROSS JOIN rf
+      ORDER BY rel_period""",
+
+    // The jarque_bera power sums through the staged 12-dp transform
+    // chain — one CTE per frozen Spark column, the signed cube root
+    // as SIGN·EXP(LN/3) on the frozen base.
+    "q_dagostino" -> """
+      WITH s0 AS (
+        SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL),
+      sm AS (SELECT g, COUNT(*)::BIGINT AS n, SUM(x::HUGEINT) AS s1,
+                    SUM(x::HUGEINT * x) AS s2,
+                    SUM(x::HUGEINT * x * x) AS s3,
+                    SUM(x::HUGEINT * x * x * x) AS s4
+             FROM s0 GROUP BY g),
+      c1 AS (SELECT g, n, s1, s2, s3, s4,
+                    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                    CAST(n AS DOUBLE) AS nd
+             FROM sm),
+      c2 AS (SELECT g, n, nd,
+                    CAST(s2 AS DOUBLE) / nd - mu * mu AS m2,
+                    (CAST(s3 AS DOUBLE) / nd
+                      - 3.0 * mu * (CAST(s2 AS DOUBLE) / nd))
+                      + 2.0 * mu * mu * mu AS m3,
+                    (CAST(s4 AS DOUBLE) / nd
+                      - 4.0 * mu * (CAST(s3 AS DOUBLE) / nd))
+                      + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / nd)
+                      - 3.0 * mu * mu * mu * mu AS m4
+             FROM c1),
+      c3 AS (SELECT g, n, nd,
+                    CASE WHEN n >= 8 AND m2 > 0.0 THEN
+                      ROUND(m3 / SQRT(m2 * m2 * m2), 12) END AS g1,
+                    CASE WHEN n >= 8 AND m2 > 0.0 THEN
+                      ROUND(m4 / (m2 * m2), 12) END AS g2
+             FROM c2),
+      c4 AS (SELECT *,
+                    ROUND(g1 * SQRT((nd + 1.0) * (nd + 3.0)
+                      / (6.0 * (nd - 2.0))), 12) AS y,
+                    ROUND(3.0 * (nd * nd + 27.0 * nd - 70.0)
+                        * (nd + 1.0) * (nd + 3.0)
+                      / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0)
+                        * (nd + 9.0)), 12) AS b2
+             FROM c3),
+      c5 AS (SELECT *,
+                    ROUND(-1.0 + SQRT(2.0 * (b2 - 1.0)), 12) AS w2
+             FROM c4),
+      c6 AS (SELECT *,
+                    1.0 / SQRT(LN(SQRT(w2))) AS dl,
+                    SQRT(2.0 / (w2 - 1.0)) AS al
+             FROM c5),
+      c7 AS (SELECT *, ROUND(y / al, 12) AS ya FROM c6),
+      c8 AS (SELECT *,
+                    CASE WHEN w2 > 1.0 THEN
+                      ROUND(dl * LN(ya + SQRT(ya * ya + 1.0)), 6) END
+                      AS z1,
+                    ROUND(3.0 * (nd - 1.0) / (nd + 1.0), 12) AS eb,
+                    ROUND(24.0 * nd * (nd - 2.0) * (nd - 3.0)
+                      / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0)
+                        * (nd + 5.0)), 12) AS vb
+             FROM c7),
+      c9 AS (SELECT *,
+                    ROUND((g2 - eb) / SQRT(vb), 12) AS xs,
+                    ROUND(6.0 * (nd * nd - 5.0 * nd + 2.0)
+                      / ((nd + 7.0) * (nd + 9.0))
+                      * SQRT(6.0 * (nd + 3.0) * (nd + 5.0)
+                        / (nd * (nd - 2.0) * (nd - 3.0))), 12) AS sb
+             FROM c8),
+      c10 AS (SELECT *,
+                     ROUND(6.0 + 8.0 / sb * (2.0 / sb
+                       + SQRT(1.0 + 4.0 / (sb * sb))), 12) AS aa
+              FROM c9),
+      c11 AS (SELECT *,
+                     ROUND((1.0 - 2.0 / aa)
+                       / (1.0 + xs * SQRT(2.0 / (aa - 4.0))), 12) AS bb
+              FROM c10),
+      c12 AS (SELECT *,
+                     CASE WHEN bb <> 0.0 THEN
+                       SIGN(bb) * EXP(LN(ABS(bb)) / 3.0) END AS cr
+              FROM c11),
+      c13 AS (SELECT *,
+                     CASE WHEN aa > 4.0 AND cr IS NOT NULL THEN
+                       ROUND(((1.0 - 2.0 / (9.0 * aa)) - cr)
+                         / SQRT(2.0 / (9.0 * aa)), 6) END AS z2
+              FROM c12)
+      SELECT g AS event_type, n,
+             CAST(z1 AS DOUBLE) AS skew_z,
+             CAST(z2 AS DOUBLE) AS kurt_z,
+             CAST(CASE WHEN z1 IS NOT NULL AND z2 IS NOT NULL THEN
+               ROUND(z1 * z1 + z2 * z2, 6) END AS DOUBLE) AS k2
+      FROM c13
+      ORDER BY event_type""",
 
     // Exact 2×2 arm counts, 12-dp frozen risks, one rounded closed
     // form per panel number.

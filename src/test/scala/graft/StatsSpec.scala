@@ -4606,6 +4606,47 @@ class StatsSpec extends SparkTestBase {
     assert(c.getDouble(3) == 0.261905, c.toString)
   }
 
+  test("eventStudy: planted dynamics — pre-period effects are " +
+      "exactly 0 (parallel trends), post effects 3 then 5 with " +
+      "zero-variance se 0; the reference period is 0 by construction") {
+    import spark.implicits._
+    def cell(t: Boolean, k: Long, v: Double) = Seq((t, k, v), (t, k, v))
+    val rows =
+      cell(false, -2L, 10.0) ++ cell(false, -1L, 10.0) ++
+      cell(false, 0L, 10.0) ++ cell(false, 1L, 10.0) ++
+      cell(true, -2L, 12.0) ++ cell(true, -1L, 12.0) ++
+      cell(true, 0L, 15.0) ++ cell(true, 1L, 17.0)
+    val out = Stats.eventStudy(rows.toDF("t", "k", "v"), col("t"),
+        col("k"), "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(-2L).getDouble(3) == 0.0 && out(-1L).getDouble(3) == 0.0,
+      out.toString)
+    assert(out(0L).getDouble(3) == 3.0 && out(1L).getDouble(3) == 5.0,
+      out.toString)
+    assert(out(1L).getDouble(4) == 0.0, out(1L).toString)
+  }
+
+  test("dagostinoK2: a geometric-tail sample flags skew (z1 " +
+      "3.473475); a symmetric uniform-ish one has z1 EXACTLY 0 and " +
+      "NEGATIVE kurtosis z (-3.233401) — the raw-b2 Anscombe " +
+      "moments, the caught excess-kurtosis sign failure") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => ("sk", 0.1 * (1 << (i % 8)))) ++
+      (0 until 44).map(i => ("un", (i % 11).toDouble))
+    val out = Stats.dagostinoK2(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = out("sk")
+    assert(s.getDouble(2) == 3.473475 && s.getDouble(3) == 1.406372,
+      s.toString)
+    assert(s.getDouble(4) == 14.042911, s.toString)
+    val u = out("un")
+    assert(u.getDouble(2) == 0.0 && u.getDouble(3) == -3.233401,
+      u.toString)
+    // n < 8: the Anscombe domain guard
+    val tiny = (1 to 5).map(i => ("t", i.toDouble)).toDF("g", "v")
+    assert(Stats.dagostinoK2(tiny, "g", "v").collect().head.isNullAt(2))
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
