@@ -450,6 +450,132 @@ object TextAnalysis {
         .cast("double").as("smog"))): _*)
   }
 
+  /** The panel tokenizer as an array column, plus its bigram list
+    * (i, i+1 word pairs joined by one space; < 2 tokens → empty). */
+  private def tokArr(c: Column): Column =
+    filter(split(lower(c), " "), t => t =!= "")
+  private def bigramArr(c: Column): Column =
+    when(size(c) >= 2, transform(sequence(lit(0), size(c) - 2),
+      i => concat(element_at(c, i + 1), lit(" "), element_at(c, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Shared corpus-level clipped n-gram overlap: per (group, doc)
+    * the candidate/reference gram count tables, clipped min overlap,
+    * and both corpus denominators — the kernel ROUGE recall and BLEU
+    * precision read from opposite sides. Exact integers end to end.
+    * Returns (group, ov, cand_total, ref_total) for the given gram
+    * builder. */
+  private def clippedOverlap(rows: DataFrame, gram: Column => Column)
+      : DataFrame = {
+    val cu = rows.select(col("_g"), col("_id"),
+        explode(gram(col("_cs"))).as("_tok"))
+      .groupBy("_g", "_id", "_tok").agg(count(lit(1)).as("_cc"))
+    val ru = rows.select(col("_g"), col("_id"),
+        explode(gram(col("_rs"))).as("_tok"))
+      .groupBy("_g", "_id", "_tok").agg(count(lit(1)).as("_rc"))
+    val ov = cu.join(ru, Seq("_g", "_id", "_tok"))
+      .groupBy("_g")
+      .agg(sum(least(col("_cc"), col("_rc")).cast("decimal(38,0)"))
+        .as("_ov"))
+    val ct = cu.groupBy("_g")
+      .agg(sum(col("_cc").cast("decimal(38,0)")).as("_ct"))
+    val rt = ru.groupBy("_g")
+      .agg(sum(col("_rc").cast("decimal(38,0)")).as("_rt"))
+    ct.join(rt, Seq("_g"), "full_outer")
+      .join(ov, Seq("_g"), "left")
+      .select(col("_g"), coalesce(col("_ov"), lit(0).cast("decimal(38,0)"))
+        .as("_ov"), col("_ct"), col("_rt"))
+  }
+
+  /** Corpus-level ROUGE-1/ROUGE-2 recall of each document's BODY by
+    * its LEAD sentence — the classic lead baseline ("how much of the
+    * document does the first sentence already cover"), and the
+    * summary-eval metric made judgeable without model output: per
+    * doc the candidate is the text before the first [.!?] run, the
+    * reference is the rest; corpus ROUGE-n = Σ clipped n-gram
+    * overlap / Σ reference n-grams (micro-average, the standard
+    * corpus form).
+    *
+    * Exact integer clipped counts (min of per-doc gram counts via
+    * one gram join per order), ONE rounded division per metric;
+    * reference-free groups report NULL. Output: (group, n_docs,
+    * rouge1, rouge2).
+    */
+  def rougeLead(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val summary = regexp_extract(col(textCol), "^[^.!?]*", 0)
+    val body = substring(col(textCol),
+      length(summary) + 1, lit(2147483647))
+    val rows = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        tokArr(summary).as("_cs"), tokArr(body).as("_rs"))
+      .localCheckpoint() // both gram orders + n_docs read it
+    val nd = rows.groupBy("_g").agg(count(lit(1)).as("n_docs"))
+    val o1 = clippedOverlap(rows, identity)
+      .select(col("_g"), col("_ov").as("_ov1"), col("_rt").as("_rt1"))
+    val o2 = clippedOverlap(rows, bigramArr)
+      .select(col("_g"), col("_ov").as("_ov2"), col("_rt").as("_rt2"))
+    nd.join(o1, Seq("_g"), "left").join(o2, Seq("_g"), "left")
+      .select(col("_g").as(groupCol),
+        col("n_docs").cast("bigint").as("n_docs"),
+        when(col("_rt1").cast("double") > 0.0,
+          round(col("_ov1").cast("double")
+            / col("_rt1").cast("double"), 6))
+          .cast("double").as("rouge1"),
+        when(col("_rt2").cast("double") > 0.0,
+          round(col("_ov2").cast("double")
+            / col("_rt2").cast("double"), 6))
+          .cast("double").as("rouge2"))
+  }
+
+  /** Corpus BLEU-2 of a candidate text column against a reference
+    * column — the pipeline FIDELITY gauge: run it on (cleaned,
+    * original) and the score says how destructive the cleaning was
+    * (redaction, boilerplate stripping, normalization). Corpus
+    * micro-averaged modified precisions p₁/p₂ (clipped counts), the
+    * brevity penalty BP = min(1, e^{1−r/c}), BLEU-2 =
+    * BP·e^{(ln p₁ + ln p₂)/2}.
+    *
+    * Exact integer clipped counts; p₁/p₂/BP freeze at 12 dp; the
+    * ln/exp combination runs on those frozen doubles (the in-plan
+    * EXP/LN precedent); a zero precision reports NULL BLEU loudly
+    * (the log is undefined — smoothing is a caller policy). Output:
+    * (group, n_docs, p1, p2, bp, bleu2).
+    */
+  def bleuPair(df: DataFrame, groupCol: String, idCol: String,
+      cand: Column, ref: Column): DataFrame = {
+    val rows = df.filter(cand.isNotNull && ref.isNotNull)
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        tokArr(cand).as("_cs"), tokArr(ref).as("_rs"))
+      .localCheckpoint() // both gram orders + lengths read it
+    val nd = rows.groupBy("_g").agg(count(lit(1)).as("n_docs"),
+      sum(size(col("_cs")).cast("long")).as("_cl"),
+      sum(size(col("_rs")).cast("long")).as("_rl"))
+    val o1 = clippedOverlap(rows, identity)
+      .select(col("_g"), col("_ov").as("_ov1"), col("_ct").as("_ct1"))
+    val o2 = clippedOverlap(rows, bigramArr)
+      .select(col("_g"), col("_ov").as("_ov2"), col("_ct").as("_ct2"))
+    nd.join(o1, Seq("_g"), "left").join(o2, Seq("_g"), "left")
+      .withColumn("_p1", when(col("_ct1").cast("double") > 0.0,
+        round(col("_ov1").cast("double")
+          / col("_ct1").cast("double"), 12)))
+      .withColumn("_p2", when(col("_ct2").cast("double") > 0.0,
+        round(col("_ov2").cast("double")
+          / col("_ct2").cast("double"), 12)))
+      .withColumn("_bp", when(col("_cl") >= col("_rl"), lit(1.0))
+        .otherwise(round(exp(lit(1.0) - col("_rl").cast("double")
+          / col("_cl").cast("double")), 12)))
+      .select(col("_g").as(groupCol),
+        col("n_docs").cast("bigint").as("n_docs"),
+        round(col("_p1"), 6).cast("double").as("p1"),
+        round(col("_p2"), 6).cast("double").as("p2"),
+        round(col("_bp"), 6).cast("double").as("bp"),
+        when(col("_p1") > 0.0 && col("_p2") > 0.0,
+          round(col("_bp") * exp((log(col("_p1")) + log(col("_p2")))
+            / 2.0), 6))
+          .cast("double").as("bleu2"))
+  }
+
   /** Coleman–Liau readability index per group — the CHARACTER-based
     * member of the readability panel ([[readability]] counts
     * syllable-ish vowel groups, [[smog]] polysyllables; CLI needs

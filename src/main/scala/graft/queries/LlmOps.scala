@@ -448,6 +448,26 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  /** Corpus ROUGE-1/2 recall of each document's body by its lead
+    * sentence per lang: the lead-baseline summary-coverage number on
+    * exact clipped gram counts.
+    */
+  val qRougeLead: QueryFn = withTables { spark =>
+    TextAnalysis.rougeLead(spark.table("documents"), "lang", "doc_id",
+        "text")
+      .orderBy("lang")
+  }
+
+  /** Corpus BLEU-2 of the PII-redacted text against the original per
+    * lang: the cleaning-fidelity gauge — clipped precisions, brevity
+    * penalty, frozen ln/exp combination.
+    */
+  val qBleuClean: QueryFn = withTables { spark =>
+    TextAnalysis.bleuPair(spark.table("documents"), "lang", "doc_id",
+        TextAnalysis.redactPii(col("text")), col("text"))
+      .orderBy("lang")
+  }
+
   /** Coleman–Liau readability per lang: the character-based panel
     * member — letters/sentences per 100 words on exact summed
     * counts.
@@ -2071,6 +2091,8 @@ object LlmOps {
     "q_readability" -> qReadability,
     "q_smog" -> qSmog,
     "q_coleman_liau" -> qColemanLiau,
+    "q_rouge_lead" -> qRougeLead,
+    "q_bleu_clean" -> qBleuClean,
     "q_textstats" -> qTextstats,
     "q_quality_score" -> qQualityScore,
     "q_quality_filter" -> qQualityFilter,
@@ -4140,6 +4162,121 @@ object LlmOps {
                / CAST(sentences AS DOUBLE)) + 3.1291, 6) AS DOUBLE)
                AS smog
       FROM agg ORDER BY lang""",
+
+    // Lead/body token lists, per-doc clipped gram joins (uni + the
+    // list-indexed bigrams), one rounded recall per order.
+    "q_rouge_lead" -> """
+      WITH base AS (
+        SELECT lang AS g, doc_id AS id,
+               LIST_FILTER(STRING_SPLIT(LOWER(
+                 REGEXP_EXTRACT(text, '^[^.!?]*', 0)), ' '),
+                 x -> x <> '') AS cs,
+               LIST_FILTER(STRING_SPLIT(LOWER(SUBSTR(text,
+                 LENGTH(REGEXP_EXTRACT(text, '^[^.!?]*', 0)) + 1,
+                 2147483647)), ' '), x -> x <> '') AS rs
+        FROM documents WHERE text IS NOT NULL),
+      nd AS (SELECT g, COUNT(*)::BIGINT AS n_docs FROM base GROUP BY g),
+      cu1 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS cc
+              FROM (SELECT g, id, UNNEST(cs) AS tok FROM base)
+              GROUP BY 1, 2, 3),
+      ru1 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS rc
+              FROM (SELECT g, id, UNNEST(rs) AS tok FROM base)
+              GROUP BY 1, 2, 3),
+      ov1 AS (SELECT g, SUM(LEAST(cc, rc)::HUGEINT) AS ov
+              FROM cu1 JOIN ru1 USING (g, id, tok) GROUP BY g),
+      rt1 AS (SELECT g, SUM(rc::HUGEINT) AS rt FROM ru1 GROUP BY g),
+      cu2 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS cc
+              FROM (SELECT g, id, UNNEST(LIST_TRANSFORM(
+                      RANGE(1, LEN(cs)), i -> cs[i] || ' ' || cs[i + 1]))
+                      AS tok
+                    FROM base)
+              GROUP BY 1, 2, 3),
+      ru2 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS rc
+              FROM (SELECT g, id, UNNEST(LIST_TRANSFORM(
+                      RANGE(1, LEN(rs)), i -> rs[i] || ' ' || rs[i + 1]))
+                      AS tok
+                    FROM base)
+              GROUP BY 1, 2, 3),
+      ov2 AS (SELECT g, SUM(LEAST(cc, rc)::HUGEINT) AS ov
+              FROM cu2 JOIN ru2 USING (g, id, tok) GROUP BY g),
+      rt2 AS (SELECT g, SUM(rc::HUGEINT) AS rt FROM ru2 GROUP BY g)
+      SELECT nd.g AS lang, nd.n_docs,
+             CAST(CASE WHEN CAST(rt1.rt AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(COALESCE(ov1.ov, 0) AS DOUBLE)
+                 / CAST(rt1.rt AS DOUBLE), 6) END AS DOUBLE) AS rouge1,
+             CAST(CASE WHEN CAST(rt2.rt AS DOUBLE) > 0.0 THEN
+               ROUND(CAST(COALESCE(ov2.ov, 0) AS DOUBLE)
+                 / CAST(rt2.rt AS DOUBLE), 6) END AS DOUBLE) AS rouge2
+      FROM nd
+      LEFT JOIN ov1 ON ov1.g = nd.g LEFT JOIN rt1 ON rt1.g = nd.g
+      LEFT JOIN ov2 ON ov2.g = nd.g LEFT JOIN rt2 ON rt2.g = nd.g
+      ORDER BY lang""",
+
+    // The redact chain as the candidate, the original as reference;
+    // clipped precisions + the frozen brevity/ln-exp trees.
+    "q_bleu_clean" -> """
+      WITH base AS (
+        SELECT lang AS g, doc_id AS id,
+               LIST_FILTER(STRING_SPLIT(LOWER(
+                 REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                   'https?://[^ ]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\b\d{7,}\b', '<NUM>', 'g')), ' '),
+                 x -> x <> '') AS cs,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 x -> x <> '') AS rs
+        FROM documents WHERE text IS NOT NULL),
+      nd AS (SELECT g, COUNT(*)::BIGINT AS n_docs,
+                    SUM(LEN(cs))::BIGINT AS cl,
+                    SUM(LEN(rs))::BIGINT AS rl
+             FROM base GROUP BY g),
+      cu1 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS cc
+              FROM (SELECT g, id, UNNEST(cs) AS tok FROM base)
+              GROUP BY 1, 2, 3),
+      ru1 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS rc
+              FROM (SELECT g, id, UNNEST(rs) AS tok FROM base)
+              GROUP BY 1, 2, 3),
+      ov1 AS (SELECT g, SUM(LEAST(cc, rc)::HUGEINT) AS ov
+              FROM cu1 JOIN ru1 USING (g, id, tok) GROUP BY g),
+      ct1 AS (SELECT g, SUM(cc::HUGEINT) AS ct FROM cu1 GROUP BY g),
+      cu2 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS cc
+              FROM (SELECT g, id, UNNEST(LIST_TRANSFORM(
+                      RANGE(1, LEN(cs)), i -> cs[i] || ' ' || cs[i + 1]))
+                      AS tok
+                    FROM base)
+              GROUP BY 1, 2, 3),
+      ru2 AS (SELECT g, id, tok, COUNT(*)::BIGINT AS rc
+              FROM (SELECT g, id, UNNEST(LIST_TRANSFORM(
+                      RANGE(1, LEN(rs)), i -> rs[i] || ' ' || rs[i + 1]))
+                      AS tok
+                    FROM base)
+              GROUP BY 1, 2, 3),
+      ov2 AS (SELECT g, SUM(LEAST(cc, rc)::HUGEINT) AS ov
+              FROM cu2 JOIN ru2 USING (g, id, tok) GROUP BY g),
+      ct2 AS (SELECT g, SUM(cc::HUGEINT) AS ct FROM cu2 GROUP BY g),
+      pp AS (SELECT nd.g, nd.n_docs,
+               CASE WHEN CAST(ct1.ct AS DOUBLE) > 0.0 THEN
+                 ROUND(CAST(COALESCE(ov1.ov, 0) AS DOUBLE)
+                   / CAST(ct1.ct AS DOUBLE), 12) END AS p1,
+               CASE WHEN CAST(ct2.ct AS DOUBLE) > 0.0 THEN
+                 ROUND(CAST(COALESCE(ov2.ov, 0) AS DOUBLE)
+                   / CAST(ct2.ct AS DOUBLE), 12) END AS p2,
+               CASE WHEN cl >= rl THEN 1.0
+                    ELSE ROUND(EXP(1.0 - CAST(rl AS DOUBLE)
+                      / CAST(cl AS DOUBLE)), 12) END AS bp
+             FROM nd
+             LEFT JOIN ov1 ON ov1.g = nd.g LEFT JOIN ct1 ON ct1.g = nd.g
+             LEFT JOIN ov2 ON ov2.g = nd.g LEFT JOIN ct2 ON ct2.g = nd.g)
+      SELECT g AS lang, n_docs,
+             CAST(ROUND(p1, 6) AS DOUBLE) AS p1,
+             CAST(ROUND(p2, 6) AS DOUBLE) AS p2,
+             CAST(ROUND(bp, 6) AS DOUBLE) AS bp,
+             CAST(CASE WHEN p1 > 0.0 AND p2 > 0.0 THEN
+               ROUND(bp * EXP((LN(p1) + LN(p2)) / 2.0), 6) END
+               AS DOUBLE) AS bleu2
+      FROM pp
+      ORDER BY lang""",
 
     // The readability-panel counting CTEs with the letter count; one
     // rounded CLI tree.

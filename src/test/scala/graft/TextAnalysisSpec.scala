@@ -1007,6 +1007,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getDouble(5) == -11.176, r.toString)
   }
 
+  test("rougeLead: hand lead-coverage — clipped unigram overlap 2/8 " +
+      "and bigram 1/7 (punctuation-bearing tokens stay distinct); a " +
+      "sentence-less doc has an empty reference and reports NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", 1L, "the cat sat. the cat ran away. the dog sat."),
+      ("x", 2L, "no terminator here")).toDF("g", "id", "text")
+    val out = TextAnalysis.rougeLead(df, "g", "id", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e = out("en")
+    assert(e.getLong(1) == 1L && e.getDouble(2) == 0.25
+      && e.getDouble(3) == 0.142857, e.toString)
+    assert(out("x").isNullAt(2) && out("x").isNullAt(3),
+      out("x").toString)
+  }
+
+  test("bleuPair: one substitution in four tokens — p1 3/4, p2 1/3, " +
+      "BLEU-2 exactly 0.5 at BP 1; a half-length candidate pays " +
+      "e^-1 brevity") {
+    import spark.implicits._
+    val df = Seq(("m", 1L, "a b c d", "a b x d"),
+      ("s", 2L, "a b", "a b c d")).toDF("g", "id", "c", "r")
+    val out = TextAnalysis.bleuPair(df, "g", "id", col("c"), col("r"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = out("m")
+    assert(m.getDouble(2) == 0.75 && m.getDouble(3) == 0.333333,
+      m.toString)
+    assert(m.getDouble(4) == 1.0 && m.getDouble(5) == 0.5, m.toString)
+    val s = out("s")
+    assert(s.getDouble(2) == 1.0 && s.getDouble(4) == 0.367879
+      && s.getDouble(5) == 0.367879, s.toString)
+  }
+
   test("jackknifeRichness: hand rare-type head — jack1 = S + f1, " +
       "jack2 = S + 2f1 - f2, exact integers") {
     import spark.implicits._
