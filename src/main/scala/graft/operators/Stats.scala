@@ -2509,6 +2509,115 @@ object Stats {
       .drop("_kmax")
   }
 
+  /** Pinball (quantile) loss per group — the PROPER scoring rule for
+    * a quantile prediction (MAE scores the median; pinball at τ
+    * scores the τ-quantile, asymmetrically: under-prediction of a
+    * high quantile costs τ, over-prediction 1−τ): here the predictor
+    * is the group's own exact ⌈τn⌉-th order statistic, so the score
+    * reads "how sharp can a constant τ-quantile forecast be on this
+    * distribution" — the baseline every quantile model must beat.
+    *
+    * Exactness: the varCvar rank-selected order statistic (tie-
+    * invariant, no interpolation) on 1e6-scaled longs; per-row
+    * losses are exact integer gaps × the τ literals, frozen at 12 dp
+    * into a decimal sum; one rounded division. Output: (group, n,
+    * q_hat, pinball).
+    */
+  def pinballLoss(df: DataFrame, groupCol: String, valueCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"pinballLoss: tau in (0,1), got $tau")
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_y"))
+      .localCheckpoint() // the rank selection + the loss fold read it
+    val w = Window.partitionBy("_g").orderBy("_y")
+    val qhat = pts
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("_g")))
+      .withColumn("_r", ceil(lit(tau) * col("_n")).cast("long"))
+      .filter(col("_rn") === col("_r"))
+      .select(col("_g").as("_gq"), col("_y").as("_q"))
+    pts.join(broadcast(qhat), col("_g") <=> col("_gq")).drop("_gq")
+      .withColumn("_l", round(
+        when(col("_y") > col("_q"),
+          lit(tau) * (col("_y") - col("_q")).cast("double"))
+          .otherwise(lit(1.0 - tau)
+            * (col("_q") - col("_y")).cast("double")) / 1e6, 12))
+      .groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("_q")).as("_qh"),
+        sum(col("_l").cast("decimal(38,12)")).as("_sl"))
+      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        round(col("_qh").cast("double") / 1e6, 6).cast("double")
+          .as("q_hat"),
+        round(col("_sl").cast("double") / col("n").cast("double"), 6)
+          .cast("double").as("pinball"))
+  }
+
+  /** Winkler interval score per group — the proper scoring rule for
+    * a central prediction interval ((u−l) + (2/α)·undershoot +
+    * (2/α)·overshoot): width alone rewards vagueness, coverage alone
+    * rewards cowardice; the interval score prices BOTH, and a
+    * narrower interval wins exactly when its misses are rare enough.
+    * Scored here for the in-sample normal interval μ ± z·s (the
+    * honest "what would a Gaussian head have promised" baseline).
+    *
+    * Determinism: exact decimal moments; the bounds freeze at 6 dp
+    * BEFORE the per-row comparisons (both engines compare identical
+    * doubles against 6-dp-quantized y); per-row penalties freeze at
+    * 12 dp into a decimal sum; coverage is an exact integer count.
+    * Degenerate (n < 2, zero variance) → NULL. Output: (group, n,
+    * lo, hi, coverage, interval_score).
+    */
+  def intervalScore(df: DataFrame, groupCol: String, valueCol: String,
+      alpha: Double = 0.05, z: Double = 1.959964): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"intervalScore: alpha in (0,1)")
+    val dec = "decimal(38,0)"
+    val pts = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        round(col(valueCol) * 1e6).cast("long").as("_y"))
+      .localCheckpoint() // the moment fold + the score pass read it
+    val mom = pts.groupBy(col("_g").as("_gm"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_y").cast(dec)).as("_s1"),
+        sum((col("_y").cast(dec) * col("_y")).cast(dec)).as("_q1"))
+      .withColumn("_mu", col("_s1").cast("double")
+        / col("_n").cast("double") / 1e6)
+      .withColumn("_var",
+        (col("_n").cast("double") * col("_q1").cast("double")
+          - col("_s1").cast("double") * col("_s1").cast("double"))
+          / (col("_n").cast("double")
+            * (col("_n").cast("double") - 1.0)) / 1e12)
+      .withColumn("_lo", when(col("_n") >= 2 && col("_var") > 0.0,
+        round(col("_mu") - lit(z) * sqrt(col("_var")), 6)))
+      .withColumn("_hi", when(col("_n") >= 2 && col("_var") > 0.0,
+        round(col("_mu") + lit(z) * sqrt(col("_var")), 6)))
+    val scored = pts.join(broadcast(mom), col("_g") <=> col("_gm"))
+      .drop("_gm")
+      .withColumn("_yd", col("_y").cast("double") / 1e6)
+      .withColumn("_sc", round((col("_hi") - col("_lo"))
+        + when(col("_yd") < col("_lo"),
+          lit(2.0 / alpha) * (col("_lo") - col("_yd"))).otherwise(lit(0.0))
+        + when(col("_yd") > col("_hi"),
+          lit(2.0 / alpha) * (col("_yd") - col("_hi"))).otherwise(lit(0.0)),
+        12))
+      .withColumn("_in", when(col("_yd") >= col("_lo")
+        && col("_yd") <= col("_hi"), 1L).otherwise(0L))
+    scored.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("_lo")).as("_l"),
+        max(col("_hi")).as("_h"),
+        sum(col("_in")).as("_cov"),
+        sum(col("_sc").cast("decimal(38,12)")).as("_ss"))
+      .select(col(groupCol), col("n").cast("bigint").as("n"),
+        col("_l").cast("double").as("lo"),
+        col("_h").cast("double").as("hi"),
+        when(col("_l").isNotNull,
+          round(col("_cov").cast("double") / col("n").cast("double"), 6))
+          .cast("double").as("coverage"),
+        when(col("_l").isNotNull,
+          round(col("_ss").cast("double") / col("n").cast("double"), 6))
+          .cast("double").as("interval_score"))
+  }
+
   /** Split-conformal quantile per group: q̂ = the k-th smallest
     * 6-dp-quantized score with k = min(n, ⌈(1−alpha)·(n+1)⌉) — the
     * calibration constant behind distribution-free prediction

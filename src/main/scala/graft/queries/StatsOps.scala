@@ -2927,6 +2927,25 @@ object StatsOps {
       "value")
   }
 
+  /** Mean pinball loss of each type's own exact q90 on event values:
+    * the proper quantile scoring-rule baseline every quantile model
+    * must beat.
+    */
+  val qPinball: QueryFn = withTables { spark =>
+    Stats.pinballLoss(spark.table("events"), "event_type", "value",
+        tau = 0.9)
+      .orderBy("event_type")
+  }
+
+  /** Winkler interval score of the in-sample Gaussian 95% interval
+    * on event values per type: width plus 2/α-priced misses —
+    * vagueness and cowardice both cost.
+    */
+  val qIntervalScore: QueryFn = withTables { spark =>
+    Stats.intervalScore(spark.table("events"), "event_type", "value")
+      .orderBy("event_type")
+  }
+
   /** Event-study panel of the q_did design by relative WEEK to the
     * 2024-01-16 adoption: pre-period effects read parallel trends,
     * post periods trace the dynamics the pooled DiD averages away.
@@ -3510,6 +3529,8 @@ object StatsOps {
     "q_direct_std" -> qDirectStd,
     "q_event_study" -> qEventStudy,
     "q_dagostino" -> qDagostino,
+    "q_pinball" -> qPinball,
+    "q_interval_score" -> qIntervalScore,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -5611,6 +5632,83 @@ object StatsOps {
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
     "q_ddd" -> dddOracle,
+
+    // The varCvar rank-selected order statistic as the predictor;
+    // per-row losses with the SCALA-computed 1−τ digits interpolated.
+    "q_pinball" -> s"""
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+      rk AS (SELECT g, y,
+                    ROW_NUMBER() OVER (PARTITION BY g ORDER BY y) AS rn,
+                    COUNT(*) OVER (PARTITION BY g) AS n
+             FROM pts),
+      qh AS (SELECT g AS gq, y AS q FROM rk
+             WHERE rn = CAST(CEIL(0.9 * n) AS BIGINT)),
+      sc AS (SELECT pts.g, q,
+                    ROUND((CASE WHEN y > q THEN
+                        0.9 * CAST(y - q AS DOUBLE)
+                      ELSE ${1.0 - 0.9} * CAST(q - y AS DOUBLE) END)
+                      / 1000000.0, 12) AS l
+             FROM pts JOIN qh ON gq = pts.g)
+      SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+             CAST(ROUND(CAST(MAX(q) AS DOUBLE) / 1000000.0, 6)
+               AS DOUBLE) AS q_hat,
+             CAST(ROUND(CAST(SUM(CAST(l AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS pinball
+      FROM sc GROUP BY g
+      ORDER BY event_type""",
+
+    // Grubbs-style moments into 6-dp frozen Gaussian bounds; per-row
+    // Winkler penalties at the Scala-computed 2/α digits.
+    "q_interval_score" -> s"""
+      WITH pts AS (
+        SELECT event_type AS g,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL),
+      mom AS (SELECT g AS gm, COUNT(*)::BIGINT AS n,
+                     SUM(y::HUGEINT) AS s1, SUM(y::HUGEINT * y) AS q1
+              FROM pts GROUP BY g),
+      bb AS (SELECT gm, n,
+               CASE WHEN n >= 2 AND vr > 0.0 THEN
+                 ROUND(mu - 1.959964 * SQRT(vr), 6) END AS lo,
+               CASE WHEN n >= 2 AND vr > 0.0 THEN
+                 ROUND(mu + 1.959964 * SQRT(vr), 6) END AS hi
+             FROM (SELECT gm, n,
+                     CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                       / 1000000.0 AS mu,
+                     (CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                       / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))
+                       / 1000000000000.0 AS vr
+                   FROM mom)),
+      sc AS (SELECT pts.g, lo, hi,
+                    ROUND((hi - lo)
+                      + CASE WHEN yd < lo THEN
+                          ${2.0 / 0.05} * (lo - yd) ELSE 0.0 END
+                      + CASE WHEN yd > hi THEN
+                          ${2.0 / 0.05} * (yd - hi) ELSE 0.0 END, 12)
+                      AS s,
+                    CASE WHEN yd >= lo AND yd <= hi THEN 1 ELSE 0 END
+                      AS inb
+             FROM (SELECT g, CAST(y AS DOUBLE) / 1000000.0 AS yd
+                   FROM pts) pts
+             JOIN bb ON bb.gm = pts.g)
+      SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+             CAST(MAX(lo) AS DOUBLE) AS lo,
+             CAST(MAX(hi) AS DOUBLE) AS hi,
+             CAST(CASE WHEN MAX(lo) IS NOT NULL THEN
+               ROUND(CAST(SUM(inb) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) END AS DOUBLE)
+               AS coverage,
+             CAST(CASE WHEN MAX(lo) IS NOT NULL THEN
+               ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) END AS DOUBLE)
+               AS interval_score
+      FROM sc GROUP BY g
+      ORDER BY event_type""",
 
     // The q_did cell machinery per relative week with the k = −1
     // reference row broadcast; the 4-cell Wald se per period.

@@ -4647,6 +4647,31 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.dagostinoK2(tiny, "g", "v").collect().head.isNullAt(2))
   }
 
+  test("pinballLoss: the exact q90 of 1..10 is 9, mean pinball 0.45 " +
+      "by hand — under-prediction costs tau, over costs 1-tau") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Stats.pinballLoss(df, "g", "v", tau = 0.9).collect().head
+    assert(r.getLong(1) == 10L && r.getDouble(2) == 9.0, r.toString)
+    assert(r.getDouble(3) == 0.45, r.toString)
+  }
+
+  test("intervalScore: the Gaussian baseline pays 2/alpha for the " +
+      "outlier it misses — hand bounds/coverage/score on 1..10 plus " +
+      "100; a constant group is NULL") {
+    import spark.implicits._
+    val rows = ((1 to 10).map(i => ("g", i.toDouble)) :+ (("g", 100.0))) ++
+      (1 to 4).map(_ => ("c", 5.0))
+    val out = Stats.intervalScore(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getDouble(2) == -42.03703 && g.getDouble(3) == 70.218848,
+      g.toString)
+    assert(g.getDouble(4) == 0.909091 && g.getDouble(5) == 220.550976,
+      g.toString)
+    assert(out("c").isNullAt(4), out("c").toString)
+  }
+
   test("bowkerTest: hand off-diagonal pairs — (5,1)+(3,3)+(0,2) give " +
       "chi2 = 4.666667 over dof 3; one-directional pairs still count") {
     import spark.implicits._
