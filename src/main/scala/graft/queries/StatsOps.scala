@@ -2927,6 +2927,45 @@ object StatsOps {
       "value")
   }
 
+  /** Hierarchical forecast reconciliation (h = 1..3): bottom-up
+    * (each type's own Holt forecast) beside top-down (the TOTAL
+    * series' Holt forecast split by exact historical spend shares) —
+    * the two classic coherent answers whose gap reads aggregation
+    * bias; shares are exact cents ratios frozen at 12 dp.
+    */
+  val qReconcile: QueryFn = withTables { spark =>
+    val daily = spark.table("events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+    val bu = Resample.holtForecast(daily, "event_type", Seq("d"), "x",
+      alpha = 0.3, beta = 0.2, horizon = 3)
+      .select(col("event_type"), col("h"), col("forecast").as("_bu"))
+    val totalDaily = spark.table("events")
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(round(sum(round(col("value") * 1e6).cast("bigint")) / 1e6, 6)
+        .cast("double").as("x"))
+      .withColumn("g", lit("all"))
+    val tot = Resample.holtForecast(totalDaily, "g", Seq("d"), "x",
+      alpha = 0.3, beta = 0.2, horizon = 3)
+      .select(col("h").as("_h"), col("forecast").as("_tf"))
+    val cents = spark.table("events")
+      .groupBy(col("event_type").as("_gc"))
+      .agg(sum(round(col("value") * 1e6).cast("bigint")).as("_c"))
+    val grand = cents.agg(sum("_c").as("_tc"))
+    val shares = cents.crossJoin(broadcast(grand))
+      .select(col("_gc"), round(col("_c").cast("double")
+        / col("_tc").cast("double"), 12).as("_sh"))
+    bu.join(broadcast(shares), col("event_type") === col("_gc"))
+      .join(broadcast(tot), col("h") === col("_h"))
+      .select(col("event_type"), col("h").cast("bigint").as("h"),
+        round(col("_sh"), 6).cast("double").as("share"),
+        col("_bu").cast("double").as("forecast_bu"),
+        round(col("_tf") * col("_sh"), 6).cast("double")
+          .as("forecast_td"))
+      .orderBy("event_type", "h")
+  }
+
   /** Mean pinball loss of each type's own exact q90 on event values:
     * the proper quantile scoring-rule baseline every quantile model
     * must beat.
@@ -3531,6 +3570,7 @@ object StatsOps {
     "q_dagostino" -> qDagostino,
     "q_pinball" -> qPinball,
     "q_interval_score" -> qIntervalScore,
+    "q_reconcile" -> qReconcile,
     "q_binseg" -> qBinseg,
     "q_croston_sba" -> qCrostonSba,
     "q_prr" -> qPrr,
@@ -5632,6 +5672,82 @@ object StatsOps {
     // Four exact-moment cells off one aggregate; the DiD and SE trees
     // are spelled once each, descaled at the end.
     "q_ddd" -> dddOracle,
+
+    // Both holt recursions (per-type and the total series) + exact
+    // cents shares; the top-down split on the frozen share.
+    "q_reconcile" -> """
+      WITH RECURSIVE s AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2),
+      si AS (SELECT g, d, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+             FROM s),
+      rec AS (
+        SELECT g, i, x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM si WHERE i = 1
+        UNION ALL
+        SELECT si.g, si.i,
+               ROUND(CAST(0.3 AS DOUBLE) * si.x
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (r.level + r.trend), 6),
+               ROUND(CAST(0.2 AS DOUBLE)
+                   * (ROUND(CAST(0.3 AS DOUBLE) * si.x
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                         * (r.level + r.trend), 6) - r.level)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.trend, 6)
+        FROM rec r JOIN si ON si.g = r.g AND si.i = r.i + 1),
+      fin AS (SELECT g, level, trend,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY i DESC) AS rn
+              FROM rec),
+      bu AS (SELECT g, CAST(h.h AS BIGINT) AS h,
+               CAST(ROUND(level + h.h * trend, 6) AS DOUBLE) AS fbu
+             FROM fin CROSS JOIN (VALUES (1), (2), (3)) h(h)
+             WHERE rn = 1),
+      s2 AS (
+        SELECT 'all' AS g, CAST(ts AS DATE) AS d,
+               CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS DOUBLE) AS x
+        FROM events GROUP BY 2),
+      si2 AS (SELECT g, d, x,
+                ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS i
+              FROM s2),
+      rec2 AS (
+        SELECT g, i, x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM si2 WHERE i = 1
+        UNION ALL
+        SELECT si2.g, si2.i,
+               ROUND(CAST(0.3 AS DOUBLE) * si2.x
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                   * (r.level + r.trend), 6),
+               ROUND(CAST(0.2 AS DOUBLE)
+                   * (ROUND(CAST(0.3 AS DOUBLE) * si2.x
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                         * (r.level + r.trend), 6) - r.level)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.trend, 6)
+        FROM rec2 r JOIN si2 ON si2.g = r.g AND si2.i = r.i + 1),
+      fin2 AS (SELECT level, trend,
+                 ROW_NUMBER() OVER (ORDER BY i DESC) AS rn
+               FROM rec2),
+      tf AS (SELECT CAST(h.h AS BIGINT) AS h,
+               CAST(ROUND(level + h.h * trend, 6) AS DOUBLE) AS tfv
+             FROM fin2 CROSS JOIN (VALUES (1), (2), (3)) h(h)
+             WHERE rn = 1),
+      cents AS (SELECT event_type AS gc,
+                       SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                         ::BIGINT AS c
+                FROM events GROUP BY 1),
+      grand AS (SELECT SUM(c)::BIGINT AS tc FROM cents),
+      sh AS (SELECT gc, ROUND(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE),
+               12) AS shv
+             FROM cents CROSS JOIN grand)
+      SELECT bu.g AS event_type, bu.h AS h,
+             CAST(ROUND(shv, 6) AS DOUBLE) AS share,
+             CAST(fbu AS DOUBLE) AS forecast_bu,
+             CAST(ROUND(tfv * shv, 6) AS DOUBLE) AS forecast_td
+      FROM bu JOIN sh ON sh.gc = bu.g JOIN tf ON tf.h = bu.h
+      ORDER BY event_type, h""",
 
     // The varCvar rank-selected order statistic as the predictor;
     // per-row losses with the SCALA-computed 1−τ digits interpolated.
