@@ -58,7 +58,15 @@ object Clustering {
     * -join argument applied to iteration (several scheduler round-
     * trips per pass vs milliseconds of single-core work). Both paths
     * produce the identical min-id fixpoint (spec-pinned); pass
-    * `driverMaxEdges = 0` to force the distributed loop.
+    * `driverMaxEdges = 0` to force the distributed loop. The default
+    * bound is [[Graph.HarmonicDriverMaxEdges]] (2M symmetric edges ≈
+    * tens of MB of driver strings — the same footprint class as an
+    * ordinary broadcast relation, far under the 8 GB broadcast cap),
+    * matching the bound the harmonic/closeness/betweenness family has
+    * carried since r15; the old 200k bound pushed mid-size graphs
+    * (e.g. the 342k-sym-edge mod-7 co-order graph at sf0.1) into the
+    * distributed loop, where ~15 min-label passes × ~6 stages of pure
+    * scheduler overhead cost 5+ s for milliseconds of actual work.
     */
   /** Driver union-find over a collected symmetric edge list: the
     * small-graph fast path of [[connectedComponents]]. Path-compressed
@@ -113,7 +121,7 @@ object Clustering {
 
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25, shortcut: Boolean = false,
-      driverMaxEdges: Long = 200000L): DataFrame = {
+      driverMaxEdges: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     // null endpoints carry no connectivity and would propagate null
     // labels through least(); drop them up front
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -508,6 +508,48 @@ class GraphSpec extends SparkTestBase {
     assert(q === 0.357143, s"Q = $q")
   }
 
+  test("louvainMove/louvainMoveWeighted: the r18 driver fast path equals " +
+      "the distributed loop row-for-row, self-loops and ties included") {
+    import org.apache.spark.sql.functions.lit
+    // the multilevel hierarchy fixture: 4 blocks of 3 chained triangles
+    val tris = for {
+      blk <- 0 until 4; t <- 0 until 3
+    } yield {
+      val v = (0 until 3).map(i => s"b${blk}t${t}v$i")
+      Seq(v(0) -> v(1), v(0) -> v(2), v(1) -> v(2))
+    }
+    val chains = for (blk <- 0 until 4; t <- 0 until 2)
+      yield Seq(s"b${blk}t${t}v0" -> s"b${blk}t${t + 1}v0")
+    val between = (0 until 3).map(b => Seq(s"b${b}t2v2" -> s"b${b + 1}t0v2"))
+    val edges = (tris ++ chains ++ between).flatten.toDF("s", "t")
+    for (p <- Seq(1, 2, 4)) {
+      val fast = Graph.louvainMove(edges, "s", "t", p)
+        .as[(String, String, Long)].collect().toSet
+      val dist = Graph.louvainMove(edges, "s", "t", p, driverMaxEdges = 0)
+        .as[(String, String, Long)].collect().toSet
+      assert(fast === dist, s"unweighted passes=$p")
+    }
+    // weighted + self-loops: the contracted-super-graph shape the
+    // multilevel ladder feeds in (weights > 1, self-loop mass, and a
+    // symmetric-tie pair to exercise the UTF8-order tiebreak)
+    val wEdges = (Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "d", 3L),
+      ("a", "a", 2L), ("d", "d", 2L), ("e", "f", 1L)))
+      .toDF("s", "t", "w")
+    for (p <- Seq(1, 3)) {
+      val fast = Graph.louvainMoveWeighted(wEdges, "s", "t", "w", p)
+        .as[(String, String, Long)].collect().toSet
+      val dist = Graph.louvainMoveWeighted(wEdges, "s", "t", "w", p,
+          driverMaxEdges = 0)
+        .as[(String, String, Long)].collect().toSet
+      assert(fast === dist, s"weighted passes=$p")
+    }
+    // the driver path fires the same positive-integer weight guard
+    intercept[Exception] {
+      Graph.louvainMoveWeighted(wEdges.withColumn("w", lit(0L)),
+        "s", "t", "w", 2).collect()
+    }
+  }
+
   test("louvainMoveWeighted: weight-1 graph equals the unweighted kernel; " +
       "contraction preserves total weight incl self-loops; multilevel " +
       "merges the hierarchy the single level leaves split") {
