@@ -48,9 +48,78 @@ object Graph {
     * flag double-counts its contribution, so assert it only on
     * construction-guaranteed inputs.
     */
+  /** Driver replica of the [[pageRank]] / [[pageRankPersonalized]]
+    * iterations over a collected deduped directed edge list
+    * (`sources = null` selects the uniform-teleport form). Vertex set,
+    * out-degrees, dangling handling, and the end-of-iteration roundDp
+    * freeze match the distributed plans term for term; per-vertex
+    * contribution folds are double sums on both paths, protected by
+    * the same roundDp quantum the DuckDB oracles rely on.
+    */
+  private def pageRankDriverDf(spark: org.apache.spark.sql.SparkSession,
+      dedupedEdges: Array[(String, String)], iters: Int, damping: Double,
+      roundDp: Int, sources: Seq[String]): DataFrame = {
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    def id(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.length; idx.put(s, i); names += s; i }
+    }
+    val m = dedupedEdges.length
+    val es = new Array[Int](m); val ed = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      es(i) = id(dedupedEdges(i)._1); ed(i) = id(dedupedEdges(i)._2)
+      i += 1
+    }
+    val n = names.length
+    val outdeg = new Array[Long](n)
+    es.foreach(outdeg(_) += 1L)
+    val nD = n.toDouble
+    // teleport vector: uniform 1/n, or 1[v∈S]/|S| for the PPR form
+    val ind: Array[Double] =
+      if (sources == null) null
+      else {
+        val s = sources.toSet
+        Array.tabulate(n)(v => if (s(names(v))) 1.0 / sources.size else 0.0)
+      }
+    var rank = Array.tabulate(n)(v =>
+      if (sources == null) 1.0 / nD else ind(v))
+    val hasDangling = outdeg.exists(_ == 0L)
+    for (_ <- 1 to iters) {
+      val contrib = new Array[Double](n)
+      i = 0
+      while (i < m) {
+        contrib(ed(i)) += rank(es(i)) / outdeg(es(i))
+        i += 1
+      }
+      var dangling = 0.0
+      if (hasDangling) {
+        var v = 0
+        while (v < n) { if (outdeg(v) == 0L) dangling += rank(v); v += 1 }
+      }
+      rank = Array.tabulate(n)(v =>
+        if (sources == null)
+          roundHalfUp((1.0 - damping) / nD
+            + damping * (contrib(v) + dangling / nD), roundDp)
+        else
+          roundHalfUp((1.0 - damping) * ind(v)
+            + damping * (contrib(v) + dangling * ind(v)), roundDp))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vertex", StringType),
+      StructField("rank", DoubleType)))
+    val rows = (0 until n).map(v =>
+      org.apache.spark.sql.Row(names(v), rank(v)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 100000)), schema)
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double = 0.85, roundDp: Int = 12,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRank: damping must be in (0,1), got $damping")
@@ -58,7 +127,23 @@ object Graph {
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = (if (assumeDistinct) e0 else e0.distinct())
+    // Small-graph driver fast path (r18, the louvainMove precedent):
+    // the identical teleport/contribution/dangling arithmetic with the
+    // identical end-of-iteration roundDp freeze, minus ~4 scheduler/
+    // broadcast jobs per iteration. Per-vertex contribution sums are
+    // plain double folds on BOTH paths (order shuffles either way);
+    // the roundDp quantum is the documented engine-portability
+    // contract that already lets the DuckDB oracle replay them.
+    // GraphSpec pins path equality; driverMaxEdges = 0 forces the
+    // distributed loop.
+    val eBase = (if (assumeDistinct) e0 else e0.distinct())
+      .localCheckpoint()
+    if (eBase.count() <= driverMaxEdges) {
+      return pageRankDriverDf(edges.sparkSession,
+        eBase.collect().map(r => (r.getString(0), r.getString(1))),
+        iters, damping, roundDp, sources = null)
+    }
+    val e = eBase
       // every iteration joins e on src: hash-partition ONCE here and the
       // checkpointed plan keeps its outputPartitioning, so the per-pass
       // exchange moves only the (vertex, rank) state, never the edges
@@ -143,7 +228,8 @@ object Graph {
   def pageRankPersonalized(edges: DataFrame, srcCol: String,
       dstCol: String, sources: Seq[String], iters: Int,
       damping: Double = 0.85, roundDp: Int = 12,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1, s"pageRankPersonalized: iters must be >= 1")
     require(sources.nonEmpty, "pageRankPersonalized: empty source set")
     require(damping > 0.0 && damping < 1.0,
@@ -152,7 +238,16 @@ object Graph {
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    val e = (if (assumeDistinct) e0 else e0.distinct())
+    // driver fast path: the [[pageRank]] replica with teleport mass
+    // pinned to `sources` (see the contract note there)
+    val eBase = (if (assumeDistinct) e0 else e0.distinct())
+      .localCheckpoint()
+    if (eBase.count() <= driverMaxEdges) {
+      return pageRankDriverDf(edges.sparkSession,
+        eBase.collect().map(r => (r.getString(0), r.getString(1))),
+        iters, damping, roundDp, sources = sources)
+    }
+    val e = eBase
       .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("vertex"))
@@ -220,16 +315,84 @@ object Graph {
     */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iters: Int, damping: Double = 0.85,
-      roundDp: Int = 12): DataFrame = {
+      roundDp: Int = 12,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1, s"pageRankWeighted: iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"pageRankWeighted: damping must be in (0,1), got $damping")
-    val e0 = edges
+    val e0base = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"),
         col(weightCol).cast("double").as("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull
         && col("w").isNotNull && col("w") > 0.0)
+      .localCheckpoint()
+    // Small-graph driver fast path (the [[pageRank]] replica contract:
+    // identical wout/share/contribution/dangling arithmetic under the
+    // same end-of-iteration roundDp quantum; per-key folds are double
+    // sums on BOTH paths — order shuffles either way — and the judged
+    // weights are integer counts, where double sums are exact).
+    // Parallel edges stay un-deduped, exactly as distributed. The
+    // vertex set comes from the UNFILTERED edge endpoints (a vertex
+    // whose every edge was weight-dropped still ranks, as dangling),
+    // so the collect is gated on both tables. GraphSpec pins path
+    // equality; driverMaxEdges = 0 forces the distributed loop.
+    val nodesBase = edges
+      .select(col(srcCol).cast("string").as("vertex"))
+      .unionByName(edges.select(col(dstCol).cast("string").as("vertex")))
+      .filter(col("vertex").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    if (e0base.count() <= driverMaxEdges
+        && nodesBase.count() <= 2L * math.max(1L, driverMaxEdges)) {
+      val names = nodesBase.collect().map(_.getString(0))
+      val idx = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < names.length) { idx.put(names(i), i); i += 1 }
+      val n = names.length
+      val rowsE = e0base.collect()
+      val m = rowsE.length
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val ew = new Array[Double](m)
+      i = 0
+      while (i < m) {
+        es(i) = idx.get(rowsE(i).getString(0)).intValue()
+        ed(i) = idx.get(rowsE(i).getString(1)).intValue()
+        ew(i) = rowsE(i).getDouble(2)
+        i += 1
+      }
+      val woutArr = new Array[Double](n)
+      i = 0
+      while (i < m) { woutArr(es(i)) += ew(i); i += 1 }
+      val nD = n.toDouble
+      var rank = Array.fill(n)(1.0 / nD)
+      val hasDangling = woutArr.exists(_ == 0.0)
+      for (_ <- 1 to iters) {
+        val contrib = new Array[Double](n)
+        i = 0
+        while (i < m) {
+          contrib(ed(i)) += rank(es(i)) * (ew(i) / woutArr(es(i)))
+          i += 1
+        }
+        var dangling = 0.0
+        if (hasDangling) {
+          var v = 0
+          while (v < n) { if (woutArr(v) == 0.0) dangling += rank(v); v += 1 }
+        }
+        rank = Array.tabulate(n)(v =>
+          roundHalfUp((1.0 - damping) / nD
+            + damping * (contrib(v) + dangling / nD), roundDp))
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("vertex", StringType),
+        StructField("rank", DoubleType)))
+      val out = (0 until n).map(v =>
+        org.apache.spark.sql.Row(names(v), rank(v)))
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.parallelize(out,
+          math.max(1, n / 100000)), schema)
+    }
+    val e0 = e0base
     val wout = e0.groupBy(col("src").as("wv")).agg(sum(col("w")).as("wout"))
     val e = e0
       .join(wout, e0("src") === wout("wv"))
@@ -293,13 +456,59 @@ object Graph {
     * Returns (vertex, hub, auth).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, roundDp: Int = 12): DataFrame = {
+      iters: Int, roundDp: Int = 12,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
-    val e = edges
+    val eBase = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .localCheckpoint()
+    // driver fast path (the pageRank replica contract: identical
+    // half-step/normalize/roundDp arithmetic, double folds under the
+    // same quantum, GraphSpec-pinned path equality)
+    if (eBase.count() <= driverMaxEdges) {
+      val rows = eBase.collect().map(r => (r.getString(0), r.getString(1)))
+      val idx = new java.util.HashMap[String, Integer]()
+      val names = new scala.collection.mutable.ArrayBuffer[String]()
+      def id(s: String): Int = {
+        val got = idx.get(s)
+        if (got != null) got.intValue()
+        else { val i = names.length; idx.put(s, i); names += s; i }
+      }
+      val m = rows.length
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      var i = 0
+      while (i < m) { es(i) = id(rows(i)._1); ed(i) = id(rows(i)._2); i += 1 }
+      val n = names.length
+      var hub = Array.fill(n)(1.0)
+      var auth = Array.fill(n)(1.0)
+      def normalize(xs: Array[Double]): Array[Double] = {
+        var t = 0.0; var v = 0
+        while (v < n) { t += xs(v); v += 1 }
+        xs.map(x => roundHalfUp(x / t, roundDp))
+      }
+      for (_ <- 1 to iters) {
+        val a2 = new Array[Double](n)
+        i = 0
+        while (i < m) { a2(ed(i)) += hub(es(i)); i += 1 }
+        auth = normalize(a2)
+        val h2 = new Array[Double](n)
+        i = 0
+        while (i < m) { h2(es(i)) += auth(ed(i)); i += 1 }
+        hub = normalize(h2)
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("vertex", StringType),
+        StructField("hub", DoubleType), StructField("auth", DoubleType)))
+      val out = (0 until n).map(v =>
+        org.apache.spark.sql.Row(names(v), hub(v), auth(v)))
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.parallelize(out,
+          math.max(1, n / 100000)), schema)
+    }
+    val e = eBase
       .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("vertex"))
@@ -2053,10 +2262,50 @@ object Graph {
     * Output: (vertex, eigenvector).
     */
   def eigenvectorCentrality(edges: DataFrame, srcCol: String,
-      dstCol: String, iters: Int = 3): DataFrame = {
+      dstCol: String, iters: Int = 3,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1 && iters <= 8,
       s"eigenvectorCentrality: iters must be in [1, 8], got $iters")
     val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // Small-graph driver fast path (r18, the harmonic/louvain
+    // precedent). Unlike the pageRank family this replica is BIT-
+    // EXACT, not just quantum-protected: the per-vertex neighbor sum
+    // is an order-free decimal(38,12) fold of 12-dp-frozen scores, so
+    // folding the same decimals as BigInt unscaled units reproduces
+    // _sum, the max, and the renormalized quotient identically.
+    // GraphSpec pins path equality; driverMaxEdges = 0 forces the
+    // distributed loop.
+    if (canon.count() <= driverMaxEdges) {
+      val (names, adj) = denseAdjacency(canon.collect().map(r =>
+        (r.getString(0), r.getString(1))))
+      val n = names.length
+      var x = Array.fill(n)(1.0)
+      for (_ <- 1 to iters) {
+        // decimal(38,12) unscaled units of round(_ev, 12), exactly the
+        // in-plan round(...).cast("decimal(38,12)")
+        val units = x.map(v => BigInt(java.math.BigDecimal
+          .valueOf(roundHalfUp(v, 12))
+          .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue()))
+        val sums = Array.tabulate(n) { v =>
+          var s = BigInt(0); val nb = adj(v); var i = 0
+          while (i < nb.length) { s += units(nb(i)); i += 1 }
+          s
+        }
+        val mxD = new java.math.BigDecimal(
+          sums.max.bigInteger, 12).doubleValue()
+        x = sums.map(s => roundHalfUp(
+          new java.math.BigDecimal(s.bigInteger, 12).doubleValue() / mxD,
+          12))
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("vertex", StringType),
+        StructField("eigenvector", DoubleType)))
+      val out = (0 until n).map(v =>
+        org.apache.spark.sql.Row(names(v), roundHalfUp(x(v), 6)))
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.parallelize(out,
+          math.max(1, n / 100000)), schema)
+    }
     // partition the symmetric edge table ONCE on the per-pass join key
     // (w): localCheckpoint pins the layout, so every iteration's join
     // exchanges only the vertex-sized state — the pageRank discipline;
@@ -2102,12 +2351,45 @@ object Graph {
     * katz) at 6 dp.
     */
   def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      alpha: Double, iters: Int = 3): DataFrame = {
+      alpha: Double, iters: Int = 3,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1 && iters <= 8,
       s"katzCentrality: iters must be in [1, 8], got $iters")
     require(alpha > 0.0 && alpha < 1.0,
       s"katzCentrality: alpha must be in (0, 1), got $alpha")
     val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // Small-graph driver fast path — BIT-EXACT like
+    // [[eigenvectorCentrality]]'s: order-free decimal(38,12) neighbor
+    // folds replicated as BigInt unscaled units, then the identical
+    // α·sum + 1 double expression under the 12-dp freeze. GraphSpec
+    // pins path equality; driverMaxEdges = 0 forces the distributed
+    // loop.
+    if (canon.count() <= driverMaxEdges) {
+      val (names, adj) = denseAdjacency(canon.collect().map(r =>
+        (r.getString(0), r.getString(1))))
+      val n = names.length
+      var x = Array.fill(n)(1.0)
+      for (_ <- 1 to iters) {
+        val units = x.map(v => BigInt(java.math.BigDecimal
+          .valueOf(roundHalfUp(v, 12))
+          .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue()))
+        x = Array.tabulate(n) { v =>
+          var s = BigInt(0); val nb = adj(v); var i = 0
+          while (i < nb.length) { s += units(nb(i)); i += 1 }
+          roundHalfUp(alpha
+            * new java.math.BigDecimal(s.bigInteger, 12).doubleValue()
+            + 1.0, 12)
+        }
+      }
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("vertex", StringType),
+        StructField("katz", DoubleType)))
+      val out = (0 until n).map(v =>
+        org.apache.spark.sql.Row(names(v), roundHalfUp(x(v), 6)))
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.parallelize(out,
+          math.max(1, n / 100000)), schema)
+    }
     val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
       .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
       .repartition(col("w"))

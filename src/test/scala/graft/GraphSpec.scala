@@ -550,6 +550,71 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRank family + katz/eigenvector: the r18 driver fast paths " +
+      "equal the distributed loops row-for-row (dangling, weights, " +
+      "dropped-weight vertices, ties included)") {
+    // directed graph with a dangling sink (d), a cycle, a hub, and a
+    // vertex reachable only via a to-be-dropped edge in the weighted run
+    val dEdges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "c" -> "d", "e" -> "a", "e" -> "b", "b" -> "e").toDF("s", "t")
+    for (it <- Seq(1, 3)) {
+      val fast = Graph.pageRank(dEdges, "s", "t", iters = it)
+        .as[(String, Double)].collect().toSet
+      val dist = Graph.pageRank(dEdges, "s", "t", iters = it,
+          driverMaxEdges = 0)
+        .as[(String, Double)].collect().toSet
+      assert(fast === dist, s"pageRank iters=$it")
+      val fastP = Graph.pageRankPersonalized(dEdges, "s", "t",
+          sources = Seq("a", "e"), iters = it)
+        .as[(String, Double)].collect().toSet
+      val distP = Graph.pageRankPersonalized(dEdges, "s", "t",
+          sources = Seq("a", "e"), iters = it, driverMaxEdges = 0)
+        .as[(String, Double)].collect().toSet
+      assert(fastP === distP, s"ppr iters=$it")
+      val fastH = Graph.hits(dEdges, "s", "t", iters = it)
+        .as[(String, Double, Double)].collect().toSet
+      val distH = Graph.hits(dEdges, "s", "t", iters = it,
+          driverMaxEdges = 0)
+        .as[(String, Double, Double)].collect().toSet
+      assert(fastH === distH, s"hits iters=$it")
+    }
+    // weighted: parallel edges (both count), a dropped zero-weight edge
+    // whose endpoint must still rank (as dangling), integer-count and
+    // fractional weights
+    val wEdges = Seq(("a", "b", 3.0), ("a", "b", 2.0), ("b", "c", 1.5),
+      ("c", "a", 4.0), ("c", "d", 1.0), ("x", "a", 0.0), ("b", "x", -1.0))
+      .toDF("s", "t", "w")
+    for (it <- Seq(1, 2)) {
+      val fast = Graph.pageRankWeighted(wEdges, "s", "t", "w", iters = it)
+        .as[(String, Double)].collect().toSet
+      val dist = Graph.pageRankWeighted(wEdges, "s", "t", "w", iters = it,
+          driverMaxEdges = 0)
+        .as[(String, Double)].collect().toSet
+      assert(fast === dist, s"pageRankWeighted iters=$it")
+      assert(fast.map(_._1) === Set("a", "b", "c", "d", "x"),
+        "dropped-weight endpoint x must still rank")
+    }
+    // undirected decimal-fold kernels: triangle + pendant + an isolated
+    // tie pair (exercises the sup-normalizer and the α·sum+1 base)
+    val uEdges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "p",
+      "x" -> "y").toDF("s", "t")
+    for (it <- Seq(1, 3, 5)) {
+      val fastE = Graph.eigenvectorCentrality(uEdges, "s", "t", iters = it)
+        .as[(String, Double)].collect().toSet
+      val distE = Graph.eigenvectorCentrality(uEdges, "s", "t", iters = it,
+          driverMaxEdges = 0)
+        .as[(String, Double)].collect().toSet
+      assert(fastE === distE, s"eigenvector iters=$it")
+      val fastK = Graph.katzCentrality(uEdges, "s", "t", alpha = 0.1,
+          iters = it)
+        .as[(String, Double)].collect().toSet
+      val distK = Graph.katzCentrality(uEdges, "s", "t", alpha = 0.1,
+          iters = it, driverMaxEdges = 0)
+        .as[(String, Double)].collect().toSet
+      assert(fastK === distK, s"katz iters=$it")
+    }
+  }
+
   test("louvainMoveWeighted: weight-1 graph equals the unweighted kernel; " +
       "contraction preserves total weight incl self-loops; multilevel " +
       "merges the hierarchy the single level leaves split") {
