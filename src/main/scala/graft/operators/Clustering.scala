@@ -685,7 +685,8 @@ object Clustering {
     * Output: (vertex, e2, e3, cluster [0-based], dist).
     */
   def spectralClustering(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, powerIters: Int, lloydIters: Int = 1): DataFrame = {
+      k: Int, powerIters: Int, lloydIters: Int = 1,
+      driverMaxEdges: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(k >= 2 && k <= 64,
       s"spectralClustering: k must be in [2, 64], got $k")
     require(powerIters >= 1 && powerIters <= 20,
@@ -694,6 +695,23 @@ object Clustering {
       s"spectralClustering: lloydIters must be in [0, 4], got $lloydIters")
     val half = Graph.canonicalEdges(edges, srcCol, dstCol)
       .localCheckpoint() // degs and the weight build both read sym
+    // Small-graph driver fast path (r18, the pageRank-family
+    // precedent): the ~5 scheduler/broadcast jobs per power pass (×
+    // 2(k−1) passes × powerIters) dwarf the milliseconds of float
+    // arithmetic at bench scale. The replica below reproduces every
+    // frozen quantum — w/v1 at 12 dp, y/projections/residual/
+    // coordinate at 6 dp, the unrounded norm, the Lloyd seed order,
+    // per-step 6-dp centroid means, and the argmin-lowest-index tie —
+    // term for term; double folds differ from the distributed sums
+    // only in task order, which both paths (and the DuckDB oracle's
+    // own replay) already absorb under the rounding quanta.
+    // ClusteringSpec pins path equality; driverMaxEdges = 0 forces
+    // the distributed loop, which stays the 100 TB path.
+    if (half.count() <= driverMaxEdges) {
+      return spectralDriverDf(edges.sparkSession,
+        half.collect().map(r => (r.getString(0), r.getString(1))),
+        k, powerIters, lloydIters)
+    }
     val sym = half.select(col("lo").as("_u"), col("hi").as("_w"))
       .unionByName(half.select(col("hi").as("_u"), col("lo").as("_w")))
     val degs = sym.groupBy(col("_u").as("_v")).agg(count(lit(1)).as("_d"))
@@ -778,5 +796,158 @@ object Clustering {
         col("_x3").cast("double").as("e3"),
         col("cluster"),
         col("dist").cast("double").as("dist"))
+  }
+
+  /** Driver replica of [[spectralClustering]] over collected canonical
+    * (lo, hi) edges: identical deflated power passes (v1 closed-form,
+    * 12-dp w/v1, 6-dp y/projection/residual/coordinate freezes,
+    * unrounded norm), identical md5-unit init, and the identical
+    * [[trainCentroids]]/[[assignToCentroids]] Lloyd round (portable
+    * seed order, 6-dp per-dim means, argmin-lowest-index ties, the
+    * empty-cluster keep rule). Double folds replicate the in-plan
+    * left-fold ORDER wherever the plan fixes one (sqDistTo, the
+    * residual subtraction chain); commutative sums differ only in
+    * task order, absorbed by the same rounding quanta the DuckDB
+    * oracle's replay relies on.
+    */
+  private def spectralDriverDf(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(String, String)], k: Int, powerIters: Int,
+      lloydIters: Int): DataFrame = {
+    val r = Graph.roundHalfUp _
+    // dense ids + symmetric neighbor arrays (canonical edges are
+    // deduped and loop-free)
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    def id(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.length; idx.put(s, i); names += s; i }
+    }
+    val m = pairs.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      ea(i) = id(pairs(i)._1); eb(i) = id(pairs(i)._2); i += 1
+    }
+    val n = names.length
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < m) { deg(ea(i)) += 1L; deg(eb(i)) += 1L; i += 1 }
+    val adj = Array.tabulate(n)(v => new Array[Int](deg(v).toInt))
+    val fill = new Array[Int](n)
+    i = 0
+    while (i < m) {
+      adj(ea(i))(fill(ea(i))) = eb(i); fill(ea(i)) += 1
+      adj(eb(i))(fill(eb(i))) = ea(i); fill(eb(i)) += 1
+      i += 1
+    }
+    val tot = deg.sum.toDouble
+    val v1 = Array.tabulate(n)(v =>
+      r(math.sqrt(deg(v).toDouble) / math.sqrt(tot), 12))
+    // w_uv = 1/sqrt(d_u·d_w) frozen at 12 dp, aligned with adj
+    val wts = Array.tabulate(n)(v => adj(v).map(w =>
+      r(1.0 / math.sqrt(deg(v).toDouble * deg(w).toDouble), 12)))
+    // Sampling.portableUnit: first 15 md5 hex chars as long / 2^60
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def unit(s: String): Double = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) / 1152921504606846976.0
+    }
+    val units = Array.tabulate(n)(v => unit(names(v)))
+    def powerVec(proj: Array[Array[Double]]): Array[Double] = {
+      var x = Array.tabulate(n)(v => r(units(v) - 0.5, 6))
+      for (_ <- 1 to powerIters) {
+        val y = Array.tabulate(n) { v =>
+          var s = 0.0; val nb = adj(v); val ws = wts(v); var j = 0
+          while (j < nb.length) { s += ws(j) * x(nb(j)); j += 1 }
+          r(s, 6)
+        }
+        val cs = proj.map { b =>
+          var s = 0.0; var v = 0
+          while (v < n) { s += b(v) * y(v); v += 1 }
+          r(s, 6)
+        }
+        // the in-plan residual is a left-fold subtraction chain:
+        // ((y − c0·b0) − c1·b1) − … — replicate the order
+        val dd = Array.tabulate(n) { v =>
+          var acc = y(v); var p = 0
+          while (p < proj.length) { acc -= cs(p) * proj(p)(v); p += 1 }
+          r(acc, 6)
+        }
+        var s2 = 0.0
+        dd.foreach(d => s2 += d * d)
+        val nrm = math.sqrt(s2)
+        x = dd.map(d => if (nrm > 0.0) r(d / nrm, 6) else 0.0)
+      }
+      x
+    }
+    val nVecs = math.max(2, k - 1)
+    var proj = Array(v1)
+    val eig = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (_ <- 1 to nVecs) {
+      val ej = powerVec(proj)
+      eig += ej
+      proj = proj :+ ej
+    }
+    // spectral embedding: the first k−1 coordinates feed the cut
+    val dim = k - 1
+    val evs = Array.tabulate(n)(v => Array.tabulate(dim)(d => eig(d)(v)))
+    // [[sqDistTo]] replica: zip_with squares, left-fold sum from 0.0,
+    // ONE round at the end
+    def sqDist(x: Array[Double], c: Seq[Double], dp: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < dim) { val t = x(d) - c(d); s += t * t; d += 1 }
+      r(s, dp)
+    }
+    def assign(cents: IndexedSeq[Seq[Double]], v: Int): (Int, Double) = {
+      var best = 0; var bestD = sqDist(evs(v), cents(0), 6); var c = 1
+      while (c < cents.length) {
+        val dc = sqDist(evs(v), cents(c), 6)
+        if (dc < bestD) { best = c; bestD = dc } // ties keep lowest idx
+        c += 1
+      }
+      (best, bestD)
+    }
+    // [[trainCentroids]] seed: k smallest under (portableUnit, UTF8-
+    // binary id) total order
+    val order = (0 until n).sortWith { (a, b) =>
+      if (units(a) != units(b)) units(a) < units(b)
+      else java.util.Arrays.compareUnsigned(
+        names(a).getBytes("UTF-8"), names(b).getBytes("UTF-8")) < 0
+    }
+    var centroids: IndexedSeq[Seq[Double]] =
+      order.take(k).map(v => evs(v).toSeq).toIndexedSeq
+    require(centroids.size == k,
+      s"kmeansPortable: needs >= $k rows, got ${centroids.size}")
+    for (_ <- 1 to lloydIters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val cnts = new Array[Long](k)
+      var v = 0
+      while (v < n) {
+        val (c, _) = assign(centroids, v)
+        cnts(c) += 1L
+        var d = 0
+        while (d < dim) { sums(c)(d) += evs(v)(d); d += 1 }
+        v += 1
+      }
+      centroids = (0 until k).map { c =>
+        if (cnts(c) > 0L) // empty cluster: centroid stands
+          (0 until dim).map(d => r(sums(c)(d) / cnts(c), 6))
+        else centroids(c)
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vertex", StringType),
+      StructField("e2", DoubleType), StructField("e3", DoubleType),
+      StructField("cluster", IntegerType),
+      StructField("dist", DoubleType)))
+    val rows = (0 until n).map { v =>
+      val (c, dist) = assign(centroids, v)
+      org.apache.spark.sql.Row(names(v), eig(0)(v), eig(1)(v), c, dist)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 100000)),
+      schema)
   }
 }

@@ -1838,7 +1838,7 @@ object Graph {
   /** Spark's `round(double, scale)` semantics (HALF_UP over the
     * BigDecimal.valueOf canonical representation), for driver fast
     * paths that must reproduce in-plan rounding bit-for-bit. */
-  private def roundHalfUp(x: Double, scale: Int): Double =
+  private[operators] def roundHalfUp(x: Double, scale: Int): Double =
     java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 

@@ -292,6 +292,30 @@ class ClusteringSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("spectralClustering: the r18 driver fast path equals the " +
+      "distributed loop row-for-row (k=2 and k=3, bridge graph, " +
+      "disconnected graph, pendant vertices)") {
+    import spark.implicits._
+    def clique(vs: Seq[String]) =
+      for (i <- vs.indices; j <- i + 1 until vs.size) yield (vs(i), vs(j))
+    // bridge graph + a pendant; and a disconnected pair of triangles
+    val bridged = (clique(Seq("a", "b", "c", "d"))
+      ++ clique(Seq("e", "f", "g", "h")) :+ (("d", "e")) :+ (("h", "p")))
+      .toDF("s", "t")
+    val disjoint = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("s", "t")
+    for (edges <- Seq(bridged, disjoint); k <- Seq(2, 3);
+        it <- Seq(2, 6)) {
+      val fast = Clustering.spectralClustering(edges, "s", "t",
+          k = k, powerIters = it)
+        .as[(String, Double, Double, Int, Double)].collect().toSet
+      val dist = Clustering.spectralClustering(edges, "s", "t",
+          k = k, powerIters = it, driverMaxEdges = 0)
+        .as[(String, Double, Double, Int, Double)].collect().toSet
+      assert(fast === dist, s"k=$k powerIters=$it")
+    }
+  }
+
   test("spectralClustering: disconnected graph — the k=2 cut agrees " +
       "exactly with connectedComponents") {
     import spark.implicits._
