@@ -4701,14 +4701,205 @@ object Stats {
     * the iterative lineage exactly as [[coxPH]]. Output: (group, n,
     * n_pos, alpha, beta, se_beta, z_beta, odds_ratio).
     */
+  /** round(t, 12).cast(decimal(38,12)) replicated on the driver as an
+    * unscaled-unit BigInt — the exact composition Spark evaluates
+    * (HALF_UP round over the BigDecimal.valueOf canonical repr, then
+    * the HALF_UP decimal cast), so decimal SUMS of these units are
+    * bit-identical to the distributed aggregates (decimal addition is
+    * exact and order-free on both paths). */
+  private def dec12Unit(t: Double): BigInt =
+    BigInt(java.math.BigDecimal.valueOf(Graph.roundHalfUp(t, 12))
+      .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue())
+
+  /** decimal(38,12).cast(double) — Spark's Decimal.toDouble. */
+  private def dec12ToDouble(u: BigInt): Double =
+    new java.math.BigDecimal(u.bigInteger, 12).doubleValue()
+
+  /** Exact decimal(38,12) sum accumulator for the driver fast paths:
+    * unscaled units accumulate in a primitive long with an overflow
+    * spill into BigInt — identical totals to the distributed decimal
+    * aggregates (exact, order-free) at a fraction of the allocation
+    * cost of per-term BigInt folds. */
+  private final class Dec12Sum {
+    private var lo = 0L
+    private var big: BigInt = null
+    def add(t: Double): Unit = {
+      val bd = java.math.BigDecimal.valueOf(Graph.roundHalfUp(t, 12))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+      val u = bd.unscaledValue()
+      if (u.bitLength() <= 62) {
+        val ul = u.longValue()
+        val sum = lo + ul
+        if (((lo ^ sum) & (ul ^ sum)) < 0L) { // long overflow: spill
+          big = (if (big == null) BigInt(lo) else big + BigInt(lo))
+          lo = ul
+        } else lo = sum
+      } else {
+        big = (if (big == null) BigInt(u) else big + BigInt(u))
+      }
+    }
+    def total: BigInt =
+      if (big == null) BigInt(lo) else big + BigInt(lo)
+  }
+
+  /** Run `body(threadIdx, from, to)` over [0, n) split across the
+    * local cores — the driver fast paths' substitute for the 32 tasks
+    * the distributed aggregates would have used. Callers accumulate
+    * per-thread and merge with exact (order-free) arithmetic only. */
+  private def parallelChunks(n: Int, nThreads: Int)(
+      body: (Int, Int, Int) => Unit): Unit = {
+    if (n < 65536 || nThreads <= 1) { body(0, 0, n); return }
+    val threads = (0 until nThreads).map { t =>
+      val from = (n.toLong * t / nThreads).toInt
+      val to = (n.toLong * (t + 1) / nThreads).toInt
+      new Thread(() => body(t, from, to))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+  }
+
+  private def driverThreads: Int =
+    math.min(32, math.max(1, Runtime.getRuntime.availableProcessors()))
+
   def logisticFit(df: DataFrame, groupCol: String, xCol: String,
-      yCond: Column, iters: Int = 4): DataFrame = {
+      yCond: Column, iters: Int = 4,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1 && iters <= 8, s"logisticFit: iters must be in [1, 8]")
     val dec12 = "decimal(38,12)"
     val rows = df.filter(col(xCol).isNotNull)
       .select(col(groupCol).as("_g"), round(col(xCol), 6).as("_x"),
         when(yCond, 1.0).otherwise(0.0).as("_y"))
       .localCheckpoint() // re-read every iteration
+    // Small-input driver fast path (r18, the pageRank-family
+    // precedent): iters+1 full passes of broadcast join + two-level
+    // decimal aggregate + params checkpoint cost ~15 scheduler rounds
+    // for arithmetic a driver loop finishes in milliseconds. The
+    // replica is BIT-EXACT: per-row 12-dp frozen terms are the
+    // identical double trees, their decimal sums are exact and
+    // order-free on both paths (BigInt unscaled units here), and the
+    // Newton solve/output trees are spelled identically. Engaged only
+    // for double x (a decimal xCol would flow decimal arithmetic
+    // through the term trees); driverMaxRows = 0 forces the
+    // distributed loop, which stays the 100 TB path. StatsSpec pins
+    // path equality; the DuckDB oracles re-verify the judged queries.
+    if (rows.count() <= driverMaxRows
+        && rows.schema("_x").dataType ==
+          org.apache.spark.sql.types.DoubleType) {
+      val collected = rows.collect()
+      val gIdx = new java.util.HashMap[Any, Integer]()
+      val gVals = new scala.collection.mutable.ArrayBuffer[Any]()
+      val nRows = collected.length
+      val gi = new Array[Int](nRows)
+      val xs = new Array[Double](nRows)
+      val ys = new Array[Double](nRows)
+      // the per-pass equi-join on _g drops null group keys (null
+      // never equals null) — replicate by skipping them outright
+      var i = 0
+      var nKept = 0
+      while (i < nRows) {
+        val row = collected(i)
+        val g = row.get(0)
+        if (g != null) {
+          var idg = gIdx.get(g)
+          if (idg == null) {
+            idg = gVals.length; gIdx.put(g, idg); gVals += g
+          }
+          gi(nKept) = idg.intValue()
+          xs(nKept) = row.getDouble(1); ys(nKept) = row.getDouble(2)
+          nKept += 1
+        }
+        i += 1
+      }
+      val nUsed = nKept
+      val ng = gVals.length
+      val a = new Array[Double](ng); val b = new Array[Double](ng)
+      val ns = new Array[Long](ng); val ypos = new Array[Double](ng)
+      val G0 = new Array[BigInt](ng); val G1 = new Array[BigInt](ng)
+      val H00 = new Array[BigInt](ng); val H01 = new Array[BigInt](ng)
+      val H11 = new Array[BigInt](ng)
+      val nT = driverThreads
+      def pass(): Unit = {
+        java.util.Arrays.fill(ns, 0L)
+        java.util.Arrays.fill(ypos, 0.0)
+        // per-thread exact accumulators, merged after the barrier —
+        // identical totals to the distributed decimal sums (exact,
+        // order-free); ypos sums 0/1 doubles (exact in any order)
+        val tAcc = Array.fill(nT, 5)(Array.fill(ng)(new Dec12Sum))
+        val tNs = Array.fill(nT)(new Array[Long](ng))
+        val tYp = Array.fill(nT)(new Array[Double](ng))
+        parallelChunks(nUsed, nT) { (t, from, to) =>
+          val Array(g0a, g1a, h00a, h01a, h11a) = tAcc(t)
+          val nsT = tNs(t); val ypT = tYp(t)
+          var i = from
+          while (i < to) {
+            val g = gi(i); val x = xs(i); val y = ys(i)
+            val p = 1.0 / (1.0 + math.exp(-(a(g) + b(g) * x)))
+            val w = p * (1.0 - p)
+            g0a(g).add(y - p)
+            g1a(g).add(x * (y - p))
+            h00a(g).add(w)
+            h01a(g).add(x * w)
+            h11a(g).add(x * x * w)
+            nsT(g) += 1L; ypT(g) += y
+            i += 1
+          }
+        }
+        var g = 0
+        while (g < ng) {
+          G0(g) = BigInt(0); G1(g) = BigInt(0); H00(g) = BigInt(0)
+          H01(g) = BigInt(0); H11(g) = BigInt(0)
+          var t = 0
+          while (t < nT) {
+            G0(g) += tAcc(t)(0)(g).total; G1(g) += tAcc(t)(1)(g).total
+            H00(g) += tAcc(t)(2)(g).total; H01(g) += tAcc(t)(3)(g).total
+            H11(g) += tAcc(t)(4)(g).total
+            ns(g) += tNs(t)(g); ypos(g) += tYp(t)(g)
+            t += 1
+          }
+          g += 1
+        }
+      }
+      for (_ <- 1 to iters) {
+        pass()
+        var g = 0
+        while (g < ng) {
+          val h00 = dec12ToDouble(H00(g)); val h01 = dec12ToDouble(H01(g))
+          val h11 = dec12ToDouble(H11(g))
+          val g0 = dec12ToDouble(G0(g)); val g1 = dec12ToDouble(G1(g))
+          val det = h00 * h11 - h01 * h01
+          if (det > 0.0) {
+            a(g) = Graph.roundHalfUp(a(g) + (g0 * h11 - g1 * h01) / det, 12)
+            b(g) = Graph.roundHalfUp(b(g) + (g1 * h00 - g0 * h01) / det, 12)
+          }
+          g += 1
+        }
+      }
+      pass() // observed information at the final params
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField(groupCol, rows.schema("_g").dataType),
+        StructField("n", LongType), StructField("n_pos", LongType),
+        StructField("alpha", DoubleType), StructField("beta", DoubleType),
+        StructField("se_beta", DoubleType),
+        StructField("z_beta", DoubleType),
+        StructField("odds_ratio", DoubleType)))
+      val out = (0 until ng).map { g =>
+        val h00 = dec12ToDouble(H00(g)); val h01 = dec12ToDouble(H01(g))
+        val h11 = dec12ToDouble(H11(g))
+        val det = h00 * h11 - h01 * h01
+        org.apache.spark.sql.Row(gVals(g), ns(g), ypos(g).toLong,
+          Graph.roundHalfUp(a(g), 6), Graph.roundHalfUp(b(g), 6),
+          if (det > 0.0) Graph.roundHalfUp(math.sqrt(h00 / det), 6)
+          else null,
+          if (det > 0.0)
+            Graph.roundHalfUp(b(g) / math.sqrt(h00 / det), 6)
+          else null,
+          Graph.roundHalfUp(math.exp(b(g)), 6))
+      }
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(out,
+          math.max(1, ng / 100000)), schema)
+    }
     def pass(params: DataFrame) = {
       val p = lit(1.0) / (lit(1.0)
         + exp(-(col("_a") + col("_b") * col("_x"))))
@@ -5044,7 +5235,8 @@ object Stats {
     * alpha, b1, b2, se_b1, se_b2, z_b1, z_b2).
     */
   def logisticFit2(df: DataFrame, groupCol: String, x1Col: String,
-      x2Col: String, yCond: Column, iters: Int = 4): DataFrame = {
+      x2Col: String, yCond: Column, iters: Int = 4,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1 && iters <= 8, s"logisticFit2: iters must be in [1, 8]")
     val dec12 = "decimal(38,12)"
     val rows = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull)
@@ -5052,6 +5244,158 @@ object Stats {
         round(col(x1Col), 6).as("_x1"), round(col(x2Col), 6).as("_x2"),
         when(yCond, 1.0).otherwise(0.0).as("_y"))
       .localCheckpoint()
+    // Small-input driver fast path — the [[logisticFit]] replica with
+    // the 3×3 Cramer solve; BIT-EXACT by the same argument (exact
+    // order-free decimal sums, identically-spelled double trees).
+    if (rows.count() <= driverMaxRows
+        && rows.schema("_x1").dataType ==
+          org.apache.spark.sql.types.DoubleType
+        && rows.schema("_x2").dataType ==
+          org.apache.spark.sql.types.DoubleType) {
+      val collected = rows.collect()
+      val gIdx = new java.util.HashMap[Any, Integer]()
+      val gVals = new scala.collection.mutable.ArrayBuffer[Any]()
+      val nRows = collected.length
+      val gi = new Array[Int](nRows)
+      val x1s = new Array[Double](nRows)
+      val x2s = new Array[Double](nRows)
+      val ys = new Array[Double](nRows)
+      // null group keys never survive the per-pass equi-join — skip
+      var i = 0
+      var nKept = 0
+      while (i < nRows) {
+        val row = collected(i)
+        val g = row.get(0)
+        if (g != null) {
+          var idg = gIdx.get(g)
+          if (idg == null) {
+            idg = gVals.length; gIdx.put(g, idg); gVals += g
+          }
+          gi(nKept) = idg.intValue()
+          x1s(nKept) = row.getDouble(1); x2s(nKept) = row.getDouble(2)
+          ys(nKept) = row.getDouble(3)
+          nKept += 1
+        }
+        i += 1
+      }
+      val nUsed = nKept
+      val ng = gVals.length
+      val a = new Array[Double](ng)
+      val b1 = new Array[Double](ng); val b2 = new Array[Double](ng)
+      val ns = new Array[Long](ng); val ypos = new Array[Double](ng)
+      val acc = Array.fill(9)(new Array[BigInt](ng)) // G0 G1 G2 H00 H01 H02 H11 H12 H22
+      val nT = driverThreads
+      def pass(): Unit = {
+        java.util.Arrays.fill(ns, 0L)
+        java.util.Arrays.fill(ypos, 0.0)
+        val tAcc = Array.fill(nT, 9)(Array.fill(ng)(new Dec12Sum))
+        val tNs = Array.fill(nT)(new Array[Long](ng))
+        val tYp = Array.fill(nT)(new Array[Double](ng))
+        parallelChunks(nUsed, nT) { (t, from, to) =>
+          val ta = tAcc(t); val nsT = tNs(t); val ypT = tYp(t)
+          var i = from
+          while (i < to) {
+            val g = gi(i); val x1 = x1s(i); val x2 = x2s(i); val y = ys(i)
+            val p = 1.0 / (1.0 + math.exp(-(a(g) + b1(g) * x1 + b2(g) * x2)))
+            val w = p * (1.0 - p)
+            ta(0)(g).add(y - p)
+            ta(1)(g).add(x1 * (y - p))
+            ta(2)(g).add(x2 * (y - p))
+            ta(3)(g).add(w)
+            ta(4)(g).add(x1 * w)
+            ta(5)(g).add(x2 * w)
+            ta(6)(g).add(x1 * x1 * w)
+            ta(7)(g).add(x1 * x2 * w)
+            ta(8)(g).add(x2 * x2 * w)
+            nsT(g) += 1L; ypT(g) += y
+            i += 1
+          }
+        }
+        var g = 0
+        while (g < ng) {
+          var k = 0
+          while (k < 9) {
+            var tot = BigInt(0)
+            var t = 0
+            while (t < nT) { tot += tAcc(t)(k)(g).total; t += 1 }
+            acc(k)(g) = tot
+            k += 1
+          }
+          var t = 0
+          while (t < nT) {
+            ns(g) += tNs(t)(g); ypos(g) += tYp(t)(g); t += 1
+          }
+          g += 1
+        }
+      }
+      // the det/det0/det1/det2 double trees, spelled as in the plan
+      def solve(g: Int): (Double, Double, Double, Double, Double) = {
+        val g0 = dec12ToDouble(acc(0)(g)); val g1 = dec12ToDouble(acc(1)(g))
+        val g2 = dec12ToDouble(acc(2)(g))
+        val h00 = dec12ToDouble(acc(3)(g)); val h01 = dec12ToDouble(acc(4)(g))
+        val h02 = dec12ToDouble(acc(5)(g)); val h11 = dec12ToDouble(acc(6)(g))
+        val h12 = dec12ToDouble(acc(7)(g)); val h22 = dec12ToDouble(acc(8)(g))
+        val det = h00 * (h11 * h22 - h12 * h12) -
+          h01 * (h01 * h22 - h12 * h02) +
+          h02 * (h01 * h12 - h11 * h02)
+        val det0 = g0 * (h11 * h22 - h12 * h12) -
+          h01 * (g1 * h22 - h12 * g2) +
+          h02 * (g1 * h12 - h11 * g2)
+        val det1 = h00 * (g1 * h22 - h12 * g2) -
+          g0 * (h01 * h22 - h12 * h02) +
+          h02 * (h01 * g2 - g1 * h02)
+        val det2 = h00 * (h11 * g2 - g1 * h12) -
+          h01 * (h01 * g2 - g1 * h02) +
+          g0 * (h01 * h12 - h11 * h02)
+        (det, det0, det1, det2, 0.0)
+      }
+      for (_ <- 1 to iters) {
+        pass()
+        var g = 0
+        while (g < ng) {
+          val (det, det0, det1, det2, _) = solve(g)
+          if (det > 0.0) {
+            a(g) = Graph.roundHalfUp(a(g) + det0 / det, 12)
+            b1(g) = Graph.roundHalfUp(b1(g) + det1 / det, 12)
+            b2(g) = Graph.roundHalfUp(b2(g) + det2 / det, 12)
+          }
+          g += 1
+        }
+      }
+      pass()
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField(groupCol, rows.schema("_g").dataType),
+        StructField("n", LongType), StructField("n_pos", LongType),
+        StructField("alpha", DoubleType),
+        StructField("b1", DoubleType), StructField("b2", DoubleType),
+        StructField("se_b1", DoubleType), StructField("se_b2", DoubleType),
+        StructField("z_b1", DoubleType), StructField("z_b2", DoubleType)))
+      val out = (0 until ng).map { g =>
+        val (det, _, _, _, _) = solve(g)
+        val h00 = dec12ToDouble(acc(3)(g)); val h01 = dec12ToDouble(acc(4)(g))
+        val h02 = dec12ToDouble(acc(5)(g)); val h11 = dec12ToDouble(acc(6)(g))
+        val h22 = dec12ToDouble(acc(8)(g))
+        val a22 = h00 * h22 - h02 * h02
+        val a33 = h00 * h11 - h01 * h01
+        org.apache.spark.sql.Row(gVals(g), ns(g), ypos(g).toLong,
+          Graph.roundHalfUp(a(g), 6),
+          Graph.roundHalfUp(b1(g), 6), Graph.roundHalfUp(b2(g), 6),
+          if (det > 0.0) Graph.roundHalfUp(math.sqrt(a22 / det), 6)
+          else null,
+          if (det > 0.0) Graph.roundHalfUp(math.sqrt(a33 / det), 6)
+          else null,
+          if (det > 0.0)
+            Graph.roundHalfUp(b1(g) / math.sqrt(a22 / det), 6)
+          else null,
+          if (det > 0.0)
+            Graph.roundHalfUp(b2(g) / math.sqrt(a33 / det), 6)
+          else null)
+      }
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.parallelize(out,
+          math.max(1, ng / 100000)), schema)
+    }
     def pass(params: DataFrame) = {
       val p = lit(1.0) / (lit(1.0)
         + exp(-(col("_a") + col("_b1") * col("_x1")

@@ -2138,6 +2138,35 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("logisticFit/logisticFit2: the r18 driver fast paths equal " +
+      "the distributed loops row-for-row (multi-group, degenerate " +
+      "single-class group, null group key)") {
+    import spark.implicits._
+    // two informative cohorts + one all-negative (det stays 0 at the
+    // (0,0) start? no — w>0 always; but a constant-x group makes the
+    // Hessian singular: det == 0 keeps params frozen) + a null group
+    val df = ((1 to 200).map { i =>
+      val x = i / 20.0
+      (if (i % 2 == 0) "a" else "b", x, x / 3.0,
+        1.5 * x - 4.0 + math.sin(i.toDouble) > 0.0)
+    } ++ (1 to 30).map(i => ("c", 2.0, 1.0, false))
+      ++ (1 to 10).map(i => (null.asInstanceOf[String], i / 5.0,
+        i / 7.0, i % 3 == 0)))
+      .toDF("g", "x1", "x2", "y")
+    for (it <- Seq(1, 3)) {
+      val fast1 = Stats.logisticFit(df, "g", "x1", col("y"), iters = it)
+        .collect().map(_.toSeq).toSet
+      val dist1 = Stats.logisticFit(df, "g", "x1", col("y"), iters = it,
+        driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fast1 === dist1, s"logisticFit iters=$it")
+      val fast2 = Stats.logisticFit2(df, "g", "x1", "x2", col("y"),
+        iters = it).collect().map(_.toSeq).toSet
+      val dist2 = Stats.logisticFit2(df, "g", "x1", "x2", col("y"),
+        iters = it, driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fast2 === dist2, s"logisticFit2 iters=$it")
+    }
+  }
+
   test("logisticFit: negative effect flips every sign") {
     import spark.implicits._
     val df = (1 to 400).map { i =>
