@@ -4967,7 +4967,8 @@ object Stats {
     * temperature).
     */
   def temperatureScaling(df: DataFrame, scoreCol: String,
-      yCond: Column, passes: Int = 4): DataFrame = {
+      yCond: Column, passes: Int = 4,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(passes >= 1 && passes <= 6,
       s"temperatureScaling: passes must be in [1, 6], got $passes")
     val dec12 = "decimal(38,12)"
@@ -4975,6 +4976,17 @@ object Stats {
       .select(round(col(scoreCol), 6).as("_s"),
         when(yCond, 1.0).otherwise(0.0).as("_y"))
       .localCheckpoint() // re-read every pass
+    // Driver fast path — the 1-D member of the [[logisticFit]] replica
+    // family: bit-exact (12-dp frozen terms into exact decimal sums,
+    // the identical clamp tree). Empty input keeps the distributed
+    // plan (its global aggregate emits one n=0 row a driver replica
+    // of the grouped shape would not).
+    val rowCount = rows.count()
+    if (rowCount > 0 && rowCount <= driverMaxRows
+        && rows.schema("_s").dataType ==
+          org.apache.spark.sql.types.DoubleType) {
+      return temperatureDriverDf(df, rows, passes)
+    }
     def pass(params: DataFrame) = {
       val p = lit(1.0) / (lit(1.0) + exp(-(col("_w") * col("_s"))))
       rows.crossJoin(broadcast(params))
@@ -5493,8 +5505,299 @@ object Stats {
     * the cluster. Output: (group, n, sum_y, alpha, beta, se_beta,
     * z_beta, rate_ratio).
     */
+  /** Shared collect step of the GLM driver replicas: (group values,
+    * group index per row, x, y), null group keys skipped (the
+    * per-pass equi-join drops them). */
+  private def collectGlmRows(rows: DataFrame): (
+      scala.collection.mutable.ArrayBuffer[Any], Array[Int],
+      Array[Double], Array[Double], Int) = {
+    val collected = rows.collect()
+    val gIdx = new java.util.HashMap[Any, Integer]()
+    val gVals = new scala.collection.mutable.ArrayBuffer[Any]()
+    val gi = new Array[Int](collected.length)
+    val xs = new Array[Double](collected.length)
+    val ys = new Array[Double](collected.length)
+    var i = 0; var kept = 0
+    while (i < collected.length) {
+      val row = collected(i)
+      val g = row.get(0)
+      if (g != null) {
+        var idg = gIdx.get(g)
+        if (idg == null) { idg = gVals.length; gIdx.put(g, idg); gVals += g }
+        gi(kept) = idg.intValue()
+        xs(kept) = row.getDouble(1); ys(kept) = row.getDouble(2)
+        kept += 1
+      }
+      i += 1
+    }
+    (gVals, gi, xs, ys, kept)
+  }
+
+  /** Driver replica of [[poissonFit]]'s iterations (see the fast-path
+    * note there). */
+  private def poissonDriverDf(df: DataFrame, rows: DataFrame,
+      groupCol: String, iters: Int): DataFrame = {
+    val (gVals, gi, xs, ys, nUsed) = collectGlmRows(rows)
+    val ng = gVals.length
+    val a = new Array[Double](ng); val b = new Array[Double](ng)
+    val ns = new Array[Long](ng); val sy = new Array[Double](ng)
+    // init at the Laplace-smoothed log-mean, as in the plan
+    locally {
+      var i = 0
+      while (i < nUsed) { ns(gi(i)) += 1L; sy(gi(i)) += ys(i); i += 1 }
+      var g = 0
+      while (g < ng) {
+        a(g) = Graph.roundHalfUp(
+          math.log((sy(g) + 1.0) / (ns(g) + 1.0)), 12)
+        g += 1
+      }
+    }
+    val acc = new Array[Array[BigInt]](6) // G0 G1 H00 H01 H11 CHI
+    val nT = driverThreads
+    def pass(): Unit = {
+      java.util.Arrays.fill(ns, 0L); java.util.Arrays.fill(sy, 0.0)
+      val tAcc = Array.fill(nT, 6)(Array.fill(ng)(new Dec12Sum))
+      val tNs = Array.fill(nT)(new Array[Long](ng))
+      val tSy = Array.fill(nT)(new Array[Double](ng))
+      parallelChunks(nUsed, nT) { (t, from, to) =>
+        val ta = tAcc(t); val nsT = tNs(t); val syT = tSy(t)
+        var i = from
+        while (i < to) {
+          val g = gi(i); val x = xs(i); val y = ys(i)
+          val mu = math.exp(a(g) + b(g) * x)
+          ta(0)(g).add(y - mu)
+          ta(1)(g).add(x * (y - mu))
+          ta(2)(g).add(mu)
+          ta(3)(g).add(x * mu)
+          ta(4)(g).add(x * x * mu)
+          ta(5)(g).add((y - mu) * (y - mu) / mu)
+          nsT(g) += 1L; syT(g) += y
+          i += 1
+        }
+      }
+      var g = 0
+      while (g < ng) {
+        var k = 0
+        while (k < 6) {
+          var tot = BigInt(0); var t = 0
+          while (t < nT) { tot += tAcc(t)(k)(g).total; t += 1 }
+          acc(k)(g) = tot; k += 1
+        }
+        var t = 0
+        while (t < nT) { ns(g) += tNs(t)(g); sy(g) += tSy(t)(g); t += 1 }
+        g += 1
+      }
+    }
+    var k = 0
+    while (k < 6) { acc(k) = new Array[BigInt](ng); k += 1 }
+    for (_ <- 1 to iters) {
+      pass()
+      var g = 0
+      while (g < ng) {
+        val g0 = dec12ToDouble(acc(0)(g)); val g1 = dec12ToDouble(acc(1)(g))
+        val h00 = dec12ToDouble(acc(2)(g)); val h01 = dec12ToDouble(acc(3)(g))
+        val h11 = dec12ToDouble(acc(4)(g))
+        val det = h00 * h11 - h01 * h01
+        if (det > 0.0) {
+          a(g) = Graph.roundHalfUp(a(g) + (g0 * h11 - g1 * h01) / det, 12)
+          b(g) = Graph.roundHalfUp(b(g) + (g1 * h00 - g0 * h01) / det, 12)
+        }
+        g += 1
+      }
+    }
+    pass()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(groupCol, rows.schema("_g").dataType),
+      StructField("n", LongType), StructField("sum_y", DoubleType),
+      StructField("alpha", DoubleType), StructField("beta", DoubleType),
+      StructField("se_beta", DoubleType), StructField("z_beta", DoubleType),
+      StructField("rate_ratio", DoubleType),
+      StructField("dispersion", DoubleType),
+      StructField("se_beta_quasi", DoubleType)))
+    val out = (0 until ng).map { g =>
+      val h00 = dec12ToDouble(acc(2)(g)); val h01 = dec12ToDouble(acc(3)(g))
+      val h11 = dec12ToDouble(acc(4)(g)); val chi = dec12ToDouble(acc(5)(g))
+      val det = h00 * h11 - h01 * h01
+      val nD = ns(g).toDouble
+      org.apache.spark.sql.Row(gVals(g), ns(g),
+        Graph.roundHalfUp(sy(g), 6),
+        Graph.roundHalfUp(a(g), 6), Graph.roundHalfUp(b(g), 6),
+        if (det > 0.0) Graph.roundHalfUp(math.sqrt(h00 / det), 6) else null,
+        if (det > 0.0)
+          Graph.roundHalfUp(b(g) / math.sqrt(h00 / det), 6) else null,
+        Graph.roundHalfUp(math.exp(b(g)), 6),
+        if (ns(g) > 2L) Graph.roundHalfUp(chi / (nD - 2.0), 6) else null,
+        if (det > 0.0 && ns(g) > 2L)
+          Graph.roundHalfUp(
+            math.sqrt(h00 / det) * math.sqrt(chi / (nD - 2.0)), 6)
+        else null)
+    }
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out,
+        math.max(1, ng / 100000)), schema)
+  }
+
+  /** Driver replica of [[gammaFit]]'s constant-weight IRLS (see the
+    * fast-path note there). */
+  private def gammaDriverDf(df: DataFrame, rows: DataFrame,
+      groupCol: String, iters: Int): DataFrame = {
+    val (gVals, gi, xs, ys, nUsed) = collectGlmRows(rows)
+    val ng = gVals.length
+    val a = new Array[Double](ng); val b = new Array[Double](ng)
+    val ns = new Array[Long](ng); val sy = new Array[Double](ng)
+    locally {
+      var i = 0
+      while (i < nUsed) { ns(gi(i)) += 1L; sy(gi(i)) += ys(i); i += 1 }
+      var g = 0
+      while (g < ng) {
+        a(g) = Graph.roundHalfUp(math.log(sy(g) / ns(g).toDouble), 12)
+        g += 1
+      }
+    }
+    val acc = Array.fill(5)(new Array[BigInt](ng)) // SZ SXZ SX SXX CHI
+    val nT = driverThreads
+    def pass(): Unit = {
+      java.util.Arrays.fill(ns, 0L)
+      val tAcc = Array.fill(nT, 5)(Array.fill(ng)(new Dec12Sum))
+      val tNs = Array.fill(nT)(new Array[Long](ng))
+      parallelChunks(nUsed, nT) { (t, from, to) =>
+        val ta = tAcc(t); val nsT = tNs(t)
+        var i = from
+        while (i < to) {
+          val g = gi(i); val x = xs(i); val y = ys(i)
+          val eta = a(g) + b(g) * x
+          val mu = math.exp(eta)
+          val z = eta + (y - mu) / mu
+          ta(0)(g).add(z)
+          ta(1)(g).add(x * z)
+          ta(2)(g).add(x)
+          ta(3)(g).add(x * x)
+          ta(4)(g).add((y - mu) * (y - mu) / (mu * mu))
+          nsT(g) += 1L
+          i += 1
+        }
+      }
+      var g = 0
+      while (g < ng) {
+        var k = 0
+        while (k < 5) {
+          var tot = BigInt(0); var t = 0
+          while (t < nT) { tot += tAcc(t)(k)(g).total; t += 1 }
+          acc(k)(g) = tot; k += 1
+        }
+        var t = 0
+        while (t < nT) { ns(g) += tNs(t)(g); t += 1 }
+        g += 1
+      }
+    }
+    for (_ <- 1 to iters) {
+      pass()
+      var g = 0
+      while (g < ng) {
+        val sz = dec12ToDouble(acc(0)(g)); val sxz = dec12ToDouble(acc(1)(g))
+        val sx = dec12ToDouble(acc(2)(g)); val sxx = dec12ToDouble(acc(3)(g))
+        val nD = ns(g).toDouble
+        val det = nD * sxx - sx * sx
+        if (det > 0.0) {
+          // the in-plan trees: b = (n·Sxz − Sx·Sz)/det,
+          // a = (Sz − b·Sx)/n with b's tree inlined
+          a(g) = Graph.roundHalfUp(
+            (sz - (nD * sxz - sx * sz) / det * sx) / nD, 12)
+          b(g) = Graph.roundHalfUp((nD * sxz - sx * sz) / det, 12)
+        }
+        g += 1
+      }
+    }
+    pass()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(groupCol, rows.schema("_g").dataType),
+      StructField("n", LongType),
+      StructField("alpha", DoubleType), StructField("beta", DoubleType),
+      StructField("se_beta", DoubleType), StructField("z_beta", DoubleType),
+      StructField("rate_ratio", DoubleType),
+      StructField("dispersion", DoubleType)))
+    val out = (0 until ng).map { g =>
+      val sx = dec12ToDouble(acc(2)(g)); val sxx = dec12ToDouble(acc(3)(g))
+      val chi = dec12ToDouble(acc(4)(g))
+      val nD = ns(g).toDouble
+      val det = nD * sxx - sx * sx
+      val se = math.sqrt(chi / (nD - 2.0) * (nD / det))
+      org.apache.spark.sql.Row(gVals(g), ns(g),
+        Graph.roundHalfUp(a(g), 6), Graph.roundHalfUp(b(g), 6),
+        if (det > 0.0 && ns(g) > 2L) Graph.roundHalfUp(se, 6) else null,
+        if (det > 0.0 && ns(g) > 2L)
+          Graph.roundHalfUp(b(g) / se, 6) else null,
+        Graph.roundHalfUp(math.exp(b(g)), 6),
+        if (ns(g) > 2L) Graph.roundHalfUp(chi / (nD - 2.0), 6) else null)
+    }
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out,
+        math.max(1, ng / 100000)), schema)
+  }
+
+  /** Driver replica of [[temperatureScaling]]'s clamped 1-D Newton
+    * passes (see the fast-path note there). */
+  private def temperatureDriverDf(df: DataFrame, rows: DataFrame,
+      passes: Int): DataFrame = {
+    val collected = rows.collect()
+    val n = collected.length
+    val ss = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ss(i) = collected(i).getDouble(0)
+      ys(i) = collected(i).getDouble(1)
+      i += 1
+    }
+    var w = 1.0
+    var gTot = BigInt(0); var hTot = BigInt(0); var ypos = 0.0
+    val nT = driverThreads
+    def pass(): Unit = {
+      val tG = Array.fill(nT)(new Dec12Sum)
+      val tH = Array.fill(nT)(new Dec12Sum)
+      val tY = new Array[Double](nT)
+      parallelChunks(n, nT) { (t, from, to) =>
+        val gA = tG(t); val hA = tH(t)
+        var i = from
+        while (i < to) {
+          val s = ss(i); val y = ys(i)
+          val p = 1.0 / (1.0 + math.exp(-(w * s)))
+          gA.add(s * (p - y))
+          hA.add(s * s * p * (1.0 - p))
+          tY(t) += y
+          i += 1
+        }
+      }
+      gTot = BigInt(0); hTot = BigInt(0); ypos = 0.0
+      var t = 0
+      while (t < nT) {
+        gTot += tG(t).total; hTot += tH(t).total; ypos += tY(t); t += 1
+      }
+    }
+    for (_ <- 1 to passes) {
+      pass()
+      val hD = dec12ToDouble(hTot)
+      if (hD > 0.0)
+        w = Graph.roundHalfUp(math.max(0.001,
+          math.min(64.0, w - dec12ToDouble(gTot) / hD)), 12)
+    }
+    pass()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n", LongType), StructField("n_pos", LongType),
+      StructField("inv_temp", DoubleType),
+      StructField("temperature", DoubleType)))
+    val out = Seq(org.apache.spark.sql.Row(n.toLong, ypos.toLong,
+      Graph.roundHalfUp(w, 6),
+      if (w > 0.0) Graph.roundHalfUp(1.0 / w, 6) else null))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), schema)
+  }
+
   def poissonFit(df: DataFrame, groupCol: String, xCol: String,
-      yCol: String, iters: Int = 4): DataFrame = {
+      yCol: String, iters: Int = 4,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1 && iters <= 8, s"poissonFit: iters must be in [1, 8]")
     val dec12 = "decimal(38,12)"
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -5503,6 +5806,15 @@ object Stats {
       .withColumn("_y", when(col("_y") >= 0.0, col("_y")).otherwise(
         raise_error(lit("poissonFit: negative count in y"))))
       .localCheckpoint() // re-read every iteration
+    // Driver fast path (the [[logisticFit]] replica with Poisson
+    // terms and the Laplace-smoothed log-mean init). The init's and
+    // sum_y's double sums are exact for count data (integers); the
+    // 12-dp freezes guard the rest identically on both paths.
+    if (rows.count() <= driverMaxRows
+        && rows.schema("_x").dataType ==
+          org.apache.spark.sql.types.DoubleType) {
+      return poissonDriverDf(df, rows, groupCol, iters)
+    }
     def pass(params: DataFrame) = {
       val mu = exp(col("_a") + col("_b") * col("_x"))
       rows.join(broadcast(params), Seq("_g"))
@@ -5589,7 +5901,8 @@ object Stats {
     * dispersion).
     */
   def gammaFit(df: DataFrame, groupCol: String, xCol: String,
-      yCol: String, iters: Int = 3): DataFrame = {
+      yCol: String, iters: Int = 3,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1 && iters <= 8, s"gammaFit: iters must be in [1, 8]")
     val dec12 = "decimal(38,12)"
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -5598,6 +5911,17 @@ object Stats {
       .withColumn("_y", when(col("_y") > 0.0, col("_y")).otherwise(
         raise_error(lit("gammaFit: y must be > 0 (gamma support)"))))
       .localCheckpoint() // re-read every iteration
+    // Driver fast path — [[logisticFit]]'s replica with the constant-
+    // weight IRLS/OLS solve. The ln(mean) init's double sum differs
+    // from the task-order distributed sum only at ~1e-16 relative,
+    // far below its 12-dp freeze (the documented portability quantum
+    // the oracle replay already relies on); everything downstream is
+    // exact decimal.
+    if (rows.count() <= driverMaxRows
+        && rows.schema("_x").dataType ==
+          org.apache.spark.sql.types.DoubleType) {
+      return gammaDriverDf(df, rows, groupCol, iters)
+    }
     def pass(params: DataFrame) = {
       val eta = col("_a") + col("_b") * col("_x")
       val mu = exp(eta)

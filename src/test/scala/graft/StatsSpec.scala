@@ -2167,6 +2167,39 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("poissonFit/gammaFit/temperatureScaling: the r18 driver fast " +
+      "paths equal the distributed loops row-for-row") {
+    import spark.implicits._
+    val cnt = (1 to 150).map { i =>
+      val x = i / 15.0
+      (if (i % 2 == 0) "a" else "b", x,
+        math.max(0.0, math.floor(3.0 + 2.0 * x + 2.0 * math.sin(i.toDouble))))
+    }.toDF("g", "x", "y")
+    for (it <- Seq(1, 3)) {
+      val fp = Stats.poissonFit(cnt, "g", "x", "y", iters = it)
+        .collect().map(_.toSeq).toSet
+      val dp = Stats.poissonFit(cnt, "g", "x", "y", iters = it,
+        driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fp === dp, s"poisson iters=$it")
+      val pos = cnt.withColumn("y", col("y") + 0.5)
+      val fg = Stats.gammaFit(pos, "g", "x", "y", iters = it)
+        .collect().map(_.toSeq).toSet
+      val dg = Stats.gammaFit(pos, "g", "x", "y", iters = it,
+        driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fg === dg, s"gamma iters=$it")
+    }
+    val scored = (1 to 200).map { i =>
+      (i / 20.0 - 5.0, 2.0 * (i / 20.0 - 5.0) + math.sin(i.toDouble) > 0.0)
+    }.toDF("s", "y")
+    for (ps <- Seq(1, 4)) {
+      val ft = Stats.temperatureScaling(scored, "s", col("y"), passes = ps)
+        .collect().map(_.toSeq).toSet
+      val dt = Stats.temperatureScaling(scored, "s", col("y"), passes = ps,
+        driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(ft === dt, s"tempScaling passes=$ps")
+    }
+  }
+
   test("logisticFit: negative effect flips every sign") {
     import spark.implicits._
     val df = (1 to 400).map { i =>
