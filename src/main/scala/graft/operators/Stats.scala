@@ -6550,8 +6550,107 @@ object Stats {
     * cells shrink monotonically. Output: (group, pass, n_remaining,
     * suspect, r) — one row per (group, pass ≤ k).
     */
+  /** Driver replica of [[gesd]]'s passes over the collected quantized
+    * cells (see the fast-path note there). */
+  private def gesdDriverDf(df: DataFrame, cells0: DataFrame,
+      groupCol: String, k: Int): DataFrame = {
+    val collected = cells0.collect()
+    val gIdx = new java.util.HashMap[Any, Integer]()
+    val gVals = new scala.collection.mutable.ArrayBuffer[Any]()
+    val nc = collected.length
+    val gi = new Array[Int](nc); val xq = new Array[Long](nc)
+    val cnt = new Array[Long](nc)
+    var i = 0
+    while (i < nc) {
+      val row = collected(i)
+      val g = row.get(0) // null groups kept: the joins are null-safe
+      var idg = gIdx.get(g)
+      if (idg == null) { idg = gVals.length; gIdx.put(g, idg); gVals += g }
+      gi(i) = idg.intValue()
+      xq(i) = row.getLong(1); cnt(i) = row.getLong(2)
+      i += 1
+    }
+    val ng = gVals.length
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row]()
+    for (pass <- 1 to k) {
+      // per-group moments: exact decimal(38,0) sums
+      val n = new Array[Long](ng)
+      val s1 = Array.fill(ng)(BigInt(0)); val q1 = Array.fill(ng)(BigInt(0))
+      var i = 0
+      while (i < nc) {
+        if (cnt(i) > 0L) {
+          val g = gi(i); val c = BigInt(cnt(i))
+          n(g) += cnt(i)
+          s1(g) += c * xq(i)
+          q1(g) += c * xq(i) * xq(i)
+        }
+        i += 1
+      }
+      val mu = new Array[Double](ng); val sd = new Array[Double](ng)
+      val hasSd = new Array[Boolean](ng)
+      var g = 0
+      while (g < ng) {
+        if (n(g) > 0L) {
+          // the distributed plan's ANSI division throws here — a group
+          // down to one row has no sample variance; fail just as loudly
+          if (n(g) == 1L) throw new ArithmeticException(
+            "gesd: Division by zero (group reached n = 1; the " +
+              "distributed plan's ANSI contract)")
+          val nD = n(g).toDouble
+          val s1d = new java.math.BigDecimal(s1(g).bigInteger, 0)
+            .doubleValue()
+          val q1d = new java.math.BigDecimal(q1(g).bigInteger, 0)
+            .doubleValue()
+          mu(g) = s1d / nD
+          val varr = (nD * q1d - s1d * s1d) / (nD * (nD - 1.0))
+          if (varr > 0.0) { sd(g) = math.sqrt(varr); hasSd(g) = true }
+        }
+        g += 1
+      }
+      // z per live cell; winner = max z, ties to max xq
+      val mz = new Array[Double](ng); val wx = new Array[Long](ng)
+      val wIdx = Array.fill(ng)(-1)
+      i = 0
+      while (i < nc) {
+        if (cnt(i) > 0L) {
+          val g = gi(i)
+          val z = if (hasSd(g))
+            Graph.roundHalfUp(
+              math.abs(xq(i).toDouble - mu(g)) / sd(g), 6)
+          else 0.0
+          if (wIdx(g) < 0 || z > mz(g)
+              || (z == mz(g) && xq(i) > wx(g))) {
+            mz(g) = z; wx(g) = xq(i); wIdx(g) = i
+          }
+        }
+        i += 1
+      }
+      g = 0
+      while (g < ng) {
+        if (wIdx(g) >= 0) {
+          out += org.apache.spark.sql.Row(gVals(g), pass, n(g),
+            Graph.roundHalfUp(wx(g).toDouble / 1e6, 6),
+            if (hasSd(g) && n(g) >= 3L) mz(g) else null)
+          cnt(wIdx(g)) -= 1L // decrement the winner cell
+        }
+        g += 1
+      }
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(groupCol, cells0.schema("_g").dataType),
+      StructField("pass", IntegerType),
+      StructField("n_remaining", LongType),
+      StructField("suspect", DoubleType), StructField("r", DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, out.length / 100000)), schema)
+  }
+
   def gesd(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int): DataFrame = {
+      k: Int, driverMaxCells: Long = Graph.HarmonicDriverMaxEdges)
+      : DataFrame = {
     require(k >= 1 && k <= 5, s"gesd: k must be in [1, 5], got $k")
     val dec = "decimal(38,0)"
     val cells0 = df.filter(col(valueCol).isNotNull)
@@ -6559,6 +6658,15 @@ object Stats {
         round(col(valueCol) * 1e6).cast("long").as("_xq"))
       .groupBy("_g", "_xq").agg(count(lit(1)).as("_c"))
       .localCheckpoint()
+    // Driver fast path (r18): k passes × ~6 scheduler jobs on a
+    // quantized-cell histogram that fits the driver. The replica's
+    // moments are exact decimal(38,0) sums (BigInt), z/suspect are
+    // the identical rounded double trees, winner ties break to max
+    // xq, and null-safe group joins KEEP null groups — all term for
+    // term. driverMaxCells = 0 forces the distributed loop.
+    if (cells0.count() <= driverMaxCells) {
+      return gesdDriverDf(df, cells0, groupCol, k)
+    }
     def onePass(cells: DataFrame, pass: Int)
         : (DataFrame, DataFrame) = {
       val mom = cells.groupBy(col("_g").as("_gm"))

@@ -2200,6 +2200,33 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("gesd: the r18 driver fast path equals the distributed loop " +
+      "row-for-row (ties, zero-variance group, null group)") {
+    import spark.implicits._
+    // NOTE: groups that reach n = 1 are outside the operator's domain
+    // on BOTH paths (the distributed plan's ANSI variance division
+    // throws; the replica throws the same way) — every group here
+    // keeps n >= 2 through all k passes
+    val df = ((1 to 40).map(i => ("a", 10.0 + (i % 7) / 10.0))
+      ++ Seq(("a", 99.9), ("a", -50.0), ("a", 99.9)) // tie on |z| via dup
+      ++ (1 to 8).map(_ => ("b", 3.14)) // zero variance
+      ++ Seq((null.asInstanceOf[String], 5.0),
+        (null.asInstanceOf[String], 8.0),
+        (null.asInstanceOf[String], 5.5),
+        (null.asInstanceOf[String], 6.5),
+        (null.asInstanceOf[String], 7.0),
+        (null.asInstanceOf[String], 7.5),
+        (null.asInstanceOf[String], 9.0)))
+      .toDF("g", "v")
+    for (kk <- Seq(1, 3, 5)) {
+      val fast = Stats.gesd(df, "g", "v", k = kk)
+        .collect().map(_.toSeq).toSet
+      val dist = Stats.gesd(df, "g", "v", k = kk, driverMaxCells = 0)
+        .collect().map(_.toSeq).toSet
+      assert(fast === dist, s"gesd k=$kk")
+    }
+  }
+
   test("logisticFit: negative effect flips every sign") {
     import spark.implicits._
     val df = (1 to 400).map { i =>
