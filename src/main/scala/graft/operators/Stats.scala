@@ -4707,12 +4707,12 @@ object Stats {
     * the HALF_UP decimal cast), so decimal SUMS of these units are
     * bit-identical to the distributed aggregates (decimal addition is
     * exact and order-free on both paths). */
-  private def dec12Unit(t: Double): BigInt =
+  private[operators] def dec12Unit(t: Double): BigInt =
     BigInt(java.math.BigDecimal.valueOf(Graph.roundHalfUp(t, 12))
       .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue())
 
   /** decimal(38,12).cast(double) — Spark's Decimal.toDouble. */
-  private def dec12ToDouble(u: BigInt): Double =
+  private[operators] def dec12ToDouble(u: BigInt): Double =
     new java.math.BigDecimal(u.bigInteger, 12).doubleValue()
 
   /** Exact decimal(38,12) sum accumulator for the driver fast paths:
@@ -4720,7 +4720,7 @@ object Stats {
     * spill into BigInt — identical totals to the distributed decimal
     * aggregates (exact, order-free) at a fraction of the allocation
     * cost of per-term BigInt folds. */
-  private final class Dec12Sum {
+  private[operators] final class Dec12Sum {
     private var lo = 0L
     private var big: BigInt = null
     def add(t: Double): Unit = {
@@ -4746,7 +4746,7 @@ object Stats {
     * local cores — the driver fast paths' substitute for the 32 tasks
     * the distributed aggregates would have used. Callers accumulate
     * per-thread and merge with exact (order-free) arithmetic only. */
-  private def parallelChunks(n: Int, nThreads: Int)(
+  private[operators] def parallelChunks(n: Int, nThreads: Int)(
       body: (Int, Int, Int) => Unit): Unit = {
     if (n < 65536 || nThreads <= 1) { body(0, 0, n); return }
     val threads = (0 until nThreads).map { t =>
@@ -4758,7 +4758,7 @@ object Stats {
     threads.foreach(_.join())
   }
 
-  private def driverThreads: Int =
+  private[operators] def driverThreads: Int =
     math.min(32, math.max(1, Runtime.getRuntime.availableProcessors()))
 
   def logisticFit(df: DataFrame, groupCol: String, xCol: String,

@@ -1052,4 +1052,28 @@ class AnalyticsOpsSpec extends SparkTestBase {
         0L, 10)
     }
   }
+
+  test("frequentTriples: the r18 driver fast path equals the " +
+      "distributed apriori row-for-row (cap binding and not, " +
+      "support/lift doubles included)") {
+    import spark.implicits._
+    // richer co-occurrence so several triples survive and the cap's
+    // (count DESC, a, b) order matters
+    val rows =
+      (0 until 30).flatMap(i => Seq("p", "q", "r").map((s"t$i", _))) ++
+      (0 until 25).flatMap(i => Seq("p", "q", "s").map((s"u$i", _))) ++
+      (0 until 22).flatMap(i => Seq("q", "r", "s").map((s"x$i", _))) ++
+      (0 until 40).flatMap(i => Seq("p", "q").map((s"v$i", _))) ++
+      (0 until 100).map(i => (s"w$i", s"z${i % 50}"))
+    val df = rows.toDF("basket", "item")
+    for (cap <- Seq(2, 4, 50)) {
+      val fast = graft.operators.Baskets.frequentTriples(df, "basket",
+        "item", minSupport = 20L, topKPairs = cap)
+        .collect().map(_.toSeq).toSet
+      val dist = graft.operators.Baskets.frequentTriples(df, "basket",
+        "item", minSupport = 20L, topKPairs = cap, driverMaxRows = 0)
+        .collect().map(_.toSeq).toSet
+      assert(fast === dist, s"cap=$cap")
+    }
+  }
 }

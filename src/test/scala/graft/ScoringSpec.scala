@@ -207,6 +207,25 @@ class ScoringSpec extends SparkTestBase {
     assert(again.sortBy(_._2).toSeq == rows.sortBy(_._2).toSeq)
   }
 
+  test("alsFactors: the r18 driver fast path equals the distributed " +
+      "half-passes row-for-row (both factor sides, negative keys, " +
+      "iters 1 and 3)") {
+    import spark.implicits._
+    val df = ((1 to 60).map(i =>
+      ((i % 7).toLong, (i % 9).toLong, 1.0 + (i % 5) * 0.7))
+      ++ Seq((-3L, -8L, 2.5), (-3L, 4L, 0.1))) // negative-key % path
+      .toDF("u", "i", "r")
+    for (it <- Seq(1, 3)) {
+      val (fu, fi) = Scoring.alsFactors(df, "u", "i", "r", iters = it)
+      val (du, di) = Scoring.alsFactors(df, "u", "i", "r", iters = it,
+        driverMaxRows = 0)
+      assert(fu.collect().map(_.toSeq).toSet ===
+        du.collect().map(_.toSeq).toSet, s"userF iters=$it")
+      assert(fi.collect().map(_.toSeq).toSet ===
+        di.collect().map(_.toSeq).toSet, s"itemF iters=$it")
+    }
+  }
+
   test("alsRecommend: owned cells never recommended, exactly topN per " +
       "user under the (score DESC, item) order; catalog bound is loud") {
     import spark.implicits._
