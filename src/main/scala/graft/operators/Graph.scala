@@ -2177,13 +2177,106 @@ object Graph {
     * round, so a non-converged peel is visible (edges with support
     * < k−2 remaining means add rounds).
     */
+  /** Driver replica of [[ktruss]]'s peeling rounds: per-edge support
+    * = |N(a) ∩ N(b)| on the current graph (exact integers — the
+    * distributed wedge enumeration counts the same triangles, so the
+    * strategy cannot change results), drop < k−2 after each full
+    * count (half-synchronous, as the plan), final support recount. */
+  private def ktrussDriverDf(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(String, String)], k: Int, rounds: Int): DataFrame = {
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    def id(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.length; idx.put(s, i); names += s; i }
+    }
+    val m = pairs.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      ea(i) = id(pairs(i)._1); eb(i) = id(pairs(i)._2); i += 1
+    }
+    val n = names.length
+    val alive = Array.fill(m)(true)
+    val sup = new Array[Long](m)
+    val nT = graft.operators.Stats.driverThreads
+    def countSupports(): Unit = {
+      // adjacency of the CURRENT graph, neighbor ids sorted for the
+      // two-pointer intersection
+      val deg = new Array[Int](n)
+      var i = 0
+      while (i < m) {
+        if (alive(i)) { deg(ea(i)) += 1; deg(eb(i)) += 1 }
+        i += 1
+      }
+      val adj = Array.tabulate(n)(v => new Array[Int](deg(v)))
+      val fill = new Array[Int](n)
+      i = 0
+      while (i < m) {
+        if (alive(i)) {
+          adj(ea(i))(fill(ea(i))) = eb(i); fill(ea(i)) += 1
+          adj(eb(i))(fill(eb(i))) = ea(i); fill(eb(i)) += 1
+        }
+        i += 1
+      }
+      var v = 0
+      while (v < n) { java.util.Arrays.sort(adj(v)); v += 1 }
+      graft.operators.Stats.parallelChunks(m, nT) { (_, from, to) =>
+        var i = from
+        while (i < to) {
+          if (alive(i)) {
+            val a = adj(ea(i)); val b = adj(eb(i))
+            var x = 0; var y = 0; var c = 0L
+            while (x < a.length && y < b.length) {
+              if (a(x) < b(y)) x += 1
+              else if (a(x) > b(y)) y += 1
+              else { c += 1L; x += 1; y += 1 }
+            }
+            sup(i) = c
+          }
+          i += 1
+        }
+      }
+    }
+    for (_ <- 1 to rounds) {
+      countSupports()
+      var i = 0
+      while (i < m) {
+        if (alive(i) && sup(i) < (k - 2).toLong) alive(i) = false
+        i += 1
+      }
+    }
+    countSupports() // final support on the surviving graph
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType), StructField("support", LongType)))
+    val out = (0 until m).collect {
+      case i if alive(i) =>
+        org.apache.spark.sql.Row(names(ea(i)), names(eb(i)), sup(i))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out,
+        math.max(1, out.length / 100000)), schema)
+  }
+
   def ktruss(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(k >= 3, s"ktruss: k must be >= 3, got $k")
     require(rounds >= 1 && rounds <= 16,
       s"ktruss: rounds must be in [1, 16], got $rounds")
     var e = canonicalEdges(edges, srcCol, dstCol)
       .repartition(col("lo")).localCheckpoint()
+    // Driver fast path (r18): rounds × ~5 scheduler jobs of wedge
+    // joins for exact integer intersections a driver loop finishes in
+    // milliseconds at bench scale. Pure integers — bit-exact by
+    // construction. driverMaxEdges = 0 forces the distributed plan
+    // (the 100 TB path); GraphSpec pins path equality.
+    if (e.count() <= driverMaxEdges) {
+      return ktrussDriverDf(edges.sparkSession,
+        e.collect().map(r => (r.getString(0), r.getString(1))), k, rounds)
+    }
     def support(cur: DataFrame): DataFrame = {
       val t = cur.as("e1").join(cur.as("e2"),
           col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))

@@ -434,6 +434,16 @@ class GraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Graph.ktruss(g, "s", "t", k = 2, rounds = 1)
     }
+    // r18 driver fast path == distributed peel, row-for-row, across
+    // k and peel depths (including a non-converged 1-round peel whose
+    // leftover sub-threshold supports must match too)
+    for (kk <- Seq(3, 4, 5); rr <- Seq(1, 2, 4)) {
+      val fast = Graph.ktruss(g, "s", "t", k = kk, rounds = rr)
+        .collect().map(_.toSeq).toSet
+      val dist = Graph.ktruss(g, "s", "t", k = kk, rounds = rr,
+        driverMaxEdges = 0).collect().map(_.toSeq).toSet
+      assert(fast === dist, s"k=$kk rounds=$rr")
+    }
   }
 
   test("closenessCentrality: P3 hand values over the shared 2-hop shells") {
