@@ -311,11 +311,13 @@ object Clustering {
   }
 
   def kmeansPortable(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, roundDp: Int = 6): DataFrame = {
+      k: Int, iters: Int, roundDp: Int = 6,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     val Seq(idc, vc) = Cols.fresh("km", 2, vecs)
     val v = vecs.select(col(idCol).as(idc),
       col(vecCol).cast("array<double>").as(vc))
-    val centroids = trainCentroids(v, idc, vc, k, iters, roundDp)
+    val centroids = trainCentroids(v, idc, vc, k, iters, roundDp,
+      driverMaxRows)
     assignToCentroids(v, idc, vc, centroids, roundDp)
       .select(col(idc).as(idCol), col("cluster"), col("dist"))
   }
@@ -334,10 +336,137 @@ object Clustering {
     * empty-cluster rule; driver state is the k·dim centroid matrix
     * only (the sanctioned bounded collect).
     */
+  /** Collect an (id, vector) projection for the r18 driver fast paths.
+    * Returns None (→ caller stays distributed) when the id type's
+    * driver-side ordering would not replicate Spark's, or when any
+    * null/ragged row is present (those flow through the distributed
+    * kernels' own null semantics). */
+  private[operators] def collectVectors(v: DataFrame, idc: String,
+      vc: String): Option[(Array[Any], Array[Array[Double]])] = {
+    import org.apache.spark.sql.types._
+    val idOk = Set[DataType](StringType, LongType, IntegerType,
+      ShortType, ByteType).contains(v.schema(idc).dataType)
+    val vecOk = v.schema(vc).dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!idOk || !vecOk) return None
+    val rows = v.select(col(idc), col(vc)).collect()
+    val ids = new Array[Any](rows.length)
+    val vecs = new Array[Array[Double]](rows.length)
+    var dim = -1
+    var i = 0
+    while (i < rows.length) {
+      val row = rows(i)
+      if (row.isNullAt(0) || row.isNullAt(1)) return None
+      val s = row.getSeq[Any](1)
+      if (s.contains(null)) return None
+      val arr = new Array[Double](s.length)
+      var j = 0
+      s.foreach { e => arr(j) = e.asInstanceOf[Double]; j += 1 }
+      if (dim < 0) dim = arr.length
+      else if (arr.length != dim) return None
+      ids(i) = row.get(0); vecs(i) = arr
+      i += 1
+    }
+    if (rows.isEmpty) None else Some((ids, vecs))
+  }
+
+  /** (portableUnit, id) total-order comparator over collected ids —
+    * Spark's orderBy replica (UTF8-binary for strings, numeric for
+    * integral ids). */
+  private[operators] def seedOrder(ids: Array[Any]): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def unit(s: String): Double = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) / 1152921504606846976.0
+    }
+    // portableUnit casts the key to string first — replicate
+    val units = ids.map(a => unit(a.toString))
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        x.longValue() < y.longValue()
+      case _ => sys.error("seedOrder: unsupported id type")
+    }
+    ids.indices.sortWith { (a, b) =>
+      if (units(a) != units(b)) units(a) < units(b)
+      else idLt(ids(a), ids(b))
+    }.toArray
+  }
+
+  /** Driver replica of [[trainCentroids]]' Lloyd loop over collected
+    * vectors — identical seed order, [[sqDistTo]] fold order,
+    * argmin-lowest-index ties, roundDp per-dim means, empty-cluster
+    * keep rule. Double sums differ from the distributed avg only in
+    * task order, absorbed by the roundDp freeze (the kmeansPortable
+    * portability contract the oracle replay relies on). */
+  private[operators] def trainCentroidsDriver(ids: Array[Any],
+      vecs: Array[Array[Double]], k: Int, iters: Int, roundDp: Int)
+      : Seq[Seq[Double]] = {
+    val r = Graph.roundHalfUp _
+    val n = vecs.length
+    val dim = vecs(0).length
+    require(n >= k, s"kmeansPortable: needs >= $k rows, got ${math.min(n, k)}")
+    val order = seedOrder(ids)
+    var centroids: IndexedSeq[Seq[Double]] =
+      (0 until k).map(j => vecs(order(j)).toSeq)
+    def sqDist(x: Array[Double], c: Seq[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < dim) { val t = x(d) - c(d); s += t * t; d += 1 }
+      r(s, roundDp)
+    }
+    def assign(v: Int): Int = {
+      var best = 0; var bestD = sqDist(vecs(v), centroids(0)); var c = 1
+      while (c < k) {
+        val dc = sqDist(vecs(v), centroids(c))
+        if (dc < bestD) { best = c; bestD = dc }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val cnts = new Array[Long](k)
+      var v = 0
+      while (v < n) {
+        val c = assign(v)
+        cnts(c) += 1L
+        var d = 0
+        while (d < dim) { sums(c)(d) += vecs(v)(d); d += 1 }
+        v += 1
+      }
+      centroids = (0 until k).map { c =>
+        if (cnts(c) > 0L)
+          (0 until dim).map(d => r(sums(c)(d) / cnts(c), roundDp))
+        else centroids(c)
+      }
+    }
+    centroids.map(_.toSeq)
+  }
+
   private[operators] def trainCentroids(v: DataFrame, idc: String,
-      vc: String, k: Int, iters: Int, roundDp: Int): Seq[Seq[Double]] = {
+      vc: String, k: Int, iters: Int, roundDp: Int,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges)
+      : Seq[Seq[Double]] = {
     require(k >= 1, s"kmeansPortable: k must be >= 1, got $k")
     require(iters >= 0, s"kmeansPortable: iters must be >= 0, got $iters")
+    // Driver fast path (r18): the seed scan + iters × (assign/agg/
+    // collect) jobs collapse to one collect when the projection fits
+    // the driver bound — this is the shared Lloyd kernel under
+    // kmeansPortable, gmmPortable, silhouette/Davies-Bouldin, and
+    // every ProductQuantizer training call. Falls back on non-
+    // replicable id types or null/ragged vectors.
+    if (v.count() <= driverMaxRows) {
+      collectVectors(v, idc, vc) match {
+        case Some((ids, vecs)) =>
+          return trainCentroidsDriver(ids, vecs, k, iters, roundDp)
+        case None => ()
+      }
+    }
     val dim = v.select(size(col(vc))).head().getInt(0)
     var centroids: Seq[Seq[Double]] = v
       .orderBy(Sampling.portableUnit(col(idc)), col(idc))
@@ -565,9 +694,102 @@ object Clustering {
     * Returns (idCol, cluster [0-based argmax responsibility, ties to
     * the lowest index], resp [the winning responsibility, 6 dp]).
     */
+  /** Driver replica of [[gmmPortable]]'s EM passes (see the
+    * fast-path note there). */
+  private def gmmDriverDf(spark: org.apache.spark.sql.SparkSession,
+      idType: org.apache.spark.sql.types.DataType, idCol: String,
+      ids: Array[Any], vecs: Array[Array[Double]], k: Int, passes: Int,
+      kmeansIters: Int, varFloor: Double): DataFrame = {
+    val rh = Graph.roundHalfUp _
+    val n = vecs.length
+    val dim = vecs(0).length
+    var mu: IndexedSeq[Seq[Double]] =
+      trainCentroidsDriver(ids, vecs, k, kmeansIters, 6).toIndexedSeq
+    var s2: IndexedSeq[Double] = IndexedSeq.fill(k)(1.0)
+    var pi: IndexedSeq[Double] = IndexedSeq.fill(k)(r6(1.0 / k))
+    def sqDist12(x: Array[Double], c: Seq[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < dim) { val t = x(d) - c(d); s += t * t; d += 1 }
+      rh(s, 12)
+    }
+    // responsibilities of row v under the CURRENT (mu, s2, pi): the
+    // identical 12-dp score trees (the lit() constants are computed
+    // in Scala on both paths), max-shifted exp fold in array order
+    def resp(v: Int): Array[Double] = {
+      val s = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        s(c) = rh((math.log(pi(c)) - 0.5 * dim * math.log(s2(c)))
+          - sqDist12(vecs(v), mu(c)) / (2.0 * s2(c)), 12)
+        c += 1
+      }
+      var mx = s(0); c = 1
+      while (c < k) { if (s(c) > mx) mx = s(c); c += 1 }
+      var den = 0.0; c = 0
+      while (c < k) { den += math.exp(s(c) - mx); c += 1 }
+      val r = new Array[Double](k); c = 0
+      while (c < k) { r(c) = rh(math.exp(s(c) - mx) / den, 12); c += 1 }
+      r
+    }
+    for (_ <- 1 to passes) {
+      val srs = new Array[Double](k)
+      val mvSums = Array.fill(k, dim)(0.0)
+      var v = 0
+      while (v < n) {
+        val r = resp(v)
+        var c = 0
+        while (c < k) {
+          srs(c) += r(c)
+          var d = 0
+          while (d < dim) { mvSums(c)(d) += r(c) * vecs(v)(d); d += 1 }
+          c += 1
+        }
+        v += 1
+      }
+      // VectorMeanAgg: elementwise sum / count (count = n, no nulls)
+      val newMu = (0 until k).map { c =>
+        if (srs(c) > 0.0)
+          (0 until dim).map(d =>
+            r6(mvSums(c)(d) / n * n.toDouble / srs(c))).toSeq
+        else mu(c)
+      }
+      val sds = new Array[Double](k)
+      v = 0
+      while (v < n) {
+        val r = resp(v)
+        var c = 0
+        while (c < k) { sds(c) += r(c) * sqDist12(vecs(v), newMu(c)); c += 1 }
+        v += 1
+      }
+      s2 = (0 until k).map { c =>
+        if (srs(c) > 0.0)
+          math.max(varFloor, r6(sds(c) / (dim.toDouble * srs(c))))
+        else s2(c)
+      }
+      pi = (0 until k).map { c =>
+        if (srs(c) > 0.0) r6(srs(c) / n.toDouble) else pi(c)
+      }
+      mu = newMu
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField(idCol, idType),
+      StructField("cluster", IntegerType),
+      StructField("resp", DoubleType)))
+    val out = (0 until n).map { v =>
+      val r = resp(v)
+      var best = 0; var c = 1
+      while (c < k) { if (r(c) > r(best)) best = c; c += 1 } // first max
+      org.apache.spark.sql.Row(ids(v), best, r6(r(best)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, math.max(1, n / 100000)),
+      schema)
+  }
+
   def gmmPortable(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, passes: Int, kmeansIters: Int = 1,
-      varFloor: Double = 1e-6): DataFrame = {
+      varFloor: Double = 1e-6,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(k >= 1 && k <= 64, s"gmmPortable: k must be in [1, 64], got $k")
     require(passes >= 1 && passes <= 4,
       s"gmmPortable: passes must be in [1, 4], got $passes")
@@ -576,10 +798,28 @@ object Clustering {
     val v = vecs.select(col(idCol).as(idc),
         col(vecCol).cast("array<double>").as(vc))
       .localCheckpoint() // E + two M aggregates re-read it every pass
+    // Driver fast path (r18): passes × (2 global aggregates + the
+    // responsibility scan) collapse onto the collected vectors. The
+    // replica reproduces the k-means init (trainCentroidsDriver), the
+    // 12-dp score/responsibility trees (M-step literals computed in
+    // Scala on BOTH paths already), VectorMeanAgg's sum/count mean,
+    // the 6-dp M-step freezes, varFloor, and first-argmax ties; the
+    // double sums differ only in task order under those freezes.
+    // ClusteringSpec pins path equality.
+    if (v.count() <= driverMaxRows) {
+      collectVectors(v, idc, vc) match {
+        case Some((ids, vecsArr)) =>
+          return gmmDriverDf(vecs.sparkSession,
+            v.schema(idc).dataType, idCol, ids, vecsArr, k, passes,
+            kmeansIters, varFloor)
+        case None => ()
+      }
+    }
     val dim = v.select(size(col(vc))).head().getInt(0)
     val n = v.count()
     var mu: IndexedSeq[Seq[Double]] =
-      trainCentroids(v, idc, vc, k, kmeansIters, 6).toIndexedSeq
+      trainCentroids(v, idc, vc, k, kmeansIters, 6, driverMaxRows)
+        .toIndexedSeq
     var s2: IndexedSeq[Double] = IndexedSeq.fill(k)(1.0)
     var pi: IndexedSeq[Double] = IndexedSeq.fill(k)(r6(1.0 / k))
     def withResp: DataFrame = {

@@ -292,6 +292,32 @@ class ClusteringSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("kmeansPortable/gmmPortable: the r18 driver fast paths equal " +
+      "the distributed loops row-for-row (string and long ids, " +
+      "iters/passes swept, empty-cluster keep rule)") {
+    import spark.implicits._
+    val ptsS = (1 to 60).map(i =>
+      (s"v$i", Seq((i % 5).toDouble, (i % 9) / 3.0, i / 20.0)))
+      .toDF("id", "vec")
+    val ptsL = (1 to 60).map(i =>
+      (i.toLong * 7 % 61, Seq((i % 5).toDouble, (i % 9) / 3.0)))
+      .toDF("id", "vec")
+    for (pts <- Seq(ptsS, ptsL); it <- Seq(0, 1, 3)) {
+      val fast = Clustering.kmeansPortable(pts, "id", "vec", k = 3,
+        iters = it).collect().map(_.toSeq).toSet
+      val dist = Clustering.kmeansPortable(pts, "id", "vec", k = 3,
+        iters = it, driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fast === dist, s"kmeans iters=$it ${pts.schema("id").dataType}")
+    }
+    for (pts <- Seq(ptsS, ptsL); ps <- Seq(1, 3)) {
+      val fast = Clustering.gmmPortable(pts, "id", "vec", k = 3,
+        passes = ps).collect().map(_.toSeq).toSet
+      val dist = Clustering.gmmPortable(pts, "id", "vec", k = 3,
+        passes = ps, driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fast === dist, s"gmm passes=$ps ${pts.schema("id").dataType}")
+    }
+  }
+
   test("spectralClustering: the r18 driver fast path equals the " +
       "distributed loop row-for-row (k=2 and k=3, bridge graph, " +
       "disconnected graph, pendant vertices)") {
