@@ -4612,8 +4612,114 @@ object Stats {
     * cluster (no driver collect). Output: (group, n, n_events, beta,
     * hazard_ratio, se).
     */
+  /** Driver replica of [[coxPH]]'s Newton passes over the collected
+    * subjects (see the fast-path note in coxPH): per-(group, t) cells
+    * in duration-DESC order, exact decimal(38,12)/(38,6) sums, the
+    * identical r1/U/I double trees, null group keys skipped (equi-
+    * join), d = 0 cells contributing zero. */
+  private def coxDriverDf(df: DataFrame, subj: DataFrame,
+      groupCol: String, iters: Int, tDesc: (Any, Any) => Boolean)
+      : DataFrame = {
+    val rh = Graph.roundHalfUp _
+    def dec6Unit(t: Double): BigInt = // cast-only (no pre-round)
+      BigInt(java.math.BigDecimal.valueOf(t)
+        .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue())
+    val collected = subj.collect()
+    // group → subjects, then sort each group by t DESC once
+    val groups = new java.util.LinkedHashMap[Any,
+      scala.collection.mutable.ArrayBuffer[(Any, Long, Double)]]()
+    collected.foreach { row =>
+      val g = row.get(0)
+      if (g != null) {
+        var buf = groups.get(g)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[(Any, Long, Double)]()
+          groups.put(g, buf)
+        }
+        buf += ((row.get(1), row.getLong(2), row.getDouble(3)))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val gList = groups.entrySet().asScala.toIndexedSeq.map { e =>
+      (e.getKey, e.getValue.sortWith((a, b) => tDesc(a._1, b._1)).toArray)
+    }
+    val nG = gList.length
+    val bArr = new Array[Double](nG)
+    val outN = new Array[Long](nG); val outEv = new Array[Long](nG)
+    val outU = new Array[BigInt](nG); val outI = new Array[BigInt](nG)
+    def pass(): Unit = {
+      var gi = 0
+      while (gi < nG) {
+        val (_, rows) = gList(gi)
+        val b = bArr(gi)
+        var s0 = BigInt(0); var s1 = BigInt(0); var s2 = BigInt(0)
+        var uSum = BigInt(0); var iSum = BigInt(0)
+        var n = 0L; var nev = 0L
+        var i = 0
+        while (i < rows.length) {
+          // one (g, t) cell = the run of equal t (desc-sorted)
+          val t0 = rows(i)._1
+          var s0c = BigInt(0); var s1c = BigInt(0); var s2c = BigInt(0)
+          var d = 0L; var sx = BigInt(0); var nc = 0L
+          while (i < rows.length && rows(i)._1 == t0) {
+            val (_, e, x) = rows(i)
+            val eb = math.exp(b * x)
+            s0c += dec12Unit(eb)
+            s1c += dec12Unit(x * eb)
+            s2c += dec12Unit(x * x * eb)
+            d += e
+            sx += dec6Unit(x * e)
+            nc += 1L
+            i += 1
+          }
+          s0 += s0c; s1 += s1c; s2 += s2c
+          if (d > 0L) {
+            val s0d = dec12ToDouble(s0); val s1d = dec12ToDouble(s1)
+            val s2d = dec12ToDouble(s2)
+            val r1 = s1d / s0d
+            val sxd = new java.math.BigDecimal(sx.bigInteger, 6)
+              .doubleValue()
+            uSum += dec12Unit(sxd - d * r1)
+            iSum += dec12Unit(d * (s2d / s0d - r1 * r1))
+          }
+          n += nc; nev += d
+        }
+        outN(gi) = n; outEv(gi) = nev; outU(gi) = uSum; outI(gi) = iSum
+        gi += 1
+      }
+    }
+    for (_ <- 1 to iters) {
+      pass()
+      var gi = 0
+      while (gi < nG) {
+        val iD = dec12ToDouble(outI(gi))
+        if (iD > 0.0)
+          bArr(gi) = rh(bArr(gi) + dec12ToDouble(outU(gi)) / iD, 12)
+        gi += 1
+      }
+    }
+    pass() // observed information at the final β
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(groupCol, subj.schema("_g").dataType),
+      StructField("n", LongType), StructField("n_events", LongType),
+      StructField("beta", DoubleType),
+      StructField("hazard_ratio", DoubleType),
+      StructField("se", DoubleType)))
+    val out = (0 until nG).map { gi =>
+      val iD = dec12ToDouble(outI(gi))
+      org.apache.spark.sql.Row(gList(gi)._1, outN(gi), outEv(gi),
+        rh(bArr(gi), 6), rh(math.exp(bArr(gi)), 6),
+        if (iD > 0.0) rh(1.0 / math.sqrt(iD), 6) else null)
+    }
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out,
+        math.max(1, nG / 100000)), schema)
+  }
+
   def coxPH(df: DataFrame, groupCol: String, durationCol: String,
-      observed: Column, covariateCol: String, iters: Int = 3): DataFrame = {
+      observed: Column, covariateCol: String, iters: Int = 3,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1 && iters <= 8, s"coxPH: iters must be in [1, 8]")
     val dec12 = "decimal(38,12)"
     val subj = df.filter(col(covariateCol).isNotNull
@@ -4622,6 +4728,39 @@ object Stats {
         when(observed, 1L).otherwise(0L).as("_e"),
         round(col(covariateCol), 6).as("_x"))
       .localCheckpoint() // re-read every iteration
+    // Driver fast path (r18, the logisticFit precedent): iters+1
+    // passes of broadcast join + cell aggregate + risk-set window +
+    // group aggregate collapse onto the collected subjects. Exact
+    // decimal sums and identically-spelled double trees keep it
+    // bit-exact; engaged only when the duration type's driver DESC
+    // order replicates Spark's orderBy. StatsSpec pins path equality.
+    locally {
+      import org.apache.spark.sql.types._
+      val tDesc: Option[(Any, Any) => Boolean] =
+        subj.schema("_t").dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            Some((a, b) => a.asInstanceOf[Number].longValue() >
+              b.asInstanceOf[Number].longValue())
+          case DoubleType | FloatType =>
+            // java compare: NaN greatest, matching Spark's DESC-first
+            Some((a, b) => java.lang.Double.compare(
+              a.asInstanceOf[Number].doubleValue(),
+              b.asInstanceOf[Number].doubleValue()) > 0)
+          case StringType =>
+            Some((a, b) => java.util.Arrays.compareUnsigned(
+              a.asInstanceOf[String].getBytes("UTF-8"),
+              b.asInstanceOf[String].getBytes("UTF-8")) > 0)
+          case DateType => Some((a, b) =>
+            a.asInstanceOf[java.sql.Date].compareTo(
+              b.asInstanceOf[java.sql.Date]) > 0)
+          case _ => None
+        }
+      if (tDesc.isDefined
+          && subj.schema("_x").dataType == DoubleType
+          && subj.count() <= driverMaxRows) {
+        return coxDriverDf(df, subj, groupCol, iters, tDesc.get)
+      }
+    }
     val wRev = Window.partitionBy("_g").orderBy(col("_t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def pass(beta: DataFrame) = {

@@ -2227,6 +2227,27 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("coxPH: the r18 driver fast path equals the distributed loop " +
+      "row-for-row (censoring, tied durations, multi-group, " +
+      "all-censored group)") {
+    import spark.implicits._
+    val df = ((1 to 80).map { i =>
+      val dur = (i * 13) % 20 + 1
+      ("a", dur.toLong, (i % 3) != 0, (i % 7) / 2.0)
+    } ++ (1 to 40).map { i =>
+      ("b", ((i * 7) % 10 + 1).toLong, i % 2 == 0, (i % 5) / 3.0)
+    } ++ (1 to 10).map { i =>
+      ("c", (i % 4 + 1).toLong, false, i / 10.0) // zero events
+    }).toDF("g", "dur", "obs", "x")
+    for (it <- Seq(1, 3)) {
+      val fast = Stats.coxPH(df, "g", "dur", col("obs"), "x", iters = it)
+        .collect().map(_.toSeq).toSet
+      val dist = Stats.coxPH(df, "g", "dur", col("obs"), "x", iters = it,
+        driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fast === dist, s"coxPH iters=$it")
+    }
+  }
+
   test("logisticFit: negative effect flips every sign") {
     import spark.implicits._
     val df = (1 to 400).map { i =>
