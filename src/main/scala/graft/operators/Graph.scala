@@ -1364,14 +1364,212 @@ object Graph {
     *
     * Output: (a, b, common_neighbors, adamic_adar), k rows.
     */
+  /** Driver replica of the [[linkPrediction]] /
+    * [[linkPredictionJaccard]] candidate machinery: path-2 pairs
+    * through degree-capped middles, enumerated per middle over
+    * UTF8-rank-ordered neighbors (the plans' string `<`), counted by
+    * one parallel sort + run-length over rank-encoded long keys,
+    * existing edges dropped, then the identical score trees and the
+    * (score DESC, a, b) top-k. Exact integer counts; the AA double
+    * sum differs from the distributed task-order sum only at ~1e-13,
+    * far below its 6-dp freeze. Returns None (→ distributed plan)
+    * when ranks exceed the 24-bit key budget or the wedge fan exceeds
+    * the in-memory budget.
+    */
+  private def linkPredDriverDf(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(String, String)], maxMiddleDegree: Int, k: Int,
+      jaccardMode: Boolean): Option[DataFrame] = {
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    def id(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.length; idx.put(s, i); names += s; i }
+    }
+    val m = pairs.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      ea(i) = id(pairs(i)._1); eb(i) = id(pairs(i)._2); i += 1
+    }
+    val n = names.length
+    if (n >= (1 << 24) || maxMiddleDegree >= (1 << 16)) return None
+    // UTF8-binary rank: the plans' string '<' over vertex names
+    val nameBytes = names.map(_.getBytes("UTF-8")).toArray
+    val byBinary = (0 until n).sortWith((x, y) =>
+      java.util.Arrays.compareUnsigned(nameBytes(x), nameBytes(y)) < 0)
+    val rank = new Array[Int](n)
+    byBinary.zipWithIndex.foreach { case (v, r) => rank(v) = r }
+    val ofRank = byBinary.toArray // rank -> id
+    val deg = new Array[Int](n)
+    i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    // wedge-fan budget before allocating
+    var fan = 0L
+    var v = 0
+    while (v < n) {
+      if (deg(v) <= maxMiddleDegree)
+        fan += deg(v).toLong * (deg(v) - 1L) / 2L
+      v += 1
+    }
+    if (fan > 64000000L) return None
+    // neighbor RANK lists per middle
+    val adj = Array.tabulate(n)(v => new Array[Int](deg(v)))
+    val fill = new Array[Int](n)
+    i = 0
+    while (i < m) {
+      adj(ea(i))(fill(ea(i))) = rank(eb(i)); fill(ea(i)) += 1
+      adj(eb(i))(fill(eb(i))) = rank(ea(i)); fill(eb(i)) += 1
+      i += 1
+    }
+    // pair keys: rankX<<40 | rankY<<16 | middleDeg (deg <= cap < 2^16)
+    val keys = new Array[Long](fan.toInt)
+    val starts = new Array[Long](n + 1)
+    v = 0
+    while (v < n) {
+      starts(v + 1) = starts(v) +
+        (if (deg(v) <= maxMiddleDegree)
+          deg(v).toLong * (deg(v) - 1L) / 2L else 0L)
+      v += 1
+    }
+    val nT = graft.operators.Stats.driverThreads
+    // chunk by vertex but force threading on wedge WORK, not count
+    graft.operators.Stats.parallelChunks(n, nT,
+        minN = if (fan > 1000000L) 1 else 65536) { (_, from, to) =>
+      var u = from
+      while (u < to) {
+        if (deg(u) <= maxMiddleDegree && deg(u) >= 2) {
+          val nb = adj(u).clone()
+          java.util.Arrays.sort(nb)
+          var p = starts(u).toInt
+          var x = 0
+          while (x < nb.length) {
+            var y = x + 1
+            while (y < nb.length) {
+              keys(p) = (nb(x).toLong << 40) | (nb(y).toLong << 16) |
+                deg(u).toLong
+              p += 1; y += 1
+            }
+            x += 1
+          }
+        }
+        u += 1
+      }
+    }
+    java.util.Arrays.parallelSort(keys)
+    // existing canonical edges as rank-pair keys (lo rank < hi rank)
+    val edgeSet = new java.util.HashSet[Long](m * 2)
+    i = 0
+    while (i < m) {
+      val ra = rank(ea(i)); val rb = rank(eb(i))
+      val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+      edgeSet.add((lo.toLong << 24) | hi.toLong)
+      i += 1
+    }
+    // run-length over sorted keys → per-pair (common, aa), scored and
+    // pushed through a bounded (score DESC, a, b) top-k heap
+    case class Cand(a: String, b: String, common: Long, score: Double)
+    val ord = new java.util.Comparator[Cand] {
+      def compare(p: Cand, q: Cand): Int = {
+        val s = java.lang.Double.compare(q.score, p.score) // DESC
+        if (s != 0) s
+        else {
+          val ab = java.util.Arrays.compareUnsigned(
+            p.a.getBytes("UTF-8"), q.a.getBytes("UTF-8"))
+          if (ab != 0) ab
+          else java.util.Arrays.compareUnsigned(
+            p.b.getBytes("UTF-8"), q.b.getBytes("UTF-8"))
+        }
+      }
+    }
+    // run-length scan parallelized at pair-key boundaries; each
+    // thread keeps its own bounded top-k heap (max-heap on REVERSED
+    // order: peek = that thread's current worst), merged at the end —
+    // per-pair results are independent, so the split cannot change
+    // any score
+    val total = keys.length
+    val cut = new Array[Int](nT + 1)
+    cut(nT) = total
+    var t = 1
+    while (t < nT) {
+      var c = math.min(total, (total.toLong * t / nT).toInt)
+      while (c < total && c > 0 &&
+          (keys(c) >>> 16) == (keys(c - 1) >>> 16)) c += 1
+      cut(t) = math.max(c, cut(t - 1))
+      t += 1
+    }
+    val heaps = Array.fill(nT)(
+      new java.util.PriorityQueue[Cand](k + 1, ord.reversed()))
+    graft.operators.Stats.parallelChunks(nT, nT, minN = 1) {
+      (_, tFrom, tTo) =>
+      var ti = tFrom
+      while (ti < tTo) {
+        val heap = heaps(ti)
+        var p = cut(ti)
+        val end = cut(ti + 1)
+        while (p < end) {
+          val pairKey = keys(p) >>> 16
+          var common = 0L; var aa = 0.0
+          while (p < end && (keys(p) >>> 16) == pairKey) {
+            val mdeg = (keys(p) & 0xffffL).toInt
+            common += 1L
+            if (mdeg > 1) aa += 1.0 / math.log(mdeg.toDouble)
+            p += 1
+          }
+          if (!edgeSet.contains(pairKey)) {
+            val ra = (pairKey >>> 24).toInt
+            val rb = (pairKey & 0xffffffL).toInt
+            val va = ofRank(ra); val vb = ofRank(rb)
+            val score =
+              if (jaccardMode)
+                roundHalfUp(common.toDouble
+                  / (deg(va).toLong + deg(vb).toLong - common).toDouble, 6)
+              else roundHalfUp(aa, 6)
+            val c = Cand(names(va), names(vb), common, score)
+            if (heap.size < k) heap.add(c)
+            else if (ord.compare(c, heap.peek()) < 0) {
+              heap.poll(); heap.add(c)
+            }
+          }
+        }
+        ti += 1
+      }
+    }
+    val top = new scala.collection.mutable.ArrayBuffer[Cand]()
+    heaps.foreach { h => while (!h.isEmpty) top += h.poll() }
+    val sorted = top.sortWith((x, y) => ord.compare(x, y) < 0).take(k)
+    import org.apache.spark.sql.types._
+    val scoreName = if (jaccardMode) "jaccard" else "adamic_adar"
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType),
+      StructField("common_neighbors", LongType),
+      StructField(scoreName, DoubleType)))
+    val rows = sorted.map(c =>
+      org.apache.spark.sql.Row(c.a, c.b, c.common, c.score))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema))
+  }
+
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      maxMiddleDegree: Int, k: Int): DataFrame = {
+      maxMiddleDegree: Int, k: Int,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(maxMiddleDegree >= 2,
       s"maxMiddleDegree=$maxMiddleDegree must be >= 2")
     require(k >= 1, s"k=$k must be >= 1")
     val half = canonicalEdges(edges, srcCol, dstCol)
       .select(col("lo").as("_a"), col("hi").as("_b"))
       .localCheckpoint() // sym, degrees, and the anti-join re-read it
+    // Driver fast path (r18): the wedge fan the two pinned merge
+    // joins + aggregate compute distributedly is enumerated in memory
+    // (see [[linkPredDriverDf]]); falls back past the key/fan budgets.
+    if (half.count() <= driverMaxEdges) {
+      linkPredDriverDf(edges.sparkSession,
+        half.collect().map(r => (r.getString(0), r.getString(1))),
+        maxMiddleDegree, k, jaccardMode = false) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val sym = half.unionByName(
       half.select(col("_b").as("_a"), col("_a").as("_b")))
     val degs = sym.groupBy(col("_a").as("_v")).agg(count(lit(1)).as("_deg"))
@@ -1445,13 +1643,24 @@ object Graph {
     * (a, b, common_neighbors, jaccard).
     */
   def linkPredictionJaccard(edges: DataFrame, srcCol: String,
-      dstCol: String, maxMiddleDegree: Int, k: Int): DataFrame = {
+      dstCol: String, maxMiddleDegree: Int, k: Int,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(maxMiddleDegree >= 2,
       s"maxMiddleDegree=$maxMiddleDegree must be >= 2")
     require(k >= 1, s"k=$k must be >= 1")
     val half = canonicalEdges(edges, srcCol, dstCol)
       .select(col("lo").as("_a"), col("hi").as("_b"))
       .localCheckpoint()
+    // Driver fast path (r18) — [[linkPredDriverDf]] in jaccard mode
+    // (uncapped degree denominators, same candidates and anti-join)
+    if (half.count() <= driverMaxEdges) {
+      linkPredDriverDf(edges.sparkSession,
+        half.collect().map(r => (r.getString(0), r.getString(1))),
+        maxMiddleDegree, k, jaccardMode = true) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val sym = half.unionByName(
       half.select(col("_b").as("_a"), col("_a").as("_b")))
     val degs = sym.groupBy(col("_a").as("_v")).agg(count(lit(1)).as("_deg"))

@@ -4885,9 +4885,10 @@ object Stats {
     * local cores — the driver fast paths' substitute for the 32 tasks
     * the distributed aggregates would have used. Callers accumulate
     * per-thread and merge with exact (order-free) arithmetic only. */
-  private[operators] def parallelChunks(n: Int, nThreads: Int)(
+  private[operators] def parallelChunks(n: Int, nThreads: Int,
+      minN: Int = 65536)(
       body: (Int, Int, Int) => Unit): Unit = {
-    if (n < 65536 || nThreads <= 1) { body(0, 0, n); return }
+    if (n < minN || nThreads <= 1) { body(0, 0, n); return }
     val threads = (0 until nThreads).map { t =>
       val from = (n.toLong * t / nThreads).toInt
       val to = (n.toLong * (t + 1) / nThreads).toInt

@@ -413,6 +413,32 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("linkPrediction/linkPredictionJaccard: the r18 driver fast " +
+      "paths equal the distributed plans row-for-row (degree cap " +
+      "binding, score ties, string-order candidates, k clipping)") {
+    import spark.implicits._
+    // pseudo-random graph over string vertices whose NUMERIC and
+    // UTF8 orders disagree ("10" < "9"), with a hub over the cap
+    val es = ((0 until 120).map { t =>
+      val a = (t * 37 + 11) % 30; val b = (t * 53 + 29) % 30
+      (a.toString, b.toString)
+    }.filter(e => e._1 != e._2)
+      ++ (1 to 25).map(i => ("hub", i.toString))) // degree-25 hub
+      .toDF("s", "t")
+    for (cap <- Seq(3, 10, 50); kk <- Seq(5, 1000)) {
+      val fa = Graph.linkPrediction(es, "s", "t", cap, kk)
+        .collect().map(_.toSeq)
+      val da = Graph.linkPrediction(es, "s", "t", cap, kk,
+        driverMaxEdges = 0).collect().map(_.toSeq)
+      assert(fa.toSeq === da.toSeq, s"AA cap=$cap k=$kk")
+      val fj = Graph.linkPredictionJaccard(es, "s", "t", cap, kk)
+        .collect().map(_.toSeq)
+      val dj = Graph.linkPredictionJaccard(es, "s", "t", cap, kk,
+        driverMaxEdges = 0).collect().map(_.toSeq)
+      assert(fj.toSeq === dj.toSeq, s"jaccard cap=$cap k=$kk")
+    }
+  }
+
   test("ktruss: K4 survives 4-truss entirely; a pendant triangle peels " +
       "out and takes its wedge casualties with it") {
     // K4 on a,b,c,d (every edge in 2 triangles) + triangle (d,e,f)
