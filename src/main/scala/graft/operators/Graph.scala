@@ -633,8 +633,90 @@ object Graph {
     *
     * Returns (vertex, n_triangles) for vertices in >= 1 triangle.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val (oriented, _) = orientByDegree(canonicalEdges(edges, srcCol, dstCol))
+  /** Per-vertex triangle counts over collected canonical edges: each
+    * edge's |N(a)∩N(b)| via sorted-adjacency two-pointer intersection
+    * credits both endpoints; t_v = half that fold (each triangle hits
+    * a vertex through its two incident edges). Exact integers — the
+    * enumeration strategy cannot change results (the [[ktruss]]
+    * argument). */
+  private def triangleDriverCounts(pairs: Array[(String, String)])
+      : (Array[String], Array[Long]) = {
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    def id(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.length; idx.put(s, i); names += s; i }
+    }
+    val m = pairs.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      ea(i) = id(pairs(i)._1); eb(i) = id(pairs(i)._2); i += 1
+    }
+    val n = names.length
+    val deg = new Array[Int](n)
+    i = 0
+    while (i < m) { deg(ea(i)) += 1; deg(eb(i)) += 1; i += 1 }
+    val adj = Array.tabulate(n)(v => new Array[Int](deg(v)))
+    val fill = new Array[Int](n)
+    i = 0
+    while (i < m) {
+      adj(ea(i))(fill(ea(i))) = eb(i); fill(ea(i)) += 1
+      adj(eb(i))(fill(eb(i))) = ea(i); fill(eb(i)) += 1
+      i += 1
+    }
+    var v = 0
+    while (v < n) { java.util.Arrays.sort(adj(v)); v += 1 }
+    val nT = graft.operators.Stats.driverThreads
+    val tAcc = Array.fill(nT)(new Array[Long](n))
+    graft.operators.Stats.parallelChunks(m, nT) { (t, from, to) =>
+      val acc = tAcc(t)
+      var i = from
+      while (i < to) {
+        val a = adj(ea(i)); val b = adj(eb(i))
+        var x = 0; var y = 0; var c = 0L
+        while (x < a.length && y < b.length) {
+          if (a(x) < b(y)) x += 1
+          else if (a(x) > b(y)) y += 1
+          else { c += 1L; x += 1; y += 1 }
+        }
+        acc(ea(i)) += c; acc(eb(i)) += c
+        i += 1
+      }
+    }
+    val tv = new Array[Long](n)
+    var t = 0
+    while (t < nT) {
+      var v = 0
+      while (v < n) { tv(v) += tAcc(t)(v); v += 1 }
+      t += 1
+    }
+    v = 0
+    while (v < n) { tv(v) /= 2L; v += 1 }
+    (names.toArray, tv)
+  }
+
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
+    val canon = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // Driver fast path (r18, the ktruss integers): the orient + two
+    // joins + explode + aggregate collapse to in-memory intersections.
+    if (canon.count() <= driverMaxEdges) {
+      val (names, tv) = triangleDriverCounts(
+        canon.collect().map(r => (r.getString(0), r.getString(1))))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("vertex", StringType),
+        StructField("n_triangles", LongType)))
+      val rows = names.indices.collect {
+        case v if tv(v) > 0L => // vertices in >= 1 triangle, as the plan
+          org.apache.spark.sql.Row(names(v), tv(v))
+      }
+      return edges.sparkSession.createDataFrame(
+        edges.sparkSession.sparkContext.parallelize(rows,
+          math.max(1, rows.length / 100000)), schema)
+    }
+    val (oriented, _) = orientByDegree(canon)
     triangleCorners(oriented)
   }
 
@@ -1759,8 +1841,49 @@ object Graph {
     * (n_vertices, wedges, sum_triangles, transitivity).
     */
   def transitivity(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     val dec = "decimal(38,0)"
+    // Driver fast path (r18): exact integer triangles + wedges from
+    // the same collected canonical edges; one row out.
+    locally {
+      val canon0 = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+      if (canon0.count() <= driverMaxEdges) {
+        val pairs = canon0.collect().map(r =>
+          (r.getString(0), r.getString(1)))
+        val (names, tv) = triangleDriverCounts(pairs)
+        val deg = new java.util.HashMap[String, Long]()
+        pairs.foreach { case (a, b) =>
+          deg.merge(a, 1L, java.lang.Long.sum(_, _))
+          deg.merge(b, 1L, java.lang.Long.sum(_, _))
+        }
+        var st = BigInt(0)
+        tv.foreach(t => st += BigInt(t))
+        var w2 = BigInt(0)
+        deg.values().forEach(d => w2 += BigInt(d) * (d - 1L))
+        val w2d = new java.math.BigDecimal(w2.bigInteger, 0).doubleValue()
+        val std = new java.math.BigDecimal(st.bigInteger, 0).doubleValue()
+        // triangle-free graph: the distributed sum aggregates an EMPTY
+        // per-vertex table → NULL sum_triangles, and 2·NULL/w2 stays
+        // NULL transitivity even with wedges present. Empty graph:
+        // NULL wedges too (the w2 sum is over zero degree rows).
+        val hasTriangles = tv.exists(_ > 0L)
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("n_vertices", LongType),
+          StructField("wedges", DoubleType),
+          StructField("sum_triangles", LongType),
+          StructField("transitivity", DoubleType)))
+        val row = org.apache.spark.sql.Row(names.length.toLong,
+          if (names.nonEmpty) w2d / 2.0 else null,
+          if (hasTriangles) st.toLong else null,
+          if (hasTriangles && w2d > 0.0) roundHalfUp(2.0 * std / w2d, 6)
+          else null)
+        return edges.sparkSession.createDataFrame(
+          edges.sparkSession.sparkContext.parallelize(Seq(row), 1),
+          schema)
+      }
+    }
     val tri = triangleCounts(edges, srcCol, dstCol)
       .agg(sum(col("n_triangles").cast(dec)).as("_st"))
     val canon = canonicalEdges(edges, srcCol, dstCol)

@@ -413,6 +413,34 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("triangleCounts/transitivity: the r18 driver fast paths equal " +
+      "the distributed plans row-for-row (triangle-free vertices " +
+      "dropped, wedge-free graph NULL)") {
+    import spark.implicits._
+    // pseudo-random graph + a K4 (guarantees triangles) + a pendant
+    val es = ((0 until 80).map { t =>
+      val a = (t * 37 + 11) % 25; val b = (t * 53 + 29) % 25
+      (a.toString, b.toString)
+    }.filter(e => e._1 != e._2)
+      ++ Seq(("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+        ("k2", "k4"), ("k3", "k4"), ("x", "y"))).toDF("s", "t")
+    val fT = Graph.triangleCounts(es, "s", "t")
+      .collect().map(_.toSeq).toSet
+    val dT = Graph.triangleCounts(es, "s", "t", driverMaxEdges = 0)
+      .collect().map(_.toSeq).toSet
+    assert(fT === dT, "triangleCounts")
+    val fX = Graph.transitivity(es, "s", "t").collect().map(_.toSeq)
+    val dX = Graph.transitivity(es, "s", "t", driverMaxEdges = 0)
+      .collect().map(_.toSeq)
+    assert(fX.toSeq === dX.toSeq, "transitivity")
+    // wedge-free: a single edge — NULL transitivity on both paths
+    val one = Seq(("a", "b")).toDF("s", "t")
+    assert(Graph.transitivity(one, "s", "t").collect().map(_.toSeq)
+      .toSeq ===
+      Graph.transitivity(one, "s", "t", driverMaxEdges = 0)
+        .collect().map(_.toSeq).toSeq, "wedge-free")
+  }
+
   test("linkPrediction/linkPredictionJaccard: the r18 driver fast " +
       "paths equal the distributed plans row-for-row (degree cap " +
       "binding, score ties, string-order candidates, k clipping)") {
