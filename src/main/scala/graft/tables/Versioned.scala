@@ -524,15 +524,35 @@ object Versioned {
           "vacuumed past this version, or immutability was violated")
     }
     val declared = snapshotSchema(fs, root, v)
+    val renames = declared.map(_ => snapshotRenames(fs, root, v))
+      .getOrElse(Map.empty[String, Seq[String]])
     // post-evolution snapshots can mix file schemas (ADD COLUMN moves
-    // no data): mergeSchema union-widens the read, alignTo presents
-    // exactly the version's declared schema (typed NULLs for a column
-    // no file carries yet, the rename-chain coalesce for renamed ones)
-    val raw = spark.read.option("basePath", root.toString)
-      .option("mergeSchema", declared.isDefined.toString)
-      .parquet(files.map(f => new Path(root, f._1).toString): _*)
-    declared.map(alignTo(raw, _, snapshotRenames(fs, root, v)))
-      .getOrElse(raw)
+    // no data). r18: the union read schema is CONSTRUCTED from the
+    // declared schema + rename chains instead of a mergeSchema
+    // footer-sweep job — sound because this layer is the only writer
+    // and no operation changes a field's type, so every physical name
+    // in a chain was written with its field's declared type; a chain
+    // name no live file carries reads as typed NULLs (exactly what
+    // the merged read gave alignTo), and dropped columns are simply
+    // not requested. alignTo then presents the version's declared
+    // schema unchanged.
+    val paths = files.map(f => new Path(root, f._1).toString)
+    val raw = declared match {
+      case Some(sc) =>
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val readFields = sc.fields.flatMap { f =>
+          (f.name +: renames.getOrElse(f.name, Nil)).map(n =>
+            StructField(n, f.dataType, nullable = true))
+        }
+        spark.read.schema(StructType(readFields.toIndexedSeq))
+          .option("basePath", root.toString)
+          .parquet(paths: _*)
+      case None =>
+        spark.read.option("basePath", root.toString)
+          .option("mergeSchema", "false")
+          .parquet(paths: _*)
+    }
+    declared.map(alignTo(raw, _, renames)).getOrElse(raw)
   }
 
   /** Zone-map-pruned read of a SNAPSHOT — [[load]] composed with
