@@ -1054,8 +1054,74 @@ object Stats {
     * median for the approx dual at that scale). Output: (group, n,
     * median, mad, huber_mean).
     */
+  /** Driver replica of [[huberMean]] (see the fast-path note there). */
+  private def huberDriverDf(df: DataFrame, pts: DataFrame,
+      groupCol: String, k: Double, iters: Int): DataFrame = {
+    val rh = Graph.roundHalfUp _
+    val collected = pts.collect()
+    val groups = new java.util.LinkedHashMap[Any,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    collected.foreach { row =>
+      val g = row.get(0)
+      if (g != null) { // the final equi-join drops null groups
+        var buf = groups.get(g)
+        if (buf == null) {
+          buf = new scala.collection.mutable.ArrayBuffer[Long]()
+          groups.put(g, buf)
+        }
+        buf += row.getLong(1)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val out = groups.entrySet().asScala.toIndexedSeq.map { e =>
+      val xs = e.getValue.toArray
+      java.util.Arrays.sort(xs)
+      val n = xs.length
+      val medRank = (n + 1) / 2 // floor((n+1)/2), 1-based
+      val med = xs(medRank - 1)
+      val ad0 = xs.map(x => math.abs(x - med))
+      java.util.Arrays.sort(ad0)
+      val mad = ad0(medRank - 1)
+      var m = med.toDouble
+      val ks = mad.toDouble * (1.4826 * k)
+      for (_ <- 1 to iters) {
+        var sw = BigInt(0) // decimal(38,12) units of the 12-dp w's
+        var swx = BigInt(0) // decimal(38,6) units of round(w*x, 6)
+        var i = 0
+        while (i < n) {
+          val x = xs(i)
+          val ad = math.abs(x.toDouble - m)
+          val w = rh(if (ad <= ks) 1.0 else ks / ad, 12)
+          sw += BigInt(java.math.BigDecimal.valueOf(w)
+            .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue())
+          swx += BigInt(java.math.BigDecimal.valueOf(rh(w * x, 6))
+            .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue())
+          i += 1
+        }
+        val swD = new java.math.BigDecimal(sw.bigInteger, 12).doubleValue()
+        if (swD > 0.0) {
+          val swxD = new java.math.BigDecimal(swx.bigInteger, 6)
+            .doubleValue()
+          m = rh(swxD / swD, 6)
+        }
+      }
+      org.apache.spark.sql.Row(e.getKey, n.toLong,
+        rh(med / 1e6, 6), rh(mad / 1e6, 6), rh(m / 1e6, 6))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(groupCol, pts.schema("_g").dataType),
+      StructField("n", LongType), StructField("median", DoubleType),
+      StructField("mad", DoubleType),
+      StructField("huber_mean", DoubleType)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out,
+        math.max(1, out.length / 100000)), schema)
+  }
+
   def huberMean(df: DataFrame, groupCol: String, valueCol: String,
-      k: Double = 1.345, iters: Int = 2): DataFrame = {
+      k: Double = 1.345, iters: Int = 2,
+      driverMaxRows: Long = Graph.HarmonicDriverMaxEdges): DataFrame = {
     require(k > 0.0, s"huberMean: k must be > 0, got $k")
     require(iters >= 1 && iters <= 6,
       s"huberMean: iters must be in [1, 6], got $iters")
@@ -1063,6 +1129,17 @@ object Stats {
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("_g"),
         round(col(valueCol) * 1e6).cast("bigint").as("_x"))
+    // Driver fast path (r18): two sort windows + iters × (broadcast
+    // join + decimal aggregate) collapse onto the collected quantized
+    // points. Lower-median/MAD ranks are value-sorted (tie order
+    // cannot change the rank value); w is 12-dp frozen so the decimal
+    // sums are exact on both paths; the reweighted mean re-freezes at
+    // 6 dp per pass; null group keys drop exactly where the final
+    // equi-join drops them. driverMaxRows = 0 forces the distributed
+    // plan; StatsSpec pins equality.
+    if (pts.count() <= driverMaxRows) {
+      return huberDriverDf(df, pts, groupCol, k, iters)
+    }
     val wv = Window.partitionBy("_g").orderBy("_x")
     val wg = Window.partitionBy("_g")
     val medRank = floor((col("_n") + 1) / 2).cast("bigint")

@@ -2248,6 +2248,26 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("huberMean: the r18 driver fast path equals the distributed " +
+      "loop row-for-row (even/odd n, outliers, zero-MAD group, " +
+      "null group dropped)") {
+    import spark.implicits._
+    val df = ((1 to 41).map(i => ("a", 10.0 + (i % 9) / 10.0))
+      ++ Seq(("a", 500.0), ("a", -300.0))
+      ++ (1 to 10).map(i => ("b", 7.25)) // zero MAD
+      ++ (1 to 12).map(i => ("c", i.toDouble)) // even n
+      ++ Seq((null.asInstanceOf[String], 3.0),
+        (null.asInstanceOf[String], 4.0)))
+      .toDF("g", "v")
+    for (it <- Seq(1, 2, 4)) {
+      val fast = Stats.huberMean(df, "g", "v", iters = it)
+        .collect().map(_.toSeq).toSet
+      val dist = Stats.huberMean(df, "g", "v", iters = it,
+        driverMaxRows = 0).collect().map(_.toSeq).toSet
+      assert(fast === dist, s"huber iters=$it")
+    }
+  }
+
   test("logisticFit: negative effect flips every sign") {
     import spark.implicits._
     val df = (1 to 400).map { i =>
