@@ -176,6 +176,10 @@ object Clustering {
       // exchanges move only the label state, never the edge list
       .repartition(parts, col("dst"))
       .localCheckpoint() // the loop re-joins this every pass: compute once
+    // symRaw existed only to be counted (scale-adaptive parts) and
+    // re-partitioned; drop its blocks so the over-bound path holds ONE
+    // edge copy, not two (r19, guide §5)
+    Graph.freeLocalCheckpoint(symRaw)
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("cluster_id"))
       .localCheckpoint()
@@ -341,6 +345,31 @@ object Clustering {
     * driver-side ordering would not replicate Spark's, or when any
     * null/ragged row is present (those flow through the distributed
     * kernels' own null semantics). */
+  /** Byte-aware driver-collect budget for the (id, vector) fast paths
+    * (r19): the 2M-ROW bound alone is not a memory bound for wide
+    * rows — 2M rows of 1536-dim doubles is ~24 GB, far past
+    * spark.driver.maxResultSize (default 1 GB), so the collect would
+    * FAIL where the distributed path succeeds. Estimated payload =
+    * rows × (8·dim + 48 bytes id/row overhead); 400 MB keeps the
+    * serialized result comfortably under the 1 GB default. */
+  private[graft] val DriverMaxCollectBytes = 400L << 20
+
+  /** The shared (id, vector) fast-path gate: row bound AND estimated
+    * byte bound. `dim` is a first-row probe (an estimate is all a
+    * gate needs — ragged inputs fall back inside collectVectors). */
+  private[graft] def fitsDriverCollect(nRows: Long, dim: Int,
+      maxRows: Long,
+      maxBytes: Long = DriverMaxCollectBytes): Boolean =
+    nRows <= maxRows &&
+      nRows * (8L * math.max(dim, 0).toLong + 48L) <= maxBytes
+
+  /** First-row vector width, or 0 on an empty/null-leading frame —
+    * feeds [[fitsDriverCollect]]'s byte estimate only. */
+  private[graft] def probeDim(v: DataFrame, vc: String): Int = {
+    val r = v.select(size(col(vc))).limit(1).collect()
+    if (r.isEmpty || r(0).isNullAt(0)) 0 else math.max(r(0).getInt(0), 0)
+  }
+
   private[operators] def collectVectors(v: DataFrame, idc: String,
       vc: String): Option[(Array[Any], Array[Array[Double]])] = {
     import org.apache.spark.sql.types._
@@ -459,8 +488,11 @@ object Clustering {
     // the driver bound — this is the shared Lloyd kernel under
     // kmeansPortable, gmmPortable, silhouette/Davies-Bouldin, and
     // every ProductQuantizer training call. Falls back on non-
-    // replicable id types or null/ragged vectors.
-    if (v.count() <= driverMaxRows) {
+    // replicable id types or null/ragged vectors. r19: the gate is
+    // byte-aware ([[fitsDriverCollect]]) — a row count alone would
+    // collect ~24 GB of 1536-dim vectors at the 2M bound and die on
+    // spark.driver.maxResultSize where the distributed path succeeds.
+    if (fitsDriverCollect(v.count(), probeDim(v, vc), driverMaxRows)) {
       collectVectors(v, idc, vc) match {
         case Some((ids, vecs)) =>
           return trainCentroidsDriver(ids, vecs, k, iters, roundDp)
@@ -805,8 +837,9 @@ object Clustering {
     // Scala on BOTH paths already), VectorMeanAgg's sum/count mean,
     // the 6-dp M-step freezes, varFloor, and first-argmax ties; the
     // double sums differ only in task order under those freezes.
-    // ClusteringSpec pins path equality.
-    if (v.count() <= driverMaxRows) {
+    // ClusteringSpec pins path equality. r19: byte-aware gate
+    // ([[fitsDriverCollect]] — the trainCentroids rationale).
+    if (fitsDriverCollect(v.count(), probeDim(v, vc), driverMaxRows)) {
       collectVectors(v, idc, vc) match {
         case Some((ids, vecsArr)) =>
           return gmmDriverDf(vecs.sparkSession,

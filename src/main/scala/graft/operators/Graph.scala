@@ -136,19 +136,25 @@ object Graph {
     // contract that already lets the DuckDB oracle replay them.
     // GraphSpec pins path equality; driverMaxEdges = 0 forces the
     // distributed loop.
-    val eBase = (if (assumeDistinct) e0 else e0.distinct())
-      .localCheckpoint()
-    if (eBase.count() <= driverMaxEdges) {
-      return pageRankDriverDf(edges.sparkSession,
-        eBase.collect().map(r => (r.getString(0), r.getString(1))),
-        iters, damping, roundDp, sources = null)
-    }
-    val e = eBase
+    // r19: ONE materialization serves both the gate and either path —
+    // the r18 shape checkpointed the deduped list, counted it, and
+    // then checkpointed AGAIN after the repartition, keeping a second
+    // full edge copy in executor storage on the over-bound (100 TB)
+    // path. The gate now counts the repartitioned checkpoint the
+    // distributed loop needs anyway and the collect reuses it (row
+    // order changes are inside the roundDp quantum contract both
+    // replicas already rely on).
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       // every iteration joins e on src: hash-partition ONCE here and the
       // checkpointed plan keeps its outputPartitioning, so the per-pass
       // exchange moves only the (vertex, rank) state, never the edges
       .repartition(col("src"))
       .localCheckpoint() // joined every iteration: compute once
+    if (e.count() <= driverMaxEdges) {
+      return pageRankDriverDf(edges.sparkSession,
+        e.collect().map(r => (r.getString(0), r.getString(1))),
+        iters, damping, roundDp, sources = null)
+    }
     val nodes = e.select(col("src").as("vertex"))
       .unionByName(e.select(col("dst").as("vertex")))
       .distinct()
@@ -239,17 +245,17 @@ object Graph {
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     // driver fast path: the [[pageRank]] replica with teleport mass
-    // pinned to `sources` (see the contract note there)
-    val eBase = (if (assumeDistinct) e0 else e0.distinct())
-      .localCheckpoint()
-    if (eBase.count() <= driverMaxEdges) {
-      return pageRankDriverDf(edges.sparkSession,
-        eBase.collect().map(r => (r.getString(0), r.getString(1))),
-        iters, damping, roundDp, sources = sources)
-    }
-    val e = eBase
+    // pinned to `sources` (see the contract note there). r19: one
+    // materialization — gate counts the repartitioned checkpoint the
+    // distributed loop needs anyway; the collect reuses it.
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       .repartition(col("src"))
       .localCheckpoint()
+    if (e.count() <= driverMaxEdges) {
+      return pageRankDriverDf(edges.sparkSession,
+        e.collect().map(r => (r.getString(0), r.getString(1))),
+        iters, damping, roundDp, sources = sources)
+    }
     val nodes = e.select(col("src").as("vertex"))
       .unionByName(e.select(col("dst").as("vertex")))
       .distinct()
@@ -399,12 +405,11 @@ object Graph {
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = edges
-      .select(col(srcCol).cast("string").as("vertex"))
-      .unionByName(edges.select(col(dstCol).cast("string").as("vertex")))
-      .filter(col("vertex").isNotNull)
-      .distinct()
-      .localCheckpoint()
+    // r19: the gate already materialized the vertex set (nodesBase) —
+    // the r18 shape rebuilt and re-checkpointed the identical frame
+    // here, a second full vertex copy in executor storage on the
+    // over-bound path for nothing.
+    val nodes = nodesBase
     var state = nodes
       .join(wout, nodes("vertex") === wout("wv"), "left")
       .select(col("vertex"), col("wout").isNotNull.as("has_out"))
@@ -412,6 +417,10 @@ object Graph {
       .select(col("vertex"), col("has_out"), col("n"),
         (lit(1.0) / col("n")).as("rank"))
       .localCheckpoint()
+    // e (share-weighted edges) and state are both eagerly checkpointed
+    // now — the gate-time copies are dead weight on the loop's path
+    freeLocalCheckpoint(e0base)
+    freeLocalCheckpoint(nodesBase)
     val hasDangling = !state.filter(!col("has_out")).limit(1).isEmpty
     for (_ <- 1 to iters) {
       // state-side broadcast: same stats-blind-optimizer rationale as
@@ -459,11 +468,14 @@ object Graph {
       iters: Int, roundDp: Int = 12,
       driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    // r19: one materialization serves gate + both paths (the pageRank
+    // single-checkpoint rationale — no second edge copy over-bound)
     val eBase = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
     // driver fast path (the pageRank replica contract: identical
     // half-step/normalize/roundDp arithmetic, double folds under the
@@ -509,8 +521,6 @@ object Graph {
           math.max(1, n / 100000)), schema)
     }
     val e = eBase
-      .repartition(col("src"))
-      .localCheckpoint()
     val nodes = e.select(col("src").as("vertex"))
       .unionByName(e.select(col("dst").as("vertex")))
       .distinct()
@@ -585,8 +595,13 @@ object Graph {
     * once. Input is checkpointed here (degree agg + orientation join
     * + callers re-read it).
     */
-  private[graft] def orientByDegree(canon: DataFrame): (DataFrame, DataFrame) = {
-    val c = canon.localCheckpoint()
+  private[graft] def orientByDegree(canon: DataFrame,
+      alreadyMaterialized: Boolean = false): (DataFrame, DataFrame) = {
+    // r19: callers that already hold a checkpointed canonical list
+    // (triangleCounts' driver-path gate) skip the re-checkpoint — a
+    // localCheckpoint of a checkpoint is a second full edge copy in
+    // executor storage plus a pass to write it.
+    val c = if (alreadyMaterialized) canon else canon.localCheckpoint()
     val degs = c.select(col("lo").as("vertex"))
       .unionByName(c.select(col("hi").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).as("degree"))
@@ -716,8 +731,10 @@ object Graph {
         edges.sparkSession.sparkContext.parallelize(rows,
           math.max(1, rows.length / 100000)), schema)
     }
-    val (oriented, _) = orientByDegree(canon)
-    triangleCorners(oriented)
+    val (oriented, _) = orientByDegree(canon, alreadyMaterialized = true)
+    val corners = triangleCorners(oriented) // eagerly checkpoints oriented
+    freeLocalCheckpoint(canon) // superseded by the oriented checkpoint
+    corners
   }
 
   /** Local clustering coefficient per vertex: 2·T(v)/(deg(v)·(deg(v)−1))
@@ -1846,8 +1863,11 @@ object Graph {
     val dec = "decimal(38,0)"
     // Driver fast path (r18): exact integer triangles + wedges from
     // the same collected canonical edges; one row out.
+    // r19: ONE canonical-list materialization serves the gate AND the
+    // over-bound path (which used to re-canonicalize + re-checkpoint
+    // inside triangleCounts and re-aggregate degrees separately).
+    val canon0 = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
     locally {
-      val canon0 = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
       if (canon0.count() <= driverMaxEdges) {
         val pairs = canon0.collect().map(r =>
           (r.getString(0), r.getString(1)))
@@ -1884,14 +1904,14 @@ object Graph {
           schema)
       }
     }
-    val tri = triangleCounts(edges, srcCol, dstCol)
+    // triangle counts and degrees share canon0's checkpoint (and the
+    // degree aggregate) through orientByDegree — identical arithmetic
+    // to the former triangleCounts(edges,…) + separate degree agg
+    val (oriented, degs) = orientByDegree(canon0, alreadyMaterialized = true)
+    val tri = triangleCorners(oriented)
       .agg(sum(col("n_triangles").cast(dec)).as("_st"))
-    val canon = canonicalEdges(edges, srcCol, dstCol)
-    val sym = canon.select(col("lo").as("_v"))
-      .unionByName(canon.select(col("hi").as("_v")))
-    val degs = sym.groupBy("_v").agg(count(lit(1)).as("_deg"))
     val wed = degs.agg(count(lit(1)).as("_nv"),
-      sum((col("_deg").cast(dec) * (col("_deg") - 1L)).cast(dec))
+      sum((col("degree").cast(dec) * (col("degree") - 1L)).cast(dec))
         .as("_w2"))
     wed.crossJoin(broadcast(tri))
       .select(col("_nv").cast("bigint").as("n_vertices"),
@@ -2130,6 +2150,19 @@ object Graph {
     * adjacency — the broadcast-join size class). Above it the
     * distributed forms run unchanged. */
   private[graft] val HarmonicDriverMaxEdges = 2000000L
+
+  /** Drop the cached blocks behind a locally-checkpointed frame whose
+    * every consumer has since been EAGERLY materialized into its own
+    * checkpoint (r19, guide §5 "unpersist when done"): without this,
+    * gate-then-derive shapes keep the superseded copy pinned in
+    * executor storage for the query's lifetime — at 100 TB a full dead
+    * edge-list copy. Failure semantics are unchanged: local
+    * checkpoints never recompute (block loss throws either way), so
+    * freeing a no-longer-referenced one cannot alter any result. */
+  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Dense-index adjacency from collected canonical (lo, hi) edges:
     * vertex names in first-seen order + symmetric neighbor arrays.
@@ -2739,6 +2772,7 @@ object Graph {
       .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
       .repartition(col("w"))
       .localCheckpoint()
+    freeLocalCheckpoint(canon) // superseded: sym is the loop's only input
     var state = sym.select(col("v")).distinct()
       .withColumn("_ev", lit(1.0))
     for (_ <- 1 to iters) {
@@ -2752,7 +2786,9 @@ object Graph {
         .select(col("v"),
           round(col("_sum").cast("double") / col("_mx").cast("double"),
             12).as("_ev"))
-        .localCheckpoint()
+        // lazy: identical lineage truncation, one fewer blocking
+        // driver-side job per pass (the pageRank loop discipline)
+        .localCheckpoint(false)
     }
     state.select(col("v").as("vertex"),
       round(col("_ev"), 6).cast("double").as("eigenvector"))
@@ -2819,6 +2855,7 @@ object Graph {
       .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
       .repartition(col("w"))
       .localCheckpoint()
+    freeLocalCheckpoint(canon) // superseded: sym is the loop's only input
     var state = sym.select(col("v")).distinct()
       .withColumn("_x", lit(1.0))
     for (_ <- 1 to iters) {
@@ -2830,7 +2867,8 @@ object Graph {
         .select(col("v"),
           round(lit(alpha) * col("_sum").cast("double") + lit(1.0), 12)
             .as("_x"))
-        .localCheckpoint()
+        // lazy: the pageRank loop discipline (no blocking job per pass)
+        .localCheckpoint(false)
     }
     state.select(col("v").as("vertex"),
       round(col("_x"), 6).cast("double").as("katz"))
@@ -2870,6 +2908,7 @@ object Graph {
     val sym = canon.select(col("lo").as("v"), col("hi").as("w"))
       .unionByName(canon.select(col("hi").as("v"), col("lo").as("w")))
       .localCheckpoint()
+    freeLocalCheckpoint(canon) // superseded: all reads go through sym
     val p2 = sym.as("f").join(sym.as("g"),
         col("f.w") === col("g.v") && col("f.v") =!= col("g.w"))
       .select(col("f.v").as("s"), col("f.w").as("m"), col("g.w").as("t"))
