@@ -75,7 +75,7 @@ object Clustering {
     * Only called under the caller's size bound and only for vertex
     * types with a total order (Comparable).
     */
-  private def unionFindLabels(rows: Array[(Any, Any)]): Seq[(Any, Any)] = {
+  private[graft] def unionFindLabels(rows: Array[(Any, Any)]): Seq[(Any, Any)] = {
     val parent = new java.util.HashMap[Any, Any]()
     val size = new java.util.HashMap[Any, Int]()
     def find(x: Any): Any = {

@@ -798,6 +798,9 @@ object EventWindows {
     val withPath = events
       .withColumn("_path", count(when(isConversion, 1))
         .over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+      // r19: both the touch and the conversion legs read this
+      // events-scale window — lazily checkpoint so it runs once
+      .localCheckpoint(false)
     val touches = withPath.filter(!isConversion)
       .select(col(userCol).as("_u"), col("_path"), col(tsCol).as("_ts"),
         col(tieCol).as("_tie"),
@@ -811,6 +814,8 @@ object EventWindows {
       .withColumn("_r", row_number().over(wPath))
       .withColumn("_k", count(lit(1)).over(wPathAll))
       .withColumn("_next", lead("_ch", 1).over(wPath))
+      // r19: three transition branches read seq — one materialization
+      .localCheckpoint(false)
     val trans = seq.filter(col("_r") === 1)
       .select(lit("START").as("_src"), col("_ch").as("_dst"))
       .unionByName(seq.filter(col("_next").isNotNull)
@@ -988,6 +993,9 @@ object EventWindows {
     val withPath = events
       .withColumn("_path", count(when(isConversion, 1))
         .over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+      // r19: both the touch and the conversion legs read this
+      // events-scale window — lazily checkpoint so it runs once
+      .localCheckpoint(false)
     val touches = withPath.filter(!isConversion)
       .select(col(userCol).as("_u"), col("_path"),
         unix_timestamp(col(tsCol)).as("_tts"), col(tsCol).as("_ots"),
@@ -1042,6 +1050,9 @@ object EventWindows {
     val withPath = events
       .withColumn("_path", count(when(isConversion, 1))
         .over(wUser.rowsBetween(Window.unboundedPreceding, -1)))
+      // r19: both the touch and the conversion legs read this
+      // events-scale window — lazily checkpoint so it runs once
+      .localCheckpoint(false)
     val touches = withPath.filter(!isConversion)
       .select(col(userCol).as("_u"), col("_path"), col(tsCol).as("_ts"),
         col(tieCol).as("_tie"), col(typeCol).as("_ch"))

@@ -790,7 +790,8 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, vertexCol: String, labelCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
     val half = edges
       .select(col(srcCol).cast("string").as("src"),
@@ -802,31 +803,49 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("vertex")).distinct()
     val seed = seeds
       .select(col(vertexCol).cast("string").as("vertex"),
         col(labelCol).cast("string").as("seed_label"))
       .filter(col("vertex").isNotNull && col("seed_label").isNotNull)
       // one winner per seed vertex even if the caller's table repeats it
       .groupBy("vertex").agg(min("seed_label").as("seed_label"))
+    // Driver fast path (r19, the louvainMove precedent): the iters ×
+    // (edge join + majority aggregate + state join) collapse onto the
+    // collected symmetric edges + seed map — exact integer counts and
+    // the UTF8-binary (count DESC, label ASC) argmax replicated term
+    // for term (all-string/integer arithmetic, no rounding anywhere,
+    // so the replica is bit-exact by construction). One count on the
+    // checkpoint the loop needs anyway; GraphSpec pins path equality;
+    // driverMaxEdges = 0 forces the distributed loop.
+    if (e.count() <= 2L * driverMaxEdges
+        && seed.count() <= 2L * driverMaxEdges) {
+      return labelPropDriverDf(edges.sparkSession,
+        e.collect().map(r => (r.getString(0), r.getString(1))),
+        seed.collect().map(r => (r.getString(0), r.getString(1))), iters)
+    }
+    val nodes = e.select(col("src").as("vertex")).distinct()
     var state = nodes
       .join(seed, Seq("vertex"), "left")
       .select(col("vertex"), col("seed_label"),
         col("seed_label").as("label"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("mv").orderBy(col("cnt").desc, col("nlabel").asc)
     for (_ <- 1 to iters) {
-      // state-side broadcast ([[pageRank]] rationale)
+      // state-side broadcast ([[pageRank]] rationale). r19: the
+      // per-pass argmax is min(struct(-count, label)) — lexicographic
+      // struct order IS (count DESC, label ASC), and the
+      // partial-aggregatable min ships at most one candidate row per
+      // (vertex, task) into the exchange where the row_number window
+      // sorted and shuffled every (vertex, label) count row (§2.3)
       val majority = e
         .join(broadcast(state.select(col("vertex"), col("label"))),
           e("src") === col("vertex"))
         .filter(col("label").isNotNull)
         .groupBy(col("dst").as("mv"), col("label").as("nlabel"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("mv"), col("nlabel"))
+        .groupBy("mv")
+        .agg(min(struct((-col("cnt")).as("_nc"),
+          col("nlabel").as("_lb"))).as("_bst"))
+        .select(col("mv"), col("_bst._lb").as("nlabel"))
       state = state
         .join(majority, state("vertex") === majority("mv"), "left")
         .select(col("vertex"), col("seed_label"),
@@ -836,6 +855,87 @@ object Graph {
     }
     state.select(col("vertex"), col("label"),
       col("seed_label").isNotNull.as("is_seed"))
+  }
+
+  /** Driver replica of [[labelPropagation]]'s clamped synchronous
+    * majority rounds over collected deduped symmetric edges and the
+    * deduped (vertex, min seed label) map. Vertex set = edge
+    * endpoints (graph-less seeds drop, as the left join dropped
+    * them); every read is against the round-start state. */
+  private def labelPropDriverDf(spark: org.apache.spark.sql.SparkSession,
+      sym: Array[(String, String)], seedRows: Array[(String, String)],
+      iters: Int): DataFrame = {
+    val idx = new java.util.HashMap[String, Integer]()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    def id(s: String): Int = {
+      val got = idx.get(s)
+      if (got != null) got.intValue()
+      else { val i = names.length; idx.put(s, i); names += s; i }
+    }
+    val m = sym.length
+    val es = new Array[Int](m); val ed = new Array[Int](m)
+    var i = 0
+    while (i < m) { es(i) = id(sym(i)._1); ed(i) = id(sym(i)._2); i += 1 }
+    val n = names.length
+    val utf8Lt = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    val seedOf = new Array[String](n)
+    seedRows.foreach { case (v, l) =>
+      val got = idx.get(v)
+      if (got != null) seedOf(got.intValue()) = l // graph vertices only
+    }
+    var label: Array[String] = seedOf.clone()
+    for (_ <- 1 to iters) {
+      val next = new Array[String](n)
+      // per-destination counts among currently-labeled sources; the
+      // (count DESC, label UTF8-binary ASC) winner, synchronous reads
+      val counts = Array.fill(n)(
+        null: java.util.HashMap[String, Array[Long]])
+      i = 0
+      while (i < m) {
+        val l = label(es(i))
+        if (l != null) {
+          var h = counts(ed(i))
+          if (h == null) {
+            h = new java.util.HashMap[String, Array[Long]]()
+            counts(ed(i)) = h
+          }
+          h.computeIfAbsent(l, _ => new Array[Long](1))(0) += 1L
+        }
+        i += 1
+      }
+      var v = 0
+      while (v < n) {
+        if (seedOf(v) != null) next(v) = seedOf(v) // clamped
+        else {
+          val h = counts(v)
+          if (h == null) next(v) = label(v)
+          else {
+            var bestL: String = null; var bestC = 0L
+            h.forEach { (l, c) =>
+              if (bestL == null || c(0) > bestC ||
+                (c(0) == bestC && utf8Lt(l, bestL))) {
+                bestL = l; bestC = c(0)
+              }
+            }
+            next(v) = bestL
+          }
+        }
+        v += 1
+      }
+      label = next
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vertex", StringType),
+      StructField("label", StringType),
+      StructField("is_seed", BooleanType, nullable = false)))
+    val rows = (0 until n).map(v => org.apache.spark.sql.Row(
+      names(v), label(v), seedOf(v) != null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 100000)),
+      schema)
   }
 
   /** Fixed-pass half-synchronous Louvain local-move community
@@ -1188,7 +1288,8 @@ object Graph {
     */
   def contractCommunities(edges: DataFrame, srcCol: String,
       dstCol: String, labels: DataFrame, vCol: String, commCol: String,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     val wExpr = weightCol.map(c => col(c).cast("long"))
       .getOrElse(lit(1L))
     val e = edges.select(col(srcCol).cast("string").as("_sa"),
@@ -1196,11 +1297,89 @@ object Graph {
       .filter(col("_sa").isNotNull && col("_sb").isNotNull)
     val lab = labels.select(col(vCol).cast("string").as("_lv"),
       col(commCol).cast("string").as("_lc"))
+    // Driver fast path (r19, verdict item 7: the multi-level ladder's
+    // remaining distributed plumbing): the two label joins + the
+    // canonical-pair weight sum collapse onto collected rows when both
+    // tables fit the harmonic bound. Exact integers and SQL-identical
+    // null semantics (inner joins drop unlabeled endpoints; least/
+    // greatest skip nulls; sum skips nulls and goes NULL on all-null
+    // groups); falls back on duplicate label vertices (the joins
+    // would multiply edges). Gate order keeps the 100 TB path cheap:
+    // the vertex-sized labels count short-circuits before any edge
+    // count runs; no checkpoint is added to either path. GraphSpec
+    // pins path equality; driverMaxEdges = 0 forces distributed.
+    if (driverMaxEdges > 0L && lab.count() <= 2L * driverMaxEdges
+        && e.count() <= driverMaxEdges) {
+      contractDriverDf(edges.sparkSession, lab.collect(), e.collect())
+        match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     e.join(lab.select(col("_lv").as("_sa"), col("_lc").as("_ca")), "_sa")
       .join(lab.select(col("_lv").as("_sb"), col("_lc").as("_cb")), "_sb")
       .select(least(col("_ca"), col("_cb")).as("src"),
         greatest(col("_ca"), col("_cb")).as("dst"), col("_w"))
       .groupBy("src", "dst").agg(sum("_w").as("weight"))
+  }
+
+  /** Driver replica of [[contractCommunities]]' join + canonical-pair
+    * sum. None ⇒ caller stays distributed (duplicate vertex in
+    * labels: the inner joins would count each incident edge once per
+    * duplicate — replicating multiplicities is not worth the risk). */
+  private def contractDriverDf(spark: org.apache.spark.sql.SparkSession,
+      labRows: Array[org.apache.spark.sql.Row],
+      eRows: Array[org.apache.spark.sql.Row]): Option[DataFrame] = {
+    val comm = new java.util.HashMap[String, String]()
+    var i = 0
+    while (i < labRows.length) {
+      val r = labRows(i)
+      if (!r.isNullAt(0)) {
+        val v = r.getString(0)
+        if (comm.containsKey(v)) return None // dup vertex: fall back
+        comm.put(v, if (r.isNullAt(1)) null else r.getString(1))
+      }
+      i += 1
+    }
+    // (src, dst) -> (wrapping Long sum over non-null weights, any
+    // non-null seen) — exactly sum(_w) over the group
+    val acc = new java.util.LinkedHashMap[(String, String), Array[Any]]()
+    val utf8Lt = (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    i = 0
+    while (i < eRows.length) {
+      val r = eRows(i)
+      val sa = r.getString(0); val sb = r.getString(1)
+      if (comm.containsKey(sa) && comm.containsKey(sb)) { // inner joins
+        val ca = comm.get(sa); val cb = comm.get(sb)
+        // SQL least/greatest skip nulls (null only when both null)
+        val (src, dst) =
+          if (ca == null) (cb, cb)
+          else if (cb == null) (ca, ca)
+          else if (utf8Lt(ca, cb)) (ca, cb) else (cb, ca)
+        val cell = acc.computeIfAbsent((src, dst),
+          _ => Array[Any](0L, java.lang.Boolean.FALSE))
+        if (!r.isNullAt(2)) {
+          cell(0) = cell(0).asInstanceOf[Long] + r.getLong(2)
+          cell(1) = java.lang.Boolean.TRUE
+        }
+      }
+      i += 1
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("src", StringType),
+      StructField("dst", StringType), StructField("weight", LongType)))
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row](acc.size)
+    acc.forEach { (k, cell) =>
+      out += org.apache.spark.sql.Row(k._1, k._2,
+        if (cell(1) == java.lang.Boolean.TRUE) cell(0) else null)
+    }
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, out.length / 100000)), schema))
   }
 
   /** Multi-level Louvain: run [[louvainMove]] on the raw graph, then
@@ -1329,13 +1508,32 @@ object Graph {
     * the community-induced subgraph. Returns (vertex, community).
     */
   def refineConnected(edges: DataFrame, srcCol: String, dstCol: String,
-      labels: DataFrame, vCol: String, commCol: String): DataFrame = {
+      labels: DataFrame, vCol: String, commCol: String,
+      driverMaxEdges: Long = HarmonicDriverMaxEdges): DataFrame = {
     val lab = labels.select(col(vCol).cast("string").as("_v"),
       col(commCol).cast("string").as("_c"))
     val e = edges.select(col(srcCol).cast("string").as("_sa"),
         col(dstCol).cast("string").as("_sb"))
       .filter(col("_sa").isNotNull && col("_sb").isNotNull
         && col("_sa") =!= col("_sb"))
+    // Driver fast path (r19, verdict item 7 — [[contractCommunities]]'
+    // twin): intra-edge projection + min-label components + the
+    // left-join fallback collapse onto collected rows. Components ride
+    // [[Clustering.unionFindLabels]], the SAME kernel the distributed
+    // connectedComponents' own fast path is pinned against, so labels
+    // (min member under UTF8-binary order) match by construction; the
+    // null-unsafe _la === _lb filter and the coalesce(_rc, _v)
+    // singleton rule are replicated term for term. Falls back on
+    // duplicate label vertices. Gate order: vertex-sized labels count
+    // short-circuits before any edge count; no added checkpoint.
+    if (driverMaxEdges > 0L && lab.count() <= 2L * driverMaxEdges
+        && e.count() <= driverMaxEdges) {
+      refineDriverDf(edges.sparkSession, lab.collect(), e.collect())
+        match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val intra = e
       .join(lab.select(col("_v").as("_sa"), col("_c").as("_la")), "_sa")
       .join(lab.select(col("_v").as("_sb"), col("_c").as("_lb")), "_sb")
@@ -1347,6 +1545,57 @@ object Graph {
     lab.join(cc, Seq("_v"), "left")
       .select(col("_v").as("vertex"),
         coalesce(col("_rc"), col("_v")).as("community"))
+  }
+
+  /** Driver replica of [[refineConnected]]'s intra-edge + min-label
+    * component + singleton-fallback pipeline. None ⇒ distributed
+    * (duplicate vertex rows in labels — the joins' multiplicities
+    * and conflicting memberships are not replicated). */
+  private def refineDriverDf(spark: org.apache.spark.sql.SparkSession,
+      labRows: Array[org.apache.spark.sql.Row],
+      eRows: Array[org.apache.spark.sql.Row]): Option[DataFrame] = {
+    val comm = new java.util.HashMap[String, String]()
+    var i = 0
+    while (i < labRows.length) {
+      val r = labRows(i)
+      if (!r.isNullAt(0)) {
+        val v = r.getString(0)
+        if (comm.containsKey(v)) return None // dup vertex: fall back
+        comm.put(v, if (r.isNullAt(1)) null else r.getString(1))
+      }
+      i += 1
+    }
+    val intra = new scala.collection.mutable.ArrayBuffer[(Any, Any)]()
+    i = 0
+    while (i < eRows.length) {
+      val r = eRows(i)
+      val sa = r.getString(0); val sb = r.getString(1)
+      if (comm.containsKey(sa) && comm.containsKey(sb)) {
+        val la = comm.get(sa); val lb = comm.get(sb)
+        if (la != null && la == lb) intra += ((sa, sb)) // null-unsafe ===
+      }
+      i += 1
+    }
+    val refined = new java.util.HashMap[String, String]()
+    Clustering.unionFindLabels(intra.toArray).foreach { case (v, c) =>
+      refined.put(v.asInstanceOf[String], c.asInstanceOf[String])
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vertex", StringType),
+      StructField("community", StringType)))
+    // one output row per LABELS row (the left join), null vertices
+    // included (they match nothing; coalesce(null-side, null) = null)
+    val out = labRows.map { r =>
+      if (r.isNullAt(0)) org.apache.spark.sql.Row(null, null)
+      else {
+        val v = r.getString(0)
+        val rc = refined.get(v)
+        org.apache.spark.sql.Row(v, if (rc != null) rc else v)
+      }
+    }
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq,
+        math.max(1, out.length / 100000)), schema))
   }
 
   /** Multi-level LEIDEN: [[louvainMultilevel]] with
@@ -2024,16 +2273,27 @@ object Graph {
         col(rightCol).cast("string").as("_r"))
       .filter(col("_l").isNotNull && col("_r").isNotNull)
       .distinct()
-      // three consumers (degree agg + both self-join sides): without
-      // this the scan+distinct executes three times
-      .localCheckpoint()
-    val keep = m.groupBy(col("_l").as("_lk")).agg(count(lit(1)).as("_d"))
+    val mc = m.localCheckpoint()
+    // r19: the SELF-JOIN strategy is pinned shuffle_hash — the
+    // checkpoint-blinded stats made Catalyst BROADCAST the
+    // corpus-sized capped edge table (dead at 100 TB, the r14
+    // linkPrediction disease); a shuffled-hash join exchanges both
+    // sides on _l with NO sort and a per-partition build bounded by
+    // the degree cap (guide §3.1 — choose the strategy deliberately).
+    // (A TopK-heap aggregate formulation was measured 3× SLOWER at
+    // bench scale: 550k tiny object heaps through ObjectHashAggregate
+    // lose to one codegen'd hash join — see OPTIMIZATION_r19.md.)
+    // keep is vertex-scale (most left keys survive the cap) — also
+    // NOT broadcast-safe at 100 TB; shuffle_hash keys it on _l, the
+    // same partitioning the self-join needs, so the legs share the
+    // one edge exchange instead of shipping the key set to every task
+    val keep = mc.groupBy(col("_l").as("_lk")).agg(count(lit(1)).as("_d"))
       .filter(col("_d") <= maxPerLeft)
       .select("_lk")
-    val capped = m.join(broadcast(keep), col("_l") === col("_lk"),
-      "left_semi")
-    capped.as("x")
-      .join(capped.as("y"),
+    val capped = mc.join(keep.hint("shuffle_hash"),
+      col("_l") === col("_lk"), "left_semi")
+    capped.as("x").hint("shuffle_hash")
+      .join(capped.as("y").hint("shuffle_hash"),
         col("x._l") === col("y._l") && col("x._r") < col("y._r"))
       .groupBy(col("x._r").as("a"), col("y._r").as("b"))
       .agg(count(lit(1)).as("weight"))

@@ -9493,44 +9493,65 @@ object Stats {
         when(treated, 1).otherwise(0).as("_t0"),
         when(post, 1).otherwise(0).as("_p"),
         round(col(valueCol) * 1e6).cast("long").as("_v"))
-    val cells = base
-      .withColumn("_b", explode(sequence(lit(0), lit(b))))
-      .withColumn("_t", when(col("_b") === 0, col("_t0"))
-        .otherwise(when(Sampling.portableUnit(
-          concat(col("_u"), lit(":"), col("_b").cast("string"))) < 0.5,
-          1).otherwise(0)))
-      .groupBy("_b", "_t", "_p")
-      .agg(count(lit(1)).as("_n"), sum(col("_v").cast(dec)).as("_s"))
-    def pick(t: Int, p: Int, c: String) =
-      max(when(col("_t") === t && col("_p") === p, col(c)))
-    val perB = cells.groupBy("_b").agg(
-      pick(0, 0, "_n").as("_nc0"), pick(0, 1, "_n").as("_nc1"),
-      pick(1, 0, "_n").as("_nt0"), pick(1, 1, "_n").as("_nt1"),
-      pick(0, 0, "_s").as("_sc0"), pick(0, 1, "_s").as("_sc1"),
-      pick(1, 0, "_s").as("_st0"), pick(1, 1, "_s").as("_st1"))
+    // r19 (guide §2.3 shuffle fewer bytes): ONE scalar aggregate
+    // replaces the ×(B+1) explode + (b,t,p) exchange + per-b pivot +
+    // checkpoint + crossJoin — each row contributes to its (t_b, p)
+    // cell for every b through 8·(B+1) conditional folds over a
+    // per-row placebo-assignment array (same md5 count per input row
+    // as the exploded form, computed once in a projection). Exact
+    // decimal/long sums are order-free, and an EMPTY cell is a NULL
+    // conditional sum exactly where the absent group row made the
+    // old pick() NULL, so every DiD_b (and the rank fold's
+    // null-condition→0 convention) is value-identical.
+    val withT = base.withColumn("_ts", array((0 to b).map { bi =>
+      if (bi == 0) col("_t0")
+      else when(Sampling.portableUnit(concat(col("_u"), lit(":"),
+        lit(bi.toString))) < 0.5, 1).otherwise(0)
+    }: _*))
+    def cell(bi: Int, t: Int, p: Int, s: Boolean): Column = {
+      val cond = element_at(col("_ts"), bi + 1) === t && col("_p") === p
+      if (s) sum(when(cond, col("_v").cast(dec)))
+      else sum(when(cond, lit(1L)))
+    }
+    val aggs = (0 to b).flatMap { bi => Seq(
+      cell(bi, 0, 0, s = false).as(s"_nc0_$bi"),
+      cell(bi, 0, 1, s = false).as(s"_nc1_$bi"),
+      cell(bi, 1, 0, s = false).as(s"_nt0_$bi"),
+      cell(bi, 1, 1, s = false).as(s"_nt1_$bi"),
+      cell(bi, 0, 0, s = true).as(s"_sc0_$bi"),
+      cell(bi, 0, 1, s = true).as(s"_sc1_$bi"),
+      cell(bi, 1, 0, s = true).as(s"_st0_$bi"),
+      cell(bi, 1, 1, s = true).as(s"_st1_$bi"))
+    } :+ count(lit(1)).as("_nrows")
+    val one = withT.agg(aggs.head, aggs.tail: _*)
     def d(c: String) = col(c).cast("double")
     def m(s: String, n: String) = d(s) / d(n)
-    val haveAll = col("_nc0").isNotNull && col("_nc1").isNotNull &&
-      col("_nt0").isNotNull && col("_nt1").isNotNull
-    val dids = perB.select(col("_b"),
-      when(haveAll, round(((m("_st1", "_nt1") - m("_st0", "_nt0"))
-        - (m("_sc1", "_nc1") - m("_sc0", "_nc0"))) / 1e6, 6))
-        .as("_did"))
-      .localCheckpoint() // the observed row + the placebo fold read it
-    val obs = dids.filter(col("_b") === 0)
-      .select(col("_did").as("_obs"))
-    dids.filter(col("_b") >= 1)
-      .crossJoin(broadcast(obs))
-      .agg(count(lit(1)).as("_np"),
-        sum(when(abs(col("_did")) >= abs(col("_obs")), 1L)
-          .otherwise(0L)).as("_ge"),
-        max(col("_obs")).as("_o"))
-      .select(col("_np").cast("bigint").as("n_placebos"),
-        col("_o").cast("double").as("did_obs"),
-        col("_ge").cast("bigint").as("n_ge"),
-        round((col("_ge").cast("double") + 1.0)
-          / (col("_np").cast("double") + 1.0), 6)
-          .cast("double").as("p_value"))
+    def did(bi: Int): Column = {
+      val haveAll = col(s"_nc0_$bi").isNotNull &&
+        col(s"_nc1_$bi").isNotNull && col(s"_nt0_$bi").isNotNull &&
+        col(s"_nt1_$bi").isNotNull
+      when(haveAll,
+        round(((m(s"_st1_$bi", s"_nt1_$bi") - m(s"_st0_$bi", s"_nt0_$bi"))
+          - (m(s"_sc1_$bi", s"_nc1_$bi") - m(s"_sc0_$bi", s"_nc0_$bi")))
+          / 1e6, 6))
+    }
+    val obs = did(0)
+    // null DiD_b or null obs fails the >= and falls to 0 — the old
+    // when().otherwise(0) convention verbatim
+    val ge = (1 to b).map(bi =>
+      when(abs(did(bi)) >= abs(obs), 1L).otherwise(0L)).reduce(_ + _)
+    // empty input: the old dids frame was EMPTY (no groups), so the
+    // final fold reported (0, null, null, null) — replicated via the
+    // row-count guard
+    val nonEmpty = col("_nrows") > 0
+    one.select(
+      when(nonEmpty, lit(b.toLong)).otherwise(lit(0L))
+        .cast("bigint").as("n_placebos"),
+      when(nonEmpty, obs).cast("double").as("did_obs"),
+      when(nonEmpty, ge).cast("bigint").as("n_ge"),
+      when(nonEmpty, round((ge.cast("double") + 1.0)
+        / (b.toDouble + 1.0), 6))
+        .cast("double").as("p_value"))
   }
 
   /** Instrumental-variable (Wald / just-identified 2SLS) estimation

@@ -787,35 +787,32 @@ object TextAnalysis {
       topK: Int = 100): DataFrame = {
     require(n >= 1 && n <= 8, s"languageIdTrained: n in [1,8], got $n")
     require(topK >= 1, s"languageIdTrained: topK must be >= 1")
-    def grams(df: DataFrame, keyCol: org.apache.spark.sql.Column)
-        : DataFrame =
-      df.select(keyCol.as("_key"),
-          regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("_t"))
-        .select(col("_key"), explode(expr(
-          s"transform(sequence(1, greatest(length(_t), 1)), " +
-            s"i -> substring(_t, i, $n))")).as("_g"))
-        .filter(length(col("_g")) === n)
-    // top-K cut as the bounded partial-aggregatable heap (r16 verdict
-    // item 8), NOT a row_number window: the window form sorts every
-    // language's whole gram vocabulary in ONE task (one language = one
-    // sort partition — the training-side skew), where the heap's
-    // map-side partials cap each task's contribution at K structs per
-    // key before the exchange. Ascending (−count, gram) IS
-    // (count DESC, gram ASC), and posexplode position recovers the
-    // rank — bit-identical to the window under the same total order.
-    def ranked(g: DataFrame): DataFrame = g
-      .groupBy("_key", "_g").agg(count(lit(1)).as("_cnt"))
+    // Gram counting + top-K rank cut as ONE native aggregate (r19,
+    // guide §4.2/§2.3): the r16 shape exploded each text into |text|
+    // gram rows, hash-aggregated (key, gram), then heap-cut per key —
+    // two exchanges and a generator fan-out per corpus scan.
+    // [[graft.functions.GramTopKAgg]] slices code-point n-grams in
+    // native code straight into per-key count maps with map-side
+    // partials, so ONE key-exchange ships vocabulary-bounded maps and
+    // the (count DESC, gram ASC) cut happens inside eval —
+    // bit-identical rows (the equality inventory lives on the
+    // aggregate; ascending (−count, gram) IS (count DESC, gram ASC),
+    // posexplode position recovers the rank).
+    def ranked(df: DataFrame, keyCol: org.apache.spark.sql.Column)
+        : DataFrame = df
+      .select(keyCol.as("_key"),
+        regexp_replace(trim(lower(col(textCol))), "\\s+", " ").as("_t"))
       .groupBy("_key")
-      .agg(graft.functions.TopKStructAgg.topKStructs(
-        struct((-col("_cnt")).as("_nc"), col("_g")), topK).as("_tk"))
+      .agg(graft.functions.GramTopKAgg.gramTopK(col("_t"), n, topK)
+        .as("_tk"))
       .select(col("_key"), posexplode(col("_tk")).as(Seq("_p", "_e")))
       .select(col("_key"), col("_e._g").as("_g"),
         (col("_p") + 1).cast("int").as("_rk"))
-    val profile = ranked(grams(
-        train.filter(col(langCol).isNotNull), col(langCol)))
+    val profile = ranked(
+        train.filter(col(langCol).isNotNull), col(langCol))
       .select(col("_key").as("_lang"), col("_g"), col("_rk").as("_rl"))
     val langs = profile.select("_lang").distinct()
-    val docRank = ranked(grams(test, col(idCol)))
+    val docRank = ranked(test, col(idCol))
       .select(col("_key").as("_id"), col("_g"), col("_rk").as("_rd"))
     val best = docRank
       .crossJoin(broadcast(langs))

@@ -232,12 +232,35 @@ object Versioned {
     * single-writer contract) can never be silently claimed by this
     * commit's snapshot. Returns (relPath, len) of the moved files.
     */
+  /** Output sizing for versioned writes (r19, guide §6 small-files):
+    * target ~128 MB files by DERIVED partition count — the
+    * optimizer's size estimate over the write target, never the
+    * session's shuffle/core count (a 32-partition local session was
+    * writing 32 tiny files + 32 commit renames per small delta, and
+    * every later load paid the listing + footer opens). Only ever
+    * REDUCES the partition count (coalesce; an over-estimate just
+    * keeps more, still well-sized files), and leaves frames with no
+    * usable estimate untouched, so a 100 TB write keeps its natural
+    * parallelism. */
+  private def sizedForWrite(df: DataFrame): DataFrame = {
+    val target = 128L * 1024 * 1024
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= BigInt(0) || bytes >= BigInt(Long.MaxValue / 4)) df
+    else {
+      val want = ((bytes + target - 1) / target)
+        .min(BigInt(1 << 20)).toInt.max(1)
+      // coalesce never INCREASES partitions, so no current-count probe
+      // (df.rdd.getNumPartitions could execute AQE stages)
+      df.coalesce(want)
+    }
+  }
+
   private def stampedAppend(fs: FileSystem, root: Path,
       df: DataFrame, partitionCols: Seq[String]): Seq[(String, Long)] = {
     val stamp = java.util.UUID.randomUUID().toString
       .replace("-", "").take(16)
     val stage = new Path(versionsDir(root), s".stage-$stamp")
-    val w = df.write.mode("errorifexists")
+    val w = sizedForWrite(df).write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(stage.toString)
     val staged = dataFiles(fs, stage).toSeq.sortBy(_._1)
@@ -495,7 +518,7 @@ object Versioned {
     * or absent) and commit v1. */
   def create(spark: SparkSession, path: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Int = {
-    val w = df.write.mode("errorifexists")
+    val w = sizedForWrite(df).write.mode("errorifexists")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(path)
     init(spark, path)

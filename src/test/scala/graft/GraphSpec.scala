@@ -222,6 +222,29 @@ class GraphSpec extends SparkTestBase {
     assert(out("n1")._1.contains("B"), "seed n1 keeps B")
   }
 
+  test("labelPropagation r19 path equality: driver fast path == " +
+      "distributed loop (ties, clamping, unreached, dup seeds, " +
+      "graph-less seeds)") {
+    // majority + tie + a 2-hop chain + a seed vertex absent from the
+    // graph (z) + a duplicate seed row for n1 (min label wins)
+    val edges = Seq("c" -> "n1", "c" -> "n2", "c" -> "n3",
+      "n3" -> "m", "m" -> "q", "q" -> "r").toDF("s", "t")
+    val seeds = Seq("n1" -> "B", "n1" -> "C", "n2" -> "B",
+      "n3" -> "A", "z" -> "Z").toDF("v", "l")
+    def run(maxE: Long) = Graph.labelPropagation(edges, "s", "t",
+        seeds, "v", "l", iters = 2, driverMaxEdges = maxE)
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getBoolean(2))).toSet
+    val fast = run(2000000L)
+    val slow = run(0L)
+    assert(fast === slow, s"paths diverge:\n$fast\n$slow")
+    assert(fast.contains(("z", null, false)) === false, "graph-less seed dropped")
+    assert(fast.exists(t => t._1 == "n1" && t._2 == "B" && t._3),
+      s"dup seed must keep the min label: $fast")
+  }
+
   // ---- kcore ----
 
   private def core(edges: Seq[(String, String)], k: Int, rounds: Int)
@@ -942,5 +965,68 @@ class GraphSpec extends SparkTestBase {
     assert(r.getLong(0) == 4L && r.getDouble(1) == 5.0
       && r.getLong(2) == 3L, r.toString)
     assert(r.getDouble(3) == 0.6, r.toString)
+  }
+
+  test("r19 path equality: contractCommunities / refineConnected " +
+      "driver fast paths == distributed plans, including unlabeled " +
+      "endpoints, null labels, duplicate edges, self-loops, null " +
+      "weights, and the duplicate-label-vertex fallback") {
+    import spark.implicits._
+    // z is UNLABELED (inner joins drop its edges); d-d is a self-loop
+    // (contract keeps it as intra weight; refine drops it); a-b is a
+    // DUPLICATE edge (weights sum); e carries a NULL community
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("c", "d"),
+      ("d", "d"), ("d", "e"), ("a", "z")).toDF("s", "t")
+    val labels = Seq(("a", "X"), ("b", "X"), ("c", "Y"), ("d", "Y"),
+      ("e", null)).toDF("v", "comm")
+    def cSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("src"), col("dst"), col("weight"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val cFast = cSet(Graph.contractCommunities(edges, "s", "t",
+      labels, "v", "comm"))
+    val cSlow = cSet(Graph.contractCommunities(edges, "s", "t",
+      labels, "v", "comm", None, driverMaxEdges = 0L))
+    assert(cFast === cSlow, s"contract paths diverge:\n$cFast\n$cSlow")
+    // null community on e: least/greatest skip the null, so d-e
+    // lands on (Y, Y) — with c-d and the d-d self-loop, weight 3
+    assert(cFast === Set(("X", "X", 2L), ("X", "Y", 1L), ("Y", "Y", 3L)),
+      cFast.toString)
+    // weighted + a NULL weight: sum skips it; an all-null group is NULL
+    val wEdges = Seq(("a", "b", java.lang.Long.valueOf(3L)),
+      ("a", "b", null.asInstanceOf[java.lang.Long]),
+      ("c", "d", null.asInstanceOf[java.lang.Long])).toDF("s", "t", "w")
+    val wFast = cSet(Graph.contractCommunities(wEdges, "s", "t",
+      labels, "v", "comm", Some("w")))
+    val wSlow = cSet(Graph.contractCommunities(wEdges, "s", "t",
+      labels, "v", "comm", Some("w"), driverMaxEdges = 0L))
+    assert(wFast === wSlow && wFast === Set(("X", "X", 3L),
+      ("Y", "Y", null)), s"$wFast vs $wSlow")
+    def rSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    val rFast = rSet(Graph.refineConnected(edges, "s", "t",
+      labels, "v", "comm"))
+    val rSlow = rSet(Graph.refineConnected(edges, "s", "t",
+      labels, "v", "comm", driverMaxEdges = 0L))
+    assert(rFast === rSlow, s"refine paths diverge:\n$rFast\n$rSlow")
+    // X = {a,b} connected (dup edge is one link); Y = {c,d} connected
+    // (self-loop ignored); e's null community matches nothing -> its
+    // own singleton
+    assert(rFast === Set(("a", "a"), ("b", "a"), ("c", "c"),
+      ("d", "c"), ("e", "e")), rFast.toString)
+    // duplicate vertex in labels: the driver path must FALL BACK (the
+    // joins multiply edges) and still equal the distributed result
+    val dup = Seq(("a", "X"), ("a", "X"), ("b", "X"), ("c", "Y"),
+      ("d", "Y")).toDF("v", "comm")
+    assert(cSet(Graph.contractCommunities(edges, "s", "t", dup,
+        "v", "comm"))
+      === cSet(Graph.contractCommunities(edges, "s", "t", dup,
+        "v", "comm", None, driverMaxEdges = 0L)))
+    val rd = Graph.refineConnected(edges, "s", "t", dup, "v", "comm")
+    val rds = Graph.refineConnected(edges, "s", "t", dup, "v", "comm",
+      driverMaxEdges = 0L)
+    assert(rd.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      === rds.collect().map(_.toSeq).toSeq.sortBy(_.toString))
   }
 }

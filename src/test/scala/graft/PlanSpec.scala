@@ -615,13 +615,22 @@ class PlanSpec extends SparkTestBase {
       "aggregates, not per-language sort windows") {
     // r16 verdict item 8: the old row_number() OVER (PARTITION BY lang
     // ORDER BY count, gram) sorted each language's WHOLE gram
-    // vocabulary in one task. The cut is now topk_struct (map-side
-    // partials cap every task at K structs per key); the single
-    // window left in the plan is the per-DOC argmin over |langs| rows.
+    // vocabulary in one task. r19: gram counting + the K cut are ONE
+    // native aggregate (gram_topk_struct — map-side partials ship
+    // vocabulary-bounded count maps per key); the char-level explode
+    // is gone, so the only Generates left are the two bounded
+    // posexplodes of the K-row rank arrays, and the single window is
+    // the per-DOC argmin over |langs| rows.
     val p = plan("q_langid_profile")
     val tree = p.split("\n\n")(0)
-    assert(p.contains("topk_struct"), // agg fn names live in the details
-      s"profile rank must ride the bounded heap aggregate:\n$p")
+    assert(p.contains("gram_topk_struct"), // agg names live in details
+      s"gram counting must ride the native gram aggregate:\n$p")
+    // bounded posexplodes only: docRank ×1 + the profile subtree ×2
+    // (it feeds both the langs distinct and the rank join); the old
+    // char-level shape added a |text|-row explode under EVERY one
+    val generates = "\\bGenerate\\b".r.findAllIn(tree).size
+    assert(generates <= 3,
+      s"char-level explode fan-out is back ($generates Generates):\n$p")
     val windows = "\\bWindow\\b".r.findAllIn(tree).size
     assert(windows <= 1,
       s"only the per-doc argmin window is allowed, found $windows:\n$p")
