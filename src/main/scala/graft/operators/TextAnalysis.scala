@@ -2329,11 +2329,17 @@ object TextAnalysis {
         round(col("_prior").cast("double")
           + coalesce(col("_micros"), lit(0L)).cast("double") / lit(1000000.0),
           6).as("_score"))
-    val w = Window.partitionBy("_id")
-      .orderBy(col("_score").desc, col("_cls").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("_id").as(idCol), col("_cls").as("pred"),
-        col("_score").cast("double").as("score"))
+    // r19 (§2.3): the per-doc argmax is min(struct(-score, cls, score))
+    // — negation reverses Spark's double total order bijectively (no
+    // NaNs here: priors/terms are finite), so lexicographic struct min
+    // IS the (score DESC, cls ASC) row_number()=1 winner, and the
+    // partial-aggregatable min ships one candidate per (doc, task)
+    // into the exchange where the window sorted and shuffled every
+    // (doc, class) row
+    scored.groupBy("_id")
+      .agg(min(struct((-col("_score")).as("_ns"), col("_cls").as("_c"),
+        col("_score").as("_s"))).as("_bst"))
+      .select(col("_id").as(idCol), col("_bst._c").as("pred"),
+        col("_bst._s").cast("double").as("score"))
   }
 }
